@@ -1,0 +1,63 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Two deployment profiles mirror the reference's two providers
+(GCSRawdataClientInitializer.java:43-70 vs
+FilesystemAvroRawdataClientInitializer.java:32-42): ``filesystem`` needs no
+extra conf; ``gcs`` is pure connector configuration (auth keyfile, chunk
+size) applied to the same engine code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: SQL confs the engine needs regardless of who built the session.  All are
+#: runtime-settable, so :func:`ensure_engine_confs` can repair a session the
+#: harness created without them.
+ENGINE_SQL_CONFS = {
+    # testdata parquet carries TIMESTAMP(NANOS); read as long, convert in
+    # the loader (tables.py) — Spark has no native nanos timestamp reads.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle-partition coalescing + skew-join handling are the
+    # 100 TB safety net (SURVEY.md §4).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas UDF / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    for key, value in ENGINE_SQL_CONFS.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # non-settable in this build — defaults applied at create
+    return spark
+
+
+def get_spark(
+    app_name: str = "rawdata-spark-engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for key, value in ENGINE_SQL_CONFS.items():
+        builder = builder.config(key, value)
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    return ensure_engine_confs(spark)

@@ -1,0 +1,207 @@
+"""Topic storage: manifest-driven reads and windowed, manifest-named writes.
+
+A topic is a folder of columnar data files whose *filenames* carry the
+manifest facts (first event-time, row count, byte size, first position) —
+the reference's convention (README.md:7-14, AvroFileMetadata.java:53-56),
+kept so nothing needs to open a file to prune it.
+
+Spark-first mapping (SURVEY.md §3.4/§4):
+
+- **Read** = one ``spark.read.parquet(paths…)`` over the pruned file list;
+  event-time pruning happens against the manifest (driver-side, from the
+  listing — the analog of the reference's ``NavigableMap.floorEntry``,
+  AvroRawdataConsumer.java:153-157) and row-level predicates push down to
+  the columnar scan.
+- **Write** = executors write task files via the commit protocol (this
+  replaces the reference's upload thread + pre-upload verification,
+  AvroRawdataProducer.java:101-133,192-198), then a driver-side pass renames
+  each committed file to its manifest name.  ``repartitionByRange(ulid)``
+  before ordered bulk writes keeps per-file min-ulid manifests truthful.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datamodel import MESSAGE_SCHEMA
+from .filenames import (
+    FileManifestEntry,
+    decode_filename,
+    encode_filename,
+    is_topic_data_file,
+)
+from .fsutil import HadoopFs
+
+
+class Topic:
+    """Handle for one topic folder under a client root URI."""
+
+    def __init__(self, spark: SparkSession, root_uri: str, name: str):
+        self.spark = spark
+        self.root_uri = root_uri.rstrip("/")
+        self.name = name.strip("/")
+        self.uri = f"{self.root_uri}/{self.name}"
+        self.fs = HadoopFs(spark, self.root_uri)
+
+    # -- listing / manifest -------------------------------------------------
+
+    def list_manifest(self) -> list[tuple[str, FileManifestEntry]]:
+        """[(full_path, manifest)] sorted by (from_ts, filename).
+
+        Drops directories, zero-byte files, metadata objects, and files not
+        matching the manifest pattern — the reference's listing filter chain
+        (GCSRawdataUtils.java:99-104, FilesystemRawdataUtils.java:79-94).
+        """
+        out = []
+        for path, size in self.fs.list_files(self.uri):
+            if size == 0 or not is_topic_data_file(path):
+                continue
+            entry = decode_filename(path.rsplit("/", 1)[-1])
+            out.append((path, entry))
+        out.sort(key=lambda pe: (pe[1].from_ts_ms, pe[1].filename))
+        return out
+
+    def prune_from_timestamp(
+        self, manifest: list[tuple[str, FileManifestEntry]], ts_ms: int
+    ) -> list[tuple[str, FileManifestEntry]]:
+        """Files that can contain events at/after ``ts_ms``.
+
+        Keep the last file whose first-event time <= ts (floorEntry) and
+        everything after it; if none precede ts, keep all (ceilingEntry) —
+        AvroRawdataConsumer.java:153-157 semantics at file granularity.
+        """
+        start = 0
+        for i, (_, entry) in enumerate(manifest):
+            if entry.from_ts_ms <= ts_ms:
+                start = i
+        return manifest[start:]
+
+    # -- read ---------------------------------------------------------------
+
+    def dataframe(self, from_ts_ms: int | None = None) -> DataFrame:
+        """Unordered message DataFrame over the (optionally pruned) topic."""
+        manifest = self.list_manifest()
+        if from_ts_ms is not None:
+            manifest = self.prune_from_timestamp(manifest, from_ts_ms)
+        if not manifest:
+            return self.spark.createDataFrame([], MESSAGE_SCHEMA)
+        paths = [path for path, _ in manifest]
+        df = self.spark.read.schema(MESSAGE_SCHEMA).parquet(*paths)
+        if from_ts_ms is not None:
+            df = df.filter(F.col("ulid_ts_ms") >= F.lit(from_ts_ms))
+        return df
+
+    def ordered_dataframe(self, from_ts_ms: int | None = None) -> DataFrame:
+        """Stream-ordered view: ``ORDER BY ulid`` (binary ULIDs sort by
+        (timestamp, randomness) under Spark's unsigned byte comparison)."""
+        return self.dataframe(from_ts_ms).orderBy("ulid")
+
+    def last_message_df(self) -> DataFrame:
+        """O(1 file) tail read: prune to the max-from-ts file, then top-1.
+
+        Replaces the reference's last-block-offset seek
+        (AvroRawdataClient.java:123-144) with manifest pruning +
+        ``TakeOrderedAndProject``.
+        """
+        manifest = self.list_manifest()
+        if not manifest:
+            return self.spark.createDataFrame([], MESSAGE_SCHEMA)
+        last_path = manifest[-1][0]
+        df = self.spark.read.schema(MESSAGE_SCHEMA).parquet(last_path)
+        return df.orderBy(F.col("ulid").desc()).limit(1)
+
+    # -- write --------------------------------------------------------------
+
+    def _commit_part_files(self, tmp_uri: str, ext: str) -> list[str]:
+        """Rename committed part files in ``tmp_uri`` to manifest names.
+
+        One lightweight aggregate over the just-written files computes each
+        file's manifest facts (min ulid ts, count, first position); sizes
+        come from the listing.  Returns the final file URIs.
+        """
+        parts = [
+            (path, size)
+            for path, size in self.fs.list_files(tmp_uri)
+            if path.rsplit("/", 1)[-1].startswith("part-") and size > 0
+        ]
+        if not parts:
+            self.fs.delete(tmp_uri, recursive=True)
+            return []
+        stats = (
+            self.spark.read.schema(MESSAGE_SCHEMA)
+            .parquet(*[p for p, _ in parts])
+            .groupBy(F.input_file_name().alias("file"))
+            .agg(
+                F.min("ulid_ts_ms").alias("from_ts_ms"),
+                F.count(F.lit(1)).alias("cnt"),
+                F.min_by("position", "ulid").alias("first_position"),
+            )
+            .collect()
+        )
+        size_by_name = {p.rsplit("/", 1)[-1]: s for p, s in parts}
+        path_by_name = {p.rsplit("/", 1)[-1]: p for p, _ in parts}
+        final_paths = []
+        for row in stats:
+            part_name = row["file"].rsplit("/", 1)[-1]
+            src = path_by_name[part_name]
+            filename = encode_filename(
+                from_ts_ms=row["from_ts_ms"],
+                count=row["cnt"],
+                last_block_offset=size_by_name[part_name],
+                first_position=row["first_position"],
+                ext=ext,
+            )
+            dst = f"{self.uri}/{filename}"
+            if not self.fs.rename(src, dst):
+                raise IOError(f"rename failed: {src} -> {dst}")
+            final_paths.append(dst)
+        self.fs.delete(tmp_uri, recursive=True)
+        return final_paths
+
+    def write_dataframe(
+        self,
+        df: DataFrame,
+        ext: str = "parquet",
+        range_partition: bool = True,
+        max_records_per_file: int | None = None,
+    ) -> list[str]:
+        """Bulk append: the 100 TB write path.
+
+        ``df`` must be in MESSAGE_SCHEMA.  Range-partitioning by ulid keeps
+        files time-disjoint so the filename manifest gives real pruning
+        power; ``maxRecordsPerFile`` is the size-window analog of the
+        reference's ``avro-file.max.bytes`` rotation (S1).
+        """
+        if ext != "parquet":
+            raise NotImplementedError(
+                "only parquet topics are supported in this build; the avro "
+                "datasource jar (org.apache.spark:spark-avro) is not on the "
+                "classpath"
+            )
+        self.fs.mkdirs(self.uri)
+        tmp_uri = f"{self.uri}/.tmp-{uuid.uuid4().hex}"
+        writer_df = df.select([f.name for f in MESSAGE_SCHEMA.fields])
+        if range_partition:
+            writer_df = writer_df.repartitionByRange("ulid")
+        writer = writer_df.write.mode("overwrite")
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.parquet(tmp_uri)
+        return self._commit_part_files(tmp_uri, ext)
+
+    def write_single_file(self, df: DataFrame, ext: str = "parquet") -> list[str]:
+        """Producer-flush path: one buffered window → one topic file."""
+        if ext != "parquet":
+            raise NotImplementedError("only parquet topics in this build")
+        self.fs.mkdirs(self.uri)
+        tmp_uri = f"{self.uri}/.tmp-{uuid.uuid4().hex}"
+        (
+            df.select([f.name for f in MESSAGE_SCHEMA.fields])
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp_uri)
+        )
+        return self._commit_part_files(tmp_uri, ext)
