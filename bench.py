@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs every ``bench=True`` query from the catalog on
+``local[$SPARK_GRAFT_CPUS]`` against ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) and prints ONE JSON line:
+
+    {"metric": "bench_total_sec", "value": N, "unit": "sec",
+     "queries": {"q_...": sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with the noop sink (computes every output
+column and row; no driver collect bottleneck, no result truncation).  A
+warm-up query runs first so JVM/codegen startup is not billed to the first
+benchmark entry.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rawdata_client_provider_gcs_spark.plans import catalog
+from rawdata_client_provider_gcs_spark.session import get_spark
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="rawdata-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench = catalog.bench_queries()
+
+    # Warm up: JVM, codegen, parquet footer reads — not billed to any query.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name, qdef in bench.items():
+        t0 = time.perf_counter()
+        df = qdef.fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Text-analysis column expressions (JVM-side, whole-stage-codegen friendly).
+
+Everything here is built from ``pyspark.sql.functions`` so the hot path
+stays inside Tungsten — no Python UDFs.  Patterns use explicit ASCII
+character classes so Java regex (Spark) and RE2 (DuckDB oracle) agree.
+
+These are the engine's analogs of what a large-scale training-data pipeline
+needs (BASELINE.json north star): token counting, quality scoring,
+language-ID, fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: ASCII word pattern — identical semantics in Java regex and RE2.
+WORD_RE = "[A-Za-z0-9_]+"
+ALPHA_LOWER_RE = "[a-z0-9]+"
+PUNCT_RE = "[.,;:!?]"
+
+#: Tiny deterministic stopword marker sets per language for the n-gram
+#: heuristic language spotter.  Scores are plain word-boundary counts so the
+#: same formula runs as oracle SQL.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "que", "pour"],
+    "es": ["el", "los", "las", "es", "una", "que", "por", "para", "con"],
+    "no": ["og", "det", "som", "en", "av", "til", "ikke", "med"],
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace-insensitive ASCII word-token count."""
+    return F.regexp_count(_c(col), F.lit(WORD_RE)).cast("long")
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(_c(col)).cast("long")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Punctuation chars per text char (0 for empty text)."""
+    c = _c(col)
+    return (
+        F.regexp_count(c, F.lit(PUNCT_RE)).cast("double")
+        / F.greatest(F.length(c), F.lit(1)).cast("double")
+    )
+
+
+def stopword_count(col: Column | str, words: list[str] | None = None) -> Column:
+    words = words or LANG_MARKERS["en"]
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(_c(col)), F.lit(pattern)).cast("long")
+
+
+def stopword_ratio(col: Column | str, words: list[str] | None = None) -> Column:
+    return stopword_count(_c(col), words).cast("double") / F.greatest(
+        token_count(_c(col)), F.lit(1)
+    ).cast("double")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic from length, punctuation and
+    stopword evidence — the classic cheap pre-filter for LLM corpora."""
+    c = _c(col)
+    len_score = F.least(F.length(c).cast("double") / F.lit(500.0), F.lit(1.0))
+    punct_score = F.least(punct_ratio(c) * F.lit(10.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(c) * F.lit(4.0), F.lit(1.0))
+    return (len_score + punct_score + stop_score) / F.lit(3.0)
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    low = F.lower(_c(col))
+    out = {}
+    for lang, words in LANG_MARKERS.items():
+        pattern = r"\b(" + "|".join(words) + r")\b"
+        out[lang] = F.regexp_count(low, F.lit(pattern)).cast("long")
+    return out
+
+
+def detected_lang(col: Column | str) -> Column:
+    """Argmax language over marker-word counts; ties resolved by the fixed
+    language order (en, de, fr, es, no); 'und' when nothing matched."""
+    scores = lang_scores(col)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def normalized_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, non-alnum → space,
+    collapse runs, trim."""
+    c = F.lower(_c(col))
+    c = F.regexp_replace(c, "[^a-z0-9]+", " ")
+    return F.trim(c)
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint of the normalized text."""
+    return F.md5(normalized_text(_c(col)))
+
+
+def tokens_expr(text_col: str) -> Column:
+    """ASCII lowercase token array for a named column."""
+    return F.expr(f"regexp_extract_all(lower({text_col}), '{ALPHA_LOWER_RE}', 0)")
+
+
+def shingles_expr(text_col: str, k: int = 3) -> Column:
+    """Distinct word k-shingle array for a named column (set semantics)."""
+    toks = f"regexp_extract_all(lower({text_col}), '{ALPHA_LOWER_RE}', 0)"
+    return F.expr(
+        f"array_distinct(CASE WHEN size({toks}) < {k} "
+        f"THEN array(concat_ws(' ', {toks})) "
+        f"ELSE transform(sequence(1, size({toks}) - {k - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {k}))) END)"
+    )

@@ -1,0 +1,284 @@
+"""Deduplication operators for LLM-corpus pipelines.
+
+Four tiers, all DataFrame-native (SURVEY.md §2B "LLM-pipeline"):
+
+- **exact**: content-hash group-by (one shuffle, map-side combinable)
+- **n-gram Jaccard**: exact set-similarity via shared-shingle equi-join —
+  the candidate space is bounded by shingle co-occurrence, not |D|²
+- **MinHash + LSH**: sketch → band → bucket-join; candidate generation is
+  linear in documents × bands, the scale path for 100 TB corpora
+- **SimHash**: 64-bit near-dup signature via an Arrow-batched pandas UDF
+  (the one genuinely non-relational step — per-token bit voting)
+
+All hashing is deterministic (xxhash64 / md5 / blake2b with fixed seeds) so
+results are reproducible run to run.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level so pandas_udf type hints resolve
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..functions.text import normalized_text, shingles_expr
+
+# fixed mixing constants for the MinHash permutation family.  The prime is
+# 31-bit (2^31 - 1) so a*x with a,x < p stays under 2^62 — no signed-64
+# overflow under ANSI mode, no BigDecimal fallback needed.
+_MERSENNE = (1 << 31) - 1
+
+
+def _permutation_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a·x + b) mod p."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str, text_col: str, normalize: bool = True
+) -> DataFrame:
+    """Group identical (optionally normalized) texts.
+
+    Returns ``(content_hash, n_copies, keep_id)`` with ``keep_id`` the
+    smallest id of the group — the canonical survivor.  One hash shuffle
+    with map-side partial aggregation; no row explosion.
+    """
+    content = normalized_text(F.col(text_col)) if normalize else F.col(text_col)
+    return (
+        df.select(F.col(id_col), F.md5(content).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep one row per distinct normalized text (smallest id wins)."""
+    keepers = exact_duplicates(df, id_col, text_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Exploded distinct word-k-shingles: (id, shingle)."""
+    return df.select(
+        F.col(id_col), F.explode(shingles_expr(text_col, k)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via shared-shingle equi-join.
+
+    Plan shape: explode shingles (linear), self equi-join on the shingle
+    (bounded by true co-occurrence — documents sharing nothing never meet),
+    aggregate intersection counts, then the Jaccard filter.  This is the
+    oracle-checkable exact form; use :func:`minhash_lsh_pairs` when the
+    corpus is too large for exact intersection counting.
+    """
+    sh = doc_shingles(df, id_col, text_col, k).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """(id, minhash[0..num_hashes)) — one aggregation over exploded shingles.
+
+    Shingle → xxhash64 (JVM) → ``num_hashes`` linear permutations, min per
+    doc.  All columns are computed in one shuffle-free map plus one
+    combinable aggregate; no Python in the loop.
+    """
+    params = _permutation_params(num_hashes)
+    sh = doc_shingles(df, id_col, text_col, k)
+    base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE))).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH, optionally verified.
+
+    rows = bands per doc (constant fan-out), bucket equi-join finds
+    candidates, and — when ``verify_threshold`` is set — candidates are
+    verified with the exact shingle-intersection Jaccard, restricted to the
+    candidate set (so verification cost tracks the number of candidates,
+    not |D|²).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
+        )
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bucket")
+    ).select(id_col, F.col("bucket.band").alias("band"), F.col("bucket.sig").alias("sig"))
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b_side = banded.select(F.col(id_col).alias("id_b"), "band", "sig")
+    candidates = (
+        a.join(b_side, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    if verify_threshold is None:
+        return candidates
+    sh = doc_shingles(df, id_col, text_col, k)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        candidates.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(verify_threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document via an Arrow-batched pandas UDF.
+
+    Per-token 64-bit hashes (blake2b, fixed) vote on each bit; the sign of
+    each bit-sum forms the signature.  Near-dups differ in few bits
+    (Hamming distance) — pair generation can then bucket on signature
+    prefixes, mirroring the LSH pattern.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+        import re
+
+        tok_re = re.compile(r"[a-z0-9]+")
+
+        def one(text):
+            if text is None:
+                return 0
+            votes = [0] * 64
+            for tok in tok_re.findall(text.lower()):
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                )
+                for bit in range(64):
+                    votes[bit] += 1 if (h >> bit) & 1 else -1
+            sig = 0
+            for bit in range(64):
+                if votes[bit] > 0:
+                    sig |= 1 << bit
+            # keep in signed-long range for LongType
+            return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+        return texts.map(one)
+
+    return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs whose SimHash Hamming distance <= ``max_hamming``.
+
+    Candidates come from matching any of 4 16-bit signature chunks (by the
+    pigeonhole principle any pair within Hamming distance 3 shares at least
+    one chunk) — linear blow-up, no |D|² scan.
+    """
+    sig = simhash_signatures(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftrightunsigned(F.col("simhash"), i * 16)
+                .bitwiseAND(F.lit(0xFFFF))
+                .alias("val"),
+            )
+            for i in range(4)
+        ]
+    )
+    blocked = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("c")
+    ).select(id_col, "simhash", F.col("c.chunk").alias("chunk"), F.col("c.val").alias("val"))
+    a = blocked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"), "chunk", "val"
+    )
+    b = blocked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"), "chunk", "val"
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["chunk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,191 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers (SURVEY.md §2B / BASELINE.json north star):
+
+- **Brute-force cosine top-k** — exact baseline.  The dot product is a
+  JVM-side ``aggregate(zip_with(...))`` fold (deterministic element order,
+  double precision — bit-identical to an equivalent sequential fold in the
+  DuckDB oracle), so even floating-point outputs hash-match.
+- **LSH-bucketed ANN** — random-hyperplane (sign) buckets with multi-probe
+  by table: query vectors only meet candidates sharing a bucket, the 100 TB
+  path.  Recall is tunable via number of tables/planes.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_similarity(a, b) -> F.Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of every query vector.
+
+    ``queries`` (small) is broadcast against the full embedding corpus —
+    a map-only scan per candidate partition; the only shuffle is the
+    per-query top-k (TakeOrdered via window + filter).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    cand = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
+    )
+    scored = (
+        cand.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cosine_similarity(F.col("query_vec"), F.col("cand_vec")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def _hyperplanes(dim: int, planes: int, tables: int, seed: int = 42):
+    rng = random.Random(seed)
+    return [
+        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(planes)]
+        for _ in range(tables)
+    ]
+
+
+def _bucket_expr(vec_col, plane_set) -> F.Column:
+    """Sign-pattern bucket id for one hash table (JVM-side fold per plane)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(plane_set):
+        arr = F.array(*[F.lit(w) for w in plane])
+        dot = _dot(F.col(vec_col), arr)
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int | None = None,
+    planes: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates limited to shared LSH buckets.
+
+    Each vector lands in ``tables`` buckets (2^planes per table).  The join
+    is an equi-join on (table, bucket) — at scale the candidate set per
+    query is corpus/2^planes × tables instead of the full corpus.
+    """
+    if dim is None:
+        first = embeddings.select(F.size(vec_col)).first()
+        dim = first[0]
+    hp = _hyperplanes(dim, planes, tables)
+
+    def bucketed(df, prefix):
+        parts = [
+            F.struct(
+                F.lit(t).alias("table"), _bucket_expr(vec_col, hp[t]).alias("bucket")
+            )
+            for t in range(tables)
+        ]
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+            F.explode(F.array(*parts)).alias("b"),
+        ).select(
+            f"{prefix}_id",
+            f"{prefix}_vec",
+            F.col("b.table").alias("table"),
+            F.col("b.bucket").alias("bucket"),
+        )
+
+    q = bucketed(queries, "query")
+    c = bucketed(embeddings, "neighbor")
+    scored = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("query_vec"), F.col("neighbor_vec")).alias(
+                "cosine"
+            ),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Pairs with cosine >= threshold — embedding-space near-dup detection.
+
+    With ``block_col`` the self-join is restricted to equal blocks (e.g. a
+    coarse cluster/label), the practical way to bound the pair space; LSH
+    buckets from :func:`lsh_ann_topk` serve the same role when no natural
+    block exists.
+    """
+    left = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+        *([F.col(block_col).alias("block")] if block_col else []),
+    )
+    right = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+        *([F.col(block_col).alias("block")] if block_col else []),
+    )
+    joined = (
+        left.join(right, on="block") if block_col else left.crossJoin(right)
+    )
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,451 @@
+"""LLM-data-pipeline queries: dedup, text analysis, similarity, multimodal.
+
+These exercise the operators in ``operators/dedup.py``, ``similarity.py``,
+``multimodal.py`` and ``functions/text.py`` over the ``documents`` and
+``embeddings`` tables (BASELINE.json north star).  Where the computation is
+SQL-expressible the oracle states the identical algorithm; sketch-based
+operators (MinHash/SimHash/HLL/LSH-ANN) are checked rows-only here and
+validated against exact ground truth in the pytest suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import dedup, multimodal, similarity
+from ..tables import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS content_hash
+  FROM documents
+)
+SELECT content_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(MIN(doc_id) AS BIGINT) AS keep_id
+FROM hashed GROUP BY content_hash
+""",
+    tags=("llm", "dedup"),
+    bench=True,
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: normalized-content hash groups (§2B LLM-pipeline)."""
+    d = load_table(spark, sf, "documents")
+    return dedup.exact_duplicates(d, "doc_id", "text").select(
+        "content_hash",
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.col("keep_id").cast("long").alias("keep_id"),
+    )
+
+
+@register(
+    "q_dedup_by_key",
+    oracle="""
+WITH ranked AS (
+  SELECT event_id, user_id, event_type, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(event_id AS BIGINT) AS first_event_id, ts AS first_ts
+FROM ranked WHERE rn = 1
+""",
+    tags=("llm", "dedup"),
+)
+def q_dedup_by_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Keep-first dedup by business key (the reference's ``position`` is
+    the analogous natural dedup key — SURVEY.md §2B)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+            F.col("event_id").cast("long").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+        )
+    )
+
+
+@register(
+    "q_ngram_jaccard_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+    FROM toks WHERE len(t) >= 3
+  )
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(t, ' ') AS shingle
+  FROM toks WHERE len(t) < 3
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE)
+         AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.12
+""",
+    tags=("llm", "dedup", "similarity"),
+    bench=True,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shared-shingle join."""
+    d = load_table(spark, sf, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.12)
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("n_common").cast("long").alias("n_common"),
+        "jaccard",
+    )
+
+
+@register("q_minhash_lsh_pairs", tags=("llm", "dedup", "sketch"))
+def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash+LSH candidate pairs, Jaccard-verified — the sketch-based
+    scale path (rows-only check; recall validated in tests against the
+    exact operator)."""
+    d = load_table(spark, sf, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", k=3, num_hashes=64, bands=16, verify_threshold=0.12
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "jaccard",
+    )
+
+
+@register("q_simhash_pairs", tags=("llm", "dedup", "sketch"))
+def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 12 of 64 bits; pandas-UDF
+    signatures, pigeonhole chunk blocking) — rows-only check."""
+    d = load_table(spark, sf, "documents")
+    return dedup.simhash_pairs(d, "doc_id", "text", max_hamming=12).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(length(text) AS BIGINT)) AS BIGINT) AS total_chars,
+       CAST(SUM(CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)) AS BIGINT)
+         AS total_tokens,
+       CAST(MIN(length(text)) AS BIGINT) AS min_chars,
+       CAST(MAX(length(text)) AS BIGINT) AS max_chars
+FROM documents GROUP BY lang
+""",
+    tags=("llm", "text"),
+)
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting + length stats per language (§2B text analysis)."""
+    d = load_table(spark, sf, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.char_count("text")).alias("total_chars"),
+        F.sum(T.token_count("text")).alias("total_tokens"),
+        F.min(F.length("text")).cast("long").alias("min_chars"),
+        F.max(F.length("text")).cast("long").alias("max_chars"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+WITH scored AS (
+  SELECT source, doc_id,
+         length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS n_tokens,
+         len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+         len(regexp_extract_all(lower(text),
+             '\\b(the|and|of|to|in|is|that|for|with)\\b')) AS n_stop
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_chars >= 200 AND n_tokens >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_long_enough,
+       CAST(SUM(CASE WHEN n_stop * 4 >= n_tokens THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_stopword_rich,
+       CAST(SUM(CAST(n_punct AS BIGINT)) AS BIGINT) AS total_punct
+FROM scored GROUP BY source
+""",
+    tags=("llm", "text", "quality"),
+)
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-signal counting per source: length/stopword/punct gates."""
+    d = load_table(spark, sf, "documents")
+    n_chars = F.length("text")
+    n_tokens = T.token_count("text")
+    n_stop = T.stopword_count("text")
+    n_punct = F.regexp_count(F.col("text"), F.lit(T.PUNCT_RE)).cast("long")
+    return (
+        d.select(
+            "source",
+            n_chars.alias("n_chars"),
+            n_tokens.alias("n_tokens"),
+            n_stop.alias("n_stop"),
+            n_punct.alias("n_punct"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("n_chars") >= 200) & (F.col("n_tokens") >= 30), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_long_enough"),
+            F.sum(
+                F.when(F.col("n_stop") * 4 >= F.col("n_tokens"), 1).otherwise(0)
+            ).cast("long").alias("n_stopword_rich"),
+            F.sum("n_punct").cast("long").alias("total_punct"),
+        )
+    )
+
+
+@register(
+    "q_text_langid",
+    oracle="""
+WITH scores AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|for|with)\\b')) AS s_en,
+         len(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|nicht|ein|mit|zu)\\b')) AS s_de,
+         len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des|est|une|que|pour)\\b')) AS s_fr,
+         len(regexp_extract_all(lower(text), '\\b(el|los|las|es|una|que|por|para|con)\\b')) AS s_es,
+         len(regexp_extract_all(lower(text), '\\b(og|det|som|en|av|til|ikke|med)\\b')) AS s_no
+  FROM documents
+), detected AS (
+  SELECT doc_id, lang,
+         CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_no) = 0 THEN 'und'
+              WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_no) THEN 'en'
+              WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_no) THEN 'de'
+              WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_no) THEN 'fr'
+              WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_no) THEN 'es'
+              ELSE 'no' END AS detected_lang
+  FROM scores
+)
+SELECT lang, detected_lang, CAST(COUNT(*) AS BIGINT) AS n
+FROM detected GROUP BY lang, detected_lang
+""",
+    tags=("llm", "text", "langid"),
+)
+def q_text_langid(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-word language spotting vs the labeled lang column."""
+    d = load_table(spark, sf, "documents")
+    return (
+        d.select("lang", T.detected_lang("text").alias("detected_lang"))
+        .groupBy("lang", "detected_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+         AS fingerprint,
+       substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 8)
+         AS fp_prefix
+FROM documents WHERE doc_id < 200
+""",
+    tags=("llm", "text", "fingerprint"),
+)
+def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic document fingerprint over normalized content."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 200)
+    fp = T.fingerprint("text")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 8).alias("fp_prefix"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search family
+# ---------------------------------------------------------------------------
+
+_COSINE_ORACLE = """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_apply(list_zip(q.embedding, c.embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_apply(q.embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+            * sqrt(list_sum(list_apply(c.embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+           AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+  WHERE q.vec_id < 10
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@register(
+    "q_similarity_bruteforce_topk",
+    oracle=_COSINE_ORACLE,
+    tags=("llm", "similarity"),
+    bench=True,
+)
+def q_similarity_bruteforce_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for the first 10 query vectors.
+
+    The dot product folds array elements sequentially in double precision
+    on both engines — bit-identical floats, so even `cosine` hash-matches.
+    """
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    out = similarity.brute_force_topk(e, q, k=5)
+    return out.select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
+        "rank",
+    )
+
+
+@register("q_similarity_lsh_ann", tags=("llm", "similarity", "sketch"))
+def q_similarity_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (random hyperplanes, 4 tables) —
+    rows-only check; recall vs brute force asserted in tests."""
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.lsh_ann_topk(e, q, k=5, dim=64, planes=8, tables=4).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
+        "rank",
+    )
+
+
+@register(
+    "q_embedding_near_dup",
+    oracle="""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_apply(list_zip(a.embedding, b.embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_apply(a.embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+            * sqrt(list_sum(list_apply(b.embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+           AS cosine
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, cosine
+FROM pairs WHERE cosine >= 0.9
+""",
+    tags=("llm", "similarity", "dedup"),
+)
+def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label (§2B)."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.embedding_near_dup_pairs(
+        e, threshold=0.9, block_col="label"
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "cosine",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT)
+         AS total_bytes,
+       CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes,
+       CAST(COUNT(DISTINCT sha256(text)) AS BIGINT) AS n_distinct_payloads
+FROM documents GROUP BY source
+""",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary payload + typed metadata aggregation (§2B multimodal).
+
+    Text bytes stand in for opaque media blobs; the same plumbing carries
+    image/audio payloads (see operators/multimodal.py).
+    """
+    d = load_table(spark, sf, "documents")
+    media = multimodal.with_media_columns(d, "text", "text/plain", "doc_id").join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    return media.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("meta.n_bytes")).cast("long").alias("total_bytes"),
+        F.max(F.col("meta.n_bytes")).cast("long").alias("max_bytes"),
+        F.countDistinct(F.col("meta.sha256")).alias("n_distinct_payloads"),
+    )
+
+
+@register("q_multimodal_features", tags=("llm", "multimodal", "pandas-udf"))
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (mapInPandas
+    plumbing with the deterministic stub decoder) — rows-only check."""
+    d = load_table(spark, sf, "documents")
+    media = multimodal.with_media_columns(d, "text", "text/plain", "doc_id")
+    feats = multimodal.extract_features(media, fake=True)
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "mime",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 2), 6).alias("f1"),
+    )

@@ -1,0 +1,192 @@
+"""Message-log queries: the reference's native surface under the oracle.
+
+These queries build a real topic (parquet files with manifest filenames)
+from the ``events`` table using **deterministic ULIDs** — timestamp from
+``ts``, randomness from ``event_id`` — then exercise the consumer-side
+operations (ordered scan S5, seek S7, cursor S8/S9, lastMessage S10)
+through the engine's Topic layer.  Because the ULIDs are deterministic,
+every result is exactly reproducible and the oracle can state the same
+semantics directly over ``events``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datamodel import MESSAGE_SCHEMA
+from ..sources.topic import Topic
+from ..tables import load_table
+from .catalog import register
+
+_TOPIC_CACHE: dict[str, str] = {}
+
+
+def _events_topic(spark: SparkSession, sf: str) -> Topic:
+    """Materialize (once per sf_dir per process) a topic holding events.
+
+    ULID = (epoch_ms(ts) << 80) | event_id — deterministic, unique, and
+    ordered exactly like (ts, event_id).
+    """
+    key = os.path.abspath(sf)
+    root = _TOPIC_CACHE.get(key)
+    topic_name = "events-log"
+    if root is None:
+        root = tempfile.mkdtemp(prefix="rawdata-events-topic-")
+        e = load_table(spark, sf, "events")
+        # integer division — a double intermediate would truncate wrongly
+        ts_ms = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000")
+        ulid_hex = F.concat(
+            F.lpad(F.hex(ts_ms), 12, "0"),
+            F.lpad(F.hex(F.col("event_id")), 20, "0"),
+        )
+        msg = e.select(
+            F.unhex(ulid_hex).alias("ulid"),
+            ts_ms.alias("ulid_ts_ms"),
+            F.col("event_type").alias("ordering_group"),
+            F.col("event_id").cast("long").alias("sequence_number"),
+            F.concat(F.lit("ev-"), F.col("event_id").cast("string")).alias(
+                "position"
+            ),
+            F.create_map(
+                F.lit("value"),
+                F.col("value").cast("string").cast("binary"),
+                F.lit("props"),
+                F.col("props").cast("binary"),
+            ).alias("data"),
+        )
+        topic = Topic(spark, f"file://{root}", topic_name)
+        topic.write_dataframe(msg.select(*[f.name for f in MESSAGE_SCHEMA.fields]))
+        _TOPIC_CACHE[key] = root
+    return Topic(spark, f"file://{root}", topic_name)
+
+
+@register(
+    "q_log_ordered_scan",
+    oracle="""
+SELECT event_type AS ordering_group,
+       CAST(COUNT(*) AS BIGINT) AS n_messages,
+       CAST(MIN(CAST(epoch_us(ts) // 1000 AS BIGINT)) AS BIGINT) AS first_ts_ms,
+       CAST(MAX(CAST(epoch_us(ts) // 1000 AS BIGINT)) AS BIGINT) AS last_ts_ms,
+       CAST(MIN(event_id) AS BIGINT) AS min_seq,
+       CAST(MAX(event_id) AS BIGINT) AS max_seq
+FROM events GROUP BY event_type
+""",
+    tags=("messagelog", "scan"),
+)
+def q_log_ordered_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """S5: full ordered topic scan, aggregated per ordering group after a
+    write→read round-trip through manifest-named files."""
+    topic = _events_topic(spark, sf)
+    df = topic.dataframe()
+    return df.groupBy("ordering_group").agg(
+        F.count(F.lit(1)).alias("n_messages"),
+        F.min("ulid_ts_ms").alias("first_ts_ms"),
+        F.max("ulid_ts_ms").alias("last_ts_ms"),
+        F.min("sequence_number").alias("min_seq"),
+        F.max("sequence_number").alias("max_seq"),
+    )
+
+
+@register(
+    "q_log_seek",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_after,
+       CAST(MIN(event_id) AS BIGINT) AS first_seq
+FROM events
+WHERE CAST(epoch_us(ts) // 1000 AS BIGINT) >= epoch_ms(TIMESTAMP '2024-01-15 00:00:00')
+""",
+    tags=("messagelog", "seek"),
+)
+def q_log_seek(spark: SparkSession, sf: str) -> DataFrame:
+    """S7: event-time seek — manifest file pruning + row predicate."""
+    topic = _events_topic(spark, sf)
+    seek_ms = 1705276800000  # 2024-01-15T00:00:00Z
+    df = topic.dataframe(from_ts_ms=seek_ms)
+    first = df.orderBy("ulid").limit(1).select("sequence_number")
+    return df.agg(F.count(F.lit(1)).alias("n_after")).crossJoin(
+        first.withColumnRenamed("sequence_number", "first_seq")
+    )
+
+
+@register(
+    "q_log_cursor_position",
+    oracle="""
+WITH target AS (
+  SELECT ts, event_id FROM events WHERE event_id = 500
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_from_cursor
+FROM events e, target t
+WHERE e.ts > t.ts OR (e.ts = t.ts AND e.event_id >= t.event_id)
+""",
+    tags=("messagelog", "cursor"),
+)
+def q_log_cursor_position(spark: SparkSession, sf: str) -> DataFrame:
+    """S8/S9: position cursor — find 'ev-500', count the inclusive tail.
+
+    The position lookup is the reference's as-of cursor (filter + top-1);
+    the tail count verifies ULID-order resume semantics.
+    """
+    topic = _events_topic(spark, sf)
+    df = topic.dataframe()
+    anchor = (
+        df.filter(F.col("position") == "ev-500")
+        .orderBy("ulid")
+        .limit(1)
+        .select(F.col("ulid").alias("anchor_ulid"))
+    )
+    return (
+        df.crossJoin(F.broadcast(anchor))
+        .filter(F.col("ulid") >= F.col("anchor_ulid"))
+        .agg(F.count(F.lit(1)).alias("n_from_cursor"))
+    )
+
+
+@register(
+    "q_log_last_message",
+    oracle="""
+SELECT CAST(event_id AS BIGINT) AS sequence_number,
+       'ev-' || CAST(event_id AS VARCHAR) AS position,
+       event_type AS ordering_group
+FROM events
+ORDER BY ts DESC, event_id DESC
+LIMIT 1
+""",
+    tags=("messagelog", "tail"),
+)
+def q_log_last_message(spark: SparkSession, sf: str) -> DataFrame:
+    """S10: lastMessage — manifest-pruned single-file tail read."""
+    topic = _events_topic(spark, sf)
+    return topic.last_message_df().select(
+        "sequence_number", "position", "ordering_group"
+    )
+
+
+@register(
+    "q_log_payload_map",
+    oracle="""
+SELECT event_type AS ordering_group,
+       CAST(SUM(CAST(octet_length(encode(props)) AS BIGINT)) AS BIGINT)
+         AS props_bytes,
+       CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                       THEN 1 END) AS BIGINT) AS n_high_k
+FROM events GROUP BY event_type
+""",
+    tags=("messagelog", "payload"),
+)
+def q_log_payload_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Payload map<string,binary> access: decode bytes back to JSON and
+    aggregate — the ``data`` map round-trip (S1/S5 payload semantics)."""
+    topic = _events_topic(spark, sf)
+    df = topic.dataframe()
+    props = F.element_at(F.col("data"), "props").cast("string")
+    k = F.get_json_object(props, "$.k").cast("long")
+    return df.groupBy("ordering_group").agg(
+        F.sum(F.octet_length(F.element_at(F.col("data"), "props"))).cast(
+            "long"
+        ).alias("props_bytes"),
+        F.count(F.when(k > 50, 1)).alias("n_high_k"),
+    )

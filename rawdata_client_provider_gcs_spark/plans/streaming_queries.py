@@ -1,0 +1,137 @@
+"""Streaming operator queries, run bounded via ``availableNow``.
+
+Each query runs a real Structured Streaming pipeline (file source →
+stateful transformation → memory sink) to completion and returns the
+result table, so the driver's batch-style harness can still check it.
+Window aggregations align to epoch boundaries, so tumbling/sliding results
+are oracle-checkable with ``date_trunc`` arithmetic; ordering-dependent
+behaviors (late-data drops) are semantic smoke checks instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming import windows as W
+from ..tables import load_table
+from .catalog import register
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""",
+    tags=("streaming", "window"),
+)
+def q_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows with watermark (§2B Streaming)."""
+    events = W.stream_events(spark, sf)
+    return W.run_available_now(W.tumbling_counts(events, "1 hour"), "t_tumbling")
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+WITH starts AS (
+  SELECT unnest([
+           ts - (epoch_us(ts) % 1800000000) * INTERVAL 1 MICROSECOND,
+           ts - (epoch_us(ts) % 1800000000) * INTERVAL 1 MICROSECOND
+              - INTERVAL 30 MINUTE
+         ]) AS window_start
+  FROM events
+)
+SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n
+FROM starts GROUP BY window_start
+""",
+    tags=("streaming", "window"),
+)
+def q_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding 1-hour/30-min windows — every event in exactly 2 windows."""
+    events = W.stream_events(spark, sf)
+    return W.run_available_now(
+        W.sliding_counts(events, "1 hour", "30 minutes"), "t_sliding"
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM gaps
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       MIN(ts) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""",
+    tags=("streaming", "session"),
+)
+def q_stream_session(spark: SparkSession, sf: str) -> DataFrame:
+    """Native session windows (30-min gap) — oracle is the batch
+    gaps-and-islands formulation of the same semantics."""
+    events = W.stream_events(spark, sf)
+    return W.run_available_now(W.session_counts(events, "30 minutes"), "t_session")
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+FROM events GROUP BY event_type
+""",
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming dedup: a doubled stream deduped on event_id
+    inside the stream, then aggregated."""
+    events = W.stream_events(spark, sf)
+    doubled = events.union(events)
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_unique")
+    )
+    return W.run_available_now(agg, "t_dedup")
+
+
+@register(
+    "q_stream_stateful_counts",
+    oracle="""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MAX(ts) AS last_ts
+FROM events GROUP BY user_id
+""",
+    tags=("streaming", "stateful"),
+)
+def q_stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): final per-user
+    counters equal the batch group-by."""
+    events = W.stream_events(spark, sf)
+    counts = W.stateful_user_counts(events)
+    out = W.run_available_now_update(counts, "t_stateful")
+    # update mode emits one row per key per micro-batch; keep the final
+    # (largest) counter per key so multi-batch runs stay correct
+    return (
+        out.groupBy(F.col("user_id").cast("long").alias("user_id"))
+        .agg(
+            F.max("n_events").cast("long").alias("n_events"),
+            F.max("last_ts").cast("timestamp_ntz").alias("last_ts"),
+        )
+    )

@@ -1,0 +1,195 @@
+"""Structured Streaming operators: windows, watermarks, stateful dedup.
+
+The reference's consumer *tails* a topic by polling for new files
+(AvroRawdataConsumer.java:97-111); Structured Streaming's file source is
+the built-in replacement (SURVEY.md §2A S6).  These helpers build the
+standard streaming shapes over any file-backed stream and are exercised by
+``plans/streaming_queries.py`` with ``availableNow`` triggers (bounded
+runs, deterministic results).
+
+Scale notes: watermarks bound state; session windows use the native
+``session_window`` state store; the custom stateful op uses
+``applyInPandasWithState`` with one state row per key.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table as a file-source stream (ts converted from nanos)."""
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    # watermarks require TIMESTAMP (not NTZ); outputs cast to NTZ after
+    # aggregation (session tz is UTC, so the wall clock is preserved)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_available_now(stream_df: DataFrame, query_name: str | None = None) -> DataFrame:
+    """Run a bounded streaming query to completion; return the result.
+
+    ``availableNow`` processes everything present then stops — the
+    deterministic harness mode for stream operators.  Results land in a
+    memory sink table.
+    """
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="rawdata-ckpt-")
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def _run_bounded(stream_df: DataFrame, mode: str, query_name: str | None) -> DataFrame:
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    checkpoint = tempfile.mkdtemp(prefix="rawdata-ckpt-")
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def run_available_now_append(stream_df: DataFrame, query_name: str | None = None) -> DataFrame:
+    return _run_bounded(stream_df, "append", query_name)
+
+
+def run_available_now_update(stream_df: DataFrame, query_name: str | None = None) -> DataFrame:
+    return _run_bounded(stream_df, "update", query_name)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time window aggregation with a watermark."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows per user (state-store backed)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def stateful_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-user counters via
+    ``applyInPandasWithState`` — the engine's template for bespoke state
+    machines the built-in operators can't express (§2B UDF surface)."""
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("last_ts", TimestampNTZType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType()),
+            StructField("last_us", LongType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        n, last_us = state.get() if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            if len(pdf):
+                last_us = max(
+                    last_us, int(pd.Series(pdf["ts"]).max().value // 1000)
+                )
+        state.update((n, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "last_ts": [pd.Timestamp(last_us, unit="us")],
+            }
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
