@@ -114,11 +114,18 @@ def tokens_expr(text_col: str) -> Column:
 
 
 def shingles_expr(text_col: str, k: int = 3) -> Column:
-    """Distinct word k-shingle array for a named column (set semantics)."""
+    """Distinct word k-shingle array for a named column (set semantics).
+
+    The token array is bound to a lambda variable (via the one-element
+    ``transform(array(...))`` trick) so the regex scan runs exactly once
+    per row — a textual CASE would re-evaluate ``regexp_extract_all`` for
+    every reference after projection collapse.
+    """
     toks = f"regexp_extract_all(lower({text_col}), '{ALPHA_LOWER_RE}', 0)"
     return F.expr(
-        f"array_distinct(CASE WHEN size({toks}) < {k} "
-        f"THEN array(concat_ws(' ', {toks})) "
-        f"ELSE transform(sequence(1, size({toks}) - {k - 1}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {k}))) END)"
+        f"array_distinct(flatten(transform(array({toks}), t -> "
+        f"CASE WHEN size(t) < {k} "
+        f"THEN array(concat_ws(' ', t)) "
+        f"ELSE transform(sequence(1, size(t) - {k - 1}), "
+        f"i -> concat_ws(' ', slice(t, i, {k}))) END)))"
     )

@@ -90,12 +90,19 @@ def ngram_jaccard_pairs(
     oracle-checkable exact form; use :func:`minhash_lsh_pairs` when the
     corpus is too large for exact intersection counting.
     """
-    sh = doc_shingles(df, id_col, text_col, k).cache()
+    # join on the 64-bit shingle hash, not the string: same intersection
+    # counts (collisions within one doc pair are ~|shingles|²/2^64), but the
+    # shuffle moves 8-byte keys instead of multi-word strings.
+    sh = (
+        doc_shingles(df, id_col, text_col, k)
+        .select(F.col(id_col), F.xxhash64("shingle").alias("sh"))
+        .cache()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), "sh")
+    b = sh.select(F.col(id_col).alias("id_b"), "sh")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "sh")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -178,13 +185,15 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return candidates
-    sh = doc_shingles(df, id_col, text_col, k)
+    sh = doc_shingles(df, id_col, text_col, k).select(
+        F.col(id_col), F.xxhash64("shingle").alias("sh")
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    sa = sh.select(F.col(id_col).alias("id_a"), "sh")
+    sb = sh.select(F.col(id_col).alias("id_b"), "sh")
     inter = (
         candidates.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
+        .join(sb, ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
