@@ -84,4 +84,10 @@ def _load_all():
     if _LOADED:
         return
     _LOADED = True
-    from . import llm, messagelog, relational, streaming_queries  # noqa: F401
+    from . import (  # noqa: F401
+        llm,
+        messagelog,
+        relational,
+        streaming_queries,
+        subqueries,
+    )
