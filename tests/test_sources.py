@@ -1,0 +1,181 @@
+"""Source/sink format coverage (SURVEY.md §2B Scan/source + Sink rows):
+CSV and JSON scans, binary-file reads, streaming topic tail, and
+watermark late-data semantics — the behaviors the batch oracle can't see.
+"""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rawdata_client_provider_gcs_spark import RawdataClient, RawdataMessage
+from rawdata_client_provider_gcs_spark.streaming.tail import stream_topic
+from rawdata_client_provider_gcs_spark.tables import load_table
+
+
+def _docs(spark, sf_smoke_dir):
+    return load_table(spark, sf_smoke_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+
+
+def test_csv_roundtrip(spark, sf_smoke_dir):
+    """CSV sink + schema-full CSV scan preserve every row and value."""
+    src = _docs(spark, sf_smoke_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "docs_csv")
+        src.write.mode("overwrite").option("header", True).option(
+            "escape", '"'
+        ).csv(path)
+        back = (
+            spark.read.schema(src.schema)
+            .option("header", True)
+            .option("escape", '"')
+            .csv(path)
+        )
+        assert back.count() == src.count()
+        assert back.schema == src.schema
+        assert src.exceptAll(back).count() == 0
+        assert back.exceptAll(src).count() == 0
+
+
+def test_json_roundtrip(spark, sf_smoke_dir):
+    """JSON-lines sink + scan round-trip, including schema inference."""
+    src = _docs(spark, sf_smoke_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "docs_json")
+        src.write.mode("overwrite").json(path)
+        explicit = spark.read.schema(src.schema).json(path)
+        assert explicit.count() == src.count()
+        assert src.exceptAll(explicit).count() == 0
+        inferred = spark.read.json(path)
+        assert set(inferred.columns) == set(src.columns)
+
+
+def test_binaryfile_scan_of_topic(spark, tmp_path):
+    """binaryFile source reads topic files as opaque (path, bytes) rows —
+    the multimodal ingestion path for media blobs."""
+    client = RawdataClient(spark, str(tmp_path))
+    with client.producer("t") as p:
+        p.publish(RawdataMessage(position="p-1", data={"k": b"v"}))
+    files = spark.read.format("binaryFile").load(
+        str(tmp_path) + "/t/*.parquet"
+    )
+    rows = files.select("path", "length", "content").collect()
+    assert len(rows) == 1
+    assert rows[0]["length"] > 0
+    assert bytes(rows[0]["content"])[:4] == b"PAR1"  # parquet magic
+
+
+def test_stream_topic_tail(spark, tmp_path):
+    """Structured Streaming file source tails a topic: a second
+    availableNow pass picks up files produced after the first (S6)."""
+    client = RawdataClient(spark, str(tmp_path))
+    with client.producer("t") as p:
+        p.publish(RawdataMessage(position="p-0", data={}))
+        p.publish(RawdataMessage(position="p-1", data={}))
+
+    checkpoint = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def drain():
+        q = (
+            stream_topic(spark, str(tmp_path / "t"))
+            .writeStream.format("parquet")
+            .option("checkpointLocation", checkpoint)
+            .option("path", out_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 2
+
+    with client.producer("t") as p:
+        p.publish(RawdataMessage(position="p-2", data={}))
+    drain()
+    second = spark.read.parquet(out_dir)
+    assert second.count() == 3  # only the new file was processed
+    assert set(
+        r["position"] for r in second.select("position").collect()
+    ) == {"p-0", "p-1", "p-2"}
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event older than watermark - delay arriving in a later batch is
+    dropped from the aggregation (§2B watermark + late-data row)."""
+    import pandas as pd
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    checkpoint = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def write_batch(name, ts_list):
+        # microsecond precision: the session reads TIMESTAMP(NANOS) as long
+        pd.DataFrame(
+            {
+                "ts": pd.to_datetime(ts_list).astype("datetime64[us]"),
+                "k": ["a"] * len(ts_list),
+            }
+        ).to_parquet(str(in_dir / name))
+
+    def drain():
+        stream = (
+            spark.readStream.schema("ts timestamp, k string")
+            .parquet(str(in_dir))
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "k", "n")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .option("path", out_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1 advances the watermark to 12:00 - 10 min = 11:50 and closes
+    # the 10:00 window
+    write_batch("b1.parquet", ["2024-01-01 10:05:00", "2024-01-01 12:00:00"])
+    drain()
+    # batch 2: one event at 10:30 (before 11:50 watermark -> dropped),
+    # one at 12:30 (accepted, window still open)
+    write_batch("b2.parquet", ["2024-01-01 10:30:00", "2024-01-01 12:30:00"])
+    drain()
+    # advance watermark far enough to close every window
+    write_batch("b3.parquet", ["2024-01-01 23:00:00"])
+    drain()
+
+    out = {
+        str(r["ws"]): r["n"]
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert out["2024-01-01 10:00:00"] == 1  # late 10:30 event dropped
+    assert out["2024-01-01 12:00:00"] == 2  # 12:00 + accepted 12:30
+
+
+def test_write_dataframe_max_records_per_file(spark, tmp_path):
+    """Bulk sink honors the size-window analog (maxRecordsPerFile) and
+    produces manifest-named, time-disjoint files (S1/S12)."""
+    client = RawdataClient(spark, str(tmp_path))
+    with client.producer("bulk") as p:
+        rows = [
+            RawdataMessage(position=f"p-{i}", data={"n": str(i).encode()})
+            for i in range(100)
+        ]
+        p.publish(*rows)
+    topic = client.topic("bulk")
+    df = topic.dataframe()
+    files = topic.write_dataframe(df, max_records_per_file=25)
+    assert len(files) >= 4
+    manifest = client.topic("bulk").list_manifest()
+    total = sum(e.count for _, e in manifest)
+    assert total >= 100
