@@ -109,9 +109,11 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    # sizes are one row per document — scale-proportional, so no broadcast
+    # hint; the auto threshold / AQE picks broadcast while it actually fits
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -200,8 +202,8 @@ def minhash_lsh_pairs(
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
     return (
-        inter.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")

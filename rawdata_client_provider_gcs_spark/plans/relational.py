@@ -231,7 +231,7 @@ def q_join_theta_range(spark: SparkSession, sf: str) -> DataFrame:
     l = load_table(spark, sf, "lineitem")
     return (
         l.join(
-            F.broadcast(p),
+            p,
             (l.l_partkey == p.p_partkey) & (l.l_quantity > p.p_size),
         )
         .groupBy("p_brand")

@@ -114,7 +114,7 @@ def q_subquery_correlated(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .join(per_part, l.l_partkey == per_part.pk)
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(dsum4(F.col("l_extendedprice")).alias("small_qty_revenue"))
@@ -244,7 +244,7 @@ def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
     disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .agg((F.lit(100.0) * (dsum4(promo) / dsum4(disc))).alias("promo_revenue"))
     )
 
@@ -322,7 +322,7 @@ def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
            & F.col("l_quantity").between(20, 40))
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)
         .filter(block)
         .agg(
             dsum4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
