@@ -251,3 +251,53 @@ def test_bulk_publish_dataframe_roundtrip(client, spark):
     assert len(rows) == 1000
     assert [r["position"] for r in rows] == sorted(r["position"] for r in rows)
     assert client.last_message("bulk").position == "pos-0999"
+
+def test_multiple_files_via_time_window(spark, tmp_path):
+    """TCK thatMultipleFilesCanBeProducedThroughTimeBasedWindowing
+    (:462-484): publishes separated by more than the time window land in
+    separate files."""
+    client = RawdataClient(
+        spark, str(tmp_path), avro_file_max_seconds=0.3, avro_file_max_bytes=1 << 20
+    )
+    with client.producer("tw") as producer:
+        producer.publish(msg("p-1"))
+        time.sleep(0.4)
+        producer.publish(msg("p-2"))
+        time.sleep(0.4)
+        producer.publish(msg("p-3"))
+    manifest = client.topic("tw").list_manifest()
+    assert len(manifest) >= 2
+    got = drain(client.consumer("tw"), 5)
+    assert [m.position for m in got] == ["p-1", "p-2", "p-3"]
+
+
+def test_consume_before_produce(client):
+    """TCK thatConsumeBeforeProduce... (:539-574): a consumer subscribed to
+    a still-empty topic sees messages produced afterwards."""
+    consumer = client.consumer("cbp")
+    assert consumer.receive(0) is None
+    with client.producer("cbp") as producer:
+        producer.publish(msg("p-1"), msg("p-2"))
+    got = drain(consumer, 5, timeout=10.0)
+    assert [m.position for m in got] == ["p-1", "p-2"]
+
+
+def test_position_cursor_inclusive_flag(client):
+    """TCK position-cursor inclusive/exclusive semantics (:262-327): the
+    exclusive cursor starts right after the named position; right-before-
+    last yields exactly the last message."""
+    with client.producer("pc") as producer:
+        producer.publish(msg("p-1"), msg("p-2"), msg("p-3"))
+    anchor = drain(client.consumer("pc"), 3)[1]
+    exc = client.cursor_of_position(
+        "pc", "p-2", inclusive=False,
+        approx_timestamp_ms=anchor.timestamp(), tolerance_ms=60_000,
+    )
+    got = drain(client.consumer("pc", cursor=exc), 5)
+    assert [m.position for m in got] == ["p-3"]
+    before_last = client.cursor_of_position(
+        "pc", "p-3", inclusive=True,
+        approx_timestamp_ms=anchor.timestamp(), tolerance_ms=60_000,
+    )
+    got = drain(client.consumer("pc", cursor=before_last), 5)
+    assert [m.position for m in got] == ["p-3"]
