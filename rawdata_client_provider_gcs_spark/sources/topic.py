@@ -192,6 +192,49 @@ class Topic:
         writer.parquet(tmp_uri)
         return self._commit_part_files(tmp_uri, ext)
 
+    def compact(
+        self,
+        small_file_max_records: int,
+        target_records_per_file: int,
+    ) -> tuple[list[str], list[str]]:
+        """Rewrite runs of small files into target-sized ones.
+
+        The small-files problem is the dominant operational cost of a
+        file-backed log at scale: a producer flushing on short time windows
+        (reference S1 semantics) leaves thousands of tiny objects per
+        topic, and every consumer pays listing + per-file open for each.
+        Compaction reads every file with fewer than
+        ``small_file_max_records`` rows (a manifest-only decision — no data
+        IO), rewrites their union range-partitioned by ulid into
+        ``target_records_per_file``-sized files, then deletes the inputs.
+        Files already at target size are left untouched, so compaction cost
+        tracks the small-file tail, not topic size.
+
+        Returns ``(new_files, removed_files)``.  Not safe to run
+        concurrently with another compaction of the same topic; readers
+        started before the delete may double-count — run it from the
+        single maintenance owner (the same exclusivity the reference's
+        producer lock provides per topic, AvroRawdataProducer.java:206-216).
+        """
+        manifest = self.list_manifest()
+        small = [
+            (path, entry)
+            for path, entry in manifest
+            if entry.count < small_file_max_records
+        ]
+        if len(small) < 2:
+            return [], []
+        paths = [p for p, _ in small]
+        df = self.spark.read.schema(MESSAGE_SCHEMA).parquet(*paths)
+        new_files = self.write_dataframe(
+            df,
+            range_partition=True,
+            max_records_per_file=target_records_per_file,
+        )
+        for path in paths:
+            self.fs.delete(path)
+        return new_files, paths
+
     def write_single_file(self, df: DataFrame, ext: str = "parquet") -> list[str]:
         """Producer-flush path: one buffered window → one topic file."""
         if ext != "parquet":

@@ -301,3 +301,33 @@ def test_position_cursor_inclusive_flag(client):
     )
     got = drain(client.consumer("pc", cursor=before_last), 5)
     assert [m.position for m in got] == ["p-3"]
+
+
+def test_compact_topic(spark, tmp_path):
+    """Engine extension: compaction rewrites the small-file tail into
+    target-sized, time-disjoint files without changing stream contents."""
+    client = RawdataClient(
+        spark, str(tmp_path), avro_file_max_bytes=256  # force many tiny files
+    )
+    with client.producer("c") as producer:
+        for i in range(60):
+            producer.publish(msg(f"p-{i:02d}", payload1="x" * 40))
+    topic = client.topic("c")
+    before = topic.list_manifest()
+    assert len(before) > 5
+    before_positions = [m.position for m in drain(client.consumer("c"), 100)]
+
+    new_files, removed = topic.compact(
+        small_file_max_records=30, target_records_per_file=30
+    )
+    assert removed and new_files
+    after = topic.list_manifest()
+    assert len(after) < len(before)
+    assert sum(e.count for _, e in after) == 60
+    after_positions = [m.position for m in drain(client.consumer("c"), 100)]
+    assert after_positions == before_positions
+    # idempotent once compact: nothing small left to merge
+    again_new, again_removed = topic.compact(
+        small_file_max_records=2, target_records_per_file=30
+    )
+    assert again_new == [] and again_removed == []
