@@ -449,3 +449,90 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.element_at("features", 1), 6).alias("f0"),
         F.round(F.element_at("features", 2), 6).alias("f1"),
     )
+
+
+@register(
+    "q_text_bpe_tokens",
+    oracle="""
+SELECT lang,
+       CAST(SUM(CAST(len(regexp_extract_all(text,
+         '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9[:space:]]+|[[:space:]]+'))
+         AS BIGINT)) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT))
+         AS BIGINT) AS word_tokens
+FROM documents GROUP BY lang
+""",
+    tags=("llm", "text", "tokenize"),
+)
+def q_text_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-style pre-tokenizer counts vs whitespace-word counts (§2B text
+    analysis: "token counting — whitespace + a BPE-ish regex").
+
+    The pattern is the GPT-2 pre-tokenizer shape restricted to ASCII
+    classes (contraction suffixes, letter runs, digit runs, punctuation
+    runs, whitespace runs) so Java regex and RE2 agree.
+    """
+    d = load_table(spark, sf, "documents")
+    bpe_re = (
+        "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    )
+    return d.groupBy("lang").agg(
+        F.sum(F.regexp_count(F.col("text"), F.lit(bpe_re))).cast("long").alias(
+            "bpe_tokens"
+        ),
+        F.sum(T.token_count("text")).alias("word_tokens"),
+    )
+
+
+@register(
+    "q_text_winnow_fingerprint",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+), h AS (
+  SELECT doc_id, list_transform(t, x -> md5(x)) AS hs
+  FROM toks WHERE len(t) >= 4
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(list_distinct(list_transform(
+         generate_series(1, len(hs) - 3), i -> list_min(hs[i:i+3]))))
+         AS BIGINT) AS n_fingerprints,
+       list_min(hs) AS min_fingerprint
+FROM h WHERE doc_id < 100
+""",
+    tags=("llm", "text", "fingerprint"),
+)
+def q_text_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (MOSS-style):
+    token hashes, sliding windows of 4, one minimum per window, distinct
+    mins are the document's fingerprints.  Near-identical documents share
+    most fingerprints, so the same equi-join machinery as shingle dedup
+    applies at corpus scale.  Hashes are md5 hex strings — lexicographic
+    min is identical across engines, no numeric reinterpretation.
+    """
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    toks = T.tokens_expr("text")
+    hs = F.transform(toks, lambda x: F.md5(x))
+    return (
+        d.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            hs.alias("hs"),
+        )
+        .filter(F.size("hs") >= 4)
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(win_mins_over(F.col("hs")))).cast("long").alias(
+                "n_fingerprints"
+            ),
+            F.array_min("hs").alias("min_fingerprint"),
+        )
+    )
+
+
+def win_mins_over(hs):
+    """Window minima of 4-element slices of a hash array column."""
+    return F.transform(
+        F.sequence(F.lit(1), F.size(hs) - F.lit(3)),
+        lambda i: F.array_min(F.slice(hs, i, 4)),
+    )
