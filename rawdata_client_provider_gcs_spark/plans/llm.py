@@ -359,7 +359,7 @@ def q_similarity_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     rows-only check; recall vs brute force asserted in tests."""
     e = load_table(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return similarity.lsh_ann_topk(e, q, k=5, dim=64, planes=8, tables=4).select(
+    return similarity.lsh_ann_topk(e, q, k=5, dim=64, planes=4, tables=8).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
         "cosine",

@@ -1,0 +1,95 @@
+"""Operator-quality tests the oracle can't express: sketch recall vs the
+exact operators, SimHash behavior on duplicates, ANN recall vs brute
+force, multimodal feature extraction determinism."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rawdata_client_provider_gcs_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
+from rawdata_client_provider_gcs_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke_dir):
+    return load_table(spark, sf_smoke_dir, "documents")
+
+
+def _pair_set(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_vs_exact(spark, docs):
+    """LSH candidates + exact verification recover nearly all truly
+    similar pairs found by the exact shingle-join operator."""
+    exact = _pair_set(
+        dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    )
+    assert exact, "fixture should contain near-duplicate documents"
+    lsh = _pair_set(
+        dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=64, bands=16,
+            verify_threshold=0.5,
+        )
+    )
+    # verified LSH pairs are a subset of exact pairs (no false positives)…
+    assert lsh <= exact
+    # …and recall at 16 bands × 4 rows for j >= 0.5 should be high
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.8, f"recall {recall:.2f} ({len(lsh)}/{len(exact)})"
+
+
+def test_simhash_duplicates_hamming_zero(spark, docs):
+    """Duplicated texts (same content, new ids) produce identical SimHash
+    signatures, so every duplicate pair surfaces at Hamming distance 0."""
+    base = docs.select("doc_id", "text").limit(50)
+    copies = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
+    )
+    both = base.unionAll(copies)
+    sigs = dedup.simhash_signatures(both, "doc_id", "text")
+    a = sigs.select(F.col("doc_id").alias("ida"), F.col("simhash").alias("sa"))
+    b = sigs.select(
+        (F.col("doc_id") + 100000).alias("ida"), F.col("simhash").alias("sb")
+    )
+    pairs = a.join(b, "ida")
+    assert pairs.count() == 50
+    assert pairs.filter(F.col("sa") != F.col("sb")).count() == 0
+    # and the pair generator itself finds them all at distance 0
+    found = dedup.simhash_pairs(both, "doc_id", "text", max_hamming=0)
+    found_ids = {(r["id_a"], r["id_b"]) for r in found.collect()}
+    expected = {
+        (r["doc_id"], r["doc_id"] + 100000) for r in base.select("doc_id").collect()
+    }
+    assert expected <= found_ids
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_smoke_dir):
+    emb = load_table(spark, sf_smoke_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.lsh_ann_topk(
+            emb, q, k=5, dim=64, planes=4, tables=8
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ANN recall {recall:.2f}"
+
+
+def test_multimodal_features_deterministic(spark, docs):
+    media = multimodal.with_media_columns(docs, "text", "text/plain", "doc_id")
+    f1 = multimodal.extract_features(media, fake=True).orderBy("doc_id")
+    f2 = multimodal.extract_features(media, fake=True).orderBy("doc_id")
+    assert [r.asDict() for r in f1.limit(20).collect()] == [
+        r.asDict() for r in f2.limit(20).collect()
+    ]
+    row = f1.first()
+    assert row["n_bytes"] > 0 and len(row["features"]) > 0
