@@ -7,12 +7,11 @@ exposes this registry to the driver.
 
 **Float-parity discipline** (the reason these queries hash-match an
 independent engine): every floating-point output is derived from
-order-independent exact quantities — DECIMAL sums, counts, min/max — with
-identical scalar double arithmetic on both sides.  Plain ``SUM(double)``
-is never exposed: Spark's partial-aggregation order differs from DuckDB's
-sequential order, and the low bits would diverge.  Rule of thumb used
-throughout: cast the (deterministic) per-row double expression to
-``DECIMAL(18, s)``, aggregate exactly, cast the result back to DOUBLE.
+order-independent exact quantities — fixed-point LONG sums of
+``round(x·10^s)`` (see ``relational.dsum2/dsum4``), counts, min/max —
+with identical scalar double arithmetic on both sides.  Plain
+``SUM(double)`` is never exposed: Spark's partial-aggregation order
+differs from DuckDB's sequential order, and the low bits would diverge.
 """
 
 from __future__ import annotations

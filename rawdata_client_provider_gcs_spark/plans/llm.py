@@ -536,3 +536,65 @@ def win_mins_over(hs):
         F.sequence(F.lit(1), F.size(hs) - F.lit(3)),
         lambda i: F.array_min(F.slice(hs, i, 4)),
     )
+
+
+@register(
+    "q_group_top_event_pandas",
+    oracle="""
+WITH counts AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+), ranked AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY n DESC, event_type ASC) AS rn
+  FROM counts
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       event_type AS top_event_type,
+       CAST(n AS BIGINT) AS n
+FROM ranked WHERE rn = 1
+""",
+    tags=("llm", "udf", "pandas-udaf"),
+)
+def q_group_top_event_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map UDAF via ``applyInPandas`` (§2B UDF surface): per-user
+    modal event type with a deterministic tiebreak.
+
+    The aggregate is integer-exact (counts + lexicographic tiebreak), so
+    the Arrow-batched Python path is oracle-checkable bit-for-bit — the
+    template for custom per-group logic the built-in aggregates can't
+    express.  One shuffle on the grouping key, Arrow both ways.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    e = load_table(spark, sf, "events").select("user_id", "event_type")
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("top_event_type", StringType()),
+            StructField("n", LongType()),
+        ]
+    )
+
+    def top_event(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts = (
+            pdf.groupby("event_type").size().reset_index(name="n")
+            .sort_values(["n", "event_type"], ascending=[False, True])
+        )
+        best = counts.iloc[0]
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "top_event_type": [best["event_type"]],
+                "n": [int(best["n"])],
+            }
+        )
+
+    return e.groupBy("user_id").applyInPandas(top_event, schema=out_schema)
