@@ -1122,3 +1122,33 @@ def q_sessionize_batch(spark: SparkSession, sf: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+       s_acctbal,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume,
+       CAST(ntile(10) OVER w AS BIGINT) AS decile
+FROM supplier
+WINDOW w AS (ORDER BY s_acctbal, s_suppkey)
+""",
+    tags=("window", "distribution"),
+)
+def q_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist / ntile.
+
+    Both are ratios of exact integer ranks ((r-1)/(n-1), r/n) — one
+    deterministic double division, so values hash-match the oracle.
+    """
+    s = load_table(spark, sf, "supplier")
+    w = Window.orderBy("s_acctbal", "s_suppkey")
+    return s.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )

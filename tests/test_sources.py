@@ -179,3 +179,79 @@ def test_write_dataframe_max_records_per_file(spark, tmp_path):
     manifest = client.topic("bulk").list_manifest()
     total = sum(e.count for _, e in manifest)
     assert total >= 100
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream inner join: click events join impression
+    events within a bounded time range (state is pruned by watermarks)."""
+    import pandas as pd
+
+    imp_dir, clk_dir = tmp_path / "imp", tmp_path / "clk"
+    imp_dir.mkdir(); clk_dir.mkdir()
+
+    def wb(dirpath, name, rows):
+        pd.DataFrame(rows).astype({"ts": "datetime64[us]"}).to_parquet(
+            str(dirpath / name)
+        )
+
+    wb(imp_dir, "a.parquet", {"ad": ["x", "y"], "ts": pd.to_datetime(
+        ["2024-01-01 10:00:00", "2024-01-01 10:01:00"])})
+    wb(clk_dir, "a.parquet", {"ad": ["x", "x", "z"], "ts": pd.to_datetime(
+        ["2024-01-01 10:00:30", "2024-01-01 11:30:00", "2024-01-01 10:02:00"])})
+
+    schema = "ad string, ts timestamp"
+    imps = (
+        spark.readStream.schema(schema).parquet(str(imp_dir))
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("ad"), F.col("ts").alias("imp_ts"))
+    )
+    clicks = (
+        spark.readStream.schema(schema).parquet(str(clk_dir))
+        .withWatermark("ts", "10 minutes")
+        .select(F.col("ad").alias("c_ad"), F.col("ts").alias("click_ts"))
+    )
+    joined = imps.join(
+        clicks,
+        (F.col("ad") == F.col("c_ad"))
+        & (F.col("click_ts") >= F.col("imp_ts"))
+        & (F.col("click_ts") <= F.col("imp_ts") + F.expr("INTERVAL 5 MINUTES")),
+    ).select("ad", "imp_ts", "click_ts")
+    q = (
+        joined.writeStream.format("memory").queryName("ss_join")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = {(r["ad"], str(r["click_ts"])) for r in spark.table("ss_join").collect()}
+    # only the in-range click on 'x' survives: the 11:30 click is outside
+    # the 5-minute range; 'z' has no impression
+    assert rows == {("x", "2024-01-01 10:00:30")}
+
+
+def test_streaming_topic_to_topic_pipeline(spark, tmp_path):
+    """foreachBatch pipeline: tail one topic, transform, append to another
+    topic through the bulk write path — streaming ingestion end-to-end."""
+    client = RawdataClient(spark, str(tmp_path))
+    with client.producer("src") as p:
+        for i in range(6):
+            p.publish(RawdataMessage(position=f"p-{i}", data={"n": str(i).encode()}))
+
+    dst = client.topic("dst")
+
+    def sink(batch_df, batch_id):
+        out = batch_df.filter(
+            F.element_at("data", "n").cast("string").cast("int") % 2 == 0
+        )
+        if out.count():
+            dst.write_dataframe(out, range_partition=False)
+
+    q = (
+        stream_topic(spark, str(tmp_path / "src"))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = dst.ordered_dataframe().select("position").collect()
+    assert [r["position"] for r in got] == ["p-0", "p-2", "p-4"]
