@@ -40,6 +40,42 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def gcs_connector_conf(
+    keyfile: str | None = None,
+    read_only: bool = False,
+    upload_chunk_mb: int = 8,
+) -> dict[str, str]:
+    """Spark conf for the ``gs://`` provider (reference S17/S18 parity).
+
+    Mirrors GCSRawdataClientInitializer.java:43-82: service-account keyfile
+    or compute-engine credentials, read-only scope for consumers vs
+    read-write for producers, and the 8 MiB upload chunking of
+    GCSRawdataAvroFile.java:52.  Requires the gcs-connector jar on the
+    classpath (not shipped in this offline build); every engine code path
+    is scheme-agnostic through the Hadoop FileSystem API, so a ``gs://``
+    root needs only this conf.
+    """
+    conf = {
+        "spark.hadoop.fs.AbstractFileSystem.gs.impl": (
+            "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFS"
+        ),
+        "spark.hadoop.fs.gs.impl": (
+            "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem"
+        ),
+        "spark.hadoop.fs.gs.outputstream.upload.chunk.size": str(
+            upload_chunk_mb * 1024 * 1024
+        ),
+    }
+    if keyfile:
+        conf["spark.hadoop.google.cloud.auth.service.account.enable"] = "true"
+        conf["spark.hadoop.google.cloud.auth.service.account.json.keyfile"] = keyfile
+    if read_only:
+        conf["spark.hadoop.fs.gs.auth.access.token.provider.scope"] = (
+            "https://www.googleapis.com/auth/devstorage.read_only"
+        )
+    return conf
+
+
 def get_spark(
     app_name: str = "rawdata-spark-engine",
     master: str | None = None,
