@@ -1152,3 +1152,17 @@ def q_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.ntile(10).over(w).cast("long").alias("decile"),
     )
+
+
+@register("q_agg_approx_percentile", tags=("aggregation", "approx"))
+def q_agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """approx_percentile sketch (rows-only; error bound asserted in
+    tests/test_operators.py against the exact percentiles) — the
+    single-pass mergeable-quantile path for 100 TB columns."""
+    l = load_table(spark, sf, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)"
+        ).alias("approx_p"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -93,3 +93,46 @@ def test_multimodal_features_deterministic(spark, docs):
     ]
     row = f1.first()
     assert row["n_bytes"] > 0 and len(row["features"]) > 0
+
+
+def test_approx_percentile_error_bound(spark, sf_smoke_dir):
+    """approx_percentile(accuracy=1000) lands within rank-error 1/1000 of
+    the exact percentile on every group."""
+    l = load_table(spark, sf_smoke_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["p"]
+        for r in l.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("p"))
+        .collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_p"][1]
+        for r in l.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)"
+            ).alias("approx_p")
+        )
+        .collect()
+    }
+    counts = {
+        r["l_returnflag"]: r["n"]
+        for r in l.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for flag, med in exact.items():
+        n = counts[flag]
+        # rank error 1/accuracy => value must fall between the exact
+        # values at ranks 0.5*n -/+ n/1000 (plus one for boundary slack)
+        lo_rank = max(0.0, 0.5 - 1.5 / 1000)
+        hi_rank = min(1.0, 0.5 + 1.5 / 1000)
+        bounds = (
+            l.filter(F.col("l_returnflag") == flag)
+            .agg(
+                F.expr(f"percentile(l_extendedprice, {lo_rank})").alias("lo"),
+                F.expr(f"percentile(l_extendedprice, {hi_rank})").alias("hi"),
+            )
+            .first()
+        )
+        assert bounds["lo"] <= approx[flag] <= bounds["hi"], (
+            flag, bounds["lo"], approx[flag], bounds["hi"],
+        )
