@@ -89,4 +89,5 @@ def _load_all():
         relational,
         streaming_queries,
         subqueries,
+        tpch_extra,
     )

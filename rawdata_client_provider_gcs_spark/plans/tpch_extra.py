@@ -1,0 +1,277 @@
+"""Additional TPC-H query shapes adapted to the driver's pared-down star
+schema (no partsupp table, no commit/receipt dates — joins route through
+lineitem where TPC-H uses partsupp).
+
+Each covers a distinct plan shape not exercised elsewhere: min-per-group
+join-back (Q2), dual-dimension join with role-separated copies of one
+table (Q7), derived-profit multi-join (Q9), HAVING against a scalar
+aggregate of the same tree (Q11), equality join on an aggregated maximum
+(Q15), NOT-IN exclusion + multi-key count-distinct (Q16).
+
+Float discipline per catalog.py (fixed-point sums; deterministic scalar
+double ops on both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .catalog import register
+from .relational import dsum2, dsum4, o_sum2, o_sum4
+
+
+@register(
+    "q_tpch_q2_mincost",
+    oracle="""
+WITH brand_suppliers AS (
+  SELECT DISTINCT p.p_brand, s.s_suppkey, s.s_name, s.s_acctbal
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+), min_bal AS (
+  SELECT p_brand, MIN(s_acctbal) AS min_bal
+  FROM brand_suppliers GROUP BY p_brand
+)
+SELECT b.p_brand, CAST(b.s_suppkey AS BIGINT) AS s_suppkey, b.s_name,
+       b.s_acctbal
+FROM brand_suppliers b JOIN min_bal m
+  ON b.p_brand = m.p_brand AND b.s_acctbal = m.min_bal
+""",
+    tags=("join", "subquery", "aggregation"),
+)
+def q_tpch_q2_mincost(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape: per-group minimum, joined back to recover the
+    full row(s) achieving it (min s_acctbal supplier per brand)."""
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part")
+    s = load_table(spark, sf, "supplier")
+    bs = (
+        l.join(p, p.p_partkey == l.l_partkey)
+        .join(s, s.s_suppkey == l.l_suppkey)
+        .select("p_brand", "s_suppkey", "s_name", "s_acctbal")
+        .distinct()
+    )
+    mb = bs.groupBy(F.col("p_brand").alias("mb_brand")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        bs.join(
+            mb,
+            (bs.p_brand == mb.mb_brand) & (bs.s_acctbal == mb.min_bal),
+        )
+        .select(
+            "p_brand",
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "s_acctbal",
+        )
+    )
+
+
+@register(
+    "q_tpch_q7_trade",
+    oracle="""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       {rev} AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+    OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
+""".format(rev=o_sum4("l.l_extendedprice * (1 - l.l_discount)")),
+    tags=("join", "aggregation"),
+)
+def q_tpch_q7_trade(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7: one dimension table (nation) joined twice in different
+    roles — supplier nation vs customer nation — plus year extraction."""
+    l = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
+        | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+    )
+    return (
+        l.join(s, s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n1), F.col("n1_key") == s.s_nationkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n2), F.col("n2_key") == c.c_nationkey)
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            dsum4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@register(
+    "q_tpch_q9_profit",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       {profit} AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_type = 'PROMO'
+GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
+""".format(
+        profit=o_sum4(
+            "l.l_extendedprice * (1 - l.l_discount)"
+            " - 0.6 * p.p_retailprice * l.l_quantity"
+        )
+    ),
+    tags=("join", "aggregation"),
+)
+def q_tpch_q9_profit(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 shape: profit = revenue minus derived cost (0.6 ×
+    retailprice standing in for ps_supplycost) across a 5-table join."""
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    o = load_table(spark, sf, "orders")
+    amount = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) - F.lit(
+        0.6
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        l.join(p, p.p_partkey == l.l_partkey)
+        .join(s, s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum4(amount).alias("profit"))
+    )
+
+
+@register(
+    "q_tpch_q11_threshold",
+    oracle="""
+WITH nation_value AS (
+  SELECT s_nationkey, {val} AS value
+  FROM supplier GROUP BY s_nationkey
+)
+SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, value
+FROM nation_value
+WHERE value > (SELECT {tot} * 0.1 FROM supplier)
+""".format(val=o_sum2("s_acctbal"), tot=o_sum2("s_acctbal")),
+    tags=("aggregation", "subquery"),
+)
+def q_tpch_q11_threshold(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 shape: group value compared against a scalar fraction of
+    the same aggregation tree (HAVING vs uncorrelated scalar subquery)."""
+    s = load_table(spark, sf, "supplier")
+    per_nation = s.groupBy("s_nationkey").agg(dsum2(F.col("s_acctbal")).alias("value"))
+    total = s.agg((dsum2(F.col("s_acctbal")) * F.lit(0.1)).alias("threshold"))
+    return (
+        per_nation.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("threshold"))
+        .select(F.col("s_nationkey").cast("long").alias("s_nationkey"), "value")
+    )
+
+
+@register(
+    "q_tpch_q15_topsupp",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey, {rev} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""".format(rev=o_sum4("l_extendedprice * (1 - l_discount)")),
+    tags=("join", "subquery", "aggregation"),
+)
+def q_tpch_q15_topsupp(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15: equality join against the maximum of an aggregated
+    derived table (safe on doubles: both engines derive the identical
+    fixed-point value, so max and equality agree bit-for-bit)."""
+    l = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            dsum4(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        s.join(rev, s.s_suppkey == rev.l_suppkey)
+        .join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .select(
+            F.col("s_suppkey").cast("long").alias("s_suppkey"),
+            "s_name",
+            "total_revenue",
+        )
+    )
+
+
+@register(
+    "q_tpch_q16_supplier_cnt",
+    oracle="""
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 5, 9, 13, 17)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+    tags=("join", "aggregation", "subquery", "distinct"),
+)
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT-IN exclusion (anti join on a filtered dim)
+    plus multi-key count-distinct."""
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 5, 9, 13, 17)
+    )
+    bad = (
+        load_table(spark, sf, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(p, p.p_partkey == l.l_partkey)
+        .join(bad, l.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
