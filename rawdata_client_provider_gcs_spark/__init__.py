@@ -14,7 +14,7 @@ from .errors import (
     RawdataException,
     RawdataNoSuchPositionException,
 )
-from .session import ensure_engine_confs, get_spark
+from .session import ensure_engine_confs, gcs_connector_conf, get_spark
 from .tables import load_table, load_tables, register_views
 from .ulid import MonotonicUlidGenerator, UlidCursor
 
@@ -31,6 +31,7 @@ __all__ = [
     "RawdataProducer",
     "UlidCursor",
     "ensure_engine_confs",
+    "gcs_connector_conf",
     "get_spark",
     "load_table",
     "load_tables",
