@@ -115,3 +115,123 @@ def extract_features(
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime", StringType()),
+        StructField("thumb", BinaryType()),
+        StructField("thumb_w", LongType()),
+        StructField("thumb_h", LongType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_ms", LongType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Thumbnail generation over binary image payloads (mapInPandas).
+
+    The pixel kernel is stubbed (no pillow offline): ``fake=True`` emits a
+    deterministic ``width×height``-byte pseudo-thumbnail derived from the
+    payload, keeping schema, batch shape, and size accounting real.
+    """
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def one(payload: bytes, mime: str) -> bytes:
+            if not fake:
+                raise NotImplementedError(
+                    f"image resize for mime={mime} requires pillow; "
+                    "pass fake=True for the deterministic stub"
+                )
+            seed = hashlib.blake2b(payload, digest_size=32).digest()
+            need = width * height
+            return (seed * (need // len(seed) + 1))[:need]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "mime": pdf["meta"].map(lambda m: m["mime"]),
+                    "thumb": [
+                        one(bytes(p), m["mime"])
+                        for p, m in zip(pdf["payload"], pdf["meta"])
+                    ],
+                    "thumb_w": width,
+                    "thumb_h": height,
+                }
+            )
+
+    return media.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    fake: bool = False,
+) -> DataFrame:
+    """Frame sampling over binary video payloads (one row per frame).
+
+    Row-explosion happens Python-side inside ``mapInPandas`` — output
+    batches carry ``min(payload_duration/every_ms, max_frames)`` rows per
+    input row.  The codec is stubbed: ``fake=True`` treats every 64 KiB of
+    payload as one second of video and emits deterministic frame bytes.
+    """
+
+    def run(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def frames(payload: bytes, mime: str):
+            if not fake:
+                raise NotImplementedError(
+                    f"frame sampling for mime={mime} requires av/ffmpeg; "
+                    "pass fake=True for the deterministic stub"
+                )
+            duration_ms = max(1, len(payload) * 1000 // 65536)
+            out = []
+            for i in range(min(duration_ms // every_ms + 1, max_frames)):
+                ms = i * every_ms
+                out.append(
+                    (
+                        i,
+                        ms,
+                        hashlib.blake2b(
+                            payload + ms.to_bytes(8, "big"), digest_size=16
+                        ).digest(),
+                    )
+                )
+            return out
+
+        for pdf in batches:
+            rows = {"doc_id": [], "frame_idx": [], "frame_ms": [], "frame": []}
+            for doc_id, p, m in zip(pdf[id_col], pdf["payload"], pdf["meta"]):
+                for idx, ms, data in frames(bytes(p), m["mime"]):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["frame_ms"].append(ms)
+                    rows["frame"].append(data)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, FRAME_SCHEMA)

@@ -136,3 +136,26 @@ def test_approx_percentile_error_bound(spark, sf_smoke_dir):
         assert bounds["lo"] <= approx[flag] <= bounds["hi"], (
             flag, bounds["lo"], approx[flag], bounds["hi"],
         )
+
+
+def test_multimodal_resize_and_frames(spark, docs):
+    media = multimodal.with_media_columns(
+        docs.limit(10), "text", "video/mp4", "doc_id"
+    )
+    thumbs = multimodal.resize_images(media, 8, 8, fake=True)
+    rows = thumbs.collect()
+    assert len(rows) == 10
+    assert all(len(bytes(r["thumb"])) == 64 for r in rows)
+    # deterministic: same payload -> same thumb
+    again = {r["doc_id"]: bytes(r["thumb"]) for r in thumbs.collect()}
+    assert {r["doc_id"]: bytes(r["thumb"]) for r in rows} == again
+
+    frames = multimodal.sample_frames(media, every_ms=1000, max_frames=3, fake=True)
+    frows = frames.collect()
+    assert len(frows) >= 10  # at least one frame per doc
+    assert all(len(bytes(r["frame"])) == 16 for r in frows)
+    assert all(r["frame_ms"] == r["frame_idx"] * 1000 for r in frows)
+
+    # real-decode path refuses loudly without the codec libraries
+    with pytest.raises(Exception):
+        multimodal.resize_images(media, 8, 8, fake=False).collect()
