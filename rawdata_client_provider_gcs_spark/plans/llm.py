@@ -598,3 +598,18 @@ def q_group_top_event_pandas(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     return e.groupBy("user_id").applyInPandas(top_event, schema=out_schema)
+
+
+@register("q_multimodal_frames", tags=("llm", "multimodal", "pandas-udf"))
+def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling plumbing over binary payloads (mapInPandas row
+    explosion with the deterministic stub codec) — rows-only check."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    media = multimodal.with_media_columns(d, "text", "video/mp4", "doc_id")
+    frames = multimodal.sample_frames(media, every_ms=1000, max_frames=4, fake=True)
+    return frames.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        F.sha2(F.col("frame"), 256).alias("frame_sha"),
+    )
