@@ -1166,3 +1166,29 @@ def q_agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("approx_p"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_scalar_json_struct",
+    oracle="""
+SELECT CAST(event_id AS BIGINT) AS event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       to_json(struct_pack(
+         k := CAST(json_extract_string(props, '$.k') AS BIGINT)))
+         AS reserialized
+FROM events WHERE event_id < 500
+""",
+    tags=("scalar", "json"),
+)
+def q_scalar_json_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured JSON round-trip: ``from_json`` with an explicit schema,
+    then ``to_json`` of a struct (§2B Scalar: json, from_json/to_json).
+    Both engines emit compact JSON, so even the serialized form matches.
+    """
+    e = load_table(spark, sf, "events").filter(F.col("event_id") < 500)
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return e.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        parsed["k"].alias("k"),
+        F.to_json(F.struct(parsed["k"].alias("k"))).alias("reserialized"),
+    )
