@@ -383,15 +383,20 @@ WITH pairs AS (
     ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, cosine
-FROM pairs WHERE cosine >= 0.9
+FROM pairs WHERE cosine >= 0.35
 """,
     tags=("llm", "similarity", "dedup"),
 )
 def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label (§2B)."""
+    """Embedding-cosine near-dup pairs, blocked by label (§2B).
+
+    Threshold 0.35 is calibrated to the synthetic fixture (max in-block
+    cosine ≈0.45/0.47/0.51 at sf0.001/0.01/0.1) so the check is non-vacuous
+    at every sf: 14 / 26 / 391 pairs.  Real corpora would use ≥0.9.
+    """
     e = load_table(spark, sf, "embeddings")
     return similarity.embedding_near_dup_pairs(
-        e, threshold=0.9, block_col="label"
+        e, threshold=0.35, block_col="label"
     ).select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),

@@ -265,50 +265,60 @@ def q_join_theta_range(spark: SparkSession, sf: str) -> DataFrame:
     "q_join_asof",
     oracle="""
 WITH ranked AS (
-  SELECT o.o_orderkey, o.o_custkey, o.o_orderdate, e.ts AS e_ts, e.event_type,
+  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+         c.ts AS click_ts, c.event_id AS click_id,
          ROW_NUMBER() OVER (
-           PARTITION BY o.o_orderkey
-           ORDER BY e.ts DESC, e.event_id DESC
+           PARTITION BY p.event_id
+           ORDER BY c.ts DESC, c.event_id DESC
          ) AS rn
-  FROM orders o
-  JOIN events e ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+  FROM events p
+  JOIN events c ON c.user_id = p.user_id
+               AND c.event_type = 'click' AND c.ts <= p.ts
+  WHERE p.event_type = 'purchase'
 )
-SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
-       CAST(o_custkey AS BIGINT) AS o_custkey,
-       e_ts AS last_event_ts, event_type AS last_event_type
+SELECT CAST(purchase_id AS BIGINT) AS purchase_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       purchase_ts, click_ts, CAST(click_id AS BIGINT) AS click_id
 FROM ranked WHERE rn = 1
 """,
     tags=("join", "asof"),
     bench=True,
 )
 def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
-    """As-of join: latest event at-or-before each order, per user (§2B).
+    """As-of join: latest click at-or-before each purchase, per user (§2B).
 
     Implemented with the union-sort operator (operators/asof.py) — one
     shuffle, no |L|×|R| blow-up; the oracle states the same semantics as a
-    ROW_NUMBER join.  Orders whose user has no earlier event drop out
-    (inner as-of) to keep parity with the join-based oracle.
+    ROW_NUMBER join.  Both sides come from the events table so the time
+    domains overlap and the result is fat (≈19 % of events are purchases,
+    nearly all preceded by a click — thousands of rows at sf0.01).
+    Purchases whose user has no earlier click drop out (inner as-of) to
+    keep parity with the join-based oracle.
     """
-    o = load_table(spark, sf, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
+    e = load_table(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
     )
-    e = load_table(spark, sf, "events").select(
-        F.col("user_id"), F.col("ts"), F.col("event_type"), F.col("event_id")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
     )
     joined = asof_join(
-        o.withColumnRenamed("o_custkey", "user_id"),
-        e,
+        purchases,
+        clicks,
         on="user_id",
-        left_time="o_orderdate",
+        left_time="purchase_ts",
         right_time="ts",
-        right_cols=["event_type", "event_id"],
-        tiebreak_cols=["ts", "event_id"],
+        right_cols=["click_id"],
+        tiebreak_cols=["ts", "click_id"],
     )
     return joined.filter(F.col("ts").isNotNull()).select(
-        F.col("o_orderkey").cast("long").alias("o_orderkey"),
-        F.col("user_id").cast("long").alias("o_custkey"),
-        F.col("ts").alias("last_event_ts"),
-        F.col("event_type").alias("last_event_type"),
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("purchase_ts"),
+        F.col("ts").alias("click_ts"),
+        F.col("click_id").cast("long").alias("click_id"),
     )
 
 
