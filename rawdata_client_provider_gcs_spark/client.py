@@ -322,7 +322,7 @@ class RawdataConsumer:
         self._topic_name = topic
         self._closed = False
         self._iter = None
-        self._file_count = 0
+        self._seen_files: frozenset[str] = frozenset()
         self._last_listing_ts = 0.0
         self._after_ulid: bytes | None = None  # exclusive resume point
         self._include_exact = True
@@ -354,7 +354,7 @@ class RawdataConsumer:
 
     def _rebuild_iter(self) -> None:
         manifest = self._topic.list_manifest()
-        self._file_count = len(manifest)
+        self._seen_files = frozenset(path for path, _ in manifest)
         self._iter = self._scan_df().toLocalIterator()
 
     def _next_from_iter(self) -> RawdataMessage | None:
@@ -385,8 +385,12 @@ class RawdataConsumer:
             ):
                 self._last_listing_ts = now
                 manifest = self._topic.list_manifest()
-                if len(manifest) != self._file_count:
-                    self._file_count = len(manifest)
+                # compare the file *set*, not the count: a compaction can
+                # replace files leaving the count unchanged while exposing
+                # new messages
+                names = frozenset(path for path, _ in manifest)
+                if names != self._seen_files:
+                    self._seen_files = names
                     self._iter = self._scan_df().toLocalIterator()
                     msg = self._next_from_iter()
                     if msg is not None:

@@ -60,10 +60,12 @@ def salted_count_distinct(
     A plain ``groupBy(k).agg(countDistinct(v))`` must co-locate every row
     of a hot key on one reducer.  Stage 1 dedups on (k, salt(v), v) —
     distinct is combinable, so each reducer holds one key *shard*; stage 2
-    sums shard cardinalities.  Equals the exact distinct count.
+    sums shard cardinalities.  Equals the exact distinct count; NULL
+    values are excluded to match SQL ``COUNT(DISTINCT v)`` semantics.
     """
     stage1 = (
-        df.select(
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             F.col(group_col),
             F.pmod(F.xxhash64(value_col), F.lit(salt)).alias("__salt"),
             F.col(value_col),

@@ -21,7 +21,9 @@ Spark-first mapping (SURVEY.md §3.4/§4):
 
 from __future__ import annotations
 
+import json
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -72,12 +74,61 @@ class Topic:
         Keep the last file whose first-event time <= ts (floorEntry) and
         everything after it; if none precede ts, keep all (ceilingEntry) —
         AvroRawdataConsumer.java:153-157 semantics at file granularity.
+
+        Overlap safety: floor pruning assumes files are time-disjoint,
+        which the reference producer guarantees but ``compact()`` (union of
+        non-adjacent small files) and repeated event-time bulk publishes do
+        not.  Every engine-written file records its max event time in the
+        sidecar manifest (see :meth:`load_max_ts`); any file *before* the
+        floor whose ``[from_ts, max_ts]`` still reaches ``ts`` is retained
+        too.  Files without a sidecar entry (reference-written) keep the
+        reference's disjointness assumption.
         """
         start = 0
         for i, (_, entry) in enumerate(manifest):
             if entry.from_ts_ms <= ts_ms:
                 start = i
-        return manifest[start:]
+        if start == 0:
+            return manifest
+        max_ts = self.load_max_ts()
+        return [
+            pe
+            for i, pe in enumerate(manifest)
+            if i >= start or max_ts.get(pe[1].filename, -1) >= ts_ms
+        ]
+
+    # -- sidecar manifest (engine-only; invisible to stream listings) -------
+
+    def _maxts_uri(self) -> str:
+        # lives under metadata/, which both the engine's and the
+        # reference's listing filters exclude from the stream
+        # (GCSRawdataUtils.java:30,103)
+        return f"{self.uri}/metadata/engine-file-maxts.json"
+
+    def load_max_ts(self) -> dict[str, int]:
+        """filename -> max event-time ms for engine-written files."""
+        uri = self._maxts_uri()
+        if not self.fs.exists(uri):
+            return {}
+        try:
+            return json.loads(self.fs.read_bytes(uri).decode("utf-8"))
+        except (ValueError, UnicodeDecodeError):
+            return {}
+
+    def _update_max_ts(
+        self, add: dict[str, int] | None = None, remove: list[str] | None = None
+    ) -> None:
+        """Merge-update the sidecar.  Single-writer per topic by contract
+        (same exclusivity the reference's producer lock provides,
+        AvroRawdataProducer.java:206-216)."""
+        table = self.load_max_ts()
+        for name in remove or []:
+            table.pop(name, None)
+        table.update(add or {})
+        self.fs.mkdirs(f"{self.uri}/metadata")
+        self.fs.write_bytes(
+            self._maxts_uri(), json.dumps(table, sort_keys=True).encode("utf-8")
+        )
 
     # -- read ---------------------------------------------------------------
 
@@ -136,6 +187,7 @@ class Topic:
             .groupBy(F.input_file_name().alias("file"))
             .agg(
                 F.min("ulid_ts_ms").alias("from_ts_ms"),
+                F.max("ulid_ts_ms").alias("max_ts_ms"),
                 F.count(F.lit(1)).alias("cnt"),
                 F.min_by("position", "ulid").alias("first_position"),
             )
@@ -143,7 +195,8 @@ class Topic:
         )
         size_by_name = {p.rsplit("/", 1)[-1]: s for p, s in parts}
         path_by_name = {p.rsplit("/", 1)[-1]: p for p, _ in parts}
-        final_paths = []
+        renames: list[tuple[str, str]] = []
+        maxts_add: dict[str, int] = {}
         for row in stats:
             part_name = row["file"].rsplit("/", 1)[-1]
             src = path_by_name[part_name]
@@ -154,10 +207,22 @@ class Topic:
                 first_position=row["first_position"],
                 ext=ext,
             )
-            dst = f"{self.uri}/{filename}"
+            renames.append((src, f"{self.uri}/{filename}"))
+            maxts_add[filename] = row["max_ts_ms"]
+        # tmp dir stays invisible to listings until each rename lands, so
+        # parallel renames keep crash consistency: a crash mid-commit leaves
+        # a valid (shorter) topic plus an orphaned .tmp dir, never a torn file
+        def _do(pair: tuple[str, str]) -> str:
+            src, dst = pair
             if not self.fs.rename(src, dst):
                 raise IOError(f"rename failed: {src} -> {dst}")
-            final_paths.append(dst)
+            return dst
+        if len(renames) <= 2:
+            final_paths = [_do(p) for p in renames]
+        else:
+            with ThreadPoolExecutor(max_workers=min(32, len(renames))) as pool:
+                final_paths = list(pool.map(_do, renames))
+        self._update_max_ts(add=maxts_add)
         self.fs.delete(tmp_uri, recursive=True)
         return final_paths
 
@@ -233,6 +298,9 @@ class Topic:
         )
         for path in paths:
             self.fs.delete(path)
+        self._update_max_ts(
+            remove=[p.rsplit("/", 1)[-1] for p in paths]
+        )
         return new_files, paths
 
     def write_single_file(self, df: DataFrame, ext: str = "parquet") -> list[str]:

@@ -154,18 +154,16 @@ def with_ulid(
 ) -> DataFrame:
     """Assign distributed ULIDs to every row of ``df``.
 
-    The randomness field is ``(partition_id % 2^16) << 64 | per-partition
-    counter`` derived from ``monotonically_increasing_id`` (whose low 33 bits
-    are a per-partition record counter), giving strict per-partition
-    monotonicity and global uniqueness without any shuffle or driver
-    coordination — the distributed analog of the reference's per-producer
-    mutex (AvroRawdataProducer.java:206-216).
+    The low 64 randomness bits are ``monotonically_increasing_id()``
+    verbatim: its layout is ``(31-bit partition id) << 33 | 33-bit
+    per-partition record counter``, so values are unique across up to 2^31
+    partitions (not 2^16 as a modulo salt would give) and strictly
+    increasing within each partition — all without any shuffle or driver
+    coordination.  This is the distributed analog of the reference's
+    per-producer mutex (AvroRawdataProducer.java:206-216).
     """
     ts = ts_ms_col if ts_ms_col is not None else F.lit(int(time.time() * 1000))
-    mid = F.monotonically_increasing_id()
-    part_salt = F.shiftleft(F.spark_partition_id().cast("long") % F.lit(1 << 16), 47)
-    # low 33 bits of mid = per-partition counter; salt above keeps uniqueness
-    rand_low = part_salt + (mid % F.lit(1 << 33))
+    rand_low = F.monotonically_increasing_id()
     ulid_hex = F.concat(
         F.lpad(F.hex(ts.cast("long")), 12, "0"),
         F.lpad(F.hex(F.lit(0)), 4, "0"),        # top 16 randomness bits zero

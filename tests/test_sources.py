@@ -255,3 +255,38 @@ def test_streaming_topic_to_topic_pipeline(spark, tmp_path):
     q.awaitTermination()
     got = dst.ordered_dataframe().select("position").collect()
     assert [r["position"] for r in got] == ["p-0", "p-2", "p-4"]
+
+
+def test_seek_survives_straddling_compaction(spark, tmp_path):
+    """Overlap-safe pruning: compacting non-adjacent small files creates a
+    file whose time range straddles a retained big file; a seek between the
+    two must still deliver the straddling file's late messages
+    (ADVICE r1: prune_from_timestamp assumed time-disjoint files)."""
+    client = RawdataClient(spark, str(tmp_path))
+    t0 = 1_700_000_000_000
+    producer = client.producer("t")
+
+    def batch(rows):
+        df = spark.createDataFrame(rows, "position string, ts_ms long")
+        producer.publish_dataframe(df, ts_ms_col="ts_ms")
+
+    batch([("a1", t0)])                                  # small: [t0]
+    batch([(f"b{i}", t0 + 10_000 + i) for i in range(50)])  # big: t0+10s
+    batch([("c1", t0 + 20_000)])                         # small: [t0+20s]
+    topic = client.topic("t")
+    new_files, removed = topic.compact(
+        small_file_max_records=10, target_records_per_file=1000
+    )
+    assert len(new_files) == 1 and len(removed) == 2
+    # compacted file spans [t0, t0+20s], straddling the big file
+    # seek to t0+20s: floor file by from_ts is the big one; the compacted
+    # file must be retained via its sidecar max-ts
+    consumer = client.consumer("t", seek_to_ts_ms=t0 + 20_000)
+    got = []
+    while True:
+        msg = consumer.receive(0)
+        if msg is None:
+            break
+        got.append(msg.position)
+    assert got == ["c1"]
+    client.close()
