@@ -30,9 +30,17 @@ FROM events GROUP BY 1, 2
     tags=("streaming", "window"),
 )
 def q_stream_tumbling(spark: SparkSession, sf: str) -> DataFrame:
-    """Tumbling 1-hour event-time windows with watermark (§2B Streaming)."""
-    events = W.stream_events(spark, sf)
-    return W.run_available_now(W.tumbling_counts(events, "1 hour"), "t_tumbling")
+    """Tumbling 1-hour event-time windows with watermark (§2B Streaming).
+
+    Append output: each window is emitted exactly once, after the
+    watermark passes its end, and its state is dropped — bounded state at
+    any scale (sentinel flush batches close the trailing windows, see
+    ``flushable_event_stream``)."""
+    events = W.flushable_event_stream(spark, sf)
+    out = W.run_available_now_append(
+        W.tumbling_counts(events, "1 hour"), "t_tumbling"
+    )
+    return out.filter(F.col("event_type") != W.SENTINEL_EVENT_TYPE)
 
 
 @register(
@@ -52,11 +60,18 @@ FROM starts GROUP BY window_start
     tags=("streaming", "window"),
 )
 def q_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
-    """Sliding 1-hour/30-min windows — every event in exactly 2 windows."""
-    events = W.stream_events(spark, sf)
-    return W.run_available_now(
+    """Sliding 1-hour/30-min windows — every event in exactly 2 windows.
+
+    Append output with sentinel flush; the two sentinel-only windows are
+    dropped by their start time (they sit a year past the real data)."""
+    events = W.flushable_event_stream(spark, sf)
+    out = W.run_available_now_append(
         W.sliding_counts(events, "1 hour", "30 minutes"), "t_sliding"
     )
+    max_real = (
+        load_table(spark, sf, "events").agg(F.max("ts")).collect()[0][0]
+    )
+    return out.filter(F.col("window_start") <= F.lit(max_real))
 
 
 @register(
@@ -85,9 +100,14 @@ FROM sessions GROUP BY user_id, session_id
 )
 def q_stream_session(spark: SparkSession, sf: str) -> DataFrame:
     """Native session windows (30-min gap) — oracle is the batch
-    gaps-and-islands formulation of the same semantics."""
-    events = W.stream_events(spark, sf)
-    return W.run_available_now(W.session_counts(events, "30 minutes"), "t_session")
+    gaps-and-islands formulation of the same semantics.  Append output:
+    a session is emitted once, when the watermark passes gap past its last
+    event, and its state is evicted."""
+    events = W.flushable_event_stream(spark, sf)
+    out = W.run_available_now_append(
+        W.session_counts(events, "30 minutes"), "t_session"
+    )
+    return out.filter(F.col("user_id") != F.lit(W.SENTINEL_USER_ID))
 
 
 @register(

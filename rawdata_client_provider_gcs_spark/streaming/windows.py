@@ -14,6 +14,8 @@ Scale notes: watermarks bound state; session windows use the native
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 import uuid
 
@@ -50,6 +52,77 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # watermarks require TIMESTAMP (not NTZ); outputs cast to NTZ after
     # aggregation (session tz is UTC, so the wall clock is preserved)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+SENTINEL_EVENT_TYPE = "__sentinel__"
+SENTINEL_USER_ID = -1
+
+
+def flushable_event_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """events stream whose windows all close under *append* output.
+
+    Append mode only emits a window once the watermark passes its end, so
+    the windows covering the final ``watermark delay`` of data would stay
+    in state forever in a bounded run — the reason round 1 used complete
+    mode, which re-emits the whole result every trigger and holds all
+    window state (wrong at scale; VERDICT r1 "What's wrong" #5).
+
+    This harness source stages the real events file plus two sentinel
+    events far past the real maximum, each in its own later micro-batch
+    (``maxFilesPerTrigger=1``, mtime-ordered).  The sentinel batches
+    advance the watermark beyond every real window, so append mode emits
+    and *expires* all real state before the query terminates — the exact
+    bounded-state behavior a production tail would have, matching the
+    reference's O(1)-state following model (TopicAvroFileCache.java:23-30).
+    Callers filter the sentinel rows (``SENTINEL_EVENT_TYPE`` /
+    ``SENTINEL_USER_ID``) from the result.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    staged = tempfile.mkdtemp(prefix="rawdata-stream-src-")
+    real = os.path.join(staged, "0-events.parquet")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), real)
+    max_ns = pq.read_table(real, columns=["ts"])["ts"].cast("int64").to_pylist()
+    max_ns = max(max_ns)
+    year_ns = 365 * 24 * 3600 * 10**9
+    now = os.stat(real).st_mtime
+    for i in (1, 2):
+        path = os.path.join(staged, f"{i}-sentinel.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([10**15 + i], pa.int64()),
+                    "ts": pa.array([max_ns + i * year_ns], pa.int64()),
+                    "user_id": pa.array([SENTINEL_USER_ID], pa.int64()),
+                    "event_type": pa.array([SENTINEL_EVENT_TYPE]),
+                    "value": pa.array([0.0], pa.float64()),
+                    "props": pa.array([None], pa.string()),
+                }
+            ),
+            path,
+        )
+        os.utime(path, (now + 10 * i, now + 10 * i))
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(staged)
+    )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
