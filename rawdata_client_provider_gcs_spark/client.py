@@ -50,12 +50,18 @@ class RawdataClient:
         avro_file_max_seconds: float = 3600.0,
         avro_file_max_bytes: int = 10 * 1024 * 1024,
         listing_min_interval_seconds: float = 0.0,
+        file_format: str = "parquet",
     ):
+        if file_format not in ("parquet", "avro"):
+            raise ValueError(f"unknown file_format: {file_format}")
         self.spark = spark
         self.provider = provider
         self.root_uri = _normalize_root(root, provider)
         self.avro_file_max_seconds = avro_file_max_seconds
         self.avro_file_max_bytes = avro_file_max_bytes
+        #: topic file format for writes: "parquet" (engine-native) or
+        #: "avro" (reference-compatible container files)
+        self.file_format = file_format
         self.listing_min_interval_seconds = listing_min_interval_seconds
         self._children: list = []
         self._closed = False
@@ -229,7 +235,7 @@ class RawdataProducer:
             return
         rows = [m.to_row() for m in self._buffer]
         df = self._client.spark.createDataFrame(rows, MESSAGE_SCHEMA)
-        self._topic.write_single_file(df)
+        self._topic.write_single_file(df, ext=self._client.file_format)
         self._buffer = []
         self._buffer_bytes = 0
         self._buffer_opened_ms = None
@@ -282,7 +288,9 @@ class RawdataProducer:
             data_expr.alias("data"),
         )
         return self._topic.write_dataframe(
-            msg_df, max_records_per_file=max_records_per_file
+            msg_df,
+            ext=self._client.file_format,
+            max_records_per_file=max_records_per_file,
         )
 
     def close(self):

@@ -1,0 +1,311 @@
+"""Avro object-container codec for the reference message envelope.
+
+The reference stores every topic file as an Avro container of
+``RawdataMessage`` records (AvroRawdataProducer.java:42-49 builds the
+schema; AvroRawdataClient.java:131-134 reads it back with
+``GenericDatumReader``).  Spark's Avro *datasource* is an external module
+(`org.apache.spark:spark-avro`) that is not part of a stock Spark
+classpath, so the engine carries its own codec for this one fixed schema:
+
+- **encode/decode in pure Python** (the Avro 1.x binary spec is tiny for a
+  fixed schema: zigzag varints, length-prefixed bytes, block/sync framing).
+  Decoding runs *distributed* — ``binaryFile`` scan + ``mapInPandas`` —
+  so reading a reference-written Avro topic scales like any other source;
+  encoding covers the producer's driver-side buffered flush (S1).
+- **capability probe** for the real datasource (:func:`avro_datasource_available`)
+  so deployments that do ship spark-avro use the native JVM path for bulk
+  distributed writes.
+
+Compatibility is proven in the test suite by round-tripping against the
+JVM ``DataFileWriter``/``DataFileReader`` from avro core (always on
+Spark's classpath) — files written here are read by the reference's
+exact reader stack and vice versa.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import zlib
+
+ENVELOPE_SCHEMA_JSON = (
+    '{"type":"record","name":"RawdataMessage","fields":['
+    '{"name":"id","type":{"type":"fixed","name":"ulid","size":16}},'
+    '{"name":"orderingGroup","type":["string","null"]},'
+    '{"name":"sequenceNumber","type":"long","default":0},'
+    '{"name":"position","type":"string"},'
+    '{"name":"data","type":{"type":"map","values":"bytes"}}]}'
+)
+
+_MAGIC = b"Obj\x01"
+
+
+# -- primitive codecs (Avro binary spec) ------------------------------------
+
+
+def _write_long(out: bytearray, n: int) -> None:
+    """Zigzag varint (works for any signed 64-bit value)."""
+    z = (n << 1) ^ (n >> 63)
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_long(data: bytes, pos: int) -> tuple[int, int]:
+    z = 0
+    shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1), pos
+
+
+def _write_bytes(out: bytearray, b: bytes) -> None:
+    _write_long(out, len(b))
+    out.extend(b)
+
+
+def _read_bytes(data: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = _read_long(data, pos)
+    return data[pos : pos + n], pos + n
+
+
+# -- record codec for the fixed envelope ------------------------------------
+
+
+def _encode_record(
+    out: bytearray,
+    ulid: bytes,
+    ordering_group: str | None,
+    sequence_number: int,
+    position: str,
+    data: dict[str, bytes],
+) -> None:
+    if len(ulid) != 16:
+        raise ValueError("ulid must be 16 bytes")
+    out.extend(ulid)
+    if ordering_group is None:
+        _write_long(out, 1)  # union branch: null
+    else:
+        _write_long(out, 0)  # union branch: string
+        _write_bytes(out, ordering_group.encode("utf-8"))
+    _write_long(out, sequence_number)
+    _write_bytes(out, position.encode("utf-8"))
+    if data:
+        _write_long(out, len(data))
+        for k, v in data.items():
+            _write_bytes(out, k.encode("utf-8"))
+            _write_bytes(out, bytes(v))
+    _write_long(out, 0)  # map terminator block
+
+
+def _decode_record(data: bytes, pos: int):
+    ulid = data[pos : pos + 16]
+    pos += 16
+    branch, pos = _read_long(data, pos)
+    ordering_group = None
+    if branch == 0:
+        raw, pos = _read_bytes(data, pos)
+        ordering_group = raw.decode("utf-8")
+    sequence_number, pos = _read_long(data, pos)
+    raw, pos = _read_bytes(data, pos)
+    position = raw.decode("utf-8")
+    payload: dict[str, bytes] = {}
+    while True:
+        n, pos = _read_long(data, pos)
+        if n == 0:
+            break
+        if n < 0:  # block with byte-size prefix (spec-legal writer variant)
+            n = -n
+            _, pos = _read_long(data, pos)
+        for _ in range(n):
+            k, pos = _read_bytes(data, pos)
+            v, pos = _read_bytes(data, pos)
+            payload[k.decode("utf-8")] = v
+    return (bytes(ulid), ordering_group, sequence_number, position, payload), pos
+
+
+def _decode_map_block(data: bytes, pos: int) -> tuple[dict[str, bytes], int]:
+    out: dict[str, bytes] = {}
+    while True:
+        n, pos = _read_long(data, pos)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _, pos = _read_long(data, pos)
+        for _ in range(n):
+            k, pos = _read_bytes(data, pos)
+            v, pos = _read_bytes(data, pos)
+            out[k.decode("utf-8")] = v
+    return out, pos
+
+
+# -- container framing -------------------------------------------------------
+
+
+def encode_container(
+    rows: list[tuple[bytes, str | None, int, str, dict[str, bytes]]],
+    sync: bytes | None = None,
+    records_per_block: int = 1000,
+) -> bytes:
+    """Serialize message rows into one Avro object-container file."""
+    sync = sync or os.urandom(16)
+    if len(sync) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+    out = bytearray()
+    out.extend(_MAGIC)
+    meta = {
+        "avro.schema": ENVELOPE_SCHEMA_JSON.encode("utf-8"),
+        "avro.codec": b"null",
+    }
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        _write_bytes(out, k.encode("utf-8"))
+        _write_bytes(out, v)
+    _write_long(out, 0)
+    out.extend(sync)
+    for start in range(0, len(rows), records_per_block):
+        chunk = rows[start : start + records_per_block]
+        block = bytearray()
+        for r in chunk:
+            _encode_record(block, *r)
+        _write_long(out, len(chunk))
+        _write_long(out, len(block))
+        out.extend(block)
+        out.extend(sync)
+    return bytes(out)
+
+
+def decode_container(
+    raw: bytes,
+) -> list[tuple[bytes, str | None, int, str, dict[str, bytes]]]:
+    """Parse an Avro object-container of RawdataMessage records.
+
+    Accepts null and deflate codecs; validates sync markers per block.
+    The schema is not re-validated field-by-field — the envelope is fixed
+    by the reference contract and the JVM round-trip test pins it.
+    """
+    if raw[:4] != _MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta, pos = _decode_map_block(raw, 4)
+    codec = meta.get("avro.codec", b"null").decode("ascii")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported avro codec: {codec}")
+    sync = raw[pos : pos + 16]
+    pos += 16
+    rows = []
+    total = len(raw)
+    while pos < total:
+        count, pos = _read_long(raw, pos)
+        size, pos = _read_long(raw, pos)
+        block = raw[pos : pos + size]
+        pos += size
+        if raw[pos : pos + 16] != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+        pos += 16
+        if codec == "deflate":
+            block = zlib.decompress(block, wbits=-15)
+        bpos = 0
+        for _ in range(count):
+            row, bpos = _decode_record(block, bpos)
+            rows.append(row)
+    return rows
+
+
+# -- Spark integration -------------------------------------------------------
+
+_DATASOURCE_PROBE: dict[int, bool] = {}
+
+
+def avro_datasource_available(spark) -> bool:
+    """True when the external spark-avro datasource is on the classpath."""
+    key = id(spark)
+    if key not in _DATASOURCE_PROBE:
+        try:
+            # the authoritative check: the same lookup the reader/writer do
+            # (Class.forName on avro classes is NOT enough — Spark core
+            # ships part of org.apache.spark.sql.avro without the source)
+            spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                "avro", spark._jvm.org.apache.spark.sql.internal.SQLConf.get()
+            )
+            _DATASOURCE_PROBE[key] = True
+        except Exception:
+            _DATASOURCE_PROBE[key] = False
+    return _DATASOURCE_PROBE[key]
+
+
+def messages_from_binary_files(files_df):
+    """Distributed decode: ``binaryFile`` rows -> MESSAGE_SCHEMA rows.
+
+    One Python task per Avro file (they are rotation-window sized by
+    construction — S1), Arrow-batched out.  This is how a 100 TB
+    reference-written Avro topic is scanned without the spark-avro jar:
+    the file list parallelizes across executors and each decode is
+    streaming over one file's bytes.
+    """
+    from ..datamodel import MESSAGE_SCHEMA
+
+    def decode(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            for content in pdf["content"]:
+                rows = decode_container(bytes(content))
+                if not rows:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "ulid": [r[0] for r in rows],
+                        "ulid_ts_ms": [
+                            int.from_bytes(r[0][:6], "big") for r in rows
+                        ],
+                        "ordering_group": [r[1] for r in rows],
+                        "sequence_number": [r[2] for r in rows],
+                        "position": [r[3] for r in rows],
+                        "data": [r[4] for r in rows],
+                    }
+                )
+
+    return files_df.select("content").mapInPandas(decode, MESSAGE_SCHEMA)
+
+
+def stats_from_binary_files(files_df):
+    """Per-file manifest facts for the commit protocol: one stats row per
+    Avro part file, computed executor-side (no row-level shuffle)."""
+
+    def stats(iterator):
+        import pandas as pd
+
+        for pdf in iterator:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows = decode_container(bytes(content))
+                if not rows:
+                    continue
+                first = min(rows, key=lambda r: r[0])
+                yield pd.DataFrame(
+                    {
+                        "file": [path],
+                        "from_ts_ms": [int.from_bytes(first[0][:6], "big")],
+                        "max_ts_ms": [
+                            max(int.from_bytes(r[0][:6], "big") for r in rows)
+                        ],
+                        "cnt": [len(rows)],
+                        "first_position": [first[3]],
+                    }
+                )
+
+    return files_df.select("path", "content").mapInPandas(
+        stats,
+        "file string, from_ts_ms long, max_ts_ms long, cnt long, "
+        "first_position string",
+    )

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datamodel import MESSAGE_SCHEMA
+from . import avro_codec
 from .filenames import (
     FileManifestEntry,
     decode_filename,
@@ -133,17 +134,54 @@ class Topic:
     # -- read ---------------------------------------------------------------
 
     def dataframe(self, from_ts_ms: int | None = None) -> DataFrame:
-        """Unordered message DataFrame over the (optionally pruned) topic."""
+        """Unordered message DataFrame over the (optionally pruned) topic.
+
+        Topics may mix parquet files (engine-native) and Avro container
+        files (reference-written — README.md:4-14); both are scanned
+        distributed and unioned.
+        """
         manifest = self.list_manifest()
         if from_ts_ms is not None:
             manifest = self.prune_from_timestamp(manifest, from_ts_ms)
         if not manifest:
             return self.spark.createDataFrame([], MESSAGE_SCHEMA)
-        paths = [path for path, _ in manifest]
-        df = self.spark.read.schema(MESSAGE_SCHEMA).parquet(*paths)
+        pq_paths = [p for p, e in manifest if e.ext == "parquet"]
+        avro_paths = [p for p, e in manifest if e.ext == "avro"]
+        dfs = []
+        if pq_paths:
+            dfs.append(self.spark.read.schema(MESSAGE_SCHEMA).parquet(*pq_paths))
+        if avro_paths:
+            dfs.append(self._read_avro(avro_paths))
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other)
         if from_ts_ms is not None:
             df = df.filter(F.col("ulid_ts_ms") >= F.lit(from_ts_ms))
         return df
+
+    def _read_avro(self, paths: list[str]) -> DataFrame:
+        """Distributed scan of reference-format Avro topic files.
+
+        With spark-avro on the classpath the native datasource does the
+        scan (columnar, splittable); otherwise each file is decoded by the
+        engine's pure-Python envelope codec — one task per file, Arrow out
+        (files are rotation-window sized by construction, S1), so a large
+        topic still reads in parallel across executors.
+        """
+        if avro_codec.avro_datasource_available(self.spark):
+            raw = self.spark.read.format("avro").load(paths)
+            return raw.select(
+                F.col("id").cast("binary").alias("ulid"),
+                F.conv(F.hex(F.substring(F.col("id").cast("binary"), 1, 6)), 16, 10)
+                .cast("long")
+                .alias("ulid_ts_ms"),
+                F.col("orderingGroup").alias("ordering_group"),
+                F.col("sequenceNumber").alias("sequence_number"),
+                F.col("position"),
+                F.col("data"),
+            )
+        files = self.spark.read.format("binaryFile").load(paths)
+        return avro_codec.messages_from_binary_files(files)
 
     def ordered_dataframe(self, from_ts_ms: int | None = None) -> DataFrame:
         """Stream-ordered view: ``ORDER BY ulid`` (binary ULIDs sort by
@@ -160,8 +198,11 @@ class Topic:
         manifest = self.list_manifest()
         if not manifest:
             return self.spark.createDataFrame([], MESSAGE_SCHEMA)
-        last_path = manifest[-1][0]
-        df = self.spark.read.schema(MESSAGE_SCHEMA).parquet(last_path)
+        last_path, last_entry = manifest[-1]
+        if last_entry.ext == "parquet":
+            df = self.spark.read.schema(MESSAGE_SCHEMA).parquet(last_path)
+        else:
+            df = self._read_avro([last_path])
         return df.orderBy(F.col("ulid").desc()).limit(1)
 
     # -- write --------------------------------------------------------------
@@ -181,18 +222,24 @@ class Topic:
         if not parts:
             self.fs.delete(tmp_uri, recursive=True)
             return []
-        stats = (
-            self.spark.read.schema(MESSAGE_SCHEMA)
-            .parquet(*[p for p, _ in parts])
-            .groupBy(F.input_file_name().alias("file"))
-            .agg(
-                F.min("ulid_ts_ms").alias("from_ts_ms"),
-                F.max("ulid_ts_ms").alias("max_ts_ms"),
-                F.count(F.lit(1)).alias("cnt"),
-                F.min_by("position", "ulid").alias("first_position"),
+        if ext == "parquet":
+            stats_df = (
+                self.spark.read.schema(MESSAGE_SCHEMA)
+                .parquet(*[p for p, _ in parts])
+                .groupBy(F.input_file_name().alias("file"))
+                .agg(
+                    F.min("ulid_ts_ms").alias("from_ts_ms"),
+                    F.max("ulid_ts_ms").alias("max_ts_ms"),
+                    F.count(F.lit(1)).alias("cnt"),
+                    F.min_by("position", "ulid").alias("first_position"),
+                )
             )
-            .collect()
-        )
+        else:
+            files = self.spark.read.format("binaryFile").load(
+                [p for p, _ in parts]
+            )
+            stats_df = avro_codec.stats_from_binary_files(files)
+        stats = stats_df.collect()
         size_by_name = {p.rsplit("/", 1)[-1]: s for p, s in parts}
         path_by_name = {p.rsplit("/", 1)[-1]: p for p, _ in parts}
         renames: list[tuple[str, str]] = []
@@ -240,22 +287,93 @@ class Topic:
         power; ``maxRecordsPerFile`` is the size-window analog of the
         reference's ``avro-file.max.bytes`` rotation (S1).
         """
-        if ext != "parquet":
-            raise NotImplementedError(
-                "only parquet topics are supported in this build; the avro "
-                "datasource jar (org.apache.spark:spark-avro) is not on the "
-                "classpath"
-            )
+        if ext not in ("parquet", "avro"):
+            raise ValueError(f"unsupported topic format: {ext}")
         self.fs.mkdirs(self.uri)
         tmp_uri = f"{self.uri}/.tmp-{uuid.uuid4().hex}"
         writer_df = df.select([f.name for f in MESSAGE_SCHEMA.fields])
         if range_partition:
             writer_df = writer_df.repartitionByRange("ulid")
-        writer = writer_df.write.mode("overwrite")
-        if max_records_per_file:
-            writer = writer.option("maxRecordsPerFile", max_records_per_file)
-        writer.parquet(tmp_uri)
+        if ext == "parquet":
+            writer = writer_df.write.mode("overwrite")
+            if max_records_per_file:
+                writer = writer.option("maxRecordsPerFile", max_records_per_file)
+            writer.parquet(tmp_uri)
+        elif avro_codec.avro_datasource_available(self.spark):
+            env = writer_df.select(
+                F.col("ulid").alias("id"),
+                F.col("ordering_group").alias("orderingGroup"),
+                F.col("sequence_number").alias("sequenceNumber"),
+                F.col("position"),
+                F.col("data"),
+            )
+            writer = env.write.mode("overwrite").format("avro").option(
+                "avroSchema", avro_codec.ENVELOPE_SCHEMA_JSON
+            )
+            if max_records_per_file:
+                writer = writer.option("maxRecordsPerFile", max_records_per_file)
+            writer.save(tmp_uri)
+        else:
+            self._write_avro_parts(writer_df, tmp_uri, max_records_per_file)
         return self._commit_part_files(tmp_uri, ext)
+
+    def _write_avro_parts(
+        self,
+        writer_df: DataFrame,
+        tmp_uri: str,
+        max_records_per_file: int | None,
+    ) -> None:
+        """Distributed Avro write without the spark-avro jar.
+
+        Each task sorts its (ulid-range) partition and streams it through
+        the pure-Python envelope codec straight to the destination
+        filesystem — no driver round-trip, parallel across executors.
+        POSIX-reachable schemes only (``file://``); remote object stores
+        need either spark-avro or the engine-native parquet format.
+        """
+        if not tmp_uri.startswith("file:"):
+            raise ValueError(
+                "distributed avro writes without the spark-avro datasource "
+                "require a posix-reachable (file://) topic root; use "
+                "ext='parquet' or add org.apache.spark:spark-avro to the "
+                "classpath for remote stores"
+            )
+        local_dir = tmp_uri[len("file://") :] if tmp_uri.startswith(
+            "file://"
+        ) else tmp_uri[len("file:") :]
+        import os as _os
+
+        _os.makedirs(local_dir, exist_ok=True)
+        chunk = max_records_per_file or (1 << 62)
+
+        def write_partition(rows):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            buf = []
+            n_file = 0
+            for r in rows:
+                buf.append(
+                    (
+                        bytes(r["ulid"]),
+                        r["ordering_group"],
+                        r["sequence_number"],
+                        r["position"],
+                        {k: bytes(v) for k, v in (r["data"] or {}).items()},
+                    )
+                )
+                if len(buf) >= chunk:
+                    path = f"{local_dir}/part-{pid:05d}-{n_file:04d}.avro"
+                    with open(path, "wb") as fh:
+                        fh.write(avro_codec.encode_container(buf))
+                    buf = []
+                    n_file += 1
+            if buf:
+                path = f"{local_dir}/part-{pid:05d}-{n_file:04d}.avro"
+                with open(path, "wb") as fh:
+                    fh.write(avro_codec.encode_container(buf))
+
+        writer_df.sortWithinPartitions("ulid").foreachPartition(write_partition)
 
     def compact(
         self,
@@ -304,10 +422,49 @@ class Topic:
         return new_files, paths
 
     def write_single_file(self, df: DataFrame, ext: str = "parquet") -> list[str]:
-        """Producer-flush path: one buffered window → one topic file."""
-        if ext != "parquet":
-            raise NotImplementedError("only parquet topics in this build")
+        """Producer-flush path: one buffered window → one topic file.
+
+        For ``ext="avro"`` the (driver-buffered, window-bounded) rows are
+        encoded with the reference envelope codec and written as one Avro
+        container file — byte-compatible with the reference's own producer
+        output (AvroRawdataProducer.java:148-152), readable by its
+        ``DataFileReader`` stack.
+        """
+        if ext not in ("parquet", "avro"):
+            raise ValueError(f"unsupported topic format: {ext}")
         self.fs.mkdirs(self.uri)
+        if ext == "avro":
+            rows = sorted(
+                (
+                    (
+                        bytes(r["ulid"]),
+                        r["ordering_group"],
+                        r["sequence_number"],
+                        r["position"],
+                        {k: bytes(v) for k, v in (r["data"] or {}).items()},
+                    )
+                    for r in df.collect()
+                ),
+                key=lambda t: t[0],
+            )
+            if not rows:
+                return []
+            blob = avro_codec.encode_container(rows)
+            ts_of = lambda u: int.from_bytes(u[:6], "big")  # noqa: E731
+            filename = encode_filename(
+                from_ts_ms=ts_of(rows[0][0]),
+                count=len(rows),
+                last_block_offset=len(blob),
+                first_position=rows[0][3],
+                ext="avro",
+            )
+            tmp = f"{self.uri}/.tmp-{uuid.uuid4().hex}.avro"
+            self.fs.write_bytes(tmp, blob)
+            dst = f"{self.uri}/{filename}"
+            if not self.fs.rename(tmp, dst):
+                raise IOError(f"rename failed: {tmp} -> {dst}")
+            self._update_max_ts(add={filename: ts_of(rows[-1][0])})
+            return [dst]
         tmp_uri = f"{self.uri}/.tmp-{uuid.uuid4().hex}"
         (
             df.select([f.name for f in MESSAGE_SCHEMA.fields])
