@@ -153,7 +153,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("q_simhash_pairs", tags=("llm", "dedup", "sketch"))
+@register("q_simhash_pairs", tags=("llm", "dedup", "sketch"), bench=True)
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 12 of 64 bits; pandas-UDF
     signatures, pigeonhole chunk blocking) — rows-only check."""

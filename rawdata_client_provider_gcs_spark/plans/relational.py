@@ -393,17 +393,34 @@ def q_agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_agg_approx_distinct",
+    oracle="""
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       TRUE AS within_bound
+FROM orders GROUP BY o_orderstatus
+""",
     tags=("aggregation", "approx"),
 )
 def q_agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """approx_count_distinct (HLL++) — sketch output, rows-only check.
+    """approx_count_distinct (HLL++) checked against the exact count.
 
-    No oracle entry: the HLL estimate is implementation-defined; the pytest
-    suite asserts relative error < 5% against the exact count instead.
+    The raw HLL estimate is implementation-defined, so it can't be
+    hash-compared to another engine.  Instead the query emits the exact
+    count plus a ``within_bound`` boolean asserting the estimate is inside
+    5× the configured relative standard deviation (rsd 0.02 → ±10%) — the
+    oracle expects TRUE for every group, so a broken sketch breaks the
+    hash match without faking determinism.
     """
     o = load_table(spark, sf, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey").alias("approx_customers")
+        F.count_distinct("o_custkey").cast("long").alias("exact_customers"),
+        (
+            F.abs(
+                F.approx_count_distinct("o_custkey", rsd=0.02)
+                - F.count_distinct("o_custkey")
+            )
+            <= F.count_distinct("o_custkey") * F.lit(0.10)
+        ).alias("within_bound"),
     )
 
 
@@ -537,6 +554,7 @@ WHERE o_custkey < 50
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
 """,
     tags=("window", "ranking"),
+    bench=True,
 )
 def q_window_ranking(spark: SparkSession, sf: str) -> DataFrame:
     """row_number / rank / dense_rank / ntile."""

@@ -97,6 +97,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
 FROM sessions GROUP BY user_id, session_id
 """,
     tags=("streaming", "session"),
+    bench=True,
 )
 def q_stream_session(spark: SparkSession, sf: str) -> DataFrame:
     """Native session windows (30-min gap) — oracle is the batch
