@@ -327,3 +327,71 @@ def simhash_pairs(
         .filter(F.col("hamming") <= F.lit(max_hamming))
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over a pair list.
+
+    Near-dup detection (Jaccard/MinHash/SimHash/embedding pairs) yields
+    edges; keep-one-per-cluster dedup needs the transitive closure.  This
+    is min-label propagation: every node starts labeled with itself and
+    repeatedly takes the minimum label in its closed neighborhood until a
+    fixpoint — the result maps each node to the smallest id reachable from
+    it, a canonical component id.
+
+    Scale notes: each iteration is one equi-join + one combinable min-agg
+    on node id; ``localCheckpoint`` truncates the growing lineage so plan
+    size stays O(1) per round.  Convergence takes O(component diameter)
+    iterations — near-dup clusters are shallow (dense blobs around a
+    template), so single digits in practice.  Label sums decrease
+    monotonically, so fixpoint detection is one cheap scalar comparison
+    per round.  (For adversarially long path graphs, the large-star/
+    small-star halving variant bounds rounds by O(log n); not needed for
+    dedup workloads.)
+    """
+    sym = (
+        edges.select(
+            F.col(id_a).cast("long").alias("src"),
+            F.col(id_b).cast("long").alias("dst"),
+        )
+        .union(
+            edges.select(
+                F.col(id_b).cast("long").alias("src"),
+                F.col(id_a).cast("long").alias("dst"),
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
+        "component_id", F.col("id")
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("component_id").alias("n_min"))
+        )
+        labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component_id"),
+                    F.coalesce(F.col("n_min"), F.col("component_id")),
+                ).alias("component_id"),
+            )
+            .localCheckpoint()
+        )
+        # labels only ever decrease, so an unchanged sum means fixpoint
+        cur_sum = labels.agg(F.sum("component_id")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("id").alias("node_id"), "component_id")

@@ -156,6 +156,127 @@ def lsh_ann_topk(
     )
 
 
+def train_centroids_kmeans(
+    embeddings: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Train an IVF coarse quantizer with distributed k-means.
+
+    Returns ``(cid, cvec)`` suitable for :func:`ivf_ann_topk`'s
+    ``centroids`` argument.  At 100 TB, train on a sample
+    (``sample_fraction``) — k-means converges on a tiny fraction of the
+    corpus and the assignment step is what sees every row.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = embeddings
+    if sample_fraction:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    feats = train.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=nlist, seed=seed).fit(feats)
+    spark = embeddings.sparkSession
+    centers = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cid int, cvec array<double>",
+    )
+    return centers.select("cid", F.col("cvec").alias("cvec"))
+
+
+def ivf_ann_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: inverted lists under a coarse quantizer.
+
+    The IVF structure (Faiss-style): every corpus vector is assigned to its
+    nearest of ``nlist`` centroids; a query probes only its ``nprobe``
+    closest lists and scores those candidates exactly.  All stages are
+    scale-shaped:
+
+    - centroids are broadcast (``nlist`` ≪ corpus); assignment is a
+      map-side cross product + one combinable ``max(struct)`` agg — no
+      per-vector shuffle beyond the agg;
+    - the candidate join is ``broadcast(queries × nprobe)`` against the
+      assigned corpus on ``cid`` — candidates per query ≈ corpus·nprobe/nlist
+      instead of the full corpus;
+    - per-query top-k is a window over the candidate set only.
+
+    With ``centroids=None`` the quantizer is the ``nlist`` lowest-id
+    vectors — deterministic, so the whole query is oracle-checkable
+    against an independent engine; pass :func:`train_centroids_kmeans`
+    output for a trained quantizer (better recall, non-deterministic).
+    Ties in assignment/ranking break on lowest centroid / neighbor id.
+    """
+    if centroids is None:
+        centroids = embeddings.orderBy(id_col).limit(nlist).select(
+            F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("cvec")
+        )
+    cent = F.broadcast(centroids.select("cid", "cvec"))
+
+    assigned = (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
+        )
+        .crossJoin(cent)
+        .withColumn("a_cos", cosine_similarity(F.col("cand_vec"), F.col("cvec")))
+        .groupBy("neighbor_id", "cand_vec")
+        .agg(
+            F.max(
+                F.struct(F.col("a_cos"), (-F.col("cid")).alias("neg_cid"))
+            ).alias("best")
+        )
+        .select("neighbor_id", "cand_vec", (-F.col("best.neg_cid")).alias("cid"))
+    )
+
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("p_cos").desc(), F.col("cid").asc()
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+        )
+        .crossJoin(cent)
+        .withColumn("p_cos", cosine_similarity(F.col("query_vec"), F.col("cvec")))
+        .withColumn("p_rank", F.row_number().over(probe_w))
+        .filter(F.col("p_rank") <= nprobe)
+        .select("query_id", "query_vec", "cid")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("query_vec"), F.col("cand_vec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -84,10 +84,10 @@ def q_dedup_by_key(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register(
-    "q_ngram_jaccard_pairs",
-    oracle="""
-WITH toks AS (
+# Shared CTE chain: exact n-gram Jaccard pairs (k=3, threshold 0.12,
+# hot-shingle doc-freq cap 1000) — used by the pair query and as the edge
+# list of the connected-components query.
+_JACCARD_CTES = """toks AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
   FROM documents
 ), sh AS (
@@ -111,16 +111,24 @@ WITH toks AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
   FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
-)
-SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-       CAST(n_common AS BIGINT) AS n_common,
-       CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE)
-         AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = id_a
-JOIN sizes sb ON sb.doc_id = id_b
-WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE) >= 0.12
-""",
+), jpairs AS (
+  SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+         CAST(n_common AS BIGINT) AS n_common,
+         CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE)
+           AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(n_common AS DOUBLE) / CAST(sa.n + sb.n - n_common AS DOUBLE)
+        >= 0.12
+)"""
+
+
+@register(
+    "q_ngram_jaccard_pairs",
+    oracle="WITH "
+    + _JACCARD_CTES
+    + "\nSELECT id_a, id_b, n_common, jaccard FROM jpairs",
     tags=("llm", "dedup", "similarity"),
     bench=True,
 )
@@ -150,6 +158,38 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
         F.col("id_a").cast("long").alias("id_a"),
         F.col("id_b").cast("long").alias("id_b"),
         "jaccard",
+    )
+
+
+@register(
+    "q_dedup_components",
+    oracle="WITH RECURSIVE "
+    + _JACCARD_CTES
+    + """, sym AS (
+  SELECT id_a AS src, id_b AS dst FROM jpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM jpairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT CAST(src AS BIGINT) AS node_id,
+       CAST(LEAST(src, MIN(dst)) AS BIGINT) AS component_id
+FROM reach GROUP BY src""",
+    tags=("llm", "dedup", "iterative"),
+)
+def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate clusters: connected components over Jaccard near-dup
+    pairs (iterative min-label propagation; the oracle is a recursive
+    transitive closure over the same edge list)."""
+    d = load_table(spark, sf, "documents")
+    edges = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.12, max_doc_freq=1000
+    )
+    return dedup.connected_components(edges).select(
+        F.col("node_id").cast("long").alias("node_id"),
+        F.col("component_id").cast("long").alias("component_id"),
     )
 
 
@@ -368,6 +408,70 @@ def q_similarity_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return similarity.lsh_ann_topk(e, q, k=5, dim=64, planes=4, tables=8).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
+        "rank",
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB cosine with the same sequential double fold as the engine."""
+    return f"""list_sum(list_apply(list_zip({a}, {b}),
+       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+     / (sqrt(list_sum(list_apply({a}, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+        * sqrt(list_sum(list_apply({b}, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))"""
+
+
+@register(
+    "q_similarity_ivf_ann",
+    oracle=f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cvec
+  FROM embeddings WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, query_vec, cid FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS query_vec, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cid
+           ) AS rn
+    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 10
+  ) WHERE rn <= 4
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           {_cos_sql('p.query_vec', 'a.embedding')} AS cosine
+    FROM probes p JOIN assigned a ON p.cid = a.cid
+    WHERE a.vec_id != p.query_id
+  )
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+    tags=("llm", "similarity"),
+)
+def q_similarity_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate top-5 (16 inverted lists, 4 probed).  The coarse
+    quantizer is deterministic (lowest-id vectors), so unlike the LSH
+    variant the whole inverted-list pipeline is oracle-checkable."""
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.ivf_ann_topk(e, q, k=5, nlist=16, nprobe=4).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),
         "cosine",

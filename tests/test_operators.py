@@ -188,3 +188,51 @@ def test_hot_shingle_cap_bounds_pair_explosion(spark):
         df, "doc_id", "text", verify_threshold=0.0, max_doc_freq=50
     )
     assert sig.filter(F.col("jaccard") > 0.99).count() == 0
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_smoke_dir):
+    emb = load_table(spark, sf_smoke_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.ivf_ann_topk(emb, q, k=5, nlist=16, nprobe=4).collect()
+    }
+    # probing 4/16 lists scans ~25% of the corpus; recall should beat that
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall:.2f}"
+    # every approx hit carries the exact cosine, so ranks are honest
+    assert len(approx) == len(exact)
+
+
+def test_ivf_kmeans_centroids_improve_recall_path(spark, sf_smoke_dir):
+    """Trained quantizer plugs into the same operator (recall >= naive-ish)."""
+    emb = load_table(spark, sf_smoke_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    cents = similarity.train_centroids_kmeans(emb, nlist=16)
+    assert cents.count() == 16
+    out = similarity.ivf_ann_topk(
+        emb, q, k=5, nlist=16, nprobe=4, centroids=cents
+    )
+    rows = out.collect()
+    assert len(rows) == 50 and all(r["rank"] <= 5 for r in rows)
+
+
+def test_connected_components_planted_graph(spark):
+    """Chain, triangle, and isolated edge resolve to min-id components."""
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {
+        (r["node_id"], r["component_id"])
+        for r in dedup.connected_components(edges).collect()
+    }
+    want = {(n, 1) for n in (1, 2, 3, 4, 5)}
+    want |= {(n, 10) for n in (10, 11, 12)}
+    want |= {(n, 20) for n in (20, 21)}
+    assert got == want
