@@ -1,0 +1,170 @@
+"""Dataset-curation operators for training-data pipelines.
+
+The steps between "raw corpus" and "training batches" at 100 TB:
+deterministic splits, PII scrubbing, sequence packing, stratified
+sampling, and weighted source mixing.  Everything here is:
+
+- **pure ``pyspark.sql.functions``** — whole-stage codegen, no Python in
+  the hot path;
+- **deterministic** — splits/samples key on ``md5`` of a stable id, not
+  ``rand()``, so reruns, retries, and incremental refreshes assign every
+  row identically (the property that makes a 1000-executor backfill
+  reproducible and lets a DuckDB oracle verify the same expression);
+- **shuffle-minimal** — splits/redaction/mixing are map-only; packing and
+  stratified sampling shuffle once on their natural key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key, salt: str = "") -> F.Column:
+    """Deterministic uniform bucket in hex-string space.
+
+    ``md5(salt || key)`` as a lowercase hex string; its prefix is uniform,
+    so lexicographic thresholds carve reproducible fractions.  String
+    compare (not int conversion) keeps the expression portable across
+    engines.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    return F.md5(F.concat(F.lit(salt), k.cast("string")).cast("binary"))
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key: str,
+    val_fraction: float = 0.05,
+    test_fraction: float = 0.05,
+    salt: str = "v1",
+) -> DataFrame:
+    """Map-only deterministic split: adds a ``split`` column.
+
+    Fractions quantize to 1/65536 (4 hex chars).  Keying on a stable id
+    (doc id, url, content hash) means a document can never migrate between
+    splits across pipeline runs — the leakage guarantee ``rand()`` cannot
+    give.  Salt versions the assignment.
+    """
+    val_hex = format(int(round(val_fraction * 65536)), "04x")
+    test_hex = format(int(round((val_fraction + test_fraction) * 65536)), "04x")
+    b = F.substring(hash_bucket(key, salt), 1, 4)
+    return df.withColumn(
+        "split",
+        F.when(b < F.lit(val_hex), F.lit("val"))
+        .when(b < F.lit(test_hex), F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+#: Redaction patterns: Java regex and RE2-compatible (no backrefs or
+#: lookarounds), so the same pattern string runs in Spark and DuckDB.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b[0-9]{1,3}(\.[0-9]{1,3}){3}\b",
+    "phone": r"\+[0-9][0-9 .()-]{7,}[0-9]",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str, patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Map-only PII scrub: replaces matches with ``<TYPE>`` tokens and
+    counts hits per category (``n_<name>`` columns) for corpus auditing."""
+    pats = patterns or PII_PATTERNS
+    out = F.col(text_col)
+    counts = []
+    for name, pat in pats.items():
+        counts.append(
+            F.size(F.regexp_extract_all(out, F.lit(pat), 0)).cast("long").alias(
+                f"n_{name}"
+            )
+        )
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return df.select("*", *counts).withColumn(f"{text_col}_redacted", out)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col,
+    block_tokens: int = 2048,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pretraining layout).
+
+    Documents are laid end-to-end in ``id_col`` order into one logical
+    token stream, then sliced into ``block_tokens`` blocks.  Emits, per
+    document: ``pack_id`` (block where it starts), ``pack_offset`` (token
+    position inside that block), and ``n_tokens``.  A document longer than
+    the remaining block space spills into the next block(s) — exactly how
+    training loaders pack, and fully expressible as one window cumsum, so
+    an independent engine can verify the layout.
+
+    Scale note: the window is a single global sort by ``id_col`` — the
+    same shuffle a sorted write would need anyway.  For 100 TB, run it
+    per shard (partition by date/source and pack within shards) so no
+    global ordering is required; semantics are per-shard identical.
+    """
+    n_tok = (
+        F.col(token_count_col)
+        if isinstance(token_count_col, str)
+        else token_count_col
+    ).cast("long")
+    w = (
+        Window.orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(n_tok).over(w) - n_tok
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.floor(start / block_tokens).cast("long").alias("pack_id"),
+        (start % block_tokens).cast("long").alias("pack_offset"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key: str,
+    n_per_stratum: int,
+    salt: str = "v1",
+) -> DataFrame:
+    """Deterministic uniform sample of ``n`` rows per stratum.
+
+    Rows rank by ``md5(salt || key)`` inside each stratum — a random but
+    reproducible order — and the first ``n`` win.  One shuffle on the
+    stratum key; ties are impossible (md5 of distinct keys).
+    """
+    w = Window.partitionBy(stratum_col).orderBy(hash_bucket(key, salt), key)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )
+
+
+def weighted_mix(
+    sources: list[tuple[str, DataFrame, float]],
+    key: str,
+    salt: str = "v1",
+) -> DataFrame:
+    """Weighted dataset mixing: union of per-source deterministic samples.
+
+    ``sources`` is ``[(name, df, keep_fraction)]`` — each source keeps its
+    md5-bucketed ``keep_fraction`` (quantized to 1/65536) and is tagged
+    with ``source``.  Map-only per source; the union is free (no shuffle).
+    Epoch-style re-mixing = change the salt.
+    """
+    parts = []
+    for name, df, frac in sources:
+        thresh = format(int(round(frac * 65536)), "04x")
+        parts.append(
+            df.filter(
+                F.substring(hash_bucket(key, salt + name), 1, 4) < F.lit(thresh)
+            ).withColumn("source", F.lit(name))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -321,11 +321,13 @@ def simhash_pairs(
     return (
         a.join(b, ["chunk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
+        # Hamming filter first (codegen bit_count) so the dedup of
+        # multi-chunk matches shuffles survivors only, not every random
+        # 16-bit chunk collision (~|D|^2/2^16 per chunk).
         .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= F.lit(max_hamming))
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

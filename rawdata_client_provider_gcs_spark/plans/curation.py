@@ -1,0 +1,230 @@
+"""Dataset-curation queries: splits, PII scrubbing, packing, sampling, mixing.
+
+Exercises ``operators/curation.py`` over the ``documents`` table.  Every
+operator here keys randomness on ``md5`` of a stable id instead of
+``rand()``, so each query is fully deterministic and every oracle states
+the identical algorithm — the same property that makes the operators
+reproducible across reruns/retries on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as T
+from ..operators import curation
+from ..tables import load_table
+from .catalog import register
+
+# md5(salt || key) in DuckDB; Spark side is curation.hash_bucket
+_BUCKET = "md5('{salt}' || CAST({key} AS VARCHAR))"
+
+
+@register(
+    "q_curation_split",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, substring({_BUCKET.format(salt='v1', key='doc_id')}, 1, 4) AS hx
+  FROM documents
+), tagged AS (
+  SELECT doc_id,
+         CASE WHEN hx < '0ccd' THEN 'val'
+              WHEN hx < '199a' THEN 'test'
+              ELSE 'train' END AS split
+  FROM b
+)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id
+FROM tagged GROUP BY split
+""",
+    tags=("curation", "split"),
+)
+def q_curation_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic md5-keyed train/val/test split (5%/5%) — a document
+    can never migrate between splits across runs (leakage guarantee)."""
+    d = load_table(spark, sf, "documents")
+    split = curation.train_val_test_split(
+        d, "doc_id", val_fraction=0.05, test_fraction=0.05, salt="v1"
+    )
+    return split.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+    )
+
+
+@register(
+    "q_curation_redact_pii",
+    oracle="""
+WITH aug AS (
+  -- the synthetic corpus carries no PII, so plant a deterministic
+  -- email/ip/phone per doc: redaction must actually fire to stay green
+  SELECT doc_id,
+         text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7, call +1 555 01' || CAST(doc_id % 10 AS VARCHAR)
+              || CAST(doc_id % 7 AS VARCHAR) || '.' AS text
+  FROM documents WHERE doc_id < 100
+), s1 AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+           AS t1
+  FROM aug
+), s2 AS (
+  SELECT doc_id, n_email,
+         len(regexp_extract_all(t1, '\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b'))
+           AS n_ipv4,
+         regexp_replace(t1, '\\b[0-9]{1,3}(\\.[0-9]{1,3}){3}\\b', '<IPV4>', 'g')
+           AS t2
+  FROM s1
+), s3 AS (
+  SELECT doc_id, n_email, n_ipv4,
+         len(regexp_extract_all(t2, '\\+[0-9][0-9 .()-]{7,}[0-9]')) AS n_phone,
+         regexp_replace(t2, '\\+[0-9][0-9 .()-]{7,}[0-9]', '<PHONE>', 'g')
+           AS text_redacted
+  FROM s2
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_email AS BIGINT) AS n_email,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(n_phone AS BIGINT) AS n_phone,
+       md5(text_redacted) AS redacted_hash
+FROM s3
+""",
+    tags=("curation", "pii"),
+)
+def q_curation_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """Map-only PII scrub (email/IPv4/phone) with per-category hit counts;
+    output compares the md5 of the redacted text (patterns are Java- and
+    RE2-compatible so both engines run the same regex).  PII is planted
+    deterministically per doc — the fixture corpus has none, and a
+    redaction query that never redacts proves nothing."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    planted = d.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7, call +1 555 01"),
+            (F.col("doc_id") % 10).cast("string"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("."),
+        ),
+    )
+    r = curation.redact_pii(planted, "text")
+    return r.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_email"),
+        F.col("n_ipv4"),
+        F.col("n_phone"),
+        F.md5(F.col("text_redacted").cast("binary")).alias("redacted_hash"),
+    )
+
+
+@register(
+    "q_curation_pack_sequences",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), laid AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start
+  FROM toks
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
+       CAST(FLOOR(start / 2048) AS BIGINT) AS pack_id,
+       CAST(start % 2048 AS BIGINT) AS pack_offset
+FROM laid
+""",
+    tags=("curation", "packing"),
+)
+def q_curation_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 2048-token blocks — each
+    document's block id and offset in the packed token stream."""
+    d = load_table(spark, sf, "documents")
+    return curation.pack_sequences(
+        d, "doc_id", T.token_count("text"), block_tokens=2048
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_tokens",
+        "pack_id",
+        "pack_offset",
+    )
+
+
+@register(
+    "q_curation_stratified_sample",
+    oracle=f"""
+WITH langs AS (
+  SELECT doc_id, lang, {_BUCKET.format(salt='v1', key='doc_id')} AS hx
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hx, doc_id) AS rk
+  FROM langs
+)
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id
+FROM ranked WHERE rk <= 20
+""",
+    tags=("curation", "sampling"),
+)
+def q_curation_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 20-per-language stratified sample: rows rank by
+    md5(id) within each stratum — random but reproducible."""
+    d = load_table(spark, sf, "documents")
+    return curation.stratified_sample(
+        d, "lang", "doc_id", n_per_stratum=20, salt="v1"
+    ).select("lang", F.col("doc_id").cast("long").alias("doc_id"))
+
+
+@register(
+    "q_curation_weighted_mix",
+    oracle=f"""
+WITH en AS (
+  SELECT doc_id, 'en_heavy' AS source FROM documents
+  WHERE lang = 'en'
+    AND substring({_BUCKET.format(salt='v1en_heavy', key='doc_id')}, 1, 4)
+        < 'cccd'
+), rest AS (
+  SELECT doc_id, 'other_light' AS source FROM documents
+  WHERE lang != 'en'
+    AND substring({_BUCKET.format(salt='v1other_light', key='doc_id')}, 1, 4)
+        < '3333'
+), mixed AS (
+  SELECT * FROM en UNION ALL SELECT * FROM rest
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+FROM mixed GROUP BY source
+""",
+    tags=("curation", "mixing"),
+)
+def q_curation_weighted_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted source mixing: English docs sampled at 80%, non-English at
+    20%, tagged and unioned — the deterministic epoch-mix primitive."""
+    d = load_table(spark, sf, "documents")
+    mixed = curation.weighted_mix(
+        [
+            ("en_heavy", d.filter(F.col("lang") == "en"), 0.8),
+            ("other_light", d.filter(F.col("lang") != "en"), 0.2),
+        ],
+        key="doc_id",
+        salt="v1",
+    )
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )

@@ -1,0 +1,107 @@
+"""Curation-operator properties the oracle can't express: determinism
+across runs, subset-stability of hash splits, redaction completeness,
+packing layout invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rawdata_client_provider_gcs_spark.functions import text as T
+from rawdata_client_provider_gcs_spark.operators import curation
+from rawdata_client_provider_gcs_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_smoke_dir):
+    return load_table(spark, sf_smoke_dir, "documents")
+
+
+def test_split_deterministic_and_subset_stable(spark, docs):
+    """Same assignment on rerun AND on any subset — the anti-leakage
+    property rand()-based splits can't give."""
+    full = {
+        r["doc_id"]: r["split"]
+        for r in curation.train_val_test_split(docs, "doc_id").collect()
+    }
+    again = {
+        r["doc_id"]: r["split"]
+        for r in curation.train_val_test_split(docs, "doc_id").collect()
+    }
+    assert full == again
+    sub = {
+        r["doc_id"]: r["split"]
+        for r in curation.train_val_test_split(
+            docs.filter(F.col("doc_id") % 3 == 0), "doc_id"
+        ).collect()
+    }
+    assert all(full[k] == v for k, v in sub.items())
+    # 5%/5% within generous tolerance on 500 docs
+    n = len(full)
+    n_val = sum(1 for v in full.values() if v == "val")
+    n_test = sum(1 for v in full.values() if v == "test")
+    assert 0.01 <= n_val / n <= 0.12 and 0.01 <= n_test / n <= 0.12
+
+
+def test_split_salt_reshuffles(spark, docs):
+    a = {
+        r["doc_id"]: r["split"]
+        for r in curation.train_val_test_split(docs, "doc_id", salt="v1").collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in curation.train_val_test_split(docs, "doc_id", salt="v2").collect()
+    }
+    assert a != b  # different epoch/version -> different assignment
+
+
+def test_redact_pii_scrubs_everything(spark, docs):
+    planted = docs.limit(50).withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" mail a.b+c@x-y.example.org ip 192.168.0.255 tel +47 (22) 33-44-55 end"),
+        ),
+    )
+    r = curation.redact_pii(planted, "text")
+    leftovers = r.filter(
+        F.col("text_redacted").rlike(curation.PII_PATTERNS["email"])
+        | F.col("text_redacted").rlike(curation.PII_PATTERNS["ipv4"])
+        | F.col("text_redacted").rlike(curation.PII_PATTERNS["phone"])
+    ).count()
+    assert leftovers == 0
+    sums = r.agg(
+        F.sum("n_email").alias("e"), F.sum("n_ipv4").alias("i"), F.sum("n_phone").alias("p")
+    ).first()
+    assert sums["e"] >= 50 and sums["i"] >= 50 and sums["p"] >= 50
+
+
+def test_pack_sequences_layout_invariants(spark, docs):
+    packed = curation.pack_sequences(
+        docs, "doc_id", T.token_count("text"), block_tokens=512
+    ).collect()
+    packed.sort(key=lambda r: r["doc_id"])
+    stream_pos = 0
+    for r in packed:
+        assert 0 <= r["pack_offset"] < 512
+        assert r["pack_id"] * 512 + r["pack_offset"] == stream_pos
+        stream_pos += r["n_tokens"]
+
+
+def test_stratified_sample_deterministic_counts(spark, docs):
+    s1 = curation.stratified_sample(docs, "lang", "doc_id", n_per_stratum=7)
+    per = {r["lang"]: r["n"] for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per and all(v <= 7 for v in per.values())
+    s2 = curation.stratified_sample(docs, "lang", "doc_id", n_per_stratum=7)
+    assert {r["doc_id"] for r in s1.collect()} == {r["doc_id"] for r in s2.collect()}
+
+
+def test_weighted_mix_fractions_and_tags(spark, docs):
+    mixed = curation.weighted_mix(
+        [
+            ("heavy", docs.filter(F.col("doc_id") % 2 == 0), 0.9),
+            ("light", docs.filter(F.col("doc_id") % 2 == 1), 0.1),
+        ],
+        key="doc_id",
+    )
+    got = {r["source"]: r["n"] for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    half = docs.count() / 2
+    assert got["heavy"] / half > 0.75 and got["light"] / half < 0.25
