@@ -150,6 +150,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens,
 FROM laid
 """,
     tags=("curation", "packing"),
+    bench=True,
 )
 def q_curation_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Concat-and-chunk sequence packing into 2048-token blocks — each

@@ -425,6 +425,7 @@ def _cos_sql(a: str, b: str) -> str:
 
 @register(
     "q_similarity_ivf_ann",
+    bench=True,
     oracle=f"""
 WITH cent AS (
   SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cvec

@@ -106,9 +106,10 @@ def q_log_seek(spark: SparkSession, sf: str) -> DataFrame:
     topic = _events_topic(spark, sf)
     seek_ms = 1705276800000  # 2024-01-15T00:00:00Z
     df = topic.dataframe(from_ts_ms=seek_ms)
-    first = df.orderBy("ulid").limit(1).select("sequence_number")
-    return df.agg(F.count(F.lit(1)).alias("n_after")).crossJoin(
-        first.withColumnRenamed("sequence_number", "first_seq")
+    # one combinable agg pass: count + first-by-ulid in the same scan
+    return df.agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.min_by("sequence_number", "ulid").alias("first_seq"),
     )
 
 
