@@ -129,23 +129,29 @@ SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
        {sum_bal} AS total_bal
 FROM customer
 WHERE c_acctbal > (SELECT {avg_pos} / COUNT(*) FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
 GROUP BY c_nationkey
 """.format(sum_bal=o_sum2("c_acctbal"), avg_pos=o_sum2("c_acctbal")),
     tags=("join", "subquery"),
 )
 def q_subquery_anti_scalar(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS anti join."""
+    """TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS anti join.
+
+    The anti-join leg is "no order above 400k" (every customer in the
+    fixture has *some* order, so anti-joining on bare existence would be
+    vacuously empty)."""
     c = load_table(spark, sf, "customer")
     o = load_table(spark, sf, "orders")
     avg_pos = (
         c.filter(F.col("c_acctbal") > 0)
         .agg((dsum2(F.col("c_acctbal")) / F.count(F.lit(1))).alias("avg_pos"))
     )
+    big = o.filter(F.col("o_totalprice") > 400000)
     return (
         c.join(F.broadcast(avg_pos))
         .filter(F.col("c_acctbal") > F.col("avg_pos"))
-        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .join(big, c.c_custkey == big.o_custkey, "left_anti")
         .groupBy(F.col("c_nationkey").cast("long").alias("c_nationkey"))
         .agg(
             F.count(F.lit(1)).alias("n_custs"),

@@ -82,8 +82,8 @@ JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
-WHERE ((n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-    OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE'))
+WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
 GROUP BY n1.n_name, n2.n_name, EXTRACT(year FROM l.l_shipdate)
 """.format(rev=o_sum4("l.l_extendedprice * (1 - l.l_discount)")),
     tags=("join", "aggregation"),
@@ -103,8 +103,8 @@ def q_tpch_q7_trade(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     pair = (
-        ((F.col("supp_nation") == "FRANCE") & (F.col("cust_nation") == "GERMANY"))
-        | ((F.col("supp_nation") == "GERMANY") & (F.col("cust_nation") == "FRANCE"))
+        ((F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19"))
+        | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
     )
     return (
         l.join(s, s.s_suppkey == l.l_suppkey)
