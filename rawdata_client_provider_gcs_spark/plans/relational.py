@@ -262,6 +262,47 @@ def q_join_theta_range(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_join_range_binned",
+    oracle="""
+SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+       CAST(COUNT(*) AS BIGINT) AS n_clicks,
+       CAST(MIN(c.event_id) AS BIGINT) AS first_click_id
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+GROUP BY p.event_id
+""",
+    tags=("join", "non-equi", "range"),
+)
+def q_join_range_binned(spark: SparkSession, sf: str) -> DataFrame:
+    """Pure range join (no equi key): clicks attributed to every purchase
+    whose 1-hour lookback window contains them.  Executed as a binned
+    equi-join (``operators/rangejoin.py``) instead of the nested-loop
+    plan Spark would otherwise pick for a bare range predicate."""
+    from ..operators.rangejoin import binned_interval_join
+
+    e = load_table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    joined = binned_interval_join(
+        clicks,
+        purchases,
+        point=F.unix_micros(F.col("click_ts").cast("timestamp")),
+        start=F.unix_micros(F.col("purchase_ts").cast("timestamp")) - 3_600_000_000,
+        end=F.unix_micros(F.col("purchase_ts").cast("timestamp")),
+        bin_width=3_600_000_000,
+    )
+    return joined.groupBy(F.col("purchase_id").cast("long").alias("purchase_id")).agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.min("click_id").cast("long").alias("first_click_id"),
+    )
+
+
+@register(
     "q_join_asof",
     oracle="""
 WITH ranked AS (

@@ -236,3 +236,40 @@ def test_connected_components_planted_graph(spark):
     want |= {(n, 10) for n in (10, 11, 12)}
     want |= {(n, 20) for n in (20, 21)}
     assert got == want
+
+
+def test_binned_interval_join_equivalent_to_naive(spark, sf_smoke_dir):
+    """Bin rewrite returns exactly the naive range-join pairs, via an
+    equi-join plan (no nested-loop/cartesian operator)."""
+    from rawdata_client_provider_gcs_spark.operators.rangejoin import (
+        binned_interval_join,
+    )
+    from rawdata_client_provider_gcs_spark.tables import load_table
+
+    e = load_table(spark, sf_smoke_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts")
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    binned = binned_interval_join(
+        clicks, purchases,
+        point=us("click_ts"),
+        start=us("purchase_ts") - 1_800_000_000,
+        end=us("purchase_ts"),
+        bin_width=600_000_000,  # deliberately != interval length
+    )
+    naive = clicks.join(
+        purchases,
+        (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            us("click_ts") >= us("purchase_ts") - 1_800_000_000
+        ),
+    )
+    got = {(r["click_id"], r["purchase_id"]) for r in binned.collect()}
+    want = {(r["click_id"], r["purchase_id"]) for r in naive.collect()}
+    assert got == want and want
+    plan = binned._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
