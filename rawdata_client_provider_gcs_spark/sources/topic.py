@@ -408,7 +408,18 @@ class Topic:
         if len(small) < 2:
             return [], []
         paths = [p for p, _ in small]
-        df = self.spark.read.schema(MESSAGE_SCHEMA).parquet(*paths)
+        pq = [p for p, e in small if e.ext == "parquet"]
+        av = [p for p, e in small if e.ext != "parquet"]
+        parts = []
+        if pq:
+            parts.append(self.spark.read.schema(MESSAGE_SCHEMA).parquet(*pq))
+        if av:
+            # avro inputs compact into parquet output — compaction doubles
+            # as the reference-format -> engine-format migration step
+            parts.append(self._read_avro(av))
+        df = parts[0]
+        for other in parts[1:]:
+            df = df.unionByName(other)
         new_files = self.write_dataframe(
             df,
             range_partition=True,

@@ -156,3 +156,26 @@ def test_avro_datasource_native_path(spark, tmp_path):
     with client.producer("native") as p:
         p.publish_dataframe(df)
     assert client.topic("native").dataframe().count() == 50
+
+
+def test_compact_migrates_avro_topic_to_parquet(spark, tmp_path):
+    """Compaction reads small avro files and rewrites them as parquet —
+    the reference-format -> engine-format migration path."""
+    client = RawdataClient(
+        spark, str(tmp_path), avro_file_max_bytes=128, file_format="avro"
+    )
+    with client.producer("m") as p:
+        for i in range(20):
+            p.publish(RawdataMessage(position=f"p-{i}", data={"x": bytes([i])}))
+    topic = client.topic("m")
+    n_small = len([1 for _, e in topic.list_manifest() if e.ext == "avro"])
+    assert n_small >= 3
+    new_files, removed = topic.compact(
+        small_file_max_records=1000, target_records_per_file=1000
+    )
+    assert new_files and len(removed) == n_small
+    assert all(f.endswith(".parquet") for f, _ in topic.list_manifest())
+    c = client.consumer("m")
+    got = [c.receive(0).position for _ in range(20)]
+    assert got == [f"p-{i}" for i in range(20)] and c.receive(0) is None
+    client.close()
