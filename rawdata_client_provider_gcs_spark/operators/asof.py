@@ -28,6 +28,7 @@ def asof_join(
     right_cols: list[str] | None = None,
     tiebreak_cols: list[str] | None = None,
     suffix: str = "_right",
+    tolerance: Column | int | None = None,
 ) -> DataFrame:
     """Left as-of (backward, inclusive) join.
 
@@ -35,6 +36,12 @@ def asof_join(
     ``right_time <= left_time`` sharing the join key; ties on time are
     broken by ``tiebreak_cols`` (greatest wins) for determinism.  Left rows
     with no earlier right row keep NULLs (left-outer semantics).
+
+    ``tolerance`` bounds the lookback (pandas ``merge_asof`` semantics): a
+    match older than ``left_time - tolerance`` is discarded (NULLs).  Pass
+    a number for numeric time columns or an INTERVAL Column for
+    timestamps.  Applied post-window, so the plan stays O(|L|+|R|) — and
+    in a streaming formulation the same bound is what lets state expire.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
@@ -81,6 +88,15 @@ def asof_join(
     matched = unioned.withColumn(
         "__match", F.last(F.col("__r"), ignorenulls=True).over(w)
     )
+    if tolerance is not None:
+        tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+        matched = matched.withColumn(
+            "__match",
+            F.when(
+                F.col("__match")[right_time] >= F.col("__t") - tol,
+                F.col("__match"),
+            ),
+        )
     result = matched.filter(F.col("__side") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         *[F.col("__match")[c].alias(out_names[c]) for c in carried],
