@@ -275,3 +275,179 @@ def q_tpch_q16_supplier_cnt(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@register(
+    "q_tpch_q4_priority",
+    oracle="""
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+    tags=("join", "subquery", "semi"),
+)
+def q_tpch_q4_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4: priority counts over a correlated EXISTS — a semi join
+    whose condition spans both sides (l_shipdate > o_orderdate)."""
+    o = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    l = load_table(spark, sf, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+    )
+
+
+@register(
+    "q_tpch_q8_share",
+    oracle="""
+WITH rev AS (
+  SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+         {nat} AS nation_rev,
+         {tot} AS total_rev
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY EXTRACT(year FROM o.o_orderdate)
+)
+SELECT o_year, nation_rev, total_rev,
+       nation_rev / total_rev AS mkt_share
+FROM rev
+""".format(
+        nat=o_sum4(
+            "CASE WHEN n.n_name = 'NATION_9' "
+            "THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END"
+        ),
+        tot=o_sum4("l.l_extendedprice * (1 - l.l_discount)"),
+    ),
+    tags=("join", "aggregation"),
+)
+def q_tpch_q8_share(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 shape: market share — a conditional-sum / total-sum ratio
+    per year.  Both sums are fixed-point (order-independent), so the
+    double ratio is bit-identical across engines."""
+    l = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    n = load_table(spark, sf, "nation")
+    o = load_table(spark, sf, "orders")
+    rev = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    nat_rev = F.when(F.col("n_name") == "NATION_9", rev).otherwise(F.lit(0.0))
+    out = (
+        l.join(s, s.s_suppkey == l.l_suppkey)
+        .join(F.broadcast(n), n.n_nationkey == s.s_nationkey)
+        .join(o, o.o_orderkey == l.l_orderkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            dsum4(nat_rev).alias("nation_rev"),
+            dsum4(rev).alias("total_rev"),
+        )
+    )
+    return out.withColumn(
+        "mkt_share", F.col("nation_rev") / F.col("total_rev")
+    )
+
+
+@register(
+    "q_tpch_q13_custdist",
+    oracle="""
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(COUNT(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""",
+    tags=("join", "aggregation"),
+)
+def q_tpch_q13_custdist(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13: order-count distribution — left outer join with an
+    extra join-side predicate, then a double aggregation."""
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy(F.col("c_count").cast("long").alias("c_count")).agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@register(
+    "q_tpch_q21_waiting",
+    oracle="""
+WITH per_order AS (
+  SELECT l.l_orderkey,
+         COUNT(DISTINCT l.l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate
+                                  + INTERVAL 60 DAY
+                             THEN l.l_suppkey END) AS n_late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey
+), culprit AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN per_order p ON p.l_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+    AND p.n_supp > 1 AND p.n_late = 1
+)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM culprit c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+GROUP BY s.s_name
+""",
+    tags=("join", "subquery", "anti"),
+)
+def q_tpch_q21_waiting(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape (waiting suppliers): the sole late supplier in
+    multi-supplier finished orders.  The classic EXISTS / NOT EXISTS
+    double-correlation is rewritten as one per-order count-distinct pass
+    (n_supp > 1 AND n_late = 1) — same semantics, no repeated correlated
+    scans of lineitem."""
+    l = load_table(spark, sf, "lineitem")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    lo = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", late.alias("is_late")
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late"),
+    )
+    culprit = (
+        lo.filter(F.col("is_late"))
+        .join(
+            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        culprit.join(s, s.s_suppkey == culprit.l_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
