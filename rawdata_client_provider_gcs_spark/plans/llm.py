@@ -193,6 +193,56 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_dedup_pipeline",
+    oracle="WITH RECURSIVE "
+    + _JACCARD_CTES
+    + """, sym AS (
+  SELECT id_a AS src, id_b AS dst FROM jpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM jpairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+), comp AS (
+  SELECT src AS node_id, LEAST(src, MIN(dst)) AS component_id
+  FROM reach GROUP BY src
+)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM comp WHERE node_id != component_id)
+            AS BIGINT) AS n_removed,
+       CAST((SELECT COUNT(*) FROM documents) -
+            (SELECT COUNT(*) FROM comp WHERE node_id != component_id)
+            AS BIGINT) AS n_kept
+""",
+    tags=("llm", "dedup", "pipeline"),
+)
+def q_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end near-dup removal: Jaccard pairs -> connected components
+    -> keep one doc (the min id) per cluster -> corpus size accounting.
+    The composition a production curation pass actually runs."""
+    d = load_table(spark, sf, "documents")
+    edges = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.12, max_doc_freq=1000
+    )
+    comp = dedup.connected_components(edges)
+    removed = comp.filter(F.col("node_id") != F.col("component_id")).select(
+        F.col("node_id").alias("doc_id")
+    )
+    kept = d.join(removed, "doc_id", "left_anti")
+    return (
+        d.agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(removed.agg(F.count(F.lit(1)).alias("n_removed")))
+        .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept")))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+        )
+    )
+
+
 @register("q_simhash_pairs", tags=("llm", "dedup", "sketch"), bench=True)
 def q_simhash_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 12 of 64 bits; pandas-UDF

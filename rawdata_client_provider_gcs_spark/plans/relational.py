@@ -417,6 +417,53 @@ def q_join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_skew_salted_distinct",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+""",
+    tags=("aggregation", "skew"),
+)
+def q_skew_salted_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted two-stage COUNT(DISTINCT) (`operators/skew.py`) — the
+    explicit fallback for hot grouping keys AQE can't split.  The oracle
+    is the plain COUNT(DISTINCT): the rewrite must be exactly equal."""
+    from ..operators.skew import salted_count_distinct
+
+    e = load_table(spark, sf, "events")
+    return salted_count_distinct(e, "event_type", "user_id", salt=16)
+
+
+@register(
+    "q_skew_salted_join",
+    oracle="""
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       {bal} AS total_bal
+FROM customer JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name
+""".format(bal=o_sum2("c_acctbal")),
+    tags=("join", "skew"),
+)
+def q_skew_salted_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted hot-key join (`operators/skew.py`): the small side explodes
+    across 8 salts so one hot key fans out over 8 reducers.  Oracle is
+    the plain join — the rewrite must be exactly equal."""
+    from ..operators.skew import salted_join
+
+    c = load_table(spark, sf, "customer")
+    n = load_table(spark, sf, "nation").withColumnRenamed(
+        "n_nationkey", "c_nationkey"
+    )
+    joined = salted_join(c, n, on="c_nationkey", salt=8, salt_by=["c_custkey"])
+    return joined.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        dsum2(F.col("c_acctbal")).alias("total_bal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Aggregation
 # ---------------------------------------------------------------------------
