@@ -156,3 +156,58 @@ def q_stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
             F.max("last_ts").cast("timestamp_ntz").alias("last_ts"),
         )
     )
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+       CAST(c.event_id AS BIGINT) AS click_id,
+       CAST(p.user_id AS BIGINT) AS user_id
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+""",
+    tags=("streaming", "join"),
+)
+def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream inner join: clicks meet purchases of the
+    same user within a 1-hour lookback.  Both sides carry 1-hour
+    watermarks, so join state for rows older than the range bound is
+    evicted as the watermark advances (the sentinel batches push it past
+    all real data before the bounded run ends) — the exact mechanics of a
+    production dual-stream join.  The oracle is the equivalent batch join.
+    """
+    purchases = (
+        W.flushable_event_stream(spark, sf)
+        .withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        W.flushable_event_stream(spark, sf)
+        .withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    out = W.run_available_now_append(joined, "t_ss_join")
+    return out.select(
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("p_user").cast("long").alias("user_id"),
+    )
