@@ -89,6 +89,7 @@ def pack_sequences(
     id_col: str,
     token_count_col,
     block_tokens: int = 2048,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing (the GPT-style pretraining layout).
 
@@ -100,22 +101,27 @@ def pack_sequences(
     training loaders pack, and fully expressible as one window cumsum, so
     an independent engine can verify the layout.
 
-    Scale note: the window is a single global sort by ``id_col`` — the
-    same shuffle a sorted write would need anyway.  For 100 TB, run it
-    per shard (partition by date/source and pack within shards) so no
-    global ordering is required; semantics are per-shard identical.
+    Scale note: with no ``partition_cols`` the window is a single global
+    sort by ``id_col`` — the same shuffle a sorted write would need
+    anyway, but still a bottleneck at 100 TB.  Pass ``partition_cols``
+    (date, source, shard) to pack independently inside each shard: the
+    cumsum parallelizes across shards with no global ordering, and
+    ``pack_id`` is then per-shard (emitted alongside the shard columns).
     """
     n_tok = (
         F.col(token_count_col)
         if isinstance(token_count_col, str)
         else token_count_col
     ).cast("long")
-    w = (
-        Window.orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = (
+        Window.partitionBy(*partition_cols) if partition_cols else Window
+    )
+    w = base.orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     start = F.sum(n_tok).over(w) - n_tok
     return df.select(
+        *(partition_cols or []),
         F.col(id_col),
         n_tok.alias("n_tokens"),
         F.floor(start / block_tokens).cast("long").alias("pack_id"),

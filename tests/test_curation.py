@@ -105,3 +105,23 @@ def test_weighted_mix_fractions_and_tags(spark, docs):
     got = {r["source"]: r["n"] for r in mixed.groupBy("source").agg(F.count("*").alias("n")).collect()}
     half = docs.count() / 2
     assert got["heavy"] / half > 0.75 and got["light"] / half < 0.25
+
+
+def test_pack_sequences_per_shard(spark, docs):
+    """Sharded packing = independent per-shard layouts, no global sort."""
+    packed = curation.pack_sequences(
+        docs, "doc_id", T.token_count("text"), block_tokens=512,
+        partition_cols=["lang"],
+    ).collect()
+    by_lang = {}
+    for r in sorted(packed, key=lambda r: (r["lang"], r["doc_id"])):
+        pos = by_lang.get(r["lang"], 0)
+        assert r["pack_id"] * 512 + r["pack_offset"] == pos
+        by_lang[r["lang"]] = pos + r["n_tokens"]
+    assert len(by_lang) > 1
+    # plan partitions by lang, not a single global sort
+    plan = curation.pack_sequences(
+        docs, "doc_id", T.token_count("text"), block_tokens=512,
+        partition_cols=["lang"],
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(lang" in plan
