@@ -179,3 +179,36 @@ def test_compact_migrates_avro_topic_to_parquet(spark, tmp_path):
     got = [c.receive(0).position for _ in range(20)]
     assert got == [f"p-{i}" for i in range(20)] and c.receive(0) is None
     client.close()
+
+
+def test_python_decodes_jvm_deflate_avro(spark, tmp_path):
+    """Reference files may be deflate-compressed; the codec must read them."""
+    path = str(tmp_path / "jvm-deflate.avro")
+    jvm = spark._jvm
+    schema = jvm.org.apache.avro.Schema.Parser().parse(A.ENVELOPE_SCHEMA_JSON)
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(schema)
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    writer.create(schema, jvm.java.io.File(path))
+    for uid, og, seq, pos, d in ROWS:
+        rec = jvm.org.apache.avro.generic.GenericData.Record(schema)
+        rec.put(
+            "id",
+            jvm.org.apache.avro.generic.GenericData.Fixed(
+                schema.getField("id").schema(), uid
+            ),
+        )
+        rec.put("orderingGroup", og)
+        rec.put("sequenceNumber", jvm.java.lang.Long.parseLong(str(seq)))
+        rec.put("position", pos)
+        m = jvm.java.util.HashMap()
+        for k, v in d.items():
+            m.put(k, jvm.java.nio.ByteBuffer.wrap(v))
+        rec.put("data", m)
+        writer.append(rec)
+    writer.close()
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    assert b"deflate" in raw[:600]  # codec really landed in the header
+    assert A.decode_container(raw) == ROWS
