@@ -451,3 +451,52 @@ def q_tpch_q21_waiting(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
     )
+
+
+@register(
+    "q_tpch_q20_excess",
+    oracle="""
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), per_p AS (
+  SELECT l_partkey, CAST(SUM(supp_qty) AS BIGINT) AS total_qty
+  FROM per_ps GROUP BY l_partkey
+)
+SELECT s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS n_dominant_parts,
+       CAST(SUM(ps.supp_qty) AS BIGINT) AS dominant_qty
+FROM per_ps ps
+JOIN per_p p ON p.l_partkey = ps.l_partkey
+JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+WHERE CAST(ps.supp_qty AS DOUBLE) > 0.2 * CAST(p.total_qty AS DOUBLE)
+GROUP BY s.s_name
+""",
+    tags=("join", "aggregation", "subquery"),
+)
+def q_tpch_q20_excess(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape (excess share): suppliers shipping > 20 % of a
+    part's total volume — a two-level aggregate compared within the same
+    tree, then joined back to the dimension.  Quantities are integral, so
+    the LONG sums and the share comparison are exact on both engines."""
+    l = load_table(spark, sf, "lineitem")
+    s = load_table(spark, sf, "supplier")
+    per_ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("supp_qty")
+    )
+    per_p = per_ps.groupBy("l_partkey").agg(
+        F.sum("supp_qty").cast("long").alias("total_qty")
+    )
+    dominant = per_ps.join(per_p, "l_partkey").filter(
+        F.col("supp_qty").cast("double")
+        > F.lit(0.2) * F.col("total_qty").cast("double")
+    )
+    return (
+        dominant.join(s, s.s_suppkey == dominant.l_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dominant_parts"),
+            F.sum("supp_qty").cast("long").alias("dominant_qty"),
+        )
+    )
