@@ -20,16 +20,49 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def hash_bucket(key, salt: str = "") -> F.Column:
+def hash_bucket(key, salt: str = "", *, on_null: str = "error") -> F.Column:
     """Deterministic uniform bucket in hex-string space.
 
     ``md5(salt || key)`` as a lowercase hex string; its prefix is uniform,
     so lexicographic thresholds carve reproducible fractions.  String
     compare (not int conversion) keeps the expression portable across
     engines.
+
+    A NULL key has no stable bucket: it would silently fall through every
+    threshold (landing in ``train`` for splits, dropped for samples/mixes)
+    — invisible leakage in leakage-sensitive pipelines.  Default is to
+    fail the job on the first NULL key (``on_null="error"``); pass
+    ``on_null="null"`` to propagate NULL and handle it explicitly.
     """
     k = F.col(key) if isinstance(key, str) else key
-    return F.md5(F.concat(F.lit(salt), k.cast("string")).cast("binary"))
+    bucket = F.md5(F.concat(F.lit(salt), k.cast("string")).cast("binary"))
+    if on_null == "error":
+        return F.when(
+            k.isNull(),
+            F.raise_error(
+                F.lit(
+                    "hash_bucket: NULL key; filter NULLs or fill the key "
+                    "column before deterministic bucketing"
+                )
+            ),
+        ).otherwise(bucket)
+    return bucket
+
+
+def _below_fraction(bucket4: F.Column, fraction: float) -> F.Column:
+    """``bucket4 < threshold`` with the threshold quantized to 1/65536.
+
+    A fraction that rounds to 65536 (e.g. 1.0) would format as the 5-char
+    string ``"10000"``, which compares *below* every 4-char bucket and
+    silently inverted the filter — so >= 1 short-circuits to keep-all and
+    <= 0 to keep-none.
+    """
+    quantized = int(round(fraction * 65536))
+    if quantized >= 65536:
+        return F.lit(True)
+    if quantized <= 0:
+        return F.lit(False)
+    return bucket4 < F.lit(format(quantized, "04x"))
 
 
 def train_val_test_split(
@@ -46,13 +79,11 @@ def train_val_test_split(
     splits across pipeline runs — the leakage guarantee ``rand()`` cannot
     give.  Salt versions the assignment.
     """
-    val_hex = format(int(round(val_fraction * 65536)), "04x")
-    test_hex = format(int(round((val_fraction + test_fraction) * 65536)), "04x")
     b = F.substring(hash_bucket(key, salt), 1, 4)
     return df.withColumn(
         "split",
-        F.when(b < F.lit(val_hex), F.lit("val"))
-        .when(b < F.lit(test_hex), F.lit("test"))
+        F.when(_below_fraction(b, val_fraction), F.lit("val"))
+        .when(_below_fraction(b, val_fraction + test_fraction), F.lit("test"))
         .otherwise(F.lit("train")),
     )
 
@@ -164,10 +195,11 @@ def weighted_mix(
     """
     parts = []
     for name, df, frac in sources:
-        thresh = format(int(round(frac * 65536)), "04x")
         parts.append(
             df.filter(
-                F.substring(hash_bucket(key, salt + name), 1, 4) < F.lit(thresh)
+                _below_fraction(
+                    F.substring(hash_bucket(key, salt + name), 1, 4), frac
+                )
             ).withColumn("source", F.lit(name))
         )
     out = parts[0]

@@ -256,6 +256,13 @@ class Topic:
             )
             renames.append((src, f"{self.uri}/{filename}"))
             maxts_add[filename] = row["max_ts_ms"]
+        # sidecar entries land BEFORE the renames: a reader that lists the
+        # topic between a rename and the sidecar write must still see a
+        # max-ts entry for the new (possibly time-overlapping) file, or
+        # prune_from_timestamp would fall back to the disjointness
+        # assumption and over-prune; entries for files not yet visible in
+        # listings are harmless
+        self._update_max_ts(add=maxts_add)
         # tmp dir stays invisible to listings until each rename lands, so
         # parallel renames keep crash consistency: a crash mid-commit leaves
         # a valid (shorter) topic plus an orphaned .tmp dir, never a torn file
@@ -269,7 +276,6 @@ class Topic:
         else:
             with ThreadPoolExecutor(max_workers=min(32, len(renames))) as pool:
                 final_paths = list(pool.map(_do, renames))
-        self._update_max_ts(add=maxts_add)
         self.fs.delete(tmp_uri, recursive=True)
         return final_paths
 
