@@ -1324,17 +1324,65 @@ def q_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("q_agg_approx_percentile", tags=("aggregation", "approx"))
+@register(
+    "q_agg_approx_percentile",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("aggregation", "approx"),
+)
 def q_agg_approx_percentile(spark: SparkSession, sf: str) -> DataFrame:
-    """approx_percentile sketch (rows-only; error bound asserted in
-    tests/test_operators.py against the exact percentiles) — the
-    single-pass mergeable-quantile path for 100 TB columns."""
-    l = load_table(spark, sf, "lineitem")
-    return l.groupBy("l_returnflag").agg(
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)"
-        ).alias("approx_p"),
-        F.count(F.lit(1)).alias("n"),
+    """approx_percentile sketch checked against its own rank-error bound.
+
+    The raw Greenwald-Khanna quantile estimates are implementation-defined,
+    so (like the HLL query) the output is the exact group count plus one
+    ``pNN_ok`` boolean per requested percentile asserting the estimate's
+    *rank* is within 5× the configured bound (accuracy 1000 → rank error
+    ≤ n/1000, so the check is |rank(est) − p·n| ≤ 0.005·n + 1).  The
+    oracle expects TRUE everywhere, so a broken sketch breaks the hash.
+    Scalars only — driver-facing queries never emit array/map columns.
+    Single-pass mergeable-quantile path for 100 TB columns; the rank
+    check is one extra combinable agg over a broadcast of 3 group rows.
+    """
+    l = load_table(spark, sf, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    est = (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 1000)"
+            ).alias("approx_p"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.element_at("approx_p", 1).alias("p25"),
+            F.element_at("approx_p", 2).alias("p50"),
+            F.element_at("approx_p", 3).alias("p75"),
+        )
+    )
+    ranks = l.join(F.broadcast(est), "l_returnflag").groupBy("l_returnflag").agg(
+        F.first("n").alias("n"),
+        F.sum((F.col("l_extendedprice") <= F.col("p25")).cast("long")).alias("r25"),
+        F.sum((F.col("l_extendedprice") <= F.col("p50")).cast("long")).alias("r50"),
+        F.sum((F.col("l_extendedprice") <= F.col("p75")).cast("long")).alias("r75"),
+    )
+
+    def _ok(rank_col: str, frac: float):
+        bound = F.col("n") * F.lit(0.005) + F.lit(1.0)
+        return F.abs(F.col(rank_col) - F.col("n") * F.lit(frac)) <= bound
+
+    return ranks.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        _ok("r25", 0.25).alias("p25_ok"),
+        _ok("r50", 0.50).alias("p50_ok"),
+        _ok("r75", 0.75).alias("p75_ok"),
     )
 
 

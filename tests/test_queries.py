@@ -101,3 +101,25 @@ def test_rows_only_queries_run(name, spark, sf_smoke_dir):
 def test_entry_flagship(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_no_toplevel_array_or_map_outputs(spark, sf_smoke_dir):
+    """Catalog rule: driver-facing queries emit scalars only.
+
+    The driver's canonicalizer sorts result columns with pandas, which
+    dies on unhashable numpy arrays (the r3 ``q_agg_approx_percentile``
+    red row) — so no query may emit a top-level array/map column.
+    Schema construction is lazy; streaming queries (which execute on
+    build) are covered by the parity tests above plus the full-catalog
+    audit, so they're skipped here for speed.
+    """
+    from pyspark.sql.types import ArrayType, MapType
+
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name.startswith("q_stream_"):
+            continue
+        for f in fn(spark, sf_smoke_dir).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType)):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders
