@@ -19,6 +19,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+# IVF assignment inlines the quantizer as a literal array when nlist·dim is
+# at most this many cells; beyond it the expression tree would bloat codegen
+# and the broadcast-join fallback wins.
+_MAPSIDE_CENTROID_CELLS = 16384
+
+
 def _dot(a, b) -> F.Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -217,41 +223,104 @@ def ivf_ann_topk(
     against an independent engine; pass :func:`train_centroids_kmeans`
     output for a trained quantizer (better recall, non-deterministic).
     Ties in assignment/ranking break on lowest centroid / neighbor id.
+
+    Assignment is **zero-shuffle**: the quantizer is tiny by
+    construction, so the centroid table is inlined as an
+    ``array<struct<cos,neg_cid>>`` literal and the argmax is a map-side
+    ``array_max`` over it — no corpus row (and in particular no
+    corpus-sized embedding array) ever rides a shuffle for assignment.
+    Above ``_MAPSIDE_CENTROID_CELLS`` (huge ``nlist·dim``, where the
+    inlined expression would bloat codegen) it falls back to a broadcast
+    cross join with a ``groupBy(neighbor_id)``-only argmax agg — the
+    vector appears once as agg payload, never as a grouping key.
     """
     if centroids is None:
         centroids = embeddings.orderBy(id_col).limit(nlist).select(
             F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("cvec")
         )
-    cent = F.broadcast(centroids.select("cid", "cvec"))
 
-    assigned = (
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
-        )
-        .crossJoin(cent)
-        .withColumn("a_cos", cosine_similarity(F.col("cand_vec"), F.col("cvec")))
-        .groupBy("neighbor_id", "cand_vec")
-        .agg(
-            F.max(
-                F.struct(F.col("a_cos"), (-F.col("cid")).alias("neg_cid"))
-            ).alias("best")
-        )
-        .select("neighbor_id", "cand_vec", (-F.col("best.neg_cid")).alias("cid"))
+    cent_rows = sorted(
+        centroids.select("cid", "cvec").collect(), key=lambda r: r["cid"]
     )
 
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.col("p_cos").desc(), F.col("cid").asc()
-    )
-    probes = (
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    def _scored_arr(vec_col_name: str) -> F.Column:
+        """array<struct<cos,neg_cid>> of the vector scored vs every centroid.
+
+        Struct field order (cos first, then neg_cid) makes lexicographic
+        struct comparison == (max cosine, then lowest cid) — the same
+        tie-break as ``max(struct(a_cos, -cid))``.
+        """
+        return F.array(
+            *[
+                F.struct(
+                    cosine_similarity(
+                        F.col(vec_col_name),
+                        F.array(*[F.lit(float(x)) for x in r["cvec"]]),
+                    ).alias("cos"),
+                    F.lit(-int(r["cid"])).cast("long").alias("neg_cid"),
+                )
+                for r in cent_rows
+            ]
         )
-        .crossJoin(cent)
-        .withColumn("p_cos", cosine_similarity(F.col("query_vec"), F.col("cvec")))
-        .withColumn("p_rank", F.row_number().over(probe_w))
-        .filter(F.col("p_rank") <= nprobe)
-        .select("query_id", "query_vec", "cid")
-    )
+
+    mapside = sum(len(r["cvec"]) for r in cent_rows) <= _MAPSIDE_CENTROID_CELLS
+
+    if mapside:
+        assigned = embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cand_vec"),
+            (-F.array_max(_scored_arr(vec_col))["neg_cid"]).alias("cid"),
+        )
+        probes = (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("query_vec"),
+                F.slice(
+                    F.sort_array(_scored_arr(vec_col), asc=False), 1, nprobe
+                ).alias("probe_arr"),
+            )
+            .select(
+                "query_id",
+                "query_vec",
+                F.explode(F.col("probe_arr")).alias("p"),
+            )
+            .select("query_id", "query_vec", (-F.col("p.neg_cid")).alias("cid"))
+        )
+    else:
+        cent = F.broadcast(
+            centroids.sparkSession.createDataFrame(
+                [(int(r["cid"]), list(r["cvec"])) for r in cent_rows],
+                "cid long, cvec array<double>",
+            )
+        )
+        assigned = (
+            embeddings.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
+            )
+            .crossJoin(cent)
+            .withColumn("a_cos", cosine_similarity(F.col("cand_vec"), F.col("cvec")))
+            .groupBy("neighbor_id")
+            .agg(
+                F.first("cand_vec").alias("cand_vec"),
+                F.max(
+                    F.struct(F.col("a_cos"), (-F.col("cid")).alias("neg_cid"))
+                ).alias("best"),
+            )
+            .select("neighbor_id", "cand_vec", (-F.col("best.neg_cid")).alias("cid"))
+        )
+        probe_w = Window.partitionBy("query_id").orderBy(
+            F.col("p_cos").desc(), F.col("cid").asc()
+        )
+        probes = (
+            queries.select(
+                F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+            )
+            .crossJoin(cent)
+            .withColumn("p_cos", cosine_similarity(F.col("query_vec"), F.col("cvec")))
+            .withColumn("p_rank", F.row_number().over(probe_w))
+            .filter(F.col("p_rank") <= nprobe)
+            .select("query_id", "query_vec", "cid")
+        )
 
     scored = (
         assigned.join(F.broadcast(probes), "cid")
@@ -283,30 +352,63 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     block_col: str | None = None,
+    planes: int = 6,
+    tables: int = 8,
+    dim: int | None = None,
+    seed: int = 42,
 ) -> DataFrame:
     """Pairs with cosine >= threshold — embedding-space near-dup detection.
 
     With ``block_col`` the self-join is restricted to equal blocks (e.g. a
-    coarse cluster/label), the practical way to bound the pair space; LSH
-    buckets from :func:`lsh_ann_topk` serve the same role when no natural
-    block exists.
+    coarse cluster/label) — exact within blocks, the shape to use when a
+    natural partition exists.
+
+    Without one, the operator **never falls back to an all-pairs cross
+    join** (a cartesian on a 100 TB corpus is a non-starter): it
+    auto-blocks with random-hyperplane LSH — each vector lands in
+    ``tables`` sign-pattern buckets of ``planes`` bits, candidates are
+    pairs sharing a (table, bucket), found pairs are deduped.  Emitted
+    cosines are exact, so precision is 1; recall follows the standard
+    ``1-(1-p^planes)^tables`` curve (p = 1 - angle/pi) — raise ``tables``
+    / lower ``planes`` to push it toward 1 for a given threshold.
     """
-    left = embeddings.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("vec_a"),
-        *([F.col(block_col).alias("block")] if block_col else []),
-    )
-    right = embeddings.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vec_b"),
-        *([F.col(block_col).alias("block")] if block_col else []),
-    )
-    joined = (
-        left.join(right, on="block") if block_col else left.crossJoin(right)
-    )
+    left_cols = [F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")]
+    right_cols = [F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")]
+    if block_col:
+        left = embeddings.select(*left_cols, F.col(block_col).alias("block"))
+        right = embeddings.select(*right_cols, F.col(block_col).alias("block"))
+        joined = left.join(right, on="block")
+        return (
+            joined.filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine", cosine_similarity(F.col("vec_a"), F.col("vec_b")))
+            .filter(F.col("cosine") >= F.lit(threshold))
+            .select("id_a", "id_b", "cosine")
+        )
+
+    if dim is None:
+        dim = embeddings.select(F.size(vec_col)).first()[0]
+    hp = _hyperplanes(dim, planes, tables, seed=seed)
+
+    def sides(prefix: str, cols) -> DataFrame:
+        parts = [
+            F.struct(
+                F.lit(t).alias("table"), _bucket_expr(vec_col, hp[t]).alias("bucket")
+            )
+            for t in range(tables)
+        ]
+        return embeddings.select(*cols, F.explode(F.array(*parts)).alias("b")).select(
+            *[c for c in (f"id_{prefix}", f"vec_{prefix}")],
+            F.col("b.table").alias("table"),
+            F.col("b.bucket").alias("bucket"),
+        )
+
+    left = sides("a", left_cols)
+    right = sides("b", right_cols)
     return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cosine_similarity(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
+        .distinct()
     )

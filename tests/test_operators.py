@@ -273,3 +273,47 @@ def test_binned_interval_join_equivalent_to_naive(spark, sf_smoke_dir):
     assert got == want and want
     plan = binned._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_near_dup_auto_lsh_blocking_no_cartesian(spark, sf_smoke_dir):
+    """Without block_col the near-dup self-join auto-blocks via LSH:
+    the plan must contain no cartesian/nested-loop node, every emitted
+    pair must be a true pair (exact cosines => precision 1), and recall
+    on the fixture must clear the hyperplane-collision floor."""
+    emb = load_table(spark, sf_smoke_dir, "embeddings")
+    auto = similarity.embedding_near_dup_pairs(
+        emb, threshold=0.35, planes=4, tables=8
+    )
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+    got = {(r["id_a"], r["id_b"]) for r in auto.collect()}
+    # ground truth via an explicit all-pairs join (test-only, tiny fixture)
+    l = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    r = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    truth = {
+        (row["id_a"], row["id_b"])
+        for row in l.crossJoin(r)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(similarity.cosine_similarity(F.col("va"), F.col("vb")) >= 0.35)
+        .collect()
+    }
+    assert got <= truth, "auto-blocked pairs must all be true pairs"
+    assert truth, "fixture must produce ground-truth pairs"
+    recall = len(got) / len(truth)
+    assert recall >= 0.5, f"LSH-blocked recall {recall:.2f}"
+
+
+def test_ivf_assignment_is_mapside(spark, sf_smoke_dir):
+    """Small-nlist IVF assignment must not shuffle the corpus: the only
+    Exchange in the whole plan is the per-query top-k window."""
+    emb = load_table(spark, sf_smoke_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_ann_topk(emb, q, k=5, nlist=16, nprobe=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    hash_exchanges = [e for e in exchanges if e.startswith("hashpartitioning")]
+    assert len(hash_exchanges) <= 1, plan
+    assert "CartesianProduct" not in plan
