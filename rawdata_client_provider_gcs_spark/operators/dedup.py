@@ -96,6 +96,14 @@ def ngram_jaccard_pairs(
     a stop-phrase shingle shared by 10^6 docs would otherwise put 10^12
     pairs on one shuffle key — the classic skew bomb — while carrying
     essentially no Jaccard signal.  Standard MinHash-pipeline practice.
+
+    The exploded shingle table (O(total tokens) rows) is reused by the
+    size agg, the hot-shingle agg, and both self-join sides, so it is
+    persisted spill-safe (MEMORY_AND_DISK) **for the duration of this
+    call only**: the pair result is materialized eagerly via
+    ``localCheckpoint`` and the shingle persist is dropped before
+    returning — no full-corpus cache outlives the operator to evict
+    everything else on a shared cluster.
     """
     # join on the 64-bit shingle hash, not the string: same intersection
     # counts (collisions within one doc pair are ~|shingles|²/2^64), but the
@@ -112,31 +120,43 @@ def ngram_jaccard_pairs(
             .select("sh")
         )
         sh = sh.join(hot, "sh", "left_anti")
-    sh = sh.cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col(id_col).alias("id_a"), "sh")
-    b = sh.select(F.col(id_col).alias("id_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
-    # sizes are one row per document — scale-proportional, so no broadcast
-    # hint; the auto threshold / AQE picks broadcast while it actually fits
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+    from pyspark import StorageLevel
+
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+        a = sh.select(F.col(id_col).alias("id_a"), "sh")
+        b = sh.select(F.col(id_col).alias("id_b"), "sh")
+        inter = (
+            a.join(b, "sh")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
         )
-        .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("id_a", "id_b", "n_common", "jaccard")
-    )
+        sa = sizes.select(
+            F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a")
+        )
+        sb = sizes.select(
+            F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b")
+        )
+        # sizes are one row per document — scale-proportional, so no broadcast
+        # hint; the auto threshold / AQE picks broadcast while it actually fits
+        pairs = (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .withColumn(
+                "jaccard",
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+            )
+            .filter(F.col("jaccard") >= F.lit(threshold))
+            .select("id_a", "id_b", "n_common", "jaccard")
+        )
+        # the action happens here, inside the operator, while the shingle
+        # persist is alive; the (small, filtered) pair set is what survives
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
 
 
 def minhash_signatures(

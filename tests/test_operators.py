@@ -317,3 +317,14 @@ def test_ivf_assignment_is_mapside(spark, sf_smoke_dir):
     hash_exchanges = [e for e in exchanges if e.startswith("hashpartitioning")]
     assert len(hash_exchanges) <= 1, plan
     assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_releases_shingle_persist(spark, sf_smoke_dir):
+    """The exploded shingle persist must not outlive the operator call
+    (a full-corpus cache left pinned evicts everything else at scale)."""
+    docs = load_table(spark, sf_smoke_dir, "documents")
+    before = spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    assert out.count() >= 0
+    after = spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    assert after == before, "operator leaked a cached plan"
