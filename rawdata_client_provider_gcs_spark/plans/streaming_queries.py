@@ -62,16 +62,17 @@ FROM starts GROUP BY window_start
 def q_stream_sliding(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding 1-hour/30-min windows — every event in exactly 2 windows.
 
-    Append output with sentinel flush; the two sentinel-only windows are
-    dropped by their start time (they sit a year past the real data)."""
+    Append output with sentinel flush; sentinel-only windows are tagged
+    and dropped inside the streaming aggregation itself, so the whole
+    query is a single streaming job (no side batch job to find the real
+    max timestamp)."""
     events = W.flushable_event_stream(spark, sf)
-    out = W.run_available_now_append(
-        W.sliding_counts(events, "1 hour", "30 minutes"), "t_sliding"
+    return W.run_available_now_append(
+        W.sliding_counts(
+            events, "1 hour", "30 minutes", drop_sentinel_windows=True
+        ),
+        "t_sliding",
     )
-    max_real = (
-        load_table(spark, sf, "events").agg(F.max("ts")).collect()[0][0]
-    )
-    return out.filter(F.col("window_start") <= F.lit(max_real))
 
 
 @register(

@@ -191,17 +191,38 @@ def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
 
 
 def sliding_counts(
-    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    drop_sentinel_windows: bool = False,
 ) -> DataFrame:
-    """Sliding windows: each event lands in width/slide windows."""
-    return (
+    """Sliding windows: each event lands in width/slide windows.
+
+    ``drop_sentinel_windows`` tags each window with its sentinel-event
+    count inside the same streaming aggregation and filters
+    sentinel-only windows post-agg — sentinels sit a year past the real
+    data, so a window holds either only real events or only sentinels.
+    This keeps the whole query one streaming job (no side batch job to
+    find the real max timestamp)."""
+    agg_cols = [F.count(F.lit(1)).alias("n")]
+    if drop_sentinel_windows:
+        agg_cols.append(
+            F.sum(
+                F.when(
+                    F.col("event_type") == SENTINEL_EVENT_TYPE, F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("n_sentinel")
+        )
+    out = (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", width, slide).alias("w"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
-            "n",
-        )
+        .agg(*agg_cols)
+    )
+    if drop_sentinel_windows:
+        out = out.filter(F.col("n_sentinel") == 0)
+    return out.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        "n",
     )
 
 
