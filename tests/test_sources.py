@@ -68,10 +68,17 @@ def test_binaryfile_scan_of_topic(spark, tmp_path):
     assert bytes(rows[0]["content"])[:4] == b"PAR1"  # parquet magic
 
 
-def test_stream_topic_tail(spark, tmp_path):
+@pytest.mark.parametrize("file_format", ["parquet", "avro"])
+def test_stream_topic_tail(spark, tmp_path, file_format):
     """Structured Streaming file source tails a topic: a second
-    availableNow pass picks up files produced after the first (S6)."""
-    client = RawdataClient(spark, str(tmp_path))
+    availableNow pass picks up files produced after the first (S6).
+
+    Runs once per physical topic format — ``avro`` is the only format the
+    reference producer ever writes (AvroRawdataProducer.java:148-152), so
+    tailing it is the interop path; the behavior matched is the reference
+    tail test thatConsumerCanReadFromFilesCreatedAfterConsumerHasSubscribed
+    (FilesystemAvroRawdataClientTck.java:487-536)."""
+    client = RawdataClient(spark, str(tmp_path), file_format=file_format)
     with client.producer("t") as p:
         p.publish(RawdataMessage(position="p-0", data={}))
         p.publish(RawdataMessage(position="p-1", data={}))
@@ -102,6 +109,30 @@ def test_stream_topic_tail(spark, tmp_path):
     assert set(
         r["position"] for r in second.select("position").collect()
     ) == {"p-0", "p-1", "p-2"}
+
+
+def test_stream_topic_tail_mixed_formats(spark, tmp_path):
+    """One topic holding both avro (reference-written) and parquet
+    (engine-native / compacted) files tails as a single unified stream."""
+    avro_client = RawdataClient(spark, str(tmp_path), file_format="avro")
+    with avro_client.producer("t") as p:
+        p.publish(RawdataMessage(position="a-0", data={"k": b"v"}))
+    pq_client = RawdataClient(spark, str(tmp_path))
+    with pq_client.producer("t") as p:
+        p.publish(RawdataMessage(position="q-0", data={"k": b"w"}))
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_topic(spark, str(tmp_path / "t"))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("path", out_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    assert set(r["position"] for r in got.collect()) == {"a-0", "q-0"}
 
 
 def test_watermark_drops_late_data(spark, tmp_path):
