@@ -356,15 +356,16 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "propagation",
 ) -> DataFrame:
     """Duplicate-cluster resolution: connected components over a pair list.
 
     Near-dup detection (Jaccard/MinHash/SimHash/embedding pairs) yields
-    edges; keep-one-per-cluster dedup needs the transitive closure.  This
-    is min-label propagation: every node starts labeled with itself and
-    repeatedly takes the minimum label in its closed neighborhood until a
-    fixpoint — the result maps each node to the smallest id reachable from
-    it, a canonical component id.
+    edges; keep-one-per-cluster dedup needs the transitive closure.  The
+    default is min-label propagation: every node starts labeled with
+    itself and repeatedly takes the minimum label in its closed
+    neighborhood until a fixpoint — the result maps each node to the
+    smallest id reachable from it, a canonical component id.
 
     Scale notes: each iteration is one equi-join + one combinable min-agg
     on node id; ``localCheckpoint`` truncates the growing lineage so plan
@@ -372,10 +373,18 @@ def connected_components(
     iterations — near-dup clusters are shallow (dense blobs around a
     template), so single digits in practice.  Label sums decrease
     monotonically, so fixpoint detection is one cheap scalar comparison
-    per round.  (For adversarially long path graphs, the large-star/
-    small-star halving variant bounds rounds by O(log n); not needed for
-    dedup workloads.)
+    per round.
+
+    ``algorithm="star"`` selects the alternating large-star/small-star
+    contraction (Kiveris et al., *Connected Components in MapReduce and
+    Beyond*, SoCC'14): rounds bounded by O(log² n) — in practice
+    O(log n) — independent of component diameter, the variant to use on
+    adversarially long path/filament graphs where propagation would need
+    diameter rounds.  Both variants return the same (node_id,
+    component_id) mapping.
     """
+    if algorithm not in ("propagation", "star"):
+        raise ValueError(f"unknown algorithm: {algorithm!r}")
     sym = (
         edges.select(
             F.col(id_a).cast("long").alias("src"),
@@ -390,6 +399,8 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if algorithm == "star":
+        return _cc_star(sym, max_iter)
     labels = sym.select(F.col("src").alias("id")).distinct().withColumn(
         "component_id", F.col("id")
     )
@@ -417,3 +428,85 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels.select(F.col("id").alias("node_id"), "component_id")
+
+
+def _cc_star(sym: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star contraction over a symmetric,
+    deduped (src, dst) edge set.
+
+    Each round is two rounds of map-side neighborhood minima:
+
+    - **large-star**: every node links its *larger* neighbors to the
+      minimum of its closed neighborhood — long filaments fold in half;
+    - **small-star**: every node links its *smaller-or-equal* neighbors
+      (and itself) to that minimum — stars flatten onto their center.
+
+    The edge set shrinks toward a star forest (each node → its component
+    minimum); fixpoint is an unchanged (count, endpoint-sum) fingerprint.
+    Both phases are one groupBy-min plus one equi-join on node id —
+    skew-safe shapes — and ``localCheckpoint`` truncates lineage per
+    round exactly like the propagation variant.
+    """
+    nodes = sym.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    # canonical orientation large -> small; self-loops already impossible
+    # in sym only if input had none, so filter anyway
+    edges = (
+        sym.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_fp = None
+    for _ in range(max_iter):
+        # large-star over both directions
+        nbr = edges.select("u", "v").union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = nbr.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            nbr.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star over the canonical (large -> small) orientation
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).filter(F.col("u") != F.col("v"))
+        smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        edges = (
+            oriented.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .union(smins.select("u", F.col("m").alias("v")))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        fp = tuple(
+            edges.agg(
+                F.count(F.lit(1)), F.sum("u"), F.sum("v")
+            ).first()
+        )
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # converged: a star forest, each edge (node -> its component minimum)
+    centers = nodes.join(
+        edges.select(F.col("u").alias("id")), "id", "left_anti"
+    ).select("id", F.col("id").alias("component_id"))
+    members = edges.groupBy("u").agg(F.min("v").alias("component_id")).select(
+        F.col("u").alias("id"), "component_id"
+    )
+    return (
+        centers.unionByName(members)
+        .groupBy("id")
+        .agg(F.min("component_id").alias("component_id"))
+        .select(F.col("id").alias("node_id"), "component_id")
+    )

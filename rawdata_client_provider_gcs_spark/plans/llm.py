@@ -194,6 +194,39 @@ def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_dedup_components_star",
+    oracle="WITH RECURSIVE "
+    + _JACCARD_CTES
+    + """, sym AS (
+  SELECT id_a AS src, id_b AS dst FROM jpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM jpairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT CAST(src AS BIGINT) AS node_id,
+       CAST(LEAST(src, MIN(dst)) AS BIGINT) AS component_id
+FROM reach GROUP BY src""",
+    tags=("llm", "dedup", "iterative"),
+)
+def q_dedup_components_star(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicate clusters via the alternating large-star/small-star
+    contraction (O(log n) rounds regardless of component diameter) —
+    same recursive-closure oracle as the propagation variant, so both
+    algorithms are independently oracle-checked."""
+    d = load_table(spark, sf, "documents")
+    edges = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.12, max_doc_freq=1000
+    )
+    return dedup.connected_components(edges, algorithm="star").select(
+        F.col("node_id").cast("long").alias("node_id"),
+        F.col("component_id").cast("long").alias("component_id"),
+    )
+
+
+@register(
     "q_dedup_pipeline",
     oracle="WITH RECURSIVE "
     + _JACCARD_CTES

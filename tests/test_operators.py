@@ -328,3 +328,50 @@ def test_ngram_jaccard_releases_shingle_persist(spark, sf_smoke_dir):
     assert out.count() >= 0
     after = spark._jsparkSession.sharedState().cacheManager().isEmpty()
     assert after == before, "operator leaked a cached plan"
+
+
+def test_cc_star_deep_path_graph(spark):
+    """Large-star/small-star resolves a 200-node path (diameter 199) in
+    O(log n) rounds — far inside max_iter=12, where min-label propagation
+    would need ~199 rounds."""
+    n = 200
+    # path with ids shuffled so the minimum sits mid-path (adversarial)
+    ids = [(i * 73) % n for i in range(n)]  # 73 coprime with 200: a permutation
+    edges = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        (r["node_id"], r["component_id"])
+        for r in dedup.connected_components(
+            edges, max_iter=12, algorithm="star"
+        ).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
+    # propagation with the same budget provably cannot finish a 199-diameter path
+    prop = {
+        (r["node_id"], r["component_id"])
+        for r in dedup.connected_components(
+            edges, max_iter=12, algorithm="propagation"
+        ).collect()
+    }
+    assert prop != got, "12 propagation rounds should not close a 199-diameter path"
+
+
+def test_cc_star_agrees_with_propagation(spark):
+    """Both variants produce identical labelings on a mixed graph."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12),
+         (20, 21), (30, 30)],
+        "id_a long, id_b long",
+    )
+    a = {
+        (r["node_id"], r["component_id"])
+        for r in dedup.connected_components(edges, algorithm="star").collect()
+    }
+    b = {
+        (r["node_id"], r["component_id"])
+        for r in dedup.connected_components(
+            edges, algorithm="propagation"
+        ).collect()
+    }
+    assert a == b
