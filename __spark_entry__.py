@@ -40,8 +40,16 @@ def _already_checked() -> set[str]:
     return seen
 
 
+_CHECKED_CACHE: set[str] | None = None
+
+
 def _rotated(names: list[str]) -> list[str]:
-    checked = _already_checked()
+    # computed once per process: queries() and oracle_sql() must agree on
+    # order even if a CORRECTNESS file is (re)written between the calls
+    global _CHECKED_CACHE
+    if _CHECKED_CACHE is None:
+        _CHECKED_CACHE = _already_checked()
+    checked = _CHECKED_CACHE
     return [n for n in names if n not in checked] + [n for n in names if n in checked]
 
 

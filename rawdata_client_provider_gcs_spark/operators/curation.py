@@ -34,6 +34,10 @@ def hash_bucket(key, salt: str = "", *, on_null: str = "error") -> F.Column:
     fail the job on the first NULL key (``on_null="error"``); pass
     ``on_null="null"`` to propagate NULL and handle it explicitly.
     """
+    if on_null not in ("error", "null"):
+        # a typo like on_null="none" must not silently disable the
+        # NULL-leakage guard this parameter exists to enforce
+        raise ValueError(f"on_null must be 'error' or 'null', got {on_null!r}")
     k = F.col(key) if isinstance(key, str) else key
     bucket = F.md5(F.concat(F.lit(salt), k.cast("string")).cast("binary"))
     if on_null == "error":
@@ -53,9 +57,10 @@ def _below_fraction(bucket4: F.Column, fraction: float) -> F.Column:
     """``bucket4 < threshold`` with the threshold quantized to 1/65536.
 
     A fraction that rounds to 65536 (e.g. 1.0) would format as the 5-char
-    string ``"10000"``, which compares *below* every 4-char bucket and
-    silently inverted the filter — so >= 1 short-circuits to keep-all and
-    <= 0 to keep-none.
+    string ``"10000"``; under lexicographic compare only buckets starting
+    with ``'0'`` (plus ``"1000"``) sort below it, so frac=1.0 silently
+    kept ~1/16 of rows instead of all of them — hence >= 1 short-circuits
+    to keep-all and <= 0 to keep-none.
     """
     quantized = int(round(fraction * 65536))
     if quantized >= 65536:

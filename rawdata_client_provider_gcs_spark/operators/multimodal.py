@@ -7,11 +7,16 @@ facts ride in a sidecar struct.  Heavy decode/feature steps run as
 Arrow-batched ``mapInPandas`` so Python touches columnar batches, never
 rows.
 
-The image/audio codecs are not installed in this container, so the decode
-kernel is STUBBED: media types raise ``NotImplementedError`` unless
-``fake=True`` asks for the deterministic fake (byte-histogram features),
-while the Spark-side plumbing — schema, batching, partitioning — is real
-and tested.
+Decode kernels resolve in this order:
+
+1. ``text/*`` — pure-Python byte histogram, always real.
+2. ``image/*`` with **pillow importable** — real decode/resize (the
+   optional dependency is probed per executor; nothing is required at
+   install time).
+3. Otherwise STUBBED: raise ``NotImplementedError`` unless ``fake=True``
+   asks for the deterministic fake (byte-histogram features), keeping the
+   Spark-side plumbing — schema, batching, partitioning — real and tested
+   in containers without media libraries (like this one).
 """
 
 from __future__ import annotations
@@ -63,13 +68,22 @@ def with_media_columns(
     )
 
 
-def _decode_bytes(payload: bytes, mime: str, fake: bool):
-    """Stubbed media decode kernel.
+def _pil_image():
+    """Optional pillow probe — import is per-process (runs on executors)."""
+    try:
+        from PIL import Image  # noqa: PLC0415
 
-    Real deployments plug pillow/librosa/av here; this container has none
-    of them, so media mimes either raise (fake=False) or produce a
-    deterministic 8-bucket byte histogram (fake=True) that exercises the
-    identical Spark plumbing.
+        return Image
+    except ImportError:
+        return None
+
+
+def _decode_bytes(payload: bytes, mime: str, fake: bool):
+    """Media decode kernel: real for text always and for images when
+    pillow is importable; deterministic stub (or raise) otherwise.
+
+    Audio/video decode (librosa/av) stays stubbed — those libraries are
+    not probed because no deployment path here needs them yet.
     """
     if mime.startswith("text/"):
         hist = [0.0] * 8
@@ -77,6 +91,18 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
             hist[b >> 5] += 1.0
         total = sum(hist) or 1.0
         return [v / total for v in hist]
+    if mime.startswith("image/"):
+        Image = _pil_image()
+        if Image is not None:
+            import io
+
+            with Image.open(io.BytesIO(payload)) as img:
+                pixels = img.convert("L").tobytes()
+            hist = [0.0] * 8
+            for b in pixels:
+                hist[b >> 5] += 1.0
+            total = sum(hist) or 1.0
+            return [v / total for v in hist]
     if not fake:
         raise NotImplementedError(
             f"decoder for mime={mime} requires media libraries not present "
@@ -146,17 +172,28 @@ def resize_images(
 ) -> DataFrame:
     """Thumbnail generation over binary image payloads (mapInPandas).
 
-    The pixel kernel is stubbed (no pillow offline): ``fake=True`` emits a
-    deterministic ``width×height``-byte pseudo-thumbnail derived from the
-    payload, keeping schema, batch shape, and size accounting real.
+    With pillow importable on the executors, ``image/*`` payloads are
+    really decoded and resized (PNG thumbnails).  Without it the pixel
+    kernel is stubbed: ``fake=True`` emits a deterministic
+    ``width×height``-byte pseudo-thumbnail derived from the payload,
+    keeping schema, batch shape, and size accounting real.
     """
 
     def run(batches):
         import hashlib
+        import io
 
         import pandas as pd
 
+        Image = _pil_image()
+
         def one(payload: bytes, mime: str) -> bytes:
+            if Image is not None and mime.startswith("image/"):
+                with Image.open(io.BytesIO(payload)) as img:
+                    thumb = img.resize((width, height))
+                    buf = io.BytesIO()
+                    thumb.save(buf, format="PNG")
+                    return buf.getvalue()
             if not fake:
                 raise NotImplementedError(
                     f"image resize for mime={mime} requires pillow; "

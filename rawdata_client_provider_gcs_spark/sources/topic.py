@@ -48,6 +48,9 @@ class Topic:
         self.name = name.strip("/")
         self.uri = f"{self.root_uri}/{self.name}"
         self.fs = HadoopFs(spark, self.root_uri)
+        #: last successfully parsed sidecar — served when a concurrent
+        #: writer leaves the sidecar momentarily torn or absent
+        self._maxts_last_good: dict[str, int] | None = None
 
     # -- listing / manifest -------------------------------------------------
 
@@ -107,29 +110,59 @@ class Topic:
         return f"{self.uri}/metadata/engine-file-maxts.json"
 
     def load_max_ts(self) -> dict[str, int]:
-        """filename -> max event-time ms for engine-written files."""
+        """filename -> max event-time ms for engine-written files.
+
+        A torn or momentarily absent sidecar (a concurrent writer mid
+        replace on a scheme without atomic rename-over) falls back to the
+        last successfully parsed table rather than ``{}`` — returning
+        empty would make :meth:`prune_from_timestamp` assume time
+        disjointness and over-prune.
+        """
         uri = self._maxts_uri()
         if not self.fs.exists(uri):
+            if self._maxts_last_good is not None:
+                return dict(self._maxts_last_good)
             return {}
         try:
-            return json.loads(self.fs.read_bytes(uri).decode("utf-8"))
+            table = json.loads(self.fs.read_bytes(uri).decode("utf-8"))
         except (ValueError, UnicodeDecodeError):
+            if self._maxts_last_good is not None:
+                return dict(self._maxts_last_good)
             return {}
+        self._maxts_last_good = dict(table)
+        return table
 
     def _update_max_ts(
         self, add: dict[str, int] | None = None, remove: list[str] | None = None
     ) -> None:
         """Merge-update the sidecar.  Single-writer per topic by contract
         (same exclusivity the reference's producer lock provides,
-        AvroRawdataProducer.java:206-216)."""
+        AvroRawdataProducer.java:206-216).
+
+        The write is temp-object + rename — rename is already this
+        module's commit primitive — never a truncate-then-write of the
+        live object, so readers on rename-atomic schemes (HDFS, local)
+        can't observe a torn sidecar; object stores overwrite atomically
+        anyway.  If the destination scheme refuses rename-over-existing,
+        the fallback delete+rename leaves a sub-millisecond absence
+        window, which :meth:`load_max_ts` bridges with last-known-good.
+        """
         table = self.load_max_ts()
         for name in remove or []:
             table.pop(name, None)
         table.update(add or {})
         self.fs.mkdirs(f"{self.uri}/metadata")
-        self.fs.write_bytes(
-            self._maxts_uri(), json.dumps(table, sort_keys=True).encode("utf-8")
-        )
+        payload = json.dumps(table, sort_keys=True).encode("utf-8")
+        final = self._maxts_uri()
+        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
+        self.fs.write_bytes(tmp, payload)
+        if not self.fs.rename(tmp, final):
+            # scheme refuses rename-over-existing: replace non-atomically
+            self.fs.delete(final)
+            if not self.fs.rename(tmp, final):
+                self.fs.delete(tmp)
+                raise IOError(f"sidecar replace failed: {final}")
+        self._maxts_last_good = dict(table)
 
     # -- read ---------------------------------------------------------------
 
@@ -271,11 +304,28 @@ class Topic:
             if not self.fs.rename(src, dst):
                 raise IOError(f"rename failed: {src} -> {dst}")
             return dst
-        if len(renames) <= 2:
-            final_paths = [_do(p) for p in renames]
-        else:
-            with ThreadPoolExecutor(max_workers=min(32, len(renames))) as pool:
-                final_paths = list(pool.map(_do, renames))
+
+        try:
+            if len(renames) <= 2:
+                final_paths = [_do(p) for p in renames]
+            else:
+                with ThreadPoolExecutor(
+                    max_workers=min(32, len(renames))
+                ) as pool:
+                    final_paths = list(pool.map(_do, renames))
+        except Exception:
+            # best-effort: drop the just-added sidecar entries for files
+            # whose rename never landed, so failed commits don't accrete
+            # orphan entries (entries are harmless for pruning but would
+            # otherwise grow without bound; compact() sweeps stragglers)
+            try:
+                listed = {p.rsplit("/", 1)[-1] for p, _ in self.fs.list_files(self.uri)}
+                missing = [name for name in maxts_add if name not in listed]
+                if missing:
+                    self._update_max_ts(remove=missing)
+            except Exception:
+                pass
+            raise
         self.fs.delete(tmp_uri, recursive=True)
         return final_paths
 
@@ -433,9 +483,16 @@ class Topic:
         )
         for path in paths:
             self.fs.delete(path)
-        self._update_max_ts(
-            remove=[p.rsplit("/", 1)[-1] for p in paths]
-        )
+        # sweep sidecar entries for the deleted inputs plus any orphans
+        # left by crashed commits (files that never landed in a listing)
+        listed = {p.rsplit("/", 1)[-1] for p, _ in self.fs.list_files(self.uri)}
+        deleted = [p.rsplit("/", 1)[-1] for p in paths]
+        orphans = [
+            name
+            for name in self.load_max_ts()
+            if name not in listed and name not in deleted
+        ]
+        self._update_max_ts(remove=deleted + orphans)
         return new_files, paths
 
     def write_single_file(self, df: DataFrame, ext: str = "parquet") -> list[str]:

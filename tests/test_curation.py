@@ -125,3 +125,12 @@ def test_pack_sequences_per_shard(spark, docs):
         partition_cols=["lang"],
     )._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(lang" in plan
+
+
+def test_hash_bucket_rejects_unknown_on_null(spark, docs):
+    """A typo like on_null='none' must raise, not silently disable the
+    NULL-leakage guard."""
+    from rawdata_client_provider_gcs_spark.operators.curation import hash_bucket
+
+    with pytest.raises(ValueError, match="on_null"):
+        hash_bucket("doc_id", on_null="none")

@@ -375,3 +375,29 @@ def test_cc_star_agrees_with_propagation(spark):
         ).collect()
     }
     assert a == b
+
+
+def test_real_image_decode_when_pillow_present(spark):
+    """With pillow importable the image kernels are real: decode, resize,
+    and feature-extract actual pixels behind the identical schema.  Skips
+    in containers without pillow (like this one) — the stub paths above
+    cover the plumbing there."""
+    Image = multimodal._pil_image()
+    if Image is None:
+        pytest.skip("pillow not installed")
+    import io
+
+    buf = io.BytesIO()
+    Image.new("L", (32, 32), color=128).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, png)], "doc_id long, img binary")
+    media = multimodal.with_media_columns(df, "img", "image/png", "doc_id")
+
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 1 and abs(sum(feats[0]["features"]) - 1.0) < 1e-9
+    # uniform gray 128 -> every pixel in bucket 128>>5 == 4
+    assert feats[0]["features"][4] == 1.0
+
+    thumbs = multimodal.resize_images(media, 8, 8).collect()
+    with Image.open(io.BytesIO(bytes(thumbs[0]["thumb"]))) as t:
+        assert t.size == (8, 8)

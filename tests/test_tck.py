@@ -317,10 +317,17 @@ def test_compact_topic(spark, tmp_path):
     assert len(before) > 5
     before_positions = [m.position for m in drain(client.consumer("c"), 100)]
 
+    # plant an orphan sidecar entry (as a crashed commit would leave):
+    # compaction must sweep it along with entries for deleted inputs
+    topic._update_max_ts(add={"9999-ORPHAN-1-0-x.parquet": 4102444800000})
+
     new_files, removed = topic.compact(
         small_file_max_records=30, target_records_per_file=30
     )
     assert removed and new_files
+    sidecar = topic.load_max_ts()
+    assert "9999-ORPHAN-1-0-x.parquet" not in sidecar
+    assert not any(name.rsplit("/", 1)[-1] in sidecar for name in removed)
     after = topic.list_manifest()
     assert len(after) < len(before)
     assert sum(e.count for _, e in after) == 60
