@@ -13,6 +13,7 @@ Two tiers (SURVEY.md §2B / BASELINE.json north star):
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame, Window
@@ -243,6 +244,36 @@ def ivf_ann_topk(
         centroids.select("cid", "cvec").collect(), key=lambda r: r["cid"]
     )
 
+    def _cent_lit() -> F.Column:
+        """Quantizer as ONE parsed literal: array<struct<cid,norm,cvec>>.
+
+        Built with a single ``F.expr`` instead of O(nlist·dim) Column
+        objects: every ``F.lit``/``F.array``/``F.struct`` call is a py4j
+        round-trip, and at nlist·dim ≈ 1k the per-call latency added ~5 s
+        of driver-side plan build to every query.  Catalyst constant-folds
+        the parsed tree to a single array literal, so codegen sees one
+        constant.  ``repr(float)`` round-trips exactly through the SQL
+        parser's correctly-rounded double parse, and the Python-side norm
+        (sequential fold of squares, then sqrt) is bit-identical to the
+        per-row JVM ``aggregate`` fold it replaces.
+        """
+        parts = []
+        for r in cent_rows:
+            vec = ",".join(
+                f"CAST('{float(x)!r}' AS DOUBLE)" for x in r["cvec"]
+            )
+            acc = 0.0
+            for x in r["cvec"]:
+                acc += float(x) * float(x)
+            parts.append(
+                f"named_struct('cid', CAST({int(r['cid'])} AS BIGINT),"
+                f" 'norm', CAST('{math.sqrt(acc)!r}' AS DOUBLE),"
+                f" 'cvec', array({vec}))"
+            )
+        return F.expr("array(" + ",".join(parts) + ")")
+
+    cent_arr = _cent_lit()
+
     def _scored_arr(vec_col_name: str) -> F.Column:
         """array<struct<cos,neg_cid>> of the vector scored vs every centroid.
 
@@ -250,17 +281,14 @@ def ivf_ann_topk(
         struct comparison == (max cosine, then lowest cid) — the same
         tie-break as ``max(struct(a_cos, -cid))``.
         """
-        return F.array(
-            *[
-                F.struct(
-                    cosine_similarity(
-                        F.col(vec_col_name),
-                        F.array(*[F.lit(float(x)) for x in r["cvec"]]),
-                    ).alias("cos"),
-                    F.lit(-int(r["cid"])).cast("long").alias("neg_cid"),
-                )
-                for r in cent_rows
-            ]
+        a = F.col(vec_col_name)
+        norm_a = _norm(a)
+        return F.transform(
+            cent_arr,
+            lambda c: F.struct(
+                (_dot(a, c["cvec"]) / (norm_a * c["norm"])).alias("cos"),
+                (-c["cid"]).alias("neg_cid"),
+            ),
         )
 
     mapside = sum(len(r["cvec"]) for r in cent_rows) <= _MAPSIDE_CENTROID_CELLS
