@@ -178,6 +178,7 @@ SELECT CAST(src AS BIGINT) AS node_id,
        CAST(LEAST(src, MIN(dst)) AS BIGINT) AS component_id
 FROM reach GROUP BY src""",
     tags=("llm", "dedup", "iterative"),
+    bench=True,
 )
 def q_dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Duplicate clusters: connected components over Jaccard near-dup

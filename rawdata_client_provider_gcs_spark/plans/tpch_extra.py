@@ -146,6 +146,7 @@ GROUP BY n.n_name, EXTRACT(year FROM o.o_orderdate)
         )
     ),
     tags=("join", "aggregation"),
+    bench=True,
 )
 def q_tpch_q9_profit(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q9 shape: profit = revenue minus derived cost (0.6 ×
@@ -417,6 +418,7 @@ FROM culprit c JOIN supplier s ON s.s_suppkey = c.l_suppkey
 GROUP BY s.s_name
 """,
     tags=("join", "subquery", "anti"),
+    bench=True,
 )
 def q_tpch_q21_waiting(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q21 shape (waiting suppliers): the sole late supplier in

@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""Commit-able physical-plan snapshots for the bench query set.
+
+Writes one ``plan_snapshots/<query>.txt`` per ``bench=True`` catalog query
+containing the ``explain("formatted")`` output with run-varying tokens
+normalized away, so a plan regression (a lost broadcast, a new Exchange, a
+filter that stopped pushing down) shows up as a reviewable git diff.
+
+Normalizations (all run-to-run noise, none plan shape):
+
+- expression ids        ``l_orderkey#123L``      -> ``l_orderkey#L``
+- plan ids              ``[plan_id=456]``        -> ``[plan_id=N]``
+- absolute paths        ``file:/root/testdata/sf0.001/x.parquet`` -> ``<path>``
+- in-memory index size  ``InMemoryFileIndex(3 paths)`` -> ``InMemoryFileIndex(<n> paths)``
+- cached RDD ids        ``rdd_12_3`` / ``CachedRDDBuilder`` numerics -> stable
+
+Streaming-backed queries (the catalog runs them ``availableNow`` and
+returns the drained sink as a batch DataFrame) snapshot that batch plan —
+shallow, but still diffs if the sink schema or post-drain projection moves.
+
+Usage::
+
+    python tools/plan_snapshots.py            # writes plan_snapshots/
+    python tools/plan_snapshots.py --check    # non-zero exit on any diff
+
+The snapshot scale factor is sf0.001 so the run is seconds, and — because
+AQE re-plans from runtime statistics — ``explain`` here shows the *initial*
+(pre-AQE) physical plan, which is exactly the stable part worth diffing.
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rawdata_client_provider_gcs_spark.plans import catalog
+from rawdata_client_provider_gcs_spark.session import get_spark
+
+SNAP_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plan_snapshots"
+)
+SF_DIR = os.environ.get("SPARK_GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.001")
+
+_NORMALIZERS = [
+    (re.compile(r"#\d+"), "#"),
+    (re.compile(r"plan_id=\d+"), "plan_id=N"),
+    (re.compile(r"rdd_\d+_\d+"), "rdd_N_N"),
+    (re.compile(r"file:[^\s,\]\)]+"), "<path>"),
+    (re.compile(r"InMemoryFileIndex\(\d+ paths?\)"), "InMemoryFileIndex(<n> paths)"),
+    (re.compile(r"Statistics\([^)]*\)"), "Statistics(<stats>)"),
+    (re.compile(r"memoryUsageBytes=\d+"), "memoryUsageBytes=N"),
+    (re.compile(r"StorageLevel\([^)]*\)"), "StorageLevel(<level>)"),
+]
+
+
+def normalize(plan: str) -> str:
+    for pat, rep in _NORMALIZERS:
+        plan = pat.sub(rep, plan)
+    # strip trailing whitespace per line; formatted explain pads columns
+    return "\n".join(ln.rstrip() for ln in plan.splitlines()) + "\n"
+
+
+def formatted_plan(df) -> str:
+    # DataFrame.explain prints to stdout; _sc gives the string directly.
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--check", action="store_true", help="diff against committed snapshots")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="rawdata-spark-plan-snapshots")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    os.makedirs(SNAP_DIR, exist_ok=True)
+    bench = catalog.bench_queries()
+    drift: list[str] = []
+    for name, qdef in sorted(bench.items()):
+        try:
+            df = qdef.fn(spark, SF_DIR)
+            text = normalize(formatted_plan(df))
+        except Exception as exc:  # snapshot the failure; it diffs too
+            text = f"<explain failed: {type(exc).__name__}: {exc}>\n"
+        path = os.path.join(SNAP_DIR, f"{name}.txt")
+        if args.check:
+            old = open(path).read() if os.path.exists(path) else "<missing>"
+            if old != text:
+                drift.append(name)
+        else:
+            with open(path, "w") as fh:
+                fh.write(text)
+            print(f"wrote {path}")
+
+    if args.check:
+        if drift:
+            print("PLAN DRIFT:", ", ".join(drift))
+            return 1
+        print(f"all {len(bench)} plans match committed snapshots")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
