@@ -212,3 +212,19 @@ def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         F.col("click_id").cast("long").alias("click_id"),
         F.col("p_user").cast("long").alias("user_id"),
     )
+
+
+@register("q_stream_near_dup", tags=("streaming", "dedup", "llm"))
+def q_stream_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental MinHash-LSH near-dup filter over a document stream
+    (§2B streaming × LLM dedup).  Admitted = documents whose LSH band
+    buckets were all unseen at arrival; the admitted set is the greedy
+    maximal independent set of the LSH collision graph in doc-id order.
+    Rows-only check (band hashes use Spark's xxhash64, not expressible
+    in the DuckDB oracle); batch-parity of the bucket computation and
+    cross-batch dedup behavior are pytest-asserted
+    (tests/test_sources.py)."""
+    from ..streaming import dedup as SD
+
+    docs = SD.stream_documents(spark, sf)
+    return SD.near_dup_admitted(spark, docs, query_name="t_near_dup")
