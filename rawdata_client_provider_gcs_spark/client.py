@@ -233,9 +233,13 @@ class RawdataProducer:
         """
         if not self._buffer:
             return
-        rows = [m.to_row() for m in self._buffer]
-        df = self._client.spark.createDataFrame(rows, MESSAGE_SCHEMA)
-        self._topic.write_single_file(df, ext=self._client.file_format)
+        # driver-buffered window → driver-side encode + rename; no Spark
+        # job for data that never left the driver
+        rows = [
+            (bytes(m.ulid), m.ordering_group, m.sequence_number, m.position, m.data)
+            for m in self._buffer
+        ]
+        self._topic.write_single_rows(rows, ext=self._client.file_format)
         self._buffer = []
         self._buffer_bytes = 0
         self._buffer_opened_ms = None

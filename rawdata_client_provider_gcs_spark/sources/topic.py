@@ -39,6 +39,52 @@ from .filenames import (
 from .fsutil import HadoopFs
 
 
+def _encode_parquet_rows(
+    rows: list[tuple[bytes, str | None, int, str, dict[str, bytes]]],
+) -> bytes:
+    """Encode one window of message tuples as parquet bytes (driver-side).
+
+    The arrow schema mirrors MESSAGE_SCHEMA field-for-field (map logical
+    type for ``data``), with snappy compression matching Spark's writer
+    default, so files from this path and from ``write_dataframe`` are
+    interchangeable to every reader.
+    """
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            pa.field("ulid", pa.binary(), nullable=False),
+            pa.field("ulid_ts_ms", pa.int64(), nullable=False),
+            pa.field("ordering_group", pa.string()),
+            pa.field("sequence_number", pa.int64(), nullable=False),
+            pa.field("position", pa.string(), nullable=False),
+            pa.field("data", pa.map_(pa.string(), pa.binary()), nullable=False),
+        ]
+    )
+    table = pa.table(
+        {
+            "ulid": pa.array([r[0] for r in rows], pa.binary()),
+            "ulid_ts_ms": pa.array(
+                [int.from_bytes(r[0][:6], "big") for r in rows], pa.int64()
+            ),
+            "ordering_group": pa.array([r[1] for r in rows], pa.string()),
+            "sequence_number": pa.array([r[2] for r in rows], pa.int64()),
+            "position": pa.array([r[3] for r in rows], pa.string()),
+            "data": pa.array(
+                [list(r[4].items()) for r in rows],
+                pa.map_(pa.string(), pa.binary()),
+            ),
+        },
+        schema=schema,
+    )
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="snappy")
+    return buf.getvalue()
+
+
 class Topic:
     """Handle for one topic folder under a client root URI."""
 
@@ -498,52 +544,62 @@ class Topic:
     def write_single_file(self, df: DataFrame, ext: str = "parquet") -> list[str]:
         """Producer-flush path: one buffered window → one topic file.
 
-        For ``ext="avro"`` the (driver-buffered, window-bounded) rows are
-        encoded with the reference envelope codec and written as one Avro
-        container file — byte-compatible with the reference's own producer
-        output (AvroRawdataProducer.java:148-152), readable by its
-        ``DataFileReader`` stack.
+        A flush window is driver-buffered and size-bounded by contract, so
+        the rows are collected and written driver-side via
+        :meth:`write_single_rows` — no Spark job for data that never left
+        the driver.  Use :meth:`write_dataframe` for distributed data.
+        """
+        rows = [
+            (
+                bytes(r["ulid"]),
+                r["ordering_group"],
+                r["sequence_number"],
+                r["position"],
+                {k: bytes(v) for k, v in (r["data"] or {}).items()},
+            )
+            for r in df.collect()
+        ]
+        return self.write_single_rows(rows, ext=ext)
+
+    def write_single_rows(
+        self,
+        rows: list[tuple[bytes, str | None, int, str, dict[str, bytes]]],
+        ext: str = "parquet",
+    ) -> list[str]:
+        """One driver-buffered window → one manifest-named topic file.
+
+        ``rows``: ``(ulid, ordering_group, sequence_number, position,
+        data)`` tuples.  Both formats are encoded entirely driver-side —
+        the window is bounded by the producer's size/time rotation, so
+        there is nothing to distribute; manifest facts (first ts, count,
+        size, first position) come straight from the buffer instead of a
+        read-back aggregation.  ``ext="avro"`` uses the reference envelope
+        codec (byte-compatible with the reference producer's output,
+        AvroRawdataProducer.java:148-152); ``ext="parquet"`` writes one
+        arrow-encoded file with exactly MESSAGE_SCHEMA's layout.
         """
         if ext not in ("parquet", "avro"):
             raise ValueError(f"unsupported topic format: {ext}")
+        rows = sorted(rows, key=lambda t: t[0])
+        if not rows:
+            return []
         self.fs.mkdirs(self.uri)
         if ext == "avro":
-            rows = sorted(
-                (
-                    (
-                        bytes(r["ulid"]),
-                        r["ordering_group"],
-                        r["sequence_number"],
-                        r["position"],
-                        {k: bytes(v) for k, v in (r["data"] or {}).items()},
-                    )
-                    for r in df.collect()
-                ),
-                key=lambda t: t[0],
-            )
-            if not rows:
-                return []
             blob = avro_codec.encode_container(rows)
-            ts_of = lambda u: int.from_bytes(u[:6], "big")  # noqa: E731
-            filename = encode_filename(
-                from_ts_ms=ts_of(rows[0][0]),
-                count=len(rows),
-                last_block_offset=len(blob),
-                first_position=rows[0][3],
-                ext="avro",
-            )
-            tmp = f"{self.uri}/.tmp-{uuid.uuid4().hex}.avro"
-            self.fs.write_bytes(tmp, blob)
-            dst = f"{self.uri}/{filename}"
-            if not self.fs.rename(tmp, dst):
-                raise IOError(f"rename failed: {tmp} -> {dst}")
-            self._update_max_ts(add={filename: ts_of(rows[-1][0])})
-            return [dst]
-        tmp_uri = f"{self.uri}/.tmp-{uuid.uuid4().hex}"
-        (
-            df.select([f.name for f in MESSAGE_SCHEMA.fields])
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(tmp_uri)
+        else:
+            blob = _encode_parquet_rows(rows)
+        ts_of = lambda u: int.from_bytes(u[:6], "big")  # noqa: E731
+        filename = encode_filename(
+            from_ts_ms=ts_of(rows[0][0]),
+            count=len(rows),
+            last_block_offset=len(blob),
+            first_position=rows[0][3],
+            ext=ext,
         )
-        return self._commit_part_files(tmp_uri, ext)
+        tmp = f"{self.uri}/.tmp-{uuid.uuid4().hex}.{ext}"
+        self.fs.write_bytes(tmp, blob)
+        dst = f"{self.uri}/{filename}"
+        if not self.fs.rename(tmp, dst):
+            raise IOError(f"rename failed: {tmp} -> {dst}")
+        self._update_max_ts(add={filename: ts_of(rows[-1][0])})
+        return [dst]
