@@ -13,7 +13,11 @@ Decode kernels resolve in this order:
 2. ``image/*`` with **pillow importable** — real decode/resize (the
    optional dependency is probed per executor; nothing is required at
    install time).
-3. Otherwise STUBBED: raise ``NotImplementedError`` unless ``fake=True``
+3. ``image/*`` in an uncompressed format (netpbm PPM/PGM, 24-bit BMP) —
+   real decode/resize via the pure-numpy codecs in
+   :mod:`rawdata_client_provider_gcs_spark.operators.rawimage`, in every
+   environment.
+4. Otherwise STUBBED: raise ``NotImplementedError`` unless ``fake=True``
    asks for the deterministic fake (byte-histogram features), keeping the
    Spark-side plumbing — schema, batching, partitioning — real and tested
    in containers without media libraries (like this one).
@@ -23,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from . import rawimage
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -102,6 +108,20 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
             for b in pixels:
                 hist[b >> 5] += 1.0
             total = sum(hist) or 1.0
+            return [v / total for v in hist]
+        if rawimage.sniff_format(payload) is not None:
+            # real decode without pillow: uncompressed PPM/PGM/BMP
+            import numpy as np
+
+            rgb = rawimage.decode_image(payload)
+            # same luma conversion as pillow's "L" mode (ITU-R 601-2)
+            gray = (
+                rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114
+            ) // 1000
+            hist = np.bincount(
+                (gray.astype(np.uint8) >> 5).ravel(), minlength=8
+            ).astype(float)
+            total = hist.sum() or 1.0
             return [v / total for v in hist]
     if not fake:
         raise NotImplementedError(
@@ -194,6 +214,13 @@ def resize_images(
                     buf = io.BytesIO()
                     thumb.save(buf, format="PNG")
                     return buf.getvalue()
+            if mime.startswith("image/") and rawimage.sniff_format(payload):
+                # real pixels without pillow: decode + nearest resize + PPM
+                return rawimage.encode_ppm(
+                    rawimage.resize_nearest(
+                        rawimage.decode_image(payload), width, height
+                    )
+                )
             if not fake:
                 raise NotImplementedError(
                     f"image resize for mime={mime} requires pillow; "

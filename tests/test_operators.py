@@ -401,3 +401,59 @@ def test_real_image_decode_when_pillow_present(spark):
     thumbs = multimodal.resize_images(media, 8, 8).collect()
     with Image.open(io.BytesIO(bytes(thumbs[0]["thumb"]))) as t:
         assert t.size == (8, 8)
+
+
+def test_multimodal_raw_image_decode_real(spark):
+    """Uncompressed PPM/BMP payloads decode for REAL (no pillow, no fake)."""
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawimage
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    ppm = rawimage.encode_ppm(img)
+    assert np.array_equal(rawimage.decode_image(ppm), img)
+
+    # hand-rolled 24-bit BMP of the same pixels (bottom-up, padded rows)
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in img[::-1]:
+        line = row[:, ::-1].tobytes()  # RGB -> BGR
+        raster += line + b"\0" * (stride - len(line))
+    header = (
+        b"BM"
+        + (14 + 40 + len(raster)).to_bytes(4, "little")
+        + b"\0\0\0\0"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\0" * 16
+    )
+    assert np.array_equal(rawimage.decode_image(header + bytes(raster)), img)
+
+    # through the Spark kernels, fake=False: decode and resize both real
+    df = spark.createDataFrame(
+        [(1, bytes(ppm)), (2, header + bytes(raster))], "doc_id long, content binary"
+    )
+    media = multimodal.with_media_columns(df, "content", "image/x-raw", "doc_id")
+    feats = {
+        r["doc_id"]: r["features"]
+        for r in multimodal.extract_features(media, fake=False).collect()
+    }
+    assert len(feats) == 2
+    assert abs(sum(feats[1]) - 1.0) < 1e-9
+    assert feats[1] == feats[2]  # same pixels -> same histogram
+
+    thumbs = multimodal.resize_images(media, 8, 6, fake=False).collect()
+    for r in thumbs:
+        arr = rawimage.decode_image(bytes(r["thumb"]))
+        assert arr.shape == (6, 8, 3)
+    # nearest-neighbor from identical pixels -> identical thumbs
+    t = {r["doc_id"]: bytes(r["thumb"]) for r in thumbs}
+    assert t[1] == t[2]
