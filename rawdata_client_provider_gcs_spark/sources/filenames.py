@@ -20,7 +20,9 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
+
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
 FILENAME_RE = re.compile(
     r"(?P<from>[^_]+)_(?P<count>[0-9]+)_(?P<lastBlockOffset>[0-9]+)_(?P<position>.+)"
@@ -41,7 +43,9 @@ def format_timestamp_ms(ts_ms: int) -> str:
     accepts both forms, so reference-named objects on stores that allow
     colons still decode.
     """
-    dt = datetime.fromtimestamp(ts_ms / 1000.0, tz=timezone.utc)
+    # integer epoch math end-to-end: float seconds (ts/1000.0) are inexact
+    # and truncate a millisecond on round-trip (e.g. 65.231 s)
+    dt = _EPOCH + timedelta(seconds=ts_ms // 1000)
     base = dt.strftime("%Y-%m-%dT%H%M%S")
     if ts_ms % 1000:
         base += f".{ts_ms % 1000:03d}"
@@ -58,7 +62,9 @@ def parse_timestamp_ms(text: str) -> int:
         text = (
             text[: t_idx + 1] + hms[0:2] + ":" + hms[2:4] + ":" + hms[4:]
         )
-    return int(datetime.fromisoformat(text).timestamp() * 1000)
+    # timedelta floor-division is exact integer microsecond math;
+    # .timestamp()*1000 went through float seconds and could truncate 1 ms
+    return (datetime.fromisoformat(text) - _EPOCH) // timedelta(milliseconds=1)
 
 
 @dataclass(frozen=True)

@@ -32,12 +32,43 @@ from pyspark.sql.types import (
 )
 
 
+def _ts_field_spec(events_path: str):
+    """(spark ts field type, long→timestamp divisor | None) for ``ts``.
+
+    The driver's events parquet has carried ``ts`` as TIMESTAMP(NANOS)
+    in some rounds and TIMESTAMP(MICROS) in others; hard-coding either
+    silently shifts every timestamp by 1000× when the driver regenerates
+    the data.  One footer read (no data IO) decides:
+
+    - ``timestamp[ns]`` / plain ``int64``: Spark has no native nanos
+      read, so read as Long and floor-divide to micros (matching the
+      DuckDB oracle's ns→us truncation);
+    - any other timestamp unit: read natively as TIMESTAMP_NTZ — no
+      conversion arithmetic to get wrong.
+    """
+    import pyarrow.parquet as pq
+
+    t = str(pq.read_schema(events_path).field("ts").type)
+    if t.startswith("timestamp[ns") or t == "int64":
+        return LongType(), 1000
+    return TimestampNTZType(), None
+
+
+def _to_event_time(raw: DataFrame, div: int | None) -> DataFrame:
+    # watermarks require TIMESTAMP (not NTZ); outputs cast to NTZ after
+    # aggregation (session tz is UTC, so the wall clock is preserved)
+    if div is None:
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw.withColumn("ts", F.timestamp_micros(F.expr(f"ts div {div:d}")))
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events table as a file-source stream (ts converted from nanos)."""
+    """events table as a file-source stream (ts normalized to event time)."""
+    ts_type, div = _ts_field_spec(os.path.join(sf_dir, "events.parquet"))
     schema = StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
+            StructField("ts", ts_type),
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
@@ -50,9 +81,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    # watermarks require TIMESTAMP (not NTZ); outputs cast to NTZ after
-    # aggregation (session tz is UTC, so the wall clock is preserved)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _to_event_time(raw, div)
 
 
 SENTINEL_EVENT_TYPE = "__sentinel__"
@@ -86,9 +115,18 @@ def flushable_event_stream(
     staged = tempfile.mkdtemp(prefix="rawdata-stream-src-")
     real = os.path.join(staged, "0-events.parquet")
     shutil.copy(os.path.join(sf_dir, "events.parquet"), real)
-    max_ns = pq.read_table(real, columns=["ts"])["ts"].cast("int64").to_pylist()
-    max_ns = max(max_ns)
-    year_ns = 365 * 24 * 3600 * 10**9
+    ts_type, div = _ts_field_spec(real)
+    src_ts = pq.read_schema(real).field("ts").type
+    # sentinel ts values are computed and written in the SOURCE file's own
+    # unit so one stream schema covers real + sentinel files regardless of
+    # which timestamp unit the driver generated this round
+    unit_per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[
+        getattr(src_ts, "unit", "ns") if str(src_ts) != "int64" else "ns"
+    ]
+    max_raw = max(
+        pq.read_table(real, columns=["ts"])["ts"].cast("int64").to_pylist()
+    )
+    year_raw = 365 * 24 * 3600 * unit_per_sec
     now = os.stat(real).st_mtime
     for i in (1, 2):
         path = os.path.join(staged, f"{i}-sentinel.parquet")
@@ -96,7 +134,9 @@ def flushable_event_stream(
             pa.table(
                 {
                     "event_id": pa.array([10**15 + i], pa.int64()),
-                    "ts": pa.array([max_ns + i * year_ns], pa.int64()),
+                    "ts": pa.array(
+                        [max_raw + i * year_raw], pa.int64()
+                    ).cast(src_ts),
                     "user_id": pa.array([SENTINEL_USER_ID], pa.int64()),
                     "event_type": pa.array([SENTINEL_EVENT_TYPE]),
                     "value": pa.array([0.0], pa.float64()),
@@ -109,7 +149,7 @@ def flushable_event_stream(
     schema = StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", LongType()),
+            StructField("ts", ts_type),
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
@@ -123,7 +163,7 @@ def flushable_event_stream(
         .option("maxFilesPerTrigger", 1)
         .load(staged)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _to_event_time(raw, div)
 
 
 #: State-store partition count for BOUNDED drains.  The number of state
