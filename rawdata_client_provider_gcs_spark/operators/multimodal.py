@@ -17,7 +17,11 @@ Decode kernels resolve in this order:
    real decode/resize via the pure-numpy codecs in
    :mod:`rawdata_client_provider_gcs_spark.operators.rawimage`, in every
    environment.
-4. Otherwise STUBBED: raise ``NotImplementedError`` unless ``fake=True``
+4. ``audio/*`` in a RIFF/WAVE container (PCM 8/16/24/32-bit or IEEE
+   float) — real decode/features/segmentation via the pure-numpy codec
+   in :mod:`rawdata_client_provider_gcs_spark.operators.rawaudio`, in
+   every environment.
+5. Otherwise STUBBED: raise ``NotImplementedError`` unless ``fake=True``
    asks for the deterministic fake (byte-histogram features), keeping the
    Spark-side plumbing — schema, batching, partitioning — real and tested
    in containers without media libraries (like this one).
@@ -28,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import rawimage
+from . import rawaudio, rawimage
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -85,11 +89,13 @@ def _pil_image():
 
 
 def _decode_bytes(payload: bytes, mime: str, fake: bool):
-    """Media decode kernel: real for text always and for images when
-    pillow is importable; deterministic stub (or raise) otherwise.
+    """Media decode kernel: real for text always, for images when pillow
+    is importable or the format is uncompressed, and for WAV audio;
+    deterministic stub (or raise) otherwise.
 
-    Audio/video decode (librosa/av) stays stubbed — those libraries are
-    not probed because no deployment path here needs them yet.
+    Compressed audio/video decode (librosa/av) stays stubbed — those
+    libraries are not probed because no deployment path here needs them
+    yet.
     """
     if mime.startswith("text/"):
         hist = [0.0] * 8
@@ -123,6 +129,9 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
             ).astype(float)
             total = hist.sum() or 1.0
             return [v / total for v in hist]
+    if mime.startswith("audio/") and rawaudio.sniff_wav(payload):
+        # real decode without external libs: RIFF PCM / IEEE-float WAV
+        return rawaudio.audio_features(*rawaudio.decode_wav(payload))
     if not fake:
         raise NotImplementedError(
             f"decoder for mime={mime} requires media libraries not present "
@@ -254,12 +263,14 @@ def sample_frames(
     id_col: str = "doc_id",
     fake: bool = False,
 ) -> DataFrame:
-    """Frame sampling over binary video payloads (one row per frame).
+    """Frame sampling over binary media payloads (one row per frame).
 
     Row-explosion happens Python-side inside ``mapInPandas`` — output
     batches carry ``min(payload_duration/every_ms, max_frames)`` rows per
-    input row.  The codec is stubbed: ``fake=True`` treats every 64 KiB of
-    payload as one second of video and emits deterministic frame bytes.
+    input row.  WAV audio payloads are really segmented (each frame is a
+    standalone ``every_ms`` WAV clip, pure-numpy codec).  Video codecs
+    are stubbed: ``fake=True`` treats every 64 KiB of payload as one
+    second of video and emits deterministic frame bytes.
     """
 
     def run(batches):
@@ -268,6 +279,8 @@ def sample_frames(
         import pandas as pd
 
         def frames(payload: bytes, mime: str):
+            if mime.startswith("audio/") and rawaudio.sniff_wav(payload):
+                return rawaudio.segment_wav(payload, every_ms, max_frames)
             if not fake:
                 raise NotImplementedError(
                     f"frame sampling for mime={mime} requires av/ffmpeg; "

@@ -457,3 +457,92 @@ def test_multimodal_raw_image_decode_real(spark):
     # nearest-neighbor from identical pixels -> identical thumbs
     t = {r["doc_id"]: bytes(r["thumb"]) for r in thumbs}
     assert t[1] == t[2]
+
+
+def test_rawaudio_codec_roundtrip():
+    """WAV encode/decode round-trips across PCM widths and float."""
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawaudio
+
+    rng = np.random.default_rng(11)
+    samples = rng.uniform(-0.9, 0.9, size=(800, 2))
+    wav = rawaudio.encode_wav_pcm16(samples, 8000)
+    assert rawaudio.sniff_wav(wav)
+    decoded, rate = rawaudio.decode_wav(wav)
+    assert rate == 8000 and decoded.shape == (800, 2)
+    # 16-bit quantization + the asymmetric 32767-encode/32768-decode scale
+    assert np.abs(decoded - samples).max() < 1e-4
+
+    # IEEE float32 mono, hand-rolled container
+    f32 = samples[:, 0].astype("<f4").tobytes()
+    fmt = (
+        (3).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (32).to_bytes(2, "little")
+    )
+    body = b"WAVEfmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(f32).to_bytes(4, "little") + f32
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+    dec, rate = rawaudio.decode_wav(payload)
+    assert rate == 8000 and dec.shape == (800, 1)
+    assert np.abs(dec[:, 0] - samples[:, 0]).max() < 1e-6
+
+    # 24-bit PCM round-trip via manual encode
+    ints = np.round(samples[:, 0] * (1 << 23)).clip(-(1 << 23), (1 << 23) - 1).astype(np.int64)
+    raw = bytearray()
+    for v in ints:
+        raw += int(v & 0xFFFFFF).to_bytes(3, "little")
+    fmt24 = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (24000).to_bytes(4, "little")
+        + (3).to_bytes(2, "little") + (24).to_bytes(2, "little")
+    )
+    body = b"WAVEfmt " + len(fmt24).to_bytes(4, "little") + fmt24
+    body += b"data" + len(raw).to_bytes(4, "little") + bytes(raw)
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+    dec24, _ = rawaudio.decode_wav(payload)
+    assert np.abs(dec24[:, 0] - samples[:, 0]).max() < 1.0 / (1 << 23) + 1e-9
+
+
+def test_multimodal_wav_audio_real(spark):
+    """WAV payloads get REAL features and REAL segmentation (no fake)."""
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawaudio
+
+    rng = np.random.default_rng(13)
+    rate = 4000
+    # 2.5 seconds mono: deterministic sine + noise
+    t = np.arange(int(rate * 2.5)) / rate
+    clip = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(len(t))
+    wav = rawaudio.encode_wav_pcm16(np.clip(clip, -1, 1), rate)
+
+    df = spark.createDataFrame([(1, wav), (2, wav)], "doc_id long, content binary")
+    media = multimodal.with_media_columns(df, "content", "audio/wav", "doc_id")
+
+    feats = {
+        r["doc_id"]: r["features"]
+        for r in multimodal.extract_features(media, fake=False).collect()
+    }
+    assert len(feats) == 2 and feats[1] == feats[2]
+    dur, channels, frate, rms, peak, zcr, mean, std = feats[1]
+    assert abs(dur - 2.5) < 1e-9
+    assert channels == 1.0 and frate == rate
+    assert 0.3 < rms < 0.45  # sine RMS ~0.354 plus noise
+    assert 0 < zcr < 1
+
+    # real segmentation: one standalone WAV clip per second
+    frames = multimodal.sample_frames(
+        media, every_ms=1000, max_frames=8, fake=False
+    ).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert {len(v) for v in by_doc.values()} == {3}  # 2.5 s -> 3 segments
+    for r in sorted(by_doc[1], key=lambda r: r["frame_idx"]):
+        seg, seg_rate = rawaudio.decode_wav(bytes(r["frame"]))
+        assert seg_rate == rate
+        expect = rate if r["frame_idx"] < 2 else rate // 2
+        assert seg.shape[0] == expect
+        assert r["frame_ms"] == r["frame_idx"] * 1000
