@@ -97,6 +97,31 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples[: frames * channels].reshape(frames, channels), rate
 
 
+def encode_wav_float32(samples: np.ndarray, rate: int) -> bytes:
+    """Encode ``(n_frames, channels)`` float as IEEE-float32 WAV.
+
+    Float storage is lossless for float32-representable values — the
+    encode→decode round-trip is bit-exact, which makes decoded signal
+    statistics algebraically predictable (the oracle-checked audio
+    queries rely on this; 16-bit PCM would quantize).
+    """
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    frames, channels = samples.shape
+    data = samples.astype("<f4").tobytes()
+    fmt = (
+        _IEEE_FLOAT.to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels * 4).to_bytes(4, "little")
+        + (channels * 4).to_bytes(2, "little")
+        + (32).to_bytes(2, "little")
+    )
+    body = b"WAVEfmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def encode_wav_pcm16(samples: np.ndarray, rate: int) -> bytes:
     """Encode ``(n_frames, channels)`` float64 in [-1, 1] as 16-bit PCM WAV."""
     if samples.ndim == 1:

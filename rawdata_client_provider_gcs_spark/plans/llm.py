@@ -802,6 +802,118 @@ def q_group_top_event_pandas(spark: SparkSession, sf: str) -> DataFrame:
     return e.groupBy("user_id").applyInPandas(top_event, schema=out_schema)
 
 
+def _synth_wav_media(spark: SparkSession, sf: str) -> DataFrame:
+    """(payload, meta) media rows: one synthetic WAV clip per document.
+
+    Each document becomes a mono IEEE-float32 WAV at 1 kHz with
+    ``n_chars`` frames of an alternating square wave at amplitude
+    ``((doc_id % 100) + 1) / 256`` — every parameter chosen so the
+    decoded clip's signal statistics are *algebraically exact* in
+    float64 (amplitudes are ``k/256`` with k ≤ 100, partial sums stay
+    integer-scaled), making the real encode→decode→feature path
+    oracle-checkable against closed-form SQL, not just rows-only.
+    Bounded to doc_id < 300 so payload volume is capped at any sf.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter((F.col("doc_id") < 300) & (F.col("n_chars") > 0))
+        .select("doc_id", "n_chars")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawaudio
+
+        for pdf in batches:
+            payloads = []
+            for did, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                amp = ((int(did) % 100) + 1) / 256.0
+                sign = np.where(np.arange(int(n)) % 2 == 0, 1.0, -1.0)
+                payloads.append(
+                    rawaudio.encode_wav_float32(amp * sign, 1000)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": payloads})
+
+    wavs = d.mapInPandas(make, "doc_id long, wav binary")
+    return multimodal.with_media_columns(wavs, "wav", "audio/wav", "doc_id")
+
+
+@register(
+    "q_multimodal_audio_features",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(44 + 4*n_chars AS BIGINT) AS n_bytes,
+       n_chars/1000.0 AS duration_s,
+       1.0 AS channels,
+       1000.0 AS sample_rate,
+       ((doc_id % 100) + 1)/256.0 AS rms,
+       ((doc_id % 100) + 1)/256.0 AS peak,
+       CASE WHEN n_chars > 1 THEN 1.0 ELSE 0.0 END AS zero_crossing_rate
+FROM documents WHERE doc_id < 300 AND n_chars > 0
+""",
+    tags=("llm", "multimodal", "audio", "pandas-udf"),
+)
+def q_multimodal_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode, oracle-checked exactly (§2B multimodal).
+
+    The WAV payloads are synthesized per document (see
+    :func:`_synth_wav_media`), then decoded by the pure-numpy RIFF codec
+    inside the Arrow-batched feature kernel — byte layout, container
+    parsing, and signal statistics all sit on the checked path.  The
+    oracle derives every output column in closed form from
+    (doc_id, n_chars), so any codec or kernel defect breaks the hash.
+    """
+    media = _synth_wav_media(spark, sf)
+    feats = multimodal.extract_features(media, fake=False)
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.element_at("features", 1).alias("duration_s"),
+        F.element_at("features", 2).alias("channels"),
+        F.element_at("features", 3).alias("sample_rate"),
+        F.element_at("features", 4).alias("rms"),
+        F.element_at("features", 5).alias("peak"),
+        F.element_at("features", 6).alias("zero_crossing_rate"),
+    )
+
+
+@register(
+    "q_multimodal_audio_segments",
+    oracle="""
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(g.idx AS BIGINT) AS frame_idx,
+       CAST(g.idx*500 AS BIGINT) AS frame_ms,
+       CAST(44 + 2*LEAST(500, d.n_chars - g.idx*500) AS BIGINT) AS seg_bytes
+FROM documents d, LATERAL (SELECT unnest(generate_series(0,
+     LEAST(CAST(CEIL(d.n_chars/500.0) AS BIGINT)-1, 3))) AS idx) g
+WHERE d.doc_id < 300 AND d.n_chars > 0
+""",
+    tags=("llm", "multimodal", "audio", "pandas-udf"),
+)
+def q_multimodal_audio_segments(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio segmentation, oracle-checked exactly (§2B multimodal).
+
+    ``sample_frames`` slices each synthetic WAV into standalone 500 ms
+    clips (at most 4) via the pure-numpy codec; the oracle reproduces
+    segment count, offsets, and exact re-encoded byte sizes
+    (44-byte canonical header + 2 bytes per PCM16 frame) from
+    (doc_id, n_chars) with a lateral series — so slicing arithmetic and
+    container framing are value-checked end to end.
+    """
+    media = _synth_wav_media(spark, sf)
+    frames = multimodal.sample_frames(
+        media, every_ms=500, max_frames=4, fake=False
+    )
+    return frames.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        F.octet_length("frame").cast("long").alias("seg_bytes"),
+    )
+
+
 @register("q_multimodal_frames", tags=("llm", "multimodal", "pandas-udf"))
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Frame-sampling plumbing over binary payloads (mapInPandas row
