@@ -119,8 +119,11 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
             # real decode without pillow: uncompressed PPM/PGM/BMP
             import numpy as np
 
-            rgb = rawimage.decode_image(payload)
-            # same luma conversion as pillow's "L" mode (ITU-R 601-2)
+            # same luma conversion as pillow's "L" mode (ITU-R 601-2);
+            # widen first — uint8 * 299 wraps mod 256 and silently
+            # scrambles the histogram (caught by the exact-value oracle
+            # of q_multimodal_image_pipeline)
+            rgb = rawimage.decode_image(payload).astype(np.uint32)
             gray = (
                 rgb[:, :, 0] * 299 + rgb[:, :, 1] * 587 + rgb[:, :, 2] * 114
             ) // 1000
@@ -198,6 +201,7 @@ def resize_images(
     height: int,
     id_col: str = "doc_id",
     fake: bool = False,
+    raw_only: bool = False,
 ) -> DataFrame:
     """Thumbnail generation over binary image payloads (mapInPandas).
 
@@ -206,6 +210,10 @@ def resize_images(
     kernel is stubbed: ``fake=True`` emits a deterministic
     ``width×height``-byte pseudo-thumbnail derived from the payload,
     keeping schema, batch shape, and size accounting real.
+    ``raw_only=True`` skips the pillow probe so output bytes are the
+    pure-numpy PPM encoding in every environment — the deterministic
+    choice for oracle-checked queries, whose expected thumbnail size
+    must not depend on which libraries the executors happen to have.
     """
 
     def run(batches):
@@ -214,7 +222,7 @@ def resize_images(
 
         import pandas as pd
 
-        Image = _pil_image()
+        Image = None if raw_only else _pil_image()
 
         def one(payload: bytes, mime: str) -> bytes:
             if Image is not None and mime.startswith("image/"):

@@ -914,6 +914,66 @@ def q_multimodal_audio_segments(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_multimodal_image_pipeline",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(107 AS BIGINT) AS n_bytes,
+       CAST((doc_id % 256) // 32 AS BIGINT) AS luma_bucket,
+       CAST(155 AS BIGINT) AS thumb_bytes
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "image", "pandas-udf"),
+)
+def q_multimodal_image_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode + resize, oracle-checked exactly (§2B multimodal).
+
+    One 8×4 constant-color PPM per document (pixel value
+    ``doc_id % 256``), decoded by the pure-numpy netpbm codec inside the
+    feature kernel: the luma of a constant (k,k,k) pixel is exactly k
+    (the ITU-R 601-2 weights sum to 1000), so the 8-bin histogram is
+    one-hot and the lit bin index is ``k >> 5`` — stated in closed form
+    by the oracle.  The thumbnail path really decodes + nearest-resizes
+    to 8×6 and re-encodes PPM, whose canonical size (11-byte header +
+    144 raster bytes) the oracle also states.  Codec, kernel, and
+    resize arithmetic are all value-checked.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawimage
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                k = int(did) % 256
+                img = np.full((4, 8, 3), k, dtype=np.uint8)
+                payloads.append(rawimage.encode_ppm(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "img": payloads})
+
+    imgs = d.mapInPandas(make, "doc_id long, img binary")
+    media = multimodal.with_media_columns(imgs, "img", "image/x-portable-pixmap", "doc_id")
+    feats = multimodal.extract_features(media, fake=False).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        (F.array_position(F.col("features"), 1.0) - 1)
+        .cast("long")
+        .alias("luma_bucket"),
+    )
+    thumbs = multimodal.resize_images(media, 8, 6, fake=False, raw_only=True).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.octet_length("thumb").cast("long").alias("thumb_bytes"),
+    )
+    return feats.join(thumbs, "doc_id")
+
+
 @register("q_multimodal_frames", tags=("llm", "multimodal", "pandas-udf"))
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
     """Frame-sampling plumbing over binary payloads (mapInPandas row
