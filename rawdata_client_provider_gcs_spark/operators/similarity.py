@@ -374,6 +374,249 @@ def ivf_ann_topk(
     )
 
 
+def train_pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_train_rows: int = 10_000,
+    iters: int = 10,
+):
+    """Train product-quantization codebooks: ``(m, k, dim//m)`` float64.
+
+    Per-subspace Lloyd k-means on a bounded driver-side sample (Faiss
+    trains its quantizers on a sample too — training touches thousands
+    of rows; *encoding* is what sees the full corpus, and that stays
+    distributed).  Deterministic for a fixed seed: initial centers are
+    evenly-strided sample rows, ties in assignment break on lowest
+    center index (numpy argmin).
+    """
+    import numpy as np
+
+    rows = (
+        embeddings.select(vec_col).limit(max_train_rows).collect()
+    )
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+    xs = x.reshape(n, m, dsub)
+    books = np.empty((m, k, dsub))
+    rng = np.random.default_rng(seed)
+    for mi in range(m):
+        sub = xs[:, mi, :]
+        # deterministic spread-out init: evenly strided distinct rows
+        order = rng.permutation(n)
+        centers = sub[order[: k]].copy() if n >= k else np.resize(sub, (k, dsub))
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for ki in range(k):
+                mask = assign == ki
+                if mask.any():
+                    centers[ki] = sub[mask].mean(axis=0)
+        books[mi] = centers
+    return books
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    codes: int = 16,
+    rerank: int = 50,
+    codebooks=None,
+    centroids: DataFrame | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the classic 100 TB ANN memory shape.
+
+    At scale the corpus embeddings themselves are the bottleneck: 100 TB
+    of float32 vectors cannot be re-read per query batch.  Product
+    quantization stores each vector as ``m`` one-byte codes (here
+    64 floats → 8 bytes, a 32× compression) plus one exact norm; query
+    scoring is **asymmetric distance computation** — per query an
+    ``(m × codes)`` lookup table of subvector dot products, a candidate
+    scores as ``sum(LUT[m, code_m]) / (|q|·|x|)`` without touching the
+    original vector.  Structure (all stages scale-shaped):
+
+    - one map-side Arrow-batched pass assigns every corpus vector to its
+      IVF list AND PQ-encodes it (broadcast numpy centroids/codebooks in
+      the UDF closure; no shuffle, codes ride instead of vectors);
+    - candidates = inverted-list equi-join against broadcast probes, as
+      in :func:`ivf_ann_topk`;
+    - ADC scoring is a vectorized ``mapInPandas`` over candidate rows —
+      one LUT per distinct query per batch, then a fancy-index gather;
+    - optional exact **rerank**: the top-``rerank`` PQ candidates per
+      query re-score against true vectors (an id-join back to the
+      corpus — the only stage that touches full vectors, bounded to
+      ``rerank`` rows per query).
+
+    Deterministic for fixed seed; verified by recall-vs-brute-force
+    pytest (sketch operator — rows-only in the driver harness, like
+    MinHash/SimHash/LSH-ANN).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            embeddings, m=m, k=codes, vec_col=vec_col, seed=seed
+        )
+    books = np.asarray(codebooks, dtype=np.float64)  # (m, codes, dsub)
+    if centroids is None:
+        cent_df = embeddings.orderBy(id_col).limit(nlist).select(vec_col)
+        cents = np.asarray(
+            [r[0] for r in cent_df.collect()], dtype=np.float64
+        )
+    else:
+        cents = np.asarray(
+            [r["cvec"] for r in centroids.orderBy("cid").collect()],
+            dtype=np.float64,
+        )
+    cent_norms = np.sqrt((cents**2).sum(axis=1))
+
+    m_, k_, dsub = books.shape
+
+    def encode(batches):
+        for pdf in batches:
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            n = x.shape[0]
+            # IVF assignment by cosine (ties -> lowest cid, matching ivf_ann)
+            xn = np.sqrt((x**2).sum(axis=1))
+            cos = (x @ cents.T) / np.maximum(xn[:, None] * cent_norms[None, :], 1e-300)
+            cid = cos.argmax(axis=1)
+            # PQ codes: per subspace argmin L2 to the codebook
+            xs = x.reshape(n, m_, dsub)
+            code_cols = np.empty((n, m_), dtype=np.int32)
+            for mi in range(m_):
+                d2 = (
+                    (xs[:, mi, None, :] - books[None, mi, :, :]) ** 2
+                ).sum(axis=2)
+                code_cols[:, mi] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf[id_col],
+                    "cid": cid.astype("int64"),
+                    "codes": list(code_cols),
+                    "x_norm": xn,
+                }
+            )
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+        encode, "neighbor_id long, cid long, codes array<int>, x_norm double"
+    )
+
+    def probe(batches):
+        for pdf in batches:
+            q = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            qn = np.sqrt((q**2).sum(axis=1))
+            cos = (q @ cents.T) / np.maximum(qn[:, None] * cent_norms[None, :], 1e-300)
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+            out = {
+                "query_id": np.repeat(np.asarray(pdf[id_col]), nprobe),
+                "query_vec": [v for v in pdf[vec_col] for _ in range(nprobe)],
+                "cid": top.ravel().astype("int64"),
+            }
+            yield pd.DataFrame(out)
+
+    probes = queries.select(id_col, vec_col).mapInPandas(
+        probe, f"query_id long, query_vec {queries.schema[vec_col].dataType.simpleString()}, cid long"
+    )
+
+    cand = assigned.join(F.broadcast(probes), "cid").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes_mat = np.asarray(list(pdf["codes"]), dtype=np.int64)
+            out_scores = np.empty(len(pdf), dtype=np.float64)
+            for qid in pdf["query_id"].unique():
+                sel = (pdf["query_id"] == qid).to_numpy()
+                qvec = np.asarray(
+                    pdf.loc[sel, "query_vec"].iloc[0], dtype=np.float64
+                )
+                # (m, codes) ADC lookup table: c[m,k]·q[m]
+                lut = (
+                    books @ qvec.reshape(m_, dsub)[:, :, None]
+                ).squeeze(-1)
+                approx_dot = lut[
+                    np.arange(m_)[None, :], codes_mat[sel]
+                ].sum(axis=1)
+                qn = np.sqrt((qvec**2).sum())
+                out_scores[sel] = approx_dot / np.maximum(
+                    qn * pdf.loc[sel, "x_norm"].to_numpy(), 1e-300
+                )
+            res = pdf[["query_id", "neighbor_id"]].copy()
+            res["pq_cosine"] = out_scores
+            yield res
+
+    scored = cand.mapInPandas(
+        adc, "query_id long, neighbor_id long, pq_cosine double"
+    )
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_cosine").desc(), F.col("neighbor_id").asc()
+    )
+    if not rerank:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("pq_cosine").alias("cosine"),
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
+
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
+    )
+    exact = (
+        shortlist.join(corpus, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_similarity(F.col("query_vec"), F.col("cand_vec")).alias(
+                "cosine"
+            ),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -499,6 +499,25 @@ def q_similarity_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register("q_similarity_ivf_pq", tags=("llm", "similarity", "sketch"))
+def q_similarity_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ approximate top-5 with exact rerank (§2B similarity, the
+    100 TB memory shape: 8-byte PQ codes ride the shuffles instead of
+    64-float vectors).  Codebook training is k-means (deterministic
+    seed but implementation-defined numerics), so rows-only here;
+    recall and ADC behavior are pytest-asserted vs brute force."""
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return similarity.ivf_pq_topk(
+        e, q, k=5, nlist=16, nprobe=8, m=8, codes=16, rerank=60
+    ).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
+        "rank",
+    )
+
+
 def _cos_sql(a: str, b: str) -> str:
     """DuckDB cosine with the same sequential double fold as the engine."""
     return f"""list_sum(list_apply(list_zip({a}, {b}),

@@ -546,3 +546,49 @@ def test_multimodal_wav_audio_real(spark):
         expect = rate if r["frame_idx"] < 2 else rate // 2
         assert seg.shape[0] == expect
         assert r["frame_ms"] == r["frame_idx"] * 1000
+
+
+def test_ivf_pq_recall_vs_bruteforce(spark, sf_smoke_dir):
+    """PQ codes + exact rerank recover most true neighbors; scores on the
+    reranked output are exact cosines (rerank re-scores true vectors)."""
+    emb = load_table(spark, sf_smoke_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, q, k=5).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    truth_cos = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in exact}
+
+    approx = similarity.ivf_pq_topk(
+        emb, q, k=5, nlist=16, nprobe=8, m=8, codes=16, rerank=60
+    ).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(truth & got) / len(truth)
+    # nprobe 8/16 scans ~half the corpus; PQ shortlist + exact rerank
+    # must do far better than the 50% scan fraction
+    assert recall >= 0.6, f"IVF-PQ recall {recall:.2f}"
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in truth_cos:
+            assert abs(r["cosine"] - truth_cos[key]) < 1e-9  # exact rerank
+
+
+def test_ivf_pq_no_rerank_scores_are_adc(spark, sf_smoke_dir):
+    """Without rerank the scores are PQ approximations: close to the true
+    cosine but not equal — proving candidates were scored from codes,
+    never from the original vectors."""
+    emb = load_table(spark, sf_smoke_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    rows = similarity.ivf_pq_topk(
+        emb, q, k=5, nlist=16, nprobe=8, m=8, codes=16, rerank=0
+    ).collect()
+    assert len(rows) == 25 and all(r["rank"] <= 5 for r in rows)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.brute_force_topk(emb, q, k=400).collect()
+    }
+    diffs = [
+        abs(r["cosine"] - exact[(r["query_id"], r["neighbor_id"])])
+        for r in rows
+        if (r["query_id"], r["neighbor_id"]) in exact
+    ]
+    assert diffs, "no overlap with exact scores to compare"
+    assert 1e-12 < max(diffs) < 0.5, f"ADC error range off: {max(diffs)}"
