@@ -1,0 +1,173 @@
+"""Streaming write side: micro-batches land through the topic commit
+protocol, replayed batches are idempotent, and the files a streaming
+sink writes are full citizens — manifest-named, ordered, tailable by
+the same consumers the reference's TCK exercises.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rawdata_client_provider_gcs_spark import ulid as ulid_mod
+from rawdata_client_provider_gcs_spark.sources.topic import Topic
+from rawdata_client_provider_gcs_spark.streaming import sink as S
+
+
+def _stage_messages(spark, tmp_path, n_files=3, per_file=10, base=1_700_000_000_000):
+    """n_files parquet files of MESSAGE_SCHEMA rows, mtime-ordered so the
+    file stream sees one micro-batch per file."""
+    src = tmp_path / "msg-src"
+    src.mkdir(parents=True)
+    rows = []
+    for fi in range(n_files):
+        batch = []
+        for i in range(per_file):
+            seq = fi * per_file + i
+            ts = base + seq * 1000
+            batch.append(
+                (
+                    ulid_mod.encode(ts, seq),
+                    ts,
+                    "g",
+                    seq,
+                    f"p-{seq}",
+                    {"k": bytes([seq % 256])},
+                )
+            )
+        df = spark.createDataFrame(
+            batch,
+            "ulid binary, ulid_ts_ms long, ordering_group string, "
+            "sequence_number long, position string, data map<string,binary>",
+        )
+        # the file stream lists plain files (no recursion into Spark
+        # output dirs): write to a scratch dir, lift the part file out
+        scratch = str(src / f".scratch-{fi}")
+        df.coalesce(1).write.mode("overwrite").parquet(scratch)
+        (part,) = [
+            p for p in os.listdir(scratch) if p.startswith("part-")
+        ]
+        path = str(src / f"{fi}-msgs.parquet")
+        os.rename(os.path.join(scratch, part), path)
+        import shutil
+
+        shutil.rmtree(scratch)
+        rows.extend(batch)
+        now = os.stat(path).st_mtime
+        os.utime(path, (now + fi, now + fi))
+    return str(src), rows
+
+
+def test_stream_to_topic_end_to_end(spark, tmp_path):
+    src, rows = _stage_messages(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(
+            "ulid binary, ulid_ts_ms long, ordering_group string, "
+            "sequence_number long, position string, data map<string,binary>"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    topic = Topic(spark, f"file://{tmp_path}/root", "t-sink")
+    q = S.stream_to_topic(
+        stream,
+        topic,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        sink_id="s1",
+        available_now=True,
+    )
+    q.awaitTermination()
+
+    got = topic.ordered_dataframe().collect()
+    assert len(got) == len(rows)
+    # stream order preserved end to end (ulid = (ts, seq) here)
+    assert [r["sequence_number"] for r in got] == list(range(len(rows)))
+    # every file the sink wrote is manifest-named (decodable facts)
+    manifest = topic.list_manifest()
+    assert manifest and all(e.count > 0 for _, e in manifest)
+    assert S.last_committed_batch(topic, "s1") == 2  # 3 files -> batches 0..2
+
+
+def test_stream_to_topic_replay_is_idempotent(spark, tmp_path):
+    src, rows = _stage_messages(spark, tmp_path, n_files=2)
+    schema = (
+        "ulid binary, ulid_ts_ms long, ordering_group string, "
+        "sequence_number long, position string, data map<string,binary>"
+    )
+    topic = Topic(spark, f"file://{tmp_path}/root", "t-replay")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = S.stream_to_topic(
+        stream, topic, checkpoint_dir=str(tmp_path / "ck1"),
+        sink_id="s1", available_now=True,
+    )
+    q.awaitTermination()
+    n1 = topic.dataframe().count()
+    assert n1 == len(rows)
+
+    # recovery replay: a fresh query over the SAME data with a FRESH
+    # checkpoint re-delivers batch ids 0..1 — the epoch guard must
+    # swallow them (same sink_id, batches already durable)
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q2 = S.stream_to_topic(
+        stream2, topic, checkpoint_dir=str(tmp_path / "ck2"),
+        sink_id="s1", available_now=True,
+    )
+    q2.awaitTermination()
+    assert topic.dataframe().count() == n1  # no duplicates
+
+    # a different sink_id is a different producer: it appends.  Its
+    # messages must be distinct — manifest filenames derive from content
+    # (from-ts/count/position, like the reference's), so byte-identical
+    # windows from two producers would collide by design.
+    src2, rows2 = _stage_messages(
+        spark, tmp_path / "again", n_files=2, base=1_700_001_000_000
+    )
+    stream3 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src2)
+    )
+    q3 = S.stream_to_topic(
+        stream3, topic, checkpoint_dir=str(tmp_path / "ck3"),
+        sink_id="s2", available_now=True,
+    )
+    q3.awaitTermination()
+    assert topic.dataframe().count() == n1 + len(rows2)
+
+
+def test_stream_sink_files_are_tailable(spark, tmp_path):
+    """A consumer tailing the topic sees exactly the streamed messages —
+    streaming-written files interoperate with the read side."""
+    from rawdata_client_provider_gcs_spark.streaming.tail import stream_topic
+
+    src, rows = _stage_messages(spark, tmp_path, n_files=2, per_file=5)
+    schema = (
+        "ulid binary, ulid_ts_ms long, ordering_group string, "
+        "sequence_number long, position string, data map<string,binary>"
+    )
+    topic = Topic(spark, f"file://{tmp_path}/root", "t-tail")
+    q = S.stream_to_topic(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        topic, checkpoint_dir=str(tmp_path / "ck"), available_now=True,
+    )
+    q.awaitTermination()
+
+    tailed = stream_topic(spark, topic.uri)
+    out = (
+        tailed.writeStream.format("memory")
+        .queryName("t_sink_tail")
+        .option("checkpointLocation", str(tmp_path / "tailck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination()
+    got = spark.table("t_sink_tail").collect()
+    assert {r["position"] for r in got} == {f"p-{i}" for i in range(10)}
