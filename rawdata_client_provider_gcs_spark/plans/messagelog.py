@@ -23,6 +23,37 @@ from ..tables import load_table
 from .catalog import register
 
 _TOPIC_CACHE: dict[str, str] = {}
+_SINK_CACHE: dict[str, str] = {}
+
+
+def _message_columns() -> list:
+    """events → MESSAGE_SCHEMA projection (deterministic ULIDs).
+
+    ULID = (epoch_ms(ts) << 80) | event_id — shared by the batch-built
+    topic and the streaming-sink round-trip so both are oracle-stated
+    directly over ``events``.  Pure column expressions: applies to batch
+    and streaming DataFrames alike.
+    """
+    ts_ms = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000")
+    ulid_hex = F.concat(
+        F.lpad(F.hex(ts_ms), 12, "0"),
+        F.lpad(F.hex(F.col("event_id")), 20, "0"),
+    )
+    return [
+        F.unhex(ulid_hex).alias("ulid"),
+        ts_ms.alias("ulid_ts_ms"),
+        F.col("event_type").alias("ordering_group"),
+        F.col("event_id").cast("long").alias("sequence_number"),
+        F.concat(F.lit("ev-"), F.col("event_id").cast("string")).alias(
+            "position"
+        ),
+        F.create_map(
+            F.lit("value"),
+            F.col("value").cast("string").cast("binary"),
+            F.lit("props"),
+            F.col("props").cast("binary"),
+        ).alias("data"),
+    ]
 
 
 def _events_topic(spark: SparkSession, sf: str) -> Topic:
@@ -37,30 +68,42 @@ def _events_topic(spark: SparkSession, sf: str) -> Topic:
     if root is None:
         root = tempfile.mkdtemp(prefix="rawdata-events-topic-")
         e = load_table(spark, sf, "events")
-        # integer division — a double intermediate would truncate wrongly
-        ts_ms = F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000")
-        ulid_hex = F.concat(
-            F.lpad(F.hex(ts_ms), 12, "0"),
-            F.lpad(F.hex(F.col("event_id")), 20, "0"),
-        )
-        msg = e.select(
-            F.unhex(ulid_hex).alias("ulid"),
-            ts_ms.alias("ulid_ts_ms"),
-            F.col("event_type").alias("ordering_group"),
-            F.col("event_id").cast("long").alias("sequence_number"),
-            F.concat(F.lit("ev-"), F.col("event_id").cast("string")).alias(
-                "position"
-            ),
-            F.create_map(
-                F.lit("value"),
-                F.col("value").cast("string").cast("binary"),
-                F.lit("props"),
-                F.col("props").cast("binary"),
-            ).alias("data"),
-        )
+        msg = e.select(*_message_columns())
         topic = Topic(spark, f"file://{root}", topic_name)
         topic.write_dataframe(msg.select(*[f.name for f in MESSAGE_SCHEMA.fields]))
         _TOPIC_CACHE[key] = root
+    return Topic(spark, f"file://{root}", topic_name)
+
+
+def _sink_topic(spark: SparkSession, sf: str) -> Topic:
+    """Topic filled by the STREAMING write path (once per sf per process).
+
+    The events file streams in (``stream_events``), the message
+    projection runs on the unbounded DataFrame, and ``stream_to_topic``
+    lands each micro-batch through the commit protocol — the full
+    producer-side streaming pipeline, not a batch shortcut.
+    """
+    from ..streaming.sink import stream_to_topic
+    from ..streaming.windows import stream_events
+
+    key = os.path.abspath(sf)
+    root = _SINK_CACHE.get(key)
+    topic_name = "events-stream-sink"
+    if root is None:
+        root = tempfile.mkdtemp(prefix="rawdata-sink-topic-")
+        ev = stream_events(spark, sf)
+        msg = ev.select(*_message_columns()).select(
+            *[f.name for f in MESSAGE_SCHEMA.fields]
+        )
+        topic = Topic(spark, f"file://{root}", topic_name)
+        q = stream_to_topic(
+            msg,
+            topic,
+            checkpoint_dir=tempfile.mkdtemp(prefix="rawdata-sink-ck-"),
+            available_now=True,
+        )
+        q.awaitTermination()
+        _SINK_CACHE[key] = root
     return Topic(spark, f"file://{root}", topic_name)
 
 
@@ -88,6 +131,40 @@ def q_log_ordered_scan(spark: SparkSession, sf: str) -> DataFrame:
         F.max("ulid_ts_ms").alias("last_ts_ms"),
         F.min("sequence_number").alias("min_seq"),
         F.max("sequence_number").alias("max_seq"),
+    )
+
+
+@register(
+    "q_log_stream_sink_roundtrip",
+    oracle="""
+SELECT event_type AS ordering_group,
+       CAST(COUNT(*) AS BIGINT) AS n_messages,
+       CAST(MIN(CAST(epoch_us(ts) // 1000 AS BIGINT)) AS BIGINT) AS first_ts_ms,
+       CAST(MAX(CAST(epoch_us(ts) // 1000 AS BIGINT)) AS BIGINT) AS last_ts_ms,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_positions
+FROM events GROUP BY event_type
+""",
+    tags=("messagelog", "streaming", "sink"),
+)
+def q_log_stream_sink_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming WRITE path round-trip, oracle-checked end to end.
+
+    events → file stream → message projection → ``stream_to_topic``
+    (micro-batches through the commit protocol, exactly-once epoch
+    tracking) → batch read of the sink-written topic → aggregate.  The
+    oracle states the same aggregates directly over ``events``: any
+    loss, duplication, or ULID corruption in the streaming sink breaks
+    the hash.  Complements S6 (tail = streaming read) with the
+    producer-side equivalent (S1/S2's continuous write, reference:
+    AvroRawdataProducer.java:148-152).
+    """
+    topic = _sink_topic(spark, sf)
+    df = topic.dataframe()
+    return df.groupBy("ordering_group").agg(
+        F.count(F.lit(1)).alias("n_messages"),
+        F.min("ulid_ts_ms").alias("first_ts_ms"),
+        F.max("ulid_ts_ms").alias("last_ts_ms"),
+        F.countDistinct("position").alias("n_positions"),
     )
 
 
