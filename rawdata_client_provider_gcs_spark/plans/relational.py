@@ -1410,3 +1410,41 @@ def q_scalar_json_struct(spark: SparkSession, sf: str) -> DataFrame:
         parsed["k"].alias("k"),
         F.to_json(F.struct(parsed["k"].alias("k"))).alias("reserialized"),
     )
+
+
+def _zorder_oracle() -> str:
+    from ..operators.zorder import zorder_key_sql
+
+    key = zorder_key_sql(["s_suppkey", "s_nationkey"], bits=16)
+    return f"""
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+       CAST(s_nationkey AS BIGINT) AS s_nationkey,
+       CAST({key} AS BIGINT) AS zkey
+FROM supplier
+"""
+
+
+@register(
+    "q_zorder_key",
+    oracle=_zorder_oracle(),
+    tags=("layout", "zorder"),
+)
+def q_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
+    """Morton (z-order) clustering key, value-checked cross-engine.
+
+    The key that drives multi-dimensional file skipping
+    (``operators/zorder.py``; Delta/Iceberg ``OPTIMIZE ZORDER BY``
+    shape) is pure integer bit interleaving — the oracle computes the
+    identical formula in SQL, so any drift in the shift/mask arithmetic
+    breaks the hash.  The locality payoff (per-file bounding boxes
+    shrinking in every interleaved dimension) is measured in
+    ``tests/test_operators.py::test_zorder_write_locality``.
+    """
+    from ..operators.zorder import zorder_key
+
+    s = load_table(spark, sf, "supplier")
+    return s.select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        F.col("s_nationkey").cast("long").alias("s_nationkey"),
+        zorder_key(["s_suppkey", "s_nationkey"], bits=16).alias("zkey"),
+    )

@@ -592,3 +592,61 @@ def test_ivf_pq_no_rerank_scores_are_adc(spark, sf_smoke_dir):
     ]
     assert diffs, "no overlap with exact scores to compare"
     assert 1e-12 < max(diffs) < 0.5, f"ADC error range off: {max(diffs)}"
+
+
+def test_zorder_write_locality(spark, tmp_path, sf_smoke_dir):
+    """Min/max file pruning on the SECOND dimension: a linear sort on x
+    leaves y unconstrained (every file's [ymin, ymax] spans everything,
+    nothing prunes), while z-order bounds both dimensions, so a
+    y-predicate skips most files — the property that matters at 100 TB."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from rawdata_client_provider_gcs_spark.operators import zorder
+
+    li = load_table(spark, sf_smoke_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("x"),
+        F.col("l_suppkey").cast("long").alias("y"),
+    )
+
+    def files_matching_y(path, y_val):
+        total, hit = 0, 0
+        for f in _glob.glob(f"{path}/*.parquet"):
+            ys = pq.read_table(f, columns=["y"])["y"].to_numpy()
+            total += 1
+            if ys.min() <= y_val <= ys.max():
+                hit += 1
+        return hit, total
+
+    z_path = str(tmp_path / "zordered")
+    zorder.zorder_write(li, z_path, ["x", "y"], bits=16, num_files=16)
+    lin_path = str(tmp_path / "linear")
+    (
+        li.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lin_path)
+    )
+    z_hit, z_total = files_matching_y(z_path, 5)
+    lin_hit, lin_total = files_matching_y(lin_path, 5)
+    # x-sorted files all contain every supplier key: nothing prunes
+    assert lin_hit == lin_total
+    # z-ordered files bound y too: a y-predicate reads at most half
+    assert z_hit <= z_total // 2, (z_hit, z_total)
+    # no rows lost by the rewrite
+    assert spark.read.parquet(z_path).count() == li.count()
+    # the key itself is consistent with the SQL formula via the
+    # oracle-checked catalog query (q_zorder_key)
+
+
+def test_rank_scale_bounds(spark, sf_smoke_dir):
+    from rawdata_client_provider_gcs_spark.operators import zorder
+
+    s = load_table(spark, sf_smoke_dir, "supplier")
+    scaled = zorder.rank_scale(s, "s_acctbal", bits=8)
+    row = scaled.agg(
+        F.min("s_acctbal__scaled").alias("lo"),
+        F.max("s_acctbal__scaled").alias("hi"),
+    ).first()
+    assert row["lo"] == 0 and 0 < row["hi"] <= 255
