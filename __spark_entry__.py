@@ -23,34 +23,50 @@ from rawdata_client_provider_gcs_spark.plans import catalog as _catalog
 from rawdata_client_provider_gcs_spark.session import ensure_engine_confs
 
 
-def _already_checked() -> set[str]:
-    """Query names with a correctness row from any prior round.
+def _check_history() -> tuple[set[str], set[str]]:
+    """(every name with a correctness row, names whose LATEST row is green).
 
     Used to rotate the catalog deterministically: a driver that samples a
     prefix of ``queries()`` then covers every query across rounds instead
-    of re-checking the same ones.
+    of re-checking the same ones — and re-checks previously-failed queries
+    before re-confirming green ones, so a fix lands a green row the very
+    next round.
     """
     seen: set[str] = set()
+    latest_green: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
-                seen.update(json.load(fh).keys())
+                rows = json.load(fh)
         except (OSError, ValueError):
             continue
-    return seen
+        for name, row in rows.items():
+            seen.add(name)
+            ok = bool(row.get("hash_match")) or (
+                # declared rows-only sketches: a rows-only run counts
+                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+            )
+            if ok:
+                latest_green.add(name)
+            else:
+                latest_green.discard(name)
+    return seen, latest_green
 
 
-_CHECKED_CACHE: set[str] | None = None
+_HISTORY_CACHE: tuple[set[str], set[str]] | None = None
 
 
 def _rotated(names: list[str]) -> list[str]:
     # computed once per process: queries() and oracle_sql() must agree on
     # order even if a CORRECTNESS file is (re)written between the calls
-    global _CHECKED_CACHE
-    if _CHECKED_CACHE is None:
-        _CHECKED_CACHE = _already_checked()
-    checked = _CHECKED_CACHE
-    return [n for n in names if n not in checked] + [n for n in names if n in checked]
+    global _HISTORY_CACHE
+    if _HISTORY_CACHE is None:
+        _HISTORY_CACHE = _check_history()
+    seen, green = _HISTORY_CACHE
+    never = [n for n in names if n not in seen]
+    failed = [n for n in names if n in seen and n not in green]
+    ok = [n for n in names if n in green]
+    return never + failed + ok
 
 
 def entry(spark: SparkSession) -> DataFrame:
