@@ -171,3 +171,26 @@ def test_stream_sink_files_are_tailable(spark, tmp_path):
     out.awaitTermination()
     got = spark.table("t_sink_tail").collect()
     assert {r["position"] for r in got} == {f"p-{i}" for i in range(10)}
+
+
+def test_stream_to_topic_avro_format(spark, tmp_path):
+    """The sink writes reference-format Avro topics too: streamed batches
+    land as .avro container files and read back through the same codec
+    path the reference's own files use."""
+    src, rows = _stage_messages(spark, tmp_path, n_files=2, per_file=6)
+    schema = (
+        "ulid binary, ulid_ts_ms long, ordering_group string, "
+        "sequence_number long, position string, data map<string,binary>"
+    )
+    topic = Topic(spark, f"file://{tmp_path}/root", "t-avro-sink")
+    q = S.stream_to_topic(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        topic, checkpoint_dir=str(tmp_path / "ck"), ext="avro",
+        available_now=True,
+    )
+    q.awaitTermination()
+    manifest = topic.list_manifest()
+    assert manifest and all(e.ext == "avro" for _, e in manifest)
+    got = topic.ordered_dataframe().collect()
+    assert [r["sequence_number"] for r in got] == list(range(len(rows)))
+    assert got[0]["data"]["k"] == bytes([0])
