@@ -499,6 +499,55 @@ def q_similarity_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_heavy_hitter_words",
+    oracle="""
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+), nonempty AS (
+  SELECT w FROM words WHERE w <> ''
+), tot AS (
+  SELECT COUNT(*) AS n FROM nonempty
+)
+SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM nonempty, tot
+GROUP BY w, tot.n
+HAVING COUNT(*) >= 0.03 * tot.n
+""",
+    tags=("llm", "text", "sketch"),
+)
+def q_heavy_hitter_words(spark: SparkSession, sf: str) -> DataFrame:
+    """Heavy hitters via ``approx_top_k`` + exact verification.
+
+    The 100 TB frequent-items pattern: a space-saving sketch (one
+    combinable aggregate, memory bounded by ``maxItemsTracked``, never
+    by vocabulary) nominates candidates; only candidates get an exact
+    distributed count, and the threshold filter removes the sketch's
+    false positives.  Space-saving guarantees every item with frequency
+    above ``N / maxItemsTracked`` is tracked, so with a 3% threshold and
+    10k capacity the candidate set provably contains every true heavy
+    hitter — the emitted counts are exact, and the oracle states them
+    directly.
+    """
+    d = load_table(spark, sf, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    sk = words.agg(
+        F.expr("approx_top_k(w, 100, 10000)").alias("top"),
+        F.count(F.lit(1)).alias("total"),
+    ).first()
+    total = sk["total"]
+    threshold = 0.03 * total
+    cand = [r["item"] for r in sk["top"] if r["count"] >= threshold]
+    return (
+        words.filter(F.col("w").isin(cand))
+        .groupBy(F.col("w").alias("word"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= F.lit(threshold))
+    )
+
+
 @register("q_similarity_ivf_pq", tags=("llm", "similarity", "sketch"))
 def q_similarity_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ approximate top-5 with exact rerank (§2B similarity, the
