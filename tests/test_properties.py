@@ -148,3 +148,75 @@ def test_avro_container_roundtrip(rows, records_per_block):
         tuples, records_per_block=records_per_block
     )
     assert avro_codec.decode_container(blob) == tuples
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    frames=st.integers(min_value=1, max_value=400),
+    channels=st.integers(min_value=1, max_value=4),
+    rate=st.integers(min_value=1, max_value=192_000),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_float32_roundtrip(frames, channels, rate, seed):
+    """IEEE-float32 WAV encode→decode is lossless for f32 values, any
+    frame count / channel count / sample rate."""
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawaudio
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-1, 1, size=(frames, channels)).astype(np.float32)
+    payload = rawaudio.encode_wav_float32(x, rate)
+    assert rawaudio.sniff_wav(payload)
+    decoded, got_rate = rawaudio.decode_wav(payload)
+    assert got_rate == rate
+    assert decoded.shape == (frames, channels)
+    assert np.array_equal(decoded, x.astype(np.float64))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    frames=st.integers(min_value=1, max_value=400),
+    channels=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_wav_pcm16_roundtrip_within_quantization(frames, channels, seed):
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawaudio
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-0.999, 0.999, size=(frames, channels))
+    decoded, rate = rawaudio.decode_wav(rawaudio.encode_wav_pcm16(x, 8000))
+    assert rate == 8000 and decoded.shape == (frames, channels)
+    assert np.abs(decoded - x).max() < 1e-4
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    frames=st.integers(min_value=1, max_value=3000),
+    every_ms=st.integers(min_value=50, max_value=2000),
+    max_segments=st.integers(min_value=1, max_value=10),
+)
+def test_wav_segments_partition_the_clip(frames, every_ms, max_segments):
+    """Segments are valid standalone WAVs that tile the clip in order,
+    truncated at max_segments — no frame lost, duplicated, or reordered
+    within the segmented prefix."""
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawaudio
+
+    rate = 1000
+    x = np.linspace(-0.9, 0.9, frames)[:, None]
+    payload = rawaudio.encode_wav_float32(x, rate)
+    segs = rawaudio.segment_wav(payload, every_ms, max_segments)
+    step = max(1, rate * every_ms // 1000)
+    expect_n = min((frames + step - 1) // step, max_segments)
+    assert [s[0] for s in segs] == list(range(expect_n))
+    covered = 0
+    for idx, start_ms, seg_bytes in segs:
+        seg, seg_rate = rawaudio.decode_wav(seg_bytes)
+        assert seg_rate == rate
+        assert start_ms == (idx * step) * 1000 // rate
+        covered += seg.shape[0]
+    assert covered == min(frames, expect_n * step)
