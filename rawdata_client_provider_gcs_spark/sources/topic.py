@@ -345,11 +345,51 @@ class Topic:
         # tmp dir stays invisible to listings until each rename lands, so
         # parallel renames keep crash consistency: a crash mid-commit leaves
         # a valid (shorter) topic plus an orphaned .tmp dir, never a torn file
+        converged_orphans: list[str] = []
+
         def _do(pair: tuple[str, str]) -> str:
+            """Rename, or converge on an earlier attempt's committed twin.
+
+            An identical logical window can already sit in the topic when
+            a previous commit crashed after its renames but before the
+            caller recorded success (the streaming sink's write-then-epoch
+            window).  Filenames carry (from-ts, count, first-position):
+            equal facts on the same deterministic range partitioning mean
+            the same row set — only the byte size (shuffle-order-dependent
+            parquet encoding, also part of the name) may differ.  Treating
+            the existing twin as this file makes replay converge instead
+            of wedging every retry on the rename.
+            """
             src, dst = pair
-            if not self.fs.rename(src, dst):
-                raise IOError(f"rename failed: {src} -> {dst}")
-            return dst
+            if self.fs.rename(src, dst):
+                return dst
+            dst_name = dst.rsplit("/", 1)[-1]
+            listed = {
+                p.rsplit("/", 1)[-1]: p for p, _ in self.fs.list_files(self.uri)
+            }
+            if dst_name in listed:  # exact twin (same bytes) already landed
+                self.fs.delete(src)
+                return dst
+            try:
+                want = decode_filename(dst_name)
+            except Exception:
+                want = None
+            if want is not None:
+                for name, path in listed.items():
+                    try:
+                        have = decode_filename(name)
+                    except Exception:
+                        continue
+                    if (
+                        have.from_ts_ms,
+                        have.count,
+                        have.first_position,
+                        have.ext,
+                    ) == (want.from_ts_ms, want.count, want.first_position, want.ext):
+                        self.fs.delete(src)
+                        converged_orphans.append(dst_name)
+                        return path
+            raise IOError(f"rename failed: {src} -> {dst}")
 
         try:
             if len(renames) <= 2:
@@ -372,6 +412,10 @@ class Topic:
             except Exception:
                 pass
             raise
+        if converged_orphans:
+            # sidecar entries were pre-added under the fresh names; the
+            # converged twins keep their own entries, so drop the orphans
+            self._update_max_ts(remove=converged_orphans)
         self.fs.delete(tmp_uri, recursive=True)
         return final_paths
 

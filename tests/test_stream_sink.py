@@ -194,3 +194,45 @@ def test_stream_to_topic_avro_format(spark, tmp_path):
     got = topic.ordered_dataframe().collect()
     assert [r["sequence_number"] for r in got] == list(range(len(rows)))
     assert got[0]["data"]["k"] == bytes([0])
+
+
+def test_replay_after_commit_but_before_epoch_converges(spark, tmp_path):
+    """The crash window: a batch's files land, the crash hits before the
+    epoch marker is recorded, and Spark re-delivers the batch. The
+    rewrite must converge on the already-committed files (same logical
+    window, possibly different bytes) instead of wedging on the rename —
+    and the topic must hold each message exactly once."""
+    from rawdata_client_provider_gcs_spark.metadata import RawdataMetadataClient
+
+    src, rows = _stage_messages(spark, tmp_path, n_files=2, per_file=6)
+    schema = (
+        "ulid binary, ulid_ts_ms long, ordering_group string, "
+        "sequence_number long, position string, data map<string,binary>"
+    )
+    topic = Topic(spark, f"file://{tmp_path}/root", "t-window")
+    q = S.stream_to_topic(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        topic, checkpoint_dir=str(tmp_path / "ck1"), sink_id="s1",
+        available_now=True,
+    )
+    q.awaitTermination()
+    n1 = topic.dataframe().count()
+    assert n1 == len(rows)
+
+    # simulate the crash: files are durable, but the epoch marker is lost
+    meta = RawdataMetadataClient(topic.fs, topic.uri, topic.name)
+    meta.remove("stream-sink-epoch.s1")
+    assert S.last_committed_batch(topic, "s1") is None
+
+    # replay the whole stream (fresh checkpoint, same sink id): every
+    # batch re-writes; each rewrite must converge on its committed twin
+    q2 = S.stream_to_topic(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        topic, checkpoint_dir=str(tmp_path / "ck2"), sink_id="s1",
+        available_now=True,
+    )
+    q2.awaitTermination()
+    got = topic.ordered_dataframe().collect()
+    assert len(got) == n1  # exactly once despite the lost epoch
+    assert [r["sequence_number"] for r in got] == list(range(len(rows)))
+    assert S.last_committed_batch(topic, "s1") == 1
