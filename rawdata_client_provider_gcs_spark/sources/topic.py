@@ -585,6 +585,48 @@ class Topic:
         self._update_max_ts(remove=deleted + orphans)
         return new_files, paths
 
+    def expire_before(self, ts_ms: int) -> list[str]:
+        """Retention sweep: delete files whose EVERY event predates ``ts_ms``.
+
+        The 100 TB log's other maintenance half (with :meth:`compact`):
+        without retention a topic grows without bound and every listing,
+        seek floor-scan, and sidecar grows with it.  The reference
+        delegates this to GCS bucket lifecycle rules (age-based object
+        expiry); doing it engine-side keeps the manifest, sidecar, and
+        data consistent in one sweep and works on any scheme.
+
+        Deletability is a manifest-only decision — no data IO:
+
+        - engine-written files carry their max event time in the sidecar:
+          deletable iff ``max_ts < ts_ms``;
+        - files without a sidecar entry (reference-written) are
+          time-disjoint and ordered by the producer contract
+          (AvroRawdataProducer.java window rotation), so the NEXT file's
+          ``from_ts`` bounds them above; the LAST such file is unbounded
+          and never expires on that basis.
+
+        Returns deleted paths.  Single maintenance owner per topic, like
+        :meth:`compact`; readers started before the sweep may observe
+        missing files (same contract as any log retention).
+        """
+        manifest = self.list_manifest()
+        max_ts = self.load_max_ts()
+        deletable: list[tuple[str, str]] = []
+        for i, (path, entry) in enumerate(manifest):
+            hi = max_ts.get(entry.filename)
+            if hi is None:
+                if i + 1 >= len(manifest):
+                    continue  # open-ended tail file: no upper bound
+                # disjoint + sorted => everything here < next file's start
+                hi = manifest[i + 1][1].from_ts_ms - 1
+            if hi < ts_ms:
+                deletable.append((path, entry.filename))
+        for path, _ in deletable:
+            self.fs.delete(path)
+        if deletable:
+            self._update_max_ts(remove=[name for _, name in deletable])
+        return [path for path, _ in deletable]
+
     def write_single_file(self, df: DataFrame, ext: str = "parquet") -> list[str]:
         """Producer-flush path: one buffered window → one topic file.
 

@@ -338,3 +338,55 @@ def test_compact_topic(spark, tmp_path):
         small_file_max_records=2, target_records_per_file=30
     )
     assert again_new == [] and again_removed == []
+
+
+def test_expire_before_retention(spark, tmp_path):
+    """Engine extension: age-based retention. Files wholly before the
+    cutoff are deleted (manifest-only decision), the sidecar is swept,
+    and consumers see exactly the surviving suffix of the stream."""
+    client = RawdataClient(
+        spark, str(tmp_path), avro_file_max_bytes=256  # many small windows
+    )
+    with client.producer("r") as producer:
+        for i in range(40):
+            producer.publish(msg(f"p-{i:02d}", payload1="x" * 40))
+    topic = client.topic("r")
+    manifest = topic.list_manifest()
+    assert len(manifest) > 4
+    sidecar = topic.load_max_ts()
+
+    # cutoff strictly between two files: everything in the first two
+    # files ages out, the rest survives
+    cutoff = manifest[2][1].from_ts_ms
+    expect_gone = [
+        e.filename for _, e in manifest if sidecar[e.filename] < cutoff
+    ]
+    assert expect_gone
+
+    deleted = topic.expire_before(cutoff)
+    assert sorted(p.rsplit("/", 1)[-1] for p in deleted) == sorted(expect_gone)
+    after = topic.list_manifest()
+    assert len(after) == len(manifest) - len(expect_gone)
+    for name in expect_gone:
+        assert name not in topic.load_max_ts()
+
+    # the stream now starts at the first surviving message, still ordered
+    survivors = [m.position for m in drain(client.consumer("r"), 100)]
+    expected_count = sum(e.count for _, e in after)
+    assert len(survivors) == expected_count
+    assert survivors == sorted(survivors)
+    assert survivors[-1] == "p-39"
+
+    # idempotent: nothing else ages out at the same cutoff
+    assert topic.expire_before(cutoff) == []
+
+    # a far-future cutoff keeps sidecar-less tail files: strip the
+    # sidecar (reference-written topics have none) and expire far ahead —
+    # every file but the unbounded last one goes
+    topic._update_max_ts(remove=list(topic.load_max_ts()))
+    assert topic.load_max_ts() == {}
+    topic._maxts_last_good = None
+    remaining = topic.list_manifest()
+    deleted2 = topic.expire_before(4_102_444_800_000)  # year 2100
+    assert len(deleted2) == len(remaining) - 1
+    assert len(topic.list_manifest()) == 1
