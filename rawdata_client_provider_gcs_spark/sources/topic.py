@@ -617,8 +617,11 @@ class Topic:
             if hi is None:
                 if i + 1 >= len(manifest):
                     continue  # open-ended tail file: no upper bound
-                # disjoint + sorted => everything here < next file's start
-                hi = manifest[i + 1][1].from_ts_ms - 1
+                # disjoint + sorted => everything here <= next file's start;
+                # bound INCLUSIVE of the boundary millisecond — rotation can
+                # split mid-millisecond (ULIDs order sub-ms), and an
+                # exclusive bound would over-delete those boundary events
+                hi = manifest[i + 1][1].from_ts_ms
             if hi < ts_ms:
                 deletable.append((path, entry.filename))
         for path, _ in deletable:
