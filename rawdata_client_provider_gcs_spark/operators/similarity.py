@@ -388,14 +388,21 @@ def train_pq_codebooks(
     Per-subspace Lloyd k-means on a bounded driver-side sample (Faiss
     trains its quantizers on a sample too — training touches thousands
     of rows; *encoding* is what sees the full corpus, and that stays
-    distributed).  Deterministic for a fixed seed: initial centers are
-    evenly-strided sample rows, ties in assignment break on lowest
-    center index (numpy argmin).
+    distributed).  Fully deterministic across runs: the sample is the
+    ``max_train_rows`` lowest rows by ``xxhash64(vec)`` (a TakeOrdered,
+    not a full sort — and content-addressed, so it does not depend on
+    partition/task order the way a bare ``limit().collect()`` would),
+    initial centers are evenly-strided sample rows, and assignment ties
+    break on lowest center index (numpy argmin).  ``seed`` is kept for
+    API compatibility but no longer consulted.
     """
     import numpy as np
 
     rows = (
-        embeddings.select(vec_col).limit(max_train_rows).collect()
+        embeddings.select(F.col(vec_col).alias("__v"))
+        .orderBy(F.xxhash64("__v").asc())
+        .limit(max_train_rows)
+        .collect()
     )
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     n, dim = x.shape
@@ -404,12 +411,15 @@ def train_pq_codebooks(
     dsub = dim // m
     xs = x.reshape(n, m, dsub)
     books = np.empty((m, k, dsub))
-    rng = np.random.default_rng(seed)
     for mi in range(m):
         sub = xs[:, mi, :]
-        # deterministic spread-out init: evenly strided distinct rows
-        order = rng.permutation(n)
-        centers = sub[order[: k]].copy() if n >= k else np.resize(sub, (k, dsub))
+        # deterministic spread-out init: evenly strided distinct rows of
+        # the hash-ordered sample (hash order ~ uniform shuffle)
+        if n >= k:
+            stride = np.linspace(0, n - 1, k).astype(int)
+            centers = sub[stride].copy()
+        else:
+            centers = np.resize(sub, (k, dsub))
         for _ in range(iters):
             d2 = ((sub[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)

@@ -705,19 +705,72 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_features", tags=("llm", "multimodal", "pandas-udf"))
+@register(
+    "q_multimodal_features",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'image/x-portable-graymap' AS mime,
+       CAST(43 AS BIGINT) AS n_bytes,
+       CASE WHEN (doc_id % 256) // 32 = ((doc_id*7 + 13) % 256) // 32
+            THEN 1.0 ELSE 0.5 END AS f_top,
+       CASE WHEN (doc_id % 256) // 32 = ((doc_id*7 + 13) % 256) // 32
+            THEN 1.0 ELSE 0.5 END AS f_bottom,
+       CAST(CASE WHEN (doc_id % 256) // 32 = ((doc_id*7 + 13) % 256) // 32
+            THEN 1 ELSE 2 END AS BIGINT) AS n_hot
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "image", "pandas-udf"),
+)
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads (mapInPandas
-    plumbing with the deterministic stub decoder) — rows-only check."""
-    d = load_table(spark, sf, "documents")
-    media = multimodal.with_media_columns(d, "text", "text/plain", "doc_id")
-    feats = multimodal.extract_features(media, fake=True)
+    """REAL image feature extraction, oracle-checked exactly (§2B).
+
+    One two-tone 8×4 PGM per document — rows 0-1 gray ``a = doc_id %
+    256``, rows 2-3 gray ``b = (doc_id*7+13) % 256`` — decoded by the
+    pure-numpy netpbm codec inside the Arrow-batched kernel.  The luma
+    of gray g is exactly g (ITU-R 601-2 weights sum to 1000), so the
+    8-bin histogram has 0.5 at buckets ``a>>5`` and ``b>>5`` (1.0 when
+    they coincide) and zero elsewhere; the oracle states the histogram
+    values at both known buckets plus the nonzero-bin count in closed
+    form, value-checking header parse, raster decode, luma conversion,
+    and normalization end to end.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                a = int(did) % 256
+                b = (int(did) * 7 + 13) % 256
+                payloads.append(
+                    b"P5\n8 4\n255\n" + bytes([a]) * 16 + bytes([b]) * 16
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "img": payloads})
+
+    imgs = d.mapInPandas(make, "doc_id long, img binary")
+    media = multimodal.with_media_columns(
+        imgs, "img", "image/x-portable-graymap", "doc_id"
+    )
+    feats = multimodal.extract_features(media, fake=False)
+    top_bucket = (F.floor((F.col("doc_id") % 256) / 32) + 1).cast("int")
+    bottom_bucket = (F.floor((F.col("doc_id") * 7 + 13) % 256 / 32) + 1).cast(
+        "int"
+    )
     return feats.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         "mime",
         F.col("n_bytes").cast("long").alias("n_bytes"),
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-        F.round(F.element_at("features", 2), 6).alias("f1"),
+        F.element_at("features", top_bucket).alias("f_top"),
+        F.element_at("features", bottom_bucket).alias("f_bottom"),
+        F.size(F.filter("features", lambda v: v > 0))
+        .cast("long")
+        .alias("n_hot"),
     )
 
 
@@ -1042,16 +1095,62 @@ def q_multimodal_image_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     return feats.join(thumbs, "doc_id")
 
 
-@register("q_multimodal_frames", tags=("llm", "multimodal", "pandas-udf"))
+@register(
+    "q_multimodal_frames",
+    oracle="""
+WITH f AS (
+  SELECT d.doc_id, d.n_chars, g.idx,
+         ROUND(32767*((d.doc_id % 100) + 1)/256.0) AS q
+  FROM documents d, LATERAL (SELECT unnest(generate_series(0,
+       LEAST(CAST(CEIL(d.n_chars/125.0) AS BIGINT)-1, 4))) AS idx) g
+  WHERE d.doc_id < 300 AND d.n_chars > 0
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(idx AS BIGINT) AS frame_idx,
+       CAST(idx*125 AS BIGINT) AS frame_ms,
+       CAST(44 + 2*LEAST(125, n_chars - idx*125) AS BIGINT) AS seg_bytes,
+       CAST(CASE WHEN idx % 2 = 0 THEN q ELSE -q END AS BIGINT) AS first_pcm
+FROM f
+""",
+    tags=("llm", "multimodal", "audio", "pandas-udf"),
+)
 def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
-    """Frame-sampling plumbing over binary payloads (mapInPandas row
-    explosion with the deterministic stub codec) — rows-only check."""
-    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
-    media = multimodal.with_media_columns(d, "text", "video/mp4", "doc_id")
-    frames = multimodal.sample_frames(media, every_ms=1000, max_frames=4, fake=True)
+    """REAL frame sampling with a raw-content check (§2B multimodal).
+
+    The synthetic square-wave WAVs (:func:`_synth_wav_media`) are sliced
+    into standalone 125 ms clips (at most 5); beyond the slicing
+    arithmetic that :func:`q_multimodal_audio_segments` already
+    value-checks, this reads the first PCM16 sample straight out of each
+    re-encoded clip's bytes.  The source sample at segment start
+    ``idx*125`` is ``±amp`` with sign ``(-1)^idx`` (125 is odd, the
+    square wave alternates per sample), and the PCM16 quantization of
+    ``amp = k/256`` is exactly ``round(32767·k/256)`` with no
+    round-half ties for k ≤ 100 — so container framing, slice offsets,
+    AND the actual encoded sample bytes are all value-checked in closed
+    form.
+    """
+    media = _synth_wav_media(spark, sf)
+    frames = multimodal.sample_frames(
+        media, every_ms=125, max_frames=5, fake=False
+    )
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _first_pcm(clip):
+        return clip.map(
+            lambda p: int.from_bytes(bytes(p)[44:46], "little", signed=True)
+        )
+
+    # module-level `from __future__ import annotations` would stringify
+    # inline hints, which pandas_udf cannot resolve — set them directly
+    _first_pcm.__annotations__ = {"clip": pd.Series, "return": pd.Series}
+    first_pcm = pandas_udf(_first_pcm, "long")
+
     return frames.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("frame_idx").cast("long").alias("frame_idx"),
         F.col("frame_ms").cast("long").alias("frame_ms"),
-        F.sha2(F.col("frame"), 256).alias("frame_sha"),
+        F.octet_length("frame").cast("long").alias("seg_bytes"),
+        first_pcm(F.col("frame")).alias("first_pcm"),
     )

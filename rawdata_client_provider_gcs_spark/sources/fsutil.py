@@ -56,6 +56,24 @@ class HadoopFs:
         finally:
             stream.close()
 
+    def create_exclusive(self, uri: str, payload: bytes) -> bool:
+        """Create-if-absent: False when the object already exists.
+
+        Uses Hadoop's non-overwrite create, which maps to an atomic
+        ``O_CREAT|O_EXCL``-style precondition on HDFS/local and an
+        if-generation-match precondition on the GCS connector — the
+        primitive behind advisory maintenance locks.
+        """
+        try:
+            stream = self._fs.create(self.path(uri), False)
+        except Exception:
+            return False
+        try:
+            stream.write(bytearray(payload))
+        finally:
+            stream.close()
+        return True
+
     def read_bytes(self, uri: str) -> bytes:
         # py4j passes arrays by value, so readFully into a bytearray would
         # not propagate back — use commons-io (on Spark's classpath) instead.

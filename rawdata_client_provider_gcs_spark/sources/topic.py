@@ -28,6 +28,8 @@ from concurrent.futures import ThreadPoolExecutor
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from contextlib import contextmanager
+
 from ..datamodel import MESSAGE_SCHEMA
 from . import avro_codec
 from .filenames import (
@@ -83,6 +85,29 @@ def _encode_parquet_rows(
     buf = io.BytesIO()
     pq.write_table(table, buf, compression="snappy")
     return buf.getvalue()
+
+
+class ConcurrentMaintenanceError(RuntimeError):
+    """Another maintenance operation (compact/expire) holds the topic lock."""
+
+
+def _with_maintenance_lock(func):
+    """Serialize maintenance ops per topic via an advisory lock object.
+
+    compact() rewrites files a concurrent expire_before() may be
+    bounding/deleting (and vice versa); both docstrings assume a single
+    maintenance owner — this asserts it instead of trusting it.  The lock
+    is a create-if-absent object; a crash mid-maintenance leaves it held,
+    and :meth:`Topic.break_maintenance_lock` is the operator override.
+    """
+    import functools
+
+    @functools.wraps(func)
+    def wrapper(self, *args, **kwargs):
+        with self._maintenance_lock(func.__name__):
+            return func(self, *args, **kwargs)
+
+    return wrapper
 
 
 class Topic:
@@ -286,12 +311,23 @@ class Topic:
 
     # -- write --------------------------------------------------------------
 
-    def _commit_part_files(self, tmp_uri: str, ext: str) -> list[str]:
+    def _commit_part_files(
+        self,
+        tmp_uri: str,
+        ext: str,
+        pre_commit=None,
+    ) -> list[str]:
         """Rename committed part files in ``tmp_uri`` to manifest names.
 
         One lightweight aggregate over the just-written files computes each
         file's manifest facts (min ulid ts, count, first position); sizes
         come from the listing.  Returns the final file URIs.
+
+        ``pre_commit``, when given, is called with the list of planned
+        final filenames after the facts are computed but BEFORE anything
+        becomes visible (sidecar add, renames).  The streaming sink uses
+        it to durably record a commit *intent* so a crash mid-commit can
+        be rolled back on replay (:mod:`..streaming.sink`).
         """
         parts = [
             (path, size)
@@ -335,6 +371,28 @@ class Topic:
             )
             renames.append((src, f"{self.uri}/{filename}"))
             maxts_add[filename] = row["max_ts_ms"]
+        # logical-twin scan BEFORE anything lands: a replayed commit (the
+        # streaming sink's write-then-epoch crash window, or an idempotent
+        # re-append of the same rows) re-produces the same logical windows,
+        # but the byte size embedded in the name is shuffle-order-dependent,
+        # so an exact-name collision check alone never fires — and on
+        # rename-over-permissive schemes (POSIX file://) the rename would
+        # silently land a second copy of the window.  Equal facts
+        # (from-ts, count, first-position, ext) on the same deterministic
+        # range partitioning mean the same row set; converge on the
+        # already-committed twin instead of duplicating it.
+        twin_by_facts: dict[tuple, tuple[str, str]] = {}
+        for path, _size in self.fs.list_files(self.uri):
+            name = path.rsplit("/", 1)[-1]
+            try:
+                have = decode_filename(name)
+            except Exception:
+                continue
+            twin_by_facts[
+                (have.from_ts_ms, have.count, have.first_position, have.ext)
+            ] = (name, path)
+        if pre_commit is not None:
+            pre_commit([dst.rsplit("/", 1)[-1] for _, dst in renames])
         # sidecar entries land BEFORE the renames: a reader that lists the
         # topic between a rename and the sidecar write must still see a
         # max-ts entry for the new (possibly time-overlapping) file, or
@@ -350,45 +408,26 @@ class Topic:
         def _do(pair: tuple[str, str]) -> str:
             """Rename, or converge on an earlier attempt's committed twin.
 
-            An identical logical window can already sit in the topic when
-            a previous commit crashed after its renames but before the
-            caller recorded success (the streaming sink's write-then-epoch
-            window).  Filenames carry (from-ts, count, first-position):
-            equal facts on the same deterministic range partitioning mean
-            the same row set — only the byte size (shuffle-order-dependent
-            parquet encoding, also part of the name) may differ.  Treating
-            the existing twin as this file makes replay converge instead
-            of wedging every retry on the rename.
+            The twin check runs BEFORE the rename: a replayed window's
+            byte size (and therefore its name) usually differs from the
+            committed twin's, so the rename would succeed and duplicate
+            the rows — and on POSIX ``file://`` even an exact-name rename
+            replaces silently rather than failing.
             """
             src, dst = pair
+            dst_name = dst.rsplit("/", 1)[-1]
+            want = decode_filename(dst_name)
+            twin = twin_by_facts.get(
+                (want.from_ts_ms, want.count, want.first_position, want.ext)
+            )
+            if twin is not None:
+                twin_name, twin_path = twin
+                self.fs.delete(src)
+                if twin_name != dst_name:
+                    converged_orphans.append(dst_name)
+                return twin_path
             if self.fs.rename(src, dst):
                 return dst
-            dst_name = dst.rsplit("/", 1)[-1]
-            listed = {
-                p.rsplit("/", 1)[-1]: p for p, _ in self.fs.list_files(self.uri)
-            }
-            if dst_name in listed:  # exact twin (same bytes) already landed
-                self.fs.delete(src)
-                return dst
-            try:
-                want = decode_filename(dst_name)
-            except Exception:
-                want = None
-            if want is not None:
-                for name, path in listed.items():
-                    try:
-                        have = decode_filename(name)
-                    except Exception:
-                        continue
-                    if (
-                        have.from_ts_ms,
-                        have.count,
-                        have.first_position,
-                        have.ext,
-                    ) == (want.from_ts_ms, want.count, want.first_position, want.ext):
-                        self.fs.delete(src)
-                        converged_orphans.append(dst_name)
-                        return path
             raise IOError(f"rename failed: {src} -> {dst}")
 
         try:
@@ -419,12 +458,25 @@ class Topic:
         self.fs.delete(tmp_uri, recursive=True)
         return final_paths
 
+    def rollback_files(self, names: list[str]) -> None:
+        """Remove files (and their sidecar entries) from a failed commit.
+
+        Used by the streaming sink's replay path to undo the visible
+        remains of a crashed micro-batch before rewriting it.  Idempotent:
+        missing files and absent sidecar entries are fine.
+        """
+        for name in names:
+            self.fs.delete(f"{self.uri}/{name}")
+        if names:
+            self._update_max_ts(remove=list(names))
+
     def write_dataframe(
         self,
         df: DataFrame,
         ext: str = "parquet",
         range_partition: bool = True,
         max_records_per_file: int | None = None,
+        pre_commit=None,
     ) -> list[str]:
         """Bulk append: the 100 TB write path.
 
@@ -461,7 +513,7 @@ class Topic:
             writer.save(tmp_uri)
         else:
             self._write_avro_parts(writer_df, tmp_uri, max_records_per_file)
-        return self._commit_part_files(tmp_uri, ext)
+        return self._commit_part_files(tmp_uri, ext, pre_commit=pre_commit)
 
     def _write_avro_parts(
         self,
@@ -521,6 +573,30 @@ class Topic:
 
         writer_df.sortWithinPartitions("ulid").foreachPartition(write_partition)
 
+    def _maintenance_lock_uri(self) -> str:
+        return f"{self.uri}/metadata/engine-maintenance.lock"
+
+    @contextmanager
+    def _maintenance_lock(self, op: str):
+        uri = self._maintenance_lock_uri()
+        self.fs.mkdirs(f"{self.uri}/metadata")
+        payload = json.dumps({"op": op, "owner": uuid.uuid4().hex}).encode("utf-8")
+        if not self.fs.create_exclusive(uri, payload):
+            raise ConcurrentMaintenanceError(
+                f"maintenance already running on topic {self.name!r} "
+                f"(lock {uri}); if the holder crashed, call "
+                "break_maintenance_lock() first"
+            )
+        try:
+            yield
+        finally:
+            self.fs.delete(uri)
+
+    def break_maintenance_lock(self) -> bool:
+        """Operator override: remove a lock left by a crashed maintenance run."""
+        return self.fs.delete(self._maintenance_lock_uri())
+
+    @_with_maintenance_lock
     def compact(
         self,
         small_file_max_records: int,
@@ -539,11 +615,12 @@ class Topic:
         Files already at target size are left untouched, so compaction cost
         tracks the small-file tail, not topic size.
 
-        Returns ``(new_files, removed_files)``.  Not safe to run
-        concurrently with another compaction of the same topic; readers
-        started before the delete may double-count — run it from the
-        single maintenance owner (the same exclusivity the reference's
-        producer lock provides per topic, AvroRawdataProducer.java:206-216).
+        Returns ``(new_files, removed_files)``.  Concurrent maintenance
+        (another compact, or a retention sweep) is refused via the topic's
+        advisory maintenance lock — the same exclusivity the reference's
+        producer lock provides per topic (AvroRawdataProducer.java:206-216),
+        asserted rather than assumed.  Readers started before the delete
+        may double-count (same contract as any log compaction).
         """
         manifest = self.list_manifest()
         small = [
@@ -585,6 +662,7 @@ class Topic:
         self._update_max_ts(remove=deleted + orphans)
         return new_files, paths
 
+    @_with_maintenance_lock
     def expire_before(self, ts_ms: int) -> list[str]:
         """Retention sweep: delete files whose EVERY event predates ``ts_ms``.
 
@@ -601,9 +679,13 @@ class Topic:
           deletable iff ``max_ts < ts_ms``;
         - files without a sidecar entry (reference-written) are
           time-disjoint and ordered by the producer contract
-          (AvroRawdataProducer.java window rotation), so the NEXT file's
-          ``from_ts`` bounds them above; the LAST such file is unbounded
-          and never expires on that basis.
+          (AvroRawdataProducer.java window rotation) — but only among
+          THEMSELVES: engine-written files (compact() unions, event-time
+          bulk publishes) interleave in ``from_ts`` order without being
+          time-disjoint with the reference sequence.  So the upper bound
+          for a sidecar-less file is the next sidecar-LESS entry's
+          ``from_ts``, skipping any engine entries in between; the LAST
+          such file is unbounded and never expires on that basis.
 
         Returns deleted paths.  Single maintenance owner per topic, like
         :meth:`compact`; readers started before the sweep may observe
@@ -611,17 +693,29 @@ class Topic:
         """
         manifest = self.list_manifest()
         max_ts = self.load_max_ts()
+        # successor map within the reference-producer (sidecar-less)
+        # subsequence: bounding by the immediate manifest neighbor would
+        # let an overlapping engine file with a small from_ts undercut a
+        # reference file's true max event time and over-delete
+        no_sidecar = [
+            i
+            for i, (_, entry) in enumerate(manifest)
+            if entry.filename not in max_ts
+        ]
+        next_ref_from: dict[int, int] = {}
+        for pos, i in enumerate(no_sidecar[:-1]):
+            next_ref_from[i] = manifest[no_sidecar[pos + 1]][1].from_ts_ms
         deletable: list[tuple[str, str]] = []
         for i, (path, entry) in enumerate(manifest):
             hi = max_ts.get(entry.filename)
             if hi is None:
-                if i + 1 >= len(manifest):
-                    continue  # open-ended tail file: no upper bound
-                # disjoint + sorted => everything here <= next file's start;
-                # bound INCLUSIVE of the boundary millisecond — rotation can
-                # split mid-millisecond (ULIDs order sub-ms), and an
-                # exclusive bound would over-delete those boundary events
-                hi = manifest[i + 1][1].from_ts_ms
+                hi = next_ref_from.get(i)
+                if hi is None:
+                    continue  # open-ended tail of the reference sequence
+                # disjoint + sorted => everything here <= next ref file's
+                # start; bound INCLUSIVE of the boundary millisecond —
+                # rotation can split mid-millisecond (ULIDs order sub-ms),
+                # and an exclusive bound would over-delete boundary events
             if hi < ts_ms:
                 deletable.append((path, entry.filename))
         for path, _ in deletable:

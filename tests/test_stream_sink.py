@@ -236,3 +236,137 @@ def test_replay_after_commit_but_before_epoch_converges(spark, tmp_path):
     assert len(got) == n1  # exactly once despite the lost epoch
     assert [r["sequence_number"] for r in got] == list(range(len(rows)))
     assert S.last_committed_batch(topic, "s1") == 1
+
+
+def test_crash_between_write_and_epoch_rolls_back(spark, tmp_path, monkeypatch):
+    """Fault injection for the exactly-once crash window: the batch's
+    files land, the committed-marker put raises (the crash), and the
+    restarted query replays the batch.  The replay must roll back the
+    intent-recorded files — NOT rely on the rewrite reproducing the same
+    file boundaries — and the topic must hold each message exactly once."""
+    from rawdata_client_provider_gcs_spark.metadata import RawdataMetadataClient
+
+    src, rows = _stage_messages(spark, tmp_path, n_files=2, per_file=6)
+    schema = (
+        "ulid binary, ulid_ts_ms long, ordering_group string, "
+        "sequence_number long, position string, data map<string,binary>"
+    )
+    topic = Topic(spark, f"file://{tmp_path}/root", "t-crash")
+
+    real_put = RawdataMetadataClient.put
+    armed = {"on": True}
+
+    def crashing_put(self, key, value, atomic=False):
+        if (
+            armed["on"]
+            and b'"batch_id": 1' in value
+            and b'"committed": true' in value
+        ):
+            armed["on"] = False
+            raise RuntimeError("injected crash before epoch commit")
+        return real_put(self, key, value, atomic=atomic)
+
+    monkeypatch.setattr(RawdataMetadataClient, "put", crashing_put)
+    q = S.stream_to_topic(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        topic, checkpoint_dir=str(tmp_path / "ck"), sink_id="s1",
+        available_now=True,
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+
+    # crashed state: batch 1's files are visible but uncommitted; the
+    # durable watermark is still batch 0
+    assert S.last_committed_batch(topic, "s1") == 0
+    marker_raw = RawdataMetadataClient(topic.fs, topic.uri, topic.name).get(
+        "stream-sink-epoch.s1"
+    )
+    import json as _json
+
+    marker = _json.loads(marker_raw.decode("utf-8"))
+    assert marker == {
+        "batch_id": 1,
+        "committed": False,
+        "files": marker["files"],
+    } and marker["files"]
+
+    # restart from the same checkpoint: Spark replays batch 1; the sink
+    # rolls the intent files back and rewrites the batch
+    q2 = S.stream_to_topic(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        topic, checkpoint_dir=str(tmp_path / "ck"), sink_id="s1",
+        available_now=True,
+    )
+    q2.awaitTermination()
+    got = topic.ordered_dataframe().collect()
+    assert [r["sequence_number"] for r in got] == list(range(len(rows)))
+    assert S.last_committed_batch(topic, "s1") == 1
+    # no orphan sidecar entries: every entry maps a listed file
+    listed = {p.rsplit("/", 1)[-1] for p, _ in topic.fs.list_files(topic.uri)}
+    assert set(topic.load_max_ts()) <= listed
+
+
+def test_replayed_write_converges_even_when_rename_would_succeed(spark, tmp_path):
+    """The twin check must fire BEFORE the rename: on POSIX file:// a
+    rename over an existing name silently replaces, and a replayed
+    window whose byte size differs gets a fresh name — either way the
+    pre-rename logical-twin scan is the only thing standing between a
+    replay and duplicated rows."""
+    base = 1_700_000_000_000
+    batch = [
+        (
+            ulid_mod.encode(base + i * 1000, i),
+            base + i * 1000,
+            "g",
+            i,
+            f"p-{i}",
+            {"k": bytes([i])},
+        )
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        batch,
+        "ulid binary, ulid_ts_ms long, ordering_group string, "
+        "sequence_number long, position string, data map<string,binary>",
+    )
+    topic = Topic(spark, f"file://{tmp_path}/root", "t-twin")
+    first = topic.write_dataframe(df)
+    assert first
+    n1 = topic.dataframe().count()
+    # identical logical window again (the sink-replay shape)
+    second = topic.write_dataframe(df)
+    assert topic.dataframe().count() == n1  # converged, not duplicated
+    # resolved onto the committed twins (paths may differ in URI
+    # normalization, file:/ vs file:///)
+    assert sorted(p.rsplit("/", 1)[-1] for p in second) == sorted(
+        p.rsplit("/", 1)[-1] for p in first
+    )
+    # sidecar holds exactly the listed files, no orphan entries
+    listed = {p.rsplit("/", 1)[-1] for p, _ in topic.fs.list_files(topic.uri)}
+    assert set(topic.load_max_ts()) <= listed
+
+
+def test_torn_epoch_marker_reads_as_absent(spark, tmp_path):
+    """A garbage marker (legacy non-atomic write interrupted mid-flight)
+    must not wedge the sink: it reads as absent and the next run
+    rewrites it atomically."""
+    from rawdata_client_provider_gcs_spark.metadata import RawdataMetadataClient
+
+    src, rows = _stage_messages(spark, tmp_path, n_files=2, per_file=4)
+    schema = (
+        "ulid binary, ulid_ts_ms long, ordering_group string, "
+        "sequence_number long, position string, data map<string,binary>"
+    )
+    topic = Topic(spark, f"file://{tmp_path}/root", "t-torn")
+    meta = RawdataMetadataClient(topic.fs, topic.uri, topic.name)
+    meta.put("stream-sink-epoch.s1", b'{"batch_id": 0, "comm')  # torn JSON
+    assert S.last_committed_batch(topic, "s1") is None
+
+    q = S.stream_to_topic(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        topic, checkpoint_dir=str(tmp_path / "ck"), sink_id="s1",
+        available_now=True,
+    )
+    q.awaitTermination()
+    assert topic.dataframe().count() == len(rows)
+    assert S.last_committed_batch(topic, "s1") == 1

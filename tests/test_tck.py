@@ -390,3 +390,95 @@ def test_expire_before_retention(spark, tmp_path):
     deleted2 = topic.expire_before(4_102_444_800_000)  # year 2100
     assert len(deleted2) == len(remaining) - 1
     assert len(topic.list_manifest()) == 1
+
+
+def test_expire_mixed_topic_bounds_by_reference_sequence(spark, tmp_path):
+    """Retention in a MIXED topic: a sidecar-less (reference-written)
+    file is bounded by the next sidecar-LESS file's from_ts — an
+    overlapping engine-written file that sorts right after it must not
+    undercut the bound and cause deletion of live events."""
+    from rawdata_client_provider_gcs_spark.sources.topic import Topic
+    from rawdata_client_provider_gcs_spark import ulid as ulid_mod
+
+    topic = Topic(spark, f"file://{tmp_path}/root", "mix")
+    base = 1_700_000_000_000
+
+    def rows_for(ts_list, tag):
+        return [
+            (
+                ulid_mod.encode(ts, i),
+                "g",
+                i,
+                f"{tag}-{i}",
+                {"k": b"v"},
+            )
+            for i, ts in enumerate(ts_list)
+        ]
+
+    # reference file A: events at base..base+100_000 (from_ts = base)
+    topic.write_single_rows(rows_for([base, base + 100_000], "a"))
+    # reference file B: starts after A's last event (disjoint sequence)
+    topic.write_single_rows(rows_for([base + 200_000, base + 210_000], "b"))
+    # engine file E: overlaps A, from_ts sorts between A's and B's
+    topic.write_single_rows(rows_for([base + 5_000, base + 150_000], "e"))
+    manifest = topic.list_manifest()
+    assert len(manifest) == 3
+    names = [e.filename for _, e in manifest]
+    # strip sidecar entries for A and B: they are "reference-written"
+    a_name, e_name, b_name = names[0], names[1], names[2]
+    topic._update_max_ts(remove=[a_name, b_name])
+    topic._maxts_last_good = None
+    assert set(topic.load_max_ts()) == {e_name}
+
+    # cutoff between A's from_ts and A's true max: the buggy
+    # next-manifest-entry bound (E.from_ts = base+5000 < cutoff) would
+    # delete A and lose the live event at base+100_000
+    deleted = topic.expire_before(base + 50_000)
+    assert deleted == []
+    assert len(topic.list_manifest()) == 3
+
+    # cutoff beyond A's reference-sequence bound (B.from_ts): A may go,
+    # B (open-ended tail of the reference sequence) and E (sidecar max
+    # base+150_000 < cutoff is false? it is true — E goes too) resolve
+    # by their own bounds
+    deleted2 = topic.expire_before(base + 201_000)
+    gone = {p.rsplit("/", 1)[-1] for p in deleted2}
+    assert a_name in gone
+    assert e_name in gone  # sidecar max base+150_000 < cutoff
+    assert b_name not in gone  # unbounded tail of the reference sequence
+
+
+def test_concurrent_maintenance_refused(spark, tmp_path):
+    """compact/expire assert the single-maintenance-owner contract via an
+    advisory lock instead of assuming it."""
+    from rawdata_client_provider_gcs_spark.sources.topic import (
+        ConcurrentMaintenanceError,
+        Topic,
+    )
+
+    client = RawdataClient(spark, str(tmp_path), avro_file_max_bytes=256)
+    with client.producer("m") as producer:
+        for i in range(20):
+            producer.publish(msg(f"p-{i:02d}", payload1="x" * 40))
+    topic = client.topic("m")
+
+    # simulate a concurrently-running maintenance op holding the lock
+    assert topic.fs.create_exclusive(
+        topic._maintenance_lock_uri(), b'{"op": "compact", "owner": "other"}'
+    )
+    with pytest.raises(ConcurrentMaintenanceError):
+        topic.compact(small_file_max_records=30, target_records_per_file=30)
+    with pytest.raises(ConcurrentMaintenanceError):
+        topic.expire_before(4_102_444_800_000)
+
+    # operator override after a crashed holder, then maintenance proceeds
+    assert topic.break_maintenance_lock()
+    new_files, removed = topic.compact(
+        small_file_max_records=30, target_records_per_file=30
+    )
+    assert new_files and removed
+    # the lock is released afterwards: a second run is admitted
+    assert topic.compact(small_file_max_records=2, target_records_per_file=30) == (
+        [],
+        [],
+    )
