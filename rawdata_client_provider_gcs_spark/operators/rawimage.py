@@ -1,12 +1,13 @@
-"""Pure-numpy codecs for uncompressed image formats (PPM/PGM/BMP).
+"""Pure-numpy/stdlib codecs for common image formats (PPM/PGM/BMP/PNG).
 
-Media containers in this environment ship no pillow/libjpeg, but the
-uncompressed interchange formats need nothing beyond numpy: netpbm P6
-(PPM, binary RGB), P5 (PGM, binary gray), and 24-bit uncompressed BMP
-are plain headers over raw pixels.  Decoding them here makes the
-multimodal decode/resize kernels *real* — not stubbed — for any payload
-in these formats, in every environment; pillow remains the first-choice
-path for compressed formats when importable.
+Media containers in this environment ship no pillow/libjpeg, but these
+interchange formats need nothing beyond numpy and stdlib ``zlib``:
+netpbm P6 (PPM, binary RGB), P5 (PGM, binary gray), 24-bit uncompressed
+BMP, and 8-bit PNG (IDAT inflate + per-scanline unfilter — the dominant
+real-world lossless format).  Decoding them here makes the multimodal
+decode/resize kernels *real* — not stubbed — for any payload in these
+formats, in every environment; pillow remains the first-choice path for
+the remaining compressed formats (JPEG) when importable.
 
 All functions are batch-friendly (called from ``mapInPandas`` kernels)
 and deterministic.
@@ -16,13 +17,17 @@ from __future__ import annotations
 
 import numpy as np
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
 
 def sniff_format(payload: bytes) -> str | None:
-    """Return "ppm" | "pgm" | "bmp" when the payload is decodable here."""
+    """Return "ppm" | "pgm" | "bmp" | "png" when decodable here."""
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"P5":
         return "pgm"
+    if payload[:8] == _PNG_SIG:
+        return "png"
     if payload[:2] == b"BM" and len(payload) >= 30:
         bpp = int.from_bytes(payload[28:30], "little")
         compression = int.from_bytes(payload[30:34], "little")
@@ -86,7 +91,149 @@ def decode_image(payload: bytes) -> np.ndarray:
         bgr = rows[:, : w * 3].reshape(h, w, 3)
         rgb = bgr[:, :, ::-1]
         return (rgb[::-1] if flip else rgb).copy()
-    raise ValueError("payload is not a decodable PPM/PGM/BMP image")
+    if fmt == "png":
+        return decode_png(payload)
+    raise ValueError("payload is not a decodable PPM/PGM/BMP/PNG image")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit non-interlaced PNG to an (H, W, 3) uint8 RGB array.
+
+    Stdlib-only: chunk walk, ``zlib`` IDAT inflate, per-scanline
+    unfilter (None/Sub/Up/Average/Paeth), then color-type normalization
+    — grayscale and gray+alpha expand to RGB, palette indices map
+    through PLTE, RGBA drops alpha (matching what pillow's ``convert``
+    does for the luma path).  16-bit depth and Adam7 interlacing raise
+    — they are rare for the thumbnails/fixtures this engine decodes,
+    and a loud error beats a silent misdecode.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    pos = 8
+    n = len(payload)
+    while pos + 8 <= n:
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # data + length + type + CRC
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("truncated PNG: missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG shape: depth={depth} interlace={interlace}"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type: {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    out = bytearray(h * stride)
+    prev_start = -1
+    for y in range(h):
+        row_off = y * (stride + 1)
+        ftype = raw[row_off]
+        line = bytearray(raw[row_off + 1 : row_off + 1 + stride])
+        cur_start = y * stride
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            if y:
+                for i in range(stride):
+                    line[i] = (line[i] + out[prev_start + i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                up = out[prev_start + i] if y else 0
+                line[i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                up = out[prev_start + i] if y else 0
+                ul = out[prev_start + i - channels] if (y and i >= channels) else 0
+                line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type: {ftype}")
+        out[cur_start : cur_start + stride] = line
+        prev_start = cur_start
+    arr = np.frombuffer(bytes(out), np.uint8).reshape(h, w, channels)
+    if color == 0:  # grayscale
+        return np.repeat(arr, 3, axis=2)
+    if color == 2:  # RGB
+        return arr.copy()
+    if color == 3:  # palette
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+        return pal[arr[:, :, 0]]
+    if color == 4:  # gray + alpha
+        return np.repeat(arr[:, :, :1], 3, axis=2)
+    return arr[:, :, :3].copy()  # RGBA
+
+
+def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+    """Encode an (H, W, 3) uint8 array as an 8-bit RGB PNG (filter 0).
+
+    ``level=0`` emits zlib *stored* blocks, whose byte count is a closed
+    form of the dimensions — ``68 + (3·W + 1)·H`` for raster < 64 KiB —
+    which the oracle-checked image queries rely on (a compressed size
+    would depend on the zlib build).  Higher levels are for real use.
+    """
+    import struct
+    import zlib
+
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("expected an (H, W, 3) uint8 array")
+    h, w = arr.shape[:2]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raster = b"".join(
+        b"\x00" + arr[y].tobytes() for y in range(h)
+    )  # filter 0 per scanline
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster, level))
+        + chunk(b"IEND", b"")
+    )
 
 
 def encode_ppm(arr: np.ndarray) -> bytes:

@@ -1039,7 +1039,8 @@ def q_multimodal_audio_segments(spark: SparkSession, sf: str) -> DataFrame:
     "q_multimodal_image_pipeline",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(107 AS BIGINT) AS n_bytes,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 107 ELSE 168 END AS BIGINT)
+         AS n_bytes,
        CAST((doc_id % 256) // 32 AS BIGINT) AS luma_bucket,
        CAST(155 AS BIGINT) AS thumb_bytes
 FROM documents WHERE doc_id < 300
@@ -1049,15 +1050,18 @@ FROM documents WHERE doc_id < 300
 def q_multimodal_image_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """REAL image decode + resize, oracle-checked exactly (§2B multimodal).
 
-    One 8×4 constant-color PPM per document (pixel value
-    ``doc_id % 256``), decoded by the pure-numpy netpbm codec inside the
-    feature kernel: the luma of a constant (k,k,k) pixel is exactly k
-    (the ITU-R 601-2 weights sum to 1000), so the 8-bin histogram is
-    one-hot and the lit bin index is ``k >> 5`` — stated in closed form
-    by the oracle.  The thumbnail path really decodes + nearest-resizes
-    to 8×6 and re-encodes PPM, whose canonical size (11-byte header +
-    144 raster bytes) the oracle also states.  Codec, kernel, and
-    resize arithmetic are all value-checked.
+    One 8×4 constant-color image per document (pixel value
+    ``doc_id % 256``) — PPM for even doc_ids, PNG (stored-block zlib,
+    stdlib inflate + unfilter on decode) for odd ones — decoded by the
+    pure-Python codecs inside the feature kernel: the luma of a constant
+    (k,k,k) pixel is exactly k (the ITU-R 601-2 weights sum to 1000), so
+    the 8-bin histogram is one-hot and the lit bin index is ``k >> 5`` —
+    stated in closed form by the oracle.  Payload sizes are closed-form
+    too: PPM 11-byte header + 96 raster bytes = 107; level-0 PNG
+    ``68 + (3·8+1)·4`` = 168.  The thumbnail path really decodes +
+    nearest-resizes to 8×6 and re-encodes PPM (11 + 144 = 155 bytes).
+    Both codecs, the kernel, and the resize arithmetic are all
+    value-checked.
     """
     d = (
         load_table(spark, sf, "documents")
@@ -1076,11 +1080,15 @@ def q_multimodal_image_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 k = int(did) % 256
                 img = np.full((4, 8, 3), k, dtype=np.uint8)
-                payloads.append(rawimage.encode_ppm(img))
+                payloads.append(
+                    rawimage.encode_ppm(img)
+                    if int(did) % 2 == 0
+                    else rawimage.encode_png(img, level=0)
+                )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "img": payloads})
 
     imgs = d.mapInPandas(make, "doc_id long, img binary")
-    media = multimodal.with_media_columns(imgs, "img", "image/x-portable-pixmap", "doc_id")
+    media = multimodal.with_media_columns(imgs, "img", "image/mixed-raw", "doc_id")
     feats = multimodal.extract_features(media, fake=False).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("n_bytes").cast("long").alias("n_bytes"),
