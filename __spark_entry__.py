@@ -43,7 +43,12 @@ def _check_history() -> tuple[set[str], set[str]]:
         for name, row in rows.items():
             seen.add(name)
             ok = bool(row.get("hash_match")) or (
-                # declared rows-only sketches: a rows-only run counts
+                # declared rows-only sketches: a rows-only run counts.
+                # Note this treats any non-erroring rows-only run as green
+                # forever — a silent CONTENT regression in a sketch query
+                # would not resurface it here; the invariant pytests
+                # (recall-vs-exact, cross-tier parity) are the real guard
+                # for those, and an erroring run still demotes the row.
                 row.get("err") == "no_oracle" and row.get("spark_rows") is not None
             )
             if ok:

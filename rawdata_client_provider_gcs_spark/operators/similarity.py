@@ -48,19 +48,41 @@ def cosine_similarity(a, b) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+#: brute_force_topk broadcasts the query set to every task; beyond this
+#: many query rows the broadcast (and the |queries|×|corpus| score work)
+#: is a misuse of the exact tier — fail loud and point at the ANN tiers.
+MAX_BRUTE_FORCE_QUERIES = 100_000
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    max_queries: int = MAX_BRUTE_FORCE_QUERIES,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of every query vector.
 
     ``queries`` (small) is broadcast against the full embedding corpus —
     a map-only scan per candidate partition; the only shuffle is the
     per-query top-k (TakeOrdered via window + filter).
+
+    The exact tier's contract is a SMALL query set: the guard counts the
+    query side (one cheap count on the small input, driver-side) and
+    raises when it exceeds ``max_queries`` rather than letting an
+    oversized broadcast OOM an executor mid-job — route big query sets
+    to :func:`ivf_topk` / :func:`lsh_ann_topk` instead.
     """
+    if max_queries is not None:
+        n_q = queries.limit(max_queries + 1).count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"brute_force_topk query side exceeds {max_queries} rows; "
+                "the exact tier broadcasts every query to every task — "
+                "use ivf_topk/ivf_pq_topk/lsh_ann_topk for large query "
+                "sets, or raise max_queries explicitly"
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )

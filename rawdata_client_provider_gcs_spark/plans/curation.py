@@ -193,6 +193,7 @@ def q_curation_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_curation_weighted_mix",
+    bench=True,
     oracle=f"""
 WITH en AS (
   SELECT doc_id, 'en_heavy' AS source FROM documents

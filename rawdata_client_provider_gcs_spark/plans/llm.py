@@ -501,6 +501,7 @@ def q_similarity_lsh_ann(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_heavy_hitter_words",
+    bench=True,
     oracle="""
 WITH words AS (
   SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
@@ -548,7 +549,7 @@ def q_heavy_hitter_words(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@register("q_similarity_ivf_pq", tags=("llm", "similarity", "sketch"))
+@register("q_similarity_ivf_pq", bench=True, tags=("llm", "similarity", "sketch"))
 def q_similarity_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ approximate top-5 with exact rerank (§2B similarity, the
     100 TB memory shape: 8-byte PQ codes ride the shuffles instead of

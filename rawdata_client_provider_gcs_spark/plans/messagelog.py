@@ -136,6 +136,7 @@ def q_log_ordered_scan(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_log_stream_sink_roundtrip",
+    bench=True,
     oracle="""
 SELECT event_type AS ordering_group,
        CAST(COUNT(*) AS BIGINT) AS n_messages,

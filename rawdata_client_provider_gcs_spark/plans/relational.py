@@ -1426,6 +1426,7 @@ FROM supplier
 
 @register(
     "q_zorder_key",
+    bench=True,
     oracle=_zorder_oracle(),
     tags=("layout", "zorder"),
 )

@@ -315,7 +315,10 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
     def update(key, pdf_iter, state):
         import pandas as pd
 
-        n, last_us = state.get() if state.exists else (0, 0)
+        # GroupState.get is a property (pyspark.sql.streaming.state);
+        # calling it crashed on every key that spans micro-batches —
+        # caught by the 10x stream stress, where keys recur per batch
+        n, last_us = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
             if len(pdf):

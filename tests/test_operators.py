@@ -814,3 +814,22 @@ def test_png_through_spark_kernels(spark):
     thumbs = multimodal.resize_images(media, 4, 2, fake=False, raw_only=True).collect()
     arr = rawimage.decode_image(bytes(thumbs[0]["thumb"]))
     assert arr.shape == (2, 4, 3) and (arr == 128).all()
+
+
+def test_brute_force_topk_guards_oversized_query_set(spark):
+    """The exact tier broadcasts the query set; an oversized one must
+    fail loud (pointing at the ANN tiers) instead of OOMing mid-job."""
+    from rawdata_client_provider_gcs_spark.operators import similarity
+
+    vecs = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=1) for _ in range(4)]).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="exceeds 10 rows"):
+        similarity.brute_force_topk(vecs, vecs, k=3, max_queries=10)
+    # small query sets (and an explicit opt-out) still work
+    out = similarity.brute_force_topk(vecs, vecs.limit(5), k=3)
+    assert out.count() == 15
+    assert similarity.brute_force_topk(
+        vecs, vecs.limit(12), k=1, max_queries=None
+    ).count() == 12

@@ -370,3 +370,70 @@ def test_torn_epoch_marker_reads_as_absent(spark, tmp_path):
     q.awaitTermination()
     assert topic.dataframe().count() == len(rows)
     assert S.last_committed_batch(topic, "s1") == 1
+
+
+def test_stateful_user_counts_across_micro_batches(spark, tmp_path):
+    """Keys recurring in later micro-batches must ACCUMULATE state —
+    regression for GroupState.get being a property, not a method: the
+    old call crashed the first time any key's state already existed."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rawdata_client_provider_gcs_spark.streaming import windows as W
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+        TimestampNTZType,
+    )
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    base = 1_700_000_000_000_000
+    now = None
+    for fi in range(3):  # same 4 users in every file
+        path = str(src / f"{fi}-ev.parquet")
+        ids = [fi * 8 + j for j in range(8)]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "ts": pa.array(
+                        [base + i * 1_000_000 for i in ids], pa.int64()
+                    ).cast(pa.timestamp("us")),
+                    "user_id": pa.array([i % 4 for i in ids], pa.int64()),
+                    "event_type": pa.array(["e"] * 8),
+                    "value": pa.array([0.0] * 8, pa.float64()),
+                    "props": pa.array([None] * 8, pa.string()),
+                }
+            ),
+            path,
+        )
+        if now is None:
+            now = os.stat(path).st_mtime
+        os.utime(path, (now + fi, now + fi))
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = W.run_available_now_update(
+        W.stateful_user_counts(stream), "t_stateful_xbatch"
+    )
+    final = {
+        r["user_id"]: r["n_events"]
+        for r in out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    assert final == {0: 6, 1: 6, 2: 6, 3: 6}  # 2 per file x 3 files

@@ -130,12 +130,85 @@ def time_query(spark, name: str, sf_dir: str) -> float:
     return round(best, 3)
 
 
+def skew_demo(spark, rows: int = 5_000_000, hot_share: float = 0.5) -> dict:
+    """Does the explicit salt earn its complexity under real key skew?
+
+    A Zipf-extreme distribution — one key holding ``hot_share`` of all
+    rows, the rest uniform over 100k keys — drives both the join and the
+    count-distinct path, plain vs salted, with the broadcast threshold
+    off (the regime salting exists for: the dim is too big to broadcast
+    or the planner can't see it's small).  AQE stays on, as in
+    production: AQE's skew splitter can divide an oversized SMJ
+    partition, so the join rows measure what AQE already solves; the
+    aggregation rows measure the case AQE cannot fix (a single
+    key-group feeding countDistinct must meet on one reducer — only the
+    two-stage salted rewrite bounds it).  Wall times plus the hot
+    partition's row count before/after salting.
+    """
+    from rawdata_client_provider_gcs_spark.operators import skew as skew_ops
+
+    n_hot = int(rows * hot_share)
+    big = (
+        spark.range(rows)
+        .select(
+            F.when(F.col("id") < n_hot, F.lit(0))
+            .otherwise((F.xxhash64("id") % 100_000 + 100_000) % 100_000 + 1)
+            .alias("k"),
+            (F.col("id") % 1_000_003).alias("v"),
+        )
+        .persist()
+    )
+    big.count()
+    small = spark.range(100_001).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("attr")
+    )
+
+    def timed(df) -> float:
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        return round(time.perf_counter() - t0, 2)
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = {
+            "rows": rows,
+            "hot_share": hot_share,
+            "join_plain_aqe_s": timed(big.join(small, "k")),
+            "join_salted_s": timed(
+                skew_ops.salted_join(big, small, "k", salt=32, salt_by=["v"])
+            ),
+            "cdist_plain_s": timed(
+                big.groupBy("k").agg(F.countDistinct("v").alias("nv"))
+            ),
+            "cdist_salted_s": timed(
+                skew_ops.salted_count_distinct(big, "k", "v", salt=32)
+            ),
+            "hot_key_rows": n_hot,
+            "hot_rows_per_salt": n_hot // 32,
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        big.unpersist()
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--queries", nargs="*", default=_DEFAULT_QUERIES)
     ap.add_argument("--regen", action="store_true", help="rebuild scaled data")
+    ap.add_argument(
+        "--skew", action="store_true", help="run the Zipf skew demo instead"
+    )
     args = ap.parse_args()
+
+    if args.skew:
+        spark = get_spark(app_name="rawdata-spark-skew-demo")
+        spark.sparkContext.setLogLevel("ERROR")
+        print(json.dumps({"skew": skew_demo(spark)}))
+        spark.stop()
+        return 0
 
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     out_dir = f"/tmp/rawdata-scale-{os.path.basename(base_dir.rstrip('/'))}-x{args.copies}"
