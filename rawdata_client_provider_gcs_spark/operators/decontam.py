@@ -1,0 +1,157 @@
+"""Benchmark decontamination: flag training docs overlapping an eval set.
+
+A training-data pipeline must not ship documents that contain its
+evaluation benchmarks (the standard n-gram decontamination step: GPT-3
+§C used 13-gram overlap, Llama/PaLM variants use 8–13).  The reference's
+payload model carries opaque documents (``data: map<string,bytes>``,
+AvroRawdataProducer.java:42-49); this operator family gives the engine
+the overlap check those corpora need before training.
+
+Scale shape (the part that matters at 100 TB):
+
+- The BENCHMARK side is small by definition (eval sets are thousands of
+  documents, not billions) — its distinct k-gram hashes are broadcast,
+  so the training corpus is scanned map-side exactly once, with no
+  corpus-sized shuffle for the probe.
+- Doc k-grams reduce to 8-byte ``xxhash64`` keys before the join (same
+  discipline as the exact Jaccard tier, ``operators/dedup.py``), so the
+  only shuffled payload is (doc_id, hash) hits — bounded by true
+  contamination volume, not corpus size.
+- The per-doc verdict is a combinable group-by (count distinct hashed
+  grams), partial-aggregated map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import shingles_expr
+
+
+def _gram_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(id, gram_hash) — distinct word-k-gram xxhash64 keys per document."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(shingles_expr(text_col, k=k)).alias("gram"),
+        )
+        .select(F.col(id_col), F.xxhash64("gram").alias("gram_hash"))
+        .distinct()
+    )
+
+
+def contaminated_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    k: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-document contamination report against a benchmark corpus.
+
+    Returns one row per training document sharing at least ``min_hits``
+    distinct word ``k``-grams with the benchmark:
+    ``(id_col, n_grams_hit, n_bench_docs)`` — how many distinct
+    benchmark k-grams the document contains, and how many distinct
+    benchmark documents those grams appear in.  Filter the training set
+    with an anti-join on the result (:func:`decontaminate`).
+
+    The benchmark's (gram_hash, bench_id) pairs are broadcast — eval
+    sets are small by definition; pass a pre-deduped benchmark if yours
+    is not.
+    """
+    bench_id = bench_id_col or id_col
+    bench_text = bench_text_col or text_col
+    bench_grams = _gram_hashes(benchmark, bench_id, bench_text, k).select(
+        F.col(bench_id).alias("__bench_id"), "gram_hash"
+    )
+    doc_grams = _gram_hashes(docs, id_col, text_col, k)
+    hits = doc_grams.join(F.broadcast(bench_grams), "gram_hash")
+    report = (
+        hits.groupBy(id_col)
+        .agg(
+            F.countDistinct("gram_hash").alias("n_grams_hit"),
+            F.countDistinct("__bench_id").alias("n_bench_docs"),
+        )
+        .filter(F.col("n_grams_hit") >= min_hits)
+    )
+    return report
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_hits: int = 1,
+    **kwargs,
+) -> DataFrame:
+    """The training set minus contaminated documents (left-anti join)."""
+    bad = contaminated_docs(
+        docs, benchmark, id_col=id_col, text_col=text_col, k=k,
+        min_hits=min_hits, **kwargs
+    ).select(id_col)
+    return docs.join(bad, id_col, "left_anti")
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher/C4-style within-document repetition facts, exact integers.
+
+    Per document: token count, distinct-token count, the most frequent
+    word bigram's occurrence count, and total bigram count — the inputs
+    to the standard repetition filters ("drop if top-2-gram fraction
+    > 0.2", "drop if 1 - distinct/total > 0.7").  All four are BIGINT so
+    the oracle comparison is exact; callers derive the ratios.
+
+    Shape: tokens stay inside one JVM projection (no explode for the
+    distinct-token side); the bigram top-1 is an explode + two
+    combinable aggregations keyed by (doc, bigram) — partial-aggregated
+    map-side, no skew beyond a document's own length.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.expr(
+            f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
+        ).alias("t"),
+    )
+    base = toks.select(
+        F.col(id_col),
+        F.size("t").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("long").alias("n_distinct_tokens"),
+        F.expr(
+            "CASE WHEN size(t) >= 2 THEN transform(sequence(1, size(t) - 1), "
+            "i -> concat_ws(' ', slice(t, i, 2))) ELSE array() END"
+        ).alias("bigrams"),
+    )
+    top = (
+        base.select(F.col(id_col), F.explode("bigrams").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").cast("long").alias("top_bigram_count"))
+    )
+    return (
+        base.select(
+            F.col(id_col),
+            "n_tokens",
+            "n_distinct_tokens",
+            F.size("bigrams").cast("long").alias("n_bigrams"),
+        )
+        .join(top, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "n_distinct_tokens",
+            "n_bigrams",
+            F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
+        )
+    )

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import text as T
-from ..operators import dedup, multimodal, similarity
+from ..operators import decontam, dedup, multimodal, similarity
 from ..tables import load_table
 from .catalog import register
 
@@ -1162,4 +1162,100 @@ def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
         F.col("frame_ms").cast("long").alias("frame_ms"),
         F.octet_length("frame").cast("long").alias("seg_bytes"),
         first_pcm(F.col("frame")).alias("first_pcm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination / repetition-quality family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_decontam_overlap",
+    bench=True,
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS g
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i
+    FROM toks WHERE len(t) >= 8
+  )
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(t, ' ') AS g
+  FROM toks WHERE len(t) < 8
+), bench AS (
+  SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % 37 = 0
+), hits AS (
+  SELECT d.doc_id, d.g, b.bench_id FROM grams d JOIN bench b ON d.g = b.g
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_grams_hit,
+       CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs
+FROM hits GROUP BY doc_id
+""",
+    tags=("llm", "decontam", "dedup"),
+)
+def q_decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination by 8-gram overlap (§2B LLM-pipeline).
+
+    Every 37th document plays the eval benchmark; the report counts, per
+    training document, the distinct shared word 8-grams and the distinct
+    benchmark documents hit.  The benchmark side is broadcast — the
+    corpus is probed map-side with no corpus-sized shuffle
+    (``operators/decontam.py``; GPT-3 §C n-gram decontamination shape).
+    """
+    d = load_table(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 37 == 0)
+    return decontam.contaminated_docs(d, bench, k=8).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_grams_hit").cast("long").alias("n_grams_hit"),
+        F.col("n_bench_docs").cast("long").alias("n_bench_docs"),
+    )
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         len(list_distinct(t)) AS n_distinct_tokens
+  FROM toks
+), bg AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+    FROM toks WHERE len(t) >= 2
+  )
+), topbg AS (
+  SELECT doc_id, MAX(c) AS top_bigram_count
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+       CAST(GREATEST(n_tokens - 1, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(top_bigram_count, 0) AS BIGINT) AS top_bigram_count
+FROM base LEFT JOIN topbg USING (doc_id)
+""",
+    tags=("llm", "text", "quality"),
+)
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/C4 repetition-filter inputs, exact per document (§2B text
+    analysis): token/distinct-token counts and the top word-bigram's
+    occupancy — the integers behind "drop if top-2-gram fraction > 0.2"
+    and "drop if 1 − distinct/total > 0.7"."""
+    d = load_table(spark, sf, "documents")
+    return decontam.repetition_stats(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("top_bigram_count").cast("long").alias("top_bigram_count"),
     )

@@ -833,3 +833,58 @@ def test_brute_force_topk_guards_oversized_query_set(spark):
     assert similarity.brute_force_topk(
         vecs, vecs.limit(12), k=1, max_queries=None
     ).count() == 12
+
+
+def test_decontam_planted_overlap(spark):
+    """Planted benchmark overlap is found exactly; clean docs pass the
+    anti-join untouched; and the probe plan broadcasts the benchmark
+    side (no corpus-sized shuffle for the join)."""
+    from rawdata_client_provider_gcs_spark.operators import decontam
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            # contains an exact 8-gram of the benchmark
+            (1, "x y " + "alpha beta gamma delta epsilon zeta eta theta" + " q r"),
+            (2, "totally unrelated words nothing shared here at all ok fine"),
+            # shares 7-gram only -> NOT contaminated at k=8
+            (3, "alpha beta gamma delta epsilon zeta eta DIFFERENT tail words"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+
+    report = decontam.contaminated_docs(docs, bench, k=8)
+    rows = {r["doc_id"]: r for r in report.collect()}
+    assert set(rows) == {1}
+    assert rows[1]["n_grams_hit"] == 1 and rows[1]["n_bench_docs"] == 1
+
+    clean = decontam.decontaminate(docs, bench, k=8)
+    assert {r["doc_id"] for r in clean.collect()} == {2, 3}
+
+    plan = report._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_exact_counts(spark):
+    """Token/bigram repetition facts are exact on hand-computable docs,
+    including the no-bigram edge cases."""
+    from rawdata_client_provider_gcs_spark.operators import decontam
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a b"),          # 4 tokens, 2 distinct; bigrams: a a, a a, a b -> top 2
+            (2, "one"),              # single token: no bigrams
+            (3, ""),                 # empty: all zero
+            (4, "x y x y x"),        # bigrams: x y, y x, x y, y x -> top 2
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in decontam.repetition_stats(docs).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_distinct_tokens"],
+            got[1]["n_bigrams"], got[1]["top_bigram_count"]) == (4, 2, 3, 2)
+    assert (got[2]["n_tokens"], got[2]["n_bigrams"], got[2]["top_bigram_count"]) == (1, 0, 0)
+    assert (got[3]["n_tokens"], got[3]["n_bigrams"], got[3]["top_bigram_count"]) == (0, 0, 0)
+    assert (got[4]["n_tokens"], got[4]["n_distinct_tokens"],
+            got[4]["top_bigram_count"]) == (5, 2, 2)
