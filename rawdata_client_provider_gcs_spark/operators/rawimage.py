@@ -96,17 +96,6 @@ def decode_image(payload: bytes) -> np.ndarray:
     raise ValueError("payload is not a decodable PPM/PGM/BMP/PNG image")
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    """PNG Paeth predictor (RFC 2083 §6.6)."""
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    if pb <= pc:
-        return b
-    return c
-
-
 def decode_png(payload: bytes) -> np.ndarray:
     """Decode an 8-bit non-interlaced PNG to an (H, W, 3) uint8 RGB array.
 
@@ -155,38 +144,62 @@ def decode_png(payload: bytes) -> np.ndarray:
     stride = w * channels
     if len(raw) < h * (stride + 1):
         raise ValueError("truncated PNG raster")
-    out = bytearray(h * stride)
-    prev_start = -1
+    # unfilter vectorized per scanline: None/Up are pure array ops, Sub is
+    # a per-channel prefix sum (mod 256 distributes over the cumsum), and
+    # Average/Paeth — whose left-neighbor dependency is inherently
+    # sequential — loop over PIXELS with the channels vectorized, not
+    # over bytes (a per-byte Python loop costs seconds per megapixel)
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
     for y in range(h):
         row_off = y * (stride + 1)
         ftype = raw[row_off]
-        line = bytearray(raw[row_off + 1 : row_off + 1 + stride])
-        cur_start = y * stride
+        cur = np.frombuffer(
+            raw, np.uint8, count=stride, offset=row_off + 1
+        ).astype(np.int32)
         if ftype == 0:
-            pass
+            row = cur
         elif ftype == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
+            row = (
+                np.cumsum(cur.reshape(w, channels), axis=0, dtype=np.int64)
+                & 0xFF
+            ).reshape(stride).astype(np.int32)
         elif ftype == 2:  # Up
-            if y:
-                for i in range(stride):
-                    line[i] = (line[i] + out[prev_start + i]) & 0xFF
+            row = (cur + prev) & 0xFF
         elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                up = out[prev_start + i] if y else 0
-                line[i] = (line[i] + ((left + up) >> 1)) & 0xFF
+            px = cur.reshape(w, channels)
+            up = prev.reshape(w, channels)
+            rp = np.empty_like(px)
+            left = np.zeros(channels, np.int32)
+            for x in range(w):
+                rp[x] = (px[x] + ((left + up[x]) >> 1)) & 0xFF
+                left = rp[x]
+            row = rp.reshape(stride)
         elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = line[i - channels] if i >= channels else 0
-                up = out[prev_start + i] if y else 0
-                ul = out[prev_start + i - channels] if (y and i >= channels) else 0
-                line[i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+            px = cur.reshape(w, channels)
+            up = prev.reshape(w, channels)
+            rp = np.empty_like(px)
+            left = np.zeros(channels, np.int32)
+            upleft = np.zeros(channels, np.int32)
+            for x in range(w):
+                p = left + up[x] - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - up[x])
+                pc = np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, up[x], upleft),
+                )
+                rp[x] = (px[x] + pred) & 0xFF
+                left = rp[x]
+                upleft = up[x]
+            row = rp.reshape(stride)
         else:
             raise ValueError(f"unknown PNG filter type: {ftype}")
-        out[cur_start : cur_start + stride] = line
-        prev_start = cur_start
-    arr = np.frombuffer(bytes(out), np.uint8).reshape(h, w, channels)
+        out[y] = row.astype(np.uint8)
+        prev = row
+    arr = out.reshape(h, w, channels)
     if color == 0:  # grayscale
         return np.repeat(arr, 3, axis=2)
     if color == 2:  # RGB
