@@ -30,15 +30,17 @@ from ..functions.text import shingles_expr
 
 
 def _gram_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(id, gram_hash) — distinct word-k-gram xxhash64 keys per document."""
-    return (
-        df.select(
-            F.col(id_col),
-            F.explode(shingles_expr(text_col, k=k)).alias("gram"),
-        )
-        .select(F.col(id_col), F.xxhash64("gram").alias("gram_hash"))
-        .distinct()
-    )
+    """(id, gram_hash) — distinct word-k-gram xxhash64 keys per document.
+
+    ``shingles_expr`` already applies ``array_distinct`` per document, so
+    the exploded (id, hash) pairs are unique without a corpus-wide
+    ``.distinct()`` shuffle; the rare same-doc hash collision is absorbed
+    by the caller's ``countDistinct``.
+    """
+    return df.select(
+        F.col(id_col),
+        F.explode(shingles_expr(text_col, k=k)).alias("gram"),
+    ).select(F.col(id_col), F.xxhash64("gram").alias("gram_hash"))
 
 
 def contaminated_docs(

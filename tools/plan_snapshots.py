@@ -50,6 +50,7 @@ _NORMALIZERS = [
     (re.compile(r"#\d+"), "#"),
     (re.compile(r"plan_id=\d+"), "plan_id=N"),
     (re.compile(r"rdd_\d+_\d+"), "rdd_N_N"),
+    (re.compile(r"MapPartitionsRDD\[\d+\]"), "MapPartitionsRDD[N]"),
     (re.compile(r"file:[^\s,\]\)]+"), "<path>"),
     (re.compile(r"InMemoryFileIndex\(\d+ paths?\)"), "InMemoryFileIndex(<n> paths)"),
     (re.compile(r"Statistics\([^)]*\)"), "Statistics(<stats>)"),
