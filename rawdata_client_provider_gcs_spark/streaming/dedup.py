@@ -173,13 +173,29 @@ def banded_buckets(
     )
 
 
-def first_seen_flags(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def first_seen_flags(
+    banded: DataFrame, id_col: str = "doc_id", ttl_hours: float | None = None
+) -> DataFrame:
     """(id, band, had_prior) — stateful first-arrival marking per bucket.
 
     Keyed by ``(band, sig)``; state is a single marker.  Within a
     micro-batch the group's rows are sorted by ``id_col`` so "first" is
     deterministic; across micro-batches the marker in the state store
     decides.  Output mode: update (one verdict row per input row).
+
+    ``ttl_hours`` turns the filter into RECENCY-WINDOWED dedup for
+    continuous tails: a marker untouched for longer than the window
+    reads as absent, so a recurrence of the bucket is admitted again —
+    the sliding-recency contract streaming dedup needs when "duplicate"
+    only means "seen recently".  Expiry is lazy (checked on the next
+    arrival, stamped with processing time): engine timers
+    (ProcessingTimeTimeout) were measured to spin ``availableNow``
+    drains indefinitely on this Spark version, so staleness lives in
+    the state value instead.  Honest caveat: lazy expiry bounds the
+    dedup SEMANTICS but not the physical store — rows for never-again
+    -seen buckets persist until a checkpoint compaction or restart;
+    SCALE.md's stream-stress rows size that growth.  The default
+    (``None``) keeps markers forever — exact global dedup.
     """
     out_schema = StructType(
         [
@@ -188,12 +204,22 @@ def first_seen_flags(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
             StructField("had_prior", LongType()),
         ]
     )
-    state_schema = StructType([StructField("seen", LongType())])
+    state_schema = StructType(
+        [StructField("seen", LongType()), StructField("last_ms", LongType())]
+    )
+    ttl_ms = int(ttl_hours * 3600 * 1000) if ttl_hours is not None else None
 
     def update(key, pdf_iter, state):
+        import time as _time
+
         import pandas as pd
 
-        seen = state.exists
+        now_ms = int(_time.time() * 1000)
+        seen = False
+        if state.exists:
+            marker = state.get  # property, not a method
+            last_ms = marker[1] if len(marker) > 1 and marker[1] else now_ms
+            seen = ttl_ms is None or (now_ms - last_ms) <= ttl_ms
         pdfs = [pdf for pdf in pdf_iter if len(pdf)]
         if not pdfs:
             return
@@ -202,7 +228,7 @@ def first_seen_flags(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for _ in range(len(rows)):
             flags.append(1 if seen else 0)
             seen = True
-        state.update((1,))
+        state.update((1, now_ms))
         yield pd.DataFrame(
             {
                 id_col: rows[id_col].to_numpy(),
@@ -232,6 +258,7 @@ def near_dup_admitted(
     num_hashes: int = 64,
     bands: int = 16,
     query_name: str | None = None,
+    ttl_hours: float | None = None,
 ) -> DataFrame:
     """Run the bounded streaming filter; return admitted document ids.
 
@@ -244,7 +271,7 @@ def near_dup_admitted(
         docs_stream, id_col, text_col, k=k, num_hashes=num_hashes, bands=bands
     )
     flags = run_available_now_update(
-        first_seen_flags(banded, id_col), query_name
+        first_seen_flags(banded, id_col, ttl_hours=ttl_hours), query_name
     )
     return (
         flags.groupBy(id_col)

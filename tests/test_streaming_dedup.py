@@ -81,3 +81,84 @@ def test_cross_batch_duplicates_dropped(spark, sf_smoke_dir):
         spark, stream_dedup.stream_documents(spark, sf_smoke_dir)
     )
     assert sorted(kept_ids) == sorted(r[0] for r in single.collect())
+
+def test_state_ttl_recency_window(spark, tmp_path):
+    """With ttl_hours, a bucket whose marker is older than the window
+    reads as absent — the late duplicate is admitted again; without a
+    TTL the same duplicate is dropped by cross-batch state."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    text_x = "alpha beta gamma delta epsilon zeta eta theta iota"
+    src = tmp_path / "docs"
+    src.mkdir()
+
+    def stage(fname, doc_id, mtime_off):
+        path = str(src / fname)
+        pq.write_table(
+            pa.table({"doc_id": pa.array([doc_id], pa.int64()),
+                      "text": pa.array([text_x])}),
+            path,
+        )
+        base = os.stat(path).st_mtime
+        os.utime(path, (base + mtime_off, base + mtime_off))
+
+    def drain(ttl_hours, name, ck):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+        from rawdata_client_provider_gcs_spark.streaming.windows import (
+            BOUNDED_STATE_PARTITIONS,
+        )
+
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        )
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        flags = stream_dedup.first_seen_flags(
+            stream_dedup.banded_buckets(stream, "doc_id", "text"),
+            "doc_id",
+            ttl_hours=ttl_hours,
+        )
+        # memory sink refuses checkpoint recovery; foreachBatch supports
+        # it, which this test needs to resume the same stateful query
+        rows = []
+
+        def collect_batch(bdf, _bid):
+            rows.extend(bdf.collect())
+
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(BOUNDED_STATE_PARTITIONS))
+        try:
+            q = (
+                flags.writeStream.foreachBatch(collect_batch)
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / ck))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+        return rows
+
+    ttl = 1.0 / 3600  # one second
+    stage("0-a.parquet", 1, 0)
+    drain(ttl, "ttl_run1", "ck_ttl")
+    time.sleep(2.5)  # recency window lapses
+    stage("1-b.parquet", 3, 1)
+    out = drain(ttl, "ttl_run2", "ck_ttl")
+    dup3 = max(r["had_prior"] for r in out if r["doc_id"] == 3)
+    assert dup3 == 0, "stale marker still dropped the late duplicate"
+
+    # control: same two batches, no TTL, fresh checkpoint -> dropped
+    for f in src.iterdir():
+        f.touch()
+    out2 = drain(None, "ttl_ctrl", "ck_ctrl")
+    dup3b = max(r["had_prior"] for r in out2 if r["doc_id"] == 3)
+    assert dup3b == 1, "cross-batch duplicate not dropped without TTL"
