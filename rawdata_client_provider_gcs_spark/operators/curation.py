@@ -211,3 +211,32 @@ def weighted_mix(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epoch: int,
+    salt: str = "shuffle",
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Deterministic per-epoch training order: a reshuffle without RNG.
+
+    Training loops need a different document order every epoch, the same
+    order on every rerun/retry of that epoch, and no coordinator holding
+    a permutation — so the order IS a hash: sort by
+    ``md5(salt || epoch || id)``.  Uniform, stable, and cheap to verify
+    cross-engine.  Returns the input plus ``shuffle_rank`` (1-based
+    position within the epoch, or within ``partition_col`` when given —
+    rank-within-shard is the scale shape: a global total order over
+    100 TB is one range shuffle anyway, but shard-local order composes
+    with however the reader shards).
+    """
+    key = F.md5(
+        F.concat_ws("|", F.lit(salt), F.lit(int(epoch)), F.col(id_col).cast("string"))
+    )
+    if partition_col is not None:
+        w = Window.partitionBy(partition_col).orderBy(key, F.col(id_col))
+    else:
+        w = Window.partitionBy().orderBy(key, F.col(id_col))
+    return df.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))

@@ -230,3 +230,32 @@ def q_curation_weighted_mix(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("doc_id").cast("long").alias("id_sum"),
     )
+
+
+@register(
+    "q_curation_epoch_shuffle",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         md5('shuffle|' || 3 || '|' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k, doc_id)
+            AS BIGINT) AS shuffle_rank
+FROM keyed
+""",
+    tags=("curation", "shuffle"),
+)
+def q_curation_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic epoch-3 shuffle order, ranked within language shard
+    (§2C curation): the training-order primitive — hash-keyed, RNG-free,
+    identical on every rerun, verifiable cross-engine."""
+    d = load_table(spark, sf, "documents").select("doc_id", "lang")
+    return curation.epoch_shuffle(
+        d, "doc_id", epoch=3, partition_col="lang"
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        "shuffle_rank",
+    )

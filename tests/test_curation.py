@@ -134,3 +134,31 @@ def test_hash_bucket_rejects_unknown_on_null(spark, docs):
 
     with pytest.raises(ValueError, match="on_null"):
         hash_bucket("doc_id", on_null="none")
+
+
+def test_epoch_shuffle_deterministic_and_epoch_varying(spark):
+    """Same epoch -> identical order across runs; different epochs ->
+    different orders; every rank is a 1..n permutation per shard."""
+    from rawdata_client_provider_gcs_spark.operators import curation as C
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("shard")
+    )
+    a1 = C.epoch_shuffle(df, "doc_id", epoch=1, partition_col="shard")
+    a2 = C.epoch_shuffle(df, "doc_id", epoch=1, partition_col="shard")
+    b = C.epoch_shuffle(df, "doc_id", epoch=2, partition_col="shard")
+    key = lambda rows: sorted((r["doc_id"], r["shuffle_rank"]) for r in rows)
+    o1, o2, ob = key(a1.collect()), key(a2.collect()), key(b.collect())
+    assert o1 == o2          # rerun-stable
+    assert o1 != ob          # epoch changes the order
+    per_shard = (
+        a1.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("shuffle_rank").alias("nd"),
+            F.max("shuffle_rank").alias("mx"),
+        )
+        .collect()
+    )
+    for r in per_shard:
+        assert r["n"] == r["nd"] == r["mx"]  # exact 1..n permutation
