@@ -89,6 +89,7 @@ _DEFAULT_QUERIES = [
     "q_similarity_bruteforce_topk",
     "q_similarity_ivf_ann",
     "q_curation_pack_sequences",
+    "q_decontam_overlap",
 ]
 
 
