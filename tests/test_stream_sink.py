@@ -437,3 +437,80 @@ def test_stateful_user_counts_across_micro_batches(spark, tmp_path):
         .collect()
     }
     assert final == {0: 6, 1: 6, 2: 6, 3: 6}  # 2 per file x 3 files
+
+
+def test_crash_mid_renames_rolls_back_partial_batch(spark, tmp_path, monkeypatch):
+    """The other crash window: the intent marker is durable, SOME of the
+    batch's files have renamed into the topic, and the commit dies before
+    the rest. Replay must roll back the partial file set exactly (by the
+    intent's planned names) and rewrite the whole batch once."""
+    from rawdata_client_provider_gcs_spark.sources.fsutil import HadoopFs
+
+    src, rows = _stage_messages(spark, tmp_path, n_files=2, per_file=6)
+    schema = (
+        "ulid binary, ulid_ts_ms long, ordering_group string, "
+        "sequence_number long, position string, data map<string,binary>"
+    )
+    topic = Topic(spark, f"file://{tmp_path}/root", "t-midcrash")
+
+    real_rename = HadoopFs.rename
+    state = {"armed": False, "renames": 0}
+
+    def failing_rename(self, a, b):
+        # only data-file renames into the topic root count — the sidecar
+        # and epoch-marker atomic replaces rename under metadata/
+        if state["armed"] and "/metadata/" not in b:
+            state["renames"] += 1
+            if state["renames"] >= 2:
+                state["armed"] = False
+                return False  # second rename "crashes" -> IOError in commit
+        return real_rename(self, a, b)
+
+    monkeypatch.setattr(HadoopFs, "rename", failing_rename)
+
+    # arm only for batch 1: let batch 0 commit, then trip mid-batch-1
+    from rawdata_client_provider_gcs_spark.metadata import RawdataMetadataClient
+
+    real_put = RawdataMetadataClient.put
+
+    def arming_put(self, key, value, atomic=False):
+        if (
+            not state.get("used")
+            and b'"batch_id": 1' in value
+            and b'"committed": false' in value
+        ):
+            state["armed"] = True
+            state["used"] = True  # fire once; the replay must succeed
+            state["renames"] = 0
+        return real_put(self, key, value, atomic=atomic)
+
+    monkeypatch.setattr(RawdataMetadataClient, "put", arming_put)
+
+    q = S.stream_to_topic(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        topic, checkpoint_dir=str(tmp_path / "ck"), sink_id="s1",
+        max_records_per_file=2,  # several files per batch -> partial rename
+        available_now=True,
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+
+    assert S.last_committed_batch(topic, "s1") == 0
+    # partial state: batch 1 landed 0 < n < all of its files
+    n_after_crash = len(topic.list_manifest())
+    assert 3 <= n_after_crash  # batch 0's files (3) plus possibly 1 partial
+
+    q2 = S.stream_to_topic(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        topic, checkpoint_dir=str(tmp_path / "ck"), sink_id="s1",
+        max_records_per_file=2,
+        available_now=True,
+    )
+    q2.awaitTermination()
+    got = topic.ordered_dataframe().collect()
+    assert [r["sequence_number"] for r in got] == list(range(len(rows)))
+    assert S.last_committed_batch(topic, "s1") == 1
+    # no orphan sidecar entries, no stray files
+    listed = {p.rsplit("/", 1)[-1] for p, _ in topic.fs.list_files(topic.uri)}
+    assert set(topic.load_max_ts()) <= listed
+    assert sum(e.count for _, e in topic.list_manifest()) == len(rows)
