@@ -240,3 +240,33 @@ def epoch_shuffle(
     else:
         w = Window.partitionBy().orderBy(key, F.col(id_col))
     return df.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str,
+    id_col: str,
+    max_per_domain: int,
+    salt: str = "domaincap",
+) -> DataFrame:
+    """Cap documents per domain/source, deterministically and unbiased.
+
+    Crawl-derived corpora are dominated by a few giant domains; the
+    standard curation step keeps at most N documents from each.  The
+    kept subset is chosen by hash order (``md5(salt|id)``), not by
+    ingestion or id order — so it is an unbiased fixed-size sample per
+    domain, identical on every rerun, with no RNG state.  One shuffle on
+    the domain key; the per-domain ranking never materializes more than
+    the window machinery needs.
+
+    Returns the input rows that survive the cap (original columns).
+    """
+    if max_per_domain < 1:
+        raise ValueError("max_per_domain must be >= 1")
+    key = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(domain_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= max_per_domain)
+        .drop("__rk")
+    )

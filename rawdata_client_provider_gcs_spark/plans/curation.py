@@ -259,3 +259,37 @@ def q_curation_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
         "lang",
         "shuffle_rank",
     )
+
+
+@register(
+    "q_curation_domain_cap",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5('domaincap|' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_id,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+FROM ranked WHERE rk <= 40 GROUP BY source
+""",
+    tags=("curation", "sampling"),
+)
+def q_curation_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document cap (§2C curation): keep at most 40 docs per
+    source, hash-chosen so the survivors are an unbiased, rerun-stable
+    sample — the anti-domination step for crawl corpora.  The oracle
+    pins the exact survivor set per source via id aggregates."""
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    capped = curation.domain_cap(d, "source", "doc_id", max_per_domain=40)
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("doc_id").cast("long").alias("min_id"),
+        F.max("doc_id").cast("long").alias("max_id"),
+        F.sum("doc_id").cast("long").alias("sum_ids"),
+    )

@@ -162,3 +162,25 @@ def test_epoch_shuffle_deterministic_and_epoch_varying(spark):
     )
     for r in per_shard:
         assert r["n"] == r["nd"] == r["mx"]  # exact 1..n permutation
+
+
+def test_domain_cap_unbiased_and_stable(spark):
+    """Caps each domain at N, keeps small domains whole, survives reruns
+    identically, and the kept set is hash-chosen (not a doc_id prefix)."""
+    from rawdata_client_provider_gcs_spark.operators import curation as C
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 80 else "small") for i in range(100)],
+        "doc_id long, source string",
+    )
+    kept1 = C.domain_cap(df, "source", "doc_id", max_per_domain=30)
+    kept2 = C.domain_cap(df, "source", "doc_id", max_per_domain=30)
+    ids1 = sorted(r["doc_id"] for r in kept1.collect())
+    assert ids1 == sorted(r["doc_id"] for r in kept2.collect())  # stable
+    by_src = {r["source"]: r["n"] for r in kept1.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src == {"big": 30, "small": 20}  # capped vs kept-whole
+    big_kept = [i for i in ids1 if i < 80]
+    assert big_kept != list(range(30)), "cap must not be an id-order prefix"
+    with pytest.raises(ValueError):
+        C.domain_cap(df, "source", "doc_id", max_per_domain=0)
