@@ -301,10 +301,22 @@ def main() -> int:
     ap.add_argument("--rows-1x", type=int, default=200_000)
     ap.add_argument("--docs-1x", type=int, default=5_000)
     ap.add_argument("--msgs-1x", type=int, default=100_000)
+    ap.add_argument(
+        "--provider",
+        choices=["hdfs", "rocksdb"],
+        default="hdfs",
+        help="state store backend (RocksDB = the large-state production choice)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="rawdata-spark-stream-stress")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.provider == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
 
     scales = {"1x": 1, "10x": 10}
     staged: dict[tuple[str, str], str] = {}
