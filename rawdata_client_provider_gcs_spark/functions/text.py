@@ -129,3 +129,51 @@ def shingles_expr(text_col: str, k: int = 3) -> Column:
         f"ELSE transform(sequence(1, size(t) - {k - 1}), "
         f"i -> concat_ws(' ', slice(t, i, {k}))) END)))"
     )
+
+
+def tfidf_top_terms(
+    docs,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Top-``k`` TF-IDF terms per document (classic corpus weighting).
+
+    TF is the in-document term count; DF counts documents containing the
+    term over the WHOLE corpus; IDF uses the smoothed form
+    ``ln((N + 1) / (df + 1)) + 1`` so unseen-term division can't blow up.
+
+    100 TB shape: tokenize + explode stays in whole-stage codegen; the
+    ``(doc, term)`` count is one map-side-combinable shuffle whose output
+    IS the DF input (``groupBy(term).count()`` over it — no second pass
+    over raw text); N arrives as a broadcast 1-row aggregate, not a
+    driver action; the final per-document top-k is a bounded
+    ``row_number`` window on the doc key.  Ties break on term text so
+    results are deterministic and oracle-comparable.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '{ALPHA_LOWER_RE}', 0)")
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(id_col, "term", "tf", "df", "rnk", "score")
+    )

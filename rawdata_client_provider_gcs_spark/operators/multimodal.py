@@ -13,10 +13,11 @@ Decode kernels resolve in this order:
 2. ``image/*`` with **pillow importable** — real decode/resize (the
    optional dependency is probed per executor; nothing is required at
    install time).
-3. ``image/*`` in a library-free format (netpbm PPM/PGM, 24-bit BMP, or
-   8-bit PNG via stdlib zlib) — real decode/resize via the pure-Python
-   codecs in :mod:`rawdata_client_provider_gcs_spark.operators.rawimage`,
-   in every environment.
+3. ``image/*`` in a library-free format (netpbm PPM/PGM, 24-bit BMP,
+   8-bit PNG via stdlib zlib, or baseline-sequential JPEG via the
+   pure-numpy Huffman+IDCT codec) — real decode/resize via
+   :mod:`rawdata_client_provider_gcs_spark.operators.rawimage` /
+   ``.rawjpeg``, in every environment.
 4. ``audio/*`` in a RIFF/WAVE container (PCM 8/16/24/32-bit or IEEE
    float) — real decode/features/segmentation via the pure-numpy codec
    in :mod:`rawdata_client_provider_gcs_spark.operators.rawaudio`, in

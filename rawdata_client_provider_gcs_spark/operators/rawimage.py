@@ -1,13 +1,13 @@
-"""Pure-numpy/stdlib codecs for common image formats (PPM/PGM/BMP/PNG).
+"""Pure-numpy/stdlib codecs for common image formats (PPM/PGM/BMP/PNG/JPEG).
 
 Media containers in this environment ship no pillow/libjpeg, but these
-interchange formats need nothing beyond numpy and stdlib ``zlib``:
-netpbm P6 (PPM, binary RGB), P5 (PGM, binary gray), 24-bit uncompressed
-BMP, and 8-bit PNG (IDAT inflate + per-scanline unfilter — the dominant
-real-world lossless format).  Decoding them here makes the multimodal
-decode/resize kernels *real* — not stubbed — for any payload in these
-formats, in every environment; pillow remains the first-choice path for
-the remaining compressed formats (JPEG) when importable.
+formats need nothing beyond numpy and stdlib ``zlib``: netpbm P6 (PPM,
+binary RGB), P5 (PGM, binary gray), 24-bit uncompressed BMP, 8-bit PNG
+(IDAT inflate + per-scanline unfilter — the dominant lossless format),
+and baseline-sequential JPEG (the dominant lossy format; Huffman +
+IDCT in :mod:`.rawjpeg`).  Decoding them here makes the multimodal
+decode/resize kernels *real* — not stubbed — in every environment;
+pillow remains a first-choice fast path when importable.
 
 All functions are batch-friendly (called from ``mapInPandas`` kernels)
 and deterministic.
@@ -21,13 +21,15 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Return "ppm" | "pgm" | "bmp" | "png" when decodable here."""
+    """Return "ppm" | "pgm" | "bmp" | "png" | "jpeg" when decodable here."""
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"P5":
         return "pgm"
     if payload[:8] == _PNG_SIG:
         return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
     if payload[:2] == b"BM" and len(payload) >= 30:
         bpp = int.from_bytes(payload[28:30], "little")
         compression = int.from_bytes(payload[30:34], "little")
@@ -93,7 +95,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return (rgb[::-1] if flip else rgb).copy()
     if fmt == "png":
         return decode_png(payload)
-    raise ValueError("payload is not a decodable PPM/PGM/BMP/PNG image")
+    if fmt == "jpeg":
+        from . import rawjpeg  # noqa: PLC0415 — keep numpy-DCT import lazy
+
+        return rawjpeg.decode_jpeg(payload)
+    raise ValueError("payload is not a decodable PPM/PGM/BMP/PNG/JPEG image")
 
 
 def decode_png(payload: bytes) -> np.ndarray:

@@ -1,0 +1,600 @@
+"""Pure-numpy baseline JPEG codec (SOF0, Huffman, 4:4:4/4:2:2/4:2:0).
+
+Closes the last compressed-image gap from the round-4 review: JPEG —
+the dominant real-world lossy format — previously decoded only when
+pillow happened to be importable.  This module needs nothing beyond
+numpy and implements the baseline sequential DCT process end to end:
+
+- ``decode_jpeg``: marker walk (SOI/APPn/COM/DQT/DHT/SOF0/DRI/SOS/EOI),
+  canonical Huffman decode of the entropy-coded segment (byte
+  de-stuffing, restart markers), dequantize, batched inverse DCT over
+  all blocks at once (einsum), chroma upsampling for 2×1/1×2/2×2
+  sampling factors, YCbCr→RGB.  Progressive (SOF2), arithmetic coding,
+  and 12-bit precision raise ``ValueError`` — a loud error beats a
+  silent misdecode.
+- ``encode_jpeg``: 4:4:4 baseline with the Annex-K-style quantization
+  tables scaled by the usual IJG quality formula and Huffman tables
+  emitted in the DHT segment.  Correctness never depends on the table
+  *contents* being the canonical ones: JPEG streams carry their own
+  tables, so encoder and any decoder (this one, libjpeg, pillow)
+  always agree by construction.
+
+Determinism notes for the oracle-checked queries: a constant-color
+gray image with an even pixel value round-trips **bit-exactly** at
+quality 50 (the DC coefficient ``8·(v−128)`` divides the luma DC
+quantizer 16 with no rounding; chroma planes are exactly 128 → zero),
+which is what `q_multimodal_image_pipeline`'s JPEG rows rely on.
+
+Like the reference's payloads, JPEG bytes travel as opaque
+``map<string,bytes>`` values (AvroRawdataProducer.java:42-49); this
+codec is what makes the decode kernels real for them.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+#: Annex-K-style base quantization tables (natural order).
+_QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    np.int32,
+)
+
+_QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    np.int32,
+)
+
+
+def _zigzag_order() -> np.ndarray:
+    """Natural-order index for each zigzag position (generated, not typed)."""
+    order = []
+    for d in range(15):
+        rows = [i for i in range(d + 1) if i < 8 and d - i < 8]
+        if d % 2 == 0:
+            rows = rows[::-1]  # even diagonals run bottom-left → top-right
+        order.extend(r * 8 + (d - r) for r in rows)
+    return np.array(order, np.int64)
+
+
+_ZIGZAG = _zigzag_order()
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+
+def _dct_matrix() -> np.ndarray:
+    """8-point DCT-II matrix M with JPEG scaling: F = M f Mᵀ, f = Mᵀ F M."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+
+_DCT = _dct_matrix()
+
+# Huffman table specs as (bits-per-length[1..16], symbol list).  The DC
+# tables are the canonical Annex K ones; the AC tables cover every
+# (run, size) symbol with a compact canonical code.  Streams embed these
+# in DHT, so their exact shape is a size/compat knob, not a correctness one.
+_DC_LUMA_SPEC = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA_SPEC = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+
+
+def _ac_spec() -> tuple[list[int], list[int]]:
+    """A canonical code over all 162 AC symbols, short codes first.
+
+    The common symbols (EOB plus low run/size pairs) get explicit short
+    lengths; everything else shares length 12.  Kraft sum:
+    ``1/4 + 2/8 + 3/16 + 5/32 + 148/4096 = 0.879 ≤ 1`` — a valid prefix
+    code.  Not the Annex K assignment — deliberately generated rather
+    than transcribed, since a typo in 162 hand-typed bytes would be
+    invisible (the stream stays self-consistent) but untestable.
+    """
+    short = [
+        (2, [0x00]),  # EOB
+        (3, [0x01, 0x11]),
+        (4, [0x02, 0x21, 0x31]),
+        (5, [0x03, 0x12, 0x41, 0x51, 0x04]),
+    ]
+    taken = [s for _, syms in short for s in syms]
+    rest = [0xF0] + [
+        (run << 4) | size for run in range(16) for size in range(1, 11)
+    ]
+    rest = sorted(s for s in rest if s not in taken)
+    bits = [0] * 16
+    symbols: list[int] = []
+    for length, syms in short:
+        bits[length - 1] = len(syms)
+        symbols.extend(syms)
+    bits[11] = len(rest)
+    symbols.extend(rest)
+    return bits, symbols
+
+
+_AC_SPEC = _ac_spec()
+assert sum(_AC_SPEC[0]) == len(_AC_SPEC[1]) == 162
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) for a canonical JPEG Huffman table."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_map(
+    bits: list[int], vals: list[int]
+) -> dict[tuple[int, int], int]:
+    """(length, code) → symbol, the decoder-side view of a DHT table."""
+    out: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def sniff_jpeg(payload: bytes) -> bool:
+    return payload[:3] == b"\xff\xd8\xff"
+
+
+# ---------------------------------------------------------------- encoder
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    out = []
+    for base in (_QUANT_LUMA, _QUANT_CHROMA):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _blocks_of(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane → (N, 8, 8) blocks, row-major block order."""
+    h, w = plane.shape
+    return (
+        plane.reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    )
+
+
+def _encode_block(
+    writer: _BitWriter,
+    block: np.ndarray,
+    pred: list[int],
+    ci: int,
+    dc_table: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> None:
+    """Huffman-encode one zigzagged quantized block (DC diff + AC runs)."""
+    diff = int(block[0]) - pred[ci]
+    pred[ci] = int(block[0])
+    s = _category(diff)
+    code, length = dc_table[s]
+    writer.write(code, length)
+    if s:
+        writer.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    last_nz = np.nonzero(block[1:])[0]
+    end = (last_nz[-1] + 2) if last_nz.size else 1
+    for k in range(1, end):
+        v = int(block[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            writer.write(code, length)
+            run -= 16
+        s = _category(v)
+        code, length = ac_codes[(run << 4) | s]
+        writer.write(code, length)
+        writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if end < 64:
+        code, length = ac_codes[0x00]  # EOB
+        writer.write(code, length)
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a baseline JPEG.
+
+    ``subsampling`` is ``"4:4:4"`` (default; exact round-trip for
+    constant even-gray images) or ``"4:2:0"`` (2×2 box-mean chroma, the
+    common camera layout).  ``restart_interval`` > 0 emits DRI + RSTn
+    markers every that many MCUs — the layout long scans use so a
+    corrupt byte only loses one restart segment.
+    """
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("expected an (H, W, 3) uint8 array")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling: {subsampling}")
+    sub = subsampling == "4:2:0"
+    h, w = arr.shape[:2]
+    ql, qc = _quality_tables(quality)
+
+    rgb = arr.astype(np.float64)
+    r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    luma = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+
+    mcu = 16 if sub else 8
+    ph, pw = -h % mcu, -w % mcu
+    luma = np.pad(luma, ((0, ph), (0, pw)), mode="edge")
+    cb = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
+    cr = np.pad(cr, ((0, ph), (0, pw)), mode="edge")
+    if sub:  # 2×2 box-mean downsample of the chroma planes
+        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
+        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
+    planes = [luma, cb, cr]
+
+    # forward DCT + quantize; keep per-component 2D block grids of
+    # zigzagged coefficients so any MCU traversal can index them
+    zz_grids = []
+    for ci, plane in enumerate(planes):
+        q = ql if ci == 0 else qc
+        nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = _blocks_of(plane) - 128.0
+        coef = np.einsum("ux,nxy,vy->nuv", _DCT, blocks, _DCT)
+        scaled = coef / q
+        quant = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+            np.int32
+        )
+        zz_grids.append(quant.reshape(nby, nbx, 64)[:, :, _ZIGZAG])
+
+    dc_l = _build_codes(*_DC_LUMA_SPEC)
+    dc_c = _build_codes(*_DC_CHROMA_SPEC)
+    ac_codes = _build_codes(*_AC_SPEC)
+
+    mcus_y = planes[0].shape[0] // mcu
+    mcus_x = planes[0].shape[1] // mcu
+    scan = bytearray()
+    writer = _BitWriter()
+    pred = [0, 0, 0]
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                scan += writer.flush()
+                scan += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                writer = _BitWriter()
+                pred = [0, 0, 0]
+            mcu_count += 1
+            if sub:
+                for by in range(2):
+                    for bx in range(2):
+                        _encode_block(
+                            writer,
+                            zz_grids[0][2 * my + by, 2 * mx + bx],
+                            pred,
+                            0,
+                            dc_l,
+                            ac_codes,
+                        )
+                _encode_block(writer, zz_grids[1][my, mx], pred, 1, dc_c, ac_codes)
+                _encode_block(writer, zz_grids[2][my, mx], pred, 2, dc_c, ac_codes)
+            else:
+                for ci in range(3):
+                    _encode_block(
+                        writer,
+                        zz_grids[ci][my, mx],
+                        pred,
+                        ci,
+                        dc_l if ci == 0 else dc_c,
+                        ac_codes,
+                    )
+    scan += writer.flush()
+    scan = bytes(scan)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tclass: int, tid: int, spec: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = spec
+        return bytes([tclass << 4 | tid]) + bytes(bits) + bytes(vals)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(ql.reshape(64)[_ZIGZAG].astype(np.uint8)))
+    out += seg(0xFFDB, b"\x01" + bytes(qc.reshape(64)[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    luma_sampling = 0x22 if sub else 0x11
+    sof += bytes([1, luma_sampling, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += seg(0xFFC0, sof)
+    out += seg(
+        0xFFC4,
+        dht(0, 0, _DC_LUMA_SPEC)
+        + dht(1, 0, _AC_SPEC)
+        + dht(0, 1, _DC_CHROMA_SPEC)
+        + dht(1, 1, _AC_SPEC),
+    )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------- decoder
+
+
+class _BitReader:
+    """MSB-first bit reader over a de-stuffed entropy segment."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read_bit(self) -> int:
+        byte = self.data[self.pos >> 3]
+        bit = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return bit
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _receive_extend(reader: _BitReader, s: int) -> int:
+    if s == 0:
+        return 0
+    v = reader.read_bits(s)
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_symbol(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode baseline-sequential JPEG bytes to an (H, W, 3) uint8 RGB array."""
+    if not sniff_jpeg(payload):
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    n = len(payload)
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, components) where component = (cid, hs, vs, tq)
+    restart_interval = 0
+    scan_info = None
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD8:  # stray SOI
+            pos += 2
+            continue
+        length = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                prec, tid = body[i] >> 4, body[i] & 0xF
+                if prec != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                zz = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.int32)
+                qtables[tid] = zz[_UNZIGZAG].reshape(8, 8)
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                tclass, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                count = sum(bits)
+                vals = list(body[i + 17 : i + 17 + count])
+                htables[(tclass, tid)] = _build_decode_map(bits, vals)
+                i += 17 + count
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for c in range(ncomp):
+                cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, sampling >> 4, sampling & 0xF, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+            raise ValueError(
+                f"unsupported JPEG process (SOF{marker & 0xF}); "
+                "only baseline sequential (SOF0) is implemented"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tables = body[1 + 2 * c], body[2 + 2 * c]
+                scan_comps.append((cid, tables >> 4, tables & 0xF))
+            scan_info = scan_comps
+            break
+        # APPn / COM / others: skipped
+    if frame is None or scan_info is None:
+        raise ValueError("truncated JPEG: missing SOF0/SOS")
+
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (fw + mcu_w - 1) // mcu_w
+    mcus_y = (fh + mcu_h - 1) // mcu_h
+
+    # split entropy-coded data at restart markers, de-stuff each segment
+    segments: list[bytes] = []
+    seg_start = pos
+    i = pos
+    while i + 1 < n:
+        if payload[i] == 0xFF:
+            m = payload[i + 1]
+            if m == 0x00:
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:  # RSTn
+                segments.append(payload[seg_start:i].replace(b"\xff\x00", b"\xff"))
+                i += 2
+                seg_start = i
+                continue
+            break  # EOI or next marker
+        i += 1
+    segments.append(payload[seg_start:i].replace(b"\xff\x00", b"\xff"))
+
+    by_cid = {c[0]: c for c in comps}
+    plan = []  # per scan component: (hs, vs, quant, dc_map, ac_map)
+    for cid, dc_id, ac_id in scan_info:
+        _, hs, vs, tq = by_cid[cid]
+        plan.append(
+            (hs, vs, qtables[tq], htables[(0, dc_id)], htables[(1, ac_id)])
+        )
+
+    # entropy-decode every block's coefficients (Python bit loop), then
+    # dequantize + inverse DCT across all blocks per component in one
+    # einsum — the arithmetic stays vectorized even though the Huffman
+    # stream is inherently sequential.
+    coef_blocks: list[list[np.ndarray]] = [[] for _ in plan]
+    seg_iter = iter(segments)
+    reader = _BitReader(next(seg_iter))
+    pred = [0] * len(plan)
+    mcu_count = 0
+    for _my in range(mcus_y):
+        for _mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader = _BitReader(next(seg_iter))
+                pred = [0] * len(plan)
+            mcu_count += 1
+            for ci, (hs, vs, _q, dc_map, ac_map) in enumerate(plan):
+                for _ in range(hs * vs):
+                    zz = np.zeros(64, np.int32)
+                    s = _decode_symbol(reader, dc_map)
+                    pred[ci] += _receive_extend(reader, s)
+                    zz[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _decode_symbol(reader, ac_map)
+                        if rs == 0x00:  # EOB
+                            break
+                        run, size = rs >> 4, rs & 0xF
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("bad AC run/size symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC coefficient overrun")
+                        zz[k] = _receive_extend(reader, size)
+                        k += 1
+                    coef_blocks[ci].append(zz[_UNZIGZAG].reshape(8, 8))
+
+    planes = []
+    for ci, (hs, vs, q, _dc, _ac) in enumerate(plan):
+        blocks = np.stack(coef_blocks[ci]).astype(np.float64) * q
+        pix = np.einsum("xu,nuv,yv->nxy", _DCT.T, blocks, _DCT.T) + 128.0
+        # blocks are in MCU order: reassemble (mcus_y, mcus_x, vs, hs, 8, 8)
+        bw, bh = mcus_x * hs, mcus_y * vs
+        grid = pix.reshape(mcus_y, mcus_x, vs, hs, 8, 8)
+        plane = grid.transpose(0, 2, 4, 1, 3, 5).reshape(bh * 8, bw * 8)
+        # upsample to full resolution when subsampled
+        if hs < hmax:
+            plane = np.repeat(plane, hmax // hs, axis=1)
+        if vs < vmax:
+            plane = np.repeat(plane, vmax // vs, axis=0)
+        planes.append(plane[:fh, :fw])
+
+    if len(planes) == 1:
+        y = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(y[:, :, None], 3, axis=2)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136286 * cb - 0.714136286 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)

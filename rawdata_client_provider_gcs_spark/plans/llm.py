@@ -1105,6 +1105,96 @@ def q_multimodal_image_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_jpeg",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST((2*(doc_id % 113)) // 32 AS BIGINT) AS luma_bucket,
+       CAST(2*(doc_id % 113) AS BIGINT) AS mean_pixel,
+       CAST(24 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(59 AS BIGINT) AS thumb_bytes
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "image", "jpeg", "pandas-udf"),
+)
+def q_multimodal_jpeg(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL JPEG encode → decode → resize, oracle-checked exactly.
+
+    One 24×16 constant-gray JPEG per document at quality 50 — 4:4:4 for
+    even doc_ids, 4:2:0 (2×2 box-mean chroma) for odd ones — produced
+    and decoded by the pure-numpy baseline codec
+    (:mod:`..operators.rawjpeg`: forward/inverse DCT, canonical Huffman,
+    byte stuffing).  The pixel value ``k = 2·(doc_id % 113)`` is even,
+    so the luma DC coefficient ``8·(k−128)`` divides the quality-50 DC
+    quantizer 16 with no rounding and the image round-trips
+    **bit-exactly** in both samplings: the oracle states the decoded
+    mean pixel (= k), the one-hot luma-histogram bucket (= k >> 5), the
+    decoded dimensions, and the 4×4-thumbnail PPM byte count (11-byte
+    header + 48 raster) in closed form.  Like the audio/image pipeline
+    queries this keeps the whole multimodal path — mapInPandas batching,
+    the shared decode kernel, resize — value-verified without pillow.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawjpeg
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                k = 2 * (int(did) % 113)
+                img = np.full((16, 24, 3), k, dtype=np.uint8)
+                payloads.append(
+                    rawjpeg.encode_jpeg(
+                        img,
+                        quality=50,
+                        subsampling="4:4:4" if int(did) % 2 == 0 else "4:2:0",
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "img": payloads})
+
+    imgs = d.mapInPandas(make, "doc_id long, img binary")
+    media = multimodal.with_media_columns(imgs, "img", "image/jpeg", "doc_id")
+    feats = multimodal.extract_features(media, fake=False).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.array_position(F.col("features"), 1.0) - 1)
+        .cast("long")
+        .alias("luma_bucket"),
+    )
+
+    def stats(batches):
+        import pandas as pd
+
+        from ..operators import rawimage
+
+        for pdf in batches:
+            rows = {"doc_id": [], "mean_pixel": [], "width": [], "height": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = rawimage.decode_image(bytes(payload))
+                rows["doc_id"].append(int(did))
+                rows["mean_pixel"].append(int(round(float(arr.mean()))))
+                rows["width"].append(arr.shape[1])
+                rows["height"].append(arr.shape[0])
+            yield pd.DataFrame(rows)
+
+    decoded = media.mapInPandas(
+        stats, "doc_id long, mean_pixel long, width long, height long"
+    )
+    thumbs = multimodal.resize_images(media, 4, 4, fake=False, raw_only=True).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.octet_length("thumb").cast("long").alias("thumb_bytes"),
+    )
+    return feats.join(decoded, "doc_id").join(thumbs, "doc_id")
+
+
+@register(
     "q_multimodal_frames",
     oracle="""
 WITH f AS (
@@ -1258,4 +1348,54 @@ def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
         F.col("n_bigrams").cast("long").alias("n_bigrams"),
         F.col("top_bigram_count").cast("long").alias("top_bigram_count"),
+    )
+
+
+@register(
+    "q_text_tfidf",
+    oracle="""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         tf.tf * (LN((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tf, df, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(rnk AS BIGINT) AS rnk, score
+FROM ranked WHERE doc_id < 200 AND rnk <= 3
+""",
+    tags=("llm", "text"),
+)
+def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (§2B text analysis).
+
+    DF and N are computed over the full corpus; only the reported
+    documents are limited (doc_id < 200), mirroring how a corpus-level
+    vocabulary feeds per-shard scoring.  All aggregation is JVM-side;
+    see :func:`...functions.text.tfidf_top_terms` for the scale notes
+    (one combinable shuffle feeds both TF and DF, N broadcast, bounded
+    top-k window).
+    """
+    d = load_table(spark, sf, "documents")
+    out = T.tfidf_top_terms(d, k=3)
+    return out.filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("term"),
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        F.col("rnk").cast("long").alias("rnk"),
+        F.col("score").cast("double").alias("score"),
     )

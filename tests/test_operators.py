@@ -888,3 +888,136 @@ def test_repetition_stats_exact_counts(spark):
     assert (got[3]["n_tokens"], got[3]["n_bigrams"], got[3]["top_bigram_count"]) == (0, 0, 0)
     assert (got[4]["n_tokens"], got[4]["n_distinct_tokens"],
             got[4]["top_bigram_count"]) == (5, 2, 2)
+
+
+def test_jpeg_roundtrip_constant_gray_exact():
+    """Constant even-gray images round-trip bit-exactly at quality 50 in
+    both samplings — the closed form the JPEG oracle rows rely on: the
+    DC coefficient 8*(v-128) divides the luma DC quantizer 16 exactly,
+    and chroma planes are exactly 128."""
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawimage, rawjpeg
+
+    for v in (0, 64, 128, 200, 254):
+        img = np.full((24, 40, 3), v, dtype=np.uint8)
+        for sub in ("4:4:4", "4:2:0"):
+            enc = rawjpeg.encode_jpeg(img, quality=50, subsampling=sub)
+            assert rawimage.sniff_format(enc) == "jpeg"
+            assert np.array_equal(rawimage.decode_image(enc), img), (v, sub)
+
+
+def test_jpeg_roundtrip_psnr():
+    """Smooth images survive encode→decode at high quality in 4:4:4,
+    4:2:0, with restart markers, and at odd (padded) dimensions."""
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawjpeg
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return float("inf") if mse == 0 else 10 * np.log10(255**2 / mse)
+
+    x = np.linspace(0, 255, 64)
+    grad = np.stack(np.meshgrid(x, x), axis=-1).sum(-1) / 2
+    img = np.stack([grad, grad[::-1], grad.T], axis=2).astype(np.uint8)
+
+    assert psnr(img, rawjpeg.decode_jpeg(rawjpeg.encode_jpeg(img, 90))) > 45
+    assert (
+        psnr(
+            img,
+            rawjpeg.decode_jpeg(
+                rawjpeg.encode_jpeg(img, 90, subsampling="4:2:0")
+            ),
+        )
+        > 40
+    )
+    assert (
+        psnr(
+            img,
+            rawjpeg.decode_jpeg(rawjpeg.encode_jpeg(img, 90, restart_interval=3)),
+        )
+        > 45
+    )
+    odd = img[:37, :53]
+    dec = rawjpeg.decode_jpeg(
+        rawjpeg.encode_jpeg(odd, 90, subsampling="4:2:0", restart_interval=2)
+    )
+    assert dec.shape == odd.shape
+    assert psnr(odd, dec) > 40
+
+
+def test_jpeg_decode_handcrafted_single_block():
+    """A hand-assembled one-block grayscale JPEG (quant all-ones, one
+    1-bit Huffman code per table, DC=10, no AC) must decode to a
+    constant 129 = round(128 + 10/8).  This fixture is independent of
+    our encoder, so a compensating DC-scale bug in encode+decode (both
+    off by the same factor) cannot hide behind round-trip tests."""
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawjpeg
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    jpeg = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + b"\x01" * 64)
+        + seg(0xC0, b"\x08\x00\x08\x00\x08\x01\x01\x11\x00")
+        + seg(0xC4, b"\x00" + bytes([1] + [0] * 15) + bytes([4]))
+        + seg(0xC4, b"\x10" + bytes([1] + [0] * 15) + bytes([0]))
+        + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        # bits: DC code "0", category-4 value 1010 (=+10), AC EOB "0",
+        # padded with 1s -> 0b01010011
+        + b"\x53"
+        + b"\xff\xd9"
+    )
+    out = rawjpeg.decode_jpeg(jpeg)
+    assert out.shape == (8, 8, 3)
+    assert np.array_equal(out, np.full((8, 8, 3), 129, dtype=np.uint8))
+
+
+def test_jpeg_rejects_progressive():
+    """Progressive (SOF2) streams raise loudly instead of misdecoding."""
+    import numpy as np
+    import pytest as _pytest
+
+    from rawdata_client_provider_gcs_spark.operators import rawjpeg
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    enc = bytearray(rawjpeg.encode_jpeg(img))
+    sof = enc.find(b"\xff\xc0")
+    assert sof > 0
+    enc[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2
+    with _pytest.raises(ValueError, match="SOF2"):
+        rawjpeg.decode_jpeg(bytes(enc))
+
+
+def test_jpeg_pillow_parity():
+    """When pillow is importable: libjpeg decodes our streams to within
+    a few LSBs of our own decode (DCT rounding differs), and our decoder
+    handles a pillow-written 4:2:0 JPEG."""
+    import io
+
+    import numpy as np
+
+    Image = pytest.importorskip("PIL.Image", reason="pillow not installed")
+    from rawdata_client_provider_gcs_spark.operators import rawjpeg
+
+    def psnr(a, b):
+        mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+        return float("inf") if mse == 0 else 10 * np.log10(255**2 / mse)
+
+    x = np.linspace(0, 255, 48)
+    grad = np.stack(np.meshgrid(x, x), axis=-1).sum(-1) / 2
+    img = np.stack([grad, grad.T, grad[::-1]], axis=2).astype(np.uint8)
+
+    for sub in ("4:4:4", "4:2:0"):
+        enc = rawjpeg.encode_jpeg(img, quality=90, subsampling=sub)
+        with Image.open(io.BytesIO(enc)) as p:
+            theirs = np.asarray(p.convert("RGB"))
+        assert psnr(rawjpeg.decode_jpeg(enc), theirs) > 40, sub
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", quality=90)
+    assert psnr(img, rawjpeg.decode_jpeg(buf.getvalue())) > 35
