@@ -144,12 +144,17 @@ def tfidf_top_terms(
     ``ln((N + 1) / (df + 1)) + 1`` so unseen-term division can't blow up.
 
     100 TB shape: tokenize + explode stays in whole-stage codegen; the
-    ``(doc, term)`` count is one map-side-combinable shuffle whose output
-    IS the DF input (``groupBy(term).count()`` over it — no second pass
-    over raw text); N arrives as a broadcast 1-row aggregate, not a
-    driver action; the final per-document top-k is a bounded
-    ``row_number`` window on the doc key.  Ties break on term text so
-    results are deterministic and oracle-comparable.
+    ``(doc, term)`` count is one map-side-combinable shuffle whose
+    output feeds the DF count (``groupBy(term)`` over it), and Spark
+    reuses the exchange when both sides see the same input.  When the
+    caller filters the reported docs afterward, Catalyst instead pushes
+    that predicate into the TF branch and keeps a separate full-corpus
+    DF branch — the right trade (a 100× smaller TF subtree beats one
+    shared shuffle; see ``plan_snapshots/q_text_tfidf.txt``).  N arrives
+    as a broadcast 1-row aggregate, not a driver action; the final
+    per-document top-k compiles to partial+final ``WindowGroupLimit``,
+    so only k rows per doc cross the last shuffle.  Ties break on term
+    text so results are deterministic and oracle-comparable.
     """
     from pyspark.sql import Window
 

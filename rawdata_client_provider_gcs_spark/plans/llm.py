@@ -1378,6 +1378,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, term,
 FROM ranked WHERE doc_id < 200 AND rnk <= 3
 """,
     tags=("llm", "text"),
+    bench=True,
 )
 def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (§2B text analysis).

@@ -228,3 +228,71 @@ def q_stream_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = SD.stream_documents(spark, sf)
     return SD.near_dup_admitted(spark, docs, query_name="t_near_dup")
+
+
+@register(
+    "q_stream_sequence_gaps",
+    oracle="""
+WITH seqs AS (
+  SELECT user_id % 50 AS group_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id % 50 ORDER BY event_id)
+           AS seq
+  FROM events
+), kept AS (
+  SELECT group_id, seq FROM seqs WHERE seq % 101 != 7
+), lagged AS (
+  SELECT group_id, seq,
+         LAG(seq) OVER (PARTITION BY group_id ORDER BY seq) AS prev
+  FROM kept
+)
+SELECT CAST(group_id AS BIGINT) AS group_id,
+       CAST(COUNT(*) AS BIGINT) AS n_seen,
+       CAST(MIN(seq) AS BIGINT) AS min_seq,
+       CAST(MAX(seq) AS BIGINT) AS max_seq,
+       CAST(MAX(seq) - MIN(seq) + 1 - COUNT(*) AS BIGINT) AS n_missing,
+       CAST(SUM(CASE WHEN prev IS NOT NULL AND seq > prev + 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps
+FROM lagged GROUP BY group_id
+""",
+    tags=("streaming", "stateful", "tws"),
+)
+def q_stream_sequence_gaps(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming sequence-gap detection (the reference's
+    ``orderingGroup``/``sequenceNumber`` fields,
+    AvroRawdataProducer.java:241-242, finally *interpreted*: which
+    sequence numbers never arrived?).
+
+    A deterministic sequenced stream with planted holes (every seq ≡ 7
+    mod 101 dropped) is staged into 3 micro-batches sharded by
+    ``seq % 3``, so each group's sequences arrive out of order and the
+    per-group interval-set state must merge across batches.  The final
+    per-group stats equal the batch gaps-and-islands computation the
+    oracle states in SQL — an exact check of a custom stateful operator
+    whose state is bounded by hole count, not message count (see
+    ``streaming/gaps.py``; this query runs the GroupState engine, the
+    ``transformWithStateInPandas`` twin is runtime-gated)."""
+    from ..streaming import gaps as G
+    from ..streaming import windows as W2
+
+    stream = G.staged_sequence_stream(
+        spark, sf, n_groups=50, drop_mod=101, drop_rem=7, n_files=3
+    )
+    out = W2.run_available_now_update(
+        G.sequence_gap_stats_groupstate(stream), "t_seq_gaps"
+    )
+    # update mode emits one stats row per key per batch; n_seen is
+    # nondecreasing and rows with equal n_seen are identical, so the
+    # struct-max is the final state snapshot
+    final = out.groupBy("group_id").agg(
+        F.max(
+            F.struct("n_seen", "min_seq", "max_seq", "n_missing", "n_gaps")
+        ).alias("s")
+    )
+    return final.select(
+        F.col("group_id").cast("long").alias("group_id"),
+        F.col("s.n_seen").cast("long").alias("n_seen"),
+        F.col("s.min_seq").cast("long").alias("min_seq"),
+        F.col("s.max_seq").cast("long").alias("max_seq"),
+        F.col("s.n_missing").cast("long").alias("n_missing"),
+        F.col("s.n_gaps").cast("long").alias("n_gaps"),
+    )

@@ -1,0 +1,286 @@
+"""Streaming sequence-gap detection (GroupState + transformWithState).
+
+The reference round-trips ``orderingGroup`` + ``sequenceNumber`` on every
+message without interpreting them (AvroRawdataProducer.java:241-242) —
+but any consumer of a sequenced stream eventually needs to know *which
+sequence numbers never arrived*.  This module provides that as a custom
+stateful streaming operator with two interchangeable engines sharing one
+state design:
+
+- :func:`sequence_gap_stats_groupstate` — ``applyInPandasWithState``,
+  runs everywhere this package runs (the catalog query's engine).
+- :func:`sequence_gap_stats` — Spark 4's ``transformWithStateInPandas``
+  (typed state handles, RocksDB-backed, TTL/timers available).  Its
+  Python state-server protocol needs the ``google.protobuf`` runtime,
+  which this container does not ship, so the TWS path is gated behind
+  :func:`tws_available` (same probe-don't-require pattern as pillow /
+  spark-avro) and its pytest skips where the runtime is absent.
+
+State design — the part that matters at 100 TB: per ordering group the
+state is the **merged interval set of seen sequence numbers**, stored as
+two parallel arrays (starts, ends).  Its size is ``n_gaps + 1``
+intervals, bounded by the number of *holes* in the stream, not the
+number of messages — a healthy producer's group state is one interval
+(16 bytes) forever, no matter how many billions of messages pass
+through.  Out-of-order arrival across micro-batches is handled by the
+interval merge itself: a late sequence either extends/joins intervals
+or opens a new one, and a filled hole collapses two intervals into one.
+
+Emission (update mode) is one stats row per group per batch:
+``(group_id, n_seen, min_seq, max_seq, n_missing, n_gaps)`` — all
+derived from the interval set, so distinct-ness is free (duplicate
+deliveries land inside an existing interval and change nothing).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+GAP_OUTPUT_SCHEMA = (
+    "group_id long, n_seen long, min_seq long, max_seq long, "
+    "n_missing long, n_gaps long"
+)
+
+#: transformWithState requires the RocksDB state store provider.
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def tws_available() -> bool:
+    """True when transformWithState's Python runtime dependency exists.
+
+    The TWS state server speaks protobuf between the JVM and the Python
+    driver worker (``pyspark.sql.streaming.proto.StateMessage_pb2``);
+    without ``google.protobuf`` the worker crashes at import, so probe
+    before choosing that engine.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401, PLC0415
+
+        return True
+    except ImportError:
+        return False
+
+
+def _merge_points(starts: list, ends: list, points: list) -> tuple[list, list]:
+    """Merge new integer points into a sorted disjoint interval set."""
+    items = [(int(s), int(e)) for s, e in zip(starts, ends)]
+    items += [(p, p) for p in points]
+    items.sort()
+    merged: list[tuple[int, int]] = []
+    for s, e in items:
+        if merged and s <= merged[-1][1] + 1:
+            if e > merged[-1][1]:
+                merged[-1] = (merged[-1][0], e)
+        else:
+            merged.append((s, e))
+    return [s for s, _ in merged], [e for _, e in merged]
+
+
+class SequenceGapProcessor(StatefulProcessor):
+    """Per-group interval-set state; emits gap statistics each batch."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._intervals = handle.getValueState(
+            "intervals", "starts array<bigint>, ends array<bigint>"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        starts: list = []
+        ends: list = []
+        if self._intervals.exists():
+            row = self._intervals.get()
+            starts, ends = list(row[0]), list(row[1])
+        points: set = set()
+        for pdf in rows:
+            points.update(int(s) for s in pdf["seq"])
+        if points:
+            starts, ends = _merge_points(starts, ends, sorted(points))
+            self._intervals.update((starts, ends))
+        if not starts:  # called with no rows and no prior state
+            return
+        n_seen = sum(e - s + 1 for s, e in zip(starts, ends))
+        lo, hi = int(starts[0]), int(ends[-1])
+        yield pd.DataFrame(
+            {
+                "group_id": [int(key[0])],
+                "n_seen": [n_seen],
+                "min_seq": [lo],
+                "max_seq": [hi],
+                "n_missing": [hi - lo + 1 - n_seen],
+                "n_gaps": [len(starts) - 1],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def sequence_gap_stats(
+    stream: DataFrame, group_col: str = "group_id", seq_col: str = "seq"
+) -> DataFrame:
+    """Attach the gap detector to a ``(group, seq)`` stream."""
+    renamed = stream.select(
+        F.col(group_col).cast("long").alias("group_id"),
+        F.col(seq_col).cast("long").alias("seq"),
+    )
+    return renamed.groupBy("group_id").transformWithStateInPandas(
+        SequenceGapProcessor(),
+        outputStructType=GAP_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def sequence_gap_stats_groupstate(
+    stream: DataFrame, group_col: str = "group_id", seq_col: str = "seq"
+) -> DataFrame:
+    """Gap detector on ``applyInPandasWithState`` — identical semantics
+    and interval-set state as :class:`SequenceGapProcessor`, on the API
+    that runs without the TWS protobuf runtime."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("group_id", LongType()),
+            StructField("n_seen", LongType()),
+            StructField("min_seq", LongType()),
+            StructField("max_seq", LongType()),
+            StructField("n_missing", LongType()),
+            StructField("n_gaps", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("starts", ArrayType(LongType())),
+            StructField("ends", ArrayType(LongType())),
+        ]
+    )
+
+    def update(key, pdf_iter, state):
+        import pandas as pd
+
+        starts: list = []
+        ends: list = []
+        if state.exists:
+            s, e = state.get
+            starts, ends = list(s), list(e)
+        points: set = set()
+        for pdf in pdf_iter:
+            points.update(int(v) for v in pdf["seq"])
+        if points:
+            starts, ends = _merge_points(starts, ends, sorted(points))
+            state.update((starts, ends))
+        if not starts:
+            return
+        n_seen = sum(e - s + 1 for s, e in zip(starts, ends))
+        lo, hi = int(starts[0]), int(ends[-1])
+        yield pd.DataFrame(
+            {
+                "group_id": [int(key[0])],
+                "n_seen": [n_seen],
+                "min_seq": [lo],
+                "max_seq": [hi],
+                "n_missing": [hi - lo + 1 - n_seen],
+                "n_gaps": [len(starts) - 1],
+            }
+        )
+
+    renamed = stream.select(
+        F.col(group_col).cast("long").alias("group_id"),
+        F.col(seq_col).cast("long").alias("seq"),
+    )
+    return renamed.groupBy("group_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def staged_sequence_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    n_groups: int = 50,
+    drop_mod: int = 101,
+    drop_rem: int = 7,
+    n_files: int = 3,
+) -> DataFrame:
+    """Deterministic sequenced stream with planted holes, staged so each
+    group's sequences arrive OUT OF ORDER across micro-batches.
+
+    Batch-derives ``(group_id = user_id % n_groups, seq = row_number by
+    event_id)`` from the events table, drops every sequence ≡ drop_rem
+    (mod drop_mod) — the planted gaps — then shards rows into
+    ``n_files`` staged parquet files by ``seq % n_files`` with strictly
+    increasing mtimes.  With ``maxFilesPerTrigger=1`` the file source
+    replays them as separate micro-batches, so every group sees
+    interleaved, non-contiguous sequence arrivals — the adversarial case
+    for the interval-merge state.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col("user_id") % n_groups).orderBy("event_id")
+    rows = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select(
+            (F.col("user_id") % n_groups).alias("group_id"),
+            F.row_number().over(w).alias("seq"),
+        )
+        .filter(F.col("seq") % drop_mod != drop_rem)
+    )
+    staged = tempfile.mkdtemp(prefix="rawdata-seq-src-")
+    pdf = rows.toPandas()
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = None
+    for i in range(n_files):
+        part = pdf[pdf["seq"] % n_files == i]
+        path = os.path.join(staged, f"{i}-seqs.parquet")
+        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        if base is None:
+            base = os.stat(path).st_mtime
+        os.utime(path, (base + 10 * i, base + 10 * i))
+    return (
+        spark.readStream.schema("group_id long, seq long")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(staged)
+    )
+
+
+def run_with_rocksdb(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain a TWS query bounded; swap in the RocksDB provider for its
+    lifetime (transformWithState refuses the default HDFS-backed store)."""
+    from . import windows as W
+
+    spark = stream_df.sparkSession
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    try:
+        return W.run_available_now_update(stream_df, query_name)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
