@@ -1,5 +1,5 @@
 """Source/sink format coverage (SURVEY.md §2B Scan/source + Sink rows):
-CSV and JSON scans, binary-file reads, streaming topic tail, and
+CSV/JSON/ORC/text scans, binary-file reads, streaming topic tail, and
 watermark late-data semantics — the behaviors the batch oracle can't see.
 """
 
@@ -51,6 +51,38 @@ def test_json_roundtrip(spark, sf_smoke_dir):
         assert src.exceptAll(explicit).count() == 0
         inferred = spark.read.json(path)
         assert set(inferred.columns) == set(src.columns)
+
+
+def test_orc_roundtrip(spark, sf_smoke_dir):
+    """ORC sink + scan round-trip — the third columnar container Spark
+    ships a vectorized native reader for (beside parquet and avro)."""
+    src = _docs(spark, sf_smoke_dir)
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "docs_orc")
+        src.write.mode("overwrite").orc(path)
+        back = spark.read.orc(path)
+        assert back.schema == src.schema
+        assert back.count() == src.count()
+        assert src.exceptAll(back).count() == 0
+        # predicate + projection survive the format (pushdown smoke)
+        assert (
+            spark.read.orc(path).select("doc_id").filter(F.col("doc_id") < 5).count()
+            == src.filter(F.col("doc_id") < 5).count()
+        )
+
+
+def test_text_format_roundtrip(spark, sf_smoke_dir):
+    """text sink/scan: one line per row, whole line as a single column —
+    the raw-corpus interchange path."""
+    src = _docs(spark, sf_smoke_dir).select(
+        F.regexp_replace("text", "[\\r\\n]", " ").alias("value")
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "docs_txt")
+        src.write.mode("overwrite").text(path)
+        back = spark.read.text(path)
+        assert back.count() == src.count()
+        assert src.exceptAll(back).count() == 0
 
 
 def test_binaryfile_scan_of_topic(spark, tmp_path):
