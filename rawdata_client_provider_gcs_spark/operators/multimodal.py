@@ -14,10 +14,11 @@ Decode kernels resolve in this order:
    optional dependency is probed per executor; nothing is required at
    install time).
 3. ``image/*`` in a library-free format (netpbm PPM/PGM, 24-bit BMP,
-   8-bit PNG via stdlib zlib, or baseline-sequential JPEG via the
-   pure-numpy Huffman+IDCT codec) — real decode/resize via
+   8-bit PNG via stdlib zlib, baseline-sequential JPEG via the
+   pure-numpy Huffman+IDCT codec, or GIF incl. multi-frame animations
+   via stdlib LZW) — real decode/resize/frame-sample via
    :mod:`rawdata_client_provider_gcs_spark.operators.rawimage` /
-   ``.rawjpeg``, in every environment.
+   ``.rawjpeg`` / ``.rawgif``, in every environment.
 4. ``audio/*`` in a RIFF/WAVE container (PCM 8/16/24/32-bit or IEEE
    float) — real decode/features/segmentation via the pure-numpy codec
    in :mod:`rawdata_client_provider_gcs_spark.operators.rawaudio`, in
@@ -277,9 +278,13 @@ def sample_frames(
     Row-explosion happens Python-side inside ``mapInPandas`` — output
     batches carry ``min(payload_duration/every_ms, max_frames)`` rows per
     input row.  WAV audio payloads are really segmented (each frame is a
-    standalone ``every_ms`` WAV clip, pure-numpy codec).  Video codecs
-    are stubbed: ``fake=True`` treats every 64 KiB of payload as one
-    second of video and emits deterministic frame bytes.
+    standalone ``every_ms`` WAV clip, pure-numpy codec).  Animated GIFs
+    — the library-free multi-frame *visual* format — are really decoded
+    (``rawgif``): frames are sampled on the ``every_ms`` grid from their
+    native start times (cumulative per-frame delays) and emitted as PPM
+    bytes with ``frame_idx`` = the original frame number.  The remaining
+    video codecs are stubbed: ``fake=True`` treats every 64 KiB of
+    payload as one second of video and emits deterministic frame bytes.
     """
 
     def run(batches):
@@ -290,6 +295,23 @@ def sample_frames(
         def frames(payload: bytes, mime: str):
             if mime.startswith("audio/") and rawaudio.sniff_wav(payload):
                 return rawaudio.segment_wav(payload, every_ms, max_frames)
+            if mime.startswith("image/") and payload[:6] in (
+                b"GIF87a",
+                b"GIF89a",
+            ):
+                from . import rawgif  # noqa: PLC0415
+
+                out = []
+                t = 0
+                next_ms = 0
+                for i, (delay, arr) in enumerate(rawgif.decode_gif(payload)):
+                    if len(out) >= max_frames:
+                        break
+                    if t >= next_ms:
+                        out.append((i, t, rawimage.encode_ppm(arr)))
+                        next_ms = t + every_ms
+                    t += delay
+                return out
             if not fake:
                 raise NotImplementedError(
                     f"frame sampling for mime={mime} requires av/ffmpeg; "

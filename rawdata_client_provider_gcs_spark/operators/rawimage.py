@@ -21,7 +21,7 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Return "ppm" | "pgm" | "bmp" | "png" | "jpeg" when decodable here."""
+    """Return "ppm"|"pgm"|"bmp"|"png"|"jpeg"|"gif" when decodable here."""
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"P5":
@@ -30,6 +30,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "png"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[:2] == b"BM" and len(payload) >= 30:
         bpp = int.from_bytes(payload[28:30], "little")
         compression = int.from_bytes(payload[30:34], "little")
@@ -99,7 +101,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         from . import rawjpeg  # noqa: PLC0415 — keep numpy-DCT import lazy
 
         return rawjpeg.decode_jpeg(payload)
-    raise ValueError("payload is not a decodable PPM/PGM/BMP/PNG/JPEG image")
+    if fmt == "gif":
+        from . import rawgif  # noqa: PLC0415
+
+        return rawgif.decode_gif_first_frame(payload)
+    raise ValueError(
+        "payload is not a decodable PPM/PGM/BMP/PNG/JPEG/GIF image"
+    )
 
 
 def decode_png(payload: bytes) -> np.ndarray:

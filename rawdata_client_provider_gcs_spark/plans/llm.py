@@ -1400,3 +1400,88 @@ def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
         F.col("rnk").cast("long").alias("rnk"),
         F.col("score").cast("double").alias("score"),
     )
+
+
+@register(
+    "q_multimodal_gif_frames",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, unnest([0, 2, 4]) AS frame_idx
+  FROM documents WHERE doc_id < 200
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * 100 AS BIGINT) AS frame_ms,
+       CAST((doc_id * 31 + 8 * frame_idx) % 256 AS BIGINT) AS mean_pixel
+FROM f WHERE frame_idx < 2 + doc_id % 4
+""",
+    tags=("llm", "multimodal", "image", "gif", "pandas-udf"),
+)
+def q_multimodal_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL multi-frame visual decode + frame sampling, oracle-exact.
+
+    One animated GIF per document — ``2 + doc_id % 4`` constant-color
+    frames (frame i's color ``(doc_id·31 + 8i) % 256``), 100 ms each,
+    stdlib-LZW-encoded by :mod:`..operators.rawgif`.  ``sample_frames``
+    really decodes the animation and samples the 200 ms grid from the
+    frames' native start times, so the kept frames are exactly indices
+    {0, 2, 4} below the frame count; the emitted PPM frames decode back
+    to their constant color (GIF is lossless for palette images), which
+    the oracle states in closed form.  This is the visual twin of
+    `q_multimodal_frames`' WAV slicing: frame sampling is now REAL for
+    both an audio and a visual media type in a library-free container.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawgif
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                n = 2 + int(did) % 4
+                frames = [
+                    np.full((8, 12, 3), (int(did) * 31 + 8 * i) % 256, np.uint8)
+                    for i in range(n)
+                ]
+                payloads.append(rawgif.encode_gif(frames, 100))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "gif": payloads})
+
+    gifs = d.mapInPandas(make, "doc_id long, gif binary")
+    media = multimodal.with_media_columns(gifs, "gif", "image/gif", "doc_id")
+    sampled = multimodal.sample_frames(media, every_ms=200, max_frames=4)
+
+    def mean_of_frames(batches):
+        import pandas as pd
+
+        from ..operators import rawimage
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_ms": pdf["frame_ms"],
+                    "mean_pixel": [
+                        int(round(float(rawimage.decode_image(bytes(b)).mean())))
+                        for b in pdf["frame"]
+                    ],
+                }
+            )
+
+    return sampled.mapInPandas(
+        mean_of_frames,
+        "doc_id long, frame_idx long, frame_ms long, mean_pixel long",
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        F.col("mean_pixel").cast("long").alias("mean_pixel"),
+    )

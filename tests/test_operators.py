@@ -1021,3 +1021,125 @@ def test_jpeg_pillow_parity():
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, format="JPEG", quality=90)
     assert psnr(img, rawjpeg.decode_jpeg(buf.getvalue())) > 35
+
+
+def test_gif_codec_roundtrip_and_animation():
+    """GIF encode→decode is lossless for palette images: single frame,
+    multi-frame with per-frame delays, and a full 256-color image big
+    enough to force LZW code-width growth and a dictionary reset."""
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawgif, rawimage
+
+    rng = np.random.default_rng(5)
+    img = (rng.integers(0, 6, (17, 23, 3)) * 40).astype(np.uint8)
+    gif = rawgif.encode_gif(img, 100)
+    assert rawimage.sniff_format(gif) == "gif"
+    assert np.array_equal(rawimage.decode_image(gif), img)
+
+    f1 = np.full((8, 10, 3), 30, np.uint8)
+    f2 = np.full((8, 10, 3), 60, np.uint8)
+    f2[2:5, 3:7] = 200
+    f3 = np.zeros((8, 10, 3), np.uint8)
+    out = rawgif.decode_gif(rawgif.encode_gif([f1, f2, f3], [50, 120, 250]))
+    assert [d for d, _ in out] == [50, 120, 250]
+    assert all(np.array_equal(a, b) for (_, a), b in zip(out, [f1, f2, f3]))
+
+    pal = np.stack(
+        [np.arange(256), np.arange(256)[::-1], np.full(256, 7)], axis=1
+    ).astype(np.uint8)
+    rgb = pal[rng.integers(0, 256, (120, 200), np.uint8)]
+    assert np.array_equal(rawgif.decode_gif(rawgif.encode_gif(rgb, 100))[0][1], rgb)
+
+    with pytest.raises(ValueError, match="cap"):
+        rawgif.encode_gif(rng.integers(0, 256, (40, 40, 3), np.uint8), 100)
+
+
+def test_gif_decode_interlaced():
+    """A hand-assembled interlaced GIF (rows stored in four-pass order)
+    de-interlaces back to natural row order."""
+    import struct
+
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawgif
+
+    h, w = 8, 4
+    idx = np.repeat(np.arange(h, dtype=np.uint8), w).reshape(h, w)
+    stored = idx[[0, 4, 2, 6, 1, 3, 5, 7]]  # pass order for 8 rows
+    pal = np.zeros((8, 3), np.uint8)
+    pal[:, 0] = np.arange(8) * 30  # row y decodes to red 30*y
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", w, h, 0x80 | 2, 0, 0)  # GCT, 8 entries
+    gif += pal.tobytes()
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlaced
+    mcs = 3
+    gif.append(mcs)
+    lzw = rawgif._lzw_encode(stored.tobytes(), mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        gif.append(len(chunk))
+        gif += chunk
+    gif += b"\x00\x3b"
+    out = rawgif.decode_gif(bytes(gif))[0][1]
+    expect = pal[idx]
+    assert np.array_equal(out, expect)
+
+
+def test_gif_decode_transparency_composes_over_previous():
+    """Frame 2's transparent pixels keep frame 1's canvas content."""
+    import struct
+
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawgif
+
+    w = h = 4
+    pal = np.array([[10, 0, 0], [0, 20, 0], [0, 0, 40], [9, 9, 9]], np.uint8)
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", w, h, 0x80 | 1, 0, 0)  # GCT, 4 entries
+    gif += pal.tobytes()
+
+    def frame(indices, transparent=None):
+        body = bytearray()
+        gflags = 1 if transparent is not None else 0
+        body += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", gflags, 5, transparent or 0
+        ) + b"\x00"
+        body += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        body.append(2)
+        lzw = rawgif._lzw_encode(bytes(indices), 2)
+        body.append(len(lzw))
+        body += lzw
+        body.append(0)
+        return body
+
+    gif += frame([0] * 16)  # all color 0
+    # second frame: top half transparent (index 3), bottom half color 2
+    gif += frame([3] * 8 + [2] * 8, transparent=3)
+    gif += b"\x3b"
+    frames = rawgif.decode_gif(bytes(gif))
+    assert len(frames) == 2
+    final = frames[1][1]
+    assert np.array_equal(final[:2], np.broadcast_to(pal[0], (2, w, 3)))
+    assert np.array_equal(final[2:], np.broadcast_to(pal[2], (2, w, 3)))
+
+
+def test_gif_pillow_parity():
+    """When pillow is importable it reads our GIFs frame-for-frame."""
+    import io
+
+    import numpy as np
+
+    Image = pytest.importorskip("PIL.Image", reason="pillow not installed")
+    from rawdata_client_provider_gcs_spark.operators import rawgif
+
+    f1 = np.full((6, 9, 3), 50, np.uint8)
+    f2 = np.full((6, 9, 3), 90, np.uint8)
+    gif = rawgif.encode_gif([f1, f2], [40, 80])
+    with Image.open(io.BytesIO(gif)) as im:
+        assert im.n_frames == 2
+        im.seek(0)
+        assert np.array_equal(np.asarray(im.convert("RGB")), f1)
+        im.seek(1)
+        assert np.array_equal(np.asarray(im.convert("RGB")), f2)
