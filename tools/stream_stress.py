@@ -172,6 +172,46 @@ def doc_stream(spark, src_dir: str):
     )
 
 
+def make_seq_files(
+    out_dir: str, n_groups: int, n_rows: int, n_files: int = 4
+) -> None:
+    """(group_id, seq) rows: contiguous per-group sequences with a hole
+    every 101, sharded by ``seq % n_files`` so every group's sequences
+    arrive out of order across micro-batches (the adversarial case for
+    the interval-merge gap state)."""
+    os.makedirs(out_dir, exist_ok=True)
+    per_group = max(1, n_rows // n_groups)
+    now = None
+    import numpy as np
+
+    groups = np.repeat(np.arange(n_groups, dtype=np.int64), per_group)
+    seqs = np.tile(np.arange(1, per_group + 1, dtype=np.int64), n_groups)
+    keep = seqs % 101 != 7
+    groups, seqs = groups[keep], seqs[keep]
+    for fi in range(n_files):
+        m = seqs % n_files == fi
+        table = pa.table(
+            {
+                "group_id": pa.array(groups[m], pa.int64()),
+                "seq": pa.array(seqs[m], pa.int64()),
+            }
+        )
+        path = os.path.join(out_dir, f"{fi}-seqs.parquet")
+        pq.write_table(table, path)
+        if now is None:
+            now = os.stat(path).st_mtime
+        os.utime(path, (now + fi, now + fi))
+
+
+def seq_stream(spark, src_dir: str):
+    return (
+        spark.readStream.schema("group_id long, seq long")
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+
+
 def make_message_files(out_dir: str, n_rows: int, n_files: int = 4) -> None:
     os.makedirs(out_dir, exist_ok=True)
     per = n_rows // n_files
@@ -294,6 +334,7 @@ def main() -> int:
             "stream_session",
             "stream_stateful_user",
             "stream_near_dup",
+            "stream_seq_gaps",
             "stream_sink",
         ],
     )
@@ -373,6 +414,20 @@ def main() -> int:
             )
             return run_capture(
                 sdedup.first_seen_flags(banded, "doc_id"), "update", parts
+            )
+        if op == "stream_seq_gaps":
+            from rawdata_client_provider_gcs_spark.streaming import gaps as G
+
+            key = ("seqs", scale)
+            if key not in staged:
+                d = tempfile.mkdtemp(prefix=f"rawdata-stress-seq-{scale}-")
+                m = scales[scale]
+                make_seq_files(d, args.keys_1x * m, args.rows_1x * m)
+                staged[key] = d
+            return run_capture(
+                G.sequence_gap_stats_groupstate(seq_stream(spark, staged[key])),
+                "update",
+                parts,
             )
         if op == "stream_sink":
             return run_sink(spark, msgs_dir(scale), parts)
