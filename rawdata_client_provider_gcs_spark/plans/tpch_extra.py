@@ -502,3 +502,77 @@ def q_tpch_q20_excess(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("supp_qty").cast("long").alias("dominant_qty"),
         )
     )
+
+
+def _pagerank_oracle(iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled-CTE PageRank oracle over the customer→supplier graph.
+
+    Generated, not hand-typed: each iteration appends a dangling-mass
+    CTE and a rank CTE stating exactly the recurrence the Spark loop in
+    ``operators/graph.py`` computes."""
+    sql = """WITH edges AS (
+  SELECT o.o_custkey AS src, 1000000 + l.l_suppkey AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges
+  )
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+norm AS (SELECT e.src, e.dst, e.w / o.ow AS p FROM edges e JOIN outw o USING (src)),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes)"""
+    for k in range(iters):
+        sql += f""",
+dang{k} AS (
+  SELECT COALESCE(SUM(pr), 0) AS dang FROM r{k}
+  WHERE node NOT IN (SELECT src FROM outw)
+),
+r{k + 1} AS (
+  SELECT nd.node,
+         (1 - {d}) / (SELECT n FROM nn)
+         + {d} * (COALESCE(c.contrib, 0)
+                  + (SELECT dang FROM dang{k}) / (SELECT n FROM nn)) AS pr
+  FROM nodes nd LEFT JOIN (
+    SELECT nm.dst AS node, SUM(nm.p * r.pr) AS contrib
+    FROM norm nm JOIN r{k} r ON r.node = nm.src GROUP BY nm.dst
+  ) c USING (node)
+)"""
+    sql += f"""
+SELECT CAST(node AS BIGINT) AS node, pr
+FROM r{iters} ORDER BY pr DESC, node LIMIT 50"""
+    return sql
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "iterative"),
+)
+def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted PageRank over the bipartite customer→supplier order-flow
+    graph (edge weight = lineitems shipped), 5 damped iterations with
+    dangling-mass redistribution — every supplier is a sink, so the
+    dangling term carries all recirculation and skipping it would leak
+    rank.  The iterative DataFrame loop (``operators/graph.py``) matches
+    the oracle's unrolled CTE recurrence to float equality; top-50 nodes
+    by rank with deterministic tie-break."""
+    from ..operators import graph
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    l = load_table(spark, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("src"),
+            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    ranks = graph.pagerank(edges, iters=5, damping=0.85, weight_col="w")
+    return (
+        ranks.orderBy(F.desc("pr"), F.asc("node"))
+        .limit(50)
+        .select(F.col("node").cast("long").alias("node"), F.col("pr"))
+    )

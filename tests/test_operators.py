@@ -1143,3 +1143,44 @@ def test_gif_pillow_parity():
         assert np.array_equal(np.asarray(im.convert("RGB")), f1)
         im.seek(1)
         assert np.array_equal(np.asarray(im.convert("RGB")), f2)
+
+
+def test_pagerank_hand_computed_two_node_graph(spark):
+    """A→B for two iterations, worked by hand: rank mass conserves and
+    matches the recurrence exactly (incl. the dangling term — B is a
+    sink, so its whole mass recirculates each round)."""
+    from rawdata_client_provider_gcs_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, w double")
+    got = {
+        r["node"]: r["pr"]
+        for r in graph.pagerank(edges, iters=2, weight_col="w").collect()
+    }
+    assert abs(got[1] - 0.3778125) < 1e-12
+    assert abs(got[2] - 0.6221875) < 1e-12
+
+
+def test_pagerank_mass_conservation_and_weights(spark):
+    """Total rank mass stays 1.0 on an arbitrary weighted graph, and a
+    heavier inbound edge yields a higher rank."""
+    from pyspark.sql import functions as F
+
+    from rawdata_client_provider_gcs_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2, 3.0),
+            (1, 3, 1.0),
+            (2, 3, 1.0),
+            (3, 1, 2.0),
+            (4, 1, 1.0),
+        ],
+        "src long, dst long, w double",
+    )
+    ranks = graph.pagerank(edges, iters=8, weight_col="w")
+    total = ranks.agg(F.sum("pr")).first()[0]
+    assert abs(total - 1.0) < 1e-9
+    got = {r["node"]: r["pr"] for r in ranks.collect()}
+    # node 2 receives 3/4 of node 1's rank, node 3 only 1/4 of it
+    assert got[2] > got[4]
+    assert got[3] > got[4]  # two inbound edges beat the leaf
