@@ -549,6 +549,7 @@ FROM r{iters} ORDER BY pr DESC, node LIMIT 50"""
     "q_graph_pagerank",
     oracle=_pagerank_oracle(),
     tags=("graph", "iterative"),
+    bench=True,
 )
 def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     """Weighted PageRank over the bipartite customer→supplier order-flow
