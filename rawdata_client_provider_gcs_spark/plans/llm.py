@@ -1485,3 +1485,59 @@ def q_multimodal_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
         F.col("frame_ms").cast("long").alias("frame_ms"),
         F.col("mean_pixel").cast("long").alias("mean_pixel"),
     )
+
+
+@register("q_text_bpe_train", tags=("llm", "text", "tokenizer", "iterative"))
+def q_text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned BPE merge table over the corpus (§2B text analysis).
+
+    Real byte-pair-encoding training — not the fixed-regex
+    approximation of `q_text_bpe_tokens`: one distributed word-count
+    pass, then the classic pair-count merge loop on the bounded
+    most-frequent-word table (`functions/bpe.py`; same bounded-train /
+    distributed-apply split as IVF-PQ).  Rows-only at the driver (the
+    merge loop is iterative, not SQL-expressible); the training
+    semantics are pinned by hand-computed fixtures in
+    `tests/test_operators.py::test_bpe_training_hand_computed` and the
+    reconstruction property is oracle-checked by
+    `q_text_bpe_roundtrip`."""
+    from ..functions import bpe
+
+    d = load_table(spark, sf, "documents")
+    merges = bpe.train_bpe(d, num_merges=30)
+    return spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    )
+
+
+@register(
+    "q_text_bpe_roundtrip",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), '')
+         AS detok,
+       CAST(length(array_to_string(
+         regexp_extract_all(lower(text), '[a-z0-9]+'), '')) AS BIGINT)
+         AS n_chars
+FROM documents WHERE doc_id < 100
+""",
+    tags=("llm", "text", "tokenizer"),
+)
+def q_text_bpe_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE segmentation is a partition of the text: concatenating the
+    learned-merge tokens of every document reproduces exactly the
+    character stream of its regex words — stated by the oracle in
+    closed form.  Trains 30 merges on the full corpus, applies them
+    distributed (Arrow-batched kernel with per-executor word cache),
+    then detokenizes."""
+    from ..functions import bpe
+
+    d = load_table(spark, sf, "documents")
+    merges = bpe.train_bpe(d, num_merges=30)
+    toks = bpe.bpe_tokenize(d.filter(F.col("doc_id") < 100), merges)
+    return toks.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat_ws("", F.col("tokens")).alias("detok"),
+        F.length(F.concat_ws("", F.col("tokens"))).cast("long").alias("n_chars"),
+    )

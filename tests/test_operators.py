@@ -1184,3 +1184,53 @@ def test_pagerank_mass_conservation_and_weights(spark):
     # node 2 receives 3/4 of node 1's rank, node 3 only 1/4 of it
     assert got[2] > got[4]
     assert got[3] > got[4]  # two inbound edges beat the leaf
+
+
+def test_bpe_training_hand_computed():
+    """Merge learning on a 2-word corpus, worked by hand: ('a','b')
+    first (weighted count 5 beats ('a','a') at 4), then the tie between
+    ('a','a') and ('a','ab') at 2 breaks lexicographically."""
+    from rawdata_client_provider_gcs_spark.functions import bpe
+
+    merges = bpe.train_merges_local([("aaab", 2), ("ab", 3)], 4)
+    assert merges == [("a", "b"), ("a", "a"), ("aa", "ab")]
+    ranks = {p: i for i, p in enumerate(merges)}
+    assert bpe.apply_merges_to_word("aaab", ranks) == ["aaab"]
+    assert bpe.apply_merges_to_word("aab", ranks) == ["a", "ab"]
+    assert bpe.apply_merges_to_word("xyz", ranks) == ["x", "y", "z"]
+
+
+def test_bpe_spark_train_apply_invariants(spark, sf_smoke_dir):
+    """Distributed train + apply: segmentation partitions the text
+    (detokenization reproduces the regex-word character stream) and
+    token counts are monotonically nonincreasing in merge count."""
+    from pyspark.sql import functions as F
+
+    from rawdata_client_provider_gcs_spark.functions import bpe
+    from rawdata_client_provider_gcs_spark.tables import load_table
+
+    d = load_table(spark, sf_smoke_dir, "documents")
+    merges = bpe.train_bpe(d, num_merges=20)
+    assert 0 < len(merges) <= 20
+    assert len(set(merges)) == len(merges)  # no duplicate merges
+
+    toks = bpe.bpe_tokenize(d, merges)
+    joined = toks.select(
+        "doc_id", F.concat_ws("", "tokens").alias("detok")
+    )
+    expect = d.select(
+        "doc_id",
+        F.concat_ws(
+            "", F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("detok"),
+    )
+    assert joined.exceptAll(expect).count() == 0
+    assert expect.exceptAll(joined).count() == 0
+
+    n_few = (
+        bpe.bpe_tokenize(d, merges[:5]).agg(F.sum("n_tokens")).first()[0]
+    )
+    n_many = toks.agg(F.sum("n_tokens")).first()[0]
+    n_none = bpe.bpe_tokenize(d, []).agg(F.sum("n_tokens")).first()[0]
+    assert n_none >= n_few >= n_many
+    assert n_many < n_none  # merges actually compress
