@@ -715,3 +715,56 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "cosine")
         .distinct()
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization of an embedding column.
+
+    The storage-compression companion to IVF-PQ's 8-byte codes: 4×
+    smaller vectors (one int8 + a shared scale per vector instead of
+    float32s) with bounded reconstruction error ``|x − c·s| ≤ s/2``,
+    ``s = max|x|/127``.  Entirely ``pyspark.sql.functions`` — transform/
+    aggregate lambda expressions stay in whole-stage codegen, no Python,
+    no shuffle (a pure map over the scan) — so it costs one pass at any
+    corpus size and the DuckDB oracle can state the identical
+    arithmetic.
+
+    Returns ``(id, scale, codes array<int>, max_abs_err, sum_codes)``;
+    zero vectors get scale 0 and all-zero codes.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    ) / F.lit(127.0)
+    staged = embeddings.select(F.col(id_col), v.alias("v"), scale.alias("scale"))
+    codes = F.when(
+        F.col("scale") == 0.0,
+        F.transform(F.col("v"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("v"), lambda x: F.round(x / F.col("scale")).cast("int")
+        )
+    )
+    out = staged.select(id_col, "scale", codes.alias("codes"), F.col("v"))
+    err = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("codes"),
+            lambda x, c: F.abs(x - c.cast("double") * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, e: F.greatest(acc, e),
+    )
+    return out.select(
+        id_col,
+        "scale",
+        "codes",
+        err.alias("max_abs_err"),
+        F.aggregate(
+            F.col("codes"), F.lit(0).cast("long"), lambda a, c: a + c.cast("long")
+        ).alias("sum_codes"),
+    )

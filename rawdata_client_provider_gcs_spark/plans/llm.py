@@ -1541,3 +1541,47 @@ def q_text_bpe_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.concat_ws("", F.col("tokens")).alias("detok"),
         F.length(F.concat_ws("", F.col("tokens"))).cast("long").alias("n_chars"),
     )
+
+
+@register(
+    "q_embedding_quantize_int8",
+    oracle="""
+WITH s AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+           / 127.0 AS scale
+  FROM embeddings
+), c AS (
+  SELECT vec_id, scale, v,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS INTEGER))
+              ELSE list_transform(v, x -> CAST(round(x / scale) AS INTEGER))
+         END AS codes
+  FROM s
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       scale,
+       CAST(len(codes) AS BIGINT) AS n_dims,
+       CAST(list_sum(list_transform(codes, cc -> CAST(cc AS BIGINT)))
+            AS BIGINT) AS sum_codes,
+       list_max(list_transform(list_zip(v, codes),
+         t -> abs(t[1] - CAST(t[2] AS DOUBLE) * scale))) AS max_abs_err
+FROM c
+""",
+    tags=("llm", "similarity", "embedding"),
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric int8 embedding quantization, value-exact vs the oracle
+    (§2C embedding storage tier).  4× smaller vectors with the
+    ``|err| ≤ scale/2`` bound; pure higher-order-function expressions
+    (transform/aggregate/zip_with), zero shuffle, zero Python — see
+    :func:`...operators.similarity.quantize_int8`."""
+    emb = load_table(spark, sf, "embeddings")
+    q = similarity.quantize_int8(emb)
+    return q.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "scale",
+        F.size("codes").cast("long").alias("n_dims"),
+        F.col("sum_codes").cast("long").alias("sum_codes"),
+        "max_abs_err",
+    )

@@ -1234,3 +1234,32 @@ def test_bpe_spark_train_apply_invariants(spark, sf_smoke_dir):
     n_none = bpe.bpe_tokenize(d, []).agg(F.sum("n_tokens")).first()[0]
     assert n_none >= n_few >= n_many
     assert n_many < n_none  # merges actually compress
+
+
+def test_quantize_int8_error_bound_and_roundtrip(spark):
+    """int8 quantization: |x − c·s| ≤ s/2 on every dimension, zero
+    vectors stay zero, and dequantized cosine stays close."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from rawdata_client_provider_gcs_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(0, 0.3, 16)]) for i in range(20)]
+    rows.append((99, [0.0] * 16))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = similarity.quantize_int8(emb)
+    got = {r["vec_id"]: r for r in q.collect()}
+    assert got[99]["scale"] == 0.0 and got[99]["sum_codes"] == 0
+    for i, vec in rows[:-1]:
+        r = got[i]
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-12
+        recon = np.array(r["codes"], float) * r["scale"]
+        orig = np.array(vec)
+        cos = recon.dot(orig) / (
+            np.linalg.norm(recon) * np.linalg.norm(orig)
+        )
+        assert cos > 0.999, (i, cos)
+    # pure map: no exchange in the plan
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
