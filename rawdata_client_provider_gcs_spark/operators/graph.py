@@ -58,10 +58,14 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()  # loop-invariant: materialize once, not per round
     )
     outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
-    norm = e.join(outw, "src").select(
-        "src", "dst", (F.col("w") / F.col("ow")).alias("p")
+    norm = (
+        e.join(outw, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
+        .localCheckpoint()  # ditto — else every iteration replays the
+        # upstream edge derivation (join/aggregate over the raw tables)
     )
     n_df = nodes.agg(F.count("*").cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
@@ -69,7 +73,7 @@ def pagerank(
     )
     dangling = nodes.join(
         outw.select(F.col("src").alias("node")), "node", "left_anti"
-    )
+    ).localCheckpoint()
     for _ in range(iters):
         dang = (
             ranks.join(dangling, "node", "left_semi")
