@@ -185,3 +185,26 @@ def segment_wav(
             (idx, start * 1000 // rate, encode_wav_pcm16(seg, rate))
         )
     return out
+
+
+def spectrum_features(
+    samples: np.ndarray, rate: int, n_fft: int = 256
+) -> list[float]:
+    """Frequency-domain features of a decoded clip (real numpy FFT).
+
+    [dominant_bin, dominant_freq_hz, dominant_mag, spectral_centroid_hz]
+    over the first ``n_fft`` mono frames (zero-padded when shorter).
+    The DC bin is excluded from the dominant search; magnitudes are
+    un-normalized ``|rfft|`` so an on-bin sine of amplitude A yields a
+    dominant magnitude of exactly ``A·n_fft/2`` — the property the
+    oracle-checked spectrum query pins.
+    """
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    frame = np.zeros(n_fft, np.float64)
+    frame[: min(len(mono), n_fft)] = mono[:n_fft]
+    mags = np.abs(np.fft.rfft(frame))
+    k = int(np.argmax(mags[1:])) + 1  # exclude DC
+    freqs = np.arange(len(mags)) * (rate / n_fft)
+    total = float(mags.sum())
+    centroid = float((freqs * mags).sum() / total) if total > 0 else 0.0
+    return [float(k), float(k * rate / n_fft), float(mags[k]), centroid]

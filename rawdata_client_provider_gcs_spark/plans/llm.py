@@ -1585,3 +1585,66 @@ def q_embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
         F.col("sum_codes").cast("long").alias("sum_codes"),
         "max_abs_err",
     )
+
+
+@register(
+    "q_multimodal_audio_spectrum",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(1 + doc_id % 100 AS BIGINT) AS dominant_bin,
+       (1 + doc_id % 100) * 31.25 AS dominant_freq,
+       CAST(1 + doc_id % 50 AS DOUBLE) AS dominant_mag
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "audio", "dsp", "pandas-udf"),
+)
+def q_multimodal_audio_spectrum(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL frequency-domain audio analysis, oracle-exact (§2B
+    multimodal).  One 256-sample float32 WAV per document carrying a
+    pure sine on FFT bin ``1 + doc_id % 100`` at 8 kHz with amplitude
+    ``(1 + doc_id % 50)/128`` — on-bin, so the rfft is leakage-free and
+    the un-normalized dominant magnitude is exactly ``amp·128`` = the
+    integer ``1 + doc_id % 50`` (float32 storage noise ~1e-5 absolute,
+    absorbed by rounding to 3 decimals).  Bin and frequency are stated
+    exactly; the spectral centroid is excluded here because float32
+    quantization noise across 128 bins moves it ~1e-4 relative — it is
+    pinned in float64 by ``test_rawaudio_spectrum_features`` instead.
+    Pipeline: synthesize → WAV encode → decode (pure-numpy RIFF codec)
+    → rfft, all inside Arrow-batched kernels.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawaudio
+
+        for pdf in batches:
+            rows = {"doc_id": [], "bin": [], "freq": [], "mag": []}
+            for did in pdf["doc_id"]:
+                b = 1 + int(did) % 100
+                amp = (1 + int(did) % 50) / 128.0
+                x = amp * np.sin(2 * np.pi * b * np.arange(256) / 256.0)
+                wav = rawaudio.encode_wav_float32(x, 8000)
+                samples, rate = rawaudio.decode_wav(wav)
+                k, f, m, _c = rawaudio.spectrum_features(samples, rate)
+                rows["doc_id"].append(int(did))
+                rows["bin"].append(int(k))
+                rows["freq"].append(f)
+                rows["mag"].append(m)
+            yield pd.DataFrame(rows)
+
+    out = d.mapInPandas(
+        make, "doc_id long, bin long, freq double, mag double"
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("bin").cast("long").alias("dominant_bin"),
+        F.col("freq").alias("dominant_freq"),
+        F.round("mag", 3).alias("dominant_mag"),
+    )

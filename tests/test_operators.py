@@ -1263,3 +1263,26 @@ def test_quantize_int8_error_bound_and_roundtrip(spark):
     # pure map: no exchange in the plan
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_rawaudio_spectrum_features():
+    """rfft features on on-bin sines: dominant bin/freq exact, magnitude
+    A*N/2 to float64 precision, centroid equal to the sine frequency."""
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawaudio
+
+    rate, n = 8000, 256
+    for b, amp in [(1, 0.5), (37, 0.25), (100, 0.125), (127, 1.0)]:
+        x = amp * np.sin(2 * np.pi * b * np.arange(n) / n)
+        k, f, m, c = rawaudio.spectrum_features(x, rate)
+        assert k == b
+        assert f == b * rate / n
+        assert abs(m - amp * n / 2) < 1e-9
+        assert abs(c - f) < 1e-5 * max(f, 1.0)
+    # stereo mixes to mono first; short clips zero-pad
+    st = np.stack([x, x], axis=1)
+    assert rawaudio.spectrum_features(st, rate)[0] == 127
+    short = amp * np.sin(2 * np.pi * 16 * np.arange(64) / 64)
+    k, _, _, _ = rawaudio.spectrum_features(short, rate)
+    assert k == 64  # 16 cycles in 64 samples -> bin 64 of a 256-pt FFT
