@@ -157,3 +157,53 @@ def repetition_stats(
             F.coalesce("top_bigram_count", F.lit(0)).alias("top_bigram_count"),
         )
     )
+
+
+def compression_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compression facts — the classic "too
+    compressible = boilerplate/repetition, incompressible = noise"
+    quality signal (used by Gopher-style corpus filters alongside
+    :func:`repetition_stats`).
+
+    Returns ``(id, raw_bytes, zlib_bytes, compression_ratio)`` where
+    ratio = compressed/raw over the UTF-8 text.  Arrow-batched
+    ``mapInPandas``; stdlib zlib at a fixed level is deterministic for
+    a given zlib build, so results are stable within an environment but
+    not SQL-expressible — the catalog query is rows-only by design with
+    the behavior pinned by pytest invariants (repetitive text
+    compresses far below prose; ratio bounds hold; empty text is 0/0).
+    """
+
+    def run(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw = []
+            comp = []
+            for text in pdf[text_col]:
+                b = (text or "").encode("utf-8")
+                raw.append(len(b))
+                comp.append(len(zlib.compress(b, level)) if b else 0)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_bytes": raw,
+                    "zlib_bytes": comp,
+                    "compression_ratio": [
+                        (c / r) if r else 0.0 for c, r in zip(comp, raw)
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run,
+        f"{id_col} long, raw_bytes long, zlib_bytes long, "
+        "compression_ratio double",
+    )

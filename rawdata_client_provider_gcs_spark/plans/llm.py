@@ -1648,3 +1648,19 @@ def q_multimodal_audio_spectrum(spark: SparkSession, sf: str) -> DataFrame:
         F.col("freq").alias("dominant_freq"),
         F.round("mag", 3).alias("dominant_mag"),
     )
+
+
+@register("q_text_compression", tags=("llm", "text", "quality"))
+def q_text_compression(spark: SparkSession, sf: str) -> DataFrame:
+    """zlib compression-ratio quality signal per document (§2B text
+    analysis; Gopher-style "too compressible / incompressible" filter
+    input).  Rows-only by design: zlib is not expressible in the SQL
+    oracle; determinism and the discriminative property are pinned by
+    `tests/test_operators.py::test_compression_stats_invariants`."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return decontam.compression_stats(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("raw_bytes").cast("long").alias("raw_bytes"),
+        F.col("zlib_bytes").cast("long").alias("zlib_bytes"),
+        F.col("compression_ratio"),
+    )

@@ -1286,3 +1286,36 @@ def test_rawaudio_spectrum_features():
     short = amp * np.sin(2 * np.pi * 16 * np.arange(64) / 64)
     k, _, _, _ = rawaudio.spectrum_features(short, rate)
     assert k == 64  # 16 cycles in 64 samples -> bin 64 of a 256-pt FFT
+
+
+def test_compression_stats_invariants(spark):
+    """Compression-ratio signal: repetitive text compresses far below
+    random prose, ratios stay within sane bounds, empty text is 0/0,
+    and repeated runs are byte-identical (zlib is deterministic)."""
+    from rawdata_client_provider_gcs_spark.operators import decontam
+
+    import random
+
+    rng = random.Random(3)
+    rand_text = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+        for _ in range(200)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 400),
+            (2, rand_text),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in decontam.compression_stats(docs).collect()}
+    assert got[1]["compression_ratio"] < 0.05  # pure repetition
+    assert got[2]["compression_ratio"] > 0.5  # random letters barely compress
+    assert got[3]["raw_bytes"] == 0 and got[3]["compression_ratio"] == 0.0
+    assert got[4]["raw_bytes"] == 0
+    again = {r["doc_id"]: r for r in decontam.compression_stats(docs).collect()}
+    assert all(
+        got[k]["zlib_bytes"] == again[k]["zlib_bytes"] for k in got
+    )
