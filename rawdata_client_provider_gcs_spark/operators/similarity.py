@@ -768,3 +768,84 @@ def quantize_int8(
             F.col("codes"), F.lit(0).cast("long"), lambda a, c: a + c.cast("long")
         ).alias("sum_codes"),
     )
+
+
+def serialize_vector_index(centroids, codebooks=None) -> bytes:
+    """Pack a trained quantizer (IVF centroids, optional PQ codebooks)
+    into one self-describing npz blob for the topic metadata KV.
+
+    Training a quantizer costs a corpus pass (`train_centroids_kmeans` /
+    `train_pq_codebooks`); production deployments train once and reuse,
+    which in the reference's world means storing it beside the topic as
+    an opaque metadata value (GCSRawdataMetadataClient.java:21-81 — the
+    KV store exists exactly for consumer-side artifacts like this).
+    ``centroids`` is the ``(cid, cvec)`` DataFrame the trainers return
+    (collected ordered — it is nlist-sized by construction) or a plain
+    matrix.
+    """
+    import io
+
+    import numpy as np
+
+    if isinstance(centroids, DataFrame):
+        rows = sorted(
+            centroids.select("cid", "cvec").collect(), key=lambda r: r["cid"]
+        )
+        cids = np.array([r["cid"] for r in rows], np.int64)
+        mat = np.array([list(r["cvec"]) for r in rows], np.float64)
+    else:
+        mat = np.asarray(centroids, np.float64)
+        cids = np.arange(len(mat), dtype=np.int64)
+    buf = io.BytesIO()
+    arrays = {"cids": cids, "centroids": mat}
+    if codebooks is not None:
+        arrays["codebooks"] = np.asarray(codebooks, np.float64)
+    np.savez(buf, **arrays)
+    return buf.getvalue()
+
+
+def deserialize_vector_index(blob: bytes):
+    """Inverse of :func:`serialize_vector_index`:
+    ``(cids, centroid_matrix, codebooks | None)``."""
+    import io
+
+    import numpy as np
+
+    with np.load(io.BytesIO(blob)) as z:
+        cids = z["cids"]
+        centroids = z["centroids"]
+        codebooks = z["codebooks"] if "codebooks" in z.files else None
+    return cids, centroids, codebooks
+
+
+def centroids_dataframe(spark, cids, centroids) -> DataFrame:
+    """Rebuild the ``(cid, cvec)`` DataFrame the search tiers take."""
+    return spark.createDataFrame(
+        [
+            (int(c), [float(x) for x in vec])
+            for c, vec in zip(cids, centroids)
+        ],
+        "cid int, cvec array<double>",
+    )
+
+
+def save_vector_index(metadata_client, key: str, centroids, codebooks=None):
+    """Persist a trained index into a topic's metadata KV (S15)."""
+    metadata_client.put(key, serialize_vector_index(centroids, codebooks))
+    return metadata_client
+
+
+def load_vector_index(metadata_client, key: str, spark=None):
+    """Load a persisted index from topic metadata.  Returns
+    ``(centroids, codebooks | None)`` where ``centroids`` is a
+    ``(cid, cvec)`` DataFrame when ``spark`` is given (ready for
+    :func:`ivf_ann_topk`) else the raw ``(cids, matrix)`` pair; raises
+    ``KeyError`` when the key is absent (a loud miss beats silently
+    retraining a different quantizer)."""
+    blob = metadata_client.get(key)
+    if blob is None:
+        raise KeyError(f"no vector index under metadata key {key!r}")
+    cids, mat, codebooks = deserialize_vector_index(blob)
+    if spark is not None:
+        return centroids_dataframe(spark, cids, mat), codebooks
+    return (cids, mat), codebooks

@@ -1319,3 +1319,37 @@ def test_compression_stats_invariants(spark):
     assert all(
         got[k]["zlib_bytes"] == again[k]["zlib_bytes"] for k in got
     )
+
+
+def test_vector_index_persists_in_topic_metadata(spark, tmp_path, sf_smoke_dir):
+    """Train an IVF quantizer, persist it in a topic's metadata KV
+    (the reference's S15 surface), load it back, and get bit-identical
+    search results — the train-once/reuse-everywhere flow."""
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark import RawdataClient
+    from rawdata_client_provider_gcs_spark.operators import similarity
+    from rawdata_client_provider_gcs_spark.tables import load_table
+
+    emb = load_table(spark, sf_smoke_dir, "embeddings")
+    cents = similarity.train_centroids_kmeans(emb, nlist=4)
+    _, books = None, similarity.train_pq_codebooks(emb, m=4, k=8)
+
+    client = RawdataClient(spark, str(tmp_path))
+    meta = client.metadata("t-index")
+    similarity.save_vector_index(meta, "ivf-main", cents, books)
+    assert "ivf-main" in meta.keys()
+    loaded_c, loaded_b = similarity.load_vector_index(meta, "ivf-main", spark)
+    orig = {r["cid"]: list(r["cvec"]) for r in cents.collect()}
+    back = {r["cid"]: list(r["cvec"]) for r in loaded_c.collect()}
+    assert orig == back
+    assert np.array_equal(np.asarray(books, np.float64), loaded_b)
+
+    queries = emb.limit(3)
+    a = similarity.ivf_ann_topk(emb, queries, k=5, centroids=cents)
+    b = similarity.ivf_ann_topk(emb, queries, k=5, centroids=loaded_c)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    with pytest.raises(KeyError):
+        similarity.load_vector_index(meta, "absent-key")
+    client.close()
