@@ -296,3 +296,48 @@ def q_stream_sequence_gaps(spark: SparkSession, sf: str) -> DataFrame:
         F.col("s.n_missing").cast("long").alias("n_missing"),
         F.col("s.n_gaps").cast("long").alias("n_gaps"),
     )
+
+
+@register(
+    "q_log_sequence_gap_ranges",
+    oracle="""
+WITH seqs AS (
+  SELECT user_id % 50 AS group_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id % 50 ORDER BY event_id)
+           AS seq
+  FROM events
+), kept AS (
+  SELECT group_id, seq FROM seqs WHERE seq % 101 != 7
+), lagged AS (
+  SELECT group_id, seq,
+         LAG(seq) OVER (PARTITION BY group_id ORDER BY seq) AS prev
+  FROM kept
+)
+SELECT CAST(group_id AS BIGINT) AS group_id,
+       CAST(prev + 1 AS BIGINT) AS gap_start,
+       CAST(seq - 1 AS BIGINT) AS gap_end,
+       CAST(seq - prev - 1 AS BIGINT) AS gap_len
+FROM lagged WHERE prev IS NOT NULL AND seq > prev + 1
+""",
+    tags=("messagelog", "audit"),
+)
+def q_log_sequence_gap_ranges(spark: SparkSession, sf: str) -> DataFrame:
+    """Offline sequence audit: enumerate every missing range per
+    ordering group (the batch complement of `q_stream_sequence_gaps`,
+    same derived sequence stream with planted holes).  One distinct +
+    one lag window; each hole surfaces as ``[gap_start, gap_end]``."""
+    from pyspark.sql import Window
+
+    from ..streaming import gaps as G
+
+    n_groups, drop_mod, drop_rem = 50, 101, 7
+    w = Window.partitionBy(F.col("user_id") % n_groups).orderBy("event_id")
+    rows = (
+        load_table(spark, sf, "events")
+        .select(
+            (F.col("user_id") % n_groups).alias("group_id"),
+            F.row_number().over(w).alias("seq"),
+        )
+        .filter(F.col("seq") % drop_mod != drop_rem)
+    )
+    return G.sequence_gap_ranges_batch(rows)

@@ -284,3 +284,33 @@ def run_with_rocksdb(stream_df: DataFrame, query_name: str) -> DataFrame:
             spark.conf.unset(conf_key)
         else:
             spark.conf.set(conf_key, prev)
+
+
+def sequence_gap_ranges_batch(
+    df: DataFrame, group_col: str = "group_id", seq_col: str = "seq"
+) -> DataFrame:
+    """Batch gap audit: one row per missing range, gaps-and-islands.
+
+    The offline complement of the streaming detector — run it over a
+    full topic scan to enumerate exactly which sequence ranges never
+    arrived per ordering group.  One window over (group, seq) and a
+    filter; returns ``(group_id, gap_start, gap_end, gap_len)``.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("group_id").orderBy("seq")
+    return (
+        df.select(
+            F.col(group_col).cast("long").alias("group_id"),
+            F.col(seq_col).cast("long").alias("seq"),
+        )
+        .distinct()
+        .withColumn("prev", F.lag("seq").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("seq") > F.col("prev") + 1))
+        .select(
+            "group_id",
+            (F.col("prev") + 1).alias("gap_start"),
+            (F.col("seq") - 1).alias("gap_end"),
+            (F.col("seq") - F.col("prev") - 1).alias("gap_len"),
+        )
+    )
