@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Throughput of the pure-Python media codecs (no Spark).
+
+The multimodal kernels run these inside Arrow-batched ``mapInPandas``
+across executor cores, so single-core codec throughput × cores is the
+cluster-side decode budget.  Prints one JSON line:
+
+    {"png_decode_mb_s": ..., "jpeg_decode_mb_s": ..., ...}
+
+Sizes are measured on raw RGB megabytes processed (H·W·3), not
+container bytes, so numbers compare across formats.  Run on an idle
+box; results land in PERF.md's codec table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rawdata_client_provider_gcs_spark.operators import (  # noqa: E402
+    rawaudio,
+    rawgif,
+    rawimage,
+    rawjpeg,
+)
+
+
+def _timeit(fn, reps: int) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    rng = np.random.default_rng(1)
+    out: dict[str, float] = {}
+
+    # photographic-ish image: smooth gradients + mild noise, 512x512
+    x = np.linspace(0, 255, 512)
+    base = (np.add.outer(x, x) / 2).astype(np.float64)
+    img = np.stack(
+        [base, base.T, 255 - base], axis=2
+    ) + rng.normal(0, 4, (512, 512, 3))
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    raw_mb = img.nbytes / 1e6
+
+    png = rawimage.encode_png(img)
+    out["png_encode_mb_s"] = round(raw_mb / _timeit(lambda: rawimage.encode_png(img), 3), 1)
+    out["png_decode_mb_s"] = round(raw_mb / _timeit(lambda: rawimage.decode_png(png), 3), 1)
+
+    jpg = rawjpeg.encode_jpeg(img, quality=85)
+    out["jpeg_encode_mb_s"] = round(
+        raw_mb / _timeit(lambda: rawjpeg.encode_jpeg(img, quality=85), 3), 1
+    )
+    out["jpeg_decode_mb_s"] = round(
+        raw_mb / _timeit(lambda: rawjpeg.decode_jpeg(jpg), 3), 1
+    )
+
+    pal = (img // 32 * 32).astype(np.uint8)  # <=256 colors
+    gif = rawgif.encode_gif(pal, 100)
+    out["gif_encode_mb_s"] = round(
+        pal.nbytes / 1e6 / _timeit(lambda: rawgif.encode_gif(pal, 100), 3), 1
+    )
+    out["gif_decode_mb_s"] = round(
+        pal.nbytes / 1e6 / _timeit(lambda: rawgif.decode_gif(gif), 3), 1
+    )
+
+    wav_samples = rng.normal(0, 0.2, 16000 * 30).astype(np.float64)  # 30 s
+    wav = rawaudio.encode_wav_pcm16(wav_samples, 16000)
+    wav_mb = len(wav) / 1e6
+    out["wav_decode_mb_s"] = round(
+        wav_mb / _timeit(lambda: rawaudio.decode_wav(wav), 5), 1
+    )
+    samples, rate = rawaudio.decode_wav(wav)
+    out["fft_spectrum_clips_s"] = round(
+        1.0 / _timeit(lambda: rawaudio.spectrum_features(samples, rate), 5), 1
+    )
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
