@@ -279,16 +279,18 @@ def encode_jpeg(
     """Encode an (H, W, 3) uint8 RGB array as a baseline JPEG.
 
     ``subsampling`` is ``"4:4:4"`` (default; exact round-trip for
-    constant even-gray images) or ``"4:2:0"`` (2×2 box-mean chroma, the
-    common camera layout).  ``restart_interval`` > 0 emits DRI + RSTn
+    constant even-gray images), ``"4:2:0"`` (2×2 box-mean chroma, the
+    common camera layout), or ``"4:2:2"`` (horizontal-only 2×1, the
+    common video layout).  ``restart_interval`` > 0 emits DRI + RSTn
     markers every that many MCUs — the layout long scans use so a
     corrupt byte only loses one restart segment.
     """
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("expected an (H, W, 3) uint8 array")
-    if subsampling not in ("4:4:4", "4:2:0"):
+    factors = {"4:4:4": (1, 1), "4:2:0": (2, 2), "4:2:2": (2, 1)}
+    if subsampling not in factors:
         raise ValueError(f"unsupported subsampling: {subsampling}")
-    sub = subsampling == "4:2:0"
+    sh, sv = factors[subsampling]
     h, w = arr.shape[:2]
     ql, qc = _quality_tables(quality)
 
@@ -298,14 +300,14 @@ def encode_jpeg(
     cb = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
     cr = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
 
-    mcu = 16 if sub else 8
-    ph, pw = -h % mcu, -w % mcu
+    mcu_h, mcu_w = 8 * sv, 8 * sh
+    ph, pw = -h % mcu_h, -w % mcu_w
     luma = np.pad(luma, ((0, ph), (0, pw)), mode="edge")
     cb = np.pad(cb, ((0, ph), (0, pw)), mode="edge")
     cr = np.pad(cr, ((0, ph), (0, pw)), mode="edge")
-    if sub:  # 2×2 box-mean downsample of the chroma planes
-        cb = cb.reshape(cb.shape[0] // 2, 2, cb.shape[1] // 2, 2).mean((1, 3))
-        cr = cr.reshape(cr.shape[0] // 2, 2, cr.shape[1] // 2, 2).mean((1, 3))
+    if (sh, sv) != (1, 1):  # box-mean downsample of the chroma planes
+        cb = cb.reshape(cb.shape[0] // sv, sv, cb.shape[1] // sh, sh).mean((1, 3))
+        cr = cr.reshape(cr.shape[0] // sv, sv, cr.shape[1] // sh, sh).mean((1, 3))
     planes = [luma, cb, cr]
 
     # forward DCT + quantize; keep per-component 2D block grids of
@@ -327,8 +329,8 @@ def encode_jpeg(
     dc_c = _build_codes(*_DC_CHROMA_SPEC)
     ac_codes = _build_codes(*_AC_SPEC)
 
-    mcus_y = planes[0].shape[0] // mcu
-    mcus_x = planes[0].shape[1] // mcu
+    mcus_y = planes[0].shape[0] // mcu_h
+    mcus_x = planes[0].shape[1] // mcu_w
     scan = bytearray()
     writer = _BitWriter()
     pred = [0, 0, 0]
@@ -343,29 +345,18 @@ def encode_jpeg(
                 writer = _BitWriter()
                 pred = [0, 0, 0]
             mcu_count += 1
-            if sub:
-                for by in range(2):
-                    for bx in range(2):
-                        _encode_block(
-                            writer,
-                            zz_grids[0][2 * my + by, 2 * mx + bx],
-                            pred,
-                            0,
-                            dc_l,
-                            ac_codes,
-                        )
-                _encode_block(writer, zz_grids[1][my, mx], pred, 1, dc_c, ac_codes)
-                _encode_block(writer, zz_grids[2][my, mx], pred, 2, dc_c, ac_codes)
-            else:
-                for ci in range(3):
+            for by in range(sv):
+                for bx in range(sh):
                     _encode_block(
                         writer,
-                        zz_grids[ci][my, mx],
+                        zz_grids[0][sv * my + by, sh * mx + bx],
                         pred,
-                        ci,
-                        dc_l if ci == 0 else dc_c,
+                        0,
+                        dc_l,
                         ac_codes,
                     )
+            _encode_block(writer, zz_grids[1][my, mx], pred, 1, dc_c, ac_codes)
+            _encode_block(writer, zz_grids[2][my, mx], pred, 2, dc_c, ac_codes)
     scan += writer.flush()
     scan = bytes(scan)
 
@@ -381,8 +372,7 @@ def encode_jpeg(
     out += seg(0xFFDB, b"\x00" + bytes(ql.reshape(64)[_ZIGZAG].astype(np.uint8)))
     out += seg(0xFFDB, b"\x01" + bytes(qc.reshape(64)[_ZIGZAG].astype(np.uint8)))
     sof = struct.pack(">BHHB", 8, h, w, 3)
-    luma_sampling = 0x22 if sub else 0x11
-    sof += bytes([1, luma_sampling, 0, 2, 0x11, 1, 3, 0x11, 1])
+    sof += bytes([1, (sh << 4) | sv, 0, 2, 0x11, 1, 3, 0x11, 1])
     out += seg(0xFFC0, sof)
     out += seg(
         0xFFC4,

@@ -901,7 +901,7 @@ def test_jpeg_roundtrip_constant_gray_exact():
 
     for v in (0, 64, 128, 200, 254):
         img = np.full((24, 40, 3), v, dtype=np.uint8)
-        for sub in ("4:4:4", "4:2:0"):
+        for sub in ("4:4:4", "4:2:0", "4:2:2"):
             enc = rawjpeg.encode_jpeg(img, quality=50, subsampling=sub)
             assert rawimage.sniff_format(enc) == "jpeg"
             assert np.array_equal(rawimage.decode_image(enc), img), (v, sub)
@@ -931,6 +931,15 @@ def test_jpeg_roundtrip_psnr():
             ),
         )
         > 40
+    )
+    assert (
+        psnr(
+            img,
+            rawjpeg.decode_jpeg(
+                rawjpeg.encode_jpeg(img, 90, subsampling="4:2:2")
+            ),
+        )
+        > 42
     )
     assert (
         psnr(
@@ -1353,3 +1362,31 @@ def test_vector_index_persists_in_topic_metadata(spark, tmp_path, sf_smoke_dir):
     with pytest.raises(KeyError):
         similarity.load_vector_index(meta, "absent-key")
     client.close()
+
+
+def test_gif_decode_local_color_table():
+    """A frame carrying its own local color table overrides the global
+    one — hand-assembled fixture, since our encoder only emits GCTs."""
+    import struct
+
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawgif
+
+    w = h = 2
+    gct = np.array([[1, 1, 1], [2, 2, 2]], np.uint8)
+    lct = np.array([[200, 0, 0], [0, 0, 200]], np.uint8)
+    gif = bytearray(b"GIF89a")
+    gif += struct.pack("<HHBBB", w, h, 0x80 | 0, 0, 0)  # GCT, 2 entries
+    gif += gct.tobytes()
+    # image descriptor with LCT flag (0x80) + 2-entry local table
+    gif += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x80 | 0)
+    gif += lct.tobytes()
+    gif.append(2)  # min code size
+    lzw = rawgif._lzw_encode(bytes([0, 1, 1, 0]), 2)
+    gif.append(len(lzw))
+    gif += lzw
+    gif += b"\x00\x3b"
+    out = rawgif.decode_gif(bytes(gif))[0][1]
+    expect = lct[np.array([[0, 1], [1, 0]])]
+    assert np.array_equal(out, expect)
