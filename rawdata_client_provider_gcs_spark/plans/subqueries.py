@@ -453,3 +453,45 @@ def q_agg_percentiles(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
 
+
+
+@register(
+    "q_join_lateral_topn",
+    oracle="""
+SELECT CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(t.l_linenumber AS BIGINT) AS l_linenumber,
+       t.l_extendedprice
+FROM orders o JOIN LATERAL (
+  SELECT l_linenumber, l_extendedprice FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+) t ON TRUE
+WHERE o.o_orderkey < 300
+""",
+    tags=("join", "subquery", "lateral"),
+)
+def q_join_lateral_topn(spark: SparkSession, sf: str) -> DataFrame:
+    """LATERAL correlated subquery with ORDER BY + LIMIT: top-2
+    lineitems per order, expressed as the SQL shape users write rather
+    than a hand-built window.  Catalyst decorrelates it into exactly the
+    right plan — partial+final ``WindowGroupLimit`` on the lineitem side
+    and a broadcast join of the filtered orders (verified in
+    ``explain``): per-group top-n never ships more than n rows per key.
+    The oracle is the identical LATERAL in DuckDB."""
+    load_table(spark, sf, "orders").createOrReplaceTempView("v_lat_orders")
+    load_table(spark, sf, "lineitem").createOrReplaceTempView("v_lat_lineitem")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice
+        FROM v_lat_orders o JOIN LATERAL (
+          SELECT l_linenumber, l_extendedprice FROM v_lat_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+        ) t
+        WHERE o.o_orderkey < 300
+        """
+    ).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        F.col("l_extendedprice"),
+    )
