@@ -270,3 +270,54 @@ def domain_cap(
         .filter(F.col("__rk") <= max_per_domain)
         .drop("__rk")
     )
+
+
+def quality_filter(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Composite corpus filter: every gate with its reason, one pass.
+
+    Combines the individually-proven signals (token counts, stopword
+    evidence, Gopher-style repetition facts) into the keep/drop decision
+    a training pipeline actually materializes — per document, which
+    gates fired:
+
+    - ``too_short``      n_tokens < 30
+    - ``low_stopword``   4·n_stop < n_tokens (stopword-poor ≈ non-prose)
+    - ``repetitive``     top word-bigram occupies > 20 % of bigrams
+    - ``low_distinct``   1 − distinct/total tokens > 0.7
+
+    ``keep`` = no gate fired.  All gates are integer comparisons on
+    JVM-side counts (no floats, no Python), so the whole verdict is
+    oracle-expressible and combinable at any scale.
+    """
+    from ..functions import text as T
+    from . import decontam
+
+    rep = decontam.repetition_stats(docs, id_col, text_col)
+    stops = docs.select(
+        F.col(id_col), T.stopword_count(text_col).alias("n_stop")
+    )
+    g = rep.join(stops, id_col)
+    return g.select(
+        id_col,
+        "n_tokens",
+        (F.col("n_tokens") < 30).alias("too_short"),
+        (F.col("n_stop") * 4 < F.col("n_tokens")).alias("low_stopword"),
+        (
+            (F.col("top_bigram_count") * 5 > F.col("n_bigrams"))
+            & (F.col("n_bigrams") > 0)
+        ).alias("repetitive"),
+        (
+            (F.col("n_tokens") - F.col("n_distinct_tokens")) * 10
+            > F.col("n_tokens") * 7
+        ).alias("low_distinct"),
+    ).withColumn(
+        "keep",
+        ~(
+            F.col("too_short")
+            | F.col("low_stopword")
+            | F.col("repetitive")
+            | F.col("low_distinct")
+        ),
+    )

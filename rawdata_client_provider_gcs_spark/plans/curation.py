@@ -293,3 +293,75 @@ def q_curation_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
         F.max("doc_id").cast("long").alias("max_id"),
         F.sum("doc_id").cast("long").alias("sum_ids"),
     )
+
+
+@register(
+    "q_curation_filter_pipeline",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+         len(regexp_extract_all(lower(text),
+             '\\b(the|and|of|to|in|is|that|for|with)\\b')) AS n_stop
+  FROM documents
+), base AS (
+  SELECT doc_id, source, n_stop, len(t) AS n_tokens,
+         len(list_distinct(t)) AS n_distinct_tokens,
+         GREATEST(len(t) - 1, 0) AS n_bigrams
+  FROM toks
+), bg AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+    FROM toks WHERE len(t) >= 2
+  )
+), topbg AS (
+  SELECT doc_id, MAX(c) AS top_bigram_count
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+  GROUP BY doc_id
+), gates AS (
+  SELECT b.source,
+         b.n_tokens < 30 AS too_short,
+         b.n_stop * 4 < b.n_tokens AS low_stopword,
+         COALESCE(t.top_bigram_count, 0) * 5 > b.n_bigrams
+           AND b.n_bigrams > 0 AS repetitive,
+         (b.n_tokens - b.n_distinct_tokens) * 10 > b.n_tokens * 7
+           AS low_distinct
+  FROM base b LEFT JOIN topbg t USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN NOT (too_short OR low_stopword OR repetitive
+                               OR low_distinct) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN too_short THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_too_short,
+       CAST(SUM(CASE WHEN low_stopword THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_stopword,
+       CAST(SUM(CASE WHEN repetitive THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetitive,
+       CAST(SUM(CASE WHEN low_distinct THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low_distinct
+FROM gates GROUP BY source
+""",
+    tags=("llm", "curation", "quality"),
+)
+def q_curation_filter_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The materialized keep/drop verdict of the corpus filter: per
+    source, how many documents survive and which gate dropped the rest
+    (§2C curation; combines the proven token/stopword/repetition
+    signals via :func:`...operators.curation.quality_filter` — every
+    gate an integer comparison, every count combinable)."""
+    d = load_table(spark, sf, "documents")
+    gates = curation.quality_filter(d).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    b = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")
+    return gates.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        b("too_short").alias("n_too_short"),
+        b("low_stopword").alias("n_low_stopword"),
+        b("repetitive").alias("n_repetitive"),
+        b("low_distinct").alias("n_low_distinct"),
+    )

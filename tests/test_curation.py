@@ -184,3 +184,35 @@ def test_domain_cap_unbiased_and_stable(spark):
     assert big_kept != list(range(30)), "cap must not be an id-order prefix"
     with pytest.raises(ValueError):
         C.domain_cap(df, "source", "doc_id", max_per_domain=0)
+
+
+def test_quality_filter_gates_discriminate(spark):
+    """Planted fixtures: real prose passes, each failure mode trips
+    exactly its own gate.  (The synthetic corpus is stopword-free
+    keyword soup, so in the catalog query the low_stopword gate fires
+    for every document — by construction, not by bug; this test is
+    where gate discrimination is proven.)"""
+    from rawdata_client_provider_gcs_spark.operators import curation
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and runs off to the "
+        "river in the morning light for a long drink of cold water with "
+        "friends that wait in the shade of the old willow tree every day"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, prose),  # keeps: long, stopword-rich, varied
+            (2, "short text only"),  # too_short
+            (3, " ".join(["alpha beta"] * 40)),  # repetitive + low_distinct
+            (4, " ".join(f"w{i}" for i in range(60))),  # low_stopword only
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in curation.quality_filter(docs).collect()}
+    assert got[1]["keep"] and not any(
+        got[1][g] for g in ("too_short", "low_stopword", "repetitive", "low_distinct")
+    )
+    assert got[2]["too_short"] and not got[2]["keep"]
+    assert got[3]["repetitive"] and got[3]["low_distinct"] and not got[3]["keep"]
+    assert got[4]["low_stopword"] and not got[4]["too_short"]
+    assert not got[4]["repetitive"] and not got[4]["low_distinct"]
