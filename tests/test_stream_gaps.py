@@ -141,3 +141,32 @@ def test_groupstate_gap_stats_cross_batch(spark, sf_smoke_dir):
     )
     for r in final:
         assert r["n_missing"] >= r["n_gaps"] >= 0
+
+
+def test_gap_audit_over_real_topic_messages(spark, tmp_path):
+    """End-to-end over the actual client surface: messages published
+    with orderingGroup/sequenceNumber (AvroRawdataProducer.java:241-242
+    semantics), read back as the topic DataFrame, audited for holes."""
+    from rawdata_client_provider_gcs_spark import RawdataClient, RawdataMessage
+
+    client = RawdataClient(spark, str(tmp_path))
+    with client.producer("seq-topic") as p:
+        for g in (0, 1):
+            for s in range(1, 11):
+                if g == 1 and s in (4, 5, 8):  # planted holes in group 1
+                    continue
+                p.publish(
+                    RawdataMessage(
+                        position=f"g{g}-s{s}",
+                        ordering_group=str(g),
+                        sequence_number=s,
+                        data={"k": b"v"},
+                    )
+                )
+    df = client.topic("seq-topic").dataframe()
+    ranges = G.sequence_gap_ranges_batch(
+        df, group_col="ordering_group", seq_col="sequence_number"
+    ).collect()
+    got = sorted((r["group_id"], r["gap_start"], r["gap_end"]) for r in ranges)
+    assert got == [(1, 4, 5), (1, 8, 8)]
+    client.close()
