@@ -59,6 +59,20 @@ _NORMALIZERS = [
 ]
 
 
+#: Queries whose normalized text is session-bistable WITHOUT any plan-
+#: shape change; --check reports their drift as a warning, not failure.
+#: Keep this list justified — an entry hides real regressions for that
+#: query, so only textual-order instability belongs here.
+VOLATILE = {
+    # The multi-count-distinct rewrite emits Expand's projection
+    # branches (and the downstream grouping-key order) from an
+    # unordered set; the two orderings alternate between sessions.
+    # Shape (Expand -> partial/final HashAggregate -> joins) is
+    # identical either way.
+    "q_tpch_q21_waiting": "count-distinct Expand branch order is bistable",
+}
+
+
 def normalize(plan: str) -> str:
     for pat, rep in _NORMALIZERS:
         plan = pat.sub(rep, plan)
@@ -94,7 +108,10 @@ def main() -> int:
         if args.check:
             old = open(path).read() if os.path.exists(path) else "<missing>"
             if old != text:
-                drift.append(name)
+                if name in VOLATILE:
+                    print(f"volatile drift (ok): {name} — {VOLATILE[name]}")
+                else:
+                    drift.append(name)
         else:
             with open(path, "w") as fh:
                 fh.write(text)
