@@ -131,6 +131,168 @@ def shingles_expr(text_col: str, k: int = 3) -> Column:
     )
 
 
+def bigram_stats(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document corpus-bigram rarity statistics (integer-exact).
+
+    For every document, over its token bigram OCCURRENCES (not the
+    distinct set): how many bigrams it has, the summed corpus frequency
+    of those bigrams, how many are corpus hapax (frequency exactly 1 —
+    i.e. the document itself is their only witness), and the mean corpus
+    frequency.  Low mean frequency / high hapax share marks unusual text
+    — the integer-exact core of an n-gram LM novelty signal (the smoothed
+    log-probability variant is :func:`bigram_lm_scores`).
+
+    100 TB shape: tokenize + bigram expansion stay in whole-stage
+    codegen (``transform(sequence(...))`` over the token array — no
+    window, no second shuffle for adjacency); the corpus frequency table
+    is one map-side-combinable ``groupBy(w1, w2)``; the join back is an
+    equi-join on the bigram key that AQE can skew-split, and the final
+    per-document aggregate is again combinable.
+    """
+    toks = docs.select(F.col(id_col), tokens_expr(text_col).alias("t"))
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), "
+                    "i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select(id_col, "b.w1", "b.w2")
+    )
+    freq = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("freq"))
+    return (
+        bi.join(freq, ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("freq").cast("long").alias("sum_freq"),
+            F.sum((F.col("freq") == 1).cast("long")).alias("n_hapax"),
+        )
+        .withColumn(
+            "mean_freq",
+            F.col("sum_freq").cast("double") / F.col("n_bigrams").cast("double"),
+        )
+    )
+
+
+def bigram_lm_scores(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+):
+    """Per-document mean log2 bigram probability under an add-k smoothed
+    corpus bigram LM — the classic cheap perplexity-style quality signal
+    (KenLM's job, done with two combinable aggregates and two joins).
+
+    ``P(w2 | w1) = (c(w1, w2) + k) / (c(w1) + k * V)`` with ``V`` the
+    corpus vocabulary size.  The mean of per-bigram ``log2 P`` is a
+    float sum whose low bits depend on aggregation order, so this is
+    validated by invariant pytest (planted-rarity ordering, determinism)
+    rather than a value-hash oracle; :func:`bigram_stats` is the
+    integer-exact sibling the oracle checks.
+    """
+    toks = docs.select(F.col(id_col), tokens_expr(text_col).alias("t"))
+    uni = toks.select(F.explode("t").alias("w"))
+    unigram = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.agg(F.countDistinct("w").alias("v"))
+    bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), "
+                    "i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select(id_col, "b.w1", "b.w2")
+    )
+    freq = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        bi.join(freq, ["w1", "w2"])
+        .join(unigram.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "logp",
+            F.log2(
+                (F.col("c12") + F.lit(add_k))
+                / (F.col("c1") + F.lit(add_k) * F.col("v"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("logp").alias("mean_log2_prob"),
+    )
+
+
+def dup_substring_stats(
+    docs,
+    k: int = 25,
+    sample_mod: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document duplicated-substring exposure via character k-grams.
+
+    The exact-substring dedup signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): a document's distinct
+    character ``k``-grams are matched corpus-wide; grams appearing in
+    more than one document are "duplicated", and ``dup_fraction`` is the
+    share of the document's grams that are.  ``sample_mod > 1`` keeps
+    only grams whose hash ≡ 0 (mod ``sample_mod``) — CONTENT-defined
+    subsampling, so the same substring selects the same grams in every
+    document regardless of its offset (a positional stride would phase-
+    shift across documents and miss aligned spans entirely); a
+    duplicated span of length ``L`` then meets in expectation when
+    ``L - k + 1 >= sample_mod``.
+
+    100 TB shape: gram expansion is codegen'd per row; the corpus-wide
+    document-frequency table groups on ``xxhash64(gram)`` so only 8-byte
+    keys cross the shuffle (the gram text never does); the join back is
+    the same 8-byte equi-join.  Gram volume is ``len/sample_mod`` rows
+    per document after the map-side hash-mod filter.
+    """
+    grams = (
+        docs.filter(F.length(text_col) >= k)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {k - 1}),"
+                    f" i -> substring({text_col}, i, {k}))"
+                )
+            ).alias("gram"),
+        )
+        .select(id_col, F.xxhash64("gram").alias("gh"))
+        .filter(F.pmod(F.col("gh"), F.lit(sample_mod)) == 0)
+        .distinct()
+    )
+    df = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        grams.join(df, "gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.col("n_dup_grams").cast("double") / F.col("n_grams").cast("double"),
+        )
+    )
+
+
 def tfidf_top_terms(
     docs,
     k: int = 3,

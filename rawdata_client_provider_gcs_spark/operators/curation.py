@@ -321,3 +321,51 @@ def quality_filter(
             | F.col("low_distinct")
         ),
     )
+
+
+def chunk_tokens(
+    docs: DataFrame,
+    chunk: int = 64,
+    stride: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap.
+
+    The training-window chunker: token windows of length ``chunk``
+    starting every ``stride`` tokens (stride < chunk overlaps, stride ==
+    chunk tiles).  Start positions run while they land inside the token
+    array, so the final window may be short — droppable downstream via
+    ``n_tokens`` if the trainer wants full windows only.
+
+    Output: ``(id, chunk_idx, n_tokens, chunk_hash)`` where
+    ``chunk_hash`` is ``md5`` of the space-joined window — a stable
+    content key for downstream chunk-level dedup.
+
+    100 TB shape: entirely map-side — tokenize, ``sequence(...)`` start
+    grid, ``slice`` windows, ``posexplode`` — one codegen stage, no
+    shuffle; output volume is ``~n_tokens/stride`` rows per document.
+    """
+    if chunk < 1 or stride < 1:
+        raise ValueError(f"chunk and stride must be >= 1, got {chunk}, {stride}")
+    from ..functions import text as T
+
+    toks = docs.select(F.col(id_col), T.tokens_expr(text_col).alias("t"))
+    return (
+        toks.filter(F.size("t") >= 1)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(t), {stride}), "
+                    f"s -> slice(t, s, {chunk}))"
+                )
+            ).alias("chunk_idx", "w"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("w").cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.col("w")).cast("binary")).alias("chunk_hash"),
+        )
+    )

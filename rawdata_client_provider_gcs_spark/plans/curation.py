@@ -365,3 +365,39 @@ def q_curation_filter_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         b("repetitive").alias("n_repetitive"),
         b("low_distinct").alias("n_low_distinct"),
     )
+
+
+@register(
+    "q_curation_chunk_stride",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents WHERE doc_id < 150
+), chunks AS (
+  SELECT doc_id,
+         CAST((s - 1) / 32 AS BIGINT) AS chunk_idx,
+         t[s : LEAST(s + 63, len(t))] AS w
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t), 32)) AS s
+    FROM toks WHERE len(t) >= 1
+  )
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, chunk_idx,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       md5(array_to_string(w, ' ')) AS chunk_hash
+FROM chunks
+""",
+    tags=("llm", "curation", "chunking"),
+)
+def q_curation_chunk_stride(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping training-window chunking (§2C curation): 64-token
+    windows every 32 tokens, content-hashed for chunk-level dedup.
+    Entirely map-side — see :func:`...operators.curation.chunk_tokens`.
+    """
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 150)
+    return curation.chunk_tokens(d, chunk=64, stride=32).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_idx",
+        "n_tokens",
+        "chunk_hash",
+    )

@@ -1403,6 +1403,93 @@ def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_text_bigram_rarity",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+), bi AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+    FROM toks WHERE len(t) >= 2
+  )
+), freq AS (
+  SELECT w1, w2, COUNT(*) AS freq FROM bi GROUP BY w1, w2
+)
+SELECT CAST(bi.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(freq) AS BIGINT) AS sum_freq,
+       CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(freq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_freq
+FROM bi JOIN freq USING (w1, w2)
+GROUP BY bi.doc_id
+""",
+    tags=("llm", "text", "lm"),
+    bench=True,
+)
+def q_text_bigram_rarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-bigram rarity per document (§2B text analysis) — the
+    integer-exact core of an n-gram LM novelty signal.  Documents whose
+    bigrams are mostly corpus hapax are unusual text; the smoothed
+    log-probability sibling (:func:`...functions.text.bigram_lm_scores`)
+    is pytest-validated against this ordering.  Scale notes on
+    :func:`...functions.text.bigram_stats`: codegen'd bigram expansion,
+    one combinable frequency shuffle, one 2-string-key equi-join.
+    """
+    d = load_table(spark, sf, "documents")
+    out = T.bigram_stats(d)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("sum_freq").cast("long").alias("sum_freq"),
+        F.col("n_hapax").cast("long").alias("n_hapax"),
+        F.col("mean_freq").cast("double").alias("mean_freq"),
+    )
+
+
+@register(
+    "q_text_dup_substrings",
+    oracle="""
+WITH g AS (
+  SELECT DISTINCT doc_id, substr(text, i, 25) AS gram
+  FROM (
+    SELECT doc_id, text, unnest(generate_series(1, length(text) - 24)) AS i
+    FROM documents WHERE length(text) >= 25
+  )
+), df AS (
+  SELECT gram, COUNT(*) AS df FROM g GROUP BY gram
+)
+SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
+       CAST(SUM(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS dup_fraction
+FROM g JOIN df USING (gram)
+GROUP BY g.doc_id
+""",
+    tags=("llm", "text", "dedup"),
+    bench=True,
+)
+def q_text_dup_substrings(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact duplicated-substring exposure per document (§2B dedup —
+    the Lee et al. exact-substring signal at character 25-gram level).
+    The corpus document-frequency table and the join back both ride
+    ``xxhash64(gram)`` 8-byte keys; the oracle states the same logic on
+    gram strings.  Scale notes on
+    :func:`...functions.text.dup_substring_stats`.
+    """
+    d = load_table(spark, sf, "documents")
+    out = T.dup_substring_stats(d, k=25)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+        F.col("dup_fraction").cast("double").alias("dup_fraction"),
+    )
+
+
+@register(
     "q_multimodal_gif_frames",
     oracle="""
 WITH f AS (

@@ -1390,3 +1390,83 @@ def test_gif_decode_local_color_table():
     out = rawgif.decode_gif(bytes(gif))[0][1]
     expect = lct[np.array([[0, 1], [1, 0]])]
     assert np.array_equal(out, expect)
+
+
+def test_bigram_lm_scores_rarity_ordering_and_determinism(spark):
+    """Planted-rarity ordering: a document made of corpus-unique bigrams
+    must score lower (more surprising) under the add-k bigram LM than a
+    document repeating the corpus's dominant bigram; two runs agree."""
+    from rawdata_client_provider_gcs_spark.functions import text as T
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows.append((100, "zyx qwv plk mnb vcx"))  # all-hapax bigrams
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["mean_log2_prob"]
+        for r in T.bigram_lm_scores(docs).collect()
+    }
+    assert out[100] < out[0] < 0.0
+    out2 = {
+        r["doc_id"]: r["mean_log2_prob"]
+        for r in T.bigram_lm_scores(docs).collect()
+    }
+    assert out == out2
+    # integer-exact sibling agrees on which doc is the outlier
+    stats = {
+        r["doc_id"]: (r["n_hapax"], r["n_bigrams"])
+        for r in T.bigram_stats(docs).collect()
+    }
+    assert stats[100][0] == stats[100][1]  # every bigram hapax
+    assert stats[0][0] == 0
+
+
+def test_dup_substring_stats_planted_duplicates(spark):
+    """A substring shared verbatim by two documents is flagged in both;
+    unique text is not; hash-mod subsampling is content-defined, so the
+    duplicated span is still witnessed even though its offset differs
+    between the two documents (a positional stride would miss it)."""
+    from rawdata_client_provider_gcs_spark.functions import text as T
+
+    shared = "this exact sentence appears verbatim in two documents of the corpus"
+    docs = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix alpha"),
+            (2, "other intro " + shared + " closing beta"),
+            (3, "entirely unrelated content with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in T.dup_substring_stats(docs, k=25).collect()
+    }
+    assert out[1]["n_dup_grams"] > 0 and out[2]["n_dup_grams"] > 0
+    assert out[3]["n_dup_grams"] == 0
+    # the span has ~44 grams; mod-8 keeps ~5 of them, the SAME ones in
+    # both documents because selection keys on gram content, not offset
+    sampled = {
+        r["doc_id"]: r
+        for r in T.dup_substring_stats(docs, k=25, sample_mod=8).collect()
+    }
+    assert sampled[1]["n_dup_grams"] > 0 and sampled[2]["n_dup_grams"] > 0
+    assert 3 not in sampled or sampled[3]["n_dup_grams"] == 0
+
+
+def test_chunk_tokens_tiling_and_overlap(spark):
+    """Chunk windows cover every token, starts land on the stride grid,
+    and overlapping windows repeat exactly chunk-minus-stride tokens."""
+    from rawdata_client_provider_gcs_spark.operators import curation
+
+    text = " ".join(f"w{i:03d}" for i in range(150))
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = curation.chunk_tokens(docs, chunk=64, stride=32).orderBy("chunk_idx")
+    rows = out.collect()
+    # starts 1, 33, 65, 97, 129 over 150 tokens
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3, 4]
+    assert [r["n_tokens"] for r in rows] == [64, 64, 64, 54, 22]
+    # tiling (stride == chunk) partitions the tokens exactly
+    tiled = curation.chunk_tokens(docs, chunk=64, stride=64).collect()
+    assert sum(r["n_tokens"] for r in tiled) == 150
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        curation.chunk_tokens(docs, chunk=0, stride=32)
