@@ -275,9 +275,10 @@ def dup_substring_stats(
             ).alias("gram"),
         )
         .select(id_col, F.xxhash64("gram").alias("gh"))
-        .filter(F.pmod(F.col("gh"), F.lit(sample_mod)) == 0)
-        .distinct()
     )
+    if sample_mod > 1:
+        grams = grams.filter(F.pmod(F.col("gh"), F.lit(sample_mod)) == 0)
+    grams = grams.distinct()
     df = grams.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
     return (
         grams.join(df, "gh")

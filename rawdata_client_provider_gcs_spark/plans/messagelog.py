@@ -269,3 +269,37 @@ def q_log_payload_map(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("props_bytes"),
         F.count(F.when(k > 50, 1)).alias("n_high_k"),
     )
+
+
+@register(
+    "q_log_time_travel",
+    oracle="""
+SELECT event_type AS ordering_group,
+       CAST(COUNT(*) AS BIGINT) AS n_messages,
+       CAST(MAX(CAST(epoch_us(ts) // 1000 AS BIGINT)) AS BIGINT) AS last_ts_ms,
+       CAST(MAX(event_id) AS BIGINT) AS max_seq
+FROM events
+WHERE CAST(epoch_us(ts) // 1000 AS BIGINT)
+      <= epoch_ms(TIMESTAMP '2024-01-15 00:00:00')
+GROUP BY event_type
+""",
+    tags=("messagelog", "time-travel"),
+)
+def q_log_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """Snapshot-as-of read: the topic as of a past event-time bound.
+
+    The reproducible "train on the corpus as of T" read — the batch
+    mirror of the reference consumer's event-time seek (S7,
+    AvroRawdataConsumer.java:153-157) but bounding the FUTURE side:
+    files whose first-event time exceeds T are pruned from the manifest
+    before any scan (safe without sidecars — from_ts is the file min),
+    and the row predicate trims the boundary file.
+    """
+    topic = _events_topic(spark, sf)
+    as_of_ms = 1705276800000  # 2024-01-15T00:00:00Z
+    df = topic.dataframe(to_ts_ms=as_of_ms)
+    return df.groupBy("ordering_group").agg(
+        F.count(F.lit(1)).alias("n_messages"),
+        F.max("ulid_ts_ms").alias("last_ts_ms"),
+        F.max("sequence_number").alias("max_seq"),
+    )

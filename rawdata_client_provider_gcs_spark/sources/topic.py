@@ -237,16 +237,28 @@ class Topic:
 
     # -- read ---------------------------------------------------------------
 
-    def dataframe(self, from_ts_ms: int | None = None) -> DataFrame:
+    def dataframe(
+        self,
+        from_ts_ms: int | None = None,
+        to_ts_ms: int | None = None,
+    ) -> DataFrame:
         """Unordered message DataFrame over the (optionally pruned) topic.
 
         Topics may mix parquet files (engine-native) and Avro container
         files (reference-written — README.md:4-14); both are scanned
         distributed and unioned.
+
+        ``to_ts_ms`` is the time-travel bound (inclusive): the topic as
+        of that event-time millisecond — the reproducible "train on the
+        corpus as of T" read.  File pruning for the upper bound needs no
+        sidecar: a file whose first-event time exceeds T cannot contain
+        events at/before T, overlap or not (from_ts is the file's min).
         """
         manifest = self.list_manifest()
         if from_ts_ms is not None:
             manifest = self.prune_from_timestamp(manifest, from_ts_ms)
+        if to_ts_ms is not None:
+            manifest = [pe for pe in manifest if pe[1].from_ts_ms <= to_ts_ms]
         if not manifest:
             return self.spark.createDataFrame([], MESSAGE_SCHEMA)
         pq_paths = [p for p, e in manifest if e.ext == "parquet"]
@@ -261,6 +273,8 @@ class Topic:
             df = df.unionByName(other)
         if from_ts_ms is not None:
             df = df.filter(F.col("ulid_ts_ms") >= F.lit(from_ts_ms))
+        if to_ts_ms is not None:
+            df = df.filter(F.col("ulid_ts_ms") <= F.lit(to_ts_ms))
         return df
 
     def _read_avro(self, paths: list[str]) -> DataFrame:
@@ -287,10 +301,14 @@ class Topic:
         files = self.spark.read.format("binaryFile").load(paths)
         return avro_codec.messages_from_binary_files(files)
 
-    def ordered_dataframe(self, from_ts_ms: int | None = None) -> DataFrame:
+    def ordered_dataframe(
+        self,
+        from_ts_ms: int | None = None,
+        to_ts_ms: int | None = None,
+    ) -> DataFrame:
         """Stream-ordered view: ``ORDER BY ulid`` (binary ULIDs sort by
         (timestamp, randomness) under Spark's unsigned byte comparison)."""
-        return self.dataframe(from_ts_ms).orderBy("ulid")
+        return self.dataframe(from_ts_ms, to_ts_ms).orderBy("ulid")
 
     def last_message_df(self) -> DataFrame:
         """O(1 file) tail read: prune to the max-from-ts file, then top-1.

@@ -353,3 +353,45 @@ def test_seek_survives_straddling_compaction(spark, tmp_path):
         got.append(msg.position)
     assert got == ["c1"]
     client.close()
+
+
+def test_time_travel_read_prunes_future_files(spark, tmp_path):
+    """to_ts_ms excludes whole files starting after the bound (no scan)
+    and trims the boundary file by row predicate; from+to compose."""
+    from rawdata_client_provider_gcs_spark.sources.topic import Topic
+    from rawdata_client_provider_gcs_spark.datamodel import MESSAGE_SCHEMA
+
+    topic = Topic(spark, f"file://{tmp_path}", "tt")
+
+    def msgs(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            ts = 1_700_000_000_000 + i * 1000
+            ulid = ts.to_bytes(6, "big") + i.to_bytes(10, "big")
+            rows.append((ulid, ts, "g", i, f"p-{i}", {"k": b"v"}))
+        return spark.createDataFrame(rows, MESSAGE_SCHEMA)
+
+    # three time-disjoint files
+    for lo, hi in ((0, 10), (10, 20), (20, 30)):
+        topic.write_dataframe(msgs(lo, hi))
+    manifest = topic.list_manifest()
+    assert len(manifest) == 3
+
+    cutoff = 1_700_000_000_000 + 14 * 1000  # inside the middle file
+    df = topic.dataframe(to_ts_ms=cutoff)
+    got = sorted(r["sequence_number"] for r in df.collect())
+    assert got == list(range(15))
+    # the third file never enters the scan
+    scanned = topic.dataframe(to_ts_ms=cutoff).inputFiles()
+    assert len(scanned) == 2
+
+    # compose with the lower bound: a closed event-time interval
+    both = topic.dataframe(
+        from_ts_ms=1_700_000_000_000 + 5 * 1000, to_ts_ms=cutoff
+    )
+    assert sorted(r["sequence_number"] for r in both.collect()) == list(
+        range(5, 15)
+    )
+    # inclusive boundaries on both ends
+    point = topic.dataframe(from_ts_ms=cutoff, to_ts_ms=cutoff)
+    assert [r["sequence_number"] for r in point.collect()] == [14]
