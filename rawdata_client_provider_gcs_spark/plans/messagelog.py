@@ -303,3 +303,28 @@ def q_log_time_travel(spark: SparkSession, sf: str) -> DataFrame:
         F.max("ulid_ts_ms").alias("last_ts_ms"),
         F.max("sequence_number").alias("max_seq"),
     )
+
+
+@register("q_log_approx_distinct", tags=("messagelog", "sketch", "stats"))
+def q_log_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental distinct-position estimate from merged per-file HLL
+    sketches (rows-only by design: Datasketches HLL estimates are not
+    SQL-expressible in the oracle; accuracy, incrementality, and the
+    no-rescan property are pytest-asserted —
+    test_sources.py::test_hll_file_sketches_incremental_and_no_rescan).
+
+    The 100 TB cardinality-stats pattern: kilobytes of mergeable
+    sketches answer topic-wide distinct counts without a data scan;
+    appends only sketch the new files (:mod:`..sources.topic_stats`).
+    The returned row pairs the estimate with the exact count so the
+    harness records the live error margin.
+    """
+    topic = _events_topic(spark, sf)
+    from ..sources import topic_stats
+
+    est = topic_stats.approx_distinct(topic, "position")
+    exact = topic.dataframe().select("position").distinct().count()
+    return spark.createDataFrame(
+        [(est, exact, abs(est - exact) <= max(2, exact * 0.02))],
+        "approx_distinct long, exact_distinct long, within_2pct boolean",
+    )

@@ -395,3 +395,60 @@ def test_time_travel_read_prunes_future_files(spark, tmp_path):
     # inclusive boundaries on both ends
     point = topic.dataframe(from_ts_ms=cutoff, to_ts_ms=cutoff)
     assert [r["sequence_number"] for r in point.collect()] == [14]
+
+
+def test_hll_file_sketches_incremental_and_no_rescan(spark, tmp_path):
+    """Per-file HLL sketches: estimate within 2% of exact, refresh only
+    sketches missing files, warm estimates need NO data scan (files can
+    vanish), removed files drop out, time-pruned estimates compose."""
+    from rawdata_client_provider_gcs_spark.datamodel import MESSAGE_SCHEMA
+    from rawdata_client_provider_gcs_spark.sources import topic_stats
+    from rawdata_client_provider_gcs_spark.sources.topic import Topic
+
+    topic = Topic(spark, f"file://{tmp_path}", "hll")
+
+    def msgs(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            ts = 1_700_000_000_000 + i * 10
+            ulid = ts.to_bytes(6, "big") + i.to_bytes(10, "big")
+            rows.append((ulid, ts, "g", i, f"p-{i % 700}", {"k": b"v"}))
+        return spark.createDataFrame(rows, MESSAGE_SCHEMA)
+
+    topic.write_dataframe(msgs(0, 400), max_records_per_file=100)
+    t1 = topic_stats.refresh_sketches(topic)
+    assert set(t1) == {p.rsplit("/", 1)[-1] for p, _ in topic.list_manifest()}
+
+    est = topic_stats.approx_distinct(topic)
+    exact = topic.dataframe().select("position").distinct().count()
+    assert abs(est - exact) <= max(2, exact * 0.02), (est, exact)
+
+    # append: refresh adds only the new files' entries, old values kept
+    topic.write_dataframe(msgs(400, 900), max_records_per_file=100)
+    t2 = topic_stats.refresh_sketches(topic)
+    assert set(t1) < set(t2)
+    assert all(t2[n] == t1[n] for n in t1)
+    est2 = topic_stats.approx_distinct(topic)
+    exact2 = topic.dataframe().select("position").distinct().count()
+    assert abs(est2 - exact2) <= max(2, exact2 * 0.02), (est2, exact2)
+
+    # warm sidecar answers without touching data: corrupt every data file
+    import pathlib
+
+    for p, _ in topic.list_manifest():
+        pathlib.Path(p.replace("file:", "")).write_bytes(b"garbage")
+    est3 = topic_stats.approx_distinct(topic)
+    assert est3 == est2
+
+    # a removed file drops out of the table on refresh
+    victims = [p for p, _ in topic.list_manifest()][:1]
+    for v in victims:
+        topic.fs.delete(v)
+    t3 = topic_stats.refresh_sketches(topic)
+    assert victims[0].rsplit("/", 1)[-1] not in t3
+    assert len(t3) == len(t2) - 1
+
+    # time-pruned estimate covers only the selected files' sketches
+    cutoff = 1_700_000_000_000 + 200 * 10
+    part = topic_stats.approx_distinct(topic, to_ts_ms=cutoff)
+    assert 0 < part <= est2
