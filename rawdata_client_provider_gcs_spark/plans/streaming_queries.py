@@ -341,3 +341,37 @@ def q_log_sequence_gap_ranges(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("seq") % drop_mod != drop_rem)
     )
     return G.sequence_gap_ranges_batch(rows)
+
+
+@register(
+    "q_stream_enrich_static",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+""",
+    tags=("streaming", "join", "enrich"),
+)
+def q_stream_enrich_static(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static broadcast enrichment (§2B streaming): unbounded
+    events join the static customer dimension without shuffling the
+    stream, then aggregate per (segment, event_type).  Complete-mode
+    memory sink keeps the harness deterministic; the oracle states the
+    identical batch join."""
+    events = W.stream_events(spark, sf)
+    dim = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = W.stream_static_enrich(events, dim, ("user_id", "c_custkey"))
+    agg = joined.groupBy(
+        F.col("c_mktsegment").alias("segment"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    return W.run_available_now(agg, "t_enrich_static")

@@ -344,3 +344,24 @@ def stateful_user_counts(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_static_enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: tuple[str, str],
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-static dimension join (the enrichment pattern).
+
+    The static side is broadcast to every task, so the unbounded side
+    never shuffles for the join — Structured Streaming re-plans the
+    static relation each micro-batch, which is also how slowly-changing
+    dimensions pick up updates between batches.  At 100 TB of stream
+    the dimension is the small side by construction; if it outgrows
+    broadcast, pre-bucket both sides instead (sources/bucketing.py).
+    """
+    left_key, right_key = on
+    return events.join(
+        F.broadcast(dim), events[left_key] == dim[right_key], how
+    )

@@ -90,6 +90,8 @@ _DEFAULT_QUERIES = [
     "q_similarity_ivf_ann",
     "q_curation_pack_sequences",
     "q_decontam_overlap",
+    "q_text_bigram_rarity",
+    "q_text_dup_substrings",
 ]
 
 
