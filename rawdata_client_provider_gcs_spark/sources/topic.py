@@ -241,6 +241,7 @@ class Topic:
         self,
         from_ts_ms: int | None = None,
         to_ts_ms: int | None = None,
+        ignore_corrupt: bool = False,
     ) -> DataFrame:
         """Unordered message DataFrame over the (optionally pruned) topic.
 
@@ -253,6 +254,11 @@ class Topic:
         corpus as of T" read.  File pruning for the upper bound needs no
         sidecar: a file whose first-event time exceeds T cannot contain
         events at/before T, overlap or not (from_ts is the file's min).
+
+        ``ignore_corrupt=True`` is read-through availability during an
+        incident: undecodable files are skipped by the scan instead of
+        failing it (rows they held are silently absent — run
+        :meth:`quarantine_corrupt` to repair the topic properly).
         """
         manifest = self.list_manifest()
         if from_ts_ms is not None:
@@ -265,7 +271,10 @@ class Topic:
         avro_paths = [p for p, e in manifest if e.ext == "avro"]
         dfs = []
         if pq_paths:
-            dfs.append(self.spark.read.schema(MESSAGE_SCHEMA).parquet(*pq_paths))
+            reader = self.spark.read.schema(MESSAGE_SCHEMA)
+            if ignore_corrupt:
+                reader = reader.option("ignoreCorruptFiles", "true")
+            dfs.append(reader.parquet(*pq_paths))
         if avro_paths:
             dfs.append(self._read_avro(avro_paths))
         df = dfs[0]
@@ -741,6 +750,76 @@ class Topic:
         if deletable:
             self._update_max_ts(remove=[name for _, name in deletable])
         return [path for path, _ in deletable]
+
+    @_with_maintenance_lock
+    def quarantine_corrupt(self) -> list[str]:
+        """Move undecodable data files aside so scans stop failing.
+
+        Operational reality at 100 TB: a torn upload, a partial object,
+        or bit rot leaves a file that passes the listing filter (valid
+        manifest name, nonzero size) but fails every scan that touches
+        it — and one such file poisons whole-topic reads.  This sweep
+        validates each data file's format envelope (parquet ``PAR1``
+        head+tail magic; Avro ``Obj\\x01`` header — the same cheap
+        checks the reference's reader would fail on,
+        GCSSeekableInput.java:38-44) with a DISTRIBUTED probe (binary
+        source, bytes stay on executors), renames failures into the
+        topic's ``quarantine/`` subdirectory (invisible to the
+        non-recursive data listing), and drops their sidecar entries.
+
+        Returns quarantined filenames.  Single maintenance owner, like
+        :meth:`compact`.  Probe cost is one pass over file bytes —
+        schedule it after incidents or on suspicion, not per read; for
+        read-through availability during an incident use
+        ``dataframe(ignore_corrupt=True)``.
+        """
+        manifest = self.list_manifest()
+        if not manifest:
+            return []
+        # the probe itself must survive unreadable files (truncated
+        # mid-listing, size-mismatched torn uploads): read with
+        # ignoreCorruptFiles and flag by ABSENCE — a file that can't even
+        # be read as bytes is corrupt by definition, and one that reads
+        # but fails its magic check is flagged explicitly
+        files = (
+            self.spark.read.format("binaryFile")
+            .option("ignoreCorruptFiles", "true")
+            .load([p for p, _ in manifest])
+        )
+
+        def probe(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                oks = []
+                for path, content in zip(pdf["path"], pdf["content"]):
+                    b = bytes(content)
+                    if path.endswith(".parquet"):
+                        ok = b[:4] == b"PAR1" and b[-4:] == b"PAR1"
+                    else:
+                        ok = b[:4] == b"Obj\x01"
+                    oks.append(ok)
+                yield pd.DataFrame({"path": pdf["path"], "ok": oks})
+
+        verdicts = files.select("path", "content").mapInPandas(
+            probe, "path string, ok boolean"
+        )
+        ok_names = {
+            r["path"].rsplit("/", 1)[-1]
+            for r in verdicts.filter(F.col("ok")).collect()
+        }
+        bad = [p for p, _ in manifest if p.rsplit("/", 1)[-1] not in ok_names]
+        if not bad:
+            return []
+        self.fs.mkdirs(f"{self.uri}/quarantine")
+        moved = []
+        for path in bad:
+            name = path.rsplit("/", 1)[-1]
+            if self.fs.rename(path, f"{self.uri}/quarantine/{name}"):
+                moved.append(name)
+        if moved:
+            self._update_max_ts(remove=moved)
+        return moved
 
     def write_single_file(self, df: DataFrame, ext: str = "parquet") -> list[str]:
         """Producer-flush path: one buffered window → one topic file.

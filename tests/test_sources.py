@@ -452,3 +452,45 @@ def test_hll_file_sketches_incremental_and_no_rescan(spark, tmp_path):
     cutoff = 1_700_000_000_000 + 200 * 10
     part = topic_stats.approx_distinct(topic, to_ts_ms=cutoff)
     assert 0 < part <= est2
+
+
+def test_quarantine_corrupt_files(spark, tmp_path):
+    """A garbage file with a valid manifest name poisons scans; the
+    quarantine sweep moves it aside (distributed magic probe), drops its
+    sidecar entry, and scans recover.  ignore_corrupt reads through the
+    incident before repair."""
+    import pathlib
+
+    from rawdata_client_provider_gcs_spark.datamodel import MESSAGE_SCHEMA
+    from rawdata_client_provider_gcs_spark.sources.topic import Topic
+
+    topic = Topic(spark, f"file://{tmp_path}", "qr")
+    rows = []
+    for i in range(100):
+        ts = 1_700_000_000_000 + i * 10
+        ulid = ts.to_bytes(6, "big") + i.to_bytes(10, "big")
+        rows.append((ulid, ts, "g", i, f"p-{i}", {"k": b"v"}))
+    topic.write_dataframe(
+        spark.createDataFrame(rows, MESSAGE_SCHEMA), max_records_per_file=50
+    )
+    paths = [p for p, _ in topic.list_manifest()]
+    assert len(paths) == 2
+    victim = pathlib.Path(paths[0].replace("file:", ""))
+    victim.write_bytes(b"\x00garbage" * 64)
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        topic.dataframe().count()
+    # read-through availability: the good file's rows, no failure
+    assert topic.dataframe(ignore_corrupt=True).count() == 50
+
+    moved = topic.quarantine_corrupt()
+    assert moved == [victim.name]
+    assert victim.name not in topic.load_max_ts()
+    assert len(topic.list_manifest()) == 1
+    assert topic.dataframe().count() == 50
+    # quarantined object preserved for forensics, out of the data listing
+    assert topic.fs.exists(f"{topic.uri}/quarantine/{victim.name}")
+    # idempotent on a clean topic
+    assert topic.quarantine_corrupt() == []
