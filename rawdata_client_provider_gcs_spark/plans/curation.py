@@ -9,7 +9,7 @@ reproducible across reruns/retries on a real cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as T
@@ -400,4 +400,91 @@ def q_curation_chunk_stride(spark: SparkSession, sf: str) -> DataFrame:
         "chunk_idx",
         "n_tokens",
         "chunk_hash",
+    )
+
+
+@register(
+    "q_curation_data_card",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+         len(regexp_extract_all(lower(text),
+             '\\b(the|and|of|to|in|is|that|for|with)\\b')) AS n_stop
+  FROM documents
+), base AS (
+  SELECT doc_id, source, text, n_stop, len(t) AS n_tokens,
+         len(list_distinct(t)) AS n_distinct_tokens,
+         GREATEST(len(t) - 1, 0) AS n_bigrams
+  FROM toks
+), bg AS (
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+    FROM toks WHERE len(t) >= 2
+  )
+), topbg AS (
+  SELECT doc_id, MAX(c) AS top_bigram_count
+  FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g)
+  GROUP BY doc_id
+), hashed AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+           AS h
+  FROM documents
+), dupness AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY h) > 1 AS is_dup
+  FROM hashed
+), verdict AS (
+  SELECT b.doc_id, b.source, b.n_tokens,
+         NOT (b.n_tokens < 30
+              OR b.n_stop * 4 < b.n_tokens
+              OR (COALESCE(t.top_bigram_count, 0) * 5 > b.n_bigrams
+                  AND b.n_bigrams > 0)
+              OR (b.n_tokens - b.n_distinct_tokens) * 10 > b.n_tokens * 7)
+           AS keep,
+         length(b.text) AS n_chars
+  FROM base b LEFT JOIN topbg t USING (doc_id)
+)
+SELECT v.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(v.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(v.n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(CASE WHEN v.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN d.is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dup_docs
+FROM verdict v JOIN dupness d USING (doc_id)
+GROUP BY v.source
+""",
+    tags=("llm", "curation", "reporting"),
+)
+def q_curation_data_card(spark: SparkSession, sf: str) -> DataFrame:
+    """The corpus data card (§2C curation): per source, the accounting a
+    training run publishes — volume (docs/tokens/chars), quality-filter
+    survivors, and exact-duplicate exposure — composed from the proven
+    operators (:func:`...operators.curation.quality_filter`, the exact
+    content hash of ``dedup.exact_duplicates``) in one pass per signal.
+    Every number is an integer aggregate; the oracle restates the whole
+    composition."""
+    d = load_table(spark, sf, "documents")
+    gates = curation.quality_filter(d)
+    hashed = d.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("n_chars"),
+        T.fingerprint(F.col("text")).alias("h"),
+    )
+    dup = hashed.withColumn(
+        "is_dup",
+        F.count(F.lit(1)).over(Window.partitionBy("h")) > 1,
+    )
+    g = dup.join(gates.select("doc_id", "n_tokens", "keep"), "doc_id")
+    return g.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_kept"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_dup_docs"),
     )

@@ -328,3 +328,41 @@ def q_log_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
         [(est, exact, abs(est - exact) <= max(2, exact * 0.02))],
         "approx_distinct long, exact_distinct long, within_2pct boolean",
     )
+
+
+@register(
+    "q_log_increment",
+    oracle="""
+SELECT event_type AS ordering_group,
+       CAST(COUNT(*) AS BIGINT) AS n_new,
+       CAST(MIN(event_id) AS BIGINT) AS min_seq,
+       CAST(MAX(event_id) AS BIGINT) AS max_seq
+FROM events
+WHERE CAST(epoch_us(ts) // 1000 AS BIGINT)
+        > epoch_ms(TIMESTAMP '2024-01-10 00:00:00')
+  AND CAST(epoch_us(ts) // 1000 AS BIGINT)
+        <= epoch_ms(TIMESTAMP '2024-01-20 00:00:00')
+GROUP BY event_type
+""",
+    tags=("messagelog", "incremental"),
+)
+def q_log_increment(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental batch consumption: everything that arrived between
+    two snapshot bounds — ``(T1, T2]`` with both manifest prunings
+    composing (S7 floor scan for the lower bound, future-file drop for
+    the upper).  The pattern a periodic training-data refresh runs:
+    process exactly the delta since the last materialization.
+    """
+    topic = _events_topic(spark, sf)
+    t1 = 1704844800000  # 2024-01-10T00:00:00Z
+    t2 = 1705708800000  # 2024-01-20T00:00:00Z
+    # from_ts is inclusive; the increment contract is (T1, T2], so drop
+    # the exact-boundary millisecond on the low side
+    df = topic.dataframe(from_ts_ms=t1, to_ts_ms=t2).filter(
+        F.col("ulid_ts_ms") > t1
+    )
+    return df.groupBy("ordering_group").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.min("sequence_number").alias("min_seq"),
+        F.max("sequence_number").alias("max_seq"),
+    )
