@@ -821,6 +821,69 @@ class Topic:
             self._update_max_ts(remove=moved)
         return moved
 
+    def fsck(self) -> DataFrame:
+        """Audit manifest facts against file contents, distributed.
+
+        For every data file: does the row count embedded in its manifest
+        name match the rows actually inside, and does its first-event
+        time match the name's ``from_ts``?  The filename facts drive
+        pruning (:meth:`prune_from_timestamp`), seek, and retention — a
+        file whose facts lie (hand-copied into a topic, renamed, or
+        produced by a buggy foreign writer) silently corrupts those
+        decisions, so the audit is the operational companion to
+        :meth:`quarantine_corrupt` (which only checks decodability).
+
+        Returns ``(filename, expected_count, actual_count, expected_from_ts_ms,
+        actual_from_ts_ms, ok)`` — one scan over the topic, grouped by
+        ``input_file_name`` for parquet and probed per file for the
+        pure-Python Avro path (rotation-window sized by construction).
+        """
+        manifest = self.list_manifest()
+        expected = {
+            p.rsplit("/", 1)[-1]: (e.count, e.from_ts_ms) for p, e in manifest
+        }
+        rows: list[tuple[str, int, int]] = []
+        pq = [p for p, e in manifest if e.ext == "parquet"]
+        av = [p for p, e in manifest if e.ext != "parquet"]
+        if pq:
+            got = (
+                self.spark.read.schema(MESSAGE_SCHEMA)
+                .parquet(*pq)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.min("ulid_ts_ms").alias("t0"),
+                )
+                .collect()
+            )
+            rows += [
+                (r["f"].rsplit("/", 1)[-1], r["n"], r["t0"]) for r in got
+            ]
+        for p in av:
+            r = self._read_avro([p]).agg(
+                F.count(F.lit(1)).alias("n"), F.min("ulid_ts_ms").alias("t0")
+            ).first()
+            rows.append((p.rsplit("/", 1)[-1], r["n"], r["t0"]))
+        actual = {name: (n, t0) for name, n, t0 in rows}
+        out = []
+        for name, (exp_n, exp_t0) in expected.items():
+            act_n, act_t0 = actual.get(name, (0, None))
+            out.append(
+                (
+                    name,
+                    exp_n,
+                    act_n,
+                    exp_t0,
+                    act_t0,
+                    exp_n == act_n and exp_t0 == act_t0,
+                )
+            )
+        return self.spark.createDataFrame(
+            out,
+            "filename string, expected_count long, actual_count long, "
+            "expected_from_ts_ms long, actual_from_ts_ms long, ok boolean",
+        )
+
     def write_single_file(self, df: DataFrame, ext: str = "parquet") -> list[str]:
         """Producer-flush path: one buffered window → one topic file.
 

@@ -494,3 +494,38 @@ def test_quarantine_corrupt_files(spark, tmp_path):
     assert topic.fs.exists(f"{topic.uri}/quarantine/{victim.name}")
     # idempotent on a clean topic
     assert topic.quarantine_corrupt() == []
+
+
+def test_fsck_detects_lying_manifest_facts(spark, tmp_path):
+    """A healthy topic audits clean; a file renamed with a wrong count
+    fact (or wrong from_ts) is flagged with both the claimed and the
+    actual numbers — the foreign-writer / hand-copy corruption mode the
+    decode-level quarantine can't see."""
+    import re
+
+    from rawdata_client_provider_gcs_spark.datamodel import MESSAGE_SCHEMA
+    from rawdata_client_provider_gcs_spark.sources.topic import Topic
+
+    topic = Topic(spark, f"file://{tmp_path}", "fsck")
+    rows = []
+    for i in range(60):
+        ts = 1_700_000_000_000 + i * 10
+        ulid = ts.to_bytes(6, "big") + i.to_bytes(10, "big")
+        rows.append((ulid, ts, "g", i, f"p-{i}", {"k": b"v"}))
+    topic.write_dataframe(
+        spark.createDataFrame(rows, MESSAGE_SCHEMA), max_records_per_file=30
+    )
+    audit = topic.fsck()
+    assert audit.count() == 2
+    assert audit.filter(~audit.ok).count() == 0
+
+    # lie about the count in one filename: _<count>_ field -> 999
+    path, entry = topic.list_manifest()[0]
+    bad_name = entry.filename.replace(f"_{entry.count}_", "_999_", 1)
+    assert bad_name != entry.filename
+    assert topic.fs.rename(path, f"{topic.uri}/{bad_name}")
+    flagged = topic.fsck().filter("NOT ok").collect()
+    assert len(flagged) == 1
+    assert flagged[0]["filename"] == bad_name
+    assert flagged[0]["expected_count"] == 999
+    assert flagged[0]["actual_count"] == entry.count
