@@ -1,0 +1,102 @@
+"""Behavioral-analytics queries: funnels and cohort retention.
+
+The event-stream analyses a consumer of the reference's topics runs
+downstream (events = the payload the log transports); both are
+deterministic, integer-valued, and oracle-stated in full.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import funnel
+from ..tables import load_table
+from .catalog import register
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+    AND e.ts <= s1.t1 + INTERVAL 2 DAY
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+    AND e.ts <= s2.t2 + INTERVAL 2 DAY
+  GROUP BY e.user_id
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+         CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+  UNION ALL
+  SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+)
+""",
+    tags=("analytics", "funnel"),
+)
+def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """First-touch funnel view → click → purchase, each step within 2
+    days of the previous (§2C behavioral analytics).  One combinable
+    conditional-min aggregate per step, user-key equi-joins between —
+    see :mod:`...operators.funnel` for the 100 TB shape."""
+    e = load_table(spark, sf, "events")
+    return funnel.funnel_counts(
+        e, ["view", "click", "purchase"], within="2 DAY"
+    )
+
+
+@register(
+    "q_events_cohort_retention",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(datediff('week', f.cohort_week,
+                       date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT cohort_week, week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active_users
+FROM activity GROUP BY cohort_week, week_offset
+""",
+    tags=("analytics", "cohort"),
+)
+def q_events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort retention matrix (§2C behavioral analytics): users
+    cohorted by first-event week; a cell counts the cohort's distinct
+    users active in week ``cohort + offset``.  Two combinable aggregates
+    plus one user-key join, all JVM-side."""
+    e = load_table(spark, sf, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )

@@ -84,6 +84,7 @@ def _load_all():
         return
     _LOADED = True
     from . import (  # noqa: F401
+        behavior,
         curation,
         llm,
         messagelog,

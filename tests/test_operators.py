@@ -1470,3 +1470,46 @@ def test_chunk_tokens_tiling_and_overlap(spark):
 
     with _pytest.raises(ValueError):
         curation.chunk_tokens(docs, chunk=0, stride=32)
+
+
+def test_funnel_first_touch_and_horizon(spark):
+    """Planted event sequences: step anchors on the earliest qualifying
+    occurrence, later steps must follow strictly after, the horizon
+    drops slow converters, and counts are monotone down the funnel."""
+    from datetime import datetime, timedelta
+
+    from rawdata_client_provider_gcs_spark.operators import funnel
+
+    t0 = datetime(2024, 1, 1)
+
+    def ev(uid, typ, minutes):
+        return (uid, typ, t0 + timedelta(minutes=minutes))
+
+    rows = [
+        # u1 converts fully, in order, fast
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+        # u2 clicked BEFORE viewing -> click doesn't count; no purchase
+        ev(2, "click", 0), ev(2, "view", 10),
+        # u3 converts but the purchase is outside the 1-hour horizon
+        ev(3, "view", 0), ev(3, "click", 5), ev(3, "purchase", 120),
+        # u4 views only
+        ev(4, "view", 0),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {
+        r["step"]: r["n_users"]
+        for r in funnel.funnel_counts(
+            e, ["view", "click", "purchase"], within="1 HOUR"
+        ).collect()
+    }
+    assert out == {"view": 4, "click": 2, "purchase": 1}
+    # without a horizon u3's late purchase counts
+    loose = {
+        r["step"]: r["n_users"]
+        for r in funnel.funnel_counts(e, ["view", "click", "purchase"]).collect()
+    }
+    assert loose == {"view": 4, "click": 2, "purchase": 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        funnel.funnel_counts(e, ["view"])
