@@ -180,26 +180,7 @@ def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     all real data before the bounded run ends) — the exact mechanics of a
     production dual-stream join.  The oracle is the equivalent batch join.
     """
-    purchases = (
-        W.flushable_event_stream(spark, sf)
-        .withWatermark("ts", "1 hour")
-        .filter(F.col("event_type") == "purchase")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
-    )
-    clicks = (
-        W.flushable_event_stream(spark, sf)
-        .withWatermark("ts", "1 hour")
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("c_ts"),
-        )
-    )
+    purchases, clicks = W.stream_join_sides(spark, sf, "purchase", "click")
     joined = purchases.join(
         clicks,
         (F.col("p_user") == F.col("c_user"))
@@ -207,7 +188,7 @@ def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
     )
     out = W.run_available_now_append(joined, "t_ss_join")
-    return out.select(
+    return out.filter(F.col("p_user") != W.SENTINEL_USER_ID).select(
         F.col("purchase_id").cast("long").alias("purchase_id"),
         F.col("click_id").cast("long").alias("click_id"),
         F.col("p_user").cast("long").alias("user_id"),
@@ -375,3 +356,47 @@ def q_stream_enrich_static(spark: SparkSession, sf: str) -> DataFrame:
         .alias("total_value"),
     )
     return W.run_available_now(agg, "t_enrich_static")
+
+
+@register(
+    "q_stream_stream_left_join",
+    oracle="""
+SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+       CAST(c.event_id AS BIGINT) AS click_id,
+       CAST(p.user_id AS BIGINT) AS user_id
+FROM events p LEFT JOIN events c
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click'
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+""",
+    tags=("streaming", "join"),
+)
+def q_stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the semantics the
+    inner join can't show: a purchase with no qualifying click is
+    emitted NULL-extended only once the watermark proves no match can
+    still arrive (state eviction = result emission).  The sentinel
+    flush batches push the watermark past all real data so every
+    pending outer row drains in the bounded run; the oracle is the
+    equivalent batch left join.
+
+    The sides come from :func:`...streaming.windows.stream_join_sides`
+    — the event-type predicate must not drop the sentinel rows before
+    the watermark operator (Catalyst pushes a plain filter below it,
+    into the scan, which silently freezes the watermark and strands
+    every pending outer row; see that helper's docstring)."""
+    purchases, clicks = W.stream_join_sides(spark, sf, "purchase", "click")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    out = W.run_available_now_append(joined, "t_ss_left_join")
+    return out.filter(F.col("p_user") != W.SENTINEL_USER_ID).select(
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("p_user").cast("long").alias("user_id"),
+    )

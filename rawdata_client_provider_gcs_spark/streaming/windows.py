@@ -365,3 +365,44 @@ def stream_static_enrich(
     return events.join(
         F.broadcast(dim), events[left_key] == dim[right_key], how
     )
+
+
+def stream_join_sides(
+    spark: SparkSession, sf_dir: str, left_type: str, right_type: str
+) -> tuple[DataFrame, DataFrame]:
+    """Two watermarked event streams for a stream-stream join, with the
+    sentinel rows KEPT on both sides.
+
+    The trap this helper exists for: writing
+    ``stream.withWatermark(...).filter(event_type == 'purchase')`` lets
+    Catalyst push the type predicate below the EventTimeWatermark node
+    and into the file scan, so the sentinel flush rows never reach the
+    watermark operator — the watermark freezes at the last REAL event
+    minus the delay, join state for the final window is never evicted,
+    and (for outer joins) the pending NULL-extended rows are silently
+    never emitted.  Keeping ``event_type IN (wanted, sentinel)`` lets
+    the flush rows drive the watermark through both sides; their
+    ``user_id = SENTINEL_USER_ID`` rows are dropped AFTER the join
+    (they only ever pair with each other).
+    """
+    left = (
+        flushable_event_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .filter(F.col("event_type").isin(left_type, SENTINEL_EVENT_TYPE))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    right = (
+        flushable_event_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .filter(F.col("event_type").isin(right_type, SENTINEL_EVENT_TYPE))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    return left, right
