@@ -400,3 +400,44 @@ def q_stream_stream_left_join(spark: SparkSession, sf: str) -> DataFrame:
         F.col("click_id").cast("long").alias("click_id"),
         F.col("p_user").cast("long").alias("user_id"),
     )
+
+
+@register(
+    "q_stream_stream_full_join",
+    oracle="""
+SELECT CAST(p.event_id AS BIGINT) AS purchase_id,
+       CAST(c.event_id AS BIGINT) AS click_id,
+       CAST(COALESCE(p.user_id, c.user_id) AS BIGINT) AS user_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+""",
+    tags=("streaming", "join"),
+)
+def q_stream_stream_full_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join: both the purchases
+    that never saw a click and the clicks that never led to a purchase
+    NULL-emit when their state evicts — the union of both sides'
+    eviction semantics in one operator (sides via
+    :func:`...streaming.windows.stream_join_sides`, sentinels kept
+    above the watermark)."""
+    purchases, clicks = W.stream_join_sides(spark, sf, "purchase", "click")
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    )
+    out = W.run_available_now_append(joined, "t_ss_full_join")
+    return out.filter(
+        (F.coalesce(F.col("p_user"), F.lit(0)) != W.SENTINEL_USER_ID)
+        & (F.coalesce(F.col("c_user"), F.lit(0)) != W.SENTINEL_USER_ID)
+    ).select(
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("click_id").cast("long").alias("click_id"),
+        F.coalesce(F.col("p_user"), F.col("c_user"))
+        .cast("long")
+        .alias("user_id"),
+    )
