@@ -335,6 +335,7 @@ def main() -> int:
             "stream_stateful_user",
             "stream_near_dup",
             "stream_seq_gaps",
+            "stream_join",
             "stream_sink",
         ],
     )
@@ -429,6 +430,33 @@ def main() -> int:
                 "update",
                 parts,
             )
+        if op == "stream_join":
+            # watermarked interval left-outer join: state = both sides'
+            # retained rows inside the 1-hour range bound; sentinels kept
+            # above the watermark (stream_join_sides semantics) so outer
+            # rows drain and state peaks then empties
+            def side(typ, pre):
+                return (
+                    event_stream(spark, events_dir(scale))
+                    .withWatermark("ts", "1 hour")
+                    .filter(
+                        F.col("event_type").isin(typ, W.SENTINEL_EVENT_TYPE)
+                    )
+                    .select(
+                        F.col("user_id").alias(f"{pre}_user"),
+                        F.col("event_id").alias(f"{pre}_id"),
+                        F.col("ts").alias(f"{pre}_ts"),
+                    )
+                )
+
+            joined = side("buy", "l").join(
+                side("click", "r"),
+                (F.col("l_user") == F.col("r_user"))
+                & (F.col("r_ts") <= F.col("l_ts"))
+                & (F.col("r_ts") >= F.col("l_ts") - F.expr("INTERVAL 1 HOUR")),
+                "left_outer",
+            )
+            return run_capture(joined, "append", parts)
         if op == "stream_sink":
             return run_sink(spark, msgs_dir(scale), parts)
         raise ValueError(op)
