@@ -488,3 +488,62 @@ def q_curation_data_card(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_exact_dup_docs"),
     )
+
+
+@register(
+    "q_curation_length_buckets",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), bounds AS (
+  SELECT MIN(n_tokens) AS lo, MAX(n_tokens) AS hi FROM toks
+), bucketed AS (
+  SELECT doc_id, n_tokens,
+         CAST(((n_tokens - lo) * 8) // (hi - lo + 1) AS BIGINT) AS bucket
+  FROM toks, bounds
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MAX(n_tokens) * COUNT(*) - SUM(n_tokens) AS BIGINT) AS pad_waste
+FROM bucketed GROUP BY bucket
+""",
+    tags=("llm", "curation", "batching"),
+)
+def q_curation_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence-length bucketing for efficient padded batching (§2C
+    curation): 8 equal-width token-length bins group similar-length
+    documents so per-batch padding waste (``max_len*n - sum(len)``)
+    stays small — the dynamic-batching preprocessing step.  Equal-width
+    (not NTILE) is the at-scale shape: bin bounds are one broadcast
+    min/max aggregate and assignment is pure integer map-side
+    arithmetic, where an exact equal-frequency NTILE would funnel every
+    row through a single-partition global sort."""
+    d = load_table(spark, sf, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) AS BIGINT)"
+        ).alias("n_tokens"),
+    )
+    bounds = toks.agg(
+        F.min("n_tokens").alias("lo"), F.max("n_tokens").alias("hi")
+    )
+    bucketed = toks.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.expr("CAST((n_tokens - lo) * 8 DIV (hi - lo + 1) AS BIGINT)"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.max("n_tokens") * F.count(F.lit(1)) - F.sum("n_tokens"))
+        .cast("long")
+        .alias("pad_waste"),
+    )

@@ -1751,3 +1751,86 @@ def q_text_compression(spark: SparkSession, sf: str) -> DataFrame:
         F.col("zlib_bytes").cast("long").alias("zlib_bytes"),
         F.col("compression_ratio"),
     )
+
+
+@register(
+    "q_curation_cluster_safe_split",
+    oracle="WITH RECURSIVE "
+    + _JACCARD_CTES
+    + """, sym AS (
+  SELECT id_a AS src, id_b AS dst FROM jpairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM jpairs
+), reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+), labels AS (
+  SELECT src AS node_id, LEAST(src, MIN(dst)) AS component_id
+  FROM reach GROUP BY src
+), clustered AS (
+  SELECT d.doc_id, COALESCE(l.component_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node_id
+), tagged AS (
+  SELECT doc_id, cluster_id,
+         CASE WHEN substring(md5('v1' || CAST(cluster_id AS VARCHAR)), 1, 4)
+                   < '0ccd' THEN 'val'
+              WHEN substring(md5('v1' || CAST(cluster_id AS VARCHAR)), 1, 4)
+                   < '199a' THEN 'test'
+              ELSE 'train' END AS split
+  FROM clustered
+), spans AS (
+  SELECT cluster_id, COUNT(DISTINCT split) AS nsp FROM tagged GROUP BY cluster_id
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(*) FROM spans WHERE nsp > 1) AS BIGINT)
+         AS n_clusters_crossing
+FROM tagged GROUP BY split""",
+    tags=("llm", "curation", "dedup"),
+)
+def q_curation_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe train/val/test split: near-duplicate CLUSTERS are
+    the split unit, so two near-copies of one document can never land on
+    opposite sides of the train/eval boundary (the contamination a
+    doc-id split silently allows).  Composition of the proven tiers:
+    Jaccard pairs → connected components → md5 split keyed on the
+    cluster id; ``n_clusters_crossing`` is computed, not assumed, and
+    the oracle restates the full chain (recursive closure + same md5
+    thresholds)."""
+    from ..operators import curation
+
+    d = load_table(spark, sf, "documents")
+    edges = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.12, max_doc_freq=1000
+    )
+    labels = dedup.connected_components(edges)
+    clustered = (
+        d.select("doc_id")
+        .join(labels, d["doc_id"] == labels["node_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    split = curation.train_val_test_split(
+        clustered, "cluster_id", val_fraction=0.05, test_fraction=0.05, salt="v1"
+    )
+    crossing = (
+        split.groupBy("cluster_id")
+        .agg(F.size(F.collect_set("split")).alias("nsp"))
+        .agg(
+            F.sum(F.when(F.col("nsp") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_clusters_crossing")
+        )
+    )
+    return (
+        split.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(crossing))
+    )
