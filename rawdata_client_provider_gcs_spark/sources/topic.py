@@ -847,7 +847,11 @@ class Topic:
         av = [p for p, e in manifest if e.ext != "parquet"]
         if pq:
             got = (
+                # a corrupt file must show up as a failed row, not kill
+                # the audit that exists to find it (actual_count 0 +
+                # quarantine_corrupt is the repair path)
                 self.spark.read.schema(MESSAGE_SCHEMA)
+                .option("ignoreCorruptFiles", "true")
                 .parquet(*pq)
                 .groupBy(F.input_file_name().alias("f"))
                 .agg(

@@ -78,6 +78,8 @@ def _sketch_files(topic, paths: list[str], exts: dict, column: str, lg_k: int):
             .collect()
         )
         for r in rows:
+            if r["sk"] is None:  # column all-NULL in this file
+                continue
             name = r["file"].rsplit("/", 1)[-1]
             out[name] = base64.b64encode(bytes(r["sk"])).decode()
     # the pure-Python avro fallback synthesizes rows in mapInPandas, so

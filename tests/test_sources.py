@@ -529,3 +529,28 @@ def test_fsck_detects_lying_manifest_facts(spark, tmp_path):
     assert flagged[0]["filename"] == bad_name
     assert flagged[0]["expected_count"] == 999
     assert flagged[0]["actual_count"] == entry.count
+
+
+def test_fsck_flags_corrupt_file_instead_of_dying(spark, tmp_path):
+    """fsck must report a corrupt file (actual_count 0, not ok), not
+    crash on it — finding broken files is its job."""
+    import pathlib
+
+    from rawdata_client_provider_gcs_spark.datamodel import MESSAGE_SCHEMA
+    from rawdata_client_provider_gcs_spark.sources.topic import Topic
+
+    topic = Topic(spark, f"file://{tmp_path}", "fsck2")
+    rows = []
+    for i in range(40):
+        ts = 1_700_000_000_000 + i * 10
+        ulid = ts.to_bytes(6, "big") + i.to_bytes(10, "big")
+        rows.append((ulid, ts, "g", i, f"p-{i}", {"k": b"v"}))
+    topic.write_dataframe(
+        spark.createDataFrame(rows, MESSAGE_SCHEMA), max_records_per_file=20
+    )
+    path, entry = topic.list_manifest()[0]
+    pathlib.Path(path.replace("file:", "")).write_bytes(b"junk" * 50)
+    flagged = topic.fsck().filter("NOT ok").collect()
+    assert len(flagged) == 1
+    assert flagged[0]["filename"] == entry.filename
+    assert flagged[0]["actual_count"] == 0
