@@ -207,3 +207,59 @@ def compression_stats(
         f"{id_col} long, raw_bytes long, zlib_bytes long, "
         "compression_ratio double",
     )
+
+
+def fuzzy_contaminated_pairs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str | None = None,
+    bench_text_col: str | None = None,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate contamination: (training doc, benchmark doc) pairs
+    whose word-``k``-shingle Jaccard similarity reaches ``threshold``.
+
+    The fuzzy tier above :func:`contaminated_docs` (exact-gram hits):
+    a lightly paraphrased or truncated eval example still matches.  The
+    shape mirrors the corpus self-join dedup tier but asymmetric — the
+    benchmark side (small by definition) is broadcast, so the corpus
+    never shuffles for the candidate join; intersection counts group on
+    (doc, bench) keys bounded by true shingle co-occurrence.  Exact
+    Jaccard, no sketches: oracle-checkable, and cheap because only the
+    benchmark's shingles participate.
+
+    Returns ``(id_col, bench_id, n_common, jaccard)``.
+    """
+    bench_id = bench_id_col or id_col
+    bench_text = bench_text_col or text_col
+    doc_grams = _gram_hashes(docs, id_col, text_col, k)
+    bench_grams = _gram_hashes(benchmark, bench_id, bench_text, k).select(
+        F.col(bench_id).alias("bench_id"), "gram_hash"
+    )
+    doc_sizes = doc_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_doc")
+    )
+    bench_sizes = bench_grams.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("__n_bench")
+    )
+    inter = (
+        doc_grams.join(F.broadcast(bench_grams), "gram_hash")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(doc_sizes, id_col)
+        .join(F.broadcast(bench_sizes), "bench_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (
+                F.col("__n_doc") + F.col("__n_bench") - F.col("n_common")
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(id_col, "bench_id", "n_common", "jaccard")
+    )

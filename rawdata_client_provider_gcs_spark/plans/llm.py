@@ -1834,3 +1834,70 @@ def q_curation_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(crossing))
     )
+
+
+@register(
+    "q_decontam_fuzzy",
+    oracle="""
+WITH bench_src AS (
+  SELECT doc_id AS bench_id, text || ' extra probe token' AS text
+  FROM documents WHERE doc_id % 25 = 0
+), ctoks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+), csh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM ctoks WHERE len(t) >= 3)
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(t, ' ') FROM ctoks WHERE len(t) < 3
+), btoks AS (
+  SELECT bench_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM bench_src
+), bsh AS (
+  SELECT DISTINCT bench_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM (SELECT bench_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM btoks WHERE len(t) >= 3)
+  UNION
+  SELECT DISTINCT bench_id, array_to_string(t, ' ') FROM btoks WHERE len(t) < 3
+), csz AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY doc_id),
+bsz AS (SELECT bench_id, COUNT(*) AS n FROM bsh GROUP BY bench_id),
+inter AS (
+  SELECT c.doc_id, b.bench_id, COUNT(*) AS n_common
+  FROM csh c JOIN bsh b ON c.shingle = b.shingle
+  GROUP BY c.doc_id, b.bench_id
+)
+SELECT CAST(i.doc_id AS BIGINT) AS doc_id,
+       CAST(i.bench_id AS BIGINT) AS bench_id,
+       CAST(i.n_common AS BIGINT) AS n_common,
+       CAST(i.n_common AS DOUBLE)
+         / CAST(csz.n + bsz.n - i.n_common AS DOUBLE) AS jaccard
+FROM inter i
+JOIN csz ON csz.doc_id = i.doc_id
+JOIN bsz ON bsz.bench_id = i.bench_id
+WHERE CAST(i.n_common AS DOUBLE)
+      / CAST(csz.n + bsz.n - i.n_common AS DOUBLE) >= 0.5
+""",
+    tags=("llm", "decontam", "dedup"),
+)
+def q_decontam_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (§2C): lightly-perturbed eval
+    probes (every 25th document plus a trailing token) are traced back
+    to their near-duplicate training documents by exact shingle
+    Jaccard, benchmark side broadcast — the paraphrase-robust tier
+    above the exact-gram overlap check (`q_decontam_overlap`).  See
+    :func:`...operators.decontam.fuzzy_contaminated_pairs`."""
+    d = load_table(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat(F.col("text"), F.lit(" extra probe token")).alias("text"),
+    )
+    out = decontam.fuzzy_contaminated_pairs(
+        d, bench, bench_id_col="bench_id", k=3, threshold=0.5
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("bench_id").cast("long").alias("bench_id"),
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    )
