@@ -60,12 +60,13 @@ def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     "q_events_cohort_retention",
     oracle="""
 WITH firsts AS (
-  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  SELECT user_id, strftime(CAST(date_trunc('week', MIN(ts)) AS DATE), '%Y-%m-%d') AS cohort_week
   FROM events GROUP BY user_id
 ), activity AS (
   SELECT DISTINCT e.user_id, f.cohort_week,
-         CAST(datediff('week', f.cohort_week,
-                       date_trunc('week', e.ts)) AS BIGINT) AS week_offset
+         CAST(datediff('week', CAST(f.cohort_week AS DATE),
+                       CAST(date_trunc('week', e.ts) AS DATE)) AS BIGINT)
+           AS week_offset
   FROM events e JOIN firsts f ON e.user_id = f.user_id
 )
 SELECT cohort_week, week_offset,
@@ -81,7 +82,9 @@ def q_events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     plus one user-key join, all JVM-side."""
     e = load_table(spark, sf, "events")
     firsts = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+        F.date_format(F.date_trunc("week", F.min("ts")), "yyyy-MM-dd").alias(
+            "cohort_week"
+        )
     )
     activity = (
         e.join(firsts, "user_id")
@@ -89,7 +92,10 @@ def q_events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
             "user_id",
             "cohort_week",
             (
-                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")),
+                    F.to_date("cohort_week"),
+                )
                 / 7
             )
             .cast("long")
