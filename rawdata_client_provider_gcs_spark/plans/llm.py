@@ -1901,3 +1901,90 @@ def q_decontam_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_common").cast("long").alias("n_common"),
         F.col("jaccard").cast("double").alias("jaccard"),
     )
+
+
+@register(
+    "q_cogroup_asof_pandas",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), purchases AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'
+), matched AS (
+  SELECT c.user_id, c.event_id AS click_id,
+         (SELECT p.event_id FROM purchases p
+          WHERE p.user_id = c.user_id AND p.ts <= c.ts
+          ORDER BY p.ts DESC, p.event_id DESC LIMIT 1) AS last_purchase_id
+  FROM clicks c
+)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(click_id AS BIGINT) AS click_id,
+       CAST(last_purchase_id AS BIGINT) AS last_purchase_id
+FROM matched
+""",
+    tags=("llm", "udf", "cogroup"),
+)
+def q_cogroup_asof_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-table custom kernel via ``cogroup().applyInPandas`` (§2B UDF
+    surface): each user's clicks meet that user's purchases in one
+    Arrow-batched Python call — ``pandas.merge_asof`` as-of semantics
+    (latest purchase at/before each click).
+
+    Completes the UDF-surface trio (pandas_udf scalar, applyInPandas
+    UDAF, mapInPandas) with the COGROUPED two-sided form — the escape
+    hatch for custom join-like logic the built-in operators can't
+    express.  Both sides shuffle once on the common key; integer-exact
+    output with a deterministic tiebreak, so the oracle states the same
+    as-of rule as a correlated subquery.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    e = load_table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("click_id", LongType()),
+            StructField("last_purchase_id", LongType()),
+        ]
+    )
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                {"user_id": [], "click_id": [], "last_purchase_id": []}
+            ).astype("int64", errors="ignore")
+        # deterministic tiebreak: among equal ts keep the max event_id
+        r = right.sort_values(["ts", "event_id"]).drop_duplicates(
+            subset=["ts"], keep="last"
+        )
+        l = left.sort_values(["ts", "event_id"])
+        merged = pd.merge_asof(
+            l,
+            r.rename(columns={"event_id": "last_purchase_id"})[
+                ["ts", "last_purchase_id"]
+            ],
+            on="ts",
+            direction="backward",
+        )
+        return pd.DataFrame(
+            {
+                "user_id": merged["user_id"].astype("int64"),
+                "click_id": merged["event_id"].astype("int64"),
+                "last_purchase_id": merged["last_purchase_id"].astype(
+                    "Int64"
+                ),
+            }
+        )
+
+    return (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(asof, out_schema)
+    )
