@@ -888,6 +888,55 @@ class Topic:
             "expected_from_ts_ms long, actual_from_ts_ms long, ok boolean",
         )
 
+    def describe(self) -> dict:
+        """Manifest-only topic summary — zero data IO.
+
+        Counts, bytes, event-time span, and format mix straight from the
+        filename facts plus the max-ts sidecar; the ops one-liner before
+        deciding on compaction/retention (file count and small-file
+        share are the triggers).
+        """
+        manifest = self.list_manifest()
+        sizes = {p.rsplit("/", 1)[-1]: None for p, _ in manifest}
+        for path, size in self.fs.list_files(self.uri):
+            name = path.rsplit("/", 1)[-1]
+            if name in sizes:
+                sizes[name] = size
+        max_ts = self.load_max_ts()
+        quarantined = len(
+            [1 for _ in self.fs.list_files(f"{self.uri}/quarantine")]
+        )
+        entries = [e for _, e in manifest]
+        return {
+            "topic": self.name,
+            "n_files": len(entries),
+            "n_messages": sum(e.count for e in entries),
+            "n_bytes": sum(s or 0 for s in sizes.values()),
+            "formats": sorted({e.ext for e in entries}),
+            "first_ts_ms": min((e.from_ts_ms for e in entries), default=None),
+            "last_ts_ms": max(
+                (
+                    max_ts.get(e.filename, e.from_ts_ms)
+                    for e in entries
+                ),
+                default=None,
+            ),
+            "n_quarantined": quarantined,
+        }
+
+    def vacuum_quarantine(self) -> list[str]:
+        """Delete quarantined objects once forensics are done.
+
+        Separate from :meth:`quarantine_corrupt` so the move (cheap,
+        reversible) and the delete (irreversible) are distinct operator
+        decisions.  Returns deleted filenames.
+        """
+        deleted = []
+        for path, _ in self.fs.list_files(f"{self.uri}/quarantine"):
+            if self.fs.delete(path):
+                deleted.append(path.rsplit("/", 1)[-1])
+        return deleted
+
     def write_single_file(self, df: DataFrame, ext: str = "parquet") -> list[str]:
         """Producer-flush path: one buffered window → one topic file.
 

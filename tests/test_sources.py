@@ -554,3 +554,36 @@ def test_fsck_flags_corrupt_file_instead_of_dying(spark, tmp_path):
     assert len(flagged) == 1
     assert flagged[0]["filename"] == entry.filename
     assert flagged[0]["actual_count"] == 0
+
+
+def test_describe_and_vacuum_quarantine(spark, tmp_path):
+    """describe() summarizes from the manifest alone; vacuum removes
+    quarantined objects as a separate, explicit decision."""
+    import pathlib
+
+    from rawdata_client_provider_gcs_spark.datamodel import MESSAGE_SCHEMA
+    from rawdata_client_provider_gcs_spark.sources.topic import Topic
+
+    topic = Topic(spark, f"file://{tmp_path}", "desc")
+    rows = []
+    for i in range(50):
+        ts = 1_700_000_000_000 + i * 10
+        ulid = ts.to_bytes(6, "big") + i.to_bytes(10, "big")
+        rows.append((ulid, ts, "g", i, f"p-{i}", {"k": b"v"}))
+    topic.write_dataframe(
+        spark.createDataFrame(rows, MESSAGE_SCHEMA), max_records_per_file=25
+    )
+    d = topic.describe()
+    assert d["n_files"] == 2 and d["n_messages"] == 50
+    assert d["formats"] == ["parquet"] and d["n_bytes"] > 0
+    assert d["first_ts_ms"] == 1_700_000_000_000
+    assert d["last_ts_ms"] == 1_700_000_000_000 + 49 * 10
+    assert d["n_quarantined"] == 0
+
+    path, entry = topic.list_manifest()[0]
+    pathlib.Path(path.replace("file:", "")).write_bytes(b"junk" * 99)
+    assert topic.quarantine_corrupt() == [entry.filename]
+    assert topic.describe()["n_quarantined"] == 1
+    assert topic.vacuum_quarantine() == [entry.filename]
+    assert topic.describe()["n_quarantined"] == 0
+    assert topic.vacuum_quarantine() == []
