@@ -1449,3 +1449,81 @@ def q_zorder_key(spark: SparkSession, sf: str) -> DataFrame:
         F.col("s_nationkey").cast("long").alias("s_nationkey"),
         zorder_key(["s_suppkey", "s_nationkey"], bits=16).alias("zkey"),
     )
+
+
+@register(
+    "q_scalar_variant",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k,
+       CAST(COUNT(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+                       THEN NULL ELSE 1 END) AS BIGINT) AS n_missing_present
+FROM events GROUP BY event_type
+""",
+    tags=("relational", "scalar", "variant"),
+)
+def q_scalar_variant(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured access through the VARIANT type (Spark 4): JSON
+    parsed once into the binary variant encoding, fields extracted with
+    ``variant_get`` path expressions, absent paths via ``try_variant_get``
+    — the modern replacement for repeated ``get_json_object`` string
+    re-parsing (one decode, typed access).  The oracle states the same
+    extraction with DuckDB's JSON operators."""
+    e = load_table(spark, sf, "events")
+    v = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
+    return v.groupBy("event_type").agg(
+        F.sum(F.expr("variant_get(v, '$.k', 'long')")).cast("long").alias("sum_k"),
+        F.max(F.expr("variant_get(v, '$.k', 'long')")).cast("long").alias("max_k"),
+        F.count(F.expr("try_variant_get(v, '$.missing', 'string')"))
+        .cast("long")
+        .alias("n_missing_present"),
+    )
+
+
+@register(
+    "q_udtf_tokenize",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(i - 1 AS BIGINT) AS idx,
+       t[i] AS token
+FROM (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents WHERE doc_id < 40
+), unnest(generate_series(1, len(t))) AS u(i)
+""",
+    tags=("relational", "udtf"),
+)
+def q_udtf_tokenize(spark: SparkSession, sf: str) -> DataFrame:
+    """Python user-defined TABLE function (Spark 4 ``@udtf``) applied
+    with a LATERAL join in SQL — the row-generating UDF surface beside
+    the scalar/aggregate/map forms.  The tokenizer itself is trivial on
+    purpose (explode could do it); what's exercised is the UDTF
+    registration, the SQL lateral correlation, and Arrow row emission —
+    the escape hatch for generators that aren't array-expressible.
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx: long, token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, tok in enumerate(re.findall("[a-z0-9]+", text.lower())):
+                yield (i, tok)
+
+    spark.udtf.register("engine_tokenize", Tokenize)
+    load_table(spark, sf, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT CAST(d.doc_id AS BIGINT) AS doc_id, t.idx, t.token
+        FROM docs_udtf d, LATERAL engine_tokenize(d.text) t
+        WHERE d.doc_id < 40
+        """
+    )
