@@ -1527,3 +1527,46 @@ def q_udtf_tokenize(spark: SparkSession, sf: str) -> DataFrame:
         WHERE d.doc_id < 40
         """
     )
+
+
+@register(
+    "q_maparrow_doc_stats",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST(len(regexp_extract_all(text, ' ')) AS BIGINT) AS n_spaces
+FROM documents WHERE doc_id < 60
+""",
+    tags=("relational", "udf", "arrow"),
+)
+def q_maparrow_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """``mapInArrow`` kernel (§2B UDF surface): the zero-copy tier below
+    pandas — RecordBatches in, RecordBatches out, no pandas conversion
+    at all.  The computation is deliberately trivial (byte and space
+    counts, both column-expressible); what's exercised is the Arrow
+    batch boundary itself, the right tier for kernels that already
+    speak Arrow (vectorized codecs, numpy views)."""
+    import pyarrow as pa
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id", "text")
+    )
+
+    def stats(batches):
+        import numpy as np
+
+        for batch in batches:
+            texts = batch.column("text").to_pylist()
+            enc = [t.encode("utf-8") for t in texts]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.array([len(b) for b in enc], pa.int64()),
+                    pa.array([b.count(b" ") for b in enc], pa.int64()),
+                ],
+                ["doc_id", "n_bytes", "n_spaces"],
+            )
+
+    return d.mapInArrow(stats, "doc_id long, n_bytes long, n_spaces long")
