@@ -1988,3 +1988,50 @@ def q_cogroup_asof_pandas(spark: SparkSession, sf: str) -> DataFrame:
         .cogroup(purchases.groupBy("user_id"))
         .applyInPandas(asof, out_schema)
     )
+
+
+@register("q_quality_model_scores", tags=("llm", "curation", "ml"))
+def q_quality_model_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Learned quality-filter tier (rows-only by design: logistic
+    regression probabilities come from a distributed L-BFGS fit, not a
+    SQL-expressible formula; separation and scoring determinism are
+    pytest-asserted — ``test_operators.py::test_quality_model_separates_planted_junk``).
+
+    Bootstraps labels from the proven heuristic gates
+    (:func:`...operators.curation.quality_filter` keep verdict — itself
+    oracle-green via `q_curation_filter_pipeline`), trains on a bounded
+    sample, scores the corpus as a pure broadcast-coefficients map, and
+    reports per-source calibration: how often the learned score agrees
+    with the heuristic verdict at the 0.5 threshold.
+    """
+    from ..operators import curation, quality_model
+
+    d = load_table(spark, sf, "documents")
+    gates = curation.quality_filter(d).select(
+        "doc_id", F.col("keep").cast("double").alias("label")
+    )
+    labeled = (
+        d.select("doc_id", "source", "text")
+        .join(gates, "doc_id")
+        .orderBy("doc_id")
+        .limit(2000)
+    )
+    model = quality_model.train_quality_model(labeled)
+    scores = quality_model.score_quality(d, model)
+    joined = (
+        d.select("doc_id", "source")
+        .join(scores, "doc_id")
+        .join(gates, "doc_id")
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(
+                ((F.col("quality_prob") >= 0.5) & (F.col("label") == 1.0))
+                | ((F.col("quality_prob") < 0.5) & (F.col("label") == 0.0)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_agree_with_heuristic"),
+    )

@@ -1513,3 +1513,47 @@ def test_funnel_first_touch_and_horizon(spark):
 
     with _pytest.raises(ValueError):
         funnel.funnel_counts(e, ["view"])
+
+
+def test_quality_model_separates_planted_junk(spark):
+    """The learned filter tier: trained on labeled clean-vs-junk text it
+    must rank every held-out clean document above every junk document,
+    and scoring a corpus twice with one model is bit-identical."""
+    from rawdata_client_provider_gcs_spark.operators import quality_model
+
+    clean = [
+        "the quick brown fox jumps over the lazy dog near the river bank",
+        "a well formed sentence with common words and a natural rhythm",
+        "data pipelines read tables and write results to the warehouse",
+        "the committee approved the plan for the new public library",
+        "she walked to the market and bought fresh bread and apples",
+        "engineers review the design before the system goes to production",
+    ]
+    junk = [
+        "zzz qqq xxx kkk jjj vvv www yyy qq zz xx kk jj vv",
+        "aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa aaa",
+        "qwerty asdfgh zxcvbn qwerty asdfgh zxcvbn poiuyt",
+        "xk9 qz3 vv7 mm2 pp0 xk9 qz3 vv7 mm2 pp0 xk9",
+        "lorem zork blarg frobnitz quux zork blarg frobnitz",
+        "kjh sdf oiu wer mnb vcx lkj poi uyt rew qas",
+    ]
+    rows = [(i, t, 1.0) for i, t in enumerate(clean)]
+    rows += [(100 + i, t, 0.0) for i, t in enumerate(junk)]
+    labeled = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    # hold one of each out of training
+    train = labeled.filter(~F.col("doc_id").isin(5, 105))
+    model = quality_model.train_quality_model(train)
+    scores = {
+        r["doc_id"]: r["quality_prob"]
+        for r in quality_model.score_quality(labeled, model).collect()
+    }
+    worst_clean = min(scores[i] for i in range(6))
+    best_junk = max(scores[100 + i] for i in range(6))
+    assert worst_clean > best_junk, (worst_clean, best_junk)
+    # held-out docs land on the right side too
+    assert scores[5] > 0.5 > scores[105]
+    again = {
+        r["doc_id"]: r["quality_prob"]
+        for r in quality_model.score_quality(labeled, model).collect()
+    }
+    assert scores == again  # scoring is a deterministic pure map
