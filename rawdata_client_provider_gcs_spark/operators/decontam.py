@@ -239,9 +239,6 @@ def fuzzy_contaminated_pairs(
     bench_grams = _gram_hashes(benchmark, bench_id, bench_text, k).select(
         F.col(bench_id).alias("bench_id"), "gram_hash"
     )
-    doc_sizes = doc_grams.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n_doc")
-    )
     bench_sizes = bench_grams.groupBy("bench_id").agg(
         F.count(F.lit(1)).alias("__n_bench")
     )
@@ -249,6 +246,16 @@ def fuzzy_contaminated_pairs(
         doc_grams.join(F.broadcast(bench_grams), "gram_hash")
         .groupBy(id_col, "bench_id")
         .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    # denominator sizes are only needed for documents that shared at
+    # least one shingle with the benchmark — semi-join the gram table
+    # down to those before counting, so the size aggregate shuffles the
+    # candidate set, not the whole corpus
+    candidates = inter.select(id_col).distinct()
+    doc_sizes = (
+        doc_grams.join(candidates, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n_doc"))
     )
     return (
         inter.join(doc_sizes, id_col)

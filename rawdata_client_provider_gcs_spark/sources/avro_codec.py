@@ -244,7 +244,7 @@ def avro_datasource_available(spark) -> bool:
     return _DATASOURCE_PROBE[key]
 
 
-def messages_from_binary_files(files_df):
+def messages_from_binary_files(files_df, ignore_corrupt: bool = False):
     """Distributed decode: ``binaryFile`` rows -> MESSAGE_SCHEMA rows.
 
     One Python task per Avro file (they are rotation-window sized by
@@ -252,6 +252,11 @@ def messages_from_binary_files(files_df):
     reference-written Avro topic is scanned without the spark-avro jar:
     the file list parallelizes across executors and each decode is
     streaming over one file's bytes.
+
+    ``ignore_corrupt`` mirrors the parquet reader's ``ignoreCorruptFiles``
+    for the read-through-availability contract: an undecodable container
+    (bad magic, torn block, truncated deflate) contributes nothing
+    instead of failing the scan.
     """
     from ..datamodel import MESSAGE_SCHEMA
 
@@ -260,7 +265,12 @@ def messages_from_binary_files(files_df):
 
         for pdf in iterator:
             for content in pdf["content"]:
-                rows = decode_container(bytes(content))
+                try:
+                    rows = decode_container(bytes(content))
+                except Exception:
+                    if ignore_corrupt:
+                        continue
+                    raise
                 if not rows:
                     continue
                 yield pd.DataFrame(

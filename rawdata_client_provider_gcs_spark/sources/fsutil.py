@@ -56,6 +56,26 @@ class HadoopFs:
         finally:
             stream.close()
 
+    def replace_object(self, uri: str, payload: bytes) -> None:
+        """Commit ``payload`` at ``uri`` via temp-object + rename.
+
+        The sidecar commit primitive (max-ts table, sketch table, epoch
+        markers): never a truncate-then-write of the live object, so
+        readers on rename-atomic schemes can't observe a torn file.  If
+        the scheme refuses rename-over-existing, falls back to
+        delete+rename — a sub-millisecond absence window callers bridge
+        with last-known-good caching where it matters.
+        """
+        import uuid as _uuid
+
+        tmp = f"{uri}.tmp-{_uuid.uuid4().hex}"
+        self.write_bytes(tmp, payload)
+        if not self.rename(tmp, uri):
+            self.delete(uri)
+            if not self.rename(tmp, uri):
+                self.delete(tmp)
+                raise IOError(f"object replace failed: {uri}")
+
     def create_exclusive(self, uri: str, payload: bytes) -> bool:
         """Create-if-absent: False when the object already exists.
 

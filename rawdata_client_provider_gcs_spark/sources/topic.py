@@ -224,15 +224,7 @@ class Topic:
         table.update(add or {})
         self.fs.mkdirs(f"{self.uri}/metadata")
         payload = json.dumps(table, sort_keys=True).encode("utf-8")
-        final = self._maxts_uri()
-        tmp = f"{final}.tmp-{uuid.uuid4().hex}"
-        self.fs.write_bytes(tmp, payload)
-        if not self.fs.rename(tmp, final):
-            # scheme refuses rename-over-existing: replace non-atomically
-            self.fs.delete(final)
-            if not self.fs.rename(tmp, final):
-                self.fs.delete(tmp)
-                raise IOError(f"sidecar replace failed: {final}")
+        self.fs.replace_object(self._maxts_uri(), payload)
         self._maxts_last_good = dict(table)
 
     # -- read ---------------------------------------------------------------
@@ -276,7 +268,7 @@ class Topic:
                 reader = reader.option("ignoreCorruptFiles", "true")
             dfs.append(reader.parquet(*pq_paths))
         if avro_paths:
-            dfs.append(self._read_avro(avro_paths))
+            dfs.append(self._read_avro(avro_paths, ignore_corrupt=ignore_corrupt))
         df = dfs[0]
         for other in dfs[1:]:
             df = df.unionByName(other)
@@ -286,7 +278,9 @@ class Topic:
             df = df.filter(F.col("ulid_ts_ms") <= F.lit(to_ts_ms))
         return df
 
-    def _read_avro(self, paths: list[str]) -> DataFrame:
+    def _read_avro(
+        self, paths: list[str], ignore_corrupt: bool = False
+    ) -> DataFrame:
         """Distributed scan of reference-format Avro topic files.
 
         With spark-avro on the classpath the native datasource does the
@@ -294,9 +288,15 @@ class Topic:
         engine's pure-Python envelope codec — one task per file, Arrow out
         (files are rotation-window sized by construction, S1), so a large
         topic still reads in parallel across executors.
+
+        ``ignore_corrupt`` gives both branches the same read-through
+        contract as the parquet reader's ``ignoreCorruptFiles``.
         """
         if avro_codec.avro_datasource_available(self.spark):
-            raw = self.spark.read.format("avro").load(paths)
+            reader = self.spark.read.format("avro")
+            if ignore_corrupt:
+                reader = reader.option("ignoreCorruptFiles", "true")
+            raw = reader.load(paths)
             return raw.select(
                 F.col("id").cast("binary").alias("ulid"),
                 F.conv(F.hex(F.substring(F.col("id").cast("binary"), 1, 6)), 16, 10)
@@ -307,8 +307,15 @@ class Topic:
                 F.col("position"),
                 F.col("data"),
             )
-        files = self.spark.read.format("binaryFile").load(paths)
-        return avro_codec.messages_from_binary_files(files)
+        reader = self.spark.read.format("binaryFile")
+        if ignore_corrupt:
+            # covers unreadable-as-bytes files (size-mismatched torn
+            # uploads); the codec flag below covers undecodable contents
+            reader = reader.option("ignoreCorruptFiles", "true")
+        files = reader.load(paths)
+        return avro_codec.messages_from_binary_files(
+            files, ignore_corrupt=ignore_corrupt
+        )
 
     def ordered_dataframe(
         self,
@@ -795,7 +802,15 @@ class Topic:
                 for path, content in zip(pdf["path"], pdf["content"]):
                     b = bytes(content)
                     if path.endswith(".parquet"):
-                        ok = b[:4] == b"PAR1" and b[-4:] == b"PAR1"
+                        # length floor matters: a 4-byte b"PAR1" remnant
+                        # satisfies BOTH slice checks (they overlap); a
+                        # real file needs header magic + footer length +
+                        # footer magic = 12 bytes minimum
+                        ok = (
+                            len(b) >= 12
+                            and b[:4] == b"PAR1"
+                            and b[-4:] == b"PAR1"
+                        )
                     else:
                         ok = b[:4] == b"Obj\x01"
                     oks.append(ok)
@@ -864,7 +879,9 @@ class Topic:
                 (r["f"].rsplit("/", 1)[-1], r["n"], r["t0"]) for r in got
             ]
         for p in av:
-            r = self._read_avro([p]).agg(
+            # tolerant per-file read: a corrupt container must land as a
+            # flagged row (actual 0), not abort the audit
+            r = self._read_avro([p], ignore_corrupt=True).agg(
                 F.count(F.lit(1)).alias("n"), F.min("ulid_ts_ms").alias("t0")
             ).first()
             rows.append((p.rsplit("/", 1)[-1], r["n"], r["t0"]))

@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import base64
 import json
-import uuid
 
 from pyspark.sql import functions as F
 
@@ -51,14 +50,7 @@ def load_sketches(topic) -> dict:
 def _store_sketches(topic, table: dict) -> None:
     payload = json.dumps(table, sort_keys=True).encode("utf-8")
     topic.fs.mkdirs(f"{topic.uri}/metadata")
-    final = _sketch_uri(topic)
-    tmp = f"{final}.tmp-{uuid.uuid4().hex}"
-    topic.fs.write_bytes(tmp, payload)
-    if not topic.fs.rename(tmp, final):
-        topic.fs.delete(final)
-        if not topic.fs.rename(tmp, final):
-            topic.fs.delete(tmp)
-            raise IOError(f"sketch sidecar replace failed: {final}")
+    topic.fs.replace_object(_sketch_uri(topic), payload)
 
 
 def _sketch_files(topic, paths: list[str], exts: dict, column: str, lg_k: int):
@@ -121,6 +113,12 @@ def refresh_sketches(
         paths = [by_name[n][0] for n in missing]
         exts = {by_name[n][0]: by_name[n][1].ext for n in missing}
         col_table.update(_sketch_files(topic, paths, exts, column, lg_k))
+        # a file whose column is entirely NULL (or that decodes to zero
+        # rows) yields no sketch — record an empty-string sentinel so it
+        # counts as KNOWN; otherwise every refresh (and therefore every
+        # warm approx_distinct) would rescan it forever
+        for n in missing:
+            col_table.setdefault(n, "")
     table[column] = col_table
     _store_sketches(topic, table)
     return col_table
@@ -149,7 +147,9 @@ def approx_distinct(
     if to_ts_ms is not None:
         manifest = [pe for pe in manifest if pe[1].from_ts_ms <= to_ts_ms]
     names = [p.rsplit("/", 1)[-1] for p, _ in manifest]
-    picked = [col_table[n] for n in names if n in col_table]
+    # empty-string entries are all-NULL/no-row sentinels: known, but
+    # contributing nothing to the union
+    picked = [col_table[n] for n in names if col_table.get(n)]
     if not picked:
         return 0
     sk = topic.spark.createDataFrame([(b,) for b in picked], "b string")

@@ -385,24 +385,41 @@ def stream_join_sides(
     ``user_id = SENTINEL_USER_ID`` rows are dropped AFTER the join
     (they only ever pair with each other).
     """
-    left = (
-        flushable_event_stream(spark, sf_dir)
-        .withWatermark("ts", "1 hour")
-        .filter(F.col("event_type").isin(left_type, SENTINEL_EVENT_TYPE))
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
-        )
+    left = watermarked_join_side(
+        flushable_event_stream(spark, sf_dir),
+        left_type,
+        ("p_user", "purchase_id", "p_ts"),
     )
-    right = (
-        flushable_event_stream(spark, sf_dir)
-        .withWatermark("ts", "1 hour")
-        .filter(F.col("event_type").isin(right_type, SENTINEL_EVENT_TYPE))
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("c_ts"),
-        )
+    right = watermarked_join_side(
+        flushable_event_stream(spark, sf_dir),
+        right_type,
+        ("c_user", "click_id", "c_ts"),
     )
     return left, right
+
+
+def watermarked_join_side(
+    stream: DataFrame,
+    event_type: str,
+    aliases: tuple[str, str, str],
+    delay: str = "1 hour",
+) -> DataFrame:
+    """One side of a stream-stream join from any event stream.
+
+    Applies the watermark FIRST and keeps the sentinel rows through the
+    type filter (the pushdown trap documented on
+    :func:`stream_join_sides`), then aliases (user, id, ts) to the
+    caller's column names.  Shared by the harness queries and the
+    stress tool so the sentinel-above-watermark subtlety lives in
+    exactly one place.
+    """
+    u, i, t = aliases
+    return (
+        stream.withWatermark("ts", delay)
+        .filter(F.col("event_type").isin(event_type, SENTINEL_EVENT_TYPE))
+        .select(
+            F.col("user_id").alias(u),
+            F.col("event_id").alias(i),
+            F.col("ts").alias(t),
+        )
+    )

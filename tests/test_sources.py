@@ -587,3 +587,68 @@ def test_describe_and_vacuum_quarantine(spark, tmp_path):
     assert topic.vacuum_quarantine() == [entry.filename]
     assert topic.describe()["n_quarantined"] == 0
     assert topic.vacuum_quarantine() == []
+
+
+def test_ignore_corrupt_and_fsck_cover_avro_files(spark, tmp_path):
+    """The read-through and audit contracts hold for Avro topics too: a
+    garbage .avro file is skipped by ignore_corrupt reads, flagged (not
+    fatal) in fsck, and a 4-byte PAR1 remnant no longer fools the
+    quarantine probe's overlapping slice checks."""
+    import pathlib
+
+    client = RawdataClient(spark, str(tmp_path), file_format="avro")
+    with client.producer("t") as p:
+        for i in range(6):
+            p.publish(RawdataMessage(position=f"p-{i}", data={"k": b"v"}))
+    from rawdata_client_provider_gcs_spark.sources.topic import Topic
+
+    topic = Topic(spark, f"file://{tmp_path}", "t")
+    # second file: corrupt it
+    with client.producer("t") as p:
+        p.publish(RawdataMessage(position="p-x", data={"k": b"v"}))
+    paths = [p for p, _ in topic.list_manifest()]
+    assert len(paths) == 2
+    victim = pathlib.Path(paths[1].replace("file:", ""))
+    victim.write_bytes(b"\x00garbage" * 40)
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        topic.dataframe().count()
+    assert topic.dataframe(ignore_corrupt=True).count() == 6
+    flagged = topic.fsck().filter("NOT ok").collect()
+    assert [r["filename"] for r in flagged] == [victim.name]
+    assert flagged[0]["actual_count"] == 0
+
+    # 4-byte parquet remnant: both slice checks see the same bytes
+    rem = tmp_path / "t" / "2030-01-01T000000.000Z_1_4_p-z.parquet"
+    rem.write_bytes(b"PAR1")
+    moved = topic.quarantine_corrupt()
+    assert set(moved) == {victim.name, rem.name}
+
+
+def test_sketch_sentinel_for_null_column_stops_rescans(spark, tmp_path):
+    """A file whose sketch column is entirely NULL gets a sentinel
+    sidecar entry: it is known (no rescan on later refreshes) and
+    contributes nothing to the estimate."""
+    from rawdata_client_provider_gcs_spark.datamodel import MESSAGE_SCHEMA
+    from rawdata_client_provider_gcs_spark.sources import topic_stats
+    from rawdata_client_provider_gcs_spark.sources.topic import Topic
+
+    topic = Topic(spark, f"file://{tmp_path}", "nulls")
+    rows = []
+    for i in range(20):
+        ts = 1_700_000_000_000 + i * 10
+        ulid = ts.to_bytes(6, "big") + i.to_bytes(10, "big")
+        # ordering_group NULL everywhere -> no sketch for that column
+        rows.append((ulid, ts, None, i, f"p-{i}", {"k": b"v"}))
+    topic.write_dataframe(spark.createDataFrame(rows, MESSAGE_SCHEMA))
+    t1 = topic_stats.refresh_sketches(topic, "ordering_group")
+    # one KNOWN entry per file (hll_sketch_agg yields an empty sketch
+    # for all-NULL input; a zero-row decode would get the "" sentinel) —
+    # either way the file must not be treated as missing forever
+    assert len(t1) == 1
+    assert topic_stats.approx_distinct(topic, "ordering_group") == 0
+    # second refresh finds nothing missing -> table unchanged, no rescan
+    t2 = topic_stats.refresh_sketches(topic, "ordering_group")
+    assert t2 == t1

@@ -92,6 +92,7 @@ _DEFAULT_QUERIES = [
     "q_decontam_overlap",
     "q_text_bigram_rarity",
     "q_text_dup_substrings",
+    "q_decontam_fuzzy",
 ]
 
 

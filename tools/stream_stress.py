@@ -436,17 +436,10 @@ def main() -> int:
             # above the watermark (stream_join_sides semantics) so outer
             # rows drain and state peaks then empties
             def side(typ, pre):
-                return (
-                    event_stream(spark, events_dir(scale))
-                    .withWatermark("ts", "1 hour")
-                    .filter(
-                        F.col("event_type").isin(typ, W.SENTINEL_EVENT_TYPE)
-                    )
-                    .select(
-                        F.col("user_id").alias(f"{pre}_user"),
-                        F.col("event_id").alias(f"{pre}_id"),
-                        F.col("ts").alias(f"{pre}_ts"),
-                    )
+                return W.watermarked_join_side(
+                    event_stream(spark, events_dir(scale)),
+                    typ,
+                    (f"{pre}_user", f"{pre}_id", f"{pre}_ts"),
                 )
 
             joined = side("buy", "l").join(
