@@ -138,3 +138,53 @@ def stream_topic(
     for other in streams[1:]:
         out = out.unionByName(other)
     return out
+
+
+def list_topics(spark: SparkSession, root_uri: str) -> list[str]:
+    """Topic names under a root (directories, sorted) — driver-side, one
+    listing call."""
+    from ..sources.fsutil import HadoopFs
+
+    fs = HadoopFs(spark, root_uri)
+    p = fs.path(root_uri)
+    if not fs._fs.exists(p):
+        return []
+    return sorted(
+        status.getPath().getName()
+        for status in fs._fs.listStatus(p)
+        if status.isDirectory()
+    )
+
+
+def stream_topics(
+    spark: SparkSession,
+    root_uri: str,
+    topics: list[str] | None = None,
+    max_files_per_trigger: int | None = None,
+    formats: tuple[str, ...] = ("parquet", "avro"),
+) -> DataFrame:
+    """Fan-in tail: one unbounded stream over MANY topics, each row
+    tagged with its ``topic`` — the subscribe-several analog of the
+    reference's one-consumer-per-topic model (a reference user opens N
+    consumers; a Spark user runs one query with N source legs).
+
+    ``topics=None`` discovers the topic directories once at start
+    (matching the file source's static-path contract — topics created
+    later need a restart, exactly like adding a source to any streaming
+    query).  Each topic contributes its own file-stream legs, so
+    per-topic listing, format mix, and backpressure behave identically
+    to :func:`stream_topic`.
+    """
+    names = topics if topics is not None else list_topics(spark, root_uri)
+    if not names:
+        raise ValueError(f"no topics under {root_uri}")
+    streams = [
+        stream_topic(
+            spark, f"{root_uri}/{name}", max_files_per_trigger, formats
+        ).withColumn("topic", F.lit(name))
+        for name in names
+    ]
+    out = streams[0]
+    for other in streams[1:]:
+        out = out.unionByName(other)
+    return out

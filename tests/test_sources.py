@@ -652,3 +652,67 @@ def test_sketch_sentinel_for_null_column_stops_rescans(spark, tmp_path):
     # second refresh finds nothing missing -> table unchanged, no rescan
     t2 = topic_stats.refresh_sketches(topic, "ordering_group")
     assert t2 == t1
+
+
+def test_stream_topics_fan_in(spark, tmp_path):
+    """One streaming query tails several topics at once, each row tagged
+    with its topic; discovery lists the directories when no explicit
+    topic list is given."""
+    from rawdata_client_provider_gcs_spark.streaming.tail import (
+        list_topics,
+        stream_topics,
+    )
+
+    a = RawdataClient(spark, str(tmp_path))
+    with a.producer("alpha") as p:
+        p.publish(RawdataMessage(position="a-0", data={}))
+    with a.producer("beta") as p:
+        p.publish(RawdataMessage(position="b-0", data={}))
+        p.publish(RawdataMessage(position="b-1", data={}))
+    assert list_topics(spark, str(tmp_path)) == ["alpha", "beta"]
+
+    out_dir = str(tmp_path / "out")
+    q = (
+        stream_topics(spark, str(tmp_path))
+        .writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("path", out_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    by_topic = {
+        r["topic"]: r["n"]
+        for r in got.groupBy("topic").count().withColumnRenamed("count", "n").collect()
+    }
+    assert by_topic == {"alpha": 1, "beta": 2}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        stream_topics(spark, str(tmp_path / "empty-root"))
+
+
+def test_consumer_group_cursor_resume(spark, tmp_path):
+    """A group's committed cursor survives in the metadata KV; resuming
+    consumers skip everything at/before the committed message, and an
+    uncommitted group starts from the beginning."""
+    from rawdata_client_provider_gcs_spark import client as client_mod
+
+    client = RawdataClient(spark, str(tmp_path))
+    with client.producer("t") as p:
+        for i in range(6):
+            p.publish(RawdataMessage(position=f"p-{i}", data={}))
+
+    c = client_mod.consumer_for_group(client, "g1", "t")
+    first = c.receive(0)
+    second = c.receive(0)
+    assert [first.position, second.position] == ["p-0", "p-1"]
+    client_mod.commit_group_cursor(client, "g1", "t", second.ulid)
+
+    resumed = client_mod.consumer_for_group(client, "g1", "t")
+    assert resumed.receive(0).position == "p-2"
+    # a different group is unaffected
+    fresh = client_mod.consumer_for_group(client, "g2", "t")
+    assert fresh.receive(0).position == "p-0"
+    assert client_mod.group_cursor(client, "g2", "t") is None
