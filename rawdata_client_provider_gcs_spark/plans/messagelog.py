@@ -366,3 +366,61 @@ def q_log_increment(spark: SparkSession, sf: str) -> DataFrame:
         F.min("sequence_number").alias("min_seq"),
         F.max("sequence_number").alias("max_seq"),
     )
+
+
+_FANIN_CACHE: dict[str, str] = {}
+
+
+@register(
+    "q_log_fan_in",
+    oracle="""
+SELECT CASE WHEN event_id % 2 = 0 THEN 'events-even' ELSE 'events-odd' END
+         AS topic,
+       CAST(COUNT(*) AS BIGINT) AS n_messages,
+       CAST(MIN(event_id) AS BIGINT) AS min_seq,
+       CAST(MAX(event_id) AS BIGINT) AS max_seq
+FROM events GROUP BY 1
+""",
+    tags=("messagelog", "streaming", "fan-in"),
+)
+def q_log_fan_in(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-topic fan-in (§2C): two topics under one root, tailed by a
+    SINGLE streaming query (``stream_topics``) with rows tagged by
+    topic, drained bounded and aggregated.  The oracle restates the
+    split over ``events`` — any row lost, duplicated, or mis-tagged
+    across the fan-in breaks the hash."""
+    from ..streaming.tail import stream_topics
+
+    key = os.path.abspath(sf)
+    root = _FANIN_CACHE.get(key)
+    if root is None:
+        root = tempfile.mkdtemp(prefix="rawdata-fanin-")
+        e = load_table(spark, sf, "events")
+        msg = e.select(*_message_columns())
+        cols = [f.name for f in MESSAGE_SCHEMA.fields]
+        for name, pred in (
+            ("events-even", F.col("sequence_number") % 2 == 0),
+            ("events-odd", F.col("sequence_number") % 2 == 1),
+        ):
+            Topic(spark, f"file://{root}", name).write_dataframe(
+                msg.filter(pred).select(*cols)
+            )
+        _FANIN_CACHE[key] = root
+    stream = stream_topics(spark, f"file://{root}")
+    import tempfile as _tf
+
+    q = (
+        stream.groupBy("topic").agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.min("sequence_number").alias("min_seq"),
+            F.max("sequence_number").alias("max_seq"),
+        )
+        .writeStream.format("memory")
+        .queryName("t_fan_in")
+        .outputMode("complete")
+        .option("checkpointLocation", _tf.mkdtemp(prefix="rawdata-fanin-ck-"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("t_fan_in")
