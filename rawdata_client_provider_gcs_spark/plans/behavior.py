@@ -106,3 +106,64 @@ def q_events_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+@register(
+    "q_events_daily_anomaly",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type,
+       strftime(d.day, '%Y-%m-%d') AS day,
+       d.x AS n_events,
+       CAST(s.n * d.x - s.sx AS BIGINT) AS dev_num,
+       ((s.n * d.x - s.sx) * (s.n * d.x - s.sx))
+         > 4 * (s.n * s.sxx - s.sx * s.sx) AS is_anomaly
+FROM daily d JOIN stats s USING (event_type)
+WHERE ((s.n * d.x - s.sx) * (s.n * d.x - s.sx))
+      > 4 * (s.n * s.sxx - s.sx * s.sx)
+""",
+    tags=("analytics", "anomaly"),
+)
+def q_events_daily_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Traffic-spike detection with INTEGER-EXACT statistics (§2C
+    behavioral analytics): a day is anomalous when its event count
+    deviates from the type's mean by more than two standard deviations
+    — but stated entirely in integers, ``(n·x − Σx)² > 4·(n·Σx² −
+    (Σx)²)``, which is ``(x − μ)² > 4σ²`` scaled by ``n²``.  No float
+    aggregation anywhere, so the result hash-matches an independent
+    engine exactly; the shape is two combinable aggregates and one
+    broadcast-size join (one stats row per event type)."""
+    e = load_table(spark, sf, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    j = daily.join(F.broadcast(stats), "event_type")
+    dev = F.col("n") * F.col("x") - F.col("sx")
+    var_n2 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        j.withColumn("dev_num", dev.cast("long"))
+        .withColumn("is_anomaly", (dev * dev) > 4 * var_n2)
+        .filter(F.col("is_anomaly"))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("x").cast("long").alias("n_events"),
+            "dev_num",
+            "is_anomaly",
+        )
+    )
