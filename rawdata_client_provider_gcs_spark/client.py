@@ -136,6 +136,41 @@ class RawdataClient:
             )
         return UlidCursor(ulid=bytes(rows[0]["ulid"]), inclusive=inclusive)
 
+    # -- consumer-group cursors (engine extension) --------------------------
+    #
+    # The reference hands every consumer its cursor explicitly
+    # (AvroRawdataClient.java:69-76); these add the named durable variant
+    # on top of the S15 metadata KV so a restarted pipeline resumes where
+    # its group left off without carrying state of its own.
+
+    @staticmethod
+    def _group_cursor_key(group: str) -> str:
+        return f"engine-group-cursor.{group}"
+
+    def commit_group_cursor(
+        self, group: str, topic: str, last_ulid: bytes
+    ) -> None:
+        """Durably record that ``group`` consumed through ``last_ulid``
+        (inclusive) on ``topic``.  Idempotent; last write wins — commit
+        AFTER processing for at-least-once resume semantics."""
+        payload = json.dumps(
+            {"ulid": last_ulid.hex(), "inclusive": False}
+        ).encode("utf-8")
+        self.metadata(topic).put(self._group_cursor_key(group), payload)
+
+    def group_cursor(self, group: str, topic: str) -> UlidCursor | None:
+        """The group's resume cursor, or None if it never committed."""
+        raw = self.metadata(topic).get(self._group_cursor_key(group))
+        if raw is None:
+            return None
+        obj = json.loads(raw.decode("utf-8"))
+        return UlidCursor(bytes.fromhex(obj["ulid"]), bool(obj["inclusive"]))
+
+    def consumer_for_group(self, group: str, topic: str) -> "RawdataConsumer":
+        """A consumer resuming after the group's last committed message —
+        from the beginning if the group never committed."""
+        return self.consumer(topic, cursor=self.group_cursor(group, topic))
+
     # -- point reads --------------------------------------------------------
 
     def last_message(self, topic: str) -> RawdataMessage | None:
@@ -424,45 +459,3 @@ class RawdataConsumer:
     def __exit__(self, *exc):
         self.close()
 
-
-# -- consumer-group cursors (engine extension) ------------------------------
-#
-# The reference hands every consumer its cursor explicitly
-# (AvroRawdataClient.java:69-76); these helpers add the named durable
-# variant on top of the S15 metadata KV so a restarted pipeline can
-# resume where its group left off without carrying state of its own.
-
-
-def _group_cursor_key(group: str) -> str:
-    return f"engine-group-cursor.{group}"
-
-
-def commit_group_cursor(
-    client: RawdataClient, group: str, topic: str, last_ulid: bytes
-) -> None:
-    """Durably record that ``group`` consumed through ``last_ulid``
-    (inclusive) on ``topic``.  Idempotent; last write wins — commit
-    AFTER processing for at-least-once resume semantics."""
-    payload = json.dumps(
-        {"ulid": last_ulid.hex(), "inclusive": False}
-    ).encode("utf-8")
-    client.metadata(topic).put(_group_cursor_key(group), payload)
-
-
-def group_cursor(
-    client: RawdataClient, group: str, topic: str
-) -> UlidCursor | None:
-    """The group's resume cursor, or None if it never committed."""
-    raw = client.metadata(topic).get(_group_cursor_key(group))
-    if raw is None:
-        return None
-    obj = json.loads(raw.decode("utf-8"))
-    return UlidCursor(bytes.fromhex(obj["ulid"]), bool(obj["inclusive"]))
-
-
-def consumer_for_group(
-    client: RawdataClient, group: str, topic: str
-) -> "RawdataConsumer":
-    """A consumer resuming after the group's last committed message —
-    from the beginning if the group never committed."""
-    return client.consumer(topic, cursor=group_cursor(client, group, topic))

@@ -697,22 +697,20 @@ def test_consumer_group_cursor_resume(spark, tmp_path):
     """A group's committed cursor survives in the metadata KV; resuming
     consumers skip everything at/before the committed message, and an
     uncommitted group starts from the beginning."""
-    from rawdata_client_provider_gcs_spark import client as client_mod
-
     client = RawdataClient(spark, str(tmp_path))
     with client.producer("t") as p:
         for i in range(6):
             p.publish(RawdataMessage(position=f"p-{i}", data={}))
 
-    c = client_mod.consumer_for_group(client, "g1", "t")
+    c = client.consumer_for_group("g1", "t")
     first = c.receive(0)
     second = c.receive(0)
     assert [first.position, second.position] == ["p-0", "p-1"]
-    client_mod.commit_group_cursor(client, "g1", "t", second.ulid)
+    client.commit_group_cursor("g1", "t", second.ulid)
 
-    resumed = client_mod.consumer_for_group(client, "g1", "t")
+    resumed = client.consumer_for_group("g1", "t")
     assert resumed.receive(0).position == "p-2"
     # a different group is unaffected
-    fresh = client_mod.consumer_for_group(client, "g2", "t")
+    fresh = client.consumer_for_group("g2", "t")
     assert fresh.receive(0).position == "p-0"
-    assert client_mod.group_cursor(client, "g2", "t") is None
+    assert client.group_cursor("g2", "t") is None
