@@ -714,3 +714,50 @@ def test_consumer_group_cursor_resume(spark, tmp_path):
     fresh = client.consumer_for_group("g2", "t")
     assert fresh.receive(0).position == "p-0"
     assert client.group_cursor("g2", "t") is None
+
+
+def test_time_travel_stable_across_compaction(spark, tmp_path):
+    """Snapshot-as-of reads return the same rows before and after
+    compaction rewrites the file layout: pruning keys off from_ts (the
+    file min), which compaction preserves per rewritten file."""
+    from rawdata_client_provider_gcs_spark.datamodel import MESSAGE_SCHEMA
+    from rawdata_client_provider_gcs_spark.sources.topic import Topic
+
+    topic = Topic(spark, f"file://{tmp_path}", "ttc")
+
+    def msgs(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            ts = 1_700_000_000_000 + i * 1000
+            ulid = ts.to_bytes(6, "big") + i.to_bytes(10, "big")
+            rows.append((ulid, ts, "g", i, f"p-{i}", {"k": b"v"}))
+        return spark.createDataFrame(rows, MESSAGE_SCHEMA)
+
+    # six small files
+    for lo in range(0, 60, 10):
+        topic.write_dataframe(msgs(lo, lo + 10))
+    cutoff = 1_700_000_000_000 + 34 * 1000
+    before = sorted(
+        r["sequence_number"]
+        for r in topic.dataframe(to_ts_ms=cutoff).collect()
+    )
+    assert before == list(range(35))
+
+    new_files, removed = topic.compact(
+        small_file_max_records=50, target_records_per_file=30
+    )
+    assert removed and new_files
+    after = sorted(
+        r["sequence_number"]
+        for r in topic.dataframe(to_ts_ms=cutoff).collect()
+    )
+    assert after == before
+    # the (T1, T2] delta composition survives the rewrite too
+    t1 = 1_700_000_000_000 + 10 * 1000
+    delta = sorted(
+        r["sequence_number"]
+        for r in topic.dataframe(from_ts_ms=t1, to_ts_ms=cutoff)
+        .filter("ulid_ts_ms > %d" % t1)
+        .collect()
+    )
+    assert delta == list(range(11, 35))
