@@ -167,3 +167,92 @@ def q_events_daily_anomaly(spark: SparkSession, sf: str) -> DataFrame:
             "is_anomaly",
         )
     )
+
+
+@register(
+    "q_events_value_drift",
+    oracle="""
+WITH spans AS (
+  SELECT value,
+         CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+              THEN 'before' ELSE 'after' END AS span
+  FROM events
+), bounds AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM spans
+), binned AS (
+  SELECT span,
+         CAST(LEAST(CAST(FLOOR(((value - lo) * 10) / (hi - lo)) AS BIGINT), 9)
+              AS BIGINT) AS bin
+  FROM spans, bounds
+), counts AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN span = 'before' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_before,
+         CAST(SUM(CASE WHEN span = 'after' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_after
+  FROM binned GROUP BY bin
+), totals AS (
+  SELECT SUM(n_before) AS tb, SUM(n_after) AS ta FROM counts
+)
+SELECT bin, n_before, n_after,
+       (CAST(n_after AS DOUBLE) / ta - CAST(n_before AS DOUBLE) / tb)
+         * LN((CAST(n_after AS DOUBLE) / ta)
+              / (CAST(n_before AS DOUBLE) / tb)) AS psi_contribution
+FROM counts, totals
+WHERE n_before > 0 AND n_after > 0
+""",
+    tags=("analytics", "drift"),
+)
+def q_events_value_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution drift between two time spans (§2C behavioral
+    analytics): the population-stability-index decomposition of the
+    ``value`` column, before vs after a cutoff, over 10 equal-width
+    bins.  Per-bin counts are integers and each PSI contribution is a
+    single scalar expression on that row — no order-dependent float
+    aggregation, so the whole drift report hash-matches the oracle.
+    Bins empty on either side are omitted (the standard PSI practice;
+    their log-ratio is undefined).
+    The production use pairs this with time-travel reads: the same
+    query over ``dataframe(to_ts_ms=T1)`` vs ``(T1, T2]`` delta spans
+    monitors a topic's payload drift release over release."""
+    e = load_table(spark, sf, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    spans = e.select(
+        "value",
+        F.when(F.col("ts") < cutoff, "before").otherwise("after").alias("span"),
+    )
+    bounds = spans.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    binned = spans.crossJoin(F.broadcast(bounds)).select(
+        "span",
+        F.least(
+            (
+                (F.col("value") - F.col("lo"))
+                * 10
+                / (F.col("hi") - F.col("lo"))
+            ).cast("long"),
+            F.lit(9),
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("span") == "before", 1).otherwise(0))
+        .cast("long")
+        .alias("n_before"),
+        F.sum(F.when(F.col("span") == "after", 1).otherwise(0))
+        .cast("long")
+        .alias("n_after"),
+    )
+    totals = counts.agg(
+        F.sum("n_before").alias("tb"), F.sum("n_after").alias("ta")
+    )
+    pb = F.col("n_before").cast("double") / F.col("tb")
+    pa = F.col("n_after").cast("double") / F.col("ta")
+    return counts.crossJoin(F.broadcast(totals)).filter(
+        (F.col("n_before") > 0) & (F.col("n_after") > 0)
+    ).select(
+        "bin",
+        "n_before",
+        "n_after",
+        ((pa - pb) * F.log(pa / pb)).alias("psi_contribution"),
+    )
