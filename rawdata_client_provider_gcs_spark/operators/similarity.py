@@ -216,6 +216,87 @@ def train_centroids_kmeans(
     return centers.select("cid", F.col("cvec").alias("cvec"))
 
 
+def _centroid_literal(cent_rows) -> F.Column:
+    """Quantizer as ONE parsed literal: array<struct<cid,norm,cvec>>.
+
+    Built with a single ``F.expr`` instead of O(nlist·dim) Column
+    objects: every ``F.lit``/``F.array``/``F.struct`` call is a py4j
+    round-trip, and at nlist·dim ≈ 1k the per-call latency added ~5 s
+    of driver-side plan build to every query.  Catalyst constant-folds
+    the parsed tree to a single array literal, so codegen sees one
+    constant.  ``repr(float)`` round-trips exactly through the SQL
+    parser's correctly-rounded double parse, and the Python-side norm
+    (sequential fold of squares, then sqrt) is bit-identical to the
+    per-row JVM ``aggregate`` fold it replaces.
+    """
+    parts = []
+    for r in cent_rows:
+        vec = ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in r["cvec"])
+        acc = 0.0
+        for x in r["cvec"]:
+            acc += float(x) * float(x)
+        parts.append(
+            f"named_struct('cid', CAST({int(r['cid'])} AS BIGINT),"
+            f" 'norm', CAST('{math.sqrt(acc)!r}' AS DOUBLE),"
+            f" 'cvec', array({vec}))"
+        )
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
+def _centroid_scores(cent_arr: F.Column, vec_col_name: str) -> F.Column:
+    """array<struct<cos,neg_cid>> of the vector scored vs every centroid.
+
+    Struct field order (cos first, then neg_cid) makes lexicographic
+    struct comparison == (max cosine, then lowest cid) — the same
+    tie-break as ``max(struct(a_cos, -cid))``.
+    """
+    a = F.col(vec_col_name)
+    norm_a = _norm(a)
+    return F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            (_dot(a, c["cvec"]) / (norm_a * c["norm"])).alias("cos"),
+            (-c["cid"]).alias("neg_cid"),
+        ),
+    )
+
+
+def ivf_cell_report(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nlist: int = 16,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Inverted-list health report: per cell, population and cohesion.
+
+    The index-maintenance companion to :func:`ivf_ann_topk`: skewed cell
+    sizes mean probe cost varies wildly, and low min-cosine cells mean
+    the quantizer no longer fits the data (retrain signal).  Same
+    zero-shuffle assignment as the search path (inlined quantizer
+    literal, map-side argmax); the only aggregation is one combinable
+    ``groupBy(cid)`` with count/min/max — all order-independent, so with
+    a deterministic quantizer the report is oracle-exact.
+    """
+    if centroids is None:
+        centroids = embeddings.orderBy(id_col).limit(nlist).select(
+            F.col(id_col).cast("long").alias("cid"), F.col(vec_col).alias("cvec")
+        )
+    cent_rows = sorted(
+        centroids.select("cid", "cvec").collect(), key=lambda r: r["cid"]
+    )
+    best = F.array_max(_centroid_scores(_centroid_literal(cent_rows), vec_col))
+    assigned = embeddings.select(
+        (-best["neg_cid"]).alias("cid"),
+        best["cos"].alias("cos_to_centroid"),
+    )
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("cos_to_centroid").alias("min_cos"),
+        F.max("cos_to_centroid").alias("max_cos"),
+    )
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -265,53 +346,10 @@ def ivf_ann_topk(
     cent_rows = sorted(
         centroids.select("cid", "cvec").collect(), key=lambda r: r["cid"]
     )
-
-    def _cent_lit() -> F.Column:
-        """Quantizer as ONE parsed literal: array<struct<cid,norm,cvec>>.
-
-        Built with a single ``F.expr`` instead of O(nlist·dim) Column
-        objects: every ``F.lit``/``F.array``/``F.struct`` call is a py4j
-        round-trip, and at nlist·dim ≈ 1k the per-call latency added ~5 s
-        of driver-side plan build to every query.  Catalyst constant-folds
-        the parsed tree to a single array literal, so codegen sees one
-        constant.  ``repr(float)`` round-trips exactly through the SQL
-        parser's correctly-rounded double parse, and the Python-side norm
-        (sequential fold of squares, then sqrt) is bit-identical to the
-        per-row JVM ``aggregate`` fold it replaces.
-        """
-        parts = []
-        for r in cent_rows:
-            vec = ",".join(
-                f"CAST('{float(x)!r}' AS DOUBLE)" for x in r["cvec"]
-            )
-            acc = 0.0
-            for x in r["cvec"]:
-                acc += float(x) * float(x)
-            parts.append(
-                f"named_struct('cid', CAST({int(r['cid'])} AS BIGINT),"
-                f" 'norm', CAST('{math.sqrt(acc)!r}' AS DOUBLE),"
-                f" 'cvec', array({vec}))"
-            )
-        return F.expr("array(" + ",".join(parts) + ")")
-
-    cent_arr = _cent_lit()
+    cent_arr = _centroid_literal(cent_rows)
 
     def _scored_arr(vec_col_name: str) -> F.Column:
-        """array<struct<cos,neg_cid>> of the vector scored vs every centroid.
-
-        Struct field order (cos first, then neg_cid) makes lexicographic
-        struct comparison == (max cosine, then lowest cid) — the same
-        tie-break as ``max(struct(a_cos, -cid))``.
-        """
-        a = F.col(vec_col_name)
-        norm_a = _norm(a)
-        return F.transform(
-            cent_arr,
-            lambda c: F.struct(
-                (_dot(a, c["cvec"]) / (norm_a * c["norm"])).alias("cos"),
-                (-c["cid"]).alias("neg_cid"),
-            ),
-        )
+        return _centroid_scores(cent_arr, vec_col_name)
 
     mapside = sum(len(r["cvec"]) for r in cent_rows) <= _MAPSIDE_CENTROID_CELLS
 

@@ -2035,3 +2035,45 @@ def q_quality_model_scores(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_agree_with_heuristic"),
     )
+
+
+@register(
+    "q_similarity_cell_report",
+    oracle=f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cvec
+  FROM embeddings WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, cid, cos FROM (
+    SELECT e.vec_id, c.cid,
+           {_cos_sql('e.embedding', 'c.cvec')} AS cos,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT CAST(cid AS BIGINT) AS cid,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       MIN(cos) AS min_cos,
+       MAX(cos) AS max_cos
+FROM assigned GROUP BY cid
+""",
+    tags=("llm", "similarity", "stats"),
+)
+def q_similarity_cell_report(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF inverted-list health report (§2C): per-cell population and
+    cohesion under the deterministic quantizer — the retrain/skew signal
+    an index-maintenance job watches.  Count/min/max are all
+    order-independent, so unlike mean-based cohesion the report is
+    value-exact against the oracle.  Scale notes on
+    :func:`...operators.similarity.ivf_cell_report` (zero-shuffle
+    assignment, one combinable aggregate)."""
+    e = load_table(spark, sf, "embeddings")
+    return similarity.ivf_cell_report(e, nlist=16).select(
+        F.col("cid").cast("long").alias("cid"),
+        F.col("n_vectors").cast("long").alias("n_vectors"),
+        F.col("min_cos").cast("double").alias("min_cos"),
+        F.col("max_cos").cast("double").alias("max_cos"),
+    )
