@@ -1755,6 +1755,7 @@ def q_text_compression(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_curation_cluster_safe_split",
+    bench=True,
     oracle="WITH RECURSIVE "
     + _JACCARD_CTES
     + """, sym AS (
@@ -1838,6 +1839,7 @@ def q_curation_cluster_safe_split(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_decontam_fuzzy",
+    bench=True,
     oracle="""
 WITH bench_src AS (
   SELECT doc_id AS bench_id, text || ' extra probe token' AS text

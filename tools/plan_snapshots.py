@@ -56,6 +56,9 @@ _NORMALIZERS = [
     (re.compile(r"Statistics\([^)]*\)"), "Statistics(<stats>)"),
     (re.compile(r"memoryUsageBytes=\d+"), "memoryUsageBytes=N"),
     (re.compile(r"StorageLevel\([^)]*\)"), "StorageLevel(<level>)"),
+    # RDD creation call-site varies with the py4j invocation path
+    # (NativeMethodAccessorImpl.java:0 vs <unknown>:0 across JVMs/runs)
+    (re.compile(r"at localCheckpoint at [^,]+,"), "at localCheckpoint at <callsite>,"),
 ]
 
 
