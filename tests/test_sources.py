@@ -666,7 +666,10 @@ def test_stream_topics_fan_in(spark, tmp_path):
     a = RawdataClient(spark, str(tmp_path))
     with a.producer("alpha") as p:
         p.publish(RawdataMessage(position="a-0", data={}))
-    with a.producer("beta") as p:
+    # beta is written in the reference's Avro format: the fan-in must
+    # mix physical formats across topics like stream_topic does within one
+    b = RawdataClient(spark, str(tmp_path), file_format="avro")
+    with b.producer("beta") as p:
         p.publish(RawdataMessage(position="b-0", data={}))
         p.publish(RawdataMessage(position="b-1", data={}))
     assert list_topics(spark, str(tmp_path)) == ["alpha", "beta"]
