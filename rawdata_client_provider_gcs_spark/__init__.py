@@ -15,6 +15,8 @@ from .errors import (
     RawdataNoSuchPositionException,
 )
 from .session import ensure_engine_confs, gcs_connector_conf, get_spark
+from .sources.topic import Topic
+from .streaming.tail import stream_topic, stream_topics
 from .tables import load_table, load_tables, register_views
 from .ulid import MonotonicUlidGenerator, UlidCursor
 
@@ -29,6 +31,7 @@ __all__ = [
     "RawdataMessageBuilder",
     "RawdataNoSuchPositionException",
     "RawdataProducer",
+    "Topic",
     "UlidCursor",
     "ensure_engine_confs",
     "gcs_connector_conf",
@@ -36,6 +39,8 @@ __all__ = [
     "load_table",
     "load_tables",
     "register_views",
+    "stream_topic",
+    "stream_topics",
 ]
 
 __version__ = "0.1.0"
