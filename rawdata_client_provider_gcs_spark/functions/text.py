@@ -351,3 +351,53 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k)
         .select(id_col, "term", "tf", "df", "rnk", "score")
     )
+
+
+def dedup_lines(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = ". ",
+):
+    """Strip repeated segments WITHIN each document, preserving order.
+
+    The intra-document half of dedup (boilerplate menus, repeated
+    paragraphs, scraper stutter): split on ``sep``, keep each
+    normalized segment's FIRST occurrence, reassemble.  Returns
+    ``(id, n_segments, n_kept, cleaned_text)``.
+
+    100 TB shape: split + explode is codegen'd; first-occurrence
+    selection is one ``min(pos)`` aggregate per (doc, normalized
+    segment) followed by an ordered re-assembly aggregate per doc —
+    both combinable, shuffling only (doc, segment-hash) keys.  No
+    Python anywhere.
+    """
+    segs = docs.select(
+        F.col(id_col),
+        # Spark's split() takes a REGEX: quote the separator literally
+        # (". " as a pattern would split on ANY char followed by space)
+        F.posexplode(
+            F.split(F.col(text_col), F.lit(f"\\Q{sep}\\E"), -1)
+        ).alias("pos", "seg"),
+    )
+    firsts = (
+        segs.groupBy(id_col, normalized_text(F.col("seg")).alias("norm"))
+        .agg(F.min("pos").alias("pos"), F.min_by("seg", "pos").alias("seg"))
+        .filter(F.col("norm") != "")
+    )
+    counts = segs.filter(
+        normalized_text(F.col("seg")) != ""
+    ).groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
+    kept = firsts.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("seg")))
+                ),
+                lambda s: s["seg"],
+            ),
+            sep,
+        ).alias("cleaned_text"),
+    )
+    return counts.join(kept, id_col)

@@ -2079,3 +2079,62 @@ def q_similarity_cell_report(spark: SparkSession, sf: str) -> DataFrame:
         F.col("min_cos").cast("double").alias("min_cos"),
         F.col("max_cos").cast("double").alias("max_cos"),
     )
+
+
+@register(
+    "q_text_dedup_lines",
+    oracle="""
+WITH aug AS (
+  -- plant intra-document repetition so the strip must actually fire
+  SELECT doc_id,
+         text || '. ' || 'repeat me please' || '. '
+              || 'repeat me please' || '. ' || 'Repeat ME please' AS text
+  FROM documents WHERE doc_id < 120
+), segs AS (
+  SELECT doc_id, u.seg, CAST(u.i - 1 AS BIGINT) AS pos,
+         trim(regexp_replace(lower(u.seg), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM aug, LATERAL (
+    SELECT unnest(string_split(text, '. ')) AS seg,
+           generate_subscripts(string_split(text, '. '), 1) AS i
+  ) u
+), firsts AS (
+  SELECT doc_id, norm, MIN(pos) AS pos,
+         MIN_BY(seg, pos) AS seg
+  FROM segs WHERE norm != '' GROUP BY doc_id, norm
+), counts AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments
+  FROM segs WHERE norm != '' GROUP BY doc_id
+), kept AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         md5(string_agg(seg, '. ' ORDER BY pos)) AS cleaned_hash
+  FROM firsts GROUP BY doc_id
+)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id, c.n_segments, k.n_kept,
+       k.cleaned_hash
+FROM counts c JOIN kept k USING (doc_id)
+""",
+    tags=("llm", "text", "dedup"),
+)
+def q_text_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document repetition stripping (§2C text cleaning): repeated
+    segments (case/punctuation-insensitive) keep only their first
+    occurrence, order preserved.  A planted repetition (two verbatim
+    copies + one case-variant) must collapse to one kept segment.  See
+    :func:`...functions.text.dedup_lines` for the combinable two-
+    aggregate shape; the oracle restates split, normalization,
+    first-occurrence choice, and ordered reassembly."""
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 120)
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(". repeat me please. repeat me please. Repeat ME please"),
+        ).alias("text"),
+    )
+    out = T.dedup_lines(aug)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.md5(F.col("cleaned_text").cast("binary")).alias("cleaned_hash"),
+    )
