@@ -93,6 +93,8 @@ _DEFAULT_QUERIES = [
     "q_text_bigram_rarity",
     "q_text_dup_substrings",
     "q_decontam_fuzzy",
+    "q_events_funnel",
+    "q_events_cohort_retention",
 ]
 
 
