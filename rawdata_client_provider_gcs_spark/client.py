@@ -156,7 +156,12 @@ class RawdataClient:
         payload = json.dumps(
             {"ulid": last_ulid.hex(), "inclusive": False}
         ).encode("utf-8")
-        self.metadata(topic).put(self._group_cursor_key(group), payload)
+        # atomic: a torn cursor would raise on every later resume and
+        # wedge the group permanently — exactly the marker class the
+        # metadata KV's temp+rename path exists for
+        self.metadata(topic).put(
+            self._group_cursor_key(group), payload, atomic=True
+        )
 
     def group_cursor(self, group: str, topic: str) -> UlidCursor | None:
         """The group's resume cursor, or None if it never committed."""

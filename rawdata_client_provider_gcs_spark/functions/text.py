@@ -366,10 +366,11 @@ def dedup_lines(
     normalized segment's FIRST occurrence, reassemble.  Returns
     ``(id, n_segments, n_kept, cleaned_text)``.
 
-    100 TB shape: split + explode is codegen'd; first-occurrence
-    selection is one ``min(pos)`` aggregate per (doc, normalized
-    segment) followed by an ordered re-assembly aggregate per doc —
-    both combinable, shuffling only (doc, segment-hash) keys.  No
+    100 TB shape: ONE split+explode pass feeds the whole thing — the
+    per-(doc, normalized-segment) aggregate carries first position,
+    first text, and occurrence count, and the per-doc re-assembly sums
+    that count for ``n_segments`` — so the corpus is exploded once and
+    shuffled twice on combinable aggregates, with no join back.  No
     Python anywhere.
     """
     segs = docs.select(
@@ -379,16 +380,16 @@ def dedup_lines(
         F.posexplode(
             F.split(F.col(text_col), F.lit(f"\\Q{sep}\\E"), -1)
         ).alias("pos", "seg"),
+    ).withColumn("norm", normalized_text(F.col("seg"))).filter(
+        F.col("norm") != ""
     )
-    firsts = (
-        segs.groupBy(id_col, normalized_text(F.col("seg")).alias("norm"))
-        .agg(F.min("pos").alias("pos"), F.min_by("seg", "pos").alias("seg"))
-        .filter(F.col("norm") != "")
+    firsts = segs.groupBy(id_col, "norm").agg(
+        F.min("pos").alias("pos"),
+        F.min_by("seg", "pos").alias("seg"),
+        F.count(F.lit(1)).alias("n_occ"),
     )
-    counts = segs.filter(
-        normalized_text(F.col("seg")) != ""
-    ).groupBy(id_col).agg(F.count(F.lit(1)).alias("n_segments"))
-    kept = firsts.groupBy(id_col).agg(
+    return firsts.groupBy(id_col).agg(
+        F.sum("n_occ").cast("long").alias("n_segments"),
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
             F.transform(
@@ -400,4 +401,3 @@ def dedup_lines(
             sep,
         ).alias("cleaned_text"),
     )
-    return counts.join(kept, id_col)

@@ -285,11 +285,39 @@ def ivf_cell_report(
     cent_rows = sorted(
         centroids.select("cid", "cvec").collect(), key=lambda r: r["cid"]
     )
-    best = F.array_max(_centroid_scores(_centroid_literal(cent_rows), vec_col))
-    assigned = embeddings.select(
-        (-best["neg_cid"]).alias("cid"),
-        best["cos"].alias("cos_to_centroid"),
-    )
+    if sum(len(r["cvec"]) for r in cent_rows) <= _MAPSIDE_CENTROID_CELLS:
+        best = F.array_max(
+            _centroid_scores(_centroid_literal(cent_rows), vec_col)
+        )
+        assigned = embeddings.select(
+            (-best["neg_cid"]).alias("cid"),
+            best["cos"].alias("cos_to_centroid"),
+        )
+    else:
+        # same big-quantizer fallback as ivf_ann_topk: above the inlined-
+        # literal bound the expression would bloat codegen/driver, so
+        # broadcast the centroid table and argmax per vector instead
+        cent = F.broadcast(
+            centroids.sparkSession.createDataFrame(
+                [(int(r["cid"]), list(r["cvec"])) for r in cent_rows],
+                "cid long, cvec array<double>",
+            )
+        )
+        assigned = (
+            embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+            .crossJoin(cent)
+            .withColumn("a_cos", cosine_similarity(F.col("v"), F.col("cvec")))
+            .groupBy("vid")
+            .agg(
+                F.max(
+                    F.struct(F.col("a_cos"), (-F.col("cid")).alias("neg_cid"))
+                ).alias("best")
+            )
+            .select(
+                (-F.col("best.neg_cid")).alias("cid"),
+                F.col("best.a_cos").alias("cos_to_centroid"),
+            )
+        )
     return assigned.groupBy("cid").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.min("cos_to_centroid").alias("min_cos"),

@@ -116,10 +116,13 @@ WITH daily AS (
          CAST(COUNT(*) AS BIGINT) AS x
   FROM events GROUP BY 1, 2
 ), stats AS (
+  -- HUGEINT throughout: dev^2 and n*sxx overflow 64 bits at large
+  -- daily counts, and an overflow here would silently diverge from the
+  -- engine (which computes the same test in DECIMAL(38,0))
   SELECT event_type,
-         CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(x) AS BIGINT) AS sx,
-         CAST(SUM(x * x) AS BIGINT) AS sxx
+         CAST(COUNT(*) AS HUGEINT) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
   FROM daily GROUP BY event_type
 )
 SELECT d.event_type,
@@ -147,13 +150,17 @@ def q_events_daily_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     daily = e.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("x"))
+    dec = "decimal(38,0)"
     stats = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast(dec).alias("sxx"),
     )
     j = daily.join(F.broadcast(stats), "event_type")
-    dev = F.col("n") * F.col("x") - F.col("sx")
+    # DECIMAL(38,0) end to end: dev**2 and n*sxx overflow BIGINT once
+    # daily counts reach ~1e9 over a year of days — the exactness claim
+    # must hold at the scale the plan targets, not just at toy counts
+    dev = F.col("n") * F.col("x").cast(dec) - F.col("sx")
     var_n2 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     return (
         j.withColumn("dev_num", dev.cast("long"))

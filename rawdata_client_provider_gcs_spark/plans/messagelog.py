@@ -407,8 +407,6 @@ def q_log_fan_in(spark: SparkSession, sf: str) -> DataFrame:
             )
         _FANIN_CACHE[key] = root
     stream = stream_topics(spark, f"file://{root}")
-    import tempfile as _tf
-
     q = (
         stream.groupBy("topic").agg(
             F.count(F.lit(1)).alias("n_messages"),
@@ -418,7 +416,7 @@ def q_log_fan_in(spark: SparkSession, sf: str) -> DataFrame:
         .writeStream.format("memory")
         .queryName("t_fan_in")
         .outputMode("complete")
-        .option("checkpointLocation", _tf.mkdtemp(prefix="rawdata-fanin-ck-"))
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="rawdata-fanin-ck-"))
         .trigger(availableNow=True)
         .start()
     )

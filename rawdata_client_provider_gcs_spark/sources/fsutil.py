@@ -49,6 +49,17 @@ class HadoopFs:
                 out.append((status.getPath().toString(), status.getLen()))
         return out
 
+    def list_dirs(self, uri: str) -> list[str]:
+        """Non-recursive listing → directory names (not paths), sorted."""
+        p = self.path(uri)
+        if not self._fs.exists(p):
+            return []
+        return sorted(
+            status.getPath().getName()
+            for status in self._fs.listStatus(p)
+            if status.isDirectory()
+        )
+
     def write_bytes(self, uri: str, payload: bytes) -> None:
         stream = self._fs.create(self.path(uri), True)
         try:

@@ -141,19 +141,31 @@ def stream_topic(
 
 
 def list_topics(spark: SparkSession, root_uri: str) -> list[str]:
-    """Topic names under a root (directories, sorted) — driver-side, one
-    listing call."""
+    """Topic names under a root, driver-side.
+
+    A directory counts as a topic only if it holds at least one
+    manifest-named data file — checkpoint dirs, sink outputs, hidden
+    dirs, and other clutter sharing the root must NOT be discovered
+    (re-ingesting a sink's own output as a phantom topic would silently
+    duplicate every row in a fan-in).  Pre-creation EMPTY topics are
+    therefore not discovered either — pass an explicit ``topics`` list
+    to :func:`stream_topics` for those, matching the file source's
+    static-path contract.
+    """
+    from ..sources.filenames import is_topic_data_file
     from ..sources.fsutil import HadoopFs
 
     fs = HadoopFs(spark, root_uri)
-    p = fs.path(root_uri)
-    if not fs._fs.exists(p):
-        return []
-    return sorted(
-        status.getPath().getName()
-        for status in fs._fs.listStatus(p)
-        if status.isDirectory()
-    )
+    out = []
+    for name in fs.list_dirs(root_uri):
+        if name.startswith((".", "_")):
+            continue
+        if any(
+            is_topic_data_file(path) and size > 0
+            for path, size in fs.list_files(f"{root_uri}/{name}")
+        ):
+            out.append(name)
+    return out
 
 
 def stream_topics(

@@ -1557,3 +1557,26 @@ def test_quality_model_separates_planted_junk(spark):
         for r in quality_model.score_quality(labeled, model).collect()
     }
     assert scores == again  # scoring is a deterministic pure map
+
+
+def test_ivf_cell_report_fallback_parity(spark, sf_smoke_dir):
+    """The big-quantizer broadcast fallback must produce bit-identical
+    cell reports to the inlined-literal map-side path."""
+    from rawdata_client_provider_gcs_spark.operators import similarity as S
+    from rawdata_client_provider_gcs_spark.tables import load_table
+
+    e = load_table(spark, sf_smoke_dir, "embeddings")
+    small = {
+        r["cid"]: (r["n_vectors"], r["min_cos"], r["max_cos"])
+        for r in S.ivf_cell_report(e, nlist=8).collect()
+    }
+    orig = S._MAPSIDE_CENTROID_CELLS
+    S._MAPSIDE_CENTROID_CELLS = 1
+    try:
+        big = {
+            r["cid"]: (r["n_vectors"], r["min_cos"], r["max_cos"])
+            for r in S.ivf_cell_report(e, nlist=8).collect()
+        }
+    finally:
+        S._MAPSIDE_CENTROID_CELLS = orig
+    assert small == big

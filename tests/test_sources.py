@@ -764,3 +764,22 @@ def test_time_travel_stable_across_compaction(spark, tmp_path):
         .collect()
     )
     assert delta == list(range(11, 35))
+
+
+def test_list_topics_skips_non_topic_dirs(spark, tmp_path):
+    """Directory discovery must not mistake checkpoints, sink outputs,
+    or hidden dirs for topics — re-ingesting a sink's own output would
+    duplicate every fan-in row."""
+    from rawdata_client_provider_gcs_spark.streaming.tail import list_topics
+
+    client = RawdataClient(spark, str(tmp_path))
+    with client.producer("real") as p:
+        p.publish(RawdataMessage(position="r-0", data={}))
+    # clutter that shares the root in practice
+    (tmp_path / "ckpt" / "offsets").mkdir(parents=True)
+    (tmp_path / "_spark_metadata").mkdir()
+    (tmp_path / ".hidden").mkdir()
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "part-0000.parquet").write_bytes(b"PAR1 not manifest named")
+    assert list_topics(spark, str(tmp_path)) == ["real"]
