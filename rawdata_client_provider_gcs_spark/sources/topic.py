@@ -954,6 +954,47 @@ class Topic:
                 deleted.append(path.rsplit("/", 1)[-1])
         return deleted
 
+    def maintain(
+        self,
+        compact_small_file_max_records: int | None = None,
+        compact_target_records_per_file: int = 100_000,
+        expire_before_ms: int | None = None,
+        quarantine: bool = False,
+        refresh_stats_columns: tuple[str, ...] = (),
+    ) -> dict:
+        """One scheduled maintenance sweep: the nightly-cron entry point.
+
+        Runs, in dependency order, whichever maintenance halves are
+        requested — quarantine (repair first, so compaction never reads
+        a broken file), retention, compaction, stats refresh — and
+        returns an accounting dict plus a post-sweep :meth:`describe`.
+        Each sub-operation takes the topic's advisory maintenance lock
+        itself, so a concurrent owner fails fast at the first step
+        rather than interleaving mid-sweep.
+        """
+        report: dict = {}
+        if quarantine:
+            report["quarantined"] = self.quarantine_corrupt()
+        if expire_before_ms is not None:
+            report["expired"] = self.expire_before(expire_before_ms)
+        if compact_small_file_max_records is not None:
+            new_files, removed = self.compact(
+                compact_small_file_max_records,
+                compact_target_records_per_file,
+            )
+            report["compacted_into"] = [
+                p.rsplit("/", 1)[-1] for p in new_files
+            ]
+            report["compacted_away"] = [
+                p.rsplit("/", 1)[-1] for p in removed
+            ]
+        for column in refresh_stats_columns:
+            from . import topic_stats
+
+            topic_stats.refresh_sketches(self, column)
+        report["describe"] = self.describe()
+        return report
+
     def write_single_file(self, df: DataFrame, ext: str = "parquet") -> list[str]:
         """Producer-flush path: one buffered window → one topic file.
 

@@ -783,3 +783,46 @@ def test_list_topics_skips_non_topic_dirs(spark, tmp_path):
     out.mkdir()
     (out / "part-0000.parquet").write_bytes(b"PAR1 not manifest named")
     assert list_topics(spark, str(tmp_path)) == ["real"]
+
+
+def test_maintain_runs_the_full_sweep(spark, tmp_path):
+    """One maintain() call repairs, retires, compacts, and refreshes
+    stats in dependency order, returning the accounting + a summary."""
+    import pathlib
+
+    from rawdata_client_provider_gcs_spark.datamodel import MESSAGE_SCHEMA
+    from rawdata_client_provider_gcs_spark.sources import topic_stats
+    from rawdata_client_provider_gcs_spark.sources.topic import Topic
+
+    topic = Topic(spark, f"file://{tmp_path}", "mnt")
+
+    def msgs(lo, hi):
+        rows = []
+        for i in range(lo, hi):
+            ts = 1_700_000_000_000 + i * 1000
+            ulid = ts.to_bytes(6, "big") + i.to_bytes(10, "big")
+            rows.append((ulid, ts, "g", i, f"p-{i}", {"k": b"v"}))
+        return spark.createDataFrame(rows, MESSAGE_SCHEMA)
+
+    for lo in range(0, 50, 10):  # five small files
+        topic.write_dataframe(msgs(lo, lo + 10))
+    # corrupt one mid-range file
+    victim_path, victim = topic.list_manifest()[2]
+    pathlib.Path(victim_path.replace("file:", "")).write_bytes(b"junk" * 30)
+
+    report = topic.maintain(
+        compact_small_file_max_records=100,
+        compact_target_records_per_file=40,
+        expire_before_ms=1_700_000_000_000 + 10 * 1000,  # first file ages out
+        quarantine=True,
+        refresh_stats_columns=("position",),
+    )
+    assert report["quarantined"] == [victim.filename]
+    assert len(report["expired"]) == 1
+    assert report["compacted_into"] and report["compacted_away"]
+    # survivors: 50 - 10 corrupted - 10 expired
+    assert report["describe"]["n_messages"] == 30
+    assert topic.dataframe().count() == 30
+    # sketches registered for every surviving file
+    sk = topic_stats.load_sketches(topic)["position"]
+    assert set(sk) == {e.filename for _, e in topic.list_manifest()}
