@@ -29,20 +29,28 @@ def asof_join(
     tiebreak_cols: list[str] | None = None,
     suffix: str = "_right",
     tolerance: Column | int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Left as-of (backward, inclusive) join.
+    """Left as-of join, ``direction`` backward or forward (inclusive).
 
-    For every left row, attach the right row with the greatest
-    ``right_time <= left_time`` sharing the join key; ties on time are
-    broken by ``tiebreak_cols`` (greatest wins) for determinism.  Left rows
-    with no earlier right row keep NULLs (left-outer semantics).
+    Backward (default): for every left row, attach the right row with
+    the greatest ``right_time <= left_time`` sharing the join key.
+    Forward: the SMALLEST ``right_time >= left_time`` — the
+    next-event lookup (pandas ``merge_asof(direction='forward')``).
+    Both directions are the same union-sort plan with the sort order
+    reversed; ties on time are broken by ``tiebreak_cols`` (greatest
+    wins) for determinism.  Left rows with no match keep NULLs
+    (left-outer semantics).
 
-    ``tolerance`` bounds the lookback (pandas ``merge_asof`` semantics): a
-    match older than ``left_time - tolerance`` is discarded (NULLs).  Pass
-    a number for numeric time columns or an INTERVAL Column for
-    timestamps.  Applied post-window, so the plan stays O(|L|+|R|) — and
-    in a streaming formulation the same bound is what lets state expire.
+    ``tolerance`` bounds the lookback/lookahead (pandas ``merge_asof``
+    semantics): a match farther than ``tolerance`` from ``left_time``
+    is discarded (NULLs).  Pass a number for numeric time columns or an
+    INTERVAL Column for timestamps.  Applied post-window, so the plan
+    stays O(|L|+|R|) — and in a streaming formulation the same bound is
+    what lets state expire.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward or forward: {direction!r}")
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [
@@ -76,7 +84,11 @@ def asof_join(
     )
     unioned = r.unionByName(lf)
 
-    order: list[Column] = [F.col("__t"), F.col("__side")]
+    # forward = the same running-last scan over time reversed: sort
+    # descending and the most recent non-null right payload is the
+    # nearest right_time >= left_time
+    t_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
+    order: list[Column] = [t_order, F.col("__side")]
     # among right rows at the same instant, the greatest tiebreak must be
     # the one `last()` sees most recently
     order += [F.col("__r")[c].asc_nulls_first() for c in tiebreak_cols]
@@ -90,12 +102,13 @@ def asof_join(
     )
     if tolerance is not None:
         tol = tolerance if isinstance(tolerance, Column) else F.lit(tolerance)
+        in_bound = (
+            F.col("__match")[right_time] >= F.col("__t") - tol
+            if direction == "backward"
+            else F.col("__match")[right_time] <= F.col("__t") + tol
+        )
         matched = matched.withColumn(
-            "__match",
-            F.when(
-                F.col("__match")[right_time] >= F.col("__t") - tol,
-                F.col("__match"),
-            ),
+            "__match", F.when(in_bound, F.col("__match"))
         )
     result = matched.filter(F.col("__side") == 1).select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],

@@ -1570,3 +1570,61 @@ def q_maparrow_doc_stats(spark: SparkSession, sf: str) -> DataFrame:
             )
 
     return d.mapInArrow(stats, "doc_id long, n_bytes long, n_spaces long")
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+WITH ranked AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+         c.ts AS click_ts, c.event_id AS click_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id
+           ORDER BY c.ts ASC, c.event_id DESC
+         ) AS rn
+  FROM events p
+  JOIN events c ON c.user_id = p.user_id
+               AND c.event_type = 'click' AND c.ts >= p.ts
+               AND c.ts <= p.ts + INTERVAL 1 DAY
+  WHERE p.event_type = 'purchase'
+)
+SELECT CAST(purchase_id AS BIGINT) AS purchase_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       purchase_ts, click_ts, CAST(click_id AS BIGINT) AS click_id
+FROM ranked WHERE rn = 1
+""",
+    tags=("join", "asof"),
+)
+def q_join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    """FORWARD as-of join with a 1-day lookahead: the next click at-or-
+    after each purchase (§2B) — "what did the user do next".  Same
+    union-sort single-shuffle plan as the backward direction, time
+    order reversed; the oracle restates it as the ascending ROW_NUMBER
+    join with the same greatest-id tiebreak."""
+    e = load_table(spark, sf, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="purchase_ts",
+        right_time="ts",
+        right_cols=["click_id"],
+        tiebreak_cols=["ts", "click_id"],
+        tolerance=F.expr("INTERVAL 1 DAY"),
+        direction="forward",
+    )
+    return joined.filter(F.col("ts").isNotNull()).select(
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("purchase_ts"),
+        F.col("ts").alias("click_ts"),
+        F.col("click_id").cast("long").alias("click_id"),
+    )

@@ -1580,3 +1580,67 @@ def test_ivf_cell_report_fallback_parity(spark, sf_smoke_dir):
     finally:
         S._MAPSIDE_CENTROID_CELLS = orig
     assert small == big
+
+
+def test_asof_join_forward_direction(spark):
+    """Forward as-of picks the EARLIEST right row at-or-after each left
+    row; equal-time ties break to the greatest tiebreak id; lookahead
+    tolerance drops far matches; backward on the same data differs."""
+    from datetime import datetime, timedelta
+
+    from rawdata_client_provider_gcs_spark.operators.asof import asof_join
+
+    t0 = datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 10, t0)], "user_id long, lid long, lt timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 100, t0 - timedelta(minutes=5)),   # before: backward's pick
+            (1, 101, t0),                          # tie at t0
+            (1, 102, t0),                          # tie at t0 (greater id wins)
+            (1, 103, t0 + timedelta(minutes=30)),
+            (1, 104, t0 + timedelta(days=3)),      # outside 1-day tolerance
+        ],
+        "user_id long, rid long, rt timestamp",
+    )
+    fwd = asof_join(
+        left, right, on="user_id", left_time="lt", right_time="rt",
+        right_cols=["rid"], tiebreak_cols=["rt", "rid"],
+        direction="forward",
+    ).collect()
+    assert fwd[0]["rid"] == 102  # inclusive, greatest id among the tie
+    back = asof_join(
+        left, right, on="user_id", left_time="lt", right_time="rt",
+        right_cols=["rid"], tiebreak_cols=["rt", "rid"],
+    ).collect()
+    assert back[0]["rid"] == 102  # backward-inclusive shares the t0 tie
+    # strictly-later left: forward finds 103, backward finds the tie pair
+    left2 = spark.createDataFrame(
+        [(1, 11, t0 + timedelta(minutes=1))],
+        "user_id long, lid long, lt timestamp",
+    )
+    fwd2 = asof_join(
+        left2, right, on="user_id", left_time="lt", right_time="rt",
+        right_cols=["rid"], tiebreak_cols=["rt", "rid"],
+        direction="forward",
+    ).collect()
+    assert fwd2[0]["rid"] == 103
+    # tolerance: nothing within 1 hour after t0+2h
+    left3 = spark.createDataFrame(
+        [(1, 12, t0 + timedelta(hours=2))],
+        "user_id long, lid long, lt timestamp",
+    )
+    import pyspark.sql.functions as SF
+
+    fwd3 = asof_join(
+        left3, right, on="user_id", left_time="lt", right_time="rt",
+        right_cols=["rid"], tiebreak_cols=["rt", "rid"],
+        direction="forward", tolerance=SF.expr("INTERVAL 1 HOUR"),
+    ).collect()
+    assert fwd3[0]["rid"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        asof_join(left, right, on="user_id", left_time="lt",
+                  right_time="rt", direction="nearest")
