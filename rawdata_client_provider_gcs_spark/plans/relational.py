@@ -1628,3 +1628,47 @@ def q_join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
         F.col("ts").alias("click_ts"),
         F.col("click_id").cast("long").alias("click_id"),
     )
+
+
+@register(
+    "q_agg_group_samples",
+    oracle="""
+WITH ranked AS (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY md5('sample|' || CAST(event_id AS VARCHAR)), event_id
+         ) AS rk
+  FROM events
+)
+SELECT event_type, CAST(rk AS BIGINT) AS sample_rank,
+       CAST(event_id AS BIGINT) AS event_id
+FROM ranked WHERE rk <= 5
+""",
+    tags=("relational", "sampling"),
+)
+def q_agg_group_samples(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic K-per-group sampling (§2B): five hash-chosen
+    example rows per event type — unbiased, rerun-stable, and bounded.
+    The window + rank-filter shape compiles to ``WindowGroupLimit``
+    (partial per-task top-k before the shuffle), NOT a
+    ``collect_list``-then-slice aggregate whose per-group state would
+    be unbounded at scale."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf, "events").select("event_type", "event_id")
+    key = F.md5(
+        F.concat(F.lit("sample|"), F.col("event_id").cast("string")).cast(
+            "binary"
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(key, F.col("event_id"))
+    return (
+        e.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= 5)
+        .select(
+            "event_type",
+            F.col("sample_rank").cast("long").alias("sample_rank"),
+            F.col("event_id").cast("long").alias("event_id"),
+        )
+    )
