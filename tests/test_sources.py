@@ -826,3 +826,35 @@ def test_maintain_runs_the_full_sweep(spark, tmp_path):
     # sketches registered for every surviving file
     sk = topic_stats.load_sketches(topic)["position"]
     assert set(sk) == {e.filename for _, e in topic.list_manifest()}
+
+
+def test_group_cursor_survives_retention_of_committed_message(spark, tmp_path):
+    """If retention expires the message a group committed at, resume
+    starts at the first message still in the topic after the cursor —
+    the 'no exact match -> first later id' resolution the reference's
+    cursor contract specifies (AvroRawdataConsumer.java:37-63)."""
+    import time as _time
+
+    client = RawdataClient(spark, str(tmp_path), avro_file_max_bytes=300)
+    with client.producer("t") as p:
+        for i in range(4):
+            p.publish(RawdataMessage(position=f"old-{i}", data={}))
+    _time.sleep(0.05)
+    cut_ms = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    with client.producer("t") as p:
+        for i in range(3):
+            p.publish(RawdataMessage(position=f"new-{i}", data={}))
+
+    c = client.consumer_for_group("g", "t")
+    first = c.receive(0)
+    client.commit_group_cursor("g", "t", first.ulid)  # points into old files
+
+    from rawdata_client_provider_gcs_spark.sources.topic import Topic
+
+    topic = Topic(spark, f"file://{tmp_path}", "t")
+    expired = topic.expire_before(cut_ms)
+    assert expired  # the old files actually aged out
+
+    resumed = client.consumer_for_group("g", "t")
+    assert resumed.receive(0).position == "new-0"
