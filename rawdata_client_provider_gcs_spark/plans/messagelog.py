@@ -422,3 +422,34 @@ def q_log_fan_in(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table("t_fan_in")
+
+
+@register(
+    "q_log_bulk_positions",
+    oracle="""
+SELECT 'ev-' || CAST(event_id AS VARCHAR) AS position,
+       CAST(event_id AS BIGINT) AS sequence_number,
+       CAST(epoch_us(ts) // 1000 AS BIGINT) AS ulid_ts_ms,
+       event_type AS ordering_group
+FROM events WHERE event_id BETWEEN 100 AND 119
+""",
+    tags=("messagelog", "cursor", "bulk"),
+)
+def q_log_bulk_positions(spark: SparkSession, sf: str) -> DataFrame:
+    """Bulk position resolution (S9 at fleet scale): a coordinator
+    resolving thousands of consumers' positions does ONE broadcast
+    semi-join against the topic instead of one sequential scan per
+    cursor (AvroRawdataClient.java:84-115 resolves them one at a
+    time).  Each resolved row carries the cursor facts a consumer
+    needs to resume."""
+    topic = _events_topic(spark, sf)
+    wanted = spark.range(100, 120).select(
+        F.concat(F.lit("ev-"), F.col("id").cast("string")).alias("position")
+    )
+    df = topic.dataframe()
+    return df.join(F.broadcast(wanted), "position").select(
+        "position",
+        F.col("sequence_number").cast("long").alias("sequence_number"),
+        F.col("ulid_ts_ms").cast("long").alias("ulid_ts_ms"),
+        "ordering_group",
+    )
