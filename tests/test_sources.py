@@ -858,3 +858,23 @@ def test_group_cursor_survives_retention_of_committed_message(spark, tmp_path):
 
     resumed = client.consumer_for_group("g", "t")
     assert resumed.receive(0).position == "new-0"
+
+
+def test_xml_roundtrip(spark, sf_smoke_dir):
+    """Native XML sink + scan round-trip (Spark 4 built-in datasource) —
+    the interchange format enterprise feeds still arrive in."""
+    src = _docs(spark, sf_smoke_dir).select("doc_id", "lang", "source")
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "docs_xml")
+        src.write.format("xml").option("rootTag", "docs").option(
+            "rowTag", "doc"
+        ).save(path)
+        back = (
+            spark.read.format("xml")
+            .schema(src.schema)
+            .option("rowTag", "doc")
+            .load(path)
+        )
+        assert back.count() == src.count()
+        assert src.exceptAll(back).count() == 0
+        assert back.exceptAll(src).count() == 0
