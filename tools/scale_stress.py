@@ -95,6 +95,7 @@ _DEFAULT_QUERIES = [
     "q_decontam_fuzzy",
     "q_events_funnel",
     "q_events_cohort_retention",
+    "q_text_dedup_lines",
 ]
 
 
