@@ -23,8 +23,8 @@ from rawdata_client_provider_gcs_spark.plans import catalog as _catalog
 from rawdata_client_provider_gcs_spark.session import ensure_engine_confs
 
 
-def _check_history() -> tuple[set[str], set[str]]:
-    """(every name with a correctness row, names whose LATEST row is green).
+def _check_history() -> tuple[set[str], set[str], set[str]]:
+    """(seen names, latest-row hash-green names, latest-row rows-only names).
 
     Used to rotate the catalog deterministically: a driver that samples a
     prefix of ``queries()`` then covers every query across rounds instead
@@ -33,7 +33,8 @@ def _check_history() -> tuple[set[str], set[str]]:
     next round.
     """
     seen: set[str] = set()
-    latest_green: set[str] = set()
+    hash_green: set[str] = set()
+    rows_only: set[str] = set()
     for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -42,23 +43,21 @@ def _check_history() -> tuple[set[str], set[str]]:
             continue
         for name, row in rows.items():
             seen.add(name)
-            ok = bool(row.get("hash_match")) or (
-                # declared rows-only sketches: a rows-only run counts.
-                # Note this treats any non-erroring rows-only run as green
-                # forever — a silent CONTENT regression in a sketch query
-                # would not resurface it here; the invariant pytests
-                # (recall-vs-exact, cross-tier parity) are the real guard
-                # for those, and an erroring run still demotes the row.
-                row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-            )
-            if ok:
-                latest_green.add(name)
-            else:
-                latest_green.discard(name)
-    return seen, latest_green
+            hash_green.discard(name)
+            rows_only.discard(name)
+            if bool(row.get("hash_match")):
+                hash_green.add(name)
+            elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                # A non-erroring rows-only run. Whether this counts as green
+                # is decided in _rotated(): only if the catalog still does
+                # NOT declare an oracle for the query. A query that gained a
+                # value-level oracle after a rows-only run must be re-checked
+                # ahead of confirmed-green queries, not parked behind them.
+                rows_only.add(name)
+    return seen, hash_green, rows_only
 
 
-_HISTORY_CACHE: tuple[set[str], set[str]] | None = None
+_HISTORY_CACHE: tuple[set[str], set[str], set[str]] | None = None
 
 
 def _rotated(names: list[str]) -> list[str]:
@@ -67,7 +66,11 @@ def _rotated(names: list[str]) -> list[str]:
     global _HISTORY_CACHE
     if _HISTORY_CACHE is None:
         _HISTORY_CACHE = _check_history()
-    seen, green = _HISTORY_CACHE
+    seen, hash_green, rows_only = _HISTORY_CACHE
+    oracle_names = set(_catalog.oracle_sql())
+    # rows-only history only counts green while the query is still declared
+    # rows-only; once an oracle exists it needs a fresh hash-checked run.
+    green = hash_green | {n for n in rows_only if n not in oracle_names}
     never = [n for n in names if n not in seen]
     failed = [n for n in names if n in seen and n not in green]
     ok = [n for n in names if n in green]
