@@ -373,12 +373,20 @@ def dedup_lines(
     shuffled twice on combinable aggregates, with no join back.  No
     Python anywhere.
     """
+    if not sep:
+        raise ValueError("dedup_lines: sep must be a non-empty string")
+    # Spark's split() takes a Java REGEX: quote the separator literally
+    # (". " as a pattern would split on ANY char followed by space).
+    # \Q...\E alone is not enough — a sep containing the literal
+    # sequence \E would terminate the quote early and the remainder
+    # would be interpreted as regex (java.util.regex.Pattern.quote
+    # handles the same edge the same way: close the quote, emit an
+    # escaped backslash-E, reopen).
+    sep_pattern = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     segs = docs.select(
         F.col(id_col),
-        # Spark's split() takes a REGEX: quote the separator literally
-        # (". " as a pattern would split on ANY char followed by space)
         F.posexplode(
-            F.split(F.col(text_col), F.lit(f"\\Q{sep}\\E"), -1)
+            F.split(F.col(text_col), F.lit(sep_pattern), -1)
         ).alias("pos", "seg"),
     ).withColumn("norm", normalized_text(F.col("seg"))).filter(
         F.col("norm") != ""

@@ -105,6 +105,22 @@ class HadoopFs:
             stream.close()
         return True
 
+    def size(self, uri: str) -> int:
+        return self._fs.getFileStatus(self.path(uri)).getLen()
+
+    def read_range(self, uri: str, offset: int, length: int) -> bytes:
+        """Read ``length`` bytes starting at ``offset`` without pulling
+        the whole object (head/tail magic checks on multi-GB files)."""
+        stream = self._fs.open(self.path(uri))
+        try:
+            stream.seek(offset)
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                stream, length
+            )
+            return bytes(data)
+        finally:
+            stream.close()
+
     def read_bytes(self, uri: str) -> bytes:
         # py4j passes arrays by value, so readFully into a bytearray would
         # not propagate back — use commons-io (on Spark's classpath) instead.

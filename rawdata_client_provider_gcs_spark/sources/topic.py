@@ -22,6 +22,7 @@ Spark-first mapping (SURVEY.md §3.4/§4):
 from __future__ import annotations
 
 import json
+import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 
@@ -122,6 +123,10 @@ class Topic:
         #: last successfully parsed sidecar — served when a concurrent
         #: writer leaves the sidecar momentarily torn or absent
         self._maxts_last_good: dict[str, int] | None = None
+        #: owner token while THIS handle holds the maintenance lock —
+        #: lets maintain() hold one lock across its whole sweep while
+        #: the sub-operations it calls re-enter instead of re-acquiring
+        self._maintenance_owner: str | None = None
 
     # -- listing / manifest -------------------------------------------------
 
@@ -612,18 +617,28 @@ class Topic:
 
     @contextmanager
     def _maintenance_lock(self, op: str):
+        # reentrant per handle: maintain() takes the lock once for its
+        # whole sweep and each sub-operation re-enters, so two sweeps
+        # can no longer interleave at step boundaries.  Distinct handles
+        # (other processes) still mutually exclude via the lock object.
+        if self._maintenance_owner is not None:
+            yield
+            return
         uri = self._maintenance_lock_uri()
         self.fs.mkdirs(f"{self.uri}/metadata")
-        payload = json.dumps({"op": op, "owner": uuid.uuid4().hex}).encode("utf-8")
+        owner = uuid.uuid4().hex
+        payload = json.dumps({"op": op, "owner": owner}).encode("utf-8")
         if not self.fs.create_exclusive(uri, payload):
             raise ConcurrentMaintenanceError(
                 f"maintenance already running on topic {self.name!r} "
                 f"(lock {uri}); if the holder crashed, call "
                 "break_maintenance_lock() first"
             )
+        self._maintenance_owner = owner
         try:
             yield
         finally:
+            self._maintenance_owner = None
             self.fs.delete(uri)
 
     def break_maintenance_lock(self) -> bool:
@@ -758,40 +773,19 @@ class Topic:
             self._update_max_ts(remove=[name for _, name in deletable])
         return [path for path, _ in deletable]
 
-    @_with_maintenance_lock
-    def quarantine_corrupt(self) -> list[str]:
-        """Move undecodable data files aside so scans stop failing.
+    def _probe_magic_distributed(self, paths: list[str]) -> dict[str, bool]:
+        """{filename: magic-ok} from a distributed byte probe.
 
-        Operational reality at 100 TB: a torn upload, a partial object,
-        or bit rot leaves a file that passes the listing filter (valid
-        manifest name, nonzero size) but fails every scan that touches
-        it — and one such file poisons whole-topic reads.  This sweep
-        validates each data file's format envelope (parquet ``PAR1``
-        head+tail magic; Avro ``Obj\\x01`` header — the same cheap
-        checks the reference's reader would fail on,
-        GCSSeekableInput.java:38-44) with a DISTRIBUTED probe (binary
-        source, bytes stay on executors), renames failures into the
-        topic's ``quarantine/`` subdirectory (invisible to the
-        non-recursive data listing), and drops their sidecar entries.
-
-        Returns quarantined filenames.  Single maintenance owner, like
-        :meth:`compact`.  Probe cost is one pass over file bytes —
-        schedule it after incidents or on suspicion, not per read; for
-        read-through availability during an incident use
-        ``dataframe(ignore_corrupt=True)``.
+        The probe itself must survive unreadable files (truncated
+        mid-listing, size-mismatched torn uploads): it reads with
+        ignoreCorruptFiles so one bad object can't fail the sweep —
+        which also means an unreadable file is simply ABSENT from the
+        returned dict, and the caller decides what absence means.
         """
-        manifest = self.list_manifest()
-        if not manifest:
-            return []
-        # the probe itself must survive unreadable files (truncated
-        # mid-listing, size-mismatched torn uploads): read with
-        # ignoreCorruptFiles and flag by ABSENCE — a file that can't even
-        # be read as bytes is corrupt by definition, and one that reads
-        # but fails its magic check is flagged explicitly
         files = (
             self.spark.read.format("binaryFile")
             .option("ignoreCorruptFiles", "true")
-            .load([p for p, _ in manifest])
+            .load(paths)
         )
 
         def probe(batches):
@@ -819,11 +813,79 @@ class Topic:
         verdicts = files.select("path", "content").mapInPandas(
             probe, "path string, ok boolean"
         )
-        ok_names = {
-            r["path"].rsplit("/", 1)[-1]
-            for r in verdicts.filter(F.col("ok")).collect()
+        return {
+            r["path"].rsplit("/", 1)[-1]: r["ok"] for r in verdicts.collect()
         }
-        bad = [p for p, _ in manifest if p.rsplit("/", 1)[-1] not in ok_names]
+
+    def _magic_ok_driver(self, path: str, attempts: int = 3) -> bool:
+        """Head/tail magic re-verify for a file the distributed probe
+        could not read.  Retries (transient storage errors must not
+        quarantine a healthy file — rows would silently vanish from all
+        subsequent reads); seeks, never pulls the whole object (a file
+        over binaryFile's 2 GiB limit is still healthy).  Returns False
+        only when the file affirmatively fails its magic or stays
+        unreadable after every retry."""
+        for attempt in range(attempts):
+            try:
+                size = self.fs.size(path)
+                if path.endswith(".parquet"):
+                    if size < 12:
+                        return False
+                    return (
+                        self.fs.read_range(path, 0, 4) == b"PAR1"
+                        and self.fs.read_range(path, size - 4, 4) == b"PAR1"
+                    )
+                if size < 4:
+                    return False
+                return self.fs.read_range(path, 0, 4) == b"Obj\x01"
+            except Exception:
+                if attempt + 1 == attempts:
+                    return False
+                time.sleep(0.1 * (attempt + 1))
+        return False
+
+    @_with_maintenance_lock
+    def quarantine_corrupt(self) -> list[str]:
+        """Move undecodable data files aside so scans stop failing.
+
+        Operational reality at 100 TB: a torn upload, a partial object,
+        or bit rot leaves a file that passes the listing filter (valid
+        manifest name, nonzero size) but fails every scan that touches
+        it — and one such file poisons whole-topic reads.  This sweep
+        validates each data file's format envelope (parquet ``PAR1``
+        head+tail magic; Avro ``Obj\\x01`` header — the same cheap
+        checks the reference's reader would fail on,
+        GCSSeekableInput.java:38-44) with a DISTRIBUTED probe (binary
+        source, bytes stay on executors), renames failures into the
+        topic's ``quarantine/`` subdirectory (invisible to the
+        non-recursive data listing), and drops their sidecar entries.
+
+        Returns quarantined filenames.  Single maintenance owner, like
+        :meth:`compact`.  Probe cost is one pass over file bytes —
+        schedule it after incidents or on suspicion, not per read; for
+        read-through availability during an incident use
+        ``dataframe(ignore_corrupt=True)``.
+        """
+        manifest = self.list_manifest()
+        if not manifest:
+            return []
+        # A file that reads but fails its magic check is flagged
+        # affirmatively; a file ABSENT from the probe output is NOT
+        # assumed corrupt — absence can be transient (a storage 5xx
+        # surfacing as IOException after connector retries) or the file
+        # exceeding binaryFile's 2 GiB content limit — so absentees get
+        # a driver-side head/tail re-verify with retries before any move
+        verdict_by_name = self._probe_magic_distributed(
+            [p for p, _ in manifest]
+        )
+        bad = []
+        for path, _ in manifest:
+            name = path.rsplit("/", 1)[-1]
+            ok = verdict_by_name.get(name)
+            if ok is True:
+                continue
+            if ok is False or not self._magic_ok_driver(path):
+                bad.append(path)
         if not bad:
             return []
         self.fs.mkdirs(f"{self.uri}/quarantine")
@@ -954,6 +1016,7 @@ class Topic:
                 deleted.append(path.rsplit("/", 1)[-1])
         return deleted
 
+    @_with_maintenance_lock
     def maintain(
         self,
         compact_small_file_max_records: int | None = None,
@@ -968,9 +1031,9 @@ class Topic:
         requested — quarantine (repair first, so compaction never reads
         a broken file), retention, compaction, stats refresh — and
         returns an accounting dict plus a post-sweep :meth:`describe`.
-        Each sub-operation takes the topic's advisory maintenance lock
-        itself, so a concurrent owner fails fast at the first step
-        rather than interleaving mid-sweep.
+        The sweep holds ONE maintenance lock for its full duration (the
+        sub-operations re-enter it), so a concurrent owner fails fast
+        and two sweeps can never interleave, even at step boundaries.
         """
         report: dict = {}
         if quarantine:

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import base64
 import json
+import time
 
 from pyspark.sql import functions as F
 
@@ -107,20 +108,45 @@ def refresh_sketches(
     missing = [n for n in by_name if n not in col_table]
     if not stale and not missing:
         return col_table
-    for n in stale:
-        col_table.pop(n)
+    computed: dict[str, str] = {}
     if missing:
         paths = [by_name[n][0] for n in missing]
         exts = {by_name[n][0]: by_name[n][1].ext for n in missing}
-        col_table.update(_sketch_files(topic, paths, exts, column, lg_k))
+        computed = _sketch_files(topic, paths, exts, column, lg_k)
         # a file whose column is entirely NULL (or that decodes to zero
         # rows) yields no sketch — record an empty-string sentinel so it
         # counts as KNOWN; otherwise every refresh (and therefore every
         # warm approx_distinct) would rescan it forever
         for n in missing:
-            col_table.setdefault(n, "")
-    table[column] = col_table
-    _store_sketches(topic, table)
+            computed.setdefault(n, "")
+    # the sidecar write is a read-modify-write of the WHOLE table, so it
+    # must be serialized: two concurrent refreshes (different columns, or
+    # a refresh racing maintain()) would otherwise last-writer-win and
+    # silently drop the other's column table.  The expensive sketch scan
+    # above ran unlocked; only the merge+store holds the topic's advisory
+    # maintenance lock (reentrant, so maintain()'s own sweep re-enters),
+    # and the table is RE-loaded under the lock so a concurrent writer's
+    # columns survive the merge.
+    from .topic import ConcurrentMaintenanceError
+
+    for attempt in range(5):
+        try:
+            with topic._maintenance_lock("refresh_sketches"):
+                table = load_sketches(topic)
+                col_table = dict(table.get(column, {}))
+                for n in stale:
+                    col_table.pop(n, None)
+                col_table.update(computed)
+                table[column] = col_table
+                _store_sketches(topic, table)
+            return col_table
+        except ConcurrentMaintenanceError:
+            # a reader warming the sidecar shouldn't fail just because a
+            # sweep holds the lock for a moment — brief bounded retry,
+            # then surface the contention honestly
+            if attempt == 4:
+                raise
+            time.sleep(0.2 * (attempt + 1))
     return col_table
 
 

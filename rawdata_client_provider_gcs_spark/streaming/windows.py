@@ -362,9 +362,16 @@ def stream_static_enrich(
     broadcast, pre-bucket both sides instead (sources/bucketing.py).
     """
     left_key, right_key = on
+    # join through a renamed dim key and drop it afterwards: keeping both
+    # key columns leaves ambiguous duplicate names when left_key ==
+    # right_key, breaking any later select/groupBy by name
+    join_key = f"__enrich_{right_key}"
+    dim_renamed = dim.withColumnRenamed(right_key, join_key)
     return events.join(
-        F.broadcast(dim), events[left_key] == dim[right_key], how
-    )
+        F.broadcast(dim_renamed),
+        events[left_key] == dim_renamed[join_key],
+        how,
+    ).drop(join_key)
 
 
 def stream_join_sides(

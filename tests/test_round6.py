@@ -1,0 +1,267 @@
+"""Round-6 hardening: quarantine false positives, sketch-sidecar races,
+whole-sweep maintenance locking, same-key stream enrichment, hostile
+dedup_lines separators."""
+
+import pathlib
+
+import pytest
+
+from rawdata_client_provider_gcs_spark.datamodel import MESSAGE_SCHEMA
+from rawdata_client_provider_gcs_spark.sources import topic_stats
+from rawdata_client_provider_gcs_spark.sources.topic import (
+    ConcurrentMaintenanceError,
+    Topic,
+)
+
+
+def _fill_topic(spark, tmp_path, name, n=60, per_file=30):
+    topic = Topic(spark, f"file://{tmp_path}", name)
+    rows = []
+    for i in range(n):
+        ts = 1_700_000_000_000 + i * 10
+        ulid = ts.to_bytes(6, "big") + i.to_bytes(10, "big")
+        rows.append((ulid, ts, "g", i, f"p-{i}", {"k": b"v"}))
+    topic.write_dataframe(
+        spark.createDataFrame(rows, MESSAGE_SCHEMA),
+        max_records_per_file=per_file,
+    )
+    return topic
+
+
+# -- quarantine must not eat healthy files the probe missed ----------------
+
+
+def test_probe_absentee_is_reverified_not_quarantined(spark, tmp_path):
+    """A healthy file ABSENT from the distributed probe output (transient
+    storage error, >2GiB binaryFile limit) must survive the sweep; an
+    absent file that really is corrupt is still caught by the driver-side
+    re-verify."""
+    topic = _fill_topic(spark, tmp_path, "qabs")
+    paths = [p for p, _ in topic.list_manifest()]
+    assert len(paths) == 2
+
+    # simulate transient probe absence for a HEALTHY file
+    healthy_name = paths[0].rsplit("/", 1)[-1]
+    real_probe = Topic._probe_magic_distributed
+
+    def probe_missing_healthy(self, ps):
+        out = real_probe(self, ps)
+        out.pop(healthy_name, None)
+        return out
+
+    topic._probe_magic_distributed = probe_missing_healthy.__get__(topic)
+    assert topic.quarantine_corrupt() == []
+    assert len(topic.list_manifest()) == 2
+    assert topic.dataframe().count() == 60
+
+    # now corrupt that same file: even while absent from the probe, the
+    # driver-side re-verify flags it affirmatively
+    victim = pathlib.Path(paths[0].replace("file:", ""))
+    victim.write_bytes(b"\x00garbage" * 64)
+    assert topic.quarantine_corrupt() == [healthy_name]
+    assert topic.dataframe().count() == 30
+
+
+def test_magic_ok_driver_checks(spark, tmp_path):
+    topic = _fill_topic(spark, tmp_path, "qmag", n=10, per_file=10)
+    path = [p for p, _ in topic.list_manifest()][0]
+    assert topic._magic_ok_driver(path) is True
+
+    # a 4-byte PAR1 remnant fails the 12-byte floor
+    stub = tmp_path / "stub.parquet"
+    stub.write_bytes(b"PAR1")
+    assert topic._magic_ok_driver(f"file://{stub}") is False
+
+    garbage = tmp_path / "g.parquet"
+    garbage.write_bytes(b"\x00" * 64)
+    assert topic._magic_ok_driver(f"file://{garbage}") is False
+
+    avro_ok = tmp_path / "a.avro"
+    avro_ok.write_bytes(b"Obj\x01" + b"\x00" * 16)
+    assert topic._magic_ok_driver(f"file://{avro_ok}") is True
+
+    # unreadable after retries -> affirmatively bad
+    assert (
+        topic._magic_ok_driver(f"file://{tmp_path}/nope.parquet", attempts=2)
+        is False
+    )
+
+
+# -- maintenance lock: one lock for the whole sweep ------------------------
+
+
+def test_maintain_holds_one_lock_for_whole_sweep(spark, tmp_path):
+    topic = _fill_topic(spark, tmp_path, "mlock")
+    lock_uri = topic._maintenance_lock_uri()
+
+    held_during = []
+    real_describe = Topic.describe
+
+    def spying_describe(self):
+        held_during.append(self.fs.exists(lock_uri))
+        return real_describe(self)
+
+    topic.describe = spying_describe.__get__(topic)
+    report = topic.maintain(
+        compact_small_file_max_records=100,
+        quarantine=True,
+        refresh_stats_columns=("position",),
+    )
+    # the lock was held at the LAST step of the sweep (describe), i.e.
+    # across all sub-operations, and released after
+    assert held_during == [True]
+    assert not topic.fs.exists(lock_uri)
+    assert report["quarantined"] == []
+
+    # a second owner fails fast while the sweep's lock is held
+    other = Topic(spark, f"file://{tmp_path}", "mlock")
+    with topic._maintenance_lock("sweep"):
+        with pytest.raises(ConcurrentMaintenanceError):
+            other.maintain(quarantine=True)
+        # same handle re-enters (what maintain()'s sub-ops do)
+        assert topic.quarantine_corrupt() == []
+    # reentrant exit must not release the outer lock early: lock is gone
+    # only now, after the outer context exited
+    assert not topic.fs.exists(lock_uri)
+
+
+def test_reentrant_exit_does_not_release_outer_lock(spark, tmp_path):
+    topic = _fill_topic(spark, tmp_path, "mlock2", n=10, per_file=10)
+    lock_uri = topic._maintenance_lock_uri()
+    with topic._maintenance_lock("outer"):
+        with topic._maintenance_lock("inner"):
+            pass
+        assert topic.fs.exists(lock_uri)  # inner exit kept the lock
+    assert not topic.fs.exists(lock_uri)
+
+
+# -- sketch sidecar: concurrent writers' columns survive -------------------
+
+
+def test_refresh_sketches_merges_under_lock(spark, tmp_path):
+    """A concurrent refresh of a DIFFERENT column landing between this
+    refresh's scan and its store must survive: the table is re-loaded
+    under the maintenance lock before merging."""
+    topic = _fill_topic(spark, tmp_path, "sketch")
+
+    real_sketch_files = topic_stats._sketch_files
+    injected = {}
+
+    def racing_sketch_files(t, paths, exts, column, lg_k):
+        out = real_sketch_files(t, paths, exts, column, lg_k)
+        if not injected:
+            # simulate another process completing a refresh of a
+            # different column between our scan and our store
+            injected["racing"] = True
+            other = Topic(spark, f"file://{tmp_path}", "sketch")
+            injected["ordering_group"] = topic_stats.refresh_sketches(
+                other, "ordering_group"
+            )
+        return out
+
+    topic_stats._sketch_files = racing_sketch_files
+    try:
+        mine = topic_stats.refresh_sketches(topic, "position")
+    finally:
+        topic_stats._sketch_files = real_sketch_files
+
+    assert len(mine) == 2
+    table = topic_stats.load_sketches(topic)
+    # both columns present: the race no longer last-writer-wins
+    assert set(table) == {"position", "ordering_group"}
+    assert len(table["ordering_group"]) == 2
+
+
+def test_refresh_sketches_waits_out_then_raises_on_held_lock(
+    spark, tmp_path, monkeypatch
+):
+    topic = _fill_topic(spark, tmp_path, "sketch2", n=10, per_file=10)
+    other = Topic(spark, f"file://{tmp_path}", "sketch2")
+    monkeypatch.setattr(topic_stats.time, "sleep", lambda s: None)
+    with other._maintenance_lock("sweep"):
+        with pytest.raises(ConcurrentMaintenanceError):
+            topic_stats.refresh_sketches(topic, "position")
+    # lock released -> refresh succeeds
+    assert len(topic_stats.refresh_sketches(topic, "position")) == 1
+
+
+# -- stream_static_enrich with identical key names -------------------------
+
+
+def test_stream_static_enrich_same_key_name(spark):
+    from rawdata_client_provider_gcs_spark.streaming.windows import (
+        stream_static_enrich,
+    )
+
+    events = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "user_id int, action string"
+    )
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id int, tier string"
+    )
+    out = stream_static_enrich(events, dim, on=("user_id", "user_id"))
+    # exactly one user_id column; select/groupBy by name must work
+    assert out.columns.count("user_id") == 1
+    got = {
+        (r["user_id"], r["tier"])
+        for r in out.groupBy("user_id", "tier").count().collect()
+    }
+    assert got == {(1, "gold"), (2, "silver")}
+
+    left = stream_static_enrich(
+        events, dim, on=("user_id", "user_id"), how="left"
+    )
+    assert left.count() == 3
+    assert left.filter("tier IS NULL").select("user_id").first()[0] == 3
+
+
+def test_stream_static_enrich_distinct_key_names_unchanged(spark):
+    from rawdata_client_provider_gcs_spark.streaming.windows import (
+        stream_static_enrich,
+    )
+
+    events = spark.createDataFrame([(1, "a")], "uid int, action string")
+    dim = spark.createDataFrame([(1, "gold")], "id int, tier string")
+    out = stream_static_enrich(events, dim, on=("uid", "id"))
+    assert sorted(out.columns) == ["action", "tier", "uid"]
+    assert out.first()["tier"] == "gold"
+
+
+# -- dedup_lines hostile separators ----------------------------------------
+
+
+def test_dedup_lines_separator_containing_quote_terminator(spark):
+    from rawdata_client_provider_gcs_spark.functions.text import dedup_lines
+
+    # a separator containing the literal \E used to terminate the \Q
+    # quote early, interpreting the remainder as regex
+    sep = r"\E."
+    docs = spark.createDataFrame(
+        [("d1", rf"alpha{sep}beta{sep}alpha{sep}gamma")],
+        "doc_id string, text string",
+    )
+    row = dedup_lines(docs, sep=sep).first()
+    assert row["n_segments"] == 4
+    assert row["n_kept"] == 3
+    assert row["cleaned_text"] == rf"alpha{sep}beta{sep}gamma"
+
+
+def test_dedup_lines_backslash_and_regex_meta_separators(spark):
+    from rawdata_client_provider_gcs_spark.functions.text import dedup_lines
+
+    for sep in ("\\", ".*", "\\Q", "|"):
+        docs = spark.createDataFrame(
+            [("d", f"x{sep}y{sep}x")], "doc_id string, text string"
+        )
+        row = dedup_lines(docs, sep=sep).first()
+        assert row["n_segments"] == 3, sep
+        assert row["n_kept"] == 2, sep
+        assert row["cleaned_text"] == f"x{sep}y", sep
+
+
+def test_dedup_lines_rejects_empty_separator(spark):
+    from rawdata_client_provider_gcs_spark.functions.text import dedup_lines
+
+    docs = spark.createDataFrame([("d", "xy")], "doc_id string, text string")
+    with pytest.raises(ValueError):
+        dedup_lines(docs, sep="")
