@@ -60,8 +60,49 @@ FEATURE_SCHEMA = StructType(
         StructField("mime", StringType()),
         StructField("n_bytes", LongType()),
         StructField("features", ArrayType(DoubleType())),
+        StructField("error", StringType()),
     ]
 )
+
+#: image formats a payload can ACTUALLY be decoded as here (rawimage /
+#: rawjpeg / rawgif codecs, or pillow when importable).  A payload
+#: claiming one of these mimes that fails to decode is DATA corruption —
+#: at crawl scale malformed media is certain, so that failure must land
+#: in the per-row ``error`` column, never kill the executor task.  A
+#: mime OUTSIDE these sets is a missing-codec configuration problem and
+#: still raises ``NotImplementedError`` loud (the documented boundary).
+DECODABLE_IMAGE_MIMES = frozenset(
+    {
+        "image/png",
+        "image/jpeg",
+        "image/gif",
+        "image/bmp",
+        "image/x-portable-pixmap",
+        "image/x-portable-graymap",
+        "image/x-portable-anymap",
+    }
+)
+DECODABLE_AUDIO_MIMES = frozenset({"audio/wav", "audio/x-wav", "audio/wave"})
+
+
+class MediaDecodeError(ValueError):
+    """A payload failed to decode as its declared (supported) mime."""
+
+
+def _catch_row(fn, *args):
+    """Run one per-row decode: ``(result, None)`` or ``(None, "Exc: msg")``.
+
+    Malformed payloads (truncated, bit-flipped, mislabeled) surface as a
+    per-row error string; ``NotImplementedError`` — a missing codec for
+    the declared mime, i.e. configuration rather than data — still
+    propagates and fails the job loudly.
+    """
+    try:
+        return fn(*args), None
+    except NotImplementedError:
+        raise
+    except Exception as exc:  # data-dependent decode failure
+        return None, f"{type(exc).__name__}: {str(exc)[:200]}"
 
 
 def with_media_columns(
@@ -134,9 +175,20 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
             ).astype(float)
             total = hist.sum() or 1.0
             return [v / total for v in hist]
-    if mime.startswith("audio/") and rawaudio.sniff_wav(payload):
-        # real decode without external libs: RIFF PCM / IEEE-float WAV
-        return rawaudio.audio_features(*rawaudio.decode_wav(payload))
+        if mime in DECODABLE_IMAGE_MIMES:
+            # the mime IS supported here, so unrecognizable bytes are
+            # corruption, not a missing codec — raise the catchable kind
+            raise MediaDecodeError(
+                f"payload does not decode as declared mime {mime}"
+            )
+    if mime.startswith("audio/"):
+        if rawaudio.sniff_wav(payload):
+            # real decode without external libs: RIFF PCM / IEEE-float WAV
+            return rawaudio.audio_features(*rawaudio.decode_wav(payload))
+        if mime in DECODABLE_AUDIO_MIMES:
+            raise MediaDecodeError(
+                f"payload does not decode as declared mime {mime}"
+            )
     if not fake:
         raise NotImplementedError(
             f"decoder for mime={mime} requires media libraries not present "
@@ -163,14 +215,16 @@ def extract_features(
         import pandas as pd
 
         for pdf in batches:
+            decoded = [
+                _catch_row(_decode_bytes, bytes(p), m["mime"], fake)
+                for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
             out = {
                 "doc_id": pdf[id_col],
                 "mime": pdf["meta"].map(lambda m: m["mime"]),
                 "n_bytes": pdf["meta"].map(lambda m: m["n_bytes"]),
-                "features": [
-                    _decode_bytes(bytes(p), m["mime"], fake)
-                    for p, m in zip(pdf["payload"], pdf["meta"])
-                ],
+                "features": [feats for feats, _ in decoded],
+                "error": [err for _, err in decoded],
             }
             yield pd.DataFrame(out)
 
@@ -184,6 +238,7 @@ RESIZE_SCHEMA = StructType(
         StructField("thumb", BinaryType()),
         StructField("thumb_w", LongType()),
         StructField("thumb_h", LongType()),
+        StructField("error", StringType()),
     ]
 )
 
@@ -193,6 +248,7 @@ FRAME_SCHEMA = StructType(
         StructField("frame_idx", LongType()),
         StructField("frame_ms", LongType()),
         StructField("frame", BinaryType()),
+        StructField("error", StringType()),
     ]
 )
 
@@ -240,6 +296,10 @@ def resize_images(
                         rawimage.decode_image(payload), width, height
                     )
                 )
+            if mime in DECODABLE_IMAGE_MIMES:
+                raise MediaDecodeError(
+                    f"payload does not decode as declared mime {mime}"
+                )
             if not fake:
                 raise NotImplementedError(
                     f"image resize for mime={mime} requires pillow; "
@@ -250,16 +310,18 @@ def resize_images(
             return (seed * (need // len(seed) + 1))[:need]
 
         for pdf in batches:
+            done = [
+                _catch_row(one, bytes(p), m["mime"])
+                for p, m in zip(pdf["payload"], pdf["meta"])
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "mime": pdf["meta"].map(lambda m: m["mime"]),
-                    "thumb": [
-                        one(bytes(p), m["mime"])
-                        for p, m in zip(pdf["payload"], pdf["meta"])
-                    ],
+                    "thumb": [t for t, _ in done],
                     "thumb_w": width,
                     "thumb_h": height,
+                    "error": [err for _, err in done],
                 }
             )
 
@@ -312,6 +374,13 @@ def sample_frames(
                         next_ms = t + every_ms
                     t += delay
                 return out
+            if mime in DECODABLE_AUDIO_MIMES or (
+                mime == "image/gif"
+            ):
+                # supported container, unrecognizable bytes: corruption
+                raise MediaDecodeError(
+                    f"payload does not decode as declared mime {mime}"
+                )
             if not fake:
                 raise NotImplementedError(
                     f"frame sampling for mime={mime} requires av/ffmpeg; "
@@ -333,13 +402,31 @@ def sample_frames(
             return out
 
         for pdf in batches:
-            rows = {"doc_id": [], "frame_idx": [], "frame_ms": [], "frame": []}
+            rows = {
+                "doc_id": [],
+                "frame_idx": [],
+                "frame_ms": [],
+                "frame": [],
+                "error": [],
+            }
             for doc_id, p, m in zip(pdf[id_col], pdf["payload"], pdf["meta"]):
-                for idx, ms, data in frames(bytes(p), m["mime"]):
+                sampled, err = _catch_row(frames, bytes(p), m["mime"])
+                if err is not None:
+                    # one sentinel row: the document stays visible
+                    # downstream with its failure reason, instead of
+                    # silently yielding zero frames
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(None)
+                    rows["frame_ms"].append(None)
+                    rows["frame"].append(None)
+                    rows["error"].append(err)
+                    continue
+                for idx, ms, data in sampled:
                     rows["doc_id"].append(doc_id)
                     rows["frame_idx"].append(idx)
                     rows["frame_ms"].append(ms)
                     rows["frame"].append(data)
+                    rows["error"].append(None)
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, FRAME_SCHEMA)

@@ -711,13 +711,18 @@ def q_multimodal_meta(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        'image/x-portable-graymap' AS mime,
-       CAST(43 AS BIGINT) AS n_bytes,
-       CASE WHEN (doc_id % 256) // 32 = ((doc_id*7 + 13) % 256) // 32
+       CAST(CASE WHEN doc_id % 50 = 7 THEN 13 ELSE 43 END AS BIGINT)
+         AS n_bytes,
+       CASE WHEN doc_id % 50 = 7 THEN NULL
+            WHEN (doc_id % 256) // 32 = ((doc_id*7 + 13) % 256) // 32
             THEN 1.0 ELSE 0.5 END AS f_top,
-       CASE WHEN (doc_id % 256) // 32 = ((doc_id*7 + 13) % 256) // 32
+       CASE WHEN doc_id % 50 = 7 THEN NULL
+            WHEN (doc_id % 256) // 32 = ((doc_id*7 + 13) % 256) // 32
             THEN 1.0 ELSE 0.5 END AS f_bottom,
-       CAST(CASE WHEN (doc_id % 256) // 32 = ((doc_id*7 + 13) % 256) // 32
-            THEN 1 ELSE 2 END AS BIGINT) AS n_hot
+       CAST(CASE WHEN doc_id % 50 = 7 THEN NULL
+            WHEN (doc_id % 256) // 32 = ((doc_id*7 + 13) % 256) // 32
+            THEN 1 ELSE 2 END AS BIGINT) AS n_hot,
+       doc_id % 50 = 7 AS decode_failed
 FROM documents WHERE doc_id < 300
 """,
     tags=("llm", "multimodal", "image", "pandas-udf"),
@@ -734,6 +739,12 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     values at both known buckets plus the nonzero-bin count in closed
     form, value-checking header parse, raster decode, luma conversion,
     and normalization end to end.
+
+    Every 50th document (doc_id % 50 == 7) carries a POISONED payload —
+    13 garbage bytes under the same image mime, the certainty of crawl
+    data at scale.  The kernel must not die: those rows surface with
+    NULL features and a non-null per-row ``error`` (asserted here as
+    ``decode_failed`` so the oracle is decoder-library-independent).
     """
     d = (
         load_table(spark, sf, "documents")
@@ -747,6 +758,9 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         for pdf in batches:
             payloads = []
             for did in pdf["doc_id"]:
+                if int(did) % 50 == 7:
+                    payloads.append(b"\x00CORRUPTMEDIA")  # 13 bytes
+                    continue
                 a = int(did) % 256
                 b = (int(did) * 7 + 13) % 256
                 payloads.append(
@@ -769,9 +783,13 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_bytes").cast("long").alias("n_bytes"),
         F.element_at("features", top_bucket).alias("f_top"),
         F.element_at("features", bottom_bucket).alias("f_bottom"),
-        F.size(F.filter("features", lambda v: v > 0))
+        F.when(
+            F.col("error").isNull(),
+            F.size(F.filter("features", lambda v: v > 0)),
+        )
         .cast("long")
         .alias("n_hot"),
+        F.col("error").isNotNull().alias("decode_failed"),
     )
 
 

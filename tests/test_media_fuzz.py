@@ -1,0 +1,188 @@
+"""Hostile-bytes robustness for the media codecs (VERDICT r5 task #3).
+
+At 100 TB crawl scale malformed media is certain: a payload declaring a
+supported image/audio mime but carrying truncated or bit-flipped bytes
+must surface as a per-row ``error`` value — never as an
+executor-killing exception inside the Arrow kernel.
+
+Two layers: a hypothesis fuzz of the decode kernel itself (no Spark,
+hundreds of examples in seconds), and one Spark job pushing a seeded
+corpus of mutated JPEG/GIF/PNG/WAV/PPM payloads through
+``extract_features`` / ``resize_images`` / ``sample_frames``.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from rawdata_client_provider_gcs_spark.operators import (
+    multimodal,
+    rawaudio,
+    rawgif,
+    rawimage,
+    rawjpeg,
+)
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _valid_payloads() -> dict[str, tuple[bytes, str]]:
+    """{format: (valid payload, mime)} built with this package's encoders."""
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    # GIF needs a <=256-color global palette across frames
+    paletted = (rgb // 32) * 32
+    samples = np.sin(np.linspace(0, 40 * np.pi, 1600)).astype(np.float32)
+    return {
+        "ppm": (rawimage.encode_ppm(rgb), "image/x-portable-pixmap"),
+        "png": (rawimage.encode_png(rgb), "image/png"),
+        "jpeg": (rawjpeg.encode_jpeg(rgb), "image/jpeg"),
+        "gif": (
+            rawgif.encode_gif(
+                [paletted, paletted[:, ::-1]], delays_ms=[100, 100]
+            ),
+            "image/gif",
+        ),
+        "wav": (rawaudio.encode_wav_pcm16(samples, 8000), "audio/wav"),
+    }
+
+
+PAYLOADS = _valid_payloads()
+
+
+def _mutate(payload: bytes, rng: random.Random) -> bytes:
+    """Truncate, bit-flip, splice, or garbage-prefix a valid payload."""
+    mode = rng.randrange(4)
+    if mode == 0 and len(payload) > 1:  # truncate
+        return payload[: rng.randrange(1, len(payload))]
+    if mode == 1:  # flip 1-8 random bits
+        b = bytearray(payload)
+        for _ in range(rng.randrange(1, 9)):
+            i = rng.randrange(len(b))
+            b[i] ^= 1 << rng.randrange(8)
+        return bytes(b)
+    if mode == 2:  # splice two halves from different offsets
+        i = rng.randrange(1, len(payload))
+        j = rng.randrange(1, len(payload))
+        return payload[:i] + payload[j:]
+    return bytes(rng.randrange(256) for _ in range(rng.randrange(1, 64)))
+
+
+# -- layer 1: hypothesis on the kernel, no Spark ---------------------------
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    fmt=st.sampled_from(sorted(PAYLOADS)),
+    seed=st.integers(0, 2**32 - 1),
+)
+def test_decode_kernel_never_raises_uncatchable(fmt, seed):
+    """_decode_bytes on a mutated payload either returns a normalized
+    8-bin histogram or raises a data-dependent exception that
+    _catch_row converts to an error value — never NotImplementedError
+    (reserved for missing codecs) and never a hang/crash."""
+    payload, mime = PAYLOADS[fmt]
+    mutated = _mutate(payload, random.Random(seed))
+    result, err = multimodal._catch_row(
+        multimodal._decode_bytes, mutated, mime, False
+    )
+    if err is None:
+        assert len(result) == 8
+        if mime.startswith("image/"):
+            # image features are a normalized 8-bin luma histogram
+            assert all(np.isfinite(v) and v >= 0 for v in result)
+            assert abs(sum(result) - 1.0) < 1e-9 or sum(result) == 0.0
+    else:
+        assert "NotImplementedError" not in err
+
+
+@settings(max_examples=150, deadline=None)
+@given(data=st.binary(min_size=0, max_size=256))
+def test_decode_kernel_on_pure_garbage(data):
+    for mime in (
+        "image/png",
+        "image/jpeg",
+        "image/gif",
+        "image/x-portable-pixmap",
+        "audio/wav",
+    ):
+        result, err = multimodal._catch_row(
+            multimodal._decode_bytes, data, mime, False
+        )
+        if err is None:
+            assert len(result) == 8
+
+
+# -- layer 2: one Spark job over a seeded mutated corpus -------------------
+
+
+def _mutated_corpus() -> list[tuple[int, bytes, str]]:
+    rng = random.Random(42)
+    rows = []
+    doc_id = 0
+    for fmt, (payload, mime) in sorted(PAYLOADS.items()):
+        rows.append((doc_id, payload, mime))  # one pristine row per format
+        doc_id += 1
+        for _ in range(24):
+            rows.append((doc_id, _mutate(payload, rng), mime))
+            doc_id += 1
+    return rows
+
+
+def test_spark_kernels_survive_mutated_corpus(spark):
+    from pyspark.sql import functions as F
+
+    rows = _mutated_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, img binary, mime string")
+    # with_media_columns stamps a constant mime; this corpus mixes
+    # formats, so build the meta struct with the per-row mime directly
+    media = df.select(
+        "doc_id",
+        F.col("img").alias("payload"),
+        F.struct(
+            F.col("mime"),
+            F.octet_length("img").cast("long").alias("n_bytes"),
+            F.sha2("img", 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+    feats = multimodal.extract_features(media, fake=False).collect()
+    assert len(feats) == len(rows)
+    for r in feats:
+        assert (r["features"] is None) != (r["error"] is None)
+        if r["error"] is not None:
+            assert "NotImplementedError" not in r["error"]
+    # the pristine rows decoded; at least one mutation errored
+    errored = {r["doc_id"] for r in feats if r["error"] is not None}
+    pristine = {i * 25 for i in range(len(PAYLOADS))}
+    assert pristine.isdisjoint(errored)
+    assert errored, "no mutation produced a decode error"
+
+    image_media = media.join(
+        df.filter(df.mime != "audio/wav").select("doc_id"), "doc_id"
+    )
+    thumbs = multimodal.resize_images(
+        image_media, 4, 4, fake=False, raw_only=True
+    ).collect()
+    for r in thumbs:
+        assert (r["thumb"] is None) != (r["error"] is None)
+
+    frame_media = media.join(
+        df.filter(df.mime.isin("audio/wav", "image/gif")).select("doc_id"),
+        "doc_id",
+    )
+    frames = multimodal.sample_frames(
+        frame_media, every_ms=50, max_frames=3
+    ).collect()
+    assert frames
+    by_doc_err = {}
+    for r in frames:
+        assert (r["frame"] is None) == (r["error"] is not None)
+        by_doc_err.setdefault(r["doc_id"], set()).add(r["error"] is not None)
+    # a failing document yields exactly its sentinel row, not a mix
+    for doc, kinds in by_doc_err.items():
+        assert len(kinds) == 1, doc
