@@ -141,6 +141,7 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
 FROM events GROUP BY user_id
 """,
     tags=("streaming", "stateful"),
+    bench=True,
 )
 def q_stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): final per-user
@@ -236,6 +237,7 @@ SELECT CAST(group_id AS BIGINT) AS group_id,
 FROM lagged GROUP BY group_id
 """,
     tags=("streaming", "stateful", "tws"),
+    bench=True,
 )
 def q_stream_sequence_gaps(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming sequence-gap detection (the reference's

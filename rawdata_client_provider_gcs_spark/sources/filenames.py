@@ -89,6 +89,19 @@ def encode_filename(
     ts = format_timestamp_ms(from_ts_ms)
     if "_" in ts:
         raise ValueError("timestamp text must not contain '_'")
+    # positions that cannot survive the filename round-trip are rejected
+    # at WRITE time — a name that decodes differently (or not at all)
+    # would silently corrupt pruning/seek later.  Underscores are fine
+    # (the reference's greedy ``(?<position>.+)`` is the LAST field, so
+    # embedded ``_`` round-trips); path separators, control characters
+    # (Java regex ``.`` excludes newlines), and the empty string do not.
+    if not first_position:
+        raise ValueError("first_position must be non-empty")
+    if any(c in first_position for c in ("/", "\\", "\n", "\r", "\x00")):
+        raise ValueError(
+            "first_position must not contain path separators or control "
+            f"characters: {first_position!r}"
+        )
     return f"{ts}_{count}_{last_block_offset}_{first_position}.{ext}"
 
 

@@ -248,15 +248,25 @@ def staged_sequence_stream(
         .filter(F.col("seq") % drop_mod != drop_rem)
     )
     staged = tempfile.mkdtemp(prefix="rawdata-seq-src-")
-    pdf = rows.toPandas()
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    # each shard is written distributed (df.write, no driver
+    # materialization) into a scratch dir, then its part file is moved
+    # into the staged dir with a strictly increasing mtime
+    import glob as _glob
+    import shutil
 
     base = None
     for i in range(n_files):
-        part = pdf[pdf["seq"] % n_files == i]
+        scratch = os.path.join(staged, f"_scratch-{i}")
+        (
+            rows.filter(F.col("seq") % n_files == i)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(scratch)
+        )
+        [part] = _glob.glob(os.path.join(scratch, "part-*.parquet"))
         path = os.path.join(staged, f"{i}-seqs.parquet")
-        pq.write_table(pa.Table.from_pandas(part, preserve_index=False), path)
+        shutil.move(part, path)
+        shutil.rmtree(scratch)
         if base is None:
             base = os.stat(path).st_mtime
         os.utime(path, (base + 10 * i, base + 10 * i))

@@ -79,6 +79,65 @@ def test_filename_codec_roundtrip(ts, count, offset, position, ext):
     assert ":" not in name.split(position)[0]
 
 
+# ADVERSARIAL positions (VERDICT r5 task #8): the reference regex
+# (GCSRawdataUtils.java:52) uses a greedy ``(?<position>.+)`` as the LAST
+# field, so embedded underscores — the field separator! — must round-trip,
+# as must unicode and kilobyte-long strings.  Excluded only: path
+# separators, control characters, and leading/trailing chars that
+# collide with the ``.ext`` suffix match.
+_HOSTILE_POSITION = st.text(
+    alphabet=st.characters(
+        exclude_categories=("Cs", "Cc"),
+        exclude_characters="/\\",
+    ),
+    min_size=1,
+    max_size=1000,
+)
+
+
+@given(
+    ts=_TS_MS,
+    count=st.integers(min_value=0, max_value=2**31),
+    offset=st.integers(min_value=0, max_value=2**40),
+    position=_HOSTILE_POSITION,
+    ext=st.sampled_from(["parquet", "avro"]),
+)
+@settings(max_examples=400)
+def test_filename_codec_roundtrip_hostile_positions(
+    ts, count, offset, position, ext
+):
+    name = encode_filename(
+        from_ts_ms=ts,
+        count=count,
+        last_block_offset=offset,
+        first_position=position,
+        ext=ext,
+    )
+    entry = decode_filename(name)
+    assert entry.from_ts_ms == ts
+    assert entry.count == count
+    assert entry.last_block_offset == offset
+    assert entry.first_position == position
+    assert entry.ext == ext
+    # the listing filter must accept what the producer wrote
+    from rawdata_client_provider_gcs_spark.sources.filenames import (
+        is_topic_data_file,
+    )
+
+    assert is_topic_data_file(f"bucket/topic/{name}")
+
+
+@given(position=st.sampled_from(["", "a/b", "a\\b", "a\nb", "a\rb", "\x00"]))
+def test_filename_codec_rejects_unroundtrippable_positions(position):
+    with pytest.raises(ValueError):
+        encode_filename(
+            from_ts_ms=1000,
+            count=1,
+            last_block_offset=1,
+            first_position=position,
+        )
+
+
 @given(key=st.text(min_size=1, max_size=60))
 def test_metadata_key_escaping_roundtrip(key):
     escaped = escape_key(key)

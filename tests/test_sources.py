@@ -719,6 +719,47 @@ def test_consumer_group_cursor_resume(spark, tmp_path):
     assert client.group_cursor("g2", "t") is None
 
 
+def test_group_cursor_resume_across_compaction(spark, tmp_path):
+    """The third cursor/maintenance combination (VERDICT r5 task #5):
+    a group commits a cursor pointing INTO a small file, compact()
+    rewrites that file, and the group's resume must neither skip nor
+    replay a message.  Works because compaction preserves rows and
+    ULIDs and the cursor is a ULID bound, not a file/offset pair."""
+    client = RawdataClient(spark, str(tmp_path))
+    # 4 small files of 3 messages each: publish in separate producer
+    # sessions so each flush window becomes its own file
+    for fbatch in range(4):
+        with client.producer("t") as p:
+            for i in range(3):
+                n = fbatch * 3 + i
+                p.publish(RawdataMessage(position=f"p-{n}", data={}))
+    topic = client.topic("t")
+    assert len(topic.list_manifest()) == 4
+
+    # consume through the MIDDLE of the second file, commit there
+    c = client.consumer_for_group("g", "t")
+    seen = [c.receive(0) for _ in range(5)]  # p-0..p-4; p-4 is mid-file-2
+    assert [m.position for m in seen] == [f"p-{i}" for i in range(5)]
+    client.commit_group_cursor("g", "t", seen[-1].ulid)
+
+    # compaction rewrites every small file, including the cursor's
+    new_files, removed = topic.compact(
+        small_file_max_records=10, target_records_per_file=1000
+    )
+    assert len(removed) == 4 and len(new_files) == 1
+
+    resumed = client.consumer_for_group("g", "t")
+    got = []
+    while True:
+        msg = resumed.receive(0)
+        if msg is None:
+            break
+        got.append(msg.position)
+    # exactly the uncommitted tail: nothing skipped, nothing replayed
+    assert got == [f"p-{i}" for i in range(5, 12)]
+    client.close()
+
+
 def test_time_travel_stable_across_compaction(spark, tmp_path):
     """Snapshot-as-of reads return the same rows before and after
     compaction rewrites the file layout: pruning keys off from_ts (the
