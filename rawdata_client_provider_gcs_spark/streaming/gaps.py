@@ -143,6 +143,29 @@ def sequence_gap_stats(
     )
 
 
+def sequence_gap_stats_auto(
+    stream: DataFrame, group_col: str = "group_id", seq_col: str = "seq"
+) -> DataFrame:
+    """Gap detector on the best engine the runtime supports.
+
+    Prefers ``transformWithStateInPandas`` (typed array-state should cut
+    the per-key Arrow transfer the GroupState engine is measured to be
+    bound by — SCALE.md, 0.15 ms/key) when the protobuf runtime exists,
+    falling back to ``applyInPandasWithState`` otherwise.  Callers using
+    the TWS path must run under the RocksDB state store provider
+    (``run_with_rocksdb``); the GroupState path runs anywhere.
+
+    The TWS-vs-GroupState wall-time comparison at the 10x matrix stays
+    environment-gated: this sandbox ships no ``google.protobuf`` and
+    installs are not possible, so the default flip remains conditional
+    on a measurement the gate makes runnable elsewhere
+    (``tools/stream_stress.py --engine tws``).
+    """
+    if tws_available():
+        return sequence_gap_stats(stream, group_col, seq_col)
+    return sequence_gap_stats_groupstate(stream, group_col, seq_col)
+
+
 def sequence_gap_stats_groupstate(
     stream: DataFrame, group_col: str = "group_id", seq_col: str = "seq"
 ) -> DataFrame:

@@ -170,3 +170,24 @@ def test_gap_audit_over_real_topic_messages(spark, tmp_path):
     got = sorted((r["group_id"], r["gap_start"], r["gap_end"]) for r in ranges)
     assert got == [(1, 4, 5), (1, 8, 8)]
     client.close()
+
+
+def test_auto_engine_selects_by_runtime(monkeypatch):
+    """sequence_gap_stats_auto prefers TWS when the protobuf runtime
+    exists and falls back to GroupState otherwise — checked by stubbing
+    the probe both ways (the real probe's answer depends on the
+    container)."""
+    calls = []
+    monkeypatch.setattr(
+        G, "sequence_gap_stats", lambda s, g="group_id", q="seq": calls.append("tws")
+    )
+    monkeypatch.setattr(
+        G,
+        "sequence_gap_stats_groupstate",
+        lambda s, g="group_id", q="seq": calls.append("groupstate"),
+    )
+    monkeypatch.setattr(G, "tws_available", lambda: False)
+    G.sequence_gap_stats_auto(None)
+    monkeypatch.setattr(G, "tws_available", lambda: True)
+    G.sequence_gap_stats_auto(None)
+    assert calls == ["groupstate", "tws"]

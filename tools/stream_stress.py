@@ -349,6 +349,15 @@ def main() -> int:
         default="hdfs",
         help="state store backend (RocksDB = the large-state production choice)",
     )
+    ap.add_argument(
+        "--engine",
+        choices=["groupstate", "tws"],
+        default="groupstate",
+        help="stateful engine for stream_seq_gaps (tws = "
+        "transformWithStateInPandas; needs google.protobuf and the "
+        "RocksDB provider — unavailable in this sandbox, runnable where "
+        "the runtime exists)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="rawdata-spark-stream-stress")
@@ -425,8 +434,16 @@ def main() -> int:
                 m = scales[scale]
                 make_seq_files(d, args.keys_1x * m, args.rows_1x * m)
                 staged[key] = d
+            if args.engine == "tws":
+                if not G.tws_available():
+                    raise SystemExit(
+                        "--engine tws: google.protobuf runtime not present"
+                    )
+                gap_fn = G.sequence_gap_stats
+            else:
+                gap_fn = G.sequence_gap_stats_groupstate
             return run_capture(
-                G.sequence_gap_stats_groupstate(seq_stream(spark, staged[key])),
+                gap_fn(seq_stream(spark, staged[key])),
                 "update",
                 parts,
             )
