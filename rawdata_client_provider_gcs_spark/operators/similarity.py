@@ -48,6 +48,27 @@ def cosine_similarity(a, b) -> F.Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _constraint_opaque(col: F.Column) -> F.Column:
+    """Hide a projected expression from Catalyst constraint inference.
+
+    Equi-joining on an alias of a LARGE expression, when both join
+    inputs share scan lineage (corpus vs corpus.filter — the standard
+    "queries are a subset of the corpus" ANN call), can make
+    ``InferFiltersFromConstraints`` transfer the alias's defining
+    expression across the join and place it on the side where the
+    source attribute does not exist: execution then dies with
+    ``INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND`` (``!Filter f(embedding#22)
+    <=> cid#59`` above the probes subtree; reproduced on pyspark 4.1.2,
+    flips deterministically with
+    ``spark.sql.optimizer.excludedRules=...InferFiltersFromConstraints``).
+    Wrapping the alias in an always-true branch on a nondeterministic-
+    MARKED (but value-stable) input makes the optimizer skip it when
+    collecting Project constraints — the inference that feeds the buggy
+    transfer never starts, while the value and codegen are unchanged.
+    """
+    return F.when(F.spark_partition_id() >= 0, col)
+
+
 #: brute_force_topk broadcasts the query set to every task; beyond this
 #: many query rows the broadcast (and the |queries|×|corpus| score work)
 #: is a misuse of the exact tier — fail loud and point at the ANN tiers.
@@ -157,8 +178,10 @@ def lsh_ann_topk(
         ).select(
             f"{prefix}_id",
             f"{prefix}_vec",
-            F.col("b.table").alias("table"),
-            F.col("b.bucket").alias("bucket"),
+            # join keys aliasing generator-output fields: same
+            # cross-side constraint-transfer hazard as the IVF cid
+            _constraint_opaque(F.col("b.table")).alias("table"),
+            _constraint_opaque(F.col("b.bucket")).alias("bucket"),
         )
 
     q = bucketed(queries, "query")
@@ -385,22 +408,34 @@ def ivf_ann_topk(
         assigned = embeddings.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cand_vec"),
-            (-F.array_max(_scored_arr(vec_col))["neg_cid"]).alias("cid"),
+            _constraint_opaque(
+                -F.array_max(_scored_arr(vec_col))["neg_cid"]
+            ).alias("cid"),
         )
+        # extract the cid INSIDE the array before exploding: exploding
+        # the struct array and reading ``p.neg_cid`` afterwards trips
+        # Spark's generator nested-column aliasing on this lambda-heavy
+        # expression (executor-side INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
+        # binding failure, seen on multi-file corpora) — and an
+        # array<bigint> explode is cheaper anyway
         probes = (
             queries.select(
                 F.col(id_col).alias("query_id"),
                 F.col(vec_col).alias("query_vec"),
-                F.slice(
-                    F.sort_array(_scored_arr(vec_col), asc=False), 1, nprobe
-                ).alias("probe_arr"),
+                F.transform(
+                    F.slice(
+                        F.sort_array(_scored_arr(vec_col), asc=False),
+                        1,
+                        nprobe,
+                    ),
+                    lambda s: -s["neg_cid"],
+                ).alias("probe_cids"),
             )
             .select(
                 "query_id",
                 "query_vec",
-                F.explode(F.col("probe_arr")).alias("p"),
+                F.explode(F.col("probe_cids")).alias("cid"),
             )
-            .select("query_id", "query_vec", (-F.col("p.neg_cid")).alias("cid"))
         )
     else:
         cent = F.broadcast(
@@ -767,8 +802,10 @@ def embedding_near_dup_pairs(
         ]
         return embeddings.select(*cols, F.explode(F.array(*parts)).alias("b")).select(
             *[c for c in (f"id_{prefix}", f"vec_{prefix}")],
-            F.col("b.table").alias("table"),
-            F.col("b.bucket").alias("bucket"),
+            # see _constraint_opaque: these become both join keys of a
+            # self-join over one scan lineage
+            _constraint_opaque(F.col("b.table")).alias("table"),
+            _constraint_opaque(F.col("b.bucket")).alias("bucket"),
         )
 
     left = sides("a", left_cols)

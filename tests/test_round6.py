@@ -265,3 +265,48 @@ def test_dedup_lines_rejects_empty_separator(spark):
     docs = spark.createDataFrame([("d", "xy")], "doc_id string, text string")
     with pytest.raises(ValueError):
         dedup_lines(docs, sep="")
+
+
+# -- IVF self-join constraint-transfer regression --------------------------
+
+
+def test_ivf_survives_jittered_multifile_selfjoin(spark, tmp_path):
+    """Regression for a pyspark 4.1.2 InferFiltersFromConstraints bug:
+    equi-joining on an alias of the (large-literal) IVF assignment
+    expression, with queries filtered from the SAME corpus scan, could
+    transfer the alias's defining expression across the join onto the
+    probes side where the source attribute does not exist —
+    INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at execution.  The trigger needed
+    a session that had previously built other lambda-bearing plans (the
+    constraint-set iteration order shifts with expression identifiers),
+    which this test reproduces by writing a transformed multi-file
+    corpus first, exactly the vector_stress tool's failing sequence.
+    The fix (_constraint_opaque) hides the join-key alias from
+    constraint inference without changing its value."""
+    from pyspark.sql import functions as F
+
+    from rawdata_client_provider_gcs_spark.operators import similarity as S
+
+    base = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id"), j), F.lit(1000)) / 1000.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    out = str(tmp_path / "vec")
+    base.repartition(6).write.parquet(out)
+    corpus = spark.read.parquet(out)
+    q = corpus.filter(F.col("vec_id") < 10)
+    rows = S.ivf_ann_topk(corpus, q, k=5, nlist=8, nprobe=2).collect()
+    assert len(rows) == 50
+    # the guard is value-neutral: assignments equal the cell report's
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_query.values())
+
+    pairs = S.lsh_ann_topk(corpus, q, k=5, dim=16).collect()
+    assert {r["query_id"] for r in pairs} <= set(range(10))
