@@ -41,15 +41,18 @@ _JITTER = 0.04
 
 
 def generate(spark, base_dir: str, out_dir: str, copies: int) -> None:
+    # ONE plan regardless of copy count (a 1000-way union would bloat
+    # Catalyst): cross-join the base with a copy range and jitter with
+    # deterministic JVM-side pseudo-noise keyed by (vec, dim, copy).
+    # copy 0 is kept byte-identical to the base corpus.
     base = load_table(spark, base_dir, "embeddings")
-    parts = []
-    for i in range(copies):
-        part = base.withColumn("vec_id", F.col("vec_id") + F.lit(i * _OFFSET))
-        if i > 0:
-            # deterministic pseudo-noise per (vec, dim, copy): xxhash64
-            # is JVM-side, so generation is one distributed map per copy
-            part = part.withColumn(
-                "embedding",
+    copies_df = spark.range(copies).select(F.col("id").alias("copy"))
+    scaled = (
+        base.crossJoin(copies_df)
+        .select(
+            (F.col("vec_id") + F.col("copy") * _OFFSET).alias("vec_id"),
+            F.when(F.col("copy") == 0, F.col("embedding"))
+            .otherwise(
                 F.transform(
                     "embedding",
                     lambda x, j: (
@@ -58,7 +61,7 @@ def generate(spark, base_dir: str, out_dir: str, copies: int) -> None:
                             (
                                 F.pmod(
                                     F.xxhash64(
-                                        F.col("vec_id"), j, F.lit(i)
+                                        F.col("vec_id"), j, F.col("copy")
                                     ),
                                     F.lit(10007),
                                 )
@@ -68,12 +71,13 @@ def generate(spark, base_dir: str, out_dir: str, copies: int) -> None:
                         )
                         * (2 * _JITTER)
                     ).cast("float"),
-                ),
+                )
             )
-        parts.append(part)
-    scaled = parts[0]
-    for part in parts[1:]:
-        scaled = scaled.unionByName(part)
+            .alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+    )
     scaled.write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
     )
