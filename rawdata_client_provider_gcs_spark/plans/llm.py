@@ -634,6 +634,75 @@ def q_similarity_ivf_ann(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_similarity_ivf_index",
+    oracle=f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cvec
+  FROM embeddings WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, query_vec, cid FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS query_vec, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cid
+           ) AS rn
+    FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 8
+  ) WHERE rn <= 3
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           {_cos_sql('p.query_vec', 'a.embedding')} AS cosine
+    FROM probes p JOIN assigned a ON p.cid = a.cid
+    WHERE a.vec_id != p.query_id
+  )
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+""",
+    tags=("llm", "similarity", "index"),
+)
+def q_similarity_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialized IVF inverted lists: build once (parquet partitioned
+    by cell — one directory per inverted list), probe with STATIC
+    partition pruning so a query batch scans only its probed cells
+    (``operators/similarity.py build_ivf_index``/``ivf_query_index``).
+
+    This is the 100 TB answer to the 100x/1000x stress finding that
+    per-call cell assignment (O(nlist·dim) per corpus row) dominates
+    ``ivf_ann_topk``'s wall: assignment is an index build, paid once.
+    Same deterministic lowest-id quantizer as ``q_similarity_ivf_ann``,
+    so the whole build+probe pipeline is value-checkable — the oracle
+    states assignment and probing relationally, blind to the on-disk
+    layout."""
+    import tempfile
+
+    e = load_table(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    idx = tempfile.mkdtemp(prefix="rawdata-ivf-index-") + "/lists"
+    similarity.build_ivf_index(e, idx, nlist=16)
+    return similarity.ivf_query_index(spark, idx, q, k=5, nprobe=3).select(
+        F.col("query_id").cast("long").alias("query_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "cosine",
+        "rank",
+    )
+
+
+@register(
     "q_embedding_near_dup",
     oracle="""
 WITH pairs AS (

@@ -310,3 +310,62 @@ def test_ivf_survives_jittered_multifile_selfjoin(spark, tmp_path):
 
     pairs = S.lsh_ann_topk(corpus, q, k=5, dim=16).collect()
     assert {r["query_id"] for r in pairs} <= set(range(10))
+
+
+# -- materialized IVF inverted lists ---------------------------------------
+
+
+def test_ivf_index_build_query_matches_inline_and_prunes(
+    spark, tmp_path, sf_smoke_dir
+):
+    """build_ivf_index + ivf_query_index returns exactly what the inline
+    ivf_ann_topk computes for the same corpus/quantizer, and the probe
+    scan reads ONLY the probed cells' partition directories."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from rawdata_client_provider_gcs_spark.operators import similarity as S
+    from rawdata_client_provider_gcs_spark.tables import load_table
+
+    e = load_table(spark, sf_smoke_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf-index")
+    S.build_ivf_index(e, idx, nlist=16)
+
+    got = S.ivf_query_index(spark, idx, q, k=5, nprobe=4)
+    want = S.ivf_ann_topk(e, q, k=5, nlist=16, nprobe=4)
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, want.collect()))
+    assert [t[:2] + (t[3],) for t in a] == [t[:2] + (t[3],) for t in b]
+    for x, y in zip(a, b):
+        assert abs(x[2] - y[2]) < 1e-9
+
+    # partition pruning: the lists scan carries a cid partition filter
+    # and reads only the probed cells' directories (few queries + low
+    # nprobe so the probed set is a strict subset of the 16 cells)
+    narrow = S.ivf_query_index(
+        spark, idx, e.filter(F.col("vec_id") < 2), k=5, nprobe=2
+    )
+    import pathlib
+    import re
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        narrow.explain()
+    plan = buf.getvalue()
+    # the literal IN lands in the scan's partition filters (static
+    # pruning — only those directories are listed/read)
+    assert "PartitionFilters" in plan
+    part_section = plan.split("PartitionFilters", 1)[1][:300]
+    m = re.search(r"cid#\d+ IN \(([0-9,]+)\)", part_section)
+    assert m, part_section
+    probed = set(m.group(1).split(","))
+    on_disk = {
+        p.name.split("=")[1]
+        for p in pathlib.Path(idx).iterdir()
+        if p.name.startswith("cid=")
+    }
+    # 2 queries x 2 probes: a strict subset of the 16 cells is scanned
+    assert probed and probed < on_disk, (len(probed), len(on_disk))
