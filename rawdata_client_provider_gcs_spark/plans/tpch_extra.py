@@ -577,3 +577,114 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
         .limit(50)
         .select(F.col("node").cast("long").alias("node"), F.col("pr"))
     )
+
+
+@register(
+    "q_tpch_q17_smallqty",
+    oracle=f"""
+WITH part_avg AS (
+  SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT p.p_brand,
+       {o_sum2('l.l_extendedprice')} / 7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN part_avg a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand IN ('Brand#11', 'Brand#12', 'Brand#13')
+  AND l.l_quantity < a.half_avg_qty
+GROUP BY p.p_brand
+""",
+    tags=("tpch", "subquery"),
+)
+def q_tpch_q17_smallqty(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted: per-brand
+    yearly revenue from lineitems under half the part's average
+    quantity (spec uses 0.2·avg and one brand/container; the driver's
+    uniform quantities need 0.5 to keep the predicate selective-but-
+    nonempty, and grouping by brand makes the check multi-row).
+
+    Plan shape this pins: correlated scalar aggregate decorrelated into
+    a per-key aggregate joined back — the aggregate and the probe scan
+    the SAME fact table, the classic self-join-through-agg Q17 plan.
+    The per-part average is a combinable agg; part is broadcast.
+    """
+    l = load_table(spark, sf, "lineitem")
+    p = load_table(spark, sf, "part").filter(
+        F.col("p_brand").isin("Brand#11", "Brand#12", "Brand#13")
+    )
+    part_avg = l.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .groupBy("p_brand")
+        .agg(
+            (dsum2(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q22_global_sales",
+    oracle=f"""
+WITH eligible AS (
+  SELECT c_nationkey % 10 AS cntrycode, c_custkey, c_acctbal
+  FROM customer
+  WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0)
+)
+SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+       {o_sum2('c_acctbal')} AS totacctbal
+FROM eligible c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY cntrycode
+""",
+    tags=("tpch", "subquery", "anti-join"),
+)
+def q_tpch_q22_global_sales(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: well-funded
+    customers (balance above the positive-balance average) with no
+    URGENT order, counted per country code (the schema has no phone
+    column, so ``c_nationkey % 10`` stands in for the phone prefix;
+    spec's "no orders at all" is empty on this data — every customer
+    orders — so the anti-join keys on urgent orders instead).
+
+    Plan shape this pins: uncorrelated scalar subquery (broadcast
+    1-row aggregate) feeding a filter, then a LEFT ANTI join against
+    the fact table, then a combinable group-by — Q22's
+    exists-free decorrelated plan.
+    """
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    eligible = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select(
+            (F.col("c_nationkey") % 10).alias("cntrycode"),
+            "c_custkey",
+            "c_acctbal",
+        )
+    )
+    return (
+        eligible.join(
+            urgent, eligible.c_custkey == urgent.o_custkey, "left_anti"
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum2(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
