@@ -925,6 +925,39 @@ def build_ivf_index(
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
 
 
+def append_to_ivf_index(
+    new_embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Add vectors to an existing :func:`build_ivf_index` index.
+
+    The growing-corpus operation: new vectors are assigned with the
+    index's STORED quantizer (never retrained here — a changed
+    quantizer would silently strand the already-indexed vectors in
+    stale cells) and appended into their cell partitions.  Cost is one
+    pass over the NEW vectors only; existing lists are untouched
+    (parquet partition append writes new files into the cid
+    directories).  Watch :func:`ivf_cell_report` for drift — when new
+    data stops matching the quantizer (cell cohesion drops), rebuild.
+    """
+    spark = new_embeddings.sparkSession
+    cent_rows = sorted(
+        spark.read.parquet(f"{path}/_centroids").collect(),
+        key=lambda r: r["cid"],
+    )
+    cent_arr = _centroid_literal(cent_rows)
+    assigned = new_embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cand_vec"),
+        _constraint_opaque(
+            -F.array_max(_centroid_scores(cent_arr, vec_col))["neg_cid"]
+        ).alias("cid"),
+    )
+    assigned.write.mode("append").partitionBy("cid").parquet(path)
+
+
 def ivf_query_index(
     spark,
     path: str,

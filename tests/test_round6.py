@@ -369,3 +369,32 @@ def test_ivf_index_build_query_matches_inline_and_prunes(
     }
     # 2 queries x 2 probes: a strict subset of the 16 cells is scanned
     assert probed and probed < on_disk, (len(probed), len(on_disk))
+
+
+def test_ivf_index_append_equals_full_rebuild(spark, tmp_path, sf_smoke_dir):
+    """Appending new vectors with the stored quantizer yields exactly
+    the same query results as rebuilding the whole index from the
+    unioned corpus with the same quantizer."""
+    from pyspark.sql import functions as F
+
+    from rawdata_client_provider_gcs_spark.operators import similarity as S
+    from rawdata_client_provider_gcs_spark.tables import load_table
+
+    e = load_table(spark, sf_smoke_dir, "embeddings")
+    old = e.filter(F.col("vec_id") % 2 == 0)
+    new = e.filter(F.col("vec_id") % 2 == 1)
+    q = e.filter(F.col("vec_id") < 6)
+
+    grown = str(tmp_path / "grown")
+    # quantizer trained (lowest-id) on the OLD half only, then frozen
+    S.build_ivf_index(old, grown, nlist=8)
+    S.append_to_ivf_index(new, grown)
+
+    full = str(tmp_path / "full")
+    cents = spark.read.parquet(f"{grown}/_centroids")
+    S.build_ivf_index(e, full, centroids=cents)
+
+    a = sorted(map(tuple, S.ivf_query_index(spark, grown, q, k=5).collect()))
+    b = sorted(map(tuple, S.ivf_query_index(spark, full, q, k=5).collect()))
+    assert a == b
+    assert len(a) == 6 * 5
