@@ -23,7 +23,10 @@ Decode kernels resolve in this order:
    float) — real decode/features/segmentation via the pure-numpy codec
    in :mod:`rawdata_client_provider_gcs_spark.operators.rawaudio`, in
    every environment.
-5. Otherwise STUBBED: raise ``NotImplementedError`` unless ``fake=True``
+5. ``video/*`` in an uncompressed RIFF/AVI container (raw BI_RGB
+   frames) — real container parse + frame sampling via ``rawavi``;
+   compressed video codecs remain at the loud boundary below.
+6. Otherwise STUBBED: raise ``NotImplementedError`` unless ``fake=True``
    asks for the deterministic fake (byte-histogram features), keeping the
    Spark-side plumbing — schema, batching, partitioning — real and tested
    in containers without media libraries (like this one).
@@ -342,11 +345,13 @@ def sample_frames(
     input row.  WAV audio payloads are really segmented (each frame is a
     standalone ``every_ms`` WAV clip, pure-numpy codec).  Animated GIFs
     — the library-free multi-frame *visual* format — are really decoded
-    (``rawgif``): frames are sampled on the ``every_ms`` grid from their
-    native start times (cumulative per-frame delays) and emitted as PPM
-    bytes with ``frame_idx`` = the original frame number.  The remaining
-    video codecs are stubbed: ``fake=True`` treats every 64 KiB of
-    payload as one second of video and emits deterministic frame bytes.
+    (``rawgif``), and so are uncompressed RIFF/AVI **video containers**
+    (``rawavi``: raw BI_RGB frames, native container timing): frames are
+    sampled on the ``every_ms`` grid from their native start times and
+    emitted as PPM bytes with ``frame_idx`` = the original frame number.
+    Compressed video codecs stay stubbed: ``fake=True`` treats every
+    64 KiB of payload as one second of video and emits deterministic
+    frame bytes.
     """
 
     def run(batches):
@@ -374,8 +379,23 @@ def sample_frames(
                         next_ms = t + every_ms
                     t += delay
                 return out
-            if mime in DECODABLE_AUDIO_MIMES or (
-                mime == "image/gif"
+            if mime.startswith("video/"):
+                from . import rawavi  # noqa: PLC0415
+
+                if rawavi.sniff_avi(payload):
+                    # REAL video container path: uncompressed RIFF/AVI
+                    # (raw BI_RGB frames), frames sampled on the
+                    # every_ms grid from the container's native timing
+                    return [
+                        (i, ms, rawimage.encode_ppm(arr))
+                        for i, ms, arr in rawavi.sample_avi_frames(
+                            payload, every_ms, max_frames
+                        )
+                    ]
+            if mime in DECODABLE_AUDIO_MIMES or mime in (
+                "image/gif",
+                "video/avi",
+                "video/x-msvideo",
             ):
                 # supported container, unrecognizable bytes: corruption
                 raise MediaDecodeError(

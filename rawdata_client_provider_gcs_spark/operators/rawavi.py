@@ -1,0 +1,247 @@
+"""Pure-numpy AVI container codec for uncompressed (raw-DIB) video.
+
+The video half of the multimodal tier's "real decode without media
+libs" family (rawimage/rawjpeg/rawgif/rawaudio): AVI is a RIFF
+container (same chunk grammar the WAV codec already parses,
+``rawaudio._chunks``), and the BI_RGB frame payloads are device-
+independent bitmaps — byte-identical row layout to the 24-bit BMP
+raster the image codec already decodes (bottom-up, BGR, rows padded to
+4 bytes).  So an uncompressed AVI decodes here with zero new
+compression machinery, which makes it the honest first rung of the
+"video containers" boundary: compressed codecs (H.264 etc.) still
+raise the documented loud ``NotImplementedError`` via the multimodal
+kernels' mime gate, but the CONTAINER path — parse, frame timing,
+frame extraction — is real and round-trippable.
+
+Format notes (public AVI/RIFF spec, msdn AVIMAINHEADER et al.):
+
+    RIFF 'AVI '
+      LIST 'hdrl'
+        'avih'  — dwMicroSecPerFrame, ..., dwTotalFrames, ...,
+                  dwWidth, dwHeight (56 bytes)
+        LIST 'strl'
+          'strh' — fccType 'vids', ..., dwScale, dwRate (fps =
+                    rate/scale), ...
+          'strf' — BITMAPINFOHEADER (biBitCount=24,
+                    biCompression=0=BI_RGB)
+      LIST 'movi'
+        '00db' chunks — one uncompressed DIB frame each
+      'idx1'  — optional index (written for players; ignored on read)
+
+Reference behavior parity note: the reference transport treats media
+as opaque ``bytes`` values in the message map
+(AvroRawdataProducer.java:42-49); this codec exists for the derived
+LLM-pipeline tier, not the transport.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def sniff_avi(payload: bytes) -> bool:
+    """True when the payload is a RIFF/AVI container."""
+    return (
+        len(payload) >= 12
+        and payload[:4] == b"RIFF"
+        and payload[8:12] == b"AVI "
+    )
+
+
+def _sub_chunks(payload: bytes, off: int, end: int):
+    """Yield (chunk_id, data_offset, size) inside payload[off:end]."""
+    i = off
+    while i + 8 <= end:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        yield cid, i + 8, size
+        i += 8 + size + (size & 1)
+
+
+def _dib_to_rgb(data: bytes, width: int, height: int) -> np.ndarray:
+    """Decode one BI_RGB bottom-up 24-bit DIB frame to (H, W, 3) RGB."""
+    stride = (width * 3 + 3) & ~3
+    need = stride * height
+    rows = np.frombuffer(data, np.uint8, count=need).reshape(height, stride)
+    bgr = rows[:, : width * 3].reshape(height, width, 3)
+    return bgr[::-1, :, ::-1].copy()  # bottom-up -> top-down, BGR -> RGB
+
+
+def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """Decode an uncompressed AVI to ``(frames, fps)``.
+
+    Each frame is an (H, W, 3) uint8 RGB array.  Only BI_RGB 24-bit
+    video streams are supported — a compressed stream raises
+    ``ValueError`` naming the fourcc, which the multimodal kernels'
+    ``_catch_row`` surfaces as a per-row error.
+    """
+    if not sniff_avi(payload):
+        raise ValueError("payload is not a RIFF/AVI container")
+    width = height = None
+    rate = scale = None
+    usec_per_frame = None
+    compression = None
+    frames: list[np.ndarray] = []
+
+    def walk(off: int, end: int) -> None:
+        nonlocal width, height, rate, scale, usec_per_frame, compression
+        for cid, doff, size in _sub_chunks(payload, off, end):
+            if cid == b"LIST":
+                walk(doff + 4, doff + size)  # skip the 4-byte list type
+            elif cid == b"avih" and size >= 40:
+                usec_per_frame = int.from_bytes(
+                    payload[doff : doff + 4], "little"
+                )
+                width = int.from_bytes(payload[doff + 32 : doff + 36], "little")
+                height = int.from_bytes(
+                    payload[doff + 36 : doff + 40], "little"
+                )
+            elif cid == b"strh" and size >= 32:
+                if payload[doff : doff + 4] == b"vids":
+                    scale = int.from_bytes(
+                        payload[doff + 20 : doff + 24], "little"
+                    )
+                    rate = int.from_bytes(
+                        payload[doff + 24 : doff + 28], "little"
+                    )
+            elif cid == b"strf" and size >= 20 and compression is None:
+                bits = int.from_bytes(payload[doff + 14 : doff + 16], "little")
+                compression = payload[doff + 16 : doff + 20]
+                if compression != b"\x00\x00\x00\x00" or bits != 24:
+                    raise ValueError(
+                        "unsupported AVI video stream: fourcc="
+                        f"{compression!r} bits={bits}; only uncompressed "
+                        "BI_RGB 24-bit is decodable here"
+                    )
+            elif cid in (b"00db", b"00dc"):
+                if width is None or height is None:
+                    raise ValueError("AVI frame chunk before headers")
+                frames.append(
+                    _dib_to_rgb(payload[doff : doff + size], width, height)
+                )
+
+    walk(12, len(payload))
+    if not frames:
+        raise ValueError("AVI payload carries no video frames")
+    if rate and scale:
+        fps = rate / scale
+    elif usec_per_frame:
+        fps = 1_000_000.0 / usec_per_frame
+    else:
+        raise ValueError("AVI payload carries no frame timing")
+    return frames, fps
+
+
+def encode_avi(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
+    """Encode (H, W, 3) uint8 RGB frames as an uncompressed BI_RGB AVI."""
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    for f in frames:
+        if f.shape != (h, w, 3) or f.dtype != np.uint8:
+            raise ValueError("all frames must be equal-shape (H, W, 3) uint8")
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+
+    def dib(arr: np.ndarray) -> bytes:
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
+        return rows.tobytes()
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(ltype: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", ltype + data)
+
+    scale, rate = 1000, int(round(fps * 1000))
+    avih = struct.pack(
+        "<14I",
+        int(1_000_000 * scale / rate),  # dwMicroSecPerFrame
+        frame_bytes * int(round(fps)),  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # AVIF_HASINDEX
+        len(frames),
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        frame_bytes,
+        w,
+        h,
+        0,
+        0,
+        0,
+        0,
+    )
+    strh = (
+        b"vids"
+        + b"\x00" * 4  # fccHandler: unset for raw DIB
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0,  # flags
+            0,  # priority
+            0,  # language
+            0,  # initial frames
+            scale,
+            rate,
+            0,  # start
+            len(frames),
+            frame_bytes,  # suggested buffer
+            0xFFFFFFFF,  # quality (default)
+            0,  # sample size
+        )
+        + struct.pack("<4H", 0, 0, w, h)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,
+        w,
+        h,
+        1,
+        24,
+        b"\x00\x00\x00\x00",  # BI_RGB
+        frame_bytes,
+        0,
+        0,
+        0,
+        0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks = [chunk(b"00db", dib(f)) for f in frames]
+    movi = lst(b"movi", b"".join(movi_chunks))
+    # idx1: (ckid, flags=KEYFRAME, offset from 'movi' type tag, size)
+    idx_entries = []
+    off = 4
+    for f in frames:
+        idx_entries.append(
+            b"00db" + struct.pack("<III", 0x10, off, frame_bytes)
+        )
+        off += 8 + frame_bytes + (frame_bytes & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def sample_avi_frames(
+    payload: bytes, every_ms: int, max_frames: int
+) -> list[tuple[int, int, np.ndarray]]:
+    """(frame_idx, frame_ms, rgb_array) on the ``every_ms`` grid from
+    the container's native frame times — the same sampling contract as
+    the GIF path in ``multimodal.sample_frames``."""
+    frames, fps = decode_avi(payload)
+    out: list[tuple[int, int, np.ndarray]] = []
+    next_ms = 0.0
+    for i, arr in enumerate(frames):
+        if len(out) >= max_frames:
+            break
+        t = i * 1000.0 / fps
+        if t >= next_ms:
+            out.append((i, int(t), arr))
+            next_ms = t + every_ms
+    return out

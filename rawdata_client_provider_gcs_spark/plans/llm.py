@@ -1661,6 +1661,91 @@ def q_multimodal_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_multimodal_video_frames",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, unnest([0, 3]) AS frame_idx
+  FROM documents WHERE doc_id < 200
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * 100 AS BIGINT) AS frame_ms,
+       CAST((doc_id * 17 + 11 * frame_idx) % 256 AS BIGINT) AS mean_pixel
+FROM f WHERE frame_idx < 3 + doc_id % 3
+""",
+    tags=("llm", "multimodal", "video", "pandas-udf"),
+)
+def q_multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video-container decode + frame sampling, oracle-exact.
+
+    One uncompressed RIFF/AVI per document — ``3 + doc_id % 3``
+    constant-color raw BI_RGB frames (frame i's color
+    ``(doc_id·17 + 11i) % 256``) at 10 fps, encoded by
+    :mod:`..operators.rawavi`.  ``sample_frames`` parses the container
+    (headers, stream format, movi chunks, native 100 ms frame timing)
+    and samples the 250 ms grid, keeping exactly frame indices {0, 3}
+    below the frame count; the emitted PPM frames decode back to their
+    constant color (raw DIB is lossless), stated in closed form by the
+    oracle.  Completes the real-frame-sampling family across all three
+    temporal media types: WAV audio, GIF animation, AVI video.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawavi
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                n = 3 + int(did) % 3
+                frames = [
+                    np.full((6, 9, 3), (int(did) * 17 + 11 * i) % 256, np.uint8)
+                    for i in range(n)
+                ]
+                payloads.append(rawavi.encode_avi(frames, fps=10.0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "vid": payloads})
+
+    vids = d.mapInPandas(make, "doc_id long, vid binary")
+    media = multimodal.with_media_columns(vids, "vid", "video/avi", "doc_id")
+    sampled = multimodal.sample_frames(media, every_ms=250, max_frames=4)
+
+    def mean_of_frames(batches):
+        import pandas as pd
+
+        from ..operators import rawimage
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_ms": pdf["frame_ms"],
+                    "mean_pixel": [
+                        int(round(float(rawimage.decode_image(bytes(b)).mean())))
+                        for b in pdf["frame"]
+                    ],
+                }
+            )
+
+    return sampled.mapInPandas(
+        mean_of_frames,
+        "doc_id long, frame_idx long, frame_ms long, mean_pixel long",
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        F.col("mean_pixel").cast("long").alias("mean_pixel"),
+    )
+
+
 @register("q_text_bpe_train", tags=("llm", "text", "tokenizer", "iterative"))
 def q_text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     """Learned BPE merge table over the corpus (§2B text analysis).
