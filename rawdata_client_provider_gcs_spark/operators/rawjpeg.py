@@ -270,21 +270,13 @@ def _encode_block(
         writer.write(code, length)
 
 
-def encode_jpeg(
-    arr: np.ndarray,
-    quality: int = 75,
-    subsampling: str = "4:4:4",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode an (H, W, 3) uint8 RGB array as a baseline JPEG.
-
-    ``subsampling`` is ``"4:4:4"`` (default; exact round-trip for
-    constant even-gray images), ``"4:2:0"`` (2×2 box-mean chroma, the
-    common camera layout), or ``"4:2:2"`` (horizontal-only 2×1, the
-    common video layout).  ``restart_interval`` > 0 emits DRI + RSTn
-    markers every that many MCUs — the layout long scans use so a
-    corrupt byte only loses one restart segment.
-    """
+def _quantized_grids(
+    arr: np.ndarray, quality: int, subsampling: str
+) -> tuple[list[np.ndarray], np.ndarray, np.ndarray, int, int]:
+    """Color-convert, pad, subsample, DCT and quantize: the shared front
+    half of the baseline and progressive encoders.  Returns
+    ``(zz_grids, ql, qc, sh, sv)`` where each grid is the component's
+    (block_rows, block_cols, 64) zigzagged int32 coefficients."""
     if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
         raise ValueError("expected an (H, W, 3) uint8 array")
     factors = {"4:4:4": (1, 1), "4:2:0": (2, 2), "4:2:2": (2, 1)}
@@ -310,8 +302,6 @@ def encode_jpeg(
         cr = cr.reshape(cr.shape[0] // sv, sv, cr.shape[1] // sh, sh).mean((1, 3))
     planes = [luma, cb, cr]
 
-    # forward DCT + quantize; keep per-component 2D block grids of
-    # zigzagged coefficients so any MCU traversal can index them
     zz_grids = []
     for ci, plane in enumerate(planes):
         q = ql if ci == 0 else qc
@@ -324,13 +314,34 @@ def encode_jpeg(
             np.int32
         )
         zz_grids.append(quant.reshape(nby, nbx, 64)[:, :, _ZIGZAG])
+    return zz_grids, ql, qc, sh, sv
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 75,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode an (H, W, 3) uint8 RGB array as a baseline JPEG.
+
+    ``subsampling`` is ``"4:4:4"`` (default; exact round-trip for
+    constant even-gray images), ``"4:2:0"`` (2×2 box-mean chroma, the
+    common camera layout), or ``"4:2:2"`` (horizontal-only 2×1, the
+    common video layout).  ``restart_interval`` > 0 emits DRI + RSTn
+    markers every that many MCUs — the layout long scans use so a
+    corrupt byte only loses one restart segment.
+    """
+    zz_grids, ql, qc, sh, sv = _quantized_grids(arr, quality, subsampling)
+    h, w = arr.shape[:2]
+    mcu_h, mcu_w = 8 * sv, 8 * sh
 
     dc_l = _build_codes(*_DC_LUMA_SPEC)
     dc_c = _build_codes(*_DC_CHROMA_SPEC)
     ac_codes = _build_codes(*_AC_SPEC)
 
-    mcus_y = planes[0].shape[0] // mcu_h
-    mcus_x = planes[0].shape[1] // mcu_w
+    mcus_y = zz_grids[0].shape[0] // sv
+    mcus_x = zz_grids[0].shape[1] // sh
     scan = bytearray()
     writer = _BitWriter()
     pred = [0, 0, 0]
@@ -505,10 +516,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, sampling >> 4, sampling & 0xF, tq))
             frame = (fh, fw, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
+        elif marker == 0xC2:  # SOF2: progressive — dedicated decoder
+            from . import rawjpeg_progressive  # noqa: PLC0415
+
+            return rawjpeg_progressive.decode_progressive(payload)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA):
             raise ValueError(
                 f"unsupported JPEG process (SOF{marker & 0xF}); "
-                "only baseline sequential (SOF0) is implemented"
+                "baseline sequential (SOF0) and progressive (SOF2) "
+                "are implemented"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")

@@ -1282,6 +1282,102 @@ def q_multimodal_jpeg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_jpeg_progressive",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST((2*(doc_id % 113)) // 32 AS BIGINT) AS luma_bucket,
+       CAST(2*(doc_id % 113) AS BIGINT) AS mean_pixel,
+       CAST(24 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       TRUE AS is_sof2
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "image", "jpeg", "progressive", "pandas-udf"),
+)
+def q_multimodal_jpeg_progressive(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL progressive (SOF2) JPEG decode, oracle-checked exactly.
+
+    The progressive twin of `q_multimodal_jpeg`: the same 24×16
+    constant even-gray images, now encoded with the multi-scan
+    progressive codec (:mod:`..operators.rawjpeg_progressive`) —
+    spectral-selection-only for even doc_ids, full successive
+    approximation (DC+AC refinement scans) for odd ones, 4:4:4/4:2:0
+    alternating on ``doc_id % 4``.  Progressive transmits the same
+    quantized coefficients as baseline, so the even-gray bit-exact
+    round-trip carries over and the oracle states mean pixel, one-hot
+    luma bucket, and decoded dimensions in the same closed form —
+    value-verifying DC/AC first+refinement scans, EOB-run coding, and
+    correction-bit ordering end to end, through the shared Spark
+    kernels.  ``is_sof2`` pins that the fixture really is progressive.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawjpeg_progressive as rp
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                k = 2 * (int(did) % 113)
+                img = np.full((16, 24, 3), k, dtype=np.uint8)
+                payloads.append(
+                    rp.encode_jpeg_progressive(
+                        img,
+                        quality=50,
+                        subsampling="4:4:4" if int(did) % 4 < 2 else "4:2:0",
+                        successive=int(did) % 2 == 1,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "img": payloads})
+
+    imgs = d.mapInPandas(make, "doc_id long, img binary")
+    media = multimodal.with_media_columns(imgs, "img", "image/jpeg", "doc_id")
+    feats = multimodal.extract_features(media, fake=False).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.array_position(F.col("features"), 1.0) - 1)
+        .cast("long")
+        .alias("luma_bucket"),
+    )
+
+    def stats(batches):
+        import pandas as pd
+
+        from ..operators import rawimage
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [],
+                "mean_pixel": [],
+                "width": [],
+                "height": [],
+                "is_sof2": [],
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                arr = rawimage.decode_image(b)
+                rows["doc_id"].append(int(did))
+                rows["mean_pixel"].append(int(round(float(arr.mean()))))
+                rows["width"].append(arr.shape[1])
+                rows["height"].append(arr.shape[0])
+                rows["is_sof2"].append(b"\xff\xc2" in b)
+            yield pd.DataFrame(rows)
+
+    decoded = media.mapInPandas(
+        stats,
+        "doc_id long, mean_pixel long, width long, height long, "
+        "is_sof2 boolean",
+    )
+    return feats.join(decoded, "doc_id")
+
+
+@register(
     "q_multimodal_frames",
     oracle="""
 WITH f AS (
