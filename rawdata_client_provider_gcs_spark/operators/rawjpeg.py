@@ -10,9 +10,10 @@ numpy and implements the baseline sequential DCT process end to end:
   peek tables LRU-cached by DHT bytes; byte de-stuffing, restart
   markers), coefficient scatter + dequantize + batched inverse DCT as
   stacked BLAS matmuls, chroma upsampling for 2×1/1×2/2×2 sampling
-  factors, YCbCr→RGB.  Progressive (SOF2), arithmetic coding, and
-  12-bit precision raise ``ValueError`` — a loud error beats a silent
-  misdecode.  ~6 MB/s of decoded pixels per core in pure Python
+  factors, YCbCr→RGB.  Progressive (SOF2) streams route to the
+  dedicated multi-scan decoder (``rawjpeg_progressive``, round 6);
+  arithmetic coding and 12-bit precision raise ``ValueError`` — a loud
+  error beats a silent misdecode.  ~6 MB/s of decoded pixels per core in pure Python
   (tools/codec_bench.py); the multimodal kernels run one core per Arrow
   batch, so a 32-core executor decodes ~180 MB/s.
 - ``encode_jpeg``: 4:4:4 baseline with the Annex-K-style quantization

@@ -226,6 +226,13 @@ def _decode_scan(
     """Apply one entropy-coded scan to the coefficient state."""
     hmax, vmax, mcus_x, mcus_y = mcu_geom
     comps = frame[2]
+    if ss == 0 and se != 0:
+        # a baseline-style 0-63 scan under an SOF2 header (e.g. a
+        # stream with a rewritten frame marker) — refuse loudly rather
+        # than silently decoding only the DC band
+        raise ValueError(
+            "malformed progressive scan: Ss=0 requires Se=0 (DC scan)"
+        )
 
     # block traversal: interleaved DC scans walk MCUs; single-component
     # scans walk the component's TRUE block grid in raster order

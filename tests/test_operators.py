@@ -986,19 +986,28 @@ def test_jpeg_decode_handcrafted_single_block():
     assert np.array_equal(out, np.full((8, 8, 3), 129, dtype=np.uint8))
 
 
-def test_jpeg_rejects_progressive():
-    """Progressive (SOF2) streams raise loudly instead of misdecoding."""
+def test_jpeg_sof2_routing_and_malformed_scan_rejection():
+    """Real progressive (SOF2) streams decode via the progressive
+    module (round 6); a baseline stream with a REWRITTEN SOF2 marker —
+    whose single 0-63 scan is illegal under a progressive header —
+    still raises loudly instead of silently decoding only the DC band."""
     import numpy as np
     import pytest as _pytest
 
     from rawdata_client_provider_gcs_spark.operators import rawjpeg
+    from rawdata_client_provider_gcs_spark.operators import (
+        rawjpeg_progressive as prog,
+    )
 
-    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    out = rawjpeg.decode_jpeg(prog.encode_jpeg_progressive(img, 50))
+    assert np.array_equal(out, img)
+
     enc = bytearray(rawjpeg.encode_jpeg(img))
     sof = enc.find(b"\xff\xc0")
     assert sof > 0
     enc[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2
-    with _pytest.raises(ValueError, match="SOF2"):
+    with _pytest.raises(ValueError, match="Ss=0 requires Se=0"):
         rawjpeg.decode_jpeg(bytes(enc))
 
 
