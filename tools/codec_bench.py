@@ -65,6 +65,36 @@ def main() -> None:
         raw_mb / _timeit(lambda: rawjpeg.decode_jpeg(jpg), 3), 1
     )
 
+    from rawdata_client_provider_gcs_spark.operators import (
+        rawavi,
+        rawjpeg_progressive,
+    )
+
+    pjpg = rawjpeg_progressive.encode_jpeg_progressive(img, quality=85)
+    out["jpeg_progressive_encode_mb_s"] = round(
+        raw_mb
+        / _timeit(
+            lambda: rawjpeg_progressive.encode_jpeg_progressive(
+                img, quality=85
+            ),
+            3,
+        ),
+        1,
+    )
+    out["jpeg_progressive_decode_mb_s"] = round(
+        raw_mb / _timeit(lambda: rawjpeg.decode_jpeg(pjpg), 3), 1
+    )
+
+    frames = [img[:128, :128], img[128:256, :128], img[:128, 128:256]]
+    avi = rawavi.encode_avi(frames, fps=10)
+    avi_mb = sum(f.nbytes for f in frames) / 1e6
+    out["avi_encode_mb_s"] = round(
+        avi_mb / _timeit(lambda: rawavi.encode_avi(frames, fps=10), 3), 1
+    )
+    out["avi_decode_mb_s"] = round(
+        avi_mb / _timeit(lambda: rawavi.decode_avi(avi), 3), 1
+    )
+
     pal = (img // 32 * 32).astype(np.uint8)  # <=256 colors
     gif = rawgif.encode_gif(pal, 100)
     out["gif_encode_mb_s"] = round(
