@@ -348,6 +348,114 @@ def ivf_cell_report(
     )
 
 
+def _cent_broadcast(cent_rows, spark):
+    return F.broadcast(
+        spark.createDataFrame(
+            [(int(r["cid"]), list(r["cvec"])) for r in cent_rows],
+            "cid long, cvec array<double>",
+        )
+    )
+
+
+def _assign_cells(
+    embeddings: DataFrame, cent_rows, id_col: str, vec_col: str
+) -> DataFrame:
+    """(neighbor_id, cand_vec, cid): each corpus vector's nearest cell.
+
+    Map-side inlined-literal argmax under the codegen bound
+    (``_MAPSIDE_CENTROID_CELLS``) — zero shuffle; above it (the huge-
+    nlist regime the MATERIALIZED index targets), a broadcast cross
+    join with a combinable ``max(struct)`` argmax where the vector
+    rides as agg payload, never as a grouping key.  Shared by
+    ``ivf_ann_topk``, ``build_ivf_index`` and ``append_to_ivf_index``.
+    """
+    if sum(len(r["cvec"]) for r in cent_rows) <= _MAPSIDE_CENTROID_CELLS:
+        cent_arr = _centroid_literal(cent_rows)
+        return embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cand_vec"),
+            _constraint_opaque(
+                -F.array_max(_centroid_scores(cent_arr, vec_col))["neg_cid"]
+            ).alias("cid"),
+        )
+    cent = _cent_broadcast(cent_rows, embeddings.sparkSession)
+    return (
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cand_vec"),
+        )
+        .crossJoin(cent)
+        .withColumn(
+            "a_cos", cosine_similarity(F.col("cand_vec"), F.col("cvec"))
+        )
+        .groupBy("neighbor_id")
+        .agg(
+            F.first("cand_vec").alias("cand_vec"),
+            F.max(
+                F.struct(F.col("a_cos"), (-F.col("cid")).alias("neg_cid"))
+            ).alias("best"),
+        )
+        .select(
+            "neighbor_id", "cand_vec", (-F.col("best.neg_cid")).alias("cid")
+        )
+    )
+
+
+def _probe_cells(
+    queries: DataFrame, cent_rows, id_col: str, vec_col: str, nprobe: int
+) -> DataFrame:
+    """(query_id, query_vec, cid) — each query's ``nprobe`` nearest cells.
+
+    Extracts the cid INSIDE the array before exploding: exploding the
+    struct array and reading ``p.neg_cid`` afterwards trips Spark's
+    generator nested-column aliasing on this lambda-heavy expression
+    (executor-side INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND binding failure,
+    seen on multi-file corpora) — and an array<bigint> explode is
+    cheaper anyway.  Above the literal bound, a broadcast cross join +
+    window rank over the (small by contract) query side.
+    """
+    if sum(len(r["cvec"]) for r in cent_rows) <= _MAPSIDE_CENTROID_CELLS:
+        cent_arr = _centroid_literal(cent_rows)
+        return (
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("query_vec"),
+                F.transform(
+                    F.slice(
+                        F.sort_array(
+                            _centroid_scores(cent_arr, vec_col), asc=False
+                        ),
+                        1,
+                        nprobe,
+                    ),
+                    lambda s: -s["neg_cid"],
+                ).alias("probe_cids"),
+            )
+            .select(
+                "query_id",
+                "query_vec",
+                F.explode(F.col("probe_cids")).alias("cid"),
+            )
+        )
+    cent = _cent_broadcast(cent_rows, queries.sparkSession)
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("p_cos").desc(), F.col("cid").asc()
+    )
+    return (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("query_vec"),
+        )
+        .crossJoin(cent)
+        .withColumn(
+            "p_cos", cosine_similarity(F.col("query_vec"), F.col("cvec"))
+        )
+        .withColumn("p_rank", F.row_number().over(probe_w))
+        .filter(F.col("p_rank") <= nprobe)
+        .select("query_id", "query_vec", "cid")
+    )
+
+
 def ivf_ann_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -397,81 +505,8 @@ def ivf_ann_topk(
     cent_rows = sorted(
         centroids.select("cid", "cvec").collect(), key=lambda r: r["cid"]
     )
-    cent_arr = _centroid_literal(cent_rows)
-
-    def _scored_arr(vec_col_name: str) -> F.Column:
-        return _centroid_scores(cent_arr, vec_col_name)
-
-    mapside = sum(len(r["cvec"]) for r in cent_rows) <= _MAPSIDE_CENTROID_CELLS
-
-    if mapside:
-        assigned = embeddings.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("cand_vec"),
-            _constraint_opaque(
-                -F.array_max(_scored_arr(vec_col))["neg_cid"]
-            ).alias("cid"),
-        )
-        # extract the cid INSIDE the array before exploding: exploding
-        # the struct array and reading ``p.neg_cid`` afterwards trips
-        # Spark's generator nested-column aliasing on this lambda-heavy
-        # expression (executor-side INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND
-        # binding failure, seen on multi-file corpora) — and an
-        # array<bigint> explode is cheaper anyway
-        probes = (
-            queries.select(
-                F.col(id_col).alias("query_id"),
-                F.col(vec_col).alias("query_vec"),
-                F.transform(
-                    F.slice(
-                        F.sort_array(_scored_arr(vec_col), asc=False),
-                        1,
-                        nprobe,
-                    ),
-                    lambda s: -s["neg_cid"],
-                ).alias("probe_cids"),
-            )
-            .select(
-                "query_id",
-                "query_vec",
-                F.explode(F.col("probe_cids")).alias("cid"),
-            )
-        )
-    else:
-        cent = F.broadcast(
-            centroids.sparkSession.createDataFrame(
-                [(int(r["cid"]), list(r["cvec"])) for r in cent_rows],
-                "cid long, cvec array<double>",
-            )
-        )
-        assigned = (
-            embeddings.select(
-                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
-            )
-            .crossJoin(cent)
-            .withColumn("a_cos", cosine_similarity(F.col("cand_vec"), F.col("cvec")))
-            .groupBy("neighbor_id")
-            .agg(
-                F.first("cand_vec").alias("cand_vec"),
-                F.max(
-                    F.struct(F.col("a_cos"), (-F.col("cid")).alias("neg_cid"))
-                ).alias("best"),
-            )
-            .select("neighbor_id", "cand_vec", (-F.col("best.neg_cid")).alias("cid"))
-        )
-        probe_w = Window.partitionBy("query_id").orderBy(
-            F.col("p_cos").desc(), F.col("cid").asc()
-        )
-        probes = (
-            queries.select(
-                F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
-            )
-            .crossJoin(cent)
-            .withColumn("p_cos", cosine_similarity(F.col("query_vec"), F.col("cvec")))
-            .withColumn("p_rank", F.row_number().over(probe_w))
-            .filter(F.col("p_rank") <= nprobe)
-            .select("query_id", "query_vec", "cid")
-        )
+    assigned = _assign_cells(embeddings, cent_rows, id_col, vec_col)
+    probes = _probe_cells(queries, cent_rows, id_col, vec_col, nprobe)
 
     scored = (
         assigned.join(F.broadcast(probes), "cid")
@@ -909,14 +944,7 @@ def build_ivf_index(
     cent_rows = sorted(
         centroids.select("cid", "cvec").collect(), key=lambda r: r["cid"]
     )
-    cent_arr = _centroid_literal(cent_rows)
-    assigned = embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cand_vec"),
-        _constraint_opaque(
-            -F.array_max(_centroid_scores(cent_arr, vec_col))["neg_cid"]
-        ).alias("cid"),
-    )
+    assigned = _assign_cells(embeddings, cent_rows, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
     spark = embeddings.sparkSession
     spark.createDataFrame(
@@ -947,14 +975,7 @@ def append_to_ivf_index(
         spark.read.parquet(f"{path}/_centroids").collect(),
         key=lambda r: r["cid"],
     )
-    cent_arr = _centroid_literal(cent_rows)
-    assigned = new_embeddings.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cand_vec"),
-        _constraint_opaque(
-            -F.array_max(_centroid_scores(cent_arr, vec_col))["neg_cid"]
-        ).alias("cid"),
-    )
+    assigned = _assign_cells(new_embeddings, cent_rows, id_col, vec_col)
     assigned.write.mode("append").partitionBy("cid").parquet(path)
 
 
@@ -983,28 +1004,7 @@ def ivf_query_index(
         spark.read.parquet(f"{path}/_centroids").collect(),
         key=lambda r: r["cid"],
     )
-    cent_arr = _centroid_literal(cent_rows)
-    probes = (
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("query_vec"),
-            F.transform(
-                F.slice(
-                    F.sort_array(
-                        _centroid_scores(cent_arr, vec_col), asc=False
-                    ),
-                    1,
-                    nprobe,
-                ),
-                lambda s: -s["neg_cid"],
-            ).alias("probe_cids"),
-        )
-        .select(
-            "query_id",
-            "query_vec",
-            F.explode(F.col("probe_cids")).alias("cid"),
-        )
-    )
+    probes = _probe_cells(queries, cent_rows, id_col, vec_col, nprobe)
     # the query side is broadcast-small by the ANN contract, so its
     # distinct probed cells (<= nlist longs) collect for free — and a
     # literal IN beats dynamic pruning: the partition filter is visible

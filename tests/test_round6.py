@@ -398,3 +398,41 @@ def test_ivf_index_append_equals_full_rebuild(spark, tmp_path, sf_smoke_dir):
     b = sorted(map(tuple, S.ivf_query_index(spark, full, q, k=5).collect()))
     assert a == b
     assert len(a) == 6 * 5
+
+
+def test_ivf_index_large_nlist_fallback_paths(spark, tmp_path):
+    """Above the inlined-literal codegen bound (nlist*dim > 16384 — the
+    regime the materialized index targets, nlist ~ sqrt(N)), assignment
+    and probing fall back to broadcast-cross + combinable argmax; index
+    query results still match the inline operator exactly."""
+    from pyspark.sql import functions as F
+
+    from rawdata_client_provider_gcs_spark.operators import similarity as S
+
+    corpus = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                F.pmod(F.xxhash64(F.col("id"), j), F.lit(997)) / 997.0 - 0.5
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    q = corpus.filter(F.col("vec_id") < 5)
+    nlist = 280  # 280 * 64 = 17920 > _MAPSIDE_CENTROID_CELLS
+    assert nlist * 64 > S._MAPSIDE_CENTROID_CELLS
+
+    idx = str(tmp_path / "big-nlist")
+    S.build_ivf_index(corpus, idx, nlist=nlist)
+    got = sorted(
+        map(tuple, S.ivf_query_index(spark, idx, q, k=3, nprobe=4).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            S.ivf_ann_topk(corpus, q, k=3, nlist=nlist, nprobe=4).collect(),
+        )
+    )
+    assert [t[:2] + (t[3],) for t in got] == [t[:2] + (t[3],) for t in want]
+    for a, b in zip(got, want):
+        assert abs(a[2] - b[2]) < 1e-9
