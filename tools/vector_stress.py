@@ -191,6 +191,29 @@ def main() -> int:
         }
         cents.unpersist()
 
+    # materialized inverted lists: build once, probe many (SCALE.md
+    # rule 3) — wall for the one-time build plus two probe batches
+    for nlist in (16, 64):
+        idx = os.path.join(out_dir, f"ivf-index-{nlist}")
+        t0 = time.perf_counter()
+        S.build_ivf_index(corpus, idx, nlist=nlist)
+        build_s = round(time.perf_counter() - t0, 2)
+        rows, probe1 = timed_collect(
+            S.ivf_query_index(spark, idx, queries, k=args.k, nprobe=4)
+        )
+        _, probe2 = timed_collect(
+            S.ivf_query_index(spark, idx, queries, k=args.k, nprobe=4)
+        )
+        report.setdefault("indexed", []).append(
+            {
+                "nlist": nlist,
+                "build_s": build_s,
+                "probe_s": min(probe1, probe2),
+                "recall": recall_at_k(rows, exact_rows),
+            }
+        )
+        print(f"indexed {report['indexed'][-1]}", file=sys.stderr)
+
     # IVF-PQ tier at the sweep's best mid config
     pq_rows, pq_s = timed_collect(
         S.ivf_pq_topk(
