@@ -37,10 +37,20 @@ def _valid_payloads() -> dict[str, tuple[bytes, str]]:
     # GIF needs a <=256-color global palette across frames
     paletted = (rgb // 32) * 32
     samples = np.sin(np.linspace(0, 40 * np.pi, 1600)).astype(np.float32)
+    from rawdata_client_provider_gcs_spark.operators import (
+        rawjpeg_progressive,
+    )
+
     return {
         "ppm": (rawimage.encode_ppm(rgb), "image/x-portable-pixmap"),
         "png": (rawimage.encode_png(rgb), "image/png"),
         "jpeg": (rawjpeg.encode_jpeg(rgb), "image/jpeg"),
+        "jpeg_progressive": (
+            rawjpeg_progressive.encode_jpeg_progressive(
+                rgb, successive=True
+            ),
+            "image/jpeg",
+        ),
         "gif": (
             rawgif.encode_gif(
                 [paletted, paletted[:, ::-1]], delays_ms=[100, 100]
