@@ -1039,6 +1039,37 @@ def ivf_query_index(
     )
 
 
+def ivf_index_report(spark, path: str) -> DataFrame:
+    """Cell health from a materialized index — no re-assignment pass.
+
+    :func:`ivf_cell_report` re-runs the argmax assignment over the
+    corpus (O(nlist·dim) per row); with the lists already materialized
+    the cid is a stored column, so the report is one broadcast
+    equi-join (each vector against only ITS OWN centroid) plus a
+    combinable group-by — the cheap periodic health check that decides
+    when :func:`append_to_ivf_index` drift warrants a rebuild.
+    """
+    lists = spark.read.parquet(path)
+    cent = F.broadcast(
+        spark.read.parquet(f"{path}/_centroids").select(
+            F.col("cid"), F.col("cvec")
+        )
+    )
+    return (
+        lists.join(cent, "cid")
+        .withColumn(
+            "cos_to_centroid",
+            cosine_similarity(F.col("cand_vec"), F.col("cvec")),
+        )
+        .groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.min("cos_to_centroid").alias("min_cos"),
+            F.max("cos_to_centroid").alias("max_cos"),
+        )
+    )
+
+
 def serialize_vector_index(centroids, codebooks=None) -> bytes:
     """Pack a trained quantizer (IVF centroids, optional PQ codebooks)
     into one self-describing npz blob for the topic metadata KV.

@@ -436,3 +436,24 @@ def test_ivf_index_large_nlist_fallback_paths(spark, tmp_path):
     assert [t[:2] + (t[3],) for t in got] == [t[:2] + (t[3],) for t in want]
     for a, b in zip(got, want):
         assert abs(a[2] - b[2]) < 1e-9
+
+
+def test_ivf_index_report_matches_cell_report(spark, tmp_path, sf_smoke_dir):
+    """The materialized-index health report (stored-cid equi-join)
+    equals the recompute-based ivf_cell_report for the same
+    corpus/quantizer."""
+    from rawdata_client_provider_gcs_spark.operators import similarity as S
+    from rawdata_client_provider_gcs_spark.tables import load_table
+
+    e = load_table(spark, sf_smoke_dir, "embeddings")
+    idx = str(tmp_path / "report-idx")
+    S.build_ivf_index(e, idx, nlist=8)
+    got = {
+        r["cid"]: (r["n_vectors"], round(r["min_cos"], 9), round(r["max_cos"], 9))
+        for r in S.ivf_index_report(spark, idx).collect()
+    }
+    want = {
+        r["cid"]: (r["n_vectors"], round(r["min_cos"], 9), round(r["max_cos"], 9))
+        for r in S.ivf_cell_report(e, nlist=8).collect()
+    }
+    assert got == want
