@@ -457,3 +457,47 @@ def test_ivf_index_report_matches_cell_report(spark, tmp_path, sf_smoke_dir):
         for r in S.ivf_cell_report(e, nlist=8).collect()
     }
     assert got == want
+
+
+# -- concurrent producers on one topic -------------------------------------
+
+
+def test_two_producers_interleaved_one_topic(spark, tmp_path):
+    """Two producer handles publishing distinct messages into the same
+    topic, with interleaved flush windows: every message survives, the
+    ordered scan sees the union, and the logical-twin convergence in
+    the commit protocol does not eat either side (their manifest facts
+    differ by first position).  Same-millisecond flushes from both
+    producers are the adversarial part."""
+    from rawdata_client_provider_gcs_spark import RawdataClient, RawdataMessage
+
+    client_a = RawdataClient(spark, str(tmp_path))
+    client_b = RawdataClient(spark, str(tmp_path))
+    pa = client_a.producer("t")
+    pb = client_b.producer("t")
+    for i in range(3):
+        for j in range(4):
+            pa.publish(RawdataMessage(position=f"a-{i}-{j}", data={}))
+            pb.publish(RawdataMessage(position=f"b-{i}-{j}", data={}))
+        pa.flush()
+        pb.flush()
+    pa.close()
+    pb.close()
+
+    topic = client_a.topic("t")
+    assert len(topic.list_manifest()) == 6  # 3 windows x 2 producers
+    rows = topic.ordered_dataframe().select("position").collect()
+    got = [r["position"] for r in rows]
+    assert len(got) == 24 and len(set(got)) == 24
+    assert {p.split("-")[0] for p in got} == {"a", "b"}
+    # ULID global order holds across producers within each reader
+    consumer = client_a.consumer("t")
+    seen = []
+    while True:
+        m = consumer.receive(0)
+        if m is None:
+            break
+        seen.append(m.ulid)
+    assert seen == sorted(seen)
+    client_a.close()
+    client_b.close()
