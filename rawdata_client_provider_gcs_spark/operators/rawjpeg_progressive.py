@@ -414,6 +414,23 @@ class _ScanWriter:
         self.br = []
 
 
+def _with_restarts(encode_fn, units, restart_interval: int) -> bytes:
+    """Split a scan into restart segments: ``encode_fn(unit_slice)``
+    per segment (each call starts with fresh predictors/EOB state, which
+    is exactly the restart contract), joined with cycling RSTn markers.
+    ``units`` are MCUs for interleaved DC scans, blocks otherwise."""
+    if not restart_interval:
+        return encode_fn(units)
+    out = bytearray()
+    rst = 0
+    for i in range(0, len(units), restart_interval):
+        if i:
+            out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) & 7
+        out += encode_fn(units[i : i + restart_interval])
+    return bytes(out)
+
+
 def _encode_dc_scan(zz_grids, scan_order, dc_codes, ah, al) -> bytes:
     w = _BitWriter()
     pred: dict[int, int] = {}
@@ -528,6 +545,7 @@ def encode_jpeg_progressive(
     quality: int = 75,
     subsampling: str = "4:4:4",
     successive: bool = True,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode an (H, W, 3) uint8 RGB array as a progressive (SOF2) JPEG.
 
@@ -537,7 +555,10 @@ def encode_jpeg_progressive(
     refinement pass to ``Al=0`` when ``successive``, else a single
     full-precision pass (spectral selection only).  The quantized
     coefficients are identical to the baseline encoder's, so decoding
-    either stream yields identical pixels.
+    either stream yields identical pixels.  ``restart_interval`` > 0
+    emits DRI + RSTn every that many MCUs (interleaved DC scans) or
+    blocks (non-interleaved AC scans), resetting predictors/EOB state
+    per segment — the corruption-isolation layout long scans use.
     """
     zz_grids, ql, qc, sh, sv = _quantized_grids(arr, quality, subsampling)
     h, w = arr.shape[:2]
@@ -552,13 +573,15 @@ def encode_jpeg_progressive(
     ac_codes = _build_codes(*_AC_SPEC)
 
     samp = [(sh, sv), (1, 1), (1, 1)]
-    dc_order = []
+    dc_mcus = []  # one unit per MCU (the restart granularity)
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            mcu = []
             for ci, (chs, cvs) in enumerate(samp):
                 for v in range(cvs):
                     for hh in range(chs):
-                        dc_order.append((ci, my * cvs + v, mx * chs + hh))
+                        mcu.append((ci, my * cvs + v, mx * chs + hh))
+            dc_mcus.append(mcu)
     # non-interleaved AC scans traverse the component's TRUE block grid
     # (ceil of its own dimensions), not the MCU-padded grid the
     # interleaved DC scan covers — the decoder walks exactly these
@@ -605,13 +628,25 @@ def encode_jpeg_progressive(
         + dht(1, 1, _AC_SPEC),
     )
 
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+
+    def dc_scan(ah, al):
+        return _with_restarts(
+            lambda mcus: _encode_dc_scan(
+                zz_grids, [b for m in mcus for b in m], dc_codes, ah, al
+            ),
+            dc_mcus,
+            restart_interval,
+        )
+
     dc_al = 1 if successive else 0
     all_comps = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
     out += sos(all_comps, 0, 0, 0, dc_al)
-    out += _encode_dc_scan(zz_grids, dc_order, dc_codes, 0, dc_al)
+    out += dc_scan(0, dc_al)
     if successive:
         out += sos(all_comps, 0, 0, 1, 0)
-        out += _encode_dc_scan(zz_grids, dc_order, dc_codes, 1, 0)
+        out += dc_scan(1, 0)
 
     bands = [(1, 5), (6, 63)]
     comp_specs = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
@@ -619,15 +654,23 @@ def encode_jpeg_progressive(
     for ci in range(3):
         for ss, se in bands:
             out += sos([comp_specs[ci]], ss, se, 0, ac_al)
-            out += _encode_ac_first(
-                zz_grids[ci], comp_orders[ci], ac_codes, ss, se, ac_al
+            out += _with_restarts(
+                lambda blocks, g=zz_grids[ci], a=ss, b=se: _encode_ac_first(
+                    g, blocks, ac_codes, a, b, ac_al
+                ),
+                comp_orders[ci],
+                restart_interval,
             )
     if successive:
         for ci in range(3):
             for ss, se in bands:
                 out += sos([comp_specs[ci]], ss, se, 1, 0)
-                out += _encode_ac_refine(
-                    zz_grids[ci], comp_orders[ci], ac_codes, ss, se, 1, 0
+                out += _with_restarts(
+                    lambda blocks, g=zz_grids[ci], a=ss, b=se: (
+                        _encode_ac_refine(g, blocks, ac_codes, a, b, 1, 0)
+                    ),
+                    comp_orders[ci],
+                    restart_interval,
                 )
     out += b"\xff\xd9"
     return bytes(out)

@@ -141,3 +141,23 @@ def test_progressive_matches_pillow_when_available():
     ours = rawjpeg.decode_jpeg(payload)
     # same stream, two decoders: IDCT rounding may differ by 1 LSB
     assert np.abs(theirs.astype(int) - ours.astype(int)).max() <= 1
+
+
+@pytest.mark.parametrize("restart_interval", [1, 2, 5])
+def test_progressive_restart_intervals(restart_interval):
+    """RSTn segmentation in every scan type (interleaved DC by MCU,
+    non-interleaved AC first/refine by block): predictors and EOB runs
+    reset per segment on both sides, pixels stay baseline-identical."""
+    img = _rand((33, 31), seed=21)
+    for subsampling in ("4:4:4", "4:2:0"):
+        base = rawjpeg.decode_jpeg(rawjpeg.encode_jpeg(img, 75, subsampling))
+        for successive in (False, True):
+            p = prog.encode_jpeg_progressive(
+                img,
+                75,
+                subsampling,
+                successive=successive,
+                restart_interval=restart_interval,
+            )
+            assert b"\xff\xdd" in p[:700]  # DRI present
+            assert np.array_equal(base, rawjpeg.decode_jpeg(p))
