@@ -547,3 +547,46 @@ def q_curation_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("pad_waste"),
     )
+
+
+@register(
+    "q_curation_seen_filter",
+    oracle="""
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_prior,
+       CAST(COUNT(*) AS BIGINT) AS n_prior_seen
+FROM documents WHERE doc_id % 3 = 0
+GROUP BY source
+""",
+    tags=("curation", "dedup", "incremental"),
+)
+def q_curation_seen_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental cross-run dedup via the persistent seen-before
+    filter (``operators/seenfilter.py``): a prior training corpus
+    (every third document) is distilled into a Bloom filter, the FULL
+    table is marked against it, and the oracle pins the filter's hard
+    guarantee — **zero false negatives**: every prior document must
+    come back ``seen_before``, so per source ``n_prior_seen`` equals
+    ``n_prior`` exactly.  (The false-positive side is probabilistic by
+    design and covered by the FPR-bound pytest, like the other sketch
+    tiers.)  This is the "never re-train on what you already trained
+    on" gate a growing 100 TB corpus runs on every increment, with the
+    filter stored beside the topic in the S15 metadata KV."""
+    from ..operators import seenfilter
+
+    d = load_table(spark, sf, "documents")
+    prior = d.filter(F.col("doc_id") % 3 == 0)
+    blob = seenfilter.build_seen_filter(
+        prior.select("text"), "text", expected_items=10_000, fpp=0.01
+    )
+    marked = seenfilter.mark_seen(d, "text", blob)
+    return (
+        marked.filter(F.col("doc_id") % 3 == 0)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_prior"),
+            F.sum(F.col("seen_before").cast("long"))
+            .cast("long")
+            .alias("n_prior_seen"),
+        )
+    )
