@@ -359,6 +359,22 @@ def sample_frames(
 
         import pandas as pd
 
+        def fake_frames(payload: bytes):
+            duration_ms = max(1, len(payload) * 1000 // 65536)
+            out = []
+            for i in range(min(duration_ms // every_ms + 1, max_frames)):
+                ms = i * every_ms
+                out.append(
+                    (
+                        i,
+                        ms,
+                        hashlib.blake2b(
+                            payload + ms.to_bytes(8, "big"), digest_size=16
+                        ).digest(),
+                    )
+                )
+            return out
+
         def frames(payload: bytes, mime: str):
             if mime.startswith("audio/") and rawaudio.sniff_wav(payload):
                 return rawaudio.segment_wav(payload, every_ms, max_frames)
@@ -385,13 +401,22 @@ def sample_frames(
                 if rawavi.sniff_avi(payload):
                     # REAL video container path: uncompressed RIFF/AVI
                     # (raw BI_RGB frames), frames sampled on the
-                    # every_ms grid from the container's native timing
-                    return [
-                        (i, ms, rawimage.encode_ppm(arr))
-                        for i, ms, arr in rawavi.sample_avi_frames(
-                            payload, every_ms, max_frames
-                        )
-                    ]
+                    # every_ms grid from the container's native timing.
+                    # A recognized-but-compressed codec raises
+                    # NotImplementedError (missing-codec config, loud);
+                    # with fake=True it falls through to the stub below
+                    # like any other undecodable video mime.
+                    try:
+                        return [
+                            (i, ms, rawimage.encode_ppm(arr))
+                            for i, ms, arr in rawavi.sample_avi_frames(
+                                payload, every_ms, max_frames
+                            )
+                        ]
+                    except NotImplementedError:
+                        if not fake:
+                            raise
+                        return fake_frames(payload)
             if mime in DECODABLE_AUDIO_MIMES or mime in (
                 "image/gif",
                 "video/avi",
@@ -406,20 +431,7 @@ def sample_frames(
                     f"frame sampling for mime={mime} requires av/ffmpeg; "
                     "pass fake=True for the deterministic stub"
                 )
-            duration_ms = max(1, len(payload) * 1000 // 65536)
-            out = []
-            for i in range(min(duration_ms // every_ms + 1, max_frames)):
-                ms = i * every_ms
-                out.append(
-                    (
-                        i,
-                        ms,
-                        hashlib.blake2b(
-                            payload + ms.to_bytes(8, "big"), digest_size=16
-                        ).digest(),
-                    )
-                )
-            return out
+            return fake_frames(payload)
 
         for pdf in batches:
             rows = {

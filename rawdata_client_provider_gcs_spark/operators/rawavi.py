@@ -8,10 +8,11 @@ independent bitmaps — byte-identical row layout to the 24-bit BMP
 raster the image codec already decodes (bottom-up, BGR, rows padded to
 4 bytes).  So an uncompressed AVI decodes here with zero new
 compression machinery, which makes it the honest first rung of the
-"video containers" boundary: compressed codecs (H.264 etc.) still
-raise the documented loud ``NotImplementedError`` via the multimodal
-kernels' mime gate, but the CONTAINER path — parse, frame timing,
-frame extraction — is real and round-trippable.
+"video containers" boundary: a recognized-but-compressed codec
+(H.264, MJPG, ...) raises the documented loud ``NotImplementedError``
+directly from :func:`decode_avi` (missing-codec configuration, never
+downgraded to per-row data corruption), but the CONTAINER path —
+parse, frame timing, frame extraction — is real and round-trippable.
 
 Format notes (public AVI/RIFF spec, msdn AVIMAINHEADER et al.):
 
@@ -73,9 +74,18 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
     """Decode an uncompressed AVI to ``(frames, fps)``.
 
     Each frame is an (H, W, 3) uint8 RGB array.  Only BI_RGB 24-bit
-    video streams are supported — a compressed stream raises
-    ``ValueError`` naming the fourcc, which the multimodal kernels'
-    ``_catch_row`` surfaces as a per-row error.
+    video streams are supported.  The error split mirrors the
+    documented multimodal boundary (``multimodal._catch_row``): a
+    RECOGNIZED-but-compressed video codec (H.264, MJPG, ...) raises
+    ``NotImplementedError`` — a missing-codec configuration signal that
+    propagates loudly — while genuinely malformed containers raise
+    ``ValueError``, which lands in the per-row ``error`` column.
+
+    Each ``strf`` is attributed to the stream type declared by the
+    preceding ``strh`` (``fccType``), so an AVI whose ``auds`` strl
+    precedes the ``vids`` strl has its WAVEFORMATEX skipped rather than
+    misparsed as a BITMAPINFOHEADER, and the vids stream's compression
+    is always checked regardless of stream order.
     """
     if not sniff_avi(payload):
         raise ValueError("payload is not a RIFF/AVI container")
@@ -83,12 +93,16 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
     rate = scale = None
     usec_per_frame = None
     compression = None
+    cur_fcc = None  # fccType of the most recent strh, scoped per strl
     frames: list[np.ndarray] = []
 
     def walk(off: int, end: int) -> None:
         nonlocal width, height, rate, scale, usec_per_frame, compression
+        nonlocal cur_fcc
         for cid, doff, size in _sub_chunks(payload, off, end):
             if cid == b"LIST":
+                if payload[doff : doff + 4] == b"strl":
+                    cur_fcc = None  # a new stream list: forget the old strh
                 walk(doff + 4, doff + size)  # skip the 4-byte list type
             elif cid == b"avih" and size >= 40:
                 usec_per_frame = int.from_bytes(
@@ -99,21 +113,29 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
                     payload[doff + 36 : doff + 40], "little"
                 )
             elif cid == b"strh" and size >= 32:
-                if payload[doff : doff + 4] == b"vids":
+                cur_fcc = payload[doff : doff + 4]
+                if cur_fcc == b"vids":
                     scale = int.from_bytes(
                         payload[doff + 20 : doff + 24], "little"
                     )
                     rate = int.from_bytes(
                         payload[doff + 24 : doff + 28], "little"
                     )
-            elif cid == b"strf" and size >= 20 and compression is None:
+            elif (
+                cid == b"strf"
+                and size >= 20
+                and cur_fcc == b"vids"
+                and compression is None
+            ):
                 bits = int.from_bytes(payload[doff + 14 : doff + 16], "little")
                 compression = payload[doff + 16 : doff + 20]
                 if compression != b"\x00\x00\x00\x00" or bits != 24:
-                    raise ValueError(
-                        "unsupported AVI video stream: fourcc="
+                    raise NotImplementedError(
+                        "unsupported AVI video codec: fourcc="
                         f"{compression!r} bits={bits}; only uncompressed "
-                        "BI_RGB 24-bit is decodable here"
+                        "BI_RGB 24-bit is decodable without media "
+                        "libraries — this is a missing-codec "
+                        "configuration, not data corruption"
                     )
             elif cid in (b"00db", b"00dc"):
                 if width is None or height is None:

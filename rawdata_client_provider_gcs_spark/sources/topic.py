@@ -22,6 +22,7 @@ Spark-first mapping (SURVEY.md §3.4/§4):
 from __future__ import annotations
 
 import json
+import threading
 import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
@@ -123,10 +124,15 @@ class Topic:
         #: last successfully parsed sidecar — served when a concurrent
         #: writer leaves the sidecar momentarily torn or absent
         self._maxts_last_good: dict[str, int] | None = None
-        #: owner token while THIS handle holds the maintenance lock —
+        #: owner state while THIS handle holds the maintenance lock —
         #: lets maintain() hold one lock across its whole sweep while
-        #: the sub-operations it calls re-enter instead of re-acquiring
-        self._maintenance_owner: str | None = None
+        #: the sub-operations it calls re-enter instead of re-acquiring.
+        #: Reentrancy is scoped to the OWNING THREAD (guarded by
+        #: _maintenance_mutex): a second thread sharing this handle
+        #: excludes like a distinct process would, instead of silently
+        #: riding the first thread's lock into a concurrent sweep.
+        self._maintenance_owner: tuple[int, str] | None = None
+        self._maintenance_mutex = threading.Lock()
 
     # -- listing / manifest -------------------------------------------------
 
@@ -617,11 +623,19 @@ class Topic:
 
     @contextmanager
     def _maintenance_lock(self, op: str):
-        # reentrant per handle: maintain() takes the lock once for its
-        # whole sweep and each sub-operation re-enters, so two sweeps
-        # can no longer interleave at step boundaries.  Distinct handles
-        # (other processes) still mutually exclude via the lock object.
-        if self._maintenance_owner is not None:
+        # reentrant per (handle, thread): maintain() takes the lock once
+        # for its whole sweep and each sub-operation it calls on the SAME
+        # thread re-enters, so two sweeps can no longer interleave at
+        # step boundaries.  A different thread sharing this handle does
+        # NOT re-enter — it falls through to create_exclusive and gets
+        # ConcurrentMaintenanceError, same as a distinct process would.
+        tid = threading.get_ident()
+        with self._maintenance_mutex:
+            reenter = (
+                self._maintenance_owner is not None
+                and self._maintenance_owner[0] == tid
+            )
+        if reenter:
             yield
             return
         uri = self._maintenance_lock_uri()
@@ -634,11 +648,13 @@ class Topic:
                 f"(lock {uri}); if the holder crashed, call "
                 "break_maintenance_lock() first"
             )
-        self._maintenance_owner = owner
+        with self._maintenance_mutex:
+            self._maintenance_owner = (tid, owner)
         try:
             yield
         finally:
-            self._maintenance_owner = None
+            with self._maintenance_mutex:
+                self._maintenance_owner = None
             self.fs.delete(uri)
 
     def break_maintenance_lock(self) -> bool:

@@ -362,15 +362,26 @@ def stream_static_enrich(
     broadcast, pre-bucket both sides instead (sources/bucketing.py).
     """
     left_key, right_key = on
-    # join through a renamed dim key and drop it afterwards: keeping both
-    # key columns leaves ambiguous duplicate names when left_key ==
-    # right_key, breaking any later select/groupBy by name
+    # join through a renamed dim key: keeping both key columns leaves
+    # ambiguous duplicate names when left_key == right_key, breaking any
+    # later select/groupBy by name.  The renamed key is folded back into
+    # the events-side key with coalesce rather than dropped, so under
+    # how='right'/'full' an unmatched dim row keeps its own key value
+    # instead of surfacing with NULL in left_key and its key discarded.
     join_key = f"__enrich_{right_key}"
+    if join_key in events.columns:
+        raise ValueError(
+            f"events already carries a column named {join_key!r}, which "
+            "collides with the internal join alias; rename it first"
+        )
     dim_renamed = dim.withColumnRenamed(right_key, join_key)
-    return events.join(
+    joined = events.join(
         F.broadcast(dim_renamed),
         events[left_key] == dim_renamed[join_key],
         how,
+    )
+    return joined.withColumn(
+        left_key, F.coalesce(events[left_key], dim_renamed[join_key])
     ).drop(join_key)
 
 

@@ -53,15 +53,64 @@ def test_avi_frame_sampling_grid():
 def test_avi_rejects_compressed_and_garbage():
     frames = _frames(n=1)
     payload = bytearray(rawavi.encode_avi(frames, fps=5))
-    # flip the strf biCompression field to a codec fourcc
+    # flip the strf biCompression field to a codec fourcc: a RECOGNIZED
+    # but compressed codec is a missing-codec configuration signal ->
+    # loud NotImplementedError, never a per-row data error
     i = payload.find(b"strf")
     payload[i + 8 + 16 : i + 8 + 20] = b"H264"
-    with pytest.raises(ValueError, match="H264"):
+    with pytest.raises(NotImplementedError, match="H264"):
         rawavi.decode_avi(bytes(payload))
+    # genuinely malformed containers stay ValueError (per-row capture)
     with pytest.raises(ValueError):
         rawavi.decode_avi(b"RIFF\x00\x00\x00\x00AVI ")
     with pytest.raises(ValueError):
         rawavi.decode_avi(b"not an avi at all")
+
+
+def test_avi_audio_first_stream_order():
+    """An 'auds' strl preceding the 'vids' strl must not have its
+    WAVEFORMATEX misparsed as the video BITMAPINFOHEADER — and the vids
+    strf must still be codec-checked even when it is second."""
+    frames = _frames(n=3, h=4, w=4)
+    payload = rawavi.encode_avi(frames, fps=10.0)
+    # split out hdrl pieces so we can splice an audio strl ahead of the
+    # video strl
+    import struct
+
+    def chunk(cid, data):
+        pad = b"\x00" if len(data) & 1 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(ltype, data):
+        return chunk(b"LIST", ltype + data)
+
+    # a minimal auds strh + WAVEFORMATEX strf (PCM): the strf's bytes at
+    # offsets 14-20 are nothing like BI_RGB/24-bit, so the old
+    # first-strf-wins parser rejected the file
+    auds_strh = b"auds" + b"\x00" * 52
+    wavefmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    auds_strl = lst(b"strl", chunk(b"strh", auds_strh) + chunk(b"strf", wavefmt))
+
+    i = payload.find(b"LIST", 12)
+    # find the strl LIST inside hdrl and insert the audio strl before it
+    j = payload.find(b"strl")
+    strl_start = j - 8  # back up over 'LIST' + 4-byte size
+    assert payload[strl_start : strl_start + 4] == b"LIST"
+    new = bytearray(payload[:strl_start] + auds_strl + payload[strl_start:])
+    # fix the hdrl LIST size and the RIFF size
+    hdrl_sz = int.from_bytes(new[i + 4 : i + 8], "little") + len(auds_strl)
+    new[i + 4 : i + 8] = struct.pack("<I", hdrl_sz)
+    new[4:8] = struct.pack("<I", len(new) - 8)
+    decoded, fps = rawavi.decode_avi(bytes(new))
+    assert fps == pytest.approx(10.0)
+    assert len(decoded) == 3
+    assert np.array_equal(decoded[0], frames[0])
+
+    # and a compressed vids strf is still caught when it comes second
+    k = new.find(b"strf", new.find(b"vids"))
+    new[k + 8 + 16 : k + 8 + 20] = b"H264"
+    with pytest.raises(NotImplementedError, match="H264"):
+        rawavi.decode_avi(bytes(new))
 
 
 def test_sample_frames_real_avi_through_spark(spark):
@@ -106,3 +155,24 @@ def test_sample_frames_real_avi_through_spark(spark):
     )
     with pytest.raises(Exception):
         multimodal.sample_frames(really_mp4, every_ms=200).collect()
+
+
+def test_compressed_avi_is_loud_through_spark(spark):
+    """A compressed-codec AVI through sample_frames fails the job loudly
+    (missing-codec configuration), not as a per-row error — and with
+    fake=True it falls through to the deterministic stub instead."""
+    frames = _frames(n=2, h=4, w=4)
+    payload = bytearray(rawavi.encode_avi(frames, fps=10.0))
+    i = payload.find(b"strf")
+    payload[i + 8 + 16 : i + 8 + 20] = b"H264"
+    df = spark.createDataFrame(
+        [(1, bytes(payload))], "doc_id long, vid binary"
+    )
+    media = multimodal.with_media_columns(df, "vid", "video/avi", "doc_id")
+    with pytest.raises(Exception, match="H264"):
+        multimodal.sample_frames(media, every_ms=200).collect()
+    # fake=True: deterministic stub frames, no error rows
+    rows = multimodal.sample_frames(media, every_ms=200, fake=True).collect()
+    assert len(rows) >= 1
+    assert all(r["error"] is None for r in rows)
+    assert all(r["frame"] is not None for r in rows)
