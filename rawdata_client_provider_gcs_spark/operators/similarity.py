@@ -1005,16 +1005,18 @@ def ivf_query_index(
         key=lambda r: r["cid"],
     )
     probes = _probe_cells(queries, cent_rows, id_col, vec_col, nprobe)
-    # the query side is broadcast-small by the ANN contract, so its
-    # distinct probed cells (<= nlist longs) collect for free — and a
-    # literal IN beats dynamic pruning: the partition filter is visible
-    # and guaranteed before the join even plans
-    probed_cells = [
-        int(r["cid"]) for r in probes.select("cid").distinct().collect()
-    ]
+    # the query side is broadcast-small by the ANN contract, so the
+    # probe assignment collects for free — ONCE: the local rows feed
+    # both the literal cid IN (...) filter (<= nlist longs; a literal
+    # beats dynamic pruning because the partition filter is visible and
+    # guaranteed before the join even plans) and the broadcast join
+    # side, instead of running the probe job twice
+    probe_rows = probes.collect()
+    probed_cells = sorted({int(r["cid"]) for r in probe_rows})
+    probes_local = spark.createDataFrame(probe_rows, probes.schema)
     lists = spark.read.parquet(path).filter(F.col("cid").isin(probed_cells))
     scored = (
-        lists.join(F.broadcast(probes), "cid")
+        lists.join(F.broadcast(probes_local), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
