@@ -77,3 +77,86 @@ def test_params_and_blob_validation():
         SF.bloom_params(0, 0.01)
     with pytest.raises(ValueError):
         SF._parse(b"garbage")
+
+
+# -- RWSF2 (Spark sketch) format -------------------------------------------
+
+
+def test_spark_probe_matches_jvm_might_contain(spark):
+    """The numpy Murmur3 + scatter replication is bit-exact against the
+    JVM's BloomFilter.mightContainLong — members AND random non-members
+    (VERDICT r6 task #4; any drift here would break the RWSF2
+    no-false-negative contract)."""
+    blob = SF.build_seen_filter(
+        _docs(spark, 0, 500), "text", expected_items=500, fpp=0.01
+    )
+    assert blob[: len(SF._MAGIC2)] == SF._MAGIC2  # default is RWSF2
+    k, seed, words = SF._parse_spark(blob)
+
+    jvm = spark._jvm
+    bais = jvm.java.io.ByteArrayInputStream(
+        bytearray(blob[len(SF._MAGIC2):])
+    )
+    jbf = jvm.org.apache.spark.util.sketch.BloomFilter.readFrom(bais)
+
+    rng = np.random.default_rng(7)
+    items = rng.integers(-(2**63), 2**63, 5000, np.int64)
+    mine = SF._spark_probe(items, k, seed, words)
+    theirs = np.array([jbf.mightContainLong(int(v)) for v in items])
+    assert (mine == theirs).all()
+    # and the filter's own members all hit through BOTH probes
+    member_hashes = np.array(
+        [
+            r["h"]
+            for r in _docs(spark, 0, 500)
+            .selectExpr("xxhash64(text) AS h")
+            .collect()
+        ],
+        np.int64,
+    )
+    assert SF._spark_probe(member_hashes, k, seed, words).all()
+    assert all(jbf.mightContainLong(int(v)) for v in member_hashes)
+
+
+def test_python_format_still_available_and_formats_do_not_merge(spark):
+    docs = _docs(spark, 0, 300)
+    py_blob = SF.build_seen_filter(
+        docs, "text", expected_items=300, hashing="python"
+    )
+    assert py_blob[: len(SF._MAGIC)] == SF._MAGIC
+    sp_blob = SF.build_seen_filter(
+        docs, "text", expected_items=300, hashing="spark"
+    )
+    assert sp_blob[: len(SF._MAGIC2)] == SF._MAGIC2
+    # both honor the contract on the same corpus
+    for blob in (py_blob, sp_blob):
+        assert SF.mark_seen(docs, "text", blob).filter(
+            "NOT seen_before"
+        ).count() == 0
+    with pytest.raises(ValueError, match="different formats"):
+        SF.merge_seen_filters(py_blob, sp_blob)
+    with pytest.raises(ValueError, match="different formats"):
+        SF.merge_seen_filters(sp_blob, py_blob)
+    with pytest.raises(ValueError):
+        SF.build_seen_filter(docs, "text", 300, hashing="nope")
+
+
+def test_spark_format_merge_matches_union_build(spark):
+    a, b = _docs(spark, 0, 400), _docs(spark, 400, 800)
+    fa = SF.build_seen_filter(a, "text", expected_items=800, hashing="spark")
+    fb = SF.build_seen_filter(b, "text", expected_items=800, hashing="spark")
+    merged = SF.merge_seen_filters(fa, fb)
+    union = SF.build_seen_filter(
+        _docs(spark, 0, 800), "text", expected_items=800, hashing="spark"
+    )
+    assert merged == union  # pure OR of deterministic bits
+    assert (
+        SF.mark_seen(_docs(spark, 0, 800), "text", merged)
+        .filter("NOT seen_before")
+        .count()
+        == 0
+    )
+    # param mismatch refuses
+    small = SF.build_seen_filter(a, "text", expected_items=50, hashing="spark")
+    with pytest.raises(ValueError, match="different"):
+        SF.merge_seen_filters(fa, small)
