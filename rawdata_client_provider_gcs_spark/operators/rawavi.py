@@ -42,6 +42,28 @@ import struct
 import numpy as np
 
 
+#: video codec fourccs a crawl actually contains — RECOGNIZED but not
+#: decodable without media libraries.  Exactly these raise the loud
+#: ``NotImplementedError`` (missing-codec configuration); any OTHER
+#: nonzero biCompression is an unrecognizable value, i.e. a malformed
+#: container (bit flips land here), and stays ``ValueError`` so the
+#: multimodal kernels capture it per-row.
+_KNOWN_COMPRESSED_FOURCCS = frozenset(
+    fourcc
+    for base in (
+        b"H264", b"h264", b"X264", b"x264", b"avc1", b"AVC1",
+        b"H265", b"hev1", b"hvc1", b"HEVC",
+        b"MJPG", b"mjpg", b"dmb1",
+        b"XVID", b"xvid", b"DIVX", b"divx", b"DX50", b"FMP4",
+        b"MP42", b"MP43", b"MPG4", b"mp4v",
+        b"VP80", b"VP90", b"vp08", b"vp09", b"av01",
+        b"WMV1", b"WMV2", b"WMV3", b"WVC1",
+        b"IV50", b"cvid", b"MSVC", b"CRAM", b"RLE8", b"I420", b"YUY2",
+    )
+    for fourcc in (base,)
+)
+
+
 def sniff_avi(payload: bytes) -> bool:
     """True when the payload is a RIFF/AVI container."""
     return (
@@ -52,12 +74,20 @@ def sniff_avi(payload: bytes) -> bool:
 
 
 def _sub_chunks(payload: bytes, off: int, end: int):
-    """Yield (chunk_id, data_offset, size) inside payload[off:end]."""
+    """Yield (chunk_id, data_offset, size) inside payload[off:end].
+
+    Chunk sizes are hostile input: a size field claiming more data than
+    the buffer holds must not walk the cursor past the payload (the
+    classic RIFF trap — an inflated LIST size once made this loop spin
+    over billions of phantom 8-byte headers).  The walk is clamped to
+    the real buffer and each declared size is truncated to what is
+    actually present."""
+    end = min(end, len(payload))
     i = off
     while i + 8 <= end:
         cid = payload[i : i + 4]
         size = int.from_bytes(payload[i + 4 : i + 8], "little")
-        yield cid, i + 8, size
+        yield cid, i + 8, min(size, end - i - 8)
         i += 8 + size + (size & 1)
 
 
@@ -129,13 +159,21 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
             ):
                 bits = int.from_bytes(payload[doff + 14 : doff + 16], "little")
                 compression = payload[doff + 16 : doff + 20]
-                if compression != b"\x00\x00\x00\x00" or bits != 24:
+                if compression in _KNOWN_COMPRESSED_FOURCCS:
                     raise NotImplementedError(
                         "unsupported AVI video codec: fourcc="
-                        f"{compression!r} bits={bits}; only uncompressed "
-                        "BI_RGB 24-bit is decodable without media "
-                        "libraries — this is a missing-codec "
-                        "configuration, not data corruption"
+                        f"{compression!r}; only uncompressed BI_RGB "
+                        "24-bit is decodable without media libraries — "
+                        "this is a missing-codec configuration, not "
+                        "data corruption"
+                    )
+                if compression != b"\x00\x00\x00\x00" or bits != 24:
+                    # an UNRECOGNIZED nonzero fourcc / wrong bit depth is
+                    # not a codec the crawl could contain — it's a
+                    # corrupt header, captured per-row downstream
+                    raise ValueError(
+                        "malformed AVI video stream header: fourcc="
+                        f"{compression!r} bits={bits}"
                     )
             elif cid in (b"00db", b"00dc"):
                 if width is None or height is None:

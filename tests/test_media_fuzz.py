@@ -196,3 +196,119 @@ def test_spark_kernels_survive_mutated_corpus(spark):
     # a failing document yields exactly its sentinel row, not a mix
     for doc, kinds in by_doc_err.items():
         assert len(kinds) == 1, doc
+
+
+# -- AVI container fuzz (VERDICT r6 task #5) -------------------------------
+#
+# The classic RIFF parser trap: chunk sizes that lie about their
+# extents ('movi' LIST claiming more than the buffer holds, frame
+# chunks overrunning the payload, avih dimensions disagreeing with the
+# DIB data).  Every mutation must land in the per-row error column —
+# NotImplementedError stays reserved for RECOGNIZED compressed codecs.
+
+
+def _avi_payload() -> bytes:
+    from rawdata_client_provider_gcs_spark.operators import rawavi
+
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, size=(8, 10, 3), dtype=np.uint8)
+        for _ in range(4)
+    ]
+    return rawavi.encode_avi(frames, fps=10.0)
+
+
+AVI_PAYLOAD = _avi_payload()
+
+
+@settings(max_examples=300, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1))
+def test_avi_kernel_never_raises_uncatchable(seed):
+    from rawdata_client_provider_gcs_spark.operators import rawavi
+
+    mutated = _mutate(AVI_PAYLOAD, random.Random(seed))
+    try:
+        frames, fps = rawavi.decode_avi(mutated)
+        assert fps > 0 and frames
+    except NotImplementedError as exc:
+        # only reachable when the mutation forged a RECOGNIZED codec
+        # fourcc into the vids strf — astronomically unlikely from bit
+        # flips, but legitimate if it happens
+        assert "fourcc" in str(exc)
+    except ValueError:
+        pass  # per-row capture path
+
+
+@settings(max_examples=200, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1), lie=st.integers(0, 2**32 - 1))
+def test_avi_lying_chunk_sizes(seed, lie):
+    """Overwrite one RIFF size field with an arbitrary value: sizes
+    claiming more data than the buffer holds (the movi-extent trap at
+    rawavi._sub_chunks) must decode-or-ValueError, never crash."""
+    from rawdata_client_provider_gcs_spark.operators import rawavi
+
+    rng = random.Random(seed)
+    b = bytearray(AVI_PAYLOAD)
+    # size fields live 4 bytes after each chunk/list id; collect them
+    size_offsets = [4]  # RIFF size
+    for tag in (b"LIST", b"avih", b"strh", b"strf", b"00db", b"idx1"):
+        i = 0
+        while True:
+            i = AVI_PAYLOAD.find(tag, i)
+            if i < 0:
+                break
+            size_offsets.append(i + 4)
+            i += 4
+    off = rng.choice(size_offsets)
+    b[off : off + 4] = int(lie).to_bytes(4, "little")
+    try:
+        frames, fps = rawavi.decode_avi(bytes(b))
+        assert fps > 0
+    except ValueError:
+        pass
+    except NotImplementedError as exc:
+        assert "fourcc" in str(exc)
+
+
+def test_avi_header_dimension_lies():
+    """avih width/height disagreeing with the DIB payload: huge claims
+    must ValueError (frombuffer bound check), zero claims must not
+    crash."""
+    from rawdata_client_provider_gcs_spark.operators import rawavi
+
+    base = bytearray(AVI_PAYLOAD)
+    i = base.find(b"avih") + 8
+    for w, h in [(2**24, 2**24), (0xFFFFFFFF, 1), (0, 0), (1, 0)]:
+        b = bytearray(base)
+        b[i + 32 : i + 36] = w.to_bytes(4, "little")
+        b[i + 36 : i + 40] = h.to_bytes(4, "little")
+        try:
+            frames, _ = rawavi.decode_avi(bytes(b))
+            # degenerate-but-consistent dims may "decode" empty frames
+            assert all(f.size == 0 or f.shape[2] == 3 for f in frames)
+        except ValueError:
+            pass
+
+
+def test_spark_sample_frames_survives_mutated_avi_corpus(spark):
+    """One Spark job over 40 mutated AVIs + 1 pristine: per-row error
+    capture, zero task deaths (the 'zero task deaths' bar from the
+    round-6 verdict)."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(4242)
+    rows = [(0, AVI_PAYLOAD)]
+    rows += [(i, _mutate(AVI_PAYLOAD, rng)) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "doc_id long, vid binary")
+    media = multimodal.with_media_columns(df, "vid", "video/avi", "doc_id")
+    frames = multimodal.sample_frames(media, every_ms=100, max_frames=3)
+    got = frames.collect()
+    by_doc = {}
+    for r in got:
+        assert (r["frame"] is None) == (r["error"] is not None)
+        if r["error"] is not None:
+            assert "NotImplementedError" not in r["error"]
+        by_doc.setdefault(r["doc_id"], set()).add(r["error"] is not None)
+    assert by_doc[0] == {False}  # pristine decodes
+    for doc, kinds in by_doc.items():
+        assert len(kinds) == 1, doc  # sentinel row XOR real frames
