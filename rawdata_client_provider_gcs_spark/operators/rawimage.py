@@ -110,16 +110,106 @@ def decode_image(payload: bytes) -> np.ndarray:
     )
 
 
+#: Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass, in
+#: transmission order (PNG spec §8.2) — the same de-interlace-by-
+#: scatter shape the GIF decoder uses for its 4-pass row interlacing
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _unfilter_block(
+    raw: bytes, off: int, rows: int, width_px: int, fch: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter ``rows`` scanlines of ``width_px`` pixels with ``fch``
+    filter bytes per pixel starting at ``raw[off]``.
+
+    PNG filters operate on BYTES with the left neighbor ``bpp`` bytes
+    back, so a 16-bit sample unfilters exactly like two extra channels
+    — ``fch = channels * bytes_per_sample`` is the only generalization
+    needed.  Returns ``((rows, width_px*fch) uint8, next_offset)``.
+    None/Up are pure array ops, Sub is a prefix sum (mod 256 distributes
+    over the cumsum), and Average/Paeth — whose left-neighbor dependency
+    is inherently sequential — loop over PIXELS with the channels
+    vectorized, not over bytes (a per-byte Python loop costs seconds
+    per megapixel).
+    """
+    stride = width_px * fch
+    if len(raw) - off < rows * (stride + 1):
+        raise ValueError("truncated PNG raster")
+    out = np.empty((rows, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(rows):
+        row_off = off + y * (stride + 1)
+        ftype = raw[row_off]
+        cur = np.frombuffer(
+            raw, np.uint8, count=stride, offset=row_off + 1
+        ).astype(np.int32)
+        if ftype == 0:
+            row = cur
+        elif ftype == 1:  # Sub
+            row = (
+                np.cumsum(cur.reshape(width_px, fch), axis=0, dtype=np.int64)
+                & 0xFF
+            ).reshape(stride).astype(np.int32)
+        elif ftype == 2:  # Up
+            row = (cur + prev) & 0xFF
+        elif ftype == 3:  # Average
+            px = cur.reshape(width_px, fch)
+            up = prev.reshape(width_px, fch)
+            rp = np.empty_like(px)
+            left = np.zeros(fch, np.int32)
+            for x in range(width_px):
+                rp[x] = (px[x] + ((left + up[x]) >> 1)) & 0xFF
+                left = rp[x]
+            row = rp.reshape(stride)
+        elif ftype == 4:  # Paeth
+            px = cur.reshape(width_px, fch)
+            up = prev.reshape(width_px, fch)
+            rp = np.empty_like(px)
+            left = np.zeros(fch, np.int32)
+            upleft = np.zeros(fch, np.int32)
+            for x in range(width_px):
+                p = left + up[x] - upleft
+                pa = np.abs(p - left)
+                pb = np.abs(p - up[x])
+                pc = np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc),
+                    left,
+                    np.where(pb <= pc, up[x], upleft),
+                )
+                rp[x] = (px[x] + pred) & 0xFF
+                left = rp[x]
+                upleft = up[x]
+            row = rp.reshape(stride)
+        else:
+            raise ValueError(f"unknown PNG filter type: {ftype}")
+        out[y] = row.astype(np.uint8)
+        prev = row
+    return out, off + rows * (stride + 1)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG to an (H, W, 3) uint8 RGB array.
+    """Decode an 8/16-bit, sequential or Adam7-interlaced PNG to an
+    (H, W, 3) uint8 RGB array.
 
     Stdlib-only: chunk walk, ``zlib`` IDAT inflate, per-scanline
     unfilter (None/Sub/Up/Average/Paeth), then color-type normalization
     — grayscale and gray+alpha expand to RGB, palette indices map
     through PLTE, RGBA drops alpha (matching what pillow's ``convert``
-    does for the luma path).  16-bit depth and Adam7 interlacing raise
-    — they are rare for the thumbnails/fixtures this engine decodes,
-    and a loud error beats a silent misdecode.
+    does for the luma path).  Adam7 passes unfilter independently and
+    scatter into place (``out[y0::dy, x0::dx]``); 16-bit samples
+    (big-endian per spec) reduce to their high byte, pillow's
+    ``I;16``→``L`` convention.  Sub-8-bit depths raise — they are rare
+    for the thumbnails/fixtures this engine decodes, and a loud error
+    beats a silent misdecode.
     """
     import struct
     import zlib
@@ -147,73 +237,38 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None or not idat:
         raise ValueError("truncated PNG: missing IHDR/IDAT")
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace > 1:
         raise ValueError(
             f"unsupported PNG shape: depth={depth} interlace={interlace}"
         )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"unsupported PNG color type: {color}")
+    if color == 3 and depth == 16:
+        raise ValueError("PNG palette color type cannot be 16-bit")
+    bps = depth // 8  # bytes per sample
+    fch = channels * bps  # filter bytes per pixel
     raw = zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
-        raise ValueError("truncated PNG raster")
-    # unfilter vectorized per scanline: None/Up are pure array ops, Sub is
-    # a per-channel prefix sum (mod 256 distributes over the cumsum), and
-    # Average/Paeth — whose left-neighbor dependency is inherently
-    # sequential — loop over PIXELS with the channels vectorized, not
-    # over bytes (a per-byte Python loop costs seconds per megapixel)
-    out = np.empty((h, stride), np.uint8)
-    prev = np.zeros(stride, np.int32)
-    for y in range(h):
-        row_off = y * (stride + 1)
-        ftype = raw[row_off]
-        cur = np.frombuffer(
-            raw, np.uint8, count=stride, offset=row_off + 1
-        ).astype(np.int32)
-        if ftype == 0:
-            row = cur
-        elif ftype == 1:  # Sub
-            row = (
-                np.cumsum(cur.reshape(w, channels), axis=0, dtype=np.int64)
-                & 0xFF
-            ).reshape(stride).astype(np.int32)
-        elif ftype == 2:  # Up
-            row = (cur + prev) & 0xFF
-        elif ftype == 3:  # Average
-            px = cur.reshape(w, channels)
-            up = prev.reshape(w, channels)
-            rp = np.empty_like(px)
-            left = np.zeros(channels, np.int32)
-            for x in range(w):
-                rp[x] = (px[x] + ((left + up[x]) >> 1)) & 0xFF
-                left = rp[x]
-            row = rp.reshape(stride)
-        elif ftype == 4:  # Paeth
-            px = cur.reshape(w, channels)
-            up = prev.reshape(w, channels)
-            rp = np.empty_like(px)
-            left = np.zeros(channels, np.int32)
-            upleft = np.zeros(channels, np.int32)
-            for x in range(w):
-                p = left + up[x] - upleft
-                pa = np.abs(p - left)
-                pb = np.abs(p - up[x])
-                pc = np.abs(p - upleft)
-                pred = np.where(
-                    (pa <= pb) & (pa <= pc),
-                    left,
-                    np.where(pb <= pc, up[x], upleft),
-                )
-                rp[x] = (px[x] + pred) & 0xFF
-                left = rp[x]
-                upleft = up[x]
-            row = rp.reshape(stride)
-        else:
-            raise ValueError(f"unknown PNG filter type: {ftype}")
-        out[y] = row.astype(np.uint8)
-        prev = row
-    arr = out.reshape(h, w, channels)
+    if w == 0 or h == 0:
+        raise ValueError("zero-dimension PNG")
+    if interlace == 0:
+        out, _ = _unfilter_block(raw, 0, h, w, fch)
+        bytes_arr = out.reshape(h, w, fch)
+    else:  # Adam7: each pass is an independently-filtered sub-image
+        bytes_arr = np.zeros((h, w, fch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            block, off = _unfilter_block(raw, off, ph, pw, fch)
+            bytes_arr[y0::dy, x0::dx, :] = block.reshape(ph, pw, fch)
+    if depth == 16:
+        # big-endian sample pairs -> high byte (pillow I;16 -> L)
+        arr = bytes_arr.reshape(h, w, channels, 2)[:, :, :, 0]
+    else:
+        arr = bytes_arr
     if color == 0:  # grayscale
         return np.repeat(arr, 3, axis=2)
     if color == 2:  # RGB
