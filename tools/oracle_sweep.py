@@ -68,6 +68,18 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--queries", nargs="*", default=None)
+    ap.add_argument(
+        "--full",
+        action="store_true",
+        help="also run the rows-only (no-oracle) queries and record their "
+        "row counts, so ONE sweep re-confirms the whole catalog",
+    )
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="write a per-query JSON artifact in the driver's CORRECTNESS "
+        "shape (rows/schema/hash matches per query)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="rawdata-oracle-sweep", shuffle_partitions=8)
@@ -79,15 +91,52 @@ def main() -> int:
         )
 
     qs, oracles = catalog.queries(), catalog.oracle_sql()
-    names = args.queries or [n for n in qs if n in oracles]
+    if args.queries:
+        names = args.queries
+    elif args.full:
+        names = sorted(qs)  # deterministic all-names order
+    else:
+        names = [n for n in qs if n in oracles]
     ok, bad = [], {}
+    record: dict[str, dict] = {}
     for name in names:
+        oracle = oracles.get(name)
         try:
             sp = qs[name](spark, args.sf_dir).toPandas()
-            du = con.execute(oracles[name]).df()
+            if oracle is None:
+                # rows-only by declared design: record a fresh row count
+                record[name] = {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "rows_only": True,
+                    "spark_rows": len(sp),
+                    "oracle_rows": None,
+                    "err": None,
+                }
+                ok.append(name)
+                print(f"OK {name} (rows-only: {len(sp)} rows)", flush=True)
+                continue
+            du = con.execute(oracle).df()
             problem = frames_match(sp, du)
+            record[name] = {
+                "rows_match": len(sp) == len(du),
+                "schema_match": sorted(sp.columns) == sorted(du.columns),
+                "hash_match": problem is None,
+                "spark_rows": len(sp),
+                "oracle_rows": len(du),
+                "err": problem,
+            }
         except Exception as exc:  # noqa: BLE001
             problem = f"ERROR {type(exc).__name__}: {exc}"
+            record[name] = {
+                "rows_match": False,
+                "schema_match": False,
+                "hash_match": False,
+                "spark_rows": None,
+                "oracle_rows": None,
+                "err": problem[:500],
+            }
         if problem:
             bad[name] = problem
             print(f"MISMATCH {name}: {problem}", flush=True)
@@ -95,6 +144,9 @@ def main() -> int:
             ok.append(name)
             print(f"OK {name}", flush=True)
 
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1, sort_keys=True)
     print(json.dumps({"ok": len(ok), "bad": bad}))
     spark.stop()
     return 1 if bad else 0
