@@ -235,38 +235,58 @@ def fuzzy_contaminated_pairs(
     """
     bench_id = bench_id_col or id_col
     bench_text = bench_text_col or text_col
-    doc_grams = _gram_hashes(docs, id_col, text_col, k)
-    bench_grams = _gram_hashes(benchmark, bench_id, bench_text, k).select(
-        F.col(bench_id).alias("bench_id"), "gram_hash"
+    from pyspark import StorageLevel
+
+    # The corpus gram table feeds BOTH the intersection join and the
+    # candidate-size aggregate; without pinning it, the full corpus
+    # explode runs twice (the r7 plan audit showed 12 parquet scans and
+    # zero ReusedExchange).  Same scoped-persist discipline as
+    # dedup.ngram_jaccard_pairs: spill-safe for the duration of this
+    # call, eager-materialized results, unpersisted before return — no
+    # corpus-sized cache outlives the operator on a shared cluster.
+    doc_grams = _gram_hashes(docs, id_col, text_col, k).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    bench_sizes = bench_grams.groupBy("bench_id").agg(
-        F.count(F.lit(1)).alias("__n_bench")
-    )
-    inter = (
-        doc_grams.join(F.broadcast(bench_grams), "gram_hash")
-        .groupBy(id_col, "bench_id")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    # denominator sizes are only needed for documents that shared at
-    # least one shingle with the benchmark — semi-join the gram table
-    # down to those before counting, so the size aggregate shuffles the
-    # candidate set, not the whole corpus
-    candidates = inter.select(id_col).distinct()
-    doc_sizes = (
-        doc_grams.join(candidates, id_col, "left_semi")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("__n_doc"))
-    )
-    return (
-        inter.join(doc_sizes, id_col)
-        .join(F.broadcast(bench_sizes), "bench_id")
-        .withColumn(
-            "jaccard",
-            F.col("n_common").cast("double")
-            / (
-                F.col("__n_doc") + F.col("__n_bench") - F.col("n_common")
-            ).cast("double"),
+    try:
+        bench_grams = _gram_hashes(benchmark, bench_id, bench_text, k).select(
+            F.col(bench_id).alias("bench_id"), "gram_hash"
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select(id_col, "bench_id", "n_common", "jaccard")
-    )
+        bench_sizes = bench_grams.groupBy("bench_id").agg(
+            F.count(F.lit(1)).alias("__n_bench")
+        )
+        # inter is bounded by true shingle co-occurrence with the (small)
+        # benchmark — candidate-scale, not corpus-scale — and is used by
+        # both the candidate set and the final join, so materialize it
+        # once rather than re-running the corpus-side join
+        inter = (
+            doc_grams.join(F.broadcast(bench_grams), "gram_hash")
+            .groupBy(id_col, "bench_id")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        ).localCheckpoint(eager=True)
+        # denominator sizes are only needed for documents that shared at
+        # least one shingle with the benchmark — semi-join the gram table
+        # down to those before counting, so the size aggregate shuffles
+        # the candidate set, not the whole corpus
+        candidates = inter.select(id_col).distinct()
+        doc_sizes = (
+            doc_grams.join(candidates, id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__n_doc"))
+        )
+        pairs = (
+            inter.join(doc_sizes, id_col)
+            .join(F.broadcast(bench_sizes), "bench_id")
+            .withColumn(
+                "jaccard",
+                F.col("n_common").cast("double")
+                / (
+                    F.col("__n_doc") + F.col("__n_bench") - F.col("n_common")
+                ).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select(id_col, "bench_id", "n_common", "jaccard")
+        )
+        # action inside the operator while the gram persist is alive
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        doc_grams.unpersist()
