@@ -160,3 +160,25 @@ def test_spark_format_merge_matches_union_build(spark):
     small = SF.build_seen_filter(a, "text", expected_items=50, hashing="spark")
     with pytest.raises(ValueError, match="different"):
         SF.merge_seen_filters(fa, small)
+
+
+@pytest.mark.parametrize(
+    "n,fpp", [(50, 0.3), (200, 0.1), (500, 0.01), (300, 0.001)]
+)
+def test_spark_probe_replication_across_geometries(spark, n, fpp):
+    """The numpy V2 scatter must track the JVM across filter GEOMETRIES
+    — k ranges ~2..10 over these (n, fpp) combos, exercising different
+    probe counts, bit sizes, and wraparound patterns."""
+    blob = SF.build_seen_filter(
+        _docs(spark, 0, n), "text", expected_items=n, fpp=fpp
+    )
+    k, seed, words = SF._parse_spark(blob)
+    jvm = spark._jvm
+    jbf = jvm.org.apache.spark.util.sketch.BloomFilter.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytearray(blob[len(SF._MAGIC2):]))
+    )
+    rng = np.random.default_rng(n)
+    items = rng.integers(-(2**63), 2**63, 1500, np.int64)
+    mine = SF._spark_probe(items, k, seed, words)
+    theirs = np.array([jbf.mightContainLong(int(v)) for v in items])
+    assert (mine == theirs).all(), f"k={k} diverged"
