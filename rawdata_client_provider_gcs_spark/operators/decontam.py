@@ -218,9 +218,17 @@ def fuzzy_contaminated_pairs(
     bench_text_col: str | None = None,
     k: int = 3,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate contamination: (training doc, benchmark doc) pairs
     whose word-``k``-shingle Jaccard similarity reaches ``threshold``.
+
+    ``materialize=False`` returns the LAZY single-pass plan (no
+    persist, no checkpoint) — for plan auditing
+    (``tools/plan_snapshots.py`` commits it as
+    ``q_decontam_fuzzy_internal.txt``) and for callers composing the
+    operator without paying the jobs at construction time; such a lazy
+    result recomputes the corpus explode on every reference.
 
     The fuzzy tier above :func:`contaminated_docs` (exact-gram hits):
     a lightly paraphrased or truncated eval example still matches.  The
@@ -244,9 +252,9 @@ def fuzzy_contaminated_pairs(
     # dedup.ngram_jaccard_pairs: spill-safe for the duration of this
     # call, eager-materialized results, unpersisted before return — no
     # corpus-sized cache outlives the operator on a shared cluster.
-    doc_grams = _gram_hashes(docs, id_col, text_col, k).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    doc_grams = _gram_hashes(docs, id_col, text_col, k)
+    if materialize:
+        doc_grams = doc_grams.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         bench_grams = _gram_hashes(benchmark, bench_id, bench_text, k).select(
             F.col(bench_id).alias("bench_id"), "gram_hash"
@@ -262,7 +270,9 @@ def fuzzy_contaminated_pairs(
             doc_grams.join(F.broadcast(bench_grams), "gram_hash")
             .groupBy(id_col, "bench_id")
             .agg(F.count(F.lit(1)).alias("n_common"))
-        ).localCheckpoint(eager=True)
+        )
+        if materialize:
+            inter = inter.localCheckpoint(eager=True)
         # denominator sizes are only needed for documents that shared at
         # least one shingle with the benchmark — semi-join the gram table
         # down to those before counting, so the size aggregate shuffles
@@ -287,6 +297,7 @@ def fuzzy_contaminated_pairs(
             .select(id_col, "bench_id", "n_common", "jaccard")
         )
         # action inside the operator while the gram persist is alive
-        return pairs.localCheckpoint(eager=True)
+        return pairs.localCheckpoint(eager=True) if materialize else pairs
     finally:
-        doc_grams.unpersist()
+        if materialize:
+            doc_grams.unpersist()

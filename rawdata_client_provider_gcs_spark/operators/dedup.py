@@ -82,6 +82,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = 1000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via shared-shingle equi-join.
 
@@ -103,7 +104,10 @@ def ngram_jaccard_pairs(
     call only**: the pair result is materialized eagerly via
     ``localCheckpoint`` and the shingle persist is dropped before
     returning — no full-corpus cache outlives the operator to evict
-    everything else on a shared cluster.
+    everything else on a shared cluster.  ``materialize=False`` skips
+    both (a lazy plan that recomputes the explode per reference) — for
+    plan auditing (``q_ngram_jaccard_pairs_internal.txt``) and lazy
+    composition.
     """
     # join on the 64-bit shingle hash, not the string: same intersection
     # counts (collisions within one doc pair are ~|shingles|²/2^64), but the
@@ -122,7 +126,8 @@ def ngram_jaccard_pairs(
         sh = sh.join(hot, "sh", "left_anti")
     from pyspark import StorageLevel
 
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    if materialize:
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
         a = sh.select(F.col(id_col).alias("id_a"), "sh")
@@ -154,9 +159,10 @@ def ngram_jaccard_pairs(
         )
         # the action happens here, inside the operator, while the shingle
         # persist is alive; the (small, filtered) pair set is what survives
-        return pairs.localCheckpoint(eager=True)
+        return pairs.localCheckpoint(eager=True) if materialize else pairs
     finally:
-        sh.unpersist()
+        if materialize:
+            sh.unpersist()
 
 
 def minhash_signatures(

@@ -95,13 +95,23 @@ class MediaDecodeError(ValueError):
 def _catch_row(fn, *args):
     """Run one per-row decode: ``(result, None)`` or ``(None, "Exc: msg")``.
 
-    Malformed payloads (truncated, bit-flipped, mislabeled) surface as a
-    per-row error string; ``NotImplementedError`` — a missing codec for
-    the declared mime, i.e. configuration rather than data — still
-    propagates and fails the job loudly.
+    Three boundaries, strictly ordered:
+
+    - :class:`rawavi.UnsupportedCodecError` — a RECOGNIZED compressed
+      codec inside ONE file: ordinary crawl data, captured per-row
+      under its own class name (queryable apart from corruption).
+    - plain ``NotImplementedError`` — a missing decoder for the
+      declared MIME, i.e. configuration (every row of that mime would
+      fail): propagates and fails the job loudly.
+    - everything else — malformed payloads (truncated, bit-flipped,
+      mislabeled): the per-row data-corruption error string.
     """
+    from .rawavi import UnsupportedCodecError  # noqa: PLC0415
+
     try:
         return fn(*args), None
+    except UnsupportedCodecError as exc:
+        return None, f"UnsupportedCodecError: {str(exc)[:200]}"
     except NotImplementedError:
         raise
     except Exception as exc:  # data-dependent decode failure
@@ -403,9 +413,12 @@ def sample_frames(
                     # (raw BI_RGB frames), frames sampled on the
                     # every_ms grid from the container's native timing.
                     # A recognized-but-compressed codec raises
-                    # NotImplementedError (missing-codec config, loud);
-                    # with fake=True it falls through to the stub below
-                    # like any other undecodable video mime.
+                    # UnsupportedCodecError (a NotImplementedError
+                    # subclass): with fake=True it falls through to the
+                    # deterministic stub; otherwise it propagates to
+                    # _catch_row, which records it per-row under its
+                    # own label (compressed AVIs are ordinary crawl
+                    # data — one file must never kill the job).
                     try:
                         return [
                             (i, ms, rawimage.encode_ppm(arr))

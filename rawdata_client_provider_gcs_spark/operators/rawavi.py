@@ -9,10 +9,12 @@ raster the image codec already decodes (bottom-up, BGR, rows padded to
 4 bytes).  So an uncompressed AVI decodes here with zero new
 compression machinery, which makes it the honest first rung of the
 "video containers" boundary: a recognized-but-compressed codec
-(H.264, MJPG, ...) raises the documented loud ``NotImplementedError``
-directly from :func:`decode_avi` (missing-codec configuration, never
-downgraded to per-row data corruption), but the CONTAINER path —
-parse, frame timing, frame extraction — is real and round-trippable.
+(H.264, MJPG, ...) raises :class:`UnsupportedCodecError` from
+:func:`decode_avi` — recorded PER-ROW by the multimodal kernels under
+its own class name (compressed AVIs are ordinary crawl data; one must
+never kill the job), yet never conflated with corruption — while the
+CONTAINER path — parse, frame timing, frame extraction — is real and
+round-trippable.
 
 Format notes (public AVI/RIFF spec, msdn AVIMAINHEADER et al.):
 
@@ -42,26 +44,37 @@ import struct
 import numpy as np
 
 
+class UnsupportedCodecError(NotImplementedError):
+    """A RECOGNIZED compressed codec this build cannot decode.
+
+    Distinct from both boundaries it sits between: unlike a plain
+    ``NotImplementedError`` (a mime-level missing decoder — EVERY row
+    of that mime would fail, so it stays loud and kills the job),
+    a codec fourcc is a property of ONE file in the crawl — ordinary
+    data, not cluster configuration — so the multimodal kernels record
+    it per-row under its own class name, queryable separately from
+    corruption (``ValueError``/``MediaDecodeError``) in the ``error``
+    column.  Subclasses ``NotImplementedError`` so direct callers that
+    treat "cannot decode this codec" as not-implemented keep working.
+    """
+
+
 #: video codec fourccs a crawl actually contains — RECOGNIZED but not
-#: decodable without media libraries.  Exactly these raise the loud
-#: ``NotImplementedError`` (missing-codec configuration); any OTHER
-#: nonzero biCompression is an unrecognizable value, i.e. a malformed
-#: container (bit flips land here), and stays ``ValueError`` so the
-#: multimodal kernels capture it per-row.
-_KNOWN_COMPRESSED_FOURCCS = frozenset(
-    fourcc
-    for base in (
-        b"H264", b"h264", b"X264", b"x264", b"avc1", b"AVC1",
-        b"H265", b"hev1", b"hvc1", b"HEVC",
-        b"MJPG", b"mjpg", b"dmb1",
-        b"XVID", b"xvid", b"DIVX", b"divx", b"DX50", b"FMP4",
-        b"MP42", b"MP43", b"MPG4", b"mp4v",
-        b"VP80", b"VP90", b"vp08", b"vp09", b"av01",
-        b"WMV1", b"WMV2", b"WMV3", b"WVC1",
-        b"IV50", b"cvid", b"MSVC", b"CRAM", b"RLE8", b"I420", b"YUY2",
-    )
-    for fourcc in (base,)
-)
+#: decodable without media libraries.  Exactly these raise
+#: :class:`UnsupportedCodecError` (recorded per-row, distinctly
+#: labeled); any OTHER nonzero biCompression is an unrecognizable
+#: value, i.e. a malformed container (bit flips land here), and stays
+#: ``ValueError`` so it reads as data corruption.
+_KNOWN_COMPRESSED_FOURCCS = frozenset({
+    b"H264", b"h264", b"X264", b"x264", b"avc1", b"AVC1",
+    b"H265", b"hev1", b"hvc1", b"HEVC",
+    b"MJPG", b"mjpg", b"dmb1",
+    b"XVID", b"xvid", b"DIVX", b"divx", b"DX50", b"FMP4",
+    b"MP42", b"MP43", b"MPG4", b"mp4v",
+    b"VP80", b"VP90", b"vp08", b"vp09", b"av01",
+    b"WMV1", b"WMV2", b"WMV3", b"WVC1",
+    b"IV50", b"cvid", b"MSVC", b"CRAM", b"RLE8", b"I420", b"YUY2",
+})
 
 
 def sniff_avi(payload: bytes) -> bool:
@@ -107,9 +120,9 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
     video streams are supported.  The error split mirrors the
     documented multimodal boundary (``multimodal._catch_row``): a
     RECOGNIZED-but-compressed video codec (H.264, MJPG, ...) raises
-    ``NotImplementedError`` — a missing-codec configuration signal that
-    propagates loudly — while genuinely malformed containers raise
-    ``ValueError``, which lands in the per-row ``error`` column.
+    :class:`UnsupportedCodecError` — captured per-row under its own
+    label, distinct from corruption — while genuinely malformed
+    containers raise ``ValueError`` (the data-corruption row error).
 
     Each ``strf`` is attributed to the stream type declared by the
     preceding ``strh`` (``fccType``), so an AVI whose ``auds`` strl
@@ -160,12 +173,10 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
                 bits = int.from_bytes(payload[doff + 14 : doff + 16], "little")
                 compression = payload[doff + 16 : doff + 20]
                 if compression in _KNOWN_COMPRESSED_FOURCCS:
-                    raise NotImplementedError(
+                    raise UnsupportedCodecError(
                         "unsupported AVI video codec: fourcc="
                         f"{compression!r}; only uncompressed BI_RGB "
-                        "24-bit is decodable without media libraries — "
-                        "this is a missing-codec configuration, not "
-                        "data corruption"
+                        "24-bit is decodable without media libraries"
                     )
                 if compression != b"\x00\x00\x00\x00" or bits != 24:
                     # an UNRECOGNIZED nonzero fourcc / wrong bit depth is

@@ -200,9 +200,21 @@ def build_seen_filter(
     if hashing in ("auto", "spark"):
         try:
             return _build_spark_filter(df, col, expected_items, m)
-        except Exception:
+        except Exception as exc:
             if hashing == "spark":
                 raise
+            # availability probing is inherently broad (the sketch
+            # bridge can fail many ways on exotic deployments), but the
+            # fallback must never be silent: the python build is ~2-3x
+            # slower and emits the other wire format
+            import logging  # noqa: PLC0415
+
+            logging.getLogger(__name__).warning(
+                "native sketch build failed (%s: %s); falling back to "
+                "the RWSF1 python build",
+                type(exc).__name__,
+                str(exc)[:200],
+            )
     return _build_python_filter(df, col, m, k)
 
 
@@ -241,6 +253,41 @@ def _build_python_filter(
     for r in blobs:
         bits |= np.frombuffer(bytes(r["bitmap"]), np.uint8)
     return _MAGIC + struct.pack("<QI", m, k) + bits.tobytes()
+
+
+def filter_format(blob: bytes) -> str:
+    """``"spark"`` (RWSF2) or ``"python"`` (RWSF1) — the value to pass
+    as ``build_seen_filter(hashing=...)`` to produce a merge-compatible
+    increment for an existing persisted filter."""
+    if blob[: len(_MAGIC2)] == _MAGIC2:
+        return "spark"
+    if blob[: len(_MAGIC)] == _MAGIC:
+        return "python"
+    raise ValueError("not a seen-filter blob")
+
+
+def extend_seen_filter(prior: bytes, df: DataFrame, col: str) -> bytes:
+    """Build an increment over ``df[col]`` in ``prior``'s exact format
+    AND geometry, and return the OR-merge — the upgrade-safe way to
+    grow a persisted filter: an RWSF1 blob stored by an earlier release
+    keeps extending as RWSF1 even though fresh builds default to RWSF2.
+    """
+    if filter_format(prior) == "python":
+        m, k, _ = _parse(prior)
+        return merge_seen_filters(prior, _build_python_filter(df, col, m, k))
+    k, _seed, words = _parse_spark(prior)
+    m = len(words) * 64
+    # invert Spark's optimalNumOfHashFunctions(n, m) = round(m/n·ln2)
+    # so the increment's header (k, numWords) matches the prior's
+    n = max(1, round(m * math.log(2) / k))
+    inc = _build_spark_filter(df, col, n, m)
+    off = len(_MAGIC2)
+    if inc[off : off + 16] != prior[off : off + 16]:
+        raise ValueError(
+            "could not reproduce the prior filter's geometry "
+            f"(k={k}, m={m}); rebuild from the full corpus instead"
+        )
+    return merge_seen_filters(prior, inc)
 
 
 def _parse(blob: bytes) -> tuple[int, int, np.ndarray]:

@@ -18,10 +18,14 @@ from ..operators import decontam, dedup, multimodal, similarity
 from ..tables import load_table
 from .catalog import register
 
-#: sf_dir -> materialized inverted-list path, staged once per process so
-#: repeated q_similarity_ivf_index calls (bench warm + timed runs) time
-#: the PROBE, not the build — an index is built once by definition
-_IVF_INDEX_CACHE: dict[str, str] = {}
+#: (sf_dir, input-file fingerprint) -> materialized inverted-list path,
+#: staged once per process so repeated q_similarity_ivf_index calls
+#: (bench warm + timed runs) time the PROBE, not the build — an index
+#: is built once by definition.  The fingerprint (the embeddings
+#: table's file listing) invalidates the cache when the table is
+#: regenerated or appended under the same path, so a long-lived driver
+#: never probes a stale index silently.
+_IVF_INDEX_CACHE: dict[tuple[str, tuple], str] = {}
 
 # ---------------------------------------------------------------------------
 # Dedup family
@@ -706,11 +710,12 @@ def q_similarity_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load_table(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
-    idx = _IVF_INDEX_CACHE.get(sf)
+    key = (sf, tuple(sorted(e.inputFiles())))
+    idx = _IVF_INDEX_CACHE.get(key)
     if idx is None:
         idx = tempfile.mkdtemp(prefix="rawdata-ivf-index-") + "/lists"
         similarity.build_ivf_index(e, idx, nlist=16)
-        _IVF_INDEX_CACHE[sf] = idx
+        _IVF_INDEX_CACHE[key] = idx
     return similarity.ivf_query_index(spark, idx, q, k=5, nprobe=3).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),

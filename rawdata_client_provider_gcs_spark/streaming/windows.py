@@ -380,6 +380,10 @@ def stream_static_enrich(
         events[left_key] == dim_renamed[join_key],
         how,
     )
+    if join_key not in joined.columns:
+        # semi/anti joins emit only the events side: no dim key to fold
+        # back (and referencing it would fail analysis)
+        return joined
     return joined.withColumn(
         left_key, F.coalesce(events[left_key], dim_renamed[join_key])
     ).drop(join_key)

@@ -157,22 +157,34 @@ def test_sample_frames_real_avi_through_spark(spark):
         multimodal.sample_frames(really_mp4, every_ms=200).collect()
 
 
-def test_compressed_avi_is_loud_through_spark(spark):
-    """A compressed-codec AVI through sample_frames fails the job loudly
-    (missing-codec configuration), not as a per-row error — and with
-    fake=True it falls through to the deterministic stub instead."""
+def test_compressed_avi_is_per_row_distinctly_labeled(spark):
+    """A compressed-codec AVI is ordinary crawl DATA: through
+    sample_frames it must yield a per-row error labeled with its own
+    class (UnsupportedCodecError — never conflated with corruption and
+    never killing the job), and with fake=True it falls through to the
+    deterministic stub.  Other rows in the same batch stay unaffected."""
     frames = _frames(n=2, h=4, w=4)
-    payload = bytearray(rawavi.encode_avi(frames, fps=10.0))
+    good = rawavi.encode_avi(frames, fps=10.0)
+    payload = bytearray(good)
     i = payload.find(b"strf")
     payload[i + 8 + 16 : i + 8 + 20] = b"H264"
     df = spark.createDataFrame(
-        [(1, bytes(payload))], "doc_id long, vid binary"
+        [(1, bytes(payload)), (2, good)], "doc_id long, vid binary"
     )
     media = multimodal.with_media_columns(df, "vid", "video/avi", "doc_id")
-    with pytest.raises(Exception, match="H264"):
-        multimodal.sample_frames(media, every_ms=200).collect()
-    # fake=True: deterministic stub frames, no error rows
+    rows = multimodal.sample_frames(media, every_ms=200).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1  # sentinel row
+    assert by_doc[1][0]["error"].startswith("UnsupportedCodecError")
+    assert "H264" in by_doc[1][0]["error"]
+    assert all(r["error"] is None for r in by_doc[2])  # neighbor decodes
+    # fake=True: deterministic stub frames for the compressed one
     rows = multimodal.sample_frames(media, every_ms=200, fake=True).collect()
-    assert len(rows) >= 1
     assert all(r["error"] is None for r in rows)
     assert all(r["frame"] is not None for r in rows)
+    # direct kernel callers still get the NotImplementedError family
+    with pytest.raises(NotImplementedError, match="H264"):
+        rawavi.decode_avi(bytes(payload))
+    assert issubclass(rawavi.UnsupportedCodecError, NotImplementedError)

@@ -117,3 +117,17 @@ def test_stream_static_enrich_alias_collision_raises(spark):
     dim = spark.createDataFrame([(1, "gold")], "id int, tier string")
     with pytest.raises(ValueError, match="__enrich_id"):
         stream_static_enrich(events, dim, on=("uid", "id"))
+
+
+def test_stream_static_enrich_semi_anti_still_work(spark):
+    """Review regression: semi/anti joins emit only the events side, so
+    the outer-join key fold must not reference the dropped dim key."""
+    events = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "uid int, action string"
+    )
+    dim = spark.createDataFrame([(1, "gold"), (2, "s")], "id int, tier string")
+    semi = stream_static_enrich(events, dim, on=("uid", "id"), how="left_semi")
+    assert sorted(r["uid"] for r in semi.collect()) == [1, 2]
+    assert semi.columns == ["uid", "action"]
+    anti = stream_static_enrich(events, dim, on=("uid", "id"), how="left_anti")
+    assert [r["uid"] for r in anti.collect()] == [3]

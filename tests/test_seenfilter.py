@@ -182,3 +182,26 @@ def test_spark_probe_replication_across_geometries(spark, n, fpp):
     mine = SF._spark_probe(items, k, seed, words)
     theirs = np.array([jbf.mightContainLong(int(v)) for v in items])
     assert (mine == theirs).all(), f"k={k} diverged"
+
+
+def test_extend_seen_filter_upgrade_path(spark):
+    """A persisted RWSF1 filter from an earlier release keeps growing
+    as RWSF1 through extend_seen_filter even though fresh builds
+    default to RWSF2 — and an RWSF2 prior extends in place too."""
+    prior_docs, new_docs = _docs(spark, 0, 300), _docs(spark, 300, 600)
+    for fmt in ("python", "spark"):
+        prior = SF.build_seen_filter(
+            prior_docs, "text", expected_items=600, hashing=fmt
+        )
+        assert SF.filter_format(prior) == fmt
+        grown = SF.extend_seen_filter(prior, new_docs, "text")
+        assert SF.filter_format(grown) == fmt
+        # the hard contract holds over the union
+        assert (
+            SF.mark_seen(_docs(spark, 0, 600), "text", grown)
+            .filter("NOT seen_before")
+            .count()
+            == 0
+        )
+    with pytest.raises(ValueError, match="not a seen-filter"):
+        SF.filter_format(b"garbage")

@@ -62,6 +62,46 @@ _NORMALIZERS = [
 ]
 
 
+def _internal_decontam_fuzzy(spark, sf):
+    from pyspark.sql import functions as F
+
+    from rawdata_client_provider_gcs_spark.operators import decontam
+    from rawdata_client_provider_gcs_spark.tables import load_table
+
+    d = load_table(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat(F.col("text"), F.lit(" extra probe token")).alias("text"),
+    )
+    return decontam.fuzzy_contaminated_pairs(
+        d, bench, bench_id_col="bench_id", k=3, threshold=0.5,
+        materialize=False,
+    )
+
+
+def _internal_ngram_jaccard(spark, sf):
+    from rawdata_client_provider_gcs_spark.operators import dedup
+    from rawdata_client_provider_gcs_spark.tables import load_table
+
+    d = load_table(spark, sf, "documents")
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.12, max_doc_freq=1000,
+        materialize=False,
+    )
+
+
+#: Operators that eager-checkpoint their results (so the catalog query's
+#: own explain shows only `Scan ExistingRDD`): snapshot the LAZY
+#: `materialize=False` twin as `<name>_internal.txt` so the real plan —
+#: the broadcast, the semi-join, the single corpus explode — stays
+#: under git diff audit.  Built from the same construction as the
+#: catalog query.
+INTERNAL = {
+    "q_decontam_fuzzy_internal": _internal_decontam_fuzzy,
+    "q_ngram_jaccard_pairs_internal": _internal_ngram_jaccard,
+}
+
+
 #: Queries whose normalized text is session-bistable WITHOUT any plan-
 #: shape change; --check reports their drift as a warning, not failure.
 #: Keep this list justified — an entry hides real regressions for that
@@ -100,10 +140,12 @@ def main() -> int:
 
     os.makedirs(SNAP_DIR, exist_ok=True)
     bench = catalog.bench_queries()
+    targets = {name: qdef.fn for name, qdef in bench.items()}
+    targets.update(INTERNAL)
     drift: list[str] = []
-    for name, qdef in sorted(bench.items()):
+    for name, fn in sorted(targets.items()):
         try:
-            df = qdef.fn(spark, SF_DIR)
+            df = fn(spark, SF_DIR)
             text = normalize(formatted_plan(df))
         except Exception as exc:  # snapshot the failure; it diffs too
             text = f"<explain failed: {type(exc).__name__}: {exc}>\n"
@@ -124,7 +166,7 @@ def main() -> int:
         if drift:
             print("PLAN DRIFT:", ", ".join(drift))
             return 1
-        print(f"all {len(bench)} plans match committed snapshots")
+        print(f"all {len(targets)} plans match committed snapshots")
     return 0
 
 
