@@ -15,8 +15,9 @@ Decode kernels resolve in this order:
    install time).
 3. ``image/*`` in a library-free format (netpbm PPM/PGM, 24-bit BMP,
    8-bit PNG via stdlib zlib, baseline-sequential JPEG via the
-   pure-numpy Huffman+IDCT codec, or GIF incl. multi-frame animations
-   via stdlib LZW) — real decode/resize/frame-sample via
+   pure-numpy Huffman+IDCT codec, GIF incl. multi-frame animations
+   via stdlib LZW, or baseline TIFF incl. LZW/PackBits/Deflate strips
+   via ``rawtiff``) — real decode/resize/frame-sample via
    :mod:`rawdata_client_provider_gcs_spark.operators.rawimage` /
    ``.rawjpeg`` / ``.rawgif``, in every environment.
 4. ``audio/*`` in a RIFF/WAVE container (PCM 8/16/24/32-bit or IEEE
@@ -83,6 +84,7 @@ DECODABLE_IMAGE_MIMES = frozenset(
         "image/x-portable-pixmap",
         "image/x-portable-graymap",
         "image/x-portable-anymap",
+        "image/tiff",
     }
 )
 DECODABLE_AUDIO_MIMES = frozenset({"audio/wav", "audio/x-wav", "audio/wave"})

@@ -21,7 +21,9 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Return "ppm"|"pgm"|"bmp"|"png"|"jpeg"|"gif" when decodable here."""
+    """Return "ppm"|"pgm"|"bmp"|"png"|"jpeg"|"gif"|"tiff" when decodable here."""
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     if payload[:2] == b"P6":
         return "ppm"
     if payload[:2] == b"P5":
@@ -105,8 +107,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         from . import rawgif  # noqa: PLC0415
 
         return rawgif.decode_gif_first_frame(payload)
+    if fmt == "tiff":
+        from . import rawtiff  # noqa: PLC0415
+
+        return rawtiff.decode_tiff(payload)
     raise ValueError(
-        "payload is not a decodable PPM/PGM/BMP/PNG/JPEG/GIF image"
+        "payload is not a decodable PPM/PGM/BMP/PNG/JPEG/GIF/TIFF image"
     )
 
 

@@ -1,0 +1,498 @@
+"""Pure-numpy baseline TIFF codec (II/MM, strips, LZW/PackBits/Deflate).
+
+TIFF is the last mainstream still-image container a crawl contains that
+the repo's library-free decode tier did not cover (PPM/PGM/BMP/PNG/JPEG/
+GIF already decode; see ``rawimage.sniff_format``).  Baseline TIFF 6.0
+needs nothing beyond numpy and stdlib ``zlib``:
+
+- both byte orders (``II`` little-endian, ``MM`` big-endian);
+- strip layout (``StripOffsets``/``StripByteCounts``/``RowsPerStrip``);
+- compressions 1 (none), 5 (LZW, MSB-first with the spec's early-change
+  width switch), 8/32946 (Deflate via ``zlib``), 32773 (PackBits);
+- predictor 2 (horizontal differencing — undone with a wrapping cumsum);
+- photometric 0/1 (gray, optionally inverted), 2 (RGB, alpha dropped),
+  3 (palette via ``ColorMap``), all at 8 bits per sample.
+
+Recognized-but-undecodable per-file features — tiled layout, planar
+configuration 2, CCITT fax or JPEG-in-TIFF compression, non-8-bit
+samples — raise :class:`~.rawavi.UnsupportedCodecError` so one exotic
+file in a crawl lands in the per-row ``error`` column (queryable apart
+from corruption) instead of killing the task; genuinely malformed bytes
+raise ``ValueError`` as in every other codec here.
+
+Reference behavioral parity: the reference treats payloads as opaque
+named byte arrays (RawdataMessage.java:15-60); decode fidelity is this
+repo's extension tier, tested against hand-built fixtures and pillow
+where installed.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from .rawavi import UnsupportedCodecError
+
+_LE = b"II*\x00"
+_BE = b"MM\x00*"
+
+# IFD entry types → byte width (only the ones baseline TIFF uses)
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def sniff_tiff(payload: bytes) -> bool:
+    """True when the payload starts with a classic TIFF header."""
+    return payload[:4] in (_LE, _BE)
+
+
+# ------------------------------------------------------------------ LZW
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW: MSB-first packing, 9→12-bit codes, early change.
+
+    Unlike the GIF variant (LSB-first, variable min code size —
+    ``rawgif._lzw_decode``), TIFF fixes the alphabet at 8-bit bytes with
+    Clear=256/EOI=257 and widens the code size one code EARLY (when the
+    next free slot is ``2**width - 1``, TIFF 6.0 §13).
+    """
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)  # stream ended without EOI: tolerate
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (bitbuf >> nbits) & ((1 << width) - 1)
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            return bytes(out)
+        if prev is None:
+            if code >= 256:
+                raise ValueError("corrupt TIFF LZW stream (bad first code)")
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("corrupt TIFF LZW stream (code gap)")
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1  # early change: widen one slot before full
+        out += entry
+        prev = entry
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Compress with the exact stream :func:`_lzw_decode` (and libtiff)
+    reads: MSB-first, Clear emitted first, early-change width switch,
+    table reset at 4094."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bitbuf >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(CLEAR, width)
+    w = b""
+    for byte in data:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        table[wk] = next_code
+        next_code += 1
+        # mirror of the decoder's width switch: the decoder's table runs
+        # one entry behind this one, so its early change at (1<<w)-1
+        # lands exactly when next_code here reaches 1<<w (pinned against
+        # the JDK ImageIO TIFF codec both directions in test_tiff.py)
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# ------------------------------------------------------------- PackBits
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:  # literal run of h+1 bytes
+            if i + h + 1 > n:
+                raise ValueError("truncated PackBits literal run")
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            if i >= n:
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # h == 128: no-op per spec
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Simple spec-correct PackBits: repeat runs ≥3 become repeats,
+    everything else literals (≤128 per run)."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        start = i
+        i += run
+        while i < n and i - start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        lit = data[start : min(i, start + 128)]
+        out += bytes([len(lit) - 1]) + lit
+        i = start + len(lit)
+    return bytes(out)
+
+
+# ------------------------------------------------------------- IFD read
+
+
+def _read_ifd(payload: bytes, bo: str) -> dict[int, tuple[int, list[int]]]:
+    """Parse the first IFD into {tag: (type, values)} (offsets resolved)."""
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        raise ValueError("truncated TIFF: IFD offset out of range")
+    (count,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    entries: dict[int, tuple[int, list[int]]] = {}
+    for k in range(count):
+        off = ifd_off + 2 + 12 * k
+        if off + 12 > len(payload):
+            raise ValueError("truncated TIFF: IFD entry out of range")
+        tag, typ, n = struct.unpack_from(bo + "HHI", payload, off)
+        size = _TYPE_SIZES.get(typ)
+        if size is None:
+            continue  # unknown type: skip per spec
+        total = size * n
+        if total <= 4:
+            voff = off + 8
+        else:
+            (voff,) = struct.unpack_from(bo + "I", payload, off + 8)
+        if voff + total > len(payload):
+            raise ValueError(f"truncated TIFF: tag {tag} values out of range")
+        if typ == 1:
+            vals = list(payload[voff : voff + n])
+        elif typ == 2:
+            vals = list(payload[voff : voff + n])
+        elif typ == 3:
+            vals = list(struct.unpack_from(bo + f"{n}H", payload, voff))
+        elif typ == 4:
+            vals = list(struct.unpack_from(bo + f"{n}I", payload, voff))
+        else:  # RATIONAL: keep numerators; none of the tags we read use it
+            vals = list(struct.unpack_from(bo + f"{2 * n}I", payload, voff))[::2]
+        entries[tag] = (typ, vals)
+    return entries
+
+
+def _tag(entries, tag: int, default=None):
+    got = entries.get(tag)
+    return got[1] if got is not None else default
+
+
+# --------------------------------------------------------------- decode
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """Decode baseline TIFF bytes to an (H, W, 3) uint8 RGB array."""
+    if not sniff_tiff(payload):
+        raise ValueError("not a TIFF payload")
+    bo = "<" if payload[:2] == b"II" else ">"
+    e = _read_ifd(payload, bo)
+
+    if 322 in e or 323 in e:  # TileWidth / TileLength
+        raise UnsupportedCodecError("tiled TIFF layout is not supported")
+    planar = _tag(e, 284, [1])[0]
+    if planar != 1:
+        raise UnsupportedCodecError(
+            f"TIFF planar configuration {planar} is not supported"
+        )
+    compression = _tag(e, 259, [1])[0]
+    if compression not in (1, 5, 8, 32773, 32946):
+        raise UnsupportedCodecError(
+            f"TIFF compression {compression} is not supported"
+        )
+
+    width = _tag(e, 256, [0])[0]
+    height = _tag(e, 257, [0])[0]
+    if width <= 0 or height <= 0:
+        raise ValueError("TIFF missing or zero ImageWidth/ImageLength")
+    spp = _tag(e, 277, [1])[0]
+    bits = _tag(e, 258, [8] * spp)
+    if any(b != 8 for b in bits) or len(bits) != spp:
+        raise UnsupportedCodecError(
+            f"TIFF bits-per-sample {bits} is not supported (8-bit only)"
+        )
+    photometric = _tag(e, 262, [1])[0]
+    predictor = _tag(e, 317, [1])[0]
+    if predictor not in (1, 2):
+        raise UnsupportedCodecError(f"TIFF predictor {predictor} unsupported")
+
+    offsets = _tag(e, 273)
+    counts = _tag(e, 279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing StripOffsets/StripByteCounts")
+    rows_per_strip = _tag(e, 278, [height])[0] or height
+
+    row_bytes = width * spp
+    raw = bytearray()
+    rows_done = 0
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(payload):
+            raise ValueError(f"TIFF strip {i} extends past end of payload")
+        strip = payload[off : off + cnt]
+        if compression == 1:
+            data = strip
+        elif compression == 5:
+            data = _lzw_decode(strip)
+        elif compression in (8, 32946):
+            try:
+                data = zlib.decompress(strip)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt TIFF deflate strip {i}: {exc}")
+        else:  # 32773
+            data = _packbits_decode(strip)
+        strip_rows = min(rows_per_strip, height - rows_done)
+        need = strip_rows * row_bytes
+        if len(data) < need:
+            raise ValueError(
+                f"TIFF strip {i} decodes to {len(data)} bytes, need {need}"
+            )
+        block = np.frombuffer(data, np.uint8, count=need).reshape(
+            strip_rows, width, spp
+        )
+        if predictor == 2:
+            # horizontal differencing is per row per sample; the inverse
+            # is a wrapping cumsum along x (uint8 arithmetic is mod 256)
+            block = np.cumsum(block, axis=1, dtype=np.uint8)
+        raw += block.tobytes()
+        rows_done += strip_rows
+    if rows_done < height:
+        raise ValueError(
+            f"TIFF strips cover {rows_done} rows, ImageLength says {height}"
+        )
+
+    img = np.frombuffer(bytes(raw), np.uint8).reshape(height, width, spp)
+    if photometric in (0, 1):
+        gray = img[:, :, 0]
+        if photometric == 0:  # WhiteIsZero
+            gray = 255 - gray
+        return np.repeat(gray[:, :, None], 3, axis=2).copy()
+    if photometric == 2:
+        if spp < 3:
+            raise ValueError("RGB TIFF with fewer than 3 samples/pixel")
+        return img[:, :, :3].copy()  # drop alpha/extra samples
+    if photometric == 3:
+        cmap = _tag(e, 320)
+        if not cmap or len(cmap) < 3 * 256:
+            raise ValueError("palette TIFF missing a 256-entry ColorMap")
+        # ColorMap stores 16-bit R[256] G[256] B[256]; take the high byte
+        lut = (np.asarray(cmap[: 3 * 256], np.uint16).reshape(3, 256) >> 8)
+        idx = img[:, :, 0]
+        return (
+            np.stack([lut[0][idx], lut[1][idx], lut[2][idx]], axis=2)
+            .astype(np.uint8)
+            .copy()
+        )
+    raise UnsupportedCodecError(
+        f"TIFF photometric interpretation {photometric} is not supported"
+    )
+
+
+# --------------------------------------------------------------- encode
+
+
+_COMP_IDS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+
+
+def encode_tiff(
+    arr: np.ndarray,
+    compression: str = "none",
+    byte_order: str = "<",
+    predictor: int = 1,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """Encode an (H, W, 3) RGB or (H, W) gray uint8 array as TIFF.
+
+    Fixture-grade but spec-correct: strip layout, optional LZW/Deflate/
+    PackBits compression, optional predictor 2, either byte order —
+    everything :func:`decode_tiff` (and libtiff/pillow) reads back.
+    """
+    if byte_order not in ("<", ">"):
+        raise ValueError("byte_order must be '<' or '>'")
+    comp_id = _COMP_IDS[compression]
+    if predictor == 2 and comp_id not in (5, 8):
+        # predictor 2 is an LZW/Deflate companion in practice; readers
+        # (JDK ImageIO among them) skip the tag for PackBits/uncompressed
+        raise ValueError("predictor 2 requires lzw or deflate compression")
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    gray = arr.ndim == 2
+    if gray:
+        h, w = arr.shape
+        spp, photometric = 1, 1
+        arr3 = arr[:, :, None]
+    else:
+        h, w, spp = arr.shape
+        photometric = 2
+        arr3 = arr
+    if rows_per_strip is None:
+        rows_per_strip = h
+    strips: list[bytes] = []
+    for y0 in range(0, h, rows_per_strip):
+        block = arr3[y0 : y0 + rows_per_strip]
+        if predictor == 2:
+            block = np.concatenate(
+                [block[:, :1], np.diff(block.astype(np.int16), axis=1)],
+                axis=1,
+            ).astype(np.uint8)
+        data = block.tobytes()
+        if comp_id == 5:
+            data = _lzw_encode(data)
+        elif comp_id == 8:
+            data = zlib.compress(data, 6)
+        elif comp_id == 32773:
+            # PackBits runs must not cross row boundaries (TIFF 6.0 §9)
+            rb = block.shape[1] * spp
+            data = b"".join(
+                _packbits_encode(data[i : i + rb])
+                for i in range(0, len(data), rb)
+            )
+        strips.append(data)
+
+    bo = byte_order
+    header_size = 8
+    strip_area = b"".join(strips)
+    strip_offsets: list[int] = []
+    pos = header_size
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    ifd_off = pos + (pos & 1)  # word-align the IFD
+
+    n_strips = len(strips)
+    tags: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, packed)
+
+    def short(v: int) -> bytes:
+        return struct.pack(bo + "H", v) + b"\x00\x00"
+
+    def longv(v: int) -> bytes:
+        return struct.pack(bo + "I", v)
+
+    # out-of-line value blocks go after the IFD
+    extra: list[bytes] = []
+    n_entries_guess = 10 + (1 if spp > 1 else 0) + (1 if predictor == 2 else 0)
+    extra_off = ifd_off + 2 + 12 * n_entries_guess + 4
+
+    def offsets_value(vals: list[int]) -> bytes:
+        nonlocal extra_off
+        if len(vals) == 1:
+            return longv(vals[0])
+        blob = struct.pack(bo + f"{len(vals)}I", *vals)
+        extra.append(blob)
+        out = longv(extra_off)
+        extra_off += len(blob)
+        return out
+
+    tags.append((256, 4, 1, longv(w)))
+    tags.append((257, 4, 1, longv(h)))
+    if spp > 1:
+        blob = struct.pack(bo + f"{spp}H", *([8] * spp))
+        if len(blob) <= 4:
+            tags.append((258, 3, spp, blob.ljust(4, b"\x00")))
+        else:
+            extra.append(blob)
+            tags.append((258, 3, spp, longv(extra_off)))
+            extra_off += len(blob)
+    else:
+        tags.append((258, 3, 1, short(8)))
+    tags.append((259, 3, 1, short(comp_id)))
+    tags.append((262, 3, 1, short(photometric)))
+    tags.append((273, 4, n_strips, offsets_value(strip_offsets)))
+    tags.append((277, 3, 1, short(spp)))
+    tags.append((278, 4, 1, longv(rows_per_strip)))
+    tags.append((279, 4, n_strips, offsets_value([len(s) for s in strips])))
+    if predictor == 2:
+        tags.append((317, 3, 1, short(2)))
+    tags.sort(key=lambda t: t[0])
+
+    out = bytearray()
+    out += (_LE if bo == "<" else _BE)
+    out += struct.pack(bo + "I", ifd_off)
+    out += strip_area
+    if len(out) & 1:
+        out += b"\x00"
+    assert len(out) == ifd_off
+    out += struct.pack(bo + "H", len(tags))
+    for tag, typ, cnt, packed in tags:
+        out += struct.pack(bo + "HHI", tag, typ, cnt) + packed
+    out += longv(0)  # next-IFD pointer: none
+    # pad for the entries we guessed but did not emit, so extra offsets hold
+    pad = (ifd_off + 2 + 12 * n_entries_guess + 4) - len(out)
+    out += b"\x00" * max(0, pad)
+    for blob in extra:
+        out += blob
+    return bytes(out)
