@@ -22,8 +22,9 @@ raise ``ValueError`` as in every other codec here.
 
 Reference behavioral parity: the reference treats payloads as opaque
 named byte arrays (RawdataMessage.java:15-60); decode fidelity is this
-repo's extension tier, tested against hand-built fixtures and pillow
-where installed.
+repo's extension tier, tested in ``tests/test_tiff.py`` (round-trip
+matrix, hand-built fixtures, hostile-byte fuzz, pillow parity where
+pillow is installed).
 """
 
 from __future__ import annotations
@@ -41,6 +42,12 @@ _BE = b"MM\x00*"
 # IFD entry types → byte width (only the ones baseline TIFF uses)
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
+#: hard per-image decode cap (1 GiB of pixels).  A row in a Spark
+#: DataFrame cannot exceed 2 GiB anyway, so anything bigger is either a
+#: lying IFD on hostile crawl bytes or data this tier should not try to
+#: hold in one task — both get a clean ValueError, not an executor OOM.
+_MAX_DECODED_BYTES = 1 << 30
+
 
 def sniff_tiff(payload: bytes) -> bool:
     """True when the payload starts with a classic TIFF header."""
@@ -50,13 +57,19 @@ def sniff_tiff(payload: bytes) -> bool:
 # ------------------------------------------------------------------ LZW
 
 
-def _lzw_decode(data: bytes) -> bytes:
+def _lzw_decode(data: bytes, limit: int | None = None) -> bytes:
     """TIFF-variant LZW: MSB-first packing, 9→12-bit codes, early change.
 
     Unlike the GIF variant (LSB-first, variable min code size —
     ``rawgif._lzw_decode``), TIFF fixes the alphabet at 8-bit bytes with
     Clear=256/EOI=257 and widens the code size one code EARLY (when the
     next free slot is ``2**width - 1``, TIFF 6.0 §13).
+
+    ``limit`` bounds the output: decoding stops once ``limit`` bytes are
+    produced, so a tiny hostile strip paired with a lying IFD cannot
+    expand past what the caller will actually consume (decompression
+    bomb guard; trailing legitimate padding is simply not materialized,
+    matching the old tolerate-extra behavior without the allocation).
     """
     CLEAR, EOI = 256, 257
     out = bytearray()
@@ -104,6 +117,8 @@ def _lzw_decode(data: bytes) -> bytes:
             if len(table) == (1 << width) - 1 and width < 12:
                 width += 1  # early change: widen one slot before full
         out += entry
+        if limit is not None and len(out) >= limit:
+            return bytes(out[:limit])
         prev = entry
 
 
@@ -139,8 +154,8 @@ def _lzw_encode(data: bytes) -> bytes:
         next_code += 1
         # mirror of the decoder's width switch: the decoder's table runs
         # one entry behind this one, so its early change at (1<<w)-1
-        # lands exactly when next_code here reaches 1<<w (pinned against
-        # the JDK ImageIO TIFF codec both directions in test_tiff.py)
+        # lands exactly when next_code here reaches 1<<w (exercised across
+        # every width transition and the 4094 reset in test_tiff.py)
         if next_code == (1 << width) and width < 12:
             width += 1
         if next_code >= 4094:
@@ -160,11 +175,13 @@ def _lzw_encode(data: bytes) -> bytes:
 # ------------------------------------------------------------- PackBits
 
 
-def _packbits_decode(data: bytes) -> bytes:
+def _packbits_decode(data: bytes, limit: int | None = None) -> bytes:
     out = bytearray()
     i = 0
     n = len(data)
     while i < n:
+        if limit is not None and len(out) >= limit:
+            return bytes(out[:limit])
         h = data[i]
         i += 1
         if h < 128:  # literal run of h+1 bytes
@@ -254,6 +271,18 @@ def _tag(entries, tag: int, default=None):
     return got[1] if got is not None else default
 
 
+def _tag1(entries, tag: int, default: int) -> int:
+    """First value of a scalar tag.  A hostile IFD can carry a valid
+    entry with count 0 (bit-flip fuzz finds this); an empty value list
+    is malformed data → ValueError, not IndexError."""
+    got = entries.get(tag)
+    if got is None:
+        return default
+    if not got[1]:
+        raise ValueError(f"malformed TIFF: tag {tag} has no values")
+    return got[1][0]
+
+
 # --------------------------------------------------------------- decode
 
 
@@ -266,29 +295,29 @@ def decode_tiff(payload: bytes) -> np.ndarray:
 
     if 322 in e or 323 in e:  # TileWidth / TileLength
         raise UnsupportedCodecError("tiled TIFF layout is not supported")
-    planar = _tag(e, 284, [1])[0]
+    planar = _tag1(e, 284, 1)
     if planar != 1:
         raise UnsupportedCodecError(
             f"TIFF planar configuration {planar} is not supported"
         )
-    compression = _tag(e, 259, [1])[0]
+    compression = _tag1(e, 259, 1)
     if compression not in (1, 5, 8, 32773, 32946):
         raise UnsupportedCodecError(
             f"TIFF compression {compression} is not supported"
         )
 
-    width = _tag(e, 256, [0])[0]
-    height = _tag(e, 257, [0])[0]
+    width = _tag1(e, 256, 0)
+    height = _tag1(e, 257, 0)
     if width <= 0 or height <= 0:
         raise ValueError("TIFF missing or zero ImageWidth/ImageLength")
-    spp = _tag(e, 277, [1])[0]
+    spp = _tag1(e, 277, 1)
     bits = _tag(e, 258, [8] * spp)
     if any(b != 8 for b in bits) or len(bits) != spp:
         raise UnsupportedCodecError(
             f"TIFF bits-per-sample {bits} is not supported (8-bit only)"
         )
-    photometric = _tag(e, 262, [1])[0]
-    predictor = _tag(e, 317, [1])[0]
+    photometric = _tag1(e, 262, 1)
+    predictor = _tag1(e, 317, 1)
     if predictor not in (1, 2):
         raise UnsupportedCodecError(f"TIFF predictor {predictor} unsupported")
 
@@ -296,28 +325,37 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     counts = _tag(e, 279)
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF missing StripOffsets/StripByteCounts")
-    rows_per_strip = _tag(e, 278, [height])[0] or height
+    rows_per_strip = _tag1(e, 278, height) or height
 
     row_bytes = width * spp
+    if height * row_bytes > _MAX_DECODED_BYTES:
+        raise ValueError(
+            f"TIFF dimensions {width}x{height}x{spp} exceed the "
+            f"{_MAX_DECODED_BYTES >> 20} MiB decode cap"
+        )
     raw = bytearray()
     rows_done = 0
     for i, (off, cnt) in enumerate(zip(offsets, counts)):
         if off + cnt > len(payload):
             raise ValueError(f"TIFF strip {i} extends past end of payload")
         strip = payload[off : off + cnt]
+        strip_rows = min(rows_per_strip, height - rows_done)
+        if strip_rows <= 0:
+            break  # more strips than ImageLength needs: ignore the tail
+        need = strip_rows * row_bytes
+        # every decompressor is bounded to `need` output bytes so a tiny
+        # crafted strip under a lying IFD cannot balloon executor memory
         if compression == 1:
             data = strip
         elif compression == 5:
-            data = _lzw_decode(strip)
+            data = _lzw_decode(strip, limit=need)
         elif compression in (8, 32946):
             try:
-                data = zlib.decompress(strip)
+                data = zlib.decompressobj().decompress(strip, need)
             except zlib.error as exc:
                 raise ValueError(f"corrupt TIFF deflate strip {i}: {exc}")
         else:  # 32773
-            data = _packbits_decode(strip)
-        strip_rows = min(rows_per_strip, height - rows_done)
-        need = strip_rows * row_bytes
+            data = _packbits_decode(strip, limit=need)
         if len(data) < need:
             raise ValueError(
                 f"TIFF strip {i} decodes to {len(data)} bytes, need {need}"
