@@ -199,7 +199,15 @@ def build_seen_filter(
         raise ValueError(f"unknown hashing {hashing!r}")
     if hashing in ("auto", "spark"):
         try:
-            return _build_spark_filter(df, col, expected_items, m)
+            blob = _build_spark_filter(df, col, expected_items, m)
+            # validate the wire format INSIDE the try: a Spark build
+            # whose sketch serializes a version this module cannot
+            # parse (e.g. V1 without the seed field) returns fine but
+            # every later mark_seen/merge/extend would reject it — in
+            # auto mode that must trigger the RWSF1 fallback now, not
+            # poison the persisted filter (ADVICE r7 #3)
+            _parse_spark(blob)
+            return blob
         except Exception as exc:
             if hashing == "spark":
                 raise

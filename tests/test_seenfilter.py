@@ -205,3 +205,24 @@ def test_extend_seen_filter_upgrade_path(spark):
         )
     with pytest.raises(ValueError, match="not a seen-filter"):
         SF.filter_format(b"garbage")
+
+
+def test_auto_falls_back_when_spark_blob_is_not_v2(spark, monkeypatch):
+    """A JVM sketch that serializes a non-V2 wire format must trip the
+    RWSF1 fallback in auto mode at BUILD time — not return a blob every
+    later mark_seen/merge/extend rejects (ADVICE r7 #3)."""
+    import struct
+
+    def fake_v1_build(df, col, expected_items, m_bits):
+        # V1 layout: version=1, numHashFunctions, numWords (no seed)
+        return SF._MAGIC2 + struct.pack(">3i", 1, 3, 2) + b"\x00" * 16
+
+    monkeypatch.setattr(SF, "_build_spark_filter", fake_v1_build)
+    docs = _docs(spark, 0, 50)
+    blob = SF.build_seen_filter(docs, "text", expected_items=100, hashing="auto")
+    assert SF.filter_format(blob) == "python"  # fell back, usable blob
+    seen = SF.mark_seen(docs, "text", blob)
+    assert seen.where("seen_before").count() == 50
+    # explicit spark mode must still surface the incompatibility loudly
+    with pytest.raises(ValueError, match="version"):
+        SF.build_seen_filter(docs, "text", expected_items=100, hashing="spark")
