@@ -73,7 +73,13 @@ _KNOWN_COMPRESSED_FOURCCS = frozenset({
     b"MP42", b"MP43", b"MPG4", b"mp4v",
     b"VP80", b"VP90", b"vp08", b"vp09", b"av01",
     b"WMV1", b"WMV2", b"WMV3", b"WVC1",
-    b"IV50", b"cvid", b"MSVC", b"CRAM", b"RLE8", b"I420", b"YUY2",
+    b"IV50", b"cvid", b"MSVC", b"CRAM",
+    # MS-RLE declares itself through the INTEGER biCompression values
+    # BI_RLE8=1 / BI_RLE4=2 (little-endian dwords below), not an ASCII
+    # fourcc; I420/YUY2 are uncompressed pixel LAYOUTS this decoder
+    # cannot unpack — recognized here so they label as unsupported
+    # codec rather than corruption
+    b"\x01\x00\x00\x00", b"\x02\x00\x00\x00", b"I420", b"YUY2",
 })
 
 

@@ -60,6 +60,13 @@ def test_avi_rejects_compressed_and_garbage():
     payload[i + 8 + 16 : i + 8 + 20] = b"H264"
     with pytest.raises(NotImplementedError, match="H264"):
         rawavi.decode_avi(bytes(payload))
+    # MS-RLE declares itself via the INTEGER biCompression values
+    # BI_RLE8=1 / BI_RLE4=2, not an ASCII tag: both must label as an
+    # unsupported codec, not corruption (ADVICE r7 #4)
+    for rle in (b"\x01\x00\x00\x00", b"\x02\x00\x00\x00"):
+        payload[i + 8 + 16 : i + 8 + 20] = rle
+        with pytest.raises(rawavi.UnsupportedCodecError):
+            rawavi.decode_avi(bytes(payload))
     # genuinely malformed containers stay ValueError (per-row capture)
     with pytest.raises(ValueError):
         rawavi.decode_avi(b"RIFF\x00\x00\x00\x00AVI ")
