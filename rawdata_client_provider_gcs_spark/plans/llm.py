@@ -25,7 +25,27 @@ from .catalog import register
 #: table's file listing) invalidates the cache when the table is
 #: regenerated or appended under the same path, so a long-lived driver
 #: never probes a stale index silently.
-_IVF_INDEX_CACHE: dict[tuple[str, tuple], str] = {}
+# staged IVF index per (sf, corpus fingerprint).  Values are
+# TemporaryDirectory handles so the build directories are removed at
+# interpreter exit (and when a stale entry is replaced) instead of
+# leaking one mkdtemp per distinct corpus for the process lifetime.
+_IVF_INDEX_CACHE: dict[tuple[str, tuple], "tempfile.TemporaryDirectory"] = {}
+
+
+def _ivf_corpus_fingerprint(files: list[str]) -> tuple:
+    """(path, size, mtime_ns) per input file: an in-place rewrite that
+    reuses identical file names must invalidate the staged index."""
+    import os
+
+    out = []
+    for f in sorted(files):
+        path = f[len("file:") :] if f.startswith("file:") else f
+        try:
+            st = os.stat(path)
+            out.append((f, st.st_size, st.st_mtime_ns))
+        except OSError:  # non-local FS: fall back to the name alone
+            out.append((f, -1, -1))
+    return tuple(out)
 
 # ---------------------------------------------------------------------------
 # Dedup family
@@ -710,12 +730,17 @@ def q_similarity_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load_table(spark, sf, "embeddings")
     q = e.filter(F.col("vec_id") < 8)
-    key = (sf, tuple(sorted(e.inputFiles())))
-    idx = _IVF_INDEX_CACHE.get(key)
-    if idx is None:
-        idx = tempfile.mkdtemp(prefix="rawdata-ivf-index-") + "/lists"
-        similarity.build_ivf_index(e, idx, nlist=16)
-        _IVF_INDEX_CACHE[key] = idx
+    key = (sf, _ivf_corpus_fingerprint(e.inputFiles()))
+    tmp = _IVF_INDEX_CACHE.get(key)
+    if tmp is None:
+        # one staged index per sf: a changed fingerprint for the same sf
+        # means the corpus was rewritten — drop the stale build now
+        for old in [k for k in _IVF_INDEX_CACHE if k[0] == sf]:
+            _IVF_INDEX_CACHE.pop(old).cleanup()
+        tmp = tempfile.TemporaryDirectory(prefix="rawdata-ivf-index-")
+        similarity.build_ivf_index(e, tmp.name + "/lists", nlist=16)
+        _IVF_INDEX_CACHE[key] = tmp
+    idx = tmp.name + "/lists"
     return similarity.ivf_query_index(spark, idx, q, k=5, nprobe=3).select(
         F.col("query_id").cast("long").alias("query_id"),
         F.col("neighbor_id").cast("long").alias("neighbor_id"),

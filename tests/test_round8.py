@@ -1,0 +1,74 @@
+"""Round-8 regressions: IVF index staging cache hygiene (ADVICE r7 #5).
+
+The staged-index cache used to key on the embeddings file LISTING and
+never clean its mkdtemp directories — an in-place rewrite reusing the
+same file names silently served a stale index, and every distinct
+corpus leaked a tempdir for the process lifetime.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from rawdata_client_provider_gcs_spark.plans import catalog, llm
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fingerprint_sees_in_place_rewrites(tmp_path):
+    f = tmp_path / "embeddings.parquet"
+    f.write_bytes(b"one")
+    fp1 = llm._ivf_corpus_fingerprint([str(f)])
+    # same name, same size, later mtime — still a different corpus
+    time.sleep(0.01)
+    f.write_bytes(b"two")
+    fp2 = llm._ivf_corpus_fingerprint([str(f)])
+    assert fp1 != fp2
+    # file: scheme prefixes stat the same path
+    fp3 = llm._ivf_corpus_fingerprint([f"file:{f}"])
+    assert fp3[0][1:] == fp2[0][1:]
+
+
+def test_fingerprint_orders_and_survives_missing(tmp_path):
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.write_bytes(b"x")
+    b.write_bytes(b"y")
+    assert llm._ivf_corpus_fingerprint([str(b), str(a)]) == (
+        llm._ivf_corpus_fingerprint([str(a), str(b)])
+    )
+    missing = llm._ivf_corpus_fingerprint(["s3://bucket/part-0.parquet"])
+    assert missing[0][1:] == (-1, -1)
+
+
+@pytest.mark.usefixtures("spark")
+def test_staged_index_caches_and_drops_stale_builds(spark):
+    q = catalog.queries()["q_similarity_ivf_index"]
+    llm._IVF_INDEX_CACHE.clear()
+    try:
+        q(spark, SF).collect()
+        assert len(llm._IVF_INDEX_CACHE) == 1
+        (key1, tmp1), = llm._IVF_INDEX_CACHE.items()
+        assert os.path.isdir(tmp1.name + "/lists")
+        # warm second call: cache hit, same staged directory
+        q(spark, SF).collect()
+        assert llm._IVF_INDEX_CACHE[key1] is tmp1
+        # simulate an in-place corpus rewrite: replace the real entry
+        # with one under a stale fingerprint for the same sf
+        import tempfile
+
+        stale = tempfile.TemporaryDirectory(prefix="rawdata-ivf-stale-")
+        stale_dir = stale.name
+        llm._IVF_INDEX_CACHE.clear()
+        llm._IVF_INDEX_CACHE[(SF, ("stale",))] = stale
+        q(spark, SF).collect()
+        assert (SF, ("stale",)) not in llm._IVF_INDEX_CACHE
+        assert not os.path.exists(stale_dir)  # cleaned, not leaked
+        assert len(llm._IVF_INDEX_CACHE) == 1
+    finally:
+        for tmp in llm._IVF_INDEX_CACHE.values():
+            tmp.cleanup()
+        llm._IVF_INDEX_CACHE.clear()
