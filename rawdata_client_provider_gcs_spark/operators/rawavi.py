@@ -1,4 +1,4 @@
-"""Pure-numpy AVI container codec for uncompressed (raw-DIB) video.
+"""Pure-numpy AVI container codec: uncompressed (raw-DIB) and MS-RLE8.
 
 The video half of the multimodal tier's "real decode without media
 libs" family (rawimage/rawjpeg/rawgif/rawaudio): AVI is a RIFF
@@ -7,14 +7,16 @@ container (same chunk grammar the WAV codec already parses,
 independent bitmaps — byte-identical row layout to the 24-bit BMP
 raster the image codec already decodes (bottom-up, BGR, rows padded to
 4 bytes).  So an uncompressed AVI decodes here with zero new
-compression machinery, which makes it the honest first rung of the
-"video containers" boundary: a recognized-but-compressed codec
-(H.264, MJPG, ...) raises :class:`UnsupportedCodecError` from
-:func:`decode_avi` — recorded PER-ROW by the multimodal kernels under
-its own class name (compressed AVIs are ordinary crawl data; one must
-never kill the job), yet never conflated with corruption — while the
-CONTAINER path — parse, frame timing, frame extraction — is real and
-round-trippable.
+compression machinery; MS-RLE8 (biCompression=1, the era's dominant
+palettized codec) adds one short run-length grammar
+(:func:`_rle8_decode`) plus the strf RGBQUAD table.  That makes this
+the honest first two rungs of the "video containers" boundary: a
+recognized-but-undecodable codec (H.264, MJPG, BI_RLE4, ...) raises
+:class:`UnsupportedCodecError` from :func:`decode_avi` — recorded
+PER-ROW by the multimodal kernels under its own class name (compressed
+AVIs are ordinary crawl data; one must never kill the job), yet never
+conflated with corruption — while the CONTAINER path — parse, frame
+timing, frame extraction — is real and round-trippable.
 
 Format notes (public AVI/RIFF spec, msdn AVIMAINHEADER et al.):
 
@@ -74,13 +76,16 @@ _KNOWN_COMPRESSED_FOURCCS = frozenset({
     b"VP80", b"VP90", b"vp08", b"vp09", b"av01",
     b"WMV1", b"WMV2", b"WMV3", b"WVC1",
     b"IV50", b"cvid", b"MSVC", b"CRAM",
-    # MS-RLE declares itself through the INTEGER biCompression values
-    # BI_RLE8=1 / BI_RLE4=2 (little-endian dwords below), not an ASCII
-    # fourcc; I420/YUY2 are uncompressed pixel LAYOUTS this decoder
-    # cannot unpack — recognized here so they label as unsupported
+    # BI_RLE4 declares itself through the INTEGER biCompression value 2
+    # (little-endian dword), not an ASCII fourcc (BI_RLE8=1 DECODES here
+    # — see _rle8_to_rgb); I420/YUY2 are uncompressed pixel LAYOUTS this
+    # decoder cannot unpack — recognized so they label as unsupported
     # codec rather than corruption
-    b"\x01\x00\x00\x00", b"\x02\x00\x00\x00", b"I420", b"YUY2",
+    b"\x02\x00\x00\x00", b"I420", b"YUY2",
 })
+
+_BI_RGB = b"\x00\x00\x00\x00"
+_BI_RLE8 = b"\x01\x00\x00\x00"
 
 
 def sniff_avi(payload: bytes) -> bool:
@@ -119,6 +124,69 @@ def _dib_to_rgb(data: bytes, width: int, height: int) -> np.ndarray:
     return bgr[::-1, :, ::-1].copy()  # bottom-up -> top-down, BGR -> RGB
 
 
+def _rle8_decode(data: bytes, width: int, height: int) -> np.ndarray:
+    """Decode one MS-RLE8 frame payload to a bottom-up (H, W) uint8
+    index raster (MS-WMF §2.1.1.20 / BITMAPINFOHEADER docs).
+
+    Stream grammar: ``(count>0, index)`` encoded runs; ``(0, 0)`` end of
+    line; ``(0, 1)`` end of bitmap; ``(0, 2, dx, dy)`` delta (right and
+    UP in raster terms — RLE rasters are bottom-up like every DIB);
+    ``(0, n>=3)`` absolute run of n literal indices padded to a word
+    boundary.  Skipped pixels stay index 0 per common player behavior.
+    Out-of-raster writes are corruption → ValueError (never a numpy
+    IndexError out of the Arrow kernel)."""
+    out = np.zeros((height, width), np.uint8)
+    x = y = 0  # y counts bottom-up rows, matching the DIB origin
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        count, val = data[i], data[i + 1]
+        i += 2
+        if count > 0:  # encoded run
+            if y >= height or x + count > width:
+                raise ValueError("RLE8 run writes outside the raster")
+            out[y, x : x + count] = val
+            x += count
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta
+            if i + 2 > n:
+                raise ValueError("truncated RLE8 delta escape")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > width or y > height:
+                raise ValueError("RLE8 delta jumps outside the raster")
+        else:  # absolute run of `val` literals, word-aligned
+            run = val
+            if i + run > n:
+                raise ValueError("truncated RLE8 absolute run")
+            if y >= height or x + run > width:
+                raise ValueError("RLE8 absolute run writes outside the raster")
+            out[y, x : x + run] = np.frombuffer(data, np.uint8, run, i)
+            x += run
+            i += run + (run & 1)
+    raise ValueError("RLE8 stream ended without an end-of-bitmap escape")
+
+
+def _read_strf_palette(payload: bytes, doff: int, size: int) -> np.ndarray:
+    """(256, 3) uint8 RGB palette from the RGBQUADs that follow the
+    BITMAPINFOHEADER inside a ``strf`` chunk (entries are B,G,R,pad;
+    ``biClrUsed`` 0 means the full 2^biBitCount table)."""
+    header = int.from_bytes(payload[doff : doff + 4], "little") or 40
+    used = int.from_bytes(payload[doff + 32 : doff + 36], "little") or 256
+    used = min(used, 256)
+    table = np.frombuffer(
+        payload, np.uint8, min(used * 4, max(0, size - header)) & ~3,
+        doff + header,
+    ).reshape(-1, 4)
+    pal = np.zeros((256, 3), np.uint8)
+    pal[: len(table)] = table[:, 2::-1]  # BGRx -> RGB
+    return pal
+
+
 def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
     """Decode an uncompressed AVI to ``(frames, fps)``.
 
@@ -142,12 +210,13 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
     rate = scale = None
     usec_per_frame = None
     compression = None
+    palette = None  # (256, 3) RGB for the RLE8 path
     cur_fcc = None  # fccType of the most recent strh, scoped per strl
     frames: list[np.ndarray] = []
 
     def walk(off: int, end: int) -> None:
         nonlocal width, height, rate, scale, usec_per_frame, compression
-        nonlocal cur_fcc
+        nonlocal cur_fcc, palette
         for cid, doff, size in _sub_chunks(payload, off, end):
             if cid == b"LIST":
                 if payload[doff : doff + 4] == b"strl":
@@ -182,9 +251,12 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
                     raise UnsupportedCodecError(
                         "unsupported AVI video codec: fourcc="
                         f"{compression!r}; only uncompressed BI_RGB "
-                        "24-bit is decodable without media libraries"
+                        "24-bit and MS-RLE8 are decodable without media "
+                        "libraries"
                     )
-                if compression != b"\x00\x00\x00\x00" or bits != 24:
+                if compression == _BI_RLE8 and bits == 8:
+                    palette = _read_strf_palette(payload, doff, size)
+                elif compression != _BI_RGB or bits != 24:
                     # an UNRECOGNIZED nonzero fourcc / wrong bit depth is
                     # not a codec the crawl could contain — it's a
                     # corrupt header, captured per-row downstream
@@ -195,9 +267,12 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
             elif cid in (b"00db", b"00dc"):
                 if width is None or height is None:
                     raise ValueError("AVI frame chunk before headers")
-                frames.append(
-                    _dib_to_rgb(payload[doff : doff + size], width, height)
-                )
+                data = payload[doff : doff + size]
+                if compression == _BI_RLE8:
+                    idx = _rle8_decode(data, width, height)
+                    frames.append(palette[idx][::-1].copy())  # bottom-up
+                else:
+                    frames.append(_dib_to_rgb(data, width, height))
 
     walk(12, len(payload))
     if not frames:
@@ -211,6 +286,56 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
     return frames, fps
 
 
+def _rle8_encode(idx_bottom_up: np.ndarray) -> bytes:
+    """Encode one bottom-up (H, W) uint8 index raster as MS-RLE8 using
+    encoded runs only (always legal; absolute mode is an optimization)."""
+    out = bytearray()
+    for row in idx_bottom_up:
+        j = 0
+        w = len(row)
+        while j < w:
+            run = 1
+            while j + run < w and run < 255 and row[j + run] == row[j]:
+                run += 1
+            out += bytes((run, int(row[j])))
+            j += run
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    return bytes(out)
+
+
+def encode_avi_rle8(
+    index_frames: list[np.ndarray],
+    palette: np.ndarray,
+    fps: float = 10.0,
+) -> bytes:
+    """Encode top-down (H, W) uint8 palette-index frames as an MS-RLE8
+    AVI (biCompression=BI_RLE8, biBitCount=8, RGBQUAD table in strf) —
+    the fixture-grade mirror of the :func:`decode_avi` RLE8 path."""
+    if not index_frames:
+        raise ValueError("need at least one frame")
+    h, w = index_frames[0].shape
+    for f in index_frames:
+        if f.shape != (h, w) or f.dtype != np.uint8:
+            raise ValueError("all frames must be equal-shape (H, W) uint8")
+    pal = np.zeros((256, 3), np.uint8)
+    pal[: len(palette)] = np.asarray(palette, np.uint8)[:256]
+    rgbquads = np.zeros((256, 4), np.uint8)
+    rgbquads[:, 2::-1] = pal  # RGB -> BGRx
+    strf_tail = rgbquads.tobytes()
+    payloads = [_rle8_encode(f[::-1]) for f in index_frames]
+    return _assemble_avi(
+        payloads,
+        w,
+        h,
+        fps,
+        bits=8,
+        compression=_BI_RLE8,
+        strf_tail=strf_tail,
+        frame_cid=b"00dc",
+    )
+
+
 def encode_avi(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
     """Encode (H, W, 3) uint8 RGB frames as an uncompressed BI_RGB AVI."""
     if not frames:
@@ -220,12 +345,37 @@ def encode_avi(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
         if f.shape != (h, w, 3) or f.dtype != np.uint8:
             raise ValueError("all frames must be equal-shape (H, W, 3) uint8")
     stride = (w * 3 + 3) & ~3
-    frame_bytes = stride * h
 
     def dib(arr: np.ndarray) -> bytes:
         rows = np.zeros((h, stride), np.uint8)
         rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)
         return rows.tobytes()
+
+    return _assemble_avi(
+        [dib(f) for f in frames],
+        w,
+        h,
+        fps,
+        bits=24,
+        compression=_BI_RGB,
+        strf_tail=b"",
+        frame_cid=b"00db",
+    )
+
+
+def _assemble_avi(
+    payloads: list[bytes],
+    w: int,
+    h: int,
+    fps: float,
+    bits: int,
+    compression: bytes,
+    strf_tail: bytes,
+    frame_cid: bytes,
+) -> bytes:
+    """Wrap per-frame payload bytes in the RIFF/AVI container grammar
+    (hdrl with avih/strh/strf, movi, idx1) shared by the BI_RGB and
+    MS-RLE8 encoders."""
 
     def chunk(cid: bytes, data: bytes) -> bytes:
         pad = b"\x00" if len(data) & 1 else b""
@@ -234,6 +384,7 @@ def encode_avi(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
     def lst(ltype: bytes, data: bytes) -> bytes:
         return chunk(b"LIST", ltype + data)
 
+    frame_bytes = max(len(p) for p in payloads)
     scale, rate = 1000, int(round(fps * 1000))
     avih = struct.pack(
         "<14I",
@@ -241,7 +392,7 @@ def encode_avi(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
         frame_bytes * int(round(fps)),  # dwMaxBytesPerSec
         0,  # dwPaddingGranularity
         0x10,  # AVIF_HASINDEX
-        len(frames),
+        len(payloads),
         0,  # dwInitialFrames
         1,  # dwStreams
         frame_bytes,
@@ -254,7 +405,7 @@ def encode_avi(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
     )
     strh = (
         b"vids"
-        + b"\x00" * 4  # fccHandler: unset for raw DIB
+        + b"\x00" * 4  # fccHandler: unset for raw DIB / MS-RLE
         + struct.pack(
             "<IHHIIIIIIII",
             0,  # flags
@@ -264,42 +415,45 @@ def encode_avi(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
             scale,
             rate,
             0,  # start
-            len(frames),
+            len(payloads),
             frame_bytes,  # suggested buffer
             0xFFFFFFFF,  # quality (default)
             0,  # sample size
         )
         + struct.pack("<4H", 0, 0, w, h)  # rcFrame
     )
-    strf = struct.pack(
-        "<IiiHH4sIiiII",
-        40,
-        w,
-        h,
-        1,
-        24,
-        b"\x00\x00\x00\x00",  # BI_RGB
-        frame_bytes,
-        0,
-        0,
-        0,
-        0,
+    strf = (
+        struct.pack(
+            "<IiiHH4sIiiII",
+            40,
+            w,
+            h,
+            1,
+            bits,
+            compression,
+            frame_bytes,
+            0,
+            0,
+            256 if strf_tail else 0,  # biClrUsed
+            0,
+        )
+        + strf_tail
     )
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih)
         + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi_chunks = [chunk(b"00db", dib(f)) for f in frames]
+    movi_chunks = [chunk(frame_cid, p) for p in payloads]
     movi = lst(b"movi", b"".join(movi_chunks))
     # idx1: (ckid, flags=KEYFRAME, offset from 'movi' type tag, size)
     idx_entries = []
     off = 4
-    for f in frames:
+    for p in payloads:
         idx_entries.append(
-            b"00db" + struct.pack("<III", 0x10, off, frame_bytes)
+            frame_cid + struct.pack("<III", 0x10, off, len(p))
         )
-        off += 8 + frame_bytes + (frame_bytes & 1)
+        off += 8 + len(p) + (len(p) & 1)
     idx1 = chunk(b"idx1", b"".join(idx_entries))
     body = b"AVI " + hdrl + movi + idx1
     return b"RIFF" + struct.pack("<I", len(body)) + body

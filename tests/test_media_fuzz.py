@@ -312,3 +312,37 @@ def test_spark_sample_frames_survives_mutated_avi_corpus(spark):
     assert by_doc[0] == {False}  # pristine decodes
     for doc, kinds in by_doc.items():
         assert len(kinds) == 1, doc  # sentinel row XOR real frames
+
+
+def _avi_rle8_payload() -> bytes:
+    from rawdata_client_provider_gcs_spark.operators import rawavi
+
+    rng = np.random.default_rng(13)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx_frames = [
+        rng.integers(0, 40, size=(8, 10), dtype=np.uint8) for _ in range(3)
+    ]
+    return rawavi.encode_avi_rle8(idx_frames, pal, fps=10.0)
+
+
+AVI_RLE8_PAYLOAD = _avi_rle8_payload()
+
+
+@settings(max_examples=300, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1))
+def test_avi_rle8_kernel_never_raises_uncatchable(seed):
+    """Same contract as the BI_RGB fuzz, over the MS-RLE8 decode path:
+    a mutated RLE stream (runs off the raster, truncated escapes,
+    corrupt palette) must decode or ValueError — the RLE scatter can
+    never raise an uncatchable numpy IndexError out of the kernel."""
+    from rawdata_client_provider_gcs_spark.operators import rawavi
+
+    mutated = _mutate(AVI_RLE8_PAYLOAD, random.Random(seed))
+    try:
+        frames, fps = rawavi.decode_avi(mutated)
+        assert fps > 0 and frames
+        assert all(f.ndim == 3 and f.dtype == np.uint8 for f in frames)
+    except NotImplementedError as exc:
+        assert "fourcc" in str(exc)
+    except ValueError:
+        pass  # per-row capture path

@@ -61,12 +61,16 @@ def test_avi_rejects_compressed_and_garbage():
     with pytest.raises(NotImplementedError, match="H264"):
         rawavi.decode_avi(bytes(payload))
     # MS-RLE declares itself via the INTEGER biCompression values
-    # BI_RLE8=1 / BI_RLE4=2, not an ASCII tag: both must label as an
-    # unsupported codec, not corruption (ADVICE r7 #4)
-    for rle in (b"\x01\x00\x00\x00", b"\x02\x00\x00\x00"):
-        payload[i + 8 + 16 : i + 8 + 20] = rle
-        with pytest.raises(rawavi.UnsupportedCodecError):
-            rawavi.decode_avi(bytes(payload))
+    # BI_RLE8=1 / BI_RLE4=2, not an ASCII tag (ADVICE r7 #4).  RLE4
+    # labels as an unsupported codec, not corruption; RLE8 DECODES
+    # (test_rle8_* below), so here — claimed on a 24-bit header with no
+    # palette — it reads as a malformed header.
+    payload[i + 8 + 16 : i + 8 + 20] = b"\x02\x00\x00\x00"
+    with pytest.raises(rawavi.UnsupportedCodecError):
+        rawavi.decode_avi(bytes(payload))
+    payload[i + 8 + 16 : i + 8 + 20] = b"\x01\x00\x00\x00"
+    with pytest.raises(ValueError):
+        rawavi.decode_avi(bytes(payload))
     # genuinely malformed containers stay ValueError (per-row capture)
     with pytest.raises(ValueError):
         rawavi.decode_avi(b"RIFF\x00\x00\x00\x00AVI ")
@@ -195,3 +199,89 @@ def test_compressed_avi_is_per_row_distinctly_labeled(spark):
     with pytest.raises(NotImplementedError, match="H264"):
         rawavi.decode_avi(bytes(payload))
     assert issubclass(rawavi.UnsupportedCodecError, NotImplementedError)
+
+
+def _palette():
+    pal = np.zeros((256, 3), np.uint8)
+    pal[:, 0] = np.arange(256)  # R ramp
+    pal[:, 1] = 255 - np.arange(256)  # G inverse ramp
+    pal[:, 2] = (np.arange(256) * 7) % 256
+    return pal
+
+
+def test_rle8_roundtrip_lossless():
+    """encode_avi_rle8 -> decode_avi reproduces palette[idx] exactly,
+    with the container's frame timing intact."""
+    rng = np.random.default_rng(5)
+    pal = _palette()
+    idx_frames = [
+        rng.integers(0, 256, size=(9, 13), dtype=np.uint8) for _ in range(3)
+    ]
+    blob = rawavi.encode_avi_rle8(idx_frames, pal, fps=12.5)
+    frames, fps = rawavi.decode_avi(blob)
+    assert fps == pytest.approx(12.5)
+    assert len(frames) == 3
+    for got, idx in zip(frames, idx_frames):
+        np.testing.assert_array_equal(got, pal[idx])
+
+
+def test_rle8_run_compression_is_real():
+    """A flat frame must RLE down to a handful of bytes per row."""
+    idx = np.full((32, 200), 7, np.uint8)
+    enc = rawavi._rle8_encode(idx)
+    # 200 wide = one 255-cap means ceil(200/255)=1 run of 200 -> 2 bytes
+    # per row + 2-byte EOL, + 2-byte EOB
+    assert len(enc) == 32 * 4 + 2
+    blob = rawavi.encode_avi_rle8([idx], _palette(), fps=10)
+    raw = rawavi.encode_avi([_palette()[idx]], fps=10)
+    assert len(blob) < len(raw) // 10
+
+
+def test_rle8_delta_and_absolute_escapes():
+    """Hand-built stream: absolute run, delta skip (skipped pixels are
+    index 0), encoded run, EOL, EOB — decoded bottom-up."""
+    # raster 4 wide, 3 tall
+    stream = (
+        b"\x00\x04" + bytes([10, 11, 12, 13])  # absolute run of 4 (row 0)
+        + b"\x00\x00"  # end of line
+        + b"\x00\x02\x02\x01"  # delta: right 2, up 1 (to row 2, x=2)
+        + b"\x02\x09"  # encoded run: two pixels of index 9
+        + b"\x00\x01"  # end of bitmap
+    )
+    idx = rawavi._rle8_decode(stream, 4, 3)
+    # bottom-up: y=0 is the BOTTOM row of the decoded (top-down) image
+    np.testing.assert_array_equal(idx[0], [10, 11, 12, 13])
+    np.testing.assert_array_equal(idx[1], [0, 0, 0, 0])  # skipped by delta
+    np.testing.assert_array_equal(idx[2], [0, 0, 9, 9])
+
+
+def test_rle8_hostile_streams_raise_valueerror():
+    bad = [
+        b"\x09\x01\x00\x01",  # run of 9 in a 4-wide raster
+        b"\x00\x05" + b"\x01\x02",  # truncated absolute run
+        b"\x00\x02\x09\x09",  # delta jumps outside
+        b"\x02\x01",  # no end-of-bitmap escape
+        b"\x00\x02\x01",  # truncated delta
+    ]
+    for stream in bad:
+        with pytest.raises(ValueError):
+            rawavi._rle8_decode(stream, 4, 3)
+
+
+def test_rle8_through_spark_sample_frames(spark):
+    """An MS-RLE8 AVI rides the same multimodal path as BI_RGB: frames
+    really decode, on the sampling grid, with real timing."""
+    from rawdata_client_provider_gcs_spark.operators import multimodal
+
+    pal = _palette()
+    idx_frames = [np.full((6, 8), i * 10, np.uint8) for i in range(5)]
+    blob = rawavi.encode_avi_rle8(idx_frames, pal, fps=10.0)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, v binary")
+    media = multimodal.with_media_columns(df, "v", "video/avi", "doc_id")
+    rows = (
+        multimodal.sample_frames(media, every_ms=200)
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert [r.frame_idx for r in rows] == [0, 2, 4]
+    assert all(r.error is None for r in rows)
