@@ -6,15 +6,18 @@ GIF already decode; see ``rawimage.sniff_format``).  Baseline TIFF 6.0
 needs nothing beyond numpy and stdlib ``zlib``:
 
 - both byte orders (``II`` little-endian, ``MM`` big-endian);
-- strip layout (``StripOffsets``/``StripByteCounts``/``RowsPerStrip``);
+- strip layout (``StripOffsets``/``StripByteCounts``/``RowsPerStrip``)
+  AND tile layout (``TileWidth``/``TileLength``/``TileOffsets``/
+  ``TileByteCounts``, zero-padded edge tiles per TIFF 6.0 §15);
 - compressions 1 (none), 5 (LZW, MSB-first with the spec's early-change
   width switch), 8/32946 (Deflate via ``zlib``), 32773 (PackBits);
 - predictor 2 (horizontal differencing — undone with a wrapping cumsum);
 - photometric 0/1 (gray, optionally inverted), 2 (RGB, alpha dropped),
-  3 (palette via ``ColorMap``), all at 8 bits per sample.
+  3 (palette via ``ColorMap``), at 8 or 16 bits per sample (16-bit
+  scales to 8 via the high byte, pillow's ``I;16``→``L`` convention).
 
-Recognized-but-undecodable per-file features — tiled layout, planar
-configuration 2, CCITT fax or JPEG-in-TIFF compression, non-8-bit
+Recognized-but-undecodable per-file features — planar configuration 2,
+CCITT fax or JPEG-in-TIFF compression, sub-8-bit or float
 samples — raise :class:`~.rawavi.UnsupportedCodecError` so one exotic
 file in a crawl lands in the per-row ``error`` column (queryable apart
 from corruption) instead of killing the task; genuinely malformed bytes
@@ -286,15 +289,40 @@ def _tag1(entries, tag: int, default: int) -> int:
 # --------------------------------------------------------------- decode
 
 
+def _decompress_block(
+    chunk: bytes, compression: int, need: int, label: str
+) -> bytes:
+    """One strip/tile through the compression dispatch, bounded to
+    ``need`` output bytes (decompression-bomb guard) and length-checked."""
+    if compression == 1:
+        data = chunk
+    elif compression == 5:
+        data = _lzw_decode(chunk, limit=need)
+    elif compression in (8, 32946):
+        try:
+            data = zlib.decompressobj().decompress(chunk, need)
+        except zlib.error as exc:
+            raise ValueError(f"corrupt TIFF deflate {label}: {exc}")
+    else:  # 32773
+        data = _packbits_decode(chunk, limit=need)
+    if len(data) < need:
+        raise ValueError(
+            f"TIFF {label} decodes to {len(data)} bytes, need {need}"
+        )
+    return data
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
-    """Decode baseline TIFF bytes to an (H, W, 3) uint8 RGB array."""
+    """Decode baseline TIFF bytes to an (H, W, 3) uint8 RGB array.
+
+    Strip or tile layout, 8- or 16-bit samples (16-bit scales to 8 by
+    taking the high byte, pillow's ``I;16``→``L`` convention — matching
+    the ``rawimage.decode_png`` 16-bit path)."""
     if not sniff_tiff(payload):
         raise ValueError("not a TIFF payload")
     bo = "<" if payload[:2] == b"II" else ">"
     e = _read_ifd(payload, bo)
 
-    if 322 in e or 323 in e:  # TileWidth / TileLength
-        raise UnsupportedCodecError("tiled TIFF layout is not supported")
     planar = _tag1(e, 284, 1)
     if planar != 1:
         raise UnsupportedCodecError(
@@ -312,69 +340,111 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         raise ValueError("TIFF missing or zero ImageWidth/ImageLength")
     spp = _tag1(e, 277, 1)
     bits = _tag(e, 258, [8] * spp)
-    if any(b != 8 for b in bits) or len(bits) != spp:
+    if len(bits) != spp or any(b != bits[0] for b in bits) or bits[0] not in (
+        8,
+        16,
+    ):
         raise UnsupportedCodecError(
-            f"TIFF bits-per-sample {bits} is not supported (8-bit only)"
+            f"TIFF bits-per-sample {bits} is not supported (uniform 8/16 only)"
         )
+    sample_bytes = bits[0] // 8
+    dtype = np.dtype(bo + "u2") if sample_bytes == 2 else np.dtype(np.uint8)
     photometric = _tag1(e, 262, 1)
+    if photometric == 3 and sample_bytes != 1:
+        raise UnsupportedCodecError("palette TIFF must be 8-bit")
     predictor = _tag1(e, 317, 1)
     if predictor not in (1, 2):
         raise UnsupportedCodecError(f"TIFF predictor {predictor} unsupported")
 
-    offsets = _tag(e, 273)
-    counts = _tag(e, 279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF missing StripOffsets/StripByteCounts")
-    rows_per_strip = _tag1(e, 278, height) or height
-
-    row_bytes = width * spp
+    row_bytes = width * spp * sample_bytes
     if height * row_bytes > _MAX_DECODED_BYTES:
         raise ValueError(
-            f"TIFF dimensions {width}x{height}x{spp} exceed the "
+            f"TIFF dimensions {width}x{height}x{spp}@{bits[0]} exceed the "
             f"{_MAX_DECODED_BYTES >> 20} MiB decode cap"
         )
-    raw = bytearray()
-    rows_done = 0
-    for i, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(payload):
-            raise ValueError(f"TIFF strip {i} extends past end of payload")
-        strip = payload[off : off + cnt]
-        strip_rows = min(rows_per_strip, height - rows_done)
-        if strip_rows <= 0:
-            break  # more strips than ImageLength needs: ignore the tail
-        need = strip_rows * row_bytes
-        # every decompressor is bounded to `need` output bytes so a tiny
-        # crafted strip under a lying IFD cannot balloon executor memory
-        if compression == 1:
-            data = strip
-        elif compression == 5:
-            data = _lzw_decode(strip, limit=need)
-        elif compression in (8, 32946):
-            try:
-                data = zlib.decompressobj().decompress(strip, need)
-            except zlib.error as exc:
-                raise ValueError(f"corrupt TIFF deflate strip {i}: {exc}")
-        else:  # 32773
-            data = _packbits_decode(strip, limit=need)
-        if len(data) < need:
-            raise ValueError(
-                f"TIFF strip {i} decodes to {len(data)} bytes, need {need}"
-            )
-        block = np.frombuffer(data, np.uint8, count=need).reshape(
-            strip_rows, width, spp
-        )
+
+    def undiff(block: np.ndarray) -> np.ndarray:
+        # horizontal differencing is per row per sample; the inverse is
+        # a wrapping cumsum along x (uintN arithmetic is mod 2^N)
         if predictor == 2:
-            # horizontal differencing is per row per sample; the inverse
-            # is a wrapping cumsum along x (uint8 arithmetic is mod 256)
-            block = np.cumsum(block, axis=1, dtype=np.uint8)
-        raw += block.tobytes()
-        rows_done += strip_rows
-    if rows_done < height:
-        raise ValueError(
-            f"TIFF strips cover {rows_done} rows, ImageLength says {height}"
+            acc = np.cumsum(
+                block.astype(dtype.newbyteorder("=")), axis=1,
+                dtype=dtype.newbyteorder("="),
+            )
+            return acc
+        return block.astype(dtype.newbyteorder("="))
+
+    if 322 in e or 323 in e:  # tiled layout (TIFF 6.0 §15)
+        tw = _tag1(e, 322, 0)
+        th = _tag1(e, 323, 0)
+        if tw <= 0 or th <= 0:
+            raise ValueError("tiled TIFF missing TileWidth/TileLength")
+        offsets = _tag(e, 324)
+        counts = _tag(e, 325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("tiled TIFF missing TileOffsets/TileByteCounts")
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        if len(offsets) < across * down:
+            raise ValueError(
+                f"tiled TIFF carries {len(offsets)} tiles, grid needs "
+                f"{across * down}"
+            )
+        tile_need = th * tw * spp * sample_bytes
+        if tile_need > _MAX_DECODED_BYTES:
+            raise ValueError("TIFF tile size exceeds the decode cap")
+        img = np.zeros((height, width, spp), dtype.newbyteorder("="))
+        for t in range(across * down):
+            off, cnt = offsets[t], counts[t]
+            if off + cnt > len(payload):
+                raise ValueError(f"TIFF tile {t} extends past end of payload")
+            data = _decompress_block(
+                payload[off : off + cnt], compression, tile_need, f"tile {t}"
+            )
+            block = np.frombuffer(
+                data, dtype, count=th * tw * spp
+            ).reshape(th, tw, spp)
+            block = undiff(block)
+            y0 = (t // across) * th
+            x0 = (t % across) * tw
+            ys = min(th, height - y0)
+            xs = min(tw, width - x0)
+            img[y0 : y0 + ys, x0 : x0 + xs] = block[:ys, :xs]
+    else:
+        offsets = _tag(e, 273)
+        counts = _tag(e, 279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing StripOffsets/StripByteCounts")
+        rows_per_strip = _tag1(e, 278, height) or height
+
+        raw = bytearray()
+        rows_done = 0
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            if off + cnt > len(payload):
+                raise ValueError(f"TIFF strip {i} extends past end of payload")
+            strip_rows = min(rows_per_strip, height - rows_done)
+            if strip_rows <= 0:
+                break  # more strips than ImageLength needs: ignore the tail
+            need = strip_rows * row_bytes
+            data = _decompress_block(
+                payload[off : off + cnt], compression, need, f"strip {i}"
+            )
+            block = np.frombuffer(
+                data, dtype, count=strip_rows * width * spp
+            ).reshape(strip_rows, width, spp)
+            raw += undiff(block).tobytes()
+            rows_done += strip_rows
+        if rows_done < height:
+            raise ValueError(
+                f"TIFF strips cover {rows_done} rows, ImageLength says "
+                f"{height}"
+            )
+        img = np.frombuffer(bytes(raw), dtype.newbyteorder("=")).reshape(
+            height, width, spp
         )
 
-    img = np.frombuffer(bytes(raw), np.uint8).reshape(height, width, spp)
+    if sample_bytes == 2:
+        img = (img >> 8).astype(np.uint8)  # high byte, as pillow I;16 -> L
     if photometric in (0, 1):
         gray = img[:, :, 0]
         if photometric == 0:  # WhiteIsZero
@@ -413,11 +483,14 @@ def encode_tiff(
     byte_order: str = "<",
     predictor: int = 1,
     rows_per_strip: int | None = None,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """Encode an (H, W, 3) RGB or (H, W) gray uint8 array as TIFF.
+    """Encode an (H, W, 3) RGB or (H, W) gray array as TIFF.
 
-    Fixture-grade but spec-correct: strip layout, optional LZW/Deflate/
-    PackBits compression, optional predictor 2, either byte order —
+    Fixture-grade but spec-correct: strip layout (or tiles via
+    ``tile=(tw, th)`` — edge tiles zero-padded to full size per TIFF
+    6.0 §15), optional LZW/Deflate/PackBits compression, optional
+    predictor 2, either byte order, uint8 or uint16 samples —
     everything :func:`decode_tiff` (and libtiff/pillow) reads back.
     """
     if byte_order not in ("<", ">"):
@@ -427,7 +500,15 @@ def encode_tiff(
         # predictor 2 is an LZW/Deflate companion in practice; readers
         # (JDK ImageIO among them) skip the tag for PackBits/uncompressed
         raise ValueError("predictor 2 requires lzw or deflate compression")
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if tile is not None and rows_per_strip is not None:
+        raise ValueError("tile and rows_per_strip are mutually exclusive")
+    arr = np.asarray(arr)
+    if arr.dtype not in (np.uint8, np.uint16):
+        raise ValueError("array must be uint8 or uint16")
+    bits_val = 16 if arr.dtype == np.uint16 else 8
+    sdtype = np.dtype(byte_order + "u2") if bits_val == 16 else np.uint8
+    wdtype = np.int32 if bits_val == 16 else np.int16  # diff widening
+    arr = np.ascontiguousarray(arr)
     gray = arr.ndim == 2
     if gray:
         h, w = arr.shape
@@ -437,100 +518,105 @@ def encode_tiff(
         h, w, spp = arr.shape
         photometric = 2
         arr3 = arr
-    if rows_per_strip is None:
-        rows_per_strip = h
-    strips: list[bytes] = []
-    for y0 in range(0, h, rows_per_strip):
-        block = arr3[y0 : y0 + rows_per_strip]
+
+    def pack_block(block: np.ndarray) -> bytes:
         if predictor == 2:
             block = np.concatenate(
-                [block[:, :1], np.diff(block.astype(np.int16), axis=1)],
+                [block[:, :1].astype(wdtype),
+                 np.diff(block.astype(wdtype), axis=1)],
                 axis=1,
-            ).astype(np.uint8)
-        data = block.tobytes()
+            ).astype(arr.dtype)
+        data = block.astype(sdtype).tobytes()
         if comp_id == 5:
-            data = _lzw_encode(data)
-        elif comp_id == 8:
-            data = zlib.compress(data, 6)
-        elif comp_id == 32773:
+            return _lzw_encode(data)
+        if comp_id == 8:
+            return zlib.compress(data, 6)
+        if comp_id == 32773:
             # PackBits runs must not cross row boundaries (TIFF 6.0 §9)
-            rb = block.shape[1] * spp
-            data = b"".join(
+            rb = block.shape[1] * spp * (bits_val // 8)
+            return b"".join(
                 _packbits_encode(data[i : i + rb])
                 for i in range(0, len(data), rb)
             )
-        strips.append(data)
+        return data
+
+    blocks: list[bytes] = []
+    if tile is not None:
+        tw, th = tile
+        for y0 in range(0, h, th):
+            for x0 in range(0, w, tw):
+                full = np.zeros((th, tw, spp), arr.dtype)
+                sub = arr3[y0 : y0 + th, x0 : x0 + tw]
+                full[: sub.shape[0], : sub.shape[1]] = sub
+                blocks.append(pack_block(full))
+    else:
+        rps = h if rows_per_strip is None else rows_per_strip
+        for y0 in range(0, h, rps):
+            blocks.append(pack_block(arr3[y0 : y0 + rps]))
 
     bo = byte_order
-    header_size = 8
-    strip_area = b"".join(strips)
-    strip_offsets: list[int] = []
-    pos = header_size
-    for s in strips:
-        strip_offsets.append(pos)
+    data_area = b"".join(blocks)
+    block_offsets: list[int] = []
+    pos = 8
+    for s in blocks:
+        block_offsets.append(pos)
         pos += len(s)
     ifd_off = pos + (pos & 1)  # word-align the IFD
 
-    n_strips = len(strips)
-    tags: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, packed)
+    # symbolic entries: (tag, type, values); packed exactly below
+    entries: list[tuple[int, int, list[int]]] = [
+        (256, 4, [w]),
+        (257, 4, [h]),
+        (258, 3, [bits_val] * spp),
+        (259, 3, [comp_id]),
+        (262, 3, [photometric]),
+        (277, 3, [spp]),
+    ]
+    if tile is not None:
+        entries += [
+            (322, 3, [tile[0]]),
+            (323, 3, [tile[1]]),
+            (324, 4, block_offsets),
+            (325, 4, [len(s) for s in blocks]),
+        ]
+    else:
+        entries += [
+            (273, 4, block_offsets),
+            (278, 4, [h if rows_per_strip is None else rows_per_strip]),
+            (279, 4, [len(s) for s in blocks]),
+        ]
+    if predictor == 2:
+        entries.append((317, 3, [2]))
+    entries.sort(key=lambda t: t[0])
 
-    def short(v: int) -> bytes:
-        return struct.pack(bo + "H", v) + b"\x00\x00"
-
-    def longv(v: int) -> bytes:
-        return struct.pack(bo + "I", v)
-
-    # out-of-line value blocks go after the IFD
+    # exact layout: header | data | IFD (2 + 12n + 4) | out-of-line values
+    extra_off = ifd_off + 2 + 12 * len(entries) + 4
     extra: list[bytes] = []
-    n_entries_guess = 10 + (1 if spp > 1 else 0) + (1 if predictor == 2 else 0)
-    extra_off = ifd_off + 2 + 12 * n_entries_guess + 4
-
-    def offsets_value(vals: list[int]) -> bytes:
-        nonlocal extra_off
-        if len(vals) == 1:
-            return longv(vals[0])
-        blob = struct.pack(bo + f"{len(vals)}I", *vals)
-        extra.append(blob)
-        out = longv(extra_off)
-        extra_off += len(blob)
-        return out
-
-    tags.append((256, 4, 1, longv(w)))
-    tags.append((257, 4, 1, longv(h)))
-    if spp > 1:
-        blob = struct.pack(bo + f"{spp}H", *([8] * spp))
-        if len(blob) <= 4:
-            tags.append((258, 3, spp, blob.ljust(4, b"\x00")))
+    packed_entries: list[bytes] = []
+    for tag, typ, vals in entries:
+        fmt = "H" if typ == 3 else "I"
+        size = _TYPE_SIZES[typ] * len(vals)
+        blob = struct.pack(bo + f"{len(vals)}{fmt}", *vals)
+        if size <= 4:
+            value = blob.ljust(4, b"\x00")
         else:
             extra.append(blob)
-            tags.append((258, 3, spp, longv(extra_off)))
+            value = struct.pack(bo + "I", extra_off)
             extra_off += len(blob)
-    else:
-        tags.append((258, 3, 1, short(8)))
-    tags.append((259, 3, 1, short(comp_id)))
-    tags.append((262, 3, 1, short(photometric)))
-    tags.append((273, 4, n_strips, offsets_value(strip_offsets)))
-    tags.append((277, 3, 1, short(spp)))
-    tags.append((278, 4, 1, longv(rows_per_strip)))
-    tags.append((279, 4, n_strips, offsets_value([len(s) for s in strips])))
-    if predictor == 2:
-        tags.append((317, 3, 1, short(2)))
-    tags.sort(key=lambda t: t[0])
+        packed_entries.append(
+            struct.pack(bo + "HHI", tag, typ, len(vals)) + value
+        )
 
     out = bytearray()
     out += (_LE if bo == "<" else _BE)
     out += struct.pack(bo + "I", ifd_off)
-    out += strip_area
+    out += data_area
     if len(out) & 1:
         out += b"\x00"
     assert len(out) == ifd_off
-    out += struct.pack(bo + "H", len(tags))
-    for tag, typ, cnt, packed in tags:
-        out += struct.pack(bo + "HHI", tag, typ, cnt) + packed
-    out += longv(0)  # next-IFD pointer: none
-    # pad for the entries we guessed but did not emit, so extra offsets hold
-    pad = (ifd_off + 2 + 12 * n_entries_guess + 4) - len(out)
-    out += b"\x00" * max(0, pad)
+    out += struct.pack(bo + "H", len(packed_entries))
+    out += b"".join(packed_entries)
+    out += struct.pack(bo + "I", 0)  # next-IFD pointer: none
     for blob in extra:
         out += blob
     return bytes(out)

@@ -8,8 +8,9 @@ Pins ``rawtiff`` the same way the other still-image codecs are pinned:
   and the 4094-entry table reset, on incompressible data;
 - the PackBits kernel on run/literal/boundary shapes;
 - hand-built fixtures for photometric 0 (WhiteIsZero) and 3 (palette);
+- tile-layout and 16-bit round-trips (both decode since round 8);
 - loud ``UnsupportedCodecError`` for recognized-but-undecodable shapes
-  (tiles, planar 2, CCITT, 16-bit) — the per-row error boundary
+  (planar 2, CCITT, 32-bit) — the per-row error boundary
   ``multimodal._catch_row`` relies on;
 - hostile-bytes fuzz (truncation + bit flips) — only ``ValueError`` /
   ``UnsupportedCodecError`` may escape, and the decompression-bomb
@@ -261,8 +262,9 @@ def test_unsupported_shapes_raise_codec_error():
         rawtiff.decode_tiff(_patch_short_tag(gray, 317, 3))
 
 
-def test_16bit_raises_codec_error():
-    blob = _patch_short_tag(rawtiff.encode_tiff(_gray()), 258, 16)
+def test_32bit_raises_codec_error():
+    # 8- and 16-bit decode; anything else is the unsupported boundary
+    blob = _patch_short_tag(rawtiff.encode_tiff(_gray()), 258, 32)
     with pytest.raises(UnsupportedCodecError, match="bits-per-sample"):
         rawtiff.decode_tiff(blob)
 
@@ -356,12 +358,12 @@ def test_pillow_parity_both_directions():
 
 def test_multimodal_routes_tiff_errors_per_row():
     """A truncated TIFF under mime image/tiff lands in the error column
-    (data corruption), while a tiled TIFF is captured under the
+    (data corruption), while a planar-2 TIFF is captured under the
     UnsupportedCodecError class name — neither kills the kernel."""
     from rawdata_client_provider_gcs_spark.operators import multimodal
 
     ok = rawtiff.encode_tiff(_rgb(8, 8), compression="lzw")
-    tiled = _add_tile_tag(ok)
+    planar2 = _add_extra_tag(ok, 284, 2)
     res_ok, err_ok = multimodal._catch_row(
         multimodal._decode_bytes, ok, "image/tiff", False
     )
@@ -370,20 +372,132 @@ def test_multimodal_routes_tiff_errors_per_row():
         multimodal._decode_bytes, ok[:40], "image/tiff", False
     )
     assert err_trunc is not None
-    _, err_tiled = multimodal._catch_row(
-        multimodal._decode_bytes, tiled, "image/tiff", False
+    _, err_planar = multimodal._catch_row(
+        multimodal._decode_bytes, planar2, "image/tiff", False
     )
-    assert err_tiled is not None and "UnsupportedCodecError" in err_tiled
+    assert err_planar is not None and "UnsupportedCodecError" in err_planar
 
 
-def _add_tile_tag(blob: bytes) -> bytes:
-    """Append a TileWidth tag by rebuilding the IFD with one extra entry."""
+def _add_extra_tag(blob: bytes, tag: int, value: int) -> bytes:
+    """Append a SHORT tag by rebuilding the IFD with one extra entry."""
     (ifd_off,) = struct.unpack_from("<I", blob, 4)
     (count,) = struct.unpack_from("<H", blob, ifd_off)
     entries = blob[ifd_off + 2 : ifd_off + 2 + 12 * count]
     rest = blob[ifd_off + 2 + 12 * count :]
-    new = struct.pack("<HHII", 322, 3, 1, 64)
+    new = struct.pack("<HHII", tag, 3, 1, value)
     out = bytearray(blob[:ifd_off])
     out += struct.pack("<H", count + 1)
     out += entries + new + rest
     return bytes(out)
+
+
+# ------------------------------------------------------ tiles and 16-bit
+
+
+@pytest.mark.parametrize("compression", ["none", "lzw", "deflate", "packbits"])
+@pytest.mark.parametrize("byte_order", ["<", ">"])
+def test_roundtrip_tiled(compression, byte_order):
+    """Tile layout with ragged edges: 29x37 image under 16x16 tiles
+    exercises zero-padded right/bottom edge tiles (TIFF 6.0 §15)."""
+    img = _rgb(29, 37, seed=6)
+    blob = rawtiff.encode_tiff(
+        img, compression=compression, byte_order=byte_order, tile=(16, 16)
+    )
+    np.testing.assert_array_equal(rawtiff.decode_tiff(blob), img)
+
+
+def test_roundtrip_tiled_predictor_gray():
+    y, x = np.mgrid[0:21, 0:18]
+    img = ((x * 9 + y * 3) % 256).astype(np.uint8)
+    blob = rawtiff.encode_tiff(
+        img, compression="deflate", predictor=2, tile=(8, 8)
+    )
+    np.testing.assert_array_equal(
+        rawtiff.decode_tiff(blob), np.repeat(img[:, :, None], 3, axis=2)
+    )
+
+
+def test_tiled_requires_consistent_grid():
+    blob = rawtiff.encode_tiff(_rgb(20, 20), tile=(8, 8))  # 3x3 = 9 tiles
+    # claim a tile size that implies a larger grid than the file carries
+    patched = _patch_short_tag(_patch_short_tag(blob, 322, 4), 323, 4)
+    with pytest.raises(ValueError, match="grid needs"):
+        rawtiff.decode_tiff(patched)
+
+
+def test_tile_and_strip_params_are_exclusive():
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        rawtiff.encode_tiff(_rgb(), tile=(8, 8), rows_per_strip=4)
+
+
+@pytest.mark.parametrize("compression", ["none", "lzw", "deflate", "packbits"])
+@pytest.mark.parametrize("byte_order", ["<", ">"])
+def test_roundtrip_16bit_gray(compression, byte_order):
+    """16-bit samples decode to the high byte (pillow I;16->L), in both
+    byte orders — the byte order applies to the SAMPLES, not just the
+    IFD."""
+    rng = np.random.default_rng(16)
+    img16 = rng.integers(0, 65536, size=(11, 7), dtype=np.uint16)
+    blob = rawtiff.encode_tiff(
+        img16, compression=compression, byte_order=byte_order
+    )
+    exp = (img16 >> 8).astype(np.uint8)
+    np.testing.assert_array_equal(
+        rawtiff.decode_tiff(blob), np.repeat(exp[:, :, None], 3, axis=2)
+    )
+
+
+def test_roundtrip_16bit_rgb_predictor_strips_and_tiles():
+    y, x = np.mgrid[0:19, 0:23]
+    img16 = np.stack(
+        [(x * 700) % 65536, (y * 500) % 65536, (x * y) % 65536], axis=2
+    ).astype(np.uint16)
+    exp = (img16 >> 8).astype(np.uint8)
+    for kw in (
+        {"rows_per_strip": 4},
+        {"tile": (8, 8)},
+    ):
+        blob = rawtiff.encode_tiff(
+            img16, compression="lzw", predictor=2, byte_order=">", **kw
+        )
+        np.testing.assert_array_equal(rawtiff.decode_tiff(blob), exp)
+
+
+def test_16bit_deflate_bomb_still_bounded():
+    img16 = np.zeros((4, 4), np.uint16)
+    blob = rawtiff.encode_tiff(img16, compression="deflate")
+    blob = _patch_short_tag(blob, 256, 16000)
+    blob = _patch_short_tag(blob, 257, 16000)
+    blob = _patch_short_tag(blob, 278, 16000)
+    with pytest.raises(ValueError, match="decodes to|decode cap"):
+        rawtiff.decode_tiff(blob)
+
+
+@pytest.mark.parametrize("compression", ["lzw", "packbits"])
+def test_tiled_truncation_fuzz(compression):
+    blob = rawtiff.encode_tiff(_rgb(20, 20), compression=compression,
+                               tile=(8, 8))
+    for cut in range(2, len(blob), max(1, len(blob) // 40)):
+        try:
+            rawtiff.decode_tiff(blob[:cut])
+        except (ValueError, UnsupportedCodecError):
+            pass
+
+
+def test_tiled_16bit_pillow_parity():
+    Image = pytest.importorskip("PIL.Image", reason="pillow not installed")
+    import io
+
+    img = _rgb(21, 33, seed=12)
+    blob = rawtiff.encode_tiff(img, compression="deflate", tile=(16, 16))
+    got = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+    np.testing.assert_array_equal(got, img)
+    # pillow-written 16-bit gray decodes to our high-byte convention
+    img16 = (np.arange(64, dtype=np.uint16).reshape(8, 8) * 1021) % 65536
+    buf = io.BytesIO()
+    Image.fromarray(img16, mode="I;16").save(buf, format="TIFF")
+    exp = (img16 >> 8).astype(np.uint8)
+    np.testing.assert_array_equal(
+        rawtiff.decode_tiff(buf.getvalue()),
+        np.repeat(exp[:, :, None], 3, axis=2),
+    )
