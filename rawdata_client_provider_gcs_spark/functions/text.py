@@ -268,14 +268,21 @@ def dup_substring_stats(
     """
     from pyspark.sql import Window
 
+    # a document's grams all originate in its ONE text row, so the
+    # per-document dedup happens map-side (array_distinct before the
+    # explode) — measured r8: this removes the global (doc, gram)
+    # distinct shuffle entirely, leaving two shuffles total (df window
+    # by gram hash, final per-doc aggregate)
     grams = (
         docs.filter(F.length(text_col) >= k)
         .select(
             F.col(id_col),
             F.explode(
-                F.expr(
-                    f"transform(sequence(1, length({text_col}) - {k - 1}),"
-                    f" i -> substring({text_col}, i, {k}))"
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length({text_col}) - {k - 1}),"
+                        f" i -> substring({text_col}, i, {k}))"
+                    )
                 )
             ).alias("gram"),
         )
@@ -283,7 +290,6 @@ def dup_substring_stats(
     )
     if sample_mod > 1:
         grams = grams.filter(F.pmod(F.col("gh"), F.lit(sample_mod)) == 0)
-    grams = grams.distinct()
     with_df = grams.withColumn(
         "df", F.count(F.lit(1)).over(Window.partitionBy("gh"))
     )

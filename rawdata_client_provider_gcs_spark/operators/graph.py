@@ -66,6 +66,12 @@ def pagerank(
         .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
         .localCheckpoint()  # ditto — else every iteration replays the
         # upstream edge derivation (join/aggregate over the raw tables)
+        # NOTE (measured r8): do NOT pre-repartition norm on src here —
+        # the rank vector is broadcast-joined against the checkpointed
+        # edges (AQE picks BHJ), so the edges never shuffle per round
+        # as-is; a forced hash partition ADDS a shuffle and cost 3.75 →
+        # 4.55 s at sf0.1.  At rank-vector sizes past broadcastability
+        # the SMJ path would co-locate on src anyway via AQE.
     )
     n_df = nodes.agg(F.count("*").cast("double").alias("n"))
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
