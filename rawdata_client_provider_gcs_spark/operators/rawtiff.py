@@ -10,7 +10,10 @@ needs nothing beyond numpy and stdlib ``zlib``:
   AND tile layout (``TileWidth``/``TileLength``/``TileOffsets``/
   ``TileByteCounts``, zero-padded edge tiles per TIFF 6.0 §15);
 - compressions 1 (none), 5 (LZW, MSB-first with the spec's early-change
-  width switch), 8/32946 (Deflate via ``zlib``), 32773 (PackBits);
+  width switch), 7 (new-style JPEG per TIFF Technical Note 2, including
+  abbreviated streams against the shared ``JPEGTables`` tag — decoded
+  by the repo's own ``rawjpeg`` tier), 8/32946 (Deflate via ``zlib``),
+  32773 (PackBits);
 - predictor 2 (horizontal differencing — undone with a wrapping cumsum);
 - photometric 0/1 (gray, optionally inverted), 2 (RGB, alpha dropped),
   3 (palette via ``ColorMap``), at 8 or 16 bits per sample (16-bit
@@ -42,8 +45,9 @@ from .rawavi import UnsupportedCodecError
 _LE = b"II*\x00"
 _BE = b"MM\x00*"
 
-# IFD entry types → byte width (only the ones baseline TIFF uses)
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+# IFD entry types → byte width (only the ones baseline TIFF uses;
+# 7 = UNDEFINED raw bytes, carried by JPEGTables among others)
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
 
 #: hard per-image decode cap (1 GiB of pixels).  A row in a Spark
 #: DataFrame cannot exceed 2 GiB anyway, so anything bigger is either a
@@ -255,9 +259,7 @@ def _read_ifd(payload: bytes, bo: str) -> dict[int, tuple[int, list[int]]]:
             (voff,) = struct.unpack_from(bo + "I", payload, off + 8)
         if voff + total > len(payload):
             raise ValueError(f"truncated TIFF: tag {tag} values out of range")
-        if typ == 1:
-            vals = list(payload[voff : voff + n])
-        elif typ == 2:
+        if typ in (1, 2, 7):  # BYTE / ASCII / UNDEFINED: raw bytes
             vals = list(payload[voff : voff + n])
         elif typ == 3:
             vals = list(struct.unpack_from(bo + f"{n}H", payload, voff))
@@ -312,6 +314,78 @@ def _decompress_block(
     return data
 
 
+def _decode_jpeg_in_tiff(
+    payload: bytes, e: dict, width: int, height: int
+) -> np.ndarray:
+    """New-style JPEG compression (7, TIFF Technical Note 2): each strip
+    or tile is a self-contained JPEG interchange stream, optionally
+    abbreviated against the shared ``JPEGTables`` tag (347) — a
+    SOI/tables/EOI stream whose body is spliced after each strip's SOI.
+    Decoding rides the repo's own JPEG tier (``rawjpeg`` — baseline and
+    progressive), so no media library is involved here either."""
+    from . import rawjpeg  # noqa: PLC0415 — avoid import cost on the 99%
+
+    tables_body = b""
+    jpt = _tag(e, 347)
+    if jpt:
+        jt = bytes(jpt)
+        if len(jt) < 4 or jt[:2] != b"\xff\xd8" or jt[-2:] != b"\xff\xd9":
+            raise ValueError("malformed JPEGTables (need SOI ... EOI)")
+        tables_body = jt[2:-2]
+
+    def decode_block(off: int, cnt: int, label: str) -> np.ndarray:
+        if off + cnt > len(payload):
+            raise ValueError(f"TIFF {label} extends past end of payload")
+        data = payload[off : off + cnt]
+        if data[:2] != b"\xff\xd8":
+            raise ValueError(f"TIFF {label} is not a JPEG stream")
+        return rawjpeg.decode_jpeg(b"\xff\xd8" + tables_body + data[2:])
+
+    out = np.zeros((height, width, 3), np.uint8)
+    if 322 in e or 323 in e:
+        tw, th = _tag1(e, 322, 0), _tag1(e, 323, 0)
+        if tw <= 0 or th <= 0:
+            raise ValueError("tiled TIFF missing TileWidth/TileLength")
+        offsets, counts = _tag(e, 324), _tag(e, 325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("tiled TIFF missing TileOffsets/TileByteCounts")
+        across = (width + tw - 1) // tw
+        down = (height + th - 1) // th
+        if len(offsets) < across * down:
+            raise ValueError(
+                f"tiled TIFF carries {len(offsets)} tiles, grid needs "
+                f"{across * down}"
+            )
+        for t in range(across * down):
+            block = decode_block(offsets[t], counts[t], f"tile {t}")
+            y0 = (t // across) * th
+            x0 = (t % across) * tw
+            ys = min(th, height - y0, block.shape[0])
+            xs = min(tw, width - x0, block.shape[1])
+            out[y0 : y0 + ys, x0 : x0 + xs] = block[:ys, :xs]
+    else:
+        offsets, counts = _tag(e, 273), _tag(e, 279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing StripOffsets/StripByteCounts")
+        rows_per_strip = _tag1(e, 278, height) or height
+        rows_done = 0
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            strip_rows = min(rows_per_strip, height - rows_done)
+            if strip_rows <= 0:
+                break
+            block = decode_block(off, cnt, f"strip {i}")
+            ys = min(strip_rows, block.shape[0])
+            xs = min(width, block.shape[1])
+            out[rows_done : rows_done + ys, :xs] = block[:ys, :xs]
+            rows_done += strip_rows
+        if rows_done < height:
+            raise ValueError(
+                f"TIFF strips cover {rows_done} rows, ImageLength says "
+                f"{height}"
+            )
+    return out
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Decode baseline TIFF bytes to an (H, W, 3) uint8 RGB array.
 
@@ -329,7 +403,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             f"TIFF planar configuration {planar} is not supported"
         )
     compression = _tag1(e, 259, 1)
-    if compression not in (1, 5, 8, 32773, 32946):
+    if compression not in (1, 5, 7, 8, 32773, 32946):
         raise UnsupportedCodecError(
             f"TIFF compression {compression} is not supported"
         )
@@ -362,6 +436,13 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             f"TIFF dimensions {width}x{height}x{spp}@{bits[0]} exceed the "
             f"{_MAX_DECODED_BYTES >> 20} MiB decode cap"
         )
+
+    if compression == 7:  # new-style JPEG-in-TIFF (TTN2)
+        if sample_bytes != 1:
+            raise UnsupportedCodecError("JPEG-in-TIFF must be 8-bit")
+        if predictor != 1:
+            raise ValueError("JPEG-in-TIFF cannot carry a predictor")
+        return _decode_jpeg_in_tiff(payload, e, width, height)
 
     def undiff(block: np.ndarray) -> np.ndarray:
         # horizontal differencing is per row per sample; the inverse is
@@ -474,7 +555,35 @@ def decode_tiff(payload: bytes) -> np.ndarray:
 # --------------------------------------------------------------- encode
 
 
-_COMP_IDS = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+_COMP_IDS = {"none": 1, "lzw": 5, "jpeg": 7, "deflate": 8, "packbits": 32773}
+
+_JPEG_TABLE_MARKERS = frozenset({0xDB, 0xC4, 0xDD})  # DQT / DHT / DRI
+
+
+def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
+    """(tables_body, abbreviated_stream): pull every DQT/DHT/DRI segment
+    out of a full JPEG interchange stream, for the JPEGTables tag."""
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    tables = bytearray()
+    keep = bytearray(b"\xff\xd8")
+    pos = 2
+    n = len(stream)
+    while pos + 4 <= n:
+        if stream[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = stream[pos + 1]
+        if marker == 0xDA:  # SOS: entropy data follows; keep the rest
+            keep += stream[pos:]
+            break
+        length = int.from_bytes(stream[pos + 2 : pos + 4], "big")
+        seg = stream[pos : pos + 2 + length]
+        if marker in _JPEG_TABLE_MARKERS:
+            tables += seg
+        else:
+            keep += seg
+        pos += 2 + length
+    return bytes(tables), bytes(keep)
 
 
 def encode_tiff(
@@ -484,14 +593,20 @@ def encode_tiff(
     predictor: int = 1,
     rows_per_strip: int | None = None,
     tile: tuple[int, int] | None = None,
+    jpeg_quality: int = 75,
+    jpeg_tables: bool = True,
 ) -> bytes:
     """Encode an (H, W, 3) RGB or (H, W) gray array as TIFF.
 
     Fixture-grade but spec-correct: strip layout (or tiles via
     ``tile=(tw, th)`` — edge tiles zero-padded to full size per TIFF
-    6.0 §15), optional LZW/Deflate/PackBits compression, optional
+    6.0 §15), optional LZW/Deflate/PackBits/JPEG compression, optional
     predictor 2, either byte order, uint8 or uint16 samples —
     everything :func:`decode_tiff` (and libtiff/pillow) reads back.
+    ``compression="jpeg"`` writes new-style (7) streams; with
+    ``jpeg_tables`` the shared DQT/DHT move to the JPEGTables tag and
+    each strip/tile is an abbreviated stream (the common libtiff
+    layout), otherwise every block is a full interchange stream.
     """
     if byte_order not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
@@ -505,6 +620,8 @@ def encode_tiff(
     arr = np.asarray(arr)
     if arr.dtype not in (np.uint8, np.uint16):
         raise ValueError("array must be uint8 or uint16")
+    if comp_id == 7 and arr.dtype != np.uint8:
+        raise ValueError("JPEG-in-TIFF requires uint8 samples")
     bits_val = 16 if arr.dtype == np.uint16 else 8
     sdtype = np.dtype(byte_order + "u2") if bits_val == 16 else np.uint8
     wdtype = np.int32 if bits_val == 16 else np.int16  # diff widening
@@ -518,8 +635,18 @@ def encode_tiff(
         h, w, spp = arr.shape
         photometric = 2
         arr3 = arr
+    if comp_id == 7:
+        if gray:  # the JPEG tier is 3-component; lift gray to RGB
+            arr3 = np.repeat(arr[:, :, None], 3, axis=2)
+            spp, gray = 3, False
+        photometric = 6  # YCbCr, the JPEG-in-TIFF convention (TTN2)
 
     def pack_block(block: np.ndarray) -> bytes:
+        if comp_id == 7:
+            from . import rawjpeg  # noqa: PLC0415
+
+            rgb = block if spp == 3 else np.repeat(block, 3, axis=2)
+            return rawjpeg.encode_jpeg(rgb, quality=jpeg_quality)
         if predictor == 2:
             block = np.concatenate(
                 [block[:, :1].astype(wdtype),
@@ -554,6 +681,14 @@ def encode_tiff(
         for y0 in range(0, h, rps):
             blocks.append(pack_block(arr3[y0 : y0 + rps]))
 
+    jpt_blob = b""
+    if comp_id == 7 and jpeg_tables:
+        # shared DQT/DHT(/DRI) move to the JPEGTables tag; every block
+        # becomes an abbreviated stream (tables spliced back on decode)
+        split = [_split_jpeg_tables(b) for b in blocks]
+        blocks = [abbr for _, abbr in split]
+        jpt_blob = b"\xff\xd8" + split[0][0] + b"\xff\xd9"
+
     bo = byte_order
     data_area = b"".join(blocks)
     block_offsets: list[int] = []
@@ -587,6 +722,8 @@ def encode_tiff(
         ]
     if predictor == 2:
         entries.append((317, 3, [2]))
+    if jpt_blob:
+        entries.append((347, 7, list(jpt_blob)))
     entries.sort(key=lambda t: t[0])
 
     # exact layout: header | data | IFD (2 + 12n + 4) | out-of-line values
@@ -594,9 +731,12 @@ def encode_tiff(
     extra: list[bytes] = []
     packed_entries: list[bytes] = []
     for tag, typ, vals in entries:
-        fmt = "H" if typ == 3 else "I"
         size = _TYPE_SIZES[typ] * len(vals)
-        blob = struct.pack(bo + f"{len(vals)}{fmt}", *vals)
+        if typ == 7:
+            blob = bytes(vals)
+        else:
+            fmt = "H" if typ == 3 else "I"
+            blob = struct.pack(bo + f"{len(vals)}{fmt}", *vals)
         if size <= 4:
             value = blob.ljust(4, b"\x00")
         else:

@@ -248,7 +248,7 @@ def _build_palette_fixture(idx: np.ndarray, lut16: np.ndarray) -> bytes:
 def test_unsupported_shapes_raise_codec_error():
     base = rawtiff.encode_tiff(_rgb())
     for tag, value, label in [
-        (259, 7, "JPEG-in-TIFF compression"),
+        (259, 3, "CCITT G3 compression"),
         (262, 6, "YCbCr photometric"),
         (277, 1, None),  # shrink spp then widen bits below
     ]:
@@ -501,3 +501,99 @@ def test_tiled_16bit_pillow_parity():
         rawtiff.decode_tiff(buf.getvalue()),
         np.repeat(exp[:, :, None], 3, axis=2),
     )
+
+
+# ------------------------------------------------------- JPEG-in-TIFF
+
+
+def test_jpeg_in_tiff_single_strip_equals_plain_jpeg():
+    """A full-interchange single-strip JPEG TIFF must decode to exactly
+    what the repo's JPEG tier decodes from the same stream."""
+    from rawdata_client_provider_gcs_spark.operators import rawjpeg
+
+    img = _rgb(29, 37, seed=31)
+    blob = rawtiff.encode_tiff(img, compression="jpeg", jpeg_tables=False)
+    ref = rawjpeg.decode_jpeg(rawjpeg.encode_jpeg(img))
+    np.testing.assert_array_equal(rawtiff.decode_tiff(blob), ref)
+
+
+def test_jpeg_in_tiff_abbreviated_equals_full():
+    """JPEGTables splicing (tag 347) reproduces the full-stream decode
+    bit-for-bit, across strips and tiles."""
+    img = _rgb(29, 37, seed=32)
+    for kw in ({"rows_per_strip": 8}, {"tile": (16, 16)}, {}):
+        full = rawtiff.decode_tiff(
+            rawtiff.encode_tiff(
+                img, compression="jpeg", jpeg_tables=False, **kw
+            )
+        )
+        abbr = rawtiff.decode_tiff(
+            rawtiff.encode_tiff(img, compression="jpeg", jpeg_tables=True, **kw)
+        )
+        np.testing.assert_array_equal(abbr, full)
+
+
+def test_jpeg_in_tiff_constant_gray_roundtrips_exactly():
+    """Constant even-gray at 4:4:4 is the JPEG tier's bit-exact shape
+    (test_jpeg_roundtrip_constant_gray_exact) — it must stay exact
+    through the TIFF container, including gray input lifted to RGB."""
+    c8 = np.full((24, 32), 128, np.uint8)
+    for kw in ({"rows_per_strip": 8}, {"tile": (16, 16)}):
+        blob = rawtiff.encode_tiff(c8, compression="jpeg", **kw)
+        np.testing.assert_array_equal(
+            rawtiff.decode_tiff(blob), np.full((24, 32, 3), 128, np.uint8)
+        )
+
+
+def test_jpeg_in_tiff_multistrip_stitches_strip_decodes():
+    from rawdata_client_provider_gcs_spark.operators import rawjpeg
+
+    img = _rgb(20, 15, seed=33)
+    blob = rawtiff.encode_tiff(
+        img, compression="jpeg", jpeg_tables=False, rows_per_strip=8
+    )
+    exp = np.concatenate(
+        [
+            rawjpeg.decode_jpeg(rawjpeg.encode_jpeg(img[y : y + 8]))
+            for y in (0, 8, 16)
+        ]
+    )
+    np.testing.assert_array_equal(rawtiff.decode_tiff(blob), exp)
+
+
+def test_jpeg_in_tiff_malformed_tables_and_streams():
+    img = _rgb(9, 9)
+    blob = rawtiff.encode_tiff(img, compression="jpeg", jpeg_tables=True)
+    # corrupt the JPEGTables SOI: decode must see malformed tables
+    i = blob.find(b"\xff\xd8", 2)  # the tables blob's own SOI
+    assert i > 0
+    broken = blob[:i] + b"\x00\x00" + blob[i + 2 :]
+    with pytest.raises(ValueError):
+        rawtiff.decode_tiff(broken)
+    with pytest.raises(ValueError):
+        rawtiff.encode_tiff(
+            np.zeros((4, 4), np.uint16), compression="jpeg"
+        )
+
+
+@pytest.mark.parametrize("jpeg_tables", [False, True])
+def test_jpeg_in_tiff_truncation_fuzz(jpeg_tables):
+    blob = rawtiff.encode_tiff(
+        _rgb(17, 17), compression="jpeg", jpeg_tables=jpeg_tables,
+        rows_per_strip=8,
+    )
+    for cut in range(2, len(blob), max(1, len(blob) // 40)):
+        try:
+            rawtiff.decode_tiff(blob[:cut])
+        except (ValueError, UnsupportedCodecError):
+            pass
+
+
+def test_jpeg_in_tiff_pillow_parity():
+    Image = pytest.importorskip("PIL.Image", reason="pillow not installed")
+    import io
+
+    c = np.full((24, 32, 3), 128, np.uint8)
+    blob = rawtiff.encode_tiff(c, compression="jpeg", rows_per_strip=8)
+    got = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
+    np.testing.assert_array_equal(got, c)
