@@ -9,19 +9,23 @@ needs nothing beyond numpy and stdlib ``zlib``:
 - strip layout (``StripOffsets``/``StripByteCounts``/``RowsPerStrip``)
   AND tile layout (``TileWidth``/``TileLength``/``TileOffsets``/
   ``TileByteCounts``, zero-padded edge tiles per TIFF 6.0 §15);
-- compressions 1 (none), 5 (LZW, MSB-first with the spec's early-change
-  width switch), 7 (new-style JPEG per TIFF Technical Note 2, including
-  abbreviated streams against the shared ``JPEGTables`` tag — decoded
-  by the repo's own ``rawjpeg`` tier), 8/32946 (Deflate via ``zlib``),
+- compressions 1 (none), 2/3/4 (CCITT fax: MH RLE, Group 3 incl. the
+  mixed-2D layout, Group 4 — via :mod:`rawccitt`, JDK-cross-pinned),
+  5 (LZW, MSB-first with the spec's early-change width switch), 7
+  (new-style JPEG per TIFF Technical Note 2, including abbreviated
+  streams against the shared ``JPEGTables`` tag — decoded by the
+  repo's own ``rawjpeg`` tier), 8/32946 (Deflate via ``zlib``),
   32773 (PackBits);
+- bilevel rasters (1-bit packed, FillOrder 1/2, tag-258-absent spec
+  default);
 - predictor 2 (horizontal differencing — undone with a wrapping cumsum);
 - photometric 0/1 (gray, optionally inverted), 2 (RGB, alpha dropped),
   3 (palette via ``ColorMap``), at 8 or 16 bits per sample (16-bit
   scales to 8 via the high byte, pillow's ``I;16``→``L`` convention).
 
 Recognized-but-undecodable per-file features — planar configuration 2,
-CCITT fax or JPEG-in-TIFF compression, sub-8-bit or float
-samples — raise :class:`~.rawavi.UnsupportedCodecError` so one exotic
+T.4/T.6 uncompressed mode, sub-8-bit gray or float samples — raise
+:class:`~.rawavi.UnsupportedCodecError` so one exotic
 file in a crawl lands in the per-row ``error`` column (queryable apart
 from corruption) instead of killing the task; genuinely malformed bytes
 raise ``ValueError`` as in every other codec here.
@@ -386,6 +390,108 @@ def _decode_jpeg_in_tiff(
     return out
 
 
+#: bit-reversal LUT for FillOrder 2 (LSB-first bytes)
+_REVERSE_BITS = np.array(
+    [int(f"{i:08b}"[::-1], 2) for i in range(256)], np.uint8
+)
+
+
+def _decode_ccitt_tiff(
+    payload: bytes, e: dict, width: int, height: int, compression: int
+) -> np.ndarray:
+    """Compressions 2 (MH byte-aligned), 3 (T.4 G3, 1D or mixed 2D via
+    T4Options bit 0) and 4 (T.6 G4) through :mod:`rawccitt`, honoring
+    FillOrder and the per-strip row split."""
+    from . import rawccitt  # noqa: PLC0415
+
+    photometric = _tag1(e, 262, 0)
+    fill = _tag1(e, 266, 1)
+    t4opt = _tag1(e, 292, 0)
+    t6opt = _tag1(e, 293, 0)
+    if compression == 3 and t4opt & 2:
+        raise UnsupportedCodecError("T.4 uncompressed mode is not supported")
+    if compression == 4 and t6opt & 2:
+        raise UnsupportedCodecError("T.6 uncompressed mode is not supported")
+    offsets = _tag(e, 273)
+    counts = _tag(e, 279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing StripOffsets/StripByteCounts")
+    rows_per_strip = _tag1(e, 278, height) or height
+
+    bits_img = np.zeros((height, width), np.uint8)
+    rows_done = 0
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip_rows = min(rows_per_strip, height - rows_done)
+        if strip_rows <= 0:
+            break
+        if off + cnt > len(payload):
+            raise ValueError(f"TIFF strip {i} extends past end of payload")
+        data = payload[off : off + cnt]
+        if fill == 2:
+            data = _REVERSE_BITS[np.frombuffer(data, np.uint8)].tobytes()
+        if compression == 2:
+            block = rawccitt.decode_mh(data, width, strip_rows)
+        elif compression == 3:
+            block = rawccitt.decode_g3(
+                data, width, strip_rows, two_d=bool(t4opt & 1)
+            )
+        else:
+            block = rawccitt.decode_g4(data, width, strip_rows)
+        bits_img[rows_done : rows_done + strip_rows] = block
+        rows_done += strip_rows
+    if rows_done < height:
+        raise ValueError(
+            f"TIFF strips cover {rows_done} rows, ImageLength says {height}"
+        )
+    # CCITT codes white/black runs directly; the stored-bit convention
+    # is photometric 0 (white-is-zero).  photometric 1 inverts the
+    # rendering of the same stored bits.
+    white = np.uint8(255 if photometric == 0 else 0)
+    gray = np.where(bits_img == 1, np.uint8(255) - white, white)
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
+def _decode_bilevel_tiff(
+    payload: bytes, e: dict, width: int, height: int, compression: int
+) -> np.ndarray:
+    """1-bit packed rasters (strip layout, rows padded to whole bytes,
+    MSB-first modulo FillOrder) under the byte-stream compressions."""
+    photometric = _tag1(e, 262, 0)
+    fill = _tag1(e, 266, 1)
+    offsets = _tag(e, 273)
+    counts = _tag(e, 279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing StripOffsets/StripByteCounts")
+    rows_per_strip = _tag1(e, 278, height) or height
+    row_bytes = (width + 7) // 8
+    bits_img = np.zeros((height, width), np.uint8)
+    rows_done = 0
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip_rows = min(rows_per_strip, height - rows_done)
+        if strip_rows <= 0:
+            break
+        if off + cnt > len(payload):
+            raise ValueError(f"TIFF strip {i} extends past end of payload")
+        need = strip_rows * row_bytes
+        data = _decompress_block(
+            payload[off : off + cnt], compression, need, f"strip {i}"
+        )
+        packed = np.frombuffer(data, np.uint8, count=need)
+        if fill == 2:
+            packed = _REVERSE_BITS[packed]
+        rows = np.unpackbits(packed.reshape(strip_rows, row_bytes), axis=1)
+        bits_img[rows_done : rows_done + strip_rows] = rows[:, :width]
+        rows_done += strip_rows
+    if rows_done < height:
+        raise ValueError(
+            f"TIFF strips cover {rows_done} rows, ImageLength says {height}"
+        )
+    # photometric 0: stored 1 -> black; photometric 1: stored 1 -> white
+    white = np.uint8(255 if photometric == 0 else 0)
+    gray = np.where(bits_img == 1, np.uint8(255) - white, white)
+    return np.repeat(gray[:, :, None], 3, axis=2)
+
+
 def decode_tiff(payload: bytes) -> np.ndarray:
     """Decode baseline TIFF bytes to an (H, W, 3) uint8 RGB array.
 
@@ -403,7 +509,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             f"TIFF planar configuration {planar} is not supported"
         )
     compression = _tag1(e, 259, 1)
-    if compression not in (1, 5, 7, 8, 32773, 32946):
+    if compression not in (1, 2, 3, 4, 5, 7, 8, 32773, 32946):
         raise UnsupportedCodecError(
             f"TIFF compression {compression} is not supported"
         )
@@ -413,7 +519,32 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if width <= 0 or height <= 0:
         raise ValueError("TIFF missing or zero ImageWidth/ImageLength")
     spp = _tag1(e, 277, 1)
-    bits = _tag(e, 258, [8] * spp)
+    # TIFF 6.0 default BitsPerSample is 1 (bilevel); writers of bilevel
+    # files (the JDK among them) legitimately omit tag 258 entirely
+    bits = _tag(e, 258, [1] * spp)
+
+    if compression in (2, 3, 4):  # CCITT fax family (bilevel)
+        if spp != 1 or bits != [1]:
+            raise UnsupportedCodecError(
+                "CCITT TIFF must be 1-bit single-sample"
+            )
+        if height * width > _MAX_DECODED_BYTES:
+            raise ValueError(
+                f"TIFF dimensions {width}x{height} exceed the "
+                f"{_MAX_DECODED_BYTES >> 20} MiB decode cap"
+            )
+        return _decode_ccitt_tiff(payload, e, width, height, compression)
+
+    if spp == 1 and bits == [1]:  # packed uncompressed/LZW/... bilevel
+        if compression == 7:
+            raise UnsupportedCodecError("JPEG-in-TIFF cannot be 1-bit")
+        if height * width > _MAX_DECODED_BYTES:
+            raise ValueError(
+                f"TIFF dimensions {width}x{height} exceed the "
+                f"{_MAX_DECODED_BYTES >> 20} MiB decode cap"
+            )
+        return _decode_bilevel_tiff(payload, e, width, height, compression)
+
     if len(bits) != spp or any(b != bits[0] for b in bits) or bits[0] not in (
         8,
         16,
@@ -555,7 +686,16 @@ def decode_tiff(payload: bytes) -> np.ndarray:
 # --------------------------------------------------------------- encode
 
 
-_COMP_IDS = {"none": 1, "lzw": 5, "jpeg": 7, "deflate": 8, "packbits": 32773}
+_COMP_IDS = {
+    "none": 1,
+    "ccitt_rle": 2,
+    "g3": 3,
+    "g4": 4,
+    "lzw": 5,
+    "jpeg": 7,
+    "deflate": 8,
+    "packbits": 32773,
+}
 
 _JPEG_TABLE_MARKERS = frozenset({0xDB, 0xC4, 0xDD})  # DQT / DHT / DRI
 
@@ -618,6 +758,12 @@ def encode_tiff(
     if tile is not None and rows_per_strip is not None:
         raise ValueError("tile and rows_per_strip are mutually exclusive")
     arr = np.asarray(arr)
+    if comp_id in (2, 3, 4):  # CCITT: bilevel (H, W), 1 = black
+        if arr.ndim != 2:
+            raise ValueError("CCITT input must be a bilevel (H, W) array")
+        if tile is not None:
+            raise ValueError("CCITT layout is strip-only here")
+        arr = (arr > 0).astype(np.uint8)
     if arr.dtype not in (np.uint8, np.uint16):
         raise ValueError("array must be uint8 or uint16")
     if comp_id == 7 and arr.dtype != np.uint8:
@@ -640,8 +786,20 @@ def encode_tiff(
             arr3 = np.repeat(arr[:, :, None], 3, axis=2)
             spp, gray = 3, False
         photometric = 6  # YCbCr, the JPEG-in-TIFF convention (TTN2)
+    if comp_id in (2, 3, 4):
+        bits_val = 1
+        photometric = 0  # white-is-zero, the fax convention
 
     def pack_block(block: np.ndarray) -> bytes:
+        if comp_id in (2, 3, 4):
+            from . import rawccitt  # noqa: PLC0415
+
+            rows = block[:, :, 0]
+            if comp_id == 2:
+                return rawccitt.encode_mh(rows)
+            if comp_id == 3:
+                return rawccitt.encode_mh(rows, eol=True)
+            return rawccitt.encode_g4(rows)
         if comp_id == 7:
             from . import rawjpeg  # noqa: PLC0415
 
@@ -722,6 +880,10 @@ def encode_tiff(
         ]
     if predictor == 2:
         entries.append((317, 3, [2]))
+    if comp_id == 3:
+        entries.append((292, 4, [0]))  # T4Options: 1D, no fill
+    elif comp_id == 4:
+        entries.append((293, 4, [0]))  # T6Options: no uncompressed mode
     if jpt_blob:
         entries.append((347, 7, list(jpt_blob)))
     entries.sort(key=lambda t: t[0])
