@@ -1889,6 +1889,58 @@ def q_multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_multimodal_fax",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST((doc_id % 7) + 1 AS DOUBLE) / 16.0 AS black_share,
+       1.0 - CAST((doc_id % 7) + 1 AS DOUBLE) / 16.0 AS white_share
+FROM documents WHERE doc_id < 150
+""",
+    tags=("llm", "multimodal", "image", "fax", "pandas-udf"),
+)
+def q_multimodal_fax(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL CCITT Group 4 fax decode, oracle-exact.
+
+    One G4-compressed bilevel TIFF per document — a 16×64 page whose
+    top ``(doc_id % 7) + 1`` rows are black (``operators/rawccitt``
+    encode, JDK-cross-pinned in ``test_ccitt.py``).  ``extract_features``
+    really parses the TIFF, decodes the T.6 stream and histograms the
+    luma, so ``black_share``/``white_share`` land in bins 0/7 with
+    exactly-representable k/16 values the oracle states in closed form.
+    Exercises the fax tier end-to-end through the Arrow kernel —
+    the same per-row path 100 TB of scanned-document crawl would ride.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawtiff
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                page = np.zeros((16, 64), np.uint8)
+                page[: (int(did) % 7) + 1] = 1  # top rows black
+                payloads.append(rawtiff.encode_tiff(page, compression="g4"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "fax": payloads})
+
+    faxes = d.mapInPandas(make, "doc_id long, fax binary")
+    media = multimodal.with_media_columns(faxes, "fax", "image/tiff", "doc_id")
+    feats = multimodal.extract_features(media)
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.element_at("features", 1).alias("black_share"),
+        F.element_at("features", 8).alias("white_share"),
+    )
+
+
 @register("q_text_bpe_train", tags=("llm", "text", "tokenizer", "iterative"))
 def q_text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
     """Learned BPE merge table over the corpus (§2B text analysis).
