@@ -1890,6 +1890,90 @@ def q_multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_video_rle8",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, unnest([0, 3]) AS frame_idx
+  FROM documents WHERE doc_id < 200
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * 100 AS BIGINT) AS frame_ms,
+       CAST((doc_id * 13 + 9 * frame_idx) % 256 AS BIGINT) AS mean_pixel
+FROM f WHERE frame_idx < 2 + doc_id % 4
+""",
+    tags=("llm", "multimodal", "video", "rle8", "pandas-udf"),
+)
+def q_multimodal_video_rle8(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL MS-RLE8 video decode + frame sampling, oracle-exact — the
+    compressed-codec sibling of ``q_multimodal_video_frames``.
+
+    One RLE8-compressed AVI per document: ``2 + doc_id % 4`` frames of
+    constant palette index ``(doc_id·13 + 9i) % 256`` over the identity
+    gray palette, 10 fps (``operators/rawavi.encode_avi_rle8``).
+    ``sample_frames`` walks the container, expands the run-length
+    stream against the strf RGBQUAD table, and samples the 250 ms grid;
+    RLE is lossless so the sampled frames decode back to their constant
+    color, stated in closed form by the oracle.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawavi
+
+        pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                n = 2 + int(did) % 4
+                frames = [
+                    np.full((6, 9), (int(did) * 13 + 9 * i) % 256, np.uint8)
+                    for i in range(n)
+                ]
+                payloads.append(rawavi.encode_avi_rle8(frames, pal, fps=10.0))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "vid": payloads})
+
+    vids = d.mapInPandas(make, "doc_id long, vid binary")
+    media = multimodal.with_media_columns(vids, "vid", "video/avi", "doc_id")
+    sampled = multimodal.sample_frames(media, every_ms=250, max_frames=4)
+
+    def mean_of_frames(batches):
+        import pandas as pd
+
+        from ..operators import rawimage
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_ms": pdf["frame_ms"],
+                    "mean_pixel": [
+                        int(round(float(rawimage.decode_image(bytes(b)).mean())))
+                        for b in pdf["frame"]
+                    ],
+                }
+            )
+
+    return sampled.mapInPandas(
+        mean_of_frames,
+        "doc_id long, frame_idx long, frame_ms long, mean_pixel long",
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        F.col("mean_pixel").cast("long").alias("mean_pixel"),
+    )
+
+
+@register(
     "q_multimodal_fax",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
