@@ -16,15 +16,16 @@ needs nothing beyond numpy and stdlib ``zlib``:
   streams against the shared ``JPEGTables`` tag — decoded by the
   repo's own ``rawjpeg`` tier), 8/32946 (Deflate via ``zlib``),
   32773 (PackBits);
-- bilevel rasters (1-bit packed, FillOrder 1/2, tag-258-absent spec
-  default);
+- sub-byte packed rasters (1/2/4-bit gray or palette, FillOrder 1/2,
+  tag-258-absent spec default);
+- planar configuration 2 (one strip run per sample plane);
 - predictor 2 (horizontal differencing — undone with a wrapping cumsum);
 - photometric 0/1 (gray, optionally inverted), 2 (RGB, alpha dropped),
   3 (palette via ``ColorMap``), at 8 or 16 bits per sample (16-bit
   scales to 8 via the high byte, pillow's ``I;16``→``L`` convention).
 
-Recognized-but-undecodable per-file features — planar configuration 2,
-T.4/T.6 uncompressed mode, sub-8-bit gray or float samples — raise
+Recognized-but-undecodable per-file features — planar tiles,
+T.4/T.6 uncompressed mode, float samples — raise
 :class:`~.rawavi.UnsupportedCodecError` so one exotic
 file in a crawl lands in the per-row ``error`` column (queryable apart
 from corruption) instead of killing the task; genuinely malformed bytes
@@ -451,11 +452,14 @@ def _decode_ccitt_tiff(
     return np.repeat(gray[:, :, None], 3, axis=2)
 
 
-def _decode_bilevel_tiff(
-    payload: bytes, e: dict, width: int, height: int, compression: int
+def _decode_subbyte_tiff(
+    payload: bytes, e: dict, width: int, height: int, compression: int,
+    b: int,
 ) -> np.ndarray:
-    """1-bit packed rasters (strip layout, rows padded to whole bytes,
-    MSB-first modulo FillOrder) under the byte-stream compressions."""
+    """1/2/4-bit packed rasters (strip layout, rows padded to whole
+    bytes, MSB-first within the byte modulo FillOrder) under the
+    byte-stream compressions: bilevel scans, 4-bit grayscale, and small
+    ColorMap palettes — the sub-8-bit shapes old document scans use."""
     photometric = _tag1(e, 262, 0)
     fill = _tag1(e, 266, 1)
     offsets = _tag(e, 273)
@@ -463,8 +467,8 @@ def _decode_bilevel_tiff(
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF missing StripOffsets/StripByteCounts")
     rows_per_strip = _tag1(e, 278, height) or height
-    row_bytes = (width + 7) // 8
-    bits_img = np.zeros((height, width), np.uint8)
+    row_bytes = (width * b + 7) // 8
+    vals_img = np.zeros((height, width), np.uint8)
     rows_done = 0
     for i, (off, cnt) in enumerate(zip(offsets, counts)):
         strip_rows = min(rows_per_strip, height - rows_done)
@@ -480,15 +484,37 @@ def _decode_bilevel_tiff(
         if fill == 2:
             packed = _REVERSE_BITS[packed]
         rows = np.unpackbits(packed.reshape(strip_rows, row_bytes), axis=1)
-        bits_img[rows_done : rows_done + strip_rows] = rows[:, :width]
+        # group b bits MSB-first into sample values
+        vals = rows.reshape(strip_rows, -1, b) @ (
+            1 << np.arange(b - 1, -1, -1)
+        )
+        vals_img[rows_done : rows_done + strip_rows] = vals[
+            :, :width
+        ].astype(np.uint8)
         rows_done += strip_rows
     if rows_done < height:
         raise ValueError(
             f"TIFF strips cover {rows_done} rows, ImageLength says {height}"
         )
-    # photometric 0: stored 1 -> black; photometric 1: stored 1 -> white
-    white = np.uint8(255 if photometric == 0 else 0)
-    gray = np.where(bits_img == 1, np.uint8(255) - white, white)
+    maxv = (1 << b) - 1
+    if photometric == 3:
+        cmap = _tag(e, 320)
+        n = maxv + 1
+        if not cmap or len(cmap) < 3 * n:
+            raise ValueError(f"palette TIFF missing a {n}-entry ColorMap")
+        lut = np.asarray(cmap[: 3 * n], np.uint16).reshape(3, n) >> 8
+        return (
+            np.stack(
+                [lut[0][vals_img], lut[1][vals_img], lut[2][vals_img]], axis=2
+            )
+            .astype(np.uint8)
+            .copy()
+        )
+    # gray ramp: scale to 8-bit; photometric 0 (white-is-zero) inverts
+    scale = 255 // maxv
+    gray = (vals_img * np.uint8(scale)).astype(np.uint8)
+    if photometric == 0:
+        gray = np.uint8(255) - gray
     return np.repeat(gray[:, :, None], 3, axis=2)
 
 
@@ -504,11 +530,16 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     e = _read_ifd(payload, bo)
 
     planar = _tag1(e, 284, 1)
-    if planar != 1:
+    if planar not in (1, 2):
         raise UnsupportedCodecError(
             f"TIFF planar configuration {planar} is not supported"
         )
     compression = _tag1(e, 259, 1)
+    if planar == 2 and compression in (2, 3, 4, 7):
+        raise UnsupportedCodecError(
+            "planar configuration 2 is only supported for byte-stream "
+            "compressions"
+        )
     if compression not in (1, 2, 3, 4, 5, 7, 8, 32773, 32946):
         raise UnsupportedCodecError(
             f"TIFF compression {compression} is not supported"
@@ -535,15 +566,17 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             )
         return _decode_ccitt_tiff(payload, e, width, height, compression)
 
-    if spp == 1 and bits == [1]:  # packed uncompressed/LZW/... bilevel
+    if spp == 1 and bits in ([1], [2], [4]):  # packed sub-byte samples
         if compression == 7:
-            raise UnsupportedCodecError("JPEG-in-TIFF cannot be 1-bit")
+            raise UnsupportedCodecError("JPEG-in-TIFF cannot be sub-8-bit")
         if height * width > _MAX_DECODED_BYTES:
             raise ValueError(
                 f"TIFF dimensions {width}x{height} exceed the "
                 f"{_MAX_DECODED_BYTES >> 20} MiB decode cap"
             )
-        return _decode_bilevel_tiff(payload, e, width, height, compression)
+        return _decode_subbyte_tiff(
+            payload, e, width, height, compression, bits[0]
+        )
 
     if len(bits) != spp or any(b != bits[0] for b in bits) or bits[0] not in (
         8,
@@ -586,6 +619,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             return acc
         return block.astype(dtype.newbyteorder("="))
 
+    if planar == 2 and (322 in e or 323 in e):
+        raise UnsupportedCodecError("planar tiled TIFF is not supported")
     if 322 in e or 323 in e:  # tiled layout (TIFF 6.0 §15)
         tw = _tag1(e, 322, 0)
         th = _tag1(e, 323, 0)
@@ -622,6 +657,45 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             ys = min(th, height - y0)
             xs = min(tw, width - x0)
             img[y0 : y0 + ys, x0 : x0 + xs] = block[:ys, :xs]
+    elif planar == 2:  # one full set of strips per sample plane
+        offsets = _tag(e, 273)
+        counts = _tag(e, 279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing StripOffsets/StripByteCounts")
+        rows_per_strip = _tag1(e, 278, height) or height
+        spl = (height + rows_per_strip - 1) // rows_per_strip
+        if len(offsets) < spp * spl:
+            raise ValueError(
+                f"planar TIFF carries {len(offsets)} strips, "
+                f"{spp} planes x {spl} strips needed"
+            )
+        planes = []
+        for p in range(spp):
+            raw = bytearray()
+            rows_done = 0
+            for j in range(spl):
+                off, cnt = offsets[p * spl + j], counts[p * spl + j]
+                if off + cnt > len(payload):
+                    raise ValueError(
+                        f"TIFF strip {p * spl + j} extends past end of payload"
+                    )
+                strip_rows = min(rows_per_strip, height - rows_done)
+                need = strip_rows * width * sample_bytes
+                data = _decompress_block(
+                    payload[off : off + cnt], compression, need,
+                    f"strip {p * spl + j}",
+                )
+                block = np.frombuffer(
+                    data, dtype, count=strip_rows * width
+                ).reshape(strip_rows, width, 1)
+                raw += undiff(block).tobytes()
+                rows_done += strip_rows
+            planes.append(
+                np.frombuffer(bytes(raw), dtype.newbyteorder("=")).reshape(
+                    height, width
+                )
+            )
+        img = np.stack(planes, axis=2)
     else:
         offsets = _tag(e, 273)
         counts = _tag(e, 279)
@@ -735,6 +809,7 @@ def encode_tiff(
     tile: tuple[int, int] | None = None,
     jpeg_quality: int = 75,
     jpeg_tables: bool = True,
+    planar: int = 1,
 ) -> bytes:
     """Encode an (H, W, 3) RGB or (H, W) gray array as TIFF.
 
@@ -818,15 +893,27 @@ def encode_tiff(
             return zlib.compress(data, 6)
         if comp_id == 32773:
             # PackBits runs must not cross row boundaries (TIFF 6.0 §9)
-            rb = block.shape[1] * spp * (bits_val // 8)
+            rb = block.shape[1] * block.shape[2] * (bits_val // 8)
             return b"".join(
                 _packbits_encode(data[i : i + rb])
                 for i in range(0, len(data), rb)
             )
         return data
 
+    if planar not in (1, 2):
+        raise ValueError("planar must be 1 or 2")
+    if planar == 2 and (comp_id in (2, 3, 4, 7) or tile is not None or gray):
+        raise ValueError(
+            "planar 2 needs a multi-sample array under a byte-stream "
+            "compression in strip layout"
+        )
     blocks: list[bytes] = []
-    if tile is not None:
+    if planar == 2:  # one full run of strips per sample plane
+        rps = h if rows_per_strip is None else rows_per_strip
+        for p in range(spp):
+            for y0 in range(0, h, rps):
+                blocks.append(pack_block(arr3[y0 : y0 + rps, :, p : p + 1]))
+    elif tile is not None:
         tw, th = tile
         for y0 in range(0, h, th):
             for x0 in range(0, w, tw):
@@ -880,6 +967,8 @@ def encode_tiff(
         ]
     if predictor == 2:
         entries.append((317, 3, [2]))
+    if planar == 2:
+        entries.append((284, 3, [2]))
     if comp_id == 3:
         entries.append((292, 4, [0]))  # T4Options: 1D, no fill
     elif comp_id == 4:

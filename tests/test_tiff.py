@@ -597,3 +597,117 @@ def test_jpeg_in_tiff_pillow_parity():
     blob = rawtiff.encode_tiff(c, compression="jpeg", rows_per_strip=8)
     got = np.asarray(Image.open(io.BytesIO(blob)).convert("RGB"))
     np.testing.assert_array_equal(got, c)
+
+
+# ------------------------------------------- planar 2 and sub-byte packs
+
+
+@pytest.mark.parametrize("compression", ["none", "lzw", "deflate", "packbits"])
+@pytest.mark.parametrize("rows_per_strip", [None, 8])
+def test_roundtrip_planar2(compression, rows_per_strip):
+    """Planar configuration 2: one full strip run per sample plane."""
+    img = _rgb(21, 17, seed=41)
+    blob = rawtiff.encode_tiff(
+        img, compression=compression, rows_per_strip=rows_per_strip, planar=2
+    )
+    np.testing.assert_array_equal(rawtiff.decode_tiff(blob), img)
+
+
+def test_roundtrip_planar2_16bit_predictor():
+    rng = np.random.default_rng(42)
+    img16 = rng.integers(0, 65536, (11, 13, 3), dtype=np.uint16)
+    blob = rawtiff.encode_tiff(
+        img16, compression="deflate", predictor=2, planar=2, rows_per_strip=4
+    )
+    np.testing.assert_array_equal(
+        rawtiff.decode_tiff(blob), (img16 >> 8).astype(np.uint8)
+    )
+
+
+def test_planar2_rejects_unsupported_combos():
+    img = _rgb(9, 9)
+    with pytest.raises(ValueError):
+        rawtiff.encode_tiff(img, compression="jpeg", planar=2)
+    with pytest.raises(ValueError):
+        rawtiff.encode_tiff(img, tile=(8, 8), planar=2)
+    # a planar TIFF claiming too few strips is malformed
+    blob = rawtiff.encode_tiff(img, planar=2, rows_per_strip=4)
+    patched = _patch_short_tag(blob, 278, 2)  # implies more strips/plane
+    with pytest.raises(ValueError, match="planar TIFF carries"):
+        rawtiff.decode_tiff(patched)
+
+
+def _subbyte_fixture(vals, b, photometric, cmap=None, comp=1):
+    h, w = vals.shape
+    rowb = (w * b + 7) // 8
+    rows = []
+    for r in vals:
+        bits = np.zeros(rowb * 8, np.uint8)
+        for j, v in enumerate(r):
+            for k in range(b):
+                bits[j * b + k] = (v >> (b - 1 - k)) & 1
+        rows.append(np.packbits(bits))
+    packed = np.concatenate(rows).tobytes()
+    ifd = 8 + len(packed) + (len(packed) & 1)
+    tags = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, b), (259, 3, 1, comp),
+        (262, 3, 1, photometric), (273, 4, 1, 8), (277, 3, 1, 1),
+        (278, 3, 1, h), (279, 4, 1, len(packed)),
+    ]
+    ntags = len(tags) + (1 if cmap is not None else 0)
+    cmap_off = ifd + 2 + 12 * ntags + 4
+    if cmap is not None:
+        tags.append((320, 3, 3 * (1 << b), cmap_off))
+    tags.sort()
+    out = bytearray(b"II*\x00" + struct.pack("<I", ifd) + packed)
+    out += b"\x00" * (ifd - len(out))
+    out += struct.pack("<H", len(tags))
+    for t, ty, n, v in tags:
+        out += struct.pack("<HHII", t, ty, n, v)
+    out += struct.pack("<I", 0)
+    if cmap is not None:
+        out += struct.pack(f"<{3 * (1 << b)}H", *cmap.reshape(-1).tolist())
+    return bytes(out)
+
+
+@pytest.mark.parametrize("b", [2, 4])
+def test_subbyte_gray_scales_to_8bit(b):
+    rng = np.random.default_rng(b)
+    vals = rng.integers(0, 1 << b, (9, 14), dtype=np.uint8)
+    scale = 255 // ((1 << b) - 1)
+    dec = rawtiff.decode_tiff(_subbyte_fixture(vals, b, 1))
+    np.testing.assert_array_equal(dec[:, :, 0], vals * scale)
+    # photometric 0 inverts
+    dec0 = rawtiff.decode_tiff(_subbyte_fixture(vals, b, 0))
+    np.testing.assert_array_equal(dec0[:, :, 0], 255 - vals * scale)
+
+
+def test_subbyte_palette_uses_small_colormap():
+    rng = np.random.default_rng(44)
+    vals = rng.integers(0, 16, (9, 14), dtype=np.uint8)
+    cmap = np.zeros((3, 16), np.uint16)
+    cmap[0] = np.arange(16) << 12
+    cmap[1] = 0x0F00
+    cmap[2] = (15 - np.arange(16)) << 12
+    dec = rawtiff.decode_tiff(_subbyte_fixture(vals, 4, 3, cmap=cmap))
+    exp = np.stack(
+        [(cmap[0] >> 8)[vals], (cmap[1] >> 8)[vals], (cmap[2] >> 8)[vals]],
+        axis=2,
+    ).astype(np.uint8)
+    np.testing.assert_array_equal(dec, exp)
+
+
+def test_subbyte_pillow_parity():
+    Image = pytest.importorskip("PIL.Image", reason="pillow not installed")
+    import io
+
+    vals = (np.arange(63, dtype=np.uint8).reshape(7, 9)) % 16
+    buf = io.BytesIO()
+    Image.fromarray(vals * 17, mode="L").convert("P").save(
+        buf, format="TIFF", bits=4
+    )
+    try:
+        dec = rawtiff.decode_tiff(buf.getvalue())
+    except Exception:
+        pytest.skip("pillow did not write a 4-bit TIFF")
+    assert dec.shape == (7, 9, 3)
