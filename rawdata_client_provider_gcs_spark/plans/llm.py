@@ -1890,6 +1890,95 @@ def q_multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_text_html_extract",
+    oracle="""
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><style>p {color: red}</style>'
+         || '<script type="text/javascript">var x = 1 < 2;</script>'
+         || '</head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+         || substr(text, 1, 100) || ' &amp; more &lt;tags&gt;</p>'
+         || repeat('<a href="https://example.com/x">link</a> ',
+                   CAST(doc_id % 5 AS INTEGER))
+         || '</body></html>' AS html
+  FROM documents WHERE doc_id < 400
+), x AS (
+  SELECT doc_id, html,
+         regexp_extract(html, '<title[^>]*>([^<]*)</title>', 1) AS title,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(html,
+                 '<(script|style|title)[^>]*>.*?</(script|style|title)>', ' ', 'gis'),
+               '<[^>]+>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&nbsp;', ' '), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS vis
+  FROM pages
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       title,
+       CAST((length(html) - length(replace(html, '<a ', ''))) / 3 AS BIGINT)
+         AS n_links,
+       CAST(length(html) - length(replace(html, '<', '')) AS BIGINT)
+         AS n_tags,
+       CAST(length(vis) AS BIGINT) AS text_len,
+       substr(vis, 1, 60) AS text_prefix,
+       CAST((length(html) - length(replace(html, '<a ', ''))) / 3 AS DOUBLE)
+         * 1000.0 / greatest(CAST(length(vis) AS DOUBLE), 1.0)
+         AS link_density
+FROM x
+""",
+    tags=("llm", "text", "curation", "html"),
+)
+def q_text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML → visible text + structure signals, oracle-exact (§2B text
+    analysis / curation: the first step of every web-crawl pipeline).
+
+    Synthesizes one deterministic page per document (title, style and
+    script subtrees, entity references, ``doc_id % 5`` links) and runs
+    :mod:`..functions.html` — script/style subtree drop, tag strip,
+    entity decode, whitespace collapse, link/tag counting and link
+    density — entirely in Catalyst expressions (regexp/replace/length),
+    so the whole tier is codegen'd map-side scan work at 100 TB.  The
+    oracle restates the exact extraction in DuckDB SQL.
+    """
+    from ..functions import html as H
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title><style>p {color: red}</style>"),
+            F.lit('<script type="text/javascript">var x = 1 < 2;</script>'),
+            F.lit("</head><body><h1>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.substring("text", 1, 100),
+            F.lit(" &amp; more &lt;tags&gt;</p>"),
+            F.repeat(
+                F.lit('<a href="https://example.com/x">link</a> '),
+                (F.col("doc_id") % 5).cast("int"),
+            ),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+    out = H.with_html_columns(pages, "html")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("html_title").alias("title"),
+        F.col("html_n_links").alias("n_links"),
+        F.col("html_n_tags").alias("n_tags"),
+        F.col("html_text_len").alias("text_len"),
+        F.substring("html_text", 1, 60).alias("text_prefix"),
+        F.col("html_link_density").alias("link_density"),
+    )
+
+
+@register(
     "q_multimodal_video_rle8",
     oracle="""
 WITH f AS (

@@ -72,3 +72,38 @@ def test_staged_index_caches_and_drops_stale_builds(spark):
         for tmp in llm._IVF_INDEX_CACHE.values():
             tmp.cleanup()
         llm._IVF_INDEX_CACHE.clear()
+
+
+def test_html_extraction_rules(spark):
+    """functions/html.py: script/style subtrees die, tags strip,
+    entities decode in the order that keeps '&amp;lt;' -> '&lt;',
+    malformed markup degrades instead of raising, and the whole tier
+    is Catalyst expressions (no Python UDF in the plan)."""
+    from rawdata_client_provider_gcs_spark.functions import html as H
+
+    rows = [
+        (1, '<html><head><title>T1</title></head><body>'
+            '<SCRIPT>var a = "<p>not text</p>";</SCRIPT>'
+            '<p>Hello   world</p><a href="x">l1</a><a href="y">l2</a>'
+            '</body></html>'),
+        (2, '<p>A &amp;lt; B &amp; C &lt;tag&gt; &nbsp; D</p>'),
+        (3, '<p>unclosed <b oops'),          # malformed: no closing '>'
+        (4, 'no markup at all'),
+        (5, '<style media="x">p{}</style>visible'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r.doc_id: r
+        for r in H.with_html_columns(df, "html").collect()
+    }
+    assert got[1].html_title == "T1"
+    assert got[1].html_text == "Hello world l1 l2"
+    assert got[1].html_n_links == 2
+    # double-escaped entity decodes one level only
+    assert got[2].html_text == 'A &lt; B & C <tag> D'
+    assert got[3].html_text == "unclosed <b oops"  # leftover bracket stays
+    assert got[4].html_text == "no markup at all"
+    assert got[4].html_n_tags == 0
+    assert got[5].html_text == "visible"
+    plan = H.with_html_columns(df, "html")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
