@@ -1890,6 +1890,87 @@ def q_multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_source_warc",
+    oracle="""
+WITH r AS (
+  SELECT doc_id, unnest([0, 1, 2]) AS record_idx
+  FROM documents WHERE doc_id < 300
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(record_idx AS BIGINT) AS record_idx,
+       CASE record_idx WHEN 0 THEN 'warcinfo' ELSE 'response' END AS warc_type,
+       CASE record_idx WHEN 0 THEN ''
+            ELSE 'https://crawl.example/' || CAST(doc_id AS VARCHAR)
+                 || '/' || CAST(record_idx AS VARCHAR) END AS target_uri,
+       CASE record_idx WHEN 0 THEN NULL
+            WHEN 1 THEN 200
+            ELSE 200 + 204 * (doc_id % 2) END AS http_status,
+       CASE record_idx
+            WHEN 0 THEN 16
+            WHEN 1 THEN 5 + length(CAST(doc_id AS VARCHAR))
+            ELSE CAST(doc_id % 23 AS INTEGER) END AS body_len
+FROM r
+""",
+    tags=("llm", "source", "warc", "pandas-udf"),
+)
+def q_source_warc(spark: SparkSession, sf: str) -> DataFrame:
+    """WARC crawl-container ingestion, oracle-exact (§2B sources).
+
+    One WARC file per document — warcinfo + two HTTP response records
+    with closed-form bodies — written by ``sources/warc.build_warc``
+    with **per-record gzip members for even doc_ids and plain WARC for
+    odd**, so both container layouts ride one query.  ``warc_records``
+    explodes files into records (one Arrow task per file — the crawl
+    unit of parallelism), splitting the HTTP envelope off response
+    payloads; the oracle states record types, URIs, statuses and body
+    lengths in closed form.
+    """
+    from ..sources import warc as W
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                recs = [
+                    {"warc_type": "warcinfo", "target_uri": "",
+                     "payload": b"software: rwgs\r\n"},
+                    {"warc_type": "response",
+                     "target_uri": f"https://crawl.example/{did}/1",
+                     "http_status": 200, "body": f"page {did}".encode()},
+                    {"warc_type": "response",
+                     "target_uri": f"https://crawl.example/{did}/2",
+                     "http_status": 200 + 204 * (did % 2),
+                     "body": b"x" * (did % 23)},
+                ]
+                payloads.append(
+                    W.build_warc(recs, gzip_members=(did % 2 == 0))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    recs = W.warc_records(files)
+    return recs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("record_idx").cast("long").alias("record_idx"),
+        "warc_type",
+        "target_uri",
+        F.col("http_status").cast("int").alias("http_status"),
+        F.coalesce(F.octet_length("body"), F.lit(0))
+        .cast("int")
+        .alias("body_len"),
+    )
+
+
+@register(
     "q_text_html_extract",
     oracle="""
 WITH pages AS (

@@ -107,3 +107,71 @@ def test_html_extraction_rules(spark):
     assert got[5].html_text == "visible"
     plan = H.with_html_columns(df, "html")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_warc_records_through_spark(spark):
+    """sources/warc.py: record explosion, HTTP envelope split, gzip
+    member chains, and per-row error capture for corrupt files."""
+    from rawdata_client_provider_gcs_spark.sources import warc as W
+
+    recs = [
+        {"warc_type": "warcinfo", "payload": b"software: t\r\n"},
+        {"warc_type": "response", "target_uri": "https://a/1",
+         "http_status": 200, "body": b"<html>hi</html>"},
+        {"warc_type": "response", "target_uri": "https://a/2",
+         "http_status": 404, "body": b"gone"},
+    ]
+    plain = W.build_warc(recs)
+    gz = W.build_warc(recs, gzip_members=True)
+    corrupt = plain[:40]
+    df = spark.createDataFrame(
+        [(1, bytearray(plain)), (2, bytearray(gz)), (3, bytearray(corrupt))],
+        "doc_id long, payload binary",
+    )
+    rows = W.warc_records(df).orderBy("doc_id", "record_idx").collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.doc_id, []).append(r)
+    for did in (1, 2):  # plain and gzip parse identically
+        got = by[did]
+        assert [r.warc_type for r in got] == ["warcinfo", "response",
+                                              "response"]
+        assert got[1].http_status == 200
+        assert bytes(got[1].body) == b"<html>hi</html>"
+        assert got[2].http_status == 404
+        assert all(r.error is None for r in got)
+    assert len(by[3]) == 1 and by[3][0].error is not None
+
+
+def test_warc_hostile_kernel():
+    from rawdata_client_provider_gcs_spark.sources import warc as W
+
+    import numpy as np
+
+    recs = [{"warc_type": "response", "target_uri": "u",
+             "http_status": 200, "body": b"b" * 50}]
+    for gz in (False, True):
+        blob = bytearray(W.build_warc(recs, gzip_members=gz))
+        rng = np.random.default_rng(3)
+        for _ in range(200):
+            pos = int(rng.integers(0, len(blob)))
+            bit = 1 << int(rng.integers(0, 8))
+            blob[pos] ^= bit
+            try:
+                W.parse_warc(bytes(blob))
+            except ValueError:
+                pass
+            finally:
+                blob[pos] ^= bit
+    # lying Content-Length (past EOF) and negative lengths
+    with pytest.raises(ValueError):
+        W.parse_warc(b"WARC/1.0\r\nContent-Length: 9999\r\n\r\nshort")
+    with pytest.raises(ValueError):
+        W.parse_warc(b"WARC/1.0\r\nContent-Length: x\r\n\r\n")
+
+
+def test_warc_negative_length_is_bounded():
+    from rawdata_client_provider_gcs_spark.sources import warc as W
+
+    with pytest.raises(ValueError, match="negative"):
+        W.parse_warc(b"WARC/1.0\r\nContent-Length: -5\r\n\r\n" + b"x" * 100)
