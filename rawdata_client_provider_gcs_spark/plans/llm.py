@@ -1971,6 +1971,108 @@ def q_source_warc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_pipeline",
+    oracle="""
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><script>var x = 1 < 2;</script></head><body><p>'
+         || substr(text, 1, 80) || ' &amp; tail</p>'
+         || repeat('<a href="https://example.com/x">link</a> ',
+                   CAST(doc_id % 4 AS INTEGER))
+         || '</body></html>' AS html
+  FROM documents WHERE doc_id < 250
+), x AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(html,
+                 '<(script|style|title)[^>]*>.*?</(script|style|title)>',
+                 ' ', 'gis'),
+               '<[^>]+>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&nbsp;', ' '), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS vis,
+         regexp_extract(html, '<title[^>]*>([^<]*)</title>', 1) AS title
+  FROM pages
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       title,
+       CAST(length(vis) AS BIGINT) AS text_len,
+       CAST(len(string_split(vis, ' ')) AS BIGINT) AS n_tokens
+FROM x
+""",
+    tags=("llm", "source", "warc", "html", "curation", "pandas-udf"),
+)
+def q_crawl_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The crawl front door end-to-end, oracle-exact: WARC container →
+    HTTP-200 filter → HTML extraction → text statistics.
+
+    Each document becomes a WARC file holding one 200 response whose
+    body is a deterministic HTML page and one 404 junk response that
+    the status filter must drop.  ``warc_records`` explodes the
+    containers (Arrow task per file), the 200 bodies flow through
+    ``functions/html.py`` (pure Catalyst expressions), and the output
+    is per-page title/visible-length/token-count — the composition a
+    100 TB crawl ingest actually runs, with every stage oracle-checked
+    in one query.
+    """
+    from ..functions import html as H
+    from ..sources import warc as W
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                page = (
+                    f"<html><head><title>Doc {did}</title>"
+                    "<script>var x = 1 < 2;</script></head><body><p>"
+                    + str(text)[:80]
+                    + " &amp; tail</p>"
+                    + '<a href="https://example.com/x">link</a> ' * (did % 4)
+                    + "</body></html>"
+                )
+                recs = [
+                    {"warc_type": "response",
+                     "target_uri": f"https://crawl.example/{did}",
+                     "http_status": 200, "body": page.encode()},
+                    {"warc_type": "response",
+                     "target_uri": f"https://crawl.example/{did}/missing",
+                     "http_status": 404, "body": b"not found"},
+                ]
+                payloads.append(
+                    W.build_warc(recs, gzip_members=(did % 2 == 0))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    ok = (
+        W.warc_records(files)
+        .filter(
+            (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+        )
+        .select("doc_id", F.col("body").cast("string").alias("html"))
+    )
+    out = H.with_html_columns(ok, "html")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("html_title").alias("title"),
+        F.col("html_text_len").alias("text_len"),
+        F.size(F.split("html_text", " ")).cast("long").alias("n_tokens"),
+    )
+
+
+@register(
     "q_text_html_extract",
     oracle="""
 WITH pages AS (
