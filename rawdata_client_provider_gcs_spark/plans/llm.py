@@ -1971,6 +1971,92 @@ def q_source_warc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_curation_url_parse",
+    oracle="""
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END || '://'
+         || 'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.'
+         || CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk'
+                            WHEN 2 THEN 'org' ELSE 'io' END
+         || repeat('/seg', CAST(doc_id % 4 AS INTEGER))
+         || CASE doc_id % 3 WHEN 0 THEN ''
+                 WHEN 1 THEN '?q=1' ELSE '?q=1&r=2' END AS url
+  FROM documents WHERE doc_id < 400
+), h AS (
+  SELECT doc_id, url,
+         regexp_extract(lower(url), '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+         regexp_extract(lower(url),
+                        '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host,
+         regexp_extract(lower(url),
+                        '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+         regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u
+), lab AS (
+  SELECT *, string_split(host, '.') AS labels,
+         len(string_split(host, '.')) AS n
+  FROM h
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       scheme, host,
+       CASE WHEN n >= 3 AND labels[n - 1] IN
+                 ('co', 'ac', 'gov', 'edu', 'org', 'net', 'com')
+            THEN array_to_string(labels[n - 2 : n], '.')
+            ELSE array_to_string(labels[GREATEST(n - 1, 1) : n], '.')
+       END AS domain,
+       CAST(len(list_filter(string_split(path, '/'), s -> s <> ''))
+            AS BIGINT) AS path_depth,
+       CAST(CASE WHEN query = '' THEN 0
+                 ELSE len(string_split(query, '&')) END AS BIGINT)
+         AS n_params
+FROM lab
+""",
+    tags=("llm", "curation", "url"),
+)
+def q_curation_url_parse(spark: SparkSession, sf: str) -> DataFrame:
+    """URL structure extraction, oracle-exact (§2B curation): scheme,
+    host, registered domain (two-level heuristic with multi-part-TLD
+    exception — exercised by the ``co.uk`` quarter of the synthesized
+    URLs), path depth and query arity — all Catalyst expressions
+    (``functions/urls.py``), so per-domain caps and host dedup key on
+    codegen'd columns at 100 TB.  The oracle restates the exact
+    patterns and the same label arithmetic in DuckDB.
+    """
+    from ..functions import urls as U
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    u = d.select(
+        "doc_id",
+        F.concat(
+            F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(
+                F.lit("http")
+            ),
+            F.lit("://www.site"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("."),
+            F.element_at(
+                F.lit(["com", "co.uk", "org", "io"]),
+                (F.col("doc_id") % 4).cast("int") + 1,
+            ),
+            F.repeat(F.lit("/seg"), (F.col("doc_id") % 4).cast("int")),
+            F.element_at(
+                F.lit(["", "?q=1", "?q=1&r=2"]),
+                (F.col("doc_id") % 3).cast("int") + 1,
+            ),
+        ).alias("url"),
+    )
+    out = U.with_url_columns(u, "url")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("url_scheme").alias("scheme"),
+        F.col("url_host").alias("host"),
+        F.col("url_domain").alias("domain"),
+        F.col("url_path_depth").alias("path_depth"),
+        F.col("url_n_params").alias("n_params"),
+    )
+
+
+@register(
     "q_crawl_pipeline",
     oracle="""
 WITH pages AS (

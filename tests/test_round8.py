@@ -175,3 +175,26 @@ def test_warc_negative_length_is_bounded():
 
     with pytest.raises(ValueError, match="negative"):
         W.parse_warc(b"WARC/1.0\r\nContent-Length: -5\r\n\r\n" + b"x" * 100)
+
+
+def test_url_columns_edge_cases(spark):
+    from rawdata_client_provider_gcs_spark.functions import urls as U
+
+    rows = [
+        (1, "https://www.example.co.uk/a/b?x=1&y=2"),
+        (2, "HTTP://HOST.COM/"),
+        (3, "https://localhost"),              # single-label host
+        (4, "ftp://a.b.c.d.example.com/x/y/z/w"),
+        (5, "https://site.io?only=param"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r for r in U.with_url_columns(df, "url").collect()}
+    assert got[1].url_domain == "example.co.uk"  # multi-part TLD
+    assert got[1].url_path_depth == 2 and got[1].url_n_params == 2
+    assert got[2].url_scheme == "http" and got[2].url_host == "host.com"
+    assert got[2].url_domain == "host.com"
+    assert got[3].url_domain == "localhost" and got[3].url_path_depth == 0
+    assert got[4].url_domain == "example.com" and got[4].url_path_depth == 4
+    assert got[5].url_n_params == 1 and got[5].url_path_depth == 0
+    plan = U.with_url_columns(df, "url")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
