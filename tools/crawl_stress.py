@@ -1,0 +1,124 @@
+"""Throughput stress for the crawl front door (WARC → HTML → text).
+
+Synthesizes a corpus of WARC files (each holding many HTTP-200 HTML
+responses), runs the full ingest composition — ``warc_records``
+explode, HTTP filter, ``with_html_columns`` extraction, token stats —
+and reports records/s and input MB/s at two scales so linearity is
+measured, not assumed.  The file count is the unit of parallelism
+(exactly the 100 TB layout: millions of ~1 GB WARCs), so scaling files
+at fixed records-per-file is the honest axis.
+
+Usage: python tools/crawl_stress.py [--files 64] [--records 300]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from rawdata_client_provider_gcs_spark import get_spark  # noqa: E402
+from rawdata_client_provider_gcs_spark.functions import html as H  # noqa: E402
+from rawdata_client_provider_gcs_spark.sources import warc as W  # noqa: E402
+
+
+def run(spark, n_files: int, recs_per_file: int) -> dict:
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for fid in pdf["file_id"]:
+                fid = int(fid)
+                recs = []
+                for r in range(recs_per_file):
+                    body = (
+                        f"<html><head><title>p{fid}-{r}</title>"
+                        "<script>var x=1;</script></head><body>"
+                        + f"<p>{'lorem ipsum token ' * 40}doc {fid} {r}</p>"
+                        + '<a href="https://x/y">l</a> ' * (r % 5)
+                        + "</body></html>"
+                    ).encode()
+                    recs.append(
+                        {
+                            "warc_type": "response",
+                            "target_uri": f"https://h{fid % 97}.example/{r}",
+                            "http_status": 200,
+                            "body": body,
+                        }
+                    )
+                payloads.append(W.build_warc(recs, gzip_members=True))
+            yield pd.DataFrame(
+                {"doc_id": pdf["file_id"], "payload": payloads}
+            )
+
+    files = (
+        spark.range(n_files)
+        .withColumnRenamed("id", "file_id")
+        .repartition(min(n_files, 32))
+        .mapInPandas(make, "doc_id long, payload binary")
+        .persist()
+    )
+    total_bytes = files.agg(
+        F.sum(F.octet_length("payload")).alias("b")
+    ).collect()[0]["b"]
+    t0 = time.perf_counter()
+    out = (
+        W.warc_records(files)
+        .filter(
+            (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+        )
+        .select("doc_id", F.col("body").cast("string").alias("html"))
+    )
+    stats = (
+        H.with_html_columns(out, "html")
+        .agg(
+            F.count(F.lit(1)).alias("pages"),
+            F.sum("html_text_len").alias("chars"),
+            F.sum("html_n_links").alias("links"),
+        )
+        .collect()[0]
+    )
+    wall = time.perf_counter() - t0
+    files.unpersist()
+    assert stats["pages"] == n_files * recs_per_file, stats
+    return {
+        "files": n_files,
+        "records": stats["pages"],
+        "input_mb": round(total_bytes / 1e6, 1),
+        "wall_sec": round(wall, 2),
+        "records_per_sec": round(stats["pages"] / wall),
+        "mb_per_sec": round(total_bytes / 1e6 / wall, 1),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--files", type=int, default=64)
+    ap.add_argument("--records", type=int, default=300)
+    args = ap.parse_args()
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    small = run(spark, args.files, args.records)
+    big = run(spark, args.files * 4, args.records)
+    print(
+        json.dumps(
+            {
+                "small": small,
+                "big": big,
+                "scale_ratio": round(
+                    big["wall_sec"] / max(small["wall_sec"], 1e-9), 2
+                ),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
