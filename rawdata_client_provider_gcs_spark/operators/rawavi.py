@@ -1,4 +1,4 @@
-"""Pure-numpy AVI container codec: uncompressed (raw-DIB) and MS-RLE8.
+"""Pure-numpy AVI container codec: raw DIB, MS-RLE4/8, I420, YUY2.
 
 The video half of the multimodal tier's "real decode without media
 libs" family (rawimage/rawjpeg/rawgif/rawaudio): AVI is a RIFF
@@ -7,9 +7,12 @@ container (same chunk grammar the WAV codec already parses,
 independent bitmaps — byte-identical row layout to the 24-bit BMP
 raster the image codec already decodes (bottom-up, BGR, rows padded to
 4 bytes).  So an uncompressed AVI decodes here with zero new
-compression machinery; MS-RLE8 (biCompression=1, the era's dominant
-palettized codec) adds one short run-length grammar
-(:func:`_rle8_decode`) plus the strf RGBQUAD table.  That makes this
+compression machinery; MS-RLE8/RLE4 (biCompression=1/2, the era's
+dominant palettized codecs) add one short run-length grammar
+(:func:`_rle8_decode`/:func:`_rle4_decode`) plus the strf RGBQUAD
+table, and the uncompressed YUV layouts I420 (planar 4:2:0) and YUY2
+(packed 4:2:2) are one BT.601 integer matrix away from RGB
+(:func:`_yuv_to_rgb`).  That makes this
 the honest first two rungs of the "video containers" boundary: a
 recognized-but-undecodable codec (H.264, MJPG, BI_RLE4, ...) raises
 :class:`UnsupportedCodecError` from :func:`decode_avi` — recorded
@@ -76,16 +79,13 @@ _KNOWN_COMPRESSED_FOURCCS = frozenset({
     b"VP80", b"VP90", b"vp08", b"vp09", b"av01",
     b"WMV1", b"WMV2", b"WMV3", b"WVC1",
     b"IV50", b"cvid", b"MSVC", b"CRAM",
-    # BI_RLE4 declares itself through the INTEGER biCompression value 2
-    # (little-endian dword), not an ASCII fourcc (BI_RLE8=1 DECODES here
-    # — see _rle8_to_rgb); I420/YUY2 are uncompressed pixel LAYOUTS this
-    # decoder cannot unpack — recognized so they label as unsupported
-    # codec rather than corruption
-    b"\x02\x00\x00\x00", b"I420", b"YUY2",
 })
 
 _BI_RGB = b"\x00\x00\x00\x00"
-_BI_RLE8 = b"\x01\x00\x00\x00"
+_BI_RLE8 = b"\x01\x00\x00\x00"  # MS-RLE declares itself through INTEGER
+_BI_RLE4 = b"\x02\x00\x00\x00"  # biCompression values, not ASCII fourccs
+_I420 = (b"I420", b"IYUV")  # planar YUV 4:2:0 (two fourcc spellings)
+_YUY2 = (b"YUY2", b"YUNV", b"V422")  # packed YUV 4:2:2
 
 
 def sniff_avi(payload: bytes) -> bool:
@@ -169,6 +169,106 @@ def _rle8_decode(data: bytes, width: int, height: int) -> np.ndarray:
             x += run
             i += run + (run & 1)
     raise ValueError("RLE8 stream ended without an end-of-bitmap escape")
+
+
+def _rle4_decode(data: bytes, width: int, height: int) -> np.ndarray:
+    """Decode one MS-RLE4 frame payload to a bottom-up (H, W) uint8
+    index raster.  Same escape grammar as RLE8 (:func:`_rle8_decode`)
+    with nibble-packed indices: an encoded run alternates the byte's
+    high/low nibbles; absolute runs pack two indices per byte, padded
+    to a word boundary."""
+    out = np.zeros((height, width), np.uint8)
+    x = y = 0
+    i = 0
+    n = len(data)
+    while i + 1 < n:
+        count, val = data[i], data[i + 1]
+        i += 2
+        if count > 0:  # encoded run, alternating hi/lo nibbles
+            if y >= height or x + count > width:
+                raise ValueError("RLE4 run writes outside the raster")
+            pair = np.array([val >> 4, val & 0xF], np.uint8)
+            out[y, x : x + count] = np.tile(pair, (count + 1) // 2)[:count]
+            x += count
+        elif val == 0:  # end of line
+            x, y = 0, y + 1
+        elif val == 1:  # end of bitmap
+            return out
+        elif val == 2:  # delta
+            if i + 2 > n:
+                raise ValueError("truncated RLE4 delta escape")
+            x += data[i]
+            y += data[i + 1]
+            i += 2
+            if x > width or y > height:
+                raise ValueError("RLE4 delta jumps outside the raster")
+        else:  # absolute run of `val` nibble indices, word-aligned
+            run = val
+            nbytes = (run + 1) // 2
+            consumed = nbytes + (nbytes & 1)  # pad to 16-bit boundary
+            if i + consumed > n:
+                raise ValueError("truncated RLE4 absolute run")
+            if y >= height or x + run > width:
+                raise ValueError("RLE4 absolute run writes outside the raster")
+            packed = np.frombuffer(data, np.uint8, nbytes, i)
+            nib = np.empty(nbytes * 2, np.uint8)
+            nib[0::2] = packed >> 4
+            nib[1::2] = packed & 0xF
+            out[y, x : x + run] = nib[:run]
+            x += run
+            i += consumed
+    raise ValueError("RLE4 stream ended without an end-of-bitmap escape")
+
+
+def _yuv_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """BT.601 limited-range integer conversion (the AVI YUV convention):
+    ``R = (298(Y-16) + 409(V-128) + 128) >> 8`` etc., clipped — exact
+    deterministic integer math, same formula every decoder era used."""
+    c = 298 * (y.astype(np.int32) - 16)
+    d = u.astype(np.int32) - 128
+    e = v.astype(np.int32) - 128
+    r = (c + 409 * e + 128) >> 8
+    g = (c - 100 * d - 208 * e + 128) >> 8
+    b = (c + 516 * d + 128) >> 8
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+
+
+def _i420_to_rgb(data: bytes, width: int, height: int) -> np.ndarray:
+    """Planar YUV 4:2:0 (I420/IYUV): full Y plane then quarter U and V
+    planes; chroma upsampled by pixel doubling.  Top-down raster (the
+    YUV-in-AVI convention, unlike bottom-up DIBs)."""
+    if width % 2 or height % 2:
+        raise ValueError("I420 frame dimensions must be even")
+    need = width * height * 3 // 2
+    if len(data) < need:
+        raise ValueError(f"I420 frame holds {len(data)} bytes, need {need}")
+    ysize = width * height
+    csize = ysize // 4
+    y = np.frombuffer(data, np.uint8, ysize).reshape(height, width)
+    u = np.frombuffer(data, np.uint8, csize, ysize).reshape(
+        height // 2, width // 2
+    )
+    v = np.frombuffer(data, np.uint8, csize, ysize + csize).reshape(
+        height // 2, width // 2
+    )
+    u2 = np.repeat(np.repeat(u, 2, axis=0), 2, axis=1)
+    v2 = np.repeat(np.repeat(v, 2, axis=0), 2, axis=1)
+    return _yuv_to_rgb(y, u2, v2)
+
+
+def _yuy2_to_rgb(data: bytes, width: int, height: int) -> np.ndarray:
+    """Packed YUV 4:2:2 (YUY2): rows of ``Y0 U Y1 V`` macropixels;
+    chroma doubled horizontally.  Top-down raster."""
+    if width % 2:
+        raise ValueError("YUY2 frame width must be even")
+    need = width * height * 2
+    if len(data) < need:
+        raise ValueError(f"YUY2 frame holds {len(data)} bytes, need {need}")
+    rows = np.frombuffer(data, np.uint8, need).reshape(height, width * 2)
+    y = rows[:, 0::2]
+    u = np.repeat(rows[:, 1::4], 2, axis=1)
+    v = np.repeat(rows[:, 3::4], 2, axis=1)
+    return _yuv_to_rgb(y, u, v)
 
 
 def _read_strf_palette(payload: bytes, doff: int, size: int) -> np.ndarray:
@@ -256,6 +356,12 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
                     )
                 if compression == _BI_RLE8 and bits == 8:
                     palette = _read_strf_palette(payload, doff, size)
+                elif compression == _BI_RLE4 and bits == 4:
+                    palette = _read_strf_palette(payload, doff, size)
+                elif compression in _I420 and bits == 12:
+                    pass  # planar YUV 4:2:0, no palette
+                elif compression in _YUY2 and bits == 16:
+                    pass  # packed YUV 4:2:2
                 elif compression != _BI_RGB or bits != 24:
                     # an UNRECOGNIZED nonzero fourcc / wrong bit depth is
                     # not a codec the crawl could contain — it's a
@@ -271,6 +377,13 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
                 if compression == _BI_RLE8:
                     idx = _rle8_decode(data, width, height)
                     frames.append(palette[idx][::-1].copy())  # bottom-up
+                elif compression == _BI_RLE4:
+                    idx = _rle4_decode(data, width, height)
+                    frames.append(palette[idx][::-1].copy())  # bottom-up
+                elif compression in _I420:
+                    frames.append(_i420_to_rgb(data, width, height))
+                elif compression in _YUY2:
+                    frames.append(_yuy2_to_rgb(data, width, height))
                 else:
                     frames.append(_dib_to_rgb(data, width, height))
 
@@ -333,6 +446,103 @@ def encode_avi_rle8(
         compression=_BI_RLE8,
         strf_tail=strf_tail,
         frame_cid=b"00dc",
+    )
+
+
+def _rle4_encode(idx_bottom_up: np.ndarray) -> bytes:
+    """Encode one bottom-up (H, W) raster of 4-bit indices as MS-RLE4
+    (encoded runs only; a constant run repeats its nibble in both
+    halves of the value byte)."""
+    out = bytearray()
+    for row in idx_bottom_up:
+        j = 0
+        w = len(row)
+        while j < w:
+            run = 1
+            while j + run < w and run < 255 and row[j + run] == row[j]:
+                run += 1
+            v = int(row[j])
+            out += bytes((run, (v << 4) | v))
+            j += run
+        out += b"\x00\x00"
+    out += b"\x00\x01"
+    return bytes(out)
+
+
+def encode_avi_rle4(
+    index_frames: list[np.ndarray],
+    palette: np.ndarray,
+    fps: float = 10.0,
+) -> bytes:
+    """MS-RLE4 AVI from top-down (H, W) uint8 index frames (< 16)."""
+    if not index_frames:
+        raise ValueError("need at least one frame")
+    h, w = index_frames[0].shape
+    for f in index_frames:
+        if f.shape != (h, w) or f.dtype != np.uint8 or f.max() > 15:
+            raise ValueError("frames must be equal-shape uint8 indices < 16")
+    pal = np.zeros((16, 3), np.uint8)
+    pal[: len(palette)] = np.asarray(palette, np.uint8)[:16]
+    rgbquads = np.zeros((16, 4), np.uint8)
+    rgbquads[:, 2::-1] = pal
+    return _assemble_avi(
+        [_rle4_encode(f[::-1]) for f in index_frames],
+        w, h, fps,
+        bits=4, compression=_BI_RLE4,
+        strf_tail=rgbquads.tobytes(), frame_cid=b"00dc",
+    )
+
+
+def encode_avi_i420(
+    planes: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    fps: float = 10.0,
+) -> bytes:
+    """I420 AVI from per-frame (Y, U, V) planes (top-down; U/V are
+    half-resolution in both axes)."""
+    if not planes:
+        raise ValueError("need at least one frame")
+    h, w = planes[0][0].shape
+    payloads = []
+    for y, u, v in planes:
+        if y.shape != (h, w) or u.shape != (h // 2, w // 2) or v.shape != (
+            h // 2,
+            w // 2,
+        ):
+            raise ValueError("inconsistent I420 plane shapes")
+        payloads.append(
+            np.ascontiguousarray(y, np.uint8).tobytes()
+            + np.ascontiguousarray(u, np.uint8).tobytes()
+            + np.ascontiguousarray(v, np.uint8).tobytes()
+        )
+    return _assemble_avi(
+        payloads, w, h, fps,
+        bits=12, compression=b"I420", strf_tail=b"", frame_cid=b"00dc",
+    )
+
+
+def encode_avi_yuy2(
+    planes: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    fps: float = 10.0,
+) -> bytes:
+    """YUY2 AVI from per-frame (Y, U, V) planes (U/V half-width)."""
+    if not planes:
+        raise ValueError("need at least one frame")
+    h, w = planes[0][0].shape
+    payloads = []
+    for y, u, v in planes:
+        if y.shape != (h, w) or u.shape != (h, w // 2) or v.shape != (
+            h,
+            w // 2,
+        ):
+            raise ValueError("inconsistent YUY2 plane shapes")
+        rows = np.empty((h, w * 2), np.uint8)
+        rows[:, 0::2] = y
+        rows[:, 1::4] = u
+        rows[:, 3::4] = v
+        payloads.append(rows.tobytes())
+    return _assemble_avi(
+        payloads, w, h, fps,
+        bits=16, compression=b"YUY2", strf_tail=b"", frame_cid=b"00dc",
     )
 
 
@@ -434,7 +644,7 @@ def _assemble_avi(
             frame_bytes,
             0,
             0,
-            256 if strf_tail else 0,  # biClrUsed
+            (len(strf_tail) // 4) if strf_tail else 0,  # biClrUsed
             0,
         )
         + strf_tail

@@ -61,16 +61,14 @@ def test_avi_rejects_compressed_and_garbage():
     with pytest.raises(NotImplementedError, match="H264"):
         rawavi.decode_avi(bytes(payload))
     # MS-RLE declares itself via the INTEGER biCompression values
-    # BI_RLE8=1 / BI_RLE4=2, not an ASCII tag (ADVICE r7 #4).  RLE4
-    # labels as an unsupported codec, not corruption; RLE8 DECODES
-    # (test_rle8_* below), so here — claimed on a 24-bit header with no
-    # palette — it reads as a malformed header.
-    payload[i + 8 + 16 : i + 8 + 20] = b"\x02\x00\x00\x00"
-    with pytest.raises(rawavi.UnsupportedCodecError):
-        rawavi.decode_avi(bytes(payload))
-    payload[i + 8 + 16 : i + 8 + 20] = b"\x01\x00\x00\x00"
-    with pytest.raises(ValueError):
-        rawavi.decode_avi(bytes(payload))
+    # BI_RLE8=1 / BI_RLE4=2, not an ASCII tag (ADVICE r7 #4).  Both
+    # DECODE now (test_rle8_*/test_rle4_* below), so either value
+    # claimed on a 24-bit header with no palette reads as a malformed
+    # header (per-row corruption), never as a missing codec.
+    for rle in (b"\x01\x00\x00\x00", b"\x02\x00\x00\x00"):
+        payload[i + 8 + 16 : i + 8 + 20] = rle
+        with pytest.raises(ValueError):
+            rawavi.decode_avi(bytes(payload))
     # genuinely malformed containers stay ValueError (per-row capture)
     with pytest.raises(ValueError):
         rawavi.decode_avi(b"RIFF\x00\x00\x00\x00AVI ")
@@ -285,3 +283,75 @@ def test_rle8_through_spark_sample_frames(spark):
     )
     assert [r.frame_idx for r in rows] == [0, 2, 4]
     assert all(r.error is None for r in rows)
+
+
+def test_rle4_roundtrip_and_hostile():
+    rng = np.random.default_rng(14)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (9, 13), dtype=np.uint8)
+    blob = rawavi.encode_avi_rle4([idx, idx[::-1]], pal, fps=8.0)
+    frames, fps = rawavi.decode_avi(blob)
+    assert fps == pytest.approx(8.0) and len(frames) == 2
+    np.testing.assert_array_equal(frames[0], pal[idx])
+    np.testing.assert_array_equal(frames[1], pal[idx[::-1]])
+    bad = [
+        b"\x09\x11\x00\x01",  # run of 9 in a 4-wide raster
+        b"\x00\x05\x12\x34",  # absolute run missing its pad byte
+        b"\x02\x11",  # no end-of-bitmap
+    ]
+    for stream in bad:
+        with pytest.raises(ValueError):
+            rawavi._rle4_decode(stream, 4, 3)
+    # absolute mode with word padding decodes correct nibbles
+    stream = b"\x00\x05" + bytes([0x12, 0x34, 0x50, 0x00]) + b"\x00\x00\x00\x01"
+    out = rawavi._rle4_decode(stream, 5, 1)
+    np.testing.assert_array_equal(out[0], [1, 2, 3, 4, 5])
+
+
+def test_yuv_decodes_bt601_reference_colors():
+    """The classic BT.601 limited-range triples decode to their exact
+    primaries under the integer matrix: red (81,90,240), green
+    (145,54,34), blue (41,240,110), white (235,128,128), black
+    (16,128,128)."""
+    cases = [
+        ((81, 90, 240), (255, 0, 0)),
+        # green's canonical triple is not exactly invertible under the
+        # integer matrix: B lands on 1, not 0 (386 >> 8)
+        ((145, 54, 34), (0, 255, 1)),
+        ((41, 240, 110), (0, 0, 255)),
+        ((235, 128, 128), (255, 255, 255)),
+        ((16, 128, 128), (0, 0, 0)),
+    ]
+    h, w = 4, 6
+    for (yv, uv, vv), rgb in cases:
+        y = np.full((h, w), yv, np.uint8)
+        u = np.full((h // 2, w // 2), uv, np.uint8)
+        v = np.full((h // 2, w // 2), vv, np.uint8)
+        fi, _ = rawavi.decode_avi(rawavi.encode_avi_i420([(y, u, v)]))
+        assert tuple(fi[0][0, 0]) == rgb, (yv, uv, vv, fi[0][0, 0])
+        y2 = np.full((h, w), yv, np.uint8)
+        u2 = np.full((h, w // 2), uv, np.uint8)
+        v2 = np.full((h, w // 2), vv, np.uint8)
+        f2, _ = rawavi.decode_avi(rawavi.encode_avi_yuy2([(y2, u2, v2)]))
+        np.testing.assert_array_equal(f2[0], fi[0])
+
+
+def test_yuv_chroma_subsampling_geometry():
+    """4:2:0 doubles chroma in both axes, 4:2:2 only horizontally."""
+    y = np.zeros((4, 4), np.uint8) + 128
+    u = np.array([[90, 240], [240, 90]], np.uint8)
+    v = np.full((2, 2), 128, np.uint8)
+    fi, _ = rawavi.decode_avi(rawavi.encode_avi_i420([(y, u, v)]))
+    img = fi[0]
+    # 2x2 chroma blocks: pixel (0,0)==(1,1) share u=90; (0,2) uses u=240
+    np.testing.assert_array_equal(img[0, 0], img[1, 1])
+    assert not np.array_equal(img[0, 0], img[0, 2])
+
+
+def test_yuv_hostile_dims_and_truncation():
+    with pytest.raises(ValueError):
+        rawavi._i420_to_rgb(b"\x00" * 100, 5, 4)  # odd width
+    with pytest.raises(ValueError):
+        rawavi._i420_to_rgb(b"\x00" * 10, 8, 8)  # short payload
+    with pytest.raises(ValueError):
+        rawavi._yuy2_to_rgb(b"\x00" * 10, 8, 2)  # short payload
