@@ -12,9 +12,9 @@ dominant palettized codecs) add one short run-length grammar
 (:func:`_rle8_decode`/:func:`_rle4_decode`) plus the strf RGBQUAD
 table, and the uncompressed YUV layouts I420 (planar 4:2:0) and YUY2
 (packed 4:2:2) are one BT.601 integer matrix away from RGB
-(:func:`_yuv_to_rgb`).  That makes this
-the honest first two rungs of the "video containers" boundary: a
-recognized-but-undecodable codec (H.264, MJPG, BI_RLE4, ...) raises
+(:func:`_yuv_to_rgb`).  That leaves only genuinely transform-coded
+video at the "video containers" boundary: a
+recognized-but-undecodable codec (H.264, MJPG, VP9, ...) raises
 :class:`UnsupportedCodecError` from :func:`decode_avi` — recorded
 PER-ROW by the multimodal kernels under its own class name (compressed
 AVIs are ordinary crawl data; one must never kill the job), yet never
