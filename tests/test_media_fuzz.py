@@ -346,3 +346,46 @@ def test_avi_rle8_kernel_never_raises_uncatchable(seed):
         assert "fourcc" in str(exc)
     except ValueError:
         pass  # per-row capture path
+
+
+def _avi_layout_payloads() -> dict[str, bytes]:
+    from rawdata_client_provider_gcs_spark.operators import rawavi
+
+    rng = np.random.default_rng(15)
+    pal16 = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx4 = rng.integers(0, 16, (8, 10), dtype=np.uint8)
+    h, w = 8, 10
+    y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    u = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    v = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
+    u2 = rng.integers(0, 256, (h, w // 2), dtype=np.uint8)
+    v2 = rng.integers(0, 256, (h, w // 2), dtype=np.uint8)
+    return {
+        "rle4": rawavi.encode_avi_rle4([idx4] * 2, pal16, fps=10.0),
+        "i420": rawavi.encode_avi_i420([(y, u, v)] * 2, fps=10.0),
+        "yuy2": rawavi.encode_avi_yuy2([(y, u2, v2)] * 2, fps=10.0),
+    }
+
+
+AVI_LAYOUT_PAYLOADS = _avi_layout_payloads()
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    seed=st.integers(0, 2**32 - 1),
+    layout=st.sampled_from(sorted(AVI_LAYOUT_PAYLOADS)),
+)
+def test_avi_layout_kernels_never_raise_uncatchable(seed, layout):
+    """RLE4 nibble streams and the YUV layout unpackers under mutation:
+    decode or ValueError, never an uncatchable numpy error."""
+    from rawdata_client_provider_gcs_spark.operators import rawavi
+
+    mutated = _mutate(AVI_LAYOUT_PAYLOADS[layout], random.Random(seed))
+    try:
+        frames, fps = rawavi.decode_avi(mutated)
+        assert fps > 0 and frames
+        assert all(f.ndim == 3 and f.dtype == np.uint8 for f in frames)
+    except NotImplementedError as exc:
+        assert "fourcc" in str(exc)
+    except ValueError:
+        pass
