@@ -415,3 +415,66 @@ def dedup_lines(
             sep,
         ).alias("cleaned_text"),
     )
+
+
+def corpus_dedup_segments(
+    docs,
+    min_doc_freq: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = ". ",
+):
+    """Strip CORPUS-level boilerplate segments (the CCNet paragraph-
+    dedup move): a segment whose normalized form appears in at least
+    ``min_doc_freq`` distinct documents is template chrome ("subscribe
+    to our newsletter", cookie banners, copyright footers) and is
+    dropped from EVERY document; genuinely document-specific text
+    survives.  The cross-corpus complement of :func:`dedup_lines`
+    (which strips repeats WITHIN one document).
+
+    Returns ``(id, n_segments, n_kept, cleaned_text)``.
+
+    100 TB shape: one split+posexplode pass; the corpus document
+    frequency is a combinable ``count_distinct`` grouped on the 8-byte
+    ``xxhash64`` of the normalized segment; the carry-back is an
+    equi-join on that same hash (skew-bounded — a segment's rows are
+    capped by its true document frequency); re-assembly is one per-doc
+    aggregate.  No Python anywhere.
+    """
+    sep_pattern = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    segs = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.split(F.col(text_col), F.lit(sep_pattern), -1)
+            ).alias("pos", "seg"),
+        )
+        .withColumn("norm", normalized_text(F.col("seg")))
+        .filter(F.col("norm") != "")
+        .withColumn("nh", F.xxhash64("norm"))
+        .drop("norm")
+    )
+    dfreq = segs.groupBy("nh").agg(
+        F.count_distinct(F.col(id_col)).alias("seg_df")
+    )
+    kept = segs.join(dfreq, "nh").withColumn(
+        "is_boiler", F.col("seg_df") >= F.lit(min_doc_freq)
+    )
+    return kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.sum((~F.col("is_boiler")).cast("long")).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("is_boiler"),
+                            F.struct(F.col("pos"), F.col("seg")),
+                        )
+                    )
+                ),
+                lambda s: s["seg"],
+            ),
+            sep,
+        ).alias("cleaned_text"),
+    )

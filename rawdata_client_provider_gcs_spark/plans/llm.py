@@ -1971,6 +1971,66 @@ def q_source_warc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_text_boilerplate_corpus",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         'Subscribe to our newsletter. ' || text
+         || '. All rights reserved' AS t
+  FROM documents WHERE doc_id < 500
+), segs AS (
+  SELECT doc_id, i, s[i] AS seg,
+         trim(regexp_replace(lower(s[i]), '[^a-z0-9]+', ' ', 'g')) AS norm
+  FROM (SELECT doc_id, string_split(t, '. ') AS s,
+               unnest(generate_series(1, len(string_split(t, '. ')))) AS i
+        FROM d)
+  WHERE trim(regexp_replace(lower(s[i]), '[^a-z0-9]+', ' ', 'g')) <> ''
+), freq AS (
+  SELECT norm, COUNT(DISTINCT doc_id) AS seg_df FROM segs GROUP BY norm
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN seg_df < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       COALESCE(string_agg(CASE WHEN seg_df < 10 THEN seg END,
+                           '. ' ORDER BY i), '') AS cleaned_text
+FROM segs JOIN freq USING (norm)
+GROUP BY doc_id
+""",
+    tags=("llm", "text", "curation", "dedup"),
+)
+def q_text_boilerplate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level boilerplate stripping, oracle-exact (the CCNet
+    paragraph-dedup move): segments appearing in ≥10 distinct documents
+    are template chrome and vanish from every document.
+
+    Each document gets a planted newsletter header and copyright footer
+    (df = all docs → stripped); the body survives unless the synthetic
+    corpus genuinely repeats it across ≥10 docs — which both engines
+    decide from the same document frequencies, so the check is exact.
+    ``functions/text.corpus_dedup_segments``: one posexplode, a
+    combinable count-distinct on 8-byte segment hashes, one hash-join
+    carry-back, one per-doc reassembly — no Python.
+    """
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 500)
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("Subscribe to our newsletter. "),
+            F.col("text"),
+            F.lit(". All rights reserved"),
+        ).alias("text"),
+    )
+    out = T.corpus_dedup_segments(planted, min_doc_freq=10)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_segments"),
+        F.col("n_kept"),
+        F.col("cleaned_text"),
+    )
+
+
+@register(
     "q_curation_url_parse",
     oracle="""
 WITH u AS (

@@ -198,3 +198,25 @@ def test_url_columns_edge_cases(spark):
     assert got[5].url_n_params == 1 and got[5].url_path_depth == 0
     plan = U.with_url_columns(df, "url")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_corpus_dedup_segments_strips_only_frequent(spark):
+    from rawdata_client_provider_gcs_spark.functions import (
+        text as T,
+    )
+
+    rows = [(i, f"BOILER PLATE. unique sentence {i}. tail {i}")
+            for i in range(12)]
+    rows.append((99, "no chrome here at all"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in T.corpus_dedup_segments(df, min_doc_freq=10).collect()
+    }
+    for i in range(12):
+        assert out[i].n_segments == 3 and out[i].n_kept == 2
+        assert out[i].cleaned_text == f"unique sentence {i}. tail {i}"
+    assert out[99].cleaned_text == "no chrome here at all"
+    # threshold above the plant count keeps everything
+    full = T.corpus_dedup_segments(df, min_doc_freq=50).collect()
+    assert all(r.n_kept == r.n_segments for r in full)
