@@ -436,9 +436,14 @@ def corpus_dedup_segments(
 
     100 TB shape: one split+posexplode pass; the corpus document
     frequency is a combinable ``count_distinct`` grouped on the 8-byte
-    ``xxhash64`` of the normalized segment; the carry-back is an
-    equi-join on that same hash (skew-bounded — a segment's rows are
-    capped by its true document frequency); re-assembly is one per-doc
+    ``xxhash64`` of the normalized segment (map-side partials absorb
+    the hot keys).  The carry-back deliberately does NOT join the full
+    frequency table: boilerplate keys are by definition the SKEWED keys
+    (every copy of "subscribe to our newsletter" would land on one
+    reducer), so membership is decided against only the ``df >= K``
+    HOT SET — small by nature (template chrome, not unique text), so
+    AQE turns the join into a broadcast and the carry-back costs zero
+    shuffle and carries zero skew.  Re-assembly is one per-doc
     aggregate.  No Python anywhere.
     """
     sep_pattern = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
@@ -454,11 +459,14 @@ def corpus_dedup_segments(
         .withColumn("nh", F.xxhash64("norm"))
         .drop("norm")
     )
-    dfreq = segs.groupBy("nh").agg(
-        F.count_distinct(F.col(id_col)).alias("seg_df")
+    hot = (
+        segs.groupBy("nh")
+        .agg(F.count_distinct(F.col(id_col)).alias("seg_df"))
+        .filter(F.col("seg_df") >= F.lit(min_doc_freq))
+        .select("nh", F.lit(True).alias("is_boiler"))
     )
-    kept = segs.join(dfreq, "nh").withColumn(
-        "is_boiler", F.col("seg_df") >= F.lit(min_doc_freq)
+    kept = segs.join(hot, "nh", "left").withColumn(
+        "is_boiler", F.coalesce(F.col("is_boiler"), F.lit(False))
     )
     return kept.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_segments"),
