@@ -1,4 +1,4 @@
-"""Pure-numpy AVI container codec: raw DIB, MS-RLE4/8, I420, YUY2.
+"""Pure-numpy AVI codec: raw DIB, MS-RLE4/8, I420, YUY2, MJPG.
 
 The video half of the multimodal tier's "real decode without media
 libs" family (rawimage/rawjpeg/rawgif/rawaudio): AVI is a RIFF
@@ -12,9 +12,11 @@ dominant palettized codecs) add one short run-length grammar
 (:func:`_rle8_decode`/:func:`_rle4_decode`) plus the strf RGBQUAD
 table, and the uncompressed YUV layouts I420 (planar 4:2:0) and YUY2
 (packed 4:2:2) are one BT.601 integer matrix away from RGB
-(:func:`_yuv_to_rgb`).  That leaves only genuinely transform-coded
+(:func:`_yuv_to_rgb`); Motion JPEG rides the repo's own baseline JPEG
+tier, with table-less frames completed from the T.81 Annex K typical
+tables (``rawjpeg.ensure_huffman_tables``).  That leaves only genuinely transform-coded
 video at the "video containers" boundary: a
-recognized-but-undecodable codec (H.264, MJPG, VP9, ...) raises
+recognized-but-undecodable codec (H.264, VP9, XVID, ...) raises
 :class:`UnsupportedCodecError` from :func:`decode_avi` — recorded
 PER-ROW by the multimodal kernels under its own class name (compressed
 AVIs are ordinary crawl data; one must never kill the job), yet never
@@ -73,7 +75,6 @@ class UnsupportedCodecError(NotImplementedError):
 _KNOWN_COMPRESSED_FOURCCS = frozenset({
     b"H264", b"h264", b"X264", b"x264", b"avc1", b"AVC1",
     b"H265", b"hev1", b"hvc1", b"HEVC",
-    b"MJPG", b"mjpg", b"dmb1",
     b"XVID", b"xvid", b"DIVX", b"divx", b"DX50", b"FMP4",
     b"MP42", b"MP43", b"MPG4", b"mp4v",
     b"VP80", b"VP90", b"vp08", b"vp09", b"av01",
@@ -86,6 +87,8 @@ _BI_RLE8 = b"\x01\x00\x00\x00"  # MS-RLE declares itself through INTEGER
 _BI_RLE4 = b"\x02\x00\x00\x00"  # biCompression values, not ASCII fourccs
 _I420 = (b"I420", b"IYUV")  # planar YUV 4:2:0 (two fourcc spellings)
 _YUY2 = (b"YUY2", b"YUNV", b"V422")  # packed YUV 4:2:2
+_MJPG = (b"MJPG", b"mjpg", b"dmb1", b"AVRn")  # motion JPEG: frames are
+# JPEG interchange streams, commonly table-less (Annex K assumed)
 
 
 def sniff_avi(payload: bytes) -> bool:
@@ -115,10 +118,19 @@ def _sub_chunks(payload: bytes, off: int, end: int):
         i += 8 + size + (size & 1)
 
 
+#: hard per-frame decode cap (matches the TIFF tier's reasoning: a
+#: Spark row tops out at 2 GiB, so bigger dims are a lying header)
+_MAX_FRAME_BYTES = 1 << 30
+
+
 def _dib_to_rgb(data: bytes, width: int, height: int) -> np.ndarray:
     """Decode one BI_RGB bottom-up 24-bit DIB frame to (H, W, 3) RGB."""
     stride = (width * 3 + 3) & ~3
     need = stride * height
+    if need > len(data):
+        raise ValueError(
+            f"DIB frame holds {len(data)} bytes, header needs {need}"
+        )
     rows = np.frombuffer(data, np.uint8, count=need).reshape(height, stride)
     bgr = rows[:, : width * 3].reshape(height, width, 3)
     return bgr[::-1, :, ::-1].copy()  # bottom-up -> top-down, BGR -> RGB
@@ -362,6 +374,8 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
                     pass  # planar YUV 4:2:0, no palette
                 elif compression in _YUY2 and bits == 16:
                     pass  # packed YUV 4:2:2
+                elif compression in _MJPG:
+                    pass  # per-frame JPEG streams (any declared depth)
                 elif compression != _BI_RGB or bits != 24:
                     # an UNRECOGNIZED nonzero fourcc / wrong bit depth is
                     # not a codec the crawl could contain — it's a
@@ -373,6 +387,14 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
             elif cid in (b"00db", b"00dc"):
                 if width is None or height is None:
                     raise ValueError("AVI frame chunk before headers")
+                if width <= 0 or height <= 0 or (
+                    width * height * 3 > _MAX_FRAME_BYTES
+                ):
+                    # hostile avih dims would otherwise overflow or OOM
+                    # the frame allocation (fuzz-found)
+                    raise ValueError(
+                        f"implausible AVI dimensions {width}x{height}"
+                    )
                 data = payload[doff : doff + size]
                 if compression == _BI_RLE8:
                     idx = _rle8_decode(data, width, height)
@@ -384,6 +406,14 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
                     frames.append(_i420_to_rgb(data, width, height))
                 elif compression in _YUY2:
                     frames.append(_yuy2_to_rgb(data, width, height))
+                elif compression in _MJPG:
+                    from . import rawjpeg  # noqa: PLC0415
+
+                    frames.append(
+                        rawjpeg.decode_jpeg(
+                            rawjpeg.ensure_huffman_tables(data)
+                        )
+                    )
                 else:
                     frames.append(_dib_to_rgb(data, width, height))
 
@@ -517,6 +547,36 @@ def encode_avi_i420(
     return _assemble_avi(
         payloads, w, h, fps,
         bits=12, compression=b"I420", strf_tail=b"", frame_cid=b"00dc",
+    )
+
+
+def encode_avi_mjpg(
+    frames: list[np.ndarray],
+    fps: float = 10.0,
+    quality: int = 75,
+    tableless: bool = True,
+) -> bytes:
+    """Motion-JPEG AVI from (H, W, 3) uint8 RGB frames: each frame is
+    an Annex-K-coded baseline JPEG; with ``tableless`` (the common
+    OpenDML layout) the DHT segments are stripped and decoders assume
+    the Annex K typical tables (:func:`rawjpeg.ensure_huffman_tables`
+    splices them back)."""
+    from . import rawjpeg  # noqa: PLC0415
+
+    if not frames:
+        raise ValueError("need at least one frame")
+    h, w = frames[0].shape[:2]
+    payloads = []
+    for f in frames:
+        if f.shape != (h, w, 3) or f.dtype != np.uint8:
+            raise ValueError("all frames must be equal-shape (H, W, 3) uint8")
+        stream = rawjpeg.encode_jpeg(f, quality=quality, huffman="annex_k")
+        if tableless:
+            stream = rawjpeg.strip_huffman_tables(stream)
+        payloads.append(stream)
+    return _assemble_avi(
+        payloads, w, h, fps,
+        bits=24, compression=b"MJPG", strf_tail=b"", frame_cid=b"00dc",
     )
 
 

@@ -147,6 +147,116 @@ def _ac_spec() -> tuple[list[int], list[int]]:
 _AC_SPEC = _ac_spec()
 assert sum(_AC_SPEC[0]) == len(_AC_SPEC[1]) == 162
 
+# ITU-T T.81 Annex K.3 "typical" AC tables — the fixed tables
+# table-less MJPG streams (OpenDML AVIs, old cameras) are encoded
+# against, so decoding those REQUIRES this exact assignment.  The
+# literals were machine-extracted from the DHT segments the JDK's
+# ImageIO JPEG encoder emits (it writes the Annex K defaults), and
+# tests/test_rawavi.py re-extracts and compares them at test time, so
+# a transcription typo cannot survive.  (Annex K DC tables are already
+# _DC_LUMA_SPEC/_DC_CHROMA_SPEC above.)
+_ANNEX_K_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31,
+     0x41, 0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32,
+     0x81, 0x91, 0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52,
+     0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28, 0x29, 0x2A,
+     0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+     0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57,
+     0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x83,
+     0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93, 0x94,
+     0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8,
+     0xD9, 0xDA, 0xE1, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8,
+     0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+_ANNEX_K_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06,
+     0x12, 0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81,
+     0x08, 0x14, 0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33,
+     0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+     0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56,
+     0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79, 0x7A,
+     0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92,
+     0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6,
+     0xD7, 0xD8, 0xD9, 0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7,
+     0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA],
+)
+for _spec in (_ANNEX_K_AC_LUMA, _ANNEX_K_AC_CHROMA):
+    assert sum(_spec[0]) == len(_spec[1]) == 162
+
+
+def annex_k_dht_segment() -> bytes:
+    """One 0xFFC4 segment carrying the four Annex K tables — what a
+    table-less MJPG decoder must assume."""
+    body = bytearray()
+    for tclass, tid, (bits, vals) in (
+        (0, 0, _DC_LUMA_SPEC),
+        (1, 0, _ANNEX_K_AC_LUMA),
+        (0, 1, _DC_CHROMA_SPEC),
+        (1, 1, _ANNEX_K_AC_CHROMA),
+    ):
+        body += bytes([tclass << 4 | tid]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + (len(body) + 2).to_bytes(2, "big") + bytes(body)
+
+
+def strip_huffman_tables(payload: bytes) -> bytes:
+    """Remove every DHT segment (the table-less MJPG layout — the
+    fixture-side inverse of :func:`ensure_huffman_tables`)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    out = bytearray(b"\xff\xd8")
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        marker = payload[pos + 1]
+        if marker == 0xDA:
+            out += payload[pos:]
+            return bytes(out)
+        length = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        if marker != 0xC4:
+            out += payload[pos : pos + 2 + length]
+        pos += 2 + length
+    raise ValueError("truncated JPEG stream (no SOS)")
+
+
+def ensure_huffman_tables(payload: bytes) -> bytes:
+    """Splice the Annex K DHT into a table-less JPEG stream.
+
+    MJPG frames commonly omit DHT (OpenDML: decoders assume the T.81
+    Annex K typical tables).  Returns the payload unchanged when it
+    already carries any DHT; otherwise inserts the default tables
+    right before SOS so :func:`decode_jpeg` reads it like any
+    interchange stream."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xC4:
+            return payload  # tables present
+        if marker == 0xDA:  # SOS without any DHT: splice here
+            return payload[:pos] + annex_k_dht_segment() + payload[pos:]
+        length = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        pos += 2 + length
+    raise ValueError("truncated JPEG stream (no SOS)")
+
 
 def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
     """symbol → (code, length) for a canonical JPEG Huffman table."""
@@ -323,6 +433,7 @@ def encode_jpeg(
     quality: int = 75,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    huffman: str = "repo",
 ) -> bytes:
     """Encode an (H, W, 3) uint8 RGB array as a baseline JPEG.
 
@@ -331,15 +442,22 @@ def encode_jpeg(
     common camera layout), or ``"4:2:2"`` (horizontal-only 2×1, the
     common video layout).  ``restart_interval`` > 0 emits DRI + RSTn
     markers every that many MCUs — the layout long scans use so a
-    corrupt byte only loses one restart segment.
+    corrupt byte only loses one restart segment.  ``huffman="annex_k"``
+    encodes against the T.81 Annex K typical tables (what table-less
+    MJPG streams assume) instead of the repo's generated AC code.
     """
+    if huffman not in ("repo", "annex_k"):
+        raise ValueError("huffman must be 'repo' or 'annex_k'")
     zz_grids, ql, qc, sh, sv = _quantized_grids(arr, quality, subsampling)
     h, w = arr.shape[:2]
     mcu_h, mcu_w = 8 * sv, 8 * sh
 
     dc_l = _build_codes(*_DC_LUMA_SPEC)
     dc_c = _build_codes(*_DC_CHROMA_SPEC)
-    ac_codes = _build_codes(*_AC_SPEC)
+    ac_l_spec = _AC_SPEC if huffman == "repo" else _ANNEX_K_AC_LUMA
+    ac_c_spec = _AC_SPEC if huffman == "repo" else _ANNEX_K_AC_CHROMA
+    ac_l = _build_codes(*ac_l_spec)
+    ac_c = _build_codes(*ac_c_spec)
 
     mcus_y = zz_grids[0].shape[0] // sv
     mcus_x = zz_grids[0].shape[1] // sh
@@ -365,10 +483,10 @@ def encode_jpeg(
                         pred,
                         0,
                         dc_l,
-                        ac_codes,
+                        ac_l,
                     )
-            _encode_block(writer, zz_grids[1][my, mx], pred, 1, dc_c, ac_codes)
-            _encode_block(writer, zz_grids[2][my, mx], pred, 2, dc_c, ac_codes)
+            _encode_block(writer, zz_grids[1][my, mx], pred, 1, dc_c, ac_c)
+            _encode_block(writer, zz_grids[2][my, mx], pred, 2, dc_c, ac_c)
     scan += writer.flush()
     scan = bytes(scan)
 
@@ -389,9 +507,9 @@ def encode_jpeg(
     out += seg(
         0xFFC4,
         dht(0, 0, _DC_LUMA_SPEC)
-        + dht(1, 0, _AC_SPEC)
+        + dht(1, 0, ac_l_spec)
         + dht(0, 1, _DC_CHROMA_SPEC)
-        + dht(1, 1, _AC_SPEC),
+        + dht(1, 1, ac_c_spec),
     )
     if restart_interval:
         out += seg(0xFFDD, struct.pack(">H", restart_interval))
@@ -512,10 +630,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("JPEG SOF header shorter than ncomp claims")
             comps = []
             for c in range(ncomp):
                 cid, sampling, tq = body[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, sampling >> 4, sampling & 0xF, tq))
+                hs, vs = sampling >> 4, sampling & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    # zero/huge factors are hostile bytes (fuzz-found:
+                    # a 0 divides the chroma upsample later)
+                    raise ValueError(
+                        f"invalid JPEG sampling factors {hs}x{vs}"
+                    )
+                comps.append((cid, hs, vs, tq))
             frame = (fh, fw, comps)
         elif marker == 0xC2:  # SOF2: progressive — dedicated decoder
             from . import rawjpeg_progressive  # noqa: PLC0415
@@ -530,7 +657,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
+            if not body:
+                raise ValueError("truncated JPEG SOS header")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                # hostile component count vs body length (fuzz-found:
+                # IndexError must not escape the Arrow kernel)
+                raise ValueError("JPEG SOS header shorter than ns claims")
             scan_comps = []
             for c in range(ns):
                 cid, tables = body[1 + 2 * c], body[2 + 2 * c]
@@ -570,7 +703,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     by_cid = {c[0]: c for c in comps}
     plan = []  # per scan component: (hs, vs, quant, dc_table, ac_table)
     for cid, dc_id, ac_id in scan_info:
+        if cid not in by_cid:
+            raise ValueError(f"JPEG scan references unknown component {cid}")
         _, hs, vs, tq = by_cid[cid]
+        if tq not in qtables or (0, dc_id) not in htables or (
+            1,
+            ac_id,
+        ) not in htables:
+            # hostile bytes can reference tables never defined
+            raise ValueError("JPEG scan references an undefined table")
         plan.append(
             (
                 hs,

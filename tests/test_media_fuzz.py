@@ -360,10 +360,12 @@ def _avi_layout_payloads() -> dict[str, bytes]:
     v = rng.integers(0, 256, (h // 2, w // 2), dtype=np.uint8)
     u2 = rng.integers(0, 256, (h, w // 2), dtype=np.uint8)
     v2 = rng.integers(0, 256, (h, w // 2), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
     return {
         "rle4": rawavi.encode_avi_rle4([idx4] * 2, pal16, fps=10.0),
         "i420": rawavi.encode_avi_i420([(y, u, v)] * 2, fps=10.0),
         "yuy2": rawavi.encode_avi_yuy2([(y, u2, v2)] * 2, fps=10.0),
+        "mjpg": rawavi.encode_avi_mjpg([rgb] * 2, fps=10.0),
     }
 
 

@@ -355,3 +355,104 @@ def test_yuv_hostile_dims_and_truncation():
         rawavi._i420_to_rgb(b"\x00" * 10, 8, 8)  # short payload
     with pytest.raises(ValueError):
         rawavi._yuy2_to_rgb(b"\x00" * 10, 8, 2)  # short payload
+
+
+def test_mjpg_roundtrip_both_layouts():
+    """MJPG frames decode through the JPEG tier; the table-less layout
+    (DHT stripped, Annex K assumed) decodes byte-identically to the
+    with-tables layout."""
+    from rawdata_client_provider_gcs_spark.operators import rawjpeg
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)
+    frames = [img, img[::-1]]
+    ref = rawjpeg.decode_jpeg(rawjpeg.encode_jpeg(img, huffman="annex_k"))
+    for tableless in (True, False):
+        blob = rawavi.encode_avi_mjpg(frames, fps=15.0, tableless=tableless)
+        dec, fps = rawavi.decode_avi(blob)
+        assert fps == pytest.approx(15.0) and len(dec) == 2
+        np.testing.assert_array_equal(dec[0], ref)
+    # constant even-gray at 4:4:4 stays bit-exact through the container
+    c = np.full((16, 16, 3), 128, np.uint8)
+    blob = rawavi.encode_avi_mjpg([c], fps=10.0, quality=50)
+    np.testing.assert_array_equal(rawavi.decode_avi(blob)[0][0], c)
+
+
+def test_annex_k_tables_match_the_jdk():
+    """The Annex K transcription is re-extracted from the DHT segments
+    the JDK's ImageIO JPEG encoder writes (it emits the K.3 defaults) —
+    a transcription typo cannot survive this comparison."""
+    import os
+    import subprocess
+    import tempfile
+
+    from rawdata_client_provider_gcs_spark.operators import rawjpeg
+
+    java_home = os.environ.get("JAVA_HOME")
+    if not java_home or not os.path.exists(java_home + "/bin/javac"):
+        pytest.skip("no JDK available")
+    src = (
+        "import javax.imageio.*;import java.awt.image.*;import java.io.*;"
+        "public class T{public static void main(String[] a)throws Exception{"
+        "BufferedImage i=new BufferedImage(16,16,BufferedImage.TYPE_3BYTE_BGR);"
+        "ByteArrayOutputStream o=new ByteArrayOutputStream();"
+        'ImageIO.write(i,"jpeg",o);'
+        "System.out.write(o.toByteArray());System.out.flush();}}"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        open(d + "/T.java", "w").write(src)
+        subprocess.run(
+            [java_home + "/bin/javac", "T.java"], cwd=d, check=True,
+            capture_output=True,
+        )
+        stream = subprocess.run(
+            [java_home + "/bin/java", "T"], cwd=d, check=True,
+            capture_output=True,
+        ).stdout
+    # walk DHT segments, collect (class, id) -> (bits, vals)
+    tables = {}
+    pos = 2
+    while pos + 4 <= len(stream):
+        marker = stream[pos + 1]
+        length = int.from_bytes(stream[pos + 2 : pos + 4], "big")
+        if marker == 0xC4:
+            body = stream[pos + 4 : pos + 2 + length]
+            i = 0
+            while i < len(body):
+                tc, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                tables[(tc, tid)] = (bits, list(body[i + 17 : i + 17 + nv]))
+                i += 17 + nv
+        if marker == 0xDA:
+            break
+        pos += 2 + length
+    assert tables[(1, 0)] == (
+        rawjpeg._ANNEX_K_AC_LUMA[0], rawjpeg._ANNEX_K_AC_LUMA[1]
+    )
+    assert tables[(1, 1)] == (
+        rawjpeg._ANNEX_K_AC_CHROMA[0], rawjpeg._ANNEX_K_AC_CHROMA[1]
+    )
+    assert tables[(0, 0)] == (
+        rawjpeg._DC_LUMA_SPEC[0], rawjpeg._DC_LUMA_SPEC[1]
+    )
+    assert tables[(0, 1)] == (
+        rawjpeg._DC_CHROMA_SPEC[0], rawjpeg._DC_CHROMA_SPEC[1]
+    )
+
+
+def test_mjpg_through_spark_sample_frames(spark):
+    from rawdata_client_provider_gcs_spark.operators import multimodal
+
+    frames = [np.full((8, 12, 3), 64 + 32 * i, np.uint8) for i in range(4)]
+    blob = rawavi.encode_avi_mjpg(frames, fps=10.0, quality=50)
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, v binary")
+    media = multimodal.with_media_columns(df, "v", "video/avi", "doc_id")
+    rows = (
+        multimodal.sample_frames(media, every_ms=200)
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert [r.frame_idx for r in rows] == [0, 2] and all(
+        r.error is None for r in rows
+    )
