@@ -2392,6 +2392,99 @@ def q_multimodal_video_rle8(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_video_mjpg",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, unnest([0, 3]) AS frame_idx
+  FROM documents WHERE doc_id < 150
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * 100 AS BIGINT) AS frame_ms,
+       CAST(2 * ((doc_id * 17 + 11 * frame_idx) % 128) AS BIGINT)
+         AS mean_pixel
+FROM f WHERE frame_idx < 3 + doc_id % 3
+""",
+    tags=("llm", "multimodal", "video", "mjpg", "pandas-udf"),
+)
+def q_multimodal_video_mjpg(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL Motion-JPEG decode + frame sampling, oracle-exact.
+
+    Constant EVEN-gray frames at 4:4:4 quality 50 are the JPEG tier's
+    bit-exact shape (the DC coefficient divides the luma quantizer; see
+    ``test_jpeg_roundtrip_constant_gray_exact``), so MJPG — per-frame
+    table-less JPEG streams completed from the Annex K tables — can be
+    value-checked end to end: frame i of document d is the constant
+    ``2·((d·17 + 11i) % 128)``, and the sampled frames decode back to
+    exactly that color through container walk → DHT splice → Huffman →
+    IDCT.  The lossy codec rung of the video family's oracle ladder
+    (raw BI_RGB → RLE8 → MJPG).
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawavi
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 3
+                frames = [
+                    np.full(
+                        (8, 8, 3), 2 * ((did * 17 + 11 * i) % 128), np.uint8
+                    )
+                    for i in range(n)
+                ]
+                payloads.append(
+                    rawavi.encode_avi_mjpg(
+                        frames, fps=10.0, quality=50,
+                        tableless=(did % 2 == 0),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "vid": payloads})
+
+    vids = d.mapInPandas(make, "doc_id long, vid binary")
+    media = multimodal.with_media_columns(vids, "vid", "video/avi", "doc_id")
+    sampled = multimodal.sample_frames(media, every_ms=250, max_frames=4)
+
+    def mean_of_frames(batches):
+        import pandas as pd
+
+        from ..operators import rawimage
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_ms": pdf["frame_ms"],
+                    "mean_pixel": [
+                        int(round(float(rawimage.decode_image(bytes(b)).mean())))
+                        for b in pdf["frame"]
+                    ],
+                }
+            )
+
+    return sampled.mapInPandas(
+        mean_of_frames,
+        "doc_id long, frame_idx long, frame_ms long, mean_pixel long",
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        F.col("mean_pixel").cast("long").alias("mean_pixel"),
+    )
+
+
+@register(
     "q_multimodal_fax",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
