@@ -4,7 +4,10 @@ The audio analog of :mod:`rawimage`: this environment ships no
 librosa/soundfile, but canonical WAV — a RIFF header over raw samples —
 needs nothing beyond numpy.  Supported sample encodings: PCM unsigned
 8-bit, signed 16/24/32-bit little-endian, and IEEE float32/float64
-(format tags 1 and 3, plus WAVE_FORMAT_EXTENSIBLE wrapping either).
+(format tags 1 and 3, plus WAVE_FORMAT_EXTENSIBLE wrapping either),
+and the G.711 telephony companders μ-law/A-law (tags 7/6, expansion
+tables built from the standard integer formulas and pinned bit-exact
+against stdlib ``audioop``).
 Decoding here makes the multimodal audio feature/segment kernels *real*
 — not stubbed — for WAV payloads, in every environment.
 
@@ -18,7 +21,37 @@ import numpy as np
 
 _PCM = 1
 _IEEE_FLOAT = 3
+_ALAW = 6
+_MULAW = 7
 _EXTENSIBLE = 0xFFFE
+
+
+def _g711_luts() -> tuple[np.ndarray, np.ndarray]:
+    """(mu_lut, a_lut): 256-entry int16 expansion tables from the G.711
+    integer formulas (the classic ulaw2linear/alaw2linear); pinned
+    bit-exact against the stdlib ``audioop`` implementation in
+    ``test_operators.py::test_g711_tables_match_audioop``."""
+    mu = np.empty(256, np.int16)
+    for u in range(256):
+        x = ~u & 0xFF
+        t = (((x & 0x0F) << 3) + 0x84) << ((x & 0x70) >> 4)
+        mu[u] = (0x84 - t) if (x & 0x80) else (t - 0x84)
+    al = np.empty(256, np.int16)
+    for a in range(256):
+        x = a ^ 0x55
+        seg = (x & 0x70) >> 4
+        t = (x & 0x0F) << 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        al[a] = t if (x & 0x80) else -t
+    return mu, al
+
+
+_MU_LUT, _A_LUT = _g711_luts()
 
 
 def sniff_wav(payload: bytes) -> bool:
@@ -90,11 +123,49 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         )
         as_int = np.where(as_int >= 1 << 23, as_int - (1 << 24), as_int)
         samples = as_int.astype(np.float64) / float(1 << 23)
+    elif tag in (_MULAW, _ALAW) and bits == 8:
+        lut = _MU_LUT if tag == _MULAW else _A_LUT
+        samples = lut[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
     else:
         raise ValueError(f"unsupported WAV encoding: tag={tag} bits={bits}")
 
     frames = len(samples) // channels
     return samples[: frames * channels].reshape(frames, channels), rate
+
+
+def encode_wav_g711(
+    samples: np.ndarray, rate: int, law: str = "mu"
+) -> bytes:
+    """Encode float samples as a G.711 μ-law/A-law WAV (nearest
+    codeword via the expansion LUT — fixture-grade compander)."""
+    if law not in ("mu", "a"):
+        raise ValueError("law must be 'mu' or 'a'")
+    lut = _MU_LUT if law == "mu" else _A_LUT
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    frames, channels = samples.shape
+    order = np.argsort(lut, kind="stable")
+    svals = lut[order].astype(np.int32)
+    target = np.clip(np.round(samples.reshape(-1) * 32768.0), -32768, 32767)
+    pos = np.searchsorted(svals, target).clip(1, 255)
+    lo, hi = svals[pos - 1], svals[pos.clip(0, 255)]
+    take_hi = np.abs(hi - target) < np.abs(target - lo)
+    codes = order[np.where(take_hi, pos, pos - 1)].astype(np.uint8)
+    tag = _MULAW if law == "mu" else _ALAW
+    fmt = (
+        tag.to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * channels).to_bytes(4, "little")
+        + channels.to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+    )
+    data = codes.tobytes()
+    body = b"WAVEfmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
 def encode_wav_float32(samples: np.ndarray, rate: int) -> bytes:

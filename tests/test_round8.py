@@ -220,3 +220,59 @@ def test_corpus_dedup_segments_strips_only_frequent(spark):
     # threshold above the plant count keeps everything
     full = T.corpus_dedup_segments(df, min_doc_freq=50).collect()
     assert all(r.n_kept == r.n_segments for r in full)
+
+
+def test_g711_tables_match_audioop():
+    """The μ-law/A-law expansion tables must be bit-exact against the
+    stdlib's independent implementation (skip-gated: audioop leaves in
+    Python 3.13)."""
+    audioop = pytest.importorskip("audioop")
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawaudio as RA
+
+    mu_ref = np.frombuffer(audioop.ulaw2lin(bytes(range(256)), 2), "<i2")
+    a_ref = np.frombuffer(audioop.alaw2lin(bytes(range(256)), 2), "<i2")
+    np.testing.assert_array_equal(RA._MU_LUT, mu_ref)
+    np.testing.assert_array_equal(RA._A_LUT, a_ref)
+
+
+def test_g711_wav_roundtrip_and_snr():
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawaudio as RA
+
+    t = np.linspace(0, 1, 8000)
+    sig = 0.5 * np.sin(2 * np.pi * 440 * t)
+    for law, floor_db in (("mu", 35.0), ("a", 35.0)):
+        blob = RA.encode_wav_g711(sig, 8000, law=law)
+        dec, rate = RA.decode_wav(blob)
+        assert rate == 8000 and dec.shape == (8000, 1)
+        snr = 10 * np.log10(
+            np.mean(sig**2) / np.mean((dec[:, 0] - sig) ** 2)
+        )
+        assert snr > floor_db  # textbook G.711 performance
+        # companding is idempotent once on the codeword lattice
+        blob2 = RA.encode_wav_g711(dec[:, 0], 8000, law=law)
+        dec2, _ = RA.decode_wav(blob2)
+        np.testing.assert_array_equal(dec, dec2)
+
+
+def test_g711_through_multimodal_features(spark):
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import (
+        multimodal,
+        rawaudio as RA,
+    )
+
+    t = np.linspace(0, 1, 1600)
+    sig = 0.5 * np.sin(2 * np.pi * 220 * t)
+    rows = [
+        (1, bytearray(RA.encode_wav_g711(sig, 1600, law="mu"))),
+        (2, bytearray(RA.encode_wav_g711(sig, 1600, law="a"))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, a binary")
+    media = multimodal.with_media_columns(df, "a", "audio/wav", "doc_id")
+    out = multimodal.extract_features(media).collect()
+    assert all(r.error is None and len(r.features) == 8 for r in out)
