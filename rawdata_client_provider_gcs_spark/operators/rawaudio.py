@@ -5,9 +5,10 @@ librosa/soundfile, but canonical WAV — a RIFF header over raw samples —
 needs nothing beyond numpy.  Supported sample encodings: PCM unsigned
 8-bit, signed 16/24/32-bit little-endian, and IEEE float32/float64
 (format tags 1 and 3, plus WAVE_FORMAT_EXTENSIBLE wrapping either),
-and the G.711 telephony companders μ-law/A-law (tags 7/6, expansion
-tables built from the standard integer formulas and pinned bit-exact
-against stdlib ``audioop``).
+and the compressed telephony tiers: G.711 μ-law/A-law (tags 7/6)
+and IMA/DVI ADPCM (tag 0x11, blocked nibble streams) — expansion
+tables and the ADPCM step transition built from the standard integer
+formulas and pinned bit-exact against stdlib ``audioop``.
 Decoding here makes the multimodal audio feature/segment kernels *real*
 — not stubbed — for WAV payloads, in every environment.
 
@@ -52,6 +53,121 @@ def _g711_luts() -> tuple[np.ndarray, np.ndarray]:
 
 
 _MU_LUT, _A_LUT = _g711_luts()
+
+_ADPCM = 0x11  # IMA/DVI ADPCM
+
+#: IMA ADPCM step-size table (89 entries) + index adjustments — the
+#: standard DVI tables; the step transition is pinned bit-exact against
+#: stdlib ``audioop.adpcm2lin`` over every (index, nibble) pair in
+#: ``test_round8.py::test_ima_adpcm_step_matches_audioop``.
+_IMA_STEPS = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+     37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+     157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+     544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+     1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+     4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+     12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+     29794, 32767],
+    np.int32,
+)
+_IMA_ADJUST = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+
+def _ima_step(pred: int, idx: int, nib: int) -> tuple[int, int]:
+    """One IMA ADPCM decode transition (audioop-pinned)."""
+    step = int(_IMA_STEPS[idx])
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + int(_IMA_ADJUST[nib & 7])))
+    return pred, idx
+
+
+def _ima_decode_block(
+    block: bytes, channels: int, samples_per_block: int
+) -> np.ndarray:
+    """One WAV IMA block to (samples_per_block, channels) int16.
+
+    Block layout: a 4-byte header per channel (predictor i16, step
+    index u8, reserved), then nibble data in 4-byte per-channel groups
+    (low nibble first) — the canonical wSamplesPerBlock framing."""
+    if len(block) < 4 * channels:
+        raise ValueError("IMA ADPCM block shorter than its headers")
+    preds = []
+    idxs = []
+    for c in range(channels):
+        pred = int.from_bytes(block[c * 4 : c * 4 + 2], "little", signed=True)
+        idx = block[c * 4 + 2]
+        if idx > 88:
+            raise ValueError("IMA ADPCM step index out of range")
+        preds.append(pred)
+        idxs.append(idx)
+    chans = [[p] for p in preds]
+    body = block[4 * channels :]
+    usable = len(body) - (len(body) % (4 * channels))
+    for g in range(0, usable, 4 * channels):
+        for c in range(channels):
+            for b in body[g + 4 * c : g + 4 * c + 4]:
+                for nib in (b & 0xF, b >> 4):
+                    preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+                    chans[c].append(preds[c])
+    out = np.zeros((samples_per_block, channels), np.int16)
+    for c in range(channels):
+        got = chans[c][:samples_per_block]
+        if len(got) < samples_per_block:
+            raise ValueError("IMA ADPCM block carries too few samples")
+        out[:, c] = got
+    return out
+
+
+def _ima_encode_block(
+    samples: np.ndarray, idxs: list[int]
+) -> bytes:
+    """Compress one (n, channels) int16 block (step indexes carried
+    in/out; the predictor restarts from each block's first sample per
+    the WAV framing)."""
+    n, channels = samples.shape
+    out = bytearray()
+    preds = []
+    for c in range(channels):
+        preds.append(int(samples[0, c]))
+        out += preds[c].to_bytes(2, "little", signed=True)
+        out += bytes((idxs[c], 0))
+    nibs = [[] for _ in range(channels)]
+    for i in range(1, n):
+        for c in range(channels):
+            step = int(_IMA_STEPS[idxs[c]])
+            diff = int(samples[i, c]) - preds[c]
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            preds[c], idxs[c] = _ima_step(preds[c], idxs[c], nib)
+            nibs[c].append(nib)
+    for c in range(channels):
+        while len(nibs[c]) % 8:
+            nibs[c].append(0)
+    for g in range(len(nibs[0]) // 8):
+        for c in range(channels):
+            chunk = nibs[c][g * 8 : g * 8 + 8]
+            for k in range(0, 8, 2):
+                out.append(chunk[k] | (chunk[k + 1] << 4))
+    return bytes(out)
 
 
 def sniff_wav(payload: bytes) -> bool:
@@ -126,11 +242,73 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     elif tag in (_MULAW, _ALAW) and bits == 8:
         lut = _MU_LUT if tag == _MULAW else _A_LUT
         samples = lut[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
+    elif tag == _ADPCM and bits == 4:
+        block_align = int.from_bytes(fmt[12:14], "little")
+        if len(fmt) >= 20:
+            spb = int.from_bytes(fmt[18:20], "little")
+        else:  # derive from the canonical framing
+            spb = (block_align - 4 * channels) * 2 // channels + 1
+        if block_align < 4 * channels or spb < 1:
+            raise ValueError("bad IMA ADPCM framing")
+        blocks = []
+        usable = len(data) - (len(data) % block_align)
+        for off2 in range(0, usable, block_align):
+            blocks.append(
+                _ima_decode_block(
+                    data[off2 : off2 + block_align], channels, spb
+                )
+            )
+        if not blocks:
+            raise ValueError("IMA ADPCM payload carries no full block")
+        return (
+            np.concatenate(blocks).astype(np.float64) / 32768.0,
+            rate,
+        )
     else:
         raise ValueError(f"unsupported WAV encoding: tag={tag} bits={bits}")
 
     frames = len(samples) // channels
     return samples[: frames * channels].reshape(frames, channels), rate
+
+
+def encode_wav_adpcm(
+    samples: np.ndarray, rate: int, samples_per_block: int = 505
+) -> bytes:
+    """Encode float samples as an IMA ADPCM WAV (tag 0x11) — the
+    fixture-grade compander mirror of the block decoder."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    frames, channels = samples.shape
+    if samples_per_block < 2:
+        raise ValueError("samples_per_block must be at least 2")
+    int16 = np.clip(
+        np.round(samples * 32768.0), -32768, 32767
+    ).astype(np.int16)
+    groups = ((samples_per_block - 1) + 7) // 8
+    block_align = 4 * channels + groups * 4 * channels
+    idxs = [0] * channels
+    body = bytearray()
+    for start in range(0, frames, samples_per_block):
+        chunk = int16[start : start + samples_per_block]
+        if len(chunk) < samples_per_block:  # pad the tail block
+            pad = np.repeat(chunk[-1:], samples_per_block - len(chunk), 0)
+            chunk = np.concatenate([chunk, pad])
+        body += _ima_encode_block(chunk, idxs)
+    fmt = (
+        _ADPCM.to_bytes(2, "little")
+        + channels.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block_align // samples_per_block).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")  # cbSize
+        + samples_per_block.to_bytes(2, "little")  # wSamplesPerBlock
+    )
+    out = b"WAVEfmt " + len(fmt).to_bytes(4, "little") + fmt
+    out += b"data" + len(body).to_bytes(4, "little") + bytes(body)
+    if len(body) & 1:
+        out += b"\x00"
+    return b"RIFF" + len(out).to_bytes(4, "little") + out
 
 
 def encode_wav_g711(

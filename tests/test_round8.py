@@ -276,3 +276,52 @@ def test_g711_through_multimodal_features(spark):
     media = multimodal.with_media_columns(df, "a", "audio/wav", "doc_id")
     out = multimodal.extract_features(media).collect()
     assert all(r.error is None and len(r.features) == 8 for r in out)
+
+
+def test_ima_adpcm_step_matches_audioop():
+    """The IMA step transition is pinned bit-exact against the stdlib's
+    independent implementation over every (index, nibble) pair and a
+    spread of predictors (skip-gated: audioop leaves in 3.13)."""
+    audioop = pytest.importorskip("audioop")
+    import struct
+
+    from rawdata_client_provider_gcs_spark.operators import rawaudio as RA
+
+    for idx in range(89):
+        for nib in range(16):
+            for pred in (-30000, -1234, 0, 77, 25000):
+                out, _ = audioop.adpcm2lin(bytes([nib << 4]), 2, (pred, idx))
+                ref = struct.unpack("<h", out[:2])[0]
+                mine, _ = RA._ima_step(pred, idx, nib)
+                assert mine == ref, (idx, nib, pred)
+
+
+def test_ima_adpcm_wav_roundtrip_mono_and_stereo():
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawaudio as RA
+
+    t = np.linspace(0, 1, 8000)
+    mono = 0.5 * np.sin(2 * np.pi * 440 * t)
+    stereo = np.stack([mono, 0.3 * np.cos(2 * np.pi * 220 * t)], axis=1)
+    for sig in (mono, stereo):
+        blob = RA.encode_wav_adpcm(sig, 8000)
+        dec, rate = RA.decode_wav(blob)
+        ref = sig if sig.ndim == 2 else sig[:, None]
+        n = len(ref)
+        assert rate == 8000 and dec.shape[1] == ref.shape[1]
+        snr = 10 * np.log10(
+            np.mean(ref**2) / np.mean((dec[:n] - ref) ** 2)
+        )
+        assert snr > 24.0  # 4:1 compander; textbook range
+
+
+def test_ima_adpcm_hostile_blocks():
+    from rawdata_client_provider_gcs_spark.operators import rawaudio as RA
+
+    with pytest.raises(ValueError, match="index out of range"):
+        RA._ima_decode_block(b"\x00\x00\x60\x00" + b"\x00" * 4, 1, 9)
+    with pytest.raises(ValueError, match="shorter than its headers"):
+        RA._ima_decode_block(b"\x00\x00", 1, 9)
+    with pytest.raises(ValueError, match="too few samples"):
+        RA._ima_decode_block(b"\x00\x00\x00\x00", 1, 9)  # headers only
