@@ -47,18 +47,27 @@ def _count_occurrences(col: Column, needle: str) -> Column:
     ).cast("long")
 
 
+#: subtree-dropping pattern: one alternation PER TAG (not independent
+#: open/close alternations — `<script>` must not be "closed" by a
+#: `</title>` inside a string literal, which would leak script code
+#: into visible text).  Deliberately backreference-free so the DuckDB
+#: oracles can state the identical RE2-compatible pattern.
+_SUBTREE_RE = "(?is)" + "|".join(
+    f"<{t}[^>]*>.*?</{t}\\s*>" for t in ("script", "style", "title")
+)
+
+
 def html_title(col: Column) -> Column:
-    """Contents of the first ``<title>`` element (empty when absent)."""
-    return F.regexp_extract(col, "<title[^>]*>([^<]*)</title>", 1)
+    """Contents of the first ``<title>`` element (empty when absent;
+    case-insensitive — legacy crawl HTML shouts ``<TITLE>``)."""
+    return F.regexp_extract(col, "(?is)<title[^>]*>([^<]*)</title>", 1)
 
 
 def html_visible_text(col: Column) -> Column:
     """Visible text: drop script/style/title subtrees (title is head
     metadata, not body text), strip tags, decode common entities,
     collapse whitespace."""
-    no_sub = F.regexp_replace(
-        col, "(?is)<(script|style|title)[^>]*>.*?</(script|style|title)>", " "
-    )
+    no_sub = F.regexp_replace(col, _SUBTREE_RE, " ")
     no_tags = F.regexp_replace(no_sub, "<[^>]+>", " ")
     decoded = no_tags
     for ent, ch in _ENTITIES:
@@ -75,7 +84,9 @@ def with_html_columns(
     classic boilerplate signal)."""
     c = F.col(html_col)
     text = html_visible_text(c)
-    n_links = _count_occurrences(c, "<a ")
+    # count on the lowercased column: `<A HREF=...>` is ordinary legacy
+    # markup and must not read as zero link density
+    n_links = _count_occurrences(F.lower(c), "<a ")
     return (
         df.withColumn(prefix + "title", html_title(c))
         .withColumn(prefix + "text", text)

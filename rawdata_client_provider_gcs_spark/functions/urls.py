@@ -28,9 +28,13 @@ from pyspark.sql import functions as F
 MULTIPART_SLDS = ("co", "ac", "gov", "edu", "org", "net", "com")
 
 _SCHEME_RE = "^([a-z][a-z0-9+.-]*)://"
-_HOST_RE = "^[a-z][a-z0-9+.-]*://([^/?#:]+)"
+# skip optional user:pass@ userinfo so per-domain keys never group
+# under a bogus "user" host; stop the host at port/path/query/fragment
+_HOST_RE = "^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)"
 _PATH_RE = "^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = "\\?([^#]*)"
+# the '?' must come BEFORE any '#' — a '?' inside the fragment is not
+# a query string
+_QUERY_RE = "^[^#]*?\\?([^#]*)"
 
 
 def url_scheme(col: Column) -> Column:

@@ -30,6 +30,8 @@ this repo's derived multimodal tier, like every codec here.
 
 from __future__ import annotations
 
+import bisect
+
 import numpy as np
 
 # ------------------------------------------------------------ MH tables
@@ -292,8 +294,6 @@ def _b1_b2(refc: list[int], a0: int, color: int, width: int) -> tuple[int, int]:
     reference line right of ``a0`` whose new color is opposite ``a0``'s
     color (changes alternate white→black at even indices), ``b2`` the
     change after it."""
-    import bisect  # noqa: PLC0415
-
     k = bisect.bisect_right(refc, a0)
     if k < len(refc) and k % 2 != color % 2:
         k += 1  # parities alternate: the matching change is at most next
@@ -304,8 +304,6 @@ def _b1_b2(refc: list[int], a0: int, color: int, width: int) -> tuple[int, int]:
 
 def encode_g4(bits: np.ndarray) -> bytes:
     """T.6 (Group 4) encode → TIFF compression 4 payload (ends EOFB)."""
-    import bisect  # noqa: PLC0415
-
     bits = np.asarray(bits, np.uint8)
     h, width = bits.shape
     w = _BitWriter()

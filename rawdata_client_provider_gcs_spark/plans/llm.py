@@ -2047,10 +2047,10 @@ WITH u AS (
   SELECT doc_id, url,
          regexp_extract(lower(url), '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
          regexp_extract(lower(url),
-                        '^[a-z][a-z0-9+.-]*://([^/?#:]+)', 1) AS host,
+                        '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:@]+)', 1) AS host,
          regexp_extract(lower(url),
                         '^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-         regexp_extract(url, '\\?([^#]*)', 1) AS query
+         regexp_extract(url, '^[^#]*?\\?([^#]*)', 1) AS query
   FROM u
 ), lab AS (
   SELECT *, string_split(host, '.') AS labels,
@@ -2134,13 +2134,13 @@ WITH pages AS (
            replace(replace(replace(replace(replace(replace(
              regexp_replace(
                regexp_replace(html,
-                 '<(script|style|title)[^>]*>.*?</(script|style|title)>',
+                 '<script[^>]*>.*?</script\s*>|<style[^>]*>.*?</style\s*>|<title[^>]*>.*?</title\s*>',
                  ' ', 'gis'),
                '<[^>]+>', ' ', 'g'),
              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
              '&nbsp;', ' '), '&amp;', '&'),
            '\\s+', ' ', 'g')) AS vis,
-         regexp_extract(html, '<title[^>]*>([^<]*)</title>', 1) AS title
+         regexp_extract(html, '(?is)<title[^>]*>([^<]*)</title>', 1) AS title
   FROM pages
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -2234,12 +2234,12 @@ WITH pages AS (
   FROM documents WHERE doc_id < 400
 ), x AS (
   SELECT doc_id, html,
-         regexp_extract(html, '<title[^>]*>([^<]*)</title>', 1) AS title,
+         regexp_extract(html, '(?is)<title[^>]*>([^<]*)</title>', 1) AS title,
          trim(regexp_replace(
            replace(replace(replace(replace(replace(replace(
              regexp_replace(
                regexp_replace(html,
-                 '<(script|style|title)[^>]*>.*?</(script|style|title)>', ' ', 'gis'),
+                 '<script[^>]*>.*?</script\s*>|<style[^>]*>.*?</style\s*>|<title[^>]*>.*?</title\s*>', ' ', 'gis'),
                '<[^>]+>', ' ', 'g'),
              '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
              '&nbsp;', ' '), '&amp;', '&'),
@@ -2248,13 +2248,13 @@ WITH pages AS (
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        title,
-       CAST((length(html) - length(replace(html, '<a ', ''))) / 3 AS BIGINT)
+       CAST((length(html) - length(replace(lower(html), '<a ', ''))) / 3 AS BIGINT)
          AS n_links,
        CAST(length(html) - length(replace(html, '<', '')) AS BIGINT)
          AS n_tags,
        CAST(length(vis) AS BIGINT) AS text_len,
        substr(vis, 1, 60) AS text_prefix,
-       CAST((length(html) - length(replace(html, '<a ', ''))) / 3 AS DOUBLE)
+       CAST((length(html) - length(replace(lower(html), '<a ', ''))) / 3 AS DOUBLE)
          * 1000.0 / greatest(CAST(length(vis) AS DOUBLE), 1.0)
          AS link_density
 FROM x

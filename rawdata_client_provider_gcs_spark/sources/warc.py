@@ -193,6 +193,11 @@ def warc_records(
                 out["error"].append(err)
 
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    # a null payload (failed upstream fetch) is a data
+                    # condition, not a task-killing TypeError
+                    emit(did, err="ValueError: null WARC payload")
+                    continue
                 try:
                     recs = parse_warc(bytes(payload))
                 except ValueError as exc:

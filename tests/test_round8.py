@@ -90,6 +90,11 @@ def test_html_extraction_rules(spark):
         (3, '<p>unclosed <b oops'),          # malformed: no closing '>'
         (4, 'no markup at all'),
         (5, '<style media="x">p{}</style>visible'),
+        # review findings (r8): a script "closed" by </title> inside a
+        # string literal must not leak code into visible text; legacy
+        # uppercase <TITLE>/<A HREF> must still extract and count
+        (6, '<script>document.write("</title>")</script>clean text'),
+        (7, '<TITLE>Shouty</TITLE><body><A HREF="x">go</A></body>'),
     ]
     df = spark.createDataFrame(rows, "doc_id long, html string")
     got = {
@@ -105,6 +110,10 @@ def test_html_extraction_rules(spark):
     assert got[4].html_text == "no markup at all"
     assert got[4].html_n_tags == 0
     assert got[5].html_text == "visible"
+    assert "document.write" not in got[6].html_text
+    assert got[6].html_text.endswith("clean text")
+    assert got[7].html_title == "Shouty"
+    assert got[7].html_text == "go" and got[7].html_n_links == 1
     plan = H.with_html_columns(df, "html")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
@@ -325,3 +334,38 @@ def test_ima_adpcm_hostile_blocks():
         RA._ima_decode_block(b"\x00\x00", 1, 9)
     with pytest.raises(ValueError, match="too few samples"):
         RA._ima_decode_block(b"\x00\x00\x00\x00", 1, 9)  # headers only
+
+
+def test_url_userinfo_and_fragment_edge_cases(spark):
+    """Review findings (r8): userinfo must not read as the host, and a
+    '?' inside the fragment is not a query string."""
+    from rawdata_client_provider_gcs_spark.functions import urls as U
+
+    rows = [
+        (1, "https://user:pw@example.com/x"),
+        (2, "https://x.com/page#sec?tab=1"),
+        (3, "https://a@b.co.uk/p?q=1#frag?x=2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r.doc_id: r for r in U.with_url_columns(df, "url").collect()}
+    assert got[1].url_host == "example.com"
+    assert got[1].url_domain == "example.com"
+    assert got[2].url_n_params == 0  # fragment-only '?'
+    assert got[3].url_host == "b.co.uk" and got[3].url_n_params == 1
+
+
+def test_warc_null_payload_is_per_row(spark):
+    """Review finding (r8): a null payload row must emit an error row,
+    not kill the task with TypeError."""
+    from rawdata_client_provider_gcs_spark.sources import warc as W
+
+    recs = [{"warc_type": "response", "target_uri": "u",
+             "http_status": 200, "body": b"ok"}]
+    df = spark.createDataFrame(
+        [(1, bytearray(W.build_warc(recs))), (2, None)],
+        "doc_id long, payload binary",
+    )
+    rows = W.warc_records(df).collect()
+    by = {r.doc_id: r for r in rows}
+    assert by[1].error is None and by[2].error is not None
+    assert "null" in by[2].error
