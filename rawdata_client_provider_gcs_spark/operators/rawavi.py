@@ -123,8 +123,12 @@ def _sub_chunks(payload: bytes, off: int, end: int):
 _MAX_FRAME_BYTES = 1 << 30
 
 
-def _dib_to_rgb(data: bytes, width: int, height: int) -> np.ndarray:
-    """Decode one BI_RGB bottom-up 24-bit DIB frame to (H, W, 3) RGB."""
+def _dib_to_rgb(
+    data: bytes, width: int, height: int, topdown: bool = False
+) -> np.ndarray:
+    """Decode one BI_RGB 24-bit DIB frame to (H, W, 3) RGB.  DIBs are
+    bottom-up unless the strf declared a negative biHeight (top-down,
+    written by some capture software — review r8)."""
     stride = (width * 3 + 3) & ~3
     need = stride * height
     if need > len(data):
@@ -133,7 +137,9 @@ def _dib_to_rgb(data: bytes, width: int, height: int) -> np.ndarray:
         )
     rows = np.frombuffer(data, np.uint8, count=need).reshape(height, stride)
     bgr = rows[:, : width * 3].reshape(height, width, 3)
-    return bgr[::-1, :, ::-1].copy()  # bottom-up -> top-down, BGR -> RGB
+    if not topdown:
+        bgr = bgr[::-1]  # bottom-up -> top-down
+    return bgr[:, :, ::-1].copy()  # BGR -> RGB
 
 
 def _rle8_decode(data: bytes, width: int, height: int) -> np.ndarray:
@@ -326,98 +332,116 @@ def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
     cur_fcc = None  # fccType of the most recent strh, scoped per strl
     frames: list[np.ndarray] = []
 
-    def walk(off: int, end: int) -> None:
-        nonlocal width, height, rate, scale, usec_per_frame, compression
-        nonlocal cur_fcc, palette
-        for cid, doff, size in _sub_chunks(payload, off, end):
-            if cid == b"LIST":
-                if payload[doff : doff + 4] == b"strl":
-                    cur_fcc = None  # a new stream list: forget the old strh
-                walk(doff + 4, doff + size)  # skip the 4-byte list type
-            elif cid == b"avih" and size >= 40:
-                usec_per_frame = int.from_bytes(
-                    payload[doff : doff + 4], "little"
+    # iterative DFS via a stack of chunk generators: a hostile payload
+    # of deeply nested LISTs must raise the documented ValueError, not
+    # RecursionError (review r8); real AVIs nest 2-3 levels
+    topdown = False
+    stack = [_sub_chunks(payload, 12, len(payload))]
+    while stack:
+        if len(stack) > 64:
+            raise ValueError("AVI LIST nesting too deep")
+        try:
+            cid, doff, size = next(stack[-1])
+        except StopIteration:
+            stack.pop()
+            continue
+        if cid == b"LIST":
+            if payload[doff : doff + 4] == b"strl":
+                cur_fcc = None  # a new stream list: forget the old strh
+            stack.append(
+                _sub_chunks(payload, doff + 4, doff + size)
+            )  # skip the 4-byte list type
+        elif cid == b"avih" and size >= 40:
+            usec_per_frame = int.from_bytes(
+                payload[doff : doff + 4], "little"
+            )
+            width = int.from_bytes(payload[doff + 32 : doff + 36], "little")
+            height = int.from_bytes(
+                payload[doff + 36 : doff + 40], "little"
+            )
+        elif cid == b"strh" and size >= 32:
+            cur_fcc = payload[doff : doff + 4]
+            if cur_fcc == b"vids":
+                scale = int.from_bytes(
+                    payload[doff + 20 : doff + 24], "little"
                 )
-                width = int.from_bytes(payload[doff + 32 : doff + 36], "little")
-                height = int.from_bytes(
-                    payload[doff + 36 : doff + 40], "little"
+                rate = int.from_bytes(
+                    payload[doff + 24 : doff + 28], "little"
                 )
-            elif cid == b"strh" and size >= 32:
-                cur_fcc = payload[doff : doff + 4]
-                if cur_fcc == b"vids":
-                    scale = int.from_bytes(
-                        payload[doff + 20 : doff + 24], "little"
-                    )
-                    rate = int.from_bytes(
-                        payload[doff + 24 : doff + 28], "little"
-                    )
-            elif (
-                cid == b"strf"
-                and size >= 20
-                and cur_fcc == b"vids"
-                and compression is None
+        elif (
+            cid == b"strf"
+            and size >= 20
+            and cur_fcc == b"vids"
+            and compression is None
+        ):
+            bits = int.from_bytes(payload[doff + 14 : doff + 16], "little")
+            # biHeight's SIGN is the raster-direction declaration:
+            # negative means top-down (review r8)
+            topdown = (
+                int.from_bytes(
+                    payload[doff + 8 : doff + 12], "little", signed=True
+                )
+                < 0
+            )
+            compression = payload[doff + 16 : doff + 20]
+            if compression in _KNOWN_COMPRESSED_FOURCCS:
+                raise UnsupportedCodecError(
+                    "unsupported AVI video codec: fourcc="
+                    f"{compression!r}; only uncompressed BI_RGB "
+                    "24-bit and MS-RLE8 are decodable without media "
+                    "libraries"
+                )
+            if compression == _BI_RLE8 and bits == 8:
+                palette = _read_strf_palette(payload, doff, size)
+            elif compression == _BI_RLE4 and bits == 4:
+                palette = _read_strf_palette(payload, doff, size)
+            elif compression in _I420 and bits == 12:
+                pass  # planar YUV 4:2:0, no palette
+            elif compression in _YUY2 and bits == 16:
+                pass  # packed YUV 4:2:2
+            elif compression in _MJPG:
+                pass  # per-frame JPEG streams (any declared depth)
+            elif compression != _BI_RGB or bits != 24:
+                # an UNRECOGNIZED nonzero fourcc / wrong bit depth is
+                # not a codec the crawl could contain — it's a
+                # corrupt header, captured per-row downstream
+                raise ValueError(
+                    "malformed AVI video stream header: fourcc="
+                    f"{compression!r} bits={bits}"
+                )
+        elif cid in (b"00db", b"00dc"):
+            if width is None or height is None:
+                raise ValueError("AVI frame chunk before headers")
+            if width <= 0 or height <= 0 or (
+                width * height * 3 > _MAX_FRAME_BYTES
             ):
-                bits = int.from_bytes(payload[doff + 14 : doff + 16], "little")
-                compression = payload[doff + 16 : doff + 20]
-                if compression in _KNOWN_COMPRESSED_FOURCCS:
-                    raise UnsupportedCodecError(
-                        "unsupported AVI video codec: fourcc="
-                        f"{compression!r}; only uncompressed BI_RGB "
-                        "24-bit and MS-RLE8 are decodable without media "
-                        "libraries"
-                    )
-                if compression == _BI_RLE8 and bits == 8:
-                    palette = _read_strf_palette(payload, doff, size)
-                elif compression == _BI_RLE4 and bits == 4:
-                    palette = _read_strf_palette(payload, doff, size)
-                elif compression in _I420 and bits == 12:
-                    pass  # planar YUV 4:2:0, no palette
-                elif compression in _YUY2 and bits == 16:
-                    pass  # packed YUV 4:2:2
-                elif compression in _MJPG:
-                    pass  # per-frame JPEG streams (any declared depth)
-                elif compression != _BI_RGB or bits != 24:
-                    # an UNRECOGNIZED nonzero fourcc / wrong bit depth is
-                    # not a codec the crawl could contain — it's a
-                    # corrupt header, captured per-row downstream
-                    raise ValueError(
-                        "malformed AVI video stream header: fourcc="
-                        f"{compression!r} bits={bits}"
-                    )
-            elif cid in (b"00db", b"00dc"):
-                if width is None or height is None:
-                    raise ValueError("AVI frame chunk before headers")
-                if width <= 0 or height <= 0 or (
-                    width * height * 3 > _MAX_FRAME_BYTES
-                ):
-                    # hostile avih dims would otherwise overflow or OOM
-                    # the frame allocation (fuzz-found)
-                    raise ValueError(
-                        f"implausible AVI dimensions {width}x{height}"
-                    )
-                data = payload[doff : doff + size]
-                if compression == _BI_RLE8:
-                    idx = _rle8_decode(data, width, height)
-                    frames.append(palette[idx][::-1].copy())  # bottom-up
-                elif compression == _BI_RLE4:
-                    idx = _rle4_decode(data, width, height)
-                    frames.append(palette[idx][::-1].copy())  # bottom-up
-                elif compression in _I420:
-                    frames.append(_i420_to_rgb(data, width, height))
-                elif compression in _YUY2:
-                    frames.append(_yuy2_to_rgb(data, width, height))
-                elif compression in _MJPG:
-                    from . import rawjpeg  # noqa: PLC0415
+                # hostile avih dims would otherwise overflow or OOM
+                # the frame allocation (fuzz-found)
+                raise ValueError(
+                    f"implausible AVI dimensions {width}x{height}"
+                )
+            data = payload[doff : doff + size]
+            if compression == _BI_RLE8:
+                idx = _rle8_decode(data, width, height)
+                frames.append(palette[idx][::-1].copy())  # bottom-up
+            elif compression == _BI_RLE4:
+                idx = _rle4_decode(data, width, height)
+                frames.append(palette[idx][::-1].copy())  # bottom-up
+            elif compression in _I420:
+                frames.append(_i420_to_rgb(data, width, height))
+            elif compression in _YUY2:
+                frames.append(_yuy2_to_rgb(data, width, height))
+            elif compression in _MJPG:
+                from . import rawjpeg  # noqa: PLC0415
 
-                    frames.append(
-                        rawjpeg.decode_jpeg(
-                            rawjpeg.ensure_huffman_tables(data)
-                        )
+                frames.append(
+                    rawjpeg.decode_jpeg(
+                        rawjpeg.ensure_huffman_tables(data)
                     )
-                else:
-                    frames.append(_dib_to_rgb(data, width, height))
+                )
+            else:
+                frames.append(_dib_to_rgb(data, width, height, topdown))
 
-    walk(12, len(payload))
     if not frames:
         raise ValueError("AVI payload carries no video frames")
     if rate and scale:

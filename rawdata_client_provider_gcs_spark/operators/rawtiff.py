@@ -244,6 +244,10 @@ def _packbits_encode(data: bytes) -> bytes:
 
 def _read_ifd(payload: bytes, bo: str) -> dict[int, tuple[int, list[int]]]:
     """Parse the first IFD into {tag: (type, values)} (offsets resolved)."""
+    if len(payload) < 8:
+        # a sniffable 4-byte stub must still fail with the module's
+        # documented ValueError, not struct.error (review r8)
+        raise ValueError("truncated TIFF: no IFD offset")
     (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
     if ifd_off + 2 > len(payload):
         raise ValueError("truncated TIFF: IFD offset out of range")

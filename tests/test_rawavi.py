@@ -456,3 +456,31 @@ def test_mjpg_through_spark_sample_frames(spark):
     assert [r.frame_idx for r in rows] == [0, 2] and all(
         r.error is None for r in rows
     )
+
+
+def test_topdown_dib_decodes_unflipped():
+    """A negative strf biHeight declares a TOP-DOWN raster (review r8):
+    frames must not be vertically flipped."""
+    frames = _frames(n=1, h=6, w=4)
+    blob = bytearray(rawavi.encode_avi(frames, fps=5.0))
+    i = blob.find(b"strf")
+    # strf body: biSize(4) biWidth(4) biHeight(4) ... negate biHeight
+    import struct
+
+    h = struct.unpack_from("<i", blob, i + 8 + 8)[0]
+    struct.pack_into("<i", blob, i + 8 + 8, -h)
+    dec, _ = rawavi.decode_avi(bytes(blob))
+    # the payload rows were written bottom-up by encode_avi, so a
+    # top-down interpretation yields the vertically flipped image
+    np.testing.assert_array_equal(dec[0], frames[0][::-1])
+
+
+def test_nested_lists_raise_valueerror_not_recursionerror():
+    """~1000 nested LIST headers must land in the documented ValueError
+    corruption contract, not RecursionError (review r8)."""
+    body = b""
+    for _ in range(1000):
+        body = b"LIST" + (len(body) + 4).to_bytes(4, "little") + b"hdrl" + body
+    payload = b"RIFF" + (len(body) + 4).to_bytes(4, "little") + b"AVI " + body
+    with pytest.raises(ValueError):
+        rawavi.decode_avi(payload)

@@ -711,3 +711,11 @@ def test_subbyte_pillow_parity():
     except Exception:
         pytest.skip("pillow did not write a 4-bit TIFF")
     assert dec.shape == (7, 9, 3)
+
+
+def test_truncated_header_raises_valueerror():
+    """A sniffable 4-7 byte stub must fail with the documented
+    ValueError, not struct.error (review r8)."""
+    for stub in (b"II*\x00", b"II*\x00\x08", b"MM\x00*\x00\x00\x00"):
+        with pytest.raises(ValueError):
+            rawtiff.decode_tiff(stub)
