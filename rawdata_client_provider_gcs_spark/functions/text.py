@@ -131,6 +131,27 @@ def shingles_expr(text_col: str, k: int = 3) -> Column:
     )
 
 
+def _bigram_occurrences(docs, id_col: str, text_col: str):
+    """(id, w1, w2) — one row per adjacent token pair, fully codegen'd
+    (transform over the token array; no window, no extra shuffle).
+    Shared by :func:`bigram_stats` and :func:`bigram_lm_scores` so the
+    two documented integer-exact siblings cannot silently diverge."""
+    toks = docs.select(F.col(id_col), tokens_expr(text_col).alias("t"))
+    return (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2), "
+                    "i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select(id_col, "b.w1", "b.w2")
+    )
+
+
 def bigram_stats(
     docs,
     id_col: str = "doc_id",
@@ -153,20 +174,7 @@ def bigram_stats(
     equi-join on the bigram key that AQE can skew-split, and the final
     per-document aggregate is again combinable.
     """
-    toks = docs.select(F.col(id_col), tokens_expr(text_col).alias("t"))
-    bi = (
-        toks.filter(F.size("t") >= 2)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t) - 2), "
-                    "i -> struct(t[i] AS w1, t[i + 1] AS w2))"
-                )
-            ).alias("b"),
-        )
-        .select(id_col, "b.w1", "b.w2")
-    )
+    bi = _bigram_occurrences(docs, id_col, text_col)
     freq = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("freq"))
     return (
         bi.join(freq, ["w1", "w2"])
@@ -204,19 +212,7 @@ def bigram_lm_scores(
     uni = toks.select(F.explode("t").alias("w"))
     unigram = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
     vocab = uni.agg(F.countDistinct("w").alias("v"))
-    bi = (
-        toks.filter(F.size("t") >= 2)
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t) - 2), "
-                    "i -> struct(t[i] AS w1, t[i + 1] AS w2))"
-                )
-            ).alias("b"),
-        )
-        .select(id_col, "b.w1", "b.w2")
-    )
+    bi = _bigram_occurrences(docs, id_col, text_col)
     freq = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     scored = (
         bi.join(freq, ["w1", "w2"])
@@ -334,10 +330,7 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     toks = docs.select(
-        F.col(id_col),
-        F.explode(
-            F.expr(f"regexp_extract_all(lower({text_col}), '{ALPHA_LOWER_RE}', 0)")
-        ).alias("term"),
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
@@ -446,6 +439,8 @@ def corpus_dedup_segments(
     shuffle and carries zero skew.  Re-assembly is one per-doc
     aggregate.  No Python anywhere.
     """
+    if not sep:
+        raise ValueError("corpus_dedup_segments: sep must be non-empty")
     sep_pattern = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     segs = (
         docs.select(

@@ -563,6 +563,9 @@ def _build_peek_table(
     table: list[tuple[int, int] | None] = [None] * (1 << 16)
     for (length, code), sym in decode_map.items():
         base = code << (16 - length)
+        if base + (1 << (16 - length)) > (1 << 16):
+            # Kraft sum > 1: a hostile DHT oversubscribed the code space
+            raise ValueError("oversubscribed JPEG Huffman table")
         for i in range(1 << (16 - length)):
             table[base + i] = (sym, length)
     return table
@@ -585,6 +588,18 @@ def _peek_table_cached(bits: tuple, vals: tuple) -> list:
     image from the same encoder (incl. libjpeg's default tables), so a
     decode fleet builds each table once per process, not per image."""
     return _build_peek_table(_build_decode_map(list(bits), list(vals)))
+
+
+def _next_restart_segment(seg_iter):
+    """Next RST-delimited entropy segment; a stream whose DRI promises
+    more restart segments than exist is corrupt (ValueError, never a
+    bare StopIteration out of the decode loop)."""
+    try:
+        return next(seg_iter)
+    except StopIteration:
+        raise ValueError(
+            "JPEG entropy stream missing an expected restart segment"
+        )
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
@@ -624,12 +639,25 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = tuple(body[i + 1 : i + 17])
                 count = sum(bits)
                 vals = tuple(body[i + 17 : i + 17 + count])
+                if len(vals) < count:
+                    raise ValueError(
+                        "JPEG DHT segment shorter than its counts claim"
+                    )
                 htables[(tclass, tid)] = (bits, vals)
                 i += 17 + count
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF header")
             prec, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
+            if ncomp not in (1, 3):
+                # 2-component streams are malformed; 4-component
+                # (Adobe CMYK/YCCK) would silently misdecode as YCbCr —
+                # a loud error beats a silent misdecode
+                raise ValueError(
+                    f"unsupported JPEG component count {ncomp}"
+                )
             if len(body) < 6 + 3 * ncomp:
                 raise ValueError("JPEG SOF header shorter than ncomp claims")
             comps = []
@@ -732,13 +760,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     coef_val: list[list[int]] = [[] for _ in plan]
     n_blocks = [0] * len(plan)
     seg_iter = iter(segments)
-    reader = _BitReader(next(seg_iter))
+    reader = _BitReader(_next_restart_segment(seg_iter))
     pred = [0] * len(plan)
     mcu_count = 0
     for _my in range(mcus_y):
         for _mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                reader = _BitReader(next(seg_iter))
+                reader = _BitReader(_next_restart_segment(seg_iter))
                 pred = [0] * len(plan)
             mcu_count += 1
             for ci, (hs, vs, _q, dc_map, ac_map) in enumerate(plan):

@@ -369,3 +369,58 @@ def test_warc_null_payload_is_per_row(spark):
     by = {r.doc_id: r for r in rows}
     assert by[1].error is None and by[2].error is not None
     assert "null" in by[2].error
+
+
+def test_jpeg_hostile_header_guards():
+    """Review findings (r8): hostile SOF/DHT/DRI shapes must raise
+    ValueError, never StopIteration/IndexError/struct.error."""
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawjpeg as J
+
+    base = bytearray(J.encode_jpeg(np.zeros((8, 8, 3), np.uint8)))
+
+    def seg_positions(marker):
+        out, pos = [], 2
+        while pos + 4 <= len(base):
+            m = base[pos + 1]
+            ln = int.from_bytes(base[pos + 2 : pos + 4], "big")
+            if m == marker:
+                out.append((pos, ln))
+            if m == 0xDA:
+                break
+            pos += 2 + ln
+        return out
+
+    # truncated SOF body: shrink the declared length to 5
+    (sof_pos, _), = seg_positions(0xC0)
+    b = bytearray(base)
+    b[sof_pos + 2 : sof_pos + 4] = (2 + 5).to_bytes(2, "big")
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(b))
+    # component count 2
+    b = bytearray(base)
+    b[sof_pos + 4 + 5] = 2  # ncomp byte
+    with pytest.raises(ValueError, match="component count"):
+        J.decode_jpeg(bytes(b))
+    # oversubscribed DHT: set bits[0] = 3
+    (dht_pos, _), = seg_positions(0xC4)
+    b = bytearray(base)
+    b[dht_pos + 4 + 1] = 3
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(b))
+    # DRI promising restarts the stream does not contain
+    dri = b"\xff\xdd\x00\x04\x00\x01"
+    b = bytes(base[:sof_pos]) + dri + bytes(base[sof_pos:])
+    try:
+        J.decode_jpeg(b)
+    except ValueError:
+        pass  # admissible; StopIteration/RuntimeError are not
+
+
+def test_corpus_dedup_segments_rejects_empty_sep(spark):
+    from rawdata_client_provider_gcs_spark.functions import text as T
+
+    df = spark.createDataFrame([(1, "a. b")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="non-empty"):
+        T.corpus_dedup_segments(df, sep="")
