@@ -443,3 +443,112 @@ def q_stream_stream_full_join(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("user_id"),
     )
+
+
+@register(
+    "q_stream_crawl_ingest",
+    oracle="""
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+         || '</title><script>var x = 1 < 2;</script></head><body><p>'
+         || substr(text, 1, 80) || ' &amp; tail</p>'
+         || repeat('<a href="https://example.com/x">link</a> ',
+                   CAST(doc_id % 4 AS INTEGER))
+         || '</body></html>' AS html
+  FROM documents WHERE doc_id < 200
+), x AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(html,
+                 '<script[^>]*>.*?</script\\s*>|<style[^>]*>.*?</style\\s*>|<title[^>]*>.*?</title\\s*>',
+                 ' ', 'gis'),
+               '<[^>]+>', ' ', 'g'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&nbsp;', ' '), '&amp;', '&'),
+           '\\s+', ' ', 'g')) AS vis
+  FROM pages
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(length(vis) AS BIGINT) AS text_len,
+       CAST(len(string_split(vis, ' ')) AS BIGINT) AS n_tokens
+FROM x
+""",
+    tags=("streaming", "source", "warc", "html"),
+)
+def q_stream_crawl_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """The crawl front door as a STREAM, oracle-exact: WARC files
+    arrive in micro-batches (file source, ``maxFilesPerTrigger=1``),
+    each batch explodes to records, filters HTTP 200 and extracts
+    visible text — entirely STATELESS transforms, so append mode needs
+    no watermark and state is zero at any scale.  This is the shape a
+    production crawl tail runs: new WARC drops stream through the same
+    ``warc_records`` + ``functions/html.py`` plan the batch query
+    (``q_crawl_pipeline``) uses, and the same DuckDB oracle checks it.
+    """
+    import tempfile
+
+    from ..functions import html as H
+    from ..sources import warc as Wsrc
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                page = (
+                    f"<html><head><title>Doc {did}</title>"
+                    "<script>var x = 1 < 2;</script></head><body><p>"
+                    + str(text)[:80]
+                    + " &amp; tail</p>"
+                    + '<a href="https://example.com/x">link</a> ' * (did % 4)
+                    + "</body></html>"
+                )
+                recs = [
+                    {"warc_type": "response",
+                     "target_uri": f"https://crawl.example/{did}",
+                     "http_status": 200, "body": page.encode()},
+                    {"warc_type": "response",
+                     "target_uri": f"https://crawl.example/{did}/404",
+                     "http_status": 404, "body": b"x"},
+                ]
+                payloads.append(
+                    Wsrc.build_warc(recs, gzip_members=(did % 2 == 0))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    # stage the WARC corpus as four parquet drops, then stream them
+    stage = tempfile.mkdtemp(prefix="rawdata-warc-stream-")
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    files.withColumn("part", F.col("doc_id") % 4).repartition(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(stage)
+
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    recs = Wsrc.warc_records(stream).filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    )
+    pages = recs.select("doc_id", F.col("body").cast("string").alias("html"))
+    out = W.run_available_now_append(
+        H.with_html_columns(pages, "html").select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("html_text_len").alias("text_len"),
+            F.size(F.split("html_text", " ")).cast("long").alias("n_tokens"),
+        ),
+        "t_crawl_ingest",
+    )
+    return out
