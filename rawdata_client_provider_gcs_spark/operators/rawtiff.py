@@ -249,6 +249,15 @@ def _read_ifd(payload: bytes, bo: str) -> dict[int, tuple[int, list[int]]]:
         # documented ValueError, not struct.error (review r8)
         raise ValueError("truncated TIFF: no IFD offset")
     (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    return _read_ifd_at(payload, bo, ifd_off)[0]
+
+
+def _read_ifd_at(
+    payload: bytes, bo: str, ifd_off: int
+) -> tuple[dict[int, tuple[int, list[int]]], int]:
+    """(entries, next_ifd_offset) for the IFD at ``ifd_off`` — the
+    multi-page chain walker's unit (scanned documents are routinely
+    multi-page fax TIFFs)."""
     if ifd_off + 2 > len(payload):
         raise ValueError("truncated TIFF: IFD offset out of range")
     (count,) = struct.unpack_from(bo + "H", payload, ifd_off)
@@ -277,7 +286,12 @@ def _read_ifd(payload: bytes, bo: str) -> dict[int, tuple[int, list[int]]]:
         else:  # RATIONAL: keep numerators; none of the tags we read use it
             vals = list(struct.unpack_from(bo + f"{2 * n}I", payload, voff))[::2]
         entries[tag] = (typ, vals)
-    return entries
+    next_off_pos = ifd_off + 2 + 12 * count
+    if next_off_pos + 4 > len(payload):
+        next_ifd = 0  # tolerate a truncated next-IFD pointer: last page
+    else:
+        (next_ifd,) = struct.unpack_from(bo + "I", payload, next_off_pos)
+    return entries, next_ifd
 
 
 def _tag(entries, tag: int, default=None):
@@ -531,8 +545,37 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if not sniff_tiff(payload):
         raise ValueError("not a TIFF payload")
     bo = "<" if payload[:2] == b"II" else ">"
-    e = _read_ifd(payload, bo)
+    return _decode_ifd(payload, bo, _read_ifd(payload, bo))
 
+
+def decode_tiff_pages(
+    payload: bytes, max_pages: int = 1000
+) -> list[np.ndarray]:
+    """Decode every page of a multi-page TIFF (next-IFD chain walk,
+    cycle-guarded) — scanned documents are routinely multi-page fax
+    files, and page 0 alone silently drops the rest of the document."""
+    if not sniff_tiff(payload):
+        raise ValueError("not a TIFF payload")
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF: no IFD offset")
+    bo = "<" if payload[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    pages: list[np.ndarray] = []
+    seen: set[int] = set()
+    while ifd_off and len(pages) < max_pages:
+        if ifd_off in seen:
+            raise ValueError("TIFF IFD chain loops")
+        seen.add(ifd_off)
+        entries, ifd_off = _read_ifd_at(payload, bo, ifd_off)
+        pages.append(_decode_ifd(payload, bo, entries))
+    if not pages:
+        raise ValueError("TIFF carries no pages")
+    return pages
+
+
+def _decode_ifd(payload: bytes, bo: str, e: dict) -> np.ndarray:
+    """Decode ONE IFD's raster (the shared body of ``decode_tiff`` and
+    ``decode_tiff_pages``)."""
     planar = _tag1(e, 284, 1)
     if planar not in (1, 2):
         raise UnsupportedCodecError(
@@ -802,6 +845,65 @@ def _split_jpeg_tables(stream: bytes) -> tuple[bytes, bytes]:
             keep += seg
         pos += 2 + length
     return bytes(tables), bytes(keep)
+
+
+def encode_tiff_multipage(pages: list[np.ndarray], **kwargs) -> bytes:
+    """Encode a multi-page TIFF by relocating single-page encodes onto
+    one next-IFD chain (the multi-page fax document layout).
+
+    Each page is produced by :func:`encode_tiff` with the same keyword
+    options; appended pages have every absolute offset (IFD pointer,
+    out-of-line values, strip/tile offsets) rebased, and each page's
+    next-IFD pointer is patched to the following page.
+    """
+    if not pages:
+        raise ValueError("need at least one page")
+    bo = kwargs.get("byte_order", "<")
+    blobs = [encode_tiff(p, **kwargs) for p in pages]
+    out = bytearray(blobs[0])
+    (prev_ifd,) = struct.unpack_from(bo + "I", out, 4)
+    for blob in blobs[1:]:
+        delta = len(out) - 8  # the appended page loses its 8-byte header
+        (page_ifd,) = struct.unpack_from(bo + "I", blob, 4)
+        body = bytearray(blob[8:])
+        # rebase this page's IFD in place
+        ifd_pos = page_ifd - 8  # position within `body`
+        (count,) = struct.unpack_from(bo + "H", body, ifd_pos)
+        for k in range(count):
+            eoff = ifd_pos + 2 + 12 * k
+            tag, typ, n = struct.unpack_from(bo + "HHI", body, eoff)
+            total = _TYPE_SIZES[typ] * n
+            orig_voff = None
+            if total > 4:
+                (orig_voff,) = struct.unpack_from(bo + "I", body, eoff + 8)
+                struct.pack_into(bo + "I", body, eoff + 8, orig_voff + delta)
+            if tag in (273, 324):  # Strip/TileOffsets VALUES are absolute
+                if total <= 4:
+                    (v,) = struct.unpack_from(bo + "I", body, eoff + 8)
+                    struct.pack_into(bo + "I", body, eoff + 8, v + delta)
+                else:
+                    vpos = orig_voff - 8  # body-relative value block
+                    for j in range(n):
+                        (v,) = struct.unpack_from(
+                            bo + "I", body, vpos + 4 * j
+                        )
+                        struct.pack_into(
+                            bo + "I", body, vpos + 4 * j, v + delta
+                        )
+        # chain the previous page to this one
+        struct.pack_into(
+            bo + "I", out,
+            _next_ifd_pointer_pos(out, bo, prev_ifd),
+            page_ifd + delta,
+        )
+        out += body
+        prev_ifd = page_ifd + delta
+    return bytes(out)
+
+
+def _next_ifd_pointer_pos(buf: bytes, bo: str, ifd_off: int) -> int:
+    (count,) = struct.unpack_from(bo + "H", buf, ifd_off)
+    return ifd_off + 2 + 12 * count
 
 
 def encode_tiff(

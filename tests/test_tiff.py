@@ -719,3 +719,76 @@ def test_truncated_header_raises_valueerror():
     for stub in (b"II*\x00", b"II*\x00\x08", b"MM\x00*\x00\x00\x00"):
         with pytest.raises(ValueError):
             rawtiff.decode_tiff(stub)
+
+
+# --------------------------------------------------------- multi-page
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"compression": "lzw", "rows_per_strip": 3},
+        {"compression": "deflate", "predictor": 2},
+        {"compression": "packbits", "tile": (8, 8)},
+    ],
+)
+def test_multipage_roundtrip(kw):
+    """Multi-page chains (the scanned-document layout): every page's
+    offsets rebase correctly across strips, tiles, and out-of-line
+    value blocks; decode_tiff still reads page 0."""
+    rng = np.random.default_rng(50)
+    pages = [
+        rng.integers(0, 256, (9 + i, 13, 3), dtype=np.uint8)
+        for i in range(4)
+    ]
+    blob = rawtiff.encode_tiff_multipage(pages, **kw)
+    dec = rawtiff.decode_tiff_pages(blob)
+    assert len(dec) == 4
+    for d, p in zip(dec, pages):
+        np.testing.assert_array_equal(d, p)
+    np.testing.assert_array_equal(rawtiff.decode_tiff(blob), pages[0])
+
+
+def test_multipage_fax_document():
+    """A 3-page G4 fax document decodes page-exact."""
+    pages = []
+    for i in range(3):
+        page = np.zeros((16, 64), np.uint8)
+        page[2 + i : 6 + i, 4:60] = 1
+        pages.append(page)
+    blob = rawtiff.encode_tiff_multipage(pages, compression="g4")
+    dec = rawtiff.decode_tiff_pages(blob)
+    assert len(dec) == 3
+    for d, p in zip(dec, pages):
+        np.testing.assert_array_equal((d[:, :, 0] == 0).astype(np.uint8), p)
+
+
+def test_multipage_ifd_loop_is_bounded():
+    """A hostile next-IFD pointer that loops back must raise ValueError,
+    not spin forever."""
+    import struct
+
+    blob = bytearray(rawtiff.encode_tiff_multipage(
+        [np.zeros((4, 4), np.uint8)] * 2
+    ))
+    (first_ifd,) = struct.unpack_from("<I", blob, 4)
+    (count,) = struct.unpack_from("<H", blob, first_ifd)
+    # point page 0's next-IFD back at itself
+    struct.pack_into("<I", blob, first_ifd + 2 + 12 * count, first_ifd)
+    with pytest.raises(ValueError, match="loops"):
+        rawtiff.decode_tiff_pages(bytes(blob))
+
+
+def test_multipage_pillow_parity():
+    Image = pytest.importorskip("PIL.Image", reason="pillow not installed")
+    import io
+
+    rng = np.random.default_rng(51)
+    pages = [rng.integers(0, 256, (10, 12, 3), dtype=np.uint8)
+             for _ in range(3)]
+    blob = rawtiff.encode_tiff_multipage(pages, compression="deflate")
+    img = Image.open(io.BytesIO(blob))
+    for i, p in enumerate(pages):
+        img.seek(i)
+        np.testing.assert_array_equal(np.asarray(img.convert("RGB")), p)
