@@ -2485,6 +2485,63 @@ def q_multimodal_video_mjpg(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_fax_pages",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, unnest([0, 1, 2]) AS page_idx
+  FROM documents WHERE doc_id < 120
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(page_idx AS BIGINT) AS page_idx,
+       CAST((doc_id + page_idx) % 7 + 1 AS DOUBLE) / 16.0 AS black_share
+FROM p WHERE page_idx < (doc_id % 3) + 1
+""",
+    tags=("llm", "multimodal", "image", "fax", "pandas-udf"),
+)
+def q_multimodal_fax_pages(spark: SparkSession, sf: str) -> DataFrame:
+    """MULTI-PAGE Group 4 fax decode, oracle-exact: each document is a
+    ``(doc_id % 3) + 1``-page G4 TIFF (page p's top ``(doc_id+p) % 7 +
+    1`` of 16 rows black), written by ``encode_tiff_multipage`` and
+    walked back by ``decode_tiff_pages`` — the next-IFD chain, offset
+    rebasing, and per-page T.6 decode all under the value oracle.
+    Scanned documents are multi-page; this is the shape that proves
+    page 1+ is not silently dropped.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def pages(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawtiff
+
+        for pdf in batches:
+            out = {"doc_id": [], "page_idx": [], "black_share": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pgs = []
+                for p in range(did % 3 + 1):
+                    page = np.zeros((16, 64), np.uint8)
+                    page[: (did + p) % 7 + 1] = 1
+                    pgs.append(page)
+                blob = rawtiff.encode_tiff_multipage(pgs, compression="g4")
+                for p, img in enumerate(rawtiff.decode_tiff_pages(blob)):
+                    black = float((img[:, :, 0] == 0).mean())
+                    out["doc_id"].append(did)
+                    out["page_idx"].append(p)
+                    out["black_share"].append(black)
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(
+        pages, "doc_id long, page_idx long, black_share double"
+    )
+
+
+@register(
     "q_multimodal_fax",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
