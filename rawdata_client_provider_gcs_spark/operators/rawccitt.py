@@ -111,6 +111,11 @@ def _enc_table(color: int) -> tuple[list[str], dict[int, str]]:
     return term, makeup
 
 
+#: precomputed per-color encode tables (mirror of _DEC below) — the
+#: encoder hot loops must not rebuild the makeup dict per run
+_ENC = {0: _enc_table(0), 1: _enc_table(1)}
+
+
 def _dec_table(color: int) -> dict[str, tuple[str, int]]:
     """{code: ("term"|"makeup", run)} for one color."""
     term, makeup = _enc_table(color)
@@ -130,18 +135,22 @@ _MAX_CODE_LEN = 14  # longest MH code is 13 bits; +1 slack for the scan
 
 
 class _BitWriter:
-    __slots__ = ("bits",)
+    __slots__ = ("bits", "nbits")
 
     def __init__(self) -> None:
         self.bits: list[str] = []
+        self.nbits = 0  # running count: align() per row must be O(1),
+        # not a rescan of everything written (quadratic in page height)
 
     def write(self, code: str) -> None:
         self.bits.append(code)
+        self.nbits += len(code)
 
     def align(self) -> None:
-        n = sum(len(b) for b in self.bits)
-        if n % 8:
-            self.bits.append("0" * (8 - n % 8))
+        if self.nbits % 8:
+            pad = "0" * (8 - self.nbits % 8)
+            self.bits.append(pad)
+            self.nbits += len(pad)
 
     def to_bytes(self) -> bytes:
         s = "".join(self.bits)
@@ -192,7 +201,7 @@ def _read_run(r: _BitReader, color: int) -> int:
 
 
 def _write_run(w: _BitWriter, run: int, color: int) -> None:
-    term, makeup = _enc_table(color)
+    term, makeup = _ENC[color]
     while run >= 64:
         # largest makeup <= run (makeups step by 64 up to 2560)
         step = min(run - run % 64, 2560)
@@ -240,23 +249,16 @@ def encode_mh(bits: np.ndarray, eol: bool = False) -> bytes:
 def decode_mh(
     data: bytes, width: int, height: int, eol: bool = False
 ) -> np.ndarray:
-    """Inverse of :func:`encode_mh` → (H, W) uint8 {0=white, 1=black}."""
+    """Inverse of :func:`encode_mh` → (H, W) uint8 {0=white, 1=black}.
+
+    The ``eol=True`` layout IS T.4 1D, so it delegates to
+    :func:`decode_g3` — one EOL-resync implementation, not two copies
+    that could drift (review r8)."""
+    if eol:
+        return decode_g3(data, width, height, two_d=False)
     r = _BitReader(data)
     out = np.zeros((height, width), np.uint8)
     for y in range(height):
-        if eol:
-            # resynchronize on EOL (fill bits before it are legal T.4)
-            seen = 0
-            while not r.eof():
-                if r.peek(12) == _EOL:
-                    r.skip(12)
-                    seen = 1
-                    break
-                if r.peek(1) != "0":
-                    raise ValueError("corrupt T.4 stream: expected EOL fill")
-                r.skip(1)
-            if not seen:
-                raise ValueError("truncated T.4 stream: missing EOL")
         x = 0
         color = 0
         while x < width:
@@ -267,8 +269,7 @@ def decode_mh(
                 out[y, x : x + run] = 1
             x += run
             color ^= 1
-        if not eol:
-            r.align()
+        r.align()  # compression-2 rows are byte-aligned
     return out
 
 

@@ -122,10 +122,19 @@ FROM events GROUP BY event_type
 )
 def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Stateful streaming dedup: a doubled stream deduped on event_id
-    inside the stream, then aggregated."""
+    inside the stream, then aggregated.
+
+    ``dropDuplicatesWithinWatermark`` so dedup state EVICTS as the
+    watermark advances — with plain ``dropDuplicates(["event_id"])``
+    (no event-time column in the subset) Spark keeps one state entry
+    per distinct id forever, which a production tail cannot afford
+    (review r8; the duplicates here are exact copies, so results are
+    identical)."""
     events = W.stream_events(spark, sf)
     doubled = events.union(events)
-    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    deduped = doubled.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
     agg = deduped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_unique")
     )
