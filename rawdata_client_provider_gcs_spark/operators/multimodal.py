@@ -477,3 +477,57 @@ def sample_frames(
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def pdf_text(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    max_pages: int = 1000,
+) -> DataFrame:
+    """Per-document PDF text extraction (one row per page).
+
+    The pure-Python ISO 32000 subset reader (:mod:`.rawpdf`: classic
+    and stream cross-references, ``/ObjStm`` compressed objects,
+    ``/FlateDecode`` with PNG predictors, content-stream text
+    operators) turns each ``application/pdf`` payload into per-page
+    visible text.  Hostile payloads follow the standard media
+    discipline: the row survives with the failure reason in ``error``
+    and NULL page columns — a 100 TB crawl batch never dies on one
+    bad file.  Output: ``(id, page_idx, n_pages, page_text, error)``.
+    """
+
+    def run(batches):
+        import pandas as pd
+
+        from . import rawpdf
+
+        for pdf in batches:
+            rows = {
+                id_col: [],
+                "page_idx": [],
+                "n_pages": [],
+                "page_text": [],
+                "error": [],
+            }
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                parsed, err = _catch_row(rawpdf.extract_pdf, bytes(p), max_pages)
+                if err is not None:
+                    rows[id_col].append(doc_id)
+                    rows["page_idx"].append(None)
+                    rows["n_pages"].append(None)
+                    rows["page_text"].append(None)
+                    rows["error"].append(err)
+                    continue
+                for idx, text in enumerate(parsed["pages"]):
+                    rows[id_col].append(doc_id)
+                    rows["page_idx"].append(idx)
+                    rows["n_pages"].append(parsed["n_pages"])
+                    rows["page_text"].append(text)
+                    rows["error"].append(None)
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run,
+        f"{id_col} long, page_idx long, n_pages long, "
+        "page_text string, error string",
+    )

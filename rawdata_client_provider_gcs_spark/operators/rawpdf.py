@@ -1,0 +1,935 @@
+"""Minimal PDF text extraction — the last big crawl format.
+
+A web crawl is full of PDFs (Common Crawl is ~2-3% ``application/pdf``
+by response count), and a training-data pipeline that cannot turn them
+into text leaves that slice on the floor.  This module implements the
+subset of ISO 32000-1 a text extractor needs, in pure Python + stdlib
+``zlib``, with the same loud-boundary discipline as the image/audio
+codecs: anything outside the subset raises ``ValueError`` with the
+reason, and the Spark tier records it in the per-row ``error`` column
+(``operators/multimodal.py`` ``_catch_row``) instead of killing tasks.
+
+Supported on the read path:
+
+- classic cross-reference tables, incremental updates (``/Prev``
+  chains), and a scan-the-bytes fallback when the xref is broken or
+  lies (hostile crawl PDFs routinely do);
+- cross-reference **streams** (PDF 1.5 ``/XRef``, ``/W`` field widths)
+  and compressed objects in **object streams** (``/ObjStm``) — the
+  layout every modern producer emits;
+- the full object grammar: dictionaries, arrays, names with ``#xx``
+  escapes, literal strings with octal/line-continuation escapes and
+  balanced parens, hex strings, references, numbers, booleans, null;
+- ``/FlateDecode`` streams with PNG predictors (``/Predictor`` 2 and
+  10-15), with a decompression cap so a 100-byte bomb cannot expand to
+  gigabytes inside an executor (same guard as ``rawtiff``);
+- page-tree traversal (``/Pages``/``/Kids``, ``/Count`` ignored in
+  favour of actual recursion, cycle-guarded) and per-page ``/Contents``
+  (single stream or array of streams);
+- content-stream text operators: ``BT``/``ET``, ``Tj``, ``'``, ``"``,
+  ``TJ`` (kerning array), with ``Td``/``TD``/``T*``/``Tm`` treated as
+  line breaks — the standard heuristic for layout-free extraction;
+- string decoding: UTF-16BE with BOM, else PDFDocEncoding approximated
+  as latin-1 (exact for the ASCII range every test fixture uses).
+
+The write path (``encode_pdf``) emits a deterministic PDF 1.4 document
+— one content stream per page, optional Flate compression, classic
+xref — used by the oracle-checked roundtrip query and the fuzz corpus.
+
+Out of scope, loudly: encryption (``/Encrypt``), non-Flate filters
+(DCT/JPX/CCITT streams are *images*, not text), CID/Type0 font CMaps
+(strings in such PDFs are glyph indices; we extract only simple-font
+text and surface ``/Type0`` pages as errors rather than emit garbage).
+
+Reference behavioral parity: the reference transport stores opaque
+named byte arrays per message (RawdataMessage.java:15-60); document
+parsing belongs to this repo's derived curation tier, like the WARC
+and TIFF codecs.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+# Hard cap on any single decompressed stream — a crawl PDF claiming a
+# bigger content stream than this is treated as hostile (bomb guard).
+MAX_STREAM_BYTES = 64 * 1024 * 1024
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+class _Ref:
+    __slots__ = ("num", "gen")
+
+    def __init__(self, num: int, gen: int):
+        self.num = num
+        self.gen = gen
+
+    def __repr__(self):  # pragma: no cover - debug aid
+        return f"{self.num} {self.gen} R"
+
+
+class _Name(str):
+    """A PDF name — distinct from a decoded string."""
+
+
+# ---------------------------------------------------------------------------
+# Lexer / object parser
+# ---------------------------------------------------------------------------
+
+
+class _Lexer:
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+
+    def _skip_ws(self) -> None:
+        data, n = self.data, len(self.data)
+        while self.pos < n:
+            c = data[self.pos]
+            if c in _WS:
+                self.pos += 1
+            elif c == 0x25:  # '%' comment to EOL
+                eol = data.find(b"\n", self.pos)
+                self.pos = n if eol < 0 else eol + 1
+            else:
+                return
+
+    def parse_object(self, depth: int = 0):
+        """Parse one object at the cursor; leaves the cursor after it."""
+        if depth > 60:
+            raise ValueError("pdf: object nesting too deep")
+        self._skip_ws()
+        data = self.data
+        if self.pos >= len(data):
+            raise ValueError("pdf: unexpected end of data")
+        c = data[self.pos]
+        if c == 0x2F:  # /Name
+            return self._parse_name()
+        if c == 0x28:  # (string)
+            return self._parse_literal_string()
+        if c == 0x3C:  # << dict or <hex>
+            if data.startswith(b"<<", self.pos):
+                return self._parse_dict(depth)
+            return self._parse_hex_string()
+        if c == 0x5B:  # [ array
+            self.pos += 1
+            out = []
+            while True:
+                self._skip_ws()
+                if self.pos >= len(data):
+                    raise ValueError("pdf: unterminated array")
+                if data[self.pos] == 0x5D:
+                    self.pos += 1
+                    return out
+                out.append(self.parse_object(depth + 1))
+        if data.startswith(b"true", self.pos):
+            self.pos += 4
+            return True
+        if data.startswith(b"false", self.pos):
+            self.pos += 5
+            return False
+        if data.startswith(b"null", self.pos):
+            self.pos += 4
+            return None
+        return self._parse_number_or_ref()
+
+    def _parse_name(self) -> _Name:
+        data = self.data
+        self.pos += 1  # '/'
+        start = self.pos
+        n = len(data)
+        while self.pos < n and data[self.pos] not in _WS and data[self.pos] not in _DELIM:
+            self.pos += 1
+        raw = data[start : self.pos]
+        if b"#" in raw:
+            out = bytearray()
+            i = 0
+            while i < len(raw):
+                if raw[i] == 0x23 and i + 2 < len(raw):
+                    try:
+                        out.append(int(raw[i + 1 : i + 3], 16))
+                        i += 3
+                        continue
+                    except ValueError:
+                        pass
+                out.append(raw[i])
+                i += 1
+            raw = bytes(out)
+        return _Name(raw.decode("latin-1"))
+
+    def _parse_literal_string(self) -> bytes:
+        data = self.data
+        self.pos += 1  # '('
+        out = bytearray()
+        depth = 1
+        n = len(data)
+        while self.pos < n:
+            c = data[self.pos]
+            if c == 0x5C:  # backslash
+                self.pos += 1
+                if self.pos >= n:
+                    break
+                e = data[self.pos]
+                if e in b"nrtbf":
+                    out.append({0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[e])
+                    self.pos += 1
+                elif e in b"01234567":
+                    oct_digits = bytearray()
+                    while (
+                        self.pos < n
+                        and len(oct_digits) < 3
+                        and data[self.pos] in b"01234567"
+                    ):
+                        oct_digits.append(data[self.pos])
+                        self.pos += 1
+                    out.append(int(oct_digits, 8) & 0xFF)
+                elif e in b"\r\n":  # line continuation
+                    self.pos += 1
+                    if e == 0x0D and self.pos < n and data[self.pos] == 0x0A:
+                        self.pos += 1
+                else:
+                    out.append(e)
+                    self.pos += 1
+            elif c == 0x28:
+                depth += 1
+                out.append(c)
+                self.pos += 1
+            elif c == 0x29:
+                depth -= 1
+                self.pos += 1
+                if depth == 0:
+                    return bytes(out)
+                out.append(c)
+            else:
+                out.append(c)
+                self.pos += 1
+        raise ValueError("pdf: unterminated literal string")
+
+    def _parse_hex_string(self) -> bytes:
+        data = self.data
+        self.pos += 1  # '<'
+        end = data.find(b">", self.pos)
+        if end < 0:
+            raise ValueError("pdf: unterminated hex string")
+        hex_digits = re.sub(rb"[^0-9A-Fa-f]", b"", data[self.pos : end])
+        self.pos = end + 1
+        if len(hex_digits) % 2:
+            hex_digits += b"0"
+        return bytes.fromhex(hex_digits.decode("ascii"))
+
+    def _parse_dict(self, depth: int) -> dict:
+        data = self.data
+        self.pos += 2  # '<<'
+        out: dict = {}
+        while True:
+            self._skip_ws()
+            if self.pos >= len(data):
+                raise ValueError("pdf: unterminated dictionary")
+            if data.startswith(b">>", self.pos):
+                self.pos += 2
+                return out
+            key = self.parse_object(depth + 1)
+            if not isinstance(key, _Name):
+                raise ValueError("pdf: dictionary key is not a name")
+            out[str(key)] = self.parse_object(depth + 1)
+
+    _NUM_RE = re.compile(rb"[+-]?(?:\d+\.?\d*|\.\d+)")
+
+    def _parse_number_or_ref(self):
+        data = self.data
+        m = self._NUM_RE.match(data, self.pos)
+        if not m:
+            raise ValueError(
+                f"pdf: unparseable token at offset {self.pos}: "
+                f"{data[self.pos:self.pos+16]!r}"
+            )
+        tok = m.group()
+        self.pos = m.end()
+        if b"." in tok:
+            return float(tok)
+        value = int(tok)
+        # Lookahead for "gen R" (indirect reference) without committing.
+        save = self.pos
+        self._skip_ws()
+        m2 = re.match(rb"(\d+)", data[self.pos : self.pos + 12])
+        if m2 and value >= 0:
+            after = self.pos + m2.end()
+            j = after
+            while j < len(data) and data[j] in _WS:
+                j += 1
+            if data.startswith(b"R", j) and (
+                j + 1 >= len(data) or data[j + 1] in _WS or data[j + 1] in _DELIM
+            ):
+                self.pos = j + 1
+                return _Ref(value, int(m2.group(1)))
+        self.pos = save
+        return value
+
+
+# ---------------------------------------------------------------------------
+# Stream filters
+# ---------------------------------------------------------------------------
+
+
+def _flate(data: bytes, cap: int = MAX_STREAM_BYTES) -> bytes:
+    d = zlib.decompressobj()
+    try:
+        out = d.decompress(data, cap + 1)
+    except zlib.error as exc:
+        raise ValueError(f"pdf: corrupt Flate stream: {exc}") from exc
+    if len(out) > cap or d.unconsumed_tail:
+        raise ValueError(f"pdf: Flate stream expands past cap ({cap} bytes)")
+    return out
+
+
+def _unpredict(data: bytes, predictor: int, columns: int, colors: int, bpc: int) -> bytes:
+    """Reverse PNG (10-15) / TIFF (2) predictors on a decoded stream."""
+    if predictor <= 1:
+        return data
+    sample = max(1, (colors * bpc) // 8)
+    row = columns * sample
+    if predictor == 2:  # TIFF horizontal differencing, 8-bit only here
+        if bpc != 8:
+            raise ValueError("pdf: TIFF predictor only supported at 8 bpc")
+        out = bytearray(data)
+        for r in range(0, len(out) - row + 1, row):
+            for i in range(r + sample, r + row):
+                out[i] = (out[i] + out[i - sample]) & 0xFF
+        return bytes(out)
+    # PNG predictors: each row prefixed with a filter-type byte.
+    stride = row + 1
+    if len(data) % stride:
+        raise ValueError("pdf: predictor stream length mismatch")
+    out = bytearray()
+    prev = bytearray(row)
+    for r in range(0, len(data), stride):
+        ftype = data[r]
+        line = bytearray(data[r + 1 : r + stride])
+        if ftype == 0:
+            pass
+        elif ftype == 1:  # Sub
+            for i in range(sample, row):
+                line[i] = (line[i] + line[i - sample]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(row):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(row):
+                left = line[i - sample] if i >= sample else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(row):
+                a = line[i - sample] if i >= sample else 0
+                b = prev[i]
+                c = prev[i - sample] if i >= sample else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"pdf: unknown PNG filter type {ftype}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Document model
+# ---------------------------------------------------------------------------
+
+
+class _Document:
+    """Parsed object store: lazy object fetch via xref, ObjStm aware."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.xref: dict[int, tuple] = {}  # num -> ("n", offset) | ("c", stm, idx)
+        self.trailer: dict = {}
+        self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, dict[int, object]] = {}
+        self._load_xref()
+
+    # -- xref ---------------------------------------------------------------
+
+    def _load_xref(self) -> None:
+        data = self.data
+        tail = data[-2048:]
+        m = None
+        for m in re.finditer(rb"startxref\s+(\d+)", tail):
+            pass
+        try:
+            if m is None:
+                raise ValueError("pdf: no startxref")
+            self._read_xref_chain(int(m.group(1)))
+            if "Root" not in self.trailer:
+                raise ValueError("pdf: trailer has no /Root")
+        except ValueError:
+            # Hostile/broken xref: rebuild by scanning "N G obj" markers.
+            self.xref.clear()
+            self.trailer = {}
+            for om in re.finditer(rb"(\d+)\s+(\d+)\s+obj\b", data):
+                self.xref[int(om.group(1))] = ("n", om.start())
+            for tm in re.finditer(rb"trailer", data):
+                lex = _Lexer(data, tm.end())
+                try:
+                    t = lex.parse_object()
+                except ValueError:
+                    continue
+                if isinstance(t, dict):
+                    # Later trailers belong to newer incremental updates;
+                    # let them win, matching the last-wins object scan.
+                    self.trailer.update(t)
+            if "Root" not in self.trailer:
+                # Last resort: any object with /Type /Catalog.
+                for num in self.xref:
+                    try:
+                        obj = self.get(num)
+                    except ValueError:
+                        continue
+                    if isinstance(obj, dict) and obj.get("Type") == "Catalog":
+                        self.trailer["Root"] = _Ref(num, 0)
+                        break
+            if "Root" not in self.trailer:
+                raise ValueError("pdf: unrecoverable: no document catalog found")
+
+    def _read_xref_chain(self, offset: int) -> None:
+        seen = set()
+        while True:
+            if offset in seen or not (0 <= offset < len(self.data)):
+                raise ValueError("pdf: bad xref offset")
+            seen.add(offset)
+            lex = _Lexer(self.data, offset)
+            lex._skip_ws()
+            if self.data.startswith(b"xref", lex.pos):
+                trailer = self._read_xref_table(lex.pos + 4)
+            else:
+                trailer = self._read_xref_stream(lex)
+            for k, v in trailer.items():
+                self.trailer.setdefault(k, v)
+            prev = trailer.get("Prev")
+            if prev is None:
+                return
+            offset = int(prev)
+
+    def _read_xref_table(self, pos: int) -> dict:
+        data = self.data
+        lex = _Lexer(data, pos)
+        while True:
+            lex._skip_ws()
+            if data.startswith(b"trailer", lex.pos):
+                lex.pos += 7
+                t = lex.parse_object()
+                if not isinstance(t, dict):
+                    raise ValueError("pdf: trailer is not a dictionary")
+                return t
+            m = re.match(rb"(\d+)\s+(\d+)", data[lex.pos : lex.pos + 40])
+            if not m:
+                raise ValueError("pdf: malformed xref subsection header")
+            first, count = int(m.group(1)), int(m.group(2))
+            lex.pos += m.end()
+            lex._skip_ws()
+            for i in range(count):
+                entry = data[lex.pos : lex.pos + 20]
+                em = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", entry)
+                if not em:
+                    raise ValueError("pdf: malformed xref entry")
+                if em.group(3) == b"n":
+                    self.xref.setdefault(first + i, ("n", int(em.group(1))))
+                lex.pos += em.end()
+                while lex.pos < len(data) and data[lex.pos] in _WS:
+                    lex.pos += 1
+
+    def _read_xref_stream(self, lex: _Lexer) -> dict:
+        # "N G obj << ... >> stream" at the cursor.
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", self.data[lex.pos : lex.pos + 40])
+        if not m:
+            raise ValueError("pdf: expected xref stream object")
+        lex.pos += m.end()
+        d = lex.parse_object()
+        if not isinstance(d, dict) or d.get("Type") != "XRef":
+            raise ValueError("pdf: not an /XRef stream")
+        raw = self._read_stream_data(lex, d, resolve=lambda v: v)
+        widths = [int(w) for w in d.get("W", [])]
+        if len(widths) != 3:
+            raise ValueError("pdf: /XRef stream missing /W")
+        size = int(d.get("Size", 0))
+        index = [int(x) for x in d.get("Index", [0, size])]
+        rowlen = sum(widths)
+        pos = 0
+
+        def field(row: bytes, k: int) -> int:
+            nonlocal_off = sum(widths[:k])
+            w = widths[k]
+            if w == 0:
+                return 1 if k == 0 else 0
+            return int.from_bytes(row[nonlocal_off : nonlocal_off + w], "big")
+
+        for first, count in zip(index[::2], index[1::2]):
+            for i in range(count):
+                row = raw[pos : pos + rowlen]
+                pos += rowlen
+                if len(row) < rowlen:
+                    raise ValueError("pdf: truncated /XRef stream")
+                ftype = field(row, 0)
+                num = first + i
+                if num in self.xref:
+                    continue
+                if ftype == 1:
+                    self.xref[num] = ("n", field(row, 1))
+                elif ftype == 2:
+                    self.xref[num] = ("c", field(row, 1), field(row, 2))
+        return d
+
+    # -- objects ------------------------------------------------------------
+
+    def resolve(self, obj, depth: int = 0):
+        while isinstance(obj, _Ref):
+            if depth > 32:
+                raise ValueError("pdf: reference chain too deep")
+            obj = self.get(obj.num)
+            depth += 1
+        return obj
+
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        entry = self.xref.get(num)
+        if entry is None:
+            return None
+        if entry[0] == "n":
+            obj = self._parse_at(entry[1], num)
+        else:
+            obj = self._from_objstm(entry[1], entry[2], num)
+        self._cache[num] = obj
+        return obj
+
+    def _parse_at(self, offset: int, num: int):
+        if not (0 <= offset < len(self.data)):
+            raise ValueError(f"pdf: object {num} offset out of range")
+        lex = _Lexer(self.data, offset)
+        lex._skip_ws()
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", self.data[lex.pos : lex.pos + 40])
+        if not m:
+            raise ValueError(f"pdf: object {num}: no obj header at xref offset")
+        lex.pos += m.end()
+        obj = lex.parse_object()
+        if isinstance(obj, dict):
+            lex._skip_ws()
+            if self.data.startswith(b"stream", lex.pos):
+                data = self._read_stream_data(lex, obj, resolve=self.resolve)
+                return _Stream(obj, data)
+        return obj
+
+    def _read_stream_data(self, lex: _Lexer, d: dict, resolve) -> bytes:
+        data = self.data
+        lex._skip_ws()
+        if not data.startswith(b"stream", lex.pos):
+            raise ValueError("pdf: expected stream keyword")
+        p = lex.pos + 6
+        if data.startswith(b"\r\n", p):
+            p += 2
+        elif data.startswith(b"\n", p) or data.startswith(b"\r", p):
+            p += 1
+        length = resolve(d.get("Length"))
+        if not isinstance(length, int) or length < 0 or p + length > len(data):
+            # Lying /Length: recover via endstream scan.
+            end = data.find(b"endstream", p)
+            if end < 0:
+                raise ValueError("pdf: stream without endstream")
+            length = end - p
+        raw = data[p : p + length]
+        filters = resolve(d.get("Filter"))
+        if filters is None:
+            filters = []
+        elif isinstance(filters, _Name):
+            filters = [filters]
+        parms = resolve(d.get("DecodeParms")) or resolve(d.get("DP")) or {}
+        if isinstance(parms, list):
+            parms = resolve(parms[0]) if parms else {}
+        for f in filters:
+            f = str(resolve(f))
+            if f == "FlateDecode":
+                raw = _flate(raw)
+                pred = int(resolve(parms.get("Predictor", 1)) or 1)
+                if pred > 1:
+                    raw = _unpredict(
+                        raw,
+                        pred,
+                        int(resolve(parms.get("Columns", 1)) or 1),
+                        int(resolve(parms.get("Colors", 1)) or 1),
+                        int(resolve(parms.get("BitsPerComponent", 8)) or 8),
+                    )
+            elif f in ("ASCIIHexDecode", "AHx"):
+                h = re.sub(rb"[^0-9A-Fa-f]", b"", raw.split(b">", 1)[0])
+                if len(h) % 2:
+                    h += b"0"
+                raw = bytes.fromhex(h.decode("ascii"))
+            else:
+                raise ValueError(f"pdf: unsupported stream filter /{f}")
+        return raw
+
+    def _from_objstm(self, stm_num: int, idx: int, num: int):
+        table = self._objstm_cache.get(stm_num)
+        if table is None:
+            stm = self.get(stm_num)
+            if not isinstance(stm, _Stream) or stm.dict.get("Type") != "ObjStm":
+                raise ValueError(f"pdf: object {num}: container is not /ObjStm")
+            n = int(self.resolve(stm.dict.get("N", 0)))
+            first = int(self.resolve(stm.dict.get("First", 0)))
+            head = _Lexer(stm.data, 0)
+            pairs = []
+            for _ in range(n):
+                onum = head.parse_object()
+                ooff = head.parse_object()
+                if not isinstance(onum, int) or not isinstance(ooff, int):
+                    raise ValueError("pdf: malformed /ObjStm header")
+                pairs.append((onum, ooff))
+            table = {}
+            for onum, ooff in pairs:
+                body = _Lexer(stm.data, first + ooff)
+                table[onum] = body.parse_object()
+            self._objstm_cache[stm_num] = table
+        if num not in table:
+            raise ValueError(f"pdf: object {num} not present in /ObjStm {stm_num}")
+        return table[num]
+
+
+class _Stream:
+    __slots__ = ("dict", "data")
+
+    def __init__(self, d: dict, data: bytes):
+        self.dict = d
+        self.data = data
+
+
+# ---------------------------------------------------------------------------
+# Text extraction
+# ---------------------------------------------------------------------------
+
+
+def _decode_text(raw: bytes) -> str:
+    if raw.startswith(b"\xfe\xff"):
+        return raw[2:].decode("utf-16-be", errors="replace")
+    return raw.decode("latin-1")
+
+
+def _page_text(content: bytes) -> str:
+    """Extract text from one page's concatenated content streams."""
+    lex = _Lexer(content, 0)
+    out: list[str] = []
+    line: list[str] = []
+    stack: list = []
+    n = len(content)
+
+    def flush_line():
+        if line:
+            out.append("".join(line))
+            line.clear()
+
+    while True:
+        lex._skip_ws()
+        if lex.pos >= n:
+            break
+        c = content[lex.pos]
+        if c == 0x2F or c == 0x28 or c == 0x3C or c == 0x5B or c in b"+-.0123456789":
+            try:
+                stack.append(lex.parse_object())
+            except ValueError:
+                lex.pos += 1  # tolerate junk inside hostile content
+            continue
+        # operator token
+        start = lex.pos
+        while lex.pos < n and content[lex.pos] not in _WS and content[lex.pos] not in _DELIM:
+            lex.pos += 1
+        if lex.pos == start:
+            lex.pos += 1
+            continue
+        op = content[start : lex.pos]
+        if op == b"Tj" or op == b"'":
+            if stack and isinstance(stack[-1], bytes):
+                if op == b"'":
+                    flush_line()
+                line.append(_decode_text(stack[-1]))
+        elif op == b'"':
+            if stack and isinstance(stack[-1], bytes):
+                flush_line()
+                line.append(_decode_text(stack[-1]))
+        elif op == b"TJ":
+            if stack and isinstance(stack[-1], list):
+                for el in stack[-1]:
+                    if isinstance(el, bytes):
+                        line.append(_decode_text(el))
+        elif op in (b"Td", b"TD", b"T*", b"Tm"):
+            flush_line()
+        elif op == b"ET":
+            flush_line()
+        elif op == b"BI":
+            # inline image: skip to EI to keep binary data out of the lexer
+            ei = content.find(b"EI", lex.pos)
+            lex.pos = n if ei < 0 else ei + 2
+        stack = []
+    flush_line()
+    return "\n".join(out)
+
+
+def extract_pdf(data: bytes, max_pages: int = 1000) -> dict:
+    """Parse a PDF and extract per-page text.
+
+    Returns ``{"n_pages": int, "pages": list[str], "producer": str|None}``.
+    Raises ``ValueError`` on anything outside the supported subset.
+    """
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("pdf: missing %PDF header")
+    doc = _Document(data)
+    root = doc.resolve(doc.trailer.get("Root"))
+    if not isinstance(root, dict):
+        raise ValueError("pdf: /Root is not a dictionary")
+    if "Encrypt" in doc.trailer:
+        raise ValueError("pdf: encrypted documents not supported")
+    pages_obj = doc.resolve(root.get("Pages"))
+    if not isinstance(pages_obj, dict):
+        raise ValueError("pdf: catalog has no /Pages tree")
+
+    pages: list[dict] = []
+    seen: set[int] = set()
+
+    def walk(node, depth=0):
+        if depth > 50 or len(pages) >= max_pages:
+            raise ValueError("pdf: page tree too deep or too large")
+        node = doc.resolve(node)
+        if not isinstance(node, dict):
+            raise ValueError("pdf: malformed page-tree node")
+        nid = id(node)
+        if nid in seen:
+            raise ValueError("pdf: cycle in page tree")
+        seen.add(nid)
+        t = node.get("Type")
+        if t == "Pages" or ("Kids" in node and t != "Page"):
+            for kid in doc.resolve(node.get("Kids")) or []:
+                walk(kid, depth + 1)
+        else:
+            pages.append(node)
+
+    walk(pages_obj)
+
+    texts: list[str] = []
+    for page in pages:
+        fonts = doc.resolve(doc.resolve(page.get("Resources")) or {})
+        if isinstance(fonts, dict):
+            fdict = doc.resolve(fonts.get("Font")) or {}
+            if isinstance(fdict, dict):
+                for fref in fdict.values():
+                    f = doc.resolve(fref)
+                    if isinstance(f, dict) and f.get("Subtype") == "Type0":
+                        raise ValueError(
+                            "pdf: /Type0 (CID) fonts not supported for extraction"
+                        )
+        contents = doc.resolve(page.get("Contents"))
+        chunks: list[bytes] = []
+        if isinstance(contents, _Stream):
+            chunks.append(contents.data)
+        elif isinstance(contents, list):
+            for cref in contents:
+                c = doc.resolve(cref)
+                if isinstance(c, _Stream):
+                    chunks.append(c.data)
+        texts.append(_page_text(b"\n".join(chunks)))
+
+    info = doc.resolve(doc.trailer.get("Info"))
+    producer = None
+    if isinstance(info, dict) and isinstance(info.get("Producer"), bytes):
+        producer = _decode_text(info["Producer"])
+    return {"n_pages": len(texts), "pages": texts, "producer": producer}
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixture / roundtrip writer)
+# ---------------------------------------------------------------------------
+
+
+def _esc(s: str) -> bytes:
+    raw = s.encode("latin-1", errors="replace")
+    return raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def encode_pdf(
+    pages: list[list[str]],
+    *,
+    compress: bool = True,
+    producer: str = "rawpdf",
+) -> bytes:
+    """Write a deterministic PDF 1.4: one page per entry, each a list of
+    text lines rendered as one ``Tj`` per line with ``Td`` line breaks."""
+    objects: list[bytes] = []  # 1-indexed bodies
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    font_num_placeholder = None
+    page_nums: list[int] = []
+    content_nums: list[int] = []
+    for lines in pages:
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for i, ln in enumerate(lines):
+            if i:
+                ops.append(b"0 -14 Td")
+            ops.append(b"(" + _esc(ln) + b") Tj")
+        ops.append(b"ET")
+        stream = b" ".join(ops)
+        if compress:
+            comp = zlib.compress(stream, 6)
+            body = (
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+                + comp
+                + b"\nendstream"
+            )
+        else:
+            body = b"<< /Length %d >>\nstream\n" % len(stream) + stream + b"\nendstream"
+        content_nums.append(add(body))
+
+    font_num_placeholder = add(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    pages_num = len(objects) + len(pages) + 1  # page objects, then /Pages
+    for cnum in content_nums:
+        page_nums.append(
+            add(
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+                % (pages_num, font_num_placeholder, cnum)
+            )
+        )
+    kids = b" ".join(b"%d 0 R" % p for p in page_nums)
+    assert add(
+        b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_nums))
+    ) == pages_num
+    catalog_num = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    info_num = add(b"<< /Producer (%s) >>" % _esc(producer))
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % i
+        out += body
+        out += b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 %d\n" % (len(objects) + 1)
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += b"%010d 00000 n \n" % off
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R /Info %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (len(objects) + 1, catalog_num, info_num, xref_off)
+    )
+    return bytes(out)
+
+
+def encode_pdf_modern(pages: list[list[str]], *, producer: str = "rawpdf") -> bytes:
+    """Write a PDF 1.5 layout: page/catalog/font objects packed in one
+    ``/ObjStm``, indexed by an ``/XRef`` cross-reference stream — the
+    shape every modern producer (word processors, browsers) emits.
+    Exercises the read path the classic writer cannot."""
+    # Object numbering: 1..P content streams, then the ObjStm container,
+    # then the XRef stream.  Compressed objects (inside the ObjStm) get
+    # numbers after that.
+    n_pages = len(pages)
+    content_bodies: list[bytes] = []
+    for lines in pages:
+        ops = [b"BT /F1 12 Tf 72 720 Td"]
+        for i, ln in enumerate(lines):
+            if i:
+                ops.append(b"0 -14 Td")
+            ops.append(b"(" + _esc(ln) + b") Tj")
+        ops.append(b"ET")
+        comp = zlib.compress(b" ".join(ops), 6)
+        content_bodies.append(
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+            + comp
+            + b"\nendstream"
+        )
+
+    objstm_num = n_pages + 1
+    xref_num = n_pages + 2
+    font_num = n_pages + 3
+    pages_num = n_pages + 4
+    catalog_num = n_pages + 5
+    info_num = n_pages + 6
+    page_obj_nums = list(range(n_pages + 7, n_pages + 7 + n_pages))
+
+    packed: list[tuple[int, bytes]] = [
+        (font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        (
+            pages_num,
+            b"<< /Type /Pages /Kids [%s] /Count %d >>"
+            % (b" ".join(b"%d 0 R" % p for p in page_obj_nums), n_pages),
+        ),
+        (catalog_num, b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num),
+        (info_num, b"<< /Producer (%s) >>" % _esc(producer)),
+    ]
+    for i, pnum in enumerate(page_obj_nums):
+        packed.append(
+            (
+                pnum,
+                b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+                b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
+                % (pages_num, font_num, i + 1),
+            )
+        )
+
+    payload = bytearray()
+    header = bytearray()
+    for num, body in packed:
+        header += b"%d %d " % (num, len(payload))
+        payload += body + b" "
+    objstm_inner = bytes(header) + bytes(payload)
+    objstm_comp = zlib.compress(objstm_inner, 6)
+    objstm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d /Filter /FlateDecode >>"
+        b"\nstream\n" % (len(packed), len(header), len(objstm_comp))
+        + objstm_comp
+        + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for i, body in enumerate(content_bodies, start=1):
+        offsets[i] = len(out)
+        out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += b"%d 0 obj\n" % objstm_num + objstm_body + b"\nendobj\n"
+
+    # XRef stream: W [1 4 2]; entries for objects 0..max.
+    max_num = page_obj_nums[-1] if page_obj_nums else info_num
+    rows = bytearray()
+    for num in range(0, max_num + 1):
+        if num == 0:
+            rows += b"\x00" + (0).to_bytes(4, "big") + (0xFFFF).to_bytes(2, "big")
+        elif num in offsets:
+            rows += b"\x01" + offsets[num].to_bytes(4, "big") + (0).to_bytes(2, "big")
+        else:
+            idx = next(
+                (j for j, (pn, _) in enumerate(packed) if pn == num), None
+            )
+            if idx is None:
+                rows += b"\x00" + (0).to_bytes(4, "big") + (0).to_bytes(2, "big")
+            else:
+                rows += (
+                    b"\x02" + objstm_num.to_bytes(4, "big") + idx.to_bytes(2, "big")
+                )
+    xref_off = len(out)
+    comp_rows = zlib.compress(bytes(rows), 6)
+    out += b"%d 0 obj\n" % xref_num
+    out += (
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R /Info %d 0 R "
+        b"/Filter /FlateDecode /Length %d >>\nstream\n"
+        % (max_num + 1, catalog_num, info_num, len(comp_rows))
+        + comp_rows
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)

@@ -1,0 +1,166 @@
+"""PDF codec tests: roundtrip across layouts, grammar edges, hostile
+bytes, bomb guard, and the Spark per-page extraction wrapper."""
+
+import random
+import zlib
+
+import pytest
+
+from rawdata_client_provider_gcs_spark.operators import multimodal, rawpdf
+
+PAGES = [
+    ["Hello (world) \\ backslash", "second line"],
+    ["page two only line"],
+]
+FLAT = ["Hello (world) \\ backslash\nsecond line", "page two only line"]
+
+
+@pytest.mark.parametrize(
+    "enc",
+    [
+        lambda p: rawpdf.encode_pdf(p, compress=True),
+        lambda p: rawpdf.encode_pdf(p, compress=False),
+        rawpdf.encode_pdf_modern,
+    ],
+    ids=["classic-flate", "classic-plain", "modern-objstm-xrefstream"],
+)
+def test_roundtrip_layouts(enc):
+    out = rawpdf.extract_pdf(enc(PAGES))
+    assert out["n_pages"] == 2
+    assert out["pages"] == FLAT
+
+
+def test_producer_metadata():
+    out = rawpdf.extract_pdf(rawpdf.encode_pdf(PAGES, producer="unit (x)"))
+    assert out["producer"] == "unit (x)"
+
+
+def test_broken_startxref_falls_back_to_scan():
+    buf = bytearray(rawpdf.encode_pdf(PAGES))
+    i = buf.rfind(b"startxref")
+    buf[i + 10 : i + 12] = b"99"  # xref offset now points into a stream
+    assert rawpdf.extract_pdf(bytes(buf))["pages"] == FLAT
+
+
+def test_string_grammar_edges():
+    # hex strings, octal escapes, line continuation, UTF-16BE
+    body = (
+        b"BT "
+        b"<48656C6C6F> Tj "  # hex 'Hello'
+        b"(\\101\\102) Tj "  # octal 'AB'
+        b"(a\\\nb) Tj "  # line continuation joins
+        b"(\xfe\xff\x00Z\x00!) Tj "  # UTF-16BE 'Z!'
+        b"ET"
+    )
+    assert rawpdf._page_text(body) == "HelloABabZ!"
+
+
+def test_tj_array_and_line_ops():
+    body = b"BT [(ab) -120 (cd)] TJ 0 -14 Td (next) Tj T* (last) ' ET"
+    assert rawpdf._page_text(body) == "abcd\nnext\nlast"
+
+
+def test_name_hash_escape_and_nested_dict():
+    lex = rawpdf._Lexer(b"<< /A#42 [1 2.5 /N] /D << /K (v) >> /R 3 0 R >>")
+    d = lex.parse_object()
+    assert d["AB"] == [1, 2.5, "N"]
+    assert d["D"]["K"] == b"v"
+    assert isinstance(d["R"], rawpdf._Ref) and d["R"].num == 3
+
+
+def test_incremental_update_overrides_page():
+    """An appended update replacing the page content must win."""
+    base = rawpdf.encode_pdf([["old text"]])
+    # find object number of the content stream (object 1 by construction)
+    new_stream = b"BT /F1 12 Tf 72 720 Td (new text) Tj ET"
+    add = bytearray()
+    off0 = len(base)
+    add += b"1 0 obj\n<< /Length %d >>\nstream\n" % len(new_stream)
+    add += new_stream + b"\nendstream\nendobj\n"
+    xref_off = off0 + len(add)
+    prev = int(base.rsplit(b"startxref", 1)[1].split()[0])
+    add += b"xref\n1 1\n%010d 00000 n \n" % off0
+    add += (
+        b"trailer\n<< /Size 7 /Root 5 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (prev, xref_off)
+    )
+    out = rawpdf.extract_pdf(base + bytes(add))
+    assert out["pages"] == ["new text"]
+
+
+def test_flate_bomb_is_rejected():
+    bomb = zlib.compress(b"\x00" * (rawpdf.MAX_STREAM_BYTES + 1), 9)
+    with pytest.raises(ValueError, match="cap"):
+        rawpdf._flate(bomb)
+
+
+def test_png_predictor_roundtrip():
+    # predictor 12 (PNG Up) over 3 columns, as xref streams emit
+    rows = [b"\x02" + bytes([1, 2, 3]), b"\x02" + bytes([10, 20, 30])]
+    data = b"".join(rows)
+    out = rawpdf._unpredict(data, 12, 3, 1, 8)
+    assert out == bytes([1, 2, 3, 11, 22, 33])
+
+
+def test_type0_font_rejected_loudly():
+    buf = rawpdf.encode_pdf(PAGES).replace(b"/Subtype /Type1", b"/Subtype /Type0")
+    with pytest.raises(ValueError, match="Type0"):
+        rawpdf.extract_pdf(buf)
+
+
+def test_encrypted_rejected_loudly():
+    buf = rawpdf.encode_pdf(PAGES).replace(
+        b"/Root", b"/Encrypt 1 0 R /Root"
+    )
+    with pytest.raises(ValueError, match="encrypted"):
+        rawpdf.extract_pdf(buf)
+
+
+def test_not_a_pdf():
+    with pytest.raises(ValueError, match="%PDF"):
+        rawpdf.extract_pdf(b"GIF89a not a pdf")
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_kernel_never_raises_uncatchable(seed):
+    """Truncation / bit flips / splices must land on ValueError, never
+    an uncatchable or non-Exception error (same bar as the image
+    codecs' fuzz suite)."""
+    rng = random.Random(seed)
+    for base in (rawpdf.encode_pdf(PAGES), rawpdf.encode_pdf_modern(PAGES)):
+        for _ in range(150):
+            buf = bytearray(base)
+            mode = rng.randrange(3)
+            if mode == 0:
+                buf = buf[: rng.randrange(1, len(buf))]
+            elif mode == 1:
+                for _ in range(rng.randrange(1, 6)):
+                    buf[rng.randrange(len(buf))] ^= 1 << rng.randrange(8)
+            else:
+                i = rng.randrange(len(buf))
+                del buf[i : min(len(buf), i + rng.randrange(1, 64))]
+            try:
+                rawpdf.extract_pdf(bytes(buf))
+            except ValueError:
+                pass
+
+
+def test_spark_pdf_text_captures_errors_per_row(spark):
+    good = rawpdf.encode_pdf([["alpha"], ["beta"]])
+    rows = [
+        (0, bytearray(good)),
+        (1, bytearray(b"%PDF-1.4 garbage with no structure")),
+        (2, bytearray(good[: len(good) // 2])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, pdf binary")
+    media = multimodal.with_media_columns(df, "pdf", "application/pdf", "doc_id")
+    out = multimodal.pdf_text(media).toPandas().sort_values(
+        ["doc_id", "page_idx"], na_position="first"
+    )
+    by_doc = {d: g for d, g in out.groupby("doc_id")}
+    assert list(by_doc[0]["page_text"]) == ["alpha", "beta"]
+    assert by_doc[0]["error"].isna().all()
+    for bad in (1, 2):
+        g = by_doc[bad]
+        assert len(g) == 1 and g["error"].notna().all()
+        assert g["page_text"].isna().all()
