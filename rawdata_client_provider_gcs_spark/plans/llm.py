@@ -2219,6 +2219,85 @@ def q_crawl_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_archive_members",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 250)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(0 AS BIGINT) AS member_idx,
+       CASE WHEN doc_id % 2 = 0 THEN 'zip' ELSE 'tar' END AS archive_format,
+       'doc/' || CAST(doc_id AS VARCHAR) || '/a.txt' AS path,
+       CAST(length(substr(text, 1, 50)) AS BIGINT) AS size,
+       substr(text, 1, 50) AS content
+FROM d
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(1 AS BIGINT) AS member_idx,
+       CASE WHEN doc_id % 2 = 0 THEN 'zip' ELSE 'tar' END AS archive_format,
+       'doc/' || CAST(doc_id AS VARCHAR) || '/b.txt' AS path,
+       CAST(length(substr(text, 51, 70)) AS BIGINT) AS size,
+       substr(text, 51, 70) AS content
+FROM d
+""",
+    tags=("llm", "source", "archive", "curation", "pandas-udf"),
+)
+def q_crawl_archive_members(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL ZIP/TAR build → explode → member rows, oracle-exact.
+
+    Each document becomes a two-member archive of its own text — even
+    doc_ids a ZIP (deflate for ``doc_id % 4 == 0``, stored otherwise,
+    so both compression methods run), odd ones a POSIX-ustar TAR —
+    and ``sources/archive.py`` explodes them back into per-member rows
+    (format auto-sniffed from magic, CRC/checksum verified, bounded
+    inflation).  The oracle restates every member's path, size and
+    content in closed form from the source column: the
+    bundled-documents slice of a crawl ingest, value-verified end to
+    end like the WARC front door it mirrors.
+    """
+    from ..sources import archive as A
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                t = str(text)
+                members = [
+                    (f"doc/{did}/a.txt", t[:50].encode()),
+                    (f"doc/{did}/b.txt", t[50:120].encode()),
+                ]
+                if did % 2 == 0:
+                    payloads.append(
+                        A.build_zip(
+                            members,
+                            method="deflate" if did % 4 == 0 else "store",
+                        )
+                    )
+                else:
+                    payloads.append(A.build_tar(members))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    from ..sources.archive import archive_members
+
+    return archive_members(files).select(
+        F.col("doc_id"),
+        F.col("member_idx"),
+        F.col("archive_format"),
+        F.col("path"),
+        F.col("size"),
+        F.col("payload").cast("string").alias("content"),
+    )
+
+
+@register(
     "q_crawl_pdf_text",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

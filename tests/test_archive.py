@@ -1,0 +1,154 @@
+"""Archive source tests: stdlib interop both directions, hostile
+bytes, bomb guard, and the Spark member explosion."""
+
+import io
+import random
+import struct
+import tarfile
+import zipfile
+import zlib
+
+import pytest
+
+from rawdata_client_provider_gcs_spark.sources import archive as A
+
+MEMBERS = [
+    ("doc/a.txt", b"alpha text"),
+    ("doc/sub/b.bin", bytes(range(256)) * 3),
+    ("empty", b""),
+]
+
+
+@pytest.mark.parametrize("method", ["deflate", "store"])
+def test_zip_roundtrip_and_stdlib_reads_ours(method):
+    z = A.build_zip(MEMBERS, method=method)
+    assert [(m["path"], m["payload"]) for m in A.parse_zip(z)] == MEMBERS
+    zf = zipfile.ZipFile(io.BytesIO(z))
+    assert [(i.filename, zf.read(i)) for i in zf.infolist()] == MEMBERS
+
+
+def test_zip_we_read_stdlibs():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for p, d in MEMBERS:
+            zf.writestr(p, d)
+    assert [(m["path"], m["payload"]) for m in A.parse_zip(buf.getvalue())] == MEMBERS
+
+
+def test_tar_roundtrip_and_stdlib_interop():
+    t = A.build_tar(MEMBERS)
+    assert [(m["path"], m["payload"]) for m in A.parse_tar(t)] == MEMBERS
+    tf = tarfile.open(fileobj=io.BytesIO(t))
+    assert [(i.name, tf.extractfile(i).read()) for i in tf.getmembers()] == MEMBERS
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf2:
+        for p, d in MEMBERS:
+            ti = tarfile.TarInfo(p)
+            ti.size = len(d)
+            tf2.addfile(ti, io.BytesIO(d))
+    assert [(m["path"], m["payload"]) for m in A.parse_tar(buf.getvalue())] == MEMBERS
+
+
+def test_sniff_format():
+    assert A.sniff_format(A.build_zip(MEMBERS)) == "zip"
+    assert A.sniff_format(A.build_tar(MEMBERS)) == "tar"
+    assert A.sniff_format(b"%PDF-1.4 whatever") is None
+
+
+def test_zip_crc_mismatch_rejected():
+    z = bytearray(A.build_zip(MEMBERS, method="store"))
+    i = z.find(b"alpha text")
+    z[i] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        A.parse_zip(bytes(z))
+
+
+def test_zip_bomb_declared_size_over_cap():
+    z = A.build_zip([("x", b"small")])
+    # rewrite the central directory's uncompressed size to a huge lie
+    cdh = z.rfind(b"PK\x01\x02")
+    patched = (
+        z[: cdh + 24]
+        + struct.pack("<I", A.MAX_MEMBER_BYTES + 1)
+        + z[cdh + 28 :]
+    )
+    with pytest.raises(ValueError, match="guard"):
+        A.parse_zip(patched)
+
+
+def test_zip_inflate_size_lie_rejected():
+    """A member whose deflate stream inflates past its declared size
+    (the classic bomb shape) must be rejected, not expanded."""
+    big = zlib.compressobj(9, zlib.DEFLATED, -15)
+    comp = big.compress(b"\x00" * 100_000) + big.flush()
+    z = bytearray(A.build_zip([("x", b"tiny-tiny")], method="deflate"))
+    # splice the big stream in place of the small one, keeping sizes
+    small = zlib.compressobj(6, zlib.DEFLATED, -15)
+    small_comp = small.compress(b"tiny-tiny") + small.flush()
+    i = z.find(small_comp)
+    spliced = bytes(z[:i]) + comp[: len(small_comp)] + bytes(z[i + len(small_comp) :])
+    with pytest.raises(ValueError):
+        A.parse_zip(spliced)
+
+
+def test_tar_checksum_mismatch_rejected():
+    t = bytearray(A.build_tar(MEMBERS))
+    t[0] ^= 0x01
+    with pytest.raises(ValueError, match="checksum"):
+        A.parse_tar(bytes(t))
+
+
+def test_tar_directories_and_links_skipped():
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        d = tarfile.TarInfo("dir/")
+        d.type = tarfile.DIRTYPE
+        tf.addfile(d)
+        ln = tarfile.TarInfo("link")
+        ln.type = tarfile.SYMTYPE
+        ln.linkname = "doc/a.txt"
+        tf.addfile(ln)
+        f = tarfile.TarInfo("real.txt")
+        f.size = 4
+        tf.addfile(f, io.BytesIO(b"data"))
+    got = A.parse_tar(buf.getvalue())
+    assert [(m["path"], m["payload"]) for m in got] == [("real.txt", b"data")]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_kernels_never_raise_uncatchable(seed):
+    rng = random.Random(seed)
+    for base in (A.build_zip(MEMBERS), A.build_tar(MEMBERS)):
+        for _ in range(200):
+            buf = bytearray(base)
+            mode = rng.randrange(3)
+            if mode == 0:
+                buf = buf[: rng.randrange(1, len(buf))]
+            elif mode == 1:
+                for _ in range(rng.randrange(1, 6)):
+                    buf[rng.randrange(len(buf))] ^= 1 << rng.randrange(8)
+            else:
+                i = rng.randrange(len(buf))
+                del buf[i : min(len(buf), i + rng.randrange(1, 64))]
+            try:
+                A.parse_archive(bytes(buf))
+            except ValueError:
+                pass
+
+
+def test_spark_archive_members_error_capture(spark):
+    rows = [
+        (0, bytearray(A.build_zip(MEMBERS))),
+        (1, bytearray(A.build_tar(MEMBERS))),
+        (2, bytearray(b"neither archive format at all")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = A.archive_members(df).toPandas()
+    ok = out[out["error"].isna()]
+    assert sorted(ok["doc_id"].unique()) == [0, 1]
+    assert len(ok) == 6  # 3 members × 2 archives
+    assert set(ok["archive_format"]) == {"zip", "tar"}
+    bad = out[out["error"].notna()]
+    assert sorted(bad["doc_id"]) == [2, 3]
+    assert bad["path"].isna().all()
