@@ -855,6 +855,71 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+    centroids: DataFrame | None = None,
+    nlist: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column.
+
+    The shape from Abbas et al. 2023 ("SemDeDup: Data-efficient
+    learning at web-scale through semantic deduplication"): partition
+    the corpus into semantic clusters, compare only within a cluster,
+    and keep one representative from every group of rows whose pairwise
+    cosine clears ``threshold``.  Returns the SURVIVING rows of
+    ``embeddings`` (all original columns).
+
+    Clustering: pass ``block_col`` when a natural partition exists
+    (label, language, domain) — exact within blocks.  Otherwise a
+    k-means coarse quantizer is trained (or accepted via ``centroids``
+    as ``(cid, cvec)``) and rows are assigned map-side with the same
+    zero-shuffle inlined-literal argmax the IVF search path uses.
+
+    Keep policy (deterministic, order-free): a row is dropped iff some
+    SMALLER-id row in its cluster is near-dup with it — i.e. the kept
+    set is ``ids - {id_b | (id_a < id_b, cos >= t)}``.  On the
+    near-clique groups semantic duplicates form this keeps exactly the
+    minimum id per group, matching the paper's one-per-group policy
+    without an iterative pass; chains (a~b, b~c, a!~c) drop both b and
+    c — the conservative direction for dedup.
+
+    100 TB shape: candidate pairs stay inside clusters (never
+    all-pairs); the drop set is an id-only distinct, and the final
+    left-anti join is left to AQE — broadcast when the drop set is
+    small, key-shuffle when dedup bites hard.
+    """
+    if block_col is not None:
+        blocked = embeddings
+        bcol = block_col
+    else:
+        if centroids is None:
+            centroids = train_centroids_kmeans(
+                embeddings, nlist, id_col=id_col, vec_col=vec_col, seed=seed
+            )
+        cent_rows = centroids.collect()  # bounded: nlist rows
+        assigned = _assign_cells(embeddings, cent_rows, id_col, vec_col)
+        blocked = assigned.select(
+            F.col("neighbor_id").alias(id_col),
+            F.col("cand_vec").alias(vec_col),
+            "cid",
+        )
+        bcol = "cid"
+    pairs = embedding_near_dup_pairs(
+        blocked,
+        id_col=id_col,
+        vec_col=vec_col,
+        threshold=threshold,
+        block_col=bcol,
+    )
+    dominated = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return embeddings.join(dominated, id_col, "left_anti")
+
+
 def quantize_int8(
     embeddings: DataFrame,
     vec_col: str = "embedding",

@@ -786,6 +786,51 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "q_semantic_dedup",
+    oracle="""
+WITH pairs AS (
+  SELECT b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_sum(list_apply(list_zip(a.embedding, b.embedding),
+                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+        / (sqrt(list_sum(list_apply(a.embedding,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+           * sqrt(list_sum(list_apply(b.embedding,
+                 y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+          >= 0.35
+)
+SELECT CAST(e.label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MIN(e.vec_id) AS BIGINT) AS min_kept_id,
+       CAST(MAX(e.vec_id) AS BIGINT) AS max_kept_id
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT id_b FROM pairs)
+GROUP BY e.label
+""",
+    tags=("llm", "similarity", "dedup", "curation"),
+)
+def q_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup semantic deduplication, oracle-exact on the blocked path.
+
+    Within each ``label`` cluster, rows whose cosine to a smaller-id
+    row clears 0.35 (the fixture's non-vacuous threshold — see
+    ``q_embedding_near_dup``) are dropped; the oracle restates the
+    surviving set per cluster.  The k-means clustering path of
+    :func:`~..operators.similarity.semantic_dedup` is pinned separately
+    by an invariant pytest (planted duplicate groups keep exactly their
+    minimum id), since an iterative trainer has no SQL twin.
+    """
+    e = load_table(spark, sf, "embeddings")
+    kept = similarity.semantic_dedup(e, threshold=0.35, block_col="label")
+    return kept.groupBy(F.col("label").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("vec_id").cast("long").alias("min_kept_id"),
+        F.max("vec_id").cast("long").alias("max_kept_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Multimodal family
 # ---------------------------------------------------------------------------
