@@ -864,6 +864,7 @@ def semantic_dedup(
     centroids: DataFrame | None = None,
     nlist: int = 16,
     seed: int = 42,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column.
 
@@ -898,8 +899,17 @@ def semantic_dedup(
         bcol = block_col
     else:
         if centroids is None:
+            # k-means converges on a sample; the assignment step is what
+            # sees every row.  At scale, training wall dominates the
+            # whole dedup unless sample_fraction is set (measured 2x+
+            # end-to-end at 100k vectors — SCALE.md semantic-dedup row).
             centroids = train_centroids_kmeans(
-                embeddings, nlist, id_col=id_col, vec_col=vec_col, seed=seed
+                embeddings,
+                nlist,
+                id_col=id_col,
+                vec_col=vec_col,
+                seed=seed,
+                sample_fraction=sample_fraction,
             )
         cent_rows = centroids.collect()  # bounded: nlist rows
         assigned = _assign_cells(embeddings, cent_rows, id_col, vec_col)
