@@ -510,6 +510,15 @@ def pdf_text(
                 "error": [],
             }
             for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                if p is None:
+                    # null payload (failed upstream fetch) is a data
+                    # condition, not a task-killing TypeError
+                    rows[id_col].append(doc_id)
+                    rows["page_idx"].append(None)
+                    rows["n_pages"].append(None)
+                    rows["page_text"].append(None)
+                    rows["error"].append("ValueError: null PDF payload")
+                    continue
                 parsed, err = _catch_row(rawpdf.extract_pdf, bytes(p), max_pages)
                 if err is not None:
                     rows[id_col].append(doc_id)

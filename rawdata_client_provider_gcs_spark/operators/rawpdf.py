@@ -350,6 +350,7 @@ class _Document:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
+        self._objstm_loading: set[int] = set()
         self._load_xref()
 
     # -- xref ---------------------------------------------------------------
@@ -546,10 +547,20 @@ class _Document:
             filters = []
         elif isinstance(filters, _Name):
             filters = [filters]
-        parms = resolve(d.get("DecodeParms")) or resolve(d.get("DP")) or {}
-        if isinstance(parms, list):
-            parms = resolve(parms[0]) if parms else {}
-        for f in filters:
+        raw_parms = resolve(d.get("DecodeParms"))
+        if raw_parms is None:
+            raw_parms = resolve(d.get("DP"))
+        # Normalize to one parms dict PER FILTER: the spec allows a
+        # single dict, an array aligned with /Filter, and null entries
+        # meaning "default parameters" (ISO 32000 §7.3.8.2).
+        if isinstance(raw_parms, list):
+            parms_list = [resolve(p) or {} for p in raw_parms]
+        else:
+            parms_list = [resolve(raw_parms) or {}]
+        parms_list += [{}] * (len(filters) - len(parms_list))
+        for f, parms in zip(filters, parms_list):
+            if not isinstance(parms, dict):
+                raise ValueError("pdf: /DecodeParms entry is not a dictionary")
             f = str(resolve(f))
             if f == "FlateDecode":
                 raw = _flate(raw)
@@ -574,7 +585,19 @@ class _Document:
     def _from_objstm(self, stm_num: int, idx: int, num: int):
         table = self._objstm_cache.get(stm_num)
         if table is None:
-            stm = self.get(stm_num)
+            if stm_num in self._objstm_loading:
+                # an ObjStm whose xref entry claims it lives inside
+                # itself (or a mutual A-in-B/B-in-A pair) would recurse
+                # unboundedly — the one cycle resolve()/walk() guards
+                # don't cover
+                raise ValueError(
+                    f"pdf: /ObjStm {stm_num} is part of a container cycle"
+                )
+            self._objstm_loading.add(stm_num)
+            try:
+                stm = self.get(stm_num)
+            finally:
+                self._objstm_loading.discard(stm_num)
             if not isinstance(stm, _Stream) or stm.dict.get("Type") != "ObjStm":
                 raise ValueError(f"pdf: object {num}: container is not /ObjStm")
             n = int(self.resolve(stm.dict.get("N", 0)))
@@ -693,10 +716,10 @@ def extract_pdf(data: bytes, max_pages: int = 1000) -> dict:
     if not isinstance(pages_obj, dict):
         raise ValueError("pdf: catalog has no /Pages tree")
 
-    pages: list[dict] = []
+    pages: list[tuple[dict, dict | None]] = []  # (page node, resources)
     seen: set[int] = set()
 
-    def walk(node, depth=0):
+    def walk(node, inherited_res, depth=0):
         if depth > 50 or len(pages) >= max_pages:
             raise ValueError("pdf: page tree too deep or too large")
         node = doc.resolve(node)
@@ -706,18 +729,22 @@ def extract_pdf(data: bytes, max_pages: int = 1000) -> dict:
         if nid in seen:
             raise ValueError("pdf: cycle in page tree")
         seen.add(nid)
+        # /Resources is inheritable (ISO 32000 §7.7.3.4): a node
+        # without its own dict uses the nearest ancestor's — the
+        # Type0 loud boundary below must see the effective one.
+        res = node.get("Resources", inherited_res)
         t = node.get("Type")
         if t == "Pages" or ("Kids" in node and t != "Page"):
             for kid in doc.resolve(node.get("Kids")) or []:
-                walk(kid, depth + 1)
+                walk(kid, res, depth + 1)
         else:
-            pages.append(node)
+            pages.append((node, res))
 
-    walk(pages_obj)
+    walk(pages_obj, None)
 
     texts: list[str] = []
-    for page in pages:
-        fonts = doc.resolve(doc.resolve(page.get("Resources")) or {})
+    for page, page_res in pages:
+        fonts = doc.resolve(doc.resolve(page_res) or {})
         if isinstance(fonts, dict):
             fdict = doc.resolve(fonts.get("Font")) or {}
             if isinstance(fdict, dict):
@@ -755,6 +782,27 @@ def _esc(s: str) -> bytes:
     return raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
+def _content_stream(lines: list[str], compress: bool) -> bytes:
+    """One page's content-stream object body: one ``Tj`` per line with
+    ``Td`` line breaks — shared by both writer layouts so the emitted
+    text operators cannot drift between them."""
+    ops = [b"BT /F1 12 Tf 72 720 Td"]
+    for i, ln in enumerate(lines):
+        if i:
+            ops.append(b"0 -14 Td")
+        ops.append(b"(" + _esc(ln) + b") Tj")
+    ops.append(b"ET")
+    stream = b" ".join(ops)
+    if compress:
+        comp = zlib.compress(stream, 6)
+        return (
+            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
+            + comp
+            + b"\nendstream"
+        )
+    return b"<< /Length %d >>\nstream\n" % len(stream) + stream + b"\nendstream"
+
+
 def encode_pdf(
     pages: list[list[str]],
     *,
@@ -773,23 +821,7 @@ def encode_pdf(
     page_nums: list[int] = []
     content_nums: list[int] = []
     for lines in pages:
-        ops = [b"BT /F1 12 Tf 72 720 Td"]
-        for i, ln in enumerate(lines):
-            if i:
-                ops.append(b"0 -14 Td")
-            ops.append(b"(" + _esc(ln) + b") Tj")
-        ops.append(b"ET")
-        stream = b" ".join(ops)
-        if compress:
-            comp = zlib.compress(stream, 6)
-            body = (
-                b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
-                + comp
-                + b"\nendstream"
-            )
-        else:
-            body = b"<< /Length %d >>\nstream\n" % len(stream) + stream + b"\nendstream"
-        content_nums.append(add(body))
+        content_nums.append(add(_content_stream(lines, compress)))
 
     font_num_placeholder = add(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
@@ -838,20 +870,7 @@ def encode_pdf_modern(pages: list[list[str]], *, producer: str = "rawpdf") -> by
     # then the XRef stream.  Compressed objects (inside the ObjStm) get
     # numbers after that.
     n_pages = len(pages)
-    content_bodies: list[bytes] = []
-    for lines in pages:
-        ops = [b"BT /F1 12 Tf 72 720 Td"]
-        for i, ln in enumerate(lines):
-            if i:
-                ops.append(b"0 -14 Td")
-            ops.append(b"(" + _esc(ln) + b") Tj")
-        ops.append(b"ET")
-        comp = zlib.compress(b" ".join(ops), 6)
-        content_bodies.append(
-            b"<< /Length %d /Filter /FlateDecode >>\nstream\n" % len(comp)
-            + comp
-            + b"\nendstream"
-        )
+    content_bodies = [_content_stream(lines, compress=True) for lines in pages]
 
     objstm_num = n_pages + 1
     xref_num = n_pages + 2

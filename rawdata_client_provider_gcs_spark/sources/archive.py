@@ -121,6 +121,11 @@ def parse_zip(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
     members = []
     pos = cd_off
     for _ in range(n_entries):
+        if pos + 46 > n:
+            # bounds-check BEFORE the unpacks: a truncated directory
+            # must land on ValueError (per-row capture), never
+            # struct.error
+            raise ValueError("zip: truncated central-directory entry")
         if data[pos : pos + 4] != _CDH_SIG:
             raise ValueError("zip: bad central-directory signature")
         (

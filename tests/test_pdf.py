@@ -145,6 +145,87 @@ def test_kernel_never_raises_uncatchable(seed):
                 pass
 
 
+def test_decodeparms_null_and_array_forms():
+    """/DecodeParms may be a single dict, an array aligned with
+    /Filter, or null entries meaning defaults (ISO 32000 §7.3.8.2) —
+    all must decode, none may crash."""
+    base = rawpdf.encode_pdf([["parms shapes"]])
+    for variant in (
+        b"/Filter /FlateDecode /DecodeParms null ",
+        b"/Filter [/FlateDecode] /DecodeParms [null] ",
+        b"/Filter [/FlateDecode] ",
+    ):
+        buf = base.replace(b"/Filter /FlateDecode ", variant)
+        assert rawpdf.extract_pdf(buf)["pages"] == ["parms shapes"]
+
+
+def test_objstm_self_cycle_is_valueerror():
+    """An xref entry claiming an ObjStm lives inside itself must land
+    on ValueError, not RecursionError."""
+    buf = rawpdf.encode_pdf_modern([["cycle"]])
+    doc = rawpdf._Document(buf)
+    objstm_num = next(n for n, e in doc.xref.items() if doc.xref.get(n, ("",))[0] == "n" and isinstance(doc.get(n), rawpdf._Stream) and doc.get(n).dict.get("Type") == "ObjStm")
+    fresh = rawpdf._Document(buf)
+    fresh.xref[objstm_num] = ("c", objstm_num, 0)
+    fresh._cache.clear()
+    with pytest.raises(ValueError, match="cycle"):
+        fresh.get(objstm_num)
+
+
+def test_type0_inherited_resources_rejected():
+    """/Resources with a Type0 font hoisted to the /Pages parent (an
+    inheritable attribute) must still trip the CID loud boundary."""
+    buf = rawpdf.encode_pdf(PAGES).replace(b"/Subtype /Type1", b"/Subtype /Type0")
+    # hoist: strip per-page Resources, attach them to the Pages node
+    res = b"/Resources << /Font << /F1 %d 0 R >> >>"
+    import re as _re
+
+    m = _re.search(rb"/Resources << /Font << /F1 (\d+) 0 R >> >> ", buf)
+    assert m
+    fnum = int(m.group(1))
+    hoisted = buf.replace(res % fnum + b" ", b"")
+    hoisted = hoisted.replace(
+        b"<< /Type /Pages ", b"<< /Type /Pages " + (res % fnum) + b" "
+    )
+    # offsets in the xref are now stale -> the scan fallback recovers;
+    # the point under test is the inherited-resources check, which must
+    # fire before any text is emitted
+    with pytest.raises(ValueError, match="Type0"):
+        rawpdf.extract_pdf(hoisted)
+
+
+def test_zip_truncated_central_directory_is_valueerror():
+    from rawdata_client_provider_gcs_spark.sources import archive as A
+
+    z = bytearray(A.build_zip([("doc/x.txt", b"payload")]))
+    eocd = bytes(z).rfind(b"PK\x05\x06")
+    # point cd_off just before the EOCD at a planted CDH signature so
+    # the fixed-size unpacks would run out of buffer
+    import struct as _struct
+
+    cd_off = eocd - 4
+    patched = (
+        bytes(z[:cd_off])
+        + b"PK\x01\x02"
+        + bytes(z[cd_off + 4 : eocd + 16])
+        + _struct.pack("<I", cd_off)
+        + bytes(z[eocd + 20 :])
+    )
+    with pytest.raises(ValueError):
+        A.parse_zip(patched)
+
+
+def test_spark_pdf_text_null_payload_survives(spark):
+    good = rawpdf.encode_pdf([["alive"]])
+    rows = [(0, bytearray(good)), (1, None)]
+    df = spark.createDataFrame(rows, "doc_id long, pdf binary")
+    media = multimodal.with_media_columns(df, "pdf", "application/pdf", "doc_id")
+    out = multimodal.pdf_text(media).toPandas().sort_values("doc_id")
+    assert list(out[out["doc_id"] == 0]["page_text"]) == ["alive"]
+    nulls = out[out["doc_id"] == 1]
+    assert len(nulls) == 1 and nulls["error"].str.contains("null").all()
+
+
 def test_spark_pdf_text_captures_errors_per_row(spark):
     good = rawpdf.encode_pdf([["alpha"], ["beta"]])
     rows = [
