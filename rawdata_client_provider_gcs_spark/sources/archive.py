@@ -15,11 +15,14 @@ kilobyte-sized zip bomb cannot expand to gigabytes inside an executor:
 
 - **ZIP** (APPNOTE.TXT layout): end-of-central-directory scan from the
   tail, central-directory walk, local-header offset validation, methods
-  0 (store) and 8 (deflate, raw ``zlib`` wbits=-15), CRC-32 verified,
-  declared sizes cross-checked against ``MAX_MEMBER_BYTES``.
-- **TAR** (POSIX ustar): 512-byte headers, octal size fields, header
-  checksum verified, ``prefix`` joining, regular files only (links,
-  devices and directories are skipped as members but never error).
+  0 (store), 8 (deflate, raw ``zlib`` wbits=-15) and 12 (bzip2),
+  CRC-32 verified, declared sizes cross-checked against
+  ``MAX_MEMBER_BYTES``.
+- **TAR** (POSIX ustar + the long-path mechanisms real archives use:
+  GNU ``L`` longname entries and pax ``x`` extended headers): 512-byte
+  headers, octal size fields, header checksum verified, ``prefix``
+  joining, regular files only (links, devices and directories are
+  skipped as members but never error).
 
 Reference behavioral parity: the reference transport stores opaque
 named byte arrays per message (RawdataMessage.java:15-60); container
@@ -176,6 +179,19 @@ def parse_zip(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
                     f"zip: member {name!r} inflates to a size other than "
                     "declared (bomb or corruption)"
                 )
+        elif method == 12:
+            import bz2
+
+            d = bz2.BZ2Decompressor()
+            try:
+                payload = d.decompress(raw, ulen + 1)
+            except OSError as exc:  # bz2's corrupt-stream error class
+                raise ValueError(f"zip: corrupt bzip2 in {name!r}: {exc}")
+            if len(payload) != ulen or not d.eof:
+                raise ValueError(
+                    f"zip: member {name!r} inflates to a size other than "
+                    "declared (bomb or corruption)"
+                )
         else:
             raise ValueError(f"zip: unsupported compression method {method}")
         if name.endswith("/"):
@@ -228,11 +244,44 @@ def _tar_num(field: bytes) -> int:
         raise ValueError(f"tar: non-octal numeric field {field!r}")
 
 
+def _parse_pax_records(blob: bytes) -> dict[str, str]:
+    """Decode pax extended-header records: ``"%d %s=%s\\n" % (len, k, v)``."""
+    out: dict[str, str] = {}
+    pos = 0
+    n = len(blob)
+    while pos < n:
+        sp = blob.find(b" ", pos)
+        if sp < 0:
+            break
+        try:
+            rec_len = int(blob[pos:sp])
+        except ValueError:
+            raise ValueError("tar: malformed pax record length")
+        if rec_len <= 0 or pos + rec_len > n:
+            raise ValueError("tar: pax record overruns header")
+        body = blob[sp + 1 : pos + rec_len]
+        if body.endswith(b"\n"):
+            body = body[:-1]
+        k, _, v = body.partition(b"=")
+        out[k.decode("utf-8", "replace")] = v.decode("utf-8", "replace")
+        pos += rec_len
+    return out
+
+
 def parse_tar(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
-    """Parse a ustar archive into member dicts (regular files only)."""
+    """Parse a tar archive into member dicts (regular files only).
+
+    Handles the three long-path mechanisms real tars use: ustar
+    ``prefix``, GNU ``L`` longname entries, and pax ``x`` extended
+    headers (``path``/``size`` overrides) — without any of these a
+    >100-byte path silently truncates, corrupting every deep member
+    path in the archive.
+    """
     members = []
     pos = 0
     n = len(data)
+    pending_longname: str | None = None
+    pending_pax: dict[str, str] | None = None
     while pos + 512 <= n:
         hdr = data[pos : pos + 512]
         if hdr == b"\x00" * 512:
@@ -253,11 +302,40 @@ def parse_tar(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
         body = pos + 512
         if body + size > n:
             raise ValueError(f"tar: member {name!r} payload past end of file")
-        if typeflag in (b"0", b"\x00"):
-            payload = data[body : body + size]
-            members.append(
-                {"path": name, "size": size, "payload": payload}
+        payload = data[body : body + size]
+        if typeflag == b"L":  # GNU longname: payload names the NEXT entry
+            pending_longname = payload.split(b"\x00", 1)[0].decode(
+                "utf-8", "replace"
             )
+        elif typeflag == b"x":  # pax per-file header: overrides NEXT entry
+            pending_pax = _parse_pax_records(payload)
+        elif typeflag in (b"g", b"K"):
+            # pax global header / GNU longlink: metadata only — must
+            # not clear a pending longname (GNU emits K before L)
+            pass
+        elif typeflag in (b"0", b"\x00"):
+            if pending_longname is not None:
+                name = pending_longname
+            if pending_pax is not None:
+                name = pending_pax.get("path", name)
+                if "size" in pending_pax:
+                    try:
+                        size = int(pending_pax["size"])
+                    except ValueError:
+                        raise ValueError("tar: non-numeric pax size record")
+                    if size < 0 or size > cap or body + size > n:
+                        raise ValueError(
+                            f"tar: pax size for {name!r} outside the file"
+                        )
+                    payload = data[body : body + size]
+            members.append({"path": name, "size": size, "payload": payload})
+            pending_longname = None
+            pending_pax = None
+        else:
+            # links, devices, directories, GNU longlink: not members,
+            # but they consume any pending overrides
+            pending_longname = None
+            pending_pax = None
         pos = body + size + ((-size) % 512)
     else:
         if pos != n:

@@ -115,6 +115,36 @@ def test_tar_directories_and_links_skipped():
     assert [(m["path"], m["payload"]) for m in got] == [("real.txt", b"data")]
 
 
+@pytest.mark.parametrize(
+    "fmt", [tarfile.GNU_FORMAT, tarfile.PAX_FORMAT], ids=["gnu", "pax"]
+)
+def test_tar_long_paths_survive(fmt):
+    """>100-byte member paths use GNU L entries or pax x headers —
+    both must yield the full path, not a 100-char truncation."""
+    long_name = "deeply/" * 20 + "file-with-a-very-long-path-name.txt"
+    assert len(long_name) > 100
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=fmt) as tf:
+        ti = tarfile.TarInfo(long_name)
+        ti.size = 4
+        tf.addfile(ti, io.BytesIO(b"data"))
+    got = A.parse_tar(buf.getvalue())
+    assert [(m["path"], m["payload"]) for m in got] == [(long_name, b"data")]
+
+
+def test_zip_bzip2_member():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_BZIP2) as zf:
+        for p, d in MEMBERS:
+            zf.writestr(p, d)
+    assert [(m["path"], m["payload"]) for m in A.parse_zip(buf.getvalue())] == MEMBERS
+
+
+def test_pax_records_malformed_is_valueerror():
+    with pytest.raises(ValueError, match="pax"):
+        A._parse_pax_records(b"99999 path=x\n")
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_kernels_never_raise_uncatchable(seed):
     rng = random.Random(seed)
