@@ -87,7 +87,16 @@ DECODABLE_IMAGE_MIMES = frozenset(
         "image/tiff",
     }
 )
-DECODABLE_AUDIO_MIMES = frozenset({"audio/wav", "audio/x-wav", "audio/wave"})
+DECODABLE_AUDIO_MIMES = frozenset(
+    {
+        "audio/wav",
+        "audio/x-wav",
+        "audio/wave",
+        "audio/aiff",
+        "audio/x-aiff",
+        "audio/basic",  # Sun AU
+    }
+)
 
 
 class MediaDecodeError(ValueError):
@@ -197,9 +206,10 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
                 f"payload does not decode as declared mime {mime}"
             )
     if mime.startswith("audio/"):
-        if rawaudio.sniff_wav(payload):
-            # real decode without external libs: RIFF PCM / IEEE-float WAV
-            return rawaudio.audio_features(*rawaudio.decode_wav(payload))
+        if rawaudio.sniff_audio(payload):
+            # real decode without external libs: RIFF/WAVE, AIFF/AIFC,
+            # Sun AU — dispatched by container magic
+            return rawaudio.audio_features(*rawaudio.decode_audio(payload))
         if mime in DECODABLE_AUDIO_MIMES:
             raise MediaDecodeError(
                 f"payload does not decode as declared mime {mime}"
@@ -388,7 +398,7 @@ def sample_frames(
             return out
 
         def frames(payload: bytes, mime: str):
-            if mime.startswith("audio/") and rawaudio.sniff_wav(payload):
+            if mime.startswith("audio/") and rawaudio.sniff_audio(payload):
                 return rawaudio.segment_wav(payload, every_ms, max_frames)
             if mime.startswith("image/") and payload[:6] in (
                 b"GIF87a",

@@ -413,17 +413,277 @@ def audio_features(samples: np.ndarray, rate: int) -> list[float]:
     return [dur, float(channels), float(rate), rms, peak, zcr, mean, std]
 
 
+# ---------------------------------------------------------------------------
+# AIFF / AIFF-C (the big-endian IFF twin of WAV) and Sun AU
+# ---------------------------------------------------------------------------
+
+
+def _read_extended80(b: bytes) -> float:
+    """IEEE 754 80-bit extended float — AIFF's sample-rate encoding."""
+    if len(b) < 10:
+        raise ValueError("AIFF extended float shorter than 10 bytes")
+    sign_exp = int.from_bytes(b[0:2], "big")
+    mantissa = int.from_bytes(b[2:10], "big")
+    exp = sign_exp & 0x7FFF
+    if exp == 0 and mantissa == 0:
+        return 0.0
+    if exp == 0x7FFF:
+        raise ValueError("AIFF sample rate is inf/nan")
+    val = mantissa * 2.0 ** (exp - 16383 - 63)
+    return -val if sign_exp & 0x8000 else val
+
+
+def _write_extended80(value: float) -> bytes:
+    if value <= 0:
+        raise ValueError("extended80 writer handles positive rates only")
+    exp = 16383 + 63
+    mant = int(value)
+    frac = value - mant
+    m = mant
+    # normalize: shift mantissa so bit 63 is set
+    shift = 63 - (m.bit_length() - 1)
+    m = (m << shift) | int(frac * (1 << shift))
+    exp -= shift
+    return exp.to_bytes(2, "big") + m.to_bytes(8, "big")
+
+
+def sniff_aiff(payload: bytes) -> bool:
+    """True when the payload is a FORM/AIFF or FORM/AIFC container."""
+    return (
+        len(payload) >= 12
+        and payload[:4] == b"FORM"
+        and payload[8:12] in (b"AIFF", b"AIFC")
+    )
+
+
+def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode AIFF/AIFF-C to ``((frames, channels) float64, rate)``.
+
+    PCM (big-endian 8/16/24/32 — AIFF 8-bit is SIGNED, unlike WAV),
+    AIFC ``sowt`` (little-endian 16-bit), ``ulaw``/``alaw`` (shared
+    G.711 LUTs), ``fl32``/``fl64`` floats.  Anything else raises.
+    """
+    if not sniff_aiff(payload):
+        raise ValueError("payload is not a FORM/AIFF container")
+    is_aifc = payload[8:12] == b"AIFC"
+    comm = ssnd = None
+    i, n = 12, len(payload)
+    while i + 8 <= n:
+        cid = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "big")
+        if size < 0 or i + 8 + size > n:
+            raise ValueError("AIFF chunk overruns container")
+        if cid == b"COMM" and comm is None:
+            comm = payload[i + 8 : i + 8 + size]
+        elif cid == b"SSND" and ssnd is None:
+            ssnd = payload[i + 8 : i + 8 + size]
+        i += 8 + size + (size & 1)
+    if comm is None or len(comm) < 18 or ssnd is None or len(ssnd) < 8:
+        raise ValueError("AIFF missing COMM or SSND chunk")
+    channels = int.from_bytes(comm[0:2], "big", signed=True)
+    bits = int.from_bytes(comm[6:8], "big", signed=True)
+    rate = int(round(_read_extended80(comm[8:18])))
+    compression = b"NONE"
+    if is_aifc:
+        if len(comm) < 22:
+            raise ValueError("AIFC COMM missing compression type")
+        compression = comm[18:22]
+    if channels < 1 or rate < 1:
+        raise ValueError(f"bad AIFF header: channels={channels} rate={rate}")
+    data_off = int.from_bytes(ssnd[0:4], "big")  # offset field
+    data = ssnd[8 + data_off :]
+
+    if compression == b"NONE" and bits in (8, 16, 24, 32):
+        if bits == 8:
+            samples = np.frombuffer(data, np.int8).astype(np.float64) / 128.0
+        elif bits == 24:
+            raw = np.frombuffer(data, np.uint8)
+            raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+            as_int = (
+                (raw[:, 0].astype(np.int32) << 16)
+                | (raw[:, 1].astype(np.int32) << 8)
+                | raw[:, 2].astype(np.int32)
+            )
+            as_int = np.where(as_int >= 1 << 23, as_int - (1 << 24), as_int)
+            samples = as_int.astype(np.float64) / float(1 << 23)
+        else:
+            dtype = np.dtype(">i2") if bits == 16 else np.dtype(">i4")
+            samples = np.frombuffer(data, dtype).astype(np.float64) / float(
+                2 ** (bits - 1)
+            )
+    elif compression == b"sowt" and bits == 16:
+        samples = np.frombuffer(data, np.dtype("<i2")).astype(np.float64) / 32768.0
+    elif compression in (b"ulaw", b"ULAW", b"alaw", b"ALAW"):
+        lut = _MU_LUT if compression.lower() == b"ulaw" else _A_LUT
+        samples = lut[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
+    elif compression == b"fl32":
+        samples = np.frombuffer(data, np.dtype(">f4")).astype(np.float64)
+    elif compression == b"fl64":
+        samples = np.frombuffer(data, np.dtype(">f8")).astype(np.float64)
+    else:
+        raise ValueError(
+            f"unsupported AIFF encoding: compression={compression!r} bits={bits}"
+        )
+    frames = len(samples) // channels
+    return samples[: frames * channels].reshape(frames, channels), rate
+
+
+def encode_aiff_pcm16(samples: np.ndarray, rate: int) -> bytes:
+    """Deterministic big-endian 16-bit AIFF writer (fixture/roundtrip)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    frames, channels = samples.shape
+    ints = np.clip(np.round(samples * 32768.0), -32768, 32767).astype(">i2")
+    data = ints.tobytes()
+    comm = (
+        channels.to_bytes(2, "big")
+        + frames.to_bytes(4, "big")
+        + (16).to_bytes(2, "big")
+        + _write_extended80(float(rate))
+    )
+    ssnd = (0).to_bytes(4, "big") + (0).to_bytes(4, "big") + data
+    body = (
+        b"AIFF"
+        + b"COMM"
+        + len(comm).to_bytes(4, "big")
+        + comm
+        + b"SSND"
+        + len(ssnd).to_bytes(4, "big")
+        + ssnd
+        + (b"\x00" if len(ssnd) & 1 else b"")
+    )
+    return b"FORM" + len(body).to_bytes(4, "big") + body
+
+
+_AU_ENCODINGS = {
+    1: ("ulaw", 8),
+    2: ("pcm", 8),
+    3: ("pcm", 16),
+    4: ("pcm", 24),
+    5: ("pcm", 32),
+    6: ("float", 32),
+    7: ("float", 64),
+}
+
+
+def sniff_au(payload: bytes) -> bool:
+    """True when the payload is a Sun/NeXT .au (.snd) stream."""
+    return len(payload) >= 24 and payload[:4] == b".snd"
+
+
+def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode Sun AU to ``((frames, channels) float64, rate)``.
+
+    Big-endian throughout; encodings 1 (G.711 μ-law) and 2-7 (linear
+    PCM 8/16/24/32, float32/64).  AU 8-bit PCM is signed.
+    """
+    if not sniff_au(payload):
+        raise ValueError("payload is not a Sun AU stream")
+    off = int.from_bytes(payload[4:8], "big")
+    enc = int.from_bytes(payload[12:16], "big")
+    rate = int.from_bytes(payload[16:20], "big")
+    channels = int.from_bytes(payload[20:24], "big")
+    if off < 24 or off > len(payload):
+        raise ValueError("AU data offset outside the payload")
+    if channels < 1 or rate < 1:
+        raise ValueError(f"bad AU header: channels={channels} rate={rate}")
+    if enc not in _AU_ENCODINGS:
+        raise ValueError(f"unsupported AU encoding: {enc}")
+    kind, bits = _AU_ENCODINGS[enc]
+    data = payload[off:]
+    if kind == "ulaw":
+        samples = _MU_LUT[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
+    elif kind == "float":
+        samples = np.frombuffer(
+            data, np.dtype(">f4") if bits == 32 else np.dtype(">f8")
+        ).astype(np.float64)
+    elif bits == 8:
+        samples = np.frombuffer(data, np.int8).astype(np.float64) / 128.0
+    elif bits == 24:
+        raw = np.frombuffer(data, np.uint8)
+        raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+        as_int = (
+            (raw[:, 0].astype(np.int32) << 16)
+            | (raw[:, 1].astype(np.int32) << 8)
+            | raw[:, 2].astype(np.int32)
+        )
+        as_int = np.where(as_int >= 1 << 23, as_int - (1 << 24), as_int)
+        samples = as_int.astype(np.float64) / float(1 << 23)
+    else:
+        dtype = np.dtype(">i2") if bits == 16 else np.dtype(">i4")
+        samples = np.frombuffer(data, dtype).astype(np.float64) / float(
+            2 ** (bits - 1)
+        )
+    frames = len(samples) // channels
+    return samples[: frames * channels].reshape(frames, channels), rate
+
+
+def encode_au(samples: np.ndarray, rate: int, encoding: str = "pcm16") -> bytes:
+    """Deterministic AU writer: ``pcm16`` (encoding 3) or ``ulaw``."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    channels = samples.shape[1]
+    if encoding == "pcm16":
+        ints = np.clip(np.round(samples * 32768.0), -32768, 32767).astype(">i2")
+        data, enc = ints.tobytes(), 3
+    elif encoding == "ulaw":
+        pcm = np.clip(np.round(samples * 32768.0), -32768, 32767).astype(np.int64)
+        codes = np.searchsorted(_MU_LUT_SORTED_VALS, pcm.ravel())
+        codes = np.clip(codes, 0, 255)
+        # snap to the nearer of the two neighbors
+        lo = np.clip(codes - 1, 0, 255)
+        pick = np.where(
+            np.abs(_MU_LUT_SORTED_VALS[lo] - pcm.ravel())
+            <= np.abs(_MU_LUT_SORTED_VALS[np.clip(codes, 0, 255)] - pcm.ravel()),
+            lo,
+            codes,
+        )
+        data, enc = _MU_LUT_SORTED_IDX[pick].astype(np.uint8).tobytes(), 1
+    else:
+        raise ValueError(f"unsupported AU writer encoding: {encoding}")
+    header = (
+        b".snd"
+        + (24).to_bytes(4, "big")
+        + len(data).to_bytes(4, "big")
+        + enc.to_bytes(4, "big")
+        + int(rate).to_bytes(4, "big")
+        + int(channels).to_bytes(4, "big")
+    )
+    return header + data
+
+
+_MU_LUT_SORTED_IDX = np.argsort(_MU_LUT)
+_MU_LUT_SORTED_VALS = _MU_LUT[_MU_LUT_SORTED_IDX]
+
+
+def sniff_audio(payload: bytes) -> bool:
+    """True when the payload is any decodable audio container."""
+    return sniff_wav(payload) or sniff_aiff(payload) or sniff_au(payload)
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Dispatch WAV / AIFF / AU decode by container magic."""
+    if sniff_wav(payload):
+        return decode_wav(payload)
+    if sniff_aiff(payload):
+        return decode_aiff(payload)
+    if sniff_au(payload):
+        return decode_au(payload)
+    raise ValueError("payload is not a recognized audio container")
+
+
 def segment_wav(
     payload: bytes, every_ms: int, max_segments: int
 ) -> list[tuple[int, int, bytes]]:
-    """Split a WAV payload into ``every_ms`` slices re-encoded as WAV.
+    """Split an audio payload into ``every_ms`` slices re-encoded as WAV.
 
     Returns ``[(idx, start_ms, wav_bytes), ...]`` — at most
     ``max_segments`` entries, the audio analog of video frame sampling.
     Slices are cut on frame boundaries so every segment is a valid
-    standalone clip.
+    standalone clip.  Accepts any container ``decode_audio`` handles;
+    segments are always emitted as PCM-16 WAV.
     """
-    samples, rate = decode_wav(payload)
+    samples, rate = decode_audio(payload)
     frames = samples.shape[0]
     step = max(1, rate * every_ms // 1000)
     out = []

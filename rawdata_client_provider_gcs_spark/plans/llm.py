@@ -1216,6 +1216,79 @@ def q_multimodal_audio_segments(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_audio_containers",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'aiff' ELSE 'au' END AS container,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 54 + 2*n_chars
+                 ELSE 24 + 2*n_chars END AS BIGINT) AS n_bytes,
+       n_chars/1000.0 AS duration_s,
+       1.0 AS channels,
+       1000.0 AS sample_rate,
+       ((doc_id % 100) + 1)/256.0 AS rms,
+       ((doc_id % 100) + 1)/256.0 AS peak
+FROM documents WHERE doc_id < 300 AND n_chars > 0
+""",
+    tags=("llm", "multimodal", "audio", "pandas-udf"),
+)
+def q_multimodal_audio_containers(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL AIFF and Sun-AU decode, oracle-checked exactly.
+
+    The WAV twin's square-wave fixture re-encoded in the other two
+    classic audio containers — big-endian PCM-16 AIFF (even doc_ids)
+    and Sun AU encoding 3 (odd) — then decoded by the container-
+    dispatching audio kernel (``rawaudio.decode_audio``).  Amplitudes
+    ``k/256`` scale to exact 16-bit integers (``k·128``), so the
+    encode→decode roundtrip is bit-exact and every output column is
+    closed-form in (doc_id, n_chars), matching the float-parity
+    discipline of ``q_multimodal_audio_features``.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter((F.col("doc_id") < 300) & (F.col("n_chars") > 0))
+        .select("doc_id", "n_chars")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawaudio
+
+        for pdf in batches:
+            payloads = []
+            for did, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                amp = ((int(did) % 100) + 1) / 256.0
+                sig = amp * np.where(np.arange(int(n)) % 2 == 0, 1.0, -1.0)
+                if int(did) % 2 == 0:
+                    payloads.append(rawaudio.encode_aiff_pcm16(sig, 1000))
+                else:
+                    payloads.append(rawaudio.encode_au(sig, 1000, "pcm16"))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "clip": payloads})
+
+    clips = d.mapInPandas(make, "doc_id long, clip binary")
+    even = multimodal.with_media_columns(
+        clips.filter(F.col("doc_id") % 2 == 0), "clip", "audio/aiff", "doc_id"
+    )
+    odd = multimodal.with_media_columns(
+        clips.filter(F.col("doc_id") % 2 == 1), "clip", "audio/basic", "doc_id"
+    )
+    feats = multimodal.extract_features(even.unionByName(odd), fake=False)
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("aiff"))
+        .otherwise(F.lit("au"))
+        .alias("container"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.element_at("features", 1).alias("duration_s"),
+        F.element_at("features", 2).alias("channels"),
+        F.element_at("features", 3).alias("sample_rate"),
+        F.element_at("features", 4).alias("rms"),
+        F.element_at("features", 5).alias("peak"),
+    )
+
+
+@register(
     "q_multimodal_image_pipeline",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
