@@ -85,6 +85,8 @@ DECODABLE_IMAGE_MIMES = frozenset(
         "image/x-portable-graymap",
         "image/x-portable-anymap",
         "image/tiff",
+        "image/x-icon",
+        "image/vnd.microsoft.icon",
     }
 )
 DECODABLE_AUDIO_MIMES = frozenset(

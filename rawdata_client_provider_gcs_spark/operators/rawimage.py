@@ -21,7 +21,15 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Return "ppm"|"pgm"|"bmp"|"png"|"jpeg"|"gif"|"tiff" when decodable here."""
+    """Return "ppm"|"pgm"|"bmp"|"png"|"jpeg"|"gif"|"tiff"|"ico" when
+    decodable here."""
+    if (
+        len(payload) >= 6
+        and payload[0:2] == b"\x00\x00"
+        and payload[2:4] in (b"\x01\x00", b"\x02\x00")
+        and int.from_bytes(payload[4:6], "little") > 0
+    ):
+        return "ico"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
     if payload[:2] == b"P6":
@@ -111,8 +119,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         from . import rawtiff  # noqa: PLC0415
 
         return rawtiff.decode_tiff(payload)
+    if fmt == "ico":
+        from . import rawico  # noqa: PLC0415
+
+        return rawico.decode_ico_best(payload)
     raise ValueError(
-        "payload is not a decodable PPM/PGM/BMP/PNG/JPEG/GIF/TIFF image"
+        "payload is not a decodable PPM/PGM/BMP/PNG/JPEG/GIF/TIFF/ICO image"
     )
 
 

@@ -1289,6 +1289,96 @@ def q_multimodal_audio_containers(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_icons",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'dib' ELSE 'png' END AS entry_kind,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(doc_id % 256 AS BIGINT) AS mean_pixel,
+       CAST((doc_id % 256) // 32 AS BIGINT) AS luma_bucket
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "image", "ico", "pandas-udf"),
+)
+def q_multimodal_icons(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL ICO (favicon) decode, oracle-checked exactly.
+
+    Each document becomes a two-entry icon directory — a 16×16
+    constant-gray plus an 8×8 decoy, stored as 32-bit DIBs with AND
+    masks for even doc_ids and as PNG entries for odd ones — decoded
+    by :mod:`..operators.rawico` through the generic image dispatch
+    (largest entry wins) AND the feature kernel (one-hot luma
+    histogram).  Constant color ``doc_id % 256`` survives both entry
+    encodings losslessly, so every column is closed-form.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawico
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = did % 256
+                main = np.full((16, 16, 3), k, dtype=np.uint8)
+                decoy = np.full((8, 8, 3), (k + 97) % 256, dtype=np.uint8)
+                payloads.append(
+                    rawico.encode_ico([main, decoy], png=(did % 2 == 1))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "icon": payloads})
+
+    icons = d.mapInPandas(make, "doc_id long, icon binary")
+    media = multimodal.with_media_columns(icons, "icon", "image/x-icon", "doc_id")
+    feats = multimodal.extract_features(media, fake=False).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.array_position(F.col("features"), 1.0) - 1)
+        .cast("long")
+        .alias("luma_bucket"),
+    )
+
+    def stats(batches):
+        import pandas as pd
+
+        from ..operators import rawimage
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "mean_pixel": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = rawimage.decode_image(bytes(payload))
+                rows["doc_id"].append(int(did))
+                rows["width"].append(arr.shape[1])
+                rows["height"].append(arr.shape[0])
+                rows["mean_pixel"].append(int(round(float(arr.mean()))))
+            yield pd.DataFrame(rows)
+
+    decoded = media.mapInPandas(
+        stats, "doc_id long, width long, height long, mean_pixel long"
+    )
+    return (
+        decoded.join(feats, "doc_id")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("dib"))
+            .otherwise(F.lit("png"))
+            .alias("entry_kind"),
+            "width",
+            "height",
+            "mean_pixel",
+            "luma_bucket",
+        )
+    )
+
+
+@register(
     "q_multimodal_image_pipeline",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
