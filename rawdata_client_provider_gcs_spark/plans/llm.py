@@ -788,6 +788,7 @@ def q_embedding_near_dup(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_semantic_dedup",
+    bench=True,
     oracle="""
 WITH pairs AS (
   SELECT b.vec_id AS id_b
@@ -2507,6 +2508,7 @@ def q_crawl_archive_members(spark: SparkSession, sf: str) -> DataFrame:
 
 @register(
     "q_crawl_pdf_text",
+    bench=True,
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(0 AS BIGINT) AS page_idx,
