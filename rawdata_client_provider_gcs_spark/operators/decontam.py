@@ -101,6 +101,79 @@ def decontaminate(
     return docs.join(bad, id_col, "left_anti")
 
 
+def semantic_contaminated_docs(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: str | None = None,
+    bench_vec_col: str | None = None,
+) -> DataFrame:
+    """Embedding-space contamination report against a benchmark corpus.
+
+    The semantic twin of :func:`contaminated_docs`: a paraphrased or
+    reformatted benchmark item shares no exact k-grams with its source
+    but sits next to it in embedding space.  Returns one row per
+    training document whose max cosine against ANY benchmark embedding
+    clears ``threshold``: ``(id_col, max_cosine, n_bench_hits)``.
+
+    100 TB shape: the benchmark side is broadcast (eval sets are small
+    by definition), the corpus is scanned map-side, and the per-doc
+    aggregate is combinable — zero shuffle of corpus rows, exactly the
+    broadcast-probe shape of the n-gram path.
+    """
+    from .similarity import cosine_similarity
+
+    bench_id = bench_id_col or id_col
+    bench_vec = bench_vec_col or vec_col
+    bench = F.broadcast(
+        benchmark.select(
+            F.col(bench_id).alias("bench_id"),
+            F.col(bench_vec).alias("bench_vec"),
+        )
+    )
+    scored = (
+        docs.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(bench)
+        .withColumn(
+            "cosine", cosine_similarity(F.col(vec_col), F.col("bench_vec"))
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max("cosine").alias("max_cosine"),
+            F.sum(
+                F.when(F.col("cosine") >= F.lit(threshold), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_bench_hits"),
+        )
+        .filter(F.col("max_cosine") >= F.lit(threshold))
+    )
+
+
+def semantic_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """The training set minus semantically contaminated documents."""
+    bad = semantic_contaminated_docs(
+        docs,
+        benchmark,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        **kwargs,
+    ).select(id_col)
+    return docs.join(bad, id_col, "left_anti")
+
+
 def repetition_stats(
     docs: DataFrame,
     id_col: str = "doc_id",

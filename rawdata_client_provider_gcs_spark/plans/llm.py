@@ -1700,6 +1700,54 @@ def q_multimodal_frames(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_decontam_semantic",
+    oracle="""
+WITH b AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 40),
+     d AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 40),
+     s AS (
+  SELECT d.vec_id,
+         list_sum(list_apply(list_zip(d.embedding, b.embedding),
+                  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_apply(d.embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))
+            * sqrt(list_sum(list_apply(b.embedding,
+                  y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+           AS cosine
+  FROM d, b
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       max(cosine) AS max_cosine,
+       CAST(SUM(CASE WHEN cosine >= 0.35 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bench_hits
+FROM s GROUP BY vec_id HAVING max(cosine) >= 0.35
+""",
+    tags=("llm", "decontam", "similarity", "curation"),
+)
+def q_decontam_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space benchmark decontamination, oracle-exact.
+
+    Benchmark = the first 40 embeddings, corpus = the rest; a corpus
+    row is contaminated when its max cosine against any benchmark
+    vector clears 0.35 (fixture-calibrated to flag 31/38/165 docs at
+    sf0.001/0.01/0.1 — non-vacuous at every scale).  The broadcast-
+    probe shape matches the n-gram decontaminator: benchmark broadcast,
+    corpus scanned map-side, combinable per-doc aggregate — zero
+    corpus-row shuffle at 100 TB.
+    """
+    e = load_table(spark, sf, "embeddings")
+    bench = e.filter(F.col("vec_id") < 40)
+    docs = e.filter(F.col("vec_id") >= 40)
+    out = decontam.semantic_contaminated_docs(
+        docs, bench, threshold=0.35, id_col="vec_id", vec_col="embedding"
+    )
+    return out.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        "max_cosine",
+        F.col("n_bench_hits").cast("long").alias("n_bench_hits"),
+    )
+
+
+@register(
     "q_decontam_overlap",
     bench=True,
     oracle="""

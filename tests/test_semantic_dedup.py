@@ -79,6 +79,37 @@ def test_precomputed_centroids_path(spark):
     assert sorted(kept.toPandas()["vec_id"]) == [10, 20, 30, 99]
 
 
+def test_semantic_decontaminate_removes_planted_paraphrase(spark):
+    """A corpus vector identical to a benchmark vector (max cosine 1.0)
+    must be flagged and removed; orthogonal vectors survive."""
+    from rawdata_client_provider_gcs_spark.operators import decontam
+
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0]),  # exact plant
+            (11, [0.9, 0.1, 0.0]),  # near plant (cos ~0.994)
+            (12, [0.0, 0.0, 1.0]),  # orthogonal to the whole benchmark
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    hits = decontam.semantic_contaminated_docs(
+        docs, bench, threshold=0.9
+    ).toPandas()
+    assert sorted(hits["vec_id"]) == [10, 11]
+    assert hits.set_index("vec_id")["max_cosine"][10] == pytest.approx(1.0)
+    kept = decontam.semantic_decontaminate(docs, bench, threshold=0.9)
+    assert sorted(kept.toPandas()["vec_id"]) == [12]
+    # the benchmark side must be broadcast: corpus rows never shuffle
+    plan = decontam.semantic_contaminated_docs(
+        docs, bench, threshold=0.9
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_chain_drops_conservatively(spark):
     """a~b and b~c but a!~c: both b and c are dropped (dominated by a
     smaller id) — the documented conservative direction."""
