@@ -144,8 +144,11 @@ def semantic_contaminated_docs(
         scored.groupBy(id_col)
         .agg(
             F.max("cosine").alias("max_cosine"),
-            F.sum(
-                F.when(F.col("cosine") >= F.lit(threshold), 1).otherwise(0)
+            # distinct benchmark DOCS above threshold — the same
+            # statistic as the n-gram twin's n_bench_docs (countDistinct
+            # skips the nulls when() leaves below threshold)
+            F.countDistinct(
+                F.when(F.col("cosine") >= F.lit(threshold), F.col("bench_id"))
             )
             .cast("long")
             .alias("n_bench_hits"),

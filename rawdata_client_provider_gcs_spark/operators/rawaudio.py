@@ -170,6 +170,24 @@ def _ima_encode_block(
     return bytes(out)
 
 
+def _pcm24_to_float(data: bytes, big_endian: bool) -> np.ndarray:
+    """24-bit packed PCM → float64 in [-1, 1) — shared by all three
+    container decoders (WAV little-endian, AIFF/AU big-endian)."""
+    raw = np.frombuffer(data, np.uint8)
+    raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
+    if big_endian:
+        b0, b1, b2 = raw[:, 2], raw[:, 1], raw[:, 0]
+    else:
+        b0, b1, b2 = raw[:, 0], raw[:, 1], raw[:, 2]
+    as_int = (
+        b0.astype(np.int32)
+        | (b1.astype(np.int32) << 8)
+        | (b2.astype(np.int32) << 16)
+    )
+    as_int = np.where(as_int >= 1 << 23, as_int - (1 << 24), as_int)
+    return as_int.astype(np.float64) / float(1 << 23)
+
+
 def sniff_wav(payload: bytes) -> bool:
     """True when the payload is a RIFF/WAVE container."""
     return (
@@ -230,15 +248,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         scale = float(2 ** (bits - 1))
         samples = np.frombuffer(data, dtype).astype(np.float64) / scale
     elif tag == _PCM and bits == 24:
-        raw = np.frombuffer(data, np.uint8)
-        raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
-        as_int = (
-            raw[:, 0].astype(np.int32)
-            | (raw[:, 1].astype(np.int32) << 8)
-            | (raw[:, 2].astype(np.int32) << 16)
-        )
-        as_int = np.where(as_int >= 1 << 23, as_int - (1 << 24), as_int)
-        samples = as_int.astype(np.float64) / float(1 << 23)
+        samples = _pcm24_to_float(data, big_endian=False)
     elif tag in (_MULAW, _ALAW) and bits == 8:
         lut = _MU_LUT if tag == _MULAW else _A_LUT
         samples = lut[np.frombuffer(data, np.uint8)].astype(np.float64) / 32768.0
@@ -311,24 +321,30 @@ def encode_wav_adpcm(
     return b"RIFF" + len(out).to_bytes(4, "little") + out
 
 
-def encode_wav_g711(
-    samples: np.ndarray, rate: int, law: str = "mu"
-) -> bytes:
-    """Encode float samples as a G.711 μ-law/A-law WAV (nearest
-    codeword via the expansion LUT — fixture-grade compander)."""
+def _g711_nearest_codes(samples: np.ndarray, law: str) -> np.ndarray:
+    """Nearest G.711 codeword per float sample via the expansion LUT —
+    the one compander both the WAV and AU writers share."""
     if law not in ("mu", "a"):
         raise ValueError("law must be 'mu' or 'a'")
     lut = _MU_LUT if law == "mu" else _A_LUT
-    if samples.ndim == 1:
-        samples = samples[:, None]
-    frames, channels = samples.shape
     order = np.argsort(lut, kind="stable")
     svals = lut[order].astype(np.int32)
     target = np.clip(np.round(samples.reshape(-1) * 32768.0), -32768, 32767)
     pos = np.searchsorted(svals, target).clip(1, 255)
     lo, hi = svals[pos - 1], svals[pos.clip(0, 255)]
     take_hi = np.abs(hi - target) < np.abs(target - lo)
-    codes = order[np.where(take_hi, pos, pos - 1)].astype(np.uint8)
+    return order[np.where(take_hi, pos, pos - 1)].astype(np.uint8)
+
+
+def encode_wav_g711(
+    samples: np.ndarray, rate: int, law: str = "mu"
+) -> bytes:
+    """Encode float samples as a G.711 μ-law/A-law WAV (nearest
+    codeword via the expansion LUT — fixture-grade compander)."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    frames, channels = samples.shape
+    codes = _g711_nearest_codes(samples, law)
     tag = _MULAW if law == "mu" else _ALAW
     fmt = (
         tag.to_bytes(2, "little")
@@ -427,8 +443,11 @@ def _read_extended80(b: bytes) -> float:
     exp = sign_exp & 0x7FFF
     if exp == 0 and mantissa == 0:
         return 0.0
-    if exp == 0x7FFF:
-        raise ValueError("AIFF sample rate is inf/nan")
+    # sample rates live in [1, ~2^40); a hostile exponent outside that
+    # band would overflow float64 (OverflowError, not the ValueError
+    # boundary) or round to 0 — reject it before the arithmetic
+    if exp >= 16383 + 41 or exp < 16383 - 16 or exp == 0x7FFF:
+        raise ValueError(f"AIFF sample-rate exponent {exp} outside sane range")
     val = mantissa * 2.0 ** (exp - 16383 - 63)
     return -val if sign_exp & 0x8000 else val
 
@@ -497,15 +516,7 @@ def decode_aiff(payload: bytes) -> tuple[np.ndarray, int]:
         if bits == 8:
             samples = np.frombuffer(data, np.int8).astype(np.float64) / 128.0
         elif bits == 24:
-            raw = np.frombuffer(data, np.uint8)
-            raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
-            as_int = (
-                (raw[:, 0].astype(np.int32) << 16)
-                | (raw[:, 1].astype(np.int32) << 8)
-                | raw[:, 2].astype(np.int32)
-            )
-            as_int = np.where(as_int >= 1 << 23, as_int - (1 << 24), as_int)
-            samples = as_int.astype(np.float64) / float(1 << 23)
+            samples = _pcm24_to_float(data, big_endian=True)
         else:
             dtype = np.dtype(">i2") if bits == 16 else np.dtype(">i4")
             samples = np.frombuffer(data, dtype).astype(np.float64) / float(
@@ -600,15 +611,7 @@ def decode_au(payload: bytes) -> tuple[np.ndarray, int]:
     elif bits == 8:
         samples = np.frombuffer(data, np.int8).astype(np.float64) / 128.0
     elif bits == 24:
-        raw = np.frombuffer(data, np.uint8)
-        raw = raw[: len(raw) - len(raw) % 3].reshape(-1, 3)
-        as_int = (
-            (raw[:, 0].astype(np.int32) << 16)
-            | (raw[:, 1].astype(np.int32) << 8)
-            | raw[:, 2].astype(np.int32)
-        )
-        as_int = np.where(as_int >= 1 << 23, as_int - (1 << 24), as_int)
-        samples = as_int.astype(np.float64) / float(1 << 23)
+        samples = _pcm24_to_float(data, big_endian=True)
     else:
         dtype = np.dtype(">i2") if bits == 16 else np.dtype(">i4")
         samples = np.frombuffer(data, dtype).astype(np.float64) / float(
@@ -627,18 +630,7 @@ def encode_au(samples: np.ndarray, rate: int, encoding: str = "pcm16") -> bytes:
         ints = np.clip(np.round(samples * 32768.0), -32768, 32767).astype(">i2")
         data, enc = ints.tobytes(), 3
     elif encoding == "ulaw":
-        pcm = np.clip(np.round(samples * 32768.0), -32768, 32767).astype(np.int64)
-        codes = np.searchsorted(_MU_LUT_SORTED_VALS, pcm.ravel())
-        codes = np.clip(codes, 0, 255)
-        # snap to the nearer of the two neighbors
-        lo = np.clip(codes - 1, 0, 255)
-        pick = np.where(
-            np.abs(_MU_LUT_SORTED_VALS[lo] - pcm.ravel())
-            <= np.abs(_MU_LUT_SORTED_VALS[np.clip(codes, 0, 255)] - pcm.ravel()),
-            lo,
-            codes,
-        )
-        data, enc = _MU_LUT_SORTED_IDX[pick].astype(np.uint8).tobytes(), 1
+        data, enc = _g711_nearest_codes(samples, "mu").tobytes(), 1
     else:
         raise ValueError(f"unsupported AU writer encoding: {encoding}")
     header = (
@@ -650,10 +642,6 @@ def encode_au(samples: np.ndarray, rate: int, encoding: str = "pcm16") -> bytes:
         + int(channels).to_bytes(4, "big")
     )
     return header + data
-
-
-_MU_LUT_SORTED_IDX = np.argsort(_MU_LUT)
-_MU_LUT_SORTED_VALS = _MU_LUT[_MU_LUT_SORTED_IDX]
 
 
 def sniff_audio(payload: bytes) -> bool:

@@ -23,12 +23,9 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 def sniff_format(payload: bytes) -> str | None:
     """Return "ppm"|"pgm"|"bmp"|"png"|"jpeg"|"gif"|"tiff"|"ico" when
     decodable here."""
-    if (
-        len(payload) >= 6
-        and payload[0:2] == b"\x00\x00"
-        and payload[2:4] in (b"\x01\x00", b"\x02\x00")
-        and int.from_bytes(payload[4:6], "little") > 0
-    ):
+    from . import rawico  # noqa: PLC0415 — one sniff, no duplicate magic
+
+    if rawico.sniff_ico(payload):
         return "ico"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"

@@ -260,8 +260,11 @@ def _parse_pax_records(blob: bytes) -> dict[str, str]:
         if rec_len <= 0 or pos + rec_len > n:
             raise ValueError("tar: pax record overruns header")
         body = blob[sp + 1 : pos + rec_len]
-        if body.endswith(b"\n"):
-            body = body[:-1]
+        if not body.endswith(b"\n"):
+            # a length lying SHORT would otherwise mis-split the record
+            # and silently drop the path/size override
+            raise ValueError("tar: pax record length does not end at newline")
+        body = body[:-1]
         k, _, v = body.partition(b"=")
         out[k.decode("utf-8", "replace")] = v.decode("utf-8", "replace")
         pos += rec_len
@@ -294,7 +297,10 @@ def parse_tar(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
         if size < 0 or size > cap:
             raise ValueError(f"tar: member size {size} outside [0, {cap}]")
         name = hdr[0:100].split(b"\x00", 1)[0].decode("utf-8", "replace")
-        if hdr[257:262] == b"ustar":
+        # prefix lives at 345 in POSIX ustar ONLY ("ustar\0" magic);
+        # GNU format ("ustar  \0") stores atime/ctime there — joining
+        # those as a prefix would corrupt every GNU member path
+        if hdr[257:263] == b"ustar\x00":
             prefix = hdr[345:500].split(b"\x00", 1)[0].decode("utf-8", "replace")
             if prefix:
                 name = prefix + "/" + name

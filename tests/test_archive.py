@@ -143,6 +143,24 @@ def test_zip_bzip2_member():
 def test_pax_records_malformed_is_valueerror():
     with pytest.raises(ValueError, match="pax"):
         A._parse_pax_records(b"99999 path=x\n")
+    # a length lying SHORT must error, not silently mis-split
+    with pytest.raises(ValueError, match="newline"):
+        A._parse_pax_records(b"6 path=deep/dir/file\n")
+
+
+def test_gnu_atime_fields_are_not_a_prefix():
+    """GNU-format headers (magic 'ustar  ') store atime/ctime at offset
+    345; only POSIX ustar has a prefix there. A populated GNU numeric
+    field must not be joined into the member path."""
+    t = bytearray(A.build_tar([("plain.txt", b"data")]))
+    t[257:265] = b"ustar  \x00"  # GNU magic+version
+    t[345:357] = b"14123456701 "  # atime (octal), as old GNU tars write
+    # re-checksum
+    hdr = t[0:512]
+    chk = sum(hdr) - sum(hdr[148:156]) + 8 * 0x20
+    t[148:156] = ("%06o" % chk).encode() + b"\x00 "
+    got = A.parse_tar(bytes(t))
+    assert [(m["path"], m["payload"]) for m in got] == [("plain.txt", b"data")]
 
 
 @pytest.mark.parametrize("seed", range(4))

@@ -112,6 +112,16 @@ def test_extended80_roundtrip():
         assert R._read_extended80(R._write_extended80(float(rate))) == rate
 
 
+@pytest.mark.parametrize("exp_bytes", [b"\x7f\xfe", b"\x43\xff", b"\x00\x01"])
+def test_extended80_hostile_exponents_are_valueerror(exp_bytes):
+    """Exponents that would overflow float64 (or denormal-underflow)
+    must raise ValueError, never OverflowError — the loud-boundary
+    class _catch_row and the fuzz suite rely on."""
+    blob = exp_bytes + (1 << 63).to_bytes(8, "big")
+    with pytest.raises(ValueError):
+        R._read_extended80(blob)
+
+
 def test_dispatch_and_segmentation():
     sig = _sig(frames=4000, channels=1, rate=1000)
     for payload in (
