@@ -561,3 +561,79 @@ def q_stream_crawl_ingest(spark: SparkSession, sf: str) -> DataFrame:
         "t_crawl_ingest",
     )
     return out
+
+
+@register(
+    "q_stream_pdf_ingest",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(0 AS BIGINT) AS page_idx,
+       substr(text, 1, 40) || chr(10) || substr(text, 41, 40) AS page_text
+FROM documents WHERE doc_id < 200
+UNION ALL
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(1 AS BIGINT) AS page_idx,
+       substr(text, 81, 40) AS page_text
+FROM documents WHERE doc_id < 200
+""",
+    tags=("streaming", "source", "pdf", "multimodal"),
+)
+def q_stream_pdf_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """The PDF tier as a STREAM, oracle-exact: PDF drops arrive in
+    micro-batches (file source, ``maxFilesPerTrigger=1``) and explode
+    to per-page text through the same ``multimodal.pdf_text`` kernel
+    the batch query (``q_crawl_pdf_text``) uses — entirely STATELESS,
+    append mode, zero state at any scale.  Both writer layouts (classic
+    xref / ObjStm) flow through the stream under the one oracle.
+    """
+    import tempfile
+
+    from ..operators import multimodal
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawpdf
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                t = str(text)
+                pages = [[t[:40], t[40:80]], [t[80:120]]]
+                enc = (
+                    rawpdf.encode_pdf
+                    if int(did) % 2 == 0
+                    else rawpdf.encode_pdf_modern
+                )
+                payloads.append(enc(pages))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    stage = tempfile.mkdtemp(prefix="rawdata-pdf-stream-")
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    files.withColumn("part", F.col("doc_id") % 4).repartition(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(stage)
+
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    media = multimodal.with_media_columns(
+        stream, "payload", "application/pdf", "doc_id"
+    )
+    out = W.run_available_now_append(
+        multimodal.pdf_text(media).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "page_idx",
+            "page_text",
+        ),
+        "t_pdf_ingest",
+    )
+    return out
