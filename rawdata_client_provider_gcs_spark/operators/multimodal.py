@@ -87,6 +87,7 @@ DECODABLE_IMAGE_MIMES = frozenset(
         "image/tiff",
         "image/x-icon",
         "image/vnd.microsoft.icon",
+        "image/webp",
     }
 )
 DECODABLE_AUDIO_MIMES = frozenset(

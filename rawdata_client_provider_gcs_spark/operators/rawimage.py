@@ -39,6 +39,8 @@ def sniff_format(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
     if payload[:2] == b"BM" and len(payload) >= 30:
         bpp = int.from_bytes(payload[28:30], "little")
         compression = int.from_bytes(payload[30:34], "little")
@@ -120,8 +122,12 @@ def decode_image(payload: bytes) -> np.ndarray:
         from . import rawico  # noqa: PLC0415
 
         return rawico.decode_ico_best(payload)
+    if fmt == "webp":
+        from . import rawwebp  # noqa: PLC0415
+
+        return rawwebp.decode_webp(payload)
     raise ValueError(
-        "payload is not a decodable PPM/PGM/BMP/PNG/JPEG/GIF/TIFF/ICO image"
+        "payload is not a decodable PPM/PGM/BMP/PNG/JPEG/GIF/TIFF/ICO/WEBP image"
     )
 
 

@@ -1380,6 +1380,108 @@ def q_multimodal_icons(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_webp",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(doc_id % 5 AS BIGINT) AS variant,
+       CAST(16 AS BIGINT) AS width,
+       CAST(16 AS BIGINT) AS height,
+       CAST(doc_id % 256 AS BIGINT) AS mean_pixel,
+       CAST((doc_id % 256) // 32 AS BIGINT) AS luma_bucket
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "image", "webp", "pandas-udf"),
+)
+def q_multimodal_webp(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL lossless-WebP (VP8L) decode, oracle-checked exactly.
+
+    Each document becomes a 16×16 constant-gray WebP written through a
+    different VP8L coding path by ``doc_id % 5`` — plain literals,
+    SUBTRACT_GREEN, a PREDICTOR transform, COLOR_INDEXING (a 1-color
+    palette exercises pixel bundling), and distance-1 LZ77 with a color
+    cache — then decoded by the pure-Python bitstream reader
+    (:mod:`..operators.rawwebp`) through the generic image dispatch AND
+    the feature kernel.  Lossless means the constant ``doc_id % 256``
+    survives every path bit-exactly, so each column is closed-form.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawwebp
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                img = np.full((16, 16, 3), did % 256, dtype=np.uint8)
+                variant = did % 5
+                if variant == 0:
+                    payloads.append(rawwebp.encode_webp_lossless(img))
+                elif variant == 1:
+                    payloads.append(
+                        rawwebp.encode_webp_lossless(img, subtract_green=True)
+                    )
+                elif variant == 2:
+                    payloads.append(
+                        rawwebp.encode_webp_lossless(img, predictor=2)
+                    )
+                elif variant == 3:
+                    payloads.append(
+                        rawwebp.encode_webp_lossless(img, palette=True)
+                    )
+                else:
+                    payloads.append(
+                        rawwebp.encode_webp_lossless(
+                            img, rle=True, cache_bits=2
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pic": payloads})
+
+    pics = d.mapInPandas(make, "doc_id long, pic binary")
+    media = multimodal.with_media_columns(pics, "pic", "image/webp", "doc_id")
+    feats = multimodal.extract_features(media, fake=False).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (F.array_position(F.col("features"), 1.0) - 1)
+        .cast("long")
+        .alias("luma_bucket"),
+    )
+
+    def stats(batches):
+        import pandas as pd
+
+        from ..operators import rawimage
+
+        for pdf in batches:
+            rows = {"doc_id": [], "width": [], "height": [], "mean_pixel": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = rawimage.decode_image(bytes(payload))
+                rows["doc_id"].append(int(did))
+                rows["width"].append(arr.shape[1])
+                rows["height"].append(arr.shape[0])
+                rows["mean_pixel"].append(int(round(float(arr.mean()))))
+            yield pd.DataFrame(rows)
+
+    decoded = media.mapInPandas(
+        stats, "doc_id long, width long, height long, mean_pixel long"
+    )
+    return decoded.join(feats, "doc_id").select(
+        "doc_id",
+        (F.col("doc_id") % 5).cast("long").alias("variant"),
+        "width",
+        "height",
+        "mean_pixel",
+        "luma_bucket",
+    )
+
+
+@register(
     "q_multimodal_image_pipeline",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

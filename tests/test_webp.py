@@ -1,0 +1,156 @@
+"""VP8L lossless WebP codec tests: bit-exact roundtrips through every
+transform and coding path, container handling, hostile bytes, the
+lossy loud boundary, and the Spark feature path."""
+
+import random
+
+import numpy as np
+import pytest
+
+from rawdata_client_provider_gcs_spark.operators import (
+    multimodal,
+    rawimage,
+    rawwebp as W,
+)
+
+
+def _img(h=13, w=17, ch=3, seed=7):
+    return np.random.RandomState(seed).randint(0, 256, (h, w, ch), np.uint8)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {},
+        {"subtract_green": True},
+        {"cache_bits": 4},
+        {"color_transform": (0x10, 0xE0, 0x08)},
+        {"subtract_green": True, "color_transform": (3, 250, 17)},
+        {"meta_bits": 3},
+        {"subtract_green": True, "meta_bits": 2},
+        {"subtract_green": True, "color_transform": (99, 1, 200), "predictor": 11},
+    ],
+    ids=lambda k: "+".join(sorted(k)) or "plain",
+)
+def test_roundtrip_variants(kwargs):
+    img = _img()
+    out = W.decode_webp(W.encode_webp_lossless(img, **kwargs))
+    assert (out == img).all()
+
+
+@pytest.mark.parametrize("mode", range(14))
+def test_all_predictor_modes_roundtrip(mode):
+    img = _img(seed=100 + mode)
+    out = W.decode_webp(W.encode_webp_lossless(img, predictor=mode))
+    assert (out == img).all()
+
+
+@pytest.mark.parametrize(
+    "n_colors,expect_bits", [(2, 3), (3, 2), (13, 1), (30, 0)]
+)
+def test_palette_roundtrip_with_bundling(n_colors, expect_bits):
+    rng = np.random.RandomState(n_colors)
+    img = (rng.randint(0, n_colors, (11, 7, 1), np.uint8) * (255 // n_colors)).repeat(
+        3, axis=2
+    )
+    payload = W.encode_webp_lossless(img, palette=True)
+    assert (W.decode_webp(payload) == img).all()
+
+
+def test_rle_and_cache_roundtrip():
+    rng = np.random.RandomState(3)
+    runny = np.repeat(rng.randint(0, 4, (9, 5, 3), np.uint8) * 60, 3, axis=1)
+    for kwargs in ({"rle": True}, {"rle": True, "cache_bits": 3}):
+        assert (W.decode_webp(W.encode_webp_lossless(runny, **kwargs)) == runny).all()
+
+
+def test_rgba_alpha_survives():
+    img = _img(ch=4)
+    out = W.decode_webp_rgba(W.encode_webp_lossless(img))
+    assert (out == img).all()
+
+
+def test_vp8x_extended_container():
+    """A VP8X-wrapped lossless file (the layout files with metadata
+    use) must decode — the walk skips unknown chunks to VP8L."""
+    img = _img(8, 8)
+    bare = W.encode_webp_lossless(img)
+    vp8l_chunk = bare[12:]
+    vp8x = b"VP8X" + (10).to_bytes(4, "little") + bytes(10)
+    body = b"WEBP" + vp8x + vp8l_chunk
+    wrapped = b"RIFF" + len(body).to_bytes(4, "little") + body
+    assert (W.decode_webp(wrapped) == img).all()
+
+
+def test_lossy_is_unsupported_codec_not_corruption():
+    body = b"WEBP" + b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+    with pytest.raises(W.UnsupportedCodecError):
+        W.decode_webp(payload)
+
+
+def test_generic_decode_dispatch():
+    img = _img()
+    payload = W.encode_webp_lossless(img, subtract_green=True)
+    assert rawimage.sniff_format(payload) == "webp"
+    assert (rawimage.decode_image(payload) == img).all()
+
+
+def test_dimension_bomb_rejected():
+    img = _img(2, 2)
+    payload = bytearray(W.encode_webp_lossless(img))
+    # rewrite the 14+14-bit dimensions to the max (16384x16384 > cap)
+    header = W._BitWriter()
+    header.write(16383, 14)
+    header.write(16383, 14)
+    header.write(0, 1)
+    header.write(0, 3)
+    hdr_bytes = header.getvalue()
+    start = payload.index(b"VP8L") + 9  # skip fourcc+size+signature
+    payload[start : start + 4] = hdr_bytes[:4]
+    with pytest.raises(ValueError):
+        W.decode_webp(bytes(payload))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_kernel_never_raises_uncatchable(seed):
+    rng = random.Random(seed)
+    img = _img(9, 9)
+    bases = [
+        W.encode_webp_lossless(img),
+        W.encode_webp_lossless(img, subtract_green=True, cache_bits=3),
+        W.encode_webp_lossless(img, predictor=7),
+    ]
+    for base in bases:
+        for _ in range(150):
+            buf = bytearray(base)
+            mode = rng.randrange(3)
+            if mode == 0:
+                buf = buf[: rng.randrange(1, len(buf))]
+            elif mode == 1:
+                for _ in range(rng.randrange(1, 6)):
+                    buf[rng.randrange(len(buf))] ^= 1 << rng.randrange(8)
+            else:
+                i = rng.randrange(len(buf))
+                del buf[i : min(len(buf), i + rng.randrange(1, 64))]
+            _, err = multimodal._catch_row(W.decode_webp, bytes(buf))
+            assert err is None or "NotImplementedError" not in err or (
+                "UnsupportedCodecError" in err
+            )
+
+
+def test_spark_features_on_webp(spark):
+    img = np.full((16, 16, 3), 96, np.uint8)
+    rows = [
+        (0, bytearray(W.encode_webp_lossless(img))),
+        (1, bytearray(W.encode_webp_lossless(img, subtract_green=True))),
+        (2, bytearray(b"RIFF\x10\x00\x00\x00WEBP garbage here")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, pic binary")
+    media = multimodal.with_media_columns(df, "pic", "image/webp", "doc_id")
+    out = multimodal.extract_features(media, fake=False).toPandas()
+    ok = out[out["error"].isna()].sort_values("doc_id")
+    assert list(ok["doc_id"]) == [0, 1]
+    # constant 96 -> one-hot luma bucket 3
+    assert all(list(f)[3] == 1.0 for f in ok["features"])
+    assert list(out[out["error"].notna()]["doc_id"]) == [2]
