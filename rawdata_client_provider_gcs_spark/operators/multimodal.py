@@ -420,6 +420,25 @@ def sample_frames(
                         next_ms = t + every_ms
                     t += delay
                 return out
+            if mime.startswith("image/") and payload[:4] == b"RIFF":
+                from . import rawwebp  # noqa: PLC0415
+
+                if rawwebp.sniff_webp(payload):
+                    # animated (or still) WebP: same every_ms grid
+                    # sampling as GIF, frames emitted as PPM bytes
+                    out = []
+                    t = 0
+                    next_ms = 0
+                    for i, (delay, arr) in enumerate(
+                        rawwebp.decode_webp_frames(payload)
+                    ):
+                        if len(out) >= max_frames:
+                            break
+                        if t >= next_ms:
+                            out.append((i, t, rawimage.encode_ppm(arr)))
+                            next_ms = t + every_ms
+                        t += delay
+                    return out
             if mime.startswith("video/"):
                 from . import rawavi  # noqa: PLC0415
 

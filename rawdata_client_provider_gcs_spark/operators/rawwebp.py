@@ -1144,3 +1144,154 @@ def _wrap_riff(vp8l_bits: bytes) -> bytes:
         chunk += b"\x00"
     riff = b"WEBP" + chunk
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+# ---------------------------------------------------------------------------
+# Animation (VP8X + ANIM/ANMF)
+# ---------------------------------------------------------------------------
+
+
+def _u24(b: bytes) -> int:
+    return int.from_bytes(b[:3], "little")
+
+
+def is_animated_webp(payload: bytes) -> bool:
+    if not sniff_webp(payload):
+        return False
+    pos = 12
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if fourcc == b"VP8X" and size >= 10:
+            return bool(payload[pos + 8] & 0x02)  # animation flag
+        pos += 8 + size + (size & 1)
+    return False
+
+
+def decode_webp_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
+    """Decode (duration_ms, RGB frame) pairs — the GIF-parity API.
+
+    Non-animated files yield one frame with duration 0.  ANMF frames
+    composite onto the canvas honoring the blend flag (src-over alpha
+    vs replace) and dispose-to-background; frame rectangles are bounds-
+    checked against the VP8X canvas.  Lossy sub-frames raise the same
+    :class:`~.rawavi.UnsupportedCodecError` as still lossy files.
+    """
+    if not sniff_webp(payload):
+        raise ValueError("payload is not a RIFF/WEBP container")
+    if not is_animated_webp(payload):
+        return [(0, decode_webp(payload))]
+
+    canvas_w = canvas_h = None
+    background = (255, 255, 255, 0)
+    frames: list[tuple[int, np.ndarray]] = []
+    canvas = None
+    pending_dispose_rect = None
+
+    pos = 12
+    n = len(payload)
+    while pos + 8 <= n:
+        fourcc = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise ValueError("webp: chunk overruns container")
+        if fourcc == b"VP8X":
+            if size < 10:
+                raise ValueError("webp: short VP8X chunk")
+            canvas_w = _u24(body[4:7]) + 1
+            canvas_h = _u24(body[7:10]) + 1
+            if canvas_w * canvas_h > _MAX_PIXELS:
+                raise ValueError("webp: canvas exceeds the pixel cap")
+            canvas = np.zeros((canvas_h, canvas_w, 4), np.uint8)
+        elif fourcc == b"ANIM":
+            if size < 6:
+                raise ValueError("webp: short ANIM chunk")
+            b_, g_, r_, a_ = body[0], body[1], body[2], body[3]
+            background = (r_, g_, b_, a_)
+        elif fourcc == b"ANMF":
+            if canvas is None:
+                raise ValueError("webp: ANMF before VP8X canvas")
+            if size < 16:
+                raise ValueError("webp: short ANMF chunk")
+            fx = _u24(body[0:3]) * 2
+            fy = _u24(body[3:6]) * 2
+            fw = _u24(body[6:9]) + 1
+            fh = _u24(body[9:12]) + 1
+            duration = _u24(body[12:15])
+            flags = body[15]
+            blend_none = bool(flags & 0x02)
+            dispose_bg = bool(flags & 0x01)
+            if fx + fw > canvas_w or fy + fh > canvas_h:
+                raise ValueError("webp: ANMF frame outside the canvas")
+            frame_rgba = decode_webp_rgba(
+                b"RIFF"
+                + (4 + len(body[16:])).to_bytes(4, "little")
+                + b"WEBP"
+                + body[16:]
+            )
+            if frame_rgba.shape[:2] != (fh, fw):
+                raise ValueError("webp: ANMF frame size mismatch")
+            if pending_dispose_rect is not None:
+                x0, y0, x1, y1 = pending_dispose_rect
+                canvas[y0:y1, x0:x1] = background
+                pending_dispose_rect = None
+            region = canvas[fy : fy + fh, fx : fx + fw]
+            if blend_none:
+                region[:] = frame_rgba
+            else:  # src-over alpha blend (integer arithmetic)
+                fa = frame_rgba[:, :, 3:4].astype(np.uint32)
+                ba = region[:, :, 3:4].astype(np.uint32)
+                out_a = fa + (ba * (255 - fa)) // 255
+                safe = np.maximum(out_a, 1)
+                out_rgb = (
+                    frame_rgba[:, :, :3].astype(np.uint32) * fa
+                    + region[:, :, :3].astype(np.uint32) * ba * (255 - fa) // 255
+                ) // safe
+                region[:, :, :3] = out_rgb.astype(np.uint8)
+                region[:, :, 3:4] = out_a.astype(np.uint8)
+            frames.append((duration, canvas[:, :, :3].copy()))
+            if dispose_bg:
+                pending_dispose_rect = (fx, fy, fx + fw, fy + fh)
+        pos += 8 + size + (size & 1)
+    if not frames:
+        raise ValueError("webp: animated file carries no ANMF frames")
+    return frames
+
+
+def encode_webp_animation(
+    frames: list[tuple[int, np.ndarray]],
+    *,
+    blend_none: bool = True,
+    **encode_kwargs,
+) -> bytes:
+    """Fixture writer: full-canvas ANMF frames wrapping VP8L data."""
+    if not frames:
+        raise ValueError("animation needs at least one frame")
+    h, w = frames[0][1].shape[:2]
+    chunks = bytearray()
+    vp8x = bytearray(10)
+    vp8x[0] = 0x02  # animation flag
+    vp8x[4:7] = (w - 1).to_bytes(3, "little")
+    vp8x[7:10] = (h - 1).to_bytes(3, "little")
+    chunks += b"VP8X" + (10).to_bytes(4, "little") + vp8x
+    anim = bytes([255, 255, 255, 255]) + (0).to_bytes(2, "little")
+    chunks += b"ANIM" + len(anim).to_bytes(4, "little") + anim
+    for duration, arr in frames:
+        if arr.shape[:2] != (h, w):
+            raise ValueError("fixture writer wants full-canvas frames")
+        still = encode_webp_lossless(arr, **encode_kwargs)
+        vp8l_chunk = still[12:]  # strip RIFF....WEBP
+        body = bytearray()
+        body += (0).to_bytes(3, "little")  # x/2
+        body += (0).to_bytes(3, "little")  # y/2
+        body += (w - 1).to_bytes(3, "little")
+        body += (h - 1).to_bytes(3, "little")
+        body += int(duration).to_bytes(3, "little")
+        body += bytes([0x02 if blend_none else 0x00])
+        body += vp8l_chunk
+        chunks += b"ANMF" + len(body).to_bytes(4, "little") + bytes(body)
+        if len(body) & 1:
+            chunks += b"\x00"
+    riff = b"WEBP" + bytes(chunks)
+    return b"RIFF" + len(riff).to_bytes(4, "little") + riff

@@ -1380,6 +1380,88 @@ def q_multimodal_icons(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_webp_frames",
+    oracle="""
+WITH f AS (
+  SELECT doc_id, unnest([0, 2, 4]) AS frame_idx
+  FROM documents WHERE doc_id < 200
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * 100 AS BIGINT) AS frame_ms,
+       CAST((doc_id * 37 + 9 * frame_idx) % 256 AS BIGINT) AS mean_pixel
+FROM f WHERE frame_idx < 2 + doc_id % 4
+""",
+    tags=("llm", "multimodal", "image", "webp", "animation", "pandas-udf"),
+)
+def q_multimodal_webp_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL animated-WebP decode + frame sampling, oracle-exact.
+
+    The VP8X/ANIM/ANMF twin of ``q_multimodal_gif_frames``: one
+    animation per document with ``2 + doc_id % 4`` constant-color
+    VP8L frames (frame i's color ``(doc_id·37 + 9i) % 256``), 100 ms
+    each; ``sample_frames`` decodes the canvas compositing and samples
+    the 200 ms grid, so indices {0, 2, 4} below the frame count
+    survive and their PPMs decode back to the exact constant color
+    (VP8L is lossless), stated by the oracle in closed form.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawwebp
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                n = 2 + int(did) % 4
+                frames = [
+                    (
+                        100,
+                        np.full(
+                            (8, 12, 3), (int(did) * 37 + 9 * i) % 256, np.uint8
+                        ),
+                    )
+                    for i in range(n)
+                ]
+                payloads.append(rawwebp.encode_webp_animation(frames))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pic": payloads})
+
+    pics = d.mapInPandas(make, "doc_id long, pic binary")
+    media = multimodal.with_media_columns(pics, "pic", "image/webp", "doc_id")
+    sampled = multimodal.sample_frames(media, every_ms=200, max_frames=4)
+
+    def mean_of_frames(batches):
+        import pandas as pd
+
+        from ..operators import rawimage
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_ms": pdf["frame_ms"],
+                    "mean_pixel": [
+                        int(round(float(rawimage.decode_image(bytes(b)).mean())))
+                        for b in pdf["frame"]
+                    ],
+                }
+            )
+
+    return sampled.mapInPandas(
+        mean_of_frames,
+        "doc_id long, frame_idx long, frame_ms long, mean_pixel long",
+    )
+
+
+@register(
     "q_multimodal_webp",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

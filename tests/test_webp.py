@@ -139,6 +139,54 @@ def test_kernel_never_raises_uncatchable(seed):
             )
 
 
+def test_animation_roundtrip_and_compositing():
+    rng = np.random.RandomState(4)
+    frames = [(100, rng.randint(0, 256, (10, 12, 3), np.uint8)) for _ in range(3)]
+    payload = W.encode_webp_animation(frames)
+    assert W.is_animated_webp(payload)
+    out = W.decode_webp_frames(payload)
+    assert [d for d, _ in out] == [100, 100, 100]
+    assert all((o == f).all() for (_, o), (_, f) in zip(out, frames))
+    # a still file through the frames API: one frame, duration 0
+    still = W.encode_webp_lossless(frames[0][1])
+    assert not W.is_animated_webp(still)
+    assert len(W.decode_webp_frames(still)) == 1
+
+
+def test_animation_alpha_blend_and_dispose():
+    """A no-blend base frame then an alpha-blended transparent overlay
+    must leave the base visible; dispose-to-background clears for the
+    NEXT frame."""
+    base = np.full((4, 4, 4), 200, np.uint8)
+    overlay = np.zeros((4, 4, 4), np.uint8)  # fully transparent
+    b1 = W.encode_webp_animation([(50, base)], blend_none=True)
+    # hand-splice a second alpha-blend ANMF frame
+    second = W.encode_webp_animation([(60, overlay)], blend_none=False)
+    anmf2 = second[second.index(b"ANMF") :]
+    spliced = bytearray(b1)
+    spliced += anmf2
+    spliced[4:8] = (len(spliced) - 8).to_bytes(4, "little")
+    out = W.decode_webp_frames(bytes(spliced))
+    assert len(out) == 2
+    # blending a fully transparent frame leaves the base RGB intact
+    assert (out[1][1] == out[0][1]).all()
+
+
+def test_spark_sample_frames_on_animated_webp(spark):
+    rng = np.random.RandomState(11)
+    frames = [(500, rng.randint(0, 256, (8, 8, 3), np.uint8)) for _ in range(4)]
+    payload = W.encode_webp_animation(frames)
+    df = spark.createDataFrame(
+        [(0, bytearray(payload))], "doc_id long, pic binary"
+    )
+    media = multimodal.with_media_columns(df, "pic", "image/webp", "doc_id")
+    out = multimodal.sample_frames(media, every_ms=500, max_frames=8).toPandas()
+    assert out["error"].isna().all()
+    assert list(out["frame_idx"]) == [0, 1, 2, 3]
+    assert list(out["frame_ms"]) == [0, 500, 1000, 1500]
+    assert all(f[:2] == b"P6" for f in out["frame"])
+
+
 def test_spark_features_on_webp(spark):
     img = np.full((16, 16, 3), 96, np.uint8)
     rows = [
