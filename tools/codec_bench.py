@@ -104,6 +104,34 @@ def main() -> None:
         pal.nbytes / 1e6 / _timeit(lambda: rawgif.decode_gif(gif), 3), 1
     )
 
+    from rawdata_client_provider_gcs_spark.operators import rawpdf, rawwebp
+
+    # WebP: bit-serial prefix decode is Python-loop bound, so measure
+    # on a 128x128 tile and report honestly (the catalog query uses
+    # 16x16 fixtures; real crawl WebP decode at scale would sit behind
+    # a native library — this codec is the correctness/loud-boundary
+    # tier)
+    tile = img[:128, :128]
+    tile_mb = tile.nbytes / 1e6
+    webp = rawwebp.encode_webp_lossless(tile, subtract_green=True)
+    out["webp_encode_mb_s"] = round(
+        tile_mb
+        / _timeit(
+            lambda: rawwebp.encode_webp_lossless(tile, subtract_green=True), 3
+        ),
+        2,
+    )
+    out["webp_decode_mb_s"] = round(
+        tile_mb / _timeit(lambda: rawwebp.decode_webp(webp), 3), 2
+    )
+
+    pdf_pages = [[f"line {i} of synthetic page text" * 3 for i in range(40)]] * 10
+    pdf = rawpdf.encode_pdf(pdf_pages)
+    pdf_mb = len(pdf) / 1e6
+    out["pdf_extract_mb_s"] = round(
+        pdf_mb / _timeit(lambda: rawpdf.extract_pdf(pdf), 5), 1
+    )
+
     wav_samples = rng.normal(0, 0.2, 16000 * 30).astype(np.float64)  # 30 s
     wav = rawaudio.encode_wav_pcm16(wav_samples, 16000)
     wav_mb = len(wav) / 1e6
