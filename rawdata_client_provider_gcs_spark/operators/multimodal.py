@@ -403,16 +403,13 @@ def sample_frames(
         def frames(payload: bytes, mime: str):
             if mime.startswith("audio/") and rawaudio.sniff_audio(payload):
                 return rawaudio.segment_wav(payload, every_ms, max_frames)
-            if mime.startswith("image/") and payload[:6] in (
-                b"GIF87a",
-                b"GIF89a",
-            ):
-                from . import rawgif  # noqa: PLC0415
-
+            def grid_sample(frame_pairs):
+                # every_ms grid over native frame timings — shared by
+                # every multi-frame visual container (GIF, WebP)
                 out = []
                 t = 0
                 next_ms = 0
-                for i, (delay, arr) in enumerate(rawgif.decode_gif(payload)):
+                for i, (delay, arr) in enumerate(frame_pairs):
                     if len(out) >= max_frames:
                         break
                     if t >= next_ms:
@@ -420,25 +417,19 @@ def sample_frames(
                         next_ms = t + every_ms
                     t += delay
                 return out
+
+            if mime.startswith("image/") and payload[:6] in (
+                b"GIF87a",
+                b"GIF89a",
+            ):
+                from . import rawgif  # noqa: PLC0415
+
+                return grid_sample(rawgif.decode_gif(payload))
             if mime.startswith("image/") and payload[:4] == b"RIFF":
                 from . import rawwebp  # noqa: PLC0415
 
                 if rawwebp.sniff_webp(payload):
-                    # animated (or still) WebP: same every_ms grid
-                    # sampling as GIF, frames emitted as PPM bytes
-                    out = []
-                    t = 0
-                    next_ms = 0
-                    for i, (delay, arr) in enumerate(
-                        rawwebp.decode_webp_frames(payload)
-                    ):
-                        if len(out) >= max_frames:
-                            break
-                        if t >= next_ms:
-                            out.append((i, t, rawimage.encode_ppm(arr)))
-                            next_ms = t + every_ms
-                        t += delay
-                    return out
+                    return grid_sample(rawwebp.decode_webp_frames(payload))
             if mime.startswith("video/"):
                 from . import rawavi  # noqa: PLC0415
 
@@ -466,6 +457,7 @@ def sample_frames(
                         return fake_frames(payload)
             if mime in DECODABLE_AUDIO_MIMES or mime in (
                 "image/gif",
+                "image/webp",
                 "video/avi",
                 "video/x-msvideo",
             ):

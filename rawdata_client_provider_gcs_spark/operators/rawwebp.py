@@ -130,6 +130,12 @@ class _PrefixCode:
         if not used:
             raise ValueError("vp8l: empty prefix code")
         if len(used) == 1:
+            # only a length-1 single symbol is a legal zero-bit code
+            # (the simple-code form); a lone longer length means an
+            # incomplete table, which libwebp rejects — accepting it
+            # would decode garbage silently
+            if used[0][0] != 1:
+                raise ValueError("vp8l: incomplete single-symbol code")
             self.single = used[0][1]
             self.tree = None
             return
@@ -184,6 +190,8 @@ def _read_prefix_code(br: _BitReader, alphabet_size: int) -> _PrefixCode:
             sym1 = br.read(8)
             if sym1 >= alphabet_size:
                 raise ValueError("vp8l: simple-code symbol out of alphabet")
+            if sym1 == sym0:
+                raise ValueError("vp8l: duplicate simple-code symbols")
             lengths[sym0] = 1
             lengths[sym1] = 1
         else:
@@ -346,14 +354,12 @@ def _decode_entropy_image(
     npix = width * height
     out = [0] * npix
     pos = 0
+    meta_w = (width + (1 << meta_bits) - 1) >> meta_bits if meta else 0
+    x = y = 0  # maintained incrementally: div-mod per pixel is hot-loop cost
     while pos < npix:
         if meta is not None:
-            x = pos % width
-            y = pos // width
-            mw = (width + (1 << meta_bits) - 1) >> meta_bits
-            mp = meta[(y >> meta_bits) * mw + (x >> meta_bits)]
-            g_idx = (mp >> 8) & 0xFFFF
-            green_c, red_c, blue_c, alpha_c, dist_c = groups[g_idx]
+            mp = meta[(y >> meta_bits) * meta_w + (x >> meta_bits)]
+            green_c, red_c, blue_c, alpha_c, dist_c = groups[(mp >> 8) & 0xFFFF]
         else:
             green_c, red_c, blue_c, alpha_c, dist_c = groups[0]
         s = green_c.decode(br)
@@ -366,6 +372,10 @@ def _decode_entropy_image(
             if cache_size:
                 cache[_cache_hash(argb, cache_bits)] = argb
             pos += 1
+            x += 1
+            if x == width:
+                x = 0
+                y += 1
         elif s < 256 + 24:  # backward reference
             length = _prefix_value(br, s - 256)
             dist_sym = dist_c.decode(br)
@@ -379,12 +389,18 @@ def _decode_entropy_image(
                 if cache_size:
                     cache[_cache_hash(argb, cache_bits)] = argb
                 pos += 1
+            x = pos % width
+            y = pos // width
         else:  # color cache
             idx = s - 256 - 24
             if idx >= cache_size:
                 raise ValueError("vp8l: color cache index out of range")
             out[pos] = cache[idx]
             pos += 1
+            x += 1
+            if x == width:
+                x = 0
+                y += 1
     return out
 
 
@@ -441,10 +457,13 @@ def _predict(mode: int, L, T, TL, TR):
     if mode == 12:  # ClampAddSubtractFull
         v = L.astype(np.int32) + T.astype(np.int32) - TL.astype(np.int32)
         return np.clip(v, 0, 255).astype(np.uint8)
-    if mode == 13:  # ClampAddSubtractHalf: clamp(a + (a - b) >> 1)
+    if mode == 13:  # ClampAddSubtractHalf: clamp(a + (a - b) / 2)
         avg = _avg2(L, T).astype(np.int32)
-        v = avg + ((avg - TL.astype(np.int32)) >> 1)
-        return np.clip(v, 0, 255).astype(np.uint8)
+        diff = avg - TL.astype(np.int32)
+        # C TRUNCATING division (libwebp `(a - b) / 2`): floor shift is
+        # off by one for negative odd differences
+        half = diff // 2 + ((diff < 0) & (diff % 2 != 0))
+        return np.clip(avg + half, 0, 255).astype(np.uint8)
     raise ValueError(f"vp8l: predictor mode {mode} invalid")
 
 
@@ -465,10 +484,13 @@ def _inv_predictor(img: np.ndarray, modes, size_bits: int) -> np.ndarray:
                 L = out[y, x - 1].astype(np.uint8)
                 T = out[y - 1, x].astype(np.uint8)
                 TL = out[y - 1, x - 1].astype(np.uint8)
+                # TR at the right edge wraps to the CURRENT row's
+                # leftmost pixel (flat addressing top[x+1] == row y,
+                # column 0 — already decoded), per RFC 9649/libwebp
                 TR = (
                     out[y - 1, x + 1].astype(np.uint8)
                     if x + 1 < w
-                    else out[y - 1, 0].astype(np.uint8)
+                    else out[y, 0].astype(np.uint8)
                 )
                 pred = _predict(mode, L, T, TL, TR).astype(np.uint16)
             out[y, x] = (out[y, x] + pred) & 0xFF
@@ -643,6 +665,18 @@ def decode_webp_rgba(payload: bytes) -> np.ndarray:
     for t in reversed(transforms):
         if t[0] == "palette":
             _, pal, width_bits, orig_w = t
+            if pixels is None:
+                # a transform read after COLOR_INDEXING was already
+                # inverted on the packed index image — re-flatten it
+                # for the palette lookup (spec allows any order)
+                pixels = [
+                    (int(img[y, x, 3]) << 24)
+                    | (int(img[y, x, 0]) << 16)
+                    | (int(img[y, x, 1]) << 8)
+                    | int(img[y, x, 2])
+                    for y in range(height)
+                    for x in range(img.shape[1])
+                ]
             img = _inv_palette(pixels, pal, xsize, orig_w, height, width_bits)
             xsize = orig_w
             pixels = None
@@ -1000,6 +1034,14 @@ def encode_webp_lossless(
     # transforms are written (and applied forward) in this order;
     # the decoder inverts them in reverse
     if palette:
+        if subtract_green or predictor is not None or color_transform or meta_bits:
+            # this fixture writer applies palette exclusively; silently
+            # ignoring the other kwargs would make a test exercise a
+            # different decoder path than it claims
+            raise ValueError(
+                "palette=True cannot be combined with other transform "
+                "options in this writer"
+            )
         colors = np.unique(argb.reshape(-1))
         if len(colors) > 256:
             raise ValueError("palette variant needs <= 256 distinct colors")
@@ -1112,7 +1154,10 @@ def encode_webp_lossless(
                     L = src[y, x - 1]
                     T = src[y - 1, x]
                     TL = src[y - 1, x - 1]
-                    TR = src[y - 1, x + 1] if x + 1 < w else src[y - 1, 0]
+                    # same right-edge TR rule as the decoder (current
+                    # row's leftmost pixel, already reconstructed —
+                    # equal to src here because coding is lossless)
+                    TR = src[y - 1, x + 1] if x + 1 < w else src[y, 0]
                     pred = _predict(predictor, L, T, TL, TR)
                 res[y, x] = (
                     src[y, x].astype(np.int16) - pred.astype(np.int16)

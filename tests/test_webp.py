@@ -139,6 +139,116 @@ def test_kernel_never_raises_uncatchable(seed):
             )
 
 
+def test_predictor_mode13_uses_truncating_division():
+    """ClampAddSubtractHalf is C `(a - b) / 2` (truncation): for
+    avg=100, TL=103 the result is 100 + trunc(-3/2) = 99, not the
+    floor-shift 98."""
+    L = np.array([100, 100, 100, 255], np.uint8)
+    T = np.array([100, 100, 100, 255], np.uint8)
+    TL = np.array([103, 103, 103, 255], np.uint8)
+    out = W._predict(13, L, T, TL, T)
+    assert list(out[:3]) == [99, 99, 99]
+
+
+def test_predictor_tr_right_edge_uses_current_row_leftmost():
+    """At x = w-1 the TR pixel is flat-addressed top[x+1], i.e. the
+    CURRENT row's column 0 (already decoded), not the row above's."""
+    # 2x2, mode 3 (TR) everywhere; hand-build expected reconstruction
+    modes = [(0xFF << 24) | (3 << 8)]  # one 4x4 tile covers the image
+    res = np.zeros((2, 2, 4), np.uint16)
+    res[0, 0] = [10, 20, 30, 0]  # pred = [0,0,0,255]
+    res[0, 1] = [1, 1, 1, 0]  # y=0 -> pred = L = out[0,0]
+    res[1, 0] = [2, 2, 2, 0]  # x=0 -> pred = T = out[0,0]
+    res[1, 1] = [3, 3, 3, 0]  # mode 3 TR at right edge -> out[1,0]
+    out = W._inv_predictor(res.astype(np.uint8), modes, 2)
+    assert list(out[0, 0]) == [10, 20, 30, 255]
+    assert list(out[0, 1]) == [11, 21, 31, 255]
+    assert list(out[1, 0]) == [12, 22, 32, 255]  # pred = T (res alpha 0)
+    expected_tr = out[1, 0]  # current row leftmost
+    assert list(out[1, 1][:3]) == [
+        (int(expected_tr[i]) + 3) & 0xFF for i in range(3)
+    ]
+
+
+def test_degenerate_prefix_codes_rejected():
+    # duplicate simple-code symbols
+    bw = W._BitWriter()
+    bw.write(1, 1)  # simple
+    bw.write(1, 1)  # two symbols
+    bw.write(1, 1)  # 8-bit first
+    bw.write(7, 8)
+    bw.write(7, 8)  # same symbol again
+    with pytest.raises(ValueError, match="duplicate"):
+        W._read_prefix_code(W._BitReader(bw.getvalue()), 256)
+    # a lone code-length symbol with length > 1 is an incomplete table
+    with pytest.raises(ValueError, match="incomplete|complete"):
+        W._PrefixCode([0, 0, 5])
+
+
+def test_palette_then_subtract_green_transform_order():
+    """COLOR_INDEXING read first, another transform second — legal per
+    spec, inverted in reverse — must decode, not crash."""
+    rng = np.random.RandomState(6)
+    idx = rng.randint(0, 20, (5, 6), np.uint8)
+    palette = [(0xFF << 24) | int(c) for c in rng.randint(0, 1 << 24, 20)]
+    bw = W._BitWriter()
+    bw.write(6 - 1, 14)
+    bw.write(5 - 1, 14)
+    bw.write(0, 1)
+    bw.write(0, 3)
+    # transform 1: COLOR_INDEXING (read first -> inverted last)
+    bw.write(1, 1)
+    bw.write(3, 2)
+    bw.write(20 - 1, 8)
+    deltas = []
+    prev = 0
+    for c in palette:
+        d = 0
+        for shift in (24, 16, 8, 0):
+            d |= (((c >> shift) - (prev >> shift)) & 0xFF) << shift
+        deltas.append(d)
+        prev = c
+    W._emit_entropy_image(bw, deltas, is_main=False)
+    # transform 2: SUBTRACT_GREEN (read second -> inverted first)
+    bw.write(1, 1)
+    bw.write(2, 2)
+    bw.write(0, 1)  # no more transforms
+    # index image with subtract-green applied forward: green=idx,
+    # r = (0 - g) & 0xff, b = (0 - g) & 0xff
+    pix = [
+        (0xFF << 24)
+        | (((0 - int(g)) & 0xFF) << 16)
+        | (int(g) << 8)
+        | ((0 - int(g)) & 0xFF)
+        for g in idx.reshape(-1)
+    ]
+    W._emit_entropy_image(bw, pix, is_main=True)
+    payload = W._wrap_riff(bw.getvalue())
+    out = W.decode_webp_rgba(payload)
+    want = np.zeros((5, 6, 4), np.uint8)
+    for y in range(5):
+        for x in range(6):
+            c = palette[idx[y, x]]
+            want[y, x] = [(c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF, 255]
+    assert (out == want).all()
+
+
+def test_sample_frames_corrupt_webp_lands_in_error_column(spark):
+    df = spark.createDataFrame(
+        [(0, bytearray(b"RIFFxxxxWEB_ not a webp at all"))],
+        "doc_id long, pic binary",
+    )
+    media = multimodal.with_media_columns(df, "pic", "image/webp", "doc_id")
+    out = multimodal.sample_frames(media, every_ms=100, max_frames=2).toPandas()
+    assert len(out) == 1 and out["error"].notna().all()
+
+
+def test_palette_writer_rejects_combined_transforms():
+    img = np.zeros((4, 4, 3), np.uint8)
+    with pytest.raises(ValueError, match="combined"):
+        W.encode_webp_lossless(img, palette=True, predictor=2)
+
+
 def test_animation_roundtrip_and_compositing():
     rng = np.random.RandomState(4)
     frames = [(100, rng.randint(0, 256, (10, 12, 3), np.uint8)) for _ in range(3)]
