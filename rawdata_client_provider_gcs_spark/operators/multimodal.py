@@ -98,6 +98,8 @@ DECODABLE_AUDIO_MIMES = frozenset(
         "audio/aiff",
         "audio/x-aiff",
         "audio/basic",  # Sun AU
+        "audio/flac",
+        "audio/x-flac",
     }
 )
 

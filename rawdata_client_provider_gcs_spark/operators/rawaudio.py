@@ -646,17 +646,26 @@ def encode_au(samples: np.ndarray, rate: int, encoding: str = "pcm16") -> bytes:
 
 def sniff_audio(payload: bytes) -> bool:
     """True when the payload is any decodable audio container."""
-    return sniff_wav(payload) or sniff_aiff(payload) or sniff_au(payload)
+    return (
+        sniff_wav(payload)
+        or sniff_aiff(payload)
+        or sniff_au(payload)
+        or payload[:4] == b"fLaC"
+    )
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
-    """Dispatch WAV / AIFF / AU decode by container magic."""
+    """Dispatch WAV / AIFF / AU / FLAC decode by container magic."""
     if sniff_wav(payload):
         return decode_wav(payload)
     if sniff_aiff(payload):
         return decode_aiff(payload)
     if sniff_au(payload):
         return decode_au(payload)
+    if payload[:4] == b"fLaC":
+        from . import rawflac  # noqa: PLC0415
+
+        return rawflac.decode_flac(payload)
     raise ValueError("payload is not a recognized audio container")
 
 

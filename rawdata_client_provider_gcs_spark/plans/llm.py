@@ -1564,6 +1564,84 @@ def q_multimodal_webp(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_flac",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'fixed2' ELSE 'mid_side' END AS coding,
+       n_chars/1000.0 AS duration_s,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS DOUBLE) AS channels,
+       1000.0 AS sample_rate,
+       ((doc_id % 100) + 1)/256.0 AS rms,
+       ((doc_id % 100) + 1)/256.0 AS peak
+FROM documents WHERE doc_id < 300 AND n_chars > 1
+""",
+    tags=("llm", "multimodal", "audio", "flac", "pandas-udf"),
+)
+def q_multimodal_flac(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL FLAC decode (Rice residuals, fixed predictors, CRCs),
+    oracle-checked exactly.
+
+    The square-wave fixture of the WAV/AIFF/AU queries, compressed:
+    even doc_ids as mono fixed-order-2 subframes, odd ones as stereo
+    mid/side frames (both channels the same wave, so the side channel
+    is all zeros — the decorrelation path runs under the oracle).
+    Amplitudes ``k/256`` quantize to exact 16-bit integers and FLAC is
+    lossless, so rms = peak = k/256 in closed form, same float-parity
+    discipline as the uncompressed containers.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter((F.col("doc_id") < 300) & (F.col("n_chars") > 1))
+        .select("doc_id", "n_chars")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawflac
+
+        for pdf in batches:
+            payloads = []
+            for did, n in zip(pdf["doc_id"], pdf["n_chars"]):
+                amp = ((int(did) % 100) + 1) / 256.0
+                sig = amp * np.where(np.arange(int(n)) % 2 == 0, 1.0, -1.0)
+                if int(did) % 2 == 0:
+                    payloads.append(
+                        rawflac.encode_flac(
+                            sig, 1000, subframe="fixed2", block_size=256
+                        )
+                    )
+                else:
+                    stereo = np.stack([sig, sig], axis=1)
+                    payloads.append(
+                        rawflac.encode_flac(
+                            stereo,
+                            1000,
+                            subframe="fixed1",
+                            mid_side=True,
+                            block_size=192,
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "clip": payloads})
+
+    clips = d.mapInPandas(make, "doc_id long, clip binary")
+    media = multimodal.with_media_columns(clips, "clip", "audio/flac", "doc_id")
+    feats = multimodal.extract_features(media, fake=False)
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("fixed2"))
+        .otherwise(F.lit("mid_side"))
+        .alias("coding"),
+        F.element_at("features", 1).alias("duration_s"),
+        F.element_at("features", 2).alias("channels"),
+        F.element_at("features", 3).alias("sample_rate"),
+        F.element_at("features", 4).alias("rms"),
+        F.element_at("features", 5).alias("peak"),
+    )
+
+
+@register(
     "q_multimodal_image_pipeline",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
