@@ -132,6 +132,22 @@ def main() -> None:
         pdf_mb / _timeit(lambda: rawpdf.extract_pdf(pdf), 5), 1
     )
 
+    from rawdata_client_provider_gcs_spark.operators import rawflac
+
+    flac_sig = rng.normal(0, 0.2, 16000 * 10).astype(np.float64)
+    flac = rawflac.encode_flac(flac_sig, 16000, subframe="fixed2")
+    flac_mb = len(flac_sig) * 2 / 1e6  # PCM-16 equivalent
+    out["flac_encode_mb_s"] = round(
+        flac_mb
+        / _timeit(
+            lambda: rawflac.encode_flac(flac_sig, 16000, subframe="fixed2"), 3
+        ),
+        2,
+    )
+    out["flac_decode_mb_s"] = round(
+        flac_mb / _timeit(lambda: rawflac.decode_flac(flac), 3), 2
+    )
+
     wav_samples = rng.normal(0, 0.2, 16000 * 30).astype(np.float64)  # 30 s
     wav = rawaudio.encode_wav_pcm16(wav_samples, 16000)
     wav_mb = len(wav) / 1e6
