@@ -19,7 +19,9 @@ implements the FLAC bitstream (RFC 9639) on the read path:
 - the frame-footer CRC-16 (poly 0x8005), verified per frame.
 
 Anything malformed raises ``ValueError`` for the per-row capture
-discipline; hard caps bound hostile block sizes.
+discipline; hostile allocations are bounded by the format's own field
+widths (block size ≤ 65536, ≤ 8 channels) — there is no wider size
+field to lie through.
 
 The write path (``encode_flac``) is a fixture-grade encoder (verbatim
 / constant / fixed-predictor subframes, real Rice coding, real CRCs,
@@ -35,7 +37,6 @@ from __future__ import annotations
 
 import numpy as np
 
-_MAX_BLOCK = 1 << 16
 _MAX_CHANNELS = 8
 
 
@@ -93,6 +94,12 @@ class _BitWriter:
         self.bits: list[int] = []
 
     def write(self, value: int, nbits: int) -> None:
+        if value < 0 or value >> nbits:
+            # silent truncation here produced undecodable streams
+            # (frame numbers, rates) — fail at the right altitude
+            raise ValueError(
+                f"flac writer: value {value} does not fit in {nbits} bits"
+            )
         for i in range(nbits - 1, -1, -1):
             self.bits.append((value >> i) & 1)
 
@@ -335,11 +342,18 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             br.read(16)
         elif sr_code == 15:
             raise ValueError("flac: invalid sample rate code")
-        frame_bps = _SAMPLE_SIZE_CODES.get(ss_code, bps)
-        if frame_bps is None:
-            raise ValueError("flac: undetermined sample size")
-        if block_size > _MAX_BLOCK:
-            raise ValueError("flac: block size over the cap")
+        if ss_code == 0:
+            frame_bps = bps
+        elif ss_code == 3:
+            raise ValueError("flac: reserved sample size code 3")
+        else:
+            frame_bps = _SAMPLE_SIZE_CODES[ss_code]
+            if frame_bps != bps:
+                # decoding at frame_bps but normalizing by STREAMINFO
+                # bps would silently mis-scale amplitudes 2^k-fold
+                raise ValueError(
+                    "flac: frame sample size disagrees with STREAMINFO"
+                )
         # header CRC-8 covers everything up to here
         br.align()
         header_bytes = payload[frame_start_byte : br.pos >> 3]
@@ -405,6 +419,26 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
 # ---------------------------------------------------------------------------
 # Encoder (fixture-grade)
 # ---------------------------------------------------------------------------
+
+
+def _write_coded_number(bw: _BitWriter, value: int) -> None:
+    """The UTF-8-like coded frame number, general multi-byte form
+    (the exact inverse of ``_read_coded_number``)."""
+    if value < 0x80:
+        bw.write(value, 8)
+        return
+    payload_bits = value.bit_length()
+    # n-byte form carries 6*(n-1) + (7-n) payload bits
+    for n in range(2, 8):
+        if payload_bits <= 6 * (n - 1) + (7 - n):
+            break
+    else:
+        raise ValueError(f"flac: frame number {value} too large to code")
+    lead_payload = 7 - n
+    lead = (0xFF << (8 - n)) & 0xFF
+    bw.write(lead | (value >> (6 * (n - 1))) & ((1 << lead_payload) - 1), 8)
+    for i in range(n - 2, -1, -1):
+        bw.write(0x80 | ((value >> (6 * i)) & 0x3F), 8)
 
 
 def _write_rice(bw: _BitWriter, values: list[int], param: int) -> None:
@@ -481,6 +515,10 @@ def encode_flac(
     if samples.ndim == 1:
         samples = samples[:, None]
     frames, channels = samples.shape
+    if frames == 0:
+        # a frameless stream is undecodable; fail at encode time so
+        # the asymmetry with the WAV writers is loud, not latent
+        raise ValueError("flac: cannot encode an empty clip")
     ints = np.clip(
         np.round(samples * float(1 << (bps - 1))),
         -(1 << (bps - 1)),
@@ -516,11 +554,7 @@ def encode_flac(
         bw.write(10 if mid_side else channels - 1, 4)
         bw.write(0, 3)  # bps from STREAMINFO
         bw.write(0, 1)
-        if frame_no < 0x80:
-            bw.write(frame_no, 8)
-        else:  # 2-byte UTF-8-like form (fixtures stay < 2^11 frames)
-            bw.write(0xC0 | (frame_no >> 6), 8)
-            bw.write(0x80 | (frame_no & 0x3F), 8)
+        _write_coded_number(bw, frame_no)
         bw.write(bs - 1, 16)
         bw.align()
         header = bw.getvalue()

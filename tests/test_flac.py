@@ -95,6 +95,49 @@ def test_final_partial_block_shorter_than_order():
         assert np.abs(out[:, 0] - sig[:, 0]).max() <= 1 / 32768 * 1.01
 
 
+def test_many_frames_coded_number_multibyte():
+    """Frame numbers >= 2048 need the 3+ byte coded form; the stream
+    must stay decodable (regression: the 2-byte writer overflowed)."""
+    sig = _sig(2100 * 4, channels=1)
+    out, _ = FL.decode_flac(FL.encode_flac(sig, 8000, block_size=4))
+    assert out.shape[0] == 2100 * 4
+    assert np.abs(out[:, 0] - sig[:, 0]).max() <= 1 / 32768 * 1.01
+
+
+def test_coded_number_writer_inverts_reader():
+    for v in (0, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x1FFFFF, 0xFFFFFFF):
+        bw = FL._BitWriter()
+        FL._write_coded_number(bw, v)
+        assert FL._read_coded_number(FL._BitReader(bw.getvalue())) == v
+
+
+def test_frame_sample_size_mismatch_rejected():
+    """A frame coding a different bps than STREAMINFO must raise, not
+    silently mis-scale amplitudes."""
+    payload = bytearray(FL.encode_flac(_sig(256, channels=1), 8000, block_size=256))
+    # frame header starts right after fLaC + 4-byte block hdr + 34-byte
+    # STREAMINFO; byte 3 of the header holds (ss_code << 1) in bits 3-1
+    fh = 4 + 4 + 34
+    hdr = bytearray(payload[fh : fh + 5])
+    hdr[3] = (hdr[3] & 0xF1) | (1 << 1)  # ss_code = 1 (8-bit)
+    payload[fh : fh + 5] = hdr
+    # fix the header CRC-8 so the mismatch check (not the CRC) fires
+    end = fh + 5
+    payload[end] = FL._crc8(bytes(payload[fh:end]))
+    with pytest.raises(ValueError, match="sample size"):
+        FL.decode_flac(bytes(payload))
+
+
+def test_empty_clip_rejected_at_encode():
+    with pytest.raises(ValueError, match="empty"):
+        FL.encode_flac(np.zeros((0, 1)), 8000)
+
+
+def test_writer_rejects_out_of_range_fields():
+    with pytest.raises(ValueError, match="fit"):
+        FL.encode_flac(_sig(64, channels=1), rate=1 << 20)
+
+
 def test_crc_enforced():
     sig = _sig(channels=1)
     payload = bytearray(FL.encode_flac(sig, 8000, block_size=1024))
