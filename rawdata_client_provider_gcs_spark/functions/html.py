@@ -75,6 +75,60 @@ def html_visible_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(decoded, "\\s+", " "))
 
 
+def _clean_cell(cell: Column) -> Column:
+    """One table cell's inner HTML → trimmed visible text (same rules
+    as ``html_visible_text``, minus subtree drops — script/style inside
+    a cell is pathological and strips as tags anyway)."""
+    no_tags = F.regexp_replace(cell, "<[^>]+>", " ")
+    decoded = no_tags
+    for ent, ch in _ENTITIES:
+        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(decoded, "\\s+", " "))
+
+
+def html_tables(
+    df: DataFrame, html_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode ``<table>`` markup into structured rows, Catalyst-only.
+
+    Output: ``(id, table_idx, row_idx, n_cells, cells array<string>)``
+    — one row per ``<tr>``, cells covering both ``<td>`` and ``<th>``
+    with tags stripped and entities decoded.  Tables are the densest
+    structured data a crawl page carries (statistics, specs, listings)
+    and most pipelines either linearize them badly or drop them; this
+    keeps them queryable.  Everything is ``regexp_extract_all`` +
+    ``transform`` inside whole-stage codegen — at 100 TB this stays
+    map-side scan work like the rest of the module, no Python, no
+    shuffle until the caller aggregates.
+    """
+    c = F.col(html_col)
+    tables = F.expr(
+        f"regexp_extract_all({html_col}, '(?is)<table[^>]*>(.*?)</table\\\\s*>', 1)"
+    )
+    t = df.select(
+        F.col(id_col),
+        F.posexplode(tables).alias("table_idx", "__tbody"),
+    )
+    rows = t.select(
+        id_col,
+        "table_idx",
+        F.posexplode(
+            F.expr("regexp_extract_all(__tbody, '(?is)<tr[^>]*>(.*?)</tr\\\\s*>', 1)")
+        ).alias("row_idx", "__row"),
+    )
+    cells_raw = F.expr(
+        "regexp_extract_all(__row, '(?is)<t[dh][^>]*>(.*?)</t[dh]\\\\s*>', 1)"
+    )
+    cells = F.transform(cells_raw, _clean_cell)
+    return rows.select(
+        id_col,
+        F.col("table_idx").cast("long").alias("table_idx"),
+        F.col("row_idx").cast("long").alias("row_idx"),
+        F.size(cells).cast("long").alias("n_cells"),
+        cells.alias("cells"),
+    )
+
+
 def with_html_columns(
     df: DataFrame, html_col: str, prefix: str = "html_"
 ) -> DataFrame:

@@ -2817,6 +2817,69 @@ def q_crawl_archive_members(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_html_tables",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 250)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(0 AS BIGINT) AS table_idx,
+       CAST(0 AS BIGINT) AS row_idx,
+       CAST(2 AS BIGINT) AS n_cells,
+       'doc|' || CAST(doc_id AS VARCHAR) AS row_text
+FROM d
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 0, 1, 2,
+       trim(substr(text, 1, 10)) || '|' || trim(substr(text, 11, 10))
+FROM d
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 1, 0, 1, 'extra & cell'
+FROM d WHERE doc_id % 3 = 0
+""",
+    tags=("llm", "source", "html", "tables", "curation"),
+)
+def q_crawl_html_tables(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML ``<table>`` extraction into structured rows, oracle-exact.
+
+    Each document becomes a page holding a two-row table built from
+    its text (plus a second one-cell table with an entity for every
+    third doc); ``html_tables`` explodes the markup Catalyst-only and
+    the oracle restates every row's pipe-joined cells in closed form —
+    the structured-data slice of crawl curation, zero Python in the
+    plan.
+    """
+    from ..functions import html as H
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><body><table><tr><td>doc</td><td>"),
+                F.col("doc_id").cast("string"),
+                F.lit("</td></tr><tr><td> "),
+                F.substring("text", 1, 10),
+                F.lit(" </td><td>"),
+                F.substring("text", 11, 10),
+                F.lit("</td></tr></table>"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.lit("<TABLE><TR><TD>extra &amp; cell</TD></TR></TABLE>"),
+                ).otherwise(F.lit("")),
+                F.lit("</body></html>"),
+            ).alias("page"),
+        )
+    )
+    out = H.html_tables(d, "page")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "table_idx",
+        "row_idx",
+        "n_cells",
+        F.concat_ws("|", "cells").alias("row_text"),
+    )
+
+
+@register(
     "q_crawl_pdf_text",
     bench=True,
     oracle="""

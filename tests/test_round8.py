@@ -424,3 +424,36 @@ def test_corpus_dedup_segments_rejects_empty_sep(spark):
     df = spark.createDataFrame([(1, "a. b")], "doc_id long, text string")
     with pytest.raises(ValueError, match="non-empty"):
         T.corpus_dedup_segments(df, sep="")
+
+
+def test_html_tables_structured_extraction(spark):
+    from rawdata_client_provider_gcs_spark.functions import html as H
+
+    page = (
+        "<html><body>"
+        "<table><tr><th>Name</th><th>Qty &amp; unit</th></tr>"
+        "<tr><td><b>iron</b></td><td> 5 kg </td></tr></table>"
+        "<p>no table here</p>"
+        "<TABLE class=x><TR><TD>a</TD><TD>b</TD><TD>c</TD></TR></TABLE>"
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        [(1, page), (2, "<p>none</p>")], "doc_id long, page string"
+    )
+    out = H.html_tables(df, "page").toPandas()
+    assert sorted(out["doc_id"].unique()) == [1]  # table-less docs emit nothing
+    rows = {
+        (r.table_idx, r.row_idx): (r.n_cells, list(r.cells))
+        for r in out.itertuples()
+    }
+    assert rows[(0, 0)] == (2, ["Name", "Qty & unit"])
+    assert rows[(0, 1)] == (2, ["iron", "5 kg"])  # nested tag stripped, trimmed
+    assert rows[(1, 0)] == (3, ["a", "b", "c"])  # shouted legacy markup
+
+
+def test_html_tables_plan_is_codegen_only(spark):
+    from rawdata_client_provider_gcs_spark.functions import html as H
+
+    df = spark.createDataFrame([(1, "<table></table>")], "doc_id long, page string")
+    plan = H.html_tables(df, "page")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
