@@ -86,6 +86,34 @@ def _clean_cell(cell: Column) -> Column:
     return F.trim(F.regexp_replace(decoded, "\\s+", " "))
 
 
+def _between_tags(col: Column, tag_re: str, close_re: str) -> Column:
+    """Array of the contents between each ``<tag ...>`` and its nearest
+    following closer — LINEAR in input size.
+
+    The obvious ``regexp_extract_all('<t[^>]*>(.*?)</t>')`` form is
+    quadratic on hostile crawl markup (each unclosed opener lazily
+    scans to end-of-input before failing: measured 22 s for 828 KB of
+    ``<table>`` openers with no closers — a per-row DoS no error column
+    can catch because nothing throws).  Instead: split by the closing
+    tag (each char visited once), drop the tail segment (no closer
+    follows it), and keep what follows the LAST opener in each segment
+    (an opener-less segment is an orphan closer — no match, like the
+    regex).  For nested unclosed openers this keeps the innermost
+    content where the lazy regex kept the outermost — a behavior
+    difference only on malformed nesting, bounded-time always.
+    """
+    segs = F.split(col, close_re)
+    body_segs = F.slice(segs, F.lit(1), F.greatest(F.size(segs) - 1, F.lit(0)))
+    bodies = F.transform(
+        body_segs,
+        lambda s: F.when(
+            F.size(F.split(s, tag_re)) > 1,
+            F.element_at(F.split(s, tag_re), -1),
+        ),
+    )
+    return F.filter(bodies, lambda b: b.isNotNull())
+
+
 def html_tables(
     df: DataFrame, html_col: str, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -96,14 +124,14 @@ def html_tables(
     with tags stripped and entities decoded.  Tables are the densest
     structured data a crawl page carries (statistics, specs, listings)
     and most pipelines either linearize them badly or drop them; this
-    keeps them queryable.  Everything is ``regexp_extract_all`` +
-    ``transform`` inside whole-stage codegen — at 100 TB this stays
-    map-side scan work like the rest of the module, no Python, no
-    shuffle until the caller aggregates.
+    keeps them queryable.  Everything is split/``transform`` expression
+    work inside whole-stage codegen (see :func:`_between_tags` for why
+    splits, not lazy regexes) — at 100 TB this stays map-side scan
+    work like the rest of the module, no Python, no shuffle until the
+    caller aggregates.
     """
-    c = F.col(html_col)
-    tables = F.expr(
-        f"regexp_extract_all({html_col}, '(?is)<table[^>]*>(.*?)</table\\\\s*>', 1)"
+    tables = _between_tags(
+        F.col(html_col), "(?i)<table[^>]*>", "(?is)</table\\s*>"
     )
     t = df.select(
         F.col(id_col),
@@ -113,11 +141,11 @@ def html_tables(
         id_col,
         "table_idx",
         F.posexplode(
-            F.expr("regexp_extract_all(__tbody, '(?is)<tr[^>]*>(.*?)</tr\\\\s*>', 1)")
+            _between_tags(F.col("__tbody"), "(?i)<tr[^>]*>", "(?is)</tr\\s*>")
         ).alias("row_idx", "__row"),
     )
-    cells_raw = F.expr(
-        "regexp_extract_all(__row, '(?is)<t[dh][^>]*>(.*?)</t[dh]\\\\s*>', 1)"
+    cells_raw = _between_tags(
+        F.col("__row"), "(?i)<t[dh][^>]*>", "(?is)</t[dh]\\s*>"
     )
     cells = F.transform(cells_raw, _clean_cell)
     return rows.select(
