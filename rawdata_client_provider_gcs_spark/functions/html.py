@@ -47,14 +47,11 @@ def _count_occurrences(col: Column, needle: str) -> Column:
     ).cast("long")
 
 
-#: subtree-dropping pattern: one alternation PER TAG (not independent
-#: open/close alternations — `<script>` must not be "closed" by a
-#: `</title>` inside a string literal, which would leak script code
-#: into visible text).  Deliberately backreference-free so the DuckDB
-#: oracles can state the identical RE2-compatible pattern.
-_SUBTREE_RE = "(?is)" + "|".join(
-    f"<{t}[^>]*>.*?</{t}\\s*>" for t in ("script", "style", "title")
-)
+#: the DuckDB oracles state subtree dropping as the single lazy
+#: alternation ``(?is)<script[^>]*>.*?</script\s*>|<style...|<title...``;
+#: the Spark implementation computes the same function with linear
+#: split passes (see ``_drop_subtrees``) because the lazy form is
+#: quadratic on hostile unclosed-opener markup.
 
 
 def html_title(col: Column) -> Column:

@@ -457,3 +457,25 @@ def test_html_tables_plan_is_codegen_only(spark):
     df = spark.createDataFrame([(1, "<table></table>")], "doc_id long, page string")
     plan = H.html_tables(df, "page")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_html_hostile_unclosed_openers_linear(spark):
+    """A page of unclosed <script>/<table> openers must cost linear
+    time (the lazy-regex form was quadratic: ~22s at 828KB). 3.3MB in
+    a handful of seconds is the regression bar."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from rawdata_client_provider_gcs_spark.functions import html as H
+
+    page = ("<script>" + "x" * 200) * 16000  # 3.3 MB, no closers
+    df = spark.createDataFrame([(1, page)], "doc_id long, page string")
+    t0 = time.perf_counter()
+    df.select(F.length(H.html_visible_text(F.col("page")))).collect()
+    assert time.perf_counter() - t0 < 30
+    page_t = ("<table>" + "x" * 200) * 16000
+    df2 = spark.createDataFrame([(1, page_t)], "doc_id long, page string")
+    t0 = time.perf_counter()
+    assert H.html_tables(df2, "page").count() == 0
+    assert time.perf_counter() - t0 < 30
