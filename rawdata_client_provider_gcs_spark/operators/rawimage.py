@@ -41,10 +41,13 @@ def sniff_format(payload: bytes) -> str | None:
         return "gif"
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
-    if payload[:2] == b"BM" and len(payload) >= 30:
+    if payload[:2] == b"BM" and len(payload) >= 34:
         bpp = int.from_bytes(payload[28:30], "little")
         compression = int.from_bytes(payload[30:34], "little")
-        if bpp == 24 and compression == 0:
+        if (bpp, compression) in (
+            (24, 0), (32, 0), (8, 0), (4, 0), (1, 0),  # uncompressed
+            (8, 1), (4, 2),  # BI_RLE8 / BI_RLE4
+        ):
             return "bmp"
     return None
 
@@ -92,17 +95,79 @@ def decode_image(payload: bytes) -> np.ndarray:
         gray = np.frombuffer(payload, np.uint8, count=w * h, offset=off)
         return np.repeat(gray.reshape(h, w, 1), 3, axis=2)
     if fmt == "bmp":
+        bpp = int.from_bytes(payload[28:30], "little")
+        compression = int.from_bytes(payload[30:34], "little")
         data_off = int.from_bytes(payload[10:14], "little")
         w = int.from_bytes(payload[18:22], "little", signed=True)
         h = int.from_bytes(payload[22:26], "little", signed=True)
         flip = h > 0  # positive height = bottom-up row order
         h = abs(h)
-        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        if w < 1 or h < 1 or w * h > (1 << 26):
+            raise ValueError(f"bmp: dimensions {w}x{h} out of bounds")
+        if bpp == 24 and compression == 0:
+            stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+            if data_off + stride * h > len(payload):
+                raise ValueError("bmp: pixel data overruns payload")
+            rows = np.frombuffer(
+                payload, np.uint8, count=stride * h, offset=data_off
+            ).reshape(h, stride)
+            bgr = rows[:, : w * 3].reshape(h, w, 3)
+            rgb = bgr[:, :, ::-1]
+            return (rgb[::-1] if flip else rgb).copy()
+        if bpp == 32 and compression == 0:
+            stride = w * 4
+            if data_off + stride * h > len(payload):
+                raise ValueError("bmp: pixel data overruns payload")
+            rows = np.frombuffer(
+                payload, np.uint8, count=stride * h, offset=data_off
+            ).reshape(h, w, 4)
+            rgb = rows[:, :, :3][:, :, ::-1]
+            return (rgb[::-1] if flip else rgb).copy()
+        # palettized (1/4/8-bit) and MS-RLE forms: the ICO tier already
+        # decodes the identical headerless-DIB layout — reuse it by
+        # presenting the DIB with doubled height and an empty AND mask,
+        # except RLE, which the AVI RLE kernels decode to index rasters
+        hdr_size = int.from_bytes(payload[14:18], "little")
+        n_colors = int.from_bytes(payload[46:50], "little") or (1 << bpp)
+        pal_off = 14 + hdr_size
+        if pal_off + 4 * n_colors > len(payload):
+            raise ValueError("bmp: palette overruns payload")
+        pal = np.frombuffer(
+            payload, np.uint8, count=4 * n_colors, offset=pal_off
+        ).reshape(-1, 4)[:, :3][:, ::-1]
+        if compression in (1, 2):  # BI_RLE8 / BI_RLE4
+            from . import rawavi  # noqa: PLC0415
+
+            data = payload[data_off:]
+            idx = (
+                rawavi._rle8_decode(data, w, h)
+                if compression == 1
+                else rawavi._rle4_decode(data, w, h)
+            )
+            # RLE rasters are bottom-up index grids
+            if idx.max(initial=0) >= len(pal):
+                raise ValueError("bmp: RLE palette index out of range")
+            rgb = pal[idx]
+            return (rgb[::-1] if flip else rgb).copy()
+        row_bits = w * bpp
+        stride = ((row_bits + 31) // 32) * 4
+        if data_off + stride * h > len(payload):
+            raise ValueError("bmp: pixel data overruns payload")
         rows = np.frombuffer(
             payload, np.uint8, count=stride * h, offset=data_off
         ).reshape(h, stride)
-        bgr = rows[:, : w * 3].reshape(h, w, 3)
-        rgb = bgr[:, :, ::-1]
+        if bpp == 8:
+            idx = rows[:, :w]
+        elif bpp == 4:
+            expanded = np.empty((h, stride * 2), np.uint8)
+            expanded[:, 0::2] = rows >> 4
+            expanded[:, 1::2] = rows & 0x0F
+            idx = expanded[:, :w]
+        else:  # 1-bit
+            idx = np.unpackbits(rows, axis=1)[:, :w]
+        if idx.max(initial=0) >= len(pal):
+            raise ValueError("bmp: palette index out of range")
+        rgb = pal[idx]
         return (rgb[::-1] if flip else rgb).copy()
     if fmt == "png":
         return decode_png(payload)

@@ -143,3 +143,90 @@ def test_spark_features_on_icons(spark):
     # both decode to the same 32x32 constant-77 image -> same histogram
     assert list(ok["features"].iloc[0]) == list(ok["features"].iloc[1])
     assert list(out[out["error"].notna()]["doc_id"]) == [2]
+
+
+def _bmp(w, h, bpp, compression, pal_rgb, pixel_data, n_colors=None):
+    """Hand-build a standalone BMP file."""
+    n_colors = n_colors if n_colors is not None else (1 << bpp if bpp <= 8 else 0)
+    pal = bytearray()
+    for i in range(n_colors):
+        c = pal_rgb[i % len(pal_rgb)]
+        pal += bytes([c[2], c[1], c[0], 0])
+    dib = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + bpp.to_bytes(2, "little")
+        + compression.to_bytes(4, "little")
+        + len(pixel_data).to_bytes(4, "little")
+        + bytes(8)
+        + n_colors.to_bytes(4, "little")
+        + bytes(4)
+    )
+    data_off = 14 + len(dib) + len(pal)
+    hdr = (
+        b"BM"
+        + (data_off + len(pixel_data)).to_bytes(4, "little")
+        + bytes(4)
+        + data_off.to_bytes(4, "little")
+    )
+    return hdr + dib + bytes(pal) + pixel_data
+
+
+def test_bmp_palettized_depths_standalone():
+    pal_rgb = np.array([[10, 20, 30], [200, 100, 50]], np.uint8)
+    idx = np.array([[0, 1, 0, 1], [1, 0, 1, 0], [0, 0, 1, 1], [1, 1, 0, 0]], np.uint8)
+    want = pal_rgb[idx]
+    for bpp in (8, 4, 1):
+        row_bits = 4 * bpp
+        stride = ((row_bits + 31) // 32) * 4
+        px = bytearray()
+        for row in idx[::-1]:  # bottom-up
+            bits = bytearray(stride)
+            for x, v in enumerate(row):
+                if bpp == 8:
+                    bits[x] = v
+                elif bpp == 4:
+                    bits[x // 2] |= v << (4 if x % 2 == 0 else 0)
+                else:
+                    bits[x // 8] |= v << (7 - x % 8)
+            px += bits
+        payload = _bmp(4, 4, bpp, 0, pal_rgb, bytes(px))
+        assert rawimage.sniff_format(payload) == "bmp"
+        assert (rawimage.decode_image(payload) == want).all(), bpp
+
+
+def test_bmp_rle8_standalone():
+    from rawdata_client_provider_gcs_spark.operators import rawavi
+
+    pal_rgb = np.array(
+        [[5, 5, 5], [250, 10, 10], [10, 250, 10], [10, 10, 250]], np.uint8
+    )
+    rng = np.random.RandomState(3)
+    idx = rng.randint(0, 4, (6, 9), np.uint8)
+    rle = rawavi._rle8_encode(idx[::-1])  # encoder wants bottom-up
+    payload = _bmp(9, 6, 8, 1, pal_rgb, rle, n_colors=4)
+    assert rawimage.sniff_format(payload) == "bmp"
+    assert (rawimage.decode_image(payload) == pal_rgb[idx]).all()
+
+
+def test_bmp_32bpp_standalone():
+    rng = np.random.RandomState(4)
+    rgb = rng.randint(0, 256, (5, 7, 3), np.uint8)
+    rows = bytearray()
+    for row in rgb[::-1]:
+        for px in row:
+            rows += bytes([px[2], px[1], px[0], 255])
+    payload = _bmp(7, 5, 32, 0, np.zeros((1, 3), np.uint8), bytes(rows), n_colors=0)
+    assert (rawimage.decode_image(payload) == rgb).all()
+
+
+def test_bmp_hostile_rejections():
+    pal_rgb = np.array([[1, 2, 3]], np.uint8)
+    lying = _bmp(60000, 60000, 8, 0, pal_rgb, b"", n_colors=1)
+    with pytest.raises(ValueError):
+        rawimage.decode_image(lying)
+    short = _bmp(8, 8, 8, 0, pal_rgb, b"\x00" * 4, n_colors=1)
+    with pytest.raises(ValueError):
+        rawimage.decode_image(short)
