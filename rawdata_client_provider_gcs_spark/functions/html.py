@@ -65,15 +65,20 @@ def _drop_subtrees(col: Column, tag: str) -> Column:
 
     Split by the closing tag (one pass), keep each segment's content
     before its FIRST opener (the span from opener to closer is the
-    dropped subtree), and keep the tail segment whole (an unclosed
-    opener never matches, exactly like the lazy regex this replaces —
-    which was quadratic on hostile unclosed-opener markup, measured
-    22 s at 828 KB).  Segments are re-joined with a space, matching the
-    regex's ``' '`` replacement after whitespace collapse; an orphan
-    closer's literal text differs only pre-collapse (it used to strip
-    as a tag to a space — the joiner supplies the same space).
+    dropped subtree), and keep the tail segment whole.  The opener is
+    matched as a zero-width-bounded literal prefix
+    ``<tag(?=[\\s/>])`` — NOT ``<tag[^>]*>``, whose ``[^>]*`` scan is
+    itself quadratic on a flood of unterminated openers (``'<tag ' *
+    100k`` with one closer: each prefix re-scans to segment end).
+    Behavioral deltas vs the lazy regex, both only on malformed
+    markup: an unterminated opener inside a closed segment now drops
+    the rest of that segment (the regex kept it as garbled visible
+    text — dropping script-ish garbage is the better curation
+    outcome), and a sloppy ``<tagx>`` no longer reads as an opener.
+    Segments re-join with a space, matching the regex's ``' '``
+    replacement after whitespace collapse.
     """
-    open_re = f"(?i)<{tag}[^>]*>"
+    open_re = f"(?i)<{tag}(?=[\\s/>])"
     close_re = f"(?is)</{tag}\\s*>"
     segs = F.split(col, close_re)
     n = F.size(segs)
@@ -113,29 +118,46 @@ def _clean_cell(cell: Column) -> Column:
     return F.trim(F.regexp_replace(decoded, "\\s+", " "))
 
 
-def _between_tags(col: Column, tag_re: str, close_re: str) -> Column:
+def _between_tags(col: Column, open_prefix_re: str, close_re: str) -> Column:
     """Array of the contents between each ``<tag ...>`` and its nearest
     following closer — LINEAR in input size.
 
     The obvious ``regexp_extract_all('<t[^>]*>(.*?)</t>')`` form is
-    quadratic on hostile crawl markup (each unclosed opener lazily
-    scans to end-of-input before failing: measured 22 s for 828 KB of
-    ``<table>`` openers with no closers — a per-row DoS no error column
-    can catch because nothing throws).  Instead: split by the closing
-    tag (each char visited once), drop the tail segment (no closer
-    follows it), and keep what follows the LAST opener in each segment
-    (an opener-less segment is an orphan closer — no match, like the
-    regex).  For nested unclosed openers this keeps the innermost
-    content where the lazy regex kept the outermost — a behavior
-    difference only on malformed nesting, bounded-time always.
+    quadratic on hostile crawl markup, twice over: each unclosed
+    opener's ``.*?`` lazily scans to end-of-input (measured 22 s for
+    828 KB of ``<table>`` openers), and even the opener's own
+    ``[^>]*>`` re-scans to segment end for every unterminated
+    ``'<table '`` in a flood.  Instead: split by the closing tag, drop
+    the tail segment (no closer follows it), keep what follows the
+    LAST opener PREFIX in each segment (matched zero-width-bounded,
+    ``<tag(?=[\\s/>])``), then skip through the opener's first ``>``
+    — every character is visited O(1) times.
+
+    Known semantics vs a browser, documented not accidental: closers
+    are REQUIRED (HTML5's omitted optional ``</tr>``/``</td>`` end
+    tags extract nothing), and under nested same-tag markup the
+    innermost span wins (the outer table's own rows are not
+    recovered).  A tag-soup tree builder is out of scope for this
+    tier; well-formed tables — the overwhelming crawl case —
+    extract exactly.
     """
     segs = F.split(col, close_re)
     body_segs = F.slice(segs, F.lit(1), F.greatest(F.size(segs) - 1, F.lit(0)))
+    parts = F.transform(body_segs, lambda s: F.split(s, open_prefix_re))
     bodies = F.transform(
-        body_segs,
-        lambda s: F.when(
-            F.size(F.split(s, tag_re)) > 1,
-            F.element_at(F.split(s, tag_re), -1),
+        parts,
+        lambda p: F.when(
+            F.size(p) > 1,
+            # the last part starts mid-attribute-list: content begins
+            # after the opener's '>' (absent '>' = malformed opener =
+            # no match, like the regex)
+            F.when(
+                F.instr(F.element_at(p, -1), ">") > 0,
+                F.substr(
+                    F.element_at(p, -1),
+                    F.instr(F.element_at(p, -1), ">") + 1,
+                ),
+            ),
         ),
     )
     return F.filter(bodies, lambda b: b.isNotNull())
@@ -158,7 +180,7 @@ def html_tables(
     caller aggregates.
     """
     tables = _between_tags(
-        F.col(html_col), "(?i)<table[^>]*>", "(?is)</table\\s*>"
+        F.col(html_col), "(?i)<table(?=[\\s/>])", "(?is)</table\\s*>"
     )
     t = df.select(
         F.col(id_col),
@@ -168,11 +190,13 @@ def html_tables(
         id_col,
         "table_idx",
         F.posexplode(
-            _between_tags(F.col("__tbody"), "(?i)<tr[^>]*>", "(?is)</tr\\s*>")
+            _between_tags(
+                F.col("__tbody"), "(?i)<tr(?=[\\s/>])", "(?is)</tr\\s*>"
+            )
         ).alias("row_idx", "__row"),
     )
     cells_raw = _between_tags(
-        F.col("__row"), "(?i)<t[dh][^>]*>", "(?is)</t[dh]\\s*>"
+        F.col("__row"), "(?i)<t[dh](?=[\\s/>])", "(?is)</t[dh]\\s*>"
     )
     cells = F.transform(cells_raw, _clean_cell)
     return rows.select(

@@ -93,15 +93,7 @@ def _decode_dib(entry: bytes) -> np.ndarray:
         rows = np.frombuffer(entry, np.uint8, count=need, offset=pos).reshape(
             h, stride
         )
-        if bpp == 8:
-            idx = rows[:, :w]
-        elif bpp == 4:
-            expanded = np.empty((h, stride * 2), np.uint8)
-            expanded[:, 0::2] = rows >> 4
-            expanded[:, 1::2] = rows & 0x0F
-            idx = expanded[:, :w]
-        else:
-            idx = (np.unpackbits(rows, axis=1))[:, :w]
+        idx = rawimage.expand_dib_indices(rows, bpp, w)
         if palette is None or idx.max(initial=0) >= len(palette):
             raise ValueError("ico: palette index out of range")
         rgb = palette[idx]

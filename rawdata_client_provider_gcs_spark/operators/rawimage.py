@@ -83,6 +83,22 @@ def _parse_netpbm_header(payload: bytes, magic: bytes) -> tuple[int, int, int, i
     return width, height, maxval, i
 
 
+def expand_dib_indices(rows: np.ndarray, bpp: int, w: int) -> np.ndarray:
+    """(H, stride) packed DIB rows → (H, w) palette indices for the
+    1/4/8-bit depths — shared by the standalone-BMP and ICO decoders."""
+    if bpp == 8:
+        return rows[:, :w]
+    if bpp == 4:
+        h, stride = rows.shape
+        expanded = np.empty((h, stride * 2), np.uint8)
+        expanded[:, 0::2] = rows >> 4
+        expanded[:, 1::2] = rows & 0x0F
+        return expanded[:, :w]
+    if bpp == 1:
+        return np.unpackbits(rows, axis=1)[:, :w]
+    raise ValueError(f"dib: unsupported palettized depth {bpp}")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Decode PPM/PGM/BMP bytes to an (H, W, 3) uint8 RGB array."""
     fmt = sniff_format(payload)
@@ -123,10 +139,8 @@ def decode_image(payload: bytes) -> np.ndarray:
             ).reshape(h, w, 4)
             rgb = rows[:, :, :3][:, :, ::-1]
             return (rgb[::-1] if flip else rgb).copy()
-        # palettized (1/4/8-bit) and MS-RLE forms: the ICO tier already
-        # decodes the identical headerless-DIB layout — reuse it by
-        # presenting the DIB with doubled height and an empty AND mask,
-        # except RLE, which the AVI RLE kernels decode to index rasters
+        # palettized (1/4/8-bit) via the shared DIB index expansion
+        # (also used by the ICO tier); MS-RLE via the AVI RLE kernels
         hdr_size = int.from_bytes(payload[14:18], "little")
         n_colors = int.from_bytes(payload[46:50], "little") or (1 << bpp)
         pal_off = 14 + hdr_size
@@ -138,6 +152,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         if compression in (1, 2):  # BI_RLE8 / BI_RLE4
             from . import rawavi  # noqa: PLC0415
 
+            if not flip:
+                # top-down DIBs cannot be RLE-compressed per spec; the
+                # RLE kernels produce bottom-up rasters, so accepting
+                # this would return a silently upside-down image
+                raise ValueError("bmp: negative height is invalid with RLE")
             data = payload[data_off:]
             idx = (
                 rawavi._rle8_decode(data, w, h)
@@ -156,15 +175,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         rows = np.frombuffer(
             payload, np.uint8, count=stride * h, offset=data_off
         ).reshape(h, stride)
-        if bpp == 8:
-            idx = rows[:, :w]
-        elif bpp == 4:
-            expanded = np.empty((h, stride * 2), np.uint8)
-            expanded[:, 0::2] = rows >> 4
-            expanded[:, 1::2] = rows & 0x0F
-            idx = expanded[:, :w]
-        else:  # 1-bit
-            idx = np.unpackbits(rows, axis=1)[:, :w]
+        idx = expand_dib_indices(rows, bpp, w)
         if idx.max(initial=0) >= len(pal):
             raise ValueError("bmp: palette index out of range")
         rgb = pal[idx]

@@ -479,3 +479,42 @@ def test_html_hostile_unclosed_openers_linear(spark):
     t0 = time.perf_counter()
     assert H.html_tables(df2, "page").count() == 0
     assert time.perf_counter() - t0 < 30
+
+
+def test_html_hostile_unterminated_opener_flood_linear(spark):
+    """Openers WITHOUT their closing '>' ('<script ' floods) hit the
+    opener-side scan, not the tail path the first regression test
+    covers; both must stay linear."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from rawdata_client_provider_gcs_spark.functions import html as H
+
+    page = "<script " * 200000 + "</script>" + "visible tail"
+    df = spark.createDataFrame([(1, page)], "doc_id long, page string")
+    t0 = time.perf_counter()
+    out = df.select(H.html_visible_text(F.col("page")).alias("v")).collect()
+    assert time.perf_counter() - t0 < 30
+    assert out[0]["v"] == "visible tail"
+    page_t = "<table " * 200000 + "</table>"
+    df2 = spark.createDataFrame([(1, page_t)], "doc_id long, page string")
+    t0 = time.perf_counter()
+    assert H.html_tables(df2, "page").count() == 0  # opener never completes
+    assert time.perf_counter() - t0 < 30
+
+
+def test_bmp_negative_height_rle_rejected():
+    from tests.test_ico import _bmp
+
+    import numpy as np
+    import pytest as _pytest
+
+    from rawdata_client_provider_gcs_spark.operators import rawavi, rawimage
+
+    pal = np.array([[1, 2, 3]], np.uint8)
+    idx = np.zeros((4, 4), np.uint8)
+    rle = rawavi._rle8_encode(idx)
+    payload = _bmp(4, -4, 8, 1, pal, rle, n_colors=1)
+    with _pytest.raises(ValueError, match="negative height"):
+        rawimage.decode_image(payload)
