@@ -814,12 +814,30 @@ def embedding_near_dup_pairs(
     left_cols = [F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")]
     right_cols = [F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")]
     if block_col:
-        left = embeddings.select(*left_cols, F.col(block_col).alias("block"))
-        right = embeddings.select(*right_cols, F.col(block_col).alias("block"))
+        # norms are precomputed PER ROW before the join: inside the
+        # join condition each vector's norm fold would re-run once per
+        # candidate pair (|block| times) — measured as the dominant
+        # cost of the blocked pass.  dot/(norm_a*norm_b) performs the
+        # identical double arithmetic, so emitted cosines (and the
+        # DuckDB oracle hash) are bit-unchanged.
+        left = embeddings.select(
+            *left_cols,
+            F.col(block_col).alias("block"),
+            _norm(F.col(vec_col)).alias("norm_a"),
+        )
+        right = embeddings.select(
+            *right_cols,
+            F.col(block_col).alias("block"),
+            _norm(F.col(vec_col)).alias("norm_b"),
+        )
         joined = left.join(right, on="block")
         return (
             joined.filter(F.col("id_a") < F.col("id_b"))
-            .withColumn("cosine", cosine_similarity(F.col("vec_a"), F.col("vec_b")))
+            .withColumn(
+                "cosine",
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+            )
             .filter(F.col("cosine") >= F.lit(threshold))
             .select("id_a", "id_b", "cosine")
         )
