@@ -564,6 +564,79 @@ def q_stream_crawl_ingest(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_stream_archive_ingest",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'doc/' || CAST(doc_id AS VARCHAR) || '/a.txt' AS path,
+       substr(text, 1, 50) AS content
+FROM d
+UNION ALL
+SELECT CAST(doc_id AS BIGINT),
+       'doc/' || CAST(doc_id AS VARCHAR) || '/b.txt',
+       substr(text, 51, 70)
+FROM d
+""",
+    tags=("streaming", "source", "archive"),
+)
+def q_stream_archive_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """The archive tier as a STREAM, oracle-exact: ZIP/TAR drops arrive
+    in micro-batches and explode to member rows through the same
+    ``archive_members`` kernel as the batch query
+    (``q_crawl_archive_members``) — stateless append, zero state at any
+    scale, both container formats under the one oracle.
+    """
+    import tempfile
+
+    from ..sources import archive as A
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                t = str(text)
+                members = [
+                    (f"doc/{did}/a.txt", t[:50].encode()),
+                    (f"doc/{did}/b.txt", t[50:120].encode()),
+                ]
+                if did % 2 == 0:
+                    payloads.append(A.build_zip(members))
+                else:
+                    payloads.append(A.build_tar(members))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    stage = tempfile.mkdtemp(prefix="rawdata-archive-stream-")
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    files.withColumn("part", F.col("doc_id") % 4).repartition(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(stage)
+
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = W.run_available_now_append(
+        A.archive_members(stream).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "path",
+            F.col("payload").cast("string").alias("content"),
+        ),
+        "t_archive_ingest",
+    )
+    return out
+
+
+@register(
     "q_stream_pdf_ingest",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
