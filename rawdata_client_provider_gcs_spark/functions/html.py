@@ -25,17 +25,53 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: entities decoded after tag stripping — the half-dozen that dominate
-#: real crawl text; numeric references are left as-is (rare, and
-#: decoding them portably would push the tier out of codegen).
+#: named entities decoded after tag stripping — the half-dozen that
+#: dominate real crawl text.
 _ENTITIES = [
     ("&lt;", "<"),
     ("&gt;", ">"),
     ("&quot;", '"'),
-    ("&#39;", "'"),
     ("&nbsp;", " "),
     ("&amp;", "&"),  # must come LAST so "&amp;lt;" decodes to "&lt;"
 ]
+
+#: numeric character references for the high-frequency dozen (curly
+#: quotes, dashes, ellipsis, nbsp, the ASCII five) — each decoded by
+#: ONE case-insensitive fixed-alternation ``regexp_replace`` (linear,
+#: no lazy quantifiers, stays in whole-stage codegen).  Decoding is a
+#: fixed table, not a general ``&#N;`` evaluator: arbitrary code
+#: points would need a per-match int parse that Catalyst can't express
+#: without Python.  Applied BEFORE the named table so the amp-class
+#: refs (``&#38;``/``&#x26;`` → ``&``, listed last here) precede the
+#: final ``&amp;`` pass — sequential-replace semantics, documented:
+#: ``&amp;#38;`` decodes to ``&#38;``'s decode (``&``), unlike a
+#: browser's single-pass left-to-right scan.  The DuckDB oracles
+#: restate the identical chain.
+_NUMERIC_REFS = [
+    ("(?i)&#(8216|x2018);", "‘"),
+    ("(?i)&#(8217|x2019);", "’"),
+    ("(?i)&#(8220|x201c);", "“"),
+    ("(?i)&#(8221|x201d);", "”"),
+    ("(?i)&#(8211|x2013);", "–"),
+    ("(?i)&#(8212|x2014);", "—"),
+    ("(?i)&#(8230|x2026);", "…"),
+    ("(?i)&#(0*160|x0*a0);", " "),
+    ("(?i)&#(0*34|x0*22);", '"'),
+    ("(?i)&#(0*39|x0*27);", "'"),
+    ("(?i)&#(0*60|x0*3c);", "<"),
+    ("(?i)&#(0*62|x0*3e);", ">"),
+    ("(?i)&#(0*38|x0*26);", "&"),
+]
+
+
+def _decode_entities(col: Column) -> Column:
+    """Numeric refs (fixed table, regexp passes) then named entities
+    (literal replaces, ``&amp;`` last)."""
+    for pat, ch in _NUMERIC_REFS:
+        col = F.regexp_replace(col, pat, ch)
+    for ent, ch in _ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
 
 
 def _count_occurrences(col: Column, needle: str) -> Column:
@@ -101,10 +137,7 @@ def html_visible_text(col: Column) -> Column:
     for tag in ("script", "style", "title"):
         no_sub = _drop_subtrees(no_sub, tag)
     no_tags = F.regexp_replace(no_sub, "<[^>]+>", " ")
-    decoded = no_tags
-    for ent, ch in _ENTITIES:
-        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(decoded, "\\s+", " "))
+    return F.trim(F.regexp_replace(_decode_entities(no_tags), "\\s+", " "))
 
 
 def _clean_cell(cell: Column) -> Column:
@@ -112,10 +145,7 @@ def _clean_cell(cell: Column) -> Column:
     as ``html_visible_text``, minus subtree drops — script/style inside
     a cell is pathological and strips as tags anyway)."""
     no_tags = F.regexp_replace(cell, "<[^>]+>", " ")
-    decoded = no_tags
-    for ent, ch in _ENTITIES:
-        decoded = F.replace(decoded, F.lit(ent), F.lit(ch))
-    return F.trim(F.regexp_replace(decoded, "\\s+", " "))
+    return F.trim(F.regexp_replace(_decode_entities(no_tags), "\\s+", " "))
 
 
 def _between_tags(col: Column, open_prefix_re: str, close_re: str) -> Column:

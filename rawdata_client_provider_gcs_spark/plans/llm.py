@@ -296,8 +296,8 @@ def q_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     kept = d.join(removed, "doc_id", "left_anti")
     return (
         d.agg(F.count(F.lit(1)).alias("n_docs"))
-        .crossJoin(removed.agg(F.count(F.lit(1)).alias("n_removed")))
-        .crossJoin(kept.agg(F.count(F.lit(1)).alias("n_kept")))
+        .crossJoin(F.broadcast(removed.agg(F.count(F.lit(1)).alias("n_removed"))))
+        .crossJoin(F.broadcast(kept.agg(F.count(F.lit(1)).alias("n_kept"))))
         .select(
             F.col("n_docs").cast("long").alias("n_docs"),
             F.col("n_removed").cast("long").alias("n_removed"),
@@ -2954,6 +2954,7 @@ WITH pages AS (
          || '<script type="text/javascript">var x = 1 < 2;</script>'
          || '</head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
          || substr(text, 1, 100) || ' &amp; more &lt;tags&gt;</p>'
+         || '<p>&#8220;q&#8221;&#X2019;s &#8212; nb&#0160;sp &#x2026;</p>'
          || repeat('<a href="https://example.com/x">link</a> ',
                    CAST(doc_id % 5 AS INTEGER))
          || '</body></html>' AS html
@@ -2962,12 +2963,17 @@ WITH pages AS (
   SELECT doc_id, html,
          regexp_extract(html, '(?is)<title[^>]*>([^<]*)</title>', 1) AS title,
          trim(regexp_replace(
-           replace(replace(replace(replace(replace(replace(
+           replace(replace(replace(replace(replace(
+             regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(
              regexp_replace(
                regexp_replace(html,
                  '<script[^>]*>.*?</script\s*>|<style[^>]*>.*?</style\s*>|<title[^>]*>.*?</title\s*>', ' ', 'gis'),
                '<[^>]+>', ' ', 'g'),
-             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+             '&#(8220|x201c);', '“', 'gi'), '&#(8221|x201d);', '”', 'gi'),
+             '&#(8217|x2019);', '’', 'gi'), '&#(8212|x2014);', '—', 'gi'),
+             '&#(0*160|x0*a0);', ' ', 'gi'), '&#(8230|x2026);', '…', 'gi'),
+             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
              '&nbsp;', ' '), '&amp;', '&'),
            '\\s+', ' ', 'g')) AS vis
   FROM pages
@@ -3014,6 +3020,7 @@ def q_text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
             F.lit("</h1><p>"),
             F.substring("text", 1, 100),
             F.lit(" &amp; more &lt;tags&gt;</p>"),
+            F.lit("<p>&#8220;q&#8221;&#X2019;s &#8212; nb&#0160;sp &#x2026;</p>"),
             F.repeat(
                 F.lit('<a href="https://example.com/x">link</a> '),
                 (F.col("doc_id") % 5).cast("int"),
