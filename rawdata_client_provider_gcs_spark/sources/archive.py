@@ -14,10 +14,11 @@ hostile bytes; here every malformed-input path lands on ``ValueError``
 kilobyte-sized zip bomb cannot expand to gigabytes inside an executor:
 
 - **ZIP** (APPNOTE.TXT layout): end-of-central-directory scan from the
-  tail, central-directory walk, local-header offset validation, methods
-  0 (store), 8 (deflate, raw ``zlib`` wbits=-15) and 12 (bzip2),
-  CRC-32 verified, declared sizes cross-checked against
-  ``MAX_MEMBER_BYTES``.
+  tail, Zip64 EOCD record + locator and 0x0001 extended-info extras
+  (>65,535 members / >4 GiB offsets), central-directory walk,
+  local-header offset validation, methods 0 (store), 8 (deflate, raw
+  ``zlib`` wbits=-15) and 12 (bzip2), CRC-32 verified, declared sizes
+  cross-checked against ``MAX_MEMBER_BYTES``.
 - **TAR** (POSIX ustar + the long-path mechanisms real archives use:
   GNU ``L`` longname entries and pax ``x`` extended headers): 512-byte
   headers, octal size fields, header checksum verified, ``prefix``
@@ -44,6 +45,8 @@ MAX_MEMBER_BYTES = 256 * 1024 * 1024
 _EOCD_SIG = b"PK\x05\x06"
 _CDH_SIG = b"PK\x01\x02"
 _LFH_SIG = b"PK\x03\x04"
+_EOCD64_SIG = b"PK\x06\x06"
+_EOCD64_LOC_SIG = b"PK\x06\x07"
 
 ARCHIVE_SCHEMA = (
     "doc_id long, member_idx long, archive_format string, "
@@ -57,12 +60,21 @@ ARCHIVE_SCHEMA = (
 
 
 def build_zip(
-    members: list[tuple[str, bytes]], *, method: str = "deflate"
+    members: list[tuple[str, bytes]], *, method: str = "deflate",
+    zip64: bool = False,
 ) -> bytes:
-    """Deterministic ZIP writer (fixed DOS timestamp, no extra fields)."""
+    """Deterministic ZIP writer (fixed DOS timestamp).
+
+    With ``zip64=True`` the central directory carries 0x0001 extended-
+    info extras (sizes + offset), the classic EOCD holds sentinels, and
+    the Zip64 EOCD record + locator are appended — the layout a
+    >65,535-member or >4 GiB archive must use (APPNOTE 4.4.1.4),
+    exercised here at small sizes so the structural path is testable.
+    """
     if method not in ("deflate", "store"):
         raise ValueError(f"unsupported zip method: {method}")
     mnum = 8 if method == "deflate" else 0
+    ver_need = 45 if zip64 else 20
     out = bytearray()
     central = bytearray()
     entries = []  # (name, crc, clen, ulen, offset)
@@ -77,24 +89,90 @@ def build_zip(
         entries.append((name, crc, len(comp), len(data), len(out)))
         out += _LFH_SIG
         out += struct.pack(
-            "<HHHHHIII", 20, 0, mnum, 0x21, 0x548, crc, len(comp), len(data)
+            "<HHHHHIII", ver_need, 0, mnum, 0x21, 0x548, crc, len(comp), len(data)
         )
         out += struct.pack("<HH", len(name), 0)
         out += name + comp
     for name, crc, clen, ulen, off in entries:
         central += _CDH_SIG
-        central += struct.pack(
-            "<HHHHHHIII", 20, 20, 0, mnum, 0x21, 0x548, crc, clen, ulen
-        )
-        central += struct.pack("<HHHHHII", len(name), 0, 0, 0, 0, 0, off)
-        central += name
+        if zip64:
+            extra = struct.pack("<HHQQQ", 0x0001, 24, ulen, clen, off)
+            central += struct.pack(
+                "<HHHHHHIII", 45, 45, 0, mnum, 0x21, 0x548, crc,
+                0xFFFFFFFF, 0xFFFFFFFF,
+            )
+            central += struct.pack(
+                "<HHHHHII", len(name), len(extra), 0, 0, 0, 0, 0xFFFFFFFF
+            )
+            central += name + extra
+        else:
+            central += struct.pack(
+                "<HHHHHHIII", 20, 20, 0, mnum, 0x21, 0x548, crc, clen, ulen
+            )
+            central += struct.pack("<HHHHHII", len(name), 0, 0, 0, 0, 0, off)
+            central += name
     cd_off = len(out)
     out += central
-    out += _EOCD_SIG
-    out += struct.pack(
-        "<HHHHIIH", 0, 0, len(members), len(members), len(central), cd_off, 0
-    )
+    if zip64:
+        z64_off = len(out)
+        out += _EOCD64_SIG
+        out += struct.pack(
+            "<QHHIIQQQQ", 44, 45, 45, 0, 0,
+            len(members), len(members), len(central), cd_off,
+        )
+        out += _EOCD64_LOC_SIG
+        out += struct.pack("<IQI", 0, z64_off, 1)
+        out += _EOCD_SIG
+        out += struct.pack(
+            "<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF, 0xFFFFFFFF, 0xFFFFFFFF, 0
+        )
+    else:
+        out += _EOCD_SIG
+        out += struct.pack(
+            "<HHHHIIH", 0, 0, len(members), len(members), len(central), cd_off, 0
+        )
     return bytes(out)
+
+
+def _zip64_resolve(
+    extra: bytes, ulen: int, clen: int, lfh_off: int, name: str
+) -> tuple[int, int, int]:
+    """Resolve 0xFFFFFFFF central-directory sentinels from the 0x0001
+    Zip64 extended-info extra field (APPNOTE 4.5.3: 8-byte values in
+    fixed order — uncompressed, compressed, offset — each present only
+    when its classic field is the sentinel)."""
+    pos = 0
+    n = len(extra)
+    while pos + 4 <= n:
+        fid, flen = struct.unpack("<HH", extra[pos : pos + 4])
+        if pos + 4 + flen > n:
+            raise ValueError(f"zip: member {name!r} extra field overruns")
+        if fid == 0x0001:
+            body = extra[pos + 4 : pos + 4 + flen]
+            off = 0
+            need = 8 * (
+                (ulen == 0xFFFFFFFF)
+                + (clen == 0xFFFFFFFF)
+                + (lfh_off == 0xFFFFFFFF)
+            )
+            if len(body) < need:
+                raise ValueError(
+                    f"zip: member {name!r} zip64 extra shorter than its "
+                    "sentinel fields require"
+                )
+            if ulen == 0xFFFFFFFF:
+                ulen = struct.unpack("<Q", body[off : off + 8])[0]
+                off += 8
+            if clen == 0xFFFFFFFF:
+                clen = struct.unpack("<Q", body[off : off + 8])[0]
+                off += 8
+            if lfh_off == 0xFFFFFFFF:
+                lfh_off = struct.unpack("<Q", body[off : off + 8])[0]
+            return ulen, clen, lfh_off
+        pos += 4 + flen
+    raise ValueError(
+        f"zip: member {name!r} has zip64 sentinels but no 0x0001 extra"
+    )
 
 
 def parse_zip(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
@@ -119,7 +197,41 @@ def parse_zip(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
         cd_off,
         _clen,
     ) = struct.unpack("<HHHHIIH", data[eocd + 4 : eocd + 22])
-    if cd_off + cd_size > eocd:
+    # Zip64: a locator immediately precedes the classic EOCD; the
+    # classic record then carries 0xFFFF/0xFFFFFFFF sentinels and the
+    # real counts live in the Zip64 EOCD record (APPNOTE 4.4.1.4).
+    # Without this, a >65,535-member or >4 GiB archive — which source
+    # dumps at corpus scale do hit — is wholly unreachable.
+    cd_limit = eocd
+    if eocd >= 20 and data[eocd - 20 : eocd - 16] == _EOCD64_LOC_SIG:
+        _l_disk, z64_off, _n_disks = struct.unpack(
+            "<IQI", data[eocd - 16 : eocd]
+        )
+        if z64_off + 56 > eocd - 20 or data[z64_off : z64_off + 4] != _EOCD64_SIG:
+            raise ValueError("zip: bad zip64 end-of-central-directory record")
+        (
+            _rec_size,
+            _vm,
+            _vn,
+            _z_disk,
+            _z_cd_disk,
+            _n_disk64,
+            n_entries64,
+            cd_size64,
+            cd_off64,
+        ) = struct.unpack("<QHHIIQQQQ", data[z64_off + 4 : z64_off + 56])
+        if n_entries == 0xFFFF:
+            n_entries = n_entries64
+        if cd_size == 0xFFFFFFFF:
+            cd_size = cd_size64
+        if cd_off == 0xFFFFFFFF:
+            cd_off = cd_off64
+        cd_limit = z64_off
+    elif n_entries == 0xFFFF or cd_size == 0xFFFFFFFF or cd_off == 0xFFFFFFFF:
+        raise ValueError(
+            "zip: EOCD carries zip64 sentinels but no zip64 locator precedes it"
+        )
+    if cd_off + cd_size > cd_limit:
         raise ValueError("zip: central directory extends past EOCD")
     members = []
     pos = cd_off
@@ -146,11 +258,16 @@ def parse_zip(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
             "<HHHHHII", data[pos + 28 : pos + 46]
         )
         name = data[pos + 46 : pos + 46 + name_len].decode("utf-8", "replace")
+        extra = data[pos + 46 + name_len : pos + 46 + name_len + extra_len]
         pos += 46 + name_len + extra_len + cmt_len
         if pos > cd_off + cd_size:
             raise ValueError("zip: central-directory entry overruns directory")
         if flags & 0x1:
             raise ValueError("zip: encrypted members not supported")
+        if 0xFFFFFFFF in (ulen, clen, lfh_off):
+            # resolve BEFORE the bomb-cap check: the sentinel itself is
+            # 4 GiB and would trip the guard with a misleading message
+            ulen, clen, lfh_off = _zip64_resolve(extra, ulen, clen, lfh_off, name)
         if ulen > cap or clen > cap:
             raise ValueError(
                 f"zip: member {name!r} declares {max(ulen, clen)} bytes, "
