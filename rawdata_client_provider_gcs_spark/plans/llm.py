@@ -2431,6 +2431,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM r
 """,
     tags=("llm", "source", "warc", "pandas-udf"),
+    bench=True,
 )
 def q_source_warc(spark: SparkSession, sf: str) -> DataFrame:
     """WARC crawl-container ingestion, oracle-exact (§2B sources).
@@ -2758,6 +2759,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM d
 """,
     tags=("llm", "source", "archive", "curation", "pandas-udf"),
+    bench=True,
 )
 def q_crawl_archive_members(spark: SparkSession, sf: str) -> DataFrame:
     """REAL ZIP/TAR build → explode → member rows, oracle-exact.
@@ -2835,6 +2837,7 @@ SELECT CAST(doc_id AS BIGINT), 1, 0, 1, 'extra & cell'
 FROM d WHERE doc_id % 3 = 0
 """,
     tags=("llm", "source", "html", "tables", "curation"),
+    bench=True,
 )
 def q_crawl_html_tables(spark: SparkSession, sf: str) -> DataFrame:
     """HTML ``<table>`` extraction into structured rows, oracle-exact.

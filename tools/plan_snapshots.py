@@ -59,6 +59,9 @@ _NORMALIZERS = [
     # RDD creation call-site varies with the py4j invocation path
     # (NativeMethodAccessorImpl.java:0 vs <unknown>:0 across JVMs/runs)
     (re.compile(r"at localCheckpoint at [^,]+,"), "at localCheckpoint at <callsite>,"),
+    # lambda variable ids are a session-global counter — the numbering
+    # shifts whenever the set of queries run before this one changes
+    (re.compile(r"lambda ([A-Za-z]+)_\d+#"), r"lambda \1_#"),
 ]
 
 
