@@ -17,10 +17,11 @@ format (RFC 9649 §3, the VP8L bitstream) completely on the read path:
   cross-channel deltas), SUBTRACT_GREEN, and COLOR_INDEXING including
   pixel bundling for palettes of ≤16 colors.
 
-Lossy WebP (``VP8 `` chunks) is transform-coded video-intra territory
-— the same loud boundary as compressed AVI codecs: it raises
-:class:`~.rawavi.UnsupportedCodecError` so a crawl batch records the
-row instead of dying.
+Lossy WebP (``VP8 `` chunks) decodes through :mod:`.rawvp8` (RFC 6386
+key-frame intra: bool coder, token decode, IWHT/IDCT, all intra modes,
+loop filter) as of round 9; only lossy-with-alpha (``ALPH``) still
+raises :class:`~.rawavi.UnsupportedCodecError` so a crawl batch records
+the row instead of dying.
 
 The write path (``encode_webp_lossless``) is a fixture-grade encoder
 used by the oracle-checked query and the tests: literal coding with
@@ -558,9 +559,16 @@ def sniff_webp(payload: bytes) -> bool:
     )
 
 
-def _find_vp8l(payload: bytes) -> bytes:
+def _find_stream(payload: bytes) -> tuple[str, bytes]:
+    """Walk the RIFF chunks to the image stream: ('vp8l'|'vp8', body).
+
+    A lossy-with-alpha file (``ALPH`` chunk before ``VP8 ``) raises
+    ``UnsupportedCodecError`` — decoding the color plane while silently
+    dropping the alpha plane would corrupt downstream compositing.
+    """
     pos = 12
     n = len(payload)
+    saw_alph = False
     while pos + 8 <= n:
         fourcc = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
@@ -568,14 +576,24 @@ def _find_vp8l(payload: bytes) -> bytes:
         if len(body) < size:
             raise ValueError("vp8l: chunk overruns container")
         if fourcc == b"VP8L":
-            return body
+            return "vp8l", body
+        if fourcc == b"ALPH":
+            saw_alph = True
         if fourcc == b"VP8 ":
-            raise UnsupportedCodecError(
-                "lossy WebP (VP8 intra-frame coding) is not decoded here; "
-                "only VP8L lossless is supported"
-            )
+            if saw_alph:
+                raise UnsupportedCodecError(
+                    "lossy WebP with an ALPH alpha plane is not decoded"
+                )
+            return "vp8", body
         pos += 8 + size + (size & 1)
-    raise ValueError("webp: no VP8L chunk found")
+    raise ValueError("webp: no VP8/VP8L image chunk found")
+
+
+def _find_vp8l(payload: bytes) -> bytes:
+    kind, body = _find_stream(payload)
+    if kind != "vp8l":
+        raise ValueError("webp: no VP8L chunk found")
+    return body
 
 
 def _argb_list_to_array(pixels, width: int, height: int) -> np.ndarray:
@@ -589,15 +607,24 @@ def _argb_list_to_array(pixels, width: int, height: int) -> np.ndarray:
 
 
 def decode_webp(payload: bytes) -> np.ndarray:
-    """Decode a lossless WebP to an (H, W, 3) uint8 RGB array."""
+    """Decode a WebP (lossless or lossy) to an (H, W, 3) uint8 RGB array."""
     return decode_webp_rgba(payload)[:, :, :3].copy()
 
 
 def decode_webp_rgba(payload: bytes) -> np.ndarray:
-    """Decode a lossless WebP to an (H, W, 4) uint8 RGBA array."""
+    """Decode a WebP (VP8L lossless or VP8 lossy key frame) to an
+    (H, W, 4) uint8 RGBA array (alpha 255 for lossy)."""
     if not sniff_webp(payload):
         raise ValueError("payload is not a RIFF/WEBP container")
-    stream = _find_vp8l(payload)
+    kind, stream = _find_stream(payload)
+    if kind == "vp8":
+        from . import rawvp8  # noqa: PLC0415
+
+        rgb = rawvp8.decode_vp8_rgb(stream)
+        out = np.empty((*rgb.shape[:2], 4), np.uint8)
+        out[:, :, :3] = rgb
+        out[:, :, 3] = 255
+        return out
     if len(stream) < 5 or stream[0] != 0x2F:
         raise ValueError("vp8l: bad signature byte")
     br = _BitReader(stream[1:])

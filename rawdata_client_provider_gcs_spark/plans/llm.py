@@ -3893,3 +3893,139 @@ def q_text_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_kept").cast("long").alias("n_kept"),
         F.md5(F.col("cleaned_text").cast("binary")).alias("cleaned_hash"),
     )
+
+
+@register(
+    "q_multimodal_webp_lossy",
+    oracle="""
+WITH ys AS (
+  SELECT doc_id,
+         30 + ((doc_id * 7 + 0) % 200) AS y0,
+         30 + ((doc_id * 7 + 41) % 200) AS y1,
+         30 + ((doc_id * 7 + 82) % 200) AS y2,
+         30 + ((doc_id * 7 + 123) % 200) AS y3
+  FROM documents WHERE doc_id < 300
+), gs AS (
+  SELECT doc_id,
+         (298 * (y0 - 16) + 128) // 256 AS g0,
+         (298 * (y1 - 16) + 128) // 256 AS g1,
+         (298 * (y2 - 16) + 128) // 256 AS g2,
+         (298 * (y3 - 16) + 128) // 256 AS g3
+  FROM ys
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(doc_id % 4 AS BIGINT) AS variant,
+       CAST(32 AS BIGINT) AS width,
+       CAST(32 AS BIGINT) AS height,
+       CAST(256 * (g0 + g1 + g2 + g3) AS BIGINT) AS gray_sum,
+       CAST(g0 AS BIGINT) AS tl_gray,
+       CAST(g3 AS BIGINT) AS br_gray
+FROM gs
+""",
+    tags=("llm", "multimodal", "image", "webp", "vp8", "pandas-udf"),
+    bench=True,
+)
+def q_multimodal_webp_lossy(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL lossy-WebP (VP8 key-frame intra, RFC 6386) decode,
+    oracle-checked exactly — the round-9 boundary crossing.
+
+    Each document becomes a 32×32 lossy WebP of four macroblocks with
+    closed-form luma values (chroma flat at 128), routed through a
+    different coding shape by ``doc_id % 4``: plain DC_PRED; the
+    V/H/TM 16×16 prediction modes; B_PRED (per-subblock coding, no
+    Y2); and DC_PRED with a coefficient-probability update across 8
+    token partitions.  Constant-per-macroblock content at q_index 0
+    reconstructs EXACTLY through the bool decoder → token decode →
+    dequant → IWHT → IDCT → intra-prediction pipeline
+    (:mod:`..operators.rawvp8`), and the BT.601 gray conversion is
+    integer closed-form, so the oracle restates every output value.
+    ``gray_sum`` is the full-image channel sum (integer, no rounding
+    ambiguity); corner samples pin per-MB placement.
+    """
+    import numpy as np  # noqa: F401 (executor-side import in kernels)
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawvp8
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                y = np.zeros((32, 32), np.uint8)
+                for k in range(4):
+                    r, c = k >> 1, k & 1
+                    y[16 * r : 16 * r + 16, 16 * c : 16 * c + 16] = (
+                        30 + ((did * 7 + k * 41) % 200)
+                    )
+                u = np.full((16, 16), 128, np.uint8)
+                variant = did % 4
+                if variant == 0:
+                    blob = rawvp8.encode_webp_lossy(y, u, u.copy())
+                elif variant == 1:
+                    blob = rawvp8.encode_webp_lossy(
+                        y, u, u.copy(),
+                        ymodes=[[rawvp8.DC_PRED, rawvp8.V_PRED],
+                                [rawvp8.H_PRED, rawvp8.TM_PRED]],
+                        n_parts=2,
+                    )
+                elif variant == 2:
+                    blob = rawvp8.encode_webp_lossy(
+                        y, u, u.copy(),
+                        ymodes=[[rawvp8.B_PRED] * 2] * 2,
+                        n_parts=4,
+                    )
+                else:
+                    blob = rawvp8.encode_webp_lossy(
+                        y, u, u.copy(),
+                        n_parts=8,
+                        prob_updates={(1, 0, 0, 0): 77, (3, 1, 0, 1): 150},
+                    )
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pic": payloads})
+
+    pics = d.mapInPandas(make, "doc_id long, pic binary")
+    media = multimodal.with_media_columns(pics, "pic", "image/webp", "doc_id")
+
+    def stats(batches):
+        import pandas as pd
+
+        from ..operators import rawimage
+
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [],
+                "gray_sum": [], "tl_gray": [], "br_gray": [],
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = rawimage.decode_image(bytes(payload))
+                rows["doc_id"].append(int(did))
+                rows["width"].append(arr.shape[1])
+                rows["height"].append(arr.shape[0])
+                rows["gray_sum"].append(int(arr[:, :, 0].astype("int64").sum()))
+                rows["tl_gray"].append(int(arr[0, 0, 0]))
+                rows["br_gray"].append(int(arr[-1, -1, 0]))
+            yield pd.DataFrame(rows)
+
+    decoded = media.mapInPandas(
+        stats,
+        "doc_id long, width long, height long, gray_sum long, "
+        "tl_gray long, br_gray long",
+    )
+    return decoded.select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("long").alias("variant"),
+        "width",
+        "height",
+        "gray_sum",
+        "tl_gray",
+        "br_gray",
+    )

@@ -82,8 +82,18 @@ def test_vp8x_extended_container():
     assert (W.decode_webp(wrapped) == img).all()
 
 
-def test_lossy_is_unsupported_codec_not_corruption():
+def test_lossy_boundaries():
+    # truncated VP8 chunk = corruption -> ValueError (decodes since r9)
     body = b"WEBP" + b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+    with pytest.raises(ValueError):
+        W.decode_webp(payload)
+    # lossy WITH an alpha plane stays a loud UnsupportedCodecError
+    body = (
+        b"WEBP"
+        + b"ALPH" + (2).to_bytes(4, "little") + b"\x00\x00"
+        + b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+    )
     payload = b"RIFF" + len(body).to_bytes(4, "little") + body
     with pytest.raises(W.UnsupportedCodecError):
         W.decode_webp(payload)
