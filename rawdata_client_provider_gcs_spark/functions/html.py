@@ -41,12 +41,13 @@ _ENTITIES = [
 #: no lazy quantifiers, stays in whole-stage codegen).  Decoding is a
 #: fixed table, not a general ``&#N;`` evaluator: arbitrary code
 #: points would need a per-match int parse that Catalyst can't express
-#: without Python.  Applied BEFORE the named table so the amp-class
-#: refs (``&#38;``/``&#x26;`` → ``&``, listed last here) precede the
-#: final ``&amp;`` pass — sequential-replace semantics, documented:
-#: ``&amp;#38;`` decodes to ``&#38;``'s decode (``&``), unlike a
-#: browser's single-pass left-to-right scan.  The DuckDB oracles
-#: restate the identical chain.
+#: without Python.  Sequential-replace semantics, documented: the
+#: numeric passes run BEFORE the named table, so ``&amp;#38;`` decodes
+#: to ``&#38;`` (matching a browser's single pass), while ``&#38;amp;``
+#: decodes all the way to ``&`` (a browser leaves ``&amp;``) — later
+#: passes can re-decode earlier passes' output.  The DuckDB oracles
+#: restate the identical chain (``plans.llm._sql_entity_chain`` derives
+#: the SQL from these tables).
 _NUMERIC_REFS = [
     ("(?i)&#(8216|x2018);", "‘"),
     ("(?i)&#(8217|x2019);", "’"),

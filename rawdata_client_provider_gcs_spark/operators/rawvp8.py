@@ -147,6 +147,17 @@ BMODE_TREE = [
 
 MB_SEGMENT_TREE = [2, 4, -0, -1, -2, -3]
 
+#: sub-mode a WHOLE-block-predicted MB presents to a B_PRED neighbor's
+#: mode-probability context (RFC 6386 §11.3 / libvpx above_block_mode):
+#: DC->B_DC, V->B_VE, H->B_HE, TM->B_TM.  Using B_DC for every
+#: non-B_PRED neighbor desynchronizes the entropy decode of real files.
+IMPLIED_B_MODE = {
+    DC_PRED: B_DC_PRED,
+    V_PRED: B_VE_PRED,
+    H_PRED: B_HE_PRED,
+    TM_PRED: B_TM_PRED,
+}
+
 
 # §13.5 default coefficient probabilities [block_type][band][ctx][11].
 # Block types: 0 = Y after Y2 (coefs 1..15), 1 = Y2, 2 = chroma,
@@ -1158,9 +1169,10 @@ def decode_vp8(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
                 above_sub[c] = sub[12:16]
                 left_sub = [sub[3], sub[7], sub[11], sub[15]]
             else:
-                sub = [B_DC_PRED] * 16
-                above_sub[c] = [B_DC_PRED] * 4
-                left_sub = [B_DC_PRED] * 4
+                implied = IMPLIED_B_MODE[ymode]
+                sub = [implied] * 16
+                above_sub[c] = [implied] * 4
+                left_sub = [implied] * 4
             uvmode = bd.tree(UV_MODE_TREE, KF_UV_MODE_PROBS)
             # per-segment quantizer + filter level (§9.3, §15.1)
             if seg["enabled"]:
@@ -1339,21 +1351,18 @@ def decode_vp8(data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """BT.601 studio-range integer conversion with 2×2 chroma
-    replication.  Documented delta vs libwebp: libwebp's default path
-    uses a bilinear ("fancy") chroma upsampler and a slightly different
-    fixed-point matrix — flat-chroma images match exactly; detailed
-    chroma differs by a few LSB near edges."""
+    """BT.601 studio-range integer conversion (shared with the AVI
+    tier's :func:`~.rawavi._yuv_to_rgb`) after 2×2 chroma replication.
+    Documented delta vs libwebp: libwebp's default path uses a bilinear
+    ("fancy") chroma upsampler and a slightly different fixed-point
+    matrix — flat-chroma images match exactly; detailed chroma differs
+    by a few LSB near edges."""
+    from .rawavi import _yuv_to_rgb
+
     h, w = y.shape
-    ur = np.repeat(np.repeat(u, 2, 0), 2, 1)[:h, :w].astype(np.int32)
-    vr = np.repeat(np.repeat(v, 2, 0), 2, 1)[:h, :w].astype(np.int32)
-    c = y.astype(np.int32) - 16
-    d = ur - 128
-    e = vr - 128
-    r = (298 * c + 409 * e + 128) >> 8
-    g = (298 * c - 100 * d - 208 * e + 128) >> 8
-    b = (298 * c + 516 * d + 128) >> 8
-    return np.clip(np.stack([r, g, b], axis=-1), 0, 255).astype(np.uint8)
+    ur = np.repeat(np.repeat(u, 2, 0), 2, 1)[:h, :w]
+    vr = np.repeat(np.repeat(v, 2, 0), 2, 1)[:h, :w]
+    return _yuv_to_rgb(y, ur, vr)
 
 
 def decode_vp8_rgb(data: bytes) -> np.ndarray:
@@ -1601,8 +1610,9 @@ def encode_vp8_keyframe(
                 above_sub[c] = sub[12:16]
                 left_sub = [sub[3], sub[7], sub[11], sub[15]]
             else:
-                above_sub[c] = [B_DC_PRED] * 4
-                left_sub = [B_DC_PRED] * 4
+                implied = IMPLIED_B_MODE[ymode]
+                above_sub[c] = [implied] * 4
+                left_sub = [implied] * 4
             head.tree(UV_MODE_TREE, KF_UV_MODE_PROBS, uvmode)
 
             # ---- tokens (partition r % n)

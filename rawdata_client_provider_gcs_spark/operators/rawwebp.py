@@ -574,7 +574,7 @@ def _find_stream(payload: bytes) -> tuple[str, bytes]:
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
         body = payload[pos + 8 : pos + 8 + size]
         if len(body) < size:
-            raise ValueError("vp8l: chunk overruns container")
+            raise ValueError("webp: chunk overruns container")
         if fourcc == b"VP8L":
             return "vp8l", body
         if fourcc == b"ALPH":
@@ -1246,8 +1246,9 @@ def decode_webp_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
     Non-animated files yield one frame with duration 0.  ANMF frames
     composite onto the canvas honoring the blend flag (src-over alpha
     vs replace) and dispose-to-background; frame rectangles are bounds-
-    checked against the VP8X canvas.  Lossy sub-frames raise the same
-    :class:`~.rawavi.UnsupportedCodecError` as still lossy files.
+    checked against the VP8X canvas.  Lossy sub-frames decode via
+    :mod:`.rawvp8` like still lossy files; only ALPH-bearing lossy
+    raises :class:`~.rawavi.UnsupportedCodecError`.
     """
     if not sniff_webp(payload):
         raise ValueError("payload is not a RIFF/WEBP container")

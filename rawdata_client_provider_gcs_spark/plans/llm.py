@@ -18,6 +18,25 @@ from ..operators import decontam, dedup, multimodal, similarity
 from ..tables import load_table
 from .catalog import register
 
+
+def _sql_entity_chain(expr: str) -> str:
+    """DuckDB restatement of ``functions.html._decode_entities``,
+    DERIVED from the engine's own tables so the oracle chain cannot
+    drift from the Spark chain: the numeric-reference regexp passes in
+    order, then the named-entity replaces with ``&amp;`` last."""
+    from ..functions.html import _ENTITIES, _NUMERIC_REFS
+
+    out = expr
+    for pat, ch in _NUMERIC_REFS:
+        pat_sql = pat.replace("(?i)", "")
+        out = (
+            f"regexp_replace({out}, '{pat_sql}', "
+            f"'{ch.replace(chr(39), chr(39) * 2)}', 'gi')"
+        )
+    for ent, ch in _ENTITIES:
+        out = f"replace({out}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    return out
+
 #: (sf_dir, input-file fingerprint) -> materialized inverted-list path,
 #: staged once per process so repeated q_similarity_ivf_index calls
 #: (bench warm + timed runs) time the PROBE, not the build — an index
@@ -2650,15 +2669,15 @@ WITH pages AS (
   FROM documents WHERE doc_id < 250
 ), x AS (
   SELECT doc_id,
-         trim(regexp_replace(
-           replace(replace(replace(replace(replace(replace(
-             regexp_replace(
+         trim(regexp_replace("""
+    + _sql_entity_chain(
+        """regexp_replace(
                regexp_replace(html,
                  '<script[^>]*>.*?</script\s*>|<style[^>]*>.*?</style\s*>|<title[^>]*>.*?</title\s*>',
                  ' ', 'gis'),
-               '<[^>]+>', ' ', 'g'),
-             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-             '&nbsp;', ' '), '&amp;', '&'),
+               '<[^>]+>', ' ', 'g')"""
+    )
+    + """,
            '\\s+', ' ', 'g')) AS vis,
          regexp_extract(html, '(?is)<title[^>]*>([^<]*)</title>', 1) AS title
   FROM pages
@@ -2830,7 +2849,13 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM d
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 0, 1, 2,
-       trim(substr(text, 1, 10)) || '|' || trim(substr(text, 11, 10))
+       trim(regexp_replace("""
+    + _sql_entity_chain("regexp_replace(substr(text, 1, 10), '<[^>]+>', ' ', 'g')")
+    + """, '\\s+', ' ', 'g'))
+       || '|' ||
+       trim(regexp_replace("""
+    + _sql_entity_chain("regexp_replace(substr(text, 11, 10), '<[^>]+>', ' ', 'g')")
+    + """, '\\s+', ' ', 'g'))
 FROM d
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 1, 0, 1, 'extra & cell'
@@ -2965,19 +2990,14 @@ WITH pages AS (
 ), x AS (
   SELECT doc_id, html,
          regexp_extract(html, '(?is)<title[^>]*>([^<]*)</title>', 1) AS title,
-         trim(regexp_replace(
-           replace(replace(replace(replace(replace(
-             regexp_replace(regexp_replace(regexp_replace(
-             regexp_replace(regexp_replace(regexp_replace(
-             regexp_replace(
+         trim(regexp_replace("""
+    + _sql_entity_chain(
+        """regexp_replace(
                regexp_replace(html,
                  '<script[^>]*>.*?</script\s*>|<style[^>]*>.*?</style\s*>|<title[^>]*>.*?</title\s*>', ' ', 'gis'),
-               '<[^>]+>', ' ', 'g'),
-             '&#(8220|x201c);', '“', 'gi'), '&#(8221|x201d);', '”', 'gi'),
-             '&#(8217|x2019);', '’', 'gi'), '&#(8212|x2014);', '—', 'gi'),
-             '&#(0*160|x0*a0);', ' ', 'gi'), '&#(8230|x2026);', '…', 'gi'),
-             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-             '&nbsp;', ' '), '&amp;', '&'),
+               '<[^>]+>', ' ', 'g')"""
+    )
+    + """,
            '\\s+', ' ', 'g')) AS vis
   FROM pages
 )

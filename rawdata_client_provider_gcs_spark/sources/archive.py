@@ -227,10 +227,11 @@ def parse_zip(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
         if cd_off == 0xFFFFFFFF:
             cd_off = cd_off64
         cd_limit = z64_off
-    elif n_entries == 0xFFFF or cd_size == 0xFFFFFFFF or cd_off == 0xFFFFFFFF:
-        raise ValueError(
-            "zip: EOCD carries zip64 sentinels but no zip64 locator precedes it"
-        )
+    # NO locator + sentinel-valued fields: taken literally.  A classic
+    # archive with EXACTLY 65,535 members stores n_entries=0xFFFF and
+    # (per stdlib zipfile, which only switches to zip64 when the limit
+    # is EXCEEDED) writes no zip64 records — it must parse, not raise.
+    # A lying 0xFFFFFFFF cd_size/cd_off still fails the bound below.
     if cd_off + cd_size > cd_limit:
         raise ValueError("zip: central directory extends past EOCD")
     members = []

@@ -101,15 +101,35 @@ def test_zip64_over_65535_members_stdlib_written():
     assert ms[0]["path"] == "m00000" and ms[-1]["path"] == "m65539"
 
 
+def test_zip_exactly_65535_members_is_classic_not_zip64():
+    """stdlib zipfile stores n_entries=0xFFFF LITERALLY at exactly
+    65,535 members (zip64 kicks in only when the limit is exceeded);
+    the sentinel must not be treated as zip64-mandatory."""
+    import io
+    import zipfile
+
+    from rawdata_client_provider_gcs_spark.sources import archive as A
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        for i in range(65535):
+            z.writestr("m%05d" % i, b"")
+    blob = buf.getvalue()
+    assert b"PK\x06\x06" not in blob[-200:]  # genuinely classic
+    ms = A.parse_zip(blob)
+    assert len(ms) == 65535
+
+
 def test_zip64_hostile_cases_land_on_valueerror():
     import struct
 
     from rawdata_client_provider_gcs_spark.sources import archive as A
 
-    # sentinel EOCD with no locator: clean ValueError, not a crash
+    # sentinel cd_size/cd_off with no locator are taken LITERALLY and
+    # then fail the directory bound: clean ValueError, not a crash
     blob = bytearray(A.build_zip([("a", b"x")]))
     blob[-12:-4] = struct.pack("<II", 0xFFFFFFFF, 0xFFFFFFFF)  # cd_size/cd_off
-    with pytest.raises(ValueError, match="zip64"):
+    with pytest.raises(ValueError, match="zip"):
         A.parse_zip(bytes(blob))
 
     # locator pointing at garbage

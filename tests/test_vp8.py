@@ -427,3 +427,30 @@ def test_pillow_parity_lossy_webp():
     assert diff.mean() < 2.0 and diff.max() <= 16, (
         f"mean={diff.mean():.2f} max={diff.max()}"
     )
+
+
+def test_implied_b_mode_mapping():
+    """RFC 6386 §11.3: a whole-block-predicted neighbor presents the
+    B-mode implied by its 16×16 mode to a B_PRED MB's sub-mode context
+    (DC→B_DC, V→B_VE, H→B_HE, TM→B_TM) — using B_DC for everything
+    desynchronizes the entropy decode of real third-party files."""
+    assert V.IMPLIED_B_MODE == {
+        V.DC_PRED: V.B_DC_PRED,
+        V.V_PRED: V.B_VE_PRED,
+        V.H_PRED: V.B_HE_PRED,
+        V.TM_PRED: V.B_TM_PRED,
+    }
+    # roundtrip with B_PRED MBs bordered by every 16x16 mode
+    y = np.zeros((48, 48), np.uint8)
+    vals = [[40, 90, 200], [150, 220, 60], [10, 120, 240]]
+    for r in range(3):
+        for c in range(3):
+            y[16 * r : 16 * r + 16, 16 * c : 16 * c + 16] = vals[r][c]
+    u = np.full((24, 24), 128, np.uint8)
+    ymodes = [
+        [V.V_PRED, V.B_PRED, V.H_PRED],
+        [V.B_PRED, V.TM_PRED, V.B_PRED],
+        [V.DC_PRED, V.B_PRED, V.V_PRED],
+    ]
+    dy, _, _ = V.decode_vp8(V.encode_vp8_keyframe(y, u, u.copy(), ymodes=ymodes))
+    assert (dy == y).all()
