@@ -1667,10 +1667,34 @@ def encode_vp8_keyframe(
     return bytes(out)
 
 
-def encode_webp_lossy(y, u, v, **kw) -> bytes:
-    """Wrap :func:`encode_vp8_keyframe` output in a RIFF/WEBP container."""
+def encode_webp_lossy(
+    y, u, v, *, alpha: np.ndarray | None = None,
+    alpha_compression: int = 1, alpha_filter: int = 0, **kw,
+) -> bytes:
+    """Wrap :func:`encode_vp8_keyframe` output in a RIFF/WEBP container.
+
+    With ``alpha`` (an (H, W) uint8 plane) the extended layout is
+    written — VP8X (alpha flag + canvas) then ALPH then ``VP8 `` — the
+    shape libwebp emits for transparent lossy files."""
     frame = encode_vp8_keyframe(y, u, v, **kw)
-    chunk = b"VP8 " + len(frame).to_bytes(4, "little") + frame
+    chunks = b""
+    if alpha is not None:
+        from . import rawwebp  # noqa: PLC0415
+
+        if alpha.shape != y.shape:
+            raise ValueError("vp8: alpha plane must match the luma plane")
+        h, w = y.shape
+        vp8x = bytes([0x10, 0, 0, 0]) + (w - 1).to_bytes(3, "little") + (
+            h - 1
+        ).to_bytes(3, "little")
+        chunks += b"VP8X" + (10).to_bytes(4, "little") + vp8x
+        body = rawwebp.encode_alph(
+            alpha, compression=alpha_compression, filter_method=alpha_filter
+        )
+        chunks += b"ALPH" + len(body).to_bytes(4, "little") + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    chunks += b"VP8 " + len(frame).to_bytes(4, "little") + frame
     if len(frame) & 1:
-        chunk += b"\x00"
-    return b"RIFF" + (4 + len(chunk)).to_bytes(4, "little") + b"WEBP" + chunk
+        chunks += b"\x00"
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WEBP" + chunks

@@ -19,9 +19,8 @@ format (RFC 9649 §3, the VP8L bitstream) completely on the read path:
 
 Lossy WebP (``VP8 `` chunks) decodes through :mod:`.rawvp8` (RFC 6386
 key-frame intra: bool coder, token decode, IWHT/IDCT, all intra modes,
-loop filter) as of round 9; only lossy-with-alpha (``ALPH``) still
-raises :class:`~.rawavi.UnsupportedCodecError` so a crawl batch records
-the row instead of dying.
+loop filter), and ``ALPH`` alpha planes decode too (raw or headerless-
+VP8L compression, all four prediction filters) — both as of round 9.
 
 The write path (``encode_webp_lossless``) is a fixture-grade encoder
 used by the oracle-checked query and the tests: literal coding with
@@ -559,16 +558,12 @@ def sniff_webp(payload: bytes) -> bool:
     )
 
 
-def _find_stream(payload: bytes) -> tuple[str, bytes]:
-    """Walk the RIFF chunks to the image stream: ('vp8l'|'vp8', body).
-
-    A lossy-with-alpha file (``ALPH`` chunk before ``VP8 ``) raises
-    ``UnsupportedCodecError`` — decoding the color plane while silently
-    dropping the alpha plane would corrupt downstream compositing.
-    """
+def _find_stream(payload: bytes) -> tuple[str, bytes, bytes | None]:
+    """Walk the RIFF chunks to the image stream:
+    ('vp8l'|'vp8', body, alph_body_or_None)."""
     pos = 12
     n = len(payload)
-    saw_alph = False
+    alph = None
     while pos + 8 <= n:
         fourcc = payload[pos : pos + 4]
         size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
@@ -576,21 +571,17 @@ def _find_stream(payload: bytes) -> tuple[str, bytes]:
         if len(body) < size:
             raise ValueError("webp: chunk overruns container")
         if fourcc == b"VP8L":
-            return "vp8l", body
+            return "vp8l", body, None  # VP8L carries its own alpha
         if fourcc == b"ALPH":
-            saw_alph = True
+            alph = body
         if fourcc == b"VP8 ":
-            if saw_alph:
-                raise UnsupportedCodecError(
-                    "lossy WebP with an ALPH alpha plane is not decoded"
-                )
-            return "vp8", body
+            return "vp8", body, alph
         pos += 8 + size + (size & 1)
     raise ValueError("webp: no VP8/VP8L image chunk found")
 
 
 def _find_vp8l(payload: bytes) -> bytes:
-    kind, body = _find_stream(payload)
+    kind, body, _ = _find_stream(payload)
     if kind != "vp8l":
         raise ValueError("webp: no VP8L chunk found")
     return body
@@ -616,14 +607,15 @@ def decode_webp_rgba(payload: bytes) -> np.ndarray:
     (H, W, 4) uint8 RGBA array (alpha 255 for lossy)."""
     if not sniff_webp(payload):
         raise ValueError("payload is not a RIFF/WEBP container")
-    kind, stream = _find_stream(payload)
+    kind, stream, alph = _find_stream(payload)
     if kind == "vp8":
         from . import rawvp8  # noqa: PLC0415
 
         rgb = rawvp8.decode_vp8_rgb(stream)
-        out = np.empty((*rgb.shape[:2], 4), np.uint8)
+        h, w = rgb.shape[:2]
+        out = np.empty((h, w, 4), np.uint8)
         out[:, :, :3] = rgb
-        out[:, :, 3] = 255
+        out[:, :, 3] = decode_alph(alph, w, h) if alph is not None else 255
         return out
     if len(stream) < 5 or stream[0] != 0x2F:
         raise ValueError("vp8l: bad signature byte")
@@ -635,7 +627,13 @@ def decode_webp_rgba(payload: bytes) -> np.ndarray:
         raise ValueError("vp8l: unsupported version")
     if width * height > _MAX_PIXELS:
         raise ValueError("vp8l: declared dimensions exceed the pixel cap")
+    return _decode_vp8l_body(br, width, height)
 
+
+def _decode_vp8l_body(br: _BitReader, width: int, height: int) -> np.ndarray:
+    """Decode a VP8L stream AFTER the signature/dimension header —
+    shared by full lossless files and the headerless ALPH alpha plane
+    (whose dimensions come from the VP8 frame)."""
     # transforms, in bitstream order (inverted in reverse later)
     transforms = []
     seen_types = set()
@@ -1036,6 +1034,7 @@ def encode_webp_lossless(
     cache_bits: int = 0,
     rle: bool = False,
     meta_bits: int | None = None,
+    headerless: bool = False,
 ) -> bytes:
     """Write a lossless WebP.  Every option exercises one decoder path
     and the roundtrip stays bit-exact: ``subtract_green``, a fixed
@@ -1051,10 +1050,11 @@ def encode_webp_lossless(
     argb = _to_argb(arr)
 
     bw = _BitWriter()
-    bw.write(w - 1, 14)
-    bw.write(h - 1, 14)
-    bw.write(1 if arr.shape[2] == 4 else 0, 1)
-    bw.write(0, 3)  # version
+    if not headerless:
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(1 if arr.shape[2] == 4 else 0, 1)
+        bw.write(0, 3)  # version
 
     size_bits = 2  # 4x4 tiles for predictor/color transforms
 
@@ -1206,6 +1206,8 @@ def encode_webp_lossless(
         _emit_entropy_image(
             bw, flat, is_main=True, cache_bits=cache_bits, rle=rle
         )
+    if headerless:
+        return bw.getvalue()
     return _wrap_riff(bw.getvalue())
 
 
@@ -1368,3 +1370,116 @@ def encode_webp_animation(
             chunks += b"\x00"
     riff = b"WEBP" + bytes(chunks)
     return b"RIFF" + len(riff).to_bytes(4, "little") + riff
+
+
+# ---------------------------------------------------------------------------
+# ALPH alpha plane (WebP container spec §"Alpha") — round 9
+# ---------------------------------------------------------------------------
+
+
+def _alpha_unfilter(res: np.ndarray, method: int) -> np.ndarray:
+    """Invert the ALPH prediction filter.  Residuals are mod-256; the
+    predictor is 0 at (0,0), the above pixel down the first column, the
+    left pixel along the first row, then per-method (1 horizontal =
+    left, 2 vertical = above, 3 gradient = clip(L+T-TL))."""
+    if method == 0:
+        return res
+    h, w = res.shape
+    a = res.astype(np.int64)
+    if method == 1:  # horizontal: first column seeds from above
+        a[:, 0] = np.cumsum(a[:, 0]) & 0xFF
+        a = np.cumsum(a, axis=1) & 0xFF
+    elif method == 2:  # vertical: first row seeds from left
+        a[0, :] = np.cumsum(a[0, :]) & 0xFF
+        a = np.cumsum(a, axis=0) & 0xFF
+    elif method == 3:  # gradient: inherently sequential
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    p = 0
+                elif y == 0:
+                    p = a[0, x - 1]
+                elif x == 0:
+                    p = a[y - 1, 0]
+                else:
+                    p = min(255, max(0, int(a[y, x - 1]) + int(a[y - 1, x])
+                                     - int(a[y - 1, x - 1])))
+                a[y, x] = (a[y, x] + p) & 0xFF
+    else:
+        raise ValueError(f"webp: bad ALPH filtering method {method}")
+    return a.astype(np.uint8)
+
+
+def _alpha_filter(plane: np.ndarray, method: int) -> np.ndarray:
+    """Forward filter for the fixture writer (exact inverse of
+    :func:`_alpha_unfilter` — alpha coding is lossless)."""
+    if method == 0:
+        return plane
+    h, w = plane.shape
+    a = plane.astype(np.int64)
+    res = np.zeros_like(a)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                p = 0
+            elif y == 0:
+                p = a[0, x - 1]
+            elif x == 0:
+                p = a[y - 1, 0]
+            elif method == 1:
+                p = a[y, x - 1]
+            elif method == 2:
+                p = a[y - 1, x]
+            else:
+                p = min(255, max(0, int(a[y, x - 1]) + int(a[y - 1, x])
+                                 - int(a[y - 1, x - 1])))
+            res[y, x] = (a[y, x] - p) & 0xFF
+    return res.astype(np.uint8)
+
+
+def decode_alph(body: bytes, width: int, height: int) -> np.ndarray:
+    """Decode an ALPH chunk body to an (H, W) uint8 alpha plane.
+
+    Header byte: compression (2 bits: 0 raw, 1 headerless VP8L with
+    alpha in the green channel), filtering method (2 bits), level-
+    reduction preprocessing (2 bits, informational).  Dimensions come
+    from the VP8 frame.
+    """
+    if not body:
+        raise ValueError("webp: empty ALPH chunk")
+    hdr = body[0]
+    comp = hdr & 3
+    filt = (hdr >> 2) & 3
+    if comp == 0:
+        need = width * height
+        if len(body) - 1 < need:
+            raise ValueError("webp: raw ALPH plane shorter than the frame")
+        res = np.frombuffer(body[1 : 1 + need], np.uint8).reshape(
+            height, width
+        ).copy()
+    elif comp == 1:
+        img = _decode_vp8l_body(_BitReader(body[1:]), width, height)
+        if img.shape[:2] != (height, width):
+            raise ValueError("webp: ALPH lossless plane size mismatch")
+        res = img[:, :, 1].copy()  # alpha rides the green channel
+    else:
+        raise ValueError(f"webp: bad ALPH compression method {comp}")
+    return _alpha_unfilter(res, filt)
+
+
+def encode_alph(
+    alpha: np.ndarray, *, compression: int = 1, filter_method: int = 0
+) -> bytes:
+    """Fixture writer for ALPH chunk bodies (both compression methods,
+    all four filters) — roundtrips bit-exactly through
+    :func:`decode_alph`."""
+    if compression not in (0, 1):
+        raise ValueError("webp: ALPH compression must be 0 or 1")
+    res = _alpha_filter(alpha, filter_method)
+    hdr = bytes([(filter_method << 2) | compression])
+    if compression == 0:
+        return hdr + res.tobytes()
+    h, w = alpha.shape
+    rgb = np.zeros((h, w, 3), np.uint8)
+    rgb[:, :, 1] = res  # green channel carries the plane
+    return hdr + encode_webp_lossless(rgb, headerless=True)

@@ -4004,8 +4004,16 @@ def q_multimodal_webp_lossy(spark: SparkSession, sf: str) -> DataFrame:
                         n_parts=4,
                     )
                 else:
+                    # + an ALPH alpha plane (VP8X layout): the alpha
+                    # tier runs under the oracle; the generic RGB
+                    # dispatch drops it, so the color columns are
+                    # untouched
+                    alpha = np.fromfunction(
+                        lambda r, c: ((r + c + did) % 256), (32, 32)
+                    ).astype(np.uint8)
                     blob = rawvp8.encode_webp_lossy(
                         y, u, u.copy(),
+                        alpha=alpha, alpha_filter=3,
                         n_parts=8,
                         prob_updates={(1, 0, 0, 0): 77, (3, 1, 0, 1): 150},
                     )

@@ -454,3 +454,45 @@ def test_implied_b_mode_mapping():
     ]
     dy, _, _ = V.decode_vp8(V.encode_vp8_keyframe(y, u, u.copy(), ymodes=ymodes))
     assert (dy == y).all()
+
+
+# ------------------------------------------------------------- ALPH alpha
+
+
+def test_alph_roundtrip_all_compressions_and_filters():
+    rng = np.random.default_rng(4)
+    alpha = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    for comp in (0, 1):
+        for filt in range(4):
+            body = W.encode_alph(alpha, compression=comp, filter_method=filt)
+            assert (W.decode_alph(body, 32, 32) == alpha).all(), (comp, filt)
+
+
+def test_alph_filters_hand_derived():
+    """Filter semantics pinned directly: residuals for a known plane.
+    Plane [[10, 12], [13, 17]]; horizontal residuals are (0,0)=10,
+    row0: left (12-10=2), col0: above (13-10=3), rest: left (17-13=4);
+    gradient (1,1): clip(13+12-10)=15 -> 17-15=2."""
+    plane = np.array([[10, 12], [13, 17]], np.uint8)
+    assert W._alpha_filter(plane, 1).tolist() == [[10, 2], [3, 4]]
+    assert W._alpha_filter(plane, 2).tolist() == [[10, 2], [3, 5]]
+    assert W._alpha_filter(plane, 3).tolist() == [[10, 2], [3, 2]]
+    for m in (1, 2, 3):
+        assert (W._alpha_unfilter(W._alpha_filter(plane, m), m) == plane).all()
+
+
+def test_webp_lossy_with_alpha_container():
+    rng = np.random.default_rng(9)
+    y = np.full((32, 32), 100, np.uint8)
+    u = np.full((16, 16), 128, np.uint8)
+    alpha = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    for comp, filt in ((0, 0), (1, 1), (1, 3)):
+        blob = V.encode_webp_lossy(
+            y, u, u.copy(), alpha=alpha,
+            alpha_compression=comp, alpha_filter=filt,
+        )
+        rgba = W.decode_webp_rgba(blob)
+        assert (rgba[:, :, 3] == alpha).all()
+        assert (rgba[:, :, 0] == (298 * (100 - 16) + 128) >> 8).all()
+    # VP8X must not read as animated
+    assert not W.is_animated_webp(blob)

@@ -88,14 +88,23 @@ def test_lossy_boundaries():
     payload = b"RIFF" + len(body).to_bytes(4, "little") + body
     with pytest.raises(ValueError):
         W.decode_webp(payload)
-    # lossy WITH an alpha plane stays a loud UnsupportedCodecError
+    # a corrupt ALPH plane on a valid VP8 frame is also a ValueError
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawvp8
+
+    frame = rawvp8.encode_vp8_keyframe(
+        np.full((16, 16), 80, np.uint8),
+        np.full((8, 8), 128, np.uint8),
+        np.full((8, 8), 128, np.uint8),
+    )
     body = (
         b"WEBP"
-        + b"ALPH" + (2).to_bytes(4, "little") + b"\x00\x00"
-        + b"VP8 " + (4).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + b"ALPH" + (2).to_bytes(4, "little") + b"\x02\x00"  # bad method
+        + b"VP8 " + len(frame).to_bytes(4, "little") + frame
     )
     payload = b"RIFF" + len(body).to_bytes(4, "little") + body
-    with pytest.raises(W.UnsupportedCodecError):
+    with pytest.raises(ValueError, match="ALPH"):
         W.decode_webp(payload)
 
 
