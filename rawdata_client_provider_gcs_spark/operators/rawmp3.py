@@ -1,0 +1,310 @@
+"""MPEG audio (MP3/MP2/MP1) frame-level metadata — ISO/IEC 11172-3.
+
+MP3 is the dominant compressed audio format in web crawls.  Full
+Layer-III PCM decode needs ~2,500 empirical constants (the Annex-B
+Huffman code tables and the 512-tap synthesis window) that cannot be
+verified in this offline container — fabricating them would produce a
+decoder that is silently wrong on every real file while fixture
+roundtrips stay green, which is strictly worse than a loud boundary.
+What a curation pipeline actually consumes from audio at 100 TB is
+METADATA — duration, bitrate, sample rate, channel layout, VBR-ness —
+and that layer is exactly specified by small tables this module knows
+verbatim:
+
+- the full frame-header grammar (sync, MPEG 1/2/2.5 versions, layers
+  I-III, CRC flag, bitrate/sample-rate indices, padding, channel
+  mode) with the version×layer bitrate and sample-rate tables;
+- frame-length arithmetic (``spf/8 * bitrate / rate + padding``, ×4
+  slots for Layer I) and the samples-per-frame table (384 / 1152 /
+  576 for MPEG-2 Layer III);
+- container furniture: ID3v2 (syncsafe size + footer flag) skipped up
+  front, trailing ID3v1 ``TAG`` excluded from the frame walk;
+- Xing/Info and VBRI headers (first-frame, after the side info whose
+  size is version×mode dependent) for VBR frame counts;
+- a bounded resync scan (real crawl MP3s carry junk between frames),
+  with the junk budget capped so hostile bytes cost linear time.
+
+PCM decode for ``audio/mpeg`` remains the documented loud boundary:
+:func:`decode_mp3_pcm` raises :class:`~.rawavi.UnsupportedCodecError`.
+
+Reference behavioral parity: the reference transport stores opaque
+named byte arrays per message (RawdataMessage.java:15-60); audio
+handling belongs to this repo's derived multimodal tier.
+"""
+
+from __future__ import annotations
+
+from .rawavi import UnsupportedCodecError
+
+#: kbps by [version_group][layer][index]; index 0 is "free format"
+#: (unsupported here), 15 is forbidden.  version_group 0 = MPEG-1,
+#: 1 = MPEG-2 / MPEG-2.5 (which share tables).
+_BITRATES = {
+    (0, 1): [0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (0, 2): [0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (0, 3): [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (1, 1): [0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (1, 2): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (1, 3): [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+
+#: Hz by [version][index]; version key: 3 = MPEG-1, 2 = MPEG-2,
+#: 0 = MPEG-2.5 (the raw 2-bit header field values; 1 is reserved)
+_SAMPLE_RATES = {
+    3: [44100, 48000, 32000],
+    2: [22050, 24000, 16000],
+    0: [11025, 12000, 8000],
+}
+
+_CHANNEL_MODES = ["stereo", "joint_stereo", "dual_channel", "mono"]
+
+
+def _samples_per_frame(version_bits: int, layer: int) -> int:
+    if layer == 1:
+        return 384
+    if layer == 2:
+        return 1152
+    return 1152 if version_bits == 3 else 576  # Layer III
+
+
+def parse_frame_header(b: bytes, pos: int) -> dict | None:
+    """Decode the 4-byte header at ``pos``; None when it isn't one."""
+    if pos + 4 > len(b):
+        return None
+    h = int.from_bytes(b[pos : pos + 4], "big")
+    if (h >> 21) & 0x7FF != 0x7FF:
+        return None
+    version_bits = (h >> 19) & 3
+    layer_bits = (h >> 17) & 3
+    if version_bits == 1 or layer_bits == 0:
+        return None
+    layer = 4 - layer_bits  # 3->I, 2->II, 1->III
+    crc = not ((h >> 16) & 1)  # protection_bit == 0 means CRC present
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None  # free-format / forbidden
+    padding = (h >> 9) & 1
+    mode = (h >> 6) & 3
+    vgroup = 0 if version_bits == 3 else 1
+    bitrate = _BITRATES[(vgroup, layer)][br_idx] * 1000
+    rate = _SAMPLE_RATES[version_bits][sr_idx]
+    spf = _samples_per_frame(version_bits, layer)
+    if layer == 1:
+        frame_len = (12 * bitrate // rate + padding) * 4
+    else:
+        frame_len = spf // 8 * bitrate // rate + padding
+    version = {3: "MPEG1", 2: "MPEG2", 0: "MPEG2.5"}[version_bits]
+    return {
+        "version": version,
+        "version_bits": version_bits,
+        "layer": layer,
+        "crc": crc,
+        "bitrate": bitrate,
+        "sample_rate": rate,
+        "padding": padding,
+        "channel_mode": _CHANNEL_MODES[mode],
+        "channels": 1 if mode == 3 else 2,
+        "samples_per_frame": spf,
+        "frame_len": frame_len,
+    }
+
+
+def _skip_id3v2(b: bytes) -> int:
+    if b[:3] != b"ID3" or len(b) < 10:
+        return 0
+    flags = b[5]
+    size = (
+        ((b[6] & 0x7F) << 21)
+        | ((b[7] & 0x7F) << 14)
+        | ((b[8] & 0x7F) << 7)
+        | (b[9] & 0x7F)
+    )
+    total = 10 + size + (10 if flags & 0x10 else 0)  # footer flag
+    return min(total, len(b))
+
+
+def _xing_offset(hdr: dict) -> int:
+    """Side-info size after the (4+CRC) header bytes, Layer III."""
+    if hdr["version_bits"] == 3:  # MPEG-1
+        side = 17 if hdr["channels"] == 1 else 32
+    else:
+        side = 9 if hdr["channels"] == 1 else 17
+    return 4 + (2 if hdr["crc"] else 0) + side
+
+
+#: junk tolerated between frames before the walk gives up (real crawl
+#: files carry tag remnants and truncated garbage; a pure-noise payload
+#: must still fail in bounded time)
+MAX_RESYNC_BYTES = 1 << 16
+
+
+def parse_mp3(data: bytes) -> dict:
+    """Walk every MPEG audio frame; return stream-level metadata.
+
+    Raises ``ValueError`` when no coherent frame sequence exists.
+    """
+    if len(data) < 4:
+        raise ValueError("mp3: payload shorter than one frame header")
+    start = _skip_id3v2(data)
+    end = len(data)
+    has_id3v1 = end >= 128 and data[end - 128 : end - 125] == b"TAG"
+    if has_id3v1:
+        end -= 128
+
+    pos = start
+    n_frames = 0
+    junk = 0
+    resyncs = 0
+    bitrate_sum = 0
+    first = None
+    xing_frames = None
+    vbr_tag = None
+    while pos + 4 <= end:
+        hdr = parse_frame_header(data, pos)
+        if hdr is None or (
+            first is not None
+            and (
+                hdr["sample_rate"] != first["sample_rate"]
+                or hdr["layer"] != first["layer"]
+            )
+        ):
+            # resync: a header must agree with the stream's rate/layer
+            junk += 1
+            if junk > MAX_RESYNC_BYTES:
+                break
+            if n_frames:
+                resyncs += 1 if junk == 1 else 0
+            pos += 1
+            continue
+        junk = 0
+        if first is None:
+            first = hdr
+            # Xing/Info or VBRI in the first frame
+            off = pos + _xing_offset(hdr)
+            tag = data[off : off + 4]
+            if tag in (b"Xing", b"Info") and off + 8 <= end:
+                vbr_tag = tag.decode()
+                flags = int.from_bytes(data[off + 4 : off + 8], "big")
+                if flags & 1 and off + 12 <= end:
+                    xing_frames = int.from_bytes(data[off + 8 : off + 12], "big")
+            elif data[pos + 4 + 32 : pos + 4 + 36] == b"VBRI":
+                vbr_tag = "VBRI"
+                o = pos + 4 + 32
+                if o + 18 <= end:
+                    xing_frames = int.from_bytes(data[o + 14 : o + 18], "big")
+        n_frames += 1
+        bitrate_sum += hdr["bitrate"]
+        pos += hdr["frame_len"]
+    if first is None or n_frames == 0:
+        raise ValueError("mp3: no valid MPEG audio frame found")
+
+    spf = first["samples_per_frame"]
+    rate = first["sample_rate"]
+    # a Xing/VBRI frame count wins (the walk may be cut by truncation)
+    eff_frames = xing_frames if xing_frames else n_frames
+    duration_ms = eff_frames * spf * 1000 // rate
+    avg_bitrate = bitrate_sum // n_frames
+    vbr = vbr_tag == "Xing" or vbr_tag == "VBRI" or (
+        bitrate_sum != first["bitrate"] * n_frames
+    )
+    return {
+        "version": first["version"],
+        "layer": first["layer"],
+        "sample_rate": rate,
+        "channel_mode": first["channel_mode"],
+        "channels": first["channels"],
+        "bitrate": avg_bitrate,
+        "n_frames": n_frames,
+        "duration_ms": duration_ms,
+        "vbr": bool(vbr),
+        "vbr_tag": vbr_tag,
+        "has_id3v2": start > 0,
+        "has_id3v1": has_id3v1,
+        "resyncs": resyncs,
+    }
+
+
+def decode_mp3_pcm(data: bytes):
+    """The documented loud boundary: Layer-III PCM synthesis needs the
+    Annex-B Huffman tables and the synthesis window, which cannot be
+    transcribed verifiably offline (see the module docstring)."""
+    raise UnsupportedCodecError(
+        "MPEG Layer III PCM decode is not implemented; frame-level "
+        "metadata is available via parse_mp3"
+    )
+
+
+def sniff_mp3(data: bytes) -> bool:
+    """True when the payload starts with ID3v2 or a valid frame header
+    followed by a second coherent header (guards against random 0xFF)."""
+    start = _skip_id3v2(data)
+    if data[:3] == b"ID3" and start >= len(data):
+        return False
+    h0 = parse_frame_header(data, start)
+    if h0 is None:
+        return False
+    h1 = parse_frame_header(data, start + h0["frame_len"])
+    if h1 is None:
+        # a single-frame file is legal; accept if it ends at the frame
+        return start + h0["frame_len"] >= len(data) - 128
+    return (
+        h1["sample_rate"] == h0["sample_rate"] and h1["layer"] == h0["layer"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixture writer
+# ---------------------------------------------------------------------------
+
+
+def build_mp3(
+    n_frames: int,
+    *,
+    version_bits: int = 3,
+    layer: int = 3,
+    bitrate_index: int = 9,
+    samplerate_index: int = 0,
+    channel_mode: int = 3,
+    pad_every: int = 0,
+    crc: bool = False,
+    xing: bool = False,
+    id3v2_size: int = 0,
+    id3v1: bool = False,
+) -> bytes:
+    """Write a syntactically valid MPEG audio stream with zeroed main
+    data (metadata parsing never reads past the side info, so zeroed
+    payloads are fine fixtures; they are NOT decodable audio)."""
+    out = bytearray()
+    if id3v2_size:
+        out += b"ID3" + bytes([4, 0, 0]) + bytes(
+            [(id3v2_size >> 21) & 0x7F, (id3v2_size >> 14) & 0x7F,
+             (id3v2_size >> 7) & 0x7F, id3v2_size & 0x7F]
+        )
+        out += b"\x00" * id3v2_size
+    layer_bits = 4 - layer
+    for i in range(n_frames):
+        padding = 1 if pad_every and i % pad_every == 0 else 0
+        h = (
+            (0x7FF << 21)
+            | (version_bits << 19)
+            | (layer_bits << 17)
+            | ((0 if crc else 1) << 16)
+            | (bitrate_index << 12)
+            | (samplerate_index << 10)
+            | (padding << 9)
+            | (channel_mode << 6)
+        )
+        hdr_bytes = h.to_bytes(4, "big")
+        hdr = parse_frame_header(hdr_bytes, 0)
+        frame = bytearray(hdr["frame_len"])
+        frame[:4] = hdr_bytes
+        if xing and i == 0:
+            off = _xing_offset(hdr)
+            frame[off : off + 4] = b"Xing"
+            frame[off + 4 : off + 8] = (1).to_bytes(4, "big")  # frames flag
+            frame[off + 8 : off + 12] = n_frames.to_bytes(4, "big")
+        out += frame
+    if id3v1:
+        out += b"TAG" + b"\x00" * 125
+    return bytes(out)

@@ -4057,3 +4057,145 @@ def q_multimodal_webp_lossy(spark: SparkSession, sf: str) -> DataFrame:
         "tl_gray",
         "br_gray",
     )
+
+
+@register(
+    "q_multimodal_mp3_meta",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 5 AS variant,
+         5 + doc_id % 40 AS nf
+  FROM documents WHERE doc_id < 300
+), m AS (
+  SELECT doc_id, variant, nf,
+         CASE variant WHEN 2 THEN 'MPEG2' ELSE 'MPEG1' END AS version,
+         CASE variant WHEN 3 THEN 2 WHEN 4 THEN 1 ELSE 3 END AS layer,
+         CASE variant WHEN 2 THEN 24000 WHEN 3 THEN 48000
+                      WHEN 4 THEN 32000 ELSE 44100 END AS sample_rate,
+         CASE variant WHEN 2 THEN 2 ELSE 1 END AS channels,
+         CASE variant
+           WHEN 1 THEN 1000 * list_extract(
+             [32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+             CAST(1 + doc_id % 14 AS INTEGER))
+           WHEN 2 THEN 48000
+           WHEN 3 THEN 128000
+           WHEN 4 THEN 128000
+           ELSE 128000 END AS bitrate,
+         CASE variant WHEN 2 THEN 576 WHEN 4 THEN 384 ELSE 1152 END AS spf
+  FROM p
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(variant AS BIGINT) AS variant,
+       version,
+       CAST(layer AS BIGINT) AS layer,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(channels AS BIGINT) AS channels,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(nf * spf * 1000 // sample_rate AS BIGINT) AS duration_ms,
+       CAST(bitrate AS BIGINT) AS bitrate,
+       CAST(CASE WHEN variant = 2 THEN 1 ELSE 0 END AS BIGINT) AS vbr_tagged,
+       CAST(CASE WHEN variant = 2 THEN 1 ELSE 0 END AS BIGINT) AS id3v2,
+       CAST(CASE WHEN variant = 4 THEN 1 ELSE 0 END AS BIGINT) AS id3v1
+FROM m
+""",
+    tags=("llm", "multimodal", "audio", "mp3", "pandas-udf"),
+    bench=True,
+)
+def q_multimodal_mp3_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """MPEG-audio (MP3/MP2/MP1) frame-level metadata, oracle-exact —
+    the audio-curation slice a 100 TB crawl ingest actually needs
+    (duration, bitrate, layout, VBR-ness; PCM synthesis stays the
+    documented loud boundary, see :mod:`..operators.rawmp3`).
+
+    Each document becomes a syntactically valid MPEG stream whose
+    shape varies by ``doc_id % 5``: plain MPEG-1 Layer III; a swept
+    bitrate index (the whole Layer-III bitrate table runs under the
+    oracle); MPEG-2 stereo with CRC frames, an ID3v2 prefix and a Xing
+    VBR header; Layer II; and Layer I (384-sample frames, 4-byte
+    slots) with a padding pattern and an ID3v1 trailer.  The oracle
+    restates version/layer/rate/channels/frames/duration/bitrate from
+    the same closed forms (ISO 11172-3 frame arithmetic).
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawmp3
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                nf = 5 + did % 40
+                variant = did % 5
+                if variant == 0:
+                    blob = rawmp3.build_mp3(nf)
+                elif variant == 1:
+                    blob = rawmp3.build_mp3(
+                        nf, bitrate_index=1 + did % 14
+                    )
+                elif variant == 2:
+                    blob = rawmp3.build_mp3(
+                        nf, version_bits=2, bitrate_index=6,
+                        samplerate_index=1, channel_mode=0, crc=True,
+                        xing=True, id3v2_size=64,
+                    )
+                elif variant == 3:
+                    blob = rawmp3.build_mp3(
+                        nf, layer=2, bitrate_index=8, samplerate_index=1
+                    )
+                else:
+                    blob = rawmp3.build_mp3(
+                        nf, layer=1, bitrate_index=4, samplerate_index=2,
+                        pad_every=3, id3v1=True,
+                    )
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "mp3": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, mp3 binary")
+
+    def meta(batches):
+        import pandas as pd
+
+        from ..operators import rawmp3
+
+        cols = (
+            "doc_id", "version", "layer", "sample_rate", "channels",
+            "n_frames", "duration_ms", "bitrate", "vbr_tagged",
+            "id3v2", "id3v1",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf["mp3"]):
+                m = rawmp3.parse_mp3(bytes(payload))
+                rows["doc_id"].append(int(did))
+                rows["version"].append(m["version"])
+                rows["layer"].append(m["layer"])
+                rows["sample_rate"].append(m["sample_rate"])
+                rows["channels"].append(m["channels"])
+                rows["n_frames"].append(m["n_frames"])
+                rows["duration_ms"].append(m["duration_ms"])
+                rows["bitrate"].append(m["bitrate"])
+                rows["vbr_tagged"].append(1 if m["vbr_tag"] else 0)
+                rows["id3v2"].append(1 if m["has_id3v2"] else 0)
+                rows["id3v1"].append(1 if m["has_id3v1"] else 0)
+            yield pd.DataFrame(rows)
+
+    out = files.mapInPandas(
+        meta,
+        "doc_id long, version string, layer long, sample_rate long, "
+        "channels long, n_frames long, duration_ms long, bitrate long, "
+        "vbr_tagged long, id3v2 long, id3v1 long",
+    )
+    return out.select(
+        "doc_id",
+        (F.col("doc_id") % 5).cast("long").alias("variant"),
+        "version", "layer", "sample_rate", "channels", "n_frames",
+        "duration_ms", "bitrate", "vbr_tagged", "id3v2", "id3v1",
+    )
