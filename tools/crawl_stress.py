@@ -97,26 +97,155 @@ def run(spark, n_files: int, recs_per_file: int) -> dict:
     }
 
 
+def run_skew(spark, n_files: int, recs_per_file: int, factor: int) -> dict:
+    """Same pipeline, but ONE file carries ``factor``× the records —
+    the straggler shape a real crawl has (one 10 GB WARC among 1 GB
+    peers).  File = unit of parallelism, so the oversized file pins one
+    task; wall clock measures how badly it dominates."""
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for fid in pdf["file_id"]:
+                fid = int(fid)
+                n = recs_per_file * factor if fid == 0 else recs_per_file
+                recs = []
+                for r in range(n):
+                    body = (
+                        f"<html><head><title>p{fid}-{r}</title></head>"
+                        f"<body><p>{'lorem ipsum token ' * 40}d {fid} {r}"
+                        "</p></body></html>"
+                    ).encode()
+                    recs.append(
+                        {
+                            "warc_type": "response",
+                            "target_uri": f"https://h{fid % 97}.example/{r}",
+                            "http_status": 200,
+                            "body": body,
+                        }
+                    )
+                payloads.append(W.build_warc(recs, gzip_members=True))
+            yield pd.DataFrame({"doc_id": pdf["file_id"], "payload": payloads})
+
+    files = (
+        spark.range(n_files)
+        .withColumnRenamed("id", "file_id")
+        .repartition(min(n_files, 32))
+        .mapInPandas(make, "doc_id long, payload binary")
+        .persist()
+    )
+    files.count()
+    t0 = time.perf_counter()
+    total = recs_per_file * (n_files - 1 + factor)
+    out = (
+        W.warc_records(files)
+        .filter(F.col("http_status") == 200)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()[0]["n"]
+    )
+    wall = time.perf_counter() - t0
+    files.unpersist()
+    assert out == total, (out, total)
+    return {
+        "files": n_files,
+        "skew_factor": factor,
+        "records": total,
+        "wall_sec": round(wall, 2),
+        "records_per_sec": round(total / wall),
+    }
+
+
+def run_archive(spark, n_files: int, members_per_file: int, fmt: str) -> dict:
+    """archive_members explode throughput (zip-deflate or tar)."""
+    from rawdata_client_provider_gcs_spark.sources import archive as A
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for fid in pdf["file_id"]:
+                fid = int(fid)
+                members = [
+                    (
+                        f"d{fid}/f{m:05d}.txt",
+                        (f"member {fid} {m} " * 50).encode(),
+                    )
+                    for m in range(members_per_file)
+                ]
+                payloads.append(
+                    A.build_zip(members)
+                    if fmt == "zip"
+                    else A.build_tar(members)
+                )
+            yield pd.DataFrame({"doc_id": pdf["file_id"], "payload": payloads})
+
+    files = (
+        spark.range(n_files)
+        .withColumnRenamed("id", "file_id")
+        .repartition(min(n_files, 32))
+        .mapInPandas(make, "doc_id long, payload binary")
+        .persist()
+    )
+    total_bytes = files.agg(
+        F.sum(F.octet_length("payload")).alias("b")
+    ).collect()[0]["b"]
+    t0 = time.perf_counter()
+    n = (
+        A.archive_members(files)
+        .filter(F.col("error").isNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.octet_length("payload")).alias("out_b"),
+        )
+        .collect()
+    )
+    wall = time.perf_counter() - t0
+    files.unpersist()
+    assert n[0]["n"] == n_files * members_per_file
+    return {
+        "format": fmt,
+        "files": n_files,
+        "members": n[0]["n"],
+        "input_mb": round(total_bytes / 1e6, 1),
+        "wall_sec": round(wall, 2),
+        "members_per_sec": round(n[0]["n"] / wall),
+        "mb_per_sec": round(total_bytes / 1e6 / wall, 1),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=64)
     ap.add_argument("--records", type=int, default=300)
+    ap.add_argument("--members", type=int, default=400)
     args = ap.parse_args()
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
     small = run(spark, args.files, args.records)
     big = run(spark, args.files * 4, args.records)
-    print(
-        json.dumps(
-            {
-                "small": small,
-                "big": big,
-                "scale_ratio": round(
-                    big["wall_sec"] / max(small["wall_sec"], 1e-9), 2
-                ),
-            }
-        )
+    out = {
+        "small": small,
+        "big": big,
+        "scale_ratio": round(
+            big["wall_sec"] / max(small["wall_sec"], 1e-9), 2
+        ),
+        "skew_balanced": run_skew(spark, args.files, args.records, 1),
+        "skew_10x": run_skew(spark, args.files, args.records, 10),
+        "zip_small": run_archive(spark, args.files, args.members, "zip"),
+        "zip_big": run_archive(spark, args.files * 4, args.members, "zip"),
+        "tar_small": run_archive(spark, args.files, args.members, "tar"),
+        "tar_big": run_archive(spark, args.files * 4, args.members, "tar"),
+    }
+    out["zip_scale_ratio"] = round(
+        out["zip_big"]["wall_sec"] / max(out["zip_small"]["wall_sec"], 1e-9), 2
     )
+    out["tar_scale_ratio"] = round(
+        out["tar_big"]["wall_sec"] / max(out["tar_small"]["wall_sec"], 1e-9), 2
+    )
+    print(json.dumps(out))
     spark.stop()
 
 
