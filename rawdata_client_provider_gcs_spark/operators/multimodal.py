@@ -215,7 +215,18 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
             # real decode without external libs: RIFF/WAVE, AIFF/AIFC,
             # Sun AU — dispatched by container magic
             return rawaudio.audio_features(*rawaudio.decode_audio(payload))
-        if mime in DECODABLE_AUDIO_MIMES:
+        from . import rawmp3  # noqa: PLC0415
+
+        if rawmp3.sniff_mp3(payload):
+            # recognized MPEG audio: PCM synthesis is the documented
+            # boundary (rawmp3) — UnsupportedCodecError captures the
+            # row per-row like compressed AVI codecs; frame metadata
+            # stays available via rawmp3.parse_mp3
+            rawmp3.decode_mp3_pcm(payload)
+        if mime in DECODABLE_AUDIO_MIMES or mime in (
+            "audio/mpeg",
+            "audio/mp3",
+        ):
             raise MediaDecodeError(
                 f"payload does not decode as declared mime {mime}"
             )
@@ -405,6 +416,11 @@ def sample_frames(
         def frames(payload: bytes, mime: str):
             if mime.startswith("audio/") and rawaudio.sniff_audio(payload):
                 return rawaudio.segment_wav(payload, every_ms, max_frames)
+            if mime.startswith("audio/"):
+                from . import rawmp3  # noqa: PLC0415
+
+                if rawmp3.sniff_mp3(payload):
+                    rawmp3.decode_mp3_pcm(payload)  # per-row boundary
             def grid_sample(frame_pairs):
                 # every_ms grid over native frame timings — shared by
                 # every multi-frame visual container (GIF, WebP)

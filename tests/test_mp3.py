@@ -121,3 +121,22 @@ def test_sniff_mp3():
 def test_pcm_decode_is_loud_boundary():
     with pytest.raises(M.UnsupportedCodecError):
         M.decode_mp3_pcm(M.build_mp3(3))
+
+
+def test_multimodal_mp3_rows_capture_not_kill(spark):
+    """An audio/mpeg payload in a feature batch lands in the per-row
+    error column as UnsupportedCodecError (the compressed-AVI
+    discipline) — it must not kill the task; mislabeled noise is
+    corruption (MediaDecodeError)."""
+    from rawdata_client_provider_gcs_spark.operators import multimodal
+
+    rows = [
+        (1, bytearray(M.build_mp3(5))),
+        (2, bytearray(b"\x00not audio at all" * 10)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    media = multimodal.with_media_columns(df, "blob", "audio/mpeg", "doc_id")
+    out = {r["doc_id"]: r["error"]
+           for r in multimodal.extract_features(media).collect()}
+    assert out[1].startswith("UnsupportedCodecError")
+    assert out[2].startswith("MediaDecodeError")
