@@ -125,6 +125,32 @@ def main() -> None:
         tile_mb / _timeit(lambda: rawwebp.decode_webp(webp), 3), 2
     )
 
+    # Lossy WebP (VP8 key-frame): per-MB Python token/recon loop —
+    # same honesty note as VP8L; measured on a 128x128 gradient
+    from rawdata_client_provider_gcs_spark.operators import rawmp3, rawvp8
+
+    yv = np.clip(base[:128, :128], 0, 255).astype(np.uint8)
+    uv = np.full((64, 64), 128, np.uint8)
+    vp8 = rawvp8.encode_webp_lossy(yv, uv, uv.copy(), filter_level=20)
+    vp8_mb = (yv.nbytes * 3 // 2) / 1e6  # YUV420 payload
+    out["webp_lossy_encode_mb_s"] = round(
+        vp8_mb
+        / _timeit(
+            lambda: rawvp8.encode_webp_lossy(yv, uv, uv.copy(), filter_level=20),
+            3,
+        ),
+        2,
+    )
+    out["webp_lossy_decode_mb_s"] = round(
+        vp8_mb / _timeit(lambda: rawwebp.decode_webp(vp8), 3), 2
+    )
+
+    mp3 = rawmp3.build_mp3(2000)  # ~52 s of 128k frames, ~834 KB
+    mp3_mb = len(mp3) / 1e6
+    out["mp3_meta_mb_s"] = round(
+        mp3_mb / _timeit(lambda: rawmp3.parse_mp3(mp3), 5), 1
+    )
+
     pdf_pages = [[f"line {i} of synthetic page text" * 3 for i in range(40)]] * 10
     pdf = rawpdf.encode_pdf(pdf_pages)
     pdf_mb = len(pdf) / 1e6
