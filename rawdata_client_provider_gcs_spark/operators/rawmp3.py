@@ -308,3 +308,124 @@ def build_mp3(
     if id3v1:
         out += b"TAG" + b"\x00" * 125
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# ID3 tag fields (v1, v1.1, v2.2/2.3/2.4 text frames)
+# ---------------------------------------------------------------------------
+
+_V2_TEXT_IDS = {
+    b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
+    b"TYER": "year", b"TDRC": "year", b"TRCK": "track", b"TCON": "genre",
+    # v2.2 3-byte ids
+    b"TT2": "title", b"TP1": "artist", b"TAL": "album",
+    b"TYE": "year", b"TRK": "track", b"TCO": "genre",
+}
+
+_TEXT_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def _decode_text_frame(body: bytes) -> str:
+    if not body:
+        return ""
+    enc = _TEXT_ENCODINGS.get(body[0], "latin-1")
+    return body[1:].decode(enc, "replace").strip("\x00").strip()
+
+
+def id3_tags(data: bytes) -> dict:
+    """Extract the common tag fields: ``{"title", "artist", "album",
+    "year", "track", "genre", "source"}`` — v2 frames win over the v1
+    trailer when both exist.  Lenient by design: malformed tag
+    structure stops the walk and returns what was collected (tags are
+    curation metadata, never worth failing a row over)."""
+    out: dict = {}
+    # --- ID3v1 / v1.1 trailer
+    if len(data) >= 128 and data[-128:-125] == b"TAG":
+        t = data[-128:]
+
+        def fld(a: int, b: int) -> str:
+            return t[a:b].split(b"\x00")[0].decode("latin-1", "replace").strip()
+
+        out = {
+            "title": fld(3, 33),
+            "artist": fld(33, 63),
+            "album": fld(63, 93),
+            "year": fld(93, 97),
+            "genre": str(t[127]),
+            "source": "id3v1",
+        }
+        if t[125] == 0 and t[126] != 0:  # v1.1 track convention
+            out["track"] = str(t[126])
+    # --- ID3v2 header
+    if data[:3] != b"ID3" or len(data) < 10:
+        return out
+    ver = data[3]
+    flags = data[5]
+    size = (
+        ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14)
+        | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+    )
+    pos, end = 10, min(10 + size, len(data))
+    v2: dict = {}
+    if ver in (3, 4) and flags & 0x40 and pos + 4 <= end:
+        ext = int.from_bytes(data[pos : pos + 4], "big")
+        if ver == 4:  # syncsafe, includes its own four bytes
+            ext = (
+                ((data[pos] & 0x7F) << 21) | ((data[pos + 1] & 0x7F) << 14)
+                | ((data[pos + 2] & 0x7F) << 7) | (data[pos + 3] & 0x7F)
+            )
+            pos += ext
+        else:  # v2.3: size excludes the size field
+            pos += 4 + ext
+    hdr_len, id_len = (6, 3) if ver == 2 else (10, 4)
+    while pos + hdr_len <= end:
+        fid = data[pos : pos + id_len]
+        if fid.rstrip(b"\x00") == b"":
+            break  # padding
+        if ver == 2:
+            fsize = int.from_bytes(data[pos + 3 : pos + 6], "big")
+        elif ver == 4:  # syncsafe frame sizes
+            fsize = (
+                ((data[pos + 4] & 0x7F) << 21)
+                | ((data[pos + 5] & 0x7F) << 14)
+                | ((data[pos + 6] & 0x7F) << 7)
+                | (data[pos + 7] & 0x7F)
+            )
+        else:
+            fsize = int.from_bytes(data[pos + 4 : pos + 8], "big")
+        body_start = pos + hdr_len
+        if fsize < 0 or body_start + fsize > end:
+            break  # lying size: keep what we have
+        key = _V2_TEXT_IDS.get(fid)
+        if key is not None:
+            v2[key] = _decode_text_frame(data[body_start : body_start + fsize])
+        pos = body_start + fsize
+    if v2:
+        v2["source"] = "id3v2.%d" % ver
+        out = {**out, **v2}
+    return out
+
+
+def build_id3v2(tags: dict, *, version: int = 3, padding: int = 32) -> bytes:
+    """Fixture writer: an ID3v2.3/2.4 header with UTF-8-ish text frames."""
+    name_by_key = {"title": b"TIT2", "artist": b"TPE1", "album": b"TALB",
+                   "year": b"TYER" if version == 3 else b"TDRC",
+                   "track": b"TRCK", "genre": b"TCON"}
+    frames = bytearray()
+    for key, val in tags.items():
+        fid = name_by_key[key]
+        body = bytes([3]) + str(val).encode("utf-8")
+        if version == 4:
+            sz = bytes(
+                [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
+                 (len(body) >> 7) & 0x7F, len(body) & 0x7F]
+            )
+        else:
+            sz = len(body).to_bytes(4, "big")
+        frames += fid + sz + b"\x00\x00" + body
+    total = len(frames) + padding
+    hdr = b"ID3" + bytes([version, 0, 0]) + bytes(
+        [(total >> 21) & 0x7F, (total >> 14) & 0x7F,
+         (total >> 7) & 0x7F, total & 0x7F]
+    )
+    return hdr + bytes(frames) + b"\x00" * padding

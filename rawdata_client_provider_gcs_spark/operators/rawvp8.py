@@ -589,6 +589,11 @@ def inverse_dct4x4(block) -> np.ndarray:
     """§14.3 inverse DCT; input natural-order (16,) int array, output
     (4, 4) residual to add to the prediction (the +4>>3 is inside)."""
     ip = [int(v) for v in block]
+    # exact shortcuts (the overwhelmingly common cases in real frames;
+    # the full butterfly reduces to these identically — pinned by
+    # test_idct_dc_only_is_shift and the float-basis test):
+    if not any(ip[1:]):
+        return np.full((4, 4), (ip[0] + 4) >> 3, np.int32)
     tmp = [0] * 16
     for i in range(4):
         a1 = ip[i] + ip[i + 8]

@@ -4096,7 +4096,9 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(bitrate AS BIGINT) AS bitrate,
        CAST(CASE WHEN variant = 2 THEN 1 ELSE 0 END AS BIGINT) AS vbr_tagged,
        CAST(CASE WHEN variant = 2 THEN 1 ELSE 0 END AS BIGINT) AS id3v2,
-       CAST(CASE WHEN variant = 4 THEN 1 ELSE 0 END AS BIGINT) AS id3v1
+       CAST(CASE WHEN variant = 4 THEN 1 ELSE 0 END AS BIGINT) AS id3v1,
+       CASE WHEN variant = 2 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+            ELSE '' END AS title
 FROM m
 """,
     tags=("llm", "multimodal", "audio", "mp3", "pandas-udf"),
@@ -4141,10 +4143,12 @@ def q_multimodal_mp3_meta(spark: SparkSession, sf: str) -> DataFrame:
                         nf, bitrate_index=1 + did % 14
                     )
                 elif variant == 2:
-                    blob = rawmp3.build_mp3(
+                    blob = rawmp3.build_id3v2(
+                        {"title": "Doc %d" % did, "artist": "corpus"}
+                    ) + rawmp3.build_mp3(
                         nf, version_bits=2, bitrate_index=6,
                         samplerate_index=1, channel_mode=0, crc=True,
-                        xing=True, id3v2_size=64,
+                        xing=True,
                     )
                 elif variant == 3:
                     blob = rawmp3.build_mp3(
@@ -4168,12 +4172,14 @@ def q_multimodal_mp3_meta(spark: SparkSession, sf: str) -> DataFrame:
         cols = (
             "doc_id", "version", "layer", "sample_rate", "channels",
             "n_frames", "duration_ms", "bitrate", "vbr_tagged",
-            "id3v2", "id3v1",
+            "id3v2", "id3v1", "title",
         )
         for pdf in batches:
             rows = {k: [] for k in cols}
             for did, payload in zip(pdf["doc_id"], pdf["mp3"]):
                 m = rawmp3.parse_mp3(bytes(payload))
+                tags = rawmp3.id3_tags(bytes(payload))
+                rows["title"].append(tags.get("title", ""))
                 rows["doc_id"].append(int(did))
                 rows["version"].append(m["version"])
                 rows["layer"].append(m["layer"])
@@ -4191,11 +4197,11 @@ def q_multimodal_mp3_meta(spark: SparkSession, sf: str) -> DataFrame:
         meta,
         "doc_id long, version string, layer long, sample_rate long, "
         "channels long, n_frames long, duration_ms long, bitrate long, "
-        "vbr_tagged long, id3v2 long, id3v1 long",
+        "vbr_tagged long, id3v2 long, id3v1 long, title string",
     )
     return out.select(
         "doc_id",
         (F.col("doc_id") % 5).cast("long").alias("variant"),
         "version", "layer", "sample_rate", "channels", "n_frames",
-        "duration_ms", "bitrate", "vbr_tagged", "id3v2", "id3v1",
+        "duration_ms", "bitrate", "vbr_tagged", "id3v2", "id3v1", "title",
     )

@@ -140,3 +140,45 @@ def test_multimodal_mp3_rows_capture_not_kill(spark):
            for r in multimodal.extract_features(media).collect()}
     assert out[1].startswith("UnsupportedCodecError")
     assert out[2].startswith("MediaDecodeError")
+
+
+def test_id3v2_text_frames_both_versions():
+    for ver in (3, 4):
+        tag = M.build_id3v2(
+            {"title": "Søme Tïtle", "artist": "An Artist", "year": "1999",
+             "track": "7"},
+            version=ver,
+        )
+        blob = tag + M.build_mp3(4)
+        t = M.id3_tags(blob)
+        assert t["title"] == "Søme Tïtle" and t["artist"] == "An Artist"
+        assert t["year"] == "1999" and t["track"] == "7"
+        assert t["source"] == f"id3v2.{ver}"
+        assert M.parse_mp3(blob)["n_frames"] == 4
+
+
+def test_id3v1_trailer_fields_and_v2_precedence():
+    v1 = (
+        b"TAG" + b"Old Title".ljust(30, b"\x00")
+        + b"Old Artist".ljust(30, b"\x00") + b"Album".ljust(30, b"\x00")
+        + b"1984" + b"\x00" * 28 + bytes([0, 5]) + bytes([17])
+    )
+    t = M.id3_tags(M.build_mp3(3) + v1)
+    assert t["title"] == "Old Title" and t["track"] == "5"
+    assert t["genre"] == "17" and t["source"] == "id3v1"
+    # v2 frames win field-by-field; v1-only fields survive
+    t = M.id3_tags(M.build_id3v2({"title": "New"}) + M.build_mp3(3) + v1)
+    assert t["title"] == "New" and t["artist"] == "Old Artist"
+    assert t["source"] == "id3v2.3"
+
+
+def test_id3_hostile_is_lenient():
+    assert M.id3_tags(b"\x00" * 300) == {}
+    # lying frame size: keep what was collected, never crash
+    assert isinstance(
+        M.id3_tags(b"ID3\x03\x00\x00\x00\x00\x00\x7f" + bytes(50)), dict
+    )
+    import random
+    rng = random.Random(3)
+    for _ in range(200):
+        M.id3_tags(b"ID3" + rng.randbytes(rng.randrange(0, 300)))

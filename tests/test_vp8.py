@@ -496,3 +496,35 @@ def test_webp_lossy_with_alpha_container():
         assert (rgba[:, :, 0] == (298 * (100 - 16) + 128) >> 8).all()
     # VP8X must not read as animated
     assert not W.is_animated_webp(blob)
+
+
+def test_animated_webp_with_lossy_frames():
+    """ANMF sub-frames carrying VP8 (lossy) bodies decode through the
+    GIF-parity frames API since round 9 (hand-built VP8X/ANIM/ANMF)."""
+    chunks = bytearray()
+    vp8x = bytearray(10)
+    vp8x[0] = 0x02  # animation flag
+    vp8x[4:7] = (31).to_bytes(3, "little")
+    vp8x[7:10] = (31).to_bytes(3, "little")
+    chunks += b"VP8X" + (10).to_bytes(4, "little") + vp8x
+    anim = bytes([255, 255, 255, 255]) + (0).to_bytes(2, "little")
+    chunks += b"ANIM" + len(anim).to_bytes(4, "little") + anim
+    for dur, fill in ((100, 60), (150, 200)):
+        y, u, v = _planes(fill, w=32, h=32)
+        sub = V.encode_webp_lossy(y, u, v)[12:]  # chunks after RIFF hdr
+        body = (
+            (0).to_bytes(3, "little") + (0).to_bytes(3, "little")
+            + (31).to_bytes(3, "little") + (31).to_bytes(3, "little")
+            + dur.to_bytes(3, "little") + bytes([0x02])  # blend none
+            + sub
+        )
+        chunks += b"ANMF" + len(body).to_bytes(4, "little") + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    blob = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WEBP" + bytes(chunks)
+    out = W.decode_webp_frames(blob)
+    assert [d for d, _ in out] == [100, 150]
+    g1 = (298 * (60 - 16) + 128) >> 8
+    g2 = (298 * (200 - 16) + 128) >> 8
+    assert (out[0][1][:, :, 0] == g1).all()
+    assert (out[1][1][:, :, 0] == g2).all()
