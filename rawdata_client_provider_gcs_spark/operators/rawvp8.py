@@ -1441,13 +1441,20 @@ def encode_vp8_keyframe(
     bmodes=None,
     uvmode: int = DC_PRED,
     prob_updates: dict | None = None,
+    segment_map=None,
+    segment_quants: list[int] | None = None,
+    segment_abs: bool = True,
+    lf_deltas: tuple[list[int], list[int]] | None = None,
 ) -> bytes:
     """Encode planes as a VP8 key frame (raw frame data, no RIFF).
 
     ``ymodes``: (mb_h, mb_w) array of intra modes (default DC_PRED);
     ``bmodes``: 16-list used for every B_PRED macroblock;
     ``prob_updates``: {(i,j,k,l): prob} coefficient-probability updates
-    to exercise §13.4.
+    to exercise §13.4; ``segment_map``: (mb_h, mb_w) segment ids with
+    ``segment_quants`` (4 values, absolute when ``segment_abs`` else
+    deltas on ``q_index``) — exercises §9.3 segmentation end to end;
+    ``lf_deltas``: (ref[4], mode[4]) loop-filter adjustments (§9.4).
     """
     H, W = y.shape
     if H % 16 or W % 16:
@@ -1457,8 +1464,19 @@ def encode_vp8_keyframe(
         raise ValueError("vp8 fixture encoder: chroma must be 4:2:0")
     if n_parts not in (1, 2, 4, 8):
         raise ValueError("vp8: token partitions must be 1/2/4/8")
-    q = _dequant_factors(q_index, dict.fromkeys(
-        ("y1_dc", "y2_dc", "y2_ac", "uv_dc", "uv_ac"), 0))
+    zero_deltas = dict.fromkeys(("y1_dc", "y2_dc", "y2_ac", "uv_dc", "uv_ac"), 0)
+    seg_enabled = segment_map is not None
+    seg_quants = segment_quants or [0, 0, 0, 0]
+    seg_tree_probs = [128, 128, 128]
+
+    def seg_qi(seg_id: int) -> int:
+        if not seg_enabled:
+            return q_index
+        return _clamp_q(
+            seg_quants[seg_id] if segment_abs else q_index + seg_quants[seg_id]
+        )
+
+    quants = {sid: _dequant_factors(seg_qi(sid), zero_deltas) for sid in range(4)}
     prob_skip_false = 200
 
     probs = [
@@ -1480,11 +1498,30 @@ def encode_vp8_keyframe(
     head = BoolEncoder()
     head.encode(0, 128)  # color space
     head.encode(0, 128)  # clamping
-    head.encode(0, 128)  # segmentation off
+    head.encode(1 if seg_enabled else 0, 128)
+    if seg_enabled:
+        head.encode(1, 128)  # update_mb_segmentation_map
+        head.encode(1, 128)  # update_segment_feature_data
+        head.encode(1 if segment_abs else 0, 128)
+        for sq in seg_quants:
+            head.flagged_delta(sq, 7)
+        for _ in range(4):
+            head.encode(0, 128)  # no per-segment lf values
+        for p_ in seg_tree_probs:
+            head.encode(1, 128)
+            head.literal(p_, 8)
     head.encode(filter_type, 128)
     head.literal(filter_level, 6)
     head.literal(sharpness, 3)
-    head.encode(0, 128)  # lf adjustments off
+    if lf_deltas is None:
+        head.encode(0, 128)  # lf adjustments off
+    else:
+        head.encode(1, 128)
+        head.encode(1, 128)  # update now
+        for dv in lf_deltas[0]:
+            head.flagged_delta(dv, 6)
+        for dv in lf_deltas[1]:
+            head.flagged_delta(dv, 6)
     head.literal({1: 0, 2: 1, 4: 2, 8: 3}[n_parts], 2)
     head.literal(q_index, 7)
     for _ in range(5):
@@ -1517,6 +1554,8 @@ def encode_vp8_keyframe(
         # buffer mode records + this row's token closures so the skip
         # flag (known only after level selection) is written in order
         for c in range(mb_w):
+            seg_id = int(segment_map[r][c]) if seg_enabled else 0
+            q = quants[seg_id]
             ymode = ymodes[r][c] if ymodes is not None else DC_PRED
             sub = list(bmodes) if (ymode == B_PRED and bmodes) else [B_DC_PRED] * 16
             yx, yy = 1 + 16 * c, 1 + 16 * r
@@ -1600,6 +1639,8 @@ def encode_vp8_keyframe(
             )
 
             # ---- mode record (partition 0)
+            if seg_enabled:
+                head.tree(MB_SEGMENT_TREE, seg_tree_probs, seg_id)
             head.encode(1 if skip else 0, prob_skip_false)
             head.tree(KF_YMODE_TREE, KF_YMODE_PROBS, ymode)
             if ymode == B_PRED:

@@ -528,3 +528,42 @@ def test_animated_webp_with_lossy_frames():
     g2 = (298 * (200 - 16) + 128) >> 8
     assert (out[0][1][:, :, 0] == g1).all()
     assert (out[1][1][:, :, 0] == g2).all()
+
+
+def test_segmentation_per_segment_quantizers_exact():
+    """§9.3 end-to-end: segment map decoded via the segment tree, each
+    segment dequantizing with its own q_index.  qi ∈ {0,4,13} give
+    Y2-DC steps {8,16,32}, all dividing 32(2d-1), so constant-per-MB
+    content stays EXACT through three different quantizers."""
+    y = np.zeros((32, 48), np.uint8)
+    vals = [[40, 90, 200], [150, 220, 60]]
+    for r in range(2):
+        for c in range(3):
+            y[16 * r : 16 * r + 16, 16 * c : 16 * c + 16] = vals[r][c]
+    u = np.full((16, 24), 128, np.uint8)
+    segmap = [[0, 1, 2], [2, 0, 1]]
+    dy, du, dv = V.decode_vp8(
+        V.encode_vp8_keyframe(
+            y, u, u.copy(), segment_map=segmap, segment_quants=[0, 4, 13, 0]
+        )
+    )
+    assert (dy == y).all() and (du == 128).all()
+    # delta mode: base qi 4, per-segment deltas land on the same values
+    dy2, _, _ = V.decode_vp8(
+        V.encode_vp8_keyframe(
+            y, u, u.copy(), q_index=4, segment_map=segmap,
+            segment_quants=[-4, 0, 9, 0], segment_abs=False,
+        )
+    )
+    assert (dy2 == y).all()
+
+
+def test_lf_delta_header_roundtrip():
+    y, u, v = _planes(77)
+    dy, _, _ = V.decode_vp8(
+        V.encode_vp8_keyframe(
+            y, u, v, filter_level=10,
+            lf_deltas=([5, 0, 0, 0], [3, 0, 0, 0]),
+        )
+    )
+    assert (dy == 77).all()  # flat frame: adjusted levels still no-op
