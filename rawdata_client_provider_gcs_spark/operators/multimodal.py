@@ -104,6 +104,11 @@ DECODABLE_AUDIO_MIMES = frozenset(
 )
 
 
+#: MPEG audio mimes: recognized container, metadata-only tier (rawmp3);
+#: PCM decode is the per-row UnsupportedCodecError boundary
+MPEG_AUDIO_MIMES = frozenset({"audio/mpeg", "audio/mp3"})
+
+
 class MediaDecodeError(ValueError):
     """A payload failed to decode as its declared (supported) mime."""
 
@@ -221,12 +226,11 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
             # recognized MPEG audio: PCM synthesis is the documented
             # boundary (rawmp3) — UnsupportedCodecError captures the
             # row per-row like compressed AVI codecs; frame metadata
-            # stays available via rawmp3.parse_mp3
-            rawmp3.decode_mp3_pcm(payload)
-        if mime in DECODABLE_AUDIO_MIMES or mime in (
-            "audio/mpeg",
-            "audio/mp3",
-        ):
+            # stays available via rawmp3.parse_mp3.  With fake=True
+            # fall through to the deterministic stub (AVI discipline).
+            if not fake:
+                rawmp3.decode_mp3_pcm(payload)
+        elif mime in DECODABLE_AUDIO_MIMES or mime in MPEG_AUDIO_MIMES:
             raise MediaDecodeError(
                 f"payload does not decode as declared mime {mime}"
             )
@@ -420,7 +424,9 @@ def sample_frames(
                 from . import rawmp3  # noqa: PLC0415
 
                 if rawmp3.sniff_mp3(payload):
-                    rawmp3.decode_mp3_pcm(payload)  # per-row boundary
+                    if not fake:
+                        rawmp3.decode_mp3_pcm(payload)  # per-row boundary
+                    return fake_frames(payload)
             def grid_sample(frame_pairs):
                 # every_ms grid over native frame timings — shared by
                 # every multi-frame visual container (GIF, WebP)

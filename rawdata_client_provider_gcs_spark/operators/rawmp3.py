@@ -110,17 +110,26 @@ def parse_frame_header(b: bytes, pos: int) -> dict | None:
     }
 
 
+def _syncsafe32(b: bytes, pos: int) -> int:
+    """ID3's 7-bit-per-byte big-endian integer."""
+    return (
+        ((b[pos] & 0x7F) << 21)
+        | ((b[pos + 1] & 0x7F) << 14)
+        | ((b[pos + 2] & 0x7F) << 7)
+        | (b[pos + 3] & 0x7F)
+    )
+
+
+def _to_syncsafe(n: int) -> bytes:
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
 def _skip_id3v2(b: bytes) -> int:
     if b[:3] != b"ID3" or len(b) < 10:
         return 0
-    flags = b[5]
-    size = (
-        ((b[6] & 0x7F) << 21)
-        | ((b[7] & 0x7F) << 14)
-        | ((b[8] & 0x7F) << 7)
-        | (b[9] & 0x7F)
-    )
-    total = 10 + size + (10 if flags & 0x10 else 0)  # footer flag
+    total = 10 + _syncsafe32(b, 6) + (10 if b[5] & 0x10 else 0)  # footer
     return min(total, len(b))
 
 
@@ -177,9 +186,25 @@ def parse_mp3(data: bytes) -> dict:
                 resyncs += 1 if junk == 1 else 0
             pos += 1
             continue
-        junk = 0
         if first is None:
+            # confirm with a coherent SECOND header before locking the
+            # stream parameters: a stray 0xFFEx word in leading junk
+            # would otherwise poison rate/layer for the whole walk
+            nxt = parse_frame_header(data, pos + hdr["frame_len"])
+            confirmed = pos + hdr["frame_len"] >= end or (
+                nxt is not None
+                and nxt["sample_rate"] == hdr["sample_rate"]
+                and nxt["layer"] == hdr["layer"]
+            )
+            if not confirmed:
+                junk += 1
+                if junk > MAX_RESYNC_BYTES:
+                    break
+                pos += 1
+                continue
             first = hdr
+        junk = 0
+        if n_frames == 0:
             # Xing/Info or VBRI in the first frame
             off = pos + _xing_offset(hdr)
             tag = data[off : off + 4]
@@ -277,10 +302,7 @@ def build_mp3(
     payloads are fine fixtures; they are NOT decodable audio)."""
     out = bytearray()
     if id3v2_size:
-        out += b"ID3" + bytes([4, 0, 0]) + bytes(
-            [(id3v2_size >> 21) & 0x7F, (id3v2_size >> 14) & 0x7F,
-             (id3v2_size >> 7) & 0x7F, id3v2_size & 0x7F]
-        )
+        out += b"ID3" + bytes([4, 0, 0]) + _to_syncsafe(id3v2_size)
         out += b"\x00" * id3v2_size
     layer_bits = 4 - layer
     for i in range(n_frames):
@@ -361,20 +383,13 @@ def id3_tags(data: bytes) -> dict:
         return out
     ver = data[3]
     flags = data[5]
-    size = (
-        ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14)
-        | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
-    )
+    size = _syncsafe32(data, 6)
     pos, end = 10, min(10 + size, len(data))
     v2: dict = {}
     if ver in (3, 4) and flags & 0x40 and pos + 4 <= end:
         ext = int.from_bytes(data[pos : pos + 4], "big")
         if ver == 4:  # syncsafe, includes its own four bytes
-            ext = (
-                ((data[pos] & 0x7F) << 21) | ((data[pos + 1] & 0x7F) << 14)
-                | ((data[pos + 2] & 0x7F) << 7) | (data[pos + 3] & 0x7F)
-            )
-            pos += ext
+            pos += _syncsafe32(data, pos)
         else:  # v2.3: size excludes the size field
             pos += 4 + ext
     hdr_len, id_len = (6, 3) if ver == 2 else (10, 4)
@@ -385,12 +400,7 @@ def id3_tags(data: bytes) -> dict:
         if ver == 2:
             fsize = int.from_bytes(data[pos + 3 : pos + 6], "big")
         elif ver == 4:  # syncsafe frame sizes
-            fsize = (
-                ((data[pos + 4] & 0x7F) << 21)
-                | ((data[pos + 5] & 0x7F) << 14)
-                | ((data[pos + 6] & 0x7F) << 7)
-                | (data[pos + 7] & 0x7F)
-            )
+            fsize = _syncsafe32(data, pos + 4)
         else:
             fsize = int.from_bytes(data[pos + 4 : pos + 8], "big")
         body_start = pos + hdr_len
@@ -415,17 +425,11 @@ def build_id3v2(tags: dict, *, version: int = 3, padding: int = 32) -> bytes:
     for key, val in tags.items():
         fid = name_by_key[key]
         body = bytes([3]) + str(val).encode("utf-8")
-        if version == 4:
-            sz = bytes(
-                [(len(body) >> 21) & 0x7F, (len(body) >> 14) & 0x7F,
-                 (len(body) >> 7) & 0x7F, len(body) & 0x7F]
-            )
-        else:
-            sz = len(body).to_bytes(4, "big")
+        sz = (
+            _to_syncsafe(len(body)) if version == 4
+            else len(body).to_bytes(4, "big")
+        )
         frames += fid + sz + b"\x00\x00" + body
     total = len(frames) + padding
-    hdr = b"ID3" + bytes([version, 0, 0]) + bytes(
-        [(total >> 21) & 0x7F, (total >> 14) & 0x7F,
-         (total >> 7) & 0x7F, total & 0x7F]
-    )
+    hdr = b"ID3" + bytes([version, 0, 0]) + _to_syncsafe(total)
     return hdr + bytes(frames) + b"\x00" * padding

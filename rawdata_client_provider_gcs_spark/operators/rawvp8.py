@@ -1506,7 +1506,14 @@ def encode_vp8_keyframe(
         for sq in seg_quants:
             head.flagged_delta(sq, 7)
         for _ in range(4):
-            head.encode(0, 128)  # no per-segment lf values
+            # abs-mode semantics make an omitted LF value mean level 0,
+            # which would silently discard filter_level — write the
+            # frame level into every segment in abs mode
+            if segment_abs:
+                head.encode(1, 128)
+                head.signed_literal(filter_level, 6)
+            else:
+                head.encode(0, 128)
         for p_ in seg_tree_probs:
             head.encode(1, 128)
             head.literal(p_, 8)

@@ -1249,8 +1249,8 @@ def decode_webp_frames(payload: bytes) -> list[tuple[int, np.ndarray]]:
     composite onto the canvas honoring the blend flag (src-over alpha
     vs replace) and dispose-to-background; frame rectangles are bounds-
     checked against the VP8X canvas.  Lossy sub-frames decode via
-    :mod:`.rawvp8` like still lossy files; only ALPH-bearing lossy
-    raises :class:`~.rawavi.UnsupportedCodecError`.
+    :mod:`.rawvp8` like still lossy files, including their ALPH alpha
+    planes (:func:`decode_alph`).
     """
     if not sniff_webp(payload):
         raise ValueError("payload is not a RIFF/WEBP container")

@@ -84,10 +84,28 @@ def test_id3_and_xing():
 
 def test_resync_over_junk():
     clean = M.build_mp3(6)
-    noisy = b"\x00garbage\xff" + clean[:417] + b"\xff\xe0junk" + clean[417:]
+    # junk between frames 2 and 3: frames 1-2 confirm each other, the
+    # walk resyncs over the junk and recovers all six frames
+    noisy = b"\x00garbage\xff" + clean[:834] + b"\xff\xe0junk" + clean[834:]
     m = M.parse_mp3(noisy)
     assert m["n_frames"] == 6
     assert m["resyncs"] >= 1
+    # junk right after frame 1 breaks its second-header confirmation:
+    # the frame is treated as junk and the stream re-locks at frame 2
+    # (5 frames, correct parameters) — the price of not letting a
+    # stray sync word in leading garbage poison the whole walk
+    noisy = clean[:417] + b"\xff\xe0junk" + clean[417:]
+    m = M.parse_mp3(noisy)
+    assert m["n_frames"] == 5 and m["sample_rate"] == 44100
+
+
+def test_false_sync_in_leading_junk_does_not_poison():
+    """A stray 0xFFF3 word before the real stream must not lock wrong
+    stream parameters (review finding, round 9)."""
+    real = M.build_mp3(6)
+    m = M.parse_mp3(b"\xff\xf3\x90\x00" + b"\x00" * 200 + real)
+    assert m["n_frames"] == 6 and m["sample_rate"] == 44100
+    assert m["version"] == "MPEG1"
 
 
 def test_hostile_inputs_bounded():

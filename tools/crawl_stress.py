@@ -27,7 +27,11 @@ from rawdata_client_provider_gcs_spark.functions import html as H  # noqa: E402
 from rawdata_client_provider_gcs_spark.sources import warc as W  # noqa: E402
 
 
-def run(spark, n_files: int, recs_per_file: int) -> dict:
+def run(spark, n_files: int, recs_per_file: int, skew_factor: int = 1) -> dict:
+    """Full ingest pipeline; ``skew_factor`` makes file 0 carry that
+    many times the records — the straggler shape a real crawl has (one
+    10 GB WARC among 1 GB peers) pinning one task."""
+
     def make(batches):
         import pandas as pd
 
@@ -36,7 +40,8 @@ def run(spark, n_files: int, recs_per_file: int) -> dict:
             for fid in pdf["file_id"]:
                 fid = int(fid)
                 recs = []
-                for r in range(recs_per_file):
+                n_recs = recs_per_file * (skew_factor if fid == 0 else 1)
+                for r in range(n_recs):
                     body = (
                         f"<html><head><title>p{fid}-{r}</title>"
                         "<script>var x=1;</script></head><body>"
@@ -86,74 +91,16 @@ def run(spark, n_files: int, recs_per_file: int) -> dict:
     )
     wall = time.perf_counter() - t0
     files.unpersist()
-    assert stats["pages"] == n_files * recs_per_file, stats
+    expect = recs_per_file * (n_files - 1 + skew_factor)
+    assert stats["pages"] == expect, stats
     return {
         "files": n_files,
+        "skew_factor": skew_factor,
         "records": stats["pages"],
         "input_mb": round(total_bytes / 1e6, 1),
         "wall_sec": round(wall, 2),
         "records_per_sec": round(stats["pages"] / wall),
         "mb_per_sec": round(total_bytes / 1e6 / wall, 1),
-    }
-
-
-def run_skew(spark, n_files: int, recs_per_file: int, factor: int) -> dict:
-    """Same pipeline, but ONE file carries ``factor``× the records —
-    the straggler shape a real crawl has (one 10 GB WARC among 1 GB
-    peers).  File = unit of parallelism, so the oversized file pins one
-    task; wall clock measures how badly it dominates."""
-
-    def make(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            payloads = []
-            for fid in pdf["file_id"]:
-                fid = int(fid)
-                n = recs_per_file * factor if fid == 0 else recs_per_file
-                recs = []
-                for r in range(n):
-                    body = (
-                        f"<html><head><title>p{fid}-{r}</title></head>"
-                        f"<body><p>{'lorem ipsum token ' * 40}d {fid} {r}"
-                        "</p></body></html>"
-                    ).encode()
-                    recs.append(
-                        {
-                            "warc_type": "response",
-                            "target_uri": f"https://h{fid % 97}.example/{r}",
-                            "http_status": 200,
-                            "body": body,
-                        }
-                    )
-                payloads.append(W.build_warc(recs, gzip_members=True))
-            yield pd.DataFrame({"doc_id": pdf["file_id"], "payload": payloads})
-
-    files = (
-        spark.range(n_files)
-        .withColumnRenamed("id", "file_id")
-        .repartition(min(n_files, 32))
-        .mapInPandas(make, "doc_id long, payload binary")
-        .persist()
-    )
-    files.count()
-    t0 = time.perf_counter()
-    total = recs_per_file * (n_files - 1 + factor)
-    out = (
-        W.warc_records(files)
-        .filter(F.col("http_status") == 200)
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()[0]["n"]
-    )
-    wall = time.perf_counter() - t0
-    files.unpersist()
-    assert out == total, (out, total)
-    return {
-        "files": n_files,
-        "skew_factor": factor,
-        "records": total,
-        "wall_sec": round(wall, 2),
-        "records_per_sec": round(total / wall),
     }
 
 
@@ -232,8 +179,9 @@ def main() -> None:
         "scale_ratio": round(
             big["wall_sec"] / max(small["wall_sec"], 1e-9), 2
         ),
-        "skew_balanced": run_skew(spark, args.files, args.records, 1),
-        "skew_10x": run_skew(spark, args.files, args.records, 10),
+        "skew_balanced": run(spark, 32, args.records * 2, 1),
+        "skew_10x": run(spark, 32, args.records * 2, 10),
+        "skew_40x": run(spark, 32, args.records * 2, 40),
         "zip_small": run_archive(spark, args.files, args.members, "zip"),
         "zip_big": run_archive(spark, args.files * 4, args.members, "zip"),
         "tar_small": run_archive(spark, args.files, args.members, "tar"),
