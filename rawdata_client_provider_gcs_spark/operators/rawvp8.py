@@ -801,8 +801,9 @@ def predict_b(mode: int, A, AR, L, P) -> np.ndarray:
 
 
 def _sc(x):
-    """vp8_signed_char_clamp."""
-    return np.clip(x, -128, 127)
+    """vp8_signed_char_clamp (direct ufuncs — np.clip's dispatch
+    wrapper dominates on the tiny per-edge arrays)."""
+    return np.minimum(127, np.maximum(-128, x))
 
 
 def _filter_mask(p3, p2, p1, p0, q0, q1, q2, q3, E, I):
@@ -874,24 +875,24 @@ def _simple_filter_edge(cols, E):
 
 def _filter_v_edge(plane, x, y0, y1, E, I, hev_t, mb_edge, simple):
     """Vertical edge at column x (boundary between x-1 and x)."""
-    cols = [plane[y0:y1, x + d].astype(np.int32) for d in range(-4, 4)]
+    win = plane[y0:y1, x - 4 : x + 4].astype(np.int32)
+    cols = [win[:, i] for i in range(8)]
     if simple:
         cols = _simple_filter_edge(cols, E)
     else:
         cols = _normal_filter_edge(cols, E, I, hev_t, mb_edge)
-    for d, c in zip(range(-4, 4), cols):
-        plane[y0:y1, x + d] = c
+    plane[y0:y1, x - 4 : x + 4] = np.stack(cols, axis=1)
 
 
 def _filter_h_edge(plane, y, x0, x1, E, I, hev_t, mb_edge, simple):
     """Horizontal edge at row y (boundary between y-1 and y)."""
-    rows = [plane[y + d, x0:x1].astype(np.int32) for d in range(-4, 4)]
+    win = plane[y - 4 : y + 4, x0:x1].astype(np.int32)
+    rows = [win[i] for i in range(8)]
     if simple:
         rows = _simple_filter_edge(rows, E)
     else:
         rows = _normal_filter_edge(rows, E, I, hev_t, mb_edge)
-    for d, r in zip(range(-4, 4), rows):
-        plane[y + d, x0:x1] = r
+    plane[y - 4 : y + 4, x0:x1] = np.stack(rows, axis=0)
 
 
 def _loop_filter_frame(ypad, upad, vpad, mbs, mb_w, mb_h, hdr):
