@@ -107,6 +107,11 @@ DECODABLE_AUDIO_MIMES = frozenset(
 #: MPEG audio mimes: recognized container, metadata-only tier (rawmp3);
 #: PCM decode is the per-row UnsupportedCodecError boundary
 MPEG_AUDIO_MIMES = frozenset({"audio/mpeg", "audio/mp3"})
+#: same discipline for Ogg (rawogg) and ISO-BMFF (rawmp4) containers
+OGG_AUDIO_MIMES = frozenset(
+    {"audio/ogg", "application/ogg", "audio/opus", "audio/vorbis"}
+)
+MP4_MIMES = frozenset({"video/mp4", "audio/mp4", "video/quicktime"})
 
 
 class MediaDecodeError(ValueError):
@@ -220,7 +225,7 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
             # real decode without external libs: RIFF/WAVE, AIFF/AIFC,
             # Sun AU — dispatched by container magic
             return rawaudio.audio_features(*rawaudio.decode_audio(payload))
-        from . import rawmp3  # noqa: PLC0415
+        from . import rawmp3, rawogg  # noqa: PLC0415
 
         if rawmp3.sniff_mp3(payload):
             # recognized MPEG audio: PCM synthesis is the documented
@@ -230,7 +235,24 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
             # fall through to the deterministic stub (AVI discipline).
             if not fake:
                 rawmp3.decode_mp3_pcm(payload)
-        elif mime in DECODABLE_AUDIO_MIMES or mime in MPEG_AUDIO_MIMES:
+        elif rawogg.sniff_ogg(payload):
+            if not fake:
+                rawogg.decode_ogg_pcm(payload)  # same per-row boundary
+        elif (
+            mime in DECODABLE_AUDIO_MIMES
+            or mime in MPEG_AUDIO_MIMES
+            or mime in OGG_AUDIO_MIMES
+        ):
+            raise MediaDecodeError(
+                f"payload does not decode as declared mime {mime}"
+            )
+    if mime.startswith("video/") or mime in MP4_MIMES:
+        from . import rawmp4  # noqa: PLC0415
+
+        if rawmp4.sniff_mp4(payload):
+            if not fake:
+                rawmp4.decode_mp4_media(payload)  # per-row boundary
+        elif mime in MP4_MIMES:
             raise MediaDecodeError(
                 f"payload does not decode as declared mime {mime}"
             )
@@ -421,11 +443,15 @@ def sample_frames(
             if mime.startswith("audio/") and rawaudio.sniff_audio(payload):
                 return rawaudio.segment_wav(payload, every_ms, max_frames)
             if mime.startswith("audio/"):
-                from . import rawmp3  # noqa: PLC0415
+                from . import rawmp3, rawogg  # noqa: PLC0415
 
                 if rawmp3.sniff_mp3(payload):
                     if not fake:
                         rawmp3.decode_mp3_pcm(payload)  # per-row boundary
+                    return fake_frames(payload)
+                if rawogg.sniff_ogg(payload):
+                    if not fake:
+                        rawogg.decode_ogg_pcm(payload)
                     return fake_frames(payload)
             def grid_sample(frame_pairs):
                 # every_ms grid over native frame timings — shared by
@@ -455,8 +481,12 @@ def sample_frames(
                 if rawwebp.sniff_webp(payload):
                     return grid_sample(rawwebp.decode_webp_frames(payload))
             if mime.startswith("video/"):
-                from . import rawavi  # noqa: PLC0415
+                from . import rawavi, rawmp4  # noqa: PLC0415
 
+                if rawmp4.sniff_mp4(payload):
+                    if not fake:
+                        rawmp4.decode_mp4_media(payload)  # per-row boundary
+                    return fake_frames(payload)
                 if rawavi.sniff_avi(payload):
                     # REAL video container path: uncompressed RIFF/AVI
                     # (raw BI_RGB frames), frames sampled on the

@@ -1,0 +1,280 @@
+"""MP4 / ISO-BMFF container metadata — ISO/IEC 14496-12.
+
+The box (atom) structure is exact, small, and table-free: this module
+walks it for the metadata a crawl curation pipeline needs from
+``video/mp4`` / ``audio/mp4`` payloads — brands, movie duration,
+per-track codec fourcc / handler / timescale / duration / dimensions /
+audio layout — while codec payload decode (H.264/H.265/AAC) stays the
+documented loud boundary (:func:`decode_mp4_media` raises
+:class:`~.rawavi.UnsupportedCodecError`; crawl rows capture per-row).
+
+Parsed boxes: ``ftyp`` (brands), ``moov``/``mvhd`` (movie timescale +
+duration, version 0 and 1), ``trak``/``tkhd`` (track id, the 16.16
+fixed-point width/height), ``mdia``/``mdhd`` (media timescale +
+duration), ``hdlr`` (vide/soun/...), ``stbl``/``stsd`` (sample-entry
+fourcc; channel count + sample rate for audio entries), ``stts``
+(sample counts), and 64-bit large sizes.  Hostile structure — lying
+sizes, truncated headers, unbounded recursion — lands on
+``ValueError`` with depth and box-count caps.
+
+Reference behavioral parity: the reference transport stores opaque
+named byte arrays per message (RawdataMessage.java:15-60); media
+handling belongs to this repo's derived multimodal tier.
+"""
+
+from __future__ import annotations
+
+from .rawavi import UnsupportedCodecError
+
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+_MAX_BOXES = 10_000
+
+
+def _walk(data: bytes, start: int, end: int, depth: int, budget: list[int]):
+    """Yield (fourcc, body_start, body_end) for each box in [start, end)."""
+    pos = start
+    while pos + 8 <= end:
+        budget[0] -= 1
+        if budget[0] < 0:
+            raise ValueError("mp4: box count over the hostile-input cap")
+        size = int.from_bytes(data[pos : pos + 4], "big")
+        fourcc = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("mp4: truncated 64-bit box size")
+            size = int.from_bytes(data[pos + 8 : pos + 16], "big")
+            body = pos + 16
+        elif size == 0:  # box extends to the end of the enclosing scope
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError(
+                f"mp4: box {fourcc!r} size {size} overruns its container"
+            )
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _fixed_16_16(raw: int) -> float:
+    return raw / 65536.0
+
+
+def parse_mp4(data: bytes) -> dict:
+    """Container-level + per-track metadata for an ISO-BMFF payload."""
+    if len(data) < 8:
+        raise ValueError("mp4: shorter than one box header")
+    budget = [_MAX_BOXES]
+    meta: dict = {"brands": [], "tracks": []}
+    saw_ftyp = saw_moov = False
+
+    def walk(start: int, end: int, depth: int, track: dict | None):
+        nonlocal saw_ftyp, saw_moov
+        if depth > 8:
+            raise ValueError("mp4: box nesting over the depth cap")
+        for fourcc, body, box_end in _walk(data, start, end, depth, budget):
+            if fourcc == b"ftyp":
+                saw_ftyp = True
+                meta["major_brand"] = data[body : body + 4].decode(
+                    "latin-1", "replace"
+                )
+                meta["brands"] = [
+                    data[p : p + 4].decode("latin-1", "replace")
+                    for p in range(body + 8, box_end, 4)
+                ]
+            elif fourcc == b"mvhd":
+                saw_moov = True
+                ver = data[body]
+                if ver == 1:
+                    ts = int.from_bytes(data[body + 20 : body + 24], "big")
+                    dur = int.from_bytes(data[body + 24 : body + 32], "big")
+                else:
+                    ts = int.from_bytes(data[body + 12 : body + 16], "big")
+                    dur = int.from_bytes(data[body + 16 : body + 20], "big")
+                if ts == 0:
+                    raise ValueError("mp4: zero movie timescale")
+                meta["timescale"] = ts
+                meta["duration_ms"] = dur * 1000 // ts
+            elif fourcc == b"trak":
+                t: dict = {}
+                meta["tracks"].append(t)
+                walk(body, box_end, depth + 1, t)
+            elif fourcc == b"tkhd" and track is not None:
+                ver = data[body]
+                off = body + (32 if ver == 1 else 20)
+                track["track_id"] = int.from_bytes(
+                    data[body + (20 if ver == 1 else 12) : body
+                         + (24 if ver == 1 else 16)], "big"
+                )
+                w = int.from_bytes(data[box_end - 8 : box_end - 4], "big")
+                h = int.from_bytes(data[box_end - 4 : box_end], "big")
+                track["width"] = _fixed_16_16(w)
+                track["height"] = _fixed_16_16(h)
+            elif fourcc == b"mdhd" and track is not None:
+                ver = data[body]
+                if ver == 1:
+                    ts = int.from_bytes(data[body + 20 : body + 24], "big")
+                    dur = int.from_bytes(data[body + 24 : body + 32], "big")
+                else:
+                    ts = int.from_bytes(data[body + 12 : body + 16], "big")
+                    dur = int.from_bytes(data[body + 16 : body + 20], "big")
+                if ts == 0:
+                    raise ValueError("mp4: zero media timescale")
+                track["timescale"] = ts
+                track["duration_ms"] = dur * 1000 // ts
+            elif fourcc == b"hdlr" and track is not None:
+                track["handler"] = data[body + 8 : body + 12].decode(
+                    "latin-1", "replace"
+                )
+            elif fourcc == b"stsd" and track is not None:
+                n = int.from_bytes(data[body + 4 : body + 8], "big")
+                if n >= 1 and body + 16 <= box_end:
+                    entry = body + 8
+                    track["codec"] = data[entry + 4 : entry + 8].decode(
+                        "latin-1", "replace"
+                    )
+                    if track.get("handler") == "soun" and entry + 36 <= box_end:
+                        track["channels"] = int.from_bytes(
+                            data[entry + 24 : entry + 26], "big"
+                        )
+                        track["sample_rate"] = int.from_bytes(
+                            data[entry + 32 : entry + 34], "big"
+                        )
+            elif fourcc == b"stts" and track is not None:
+                n = int.from_bytes(data[body + 4 : body + 8], "big")
+                total = 0
+                p = body + 8
+                for _ in range(min(n, 1 << 20)):
+                    if p + 8 > box_end:
+                        break
+                    total += int.from_bytes(data[p : p + 4], "big")
+                    p += 8
+                track["n_samples"] = total
+            elif fourcc in _CONTAINERS:
+                walk(body, box_end, depth + 1, track)
+
+    walk(0, len(data), 0, None)
+    if not saw_moov:
+        raise ValueError("mp4: no moov/mvhd box")
+    meta["n_tracks"] = len(meta["tracks"])
+    return meta
+
+
+def decode_mp4_media(data: bytes):
+    """The documented loud boundary (H.264/H.265/AAC payloads)."""
+    raise UnsupportedCodecError(
+        "MP4 codec payload decode (H.264/HEVC/AAC) is not implemented; "
+        "container metadata is available via parse_mp4"
+    )
+
+
+def sniff_mp4(data: bytes) -> bool:
+    return (
+        len(data) >= 12
+        and data[4:8] in (b"ftyp", b"moov", b"mdat", b"free", b"wide", b"skip")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixture writer
+# ---------------------------------------------------------------------------
+
+
+def _box(fourcc: bytes, body: bytes, large: bool = False) -> bytes:
+    if large:
+        return (1).to_bytes(4, "big") + fourcc + (16 + len(body)).to_bytes(
+            8, "big"
+        ) + body
+    return (8 + len(body)).to_bytes(4, "big") + fourcc + body
+
+
+def _full(fourcc: bytes, ver: int, body: bytes) -> bytes:
+    return _box(fourcc, bytes([ver, 0, 0, 0]) + body)
+
+
+def build_mp4(
+    *,
+    duration_ms: int = 2000,
+    timescale: int = 1000,
+    video: tuple[int, int] | None = (640, 360),
+    audio: tuple[int, int] | None = (2, 44100),
+    version1: bool = False,
+    brands: tuple[str, ...] = ("isom", "mp42"),
+    large_mdat: bool = False,
+) -> bytes:
+    """Write a structurally valid MP4 with empty media data (metadata
+    parsing never touches codec payloads)."""
+    dur = duration_ms * timescale // 1000
+
+    def times(ts, d):
+        if version1:
+            return (0).to_bytes(8, "big") * 2 + ts.to_bytes(4, "big") + d.to_bytes(8, "big")
+        return (0).to_bytes(4, "big") * 2 + ts.to_bytes(4, "big") + d.to_bytes(4, "big")
+
+    ftyp = _box(
+        b"ftyp",
+        brands[0].encode() + (0).to_bytes(4, "big")
+        + b"".join(b.encode() for b in brands),
+    )
+    tracks = b""
+    tid = 1
+    specs = []
+    if video is not None:
+        specs.append(("vide", b"avc1", video))
+    if audio is not None:
+        specs.append(("soun", b"mp4a", audio))
+    for handler, codec, spec in specs:
+        if handler == "vide":
+            w, h = spec
+            tkhd_tail = (
+                bytes(52 if not version1 else 52)
+                + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+            )
+            entry_body = bytes(70) + (0x18).to_bytes(2, "big") + b"\xff\xff"
+        else:
+            ch, rate = spec
+            tkhd_tail = bytes(52) + (0).to_bytes(4, "big") * 2
+            entry_body = (
+                bytes(8)
+                + ch.to_bytes(2, "big") + (16).to_bytes(2, "big")
+                + bytes(4)
+                + rate.to_bytes(2, "big") + b"\x00\x00"
+            )
+        if version1:
+            tkhd = _full(
+                b"tkhd", 1,
+                (0).to_bytes(8, "big") * 2 + tid.to_bytes(4, "big")
+                + bytes(4) + dur.to_bytes(8, "big") + tkhd_tail,
+            )
+        else:
+            tkhd = _full(
+                b"tkhd", 0,
+                (0).to_bytes(4, "big") * 2 + tid.to_bytes(4, "big")
+                + bytes(4) + dur.to_bytes(4, "big") + tkhd_tail,
+            )
+        entry = (
+            (16 + len(entry_body)).to_bytes(4, "big")
+            + codec + bytes(6) + (1).to_bytes(2, "big") + entry_body
+        )
+        stsd = _full(b"stsd", 0, (1).to_bytes(4, "big") + entry)
+        stts = _full(
+            b"stts", 0,
+            (1).to_bytes(4, "big")
+            + (50).to_bytes(4, "big") + (dur // 50 or 1).to_bytes(4, "big"),
+        )
+        stbl = _box(b"stbl", stsd + stts)
+        minf = _box(b"minf", stbl)
+        hdlr = _full(
+            b"hdlr", 0, bytes(4) + handler.encode() + bytes(12) + b"\x00"
+        )
+        mdhd = _full(b"mdhd", 1 if version1 else 0, times(timescale, dur)
+                     + bytes(4))
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        tracks += _box(b"trak", tkhd + mdia)
+        tid += 1
+    mvhd = _full(
+        b"mvhd", 1 if version1 else 0,
+        times(timescale, dur) + bytes(80),
+    )
+    moov = _box(b"moov", mvhd + tracks)
+    mdat = _box(b"mdat", b"\x00" * 64, large=large_mdat)
+    return ftyp + moov + mdat

@@ -1,0 +1,290 @@
+"""Ogg container (Vorbis/Opus) stream metadata — RFC 3533/7845, the
+Vorbis I specification.
+
+Like :mod:`.rawmp3`, this is the metadata tier a 100 TB curation
+pipeline actually consumes from crawl audio: codec, channels, sample
+rate, duration (granule positions), declared bitrates, and the
+VorbisComment/OpusTags key-value fields.  Everything here is exact
+structure — page capture/lacing, BOS/EOS flags, packet reassembly
+across 255-lacing continuations, the two codec identification headers
+and the comment headers — with no empirical tables.  PCM synthesis
+(Vorbis MDCT floors/residues, Opus CELT/SILK) stays the documented
+loud boundary: :func:`decode_ogg_pcm` raises
+:class:`~.rawavi.UnsupportedCodecError` so crawl rows capture per-row.
+
+CRC note, documented honesty: Ogg pages carry a CRC-32 (polynomial
+0x04C11DB7, unreflected, zero init/xor).  The checker is implemented
+and the fixture writer round-trips it, but no third-party Ogg exists
+in this container to cross-pin the convention — so a mismatch is
+REPORTED (``crc_failures`` count) rather than fatal: failing the parse
+on a convention slip would silently turn every real-world file into
+100 % data loss, while a count keeps it observable either way.
+
+Reference behavioral parity: the reference transport stores opaque
+named byte arrays per message (RawdataMessage.java:15-60); audio
+handling belongs to this repo's derived multimodal tier.
+"""
+
+from __future__ import annotations
+
+from .rawavi import UnsupportedCodecError
+
+_CRC_TABLE: list[int] | None = None
+
+
+def _crc_table() -> list[int]:
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        tab = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+                r &= 0xFFFFFFFF
+            tab.append(r)
+        _CRC_TABLE = tab
+    return _CRC_TABLE
+
+
+def ogg_crc(data: bytes) -> int:
+    tab = _crc_table()
+    r = 0
+    for b in data:
+        r = ((r << 8) & 0xFFFFFFFF) ^ tab[((r >> 24) & 0xFF) ^ b]
+    return r
+
+
+def parse_pages(data: bytes):
+    """Yield (header_type, granule, serial, seq, segments, crc_ok)
+    tuples; raises ``ValueError`` on structural corruption."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        nxt = data.find(b"OggS", pos)
+        if nxt < 0:
+            break
+        pos = nxt
+        if pos + 27 > n:
+            raise ValueError("ogg: truncated page header")
+        if data[pos + 4] != 0:
+            raise ValueError("ogg: unsupported stream structure version")
+        htype = data[pos + 5]
+        granule = int.from_bytes(data[pos + 6 : pos + 14], "little", signed=True)
+        serial = int.from_bytes(data[pos + 14 : pos + 18], "little")
+        seq = int.from_bytes(data[pos + 18 : pos + 22], "little")
+        crc = int.from_bytes(data[pos + 22 : pos + 26], "little")
+        nseg = data[pos + 26]
+        lace = data[pos + 27 : pos + 27 + nseg]
+        if len(lace) < nseg:
+            raise ValueError("ogg: truncated lacing table")
+        body_len = sum(lace)
+        body_start = pos + 27 + nseg
+        if body_start + body_len > n:
+            raise ValueError("ogg: page body past end of payload")
+        page = bytearray(data[pos : body_start + body_len])
+        page[22:26] = b"\x00\x00\x00\x00"
+        crc_ok = ogg_crc(bytes(page)) == crc
+        segments = []
+        off = body_start
+        cur = bytearray()
+        for ln in lace:
+            cur += data[off : off + ln]
+            off += ln
+            if ln < 255:
+                segments.append((bytes(cur), False))
+                cur = bytearray()
+        if cur:
+            segments.append((bytes(cur), True))  # continues on next page
+        yield htype, granule, serial, seq, segments, crc_ok
+        pos = body_start + body_len
+
+
+def _packets(data: bytes):
+    """Reassemble packets across pages (single logical stream assumed
+    for the id/comment headers; multiplexed streams keep per-serial
+    continuation state)."""
+    partial: dict[int, bytearray] = {}
+    info = {"last_granule": {}, "crc_failures": 0, "n_pages": 0}
+    out = []
+    for htype, granule, serial, seq, segments, crc_ok in parse_pages(data):
+        info["n_pages"] += 1
+        if not crc_ok:
+            info["crc_failures"] += 1
+        if granule >= 0:
+            info["last_granule"][serial] = granule
+        buf = partial.pop(serial, bytearray())
+        for seg, continues in segments:
+            buf += seg
+            if continues:
+                partial[serial] = buf
+                buf = bytearray()
+            else:
+                out.append((serial, bytes(buf)))
+                buf = bytearray()
+    return out, info
+
+
+def parse_ogg(data: bytes) -> dict:
+    """Stream-level metadata for an Ogg Vorbis/Opus file."""
+    if data[:4] != b"OggS":
+        raise ValueError("ogg: no capture pattern at start")
+    packets, info = _packets(data)
+    if not packets:
+        raise ValueError("ogg: no complete packets")
+    codec = None
+    meta: dict = {
+        "n_pages": info["n_pages"],
+        "crc_failures": info["crc_failures"],
+        "comments": {},
+        "vendor": "",
+    }
+    audio_serial = None
+    for serial, pkt in packets:
+        if pkt[:7] == b"\x01vorbis" and codec is None:
+            if len(pkt) < 30:
+                raise ValueError("ogg: short vorbis identification header")
+            codec = "vorbis"
+            audio_serial = serial
+            meta["channels"] = pkt[11]
+            meta["sample_rate"] = int.from_bytes(pkt[12:16], "little")
+            if meta["sample_rate"] == 0:
+                raise ValueError("ogg: zero vorbis sample rate")
+            meta["bitrate_nominal"] = int.from_bytes(
+                pkt[20:24], "little", signed=True
+            )
+        elif pkt[:8] == b"OpusHead" and codec is None:
+            if len(pkt) < 19:
+                raise ValueError("ogg: short OpusHead")
+            codec = "opus"
+            audio_serial = serial
+            meta["channels"] = pkt[9]
+            meta["pre_skip"] = int.from_bytes(pkt[10:12], "little")
+            meta["input_sample_rate"] = int.from_bytes(pkt[12:16], "little")
+            meta["sample_rate"] = 48000  # Opus granules tick at 48 kHz
+        elif pkt[:7] == b"\x03vorbis" or pkt[:8] == b"OpusTags":
+            off = 7 if pkt[:1] == b"\x03" else 8
+            try:
+                vlen = int.from_bytes(pkt[off : off + 4], "little")
+                meta["vendor"] = pkt[off + 4 : off + 4 + vlen].decode(
+                    "utf-8", "replace"
+                )
+                p = off + 4 + vlen
+                ncom = int.from_bytes(pkt[p : p + 4], "little")
+                p += 4
+                for _ in range(min(ncom, 1024)):  # bound hostile counts
+                    if p + 4 > len(pkt):
+                        break
+                    clen = int.from_bytes(pkt[p : p + 4], "little")
+                    p += 4
+                    if p + clen > len(pkt):
+                        break
+                    k, _, v = pkt[p : p + clen].decode(
+                        "utf-8", "replace"
+                    ).partition("=")
+                    meta["comments"][k.upper()] = v
+                    p += clen
+            except Exception:  # noqa: BLE001 — tags are best-effort
+                pass
+    if codec is None:
+        raise ValueError("ogg: no Vorbis/Opus identification header")
+    meta["codec"] = codec
+    last = info["last_granule"].get(audio_serial, 0)
+    if codec == "opus":
+        last = max(0, last - meta.get("pre_skip", 0))
+    meta["duration_ms"] = last * 1000 // meta["sample_rate"] if last else 0
+    return meta
+
+
+def decode_ogg_pcm(data: bytes):
+    """The documented loud boundary (Vorbis MDCT / Opus CELT+SILK)."""
+    raise UnsupportedCodecError(
+        "Vorbis/Opus PCM decode is not implemented; stream metadata is "
+        "available via parse_ogg"
+    )
+
+
+def sniff_ogg(data: bytes) -> bool:
+    return data[:4] == b"OggS" and len(data) > 27 and data[4] == 0
+
+
+# ---------------------------------------------------------------------------
+# Fixture writer
+# ---------------------------------------------------------------------------
+
+
+def _page(
+    serial: int, seq: int, granule: int, packets: list[bytes], htype: int
+) -> bytes:
+    lace = bytearray()
+    body = bytearray()
+    for pkt in packets:
+        q, r = divmod(len(pkt), 255)
+        lace += b"\xff" * q + bytes([r])
+        body += pkt
+    hdr = bytearray(b"OggS")
+    hdr += bytes([0, htype])
+    hdr += granule.to_bytes(8, "little", signed=True)
+    hdr += serial.to_bytes(4, "little")
+    hdr += seq.to_bytes(4, "little")
+    hdr += b"\x00\x00\x00\x00"
+    hdr += bytes([len(lace)]) + lace
+    page = bytes(hdr) + bytes(body)
+    crc = ogg_crc(page)
+    return page[:22] + crc.to_bytes(4, "little") + page[26:]
+
+
+def build_ogg(
+    *,
+    codec: str = "vorbis",
+    channels: int = 2,
+    sample_rate: int = 44100,
+    total_samples: int = 44100,
+    comments: dict | None = None,
+    n_audio_pages: int = 3,
+    serial: int = 0x1234,
+    pre_skip: int = 312,
+) -> bytes:
+    """Write a structurally valid Ogg Vorbis/Opus stream whose audio
+    packets are opaque filler (metadata parsing never decodes them)."""
+    if codec == "vorbis":
+        ident = (
+            b"\x01vorbis" + (0).to_bytes(4, "little")
+            + bytes([channels]) + sample_rate.to_bytes(4, "little")
+            + (0).to_bytes(4, "little", signed=True)
+            + (128000).to_bytes(4, "little", signed=True)
+            + (0).to_bytes(4, "little", signed=True)
+            + bytes([0xB8, 0x01])
+        )
+        tag_magic, tag_prefix = b"\x03vorbis", b"\x03vorbis"
+    elif codec == "opus":
+        ident = (
+            b"OpusHead" + bytes([1, channels])
+            + pre_skip.to_bytes(2, "little")
+            + sample_rate.to_bytes(4, "little")
+            + (0).to_bytes(2, "little") + bytes([0])
+        )
+        tag_prefix = b"OpusTags"
+    else:
+        raise ValueError(f"ogg fixture: unknown codec {codec}")
+    vendor = b"rawdata-fixture"
+    tag = tag_prefix + len(vendor).to_bytes(4, "little") + vendor
+    items = [
+        f"{k}={v}".encode() for k, v in (comments or {}).items()
+    ]
+    tag += len(items).to_bytes(4, "little")
+    for it in items:
+        tag += len(it).to_bytes(4, "little") + it
+    if codec == "vorbis":
+        tag += b"\x01"  # framing bit
+
+    out = bytearray()
+    out += _page(serial, 0, 0, [ident], 0x02)  # BOS
+    out += _page(serial, 1, 0, [tag], 0)
+    # audio pages with filler packets; granules advance to the total
+    gran_rate = 48000 if codec == "opus" else sample_rate
+    total_gran = total_samples + (pre_skip if codec == "opus" else 0)
+    for i in range(n_audio_pages):
+        gran = total_gran * (i + 1) // n_audio_pages
+        flags = 0x04 if i == n_audio_pages - 1 else 0
+        out += _page(serial, 2 + i, gran, [b"\x00" * 300], flags)
+    return bytes(out)

@@ -4205,3 +4205,174 @@ def q_multimodal_mp3_meta(spark: SparkSession, sf: str) -> DataFrame:
         "version", "layer", "sample_rate", "channels", "n_frames",
         "duration_ms", "bitrate", "vbr_tagged", "id3v2", "id3v1", "title",
     )
+
+
+@register(
+    "q_multimodal_ogg_meta",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 48000 END AS BIGINT)
+         AS sample_rate,
+       CAST(1000 * (1 + doc_id % 5) AS BIGINT) AS duration_ms,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(0 AS BIGINT) AS crc_failures
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "audio", "ogg", "pandas-udf"),
+)
+def q_multimodal_ogg_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Ogg (Vorbis/Opus) stream metadata, oracle-exact — page walk,
+    CRC verification, packet reassembly, identification + comment
+    headers (:mod:`..operators.rawogg`); PCM synthesis stays the
+    documented loud boundary.  Even docs are Vorbis at 44.1 kHz, odd
+    docs Opus (whose granules tick at 48 kHz and subtract pre-skip);
+    durations and tags are closed-form in doc_id.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawogg
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                secs = 1 + did % 5
+                codec = "vorbis" if did % 2 == 0 else "opus"
+                rate = 44100 if codec == "vorbis" else 48000
+                payloads.append(
+                    rawogg.build_ogg(
+                        codec=codec,
+                        channels=1 + did % 2,
+                        sample_rate=rate if codec == "vorbis" else 44100,
+                        total_samples=rate * secs,
+                        comments={"TITLE": "Doc %d" % did},
+                        n_audio_pages=2 + did % 3,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ogg": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, ogg binary")
+
+    def meta(batches):
+        import pandas as pd
+
+        from ..operators import rawogg
+
+        cols = ("doc_id", "codec", "channels", "sample_rate",
+                "duration_ms", "title", "crc_failures")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf["ogg"]):
+                m = rawogg.parse_ogg(bytes(payload))
+                rows["doc_id"].append(int(did))
+                rows["codec"].append(m["codec"])
+                rows["channels"].append(m["channels"])
+                rows["sample_rate"].append(m["sample_rate"])
+                rows["duration_ms"].append(m["duration_ms"])
+                rows["title"].append(m["comments"].get("TITLE", ""))
+                rows["crc_failures"].append(m["crc_failures"])
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        meta,
+        "doc_id long, codec string, channels long, sample_rate long, "
+        "duration_ms long, title string, crc_failures long",
+    )
+
+
+@register(
+    "q_multimodal_mp4_meta",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(500 + doc_id % 1500 AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS BIGINT) AS n_tracks,
+       'isom' AS major_brand,
+       CASE WHEN doc_id % 4 = 3 THEN '' ELSE 'avc1' END AS video_codec,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 0
+                 ELSE 320 + 16 * (doc_id % 10) END AS BIGINT) AS width,
+       CAST(1 + doc_id % 2 AS BIGINT) AS audio_channels,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 44100 ELSE 16000 END AS BIGINT)
+         AS audio_rate
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "video", "mp4", "pandas-udf"),
+)
+def q_multimodal_mp4_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """MP4/ISO-BMFF container metadata, oracle-exact — box walk with
+    64-bit sizes and version-0/1 time boxes, per-track handler/codec/
+    dimensions/audio layout (:mod:`..operators.rawmp4`); codec payload
+    decode stays the documented loud boundary.  ``doc_id % 3 == 0``
+    uses version-1 (64-bit) boxes and a large-size mdat; every fourth
+    doc is audio-only; all columns closed-form in doc_id.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawmp4
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                payloads.append(
+                    rawmp4.build_mp4(
+                        duration_ms=500 + did % 1500,
+                        video=None if did % 4 == 3
+                        else (320 + 16 * (did % 10), 240),
+                        audio=(1 + did % 2, 44100 if did % 2 == 0 else 16000),
+                        version1=did % 3 == 0,
+                        large_mdat=did % 3 == 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "mp4": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, mp4 binary")
+
+    def meta(batches):
+        import pandas as pd
+
+        from ..operators import rawmp4
+
+        cols = ("doc_id", "duration_ms", "n_tracks", "major_brand",
+                "video_codec", "width", "audio_channels", "audio_rate")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf["mp4"]):
+                m = rawmp4.parse_mp4(bytes(payload))
+                vids = [t for t in m["tracks"] if t.get("handler") == "vide"]
+                auds = [t for t in m["tracks"] if t.get("handler") == "soun"]
+                rows["doc_id"].append(int(did))
+                rows["duration_ms"].append(m["duration_ms"])
+                rows["n_tracks"].append(m["n_tracks"])
+                rows["major_brand"].append(m["major_brand"])
+                rows["video_codec"].append(vids[0]["codec"] if vids else "")
+                rows["width"].append(int(vids[0]["width"]) if vids else 0)
+                rows["audio_channels"].append(
+                    auds[0]["channels"] if auds else 0
+                )
+                rows["audio_rate"].append(
+                    auds[0]["sample_rate"] if auds else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        meta,
+        "doc_id long, duration_ms long, n_tracks long, major_brand string, "
+        "video_codec string, width long, audio_channels long, "
+        "audio_rate long",
+    )

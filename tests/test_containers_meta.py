@@ -1,0 +1,200 @@
+"""Ogg (Vorbis/Opus) and MP4/ISO-BMFF container-metadata tiers.
+
+Durations, layouts and tags are pinned by hand-derived closed forms
+(granule arithmetic, box layouts); the fixture writers are trusted for
+byte layout only.  PCM/codec-payload decode stays the per-row
+UnsupportedCodecError boundary, checked through the Spark kernels."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from rawdata_client_provider_gcs_spark.operators import rawmp4 as M4
+from rawdata_client_provider_gcs_spark.operators import rawogg as O
+
+
+# ---------------------------------------------------------------- ogg
+
+
+def test_ogg_vorbis_metadata_hand_derived():
+    b = O.build_ogg(codec="vorbis", channels=2, sample_rate=44100,
+                    total_samples=88200, comments={"TITLE": "Søng"})
+    m = O.parse_ogg(b)
+    assert m["codec"] == "vorbis" and m["channels"] == 2
+    assert m["sample_rate"] == 44100
+    assert m["duration_ms"] == 88200 * 1000 // 44100 == 2000
+    assert m["comments"]["TITLE"] == "Søng"
+    assert m["bitrate_nominal"] == 128000
+    assert m["crc_failures"] == 0
+
+
+def test_ogg_opus_pre_skip_and_48k_granules():
+    b = O.build_ogg(codec="opus", channels=1, total_samples=96000,
+                    pre_skip=312)
+    m = O.parse_ogg(b)
+    assert m["codec"] == "opus" and m["sample_rate"] == 48000
+    assert m["pre_skip"] == 312
+    # granule ticks at 48 kHz and pre-skip is subtracted
+    assert m["duration_ms"] == 96000 * 1000 // 48000 == 2000
+
+
+def test_ogg_crc_failure_counted_not_fatal():
+    bb = bytearray(O.build_ogg())
+    bb[-5] ^= 0xFF  # corrupt an audio page body
+    m = O.parse_ogg(bytes(bb))
+    assert m["crc_failures"] >= 1
+    assert m["codec"] == "vorbis"  # headers still parse
+
+
+def test_ogg_packet_spans_pages():
+    """A comment packet larger than one page continues via the
+    255-lacing rule across a page boundary (hand-built two-page split)."""
+    big = O.build_ogg(comments={"K": "v" * 700})
+    assert O.parse_ogg(big)["comments"]["K"] == "v" * 700
+    # hand-split: page 2 carries the first 255 bytes of the tag packet
+    # (lacing [255] = continues), page 3 the rest with the continuation
+    # flag set
+    ident = None
+    pages = list(O.parse_pages(big))
+    tag_packet = None
+    for htype, gran, serial, seq, segs, ok in pages:
+        for seg, cont in segs:
+            if seg[:7] == b"\x03vorbis":
+                tag_packet = seg
+    assert tag_packet is not None
+    first, rest = tag_packet[:255], tag_packet[255:]
+    ident = (
+        b"\x01vorbis" + bytes(4) + bytes([2])
+        + (44100).to_bytes(4, "little") + bytes(14)
+    )
+    p1 = O._page(7, 0, 0, [ident], 0x02)
+    # continued packet: emit the 255-byte prefix with NO terminating
+    # lacing value (255 means "continues"), then the rest on the next
+    # page with the continuation header flag
+    hdr = bytearray(b"OggS") + bytes([0, 0]) + (0).to_bytes(8, "little")
+    hdr += (7).to_bytes(4, "little") + (1).to_bytes(4, "little")
+    hdr += b"\x00\x00\x00\x00" + bytes([1, 255])
+    page2 = bytes(hdr) + first
+    page2 = page2[:22] + O.ogg_crc(page2).to_bytes(4, "little") + page2[26:]
+    p3 = O._page(7, 2, 0, [rest], 0x01)
+    p4 = O._page(7, 3, 44100, [b"\x00" * 10], 0x04)
+    m = O.parse_ogg(p1 + page2 + p3 + p4)
+    assert m["comments"]["K"] == "v" * 700
+    assert m["duration_ms"] == 1000
+
+
+def test_ogg_hostile_and_boundary():
+    with pytest.raises(ValueError):
+        O.parse_ogg(b"not ogg at all")
+    with pytest.raises(ValueError):
+        O.parse_ogg(b"OggS" + b"\x00" * 10)  # truncated header
+    with pytest.raises(O.UnsupportedCodecError):
+        O.decode_ogg_pcm(O.build_ogg())
+    rng = random.Random(2)
+    for _ in range(200):
+        blob = b"OggS" + rng.randbytes(rng.randrange(0, 300))
+        try:
+            O.parse_ogg(blob)
+        except ValueError:
+            pass
+
+
+# ---------------------------------------------------------------- mp4
+
+
+def test_mp4_metadata_hand_derived():
+    b = M4.build_mp4(duration_ms=2500, video=(640, 360), audio=(2, 44100))
+    m = M4.parse_mp4(b)
+    assert m["duration_ms"] == 2500 and m["major_brand"] == "isom"
+    assert m["brands"] == ["isom", "mp42"] and m["n_tracks"] == 2
+    vt = [t for t in m["tracks"] if t.get("handler") == "vide"][0]
+    at = [t for t in m["tracks"] if t.get("handler") == "soun"][0]
+    assert vt["codec"] == "avc1" and (vt["width"], vt["height"]) == (640.0, 360.0)
+    assert at["codec"] == "mp4a" and at["channels"] == 2
+    assert at["sample_rate"] == 44100
+    assert vt["duration_ms"] == 2500 and vt["n_samples"] == 50
+
+
+def test_mp4_version1_and_large_boxes():
+    m = M4.parse_mp4(M4.build_mp4(duration_ms=1000, version1=True,
+                                  large_mdat=True))
+    assert m["duration_ms"] == 1000 and m["n_tracks"] == 2
+
+
+def test_mp4_audio_only():
+    m = M4.parse_mp4(M4.build_mp4(video=None, audio=(1, 16000)))
+    assert m["n_tracks"] == 1
+    assert m["tracks"][0]["sample_rate"] == 16000
+
+
+def test_mp4_hostile_and_boundary():
+    with pytest.raises(ValueError):
+        M4.parse_mp4(b"\x00" * 4)
+    with pytest.raises(ValueError):
+        M4.parse_mp4(b"\x00\x00\x00\x10ftypisom" + b"\x00" * 8)  # no moov
+    # lying box size
+    blob = bytearray(M4.build_mp4())
+    blob[0:4] = (1 << 30).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        M4.parse_mp4(bytes(blob))
+    with pytest.raises(M4.UnsupportedCodecError):
+        M4.decode_mp4_media(M4.build_mp4())
+    rng = random.Random(5)
+    for _ in range(300):
+        blob = bytearray(M4.build_mp4())
+        k = rng.randrange(3)
+        if k == 0:
+            for _ in range(rng.randrange(1, 5)):
+                blob[rng.randrange(len(blob))] = rng.randrange(256)
+        elif k == 1:
+            blob = blob[: rng.randrange(len(blob))]
+        else:
+            blob = bytearray(rng.randbytes(rng.randrange(8, 200)))
+        try:
+            M4.parse_mp4(bytes(blob))
+        except ValueError:
+            pass
+
+
+def test_mp4_box_bomb_guards():
+    # deep nesting
+    body = b""
+    for _ in range(20):
+        body = (8 + len(body)).to_bytes(4, "big") + b"moov" + body
+    with pytest.raises(ValueError, match="depth|moov"):
+        M4.parse_mp4(body)
+    # box-count flood: thousands of tiny boxes
+    flood = (b"\x00\x00\x00\x08free") * 20000
+    with pytest.raises(ValueError, match="cap|moov"):
+        M4.parse_mp4(flood)
+
+
+# ----------------------------------------------------- spark boundary
+
+
+def test_spark_per_row_boundaries(spark):
+    from rawdata_client_provider_gcs_spark.operators import multimodal
+
+    rows = [
+        (1, bytearray(O.build_ogg())),
+        (2, bytearray(b"\x00noise" * 20)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    media = multimodal.with_media_columns(df, "blob", "audio/ogg", "doc_id")
+    out = {r["doc_id"]: r["error"]
+           for r in multimodal.extract_features(media).collect()}
+    assert out[1].startswith("UnsupportedCodecError")
+    assert out[2].startswith("MediaDecodeError")
+
+    rows = [
+        (1, bytearray(M4.build_mp4())),
+        (2, bytearray(b"\x00noise" * 20)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    media = multimodal.with_media_columns(df, "blob", "video/mp4", "doc_id")
+    out = {r["doc_id"]: r["error"]
+           for r in multimodal.extract_features(media).collect()}
+    assert out[1].startswith("UnsupportedCodecError")
+    assert out[2].startswith("MediaDecodeError")
