@@ -112,6 +112,9 @@ OGG_AUDIO_MIMES = frozenset(
     {"audio/ogg", "application/ogg", "audio/opus", "audio/vorbis"}
 )
 MP4_MIMES = frozenset({"video/mp4", "audio/mp4", "video/quicktime"})
+WEBM_MIMES = frozenset(
+    {"video/webm", "audio/webm", "video/x-matroska", "audio/x-matroska"}
+)
 
 
 class MediaDecodeError(ValueError):
@@ -246,13 +249,16 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
             raise MediaDecodeError(
                 f"payload does not decode as declared mime {mime}"
             )
-    if mime.startswith("video/") or mime in MP4_MIMES:
-        from . import rawmp4  # noqa: PLC0415
+    if mime.startswith("video/") or mime in MP4_MIMES or mime in WEBM_MIMES:
+        from . import rawmp4, rawwebm  # noqa: PLC0415
 
         if rawmp4.sniff_mp4(payload):
             if not fake:
                 rawmp4.decode_mp4_media(payload)  # per-row boundary
-        elif mime in MP4_MIMES:
+        elif rawwebm.sniff_webm(payload):
+            if not fake:
+                rawwebm.decode_webm_media(payload)
+        elif mime in MP4_MIMES or mime in WEBM_MIMES:
             raise MediaDecodeError(
                 f"payload does not decode as declared mime {mime}"
             )
@@ -481,11 +487,15 @@ def sample_frames(
                 if rawwebp.sniff_webp(payload):
                     return grid_sample(rawwebp.decode_webp_frames(payload))
             if mime.startswith("video/"):
-                from . import rawavi, rawmp4  # noqa: PLC0415
+                from . import rawavi, rawmp4, rawwebm  # noqa: PLC0415
 
                 if rawmp4.sniff_mp4(payload):
                     if not fake:
                         rawmp4.decode_mp4_media(payload)  # per-row boundary
+                    return fake_frames(payload)
+                if rawwebm.sniff_webm(payload):
+                    if not fake:
+                        rawwebm.decode_webm_media(payload)
                     return fake_frames(payload)
                 if rawavi.sniff_avi(payload):
                     # REAL video container path: uncompressed RIFF/AVI

@@ -1,0 +1,258 @@
+"""Matroska / WebM container metadata — the EBML structure (RFC 8794)
+plus the Matroska element IDs a curation pipeline needs.
+
+Same honest tier as :mod:`.rawmp3` / :mod:`.rawogg` / :mod:`.rawmp4`:
+the CONTAINER is exactly specified and table-free — EBML variable-
+length integers, the element tree, Segment → Info (TimecodeScale,
+Duration, MuxingApp) and Tracks → TrackEntry (type, CodecID, video
+PixelWidth/Height, audio SamplingFrequency/Channels) — while the codec
+payloads (VP8/VP9/AV1 inter frames, Vorbis/Opus audio) stay the
+documented per-row :class:`~.rawavi.UnsupportedCodecError` boundary.
+
+Parsed IDs (Matroska registry):
+
+- ``1A45DFA3`` EBML header → ``4282`` DocType (matroska / webm)
+- ``18538067`` Segment → ``1549A966`` Info → ``2AD7B1`` TimecodeScale
+  (ns/tick, default 1,000,000), ``4489`` Duration (float ticks),
+  ``4D80``/``5741`` Muxing/WritingApp
+- ``1654AE6B`` Tracks → ``AE`` TrackEntry → ``D7`` TrackNumber,
+  ``83`` TrackType (1 video / 2 audio), ``86`` CodecID,
+  ``E0`` Video → ``B0`` PixelWidth / ``BA`` PixelHeight,
+  ``E1`` Audio → ``B5`` SamplingFrequency / ``9F`` Channels
+
+Unknown-size elements (streamed Matroska uses them for Segment) are
+supported at the top level; hostile structure — lying sizes, element
+floods, deep nesting — lands on ``ValueError`` with the same bomb caps
+as the MP4 walker.
+
+Reference behavioral parity: the reference transport stores opaque
+named byte arrays per message (RawdataMessage.java:15-60); media
+handling belongs to this repo's derived multimodal tier.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .rawavi import UnsupportedCodecError
+
+_MAX_ELEMENTS = 10_000
+
+
+def read_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """EBML variable-length integer at ``pos`` → (value, next_pos).
+
+    ``keep_marker=True`` for element IDs (the length-marker bit stays
+    part of the value, as Matroska writes IDs); False for sizes."""
+    if pos >= len(data):
+        raise ValueError("ebml: varint past end of payload")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("ebml: invalid varint leading byte 0x00")
+    length = 9 - first.bit_length()
+    if pos + length > len(data):
+        raise ValueError("ebml: truncated varint")
+    raw = int.from_bytes(data[pos : pos + length], "big")
+    if not keep_marker:
+        raw &= (1 << (7 * length)) - 1
+    return raw, pos + length
+
+
+def _is_unknown_size(size: int, length_of_field: int) -> bool:
+    return size == (1 << (7 * length_of_field)) - 1
+
+
+def _walk(data: bytes, start: int, end: int, budget: list[int]):
+    """Yield (element_id, body_start, body_end) within [start, end)."""
+    pos = start
+    while pos < end:
+        budget[0] -= 1
+        if budget[0] < 0:
+            raise ValueError("ebml: element count over the hostile-input cap")
+        eid, p2 = read_vint(data, pos, keep_marker=True)
+        size_start = p2
+        size, p3 = read_vint(data, p2, keep_marker=False)
+        size_len = p3 - size_start
+        if _is_unknown_size(size, size_len):
+            # unknown-size element: extends to the end of the scope
+            yield eid, p3, end
+            return
+        if p3 + size > end:
+            raise ValueError(
+                f"ebml: element 0x{eid:X} size {size} overruns its scope"
+            )
+        yield eid, p3, p3 + size
+        pos = p3 + size
+
+
+def _uint(data: bytes, a: int, b: int) -> int:
+    return int.from_bytes(data[a:b], "big")
+
+
+def _float(data: bytes, a: int, b: int) -> float:
+    n = b - a
+    if n == 4:
+        return struct.unpack(">f", data[a:b])[0]
+    if n == 8:
+        return struct.unpack(">d", data[a:b])[0]
+    if n == 0:
+        return 0.0
+    raise ValueError(f"ebml: float element of width {n}")
+
+
+def parse_webm(data: bytes) -> dict:
+    """Container-level + per-track metadata for a Matroska/WebM payload."""
+    if data[:4] != b"\x1a\x45\xdf\xa3":
+        raise ValueError("ebml: no EBML header magic")
+    budget = [_MAX_ELEMENTS]
+    meta: dict = {"doc_type": "matroska", "tracks": [], "muxing_app": ""}
+    timecode_scale = 1_000_000  # ns per tick (Matroska default)
+    duration_ticks = 0.0
+
+    def parse_track(a: int, b: int) -> dict:
+        t: dict = {}
+        for eid, s, e in _walk(data, a, b, budget):
+            if eid == 0xD7:
+                t["track_number"] = _uint(data, s, e)
+            elif eid == 0x83:
+                t["track_type"] = _uint(data, s, e)
+            elif eid == 0x86:
+                t["codec_id"] = data[s:e].decode("latin-1", "replace")
+            elif eid == 0xE0:  # Video
+                for vid, vs, ve in _walk(data, s, e, budget):
+                    if vid == 0xB0:
+                        t["width"] = _uint(data, vs, ve)
+                    elif vid == 0xBA:
+                        t["height"] = _uint(data, vs, ve)
+            elif eid == 0xE1:  # Audio
+                for aid, as_, ae in _walk(data, s, e, budget):
+                    if aid == 0xB5:
+                        t["sample_rate"] = _float(data, as_, ae)
+                    elif aid == 0x9F:
+                        t["channels"] = _uint(data, as_, ae)
+        return t
+
+    saw_segment = False
+    for eid, s, e in _walk(data, 0, len(data), budget):
+        if eid == 0x1A45DFA3:  # EBML header
+            for hid, hs, he in _walk(data, s, e, budget):
+                if hid == 0x4282:
+                    meta["doc_type"] = data[hs:he].decode("latin-1", "replace")
+        elif eid == 0x18538067:  # Segment
+            saw_segment = True
+            for sid, ss, se in _walk(data, s, e, budget):
+                if sid == 0x1549A966:  # Info
+                    for iid, is_, ie in _walk(data, ss, se, budget):
+                        if iid == 0x2AD7B1:
+                            timecode_scale = _uint(data, is_, ie)
+                        elif iid == 0x4489:
+                            duration_ticks = _float(data, is_, ie)
+                        elif iid == 0x4D80:
+                            meta["muxing_app"] = data[is_:ie].decode(
+                                "utf-8", "replace"
+                            )
+                elif sid == 0x1654AE6B:  # Tracks
+                    for tid, ts, te in _walk(data, ss, se, budget):
+                        if tid == 0xAE:
+                            meta["tracks"].append(parse_track(ts, te))
+    if not saw_segment:
+        raise ValueError("ebml: no Matroska Segment element")
+    if timecode_scale == 0:
+        raise ValueError("ebml: zero timecode scale")
+    meta["timecode_scale_ns"] = timecode_scale
+    meta["duration_ms"] = int(duration_ticks * timecode_scale / 1e6)
+    meta["n_tracks"] = len(meta["tracks"])
+    return meta
+
+
+def decode_webm_media(data: bytes):
+    """The documented loud boundary (VP8/VP9/AV1 inter, Vorbis/Opus)."""
+    raise UnsupportedCodecError(
+        "Matroska/WebM codec payload decode is not implemented; container "
+        "metadata is available via parse_webm"
+    )
+
+
+def sniff_webm(data: bytes) -> bool:
+    return data[:4] == b"\x1a\x45\xdf\xa3"
+
+
+# ---------------------------------------------------------------------------
+# Fixture writer
+# ---------------------------------------------------------------------------
+
+
+def _vint_size(n: int) -> bytes:
+    """Encode an element SIZE as a minimal-width EBML varint."""
+    for length in range(1, 9):
+        if n < (1 << (7 * length)) - 1:
+            return ((1 << (7 * length)) | n).to_bytes(length, "big")
+    raise ValueError("ebml: size too large")
+
+
+def _el(eid: int, body: bytes) -> bytes:
+    nbytes = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(nbytes, "big") + _vint_size(len(body)) + body
+
+
+def _uint_el(eid: int, v: int) -> bytes:
+    n = max(1, (v.bit_length() + 7) // 8)
+    return _el(eid, v.to_bytes(n, "big"))
+
+
+def build_webm(
+    *,
+    doc_type: str = "webm",
+    duration_ms: int = 2000,
+    timecode_scale: int = 1_000_000,
+    video: tuple[str, int, int] | None = ("V_VP9", 640, 360),
+    audio: tuple[str, int, int] | None = ("A_OPUS", 2, 48000),
+    unknown_size_segment: bool = False,
+) -> bytes:
+    """Write a structurally valid Matroska/WebM with no clusters
+    (metadata parsing never touches codec payloads)."""
+    header = _el(
+        0x1A45DFA3,
+        _uint_el(0x4286, 1)  # EBMLVersion
+        + _uint_el(0x42F7, 1)
+        + _uint_el(0x42F2, 4)
+        + _uint_el(0x42F3, 8)
+        + _el(0x4282, doc_type.encode())
+        + _uint_el(0x4287, 2)
+        + _uint_el(0x4285, 2),
+    )
+    ticks = duration_ms * 1_000_000 / timecode_scale
+    info = _el(
+        0x1549A966,
+        _uint_el(0x2AD7B1, timecode_scale)
+        + _el(0x4489, struct.pack(">d", ticks))
+        + _el(0x4D80, b"rawdata-fixture"),
+    )
+    tracks_body = b""
+    tnum = 1
+    if video is not None:
+        codec, w, h = video
+        tracks_body += _el(
+            0xAE,
+            _uint_el(0xD7, tnum) + _uint_el(0x83, 1)
+            + _el(0x86, codec.encode())
+            + _el(0xE0, _uint_el(0xB0, w) + _uint_el(0xBA, h)),
+        )
+        tnum += 1
+    if audio is not None:
+        codec, ch, rate = audio
+        tracks_body += _el(
+            0xAE,
+            _uint_el(0xD7, tnum) + _uint_el(0x83, 2)
+            + _el(0x86, codec.encode())
+            + _el(0xE1, _el(0xB5, struct.pack(">f", rate))
+                  + _uint_el(0x9F, ch)),
+        )
+    tracks = _el(0x1654AE6B, tracks_body)
+    seg_body = info + tracks
+    if unknown_size_segment:
+        # streamed-Matroska shape: size field all-ones (unknown)
+        segment = (0x18538067).to_bytes(4, "big") + b"\xff" + seg_body
+    else:
+        segment = _el(0x18538067, seg_body)
+    return header + segment

@@ -4376,3 +4376,101 @@ def q_multimodal_mp4_meta(spark: SparkSession, sf: str) -> DataFrame:
         "video_codec string, width long, audio_channels long, "
         "audio_rate long",
     )
+
+
+@register(
+    "q_multimodal_webm_meta",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'matroska' ELSE 'webm' END AS doc_type,
+       CAST(800 + doc_id % 2200 AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 2 END AS BIGINT) AS n_tracks,
+       CASE WHEN doc_id % 4 = 3 THEN ''
+            WHEN doc_id % 2 = 0 THEN 'V_VP9' ELSE 'V_VP8' END AS video_codec,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 0
+                 ELSE 320 + 32 * (doc_id % 8) END AS BIGINT) AS width,
+       CASE WHEN doc_id % 2 = 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END
+         AS audio_codec,
+       CAST(1 + doc_id % 2 AS BIGINT) AS audio_channels
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "video", "webm", "pandas-udf"),
+)
+def q_multimodal_webm_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Matroska/WebM container metadata, oracle-exact — EBML varints,
+    the Segment/Info/Tracks tree, unknown-size segments (every third
+    doc uses the streamed-Matroska shape and a non-default timecode
+    scale), per-track codec/dimensions/audio layout
+    (:mod:`..operators.rawwebm`); codec payloads stay the documented
+    loud boundary.  All columns closed-form in doc_id.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawwebm
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                payloads.append(
+                    rawwebm.build_webm(
+                        doc_type="matroska" if did % 3 == 0 else "webm",
+                        duration_ms=800 + did % 2200,
+                        timecode_scale=500_000 if did % 3 == 0 else 1_000_000,
+                        video=None if did % 4 == 3 else (
+                            "V_VP9" if did % 2 == 0 else "V_VP8",
+                            320 + 32 * (did % 8), 240,
+                        ),
+                        audio=(
+                            "A_OPUS" if did % 2 == 0 else "A_VORBIS",
+                            1 + did % 2, 48000,
+                        ),
+                        unknown_size_segment=did % 3 == 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "webm": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, webm binary")
+
+    def meta(batches):
+        import pandas as pd
+
+        from ..operators import rawwebm
+
+        cols = ("doc_id", "doc_type", "duration_ms", "n_tracks",
+                "video_codec", "width", "audio_codec", "audio_channels")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf["webm"]):
+                m = rawwebm.parse_webm(bytes(payload))
+                vids = [t for t in m["tracks"] if t.get("track_type") == 1]
+                auds = [t for t in m["tracks"] if t.get("track_type") == 2]
+                rows["doc_id"].append(int(did))
+                rows["doc_type"].append(m["doc_type"])
+                rows["duration_ms"].append(m["duration_ms"])
+                rows["n_tracks"].append(m["n_tracks"])
+                rows["video_codec"].append(
+                    vids[0]["codec_id"] if vids else ""
+                )
+                rows["width"].append(vids[0]["width"] if vids else 0)
+                rows["audio_codec"].append(
+                    auds[0]["codec_id"] if auds else ""
+                )
+                rows["audio_channels"].append(
+                    auds[0]["channels"] if auds else 0
+                )
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        meta,
+        "doc_id long, doc_type string, duration_ms long, n_tracks long, "
+        "video_codec string, width long, audio_codec string, "
+        "audio_channels long",
+    )

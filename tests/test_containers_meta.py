@@ -198,3 +198,75 @@ def test_spark_per_row_boundaries(spark):
            for r in multimodal.extract_features(media).collect()}
     assert out[1].startswith("UnsupportedCodecError")
     assert out[2].startswith("MediaDecodeError")
+
+
+# --------------------------------------------------------------- webm
+
+
+def test_webm_metadata_hand_derived():
+    from rawdata_client_provider_gcs_spark.operators import rawwebm as WM
+
+    b = WM.build_webm(duration_ms=2345, video=("V_VP9", 1280, 720),
+                      audio=("A_OPUS", 2, 48000))
+    m = WM.parse_webm(b)
+    assert m["doc_type"] == "webm" and m["duration_ms"] == 2345
+    vt = [t for t in m["tracks"] if t["track_type"] == 1][0]
+    at = [t for t in m["tracks"] if t["track_type"] == 2][0]
+    assert vt["codec_id"] == "V_VP9" and (vt["width"], vt["height"]) == (1280, 720)
+    assert at["codec_id"] == "A_OPUS" and at["channels"] == 2
+    assert at["sample_rate"] == 48000.0
+
+
+def test_webm_unknown_size_segment_and_timecode_scale():
+    from rawdata_client_provider_gcs_spark.operators import rawwebm as WM
+
+    m = WM.parse_webm(WM.build_webm(unknown_size_segment=True,
+                                    duration_ms=1500))
+    assert m["duration_ms"] == 1500 and m["n_tracks"] == 2
+    m = WM.parse_webm(WM.build_webm(doc_type="matroska",
+                                    timecode_scale=500_000,
+                                    duration_ms=3000))
+    assert m["doc_type"] == "matroska"
+    assert m["timecode_scale_ns"] == 500_000
+    assert m["duration_ms"] == 3000
+
+
+def test_webm_vint_edges():
+    from rawdata_client_provider_gcs_spark.operators import rawwebm as WM
+
+    # 1-byte vint: 0x81 -> 1 (size), id keeps marker
+    assert WM.read_vint(b"\x81", 0, keep_marker=False) == (1, 1)
+    assert WM.read_vint(b"\x81", 0, keep_marker=True) == (0x81, 1)
+    # 2-byte: 0x40 0x7F -> 127
+    assert WM.read_vint(b"\x40\x7f", 0, keep_marker=False) == (127, 2)
+    with pytest.raises(ValueError):
+        WM.read_vint(b"\x00\x01", 0, keep_marker=False)
+    with pytest.raises(ValueError):
+        WM.read_vint(b"\x40", 0, keep_marker=False)  # truncated
+
+
+def test_webm_hostile_and_boundary():
+    from rawdata_client_provider_gcs_spark.operators import rawwebm as WM
+
+    with pytest.raises(ValueError):
+        WM.parse_webm(b"RIFF....")
+    with pytest.raises(ValueError):
+        WM.parse_webm(b"\x1a\x45\xdf\xa3")  # header only, no segment
+    with pytest.raises(WM.UnsupportedCodecError):
+        WM.decode_webm_media(WM.build_webm())
+    rng = random.Random(7)
+    good = WM.build_webm()
+    for _ in range(300):
+        blob = bytearray(good)
+        k = rng.randrange(3)
+        if k == 0:
+            for _ in range(rng.randrange(1, 5)):
+                blob[rng.randrange(len(blob))] = rng.randrange(256)
+        elif k == 1:
+            blob = blob[: rng.randrange(len(blob))]
+        else:
+            blob = bytearray(b"\x1a\x45\xdf\xa3" + rng.randbytes(200))
+        try:
+            WM.parse_webm(bytes(blob))
+        except ValueError:
+            pass
