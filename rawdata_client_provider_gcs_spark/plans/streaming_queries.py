@@ -710,3 +710,127 @@ def q_stream_pdf_ingest(spark: SparkSession, sf: str) -> DataFrame:
         "t_pdf_ingest",
     )
     return out
+
+
+@register(
+    "q_stream_media_meta",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
+         WHEN 2 THEN 'mp4' ELSE 'webm' END AS kind,
+       CAST(CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN (5 + doc_id % 20) * 1152 * 1000 // 44100
+         WHEN 1 THEN 1000 * (1 + doc_id % 3)
+         WHEN 2 THEN 600 + doc_id % 1000
+         ELSE 700 + doc_id % 900 END AS BIGINT) AS duration_ms,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'MPEG1/L3' WHEN 1 THEN 'vorbis'
+         WHEN 2 THEN 'avc1' ELSE 'V_VP9' END AS codec
+FROM documents WHERE doc_id < 200
+""",
+    tags=("streaming", "multimodal", "audio", "video"),
+)
+def q_stream_media_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """The media-metadata tier as a STREAM, oracle-exact: mixed
+    MP3/Ogg/MP4/WebM file drops arrive in micro-batches and flow
+    through one sniff-dispatched metadata kernel into a unified
+    (kind, duration, codec) schema — stateless append, the same
+    per-format parsers the batch queries use.  This is the crawl-side
+    shape: a media bucket is NEVER single-format, so the kernel must
+    dispatch per row, and a malformed file must land per-row (the
+    parsers raise ValueError, captured by the kernel) rather than
+    kill the stream.
+    """
+    import tempfile
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawmp3, rawmp4, rawogg, rawwebm
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v = did % 4
+                if v == 0:
+                    payloads.append(rawmp3.build_mp3(5 + did % 20))
+                elif v == 1:
+                    payloads.append(
+                        rawogg.build_ogg(
+                            codec="vorbis",
+                            total_samples=44100 * (1 + did % 3),
+                        )
+                    )
+                elif v == 2:
+                    payloads.append(
+                        rawmp4.build_mp4(duration_ms=600 + did % 1000)
+                    )
+                else:
+                    payloads.append(
+                        rawwebm.build_webm(duration_ms=700 + did % 900)
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    stage = tempfile.mkdtemp(prefix="rawdata-media-stream-")
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    files.withColumn("part", F.col("doc_id") % 4).repartition(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(stage)
+
+    def meta(batches):
+        import pandas as pd
+
+        from ..operators import rawmp3, rawmp4, rawogg, rawwebm
+
+        for pdf in batches:
+            rows = {"doc_id": [], "kind": [], "duration_ms": [], "codec": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if rawogg.sniff_ogg(b):
+                    m = rawogg.parse_ogg(b)
+                    kind, dur, codec = "ogg", m["duration_ms"], m["codec"]
+                elif rawwebm.sniff_webm(b):
+                    m = rawwebm.parse_webm(b)
+                    vids = [t for t in m["tracks"]
+                            if t.get("track_type") == 1]
+                    kind, dur = "webm", m["duration_ms"]
+                    codec = vids[0]["codec_id"] if vids else ""
+                elif rawmp4.sniff_mp4(b):
+                    m = rawmp4.parse_mp4(b)
+                    vids = [t for t in m["tracks"]
+                            if t.get("handler") == "vide"]
+                    kind, dur = "mp4", m["duration_ms"]
+                    codec = vids[0]["codec"] if vids else ""
+                elif rawmp3.sniff_mp3(b):
+                    m = rawmp3.parse_mp3(b)
+                    kind, dur = "mp3", m["duration_ms"]
+                    codec = f"{m['version']}/L{m['layer']}"
+                else:
+                    kind, dur, codec = "unknown", 0, ""
+                rows["doc_id"].append(int(did))
+                rows["kind"].append(kind)
+                rows["duration_ms"].append(dur)
+                rows["codec"].append(codec)
+            yield pd.DataFrame(rows)
+
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = W.run_available_now_append(
+        stream.mapInPandas(
+            meta,
+            "doc_id long, kind string, duration_ms long, codec string",
+        ),
+        "t_media_meta",
+    )
+    return out
