@@ -223,7 +223,7 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
             raise MediaDecodeError(
                 f"payload does not decode as declared mime {mime}"
             )
-    if mime.startswith("audio/"):
+    if mime.startswith("audio/") or mime in OGG_AUDIO_MIMES:
         if rawaudio.sniff_audio(payload):
             # real decode without external libs: RIFF/WAVE, AIFF/AIFC,
             # Sun AU — dispatched by container magic
@@ -448,8 +448,8 @@ def sample_frames(
         def frames(payload: bytes, mime: str):
             if mime.startswith("audio/") and rawaudio.sniff_audio(payload):
                 return rawaudio.segment_wav(payload, every_ms, max_frames)
-            if mime.startswith("audio/"):
-                from . import rawmp3, rawogg  # noqa: PLC0415
+            if mime.startswith("audio/") or mime in OGG_AUDIO_MIMES:
+                from . import rawmp3, rawmp4, rawogg, rawwebm  # noqa: PLC0415
 
                 if rawmp3.sniff_mp3(payload):
                     if not fake:
@@ -458,6 +458,15 @@ def sample_frames(
                 if rawogg.sniff_ogg(payload):
                     if not fake:
                         rawogg.decode_ogg_pcm(payload)
+                    return fake_frames(payload)
+                # audio/mp4 and audio/webm declare the container mimes
+                if rawmp4.sniff_mp4(payload):
+                    if not fake:
+                        rawmp4.decode_mp4_media(payload)
+                    return fake_frames(payload)
+                if rawwebm.sniff_webm(payload):
+                    if not fake:
+                        rawwebm.decode_webm_media(payload)
                     return fake_frames(payload)
             def grid_sample(frame_pairs):
                 # every_ms grid over native frame timings — shared by
@@ -519,11 +528,18 @@ def sample_frames(
                         if not fake:
                             raise
                         return fake_frames(payload)
-            if mime in DECODABLE_AUDIO_MIMES or mime in (
-                "image/gif",
-                "image/webp",
-                "video/avi",
-                "video/x-msvideo",
+            if (
+                mime in DECODABLE_AUDIO_MIMES
+                or mime in MPEG_AUDIO_MIMES
+                or mime in OGG_AUDIO_MIMES
+                or mime in MP4_MIMES
+                or mime in WEBM_MIMES
+                or mime in (
+                    "image/gif",
+                    "image/webp",
+                    "video/avi",
+                    "video/x-msvideo",
+                )
             ):
                 # supported container, unrecognizable bytes: corruption
                 raise MediaDecodeError(

@@ -30,7 +30,7 @@ _CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 _MAX_BOXES = 10_000
 
 
-def _walk(data: bytes, start: int, end: int, depth: int, budget: list[int]):
+def _walk(data: bytes, start: int, end: int, budget: list[int]):
     """Yield (fourcc, body_start, body_end) for each box in [start, end)."""
     pos = start
     while pos + 8 <= end:
@@ -71,7 +71,7 @@ def parse_mp4(data: bytes) -> dict:
         nonlocal saw_ftyp, saw_moov
         if depth > 8:
             raise ValueError("mp4: box nesting over the depth cap")
-        for fourcc, body, box_end in _walk(data, start, end, depth, budget):
+        for fourcc, body, box_end in _walk(data, start, end, budget):
             if fourcc == b"ftyp":
                 saw_ftyp = True
                 meta["major_brand"] = data[body : body + 4].decode(
@@ -83,6 +83,8 @@ def parse_mp4(data: bytes) -> dict:
                 ]
             elif fourcc == b"mvhd":
                 saw_moov = True
+                if box_end - body < 20:
+                    raise ValueError("mp4: mvhd box shorter than its fields")
                 ver = data[body]
                 if ver == 1:
                     ts = int.from_bytes(data[body + 20 : body + 24], "big")
@@ -99,6 +101,8 @@ def parse_mp4(data: bytes) -> dict:
                 meta["tracks"].append(t)
                 walk(body, box_end, depth + 1, t)
             elif fourcc == b"tkhd" and track is not None:
+                if box_end - body < 32:
+                    raise ValueError("mp4: tkhd box shorter than its fields")
                 ver = data[body]
                 off = body + (32 if ver == 1 else 20)
                 track["track_id"] = int.from_bytes(
@@ -110,6 +114,8 @@ def parse_mp4(data: bytes) -> dict:
                 track["width"] = _fixed_16_16(w)
                 track["height"] = _fixed_16_16(h)
             elif fourcc == b"mdhd" and track is not None:
+                if box_end - body < 20:
+                    raise ValueError("mp4: mdhd box shorter than its fields")
                 ver = data[body]
                 if ver == 1:
                     ts = int.from_bytes(data[body + 20 : body + 24], "big")
@@ -122,10 +128,14 @@ def parse_mp4(data: bytes) -> dict:
                 track["timescale"] = ts
                 track["duration_ms"] = dur * 1000 // ts
             elif fourcc == b"hdlr" and track is not None:
+                if box_end - body < 12:
+                    raise ValueError("mp4: hdlr box shorter than its fields")
                 track["handler"] = data[body + 8 : body + 12].decode(
                     "latin-1", "replace"
                 )
             elif fourcc == b"stsd" and track is not None:
+                if box_end - body < 8:
+                    raise ValueError("mp4: stsd box shorter than its fields")
                 n = int.from_bytes(data[body + 4 : body + 8], "big")
                 if n >= 1 and body + 16 <= box_end:
                     entry = body + 8
@@ -140,6 +150,8 @@ def parse_mp4(data: bytes) -> dict:
                             data[entry + 32 : entry + 34], "big"
                         )
             elif fourcc == b"stts" and track is not None:
+                if box_end - body < 8:
+                    raise ValueError("mp4: stts box shorter than its fields")
                 n = int.from_bytes(data[body + 4 : body + 8], "big")
                 total = 0
                 p = body + 8
@@ -226,7 +238,7 @@ def build_mp4(
         if handler == "vide":
             w, h = spec
             tkhd_tail = (
-                bytes(52 if not version1 else 52)
+                bytes(52)
                 + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
             )
             entry_body = bytes(70) + (0x18).to_bytes(2, "big") + b"\xff\xff"

@@ -255,7 +255,7 @@ def build_ogg(
             + (0).to_bytes(4, "little", signed=True)
             + bytes([0xB8, 0x01])
         )
-        tag_magic, tag_prefix = b"\x03vorbis", b"\x03vorbis"
+        tag_prefix = b"\x03vorbis"
     elif codec == "opus":
         ident = (
             b"OpusHead" + bytes([1, channels])

@@ -790,31 +790,34 @@ def q_stream_media_meta(spark: SparkSession, sf: str) -> DataFrame:
 
         from ..operators import rawmp3, rawmp4, rawogg, rawwebm
 
+        def sniffed(b):
+            if rawogg.sniff_ogg(b):
+                m = rawogg.parse_ogg(b)
+                return "ogg", m["duration_ms"], m["codec"]
+            if rawwebm.sniff_webm(b):
+                m = rawwebm.parse_webm(b)
+                vids = [t for t in m["tracks"] if t.get("track_type") == 1]
+                return ("webm", m["duration_ms"],
+                        vids[0]["codec_id"] if vids else "")
+            if rawmp4.sniff_mp4(b):
+                m = rawmp4.parse_mp4(b)
+                vids = [t for t in m["tracks"] if t.get("handler") == "vide"]
+                return ("mp4", m["duration_ms"],
+                        vids[0]["codec"] if vids else "")
+            if rawmp3.sniff_mp3(b):
+                m = rawmp3.parse_mp3(b)
+                return "mp3", m["duration_ms"], f"{m['version']}/L{m['layer']}"
+            return "unknown", 0, ""
+
         for pdf in batches:
             rows = {"doc_id": [], "kind": [], "duration_ms": [], "codec": []}
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                if rawogg.sniff_ogg(b):
-                    m = rawogg.parse_ogg(b)
-                    kind, dur, codec = "ogg", m["duration_ms"], m["codec"]
-                elif rawwebm.sniff_webm(b):
-                    m = rawwebm.parse_webm(b)
-                    vids = [t for t in m["tracks"]
-                            if t.get("track_type") == 1]
-                    kind, dur = "webm", m["duration_ms"]
-                    codec = vids[0]["codec_id"] if vids else ""
-                elif rawmp4.sniff_mp4(b):
-                    m = rawmp4.parse_mp4(b)
-                    vids = [t for t in m["tracks"]
-                            if t.get("handler") == "vide"]
-                    kind, dur = "mp4", m["duration_ms"]
-                    codec = vids[0]["codec"] if vids else ""
-                elif rawmp3.sniff_mp3(b):
-                    m = rawmp3.parse_mp3(b)
-                    kind, dur = "mp3", m["duration_ms"]
-                    codec = f"{m['version']}/L{m['layer']}"
-                else:
-                    kind, dur, codec = "unknown", 0, ""
+                try:
+                    kind, dur, codec = sniffed(bytes(payload))
+                except ValueError:
+                    # sniff-passing but structurally corrupt: per-row,
+                    # never stream-killing
+                    kind, dur, codec = "error", 0, ""
                 rows["doc_id"].append(int(did))
                 rows["kind"].append(kind)
                 rows["duration_ms"].append(dur)

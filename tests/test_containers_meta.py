@@ -270,3 +270,39 @@ def test_webm_hostile_and_boundary():
             WM.parse_webm(bytes(blob))
         except ValueError:
             pass
+
+
+def test_frames_kernel_per_row_for_container_mimes(spark):
+    """sample_frames must capture audio/mp4, video/mp4, application/ogg
+    and corrupt container payloads PER ROW — never kill the job with
+    NotImplementedError (review finding, round 9)."""
+    from rawdata_client_provider_gcs_spark.operators import multimodal
+
+    rows = [
+        (1, bytearray(M4.build_mp4()), "audio/mp4"),
+        (2, bytearray(O.build_ogg()), "application/ogg"),
+        (3, bytearray(b"\x00garbage" * 8), "video/mp4"),
+        (4, bytearray(b"\x00garbage" * 8), "audio/ogg"),
+    ]
+    for did, blob, mime in rows:
+        df = spark.createDataFrame([(did, blob)], "doc_id long, blob binary")
+        media = multimodal.with_media_columns(df, "blob", mime, "doc_id")
+        out = multimodal.sample_frames(media).collect()
+        assert len(out) == 1
+        err = out[0]["error"]
+        assert err is not None and (
+            err.startswith("UnsupportedCodecError")
+            or err.startswith("MediaDecodeError")
+        ), (mime, err)
+
+
+def test_mp4_truncated_version_boxes_raise_value_error():
+    """Empty-bodied mvhd/tkhd/mdhd must land on ValueError, not
+    IndexError (review finding, round 9)."""
+    with pytest.raises(ValueError):
+        M4.parse_mp4(b"\x00\x00\x00\x10moov\x00\x00\x00\x08mvhd")
+    body = b"\x00\x00\x00\x08tkhd"
+    trak = (8 + len(body)).to_bytes(4, "big") + b"trak" + body
+    moov = (8 + len(trak)).to_bytes(4, "big") + b"moov" + trak
+    with pytest.raises(ValueError):
+        M4.parse_mp4(moov)
