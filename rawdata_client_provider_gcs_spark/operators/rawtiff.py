@@ -49,10 +49,15 @@ from .rawavi import UnsupportedCodecError
 
 _LE = b"II*\x00"
 _BE = b"MM\x00*"
+# BigTIFF (version 43): 8-byte offsets — scanned-document archives and
+# satellite rasters exceed the classic 4 GiB limit routinely, and a
+# BigTIFF was previously wholly unreachable (ZIP64-class data loss)
+_LE8 = b"II+\x00"
+_BE8 = b"MM\x00+"
 
 # IFD entry types → byte width (only the ones baseline TIFF uses;
 # 7 = UNDEFINED raw bytes, carried by JPEGTables among others)
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 7: 1, 16: 8, 17: 8, 18: 8}
 
 #: hard per-image decode cap (1 GiB of pixels).  A row in a Spark
 #: DataFrame cannot exceed 2 GiB anyway, so anything bigger is either a
@@ -62,8 +67,30 @@ _MAX_DECODED_BYTES = 1 << 30
 
 
 def sniff_tiff(payload: bytes) -> bool:
-    """True when the payload starts with a classic TIFF header."""
-    return payload[:4] in (_LE, _BE)
+    """True when the payload starts with a classic or BigTIFF header."""
+    return payload[:4] in (_LE, _BE, _LE8, _BE8)
+
+
+def _header(payload: bytes) -> tuple[str, bool, int]:
+    """(byte order, is_bigtiff, first IFD offset) — version 42 uses a
+    32-bit offset at byte 4; version 43 (BigTIFF) declares its offset
+    width (must be 8) then a 64-bit offset at byte 8."""
+    bo = "<" if payload[:2] == b"II" else ">"
+    big = payload[:4] in (_LE8, _BE8)
+    if big:
+        if len(payload) < 16:
+            raise ValueError("truncated BigTIFF: no IFD offset")
+        osize, zero = struct.unpack_from(bo + "HH", payload, 4)
+        if osize != 8 or zero != 0:
+            raise ValueError(
+                f"BigTIFF declares offset size {osize} (only 8 is defined)"
+            )
+        (ifd_off,) = struct.unpack_from(bo + "Q", payload, 8)
+    else:
+        if len(payload) < 8:
+            raise ValueError("truncated TIFF: no IFD offset")
+        (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    return bo, big, ifd_off
 
 
 # ------------------------------------------------------------------ LZW
@@ -244,37 +271,43 @@ def _packbits_encode(data: bytes) -> bytes:
 
 def _read_ifd(payload: bytes, bo: str) -> dict[int, tuple[int, list[int]]]:
     """Parse the first IFD into {tag: (type, values)} (offsets resolved)."""
-    if len(payload) < 8:
-        # a sniffable 4-byte stub must still fail with the module's
-        # documented ValueError, not struct.error (review r8)
-        raise ValueError("truncated TIFF: no IFD offset")
-    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
-    return _read_ifd_at(payload, bo, ifd_off)[0]
+    bo, big, ifd_off = _header(payload)
+    return _read_ifd_at(payload, bo, ifd_off, big)[0]
 
 
 def _read_ifd_at(
-    payload: bytes, bo: str, ifd_off: int
+    payload: bytes, bo: str, ifd_off: int, big: bool = False
 ) -> tuple[dict[int, tuple[int, list[int]]], int]:
     """(entries, next_ifd_offset) for the IFD at ``ifd_off`` — the
     multi-page chain walker's unit (scanned documents are routinely
-    multi-page fax TIFFs)."""
-    if ifd_off + 2 > len(payload):
+    multi-page fax TIFFs).  ``big``: BigTIFF layout (64-bit entry
+    counts/values/offsets, 20-byte entries)."""
+    cnt_w, ent_w, val_w = (8, 20, 8) if big else (2, 12, 4)
+    if ifd_off + cnt_w > len(payload):
         raise ValueError("truncated TIFF: IFD offset out of range")
-    (count,) = struct.unpack_from(bo + "H", payload, ifd_off)
+    (count,) = struct.unpack_from(bo + ("Q" if big else "H"), payload, ifd_off)
+    if count > 0xFFFF:
+        raise ValueError(f"BigTIFF IFD declares {count} entries (hostile)")
     entries: dict[int, tuple[int, list[int]]] = {}
     for k in range(count):
-        off = ifd_off + 2 + 12 * k
-        if off + 12 > len(payload):
+        off = ifd_off + cnt_w + ent_w * k
+        if off + ent_w > len(payload):
             raise ValueError("truncated TIFF: IFD entry out of range")
-        tag, typ, n = struct.unpack_from(bo + "HHI", payload, off)
+        if big:
+            tag, typ = struct.unpack_from(bo + "HH", payload, off)
+            (n,) = struct.unpack_from(bo + "Q", payload, off + 4)
+        else:
+            tag, typ, n = struct.unpack_from(bo + "HHI", payload, off)
         size = _TYPE_SIZES.get(typ)
         if size is None:
             continue  # unknown type: skip per spec
         total = size * n
-        if total <= 4:
-            voff = off + 8
+        if total <= val_w:
+            voff = off + (12 if big else 8)
         else:
-            (voff,) = struct.unpack_from(bo + "I", payload, off + 8)
+            (voff,) = struct.unpack_from(
+                bo + ("Q" if big else "I"), payload, off + (12 if big else 8)
+            )
         if voff + total > len(payload):
             raise ValueError(f"truncated TIFF: tag {tag} values out of range")
         if typ in (1, 2, 7):  # BYTE / ASCII / UNDEFINED: raw bytes
@@ -283,14 +316,20 @@ def _read_ifd_at(
             vals = list(struct.unpack_from(bo + f"{n}H", payload, voff))
         elif typ == 4:
             vals = list(struct.unpack_from(bo + f"{n}I", payload, voff))
+        elif typ in (16, 18):  # LONG8 / IFD8
+            vals = list(struct.unpack_from(bo + f"{n}Q", payload, voff))
+        elif typ == 17:  # SLONG8
+            vals = list(struct.unpack_from(bo + f"{n}q", payload, voff))
         else:  # RATIONAL: keep numerators; none of the tags we read use it
             vals = list(struct.unpack_from(bo + f"{2 * n}I", payload, voff))[::2]
         entries[tag] = (typ, vals)
-    next_off_pos = ifd_off + 2 + 12 * count
-    if next_off_pos + 4 > len(payload):
+    next_off_pos = ifd_off + cnt_w + ent_w * count
+    if next_off_pos + (8 if big else 4) > len(payload):
         next_ifd = 0  # tolerate a truncated next-IFD pointer: last page
     else:
-        (next_ifd,) = struct.unpack_from(bo + "I", payload, next_off_pos)
+        (next_ifd,) = struct.unpack_from(
+            bo + ("Q" if big else "I"), payload, next_off_pos
+        )
     return entries, next_ifd
 
 
@@ -556,17 +595,14 @@ def decode_tiff_pages(
     files, and page 0 alone silently drops the rest of the document."""
     if not sniff_tiff(payload):
         raise ValueError("not a TIFF payload")
-    if len(payload) < 8:
-        raise ValueError("truncated TIFF: no IFD offset")
-    bo = "<" if payload[:2] == b"II" else ">"
-    (ifd_off,) = struct.unpack_from(bo + "I", payload, 4)
+    bo, big, ifd_off = _header(payload)
     pages: list[np.ndarray] = []
     seen: set[int] = set()
     while ifd_off and len(pages) < max_pages:
         if ifd_off in seen:
             raise ValueError("TIFF IFD chain loops")
         seen.add(ifd_off)
-        entries, ifd_off = _read_ifd_at(payload, bo, ifd_off)
+        entries, ifd_off = _read_ifd_at(payload, bo, ifd_off, big)
         pages.append(_decode_ifd(payload, bo, entries))
     if not pages:
         raise ValueError("TIFF carries no pages")

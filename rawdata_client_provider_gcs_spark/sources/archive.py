@@ -19,6 +19,9 @@ kilobyte-sized zip bomb cannot expand to gigabytes inside an executor:
   local-header offset validation, methods 0 (store), 8 (deflate, raw
   ``zlib`` wbits=-15) and 12 (bzip2), CRC-32 verified, declared sizes
   cross-checked against ``MAX_MEMBER_BYTES``.
+- **gzip wrappers** (``.tar.gz``/``.tgz``/``.zip.gz``): inflated
+  transparently with a 1 GiB bomb guard, then dispatched on the real
+  container (the format column reports ``tar.gz``/``zip.gz``).
 - **TAR** (POSIX ustar + the long-path mechanisms real archives use:
   GNU ``L`` longname entries and pax ``x`` extended headers): 512-byte
   headers, octal size fields, header checksum verified, ``prefix``
@@ -490,7 +493,40 @@ def sniff_format(data: bytes) -> str | None:
     return None
 
 
+#: whole-archive gzip wrappers (.tar.gz/.tgz — source dumps' favorite
+#: shape) inflate to at most this many bytes (bomb guard: a 1 KB
+#: gzip bomb must not expand to gigabytes inside an executor)
+MAX_ARCHIVE_BYTES = 1 << 30
+
+
+def _gunzip_bounded(data: bytes, cap: int = MAX_ARCHIVE_BYTES) -> bytes:
+    import gzip
+    import io
+
+    out = bytearray()
+    with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+        try:
+            while True:
+                chunk = gz.read(1 << 20)
+                if not chunk:
+                    break
+                out += chunk
+                if len(out) > cap:
+                    raise ValueError(
+                        f"archive: gzip wrapper inflates past the {cap}-byte "
+                        "guard (bomb or corruption)"
+                    )
+        except (OSError, EOFError) as exc:  # gzip's corrupt-stream classes
+            raise ValueError(f"archive: corrupt gzip wrapper: {exc}")
+    return bytes(out)
+
+
 def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
+    if fmt == "auto" and data[:2] == b"\x1f\x8b":
+        # transparent .tar.gz/.tgz (and .zip.gz): inflate bounded,
+        # then dispatch on the real container
+        inner_fmt, members = parse_archive(_gunzip_bounded(data), "auto")
+        return inner_fmt + ".gz", members
     if fmt == "auto":
         sniffed = sniff_format(data)
         if sniffed is None:

@@ -166,3 +166,106 @@ def test_zip64_through_archive_members_kernel(spark):
         ("x/a.txt", b"alpha"),
         ("x/b.txt", b"beta"),
     ]
+
+
+# ------------------------------------------------------------- bigtiff
+
+
+def _build_bigtiff_gray(img) -> bytes:
+    """Hand-built minimal BigTIFF (version 43, 20-byte IFD entries,
+    LONG8 counts/offsets): uncompressed single-strip grayscale."""
+    import struct
+
+    h, w = img.shape
+    strip = img.tobytes()
+    header = b"II+\x00" + struct.pack("<HHQ", 8, 0, 16)
+    entries = [
+        (256, 3, 1, w),       # ImageWidth (SHORT)
+        (257, 3, 1, h),       # ImageLength
+        (258, 3, 1, 8),       # BitsPerSample
+        (259, 3, 1, 1),       # Compression: none
+        (262, 3, 1, 1),       # Photometric: BlackIsZero
+        (277, 3, 1, 1),       # SamplesPerPixel
+        (278, 3, 1, h),       # RowsPerStrip
+        (279, 16, 1, len(strip)),  # StripByteCounts (LONG8)
+    ]
+    # StripOffsets points past the IFD; compute layout first
+    n = len(entries) + 1
+    ifd_size = 8 + 20 * n + 8
+    strip_off = 16 + ifd_size
+    entries.insert(6, (273, 16, 1, strip_off))  # StripOffsets (LONG8)
+    out = bytearray(header)
+    out += struct.pack("<Q", n)
+    for tag, typ, cnt, val in sorted(entries):
+        out += struct.pack("<HHQ", tag, typ, cnt)
+        if typ == 3:
+            out += struct.pack("<H", val) + b"\x00" * 6
+        else:
+            out += struct.pack("<Q", val)
+    out += struct.pack("<Q", 0)  # next IFD
+    assert len(out) == strip_off
+    out += strip
+    return bytes(out)
+
+
+def test_bigtiff_decodes_like_classic():
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawtiff
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (33, 47)).astype(np.uint8)
+    big = _build_bigtiff_gray(img)
+    assert rawtiff.sniff_tiff(big)
+    got = rawtiff.decode_tiff(big)
+    # cross-check against the VERIFIED classic path on the same pixels
+    classic = rawtiff.decode_tiff(rawtiff.encode_tiff(img))
+    assert (got == classic).all()
+    assert (got[:, :, 0] == img).all()
+
+
+def test_bigtiff_hostile():
+    import struct
+
+    import pytest as _p
+
+    from rawdata_client_provider_gcs_spark.operators import rawtiff
+
+    # offset size other than 8 is undefined
+    with _p.raises(ValueError, match="offset size"):
+        rawtiff.decode_tiff(b"II+\x00" + struct.pack("<HHQ", 4, 0, 16) + b"\x00" * 32)
+    # hostile entry-count flood
+    blob = b"II+\x00" + struct.pack("<HHQ", 8, 0, 16) + struct.pack("<Q", 1 << 40)
+    with _p.raises(ValueError, match="entries|out of range"):
+        rawtiff.decode_tiff(blob + b"\x00" * 64)
+    # truncated BigTIFF header
+    with _p.raises(ValueError, match="truncated"):
+        rawtiff.decode_tiff(b"II+\x00\x08\x00")
+
+
+# -------------------------------------------------------------- tar.gz
+
+
+def test_targz_transparent_gzip(spark):
+    import gzip
+
+    from rawdata_client_provider_gcs_spark.sources import archive as A
+
+    fmt, ms = A.parse_archive(
+        gzip.compress(A.build_tar([("a.txt", b"hello"), ("b/c.txt", b"x" * 999)]))
+    )
+    assert fmt == "tar.gz"
+    assert [(m["path"], m["size"]) for m in ms] == [("a.txt", 5), ("b/c.txt", 999)]
+    fmt, ms = A.parse_archive(gzip.compress(A.build_zip([("z.txt", b"zz")])))
+    assert fmt == "zip.gz" and ms[0]["payload"] == b"zz"
+    # bomb guard + corrupt wrapper land on ValueError
+    with pytest.raises(ValueError, match="guard"):
+        A._gunzip_bounded(gzip.compress(b"\x00" * (1 << 22)), cap=1 << 20)
+    with pytest.raises(ValueError, match="gzip"):
+        A.parse_archive(b"\x1f\x8b" + b"\x00" * 40)
+    # through the Spark kernel, format column carries the wrapper
+    blob = gzip.compress(A.build_tar([("m.txt", b"data")]))
+    df = spark.createDataFrame([(1, bytearray(blob))], "doc_id long, payload binary")
+    out = A.archive_members(df).collect()
+    assert out[0]["archive_format"] == "tar.gz"
+    assert bytes(out[0]["payload"]) == b"data"
