@@ -139,8 +139,11 @@ def test_approx_percentile_error_bound(spark, sf_smoke_dir):
 
 
 def test_multimodal_resize_and_frames(spark, docs):
+    # a video mime with NO recognized container tier: video/mp4 and
+    # webm/avi read garbage as per-row corruption since round 9, so the
+    # fake-stub plumbing is exercised under a genuinely stub-gated mime
     media = multimodal.with_media_columns(
-        docs.limit(10), "text", "video/mp4", "doc_id"
+        docs.limit(10), "text", "video/x-flv", "doc_id"
     )
     thumbs = multimodal.resize_images(media, 8, 8, fake=True)
     rows = thumbs.collect()

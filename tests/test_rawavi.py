@@ -152,8 +152,9 @@ def test_sample_frames_real_avi_through_spark(spark):
     # path): an AVI payload under video/mp4 still decodes...
     mp4 = multimodal.with_media_columns(df, "vid", "video/mp4", "doc_id")
     assert len(multimodal.sample_frames(mp4, every_ms=200).collect()) == 3
-    # ...but an unsupported-codec mime with undecodable bytes fails
-    # loud (missing-codec configuration, not data corruption)
+    # ...and a REAL ISO-BMFF payload is a recognized container whose
+    # codec payloads are the boundary: per-row UnsupportedCodecError
+    # since round 9 (rawmp4 metadata tier), never a job kill
     really_mp4 = multimodal.with_media_columns(
         spark.createDataFrame(
             [(3, b"\x00\x00\x00\x18ftypmp42----")], "doc_id long, vid binary"
@@ -162,8 +163,9 @@ def test_sample_frames_real_avi_through_spark(spark):
         "video/mp4",
         "doc_id",
     )
-    with pytest.raises(Exception):
-        multimodal.sample_frames(really_mp4, every_ms=200).collect()
+    rows = multimodal.sample_frames(really_mp4, every_ms=200).collect()
+    assert len(rows) == 1
+    assert rows[0]["error"].startswith("UnsupportedCodecError")
 
 
 def test_compressed_avi_is_per_row_distinctly_labeled(spark):
