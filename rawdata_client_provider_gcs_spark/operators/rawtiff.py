@@ -320,8 +320,13 @@ def _read_ifd_at(
             vals = list(struct.unpack_from(bo + f"{n}Q", payload, voff))
         elif typ == 17:  # SLONG8
             vals = list(struct.unpack_from(bo + f"{n}q", payload, voff))
-        else:  # RATIONAL: keep numerators; none of the tags we read use it
-            vals = list(struct.unpack_from(bo + f"{2 * n}I", payload, voff))[::2]
+        else:  # RATIONAL: num/den as floats (EXIF GPS/exposure use them;
+            # no raster tag does, so decode behavior is unchanged)
+            raw = struct.unpack_from(bo + f"{2 * n}I", payload, voff)
+            vals = [
+                (raw[2 * i] / raw[2 * i + 1]) if raw[2 * i + 1] else 0.0
+                for i in range(n)
+            ]
         entries[tag] = (typ, vals)
     next_off_pos = ifd_off + cnt_w + ent_w * count
     if next_off_pos + (8 if big else 4) > len(payload):

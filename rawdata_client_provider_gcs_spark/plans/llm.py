@@ -4474,3 +4474,80 @@ def q_multimodal_webm_meta(spark: SparkSession, sf: str) -> DataFrame:
         "video_codec string, width long, audio_codec string, "
         "audio_channels long",
     )
+
+
+@register(
+    "q_multimodal_exif",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+       'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS has_gps,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(doc_id % 90 AS DOUBLE) + 0.5 ELSE NULL END AS gps_lat,
+       CASE WHEN doc_id % 3 = 0
+            THEN -(CAST(doc_id % 180 AS DOUBLE) + 0.25) ELSE NULL END AS gps_lon
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "image", "exif", "pii", "pandas-udf"),
+)
+def q_multimodal_exif(spark: SparkSession, sf: str) -> DataFrame:
+    """EXIF metadata extraction, oracle-exact — the image-side PII and
+    provenance tier (:mod:`..operators.rawexif`): orientation, camera
+    make, and embedded GPS coordinates (DMS rationals chosen exact in
+    binary — whole degrees + 30 or 15 minutes — so float equality is
+    closed-form).  Every third document carries a GPS IFD; the
+    ``has_gps`` flag is the curation-side PII signal.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawexif
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                gps = None
+                if did % 3 == 0:
+                    gps = (did % 90 + 0.5, -(did % 180 + 0.25))
+                payloads.append(
+                    rawexif.build_exif_jpeg(
+                        orientation=1 + did % 8,
+                        make="Cam%d" % (did % 5),
+                        gps=gps,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pic": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, pic binary")
+
+    def meta(batches):
+        import pandas as pd
+
+        from ..operators import rawexif
+
+        for pdf in batches:
+            rows = {"doc_id": [], "orientation": [], "make": [],
+                    "has_gps": [], "gps_lat": [], "gps_lon": []}
+            for did, payload in zip(pdf["doc_id"], pdf["pic"]):
+                m = rawexif.exif_meta(bytes(payload))
+                rows["doc_id"].append(int(did))
+                rows["orientation"].append(m.get("orientation", 0))
+                rows["make"].append(m.get("make", ""))
+                rows["has_gps"].append(1 if m.get("has_gps") else 0)
+                rows["gps_lat"].append(m.get("gps_lat"))
+                rows["gps_lon"].append(m.get("gps_lon"))
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        meta,
+        "doc_id long, orientation long, make string, has_gps long, "
+        "gps_lat double, gps_lon double",
+    )

@@ -306,3 +306,52 @@ def test_mp4_truncated_version_boxes_raise_value_error():
     moov = (8 + len(trak)).to_bytes(4, "big") + b"moov" + trak
     with pytest.raises(ValueError):
         M4.parse_mp4(moov)
+
+
+# --------------------------------------------------------------- exif
+
+
+def test_exif_fields_and_gps_hand_derived():
+    from rawdata_client_provider_gcs_spark.operators import rawexif as E
+
+    j = E.build_exif_jpeg(orientation=6, gps=(59.5, -10.25),
+                          datetime_str="2021:06:07 08:09:10")
+    m = E.exif_meta(j)
+    assert m["orientation"] == 6 and m["make"] == "FixtureCam"
+    assert m["datetime"] == "2021:06:07 08:09:10"
+    # 59.5 = 59° 30' 0" exactly; -10.25 = 10° 15' 0" W
+    assert m["has_gps"] and m["gps_lat"] == 59.5 and m["gps_lon"] == -10.25
+    m = E.exif_meta(E.build_exif_jpeg())
+    assert m["has_gps"] is False and m["orientation"] == 1
+
+
+def test_exif_absence_is_data_not_error():
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import (
+        rawexif as E,
+        rawjpeg,
+        rawtiff,
+    )
+
+    img = np.full((8, 8, 3), 77, np.uint8)
+    assert E.exif_meta(rawjpeg.encode_jpeg(img)) == {"has_gps": False}
+    assert E.exif_meta(rawtiff.encode_tiff(img[:, :, 0]))["has_gps"] is False
+    assert E.exif_meta(b"not an image") == {"has_gps": False}
+
+
+def test_exif_hostile_lands_on_value_error():
+    import random
+
+    from rawdata_client_provider_gcs_spark.operators import rawexif as E
+
+    good = E.build_exif_jpeg(gps=(1.5, 2.25))
+    rng = random.Random(3)
+    for _ in range(200):
+        blob = bytearray(good)
+        for _ in range(rng.randrange(1, 6)):
+            blob[rng.randrange(12, len(blob))] = rng.randrange(256)
+        try:
+            E.exif_meta(bytes(blob))
+        except ValueError:
+            pass
