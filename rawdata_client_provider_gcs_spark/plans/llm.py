@@ -4551,3 +4551,100 @@ def q_multimodal_exif(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id long, orientation long, make string, has_gps long, "
         "gps_lat double, gps_lon double",
     )
+
+
+@register(
+    "q_source_mbox",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 250)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(0 AS BIGINT) AS msg_idx,
+       '<' || CAST(doc_id AS VARCHAR) || '-0@corpus>' AS message_id,
+       '' AS in_reply_to,
+       'Ana <ana@corpus.example>' AS sender,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS subject,
+       trim(substr(text, 1, 60)) AS body_text,
+       CAST(0 AS BIGINT) AS n_attachments,
+       strftime(TIMESTAMP '2021-05-01 00:00:00'
+                + doc_id * INTERVAL 1 MINUTE, '%Y-%m-%d %H:%M') AS sent_at
+FROM d
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 1,
+       '<' || CAST(doc_id AS VARCHAR) || '-1@corpus>',
+       '<' || CAST(doc_id AS VARCHAR) || '-0@corpus>',
+       'Bo <bo@corpus.example>',
+       'Re: Doc ' || CAST(doc_id AS VARCHAR),
+       trim(substr(text, 61, 60)),
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT),
+       strftime(TIMESTAMP '2021-05-01 00:30:00'
+                + doc_id * INTERVAL 1 MINUTE, '%Y-%m-%d %H:%M')
+FROM d
+""",
+    tags=("llm", "source", "mail", "curation", "pandas-udf"),
+)
+def q_source_mbox(spark: SparkSession, sf: str) -> DataFrame:
+    """mbox mailing-list ingestion, oracle-exact — the dialogue-corpus
+    source (:mod:`..sources.mail`): RFC 4155 From_-line splitting with
+    ``>From`` unquoting, stdlib-``email`` MIME parsing, thread linkage
+    (Message-ID / In-Reply-To), attachment counting, and timezone-
+    normalized dates.  Each document becomes a two-message thread
+    (root + reply, every second reply carrying an attachment); the
+    stdlib ``mailbox`` module reads the same fixture bytes in the test
+    suite, pinning interop in both directions.
+    """
+    import datetime
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..sources import mail
+
+        base = datetime.datetime(2021, 5, 1, tzinfo=datetime.timezone.utc)
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                t = str(text)
+                msgs = [
+                    {
+                        "sender": "Ana <ana@corpus.example>",
+                        "subject": "Doc %d" % did,
+                        "message_id": "<%d-0@corpus>" % did,
+                        "body": t[:60],
+                        "date": base + datetime.timedelta(minutes=did),
+                    },
+                    {
+                        "sender": "Bo <bo@corpus.example>",
+                        "subject": "Re: Doc %d" % did,
+                        "message_id": "<%d-1@corpus>" % did,
+                        "in_reply_to": "<%d-0@corpus>" % did,
+                        "body": t[60:120],
+                        "date": base
+                        + datetime.timedelta(minutes=did, seconds=1800),
+                        "attachments": [b"\x00\x01"] if did % 2 == 0 else (),
+                    },
+                ]
+                payloads.append(mail.build_mbox(msgs))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    from ..sources.mail import mailbox_messages
+
+    out = mailbox_messages(files)
+    return out.select(
+        "doc_id",
+        "msg_idx",
+        "message_id",
+        "in_reply_to",
+        "sender",
+        "subject",
+        F.regexp_replace(F.col("body"), r"^\s+|\s+$", "").alias("body_text"),
+        "n_attachments",
+        F.date_format("date_utc", "yyyy-MM-dd HH:mm").alias("sent_at"),
+    )
