@@ -4648,3 +4648,49 @@ def q_source_mbox(spark: SparkSession, sf: str) -> DataFrame:
         "n_attachments",
         F.date_format("date_utc", "yyyy-MM-dd HH:mm").alias("sent_at"),
     )
+
+
+@register(
+    "q_curation_mail_threads",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 250)
+SELECT '<' || CAST(doc_id AS VARCHAR) || '-0@corpus>' AS thread_id,
+       CAST(2 AS BIGINT) AS n_messages,
+       CAST(2 AS BIGINT) AS n_senders,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_attachments,
+       CAST(length(trim(substr(text, 1, 60)))
+            + length(trim(substr(text, 61, 60))) AS BIGINT) AS n_chars
+FROM d
+""",
+    tags=("llm", "source", "mail", "curation", "graph", "pandas-udf"),
+)
+def q_curation_mail_threads(spark: SparkSession, sf: str) -> DataFrame:
+    """Thread reconstruction over the mail source, oracle-exact — the
+    step that turns mailing-list archives into multi-turn dialogue
+    training data: pointer-jumping root resolution over In-Reply-To
+    (:func:`..sources.mail.assign_threads`, id-only shuffles), then
+    per-thread turn/participant/attachment/char aggregates.
+    """
+    msgs = q_source_mbox(spark, sf)
+    from ..sources.mail import assign_threads
+
+    threaded = assign_threads(
+        msgs.withColumnRenamed("body_text", "body"), max_hops=4
+    )
+    return (
+        threaded.groupBy("thread_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_messages"),
+            F.countDistinct("sender").alias("n_senders"),
+            F.sum("n_attachments").alias("n_attachments"),
+            F.sum(F.length("body")).alias("n_chars"),
+        )
+        .select(
+            "thread_id",
+            F.col("n_messages").cast("long").alias("n_messages"),
+            F.col("n_senders").cast("long").alias("n_senders"),
+            F.col("n_attachments").cast("long").alias("n_attachments"),
+            F.col("n_chars").cast("long").alias("n_chars"),
+        )
+    )

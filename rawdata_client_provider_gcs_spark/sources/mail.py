@@ -201,3 +201,42 @@ def build_mbox(messages: list[dict]) -> bytes:
             out += b"\n"
         out += b"\n"
     return bytes(out)
+
+
+def assign_threads(messages: DataFrame, max_hops: int = 16) -> DataFrame:
+    """Attach ``thread_id`` (the root Message-ID) to each message row.
+
+    Pointer-jumping over ``In-Reply-To``: each iteration doubles the
+    resolved chain depth, so ``max_hops`` iterations cover threads
+    2^max_hops deep — id-only shuffles, no collect, the connected-
+    components shape bounded by real thread depth (mailing-list threads
+    are shallow; 16 hops covers depth 65k).  Replies whose parent is
+    missing from the corpus (pruned or crawled partially) root at the
+    deepest reachable ancestor rather than erroring.
+    """
+    from pyspark.sql import functions as F
+
+    cur = messages.select(
+        "message_id",
+        F.when(
+            (F.col("in_reply_to").isNull()) | (F.col("in_reply_to") == ""),
+            F.col("message_id"),
+        ).otherwise(F.col("in_reply_to")).alias("root"),
+    ).filter(F.col("message_id") != "")
+    for _ in range(max_hops):
+        parent = cur.select(
+            F.col("message_id").alias("p_id"), F.col("root").alias("p_root")
+        )
+        nxt = (
+            cur.join(parent, cur["root"] == parent["p_id"], "left")
+            .select(
+                "message_id",
+                F.coalesce("p_root", "root").alias("root"),
+            )
+        )
+        # fixed point when no root changed; checking every round would
+        # add an action per hop — bounded hops make it unnecessary
+        cur = nxt
+    return messages.join(
+        cur.withColumnRenamed("root", "thread_id"), "message_id", "left"
+    )

@@ -94,3 +94,21 @@ def test_spark_kernel_per_row(spark):
     assert len(good) == 2 and all(r["error"] is None for r in good)
     assert good[1]["in_reply_to"] == "<1@x>"
     assert len(bad) == 1 and bad[0]["error"] is not None
+
+
+def test_assign_threads_pointer_jumping(spark):
+    """Depth-4 chains resolve to one root; orphan replies root at the
+    deepest reachable ancestor."""
+    from rawdata_client_provider_gcs_spark.sources.mail import assign_threads
+
+    rows = [
+        ("<a>", ""), ("<b>", "<a>"), ("<c>", "<b>"), ("<d>", "<c>"),
+        ("<x>", ""), ("<y>", "<x>"),
+        ("<orphan>", "<gone>"),
+    ]
+    df = spark.createDataFrame(rows, "message_id string, in_reply_to string")
+    out = {r["message_id"]: r["thread_id"]
+           for r in assign_threads(df, max_hops=3).collect()}
+    assert out["<a>"] == out["<b>"] == out["<c>"] == out["<d>"] == "<a>"
+    assert out["<x>"] == out["<y>"] == "<x>"
+    assert out["<orphan>"] == "<gone>"  # parent pruned from the corpus
