@@ -57,6 +57,9 @@ def find_exif_block(jpeg: bytes) -> bytes | None:
         if jpeg[pos] != 0xFF:
             return None  # marker desync: treat as no EXIF
         marker = jpeg[pos + 1]
+        if marker == 0xFF:  # legal fill byte before a marker (T.81 B.1.1.2)
+            pos += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
@@ -69,6 +72,18 @@ def find_exif_block(jpeg: bytes) -> bytes | None:
             return jpeg[pos + 10 : pos + 2 + seg_len]
         pos += 2 + seg_len
     return None
+
+
+def _ifd_pointer(entry) -> int | None:
+    """A sub-IFD pointer must be an integer type (LONG/SHORT/LONG8);
+    a hostile RATIONAL declaration yields floats that would TypeError
+    inside struct — malformed data → ValueError per-row."""
+    if entry is None or not entry[1]:
+        return None
+    v = entry[1][0]
+    if not isinstance(v, int):
+        raise ValueError("exif: IFD pointer declared as a non-integer type")
+    return v
 
 
 def _parse_tiff_exif(block: bytes) -> dict:
@@ -84,16 +99,16 @@ def _parse_tiff_exif(block: bytes) -> dict:
             out[key] = _ascii(vals)
         elif vals:
             out[key] = vals[0]
-    exif_ptr = e.get(0x8769)
-    if exif_ptr and exif_ptr[1]:
-        sub, _ = rawtiff._read_ifd_at(block, bo, exif_ptr[1][0], big)
+    exif_ptr = _ifd_pointer(e.get(0x8769))
+    if exif_ptr is not None:
+        sub, _ = rawtiff._read_ifd_at(block, bo, exif_ptr, big)
         dto = sub.get(0x9003)
         if dto is not None and dto[0] == 2:
             out["datetime_original"] = _ascii(dto[1])
-    gps_ptr = e.get(0x8825)
+    gps_ptr = _ifd_pointer(e.get(0x8825))
     out["has_gps"] = False
-    if gps_ptr and gps_ptr[1]:
-        gps, _ = rawtiff._read_ifd_at(block, bo, gps_ptr[1][0], big)
+    if gps_ptr is not None:
+        gps, _ = rawtiff._read_ifd_at(block, bo, gps_ptr, big)
         lat, lon = gps.get(0x0002), gps.get(0x0004)
         lat_ref, lon_ref = gps.get(0x0001), gps.get(0x0003)
         if lat and lon and len(lat[1]) == 3 and len(lon[1]) == 3:

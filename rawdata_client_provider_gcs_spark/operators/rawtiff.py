@@ -269,7 +269,7 @@ def _packbits_encode(data: bytes) -> bytes:
 # ------------------------------------------------------------- IFD read
 
 
-def _read_ifd(payload: bytes, bo: str) -> dict[int, tuple[int, list[int]]]:
+def _read_ifd(payload: bytes) -> dict[int, tuple[int, list[int]]]:
     """Parse the first IFD into {tag: (type, values)} (offsets resolved)."""
     bo, big, ifd_off = _header(payload)
     return _read_ifd_at(payload, bo, ifd_off, big)[0]
@@ -345,14 +345,21 @@ def _tag(entries, tag: int, default=None):
 
 def _tag1(entries, tag: int, default: int) -> int:
     """First value of a scalar tag.  A hostile IFD can carry a valid
-    entry with count 0 (bit-flip fuzz finds this); an empty value list
-    is malformed data → ValueError, not IndexError."""
+    entry with count 0 (bit-flip fuzz finds this) or declare an integer
+    tag as RATIONAL (floats since the EXIF change) — both are malformed
+    data → ValueError, never IndexError/TypeError downstream."""
     got = entries.get(tag)
     if got is None:
         return default
     if not got[1]:
         raise ValueError(f"malformed TIFF: tag {tag} has no values")
-    return got[1][0]
+    v = got[1][0]
+    if not isinstance(v, int):
+        raise ValueError(
+            f"malformed TIFF: tag {tag} declared rational where an "
+            "integer is required"
+        )
+    return v
 
 
 # --------------------------------------------------------------- decode
@@ -589,7 +596,7 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     if not sniff_tiff(payload):
         raise ValueError("not a TIFF payload")
     bo = "<" if payload[:2] == b"II" else ">"
-    return _decode_ifd(payload, bo, _read_ifd(payload, bo))
+    return _decode_ifd(payload, bo, _read_ifd(payload))
 
 
 def decode_tiff_pages(

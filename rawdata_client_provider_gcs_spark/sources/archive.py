@@ -516,17 +516,32 @@ def _gunzip_bounded(data: bytes, cap: int = MAX_ARCHIVE_BYTES) -> bytes:
                         f"archive: gzip wrapper inflates past the {cap}-byte "
                         "guard (bomb or corruption)"
                     )
-        except (OSError, EOFError) as exc:  # gzip's corrupt-stream classes
+        except (OSError, EOFError, zlib.error) as exc:
+            # gzip's corrupt-stream classes: BadGzipFile/EOFError for
+            # header/trailer damage, zlib.error for a corrupt deflate
+            # body — all per-row data, never job-killing
             raise ValueError(f"archive: corrupt gzip wrapper: {exc}")
     return bytes(out)
 
 
 def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
+    # transparent .tar.gz/.tgz (and .zip.gz): inflate bounded, then
+    # dispatch on the real container.  Nesting is bounded at TWO gzip
+    # layers — nobody double-gzips archives legitimately, and unbounded
+    # peeling would let a nested-gzip bomb recurse to RecursionError
+    # (which escapes the per-row ValueError capture)
+    suffix = ""
+    for _ in range(2):
+        if fmt == "auto" and data[:2] == b"\x1f\x8b":
+            data = _gunzip_bounded(data)
+            suffix += ".gz"
+        else:
+            break
     if fmt == "auto" and data[:2] == b"\x1f\x8b":
-        # transparent .tar.gz/.tgz (and .zip.gz): inflate bounded,
-        # then dispatch on the real container
-        inner_fmt, members = parse_archive(_gunzip_bounded(data), "auto")
-        return inner_fmt + ".gz", members
+        raise ValueError("archive: more than two nested gzip layers (bomb)")
+    if suffix:
+        inner_fmt, members = parse_archive(data, "auto")
+        return inner_fmt + suffix, members
     if fmt == "auto":
         sniffed = sniff_format(data)
         if sniffed is None:

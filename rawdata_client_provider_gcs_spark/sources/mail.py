@@ -62,8 +62,6 @@ def split_mbox(data: bytes) -> list[bytes]:
                 line = line[1:]  # undo one quoting level
             cur.append(line)
         prev_blank = line.strip() == b""
-        if prev_blank and not cur:
-            prev_blank = True
     if cur:
         messages.append(b"".join(cur))
     return messages
@@ -191,8 +189,11 @@ def build_mbox(messages: list[dict]) -> bytes:
                 filename="a.bin",
             )
         raw = em.as_bytes()
+        # mboxrd quoting: ADD one '>' to any '>*From ' line, the exact
+        # inverse of split_mbox's one-level strip — quoting only bare
+        # 'From ' (mboxo) silently ate a '>' from pre-quoted body lines
         body_quoted = b"\n".join(
-            (b">" + ln if ln.startswith(b"From ") else ln)
+            (b">" + ln if ln.lstrip(b">").startswith(b"From ") else ln)
             for ln in raw.split(b"\n")
         )
         out += b"From mbox@localhost Thu Jan  1 00:00:00 2020\n"
@@ -216,13 +217,20 @@ def assign_threads(messages: DataFrame, max_hops: int = 16) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    # duplicate Message-IDs (cross-posts, re-crawls) must not multiply
+    # through the iterated self-joins: the pointer table is keyed on a
+    # UNIQUE id set; the final join fans the thread_id back out to every
+    # duplicate message row.  In-Reply-To cycles (corrupt headers) are
+    # bounded by max_hops: a 2-cycle stabilizes with each message
+    # rooting at itself; longer cycles land on a deterministic-for-
+    # fixed-hops root — split threads for corrupt data, never a hang.
     cur = messages.select(
         "message_id",
         F.when(
             (F.col("in_reply_to").isNull()) | (F.col("in_reply_to") == ""),
             F.col("message_id"),
         ).otherwise(F.col("in_reply_to")).alias("root"),
-    ).filter(F.col("message_id") != "")
+    ).filter(F.col("message_id") != "").dropDuplicates(["message_id"])
     for _ in range(max_hops):
         parent = cur.select(
             F.col("message_id").alias("p_id"), F.col("root").alias("p_root")

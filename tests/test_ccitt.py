@@ -268,5 +268,5 @@ def test_jdk_t4_really_uses_2d(jdk_tool):
     """Guard the cross-check's coverage claim: the JDK's T.4 writer
     sets T4Options bit 0, so test_we_read_jdk exercises the 2D G3 path."""
     blob = _jdk_encode(jdk_tool, _shapes()["bars"], "CCITT T.4")
-    e = rawtiff._read_ifd(blob, "<" if blob[:2] == b"II" else ">")
+    e = rawtiff._read_ifd(blob)
     assert e[292][1][0] & 1

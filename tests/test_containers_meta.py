@@ -355,3 +355,67 @@ def test_exif_hostile_lands_on_value_error():
             E.exif_meta(bytes(blob))
         except ValueError:
             pass
+
+
+def test_review_r9_final_fixes():
+    """Fourth-review regressions: nested-gzip bound, zlib.error capture,
+    mboxrd quoting symmetry, rational IFD pointers, JPEG fill bytes."""
+    import gzip
+    import struct
+
+    from rawdata_client_provider_gcs_spark.operators import rawexif as E
+    from rawdata_client_provider_gcs_spark.sources import archive as A
+    from rawdata_client_provider_gcs_spark.sources import mail as ML
+
+    deep = A.build_tar([("a", b"x")])
+    for _ in range(50):
+        deep = gzip.compress(deep)
+    with pytest.raises(ValueError, match="nested gzip"):
+        A.parse_archive(deep)
+    fmt, ms = A.parse_archive(gzip.compress(gzip.compress(A.build_tar([("a", b"x")]))))
+    assert fmt == "tar.gz.gz" and len(ms) == 1
+
+    blob = bytearray(gzip.compress(b"payload" * 100))
+    blob[18] ^= 0xFF
+    with pytest.raises(ValueError, match="gzip"):
+        A.parse_archive(bytes(blob))
+
+    msgs = [{"sender": "a@x", "subject": "s", "message_id": "<1@x>",
+             "body": "keep\n>From quoted line stays\nend"}]
+    out = ML.parse_mailbox(ML.build_mbox(msgs))
+    assert ">From quoted line stays" in out[0]["body"]
+
+    j = bytearray(E.build_exif_jpeg(gps=(1.5, 2.25)))
+    idx = bytes(j).find(struct.pack("<HH", 0x8825, 4))
+    j[idx + 2 : idx + 4] = struct.pack("<H", 5)  # pointer declared RATIONAL
+    with pytest.raises(ValueError, match="non-integer"):
+        E.exif_meta(bytes(j))
+
+    good = E.build_exif_jpeg(orientation=3)
+    assert E.exif_meta(good[:2] + b"\xff\xff\xff" + good[2:])["orientation"] == 3
+
+
+def test_assign_threads_duplicate_message_ids(spark):
+    """Cross-posted/re-crawled duplicate Message-IDs must not multiply
+    rows through the pointer-jumping self-joins."""
+    from rawdata_client_provider_gcs_spark.sources.mail import assign_threads
+
+    rows = [("<a>", ""), ("<a>", ""), ("<b>", "<a>"), ("<b>", "<a>")]
+    df = spark.createDataFrame(rows, "message_id string, in_reply_to string")
+    out = assign_threads(df, max_hops=3).collect()
+    assert len(out) == 4  # one thread_id per original row, no blowup
+    assert all(r["thread_id"] == "<a>" for r in out)
+
+
+def test_assign_threads_cycles_terminate(spark):
+    from rawdata_client_provider_gcs_spark.sources.mail import assign_threads
+
+    rows = [("<a>", "<b>"), ("<b>", "<a>"), ("<c>", "<d>"),
+            ("<d>", "<e>"), ("<e>", "<c>")]
+    df = spark.createDataFrame(rows, "message_id string, in_reply_to string")
+    out = {r["message_id"]: r["thread_id"]
+           for r in assign_threads(df, max_hops=4).collect()}
+    # 2-cycle stabilizes with each message rooting at itself
+    assert out["<a>"] == "<a>" and out["<b>"] == "<b>"
+    # longer cycles terminate with SOME root (corrupt data, bounded)
+    assert all(out[k] in ("<c>", "<d>", "<e>") for k in ("<c>", "<d>", "<e>"))
