@@ -27,7 +27,14 @@ Decode kernels resolve in this order:
 5. ``video/*`` in an uncompressed RIFF/AVI container (raw BI_RGB
    frames) — real container parse + frame sampling via ``rawavi``;
    compressed video codecs remain at the loud boundary below.
-6. Otherwise STUBBED: raise ``NotImplementedError`` unless ``fake=True``
+6. Recognized compressed containers — MPEG audio (``rawmp3``), Ogg
+   Vorbis/Opus (``rawogg``), MP4/ISO-BMFF (``rawmp4``), Matroska/WebM
+   (``rawwebm``) — carry a METADATA tier (duration, codec, layout,
+   tags) but no payload decode: rows land per-row as
+   ``UnsupportedCodecError`` (the compressed-AVI discipline), never
+   killing the job, and garbage under these mimes reads as per-row
+   corruption (``MediaDecodeError``).
+7. Otherwise STUBBED: raise ``NotImplementedError`` unless ``fake=True``
    asks for the deterministic fake (byte-histogram features), keeping the
    Spark-side plumbing — schema, batching, partitioning — real and tested
    in containers without media libraries (like this one).
