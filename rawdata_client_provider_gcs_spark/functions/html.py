@@ -49,13 +49,13 @@ _ENTITIES = [
 #: restate the identical chain (``plans.llm._sql_entity_chain`` derives
 #: the SQL from these tables).
 _NUMERIC_REFS = [
-    ("(?i)&#(8216|x2018);", "‘"),
-    ("(?i)&#(8217|x2019);", "’"),
-    ("(?i)&#(8220|x201c);", "“"),
-    ("(?i)&#(8221|x201d);", "”"),
-    ("(?i)&#(8211|x2013);", "–"),
-    ("(?i)&#(8212|x2014);", "—"),
-    ("(?i)&#(8230|x2026);", "…"),
+    ("(?i)&#(0*8216|x0*2018);", "‘"),
+    ("(?i)&#(0*8217|x0*2019);", "’"),
+    ("(?i)&#(0*8220|x0*201c);", "“"),
+    ("(?i)&#(0*8221|x0*201d);", "”"),
+    ("(?i)&#(0*8211|x0*2013);", "–"),
+    ("(?i)&#(0*8212|x0*2014);", "—"),
+    ("(?i)&#(0*8230|x0*2026);", "…"),
     ("(?i)&#(0*160|x0*a0);", " "),
     ("(?i)&#(0*34|x0*22);", '"'),
     ("(?i)&#(0*39|x0*27);", "'"),

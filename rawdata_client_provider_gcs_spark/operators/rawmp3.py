@@ -182,8 +182,11 @@ def parse_mp3(data: bytes) -> dict:
             junk += 1
             if junk > MAX_RESYNC_BYTES:
                 break
-            if n_frames:
-                resyncs += 1 if junk == 1 else 0
+            if junk == 1:
+                # a junk run begins: count the resync whether it sits
+                # before the first confirmed frame (corrupt head) or
+                # between frames — 'resyncs' reports every recovery
+                resyncs += 1
             pos += 1
             continue
         if first is None:
@@ -200,6 +203,8 @@ def parse_mp3(data: bytes) -> dict:
                 junk += 1
                 if junk > MAX_RESYNC_BYTES:
                     break
+                if junk == 1:
+                    resyncs += 1
                 pos += 1
                 continue
             first = hdr

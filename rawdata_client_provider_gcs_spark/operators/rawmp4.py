@@ -101,10 +101,15 @@ def parse_mp4(data: bytes) -> dict:
                 meta["tracks"].append(t)
                 walk(body, box_end, depth + 1, t)
             elif fourcc == b"tkhd" and track is not None:
-                if box_end - body < 32:
+                # full version-dependent body (ver/flags + fields +
+                # matrix + width/height): 84 bytes for v0, 96 for v1 —
+                # a short-but-parseable tkhd must not yield in-bounds
+                # garbage dimensions read off box_end
+                ver = data[body] if box_end - body >= 1 else None
+                if ver not in (0, 1):
+                    raise ValueError(f"mp4: tkhd unknown version {ver!r}")
+                if box_end - body < (96 if ver == 1 else 84):
                     raise ValueError("mp4: tkhd box shorter than its fields")
-                ver = data[body]
-                off = body + (32 if ver == 1 else 20)
                 track["track_id"] = int.from_bytes(
                     data[body + (20 if ver == 1 else 12) : body
                          + (24 if ver == 1 else 16)], "big"

@@ -319,8 +319,9 @@ def build_ogg(
     out = bytearray()
     out += _page(serial, 0, 0, [ident], 0x02)  # BOS
     out += _page(serial, 1, 0, [tag], 0)
-    # audio pages with filler packets; granules advance to the total
-    gran_rate = 48000 if codec == "opus" else sample_rate
+    # audio pages with filler packets; granules advance to the total.
+    # total_samples is already in granule units (48 kHz ticks for opus,
+    # sample_rate ticks for vorbis) — no rate conversion happens here.
     total_gran = total_samples + (pre_skip if codec == "opus" else 0)
     for i in range(n_audio_pages):
         gran = total_gran * (i + 1) // n_audio_pages

@@ -211,9 +211,14 @@ def assign_threads(messages: DataFrame, max_hops: int = 16) -> DataFrame:
     resolved chain depth, so ``max_hops`` iterations cover threads
     2^max_hops deep — id-only shuffles, no collect, the connected-
     components shape bounded by real thread depth (mailing-list threads
-    are shallow; 16 hops covers depth 65k).  Replies whose parent is
+    are shallow; 16 hops covers depth 65k).  Lineage is checkpointed
+    every three hops and the loop exits at the first unchanged block,
+    so the default depth budget costs shallow corpora two blocks.  Replies whose parent is
     missing from the corpus (pruned or crawled partially) root at the
-    deepest reachable ancestor rather than erroring.
+    nearest missing ancestor's Message-ID rather than erroring: the
+    pointer chain stops at the first ID with no corpus row, so every
+    orphan sibling of that hole still lands in one thread, keyed by an
+    ID that has no message row of its own.
     """
     from pyspark.sql import functions as F
 
@@ -231,20 +236,44 @@ def assign_threads(messages: DataFrame, max_hops: int = 16) -> DataFrame:
             F.col("message_id"),
         ).otherwise(F.col("in_reply_to")).alias("root"),
     ).filter(F.col("message_id") != "").dropDuplicates(["message_id"])
-    for _ in range(max_hops):
-        parent = cur.select(
-            F.col("message_id").alias("p_id"), F.col("root").alias("p_root")
-        )
-        nxt = (
-            cur.join(parent, cur["root"] == parent["p_id"], "left")
-            .select(
-                "message_id",
-                F.coalesce("p_root", "root").alias("root"),
+    # each self-join DOUBLES the logical plan, so uncheckpointed hops grow
+    # the analyzer's work 2^max_hops — localCheckpoint every block of 3
+    # truncates lineage (same convention as dedup components), and the
+    # per-block fixed-point probe (an id-only limit(1) anti-compare, cheap
+    # against the just-materialized checkpoints) exits as soon as a block
+    # changed nothing, so shallow real threads stop after one block
+    cur = cur.localCheckpoint(eager=True)
+    hop = 0
+    while hop < max_hops:
+        block = min(3, max_hops - hop)
+        prev = cur
+        for _ in range(block):
+            parent = cur.select(
+                F.col("message_id").alias("p_id"),
+                F.col("root").alias("p_root"),
             )
+            cur = (
+                cur.join(parent, cur["root"] == parent["p_id"], "left")
+                .select(
+                    "message_id",
+                    F.coalesce("p_root", "root").alias("root"),
+                )
+            )
+        cur = cur.localCheckpoint(eager=True)
+        hop += block
+        changed = (
+            cur.join(
+                prev.select(
+                    "message_id", F.col("root").alias("prev_root")
+                ),
+                "message_id",
+            )
+            .filter(F.col("root") != F.col("prev_root"))
+            .limit(1)
+            .count()
         )
-        # fixed point when no root changed; checking every round would
-        # add an action per hop — bounded hops make it unnecessary
-        cur = nxt
+        if changed == 0:
+            break
     return messages.join(
         cur.withColumnRenamed("root", "thread_id"), "message_id", "left"
     )

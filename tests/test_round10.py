@@ -1,0 +1,102 @@
+"""Round-10 regression tests for the round-9 ADVICE findings:
+zero-padded numeric character references, hostile-tkhd validation,
+MP3 leading-junk resync accounting, orphan-reply thread semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- html
+
+
+def test_html_zero_padded_numeric_refs(spark):
+    """`0*` applies uniformly across the table — zero-padded forms of
+    the non-ASCII entries (curly quotes, dashes, ellipsis) decode the
+    same as their canonical spellings (ADVICE r9, functions/html.py)."""
+    from rawdata_client_provider_gcs_spark.functions import html as H
+
+    page = (
+        "<p>&#08216;a&#08217; &#x02018;b&#x02019;</p>"
+        "<p>&#08220;c&#08221; &#008211; &#x002014; &#08230;</p>"
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, page string")
+    out = df.select(H.html_visible_text(F.col("page")).alias("v")).collect()
+    assert out[0]["v"] == "‘a’ ‘b’ “c” – — …"
+
+
+# ----------------------------------------------------------------- mp4
+
+
+def test_mp4_tkhd_short_box_raises():
+    """A tkhd >=32 bytes but shorter than its full version-dependent
+    body (84 v0 / 96 v1) must raise, not read garbage width/height off
+    box_end (ADVICE r9, rawmp4.py)."""
+    from rawdata_client_provider_gcs_spark.operators import rawmp4 as M
+
+    base = M.build_mp4()
+    meta = M.parse_mp4(base)
+    assert meta["tracks"] and meta["tracks"][0]["width"] > 0
+
+    def boxes(fields: bytes) -> bytes:
+        tkhd = (len(fields) + 8).to_bytes(4, "big") + b"tkhd" + fields
+        trak = (len(tkhd) + 8).to_bytes(4, "big") + b"trak" + tkhd
+        mvhd_body = bytes([0, 0, 0, 0]) + b"\x00" * 8 + (1000).to_bytes(
+            4, "big"
+        ) + (1000).to_bytes(4, "big") + b"\x00" * 80
+        mvhd = (len(mvhd_body) + 8).to_bytes(4, "big") + b"mvhd" + mvhd_body
+        moov = (len(mvhd) + len(trak) + 8).to_bytes(4, "big") + b"moov" + mvhd + trak
+        ftyp = (16).to_bytes(4, "big") + b"ftypisom" + b"\x00\x00\x00\x00"
+        return ftyp + moov
+
+    # version 0, 40-byte body: >=32 but < 84 — previously yielded
+    # in-bounds garbage dimensions, now a clean ValueError
+    with pytest.raises(ValueError, match="tkhd"):
+        M.parse_mp4(boxes(bytes([0, 0, 0, 0]) + b"\x00" * 36))
+    # version 1 body sized for version 0 (84 < 96)
+    with pytest.raises(ValueError, match="tkhd"):
+        M.parse_mp4(boxes(bytes([1, 0, 0, 0]) + b"\x00" * 80))
+    # unknown version byte must not silently use v0 offsets
+    with pytest.raises(ValueError, match="tkhd"):
+        M.parse_mp4(boxes(bytes([7, 0, 0, 0]) + b"\x00" * 92))
+
+
+# ----------------------------------------------------------------- mp3
+
+
+def test_mp3_leading_junk_counts_as_resync():
+    """Junk before the FIRST confirmed frame is a resync event too —
+    the walk recovered from a corrupt head (ADVICE r9, rawmp3.py)."""
+    from rawdata_client_provider_gcs_spark.operators import rawmp3 as P
+
+    clean = P.build_mp3(n_frames=4)
+    assert P.parse_mp3(clean)["resyncs"] == 0
+    dirty = b"\x00\x13garbage-head\x37" + clean
+    m = P.parse_mp3(dirty)
+    assert m["n_frames"] == 4
+    assert m["resyncs"] >= 1
+
+
+# ---------------------------------------------------------------- mail
+
+
+def test_orphan_replies_root_at_missing_ancestor_id(spark):
+    """Replies to a pruned parent all land in ONE thread keyed by the
+    missing parent's Message-ID (documented semantics after ADVICE r9
+    reword, sources/mail.py assign_threads)."""
+    from rawdata_client_provider_gcs_spark.sources import mail as ML
+
+    rows = [
+        ("<a@x>", "<gone@x>"),   # parent not in corpus
+        ("<b@x>", "<a@x>"),      # grandchild of the hole
+        ("<c@x>", "<gone@x>"),   # sibling orphan
+        ("<d@x>", None),          # a real root
+    ]
+    df = spark.createDataFrame(rows, "message_id string, in_reply_to string")
+    out = {
+        r["message_id"]: r["thread_id"]
+        for r in ML.assign_threads(df).collect()
+    }
+    assert out["<a@x>"] == out["<b@x>"] == out["<c@x>"] == "<gone@x>"
+    assert out["<d@x>"] == "<d@x>"
