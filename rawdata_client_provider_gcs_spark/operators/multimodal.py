@@ -122,6 +122,19 @@ MP4_MIMES = frozenset({"video/mp4", "audio/mp4", "video/quicktime"})
 WEBM_MIMES = frozenset(
     {"video/webm", "audio/webm", "video/x-matroska", "audio/x-matroska"}
 )
+#: HEIF-family still images (rawheif): recognized container,
+#: metadata-only tier — AV1/HEVC pixel decode is the per-row
+#: UnsupportedCodecError boundary
+HEIF_MIMES = frozenset(
+    {
+        "image/avif",
+        "image/avif-sequence",
+        "image/heic",
+        "image/heic-sequence",
+        "image/heif",
+        "image/heif-sequence",
+    }
+)
 
 
 class MediaDecodeError(ValueError):
@@ -196,7 +209,21 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
         total = sum(hist) or 1.0
         return [v / total for v in hist]
     if mime.startswith("image/"):
-        Image = _pil_image()
+        from . import rawheif  # noqa: PLC0415
+
+        is_heif = rawheif.sniff_heif(payload)
+        if is_heif:
+            # HEIF/AVIF: container metadata is exact (rawheif.parse_heif);
+            # AV1/HEVC pixel decode is the documented per-row boundary —
+            # handled BEFORE the pillow probe so classification does not
+            # depend on which plugins the executors' pillow happens to have
+            if not fake:
+                rawheif.decode_heif_pixels(payload)
+        elif mime in HEIF_MIMES:
+            raise MediaDecodeError(
+                f"payload does not decode as declared mime {mime}"
+            )
+        Image = None if is_heif else _pil_image()
         if Image is not None:
             import io
 
@@ -363,7 +390,22 @@ def resize_images(
         Image = None if raw_only else _pil_image()
 
         def one(payload: bytes, mime: str) -> bytes:
-            if Image is not None and mime.startswith("image/"):
+            is_heif = False
+            if mime.startswith("image/"):
+                from . import rawheif  # noqa: PLC0415
+
+                is_heif = rawheif.sniff_heif(payload)
+                if is_heif:
+                    if not fake:
+                        # per-row boundary; with fake=True fall through
+                        # to the deterministic stub below (container
+                        # magic wins over the declared mime, same as AU)
+                        rawheif.decode_heif_pixels(payload)
+                elif mime in HEIF_MIMES:
+                    raise MediaDecodeError(
+                        f"payload does not decode as declared mime {mime}"
+                    )
+            if Image is not None and mime.startswith("image/") and not is_heif:
                 with Image.open(io.BytesIO(payload)) as img:
                     thumb = img.resize((width, height))
                     buf = io.BytesIO()
@@ -490,6 +532,15 @@ def sample_frames(
                     t += delay
                 return out
 
+            if mime.startswith("image/"):
+                from . import rawheif  # noqa: PLC0415
+
+                if rawheif.sniff_heif(payload):
+                    # HEIF/AVIF (incl. avis/msf1 image sequences):
+                    # AV1/HEVC frame decode is the per-row boundary
+                    if not fake:
+                        rawheif.decode_heif_pixels(payload)
+                    return fake_frames(payload)
             if mime.startswith("image/") and payload[:6] in (
                 b"GIF87a",
                 b"GIF89a",
@@ -541,6 +592,7 @@ def sample_frames(
                 or mime in OGG_AUDIO_MIMES
                 or mime in MP4_MIMES
                 or mime in WEBM_MIMES
+                or mime in HEIF_MIMES
                 or mime in (
                     "image/gif",
                     "image/webp",

@@ -4477,6 +4477,99 @@ def q_multimodal_webm_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_heif_meta",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END AS format,
+       CASE WHEN doc_id % 2 = 0 THEN 'av01' ELSE 'hvc1' END AS codec,
+       CAST(200 + 8 * (doc_id % 25) AS BIGINT) AS width,
+       CAST(150 + 6 * (doc_id % 20) AS BIGINT) AS height,
+       CAST(90 * (doc_id % 4) AS BIGINT) AS rotation_deg,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 10 ELSE 8 END AS BIGINT)
+         AS bit_depth,
+       doc_id % 3 = 0 AS has_alpha,
+       doc_id % 5 = 0 AS has_exif,
+       doc_id % 7 = 0 AS has_thumbnail,
+       CAST(1 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_items,
+       CAST(64 AS BIGINT) AS primary_size
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "image", "heif", "avif", "pandas-udf"),
+)
+def q_multimodal_heif_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """HEIF/AVIF still-image container metadata, oracle-exact — the
+    item-based ``meta`` box walk (pitm/iinf/ipco/ipma/iref/iloc,
+    versions 0 and 1, 7- and 15-bit property associations), primary
+    dimensions, rotation, bit depth, alpha/Exif/thumbnail presence
+    (:mod:`..operators.rawheif`); AV1/HEVC pixel decode stays the
+    documented loud boundary.  ``doc_id % 6 == 0`` uses version-1
+    (32-bit item-id) boxes and ``doc_id % 9 == 0`` the wide 15-bit
+    association form — both shape-only; all columns closed-form in
+    doc_id.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawheif
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                payloads.append(
+                    rawheif.build_heif(
+                        fmt="avif" if did % 2 == 0 else "heic",
+                        width=200 + 8 * (did % 25),
+                        height=150 + 6 * (did % 20),
+                        bit_depth=10 if did % 3 == 0 else 8,
+                        rotation=90 * (did % 4),
+                        alpha=did % 3 == 0,
+                        exif=did % 5 == 0,
+                        thumbnail=did % 7 == 0,
+                        v1_boxes=did % 6 == 0,
+                        wide_ipma=did % 9 == 0,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "heif": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, heif binary")
+
+    def meta(batches):
+        import pandas as pd
+
+        from ..operators import rawheif
+
+        cols = ("doc_id", "format", "codec", "width", "height",
+                "rotation_deg", "bit_depth", "has_alpha", "has_exif",
+                "has_thumbnail", "n_items", "primary_size")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf["heif"]):
+                m = rawheif.parse_heif(bytes(payload))
+                rows["doc_id"].append(int(did))
+                for k in cols[1:]:
+                    rows[k].append(m[k])
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        meta,
+        "doc_id long, format string, codec string, width long, "
+        "height long, rotation_deg long, bit_depth long, "
+        "has_alpha boolean, has_exif boolean, has_thumbnail boolean, "
+        "n_items long, primary_size long",
+    )
+
+
+@register(
     "q_multimodal_exif",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -716,17 +716,22 @@ def q_stream_pdf_ingest(spark: SparkSession, sf: str) -> DataFrame:
     "q_stream_media_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE CAST(doc_id % 4 AS INTEGER)
+       CASE CAST(doc_id % 5 AS INTEGER)
          WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
-         WHEN 2 THEN 'mp4' ELSE 'webm' END AS kind,
-       CAST(CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 2 THEN 'mp4' WHEN 3 THEN 'webm'
+         ELSE CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END
+       END AS kind,
+       CAST(CASE CAST(doc_id % 5 AS INTEGER)
          WHEN 0 THEN (5 + doc_id % 20) * 1152 * 1000 // 44100
          WHEN 1 THEN 1000 * (1 + doc_id % 3)
          WHEN 2 THEN 600 + doc_id % 1000
-         ELSE 700 + doc_id % 900 END AS BIGINT) AS duration_ms,
-       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 3 THEN 700 + doc_id % 900
+         ELSE 0 END AS BIGINT) AS duration_ms,
+       CASE CAST(doc_id % 5 AS INTEGER)
          WHEN 0 THEN 'MPEG1/L3' WHEN 1 THEN 'vorbis'
-         WHEN 2 THEN 'avc1' ELSE 'V_VP9' END AS codec
+         WHEN 2 THEN 'avc1' WHEN 3 THEN 'V_VP9'
+         ELSE CASE WHEN doc_id % 2 = 0 THEN 'av01' ELSE 'hvc1' END
+       END AS codec
 FROM documents WHERE doc_id < 200
 """,
     tags=("streaming", "multimodal", "audio", "video"),
@@ -753,13 +758,13 @@ def q_stream_media_meta(spark: SparkSession, sf: str) -> DataFrame:
     def make(batches):
         import pandas as pd
 
-        from ..operators import rawmp3, rawmp4, rawogg, rawwebm
+        from ..operators import rawheif, rawmp3, rawmp4, rawogg, rawwebm
 
         for pdf in batches:
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                v = did % 4
+                v = did % 5
                 if v == 0:
                     payloads.append(rawmp3.build_mp3(5 + did % 20))
                 elif v == 1:
@@ -773,22 +778,28 @@ def q_stream_media_meta(spark: SparkSession, sf: str) -> DataFrame:
                     payloads.append(
                         rawmp4.build_mp4(duration_ms=600 + did % 1000)
                     )
-                else:
+                elif v == 3:
                     payloads.append(
                         rawwebm.build_webm(duration_ms=700 + did % 900)
+                    )
+                else:
+                    payloads.append(
+                        rawheif.build_heif(
+                            fmt="avif" if did % 2 == 0 else "heic"
+                        )
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     stage = tempfile.mkdtemp(prefix="rawdata-media-stream-")
     files = d.mapInPandas(make, "doc_id long, payload binary")
-    files.withColumn("part", F.col("doc_id") % 4).repartition(
-        4, "part"
+    files.withColumn("part", F.col("doc_id") % 5).repartition(
+        5, "part"
     ).drop("part").write.mode("overwrite").parquet(stage)
 
     def meta(batches):
         import pandas as pd
 
-        from ..operators import rawmp3, rawmp4, rawogg, rawwebm
+        from ..operators import rawheif, rawmp3, rawmp4, rawogg, rawwebm
 
         def sniffed(b):
             if rawogg.sniff_ogg(b):
@@ -799,6 +810,11 @@ def q_stream_media_meta(spark: SparkSession, sf: str) -> DataFrame:
                 vids = [t for t in m["tracks"] if t.get("track_type") == 1]
                 return ("webm", m["duration_ms"],
                         vids[0]["codec_id"] if vids else "")
+            # HEIF before generic ISO-BMFF: both carry ftyp, the brand
+            # decides — rawmp4.sniff_mp4 would claim an avif otherwise
+            if rawheif.sniff_heif(b):
+                m = rawheif.parse_heif(b)
+                return m["format"], 0, m["codec"]
             if rawmp4.sniff_mp4(b):
                 m = rawmp4.parse_mp4(b)
                 vids = [t for t in m["tracks"] if t.get("handler") == "vide"]
