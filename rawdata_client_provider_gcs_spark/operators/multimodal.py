@@ -141,6 +141,12 @@ class MediaDecodeError(ValueError):
     """A payload failed to decode as its declared (supported) mime."""
 
 
+def _sniff_svg(payload: bytes) -> bool:
+    """An SVG document: ``<svg`` within the first KiB of text (after an
+    optional XML prologue/BOM) — bounded check, not a parse."""
+    return b"<svg" in payload[:1024].lower()
+
+
 def _catch_row(fn, *args):
     """Run one per-row decode: ``(result, None)`` or ``(None, "Exc: msg")``.
 
@@ -223,7 +229,22 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
             raise MediaDecodeError(
                 f"payload does not decode as declared mime {mime}"
             )
-        Image = None if is_heif else _pil_image()
+        is_svg = mime == "image/svg+xml"
+        if is_svg:
+            # SVG metadata/text is the Catalyst tier (functions.svg);
+            # RASTERIZATION needs a renderer — per-row boundary
+            if not _sniff_svg(payload):
+                raise MediaDecodeError(
+                    f"payload does not decode as declared mime {mime}"
+                )
+            if not fake:
+                from .rawavi import UnsupportedCodecError  # noqa: PLC0415
+
+                raise UnsupportedCodecError(
+                    "SVG rasterization is not implemented; metadata and "
+                    "text extract via functions.svg"
+                )
+        Image = None if (is_heif or is_svg) else _pil_image()
         if Image is not None:
             import io
 
@@ -390,11 +411,12 @@ def resize_images(
         Image = None if raw_only else _pil_image()
 
         def one(payload: bytes, mime: str) -> bytes:
-            is_heif = False
+            is_heif = is_svg = False
             if mime.startswith("image/"):
                 from . import rawheif  # noqa: PLC0415
 
                 is_heif = rawheif.sniff_heif(payload)
+                is_svg = mime == "image/svg+xml"
                 if is_heif:
                     if not fake:
                         # per-row boundary; with fake=True fall through
@@ -405,7 +427,25 @@ def resize_images(
                     raise MediaDecodeError(
                         f"payload does not decode as declared mime {mime}"
                     )
-            if Image is not None and mime.startswith("image/") and not is_heif:
+                elif is_svg:
+                    if not _sniff_svg(payload):
+                        raise MediaDecodeError(
+                            f"payload does not decode as declared mime {mime}"
+                        )
+                    if not fake:
+                        from .rawavi import (  # noqa: PLC0415
+                            UnsupportedCodecError,
+                        )
+
+                        raise UnsupportedCodecError(
+                            "SVG rasterization is not implemented; "
+                            "metadata and text extract via functions.svg"
+                        )
+            if (
+                Image is not None
+                and mime.startswith("image/")
+                and not (is_heif or is_svg)
+            ):
                 with Image.open(io.BytesIO(payload)) as img:
                     thumb = img.resize((width, height))
                     buf = io.BytesIO()
@@ -541,6 +581,17 @@ def sample_frames(
                     if not fake:
                         rawheif.decode_heif_pixels(payload)
                     return fake_frames(payload)
+                if mime == "image/svg+xml" and _sniff_svg(payload):
+                    if not fake:
+                        from .rawavi import (  # noqa: PLC0415
+                            UnsupportedCodecError,
+                        )
+
+                        raise UnsupportedCodecError(
+                            "SVG rasterization is not implemented; "
+                            "metadata and text extract via functions.svg"
+                        )
+                    return fake_frames(payload)
             if mime.startswith("image/") and payload[:6] in (
                 b"GIF87a",
                 b"GIF89a",
@@ -596,6 +647,7 @@ def sample_frames(
                 or mime in (
                     "image/gif",
                     "image/webp",
+                    "image/svg+xml",
                     "video/avi",
                     "video/x-msvideo",
                 )

@@ -3064,6 +3064,90 @@ def q_text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_svg_meta",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(200 + doc_id % 100 AS DOUBLE) AS width,
+       CAST(100 + doc_id % 50 AS DOUBLE) AS height,
+       CAST(1 + doc_id % 4 AS BIGINT) AS n_paths,
+       CAST(doc_id % 3 AS BIGINT) AS n_images,
+       CAST(doc_id % 2 AS BIGINT) AS n_uses,
+       doc_id % 7 = 0 AS has_script,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       'hello ' || CAST(doc_id AS VARCHAR) AS text_content
+FROM documents WHERE doc_id < 400
+""",
+    tags=("llm", "multimodal", "image", "svg", "text", "curation"),
+)
+def q_multimodal_svg_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """SVG curation metadata, oracle-exact — the web's vector image
+    format is XML text, so intrinsic dimensions (width/height
+    attribute else viewBox fallback), element census, embedded-raster
+    and script presence, title, and visible ``<text>`` content all
+    extract as pure Catalyst expressions (:mod:`..functions.svg`) —
+    codegen'd map-side scan work at 100 TB, zero Python.
+    Rasterization stays the multimodal tier's per-row boundary.
+
+    Shape coverage closed-form in doc_id: every third doc omits the
+    width/height attributes (viewBox fallback), every fifth carries
+    ``px`` units (numeric-prefix parse), single-quoted attributes on
+    every second, a tspan inside the text span, and ``doc_id % 7``
+    adds an inline ``<script>`` (the sanitization signal).
+    """
+    from ..functions import svg as S
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    did = F.col("doc_id").cast("string")
+    w = (200 + F.col("doc_id") % 100).cast("string")
+    h = (100 + F.col("doc_id") % 50).cast("string")
+    dims = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit(""))  # viewBox fallback
+        .when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(' width="'), w, F.lit('px" height="'), h, F.lit('px"')
+            ),
+        )
+        .when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit(" width='"), w, F.lit("' height='"), h, F.lit("'")),
+        )
+        .otherwise(
+            F.concat(F.lit(' width="'), w, F.lit('" height="'), h, F.lit('"'))
+        )
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<?xml version="1.0"?><svg xmlns="http://www.w3.org/2000/svg"'),
+            dims,
+            F.lit(' viewBox="0 0 '), w, F.lit(" "), h, F.lit('">'),
+            F.lit("<title>Doc "), did, F.lit("</title>"),
+            F.repeat(F.lit('<path d="M0 0L1 1"/>'),
+                     (1 + F.col("doc_id") % 4).cast("int")),
+            F.repeat(F.lit('<image href="i.png"/>'),
+                     (F.col("doc_id") % 3).cast("int")),
+            F.repeat(F.lit('<use href="#a"/>'),
+                     (F.col("doc_id") % 2).cast("int")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("<script>fetch('/x')</script>"),
+            ).otherwise(F.lit("")),
+            F.lit('<text x="1">hello <tspan>'), did,
+            F.lit("</tspan></text></svg>"),
+        ).alias("svg"),
+    )
+    return S.svg_meta(pages, "svg").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "width", "height",
+        F.col("n_paths").cast("long").alias("n_paths"),
+        F.col("n_images").cast("long").alias("n_images"),
+        F.col("n_uses").cast("long").alias("n_uses"),
+        "has_script", "title", "text_content",
+    )
+
+
+@register(
     "q_multimodal_video_rle8",
     oracle="""
 WITH f AS (
