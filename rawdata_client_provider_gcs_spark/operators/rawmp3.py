@@ -389,31 +389,42 @@ def id3_tags(data: bytes) -> dict:
     ver = data[3]
     flags = data[5]
     size = _syncsafe32(data, 6)
-    pos, end = 10, min(10 + size, len(data))
+    body = data[10 : min(10 + size, len(data))]
+    if flags & 0x80 and ver in (2, 3):
+        # v2.2/2.3 unsynchronisation applies to the WHOLE tag body:
+        # every 0xFF 0x00 pair was an escaped 0xFF — reverse it before
+        # the frame walk (sizes in the header count the escaped form)
+        body = body.replace(b"\xff\x00", b"\xff")
+    pos, end = 0, len(body)
     v2: dict = {}
     if ver in (3, 4) and flags & 0x40 and pos + 4 <= end:
-        ext = int.from_bytes(data[pos : pos + 4], "big")
+        ext = int.from_bytes(body[pos : pos + 4], "big")
         if ver == 4:  # syncsafe, includes its own four bytes
-            pos += _syncsafe32(data, pos)
+            pos += _syncsafe32(body, pos)
         else:  # v2.3: size excludes the size field
             pos += 4 + ext
     hdr_len, id_len = (6, 3) if ver == 2 else (10, 4)
     while pos + hdr_len <= end:
-        fid = data[pos : pos + id_len]
+        fid = body[pos : pos + id_len]
         if fid.rstrip(b"\x00") == b"":
             break  # padding
         if ver == 2:
-            fsize = int.from_bytes(data[pos + 3 : pos + 6], "big")
+            fsize = int.from_bytes(body[pos + 3 : pos + 6], "big")
         elif ver == 4:  # syncsafe frame sizes
-            fsize = _syncsafe32(data, pos + 4)
+            fsize = _syncsafe32(body, pos + 4)
         else:
-            fsize = int.from_bytes(data[pos + 4 : pos + 8], "big")
+            fsize = int.from_bytes(body[pos + 4 : pos + 8], "big")
         body_start = pos + hdr_len
         if fsize < 0 or body_start + fsize > end:
             break  # lying size: keep what we have
         key = _V2_TEXT_IDS.get(fid)
         if key is not None:
-            v2[key] = _decode_text_frame(data[body_start : body_start + fsize])
+            fbody = body[body_start : body_start + fsize]
+            if ver == 4 and hdr_len == 10 and body[pos + 9] & 0x02:
+                # v2.4 moved unsynchronisation to a PER-FRAME format
+                # flag; the frame's syncsafe size counts escaped bytes
+                fbody = fbody.replace(b"\xff\x00", b"\xff")
+            v2[key] = _decode_text_frame(fbody)
         pos = body_start + fsize
     if v2:
         v2["source"] = "id3v2.%d" % ver
@@ -421,20 +432,49 @@ def id3_tags(data: bytes) -> dict:
     return out
 
 
-def build_id3v2(tags: dict, *, version: int = 3, padding: int = 32) -> bytes:
-    """Fixture writer: an ID3v2.3/2.4 header with UTF-8-ish text frames."""
-    name_by_key = {"title": b"TIT2", "artist": b"TPE1", "album": b"TALB",
-                   "year": b"TYER" if version == 3 else b"TDRC",
-                   "track": b"TRCK", "genre": b"TCON"}
+def build_id3v2(
+    tags: dict,
+    *,
+    version: int = 3,
+    padding: int = 32,
+    encoding: int = 3,
+    unsync: bool = False,
+) -> bytes:
+    """Fixture writer: an ID3v2.2/2.3/2.4 header with text frames.
+
+    ``encoding`` is the ID3 text-encoding byte (0 latin-1, 1 utf-16
+    with BOM, 3 utf-8; v2.2 predates utf-8 so it clamps to 0/1).
+    ``unsync=True`` applies unsynchronisation — whole-tag for
+    v2.2/2.3 (header flag 0x80), per-frame for v2.4 (format flag
+    0x02) — escaping EVERY 0xFF as 0xFF 0x00 (always lossless; the
+    spec mandates escaping only some successors but permits all)."""
+    if version == 2:
+        name_by_key = {"title": b"TT2", "artist": b"TP1", "album": b"TAL",
+                       "year": b"TYE", "track": b"TRK", "genre": b"TCO"}
+        encoding = min(encoding, 1)
+    else:
+        name_by_key = {"title": b"TIT2", "artist": b"TPE1", "album": b"TALB",
+                       "year": b"TYER" if version == 3 else b"TDRC",
+                       "track": b"TRCK", "genre": b"TCON"}
+    codec = {0: "latin-1", 1: "utf-16", 3: "utf-8"}[encoding]
     frames = bytearray()
     for key, val in tags.items():
         fid = name_by_key[key]
-        body = bytes([3]) + str(val).encode("utf-8")
-        sz = (
-            _to_syncsafe(len(body)) if version == 4
-            else len(body).to_bytes(4, "big")
-        )
-        frames += fid + sz + b"\x00\x00" + body
-    total = len(frames) + padding
-    hdr = b"ID3" + bytes([version, 0, 0]) + _to_syncsafe(total)
-    return hdr + bytes(frames) + b"\x00" * padding
+        body = bytes([encoding]) + str(val).encode(codec)
+        if version == 2:
+            frames += fid + len(body).to_bytes(3, "big") + body
+        elif version == 4:
+            fflags = 0
+            if unsync:
+                body = body.replace(b"\xff", b"\xff\x00")
+                fflags = 0x02
+            frames += fid + _to_syncsafe(len(body)) + bytes([0, fflags]) + body
+        else:
+            frames += fid + len(body).to_bytes(4, "big") + b"\x00\x00" + body
+    frames += b"\x00" * padding
+    hdr_flags = 0
+    if unsync and version in (2, 3):
+        frames = bytearray(bytes(frames).replace(b"\xff", b"\xff\x00"))
+        hdr_flags = 0x80
+    hdr = b"ID3" + bytes([version, 0, hdr_flags]) + _to_syncsafe(len(frames))
+    return hdr + bytes(frames)

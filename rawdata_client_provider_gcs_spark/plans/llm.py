@@ -4144,6 +4144,73 @@ def q_multimodal_webp_lossy(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_id3_tags",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'Søng ' || CAST(doc_id AS VARCHAR) AS title,
+       'Ärtist ' || CAST(doc_id % 7 AS VARCHAR) AS artist,
+       'Album ' || CAST(doc_id % 11 AS VARCHAR) AS album,
+       CAST(1970 + doc_id % 55 AS VARCHAR) AS year,
+       'id3v2.' || CAST(CASE CAST(doc_id % 3 AS INTEGER)
+                          WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END AS VARCHAR)
+         AS source
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "audio", "mp3", "curation", "pandas-udf"),
+)
+def q_multimodal_id3_tags(spark: SparkSession, sf: str) -> DataFrame:
+    """ID3v2 tag text extraction, oracle-exact — the curation fields
+    (title/artist/album/year) a corpus pipeline reads off ``audio/
+    mpeg`` payloads (:func:`..operators.rawmp3.id3_tags`), across the
+    version × text-encoding × unsynchronisation matrix: ``doc_id % 3``
+    picks v2.2/2.3/2.4, ``doc_id % 3`` (clamped for v2.2) the
+    latin-1/utf-16/utf-8 encoding byte, and ``doc_id % 2 == 0``
+    applies unsynchronisation (whole-tag for 2.2/2.3, per-frame for
+    2.4) — the non-ASCII titles force escaped 0xFF bytes through the
+    utf-16 path.  All columns closed-form in doc_id.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from ..operators import rawmp3
+
+        for pdf in batches:
+            rows = {"doc_id": [], "title": [], "artist": [], "album": [],
+                    "year": [], "source": []}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                version = (2, 3, 4)[did % 3]
+                blob = rawmp3.build_id3v2(
+                    {
+                        "title": "Søng %d" % did,
+                        "artist": "Ärtist %d" % (did % 7),
+                        "album": "Album %d" % (did % 11),
+                        "year": str(1970 + did % 55),
+                    },
+                    version=version,
+                    encoding=(0, 1, 3)[did % 3],
+                    unsync=did % 2 == 0,
+                ) + rawmp3.build_mp3(3)
+                t = rawmp3.id3_tags(blob)
+                rows["doc_id"].append(did)
+                for k in ("title", "artist", "album", "year", "source"):
+                    rows[k].append(t.get(k, ""))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, title string, artist string, album string, "
+        "year string, source string",
+    )
+
+
+@register(
     "q_multimodal_mp3_meta",
     oracle="""
 WITH p AS (

@@ -100,3 +100,40 @@ def test_orphan_replies_root_at_missing_ancestor_id(spark):
     }
     assert out["<a@x>"] == out["<b@x>"] == out["<c@x>"] == "<gone@x>"
     assert out["<d@x>"] == "<d@x>"
+
+
+# ----------------------------------------------------------- id3 unsync
+
+
+def test_id3v2_unsynchronisation_all_versions():
+    """Round-10: the unsync flag (whole-tag v2.2/2.3, per-frame v2.4)
+    is reversed before the frame walk; utf-16 BOMs (0xFF 0xFE) are the
+    common trigger in real tags."""
+    from rawdata_client_provider_gcs_spark.operators import rawmp3 as M
+
+    tags = {"title": "Büßer ÿsong", "artist": "Ärtist", "year": "1999"}
+    for v in (2, 3, 4):
+        for enc in (0, 1, 3):
+            for un in (False, True):
+                blob = M.build_id3v2(tags, version=v, encoding=enc, unsync=un)
+                t = M.id3_tags(blob + M.build_mp3(2))
+                assert t.get("title") == "Büßer ÿsong", (v, enc, un)
+                assert t.get("source") == f"id3v2.{v}"
+
+    # hand-built v2.3 whole-tag unsync, utf-16 BOM escaped (the frame
+    # size counts the de-unsynced body; the header size the escaped tag)
+    body = (
+        b"TIT2"
+        + (1 + len("Hi".encode("utf-16"))).to_bytes(4, "big")
+        + b"\x00\x00" + bytes([1]) + "Hi".encode("utf-16")
+    )
+    esc = body.replace(b"\xff", b"\xff\x00")
+    blob = b"ID3" + bytes([3, 0, 0x80]) + M._to_syncsafe(len(esc)) + esc
+    assert M.id3_tags(blob)["title"] == "Hi"
+
+    # hostile: unsync flag with garbage stays lenient (no raise)
+    assert isinstance(
+        M.id3_tags(b"ID3" + bytes([3, 0, 0x80]) + M._to_syncsafe(64)
+                   + b"\xff" * 64),
+        dict,
+    )
