@@ -352,6 +352,83 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    docs,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int | None = None,
+):
+    """Top-``k`` documents for a term query under BM25 (Robertson/
+    Sparck-Jones; the lexical-retrieval baseline every RAG / hard-
+    negative-mining pipeline needs next to the ANN tier).
+
+    ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``
+    with the non-negative idf ``ln(1 + (N - df + 0.5)/(df + 0.5))``;
+    documents matching no query term are absent (score 0), ties break
+    on ``id_col`` for determinism.
+
+    100 TB shape: the token explode is filtered to the QUERY TERMS
+    before any shuffle (``isin`` on a literal list — codegen'd, and a
+    thousand-term query is still a trivial in-task hash set), so the
+    ``(doc, term)`` aggregation shuffles only matching postings, a
+    ~|query|/|vocab| sliver of the corpus.  Document length and the
+    corpus constants (N, avgdl) come from a zero-shuffle map-side
+    ``size(tokens)`` projection and ONE broadcast 1-row aggregate; df
+    per query term is a broadcastable ≤|query|-row aggregate.  The
+    final top-k is a global ``TakeOrdered`` — no full sort.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
+    )
+    lens = docs.select(
+        F.col(id_col), F.size(tokens_expr(text_col)).alias("dl")
+    )
+    consts = lens.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    matched = toks.filter(F.col("term").isin(terms))
+    tf = matched.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(consts))
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    total = scored.groupBy(id_col).agg(
+        F.sum("w").alias("score"),
+        F.count("*").alias("n_terms_matched"),
+    )
+    if round_to is not None:
+        # quantize BEFORE the top-k cut: float summation order differs
+        # across engines/partitionings at the last ulp, and an exact
+        # tie must break on id on both sides of an oracle compare
+        total = total.withColumn("score", F.round("score", round_to))
+    return total.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+
+
 def dedup_lines(
     docs,
     id_col: str = "doc_id",

@@ -2120,6 +2120,66 @@ def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_text_bm25_topk",
+    oracle="""
+WITH lens AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+  FROM documents
+), consts AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM lens
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents)
+  WHERE term IN ('spark', 'hash', 'join', 'vector')
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), w AS (
+  SELECT tf.doc_id,
+         ln(1 + (consts.n - df.df + 0.5) / (df.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / consts.avgdl)) AS w
+  FROM tf JOIN df USING (term) JOIN lens ON tf.doc_id = lens.doc_id, consts
+), total AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         ROUND(SUM(w), 6) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+  FROM w GROUP BY doc_id
+)
+SELECT * FROM total ORDER BY score DESC, doc_id LIMIT 10
+""",
+    tags=("llm", "text", "similarity", "retrieval"),
+    bench=True,
+)
+def q_text_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 lexical retrieval, oracle-exact — the top-10 documents for
+    the query ``spark hash join vector`` (:func:`..functions.text.
+    bm25_topk`; k1=1.2, b=0.75, non-negative idf).  The lexical
+    baseline next to the ANN tier for RAG / hard-negative mining.
+    Scores round to 6 decimals on BOTH sides so the rank order the
+    comparator sees is float-jitter-free.
+
+    100 TB shape (see the operator docstring): postings are filtered
+    to the query terms BEFORE the shuffle, corpus constants are one
+    broadcast 1-row aggregate, df is a broadcast ≤|query|-row
+    aggregate, and the top-k is a global TakeOrdered.
+    """
+    from ..functions.text import bm25_topk
+
+    docs = load_table(spark, sf, "documents")
+    out = bm25_topk(
+        docs, ["spark", "hash", "join", "vector"], k=10, round_to=6
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "score",
+        "n_terms_matched",
+    )
+
+
+@register(
     "q_text_tfidf",
     oracle="""
 WITH tok AS (

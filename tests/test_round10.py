@@ -137,3 +137,51 @@ def test_id3v2_unsynchronisation_all_versions():
                    + b"\xff" * 64),
         dict,
     )
+
+
+# ----------------------------------------------------------------- bm25
+
+
+def test_bm25_hand_computed(spark):
+    """Three tiny docs, scores checked against a by-hand numpy
+    evaluation of the BM25 formula (k1=1.2, b=0.75, non-negative idf)."""
+    import math
+
+    from rawdata_client_provider_gcs_spark.functions.text import bm25_topk
+
+    rows = [
+        (1, "spark spark hash"),          # dl=3
+        (2, "hash join join join merge"),  # dl=5
+        (3, "table scan filter row"),      # dl=4
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["score"], r["n_terms_matched"])
+        for r in bm25_topk(df, ["spark", "join"], k=10).collect()
+    }
+
+    def idf(dfreq, n=3):
+        return math.log(1 + (n - dfreq + 0.5) / (dfreq + 0.5))
+
+    def w(tf, dl, dfreq, avgdl=4.0, k1=1.2, b=0.75):
+        return idf(dfreq) * tf * (k1 + 1) / (
+            tf + k1 * (1 - b + b * dl / avgdl)
+        )
+
+    assert got[1][1] == 1 and got[2][1] == 1 and 3 not in got
+    assert got[1][0] == pytest.approx(w(2, 3, 1))
+    assert got[2][0] == pytest.approx(w(3, 5, 1))
+    # rank: doc 2 (tf=3) above doc 1 despite longer dl
+    assert got[2][0] > got[1][0]
+
+
+def test_bm25_empty_query_and_k_cut(spark):
+    from rawdata_client_provider_gcs_spark.functions.text import bm25_topk
+
+    rows = [(i, "common term doc %d" % i) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert bm25_topk(df, ["absent"], k=5).count() == 0
+    top = bm25_topk(df, ["common"], k=5).collect()
+    assert len(top) == 5
+    # identical scores tie-break on doc_id ascending
+    assert [r["doc_id"] for r in top] == [0, 1, 2, 3, 4]
