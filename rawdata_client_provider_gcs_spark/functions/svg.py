@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from .html import _between_tags, _count_occurrences  # noqa: F401
+from .html import _between_tags, html_title
 
 
 def sniff_svg_expr(col: Column) -> Column:
@@ -96,8 +96,9 @@ def count_elements(col: Column, tag: str) -> Column:
 
 
 def svg_title(col: Column) -> Column:
-    """Contents of the first ``<title>`` element (empty when absent)."""
-    return F.regexp_extract(col, "(?is)<title[^>]*>([^<]*)</title>", 1)
+    """Contents of the first ``<title>`` element — same grammar as an
+    HTML title, so this IS :func:`.html.html_title`."""
+    return html_title(col)
 
 
 def svg_text_content(col: Column) -> Column:

@@ -229,7 +229,10 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
             raise MediaDecodeError(
                 f"payload does not decode as declared mime {mime}"
             )
-        is_svg = mime == "image/svg+xml"
+        # container magic wins over the declared mime (same as AU), so
+        # the SVG branch only runs when the bytes are NOT HEIF — an
+        # elif chain keeps the error class identical across fake modes
+        is_svg = not is_heif and mime == "image/svg+xml"
         if is_svg:
             # SVG metadata/text is the Catalyst tier (functions.svg);
             # RASTERIZATION needs a renderer — per-row boundary
@@ -416,7 +419,7 @@ def resize_images(
                 from . import rawheif  # noqa: PLC0415
 
                 is_heif = rawheif.sniff_heif(payload)
-                is_svg = mime == "image/svg+xml"
+                is_svg = not is_heif and mime == "image/svg+xml"
                 if is_heif:
                     if not fake:
                         # per-row boundary; with fake=True fall through

@@ -309,6 +309,10 @@ def parse_heif(data: bytes) -> dict:
                         "latin-1", "replace"
                     )
                 elif mcc == b"pitm":
+                    if me - mb < 4:
+                        raise ValueError(
+                            "heif: pitm box shorter than its fields"
+                        )
                     ver = data[mb]
                     idw = 2 if ver == 0 else 4
                     if me - mb < 4 + idw:
@@ -396,11 +400,10 @@ def parse_heif(data: bytes) -> dict:
             has_thumb = True
         elif rtype == "dimg" and from_id == primary:
             n_tiles = len(to_ids)
-    has_exif = any(i["type"] == "Exif" for i in items.values()) or any(
-        rtype == "cdsc" and primary in to_ids
-        and items.get(from_id, {}).get("type") == "Exif"
-        for rtype, from_id, to_ids in refs
-    )
+    # "the file carries Exif" — an Exif ITEM exists, whatever it
+    # describes (a cdsc-to-primary-only test would be strictly narrower
+    # and real encoders always link it to the primary anyway)
+    has_exif = any(i["type"] == "Exif" for i in items.values())
     meta["has_alpha"] = has_alpha
     meta["has_thumbnail"] = has_thumb
     meta["has_exif"] = has_exif
