@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from .rawavi import UnsupportedCodecError
 
-_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"mvex"}
 _MAX_BOXES = 10_000
 
 
@@ -60,20 +60,93 @@ def _fixed_16_16(raw: int) -> float:
 
 
 def parse_mp4(data: bytes) -> dict:
-    """Container-level + per-track metadata for an ISO-BMFF payload."""
+    """Container-level + per-track metadata for an ISO-BMFF payload.
+
+    Fragmented files (DASH/HLS fMP4 — the dominant web-video delivery
+    shape) are first-class: ``mvex``/``trex`` defaults, ``moof`` →
+    ``traf`` → ``tfhd``/``tfdt``/``trun`` sample runs, and ``styp``
+    media segments WITHOUT a moov (an init-less segment is valid and
+    must not read as corruption).  Duration precedence per sample run:
+    trun per-sample > tfhd default > trex default.  When the movie
+    header says duration 0 (live/fragmented encoders), the per-track
+    fragment tick totals convert through the track timescale instead.
+    """
     if len(data) < 8:
         raise ValueError("mp4: shorter than one box header")
     budget = [_MAX_BOXES]
     meta: dict = {"brands": [], "tracks": []}
-    saw_ftyp = saw_moov = False
+    saw_ftyp = saw_moov = saw_styp = False
+    n_fragments = 0
+    trex_defaults: dict[int, int] = {}  # track_id -> default duration
+    frag_ticks: dict[int, int] = {}     # track_id -> summed durations
+    frag_samples: dict[int, int] = {}   # track_id -> summed counts
+
+    def parse_traf(start: int, end: int):
+        track_id = None
+        tfhd_default = None
+        for fourcc, body, box_end in _walk(data, start, end, budget):
+            if fourcc == b"tfhd":
+                if box_end - body < 8:
+                    raise ValueError("mp4: tfhd box shorter than its fields")
+                flags = int.from_bytes(data[body + 1 : body + 4], "big")
+                track_id = int.from_bytes(data[body + 4 : body + 8], "big")
+                p = body + 8
+                if flags & 0x01:
+                    p += 8  # base_data_offset
+                if flags & 0x02:
+                    p += 4  # sample_description_index
+                if flags & 0x08:
+                    if p + 4 > box_end:
+                        raise ValueError("mp4: tfhd default duration truncated")
+                    tfhd_default = int.from_bytes(data[p : p + 4], "big")
+            elif fourcc == b"trun":
+                if track_id is None:
+                    raise ValueError("mp4: trun before tfhd in traf")
+                if box_end - body < 8:
+                    raise ValueError("mp4: trun box shorter than its fields")
+                flags = int.from_bytes(data[body + 1 : body + 4], "big")
+                count = int.from_bytes(data[body + 4 : body + 8], "big")
+                if count > (1 << 22):
+                    raise ValueError(
+                        "mp4: trun sample count over the hostile-input cap"
+                    )
+                p = body + 8
+                if flags & 0x001:
+                    p += 4  # data_offset
+                if flags & 0x004:
+                    p += 4  # first_sample_flags
+                per = (
+                    (4 if flags & 0x100 else 0)
+                    + (4 if flags & 0x200 else 0)
+                    + (4 if flags & 0x400 else 0)
+                    + (4 if flags & 0x800 else 0)
+                )
+                if p + count * per > box_end:
+                    raise ValueError("mp4: trun sample table truncated")
+                if flags & 0x100:
+                    ticks = 0
+                    for i in range(count):
+                        ticks += int.from_bytes(
+                            data[p + i * per : p + i * per + 4], "big"
+                        )
+                else:
+                    default = (
+                        tfhd_default
+                        if tfhd_default is not None
+                        else trex_defaults.get(track_id, 0)
+                    )
+                    ticks = count * default
+                frag_samples[track_id] = frag_samples.get(track_id, 0) + count
+                frag_ticks[track_id] = frag_ticks.get(track_id, 0) + ticks
 
     def walk(start: int, end: int, depth: int, track: dict | None):
-        nonlocal saw_ftyp, saw_moov
+        nonlocal saw_ftyp, saw_moov, saw_styp, n_fragments
         if depth > 8:
             raise ValueError("mp4: box nesting over the depth cap")
         for fourcc, body, box_end in _walk(data, start, end, budget):
-            if fourcc == b"ftyp":
+            if fourcc in (b"ftyp", b"styp"):
                 saw_ftyp = True
+                saw_styp = saw_styp or fourcc == b"styp"
                 meta["major_brand"] = data[body : body + 4].decode(
                     "latin-1", "replace"
                 )
@@ -81,6 +154,18 @@ def parse_mp4(data: bytes) -> dict:
                     data[p : p + 4].decode("latin-1", "replace")
                     for p in range(body + 8, box_end, 4)
                 ]
+            elif fourcc == b"moof":
+                n_fragments += 1
+                for mcc, mb, me in _walk(data, body, box_end, budget):
+                    if mcc == b"traf":
+                        parse_traf(mb, me)
+            elif fourcc == b"trex":
+                if box_end - body < 24:
+                    raise ValueError("mp4: trex box shorter than its fields")
+                tid = int.from_bytes(data[body + 4 : body + 8], "big")
+                trex_defaults[tid] = int.from_bytes(
+                    data[body + 12 : body + 16], "big"
+                )
             elif fourcc == b"mvhd":
                 saw_moov = True
                 if box_end - body < 20:
@@ -170,9 +255,30 @@ def parse_mp4(data: bytes) -> dict:
                 walk(body, box_end, depth + 1, track)
 
     walk(0, len(data), 0, None)
-    if not saw_moov:
+    if not saw_moov and not n_fragments:
         raise ValueError("mp4: no moov/mvhd box")
     meta["n_tracks"] = len(meta["tracks"])
+    meta["fragmented"] = bool(n_fragments or trex_defaults)
+    meta["n_fragments"] = n_fragments
+    meta["fragment_samples"] = dict(frag_samples)
+    meta["fragment_ticks"] = dict(frag_ticks)
+    if not saw_moov:
+        # a bare styp media segment (HLS/DASH .m4s): valid, but tick
+        # rates live in the absent init segment — report raw ticks
+        meta["segment_only"] = True
+        meta.setdefault("timescale", 0)
+        meta.setdefault("duration_ms", 0)
+    elif meta.get("duration_ms", 0) == 0 and frag_ticks:
+        # live/fragmented encoders write mvhd duration 0: derive the
+        # movie duration from the longest track's fragment ticks via
+        # its MEDIA timescale
+        best = 0
+        for t in meta["tracks"]:
+            tid, ts = t.get("track_id"), t.get("timescale", 0)
+            if ts and tid in frag_ticks:
+                t["duration_ms"] = frag_ticks[tid] * 1000 // ts
+                best = max(best, t["duration_ms"])
+        meta["duration_ms"] = best
     return meta
 
 
@@ -217,10 +323,24 @@ def build_mp4(
     version1: bool = False,
     brands: tuple[str, ...] = ("isom", "mp42"),
     large_mdat: bool = False,
+    fragments: int = 0,
+    samples_per_fragment: int = 8,
+    duration_source: str = "trun",
 ) -> bytes:
     """Write a structurally valid MP4 with empty media data (metadata
-    parsing never touches codec payloads)."""
+    parsing never touches codec payloads).
+
+    With ``fragments > 0`` the file is fMP4: movie/track headers say
+    duration 0 (the live-encoder shape), moov carries mvex/trex, and
+    ``fragments`` moof+mdat pairs follow.  ``duration_source`` places
+    the per-sample duration in ``trun`` rows, the ``tfhd`` default,
+    or the ``trex`` default — the three real-world variants."""
     dur = duration_ms * timescale // 1000
+    frag_sample_dur = 0
+    if fragments:
+        total_samples = fragments * samples_per_fragment
+        frag_sample_dur = dur // total_samples
+        dur = 0  # headers say zero; fragments carry the real timing
 
     def times(ts, d):
         if version1:
@@ -292,6 +412,76 @@ def build_mp4(
         b"mvhd", 1 if version1 else 0,
         times(timescale, dur) + bytes(80),
     )
-    moov = _box(b"moov", mvhd + tracks)
+    mvex = b""
+    if fragments:
+        trexes = b""
+        for t in range(1, tid):
+            trexes += _full(
+                b"trex", 0,
+                t.to_bytes(4, "big") + (1).to_bytes(4, "big")
+                + (frag_sample_dur if duration_source == "trex" else 0)
+                .to_bytes(4, "big")
+                + (0).to_bytes(4, "big") + (0).to_bytes(4, "big"),
+            )
+        mvex = _box(b"mvex", trexes)
+    moov = _box(b"moov", mvhd + mvex + tracks)
+    out = ftyp + moov
+    if fragments:
+        for seq in range(1, fragments + 1):
+            out += build_fragment(
+                seq,
+                [t for t in range(1, tid)],
+                samples_per_fragment,
+                frag_sample_dur,
+                duration_source,
+            )
+        return out
     mdat = _box(b"mdat", b"\x00" * 64, large=large_mdat)
-    return ftyp + moov + mdat
+    return out + mdat
+
+
+def build_fragment(
+    seq: int,
+    track_ids: list[int],
+    n_samples: int,
+    sample_dur: int,
+    duration_source: str = "trun",
+) -> bytes:
+    """One moof+mdat pair (``duration_source='trex'`` leaves both
+    tfhd and trun duration-less so the init segment's default rules)."""
+    trafs = b""
+    for t in track_ids:
+        tf_flags = 0x08 if duration_source == "tfhd" else 0
+        tfhd_body = t.to_bytes(4, "big")
+        if tf_flags & 0x08:
+            tfhd_body += sample_dur.to_bytes(4, "big")
+        tfhd = _box(
+            b"tfhd", bytes([0]) + tf_flags.to_bytes(3, "big") + tfhd_body
+        )
+        tr_flags = 0x100 if duration_source == "trun" else 0
+        trun_body = n_samples.to_bytes(4, "big")
+        if tr_flags & 0x100:
+            trun_body += sample_dur.to_bytes(4, "big") * n_samples
+        trun = _box(
+            b"trun", bytes([0]) + tr_flags.to_bytes(3, "big") + trun_body
+        )
+        trafs += _box(b"traf", tfhd + trun)
+    mfhd = _full(b"mfhd", 0, seq.to_bytes(4, "big"))
+    moof = _box(b"moof", mfhd + trafs)
+    return moof + _box(b"mdat", b"\x00" * 16)
+
+
+def build_m4s(
+    *,
+    track_id: int = 1,
+    n_samples: int = 8,
+    sample_dur: int = 40,
+    seq: int = 1,
+) -> bytes:
+    """A bare HLS/DASH media segment: styp + one fragment, NO moov."""
+    styp = _box(
+        b"styp", b"msdh" + (0).to_bytes(4, "big") + b"msdhmsix"
+    )
+    return styp + build_fragment(
+        seq, [track_id], n_samples, sample_dur, "tfhd"
+    )

@@ -4688,6 +4688,88 @@ def q_multimodal_webm_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_fmp4_meta",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       TRUE AS fragmented,
+       doc_id % 4 = 3 AS segment_only,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 1
+                 ELSE 2 + doc_id % 6 END AS BIGINT) AS n_fragments,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 0
+                 ELSE ((1000 + doc_id % 3000)
+                       // ((2 + doc_id % 6) * (5 + doc_id % 12)))
+                      * ((2 + doc_id % 6) * (5 + doc_id % 12))
+            END AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 6 + doc_id % 10
+                 ELSE (2 + doc_id % 6) * (5 + doc_id % 12)
+            END AS BIGINT) AS track1_samples,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN (6 + doc_id % 10) * 40
+                 ELSE ((1000 + doc_id % 3000)
+                       // ((2 + doc_id % 6) * (5 + doc_id % 12)))
+                      * ((2 + doc_id % 6) * (5 + doc_id % 12))
+            END AS BIGINT) AS track1_ticks
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "video", "mp4", "streaming", "pandas-udf"),
+)
+def q_multimodal_fmp4_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Fragmented-MP4 metadata, oracle-exact — the DASH/HLS web-video
+    shape: mvex/trex defaults, moof/traf/tfhd/trun sample runs, movie
+    duration derived from fragment ticks when the header says 0 (the
+    live-encoder convention), and bare ``styp`` media segments with no
+    moov at all (``doc_id % 4 == 3``; rejecting those would be 100%
+    data loss for every .m4s in a crawl).  The per-sample duration
+    rotates through its three real-world carriers (trun row / tfhd
+    default / trex default) by ``doc_id % 3``.  All columns closed-form
+    in doc_id.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from ..operators import rawmp4
+
+        cols = ("doc_id", "fragmented", "segment_only", "n_fragments",
+                "duration_ms", "track1_samples", "track1_ticks")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 4 == 3:
+                    blob = rawmp4.build_m4s(
+                        n_samples=6 + did % 10, sample_dur=40
+                    )
+                else:
+                    blob = rawmp4.build_mp4(
+                        duration_ms=1000 + did % 3000,
+                        fragments=2 + did % 6,
+                        samples_per_fragment=5 + did % 12,
+                        duration_source=("trun", "tfhd", "trex")[did % 3],
+                    )
+                m = rawmp4.parse_mp4(blob)
+                rows["doc_id"].append(did)
+                rows["fragmented"].append(m["fragmented"])
+                rows["segment_only"].append(bool(m.get("segment_only")))
+                rows["n_fragments"].append(m["n_fragments"])
+                rows["duration_ms"].append(m["duration_ms"])
+                rows["track1_samples"].append(m["fragment_samples"].get(1, 0))
+                rows["track1_ticks"].append(m["fragment_ticks"].get(1, 0))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, fragmented boolean, segment_only boolean, "
+        "n_fragments long, duration_ms long, track1_samples long, "
+        "track1_ticks long",
+    )
+
+
+@register(
     "q_multimodal_heif_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -185,3 +185,62 @@ def test_bm25_empty_query_and_k_cut(spark):
     assert len(top) == 5
     # identical scores tie-break on doc_id ascending
     assert [r["doc_id"] for r in top] == [0, 1, 2, 3, 4]
+
+
+# ----------------------------------------------------------------- fmp4
+
+
+def test_fmp4_duration_sources_agree():
+    from rawdata_client_provider_gcs_spark.operators import rawmp4 as M
+
+    metas = [
+        M.parse_mp4(M.build_mp4(duration_ms=4000, fragments=5,
+                                samples_per_fragment=10,
+                                duration_source=src))
+        for src in ("trun", "tfhd", "trex")
+    ]
+    for m in metas:
+        assert m["fragmented"] and m["n_fragments"] == 5
+        assert m["duration_ms"] == 4000
+        assert m["fragment_samples"] == {1: 50, 2: 50}
+        assert m["fragment_ticks"] == {1: 4000, 2: 4000}
+        # per-track duration was derived from fragment ticks
+        assert all(t["duration_ms"] == 4000 for t in m["tracks"])
+
+
+def test_fmp4_bare_segment_is_valid_not_corruption():
+    from rawdata_client_provider_gcs_spark.operators import rawmp4 as M
+
+    m = M.parse_mp4(M.build_m4s(n_samples=8, sample_dur=40))
+    assert m["segment_only"] and m["n_fragments"] == 1
+    assert m["fragment_ticks"] == {1: 320}
+    assert m["duration_ms"] == 0  # no init segment, no timescale
+    # classic files unchanged; ftyp-only still raises
+    assert not M.parse_mp4(M.build_mp4())["fragmented"]
+    with pytest.raises(ValueError, match="moov"):
+        M.parse_mp4(b"\x00\x00\x00\x10ftypisom" + b"\x00" * 8)
+
+
+def test_fmp4_hostile_structures():
+    from rawdata_client_provider_gcs_spark.operators import rawmp4 as M
+
+    def seg(traf_body: bytes) -> bytes:
+        traf = (len(traf_body) + 8).to_bytes(4, "big") + b"traf" + traf_body
+        mfhd = (16).to_bytes(4, "big") + b"mfhd" + bytes(4) + (1).to_bytes(4, "big")
+        moof = (len(mfhd) + len(traf) + 8).to_bytes(4, "big") + b"moof" + mfhd + traf
+        styp = (16).to_bytes(4, "big") + b"stypmsdh" + bytes(4)
+        return styp + moof
+
+    # trun before tfhd
+    trun = (16).to_bytes(4, "big") + b"trun" + bytes([0, 0, 1, 0]) + (1).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="trun before tfhd"):
+        M.parse_mp4(seg(trun))
+    # trun sample-count bomb (count far beyond the payload)
+    tfhd = (16).to_bytes(4, "big") + b"tfhd" + bytes(4) + (1).to_bytes(4, "big")
+    bomb = (16).to_bytes(4, "big") + b"trun" + bytes([0, 0, 1, 0]) + (1 << 30).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="cap"):
+        M.parse_mp4(seg(tfhd + bomb))
+    # trun table truncated (declares durations, carries none)
+    short = (16).to_bytes(4, "big") + b"trun" + bytes([0, 0, 1, 0]) + (3).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="truncated"):
+        M.parse_mp4(seg(tfhd + short))
