@@ -263,3 +263,101 @@ def with_html_columns(
             / F.greatest(F.length(text).cast("double"), F.lit(1.0)),
         )
     )
+
+
+def _tag_bodies(col: Column, tag: str) -> Column:
+    """Array of each ``<tag ...`` open tag's attribute text (up to its
+    ``>``) — LINEAR: split on the zero-width-bounded opener, bound each
+    segment at its first ``>`` via instr+substr (no ``[^>]*`` scans
+    over unbounded input; an unterminated opener contributes NULL)."""
+    segs = F.split(col, f"(?i)<{tag}(?=[\\s/>])")
+    after = F.slice(segs, F.lit(2), F.greatest(F.size(segs) - 1, F.lit(0)))
+    return F.filter(
+        F.transform(
+            after,
+            lambda s: F.when(
+                F.instr(s, ">") > 0, F.substr(s, F.lit(1), F.instr(s, ">") - 1)
+            ),
+        ),
+        lambda t: t.isNotNull(),
+    )
+
+
+def _attr_of(tag_body: Column, attr: str) -> Column:
+    """An attribute's quoted value from ONE bounded tag-body string."""
+    return F.regexp_extract(
+        tag_body, f"(?i)\\b{attr}\\s*=\\s*[\"']([^\"']*)", 1
+    )
+
+
+def _meta_content(metas: Column, key_attr: str, key: str) -> Column:
+    """``content`` of the first ``<meta {key_attr}="{key}" ...>``
+    (attribute order free; empty string when absent)."""
+    hit = F.filter(
+        metas,
+        lambda t: t.rlike(f"(?i)\\b{key_attr}\\s*=\\s*[\"']{key}[\"']"),
+    )
+    return F.coalesce(
+        _attr_of(F.try_element_at(hit, F.lit(1)), "content"), F.lit("")
+    )
+
+
+def html_page_meta(df: DataFrame, html_col: str, id_col: str = "doc_id"):
+    """Page-level curation metadata — one Catalyst projection, zero
+    Python: OpenGraph title/image/description, the meta description,
+    robots directives, the canonical link, the root ``lang`` attribute,
+    and the ``@type`` of the first JSON-LD block (recognized by its
+    ``@context`` key inside a ``<script>`` span; the type attribute is
+    not re-associated — documented approximation).  These are the
+    fields a web-corpus pipeline filters and joins on (dedup by
+    canonical URL, robots=noindex drops, language routing) before any
+    text processing.
+
+    All extraction passes are linear on hostile markup: open tags are
+    isolated by split-on-opener + bound-at-first-``>`` (see
+    :func:`_tag_bodies`), attribute regexes run on those bounded
+    strings only, and JSON-LD spans reuse the split-by-closer pass.
+    """
+    c = F.col(html_col)
+    metas = _tag_bodies(c, "meta")
+    links = _tag_bodies(c, "link")
+    canonical = F.filter(
+        links, lambda t: t.rlike("(?i)\\brel\\s*=\\s*[\"']canonical[\"']")
+    )
+    html_root = F.try_element_at(_tag_bodies(c, "html"), F.lit(1))
+    scripts = _between_tags(
+        c, "(?i)<script(?=[\\s/>])", "(?is)</script\\s*>"
+    )
+    ld = F.try_element_at(
+        F.filter(
+            scripts,
+            lambda s: s.contains("@context")
+            & (F.regexp_extract(s, "(?i)\"@type\"\\s*:\\s*\"([^\"]*)\"", 1)
+               != ""),
+        ),
+        F.lit(1),
+    )
+    return df.select(
+        F.col(id_col),
+        _meta_content(metas, "property", "og:title").alias("og_title"),
+        _meta_content(metas, "property", "og:image").alias("og_image"),
+        _meta_content(metas, "property", "og:description").alias(
+            "og_description"
+        ),
+        _meta_content(metas, "name", "description").alias(
+            "meta_description"
+        ),
+        _meta_content(metas, "name", "robots").alias("robots"),
+        F.coalesce(
+            _attr_of(F.try_element_at(canonical, F.lit(1)), "href"),
+            F.lit(""),
+        ).alias("canonical_url"),
+        F.coalesce(_attr_of(html_root, "lang"), F.lit("")).alias("lang"),
+        F.coalesce(
+            F.regexp_extract(
+                ld, "(?i)\"@type\"\\s*:\\s*\"([^\"]*)\"", 1
+            ),
+            F.lit(""),
+        ).alias("jsonld_type"),
+        F.size(metas).cast("long").alias("n_meta_tags"),
+    )

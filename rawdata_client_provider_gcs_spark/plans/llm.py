@@ -3124,6 +3124,98 @@ def q_text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_page_meta",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'Doc ' || CAST(doc_id AS VARCHAR)
+            ELSE '' END AS og_title,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'img' || CAST(doc_id % 9 AS VARCHAR) || '.png'
+            ELSE '' END AS og_image,
+       'Desc ' || CAST(doc_id AS VARCHAR) AS meta_description,
+       CASE WHEN doc_id % 5 = 0 THEN 'noindex' ELSE 'index,follow' END
+         AS robots,
+       CASE WHEN doc_id % 4 = 0 THEN ''
+            ELSE 'https://ex.com/p/' || CAST(doc_id % 50 AS VARCHAR)
+       END AS canonical_url,
+       CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END AS lang,
+       CASE WHEN doc_id % 6 = 0 THEN 'Article' ELSE '' END AS jsonld_type,
+       CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 0 END AS BIGINT)
+         AS n_meta_tags
+FROM documents WHERE doc_id < 400
+""",
+    tags=("llm", "text", "curation", "html", "crawl"),
+)
+def q_crawl_page_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Page-level crawl metadata, oracle-exact — OpenGraph fields,
+    meta description/robots, canonical link, root lang, first JSON-LD
+    ``@type`` (:func:`..functions.html.html_page_meta`), all pure
+    Catalyst.  The fields a web-corpus pipeline filters and joins on
+    (canonical-URL dedup, robots=noindex drops, language routing)
+    before any text processing.  ``doc_id % 3 == 0`` flips the
+    meta attribute order (content before name) to pin order-free
+    matching; all columns closed-form in doc_id.
+    """
+    from ..functions import html as H
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    did = F.col("doc_id").cast("string")
+    desc = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit('<meta content="Desc '), did,
+                     F.lit('" name="description">')),
+        )
+        .otherwise(
+            F.concat(F.lit('<meta name="description" content="Desc '),
+                     did, F.lit('">')),
+        )
+    )
+    og = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit('<meta property="og:title" content="Doc '), did,
+            F.lit('"/><meta property="og:image" content="img'),
+            (F.col("doc_id") % 9).cast("string"), F.lit('.png"/>'),
+        ),
+    ).otherwise(F.lit(""))
+    robots = F.when(F.col("doc_id") % 5 == 0, F.lit("noindex")).otherwise(
+        F.lit("index,follow")
+    )
+    canon = F.when(F.col("doc_id") % 4 == 0, F.lit("")).otherwise(
+        F.concat(F.lit('<link rel="canonical" href="https://ex.com/p/'),
+                 (F.col("doc_id") % 50).cast("string"), F.lit('">')),
+    )
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+        (F.col("doc_id") % 3).cast("int") + 1,
+    )
+    ld = F.when(
+        F.col("doc_id") % 6 == 0,
+        F.lit('<script type="application/ld+json">'
+              '{"@context":"https://schema.org","@type":"Article"}'
+              "</script>"),
+    ).otherwise(F.lit(""))
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html lang="'), lang, F.lit('"><head>'),
+            og, desc,
+            F.lit('<meta name="robots" content="'), robots, F.lit('">'),
+            canon, ld,
+            F.lit("</head><body><p>"), F.substring("text", 1, 80),
+            F.lit("</p></body></html>"),
+        ).alias("page"),
+    )
+    return H.html_page_meta(pages, "page").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "og_title", "og_image", "meta_description", "robots",
+        "canonical_url", "lang", "jsonld_type", "n_meta_tags",
+    )
+
+
+@register(
     "q_multimodal_svg_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

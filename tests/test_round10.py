@@ -244,3 +244,62 @@ def test_fmp4_hostile_structures():
     short = (16).to_bytes(4, "big") + b"trun" + bytes([0, 0, 1, 0]) + (3).to_bytes(4, "big")
     with pytest.raises(ValueError, match="truncated"):
         M.parse_mp4(seg(tfhd + short))
+
+
+# ------------------------------------------------------------ page meta
+
+
+def test_html_page_meta_extraction(spark):
+    from rawdata_client_provider_gcs_spark.functions import html as H
+
+    page = (
+        '<html LANG="pt-BR"><head>'
+        "<meta charset='utf-8'>"
+        "<META PROPERTY='og:title' CONTENT='T'/>"
+        '<meta content="D" name="description">'  # attr order flipped
+        '<link href="x.css" rel="stylesheet">'
+        "<link rel='canonical' href='https://e.x/c'>"
+        '<script>var x = {"@context": "fake-in-js"}</script>'
+        '<script type="application/ld+json">'
+        '{"@context":"https://schema.org","@type":"NewsArticle"}</script>'
+        "</head></html>"
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, page string")
+    r = H.html_page_meta(df, "page").collect()[0].asDict()
+    assert r["og_title"] == "T"          # case-insensitive tag + attrs
+    assert r["meta_description"] == "D"  # order-free
+    assert r["canonical_url"] == "https://e.x/c"
+    assert r["lang"] == "pt-BR"
+    # the JS false positive (@context with no @type) is skipped;
+    # the real ld+json block wins
+    assert r["jsonld_type"] == "NewsArticle"
+    assert r["n_meta_tags"] == 3
+    assert r["og_image"] == "" and r["robots"] == ""
+
+    # page with nothing: empty strings, no NULLs, no errors
+    empty = spark.createDataFrame([(2, "<p>hi</p>")], "doc_id long, page string")
+    r2 = H.html_page_meta(empty, "page").collect()[0].asDict()
+    assert all(
+        r2[k] == "" for k in ("og_title", "canonical_url", "lang",
+                               "jsonld_type", "robots")
+    )
+    assert r2["n_meta_tags"] == 0
+
+
+def test_html_page_meta_hostile_linear(spark):
+    import time
+
+    from rawdata_client_provider_gcs_spark.functions import html as H
+
+    hostile = [
+        ("<meta " * 60_000) + ">",          # opener flood, one closer
+        "<meta " + "x" * 500_000,            # unterminated opener
+        ("<link " * 60_000),                 # link flood, no closers
+        ('<script>{"@context"' * 20_000),    # unclosed ld-ish scripts
+    ]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hostile)], "doc_id long, page string"
+    ).repartition(1)
+    t0 = time.perf_counter()
+    H.html_page_meta(df, "page").collect()
+    assert time.perf_counter() - t0 < 30.0
