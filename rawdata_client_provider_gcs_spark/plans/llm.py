@@ -3124,6 +3124,82 @@ def q_text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_subtitles",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(i AS BIGINT) AS cue_idx,
+       CAST(i * 2000 + (doc_id % 10) * 100 AS BIGINT) AS start_ms,
+       CAST(i * 2000 + (doc_id % 10) * 100 + 1500 AS BIGINT) AS end_ms,
+       'line ' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+         AS cue_text
+FROM documents, unnest(generate_series(0, 1 + CAST(doc_id % 4 AS INTEGER)))
+  AS t(i)
+WHERE doc_id < 300
+""",
+    tags=("llm", "text", "multimodal", "crawl", "subtitles"),
+)
+def q_crawl_subtitles(spark: SparkSession, sf: str) -> DataFrame:
+    """Subtitle cue extraction, oracle-exact — SRT (even doc_ids) and
+    WebVTT (odd; hourless ``MM:SS.mmm`` stamps when ``doc_id % 4 ==
+    1``, cue settings after the arrow, a NOTE block, inline markup)
+    explode into per-cue rows with millisecond timing via
+    :func:`..functions.subtitles.subtitle_cues` — the time-aligned
+    dialogue layer a video-corpus pipeline pairs with sampled frames.
+    Parsing is pure Catalyst; synthesis is the only Python.  Rows are
+    ``(doc, cue)`` pairs closed-form in doc_id.
+    """
+    from ..functions import subtitles as SUB
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        def stamp(ms: int, vtt: bool, hourless: bool) -> str:
+            h, rem = divmod(ms, 3_600_000)
+            m, rem = divmod(rem, 60_000)
+            s, milli = divmod(rem, 1_000)
+            sep = "." if vtt else ","
+            if vtt and hourless and h == 0:
+                return f"{m:02d}:{s:02d}{sep}{milli:03d}"
+            return f"{h:02d}:{m:02d}:{s:02d}{sep}{milli:03d}"
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                vtt = did % 2 == 1
+                hourless = did % 4 == 1
+                cues = []
+                for i in range(2 + did % 4):
+                    a = i * 2000 + (did % 10) * 100
+                    t0, t1 = stamp(a, vtt, hourless), stamp(
+                        a + 1500, vtt, hourless
+                    )
+                    text = f"line {did}-{i}"
+                    if vtt:
+                        cues.append(
+                            f"cue-{i}\n{t0} --> {t1} align:start\n"
+                            f"<c.y>{text}</c>"
+                        )
+                    else:
+                        cues.append(f"{i + 1}\n{t0} --> {t1}\n{text}")
+                head = "WEBVTT\n\nNOTE synthesized\n\n" if vtt else ""
+                payloads.append(head + "\n\n".join(cues) + "\n")
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sub": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, sub string")
+    return SUB.subtitle_cues(files, "sub").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "cue_idx", "start_ms", "end_ms", "cue_text",
+    )
+
+
+@register(
     "q_crawl_page_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

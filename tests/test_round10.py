@@ -303,3 +303,49 @@ def test_html_page_meta_hostile_linear(spark):
     t0 = time.perf_counter()
     H.html_page_meta(df, "page").collect()
     assert time.perf_counter() - t0 < 30.0
+
+
+# ------------------------------------------------------------ subtitles
+
+
+def test_subtitles_formats_and_edges(spark):
+    from rawdata_client_provider_gcs_spark.functions import subtitles as S
+
+    srt = (
+        "1\n00:00:01,000 --> 00:00:04,000\nHello there\n\n"
+        "2\n00:01:00,500 --> 00:01:02,000\n<i>italic</i> line\ntwo lines\n"
+    )
+    vtt = (
+        "WEBVTT\n\nNOTE a comment\nspanning lines\n\n"
+        "cue-1\n01:05.250 --> 01:07.000 align:start\n"
+        "Short <c.yellow>form</c>\n\n"
+        "02:00:00.000 --> 02:00:01.000\nLong form\n"
+    )
+    crlf = "1\r\n00:00:00,100 --> 00:00:00,900\r\nwindows line\r\n"
+    garbage = "not a subtitle file at all\n\njust text\n"
+    df = spark.createDataFrame(
+        [(1, srt), (2, vtt), (3, crlf), (4, garbage)],
+        "doc_id long, sub string",
+    )
+    rows = {
+        (r["doc_id"], r["cue_idx"]): r
+        for r in S.subtitle_cues(df, "sub").collect()
+    }
+    assert rows[(1, 0)]["start_ms"] == 1000
+    assert rows[(1, 1)]["cue_text"] == "italic line two lines"
+    assert rows[(2, 0)]["start_ms"] == 65250      # hourless VTT stamp
+    assert rows[(2, 1)]["start_ms"] == 7_200_000  # 2-hour stamp
+    assert rows[(2, 0)]["cue_text"] == "Short form"
+    assert rows[(3, 0)]["cue_text"] == "windows line"
+    assert not [k for k in rows if k[0] == 4]  # garbage -> zero cues
+
+    stats = {r["doc_id"]: r for r in S.subtitle_stats(df, "sub").collect()}
+    assert stats[1]["n_cues"] == 2 and stats[1]["total_ms"] == 4500
+    assert 4 not in stats
+
+    # Catalyst-only
+    plan = (
+        S.subtitle_cues(df, "sub")._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
