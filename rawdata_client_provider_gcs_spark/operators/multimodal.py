@@ -122,6 +122,9 @@ MP4_MIMES = frozenset({"video/mp4", "audio/mp4", "video/quicktime"})
 WEBM_MIMES = frozenset(
     {"video/webm", "audio/webm", "video/x-matroska", "audio/x-matroska"}
 )
+#: MPEG transport streams (rawts): recognized container, metadata-only
+#: tier — elementary-stream decode is the per-row boundary
+TS_MIMES = frozenset({"video/mp2t", "video/mpeg-ts", "audio/mp2t"})
 #: HEIF-family still images (rawheif): recognized container,
 #: metadata-only tier — AV1/HEVC pixel decode is the per-row
 #: UnsupportedCodecError boundary
@@ -307,8 +310,13 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
             raise MediaDecodeError(
                 f"payload does not decode as declared mime {mime}"
             )
-    if mime.startswith("video/") or mime in MP4_MIMES or mime in WEBM_MIMES:
-        from . import rawmp4, rawwebm  # noqa: PLC0415
+    if (
+        mime.startswith("video/")
+        or mime in MP4_MIMES
+        or mime in WEBM_MIMES
+        or mime in TS_MIMES
+    ):
+        from . import rawmp4, rawts, rawwebm  # noqa: PLC0415
 
         if rawmp4.sniff_mp4(payload):
             if not fake:
@@ -316,7 +324,10 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
         elif rawwebm.sniff_webm(payload):
             if not fake:
                 rawwebm.decode_webm_media(payload)
-        elif mime in MP4_MIMES or mime in WEBM_MIMES:
+        elif rawts.sniff_ts(payload):
+            if not fake:
+                rawts.decode_ts_media(payload)
+        elif mime in MP4_MIMES or mime in WEBM_MIMES or mime in TS_MIMES:
             raise MediaDecodeError(
                 f"payload does not decode as declared mime {mime}"
             )
@@ -608,7 +619,7 @@ def sample_frames(
                 if rawwebp.sniff_webp(payload):
                     return grid_sample(rawwebp.decode_webp_frames(payload))
             if mime.startswith("video/"):
-                from . import rawavi, rawmp4, rawwebm  # noqa: PLC0415
+                from . import rawavi, rawmp4, rawts, rawwebm  # noqa: PLC0415
 
                 if rawmp4.sniff_mp4(payload):
                     if not fake:
@@ -617,6 +628,10 @@ def sample_frames(
                 if rawwebm.sniff_webm(payload):
                     if not fake:
                         rawwebm.decode_webm_media(payload)
+                    return fake_frames(payload)
+                if rawts.sniff_ts(payload):
+                    if not fake:
+                        rawts.decode_ts_media(payload)
                     return fake_frames(payload)
                 if rawavi.sniff_avi(payload):
                     # REAL video container path: uncompressed RIFF/AVI
@@ -646,6 +661,7 @@ def sample_frames(
                 or mime in OGG_AUDIO_MIMES
                 or mime in MP4_MIMES
                 or mime in WEBM_MIMES
+                or mime in TS_MIMES
                 or mime in HEIF_MIMES
                 or mime in (
                     "image/gif",

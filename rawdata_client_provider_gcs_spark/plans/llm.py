@@ -4856,6 +4856,82 @@ def q_multimodal_webm_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_ts_meta",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(2 + (2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+              * (3 + doc_id % 6) * 2 + doc_id % 4 AS BIGINT) AS n_packets,
+       CAST(1 AS BIGINT) AS n_programs,
+       CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_streams,
+       CAST(1000 + doc_id % 5000 AS BIGINT) AS duration_ms,
+       CASE WHEN doc_id % 2 = 0 THEN 'h264' ELSE 'hevc' END AS video_codec,
+       'aac' AS audio_codec,
+       CAST(0 AS BIGINT) AS continuity_errors
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "video", "hls", "pandas-udf"),
+)
+def q_multimodal_ts_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """MPEG-TS (HLS segment) metadata, oracle-exact — PAT→PMT program
+    walk, per-stream codec census, 33-bit 90 kHz PTS spans, continuity
+    accounting (:mod:`..operators.rawts`); elementary-stream decode
+    stays the documented loud boundary.  ``doc_id % 3 == 0`` adds an
+    mp3 third stream, ``doc_id % 2`` flips h264/hevc, ``doc_id % 4``
+    appends null packets (counted, never continuity-checked).  All
+    columns closed-form in doc_id.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from ..operators import rawts
+
+        cols = ("doc_id", "n_packets", "n_programs", "n_streams",
+                "duration_ms", "video_codec", "audio_codec",
+                "continuity_errors")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                streams = [
+                    (0x1B if did % 2 == 0 else 0x24, 0x100),
+                    (0x0F, 0x101),
+                ]
+                if did % 3 == 0:
+                    streams.append((0x03, 0x102))
+                blob = rawts.build_ts(
+                    duration_ms=1000 + did % 5000,
+                    streams=tuple(streams),
+                    pes_per_stream=3 + did % 6,
+                    null_packets=did % 4,
+                )
+                m = rawts.parse_ts(blob)
+                by_pid = {s["pid"]: s for s in m["streams"]}
+                rows["doc_id"].append(did)
+                rows["n_packets"].append(m["n_packets"])
+                rows["n_programs"].append(m["n_programs"])
+                rows["n_streams"].append(m["n_streams"])
+                rows["duration_ms"].append(m["duration_ms"])
+                rows["video_codec"].append(by_pid[0x100]["codec"])
+                rows["audio_codec"].append(by_pid[0x101]["codec"])
+                rows["continuity_errors"].append(m["continuity_errors"])
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, n_packets long, n_programs long, n_streams long, "
+        "duration_ms long, video_codec string, audio_codec string, "
+        "continuity_errors long",
+    )
+
+
+@register(
     "q_multimodal_fmp4_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
