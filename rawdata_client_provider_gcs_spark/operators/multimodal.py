@@ -114,6 +114,8 @@ DECODABLE_AUDIO_MIMES = frozenset(
 #: MPEG audio mimes: recognized container, metadata-only tier (rawmp3);
 #: PCM decode is the per-row UnsupportedCodecError boundary
 MPEG_AUDIO_MIMES = frozenset({"audio/mpeg", "audio/mp3"})
+#: ADTS AAC (rawaac): same discipline
+AAC_MIMES = frozenset({"audio/aac", "audio/aacp", "audio/x-aac"})
 #: same discipline for Ogg (rawogg) and ISO-BMFF (rawmp4) containers
 OGG_AUDIO_MIMES = frozenset(
     {"audio/ogg", "application/ogg", "audio/opus", "audio/vorbis"}
@@ -289,7 +291,7 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
             # real decode without external libs: RIFF/WAVE, AIFF/AIFC,
             # Sun AU — dispatched by container magic
             return rawaudio.audio_features(*rawaudio.decode_audio(payload))
-        from . import rawmp3, rawogg  # noqa: PLC0415
+        from . import rawaac, rawmp3, rawogg  # noqa: PLC0415
 
         if rawmp3.sniff_mp3(payload):
             # recognized MPEG audio: PCM synthesis is the documented
@@ -302,9 +304,13 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
         elif rawogg.sniff_ogg(payload):
             if not fake:
                 rawogg.decode_ogg_pcm(payload)  # same per-row boundary
+        elif rawaac.sniff_aac(payload):
+            if not fake:
+                rawaac.decode_aac_pcm(payload)  # same per-row boundary
         elif (
             mime in DECODABLE_AUDIO_MIMES
             or mime in MPEG_AUDIO_MIMES
+            or mime in AAC_MIMES
             or mime in OGG_AUDIO_MIMES
         ):
             raise MediaDecodeError(
@@ -552,7 +558,13 @@ def sample_frames(
             if mime.startswith("audio/") and rawaudio.sniff_audio(payload):
                 return rawaudio.segment_wav(payload, every_ms, max_frames)
             if mime.startswith("audio/") or mime in OGG_AUDIO_MIMES:
-                from . import rawmp3, rawmp4, rawogg, rawwebm  # noqa: PLC0415
+                from . import (  # noqa: PLC0415
+                    rawaac,
+                    rawmp3,
+                    rawmp4,
+                    rawogg,
+                    rawwebm,
+                )
 
                 if rawmp3.sniff_mp3(payload):
                     if not fake:
@@ -561,6 +573,10 @@ def sample_frames(
                 if rawogg.sniff_ogg(payload):
                     if not fake:
                         rawogg.decode_ogg_pcm(payload)
+                    return fake_frames(payload)
+                if rawaac.sniff_aac(payload):
+                    if not fake:
+                        rawaac.decode_aac_pcm(payload)
                     return fake_frames(payload)
                 # audio/mp4 and audio/webm declare the container mimes
                 if rawmp4.sniff_mp4(payload):
@@ -658,6 +674,7 @@ def sample_frames(
             if (
                 mime in DECODABLE_AUDIO_MIMES
                 or mime in MPEG_AUDIO_MIMES
+                or mime in AAC_MIMES
                 or mime in OGG_AUDIO_MIMES
                 or mime in MP4_MIMES
                 or mime in WEBM_MIMES

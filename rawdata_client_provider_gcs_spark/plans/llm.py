@@ -4372,6 +4372,73 @@ def q_multimodal_webp_lossy(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_aac_meta",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'MPEG-2' ELSE 'MPEG-4' END AS version,
+       CASE WHEN doc_id % 4 = 3 THEN 'Main' ELSE 'LC' END AS profile,
+       CAST(CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 16000 END AS BIGINT)
+         AS sample_rate,
+       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+       doc_id % 6 = 0 AS crc,
+       CAST(10 + doc_id % 30 AS BIGINT) AS n_frames,
+       CAST((10 + doc_id % 30) * 1024 * 1000
+            // (CASE CAST(doc_id % 3 AS INTEGER)
+                WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 16000 END)
+         AS BIGINT) AS duration_ms
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "audio", "aac", "pandas-udf"),
+)
+def q_multimodal_aac_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """ADTS AAC stream metadata, oracle-exact — the web's second
+    compressed-audio format next to MP3: header walk with the public
+    sampling-frequency-index table, CRC and MPEG-2/4 variants, frame
+    census → duration (:mod:`..operators.rawaac`); spectral decode
+    stays the documented loud boundary.  All columns closed-form in
+    doc_id.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from ..operators import rawaac
+
+        cols = ("doc_id", "version", "profile", "sample_rate",
+                "channels", "crc", "n_frames", "duration_ms")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = rawaac.build_aac(
+                    10 + did % 30,
+                    sf_index=(4, 3, 8)[did % 3],
+                    profile=0 if did % 4 == 3 else 1,
+                    channels=1 + did % 2,
+                    crc=did % 6 == 0,
+                    mpeg2=did % 5 == 0,
+                    id3v2_size=32 if did % 7 == 0 else 0,
+                )
+                m = rawaac.parse_aac(blob)
+                rows["doc_id"].append(did)
+                for k in cols[1:]:
+                    rows[k].append(m[k])
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, version string, profile string, sample_rate long, "
+        "channels long, crc boolean, n_frames long, duration_ms long",
+    )
+
+
+@register(
     "q_multimodal_id3_tags",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -349,3 +349,50 @@ def test_subtitles_formats_and_edges(spark):
         .executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+# ------------------------------------------------------------------ aac
+
+
+def test_aac_adts_metadata_and_boundary(spark):
+    from pyspark.sql import functions as F
+
+    from rawdata_client_provider_gcs_spark.operators import multimodal as M
+    from rawdata_client_provider_gcs_spark.operators import rawaac as A
+
+    b = A.build_aac(50, sf_index=4, channels=2)
+    m = A.parse_aac(b)
+    assert m["n_frames"] == 50 and m["sample_rate"] == 44100
+    assert m["duration_ms"] == 50 * 1024 * 1000 // 44100
+    assert m["profile"] == "LC" and m["version"] == "MPEG-4"
+
+    # hand-packed header vector (independent of build_aac): MPEG-4,
+    # no CRC, LC, 48 kHz (index 3), stereo (cfg 2), frame_len 0x187
+    hand = bytes([0xFF, 0xF1, 0x4C, 0x80 | 0x30, 0x30, 0xFF, 0xFC])
+    h = A.parse_adts_header(hand + b"\x00" * 400, 0)
+    assert h["sample_rate"] == 48000 and h["profile"] == "LC"
+    assert h["channels"] == 2 and h["frame_len"] == 0x187
+
+    # ADTS and MP3 syncs are disjoint: neither sniffs as the other
+    from rawdata_client_provider_gcs_spark.operators import rawmp3
+
+    assert not rawmp3.sniff_mp3(b)
+    assert not A.sniff_aac(rawmp3.build_mp3(5))
+
+    # junk head resync + ID3 skip
+    m2 = A.parse_aac(b"\x00junk" + A.build_aac(8, id3v2_size=16))
+    assert m2["n_frames"] == 8 and m2["resyncs"] >= 1
+    with pytest.raises(ValueError):
+        A.parse_aac(b"\x00" * 300)
+
+    # Spark per-row boundary
+    rows = [(1, bytearray(b)), (2, bytearray(b"garbage" * 30))]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    out = {
+        r["doc_id"]: r["error"]
+        for r in M.extract_features(
+            M.with_media_columns(df, "content", "audio/aac", "doc_id")
+        ).collect()
+    }
+    assert out[1].startswith("UnsupportedCodecError")
+    assert out[2].startswith("MediaDecodeError")
