@@ -4923,6 +4923,79 @@ def q_multimodal_webm_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_h264_sps",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'avcC' ELSE 'annexb' END AS carriage,
+       CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 'Baseline' WHEN 1 THEN 'Main' ELSE 'High' END
+         AS profile,
+       CAST(322 + 2 * (doc_id % 40) AS BIGINT) AS width,
+       CAST(242 + 2 * (doc_id % 30) AS BIGINT) AS height,
+       FALSE AS interlaced
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "video", "h264", "pandas-udf"),
+)
+def q_multimodal_h264_sps(spark: SparkSession, sf: str) -> DataFrame:
+    """H.264 SPS dimension extraction, oracle-exact — the Exp-Golomb
+    sequence-parameter-set grammar (ITU-T H.264 §7.3.2.1) incl.
+    chroma-dependent frame-cropping units, through BOTH carriage
+    forms a crawl meets: the ISO-BMFF ``avcC`` configuration record
+    (even doc_ids) and Annex-B start-code streams as found in MPEG-TS
+    PES payloads (odd).  Dimensions are deliberately NOT
+    macroblock-aligned so the cropping math is exercised on every
+    row.  All columns closed-form in doc_id.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from ..operators import rawh264
+
+        cols = ("doc_id", "carriage", "profile", "width", "height",
+                "interlaced")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                sps = rawh264.build_sps(
+                    width=322 + 2 * (did % 40),
+                    height=242 + 2 * (did % 30),
+                    profile=(66, 77, 100)[did % 3],
+                )
+                if did % 2 == 0:
+                    m = rawh264.sps_from_avcc(rawh264.build_avcc(sps))
+                    carriage = "avcC"
+                else:
+                    stream = (
+                        b"\x00\x00\x01\x09\x10"  # AUD first, like real TS
+                        + b"\x00\x00\x00\x01" + sps
+                        + b"\x00\x00\x01\x65" + b"\x5a" * 32
+                    )
+                    m = rawh264.find_sps_annexb(stream)
+                    carriage = "annexb"
+                rows["doc_id"].append(did)
+                rows["carriage"].append(carriage)
+                rows["profile"].append(m["profile"])
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["interlaced"].append(m["interlaced"])
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, carriage string, profile string, width long, "
+        "height long, interlaced boolean",
+    )
+
+
+@register(
     "q_multimodal_ts_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

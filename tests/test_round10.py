@@ -396,3 +396,46 @@ def test_aac_adts_metadata_and_boundary(spark):
     }
     assert out[1].startswith("UnsupportedCodecError")
     assert out[2].startswith("MediaDecodeError")
+
+
+# ----------------------------------------------------------- h264 sps
+
+
+def test_h264_sps_parsing():
+    from rawdata_client_provider_gcs_spark.operators import rawh264 as H
+
+    # roundtrip matrix incl. non-MB-aligned dims and 4:4:4 crop units
+    for (w, h, prof, ch) in [
+        (1920, 1080, 66, 1), (1280, 720, 100, 1), (322, 242, 100, 1),
+        (256, 254, 100, 3), (100, 50, 77, 1),
+    ]:
+        m = H.parse_sps(H.build_sps(width=w, height=h, profile=prof,
+                                    chroma=ch))
+        assert (m["width"], m["height"]) == (w, h), (w, h, m)
+
+    # hand-built Exp-Golomb vector (independent of the fixture writer):
+    # ue(0)='1', ue(1)='010', ue(5)='00110', se(-2)='00100'
+    b = H._Bits(bytes([0b10100011, 0b00010000]))
+    assert b.ue() == 0 and b.ue() == 1 and b.ue() == 5
+    # se: k=3 ('00100') -> +2, k=4 ('00101') -> -2 per (-1)^(k+1)*ceil(k/2)
+    assert H._Bits(bytes([0b00100000])).se() == 2
+    assert H._Bits(bytes([0b00101000])).se() == -2
+
+    # emulation-prevention unescape: 00 00 03 00 -> 00 00 00
+    assert H._unescape_rbsp(b"\x00\x00\x03\x00ab") == b"\x00\x00\x00ab"
+
+    # avcC and annex-b carriage
+    sps = H.build_sps(width=640, height=360)
+    assert H.sps_from_avcc(H.build_avcc(sps))["width"] == 640
+    annexb = b"\x00\x00\x01\x65xx" + b"\x00\x00\x00\x01" + sps
+    assert H.find_sps_annexb(annexb)["height"] == 360
+
+    # hostile: truncated, crop bomb, golomb bomb, no start code
+    with pytest.raises(ValueError):
+        H.parse_sps(H.build_sps(width=640, height=360)[:5])
+    with pytest.raises(ValueError):
+        H.parse_sps(bytes([0x67, 66, 0, 30]) + b"\x00" * 8)  # golomb run
+    with pytest.raises(ValueError, match="start code"):
+        H.find_sps_annexb(b"\x00\x01\x02" * 100)
+    with pytest.raises(ValueError, match="avcC"):
+        H.sps_from_avcc(b"\x02garbage")
