@@ -3124,6 +3124,146 @@ def q_text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_curation_robots",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN '/a/page.html' WHEN 1 THEN '/private/x'
+         WHEN 2 THEN '/private/pub/y' ELSE '/files/f.zip' END AS path,
+       CAST(doc_id % 4 AS INTEGER) IN (0, 2) AS allowed,
+       CAST(1 + doc_id % 5 AS DOUBLE) AS crawl_delay_s,
+       CAST(1 AS BIGINT) AS n_sitemaps
+FROM documents WHERE doc_id < 400
+""",
+    tags=("llm", "text", "crawl", "curation", "robots"),
+)
+def q_curation_robots(spark: SparkSession, sf: str) -> DataFrame:
+    """robots.txt fetch verdicts, oracle-exact — RFC 9309 group
+    selection, longest-match precedence with allow-beats-disallow,
+    ``*`` wildcards and the ``$`` anchor, crawl-delay and sitemap
+    extraction (:mod:`..functions.robots`), evaluated as pure
+    Catalyst aggregate folds: the per-URL verdict is map-side
+    expression work after joining the URL table to its host's robots
+    column — no shuffle, no Python, at any corpus size.  Paths rotate
+    through allowed/denied/longest-allow/wildcard-anchor shapes by
+    ``doc_id % 4``; all columns closed-form in doc_id.
+    """
+    from ..functions import robots as R
+
+    d = load_table(spark, sf, "documents").filter(F.col("doc_id") < 400)
+    did = F.col("doc_id")
+    robots_txt = F.concat(
+        F.lit(
+            "User-agent: otherbot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /private/\n"
+            "Allow: /private/pub\nDisallow: /*.zip$\nCrawl-delay: "
+        ),
+        (1 + did % 5).cast("string"),
+        F.lit("\nSitemap: https://ex.com/sitemap.xml\n"),
+    )
+    path = (
+        F.when(did % 4 == 0, F.lit("/a/page.html"))
+        .when(did % 4 == 1, F.lit("/private/x"))
+        .when(did % 4 == 2, F.lit("/private/pub/y"))
+        .otherwise(F.lit("/files/f.zip"))
+    )
+    rows = d.select("doc_id", robots_txt.alias("robots"),
+                    path.alias("path"))
+    out = R.with_robots_verdict(rows, "robots", "path", agent="mybot")
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "path",
+        F.col("robots_allowed").alias("allowed"),
+        "crawl_delay_s",
+        F.size(R.robots_sitemaps(F.col("robots"))).cast("long").alias(
+            "n_sitemaps"
+        ),
+    )
+
+
+@register(
+    "q_crawl_feed_items",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+       CAST(i AS BIGINT) AS item_idx,
+       'Post ' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+         AS title,
+       'https://ex.com/' || CAST(doc_id AS VARCHAR) || '/'
+         || CAST(i AS VARCHAR) AS link,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'Mon, 0' || CAST(1 + i AS VARCHAR)
+                 || ' Jan 2024 00:00:00 GMT'
+            ELSE '2024-01-0' || CAST(1 + i AS VARCHAR) || 'T00:00:00Z'
+       END AS published,
+       'id-' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+         AS item_id
+FROM documents, unnest(generate_series(0, 1 + CAST(doc_id % 3 AS INTEGER)))
+  AS t(i)
+WHERE doc_id < 300
+""",
+    tags=("llm", "text", "crawl", "feeds"),
+)
+def q_crawl_feed_items(spark: SparkSession, sf: str) -> DataFrame:
+    """RSS/Atom feed-item explosion, oracle-exact — the crawl
+    frontier's work list (:func:`..functions.feeds.feed_items`): RSS
+    ``<item>`` blocks with CDATA titles (even doc_ids) and Atom
+    ``<entry>`` blocks where rel="alternate" links are preferred over
+    rel="self" (odd).  Parsing is pure Catalyst; synthesis Python.
+    Rows are (doc, item) pairs closed-form in doc_id.
+    """
+    from ..functions import feeds as FD
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 3
+                if did % 2 == 0:
+                    items = "".join(
+                        f"<item><title><![CDATA[Post {did}-{i}]]></title>"
+                        f"<link>https://ex.com/{did}/{i}</link>"
+                        f"<pubDate>Mon, 0{1 + i} Jan 2024 00:00:00 GMT"
+                        f"</pubDate><guid>id-{did}-{i}</guid></item>"
+                        for i in range(n)
+                    )
+                    payloads.append(
+                        '<?xml version="1.0"?><rss version="2.0"><channel>'
+                        f"<title>Feed {did}</title>{items}</channel></rss>"
+                    )
+                else:
+                    entries = "".join(
+                        f"<entry><title>Post {did}-{i}</title>"
+                        f'<link rel="self" href="https://ex.com/self"/>'
+                        f'<link rel="alternate" '
+                        f'href="https://ex.com/{did}/{i}"/>'
+                        f"<published>2024-01-0{1 + i}T00:00:00Z</published>"
+                        f"<id>id-{did}-{i}</id></entry>"
+                        for i in range(n)
+                    )
+                    payloads.append(
+                        '<feed xmlns="http://www.w3.org/2005/Atom">'
+                        f"<title>Feed {did}</title>{entries}</feed>"
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "xml": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, xml string")
+    return FD.feed_items(files, "xml").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "kind", "item_idx", "title", "link", "published", "item_id",
+    )
+
+
+@register(
     "q_crawl_subtitles",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
