@@ -11,12 +11,14 @@ Catalyst projection: zero Python, and the URL table never shuffles
 (the verdict is a map-side expression against a joined robots
 column).
 
-Documented approximations (the crawl-corpus trade, each noted where
-it applies): the ``$`` anchor is enforced as an ends-with check on the
-final literal segment combined with in-order containment of the
-middle segments — pathological self-overlapping patterns
-(``a*b$`` matching inside its own suffix) may over-match; rule
-specificity is pattern length (Google semantics).
+Documented approximation (the crawl-corpus trade): for
+wildcard-plus-anchor patterns the final literal must sit at the
+path's end AND after the in-order middles, but the end occurrence is
+not re-verified to be reachable when a literal self-overlaps its own
+suffix (``a*bb$`` vs a path ending ``...bbb``) — plain anchored
+patterns (``/$``) are exact.  Rule specificity is pattern length and
+user-agent groups are chosen by longest-prefix product-token match
+(both Google semantics).
 
 Reference behavioral parity: the reference transport stores opaque
 named byte arrays per message (RawdataMessage.java:15-60); crawl
@@ -57,21 +59,36 @@ def _parsed_lines(col: Column) -> Column:
     )
 
 
+def _chosen_token(parsed: Column, agent: str) -> Column:
+    """RFC 9309 / Google group selection: the LONGEST user-agent token
+    in the file that is a case-insensitive PREFIX of the crawler's
+    product name ('googlebot' governs 'googlebot-news'); empty string
+    when none matches (the ``*`` groups then apply)."""
+    agent_lc = agent.lower()
+    toks = F.transform(
+        F.filter(parsed, lambda p: p["key"] == "user-agent"),
+        lambda p: F.lower(p["value"]),
+    )
+    matching = F.filter(
+        toks, lambda t: (t != "*") & F.lit(agent_lc).startswith(t)
+    )
+    return F.aggregate(
+        matching,
+        F.lit(""),
+        lambda acc, t: F.when(F.length(t) > F.length(acc), t).otherwise(acc),
+    )
+
+
 def _group_rules(col: Column, agent: str) -> Column:
     """The chosen group's rules as ``array<struct<allow,path>>``.
 
-    RFC 9309 group selection: if any ``user-agent: <agent>`` line
-    exists, ONLY those groups apply; otherwise the ``*`` groups.
-    Consecutive user-agent lines share one group (``building`` tracks
-    the run); any directive line ends the run.
+    Group selection per :func:`_chosen_token`; when a named token
+    governs, the ``*`` groups are ignored.  Consecutive user-agent
+    lines share one group (``building`` tracks the run); any directive
+    line ends the run.
     """
-    agent_lc = agent.lower()
     parsed = _parsed_lines(col)
-    exact = F.exists(
-        parsed,
-        lambda p: (p["key"] == "user-agent")
-        & (F.lower(p["value"]) == agent_lc),
-    )
+    chosen = _chosen_token(parsed, agent)
     init = F.struct(
         F.lit(False).alias("active"),
         F.lit(False).alias("building"),
@@ -81,7 +98,7 @@ def _group_rules(col: Column, agent: str) -> Column:
     def step(acc, p):
         is_ua = p["key"] == "user-agent"
         matches = F.when(
-            exact, F.lower(p["value"]) == agent_lc
+            chosen != "", F.lower(p["value"]) == chosen
         ).otherwise(p["value"] == "*")
         active_ua = F.when(
             acc["building"], acc["active"] | matches
@@ -123,15 +140,27 @@ def _group_rules(col: Column, agent: str) -> Column:
 def _matches(path: Column, pattern: Column) -> Column:
     """One robots pattern against one path: prefix anchor, ``*``
     wildcards (in-order segment containment via position folds),
-    optional ``$`` end anchor (see the module docstring's documented
-    approximation)."""
+    ``$`` end anchor.  A no-wildcard anchored pattern is exact
+    equality (``/$`` matches only ``/``); a wildcard-anchored pattern
+    requires its final literal segment to sit at the path's END and
+    AFTER the in-order middles (the residual approximation: the end
+    occurrence is not re-verified to be the same one the fold could
+    reach when literals self-overlap — see the module docstring)."""
     anchored = F.endswith(pattern, F.lit("$"))
     pat = F.when(anchored, F.substr(
         pattern, F.lit(1), F.length(pattern) - 1
     )).otherwise(pattern)
     parts = F.split(pat, "\\*", -1)
+    n = F.size(parts)
     head = F.element_at(parts, 1)
-    mids = F.slice(parts, F.lit(2), F.greatest(F.size(parts) - 1, F.lit(0)))
+    # when anchored, the LAST segment is handled by the end check, so
+    # the in-order fold walks only the middles
+    mids = F.slice(
+        parts,
+        F.lit(2),
+        F.greatest(n - F.when(anchored, F.lit(2)).otherwise(F.lit(1)),
+                   F.lit(0)),
+    )
     start_ok = path.startswith(head)
     fold = F.aggregate(
         mids,
@@ -153,9 +182,12 @@ def _matches(path: Column, pattern: Column) -> Column:
         ),
     )
     tail = F.element_at(parts, -1)
-    end_ok = F.when(
-        ~anchored, F.lit(True)
-    ).otherwise(path.endswith(tail))
+    end_pos = (F.length(path) - F.length(tail) + 1).cast("int")
+    end_ok = F.when(~anchored, F.lit(True)).otherwise(
+        F.when(n == 1, F.length(path) == F.length(head)).otherwise(
+            path.endswith(tail) & (end_pos >= fold["pos"])
+        )
+    )
     return start_ok & fold["ok"] & end_ok
 
 
@@ -191,13 +223,8 @@ def robots_allowed(
 
 def robots_crawl_delay(robots: Column, agent: str = "*") -> Column:
     """The chosen group's crawl-delay seconds (NULL when absent)."""
-    agent_lc = agent.lower()
     parsed = _parsed_lines(robots)
-    exact = F.exists(
-        parsed,
-        lambda p: (p["key"] == "user-agent")
-        & (F.lower(p["value"]) == agent_lc),
-    )
+    chosen = _chosen_token(parsed, agent)
     init = F.struct(
         F.lit(False).alias("active"),
         F.lit(False).alias("building"),
@@ -207,7 +234,7 @@ def robots_crawl_delay(robots: Column, agent: str = "*") -> Column:
     def step(acc, p):
         is_ua = p["key"] == "user-agent"
         matches = F.when(
-            exact, F.lower(p["value"]) == agent_lc
+            chosen != "", F.lower(p["value"]) == chosen
         ).otherwise(p["value"] == "*")
         active_ua = F.when(
             acc["building"], acc["active"] | matches
@@ -253,12 +280,22 @@ def with_robots_verdict(
     path_col: str,
     agent: str = "*",
     out_col: str = "robots_allowed",
+    delay_col: str | None = None,
 ) -> DataFrame:
     """Attach the fetch verdict (plus crawl delay) for each
     ``(robots, path)`` row — the shape after joining a URL table to
-    its per-host robots.txt column.  Map-side only: no shuffle."""
+    its per-host robots.txt column.  Map-side only: no shuffle.
+    ``delay_col`` defaults to ``crawl_delay_s`` for the default
+    verdict column and ``{out_col}_delay_s`` otherwise, so two
+    agents' verdicts can sit side by side without clobbering."""
+    if delay_col is None:
+        delay_col = (
+            "crawl_delay_s"
+            if out_col == "robots_allowed"
+            else f"{out_col}_delay_s"
+        )
     return df.withColumn(
         out_col, robots_allowed(F.col(robots_col), F.col(path_col), agent)
     ).withColumn(
-        "crawl_delay_s", robots_crawl_delay(F.col(robots_col), agent)
+        delay_col, robots_crawl_delay(F.col(robots_col), agent)
     )

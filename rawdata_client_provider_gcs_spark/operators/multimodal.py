@@ -563,6 +563,7 @@ def sample_frames(
                     rawmp3,
                     rawmp4,
                     rawogg,
+                    rawts,
                     rawwebm,
                 )
 
@@ -586,6 +587,12 @@ def sample_frames(
                 if rawwebm.sniff_webm(payload):
                     if not fake:
                         rawwebm.decode_webm_media(payload)
+                    return fake_frames(payload)
+                if rawts.sniff_ts(payload):
+                    # audio/mp2t: audio-only HLS TS segments — same
+                    # recognized-container boundary as the video branch
+                    if not fake:
+                        rawts.decode_ts_media(payload)
                     return fake_frames(payload)
             def grid_sample(frame_pairs):
                 # every_ms grid over native frame timings — shared by

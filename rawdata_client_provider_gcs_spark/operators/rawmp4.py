@@ -75,7 +75,7 @@ def parse_mp4(data: bytes) -> dict:
         raise ValueError("mp4: shorter than one box header")
     budget = [_MAX_BOXES]
     meta: dict = {"brands": [], "tracks": []}
-    saw_ftyp = saw_moov = saw_styp = False
+    saw_moov = False
     n_fragments = 0
     trex_defaults: dict[int, int] = {}  # track_id -> default duration
     frag_ticks: dict[int, int] = {}     # track_id -> summed durations
@@ -140,13 +140,11 @@ def parse_mp4(data: bytes) -> dict:
                 frag_ticks[track_id] = frag_ticks.get(track_id, 0) + ticks
 
     def walk(start: int, end: int, depth: int, track: dict | None):
-        nonlocal saw_ftyp, saw_moov, saw_styp, n_fragments
+        nonlocal saw_moov, n_fragments
         if depth > 8:
             raise ValueError("mp4: box nesting over the depth cap")
         for fourcc, body, box_end in _walk(data, start, end, budget):
             if fourcc in (b"ftyp", b"styp"):
-                saw_ftyp = True
-                saw_styp = saw_styp or fourcc == b"styp"
                 meta["major_brand"] = data[body : body + 4].decode(
                     "latin-1", "replace"
                 )
@@ -291,9 +289,14 @@ def decode_mp4_media(data: bytes):
 
 
 def sniff_mp4(data: bytes) -> bool:
+    # styp opens bare DASH/HLS media segments (.m4s) — first-class
+    # since the fragmented-MP4 support; moof covers headerless splices
     return (
         len(data) >= 12
-        and data[4:8] in (b"ftyp", b"moov", b"mdat", b"free", b"wide", b"skip")
+        and data[4:8] in (
+            b"ftyp", b"styp", b"moov", b"moof",
+            b"mdat", b"free", b"wide", b"skip",
+        )
     )
 
 

@@ -47,12 +47,16 @@ STREAM_TYPES = {
 
 
 def sniff_ts(data: bytes) -> bool:
-    """Three consecutive sync bytes at 188-byte stride — the standard
-    transport-stream probe."""
-    if len(data) < 3 * _PKT:
-        return len(data) >= _PKT and data[0] == _SYNC
-    return (
-        data[0] == _SYNC and data[_PKT] == _SYNC and data[2 * _PKT] == _SYNC
+    """Sync bytes at EVERY available 188-byte stride position (up to
+    three) — one leading 0x47 alone is ASCII ``G`` and far too weak;
+    requiring each present stride byte keeps truncated-segment support
+    while cutting the false-positive rate."""
+    if len(data) < _PKT:
+        return False
+    return all(
+        data[i * _PKT] == _SYNC
+        for i in range(3)
+        if i * _PKT < len(data)
     )
 
 

@@ -136,3 +136,71 @@ def test_feed_hostile_linear(spark):
     FD.feed_items(df, "xml").count()
     FD.feed_meta(df, "xml").count()
     assert time.perf_counter() - t0 < 30.0
+
+
+def test_robots_review_fixes(spark):
+    """Round-10 review pins: /$ homepage idiom, UA prefix matching,
+    side-by-side verdicts."""
+    homepage_only = "User-agent: *\nAllow: /$\nDisallow: /\n"
+    assert _verdict(spark, homepage_only, "/", "*")
+    assert not _verdict(spark, homepage_only, "/private/", "*")
+    assert not _verdict(spark, homepage_only, "/a.html", "*")
+
+    # longest-prefix product-token group selection (Google semantics)
+    named = "User-agent: googlebot\nDisallow: /x/\n"
+    assert not _verdict(spark, named, "/x/1", "googlebot-news")
+    assert not _verdict(spark, named, "/x/1", "Googlebot/2.1")
+    assert _verdict(spark, named, "/x/1", "bingbot")  # no group -> allow
+    two = (
+        "User-agent: google\nDisallow: /a/\n\n"
+        "User-agent: googlebot-news\nDisallow: /b/\n"
+    )
+    # the LONGEST matching token governs: news group, not google
+    assert _verdict(spark, two, "/a/x", "googlebot-news")
+    assert not _verdict(spark, two, "/b/x", "googlebot-news")
+
+    # two agents side by side do not clobber each other's delay
+    df = spark.createDataFrame(
+        [(ROBOTS, "/tmp/x")], "robots string, path string"
+    )
+    both = R.with_robots_verdict(
+        R.with_robots_verdict(df, "robots", "path", agent="*"),
+        "robots", "path", agent="googlebot", out_col="google_allowed",
+    )
+    row = both.collect()[0]
+    assert row["robots_allowed"] is False and row["google_allowed"] is True
+    assert row["crawl_delay_s"] == 2.5
+    assert row["google_allowed_delay_s"] is None
+
+
+def test_mp4_and_ts_sniff_review_fixes(spark):
+    from rawdata_client_provider_gcs_spark.operators import (
+        multimodal as M,
+        rawmp4,
+        rawts,
+    )
+
+    # bare .m4s reaches the mp4 boundary through dispatch now
+    seg = rawmp4.build_m4s()
+    assert rawmp4.sniff_mp4(seg)
+    df = spark.createDataFrame(
+        [(1, bytearray(seg))], "doc_id long, content binary"
+    )
+    out = M.extract_features(
+        M.with_media_columns(df, "content", "video/mp4", "doc_id")
+    ).collect()
+    assert out[0]["error"].startswith("UnsupportedCodecError")
+
+    # audio/mp2t TS segments sample as recognized containers
+    ts = rawts.build_ts(streams=((0x0F, 0x101),))
+    df2 = spark.createDataFrame(
+        [(1, bytearray(ts))], "doc_id long, content binary"
+    )
+    fr = M.sample_frames(
+        M.with_media_columns(df2, "content", "audio/mp2t", "doc_id"),
+        fake=True,
+    ).collect()
+    assert fr and all(r["error"] is None for r in fr)
+
+    # 'G'-leading text no longer sniffs as TS
+    assert not rawts.sniff_ts(b"GET /index.html HTTP/1.1\r\n" + b" " * 400)
