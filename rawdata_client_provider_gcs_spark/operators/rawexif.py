@@ -173,7 +173,7 @@ def _ifd_entry(tag: int, typ: int, vals, data_area: bytearray, base: int) -> byt
     return ent
 
 
-def build_exif_jpeg(
+def build_exif_tiff(
     *,
     orientation: int = 1,
     make: str = "FixtureCam",
@@ -181,8 +181,8 @@ def build_exif_jpeg(
     datetime_str: str = "2020:01:02 03:04:05",
     gps: tuple[float, float] | None = None,
 ) -> bytes:
-    """A minimal JPEG (SOI + APP1 Exif + EOI; no scan data — metadata
-    fixtures never decode pixels) with a little-endian EXIF block."""
+    """The little-endian TIFF EXIF block alone (IFD0 [+ GPS IFD]) —
+    the payload format shared by JPEG APP1 and the HEIF Exif item."""
     # lay out: header(8) | IFD0 | [GPS IFD] | data area
     entries0 = [
         (0x010F, 2, make),
@@ -228,6 +228,12 @@ def build_exif_jpeg(
         gifd += struct.pack("<I", 0)
         block += gifd
     block += bytes(data)
-    app1 = b"Exif\x00\x00" + block
+    return block
+
+
+def build_exif_jpeg(**kwargs) -> bytes:
+    """A minimal JPEG (SOI + APP1 Exif + EOI; no scan data — metadata
+    fixtures never decode pixels) wrapping :func:`build_exif_tiff`."""
+    app1 = b"Exif\x00\x00" + build_exif_tiff(**kwargs)
     seg = b"\xff\xe1" + struct.pack(">H", 2 + len(app1)) + app1
     return b"\xff\xd8" + seg + b"\xff\xd9"

@@ -212,7 +212,9 @@ def _parse_iref(data: bytes, body: int, box_end: int, budget: list[int]):
 
 
 def _parse_iloc(data: bytes, body: int, box_end: int):
-    """item_id -> total extent bytes (the item's stored payload size)."""
+    """item_id -> {"size": total extent bytes, "extents": [(off, len)]}
+    (absolute file offsets; construction methods other than file-offset
+    yield size accounting but empty extents)."""
     if box_end - body < 8:
         raise ValueError("heif: iloc box shorter than its fields")
     ver = data[body]
@@ -236,30 +238,39 @@ def _parse_iloc(data: bytes, body: int, box_end: int):
         pos += 4
     if count > _MAX_BOXES:
         raise ValueError("heif: iloc item count over the hostile-input cap")
-    out: dict[int, int] = {}
+    out: dict[int, dict] = {}
     for _ in range(count):
         idw = 2 if ver < 2 else 4
         if pos + idw > box_end:
             raise ValueError("heif: iloc item truncated")
         item_id = int.from_bytes(data[pos : pos + idw], "big")
         pos += idw
+        method = 0
         if ver in (1, 2):
+            method = int.from_bytes(data[pos : pos + 2], "big") & 0xF
             pos += 2  # reserved + construction_method
         pos += 2  # data_reference_index
+        base = int.from_bytes(data[pos : pos + base_offset_size], "big")
         pos += base_offset_size
         if pos + 2 > box_end:
             raise ValueError("heif: iloc item truncated")
         n_ext = int.from_bytes(data[pos : pos + 2], "big")
         pos += 2
         total = 0
+        extents: list[tuple[int, int]] = []
         ext = index_size + offset_size + length_size
         for _ in range(n_ext):
             if pos + ext > box_end:
                 raise ValueError("heif: iloc extent truncated")
+            off_at = pos + index_size
+            off = int.from_bytes(data[off_at : off_at + offset_size], "big")
             ln_off = pos + index_size + offset_size
-            total += int.from_bytes(data[ln_off : ln_off + length_size], "big")
+            ln = int.from_bytes(data[ln_off : ln_off + length_size], "big")
+            total += ln
+            if method == 0:  # file-offset construction only
+                extents.append((base + off, ln))
             pos += ext
-        out[item_id] = total
+        out[item_id] = {"size": total, "extents": extents}
     return out
 
 
@@ -408,8 +419,53 @@ def parse_heif(data: bytes) -> dict:
     meta["has_thumbnail"] = has_thumb
     meta["has_exif"] = has_exif
     meta["n_tiles"] = n_tiles
-    meta["primary_size"] = iloc.get(primary, 0)
+    meta["primary_size"] = iloc.get(primary, {}).get("size", 0)
     return meta
+
+
+def heif_exif(data: bytes) -> dict:
+    """EXIF fields from the HEIF's ``Exif`` item (HEIC photos — the
+    phone-default format — carry camera/orientation/GPS here, the
+    GPS being the PII flag curation needs).
+
+    The item payload is an ExifDataBlock (ISO 23008-12 A.2.1): a u32
+    offset from the start of the remaining payload to the TIFF
+    header, then the classic EXIF bytes — delegated to
+    :func:`..rawexif.exif_meta`.  Absence of an Exif item is DATA
+    (``{"has_gps": False}``), unreachable or lying extents raise
+    ``ValueError`` for per-row capture."""
+    from . import rawexif  # noqa: PLC0415
+
+    if not sniff_heif(data):
+        raise ValueError("heif: payload lacks a HEIF-family ftyp brand")
+    budget = [_MAX_BOXES]
+    items: dict[int, dict] = {}
+    iloc: dict[int, dict] = {}
+    for fourcc, body, box_end in _walk(data, 0, len(data), budget):
+        if fourcc == b"meta":
+            if box_end - body < 4:
+                raise ValueError("heif: meta box shorter than its fields")
+            for mcc, mb, me in _walk(data, body + 4, box_end, budget):
+                if mcc == b"iinf":
+                    items = _parse_iinf(data, mb, me, budget)
+                elif mcc == b"iloc":
+                    iloc = _parse_iloc(data, mb, me)
+    exif_ids = [i for i, inf in items.items() if inf["type"] == "Exif"]
+    if not exif_ids:
+        return {"has_gps": False}
+    loc = iloc.get(exif_ids[0])
+    if not loc or not loc["extents"]:
+        raise ValueError("heif: Exif item has no reachable extents")
+    for off, ln in loc["extents"]:
+        if off + ln > len(data):
+            raise ValueError("heif: Exif extent outside the file")
+    payload = b"".join(data[o : o + ln] for o, ln in loc["extents"])
+    if len(payload) < 4:
+        raise ValueError("heif: Exif payload shorter than its offset field")
+    tiff_off = int.from_bytes(payload[:4], "big")
+    if 4 + tiff_off >= len(payload):
+        raise ValueError("heif: Exif tiff offset outside the payload")
+    return rawexif.exif_meta(payload[4 + tiff_off :])
 
 
 def decode_heif_pixels(data: bytes):
@@ -442,6 +498,7 @@ def build_heif(
     rotation: int = 0,
     alpha: bool = False,
     exif: bool = False,
+    exif_tiff: bytes | None = None,
     thumbnail: bool = False,
     wide_ipma: bool = False,
     v1_boxes: bool = False,
@@ -474,10 +531,16 @@ def build_heif(
         item_ids["alpha"] = next_id
         next_id += 1
         payloads.append(b"\xa1" * 32)
-    if exif:
+    if exif or exif_tiff is not None:
         item_ids["exif"] = next_id
         next_id += 1
-        payloads.append(b"\x00\x00\x00\x06Exif\x00\x00" + b"\x11" * 16)
+        if exif_tiff is not None:
+            # real ExifDataBlock: u32 offset 6, 'Exif\\0\\0', TIFF bytes
+            payloads.append(
+                b"\x00\x00\x00\x06Exif\x00\x00" + exif_tiff
+            )
+        else:
+            payloads.append(b"\x00\x00\x00\x06Exif\x00\x00" + b"\x11" * 16)
     if thumbnail:
         item_ids["thumb"] = next_id
         next_id += 1
@@ -503,7 +566,7 @@ def build_heif(
     infes = infe(item_ids["primary"], codec)
     if alpha:
         infes += infe(item_ids["alpha"], codec)
-    if exif:
+    if "exif" in item_ids:
         infes += infe(item_ids["exif"], b"Exif")
     if thumbnail:
         infes += infe(item_ids["thumb"], codec)
@@ -558,7 +621,7 @@ def build_heif(
             b"auxl", iid(item_ids["alpha"]) + (1).to_bytes(2, "big")
             + iid(item_ids["primary"]),
         )
-    if exif:
+    if "exif" in item_ids:
         ref_boxes += _box(
             b"cdsc", iid(item_ids["exif"]) + (1).to_bytes(2, "big")
             + iid(item_ids["primary"]),

@@ -237,6 +237,32 @@ def parse_mp4(data: bytes) -> dict:
                         track["sample_rate"] = int.from_bytes(
                             data[entry + 32 : entry + 34], "big"
                         )
+                    if track["codec"] in ("avc1", "avc3"):
+                        # the avcC config record sits after the 78-byte
+                        # VisualSampleEntry body: parse its SPS for the
+                        # TRUE coded dimensions (tkhd width/height are
+                        # presentation hints; the SPS is authoritative)
+                        cfg_start = entry + 8 + 78
+                        entry_end = min(
+                            entry + int.from_bytes(
+                                data[entry : entry + 4], "big"
+                            ),
+                            box_end,
+                        )
+                        for ccc, cb, ce in _walk(
+                            data, cfg_start, entry_end, budget
+                        ):
+                            if ccc == b"avcC":
+                                from . import rawh264  # noqa: PLC0415
+
+                                try:
+                                    sps = rawh264.sps_from_avcc(data[cb:ce])
+                                except ValueError:
+                                    break  # malformed config: keep going
+                                track["sps_width"] = sps["width"]
+                                track["sps_height"] = sps["height"]
+                                track["sps_profile"] = sps["profile"]
+                                break
             elif fourcc == b"stts" and track is not None:
                 if box_end - body < 8:
                     raise ValueError("mp4: stts box shorter than its fields")
@@ -329,6 +355,7 @@ def build_mp4(
     fragments: int = 0,
     samples_per_fragment: int = 8,
     duration_source: str = "trun",
+    avc_sps: tuple[int, int] | None = None,
 ) -> bytes:
     """Write a structurally valid MP4 with empty media data (metadata
     parsing never touches codec payloads).
@@ -369,7 +396,21 @@ def build_mp4(
                 bytes(52)
                 + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
             )
-            entry_body = bytes(70) + (0x18).to_bytes(2, "big") + b"\xff\xff"
+            # VisualSampleEntry body is exactly 78 bytes after
+            # size+fourcc (6 reserved + 2 dri land before entry_body):
+            # 66 zeros + depth + pre_defined, then child config boxes
+            entry_body = bytes(66) + (0x18).to_bytes(2, "big") + b"\xff\xff"
+            if avc_sps is not None:
+                from . import rawh264  # noqa: PLC0415
+
+                entry_body += _box(
+                    b"avcC",
+                    rawh264.build_avcc(
+                        rawh264.build_sps(
+                            width=avc_sps[0], height=avc_sps[1]
+                        )
+                    ),
+                )
         else:
             ch, rate = spec
             tkhd_tail = bytes(52) + (0).to_bytes(4, "big") * 2

@@ -5387,6 +5387,75 @@ def q_multimodal_heif_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_heif_exif",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END AS format,
+       CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+       'Phone' || CAST(doc_id % 4 AS VARCHAR) AS make,
+       doc_id % 3 = 0 AS has_gps,
+       CASE WHEN doc_id % 3 = 0
+            THEN CAST(doc_id % 90 AS DOUBLE) + 0.5 ELSE NULL END AS gps_lat
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "image", "heif", "exif", "pii",
+          "pandas-udf"),
+)
+def q_multimodal_heif_exif(spark: SparkSession, sf: str) -> DataFrame:
+    """EXIF out of HEIC/AVIF photos, oracle-exact — the phone-default
+    image format's PII tier: the ``Exif`` item located through
+    iinf+iloc extents, its ExifDataBlock offset header stripped, the
+    TIFF block delegated to :mod:`..operators.rawexif`
+    (:func:`..operators.rawheif.heif_exif`).  GPS presence is the
+    curation flag.  All columns closed-form in doc_id.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from ..operators import rawexif, rawheif
+
+        cols = ("doc_id", "format", "orientation", "make", "has_gps",
+                "gps_lat")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                tiff = rawexif.build_exif_tiff(
+                    orientation=1 + did % 8,
+                    make=f"Phone{did % 4}",
+                    gps=(did % 90 + 0.5, -(did % 180 + 0.25))
+                    if did % 3 == 0
+                    else None,
+                )
+                blob = rawheif.build_heif(
+                    fmt="avif" if did % 2 == 0 else "heic",
+                    exif_tiff=tiff,
+                    v1_boxes=did % 6 == 0,
+                )
+                m = rawheif.parse_heif(blob)
+                x = rawheif.heif_exif(blob)
+                rows["doc_id"].append(did)
+                rows["format"].append(m["format"])
+                rows["orientation"].append(x.get("orientation"))
+                rows["make"].append(x.get("make"))
+                rows["has_gps"].append(x["has_gps"])
+                rows["gps_lat"].append(x.get("gps_lat"))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, format string, orientation long, make string, "
+        "has_gps boolean, gps_lat double",
+    )
+
+
+@register(
     "q_multimodal_exif",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

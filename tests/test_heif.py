@@ -239,3 +239,37 @@ def test_spark_per_row_boundary(spark):
         16, 16, fake=True,
     ).collect()
     assert rz_fake[0]["error"] is None and len(rz_fake[0]["thumb"]) == 256
+
+
+def test_heif_exif_extraction():
+    """Round-10: the Exif item payload (ExifDataBlock: u32 offset +
+    'Exif\\0\\0' + TIFF) resolves through iinf+iloc extents into
+    rawexif — the HEIC-photo PII tier."""
+    from rawdata_client_provider_gcs_spark.operators import rawexif as E
+
+    tiff = E.build_exif_tiff(
+        orientation=6, make="PhoneCam", gps=(59.91, 10.75)
+    )
+    blob = H.build_heif(exif_tiff=tiff, alpha=True)
+    assert H.parse_heif(blob)["has_exif"]
+    x = H.heif_exif(blob)
+    assert x["make"] == "PhoneCam" and x["orientation"] == 6
+    assert x["has_gps"] and abs(x["gps_lat"] - 59.91) < 1e-4
+
+    # v1 (32-bit id) boxes carry extents the same way
+    assert H.heif_exif(H.build_heif(exif_tiff=tiff, v1_boxes=True))[
+        "has_gps"
+    ]
+    # absence is DATA, not an error
+    assert H.heif_exif(H.build_heif()) == {"has_gps": False}
+    # junk Exif payload: lenient non-TIFF path, still not an error
+    assert H.heif_exif(H.build_heif(exif=True))["has_gps"] is False
+
+    # lying extents raise for per-row capture
+    bad = bytearray(H.build_heif(exif_tiff=tiff))
+    i = bytes(bad).find(b"iloc")
+    # first extent offset field of item 1 (header byte 0x44: off4/len4)
+    # corrupting the mdat start offset makes the Exif extent lie
+    with pytest.raises(ValueError):
+        mutated = bytes(bad).replace(b"mdat", b"zdat")  # extents point
+        H.heif_exif(mutated[: len(mutated) // 2])        # past the cut
