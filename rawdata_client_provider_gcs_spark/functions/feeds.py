@@ -156,3 +156,46 @@ def feed_meta(
         _inner(c, "title").alias("feed_title"),
         n.cast("long").alias("n_items"),
     )
+
+
+def sitemap_urls(
+    df: DataFrame, xml_col: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode a sitemap.xml into one row per URL:
+    ``(id, kind, url_idx, loc, lastmod)``.
+
+    Handles both document kinds a crawler meets behind robots.txt's
+    ``Sitemap:`` lines: ``<urlset><url>`` leaves and
+    ``<sitemapindex><sitemap>`` index nodes (``kind`` tells which, so
+    the frontier knows whether a row is a page to fetch or another
+    sitemap to expand).  Same linear split-by-closer passes as the
+    feed parser.
+    """
+    c = F.col(xml_col)
+    head = F.lower(F.substr(c, F.lit(1), F.lit(2048)))
+    kind = (
+        F.when(F.instr(head, "<sitemapindex") > 0, F.lit("index"))
+        .when(F.instr(head, "<urlset") > 0, F.lit("urlset"))
+        .otherwise(F.lit("unknown"))
+    )
+    url_blocks = _between_tags(c, "(?i)<url(?=[\\s/>])", "(?is)</url\\s*>")
+    map_blocks = _between_tags(
+        c, "(?i)<sitemap(?=[\\s/>])", "(?is)</sitemap\\s*>"
+    )
+    blocks = (
+        F.when(kind == "urlset", url_blocks)
+        .when(kind == "index", map_blocks)
+        .otherwise(F.array().cast("array<string>"))
+    )
+    exploded = df.select(
+        F.col(id_col), kind.alias("kind"),
+        F.posexplode(blocks).alias("url_idx", "__block"),
+    )
+    b = F.col("__block")
+    return exploded.select(
+        F.col(id_col),
+        "kind",
+        F.col("url_idx").cast("long").alias("url_idx"),
+        _inner(b, "loc").alias("loc"),
+        _inner(b, "lastmod").alias("lastmod"),
+    )

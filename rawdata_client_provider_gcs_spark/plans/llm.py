@@ -3124,6 +3124,80 @@ def q_text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_sitemap",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 5 = 0 THEN 'index' ELSE 'urlset' END AS kind,
+       CAST(i AS BIGINT) AS url_idx,
+       CASE WHEN doc_id % 5 = 0
+            THEN 'https://ex.com/maps/' || CAST(doc_id AS VARCHAR) || '-'
+                 || CAST(i AS VARCHAR) || '.xml'
+            ELSE 'https://ex.com/p/' || CAST(doc_id AS VARCHAR) || '/'
+                 || CAST(i AS VARCHAR)
+       END AS loc,
+       '2024-0' || CAST(1 + i AS VARCHAR) || '-01' AS lastmod
+FROM documents, unnest(generate_series(0, 1 + CAST(doc_id % 4 AS INTEGER)))
+  AS t(i)
+WHERE doc_id < 300
+""",
+    tags=("llm", "text", "crawl", "sitemap"),
+)
+def q_crawl_sitemap(spark: SparkSession, sf: str) -> DataFrame:
+    """sitemap.xml explosion, oracle-exact — the expansion step behind
+    robots.txt's ``Sitemap:`` lines (:func:`..functions.feeds.
+    sitemap_urls`): ``<urlset>`` page leaves and ``<sitemapindex>``
+    nested-index nodes (every fifth doc), with loc/lastmod per row.
+    Parsing is pure Catalyst.  Rows closed-form in doc_id.
+    """
+    from ..functions import feeds as FD
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 4
+                if did % 5 == 0:
+                    rowsx = "".join(
+                        f"<sitemap><loc>https://ex.com/maps/{did}-{i}.xml"
+                        f"</loc><lastmod>2024-0{1 + i}-01</lastmod>"
+                        "</sitemap>"
+                        for i in range(n)
+                    )
+                    payloads.append(
+                        '<?xml version="1.0"?><sitemapindex '
+                        'xmlns="http://www.sitemaps.org/schemas/sitemap/'
+                        f'0.9">{rowsx}</sitemapindex>'
+                    )
+                else:
+                    rowsx = "".join(
+                        f"<url><loc>https://ex.com/p/{did}/{i}</loc>"
+                        f"<lastmod>2024-0{1 + i}-01</lastmod></url>"
+                        for i in range(n)
+                    )
+                    payloads.append(
+                        '<?xml version="1.0"?><urlset '
+                        'xmlns="http://www.sitemaps.org/schemas/sitemap/'
+                        f'0.9">{rowsx}</urlset>'
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "xml": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, xml string")
+    return FD.sitemap_urls(files, "xml").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "kind", "url_idx", "loc", "lastmod",
+    )
+
+
+@register(
     "q_curation_robots",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -204,3 +204,31 @@ def test_mp4_and_ts_sniff_review_fixes(spark):
 
     # 'G'-leading text no longer sniffs as TS
     assert not rawts.sniff_ts(b"GET /index.html HTTP/1.1\r\n" + b" " * 400)
+
+
+def test_sitemap_urls(spark):
+    urlset = (
+        '<?xml version="1.0"?>'
+        '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        "<url><loc>https://e.x/a</loc><lastmod>2024-01-01</lastmod></url>"
+        "<url><loc>https://e.x/b</loc></url></urlset>"
+    )
+    index = (
+        "<sitemapindex><sitemap><loc>https://e.x/m1.xml</loc></sitemap>"
+        "</sitemapindex>"
+    )
+    df = spark.createDataFrame(
+        [(1, urlset), (2, index), (3, "<html>nope</html>")],
+        "doc_id long, xml string",
+    )
+    rows = {
+        (r["doc_id"], r["url_idx"]): r
+        for r in FD.sitemap_urls(df, "xml").collect()
+    }
+    assert rows[(1, 0)]["loc"] == "https://e.x/a"
+    assert rows[(1, 0)]["lastmod"] == "2024-01-01"
+    assert rows[(1, 1)]["lastmod"] == ""
+    assert rows[(1, 0)]["kind"] == "urlset"
+    assert rows[(2, 0)]["kind"] == "index"
+    assert rows[(2, 0)]["loc"] == "https://e.x/m1.xml"
+    assert not [k for k in rows if k[0] == 3]
