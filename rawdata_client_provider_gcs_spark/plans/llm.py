@@ -2818,6 +2818,79 @@ def q_crawl_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_archive_lz4",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'tar.lz4' WHEN 1 THEN 'tar.sz'
+         WHEN 2 THEN 'zip.lz4' ELSE 'tar.lz4.gz' END AS archive_format,
+       'doc/' || CAST(doc_id AS VARCHAR) || '/a.txt' AS path,
+       CAST(length(substr(text, 1, 60)) AS BIGINT) AS size,
+       substr(text, 1, 60) AS content
+FROM d
+""",
+    tags=("llm", "source", "archive", "compression", "pandas-udf"),
+)
+def q_crawl_archive_lz4(spark: SparkSession, sf: str) -> DataFrame:
+    """LZ4/Snappy-wrapped archives explode like gzip ones,
+    oracle-exact — the pure-Python LZ4 frame (XXH32-verified) and
+    Snappy framing (CRC32C-verified) codecs
+    (:mod:`..sources.compression`) peel transparently in
+    ``parse_archive``, including a stacked ``tar.lz4.gz``.  Each
+    document wraps a one-member tar/zip of its own text; the format
+    column reports the full wrapper chain.  All columns closed-form.
+    """
+    import gzip as _gzip
+
+    from ..sources import archive as A
+    from ..sources import compression as C
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                members = [(f"doc/{did}/a.txt", str(text)[:60].encode())]
+                v = did % 4
+                if v == 0:
+                    blob = C.lz4_compress(
+                        A.build_tar(members),
+                        block_checksums=did % 8 == 0,
+                        content_size=did % 3 == 0,
+                    )
+                elif v == 1:
+                    blob = C.snappy_stream_compress(A.build_tar(members))
+                elif v == 2:
+                    blob = C.lz4_compress(A.build_zip(members))
+                else:
+                    blob = _gzip.compress(
+                        C.lz4_compress(A.build_tar(members))
+                    )
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    from ..sources.archive import archive_members
+
+    return archive_members(files).select(
+        F.col("doc_id"),
+        F.col("archive_format"),
+        F.col("path"),
+        F.col("size"),
+        F.col("payload").cast("string").alias("content"),
+    )
+
+
+@register(
     "q_crawl_archive_members",
     oracle="""
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 250)

@@ -525,20 +525,45 @@ def _gunzip_bounded(data: bytes, cap: int = MAX_ARCHIVE_BYTES) -> bytes:
 
 
 def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
-    # transparent .tar.gz/.tgz (and .zip.gz): inflate bounded, then
-    # dispatch on the real container.  Nesting is bounded at TWO gzip
-    # layers — nobody double-gzips archives legitimately, and unbounded
-    # peeling would let a nested-gzip bomb recurse to RecursionError
-    # (which escapes the per-row ValueError capture)
+    # transparent compression wrappers (.tar.gz/.tgz, .tar.lz4,
+    # .tar.sz): inflate bounded, then dispatch on the real container.
+    # Nesting is bounded at TWO layers — nobody double-wraps archives
+    # legitimately, and unbounded peeling would let a nested bomb
+    # recurse to RecursionError (which escapes per-row capture)
+    from .compression import (  # noqa: PLC0415
+        LZ4_FRAME_MAGIC,
+        SNAPPY_STREAM_MAGIC,
+        lz4_decompress,
+        snappy_stream_decompress,
+    )
+
+    def _wrapper(blob: bytes) -> str | None:
+        if blob[:2] == b"\x1f\x8b":
+            return ".gz"
+        if blob[:4] == LZ4_FRAME_MAGIC:
+            return ".lz4"
+        if blob.startswith(SNAPPY_STREAM_MAGIC):
+            return ".sz"
+        return None
+
     suffix = ""
     for _ in range(2):
-        if fmt == "auto" and data[:2] == b"\x1f\x8b":
+        w = _wrapper(data) if fmt == "auto" else None
+        if w == ".gz":
             data = _gunzip_bounded(data)
-            suffix += ".gz"
+        elif w == ".lz4":
+            data = lz4_decompress(data, cap=MAX_ARCHIVE_BYTES)
+        elif w == ".sz":
+            data = snappy_stream_decompress(data, cap=MAX_ARCHIVE_BYTES)
         else:
             break
-    if fmt == "auto" and data[:2] == b"\x1f\x8b":
-        raise ValueError("archive: more than two nested gzip layers (bomb)")
+        # extension chains read innermost-first (file.tar.lz4.gz = tar,
+        # then lz4, then gzip), i.e. REVERSED peel order — prepend
+        suffix = w + suffix
+    if fmt == "auto" and _wrapper(data) is not None:
+        raise ValueError(
+            "archive: more than two nested compression layers (bomb)"
+        )
     if suffix:
         inner_fmt, members = parse_archive(data, "auto")
         return inner_fmt + suffix, members
