@@ -190,6 +190,12 @@ def parse_ts(data: bytes) -> dict:
                     if st["first_pts"] is None:
                         st["first_pts"] = pts
                     st["last_pts"] = pts
+            if st["stream_type"] in (0x1B, 0x24) and "width" not in st:
+                # buffer the first ~64 KiB of ES bytes: the SPS rides
+                # in the first access unit's Annex-B stream
+                buf = st.setdefault("_es_head", bytearray())
+                if len(buf) < (1 << 16):
+                    buf += pkt[p:]
 
     out_streams = []
     best = 0
@@ -198,6 +204,20 @@ def parse_ts(data: bytes) -> dict:
             st["duration_ms"] = (st["last_pts"] - st["first_pts"]) // 90
         else:
             st["duration_ms"] = 0
+        es_head = st.pop("_es_head", None)
+        if es_head is not None and st["stream_type"] == 0x1B:
+            # H.264: the SPS is pure Exp-Golomb grammar — pull the TRUE
+            # coded dimensions out of the buffered ES head (HEVC's SPS
+            # needs its own grammar; not parsed here)
+            from . import rawh264  # noqa: PLC0415
+
+            try:
+                sps = rawh264.find_sps_annexb(bytes(es_head))
+                st["width"] = sps["width"]
+                st["height"] = sps["height"]
+                st["profile"] = sps["profile"]
+            except ValueError:
+                pass  # no/corrupt SPS in the head: dims stay absent
         best = max(best, st["duration_ms"])
         out_streams.append(st)
     out_streams.sort(key=lambda s: s["pid"])
@@ -275,6 +295,7 @@ def build_ts(
     pmt_pid: int = 0x20,
     null_packets: int = 0,
     pts_base: int = 900_000,
+    h264_sps: tuple[int, int] | None = None,
 ) -> bytes:
     """Write a structurally valid single-program transport stream:
     PAT → PMT → interleaved PES packets whose PTS stamps span exactly
@@ -302,12 +323,19 @@ def build_ts(
         pts = pts_base + (
             ticks * i // (pes_per_stream - 1) if pes_per_stream > 1 else 0
         )
-        for _, epid in streams:
+        for stype, epid in streams:
+            es = b"\x00" * 8  # a little ES filler
+            if h264_sps is not None and stype == 0x1B and i == 0:
+                from . import rawh264  # noqa: PLC0415
+
+                es = b"\x00\x00\x00\x01" + rawh264.build_sps(
+                    width=h264_sps[0], height=h264_sps[1]
+                )
             pes = (
                 b"\x00\x00\x01\xe0\x00\x00"  # start code, stream id, len 0
                 + bytes([0x80, 0x80, 5])       # flags: PTS only, hdr len 5
                 + _pts_bytes(pts)
-                + b"\x00" * 8                   # a little ES filler
+                + es
             )
             out += _packet(epid, pes, cc=ccs[epid], pusi=True)
             ccs[epid] = (ccs[epid] + 1) & 0xF

@@ -123,3 +123,18 @@ def test_spark_per_row_boundary(spark):
         fake=True,
     ).collect()
     assert fr and all(r["error"] is None for r in fr)
+
+
+def test_ts_h264_sps_dimensions():
+    """Round-10: the buffered ES head of an h264 stream yields the
+    SPS's true coded dimensions; absence or corruption degrades to
+    dimension-less metadata, never an error."""
+    m = T.parse_ts(T.build_ts(h264_sps=(1280, 720)))
+    v = [s for s in m["streams"] if s["codec"] == "h264"][0]
+    assert (v["width"], v["height"]) == (1280, 720)
+    assert v["profile"] == "Baseline"
+    v2 = [
+        s for s in T.parse_ts(T.build_ts())["streams"]
+        if s["codec"] == "h264"
+    ][0]
+    assert "width" not in v2
