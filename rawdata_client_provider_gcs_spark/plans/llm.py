@@ -3509,6 +3509,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents WHERE doc_id < 400
 """,
     tags=("llm", "text", "curation", "html", "crawl"),
+    bench=True,
 )
 def q_crawl_page_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Page-level crawl metadata, oracle-exact — OpenGraph fields,
@@ -5298,6 +5299,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents WHERE doc_id < 300
 """,
     tags=("llm", "multimodal", "video", "hls", "pandas-udf"),
+    bench=True,
 )
 def q_multimodal_ts_meta(spark: SparkSession, sf: str) -> DataFrame:
     """MPEG-TS (HLS segment) metadata, oracle-exact — PAT→PMT program
@@ -5462,6 +5464,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents WHERE doc_id < 300
 """,
     tags=("llm", "multimodal", "image", "heif", "avif", "pandas-udf"),
+    bench=True,
 )
 def q_multimodal_heif_meta(spark: SparkSession, sf: str) -> DataFrame:
     """HEIF/AVIF still-image container metadata, oracle-exact — the
