@@ -190,12 +190,23 @@ def parse_ts(data: bytes) -> dict:
                     if st["first_pts"] is None:
                         st["first_pts"] = pts
                     st["last_pts"] = pts
-            if st["stream_type"] in (0x1B, 0x24) and "width" not in st:
-                # buffer the first ~64 KiB of ES bytes: the SPS rides
-                # in the first access unit's Annex-B stream
+            if st["stream_type"] == 0x1B and "width" not in st:
+                # buffer the first ~64 KiB of ES bytes (PES header
+                # stripped on PUSI packets: a video stream id like
+                # 0xE7 would otherwise read as NAL type 7 and poison
+                # the SPS scan); the SPS rides in the first access
+                # unit's Annex-B stream
                 buf = st.setdefault("_es_head", bytearray())
                 if len(buf) < (1 << 16):
-                    buf += pkt[p:]
+                    es_at = p
+                    if (
+                        pusi
+                        and p + 9 <= _PKT
+                        and pkt[p : p + 3] == b"\x00\x00\x01"
+                    ):
+                        es_at = p + 9 + pkt[p + 8]
+                    if es_at < _PKT:
+                        buf += pkt[es_at:]
 
     out_streams = []
     best = 0

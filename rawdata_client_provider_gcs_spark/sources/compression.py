@@ -96,14 +96,16 @@ def xxh32(data: bytes, seed: int = 0) -> int:
 LZ4_FRAME_MAGIC = b"\x04\x22\x4d\x18"
 
 
-def lz4_block_decompress(
-    data: bytes, cap: int = MAX_OUTPUT_BYTES
-) -> bytes:
-    """One raw LZ4 block (token nibbles + extensions + offset copies;
-    overlapping matches byte-at-a-time as the format requires)."""
-    out = bytearray()
+def _lz4_block_into(
+    out: bytearray, data: bytes, base: int, cap: int
+) -> None:
+    """Decode one raw LZ4 block APPENDING to ``out``.  ``base`` is the
+    index where this block's output starts; bytes before it are the
+    linked-blocks window (block-dependent frames' matches may reach up
+    to 64 KiB into the previous blocks' output)."""
     i = 0
     n = len(data)
+    window_start = max(0, base - (1 << 16))
     while i < n:
         token = data[i]
         i += 1
@@ -129,7 +131,7 @@ def lz4_block_decompress(
             raise ValueError("lz4: truncated match offset")
         offset = int.from_bytes(data[i : i + 2], "little")
         i += 2
-        if offset == 0 or offset > len(out):
+        if offset == 0 or len(out) - offset < window_start:
             raise ValueError("lz4: match offset outside the window")
         mlen = (token & 0xF) + 4
         if (token & 0xF) == 15:
@@ -149,6 +151,16 @@ def lz4_block_decompress(
         else:  # overlapping copy: the RLE trick, byte-semantics exact
             for k in range(mlen):
                 out.append(out[src + k])
+
+
+def lz4_block_decompress(
+    data: bytes, cap: int = MAX_OUTPUT_BYTES
+) -> bytes:
+    """One raw LZ4 block with no prior window (token nibbles +
+    extensions + offset copies; overlapping matches byte-at-a-time as
+    the format requires)."""
+    out = bytearray()
+    _lz4_block_into(out, data, 0, cap)
     return bytes(out)
 
 
@@ -164,7 +176,7 @@ def lz4_decompress(data: bytes, cap: int = MAX_OUTPUT_BYTES) -> bytes:
     version = flg >> 6
     if version != 1:
         raise ValueError(f"lz4: unsupported frame version {version}")
-    b_indep = bool(flg & 0x20)  # noqa: F841  (content-agnostic here)
+    b_indep = bool(flg & 0x20)
     b_checksum = bool(flg & 0x10)
     c_size = bool(flg & 0x08)
     c_checksum = bool(flg & 0x04)
@@ -205,7 +217,15 @@ def lz4_decompress(data: bytes, cap: int = MAX_OUTPUT_BYTES) -> bytes:
         if stored:
             out += block
         else:
-            out += lz4_block_decompress(block, cap=cap - len(out))
+            # block-INDEPENDENT frames reset the match window per
+            # block; linked frames (the lz4 CLI/library default) let
+            # matches reach 64 KiB into the previous blocks' output
+            if b_indep:
+                piece = bytearray()
+                _lz4_block_into(piece, block, 0, cap - len(out))
+                out += piece
+            else:
+                _lz4_block_into(out, block, len(out), cap)
         if len(out) > cap:
             raise ValueError("lz4: output over the bomb cap")
     if c_checksum:
@@ -344,7 +364,7 @@ def _uvarint(data: bytes, pos: int) -> tuple[int, int]:
         if not b & 0x80:
             return out, pos
         shift += 7
-        if shift > 35:
+        if shift >= 35:
             raise ValueError("snappy: varint over 5 bytes")
 
 
@@ -411,24 +431,48 @@ def snappy_decompress(
     return bytes(out)
 
 
-def _crc32c_table() -> list[int]:
+def _crc32c_tables() -> list[list[int]]:
     poly = 0x82F63B78
-    table = []
+    t0 = []
     for i in range(256):
         c = i
         for _ in range(8):
             c = (c >> 1) ^ poly if c & 1 else c >> 1
-        table.append(c)
-    return table
+        t0.append(c)
+    tables = [t0]
+    for k in range(1, 8):
+        prev = tables[k - 1]
+        tables.append([t0[prev[i] & 0xFF] ^ (prev[i] >> 8) for i in range(256)])
+    return tables
 
 
-_CRC32C = _crc32c_table()
+_CRC32C = _crc32c_tables()
 
 
 def crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli), slicing-by-8 — this checksum covers 100%
+    of decoded snappy-framing bytes, so the bytewise loop was the .sz
+    path's dominant cost (same lesson as the Ogg page CRC)."""
+    t0, t1, t2, t3, t4, t5, t6, t7 = _CRC32C
     c = 0xFFFFFFFF
-    for b in data:
-        c = _CRC32C[(c ^ b) & 0xFF] ^ (c >> 8)
+    i = 0
+    n = len(data)
+    while i + 8 <= n:
+        c ^= int.from_bytes(data[i : i + 4], "little")
+        c = (
+            t7[c & 0xFF]
+            ^ t6[(c >> 8) & 0xFF]
+            ^ t5[(c >> 16) & 0xFF]
+            ^ t4[(c >> 24) & 0xFF]
+            ^ t3[data[i + 4]]
+            ^ t2[data[i + 5]]
+            ^ t1[data[i + 6]]
+            ^ t0[data[i + 7]]
+        )
+        i += 8
+    while i < n:
+        c = t0[(c ^ data[i]) & 0xFF] ^ (c >> 8)
+        i += 1
     return c ^ 0xFFFFFFFF
 
 
@@ -472,8 +516,8 @@ def snappy_stream_decompress(
         elif ctype == 0xFF:
             if chunk != b"sNaPpY":
                 raise ValueError("snappy: bad repeated stream identifier")
-        elif 0x80 <= ctype <= 0xFD:
-            continue  # skippable chunk per spec
+        elif 0x80 <= ctype <= 0xFE:
+            continue  # skippable chunks incl. 0xFE padding, per spec
         else:
             raise ValueError(
                 f"snappy: unskippable unknown chunk type 0x{ctype:02x}"

@@ -13,13 +13,14 @@ from rawdata_client_provider_gcs_spark.sources import compression as C
 
 
 def test_xxh32_spec_vectors():
-    # xxHash reference test values (public spec/sanity suite)
+    # xxHash reference test values (public spec/sanity suite) — cover
+    # the <16-byte tail path, the 4-byte stride, and the 16-byte
+    # stripe accumulator, not just the empty string
     assert C.xxh32(b"") == 0x02CC5D05
     assert C.xxh32(b"", seed=0x9E3779B1) == 0x36B78AE7
-    # self-consistency across the three length regimes
-    for n in (1, 3, 4, 15, 16, 17, 63, 64, 1000):
-        h = C.xxh32(bytes(range(256)) * 4 + b"x" * n)
-        assert 0 <= h <= 0xFFFFFFFF
+    assert C.xxh32(b"a") == 0x550D7456
+    assert C.xxh32(b"abc") == 0x32D153FF
+    assert C.xxh32(b"Nobody inspects the spammish repetition") == 0xE2293B2F
 
 
 def test_lz4_hand_decoded_block():
@@ -127,3 +128,64 @@ def test_archive_wrapper_integration(spark):
     err = [r for r in rows if r["doc_id"] == 2]
     assert len(ok) == 2 and all(r["error"] is None for r in ok)
     assert len(err) == 1 and err[0]["error"] is not None
+
+
+def test_review_fixes_linked_frames_and_padding():
+    """Round-10 review pins: block-LINKED frames (the lz4 CLI default)
+    carry the 64 KiB window across blocks; snappy 0xFE padding chunks
+    skip; 6-byte varints reject."""
+    magic = C.LZ4_FRAME_MAGIC
+    flg = bytes([0x40, 0x70])  # v1, B.Indep CLEAR = linked
+    hc = (C.xxh32(flg) >> 8) & 0xFF
+    blk1 = b"abcdefghijklmnop"
+    frame = bytearray(magic + flg + bytes([hc]))
+    frame += (len(blk1) | 0x80000000).to_bytes(4, "little") + blk1
+    blk2 = (
+        bytes([0x10]) + b"X" + (10).to_bytes(2, "little")
+        + bytes([0x10]) + b"!"
+    )
+    frame += len(blk2).to_bytes(4, "little") + blk2
+    frame += (0).to_bytes(4, "little")
+    assert C.lz4_decompress(bytes(frame)) == b"abcdefghijklmnopXhijk!"
+
+    # an INDEPENDENT frame with the same cross-block match must fail
+    flg_i = bytes([0x60, 0x70])
+    frame_i = bytearray(
+        magic + flg_i + bytes([(C.xxh32(flg_i) >> 8) & 0xFF])
+    )
+    frame_i += (len(blk1) | 0x80000000).to_bytes(4, "little") + blk1
+    frame_i += len(blk2).to_bytes(4, "little") + blk2
+    frame_i += (0).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="window"):
+        C.lz4_decompress(bytes(frame_i))
+
+    sz = bytearray(C.snappy_stream_compress(b"data!"))
+    pad = bytes([0xFE]) + (4).to_bytes(3, "little") + b"\x00" * 4
+    assert C.snappy_stream_decompress(bytes(sz[:10] + pad + sz[10:])) == b"data!"
+    with pytest.raises(ValueError, match="varint"):
+        C.snappy_decompress(b"\x80\x80\x80\x80\x80\x00")
+
+    # CRC-32C check vector (slicing-by-8 path)
+    assert C.crc32c(b"123456789") == 0xE3069283
+
+
+def test_ts_es_head_strips_pes_header():
+    """Round-10 review pin: a video PES stream id of 0xE7 (legal,
+    (id & 0x1F) == 7) must not read as an SPS NAL — the ES head
+    buffer starts after the PES header."""
+    from rawdata_client_provider_gcs_spark.operators import rawh264, rawts
+
+    blob = bytearray(rawts.build_ts(h264_sps=(640, 360)))
+    # rewrite every PES stream id 0xE0 -> 0xE7 (packets 0/1 are
+    # PAT/PMT, whose section bytes coincidentally contain the same
+    # pattern — start past them)
+    i = 2 * 188
+    while True:
+        i = blob.find(b"\x00\x00\x01\xe0", i)
+        if i < 0:
+            break
+        blob[i + 3] = 0xE7
+        i += 4
+    m = rawts.parse_ts(bytes(blob))
+    v = [s for s in m["streams"] if s["codec"] == "h264"][0]
+    assert (v.get("width"), v.get("height")) == (640, 360)
