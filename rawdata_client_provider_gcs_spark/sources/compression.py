@@ -43,7 +43,12 @@ def _rotl32(x: int, r: int) -> int:
 
 
 def xxh32(data: bytes, seed: int = 0) -> int:
-    """XXH32 over ``data`` — the checksum LZ4 frames carry."""
+    """XXH32 over ``data`` — the checksum LZ4 frames carry.  The
+    16-byte stripes stream through ``struct.iter_unpack`` (one C call
+    per stripe) with the lane math unrolled; the sequential lane
+    dependency rules out wider vectorization."""
+    import struct  # noqa: PLC0415
+
     n = len(data)
     i = 0
     if n >= 16:
@@ -51,21 +56,18 @@ def xxh32(data: bytes, seed: int = 0) -> int:
         v2 = (seed + _P2) & _M32
         v3 = seed
         v4 = (seed - _P1) & _M32
-        while i + 16 <= n:
-            for j, v in enumerate((v1, v2, v3, v4)):
-                lane = int.from_bytes(data[i + 4 * j : i + 4 * j + 4],
-                                      "little")
-                v = (v + lane * _P2) & _M32
-                v = (_rotl32(v, 13) * _P1) & _M32
-                if j == 0:
-                    v1 = v
-                elif j == 1:
-                    v2 = v
-                elif j == 2:
-                    v3 = v
-                else:
-                    v4 = v
-            i += 16
+        stripes = (n // 16) * 16
+        p1, p2, m32 = _P1, _P2, _M32
+        for a, b, c, d in struct.iter_unpack("<IIII", data[:stripes]):
+            v1 = (v1 + a * p2) & m32
+            v1 = (((v1 << 13) | (v1 >> 19)) & m32) * p1 & m32
+            v2 = (v2 + b * p2) & m32
+            v2 = (((v2 << 13) | (v2 >> 19)) & m32) * p1 & m32
+            v3 = (v3 + c * p2) & m32
+            v3 = (((v3 << 13) | (v3 >> 19)) & m32) * p1 & m32
+            v4 = (v4 + d * p2) & m32
+            v4 = (((v4 << 13) | (v4 >> 19)) & m32) * p1 & m32
+        i = stripes
         h = (
             _rotl32(v1, 1) + _rotl32(v2, 7) + _rotl32(v3, 12)
             + _rotl32(v4, 18)
@@ -453,23 +455,25 @@ def crc32c(data: bytes) -> int:
     """CRC-32C (Castagnoli), slicing-by-8 — this checksum covers 100%
     of decoded snappy-framing bytes, so the bytewise loop was the .sz
     path's dominant cost (same lesson as the Ogg page CRC)."""
+    import struct  # noqa: PLC0415
+
     t0, t1, t2, t3, t4, t5, t6, t7 = _CRC32C
     c = 0xFFFFFFFF
-    i = 0
     n = len(data)
-    while i + 8 <= n:
-        c ^= int.from_bytes(data[i : i + 4], "little")
+    blocks = (n // 8) * 8
+    for lo, hi in struct.iter_unpack("<II", data[:blocks]):
+        c ^= lo
         c = (
             t7[c & 0xFF]
             ^ t6[(c >> 8) & 0xFF]
             ^ t5[(c >> 16) & 0xFF]
-            ^ t4[(c >> 24) & 0xFF]
-            ^ t3[data[i + 4]]
-            ^ t2[data[i + 5]]
-            ^ t1[data[i + 6]]
-            ^ t0[data[i + 7]]
+            ^ t4[c >> 24]
+            ^ t3[hi & 0xFF]
+            ^ t2[(hi >> 8) & 0xFF]
+            ^ t1[(hi >> 16) & 0xFF]
+            ^ t0[hi >> 24]
         )
-        i += 8
+    i = blocks
     while i < n:
         c = t0[(c ^ data[i]) & 0xFF] ^ (c >> 8)
         i += 1
