@@ -141,7 +141,11 @@ def _parse_ipco(data: bytes, body: int, box_end: int, budget: list[int]):
         elif fourcc == b"auxC":
             aux, _ = _cstring(data, b + 4, e)
             props.append(("auxC", {"aux_type": aux}))
-        else:  # av1C, hvcC, colr, clap, ... — presence only
+        elif fourcc == b"av1C":
+            # keep the record: its sequence-header OBU carries the
+            # codec-AUTHORITATIVE dimensions (ispe can lie)
+            props.append(("av1C", {"record": data[b:e]}))
+        else:  # hvcC, colr, clap, ... — presence only
             props.append((fourcc.decode("latin-1", "replace"), None))
     return props
 
@@ -389,6 +393,17 @@ def parse_heif(data: bytes) -> dict:
         elif name == "pixi" and val:
             channels = len(val["bits"])
             bit_depth = max(val["bits"], default=0)
+        elif name == "av1C" and val:
+            from . import rawav1  # noqa: PLC0415
+
+            try:
+                av1 = rawav1.parse_av1c(val["record"])
+            except ValueError:
+                av1 = None  # stub/corrupt config: ispe stands alone
+            if av1 is not None and "width" in av1:
+                meta["av1_width"] = av1["width"]
+                meta["av1_height"] = av1["height"]
+                meta["av1_profile"] = av1["profile"]
     meta["width"], meta["height"] = width, height
     meta["rotation_deg"] = rotation
     meta["mirrored"] = mirrored
@@ -582,7 +597,14 @@ def build_heif(
         width.to_bytes(4, "big") + height.to_bytes(4, "big"),
     )
     pixi = _full(b"pixi", 0, 0, bytes([3, bit_depth, bit_depth, bit_depth]))
-    cfgb = _box(cfg, b"\x81\x00\x00\x00")
+    if fmt == "avif":
+        from . import rawav1  # noqa: PLC0415
+
+        cfgb = _box(
+            cfg, rawav1.build_av1c(width=width, height=height)
+        )
+    else:
+        cfgb = _box(cfg, b"\x81\x00\x00\x00")
     irot = _box(b"irot", bytes([(rotation // 90) & 3]))
     auxc = _full(
         b"auxC", 0, 0, b"urn:mpeg:mpegB:cicp:systems:auxiliary:alpha\x00"

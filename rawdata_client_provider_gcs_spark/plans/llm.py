@@ -5211,6 +5211,74 @@ def q_multimodal_webm_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_av1_seq",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       doc_id % 3 = 0 AS full_header,
+       CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 1 THEN 'High' ELSE 'Main' END AS profile,
+       CAST(2 + doc_id % 20 AS BIGINT) AS level_idx,
+       CAST(100 + doc_id % 1000 AS BIGINT) AS width,
+       CAST(80 + doc_id % 700 AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 10 ELSE 8 END AS BIGINT)
+         AS bit_depth
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "image", "video", "av1", "avif",
+          "pandas-udf"),
+)
+def q_multimodal_av1_seq(spark: SparkSession, sf: str) -> DataFrame:
+    """AV1 sequence-header parsing, oracle-exact — the codec-
+    authoritative profile/level/bit-depth/dimensions out of the
+    ``av1C`` configuration record (:mod:`..operators.rawav1`), in both
+    header shapes a crawl meets: the reduced-still-picture form AVIF
+    writers emit and the full form with operating-point blocks
+    (``doc_id % 3 == 0``) that AV1 video configs use.  Levels above 7
+    exercise the seq_tier bit.  All columns closed-form in doc_id.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        from ..operators import rawav1
+
+        cols = ("doc_id", "full_header", "profile", "level_idx",
+                "width", "height", "bit_depth")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rec = rawav1.build_av1c(
+                    width=100 + did % 1000,
+                    height=80 + did % 700,
+                    profile=1 if did % 3 == 1 else 0,
+                    level=2 + did % 20,
+                    reduced=did % 3 != 0,
+                    high_bitdepth=did % 5 == 0,
+                )
+                m = rawav1.parse_av1c(rec)
+                rows["doc_id"].append(did)
+                rows["full_header"].append(not m["reduced_header"])
+                rows["profile"].append(m["profile"])
+                rows["level_idx"].append(m["level_idx"])
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["bit_depth"].append(m["bit_depth"])
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        run,
+        "doc_id long, full_header boolean, profile string, "
+        "level_idx long, width long, height long, bit_depth long",
+    )
+
+
+@register(
     "q_multimodal_h264_sps",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -439,3 +439,37 @@ def test_h264_sps_parsing():
         H.find_sps_annexb(b"\x00\x01\x02" * 100)
     with pytest.raises(ValueError, match="avcC"):
         H.sps_from_avcc(b"\x02garbage")
+
+
+# ------------------------------------------------------------------ av1
+
+
+def test_av1_sequence_header():
+    from rawdata_client_provider_gcs_spark.operators import rawav1 as AV
+    from rawdata_client_provider_gcs_spark.operators import rawheif as H
+
+    for (w, h, prof, red, lvl) in [
+        (320, 240, 0, True, 8), (1920, 1080, 1, True, 12),
+        (640, 360, 0, False, 5), (8192, 4320, 2, False, 19),
+        (1, 1, 0, True, 0),
+    ]:
+        m = AV.parse_av1c(AV.build_av1c(
+            width=w, height=h, profile=prof, reduced=red, level=lvl
+        ))
+        assert (m["width"], m["height"]) == (w, h)
+        assert m["level_idx"] == lvl and m["reduced_header"] == red
+
+    # prefix-only record (no config OBUs): flags still decode
+    m0 = AV.parse_av1c(bytes([0x81, (1 << 5) | 12, 0x40, 0]))
+    assert m0["bit_depth"] == 10 and m0["profile_idx"] == 1
+    with pytest.raises(ValueError, match="marker"):
+        AV.parse_av1c(b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError):
+        AV.parse_av1c(AV.build_av1c(width=64, height=64)[:6])
+
+    # AVIF carries the real av1C now: codec-authoritative dims agree
+    # with ispe in the fixture, and land as av1_* meta keys
+    m = H.parse_heif(H.build_heif(width=500, height=300))
+    assert (m["av1_width"], m["av1_height"]) == (500, 300)
+    assert m["av1_profile"] == "Main"
+    assert "av1_width" not in H.parse_heif(H.build_heif(fmt="heic"))
