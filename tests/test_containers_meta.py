@@ -370,7 +370,7 @@ def test_review_r9_final_fixes():
     deep = A.build_tar([("a", b"x")])
     for _ in range(50):
         deep = gzip.compress(deep)
-    with pytest.raises(ValueError, match="nested gzip"):
+    with pytest.raises(ValueError, match="nested compression"):
         A.parse_archive(deep)
     fmt, ms = A.parse_archive(gzip.compress(gzip.compress(A.build_tar([("a", b"x")]))))
     assert fmt == "tar.gz.gz" and len(ms) == 1
