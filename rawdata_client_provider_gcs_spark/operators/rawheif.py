@@ -141,11 +141,13 @@ def _parse_ipco(data: bytes, body: int, box_end: int, budget: list[int]):
         elif fourcc == b"auxC":
             aux, _ = _cstring(data, b + 4, e)
             props.append(("auxC", {"aux_type": aux}))
-        elif fourcc == b"av1C":
-            # keep the record: its sequence-header OBU carries the
+        elif fourcc in (b"av1C", b"hvcC"):
+            # keep the record: its sequence header carries the
             # codec-AUTHORITATIVE dimensions (ispe can lie)
-            props.append(("av1C", {"record": data[b:e]}))
-        else:  # hvcC, colr, clap, ... — presence only
+            props.append((
+                fourcc.decode("latin-1"), {"record": data[b:e]}
+            ))
+        else:  # colr, clap, ... — presence only
             props.append((fourcc.decode("latin-1", "replace"), None))
     return props
 
@@ -404,6 +406,17 @@ def parse_heif(data: bytes) -> dict:
                 meta["av1_width"] = av1["width"]
                 meta["av1_height"] = av1["height"]
                 meta["av1_profile"] = av1["profile"]
+        elif name == "hvcC" and val:
+            from . import rawhevc  # noqa: PLC0415
+
+            try:
+                hevc = rawhevc.sps_from_hvcc(val["record"])
+            except ValueError:
+                hevc = None
+            if hevc is not None:
+                meta["hevc_width"] = hevc["width"]
+                meta["hevc_height"] = hevc["height"]
+                meta["hevc_profile"] = hevc["profile"]
     meta["width"], meta["height"] = width, height
     meta["rotation_deg"] = rotation
     meta["mirrored"] = mirrored
@@ -604,7 +617,14 @@ def build_heif(
             cfg, rawav1.build_av1c(width=width, height=height)
         )
     else:
-        cfgb = _box(cfg, b"\x81\x00\x00\x00")
+        from . import rawhevc  # noqa: PLC0415
+
+        cfgb = _box(
+            cfg,
+            rawhevc.build_hvcc(
+                rawhevc.build_sps(width=width, height=height)
+            ),
+        )
     irot = _box(b"irot", bytes([(rotation // 90) & 3]))
     auxc = _full(
         b"auxC", 0, 0, b"urn:mpeg:mpegB:cicp:systems:auxiliary:alpha\x00"

@@ -237,11 +237,12 @@ def parse_mp4(data: bytes) -> dict:
                         track["sample_rate"] = int.from_bytes(
                             data[entry + 32 : entry + 34], "big"
                         )
-                    if track["codec"] in ("avc1", "avc3"):
-                        # the avcC config record sits after the 78-byte
-                        # VisualSampleEntry body: parse its SPS for the
-                        # TRUE coded dimensions (tkhd width/height are
-                        # presentation hints; the SPS is authoritative)
+                    if track["codec"] in ("avc1", "avc3", "hvc1", "hev1"):
+                        # the codec config record sits after the
+                        # 78-byte VisualSampleEntry body: parse its SPS
+                        # for the TRUE coded dimensions (tkhd width/
+                        # height are presentation hints; the SPS is
+                        # authoritative)
                         cfg_start = entry + 8 + 78
                         entry_end = min(
                             entry + int.from_bytes(
@@ -252,17 +253,27 @@ def parse_mp4(data: bytes) -> dict:
                         for ccc, cb, ce in _walk(
                             data, cfg_start, entry_end, budget
                         ):
-                            if ccc == b"avcC":
-                                from . import rawh264  # noqa: PLC0415
+                            if ccc not in (b"avcC", b"hvcC"):
+                                continue
+                            try:
+                                if ccc == b"avcC":
+                                    from . import rawh264  # noqa: PLC0415
 
-                                try:
-                                    sps = rawh264.sps_from_avcc(data[cb:ce])
-                                except ValueError:
-                                    break  # malformed config: keep going
-                                track["sps_width"] = sps["width"]
-                                track["sps_height"] = sps["height"]
-                                track["sps_profile"] = sps["profile"]
-                                break
+                                    sps = rawh264.sps_from_avcc(
+                                        data[cb:ce]
+                                    )
+                                else:
+                                    from . import rawhevc  # noqa: PLC0415
+
+                                    sps = rawhevc.sps_from_hvcc(
+                                        data[cb:ce]
+                                    )
+                            except ValueError:
+                                break  # malformed config: keep going
+                            track["sps_width"] = sps["width"]
+                            track["sps_height"] = sps["height"]
+                            track["sps_profile"] = sps["profile"]
+                            break
             elif fourcc == b"stts" and track is not None:
                 if box_end - body < 8:
                     raise ValueError("mp4: stts box shorter than its fields")

@@ -190,7 +190,7 @@ def parse_ts(data: bytes) -> dict:
                     if st["first_pts"] is None:
                         st["first_pts"] = pts
                     st["last_pts"] = pts
-            if st["stream_type"] == 0x1B and "width" not in st:
+            if st["stream_type"] in (0x1B, 0x24) and "width" not in st:
                 # buffer the first ~64 KiB of ES bytes (PES header
                 # stripped on PUSI packets: a video stream id like
                 # 0xE7 would otherwise read as NAL type 7 and poison
@@ -216,14 +216,18 @@ def parse_ts(data: bytes) -> dict:
         else:
             st["duration_ms"] = 0
         es_head = st.pop("_es_head", None)
-        if es_head is not None and st["stream_type"] == 0x1B:
-            # H.264: the SPS is pure Exp-Golomb grammar — pull the TRUE
-            # coded dimensions out of the buffered ES head (HEVC's SPS
-            # needs its own grammar; not parsed here)
-            from . import rawh264  # noqa: PLC0415
-
+        if es_head is not None and st["stream_type"] in (0x1B, 0x24):
+            # H.264/HEVC SPS are pure Exp-Golomb grammar — pull the
+            # TRUE coded dimensions out of the buffered ES head
             try:
-                sps = rawh264.find_sps_annexb(bytes(es_head))
+                if st["stream_type"] == 0x1B:
+                    from . import rawh264  # noqa: PLC0415
+
+                    sps = rawh264.find_sps_annexb(bytes(es_head))
+                else:
+                    from . import rawhevc  # noqa: PLC0415
+
+                    sps = rawhevc.find_sps_annexb(bytes(es_head))
                 st["width"] = sps["width"]
                 st["height"] = sps["height"]
                 st["profile"] = sps["profile"]

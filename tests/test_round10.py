@@ -473,3 +473,45 @@ def test_av1_sequence_header():
     assert (m["av1_width"], m["av1_height"]) == (500, 300)
     assert m["av1_profile"] == "Main"
     assert "av1_width" not in H.parse_heif(H.build_heif(fmt="heic"))
+
+
+# ----------------------------------------------------------------- hevc
+
+
+def test_hevc_sps_parsing():
+    from rawdata_client_provider_gcs_spark.operators import rawheif as H
+    from rawdata_client_provider_gcs_spark.operators import rawhevc as HV
+
+    for (w, h, prof, ch) in [
+        (1920, 1080, 1, 1), (1280, 720, 2, 1), (638, 362, 1, 1),
+        (333, 111, 1, 3), (4096, 2160, 1, 2),
+    ]:
+        m = HV.parse_sps(HV.build_sps(width=w, height=h, profile=prof,
+                                      chroma=ch))
+        assert (m["width"], m["height"]) == (w, h), (w, h, m)
+    assert HV.sps_from_hvcc(
+        HV.build_hvcc(HV.build_sps(width=1920, height=1080))
+    )["width"] == 1920
+    with pytest.raises(ValueError, match="hvcC"):
+        HV.sps_from_hvcc(b"\x02garbage-record-bytes-here-xx")
+    with pytest.raises(ValueError, match="no SPS"):
+        HV.find_sps_annexb(b"\x00\x01\x02" * 50)
+
+    # HEIC fixtures carry a real hvcC: codec dims agree with ispe
+    m = H.parse_heif(H.build_heif(fmt="heic", width=640, height=480))
+    assert (m["hevc_width"], m["hevc_height"]) == (640, 480)
+    assert m["hevc_profile"] == "Main"
+
+    # fuzz: ValueError only
+    import random
+
+    rng = random.Random(9)
+    base = HV.build_hvcc(HV.build_sps(width=1280, height=720))
+    for _ in range(300):
+        mb = bytearray(base)
+        for _ in range(2):
+            mb[rng.randrange(len(mb))] ^= 0xFF
+        try:
+            HV.sps_from_hvcc(bytes(mb))
+        except ValueError:
+            pass
