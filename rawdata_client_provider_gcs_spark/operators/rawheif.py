@@ -362,7 +362,9 @@ def parse_heif(data: bytes) -> dict:
     elif brands & {"avif"}:
         fmt = "avif"
     elif brands & {"msf1", "hevc", "hevx"} and not brands & {"heic", "heix"}:
-        fmt = "heic-sequence" if brands & {"msf1"} else "heic"
+        # msf1 (MIAF sequence) and hevc/hevx (HEVC image-sequence
+        # brands, ISO 23008-12 §B.3) all declare a sequence, not a still
+        fmt = "heic-sequence"
     elif brands & {"heic", "heix", "heim", "heis"}:
         fmt = "heic"
     else:

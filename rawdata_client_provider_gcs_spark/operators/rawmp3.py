@@ -420,9 +420,15 @@ def id3_tags(data: bytes) -> dict:
         key = _V2_TEXT_IDS.get(fid)
         if key is not None:
             fbody = body[body_start : body_start + fsize]
-            if ver == 4 and hdr_len == 10 and body[pos + 9] & 0x02:
+            if ver == 4 and hdr_len == 10 and (
+                body[pos + 9] & 0x02 or flags & 0x80
+            ):
                 # v2.4 moved unsynchronisation to a PER-FRAME format
-                # flag; the frame's syncsafe size counts escaped bytes
+                # flag; the frame's syncsafe size counts escaped bytes.
+                # Spec-legal writers may instead assert the TAG-level
+                # flag (header 0x80), which declares ALL frames
+                # unsynchronised even without per-frame 0x02 flags —
+                # honor both forms (id3v2.4.0-structure §3.1).
                 fbody = fbody.replace(b"\xff\x00", b"\xff")
             v2[key] = _decode_text_frame(fbody)
         pos = body_start + fsize

@@ -197,8 +197,13 @@ def parse_mp4(data: bytes) -> dict:
                     data[body + (20 if ver == 1 else 12) : body
                          + (24 if ver == 1 else 16)], "big"
                 )
-                w = int.from_bytes(data[box_end - 8 : box_end - 4], "big")
-                h = int.from_bytes(data[box_end - 4 : box_end], "big")
+                # width/height sit at version-fixed offsets (v0: body+76,
+                # v1: body+88) — NOT at box_end-8: some muxers pad the
+                # tkhd body past the canonical 84/96 bytes, and reading
+                # off box_end would pick up padding garbage
+                dim = body + (88 if ver == 1 else 76)
+                w = int.from_bytes(data[dim : dim + 4], "big")
+                h = int.from_bytes(data[dim + 4 : dim + 8], "big")
                 track["width"] = _fixed_16_16(w)
                 track["height"] = _fixed_16_16(h)
             elif fourcc == b"mdhd" and track is not None:

@@ -94,9 +94,15 @@ def parse_ts(data: bytes) -> dict:
 
     while pos + _PKT <= len(data):
         if data[pos] != _SYNC:
-            # bounded resync: scan forward for the next aligned sync
+            # bounded resync: a bare 0x47 inside PES payload is common,
+            # so only re-lock on a candidate whose NEXT packet boundary
+            # (188 bytes later) is also a sync byte — when the stream is
+            # long enough to check.  A trailing partial packet accepts
+            # the unconfirmable candidate (nothing after it to damage).
             sync_losses += 1
             nxt = data.find(b"\x47", pos + 1)
+            while nxt >= 0 and nxt + _PKT < len(data) and data[nxt + _PKT] != _SYNC:
+                nxt = data.find(b"\x47", nxt + 1)
             if nxt < 0:
                 break
             pos = nxt

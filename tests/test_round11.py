@@ -1,0 +1,163 @@
+"""Round-11 regression pins: the five round-10 ADVICE findings.
+
+Each test pins the FIXED behavior of a spec-variant bug found by the
+round-10 advisor review: TS resync stride confirmation, ID3v2.4
+tag-level unsynchronisation, HEVC image-sequence brand classification,
+version-fixed tkhd dimension offsets, and a hand-packed HEVC SPS
+vector independent of the fixture encoder.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+# ------------------------------------------------------------------ ts
+
+
+def test_ts_resync_requires_stride_confirmed_sync():
+    """A bare 0x47 inside junk must NOT re-lock the packet walk: only a
+    candidate whose next 188-byte boundary is also a sync byte counts.
+    Pre-fix the misaligned candidate below parsed as a packet with
+    afc=3 / aflen=0xff and raised 'adaptation field over packet end'.
+    """
+    from rawdata_client_provider_gcs_spark.operators import rawts as T
+
+    data = T.build_ts(duration_ms=2000, pes_per_stream=4)
+    # splice 20 junk bytes after the PAT+PMT packets; the embedded
+    # 0x47 at junk offset 5 is followed by hostile afc bytes (afc=3,
+    # aflen=0xff would overrun the packet)
+    junk = b"\x00" * 5 + b"\x47\x01\x00\x30\xff" + b"\x00" * 10
+    cut = 2 * 188
+    hostile = data[:cut] + junk + data[cut:]
+    # fixture sanity: the misaligned candidate is NOT stride-confirmed
+    # (its +188 byte is PES filler), the real resync target IS
+    cand = cut + 5
+    assert hostile[cand] == 0x47 and hostile[cand + 188] != 0x47
+    real = cut + len(junk)
+    assert hostile[real] == 0x47 and hostile[real + 188] == 0x47
+
+    meta = T.parse_ts(hostile)
+    clean = T.parse_ts(data)
+    assert meta["n_sync_losses"] >= 1
+    # every real packet after the junk still parses: stream census and
+    # duration match the clean fixture
+    assert meta["duration_ms"] == clean["duration_ms"]
+    assert {s["pid"] for s in meta["streams"]} == {
+        s["pid"] for s in clean["streams"]
+    }
+
+
+# ------------------------------------------------------------- id3v2.4
+
+
+def test_id3v24_tag_level_unsync_flag():
+    """ID3v2.4 writers may assert tag-level unsynchronisation (header
+    flag 0x80) without per-frame 0x02 flags — the header flag declares
+    ALL frames unsynchronised (id3v2.4.0-structure §3.1).  Pre-fix the
+    escaped 0xFF 0x00 pairs survived into the decoded text."""
+    from rawdata_client_provider_gcs_spark.operators import rawmp3 as M
+
+    title = "A\xffB"  # latin-1 text with a byte that needs escaping
+    body = bytes([0]) + title.encode("latin-1")
+    escaped = body.replace(b"\xff", b"\xff\x00")
+    frame = b"TIT2" + M._to_syncsafe(len(escaped)) + b"\x00\x00" + escaped
+    tag = b"ID3" + bytes([4, 0, 0x80]) + M._to_syncsafe(len(frame)) + frame
+    out = M.id3_tags(tag)
+    assert out["title"] == title
+    assert out["source"] == "id3v2.4"
+    # the per-frame 0x02 form (fixture default) still decodes too
+    t2 = M.build_id3v2({"title": title}, version=4, unsync=True)
+    assert M.id3_tags(t2)["title"] == title
+
+
+# ----------------------------------------------------------------- heif
+
+
+def test_heif_hevc_sequence_brands():
+    """hevc/hevx are HEVC image-SEQUENCE brands (ISO 23008-12 §B.3) and
+    must classify as heic-sequence even without msf1."""
+    from rawdata_client_provider_gcs_spark.operators import rawheif as H
+
+    base = H.build_heif(fmt="heic")
+    assert H.parse_heif(base)["format"] == "heic"  # stills unchanged
+    for brand in (b"hevc", b"hevx"):
+        # patch the ftyp brands (major + compatible) in the header
+        data = base[:40].replace(b"heic", brand) + base[40:]
+        assert H.parse_heif(data)["format"] == "heic-sequence", brand
+
+
+# ------------------------------------------------------------------ mp4
+
+
+def _pad_tkhd(data: bytes, pad: int) -> bytes:
+    """Append ``pad`` bytes of 0xDE inside the first tkhd box (after
+    its canonical fields), fixing tkhd/trak/moov sizes — the
+    trailing-padding shape some muxers emit."""
+    start = data.find(b"tkhd") - 4
+    size = int.from_bytes(data[start : start + 4], "big")
+    out = bytearray(data[: start + size] + b"\xde" * pad + data[start + size :])
+    out[start : start + 4] = (size + pad).to_bytes(4, "big")
+    for anc in (b"moov", b"trak"):
+        j = data.find(anc) - 4
+        s = int.from_bytes(data[j : j + 4], "big")
+        out[j : j + 4] = (s + pad).to_bytes(4, "big")
+    return bytes(out)
+
+
+@pytest.mark.parametrize("version1", [False, True])
+def test_mp4_tkhd_padding_keeps_true_dimensions(version1):
+    """tkhd width/height sit at version-fixed offsets (v0 body+76,
+    v1 body+88); a padded tkhd body must not yield garbage dims read
+    off box_end (pre-fix: 0xDEDE… fixed-point dimensions)."""
+    from rawdata_client_provider_gcs_spark.operators import rawmp4 as M
+
+    data = _pad_tkhd(
+        M.build_mp4(video=(640, 360), version1=version1), pad=12
+    )
+    meta = M.parse_mp4(data)
+    vid = next(t for t in meta["tracks"] if t.get("width"))
+    assert (vid["width"], vid["height"]) == (640.0, 360.0)
+
+
+# ----------------------------------------------------------------- hevc
+
+
+def test_hevc_sps_hand_packed_vector():
+    """Hand-derived HEVC SPS byte vector, independent of build_sps —
+    a mirrored bug in the 96-bit profile_tier_level layout cannot pass
+    this.  Derivation (H.265 §7.3.2.2.1, bit by bit):
+
+      0000            sps_video_parameter_set_id = 0
+      000             sps_max_sub_layers_minus1 = 0
+      1               sps_temporal_id_nesting_flag
+      00              general_profile_space
+      0               general_tier_flag (Main tier)
+      00001           general_profile_idc = 1 (Main)
+      0110…(32b)      compatibility flags 0x60000000
+      1011            progressive=1 interlaced=0 non_packed=1 frame_only=1
+      0×43            reserved
+      0               inbld/reserved
+      01111011        general_level_idc = 123 (level 4.1)
+      1               sps_seq_parameter_set_id ue(0)
+      010             chroma_format_idc ue(1) = 4:2:0
+      0×10 11110000001  pic_width_in_luma_samples ue(1920) (1921=0b11110000001)
+      0×10 10001000001  pic_height_in_luma_samples ue(1088) (1089=0b10001000001)
+      1               conformance_window_flag
+      1 1 1           left/right/top offsets ue(0)
+      00101           conf_win_bottom_offset ue(4) → 4×SubHeightC(2)=8 luma
+      1 + align       rbsp_stop_one_bit
+
+    RBSP escaped per §7.4.2 (the reserved-zero runs produce two
+    00 00 03 emulation-prevention insertions), NAL header type 33.
+    Cropped size: 1920 × (1088 − 8) = 1920 × 1080.
+    """
+    from rawdata_client_provider_gcs_spark.operators import rawhevc as HV
+
+    nal = bytes.fromhex(
+        "420101016000000300b0000003000003007ba003c0801107cb"
+    )
+    m = HV.parse_sps(nal)
+    assert m["profile"] == "Main" and m["profile_idc"] == 1
+    assert m["level"] == 4.1
+    assert m["chroma_format_idc"] == 1
+    assert (m["width"], m["height"]) == (1920, 1080)
