@@ -2891,6 +2891,86 @@ def q_crawl_archive_lz4(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_archive_xz",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'tar.xz' WHEN 1 THEN 'tar.bz2'
+         WHEN 2 THEN 'zip.bz2' ELSE 'tar.xz.gz' END AS archive_format,
+       'doc/' || CAST(doc_id AS VARCHAR) || '/a.txt' AS path,
+       CAST(length(substr(text, 1, 60)) AS BIGINT) AS size,
+       substr(text, 1, 60) AS content
+FROM d
+""",
+    tags=("llm", "source", "archive", "compression", "pandas-udf"),
+)
+def q_crawl_archive_xz(spark: SparkSession, sf: str) -> DataFrame:
+    """xz/bzip2-wrapped archives explode like gzip ones, oracle-exact
+    — ``.tar.xz`` and ``.tar.bz2`` are the default shapes for
+    kernel/Debian-style source dumps, peeled at stdlib C speed through
+    the bounded multi-stream decoders in ``sources/archive.py``
+    (``_unxz_bounded`` / ``_bunzip2_bounded``), including a stacked
+    ``tar.xz.gz``.  Rotation mirrors :func:`q_crawl_archive_lz4`; the
+    concatenated-stream (pixz/pbzip2) and truncated/bomb shapes are
+    pinned by pytest.  All columns closed-form.
+
+    Reference behavioral parity: same opaque-bytes transport argument
+    as the gzip wrapper — files must be readable to be part of the
+    stream (GCSRawdataUtils.java:99-114).
+    """
+    import bz2 as _bz2
+    import gzip as _gzip
+    import lzma as _lzma
+
+    from ..sources import archive as A
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                members = [(f"doc/{did}/a.txt", str(text)[:60].encode())]
+                v = did % 4
+                if v == 0:
+                    tar = A.build_tar(members)
+                    if did % 8 == 0:
+                        # pixz-style concatenated streams
+                        blob = _lzma.compress(tar[:256]) + _lzma.compress(
+                            tar[256:]
+                        )
+                    else:
+                        blob = _lzma.compress(tar)
+                elif v == 1:
+                    blob = _bz2.compress(A.build_tar(members))
+                elif v == 2:
+                    blob = _bz2.compress(A.build_zip(members))
+                else:
+                    blob = _gzip.compress(_lzma.compress(A.build_tar(members)))
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    from ..sources.archive import archive_members
+
+    return archive_members(files).select(
+        F.col("doc_id"),
+        F.col("archive_format"),
+        F.col("path"),
+        F.col("size"),
+        F.col("payload").cast("string").alias("content"),
+    )
+
+
+@register(
     "q_crawl_archive_members",
     oracle="""
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 250)

@@ -37,6 +37,8 @@ source it mirrors.
 from __future__ import annotations
 
 import binascii
+import bz2 as _bz2
+import lzma as _lzma
 import struct
 import zlib
 
@@ -524,9 +526,78 @@ def _gunzip_bounded(data: bytes, cap: int = MAX_ARCHIVE_BYTES) -> bytes:
     return bytes(out)
 
 
+#: xz container magic (tukaani.org/xz/xz-file-format §2.1.1.1)
+_XZ_MAGIC = b"\xfd7zXZ\x00"
+
+
+def _is_bzip2(blob: bytes) -> bool:
+    # 'BZh' + level digit '1'-'9' + the first block's pi magic
+    # (0x314159265359) — checking the block magic keeps plain text
+    # starting with "BZh9" from sniffing as a wrapper
+    return (
+        len(blob) >= 10
+        and blob[:3] == b"BZh"
+        and 0x31 <= blob[3] <= 0x39
+        and blob[4:10] == b"\x31\x41\x59\x26\x53\x59"
+    )
+
+
+def _stdlib_stream_bounded(
+    data: bytes, new_decomp, label: str, cap: int = MAX_ARCHIVE_BYTES
+) -> bytes:
+    """Bounded multi-stream decode through a stdlib incremental
+    decompressor factory (``lzma.LZMADecompressor`` /
+    ``bz2.BZ2Decompressor``).  Feeds ``max_length`` chunks so a bomb
+    trips the cap without ever materializing past it, and restarts the
+    decompressor on stream end with ``unused_data`` — parallel
+    compressors (pixz, pbzip2) emit concatenated streams."""
+    out = bytearray()
+    rest = data
+    try:
+        while rest:
+            d = new_decomp()
+            chunk = rest
+            while not d.eof:
+                piece = d.decompress(chunk, max_length=1 << 20)
+                chunk = b""
+                out += piece
+                if len(out) > cap:
+                    raise ValueError(
+                        f"archive: {label} wrapper inflates past the "
+                        f"{cap}-byte guard (bomb or corruption)"
+                    )
+                if not piece and d.needs_input:
+                    # input exhausted mid-stream: truncated wrapper
+                    raise ValueError(
+                        f"archive: truncated {label} wrapper stream"
+                    )
+            rest = d.unused_data
+            if rest and not rest.lstrip(b"\x00"):
+                break  # trailing null padding after the last stream
+    except (OSError, EOFError, _lzma.LZMAError) as exc:
+        # the stdlib corrupt-stream classes — per-row data, never
+        # job-killing
+        raise ValueError(f"archive: corrupt {label} wrapper: {exc}")
+    return bytes(out)
+
+
+def _unxz_bounded(data: bytes, cap: int = MAX_ARCHIVE_BYTES) -> bytes:
+    return _stdlib_stream_bounded(
+        data,
+        lambda: _lzma.LZMADecompressor(format=_lzma.FORMAT_XZ),
+        "xz",
+        cap,
+    )
+
+
+def _bunzip2_bounded(data: bytes, cap: int = MAX_ARCHIVE_BYTES) -> bytes:
+    return _stdlib_stream_bounded(data, _bz2.BZ2Decompressor, "bzip2", cap)
+
+
 def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
     # transparent compression wrappers (.tar.gz/.tgz, .tar.lz4,
-    # .tar.sz): inflate bounded, then dispatch on the real container.
+    # .tar.sz, .tar.xz, .tar.bz2): inflate bounded, then dispatch on
+    # the real container.
     # Nesting is bounded at TWO layers — nobody double-wraps archives
     # legitimately, and unbounded peeling would let a nested bomb
     # recurse to RecursionError (which escapes per-row capture)
@@ -544,6 +615,10 @@ def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
             return ".lz4"
         if blob.startswith(SNAPPY_STREAM_MAGIC):
             return ".sz"
+        if blob[:6] == _XZ_MAGIC:
+            return ".xz"
+        if _is_bzip2(blob):
+            return ".bz2"
         return None
 
     suffix = ""
@@ -555,6 +630,10 @@ def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
             data = lz4_decompress(data, cap=MAX_ARCHIVE_BYTES)
         elif w == ".sz":
             data = snappy_stream_decompress(data, cap=MAX_ARCHIVE_BYTES)
+        elif w == ".xz":
+            data = _unxz_bounded(data)
+        elif w == ".bz2":
+            data = _bunzip2_bounded(data)
         else:
             break
         # extension chains read innermost-first (file.tar.lz4.gz = tar,

@@ -161,3 +161,114 @@ def test_hevc_sps_hand_packed_vector():
     assert m["level"] == 4.1
     assert m["chroma_format_idc"] == 1
     assert (m["width"], m["height"]) == (1920, 1080)
+
+
+# ------------------------------------------------------- xz/bz2 wrappers
+
+
+class TestXzBz2Wrappers:
+    """Transparent .tar.xz / .tar.bz2 wrapper peel (stdlib lzma/bz2,
+    bounded, multi-stream) — the default source-dump shapes."""
+
+    def _members(self):
+        return [
+            ("doc/1/a.txt", b"hello xz world" * 3),
+            ("doc/1/b.txt", b"second member"),
+        ]
+
+    def test_roundtrip_all_shapes(self):
+        import bz2
+        import gzip
+        import lzma
+
+        from rawdata_client_provider_gcs_spark.sources import archive as A
+
+        tar = A.build_tar(self._members())
+        zp = A.build_zip(self._members())
+        for blob, want in [
+            (lzma.compress(tar), "tar.xz"),
+            (bz2.compress(tar), "tar.bz2"),
+            (lzma.compress(zp), "zip.xz"),
+            (bz2.compress(zp), "zip.bz2"),
+            (gzip.compress(lzma.compress(tar)), "tar.xz.gz"),
+            (bz2.compress(gzip.compress(tar)), "tar.gz.bz2"),
+        ]:
+            fmt, ms = A.parse_archive(blob)
+            assert fmt == want
+            assert [m["path"] for m in ms] == ["doc/1/a.txt", "doc/1/b.txt"]
+            assert ms[0]["payload"] == b"hello xz world" * 3
+
+    def test_concatenated_streams(self):
+        """pixz/pbzip2 emit concatenated independent streams — the
+        decoder must restart on stream end, not stop at the first."""
+        import bz2
+        import lzma
+
+        from rawdata_client_provider_gcs_spark.sources import archive as A
+
+        tar = A.build_tar(self._members())
+        for blob in (
+            lzma.compress(tar[:512]) + lzma.compress(tar[512:]),
+            bz2.compress(tar[:512]) + bz2.compress(tar[512:]),
+        ):
+            fmt, ms = A.parse_archive(blob)
+            assert len(ms) == 2 and ms[1]["payload"] == b"second member"
+
+    def test_hostile_truncated_and_corrupt(self):
+        import bz2
+        import lzma
+
+        import pytest
+
+        from rawdata_client_provider_gcs_spark.sources import archive as A
+
+        tar = A.build_tar(self._members())
+        with pytest.raises(ValueError, match="truncated xz"):
+            A.parse_archive(lzma.compress(tar)[:40])
+        with pytest.raises(ValueError, match="truncated bzip2"):
+            A.parse_archive(bz2.compress(tar)[:20])
+        corrupt = bytearray(bz2.compress(tar))
+        corrupt[20] ^= 0xFF
+        with pytest.raises(ValueError, match="corrupt bzip2"):
+            A.parse_archive(bytes(corrupt))
+
+    def test_bomb_cap(self):
+        """A wrapper inflating past the cap trips the guard without
+        materializing the bomb."""
+        import lzma
+
+        import pytest
+
+        from rawdata_client_provider_gcs_spark.sources.archive import (
+            _bunzip2_bounded,
+            _unxz_bounded,
+        )
+        import bz2
+
+        bomb = lzma.compress(b"\x00" * (1 << 22))
+        with pytest.raises(ValueError, match="bomb"):
+            _unxz_bounded(bomb, cap=1 << 16)
+        with pytest.raises(ValueError, match="bomb"):
+            _bunzip2_bounded(bz2.compress(b"\x00" * (1 << 22)), cap=1 << 16)
+
+    def test_three_layer_chain_rejected(self):
+        import bz2
+        import gzip
+        import lzma
+
+        import pytest
+
+        from rawdata_client_provider_gcs_spark.sources import archive as A
+
+        tar = A.build_tar(self._members())
+        with pytest.raises(ValueError, match="nested compression"):
+            A.parse_archive(bz2.compress(gzip.compress(lzma.compress(tar))))
+
+    def test_bzh_text_not_sniffed(self):
+        """Plain tar content starting with 'BZh9' must not sniff as a
+        bzip2 wrapper (the block pi-magic check)."""
+        from rawdata_client_provider_gcs_spark.sources import archive as A
+
+        tar = A.build_tar([("BZh9.txt", b"BZh9 looks like bzip2")])
+        fmt, ms = A.parse_archive(tar)
+        assert fmt == "tar" and ms[0]["payload"].startswith(b"BZh9")
