@@ -3294,6 +3294,7 @@ FROM documents, unnest(generate_series(0, 1 + CAST(doc_id % 4 AS INTEGER)))
 WHERE doc_id < 300
 """,
     tags=("llm", "text", "crawl", "sitemap"),
+bench=True,
 )
 def q_crawl_sitemap(spark: SparkSession, sf: str) -> DataFrame:
     """sitemap.xml explosion, oracle-exact — the expansion step behind
@@ -3363,6 +3364,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents WHERE doc_id < 400
 """,
     tags=("llm", "text", "crawl", "curation", "robots"),
+bench=True,
 )
 def q_curation_robots(spark: SparkSession, sf: str) -> DataFrame:
     """robots.txt fetch verdicts, oracle-exact — RFC 9309 group
@@ -3430,6 +3432,7 @@ FROM documents, unnest(generate_series(0, 1 + CAST(doc_id % 3 AS INTEGER)))
 WHERE doc_id < 300
 """,
     tags=("llm", "text", "crawl", "feeds"),
+bench=True,
 )
 def q_crawl_feed_items(spark: SparkSession, sf: str) -> DataFrame:
     """RSS/Atom feed-item explosion, oracle-exact — the crawl
@@ -3504,6 +3507,7 @@ FROM documents, unnest(generate_series(0, 1 + CAST(doc_id % 4 AS INTEGER)))
 WHERE doc_id < 300
 """,
     tags=("llm", "text", "multimodal", "crawl", "subtitles"),
+bench=True,
 )
 def q_crawl_subtitles(spark: SparkSession, sf: str) -> DataFrame:
     """Subtitle cue extraction, oracle-exact — SRT (even doc_ids) and
