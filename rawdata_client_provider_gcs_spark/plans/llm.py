@@ -2971,6 +2971,80 @@ def q_crawl_archive_xz(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_office_text",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 240)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'docx' AS doc_format,
+       CAST(0 AS BIGINT) AS part_idx,
+       'word/document.xml' AS part_name,
+       trim(regexp_replace(
+         substr(text, 1, 40) || ' ' || substr(text, 41, 40),
+         '\\s+', ' ', 'g')) AS text
+FROM d WHERE doc_id % 3 = 0
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'epub', CAST(i AS BIGINT),
+       'OPS/text/ch' || CAST(i AS VARCHAR) || '.xhtml',
+       trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
+                           '\\s+', ' ', 'g'))
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 3 = 1
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'odt', CAST(0 AS BIGINT), 'content.xml',
+       trim(regexp_replace(
+         substr(text, 1, 40) || ' ' || substr(text, 41, 40),
+         '\\s+', ' ', 'g'))
+FROM d WHERE doc_id % 3 = 2
+""",
+    tags=("llm", "source", "text", "crawl", "office", "pandas-udf"),
+    bench=True,
+)
+def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
+    """DOCX/EPUB/ODT → per-part visible text, oracle-exact — the
+    office-document slice of a crawl that was opaque zip members until
+    now.  Each document becomes a real container
+    (:mod:`..sources.office` fixtures: OPC ``word/document.xml``,
+    OCF/OPF spine of two XHTML chapters, ODF ``content.xml``) built
+    from its own text; ``office_text`` walks the container Python-side
+    (ZIP + OPF navigation only) and extracts text Catalyst-side
+    (tag strip → entity decode → whitespace collapse), so the
+    XML-escape applied by the fixture cancels exactly and every
+    column is closed-form in the source text.  Hostile shapes
+    (non-office zip, missing spine doc, zip bombs) land per-row and
+    are pinned by pytest.
+    """
+    from ..sources import office as O
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 240)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                t = str(text)
+                halves = [t[:40], t[40:80]]
+                v = did % 3
+                if v == 0:
+                    payloads.append(O.build_docx(halves))
+                elif v == 1:
+                    payloads.append(O.build_epub(halves, title=""))
+                else:
+                    payloads.append(O.build_odt(halves))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    return O.office_text(files).select(
+        "doc_id", "doc_format", "part_idx", "part_name", "text"
+    )
+
+
+@register(
     "q_crawl_archive_members",
     oracle="""
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 250)

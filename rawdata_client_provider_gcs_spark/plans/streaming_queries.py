@@ -637,6 +637,86 @@ def q_stream_archive_ingest(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_stream_office_ingest",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'docx' AS doc_format,
+       CAST(0 AS BIGINT) AS part_idx,
+       trim(regexp_replace(
+         substr(text, 1, 40) || ' ' || substr(text, 41, 40),
+         '\\s+', ' ', 'g')) AS text
+FROM d WHERE doc_id % 3 = 0
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'epub', CAST(i AS BIGINT),
+       trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
+                           '\\s+', ' ', 'g'))
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 3 = 1
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'odt', CAST(0 AS BIGINT),
+       trim(regexp_replace(
+         substr(text, 1, 40) || ' ' || substr(text, 41, 40),
+         '\\s+', ' ', 'g'))
+FROM d WHERE doc_id % 3 = 2
+""",
+    tags=("streaming", "source", "office"),
+)
+def q_stream_office_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """The office tier as a STREAM, oracle-exact: DOCX/EPUB/ODT drops
+    arrive in micro-batches and explode to per-part text rows through
+    the same ``office_text`` pipeline as the batch query
+    (``q_crawl_office_text``) — stateless append, zero state at any
+    scale, all three container formats under the one oracle.
+    """
+    import tempfile
+
+    from ..sources import office as O
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                t = str(text)
+                halves = [t[:40], t[40:80]]
+                v = did % 3
+                if v == 0:
+                    payloads.append(O.build_docx(halves))
+                elif v == 1:
+                    payloads.append(O.build_epub(halves, title=""))
+                else:
+                    payloads.append(O.build_odt(halves))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    stage = tempfile.mkdtemp(prefix="rawdata-office-stream-")
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    files.withColumn("part", F.col("doc_id") % 4).repartition(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(stage)
+
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = W.run_available_now_append(
+        O.office_text(stream).select(
+            "doc_id", "doc_format", "part_idx", "text"
+        ),
+        "t_office_ingest",
+    )
+    return out
+
+
+@register(
     "q_stream_pdf_ingest",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -1,0 +1,166 @@
+"""Office/ebook text extraction (sources/office.py): DOCX/EPUB/ODT
+container navigation, the Catalyst text chain, and hostile shapes."""
+
+from __future__ import annotations
+
+import pytest
+
+from rawdata_client_provider_gcs_spark.sources import archive as A
+from rawdata_client_provider_gcs_spark.sources import office as O
+
+
+# ------------------------------------------------------------- kernels
+
+
+def test_docx_roundtrip_with_markup_chars():
+    blob = O.build_docx(["a & b < c > d", "second  para\twith\nspace"])
+    fmt, parts = O.office_parts_of(blob)
+    assert fmt == "docx"
+    assert [n for n, _ in parts] == ["word/document.xml"]
+    xml = parts[0][1]
+    assert "&amp;" in xml and "&lt;" in xml  # escaped in the container
+    assert "<w:t" in xml
+
+
+def test_epub_spine_order_and_relative_hrefs():
+    blob = O.build_epub(["one", "two", "three"], title="Book")
+    fmt, parts = O.office_parts_of(blob)
+    assert fmt == "epub"
+    assert [n for n, _ in parts] == [
+        "OPS/text/ch0.xhtml", "OPS/text/ch1.xhtml", "OPS/text/ch2.xhtml"
+    ]
+    assert "one" in parts[0][1] and "three" in parts[2][1]
+
+
+def test_epub_dotdot_href_and_single_quotes():
+    """OPF navigation must survive ../ hrefs and single-quoted attrs."""
+    xhtml = b"<html><body><p>deep text</p></body></html>"
+    opf = (
+        "<package><manifest>"
+        "<item id='c0' href='../text/ch.xhtml' "
+        "media-type='application/xhtml+xml'/>"
+        "</manifest><spine><itemref idref='c0'/></spine></package>"
+    ).encode()
+    container = (
+        b'<container><rootfiles><rootfile full-path="OPS/opf/content.opf"/>'
+        b"</rootfiles></container>"
+    )
+    blob = A.build_zip([
+        ("mimetype", b"application/epub+zip"),
+        ("META-INF/container.xml", container),
+        ("OPS/opf/content.opf", opf),
+        ("OPS/text/ch.xhtml", xhtml),
+    ])
+    fmt, parts = O.office_parts_of(blob)
+    assert fmt == "epub" and parts[0][0] == "OPS/text/ch.xhtml"
+    assert "deep text" in parts[0][1]
+
+
+def test_odt_roundtrip():
+    fmt, parts = O.office_parts_of(O.build_odt(["p1", "p2"]))
+    assert fmt == "odt" and parts[0][0] == "content.xml"
+    assert "<text:p>p1</text:p>" in parts[0][1]
+
+
+def test_tag_scan_name_boundary():
+    """<itemref> must not match a scan for <item> (longer tag name)."""
+    xml = '<itemref idref="r"/><item id="i" href="h"/>'
+    assert [O._attr(t, "id") for t in O._tags(xml, "item")] == ["i"]
+
+
+def test_hostile_shapes():
+    # plain zip: not an office container
+    with pytest.raises(ValueError, match="not a DOCX/EPUB/ODT"):
+        O.office_parts_of(A.build_zip([("x.txt", b"hi")]))
+    # corrupt zip
+    with pytest.raises(ValueError):
+        O.office_parts_of(b"PK\x03\x04garbage")
+    # epub without container.xml
+    with pytest.raises(ValueError, match="container.xml"):
+        O.office_parts_of(
+            A.build_zip([("mimetype", b"application/epub+zip")])
+        )
+    # container names a missing rootfile
+    with pytest.raises(ValueError, match="rootfile"):
+        O.office_parts_of(A.build_zip([
+            ("mimetype", b"application/epub+zip"),
+            ("META-INF/container.xml",
+             b'<rootfile full-path="nope.opf"/>'),
+        ]))
+    # empty spine
+    with pytest.raises(ValueError, match="spine is empty"):
+        O.office_parts_of(A.build_zip([
+            ("mimetype", b"application/epub+zip"),
+            ("META-INF/container.xml",
+             b'<rootfile full-path="c.opf"/>'),
+            ("c.opf", b"<package><manifest/><spine/></package>"),
+        ]))
+    # spine idref not in manifest
+    with pytest.raises(ValueError, match="not in manifest"):
+        O.office_parts_of(A.build_zip([
+            ("mimetype", b"application/epub+zip"),
+            ("META-INF/container.xml",
+             b'<rootfile full-path="c.opf"/>'),
+            ("c.opf",
+             b'<package><manifest/><spine><itemref idref="ghost"/>'
+             b"</spine></package>"),
+        ]))
+    # spine document missing from the zip
+    with pytest.raises(ValueError, match="missing"):
+        O.office_parts_of(A.build_zip([
+            ("mimetype", b"application/epub+zip"),
+            ("META-INF/container.xml",
+             b'<rootfile full-path="c.opf"/>'),
+            ("c.opf",
+             b'<package><manifest><item id="c" href="gone.xhtml"/>'
+             b'</manifest><spine><itemref idref="c"/></spine></package>'),
+        ]))
+    # odt mimetype without content.xml
+    with pytest.raises(ValueError, match="content.xml"):
+        O.office_parts_of(A.build_zip([
+            ("mimetype", b"application/vnd.oasis.opendocument.text"),
+        ]))
+
+
+def test_spine_bomb_cap():
+    """A hostile OPF fanning one file into millions of rows trips the
+    part cap before any member reads."""
+    refs = "".join(
+        f'<itemref idref="c{i}"/>' for i in range(O.MAX_SPINE_PARTS + 1)
+    )
+    blob = A.build_zip([
+        ("mimetype", b"application/epub+zip"),
+        ("META-INF/container.xml", b'<rootfile full-path="c.opf"/>'),
+        ("c.opf",
+         f"<package><manifest/><spine>{refs}</spine></package>".encode()),
+    ])
+    with pytest.raises(ValueError, match="bomb"):
+        O.office_parts_of(blob)
+
+
+# --------------------------------------------------------------- spark
+
+
+def test_office_text_spark_with_poisoned_row(spark):
+    """office_text explodes parts with per-row error capture — the
+    poisoned payload lands as an error row, never kills the job; the
+    Catalyst chain decodes the fixture's XML escapes back exactly."""
+    rows = [
+        (0, O.build_docx(["a & b", "c < d"])),
+        (1, O.build_epub(["ch one", "ch two"], title="")),
+        (2, O.build_odt(["only  para"])),
+        (3, b"PK\x03\x04 corrupt office bytes"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r.doc_id, r.part_idx): r
+        for r in O.office_text(df).collect()
+    }
+    assert got[(0, 0)].text == "a & b c < d"
+    assert got[(0, 0)].doc_format == "docx"
+    assert got[(1, 0)].text == "ch one"
+    assert got[(1, 1)].text == "ch two"
+    assert got[(2, 0)].text == "only para"  # whitespace collapsed
+    assert got[(3, None)].error and got[(3, None)].text is None
+    assert got[(4, None)].error == "ValueError: null office payload"
