@@ -796,55 +796,102 @@ def q_stream_pdf_ingest(spark: SparkSession, sf: str) -> DataFrame:
     "q_stream_media_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE CAST(doc_id % 5 AS INTEGER)
+       CASE CAST(doc_id % 7 AS INTEGER)
          WHEN 0 THEN 'mp3' WHEN 1 THEN 'ogg'
          WHEN 2 THEN 'mp4' WHEN 3 THEN 'webm'
+         WHEN 5 THEN 'ts' WHEN 6 THEN 'aac'
          ELSE CASE WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END
        END AS kind,
-       CAST(CASE CAST(doc_id % 5 AS INTEGER)
+       CAST(CASE CAST(doc_id % 7 AS INTEGER)
          WHEN 0 THEN (5 + doc_id % 20) * 1152 * 1000 // 44100
          WHEN 1 THEN 1000 * (1 + doc_id % 3)
          WHEN 2 THEN 600 + doc_id % 1000
          WHEN 3 THEN 700 + doc_id % 900
+         WHEN 5 THEN 500 + doc_id % 800
+         WHEN 6 THEN (4 + doc_id % 16) * 1024 * 1000 // 44100
          ELSE 0 END AS BIGINT) AS duration_ms,
-       CASE CAST(doc_id % 5 AS INTEGER)
+       CASE CAST(doc_id % 7 AS INTEGER)
          WHEN 0 THEN 'MPEG1/L3' WHEN 1 THEN 'vorbis'
          WHEN 2 THEN 'avc1' WHEN 3 THEN 'V_VP9'
+         WHEN 5 THEN 'h264' WHEN 6 THEN 'AAC/LC'
          ELSE CASE WHEN doc_id % 2 = 0 THEN 'av01' ELSE 'hvc1' END
        END AS codec
 FROM documents WHERE doc_id < 200
+UNION ALL
+SELECT CAST(doc_id AS BIGINT),
+       CASE WHEN doc_id - 200 IN (1, 2, 3, 4, 5) THEN 'error'
+            ELSE 'unknown' END,
+       CAST(0 AS BIGINT), ''
+FROM documents WHERE doc_id >= 200 AND doc_id < 207
 """,
     tags=("streaming", "multimodal", "audio", "video"),
 )
 def q_stream_media_meta(spark: SparkSession, sf: str) -> DataFrame:
     """The media-metadata tier as a STREAM, oracle-exact: mixed
-    MP3/Ogg/MP4/WebM file drops arrive in micro-batches and flow
-    through one sniff-dispatched metadata kernel into a unified
-    (kind, duration, codec) schema — stateless append, the same
-    per-format parsers the batch queries use.  This is the crawl-side
-    shape: a media bucket is NEVER single-format, so the kernel must
-    dispatch per row, and a malformed file must land per-row (the
-    parsers raise ValueError, captured by the kernel) rather than
-    kill the stream.
+    MP3/Ogg/MP4/WebM/HEIF/TS/AAC file drops arrive in micro-batches
+    and flow through one sniff-dispatched metadata kernel into a
+    unified (kind, duration, codec) schema — stateless append, the
+    same per-format parsers the batch queries use.  This is the
+    crawl-side shape: a media bucket is NEVER single-format, so the
+    kernel must dispatch per row, and a malformed file must land
+    per-row rather than kill the stream.  The capture contract is
+    hash-checked, not just pytest-checked: doc_ids 200-206 carry one
+    poisoned payload per format — strict parsers (ogg/mp4/webm/heif/
+    ts) raise and land as ``kind='error'``; the resync-tolerant
+    mp3/aac sniffers reject their truncated shapes as
+    ``kind='unknown'``.
     """
     import tempfile
 
     d = (
         load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 200)
+        .filter(F.col("doc_id") < 207)
         .select("doc_id")
     )
 
     def make(batches):
         import pandas as pd
 
-        from ..operators import rawheif, rawmp3, rawmp4, rawogg, rawwebm
+        from ..operators import (
+            rawaac,
+            rawheif,
+            rawmp3,
+            rawmp4,
+            rawogg,
+            rawts,
+            rawwebm,
+        )
+
+        def poisoned(fmt_idx: int) -> bytes:
+            # one sniff-reaching corrupt shape per format
+            if fmt_idx == 0:
+                # mp3: junk long past the first frame's claimed length
+                # (+ the ID3v1 window) so the second-header coherence
+                # check — not single-frame acceptance — decides
+                return rawmp3.build_mp3(5)[:4] + b"\x55" * 2048
+            if fmt_idx == 1:  # ogg: magic then zeros — no complete packets
+                return b"OggS" + b"\x00" * 40
+            if fmt_idx == 2:  # mp4: truncated moov — box overrun
+                return rawmp4.build_mp4()[:40]
+            if fmt_idx == 3:  # webm: EBML magic, no Segment
+                return b"\x1aE\xdf\xa3" + b"\xff" * 40
+            if fmt_idx == 4:  # heif: ftyp only — no meta box
+                return rawheif.build_heif(fmt="avif")[:32]
+            if fmt_idx == 5:  # ts: aligned packet, adaptation overrun
+                pkt = bytearray(rawts.build_ts()[:188])
+                pkt[3], pkt[4] = 0x30, 0xFF
+                return bytes(pkt)
+            # aac: shorter than one ADTS header — sniff rejects
+            return rawaac.build_aac(4)[:5]
 
         for pdf in batches:
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                v = did % 5
+                if did >= 200:
+                    payloads.append(poisoned(did - 200))
+                    continue
+                v = did % 7
                 if v == 0:
                     payloads.append(rawmp3.build_mp3(5 + did % 20))
                 elif v == 1:
@@ -862,6 +909,12 @@ def q_stream_media_meta(spark: SparkSession, sf: str) -> DataFrame:
                     payloads.append(
                         rawwebm.build_webm(duration_ms=700 + did % 900)
                     )
+                elif v == 5:
+                    payloads.append(
+                        rawts.build_ts(duration_ms=500 + did % 800)
+                    )
+                elif v == 6:
+                    payloads.append(rawaac.build_aac(4 + did % 16))
                 else:
                     payloads.append(
                         rawheif.build_heif(
@@ -879,7 +932,15 @@ def q_stream_media_meta(spark: SparkSession, sf: str) -> DataFrame:
     def meta(batches):
         import pandas as pd
 
-        from ..operators import rawheif, rawmp3, rawmp4, rawogg, rawwebm
+        from ..operators import (
+            rawaac,
+            rawheif,
+            rawmp3,
+            rawmp4,
+            rawogg,
+            rawts,
+            rawwebm,
+        )
 
         def sniffed(b):
             if rawogg.sniff_ogg(b):
@@ -900,9 +961,19 @@ def q_stream_media_meta(spark: SparkSession, sf: str) -> DataFrame:
                 vids = [t for t in m["tracks"] if t.get("handler") == "vide"]
                 return ("mp4", m["duration_ms"],
                         vids[0]["codec"] if vids else "")
+            # mp3 before aac before ts — the multimodal._decode_bytes
+            # order (both MPEG audio syncs are 0xFFF; the layer bits
+            # disambiguate inside the sniffers)
             if rawmp3.sniff_mp3(b):
                 m = rawmp3.parse_mp3(b)
                 return "mp3", m["duration_ms"], f"{m['version']}/L{m['layer']}"
+            if rawaac.sniff_aac(b):
+                m = rawaac.parse_aac(b)
+                return "aac", m["duration_ms"], f"AAC/{m['profile']}"
+            if rawts.sniff_ts(b):
+                m = rawts.parse_ts(b)
+                return ("ts", m["duration_ms"],
+                        m["streams"][0]["codec"] if m["streams"] else "")
             return "unknown", 0, ""
 
         for pdf in batches:
