@@ -230,8 +230,76 @@ def parse_ogg(data: bytes) -> dict:
     last = info["last_granule"].get(audio_serial, 0)
     if codec == "opus":
         last = max(0, last - meta.get("pre_skip", 0))
+        # TOC census over the audio packets (RFC 6716 §3.1): the TOC
+        # byte is plain bit grammar — mode/bandwidth/frame-duration
+        # distribution without touching SILK/CELT payloads
+        modes: dict[str, int] = {}
+        bands: dict[str, int] = {}
+        frames = 0
+        toc_ms = 0.0
+        seen = 0
+        for serial, pkt in packets:
+            if serial != audio_serial or pkt[:8] in (b"OpusHead", b"OpusTags"):
+                continue
+            seen += 1
+            try:
+                t = parse_opus_packet(pkt)
+            except ValueError:
+                continue  # damaged packet: census skips, never raises
+            modes[t["mode"]] = modes.get(t["mode"], 0) + 1
+            bands[t["bandwidth"]] = bands.get(t["bandwidth"], 0) + 1
+            frames += t["n_frames"]
+            toc_ms += t["n_frames"] * t["frame_ms"]
+        meta["opus_packets"] = seen
+        meta["opus_modes"] = modes
+        meta["opus_bandwidths"] = bands
+        meta["opus_frames"] = frames
+        meta["opus_toc_duration_ms"] = int(toc_ms)
     meta["duration_ms"] = last * 1000 // meta["sample_rate"] if last else 0
     return meta
+
+
+#: RFC 6716 Table 2 — TOC config (5 bits) → (mode, bandwidth, frame ms).
+#: The table is pure structure: SILK 0-11 (NB/MB/WB × 10/20/40/60),
+#: Hybrid 12-15 (SWB/FB × 10/20), CELT 16-31 (NB/WB/SWB/FB × 2.5/5/10/20).
+_OPUS_CONFIGS = (
+    [("silk", bw, ms) for bw in ("nb", "mb", "wb") for ms in (10, 20, 40, 60)]
+    + [("hybrid", bw, ms) for bw in ("swb", "fb") for ms in (10, 20)]
+    + [
+        ("celt", bw, ms)
+        for bw in ("nb", "wb", "swb", "fb")
+        for ms in (2.5, 5, 10, 20)
+    ]
+)
+
+
+def parse_opus_packet(pkt: bytes) -> dict:
+    """One Opus packet's TOC → mode/bandwidth/frame duration/count
+    (RFC 6716 §3.1-3.2.5; code-3 packets read the frame-count byte)."""
+    if not pkt:
+        raise ValueError("opus: empty packet")
+    toc = pkt[0]
+    mode, bw, ms = _OPUS_CONFIGS[toc >> 3]
+    code = toc & 3
+    if code in (0,):
+        n = 1
+    elif code in (1, 2):
+        n = 2
+    else:
+        if len(pkt) < 2:
+            raise ValueError("opus: code-3 packet missing its count byte")
+        n = pkt[1] & 0x3F
+        if n == 0:
+            raise ValueError("opus: code-3 packet with zero frames")
+        if n * ms > 120:
+            raise ValueError("opus: packet over the 120 ms limit")
+    return {
+        "mode": mode,
+        "bandwidth": bw,
+        "frame_ms": ms,
+        "n_frames": n,
+        "stereo": bool((toc >> 2) & 1),
+    }
 
 
 def decode_ogg_pcm(data: bytes):
@@ -282,9 +350,15 @@ def build_ogg(
     n_audio_pages: int = 3,
     serial: int = 0x1234,
     pre_skip: int = 312,
+    opus_tocs: list[int] | None = None,
 ) -> bytes:
     """Write a structurally valid Ogg Vorbis/Opus stream whose audio
-    packets are opaque filler (metadata parsing never decodes them)."""
+    packets are opaque filler (metadata parsing never decodes them).
+
+    With ``opus_tocs`` (codec opus) each entry becomes one audio
+    packet led by that TOC byte (code-3 entries get a count byte of
+    2 frames appended), spread round-robin over the audio pages — the
+    packet bodies stay filler, only the TOC grammar is real."""
     if codec == "vorbis":
         ident = (
             b"\x01vorbis" + (0).to_bytes(4, "little")
@@ -326,5 +400,15 @@ def build_ogg(
     for i in range(n_audio_pages):
         gran = total_gran * (i + 1) // n_audio_pages
         flags = 0x04 if i == n_audio_pages - 1 else 0
-        out += _page(serial, 2 + i, gran, [b"\x00" * 300], flags)
+        if opus_tocs is not None and codec == "opus":
+            pkts = [
+                bytes([t])
+                + (bytes([0x02]) if t & 3 == 3 else b"")
+                + b"\x00" * 40
+                for j, t in enumerate(opus_tocs)
+                if j % n_audio_pages == i
+            ] or [b"\x00" * 40]
+        else:
+            pkts = [b"\x00" * 300]
+        out += _page(serial, 2 + i, gran, pkts, flags)
     return bytes(out)

@@ -133,6 +133,7 @@ def parse_webm(data: bytes) -> dict:
         return t
 
     saw_segment = False
+    first_blocks: list[tuple[int, bool, int, int]] = []
     for eid, s, e in _walk(data, 0, len(data), budget):
         if eid == 0x1A45DFA3:  # EBML header
             for hid, hs, he in _walk(data, s, e, budget):
@@ -155,8 +156,43 @@ def parse_webm(data: bytes) -> dict:
                     for tid, ts, te in _walk(data, ss, se, budget):
                         if tid == 0xAE:
                             meta["tracks"].append(parse_track(ts, te))
+                elif sid == 0x1F43B675 and len(first_blocks) < 16:
+                    # Cluster: remember the head SimpleBlocks so a
+                    # V_VP9 track's first keyframe can contribute
+                    # codec-authoritative dimensions (bounded — never
+                    # a full-file block walk)
+                    for cid, cs, ce in _walk(data, ss, se, budget):
+                        if cid != 0xA3 or len(first_blocks) >= 16:
+                            continue
+                        try:
+                            tn, p = read_vint(data, cs, keep_marker=False)
+                        except ValueError:
+                            continue
+                        if p + 3 > ce:
+                            continue
+                        keyframe = bool(data[p + 2] & 0x80)
+                        first_blocks.append((tn, keyframe, p + 3, ce))
     if not saw_segment:
         raise ValueError("ebml: no Matroska Segment element")
+    for t in meta["tracks"]:
+        if t.get("codec_id") != "V_VP9" or t.get("track_type") != 1:
+            continue
+        for tn, keyframe, bs, be in first_blocks:
+            if tn != t.get("track_number") or not keyframe:
+                continue
+            # VP9 keyframe header is pure fixed-width grammar — pull
+            # the TRUE coded dimensions (same tier as H.264/HEVC SPS)
+            try:
+                from .rawvp9 import parse_keyframe_header  # noqa: PLC0415
+
+                kf = parse_keyframe_header(data[bs:be])
+            except ValueError:
+                break  # corrupt/inter head: dims stay absent
+            t["vp9_width"] = kf["width"]
+            t["vp9_height"] = kf["height"]
+            t["vp9_profile"] = kf["profile"]
+            t["vp9_bit_depth"] = kf["bit_depth"]
+            break
     if timecode_scale == 0:
         raise ValueError("ebml: zero timecode scale")
     meta["timecode_scale_ns"] = timecode_scale
@@ -208,9 +244,15 @@ def build_webm(
     video: tuple[str, int, int] | None = ("V_VP9", 640, 360),
     audio: tuple[str, int, int] | None = ("A_OPUS", 2, 48000),
     unknown_size_segment: bool = False,
+    vp9_keyframe: tuple[int, int] | None = None,
 ) -> bytes:
-    """Write a structurally valid Matroska/WebM with no clusters
-    (metadata parsing never touches codec payloads)."""
+    """Write a structurally valid Matroska/WebM — by default with no
+    clusters (metadata parsing never touches codec payloads).
+
+    With ``vp9_keyframe=(w, h)`` one Cluster is appended whose first
+    SimpleBlock carries a real VP9 keyframe uncompressed header with
+    those coded dimensions (which may differ from the track's
+    PixelWidth/Height — the codec is authoritative)."""
     header = _el(
         0x1A45DFA3,
         _uint_el(0x4286, 1)  # EBMLVersion
@@ -250,6 +292,17 @@ def build_webm(
         )
     tracks = _el(0x1654AE6B, tracks_body)
     seg_body = info + tracks
+    if vp9_keyframe is not None and video is not None:
+        from .rawvp9 import build_keyframe_header  # noqa: PLC0415
+
+        frame = build_keyframe_header(
+            width=vp9_keyframe[0], height=vp9_keyframe[1]
+        )
+        # SimpleBlock: track-1 varint, timecode 0, keyframe flag
+        block = b"\x81" + b"\x00\x00" + b"\x80" + frame
+        seg_body += _el(
+            0x1F43B675, _uint_el(0xE7, 0) + _el(0xA3, block)
+        )
     if unknown_size_segment:
         # streamed-Matroska shape: size field all-ones (unknown)
         segment = (0x18538067).to_bytes(4, "big") + b"\xff" + seg_body

@@ -5271,6 +5271,188 @@ def q_multimodal_mp4_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_vp9_keyframe",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(320 AS BIGINT) AS track_width,
+       CAST(640 + 16 * (doc_id % 20) AS BIGINT) AS vp9_width,
+       CAST(360 + 8 * (doc_id % 10) AS BIGINT) AS vp9_height,
+       CAST(0 AS BIGINT) AS vp9_profile,
+       CAST(8 AS BIGINT) AS vp9_bit_depth
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "video", "webm", "vp9", "pandas-udf"),
+)
+def q_multimodal_vp9_keyframe(spark: SparkSession, sf: str) -> DataFrame:
+    """VP9 keyframe uncompressed headers inside WebM clusters,
+    oracle-exact — the codec-authoritative dimensions for ``V_VP9``
+    tracks (frame marker → sync code → 16-bit minus-one sizes, VP9
+    spec §6.2, :mod:`..operators.rawvp9`), the same tier H.264/HEVC
+    SPS and AV1 sequence headers cover for MP4/TS.  Every fixture's
+    track header LIES (PixelWidth 320) while the keyframe carries the
+    true coded size — the parser must believe the codec.  Inter-frame
+    decode stays the documented boundary.  All columns closed-form.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawwebm
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                payloads.append(
+                    rawwebm.build_webm(
+                        video=("V_VP9", 320, 240),
+                        vp9_keyframe=(
+                            640 + 16 * (did % 20), 360 + 8 * (did % 10)
+                        ),
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "webm": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, webm binary")
+
+    def meta(batches):
+        import pandas as pd
+
+        from ..operators import rawwebm
+
+        cols = ("doc_id", "track_width", "vp9_width", "vp9_height",
+                "vp9_profile", "vp9_bit_depth")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf["webm"]):
+                m = rawwebm.parse_webm(bytes(payload))
+                vid = next(
+                    t for t in m["tracks"] if t.get("track_type") == 1
+                )
+                rows["doc_id"].append(int(did))
+                rows["track_width"].append(vid["width"])
+                rows["vp9_width"].append(vid["vp9_width"])
+                rows["vp9_height"].append(vid["vp9_height"])
+                rows["vp9_profile"].append(vid["vp9_profile"])
+                rows["vp9_bit_depth"].append(vid["vp9_bit_depth"])
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        meta,
+        "doc_id long, track_width long, vp9_width long, vp9_height long, "
+        "vp9_profile long, vp9_bit_depth long",
+    )
+
+
+@register(
+    "q_multimodal_opus_toc",
+    oracle="""
+WITH pkts AS (
+  SELECT doc_id,
+         CAST((doc_id * 7 + j * 5) % 32 AS INTEGER) AS cfg,
+         CAST(j % 3 AS INTEGER) AS code
+  FROM documents, unnest(generate_series(0, 3 + CAST(doc_id % 5 AS INTEGER)))
+    AS t(j)
+  WHERE doc_id < 300
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_packets,
+       CAST(sum(CASE WHEN cfg < 12 THEN 1 ELSE 0 END) AS BIGINT)
+         AS silk_packets,
+       CAST(sum(CASE WHEN cfg >= 12 AND cfg < 16 THEN 1 ELSE 0 END)
+            AS BIGINT) AS hybrid_packets,
+       CAST(sum(CASE WHEN cfg >= 16 THEN 1 ELSE 0 END) AS BIGINT)
+         AS celt_packets,
+       CAST(sum(CASE WHEN code = 0 THEN 1 ELSE 2 END) AS BIGINT)
+         AS total_frames,
+       CAST(floor(sum(
+         (CASE WHEN code = 0 THEN 1 ELSE 2 END) *
+         (CASE
+            WHEN cfg < 12 THEN
+              CASE cfg % 4 WHEN 0 THEN 10 WHEN 1 THEN 20
+                           WHEN 2 THEN 40 ELSE 60 END
+            WHEN cfg < 16 THEN
+              CASE cfg % 2 WHEN 0 THEN 10 ELSE 20 END
+            ELSE
+              CASE cfg % 4 WHEN 0 THEN 2.5 WHEN 1 THEN 5
+                           WHEN 2 THEN 10 ELSE 20 END
+          END))) AS BIGINT) AS toc_duration_ms
+FROM pkts GROUP BY doc_id
+""",
+    tags=("llm", "multimodal", "audio", "opus", "pandas-udf"),
+)
+def q_multimodal_opus_toc(spark: SparkSession, sf: str) -> DataFrame:
+    """Opus packet TOC census over Ogg streams, oracle-exact — the TOC
+    byte's mode/bandwidth/frame-duration grammar (RFC 6716 §3.1,
+    Table 2 restated in both engines independently) without touching
+    SILK/CELT payloads, which stay the documented loud boundary.  Each
+    document's packet list rotates configs and frame-count codes; the
+    oracle recomputes the census from the same rotation in SQL.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawogg
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                tocs = [
+                    (((did * 7 + j * 5) % 32) << 3)
+                    | (((did + j) % 2) << 2)
+                    | (j % 3)
+                    for j in range(4 + did % 5)
+                ]
+                payloads.append(
+                    rawogg.build_ogg(codec="opus", opus_tocs=tocs)
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ogg": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, ogg binary")
+
+    def meta(batches):
+        import pandas as pd
+
+        from ..operators import rawogg
+
+        cols = ("doc_id", "n_packets", "silk_packets", "hybrid_packets",
+                "celt_packets", "total_frames", "toc_duration_ms")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf["ogg"]):
+                m = rawogg.parse_ogg(bytes(payload))
+                rows["doc_id"].append(int(did))
+                rows["n_packets"].append(m["opus_packets"])
+                rows["silk_packets"].append(m["opus_modes"].get("silk", 0))
+                rows["hybrid_packets"].append(
+                    m["opus_modes"].get("hybrid", 0)
+                )
+                rows["celt_packets"].append(m["opus_modes"].get("celt", 0))
+                rows["total_frames"].append(m["opus_frames"])
+                rows["toc_duration_ms"].append(m["opus_toc_duration_ms"])
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        meta,
+        "doc_id long, n_packets long, silk_packets long, "
+        "hybrid_packets long, celt_packets long, total_frames long, "
+        "toc_duration_ms long",
+    )
+
+
+@register(
     "q_multimodal_webm_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

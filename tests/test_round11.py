@@ -272,3 +272,153 @@ class TestXzBz2Wrappers:
         tar = A.build_tar([("BZh9.txt", b"BZh9 looks like bzip2")])
         fmt, ms = A.parse_archive(tar)
         assert fmt == "tar" and ms[0]["payload"].startswith(b"BZh9")
+
+
+# ------------------------------------------------------------------ vp9
+
+
+class TestVP9Keyframe:
+    def test_roundtrip_profiles(self):
+        from rawdata_client_provider_gcs_spark.operators import rawvp9 as V
+
+        for kw, want_depth in [
+            (dict(width=640, height=360), 8),
+            (dict(width=1920, height=1080, profile=2, bit_depth=10), 10),
+            (dict(width=320, height=240, profile=1), 8),
+            (dict(width=8192, height=4320, profile=3, bit_depth=12,
+                  color_space=5), 12),
+            (dict(width=100, height=50, render=(200, 100)), 8),
+        ]:
+            m = V.parse_keyframe_header(V.build_keyframe_header(**kw))
+            assert (m["width"], m["height"]) == (kw["width"], kw["height"])
+            assert m["bit_depth"] == want_depth
+            if "render" in kw:
+                assert (m["render_width"], m["render_height"]) == kw["render"]
+
+    def test_hand_packed_vector(self):
+        """Hand-derived byte vector, independent of the fixture writer
+        (VP9 spec §6.2, bit by bit):
+
+          10                frame_marker
+          0 0               profile 0 (low bit, high bit)
+          0                 show_existing_frame
+          0                 frame_type = KEY
+          1                 show_frame
+          0                 error_resilient_mode
+          0x498342 (24b)    frame_sync_code
+          010               color_space = 2 (bt709)
+          0                 color_range = studio
+          0x04FF (16b)      frame_width_minus_1 = 1279
+          0x02CF (16b)      frame_height_minus_1 = 719
+          0                 render_and_frame_size_different
+          + zero pad        (compressed data would follow)
+        """
+        from rawdata_client_provider_gcs_spark.operators import rawvp9 as V
+
+        m = V.parse_keyframe_header(
+            bytes.fromhex("82498342404ff02cf0") + b"\x00" * 8
+        )
+        assert (m["width"], m["height"]) == (1280, 720)
+        assert m["profile"] == 0 and m["bit_depth"] == 8
+        assert m["color_space"] == "bt709"
+        assert m["subsampling"] == "11"  # profiles 0/2 are 4:2:0
+
+    def test_hostile(self):
+        import pytest
+
+        from rawdata_client_provider_gcs_spark.operators import rawvp9 as V
+
+        with pytest.raises(ValueError, match="shorter"):
+            V.parse_keyframe_header(b"\x82\x49")
+        with pytest.raises(ValueError, match="frame marker"):
+            V.parse_keyframe_header(b"\x00" * 16)
+        with pytest.raises(ValueError, match="sync"):
+            V.parse_keyframe_header(b"\x82" + b"\x00" * 16)
+        # inter frame (frame_type=1): loud boundary
+        inter = bytearray(V.build_keyframe_header(width=64, height=64))
+        inter[0] |= 0x04  # flip frame_type bit (bit 5 of byte 0)
+        with pytest.raises(ValueError, match="keyframe"):
+            V.parse_keyframe_header(bytes(inter))
+        # fuzz: ValueError-only under random bytes
+        import random
+
+        rng = random.Random(11)
+        for _ in range(300):
+            blob = bytes(rng.randrange(256) for _ in range(rng.randrange(24)))
+            try:
+                V.parse_keyframe_header(blob)
+            except ValueError:
+                pass
+
+    def test_webm_cluster_carries_codec_dims(self):
+        from rawdata_client_provider_gcs_spark.operators import rawwebm as W
+
+        m = W.parse_webm(W.build_webm(vp9_keyframe=(1280, 720)))
+        vid = next(t for t in m["tracks"] if t.get("track_type") == 1)
+        # track header says 640x360, the codec says 1280x720 — codec wins
+        assert (vid["width"], vid["height"]) == (640, 360)
+        assert (vid["vp9_width"], vid["vp9_height"]) == (1280, 720)
+        # no cluster -> no vp9 keys; corrupt sync -> dims absent, no raise
+        assert "vp9_width" not in W.parse_webm(W.build_webm())["tracks"][0]
+        blob = W.build_webm(vp9_keyframe=(1280, 720))
+        bad = blob.replace(bytes.fromhex("498342"), b"\x00\x00\x00")
+        assert "vp9_width" not in W.parse_webm(bad)["tracks"][0]
+
+
+# ----------------------------------------------------------------- opus
+
+
+class TestOpusToc:
+    def test_config_table_matrix(self):
+        """RFC 6716 Table 2, all 32 configs: mode/bandwidth boundaries
+        and frame durations."""
+        from rawdata_client_provider_gcs_spark.operators import rawogg as O
+
+        for cfg in range(32):
+            t = O.parse_opus_packet(bytes([cfg << 3, 0]))
+            if cfg < 12:
+                assert t["mode"] == "silk"
+                assert t["frame_ms"] == (10, 20, 40, 60)[cfg % 4]
+                assert t["bandwidth"] == ("nb", "mb", "wb")[cfg // 4]
+            elif cfg < 16:
+                assert t["mode"] == "hybrid"
+                assert t["frame_ms"] == (10, 20)[cfg % 2]
+                assert t["bandwidth"] == ("swb", "fb")[(cfg - 12) // 2]
+            else:
+                assert t["mode"] == "celt"
+                assert t["frame_ms"] == (2.5, 5, 10, 20)[cfg % 4]
+                assert t["bandwidth"] == ("nb", "wb", "swb", "fb")[
+                    (cfg - 16) // 4
+                ]
+
+    def test_frame_count_codes(self):
+        import pytest
+
+        from rawdata_client_provider_gcs_spark.operators import rawogg as O
+
+        assert O.parse_opus_packet(b"\x00x")["n_frames"] == 1
+        assert O.parse_opus_packet(b"\x01x")["n_frames"] == 2
+        assert O.parse_opus_packet(b"\x02x")["n_frames"] == 2
+        assert O.parse_opus_packet(b"\x03\x05x")["n_frames"] == 5
+        assert O.parse_opus_packet(b"\x04x")["stereo"] is True
+        with pytest.raises(ValueError, match="count byte"):
+            O.parse_opus_packet(b"\x03")
+        with pytest.raises(ValueError, match="zero frames"):
+            O.parse_opus_packet(b"\x03\x40")  # vbr flag set, M=0
+        with pytest.raises(ValueError, match="120 ms"):
+            # config 3 = silk 60 ms, 3 frames = 180 ms
+            O.parse_opus_packet(bytes([(3 << 3) | 3, 3]))
+        with pytest.raises(ValueError, match="empty"):
+            O.parse_opus_packet(b"")
+
+    def test_census_through_ogg(self):
+        from rawdata_client_provider_gcs_spark.operators import rawogg as O
+
+        tocs = [(1 << 3), (14 << 3) | 4, (28 << 3) | 3, (8 << 3) | 1]
+        m = O.parse_ogg(O.build_ogg(codec="opus", opus_tocs=tocs))
+        assert m["opus_packets"] == 4
+        assert m["opus_modes"] == {"silk": 2, "hybrid": 1, "celt": 1}
+        assert m["opus_frames"] == 6  # 1 + 1 + 2 (code3 count=2) + 2
+        assert m["opus_toc_duration_ms"] == 55  # 20 + 10 + 2*2.5 + 2*10
+        # vorbis streams carry no opus keys
+        assert "opus_modes" not in O.parse_ogg(O.build_ogg(codec="vorbis"))

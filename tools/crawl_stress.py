@@ -163,14 +163,112 @@ def run_archive(spark, n_files: int, members_per_file: int, fmt: str) -> dict:
     }
 
 
+def run_wrapped_bytes(
+    spark, n_files: int, mb_per_file: int, wrapper: str
+) -> dict:
+    """Wrapped-archive peel throughput at real byte weight: each file
+    is a tar of text-ish members totaling ``mb_per_file`` MB, wrapped
+    in lz4 (pure-Python decode) or gzip (stdlib zlib, the rewrap
+    recommendation's fast path).  Reports decompressed bytes/s for the
+    whole box and per core — the number the 6–9 MB/s/core PERF.md
+    budget extrapolates from, measured instead at GB scale."""
+    import gzip
+
+    from rawdata_client_provider_gcs_spark.sources import archive as A
+    from rawdata_client_provider_gcs_spark.sources import compression as C
+
+    member_bytes = 1 << 20
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for fid in pdf["file_id"]:
+                fid = int(fid)
+                members = []
+                for m in range(mb_per_file):
+                    # text-ish with a per-row counter: ~6-8x compression
+                    # ratio like real text, so both the literal and
+                    # match-copy decode paths run at realistic mix
+                    rows = []
+                    r = 0
+                    size = 0
+                    while size < member_bytes:
+                        line = (
+                            f"file {fid} member {m} row {r:08d} "
+                            f"lorem ipsum dolor sit amet {r * 2654435761 % 997}\n"
+                        ).encode()
+                        rows.append(line)
+                        size += len(line)
+                        r += 1
+                    body = b"".join(rows)[:member_bytes]
+                    members.append((f"d{fid}/m{m:03d}.txt", body))
+                tar = A.build_tar(members)
+                payloads.append(
+                    C.lz4_compress(tar)
+                    if wrapper == "lz4"
+                    else gzip.compress(tar, 1)
+                )
+            yield pd.DataFrame({"doc_id": pdf["file_id"], "payload": payloads})
+
+    files = (
+        spark.range(n_files)
+        .withColumnRenamed("id", "file_id")
+        .repartition(min(n_files, 32))
+        .mapInPandas(make, "doc_id long, payload binary")
+        .persist()
+    )
+    comp_bytes = files.agg(
+        F.sum(F.octet_length("payload")).alias("b")
+    ).collect()[0]["b"]
+    cores = spark.sparkContext.defaultParallelism
+    t0 = time.perf_counter()
+    n = (
+        A.archive_members(files)
+        .filter(F.col("error").isNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.octet_length("payload")).alias("out_b"),
+        )
+        .collect()
+    )
+    wall = time.perf_counter() - t0
+    files.unpersist()
+    assert n[0]["n"] == n_files * mb_per_file, n[0]["n"]
+    out_b = n[0]["out_b"]
+    return {
+        "wrapper": wrapper,
+        "files": n_files,
+        "decompressed_gb": round(out_b / 1e9, 2),
+        "compressed_mb": round(comp_bytes / 1e6, 1),
+        "wall_sec": round(wall, 2),
+        "mb_per_sec_box": round(out_b / 1e6 / wall, 1),
+        "mb_per_sec_core": round(out_b / 1e6 / wall / cores, 2),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--files", type=int, default=64)
     ap.add_argument("--records", type=int, default=300)
     ap.add_argument("--members", type=int, default=400)
+    ap.add_argument(
+        "--wrapped-gb",
+        action="store_true",
+        help="only the GB-scale wrapped-archive rows (lz4 vs gzip)",
+    )
     args = ap.parse_args()
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
+    if args.wrapped_gb:
+        out = {
+            "lz4_1gb": run_wrapped_bytes(spark, args.files, 16, "lz4"),
+            "gzip_1gb": run_wrapped_bytes(spark, args.files, 16, "gzip"),
+        }
+        print(json.dumps(out))
+        spark.stop()
+        return
     small = run(spark, args.files, args.records)
     big = run(spark, args.files * 4, args.records)
     out = {
