@@ -2904,6 +2904,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM d
 """,
     tags=("llm", "source", "archive", "compression", "pandas-udf"),
+    bench=True,
 )
 def q_crawl_archive_xz(spark: SparkSession, sf: str) -> DataFrame:
     """xz/bzip2-wrapped archives explode like gzip ones, oracle-exact
@@ -5282,6 +5283,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM documents WHERE doc_id < 300
 """,
     tags=("llm", "multimodal", "video", "webm", "vp9", "pandas-udf"),
+bench=True,
 )
 def q_multimodal_vp9_keyframe(spark: SparkSession, sf: str) -> DataFrame:
     """VP9 keyframe uncompressed headers inside WebM clusters,
@@ -5385,6 +5387,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
 FROM pkts GROUP BY doc_id
 """,
     tags=("llm", "multimodal", "audio", "opus", "pandas-udf"),
+bench=True,
 )
 def q_multimodal_opus_toc(spark: SparkSession, sf: str) -> DataFrame:
     """Opus packet TOC census over Ogg streams, oracle-exact — the TOC
