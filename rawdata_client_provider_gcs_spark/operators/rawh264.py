@@ -211,8 +211,11 @@ class _BitW:
         self.u(0, n - 1)
         self.u(k, n)
 
-    def bytes(self) -> bytes:
-        bits = self.bits + [1] + [0] * ((8 - (len(self.bits) + 1) % 8) % 8)
+    def bytes(self, stop_bit: bool = True) -> bytes:
+        """Byte-pack: with the RBSP stop bit (H.264/HEVC NAL payloads)
+        or plain zero-padded (VP9 headers, where frame data follows)."""
+        bits = self.bits + ([1] if stop_bit else [])
+        bits += [0] * ((8 - len(bits) % 8) % 8)
         out = bytearray()
         for i in range(0, len(bits), 8):
             out.append(int("".join(map(str, bits[i : i + 8])), 2))

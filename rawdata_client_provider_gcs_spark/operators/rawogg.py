@@ -401,13 +401,16 @@ def build_ogg(
         gran = total_gran * (i + 1) // n_audio_pages
         flags = 0x04 if i == n_audio_pages - 1 else 0
         if opus_tocs is not None and codec == "opus":
+            # no filler fallback: b"\x00"*40 would parse as a REAL
+            # TOC (0x00 = silk-nb code 0) and pollute the census — a
+            # page with zero packets (empty lacing table) is legal Ogg
             pkts = [
                 bytes([t])
                 + (bytes([0x02]) if t & 3 == 3 else b"")
                 + b"\x00" * 40
                 for j, t in enumerate(opus_tocs)
                 if j % n_audio_pages == i
-            ] or [b"\x00" * 40]
+            ]
         else:
             pkts = [b"\x00" * 300]
         out += _page(serial, 2 + i, gran, pkts, flags)

@@ -60,6 +60,21 @@ def sniff_ts(data: bytes) -> bool:
     )
 
 
+def _header_plausible(data: bytes, pos: int) -> bool:
+    """Resync-candidate header sanity: sync byte, a non-reserved
+    adaptation_field_control, and an adaptation field that fits the
+    packet — enough to reject the payload-embedded 0x47s whose fake
+    headers would blow up the packet walk."""
+    if pos + 5 > len(data) or data[pos] != _SYNC:
+        return False
+    afc = (data[pos + 3] >> 4) & 0x3
+    if afc == 0:  # reserved
+        return False
+    if afc in (2, 3) and 5 + data[pos + 4] > _PKT:
+        return False
+    return True
+
+
 def _pts_of(b: bytes, pos: int) -> int:
     """The 33-bit PTS/DTS packed '- xxx m xxxxxxxx xxxxxxx m xxxxxxxx
     xxxxxxx m' form (markers ignored; crawl data lies about them)."""
@@ -95,16 +110,24 @@ def parse_ts(data: bytes) -> dict:
     while pos + _PKT <= len(data):
         if data[pos] != _SYNC:
             # bounded resync: a bare 0x47 inside PES payload is common,
-            # so only re-lock on a candidate whose NEXT packet boundary
-            # (188 bytes later) is also a sync byte — when the stream is
-            # long enough to check.  A trailing partial packet accepts
-            # the unconfirmable candidate (nothing after it to damage).
+            # so prefer a candidate whose NEXT packet boundary
+            # (188 bytes later) is also a sync byte.  When no
+            # stride-confirmed candidate exists in the rest of the
+            # stream (last packet before trailing garbage), fall back
+            # to the first candidate whose header bytes are plausible
+            # (valid afc, adaptation field fits) — the shape the
+            # original hostile case fails and a real packet passes.
             sync_losses += 1
             nxt = data.find(b"\x47", pos + 1)
+            plausible = -1
             while nxt >= 0 and nxt + _PKT < len(data) and data[nxt + _PKT] != _SYNC:
+                if plausible < 0 and _header_plausible(data, nxt):
+                    plausible = nxt
                 nxt = data.find(b"\x47", nxt + 1)
             if nxt < 0:
-                break
+                if plausible < 0:
+                    break
+                nxt = plausible
             pos = nxt
             continue
         pkt = data[pos : pos + _PKT]

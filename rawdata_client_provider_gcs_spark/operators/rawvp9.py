@@ -21,7 +21,7 @@ handling belongs to this repo's derived multimodal tier.
 
 from __future__ import annotations
 
-from .rawh264 import _Bits
+from .rawh264 import _Bits, _BitW
 
 _SYNC = 0x498342
 
@@ -105,25 +105,6 @@ def parse_keyframe_header(data: bytes) -> dict:
 # ---------------------------------------------------------------------------
 
 
-class _W:
-    """MSB-first bit writer, zero-padded to a byte (no RBSP stop bit —
-    a real frame's compressed data would follow)."""
-
-    def __init__(self):
-        self.bits: list[int] = []
-
-    def u(self, val: int, n: int):
-        for i in range(n - 1, -1, -1):
-            self.bits.append((val >> i) & 1)
-
-    def bytes(self) -> bytes:
-        bits = self.bits + [0] * ((8 - len(self.bits) % 8) % 8)
-        out = bytearray()
-        for i in range(0, len(bits), 8):
-            out.append(int("".join(map(str, bits[i : i + 8])), 2))
-        return bytes(out)
-
-
 def build_keyframe_header(
     *,
     width: int,
@@ -134,8 +115,10 @@ def build_keyframe_header(
     render: tuple[int, int] | None = None,
 ) -> bytes:
     """Encode a VP9 keyframe uncompressed header (plus a little filler
-    standing in for the compressed data that would follow)."""
-    w = _W()
+    standing in for the compressed data that would follow).  Uses the
+    shared MSB-first writer without the RBSP stop bit — VP9 headers
+    are plain zero-padded."""
+    w = _BitW()
     w.u(2, 2)  # frame_marker
     w.u(profile & 1, 1)
     w.u(profile >> 1, 1)
@@ -165,4 +148,4 @@ def build_keyframe_header(
         w.u(render[1] - 1, 16)
     else:
         w.u(0, 1)
-    return w.bytes() + b"\x00" * 8
+    return w.bytes(stop_bit=False) + b"\x00" * 8

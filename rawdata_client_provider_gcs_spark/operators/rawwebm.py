@@ -32,6 +32,7 @@ handling belongs to this repo's derived multimodal tier.
 
 from __future__ import annotations
 
+import math
 import struct
 
 from .rawavi import UnsupportedCodecError
@@ -159,19 +160,32 @@ def parse_webm(data: bytes) -> dict:
                 elif sid == 0x1F43B675 and len(first_blocks) < 16:
                     # Cluster: remember the head SimpleBlocks so a
                     # V_VP9 track's first keyframe can contribute
-                    # codec-authoritative dimensions (bounded — never
-                    # a full-file block walk)
-                    for cid, cs, ce in _walk(data, ss, se, budget):
-                        if cid != 0xA3 or len(first_blocks) >= 16:
-                            continue
-                        try:
-                            tn, p = read_vint(data, cs, keep_marker=False)
-                        except ValueError:
-                            continue
-                        if p + 3 > ce:
-                            continue
-                        keyframe = bool(data[p + 2] & 0x80)
-                        first_blocks.append((tn, keyframe, p + 3, ce))
+                    # codec-authoritative dimensions.  The scan is an
+                    # OPTIONAL enrichment with its own local budget —
+                    # a huge-but-valid cluster must neither consume
+                    # the container walk's element budget nor fail the
+                    # parse; it just stops contributing blocks.
+                    cluster_budget = [256]
+                    try:
+                        for cid, cs, ce in _walk(
+                            data, ss, se, cluster_budget
+                        ):
+                            if len(first_blocks) >= 16:
+                                break
+                            if cid != 0xA3:
+                                continue
+                            try:
+                                tn, p = read_vint(
+                                    data, cs, keep_marker=False
+                                )
+                            except ValueError:
+                                continue
+                            if p + 3 > ce:
+                                continue
+                            keyframe = bool(data[p + 2] & 0x80)
+                            first_blocks.append((tn, keyframe, p + 3, ce))
+                    except ValueError:
+                        pass  # damaged cluster internals: dims stay absent
     if not saw_segment:
         raise ValueError("ebml: no Matroska Segment element")
     for t in meta["tracks"]:
@@ -195,6 +209,10 @@ def parse_webm(data: bytes) -> dict:
             break
     if timecode_scale == 0:
         raise ValueError("ebml: zero timecode scale")
+    if not math.isfinite(duration_ticks) or duration_ticks < 0:
+        # inf would raise OverflowError out of int(), escaping the
+        # ValueError-only per-row capture contract
+        raise ValueError("ebml: non-finite or negative duration")
     meta["timecode_scale_ns"] = timecode_scale
     meta["duration_ms"] = int(duration_ticks * timecode_scale / 1e6)
     meta["n_tracks"] = len(meta["tracks"])

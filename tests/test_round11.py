@@ -422,3 +422,72 @@ class TestOpusToc:
         assert m["opus_toc_duration_ms"] == 55  # 20 + 10 + 2*2.5 + 2*10
         # vorbis streams carry no opus keys
         assert "opus_modes" not in O.parse_ogg(O.build_ogg(codec="vorbis"))
+
+
+# ----------------------------------------------- round-11 review findings
+
+
+def test_webm_huge_cluster_does_not_burn_the_budget():
+    """A valid WebM whose first cluster holds >10k blocks must still
+    parse (the cluster scan has its own local budget and breaks at 16
+    collected blocks) — pre-fix it raised the hostile-input cap."""
+    from rawdata_client_provider_gcs_spark.operators import rawwebm as W
+
+    base = W.build_webm(video=("V_VP9", 640, 360), audio=None)
+    # segment body += one cluster of 10,001 tiny audio-track blocks
+    block = W._el(0xA3, b"\x82" + b"\x00\x00" + b"\x00" + b"\x00" * 4)
+    cluster = W._el(0x1F43B675, W._uint_el(0xE7, 0) + block * 10_001)
+    # splice into the segment: rebuild with the cluster appended
+    seg_at = base.find(bytes.fromhex("18538067"))
+    seg_size, p = W.read_vint(base, seg_at + 4, keep_marker=False)
+    body = base[p : p + seg_size] + cluster
+    data = base[:seg_at] + W._el(0x18538067, body)
+    m = W.parse_webm(data)
+    assert m["n_tracks"] == 1  # full container metadata intact
+
+
+def test_webm_infinite_duration_is_valueerror():
+    """An inf Duration double must land as ValueError (per-row
+    capture), not OverflowError out of int()."""
+    import struct
+
+    import pytest
+
+    from rawdata_client_provider_gcs_spark.operators import rawwebm as W
+
+    blob = W.build_webm(duration_ms=2000)
+    fin = struct.pack(">d", 2000.0)
+    assert fin in blob
+    bad = blob.replace(fin, struct.pack(">d", float("inf")))
+    with pytest.raises(ValueError, match="non-finite"):
+        W.parse_webm(bad)
+
+
+def test_ts_resync_recovers_last_packet_before_tail_garbage():
+    """A re-lock candidate whose +188 boundary lands in trailing
+    garbage must still be taken when its header is plausible — the
+    stride check alone dropped the final packet(s)."""
+    from rawdata_client_provider_gcs_spark.operators import rawts as T
+
+    data = T.build_ts(duration_ms=1000, pes_per_stream=2,
+                      streams=((0x1B, 0x100),))
+    # keep PAT+PMT+first PES packet, splice junk, then the LAST packet
+    # followed by >=188 bytes of non-TS garbage
+    head, last = data[: 3 * 188], data[-188:]
+    hostile = head + b"\x00" * 11 + last + b"\xAA" * 200
+    meta = T.parse_ts(hostile)
+    clean = T.parse_ts(data[: 3 * 188] + last)
+    assert meta["n_packets"] == clean["n_packets"]  # last packet kept
+    assert meta["duration_ms"] == clean["duration_ms"]
+
+
+def test_opus_census_ignores_empty_pages():
+    """Fewer TOCs than audio pages must not grow the census with
+    filler packets (pre-fix the empty page's filler parsed as a
+    phantom silk packet)."""
+    from rawdata_client_provider_gcs_spark.operators import rawogg as O
+
+    tocs = [(20 << 3), (20 << 3)]  # two celt-wb packets, 3 pages
+    m = O.parse_ogg(O.build_ogg(codec="opus", opus_tocs=tocs))
+    assert m["opus_packets"] == 2
+    assert m["opus_modes"] == {"celt": 2}
