@@ -75,6 +75,24 @@ def _header_plausible(data: bytes, pos: int) -> bool:
     return True
 
 
+def _first_adts(head: bytes, scan: int = 1 << 13) -> dict | None:
+    """First coherent ADTS header in a buffered ES head (bounded
+    scan; coherence = the next frame boundary also parses with the
+    same sample rate, or lies past the truncated head)."""
+    from . import rawaac  # noqa: PLC0415
+
+    for pos in range(min(len(head), scan)):
+        hdr = rawaac.parse_adts_header(head, pos)
+        if hdr is None:
+            continue
+        nxt = rawaac.parse_adts_header(head, pos + hdr["frame_len"])
+        if pos + hdr["frame_len"] >= len(head) or (
+            nxt is not None and nxt["sample_rate"] == hdr["sample_rate"]
+        ):
+            return hdr
+    return None
+
+
 def _pts_of(b: bytes, pos: int) -> int:
     """The 33-bit PTS/DTS packed '- xxx m xxxxxxxx xxxxxxx m xxxxxxxx
     xxxxxxx m' form (markers ignored; crawl data lies about them)."""
@@ -219,12 +237,12 @@ def parse_ts(data: bytes) -> dict:
                     if st["first_pts"] is None:
                         st["first_pts"] = pts
                     st["last_pts"] = pts
-            if st["stream_type"] in (0x1B, 0x24) and "width" not in st:
+            if st["stream_type"] in (0x1B, 0x24, 0x0F) and "width" not in st:
                 # buffer the first ~64 KiB of ES bytes (PES header
                 # stripped on PUSI packets: a video stream id like
                 # 0xE7 would otherwise read as NAL type 7 and poison
-                # the SPS scan); the SPS rides in the first access
-                # unit's Annex-B stream
+                # the SPS scan); the SPS — or for type 0x0F the first
+                # ADTS header — rides in the first access unit
                 buf = st.setdefault("_es_head", bytearray())
                 if len(buf) < (1 << 16):
                     es_at = p
@@ -262,6 +280,15 @@ def parse_ts(data: bytes) -> dict:
                 st["profile"] = sps["profile"]
             except ValueError:
                 pass  # no/corrupt SPS in the head: dims stay absent
+        elif es_head is not None and st["stream_type"] == 0x0F:
+            # ADTS AAC (ISO 13818-7): the ES head's first coherent
+            # header yields rate/profile/channels — audio's analog of
+            # the video SPS enrichment
+            hdr = _first_adts(bytes(es_head))
+            if hdr is not None:
+                st["sample_rate"] = hdr["sample_rate"]
+                st["channels"] = hdr["channels"]
+                st["profile"] = f"AAC/{hdr['profile']}"
         best = max(best, st["duration_ms"])
         out_streams.append(st)
     out_streams.sort(key=lambda s: s["pid"])
@@ -340,6 +367,7 @@ def build_ts(
     null_packets: int = 0,
     pts_base: int = 900_000,
     h264_sps: tuple[int, int] | None = None,
+    aac_es: tuple[int, int] | None = None,
 ) -> bytes:
     """Write a structurally valid single-program transport stream:
     PAT → PMT → interleaved PES packets whose PTS stamps span exactly
@@ -374,6 +402,15 @@ def build_ts(
 
                 es = b"\x00\x00\x00\x01" + rawh264.build_sps(
                     width=h264_sps[0], height=h264_sps[1]
+                )
+            elif aac_es is not None and stype == 0x0F and i == 0:
+                from . import rawaac  # noqa: PLC0415
+
+                es = rawaac.build_aac(
+                    2,
+                    profile=aac_es[0],
+                    channels=aac_es[1],
+                    frame_payload=40,
                 )
             pes = (
                 b"\x00\x00\x01\xe0\x00\x00"  # start code, stream id, len 0

@@ -5706,6 +5706,11 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(1000 + doc_id % 5000 AS BIGINT) AS duration_ms,
        CASE WHEN doc_id % 2 = 0 THEN 'h264' ELSE 'hevc' END AS video_codec,
        'aac' AS audio_codec,
+       CAST(44100 AS BIGINT) AS audio_sample_rate,
+       CAST(1 + doc_id % 2 AS BIGINT) AS audio_channels,
+       CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 'AAC/Main' WHEN 1 THEN 'AAC/LC' ELSE 'AAC/SSR'
+       END AS audio_profile,
        CAST(0 AS BIGINT) AS continuity_errors
 FROM documents WHERE doc_id < 300
 """,
@@ -5718,8 +5723,11 @@ def q_multimodal_ts_meta(spark: SparkSession, sf: str) -> DataFrame:
     accounting (:mod:`..operators.rawts`); elementary-stream decode
     stays the documented loud boundary.  ``doc_id % 3 == 0`` adds an
     mp3 third stream, ``doc_id % 2`` flips h264/hevc, ``doc_id % 4``
-    appends null packets (counted, never continuity-checked).  All
-    columns closed-form in doc_id.
+    appends null packets (counted, never continuity-checked); the
+    0x0F audio stream carries real ADTS headers whose
+    rate/profile/channels surface through the ES-head enrichment
+    (round 11 — audio's analog of the video SPS pull).  All columns
+    closed-form in doc_id.
     """
     d = (
         load_table(spark, sf, "documents")
@@ -5734,6 +5742,7 @@ def q_multimodal_ts_meta(spark: SparkSession, sf: str) -> DataFrame:
 
         cols = ("doc_id", "n_packets", "n_programs", "n_streams",
                 "duration_ms", "video_codec", "audio_codec",
+                "audio_sample_rate", "audio_channels", "audio_profile",
                 "continuity_errors")
         for pdf in batches:
             rows = {k: [] for k in cols}
@@ -5750,6 +5759,7 @@ def q_multimodal_ts_meta(spark: SparkSession, sf: str) -> DataFrame:
                     streams=tuple(streams),
                     pes_per_stream=3 + did % 6,
                     null_packets=did % 4,
+                    aac_es=(did % 3, 1 + did % 2),
                 )
                 m = rawts.parse_ts(blob)
                 by_pid = {s["pid"]: s for s in m["streams"]}
@@ -5760,6 +5770,11 @@ def q_multimodal_ts_meta(spark: SparkSession, sf: str) -> DataFrame:
                 rows["duration_ms"].append(m["duration_ms"])
                 rows["video_codec"].append(by_pid[0x100]["codec"])
                 rows["audio_codec"].append(by_pid[0x101]["codec"])
+                rows["audio_sample_rate"].append(
+                    by_pid[0x101]["sample_rate"]
+                )
+                rows["audio_channels"].append(by_pid[0x101]["channels"])
+                rows["audio_profile"].append(by_pid[0x101]["profile"])
                 rows["continuity_errors"].append(m["continuity_errors"])
             yield pd.DataFrame(rows)
 
@@ -5767,7 +5782,8 @@ def q_multimodal_ts_meta(spark: SparkSession, sf: str) -> DataFrame:
         run,
         "doc_id long, n_packets long, n_programs long, n_streams long, "
         "duration_ms long, video_codec string, audio_codec string, "
-        "continuity_errors long",
+        "audio_sample_rate long, audio_channels long, "
+        "audio_profile string, continuity_errors long",
     )
 
 

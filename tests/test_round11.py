@@ -491,3 +491,28 @@ def test_opus_census_ignores_empty_pages():
     m = O.parse_ogg(O.build_ogg(codec="opus", opus_tocs=tocs))
     assert m["opus_packets"] == 2
     assert m["opus_modes"] == {"celt": 2}
+
+
+# --------------------------------------------------------- ts aac es
+
+
+def test_ts_aac_es_enrichment():
+    """Stream type 0x0F's buffered ES head runs through the ADTS
+    parser: rate/profile/channels surface per stream, the audio analog
+    of the video SPS enrichment; filler-only fixtures stay clean."""
+    from rawdata_client_provider_gcs_spark.operators import rawts as T
+
+    m = T.parse_ts(T.build_ts(aac_es=(1, 2), h264_sps=(1280, 720)))
+    aud = next(s for s in m["streams"] if s["stream_type"] == 0x0F)
+    assert aud["sample_rate"] == 44100
+    assert aud["channels"] == 2
+    assert aud["profile"] == "AAC/LC"
+    vid = next(s for s in m["streams"] if s["stream_type"] == 0x1B)
+    assert (vid["width"], vid["height"]) == (1280, 720)
+    # default fixture (zero filler ES): no false lock, fields absent
+    aud2 = next(
+        s
+        for s in T.parse_ts(T.build_ts())["streams"]
+        if s["stream_type"] == 0x0F
+    )
+    assert "sample_rate" not in aud2
