@@ -2731,7 +2731,7 @@ WITH pages AS (
   SELECT doc_id,
          trim(regexp_replace("""
     + _sql_entity_chain(
-        """regexp_replace(
+        r"""regexp_replace(
                regexp_replace(html,
                  '<script[^>]*>.*?</script\s*>|<style[^>]*>.*?</style\s*>|<title[^>]*>.*?</title\s*>',
                  ' ', 'gis'),
@@ -3280,7 +3280,7 @@ WITH pages AS (
          regexp_extract(html, '(?is)<title[^>]*>([^<]*)</title>', 1) AS title,
          trim(regexp_replace("""
     + _sql_entity_chain(
-        """regexp_replace(
+        r"""regexp_replace(
                regexp_replace(html,
                  '<script[^>]*>.*?</script\s*>|<style[^>]*>.*?</style\s*>|<title[^>]*>.*?</title\s*>', ' ', 'gis'),
                '<[^>]+>', ' ', 'g')"""
