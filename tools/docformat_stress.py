@@ -144,11 +144,70 @@ def run_archive(spark, n_docs: int, n_members: int) -> dict:
     }
 
 
+def run_office(spark, n_docs: int, n_paras: int) -> dict:
+    """office_text throughput over a docx/epub/odt rotation (round 11):
+    ZIP walk + OPF navigation Python-side, text extraction
+    Catalyst-side."""
+    from rawdata_client_provider_gcs_spark.sources import office
+
+    paras = [LINE * 12 + str(j) for j in range(n_paras)]
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                v = did % 3
+                if v == 0:
+                    payloads.append(office.build_docx(paras))
+                elif v == 1:
+                    payloads.append(office.build_epub(paras, title=""))
+                else:
+                    payloads.append(office.build_odt(paras))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    files = (
+        spark.range(n_docs)
+        .withColumnRenamed("id", "doc_id")
+        .repartition(32)
+        .mapInPandas(make, "doc_id long, payload binary")
+        .persist()
+    )
+    total_bytes = files.agg(
+        F.sum(F.octet_length("payload")).alias("b")
+    ).collect()[0]["b"]
+    t0 = time.perf_counter()
+    stats = (
+        office.office_text(files)
+        .agg(
+            F.count(F.lit(1)).alias("parts"),
+            F.sum(F.length("text")).alias("chars_out"),
+            F.count("error").alias("errors"),
+        )
+        .collect()[0]
+    )
+    wall = time.perf_counter() - t0
+    files.unpersist()
+    assert stats["errors"] == 0, stats
+    return {
+        "docs": n_docs,
+        "parts": stats["parts"],
+        "input_mb": round(total_bytes / 1e6, 1),
+        "text_mb_out": round((stats["chars_out"] or 0) / 1e6, 1),
+        "wall_sec": round(wall, 2),
+        "docs_per_sec": round(n_docs / wall),
+        "mb_per_sec": round(total_bytes / 1e6 / wall, 1),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=2000)
     ap.add_argument("--pages", type=int, default=6)
     ap.add_argument("--members", type=int, default=8)
+    ap.add_argument("--paras", type=int, default=40)
     args = ap.parse_args()
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
@@ -157,6 +216,8 @@ def main() -> None:
         "pdf_big": run_pdf(spark, args.docs * 4, args.pages),
         "archive_small": run_archive(spark, args.docs, args.members),
         "archive_big": run_archive(spark, args.docs * 4, args.members),
+        "office_small": run_office(spark, args.docs, args.paras),
+        "office_big": run_office(spark, args.docs * 4, args.paras),
     }
     out["pdf_scale_ratio"] = round(
         out["pdf_big"]["wall_sec"] / max(out["pdf_small"]["wall_sec"], 1e-9), 2
@@ -164,6 +225,11 @@ def main() -> None:
     out["archive_scale_ratio"] = round(
         out["archive_big"]["wall_sec"]
         / max(out["archive_small"]["wall_sec"], 1e-9),
+        2,
+    )
+    out["office_scale_ratio"] = round(
+        out["office_big"]["wall_sec"]
+        / max(out["office_small"]["wall_sec"], 1e-9),
         2,
     )
     print(json.dumps(out))
