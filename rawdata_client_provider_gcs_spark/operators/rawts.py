@@ -93,6 +93,23 @@ def _first_adts(head: bytes, scan: int = 1 << 13) -> dict | None:
     return None
 
 
+def _first_mpeg_audio(head: bytes, scan: int = 1 << 13) -> dict | None:
+    """First coherent MPEG audio frame header in a buffered ES head
+    (same coherence rule as :func:`_first_adts`)."""
+    from . import rawmp3  # noqa: PLC0415
+
+    for pos in range(min(len(head), scan)):
+        hdr = rawmp3.parse_frame_header(head, pos)
+        if hdr is None:
+            continue
+        nxt = rawmp3.parse_frame_header(head, pos + hdr["frame_len"])
+        if pos + hdr["frame_len"] >= len(head) or (
+            nxt is not None and nxt["sample_rate"] == hdr["sample_rate"]
+        ):
+            return hdr
+    return None
+
+
 def _pts_of(b: bytes, pos: int) -> int:
     """The 33-bit PTS/DTS packed '- xxx m xxxxxxxx xxxxxxx m xxxxxxxx
     xxxxxxx m' form (markers ignored; crawl data lies about them)."""
@@ -237,7 +254,10 @@ def parse_ts(data: bytes) -> dict:
                     if st["first_pts"] is None:
                         st["first_pts"] = pts
                     st["last_pts"] = pts
-            if st["stream_type"] in (0x1B, 0x24, 0x0F) and "width" not in st:
+            if (
+                st["stream_type"] in (0x1B, 0x24, 0x0F, 0x03, 0x04)
+                and "width" not in st
+            ):
                 # buffer the first ~64 KiB of ES bytes (PES header
                 # stripped on PUSI packets: a video stream id like
                 # 0xE7 would otherwise read as NAL type 7 and poison
@@ -289,6 +309,14 @@ def parse_ts(data: bytes) -> dict:
                 st["sample_rate"] = hdr["sample_rate"]
                 st["channels"] = hdr["channels"]
                 st["profile"] = f"AAC/{hdr['profile']}"
+        elif es_head is not None and st["stream_type"] in (0x03, 0x04):
+            # MPEG-1/2 audio (ISO 11172-3 / 13818-3): same treatment
+            # through the MP3 frame-header walk
+            hdr = _first_mpeg_audio(bytes(es_head))
+            if hdr is not None:
+                st["sample_rate"] = hdr["sample_rate"]
+                st["channels"] = hdr["channels"]
+                st["profile"] = f"{hdr['version']}/L{hdr['layer']}"
         best = max(best, st["duration_ms"])
         out_streams.append(st)
     out_streams.sort(key=lambda s: s["pid"])
@@ -368,6 +396,7 @@ def build_ts(
     pts_base: int = 900_000,
     h264_sps: tuple[int, int] | None = None,
     aac_es: tuple[int, int] | None = None,
+    mp3_es: bool = False,
 ) -> bytes:
     """Write a structurally valid single-program transport stream:
     PAT → PMT → interleaved PES packets whose PTS stamps span exactly
@@ -411,6 +440,15 @@ def build_ts(
                     profile=aac_es[0],
                     channels=aac_es[1],
                     frame_payload=40,
+                )
+            elif mp3_es and stype in (0x03, 0x04) and i == 0:
+                from . import rawmp3  # noqa: PLC0415
+
+                # Layer I at 32 kbps/48 kHz: 32-byte frames, so two
+                # whole frames fit the single-packet PES the fixture
+                # writes (and the census exercises a non-L3 layer)
+                es = rawmp3.build_mp3(
+                    2, layer=1, bitrate_index=1, samplerate_index=1
                 )
             pes = (
                 b"\x00\x00\x01\xe0\x00\x00"  # start code, stream id, len 0

@@ -119,6 +119,8 @@ def parse_webm(data: bytes) -> dict:
                 t["track_type"] = _uint(data, s, e)
             elif eid == 0x86:
                 t["codec_id"] = data[s:e].decode("latin-1", "replace")
+            elif eid == 0x63A2:
+                t["_codec_private"] = (s, e)
             elif eid == 0xE0:  # Video
                 for vid, vs, ve in _walk(data, s, e, budget):
                     if vid == 0xB0:
@@ -189,6 +191,40 @@ def parse_webm(data: bytes) -> dict:
     if not saw_segment:
         raise ValueError("ebml: no Matroska Segment element")
     for t in meta["tracks"]:
+        cp = t.pop("_codec_private", None)
+        if cp is not None and t.get("track_type") == 1:
+            # Matroska CodecPrivate carries the ISO configuration
+            # record for AVC/HEVC/AV1 tracks — the same
+            # codec-authoritative dimensions MP4 stsd provides, so
+            # true-dims coverage spans all four codecs here too.
+            # A damaged record leaves dims absent, never raises.
+            blob = data[cp[0] : cp[1]]
+            cid = t.get("codec_id", "")
+            try:
+                if cid == "V_MPEG4/ISO/AVC":
+                    from . import rawh264  # noqa: PLC0415
+
+                    sps = rawh264.sps_from_avcc(blob)
+                    t["avc_width"] = sps["width"]
+                    t["avc_height"] = sps["height"]
+                    t["avc_profile"] = sps["profile"]
+                elif cid == "V_MPEGH/ISO/HEVC":
+                    from . import rawhevc  # noqa: PLC0415
+
+                    sps = rawhevc.sps_from_hvcc(blob)
+                    t["hevc_width"] = sps["width"]
+                    t["hevc_height"] = sps["height"]
+                    t["hevc_profile"] = sps["profile"]
+                elif cid == "V_AV1":
+                    from . import rawav1  # noqa: PLC0415
+
+                    seq = rawav1.parse_av1c(blob)
+                    if "width" in seq:
+                        t["av1_width"] = seq["width"]
+                        t["av1_height"] = seq["height"]
+                    t["av1_profile"] = seq.get("profile", "")
+            except ValueError:
+                pass
         if t.get("codec_id") != "V_VP9" or t.get("track_type") != 1:
             continue
         for tn, keyframe, bs, be in first_blocks:
@@ -263,6 +299,7 @@ def build_webm(
     audio: tuple[str, int, int] | None = ("A_OPUS", 2, 48000),
     unknown_size_segment: bool = False,
     vp9_keyframe: tuple[int, int] | None = None,
+    codec_private: bytes | None = None,
 ) -> bytes:
     """Write a structurally valid Matroska/WebM — by default with no
     clusters (metadata parsing never touches codec payloads).
@@ -296,6 +333,11 @@ def build_webm(
             0xAE,
             _uint_el(0xD7, tnum) + _uint_el(0x83, 1)
             + _el(0x86, codec.encode())
+            + (
+                _el(0x63A2, codec_private)
+                if codec_private is not None
+                else b""
+            )
             + _el(0xE0, _uint_el(0xB0, w) + _uint_el(0xBA, h)),
         )
         tnum += 1

@@ -5352,6 +5352,102 @@ def q_multimodal_vp9_keyframe(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_webm_codec_dims",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 'V_MPEG4/ISO/AVC' WHEN 1 THEN 'V_MPEGH/ISO/HEVC'
+         ELSE 'V_AV1' END AS codec_id,
+       CAST(320 AS BIGINT) AS track_width,
+       CAST(640 + 8 * (doc_id % 40) AS BIGINT) AS codec_width,
+       CAST(360 + 4 * (doc_id % 20) AS BIGINT) AS codec_height
+FROM documents WHERE doc_id < 300
+""",
+    tags=("llm", "multimodal", "video", "webm", "pandas-udf"),
+)
+def q_multimodal_webm_codec_dims(spark: SparkSession, sf: str) -> DataFrame:
+    """Matroska CodecPrivate configuration records, oracle-exact — the
+    avcC/hvcC/av1C records WebM/Matroska carries for AVC/HEVC/AV1
+    tracks run through the same SPS/sequence-header parsers as MP4
+    stsd, so codec-authoritative dimensions now cover all four web
+    video codecs in ALL four carriages (MP4, TS, HEIF, WebM; VP9 rides
+    keyframes — ``q_multimodal_vp9_keyframe``).  Every fixture's track
+    header lies (PixelWidth 320) while the record carries the true
+    coded size.  All columns closed-form.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawav1, rawh264, rawhevc, rawwebm
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 640 + 8 * (did % 40), 360 + 4 * (did % 20)
+                v = did % 3
+                if v == 0:
+                    cid = "V_MPEG4/ISO/AVC"
+                    cp = rawh264.build_avcc(
+                        rawh264.build_sps(width=w, height=h)
+                    )
+                elif v == 1:
+                    cid = "V_MPEGH/ISO/HEVC"
+                    cp = rawhevc.build_hvcc(
+                        rawhevc.build_sps(width=w, height=h)
+                    )
+                else:
+                    cid = "V_AV1"
+                    cp = rawav1.build_av1c(width=w, height=h)
+                payloads.append(
+                    rawwebm.build_webm(
+                        video=(cid, 320, 240), codec_private=cp
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "webm": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, webm binary")
+
+    def meta(batches):
+        import pandas as pd
+
+        from ..operators import rawwebm
+
+        cols = ("doc_id", "codec_id", "track_width", "codec_width",
+                "codec_height")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf["webm"]):
+                m = rawwebm.parse_webm(bytes(payload))
+                vid = next(
+                    t for t in m["tracks"] if t.get("track_type") == 1
+                )
+                pre = {
+                    "V_MPEG4/ISO/AVC": "avc",
+                    "V_MPEGH/ISO/HEVC": "hevc",
+                    "V_AV1": "av1",
+                }[vid["codec_id"]]
+                rows["doc_id"].append(int(did))
+                rows["codec_id"].append(vid["codec_id"])
+                rows["track_width"].append(vid["width"])
+                rows["codec_width"].append(vid[f"{pre}_width"])
+                rows["codec_height"].append(vid[f"{pre}_height"])
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        meta,
+        "doc_id long, codec_id string, track_width long, "
+        "codec_width long, codec_height long",
+    )
+
+
+@register(
     "q_multimodal_opus_toc",
     oracle="""
 WITH pkts AS (

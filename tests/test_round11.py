@@ -516,3 +516,59 @@ def test_ts_aac_es_enrichment():
         if s["stream_type"] == 0x0F
     )
     assert "sample_rate" not in aud2
+
+
+# --------------------------------------------------- webm codec private
+
+
+def test_webm_codec_private_records():
+    """Matroska CodecPrivate = the ISO configuration record: avcC,
+    hvcC, av1C run through the same parsers MP4 stsd uses; a damaged
+    record leaves dims absent (per-row), never raises."""
+    from rawdata_client_provider_gcs_spark.operators import (
+        rawav1 as AV,
+        rawh264 as A,
+        rawhevc as HV,
+        rawwebm as W,
+    )
+
+    cases = [
+        ("V_MPEG4/ISO/AVC", "avc",
+         A.build_avcc(A.build_sps(width=1920, height=1080)), (1920, 1080)),
+        ("V_MPEGH/ISO/HEVC", "hevc",
+         HV.build_hvcc(HV.build_sps(width=1280, height=720)), (1280, 720)),
+        ("V_AV1", "av1", AV.build_av1c(width=640, height=360), (640, 360)),
+    ]
+    for cid, pre, cp, (w, h) in cases:
+        m = W.parse_webm(W.build_webm(video=(cid, 320, 240),
+                                      codec_private=cp))
+        t = m["tracks"][0]
+        assert (t[f"{pre}_width"], t[f"{pre}_height"]) == (w, h), cid
+        assert t["width"] == 320  # the lying track header is kept too
+    # corrupt record / absent record: dims absent, parse survives
+    bad = W.parse_webm(W.build_webm(video=("V_MPEG4/ISO/AVC", 320, 240),
+                                    codec_private=b"\x99bad"))
+    assert "avc_width" not in bad["tracks"][0]
+    none = W.parse_webm(W.build_webm(video=("V_MPEG4/ISO/AVC", 320, 240)))
+    assert "avc_width" not in none["tracks"][0]
+
+
+def test_ts_mpeg_audio_es_enrichment():
+    """Stream types 0x03/0x04 (MPEG-1/2 audio) run through the MP3
+    frame-header walk — Layer I fixture frames confirm a non-L3 layer
+    surfaces; filler-only fixtures stay clean."""
+    from rawdata_client_provider_gcs_spark.operators import rawts as T
+
+    m = T.parse_ts(
+        T.build_ts(streams=((0x1B, 0x100), (0x03, 0x102)), mp3_es=True)
+    )
+    aud = next(s for s in m["streams"] if s["stream_type"] == 0x03)
+    assert aud["sample_rate"] == 48000
+    assert aud["profile"] == "MPEG1/L1"
+    assert aud["channels"] == 1
+    clean = T.parse_ts(
+        T.build_ts(streams=((0x1B, 0x100), (0x03, 0x102)))
+    )
+    assert "sample_rate" not in next(
+        s for s in clean["streams"] if s["stream_type"] == 0x03
+    )
