@@ -90,6 +90,34 @@ def _uint(data: bytes, a: int, b: int) -> int:
     return int.from_bytes(data[a:b], "big")
 
 
+def _xiph_first_packet(blob: bytes) -> bytes:
+    """First packet out of Matroska's Xiph-laced CodecPrivate: byte 0
+    is the packet count minus one, then 255-continued sizes for all
+    but the last packet, then the packets back to back."""
+    if not blob:
+        raise ValueError("webm: empty CodecPrivate")
+    n_sizes = blob[0]  # sizes stored for n_sizes packets (last implicit)
+    pos = 1
+    first_len = 0
+    for i in range(n_sizes):
+        size = 0
+        while pos < len(blob):
+            b = blob[pos]
+            size += b
+            pos += 1
+            if b != 255:
+                break
+        else:
+            raise ValueError("webm: truncated Xiph lacing")
+        if i == 0:
+            first_len = size
+    if n_sizes == 0:
+        first_len = len(blob) - pos
+    if pos + first_len > len(blob):
+        raise ValueError("webm: Xiph lacing over CodecPrivate end")
+    return blob[pos : pos + first_len]
+
+
 def _float(data: bytes, a: int, b: int) -> float:
     n = b - a
     if n == 4:
@@ -192,6 +220,33 @@ def parse_webm(data: bytes) -> dict:
         raise ValueError("ebml: no Matroska Segment element")
     for t in meta["tracks"]:
         cp = t.pop("_codec_private", None)
+        if cp is not None and t.get("track_type") == 2:
+            # audio CodecPrivate: A_OPUS carries an OpusHead
+            # (RFC 7845 §5.1), A_VORBIS the three Xiph-laced header
+            # packets — both codec-authoritative over the track fields
+            blob = data[cp[0] : cp[1]]
+            cid = t.get("codec_id", "")
+            try:
+                if cid == "A_OPUS" and blob[:8] == b"OpusHead":
+                    if len(blob) < 19:
+                        raise ValueError("webm: short OpusHead")
+                    t["opus_channels"] = blob[9]
+                    t["opus_pre_skip"] = int.from_bytes(
+                        blob[10:12], "little"
+                    )
+                    t["opus_input_sample_rate"] = int.from_bytes(
+                        blob[12:16], "little"
+                    )
+                elif cid == "A_VORBIS":
+                    ident = _xiph_first_packet(blob)
+                    if ident[:7] != b"\x01vorbis" or len(ident) < 30:
+                        raise ValueError("webm: no vorbis ident header")
+                    t["vorbis_channels"] = ident[11]
+                    t["vorbis_sample_rate"] = int.from_bytes(
+                        ident[12:16], "little"
+                    )
+            except (ValueError, IndexError):
+                pass  # damaged private data: fields stay absent
         if cp is not None and t.get("track_type") == 1:
             # Matroska CodecPrivate carries the ISO configuration
             # record for AVC/HEVC/AV1 tracks — the same
@@ -300,6 +355,7 @@ def build_webm(
     unknown_size_segment: bool = False,
     vp9_keyframe: tuple[int, int] | None = None,
     codec_private: bytes | None = None,
+    audio_codec_private: bytes | None = None,
 ) -> bytes:
     """Write a structurally valid Matroska/WebM — by default with no
     clusters (metadata parsing never touches codec payloads).
@@ -347,6 +403,11 @@ def build_webm(
             0xAE,
             _uint_el(0xD7, tnum) + _uint_el(0x83, 2)
             + _el(0x86, codec.encode())
+            + (
+                _el(0x63A2, audio_codec_private)
+                if audio_codec_private is not None
+                else b""
+            )
             + _el(0xE1, _el(0xB5, struct.pack(">f", rate))
                   + _uint_el(0x9F, ch)),
         )

@@ -5564,7 +5564,10 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
                  ELSE 320 + 32 * (doc_id % 8) END AS BIGINT) AS width,
        CASE WHEN doc_id % 2 = 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END
          AS audio_codec,
-       CAST(1 + doc_id % 2 AS BIGINT) AS audio_channels
+       CAST(1 + doc_id % 2 AS BIGINT) AS audio_channels,
+       CAST(2 + doc_id % 3 AS BIGINT) AS cp_channels,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 32000 END AS BIGINT)
+         AS cp_sample_rate
 FROM documents WHERE doc_id < 300
 """,
     tags=("llm", "multimodal", "video", "webm", "pandas-udf"),
@@ -5592,6 +5595,25 @@ def q_multimodal_webm_meta(spark: SparkSession, sf: str) -> DataFrame:
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
+                ch = 2 + did % 3
+                if did % 2 == 0:
+                    acp = (
+                        b"OpusHead" + bytes([1, ch])
+                        + (312).to_bytes(2, "little")
+                        + (48000).to_bytes(4, "little") + bytes(3)
+                    )
+                else:
+                    # Xiph-laced CodecPrivate: ident/comment/setup
+                    ident = (
+                        b"\x01vorbis" + (0).to_bytes(4, "little")
+                        + bytes([ch]) + (32000).to_bytes(4, "little")
+                        + bytes(14)
+                    )
+                    comment = b"\x03vorbis" + bytes(9)
+                    acp = (
+                        bytes([2, len(ident), len(comment)])
+                        + ident + comment + b"\x05vorbis" + bytes(12)
+                    )
                 payloads.append(
                     rawwebm.build_webm(
                         doc_type="matroska" if did % 3 == 0 else "webm",
@@ -5605,6 +5627,7 @@ def q_multimodal_webm_meta(spark: SparkSession, sf: str) -> DataFrame:
                             "A_OPUS" if did % 2 == 0 else "A_VORBIS",
                             1 + did % 2, 48000,
                         ),
+                        audio_codec_private=acp,
                         unknown_size_segment=did % 3 == 0,
                     )
                 )
@@ -5618,7 +5641,8 @@ def q_multimodal_webm_meta(spark: SparkSession, sf: str) -> DataFrame:
         from ..operators import rawwebm
 
         cols = ("doc_id", "doc_type", "duration_ms", "n_tracks",
-                "video_codec", "width", "audio_codec", "audio_channels")
+                "video_codec", "width", "audio_codec", "audio_channels",
+                "cp_channels", "cp_sample_rate")
         for pdf in batches:
             rows = {k: [] for k in cols}
             for did, payload in zip(pdf["doc_id"], pdf["webm"]):
@@ -5639,13 +5663,23 @@ def q_multimodal_webm_meta(spark: SparkSession, sf: str) -> DataFrame:
                 rows["audio_channels"].append(
                     auds[0]["channels"] if auds else 0
                 )
+                a = auds[0] if auds else {}
+                rows["cp_channels"].append(
+                    a.get("opus_channels", a.get("vorbis_channels", 0))
+                )
+                rows["cp_sample_rate"].append(
+                    a.get(
+                        "opus_input_sample_rate",
+                        a.get("vorbis_sample_rate", 0),
+                    )
+                )
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(
         meta,
         "doc_id long, doc_type string, duration_ms long, n_tracks long, "
         "video_codec string, width long, audio_codec string, "
-        "audio_channels long",
+        "audio_channels long, cp_channels long, cp_sample_rate long",
     )
 
 

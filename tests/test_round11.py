@@ -572,3 +572,49 @@ def test_ts_mpeg_audio_es_enrichment():
     assert "sample_rate" not in next(
         s for s in clean["streams"] if s["stream_type"] == 0x03
     )
+
+
+def test_webm_audio_codec_private():
+    """A_OPUS CodecPrivate is an OpusHead; A_VORBIS is the Xiph-laced
+    header packets (255-continued sizes) — both codec-authoritative
+    over the track fields; damage leaves fields absent."""
+    from rawdata_client_provider_gcs_spark.operators import rawwebm as W
+
+    oh = (
+        b"OpusHead" + bytes([1, 2]) + (312).to_bytes(2, "little")
+        + (48000).to_bytes(4, "little") + bytes(3)
+    )
+    m = W.parse_webm(
+        W.build_webm(audio=("A_OPUS", 2, 48000), audio_codec_private=oh)
+    )
+    aud = next(t for t in m["tracks"] if t.get("track_type") == 2)
+    assert (aud["opus_channels"], aud["opus_pre_skip"],
+            aud["opus_input_sample_rate"]) == (2, 312, 48000)
+
+    ident = (
+        b"\x01vorbis" + (0).to_bytes(4, "little") + bytes([4])
+        + (96000).to_bytes(4, "little") + bytes(300 - 16)
+    )
+    comment = b"\x03vorbis" + bytes(10)
+    # first size 300 needs a 255-continuation byte
+    cp = (
+        bytes([2]) + b"\xff" + bytes([300 - 255]) + bytes([len(comment)])
+        + ident + comment + b"\x05vorbis" + bytes(20)
+    )
+    m = W.parse_webm(
+        W.build_webm(audio=("A_VORBIS", 2, 44100), audio_codec_private=cp)
+    )
+    aud = next(t for t in m["tracks"] if t.get("track_type") == 2)
+    assert (aud["vorbis_channels"], aud["vorbis_sample_rate"]) == (4, 96000)
+
+    # truncated OpusHead / truncated lacing: absent, never raises
+    for codec, blob, key in [
+        ("A_OPUS", b"OpusHead", "opus_channels"),
+        ("A_VORBIS", b"\x02\xff", "vorbis_channels"),
+    ]:
+        m = W.parse_webm(
+            W.build_webm(audio=(codec, 2, 48000), audio_codec_private=blob)
+        )
+        assert key not in next(
+            t for t in m["tracks"] if t.get("track_type") == 2
+        )
