@@ -3046,6 +3046,80 @@ def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_office_meta",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 'docx' WHEN 1 THEN 'epub' ELSE 'odt' END AS doc_format,
+       CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 'Doc ' WHEN 1 THEN 'Book ' ELSE 'Odt ' END
+         || CAST(doc_id AS VARCHAR) AS title,
+       'author-' || CAST(doc_id % 7 AS VARCHAR) AS creator,
+       CASE WHEN doc_id % 3 = 1 THEN
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN 'en' WHEN 1 THEN 'nb' WHEN 2 THEN 'de' ELSE 'fr' END
+       ELSE '' END AS language,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_parts
+FROM documents WHERE doc_id < 240
+""",
+    tags=("llm", "source", "text", "crawl", "office", "pandas-udf"),
+)
+def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Office/ebook document metadata, oracle-exact — Dublin Core
+    title/creator/language out of the OPF ``<metadata>`` block (EPUB),
+    OPC ``docProps/core.xml`` (DOCX), and ODF ``meta.xml`` (ODT):
+    the per-book fields a curation pipeline keys language filters and
+    dedup heuristics on.  Absence is data (empty string).  All
+    columns closed-form.
+    """
+    from ..sources import office as O
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 240)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                t = str(text)
+                creator = f"author-{did % 7}"
+                v = did % 3
+                if v == 0:
+                    payloads.append(
+                        O.build_docx(
+                            [t[:40]], title=f"Doc {did}", creator=creator
+                        )
+                    )
+                elif v == 1:
+                    payloads.append(
+                        O.build_epub(
+                            [t[:40], t[40:80]],
+                            title=f"Book {did}",
+                            creator=creator,
+                            language=("en", "nb", "de", "fr")[did % 4],
+                        )
+                    )
+                else:
+                    payloads.append(
+                        O.build_odt(
+                            [t[:40]], title=f"Odt {did}", creator=creator
+                        )
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    return O.office_info(files).select(
+        "doc_id", "doc_format", "title", "creator", "language", "n_parts"
+    )
+
+
+@register(
     "q_crawl_archive_members",
     oracle="""
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 250)

@@ -239,9 +239,16 @@ def _xml_escape(text: str) -> str:
     )
 
 
-def build_docx(paragraphs: list[str]) -> bytes:
+def build_docx(
+    paragraphs: list[str],
+    *,
+    title: str | None = None,
+    creator: str | None = None,
+) -> bytes:
     """Minimal valid OPC/WordprocessingML: [Content_Types].xml plus
-    word/document.xml with one ``<w:p><w:r><w:t>`` run per paragraph."""
+    word/document.xml with one ``<w:p><w:r><w:t>`` run per paragraph;
+    with ``title``/``creator`` a ``docProps/core.xml`` core-properties
+    part is added."""
     from .archive import build_zip
 
     body = "".join(
@@ -265,17 +272,38 @@ def build_docx(paragraphs: list[str]) -> bytes:
         'vnd.openxmlformats-officedocument.wordprocessingml.document.'
         'main+xml"/></Types>'
     )
-    return build_zip(
-        [
-            ("[Content_Types].xml", types.encode()),
-            ("word/document.xml", doc.encode()),
-        ]
-    )
+    members = [
+        ("[Content_Types].xml", types.encode()),
+        ("word/document.xml", doc.encode()),
+    ]
+    if title is not None or creator is not None:
+        core = (
+            '<?xml version="1.0"?><cp:coreProperties xmlns:cp="http://'
+            'schemas.openxmlformats.org/package/2006/metadata/'
+            'core-properties" xmlns:dc="http://purl.org/dc/elements/1.1/">'
+            + (f"<dc:title>{_xml_escape(title)}</dc:title>" if title else "")
+            + (
+                f"<dc:creator>{_xml_escape(creator)}</dc:creator>"
+                if creator
+                else ""
+            )
+            + "</cp:coreProperties>"
+        )
+        members.append(("docProps/core.xml", core.encode()))
+    return build_zip(members)
 
 
-def build_epub(chapters: list[str], *, title: str = "Fixture") -> bytes:
+def build_epub(
+    chapters: list[str],
+    *,
+    title: str = "Fixture",
+    creator: str | None = None,
+    language: str | None = None,
+) -> bytes:
     """Minimal valid OCF/EPUB: mimetype, container.xml, OPF with
-    manifest+spine, one XHTML document per chapter (spine order)."""
+    manifest+spine, one XHTML document per chapter (spine order);
+    ``creator``/``language`` (and a truthy ``title``) land as Dublin
+    Core fields in the OPF metadata block."""
     from .archive import build_zip
 
     members: list[tuple[str, bytes]] = [
@@ -308,19 +336,37 @@ def build_epub(chapters: list[str], *, title: str = "Fixture") -> bytes:
             + "</p></body></html>"
         )
         members.append((f"OPS/text/{name}", xhtml.encode()))
+    dc = (
+        (f"<dc:title>{_xml_escape(title)}</dc:title>" if title else "")
+        + (f"<dc:creator>{_xml_escape(creator)}</dc:creator>" if creator else "")
+        + (f"<dc:language>{language}</dc:language>" if language else "")
+    )
+    meta_block = (
+        '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        + dc
+        + "</metadata>"
+        if dc
+        else "<metadata/>"
+    )
     opf = (
         '<?xml version="1.0"?><package xmlns="http://www.idpf.org/2007/opf" '
-        'version="3.0" unique-identifier="id"><metadata/>'
-        "<manifest>" + "".join(items) + "</manifest>"
+        'version="3.0" unique-identifier="id">' + meta_block
+        + "<manifest>" + "".join(items) + "</manifest>"
         "<spine>" + "".join(refs) + "</spine></package>"
     )
     members.insert(2, ("OPS/content.opf", opf.encode()))
     return build_zip(members)
 
 
-def build_odt(paragraphs: list[str]) -> bytes:
+def build_odt(
+    paragraphs: list[str],
+    *,
+    title: str | None = None,
+    creator: str | None = None,
+) -> bytes:
     """Minimal valid ODF text document: mimetype plus content.xml with
-    one ``<text:p>`` per paragraph."""
+    one ``<text:p>`` per paragraph; ``title``/``creator`` land in a
+    ``meta.xml`` part as Dublin Core fields."""
     from .archive import build_zip
 
     body = "".join(
@@ -334,9 +380,132 @@ def build_odt(paragraphs: list[str]) -> bytes:
         + body
         + "</office:text></office:body></office:document-content>"
     )
-    return build_zip(
-        [
-            ("mimetype", _ODT_MIME),
-            ("content.xml", content.encode()),
-        ]
+    members = [
+        ("mimetype", _ODT_MIME),
+        ("content.xml", content.encode()),
+    ]
+    if title is not None or creator is not None:
+        meta = (
+            '<?xml version="1.0"?><office:document-meta xmlns:office='
+            '"urn:oasis:names:tc:opendocument:xmlns:office:1.0" '
+            'xmlns:dc="http://purl.org/dc/elements/1.1/"><office:meta>'
+            + (f"<dc:title>{_xml_escape(title)}</dc:title>" if title else "")
+            + (
+                f"<dc:creator>{_xml_escape(creator)}</dc:creator>"
+                if creator
+                else ""
+            )
+            + "</office:meta></office:document-meta>"
+        )
+        members.append(("meta.xml", meta.encode()))
+    return build_zip(members)
+
+
+# ---------------------------------------------------------------------------
+# Document metadata (title/creator/language)
+# ---------------------------------------------------------------------------
+
+_XML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&apos;", "'"), ("&amp;", "&"))  # &amp; last
+
+
+def _xml_unescape(text: str) -> str:
+    for ent, ch in _XML_ENTITIES:
+        text = text.replace(ent, ch)
+    return text
+
+
+def _dc(xml: str, tag: str) -> str:
+    """First ``<dc:tag ...>text</dc:tag>`` body, linear find — Dublin
+    Core fields as OPF/OPC/ODF metadata all use the ``dc:`` prefix."""
+    for chunk in xml.split(f"<dc:{tag}")[1:]:
+        if chunk[:1] not in (" ", "\t", "\n", "\r", ">", "/"):
+            continue
+        gt = chunk.find(">")
+        if gt < 0 or chunk[gt - 1 : gt] == "/":
+            continue
+        lt = chunk.find("<", gt + 1)
+        return _xml_unescape(chunk[gt + 1 : lt if lt >= 0 else len(chunk)])
+    return ""
+
+
+def office_info_of(data: bytes) -> dict:
+    """One office/ebook file → document metadata
+    ``{doc_format, title, creator, language, n_parts}`` (empty strings
+    when a field or its carrying member is absent — absence is data).
+
+    Metadata members per format: EPUB reads the OPF ``<metadata>``
+    block, DOCX ``docProps/core.xml`` (OPC core properties), ODT
+    ``meta.xml`` — all Dublin Core ``dc:`` fields.
+    """
+    members = {m["path"]: m["payload"] for m in parse_zip(data)}
+    mime = bytes(members.get("mimetype", b"")).strip()
+
+    if mime == _EPUB_MIME:
+        fmt, parts = office_parts_of(data)
+        container = members["META-INF/container.xml"].decode(
+            "utf-8", "replace"
+        )
+        opf_path = next(
+            p
+            for t in _tags(container, "rootfile")
+            if (p := _attr(t, "full-path"))
+        )
+        meta_xml = members[opf_path].decode("utf-8", "replace")
+    elif mime == _ODT_MIME:
+        fmt, parts = office_parts_of(data)
+        meta_xml = members.get("meta.xml", b"").decode("utf-8", "replace")
+    else:
+        fmt, parts = office_parts_of(data)  # raises unless DOCX
+        meta_xml = members.get("docProps/core.xml", b"").decode(
+            "utf-8", "replace"
+        )
+    return {
+        "doc_format": fmt,
+        "title": _dc(meta_xml, "title"),
+        "creator": _dc(meta_xml, "creator"),
+        "language": _dc(meta_xml, "language"),
+        "n_parts": len(parts),
+    }
+
+
+def office_info(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Office/ebook payloads → one metadata row per document
+    ``(id, doc_format, title, creator, language, n_parts, error)``."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {
+                k: []
+                for k in ("doc_id", "doc_format", "title", "creator",
+                          "language", "n_parts", "error")
+            }
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    if payload is None:
+                        raise ValueError("null office payload")
+                    info = office_info_of(bytes(payload))
+                except ValueError as exc:
+                    info = {"doc_format": None, "title": None,
+                            "creator": None, "language": None,
+                            "n_parts": None}
+                    out["error"].append(
+                        f"{type(exc).__name__}: {str(exc)[:200]}"
+                    )
+                else:
+                    out["error"].append(None)
+                out["doc_id"].append(did)
+                for k in ("doc_format", "title", "creator", "language",
+                          "n_parts"):
+                    out[k].append(info[k])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(
+        run,
+        "doc_id long, doc_format string, title string, creator string, "
+        "language string, n_parts long, error string",
     )

@@ -164,3 +164,29 @@ def test_office_text_spark_with_poisoned_row(spark):
     assert got[(2, 0)].text == "only para"  # whitespace collapsed
     assert got[(3, None)].error and got[(3, None)].text is None
     assert got[(4, None)].error == "ValueError: null office payload"
+
+
+def test_office_info_metadata_and_hostility():
+    """Dublin Core metadata per format; absence is data; self-closing
+    and attribute-bearing dc tags handled; hostile zips land as
+    ValueError."""
+    import pytest
+
+    assert O.office_info_of(
+        O.build_docx(["x"], title="A & B", creator="Ann <X>")
+    ) == {"doc_format": "docx", "title": "A & B", "creator": "Ann <X>",
+          "language": "", "n_parts": 1}
+    info = O.office_info_of(
+        O.build_epub(["c1", "c2"], title="Book", creator="Bob",
+                     language="en")
+    )
+    assert (info["title"], info["creator"], info["language"],
+            info["n_parts"]) == ("Book", "Bob", "en", 2)
+    assert O.office_info_of(O.build_odt(["p"], title="T"))["title"] == "T"
+    # absence is data
+    assert O.office_info_of(O.build_docx(["x"]))["title"] == ""
+    # self-closing dc tag is not a value; longer tag names don't match
+    assert O._dc("<dc:title/><dc:titles>no</dc:titles>", "title") == ""
+    assert O._dc('<dc:title id="t">Yes</dc:title>', "title") == "Yes"
+    with pytest.raises(ValueError):
+        O.office_info_of(A.build_zip([("x.txt", b"plain")]))
