@@ -2895,9 +2895,10 @@ def q_crawl_archive_lz4(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE CAST(doc_id % 4 AS INTEGER)
+       CASE CAST(doc_id % 5 AS INTEGER)
          WHEN 0 THEN 'tar.xz' WHEN 1 THEN 'tar.bz2'
-         WHEN 2 THEN 'zip.bz2' ELSE 'tar.xz.gz' END AS archive_format,
+         WHEN 2 THEN 'zip.bz2' WHEN 3 THEN 'tar.xz.gz'
+         ELSE 'tar.Z' END AS archive_format,
        'doc/' || CAST(doc_id AS VARCHAR) || '/a.txt' AS path,
        CAST(length(substr(text, 1, 60)) AS BIGINT) AS size,
        substr(text, 1, 60) AS content
@@ -2912,7 +2913,9 @@ def q_crawl_archive_xz(spark: SparkSession, sf: str) -> DataFrame:
     kernel/Debian-style source dumps, peeled at stdlib C speed through
     the bounded multi-stream decoders in ``sources/archive.py``
     (``_unxz_bounded`` / ``_bunzip2_bounded``), including a stacked
-    ``tar.xz.gz``.  Rotation mirrors :func:`q_crawl_archive_lz4`; the
+    ``tar.xz.gz`` and a compress(1) ``tar.Z`` (pure-Python LZW whose
+    encoder is interop-verified against the system ``uncompress``).
+    Rotation mirrors :func:`q_crawl_archive_lz4`; the
     concatenated-stream (pixz/pbzip2) and truncated/bomb shapes are
     pinned by pytest.  All columns closed-form.
 
@@ -2925,6 +2928,7 @@ def q_crawl_archive_xz(spark: SparkSession, sf: str) -> DataFrame:
     import lzma as _lzma
 
     from ..sources import archive as A
+    from ..sources import compression as C
 
     d = (
         load_table(spark, sf, "documents")
@@ -2940,10 +2944,10 @@ def q_crawl_archive_xz(spark: SparkSession, sf: str) -> DataFrame:
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
                 members = [(f"doc/{did}/a.txt", str(text)[:60].encode())]
-                v = did % 4
+                v = did % 5
                 if v == 0:
                     tar = A.build_tar(members)
-                    if did % 8 == 0:
+                    if did % 10 == 0:
                         # pixz-style concatenated streams
                         blob = _lzma.compress(tar[:256]) + _lzma.compress(
                             tar[256:]
@@ -2954,8 +2958,10 @@ def q_crawl_archive_xz(spark: SparkSession, sf: str) -> DataFrame:
                     blob = _bz2.compress(A.build_tar(members))
                 elif v == 2:
                     blob = _bz2.compress(A.build_zip(members))
-                else:
+                elif v == 3:
                     blob = _gzip.compress(_lzma.compress(A.build_tar(members)))
+                else:
+                    blob = C.z_compress(A.build_tar(members))
                 payloads.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 

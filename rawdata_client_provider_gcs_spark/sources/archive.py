@@ -604,8 +604,10 @@ def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
     from .compression import (  # noqa: PLC0415
         LZ4_FRAME_MAGIC,
         SNAPPY_STREAM_MAGIC,
+        Z_MAGIC,
         lz4_decompress,
         snappy_stream_decompress,
+        z_decompress,
     )
 
     def _wrapper(blob: bytes) -> str | None:
@@ -619,6 +621,8 @@ def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
             return ".xz"
         if _is_bzip2(blob):
             return ".bz2"
+        if blob[:2] == Z_MAGIC:
+            return ".Z"
         return None
 
     suffix = ""
@@ -634,6 +638,8 @@ def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
             data = _unxz_bounded(data)
         elif w == ".bz2":
             data = _bunzip2_bounded(data)
+        elif w == ".Z":
+            data = z_decompress(data, cap=MAX_ARCHIVE_BYTES)
         else:
             break
         # extension chains read innermost-first (file.tar.lz4.gz = tar,

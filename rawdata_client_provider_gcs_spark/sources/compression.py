@@ -610,3 +610,164 @@ def snappy_stream_compress(data: bytes, chunk: int = 65536) -> bytes:
         if not body:
             break
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Unix compress(1) .Z — LZW per the ncompress on-disk format
+# ---------------------------------------------------------------------------
+
+Z_MAGIC = b"\x1f\x9d"
+
+#: ncompress reads/writes codes in groups of eight n-bit codes (n bytes
+#: of packed data); on a code-width change or CLEAR the remainder of
+#: the current group is padding.  Both sides below honor that rule —
+#: the encoder's output is interop-verified against the system
+#: ``uncompress`` in a gated test, which pins the rule against the
+#: real tool rather than mirroring a private assumption.
+_Z_CLEAR = 256
+
+
+def z_decompress(data: bytes, cap: int = MAX_OUTPUT_BYTES) -> bytes:
+    """Decode a compress(1) ``.Z`` stream (LZW, 9→maxbits code growth,
+    block-mode CLEAR, eight-code group alignment)."""
+    if data[:2] != Z_MAGIC:
+        raise ValueError("z: not a compress(1) stream (bad magic)")
+    if len(data) < 3:
+        raise ValueError("z: truncated header")
+    flags = data[2]
+    maxbits = flags & 0x1F
+    block_mode = bool(flags & 0x80)
+    if not 9 <= maxbits <= 16:
+        raise ValueError(f"z: maxbits {maxbits} outside 9..16")
+
+    body = data[3:]
+    out = bytearray()
+    n_bits = 9
+    first_free = 257 if block_mode else 256
+    # dictionary: code -> (prefix_code, final_byte); roots implicit
+    prefix: list[int] = [0] * (1 << maxbits)
+    final: list[int] = [0] * (1 << maxbits)
+    next_code = first_free
+    prev_code = -1
+    pos = 0  # bit position within the CURRENT group run
+    base = 0  # byte offset where the current group run starts
+
+    def realign() -> None:
+        # skip the padding to the next eight-code group boundary
+        nonlocal base, pos
+        group_bytes = n_bits  # 8 codes * n_bits bits = n_bits bytes
+        used = (pos + 7) >> 3
+        base += ((used + group_bytes - 1) // group_bytes) * group_bytes
+        pos = 0
+
+    def read_code() -> int:
+        nonlocal pos
+        byte = base + (pos >> 3)
+        if byte + ((pos & 7) + n_bits + 7) // 8 > len(body):
+            return -1
+        chunk = int.from_bytes(
+            body[byte : byte + 3], "little"
+        )  # n_bits <= 16 spans at most 3 bytes
+        code = (chunk >> (pos & 7)) & ((1 << n_bits) - 1)
+        pos += n_bits
+        return code
+
+    stack = bytearray()
+    while True:
+        code = read_code()
+        if code < 0:
+            break
+        if block_mode and code == _Z_CLEAR:
+            realign()
+            n_bits = 9
+            next_code = first_free
+            prev_code = -1
+            continue
+        if code > next_code or (code == next_code and prev_code < 0):
+            raise ValueError("z: code beyond the dictionary (corrupt)")
+        incode = code
+        stack.clear()
+        if code == next_code:  # KwKwK
+            if prev_code < 0:
+                raise ValueError("z: KwKwK with no previous code")
+            stack.append(first_byte)
+            code = prev_code
+        while code >= 256:
+            stack.append(final[code])
+            code = prefix[code]
+        first_byte = code
+        stack.append(code)
+        out += stack[::-1]
+        if len(out) > cap:
+            raise ValueError(
+                f"z: output past the {cap}-byte guard (bomb or corruption)"
+            )
+        if prev_code >= 0 and next_code < (1 << maxbits):
+            prefix[next_code] = prev_code
+            final[next_code] = first_byte
+            next_code += 1
+            if next_code == (1 << n_bits) and n_bits < maxbits:
+                realign()
+                n_bits += 1
+        prev_code = incode
+    if prev_code < 0 and body:
+        raise ValueError("z: no complete code in the stream")
+    return bytes(out)
+
+
+def z_compress(data: bytes, maxbits: int = 16) -> bytes:
+    """Encode a compress(1) ``.Z`` stream (block mode, the format
+    every ncompress/gzip build reads)."""
+    if not 9 <= maxbits <= 16:
+        raise ValueError(f"z: maxbits {maxbits} outside 9..16")
+    out = bytearray(Z_MAGIC + bytes([maxbits | 0x80]))
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 257
+    n_bits = 9
+    bitbuf = 0
+    bitcnt = 0
+    group = bytearray()
+
+    def put_code(code: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf |= code << bitcnt
+        bitcnt += n_bits
+        while bitcnt >= 8:
+            group.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+
+    def flush_group() -> None:
+        # pad to the eight-code group boundary before a width change
+        nonlocal bitbuf, bitcnt
+        if bitcnt:
+            group.append(bitbuf & 0xFF)
+            bitbuf = 0
+            bitcnt = 0
+        if len(group) % n_bits:
+            group.extend(b"\x00" * (n_bits - len(group) % n_bits))
+        out.extend(group)
+        group.clear()
+
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        put_code(table[w])
+        # compress.c widens inside output() AFTER writing, checking the
+        # PRE-add free_ent — i.e. before this iteration's table add
+        if next_code > (1 << n_bits) - 1 and n_bits < maxbits:
+            flush_group()
+            n_bits += 1
+        if next_code < (1 << maxbits):
+            table[wc] = next_code
+            next_code += 1
+        w = bytes([b])
+    if w:
+        put_code(table[w])
+    if bitcnt:
+        group.append(bitbuf & 0xFF)
+    out.extend(group)
+    return bytes(out)

@@ -618,3 +618,95 @@ def test_webm_audio_codec_private():
         assert key not in next(
             t for t in m["tracks"] if t.get("track_type") == 2
         )
+
+
+# -------------------------------------------------------------- .Z (LZW)
+
+
+class TestCompressZ:
+    """compress(1) .Z: pure-Python LZW with the eight-code group
+    alignment; the encoder is interop-verified against the system
+    uncompress, which transitively pins the decoder (roundtrip of
+    spec-true streams)."""
+
+    def _cases(self):
+        import random
+
+        rng = random.Random(7)
+        text = "".join(f"tok{i % 997} " for i in range(60_000)).encode()
+        return [
+            ("empty", b""),
+            ("single", b"a"),
+            ("runs", b"ab" * 200_000),
+            ("text", text),
+            ("random", bytes(rng.randrange(256) for _ in range(150_000))),
+        ]
+
+    def test_roundtrip_all_widths(self):
+        from rawdata_client_provider_gcs_spark.sources import compression as C
+
+        for desc, data in self._cases():
+            assert C.z_decompress(C.z_compress(data)) == data, desc
+        # every maxbits setting
+        blob = b"xyz " * 50_000
+        for mb in range(9, 17):
+            assert C.z_decompress(C.z_compress(blob, maxbits=mb)) == blob
+
+    def test_uncompress_interop(self):
+        """The real tool must decode our encoder byte-for-byte — pins
+        the group-alignment rule against ncompress, not a mirror."""
+        import os
+        import shutil
+        import subprocess
+        import tempfile
+
+        import pytest
+
+        from rawdata_client_provider_gcs_spark.sources import compression as C
+
+        if shutil.which("uncompress") is None:
+            pytest.skip("no system uncompress binary")
+        for desc, data in self._cases():
+            with tempfile.NamedTemporaryFile(
+                suffix=".Z", delete=False
+            ) as f:
+                f.write(C.z_compress(data))
+                path = f.name
+            try:
+                r = subprocess.run(
+                    ["uncompress", "-c", path], capture_output=True
+                )
+            finally:
+                os.unlink(path)
+            assert r.returncode == 0 and r.stdout == data, desc
+
+    def test_hostile(self):
+        import pytest
+
+        from rawdata_client_provider_gcs_spark.sources import compression as C
+
+        with pytest.raises(ValueError, match="magic"):
+            C.z_decompress(b"\x00\x00\x00")
+        with pytest.raises(ValueError, match="maxbits"):
+            C.z_decompress(b"\x1f\x9d\x88")  # maxbits 8
+        with pytest.raises(ValueError, match="bomb"):
+            C.z_decompress(C.z_compress(b"\x00" * (1 << 20)), cap=1 << 10)
+        # a code pointing past the dictionary
+        with pytest.raises(ValueError, match="dictionary"):
+            C.z_decompress(b"\x1f\x9d\x90" + b"\xff\xff\xff\xff")
+
+    def test_tar_z_wrapper(self):
+        from rawdata_client_provider_gcs_spark.sources import (
+            archive as A,
+            compression as C,
+        )
+
+        tar = A.build_tar([("a.txt", b"hello Z"), ("b.txt", b"two")])
+        fmt, ms = A.parse_archive(C.z_compress(tar))
+        assert fmt == "tar.Z" and [m["path"] for m in ms] == [
+            "a.txt", "b.txt"
+        ]
+        import gzip
+
+        fmt, _ = A.parse_archive(gzip.compress(C.z_compress(tar)))
+        assert fmt == "tar.Z.gz"
