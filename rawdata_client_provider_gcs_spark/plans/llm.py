@@ -3052,6 +3052,75 @@ def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_archive_7z",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 4 = 3 THEN '7z.gz' ELSE '7z' END
+         AS archive_format,
+       'doc/' || CAST(doc_id AS VARCHAR) || '/'
+         || CAST(m AS VARCHAR) || '.txt' AS path,
+       CAST(length(substr(text, 1 + 30 * CAST(m AS INTEGER), 30))
+            AS BIGINT) AS size,
+       substr(text, 1 + 30 * CAST(m AS INTEGER), 30) AS content
+FROM d, unnest(generate_series(0, 1)) AS t(m)
+""",
+    tags=("llm", "source", "archive", "compression", "pandas-udf"),
+    bench=True,
+)
+def q_crawl_archive_7z(spark: SparkSession, sf: str) -> DataFrame:
+    """7-Zip archives explode like ZIP/TAR ones, oracle-exact — the
+    pure-Python container walk (:mod:`..sources.sevenzip`: signature
+    header → streams/files info → solid-folder substream split) with
+    stdlib coders (store/LZMA2/bzip2 rotate here; LZMA1/deflate are
+    pytest-pinned), CRC-verified members, and a gzip-wrapped ``7z.gz``
+    every fourth doc.  The reader is two-direction interop-pinned
+    against the system bsdtar (libarchive) in the gated pytest, so the
+    fixture writer cannot mirror a decoder bug.  All columns
+    closed-form.
+    """
+    from ..sources import sevenzip as SZ
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import gzip as _gzip
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                t = str(text)
+                members = [
+                    (f"doc/{did}/0.txt", t[:30].encode()),
+                    (f"doc/{did}/1.txt", t[30:60].encode()),
+                ]
+                method = ("store", "lzma2", "bzip2", "lzma2")[did % 4]
+                blob = SZ.build_7z(members, method=method)
+                if did % 4 == 3:
+                    blob = _gzip.compress(blob)
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    from ..sources.archive import archive_members
+
+    return archive_members(files).select(
+        F.col("doc_id"),
+        F.col("archive_format"),
+        F.col("path"),
+        F.col("size"),
+        F.col("payload").cast("string").alias("content"),
+    )
+
+
+@register(
     "q_crawl_office_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -478,9 +478,11 @@ def parse_tar(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
 
 
 def sniff_format(data: bytes) -> str | None:
-    """'zip' | 'tar' | None by container magic."""
+    """'zip' | 'tar' | '7z' | None by container magic."""
     if data[:4] in (_LFH_SIG, _EOCD_SIG) or data[:4] == b"PK\x07\x08":
         return "zip"
+    if data[:6] == b"7z\xbc\xaf\x27\x1c":
+        return "7z"
     if len(data) >= 512:
         hdr = data[:512]
         if hdr[257:262] == b"ustar":
@@ -655,12 +657,18 @@ def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
     if fmt == "auto":
         sniffed = sniff_format(data)
         if sniffed is None:
-            raise ValueError("archive: payload is neither zip nor ustar tar")
+            raise ValueError(
+                "archive: payload is neither zip, ustar tar, nor 7z"
+            )
         fmt = sniffed
     if fmt == "zip":
         return "zip", parse_zip(data)
     if fmt == "tar":
         return "tar", parse_tar(data)
+    if fmt == "7z":
+        from .sevenzip import parse_7z  # noqa: PLC0415
+
+        return "7z", parse_7z(data)
     raise ValueError(f"archive: unknown format {fmt!r}")
 
 
@@ -709,7 +717,10 @@ def archive_members(
                     continue
                 try:
                     afmt, members = parse_archive(bytes(payload), fmt)
-                except ValueError as exc:
+                except (ValueError, NotImplementedError) as exc:
+                    # NotImplementedError covers UnsupportedCodecError:
+                    # a recognized 7z whose coder chain (BCJ/AES) is
+                    # out of scope is per-row data, never job-killing
                     emit(did, err=f"{type(exc).__name__}: {str(exc)[:200]}")
                     continue
                 for idx, m in enumerate(members):

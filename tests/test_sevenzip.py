@@ -1,0 +1,206 @@
+"""7z container (sources/sevenzip.py): spec grammar, coder subset,
+two-direction bsdtar interop, hostile shapes."""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+
+import pytest
+
+from rawdata_client_provider_gcs_spark.operators.rawavi import (
+    UnsupportedCodecError,
+)
+from rawdata_client_provider_gcs_spark.sources import archive as A
+from rawdata_client_provider_gcs_spark.sources import sevenzip as S
+
+BSDTAR = shutil.which("bsdtar")
+
+MEMBERS = [
+    ("a.txt", b"hello 7z member one"),
+    ("dir/b.bin", bytes(range(256)) * 8),
+    ("empty.txt", b""),
+    ("c.log", b"tail " * 400),
+]
+
+
+@pytest.mark.parametrize("method", ["store", "lzma2", "bzip2"])
+def test_roundtrip(method):
+    ms = S.parse_7z(S.build_7z(MEMBERS, method=method))
+    assert [(m["path"], m["payload"]) for m in ms] == MEMBERS
+
+
+def test_number_codec_edges():
+    # multi-byte NUMBER forms (writer spills to the 8-byte form)
+    big = b"x" * 200_000
+    ms = S.parse_7z(S.build_7z([("big.bin", big)], method="store"))
+    assert ms[0]["payload"] == big
+
+
+def test_lzma1_and_deflate_coders():
+    """Coders our writer doesn't emit, hand-assembled: LZMA1 props
+    from a FORMAT_ALONE header, deflate via raw zlib."""
+    import lzma
+    import zlib
+
+    blob = b"lzma one coder payload " * 40
+    alone = lzma.compress(blob, format=lzma.FORMAT_ALONE)
+    seven = _hand_7z(S._METHOD_LZMA1, alone[:5], alone[13:], blob)
+    assert S.parse_7z(seven)[0]["payload"] == blob
+
+    c = zlib.compressobj(6, zlib.DEFLATED, -15)
+    packed = c.compress(blob) + c.flush()
+    seven = _hand_7z(S._METHOD_DEFLATE, b"", packed, blob)
+    assert S.parse_7z(seven)[0]["payload"] == blob
+
+
+def _hand_7z(method: int, props: bytes, packed: bytes, blob: bytes) -> bytes:
+    """Single-member 7z with an arbitrary coder, built through the
+    writer's primitives."""
+    import binascii
+    import struct
+
+    w = S._W()
+    w.number(S._K_HEADER)
+    w.number(S._K_MAIN_STREAMS)
+    w.number(S._K_PACK_INFO)
+    w.number(0)
+    w.number(1)
+    w.number(S._K_SIZE)
+    w.number(len(packed))
+    w.number(S._K_END)
+    w.number(S._K_UNPACK_INFO)
+    w.number(S._K_FOLDER)
+    w.number(1)
+    w.byte(0)
+    w.number(1)
+    mid = method.to_bytes(max(1, (method.bit_length() + 7) // 8), "big")
+    w.byte(len(mid) | (0x20 if props else 0))
+    w.b += mid
+    if props:
+        w.number(len(props))
+        w.b += props
+    w.number(S._K_CODERS_UNPACK_SIZE)
+    w.number(len(blob))
+    w.number(S._K_END)
+    w.number(S._K_END)
+    w.number(S._K_FILES_INFO)
+    w.number(1)
+    names = "m.bin\x00".encode("utf-16-le")
+    w.number(S._K_NAME)
+    w.number(len(names) + 1)
+    w.byte(0)
+    w.b += names
+    w.number(S._K_END)
+    w.number(S._K_END)
+    header = bytes(w.b)
+    out = bytearray(S.SEVENZIP_MAGIC + bytes([0, 4]))
+    start = struct.pack(
+        "<QQI", len(packed), len(header),
+        binascii.crc32(header) & 0xFFFFFFFF,
+    )
+    out += struct.pack("<I", binascii.crc32(start) & 0xFFFFFFFF)
+    out += start + packed + header
+    return bytes(out)
+
+
+@pytest.mark.skipif(BSDTAR is None, reason="no system bsdtar")
+def test_bsdtar_reads_our_archives(tmp_path):
+    for method in ("store", "lzma2", "bzip2"):
+        path = tmp_path / f"m_{method}.7z"
+        path.write_bytes(S.build_7z(MEMBERS, method=method))
+        out = tmp_path / f"x_{method}"
+        out.mkdir()
+        r = subprocess.run(
+            [BSDTAR, "-xf", str(path), "-C", str(out)],
+            capture_output=True,
+        )
+        assert r.returncode == 0, r.stderr
+        for name, payload in MEMBERS:
+            assert (out / name).read_bytes() == payload, (method, name)
+
+
+@pytest.mark.skipif(BSDTAR is None, reason="no system bsdtar")
+@pytest.mark.parametrize(
+    "opts",
+    [None, "7zip:compression=store", "7zip:compression=bzip2",
+     "7zip:compression=deflate"],
+)
+def test_we_read_bsdtar_archives(tmp_path, opts):
+    """libarchive-written archives in all four 7zip compression modes
+    — the no-mirror-loophole direction."""
+    src = tmp_path / "in"
+    (src / "sub").mkdir(parents=True)
+    (src / "a.txt").write_bytes(b"alpha content 123")
+    (src / "sub" / "b.dat").write_bytes(bytes(range(200)) * 3)
+    path = tmp_path / "t.7z"
+    cmd = [BSDTAR, "-cf", str(path), "--format", "7zip"]
+    if opts:
+        cmd += ["--options", opts]
+    r = subprocess.run(
+        cmd + ["a.txt", "sub/b.dat"], cwd=src, capture_output=True
+    )
+    assert r.returncode == 0, r.stderr
+    ms = {m["path"]: m["payload"] for m in S.parse_7z(path.read_bytes())}
+    assert ms["a.txt"] == b"alpha content 123"
+    assert ms["sub/b.dat"] == bytes(range(200)) * 3
+
+
+def test_archive_walk_and_wrappers():
+    blob = S.build_7z(MEMBERS, method="lzma2")
+    fmt, ms = A.parse_archive(blob)
+    assert fmt == "7z" and len(ms) == len(MEMBERS)
+    import gzip
+
+    fmt, _ = A.parse_archive(gzip.compress(blob))
+    assert fmt == "7z.gz"
+
+
+def test_hostile_shapes():
+    good = S.build_7z(MEMBERS, method="lzma2")
+    with pytest.raises(ValueError, match="magic"):
+        S.parse_7z(b"not a seven zip archive....")
+    with pytest.raises(ValueError, match="signature header"):
+        S.parse_7z(good[:20])
+    # flip a start-header byte -> CRC mismatch
+    bad = bytearray(good)
+    bad[13] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        S.parse_7z(bytes(bad))
+    # flip a next-header byte
+    bad = bytearray(good)
+    bad[-3] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        S.parse_7z(bytes(bad))
+    # flip a payload byte -> member CRC mismatch (or coder error)
+    bad = bytearray(good)
+    bad[40] ^= 0xFF
+    with pytest.raises(ValueError):
+        S.parse_7z(bytes(bad))
+    # unsupported coder chain -> per-row loud class
+    aes = _hand_7z(0x06F10701, b"", b"\x00" * 16, b"x" * 16)
+    with pytest.raises(UnsupportedCodecError, match="supported set"):
+        S.parse_7z(aes)
+    # the archive kernel captures it per row (NotImplementedError branch)
+    # bomb: declared output over the guard
+    import struct
+
+    w_blob = b"z" * 64
+    seven = bytearray(_hand_7z(S._METHOD_COPY, b"", w_blob, w_blob))
+    # (declared sizes live in the header; easier: cap at parse level)
+    with pytest.raises(ValueError, match="guard"):
+        S.parse_7z(bytes(seven), cap=16)
+
+
+def test_archive_members_per_row_capture(spark):
+    """An unsupported coder chain lands as an error row through the
+    Spark kernel, never kills the job."""
+    aes = _hand_7z(0x06F10701, b"", b"\x00" * 16, b"x" * 16)
+    rows = [
+        (0, S.build_7z([("ok.txt", b"fine")], method="store")),
+        (1, aes),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in A.archive_members(df).collect()}
+    assert got[0].path == "ok.txt" and got[0].error is None
+    assert got[1].error and "supported set" in got[1].error
