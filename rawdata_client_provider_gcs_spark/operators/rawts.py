@@ -75,39 +75,34 @@ def _header_plausible(data: bytes, pos: int) -> bool:
     return True
 
 
-def _first_adts(head: bytes, scan: int = 1 << 13) -> dict | None:
-    """First coherent ADTS header in a buffered ES head (bounded
-    scan; coherence = the next frame boundary also parses with the
-    same sample rate, or lies past the truncated head)."""
-    from . import rawaac  # noqa: PLC0415
-
+def _first_coherent(head: bytes, parse_fn, scan: int = 1 << 13) -> dict | None:
+    """First coherent audio frame header in a buffered ES head
+    (bounded scan; coherence = the next frame boundary also parses
+    with the same sample rate, or lies past the truncated head).
+    ``parse_fn(head, pos) -> dict|None`` must expose ``frame_len`` and
+    ``sample_rate`` — the ADTS and MPEG-audio header walks both do."""
     for pos in range(min(len(head), scan)):
-        hdr = rawaac.parse_adts_header(head, pos)
+        hdr = parse_fn(head, pos)
         if hdr is None:
             continue
-        nxt = rawaac.parse_adts_header(head, pos + hdr["frame_len"])
+        nxt = parse_fn(head, pos + hdr["frame_len"])
         if pos + hdr["frame_len"] >= len(head) or (
             nxt is not None and nxt["sample_rate"] == hdr["sample_rate"]
         ):
             return hdr
     return None
+
+
+def _first_adts(head: bytes, scan: int = 1 << 13) -> dict | None:
+    from . import rawaac  # noqa: PLC0415
+
+    return _first_coherent(head, rawaac.parse_adts_header, scan)
 
 
 def _first_mpeg_audio(head: bytes, scan: int = 1 << 13) -> dict | None:
-    """First coherent MPEG audio frame header in a buffered ES head
-    (same coherence rule as :func:`_first_adts`)."""
     from . import rawmp3  # noqa: PLC0415
 
-    for pos in range(min(len(head), scan)):
-        hdr = rawmp3.parse_frame_header(head, pos)
-        if hdr is None:
-            continue
-        nxt = rawmp3.parse_frame_header(head, pos + hdr["frame_len"])
-        if pos + hdr["frame_len"] >= len(head) or (
-            nxt is not None and nxt["sample_rate"] == hdr["sample_rate"]
-        ):
-            return hdr
-    return None
+    return _first_coherent(head, rawmp3.parse_frame_header, scan)
 
 
 def _pts_of(b: bytes, pos: int) -> int:

@@ -44,6 +44,8 @@ import zlib
 
 from pyspark.sql import DataFrame
 
+from ..operators.rawavi import UnsupportedCodecError
+
 # Hard cap on any single decompressed member (bomb guard).
 MAX_MEMBER_BYTES = 256 * 1024 * 1024
 
@@ -717,10 +719,11 @@ def archive_members(
                     continue
                 try:
                     afmt, members = parse_archive(bytes(payload), fmt)
-                except (ValueError, NotImplementedError) as exc:
-                    # NotImplementedError covers UnsupportedCodecError:
-                    # a recognized 7z whose coder chain (BCJ/AES) is
-                    # out of scope is per-row data, never job-killing
+                except (ValueError, UnsupportedCodecError) as exc:
+                    # UnsupportedCodecError (a recognized 7z whose
+                    # coder chain is out of scope) is per-row data; a
+                    # PLAIN NotImplementedError stays loud by design —
+                    # it means a whole mime tier is missing
                     emit(did, err=f"{type(exc).__name__}: {str(exc)[:200]}")
                     continue
                 for idx, m in enumerate(members):

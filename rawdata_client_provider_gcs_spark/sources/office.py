@@ -90,6 +90,18 @@ def office_parts_of(data: bytes) -> tuple[str, list[tuple[str, str]]]:
     EPUB, or ODT container (per-row capture in :func:`office_parts`).
     """
     members = {m["path"]: m["payload"] for m in parse_zip(data)}
+    fmt, parts, _meta = _container_parts(members)
+    return fmt, parts
+
+
+def _container_parts(
+    members: dict[str, bytes],
+) -> tuple[str, list[tuple[str, str]], str]:
+    """Shared container walk over an already-inflated member dict →
+    ``(doc_format, parts, meta_xml)`` where ``meta_xml`` is the
+    format's metadata member (OPF for EPUB, docProps/core.xml for
+    DOCX, meta.xml for ODT; empty when absent) — so
+    :func:`office_info_of` never inflates the ZIP a second time."""
     mime = bytes(members.get("mimetype", b"")).strip()
 
     if mime == _EPUB_MIME:
@@ -130,19 +142,25 @@ def office_parts_of(data: bytes) -> tuple[str, list[tuple[str, str]]]:
             if body is None:
                 raise ValueError(f"epub: spine document {path!r} missing")
             parts.append((path, body.decode("utf-8", "replace")))
-        return "epub", parts
+        return "epub", parts, opf
 
     if mime == _ODT_MIME:
         body = members.get("content.xml")
         if body is None:
             raise ValueError("odt: missing content.xml")
-        return "odt", [("content.xml", body.decode("utf-8", "replace"))]
+        meta = members.get("meta.xml", b"").decode("utf-8", "replace")
+        return "odt", [("content.xml", body.decode("utf-8", "replace"))], meta
 
     body = members.get("word/document.xml")
     if body is not None:
-        return "docx", [
-            ("word/document.xml", body.decode("utf-8", "replace"))
-        ]
+        meta = members.get("docProps/core.xml", b"").decode(
+            "utf-8", "replace"
+        )
+        return (
+            "docx",
+            [("word/document.xml", body.decode("utf-8", "replace"))],
+            meta,
+        )
     raise ValueError(
         "office: zip is not a DOCX/EPUB/ODT container "
         "(no word/document.xml, epub mimetype, or odt mimetype)"
@@ -439,27 +457,7 @@ def office_info_of(data: bytes) -> dict:
     ``meta.xml`` — all Dublin Core ``dc:`` fields.
     """
     members = {m["path"]: m["payload"] for m in parse_zip(data)}
-    mime = bytes(members.get("mimetype", b"")).strip()
-
-    if mime == _EPUB_MIME:
-        fmt, parts = office_parts_of(data)
-        container = members["META-INF/container.xml"].decode(
-            "utf-8", "replace"
-        )
-        opf_path = next(
-            p
-            for t in _tags(container, "rootfile")
-            if (p := _attr(t, "full-path"))
-        )
-        meta_xml = members[opf_path].decode("utf-8", "replace")
-    elif mime == _ODT_MIME:
-        fmt, parts = office_parts_of(data)
-        meta_xml = members.get("meta.xml", b"").decode("utf-8", "replace")
-    else:
-        fmt, parts = office_parts_of(data)  # raises unless DOCX
-        meta_xml = members.get("docProps/core.xml", b"").decode(
-            "utf-8", "replace"
-        )
+    fmt, parts, meta_xml = _container_parts(members)
     return {
         "doc_format": fmt,
         "title": _dc(meta_xml, "title"),

@@ -49,6 +49,7 @@ MAX_ENTRIES = 1_000_000
 # property ids (7zFormat.txt)
 _K_END = 0x00
 _K_HEADER = 0x01
+_K_ARCHIVE_PROPS = 0x02
 _K_MAIN_STREAMS = 0x04
 _K_FILES_INFO = 0x05
 _K_PACK_INFO = 0x06
@@ -421,7 +422,6 @@ def _parse_files_info(r: _R, n_sub_total: int) -> list[dict]:
     ei = 0
     for i in range(n_files):
         if empty_stream[i]:
-            is_file = not (ei < len(empty_file) and empty_file[ei]) is False
             # empty_file bit set -> zero-byte FILE; unset -> directory
             is_dir = not (ei < len(empty_file) and empty_file[ei])
             ei += 1
@@ -484,8 +484,15 @@ def parse_7z(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
                 else len(info["folders"]) if info else 0
             )
             files = _parse_files_info(r, n_sub)
+        elif t == _K_ARCHIVE_PROPS:
+            # kArchiveProperties: (type, size, data) triples to kEnd —
+            # nothing this walk needs, but a valid archive may carry it
+            while True:
+                pt = r.number()
+                if pt == _K_END:
+                    break
+                r.take(r.number())
         else:
-            # sized property blocks (archive properties etc.): skip
             raise ValueError(f"7z: unexpected id 0x{t:x} in header")
     if files is None:
         return []
@@ -518,7 +525,16 @@ def parse_7z(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
                 if at + ln > len(out):
                     raise ValueError("7z: substream past folder output")
                 payloads.append(out[at : at + ln])
-                crc_expect.append(crcs[fi][sj] if crcs else None)
+                if crcs:
+                    want = crcs[fi][sj]
+                elif num[fi] == 1 and info["folder_crcs"]:
+                    # no SubStreamsInfo digests (the non-solid,
+                    # one-file-per-folder shape): the folder-level
+                    # kCRC from UnpackInfo IS this member's digest
+                    want = info["folder_crcs"][fi]
+                else:
+                    want = None
+                crc_expect.append(want)
                 at += ln
 
     members = []

@@ -204,3 +204,103 @@ def test_archive_members_per_row_capture(spark):
     got = {r.doc_id: r for r in A.archive_members(df).collect()}
     assert got[0].path == "ok.txt" and got[0].error is None
     assert got[1].error and "supported set" in got[1].error
+
+
+def test_folder_level_crc_enforced():
+    """Non-solid shape: folder-level kCRC in UnpackInfo with NO
+    SubStreamsInfo — a flipped payload byte must raise (pre-fix it
+    decoded silently)."""
+    import binascii
+    import struct
+
+    blob = b"payload bytes to protect"
+    w = S._W()
+    w.number(S._K_HEADER)
+    w.number(S._K_MAIN_STREAMS)
+    w.number(S._K_PACK_INFO)
+    w.number(0)
+    w.number(1)
+    w.number(S._K_SIZE)
+    w.number(len(blob))
+    w.number(S._K_END)
+    w.number(S._K_UNPACK_INFO)
+    w.number(S._K_FOLDER)
+    w.number(1)
+    w.byte(0)
+    w.number(1)
+    w.byte(1)
+    w.b += b"\x00"  # copy coder
+    w.number(S._K_CODERS_UNPACK_SIZE)
+    w.number(len(blob))
+    w.number(S._K_CRC)
+    w.byte(1)
+    w.b += struct.pack("<I", binascii.crc32(blob) & 0xFFFFFFFF)
+    w.number(S._K_END)
+    w.number(S._K_END)
+    w.number(S._K_FILES_INFO)
+    w.number(1)
+    names = "f.bin\x00".encode("utf-16-le")
+    w.number(S._K_NAME)
+    w.number(len(names) + 1)
+    w.byte(0)
+    w.b += names
+    w.number(S._K_END)
+    w.number(S._K_END)
+    header = bytes(w.b)
+    out = bytearray(S.SEVENZIP_MAGIC + bytes([0, 4]))
+    start = struct.pack(
+        "<QQI", len(blob), len(header),
+        binascii.crc32(header) & 0xFFFFFFFF,
+    )
+    out += struct.pack("<I", binascii.crc32(start) & 0xFFFFFFFF)
+    out += start + blob + header
+    good = bytes(out)
+    assert S.parse_7z(good)[0]["payload"] == blob
+    bad = bytearray(good)
+    bad[33] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        S.parse_7z(bytes(bad))
+
+
+def test_archive_properties_block_skipped():
+    """A kArchiveProperties block before kMainStreamsInfo must not be
+    whole-file data loss."""
+    good = S.build_7z([("x.txt", b"with props")], method="store")
+    import binascii
+    import struct
+
+    nh_off, nh_size, _ = struct.unpack("<QQI", good[12:32])
+    hdr = good[32 + nh_off : 32 + nh_off + nh_size]
+    assert hdr[0] == S._K_HEADER
+    # splice: kArchiveProperties { type=0x30 size=2 data } kEnd
+    props = bytes([S._K_ARCHIVE_PROPS, 0x30, 2, 0xAB, 0xCD, S._K_END])
+    new_hdr = hdr[:1] + props + hdr[1:]
+    start = struct.pack(
+        "<QQI", nh_off, len(new_hdr),
+        binascii.crc32(new_hdr) & 0xFFFFFFFF,
+    )
+    blob = (
+        good[:8]
+        + struct.pack("<I", binascii.crc32(start) & 0xFFFFFFFF)
+        + start
+        + good[32 : 32 + nh_off]
+        + new_hdr
+    )
+    assert S.parse_7z(blob)[0]["payload"] == b"with props"
+
+
+def test_plain_notimplementederror_stays_loud(spark):
+    """archive_members catches UnsupportedCodecError per-row but a
+    PLAIN NotImplementedError (mime-tier missing) must stay
+    job-killing by design."""
+    from unittest import mock
+
+    df = spark.createDataFrame(
+        [(0, S.build_7z([("x", b"y")], method="store"))],
+        "doc_id long, payload binary",
+    )
+    with mock.patch.object(
+        A, "parse_archive", side_effect=NotImplementedError("tier missing")
+    ):
+        with pytest.raises(Exception):
+            A.archive_members(df).collect()
