@@ -3200,7 +3200,9 @@ def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 250)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(0 AS BIGINT) AS member_idx,
-       CASE WHEN doc_id % 2 = 0 THEN 'zip' ELSE 'tar' END AS archive_format,
+       CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 'zip' WHEN 1 THEN 'tar' ELSE 'cpio' END
+         AS archive_format,
        'doc/' || CAST(doc_id AS VARCHAR) || '/a.txt' AS path,
        CAST(length(substr(text, 1, 50)) AS BIGINT) AS size,
        substr(text, 1, 50) AS content
@@ -3208,7 +3210,9 @@ FROM d
 UNION ALL
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(1 AS BIGINT) AS member_idx,
-       CASE WHEN doc_id % 2 = 0 THEN 'zip' ELSE 'tar' END AS archive_format,
+       CASE CAST(doc_id % 3 AS INTEGER)
+         WHEN 0 THEN 'zip' WHEN 1 THEN 'tar' ELSE 'cpio' END
+         AS archive_format,
        'doc/' || CAST(doc_id AS VARCHAR) || '/b.txt' AS path,
        CAST(length(substr(text, 51, 70)) AS BIGINT) AS size,
        substr(text, 51, 70) AS content
@@ -3220,9 +3224,9 @@ FROM d
 def q_crawl_archive_members(spark: SparkSession, sf: str) -> DataFrame:
     """REAL ZIP/TAR build → explode → member rows, oracle-exact.
 
-    Each document becomes a two-member archive of its own text — even
-    doc_ids a ZIP (deflate for ``doc_id % 4 == 0``, stored otherwise,
-    so both compression methods run), odd ones a POSIX-ustar TAR —
+    Each document becomes a two-member archive of its own text —
+    rotating ZIP (deflate and stored), POSIX-ustar TAR, and cpio
+    (newc and odc, the initramfs/RPM-payload container, r11) —
     and ``sources/archive.py`` explodes them back into per-member rows
     (format auto-sniffed from magic, CRC/checksum verified, bounded
     inflation).  The oracle restates every member's path, size and
@@ -3250,15 +3254,23 @@ def q_crawl_archive_members(spark: SparkSession, sf: str) -> DataFrame:
                     (f"doc/{did}/a.txt", t[:50].encode()),
                     (f"doc/{did}/b.txt", t[50:120].encode()),
                 ]
-                if did % 2 == 0:
+                v = did % 3
+                if v == 0:
                     payloads.append(
                         A.build_zip(
                             members,
-                            method="deflate" if did % 4 == 0 else "store",
+                            method="deflate" if did % 6 == 0 else "store",
                         )
                     )
-                else:
+                elif v == 1:
                     payloads.append(A.build_tar(members))
+                else:
+                    payloads.append(
+                        A.build_cpio(
+                            members,
+                            fmt="newc" if did % 6 == 2 else "odc",
+                        )
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     files = d.mapInPandas(make, "doc_id long, payload binary")

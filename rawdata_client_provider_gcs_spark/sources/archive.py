@@ -485,6 +485,8 @@ def sniff_format(data: bytes) -> str | None:
         return "zip"
     if data[:6] == b"7z\xbc\xaf\x27\x1c":
         return "7z"
+    if sniff_cpio(data):
+        return "cpio"
     if len(data) >= 512:
         hdr = data[:512]
         if hdr[257:262] == b"ustar":
@@ -660,7 +662,7 @@ def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
         sniffed = sniff_format(data)
         if sniffed is None:
             raise ValueError(
-                "archive: payload is neither zip, ustar tar, nor 7z"
+                "archive: payload is not zip, ustar tar, 7z, or cpio"
             )
         fmt = sniffed
     if fmt == "zip":
@@ -671,6 +673,8 @@ def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
         from .sevenzip import parse_7z  # noqa: PLC0415
 
         return "7z", parse_7z(data)
+    if fmt == "cpio":
+        return "cpio", parse_cpio(data)
     raise ValueError(f"archive: unknown format {fmt!r}")
 
 
@@ -731,3 +735,140 @@ def archive_members(
             yield pd.DataFrame(out)
 
     return df.mapInPandas(run, ARCHIVE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# cpio — newc (SVR4, "070701"/"070702") and odc (POSIX, "070707")
+# ---------------------------------------------------------------------------
+
+_CPIO_NEWC = (b"070701", b"070702")
+_CPIO_ODC = b"070707"
+
+
+def _cpio_hex(field: bytes, what: str) -> int:
+    try:
+        return int(field, 16)
+    except ValueError:
+        raise ValueError(f"cpio: non-hex {what} field {field!r}")
+
+
+def _cpio_oct(field: bytes, what: str) -> int:
+    try:
+        return int(field, 8)
+    except ValueError:
+        raise ValueError(f"cpio: non-octal {what} field {field!r}")
+
+
+def parse_cpio(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
+    """Parse a cpio archive (newc 110-byte hex headers with 4-byte
+    alignment, or odc 76-byte octal headers) into member dicts —
+    the initramfs / RPM-payload container.  Regular files only
+    (directories and specials skipped); ends at ``TRAILER!!!``."""
+    members = []
+    pos = 0
+    total = 0
+    while True:
+        if pos + 6 > len(data):
+            raise ValueError("cpio: archive ends without its trailer")
+        magic = data[pos : pos + 6]
+        if magic in _CPIO_NEWC:
+            if pos + 110 > len(data):
+                raise ValueError("cpio: truncated newc header")
+            f = [
+                _cpio_hex(data[pos + 6 + 8 * i : pos + 14 + 8 * i], "newc")
+                for i in range(13)
+            ]
+            mode, filesize, namesize = f[1], f[6], f[11]
+            name_at = pos + 110
+            if name_at + namesize > len(data):
+                raise ValueError("cpio: member name past end of archive")
+            name = data[name_at : name_at + namesize - 1].decode(
+                "utf-8", "replace"
+            )
+            body_at = (name_at + namesize + 3) & ~3
+            nxt = (body_at + filesize + 3) & ~3
+        elif magic == _CPIO_ODC:
+            if pos + 76 > len(data):
+                raise ValueError("cpio: truncated odc header")
+            h = data[pos : pos + 76]
+            mode = _cpio_oct(h[18:24], "mode")
+            namesize = _cpio_oct(h[59:65], "namesize")
+            filesize = _cpio_oct(h[65:76], "filesize")
+            name_at = pos + 76
+            if name_at + namesize > len(data):
+                raise ValueError("cpio: member name past end of archive")
+            name = data[name_at : name_at + namesize - 1].decode(
+                "utf-8", "replace"
+            )
+            body_at = name_at + namesize
+            nxt = body_at + filesize
+        else:
+            raise ValueError(f"cpio: bad entry magic {magic!r}")
+        if name == "TRAILER!!!":
+            return members
+        if filesize > cap:
+            raise ValueError(
+                f"cpio: member {name!r} of {filesize} bytes past the "
+                f"{cap}-byte guard"
+            )
+        if body_at + filesize > len(data):
+            raise ValueError("cpio: member body past end of archive")
+        total += filesize
+        if total > MAX_ARCHIVE_BYTES:
+            raise ValueError("cpio: archive inflates past the total guard")
+        if len(members) >= 1_000_000:
+            raise ValueError("cpio: member count over the cap")
+        if (mode & 0o170000) == 0o100000:  # regular files only
+            members.append(
+                {
+                    "path": name,
+                    "size": filesize,
+                    "payload": data[body_at : body_at + filesize],
+                }
+            )
+        pos = nxt
+
+
+def sniff_cpio(data: bytes) -> bool:
+    return data[:6] in _CPIO_NEWC or data[:6] == _CPIO_ODC
+
+
+def build_cpio(
+    members: list[tuple[str, bytes]], *, fmt: str = "newc"
+) -> bytes:
+    """Deterministic cpio writer (fixed mtime/uid, regular files).
+    Interop-pinned: the system bsdtar reads this output back."""
+    out = bytearray()
+    for i, (path, body) in enumerate(members):
+        name = path.encode() + b"\x00"
+        if fmt == "newc":
+            fields = [
+                i + 1, 0o100644, 0, 0, 1, 0, len(body), 0, 0, 0, 0,
+                len(name), 0,
+            ]
+            out += b"070701" + b"".join(b"%08X" % v for v in fields)
+            out += name
+            out += b"\x00" * (-(110 + len(name)) % 4)
+            out += body
+            out += b"\x00" * (-len(body) % 4)
+        elif fmt == "odc":
+            out += b"070707"
+            out += b"%06o%06o%06o%06o%06o%06o%06o%011o%06o%011o" % (
+                0, i + 1, 0o100644, 0, 0, 1, 0, 0, len(name), len(body)
+            )
+            out += name + body
+        else:
+            raise ValueError(f"cpio fixture: unknown format {fmt!r}")
+    trailer = b"TRAILER!!!\x00"
+    if fmt == "newc":
+        fields = [0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, len(trailer), 0]
+        out += b"070701" + b"".join(b"%08X" % v for v in fields)
+        out += trailer
+        out += b"\x00" * (-(110 + len(trailer)) % 4)
+    else:
+        out += b"070707"
+        out += b"%06o%06o%06o%06o%06o%06o%06o%011o%06o%011o" % (
+            0, 0, 0, 0, 0, 1, 0, 0, len(trailer), 0
+        )
+        out += trailer
+    return bytes(out)

@@ -710,3 +710,78 @@ class TestCompressZ:
 
         fmt, _ = A.parse_archive(gzip.compress(C.z_compress(tar)))
         assert fmt == "tar.Z.gz"
+
+
+# ------------------------------------------------------------------ cpio
+
+
+class TestCpio:
+    MS = [("a.txt", b"cpio member one"), ("d/b.bin", bytes(range(64))),
+          ("empty", b"")]
+
+    def test_roundtrip_both_formats(self):
+        from rawdata_client_provider_gcs_spark.sources import archive as A
+
+        for fmt in ("newc", "odc"):
+            got = A.parse_cpio(A.build_cpio(self.MS, fmt=fmt))
+            assert [(m["path"], m["payload"]) for m in got] == self.MS, fmt
+
+    def test_bsdtar_interop_both_directions(self, tmp_path):
+        import shutil
+        import subprocess
+
+        import pytest
+
+        from rawdata_client_provider_gcs_spark.sources import archive as A
+
+        bsdtar = shutil.which("bsdtar")
+        if bsdtar is None:
+            pytest.skip("no system bsdtar")
+        src = tmp_path / "in"
+        (src / "sub").mkdir(parents=True)
+        (src / "a.txt").write_bytes(b"alpha cpio content")
+        (src / "sub" / "b.txt").write_bytes(b"beta")
+        for opt in ("cpio", "odc"):
+            path = tmp_path / f"{opt}.cpio"
+            r = subprocess.run(
+                [bsdtar, "-cf", str(path), "--format", opt,
+                 "a.txt", "sub/b.txt"],
+                cwd=src, capture_output=True,
+            )
+            assert r.returncode == 0, r.stderr
+            ms = {m["path"]: m["payload"]
+                  for m in A.parse_cpio(path.read_bytes())}
+            assert ms["a.txt"] == b"alpha cpio content"
+            assert ms["sub/b.txt"] == b"beta"
+        for fmt in ("newc", "odc"):
+            mine = tmp_path / f"mine_{fmt}.cpio"
+            mine.write_bytes(A.build_cpio(self.MS, fmt=fmt))
+            out = tmp_path / f"x_{fmt}"
+            out.mkdir()
+            r = subprocess.run(
+                [bsdtar, "-xf", str(mine), "-C", str(out)],
+                capture_output=True,
+            )
+            assert r.returncode == 0, (fmt, r.stderr)
+            for name, payload in self.MS:
+                assert (out / name).read_bytes() == payload, (fmt, name)
+
+    def test_initramfs_shape_and_hostility(self):
+        import gzip
+
+        import pytest
+
+        from rawdata_client_provider_gcs_spark.sources import archive as A
+
+        blob = A.build_cpio([("init", b"#!/bin/sh")], fmt="newc")
+        fmt, ms = A.parse_archive(gzip.compress(blob))
+        assert fmt == "cpio.gz" and ms[0]["path"] == "init"
+        with pytest.raises(ValueError, match="trailer|truncated"):
+            A.parse_cpio(blob[:-20])
+        with pytest.raises(ValueError, match="magic"):
+            A.parse_cpio(b"070700" + b"0" * 120)
+        with pytest.raises(ValueError, match="non-hex"):
+            A.parse_cpio(b"070701" + b"zz" * 52 + b"\x00" * 8)
+        with pytest.raises(ValueError, match="guard"):
+            hdr = A.build_cpio([("big", b"x" * 100)], fmt="newc")
+            A.parse_cpio(hdr, cap=16)
