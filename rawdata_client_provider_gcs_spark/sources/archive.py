@@ -487,6 +487,10 @@ def sniff_format(data: bytes) -> str | None:
         return "7z"
     if sniff_cpio(data):
         return "cpio"
+    from .iso9660 import sniff_iso  # noqa: PLC0415
+
+    if sniff_iso(data):
+        return "iso"
     if len(data) >= 512:
         hdr = data[:512]
         if hdr[257:262] == b"ustar":
@@ -662,7 +666,7 @@ def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
         sniffed = sniff_format(data)
         if sniffed is None:
             raise ValueError(
-                "archive: payload is not zip, ustar tar, 7z, or cpio"
+                "archive: payload is not zip, ustar tar, 7z, cpio, or iso"
             )
         fmt = sniffed
     if fmt == "zip":
@@ -675,6 +679,10 @@ def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
         return "7z", parse_7z(data)
     if fmt == "cpio":
         return "cpio", parse_cpio(data)
+    if fmt == "iso":
+        from .iso9660 import parse_iso  # noqa: PLC0415
+
+        return "iso", parse_iso(data)
     raise ValueError(f"archive: unknown format {fmt!r}")
 
 
