@@ -148,16 +148,37 @@ def parse_ts(data: bytes) -> dict:
             # (valid afc, adaptation field fits) — the shape the
             # original hostile case fails and a real packet passes.
             sync_losses += 1
-            nxt = data.find(b"\x47", pos + 1)
+            # The stride scan is WINDOW-BOUNDED: hostile data dense in
+            # bare 0x47 bytes that never stride-confirm would otherwise
+            # force a full O(n) rescan per ~188-byte advance (O(n^2) on
+            # one row).  Scan at most 64 KiB ahead; past the window fall
+            # back to the plausible/first candidate, keeping the walk
+            # linear (each resync advances pos past everything scanned
+            # or lands on a confirmed packet that consumes 188 bytes).
+            limit = min(len(data), pos + 1 + (64 << 10))
+            nxt = data.find(b"\x47", pos + 1, limit)
             plausible = -1
+            first = nxt
+            budget = 512  # candidates examined per resync (linearity cap)
             while nxt >= 0 and nxt + _PKT < len(data) and data[nxt + _PKT] != _SYNC:
                 if plausible < 0 and _header_plausible(data, nxt):
                     plausible = nxt
-                nxt = data.find(b"\x47", nxt + 1)
-            if nxt < 0:
-                if plausible < 0:
+                budget -= 1
+                if budget <= 0:
+                    nxt = -1
                     break
-                nxt = plausible
+                nxt = data.find(b"\x47", nxt + 1, limit)
+            if nxt < 0:
+                if plausible >= 0:
+                    nxt = plausible
+                elif first < 0:
+                    # no candidate at all inside the window: skip it
+                    if limit >= len(data):
+                        break
+                    pos = limit
+                    continue
+                else:
+                    break
             pos = nxt
             continue
         pkt = data[pos : pos + _PKT]

@@ -485,6 +485,15 @@ def sniff_format(data: bytes) -> str | None:
         return "zip"
     if data[:6] == b"7z\xbc\xaf\x27\x1c":
         return "7z"
+    # The ustar magic at its FIXED offset 257 outranks the cpio/iso
+    # probes: cpio's magic is plain ASCII at offset 0 (a tar whose
+    # first member is literally named '070701…' would sniff as cpio)
+    # and the ISO probe keys on 'CD001' at 32769 (a tar CONTAINING a
+    # disc image would match).  A real cpio/iso cannot carry 'ustar'
+    # at 257 by accident: cpio puts the first member's name/body
+    # there, iso is zero-fill in the system area.
+    if len(data) >= 512 and data[257:262] == b"ustar":
+        return "tar"
     if sniff_cpio(data):
         return "cpio"
     from .iso9660 import sniff_iso  # noqa: PLC0415
@@ -493,8 +502,6 @@ def sniff_format(data: bytes) -> str | None:
         return "iso"
     if len(data) >= 512:
         hdr = data[:512]
-        if hdr[257:262] == b"ustar":
-            return "tar"
         try:
             if hdr != b"\x00" * 512 and sum(hdr) - sum(hdr[148:156]) + 8 * 0x20 == _tar_num(
                 hdr[148:156]
@@ -838,7 +845,20 @@ def parse_cpio(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
 
 
 def sniff_cpio(data: bytes) -> bool:
-    return data[:6] in _CPIO_NEWC or data[:6] == _CPIO_ODC
+    # Magic alone is weak (plain ASCII at offset 0 — any text starting
+    # '070701' would match); require the whole fixed-width header to be
+    # the right digit class: newc = 13 × 8 hex chars, odc = 8 octal
+    # fields (66 chars).
+    if data[:6] in _CPIO_NEWC:
+        hdr = data[6:110]
+        return len(hdr) == 104 and all(
+            0x30 <= c <= 0x39 or 0x41 <= c <= 0x46 or 0x61 <= c <= 0x66
+            for c in hdr
+        )
+    if data[:6] == _CPIO_ODC:
+        hdr = data[6:76]
+        return len(hdr) == 70 and all(0x30 <= c <= 0x37 for c in hdr)
+    return False
 
 
 def build_cpio(

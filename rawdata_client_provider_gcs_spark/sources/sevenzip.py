@@ -162,7 +162,29 @@ def _decode_coder(method: int, props: bytes, data: bytes, out_size: int) -> byte
                       "dict_size": struct.unpack("<I", props[1:5])[0]}],
         )
     elif method == _METHOD_BZIP2:
-        dec = bz2.BZ2Decompressor()
+        # p7zip's multithreaded bzip2 writes CONCATENATED bzip2 streams
+        # into one folder; a single BZ2Decompressor stops at the first
+        # stream end, so loop on unused_data until out_size is reached
+        # (mirrors _stdlib_stream_bounded in archive.py).
+        chunks: list[bytes] = []
+        got = 0
+        while got < out_size and data:
+            bdec = bz2.BZ2Decompressor()
+            try:
+                part = bdec.decompress(data, out_size - got)
+            except (OSError, EOFError) as exc:
+                raise ValueError(f"7z: corrupt coder stream: {exc}")
+            chunks.append(part)
+            got += len(part)
+            if got >= out_size:
+                break
+            if not bdec.eof:
+                break  # stream ended short of declared size
+            data = bdec.unused_data
+        out = b"".join(chunks)
+        if len(out) != out_size:
+            raise ValueError("7z: coder output shorter than declared")
+        return out
     elif method == _METHOD_DEFLATE:
         obj = zlib.decompressobj(-15)
         try:
@@ -353,7 +375,18 @@ def _parse_streams_info(r: _R) -> dict:
 def _decode_folders(data: bytes, info: dict, base: int) -> list[bytes]:
     """Decode every folder's final output; pack streams are laid out
     back to back from ``base + pack_pos``."""
+    # Guard the SUM of declared folder outputs before decoding anything:
+    # per-folder checks alone let a crafted multi-folder archive (each
+    # folder ≤1 GiB, ~150 KB of LZMA2 zeros per declared GiB) materialize
+    # tens of GiB before any single-folder guard trips.
+    declared = sum(f["out_size"] for f in info["folders"])
+    if declared > MAX_TOTAL_BYTES:
+        raise ValueError(
+            f"7z: folders declare {declared} bytes total, past the "
+            f"{MAX_TOTAL_BYTES}-byte guard (bomb)"
+        )
     outs = []
+    decoded_total = 0
     pos = base + info["pack_pos"]
     sizes = info["pack_sizes"]
     si = 0
@@ -375,6 +408,12 @@ def _decode_folders(data: bytes, info: dict, base: int) -> list[bytes]:
             pos += ln
         si += n
         coder = f["coders"][0]
+        decoded_total += f["out_size"]
+        if decoded_total > MAX_TOTAL_BYTES:
+            raise ValueError(
+                f"7z: running decode total {decoded_total} past the "
+                f"{MAX_TOTAL_BYTES}-byte guard (bomb)"
+            )
         outs.append(
             _decode_coder(coder["method"], coder["props"], packed,
                           f["out_size"])
