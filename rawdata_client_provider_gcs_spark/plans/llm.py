@@ -769,6 +769,60 @@ def q_similarity_ivf_index(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_similarity_ivf_build",
+    oracle=f"""
+WITH cent AS (
+  SELECT CAST(vec_id AS BIGINT) AS cid, embedding AS cvec
+  FROM embeddings WHERE vec_id < 16
+), assigned AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cent c
+  ) WHERE rn = 1
+)
+SELECT CAST(cid AS BIGINT) AS cid,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM assigned GROUP BY cid
+""",
+    bench=True,
+    tags=("llm", "similarity", "index"),
+)
+def q_similarity_ivf_build(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF index BUILD, forced fresh every call — the other half of the
+    bimodal number ``q_similarity_ivf_index`` used to hide.
+
+    The probe query stages its index once per process, so its bench
+    timing measures warm probes; a regression in the BUILD path
+    (assignment shuffle, partitioned parquet write) was drowned.  This
+    entry rebuilds unconditionally into a throwaway directory, so its
+    bench timing IS the build cost; the returned per-cell inverted-list
+    sizes make the build value-checkable (same deterministic lowest-id
+    quantizer as the probe query, so the oracle states assignment
+    relationally).  The ≤nlist count rows are collected and re-created
+    locally so the temp directory's lifetime ends inside the call.
+    """
+    import tempfile
+
+    e = load_table(spark, sf, "embeddings")
+    with tempfile.TemporaryDirectory(prefix="rawdata-ivf-build-") as tmp:
+        similarity.build_ivf_index(e, tmp + "/lists", nlist=16)
+        counts = (
+            spark.read.parquet(tmp + "/lists")
+            .groupBy(F.col("cid").cast("long").alias("cid"))
+            .agg(F.count("*").alias("n_vectors"))
+            .collect()
+        )
+    return spark.createDataFrame(
+        [(r["cid"], r["n_vectors"]) for r in counts],
+        "cid long, n_vectors long",
+    )
+
+
+@register(
     "q_embedding_near_dup",
     oracle="""
 WITH pairs AS (
