@@ -3032,6 +3032,86 @@ def q_crawl_archive_xz(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_archive_zst",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'tar.zst' WHEN 1 THEN 'zip.zst'
+         WHEN 2 THEN 'tar.zst' ELSE 'tar.zst.gz' END AS archive_format,
+       'doc/' || CAST(doc_id AS VARCHAR) || '/a.txt' AS path,
+       CAST(length(substr(text, 1, 60)) AS BIGINT) AS size,
+       substr(text, 1, 60) AS content
+FROM d
+""",
+    tags=("llm", "source", "archive", "compression", "pandas-udf"),
+    bench=True,
+)
+def q_crawl_archive_zst(spark: SparkSession, sf: str) -> DataFrame:
+    """zstd-wrapped archives explode like gzip ones, oracle-exact —
+    ``.tar.zst`` is the modern default dump shape (distro packages,
+    dataset mirrors), peeled by the pure-Python RFC 8878 decoder in
+    ``sources/zstd_codec.py``.  Rotation: single-frame ``tar.zst``,
+    multi-frame ``zip.zst`` (the pzstd shape), ``tar.zst`` behind a
+    skippable metadata frame, and stacked ``tar.zst.gz``.  Fixtures
+    are raw-block frames (valid zstd without entropy coding, so the
+    fixture writer cannot mirror the decoder); the FSE/Huffman paths
+    are pinned by the system-``zstd``-CLI interop pytests across
+    levels 1/3/9/19/ultra-22, long-window and trained-dictionary
+    frames.  All columns closed-form.
+
+    Reference behavioral parity: same opaque-bytes transport argument
+    as the gzip wrapper — files must be readable to be part of the
+    stream (GCSRawdataUtils.java:99-114).
+    """
+    import gzip as _gzip
+
+    from ..sources import archive as A
+    from ..sources import zstd_codec as Zc
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                members = [(f"doc/{did}/a.txt", str(text)[:60].encode())]
+                v = did % 4
+                if v == 0:
+                    blob = Zc.build_zst(A.build_tar(members), block_size=512)
+                elif v == 1:
+                    blob = Zc.build_zst(A.build_zip(members), frame_split=300)
+                elif v == 2:
+                    blob = Zc.build_zst(
+                        A.build_tar(members),
+                        skippable_prefix=b"fixture-metadata",
+                        checksum=False,
+                    )
+                else:
+                    blob = _gzip.compress(Zc.build_zst(A.build_tar(members)))
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    from ..sources.archive import archive_members
+
+    return archive_members(files).select(
+        F.col("doc_id"),
+        F.col("archive_format"),
+        F.col("path"),
+        F.col("size"),
+        F.col("payload").cast("string").alias("content"),
+    )
+
+
+@register(
     "q_crawl_office_text",
     oracle="""
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 240)

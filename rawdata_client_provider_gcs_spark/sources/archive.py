@@ -22,6 +22,9 @@ kilobyte-sized zip bomb cannot expand to gigabytes inside an executor:
 - **gzip wrappers** (``.tar.gz``/``.tgz``/``.zip.gz``): inflated
   transparently with a 1 GiB bomb guard, then dispatched on the real
   container (the format column reports ``tar.gz``/``zip.gz``).
+  The same transparent peel covers ``.lz4``/``.sz``
+  (:mod:`.compression`), ``.xz``/``.bz2`` (stdlib), ``.Z`` (LZW) and
+  ``.zst`` (:mod:`.zstd_codec`, RFC 8878 pure-Python decode).
 - **TAR** (POSIX ustar + the long-path mechanisms real archives use:
   GNU ``L`` longname entries and pax ``x`` extended headers): 512-byte
   headers, octal size fields, header checksum verified, ``prefix``
@@ -626,6 +629,7 @@ def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
         snappy_stream_decompress,
         z_decompress,
     )
+    from .zstd_codec import sniff_zstd, zstd_decompress  # noqa: PLC0415
 
     def _wrapper(blob: bytes) -> str | None:
         if blob[:2] == b"\x1f\x8b":
@@ -640,6 +644,8 @@ def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
             return ".bz2"
         if blob[:2] == Z_MAGIC:
             return ".Z"
+        if sniff_zstd(blob):
+            return ".zst"
         return None
 
     suffix = ""
@@ -657,6 +663,8 @@ def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
             data = _bunzip2_bounded(data)
         elif w == ".Z":
             data = z_decompress(data, cap=MAX_ARCHIVE_BYTES)
+        elif w == ".zst":
+            data = zstd_decompress(data, cap=MAX_ARCHIVE_BYTES)
         else:
             break
         # extension chains read innermost-first (file.tar.lz4.gz = tar,

@@ -2,8 +2,10 @@
 
 Source dumps and data-lake exports ship ``.tar.lz4`` / ``.sz``
 wrappers next to gzip; both formats are small, exactly specified and
-TABLE-FREE (unlike zstd's FSE or brotli's static dictionary), so full
-decode belongs on this side of the honesty boundary:
+TABLE-FREE, so full decode belongs on this side of the honesty
+boundary (zstd joined in round 12 — its predefined FSE distributions
+are printed in RFC 8878, see :mod:`.zstd_codec`; brotli's embedded
+static dictionary keeps IT out):
 
 - **LZ4** block format (token nibbles, 255-extension lengths, 16-bit
   match offsets, overlapping copies) and frame format v1.6 (magic
