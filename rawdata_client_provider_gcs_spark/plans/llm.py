@@ -3122,36 +3122,53 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g')) AS text
-FROM d WHERE doc_id % 3 = 0
+FROM d WHERE doc_id % 5 = 0
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'epub', CAST(i AS BIGINT),
        'OPS/text/ch' || CAST(i AS VARCHAR) || '.xhtml',
        trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
                            '\\s+', ' ', 'g'))
-FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 3 = 1
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 5 = 1
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'odt', CAST(0 AS BIGINT), 'content.xml',
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 3 = 2
+FROM d WHERE doc_id % 5 = 2
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'pptx', CAST(i AS BIGINT),
+       'ppt/slides/slide' || CAST(i + 1 AS VARCHAR) || '.xml',
+       trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
+                           '\\s+', ' ', 'g'))
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 5 = 3
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'xlsx', CAST(0 AS BIGINT),
+       'xl/worksheets/sheet1.xml',
+       trim(regexp_replace(
+         substr(text, 1, 20) || ' ' || substr(text, 21, 20) || ' '
+         || substr(text, 41, 20) || ' ' || CAST(doc_id % 97 AS VARCHAR),
+         '\\s+', ' ', 'g'))
+FROM d WHERE doc_id % 5 = 4
 """,
     tags=("llm", "source", "text", "crawl", "office", "pandas-udf"),
     bench=True,
 )
 def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
-    """DOCX/EPUB/ODT → per-part visible text, oracle-exact — the
-    office-document slice of a crawl that was opaque zip members until
-    now.  Each document becomes a real container
+    """DOCX/EPUB/ODT/PPTX/XLSX → per-part visible text, oracle-exact —
+    the office-document slice of a crawl that was opaque zip members
+    until now.  Each document becomes a real container
     (:mod:`..sources.office` fixtures: OPC ``word/document.xml``,
-    OCF/OPF spine of two XHTML chapters, ODF ``content.xml``) built
-    from its own text; ``office_text`` walks the container Python-side
-    (ZIP + OPF navigation only) and extracts text Catalyst-side
-    (tag strip → entity decode → whitespace collapse), so the
-    XML-escape applied by the fixture cancels exactly and every
+    OCF/OPF spine of two XHTML chapters, ODF ``content.xml``, a
+    two-slide PresentationML deck ordered by ``sldIdLst`` against
+    REVERSED .rels order, and a SpreadsheetML workbook whose cells
+    rotate shared-string/inline-string/numeric paths) built from its
+    own text; ``office_text`` walks the container Python-side (ZIP +
+    OPC/OPF navigation, xlsx cell resolution) and extracts text
+    Catalyst-side (tag strip → entity decode → whitespace collapse),
+    so the XML-escape applied by the fixture cancels exactly and every
     column is closed-form in the source text.  Hostile shapes
-    (non-office zip, missing spine doc, zip bombs) land per-row and
-    are pinned by pytest.
+    (non-office zip, missing spine doc, zip bombs, out-of-range
+    shared-string indices) land per-row and are pinned by pytest.
     """
     from ..sources import office as O
 
@@ -3170,13 +3187,22 @@ def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
                 did = int(did)
                 t = str(text)
                 halves = [t[:40], t[40:80]]
-                v = did % 3
+                v = did % 5
                 if v == 0:
                     payloads.append(O.build_docx(halves))
                 elif v == 1:
                     payloads.append(O.build_epub(halves, title=""))
-                else:
+                elif v == 2:
                     payloads.append(O.build_odt(halves))
+                elif v == 3:
+                    payloads.append(O.build_pptx(halves))
+                else:
+                    payloads.append(
+                        O.build_xlsx(
+                            [[[t[:20], t[20:40]],
+                              [t[40:60], str(did % 97)]]]
+                        )
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     files = d.mapInPandas(make, "doc_id long, payload binary")
@@ -3258,17 +3284,20 @@ def q_crawl_archive_7z(spark: SparkSession, sf: str) -> DataFrame:
     "q_crawl_office_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE CAST(doc_id % 3 AS INTEGER)
-         WHEN 0 THEN 'docx' WHEN 1 THEN 'epub' ELSE 'odt' END AS doc_format,
-       CASE CAST(doc_id % 3 AS INTEGER)
-         WHEN 0 THEN 'Doc ' WHEN 1 THEN 'Book ' ELSE 'Odt ' END
+       CASE CAST(doc_id % 5 AS INTEGER)
+         WHEN 0 THEN 'docx' WHEN 1 THEN 'epub' WHEN 2 THEN 'odt'
+         WHEN 3 THEN 'pptx' ELSE 'xlsx' END AS doc_format,
+       CASE CAST(doc_id % 5 AS INTEGER)
+         WHEN 0 THEN 'Doc ' WHEN 1 THEN 'Book ' WHEN 2 THEN 'Odt '
+         WHEN 3 THEN 'Deck ' ELSE 'Workbook ' END
          || CAST(doc_id AS VARCHAR) AS title,
        'author-' || CAST(doc_id % 7 AS VARCHAR) AS creator,
-       CASE WHEN doc_id % 3 = 1 THEN
+       CASE WHEN doc_id % 5 = 1 THEN
          CASE CAST(doc_id % 4 AS INTEGER)
            WHEN 0 THEN 'en' WHEN 1 THEN 'nb' WHEN 2 THEN 'de' ELSE 'fr' END
        ELSE '' END AS language,
-       CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS BIGINT) AS n_parts
+       CAST(CASE WHEN doc_id % 5 IN (1, 3) THEN 2 ELSE 1 END AS BIGINT)
+         AS n_parts
 FROM documents WHERE doc_id < 240
 """,
     tags=("llm", "source", "text", "crawl", "office", "pandas-udf"),
@@ -3298,7 +3327,7 @@ def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
                 did = int(did)
                 t = str(text)
                 creator = f"author-{did % 7}"
-                v = did % 3
+                v = did % 5
                 if v == 0:
                     payloads.append(
                         O.build_docx(
@@ -3314,10 +3343,26 @@ def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
                             language=("en", "nb", "de", "fr")[did % 4],
                         )
                     )
-                else:
+                elif v == 2:
                     payloads.append(
                         O.build_odt(
                             [t[:40]], title=f"Odt {did}", creator=creator
+                        )
+                    )
+                elif v == 3:
+                    payloads.append(
+                        O.build_pptx(
+                            [t[:40], t[40:80]],
+                            title=f"Deck {did}",
+                            creator=creator,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        O.build_xlsx(
+                            [[[t[:20], t[20:40]]]],
+                            title=f"Workbook {did}",
+                            creator=creator,
                         )
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

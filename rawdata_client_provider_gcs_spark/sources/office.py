@@ -18,6 +18,22 @@ Per-format part discovery:
 - **ODT** (ODF 1.3 §2.2): ``mimetype`` ==
   ``application/vnd.oasis.opendocument.text``; one part,
   ``content.xml``.
+- **PPTX** (OPC, PresentationML): ``ppt/presentation.xml``'s
+  ``<p:sldIdLst>`` orders the slides by ``r:id``;
+  ``ppt/_rels/presentation.xml.rels`` resolves each to its
+  ``slides/slideN.xml`` part — one output row per slide, in
+  presentation order (the EPUB-spine shape with OPC relationships
+  instead of an OPF manifest).
+- **XLSX** (OPC, SpreadsheetML): ``xl/workbook.xml``'s ``<sheet>``
+  list orders the worksheets by ``r:id`` via
+  ``xl/_rels/workbook.xml.rels`` — one output row per sheet.  Cell
+  text is NOT in the sheet part (``t="s"`` cells store indices into
+  ``xl/sharedStrings.xml``), so the kernel resolves shared-string /
+  inline-string / numeric cells in reading order into a synthetic
+  ``<x:c>`` part, keeping values entity-escaped so the Catalyst
+  tag-strip/entity chain downstream stays the single decode point.
+  Rich-text phonetic runs (``<rPh>``) are out of the documented
+  subset.
 
 Container navigation uses linear ``str.find`` passes, never lazy
 regexes (hostile unclosed-opener markup is quadratic there — the
@@ -44,6 +60,9 @@ _ODT_MIME = b"application/vnd.oasis.opendocument.text"
 #: millions of rows
 MAX_SPINE_PARTS = 4096
 
+#: hard cap on cells walked per worksheet (bomb guard)
+MAX_SHEET_CELLS = 1 << 20
+
 
 def _attr(tag: str, name: str) -> str | None:
     """Value of ``name="..."`` inside one tag's text (single or double
@@ -67,6 +86,127 @@ def _tags(xml: str, name: str) -> list[str]:
         end = chunk.find(">")
         out.append(chunk if end < 0 else chunk[:end])
     return out
+
+
+def _elements(xml: str, name: str) -> list[str]:
+    """Every ``<name ...>body</name>`` body (self-closing → empty
+    string), linear split passes — same discipline as :func:`_tags`."""
+    out = []
+    close = f"</{name}>"
+    for chunk in xml.split(f"<{name}")[1:]:
+        if chunk[:1] not in (" ", "\t", "\n", "\r", ">"):
+            continue
+        gt = chunk.find(">")
+        if gt < 0:
+            break
+        if chunk[gt - 1 : gt] == "/":
+            out.append("")
+            continue
+        end = chunk.find(close, gt + 1)
+        out.append(chunk[gt + 1 : end] if end >= 0 else chunk[gt + 1 :])
+    return out
+
+
+def _first_element(xml: str, name: str) -> str | None:
+    els = _elements(xml, name)
+    return els[0] if els else None
+
+
+def _rels_of(members: dict[str, bytes], rels_path: str) -> dict[str, str]:
+    """OPC relationships part → ``{Id: Target}``."""
+    rels_xml = members.get(rels_path, b"").decode("utf-8", "replace")
+    rels: dict[str, str] = {}
+    for t in _tags(rels_xml, "Relationship"):
+        rid, target = _attr(t, "Id"), _attr(t, "Target")
+        if rid and target:
+            rels[rid] = target
+    return rels
+
+
+def _opc_part(
+    members: dict[str, bytes],
+    rels: dict[str, str],
+    rid: str,
+    base_dir: str,
+    what: str,
+) -> tuple[str, bytes]:
+    """Resolve one relationship id to its part (path, bytes)."""
+    target = rels.get(rid)
+    if target is None:
+        raise ValueError(f"{what}: relationship {rid!r} not in .rels")
+    path = target[1:] if target.startswith("/") else _resolve(base_dir, target)
+    body = members.get(path)
+    if body is None:
+        raise ValueError(f"{what}: part {path!r} missing from the package")
+    return path, body
+
+
+def _shared_strings(data: bytes | None) -> list[str]:
+    """``xl/sharedStrings.xml`` → ordered ``<si>`` texts (all ``<t>``
+    runs concatenated, still entity-escaped — the Catalyst chain is
+    the single decode point)."""
+    if data is None:
+        return []
+    xml = data.decode("utf-8", "replace")
+    return [
+        "".join(_elements(si, "t")) for si in _elements(xml, "si")
+    ]
+
+
+def _sheet_to_part(sheet_xml: str, shared: list[str]) -> str:
+    """One worksheet → synthetic ``<x:c>`` XML with every cell's text
+    resolved in reading order (row-major document order): ``t="s"``
+    via the shared-string table, ``t="inlineStr"`` from its ``<is>``
+    runs, everything else (n/str/b/e) from its ``<v>`` body."""
+    vals: list[str] = []
+    n_cells = 0
+    for chunk in sheet_xml.split("<c")[1:]:
+        if chunk[:1] not in (" ", ">"):
+            continue  # <cols>, <col, <cellXfs …
+        n_cells += 1
+        if n_cells > MAX_SHEET_CELLS:
+            raise ValueError(
+                f"xlsx: sheet over {MAX_SHEET_CELLS} cells (bomb)"
+            )
+        gt = chunk.find(">")
+        if gt < 0:
+            break
+        tag = chunk[:gt]
+        if tag.endswith("/"):
+            continue  # empty cell
+        body = chunk[gt + 1 :]
+        end = body.find("</c>")
+        if end >= 0:
+            body = body[:end]
+        ctype = _attr(tag, "t") or "n"
+        if ctype == "s":
+            v = _first_element(body, "v")
+            if v is None:
+                continue
+            try:
+                idx = int(v.strip())
+            except ValueError:
+                raise ValueError(
+                    f"xlsx: non-numeric shared-string index {v.strip()!r}"
+                )
+            if not 0 <= idx < len(shared):
+                raise ValueError(
+                    f"xlsx: shared-string index {idx} out of range "
+                    f"({len(shared)} strings)"
+                )
+            vals.append(shared[idx])
+        elif ctype == "inlineStr":
+            is_body = _first_element(body, "is")
+            vals.append("".join(_elements(is_body or "", "t")))
+        else:
+            v = _first_element(body, "v")
+            if v is not None:
+                vals.append(v)
+    return (
+        "<x:sheet>"
+        + "".join(f"<x:c>{v}</x:c>" for v in vals)
+        + "</x:sheet>"
+    )
 
 
 def _resolve(base_dir: str, href: str) -> str:
@@ -161,9 +301,65 @@ def _container_parts(
             [("word/document.xml", body.decode("utf-8", "replace"))],
             meta,
         )
+
+    pres = members.get("ppt/presentation.xml")
+    if pres is not None:
+        xml = pres.decode("utf-8", "replace")
+        lst = xml.split("<p:sldIdLst")
+        slide_rids: list[str] = []
+        if len(lst) > 1:
+            for t in _tags(lst[1].split("</p:sldIdLst>")[0], "p:sldId"):
+                rid = _attr(t, "r:id")
+                if rid:
+                    slide_rids.append(rid)
+        if not slide_rids:
+            raise ValueError("pptx: presentation has no slide list")
+        if len(slide_rids) > MAX_SPINE_PARTS:
+            raise ValueError(
+                f"pptx: slide list over {MAX_SPINE_PARTS} parts (bomb)"
+            )
+        rels = _rels_of(members, "ppt/_rels/presentation.xml.rels")
+        parts = []
+        for rid in slide_rids:
+            path, body = _opc_part(members, rels, rid, "ppt/", "pptx")
+            parts.append((path, body.decode("utf-8", "replace")))
+        meta = members.get("docProps/core.xml", b"").decode(
+            "utf-8", "replace"
+        )
+        return "pptx", parts, meta
+
+    wb = members.get("xl/workbook.xml")
+    if wb is not None:
+        xml = wb.decode("utf-8", "replace")
+        sheet_rids = []
+        for t in _tags(xml, "sheet"):
+            rid = _attr(t, "r:id")
+            if rid:
+                sheet_rids.append(rid)
+        if not sheet_rids:
+            raise ValueError("xlsx: workbook has no sheets")
+        if len(sheet_rids) > MAX_SPINE_PARTS:
+            raise ValueError(
+                f"xlsx: sheet list over {MAX_SPINE_PARTS} parts (bomb)"
+            )
+        rels = _rels_of(members, "xl/_rels/workbook.xml.rels")
+        shared = _shared_strings(members.get("xl/sharedStrings.xml"))
+        parts = []
+        for rid in sheet_rids:
+            path, body = _opc_part(members, rels, rid, "xl/", "xlsx")
+            parts.append(
+                (path, _sheet_to_part(body.decode("utf-8", "replace"),
+                                      shared))
+            )
+        meta = members.get("docProps/core.xml", b"").decode(
+            "utf-8", "replace"
+        )
+        return "xlsx", parts, meta
+
     raise ValueError(
-        "office: zip is not a DOCX/EPUB/ODT container "
-        "(no word/document.xml, epub mimetype, or odt mimetype)"
+        "office: zip is not a DOCX/EPUB/ODT/PPTX/XLSX container "
+        "(no word/document.xml, ppt/presentation.xml, xl/workbook.xml, "
+        "epub mimetype, or odt mimetype)"
     )
 
 
@@ -416,6 +612,190 @@ def build_odt(
             + "</office:meta></office:document-meta>"
         )
         members.append(("meta.xml", meta.encode()))
+    return build_zip(members)
+
+
+def _core_props(title: str | None, creator: str | None) -> bytes:
+    return (
+        '<?xml version="1.0"?><cp:coreProperties xmlns:cp="http://'
+        'schemas.openxmlformats.org/package/2006/metadata/'
+        'core-properties" xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        + (f"<dc:title>{_xml_escape(title)}</dc:title>" if title else "")
+        + (
+            f"<dc:creator>{_xml_escape(creator)}</dc:creator>"
+            if creator
+            else ""
+        )
+        + "</cp:coreProperties>"
+    ).encode()
+
+
+def build_pptx(
+    slides: list[str],
+    *,
+    title: str | None = None,
+    creator: str | None = None,
+) -> bytes:
+    """Minimal valid OPC/PresentationML: presentation.xml with a
+    ``<p:sldIdLst>`` ordering the slides, the .rels part resolving
+    each ``r:id``, and one ``slides/slideN.xml`` per entry carrying a
+    single ``<a:t>`` text run.  Relationship ids are deliberately
+    emitted in REVERSED .rels file order so a reader that ignores
+    ``sldIdLst`` order fails the fixtures."""
+    from .archive import build_zip
+
+    types = (
+        '<?xml version="1.0"?><Types xmlns="http://schemas.'
+        'openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/ppt/presentation.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.presentationml.'
+        'presentation.main+xml"/></Types>'
+    )
+    sld_ids = "".join(
+        f'<p:sldId id="{256 + i}" r:id="rId{i + 2}"/>'
+        for i in range(len(slides))
+    )
+    pres = (
+        '<?xml version="1.0"?><p:presentation xmlns:p="http://schemas.'
+        'openxmlformats.org/presentationml/2006/main" xmlns:r="http://'
+        'schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        f"<p:sldIdLst>{sld_ids}</p:sldIdLst></p:presentation>"
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+        'openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 2}" Type="http://schemas.'
+            "openxmlformats.org/officeDocument/2006/relationships/slide"
+            f'" Target="slides/slide{i + 1}.xml"/>'
+            for i in reversed(range(len(slides)))
+        )
+        + "</Relationships>"
+    )
+    members = [
+        ("[Content_Types].xml", types.encode()),
+        ("ppt/presentation.xml", pres.encode()),
+        ("ppt/_rels/presentation.xml.rels", rels.encode()),
+    ]
+    for i, text in enumerate(slides):
+        slide = (
+            '<?xml version="1.0"?><p:sld xmlns:p="http://schemas.'
+            'openxmlformats.org/presentationml/2006/main" xmlns:a="http://'
+            'schemas.openxmlformats.org/drawingml/2006/main">'
+            "<p:cSld><p:spTree><p:sp><p:txBody><a:p><a:r><a:t>"
+            + _xml_escape(text)
+            + "</a:t></a:r></a:p></p:txBody></p:sp></p:spTree></p:cSld>"
+            "</p:sld>"
+        )
+        members.append((f"ppt/slides/slide{i + 1}.xml", slide.encode()))
+    if title is not None or creator is not None:
+        members.append(("docProps/core.xml", _core_props(title, creator)))
+    return build_zip(members)
+
+
+def build_xlsx(
+    sheets: list[list[list[str]]],
+    *,
+    title: str | None = None,
+    creator: str | None = None,
+    inline_every: int = 3,
+) -> bytes:
+    """Minimal valid OPC/SpreadsheetML: workbook.xml ordering the
+    sheets, the .rels part, one ``worksheets/sheetN.xml`` per sheet,
+    and ``xl/sharedStrings.xml``.  Cells that look numeric
+    (``int()``-parseable) are written as plain ``<v>`` values; every
+    ``inline_every``-th string cell is written as an ``inlineStr``
+    (so both string paths are exercised); the rest go through the
+    shared-string table."""
+    from .archive import build_zip
+
+    types = (
+        '<?xml version="1.0"?><Types xmlns="http://schemas.'
+        'openxmlformats.org/package/2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/'
+        'vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        "</Types>"
+    )
+    shared: list[str] = []
+    sheet_parts: list[bytes] = []
+    n_str = 0
+    for rows in sheets:
+        body = []
+        for r, row in enumerate(rows):
+            cells = []
+            for c, val in enumerate(row):
+                ref = f"{chr(65 + (c % 26))}{r + 1}"
+                try:
+                    int(val)
+                    cells.append(f'<c r="{ref}"><v>{val}</v></c>')
+                    continue
+                except ValueError:
+                    pass
+                n_str += 1
+                if n_str % inline_every == 0:
+                    cells.append(
+                        f'<c r="{ref}" t="inlineStr"><is>'
+                        f'<t xml:space="preserve">{_xml_escape(val)}</t>'
+                        "</is></c>"
+                    )
+                else:
+                    shared.append(val)
+                    cells.append(
+                        f'<c r="{ref}" t="s"><v>{len(shared) - 1}</v></c>'
+                    )
+            body.append(f'<row r="{r + 1}">' + "".join(cells) + "</row>")
+        sheet_parts.append(
+            (
+                '<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+                'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+                + "".join(body)
+                + "</sheetData></worksheet>"
+            ).encode()
+        )
+    wb = (
+        '<?xml version="1.0"?><workbook xmlns="http://schemas.'
+        'openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://'
+        'schemas.openxmlformats.org/officeDocument/2006/relationships">'
+        "<sheets>"
+        + "".join(
+            f'<sheet name="S{i + 1}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            for i in range(len(sheets))
+        )
+        + "</sheets></workbook>"
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+        'openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i + 1}" Type="http://schemas.'
+            "openxmlformats.org/officeDocument/2006/relationships/worksheet"
+            f'" Target="worksheets/sheet{i + 1}.xml"/>'
+            for i in range(len(sheets))
+        )
+        + "</Relationships>"
+    )
+    sst = (
+        '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.'
+        f'org/spreadsheetml/2006/main" count="{len(shared)}" '
+        f'uniqueCount="{len(shared)}">'
+        + "".join(
+            f'<si><t xml:space="preserve">{_xml_escape(s)}</t></si>'
+            for s in shared
+        )
+        + "</sst>"
+    )
+    members = [
+        ("[Content_Types].xml", types.encode()),
+        ("xl/workbook.xml", wb.encode()),
+        ("xl/_rels/workbook.xml.rels", rels.encode()),
+        ("xl/sharedStrings.xml", sst.encode()),
+    ]
+    for i, part in enumerate(sheet_parts):
+        members.append((f"xl/worksheets/sheet{i + 1}.xml", part))
+    if title is not None or creator is not None:
+        members.append(("docProps/core.xml", _core_props(title, creator)))
     return build_zip(members)
 
 

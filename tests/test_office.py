@@ -190,3 +190,176 @@ def test_office_info_metadata_and_hostility():
     assert O._dc('<dc:title id="t">Yes</dc:title>', "title") == "Yes"
     with pytest.raises(ValueError):
         O.office_info_of(A.build_zip([("x.txt", b"plain")]))
+
+
+# --------------------------------------------------------------- round 12:
+# PPTX / XLSX (the rest of the OPC family)
+
+
+def test_pptx_slide_order_beats_rels_order():
+    """build_pptx writes the .rels entries REVERSED; the reader must
+    order slides by sldIdLst, so a rels-order walk fails here."""
+    p = O.build_pptx(["first slide", "second slide", "third slide"])
+    fmt, parts = O.office_parts_of(p)
+    assert fmt == "pptx"
+    assert [n for n, _ in parts] == [
+        "ppt/slides/slide1.xml", "ppt/slides/slide2.xml",
+        "ppt/slides/slide3.xml",
+    ]
+    assert "first slide" in parts[0][1]
+    assert "third slide" in parts[2][1]
+
+
+def test_pptx_hostile_shapes():
+    # no slide list
+    blob = A.build_zip([
+        ("ppt/presentation.xml", b"<p:presentation/>"),
+    ])
+    with pytest.raises(ValueError, match="no slide list"):
+        O.office_parts_of(blob)
+    # slide rid missing from rels
+    blob = A.build_zip([
+        ("ppt/presentation.xml",
+         b'<p:presentation><p:sldIdLst><p:sldId id="256" r:id="rId9"/>'
+         b"</p:sldIdLst></p:presentation>"),
+        ("ppt/_rels/presentation.xml.rels", b"<Relationships/>"),
+    ])
+    with pytest.raises(ValueError, match="not in .rels"):
+        O.office_parts_of(blob)
+    # rels target missing from package
+    blob = A.build_zip([
+        ("ppt/presentation.xml",
+         b'<p:presentation><p:sldIdLst><p:sldId id="256" r:id="rId2"/>'
+         b"</p:sldIdLst></p:presentation>"),
+        ("ppt/_rels/presentation.xml.rels",
+         b'<Relationships><Relationship Id="rId2" '
+         b'Target="slides/slide1.xml"/></Relationships>'),
+    ])
+    with pytest.raises(ValueError, match="missing from the package"):
+        O.office_parts_of(blob)
+    # slide-list bomb
+    ids = "".join(
+        f'<p:sldId id="{i}" r:id="r{i}"/>'
+        for i in range(O.MAX_SPINE_PARTS + 1)
+    )
+    blob = A.build_zip([
+        ("ppt/presentation.xml",
+         f"<p:presentation><p:sldIdLst>{ids}</p:sldIdLst>"
+         "</p:presentation>".encode()),
+    ])
+    with pytest.raises(ValueError, match="bomb"):
+        O.office_parts_of(blob)
+
+
+def test_xlsx_cell_paths_and_reading_order():
+    """Shared-string, inline-string and numeric cells resolve in
+    row-major reading order; absolute-target rels and multi-sheet
+    workbook order hold."""
+    x = O.build_xlsx(
+        [[["alpha", "beta"], ["gamma & d", "42"]],
+         [["second", "sheet"]]],
+    )
+    fmt, parts = O.office_parts_of(x)
+    assert fmt == "xlsx"
+    assert [n for n, _ in parts] == [
+        "xl/worksheets/sheet1.xml", "xl/worksheets/sheet2.xml",
+    ]
+    assert parts[0][1] == (
+        "<x:sheet><x:c>alpha</x:c><x:c>beta</x:c>"
+        "<x:c>gamma &amp; d</x:c><x:c>42</x:c></x:sheet>"
+    )
+    assert parts[1][1] == (
+        "<x:sheet><x:c>second</x:c><x:c>sheet</x:c></x:sheet>"
+    )
+
+
+def test_xlsx_hostile_shapes():
+    # shared-string index out of range
+    blob = A.build_zip([
+        ("xl/workbook.xml",
+         b'<workbook><sheets><sheet name="S1" sheetId="1" r:id="rId1"/>'
+         b"</sheets></workbook>"),
+        ("xl/_rels/workbook.xml.rels",
+         b'<Relationships><Relationship Id="rId1" '
+         b'Target="worksheets/sheet1.xml"/></Relationships>'),
+        ("xl/worksheets/sheet1.xml",
+         b'<worksheet><sheetData><row><c r="A1" t="s"><v>7</v></c>'
+         b"</row></sheetData></worksheet>"),
+    ])
+    with pytest.raises(ValueError, match="out of range"):
+        O.office_parts_of(blob)
+    # non-numeric shared-string index
+    blob = A.build_zip([
+        ("xl/workbook.xml",
+         b'<workbook><sheets><sheet name="S1" sheetId="1" r:id="rId1"/>'
+         b"</sheets></workbook>"),
+        ("xl/_rels/workbook.xml.rels",
+         b'<Relationships><Relationship Id="rId1" '
+         b'Target="worksheets/sheet1.xml"/></Relationships>'),
+        ("xl/worksheets/sheet1.xml",
+         b'<worksheet><sheetData><row><c r="A1" t="s"><v>x</v></c>'
+         b"</row></sheetData></worksheet>"),
+    ])
+    with pytest.raises(ValueError, match="non-numeric"):
+        O.office_parts_of(blob)
+    # workbook without sheets
+    blob = A.build_zip([("xl/workbook.xml", b"<workbook/>")])
+    with pytest.raises(ValueError, match="no sheets"):
+        O.office_parts_of(blob)
+
+
+def test_xlsx_cell_bomb_cap():
+    cells = b'<c r="A1"><v>1</v></c>' * 200
+    # patch the cap down so the test doesn't build a million cells
+    import rawdata_client_provider_gcs_spark.sources.office as o
+
+    old = o.MAX_SHEET_CELLS
+    o.MAX_SHEET_CELLS = 100
+    try:
+        blob = A.build_zip([
+            ("xl/workbook.xml",
+             b'<workbook><sheets><sheet name="S" sheetId="1" '
+             b'r:id="rId1"/></sheets></workbook>'),
+            ("xl/_rels/workbook.xml.rels",
+             b'<Relationships><Relationship Id="rId1" '
+             b'Target="worksheets/sheet1.xml"/></Relationships>'),
+            ("xl/worksheets/sheet1.xml",
+             b"<worksheet><sheetData><row>" + cells
+             + b"</row></sheetData></worksheet>"),
+        ])
+        with pytest.raises(ValueError, match="bomb"):
+            O.office_parts_of(blob)
+    finally:
+        o.MAX_SHEET_CELLS = old
+
+
+def test_pptx_xlsx_metadata():
+    info = O.office_info_of(
+        O.build_pptx(["s1", "s2"], title="Deck <1>", creator="P & Q")
+    )
+    assert info == {"doc_format": "pptx", "title": "Deck <1>",
+                    "creator": "P & Q", "language": "", "n_parts": 2}
+    info = O.office_info_of(O.build_xlsx([[["a"]]], title="Wb"))
+    assert (info["doc_format"], info["title"], info["n_parts"]) == (
+        "xlsx", "Wb", 1,
+    )
+    # absence is data
+    assert O.office_info_of(O.build_pptx(["s"]))["title"] == ""
+
+
+def test_office_text_spark_pptx_xlsx(spark):
+    """The Catalyst text chain over the two new formats: slide runs
+    and resolved cells decode their XML escapes exactly once."""
+    rows = [
+        (0, O.build_pptx(["a & b", "c < d"])),
+        (1, O.build_xlsx([[["x & y", "9"], ["z", "w"]]])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        (r.doc_id, r.part_idx): r for r in O.office_text(df).collect()
+    }
+    assert got[(0, 0)].text == "a & b"
+    assert got[(0, 1)].text == "c < d"
+    assert got[(0, 0)].doc_format == "pptx"
+    assert got[(1, 0)].text == "x & y 9 z w"
+    assert got[(1, 0)].doc_format == "xlsx"
