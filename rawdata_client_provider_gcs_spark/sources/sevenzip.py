@@ -9,9 +9,14 @@ already owns at C speed:
 
 - ``0x00`` Copy, ``0x21`` LZMA2 and ``0x030101`` LZMA1 (``lzma`` in
   ``FORMAT_RAW`` with the coder-properties filter spec),
-- ``0x040108`` Deflate (``zlib`` wbits=-15), ``0x040202`` BZip2.
+- ``0x040108`` Deflate (``zlib`` wbits=-15), ``0x040202`` BZip2
+  (looping fresh decompressors over p7zip's concatenated streams),
+- ``0x03030103`` BCJ x86 and ``0x03`` Delta branch/delta filters in
+  linear 1-in/1-out chains (the ``BCJ→LZMA2`` shape software dumps
+  use) — both decode transforms verified against liblzma's own
+  FILTER_X86/FILTER_DELTA encoders.
 
-Multi-coder folders (BCJ/BCJ2 branch filters, AES) raise
+Multi-INPUT coder folders (BCJ2's 4-stream splitter, AES) raise
 :class:`~..operators.rawavi.UnsupportedCodecError` per archive — a
 recognized container whose codec chain is out of scope, never a
 job-killing error.  Compressed headers (``kEncodedHeader``) decode
@@ -67,10 +72,92 @@ _K_ENCODED_HEADER = 0x17
 _K_DUMMY = 0x19
 
 _METHOD_COPY = 0x00
+_METHOD_DELTA = 0x03
 _METHOD_LZMA2 = 0x21
 _METHOD_LZMA1 = 0x030101
+_METHOD_BCJ_X86 = 0x03030103
 _METHOD_DEFLATE = 0x040108
 _METHOD_BZIP2 = 0x040202
+
+
+# ---------------------------------------------------------------------------
+# Branch filters (decode side)
+# ---------------------------------------------------------------------------
+
+#: BCJ x86 mask tables (public filter spec, shared by the 7z and xz
+#: container formats): whether a given 3-bit history of recent E8/E9
+#: bytes allows a conversion, and which trailing byte to test.
+_BCJ_ALLOWED = (True, True, True, False, True, False, False, False)
+_BCJ_BITNUM = (0, 1, 2, 2, 3, 3, 3, 3)
+
+
+def bcj_x86_decode(data: bytes) -> bytes:
+    """Reverse the BCJ x86 branch filter: E8/E9 call/jump targets were
+    converted to absolute addresses before compression; convert them
+    back to relative displacements.  One-shot (whole folder in memory,
+    stream position 0).  Verified against liblzma's FILTER_X86 encoder
+    in the tests — an independent C implementation of the same public
+    transform."""
+    buf = bytearray(data)
+    n = len(buf)
+    if n <= 4:
+        return bytes(buf)
+    prev_pos = -1
+    prev_mask = 0
+    i = 0
+    end = n - 4
+    while i < end:
+        if (buf[i] & 0xFE) != 0xE8:
+            i += 1
+            continue
+        d = i - prev_pos
+        if d > 3:
+            prev_mask = 0
+        else:
+            prev_mask = (prev_mask << (d - 1)) & 7
+            if prev_mask != 0:
+                b = buf[i + 4 - _BCJ_BITNUM[prev_mask]]
+                if not _BCJ_ALLOWED[prev_mask] or b in (0, 0xFF):
+                    prev_pos = i
+                    prev_mask = ((prev_mask << 1) | 1) & 7
+                    i += 1
+                    continue
+        prev_pos = i
+        if buf[i + 4] in (0, 0xFF):
+            src = int.from_bytes(buf[i + 1 : i + 5], "little")
+            while True:
+                dest = (src - (i + 5)) & 0xFFFFFFFF
+                if prev_mask == 0:
+                    break
+                jbits = _BCJ_BITNUM[prev_mask] * 8
+                b = (dest >> (24 - jbits)) & 0xFF
+                if b not in (0, 0xFF):
+                    break
+                src = dest ^ ((1 << (32 - jbits)) - 1)
+            dest &= 0x01FFFFFF
+            if dest & 0x01000000:
+                dest |= 0xFE000000
+            buf[i + 1 : i + 5] = dest.to_bytes(4, "little")
+            i += 5
+        else:
+            prev_mask = ((prev_mask << 1) | 1) & 7
+            i += 1
+    return bytes(buf)
+
+
+def delta_decode(data: bytes, dist: int) -> bytes:
+    """Reverse the Delta filter (byte-wise delta at ``dist``): each
+    output byte is the running mod-256 sum of its lane — a cumsum per
+    residue class, vectorized."""
+    if not 1 <= dist <= 256:
+        raise ValueError(f"7z: delta distance {dist} out of range")
+    import numpy as np
+
+    arr = np.frombuffer(data, np.uint8).copy()
+    for r in range(dist):
+        lane = arr[r::dist]
+        np.cumsum(lane, dtype=np.uint8, out=lane)
+    return arr.tobytes()
 
 
 class _R:
@@ -140,6 +227,20 @@ def _decode_coder(method: int, props: bytes, data: bytes, out_size: int) -> byte
         if len(data) < out_size:
             raise ValueError("7z: copy coder input shorter than its output")
         return data[:out_size]
+    if method == _METHOD_BCJ_X86:
+        if props:
+            raise UnsupportedCodecError(
+                "7z: BCJ x86 with a start-offset property is not supported"
+            )
+        if len(data) < out_size:
+            raise ValueError("7z: BCJ input shorter than declared output")
+        return bcj_x86_decode(data[:out_size])
+    if method == _METHOD_DELTA:
+        if len(props) != 1:
+            raise ValueError("7z: Delta coder without its distance byte")
+        if len(data) < out_size:
+            raise ValueError("7z: Delta input shorter than declared output")
+        return delta_decode(data[:out_size], props[0] + 1)
     if method == _METHOD_LZMA2:
         if len(props) != 1:
             raise ValueError("7z: LZMA2 coder without its dictionary byte")
@@ -375,11 +476,12 @@ def _parse_streams_info(r: _R) -> dict:
 def _decode_folders(data: bytes, info: dict, base: int) -> list[bytes]:
     """Decode every folder's final output; pack streams are laid out
     back to back from ``base + pack_pos``."""
-    # Guard the SUM of declared folder outputs before decoding anything:
-    # per-folder checks alone let a crafted multi-folder archive (each
-    # folder ≤1 GiB, ~150 KB of LZMA2 zeros per declared GiB) materialize
-    # tens of GiB before any single-folder guard trips.
-    declared = sum(f["out_size"] for f in info["folders"])
+    # Guard the SUM of declared folder outputs — INCLUDING every
+    # intermediate coder stage of a filter chain — before decoding
+    # anything: per-folder checks alone let a crafted multi-folder
+    # archive (each folder ≤1 GiB, ~150 KB of LZMA2 zeros per declared
+    # GiB) materialize tens of GiB before any single-folder guard trips.
+    declared = sum(sum(f["out_sizes"]) for f in info["folders"])
     if declared > MAX_TOTAL_BYTES:
         raise ValueError(
             f"7z: folders declare {declared} bytes total, past the "
@@ -391,11 +493,6 @@ def _decode_folders(data: bytes, info: dict, base: int) -> list[bytes]:
     sizes = info["pack_sizes"]
     si = 0
     for f in info["folders"]:
-        if len(f["coders"]) != 1:
-            raise UnsupportedCodecError(
-                "7z: multi-coder folders (BCJ/BCJ2/AES chains) are not "
-                "in the supported set"
-            )
         n = f["n_packed"]
         if si + n > len(sizes):
             raise ValueError("7z: folder consumes more pack streams than exist")
@@ -407,18 +504,50 @@ def _decode_folders(data: bytes, info: dict, base: int) -> list[bytes]:
             packed += data[pos : pos + ln]
             pos += ln
         si += n
-        coder = f["coders"][0]
-        decoded_total += f["out_size"]
+        decoded_total += sum(f["out_sizes"])
         if decoded_total > MAX_TOTAL_BYTES:
             raise ValueError(
                 f"7z: running decode total {decoded_total} past the "
                 f"{MAX_TOTAL_BYTES}-byte guard (bomb)"
             )
-        outs.append(
-            _decode_coder(coder["method"], coder["props"], packed,
-                          f["out_size"])
-        )
+        outs.append(_decode_folder_chain(f, packed))
     return outs
+
+
+def _decode_folder_chain(f: dict, packed: bytes) -> bytes:
+    """Decode one folder: a single coder, or a linear chain of
+    single-input/single-output coders (the BCJ→LZMA / Delta→LZMA
+    shapes).  Coders with multiple inputs (BCJ2's 4-stream splitter,
+    AES with its key stream) stay out of scope."""
+    coders = f["coders"]
+    if len(coders) == 1:
+        return _decode_coder(coders[0]["method"], coders[0]["props"],
+                             packed, f["out_size"])
+    if any(c["n_in"] != 1 or c["n_out"] != 1 for c in coders):
+        raise UnsupportedCodecError(
+            "7z: multi-input coder chains (BCJ2/AES) are not in the "
+            "supported set"
+        )
+    # 1-in/1-out coders: input index i == coder i, output index j ==
+    # coder j.  Bind pairs connect input #in to output #out; the one
+    # unbound input eats the pack stream, the one unbound output is
+    # the folder result.
+    in_bound = {i for i, _ in f["bind_pairs"]}   # inputs fed by a coder
+    next_of = {o: i for i, o in f["bind_pairs"]}  # output j -> input it feeds
+    starts = [i for i in range(len(coders)) if i not in in_bound]
+    if len(starts) != 1:
+        raise ValueError("7z: folder chain has no single packed input")
+    cur = starts[0]
+    data = packed
+    for _ in range(len(coders)):
+        c = coders[cur]
+        data = _decode_coder(c["method"], c["props"], data,
+                             f["out_sizes"][cur])
+        nxt = next_of.get(cur)
+        if nxt is None:
+            return data  # unbound output: the folder result
+        cur = nxt
+    raise ValueError("7z: folder coder chain has a cycle")
 
 
 def _parse_files_info(r: _R, n_sub_total: int) -> list[dict]:

@@ -304,3 +304,240 @@ def test_plain_notimplementederror_stays_loud(spark):
     ):
         with pytest.raises(Exception):
             A.archive_members(df).collect()
+
+
+# --------------------------------------------------------------- round 12:
+# BCJ x86 / Delta filter chains
+
+
+def _code_fixture(seed: int = 5, n: int = 4000) -> bytes:
+    """Synthetic x86-like bytes rich in E8/E9 branches with small
+    (convertible) targets."""
+    import random
+
+    rng = random.Random(seed)
+    code = bytearray()
+    for _ in range(n):
+        r = rng.random()
+        if r < 0.25:
+            code.append(0xE8 if r < 0.15 else 0xE9)
+            code += rng.randrange(0, 1 << 22).to_bytes(4, "little")
+        else:
+            code += bytes(
+                rng.randrange(256) for _ in range(rng.randrange(1, 8))
+            )
+    return bytes(code)
+
+
+def _chain_7z(blob: bytes, packed: bytes, coders: list[tuple[int, bytes]],
+              bind_pairs: list[tuple[int, int]]) -> bytes:
+    """Hand-assembled single-folder 7z with an arbitrary coder chain.
+    ``coders``: (method, props) in header order; every coder 1-in/1-out;
+    out size of every stage = len(blob)."""
+    import binascii
+    import struct
+
+    w = S._W()
+    w.number(S._K_HEADER)
+    w.number(S._K_MAIN_STREAMS)
+    w.number(S._K_PACK_INFO)
+    w.number(0)
+    w.number(1)
+    w.number(S._K_SIZE)
+    w.number(len(packed))
+    w.number(S._K_END)
+    w.number(S._K_UNPACK_INFO)
+    w.number(S._K_FOLDER)
+    w.number(1)
+    w.byte(0)
+    w.number(len(coders))
+    for method, props in coders:
+        mid = method.to_bytes(max(1, (method.bit_length() + 7) // 8), "big")
+        w.byte(len(mid) | (0x20 if props else 0))
+        w.b += mid
+        if props:
+            w.number(len(props))
+            w.b += props
+    for i, o in bind_pairs:
+        w.number(i)
+        w.number(o)
+    w.number(S._K_CODERS_UNPACK_SIZE)
+    for _ in coders:
+        w.number(len(blob))
+    w.number(S._K_END)
+    w.number(S._K_END)
+    w.number(S._K_FILES_INFO)
+    w.number(1)
+    names = "m.bin\x00".encode("utf-16-le")
+    w.number(S._K_NAME)
+    w.number(len(names) + 1)
+    w.byte(0)
+    w.b += names
+    w.number(S._K_END)
+    w.number(S._K_END)
+    header = bytes(w.b)
+    out = bytearray(S.SEVENZIP_MAGIC + bytes([0, 4]))
+    start = struct.pack(
+        "<QQI", len(packed), len(header),
+        binascii.crc32(header) & 0xFFFFFFFF,
+    )
+    out += struct.pack("<I", binascii.crc32(start) & 0xFFFFFFFF)
+    out += start + packed + header
+    return bytes(out)
+
+
+def test_bcj_x86_inverts_liblzma_encoder():
+    """liblzma's FILTER_X86 (independent C implementation of the same
+    public transform) encodes; our decoder must invert bit-exactly."""
+    import lzma
+
+    code = _code_fixture()
+    raw = lzma.compress(
+        code, format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_X86},
+                 {"id": lzma.FILTER_LZMA2, "preset": 6}],
+    )
+    mid = lzma.decompress(
+        raw, format=lzma.FORMAT_RAW, filters=[{"id": lzma.FILTER_LZMA2}]
+    )
+    assert mid != code  # the filter really transformed something
+    assert S.bcj_x86_decode(mid) == code
+
+
+def test_delta_inverts_liblzma_encoder():
+    import lzma
+    import random
+
+    rng = random.Random(6)
+    data = bytes(rng.randrange(256) for _ in range(20000))
+    for dist in (1, 2, 4, 16, 255):
+        raw = lzma.compress(
+            data, format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_DELTA, "dist": dist},
+                     {"id": lzma.FILTER_LZMA2, "preset": 1}],
+        )
+        mid = lzma.decompress(
+            raw, format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_LZMA2}],
+        )
+        assert S.delta_decode(mid, dist) == data
+
+
+@pytest.mark.parametrize("coder_order", ["lzma_first", "bcj_first"])
+def test_7z_bcj_lzma2_chain(coder_order):
+    """A real BCJ+LZMA2 folder: pack -> LZMA2 -> BCJ-decode -> member.
+    The packed bytes come from liblzma's own X86+LZMA2 raw encoder, so
+    the fixture cannot mirror our decoder.  Both header coder orders
+    decode (bind pairs define the topology, not list position)."""
+    import lzma
+
+    code = _code_fixture(seed=9)
+    packed = lzma.compress(
+        code, format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_X86},
+                 {"id": lzma.FILTER_LZMA2, "preset": 6}],
+    )
+    lz = (S._METHOD_LZMA2, bytes([18]))
+    bcj = (S._METHOD_BCJ_X86, b"")
+    if coder_order == "lzma_first":
+        # coder0=LZMA2, coder1=BCJ; BCJ input (1) <- LZMA2 output (0)
+        seven = _chain_7z(code, packed, [lz, bcj], [(1, 0)])
+    else:
+        # coder0=BCJ, coder1=LZMA2; BCJ input (0) <- LZMA2 output (1)
+        seven = _chain_7z(code, packed, [bcj, lz], [(0, 1)])
+    ms = S.parse_7z(seven)
+    assert ms[0]["payload"] == code
+
+
+def test_7z_delta_lzma2_chain():
+    import lzma
+    import random
+
+    rng = random.Random(11)
+    # audio-ish data where delta helps
+    data = bytes((i // 3 + rng.randrange(3)) & 0xFF for i in range(30000))
+    dist = 4
+    packed = lzma.compress(
+        data, format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_DELTA, "dist": dist},
+                 {"id": lzma.FILTER_LZMA2, "preset": 6}],
+    )
+    seven = _chain_7z(
+        data, packed,
+        [(S._METHOD_LZMA2, bytes([18])), (S._METHOD_DELTA, bytes([dist - 1]))],
+        [(1, 0)],
+    )
+    ms = S.parse_7z(seven)
+    assert ms[0]["payload"] == data
+
+
+def test_7z_bcj2_still_unsupported_loudly():
+    """BCJ2 (4-input splitter) and AES stay out of scope — recognized
+    chain, UnsupportedCodecError, never a job-killing error."""
+    import binascii
+    import struct
+
+    w = S._W()
+    w.number(S._K_HEADER)
+    w.number(S._K_MAIN_STREAMS)
+    w.number(S._K_PACK_INFO)
+    w.number(0)
+    w.number(4)
+    w.number(S._K_SIZE)
+    for _ in range(4):
+        w.number(2)
+    w.number(S._K_END)
+    w.number(S._K_UNPACK_INFO)
+    w.number(S._K_FOLDER)
+    w.number(1)
+    w.byte(0)
+    w.number(2)  # LZMA2 + BCJ2(4-in/1-out)
+    w.byte(1 | 0x20)
+    w.byte(S._METHOD_LZMA2)
+    w.number(1)
+    w.b += bytes([18])
+    mid = (0x0303011B).to_bytes(4, "big")
+    w.byte(len(mid) | 0x10)
+    w.b += mid
+    w.number(4)
+    w.number(1)
+    w.number(1)  # bind pair: bcj2 input 1 <- lzma output 0
+    w.number(0)
+    for idx in (0, 2, 3, 4):  # packed stream indices (n_packed=4)
+        w.number(idx)
+    w.number(S._K_CODERS_UNPACK_SIZE)
+    w.number(8)
+    w.number(8)
+    w.number(S._K_END)
+    w.number(S._K_END)
+    w.number(S._K_FILES_INFO)
+    w.number(1)
+    names = "m.bin\x00".encode("utf-16-le")
+    w.number(S._K_NAME)
+    w.number(len(names) + 1)
+    w.byte(0)
+    w.b += names
+    w.number(S._K_END)
+    w.number(S._K_END)
+    header = bytes(w.b)
+    out = bytearray(S.SEVENZIP_MAGIC + bytes([0, 4]))
+    start = struct.pack("<QQI", 8, len(header),
+                        binascii.crc32(header) & 0xFFFFFFFF)
+    out += struct.pack("<I", binascii.crc32(start) & 0xFFFFFFFF)
+    out += start + b"\x00" * 8 + header
+    with pytest.raises(UnsupportedCodecError, match="BCJ2/AES"):
+        S.parse_7z(out)
+
+
+def test_bcj_hostile_and_edges():
+    # short buffers pass through untouched
+    assert S.bcj_x86_decode(b"") == b""
+    assert S.bcj_x86_decode(b"\xe8\x01\x02") == b"\xe8\x01\x02"
+    # non-branch bytes untouched
+    data = bytes(range(200))
+    assert S.bcj_x86_decode(data) == data
+    # delta distance bounds
+    with pytest.raises(ValueError):
+        S.delta_decode(b"abc", 0)
+    with pytest.raises(ValueError):
+        S.delta_decode(b"abc", 257)
