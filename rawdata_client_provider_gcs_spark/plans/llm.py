@@ -3284,19 +3284,20 @@ def q_crawl_archive_7z(spark: SparkSession, sf: str) -> DataFrame:
     "q_crawl_office_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE CAST(doc_id % 5 AS INTEGER)
+       CASE CAST(doc_id % 6 AS INTEGER)
          WHEN 0 THEN 'docx' WHEN 1 THEN 'epub' WHEN 2 THEN 'odt'
-         WHEN 3 THEN 'pptx' ELSE 'xlsx' END AS doc_format,
-       CASE CAST(doc_id % 5 AS INTEGER)
+         WHEN 3 THEN 'pptx' WHEN 4 THEN 'xlsx' ELSE 'doc' END
+         AS doc_format,
+       CASE CAST(doc_id % 6 AS INTEGER)
          WHEN 0 THEN 'Doc ' WHEN 1 THEN 'Book ' WHEN 2 THEN 'Odt '
-         WHEN 3 THEN 'Deck ' ELSE 'Workbook ' END
+         WHEN 3 THEN 'Deck ' WHEN 4 THEN 'Workbook ' ELSE 'Legacy ' END
          || CAST(doc_id AS VARCHAR) AS title,
        'author-' || CAST(doc_id % 7 AS VARCHAR) AS creator,
-       CASE WHEN doc_id % 5 = 1 THEN
+       CASE WHEN doc_id % 6 = 1 THEN
          CASE CAST(doc_id % 4 AS INTEGER)
            WHEN 0 THEN 'en' WHEN 1 THEN 'nb' WHEN 2 THEN 'de' ELSE 'fr' END
        ELSE '' END AS language,
-       CAST(CASE WHEN doc_id % 5 IN (1, 3) THEN 2 ELSE 1 END AS BIGINT)
+       CAST(CASE WHEN doc_id % 6 IN (1, 3, 5) THEN 2 ELSE 1 END AS BIGINT)
          AS n_parts
 FROM documents WHERE doc_id < 240
 """,
@@ -3305,10 +3306,12 @@ FROM documents WHERE doc_id < 240
 def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
     """Office/ebook document metadata, oracle-exact — Dublin Core
     title/creator/language out of the OPF ``<metadata>`` block (EPUB),
-    OPC ``docProps/core.xml`` (DOCX), and ODF ``meta.xml`` (ODT):
-    the per-book fields a curation pipeline keys language filters and
-    dedup heuristics on.  Absence is data (empty string).  All
-    columns closed-form.
+    OPC ``docProps/core.xml`` (DOCX/PPTX/XLSX), ODF ``meta.xml``
+    (ODT), and the OLE2/CFB ``\\x05SummaryInformation`` property set
+    (legacy ``.doc`` — the FAT/miniFAT container walk in
+    :mod:`..sources.cfb`): the per-book fields a curation pipeline
+    keys language filters and dedup heuristics on.  Absence is data
+    (empty string).  All columns closed-form.
     """
     from ..sources import office as O
 
@@ -3327,7 +3330,7 @@ def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
                 did = int(did)
                 t = str(text)
                 creator = f"author-{did % 7}"
-                v = did % 5
+                v = did % 6
                 if v == 0:
                     payloads.append(
                         O.build_docx(
@@ -3357,12 +3360,22 @@ def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
                             creator=creator,
                         )
                     )
-                else:
+                elif v == 4:
                     payloads.append(
                         O.build_xlsx(
                             [[[t[:20], t[20:40]]]],
                             title=f"Workbook {did}",
                             creator=creator,
+                        )
+                    )
+                else:
+                    from ..sources import cfb as Cfb
+
+                    payloads.append(
+                        Cfb.build_cfb(
+                            [("WordDocument", t[:80].encode("utf-8"))],
+                            title=f"Legacy {did}",
+                            author=creator,
                         )
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

@@ -227,8 +227,19 @@ def office_parts_of(data: bytes) -> tuple[str, list[tuple[str, str]]]:
     """One office/ebook file → ``(doc_format, [(part_name, xml), ...])``.
 
     Raises ``ValueError`` on anything that is not a well-formed DOCX,
-    EPUB, or ODT container (per-row capture in :func:`office_parts`).
+    EPUB, ODT, PPTX, or XLSX container (per-row capture in
+    :func:`office_parts`).  Legacy binary Office (OLE2/CFB) is
+    metadata-only by documented design — the WordDocument piece table
+    stays out of scope — so CFB payloads raise here and land per-row,
+    while :func:`office_info` reads their SummaryInformation.
     """
+    from .cfb import sniff_cfb
+
+    if sniff_cfb(data):
+        raise ValueError(
+            "office: OLE2/CFB (.doc/.xls/.ppt) text extraction is "
+            "metadata-only (use office_info)"
+        )
     members = {m["path"]: m["payload"] for m in parse_zip(data)}
     fmt, parts, _meta = _container_parts(members)
     return fmt, parts
@@ -833,9 +844,30 @@ def office_info_of(data: bytes) -> dict:
     when a field or its carrying member is absent — absence is data).
 
     Metadata members per format: EPUB reads the OPF ``<metadata>``
-    block, DOCX ``docProps/core.xml`` (OPC core properties), ODT
-    ``meta.xml`` — all Dublin Core ``dc:`` fields.
+    block, DOCX/PPTX/XLSX ``docProps/core.xml`` (OPC core properties),
+    ODT ``meta.xml`` — all Dublin Core ``dc:`` fields.  Legacy binary
+    Office (.doc/.xls/.ppt — OLE2/CFB containers,
+    :mod:`.cfb`) reads the ``\\x05SummaryInformation`` property set;
+    ``n_parts`` counts the container's streams, language is always
+    absent (the property set has no language field).
     """
+    from .cfb import classify_cfb, parse_cfb, parse_summary_info, sniff_cfb
+
+    if sniff_cfb(data):
+        parsed = parse_cfb(data)
+        entries = parsed["entries"]
+        info = {"title": "", "subject": "", "author": "", "app_name": ""}
+        for e in entries:
+            if e["name"] == "\x05SummaryInformation" and e["payload"]:
+                info = parse_summary_info(e["payload"])
+                break
+        return {
+            "doc_format": classify_cfb(entries),
+            "title": info["title"],
+            "creator": info["author"],
+            "language": "",
+            "n_parts": sum(1 for e in entries if e["type"] == 2),
+        }
     members = {m["path"]: m["payload"] for m in parse_zip(data)}
     fmt, parts, meta_xml = _container_parts(members)
     return {
