@@ -158,28 +158,35 @@ def parse_ts(data: bytes) -> dict:
             limit = min(len(data), pos + 1 + (64 << 10))
             nxt = data.find(b"\x47", pos + 1, limit)
             plausible = -1
-            first = nxt
+            last = -1
             budget = 512  # candidates examined per resync (linearity cap)
+            exhausted = False
             while nxt >= 0 and nxt + _PKT < len(data) and data[nxt + _PKT] != _SYNC:
                 if plausible < 0 and _header_plausible(data, nxt):
                     plausible = nxt
+                last = nxt
                 budget -= 1
                 if budget <= 0:
+                    exhausted = True
                     nxt = -1
                     break
                 nxt = data.find(b"\x47", nxt + 1, limit)
-            if nxt < 0:
-                if plausible >= 0:
-                    nxt = plausible
-                elif first < 0:
-                    # no candidate at all inside the window: skip it
-                    if limit >= len(data):
-                        break
-                    pos = limit
-                    continue
-                else:
-                    break
-            pos = nxt
+            if nxt >= 0:
+                pos = nxt  # stride-confirmed (or trailing candidate)
+            elif plausible >= 0:
+                pos = plausible
+            elif exhausted:
+                # budget spent on hostile 0x47 density: resume right
+                # after the last examined candidate — never re-examine
+                # a byte (linearity), never over-skip real packets
+                pos = last + 1
+            elif limit < len(data):
+                # no candidate at all inside the window: skip it — a
+                # >64 KiB corruption burst must not silently truncate
+                # the rest of the stream
+                pos = limit
+            else:
+                break
             continue
         pkt = data[pos : pos + _PKT]
         pos += _PKT

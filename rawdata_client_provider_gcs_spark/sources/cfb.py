@@ -113,21 +113,26 @@ def parse_cfb(data: bytes) -> dict:
             return data[off:] + b"\x00" * (off + ssize - len(data))
         return data[off : off + ssize]
 
-    # DIFAT: 109 header entries + chained DIFAT sectors
+    # DIFAT: 109 header entries + chained DIFAT sectors.  n_difat is an
+    # attacker-controlled u32 and each sector appends 127 entries, so
+    # the walk is BOTH cycle-guarded and capped at what the file could
+    # physically hold — a self-looping DIFAT must not be a memory bomb.
     difat: list[int] = list(struct.unpack_from("<109I", data, 76))
     cur = first_difat
-    for _ in range(n_difat):
+    seen_difat: set[int] = set()
+    for _ in range(min(n_difat, n_sectors + 1)):
         if cur in (_ENDOFCHAIN, _FREESECT):
             break
         if cur >= n_sectors:
             raise ValueError("cfb: DIFAT sector out of range")
+        if cur in seen_difat:
+            raise ValueError("cfb: DIFAT chain loops")
+        seen_difat.add(cur)
         body = sector(cur)
         vals = struct.unpack(f"<{ssize // 4}I", body)
         difat.extend(vals[:-1])
         cur = vals[-1]
-    fat_sectors = [s for s in difat[: n_fat + len(difat)] if s != _FREESECT][
-        :n_fat
-    ]
+    fat_sectors = [s for s in difat if s != _FREESECT][:n_fat]
     if len(fat_sectors) < n_fat:
         raise ValueError("cfb: DIFAT names fewer FAT sectors than declared")
 
@@ -214,7 +219,18 @@ def parse_cfb(data: bytes) -> dict:
 
 def parse_summary_info(stream: bytes) -> dict:
     """``\\x05SummaryInformation`` property set → ``{title, subject,
-    author, app_name}`` (empty strings when absent — absence is data)."""
+    author, app_name}`` (empty strings when absent — absence is data).
+
+    Raises ``ValueError`` on any malformed bytes — including short
+    buffers that would otherwise surface as ``struct.error``, which is
+    NOT a per-row capture class."""
+    try:
+        return _parse_summary_info(stream)
+    except struct.error as exc:
+        raise ValueError(f"oleps: truncated property set: {exc}")
+
+
+def _parse_summary_info(stream: bytes) -> dict:
     out = {"title": "", "subject": "", "author": "", "app_name": ""}
     if len(stream) < 48:
         raise ValueError("oleps: property set stream too short")
@@ -376,8 +392,6 @@ def build_cfb(
             fat.append(start + k + 1 if k < n - 1 else _ENDOFCHAIN)
         return start
 
-    dir_start_placeholder = None  # directory built after starts known
-
     # reserve directory chain positions first so its start is stable
     dir_start = 1 + len(sectors)
     for k in range(n_dir_sectors):
@@ -398,26 +412,38 @@ def build_cfb(
         big_starts[idx] = alloc(body)
 
     def dir_entry(name: str, etype: int, start: int, size: int,
-                  child: int = _FREESECT) -> bytes:
+                  child: int = _FREESECT, right: int = _FREESECT) -> bytes:
         raw = name.encode("utf-16-le")
         e = bytearray(128)
         e[: len(raw)] = raw
         struct.pack_into("<H", e, 64, len(raw) + 2)
         e[66] = etype
         e[67] = 1  # black
-        struct.pack_into("<III", e, 68, _FREESECT, _FREESECT, child)
+        struct.pack_into("<III", e, 68, _FREESECT, right, child)
         struct.pack_into("<I", e, 116, start)
         struct.pack_into("<Q", e, 120, size)
         return bytes(e)
 
+    # Directory tree: entries sorted by the CFB name order (UTF-16
+    # length, then uppercased name) and linked as a right-descending
+    # chain — a degenerate but VALID sibling BST, so conforming
+    # readers walking root→child→right see every stream (a flat
+    # sibling-less list would hide all but the first).
+    order = sorted(
+        range(len(all_streams)),
+        key=lambda i: (len(all_streams[i][0].encode("utf-16-le")),
+                       all_streams[i][0].upper()),
+    )
     entries = [
         dir_entry("Root Entry", 5, mini_stream_start, len(mini_stream),
                   child=1)
     ]
-    for i, (name, body) in enumerate(all_streams):
+    for k, i in enumerate(order):
+        name, body = all_streams[i]
         start = (mini_starts[i] if len(body) < cutoff
                  else big_starts.get(i, _ENDOFCHAIN))
-        entries.append(dir_entry(name, 2, start, len(body)))
+        right = k + 2 if k < len(order) - 1 else _FREESECT
+        entries.append(dir_entry(name, 2, start, len(body), right=right))
     dir_blob = b"".join(entries)
     dir_blob += b"\x00" * ((-len(dir_blob)) % ssize)
     for k in range(n_dir_sectors):

@@ -90,10 +90,14 @@ def _tags(xml: str, name: str) -> list[str]:
 
 def _elements(xml: str, name: str) -> list[str]:
     """Every ``<name ...>body</name>`` body (self-closing → empty
-    string), linear split passes — same discipline as :func:`_tags`."""
+    string, including the attribute-less ``<name/>`` form), linear
+    split passes — same discipline as :func:`_tags`."""
     out = []
     close = f"</{name}>"
     for chunk in xml.split(f"<{name}")[1:]:
+        if chunk[:1] == "/" and chunk[1:2] == ">":
+            out.append("")  # bare self-closing <name/>
+            continue
         if chunk[:1] not in (" ", "\t", "\n", "\r", ">"):
             continue
         gt = chunk.find(">")
@@ -161,7 +165,7 @@ def _sheet_to_part(sheet_xml: str, shared: list[str]) -> str:
     vals: list[str] = []
     n_cells = 0
     for chunk in sheet_xml.split("<c")[1:]:
-        if chunk[:1] not in (" ", ">"):
+        if chunk[:1] not in (" ", "\t", "\n", "\r", ">"):
             continue  # <cols>, <col, <cellXfs …
         n_cells += 1
         if n_cells > MAX_SHEET_CELLS:

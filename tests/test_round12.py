@@ -252,3 +252,146 @@ def _hand_bzip2_7z(packed: bytes, blob: bytes) -> bytes:
     out += struct.pack("<I", binascii.crc32(start) & 0xFFFFFFFF)
     out += start + packed + header
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# round-12 review-pass regression pins
+# ---------------------------------------------------------------------------
+
+
+def test_cfb_difat_self_loop_is_bounded():
+    """A self-looping DIFAT chain with a huge declared count must trip
+    the cycle guard immediately, not balloon memory."""
+    import struct as st
+
+    from rawdata_client_provider_gcs_spark.sources import cfb as C
+
+    blob = bytearray(C.build_cfb([("WordDocument", b"x" * 5000)]))
+    st.pack_into("<II", blob, 68, 0, 0xFFFFFFFB)  # first_difat=0, n huge
+    # sector 0 (the FAT) read as a DIFAT sector: last u32 -> self-loop
+    st.pack_into("<I", blob, 512 + 508, 0)
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="loop|out of range|fewer FAT"):
+        C.parse_cfb(bytes(blob))
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_oleps_truncated_is_value_error():
+    """Short property-set buffers raise ValueError (per-row capture),
+    never struct.error."""
+    import struct as st
+
+    from rawdata_client_provider_gcs_spark.sources import cfb as C
+
+    # 56-byte stream passing the explicit checks, then overrunning
+    s = bytearray(56)
+    st.pack_into("<HH", s, 0, 0xFFFE, 0)
+    st.pack_into("<I", s, 24, 1)
+    s[28:44] = C._SUMMARY_FMTID
+    st.pack_into("<I", s, 44, 48)
+    st.pack_into("<II", s, 48, 8, 1)  # sec_size=8, n_props=1
+    with pytest.raises(ValueError):
+        C.parse_summary_info(bytes(s))
+
+
+def test_ts_long_corruption_burst_does_not_truncate():
+    """>64 KiB of hostile 0x47-dense garbage between valid packets:
+    the walk must reach the packets after the burst (the old bounded
+    resync broke out and silently dropped them)."""
+    pkt = bytearray(188)
+    pkt[0] = 0x47
+    pkt[1] = 0x1F
+    pkt[2] = 0xFF
+    pkt[3] = 0x10
+    # 0x47 every 3 bytes, never at stride 188 (188 % 3 == 2), afc=0 at
+    # every candidate's 4th byte -> implausible
+    burst = b"\x00\x47\xfe" * 24000  # 72 KB
+    data = bytes(pkt) + burst + bytes(pkt) * 2
+    t0 = time.monotonic()
+    info = rawts.parse_ts(data)
+    took = time.monotonic() - t0
+    # >= 3: the two packets after the burst are reached (a burst byte
+    # 188 before the first real sync may coincidentally stride-confirm
+    # and add one junk packet — lock-on jitter, not truncation)
+    assert info["n_packets"] >= 3
+    assert took < 20.0
+
+
+def test_xlsx_bare_self_closing_si_keeps_indices_aligned():
+    """<si/> (attribute-less self-closing) is a legal empty shared
+    string; dropping it would shift every later index."""
+    from rawdata_client_provider_gcs_spark.sources import archive as A
+    from rawdata_client_provider_gcs_spark.sources import office as O
+
+    sst = (b'<sst xmlns="x"><si><t>zero</t></si><si/>'
+           b"<si><t>two</t></si></sst>")
+    blob = A.build_zip([
+        ("xl/workbook.xml",
+         b'<workbook><sheets><sheet name="S" sheetId="1" r:id="rId1"/>'
+         b"</sheets></workbook>"),
+        ("xl/_rels/workbook.xml.rels",
+         b'<Relationships><Relationship Id="rId1" '
+         b'Target="worksheets/sheet1.xml"/></Relationships>'),
+        ("xl/sharedStrings.xml", sst),
+        ("xl/worksheets/sheet1.xml",
+         b'<worksheet><sheetData><row><c r="A1" t="s"><v>2</v></c>'
+         b"</row></sheetData></worksheet>"),
+    ])
+    fmt, parts = O.office_parts_of(blob)
+    assert parts[0][1] == "<x:sheet><x:c>two</x:c></x:sheet>"
+
+
+def test_xlsx_cells_with_newline_before_attrs():
+    """<c\\nr="A1"...> (legal XML whitespace) must not be skipped."""
+    from rawdata_client_provider_gcs_spark.sources import archive as A
+    from rawdata_client_provider_gcs_spark.sources import office as O
+
+    blob = A.build_zip([
+        ("xl/workbook.xml",
+         b'<workbook><sheets><sheet name="S" sheetId="1" r:id="rId1"/>'
+         b"</sheets></workbook>"),
+        ("xl/_rels/workbook.xml.rels",
+         b'<Relationships><Relationship Id="rId1" '
+         b'Target="worksheets/sheet1.xml"/></Relationships>'),
+        ("xl/worksheets/sheet1.xml",
+         b"<worksheet><sheetData><row><c\n"
+         b'r="A1"><v>7</v></c></row></sheetData></worksheet>'),
+    ])
+    fmt, parts = O.office_parts_of(blob)
+    assert parts[0][1] == "<x:sheet><x:c>7</x:c></x:sheet>"
+
+
+def test_cfb_sibling_chain_reaches_every_stream():
+    """The fixture directory is a valid right-descending sibling BST:
+    a conforming reader walking root->child->right sees every stream
+    in CFB name order (length first, then uppercased)."""
+    import struct as st
+
+    from rawdata_client_provider_gcs_spark.sources import cfb as C
+
+    blob = C.build_cfb(
+        [("WordDocument", b"w" * 5000), ("Extra", b"e" * 10)],
+        title="t",
+    )
+    dir_start = st.unpack_from("<I", blob, 48)[0]
+    base = 512 + dir_start * 512
+
+    def entry(i):
+        off = base + i * 128
+        nlen = st.unpack_from("<H", blob, off + 64)[0]
+        name = blob[off : off + nlen - 2].decode("utf-16-le")
+        right = st.unpack_from("<I", blob, off + 72)[0]
+        child = st.unpack_from("<I", blob, off + 76)[0]
+        return name, right, child
+
+    name0, _, child = entry(0)
+    assert name0 == "Root Entry" and child == 1
+    seen = []
+    cur = child
+    while cur != 0xFFFFFFFF:
+        name, right, _ = entry(cur)
+        seen.append(name)
+        cur = right
+    # CFB order: byte length, then uppercase — Extra(5) < WordDocument(12)
+    # < \x05SummaryInformation(19)
+    assert seen == ["Extra", "WordDocument", "\x05SummaryInformation"]

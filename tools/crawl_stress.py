@@ -168,8 +168,11 @@ def run_wrapped_bytes(
 ) -> dict:
     """Wrapped-archive peel throughput at real byte weight: each file
     is a tar of text-ish members totaling ``mb_per_file`` MB, wrapped
-    in lz4 (pure-Python decode) or gzip (stdlib zlib, the rewrap
-    recommendation's fast path).  Reports decompressed bytes/s for the
+    in lz4 (pure-Python decode), gzip (stdlib zlib, the rewrap
+    recommendation's fast path), or zst (pure-Python RFC 8878 decode;
+    fixtures come from the system zstd CLI at level 3 so the measured
+    path is real entropy-coded frames, not raw blocks).  Reports
+    decompressed bytes/s for the
     whole box and per core — the number the 6–9 MB/s/core PERF.md
     budget extrapolates from, measured instead at GB scale."""
     import gzip
@@ -205,11 +208,21 @@ def run_wrapped_bytes(
                     body = b"".join(rows)[:member_bytes]
                     members.append((f"d{fid}/m{m:03d}.txt", body))
                 tar = A.build_tar(members)
-                payloads.append(
-                    C.lz4_compress(tar)
-                    if wrapper == "lz4"
-                    else gzip.compress(tar, 1)
-                )
+                if wrapper == "lz4":
+                    payloads.append(C.lz4_compress(tar))
+                elif wrapper == "zst":
+                    import shutil
+                    import subprocess
+
+                    zbin = shutil.which("zstd") or "/root/miniconda/bin/zstd"
+                    payloads.append(
+                        subprocess.run(
+                            [zbin, "-q", "-3", "-c"], input=tar,
+                            capture_output=True, check=True,
+                        ).stdout
+                    )
+                else:
+                    payloads.append(gzip.compress(tar, 1))
             yield pd.DataFrame({"doc_id": pdf["file_id"], "payload": payloads})
 
     files = (
@@ -265,6 +278,7 @@ def main() -> None:
         out = {
             "lz4_1gb": run_wrapped_bytes(spark, args.files, 16, "lz4"),
             "gzip_1gb": run_wrapped_bytes(spark, args.files, 16, "gzip"),
+            "zst_1gb": run_wrapped_bytes(spark, args.files, 16, "zst"),
         }
         print(json.dumps(out))
         spark.stop()
