@@ -227,6 +227,37 @@ def parse_ogg(data: bytes) -> dict:
     if codec is None:
         raise ValueError("ogg: no Vorbis/Opus identification header")
     meta["codec"] = codec
+    if codec == "vorbis":
+        # setup-header structure + window census (operators/rawvorbis):
+        # optional — legacy metadata-only streams lack a setup packet —
+        # but a PRESENT malformed setup is corruption and raises.
+        from . import rawvorbis as _V  # noqa: PLC0415
+
+        setup_pkt = next(
+            (p for s, p in packets
+             if s == audio_serial and p[:7] == b"\x05vorbis"),
+            None,
+        )
+        if setup_pkt is not None:
+            st = _V.parse_setup(setup_pkt, meta["channels"])
+            meta["vorbis_codebooks"] = len(st["codebooks"])
+            meta["vorbis_floor_types"] = [f["type"] for f in st["floors"]]
+            meta["vorbis_residue_types"] = [
+                r["type"] for r in st["residues"]
+            ]
+            meta["vorbis_modes"] = len(st["modes"])
+            meta["vorbis_coupling_steps"] = sum(
+                len(m["coupling"]) for m in st["mappings"]
+            )
+            audio = [
+                p for s, p in packets
+                if s == audio_serial
+                and p[:7] not in (b"\x01vorbis", b"\x03vorbis",
+                                  b"\x05vorbis")
+            ]
+            census = _V.window_census(audio, st["modes"])
+            meta["vorbis_long_blocks"] = census["n_long"]
+            meta["vorbis_short_blocks"] = census["n_short"]
     last = info["last_granule"].get(audio_serial, 0)
     if codec == "opus":
         last = max(0, last - meta.get("pre_skip", 0))
@@ -351,6 +382,7 @@ def build_ogg(
     serial: int = 0x1234,
     pre_skip: int = 312,
     opus_tocs: list[int] | None = None,
+    vorbis_modes: list[int] | None = None,
 ) -> bytes:
     """Write a structurally valid Ogg Vorbis/Opus stream whose audio
     packets are opaque filler (metadata parsing never decodes them).
@@ -358,7 +390,13 @@ def build_ogg(
     With ``opus_tocs`` (codec opus) each entry becomes one audio
     packet led by that TOC byte (code-3 entries get a count byte of
     2 frames appended), spread round-robin over the audio pages — the
-    packet bodies stay filler, only the TOC grammar is real."""
+    packet bodies stay filler, only the TOC grammar is real.
+
+    With ``vorbis_modes`` (codec vorbis) a REAL setup header
+    (:func:`..rawvorbis.build_setup`, two modes short/long) rides the
+    comment page, and each list entry becomes one audio packet whose
+    leading bits select that mode — the window-census grammar is
+    real, the packet bodies stay filler."""
     if codec == "vorbis":
         ident = (
             b"\x01vorbis" + (0).to_bytes(4, "little")
@@ -392,7 +430,13 @@ def build_ogg(
 
     out = bytearray()
     out += _page(serial, 0, 0, [ident], 0x02)  # BOS
-    out += _page(serial, 1, 0, [tag], 0)
+    if codec == "vorbis" and vorbis_modes is not None:
+        from .rawvorbis import build_setup  # noqa: PLC0415
+
+        out += _page(serial, 1, 0, [tag, build_setup(n_modes=2,
+                                                     channels=channels)], 0)
+    else:
+        out += _page(serial, 1, 0, [tag], 0)
     # audio pages with filler packets; granules advance to the total.
     # total_samples is already in granule units (48 kHz ticks for opus,
     # sample_rate ticks for vorbis) — no rate conversion happens here.
@@ -409,6 +453,14 @@ def build_ogg(
                 + (bytes([0x02]) if t & 3 == 3 else b"")
                 + b"\x00" * 40
                 for j, t in enumerate(opus_tocs)
+                if j % n_audio_pages == i
+            ]
+        elif vorbis_modes is not None and codec == "vorbis":
+            from .rawvorbis import audio_packet  # noqa: PLC0415
+
+            pkts = [
+                audio_packet(m, 2)
+                for j, m in enumerate(vorbis_modes)
                 if j % n_audio_pages == i
             ]
         else:

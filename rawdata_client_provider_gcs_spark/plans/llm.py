@@ -5905,6 +5905,93 @@ def q_multimodal_opus_toc(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_vorbis_windows",
+    oracle="""
+WITH pkts AS (
+  SELECT doc_id, CAST((doc_id * 3 + j) % 2 AS INTEGER) AS mode
+  FROM documents, unnest(generate_series(0, 4 + CAST(doc_id % 4 AS INTEGER)))
+    AS t(j)
+  WHERE doc_id < 300
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(1 AS BIGINT) AS n_codebooks,
+       CAST(2 AS BIGINT) AS n_modes,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT)
+         AS coupling_steps,
+       CAST(sum(mode) AS BIGINT) AS long_blocks,
+       CAST(sum(1 - mode) AS BIGINT) AS short_blocks
+FROM pkts GROUP BY doc_id
+""",
+    tags=("llm", "multimodal", "audio", "vorbis", "pandas-udf"),
+    bench=True,
+)
+def q_multimodal_vorbis_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Vorbis setup-header structure + window census, oracle-exact —
+    the full §4.2.4 bit grammar (codebooks with Kraft-validated
+    prefix trees and VQ lookups, floor1, residue, coupled mappings,
+    modes) parsed from a REAL setup header riding each fixture
+    stream, then a per-packet mode decode whose blockflag picks the
+    short or long MDCT window.  The long/short distribution is the
+    codec-level transient census (speech/music discrimination) a
+    curation pass reads without touching floor/residue payloads —
+    which stay the documented loud boundary
+    (``rawogg.decode_ogg_pcm``).  Mode rotation and the one-step
+    stereo coupling are restated closed-form in the oracle.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawogg
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                modes = [(did * 3 + j) % 2 for j in range(5 + did % 4)]
+                payloads.append(
+                    rawogg.build_ogg(
+                        codec="vorbis",
+                        channels=1 if did % 3 == 0 else 2,
+                        vorbis_modes=modes,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ogg": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, ogg binary")
+
+    def meta(batches):
+        import pandas as pd
+
+        from ..operators import rawogg
+
+        cols = ("doc_id", "n_codebooks", "n_modes", "coupling_steps",
+                "long_blocks", "short_blocks")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf["ogg"]):
+                m = rawogg.parse_ogg(bytes(payload))
+                rows["doc_id"].append(int(did))
+                rows["n_codebooks"].append(m["vorbis_codebooks"])
+                rows["n_modes"].append(m["vorbis_modes"])
+                rows["coupling_steps"].append(m["vorbis_coupling_steps"])
+                rows["long_blocks"].append(m["vorbis_long_blocks"])
+                rows["short_blocks"].append(m["vorbis_short_blocks"])
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        meta,
+        "doc_id long, n_codebooks long, n_modes long, "
+        "coupling_steps long, long_blocks long, short_blocks long",
+    )
+
+
+@register(
     "q_multimodal_webm_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
