@@ -28,11 +28,18 @@ Decompression only.  The engine never needs to WRITE zstd (fixtures
 use raw-block frames, which are trivially valid zstd); a real
 compressor would quadruple the module for no reachability gain.
 
+Dictionaries (RFC 8878 §5) are supported both ways a crawl meets
+them: passed explicitly (``dict_data``) or embedded in a leading
+``0x184D2A5D`` skippable frame — raw, structured, or itself
+zstd-compressed — the Common Crawl ``.warc.zst`` convention.  A
+structured dictionary's entropy tables (HUF→OF→ML→LL), repeat
+offsets, and content prefix seed each frame's context.
+
 Bomb/hostility contract matches the archive tier: output caps
-enforced while decoding, ``ValueError`` on malformed bytes for per-row
-capture, ``UnsupportedCodecError`` for frames requiring an external
-dictionary (undecodable without out-of-band data, like a 7z AES
-chain).
+enforced while decoding, ``ValueError`` on malformed bytes for
+per-row capture, ``UnsupportedCodecError`` only for frames that
+declare a dictionary id when no dictionary is available (undecodable
+without out-of-band data, like a 7z AES chain).
 
 Reference behavioral parity: the reference transport requires stored
 files to be readable to be part of the stream
@@ -49,8 +56,13 @@ from ..operators.rawavi import UnsupportedCodecError
 MAX_OUTPUT_BYTES = 1 << 30
 
 ZSTD_MAGIC = b"\x28\xb5\x2f\xfd"
+DICT_MAGIC = b"\x37\xa4\x30\xec"  # 0xEC30A437 LE (RFC 8878 §5)
 _SKIPPABLE_LO = 0x184D2A50
 _SKIPPABLE_HI = 0x184D2A5F
+#: the web-archive convention (Common Crawl .warc.zst): the shared
+#: dictionary rides a leading skippable frame with THIS magic, raw or
+#: itself zstd-compressed
+_SKIPPABLE_DICT = 0x184D2A5D
 _BLOCK_MAX = 1 << 17  # a block regenerates at most 128 KiB (§3.1.1.2.3)
 
 # ---------------------------------------------------------------------------
@@ -691,11 +703,56 @@ def _decode_sequences(
 
 
 # ---------------------------------------------------------------------------
+# Dictionaries (RFC 8878 §5)
+# ---------------------------------------------------------------------------
+
+
+def parse_dictionary(blob: bytes) -> dict:
+    """Parse a zstd dictionary: either the structured format (magic
+    ``0xEC30A437``: dict id, entropy tables in HUF→OF→ML→LL order,
+    three initial repeat offsets, content) or a raw content-only
+    prefix (anything without the magic)."""
+    if blob[:4] != DICT_MAGIC:
+        if not blob:
+            raise ValueError("zstd: empty dictionary")
+        return {"dict_id": 0, "huf": None, "of": None, "ml": None,
+                "ll": None, "rep": None, "content": bytes(blob)}
+    if len(blob) < 8:
+        raise ValueError("zstd: dictionary shorter than its header")
+    did = int.from_bytes(blob[4:8], "little")
+    pos = 8
+    weights, used = _huf_read_weights(blob[pos:])
+    huf = _huf_build(weights)
+    pos += used
+    tables = {}
+    for kind, max_al, max_symbols in (
+        ("of", 8, 32), ("ml", 9, 53), ("ll", 9, 36),
+    ):
+        probs, al, used = _fse_read_distribution(
+            blob[pos:], max_al, max_symbols
+        )
+        tables[kind] = _fse_build(probs, al) + (al,)
+        pos += used
+    if pos + 12 > len(blob):
+        raise ValueError("zstd: dictionary repeat offsets past end")
+    rep = [int.from_bytes(blob[pos + 4 * i : pos + 4 * i + 4], "little")
+           for i in range(3)]
+    if any(r == 0 for r in rep):
+        raise ValueError("zstd: dictionary repeat offset of zero")
+    pos += 12
+    return {"dict_id": did, "huf": huf, "of": tables["of"],
+            "ml": tables["ml"], "ll": tables["ll"], "rep": rep,
+            "content": bytes(blob[pos:])}
+
+
+# ---------------------------------------------------------------------------
 # Frames
 # ---------------------------------------------------------------------------
 
 
-def _decode_frame(data: bytes, off: int, cap: int) -> tuple[bytes, int]:
+def _decode_frame(
+    data: bytes, off: int, cap: int, zdict: dict | None = None
+) -> tuple[bytes, int]:
     """Decode one zstd frame starting at the magic.  Returns
     (content, offset past the frame)."""
     if data[off : off + 4] != ZSTD_MAGIC:
@@ -726,10 +783,17 @@ def _decode_frame(data: bytes, off: int, cap: int) -> tuple[bytes, int]:
     did = int.from_bytes(data[off : off + did_size], "little")
     off += did_size
     if did != 0:
-        raise UnsupportedCodecError(
-            f"zstd: frame requires external dictionary {did} "
-            "(out-of-band data this reader cannot have)"
-        )
+        if zdict is None:
+            raise UnsupportedCodecError(
+                f"zstd: frame requires external dictionary {did} "
+                "(pass dict_data, or embed it in a 0x184D2A5D "
+                "skippable frame per the web-archive convention)"
+            )
+        if zdict["dict_id"] and zdict["dict_id"] != did:
+            raise ValueError(
+                f"zstd: frame wants dictionary {did}, "
+                f"got {zdict['dict_id']}"
+            )
     fcs_size = (1 if single else 0, 2, 4, 8)[fhd >> 6]
     fcs = None
     if fcs_size:
@@ -747,9 +811,19 @@ def _decode_frame(data: bytes, off: int, cap: int) -> tuple[bytes, int]:
             "guard (bomb)"
         )
 
-    out = bytearray()
-    ctx: dict = {"huf": None, "ll": None, "of": None, "ml": None,
-                 "rep": [1, 4, 8]}
+    # With a dictionary, its content is the virtual window prefix and
+    # its entropy tables/rep offsets seed the frame context — the
+    # first block may open with treeless literals or Repeat FSE modes.
+    if zdict is not None:
+        out = bytearray(zdict["content"])
+        ctx: dict = {"huf": zdict["huf"], "ll": zdict["ll"],
+                     "of": zdict["of"], "ml": zdict["ml"],
+                     "rep": list(zdict["rep"] or [1, 4, 8])}
+    else:
+        out = bytearray()
+        ctx = {"huf": None, "ll": None, "of": None, "ml": None,
+               "rep": [1, 4, 8]}
+    base = len(out)
     while True:
         if off + 3 > len(data):
             raise ValueError("zstd: block header past end")
@@ -765,7 +839,7 @@ def _decode_frame(data: bytes, off: int, cap: int) -> tuple[bytes, int]:
                 raise ValueError("zstd: RLE block over the 128 KiB cap")
             if off >= len(data):
                 raise ValueError("zstd: RLE block byte past end")
-            if len(out) + bsize > cap:
+            if len(out) - base + bsize > cap:
                 raise ValueError(
                     f"zstd: output past the {cap}-byte guard (bomb)"
                 )
@@ -779,7 +853,7 @@ def _decode_frame(data: bytes, off: int, cap: int) -> tuple[bytes, int]:
             block = data[off : off + bsize]
             off += bsize
             if btype == 0:  # raw
-                if len(out) + bsize > cap:
+                if len(out) - base + bsize > cap:
                     raise ValueError(
                         f"zstd: output past the {cap}-byte guard (bomb)"
                     )
@@ -787,33 +861,34 @@ def _decode_frame(data: bytes, off: int, cap: int) -> tuple[bytes, int]:
             else:  # compressed
                 before = len(out)
                 lits, used = _decode_literals(block, ctx)
-                _decode_sequences(block[used:], lits, out, ctx, cap)
+                _decode_sequences(block[used:], lits, out, ctx, cap + base)
                 if len(out) - before > _BLOCK_MAX:
                     raise ValueError(
                         "zstd: block regenerates over the 128 KiB cap"
                     )
-        if window is not None and len(out) > cap:
+        if window is not None and len(out) - base > cap:
             raise ValueError(
                 f"zstd: output past the {cap}-byte guard (bomb)"
             )
         if last:
             break
-    if fcs is not None and len(out) != fcs:
+    if fcs is not None and len(out) - base != fcs:
         raise ValueError(
-            f"zstd: frame regenerated {len(out)} bytes, header declared {fcs}"
+            f"zstd: frame regenerated {len(out) - base} bytes, "
+            f"header declared {fcs}"
         )
     if has_checksum:
         if off + 4 > len(data):
             raise ValueError("zstd: content checksum past end")
         want = int.from_bytes(data[off : off + 4], "little")
         off += 4
-        got = xxh64(bytes(out)) & 0xFFFFFFFF
+        got = xxh64(bytes(out[base:])) & 0xFFFFFFFF
         if got != want:
             raise ValueError(
                 f"zstd: content checksum mismatch "
                 f"(got {got:08x}, frame says {want:08x})"
             )
-    return bytes(out), off
+    return bytes(out[base:]), off
 
 
 def sniff_zstd(data: bytes) -> bool:
@@ -834,12 +909,23 @@ def sniff_zstd(data: bytes) -> bool:
     return False
 
 
-def zstd_decompress(data: bytes, cap: int = MAX_OUTPUT_BYTES) -> bytes:
+def zstd_decompress(
+    data: bytes,
+    cap: int = MAX_OUTPUT_BYTES,
+    dict_data: bytes | None = None,
+) -> bytes:
     """Decode a ``.zst`` payload: one or more zstd frames (the CLI and
-    pzstd concatenate them) plus skippable frames, bounded by ``cap``."""
+    pzstd concatenate them) plus skippable frames, bounded by ``cap``.
+
+    ``dict_data`` supplies an external dictionary (structured or raw
+    content).  Independently, a skippable frame with the web-archive
+    dictionary magic ``0x184D2A5D`` (the Common Crawl ``.warc.zst``
+    convention) installs its payload — raw, structured, or itself a
+    zstd frame holding the dictionary — for the frames that follow."""
     out = bytearray()
     off = 0
     saw_frame = False
+    zdict = parse_dictionary(dict_data) if dict_data is not None else None
     while off < len(data):
         if len(data) - off < 4:
             if data[off:].lstrip(b"\x00") == b"":
@@ -852,11 +938,16 @@ def zstd_decompress(data: bytes, cap: int = MAX_OUTPUT_BYTES) -> bytes:
             size = int.from_bytes(data[off + 4 : off + 8], "little")
             if off + 8 + size > len(data):
                 raise ValueError("zstd: skippable frame past end of data")
+            if magic == _SKIPPABLE_DICT and zdict is None:
+                blob = bytes(data[off + 8 : off + 8 + size])
+                if blob[:4] == ZSTD_MAGIC:  # compressed dictionary
+                    blob = zstd_decompress(blob, cap)
+                zdict = parse_dictionary(blob)
             off += 8 + size
             continue
         if data[off : off + 4] != ZSTD_MAGIC:
             raise ValueError("zstd: bad frame magic")
-        frame, off = _decode_frame(data, off, cap - len(out))
+        frame, off = _decode_frame(data, off, cap - len(out), zdict)
         out += frame
         saw_frame = True
         if len(out) > cap:

@@ -278,3 +278,119 @@ def test_wrapper_cli_compressed_tar(tmp_path):
     fmt, ms = A.parse_archive(z)
     assert fmt == "tar.zst"
     assert ms[0]["payload"] == members[0][1]
+
+
+# ---------------------------------------------------------------------------
+# dictionaries (RFC 8878 §5) — trained, raw, and the web-archive
+# embedded-skippable convention
+# ---------------------------------------------------------------------------
+
+
+def _train_dict(tmp_path, n=40, maxdict=4096):
+    samples = tmp_path / "samples"
+    samples.mkdir()
+    rng = random.Random(7)
+    words = [b"alpha", b"beta", b"gamma", b"delta", b"epsilon", b"zeta"]
+    paths = []
+    for i in range(n):
+        p = samples / f"s{i}.txt"
+        p.write_bytes(b" ".join(rng.choice(words) for _ in range(500)))
+        paths.append(p)
+    dpath = tmp_path / "dict.bin"
+    subprocess.run(
+        [ZSTD, "-q", "--train", *map(str, paths), "-o", str(dpath),
+         f"--maxdict={maxdict}"],
+        check=True,
+    )
+    return dpath.read_bytes(), paths
+
+
+@pytest.mark.skipif(ZSTD is None, reason="no system zstd CLI")
+def test_trained_dictionary_frames(tmp_path):
+    d, paths = _train_dict(tmp_path)
+    pd = Z.parse_dictionary(d)
+    assert pd["dict_id"] != 0 and pd["huf"] and pd["content"]
+    for p in paths[:4]:
+        z = tmp_path / "x.zst"
+        subprocess.run(
+            [ZSTD, "-q", "-19", "-D", str(tmp_path / "dict.bin"), "-f",
+             str(p), "-o", str(z)],
+            check=True,
+        )
+        assert Z.zstd_decompress(z.read_bytes(), dict_data=d) \
+            == p.read_bytes()
+
+
+@pytest.mark.skipif(ZSTD is None, reason="no system zstd CLI")
+def test_embedded_dict_skippable_convention(tmp_path):
+    """The Common Crawl .warc.zst shape: dictionary in a leading
+    0x184D2A5D skippable frame (raw AND zstd-compressed variants),
+    member frames referencing it."""
+    d, paths = _train_dict(tmp_path)
+    frames = b""
+    want = b""
+    for p in paths[:3]:
+        z = tmp_path / "m.zst"
+        subprocess.run(
+            [ZSTD, "-q", "-3", "-D", str(tmp_path / "dict.bin"), "-f",
+             str(p), "-o", str(z)],
+            check=True,
+        )
+        frames += z.read_bytes()
+        want += p.read_bytes()
+    raw_sk = struct.pack("<II", 0x184D2A5D, len(d)) + d
+    assert Z.zstd_decompress(raw_sk + frames) == want
+    zd = subprocess.run(
+        [ZSTD, "-q", "-19", "-c"], input=d, capture_output=True,
+        check=True,
+    ).stdout
+    comp_sk = struct.pack("<II", 0x184D2A5D, len(zd)) + zd
+    assert Z.zstd_decompress(comp_sk + frames) == want
+    # without any dictionary the frames stay a loud boundary
+    with pytest.raises(UnsupportedCodecError, match="dictionary"):
+        Z.zstd_decompress(frames)
+
+
+@pytest.mark.skipif(ZSTD is None, reason="no system zstd CLI")
+def test_raw_content_dictionary(tmp_path):
+    """A non-structured dictionary file is a raw window prefix."""
+    prefix = b"the quick brown fox jumps over the lazy dog " * 20
+    (tmp_path / "raw.dict").write_bytes(prefix)
+    data = prefix[:300] + b" and then some new text " * 10
+    (tmp_path / "in.bin").write_bytes(data)
+    z = tmp_path / "out.zst"
+    subprocess.run(
+        [ZSTD, "-q", "-3", "-D", str(tmp_path / "raw.dict"), "-f",
+         str(tmp_path / "in.bin"), "-o", str(z)],
+        check=True,
+    )
+    assert Z.zstd_decompress(z.read_bytes(), dict_data=prefix) == data
+
+
+@pytest.mark.skipif(ZSTD is None, reason="no system zstd CLI")
+def test_dictionary_hostiles(tmp_path):
+    d, paths = _train_dict(tmp_path)
+    z = tmp_path / "x.zst"
+    subprocess.run(
+        [ZSTD, "-q", "-3", "-D", str(tmp_path / "dict.bin"), "-f",
+         str(paths[0]), "-o", str(z)],
+        check=True,
+    )
+    zb = z.read_bytes()
+    # wrong dictionary id
+    wrong = bytearray(d)
+    wrong[4] ^= 0xFF
+    with pytest.raises(ValueError, match="wants dictionary"):
+        Z.zstd_decompress(zb, dict_data=bytes(wrong))
+    # truncated structured dictionary
+    with pytest.raises(ValueError):
+        Z.zstd_decompress(zb, dict_data=d[:20])
+    with pytest.raises(ValueError, match="empty dictionary"):
+        Z.zstd_decompress(zb, dict_data=b"")
+    # zero repeat offset in the dictionary header
+    pd = Z.parse_dictionary(d)
+    content_off = len(d) - len(pd["content"])
+    broken = bytearray(d)
+    broken[content_off - 12 : content_off - 8] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="repeat offset of zero"):
+        Z.zstd_decompress(zb, dict_data=bytes(broken))
