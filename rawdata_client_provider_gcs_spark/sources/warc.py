@@ -7,7 +7,10 @@ delimited) followed by ``Content-Length`` payload bytes and a blank
 separator.  ``response`` records carry a full HTTP response (status
 line + headers + body) as their payload.  Files are commonly stored
 with **per-record gzip members** concatenated into one ``.warc.gz`` —
-stdlib ``zlib`` decodes the member chain.
+stdlib ``zlib`` decodes the member chain.  The newer ``.warc.zst``
+convention (per-record zstd frames, shared dictionary in a leading
+``0x184D2A5D`` skippable frame, possibly self-compressed) decodes
+through :mod:`.zstd_codec` the same way.
 
 Distribution shape (100 TB): the unit of parallelism is the FILE —
 a crawl is millions of ~1 GB WARCs, so ``warc_records`` fans one
@@ -86,6 +89,15 @@ def parse_warc(data: bytes) -> list[dict]:
             data = _gunzip_members(data)
         except zlib.error as exc:
             raise ValueError(f"corrupt WARC gzip stream: {exc}")
+    else:
+        from .zstd_codec import sniff_zstd, zstd_decompress  # noqa: PLC0415
+
+        if sniff_zstd(data):
+            # .warc.zst (IIPC convention): one zstd frame per record,
+            # concatenated, optionally led by a 0x184D2A5D skippable
+            # frame carrying the shared dictionary — zstd_decompress
+            # handles all of it, including a self-compressed dict
+            data = zstd_decompress(data)
     records = []
     pos = 0
     n = len(data)

@@ -394,3 +394,56 @@ def test_dictionary_hostiles(tmp_path):
     broken[content_off - 12 : content_off - 8] = b"\x00\x00\x00\x00"
     with pytest.raises(ValueError, match="repeat offset of zero"):
         Z.zstd_decompress(zb, dict_data=bytes(broken))
+
+
+# ---------------------------------------------------------------------------
+# .warc.zst (IIPC convention): per-record frames + embedded dictionary
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(ZSTD is None, reason="no system zstd CLI")
+def test_warc_zst_per_record_frames_with_embedded_dict(tmp_path):
+    from rawdata_client_provider_gcs_spark.sources import warc as W
+
+    records = [
+        {"warc_type": "response", "target_uri": f"http://ex.org/{i}",
+         "payload": (f"HTTP/1.1 200 OK\r\n\r\nbody {i} " * 5).encode()}
+        for i in range(4)
+    ]
+    plain = W.build_warc(records)
+    want = W.parse_warc(plain)
+
+    # one frame per record region: split the plain warc at record
+    # starts and compress each chunk with a trained dictionary
+    d, _ = _train_dict(tmp_path)
+    dpath = tmp_path / "dict.bin"
+    chunks = [plain[i : i + 400] for i in range(0, len(plain), 400)]
+    frames = b""
+    for j, ch in enumerate(chunks):
+        src = tmp_path / f"c{j}.bin"
+        dst = tmp_path / f"c{j}.zst"
+        src.write_bytes(ch)
+        subprocess.run(
+            [ZSTD, "-q", "-3", "-D", str(dpath), "-f", str(src),
+             "-o", str(dst)],
+            check=True,
+        )
+        frames += dst.read_bytes()
+    blob = struct.pack("<II", 0x184D2A5D, len(d)) + d + frames
+    got = W.parse_warc(blob)
+    assert [(r["warc_type"], r["target_uri"]) for r in got] == [
+        (r["warc_type"], r["target_uri"]) for r in want
+    ]
+    assert got[0]["payload"] == want[0]["payload"]
+
+
+def test_warc_zst_raw_block_frames():
+    """Engine raw-block frames wrap a warc without any CLI: the
+    sniff + peel path inside parse_warc."""
+    from rawdata_client_provider_gcs_spark.sources import warc as W
+
+    records = [{"warc_type": "response", "target_uri": "http://ex.org/",
+                "payload": b"HTTP/1.1 200 OK\r\n\r\nzst body"}]
+    plain = W.build_warc(records)
+    got = W.parse_warc(Z.build_zst(plain, frame_split=256))
+    assert got[0]["target_uri"] == "http://ex.org/"
