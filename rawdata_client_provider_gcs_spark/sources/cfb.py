@@ -102,12 +102,14 @@ def parse_cfb(data: bytes) -> dict:
     (first_minifat, n_minifat) = struct.unpack_from("<II", data, 60)
     (first_difat, n_difat) = struct.unpack_from("<II", data, 68)
 
-    n_sectors = (len(data) - 512 + ssize - 1) // ssize
+    # sector i starts at (i+1)*ssize — for v4 the 512-byte header is
+    # padded to a full 4096-byte first region (MS-CFB §2.2)
+    n_sectors = max(0, (len(data) - ssize + ssize - 1) // ssize)
     if n_sectors > MAX_SECTORS:
         raise ValueError("cfb: sector count over the cap")
 
     def sector(i: int) -> bytes:
-        off = 512 + i * ssize
+        off = (i + 1) * ssize
         if off + ssize > len(data):
             # the final sector of a v4 file may be truncated; pad
             return data[off:] + b"\x00" * (off + ssize - len(data))
@@ -348,12 +350,17 @@ def build_cfb(
     title: str = "",
     author: str = "",
     app_name: str = "",
+    version: int = 3,
 ) -> bytes:
-    """Deterministic v3 CFB writer: one FAT sector, a directory chain,
-    a SummaryInformation stream (always < 4096, so it exercises the
-    miniFAT + mini-stream path), and the caller's streams (FAT chains
-    when ≥ 4096 bytes, mini chains below)."""
-    ssize, msize, cutoff = 512, 64, 4096
+    """Deterministic CFB writer (v3 = 512-byte sectors, v4 = 4096):
+    one FAT sector, a directory chain, a SummaryInformation stream
+    (always < 4096, so it exercises the miniFAT + mini-stream path),
+    and the caller's streams (FAT chains when ≥ 4096 bytes, mini
+    chains below)."""
+    if version not in (3, 4):
+        raise ValueError(f"cfb fixture: version {version}")
+    ssize = 512 if version == 3 else 4096
+    msize, cutoff = 64, 4096
     summary = _oleps_summary(title, author, app_name)
     all_streams = [("\x05SummaryInformation", summary)] + list(streams)
 
@@ -458,9 +465,10 @@ def build_cfb(
         (ssize - len(fat_blob)) // 4
     )
 
-    header = bytearray(512)
+    header = bytearray(512 if version == 3 else 4096)
     header[:8] = CFB_MAGIC
-    struct.pack_into("<HHHH", header, 24, 0x003E, 3, 0xFFFE, 9)
+    struct.pack_into("<HHHH", header, 24, 0x003E, version, 0xFFFE,
+                     9 if version == 3 else 12)
     # offset 26: major=3, byte order, sector shift... careful: layout is
     # minor(24) major(26) byteorder(28) shift(30)? MS-CFB: minor at 24,
     # major at 26, byte order 28, sector shift 30, mini shift 32.

@@ -153,3 +153,24 @@ def test_office_info_spark_mixed_formats(spark):
             got[1].n_parts) == ("doc", "L", "a", 2)
     assert got[2].error and got[2].doc_format is None
     assert got[3].error == "ValueError: null office payload"
+
+
+def test_v4_container_4096_sectors():
+    """Version-4 CFB (4096-byte sectors, header padded to a full
+    first region): both the FAT and mini-stream paths."""
+    big = b"\xec\xa5v4 word stream " * 600   # > 4096
+    blob = C.build_cfb(
+        [("WordDocument", big), ("Small", b"tiny-v4")],
+        title="V4", author="Au", version=4,
+    )
+    assert struct.unpack_from("<H", blob, 26)[0] == 4
+    assert struct.unpack_from("<H", blob, 30)[0] == 12
+    parsed = C.parse_cfb(blob)
+    assert parsed["version"] == 4
+    by = {e["name"]: e for e in parsed["entries"]}
+    assert by["WordDocument"]["payload"] == big
+    assert by["Small"]["payload"] == b"tiny-v4"
+    si = C.parse_summary_info(by["\x05SummaryInformation"]["payload"])
+    assert (si["title"], si["author"]) == ("V4", "Au")
+    info = O.office_info_of(blob)
+    assert (info["doc_format"], info["n_parts"]) == ("doc", 3)
