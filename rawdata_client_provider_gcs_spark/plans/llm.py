@@ -3122,25 +3122,25 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g')) AS text
-FROM d WHERE doc_id % 5 = 0
+FROM d WHERE doc_id % 8 = 0
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'epub', CAST(i AS BIGINT),
        'OPS/text/ch' || CAST(i AS VARCHAR) || '.xhtml',
        trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
                            '\\s+', ' ', 'g'))
-FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 5 = 1
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 8 = 1
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'odt', CAST(0 AS BIGINT), 'content.xml',
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 5 = 2
+FROM d WHERE doc_id % 8 = 2
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'pptx', CAST(i AS BIGINT),
        'ppt/slides/slide' || CAST(i + 1 AS VARCHAR) || '.xml',
        trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
                            '\\s+', ' ', 'g'))
-FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 5 = 3
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 8 = 3
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'xlsx', CAST(0 AS BIGINT),
        'xl/worksheets/sheet1.xml',
@@ -3148,28 +3148,52 @@ SELECT CAST(doc_id AS BIGINT), 'xlsx', CAST(0 AS BIGINT),
          substr(text, 1, 20) || ' ' || substr(text, 21, 20) || ' '
          || substr(text, 41, 20) || ' ' || CAST(doc_id % 97 AS VARCHAR),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 5 = 4
+FROM d WHERE doc_id % 8 = 4
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'doc', CAST(0 AS BIGINT), 'WordDocument',
+       trim(regexp_replace(
+         substr(text, 1, 40) || ' ' || substr(text, 41, 40),
+         '\\s+', ' ', 'g'))
+FROM d WHERE doc_id % 8 = 5
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'xls', CAST(0 AS BIGINT), 'workbook/S1',
+       trim(regexp_replace(
+         substr(text, 1, 20) || ' ' || substr(text, 21, 20) || ' '
+         || substr(text, 41, 20) || ' ' || CAST(doc_id % 97 AS VARCHAR),
+         '\\s+', ' ', 'g'))
+FROM d WHERE doc_id % 8 = 6
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'ppt', CAST(i AS BIGINT),
+       'slide' || CAST(i + 1 AS VARCHAR),
+       trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
+                           '\\s+', ' ', 'g'))
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 8 = 7
 """,
     tags=("llm", "source", "text", "crawl", "office", "pandas-udf"),
     bench=True,
 )
 def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
-    """DOCX/EPUB/ODT/PPTX/XLSX → per-part visible text, oracle-exact —
-    the office-document slice of a crawl that was opaque zip members
-    until now.  Each document becomes a real container
-    (:mod:`..sources.office` fixtures: OPC ``word/document.xml``,
-    OCF/OPF spine of two XHTML chapters, ODF ``content.xml``, a
-    two-slide PresentationML deck ordered by ``sldIdLst`` against
-    REVERSED .rels order, and a SpreadsheetML workbook whose cells
-    rotate shared-string/inline-string/numeric paths) built from its
-    own text; ``office_text`` walks the container Python-side (ZIP +
-    OPC/OPF navigation, xlsx cell resolution) and extracts text
-    Catalyst-side (tag strip → entity decode → whitespace collapse),
-    so the XML-escape applied by the fixture cancels exactly and every
-    column is closed-form in the source text.  Hostile shapes
-    (non-office zip, missing spine doc, zip bombs, out-of-range
-    shared-string indices) land per-row and are pinned by pytest.
+    """DOCX/EPUB/ODT/PPTX/XLSX + legacy .doc/.xls/.ppt → per-part
+    visible text, oracle-exact — the office-document slice of a crawl
+    that was opaque zip members (and opaque CFB streams) until now.
+    Each document becomes a real container (:mod:`..sources.office`
+    fixtures: OPC ``word/document.xml``, OCF/OPF spine of two XHTML
+    chapters, ODF ``content.xml``, a two-slide PresentationML deck
+    ordered by ``sldIdLst`` against REVERSED .rels order, a
+    SpreadsheetML workbook whose cells rotate shared-string/
+    inline-string/numeric paths; :mod:`..sources.legacy_office`
+    fixtures: a two-piece MS-DOC piece table alternating cp1252 and
+    UTF-16 pieces, a BIFF8 workbook with LabelSst + RK cells, a
+    two-slide PPT stream alternating TextChars/TextBytes atoms) built
+    from its own text; ``office_text`` walks the container
+    Python-side and extracts text Catalyst-side (tag strip → entity
+    decode → whitespace collapse), so the XML-escape applied by the
+    fixture/legacy shim cancels exactly and every column is
+    closed-form in the source text.  Hostile shapes (non-office zip,
+    missing spine doc, zip bombs, out-of-range shared-string/SST
+    indices, truncated FIBs) land per-row and are pinned by pytest.
     """
+    from ..sources import legacy_office as LO
     from ..sources import office as O
 
     d = (
@@ -3187,7 +3211,7 @@ def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
                 did = int(did)
                 t = str(text)
                 halves = [t[:40], t[40:80]]
-                v = did % 5
+                v = did % 8
                 if v == 0:
                     payloads.append(O.build_docx(halves))
                 elif v == 1:
@@ -3196,13 +3220,24 @@ def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
                     payloads.append(O.build_odt(halves))
                 elif v == 3:
                     payloads.append(O.build_pptx(halves))
-                else:
+                elif v == 4:
                     payloads.append(
                         O.build_xlsx(
                             [[[t[:20], t[20:40]],
                               [t[40:60], str(did % 97)]]]
                         )
                     )
+                elif v == 5:
+                    payloads.append(LO.build_doc(halves))
+                elif v == 6:
+                    payloads.append(
+                        LO.build_xls(
+                            [("S1", [[t[:20], t[20:40]],
+                                     [t[40:60], str(did % 97)]])]
+                        )
+                    )
+                else:
+                    payloads.append(LO.build_ppt(halves))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     files = d.mapInPandas(make, "doc_id long, payload binary")
@@ -3284,21 +3319,24 @@ def q_crawl_archive_7z(spark: SparkSession, sf: str) -> DataFrame:
     "q_crawl_office_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE CAST(doc_id % 6 AS INTEGER)
+       CASE CAST(doc_id % 8 AS INTEGER)
          WHEN 0 THEN 'docx' WHEN 1 THEN 'epub' WHEN 2 THEN 'odt'
-         WHEN 3 THEN 'pptx' WHEN 4 THEN 'xlsx' ELSE 'doc' END
+         WHEN 3 THEN 'pptx' WHEN 4 THEN 'xlsx' WHEN 5 THEN 'doc'
+         WHEN 6 THEN 'xls' ELSE 'ppt' END
          AS doc_format,
-       CASE CAST(doc_id % 6 AS INTEGER)
+       CASE CAST(doc_id % 8 AS INTEGER)
          WHEN 0 THEN 'Doc ' WHEN 1 THEN 'Book ' WHEN 2 THEN 'Odt '
-         WHEN 3 THEN 'Deck ' WHEN 4 THEN 'Workbook ' ELSE 'Legacy ' END
+         WHEN 3 THEN 'Deck ' WHEN 4 THEN 'Workbook ' WHEN 5 THEN 'Legacy '
+         WHEN 6 THEN 'Sheet ' ELSE 'Slides ' END
          || CAST(doc_id AS VARCHAR) AS title,
        'author-' || CAST(doc_id % 7 AS VARCHAR) AS creator,
-       CASE WHEN doc_id % 6 = 1 THEN
+       CASE WHEN doc_id % 8 = 1 THEN
          CASE CAST(doc_id % 4 AS INTEGER)
            WHEN 0 THEN 'en' WHEN 1 THEN 'nb' WHEN 2 THEN 'de' ELSE 'fr' END
        ELSE '' END AS language,
-       CAST(CASE WHEN doc_id % 6 IN (1, 3, 5) THEN 2 ELSE 1 END AS BIGINT)
-         AS n_parts
+       CAST(CASE CAST(doc_id % 8 AS INTEGER)
+         WHEN 1 THEN 2 WHEN 3 THEN 2 WHEN 5 THEN 3 WHEN 6 THEN 2
+         WHEN 7 THEN 2 ELSE 1 END AS BIGINT) AS n_parts
 FROM documents WHERE doc_id < 240
 """,
     tags=("llm", "source", "text", "crawl", "office", "pandas-udf"),
@@ -3308,10 +3346,13 @@ def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
     title/creator/language out of the OPF ``<metadata>`` block (EPUB),
     OPC ``docProps/core.xml`` (DOCX/PPTX/XLSX), ODF ``meta.xml``
     (ODT), and the OLE2/CFB ``\\x05SummaryInformation`` property set
-    (legacy ``.doc`` — the FAT/miniFAT container walk in
-    :mod:`..sources.cfb`): the per-book fields a curation pipeline
-    keys language filters and dedup heuristics on.  Absence is data
-    (empty string).  All columns closed-form.
+    (legacy ``.doc``/``.xls``/``.ppt`` — the FAT/miniFAT container
+    walk in :mod:`..sources.cfb`, real WordDocument/Workbook/
+    PowerPoint Document streams via :mod:`..sources.legacy_office`):
+    the per-book fields a curation pipeline keys language filters and
+    dedup heuristics on.  Absence is data (empty string); ``n_parts``
+    counts text parts for zip formats and container streams for CFB.
+    All columns closed-form.
     """
     from ..sources import office as O
 
@@ -3330,7 +3371,7 @@ def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
                 did = int(did)
                 t = str(text)
                 creator = f"author-{did % 7}"
-                v = did % 6
+                v = did % 8
                 if v == 0:
                     payloads.append(
                         O.build_docx(
@@ -3369,15 +3410,29 @@ def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
                         )
                     )
                 else:
-                    from ..sources import cfb as Cfb
+                    from ..sources import legacy_office as LO
 
-                    payloads.append(
-                        Cfb.build_cfb(
-                            [("WordDocument", t[:80].encode("utf-8"))],
-                            title=f"Legacy {did}",
-                            author=creator,
+                    if v == 5:
+                        payloads.append(
+                            LO.build_doc(
+                                [t[:40]], title=f"Legacy {did}",
+                                author=creator,
+                            )
                         )
-                    )
+                    elif v == 6:
+                        payloads.append(
+                            LO.build_xls(
+                                [("S1", [[t[:20]]])],
+                                title=f"Sheet {did}", author=creator,
+                            )
+                        )
+                    else:
+                        payloads.append(
+                            LO.build_ppt(
+                                [t[:40]], title=f"Slides {did}",
+                                author=creator,
+                            )
+                        )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     files = d.mapInPandas(make, "doc_id long, payload binary")

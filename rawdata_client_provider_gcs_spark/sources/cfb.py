@@ -10,9 +10,9 @@ FAT chains, directory entries, miniFAT + mini stream — and parses the
 for the Dublin-Core-equivalent fields curation keys on: title,
 author, application.
 
-Full ``.doc`` text (the WordDocument piece table) is deliberately out
-of scope — the metadata tier stops these files being opaque without
-fabricating a text decoder; ``office_info`` reports them with
+Text extraction for the classified formats (.doc piece table, .xls
+BIFF8 cells, .ppt text atoms) lives in :mod:`.legacy_office`, built
+on this module's stream walk; ``office_info`` reports metadata with
 ``absence-is-data`` semantics like every other format.
 
 All malformed-input paths raise ``ValueError`` (per-row capture);

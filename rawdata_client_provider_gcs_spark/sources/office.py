@@ -35,6 +35,10 @@ Per-format part discovery:
   Rich-text phonetic runs (``<rPh>``) are out of the documented
   subset.
 
+Legacy binary Office (.doc/.xls/.ppt — OLE2/CFB containers) routes
+through :mod:`.legacy_office` (piece table, BIFF8 records, text
+atoms), emitting the same synthetic XML-escaped parts.
+
 Container navigation uses linear ``str.find`` passes, never lazy
 regexes (hostile unclosed-opener markup is quadratic there — the
 html.py lesson).  A malformed container raises ``ValueError`` and
@@ -231,19 +235,18 @@ def office_parts_of(data: bytes) -> tuple[str, list[tuple[str, str]]]:
     """One office/ebook file → ``(doc_format, [(part_name, xml), ...])``.
 
     Raises ``ValueError`` on anything that is not a well-formed DOCX,
-    EPUB, ODT, PPTX, or XLSX container (per-row capture in
-    :func:`office_parts`).  Legacy binary Office (OLE2/CFB) is
-    metadata-only by documented design — the WordDocument piece table
-    stays out of scope — so CFB payloads raise here and land per-row,
-    while :func:`office_info` reads their SummaryInformation.
+    EPUB, ODT, PPTX, XLSX, or legacy CFB Office container (per-row
+    capture in :func:`office_parts`).  Legacy binary Office
+    (OLE2/CFB — .doc/.xls/.ppt) routes through
+    :mod:`.legacy_office`: the .doc piece table, BIFF8 cell records,
+    and PPT text atoms each land as synthetic XML-escaped parts so
+    the Catalyst chain downstream stays the single decode point.
     """
-    from .cfb import sniff_cfb
+    from .cfb import parse_cfb, sniff_cfb
+    from .legacy_office import legacy_parts
 
     if sniff_cfb(data):
-        raise ValueError(
-            "office: OLE2/CFB (.doc/.xls/.ppt) text extraction is "
-            "metadata-only (use office_info)"
-        )
+        return legacy_parts(parse_cfb(data)["entries"])
     members = {m["path"]: m["payload"] for m in parse_zip(data)}
     fmt, parts, _meta = _container_parts(members)
     return fmt, parts

@@ -131,9 +131,11 @@ def test_office_info_reads_cfb():
     )
 
 
-def test_office_parts_cfb_is_metadata_only():
+def test_office_parts_cfb_requires_valid_fib():
+    """A CFB whose WordDocument stream is not a real FIB lands as a
+    per-row error (the old metadata-only raise became a real decode)."""
     doc = C.build_cfb([("WordDocument", b"w" * 5000)], title="x")
-    with pytest.raises(ValueError, match="metadata-only"):
+    with pytest.raises(ValueError, match="FIB wIdent"):
         O.office_parts_of(doc)
 
 
