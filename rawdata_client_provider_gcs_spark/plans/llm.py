@@ -3122,25 +3122,25 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g')) AS text
-FROM d WHERE doc_id % 8 = 0
+FROM d WHERE doc_id % 9 = 0
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'epub', CAST(i AS BIGINT),
        'OPS/text/ch' || CAST(i AS VARCHAR) || '.xhtml',
        trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
                            '\\s+', ' ', 'g'))
-FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 8 = 1
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 9 = 1
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'odt', CAST(0 AS BIGINT), 'content.xml',
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 8 = 2
+FROM d WHERE doc_id % 9 = 2
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'pptx', CAST(i AS BIGINT),
        'ppt/slides/slide' || CAST(i + 1 AS VARCHAR) || '.xml',
        trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
                            '\\s+', ' ', 'g'))
-FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 8 = 3
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 9 = 3
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'xlsx', CAST(0 AS BIGINT),
        'xl/worksheets/sheet1.xml',
@@ -3148,32 +3148,38 @@ SELECT CAST(doc_id AS BIGINT), 'xlsx', CAST(0 AS BIGINT),
          substr(text, 1, 20) || ' ' || substr(text, 21, 20) || ' '
          || substr(text, 41, 20) || ' ' || CAST(doc_id % 97 AS VARCHAR),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 8 = 4
+FROM d WHERE doc_id % 9 = 4
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'doc', CAST(0 AS BIGINT), 'WordDocument',
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 8 = 5
+FROM d WHERE doc_id % 9 = 5
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'xls', CAST(0 AS BIGINT), 'workbook/S1',
        trim(regexp_replace(
          substr(text, 1, 20) || ' ' || substr(text, 21, 20) || ' '
          || substr(text, 41, 20) || ' ' || CAST(doc_id % 97 AS VARCHAR),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 8 = 6
+FROM d WHERE doc_id % 9 = 6
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'ppt', CAST(i AS BIGINT),
        'slide' || CAST(i + 1 AS VARCHAR),
        trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
                            '\\s+', ' ', 'g'))
-FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 8 = 7
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 9 = 7
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'rtf', CAST(0 AS BIGINT), 'rtf',
+       trim(regexp_replace(
+         substr(text, 1, 40) || ' ' || substr(text, 41, 40),
+         '\\s+', ' ', 'g'))
+FROM d WHERE doc_id % 9 = 8
 """,
     tags=("llm", "source", "text", "crawl", "office", "pandas-udf"),
     bench=True,
 )
 def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
-    """DOCX/EPUB/ODT/PPTX/XLSX + legacy .doc/.xls/.ppt → per-part
+    """DOCX/EPUB/ODT/PPTX/XLSX + legacy .doc/.xls/.ppt + RTF → per-part
     visible text, oracle-exact — the office-document slice of a crawl
     that was opaque zip members (and opaque CFB streams) until now.
     Each document becomes a real container (:mod:`..sources.office`
@@ -3184,7 +3190,8 @@ def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
     inline-string/numeric paths; :mod:`..sources.legacy_office`
     fixtures: a two-piece MS-DOC piece table alternating cp1252 and
     UTF-16 pieces, a BIFF8 workbook with LabelSst + RK cells, a
-    two-slide PPT stream alternating TextChars/TextBytes atoms) built
+    two-slide PPT stream alternating TextChars/TextBytes atoms; an RTF
+    token stream whose escapes round-trip \\'hh and \\uN paths) built
     from its own text; ``office_text`` walks the container
     Python-side and extracts text Catalyst-side (tag strip → entity
     decode → whitespace collapse), so the XML-escape applied by the
@@ -3195,6 +3202,7 @@ def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
     """
     from ..sources import legacy_office as LO
     from ..sources import office as O
+    from ..sources import rtf as RT
 
     d = (
         load_table(spark, sf, "documents")
@@ -3211,7 +3219,7 @@ def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
                 did = int(did)
                 t = str(text)
                 halves = [t[:40], t[40:80]]
-                v = did % 8
+                v = did % 9
                 if v == 0:
                     payloads.append(O.build_docx(halves))
                 elif v == 1:
@@ -3236,8 +3244,10 @@ def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
                                      [t[40:60], str(did % 97)]])]
                         )
                     )
-                else:
+                elif v == 7:
                     payloads.append(LO.build_ppt(halves))
+                else:
+                    payloads.append(RT.build_rtf(halves))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     files = d.mapInPandas(make, "doc_id long, payload binary")
@@ -3319,22 +3329,22 @@ def q_crawl_archive_7z(spark: SparkSession, sf: str) -> DataFrame:
     "q_crawl_office_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE CAST(doc_id % 8 AS INTEGER)
+       CASE CAST(doc_id % 9 AS INTEGER)
          WHEN 0 THEN 'docx' WHEN 1 THEN 'epub' WHEN 2 THEN 'odt'
          WHEN 3 THEN 'pptx' WHEN 4 THEN 'xlsx' WHEN 5 THEN 'doc'
-         WHEN 6 THEN 'xls' ELSE 'ppt' END
+         WHEN 6 THEN 'xls' WHEN 7 THEN 'ppt' ELSE 'rtf' END
          AS doc_format,
-       CASE CAST(doc_id % 8 AS INTEGER)
+       CASE CAST(doc_id % 9 AS INTEGER)
          WHEN 0 THEN 'Doc ' WHEN 1 THEN 'Book ' WHEN 2 THEN 'Odt '
          WHEN 3 THEN 'Deck ' WHEN 4 THEN 'Workbook ' WHEN 5 THEN 'Legacy '
-         WHEN 6 THEN 'Sheet ' ELSE 'Slides ' END
+         WHEN 6 THEN 'Sheet ' WHEN 7 THEN 'Slides ' ELSE 'Rtf ' END
          || CAST(doc_id AS VARCHAR) AS title,
        'author-' || CAST(doc_id % 7 AS VARCHAR) AS creator,
-       CASE WHEN doc_id % 8 = 1 THEN
+       CASE WHEN doc_id % 9 = 1 THEN
          CASE CAST(doc_id % 4 AS INTEGER)
            WHEN 0 THEN 'en' WHEN 1 THEN 'nb' WHEN 2 THEN 'de' ELSE 'fr' END
        ELSE '' END AS language,
-       CAST(CASE CAST(doc_id % 8 AS INTEGER)
+       CAST(CASE CAST(doc_id % 9 AS INTEGER)
          WHEN 1 THEN 2 WHEN 3 THEN 2 WHEN 5 THEN 3 WHEN 6 THEN 2
          WHEN 7 THEN 2 ELSE 1 END AS BIGINT) AS n_parts
 FROM documents WHERE doc_id < 240
@@ -3346,7 +3356,8 @@ def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
     title/creator/language out of the OPF ``<metadata>`` block (EPUB),
     OPC ``docProps/core.xml`` (DOCX/PPTX/XLSX), ODF ``meta.xml``
     (ODT), and the OLE2/CFB ``\\x05SummaryInformation`` property set
-    (legacy ``.doc``/``.xls``/``.ppt`` — the FAT/miniFAT container
+    (legacy ``.doc``/``.xls``/``.ppt`` plus the RTF ``{\\info}``
+    destination — the FAT/miniFAT container
     walk in :mod:`..sources.cfb`, real WordDocument/Workbook/
     PowerPoint Document streams via :mod:`..sources.legacy_office`):
     the per-book fields a curation pipeline keys language filters and
@@ -3371,7 +3382,7 @@ def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
                 did = int(did)
                 t = str(text)
                 creator = f"author-{did % 7}"
-                v = did % 8
+                v = did % 9
                 if v == 0:
                     payloads.append(
                         O.build_docx(
@@ -3411,6 +3422,7 @@ def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
                     )
                 else:
                     from ..sources import legacy_office as LO
+                    from ..sources import rtf as RT
 
                     if v == 5:
                         payloads.append(
@@ -3426,10 +3438,17 @@ def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
                                 title=f"Sheet {did}", author=creator,
                             )
                         )
-                    else:
+                    elif v == 7:
                         payloads.append(
                             LO.build_ppt(
                                 [t[:40]], title=f"Slides {did}",
+                                author=creator,
+                            )
+                        )
+                    else:
+                        payloads.append(
+                            RT.build_rtf(
+                                [t[:40]], title=f"Rtf {did}",
                                 author=creator,
                             )
                         )

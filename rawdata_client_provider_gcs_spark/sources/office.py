@@ -244,9 +244,15 @@ def office_parts_of(data: bytes) -> tuple[str, list[tuple[str, str]]]:
     """
     from .cfb import parse_cfb, sniff_cfb
     from .legacy_office import legacy_parts
+    from .rtf import rtf_text_of, sniff_rtf
 
     if sniff_cfb(data):
         return legacy_parts(parse_cfb(data)["entries"])
+    if sniff_rtf(data):
+        from .legacy_office import _xml_escape
+
+        return "rtf", [("rtf", "<p>" + _xml_escape(rtf_text_of(data))
+                        + "</p>")]
     members = {m["path"]: m["payload"] for m in parse_zip(data)}
     fmt, parts, _meta = _container_parts(members)
     return fmt, parts
@@ -859,7 +865,17 @@ def office_info_of(data: bytes) -> dict:
     absent (the property set has no language field).
     """
     from .cfb import classify_cfb, parse_cfb, parse_summary_info, sniff_cfb
+    from .rtf import rtf_extract, sniff_rtf
 
+    if sniff_rtf(data):
+        _text, info = rtf_extract(data)
+        return {
+            "doc_format": "rtf",
+            "title": info.get("title", ""),
+            "creator": info.get("author", ""),
+            "language": "",
+            "n_parts": 1,
+        }
     if sniff_cfb(data):
         parsed = parse_cfb(data)
         entries = parsed["entries"]
