@@ -303,7 +303,10 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
                 rawmp3.decode_mp3_pcm(payload)
         elif rawogg.sniff_ogg(payload):
             if not fake:
-                rawogg.decode_ogg_pcm(payload)  # same per-row boundary
+                # Vorbis decodes for real (operators/vorbisdec); Opus
+                # raises UnsupportedCodecError — same per-row boundary
+                pcm, rate = rawogg.decode_ogg_pcm(payload)
+                return rawaudio.audio_features(pcm, rate)
         elif rawaac.sniff_aac(payload):
             if not fake:
                 rawaac.decode_aac_pcm(payload)  # same per-row boundary
@@ -573,7 +576,12 @@ def sample_frames(
                     return fake_frames(payload)
                 if rawogg.sniff_ogg(payload):
                     if not fake:
-                        rawogg.decode_ogg_pcm(payload)
+                        # Vorbis: real PCM → real WAV segments; Opus
+                        # raises UnsupportedCodecError per-row
+                        pcm, rate = rawogg.decode_ogg_pcm(payload)
+                        return rawaudio.segment_samples(
+                            pcm, rate, every_ms, max_frames
+                        )
                     return fake_frames(payload)
                 if rawaac.sniff_aac(payload):
                     if not fake:

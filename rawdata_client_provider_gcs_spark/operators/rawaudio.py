@@ -681,6 +681,15 @@ def segment_wav(
     segments are always emitted as PCM-16 WAV.
     """
     samples, rate = decode_audio(payload)
+    return segment_samples(samples, rate, every_ms, max_segments)
+
+
+def segment_samples(
+    samples: np.ndarray, rate: int, every_ms: int, max_segments: int
+) -> list[tuple[int, int, bytes]]:
+    """Slice already-decoded ``(frames, channels)`` samples into
+    ``every_ms`` PCM-16 WAV clips — the shared tail of
+    :func:`segment_wav`, reused by the Ogg Vorbis decode path."""
     frames = samples.shape[0]
     step = max(1, rate * every_ms // 1000)
     out = []

@@ -334,11 +334,20 @@ def parse_opus_packet(pkt: bytes) -> dict:
 
 
 def decode_ogg_pcm(data: bytes):
-    """The documented loud boundary (Vorbis MDCT / Opus CELT+SILK)."""
-    raise UnsupportedCodecError(
-        "Vorbis/Opus PCM decode is not implemented; stream metadata is "
-        "available via parse_ogg"
-    )
+    """Ogg audio → (PCM float64 (samples, channels), sample_rate).
+
+    Vorbis decodes fully (:mod:`.vorbisdec` — every table ships in
+    the stream's setup header, so the honesty boundary does not
+    apply).  Opus stays the loud boundary: SILK/CELT decode needs
+    codec-fixed tables the repo will not fabricate."""
+    if b"OpusHead" in data[:512]:
+        raise UnsupportedCodecError(
+            "Opus PCM decode is not implemented (SILK/CELT tables); "
+            "stream metadata is available via parse_ogg"
+        )
+    from .vorbisdec import decode_ogg_vorbis
+
+    return decode_ogg_vorbis(data)
 
 
 def sniff_ogg(data: bytes) -> bool:

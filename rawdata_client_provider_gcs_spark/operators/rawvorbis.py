@@ -19,11 +19,11 @@ boundary (COVERAGE.md).  This module lands the verifiable first tier:
   without touching floor/residue payloads.
 
 PCM synthesis (floor curve → residue → inverse MDCT → overlap-add)
-remains the documented loud boundary in :func:`..rawogg.decode_ogg_pcm`
-— this tier is its prerequisite and is verifiable today: every parse
-below is pinned by hand-derived bit vectors (lengths, codewords,
-float32 fields computed on paper from the spec), not by the fixture
-writer mirroring the reader.
+lives in :mod:`.vorbisdec`, built on this module's setup parse —
+Vorbis is no longer a boundary codec.  Every parse below is pinned by
+hand-derived bit vectors (lengths, codewords, float32 fields computed
+on paper from the spec), not by the fixture writer mirroring the
+reader.
 
 Reference behavioral parity: the reference transport stores opaque
 named byte arrays (RawdataMessage.java:15-60); media introspection is

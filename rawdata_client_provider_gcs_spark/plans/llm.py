@@ -6066,6 +6066,84 @@ def q_multimodal_vorbis_windows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_vorbis_pcm",
+    oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id % 32 AS INTEGER) AS k,
+                  0.5 * (1 + CAST(doc_id % 3 AS INTEGER)) AS amp
+           FROM documents WHERE doc_id < 120),
+ts AS (SELECT CAST(unnest(generate_series(0, 15)) AS INTEGER) AS t)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(ts.t AS BIGINT) AS t,
+       CAST(32 AS BIGINT) AS n_samples,
+       ROUND(
+         amp * cos(pi()/128 * (2*(ts.t+32)+1+32) * (2*d.k+1))
+             * sin(pi()/2 * pow(sin(pi()*((ts.t+32)+0.5)/64), 2))
+       + amp * cos(pi()/128 * (2*ts.t+1+32) * (2*d.k+1))
+             * sin(pi()/2 * pow(sin(pi()*(ts.t+0.5)/64), 2)), 6) AS pcm
+FROM d, ts
+""",
+    tags=("llm", "multimodal", "audio", "vorbis", "pandas-udf"),
+    bench=True,
+)
+def q_multimodal_vorbis_pcm(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL Vorbis PCM synthesis, oracle-exact against trigonometry
+    DuckDB computes itself — no fixture-mirror loophole.  Each doc
+    becomes a real two-packet Ogg Vorbis stream
+    (:mod:`..operators.vorbisdec` fixtures: real codebooks, floor1,
+    type-2 residue) whose spectrum is a single coefficient ``S[k] =
+    amp`` under a flat 0 dB floor; the decoder runs the complete
+    §4.3 pipeline (Huffman → floor curve → residue → IMDCT → window →
+    overlap-add) and the expected PCM is CLOSED FORM: two windowed
+    cosines, which the oracle restates with its own ``cos``/``sin``.
+    The flat-max floor makes the check independent of the inverse-dB
+    constant (pinned separately in pytest); both sides round to 1e-6
+    to absorb libm ulp drift.
+    """
+    from ..operators import rawogg
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import vorbisdec
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                spec = (did % 32, 1 + did % 3)
+                payloads.append(vorbisdec.build_pcm_ogg([spec, spec]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ogg": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, ogg binary")
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "t": [], "n_samples": [], "pcm": []}
+            for did, payload in zip(pdf["doc_id"], pdf["ogg"]):
+                pcm, _rate = rawogg.decode_ogg_pcm(bytes(payload))
+                vals = np.round(pcm[:16, 0], 6)
+                for t, v in enumerate(vals):
+                    rows["doc_id"].append(int(did))
+                    rows["t"].append(t)
+                    rows["n_samples"].append(pcm.shape[0])
+                    rows["pcm"].append(float(v))
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        decode, "doc_id long, t long, n_samples long, pcm double"
+    )
+
+
+@register(
     "q_multimodal_webm_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -90,7 +90,11 @@ def test_ogg_hostile_and_boundary():
         O.parse_ogg(b"not ogg at all")
     with pytest.raises(ValueError):
         O.parse_ogg(b"OggS" + b"\x00" * 10)  # truncated header
+    # Opus PCM stays the loud boundary; a Vorbis stream without a
+    # setup header is now CORRUPTION for the real decoder (vorbisdec)
     with pytest.raises(O.UnsupportedCodecError):
+        O.decode_ogg_pcm(O.build_ogg(codec="opus"))
+    with pytest.raises(ValueError, match="lacks ident or setup"):
         O.decode_ogg_pcm(O.build_ogg())
     rng = random.Random(2)
     for _ in range(200):
@@ -177,16 +181,26 @@ def test_mp4_box_bomb_guards():
 def test_spark_per_row_boundaries(spark):
     from rawdata_client_provider_gcs_spark.operators import multimodal
 
+    from rawdata_client_provider_gcs_spark.operators import vorbisdec
+
     rows = [
-        (1, bytearray(O.build_ogg())),
+        (1, bytearray(O.build_ogg(codec="opus"))),
         (2, bytearray(b"\x00noise" * 20)),
+        (3, bytearray(O.build_ogg())),  # vorbis without setup: corrupt
+        (4, bytearray(vorbisdec.build_pcm_ogg([(5, 2), (5, 2)]))),
     ]
     df = spark.createDataFrame(rows, "doc_id long, blob binary")
     media = multimodal.with_media_columns(df, "blob", "audio/ogg", "doc_id")
-    out = {r["doc_id"]: r["error"]
+    got = {r["doc_id"]: r
            for r in multimodal.extract_features(media).collect()}
-    assert out[1].startswith("UnsupportedCodecError")
-    assert out[2].startswith("MediaDecodeError")
+    assert got[1]["error"].startswith("UnsupportedCodecError")
+    assert got[2]["error"].startswith("MediaDecodeError")
+    assert got[3]["error"].startswith("ValueError")
+    # real Vorbis PCM decodes: 32 mono samples at 8 kHz
+    assert got[4]["error"] is None
+    feats = got[4]["features"]
+    assert feats[1] == 1.0 and feats[2] == 8000.0
+    assert abs(feats[0] - 32 / 8000) < 1e-12
 
     rows = [
         (1, bytearray(M4.build_mp4())),
@@ -280,7 +294,7 @@ def test_frames_kernel_per_row_for_container_mimes(spark):
 
     rows = [
         (1, bytearray(M4.build_mp4()), "audio/mp4"),
-        (2, bytearray(O.build_ogg()), "application/ogg"),
+        (2, bytearray(O.build_ogg(codec="opus")), "application/ogg"),
         (3, bytearray(b"\x00garbage" * 8), "video/mp4"),
         (4, bytearray(b"\x00garbage" * 8), "audio/ogg"),
     ]

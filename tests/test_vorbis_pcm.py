@@ -1,0 +1,466 @@
+"""Vorbis I PCM synthesis (operators/vorbisdec.py).
+
+Every expectation here is computed through an INDEPENDENT path:
+the spec's own §3.2.1 worked example for codeword assignment, the
+spec's printed inverse-dB endpoints, hand-worked render_line /
+render_point arithmetic, explicit O(n²) cosine loops for the IMDCT
+and the lapped closed forms (the decoder uses a cached matrix), and
+the Princen-Bradley w² ≡ 1 window invariant for the lapping
+geometry.  The fixture encoder writes codewords MSB-first through a
+separate writer class, so decoder and fixture share no bit-order
+code."""
+
+import math
+
+import numpy as np
+import pytest
+
+from rawdata_client_provider_gcs_spark.operators import vorbisdec as V
+from rawdata_client_provider_gcs_spark.operators.rawvorbis import _Bits
+
+
+def _w64(i: int) -> float:
+    return math.sin(math.pi / 2 * math.sin(math.pi * (i + 0.5) / 64) ** 2)
+
+
+def _cos64(k: int, j: int) -> float:
+    return math.cos(math.pi / 128 * (2 * j + 1 + 32) * (2 * k + 1))
+
+
+# ---------------------------------------------------------------------------
+# codeword assignment + scalar decode
+# ---------------------------------------------------------------------------
+
+
+def test_codeword_assignment_spec_worked_example():
+    """Vorbis I §3.2.1 prints this exact assignment."""
+    words = V.assign_codewords([2, 4, 4, 4, 4, 2, 3, 3])
+    assert words == {
+        0: (0b00, 2), 1: (0b0100, 4), 2: (0b0101, 4), 3: (0b0110, 4),
+        4: (0b0111, 4), 5: (0b10, 2), 6: (0b110, 3), 7: (0b111, 3),
+    }
+
+
+def test_codeword_assignment_sparse_and_single():
+    # unused entries (length 0) are skipped, order preserved
+    words = V.assign_codewords([0, 1, 0, 1])
+    assert words == {1: (0, 1), 3: (1, 1)}
+    # single used entry: one 1-bit codeword
+    assert V.assign_codewords([0, 3, 0]) == {1: (0, 1)}
+
+
+def test_scalar_decode_msb_first():
+    book = V._Book({
+        "dims": 1, "entries": 4, "lengths": [1, 2, 3, 3],
+        "lookup_type": 0,
+    })
+    # codewords: 0, 10, 110, 111 — stream "0 10 110 111 0" MSB-first
+    w = V._BitWM()
+    for code, ln in ((0, 1), (0b10, 2), (0b110, 3), (0b111, 3), (0, 1)):
+        w.write_msb(code, ln)
+    r = V._PktBits(w.bytes())
+    assert [book.scalar(r) for _ in range(5)] == [0, 1, 2, 3, 0]
+
+
+def test_scalar_decode_garbage_raises():
+    book = V._Book({
+        "dims": 1, "entries": 2, "lengths": [1, 0], "lookup_type": 0,
+    })
+    r = V._PktBits(b"\xff" * 8)
+    with pytest.raises(ValueError, match="match no codeword"):
+        book.scalar(r)
+
+
+# ---------------------------------------------------------------------------
+# VQ lookup expansion
+# ---------------------------------------------------------------------------
+
+
+def test_vq_lookup_type1_hand_vector():
+    # entries=4, dims=2, lookup1_values(4,2)=2, mult=[3, 7], delta=.5,
+    # min=1: entry e -> [mult[e%2], mult[(e//2)%2]]·.5+1
+    book = V._Book({
+        "dims": 2, "entries": 4, "lengths": [2, 2, 2, 2],
+        "lookup_type": 1, "minimum": 1.0, "delta": 0.5,
+        "sequence_p": 0, "multiplicands": [3, 7],
+    })
+    assert book.vq.tolist() == [
+        [2.5, 2.5], [4.5, 2.5], [2.5, 4.5], [4.5, 4.5],
+    ]
+
+
+def test_vq_lookup_type2_and_sequence_p():
+    book = V._Book({
+        "dims": 2, "entries": 2, "lengths": [1, 1],
+        "lookup_type": 2, "minimum": 0.0, "delta": 1.0,
+        "sequence_p": 1, "multiplicands": [1, 2, 3, 4],
+    })
+    # type 2: rows [1,2],[3,4]; sequence_p accumulates along dims
+    assert book.vq.tolist() == [[1.0, 3.0], [3.0, 7.0]]
+
+
+# ---------------------------------------------------------------------------
+# floor 1 pieces
+# ---------------------------------------------------------------------------
+
+
+def test_render_point_and_line_hand_vectors():
+    assert V._render_point(0, 2, 4, 7, 2) == 4  # err=10, off=2
+    assert V._render_point(0, 7, 4, 2, 2) == 5  # dy<0: 7-2
+    v = np.zeros(8, dtype=np.int64)
+    V.render_line(0, 2, 4, 7, v)
+    assert v[:4].tolist() == [2, 3, 4, 5]  # base=1,sy=2,ady=1
+    v = np.zeros(8, dtype=np.int64)
+    V.render_line(0, 7, 4, 2, v)
+    assert v[:4].tolist() == [7, 6, 5, 4]  # trunc-toward-zero base
+
+
+def test_inverse_db_table_spec_endpoints():
+    """The spec's printed table: first entry 1.0649863e-07, last 1.0."""
+    assert V._INVERSE_DB[255] == 1.0
+    assert abs(V._INVERSE_DB[0] - 1.0649863e-07) < 1e-13
+    # monotone, 0.546875 dB per step
+    ratio = V._INVERSE_DB[101] / V._INVERSE_DB[100]
+    assert abs(20 * math.log10(ratio) - 0.546875) < 1e-9
+
+
+def test_floor1_flat_synthesis():
+    cfg = {
+        "type": 1, "partitions": 1, "classes": [0], "class_dims": [1],
+        "class_subclasses": [0], "masterbooks": [-1],
+        "subclass_books": [[-1]], "multiplier": 1, "rangebits": 2,
+        "x_list": [0, 4, 2],
+    }
+    fl = V._Floor1(cfg)
+    curve = fl.synthesize([255, 255, 0], 16)
+    assert np.allclose(curve, 1.0)
+
+
+def test_floor1_step2_fold_and_slope():
+    # posts (0, 255) with a middle post carrying a nonzero offset:
+    # pred at x=2 is 127 (render_point 0,0 -> 4,255), room = 2*127=254
+    # val=3 (odd) -> 127 - 2 = 125; val=4 (even) -> 127 + 2 = 129
+    cfg = {
+        "type": 1, "partitions": 1, "classes": [0], "class_dims": [1],
+        "class_subclasses": [0], "masterbooks": [-1],
+        "subclass_books": [[-1]], "multiplier": 1, "rangebits": 2,
+        "x_list": [0, 4, 2],
+    }
+    fl = V._Floor1(cfg)
+    c_odd = fl.synthesize([0, 255, 3], 8)
+    c_even = fl.synthesize([0, 255, 4], 8)
+    assert c_odd[2] == V._INVERSE_DB[125]
+    assert c_even[2] == V._INVERSE_DB[129]
+    # the flat extension past the last post holds the last Y
+    assert c_odd[5] == c_odd[4] == V._INVERSE_DB[255]
+
+
+# ---------------------------------------------------------------------------
+# residue formats
+# ---------------------------------------------------------------------------
+
+
+def _residue_books():
+    # book 0: classbook dims 1, 2 entries, 1-bit codewords (identity)
+    # book 1: VQ dims 2, entries 2, values rows [1,2] / [3,4]
+    return [
+        V._Book({"dims": 1, "entries": 2, "lengths": [1, 1],
+                 "lookup_type": 0}),
+        V._Book({"dims": 2, "entries": 2, "lengths": [1, 1],
+                 "lookup_type": 2, "minimum": 0.0, "delta": 1.0,
+                 "sequence_p": 0, "multiplicands": [1, 2, 3, 4]}),
+    ]
+
+
+def test_residue_format1_sequential():
+    books = _residue_books()
+    cfg = {"type": 1, "begin": 0, "end": 4, "partition_size": 4,
+           "classifications": 2, "classbook": 0,
+           "cascades": [0, 1], "books": [[-1] * 8, [1] + [-1] * 7]}
+    # one partition, class 1: two dim-2 vectors fill [0,4): entries 1,0
+    w = V._BitWM()
+    w.write_msb(1, 1)  # classbook word -> class 1
+    w.write_msb(1, 1)  # entry 1 -> [3,4]
+    w.write_msb(0, 1)  # entry 0 -> [1,2]
+    out = V._decode_residue(V._PktBits(w.bytes()), cfg, books, 1, 4,
+                            [False])
+    assert out.tolist() == [[3.0, 4.0, 1.0, 2.0]]
+
+
+def test_residue_format0_interleaved():
+    books = _residue_books()
+    cfg = {"type": 0, "begin": 0, "end": 4, "partition_size": 4,
+           "classifications": 2, "classbook": 0,
+           "cascades": [0, 1], "books": [[-1] * 8, [1] + [-1] * 7]}
+    # format 0: step=2; vec k goes to offset+k, offset+k+step
+    w = V._BitWM()
+    w.write_msb(1, 1)
+    w.write_msb(1, 1)  # [3,4] -> positions 0, 2
+    w.write_msb(0, 1)  # [1,2] -> positions 1, 3
+    out = V._decode_residue(V._PktBits(w.bytes()), cfg, books, 1, 4,
+                            [False])
+    assert out.tolist() == [[3.0, 1.0, 4.0, 2.0]]
+
+
+def test_residue_multi_stage_accumulates():
+    books = _residue_books()
+    cfg = {"type": 1, "begin": 0, "end": 4, "partition_size": 4,
+           "classifications": 2, "classbook": 0,
+           "cascades": [0, 3], "books": [[-1] * 8, [1, 1] + [-1] * 6]}
+    w = V._BitWM()
+    w.write_msb(1, 1)  # class 1
+    w.write_msb(1, 1)  # pass 0: [3,4]
+    w.write_msb(0, 1)  #          [1,2]
+    w.write_msb(0, 1)  # pass 1: [1,2]
+    w.write_msb(1, 1)  #          [3,4]
+    out = V._decode_residue(V._PktBits(w.bytes()), cfg, books, 1, 4,
+                            [False])
+    assert out.tolist() == [[4.0, 6.0, 4.0, 6.0]]
+
+
+def test_residue_truncation_keeps_partial():
+    # 4-entry 2-bit VQ book; two partitions; the single packet byte
+    # ends after partition 0 plus ONE vector of partition 1 — §1.1.4
+    # keeps the partial spectrum, zeros the rest
+    books = [
+        V._Book({"dims": 1, "entries": 2, "lengths": [1, 1],
+                 "lookup_type": 0}),
+        V._Book({"dims": 2, "entries": 4, "lengths": [2, 2, 2, 2],
+                 "lookup_type": 2, "minimum": 0.0, "delta": 1.0,
+                 "sequence_p": 0,
+                 "multiplicands": [1, 2, 3, 4, 5, 6, 7, 8]}),
+    ]
+    cfg = {"type": 1, "begin": 0, "end": 8, "partition_size": 4,
+           "classifications": 2, "classbook": 0,
+           "cascades": [0, 1], "books": [[-1] * 8, [1] + [-1] * 7]}
+    w = V._BitWM()
+    w.write_msb(1, 1)   # partition 0: class 1
+    w.write_msb(3, 2)   # entry 3 -> [7, 8]
+    w.write_msb(0, 2)   # entry 0 -> [1, 2]
+    w.write_msb(1, 1)   # partition 1: class 1
+    w.write_msb(2, 2)   # entry 2 -> [5, 6]; next vector hits EOP
+    assert len(w.bits) == 8  # exactly one byte: EOP mid-partition-1
+    out = V._decode_residue(V._PktBits(w.bytes()), cfg, books, 1, 8,
+                            [False])
+    assert out.tolist() == [[7.0, 8.0, 1.0, 2.0, 5.0, 6.0, 0.0, 0.0]]
+
+
+# ---------------------------------------------------------------------------
+# coupling + IMDCT + window
+# ---------------------------------------------------------------------------
+
+
+def test_inverse_coupling_all_quadrants():
+    # (M, A) -> (M', A') per §4.3.5
+    cases = {
+        (3.0, 1.0): (3.0, 2.0),    # M>0, A>0: A' = M - A
+        (3.0, -1.0): (2.0, 3.0),   # M>0, A<=0: M' = M + A, A' = M
+        (-3.0, 1.0): (-3.0, -2.0),  # M<=0, A>0: A' = M + A
+        (-3.0, -1.0): (-2.0, -3.0),  # M<=0, A<=0: M' = M - A, A' = M
+    }
+    m = np.array([k[0] for k in cases])
+    a = np.array([k[1] for k in cases])
+    pos_a = a > 0
+    new_m = np.where(m > 0, np.where(pos_a, m, m + a),
+                     np.where(pos_a, m, m - a))
+    new_a = np.where(m > 0, np.where(pos_a, m - a, m),
+                     np.where(pos_a, m + a, m))
+    for i, k in enumerate(cases):
+        assert (new_m[i], new_a[i]) == cases[k]
+
+
+def test_imdct_matches_naive_loop():
+    rng = np.random.default_rng(7)
+    for n2 in (8, 32):
+        s = rng.normal(size=n2)
+        got = V.imdct(s)
+        n = 2 * n2
+        naive = [
+            sum(s[k] * math.cos(math.pi / (2 * n) * (2 * j + 1 + n2)
+                                * (2 * k + 1)) for k in range(n2))
+            for j in range(n)
+        ]
+        assert np.allclose(got, naive, atol=1e-12)
+
+
+def test_window_princen_bradley_mixed_sequence():
+    """w² sums to exactly 1 across every lap of a mixed short/long
+    sequence — the spec's lapping geometry has no other solution."""
+    blocks = [(64, False, 1, 1), (128, True, 0, 1), (128, True, 1, 0),
+              (64, False, 1, 1), (64, False, 1, 1)]
+    centers = []
+    c = blocks[0][0] // 2
+    prev_n = blocks[0][0]
+    centers.append(c)
+    for nb, _l, _p, _n in blocks[1:]:
+        c = c + prev_n // 4 + nb // 4
+        centers.append(c)
+        prev_n = nb
+    total = centers[-1] + 128
+    acc = np.zeros(total)
+    for (nb, lb, pf, nf), cc in zip(blocks, centers):
+        w = V.block_window(nb, 64, lb, pf, nf)
+        acc[cc - nb // 2 : cc + nb // 2] += w**2
+    lo, hi = centers[0], centers[-1]
+    assert np.allclose(acc[lo:hi], 1.0, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end streams (closed forms via explicit loops)
+# ---------------------------------------------------------------------------
+
+
+def test_e2e_mono_single_coefficient():
+    blob = V.build_pcm_ogg([(5, 2), (5, 2)])
+    pcm, rate = V.decode_ogg_vorbis(blob)
+    assert rate == 8000 and pcm.shape == (32, 1)
+    exp = [_cos64(5, 32 + t) * _w64(32 + t) + _cos64(5, t) * _w64(t)
+           for t in range(32)]
+    assert np.allclose(pcm[:, 0], exp, atol=1e-12)
+
+
+def test_e2e_stereo_coupling():
+    b = 3
+    ident = V.build_pcm_ident(channels=2)
+    setup = V.build_pcm_setup(channels=2, coupling=True)
+    pkt = V.encode_pcm_packet([(2 * b, 2), (2 * b + 1, 1)], channels=2)
+    pcm, _ = V.decode_packets(ident, setup, [pkt, pkt])
+    assert pcm.shape == (32, 2)
+    for ch, amp in ((0, 1.0), (1, 0.5)):  # M'=M, A'=M-A=0.5
+        exp = [amp * (_cos64(b, 32 + t) * _w64(32 + t)
+                      + _cos64(b, t) * _w64(t)) for t in range(32)]
+        assert np.allclose(pcm[:, ch], exp, atol=1e-12)
+
+
+def test_e2e_mixed_blocksizes():
+    ident = V.build_pcm_ident(two_modes=True)
+    setup = V.build_pcm_setup(two_modes=True)
+    p_s = V.encode_pcm_packet((5, 2), two_modes=True)
+    p_l = V.encode_pcm_packet((9, 3), two_modes=True, long_block=True,
+                              prev_flag=0, next_flag=0)
+    pcm, _ = V.decode_packets(ident, setup, [p_s, p_l, p_s])
+    assert pcm.shape == (96, 1)
+
+    def imdct_naive(s, nb):
+        return [
+            sum(s[k] * math.cos(math.pi / (2 * nb) * (2 * j + 1 + nb // 2)
+                                * (2 * k + 1)) for k in range(nb // 2))
+            for j in range(nb)
+        ]
+
+    def win(nb, lb, pf, nf):
+        return V.block_window(nb, 64, lb, pf, nf)
+
+    s1 = [0.0] * 32
+    s1[5] = 1.0
+    s2 = [0.0] * 64
+    s2[9] = 1.5
+    acc = [0.0] * 260
+    for (nb, s, lb, pf, nf), c in zip(
+        [(64, s1, False, 1, 1), (128, s2, True, 0, 0),
+         (64, s1, False, 1, 1)], [32, 80, 128],
+    ):
+        xs = imdct_naive(s, nb)
+        wv = win(nb, lb, pf, nf)
+        for i in range(nb):
+            acc[c - nb // 2 + i] += xs[i] * wv[i]
+    assert np.allclose(pcm[:, 0], acc[32:128], atol=1e-12)
+
+
+def test_e2e_zero_energy_and_truncated_frames():
+    ident = V.build_pcm_ident()
+    setup = V.build_pcm_setup()
+    good = V.encode_pcm_packet((5, 2))
+    # a packet truncated inside the floor decode: skipped entirely
+    short = good[:1]
+    pcm, _ = V.decode_packets(ident, setup, [good, short, good])
+    # the skipped frame contributes nothing; two good frames lap once
+    assert pcm.shape == (32, 1)
+    # truncation INSIDE residue keeps the partial frame: cut the last
+    # byte so pass-1 stage codewords vanish mid-decode
+    part = good[:-1]
+    pcm2, _ = V.decode_packets(ident, setup, [good, part])
+    assert pcm2.shape == (32, 1)
+
+
+# ---------------------------------------------------------------------------
+# hostiles
+# ---------------------------------------------------------------------------
+
+
+def test_hostile_headers():
+    with pytest.raises(ValueError, match="bad identification"):
+        V.parse_ident(b"\x01vorbiz" + b"\x00" * 23)
+    bad_bs = bytearray(V.build_pcm_ident())
+    bad_bs[28] = 0x11  # blocksizes 2/2
+    with pytest.raises(ValueError, match="illegal blocksizes"):
+        V.parse_ident(bytes(bad_bs))
+    with pytest.raises(ValueError, match="unsupported version"):
+        V.parse_ident(b"\x01vorbis\x01" + b"\x00" * 22)
+    with pytest.raises(ValueError, match="lacks ident or setup"):
+        V.decode_ogg_vorbis(b"OggS" + b"\x00" * 60)
+
+
+def test_floor0_stream_refused_loudly():
+    """A hand-built setup header declaring a floor-0 configuration is
+    refused by the decoder constructor (metadata parse still works)."""
+    from rawdata_client_provider_gcs_spark.operators.rawvorbis import _BitW
+
+    w = _BitW()
+    w.write(0, 8)             # one codebook
+    w.write(0x564342, 24)
+    w.write(1, 16)            # dims 1
+    w.write(2, 24)            # 2 entries
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(0, 5)             # lengths 1, 1
+    w.write(0, 5)
+    w.write(0, 4)             # no lookup
+    w.write(0, 6)             # time domain
+    w.write(0, 16)
+    w.write(0, 6)             # one floor — TYPE 0
+    w.write(0, 16)
+    w.write(8, 8)             # order
+    w.write(8000, 16)         # rate
+    w.write(64, 16)           # bark map size
+    w.write(6, 6)             # amplitude bits
+    w.write(10, 8)            # amplitude offset
+    w.write(0, 4)             # one book
+    w.write(0, 8)             # book 0
+    w.write(0, 6)             # one residue (type 0, trivial)
+    w.write(0, 16)
+    w.write(0, 24)
+    w.write(0, 24)
+    w.write(0, 24)
+    w.write(0, 6)
+    w.write(0, 8)
+    w.write(0, 3)
+    w.write(0, 1)
+    w.write(0, 6)             # one mapping
+    w.write(0, 16)
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(0, 2)
+    w.write(0, 8)
+    w.write(0, 8)
+    w.write(0, 8)
+    w.write(0, 6)             # one mode
+    w.write(0, 1)
+    w.write(0, 16)
+    w.write(0, 16)
+    w.write(0, 8)
+    w.write(1, 1)
+    setup = b"\x05vorbis" + w.bytes()
+    ident = V.parse_ident(V.build_pcm_ident())
+    with pytest.raises(ValueError, match="floor type 0"):
+        V.VorbisDecoder(ident, setup)
+
+
+def test_decode_ogg_pcm_wired():
+    from rawdata_client_provider_gcs_spark.operators.rawogg import (
+        decode_ogg_pcm,
+    )
+
+    blob = V.build_pcm_ogg([(5, 2), (5, 2)])
+    pcm, rate = decode_ogg_pcm(blob)
+    assert pcm.shape == (32, 1) and rate == 8000
