@@ -376,21 +376,33 @@ def _decode_residue(
 # IMDCT + window
 # ---------------------------------------------------------------------------
 
-_IMDCT_CACHE: dict[int, np.ndarray] = {}
+_TWIDDLE_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
 _SLOPE_CACHE: dict[int, np.ndarray] = {}
 
 
 def imdct(spectrum: np.ndarray) -> np.ndarray:
     """§4.3.7: ``out[j] = Σ_k S[k]·cos(π/(2n)(2j+1+n/2)(2k+1))``
-    where n = 2·len(spectrum)."""
-    n = 2 * len(spectrum)
-    m = _IMDCT_CACHE.get(n)
-    if m is None:
-        j = 2 * np.arange(n) + 1 + n // 2
-        k = 2 * np.arange(n // 2) + 1
-        m = np.cos(np.pi / (2 * n) * np.outer(j, k))
-        _IMDCT_CACHE[n] = m
-    return m @ spectrum
+    where n = 2·len(spectrum).
+
+    Evaluated O(n log n) by twiddle + FFT, never as an O(n²) matrix:
+    with a = π/(2n), the sum is Re[e^{ia(2j+1+n/2)} · Σ_k S[k]
+    e^{iπk(1+n/2)/n} e^{2πijk/n}] — a pre-twiddled zero-padded DFT
+    and a post-twiddle.  A cached n=8192 cosine matrix would cost
+    256 MB per executor; the twiddles cost 3n complex doubles.
+    Pinned against the naive O(n²) loop in tests."""
+    n2 = len(spectrum)
+    n = 2 * n2
+    tw = _TWIDDLE_CACHE.get(n)
+    if tw is None:
+        pre = np.exp(1j * np.pi * np.arange(n2) * (1 + n2) / n)
+        post = np.exp(1j * np.pi * (2 * np.arange(n) + 1 + n2) / (2 * n))
+        tw = (pre, post)
+        _TWIDDLE_CACHE[n] = tw
+    pre, post = tw
+    # the sum needs e^{+2πijk/n}: numpy's fft uses the negative
+    # exponent, so go through ifft (scaled back by n)
+    f = np.fft.ifft(spectrum * pre, n) * n
+    return np.real(post * f)
 
 
 def _slope(n: int) -> np.ndarray:

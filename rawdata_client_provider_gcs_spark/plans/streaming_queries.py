@@ -646,31 +646,47 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g')) AS text
-FROM d WHERE doc_id % 3 = 0
+FROM d WHERE doc_id % 5 = 0
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'epub', CAST(i AS BIGINT),
        trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
                            '\\s+', ' ', 'g'))
-FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 3 = 1
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 5 = 1
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'odt', CAST(0 AS BIGINT),
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 3 = 2
+FROM d WHERE doc_id % 5 = 2
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'doc', CAST(0 AS BIGINT),
+       trim(regexp_replace(
+         substr(text, 1, 40) || ' ' || substr(text, 41, 40),
+         '\\s+', ' ', 'g'))
+FROM d WHERE doc_id % 5 = 3
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'rtf', CAST(0 AS BIGINT),
+       trim(regexp_replace(
+         substr(text, 1, 40) || ' ' || substr(text, 41, 40),
+         '\\s+', ' ', 'g'))
+FROM d WHERE doc_id % 5 = 4
 """,
     tags=("streaming", "source", "office"),
 )
 def q_stream_office_ingest(spark: SparkSession, sf: str) -> DataFrame:
-    """The office tier as a STREAM, oracle-exact: DOCX/EPUB/ODT drops
+    """The office tier as a STREAM, oracle-exact: DOCX/EPUB/ODT plus
+    legacy .doc and RTF drops
     arrive in micro-batches and explode to per-part text rows through
     the same ``office_text`` pipeline as the batch query
     (``q_crawl_office_text``) — stateless append, zero state at any
-    scale, all three container formats under the one oracle.
+    scale, zip-XML, CFB piece-table, and RTF token formats under the
+    one oracle.
     """
     import tempfile
 
+    from ..sources import legacy_office as LO
     from ..sources import office as O
+    from ..sources import rtf as RT
 
     d = (
         load_table(spark, sf, "documents")
@@ -687,13 +703,17 @@ def q_stream_office_ingest(spark: SparkSession, sf: str) -> DataFrame:
                 did = int(did)
                 t = str(text)
                 halves = [t[:40], t[40:80]]
-                v = did % 3
+                v = did % 5
                 if v == 0:
                     payloads.append(O.build_docx(halves))
                 elif v == 1:
                     payloads.append(O.build_epub(halves, title=""))
-                else:
+                elif v == 2:
                     payloads.append(O.build_odt(halves))
+                elif v == 3:
+                    payloads.append(LO.build_doc(halves))
+                else:
+                    payloads.append(RT.build_rtf(halves))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     stage = tempfile.mkdtemp(prefix="rawdata-office-stream-")

@@ -283,6 +283,23 @@ def test_imdct_matches_naive_loop():
         assert np.allclose(got, naive, atol=1e-12)
 
 
+def test_imdct_fft_path_at_real_blocksizes():
+    """The FFT decomposition must hold at Vorbis's real block sizes
+    (up to 8192) where the old cosine matrix would cost 256 MB —
+    spot-checked against the explicit O(n²) sum."""
+    rng = np.random.default_rng(11)
+    for n2 in (1024, 4096):
+        s = rng.normal(size=n2)
+        got = V.imdct(s)
+        n = 2 * n2
+        for j in rng.integers(0, n, 5):
+            naive = sum(
+                s[k] * math.cos(math.pi / (2 * n) * (2 * int(j) + 1 + n2)
+                                * (2 * k + 1)) for k in range(n2)
+            )
+            assert abs(got[j] - naive) < 1e-9 * max(1.0, abs(naive))
+
+
 def test_window_princen_bradley_mixed_sequence():
     """w² sums to exactly 1 across every lap of a mixed short/long
     sequence — the spec's lapping geometry has no other solution."""
