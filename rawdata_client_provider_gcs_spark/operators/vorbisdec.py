@@ -851,7 +851,14 @@ def build_pcm_ogg(
     serial = 0x7001
     pages = [_page(serial, 0, 0, [ident], 2)]
     pages.append(_page(serial, 1, 0, [comment, setup], 0))
-    granule = 32 * max(0, len(audio) - 1)
-    pages.append(_page(serial, 2, granule, audio, 0))
-    last = _page(serial, 3, granule, [], 4)
+    # one Ogg page holds at most 255 lacing segments — paginate
+    seq = 2
+    done = 0
+    for i in range(0, max(1, len(audio)), 100):
+        chunk = audio[i : i + 100]
+        done += len(chunk)
+        granule = 32 * max(0, done - 1)
+        pages.append(_page(serial, seq, granule, chunk, 0))
+        seq += 1
+    last = _page(serial, seq, 32 * max(0, len(audio) - 1), [], 4)
     return b"".join(pages) + last
