@@ -627,10 +627,13 @@ def decode_packets(
 
 def decode_ogg_vorbis(data: bytes) -> tuple[np.ndarray, int]:
     """Full Ogg Vorbis file → (PCM, rate): page/packet walk via
-    :mod:`.rawogg`, headers + audio in stream order."""
+    :mod:`.rawogg`, headers + audio in stream order.  Output is
+    trimmed to the stream's final granule position (the encoder's
+    declared total sample count — real encoders pad the last block),
+    when one is present and sane."""
     from .rawogg import _packets
 
-    packets, _info = _packets(data)
+    packets, info = _packets(data)
     ident = setup = None
     serial = None
     audio: list[bytes] = []
@@ -645,7 +648,11 @@ def decode_ogg_vorbis(data: bytes) -> tuple[np.ndarray, int]:
             audio.append(pkt)
     if ident is None or setup is None:
         raise ValueError("vorbis: stream lacks ident or setup header")
-    return decode_packets(ident, setup, audio)
+    pcm, rate = decode_packets(ident, setup, audio)
+    last = info["last_granule"].get(serial, 0)
+    if 0 < last < pcm.shape[0]:
+        pcm = pcm[:last]
+    return pcm, rate
 
 
 # ---------------------------------------------------------------------------

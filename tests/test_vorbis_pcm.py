@@ -4,7 +4,7 @@ Every expectation here is computed through an INDEPENDENT path:
 the spec's own §3.2.1 worked example for codeword assignment, the
 spec's printed inverse-dB endpoints, hand-worked render_line /
 render_point arithmetic, explicit O(n²) cosine loops for the IMDCT
-and the lapped closed forms (the decoder uses a cached matrix), and
+and the lapped closed forms (the decoder uses a twiddled FFT), and
 the Princen-Bradley w² ≡ 1 window invariant for the lapping
 geometry.  The fixture encoder writes codewords MSB-first through a
 separate writer class, so decoder and fixture share no bit-order
@@ -481,3 +481,61 @@ def test_decode_ogg_pcm_wired():
     blob = V.build_pcm_ogg([(5, 2), (5, 2)])
     pcm, rate = decode_ogg_pcm(blob)
     assert pcm.shape == (32, 1) and rate == 8000
+
+
+def test_granule_trims_decoder_padding():
+    """A final granule below the lapped output length trims the PCM —
+    the encoder's declared total wins over block padding."""
+    from rawdata_client_provider_gcs_spark.operators.rawogg import _page
+
+    ident = V.build_pcm_ident()
+    comment = (b"\x03vorbis" + (7).to_bytes(4, "little") + b"fixture"
+               + (0).to_bytes(4, "little") + b"\x01")
+    setup = V.build_pcm_setup()
+    audio = [V.encode_pcm_packet((5, 2)) for _ in range(3)]
+    serial = 0x7002
+    blob = (
+        _page(serial, 0, 0, [ident], 2)
+        + _page(serial, 1, 0, [comment, setup], 0)
+        + _page(serial, 2, 50, audio, 4)  # granule 50 < 64 lapped
+    )
+    pcm, _ = V.decode_ogg_vorbis(blob)
+    assert pcm.shape[0] == 50
+
+
+def test_fuzz_audio_packets_never_crash():
+    """Random audio packets either decode (possibly as silence) or are
+    skipped/ValueError'd — never crash, hang, or leak an exception
+    class outside the per-row contract."""
+    import random
+
+    rng = random.Random(42)
+    ident = V.parse_ident(V.build_pcm_ident())
+    setup = V.build_pcm_setup()
+    for _ in range(300):
+        pkts = [bytes(rng.randrange(256) for _ in range(rng.randrange(0, 40)))
+                for _ in range(rng.randrange(1, 4))]
+        dec = V.VorbisDecoder(ident, setup)
+        try:
+            for p in pkts:
+                dec.feed(p)
+            out = dec.finish()
+            assert np.all(np.isfinite(out))
+        except ValueError:
+            pass  # the per-row capture class
+
+
+def test_fuzz_whole_streams_never_crash():
+    import random
+
+    rng = random.Random(9)
+    base = V.build_pcm_ogg([(5, 2), (9, 1)])
+    for _ in range(200):
+        blob = bytearray(base)
+        for _ in range(rng.randrange(1, 6)):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        try:
+            pcm, _ = V.decode_ogg_vorbis(bytes(blob))
+            assert np.all(np.isfinite(pcm))
+        except ValueError:
+            pass
