@@ -56,6 +56,7 @@ from .rawvorbis import _Bits, _BitW, ilog, lookup1_values, parse_setup
 
 MAX_BLOCK = 8192
 MAX_PACKETS = 1 << 20
+MAX_PCM_SAMPLES = 1 << 30  # ~4 GiB of mono float32 — bomb guard
 
 
 class _EndOfPacket(Exception):
@@ -590,6 +591,8 @@ class VorbisDecoder:
         # samples before (center + n/4 - bs1/4) can no longer change
         safe = center + n // 4 - self.bs1 // 4
         if safe > self._emitted:
+            if safe > MAX_PCM_SAMPLES:
+                raise ValueError("vorbis: decoded PCM over the cap (bomb)")
             a, b = (self._emitted - self._acc_start,
                     safe - self._acc_start)
             self._out.append(self._acc[a:b].copy())

@@ -96,13 +96,21 @@ def _doc_chars(text: str) -> str:
 
 
 def doc_text_of(worddoc: bytes, table: bytes) -> str:
-    """``WordDocument`` + table stream → main-document text.
+    """``WordDocument`` + table stream → main-document text (the
+    FIB's ``ccpText`` CPs).  See :func:`doc_texts_of` for the
+    subdocument tail."""
+    return doc_texts_of(worddoc, table)[0]
+
+
+def doc_texts_of(worddoc: bytes, table: bytes) -> tuple[str, str]:
+    """``WordDocument`` + table stream → ``(main_text, subdoc_text)``.
 
     Walks FIB → fcClx/lcbClx → Clx → PlcPcd → pieces, decoding each
     piece's cp1252 or UTF-16LE run and mapping Word control
-    characters; output is truncated to the FIB's ``ccpText`` CPs (the
-    main document — trailing subdocument CPs are out of the subset).
-    """
+    characters.  The first ``ccpText`` CPs are the main document; the
+    piece table's remaining CPs (footnotes, headers/footers,
+    annotations — MS-DOC's trailing subdocuments) come back as the
+    second element instead of being dropped."""
     try:
         return _doc_text(worddoc, table)
     except struct.error as exc:
@@ -190,9 +198,9 @@ def _doc_text(worddoc: bytes, table: bytes) -> str:
                 worddoc[fc : fc + 2 * cp_len].decode("utf-16-le", "replace")
             )
     text = "".join(out)
-    if ccp_text:
-        text = text[:ccp_text]
-    return _doc_chars(text)
+    if not ccp_text:
+        ccp_text = len(text)
+    return _doc_chars(text[:ccp_text]), _doc_chars(text[ccp_text:])
 
 
 # ---------------------------------------------------------------------------
@@ -563,10 +571,13 @@ def legacy_parts(entries: list[dict]) -> tuple[str, list[tuple[str, str]]]:
         table = streams.get(table_name)
         if table is None:
             raise ValueError(f"doc: FIB names missing stream {table_name!r}")
-        text = doc_text_of(word, table)
-        return "doc", [
-            ("WordDocument", "<w:t>" + _xml_escape(text) + "</w:t>")
-        ]
+        main, subdocs = doc_texts_of(word, table)
+        parts = [("WordDocument", "<w:t>" + _xml_escape(main) + "</w:t>")]
+        if subdocs.strip():
+            parts.append(
+                ("subdocuments", "<w:t>" + _xml_escape(subdocs) + "</w:t>")
+            )
+        return "doc", parts
     wb = streams.get("Workbook", streams.get("Book"))
     if wb is not None:
         parts = []
@@ -598,12 +609,16 @@ def legacy_parts(entries: list[dict]) -> tuple[str, list[tuple[str, str]]]:
 
 
 def build_doc_streams(
-    paragraphs: list[str], *, which_table: int = 1
+    paragraphs: list[str],
+    *,
+    which_table: int = 1,
+    footnotes: list[str] | None = None,
 ) -> list[tuple[str, bytes]]:
     """Hand-packed ``WordDocument`` + table streams: one piece per
     paragraph (each ending in the CR paragraph mark), alternating
     cp1252-compressed and UTF-16 pieces (cp1252 only when encodable),
-    FIB nFib 0x00C1 with 93 fc/lcb pairs, Clx at table offset 0."""
+    FIB nFib 0x00C1 with 93 fc/lcb pairs, Clx at table offset 0.
+    ``footnotes`` append subdocument pieces past ``ccpText``."""
     if which_table not in (0, 1):
         raise ValueError("doc fixture: which_table must be 0 or 1")
     n_pairs = 93  # cbRgFcLcb for nFib 0x00C1 (Word 97)
@@ -611,7 +626,11 @@ def build_doc_streams(
     body = bytearray()
     cps = [0]
     pcds = []
-    for i, para in enumerate(paragraphs):
+    main_cp = None
+    all_paras = list(paragraphs) + list(footnotes or [])
+    for i, para in enumerate(all_paras):
+        if i == len(paragraphs):
+            main_cp = cps[-1]
         text = para + "\r"
         compressed = i % 2 == 0
         if compressed:
@@ -637,7 +656,9 @@ def build_doc_streams(
     struct.pack_into("<H", fib, 32, 14)          # csw
     struct.pack_into("<H", fib, 62, 22)          # cslw
     struct.pack_into("<I", fib, 64, fib_len + len(body))  # cbMac
-    struct.pack_into("<I", fib, 76, cps[-1])     # ccpText
+    struct.pack_into(
+        "<I", fib, 76, main_cp if main_cp is not None else cps[-1]
+    )  # ccpText: footnote pieces sit past it
     struct.pack_into("<H", fib, 152, n_pairs)
     struct.pack_into("<II", fib, 154 + 8 * _FCLCB_CLX, 0, len(clx))
     table_name = "1Table" if which_table else "0Table"

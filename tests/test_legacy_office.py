@@ -346,3 +346,24 @@ def test_office_info_legacy_formats():
     assert (info["doc_format"], info["title"], info["n_parts"]) == (
         "ppt", "Deck", 2,
     )
+
+
+def test_doc_subdocument_text_second_part():
+    """Piece-table CPs past ccpText (footnotes/headers) land in a
+    second 'subdocuments' part instead of being dropped."""
+    blob = L.build_doc_streams(
+        ["main body"], footnotes=["a footnote", "a header"]
+    )
+    word = dict(blob)["WordDocument"]
+    table = dict(blob)["1Table"]
+    main, subs = L.doc_texts_of(word, table)
+    assert main == "main body\n"
+    assert subs == "a footnote\na header\n"
+    cfb = C.build_cfb(blob)
+    fmt, parts = O.office_parts_of(cfb)
+    assert fmt == "doc"
+    assert [p[0] for p in parts] == ["WordDocument", "subdocuments"]
+    assert parts[1][1] == "<w:t>a footnote\na header\n</w:t>"
+    # without footnotes: single part, unchanged contract
+    fmt, parts = O.office_parts_of(L.build_doc(["only main"]))
+    assert [p[0] for p in parts] == ["WordDocument"]
