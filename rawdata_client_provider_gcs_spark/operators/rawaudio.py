@@ -18,6 +18,8 @@ and deterministic.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 _PCM = 1
@@ -700,6 +702,50 @@ def segment_samples(
             (idx, start * 1000 // rate, encode_wav_pcm16(seg, rate))
         )
     return out
+
+
+def audio_quality(
+    samples: "np.ndarray",
+    rate: int,
+    *,
+    clip_thresh: float = 0.999,
+    silence_rms: float = 1e-4,
+    window_ms: int = 20,
+) -> list[float]:
+    """Curation-grade quality signals of a decoded clip.
+
+    ``[clipping_ratio, silence_ratio, dc_offset, crest_db,
+    trim_ratio]`` — the numbers a speech/audio corpus pass filters
+    on: fraction of samples at or beyond full scale, fraction of
+    ``window_ms`` windows whose RMS sits under the silence floor, DC
+    bias, peak-to-RMS crest factor in dB (0 for silence), and the
+    fraction of the clip a leading/trailing silence trim would drop.
+    Mono-mixed first; plain numpy reductions, no FFT.
+    """
+    frames = samples.shape[0]
+    if frames == 0:
+        return [0.0, 0.0, 0.0, 0.0, 0.0]
+    mono = samples.mean(axis=1) if samples.ndim == 2 else samples
+    clipping = float(np.mean(np.abs(mono) >= clip_thresh))
+    dc = float(mono.mean())
+    rms = float(np.sqrt(np.mean(mono**2)))
+    peak = float(np.max(np.abs(mono)))
+    crest = 20.0 * math.log10(peak / rms) if rms > 0 else 0.0
+    win = max(1, rate * window_ms // 1000)
+    n_win = (frames + win - 1) // win
+    silent = np.zeros(n_win, dtype=bool)
+    for i in range(n_win):
+        seg = mono[i * win : (i + 1) * win]
+        silent[i] = float(np.sqrt(np.mean(seg**2))) < silence_rms
+    silence_ratio = float(silent.mean())
+    active = np.nonzero(~silent)[0]
+    if len(active):
+        lead = int(active[0]) * win
+        tail_start = min(frames, (int(active[-1]) + 1) * win)
+        trim = (lead + (frames - tail_start)) / frames
+    else:
+        trim = 1.0
+    return [clipping, silence_ratio, dc, crest, float(trim)]
 
 
 def spectrum_features(

@@ -1255,6 +1255,97 @@ def q_multimodal_audio_features(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_audio_quality",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         20.0 * (1 + doc_id % 4) AS z,
+         20.0 * (1 + doc_id % 3) AS c,
+         20.0 * (2 + doc_id % 5) AS m,
+         ((doc_id % 50) + 1) / 128.0 AS a
+  FROM documents WHERE doc_id < 300
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       c / (z + c + m) AS clipping_ratio,
+       (z / 20.0) / ((z + c + m) / 20.0) AS silence_ratio,
+       0.0 AS dc_offset,
+       ROUND(20 * log10(1 / sqrt((c + m * a * a) / (z + c + m))), 6)
+         AS crest_db,
+       z / (z + c + m) AS trim_ratio
+FROM p
+""",
+    tags=("llm", "multimodal", "audio", "curation", "pandas-udf"),
+)
+def q_multimodal_audio_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-corpus curation signals, oracle-exact — the numbers a
+    speech/audio data pipeline filters on: clipping ratio, silence
+    ratio over 20 ms windows, DC offset, peak-to-RMS crest factor,
+    and the trimmable leading/trailing-silence fraction
+    (``rawaudio.audio_quality``).  Each document becomes a float32
+    WAV with an EXACT shape — z silent samples, c clipped ±1
+    samples, m samples at dyadic amplitude k/128, all multiples of
+    the window — so every signal is closed-form: ratios are exact
+    rationals, the crest factor's RMS is an exact dyadic sum both
+    engines reproduce bit-identically before the shared round-6.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawaudio
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                z = 20 * (1 + did % 4)
+                c = 20 * (1 + did % 3)
+                m = 20 * (2 + did % 5)
+                a = ((did % 50) + 1) / 128.0
+                sig = np.concatenate([
+                    np.zeros(z),
+                    np.where(np.arange(c) % 2 == 0, 1.0, -1.0),
+                    np.where(np.arange(m) % 2 == 0, a, -a),
+                ])
+                payloads.append(rawaudio.encode_wav_float32(sig, 1000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "wav": payloads})
+
+    wavs = d.mapInPandas(make, "doc_id long, wav binary")
+
+    def score(batches):
+        import pandas as pd
+
+        from ..operators import rawaudio
+
+        cols = ("doc_id", "clipping_ratio", "silence_ratio", "dc_offset",
+                "crest_db", "trim_ratio")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf["wav"]):
+                samples, rate = rawaudio.decode_audio(bytes(payload))
+                q = rawaudio.audio_quality(samples, rate)
+                rows["doc_id"].append(int(did))
+                rows["clipping_ratio"].append(q[0])
+                rows["silence_ratio"].append(q[1])
+                rows["dc_offset"].append(q[2])
+                rows["crest_db"].append(round(q[3], 6))
+                rows["trim_ratio"].append(q[4])
+            yield pd.DataFrame(rows)
+
+    return wavs.mapInPandas(
+        score,
+        "doc_id long, clipping_ratio double, silence_ratio double, "
+        "dc_offset double, crest_db double, trim_ratio double",
+    )
+
+
+@register(
     "q_multimodal_audio_segments",
     oracle="""
 SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
