@@ -338,16 +338,72 @@ def decode_ogg_pcm(data: bytes):
 
     Vorbis decodes fully (:mod:`.vorbisdec` — every table ships in
     the stream's setup header, so the honesty boundary does not
-    apply).  Opus stays the loud boundary: SILK/CELT decode needs
-    codec-fixed tables the repo will not fabricate."""
+    apply); Ogg FLAC reassembles the native stream (the Xiph mapping:
+    a ``\\x7fFLAC`` first packet carrying ``fLaC`` + STREAMINFO, then
+    header packets, then one frame per packet) and hands it to
+    :mod:`.rawflac`.  Opus stays the loud boundary: SILK/CELT decode
+    needs codec-fixed tables the repo will not fabricate."""
     if b"OpusHead" in data[:512]:
         raise UnsupportedCodecError(
             "Opus PCM decode is not implemented (SILK/CELT tables); "
             "stream metadata is available via parse_ogg"
         )
+    packets, _info = _packets(data)
+    for s, pkt in packets:
+        if pkt[:5] == b"\x7fFLAC":
+            return _decode_ogg_flac(packets, s, pkt)
+        if pkt[:7] == b"\x01vorbis":
+            break
     from .vorbisdec import decode_ogg_vorbis
 
     return decode_ogg_vorbis(data)
+
+
+def _decode_ogg_flac(packets, serial: int, first: bytes):
+    """Xiph Ogg-FLAC mapping → native stream → :mod:`.rawflac`."""
+    from .rawflac import decode_flac
+
+    if len(first) < 13 or first[5] != 1:
+        raise ValueError(
+            f"ogg-flac: unsupported mapping version "
+            f"{first[5] if len(first) > 5 else '?'}"
+        )
+    native = bytearray(first[9:])
+    if native[:4] != b"fLaC":
+        raise ValueError("ogg-flac: first packet lacks the fLaC signature")
+    seen_first = False
+    for s, pkt in packets:
+        if s != serial:
+            continue
+        if not seen_first:
+            seen_first = pkt is first
+            continue
+        native += pkt
+    return decode_flac(bytes(native))
+
+
+def build_ogg_flac(native: bytes, *, serial: int = 0x7F1A) -> bytes:
+    """Wrap a native single-frame FLAC stream (fixture clips encode
+    with ``block_size >= n`` so exactly one frame follows the
+    metadata) as Ogg FLAC per the Xiph mapping."""
+    if native[:4] != b"fLaC":
+        raise ValueError("ogg-flac fixture: not a native FLAC stream")
+    pos = 4
+    n_extra = 0
+    while True:
+        if pos + 4 > len(native):
+            raise ValueError("ogg-flac fixture: truncated metadata")
+        flags = native[pos]
+        pos += 4 + int.from_bytes(native[pos + 1 : pos + 4], "big")
+        if flags & 0x80:
+            break
+        n_extra += 1
+    first = (b"\x7fFLAC\x01\x00" + n_extra.to_bytes(2, "big")
+             + native[:pos])
+    frames = native[pos:]
+    pages = [_page(serial, 0, 0, [first], 2)]
+    pages.append(_page(serial, 1, 0, [frames], 4))
+    return b"".join(pages)
 
 
 def sniff_ogg(data: bytes) -> bool:

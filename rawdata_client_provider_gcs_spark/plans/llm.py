@@ -1731,9 +1731,11 @@ def q_multimodal_webp(spark: SparkSession, sf: str) -> DataFrame:
     "q_multimodal_flac",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE WHEN doc_id % 2 = 0 THEN 'fixed2' ELSE 'mid_side' END AS coding,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'fixed2'
+         WHEN 1 THEN 'mid_side' ELSE 'ogg_flac' END AS coding,
        n_chars/1000.0 AS duration_s,
-       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS DOUBLE) AS channels,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS DOUBLE)
+         AS channels,
        1000.0 AS sample_rate,
        ((doc_id % 100) + 1)/256.0 AS rms,
        ((doc_id % 100) + 1)/256.0 AS peak
@@ -1746,9 +1748,11 @@ def q_multimodal_flac(spark: SparkSession, sf: str) -> DataFrame:
     oracle-checked exactly.
 
     The square-wave fixture of the WAV/AIFF/AU queries, compressed:
-    even doc_ids as mono fixed-order-2 subframes, odd ones as stereo
+    a three-way rotation of mono fixed-order-2 subframes, stereo
     mid/side frames (both channels the same wave, so the side channel
-    is all zeros — the decorrelation path runs under the oracle).
+    is all zeros — the decorrelation path runs under the oracle), and
+    the same mono clip wrapped as Ogg FLAC (the Xiph mapping through
+    ``rawogg.decode_ogg_pcm``'s reassembly path).
     Amplitudes ``k/256`` quantize to exact 16-bit integers and FLAC is
     lossless, so rms = peak = k/256 in closed form, same float-parity
     discipline as the uncompressed containers.
@@ -1767,16 +1771,19 @@ def q_multimodal_flac(spark: SparkSession, sf: str) -> DataFrame:
 
         for pdf in batches:
             payloads = []
+            from ..operators import rawogg
+
             for did, n in zip(pdf["doc_id"], pdf["n_chars"]):
                 amp = ((int(did) % 100) + 1) / 256.0
                 sig = amp * np.where(np.arange(int(n)) % 2 == 0, 1.0, -1.0)
-                if int(did) % 2 == 0:
+                v = int(did) % 3
+                if v == 0:
                     payloads.append(
                         rawflac.encode_flac(
                             sig, 1000, subframe="fixed2", block_size=256
                         )
                     )
-                else:
+                elif v == 1:
                     stereo = np.stack([sig, sig], axis=1)
                     payloads.append(
                         rawflac.encode_flac(
@@ -1787,6 +1794,13 @@ def q_multimodal_flac(spark: SparkSession, sf: str) -> DataFrame:
                             block_size=192,
                         )
                     )
+                else:
+                    # Xiph Ogg-FLAC mapping: single-frame native clip
+                    native = rawflac.encode_flac(
+                        sig, 1000, subframe="fixed2",
+                        block_size=max(16, int(n)),
+                    )
+                    payloads.append(rawogg.build_ogg_flac(native))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "clip": payloads})
 
     clips = d.mapInPandas(make, "doc_id long, clip binary")
@@ -1794,8 +1808,9 @@ def q_multimodal_flac(spark: SparkSession, sf: str) -> DataFrame:
     feats = multimodal.extract_features(media, fake=False)
     return feats.select(
         F.col("doc_id").cast("long").alias("doc_id"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("fixed2"))
-        .otherwise(F.lit("mid_side"))
+        F.when(F.col("doc_id") % 3 == 0, F.lit("fixed2"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("mid_side"))
+        .otherwise(F.lit("ogg_flac"))
         .alias("coding"),
         F.element_at("features", 1).alias("duration_s"),
         F.element_at("features", 2).alias("channels"),

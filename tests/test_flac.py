@@ -209,3 +209,34 @@ def test_spark_features_on_flac(spark):
     ok = out[out["error"].isna()]
     assert list(ok["doc_id"]) == [0]
     assert list(out[out["error"].notna()]["doc_id"]) == [1]
+
+
+def test_ogg_flac_mapping_roundtrip_and_hostiles():
+    """Xiph Ogg-FLAC: reassembly through decode_ogg_pcm matches the
+    native decode bit-exactly; mapping hostiles land as ValueError."""
+    import numpy as np
+    import pytest
+
+    from rawdata_client_provider_gcs_spark.operators import rawogg as O
+
+    sig = 0.125 * np.where(np.arange(120) % 2 == 0, 1.0, -1.0)
+    native = FL.encode_flac(sig, 1000, block_size=128)
+    blob = O.build_ogg_flac(native)
+    pcm, rate = O.decode_ogg_pcm(blob)
+    ref, rr = FL.decode_flac(native)
+    assert rate == rr and np.array_equal(pcm, ref)
+    # first packet: mapping major version must be 1
+    bad = bytearray(blob)
+    # locate the \x7fFLAC packet: page 0 body starts at 28 (27 hdr + 1 lace)
+    idx = bad.find(b"\x7fFLAC")
+    bad[idx + 5] = 2
+    with pytest.raises(ValueError, match="mapping version"):
+        O.decode_ogg_pcm(bytes(bad))
+    # fLaC signature missing inside the first packet
+    bad = bytearray(blob)
+    bad[idx + 9 : idx + 13] = b"nope"
+    with pytest.raises(ValueError, match="fLaC signature"):
+        O.decode_ogg_pcm(bytes(bad))
+    # fixture refuses non-FLAC input
+    with pytest.raises(ValueError, match="not a native FLAC"):
+        O.build_ogg_flac(b"RIFF....")
