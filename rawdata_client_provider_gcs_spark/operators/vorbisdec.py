@@ -31,8 +31,10 @@ a short one narrows its slope to the short half).
 End-of-packet semantics follow §1.1.4: EOP before the residue stage
 renders the frame zero-energy (lapping continuity preserved); EOP
 during residue keeps the partial spectrum.  Malformed headers raise
-``ValueError`` (per-row capture).  Floor 0 streams raise — the
-documented subset is floor 1, which every known encoder emits.
+``ValueError`` (per-row capture).  Both floor types decode: floor 1
+(every mainstream encoder) and floor 0 (§6's bark-warped LSP curve —
+dead in the wild but closed-form, pinned against explicit-loop
+restatements of the spec formulas).
 
 Correctness strategy: the catalog query encodes single-coefficient
 spectra under a flat 0 dB floor, so the expected PCM is CLOSED FORM
@@ -204,6 +206,97 @@ def render_line(x0: int, y0: int, x1: int, y1: int, v: np.ndarray) -> None:
         else:
             y += base
         v[x] = y
+
+
+class _Floor0:
+    """Floor type 0 (§6): LSP curve over a bark-warped map.  Dead in
+    the wild (no mainstream encoder ever shipped it) but fully
+    closed-form — the bark formula and the p/q LSP products are
+    printed in the spec, and the codebook coefficients ship in the
+    stream like everything else."""
+
+    def __init__(self, cfg: dict):
+        self.cfg = cfg
+        self._maps: dict[int, np.ndarray] = {}
+
+    def decode(self, r: _PktBits, books: list[_Book]) -> list | None:
+        cfg = self.cfg
+        amplitude = r.read(cfg["amplitude_bits"])
+        if amplitude <= 0:
+            return None
+        # §6.2.2: ilog(number_of_books) bits — an out-of-range number
+        # renders the channel undecodable (zero energy), not an error
+        booknum = r.read(ilog(len(cfg["books"])))
+        if booknum >= len(cfg["books"]):
+            return None
+        book = books[cfg["books"][booknum]]
+        if book.vq is None:
+            raise ValueError("vorbis: floor0 book has no VQ lookup")
+        coeffs: list[float] = []
+        last = 0.0
+        while len(coeffs) < cfg["order"]:
+            vec = book.vector(r)
+            coeffs.extend(float(v) + last for v in vec)
+            last = coeffs[-1]
+        return [amplitude, coeffs[: cfg["order"]]]
+
+    def _bark_map(self, n2: int) -> np.ndarray:
+        m = self._maps.get(n2)
+        if m is None:
+            cfg = self.cfg
+            rate, size = cfg["rate"], cfg["bark_map_size"]
+
+            def bark(x: float) -> float:
+                return (13.1 * math.atan(0.00074 * x)
+                        + 2.24 * math.atan(1.85e-8 * x * x) + 1e-4 * x)
+
+            c = size / bark(0.5 * rate)
+            i = np.arange(n2)
+            m = np.minimum(
+                size - 1,
+                np.floor(c * np.array(
+                    [bark(rate * ii / (2.0 * n2)) for ii in i]
+                )),
+            ).astype(np.int64)
+            self._maps[n2] = m
+        return m
+
+    def synthesize(self, posts: list, n2: int) -> np.ndarray:
+        cfg = self.cfg
+        amplitude, coeffs = posts
+        order = cfg["order"]
+        lsp = np.asarray(coeffs, dtype=np.float64)
+        omega = np.pi * self._bark_map(n2) / cfg["bark_map_size"]
+        cos_w = np.cos(omega)
+        two_cos = 2.0 * cos_w
+        # §6.2.3: p/q products over paired cos(lsp) terms
+        cos_l = np.cos(lsp)
+
+        def prod_over(idxs) -> np.ndarray:
+            acc = np.ones_like(cos_w)
+            for j in idxs:
+                acc *= (two_cos - 2.0 * cos_l[j]) ** 2
+            return acc
+
+        if order % 2:
+            p = (1.0 - cos_w**2) * prod_over(
+                2 * j + 1 for j in range((order - 1) // 2)
+            )
+            q = 0.25 * prod_over(2 * j for j in range((order + 1) // 2))
+        else:
+            p = 0.5 * (1.0 - cos_w) * prod_over(
+                2 * j + 1 for j in range(order // 2)
+            )
+            q = 0.5 * (1.0 + cos_w) * prod_over(
+                2 * j for j in range(order // 2)
+            )
+        amp_max = (1 << cfg["amplitude_bits"]) - 1
+        linear = np.exp(
+            amplitude * cfg["amplitude_offset"]
+            / (amp_max * np.sqrt(p + q))
+            - cfg["amplitude_offset"]
+        )
+        return linear
 
 
 class _Floor1:
@@ -470,13 +563,10 @@ class VorbisDecoder:
         self.bs0, self.bs1 = ident["bs0"], ident["bs1"]
         self.setup = parse_setup(setup_pkt, self.ch)
         self.books = [_Book(b) for b in self.setup["codebooks"]]
-        self.floors = []
-        for f in self.setup["floors"]:
-            if f["type"] != 1:
-                raise ValueError(
-                    "vorbis: floor type 0 is outside the decode subset"
-                )
-            self.floors.append(_Floor1(f))
+        self.floors = [
+            _Floor1(f) if f["type"] == 1 else _Floor0(f)
+            for f in self.setup["floors"]
+        ]
         self.mode_bits = ilog(len(self.setup["modes"]) - 1)
         # lapping state: accumulator since the last emitted sample
         self._acc = np.zeros((0, self.ch), dtype=np.float64)

@@ -418,42 +418,83 @@ def test_hostile_headers():
         V.decode_ogg_vorbis(b"OggS" + b"\x00" * 60)
 
 
-def test_floor0_stream_refused_loudly():
-    """A hand-built setup header declaring a floor-0 configuration is
-    refused by the decoder constructor (metadata parse still works)."""
+def _floor0_setup() -> bytes:
+    """Setup header with a floor-0 configuration: book 0 classbook,
+    book 1 residue VQ (the build_pcm_setup books), book 2 the LSP
+    coefficient book (dims 2, values 0.25 + m·0.5)."""
     from rawdata_client_provider_gcs_spark.operators.rawvorbis import _BitW
 
     w = _BitW()
-    w.write(0, 8)             # one codebook
+    w.write(2, 8)             # three codebooks
+    # book 0: classbook dims 2, 4 entries, all length 2
     w.write(0x564342, 24)
-    w.write(1, 16)            # dims 1
-    w.write(2, 24)            # 2 entries
+    w.write(2, 16)
+    w.write(4, 24)
     w.write(0, 1)
     w.write(0, 1)
-    w.write(0, 5)             # lengths 1, 1
-    w.write(0, 5)
-    w.write(0, 4)             # no lookup
-    w.write(0, 6)             # time domain
-    w.write(0, 16)
-    w.write(0, 6)             # one floor — TYPE 0
-    w.write(0, 16)
-    w.write(8, 8)             # order
-    w.write(8000, 16)         # rate
-    w.write(64, 16)           # bark map size
-    w.write(6, 6)             # amplitude bits
-    w.write(10, 8)            # amplitude offset
-    w.write(0, 4)             # one book
-    w.write(0, 8)             # book 0
-    w.write(0, 6)             # one residue (type 0, trivial)
-    w.write(0, 16)
-    w.write(0, 24)
-    w.write(0, 24)
-    w.write(0, 24)
+    for _ in range(4):
+        w.write(1, 5)
+    w.write(0, 4)
+    # book 1: residue VQ — dims 8, 32 entries, length 5, lookup 2
+    w.write(0x564342, 24)
+    w.write(8, 16)
+    w.write(32, 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    for _ in range(32):
+        w.write(4, 5)
+    w.write(2, 4)
+    w.write(0x00000000, 32)   # minimum 0.0
+    w.write((787 << 21) | 1, 32)  # delta 0.5
+    w.write(1, 4)             # value_bits 2
+    w.write(0, 1)
+    for e in range(32):
+        pos, amp = divmod(e, 4)
+        for i in range(8):
+            w.write(amp if i == pos else 0, 2)
+    # book 2: floor0 LSP book — dims 2, 4 entries, length 2, lookup 2
+    w.write(0x564342, 24)
+    w.write(2, 16)
+    w.write(4, 24)
+    w.write(0, 1)
+    w.write(0, 1)
+    for _ in range(4):
+        w.write(1, 5)
+    w.write(2, 4)
+    w.write((786 << 21) | 1, 32)  # minimum 0.25
+    w.write((787 << 21) | 1, 32)  # delta 0.5
+    w.write(1, 4)             # value_bits 2
+    w.write(0, 1)
+    for m in (0, 1, 2, 3, 1, 3, 2, 0):  # entry e -> [m[2e], m[2e+1]]
+        w.write(m, 2)
+    # time domain
     w.write(0, 6)
-    w.write(0, 8)
+    w.write(0, 16)
+    # one floor — TYPE 0: order 2, rate 8000, bark 64, amp 6/10
+    w.write(0, 6)
+    w.write(0, 16)
+    w.write(2, 8)
+    w.write(8000, 16)
+    w.write(64, 16)
+    w.write(6, 6)
+    w.write(10, 8)
+    w.write(0, 4)             # one book
+    w.write(2, 8)             # book 2
+    # one residue type 2, single-stage
+    w.write(0, 6)
+    w.write(2, 16)
+    w.write(0, 24)
+    w.write(32, 24)
+    w.write(7, 24)
+    w.write(1, 6)             # 2 classifications
+    w.write(0, 8)             # classbook 0
     w.write(0, 3)
     w.write(0, 1)
-    w.write(0, 6)             # one mapping
+    w.write(1, 3)             # class 1: stage 0 only
+    w.write(0, 1)
+    w.write(1, 8)             # stage-0 book 1
+    # one mapping + one short mode
+    w.write(0, 6)
     w.write(0, 16)
     w.write(0, 1)
     w.write(0, 1)
@@ -461,16 +502,81 @@ def test_floor0_stream_refused_loudly():
     w.write(0, 8)
     w.write(0, 8)
     w.write(0, 8)
-    w.write(0, 6)             # one mode
+    w.write(0, 6)
     w.write(0, 1)
     w.write(0, 16)
     w.write(0, 16)
     w.write(0, 8)
     w.write(1, 1)
-    setup = b"\x05vorbis" + w.bytes()
+    return b"\x05vorbis" + w.bytes()
+
+
+def test_floor0_end_to_end_against_spec_loops():
+    """Floor-0 decode: amplitude + LSP coefficients through the §6.2.3
+    bark-warped curve, pinned against an explicit-loop restatement of
+    the spec formula (independent code path, same published math)."""
+    setup = _floor0_setup()
     ident = V.parse_ident(V.build_pcm_ident())
-    with pytest.raises(ValueError, match="floor type 0"):
-        V.VorbisDecoder(ident, setup)
+    dec = V.VorbisDecoder(ident, setup)
+
+    # packet: amplitude 40 (6 bits LSB), book 0 (1 bit), LSP entry 3
+    # (multiplicands (2, 0) -> coeffs 0.25+2*0.5, 0.25+0*0.5 =
+    # [1.25, 0.25]), then the residue: slot 5, amp index 2 (value 1.0)
+    w = V._BitWM()
+    w.write(0, 1)
+    w.write(40, 6)
+    w.write(0, 1)
+    w.write_msb(3, 2)
+    part, entry = 0, 5 * 4 + 2
+    classes = [1, 0, 0, 0]
+    for half in range(2):
+        w.write_msb(classes[2 * half] * 2 + classes[2 * half + 1], 2)
+        for j in (2 * half, 2 * half + 1):
+            if classes[j]:
+                w.write_msb(entry, 5)
+    pkt = w.bytes()
+    pcm, _ = V.decode_packets(V.build_pcm_ident(), setup, [pkt, pkt])
+    assert pcm.shape == (32, 1)
+
+    # independent expectation
+    def bark(x):
+        return (13.1 * math.atan(0.00074 * x)
+                + 2.24 * math.atan(1.85e-8 * x * x) + 1e-4 * x)
+
+    lsp = [1.25, 0.25]
+    curve = []
+    for i in range(32):
+        m = min(63, math.floor(bark(8000 * i / 64.0) * 64 / bark(4000)))
+        om = math.pi * m / 64
+        p = ((1 - math.cos(om)) / 2
+             * 4 * (math.cos(lsp[1]) - math.cos(om)) ** 2)
+        q = ((1 + math.cos(om)) / 2
+             * 4 * (math.cos(lsp[0]) - math.cos(om)) ** 2)
+        curve.append(math.exp(40 * 10 / (63 * math.sqrt(p + q)) - 10))
+    spec = [0.0] * 32
+    spec[5] = 1.0 * curve[5]
+    n = 64
+    exp = []
+    for t in range(32):
+        tot = 0.0
+        for j, jj in ((32 + t, 32 + t), (t, t)):
+            x = sum(spec[k] * math.cos(math.pi / (2 * n)
+                                       * (2 * jj + 1 + 32) * (2 * k + 1))
+                    for k in range(32))
+            tot += x * _w64(jj)
+        exp.append(tot)
+    assert np.allclose(pcm[:, 0], exp, atol=1e-9)
+
+
+def test_floor0_zero_amplitude_is_silence():
+    setup = _floor0_setup()
+    w = V._BitWM()
+    w.write(0, 1)
+    w.write(0, 6)  # amplitude 0: channel unset, frame all zero
+    pkt = w.bytes()
+    pcm, _ = V.decode_packets(V.build_pcm_ident(), setup, [pkt, pkt])
+    assert pcm.shape == (32, 1)
+    assert np.allclose(pcm, 0.0)
 
 
 def test_decode_ogg_pcm_wired():
