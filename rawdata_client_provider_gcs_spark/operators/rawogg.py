@@ -200,8 +200,48 @@ def parse_ogg(data: bytes) -> dict:
             meta["pre_skip"] = int.from_bytes(pkt[10:12], "little")
             meta["input_sample_rate"] = int.from_bytes(pkt[12:16], "little")
             meta["sample_rate"] = 48000  # Opus granules tick at 48 kHz
-        elif pkt[:7] == b"\x03vorbis" or pkt[:8] == b"OpusTags":
-            off = 7 if pkt[:1] == b"\x03" else 8
+        elif pkt[:8] == b"Speex   " and codec is None:
+            # Speex header (public libspeex layout): 8 magic, 20
+            # version string, version_id/header_size u32, then rate,
+            # mode, mode_bitstream_version, nb_channels … all LE
+            if len(pkt) < 68:
+                raise ValueError("ogg: short Speex header")
+            codec = "speex"
+            audio_serial = serial
+            meta["sample_rate"] = int.from_bytes(pkt[36:40], "little")
+            if meta["sample_rate"] == 0:
+                raise ValueError("ogg: zero Speex sample rate")
+            mode = int.from_bytes(pkt[40:44], "little")
+            meta["speex_mode"] = {
+                0: "narrowband", 1: "wideband", 2: "ultra-wideband",
+            }.get(mode, f"mode-{mode}")
+            meta["channels"] = int.from_bytes(pkt[48:52], "little")
+            meta["speex_frames_per_packet"] = int.from_bytes(
+                pkt[56:60], "little"
+            )
+        elif pkt[:7] == b"\x80theora" and codec is None:
+            # Theora ident (spec §6.2): big-endian fields after the
+            # 7-byte magic; the last two bytes pack QUAL(6) KFGSHIFT(5)
+            # PF(2) — the granule split video duration needs
+            if len(pkt) < 42:
+                raise ValueError("ogg: short Theora ident header")
+            codec = "theora"
+            audio_serial = serial
+            meta["channels"] = 0
+            meta["sample_rate"] = 0
+            meta["frame_width"] = int.from_bytes(pkt[10:12], "big") * 16
+            meta["frame_height"] = int.from_bytes(pkt[12:14], "big") * 16
+            meta["pic_width"] = int.from_bytes(pkt[14:17], "big")
+            meta["pic_height"] = int.from_bytes(pkt[17:20], "big")
+            meta["fps_num"] = int.from_bytes(pkt[22:26], "big")
+            meta["fps_den"] = int.from_bytes(pkt[26:30], "big")
+            if not meta["fps_num"] or not meta["fps_den"]:
+                raise ValueError("ogg: zero Theora frame rate")
+            packed = int.from_bytes(pkt[40:42], "big")
+            meta["theora_kfgshift"] = (packed >> 5) & 0x1F
+        elif pkt[:7] == b"\x03vorbis" or pkt[:8] == b"OpusTags" \
+                or pkt[:7] == b"\x81theora":
+            off = 7 if pkt[:1] in (b"\x03", b"\x81") else 8
             try:
                 vlen = int.from_bytes(pkt[off : off + 4], "little")
                 meta["vendor"] = pkt[off + 4 : off + 4 + vlen].decode(
@@ -225,7 +265,9 @@ def parse_ogg(data: bytes) -> dict:
             except Exception:  # noqa: BLE001 — tags are best-effort
                 pass
     if codec is None:
-        raise ValueError("ogg: no Vorbis/Opus identification header")
+        raise ValueError(
+            "ogg: no Vorbis/Opus/Speex/Theora identification header"
+        )
     meta["codec"] = codec
     if codec == "vorbis":
         # setup-header structure + window census (operators/rawvorbis):
@@ -286,7 +328,19 @@ def parse_ogg(data: bytes) -> dict:
         meta["opus_bandwidths"] = bands
         meta["opus_frames"] = frames
         meta["opus_toc_duration_ms"] = int(toc_ms)
-    meta["duration_ms"] = last * 1000 // meta["sample_rate"] if last else 0
+    if codec == "theora":
+        # granule splits at kfgshift: keyframe count << shift + delta
+        shift = meta["theora_kfgshift"]
+        frames = (last >> shift) + (last & ((1 << shift) - 1)) if last \
+            else 0
+        meta["n_frames"] = frames
+        meta["duration_ms"] = (
+            frames * 1000 * meta["fps_den"] // meta["fps_num"]
+        )
+    else:
+        meta["duration_ms"] = (
+            last * 1000 // meta["sample_rate"] if last else 0
+        )
     return meta
 
 
@@ -448,6 +502,12 @@ def build_ogg(
     pre_skip: int = 312,
     opus_tocs: list[int] | None = None,
     vorbis_modes: list[int] | None = None,
+    speex_mode: int = 1,
+    width: int = 320,
+    height: int = 240,
+    fps_num: int = 25,
+    fps_den: int = 1,
+    theora_kfgshift: int = 6,
 ) -> bytes:
     """Write a structurally valid Ogg Vorbis/Opus stream whose audio
     packets are opaque filler (metadata parsing never decodes them).
@@ -480,6 +540,34 @@ def build_ogg(
             + (0).to_bytes(2, "little") + bytes([0])
         )
         tag_prefix = b"OpusTags"
+    elif codec == "speex":
+        ident = bytearray(80)
+        ident[:8] = b"Speex   "
+        ident[8:28] = b"1.2.0".ljust(20, b"\x00")
+        ident[28:32] = (1).to_bytes(4, "little")   # version_id
+        ident[32:36] = (80).to_bytes(4, "little")  # header_size
+        ident[36:40] = sample_rate.to_bytes(4, "little")
+        ident[40:44] = (speex_mode).to_bytes(4, "little")
+        ident[44:48] = (4).to_bytes(4, "little")   # mode bitstream ver
+        ident[48:52] = channels.to_bytes(4, "little")
+        ident[52:56] = (0xFFFFFFFF).to_bytes(4, "little")  # bitrate -1
+        ident[56:60] = (1).to_bytes(4, "little")   # frames per packet
+        ident = bytes(ident)
+        tag_prefix = b""  # speex comments carry no magic: skip tags
+    elif codec == "theora":
+        w_mb, h_mb = (width + 15) // 16, (height + 15) // 16
+        packed = (48 << 10) | (theora_kfgshift << 5)  # QUAL|KFGSHIFT|PF
+        ident = (
+            b"\x80theora" + bytes([3, 2, 1])
+            + w_mb.to_bytes(2, "big") + h_mb.to_bytes(2, "big")
+            + width.to_bytes(3, "big") + height.to_bytes(3, "big")
+            + bytes([0, 0])
+            + fps_num.to_bytes(4, "big") + fps_den.to_bytes(4, "big")
+            + (0).to_bytes(3, "big") + (0).to_bytes(3, "big")
+            + bytes([0]) + (0).to_bytes(3, "big")
+            + packed.to_bytes(2, "big")
+        )
+        tag_prefix = b"\x81theora"
     else:
         raise ValueError(f"ogg fixture: unknown codec {codec}")
     vendor = b"rawdata-fixture"
@@ -508,6 +596,10 @@ def build_ogg(
     total_gran = total_samples + (pre_skip if codec == "opus" else 0)
     for i in range(n_audio_pages):
         gran = total_gran * (i + 1) // n_audio_pages
+        if codec == "theora":
+            # granule packs (keyframe << shift) | delta; fixture
+            # frames are all keyframes so the delta stays zero
+            gran <<= theora_kfgshift
         flags = 0x04 if i == n_audio_pages - 1 else 0
         if opus_tocs is not None and codec == "opus":
             # no filler fallback: b"\x00"*40 would parse as a REAL

@@ -6172,6 +6172,111 @@ def q_multimodal_vorbis_windows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_ogg_av_meta",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'speex' ELSE 'theora' END AS codec,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 2 ELSE 0 END
+            AS BIGINT) AS channels,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 32000 END
+       ELSE 0 END AS BIGINT) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 160 + 2 * (doc_id % 100)
+                 ELSE 0 END AS BIGINT) AS pic_width,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 120 + 2 * (doc_id % 50)
+                 ELSE 0 END AS BIGINT) AS pic_height,
+       CASE WHEN doc_id % 2 = 0 THEN
+         CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN 'narrowband' WHEN 1 THEN 'wideband'
+           ELSE 'ultra-wideband' END
+       ELSE '' END AS mode,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN 1000 * (1 + doc_id % 4)
+                 ELSE floor((30 + doc_id % 60) * 1000.0
+                      / (24 + CAST(doc_id % 3 AS INTEGER) * 3)) END
+            AS BIGINT) AS duration_ms
+FROM documents WHERE doc_id < 240
+""",
+    tags=("llm", "multimodal", "ogg", "pandas-udf"),
+)
+def q_multimodal_ogg_av_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Speex and Theora stream metadata, oracle-exact — the two
+    remaining Ogg codecs web archives carry: the Speex header's
+    rate/mode/channels (narrowband 8 k / wideband 16 k /
+    ultra-wideband 32 k) and the Theora ident's picture geometry,
+    frame rate, and kfgshift-split granule duration
+    (:func:`..operators.rawogg.parse_ogg`).  Payload decode stays the
+    loud boundary for both (CELP and DCT tables respectively); the
+    metadata census is what a crawl pipeline keys on.  All columns
+    closed-form in doc_id.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 240)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawogg
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                if did % 2 == 0:
+                    rate = (8000, 16000, 32000)[did % 3]
+                    payloads.append(rawogg.build_ogg(
+                        codec="speex",
+                        channels=1 + did % 2,
+                        sample_rate=rate,
+                        speex_mode=did % 3,
+                        total_samples=rate * (1 + did % 4),
+                    ))
+                else:
+                    payloads.append(rawogg.build_ogg(
+                        codec="theora",
+                        width=160 + 2 * (did % 100),
+                        height=120 + 2 * (did % 50),
+                        fps_num=24 + (did % 3) * 3,
+                        fps_den=1,
+                        total_samples=30 + did % 60,
+                    ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "ogg": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, ogg binary")
+
+    def meta(batches):
+        import pandas as pd
+
+        from ..operators import rawogg
+
+        cols = ("doc_id", "codec", "channels", "sample_rate",
+                "pic_width", "pic_height", "mode", "duration_ms")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf["ogg"]):
+                m = rawogg.parse_ogg(bytes(payload))
+                rows["doc_id"].append(int(did))
+                rows["codec"].append(m["codec"])
+                rows["channels"].append(m["channels"])
+                rows["sample_rate"].append(m["sample_rate"])
+                rows["pic_width"].append(m.get("pic_width", 0))
+                rows["pic_height"].append(m.get("pic_height", 0))
+                rows["mode"].append(m.get("speex_mode", ""))
+                rows["duration_ms"].append(m["duration_ms"])
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        meta,
+        "doc_id long, codec string, channels long, sample_rate long, "
+        "pic_width long, pic_height long, mode string, duration_ms long",
+    )
+
+
+@register(
     "q_multimodal_vorbis_pcm",
     oracle="""
 WITH d AS (SELECT doc_id, CAST(doc_id % 32 AS INTEGER) AS k,

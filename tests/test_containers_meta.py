@@ -433,3 +433,46 @@ def test_assign_threads_cycles_terminate(spark):
     assert out["<a>"] == "<a>" and out["<b>"] == "<b>"
     # longer cycles terminate with SOME root (corrupt data, bounded)
     assert all(out[k] in ("<c>", "<d>", "<e>") for k in ("<c>", "<d>", "<e>"))
+
+
+def test_speex_and_theora_ident_parse():
+    """The remaining Ogg codecs: Speex rate/mode/channels, Theora
+    geometry + kfgshift-split granule duration."""
+    sp = O.build_ogg(codec="speex", channels=2, sample_rate=32000,
+                     speex_mode=2, total_samples=96000)
+    m = O.parse_ogg(sp)
+    assert (m["codec"], m["channels"], m["sample_rate"]) == (
+        "speex", 2, 32000,
+    )
+    assert m["speex_mode"] == "ultra-wideband"
+    assert m["duration_ms"] == 3000
+    th = O.build_ogg(codec="theora", width=334, height=242,
+                     fps_num=30000, fps_den=1001, total_samples=90,
+                     comments={"TITLE": "tv"})
+    m = O.parse_ogg(th)
+    assert (m["pic_width"], m["pic_height"]) == (334, 242)
+    # frame geometry rounds up to whole macroblocks
+    assert (m["frame_width"], m["frame_height"]) == (336, 256)
+    assert m["n_frames"] == 90 and m["duration_ms"] == 3003
+    assert m["comments"]["TITLE"] == "tv"  # \x81theora comment packet
+
+
+def test_speex_theora_hostiles():
+    # short speex header
+    blob = O.build_ogg(codec="speex")
+    idx = blob.find(b"Speex   ")
+    short = blob[:idx + 40]  # truncate inside the header packet
+    # rebuild a page carrying only the truncated ident
+    page = O._page(1, 0, 0, [short[idx:]], 2)
+    with pytest.raises(ValueError, match="short Speex"):
+        O.parse_ogg(page)
+    # zero theora frame rate
+    th = bytearray(O.build_ogg(codec="theora"))
+    i = th.find(b"\x80theora")
+    th[i + 22 : i + 26] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="zero Theora frame rate"):
+        O.parse_ogg(bytes(th))
+    # short theora ident
+    page = O._page(1, 0, 0, [b"\x80theora" + b"\x00" * 10], 2)
+    with pytest.raises(ValueError, match="short Theora"):
+        O.parse_ogg(page)
