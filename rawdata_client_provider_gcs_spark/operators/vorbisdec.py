@@ -727,25 +727,40 @@ def decode_ogg_vorbis(data: bytes) -> tuple[np.ndarray, int]:
     from .rawogg import _packets
 
     packets, info = _packets(data)
-    ident = setup = None
-    serial = None
-    audio: list[bytes] = []
+    # chained streams (concatenated logical bitstreams — the icecast
+    # dump shape): one (ident, setup, audio) group per serial, in
+    # first-seen order
+    chains: dict[int, dict] = {}
     for s, pkt in packets:
-        if pkt[:7] == b"\x01vorbis" and ident is None:
-            ident, serial = pkt, s
-        elif pkt[:7] == b"\x05vorbis" and s == serial and setup is None:
-            setup = pkt
-        elif pkt[:7] == b"\x03vorbis":
-            continue
-        elif s == serial and ident is not None:
-            audio.append(pkt)
-    if ident is None or setup is None:
+        if pkt[:7] == b"\x01vorbis":
+            chains.setdefault(s, {"ident": pkt, "setup": None,
+                                  "audio": []})
+        elif s in chains:
+            c = chains[s]
+            if pkt[:7] == b"\x05vorbis" and c["setup"] is None:
+                c["setup"] = pkt
+            elif pkt[:7] != b"\x03vorbis":
+                c["audio"].append(pkt)
+    if not chains:
         raise ValueError("vorbis: stream lacks ident or setup header")
-    pcm, rate = decode_packets(ident, setup, audio)
-    last = info["last_granule"].get(serial, 0)
-    if 0 < last < pcm.shape[0]:
-        pcm = pcm[:last]
-    return pcm, rate
+    parts: list[np.ndarray] = []
+    rate = channels = None
+    for serial, c in chains.items():
+        if c["setup"] is None:
+            raise ValueError("vorbis: stream lacks ident or setup header")
+        pcm, r = decode_packets(c["ident"], c["setup"], c["audio"])
+        if rate is None:
+            rate, channels = r, pcm.shape[1]
+        elif (r, pcm.shape[1]) != (rate, channels):
+            raise ValueError(
+                "vorbis: chained streams disagree on rate/channels "
+                f"({r}/{pcm.shape[1]} vs {rate}/{channels})"
+            )
+        last = info["last_granule"].get(serial, 0)
+        if 0 < last < pcm.shape[0]:
+            pcm = pcm[:last]
+        parts.append(pcm)
+    return np.vstack(parts) if len(parts) > 1 else parts[0], rate
 
 
 # ---------------------------------------------------------------------------

@@ -645,3 +645,46 @@ def test_fuzz_whole_streams_never_crash():
             assert np.all(np.isfinite(pcm))
         except ValueError:
             pass
+
+
+def test_chained_streams_concatenate():
+    """Two logical streams back-to-back (the icecast dump shape)
+    decode to concatenated PCM; mismatched chains raise."""
+    a = V.build_pcm_ogg([(5, 2), (5, 2)])
+    b = V.build_pcm_ogg([(9, 1), (9, 1)], rate=8000)
+    # rewrite chain b's serial so the two streams are distinct
+    bb = bytearray(b)
+    i = 0
+    while True:
+        i = bb.find(b"OggS", i)
+        if i < 0:
+            break
+        bb[i + 14 : i + 18] = (0x7002).to_bytes(4, "little")
+        from rawdata_client_provider_gcs_spark.operators.rawogg import (
+            ogg_crc,
+        )
+        # recompute the page CRC after the serial rewrite
+        hlen = 27 + bb[i + 26]
+        blen = sum(bb[i + 27 : i + 27 + bb[i + 26]])
+        page = bytes(bb[i : i + hlen + blen])
+        page = page[:22] + b"\x00\x00\x00\x00" + page[26:]
+        crc = ogg_crc(page)
+        bb[i + 22 : i + 26] = crc.to_bytes(4, "little")
+        i += 4
+    pcm, rate = V.decode_ogg_vorbis(bytes(a) + bytes(bb))
+    assert rate == 8000 and pcm.shape == (64, 1)
+    one, _ = V.decode_ogg_vorbis(a)
+    two, _ = V.decode_ogg_vorbis(bytes(bb))
+    assert np.array_equal(pcm, np.vstack([one, two]))
+    # mismatched channel count across chains raises
+    stereo = V.build_pcm_ident(channels=2)
+    st_setup = V.build_pcm_setup(channels=2)
+    pkt = V.encode_pcm_packet([(6, 2)], channels=2)
+    from rawdata_client_provider_gcs_spark.operators.rawogg import _page
+    comment = (b"\x03vorbis" + (7).to_bytes(4, "little") + b"fixture"
+               + (0).to_bytes(4, "little") + b"\x01")
+    chain2 = (_page(0x7003, 0, 0, [stereo], 2)
+              + _page(0x7003, 1, 0, [comment, st_setup], 0)
+              + _page(0x7003, 2, 32, [pkt, pkt], 4))
+    with pytest.raises(ValueError, match="chained streams disagree"):
+        V.decode_ogg_vorbis(bytes(a) + chain2)
