@@ -90,16 +90,16 @@ def _uint(data: bytes, a: int, b: int) -> int:
     return int.from_bytes(data[a:b], "big")
 
 
-def _xiph_first_packet(blob: bytes) -> bytes:
-    """First packet out of Matroska's Xiph-laced CodecPrivate: byte 0
+def _xiph_packets(blob: bytes) -> list[bytes]:
+    """All packets out of Matroska's Xiph-laced CodecPrivate: byte 0
     is the packet count minus one, then 255-continued sizes for all
     but the last packet, then the packets back to back."""
     if not blob:
         raise ValueError("webm: empty CodecPrivate")
     n_sizes = blob[0]  # sizes stored for n_sizes packets (last implicit)
     pos = 1
-    first_len = 0
-    for i in range(n_sizes):
+    sizes: list[int] = []
+    for _ in range(n_sizes):
         size = 0
         while pos < len(blob):
             b = blob[pos]
@@ -109,13 +109,19 @@ def _xiph_first_packet(blob: bytes) -> bytes:
                 break
         else:
             raise ValueError("webm: truncated Xiph lacing")
-        if i == 0:
-            first_len = size
-    if n_sizes == 0:
-        first_len = len(blob) - pos
-    if pos + first_len > len(blob):
+        sizes.append(size)
+    if sum(sizes) > len(blob) - pos:
         raise ValueError("webm: Xiph lacing over CodecPrivate end")
-    return blob[pos : pos + first_len]
+    sizes.append(len(blob) - pos - sum(sizes))
+    out = []
+    for size in sizes:
+        out.append(blob[pos : pos + size])
+        pos += size
+    return out
+
+
+def _xiph_first_packet(blob: bytes) -> bytes:
+    return _xiph_packets(blob)[0]
 
 
 def _float(data: bytes, a: int, b: int) -> float:
@@ -310,12 +316,150 @@ def parse_webm(data: bytes) -> dict:
     return meta
 
 
+#: bomb guard for the per-track block walk
+MAX_TRACK_BLOCKS = 1 << 20
+
+
+def _block_frames(data: bytes, cs: int, ce: int) -> tuple[int, list[bytes]]:
+    """One (Simple)Block element body → (track_number, frames) with
+    all four Matroska lacing modes (none/Xiph/fixed/EBML)."""
+    tn, p = read_vint(data, cs, keep_marker=False)
+    if p + 3 > ce:
+        raise ValueError("webm: block shorter than its header")
+    flags = data[p + 2]
+    pos = p + 3
+    ltype = flags & 0x06
+    if ltype == 0x00:
+        return tn, [data[pos:ce]]
+    if pos >= ce:
+        raise ValueError("webm: laced block missing its frame count")
+    n = data[pos] + 1
+    pos += 1
+    sizes: list[int] = []
+    if ltype == 0x02:  # Xiph
+        for _ in range(n - 1):
+            size = 0
+            while pos < ce:
+                b = data[pos]
+                size += b
+                pos += 1
+                if b != 255:
+                    break
+            else:
+                raise ValueError("webm: truncated Xiph block lacing")
+            sizes.append(size)
+    elif ltype == 0x04:  # fixed
+        total = ce - pos
+        if total % n:
+            raise ValueError("webm: fixed lacing does not divide evenly")
+        sizes = [total // n] * (n - 1)
+    else:  # EBML: first size a vint, then signed-vint deltas
+        first, npos = read_vint(data, pos, keep_marker=False)
+        sizes = [first]
+        prev = first
+        pos = npos
+        for _ in range(n - 2):
+            raw, npos = read_vint(data, pos, keep_marker=False)
+            length = npos - pos
+            prev += raw - ((1 << (7 * length - 1)) - 1)
+            if prev < 0:
+                raise ValueError("webm: negative EBML-laced frame size")
+            sizes.append(prev)
+            pos = npos
+    declared = sum(sizes)
+    if declared > ce - pos:
+        raise ValueError("webm: laced frame sizes overrun the block")
+    sizes.append(ce - pos - declared)
+    frames = []
+    for size in sizes:
+        frames.append(data[pos : pos + size])
+        pos += size
+    return tn, frames
+
+
+def webm_track_blocks(data: bytes, track: int) -> list[bytes]:
+    """Every frame of ``track`` across all Clusters, in stream order —
+    SimpleBlocks and BlockGroup Blocks, lacing unrolled."""
+    budget = [1 << 20]
+    out: list[bytes] = []
+
+    def handle(cs: int, ce: int) -> None:
+        try:
+            tn, frames = _block_frames(data, cs, ce)
+        except ValueError:
+            return  # damaged block: skip, census semantics
+        if tn == track:
+            out.extend(frames)
+            if len(out) > MAX_TRACK_BLOCKS:
+                raise ValueError("webm: track block count over the cap")
+
+    for eid, s, e in _walk(data, 0, len(data), budget):
+        if eid != 0x18538067:
+            continue
+        for sid, ss, se in _walk(data, s, e, budget):
+            if sid != 0x1F43B675:
+                continue
+            for cid, cs, ce in _walk(data, ss, se, budget):
+                if cid == 0xA3:
+                    handle(cs, ce)
+                elif cid == 0xA0:  # BlockGroup
+                    for gid, gs, ge in _walk(data, cs, ce, budget):
+                        if gid == 0xA1:
+                            handle(gs, ge)
+    return out
+
+
+def decode_webm_vorbis_pcm(data: bytes):
+    """A_VORBIS track → (PCM, rate): the three Xiph-laced header
+    packets from CodecPrivate plus the track's laced block frames,
+    decoded by :mod:`.vorbisdec`.  Raises UnsupportedCodecError when
+    no complete Vorbis track exists (every other Matroska codec stays
+    the loud boundary)."""
+    budget = [1 << 20]
+    track_no = None
+    headers: list[bytes] | None = None
+    for eid, s, e in _walk(data, 0, len(data), budget):
+        if eid != 0x18538067:
+            continue
+        for sid, ss, se in _walk(data, s, e, budget):
+            if sid != 0x1654AE6B:
+                continue
+            for tid, ts, te in _walk(data, ss, se, budget):
+                if tid != 0xAE:
+                    continue
+                num = codec = cp = None
+                for fid, fs, fe in _walk(data, ts, te, budget):
+                    if fid == 0xD7:
+                        num = _uint(data, fs, fe)
+                    elif fid == 0x86:
+                        codec = data[fs:fe].decode("latin-1", "replace")
+                    elif fid == 0x63A2:
+                        cp = data[fs:fe]
+                if codec == "A_VORBIS" and cp is not None:
+                    try:
+                        pkts = _xiph_packets(cp)
+                    except ValueError:
+                        continue
+                    if (len(pkts) == 3 and pkts[0][:7] == b"\x01vorbis"
+                            and pkts[2][:7] == b"\x05vorbis"):
+                        track_no, headers = num, pkts
+    if track_no is None or headers is None:
+        raise UnsupportedCodecError(
+            "Matroska/WebM codec payload decode is not implemented "
+            "(no complete A_VORBIS track); container metadata is "
+            "available via parse_webm"
+        )
+    from .vorbisdec import decode_packets
+
+    blocks = webm_track_blocks(data, track_no)
+    return decode_packets(headers[0], headers[2], blocks)
+
+
 def decode_webm_media(data: bytes):
-    """The documented loud boundary (VP8/VP9/AV1 inter, Vorbis/Opus)."""
-    raise UnsupportedCodecError(
-        "Matroska/WebM codec payload decode is not implemented; container "
-        "metadata is available via parse_webm"
-    )
+    """Vorbis audio tracks decode for real
+    (:func:`decode_webm_vorbis_pcm`); everything else (VP8/VP9/AV1
+    inter frames, Opus) stays the documented loud boundary."""
+    return decode_webm_vorbis_pcm(data)
 
 
 def sniff_webm(data: bytes) -> bool:
@@ -356,6 +500,8 @@ def build_webm(
     vp9_keyframe: tuple[int, int] | None = None,
     codec_private: bytes | None = None,
     audio_codec_private: bytes | None = None,
+    audio_blocks: list[list[bytes]] | None = None,
+    audio_lacing: str = "xiph",
 ) -> bytes:
     """Write a structurally valid Matroska/WebM — by default with no
     clusters (metadata parsing never touches codec payloads).
@@ -424,6 +570,50 @@ def build_webm(
         seg_body += _el(
             0x1F43B675, _uint_el(0xE7, 0) + _el(0xA3, block)
         )
+    if audio_blocks is not None and audio is not None:
+        atrack = tnum  # the audio TrackEntry's number
+        cluster = _uint_el(0xE7, 0)
+        for i, frames in enumerate(audio_blocks):
+            body = bytes([0x80 | atrack]) + b"\x00\x00"
+            if len(frames) == 1 and audio_lacing != "ebml":
+                body += b"\x80" + frames[0]
+            elif audio_lacing == "xiph":
+                body += b"\x82" + bytes([len(frames) - 1])
+                for f in frames[:-1]:
+                    q, r = divmod(len(f), 255)
+                    body += b"\xff" * q + bytes([r])
+                body += b"".join(frames)
+            elif audio_lacing == "fixed":
+                if len({len(f) for f in frames}) != 1:
+                    raise ValueError(
+                        "webm fixture: fixed lacing needs equal frames"
+                    )
+                body += b"\x84" + bytes([len(frames) - 1])
+                body += b"".join(frames)
+            elif audio_lacing == "ebml":
+                body += b"\x86" + bytes([len(frames) - 1])
+                first = len(frames[0])
+                body += bytes([0x80 | first]) if first < 127 else (
+                    bytes([0x40 | (first >> 8), first & 0xFF])
+                )
+                prev = first
+                for f in frames[1:-1]:
+                    delta = len(f) - prev
+                    # signed vint, 2-byte form: value = delta + 0x1FFF
+                    body += bytes([0x40 | ((delta + 0x1FFF) >> 8),
+                                   (delta + 0x1FFF) & 0xFF])
+                    prev = len(f)
+                body += b"".join(frames)
+            else:
+                raise ValueError(
+                    f"webm fixture: unknown lacing {audio_lacing!r}"
+                )
+            # alternate SimpleBlock and BlockGroup/Block carriage
+            if i % 2 == 0:
+                cluster += _el(0xA3, body)
+            else:
+                cluster += _el(0xA0, _el(0xA1, body))
+        seg_body += _el(0x1F43B675, cluster)
     if unknown_size_segment:
         # streamed-Matroska shape: size field all-ones (unknown)
         segment = (0x18538067).to_bytes(4, "big") + b"\xff" + seg_body

@@ -688,3 +688,49 @@ def test_chained_streams_concatenate():
               + _page(0x7003, 2, 32, [pkt, pkt], 4))
     with pytest.raises(ValueError, match="chained streams disagree"):
         V.decode_ogg_vorbis(bytes(a) + chain2)
+
+
+def test_webm_vorbis_track_decodes_all_lacings():
+    """A_VORBIS in Matroska: Xiph-laced CodecPrivate headers + block
+    frames across all four lacing modes and both block carriages
+    (SimpleBlock / BlockGroup) decode to the same PCM as the bare
+    packet sequence."""
+    from rawdata_client_provider_gcs_spark.operators import rawwebm as W
+
+    ident = V.build_pcm_ident()
+    comment = (b"\x03vorbis" + (7).to_bytes(4, "little") + b"fixture"
+               + (0).to_bytes(4, "little") + b"\x01")
+    setup = V.build_pcm_setup()
+
+    def xiph_cp(pkts):
+        out = bytes([len(pkts) - 1])
+        for p in pkts[:-1]:
+            q, r = divmod(len(p), 255)
+            out += b"\xff" * q + bytes([r])
+        return out + b"".join(pkts)
+
+    cp = xiph_cp([ident, comment, setup])
+    pk = [V.encode_pcm_packet((5, 2)), V.encode_pcm_packet((9, 1)),
+          V.encode_pcm_packet((3, 3))]
+    for lacing, blocks in (
+        ("xiph", [[pk[0], pk[1]], [pk[2]], [pk[2]]]),
+        ("fixed", [[pk[2], pk[2]], [pk[0]]]),
+        ("ebml", [[pk[0], pk[1], pk[2]]]),
+    ):
+        blob = W.build_webm(video=None, audio=("A_VORBIS", 1, 8000),
+                            audio_codec_private=cp, audio_blocks=blocks,
+                            audio_lacing=lacing)
+        pcm, rate = W.decode_webm_media(blob)
+        flat = [p for b in blocks for p in b]
+        ref, rr = V.decode_packets(ident, setup, flat)
+        assert rate == rr == 8000
+        assert np.array_equal(pcm, ref), lacing
+    # incomplete CodecPrivate (ident only): stays the loud boundary
+    from rawdata_client_provider_gcs_spark.operators.rawavi import (
+        UnsupportedCodecError,
+    )
+
+    blob = W.build_webm(video=None, audio=("A_VORBIS", 1, 8000),
+                        audio_codec_private=xiph_cp([ident]))
+    with pytest.raises(UnsupportedCodecError):
+        W.decode_webm_media(blob)
