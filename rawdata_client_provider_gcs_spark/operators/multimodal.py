@@ -332,7 +332,10 @@ def _decode_bytes(payload: bytes, mime: str, fake: bool):
                 rawmp4.decode_mp4_media(payload)  # per-row boundary
         elif rawwebm.sniff_webm(payload):
             if not fake:
-                rawwebm.decode_webm_media(payload)
+                # a complete A_VORBIS track decodes to real PCM;
+                # every other Matroska codec raises per-row
+                pcm, rate = rawwebm.decode_webm_media(payload)
+                return rawaudio.audio_features(pcm, rate)
         elif rawts.sniff_ts(payload):
             if not fake:
                 rawts.decode_ts_media(payload)
@@ -594,7 +597,11 @@ def sample_frames(
                     return fake_frames(payload)
                 if rawwebm.sniff_webm(payload):
                     if not fake:
-                        rawwebm.decode_webm_media(payload)
+                        # Vorbis audio track: real PCM → WAV segments
+                        pcm, rate = rawwebm.decode_webm_media(payload)
+                        return rawaudio.segment_samples(
+                            pcm, rate, every_ms, max_frames
+                        )
                     return fake_frames(payload)
                 if rawts.sniff_ts(payload):
                     # audio/mp2t: audio-only HLS TS segments — same
@@ -658,7 +665,18 @@ def sample_frames(
                     return fake_frames(payload)
                 if rawwebm.sniff_webm(payload):
                     if not fake:
+                        # a Vorbis AUDIO track may decode, but this is
+                        # the VIDEO frames kernel — the video codec is
+                        # still the boundary, so keep the per-row raise
+                        from .rawavi import (  # noqa: PLC0415
+                            UnsupportedCodecError,
+                        )
+
                         rawwebm.decode_webm_media(payload)
+                        raise UnsupportedCodecError(
+                            "webm video frame decode is not implemented "
+                            "(only the Vorbis audio track decodes)"
+                        )
                     return fake_frames(payload)
                 if rawts.sniff_ts(payload):
                     if not fake:

@@ -216,8 +216,12 @@ def parse_ogg(data: bytes) -> dict:
                 0: "narrowband", 1: "wideband", 2: "ultra-wideband",
             }.get(mode, f"mode-{mode}")
             meta["channels"] = int.from_bytes(pkt[48:52], "little")
+            # SpeexHeader: bitrate@52, frame_size@56, vbr@60,
+            # frames_per_packet@64 (review finding, round 12: the old
+            # read at 56 returned frame_size and the fixture mirrored)
+            meta["speex_frame_size"] = int.from_bytes(pkt[56:60], "little")
             meta["speex_frames_per_packet"] = int.from_bytes(
-                pkt[56:60], "little"
+                pkt[64:68], "little"
             )
         elif pkt[:7] == b"\x80theora" and codec is None:
             # Theora ident (spec §6.2): big-endian fields after the
@@ -551,7 +555,9 @@ def build_ogg(
         ident[44:48] = (4).to_bytes(4, "little")   # mode bitstream ver
         ident[48:52] = channels.to_bytes(4, "little")
         ident[52:56] = (0xFFFFFFFF).to_bytes(4, "little")  # bitrate -1
-        ident[56:60] = (1).to_bytes(4, "little")   # frames per packet
+        ident[56:60] = (160 << speex_mode).to_bytes(4, "little")  # frame_size
+        ident[60:64] = (0).to_bytes(4, "little")   # vbr
+        ident[64:68] = (1).to_bytes(4, "little")   # frames per packet
         ident = bytes(ident)
         tag_prefix = b""  # speex comments carry no magic: skip tags
     elif codec == "theora":

@@ -353,6 +353,8 @@ def _block_frames(data: bytes, cs: int, ce: int) -> tuple[int, list[bytes]]:
         if total % n:
             raise ValueError("webm: fixed lacing does not divide evenly")
         sizes = [total // n] * (n - 1)
+    elif n == 1:  # EBML lacing with one frame carries NO size fields
+        pass
     else:  # EBML: first size a vint, then signed-vint deltas
         first, npos = read_vint(data, pos, keep_marker=False)
         sizes = [first]

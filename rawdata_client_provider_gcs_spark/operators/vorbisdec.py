@@ -216,6 +216,13 @@ class _Floor0:
     stream like everything else."""
 
     def __init__(self, cfg: dict):
+        if cfg["rate"] == 0 or cfg["bark_map_size"] == 0:
+            # parse_setup reads both unchecked; a zero would turn the
+            # bark-map division into ZeroDivisionError instead of the
+            # contractual ValueError class
+            raise ValueError("vorbis: floor0 with zero rate/bark map")
+        if cfg["order"] == 0:
+            raise ValueError("vorbis: floor0 with zero order")
         self.cfg = cfg
         self._maps: dict[int, np.ndarray] = {}
 

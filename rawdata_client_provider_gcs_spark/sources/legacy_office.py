@@ -43,6 +43,7 @@ container decoding is this repo's derived crawl tier.
 
 from __future__ import annotations
 
+import math
 import struct
 
 #: bomb guards
@@ -355,6 +356,11 @@ def _rk_value(v: int) -> float:
 
 
 def _num_text(v: float) -> str:
+    if not math.isfinite(v):
+        # IEEE inf/nan in a NUMBER/RK payload is hostile input — keep
+        # it in the ValueError per-row class (int(inf) raises
+        # OverflowError, which would escape the capture contract)
+        raise ValueError(f"xls: non-finite cell value {v!r}")
     if v == int(v) and abs(v) < 1e15:
         return str(int(v))
     return repr(v)

@@ -249,8 +249,6 @@ def office_parts_of(data: bytes) -> tuple[str, list[tuple[str, str]]]:
     if sniff_cfb(data):
         return legacy_parts(parse_cfb(data)["entries"])
     if sniff_rtf(data):
-        from .legacy_office import _xml_escape
-
         return "rtf", [("rtf", "<p>" + _xml_escape(rtf_text_of(data))
                         + "</p>")]
     members = {m["path"]: m["payload"] for m in parse_zip(data)}

@@ -88,12 +88,6 @@ class _Walker:
         self._pending_high: int | None = None
 
     def _emit(self, text: str) -> None:
-        if self.pending_uc_skip:
-            k = min(self.pending_uc_skip, len(text))
-            self.pending_uc_skip -= k
-            text = text[k:]
-            if not text:
-                return
         top = self.stack[-1]
         if top[0]:  # skipping destination
             if self.in_info and top[2]:
@@ -104,6 +98,15 @@ class _Walker:
         if self.out_len > MAX_TEXT_CHARS:
             raise ValueError("rtf: output text over the cap (bomb)")
 
+    def _skip_entity(self) -> bool:
+        """True when a \\uc fallback skip is pending: the next entity
+        (character, \\'hh escape, or control word/symbol — RTF counts
+        each as ONE skippable item) is consumed without emitting."""
+        if self.pending_uc_skip > 0:
+            self.pending_uc_skip -= 1
+            return True
+        return False
+
     def _control(self) -> None:
         """pos sits after the backslash."""
         data, n = self.data, self.n
@@ -113,11 +116,13 @@ class _Walker:
         # symbol escapes
         if ch in (b"\\", b"{", b"}"):
             self.pos += 1
-            self._emit(ch.decode("ascii"))
+            if not self._skip_entity():
+                self._emit(ch.decode("ascii"))
             return
         if ch in (b"\r", b"\n"):  # \<newline> is \par
             self.pos += 1
-            self._emit("\n")
+            if not self._skip_entity():
+                self._emit("\n")
             return
         if ch == b"'":
             hx = data[self.pos + 1 : self.pos + 3]
@@ -128,13 +133,15 @@ class _Walker:
             except ValueError:
                 raise ValueError(f"rtf: bad hex escape \\'{hx!r}")
             self.pos += 3
-            self._emit(byte.decode(self.codepage, "replace"))
+            if not self._skip_entity():
+                self._emit(byte.decode(self.codepage, "replace"))
             return
         if not ch.isalpha():
             # unknown control symbol (\~ \_ \- \| \: handled via table)
             self.pos += 1
-            sym = ch.decode("latin-1")
-            self._emit(_CHAR_WORDS.get(sym, ""))
+            if not self._skip_entity():
+                sym = ch.decode("latin-1")
+                self._emit(_CHAR_WORDS.get(sym, ""))
             return
         # control word: letters, optional signed number, optional space
         start = self.pos
@@ -151,6 +158,19 @@ class _Walker:
             num = int(data[num_start : self.pos])
         if self.pos < n and data[self.pos : self.pos + 1] == b" ":
             self.pos += 1  # the delimiter space is part of the control
+        if self.pending_uc_skip > 0 and word != "u":
+            # a control word counts as one skipped fallback entity
+            # (RTF spec: control words are single items for \\uc
+            # skipping) — except a new \\u, which starts a new char
+            self.pending_uc_skip -= 1
+            if word == "bin":
+                k = max(0, num or 0)
+                if self.pos + k > self.n:
+                    raise ValueError("rtf: \\bin length past end of input")
+                self.pos += k
+            return
+        if word == "u":
+            self.pending_uc_skip = 0  # a new \\u ends any fallback run
         self._word(word, num)
 
     def _word(self, word: str, num: int | None) -> None:
@@ -223,6 +243,7 @@ class _Walker:
                     raise ValueError("rtf: group nesting over the cap")
                 top = self.stack[-1]
                 self.stack.append([top[0], top[1], top[2]])
+                self.pending_uc_skip = 0  # skips never span groups
                 self.pos += 1
                 # {\* …}: skip unless a known keeper follows
                 if data[self.pos : self.pos + 2] == b"\\*":
@@ -231,6 +252,7 @@ class _Walker:
             elif b == 0x7D:  # }
                 if len(self.stack) == 1:
                     raise ValueError("rtf: unbalanced closing brace")
+                self.pending_uc_skip = 0  # skips never span groups
                 popped = self.stack.pop()
                 if self.in_info and len(self.stack) < self.in_info:
                     self.in_info = 0
@@ -246,9 +268,13 @@ class _Walker:
                 while end < n and data[end] not in (0x7B, 0x7D, 0x5C,
                                                     0x0D, 0x0A, 0x00):
                     end += 1
-                self._emit(
-                    data[self.pos : end].decode(self.codepage, "replace")
-                )
+                text = data[self.pos : end].decode(self.codepage, "replace")
+                if self.pending_uc_skip:
+                    k = min(self.pending_uc_skip, len(text))
+                    self.pending_uc_skip -= k
+                    text = text[k:]
+                if text:
+                    self._emit(text)
                 self.pos = end
 
 

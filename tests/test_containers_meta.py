@@ -446,6 +446,10 @@ def test_speex_and_theora_ident_parse():
     )
     assert m["speex_mode"] == "ultra-wideband"
     assert m["duration_ms"] == 3000
+    # SpeexHeader layout: frame_size@56, frames_per_packet@64 — the
+    # review-found off-by-8 read returned frame_size here
+    assert m["speex_frames_per_packet"] == 1
+    assert m["speex_frame_size"] == 160 << 2
     th = O.build_ogg(codec="theora", width=334, height=242,
                      fps_num=30000, fps_den=1001, total_samples=90,
                      comments={"TITLE": "tv"})

@@ -367,3 +367,20 @@ def test_doc_subdocument_text_second_part():
     # without footnotes: single part, unchanged contract
     fmt, parts = O.office_parts_of(L.build_doc(["only main"]))
     assert [p[0] for p in parts] == ["WordDocument"]
+
+
+def test_xls_infinite_cell_value_stays_valueerror():
+    """An IEEE +inf NUMBER payload (or RK 0x7FF00000) must land in
+    the ValueError per-row class, not OverflowError (review, r12)."""
+    inf_number = _rec(0x0203, struct.pack("<HHH", 0, 0, 0)
+                      + struct.pack("<d", float("inf")))
+    g = (_rec(0x0809, struct.pack("<HH8x", 0x0600, 0x0005))
+         + _rec(0x0085, struct.pack("<IHBB", 0, 0, 1, 0) + b"S")
+         + _rec(0x00FC, struct.pack("<II", 0, 0))
+         + _rec(0x000A, b""))
+    sheet = (_rec(0x0809, struct.pack("<HH8x", 0x0600, 0x0010))
+             + inf_number + _rec(0x000A, b""))
+    wb = bytearray(g + sheet)
+    struct.pack_into("<I", wb, 20, len(g))
+    with pytest.raises(ValueError, match="non-finite cell"):
+        L.xls_sheets_of(bytes(wb))

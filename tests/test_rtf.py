@@ -117,3 +117,16 @@ def test_office_text_spark_rtf(spark):
     info = {r.doc_id: r for r in O.office_info(df).collect()}
     assert (info[1].doc_format, info[1].title, info[1].creator,
             info[1].n_parts) == ("rtf", "T", "A", 1)
+
+
+def test_uc_skip_counts_control_words_as_entities():
+    """RTF counts a control word as ONE skippable \\uc fallback item;
+    a proper '?' fallback leaves following control words intact, and
+    group boundaries cancel any pending skip (review finding, r12)."""
+    assert _t("{\\rtf1 \\u8212\\par more}") == "—more"
+    assert _t("{\\rtf1 \\uc0\\u8212\\par more}") == "—\nmore"
+    assert _t("{\\rtf1 \\u8212 ?\\par more}") == "—\nmore"
+    # a skip pending at a group boundary dies with the group
+    assert _t(r"{\rtf1 \uc2\u956 {ab}cd}") == "μabcd"
+    # a following \u starts a NEW character, never gets skipped
+    assert _t(r"{\rtf1 \uc0\u956\u957 x}") == "μνx"

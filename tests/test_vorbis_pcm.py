@@ -734,3 +734,24 @@ def test_webm_vorbis_track_decodes_all_lacings():
                         audio_codec_private=xiph_cp([ident]))
     with pytest.raises(UnsupportedCodecError):
         W.decode_webm_media(blob)
+
+
+def test_floor0_zero_rate_is_valueerror_not_zerodivision():
+    cfg = {"type": 0, "order": 2, "rate": 0, "bark_map_size": 64,
+           "amplitude_bits": 6, "amplitude_offset": 10, "books": [0]}
+    with pytest.raises(ValueError, match="zero rate/bark"):
+        V._Floor0(cfg)
+    cfg2 = dict(cfg, rate=8000, bark_map_size=0)
+    with pytest.raises(ValueError, match="zero rate/bark"):
+        V._Floor0(cfg2)
+
+
+def test_webm_ebml_lacing_single_frame():
+    """EBML lacing with a lace-count of one carries NO size fields —
+    the single frame must come through intact (review, r12)."""
+    from rawdata_client_provider_gcs_spark.operators import rawwebm as W
+
+    frame = b"\x07payload-bytes"
+    body = b"\x81" + b"\x00\x00" + b"\x86" + b"\x00" + frame
+    tn, frames = W._block_frames(body, 0, len(body))
+    assert tn == 1 and frames == [frame]
