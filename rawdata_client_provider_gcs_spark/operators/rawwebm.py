@@ -594,17 +594,18 @@ def build_webm(
                 body += b"".join(frames)
             elif audio_lacing == "ebml":
                 body += b"\x86" + bytes([len(frames) - 1])
-                first = len(frames[0])
-                body += bytes([0x80 | first]) if first < 127 else (
-                    bytes([0x40 | (first >> 8), first & 0xFF])
-                )
-                prev = first
-                for f in frames[1:-1]:
-                    delta = len(f) - prev
-                    # signed vint, 2-byte form: value = delta + 0x1FFF
-                    body += bytes([0x40 | ((delta + 0x1FFF) >> 8),
-                                   (delta + 0x1FFF) & 0xFF])
-                    prev = len(f)
+                if len(frames) > 1:  # n == 1 carries NO size fields
+                    first = len(frames[0])
+                    body += bytes([0x80 | first]) if first < 127 else (
+                        bytes([0x40 | (first >> 8), first & 0xFF])
+                    )
+                    prev = first
+                    for f in frames[1:-1]:
+                        delta = len(f) - prev
+                        # signed vint, 2-byte form: value = delta + 0x1FFF
+                        body += bytes([0x40 | ((delta + 0x1FFF) >> 8),
+                                       (delta + 0x1FFF) & 0xFF])
+                        prev = len(f)
                 body += b"".join(frames)
             else:
                 raise ValueError(

@@ -6355,6 +6355,94 @@ def q_multimodal_vorbis_pcm(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_webm_vorbis_pcm",
+    oracle="""
+WITH d AS (SELECT doc_id, CAST(doc_id % 32 AS INTEGER) AS k,
+                  0.5 * (1 + CAST(doc_id % 3 AS INTEGER)) AS amp
+           FROM documents WHERE doc_id < 96),
+ts AS (SELECT CAST(unnest(generate_series(0, 15)) AS INTEGER) AS t)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       CAST(ts.t AS BIGINT) AS t,
+       ROUND(
+         amp * cos(pi()/128 * (2*(ts.t+32)+1+32) * (2*d.k+1))
+             * sin(pi()/2 * pow(sin(pi()*((ts.t+32)+0.5)/64), 2))
+       + amp * cos(pi()/128 * (2*ts.t+1+32) * (2*d.k+1))
+             * sin(pi()/2 * pow(sin(pi()*(ts.t+0.5)/64), 2)), 6) AS pcm
+FROM d, ts
+""",
+    tags=("llm", "multimodal", "audio", "vorbis", "webm", "pandas-udf"),
+)
+def q_multimodal_webm_vorbis_pcm(spark: SparkSession, sf: str) -> DataFrame:
+    """Vorbis PCM through the MATROSKA carriage, oracle-exact — the
+    same closed-form single-coefficient spectra as
+    ``q_multimodal_vorbis_pcm``, but the headers ride a Xiph-laced
+    CodecPrivate and the audio packets ride Cluster blocks rotating
+    all three explicit lacing modes (Xiph/fixed/EBML) and both block
+    carriages (SimpleBlock/BlockGroup).  The container walk
+    (:func:`..operators.rawwebm.decode_webm_vorbis_pcm`) and the
+    codec pipeline are both under DuckDB's own trigonometry — a
+    lacing bug or a block-order bug breaks the hash.
+    """
+    from ..operators import rawwebm
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 96)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import vorbisdec
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ident = vorbisdec.build_pcm_ident()
+                comment = (b"\x03vorbis" + (7).to_bytes(4, "little")
+                           + b"fixture" + (0).to_bytes(4, "little")
+                           + b"\x01")
+                setup = vorbisdec.build_pcm_setup()
+                cp = bytes([2])
+                for p in (ident, comment):
+                    q, r = divmod(len(p), 255)
+                    cp += b"\xff" * q + bytes([r])
+                cp += ident + comment + setup
+                pkt = vorbisdec.encode_pcm_packet(
+                    (did % 32, 1 + did % 3)
+                )
+                lacing = ("xiph", "fixed", "ebml")[did % 3]
+                payloads.append(rawwebm.build_webm(
+                    video=None, audio=("A_VORBIS", 1, 8000),
+                    audio_codec_private=cp,
+                    audio_blocks=[[pkt], [pkt]],
+                    audio_lacing=lacing,
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "webm": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, webm binary")
+
+    def decode(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "t": [], "pcm": []}
+            for did, payload in zip(pdf["doc_id"], pdf["webm"]):
+                pcm, _rate = rawwebm.decode_webm_vorbis_pcm(bytes(payload))
+                vals = np.round(pcm[:16, 0], 6)
+                for t, v in enumerate(vals):
+                    rows["doc_id"].append(int(did))
+                    rows["t"].append(t)
+                    rows["pcm"].append(float(v))
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(decode, "doc_id long, t long, pcm double")
+
+
+@register(
     "q_multimodal_webm_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
