@@ -6172,6 +6172,123 @@ def q_multimodal_vorbis_windows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_classify",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE CAST(doc_id % 16 AS INTEGER)
+         WHEN 0 THEN 'zip' WHEN 1 THEN 'tar' WHEN 2 THEN '7z'
+         WHEN 3 THEN 'docx' WHEN 4 THEN 'xlsx' WHEN 5 THEN 'doc'
+         WHEN 6 THEN 'rtf' WHEN 7 THEN 'pdf' WHEN 8 THEN 'png'
+         WHEN 9 THEN 'wav' WHEN 10 THEN 'ogg-vorbis' WHEN 11 THEN 'mp4'
+         WHEN 12 THEN 'mbox' WHEN 13 THEN 'html' WHEN 14 THEN 'utf8-text'
+         ELSE 'binary' END AS format,
+       CASE CAST(doc_id % 16 AS INTEGER)
+         WHEN 0 THEN 'archive' WHEN 1 THEN 'archive' WHEN 2 THEN 'archive'
+         WHEN 3 THEN 'document' WHEN 4 THEN 'document'
+         WHEN 5 THEN 'document' WHEN 6 THEN 'document'
+         WHEN 7 THEN 'document' WHEN 8 THEN 'image' WHEN 9 THEN 'audio'
+         WHEN 10 THEN 'audio' WHEN 11 THEN 'video' WHEN 12 THEN 'mail'
+         WHEN 13 THEN 'web' WHEN 14 THEN 'text' ELSE 'unknown' END
+         AS category,
+       CASE CAST(doc_id % 16 AS INTEGER)
+         WHEN 1 THEN 'gzip' WHEN 14 THEN 'zstd' ELSE NULL END AS wrapper
+FROM documents WHERE doc_id < 320
+""",
+    tags=("llm", "source", "crawl", "classify", "pandas-udf"),
+    bench=True,
+)
+def q_crawl_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """Universal payload ROUTING, oracle-exact — the stage a mixed
+    100 TB ingest runs first: sixteen payload shapes (archives plain
+    and gzip-wrapped, zip and CFB office families, RTF, PDF, PNG,
+    WAV, Ogg Vorbis, MP4, mbox, HTML, zstd-wrapped plain text, raw
+    binary) built by the engine's own fixture writers, classified by
+    ``classify_payload``'s magic-first union of every sniffer the
+    repo owns (:mod:`..sources.classify`).  Misrouting any format —
+    or mis-peeling a wrapper — breaks the hash.
+    """
+    from ..sources.classify import classify_payloads
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 320)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import gzip as _gzip
+
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawimage, rawmp4, rawpdf, vorbisdec
+        from ..operators.rawaudio import encode_wav_pcm16
+        from ..sources import archive as A
+        from ..sources import legacy_office as LO
+        from ..sources import office as O
+        from ..sources import rtf as RT
+        from ..sources import sevenzip as SZ
+        from ..sources import zstd_codec as ZS
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                t = str(text)[:60]
+                v = did % 16
+                if v == 0:
+                    blob = A.build_zip([("a.txt", t.encode())])
+                elif v == 1:
+                    blob = _gzip.compress(
+                        A.build_tar([("a.txt", t.encode())])
+                    )
+                elif v == 2:
+                    blob = SZ.build_7z([("a.txt", t.encode())],
+                                       method="store")
+                elif v == 3:
+                    blob = O.build_docx([t])
+                elif v == 4:
+                    blob = O.build_xlsx([[[t[:20]]]])
+                elif v == 5:
+                    blob = LO.build_doc([t])
+                elif v == 6:
+                    blob = RT.build_rtf([t])
+                elif v == 7:
+                    blob = rawpdf.encode_pdf([[t[:40]]])
+                elif v == 8:
+                    blob = rawimage.encode_png(
+                        np.full((4, 4, 3), did % 256, dtype=np.uint8)
+                    )
+                elif v == 9:
+                    sig = np.where(np.arange(40) % 2 == 0, 0.25, -0.25)
+                    blob = encode_wav_pcm16(sig[:, None], 8000)
+                elif v == 10:
+                    blob = vorbisdec.build_pcm_ogg([(did % 32, 1)])
+                elif v == 11:
+                    blob = rawmp4.build_mp4()
+                elif v == 12:
+                    blob = (b"From a@example.com Thu Jan  1 00:00:00 "
+                            b"2026\nSubject: s\n\n" + t.encode() + b"\n")
+                elif v == 13:
+                    blob = (b"<!DOCTYPE html><html><body><p>"
+                            + t.encode() + b"</p></body></html>")
+                elif v == 14:
+                    blob = ZS.build_zst(
+                        ("plain words " + t + " tail\n").encode()
+                    )
+                else:
+                    blob = bytes([did % 7, 0x00, 0xFE, 0x01]) * 24
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    return classify_payloads(files).select(
+        "doc_id", "format", "category", "wrapper"
+    )
+
+
+@register(
     "q_multimodal_ogg_av_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

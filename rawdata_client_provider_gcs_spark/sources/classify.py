@@ -1,0 +1,298 @@
+"""Universal payload classification — the first step of a mixed
+100 TB crawl ingest.
+
+``classify_payload`` unions every container/codec sniffer the engine
+already owns into one magic-first dispatch: transparent compression
+wrappers are recognized (and ONE layer peeled, bounded, to classify
+what they carry), then archives, legacy/zip office families, crawl
+envelopes, media containers, and finally text-shape heuristics.
+Container magic always outranks extension-style guessing; ambiguity
+rules (ustar-vs-cpio-vs-iso, BZh text, TS sync stride) are inherited
+from the per-format sniffers that already encode them.
+
+Output contract: ``{"format", "category", "wrapper"}`` — ``format``
+a stable slug (``zip``, ``docx``, ``ogg-vorbis``, ``utf8-text`` …),
+``category`` one of ``archive / document / mail / web / image /
+audio / video / data / text / unknown``, ``wrapper`` the transparent
+compression layer when one was peeled (``gzip``/``xz``/…, else
+None).  The function NEVER raises on hostile bytes — unclassifiable
+input is ``("binary", "unknown")`` and a wrapper whose payload can't
+inflate is ``("corrupt", "unknown")`` with the wrapper recorded —
+because classification runs before any per-row error contract exists.
+
+Reference behavioral parity: the reference transport stores opaque
+named byte arrays (RawdataMessage.java:15-60); a router over mixed
+payload types is this repo's derived ingest tier.
+"""
+
+from __future__ import annotations
+
+#: one bounded wrapper peel for classification only — far below the
+#: archive tier's 1 GiB cap; classify never needs the whole payload
+MAX_PEEL_BYTES = 64 * 1024 * 1024
+
+def _peel_wrapper(data: bytes) -> tuple[str, bytes] | None:
+    """(wrapper_name, inner_prefix) when data is a recognized
+    transparent compression wrapper, else None.  Inflation is bounded
+    and errors surface as the 'corrupt' classification, never raise."""
+    from .archive import _is_bzip2
+    from .zstd_codec import sniff_zstd
+
+    name = None
+    if data[:2] == b"\x1f\x8b":
+        name = "gzip"
+    elif data[:6] == b"\xfd7zXZ\x00":
+        name = "xz"
+    elif _is_bzip2(data):
+        name = "bzip2"
+    elif sniff_zstd(data):
+        name = "zstd"
+    elif data[:4] == b"\x04\x22\x4d\x18":
+        name = "lz4"
+    elif data[:10] == b"\xff\x06\x00\x00sNaPpY":
+        name = "snappy"
+    elif data[:2] == b"\x1f\x9d":
+        name = "compress"
+    if name is None:
+        return None
+    try:
+        if name == "gzip":
+            import gzip
+            import io
+
+            with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+                inner = gz.read(MAX_PEEL_BYTES)
+        elif name == "xz":
+            import lzma
+
+            inner = lzma.LZMADecompressor().decompress(
+                data, max_length=MAX_PEEL_BYTES
+            )
+        elif name == "bzip2":
+            import bz2
+
+            inner = bz2.BZ2Decompressor().decompress(
+                data, max_length=MAX_PEEL_BYTES
+            )
+        elif name == "zstd":
+            from .zstd_codec import zstd_decompress
+
+            inner = zstd_decompress(data, cap=MAX_PEEL_BYTES)
+        elif name == "lz4":
+            from .compression import lz4_decompress
+
+            inner = lz4_decompress(data, cap=MAX_PEEL_BYTES)
+        elif name == "snappy":
+            from .compression import snappy_stream_decompress
+
+            inner = snappy_stream_decompress(data, cap=MAX_PEEL_BYTES)
+        else:
+            from .compression import z_decompress
+
+            inner = z_decompress(data, cap=MAX_PEEL_BYTES)
+    except Exception:  # noqa: BLE001 — corrupt wrapper is a VERDICT here
+        return name, b""
+    return name, inner
+
+
+def _classify_zip(data: bytes) -> str:
+    """zip subtype by member names (office/ebook families ride zip)."""
+    from .archive import parse_zip
+
+    try:
+        names = {m["path"] for m in parse_zip(data)}
+    except ValueError:
+        return "zip"
+    if "word/document.xml" in names:
+        return "docx"
+    if "ppt/presentation.xml" in names:
+        return "pptx"
+    if "xl/workbook.xml" in names:
+        return "xlsx"
+    if "META-INF/container.xml" in names and "mimetype" in names:
+        return "epub"
+    if "content.xml" in names and "mimetype" in names:
+        return "odt"
+    return "zip"
+
+
+_OGG_CODECS = (
+    (b"\x01vorbis", "ogg-vorbis"), (b"OpusHead", "ogg-opus"),
+    (b"Speex   ", "ogg-speex"), (b"\x80theora", "ogg-theora"),
+    (b"\x7fFLAC", "ogg-flac"),
+)
+
+_CATEGORY = {
+    "zip": "archive", "tar": "archive", "cpio": "archive",
+    "7z": "archive", "iso": "archive",
+    "docx": "document", "pptx": "document", "xlsx": "document",
+    "epub": "document", "odt": "document", "doc": "document",
+    "xls": "document", "ppt": "document", "cfb": "document",
+    "rtf": "document", "pdf": "document",
+    "warc": "web", "html": "web",
+    "mbox": "mail", "eml": "mail",
+    "ppm": "image", "pgm": "image", "bmp": "image", "png": "image",
+    "jpeg": "image", "gif": "image", "tiff": "image", "ico": "image",
+    "webp": "image", "heif": "image", "svg": "image",
+    "wav": "audio", "aiff": "audio", "au": "audio", "flac": "audio",
+    "mp3": "audio", "aac": "audio", "ogg-vorbis": "audio",
+    "ogg-opus": "audio", "ogg-speex": "audio", "ogg-flac": "audio",
+    "ogg": "audio",
+    "ogg-theora": "video", "mp4": "video", "webm": "video",
+    "avi": "video", "mpeg-ts": "video",
+    "avro": "data", "parquet": "data", "xml": "data", "json": "data",
+    "utf8-text": "text",
+    "binary": "unknown", "corrupt": "unknown", "empty": "unknown",
+}
+
+
+def classify_payload(data: bytes) -> dict:
+    """Magic-first classification of one payload — see module doc."""
+    wrapper = None
+    peeled = _peel_wrapper(data)
+    if peeled is not None:
+        wrapper, inner = peeled
+        if not inner:
+            return {"format": "corrupt", "category": "unknown",
+                    "wrapper": wrapper}
+        data = inner
+    fmt = _classify_bytes(data)
+    return {"format": fmt, "category": _CATEGORY.get(fmt, "unknown"),
+            "wrapper": wrapper}
+
+
+def _classify_bytes(data: bytes) -> str:
+    if not data:
+        return "empty"
+    # crawl envelopes + single-format documents with strong magic
+    if data[:5] == b"WARC/":
+        return "warc"
+    if data[:5] == b"%PDF-":
+        return "pdf"
+    from .cfb import classify_cfb, parse_cfb, sniff_cfb
+    from .rtf import sniff_rtf
+
+    if sniff_rtf(data):
+        return "rtf"
+    if sniff_cfb(data):
+        try:
+            return classify_cfb(parse_cfb(data)["entries"])
+        except ValueError:
+            return "cfb"
+    # archives (ustar-vs-cpio-vs-iso precedence lives in sniff_format)
+    from .archive import sniff_format as sniff_archive
+
+    arch = sniff_archive(data)
+    if arch == "zip":
+        return _classify_zip(data)
+    if arch is not None:
+        return arch
+    # columnar / row formats
+    if data[:4] == b"Obj\x01":
+        return "avro"
+    if data[:4] == b"PAR1":
+        return "parquet"
+    # media containers (magic-dispatched, no decode)
+    from ..operators import (  # noqa: PLC0415
+        rawaac,
+        rawaudio,
+        rawheif,
+        rawimage,
+        rawmp3,
+        rawmp4,
+        rawogg,
+        rawts,
+        rawwebm,
+    )
+    from ..operators.rawavi import sniff_avi
+
+    img = rawimage.sniff_format(data)
+    if img is not None:
+        return img
+    if rawheif.sniff_heif(data):
+        return "heif"
+    if rawogg.sniff_ogg(data):
+        head = data[:4096]
+        for magic, slug in _OGG_CODECS:
+            if magic in head:
+                return slug
+        return "ogg"
+    if rawaudio.sniff_audio(data):
+        if rawaudio.sniff_wav(data):
+            return "wav"
+        return "aiff" if rawaudio.sniff_aiff(data) else "au"
+    from ..operators.rawflac import sniff_flac
+
+    if sniff_flac(data):
+        return "flac"
+    if rawwebm.sniff_webm(data):
+        return "webm"
+    if rawmp4.sniff_mp4(data):
+        return "mp4"
+    if sniff_avi(data):
+        return "avi"
+    if rawts.sniff_ts(data):
+        return "mpeg-ts"
+    if rawmp3.sniff_mp3(data):
+        return "mp3"
+    if rawaac.sniff_aac(data):
+        return "aac"
+    # mail: mbox From_ separator; bare RFC 822 header block
+    if data[:5] == b"From ":
+        return "mbox"
+    head = data[:2048]
+    if any(head.startswith(h) for h in
+           (b"Return-Path:", b"Received:", b"Message-ID:")):
+        return "eml"
+    # text shapes
+    try:
+        text = head.decode("utf-8")
+    except UnicodeDecodeError:
+        return "binary"
+    low = text.lstrip().lower()
+    if low.startswith(("<!doctype html", "<html")):
+        return "html"
+    if low.startswith("<?xml") or low.startswith("<svg"):
+        return "svg" if "<svg" in low[:256] else "xml"
+    if low[:1] in ("{", "["):
+        return "json"
+    printable = sum(c.isprintable() or c in "\n\r\t" for c in text)
+    if text and printable / len(text) > 0.95:
+        return "utf8-text"
+    return "binary"
+
+
+# ---------------------------------------------------------------------------
+# Spark operator
+# ---------------------------------------------------------------------------
+
+
+def classify_payloads(df, payload_col: str = "payload",
+                      id_col: str = "doc_id"):
+    """Arrow-batched classification over (id, payload) rows →
+    ``(id, format, category, wrapper, n_bytes)`` — the router stage a
+    mixed ingest runs before fanning payloads to per-format sources.
+    One Python task per partition, no shuffle; classify_payload never
+    raises, so there is no error column to carry."""
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "format": [], "category": [],
+                    "wrapper": [], "n_bytes": []}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                blob = bytes(payload) if payload is not None else b""
+                got = classify_payload(blob)
+                rows["doc_id"].append(int(did))
+                rows["format"].append(got["format"])
+                rows["category"].append(got["category"])
+                rows["wrapper"].append(got["wrapper"])
+                rows["n_bytes"].append(len(blob))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(
+        run,
+        "doc_id long, format string, category string, wrapper string, "
+        "n_bytes long",
+    )

@@ -1,0 +1,95 @@
+"""Universal payload classification (sources/classify.py)."""
+
+import gzip
+
+import numpy as np
+
+from rawdata_client_provider_gcs_spark.operators import (
+    rawimage,
+    rawmp4,
+    rawogg,
+    vorbisdec,
+)
+from rawdata_client_provider_gcs_spark.sources import archive as A
+from rawdata_client_provider_gcs_spark.sources import legacy_office as L
+from rawdata_client_provider_gcs_spark.sources import office as O
+from rawdata_client_provider_gcs_spark.sources import rtf as R
+from rawdata_client_provider_gcs_spark.sources import zstd_codec as ZS
+from rawdata_client_provider_gcs_spark.sources.classify import (
+    classify_payload,
+    classify_payloads,
+)
+
+
+def _fmt(blob: bytes) -> str:
+    return classify_payload(bytes(blob))["format"]
+
+
+def test_archives_and_office_families():
+    assert _fmt(A.build_zip([("a", b"x")])) == "zip"
+    assert _fmt(A.build_tar([("a", b"x")])) == "tar"
+    assert _fmt(A.build_cpio([("a", b"x")])) == "cpio"
+    assert _fmt(O.build_docx(["p"])) == "docx"
+    assert _fmt(O.build_pptx(["s"])) == "pptx"
+    assert _fmt(O.build_epub(["c"])) == "epub"
+    assert _fmt(O.build_odt(["p"])) == "odt"
+    assert _fmt(L.build_doc(["t"])) == "doc"
+    assert _fmt(L.build_ppt(["t"])) == "ppt"
+    assert _fmt(R.build_rtf(["t"])) == "rtf"
+
+
+def test_wrappers_peel_and_corrupt_verdict():
+    tar = A.build_tar([("a", b"x")])
+    got = classify_payload(gzip.compress(tar))
+    assert (got["format"], got["wrapper"]) == ("tar", "gzip")
+    got = classify_payload(ZS.build_zst(b"plain words here\n"))
+    assert (got["format"], got["wrapper"]) == ("utf8-text", "zstd")
+    # a gzip header with a chopped body is a VERDICT, not a raise
+    got = classify_payload(gzip.compress(tar)[:10])
+    assert (got["format"], got["wrapper"]) == ("corrupt", "gzip")
+
+
+def test_media_and_ogg_codec_refinement():
+    assert _fmt(rawimage.encode_png(np.zeros((4, 4, 3), "uint8"))) == "png"
+    assert _fmt(rawmp4.build_mp4()) == "mp4"
+    assert _fmt(vorbisdec.build_pcm_ogg([(5, 2)])) == "ogg-vorbis"
+    assert _fmt(rawogg.build_ogg(codec="opus")) == "ogg-opus"
+    assert _fmt(rawogg.build_ogg(codec="theora")) == "ogg-theora"
+    c = classify_payload(rawogg.build_ogg(codec="theora"))
+    assert c["category"] == "video"
+
+
+def test_text_shapes_and_fallbacks():
+    assert _fmt(b"<!DOCTYPE html><html></html>") == "html"
+    assert _fmt(b"<?xml version='1.0'?><r/>") == "xml"
+    assert _fmt(b'{"a": 1}') == "json"
+    assert _fmt("words in a line\n".encode()) == "utf8-text"
+    assert _fmt(b"\x00\x01\x02\xfe" * 30) == "binary"
+    assert _fmt(b"") == "empty"
+    # invalid UTF-8 is binary, never a raise
+    assert _fmt(b"\xff\xfe\xfa" * 50) == "binary"
+
+
+def test_ambiguity_rules_inherited():
+    # a tar whose first member name looks like a cpio magic still
+    # classifies as tar (ustar offset-257 precedence)
+    tricky = A.build_tar([("070701weird", b"x")])
+    assert _fmt(tricky) == "tar"
+    # plain text starting with BZh9 is NOT a bzip2 wrapper
+    assert _fmt(b"BZh9 is a compression level, this is prose") == \
+        "utf8-text"
+
+
+def test_spark_router(spark):
+    rows = [
+        (0, bytearray(A.build_zip([("a", b"x")]))),
+        (1, bytearray(gzip.compress(A.build_tar([("a", b"x")])))),
+        (2, bytearray(b"%PDF-1.4 x")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in classify_payloads(df).collect()}
+    assert (got[0].format, got[0].category) == ("zip", "archive")
+    assert (got[1].format, got[1].wrapper) == ("tar", "gzip")
+    assert got[2].format == "pdf"
+    assert (got[3].format, got[3].n_bytes) == ("empty", 0)
