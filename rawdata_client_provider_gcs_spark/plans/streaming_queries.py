@@ -637,6 +637,94 @@ def q_stream_archive_ingest(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_stream_classify",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE CAST(doc_id % 6 AS INTEGER)
+         WHEN 0 THEN 'zip' WHEN 1 THEN 'tar' WHEN 2 THEN 'rtf'
+         WHEN 3 THEN 'pdf' WHEN 4 THEN 'html' ELSE 'utf8-text' END
+         AS format,
+       CASE CAST(doc_id % 6 AS INTEGER)
+         WHEN 0 THEN 'archive' WHEN 1 THEN 'archive'
+         WHEN 2 THEN 'document' WHEN 3 THEN 'document'
+         WHEN 4 THEN 'web' ELSE 'text' END AS category,
+       CASE WHEN doc_id % 6 = 1 THEN 'gzip' ELSE NULL END AS wrapper
+FROM documents WHERE doc_id < 150
+""",
+    tags=("streaming", "source", "crawl", "classify"),
+)
+def q_stream_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """Payload ROUTING as a stream, oracle-exact: mixed drops arrive
+    in micro-batches and each is classified by the same magic-first
+    union as the batch router (``q_crawl_classify``) — stateless
+    append, the shape of a landing-zone triage job that fans files to
+    per-format pipelines as they arrive.
+    """
+    import tempfile
+
+    from ..sources import archive as A
+    from ..sources import rtf as RT
+    from ..sources.classify import classify_payloads
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import gzip as _gzip
+
+        import pandas as pd
+
+        from ..operators import rawpdf
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                t = str(text)[:60]
+                v = did % 6
+                if v == 0:
+                    blob = A.build_zip([("a.txt", t.encode())])
+                elif v == 1:
+                    blob = _gzip.compress(
+                        A.build_tar([("a.txt", t.encode())])
+                    )
+                elif v == 2:
+                    blob = RT.build_rtf([t])
+                elif v == 3:
+                    blob = rawpdf.encode_pdf([[t[:40]]])
+                elif v == 4:
+                    blob = (b"<!DOCTYPE html><html><body>"
+                            + t.encode() + b"</body></html>")
+                else:
+                    blob = ("prose " + t + "\n").encode()
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    stage = tempfile.mkdtemp(prefix="rawdata-classify-stream-")
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    files.withColumn("part", F.col("doc_id") % 4).repartition(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(stage)
+
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    out = W.run_available_now_append(
+        classify_payloads(stream).select(
+            "doc_id", "format", "category", "wrapper"
+        ),
+        "t_classify_stream",
+    )
+    return out
+
+
+@register(
     "q_stream_office_ingest",
     oracle="""
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 150)
