@@ -108,6 +108,35 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized_text(_c(col)))
 
 
+def sentence_stats(col: Column | str) -> dict[str, Column]:
+    """Sentence-level curation signals (the Gopher-rule family), pure
+    Catalyst: split on terminal punctuation runs followed by
+    whitespace, drop empty fragments, then count sentences, mean
+    words per sentence, and the longest sentence's character length.
+    A heuristic splitter by documented design (abbreviations split) —
+    the signal a corpus filter thresholds on, not a linguistic parse."""
+    c = _c(col)
+    sents = F.filter(
+        F.split(c, "[.!?]+\\s+"),
+        lambda x: F.length(F.trim(x)) > 0,
+    )
+    n = F.size(sents)
+    words = F.transform(
+        sents, lambda x: F.size(F.split(F.trim(x), "\\s+"))
+    )
+    total_words = F.aggregate(words, F.lit(0), lambda a, b: a + b)
+    return {
+        "n_sentences": n,
+        "mean_words_per_sentence": F.when(
+            n > 0, F.round(total_words / n, 2)
+        ).otherwise(F.lit(0.0)),
+        "max_sentence_chars": F.coalesce(
+            F.array_max(F.transform(sents, lambda x: F.length(F.trim(x)))),
+            F.lit(0),
+        ),
+    }
+
+
 def tokens_expr(text_col: str) -> Column:
     """ASCII lowercase token array for a named column."""
     return F.expr(f"regexp_extract_all(lower({text_col}), '{ALPHA_LOWER_RE}', 0)")

@@ -6172,6 +6172,66 @@ def q_multimodal_vorbis_windows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_text_sentence_stats",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         substr(text, 1, 30) || '. ' || substr(text, 31, 40) || '! '
+           || substr(text, 71, 30) || '? ' AS s
+  FROM documents WHERE doc_id < 400
+),
+t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(s, '[.!?]+\\s+'),
+                     x -> len(trim(x)) > 0) AS sents
+  FROM d
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       ROUND(CAST(list_sum(list_transform(sents,
+               x -> len(string_split_regex(trim(x), '\\s+'))))
+             AS DOUBLE) / len(sents), 2) AS mean_words_per_sentence,
+       CAST(list_max(list_transform(sents, x -> len(trim(x))))
+            AS BIGINT) AS max_sentence_chars
+FROM t
+""",
+    tags=("llm", "text", "curation"),
+    bench=True,
+)
+def q_text_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Sentence-level curation signals (the Gopher-rule family),
+    oracle-exact and PURE Catalyst — zero Python, zero shuffle: the
+    heuristic splitter (terminal punctuation runs + whitespace), the
+    per-document sentence count, mean words per sentence, and longest
+    sentence length a corpus quality filter thresholds on.  Each
+    document synthesizes a three-sentence text from its own slices in
+    BOTH engines, so the oracle checks the split/aggregate semantics
+    themselves, not a fixture.
+    """
+    from ..functions.text import sentence_stats
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 400)
+        .select(
+            "doc_id",
+            F.concat(
+                F.substring("text", 1, 30), F.lit(". "),
+                F.substring("text", 31, 40), F.lit("! "),
+                F.substring("text", 71, 30), F.lit("? "),
+            ).alias("s"),
+        )
+    )
+    st = sentence_stats("s")
+    return d.select(
+        "doc_id",
+        st["n_sentences"].cast("long").alias("n_sentences"),
+        st["mean_words_per_sentence"].alias("mean_words_per_sentence"),
+        st["max_sentence_chars"].cast("long").alias("max_sentence_chars"),
+    )
+
+
+@register(
     "q_crawl_classify",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -93,3 +93,22 @@ def test_spark_router(spark):
     assert (got[1].format, got[1].wrapper) == ("tar", "gzip")
     assert got[2].format == "pdf"
     assert (got[3].format, got[3].n_bytes) == ("empty", 0)
+
+
+def test_classify_never_raises_fuzz():
+    """classify_payload's contract: ANY bytes produce a verdict."""
+    import random
+
+    rng = random.Random(12)
+    seeds = [
+        b"", b"PK\x03\x04", b"\x1f\x8b\x08", b"OggS", b"%PDF-",
+        b"{\\rtf1", b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", b"BZh9",
+        b"\x28\xb5\x2f\xfd", b"\xfd7zXZ\x00", b"From ",
+    ]
+    for _ in range(400):
+        blob = seeds[rng.randrange(len(seeds))] + rng.randbytes(
+            rng.randrange(0, 400)
+        )
+        got = classify_payload(blob)
+        assert set(got) == {"format", "category", "wrapper"}
+        assert isinstance(got["format"], str)

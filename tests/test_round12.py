@@ -395,3 +395,31 @@ def test_cfb_sibling_chain_reaches_every_stream():
     # CFB order: byte length, then uppercase — Extra(5) < WordDocument(12)
     # < \x05SummaryInformation(19)
     assert seen == ["Extra", "WordDocument", "\x05SummaryInformation"]
+
+
+def test_sentence_stats_hand_cases(spark):
+    from rawdata_client_provider_gcs_spark.functions.text import (
+        sentence_stats,
+    )
+
+    rows = [
+        (0, "One two three. Four five! Six?  "),
+        (1, "no terminal punctuation at all"),
+        (2, ""),
+        (3, "Ends abruptly. Second sentence"),
+        (4, "Runs!! of?! punctuation. x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    st = sentence_stats("text")
+    got = {r.id: r for r in df.select(
+        "id", *[v.alias(k) for k, v in st.items()]
+    ).collect()}
+    assert (got[0].n_sentences, got[0].mean_words_per_sentence,
+            got[0].max_sentence_chars) == (3, 2.0, 13)
+    assert (got[1].n_sentences, got[1].max_sentence_chars) == (1, 30)
+    assert (got[2].n_sentences, got[2].mean_words_per_sentence,
+            got[2].max_sentence_chars) == (0, 0.0, 0)
+    assert got[3].n_sentences == 2
+    # punctuation RUNS are single breaks: Runs / of / punctuation / x
+    assert got[4].n_sentences == 4
+    assert got[4].max_sentence_chars == 11
