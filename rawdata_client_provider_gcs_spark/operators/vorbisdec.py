@@ -74,6 +74,19 @@ class _PktBits(_Bits):
             raise _EndOfPacket
         return _Bits.read(self, n)
 
+    def peek8(self) -> int:
+        """Next 8 stream bits without consuming (zero-padded past the
+        packet end), reordered so the FIRST stream bit is the MSB —
+        the index convention of :class:`_Book`'s fast table."""
+        first = self.pos >> 3
+        chunk = int.from_bytes(self.data[first : first + 3], "little")
+        v = (chunk >> (self.pos & 7)) & 0xFF
+        # reverse the 8 bits: stream order is LSB-first, codewords
+        # accumulate MSB-first
+        v = ((v & 0x55) << 1) | ((v >> 1) & 0x55)
+        v = ((v & 0x33) << 2) | ((v >> 2) & 0x33)
+        return ((v & 0x0F) << 4) | (v >> 4)
+
 
 # ---------------------------------------------------------------------------
 # codeword assignment + Huffman decode
@@ -130,6 +143,14 @@ class _Book:
         # (length, code) -> entry, for the accumulate-and-test walk
         self.table = {(ln, code): e for e, (code, ln) in words.items()}
         self.max_len = max(ln for _, (_c, ln) in words.items())
+        # first-8-bit fast table: (entry, length) for codewords that
+        # fit, None where a longer codeword needs the slow walk
+        self.fast: list[tuple[int, int] | None] = [None] * 256
+        for e, (code, ln) in words.items():
+            if ln <= 8:
+                base = code << (8 - ln)
+                for suffix in range(1 << (8 - ln)):
+                    self.fast[base | suffix] = (e, ln)
         self.vq = None
         lt = book["lookup_type"]
         if lt:
@@ -151,8 +172,22 @@ class _Book:
             self.vq = vec
 
     def scalar(self, r: _PktBits) -> int:
-        code = 0
-        for ln in range(1, self.max_len + 1):
+        # fast path: one 8-bit peek + table hit covers the common
+        # short codewords without eight per-bit reads
+        if r.pos + 8 <= 8 * len(r.data):
+            idx = r.peek8()  # MSB-first prefix of the next 8 bits
+            hit = self.fast[idx]
+            if hit is not None:
+                e, ln = hit
+                r.pos += ln
+                return e
+            code = idx
+            r.pos += 8
+            start = 9
+        else:
+            code = 0
+            start = 1
+        for ln in range(start, self.max_len + 1):
             code = (code << 1) | r.read(1)
             e = self.table.get((ln, code))
             if e is not None:

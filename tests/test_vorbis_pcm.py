@@ -755,3 +755,31 @@ def test_webm_ebml_lacing_single_frame():
     body = b"\x81" + b"\x00\x00" + b"\x86" + b"\x00" + frame
     tn, frames = W._block_frames(body, 0, len(body))
     assert tn == 1 and frames == [frame]
+
+
+def test_scalar_fast_table_and_long_codeword_fallback():
+    """Codewords longer than the 8-bit fast table fall back to the
+    accumulate walk with an identical result; short ones hit the
+    table.  Kraft-complete lengths: 1, 2, ..., 9, 10, 10."""
+    lengths = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 10]
+    book = V._Book({"dims": 1, "entries": 11, "lengths": lengths,
+                    "lookup_type": 0})
+    words = V.assign_codewords(lengths)
+    w = V._BitWM()
+    order = [0, 10, 8, 9, 3, 7]  # mix short, 10-bit, 9-bit entries
+    for e in order:
+        code, ln = words[e]
+        w.write_msb(code, ln)
+    r = V._PktBits(w.bytes())
+    assert [book.scalar(r) for _ in order] == order
+    # near the packet end (fewer than 8 bits left) the per-bit walk
+    # still decodes a short codeword
+    w2 = V._BitWM()
+    w2.write_msb(words[0][0], words[0][1])  # 1-bit codeword
+    r2 = V._PktBits(w2.bytes()[:1])
+    r2.pos = 7  # only one bit remains
+    # craft: put the codeword in the last bit
+    data = bytes([words[0][0] << 7])
+    r3 = V._PktBits(data)
+    r3.pos = 7
+    assert book.scalar(r3) == 0
