@@ -95,13 +95,35 @@ def _peel_wrapper(data: bytes) -> tuple[str, bytes] | None:
     return name, inner
 
 
+def _zip_member_names(data: bytes, limit: int = 4096) -> set[str]:
+    """Member names from the central directory ONLY — classification
+    must not pay member inflation (a 1 GiB zip routes in microseconds
+    this way; the full parse_zip walk happens downstream, per format)."""
+    eocd = data.rfind(b"PK\x05\x06", max(0, len(data) - 66000))
+    if eocd < 0:
+        raise ValueError("zip: no end-of-central-directory")
+    n = int.from_bytes(data[eocd + 10 : eocd + 12], "little")
+    off = int.from_bytes(data[eocd + 16 : eocd + 20], "little")
+    names: set[str] = set()
+    pos = off
+    for _ in range(min(n, limit)):
+        if data[pos : pos + 4] != b"PK\x01\x02":
+            break
+        name_len = int.from_bytes(data[pos + 28 : pos + 30], "little")
+        extra = int.from_bytes(data[pos + 30 : pos + 32], "little")
+        comment = int.from_bytes(data[pos + 32 : pos + 34], "little")
+        names.add(
+            data[pos + 46 : pos + 46 + name_len].decode("utf-8", "replace")
+        )
+        pos += 46 + name_len + extra + comment
+    return names
+
+
 def _classify_zip(data: bytes) -> str:
     """zip subtype by member names (office/ebook families ride zip)."""
-    from .archive import parse_zip
-
     try:
-        names = {m["path"] for m in parse_zip(data)}
-    except ValueError:
+        names = _zip_member_names(data)
+    except (ValueError, IndexError):
         return "zip"
     if "word/document.xml" in names:
         return "docx"
