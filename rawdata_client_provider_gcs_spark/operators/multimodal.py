@@ -665,17 +665,18 @@ def sample_frames(
                     return fake_frames(payload)
                 if rawwebm.sniff_webm(payload):
                     if not fake:
-                        # a Vorbis AUDIO track may decode, but this is
+                        # a Vorbis AUDIO track may exist, but this is
                         # the VIDEO frames kernel — the video codec is
-                        # still the boundary, so keep the per-row raise
+                        # the boundary either way, so raise per-row
+                        # WITHOUT paying a pointless full PCM decode
                         from .rawavi import (  # noqa: PLC0415
                             UnsupportedCodecError,
                         )
 
-                        rawwebm.decode_webm_media(payload)
                         raise UnsupportedCodecError(
                             "webm video frame decode is not implemented "
-                            "(only the Vorbis audio track decodes)"
+                            "(audio extraction goes through "
+                            "decode_webm_vorbis_pcm)"
                         )
                     return fake_frames(payload)
                 if rawts.sniff_ts(payload):

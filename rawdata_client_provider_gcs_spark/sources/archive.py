@@ -185,12 +185,16 @@ def _zip64_resolve(
     )
 
 
-def parse_zip(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
-    """Parse a ZIP's central directory into member dicts.
+def _zip_central_directory(data: bytes) -> tuple[int, int, int]:
+    """EOCD scan + Zip64 resolution → ``(n_entries, cd_off, cd_size)``.
 
-    Returns ``[{"path", "size", "payload"}]``; raises ``ValueError`` on
-    anything malformed, lying, or outside the store/deflate subset.
-    """
+    Zip64: a locator immediately precedes the classic EOCD; the
+    classic record then carries 0xFFFF/0xFFFFFFFF sentinels and the
+    real counts live in the Zip64 EOCD record (APPNOTE 4.4.1.4).
+    Without this, a >65,535-member or >4 GiB archive — which source
+    dumps at corpus scale do hit — is wholly unreachable.  NO locator
+    + sentinel-valued fields: taken literally (stdlib zipfile writes
+    no zip64 records at EXACTLY 65,535 members)."""
     n = len(data)
     tail_start = max(0, n - 65557)  # EOCD fixed part + max comment
     eocd = data.rfind(_EOCD_SIG, tail_start)
@@ -207,11 +211,6 @@ def parse_zip(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
         cd_off,
         _clen,
     ) = struct.unpack("<HHHHIIH", data[eocd + 4 : eocd + 22])
-    # Zip64: a locator immediately precedes the classic EOCD; the
-    # classic record then carries 0xFFFF/0xFFFFFFFF sentinels and the
-    # real counts live in the Zip64 EOCD record (APPNOTE 4.4.1.4).
-    # Without this, a >65,535-member or >4 GiB archive — which source
-    # dumps at corpus scale do hit — is wholly unreachable.
     cd_limit = eocd
     if eocd >= 20 and data[eocd - 20 : eocd - 16] == _EOCD64_LOC_SIG:
         _l_disk, z64_off, _n_disks = struct.unpack(
@@ -237,13 +236,42 @@ def parse_zip(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
         if cd_off == 0xFFFFFFFF:
             cd_off = cd_off64
         cd_limit = z64_off
-    # NO locator + sentinel-valued fields: taken literally.  A classic
-    # archive with EXACTLY 65,535 members stores n_entries=0xFFFF and
-    # (per stdlib zipfile, which only switches to zip64 when the limit
-    # is EXCEEDED) writes no zip64 records — it must parse, not raise.
-    # A lying 0xFFFFFFFF cd_size/cd_off still fails the bound below.
+    # A lying 0xFFFFFFFF cd_size/cd_off still fails this bound.
     if cd_off + cd_size > cd_limit:
         raise ValueError("zip: central directory extends past EOCD")
+    return n_entries, cd_off, cd_size
+
+
+def zip_member_names(data: bytes, limit: int = 65536) -> set[str]:
+    """Member names from the central directory ONLY — no inflation,
+    no local-header walks.  The classification router uses this to
+    refine zip subtypes (office/ebook) in microseconds regardless of
+    member sizes; zip64 archives resolve through the shared EOCD
+    logic."""
+    n_entries, cd_off, _cd_size = _zip_central_directory(data)
+    names: set[str] = set()
+    pos = cd_off
+    for _ in range(min(n_entries, limit)):
+        if pos + 46 > len(data) or data[pos : pos + 4] != _CDH_SIG:
+            raise ValueError("zip: bad central-directory entry")
+        name_len, extra_len, cmt_len = struct.unpack(
+            "<HHH", data[pos + 28 : pos + 34]
+        )
+        names.add(
+            data[pos + 46 : pos + 46 + name_len].decode("utf-8", "replace")
+        )
+        pos += 46 + name_len + extra_len + cmt_len
+    return names
+
+
+def parse_zip(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
+    """Parse a ZIP's central directory into member dicts.
+
+    Returns ``[{"path", "size", "payload"}]``; raises ``ValueError`` on
+    anything malformed, lying, or outside the store/deflate subset.
+    """
+    n = len(data)
+    n_entries, cd_off, cd_size = _zip_central_directory(data)
     members = []
     pos = cd_off
     for _ in range(n_entries):

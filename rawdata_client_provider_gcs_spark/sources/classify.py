@@ -31,10 +31,21 @@ from __future__ import annotations
 #: archive tier's 1 GiB cap; classify never needs the whole payload
 MAX_PEEL_BYTES = 64 * 1024 * 1024
 
-def _peel_wrapper(data: bytes) -> tuple[str, bytes] | None:
+#: our own decompressors' cap-guard message markers — a wrapper that
+#: trips these is VALID but larger than the classification budget
+_CAP_MARKERS = ("guard (bomb)", "bomb cap", "declared content size")
+
+
+def _peel_wrapper(data: bytes) -> tuple[str, bytes | None] | None:
     """(wrapper_name, inner_prefix) when data is a recognized
-    transparent compression wrapper, else None.  Inflation is bounded
-    and errors surface as the 'corrupt' classification, never raise."""
+    transparent compression wrapper, else None.  Inflation is bounded;
+    a wrapper that cannot inflate returns ``(name, None)`` (the
+    'corrupt' verdict) and one whose content exceeds the budget raises
+    :class:`_Oversize` — both verdicts, never exceptions, at the
+    :func:`classify_payload` surface.  gzip/xz/bzip2 stream a bounded
+    prefix, so arbitrarily large members still classify; the
+    pure-Python codecs (zstd/lz4/snappy/compress) decode whole-or-
+    nothing, so past-budget content lands on 'oversize'."""
     from .archive import _is_bzip2
     from .zstd_codec import sniff_zstd
 
@@ -90,39 +101,30 @@ def _peel_wrapper(data: bytes) -> tuple[str, bytes] | None:
             from .compression import z_decompress
 
             inner = z_decompress(data, cap=MAX_PEEL_BYTES)
+    except ValueError as exc:
+        if any(m in str(exc) for m in _CAP_MARKERS):
+            raise _Oversize(name)
+        return name, None
     except Exception:  # noqa: BLE001 — corrupt wrapper is a VERDICT here
-        return name, b""
+        return name, None
     return name, inner
 
 
-def _zip_member_names(data: bytes, limit: int = 4096) -> set[str]:
-    """Member names from the central directory ONLY — classification
-    must not pay member inflation (a 1 GiB zip routes in microseconds
-    this way; the full parse_zip walk happens downstream, per format)."""
-    eocd = data.rfind(b"PK\x05\x06", max(0, len(data) - 66000))
-    if eocd < 0:
-        raise ValueError("zip: no end-of-central-directory")
-    n = int.from_bytes(data[eocd + 10 : eocd + 12], "little")
-    off = int.from_bytes(data[eocd + 16 : eocd + 20], "little")
-    names: set[str] = set()
-    pos = off
-    for _ in range(min(n, limit)):
-        if data[pos : pos + 4] != b"PK\x01\x02":
-            break
-        name_len = int.from_bytes(data[pos + 28 : pos + 30], "little")
-        extra = int.from_bytes(data[pos + 30 : pos + 32], "little")
-        comment = int.from_bytes(data[pos + 32 : pos + 34], "little")
-        names.add(
-            data[pos + 46 : pos + 46 + name_len].decode("utf-8", "replace")
-        )
-        pos += 46 + name_len + extra + comment
-    return names
+class _Oversize(Exception):
+    """Internal verdict: valid wrapper, content past the peel budget."""
+
+    def __init__(self, wrapper: str):
+        self.wrapper = wrapper
 
 
 def _classify_zip(data: bytes) -> str:
-    """zip subtype by member names (office/ebook families ride zip)."""
+    """zip subtype by member names (office/ebook families ride zip) —
+    the names-only central-directory walk in :mod:`.archive` (shared
+    EOCD + Zip64 resolution, no member inflation)."""
+    from .archive import zip_member_names
+
     try:
-        names = _zip_member_names(data)
+        names = zip_member_names(data)
     except (ValueError, IndexError):
         return "zip"
     if "word/document.xml" in names:
@@ -165,16 +167,21 @@ _CATEGORY = {
     "avro": "data", "parquet": "data", "xml": "data", "json": "data",
     "utf8-text": "text",
     "binary": "unknown", "corrupt": "unknown", "empty": "unknown",
+    "oversize": "unknown",
 }
 
 
 def classify_payload(data: bytes) -> dict:
     """Magic-first classification of one payload — see module doc."""
     wrapper = None
-    peeled = _peel_wrapper(data)
+    try:
+        peeled = _peel_wrapper(data)
+    except _Oversize as big:
+        return {"format": "oversize", "category": "unknown",
+                "wrapper": big.wrapper}
     if peeled is not None:
         wrapper, inner = peeled
-        if not inner:
+        if inner is None:
             return {"format": "corrupt", "category": "unknown",
                     "wrapper": wrapper}
         data = inner

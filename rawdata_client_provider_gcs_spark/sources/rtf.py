@@ -161,19 +161,19 @@ class _Walker:
         if self.pending_uc_skip > 0 and word != "u":
             # a control word counts as one skipped fallback entity
             # (RTF spec: control words are single items for \\uc
-            # skipping) — except a new \\u, which starts a new char
+            # skipping) — except a new \\u, which starts a new char.
+            # State-bearing words STILL take effect (\\uc changes the
+            # count, \\pict opens a skip destination, \\bin consumes
+            # its payload); only their character emission is skipped.
             self.pending_uc_skip -= 1
-            if word == "bin":
-                k = max(0, num or 0)
-                if self.pos + k > self.n:
-                    raise ValueError("rtf: \\bin length past end of input")
-                self.pos += k
+            self._word(word, num, suppress=True)
             return
         if word == "u":
             self.pending_uc_skip = 0  # a new \\u ends any fallback run
         self._word(word, num)
 
-    def _word(self, word: str, num: int | None) -> None:
+    def _word(self, word: str, num: int | None,
+              suppress: bool = False) -> None:
         top = self.stack[-1]
         if word == "bin":
             # raw binary follows the control — skip it wholesale so
@@ -217,7 +217,8 @@ class _Walker:
                 pass  # unknown code page: keep the default
             return
         if word in _CHAR_WORDS:
-            self._emit(_CHAR_WORDS[word])
+            if not suppress:
+                self._emit(_CHAR_WORDS[word])
             return
         if word == "info":
             self.in_info = len(self.stack)

@@ -112,3 +112,40 @@ def test_classify_never_raises_fuzz():
         got = classify_payload(blob)
         assert set(got) == {"format", "category", "wrapper"}
         assert isinstance(got["format"], str)
+
+
+def test_oversize_and_empty_wrapper_verdicts():
+    """A valid wrapper past the peel budget is 'oversize', never
+    'corrupt'; a wrapper around EMPTY content is 'empty' (review
+    findings, r12)."""
+    import gzip
+
+    from rawdata_client_provider_gcs_spark.sources.zstd_codec import (
+        build_zst,
+    )
+    from rawdata_client_provider_gcs_spark.sources import classify as CL
+
+    # shrink the budget so the oversize path runs in milliseconds
+    old = CL.MAX_PEEL_BYTES
+    CL.MAX_PEEL_BYTES = 1 << 16
+    try:
+        got = classify_payload(build_zst(b"a" * (1 << 18)))
+        assert (got["format"], got["wrapper"]) == ("oversize", "zstd")
+        # gzip streams a bounded prefix, so the same content classifies
+        got = classify_payload(gzip.compress(b"plain words " * 20000))
+        assert (got["format"], got["wrapper"]) == ("utf8-text", "gzip")
+    finally:
+        CL.MAX_PEEL_BYTES = old
+    got = classify_payload(gzip.compress(b""))
+    assert (got["format"], got["wrapper"]) == ("empty", "gzip")
+
+
+def test_zip64_office_classifies(tmp_path):
+    """zip64 OOXML routes through the shared EOCD resolution."""
+    from rawdata_client_provider_gcs_spark.sources import archive as A
+
+    blob = A.build_zip(
+        [("word/document.xml", b"<w/>"), ("a.bin", b"z" * 64)],
+        zip64=True,
+    )
+    assert classify_payload(blob)["format"] == "docx"

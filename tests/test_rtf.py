@@ -130,3 +130,12 @@ def test_uc_skip_counts_control_words_as_entities():
     assert _t(r"{\rtf1 \uc2\u956 {ab}cd}") == "μabcd"
     # a following \u starts a NEW character, never gets skipped
     assert _t(r"{\rtf1 \uc0\u956\u957 x}") == "μνx"
+
+
+def test_uc_skip_processes_state_words():
+    """Skipped control words still take STATE effect: a \\uc inside a
+    fallback run updates the count, and a \\pict opens its skip
+    destination instead of leaking payload (review findings, r12)."""
+    assert _t("{\\rtf1 \\uc1\\u956\\uc0\\u957 x}") == "μνx"
+    out = _t("{\\rtf1 \\uc1\\u956\\pict 0a0b0c here}")
+    assert "0a0b0c" not in out and out.startswith("μ")
