@@ -6172,6 +6172,106 @@ def q_multimodal_vorbis_windows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_font_meta",
+    oracle="""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 240)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'ttf' WHEN 1 THEN 'otf' WHEN 2 THEN 'woff'
+         ELSE 'ttc' END AS container,
+       CAST(f.i AS BIGINT) AS face_idx,
+       CASE WHEN doc_id % 4 = 1 THEN 'otf'
+            WHEN doc_id % 4 = 3 AND f.i = 1 THEN 'otf'
+            ELSE 'ttf' END AS flavor,
+       'Family ' || CAST(doc_id % 50 AS VARCHAR)
+         || CASE WHEN f.i = 1 THEN ' Bold' ELSE '' END AS family,
+       CAST(100 + doc_id % 900 + 10 * f.i AS BIGINT) AS n_glyphs,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 2048 END AS BIGINT)
+         AS units_per_em
+FROM d, (SELECT unnest(generate_series(0, 1)) AS i) AS f
+WHERE f.i = 0 OR doc_id % 4 = 3
+""",
+    tags=("llm", "multimodal", "font", "crawl", "pandas-udf"),
+)
+def q_crawl_font_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """Font-asset metadata, oracle-exact — the census an asset-dedup
+    or license-audit pass keys on: family/style names out of the sfnt
+    ``name`` table (UTF-16BE Windows records), glyph counts from
+    ``maxp``, units-per-em from ``head``, across all four carriages
+    (bare TTF, OTTO/OTF, per-table-zlib WOFF1, and two-face TTC
+    collections with rewritten offsets —
+    :mod:`..operators.rawfont`).  WOFF2 stays the loud boundary
+    (Brotli's fixed dictionary).  All columns closed-form in doc_id.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 240)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawfont as FT
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                upem = 1000 if did % 2 == 0 else 2048
+                fam = f"Family {did % 50}"
+                base = dict(family=fam, units_per_em=upem,
+                            n_glyphs=100 + did % 900)
+                v = did % 4
+                if v == 0:
+                    payloads.append(FT.build_sfnt(**base))
+                elif v == 1:
+                    payloads.append(
+                        FT.build_sfnt(**base, flavor=b"OTTO")
+                    )
+                elif v == 2:
+                    payloads.append(FT.build_woff(FT.build_sfnt(**base)))
+                else:
+                    second = dict(base, family=fam + " Bold",
+                                  n_glyphs=base["n_glyphs"] + 10)
+                    payloads.append(FT.build_ttc([
+                        FT.build_sfnt(**base),
+                        FT.build_sfnt(**second, flavor=b"OTTO"),
+                    ]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "font": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, font binary")
+
+    def meta(batches):
+        import pandas as pd
+
+        from ..operators import rawfont as FT
+
+        cols = ("doc_id", "container", "face_idx", "flavor", "family",
+                "n_glyphs", "units_per_em")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf["font"]):
+                m = FT.parse_font(bytes(payload))
+                for i, face in enumerate(m["faces"]):
+                    rows["doc_id"].append(int(did))
+                    rows["container"].append(m["container"])
+                    rows["face_idx"].append(i)
+                    rows["flavor"].append(face["flavor"])
+                    rows["family"].append(face["family"])
+                    rows["n_glyphs"].append(face["n_glyphs"])
+                    rows["units_per_em"].append(face["units_per_em"])
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        meta,
+        "doc_id long, container string, face_idx long, flavor string, "
+        "family string, n_glyphs long, units_per_em long",
+    )
+
+
+@register(
     "q_text_sentence_stats",
     oracle="""
 WITH d AS (

@@ -164,6 +164,8 @@ _CATEGORY = {
     "ogg": "audio",
     "ogg-theora": "video", "mp4": "video", "webm": "video",
     "avi": "video", "mpeg-ts": "video",
+    "ttf": "font", "otf": "font", "woff": "font", "woff2": "font",
+    "ttc": "font",
     "avro": "data", "parquet": "data", "xml": "data", "json": "data",
     "utf8-text": "text",
     "binary": "unknown", "corrupt": "unknown", "empty": "unknown",
@@ -266,6 +268,12 @@ def _classify_bytes(data: bytes) -> str:
         return "mp3"
     if rawaac.sniff_aac(data):
         return "aac"
+    # fonts: sfnt/WOFF/TTC with a shallow header sanity probe
+    from ..operators.rawfont import probe_font
+
+    font = probe_font(data)
+    if font is not None:
+        return font
     # mail: mbox From_ separator; bare RFC 822 header block
     if data[:5] == b"From ":
         return "mbox"
