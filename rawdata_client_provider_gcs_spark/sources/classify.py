@@ -166,7 +166,9 @@ _CATEGORY = {
     "avi": "video", "mpeg-ts": "video",
     "ttf": "font", "otf": "font", "woff": "font", "woff2": "font",
     "ttc": "font",
+    "jxl": "image",
     "avro": "data", "parquet": "data", "xml": "data", "json": "data",
+    "csv": "data", "tsv": "data",
     "utf8-text": "text",
     "binary": "unknown", "corrupt": "unknown", "empty": "unknown",
     "oversize": "unknown",
@@ -223,6 +225,10 @@ def _classify_bytes(data: bytes) -> str:
         return "avro"
     if data[:4] == b"PAR1":
         return "parquet"
+    # JPEG XL: bare codestream or ISO-BMFF container signature
+    if data[:2] == b"\xff\x0a" or data[:12] == \
+            b"\x00\x00\x00\x0cJXL \x0d\x0a\x87\x0a":
+        return "jxl"
     # media containers (magic-dispatched, no decode)
     from ..operators import (  # noqa: PLC0415
         rawaac,
@@ -295,8 +301,21 @@ def _classify_bytes(data: bytes) -> str:
         return "json"
     printable = sum(c.isprintable() or c in "\n\r\t" for c in text)
     if text and printable / len(text) > 0.95:
-        return "utf8-text"
+        return _classify_tabular(text)
     return "binary"
+
+
+def _classify_tabular(text: str) -> str:
+    """csv/tsv when ≥3 sampled lines agree on ≥2 delimiter-separated
+    fields; plain text otherwise.  A heuristic on the decoded head —
+    the router only needs enough signal to pick a downstream reader."""
+    lines = [ln for ln in text.splitlines() if ln.strip()][:10]
+    if len(lines) >= 3:
+        for sep, slug in (("\t", "tsv"), (",", "csv")):
+            counts = [ln.count(sep) for ln in lines]
+            if min(counts) >= 1 and len(set(counts)) == 1:
+                return slug
+    return "utf8-text"
 
 
 # ---------------------------------------------------------------------------

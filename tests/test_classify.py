@@ -149,3 +149,14 @@ def test_zip64_office_classifies(tmp_path):
         zip64=True,
     )
     assert classify_payload(blob)["format"] == "docx"
+
+
+def test_tabular_and_jxl_refinement():
+    assert _fmt(b"a,b,c\n1,2,3\n4,5,6\n7,8,9\n") == "csv"
+    assert _fmt(b"x\ty\n1\t2\n3\t4\n") == "tsv"
+    # inconsistent comma counts stay plain text
+    assert _fmt(b"words here\nmore, with a comma\nanother line\n") == \
+        "utf8-text"
+    assert _fmt(b"\xff\x0a" + b"\x00" * 20) == "jxl"
+    assert _fmt(b"\x00\x00\x00\x0cJXL \x0d\x0a\x87\x0a" + b"\x00" * 8) == \
+        "jxl"
