@@ -16,9 +16,11 @@ a stable slug (``zip``, ``docx``, ``ogg-vorbis``, ``utf8-text`` …),
 audio / video / data / text / unknown``, ``wrapper`` the transparent
 compression layer when one was peeled (``gzip``/``xz``/…, else
 None).  The function NEVER raises on hostile bytes — unclassifiable
-input is ``("binary", "unknown")`` and a wrapper whose payload can't
-inflate is ``("corrupt", "unknown")`` with the wrapper recorded —
-because classification runs before any per-row error contract exists.
+input is ``("binary", "unknown")``, a wrapper whose payload can't
+inflate is ``("corrupt", "unknown")``, and a VALID wrapper whose
+content exceeds the peel budget is ``("oversize", "unknown")``, each
+with the wrapper recorded — because classification runs before any
+per-row error contract exists.
 
 Reference behavioral parity: the reference transport stores opaque
 named byte arrays (RawdataMessage.java:15-60); a router over mixed
