@@ -772,6 +772,90 @@ def extract_pdf(data: bytes, max_pages: int = 1000) -> dict:
     return {"n_pages": len(texts), "pages": texts, "producer": producer}
 
 
+MAX_OUTLINE_ITEMS = 4096
+
+
+def pdf_structure(data: bytes) -> dict:
+    """Document-structure census — the metadata tier that works on
+    EVERY parseable PDF, including the shapes text extraction refuses:
+    encrypted files (object STRUCTURE is never encrypted, only strings
+    and streams, so the page count still walks; titles are skipped),
+    Type0-font documents, and non-Flate content.
+
+    Returns ``{"version", "encrypted", "n_pages", "n_outlines",
+    "first_outline", "producer"}``.  Raises ``ValueError`` only for a
+    payload that is not a parseable PDF at all."""
+    if not data.startswith(b"%PDF-"):
+        raise ValueError("pdf: missing %PDF header")
+    version = data[5:8].decode("latin-1", "replace")
+    doc = _Document(data)
+    encrypted = "Encrypt" in doc.trailer
+    root = doc.resolve(doc.trailer.get("Root"))
+    if not isinstance(root, dict):
+        raise ValueError("pdf: /Root is not a dictionary")
+
+    n_pages = 0
+    seen: set[int] = set()
+
+    def count(node, depth=0):
+        nonlocal n_pages
+        if depth > 50 or n_pages > 1_000_000:
+            raise ValueError("pdf: page tree too deep or too large")
+        node = doc.resolve(node)
+        if not isinstance(node, dict):
+            raise ValueError("pdf: malformed page-tree node")
+        if id(node) in seen:
+            raise ValueError("pdf: cycle in page tree")
+        seen.add(id(node))
+        t = node.get("Type")
+        if t == "Pages" or ("Kids" in node and t != "Page"):
+            for kid in doc.resolve(node.get("Kids")) or []:
+                count(kid, depth + 1)
+        else:
+            n_pages += 1
+
+    pages_obj = root.get("Pages")
+    if pages_obj is not None:
+        count(pages_obj)
+
+    n_outlines = 0
+    first_title = ""
+    outlines = doc.resolve(root.get("Outlines"))
+    if isinstance(outlines, dict) and not encrypted:
+        walked: set[int] = set()
+
+        def walk_items(node, depth=0):
+            nonlocal n_outlines, first_title
+            while node is not None:
+                node = doc.resolve(node)
+                if not isinstance(node, dict):
+                    return
+                if id(node) in walked or depth > 32 \
+                        or n_outlines > MAX_OUTLINE_ITEMS:
+                    raise ValueError("pdf: outline tree loops or bombs")
+                walked.add(id(node))
+                n_outlines += 1
+                title = node.get("Title")
+                if not first_title and isinstance(title, bytes):
+                    first_title = _decode_text(title)
+                if node.get("First") is not None:
+                    walk_items(node.get("First"), depth + 1)
+                node = node.get("Next")
+
+        walk_items(outlines.get("First"))
+
+    info = doc.resolve(doc.trailer.get("Info"))
+    producer = ""
+    if (not encrypted and isinstance(info, dict)
+            and isinstance(info.get("Producer"), bytes)):
+        producer = _decode_text(info["Producer"])
+    return {
+        "version": version, "encrypted": encrypted, "n_pages": n_pages,
+        "n_outlines": n_outlines, "first_outline": first_title,
+        "producer": producer,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Encoder (fixture / roundtrip writer)
 # ---------------------------------------------------------------------------
@@ -808,9 +892,12 @@ def encode_pdf(
     *,
     compress: bool = True,
     producer: str = "rawpdf",
+    outlines: list[str] | None = None,
 ) -> bytes:
     """Write a deterministic PDF 1.4: one page per entry, each a list of
-    text lines rendered as one ``Tj`` per line with ``Td`` line breaks."""
+    text lines rendered as one ``Tj`` per line with ``Td`` line breaks.
+    ``outlines`` adds a flat bookmark chain (/Outlines → /First/Next
+    items with /Title strings)."""
     objects: list[bytes] = []  # 1-indexed bodies
 
     def add(body: bytes) -> int:
@@ -839,7 +926,23 @@ def encode_pdf(
     assert add(
         b"<< /Type /Pages /Kids [%s] /Count %d >>" % (kids, len(page_nums))
     ) == pages_num
-    catalog_num = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    if outlines:
+        outlines_num = len(objects) + 1  # the /Outlines dict itself
+        item_nums = [outlines_num + 1 + i for i in range(len(outlines))]
+        add(b"<< /Type /Outlines /First %d 0 R /Last %d 0 R /Count %d >>"
+            % (item_nums[0], item_nums[-1], len(outlines)))
+        for i, title in enumerate(outlines):
+            nxt = (b" /Next %d 0 R" % item_nums[i + 1]
+                   if i + 1 < len(item_nums) else b"")
+            prev = (b" /Prev %d 0 R" % item_nums[i - 1] if i else b"")
+            add(b"<< /Title (%s) /Parent %d 0 R%s%s >>"
+                % (_esc(title), outlines_num, prev, nxt))
+        catalog_num = add(
+            b"<< /Type /Catalog /Pages %d 0 R /Outlines %d 0 R >>"
+            % (pages_num, outlines_num)
+        )
+    else:
+        catalog_num = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
     info_num = add(b"<< /Producer (%s) >>" % _esc(producer))
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")

@@ -6172,6 +6172,88 @@ def q_multimodal_vorbis_windows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_pdf_structure",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 3 = 1 THEN '1.5' ELSE '1.4' END AS version,
+       CAST(1 + doc_id % 4 AS BIGINT) AS n_pages,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 5 ELSE 0 END
+            AS BIGINT) AS n_outlines,
+       CASE WHEN doc_id % 3 = 2 THEN 'Ch 0 of doc ' || CAST(doc_id AS VARCHAR)
+            ELSE '' END AS first_outline,
+       'rawpdf' AS producer
+FROM documents WHERE doc_id < 240
+""",
+    tags=("llm", "multimodal", "pdf", "crawl", "pandas-udf"),
+)
+def q_multimodal_pdf_structure(spark: SparkSession, sf: str) -> DataFrame:
+    """PDF document-structure census, oracle-exact — page counts,
+    bookmark/outline chains, version, producer
+    (:func:`..operators.rawpdf.pdf_structure`): the tier that works on
+    EVERY parseable PDF, including the shapes text extraction refuses
+    (encryption, Type0 fonts), because object STRUCTURE is never
+    encrypted.  Rotation: classic xref, modern ObjStm/stream-xref, and
+    outlined documents with a flat bookmark chain.  All columns
+    closed-form.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 240)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawpdf
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                pages = [[f"p{i} of doc {did}"] for i in range(1 + did % 4)]
+                v = did % 3
+                if v == 0:
+                    payloads.append(rawpdf.encode_pdf(pages))
+                elif v == 1:
+                    payloads.append(rawpdf.encode_pdf_modern(pages))
+                else:
+                    titles = [f"Ch {i} of doc {did}"
+                              for i in range(1 + did % 5)]
+                    payloads.append(
+                        rawpdf.encode_pdf(pages, outlines=titles)
+                    )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pdf": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, pdf binary")
+
+    def meta(batches):
+        import pandas as pd
+
+        from ..operators import rawpdf
+
+        cols = ("doc_id", "version", "n_pages", "n_outlines",
+                "first_outline", "producer")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf["pdf"]):
+                m = rawpdf.pdf_structure(bytes(payload))
+                rows["doc_id"].append(int(did))
+                rows["version"].append(m["version"])
+                rows["n_pages"].append(m["n_pages"])
+                rows["n_outlines"].append(m["n_outlines"])
+                rows["first_outline"].append(m["first_outline"])
+                rows["producer"].append(m["producer"])
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(
+        meta,
+        "doc_id long, version string, n_pages long, n_outlines long, "
+        "first_outline string, producer string",
+    )
+
+
+@register(
     "q_crawl_font_meta",
     oracle="""
 WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 240)

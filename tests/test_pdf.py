@@ -245,3 +245,33 @@ def test_spark_pdf_text_captures_errors_per_row(spark):
         g = by_doc[bad]
         assert len(g) == 1 and g["error"].notna().all()
         assert g["page_text"].isna().all()
+
+
+def test_pdf_structure_census():
+    """Page/outline census, including shapes text extraction refuses."""
+    from rawdata_client_provider_gcs_spark.operators.rawpdf import (
+        encode_pdf,
+        encode_pdf_modern,
+        pdf_structure,
+    )
+
+    blob = encode_pdf([["a"], ["b"], ["c"]],
+                      outlines=["One", "Two"])
+    m = pdf_structure(blob)
+    assert (m["version"], m["n_pages"], m["n_outlines"],
+            m["first_outline"]) == ("1.4", 3, 2, "One")
+    assert pdf_structure(encode_pdf_modern([["x"]]))["version"] == "1.5"
+    # an /Encrypt trailer entry flips the flag; page count still walks
+    enc = blob.replace(b"/Root", b"/Encrypt 1 0 R /Root")
+    m2 = pdf_structure(enc)
+    assert m2["encrypted"] is True and m2["n_pages"] == 3
+    assert m2["first_outline"] == ""  # strings are skipped when encrypted
+    # outline loop bomb
+    import pytest
+
+    loop = encode_pdf([["a"]], outlines=["A", "B"])
+    looped = loop.replace(b"/Parent 5 0 R /Prev 6 0 R", b"/Next 6 0 R", 1)
+    try:
+        pdf_structure(looped)
+    except ValueError:
+        pass  # loops land on ValueError, never hang
