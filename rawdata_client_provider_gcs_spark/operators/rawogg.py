@@ -231,6 +231,7 @@ def parse_ogg(data: bytes) -> dict:
                 raise ValueError("ogg: short Theora ident header")
             codec = "theora"
             audio_serial = serial
+            meta["theora_version"] = f"{pkt[7]}.{pkt[8]}.{pkt[9]}"
             meta["channels"] = 0
             meta["sample_rate"] = 0
             meta["frame_width"] = int.from_bytes(pkt[10:12], "big") * 16
@@ -333,10 +334,20 @@ def parse_ogg(data: bytes) -> dict:
         meta["opus_frames"] = frames
         meta["opus_toc_duration_ms"] = int(toc_ms)
     if codec == "theora":
-        # granule splits at kfgshift: keyframe count << shift + delta
+        # granule splits at kfgshift: keyframe part << shift + delta.
+        # Bitstream 3.2.0 stores the frame INDEX in the granule
+        # position; 3.2.1+ stores the frame COUNT (Theora I spec §A.1;
+        # libtheora th_granule_frame) — so pre-3.2.1 streams need +1.
+        # A 3.2.0 single-frame stream (granule 0) is indistinguishable
+        # from an empty one by granule alone; 0 stays 0 frames.
         shift = meta["theora_kfgshift"]
         frames = (last >> shift) + (last & ((1 << shift) - 1)) if last \
             else 0
+        ver = tuple(
+            int(x) for x in meta.get("theora_version", "3.2.1").split(".")
+        )
+        if frames and ver < (3, 2, 1):
+            frames += 1
         meta["n_frames"] = frames
         meta["duration_ms"] = (
             frames * 1000 * meta["fps_den"] // meta["fps_num"]
@@ -512,6 +523,7 @@ def build_ogg(
     fps_num: int = 25,
     fps_den: int = 1,
     theora_kfgshift: int = 6,
+    theora_version: tuple[int, int, int] = (3, 2, 1),
 ) -> bytes:
     """Write a structurally valid Ogg Vorbis/Opus stream whose audio
     packets are opaque filler (metadata parsing never decodes them).
@@ -564,7 +576,7 @@ def build_ogg(
         w_mb, h_mb = (width + 15) // 16, (height + 15) // 16
         packed = (48 << 10) | (theora_kfgshift << 5)  # QUAL|KFGSHIFT|PF
         ident = (
-            b"\x80theora" + bytes([3, 2, 1])
+            b"\x80theora" + bytes(theora_version)
             + w_mb.to_bytes(2, "big") + h_mb.to_bytes(2, "big")
             + width.to_bytes(3, "big") + height.to_bytes(3, "big")
             + bytes([0, 0])
@@ -604,7 +616,10 @@ def build_ogg(
         gran = total_gran * (i + 1) // n_audio_pages
         if codec == "theora":
             # granule packs (keyframe << shift) | delta; fixture
-            # frames are all keyframes so the delta stays zero
+            # frames are all keyframes so the delta stays zero.
+            # 3.2.1+ granules carry the frame COUNT; 3.2.0 the INDEX
+            if theora_version < (3, 2, 1):
+                gran = max(0, gran - 1)
             gran <<= theora_kfgshift
         flags = 0x04 if i == n_audio_pages - 1 else 0
         if opus_tocs is not None and codec == "opus":

@@ -131,6 +131,12 @@ def assign_codewords(lengths: list[int]) -> dict[int, tuple[int, int]]:
                 heap, (((code | 1) << (32 - depth)), depth, code | 1)
             )
         words[i] = (code, ln)
+    # §3.2.1: an underpopulated (incomplete) tree is a setup-time error
+    # just like an overpopulated one — free subtrees left after every
+    # entry is assigned mean some prefix decodes to nothing, and a
+    # hostile header must not defer that failure to audio decode
+    if used and heap:
+        raise ValueError("vorbis: underpopulated huffman tree")
     return words
 
 
@@ -622,6 +628,9 @@ class VorbisDecoder:
         """One audio packet → (n, spectra (ch, n/2)) or None for a
         non-audio/undecodable packet (zero-energy frame)."""
         r = _PktBits(pkt)
+        # §4.3.1: an EOP condition up to and including the window flags
+        # renders the packet undecodable — only THEN is the frame
+        # skipped without advancing time
         try:
             if r.read(1) != 0:
                 return None  # header-typed packet in audio sequence
@@ -635,8 +644,11 @@ class VorbisDecoder:
             if long_block:
                 prev_flag = r.read(1)
                 next_flag = r.read(1)
-            mapping = self.setup["mappings"][mode["mapping"]]
-            n2 = n // 2
+        except _EndOfPacket:
+            return None
+        mapping = self.setup["mappings"][mode["mapping"]]
+        n2 = n // 2
+        try:
             # floor decode per channel
             floor_posts: list[list[int] | None] = []
             for ch in range(self.ch):
@@ -648,7 +660,13 @@ class VorbisDecoder:
                 if not (no_residue[mag] and no_residue[ang]):
                     no_residue[mag] = no_residue[ang] = False
         except _EndOfPacket:
-            return None  # EOP before residue: zero-energy frame
+            # §4.3.2: EOP during floor decode zeroes all channel output
+            # vectors and skips to the overlap-add stage — the frame is
+            # zero ENERGY, not absent, so lapping state still advances
+            self._last_window = block_window(
+                n, self.bs0, long_block, prev_flag, next_flag
+            )
+            return n, np.zeros((self.ch, n2), dtype=np.float64)
         # residue decode per submap
         residue_vecs = np.zeros((self.ch, n2), dtype=np.float64)
         for sm in range(mapping["submaps"]):

@@ -69,6 +69,28 @@ ARCHIVE_SCHEMA = (
 # ---------------------------------------------------------------------------
 
 
+#: LZMA-in-zip default properties (APPNOTE 5.8.8 layout): lc=3 lp=0
+#: pb=2, 1 MiB dictionary — encoded as (pb*5+lp)*9+lc then dict LE32.
+_ZIP_LZMA_FILTER = {"lc": 3, "lp": 0, "pb": 2, "dict_size": 1 << 20}
+
+
+def _zip_lzma_compress(data: bytes) -> bytes:
+    """Member body for method 14: version(2) + propsize(2) + the 5
+    LZMA properties + raw LZMA1 stream with EOS (APPNOTE 5.8.5)."""
+    import lzma
+
+    c = lzma.LZMACompressor(
+        format=lzma.FORMAT_RAW,
+        filters=[{"id": lzma.FILTER_LZMA1, **_ZIP_LZMA_FILTER}],
+    )
+    body = c.compress(data) + c.flush()
+    props = bytes([
+        (_ZIP_LZMA_FILTER["pb"] * 5 + _ZIP_LZMA_FILTER["lp"]) * 9
+        + _ZIP_LZMA_FILTER["lc"]
+    ]) + struct.pack("<I", _ZIP_LZMA_FILTER["dict_size"])
+    return struct.pack("<BBH", 9, 4, len(props)) + props + body
+
+
 def build_zip(
     members: list[tuple[str, bytes]], *, method: str = "deflate",
     zip64: bool = False,
@@ -81,9 +103,14 @@ def build_zip(
     >65,535-member or >4 GiB archive must use (APPNOTE 4.4.1.4),
     exercised here at small sizes so the structural path is testable.
     """
-    if method not in ("deflate", "store"):
+    methods = {"store": 0, "deflate": 8, "bzip2": 12, "lzma": 14,
+               "zstd": 93, "xz": 95}
+    if method not in methods:
         raise ValueError(f"unsupported zip method: {method}")
-    mnum = 8 if method == "deflate" else 0
+    mnum = methods[method]
+    # APPNOTE 4.4.4: general-purpose bit 1 marks the LZMA EOS marker,
+    # which the raw liblzma encoder always emits (size-unknown mode)
+    flags = 0x02 if mnum == 14 else 0
     ver_need = 45 if zip64 else 20
     out = bytearray()
     central = bytearray()
@@ -94,12 +121,27 @@ def build_zip(
         if mnum == 8:
             c = zlib.compressobj(6, zlib.DEFLATED, -15)
             comp = c.compress(data) + c.flush()
+        elif mnum == 12:
+            import bz2
+
+            comp = bz2.compress(data, 9)
+        elif mnum == 14:
+            comp = _zip_lzma_compress(data)
+        elif mnum == 93:
+            from .zstd_codec import build_zst
+
+            comp = build_zst(data, checksum=False)
+        elif mnum == 95:
+            import lzma
+
+            comp = lzma.compress(data, format=lzma.FORMAT_XZ, preset=6)
         else:
             comp = data
         entries.append((name, crc, len(comp), len(data), len(out)))
         out += _LFH_SIG
         out += struct.pack(
-            "<HHHHHIII", ver_need, 0, mnum, 0x21, 0x548, crc, len(comp), len(data)
+            "<HHHHHIII", ver_need, flags, mnum, 0x21, 0x548, crc,
+            len(comp), len(data),
         )
         out += struct.pack("<HH", len(name), 0)
         out += name + comp
@@ -108,7 +150,7 @@ def build_zip(
         if zip64:
             extra = struct.pack("<HHQQQ", 0x0001, 24, ulen, clen, off)
             central += struct.pack(
-                "<HHHHHHIII", 45, 45, 0, mnum, 0x21, 0x548, crc,
+                "<HHHHHHIII", 45, 45, flags, mnum, 0x21, 0x548, crc,
                 0xFFFFFFFF, 0xFFFFFFFF,
             )
             central += struct.pack(
@@ -117,7 +159,8 @@ def build_zip(
             central += name + extra
         else:
             central += struct.pack(
-                "<HHHHHHIII", 20, 20, 0, mnum, 0x21, 0x548, crc, clen, ulen
+                "<HHHHHHIII", 20, 20, flags, mnum, 0x21, 0x548, crc, clen,
+                ulen,
             )
             central += struct.pack("<HHHHHII", len(name), 0, 0, 0, 0, 0, off)
             central += name
@@ -344,6 +387,70 @@ def parse_zip(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
             except OSError as exc:  # bz2's corrupt-stream error class
                 raise ValueError(f"zip: corrupt bzip2 in {name!r}: {exc}")
             if len(payload) != ulen or not d.eof:
+                raise ValueError(
+                    f"zip: member {name!r} inflates to a size other than "
+                    "declared (bomb or corruption)"
+                )
+        elif method == 14:
+            # APPNOTE 5.8.5: version(2) + propsize(2) precede the 5
+            # LZMA properties, then the raw LZMA1 stream (EOS marker
+            # when general-purpose bit 1 is set — liblzma handles both)
+            import lzma
+
+            if len(raw) < 4:
+                raise ValueError(
+                    f"zip: member {name!r} LZMA prelude truncated"
+                )
+            psize = int.from_bytes(raw[2:4], "little")
+            props = raw[4 : 4 + psize]
+            if psize != 5 or len(props) != 5:
+                raise ValueError(
+                    f"zip: member {name!r} has {psize}-byte LZMA "
+                    "properties, expected 5"
+                )
+            if props[0] >= 225:
+                raise ValueError(
+                    f"zip: member {name!r} invalid LZMA properties byte"
+                )
+            lc, rest = props[0] % 9, props[0] // 9
+            d = lzma.LZMADecompressor(
+                format=lzma.FORMAT_RAW,
+                filters=[{
+                    "id": lzma.FILTER_LZMA1, "lc": lc, "lp": rest % 5,
+                    "pb": rest // 5,
+                    "dict_size": struct.unpack("<I", props[1:5])[0],
+                }],
+            )
+            try:
+                payload = d.decompress(raw[4 + psize :], ulen + 1)
+            except lzma.LZMAError as exc:
+                raise ValueError(f"zip: corrupt LZMA in {name!r}: {exc}")
+            if len(payload) != ulen:
+                raise ValueError(
+                    f"zip: member {name!r} inflates to a size other than "
+                    "declared (bomb or corruption)"
+                )
+        elif method == 93:
+            from .zstd_codec import zstd_decompress
+
+            try:
+                payload = zstd_decompress(raw, ulen + 1)
+            except ValueError as exc:
+                raise ValueError(f"zip: corrupt zstd in {name!r}: {exc}")
+            if len(payload) != ulen:
+                raise ValueError(
+                    f"zip: member {name!r} inflates to a size other than "
+                    "declared (bomb or corruption)"
+                )
+        elif method == 95:
+            import lzma
+
+            d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+            try:
+                payload = d.decompress(raw, ulen + 1)
+            except lzma.LZMAError as exc:
+                raise ValueError(f"zip: corrupt xz in {name!r}: {exc}")
+            if len(payload) != ulen:
                 raise ValueError(
                     f"zip: member {name!r} inflates to a size other than "
                     "declared (bomb or corruption)"

@@ -289,10 +289,12 @@ def _classify_bytes(data: bytes) -> str:
     if any(head.startswith(h) for h in
            (b"Return-Path:", b"Received:", b"Message-ID:")):
         return "eml"
-    # text shapes
-    try:
-        text = head.decode("utf-8")
-    except UnicodeDecodeError:
+    # text shapes.  The 2048-byte slice can land mid-codepoint on a
+    # multibyte UTF-8 sequence when the payload is longer than the head;
+    # that cut is an artifact of sampling, not invalid bytes, so trim an
+    # incomplete trailing sequence (≤3 bytes) before declaring binary.
+    text = _decode_utf8_head(head, truncated=len(data) > len(head))
+    if text is None:
         return "binary"
     low = text.lstrip().lower()
     if low.startswith(("<!doctype html", "<html")):
@@ -305,6 +307,25 @@ def _classify_bytes(data: bytes) -> str:
     if text and printable / len(text) > 0.95:
         return _classify_tabular(text)
     return "binary"
+
+
+def _decode_utf8_head(head: bytes, truncated: bool):
+    """Decode a sampled prefix as UTF-8, tolerating a multibyte
+    character split by the sampling cut.
+
+    When ``truncated`` (the payload continues past the head), an
+    incomplete trailing multibyte sequence is an artifact of the cut,
+    not bad data: the incremental decoder with ``final=False`` buffers
+    it silently while still raising on genuinely invalid bytes.  When
+    the head IS the whole payload, strict semantics apply.  Returns the
+    decoded text, or None for invalid UTF-8."""
+    import codecs
+
+    dec = codecs.getincrementaldecoder("utf-8")()
+    try:
+        return dec.decode(head, not truncated)
+    except UnicodeDecodeError:
+        return None
 
 
 def _classify_tabular(text: str) -> str:

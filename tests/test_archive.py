@@ -3,6 +3,7 @@ bytes, bomb guard, and the Spark member explosion."""
 
 import io
 import random
+import shutil
 import struct
 import tarfile
 import zipfile
@@ -138,6 +139,103 @@ def test_zip_bzip2_member():
         for p, d in MEMBERS:
             zf.writestr(p, d)
     assert [(m["path"], m["payload"]) for m in A.parse_zip(buf.getvalue())] == MEMBERS
+
+
+@pytest.mark.parametrize("method", ["bzip2", "lzma", "zstd", "xz"])
+def test_zip_extended_methods_roundtrip(method):
+    """Methods 12/14/93/95 (APPNOTE): roundtrip through our own
+    writer, stdlib interop where the stdlib speaks the method."""
+    z = A.build_zip(MEMBERS, method=method)
+    assert [(m["path"], m["payload"]) for m in A.parse_zip(z)] == MEMBERS
+    if method in ("bzip2", "lzma"):
+        zf = zipfile.ZipFile(io.BytesIO(z))
+        assert [(i.filename, zf.read(i)) for i in zf.infolist()] == MEMBERS
+
+
+def test_zip_lzma_stdlib_writes_ours_reads():
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_LZMA) as zf:
+        for p, d in MEMBERS:
+            zf.writestr(p, d)
+    assert [(m["path"], m["payload"])
+            for m in A.parse_zip(buf.getvalue())] == MEMBERS
+
+
+@pytest.mark.skipif(shutil.which("bsdtar") is None, reason="no bsdtar")
+@pytest.mark.parametrize("method", ["bzip2", "lzma", "zstd", "xz"])
+def test_zip_extended_methods_bsdtar_interop(method, tmp_path):
+    """Two-direction CLI interop: bsdtar extracts our archives and we
+    parse bsdtar-written ones (``zip:compression=<method>``)."""
+    import subprocess
+
+    z = A.build_zip(MEMBERS, method=method)
+    src = tmp_path / "ours.zip"
+    src.write_bytes(z)
+    out = tmp_path / "x"
+    out.mkdir()
+    r = subprocess.run(
+        ["bsdtar", "-xf", str(src), "-C", str(out)],
+        capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+    for p, d in MEMBERS:
+        assert (out / p).read_bytes() == d, (method, p)
+    # write direction
+    f = tmp_path / "m.txt"
+    f.write_bytes(b"cli-written member body\n" * 9)
+    theirs = tmp_path / "theirs.zip"
+    r = subprocess.run(
+        ["bsdtar", "--format", "zip", "--options",
+         f"zip:compression={method}", "-cf", str(theirs), "-C",
+         str(tmp_path), "m.txt"],
+        capture_output=True, text=True,
+    )
+    if r.returncode != 0:
+        pytest.skip(f"bsdtar cannot write zip {method}: {r.stderr}")
+    got = A.parse_zip(theirs.read_bytes())
+    assert [(m["path"], m["payload"]) for m in got] == \
+        [("m.txt", f.read_bytes())]
+
+
+def test_zip_lzma_hostile_shapes():
+    good = A.build_zip([("x", b"body bytes " * 20)], method="lzma")
+    # locate the member body (after the 30-byte LFH + 1-byte name)
+    body = good.find(b"x", 30) + 1
+    # truncated 4-byte prelude: declare a 2-byte compressed body
+    bad = bytearray(good)
+    for sig, off in ((b"PK\x03\x04", 18), (b"PK\x01\x02", 20)):
+        i = good.find(sig)
+        bad[i + off : i + off + 4] = struct.pack("<I", 2)
+    with pytest.raises(ValueError, match="prelude"):
+        A.parse_zip(bytes(bad))
+    # propsize lie: claim 9 property bytes
+    bad = bytearray(good)
+    bad[body + 2 : body + 4] = struct.pack("<H", 9)
+    with pytest.raises(ValueError, match="propert"):
+        A.parse_zip(bytes(bad))
+    # invalid properties byte (>= 225)
+    bad = bytearray(good)
+    bad[body + 4] = 230
+    with pytest.raises(ValueError, match="propert|LZMA"):
+        A.parse_zip(bytes(bad))
+    # corrupt stream body
+    bad = bytearray(good)
+    bad[body + 15] ^= 0xFF
+    with pytest.raises(ValueError, match="LZMA|CRC|declared"):
+        A.parse_zip(bytes(bad))
+
+
+@pytest.mark.parametrize("method", ["zstd", "xz"])
+def test_zip_zstd_xz_size_lie_rejected(method):
+    """A member that inflates past its declared size is a bomb: the
+    decode stops at ulen+1 and the size check rejects."""
+    z = bytearray(A.build_zip([("x", b"A" * 5000)], method=method))
+    # shrink the declared uncompressed size in LFH + CDH to 10
+    for sig, off in ((b"PK\x03\x04", 22), (b"PK\x01\x02", 24)):
+        i = bytes(z).find(sig)
+        z[i + off : i + off + 4] = struct.pack("<I", 10)
+    with pytest.raises(ValueError, match="declared|cap"):
+        A.parse_zip(bytes(z))
 
 
 def test_pax_records_malformed_is_valueerror():

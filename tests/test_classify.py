@@ -70,6 +70,24 @@ def test_text_shapes_and_fallbacks():
     assert _fmt(b"\xff\xfe\xfa" * 50) == "binary"
 
 
+def test_utf8_head_cut_mid_codepoint():
+    # the 2048-byte head slice landing mid-codepoint must not reroute a
+    # valid non-ASCII text payload to binary (r12 ADVICE, classify.py)
+    assert _fmt(b"a" * 2047 + "é".encode() + b" more prose" * 40) == \
+        "utf8-text"
+    # 4-byte emoji split at every possible offset across the boundary
+    for pad in (2045, 2046, 2047):
+        p = b"x" * pad + "😀".encode() + b" tail text" * 40
+        assert _fmt(p) == "utf8-text", pad
+    # but a payload that ENDS in a truncated sequence (head == payload)
+    # keeps strict semantics → binary
+    assert _fmt(b"a" * 100 + "é".encode()[:1]) == "binary"
+    # and invalid bytes just before the cut stay binary even when the
+    # payload continues past the head
+    assert _fmt(b"a" * 2040 + b"\xff\xff\xff\xff" + b"tail" * 600) == \
+        "binary"
+
+
 def test_ambiguity_rules_inherited():
     # a tar whose first member name looks like a cpio magic still
     # classifies as tar (ustar offset-257 precedence)

@@ -458,7 +458,21 @@ def test_speex_and_theora_ident_parse():
     # frame geometry rounds up to whole macroblocks
     assert (m["frame_width"], m["frame_height"]) == (336, 256)
     assert m["n_frames"] == 90 and m["duration_ms"] == 3003
+    assert m["theora_version"] == "3.2.1"
     assert m["comments"]["TITLE"] == "tv"  # \x81theora comment packet
+
+
+def test_theora_granule_version_bias():
+    """Bitstream 3.2.0 granules carry the frame INDEX, 3.2.1+ the
+    frame COUNT (Theora I spec §A.1, libtheora th_granule_frame) —
+    both version forms must report the same frame total."""
+    for ver in ((3, 2, 0), (3, 2, 1), (3, 2, 2)):
+        th = O.build_ogg(codec="theora", fps_num=25, fps_den=1,
+                         total_samples=50, theora_version=ver)
+        m = O.parse_ogg(th)
+        assert m["theora_version"] == ".".join(map(str, ver))
+        assert m["n_frames"] == 50, ver
+        assert m["duration_ms"] == 2000, ver
 
 
 def test_speex_theora_hostiles():

@@ -49,6 +49,21 @@ def test_codeword_assignment_sparse_and_single():
     assert V.assign_codewords([0, 3, 0]) == {1: (0, 1)}
 
 
+def test_codeword_assignment_rejects_malformed_trees():
+    # overpopulated: more leaves than the depths can hold
+    with pytest.raises(ValueError, match="overpopulated"):
+        V.assign_codewords([1, 1, 1])
+    # underpopulated (incomplete) trees are a setup-time error too
+    # (§3.2.1) — an unassigned prefix must not be deferred to audio
+    # decode (r12 ADVICE)
+    with pytest.raises(ValueError, match="underpopulated"):
+        V.assign_codewords([1, 2])  # prefix 11 decodes to nothing
+    with pytest.raises(ValueError, match="underpopulated"):
+        V.assign_codewords([2, 2, 2])  # one depth-2 leaf left free
+    # exactly-full trees still pass
+    assert len(V.assign_codewords([1, 2, 2])) == 3
+
+
 def test_scalar_decode_msb_first():
     book = V._Book({
         "dims": 1, "entries": 4, "lengths": [1, 2, 3, 3],
@@ -388,11 +403,22 @@ def test_e2e_zero_energy_and_truncated_frames():
     ident = V.build_pcm_ident()
     setup = V.build_pcm_setup()
     good = V.encode_pcm_packet((5, 2))
-    # a packet truncated inside the floor decode: skipped entirely
+    # §4.3.2: a packet truncated inside the floor decode is a
+    # zero-ENERGY frame — it emits silence but still advances the
+    # overlap-add center, exactly like an explicit zero-residue packet
     short = good[:1]
+    zero = V.encode_pcm_packet([])
     pcm, _ = V.decode_packets(ident, setup, [good, short, good])
-    # the skipped frame contributes nothing; two good frames lap once
-    assert pcm.shape == (32, 1)
+    ref, _ = V.decode_packets(ident, setup, [good, zero, good])
+    assert pcm.shape == (64, 1)
+    assert np.allclose(pcm, ref)
+    # §4.3.1: EOP in the packet HEADER (empty packet) is undecodable —
+    # that frame is skipped without advancing time, so the two good
+    # frames lap directly
+    pcm0, _ = V.decode_packets(ident, setup, [good, b"", good])
+    ref0, _ = V.decode_packets(ident, setup, [good, good])
+    assert pcm0.shape == (32, 1)
+    assert np.allclose(pcm0, ref0[: len(pcm0)])
     # truncation INSIDE residue keeps the partial frame: cut the last
     # byte so pass-1 stage codewords vanish mid-decode
     part = good[:-1]
