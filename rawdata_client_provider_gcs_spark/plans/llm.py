@@ -3228,25 +3228,25 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g')) AS text
-FROM d WHERE doc_id % 9 = 0
+FROM d WHERE doc_id % 11 = 0
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'epub', CAST(i AS BIGINT),
        'OPS/text/ch' || CAST(i AS VARCHAR) || '.xhtml',
        trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
                            '\\s+', ' ', 'g'))
-FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 9 = 1
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 11 = 1
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'odt', CAST(0 AS BIGINT), 'content.xml',
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 9 = 2
+FROM d WHERE doc_id % 11 = 2
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'pptx', CAST(i AS BIGINT),
        'ppt/slides/slide' || CAST(i + 1 AS VARCHAR) || '.xml',
        trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
                            '\\s+', ' ', 'g'))
-FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 9 = 3
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 11 = 3
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'xlsx', CAST(0 AS BIGINT),
        'xl/worksheets/sheet1.xml',
@@ -3254,40 +3254,56 @@ SELECT CAST(doc_id AS BIGINT), 'xlsx', CAST(0 AS BIGINT),
          substr(text, 1, 20) || ' ' || substr(text, 21, 20) || ' '
          || substr(text, 41, 20) || ' ' || CAST(doc_id % 97 AS VARCHAR),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 9 = 4
+FROM d WHERE doc_id % 11 = 4
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'doc', CAST(0 AS BIGINT), 'WordDocument',
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 9 = 5
+FROM d WHERE doc_id % 11 = 5
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'xls', CAST(0 AS BIGINT), 'workbook/S1',
        trim(regexp_replace(
          substr(text, 1, 20) || ' ' || substr(text, 21, 20) || ' '
          || substr(text, 41, 20) || ' ' || CAST(doc_id % 97 AS VARCHAR),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 9 = 6
+FROM d WHERE doc_id % 11 = 6
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'ppt', CAST(i AS BIGINT),
        'slide' || CAST(i + 1 AS VARCHAR),
        trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
                            '\\s+', ' ', 'g'))
-FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 9 = 7
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 11 = 7
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'rtf', CAST(0 AS BIGINT), 'rtf',
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 9 = 8
+FROM d WHERE doc_id % 11 = 8
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'ods', CAST(0 AS BIGINT), 'S1',
+       trim(regexp_replace(
+         substr(text, 1, 20) || ' ' || substr(text, 21, 20) || ' '
+         || substr(text, 41, 20) || ' ' || CAST(doc_id % 97 AS VARCHAR),
+         '\\s+', ' ', 'g'))
+FROM d WHERE doc_id % 11 = 9
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'odp', CAST(i AS BIGINT),
+       'page' || CAST(i + 1 AS VARCHAR),
+       trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
+                           '\\s+', ' ', 'g'))
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 11 = 10
 """,
     tags=("llm", "source", "text", "crawl", "office", "pandas-udf"),
     bench=True,
 )
 def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
-    """DOCX/EPUB/ODT/PPTX/XLSX + legacy .doc/.xls/.ppt + RTF → per-part
-    visible text, oracle-exact — the office-document slice of a crawl
-    that was opaque zip members (and opaque CFB streams) until now.
+    """DOCX/EPUB/ODT/ODS/ODP/PPTX/XLSX + legacy .doc/.xls/.ppt + RTF →
+    per-part visible text, oracle-exact — the office-document slice of
+    a crawl that was opaque zip members (and opaque CFB streams) until
+    now.  The ODF spreadsheet/presentation pair (r13) explodes
+    ``content.xml`` into one part per ``table:table`` / ``draw:page``
+    in document order, mirroring the xlsx-sheet / pptx-slide shapes.
     Each document becomes a real container (:mod:`..sources.office`
     fixtures: OPC ``word/document.xml``, OCF/OPF spine of two XHTML
     chapters, ODF ``content.xml``, a two-slide PresentationML deck
@@ -3325,7 +3341,7 @@ def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
                 did = int(did)
                 t = str(text)
                 halves = [t[:40], t[40:80]]
-                v = did % 9
+                v = did % 11
                 if v == 0:
                     payloads.append(O.build_docx(halves))
                 elif v == 1:
@@ -3352,8 +3368,17 @@ def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
                     )
                 elif v == 7:
                     payloads.append(LO.build_ppt(halves))
-                else:
+                elif v == 8:
                     payloads.append(RT.build_rtf(halves))
+                elif v == 9:
+                    payloads.append(
+                        O.build_ods(
+                            [("S1", [[t[:20], t[20:40]],
+                                     [t[40:60], str(did % 97)]])]
+                        )
+                    )
+                else:
+                    payloads.append(O.build_odp(halves))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     files = d.mapInPandas(make, "doc_id long, payload binary")
@@ -3435,24 +3460,26 @@ def q_crawl_archive_7z(spark: SparkSession, sf: str) -> DataFrame:
     "q_crawl_office_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE CAST(doc_id % 9 AS INTEGER)
+       CASE CAST(doc_id % 11 AS INTEGER)
          WHEN 0 THEN 'docx' WHEN 1 THEN 'epub' WHEN 2 THEN 'odt'
          WHEN 3 THEN 'pptx' WHEN 4 THEN 'xlsx' WHEN 5 THEN 'doc'
-         WHEN 6 THEN 'xls' WHEN 7 THEN 'ppt' ELSE 'rtf' END
+         WHEN 6 THEN 'xls' WHEN 7 THEN 'ppt' WHEN 8 THEN 'rtf'
+         WHEN 9 THEN 'ods' ELSE 'odp' END
          AS doc_format,
-       CASE CAST(doc_id % 9 AS INTEGER)
+       CASE CAST(doc_id % 11 AS INTEGER)
          WHEN 0 THEN 'Doc ' WHEN 1 THEN 'Book ' WHEN 2 THEN 'Odt '
          WHEN 3 THEN 'Deck ' WHEN 4 THEN 'Workbook ' WHEN 5 THEN 'Legacy '
-         WHEN 6 THEN 'Sheet ' WHEN 7 THEN 'Slides ' ELSE 'Rtf ' END
+         WHEN 6 THEN 'Sheet ' WHEN 7 THEN 'Slides ' WHEN 8 THEN 'Rtf '
+         WHEN 9 THEN 'Ods ' ELSE 'Odp ' END
          || CAST(doc_id AS VARCHAR) AS title,
        'author-' || CAST(doc_id % 7 AS VARCHAR) AS creator,
-       CASE WHEN doc_id % 9 = 1 THEN
+       CASE WHEN doc_id % 11 = 1 THEN
          CASE CAST(doc_id % 4 AS INTEGER)
            WHEN 0 THEN 'en' WHEN 1 THEN 'nb' WHEN 2 THEN 'de' ELSE 'fr' END
        ELSE '' END AS language,
-       CAST(CASE CAST(doc_id % 9 AS INTEGER)
+       CAST(CASE CAST(doc_id % 11 AS INTEGER)
          WHEN 1 THEN 2 WHEN 3 THEN 2 WHEN 5 THEN 3 WHEN 6 THEN 2
-         WHEN 7 THEN 2 ELSE 1 END AS BIGINT) AS n_parts
+         WHEN 7 THEN 2 WHEN 10 THEN 2 ELSE 1 END AS BIGINT) AS n_parts
 FROM documents WHERE doc_id < 240
 """,
     tags=("llm", "source", "text", "crawl", "office", "pandas-udf"),
@@ -3488,7 +3515,7 @@ def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
                 did = int(did)
                 t = str(text)
                 creator = f"author-{did % 7}"
-                v = did % 9
+                v = did % 11
                 if v == 0:
                     payloads.append(
                         O.build_docx(
@@ -3551,11 +3578,25 @@ def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
                                 author=creator,
                             )
                         )
-                    else:
+                    elif v == 8:
                         payloads.append(
                             RT.build_rtf(
                                 [t[:40]], title=f"Rtf {did}",
                                 author=creator,
+                            )
+                        )
+                    elif v == 9:
+                        payloads.append(
+                            O.build_ods(
+                                [("S1", [[t[:20]]])],
+                                title=f"Ods {did}", creator=creator,
+                            )
+                        )
+                    else:
+                        payloads.append(
+                            O.build_odp(
+                                [t[:40], t[40:80]],
+                                title=f"Odp {did}", creator=creator,
                             )
                         )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})

@@ -93,7 +93,7 @@ def _zip_lzma_compress(data: bytes) -> bytes:
 
 def build_zip(
     members: list[tuple[str, bytes]], *, method: str = "deflate",
-    zip64: bool = False,
+    zip64: bool = False, store_paths: frozenset[str] = frozenset(),
 ) -> bytes:
     """Deterministic ZIP writer (fixed DOS timestamp).
 
@@ -102,22 +102,27 @@ def build_zip(
     the Zip64 EOCD record + locator are appended — the layout a
     >65,535-member or >4 GiB archive must use (APPNOTE 4.4.1.4),
     exercised here at small sizes so the structural path is testable.
+
+    ``store_paths`` names members written uncompressed regardless of
+    ``method`` — the ODF convention for the leading ``mimetype`` member
+    (ODF 1.3 part 3 §2.2.4), which magic-based sniffers read in place.
     """
     methods = {"store": 0, "deflate": 8, "bzip2": 12, "lzma": 14,
                "zstd": 93, "xz": 95}
     if method not in methods:
         raise ValueError(f"unsupported zip method: {method}")
-    mnum = methods[method]
-    # APPNOTE 4.4.4: general-purpose bit 1 marks the LZMA EOS marker,
-    # which the raw liblzma encoder always emits (size-unknown mode)
-    flags = 0x02 if mnum == 14 else 0
     ver_need = 45 if zip64 else 20
     out = bytearray()
     central = bytearray()
-    entries = []  # (name, crc, clen, ulen, offset)
+    entries = []  # (name, crc, clen, ulen, offset, mnum, flags)
     for path, data in members:
         name = path.encode("utf-8")
         crc = binascii.crc32(data) & 0xFFFFFFFF
+        mnum = 0 if path in store_paths else methods[method]
+        # APPNOTE 4.4.4: general-purpose bit 1 marks the LZMA EOS
+        # marker, which the raw liblzma encoder always emits
+        # (size-unknown mode)
+        flags = 0x02 if mnum == 14 else 0
         if mnum == 8:
             c = zlib.compressobj(6, zlib.DEFLATED, -15)
             comp = c.compress(data) + c.flush()
@@ -137,7 +142,8 @@ def build_zip(
             comp = lzma.compress(data, format=lzma.FORMAT_XZ, preset=6)
         else:
             comp = data
-        entries.append((name, crc, len(comp), len(data), len(out)))
+        entries.append((name, crc, len(comp), len(data), len(out), mnum,
+                        flags))
         out += _LFH_SIG
         out += struct.pack(
             "<HHHHHIII", ver_need, flags, mnum, 0x21, 0x548, crc,
@@ -145,7 +151,7 @@ def build_zip(
         )
         out += struct.pack("<HH", len(name), 0)
         out += name + comp
-    for name, crc, clen, ulen, off in entries:
+    for name, crc, clen, ulen, off, mnum, flags in entries:
         central += _CDH_SIG
         if zip64:
             extra = struct.pack("<HHQQQ", 0x0001, 24, ulen, clen, off)

@@ -138,6 +138,14 @@ def _classify_zip(data: bytes) -> str:
     if "META-INF/container.xml" in names and "mimetype" in names:
         return "epub"
     if "content.xml" in names and "mimetype" in names:
+        # ODF stores the mimetype member uncompressed first (ODF 1.3
+        # part 3 §2.2.4), so the subtype is readable in the head bytes
+        # without inflating anything
+        head = bytes(data[:128])
+        if b"opendocument.spreadsheet" in head:
+            return "ods"
+        if b"opendocument.presentation" in head:
+            return "odp"
         return "odt"
     return "zip"
 
@@ -152,7 +160,8 @@ _CATEGORY = {
     "zip": "archive", "tar": "archive", "cpio": "archive",
     "7z": "archive", "iso": "archive",
     "docx": "document", "pptx": "document", "xlsx": "document",
-    "epub": "document", "odt": "document", "doc": "document",
+    "epub": "document", "odt": "document", "ods": "document",
+    "odp": "document", "doc": "document",
     "xls": "document", "ppt": "document", "cfb": "document",
     "rtf": "document", "pdf": "document",
     "warc": "web", "html": "web",

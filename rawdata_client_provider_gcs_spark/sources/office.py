@@ -59,6 +59,8 @@ from .archive import parse_zip
 
 _EPUB_MIME = b"application/epub+zip"
 _ODT_MIME = b"application/vnd.oasis.opendocument.text"
+_ODS_MIME = b"application/vnd.oasis.opendocument.spreadsheet"
+_ODP_MIME = b"application/vnd.oasis.opendocument.presentation"
 
 #: hard cap on spine length — a hostile OPF must not fan one file into
 #: millions of rows
@@ -118,6 +120,43 @@ def _elements(xml: str, name: str) -> list[str]:
 def _first_element(xml: str, name: str) -> str | None:
     els = _elements(xml, name)
     return els[0] if els else None
+
+
+def _named_elements(
+    xml: str, name: str, attr: str
+) -> list[tuple[str, str]]:
+    """Every ``<name ...>body</name>`` as ``(attr_value, body)`` in
+    document order (self-closing → empty body, missing attribute →
+    empty string) — the :func:`_elements` walk keeping the opening
+    tag's identifying attribute, for ODF tables and draw pages."""
+    out = []
+    open_tok = f"<{name}"
+    close = f"</{name}>"
+    i = 0
+    while True:
+        i = xml.find(open_tok, i)
+        if i < 0:
+            break
+        j = i + len(open_tok)
+        if xml[j : j + 1] not in (" ", "\t", "\n", "\r", ">", "/"):
+            i = j  # longer tag name (<table:table-row under table:table)
+            continue
+        gt = xml.find(">", j)
+        if gt < 0:
+            break
+        tag = xml[j:gt]
+        nm = _attr(tag, attr) or ""
+        if tag.endswith("/"):
+            out.append((nm, ""))
+            i = gt + 1
+            continue
+        end = xml.find(close, gt + 1)
+        if end < 0:
+            out.append((nm, xml[gt + 1 :]))
+            break
+        out.append((nm, xml[gt + 1 : end]))
+        i = end + len(close)
+    return out
 
 
 def _rels_of(members: dict[str, bytes], rels_path: str) -> dict[str, str]:
@@ -312,6 +351,35 @@ def _container_parts(
             raise ValueError("odt: missing content.xml")
         meta = members.get("meta.xml", b"").decode("utf-8", "replace")
         return "odt", [("content.xml", body.decode("utf-8", "replace"))], meta
+
+    if mime in (_ODS_MIME, _ODP_MIME):
+        # ODS: one part per <table:table> in document order, named by
+        # table:name; ODP: one part per <draw:page>, named by
+        # draw:name — the ODF mirror of the xlsx-sheet / pptx-slide
+        # shapes, text still extracted Catalyst-side from the raw XML
+        fmt = "ods" if mime == _ODS_MIME else "odp"
+        body = members.get("content.xml")
+        if body is None:
+            raise ValueError(f"{fmt}: missing content.xml")
+        xml = body.decode("utf-8", "replace")
+        elem, attr, slug = (
+            ("table:table", "table:name", "table")
+            if fmt == "ods"
+            else ("draw:page", "draw:name", "page")
+        )
+        found = _named_elements(xml, elem, attr)
+        if not found:
+            raise ValueError(f"{fmt}: content.xml has no {elem} elements")
+        if len(found) > MAX_SPINE_PARTS:
+            raise ValueError(
+                f"{fmt}: over {MAX_SPINE_PARTS} {elem} parts (bomb)"
+            )
+        parts = [
+            (nm or f"{slug}{i + 1}", part_xml)
+            for i, (nm, part_xml) in enumerate(found)
+        ]
+        meta = members.get("meta.xml", b"").decode("utf-8", "replace")
+        return fmt, parts, meta
 
     body = members.get("word/document.xml")
     if body is not None:
@@ -594,32 +662,25 @@ def build_epub(
     return build_zip(members)
 
 
-def build_odt(
-    paragraphs: list[str],
-    *,
-    title: str | None = None,
-    creator: str | None = None,
+_ODF_CONTENT_HEAD = (
+    '<?xml version="1.0" encoding="UTF-8"?>'
+    '<office:document-content xmlns:office="urn:oasis:names:tc:'
+    'opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:names:tc:'
+    'opendocument:xmlns:text:1.0" xmlns:table="urn:oasis:names:tc:'
+    'opendocument:xmlns:table:1.0" xmlns:draw="urn:oasis:names:tc:'
+    'opendocument:xmlns:drawing:1.0"><office:body>'
+)
+
+
+def _odf_zip(
+    mime: bytes, content: str, title: str | None, creator: str | None
 ) -> bytes:
-    """Minimal valid ODF text document: mimetype plus content.xml with
-    one ``<text:p>`` per paragraph; ``title``/``creator`` land in a
-    ``meta.xml`` part as Dublin Core fields."""
+    """Assemble an ODF container: stored ``mimetype`` first (ODF 1.3
+    part 3 §2.2.4 — sniffers read it in place), content.xml, optional
+    Dublin Core meta.xml."""
     from .archive import build_zip
 
-    body = "".join(
-        "<text:p>" + _xml_escape(p) + "</text:p>" for p in paragraphs
-    )
-    content = (
-        '<?xml version="1.0" encoding="UTF-8"?>'
-        '<office:document-content xmlns:office="urn:oasis:names:tc:'
-        'opendocument:xmlns:office:1.0" xmlns:text="urn:oasis:names:tc:'
-        'opendocument:xmlns:text:1.0"><office:body><office:text>'
-        + body
-        + "</office:text></office:body></office:document-content>"
-    )
-    members = [
-        ("mimetype", _ODT_MIME),
-        ("content.xml", content.encode()),
-    ]
+    members = [("mimetype", mime), ("content.xml", content.encode())]
     if title is not None or creator is not None:
         meta = (
             '<?xml version="1.0"?><office:document-meta xmlns:office='
@@ -634,7 +695,79 @@ def build_odt(
             + "</office:meta></office:document-meta>"
         )
         members.append(("meta.xml", meta.encode()))
-    return build_zip(members)
+    return build_zip(members, store_paths=frozenset(["mimetype"]))
+
+
+def build_odt(
+    paragraphs: list[str],
+    *,
+    title: str | None = None,
+    creator: str | None = None,
+) -> bytes:
+    """Minimal valid ODF text document: mimetype plus content.xml with
+    one ``<text:p>`` per paragraph; ``title``/``creator`` land in a
+    ``meta.xml`` part as Dublin Core fields."""
+    body = "".join(
+        "<text:p>" + _xml_escape(p) + "</text:p>" for p in paragraphs
+    )
+    content = (
+        _ODF_CONTENT_HEAD + "<office:text>" + body
+        + "</office:text></office:body></office:document-content>"
+    )
+    return _odf_zip(_ODT_MIME, content, title, creator)
+
+
+def build_ods(
+    sheets: list[tuple[str, list[list[str]]]],
+    *,
+    title: str | None = None,
+    creator: str | None = None,
+) -> bytes:
+    """Minimal valid ODF spreadsheet: one ``<table:table>`` per
+    ``(name, rows)`` entry, each cell a string-valued
+    ``<table:table-cell>`` with its ``<text:p>`` body."""
+    tables = "".join(
+        f'<table:table table:name="{_xml_escape(nm)}">'
+        + "".join(
+            "<table:table-row>"
+            + "".join(
+                '<table:table-cell office:value-type="string"><text:p>'
+                + _xml_escape(c)
+                + "</text:p></table:table-cell>"
+                for c in row
+            )
+            + "</table:table-row>"
+            for row in rows
+        )
+        + "</table:table>"
+        for nm, rows in sheets
+    )
+    content = (
+        _ODF_CONTENT_HEAD + "<office:spreadsheet>" + tables
+        + "</office:spreadsheet></office:body></office:document-content>"
+    )
+    return _odf_zip(_ODS_MIME, content, title, creator)
+
+
+def build_odp(
+    slides: list[str],
+    *,
+    title: str | None = None,
+    creator: str | None = None,
+) -> bytes:
+    """Minimal valid ODF presentation: one ``<draw:page>`` per slide
+    text, the paragraph riding a frame's text box as Impress writes."""
+    pages = "".join(
+        f'<draw:page draw:name="page{i + 1}"><draw:frame>'
+        "<draw:text-box><text:p>" + _xml_escape(s) + "</text:p>"
+        "</draw:text-box></draw:frame></draw:page>"
+        for i, s in enumerate(slides)
+    )
+    content = (
+        _ODF_CONTENT_HEAD + "<office:presentation>" + pages
+        + "</office:presentation></office:body></office:document-content>"
+    )
+    return _odf_zip(_ODP_MIME, content, title, creator)
 
 
 def _core_props(title: str | None, creator: str | None) -> bytes:

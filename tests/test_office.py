@@ -62,6 +62,67 @@ def test_odt_roundtrip():
     assert "<text:p>p1</text:p>" in parts[0][1]
 
 
+def test_ods_tables_in_document_order():
+    blob = O.build_ods(
+        [("First", [["a & b", "c"], ["d", "17"]]), ("Second", [["x"]])],
+        title="Wb", creator="me",
+    )
+    fmt, parts = O.office_parts_of(blob)
+    assert fmt == "ods"
+    assert [n for n, _ in parts] == ["First", "Second"]
+    # bodies carry the full table subtree — the <table:table-row /
+    # -cell children must not truncate the prefix-sharing parent scan
+    assert "a &amp; b" in parts[0][1] and "17" in parts[0][1]
+    assert "x" in parts[1][1]
+    info = O.office_info_of(blob)
+    assert (info["title"], info["creator"], info["n_parts"]) == \
+        ("Wb", "me", 2)
+
+
+def test_odp_pages_in_document_order():
+    blob = O.build_odp(["slide one", "slide two"], title="Deck")
+    fmt, parts = O.office_parts_of(blob)
+    assert fmt == "odp"
+    assert [n for n, _ in parts] == ["page1", "page2"]
+    assert "slide one" in parts[0][1] and "slide two" in parts[1][1]
+    assert O.office_info_of(blob)["n_parts"] == 2
+
+
+def test_odf_mimetype_member_is_stored_first():
+    """ODF 1.3 part 3 §2.2.4: the mimetype member rides first and
+    uncompressed, so magic sniffers (and the classify router) can read
+    the subtype without inflating."""
+    for build, mime in (
+        (lambda: O.build_ods([("S", [["v"]])]), b"spreadsheet"),
+        (lambda: O.build_odp(["s"]), b"presentation"),
+        (lambda: O.build_odt(["p"]), b"opendocument.text"),
+    ):
+        blob = build()
+        assert mime in blob[:128]
+
+
+def test_ods_odp_hostile_shapes():
+    # ODF mimetype but no content.xml
+    blob = A.build_zip([("mimetype", O._ODS_MIME)])
+    with pytest.raises(ValueError, match="ods: missing content.xml"):
+        O.office_parts_of(blob)
+    # content.xml without any table/page elements
+    blob = A.build_zip([
+        ("mimetype", O._ODP_MIME),
+        ("content.xml", b"<office:document-content/>"),
+    ])
+    with pytest.raises(ValueError, match="odp: content.xml has no"):
+        O.office_parts_of(blob)
+    # part-count bomb: one self-closing table per part over the cap
+    many = "<table:table/>" * (O.MAX_SPINE_PARTS + 1)
+    blob = A.build_zip([
+        ("mimetype", O._ODS_MIME),
+        ("content.xml", many.encode()),
+    ])
+    with pytest.raises(ValueError, match="bomb"):
+        O.office_parts_of(blob)
+
+
 def test_tag_scan_name_boundary():
     """<itemref> must not match a scan for <item> (longer tag name)."""
     xml = '<itemref idref="r"/><item id="i" href="h"/>'
