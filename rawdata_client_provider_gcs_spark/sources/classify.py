@@ -17,10 +17,13 @@ audio / video / data / text / unknown``, ``wrapper`` the transparent
 compression layer when one was peeled (``gzip``/``xz``/…, else
 None).  The function NEVER raises on hostile bytes — unclassifiable
 input is ``("binary", "unknown")``, a wrapper whose payload can't
-inflate is ``("corrupt", "unknown")``, and a VALID wrapper whose
-content exceeds the peel budget is ``("oversize", "unknown")``, each
-with the wrapper recorded — because classification runs before any
-per-row error contract exists.
+inflate is ``("corrupt", "unknown")``, and the residual VALID-wrapper
+shapes where a guard fires before the decoded prefix completes are
+``("oversize", "unknown")``, each with the wrapper recorded — because
+classification runs before any per-row error contract exists.  Since
+r13 every wrapper codec decodes only a :data:`PEEL_PREFIX_BYTES`
+prefix and classifies from the head, so arbitrarily large wrapped
+content routes at ~64 KiB of inflation per row.
 
 Reference behavioral parity: the reference transport stores opaque
 named byte arrays (RawdataMessage.java:15-60); a router over mixed
@@ -33,6 +36,15 @@ from __future__ import annotations
 #: archive tier's 1 GiB cap; classify never needs the whole payload
 MAX_PEEL_BYTES = 64 * 1024 * 1024
 
+#: how much INNER content the peel actually inflates (r13): every
+#: codec — streaming stdlib and pure-Python alike — decodes a prefix
+#: and stops, so a wrapped row costs ~64 KiB of work, not up to
+#: MAX_PEEL_BYTES.  Classification reads only the head anyway; the
+#: trade is that wrapped container formats whose markers live at the
+#: END of the file (zip central directory) refine from the prefix
+#: only when the content fits in it.
+PEEL_PREFIX_BYTES = 64 * 1024
+
 #: our own decompressors' cap-guard message markers — a wrapper that
 #: trips these is VALID but larger than the classification budget
 _CAP_MARKERS = ("guard (bomb)", "bomb cap", "declared content size")
@@ -44,10 +56,14 @@ def _peel_wrapper(data: bytes) -> tuple[str, bytes | None] | None:
     a wrapper that cannot inflate returns ``(name, None)`` (the
     'corrupt' verdict) and one whose content exceeds the budget raises
     :class:`_Oversize` — both verdicts, never exceptions, at the
-    :func:`classify_payload` surface.  gzip/xz/bzip2 stream a bounded
-    prefix, so arbitrarily large members still classify; the
-    pure-Python codecs (zstd/lz4/snappy/compress) decode whole-or-
-    nothing, so past-budget content lands on 'oversize'."""
+    :func:`classify_payload` surface.  Every codec decodes a bounded
+    PREFIX (:data:`PEEL_PREFIX_BYTES`) and stops — gzip/xz/bzip2 via
+    stdlib ``max_length`` streaming, zstd/lz4/snappy/compress via the
+    pure-Python decoders' ``max_output`` mode (r13) — so arbitrarily
+    large wrapped content classifies from its head at ~64 KiB of work
+    per row.  The 'oversize' verdict remains for the residual shapes
+    where a guard still fires before the prefix completes (e.g. a
+    single pathological lz4 block expanding past the peel cap)."""
     from .archive import _is_bzip2
     from .zstd_codec import sniff_zstd
 
@@ -74,35 +90,43 @@ def _peel_wrapper(data: bytes) -> tuple[str, bytes | None] | None:
             import io
 
             with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
-                inner = gz.read(MAX_PEEL_BYTES)
+                inner = gz.read(PEEL_PREFIX_BYTES)
         elif name == "xz":
             import lzma
 
             inner = lzma.LZMADecompressor().decompress(
-                data, max_length=MAX_PEEL_BYTES
+                data, max_length=PEEL_PREFIX_BYTES
             )
         elif name == "bzip2":
             import bz2
 
             inner = bz2.BZ2Decompressor().decompress(
-                data, max_length=MAX_PEEL_BYTES
+                data, max_length=PEEL_PREFIX_BYTES
             )
         elif name == "zstd":
             from .zstd_codec import zstd_decompress
 
-            inner = zstd_decompress(data, cap=MAX_PEEL_BYTES)
+            inner = zstd_decompress(
+                data, cap=MAX_PEEL_BYTES, max_output=PEEL_PREFIX_BYTES
+            )
         elif name == "lz4":
             from .compression import lz4_decompress
 
-            inner = lz4_decompress(data, cap=MAX_PEEL_BYTES)
+            inner = lz4_decompress(
+                data, cap=MAX_PEEL_BYTES, max_output=PEEL_PREFIX_BYTES
+            )
         elif name == "snappy":
             from .compression import snappy_stream_decompress
 
-            inner = snappy_stream_decompress(data, cap=MAX_PEEL_BYTES)
+            inner = snappy_stream_decompress(
+                data, cap=MAX_PEEL_BYTES, max_output=PEEL_PREFIX_BYTES
+            )
         else:
             from .compression import z_decompress
 
-            inner = z_decompress(data, cap=MAX_PEEL_BYTES)
+            inner = z_decompress(
+                data, cap=MAX_PEEL_BYTES, max_output=PEEL_PREFIX_BYTES
+            )
     except ValueError as exc:
         if any(m in str(exc) for m in _CAP_MARKERS):
             raise _Oversize(name)

@@ -168,10 +168,18 @@ def lz4_block_decompress(
     return bytes(out)
 
 
-def lz4_decompress(data: bytes, cap: int = MAX_OUTPUT_BYTES) -> bytes:
+def lz4_decompress(
+    data: bytes, cap: int = MAX_OUTPUT_BYTES,
+    max_output: int | None = None,
+) -> bytes:
     """An LZ4 FRAME (the ``.lz4`` file format): descriptor, block
     sequence (compressed or stored), optional per-block and content
-    XXH32 checksums — verified when present."""
+    XXH32 checksums — verified when present.
+
+    ``max_output`` switches to PREFIX mode: decode stops at block
+    granularity once that many bytes exist and the prefix returns
+    without error (content checksum then unverifiable by design) —
+    for head-only consumers like payload classification."""
     if data[:4] != LZ4_FRAME_MAGIC:
         raise ValueError("lz4: missing frame magic")
     if len(data) < 7:
@@ -193,7 +201,7 @@ def lz4_decompress(data: bytes, cap: int = MAX_OUTPUT_BYTES) -> bytes:
         if i + 8 > len(data):
             raise ValueError("lz4: truncated content size")
         declared = int.from_bytes(data[i : i + 8], "little")
-        if declared > cap:
+        if declared > cap and max_output is None:
             raise ValueError("lz4: declared content size over the bomb cap")
         i += 8
     i += 1  # header checksum byte (xxh32>>8 of descriptor; not enforced)
@@ -230,6 +238,8 @@ def lz4_decompress(data: bytes, cap: int = MAX_OUTPUT_BYTES) -> bytes:
                 out += piece
             else:
                 _lz4_block_into(out, block, len(out), cap)
+        if max_output is not None and len(out) >= max_output:
+            return bytes(out[:max_output])
         if len(out) > cap:
             raise ValueError("lz4: output over the bomb cap")
     if c_checksum:
@@ -488,10 +498,15 @@ def _masked_crc(data: bytes) -> int:
 
 
 def snappy_stream_decompress(
-    data: bytes, cap: int = MAX_OUTPUT_BYTES
+    data: bytes, cap: int = MAX_OUTPUT_BYTES,
+    max_output: int | None = None,
 ) -> bytes:
     """The Snappy FRAMING format (``.sz``): stream identifier then
-    compressed/uncompressed chunks with masked CRC32C, verified."""
+    compressed/uncompressed chunks with masked CRC32C, verified.
+
+    ``max_output`` switches to PREFIX mode: decode stops at chunk
+    granularity once that many bytes exist and the prefix returns
+    without error — for head-only consumers like classification."""
     if not data.startswith(SNAPPY_STREAM_MAGIC):
         raise ValueError("snappy: missing stream identifier")
     i = len(SNAPPY_STREAM_MAGIC)
@@ -528,6 +543,8 @@ def snappy_stream_decompress(
             raise ValueError(
                 f"snappy: unskippable unknown chunk type 0x{ctype:02x}"
             )
+        if max_output is not None and len(out) >= max_output:
+            return bytes(out[:max_output])
         if len(out) > cap:
             raise ValueError("snappy: output over the bomb cap")
     return bytes(out)
@@ -629,9 +646,16 @@ Z_MAGIC = b"\x1f\x9d"
 _Z_CLEAR = 256
 
 
-def z_decompress(data: bytes, cap: int = MAX_OUTPUT_BYTES) -> bytes:
+def z_decompress(
+    data: bytes, cap: int = MAX_OUTPUT_BYTES,
+    max_output: int | None = None,
+) -> bytes:
     """Decode a compress(1) ``.Z`` stream (LZW, 9→maxbits code growth,
-    block-mode CLEAR, eight-code group alignment)."""
+    block-mode CLEAR, eight-code group alignment).
+
+    ``max_output`` switches to PREFIX mode: decode stops once that
+    many bytes exist and the prefix returns without error — for
+    head-only consumers like payload classification."""
     if data[:2] != Z_MAGIC:
         raise ValueError("z: not a compress(1) stream (bad magic)")
     if len(data) < 3:
@@ -700,6 +724,8 @@ def z_decompress(data: bytes, cap: int = MAX_OUTPUT_BYTES) -> bytes:
         first_byte = code
         stack.append(code)
         out += stack[::-1]
+        if max_output is not None and len(out) >= max_output:
+            return bytes(out[:max_output])
         if len(out) > cap:
             raise ValueError(
                 f"z: output past the {cap}-byte guard (bomb or corruption)"

@@ -751,10 +751,17 @@ def parse_dictionary(blob: bytes) -> dict:
 
 
 def _decode_frame(
-    data: bytes, off: int, cap: int, zdict: dict | None = None
+    data: bytes, off: int, cap: int, zdict: dict | None = None,
+    max_output: int | None = None,
 ) -> tuple[bytes, int]:
     """Decode one zstd frame starting at the magic.  Returns
-    (content, offset past the frame)."""
+    (content, offset past the frame).
+
+    With ``max_output``, decoding stops at block granularity once that
+    many content bytes exist and returns ``(prefix, -1)`` — the -1
+    offset marks an early stop (unverifiable checksum, unknown frame
+    end).  A declared content size past ``cap`` is then not an error:
+    the caller only wants the prefix."""
     if data[off : off + 4] != ZSTD_MAGIC:
         raise ValueError("zstd: bad frame magic")
     off += 4
@@ -805,7 +812,12 @@ def _decode_frame(
         off += fcs_size
     if single:
         window = fcs
-    if fcs is not None and fcs > cap:
+    if max_output is not None:
+        # prefix mode: per-block guards must admit the prefix plus one
+        # block (memory stays bounded by that), and a huge declared
+        # content size is not an error — only the head is wanted
+        cap = max(cap, max_output + _BLOCK_MAX)
+    elif fcs is not None and fcs > cap:
         raise ValueError(
             f"zstd: declared content size {fcs} past the {cap}-byte "
             "guard (bomb)"
@@ -866,6 +878,8 @@ def _decode_frame(
                     raise ValueError(
                         "zstd: block regenerates over the 128 KiB cap"
                     )
+        if max_output is not None and len(out) - base >= max_output:
+            return bytes(out[base : base + max_output]), -1
         if window is not None and len(out) - base > cap:
             raise ValueError(
                 f"zstd: output past the {cap}-byte guard (bomb)"
@@ -913,6 +927,7 @@ def zstd_decompress(
     data: bytes,
     cap: int = MAX_OUTPUT_BYTES,
     dict_data: bytes | None = None,
+    max_output: int | None = None,
 ) -> bytes:
     """Decode a ``.zst`` payload: one or more zstd frames (the CLI and
     pzstd concatenate them) plus skippable frames, bounded by ``cap``.
@@ -921,7 +936,12 @@ def zstd_decompress(
     content).  Independently, a skippable frame with the web-archive
     dictionary magic ``0x184D2A5D`` (the Common Crawl ``.warc.zst``
     convention) installs its payload — raw, structured, or itself a
-    zstd frame holding the dictionary — for the frames that follow."""
+    zstd frame holding the dictionary — for the frames that follow.
+
+    ``max_output`` switches to PREFIX mode: decode stops (at block
+    granularity) once that many bytes exist and the prefix returns
+    without error — for consumers like payload classification that
+    only need the head, so a wrapped row costs ~KiBs, not the cap."""
     out = bytearray()
     off = 0
     saw_frame = False
@@ -947,9 +967,14 @@ def zstd_decompress(
             continue
         if data[off : off + 4] != ZSTD_MAGIC:
             raise ValueError("zstd: bad frame magic")
-        frame, off = _decode_frame(data, off, cap - len(out), zdict)
+        frame, off = _decode_frame(
+            data, off, cap - len(out), zdict,
+            None if max_output is None else max_output - len(out),
+        )
         out += frame
         saw_frame = True
+        if max_output is not None and (off < 0 or len(out) >= max_output):
+            return bytes(out[:max_output])
         if len(out) > cap:
             raise ValueError(
                 f"zstd: output past the {cap}-byte guard (bomb)"

@@ -132,28 +132,46 @@ def test_classify_never_raises_fuzz():
         assert isinstance(got["format"], str)
 
 
-def test_oversize_and_empty_wrapper_verdicts():
-    """A valid wrapper past the peel budget is 'oversize', never
-    'corrupt'; a wrapper around EMPTY content is 'empty' (review
-    findings, r12)."""
+def test_peel_prefix_bounds_inflation():
+    """Every wrapper codec decodes only a PEEL_PREFIX_BYTES prefix
+    (r13): content far past the budget still classifies from its head
+    instead of landing on 'oversize', and the work per wrapped row is
+    bounded by the prefix, not the 64 MiB cap.  A wrapper around
+    EMPTY content stays 'empty' (r12)."""
     import gzip
 
+    from rawdata_client_provider_gcs_spark.sources import classify as CL
+    from rawdata_client_provider_gcs_spark.sources.compression import (
+        lz4_compress, snappy_stream_compress, z_compress,
+    )
     from rawdata_client_provider_gcs_spark.sources.zstd_codec import (
         build_zst,
     )
-    from rawdata_client_provider_gcs_spark.sources import classify as CL
 
-    # shrink the budget so the oversize path runs in milliseconds
-    old = CL.MAX_PEEL_BYTES
-    CL.MAX_PEEL_BYTES = 1 << 16
-    try:
-        got = classify_payload(build_zst(b"a" * (1 << 18)))
-        assert (got["format"], got["wrapper"]) == ("oversize", "zstd")
-        # gzip streams a bounded prefix, so the same content classifies
-        got = classify_payload(gzip.compress(b"plain words " * 20000))
-        assert (got["format"], got["wrapper"]) == ("utf8-text", "gzip")
-    finally:
-        CL.MAX_PEEL_BYTES = old
+    big = b"plain words " * 200_000  # 2.4 MB >> 64 KiB prefix
+    for wrap, name in (
+        (build_zst, "zstd"),
+        (gzip.compress, "gzip"),
+        (lz4_compress, "lz4"),
+        (snappy_stream_compress, "snappy"),
+        (z_compress, "compress"),
+    ):
+        got = classify_payload(wrap(big))
+        assert (got["format"], got["wrapper"]) == ("utf8-text", name)
+    # the prefix itself is what classification sees: a wrapped ZIP
+    # larger than the prefix degrades to the magic-only 'zip' verdict
+    # (central directory out of reach) rather than erroring
+    from rawdata_client_provider_gcs_spark.sources import archive as A
+
+    inner = A.build_zip([("word/document.xml", b"<w/>"),
+                         ("pad.bin", b"\xa5" * (CL.PEEL_PREFIX_BYTES * 2))],
+                        method="store")
+    got = classify_payload(build_zst(inner))
+    assert (got["format"], got["wrapper"]) == ("zip", "zstd")
+    # ...while one that FITS in the prefix still refines fully
+    small = A.build_zip([("word/document.xml", b"<w/>")])
+    got = classify_payload(build_zst(small))
+    assert (got["format"], got["wrapper"]) == ("docx", "zstd")
     got = classify_payload(gzip.compress(b""))
     assert (got["format"], got["wrapper"]) == ("empty", "gzip")
 

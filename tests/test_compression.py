@@ -189,3 +189,28 @@ def test_ts_es_head_strips_pes_header():
     m = rawts.parse_ts(bytes(blob))
     v = [s for s in m["streams"] if s["codec"] == "h264"][0]
     assert (v.get("width"), v.get("height")) == (640, 360)
+
+
+def test_prefix_mode_bounds_output():
+    """max_output (r13): each decoder returns exactly the requested
+    prefix of the full decode, without error, for head-only consumers
+    like payload classification."""
+    rng = random.Random(7)
+    payload = bytes(rng.randrange(0, 96) + 32 for _ in range(300_000))
+    for comp, dec in (
+        (C.lz4_compress, C.lz4_decompress),
+        (C.snappy_stream_compress, C.snappy_stream_decompress),
+        (C.z_compress, C.z_decompress),
+    ):
+        blob = comp(payload)
+        full = dec(blob)
+        assert full == payload
+        for k in (1, 4096, 65536, len(payload), len(payload) * 2):
+            got = dec(blob, max_output=k)
+            assert got == payload[:k], (dec.__name__, k)
+    # prefix mode must not weaken full-decode integrity: corrupting
+    # a byte still raises when decoding past it without max_output
+    blob = bytearray(C.lz4_compress(payload))
+    blob[len(blob) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        C.lz4_decompress(bytes(blob))

@@ -447,3 +447,24 @@ def test_warc_zst_raw_block_frames():
     plain = W.build_warc(records)
     got = W.parse_warc(Z.build_zst(plain, frame_split=256))
     assert got[0]["target_uri"] == "http://ex.org/"
+
+
+def test_prefix_mode_bounds_output():
+    """max_output (r13): zstd_decompress returns exactly the requested
+    prefix, stopping at block granularity — including across the
+    multi-frame (pzstd) shape — and a declared content size past the
+    cap is not an error in prefix mode."""
+    payload = bytes((i * 131) % 251 for i in range(400_000))
+    for blob in (
+        Z.build_zst(payload, block_size=1 << 14),
+        Z.build_zst(payload, frame_split=100_000),
+    ):
+        assert Z.zstd_decompress(blob) == payload
+        for k in (1, 10_000, 1 << 16, len(payload), len(payload) * 2):
+            assert Z.zstd_decompress(blob, max_output=k) == payload[:k]
+    # content size far past the cap: full decode rejects (bomb guard),
+    # prefix decode returns the head
+    big = Z.build_zst(b"x" * 1000)
+    with pytest.raises(ValueError, match="guard"):
+        Z.zstd_decompress(big, cap=100)
+    assert Z.zstd_decompress(big, cap=100, max_output=64) == b"x" * 64
