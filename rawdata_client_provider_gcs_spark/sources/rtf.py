@@ -37,9 +37,34 @@ decoding is this repo's derived crawl tier.
 
 from __future__ import annotations
 
+import re
+
 #: bomb guards
 MAX_GROUP_DEPTH = 256
 MAX_TEXT_CHARS = 64 * 1024 * 1024
+
+#: batch scanners (no backtracking: single character classes and a
+#: two-branch alternation whose branches cannot match the same start
+#: byte) — plain-text spans advance at C speed instead of per-byte
+#: Python stepping, and a whole text+\'hh-escape alternation decodes
+#: through ONE regex scan + split + decode instead of one _control
+#: round per escape (the escape-dense shape real cp1252/DBCS RTF has)
+_TEXT_RUN = re.compile(rb"[^{}\\\r\n\x00]+")
+_MIXED_RUN = re.compile(rb"(?:\\'[0-9a-fA-F]{2}|[^{}\\\r\n\x00]+)+")
+
+
+def _decode_mixed(span: bytes, codepage: str) -> str:
+    """Decode a ``_MIXED_RUN`` span: every ``\\'`` in it is an escape
+    delimiter (the text class excludes backslash), so splitting on it
+    and folding each part's leading hex pair rebuilds the raw byte
+    string — ONE codepage decode for the whole span, which also
+    handles DBCS codepages pair-wise instead of byte-at-a-time."""
+    parts = span.split(b"\\'")
+    buf = bytearray(parts[0])
+    for p in parts[1:]:
+        buf.append(int(p[:2], 16))
+        buf += p[2:]
+    return buf.decode(codepage, "replace")
 
 #: destinations whose content is never display text
 _SKIP_DESTINATIONS = frozenset({
@@ -125,6 +150,18 @@ class _Walker:
                 self._emit("\n")
             return
         if ch == b"'":
+            # batch a RUN of consecutive \'hh escapes through one
+            # regex scan + one fromhex + one decode (escape-dense
+            # documents spend most of their bytes here); runs also
+            # decode DBCS codepages correctly, pair-wise.  The slow
+            # path remains for a pending \uc skip (each escape is one
+            # skippable entity) and for malformed escapes.
+            if self.pending_uc_skip == 0:
+                m = _MIXED_RUN.match(data, self.pos - 1)
+                if m:
+                    self.pos = m.end()
+                    self._emit(_decode_mixed(m.group(), self.codepage))
+                    return
             hx = data[self.pos + 1 : self.pos + 3]
             if len(hx) < 2:
                 raise ValueError("rtf: truncated \\'hh escape")
@@ -264,16 +301,17 @@ class _Walker:
                 self._control()
             elif b in (0x0D, 0x0A, 0x00):
                 self.pos += 1  # raw CR/LF/NUL are not document text
+            elif self.pending_uc_skip == 0:
+                # batch the whole text+escape alternation in one scan
+                m = _MIXED_RUN.match(data, self.pos)
+                self.pos = m.end()
+                self._emit(_decode_mixed(m.group(), self.codepage))
             else:
-                end = self.pos
-                while end < n and data[end] not in (0x7B, 0x7D, 0x5C,
-                                                    0x0D, 0x0A, 0x00):
-                    end += 1
+                end = _TEXT_RUN.match(data, self.pos).end()
                 text = data[self.pos : end].decode(self.codepage, "replace")
-                if self.pending_uc_skip:
-                    k = min(self.pending_uc_skip, len(text))
-                    self.pending_uc_skip -= k
-                    text = text[k:]
+                k = min(self.pending_uc_skip, len(text))
+                self.pending_uc_skip -= k
+                text = text[k:]
                 if text:
                     self._emit(text)
                 self.pos = end

@@ -139,3 +139,31 @@ def test_uc_skip_processes_state_words():
     assert _t("{\\rtf1 \\uc1\\u956\\uc0\\u957 x}") == "μνx"
     out = _t("{\\rtf1 \\uc1\\u956\\pict 0a0b0c here}")
     assert "0a0b0c" not in out and out.startswith("μ")
+
+
+def test_mixed_run_batching_matches_slow_path():
+    """r13: the text+\\'hh alternation decodes through one batched
+    regex scan — output must be byte-identical to the per-escape walk
+    (the \\uc-skip slow path doubles as the reference)."""
+    # escape-dense alternation, group boundaries, symbol escapes mixed
+    s = (r"{\rtf1 a\'e9 b\'e8\'fc c {\b d\'c0} \'41\'42 tail"
+         r" \{lit\} \'7b\'7d}")
+    assert _t(s) == "aé bèü c dÀ AB tail {lit} {}"
+    # a pending \uc skip forces the unbatched path across the same
+    # bytes: escape-then-text must count entities identically
+    assert _t(r"{\rtf1\uc1 \u956 \'e9after}") == "μafter"
+    assert _t(r"{\rtf1\uc3 \u956 ab\'e9x}") == "μx"
+
+
+def test_mixed_run_dbcs_pairs_decode_together():
+    """Batch decode folds a DBCS pair's two \\'hh escapes into one
+    codepage decode — cp932 0x88 0xA0 is 唖, which byte-at-a-time
+    decoding can never produce."""
+    assert _t(r"{\rtf1\ansicpg932 \'88\'a0}") == "唖"
+
+
+def test_mixed_run_malformed_escape_still_raises():
+    with pytest.raises(ValueError, match="rtf"):
+        _t(r"{\rtf1 text\'q9}")
+    with pytest.raises(ValueError, match="truncated"):
+        _t(r"{\rtf1 x\'a")
