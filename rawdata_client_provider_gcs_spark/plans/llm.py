@@ -3457,6 +3457,80 @@ def q_crawl_archive_7z(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_archive_rar",
+    oracle="""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CASE WHEN doc_id % 4 = 3 THEN
+         CASE WHEN doc_id % 2 = 0 THEN 'rar4.gz' ELSE 'rar5.gz' END
+       ELSE
+         CASE WHEN doc_id % 2 = 0 THEN 'rar4' ELSE 'rar5' END
+       END AS archive_format,
+       'doc/' || CAST(doc_id AS VARCHAR) || '/'
+         || CAST(m AS VARCHAR) || '.txt' AS path,
+       CAST(length(substr(text, 1 + 35 * CAST(m AS INTEGER), 35))
+            AS BIGINT) AS size,
+       substr(text, 1 + 35 * CAST(m AS INTEGER), 35) AS content
+FROM d, unnest(generate_series(0, 1)) AS t(m)
+""",
+    tags=("llm", "source", "archive", "rar", "pandas-udf"),
+    bench=True,
+)
+def q_crawl_archive_rar(spark: SparkSession, sf: str) -> DataFrame:
+    """RAR archives explode like ZIP/7z ones, oracle-exact — both
+    public header grammars (:mod:`..sources.rar`: RAR5 vint blocks
+    with CRC32-guarded headers, RAR 4.x fixed block heads with CRC16)
+    with stored members extracted byte-exact and CRC-verified, plus a
+    gzip-wrapped ``rarN.gz`` every fourth doc through the shared
+    wrapper peel.  The readers are interop-pinned against the system
+    bsdtar (libarchive's independent RAR implementations) in the gated
+    pytest, so the fixture writers cannot mirror a decoder bug;
+    RAR-compressed members stay the documented census-only boundary
+    (names/sizes/methods/CRCs, UnsupportedCodecError per-row on
+    extraction).  All columns closed-form.
+    """
+    from ..sources import rar as RR
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import gzip as _gzip
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                t = str(text)
+                members = [
+                    (f"doc/{did}/0.txt", t[:35].encode()),
+                    (f"doc/{did}/1.txt", t[35:70].encode()),
+                ]
+                blob = (RR.build_rar4 if did % 2 == 0
+                        else RR.build_rar5)(members)
+                if did % 4 == 3:
+                    blob = _gzip.compress(blob)
+                payloads.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    from ..sources.archive import archive_members
+
+    return archive_members(files).select(
+        F.col("doc_id"),
+        F.col("archive_format"),
+        F.col("path"),
+        F.col("size"),
+        F.col("payload").cast("string").alias("content"),
+    )
+
+
+@register(
     "q_crawl_office_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -624,11 +624,16 @@ def parse_tar(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
 
 
 def sniff_format(data: bytes) -> str | None:
-    """'zip' | 'tar' | '7z' | None by container magic."""
+    """'zip' | 'tar' | '7z' | 'rar4' | 'rar5' | 'cpio' | 'iso' | None
+    by container magic."""
     if data[:4] in (_LFH_SIG, _EOCD_SIG) or data[:4] == b"PK\x07\x08":
         return "zip"
     if data[:6] == b"7z\xbc\xaf\x27\x1c":
         return "7z"
+    if data[:7] == b"Rar!\x1a\x07\x00" or data[:8] == b"Rar!\x1a\x07\x01\x00":
+        from .rar import sniff_rar  # noqa: PLC0415
+
+        return sniff_rar(data)
     # The ustar magic at its FIXED offset 257 outranks the cpio/iso
     # probes: cpio's magic is plain ASCII at offset 0 (a tar whose
     # first member is literally named '070701…' would sniff as cpio)
@@ -822,7 +827,8 @@ def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
         sniffed = sniff_format(data)
         if sniffed is None:
             raise ValueError(
-                "archive: payload is not zip, ustar tar, 7z, cpio, or iso"
+                "archive: payload is not zip, ustar tar, 7z, rar, "
+                "cpio, or iso"
             )
         fmt = sniffed
     if fmt == "zip":
@@ -833,6 +839,10 @@ def parse_archive(data: bytes, fmt: str = "auto") -> tuple[str, list[dict]]:
         from .sevenzip import parse_7z  # noqa: PLC0415
 
         return "7z", parse_7z(data)
+    if fmt in ("rar4", "rar5"):
+        from .rar import parse_rar_members  # noqa: PLC0415
+
+        return parse_rar_members(data)
     if fmt == "cpio":
         return "cpio", parse_cpio(data)
     if fmt == "iso":

@@ -183,6 +183,7 @@ _OGG_CODECS = (
 _CATEGORY = {
     "zip": "archive", "tar": "archive", "cpio": "archive",
     "7z": "archive", "iso": "archive",
+    "rar4": "archive", "rar5": "archive",
     "docx": "document", "pptx": "document", "xlsx": "document",
     "epub": "document", "odt": "document", "ods": "document",
     "odp": "document", "doc": "document",
