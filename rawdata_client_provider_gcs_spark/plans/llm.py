@@ -3408,9 +3408,10 @@ def q_crawl_archive_7z(spark: SparkSession, sf: str) -> DataFrame:
     """7-Zip archives explode like ZIP/TAR ones, oracle-exact — the
     pure-Python container walk (:mod:`..sources.sevenzip`: signature
     header → streams/files info → solid-folder substream split) with
-    stdlib coders (store/LZMA2/bzip2 rotate here; LZMA1/deflate are
+    stdlib coders (store/LZMA2/bzip2 plus the BCJ2 4-stream x86
+    splitter with its LZMA range coder rotate here; LZMA1/deflate are
     pytest-pinned), CRC-verified members, and a gzip-wrapped ``7z.gz``
-    every fourth doc.  The reader is two-direction interop-pinned
+    every fourth doc (which therefore wraps the BCJ2 shape).  The reader is two-direction interop-pinned
     against the system bsdtar (libarchive) in the gated pytest, so the
     fixture writer cannot mirror a decoder bug.  All columns
     closed-form.
@@ -3437,7 +3438,7 @@ def q_crawl_archive_7z(spark: SparkSession, sf: str) -> DataFrame:
                     (f"doc/{did}/0.txt", t[:30].encode()),
                     (f"doc/{did}/1.txt", t[30:60].encode()),
                 ]
-                method = ("store", "lzma2", "bzip2", "lzma2")[did % 4]
+                method = ("store", "lzma2", "bzip2", "bcj2")[did % 4]
                 blob = SZ.build_7z(members, method=method)
                 if did % 4 == 3:
                     blob = _gzip.compress(blob)

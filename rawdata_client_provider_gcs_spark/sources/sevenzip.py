@@ -16,7 +16,13 @@ already owns at C speed:
   use) — both decode transforms verified against liblzma's own
   FILTER_X86/FILTER_DELTA encoders.
 
-Multi-INPUT coder folders (BCJ2's 4-stream splitter, AES) raise
+BCJ2 — the 4-stream x86 branch splitter with its LZMA binary range
+coder — decodes fully (r13) in both public storage forms (the
+classic 2-coder main+splitter shape and the 4-coder sub-coder
+shape), through a general folder-graph evaluator; the codec is
+interop-pinned against libarchive's independent LZMA-SDK
+``Bcj2_Decode`` via bsdtar.  The remaining multi-INPUT coder (AES
+with its key stream) raises
 :class:`~..operators.rawavi.UnsupportedCodecError` per archive — a
 recognized container whose codec chain is out of scope, never a
 job-killing error.  Compressed headers (``kEncodedHeader``) decode
@@ -76,6 +82,7 @@ _METHOD_DELTA = 0x03
 _METHOD_LZMA2 = 0x21
 _METHOD_LZMA1 = 0x030101
 _METHOD_BCJ_X86 = 0x03030103
+_METHOD_BCJ2 = 0x0303011B
 _METHOD_DEFLATE = 0x040108
 _METHOD_BZIP2 = 0x040202
 
@@ -143,6 +150,172 @@ def bcj_x86_decode(data: bytes) -> bytes:
             prev_mask = ((prev_mask << 1) | 1) & 7
             i += 1
     return bytes(buf)
+
+
+class _RC11:
+    """Binary range DECODER (the public LZMA-family coder: 32-bit
+    range, 11-bit adaptive probabilities, 5 move bits) — BCJ2's
+    control stream is a plain sequence of these bits."""
+
+    def __init__(self, data: bytes):
+        if len(data) < 5:
+            raise ValueError("7z: BCJ2 control stream under 5 bytes")
+        self.data = data
+        self.range = 0xFFFFFFFF
+        self.code = int.from_bytes(data[1:5], "big")
+        self.pos = 5
+
+    def bit(self, probs: list[int], i: int) -> int:
+        ttt = probs[i]
+        bound = (self.range >> 11) * ttt
+        if self.code < bound:
+            self.range = bound
+            probs[i] = ttt + ((2048 - ttt) >> 5)
+            b = 0
+        else:
+            self.code -= bound
+            self.range -= bound
+            probs[i] = ttt - (ttt >> 5)
+            b = 1
+        if self.range < (1 << 24):
+            self.range = (self.range << 8) & 0xFFFFFFFF
+            nxt = self.data[self.pos] if self.pos < len(self.data) else 0
+            self.pos += 1
+            self.code = ((self.code << 8) | nxt) & 0xFFFFFFFF
+        return b
+
+
+class _RE11:
+    """Matching range ENCODER (LZMA shift-low carry discipline) — the
+    fixture side of BCJ2; the first emitted byte is the zero cache the
+    decoder skips."""
+
+    def __init__(self):
+        self.low = 0
+        self.range = 0xFFFFFFFF
+        self.cache = 0
+        self.cache_size = 1
+        self.out = bytearray()
+
+    def bit(self, probs: list[int], i: int, b: int) -> None:
+        ttt = probs[i]
+        bound = (self.range >> 11) * ttt
+        if b == 0:
+            self.range = bound
+            probs[i] = ttt + ((2048 - ttt) >> 5)
+        else:
+            self.low += bound
+            self.range -= bound
+            probs[i] = ttt - (ttt >> 5)
+        while self.range < (1 << 24):
+            self._shift_low()
+            self.range = (self.range << 8) & 0xFFFFFFFF
+
+    def _shift_low(self) -> None:
+        if self.low < 0xFF000000 or self.low >= (1 << 32):
+            carry = self.low >> 32
+            self.out.append((self.cache + carry) & 0xFF)
+            for _ in range(self.cache_size - 1):
+                self.out.append((0xFF + carry) & 0xFF)
+            self.cache = (self.low >> 24) & 0xFF
+            self.cache_size = 0
+        self.cache_size += 1
+        self.low = (self.low & 0x00FFFFFF) << 8
+
+    def flush(self) -> bytes:
+        for _ in range(5):
+            self._shift_low()
+        return bytes(self.out)
+
+
+def _bcj2_is_branch(prev: int, b: int) -> bool:
+    return b == 0xE8 or b == 0xE9 or (prev == 0x0F and (b & 0xF0) == 0x80)
+
+
+def _bcj2_prob_index(prev: int, b: int) -> int:
+    # p7zip's context layout: jcc (0F 8x) -> 0, E9 -> 1, E8 -> 2+prev
+    if b == 0xE8:
+        return 2 + prev
+    return 1 if b == 0xE9 else 0
+
+
+def bcj2_decode(
+    main: bytes, call: bytes, jump: bytes, rc: bytes, out_size: int
+) -> bytes:
+    """Reverse the BCJ2 4-stream x86 branch splitter: E8 call and
+    E9 / 0F 8x jump targets were lifted out of ``main`` into the
+    big-endian absolute-address ``call``/``jump`` streams, with one
+    range-coded bit per branch site in ``rc`` saying whether it was
+    converted.  Pure byte/branch arithmetic per the public 7z format;
+    interop-pinned against libarchive's independent decoder."""
+    if out_size > MAX_TOTAL_BYTES:
+        raise ValueError("7z: BCJ2 output past the total-bytes guard")
+    out = bytearray()
+    probs = [1024] * (2 + 256)
+    dec = _RC11(rc)
+    mi = ci = ji = 0
+    prev = 0
+    while len(out) < out_size:
+        if mi >= len(main):
+            raise ValueError("7z: BCJ2 main stream exhausted")
+        b = main[mi]
+        mi += 1
+        out.append(b)
+        if _bcj2_is_branch(prev, b):
+            if dec.bit(probs, _bcj2_prob_index(prev, b)):
+                if len(out) + 4 > out_size:
+                    raise ValueError(
+                        "7z: BCJ2 conversion past declared output"
+                    )
+                if b == 0xE8:
+                    if ci + 4 > len(call):
+                        raise ValueError("7z: BCJ2 call stream exhausted")
+                    absolute = int.from_bytes(call[ci : ci + 4], "big")
+                    ci += 4
+                else:
+                    if ji + 4 > len(jump):
+                        raise ValueError("7z: BCJ2 jump stream exhausted")
+                    absolute = int.from_bytes(jump[ji : ji + 4], "big")
+                    ji += 4
+                # ip = opcode position + 5 = len(out) + 4 right now
+                rel = (absolute - (len(out) + 4)) & 0xFFFFFFFF
+                out += rel.to_bytes(4, "little")
+                prev = out[-1]
+                continue
+        prev = b
+    return bytes(out)
+
+
+def bcj2_encode(data: bytes) -> tuple[bytes, bytes, bytes, bytes]:
+    """Fixture-side BCJ2 split: convert EVERY branch site with a full
+    4-byte operand (a legal encoder policy — the adaptive contexts
+    absorb it), producing ``(main, call, jump, rc)``."""
+    main = bytearray()
+    call = bytearray()
+    jump = bytearray()
+    probs = [1024] * (2 + 256)
+    enc = _RE11()
+    i = 0
+    n = len(data)
+    prev = 0
+    while i < n:
+        b = data[i]
+        main.append(b)
+        if _bcj2_is_branch(prev, b):
+            idx = _bcj2_prob_index(prev, b)
+            if i + 5 <= n:
+                enc.bit(probs, idx, 1)
+                rel = int.from_bytes(data[i + 1 : i + 5], "little")
+                absolute = (rel + i + 5) & 0xFFFFFFFF
+                dst = call if b == 0xE8 else jump
+                dst += absolute.to_bytes(4, "big")
+                i += 5
+                prev = data[i - 1]
+                continue
+            enc.bit(probs, idx, 0)
+        prev = b
+        i += 1
+    return bytes(main), bytes(call), bytes(jump), enc.flush()
 
 
 def delta_decode(data: bytes, dist: int) -> bytes:
@@ -496,12 +669,12 @@ def _decode_folders(data: bytes, info: dict, base: int) -> list[bytes]:
         n = f["n_packed"]
         if si + n > len(sizes):
             raise ValueError("7z: folder consumes more pack streams than exist")
-        packed = b""
+        packed = []
         for k in range(n):
             ln = sizes[si + k]
             if pos + ln > len(data):
                 raise ValueError("7z: pack stream past end of archive")
-            packed += data[pos : pos + ln]
+            packed.append(data[pos : pos + ln])
             pos += ln
         si += n
         decoded_total += sum(f["out_sizes"])
@@ -514,40 +687,84 @@ def _decode_folders(data: bytes, info: dict, base: int) -> list[bytes]:
     return outs
 
 
-def _decode_folder_chain(f: dict, packed: bytes) -> bytes:
-    """Decode one folder: a single coder, or a linear chain of
-    single-input/single-output coders (the BCJ→LZMA / Delta→LZMA
-    shapes).  Coders with multiple inputs (BCJ2's 4-stream splitter,
-    AES with its key stream) stay out of scope."""
+def _decode_folder_chain(f: dict, packed: list[bytes]) -> bytes:
+    """Decode one folder's coder graph.  Inputs/outputs are numbered
+    globally across coders in declaration order; bind pairs connect a
+    coder input to a coder output, unbound inputs eat pack streams
+    (in ``packed_indices`` order when more than one), and the single
+    unbound output is the folder result.  Handles the single-coder
+    and linear-chain shapes (BCJ→LZMA, Delta→LZMA) plus BCJ2's
+    4-input splitter; other multi-input coders (AES with its key
+    stream) stay out of scope."""
     coders = f["coders"]
-    if len(coders) == 1:
+    if len(coders) == 1 and coders[0]["n_in"] == 1:
         return _decode_coder(coders[0]["method"], coders[0]["props"],
-                             packed, f["out_size"])
-    if any(c["n_in"] != 1 or c["n_out"] != 1 for c in coders):
-        raise UnsupportedCodecError(
-            "7z: multi-input coder chains (BCJ2/AES) are not in the "
-            "supported set"
-        )
-    # 1-in/1-out coders: input index i == coder i, output index j ==
-    # coder j.  Bind pairs connect input #in to output #out; the one
-    # unbound input eats the pack stream, the one unbound output is
-    # the folder result.
-    in_bound = {i for i, _ in f["bind_pairs"]}   # inputs fed by a coder
-    next_of = {o: i for i, o in f["bind_pairs"]}  # output j -> input it feeds
-    starts = [i for i in range(len(coders)) if i not in in_bound]
-    if len(starts) != 1:
-        raise ValueError("7z: folder chain has no single packed input")
-    cur = starts[0]
-    data = packed
-    for _ in range(len(coders)):
-        c = coders[cur]
-        data = _decode_coder(c["method"], c["props"], data,
-                             f["out_sizes"][cur])
-        nxt = next_of.get(cur)
-        if nxt is None:
-            return data  # unbound output: the folder result
-        cur = nxt
-    raise ValueError("7z: folder coder chain has a cycle")
+                             b"".join(packed), f["out_size"])
+    in_base: list[int] = []
+    out_base: list[int] = []
+    ti = to = 0
+    for c in coders:
+        in_base.append(ti)
+        out_base.append(to)
+        ti += c["n_in"]
+        to += c["n_out"]
+    bound_in = {i for i, _ in f["bind_pairs"]}
+    unbound_in = [i for i in range(ti) if i not in bound_in]
+    order = f["packed_indices"] if f["packed_indices"] is not None \
+        else unbound_in
+    if len(order) != len(packed) or set(order) != set(unbound_in):
+        raise ValueError("7z: folder pack streams do not match its "
+                         "unbound coder inputs")
+    stream_of_input = dict(zip(order, packed))
+    pair_of_input = {i: o for i, o in f["bind_pairs"]}
+    out_to_coder = {}
+    for idx, c in enumerate(coders):
+        for o in range(out_base[idx], out_base[idx] + c["n_out"]):
+            out_to_coder[o] = idx
+    bound_out = {o for _, o in f["bind_pairs"]}
+    finals = [o for o in range(to) if o not in bound_out]
+    if len(finals) != 1:
+        raise ValueError("7z: folder must have exactly one final output")
+
+    memo: dict[int, bytes] = {}
+    visiting: set[int] = set()
+
+    def eval_out(o: int) -> bytes:
+        if o in memo:
+            return memo[o]
+        if o in visiting:
+            raise ValueError("7z: folder coder graph has a cycle")
+        visiting.add(o)
+        ci = out_to_coder[o]
+        c = coders[ci]
+        is_bcj2 = c["method"] == _METHOD_BCJ2
+        # reject an out-of-scope coder BEFORE decoding its inputs —
+        # the whole folder is UnsupportedCodecError (per-row data),
+        # not whatever corrupt-stream error an input would hit first
+        if is_bcj2:
+            if c["n_in"] != 4 or c["n_out"] != 1:
+                raise ValueError("7z: BCJ2 coder must be 4-in/1-out")
+        elif c["n_in"] != 1 or c["n_out"] != 1:
+            raise UnsupportedCodecError(
+                f"7z: multi-input coder 0x{c['method']:x} (AES and "
+                "friends) is not in the supported set"
+            )
+        ins = []
+        for gi in range(in_base[ci], in_base[ci] + c["n_in"]):
+            if gi in pair_of_input:
+                ins.append(eval_out(pair_of_input[gi]))
+            else:
+                ins.append(stream_of_input[gi])
+        osize = f["out_sizes"][o]
+        if is_bcj2:
+            res = bcj2_decode(ins[0], ins[1], ins[2], ins[3], osize)
+        else:
+            res = _decode_coder(c["method"], c["props"], ins[0], osize)
+        visiting.discard(o)
+        memo[o] = res
+        return res
+
+    return eval_out(finals[0])
 
 
 def _parse_files_info(r: _R, n_sub_total: int) -> list[dict]:
@@ -750,13 +967,15 @@ def build_7z(
     """Deterministic ``.7z`` writer: one folder holding every member
     back to back (the solid layout), plain uncompressed header, CRCs
     for every substream.  ``method``: ``store`` | ``lzma2`` |
-    ``bzip2``.  Interop-pinned: the system ``bsdtar`` reads this
-    output back in the gated test."""
+    ``bzip2`` | ``bcj2`` (the 4-stream x86 branch splitter as a lone
+    coder fed by four pack streams).  Interop-pinned: the system
+    ``bsdtar`` reads this output back in the gated test."""
     if not members:
         raise ValueError("7z fixture: no members")
     blob = b"".join(payload for _, payload in members)
+    bcj2 = method == "bcj2"
     if method == "store":
-        coder_id, props, packed = _METHOD_COPY, b"", blob
+        coder_id, props, packs = _METHOD_COPY, b"", [blob]
     elif method == "lzma2":
         coder_id = _METHOD_LZMA2
         props = bytes([18])  # 1 MiB dictionary
@@ -765,10 +984,13 @@ def build_7z(
             filters=[{"id": lzma.FILTER_LZMA2,
                       "dict_size": _lzma2_dict_size(18)}],
         )
-        packed = comp.compress(blob) + comp.flush()
+        packs = [comp.compress(blob) + comp.flush()]
     elif method == "bzip2":
         coder_id, props = _METHOD_BZIP2, b""
-        packed = bz2.compress(blob)
+        packs = [bz2.compress(blob)]
+    elif method == "bcj2":
+        coder_id, props = _METHOD_BCJ2, b""
+        packs = list(bcj2_encode(blob))
     else:
         raise ValueError(f"7z fixture: unknown method {method!r}")
 
@@ -778,27 +1000,52 @@ def build_7z(
     # PackInfo
     w.number(_K_PACK_INFO)
     w.number(0)  # pack pos
-    w.number(1)  # one pack stream
+    w.number(len(packs))
     w.number(_K_SIZE)
-    w.number(len(packed))
+    for p in packs:
+        w.number(len(p))
     w.number(_K_END)
     # UnpackInfo
     w.number(_K_UNPACK_INFO)
     w.number(_K_FOLDER)
     w.number(1)
     w.byte(0)  # not external
-    w.number(1)  # one coder in the folder
-    id_bytes = coder_id.to_bytes(
-        max(1, (coder_id.bit_length() + 7) // 8), "big"
-    )
-    w.byte(len(id_bytes) | (0x20 if props else 0))
-    w.b += id_bytes
-    if props:
-        w.number(len(props))
-        w.b += props
-    w.number(_K_CODERS_UNPACK_SIZE)
-    w.number(len(blob))
-    w.number(_K_END)
+    if bcj2:
+        # the classic 7z storage form (the one libarchive's reader
+        # supports, empirically pinned by the gated bsdtar test): a
+        # main coder (Copy here, LZMA in real archives) feeding
+        # BCJ2's first input, with call/jump/rc eating pack streams
+        # 1..3 directly.  Global inputs: copy=0, bcj2=1..4; outputs:
+        # copy=0, bcj2=1 (final); pack order main, call, jump, rc.
+        w.number(2)  # two coders
+        w.byte(1)
+        w.byte(_METHOD_COPY)
+        id_bytes = coder_id.to_bytes(4, "big")
+        w.byte(len(id_bytes) | 0x10)  # complex coder: n_in/n_out follow
+        w.b += id_bytes
+        w.number(4)  # n_in
+        w.number(1)  # n_out
+        w.number(1)  # bind pair: bcj2 main input <- copy output
+        w.number(0)
+        for k in (0, 2, 3, 4):  # pack streams: main, call, jump, rc
+            w.number(k)
+        w.number(_K_CODERS_UNPACK_SIZE)
+        w.number(len(packs[0]))  # copy passes the main stream through
+        w.number(len(blob))
+        w.number(_K_END)
+    else:
+        w.number(1)  # one coder in the folder
+        id_bytes = coder_id.to_bytes(
+            max(1, (coder_id.bit_length() + 7) // 8), "big"
+        )
+        w.byte(len(id_bytes) | (0x20 if props else 0))
+        w.b += id_bytes
+        if props:
+            w.number(len(props))
+            w.b += props
+        w.number(_K_CODERS_UNPACK_SIZE)
+        w.number(len(blob))
+        w.number(_K_END)
     # SubStreamsInfo
     w.number(_K_SUBSTREAMS_INFO)
     w.number(_K_NUM_UNPACK_STREAM)
@@ -825,6 +1072,7 @@ def build_7z(
     w.number(_K_END)  # end header
 
     header = bytes(w.b)
+    packed = b"".join(packs)
     out = bytearray(SEVENZIP_MAGIC + bytes([0, 4]))
     start = struct.pack(
         "<QQI", len(packed), len(header),

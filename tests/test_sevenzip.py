@@ -24,7 +24,7 @@ MEMBERS = [
 ]
 
 
-@pytest.mark.parametrize("method", ["store", "lzma2", "bzip2"])
+@pytest.mark.parametrize("method", ["store", "lzma2", "bzip2", "bcj2"])
 def test_roundtrip(method):
     ms = S.parse_7z(S.build_7z(MEMBERS, method=method))
     assert [(m["path"], m["payload"]) for m in ms] == MEMBERS
@@ -106,7 +106,7 @@ def _hand_7z(method: int, props: bytes, packed: bytes, blob: bytes) -> bytes:
 
 @pytest.mark.skipif(BSDTAR is None, reason="no system bsdtar")
 def test_bsdtar_reads_our_archives(tmp_path):
-    for method in ("store", "lzma2", "bzip2"):
+    for method in ("store", "lzma2", "bzip2", "bcj2"):
         path = tmp_path / f"m_{method}.7z"
         path.write_bytes(S.build_7z(MEMBERS, method=method))
         out = tmp_path / f"x_{method}"
@@ -471,9 +471,10 @@ def test_7z_delta_lzma2_chain():
     assert ms[0]["payload"] == data
 
 
-def test_7z_bcj2_still_unsupported_loudly():
-    """BCJ2 (4-input splitter) and AES stay out of scope — recognized
-    chain, UnsupportedCodecError, never a job-killing error."""
+def test_7z_aes_still_unsupported_loudly():
+    """AES (multi-input key-stream coder) stays out of scope —
+    recognized chain, UnsupportedCodecError, never a job-killing
+    error.  (BCJ2, the other multi-input coder, decodes since r13.)"""
     import binascii
     import struct
 
@@ -496,7 +497,7 @@ def test_7z_bcj2_still_unsupported_loudly():
     w.byte(S._METHOD_LZMA2)
     w.number(1)
     w.b += bytes([18])
-    mid = (0x0303011B).to_bytes(4, "big")
+    mid = (0x06F10701).to_bytes(4, "big")  # AES-256+SHA-256
     w.byte(len(mid) | 0x10)
     w.b += mid
     w.number(4)
@@ -525,7 +526,7 @@ def test_7z_bcj2_still_unsupported_loudly():
                         binascii.crc32(header) & 0xFFFFFFFF)
     out += struct.pack("<I", binascii.crc32(start) & 0xFFFFFFFF)
     out += start + b"\x00" * 8 + header
-    with pytest.raises(UnsupportedCodecError, match="BCJ2/AES"):
+    with pytest.raises(UnsupportedCodecError, match="multi-input"):
         S.parse_7z(out)
 
 
@@ -541,3 +542,115 @@ def test_bcj_hostile_and_edges():
         S.delta_decode(b"abc", 0)
     with pytest.raises(ValueError):
         S.delta_decode(b"abc", 257)
+
+
+def _branchy(n: int = 600) -> bytes:
+    import random
+
+    rng = random.Random(9)
+    buf = bytearray(rng.randbytes(n))
+    for _ in range(n // 15):
+        buf[rng.randrange(n)] = rng.choice([0xE8, 0xE9, 0x0F])
+    return bytes(buf)
+
+
+def test_bcj2_codec_roundtrip_and_streams():
+    data = _branchy()
+    m, c, j, rc = S.bcj2_encode(data)
+    assert S.bcj2_decode(m, c, j, rc, len(data)) == data
+    # converted operands left the main stream: it is strictly shorter
+    # whenever any call/jump addresses exist
+    if c or j:
+        assert len(m) < len(data)
+        assert (len(data) - len(m)) == len(c) + len(j)
+    # empty input: 5 flush bytes of rc, nothing else
+    m0, c0, j0, rc0 = S.bcj2_encode(b"")
+    assert (m0, c0, j0) == (b"", b"", b"") and len(rc0) == 5
+    assert S.bcj2_decode(m0, c0, j0, rc0, 0) == b""
+
+
+def test_bcj2_hostile_streams():
+    data = _branchy()
+    m, c, j, rc = S.bcj2_encode(data)
+    with pytest.raises(ValueError, match="under 5 bytes"):
+        S.bcj2_decode(m, c, j, rc[:3], len(data))
+    if len(c) >= 4:
+        with pytest.raises(ValueError, match="exhausted"):
+            S.bcj2_decode(m, c[:2], j, rc, len(data))
+    with pytest.raises(ValueError, match="exhausted"):
+        S.bcj2_decode(m[: len(m) // 2], c, j, rc, len(data))
+    # a conversion that would overrun the declared output size
+    one = bytes([0xE8, 1, 0, 0, 0, 0x90])
+    m1, c1, j1, rc1 = S.bcj2_encode(one)
+    with pytest.raises(ValueError, match="past declared"):
+        S.bcj2_decode(m1, c1, j1, rc1, 3)
+
+
+def test_7z_bcj2_7zr_four_coder_shape_decodes():
+    """The OTHER public BCJ2 storage form (three sub-coders feeding
+    the splitter) rides the generic folder-graph evaluator."""
+    import binascii
+    import struct
+
+    data = _branchy(300)
+    m, c, j, rc = S.bcj2_encode(data)
+    streams = [m, c, j, rc]
+    w = S._W()
+    w.number(S._K_HEADER)
+    w.number(S._K_MAIN_STREAMS)
+    w.number(S._K_PACK_INFO)
+    w.number(0)
+    w.number(4)
+    w.number(S._K_SIZE)
+    for st in streams:
+        w.number(len(st))
+    w.number(S._K_END)
+    w.number(S._K_UNPACK_INFO)
+    w.number(S._K_FOLDER)
+    w.number(1)
+    w.byte(0)
+    w.number(4)  # Copy, Copy, Copy, BCJ2
+    for _ in range(3):
+        w.byte(1)
+        w.byte(S._METHOD_COPY)
+    mid = (0x0303011B).to_bytes(4, "big")
+    w.byte(len(mid) | 0x10)
+    w.b += mid
+    w.number(4)
+    w.number(1)
+    for a, b in ((3, 0), (4, 1), (5, 2)):
+        w.number(a)
+        w.number(b)
+    for idx in (0, 1, 2, 6):
+        w.number(idx)
+    w.number(S._K_CODERS_UNPACK_SIZE)
+    for st in streams[:3]:
+        w.number(len(st))
+    w.number(len(data))
+    w.number(S._K_END)
+    w.number(S._K_SUBSTREAMS_INFO)
+    w.number(S._K_NUM_UNPACK_STREAM)
+    w.number(1)
+    w.number(S._K_CRC)
+    w.byte(1)
+    w.b += struct.pack("<I", binascii.crc32(data) & 0xFFFFFFFF)
+    w.number(S._K_END)
+    w.number(S._K_END)
+    w.number(S._K_FILES_INFO)
+    w.number(1)
+    names = "m.bin\x00".encode("utf-16-le")
+    w.number(S._K_NAME)
+    w.number(len(names) + 1)
+    w.byte(0)
+    w.b += names
+    w.number(S._K_END)
+    w.number(S._K_END)
+    header = bytes(w.b)
+    packed = b"".join(streams)
+    out = bytearray(S.SEVENZIP_MAGIC + bytes([0, 4]))
+    start = struct.pack("<QQI", len(packed), len(header),
+                        binascii.crc32(header) & 0xFFFFFFFF)
+    out += struct.pack("<I", binascii.crc32(start) & 0xFFFFFFFF)
+    out += start + packed + header
+    ms = S.parse_7z(bytes(out))
+    assert [(r["path"], r["payload"]) for r in ms] == [("m.bin", data)]
