@@ -1,0 +1,266 @@
+"""Theora intra-frame decoder (operators/theoradec.py): setup-header
+grammar, quant matrices, token semantics, DC prediction, exact iDCT,
+flat-frame end-to-end, hostile shapes."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from rawdata_client_provider_gcs_spark.operators import theoradec as T
+
+
+def _flat_expected(dc: int, qmat0: int) -> int:
+    return max(0, min(255, 128 + T.idct_flat_dc(dc * qmat0)))
+
+
+def test_setup_header_roundtrip():
+    setup = T.parse_setup(T.build_setup_packet(dcscale=16, acscale=16,
+                                               lflim=4))
+    assert setup["lflims"] == [4] * 64
+    assert setup["acscale"] == [16] * 64
+    assert setup["dcscale"] == [16] * 64
+    assert len(setup["bms"]) == 1 and setup["bms"][0] == [100] * 64
+    assert len(setup["hts"]) == 80
+    # perfect 32-leaf tree: codeword == token
+    r = T._Br(bytes([0b10101000]))  # 10101 = 21 MSB-first
+    assert T._tree_decode(r, setup["hts"][0]) == 21
+
+
+def test_computed_qmat_interpolation_and_clamps():
+    # two base matrices across one 0..63 range: linear interpolation
+    setup = {
+        "bms": [[40] * 64, [200] * 64],
+        "qrsizes": [[[63]] * 3, [[63]] * 3],
+        "qrbmis": [[[0, 1]] * 3, [[0, 1]] * 3],
+        "acscale": [100] * 64,
+        "dcscale": [100] * 64,
+    }
+    q0 = T.compute_qmat(setup, 0, 0, 0)
+    q63 = T.compute_qmat(setup, 0, 0, 63)
+    assert q0[1] == 40 * 4 and q63[1] == 200 * 4
+    qmid = T.compute_qmat(setup, 0, 0, 31)
+    # BM = (2*32*40 + 2*31*200 + 63) // 126 = 119
+    assert qmid[1] == 119 * 4
+    # QMIN floors: intra DC 16, AC 8
+    setup["dcscale"] = [1] * 64
+    setup["acscale"] = [1] * 64
+    qlow = T.compute_qmat(setup, 0, 0, 0)
+    assert qlow[0] == 16 and qlow[1] == 8
+    # 4096 cap
+    setup["dcscale"] = [30000] * 64
+    qhigh = T.compute_qmat(setup, 0, 0, 0)
+    assert qhigh[0] == 4096
+
+
+def test_hilbert_order_and_partial_superblocks():
+    # full superblock: all 16 cells once, spec traversal shape
+    assert sorted(T.HILBERT) == [(x, y) for x in range(4)
+                                 for y in range(4)]
+    assert T.HILBERT[0] == (0, 0) and T.HILBERT[15] == (3, 0)
+    full = T.coded_order(4, 4)
+    assert len(full) == 16 and len(set(full)) == 16
+    # partial plane (6x3 blocks → 2x1 superblocks): every block once
+    part = T.coded_order(6, 3)
+    assert sorted(part) == [(x, y) for x in range(6) for y in range(3)]
+    # order within a superblock follows HILBERT filtered to the plane
+    sb0 = [xy for xy in part if xy[0] < 4]
+    assert sb0 == [(dx, dy) for dx, dy in T.HILBERT if dy < 3]
+
+
+def test_token_extras_all_32():
+    """Every token's extra-bit layout: encode via the fixture writer,
+    decode via _token_extra (self-consistent by construction — no
+    independent Theora decoder ships in this environment; flagged in
+    the module docstring)."""
+    # EOB runs
+    for tok, run in ((0, 1), (1, 2), (2, 3)):
+        assert T._token_extra(T._Br(b""), tok) == (run, -1, 0)
+    r = T._Br(bytes([0b11000000]))  # 2 bits: 3 → run 7
+    assert T._token_extra(r, 3) == (7, -1, 0)
+    r = T._Br(bytes([0b10100000]))  # 3 bits: 5 → run 13
+    assert T._token_extra(r, 4) == (13, -1, 0)
+    r = T._Br(bytes([0b10010000]))  # 4 bits: 9 → run 25
+    assert T._token_extra(r, 5) == (25, -1, 0)
+    r = T._Br(bytes([0x01, 0x00]))  # 12 bits: 16
+    assert T._token_extra(r, 6) == (16, -1, 0)
+    r = T._Br(bytes([0x00, 0x00]))  # 12 bits: 0 → all-remaining
+    assert T._token_extra(r, 6) == (-1, -1, 0)
+    # zero runs
+    r = T._Br(bytes([0b01100000]))  # 3 bits: 3 → run 4
+    assert T._token_extra(r, 7) == (-1, 4, 0)
+    r = T._Br(bytes([0b10100000]))  # 6 bits: 40 → run 41
+    assert T._token_extra(r, 8) == (-1, 41, 0)
+    # fixed values
+    for tok, v in ((9, 1), (10, -1), (11, 2), (12, -2)):
+        assert T._token_extra(T._Br(b""), tok) == (-1, 0, v)
+    # sign-only categories 3..6
+    for tok, m in ((13, 3), (14, 4), (15, 5), (16, 6)):
+        assert T._token_extra(T._Br(b"\x00"), tok) == (-1, 0, m)
+        assert T._token_extra(T._Br(b"\x80"), tok) == (-1, 0, -m)
+    # value categories with offsets: sign bit first, then offset
+    r = T._Br(bytes([0b01000000]))  # sign 0, offset 1 → 8
+    assert T._token_extra(r, 17) == (-1, 0, 8)
+    r = T._Br(bytes([0b11100000]))  # sign 1, offset 3 → -12
+    assert T._token_extra(r, 18) == (-1, 0, -12)
+    r = T._Br(bytes([0b01110000]))  # sign 0, offset 7 → 20
+    assert T._token_extra(r, 19) == (-1, 0, 20)
+    r = T._Br(bytes([0b10001000]))  # sign 1, offset 1 → -22
+    assert T._token_extra(r, 20) == (-1, 0, -22)
+    r = T._Br(bytes([0b00000100]))  # sign 0, offset 1 → 38
+    assert T._token_extra(r, 21) == (-1, 0, 38)
+    r = T._Br(bytes([0b00000000, 0b01000000]))  # sign 0, offset 1 → 70
+    assert T._token_extra(r, 22) == (-1, 0, 70)
+    # run/value combos
+    for tok, run in ((23, 1), (24, 2), (25, 3), (26, 4), (27, 5)):
+        assert T._token_extra(T._Br(b"\x00"), tok) == (-1, run, 1)
+        assert T._token_extra(T._Br(b"\x80"), tok) == (-1, run, -1)
+    r = T._Br(bytes([0b10100000]))  # sign 1, run offset 1 → run 7, -1
+    assert T._token_extra(r, 28) == (-1, 7, -1)
+    r = T._Br(bytes([0b00110000]))  # sign 0, run offset 3 → run 13, 1
+    assert T._token_extra(r, 29) == (-1, 13, 1)
+    r = T._Br(bytes([0b01000000]))  # sign 0, val offset 1 → run 1, 3
+    assert T._token_extra(r, 30) == (-1, 1, 3)
+    r = T._Br(bytes([0b10100000]))  # sign 1, val 2→3? no: val bit 0,
+    # run bit 1 → run 3, value -2
+    assert T._token_extra(r, 31) == (-1, 3, -2)
+    with pytest.raises(ValueError, match="token"):
+        T._token_extra(T._Br(b""), 32)
+
+
+def test_value_token_encoder_inverts_decoder():
+    """The fixture's value-token writer and _token_extra agree on
+    every encodable magnitude."""
+    for v in list(range(-580, 0)) + list(range(1, 581)):
+        w = T._Bw()
+        T._value_token(w, v)
+        r = T._Br(w.bytes())
+        tok = r.read(5)
+        assert T._token_extra(r, tok) == (-1, 0, v), v
+
+
+def test_dc_predictor_table():
+    l, ul, u, ur = 100, 40, 60, 20
+    assert T.dc_predict(0, l, ul, u, ur, 77) == 77  # last DC
+    assert T.dc_predict(1, l, ul, u, ur, 0) == 100
+    assert T.dc_predict(2, l, ul, u, ur, 0) == 40
+    assert T.dc_predict(3, l, ul, u, ur, 0) == 100
+    assert T.dc_predict(4, l, ul, u, ur, 0) == 60
+    assert T.dc_predict(5, l, ul, u, ur, 0) == 80  # (L+U)/2
+    assert T.dc_predict(7, l, ul, u, ur, 0) == \
+        (29 * 100 - 26 * 40 + 29 * 60) // 32
+    assert T.dc_predict(9, l, ul, u, ur, 0) == \
+        (75 * 100 + 53 * 20) // 128
+    assert T.dc_predict(10, l, ul, u, ur, 0) == 30  # (UL+UR)/2
+    # every mask with equal neighbors predicts that value exactly
+    # (weights sum to the divisor) — the property the flat-frame
+    # oracle leans on
+    for mask in range(1, 16):
+        assert T.dc_predict(mask, 55, 55, 55, 55, 0) == 55, mask
+    # outlier fallback: |pred - U| > 128 → U
+    assert T.dc_predict(7, 500, -500, 10, 0, 0) == 10
+
+
+def test_idct_dc_only_matches_closed_form():
+    for dc in (-2048, -577, -64, -1, 1, 9, 64, 577, 2040):
+        flat = T.idct_flat_dc(dc)
+        px = T.idct_8x8([dc] + [0] * 63)
+        assert all(v == flat for row in px for v in row), dc
+
+
+def test_idct_tracks_float_dct():
+    """The integer iDCT approximates the real-valued inverse DCT
+    within fixed-point rounding (±3) for moderate coefficients — a
+    gross-error detector for the butterfly structure.  Scale: each
+    1-D pass carries gain 2 over the orthonormal basis and the final
+    (v+8)>>4 divides by 16, so the 2-D result is orthonormal/4 (the
+    VP3 forward transform carries the matching 4x)."""
+    rng = np.random.default_rng(5)
+    basis = np.zeros((8, 8))
+    for i in range(8):
+        for k in range(8):
+            c = np.sqrt(0.5) if k == 0 else 1.0
+            basis[i, k] = 0.5 * c * np.cos((2 * i + 1) * k * np.pi / 16)
+    # 1-D: every basis vector within rounding of 2x orthonormal
+    for k in range(8):
+        x = [0] * 8
+        x[k] = 1000
+        exp = 2 * basis[:, k] * 1000
+        assert np.max(np.abs(np.array(T.idct_1d(x)) - exp)) <= 3, k
+    for _ in range(20):
+        coeffs = rng.integers(-256, 256, size=(8, 8))
+        exact = (basis @ coeffs.astype(float) @ basis.T) / 4
+        got = np.array(T.idct_8x8(list(coeffs.flatten())))
+        assert np.max(np.abs(got - exact)) <= 3
+
+
+def test_flat_frames_value_exact_both_eob_forms():
+    setup = T.parse_setup(T.build_setup_packet())
+    qm0 = T.compute_qmat(setup, 0, 0, 40)[0]
+    for sentinel in (False, True):
+        pkt = T.encode_flat_frame(64, 48, (9, 5, 13), qi=40,
+                                  eob_sentinel=sentinel)
+        y, cb, cr = T.decode_frame(pkt, setup, 64, 48)
+        for plane, dc in ((y, 9), (cb, 5), (cr, 13)):
+            assert plane.min() == plane.max() == _flat_expected(dc, qm0)
+    # negative DC deltas across planes (Cb below Y exercises the
+    # signed token path and negative quantized-domain prediction)
+    pkt = T.encode_flat_frame(32, 32, (-7, 3, -2), qi=40)
+    y, cb, cr = T.decode_frame(pkt, setup, 32, 32)
+    for plane, dc in ((y, -7), (cb, 3), (cr, -2)):
+        assert plane.min() == plane.max() == _flat_expected(dc, qm0)
+
+
+def test_ogg_carriage_and_metadata_coexist():
+    frames = [(9, 5, 13), (20, -4, 7)]
+    ogg = T.build_theora_ogg(64, 48, frames)
+    out = T.decode_ogg_theora(ogg)
+    setup = T.parse_setup(T.build_setup_packet())
+    qm0 = T.compute_qmat(setup, 0, 0, 40)[0]
+    assert (out["width"], out["height"]) == (64, 48)
+    assert len(out["frames"]) == 2
+    for i, dcs in enumerate(frames):
+        for plane, dc in zip(out["frames"][i], dcs):
+            assert plane.min() == plane.max() == _flat_expected(dc, qm0)
+    # the metadata tier still reads the same bytes
+    from rawdata_client_provider_gcs_spark.operators import rawogg
+
+    m = rawogg.parse_ogg(ogg)
+    assert (m["codec"], m["n_frames"]) == ("theora", 2)
+
+
+def test_hostile_shapes():
+    setup = T.parse_setup(T.build_setup_packet())
+    good = T.encode_flat_frame(32, 32, (5, 2, 8))
+    # inter frame
+    w = T._Bw()
+    w.write(0, 1)
+    w.write(1, 1)
+    with pytest.raises(ValueError, match="inter frame"):
+        T.decode_frame(w.bytes() + b"\x00" * 4, setup, 32, 32)
+    # header-typed packet in the frame position
+    with pytest.raises(ValueError, match="not a frame"):
+        T.decode_frame(b"\x80theora", setup, 32, 32)
+    # truncated mid-token
+    with pytest.raises(ValueError, match="past end"):
+        T.decode_frame(good[:6], setup, 32, 32)
+    # nonzero reserved bits
+    bad = bytearray(good)
+    bad[1] ^= 0b00010000  # bit 11 of the packet = reserved area
+    with pytest.raises(ValueError):
+        T.decode_frame(bytes(bad), setup, 32, 32)
+    # setup-header hostiles: bad magic, deep tree, overrun quant range
+    with pytest.raises(ValueError, match="magic"):
+        T.parse_setup(b"\x81theora" + b"\x00" * 32)
+    deep = b"\x82theora" + bytes([0]) * 200  # all-zero bits: infinite
+    with pytest.raises(ValueError, match="deeper|past end"):
+        T.parse_setup(deep)
+    # frame over the pixel cap
+    with pytest.raises(ValueError, match="pixel cap"):
+        T.decode_frame(good, setup, 1 << 14, 1 << 13)
+    # ogg stream without setup
+    from rawdata_client_provider_gcs_spark.operators.rawogg import _page
+
+    lone = _page(5, 0, 0, [b"\x80theora" + bytes(35)], 2)
+    with pytest.raises(ValueError, match="lacks ident or setup"):
+        T.decode_ogg_theora(lone)
