@@ -6539,22 +6539,24 @@ def q_text_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
     "q_crawl_classify",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE CAST(doc_id % 16 AS INTEGER)
+       CASE CAST(doc_id % 19 AS INTEGER)
          WHEN 0 THEN 'zip' WHEN 1 THEN 'tar' WHEN 2 THEN '7z'
          WHEN 3 THEN 'docx' WHEN 4 THEN 'xlsx' WHEN 5 THEN 'doc'
          WHEN 6 THEN 'rtf' WHEN 7 THEN 'pdf' WHEN 8 THEN 'png'
          WHEN 9 THEN 'wav' WHEN 10 THEN 'ogg-vorbis' WHEN 11 THEN 'mp4'
          WHEN 12 THEN 'mbox' WHEN 13 THEN 'html' WHEN 14 THEN 'utf8-text'
-         ELSE 'binary' END AS format,
-       CASE CAST(doc_id % 16 AS INTEGER)
+         WHEN 15 THEN 'binary' WHEN 16 THEN 'rar5' WHEN 17 THEN 'ods'
+         ELSE 'odp' END AS format,
+       CASE CAST(doc_id % 19 AS INTEGER)
          WHEN 0 THEN 'archive' WHEN 1 THEN 'archive' WHEN 2 THEN 'archive'
          WHEN 3 THEN 'document' WHEN 4 THEN 'document'
          WHEN 5 THEN 'document' WHEN 6 THEN 'document'
          WHEN 7 THEN 'document' WHEN 8 THEN 'image' WHEN 9 THEN 'audio'
          WHEN 10 THEN 'audio' WHEN 11 THEN 'video' WHEN 12 THEN 'mail'
-         WHEN 13 THEN 'web' WHEN 14 THEN 'text' ELSE 'unknown' END
-         AS category,
-       CASE CAST(doc_id % 16 AS INTEGER)
+         WHEN 13 THEN 'web' WHEN 14 THEN 'text'
+         WHEN 15 THEN 'unknown' WHEN 16 THEN 'archive'
+         ELSE 'document' END AS category,
+       CASE CAST(doc_id % 19 AS INTEGER)
          WHEN 1 THEN 'gzip' WHEN 14 THEN 'zstd' ELSE NULL END AS wrapper
 FROM documents WHERE doc_id < 320
 """,
@@ -6563,10 +6565,11 @@ FROM documents WHERE doc_id < 320
 )
 def q_crawl_classify(spark: SparkSession, sf: str) -> DataFrame:
     """Universal payload ROUTING, oracle-exact — the stage a mixed
-    100 TB ingest runs first: sixteen payload shapes (archives plain
-    and gzip-wrapped, zip and CFB office families, RTF, PDF, PNG,
+    100 TB ingest runs first: nineteen payload shapes (archives plain,
+    gzip-wrapped, RAR5 (r13), zip and CFB office families, RTF, PDF, PNG,
     WAV, Ogg Vorbis, MP4, mbox, HTML, zstd-wrapped plain text, raw
-    binary) built by the engine's own fixture writers, classified by
+    binary, and the r13 ODF spreadsheet/presentation subtypes read
+    from the stored-first mimetype member) built by the engine's own fixture writers, classified by
     ``classify_payload``'s magic-first union of every sniffer the
     repo owns (:mod:`..sources.classify`).  Misrouting any format —
     or mis-peeling a wrapper — breaks the hash.
@@ -6599,7 +6602,7 @@ def q_crawl_classify(spark: SparkSession, sf: str) -> DataFrame:
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
                 t = str(text)[:60]
-                v = did % 16
+                v = did % 19
                 if v == 0:
                     blob = A.build_zip([("a.txt", t.encode())])
                 elif v == 1:
@@ -6640,8 +6643,16 @@ def q_crawl_classify(spark: SparkSession, sf: str) -> DataFrame:
                     blob = ZS.build_zst(
                         ("plain words " + t + " tail\n").encode()
                     )
-                else:
+                elif v == 15:
                     blob = bytes([did % 7, 0x00, 0xFE, 0x01]) * 24
+                elif v == 16:
+                    from ..sources import rar as RR
+
+                    blob = RR.build_rar5([("a.txt", t.encode())])
+                elif v == 17:
+                    blob = O.build_ods([("S1", [[t[:20]]])])
+                else:
+                    blob = O.build_odp([t[:40]])
                 payloads.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
