@@ -449,6 +449,51 @@ def idct_8x8(coeffs: list[int]) -> list[list[int]]:
     return out
 
 
+def _idct1d_batch(x: np.ndarray) -> np.ndarray:
+    """Vectorized :func:`idct_1d` over the last axis of an int64
+    array — identical stage structure, truncations and shifts, so
+    ``tests/test_theora.py`` pins batch == scalar on random blocks."""
+
+    def tr16(v):
+        return (v & 0xFFFF ^ 0x8000) - 0x8000
+
+    t0 = _C4 * tr16(x[..., 0] + x[..., 4]) >> 16
+    t1 = _C4 * tr16(x[..., 0] - x[..., 4]) >> 16
+    t2 = (_C6 * x[..., 2] >> 16) - (_C2 * x[..., 6] >> 16)
+    t3 = (_C2 * x[..., 2] >> 16) + (_C6 * x[..., 6] >> 16)
+    t4 = (_C7 * x[..., 1] >> 16) - (_C1 * x[..., 7] >> 16)
+    t5 = (_C3 * x[..., 5] >> 16) - (_C5 * x[..., 3] >> 16)
+    t6 = (_C5 * x[..., 5] >> 16) + (_C3 * x[..., 3] >> 16)
+    t7 = (_C1 * x[..., 1] >> 16) + (_C7 * x[..., 7] >> 16)
+    r = t4 + t5
+    t5 = _C4 * tr16(t4 - t5) >> 16
+    t4 = r
+    r = t7 + t6
+    t6 = _C4 * tr16(t7 - t6) >> 16
+    t7 = r
+    r = t0 + t3
+    t3 = t0 - t3
+    t0 = r
+    r = t1 + t2
+    t2 = t1 - t2
+    t1 = r
+    r = t6 + t5
+    t5 = t6 - t5
+    t6 = r
+    return tr16(np.stack(
+        [t0 + t7, t1 + t6, t2 + t5, t3 + t4,
+         t3 - t4, t2 - t5, t1 - t6, t0 - t7], axis=-1,
+    ))
+
+
+def idct_8x8_batch(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) int64 dequantized coefficients → (n, 8, 8) residuals
+    — rows pass, columns pass, final (v + 8) >> 4."""
+    rows = _idct1d_batch(blocks)
+    cols = _idct1d_batch(rows.swapaxes(-1, -2)).swapaxes(-1, -2)
+    return (cols + 8) >> 4
+
+
 def idct_flat_dc(dequant_dc: int) -> int:
     """Closed-form residual for a DC-only block — the value the SQL
     oracle restates: ((C4*((C4*dc)>>16))>>16 + 8) >> 4."""
@@ -567,14 +612,16 @@ def decode_frame(
     out_planes = []
     for pli in range(3):
         bw, bh = planes[pli]
-        qmat = compute_qmat(setup, 0, pli, qi)
+        qmat = np.array(compute_qmat(setup, 0, pli, qi), dtype=np.int64)
+        order_xy = orders[pli]
+        arr = np.array([coeffs[pli][xy] for xy in order_xy],
+                       dtype=np.int64)
+        dq = (arr * qmat).reshape(-1, 8, 8)
+        px = idct_8x8_batch(dq) + 128
+        px = np.clip(px, 0, 255).astype(np.uint8)
         plane = np.empty((bh * 8, bw * 8), dtype=np.uint8)
-        for (x, y), cf in coeffs[pli].items():
-            dq = [cf[ci] * qmat[ci] for ci in range(64)]
-            px = idct_8x8(dq)
-            blk = np.array(px, dtype=np.int32) + 128
-            plane[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = \
-                np.clip(blk, 0, 255).astype(np.uint8)
+        for bi, (x, y) in enumerate(order_xy):
+            plane[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = px[bi]
         out_planes.append(plane)
     _loop_filter(out_planes, setup["lflims"][qi], planes)
     return out_planes[0], out_planes[1], out_planes[2]

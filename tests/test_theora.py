@@ -264,3 +264,14 @@ def test_hostile_shapes():
     lone = _page(5, 0, 0, [b"\x80theora" + bytes(35)], 2)
     with pytest.raises(ValueError, match="lacks ident or setup"):
         T.decode_ogg_theora(lone)
+
+
+def test_batch_idct_matches_scalar():
+    """The vectorized iDCT is the performance path; the scalar one is
+    the reference — bit-identical on random coefficient blocks."""
+    rng = np.random.default_rng(11)
+    blocks = rng.integers(-4096, 4096, size=(40, 64)).astype(np.int64)
+    batch = T.idct_8x8_batch(blocks.reshape(-1, 8, 8))
+    for i in range(len(blocks)):
+        scalar = np.array(T.idct_8x8(list(blocks[i])))
+        assert np.array_equal(batch[i], scalar), i
