@@ -14,6 +14,8 @@ specification (theora.org, "Theora I specification"):
 - §6.4.3 computed quantization matrices (linear interpolation inside
   a quant range, 100-scale, [QMIN, 4096] clamp);
 - §7.1 frame header (FTYPE, up to 3 qi values, 3 reserved bits);
+- §7.4 per-block qi selection: the long-run bit vector (two passes
+  for three-qi frames) choosing each block's AC quantizer;
 - §7.7 DCT token decode: coefficient-position-major loop over blocks
   in coded order (plane raster of superblocks, Hilbert order within
   a superblock), global EOB-run counter, all 32 tokens (EOB runs,
@@ -30,8 +32,10 @@ other hostile shape.  Coverage honesty: the flat-color end-to-end
 oracle (`q_multimodal_theora_keyframe`) exercises value tokens, EOB
 runs (both 12-bit forms), DC prediction with all-equal neighbors,
 dequant, iDCT and reconstruction value-exactly against closed-form
-SQL; the remaining token shapes (zero runs, run/value combos,
-multi-qi block runs) are pinned by unit vectors in
+SQL — with every third stream a two-qi frame whose §7.4 run vector
+must parse exactly for the following token stream to stay in sync;
+the remaining token shapes (zero runs, run/value combos, the
+three-qi second pass) are pinned by unit vectors in
 ``tests/test_theora.py`` that this module's own fixture writers
 produce — self-consistent, flagged as such, since no independent
 Theora implementation ships in this environment.
@@ -330,6 +334,73 @@ def _token_extra(r: _Br, token: int) -> tuple[int, int, int]:
     raise ValueError(f"theora: token {token} out of range")
 
 
+#: long-run length code (§7.3.2): k leading 1-bits (max 6) select
+#: (suffix bits, base): runs 1, 2-3, 4-5, 6-9, 10-17, 18-33, 34-4129
+_RUN_BITS = (0, 1, 1, 2, 3, 4, 12)
+_RUN_BASE = (1, 2, 4, 6, 10, 18, 34)
+
+
+def _long_run(r: _Br) -> int:
+    k = 0
+    while k < 6 and r.read(1) == 1:
+        k += 1
+    bits = _RUN_BITS[k]
+    return _RUN_BASE[k] + (r.read(bits) if bits else 0)
+
+
+def _write_long_run(w: _Bw, n: int) -> None:
+    if not 1 <= n <= 4129:
+        raise ValueError("theora fixture: run outside 1..4129")
+    for k in range(6, -1, -1):
+        hi = _RUN_BASE[k] + (1 << _RUN_BITS[k]) - 1
+        if n >= _RUN_BASE[k] and n <= hi:
+            w.write((1 << k) - 1, k)  # k ones
+            if k < 6:
+                w.write(0, 1)  # terminating zero
+            if _RUN_BITS[k]:
+                w.write(n - _RUN_BASE[k], _RUN_BITS[k])
+            return
+
+
+def _decode_bit_runs(r: _Br, n: int) -> list[int]:
+    """§7.4's run-length bit vector over n blocks: an initial bit,
+    then long runs with the bit flipping between runs — except after
+    a maximal 4129-run, where the next bit is read explicitly."""
+    out: list[int] = []
+    bit = r.read(1)
+    while len(out) < n:
+        run = _long_run(r)
+        out.extend([bit] * min(run, n - len(out)))
+        if len(out) > n:
+            raise ValueError("theora: qi bit run overruns block count")
+        if run == 4129:
+            bit = r.read(1)
+        else:
+            bit ^= 1
+    return out
+
+
+def _encode_bit_runs(w: _Bw, bits: list[int]) -> None:
+    i = 0
+    n = len(bits)
+    w.write(bits[0], 1)
+    expected = bits[0]
+    while i < n:
+        run = 1
+        while i + run < n and bits[i + run] == bits[i] and run < 4129:
+            run += 1
+        if bits[i] != expected:
+            raise ValueError("theora fixture: runs must alternate")
+        _write_long_run(w, run)
+        i += run
+        if run == 4129:
+            if i < n:
+                w.write(bits[i], 1)
+                expected = bits[i]
+        else:
+            expected ^= 1
+
+
 #: huffman group of scan position ti: DC, AC 1-5, 6-14, 15-27, 28-63
 def _hgroup(ti: int) -> int:
     if ti == 0:
@@ -525,15 +596,21 @@ def decode_frame(
             qis.append(r.read(6))
     if r.read(3) != 0:
         raise ValueError("theora: nonzero reserved frame-header bits")
-    if len(qis) > 1:
-        raise ValueError(
-            "theora: multi-qi frames are out of the documented subset"
-        )
-    # intra: every block coded, all modes INTRA, no MVs, qi runs moot
+    # intra: every block coded, all modes INTRA, no MVs
     planes = [plane_dims(frame_w, frame_h, pli) for pli in range(3)]
     orders = [coded_order(bw, bh) for bw, bh in planes]
     nbl = [len(o) for o in orders]
     total = sum(nbl)
+    # §7.4 per-block qi indices (AC quantizer selection): two
+    # run-length bit passes over the coded blocks; absent for NQIS=1
+    qiis = [0] * total
+    if len(qis) >= 2:
+        flagged = _decode_bit_runs(r, total)
+        qiis = list(flagged)
+        if len(qis) == 3 and any(flagged):
+            sub = _decode_bit_runs(r, sum(flagged))
+            it = iter(sub)
+            qiis = [1 + next(it) if f else 0 for f in flagged]
     # coefficient storage: per plane, per (x, y) block → 64 ints
     coeffs = [
         {xy: [0] * 64 for xy in orders[pli]} for pli in range(3)
@@ -583,7 +660,6 @@ def decode_frame(
                 tis[pli][xy] = pos + 1 if zrun else ti + 1
             if tis[pli][xy] > 64:
                 tis[pli][xy] = 64
-    del total, nbl
     # DC prediction in the quantized domain, raster order per plane
     last_dc = 0
     for pli in range(3):
@@ -610,13 +686,22 @@ def decode_frame(
     # dequant + iDCT + intra reconstruction (predictor 128)
     qi = qis[0]
     out_planes = []
+    plane_base = [0, nbl[0], nbl[0] + nbl[1]]
     for pli in range(3):
         bw, bh = planes[pli]
-        qmat = np.array(compute_qmat(setup, 0, pli, qi), dtype=np.int64)
+        # per-qi AC matrices; the DC quantizer always comes from
+        # QIS[0] (§7.4: the block qi selects AC dequant only)
+        qmats = np.array(
+            [compute_qmat(setup, 0, pli, q) for q in qis],
+            dtype=np.int64,
+        )
+        qmats[:, 0] = qmats[0, 0]
         order_xy = orders[pli]
         arr = np.array([coeffs[pli][xy] for xy in order_xy],
                        dtype=np.int64)
-        dq = (arr * qmat).reshape(-1, 8, 8)
+        rows = qmats[[qiis[plane_base[pli] + i]
+                      for i in range(len(order_xy))]]
+        dq = (arr * rows).reshape(-1, 8, 8)
         px = idct_8x8_batch(dq) + 128
         px = np.clip(px, 0, 255).astype(np.uint8)
         plane = np.empty((bh * 8, bw * 8), dtype=np.uint8)
@@ -783,23 +868,41 @@ def _value_token(w: _Bw, v: int) -> None:
 
 def encode_flat_frame(
     frame_w: int, frame_h: int, dcs: tuple[int, int, int],
-    *, qi: int = 40, eob_sentinel: bool = False
+    *, qi: int = 40, eob_sentinel: bool = False,
+    second_qi: int | None = None, qi_stride: int = 7,
 ) -> bytes:
     """One intra frame whose planes are flat: the first block of each
     plane carries a DC value token (differenced against the running
     last-DC predictor), every other block ends via EOB runs — the
     12-bit explicit run, or the run-0 "all remaining" sentinel for
-    the final stretch when ``eob_sentinel``."""
+    the final stretch when ``eob_sentinel``.
+
+    ``second_qi`` makes it a two-qi frame: blocks alternate between
+    the qi indices every ``qi_stride`` blocks of coded order (§7.4
+    run-length bit vector).  On a flat frame the per-block qi only
+    selects the AC quantizer, so the pixels are invariant — but any
+    run-decode desync corrupts the following token stream, which is
+    exactly what the value-level oracle pins."""
     w = _Bw()
     w.write(0, 1)  # frame packet
     w.write(0, 1)  # intra
     w.write(qi, 6)
-    w.write(0, 1)  # one qi
-    w.write(0, 3)  # reserved
-    w.write(0, 4)  # HTIL (DC)
-    w.write(0, 4)  # HTIC (DC)
     counts = [bw * bh for bw, bh in
               (plane_dims(frame_w, frame_h, pli) for pli in range(3))]
+    if second_qi is not None:
+        w.write(1, 1)
+        w.write(second_qi, 6)
+        w.write(0, 1)  # two qis
+    else:
+        w.write(0, 1)  # one qi
+    w.write(0, 3)  # reserved
+    if second_qi is not None:
+        total = sum(counts)
+        _encode_bit_runs(
+            w, [(i // qi_stride) % 2 for i in range(total)]
+        )
+    w.write(0, 4)  # HTIL (DC)
+    w.write(0, 4)  # HTIC (DC)
     deltas = (dcs[0], dcs[1] - dcs[0], dcs[2] - dcs[1])
     for pli in range(3):
         if deltas[pli] == 0:
@@ -833,7 +936,8 @@ def encode_flat_frame(
 
 def build_theora_ogg(
     frame_w: int, frame_h: int, frames: list[tuple[int, int, int]],
-    *, qi: int = 40, eob_sentinel: bool = False
+    *, qi: int = 40, eob_sentinel: bool = False,
+    second_qi: int | None = None,
 ) -> bytes:
     """Structurally valid Ogg: ident + comment + setup headers, then
     one flat intra frame per (dcY, dcCb, dcCr) tuple."""
@@ -861,7 +965,8 @@ def build_theora_ogg(
     out += _page(serial, 1, 0, [comment, setup], 0)
     for i, dcs in enumerate(frames):
         pkt = encode_flat_frame(frame_w, frame_h, dcs, qi=qi,
-                                eob_sentinel=eob_sentinel)
+                                eob_sentinel=eob_sentinel,
+                                second_qi=second_qi)
         gran = (i + 1) << 6
         flags = 0x04 if i == len(frames) - 1 else 0
         out += _page(serial, 2 + i, gran, [pkt], flags)

@@ -6831,6 +6831,11 @@ def q_multimodal_theora_keyframe(spark: SparkSession, sf: str) -> DataFrame:
                 ogg = theoradec.build_theora_ogg(
                     w, h, [(dcy, dcb, dcr)],
                     eob_sentinel=did % 2 == 1,
+                    # every third doc is a two-qi frame: the per-block
+                    # qi run vector sits between header and tokens, so
+                    # a run-decode desync corrupts the value hash even
+                    # though flat-frame pixels are qi-invariant
+                    second_qi=20 if did % 3 == 0 else None,
                 )
                 out = theoradec.decode_ogg_theora(ogg)
                 y, cb, cr = out["frames"][0]

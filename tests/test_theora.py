@@ -275,3 +275,79 @@ def test_batch_idct_matches_scalar():
     for i in range(len(blocks)):
         scalar = np.array(T.idct_8x8(list(blocks[i])))
         assert np.array_equal(batch[i], scalar), i
+
+
+def test_long_run_codec_boundaries():
+    """§7.3.2 long-run lengths across every prefix-class boundary."""
+    for n in (1, 2, 3, 4, 5, 6, 9, 10, 17, 18, 33, 34, 100, 4129):
+        w = T._Bw()
+        T._write_long_run(w, n)
+        assert T._long_run(T._Br(w.bytes())) == n, n
+    with pytest.raises(ValueError, match="run"):
+        T._write_long_run(T._Bw(), 4130)
+
+
+def test_bit_run_vector_roundtrip_and_4129_rule():
+    import random
+
+    rng = random.Random(3)
+    for trial in range(20):
+        n = rng.randrange(1, 300)
+        bits = []
+        b = rng.randrange(2)
+        while len(bits) < n:
+            bits.extend([b] * rng.randrange(1, 40))
+            b ^= 1
+        bits = bits[:n]
+        w = T._Bw()
+        T._encode_bit_runs(w, bits)
+        assert T._decode_bit_runs(T._Br(w.bytes()), n) == bits, trial
+    # a maximal 4129-run does NOT flip: the next bit is explicit —
+    # including a same-valued continuation
+    bits = [1] * 5000 + [0] * 3
+    w = T._Bw()
+    T._encode_bit_runs(w, bits)
+    assert T._decode_bit_runs(T._Br(w.bytes()), len(bits)) == bits
+
+
+def test_two_qi_frame_decodes_identically():
+    """Per-block qi selects the AC quantizer only; on a flat frame
+    the output is invariant, but the run vector sits between the
+    frame header and the token stream, so a desync would corrupt
+    every following token."""
+    setup = T.parse_setup(T.build_setup_packet())
+    qm0 = T.compute_qmat(setup, 0, 0, 40)[0]
+    for stride in (1, 3, 7, 50):
+        pkt = T.encode_flat_frame(64, 48, (9, 5, 13), qi=40,
+                                  second_qi=20, qi_stride=stride)
+        y, cb, cr = T.decode_frame(pkt, setup, 64, 48)
+        for plane, dc in ((y, 9), (cb, 5), (cr, 13)):
+            assert plane.min() == plane.max() == _flat_expected(dc, qm0)
+    # three-qi second pass: hand-build header with NQIS=3 where all
+    # flagged blocks resolve to index 2
+    w = T._Bw()
+    w.write(0, 1)
+    w.write(0, 1)
+    w.write(40, 6)
+    w.write(1, 1)
+    w.write(20, 6)
+    w.write(1, 1)
+    w.write(10, 6)
+    w.write(0, 3)
+    n = 48 + 12 + 12
+    T._encode_bit_runs(w, [1] * n)   # pass 1: every block flagged
+    T._encode_bit_runs(w, [1] * n)   # pass 2: all resolve to qi idx 2
+    w.write(0, 4)
+    w.write(0, 4)
+    # token stream: same flat construction as the fixture writer
+    for pli, delta in ((0, 9), (1, 5 - 9), (2, 13 - 5)):
+        T._value_token(w, delta)
+        run = (48, 12, 12)[pli] - 1
+        T._write_token(w, 6, run, 12)
+    w.write(0, 4)
+    w.write(0, 4)
+    T._write_token(w, 2, 0, 0)
+    y, cb, cr = T.decode_frame(w.bytes(), setup, 64, 48)
+    qm0 = T.compute_qmat(setup, 0, 0, 40)[0]
+    for plane, dc in ((y, 9), (cb, 5), (cr, 13)):
+        assert plane.min() == plane.max() == _flat_expected(dc, qm0)
