@@ -1112,3 +1112,97 @@ def q_stream_media_meta(spark: SparkSession, sf: str) -> DataFrame:
         "t_media_meta",
     )
     return out
+
+
+@register(
+    "q_stream_theora_keyframe",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(16 * (2 + doc_id % 2) AS BIGINT) AS width,
+       CAST(32 AS BIGINT) AS height,
+       CAST(128 + ((((46341 * ((46341 * ((1 + doc_id % 23) * 64))
+            >> 16)) >> 16) + 8) >> 4) AS BIGINT) AS y_val,
+       CAST(128 + ((((46341 * ((46341 * (((1 + doc_id % 23)
+            + 1 + doc_id % 4) * 64)) >> 16)) >> 16) + 8) >> 4)
+            AS BIGINT) AS cb_val,
+       CAST(128 + ((((46341 * ((46341 * (((1 + doc_id % 23)
+            + (1 + doc_id % 4) + 1 + doc_id % 3) * 64)) >> 16)) >> 16)
+            + 8) >> 4) AS BIGINT) AS cr_val
+FROM documents WHERE doc_id < 90
+""",
+    tags=("streaming", "multimodal", "theora", "video"),
+)
+def q_stream_theora_keyframe(spark: SparkSession, sf: str) -> DataFrame:
+    """Theora keyframe pixel decode as a STREAM, oracle-exact — the
+    r13 video tier gets the same availableNow twin the WARC/PDF/
+    archive/media/office/classify fronts have: Ogg Theora drops
+    arrive in micro-batches and each decodes through the full §7
+    intra pipeline (:mod:`..operators.theoradec`) inside a stateless
+    mapInPandas append, per-row error capture intact.  Same
+    closed-form oracle arithmetic as the batch query.
+    """
+    import tempfile
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 90)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import theoradec
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                dcy = 1 + did % 23
+                dcb = dcy + 1 + did % 4
+                dcr = dcb + 1 + did % 3
+                payloads.append(theoradec.build_theora_ogg(
+                    16 * (2 + did % 2), 32, [(dcy, dcb, dcr)],
+                    second_qi=18 if did % 3 == 0 else None,
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    stage = tempfile.mkdtemp(prefix="rawdata-theora-stream-")
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    files.withColumn("part", F.col("doc_id") % 4).repartition(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(stage)
+
+    def decode(batches):
+        import pandas as pd
+
+        from ..operators import theoradec
+
+        cols = ("doc_id", "width", "height", "y_val", "cb_val", "cr_val")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out = theoradec.decode_ogg_theora(bytes(payload))
+                y, cb, cr = out["frames"][0]
+                rows["doc_id"].append(int(did))
+                rows["width"].append(out["width"])
+                rows["height"].append(out["height"])
+                rows["y_val"].append(int(y[0, 0]))
+                rows["cb_val"].append(int(cb[0, 0]))
+                rows["cr_val"].append(int(cr[0, 0]))
+            yield pd.DataFrame(rows)
+
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return W.run_available_now_append(
+        stream.mapInPandas(
+            decode,
+            "doc_id long, width long, height long, y_val long, "
+            "cb_val long, cr_val long",
+        ),
+        "t_theora_stream",
+    )
