@@ -11,9 +11,14 @@ PostScript name), ``head`` (unitsPerEm), and ``maxp`` (numGlyphs).
 - **WOFF1**: the W3C wrapper — per-table zlib compression (stdlib);
   tables are inflated individually and bounded.
 - **TTC**: the collection header; every face parses, one row each.
-- **WOFF2** is recognized but raises loudly: its table stream is
-  Brotli-compressed and Brotli's dictionary is a fixed constants wall
-  (the MP3/AAC honesty class) — metadata stays per-row capturable.
+- **WOFF2** (r13): the W3C format's whole-stream Brotli block
+  decodes through the in-repo RFC 7932 decoder
+  (:mod:`..sources.brotli_codec`); the table directory (known-tag
+  indices, UIntBase128 lengths, transform flags) is walked and
+  untransformed tables — including the metadata set — extract
+  byte-exact.  The glyf/loca triplet transform stays a documented
+  census boundary (tables are listed with sizes, content marked
+  transformed); font collections (``ttcf`` flavor) stay loud.
 
 All malformed-input paths raise ``ValueError``; table counts, sizes,
 and name records are bounded so hostile fonts cannot balloon.
@@ -205,13 +210,7 @@ def parse_font(data: bytes) -> dict:
     if kind is None:
         raise ValueError("font: no sfnt/WOFF/TTC magic")
     if kind == "woff2":
-        from .rawavi import UnsupportedCodecError
-
-        raise UnsupportedCodecError(
-            "WOFF2 table decompression needs Brotli's fixed dictionary "
-            "(the documented constants boundary); metadata is available "
-            "for TTF/OTF/WOFF1/TTC"
-        )
+        return {"container": "woff2", "faces": [_parse_woff2(data)]}
     if kind == "ttc":
         if len(data) < 12:
             raise ValueError("font: TTC header shorter than 12 bytes")
@@ -229,6 +228,169 @@ def parse_font(data: bytes) -> dict:
     if kind == "woff":
         return {"container": "woff", "faces": _parse_woff(data)}
     return {"container": kind, "faces": [_parse_sfnt_face(data, 0)]}
+
+
+
+
+#: WOFF2 known table tags, directory order (W3C WOFF2 §5.2) — index
+#: 63 marks an arbitrary 4-byte tag
+_WOFF2_TAGS = (
+    b"cmap", b"head", b"hhea", b"hmtx", b"maxp", b"name", b"OS/2",
+    b"post", b"cvt ", b"fpgm", b"glyf", b"loca", b"prep", b"CFF ",
+    b"VORG", b"EBDT", b"EBLC", b"gasp", b"hdmx", b"kern", b"LTSH",
+    b"PCLT", b"VDMX", b"vhea", b"vmtx", b"BASE", b"GDEF", b"GPOS",
+    b"GSUB", b"EBSC", b"JSTF", b"MATH", b"CBDT", b"CBLC", b"COLR",
+    b"CPAL", b"SVG ", b"sbix", b"acnt", b"avar", b"bdat", b"bloc",
+    b"bsln", b"cvar", b"fdsc", b"feat", b"fmtx", b"fvar", b"gvar",
+    b"hsty", b"just", b"lcar", b"mort", b"morx", b"opbd", b"prop",
+    b"trak", b"Zapf", b"Silf", b"Glat", b"Gloc", b"Feat", b"Sill",
+    b"????",
+)
+
+
+def _uintbase128(data: bytes, pos: int) -> tuple[int, int]:
+    """WOFF2 UIntBase128: MSB-first 7-bit groups, max 5 bytes, no
+    leading zero byte, 32-bit range."""
+    out = 0
+    for i in range(5):
+        if pos >= len(data):
+            raise ValueError("font: UIntBase128 past end")
+        b = data[pos]
+        pos += 1
+        if i == 0 and b == 0x80:
+            raise ValueError("font: UIntBase128 leading zero")
+        if out & 0xFE000000:
+            raise ValueError("font: UIntBase128 over 32 bits")
+        out = (out << 7) | (b & 0x7F)
+        if not b & 0x80:
+            return out, pos
+    raise ValueError("font: UIntBase128 over 5 bytes")
+
+
+def _parse_woff2(data: bytes) -> dict:
+    """One WOFF2 font: directory walk + whole-stream Brotli decode;
+    untransformed tables extract, transformed glyf/loca stay census
+    (the face meta set — name/head/maxp — is never transformed)."""
+    from ..sources.brotli_codec import brotli_decompress
+
+    if len(data) < 48:
+        raise ValueError("font: WOFF2 header shorter than 48 bytes")
+    flavor = data[4:8]
+    if flavor == b"ttcf":
+        raise ValueError(
+            "font: WOFF2 collections (ttcf) are out of the documented "
+            "subset"
+        )
+    (n_tables,) = struct.unpack(">H", data[12:14])
+    if n_tables == 0 or n_tables > MAX_TABLES:
+        raise ValueError(f"font: {n_tables} WOFF2 tables out of range")
+    (total_comp,) = struct.unpack(">I", data[20:24])
+    pos = 48
+    entries = []  # (tag, orig_len, stream_len, transformed)
+    for _ in range(n_tables):
+        if pos >= len(data):
+            raise ValueError("font: WOFF2 directory past end")
+        flags = data[pos]
+        pos += 1
+        idx = flags & 0x3F
+        if idx == 63:
+            tag = data[pos : pos + 4]
+            if len(tag) < 4:
+                raise ValueError("font: WOFF2 arbitrary tag past end")
+            pos += 4
+        else:
+            tag = _WOFF2_TAGS[idx]
+        tversion = flags >> 6
+        orig_len, pos = _uintbase128(data, pos)
+        if orig_len > MAX_TABLE_BYTES:
+            raise ValueError(f"font: WOFF2 table {tag!r} over the cap")
+        # glyf/loca: version 0 MEANS transformed; other tables:
+        # nonzero version means transformed (W3C §5.3)
+        transformed = (tversion == 0) if tag in (b"glyf", b"loca") \
+            else (tversion != 0)
+        stream_len = orig_len
+        if transformed:
+            stream_len, pos = _uintbase128(data, pos)
+            if stream_len > MAX_TABLE_BYTES:
+                raise ValueError(
+                    f"font: WOFF2 transform of {tag!r} over the cap"
+                )
+        entries.append((tag, orig_len, stream_len, transformed))
+    if pos + total_comp > len(data):
+        raise ValueError("font: WOFF2 compressed block past end")
+    total_stream = sum(e[2] for e in entries)
+    blob = brotli_decompress(
+        data[pos : pos + total_comp],
+        cap=min(total_stream, MAX_TABLE_BYTES * 4),
+    )
+    if len(blob) != total_stream:
+        raise ValueError(
+            f"font: WOFF2 stream inflates to {len(blob)}, directory "
+            f"declares {total_stream}"
+        )
+    tables: dict[bytes, bytes] = {}
+    census = []
+    off = 0
+    for tag, orig_len, stream_len, transformed in entries:
+        body = blob[off : off + stream_len]
+        off += stream_len
+        census.append({"tag": tag.decode("latin-1"), "size": orig_len,
+                       "transformed": transformed})
+        if not transformed and tag in (b"name", b"head", b"maxp"):
+            tables[tag] = body
+    face = _face_meta(
+        flavor if flavor in _SFNT_VERSIONS else b"\x00\x01\x00\x00",
+        tables,
+    )
+    face["flavor"] = "otf" if flavor == b"OTTO" else "ttf"
+    face["tables"] = census
+    return face
+
+
+def build_woff2(sfnt: bytes) -> bytes:
+    """Deterministic WOFF2 writer from an sfnt blob: untransformed
+    tables (glyf/loca marked null-transform version 3 per spec), the
+    data block as an uncompressed-meta-block Brotli stream — so the
+    reference Brotli implementation reads it back too."""
+    from ..sources.brotli_codec import brotli_store
+
+    (n_tables,) = struct.unpack(">H", sfnt[4:6])
+    directory = bytearray()
+    stream = bytearray()
+    for i in range(n_tables):
+        rec = sfnt[12 + 16 * i : 28 + 16 * i]
+        tag = rec[:4]
+        (t_off, t_len) = struct.unpack(">II", rec[8:16])
+        body = sfnt[t_off : t_off + t_len]
+        try:
+            idx = _WOFF2_TAGS.index(tag)
+        except ValueError:
+            idx = 63
+        tversion = 3 if tag in (b"glyf", b"loca") else 0  # null transform
+        directory.append((tversion << 6) | idx)
+        if idx == 63:
+            directory += tag
+        v = t_len
+        chunks = []
+        while True:
+            chunks.append(v & 0x7F)
+            v >>= 7
+            if not v:
+                break
+        for k, c in enumerate(reversed(chunks)):
+            directory.append(c | (0x80 if k < len(chunks) - 1 else 0))
+        stream += body
+    comp = brotli_store(bytes(stream))
+    header = bytearray(b"wOF2")
+    header += sfnt[:4]  # flavor
+    total_len = 48 + len(directory) + len(comp)
+    header += struct.pack(">I", total_len)
+    header += struct.pack(">HH", n_tables, 0)
+    header += struct.pack(">I", 12 + 16 * n_tables + len(stream))
+    header += struct.pack(">I", len(comp))
+    header += struct.pack(">HH", 1, 0)
+    header += struct.pack(">IIIII", 0, 0, 0, 0, 0)
+    return bytes(header) + bytes(directory) + comp
 
 
 # ---------------------------------------------------------------------------

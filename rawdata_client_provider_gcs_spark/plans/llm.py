@@ -2704,7 +2704,11 @@ def q_source_warc(spark: SparkSession, sf: str) -> DataFrame:
                      "payload": b"software: rwgs\r\n"},
                     {"warc_type": "response",
                      "target_uri": f"https://crawl.example/{did}/1",
-                     "http_status": 200, "body": f"page {did}".encode()},
+                     "http_status": 200, "body": f"page {did}".encode(),
+                     # Content-Encoding rotation (r13): the oracle
+                     # states DECODED body lengths, so a br/gzip
+                     # decode failure breaks the hash
+                     "encoding": ("br", "gzip", None)[did % 3]},
                     {"warc_type": "response",
                      "target_uri": f"https://crawl.example/{did}/2",
                      "http_status": 200 + 204 * (did % 2),
@@ -6380,12 +6384,13 @@ def q_multimodal_pdf_structure(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
 WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 240)
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE CAST(doc_id % 4 AS INTEGER)
+       CASE CAST(doc_id % 5 AS INTEGER)
          WHEN 0 THEN 'ttf' WHEN 1 THEN 'otf' WHEN 2 THEN 'woff'
-         ELSE 'ttc' END AS container,
+         WHEN 3 THEN 'ttc' ELSE 'woff2' END AS container,
        CAST(f.i AS BIGINT) AS face_idx,
-       CASE WHEN doc_id % 4 = 1 THEN 'otf'
-            WHEN doc_id % 4 = 3 AND f.i = 1 THEN 'otf'
+       CASE WHEN doc_id % 5 = 1 THEN 'otf'
+            WHEN doc_id % 5 = 3 AND f.i = 1 THEN 'otf'
+            WHEN doc_id % 5 = 4 AND doc_id % 2 = 1 THEN 'otf'
             ELSE 'ttf' END AS flavor,
        'Family ' || CAST(doc_id % 50 AS VARCHAR)
          || CASE WHEN f.i = 1 THEN ' Bold' ELSE '' END AS family,
@@ -6393,7 +6398,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 2048 END AS BIGINT)
          AS units_per_em
 FROM d, (SELECT unnest(generate_series(0, 1)) AS i) AS f
-WHERE f.i = 0 OR doc_id % 4 = 3
+WHERE f.i = 0 OR doc_id % 5 = 3
 """,
     tags=("llm", "multimodal", "font", "crawl", "pandas-udf"),
 )
@@ -6404,8 +6409,10 @@ def q_crawl_font_meta(spark: SparkSession, sf: str) -> DataFrame:
     ``maxp``, units-per-em from ``head``, across all four carriages
     (bare TTF, OTTO/OTF, per-table-zlib WOFF1, and two-face TTC
     collections with rewritten offsets —
-    :mod:`..operators.rawfont`).  WOFF2 stays the loud boundary
-    (Brotli's fixed dictionary).  All columns closed-form in doc_id.
+    :mod:`..operators.rawfont`) — plus WOFF2 (r13): the whole-stream
+    Brotli block decodes through the in-repo RFC 7932 decoder and the
+    directory's untransformed tables extract byte-exact.  All columns
+    closed-form in doc_id.
     """
     d = (
         load_table(spark, sf, "documents")
@@ -6426,7 +6433,7 @@ def q_crawl_font_meta(spark: SparkSession, sf: str) -> DataFrame:
                 fam = f"Family {did % 50}"
                 base = dict(family=fam, units_per_em=upem,
                             n_glyphs=100 + did % 900)
-                v = did % 4
+                v = did % 5
                 if v == 0:
                     payloads.append(FT.build_sfnt(**base))
                 elif v == 1:
@@ -6435,13 +6442,18 @@ def q_crawl_font_meta(spark: SparkSession, sf: str) -> DataFrame:
                     )
                 elif v == 2:
                     payloads.append(FT.build_woff(FT.build_sfnt(**base)))
-                else:
+                elif v == 3:
                     second = dict(base, family=fam + " Bold",
                                   n_glyphs=base["n_glyphs"] + 10)
                     payloads.append(FT.build_ttc([
                         FT.build_sfnt(**base),
                         FT.build_sfnt(**second, flavor=b"OTTO"),
                     ]))
+                else:
+                    flav = b"OTTO" if did % 2 == 1 else b"\x00\x01\x00\x00"
+                    payloads.append(FT.build_woff2(
+                        FT.build_sfnt(**base, flavor=flav)
+                    ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "font": payloads})
 

@@ -1,0 +1,732 @@
+"""Pure-Python Brotli decoder (RFC 7932) + uncompressed-block writer.
+
+Brotli is the web's third content-coding (``Content-Encoding: br``,
+WOFF2 fonts, ``.br`` sidecars) — until now any brotli-wrapped payload
+was whole-file data loss.  This module implements the complete
+decode side of the public RFC:
+
+- stream header (window bits incl. the 7-bit small-window forms);
+- meta-block headers: last/empty, MNIBBLES, metadata-skip blocks,
+  uncompressed blocks;
+- prefix codes: the simple 1-4 symbol form (with the 4-symbol tree
+  select) and the complex form (code-length code in the RFC's
+  ``1,2,3,4,0,5,17,6,16,7,...`` order, HSKIP, 16/17 repeat codes
+  with the cumulative-repeat rule, 32-space accounting);
+- the three block-category machines (literals / insert&copy /
+  distances) with block-type and block-count codes and switch
+  commands;
+- context modeling: the four literal context modes (LSB6, MSB6,
+  UTF8, Signed) over the RFC's lookup tables, literal and distance
+  context maps with run-length encoding and inverse move-to-front;
+- insert&copy length codes (the 704-symbol cell table with implicit
+  zero-distance cells), distance codes (16 ring-buffer specials,
+  NDIRECT, NPOSTFIX), the ``[16, 15, 11, 4]`` distance ring;
+- static-dictionary references with all 121 word transforms
+  (identity / omit-first-N / omit-last-N / ferment-first /
+  ferment-all with the RFC's UTF-8-aware ferment rule).
+
+The RFC's constant data (the 122,784-byte Appendix-A dictionary, the
+2,048-byte context lookup tables, the Appendix-B transforms) ships as
+package data extracted from the system reference library by
+``tools/extract_brotli_tables.py`` — public normative data, not
+transcribed by hand.
+
+Verification has no fixture-mirror loophole: the decoder is pinned
+against streams produced by the system's C Brotli encoder (via
+``pyarrow.Codec("brotli")``) across qualities and payload shapes, and
+the reference decoder reads this module's :func:`brotli_store` output
+back (two-direction interop, same discipline as the zstd tier).
+
+Reference behavioral parity: the reference transport stores opaque
+named byte arrays per message (RawdataMessage.java:15-60); transparent
+compression wrappers are this repo's derived ingestion tier.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+from pathlib import Path
+
+MAX_OUTPUT_BYTES = 1 << 30
+
+# ---------------------------------------------------------------------------
+# RFC constant data (extracted package data) and fixed tables
+# ---------------------------------------------------------------------------
+
+_DATA_PATH = Path(__file__).with_name("brotli_data.bin")
+_tables: dict | None = None
+
+
+def _load_tables() -> dict:
+    global _tables
+    if _tables is None:
+        raw = zlib.decompress(_DATA_PATH.read_bytes())
+        nl = raw.index(b"\n")
+        hdr = json.loads(raw[:nl])
+        off = nl + 1
+        dict_data = raw[off : off + hdr["dict_size"]]
+        off += hdr["dict_size"]
+        ctx = raw[off : off + hdr["ctx_size"]]
+        off += hdr["ctx_size"]
+        transforms = [tuple(t) for t in json.loads(raw[off:])]
+        if len(transforms) != hdr["n_transforms"]:
+            raise ValueError("brotli: corrupt package data tables")
+        _tables = {
+            "dict": dict_data,
+            "size_bits": hdr["size_bits"],
+            "offsets": hdr["offsets"],
+            "ctx": ctx,
+            "transforms": transforms,
+        }
+    return _tables
+
+
+#: code-length-code symbol order (RFC 3.5)
+_CLC_ORDER = (1, 2, 3, 4, 0, 5, 17, 6, 16, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+#: the fixed 4-bit-window code for code-length lengths (RFC 3.5)
+_CLC_LEN = (2, 2, 2, 3, 2, 2, 2, 4, 2, 2, 2, 3, 2, 2, 2, 4)
+_CLC_VAL = (0, 4, 3, 2, 0, 4, 3, 1, 0, 4, 3, 2, 0, 4, 3, 5)
+
+#: block count code: (extra bits, base) per symbol (RFC 9.2)
+_BLOCK_COUNT = (
+    (2, 1), (2, 5), (2, 9), (2, 13), (3, 17), (3, 25), (3, 33),
+    (3, 41), (4, 49), (4, 65), (4, 81), (4, 97), (5, 113), (5, 145),
+    (5, 177), (5, 209), (6, 241), (6, 305), (7, 369), (8, 497),
+    (9, 753), (10, 1265), (11, 2289), (12, 4337), (13, 8433),
+    (24, 16625),
+)
+
+#: insert length codes: (extra, base) (RFC 5)
+_INSERT = (
+    (0, 0), (0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (1, 6), (1, 8),
+    (2, 10), (2, 14), (3, 18), (3, 26), (4, 34), (4, 50), (5, 66),
+    (5, 98), (6, 130), (7, 194), (8, 322), (9, 578), (10, 1090),
+    (12, 2114), (14, 6210), (24, 22594),
+)
+
+#: copy length codes: (extra, base) (RFC 5)
+_COPY = (
+    (0, 2), (0, 3), (0, 4), (0, 5), (0, 6), (0, 7), (0, 8), (0, 9),
+    (1, 10), (1, 12), (2, 14), (2, 18), (3, 22), (3, 30), (4, 38),
+    (4, 54), (5, 70), (5, 102), (6, 134), (7, 198), (8, 326),
+    (9, 582), (10, 1094), (24, 2118),
+)
+
+#: insert&copy cell table: cmd>>6 → (insert high, copy high,
+#: implicit zero distance) (RFC 5)
+_CELLS = (
+    (0, 0, True), (0, 1, True), (0, 0, False), (0, 1, False),
+    (1, 0, False), (1, 1, False), (0, 2, False), (2, 0, False),
+    (1, 2, False), (2, 1, False), (2, 2, False),
+)
+
+
+# ---------------------------------------------------------------------------
+# LSB-first bit reader
+# ---------------------------------------------------------------------------
+
+
+class _Bits:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.nbits = 8 * len(data)
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.nbits:
+            raise ValueError("brotli: bit read past end of stream")
+        out = 0
+        pos = self.pos
+        data = self.data
+        got = 0
+        while got < n:
+            byte = data[pos >> 3]
+            avail = 8 - (pos & 7)
+            take = min(avail, n - got)
+            out |= ((byte >> (pos & 7)) & ((1 << take) - 1)) << got
+            got += take
+            pos += take
+        self.pos = pos
+        return out
+
+    def peek(self, n: int) -> int:
+        """n bits zero-padded past the end (for table lookups)."""
+        out = 0
+        pos = self.pos
+        data = self.data
+        for i in range(n):
+            if pos < self.nbits:
+                out |= ((data[pos >> 3] >> (pos & 7)) & 1) << i
+            pos += 1
+        return out
+
+    def skip(self, n: int) -> None:
+        if self.pos + n > self.nbits:
+            raise ValueError("brotli: bit skip past end of stream")
+        self.pos += n
+
+    def align_byte(self) -> None:
+        pad = (-self.pos) % 8
+        if pad and self.read(pad) != 0:
+            raise ValueError("brotli: nonzero padding bits")
+
+    def read_bytes(self, n: int) -> bytes:
+        if self.pos & 7:
+            raise ValueError("brotli: byte read while unaligned")
+        start = self.pos >> 3
+        if start + n > len(self.data):
+            raise ValueError("brotli: byte read past end of stream")
+        self.pos += 8 * n
+        return self.data[start : start + n]
+
+
+# ---------------------------------------------------------------------------
+# canonical prefix codes
+# ---------------------------------------------------------------------------
+
+
+class _Code:
+    """Canonical prefix code with an 8-bit fast table and a dict walk
+    for longer codewords (max length 15)."""
+
+    __slots__ = ("fast", "slow", "max_len", "single")
+
+    def __init__(self, lengths: dict[int, int]):
+        # lengths: symbol -> code length (>0); canonical assignment by
+        # (length, symbol)
+        items = sorted(lengths.items(), key=lambda kv: (kv[1], kv[0]))
+        if len(items) == 1:
+            self.single = items[0][0]
+            self.fast = None
+            self.slow = None
+            self.max_len = 0
+            return
+        self.single = None
+        space = 0
+        code = 0
+        prev_len = 0
+        self.slow = {}
+        self.fast = [None] * 256
+        self.max_len = items[-1][1]
+        for sym, ln in items:
+            code <<= ln - prev_len
+            prev_len = ln
+            space += 1 << (15 - ln)
+            if space > (1 << 15):
+                raise ValueError("brotli: over-subscribed prefix code")
+            # bit-reverse the codeword for LSB-first reading
+            rev = 0
+            c = code
+            for _ in range(ln):
+                rev = (rev << 1) | (c & 1)
+                c >>= 1
+            if ln <= 8:
+                step = 1 << ln
+                for k in range(rev, 256, step):
+                    self.fast[k] = (sym, ln)
+            else:
+                self.slow[(ln, rev & ((1 << ln) - 1))] = sym
+                self.fast[rev & 0xFF] = None
+            code += 1
+        if space != (1 << 15):
+            raise ValueError("brotli: under-subscribed prefix code")
+
+    def decode(self, r: _Bits) -> int:
+        if self.single is not None:
+            return self.single
+        hit = self.fast[r.peek(8)]
+        if hit is not None:
+            r.skip(hit[1])
+            return hit[0]
+        # slow path: accumulate LSB-first
+        acc = 0
+        for ln in range(1, self.max_len + 1):
+            acc |= r.read(1) << (ln - 1)
+            if ln > 8:
+                sym = self.slow.get((ln, acc))
+                if sym is not None:
+                    return sym
+        raise ValueError("brotli: invalid prefix codeword")
+
+
+def _alphabet_bits(size: int) -> int:
+    return max(1, (size - 1).bit_length())
+
+
+def _read_code(r: _Bits, alphabet_size: int) -> _Code:
+    """One prefix code (RFC 3.4/3.5): simple or complex form."""
+    two = r.read(2)
+    if two == 1:  # simple
+        nsym = r.read(2) + 1
+        bits = _alphabet_bits(alphabet_size)
+        syms = []
+        for _ in range(nsym):
+            s = r.read(bits)
+            if s >= alphabet_size:
+                raise ValueError("brotli: simple-code symbol out of range")
+            if s in syms:
+                raise ValueError("brotli: duplicate simple-code symbol")
+            syms.append(s)
+        if nsym == 1:
+            return _Code({syms[0]: 1})  # handled as single
+        if nsym == 2:
+            lens = (1, 1)
+        elif nsym == 3:
+            lens = (1, 2, 2)
+        else:
+            lens = (1, 2, 3, 3) if r.read(1) else (2, 2, 2, 2)
+        return _Code(dict(zip(syms, lens)))
+    # complex: two is HSKIP (0, 2 or 3)
+    hskip = two
+    cl_lengths: dict[int, int] = {}
+    space = 0
+    nonzero = 0
+    for i in range(hskip, 18):
+        idx = r.peek(4)
+        ln = _CLC_LEN[idx]
+        val = _CLC_VAL[idx]
+        r.skip(ln)
+        if val:
+            cl_lengths[_CLC_ORDER[i]] = val
+            space += 32 >> val
+            nonzero += 1
+            if space >= 32:
+                break
+    if nonzero == 1:
+        cl_code = _Code({next(iter(cl_lengths)): 1})
+    else:
+        if space != 32:
+            raise ValueError("brotli: code-length code space mismatch")
+        cl_code = _Code(cl_lengths)
+    # symbol lengths with 16/17 repeats
+    lengths: dict[int, int] = {}
+    symbol = 0
+    space = 0
+    prev_len = 8  # initial "previous code length" per RFC
+    repeat = 0
+    repeat_len = 0
+    prev_code = -1
+    while symbol < alphabet_size and space < (1 << 15):
+        code = cl_code.decode(r)
+        if code < 16:
+            lengths_val = code
+            if lengths_val:
+                lengths[symbol] = lengths_val
+                space += 1 << (15 - lengths_val)
+                prev_len = lengths_val
+            symbol += 1
+            prev_code = code
+            repeat = 0
+        else:
+            ebits = 2 if code == 16 else 3
+            new_len = prev_len if code == 16 else 0
+            if prev_code == code and repeat:
+                old = repeat
+                repeat = ((repeat - 2) << ebits) + 3 + r.read(ebits)
+                extra_syms = repeat - old
+            else:
+                repeat = 3 + r.read(ebits)
+                extra_syms = repeat
+            if symbol + extra_syms > alphabet_size:
+                raise ValueError("brotli: repeat past alphabet end")
+            for _ in range(extra_syms):
+                if new_len:
+                    lengths[symbol] = new_len
+                    space += 1 << (15 - new_len)
+                symbol += 1
+            prev_code = code
+    if not lengths:
+        raise ValueError("brotli: empty prefix code")
+    if len(lengths) == 1:
+        return _Code({next(iter(lengths)): 1})
+    if space != (1 << 15):
+        raise ValueError("brotli: prefix code space mismatch")
+    return _Code(lengths)
+
+
+# ---------------------------------------------------------------------------
+# helpers: variable counts, context maps, block categories
+# ---------------------------------------------------------------------------
+
+
+def _read_nbltypes(r: _Bits) -> int:
+    """1..256: '0' → 1, else 3-bit class k then k extra bits."""
+    if r.read(1) == 0:
+        return 1
+    k = r.read(3)
+    return 1 + (1 << k) + r.read(k)
+
+
+def _read_block_count(r: _Bits, code: _Code) -> int:
+    sym = code.decode(r)
+    if sym >= len(_BLOCK_COUNT):
+        raise ValueError("brotli: block-count symbol out of range")
+    ebits, base = _BLOCK_COUNT[sym]
+    return base + r.read(ebits)
+
+
+def _read_context_map(r: _Bits, n_trees: int, size: int) -> list[int]:
+    if n_trees == 1:
+        return [0] * size
+    rlemax = (r.read(4) + 1) if r.read(1) else 0
+    code = _read_code(r, n_trees + rlemax)
+    cmap: list[int] = []
+    while len(cmap) < size:
+        sym = code.decode(r)
+        if sym == 0:
+            cmap.append(0)
+        elif sym <= rlemax:
+            run = (1 << sym) + r.read(sym)
+            if len(cmap) + run > size:
+                raise ValueError("brotli: context-map zero run overruns")
+            cmap.extend([0] * run)
+        else:
+            cmap.append(sym - rlemax)
+    if r.read(1):  # inverse move-to-front
+        mtf = list(range(256))
+        for i, v in enumerate(cmap):
+            val = mtf[v]
+            if v:
+                del mtf[v]
+                mtf.insert(0, val)
+            cmap[i] = val
+    if any(v >= n_trees for v in cmap):
+        raise ValueError("brotli: context map entry out of range")
+    return cmap
+
+
+class _Category:
+    """One block-category machine: current type, remaining count,
+    switch decoding."""
+
+    __slots__ = ("n", "types", "type_code", "count_code", "btype",
+                 "prev", "count")
+
+    def __init__(self, r: _Bits):
+        self.n = _read_nbltypes(r)
+        self.btype = 0
+        self.prev = 1
+        if self.n >= 2:
+            self.type_code = _read_code(r, self.n + 2)
+            self.count_code = _read_code(r, 26)
+            self.count = _read_block_count(r, self.count_code)
+        else:
+            self.type_code = self.count_code = None
+            self.count = 1 << 62
+
+    def tick(self, r: _Bits) -> None:
+        if self.count == 0:
+            sym = self.type_code.decode(r)
+            if sym == 0:
+                new = self.prev
+            elif sym == 1:
+                new = (self.btype + 1) % self.n
+            else:
+                new = sym - 2
+            if new >= self.n:
+                raise ValueError("brotli: block type out of range")
+            self.prev = self.btype
+            self.btype = new
+            self.count = _read_block_count(r, self.count_code)
+        self.count -= 1
+
+
+# ---------------------------------------------------------------------------
+# dictionary transforms (RFC 8)
+# ---------------------------------------------------------------------------
+
+
+def _ferment(buf: bytearray, pos: int) -> int:
+    c = buf[pos]
+    if c < 192:
+        if 97 <= c <= 122:
+            buf[pos] ^= 32
+        return 1
+    if c < 224:
+        if pos + 1 < len(buf):
+            buf[pos + 1] ^= 32
+        return 2
+    if pos + 2 < len(buf):
+        buf[pos + 2] ^= 5
+    return 3
+
+
+def _transform_word(word: bytes, tid: int, transforms: list) -> bytes:
+    prefix, op, suffix = transforms[tid]
+    w = bytearray(word)
+    if 1 <= op <= 9:  # omit last N
+        w = w[: max(0, len(w) - op)]
+    elif 12 <= op <= 20:  # omit first N
+        w = w[op - 11 :]
+    elif op == 10:  # ferment first
+        if w:
+            _ferment(w, 0)
+    elif op == 11:  # ferment all
+        i = 0
+        while i < len(w):
+            i += _ferment(w, i)
+    elif op != 0:
+        raise ValueError(f"brotli: unknown transform op {op}")
+    return prefix.encode("latin-1") + bytes(w) + suffix.encode("latin-1")
+
+
+# ---------------------------------------------------------------------------
+# the decoder
+# ---------------------------------------------------------------------------
+
+
+def brotli_decompress(
+    data: bytes, cap: int = MAX_OUTPUT_BYTES,
+    max_output: int | None = None,
+) -> bytes:
+    """Decode one Brotli stream, bounded by ``cap``.
+
+    ``max_output`` switches to PREFIX mode (same contract as the zstd
+    tier): decoding stops once that many bytes exist and the prefix
+    returns without error — for head-only consumers."""
+    t = _load_tables()
+    r = _Bits(data)
+    # window bits
+    if r.read(1) == 0:
+        wbits = 16
+    else:
+        n = r.read(3)
+        if n != 0:
+            wbits = 17 + n
+        else:
+            m = r.read(3)
+            if m == 0:
+                wbits = 17
+            elif m == 1:
+                raise ValueError("brotli: invalid window-bits code")
+            else:
+                wbits = 8 + m
+    window = (1 << wbits) - 16
+    out = bytearray()
+    # the four "last distances", most recent first: 4 is the most
+    # recent of the initial values (distance code 0 → 4)
+    ring = [4, 11, 15, 16]
+    ctx_lut = t["ctx"]
+
+    def stop() -> bool:
+        return max_output is not None and len(out) >= max_output
+
+    islast = False
+    while not islast and not stop():
+        islast = bool(r.read(1))
+        if islast and r.read(1):  # ISLASTEMPTY
+            break
+        mnib = r.read(2)
+        if mnib == 3:  # metadata block
+            if r.read(1):
+                raise ValueError("brotli: reserved metadata bit set")
+            skip_bytes = r.read(2)
+            skip = 0
+            if skip_bytes:
+                skip = r.read(8 * skip_bytes)
+                if skip_bytes > 1 and (skip >> (8 * (skip_bytes - 1))) == 0:
+                    raise ValueError("brotli: non-minimal metadata length")
+                skip += 1
+            r.align_byte()
+            r.read_bytes(skip)
+            continue
+        nibbles = 4 + mnib
+        mlen = r.read(4 * nibbles) + 1
+        if nibbles > 4 and (mlen - 1) >> (4 * (nibbles - 1)) == 0:
+            raise ValueError("brotli: non-minimal MLEN encoding")
+        if len(out) + mlen > cap:
+            raise ValueError(
+                f"brotli: output past the {cap}-byte guard (bomb)"
+            )
+        if not islast and r.read(1):  # ISUNCOMPRESSED
+            r.align_byte()
+            out += r.read_bytes(mlen)
+            continue
+        # block categories
+        lit = _Category(r)
+        cmd = _Category(r)
+        dst = _Category(r)
+        npostfix = r.read(2)
+        ndirect = r.read(4) << npostfix
+        cmodes = [r.read(2) for _ in range(lit.n)]
+        ntreesl = _read_nbltypes(r)
+        cmap_l = _read_context_map(r, ntreesl, 64 * lit.n)
+        ntreesd = _read_nbltypes(r)
+        cmap_d = _read_context_map(r, ntreesd, 4 * dst.n)
+        lit_codes = [_read_code(r, 256) for _ in range(ntreesl)]
+        cmd_codes = [_read_code(r, 704) for _ in range(cmd.n)]
+        dist_alpha = 16 + ndirect + (48 << npostfix)
+        dist_codes = [_read_code(r, dist_alpha) for _ in range(ntreesd)]
+        produced = 0
+        while produced < mlen:
+            cmd.tick(r)
+            c = cmd_codes[cmd.btype].decode(r)
+            ihigh, chigh, implicit0 = _CELLS[c >> 6]
+            icode = (ihigh << 3) | ((c >> 3) & 7)
+            ccode = (chigh << 3) | (c & 7)
+            ebits, base = _INSERT[icode]
+            ilen = base + r.read(ebits)
+            ebits, base = _COPY[ccode]
+            clen = base + r.read(ebits)
+            # literals
+            for _ in range(ilen):
+                lit.tick(r)
+                mode = cmodes[lit.btype]
+                p1 = out[-1] if out else 0
+                p2 = out[-2] if len(out) >= 2 else 0
+                cid = (ctx_lut[(mode << 9) + p1]
+                       | ctx_lut[(mode << 9) + 256 + p2])
+                tree = cmap_l[(lit.btype << 6) + cid]
+                out.append(lit_codes[tree].decode(r))
+                produced += 1
+            if produced > mlen:
+                raise ValueError("brotli: literals overrun meta-block")
+            if produced == mlen:
+                break
+            # distance
+            if implicit0:
+                distance = ring[0]
+                dsym = -1
+            else:
+                dst.tick(r)
+                cid = 3 if clen > 4 else clen - 2
+                tree = cmap_d[(dst.btype << 2) + cid]
+                dsym = dist_codes[tree].decode(r)
+                if dsym < 16:
+                    if dsym < 4:
+                        distance = ring[dsym]
+                    else:
+                        # specials 4..9 modify the last distance,
+                        # 10..15 the second-to-last, by -1,+1,-2,+2,
+                        # -3,+3 (RFC 4)
+                        base_idx = 0 if dsym < 10 else 1
+                        off = ((dsym - (4 if dsym < 10 else 10)) >> 1) + 1
+                        sign = 1 if (dsym & 1) else -1
+                        distance = ring[base_idx] + sign * off
+                    if dsym >= 4 and distance <= 0:
+                        raise ValueError("brotli: non-positive distance")
+                elif dsym < 16 + ndirect:
+                    distance = dsym - 16 + 1
+                else:
+                    x = dsym - ndirect - 16
+                    pmask = (1 << npostfix) - 1
+                    ndistbits = 1 + (x >> (npostfix + 1))
+                    extra = r.read(ndistbits)
+                    offset = ((2 + ((x >> npostfix) & 1)) << ndistbits) - 4
+                    distance = (((offset + extra) << npostfix)
+                                + (x & pmask) + ndirect + 1)
+            max_dist = min(len(out), window)
+            if distance <= max_dist:
+                if distance <= 0:
+                    raise ValueError("brotli: non-positive distance")
+                if produced + clen > mlen:
+                    raise ValueError("brotli: copy overruns meta-block")
+                start = len(out) - distance
+                for i in range(clen):
+                    out.append(out[start + i])
+                produced += clen
+                if dsym != 0 and not implicit0:
+                    ring[1:] = ring[:3]
+                    ring[0] = distance
+            else:
+                # static dictionary reference
+                sb = t["size_bits"]
+                if not 4 <= clen <= 24 or sb[clen] == 0:
+                    raise ValueError(
+                        f"brotli: invalid dictionary word length {clen}"
+                    )
+                addr = distance - max_dist - 1
+                index = addr & ((1 << sb[clen]) - 1)
+                tid = addr >> sb[clen]
+                if tid >= len(t["transforms"]):
+                    raise ValueError(
+                        f"brotli: transform id {tid} out of range"
+                    )
+                woff = t["offsets"][clen] + index * clen
+                word = t["dict"][woff : woff + clen]
+                piece = _transform_word(word, tid, t["transforms"])
+                if produced + len(piece) > mlen:
+                    raise ValueError(
+                        "brotli: dictionary word overruns meta-block"
+                    )
+                out += piece
+                produced += len(piece)
+                # dictionary references never enter the distance ring
+            if stop():
+                break
+        if produced != mlen and not stop():
+            raise ValueError("brotli: meta-block shorter than declared")
+    if max_output is not None:
+        return bytes(out[:max_output])
+    # stream must end cleanly: zero padding to the byte boundary and
+    # nothing after (the reference encoder always writes this)
+    pad = (-r.pos) % 8
+    if pad and r.read(pad) != 0:
+        raise ValueError("brotli: nonzero padding after last meta-block")
+    if r.pos != r.nbits:
+        raise ValueError("brotli: trailing bytes after last meta-block")
+    return bytes(out)
+
+
+def sniff_brotli(data: bytes) -> bool:
+    """Brotli has NO magic number (a known property of the format):
+    raw ``.br`` payloads are only identifiable from metadata
+    (Content-Encoding, file extension, WOFF2's own signature).  This
+    sniffer exists to document that fact and always returns False."""
+    return False
+
+
+# ---------------------------------------------------------------------------
+# fixture writer: uncompressed meta-blocks (trivially valid Brotli)
+# ---------------------------------------------------------------------------
+
+
+def brotli_store(payload: bytes) -> bytes:
+    """A valid Brotli stream using only uncompressed meta-blocks —
+    independent of the decoder's entropy paths, and the system
+    reference decoder reads it back (two-direction interop without a
+    full encoder, the ``build_zst`` discipline)."""
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def put(v: int, n: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= v << nbits
+        nbits += n
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    def align() -> None:
+        nonlocal bitbuf, nbits
+        if nbits:
+            out.append(bitbuf & 0xFF)
+            bitbuf = 0
+            nbits = 0
+
+    put(0, 1)  # WBITS = 16
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        chunk = payload[pos : pos + (1 << 24)]
+        pos += len(chunk)
+        # minimal MNIBBLES: the RFC requires MLEN's top nibble nonzero
+        # beyond four nibbles
+        mlen = len(chunk) - 1
+        nibbles = 4 if mlen < (1 << 16) else 5 if mlen < (1 << 20) else 6
+        put(0, 1)  # not last
+        put(nibbles - 4, 2)
+        put(mlen, 4 * nibbles)
+        put(1, 1)  # ISUNCOMPRESSED
+        align()
+        out += chunk
+    put(1, 1)  # ISLAST
+    put(1, 1)  # ISLASTEMPTY
+    align()
+    return bytes(out)

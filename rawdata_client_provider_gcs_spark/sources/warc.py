@@ -142,8 +142,18 @@ def parse_warc(data: bytes) -> list[dict]:
     return records
 
 
+#: decoded-body bound for one HTTP response (bomb guard)
+MAX_HTTP_BODY_BYTES = 256 * 1024 * 1024
+
+
 def split_http_response(payload: bytes) -> tuple[int, str, bytes]:
-    """(status, content_type, body) from an HTTP response payload."""
+    """(status, content_type, body) from an HTTP response payload.
+
+    ``Content-Encoding`` is honored (r13): gzip / deflate (both the
+    zlib-wrapped and raw forms servers emit) / br (the in-repo
+    RFC 7932 Brotli decoder) bodies come back DECODED and bounded —
+    real Common Crawl responses carry all three.  An unknown coding
+    raises ValueError (per-row capture)."""
     sep = payload.find(_SEP)
     if sep < 0:
         raise ValueError("HTTP response payload without header terminator")
@@ -153,12 +163,43 @@ def split_http_response(payload: bytes) -> tuple[int, str, bytes]:
         raise ValueError(f"malformed HTTP status line: {head[0]!r}")
     status = int(status_line[1])
     ctype = ""
+    cenc = ""
     for line in head[1:]:
         k, _, v = line.partition(":")
-        if k.strip().lower() == "content-type":
+        key = k.strip().lower()
+        if key == "content-type" and not ctype:
             ctype = v.strip()
-            break
-    return status, ctype, payload[sep + 4 :]
+        elif key == "content-encoding":
+            cenc = v.strip().lower()
+    body = payload[sep + 4 :]
+    if cenc in ("", "identity"):
+        return status, ctype, body
+    if cenc in ("gzip", "x-gzip"):
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out = d.decompress(body, MAX_HTTP_BODY_BYTES + 1)
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip response body: {exc}")
+    elif cenc == "deflate":
+        # servers ship both the zlib-wrapped and raw-deflate forms
+        try:
+            d = zlib.decompressobj(wbits=15)
+            out = d.decompress(body, MAX_HTTP_BODY_BYTES + 1)
+        except zlib.error:
+            d = zlib.decompressobj(wbits=-15)
+            try:
+                out = d.decompress(body, MAX_HTTP_BODY_BYTES + 1)
+            except zlib.error as exc:
+                raise ValueError(f"corrupt deflate response body: {exc}")
+    elif cenc == "br":
+        from .brotli_codec import brotli_decompress
+
+        out = brotli_decompress(body, cap=MAX_HTTP_BODY_BYTES)
+    else:
+        raise ValueError(f"unsupported content-encoding {cenc!r}")
+    if len(out) > MAX_HTTP_BODY_BYTES:
+        raise ValueError("response body past the decode cap (bomb)")
+    return status, ctype, out
 
 
 def warc_records(
@@ -234,11 +275,24 @@ def build_warc(records: list[dict], gzip_members: bool = False) -> bytes:
         if "payload" in rec:
             payload = rec["payload"]
         else:
+            body = rec.get("body", b"")
+            enc_hdr = ""
+            enc = rec.get("encoding")
+            if enc == "gzip":
+                import gzip as _gz
+
+                body = _gz.compress(body)
+                enc_hdr = "Content-Encoding: gzip\r\n"
+            elif enc == "br":
+                from .brotli_codec import brotli_store
+
+                body = brotli_store(body)
+                enc_hdr = "Content-Encoding: br\r\n"
             payload = (
                 f"HTTP/1.1 {rec.get('http_status', 200)} OK\r\n"
                 f"Content-Type: {rec.get('http_content_type', 'text/html')}"
-                "\r\n\r\n"
-            ).encode() + rec.get("body", b"")
+                f"\r\n{enc_hdr}\r\n"
+            ).encode() + body
         head = (
             "WARC/1.0\r\n"
             f"WARC-Type: {rec.get('warc_type', 'response')}\r\n"

@@ -50,9 +50,61 @@ def test_woff_zlib_tables_and_ttc_faces():
     assert [f["flavor"] for f in m["faces"]] == ["ttf", "otf"]
 
 
-def test_woff2_is_the_loud_boundary():
-    with pytest.raises(UnsupportedCodecError, match="Brotli"):
-        FT.parse_font(b"wOF2" + b"\x00" * 44)
+def test_woff2_roundtrip_and_directory():
+    """WOFF2 (r13): whole-stream Brotli block + directory walk —
+    metadata tables extract byte-exact through the in-repo decoder."""
+    sfnt = FT.build_sfnt(family="Inter", subfamily="Bold",
+                         version="Version 2.1", ps_name="Inter-Bold",
+                         units_per_em=2048, n_glyphs=901)
+    w2 = FT.build_woff2(sfnt)
+    out = FT.parse_font(w2)
+    assert out["container"] == "woff2"
+    f = out["faces"][0]
+    assert (f["family"], f["subfamily"], f["n_glyphs"],
+            f["units_per_em"]) == ("Inter", "Bold", 901, 2048)
+    assert sorted(t["tag"] for t in f["tables"]) == \
+        ["head", "maxp", "name"]
+    assert not any(t["transformed"] for t in f["tables"])
+    # the system reference Brotli reads our data block back: find the
+    # stream after the directory using the header's compressed size
+    import struct as _s
+
+    total_comp = _s.unpack(">I", w2[20:24])[0]
+    comp = w2[len(w2) - total_comp :]
+    try:
+        import pyarrow as pa
+
+        orig = sum(
+            _s.unpack(">II", sfnt[20 + 16 * i : 28 + 16 * i])[1]
+            for i in range(_s.unpack(">H", sfnt[4:6])[0])
+        )
+        assert len(bytes(pa.Codec("brotli").decompress(comp, orig))) \
+            == orig
+    except ImportError:
+        pass
+
+
+def test_woff2_hostiles():
+    # truncated Brotli block
+    sfnt = FT.build_sfnt()
+    w2 = bytearray(FT.build_woff2(sfnt))
+    with pytest.raises(ValueError):
+        FT.parse_font(bytes(w2[:-4]))
+    # collections stay loud
+    bad = bytearray(FT.build_woff2(sfnt))
+    bad[4:8] = b"ttcf"
+    with pytest.raises(ValueError, match="ttcf"):
+        FT.parse_font(bytes(bad))
+    # UIntBase128 with a leading zero byte
+    from rawdata_client_provider_gcs_spark.operators.rawfont import (
+        _uintbase128,
+    )
+    with pytest.raises(ValueError, match="leading zero"):
+        _uintbase128(b"\x80\x01", 0)
+    with pytest.raises(ValueError, match="32 bits"):
+        _uintbase128(b"\xff\xff\xff\xff\xff\xff", 0)
+    with pytest.raises(ValueError, match="5 bytes"):
+        _uintbase128(b"\x81\x80\x80\x80\x80\x00", 0)
 
 
 def test_hostiles():

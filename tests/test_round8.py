@@ -518,3 +518,47 @@ def test_bmp_negative_height_rle_rejected():
     payload = _bmp(4, -4, 8, 1, pal, rle, n_colors=1)
     with _pytest.raises(ValueError, match="negative height"):
         rawimage.decode_image(payload)
+
+
+def test_http_content_encoding_decodes():
+    """r13: Content-Encoding gzip/deflate/br bodies come back DECODED
+    (the in-repo RFC 7932 decoder for br); unknown codings and
+    corrupt bodies land on ValueError."""
+    import gzip as _gz
+    import zlib as _zl
+
+    from rawdata_client_provider_gcs_spark.sources import warc as W
+    from rawdata_client_provider_gcs_spark.sources.brotli_codec import (
+        brotli_store,
+    )
+
+    body = b"<html><body>compressed page body</body></html>"
+
+    def resp(enc_hdr: str, enc_body: bytes) -> bytes:
+        return (f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                f"{enc_hdr}\r\n").encode() + enc_body
+
+    for hdr, blob in (
+        ("Content-Encoding: gzip\r\n", _gz.compress(body)),
+        ("Content-Encoding: br\r\n", brotli_store(body)),
+        ("Content-Encoding: deflate\r\n", _zl.compress(body)),
+        ("Content-Encoding: deflate\r\n",
+         _zl.compress(body)[2:-4]),  # raw-deflate server form
+        ("", body),
+    ):
+        status, ctype, got = W.split_http_response(resp(hdr, blob))
+        assert (status, got) == (200, body), hdr
+    with pytest.raises(ValueError, match="content-encoding"):
+        W.split_http_response(resp("Content-Encoding: zstdish\r\n", body))
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        W.split_http_response(
+            resp("Content-Encoding: gzip\r\n", b"\x1f\x8b\xff\xff")
+        )
+    # build_warc's encoding kwarg roundtrips through warc parse
+    blob = W.build_warc([{
+        "warc_type": "response", "target_uri": "https://x/",
+        "http_status": 200, "body": body, "encoding": "br",
+    }])
+    rec = W.parse_warc(blob)[0]
+    status, _, got = W.split_http_response(rec["payload"])
+    assert got == body
