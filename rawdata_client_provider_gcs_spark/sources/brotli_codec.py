@@ -626,8 +626,11 @@ def brotli_decompress(
                 if produced + clen > mlen:
                     raise ValueError("brotli: copy overruns meta-block")
                 start = len(out) - distance
-                for i in range(clen):
-                    out.append(out[start + i])
+                if distance >= clen:
+                    out += out[start : start + clen]
+                else:
+                    for i in range(clen):
+                        out.append(out[start + i])
                 produced += clen
                 if dsym != 0 and not implicit0:
                     ring[1:] = ring[:3]
