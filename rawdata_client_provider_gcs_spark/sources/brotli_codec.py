@@ -137,32 +137,24 @@ class _Bits:
     def read(self, n: int) -> int:
         if n == 0:
             return 0
-        if self.pos + n > self.nbits:
-            raise ValueError("brotli: bit read past end of stream")
-        out = 0
         pos = self.pos
-        data = self.data
-        got = 0
-        while got < n:
-            byte = data[pos >> 3]
-            avail = 8 - (pos & 7)
-            take = min(avail, n - got)
-            out |= ((byte >> (pos & 7)) & ((1 << take) - 1)) << got
-            got += take
-            pos += take
-        self.pos = pos
-        return out
+        if pos + n > self.nbits:
+            raise ValueError("brotli: bit read past end of stream")
+        byte = pos >> 3
+        chunk = int.from_bytes(
+            self.data[byte : byte + ((n + (pos & 7) + 7) >> 3)], "little"
+        )
+        self.pos = pos + n
+        return (chunk >> (pos & 7)) & ((1 << n) - 1)
 
     def peek(self, n: int) -> int:
         """n bits zero-padded past the end (for table lookups)."""
-        out = 0
         pos = self.pos
-        data = self.data
-        for i in range(n):
-            if pos < self.nbits:
-                out |= ((data[pos >> 3] >> (pos & 7)) & 1) << i
-            pos += 1
-        return out
+        byte = pos >> 3
+        chunk = int.from_bytes(
+            self.data[byte : byte + ((n + (pos & 7) + 7) >> 3)], "little"
+        )
+        return (chunk >> (pos & 7)) & ((1 << n) - 1)
 
     def skip(self, n: int) -> None:
         if self.pos + n > self.nbits:
