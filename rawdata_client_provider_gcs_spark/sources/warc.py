@@ -146,14 +146,52 @@ def parse_warc(data: bytes) -> list[dict]:
 MAX_HTTP_BODY_BYTES = 256 * 1024 * 1024
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Remove RFC 9112 chunked framing: hex-size lines (chunk
+    extensions after ';' ignored), CRLF-terminated chunks, the zero
+    chunk, trailers dropped.  Truncated mid-stream framing keeps the
+    bytes already assembled (crawls truncate responses routinely);
+    malformed size lines raise ValueError."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            break  # truncated before the next size line
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        if not size_tok:
+            raise ValueError("chunked body: empty chunk-size line")
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            raise ValueError(
+                f"chunked body: non-hex chunk size {size_tok[:16]!r}"
+            )
+        if size > MAX_HTTP_BODY_BYTES:
+            raise ValueError("chunked body: chunk over the decode cap")
+        pos = eol + 2
+        if size == 0:
+            break  # trailers (if any) are dropped
+        out += body[pos : pos + size]
+        if pos + size > n:
+            break  # truncated inside the chunk
+        pos += size + 2  # chunk data + its CRLF
+        if len(out) > MAX_HTTP_BODY_BYTES:
+            raise ValueError("chunked body past the decode cap (bomb)")
+    return bytes(out)
+
+
+
 def split_http_response(payload: bytes) -> tuple[int, str, bytes]:
     """(status, content_type, body) from an HTTP response payload.
 
-    ``Content-Encoding`` is honored (r13): gzip / deflate (both the
+    ``Transfer-Encoding: chunked`` framing is removed and
+    ``Content-Encoding`` honored (r13): gzip / deflate (both the
     zlib-wrapped and raw forms servers emit) / br (the in-repo
     RFC 7932 Brotli decoder) bodies come back DECODED and bounded —
-    real Common Crawl responses carry all three.  An unknown coding
-    raises ValueError (per-row capture)."""
+    real Common Crawl responses carry all of these.  An unknown
+    coding raises ValueError (per-row capture)."""
     sep = payload.find(_SEP)
     if sep < 0:
         raise ValueError("HTTP response payload without header terminator")
@@ -164,6 +202,7 @@ def split_http_response(payload: bytes) -> tuple[int, str, bytes]:
     status = int(status_line[1])
     ctype = ""
     cenc = ""
+    chunked = False
     for line in head[1:]:
         k, _, v = line.partition(":")
         key = k.strip().lower()
@@ -171,7 +210,11 @@ def split_http_response(payload: bytes) -> tuple[int, str, bytes]:
             ctype = v.strip()
         elif key == "content-encoding":
             cenc = v.strip().lower()
+        elif key == "transfer-encoding":
+            chunked = "chunked" in v.strip().lower()
     body = payload[sep + 4 :]
+    if chunked:
+        body = _dechunk(body)
     if cenc in ("", "identity"):
         return status, ctype, body
     if cenc in ("gzip", "x-gzip"):

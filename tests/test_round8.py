@@ -562,3 +562,35 @@ def test_http_content_encoding_decodes():
     rec = W.parse_warc(blob)[0]
     status, _, got = W.split_http_response(rec["payload"])
     assert got == body
+
+
+def test_http_chunked_transfer_encoding():
+    """r13: chunked framing removed (extensions and trailers dropped,
+    truncation keeps the assembled prefix), stacking with
+    Content-Encoding."""
+    import gzip as _gz
+
+    from rawdata_client_provider_gcs_spark.sources import warc as W
+
+    body = b"hello chunked world, this is the payload"
+    chunks = b"".join(
+        f"{len(c):x};ext=1\r\n".encode() + c + b"\r\n"
+        for c in (body[:10], body[10:25], body[25:])
+    ) + b"0\r\nTrailer: x\r\n\r\n"
+    resp = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n") + chunks
+    assert W.split_http_response(resp)[2] == body
+    gz = _gz.compress(body)
+    resp = (b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n"
+            b"Transfer-Encoding: chunked\r\n\r\n"
+            + f"{len(gz):x}\r\n".encode() + gz + b"\r\n0\r\n\r\n")
+    assert W.split_http_response(resp)[2] == body
+    # truncated mid-chunk: keep the assembled prefix (crawl reality)
+    resp = (b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+            b"28\r\n" + body[:20])
+    assert W.split_http_response(resp)[2] == body[:20]
+    # malformed size line stays a per-row ValueError
+    with pytest.raises(ValueError, match="non-hex"):
+        W.split_http_response(
+            b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nx"
+        )
