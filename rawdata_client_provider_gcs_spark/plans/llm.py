@@ -2681,8 +2681,9 @@ def q_source_warc(spark: SparkSession, sf: str) -> DataFrame:
     odd**, so both container layouts ride one query.  ``warc_records``
     explodes files into records (one Arrow task per file — the crawl
     unit of parallelism), splitting the HTTP envelope off response
-    payloads; the oracle states record types, URIs, statuses and body
-    lengths in closed form.
+    payloads — removing chunked framing and decoding br/gzip
+    content-encodings (r13); the oracle states record types, URIs,
+    statuses and DECODED body lengths in closed form.
     """
     from ..sources import warc as W
 
@@ -2712,7 +2713,10 @@ def q_source_warc(spark: SparkSession, sf: str) -> DataFrame:
                     {"warc_type": "response",
                      "target_uri": f"https://crawl.example/{did}/2",
                      "http_status": 200 + 204 * (did % 2),
-                     "body": b"x" * (did % 23)},
+                     "body": b"x" * (did % 23),
+                     # chunked framing every 4th doc: the oracle's
+                     # DECODED length breaks if dechunking slips
+                     "chunked": did % 4 == 0},
                 ]
                 payloads.append(
                     W.build_warc(recs, gzip_members=(did % 2 == 0))

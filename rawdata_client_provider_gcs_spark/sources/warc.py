@@ -331,6 +331,15 @@ def build_warc(records: list[dict], gzip_members: bool = False) -> bytes:
 
                 body = brotli_store(body)
                 enc_hdr = "Content-Encoding: br\r\n"
+            if rec.get("chunked"):
+                # RFC 9112 framing in two chunks + a trailer, the
+                # shape real servers emit
+                mid = len(body) // 2
+                body = b"".join(
+                    f"{len(c):x}\r\n".encode() + c + b"\r\n"
+                    for c in (body[:mid], body[mid:]) if c
+                ) + b"0\r\n\r\n"
+                enc_hdr += "Transfer-Encoding: chunked\r\n"
             payload = (
                 f"HTTP/1.1 {rec.get('http_status', 200)} OK\r\n"
                 f"Content-Type: {rec.get('http_content_type', 'text/html')}"
