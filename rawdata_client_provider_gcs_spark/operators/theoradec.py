@@ -26,9 +26,19 @@ specification (theora.org, "Theora I specification"):
   (C1..C7 constants, two passes, final (v+8)>>4);
 - §7.10 loop filter (a no-op on flat frames, applied per spec).
 
-INTER frames are out of the documented subset and raise ValueError
-("theora: inter frame") — per-row capture downstream, like every
-other hostile shape.  Coverage honesty: the flat-color end-to-end
+INTER frames decode through the NO_MV subset (r13): §7.3
+coded-block flags (superblock partial/full long-run vectors, short
+run block flags with the max-run re-read rule), §7.4 macroblock
+modes (scheme 0 custom alphabets + scheme 7 fixed 3-bit),
+per-reference DC prediction and last-DC tracking, inter-matrix
+dequant, reconstruction from the prior/golden reference planes, and
+coded-edge loop filtering; uncoded blocks copy the prior frame and
+keyframes become the golden reference.  Motion-vector-coded modes
+(2/3/4/6/7) and the six fixed mode alphabets (schemes 1-6) raise
+ValueError — their fixed tables await verification against an
+independent implementation, the same discipline that keeps this
+module's self-consistent corners flagged.  Coverage honesty: the
+flat-color end-to-end
 oracle (`q_multimodal_theora_keyframe`) exercises value tokens, EOB
 runs (both 12-bit forms), DC prediction with all-equal neighbors,
 dequant, iDCT and reconstruction value-exactly against closed-form
@@ -576,48 +586,115 @@ def idct_flat_dc(dequant_dc: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+#: macroblock modes (§7.4): only INTRA and the NO_MV inter modes are
+#: in the decodable subset — motion-vector-coded modes stay loud
+#: pending verification against an independent implementation
+MODE_INTER_NO_MV = 0
+MODE_INTRA = 1
+MODE_GOLDEN_NO_MV = 5
+_MV_MODES = frozenset((2, 3, 4, 6, 7))
+
+#: reference class of a mode: 0 intra, 1 prior frame, 2 golden frame
+_MODE_REF = {MODE_INTRA: 0, MODE_INTER_NO_MV: 1, MODE_GOLDEN_NO_MV: 2}
+
+
+def _short_run(r: _Br) -> int:
+    """§7.3's SHORT run lengths for block-level coded flags: k leading
+    1-bits (max 5) select (suffix bits, base): 1-2, 3-4, 5-6, 7-10,
+    11-14, 15-30."""
+    k = 0
+    while k < 5 and r.read(1) == 1:
+        k += 1
+    bits = (1, 1, 1, 2, 2, 4)[k]
+    base = (1, 3, 5, 7, 11, 15)[k]
+    return base + r.read(bits)
+
+
+def _write_short_run(w: _Bw, n: int) -> None:
+    if not 1 <= n <= 30:
+        raise ValueError("theora fixture: short run outside 1..30")
+    for k in range(5, -1, -1):
+        bits = (1, 1, 1, 2, 2, 4)[k]
+        base = (1, 3, 5, 7, 11, 15)[k]
+        if base <= n <= base + (1 << bits) - 1:
+            w.write((1 << k) - 1, k)
+            if k < 5:
+                w.write(0, 1)
+            w.write(n - base, bits)
+            return
+
+
+def _mode_vlc(r: _Br) -> int:
+    """§7.4's unary rank code: 0, 10, 110, ..., 1111110, 1111111."""
+    k = 0
+    while k < 7 and r.read(1) == 1:
+        k += 1
+    return k
+
+
 def decode_frame(
-    pkt: bytes, setup: dict, frame_w: int, frame_h: int
+    pkt: bytes, setup: dict, frame_w: int, frame_h: int,
+    refs: tuple | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One intra-frame packet → (Y, Cb, Cr) uint8 planes (decode
-    raster; a flat frame is orientation-free).  Inter frames and
-    malformed packets raise ValueError (per-row capture)."""
+    """One frame packet → (Y, Cb, Cr) uint8 planes (decode raster; a
+    flat frame is orientation-free).
+
+    Intra frames decode fully.  Inter frames (r13) decode the NO_MV
+    subset: coded-block flags (§7.3 long+short runs), macroblock
+    modes (scheme 0 custom alphabets and scheme 7 fixed 3-bit;
+    schemes 1-6 and all motion-vector-coded modes raise — pending an
+    independent implementation to verify their fixed tables against),
+    per-reference DC prediction, inter-matrix dequant, and
+    reconstruction from the prior/golden reference planes in ``refs``
+    (uncoded blocks copy the prior frame).  Malformed packets raise
+    ValueError (per-row capture)."""
     if frame_w * frame_h > MAX_FRAME_PIXELS:
         raise ValueError("theora: frame over the pixel cap")
     r = _Br(pkt)
     if r.read(1) != 0:
         raise ValueError("theora: not a frame packet")
-    if r.read(1) != 0:
-        raise ValueError("theora: inter frame (out of the intra subset)")
+    ftype = r.read(1)
     qis = [r.read(6)]
     if r.read(1):
         qis.append(r.read(6))
         if r.read(1):
             qis.append(r.read(6))
-    if r.read(3) != 0:
+    if ftype == 0 and r.read(3) != 0:
         raise ValueError("theora: nonzero reserved frame-header bits")
-    # intra: every block coded, all modes INTRA, no MVs
     planes = [plane_dims(frame_w, frame_h, pli) for pli in range(3)]
     orders = [coded_order(bw, bh) for bw, bh in planes]
     nbl = [len(o) for o in orders]
-    total = sum(nbl)
+    blocks_all = [(pli, xy) for pli in range(3) for xy in orders[pli]]
+    if ftype == 0:
+        # intra: every block coded, every mode INTRA
+        coded = dict.fromkeys(blocks_all, True)
+        modes = dict.fromkeys(blocks_all, MODE_INTRA)
+    else:
+        if refs is None:
+            raise ValueError(
+                "theora: inter frame without reference planes"
+            )
+        coded = _decode_block_flags(r, planes, orders)
+        modes = _decode_mb_modes(r, planes, coded, frame_w, frame_h)
+    blocks = [b for b in blocks_all if coded[b]]
+    total = len(blocks)
     # §7.4 per-block qi indices (AC quantizer selection): two
     # run-length bit passes over the coded blocks; absent for NQIS=1
-    qiis = [0] * total
-    if len(qis) >= 2:
+    qii_of: dict = dict.fromkeys(blocks, 0)
+    if len(qis) >= 2 and total:
         flagged = _decode_bit_runs(r, total)
-        qiis = list(flagged)
         if len(qis) == 3 and any(flagged):
             sub = _decode_bit_runs(r, sum(flagged))
             it = iter(sub)
-            qiis = [1 + next(it) if f else 0 for f in flagged]
+            vals = [1 + next(it) if f else 0 for f in flagged]
+        else:
+            vals = flagged
+        qii_of = dict(zip(blocks, vals))
     # coefficient storage: per plane, per (x, y) block → 64 ints
     coeffs = [
         {xy: [0] * 64 for xy in orders[pli]} for pli in range(3)
     ]
     tis = [dict.fromkeys(orders[pli], 0) for pli in range(3)]
-    # block list in global coded order: (pli, xy)
-    blocks = [(pli, xy) for pli in range(3) for xy in orders[pli]]
     eobs = 0
     eob_all = False
     htil = htic = 0
@@ -660,65 +737,242 @@ def decode_frame(
                 tis[pli][xy] = pos + 1 if zrun else ti + 1
             if tis[pli][xy] > 64:
                 tis[pli][xy] = 64
-    # DC prediction in the quantized domain, raster order per plane
-    last_dc = 0
+    # DC prediction in the quantized domain, raster order per plane:
+    # a neighbor is available only when CODED with the same reference
+    # class, and the no-neighbor fallback tracks one last-DC per
+    # reference class (§7.9.2)
+    last_dc = [0, 0, 0]
     for pli in range(3):
         bw, bh = planes[pli]
         cs = coeffs[pli]
         for y in range(bh):
             for x in range(bw):
+                if not coded[(pli, (x, y))]:
+                    continue
+                ref = _MODE_REF[modes[(pli, (x, y))]]
                 mask = 0
                 l = ul = u = ur = 0
-                if x > 0:
+
+                def avail(nx, ny):
+                    return (coded[(pli, (nx, ny))]
+                            and _MODE_REF[modes[(pli, (nx, ny))]] == ref)
+
+                if x > 0 and avail(x - 1, y):
                     mask |= 1
                     l = cs[(x - 1, y)][0]
-                if x > 0 and y > 0:
+                if x > 0 and y > 0 and avail(x - 1, y - 1):
                     mask |= 2
                     ul = cs[(x - 1, y - 1)][0]
-                if y > 0:
+                if y > 0 and avail(x, y - 1):
                     mask |= 4
                     u = cs[(x, y - 1)][0]
-                if x + 1 < bw and y > 0:
+                if x + 1 < bw and y > 0 and avail(x + 1, y - 1):
                     mask |= 8
                     ur = cs[(x + 1, y - 1)][0]
-                cs[(x, y)][0] += dc_predict(mask, l, ul, u, ur, last_dc)
-                last_dc = cs[(x, y)][0]
-    # dequant + iDCT + intra reconstruction (predictor 128)
+                cs[(x, y)][0] += dc_predict(mask, l, ul, u, ur,
+                                            last_dc[ref])
+                last_dc[ref] = cs[(x, y)][0]
+    # dequant (intra or inter matrices by block mode, DC always from
+    # QIS[0]'s matrix of the block's quant type) + iDCT +
+    # reconstruction from the block's predictor: 128 for INTRA,
+    # the prior/golden reference pixels for the NO_MV inter modes;
+    # uncoded blocks copy the prior frame
     qi = qis[0]
     out_planes = []
-    plane_base = [0, nbl[0], nbl[0] + nbl[1]]
     for pli in range(3):
         bw, bh = planes[pli]
-        # per-qi AC matrices; the DC quantizer always comes from
-        # QIS[0] (§7.4: the block qi selects AC dequant only)
-        qmats = np.array(
-            [compute_qmat(setup, 0, pli, q) for q in qis],
-            dtype=np.int64,
-        )
-        qmats[:, 0] = qmats[0, 0]
-        order_xy = orders[pli]
-        arr = np.array([coeffs[pli][xy] for xy in order_xy],
-                       dtype=np.int64)
-        rows = qmats[[qiis[plane_base[pli] + i]
-                      for i in range(len(order_xy))]]
-        dq = (arr * rows).reshape(-1, 8, 8)
-        px = idct_8x8_batch(dq) + 128
-        px = np.clip(px, 0, 255).astype(np.uint8)
+        qmats = {}
+        for qti in range(2):
+            m = np.array(
+                [compute_qmat(setup, qti, pli, q) for q in qis],
+                dtype=np.int64,
+            )
+            m[:, 0] = m[0, 0]
+            qmats[qti] = m
         plane = np.empty((bh * 8, bw * 8), dtype=np.uint8)
-        for bi, (x, y) in enumerate(order_xy):
-            plane[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = px[bi]
+        coded_xy = [xy for xy in orders[pli] if coded[(pli, xy)]]
+        if coded_xy:
+            arr = np.array([coeffs[pli][xy] for xy in coded_xy],
+                           dtype=np.int64)
+            rows = np.stack([
+                qmats[0 if modes[(pli, xy)] == MODE_INTRA else 1]
+                [qii_of[(pli, xy)]]
+                for xy in coded_xy
+            ])
+            dq = (arr * rows).reshape(-1, 8, 8)
+            res = idct_8x8_batch(dq)
+            res_idx = {xy: i for i, xy in enumerate(coded_xy)}
+        for xy in orders[pli]:
+            x, y = xy
+            sl = (slice(y * 8, y * 8 + 8), slice(x * 8, x * 8 + 8))
+            if not coded[(pli, xy)]:
+                plane[sl] = refs[0][pli][sl]
+                continue
+            mode = modes[(pli, xy)]
+            if mode == MODE_INTRA:
+                base = np.full((8, 8), 128, dtype=np.int32)
+            elif mode == MODE_INTER_NO_MV:
+                base = refs[0][pli][sl].astype(np.int32)
+            else:  # MODE_GOLDEN_NO_MV
+                base = refs[1][pli][sl].astype(np.int32)
+            blk = base + res[res_idx[xy]]
+            plane[sl] = np.clip(blk, 0, 255).astype(np.uint8)
         out_planes.append(plane)
-    _loop_filter(out_planes, setup["lflims"][qi], planes)
+    _loop_filter(out_planes, setup["lflims"][qi], planes,
+                 coded=None if ftype == 0 else coded)
     return out_planes[0], out_planes[1], out_planes[2]
+
+
+def _decode_short_bit_runs(r: _Br, n: int) -> list[int]:
+    """Block-level flag vector: an initial bit, SHORT runs, the bit
+    flipping between runs — except after a maximal 30-run, where the
+    next bit is read explicitly (mirroring §7.4's max-run rule; the
+    fixture writers use the same convention)."""
+    out: list[int] = []
+    bit = r.read(1)
+    while len(out) < n:
+        run = _short_run(r)
+        out.extend([bit] * min(run, n - len(out)))
+        if run == 30:
+            if len(out) < n:
+                bit = r.read(1)
+        else:
+            bit ^= 1
+    return out
+
+
+def _encode_short_bit_runs(w: _Bw, bits: list[int]) -> None:
+    w.write(bits[0], 1)
+    i = 0
+    n = len(bits)
+    while i < n:
+        run = 1
+        while i + run < n and bits[i + run] == bits[i] and run < 30:
+            run += 1
+        _write_short_run(w, run)
+        i += run
+        if run == 30 and i < n:
+            w.write(bits[i], 1)
+
+
+def _decode_block_flags(
+    r: _Br, planes: list, orders: list
+) -> dict:
+    """§7.3 coded-block flags: superblock partial/full long-run
+    vectors (planes Y, Cb, Cr concatenated, superblocks in raster
+    order), then short-run block flags spanning the partial
+    superblocks' blocks in coded order."""
+    sb_shapes = [((bw + 3) // 4, (bh + 3) // 4) for bw, bh in planes]
+    n_sbs = sum(w * h for w, h in sb_shapes)
+    partial = _decode_bit_runs(r, n_sbs)
+    n_nonpartial = n_sbs - sum(partial)
+    full_bits = _decode_bit_runs(r, n_nonpartial) if n_nonpartial else []
+    sb_status = []  # 2 = full, 1 = partial, 0 = uncoded
+    it_full = iter(full_bits)
+    for p in partial:
+        sb_status.append(1 if p else (2 if next(it_full) else 0))
+    # gather partial-superblock block positions in coded order, then
+    # decode their flag vector in one pass
+    partial_positions = []
+    sb_of: dict = {}
+    sbi = 0
+    for pli in range(3):
+        bw, bh = planes[pli]
+        sbw, sbh = sb_shapes[pli]
+        for sby in range(sbh):
+            for sbx in range(sbw):
+                status = sb_status[sbi]
+                sbi += 1
+                for dx, dy in HILBERT:
+                    x, y = sbx * 4 + dx, sby * 4 + dy
+                    if x >= bw or y >= bh:
+                        continue
+                    sb_of[(pli, (x, y))] = status
+                    if status == 1:
+                        partial_positions.append((pli, (x, y)))
+    flag_bits = (_decode_short_bit_runs(r, len(partial_positions))
+                 if partial_positions else [])
+    it = iter(flag_bits)
+    coded: dict = {}
+    for pli in range(3):
+        bw, bh = planes[pli]
+        for y in range(bh):
+            for x in range(bw):
+                coded[(pli, (x, y))] = False
+    for pos, status in sb_of.items():
+        if status == 2:
+            coded[pos] = True
+    for pos in partial_positions:
+        coded[pos] = bool(next(it))
+    return coded
+
+
+def _decode_mb_modes(
+    r: _Br, planes: list, coded: dict, frame_w: int, frame_h: int
+) -> dict:
+    """§7.4 macroblock modes for every coded block: scheme 0 (custom
+    rank alphabet from the stream) and scheme 7 (fixed 3-bit) decode;
+    the six fixed alphabets (schemes 1-6) raise, as do all MV-coded
+    modes — the documented verification boundary.  Macroblocks are
+    traversed superblock-raster with the 2x2 Hilbert sub-order; a
+    macroblock takes a mode when any of its blocks is coded."""
+    mbw, mbh = frame_w // 16, frame_h // 16
+    scheme = r.read(3)
+    if scheme == 0:
+        alphabet = [0] * 8
+        for mode in range(8):
+            alphabet[r.read(3)] = mode
+    elif scheme == 7:
+        alphabet = None
+    else:
+        raise ValueError(
+            f"theora: fixed mode-alphabet scheme {scheme} is out of "
+            "the verified subset"
+        )
+    modes: dict = {}
+    mb_mode: dict = {}
+    for sby in range((mbh + 1) // 2):
+        for sbx in range((mbw + 1) // 2):
+            for dx, dy in ((0, 0), (1, 0), (1, 1), (0, 1)):
+                mx, my = sbx * 2 + dx, sby * 2 + dy
+                if mx >= mbw or my >= mbh:
+                    continue
+                mb_blocks = [
+                    (0, (2 * mx, 2 * my)), (0, (2 * mx + 1, 2 * my)),
+                    (0, (2 * mx, 2 * my + 1)),
+                    (0, (2 * mx + 1, 2 * my + 1)),
+                    (1, (mx, my)), (2, (mx, my)),
+                ]
+                if not any(coded.get(b, False) for b in mb_blocks):
+                    continue
+                if alphabet is None:
+                    mode = r.read(3)
+                else:
+                    mode = alphabet[_mode_vlc(r)]
+                if mode in _MV_MODES:
+                    raise ValueError(
+                        f"theora: MV-coded macroblock mode {mode} is "
+                        "out of the verified subset"
+                    )
+                mb_mode[(mx, my)] = mode
+                for b in mb_blocks:
+                    if coded.get(b, False):
+                        modes[b] = mode
+    # any coded block without a mode (shouldn't happen) → INTRA
+    for b, c in coded.items():
+        if c and b not in modes:
+            modes[b] = MODE_INTRA
+    return modes
 
 
 def _loop_filter(
     out_planes: list[np.ndarray], flimit: int,
-    planes: list[tuple[int, int]],
+    planes: list[tuple[int, int]], coded: dict | None = None,
 ) -> None:
-    """§7.10 loop filter over coded block edges (every edge on an
-    intra frame).  The filter response is zero when the second
-    difference is zero, so flat frames pass through untouched."""
+    """§7.10 loop filter over CODED block edges (every edge on an
+    intra frame, where ``coded`` is None).  The filter response is
+    zero when the second difference is zero, so flat frames pass
+    through untouched."""
     if flimit == 0:
         return
     for pli in range(3):
@@ -727,9 +981,31 @@ def _loop_filter(
         # vertical edges between horizontally adjacent blocks
         for bx in range(1, bw):
             c = bx * 8
+            if coded is not None:
+                rows = [y for y in range(bh)
+                        if coded[(pli, (bx - 1, y))]
+                        or coded[(pli, (bx, y))]]
+                if not rows:
+                    continue
+                if len(rows) < bh:
+                    for y in rows:
+                        _filter_edge(p[y * 8 : y * 8 + 8], flimit, c,
+                                     axis=1)
+                    continue
             _filter_edge(p, flimit, c, axis=1)
         for by in range(1, bh):
             rr = by * 8
+            if coded is not None:
+                cols = [x for x in range(bw)
+                        if coded[(pli, (x, by - 1))]
+                        or coded[(pli, (x, by))]]
+                if not cols:
+                    continue
+                if len(cols) < bw:
+                    for x in cols:
+                        _filter_edge(p[:, x * 8 : x * 8 + 8], flimit,
+                                     rr, axis=0)
+                    continue
             _filter_edge(p, flimit, rr, axis=0)
         np.clip(p, 0, 255, out=p)
         out_planes[pli][:] = p.astype(np.uint8)
@@ -757,8 +1033,11 @@ def _filter_edge(p: np.ndarray, flimit: int, c: int, axis: int) -> None:
 
 
 def decode_ogg_theora(data: bytes) -> dict:
-    """Ogg Theora stream → {width, height, frames: [(Y, Cb, Cr)]},
-    intra frames only."""
+    """Ogg Theora stream → {width, height, frames: [(Y, Cb, Cr)]}.
+
+    Keyframes decode fully and become the golden reference; inter
+    frames decode through the NO_MV subset against the prior and
+    golden frames (r13)."""
     from .rawogg import _packets
 
     packets, _info = _packets(data)
@@ -767,6 +1046,7 @@ def decode_ogg_theora(data: bytes) -> dict:
     ident = setup = None
     frames = []
     w = h = 0
+    prev = golden = None
     for _serial, pkt in packets:
         if pkt[:7] == b"\x80theora":
             w = int.from_bytes(pkt[10:12], "big") * 16
@@ -777,7 +1057,15 @@ def decode_ogg_theora(data: bytes) -> dict:
         elif pkt[:7] == b"\x81theora" or not pkt:
             continue
         elif ident is not None and setup is not None:
-            frames.append(decode_frame(pkt, setup, w, h))
+            is_inter = bool(pkt[0] & 0x40)
+            planes = decode_frame(
+                pkt, setup, w, h,
+                refs=(prev, golden) if is_inter else None,
+            )
+            frames.append(planes)
+            prev = planes
+            if not is_inter:
+                golden = planes
     if ident is None or setup is None:
         raise ValueError("theora: stream lacks ident or setup header")
     return {"width": w, "height": h, "frames": frames}
@@ -934,13 +1222,136 @@ def encode_flat_frame(
     return w.bytes()
 
 
+def encode_inter_frame(
+    frame_w: int, frame_h: int, *,
+    mode: int = MODE_INTER_NO_MV,
+    dcs: tuple[int, int, int] | None = None,
+    coverage: str = "all", qi: int = 40, mode_scheme: int = 0,
+) -> bytes:
+    """One NO_MV inter frame.  ``coverage``: ``all`` (every block
+    coded via fully-coded superblocks), ``none`` (pure carry-forward),
+    or ``partial`` (every superblock partial, blocks alternating
+    coded/uncoded per 7-block short runs).  ``dcs`` adds a flat DC
+    residual per plane (requires ``all``); None leaves residuals
+    zero.  ``mode`` applies to every coded macroblock via the chosen
+    mode scheme (0 = custom alphabet, 7 = fixed 3-bit)."""
+    if dcs is not None and coverage != "all":
+        raise ValueError("theora fixture: DC residuals need full coverage")
+    w = _Bw()
+    w.write(0, 1)  # frame packet
+    w.write(1, 1)  # inter
+    w.write(qi, 6)
+    w.write(0, 1)  # one qi (no reserved bits on inter frames)
+    planes = [plane_dims(frame_w, frame_h, pli) for pli in range(3)]
+    sb_shapes = [((bw + 3) // 4, (bh + 3) // 4) for bw, bh in planes]
+    n_sbs = sum(sw * sh for sw, sh in sb_shapes)
+    if coverage == "all":
+        _encode_bit_runs(w, [0] * n_sbs)   # no partial superblocks
+        _encode_bit_runs(w, [1] * n_sbs)   # every superblock full
+    elif coverage == "none":
+        _encode_bit_runs(w, [0] * n_sbs)
+        _encode_bit_runs(w, [0] * n_sbs)
+    else:
+        _encode_bit_runs(w, [1] * n_sbs)   # every superblock partial
+        # block flags alternate in 7-long runs over coded order
+        n_blocks = sum(bw * bh for bw, bh in planes)
+        _encode_short_bit_runs(
+            w, [(i // 7) % 2 for i in range(n_blocks)]
+        )
+    # macroblock modes
+    w.write(mode_scheme, 3)
+    if mode_scheme == 0:
+        ranks = [0] * 8
+        # put the fixture mode at rank 0, everything else after
+        others = [m for m in range(8) if m != mode]
+        for rank, m in enumerate([mode] + others):
+            ranks[m] = rank
+        for m in range(8):
+            w.write(ranks[m], 3)
+    mbw, mbh = frame_w // 16, frame_h // 16
+    if coverage == "all":
+        coded_flags = None
+    elif coverage == "none":
+        coded_flags = {}
+    else:
+        # recompute the decoder's view of coded blocks to find coded
+        # macroblocks
+        n_blocks = sum(bw * bh for bw, bh in planes)
+        bits = [(i // 7) % 2 for i in range(n_blocks)]
+        it = iter(bits)
+        coded_flags = {}
+        for pli in range(3):
+            bw, bh = planes[pli]
+            sbw, sbh = sb_shapes[pli]
+            for sby in range(sbh):
+                for sbx in range(sbw):
+                    for dx, dy in HILBERT:
+                        x, y = sbx * 4 + dx, sby * 4 + dy
+                        if x < bw and y < bh:
+                            coded_flags[(pli, (x, y))] = bool(next(it))
+    n_coded_mbs = 0
+    coded_in_plane_order = []
+    for sby in range((mbh + 1) // 2):
+        for sbx in range((mbw + 1) // 2):
+            for dx, dy in ((0, 0), (1, 0), (1, 1), (0, 1)):
+                mx, my = sbx * 2 + dx, sby * 2 + dy
+                if mx >= mbw or my >= mbh:
+                    continue
+                mb_blocks = [
+                    (0, (2 * mx, 2 * my)), (0, (2 * mx + 1, 2 * my)),
+                    (0, (2 * mx, 2 * my + 1)),
+                    (0, (2 * mx + 1, 2 * my + 1)),
+                    (1, (mx, my)), (2, (mx, my)),
+                ]
+                is_coded = (coverage == "all") or any(
+                    coded_flags.get(b, False) for b in mb_blocks
+                )
+                if is_coded:
+                    n_coded_mbs += 1
+    for _ in range(n_coded_mbs):
+        if mode_scheme == 0:
+            w.write(0, 1)  # rank 0 in the unary VLC
+        else:
+            w.write(mode, 3)
+    del coded_in_plane_order
+    # DCT tokens over coded blocks
+    w.write(0, 4)  # HTIL (DC)
+    w.write(0, 4)  # HTIC (DC)
+    if coverage == "none":
+        pass  # no coded blocks: no tokens at ti=0
+    elif dcs is None:
+        _write_token(w, 6, 0, 12)  # EOB-all: zero residual everywhere
+    else:
+        counts = [bw * bh for bw, bh in planes]
+        deltas = (dcs[0], dcs[1] - dcs[0], dcs[2] - dcs[1])
+        for pli in range(3):
+            if deltas[pli] == 0:
+                raise ValueError(
+                    "theora fixture: zero DC delta is not encodable"
+                )
+            _value_token(w, deltas[pli])
+            run = counts[pli] - 1
+            while run > 0:
+                chunk = min(run, 4095)
+                _write_token(w, 6, chunk, 12)
+                run -= chunk
+    w.write(0, 4)  # AC table selects (read unconditionally)
+    w.write(0, 4)
+    if coverage == "all" and dcs is not None:
+        _write_token(w, 2, 0, 0)  # close the three DC-carrying blocks
+    return w.bytes()
+
+
 def build_theora_ogg(
     frame_w: int, frame_h: int, frames: list[tuple[int, int, int]],
     *, qi: int = 40, eob_sentinel: bool = False,
     second_qi: int | None = None,
 ) -> bytes:
     """Structurally valid Ogg: ident + comment + setup headers, then
-    one flat intra frame per (dcY, dcCb, dcCr) tuple."""
+    one frame per entry — a (dcY, dcCb, dcCr) tuple for a flat
+    keyframe, or a dict of :func:`encode_inter_frame` kwargs for an
+    inter frame.  Granule positions carry the keyframe-count /
+    delta split."""
     from .rawogg import _page
 
     serial = 0x7E04
@@ -963,11 +1374,19 @@ def build_theora_ogg(
     out = bytearray()
     out += _page(serial, 0, 0, [ident], 0x02)
     out += _page(serial, 1, 0, [comment, setup], 0)
-    for i, dcs in enumerate(frames):
-        pkt = encode_flat_frame(frame_w, frame_h, dcs, qi=qi,
-                                eob_sentinel=eob_sentinel,
-                                second_qi=second_qi)
-        gran = (i + 1) << 6
+    kf_count = 0
+    delta = 0
+    for i, spec in enumerate(frames):
+        if isinstance(spec, dict):
+            pkt = encode_inter_frame(frame_w, frame_h, qi=qi, **spec)
+            delta += 1
+        else:
+            pkt = encode_flat_frame(frame_w, frame_h, spec, qi=qi,
+                                    eob_sentinel=eob_sentinel,
+                                    second_qi=second_qi)
+            kf_count = i + 1
+            delta = 0
+        gran = (kf_count << 6) + delta
         flags = 0x04 if i == len(frames) - 1 else 0
         out += _page(serial, 2 + i, gran, [pkt], flags)
     return bytes(out)

@@ -6875,6 +6875,90 @@ def q_multimodal_theora_keyframe(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_theora_gop",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         1 + doc_id % 17 AS dk,
+         1 + doc_id % 6 AS di
+  FROM documents WHERE doc_id < 90
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(4 AS BIGINT) AS n_frames,
+       CAST(128 + ((((46341 * ((46341 * (dk * 64)) >> 16)) >> 16) + 8)
+            >> 4) AS BIGINT) AS y_key,
+       CAST(128 + ((((46341 * ((46341 * (dk * 64)) >> 16)) >> 16) + 8)
+            >> 4)
+            + ((((46341 * ((46341 * (di * 64)) >> 16)) >> 16) + 8) >> 4)
+            AS BIGINT) AS y_shifted,
+       TRUE AS uniform
+FROM d
+""",
+    tags=("llm", "multimodal", "theora", "video", "inter", "pandas-udf"),
+)
+def q_multimodal_theora_gop(spark: SparkSession, sf: str) -> DataFrame:
+    """Theora GOP decode — keyframe + INTER frames, value-exact.
+
+    Each document becomes a four-frame group: a flat keyframe, a
+    NO_MV inter frame adding a flat DC residual through the INTER
+    quantizer, a pure carry-forward frame (every superblock uncoded),
+    and a golden-reference frame that must reproduce the KEYFRAME
+    while the prior frame differs — exercising §7.3 coded-block flag
+    vectors, §7.4 mode decoding (rotating the custom-alphabet and
+    fixed-3-bit schemes), per-reference DC prediction, inter-matrix
+    dequant, and both reference planes.  The oracle composes the
+    spec's fixed-point arithmetic closed-form: the keyframe value and
+    the shifted value of frames 1-2 (frame 3 returns to the keyframe
+    value, asserted via the uniform flag Python-side).  MV-coded
+    modes stay the documented loud boundary.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 90)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import theoradec
+
+        cols = ("doc_id", "n_frames", "y_key", "y_shifted", "uniform")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                dk = 1 + did % 17
+                di = 1 + did % 6
+                ogg = theoradec.build_theora_ogg(48, 32, [
+                    (dk, dk + 1, dk + 2),
+                    {"dcs": (di, di + 1, di + 2),
+                     "mode_scheme": 0 if did % 2 == 0 else 7},
+                    {"coverage": "none"},
+                    {"mode": theoradec.MODE_GOLDEN_NO_MV,
+                     "coverage": "all"},
+                ])
+                out = theoradec.decode_ogg_theora(ogg)
+                fs = out["frames"]
+                rows["doc_id"].append(did)
+                rows["n_frames"].append(len(fs))
+                rows["y_key"].append(int(fs[0][0][0, 0]))
+                rows["y_shifted"].append(int(fs[1][0][0, 0]))
+                uni = all(
+                    p.min() == p.max() for f in fs for p in f
+                ) and int(fs[2][0][0, 0]) == int(fs[1][0][0, 0]) \
+                    and int(fs[3][0][0, 0]) == int(fs[0][0][0, 0])
+                rows["uniform"].append(bool(uni))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        make,
+        "doc_id long, n_frames long, y_key long, y_shifted long, "
+        "uniform boolean",
+    )
+
+
+@register(
     "q_multimodal_vorbis_pcm",
     oracle="""
 WITH d AS (SELECT doc_id, CAST(doc_id % 32 AS INTEGER) AS k,

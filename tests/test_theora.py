@@ -351,3 +351,95 @@ def test_two_qi_frame_decodes_identically():
     qm0 = T.compute_qmat(setup, 0, 0, 40)[0]
     for plane, dc in ((y, 9), (cb, 5), (cr, 13)):
         assert plane.min() == plane.max() == _flat_expected(dc, qm0)
+
+
+def test_inter_frames_no_mv_subset():
+    """r13 inter subset: carry-forward, full-coverage NO_MV (zero and
+    DC residuals), golden references, partial superblock coverage,
+    both mode schemes — value-exact against the composed closed
+    form."""
+    setup = T.parse_setup(T.build_setup_packet())
+    q0 = T.compute_qmat(setup, 0, 0, 40)[0]
+    qi1 = T.compute_qmat(setup, 1, 0, 40)[0]
+    kf = T.decode_frame(T.encode_flat_frame(64, 48, (9, 5, 13)),
+                        setup, 64, 48)
+    kf2 = T.decode_frame(T.encode_flat_frame(64, 48, (20, 11, 3)),
+                         setup, 64, 48)
+    # carry-forward and zero-residual NO_MV reproduce the prior frame
+    for spec in ({"coverage": "none"}, {"coverage": "all"},
+                 {"coverage": "partial"},
+                 {"coverage": "all", "mode_scheme": 7}):
+        pkt = T.encode_inter_frame(64, 48, **spec)
+        out = T.decode_frame(pkt, setup, 64, 48, refs=(kf, kf2))
+        for a, b in zip(out, kf):
+            assert np.array_equal(a, b), spec
+    # golden reference
+    pkt = T.encode_inter_frame(64, 48, mode=T.MODE_GOLDEN_NO_MV)
+    out = T.decode_frame(pkt, setup, 64, 48, refs=(kf, kf2))
+    for a, b in zip(out, kf2):
+        assert np.array_equal(a, b)
+    # DC residual shifts the flat value through the INTER quantizer
+    pkt = T.encode_inter_frame(64, 48, dcs=(4, 2, 6))
+    out = T.decode_frame(pkt, setup, 64, 48, refs=(kf, kf2))
+    for plane, rp, d in zip(out, kf, (4, 2, 6)):
+        exp = min(255, int(rp[0, 0]) + T.idct_flat_dc(d * qi1))
+        assert plane.min() == plane.max() == exp
+    del q0
+
+
+def test_inter_gop_through_ogg_and_boundaries():
+    ogg = T.build_theora_ogg(64, 48, [
+        (9, 5, 13),
+        {"dcs": (4, 2, 6)},
+        {"coverage": "none"},
+        {"mode": T.MODE_GOLDEN_NO_MV, "coverage": "all"},
+    ])
+    out = T.decode_ogg_theora(ogg)
+    setup = T.parse_setup(T.build_setup_packet())
+    y0 = 128 + T.idct_flat_dc(9 * T.compute_qmat(setup, 0, 0, 40)[0])
+    y1 = y0 + T.idct_flat_dc(4 * T.compute_qmat(setup, 1, 0, 40)[0])
+    assert [f[0][0, 0] for f in out["frames"]] == [y0, y1, y1, y0]
+    # metadata granules agree with the GOP structure
+    from rawdata_client_provider_gcs_spark.operators import rawogg
+
+    assert rawogg.parse_ogg(ogg)["n_frames"] == 4
+    # loud boundaries: MV-coded modes, fixed alphabets 1-6, missing refs
+    kf = out["frames"][0]
+    pkt = T.encode_inter_frame(64, 48, mode=2, mode_scheme=7)
+    with pytest.raises(ValueError, match="MV-coded"):
+        T.decode_frame(pkt, setup, 64, 48, refs=(kf, kf))
+    w = T._Bw()
+    w.write(0, 1)
+    w.write(1, 1)
+    w.write(40, 6)
+    w.write(0, 1)
+    n_sbs = 2 * 2 + 1 + 1  # 64x48: Y 2x2 SBs, chroma 1 each
+    T._encode_bit_runs(w, [0] * n_sbs)
+    T._encode_bit_runs(w, [1] * n_sbs)
+    w.write(3, 3)  # fixed alphabet scheme 3
+    with pytest.raises(ValueError, match="scheme 3"):
+        T.decode_frame(w.bytes() + b"\x00" * 8, setup, 64, 48,
+                       refs=(kf, kf))
+    with pytest.raises(ValueError, match="without reference"):
+        T.decode_frame(T.encode_inter_frame(64, 48), setup, 64, 48)
+
+
+def test_short_run_codec_boundaries():
+    for n in (1, 2, 3, 4, 5, 6, 7, 10, 11, 14, 15, 30):
+        w = T._Bw()
+        T._write_short_run(w, n)
+        assert T._short_run(T._Br(w.bytes())) == n, n
+    # vectors with >30-length runs survive the max-run re-read rule
+    import random
+
+    rng = random.Random(4)
+    for _ in range(10):
+        bits = []
+        b = rng.randrange(2)
+        while len(bits) < 200:
+            bits.extend([b] * rng.randrange(1, 80))
+            b ^= 1
+        bits = bits[:200]
+        w = T._Bw()
+        T._encode_short_bit_runs(w, bits)
+        assert T._decode_short_bit_runs(T._Br(w.bytes()), 200) == bits
