@@ -384,7 +384,10 @@ def _decode_bit_runs(r: _Br, n: int) -> list[int]:
         if len(out) > n:
             raise ValueError("theora: qi bit run overruns block count")
         if run == 4129:
-            bit = r.read(1)
+            # the explicit next-bit read applies only when entries
+            # remain to decode (a final maximal run reads nothing)
+            if len(out) < n:
+                bit = r.read(1)
         else:
             bit ^= 1
     return out
@@ -727,16 +730,23 @@ def decode_frame(
                 else:
                     eobs = eob_run - 1
                 continue
-            pos = ti + zrun
-            if pos > 63:
-                raise ValueError("theora: zero run past coefficient 63")
             if value != 0:
+                pos = ti + zrun
+                if pos > 63:
+                    raise ValueError(
+                        "theora: zero run past coefficient 63"
+                    )
                 coeffs[pli][xy][ZIGZAG[pos]] = value
                 tis[pli][xy] = pos + 1
             else:
-                tis[pli][xy] = pos + 1 if zrun else ti + 1
-            if tis[pli][xy] > 64:
-                tis[pli][xy] = 64
+                # pure zero-run token (§7.7.1): a run of R zeros
+                # advances exactly R positions; a run that exactly
+                # fills the block (ti + R == 64) is legal and ends it
+                if ti + zrun > 64:
+                    raise ValueError(
+                        "theora: zero run past coefficient 63"
+                    )
+                tis[pli][xy] = ti + zrun
     # DC prediction in the quantized domain, raster order per plane:
     # a neighbor is available only when CODED with the same reference
     # class, and the no-neighbor fallback tracks one last-DC per
@@ -825,19 +835,18 @@ def decode_frame(
 
 def _decode_short_bit_runs(r: _Br, n: int) -> list[int]:
     """Block-level flag vector: an initial bit, SHORT runs, the bit
-    flipping between runs — except after a maximal 30-run, where the
-    next bit is read explicitly (mirroring §7.4's max-run rule; the
-    fixture writers use the same convention)."""
+    simply alternating between runs (§7.3 — unlike the superblock
+    long-run vectors there is no explicit re-read after a maximal
+    run; 30 is the longest run a legal stream can contain, because a
+    same-valued flag run can span at most two PARTIAL superblocks of
+    up to 15 same-flag blocks each — a full 16 would make the middle
+    superblock non-partial)."""
     out: list[int] = []
     bit = r.read(1)
     while len(out) < n:
         run = _short_run(r)
         out.extend([bit] * min(run, n - len(out)))
-        if run == 30:
-            if len(out) < n:
-                bit = r.read(1)
-        else:
-            bit ^= 1
+        bit ^= 1
     return out
 
 
@@ -847,12 +856,10 @@ def _encode_short_bit_runs(w: _Bw, bits: list[int]) -> None:
     n = len(bits)
     while i < n:
         run = 1
-        while i + run < n and bits[i + run] == bits[i] and run < 30:
+        while i + run < n and bits[i + run] == bits[i]:
             run += 1
-        _write_short_run(w, run)
+        _write_short_run(w, run)  # raises on run > 30: not encodable
         i += run
-        if run == 30 and i < n:
-            w.write(bits[i], 1)
 
 
 def _decode_block_flags(
@@ -970,44 +977,38 @@ def _loop_filter(
     planes: list[tuple[int, int]], coded: dict | None = None,
 ) -> None:
     """§7.10 loop filter over CODED block edges (every edge on an
-    intra frame, where ``coded`` is None).  The filter response is
-    zero when the second difference is zero, so flat frames pass
+    intra frame, where ``coded`` is None), in the spec's traversal:
+    for each coded block in raster order within each plane, filter
+    its left edge, then its top edge, then the right/bottom edges
+    whose neighbor exists but is NOT coded.  The traversal order
+    matters — both passes of an edge-pair touch shared corner
+    pixels, and each edge application clamps to 0..255 before the
+    next reads it, matching reference decoders.  The filter response
+    is zero when the second difference is zero, so flat frames pass
     through untouched."""
     if flimit == 0:
         return
     for pli in range(3):
         p = out_planes[pli].astype(np.int32)
         bw, bh = planes[pli]
-        # vertical edges between horizontally adjacent blocks
-        for bx in range(1, bw):
-            c = bx * 8
-            if coded is not None:
-                rows = [y for y in range(bh)
-                        if coded[(pli, (bx - 1, y))]
-                        or coded[(pli, (bx, y))]]
-                if not rows:
+
+        def is_coded(x, y):
+            return coded is None or coded[(pli, (x, y))]
+
+        for y in range(bh):
+            rs = slice(y * 8, y * 8 + 8)
+            for x in range(bw):
+                if not is_coded(x, y):
                     continue
-                if len(rows) < bh:
-                    for y in rows:
-                        _filter_edge(p[y * 8 : y * 8 + 8], flimit, c,
-                                     axis=1)
-                    continue
-            _filter_edge(p, flimit, c, axis=1)
-        for by in range(1, bh):
-            rr = by * 8
-            if coded is not None:
-                cols = [x for x in range(bw)
-                        if coded[(pli, (x, by - 1))]
-                        or coded[(pli, (x, by))]]
-                if not cols:
-                    continue
-                if len(cols) < bw:
-                    for x in cols:
-                        _filter_edge(p[:, x * 8 : x * 8 + 8], flimit,
-                                     rr, axis=0)
-                    continue
-            _filter_edge(p, flimit, rr, axis=0)
-        np.clip(p, 0, 255, out=p)
+                cs = slice(x * 8, x * 8 + 8)
+                if x > 0:
+                    _filter_edge(p[rs], flimit, x * 8, axis=1)
+                if y > 0:
+                    _filter_edge(p[:, cs], flimit, y * 8, axis=0)
+                if x + 1 < bw and not is_coded(x + 1, y):
+                    _filter_edge(p[rs], flimit, (x + 1) * 8, axis=1)
+                if y + 1 < bh and not is_coded(x, y + 1):
+                    _filter_edge(p[:, cs], flimit, (y + 1) * 8, axis=0)
         out_planes[pli][:] = p.astype(np.uint8)
 
 
@@ -1023,8 +1024,12 @@ def _filter_edge(p: np.ndarray, flimit: int, c: int, axis: int) -> None:
     bounded = np.sign(f) * np.maximum(
         0, np.minimum(mag, 2 * flimit - mag)
     )
+    # reference decoders store clamped bytes per edge application, so
+    # later edges read the clamped values
     s1 += bounded
     s2 -= bounded
+    np.clip(s1, 0, 255, out=s1)
+    np.clip(s2, 0, 255, out=s2)
 
 
 # ---------------------------------------------------------------------------

@@ -310,6 +310,80 @@ def test_bit_run_vector_roundtrip_and_4129_rule():
     assert T._decode_bit_runs(T._Br(w.bytes()), len(bits)) == bits
 
 
+def _zero_run_frame(zr_token: int, run: int, tail_value: int | None):
+    """16x16 intra frame: Y(0,0) carries DC=5, a pure zero-run token
+    at ti=1, then optionally a value token and an EOB; the other five
+    blocks end through one EOB run of 5 at ti=0."""
+    w = T._Bw()
+    w.write(0, 1)  # frame packet
+    w.write(0, 1)  # intra
+    w.write(40, 6)
+    w.write(0, 1)  # one qi
+    w.write(0, 3)  # reserved
+    w.write(0, 4)  # HTIL (ti=0)
+    w.write(0, 4)  # HTIC
+    T._value_token(w, 5)           # Y(0,0) DC
+    T._write_token(w, 3, 5 - 4, 2)  # EOB run 5: remaining 5 blocks
+    w.write(0, 4)  # HTIL (ti=1)
+    w.write(0, 4)  # HTIC
+    bits = 3 if zr_token == 7 else 6
+    T._write_token(w, zr_token, run - 1, bits)
+    if tail_value is not None:
+        T._value_token(w, tail_value)  # lands at ti = 1 + run
+        T._write_token(w, 0, 0, 0)     # EOB run 1 ends Y(0,0)
+    return w.bytes()
+
+
+def test_pure_zero_run_advances_exactly_run():
+    """Tokens 7/8: a run of R zeros advances the coefficient index by
+    exactly R — the value token after a run of 3 starting at ti=1
+    lands at scan position 4 (natural index ZIGZAG[4] = 9).  lflim=0
+    keeps the loop filter out of the coefficient-exact comparison."""
+    setup = T.parse_setup(T.build_setup_packet(lflim=0))
+    y, cb, cr = T.decode_frame(_zero_run_frame(7, 3, 2), setup, 16, 16)
+    qm = np.array(T.compute_qmat(setup, 0, 0, 40), dtype=np.int64)
+    coeffs = np.zeros(64, dtype=np.int64)
+    coeffs[0] = 5 * qm[0]
+    coeffs[T.ZIGZAG[4]] = 2 * qm[T.ZIGZAG[4]]
+    res = T.idct_8x8_batch(coeffs.reshape(1, 8, 8))[0]
+    exp = np.clip(128 + res, 0, 255).astype(np.uint8)
+    assert np.array_equal(y[:8, :8], exp)
+    # the flat remainder: DC propagates through prediction
+    flat = _flat_expected(5, qm[0])
+    assert y[8:, 8:].min() == y[8:, 8:].max() == flat
+    assert cb.min() == cb.max() == flat
+    # token 8 (6-bit run) takes the same path
+    y2, _, _ = T.decode_frame(_zero_run_frame(8, 3, 2), setup, 16, 16)
+    assert np.array_equal(y2[:8, :8], exp)
+
+
+def test_zero_run_exactly_filling_block_is_legal():
+    """ti + run == 64 ends the block exactly — the legal maximal
+    run is accepted, not rejected by the >63 guard."""
+    setup = T.parse_setup(T.build_setup_packet())
+    y, cb, cr = T.decode_frame(_zero_run_frame(8, 63, None),
+                               setup, 16, 16)
+    qm0 = T.compute_qmat(setup, 0, 0, 40)[0]
+    flat = _flat_expected(5, qm0)
+    for plane in (y, cb, cr):
+        assert plane.min() == plane.max() == flat
+    # one past the end still raises
+    with pytest.raises(ValueError, match="zero run"):
+        T.decode_frame(_zero_run_frame(8, 64, None), setup, 16, 16)
+
+
+def test_final_4129_run_reads_no_trailing_bit():
+    """The explicit next-bit read after a maximal 4129 long run only
+    applies when entries remain — two vectors back to back stay in
+    sync when the first ends on a maximal run."""
+    w = T._Bw()
+    T._encode_bit_runs(w, [1] * 4129)
+    T._encode_bit_runs(w, [0] * 5)
+    r = T._Br(w.bytes())
+    assert T._decode_bit_runs(r, 4129) == [1] * 4129
+    assert T._decode_bit_runs(r, 5) == [0] * 5
+
+
 def test_two_qi_frame_decodes_identically():
     """Per-block qi selects the AC quantizer only; on a flat frame
     the output is invariant, but the run vector sits between the
@@ -429,7 +503,9 @@ def test_short_run_codec_boundaries():
         w = T._Bw()
         T._write_short_run(w, n)
         assert T._short_run(T._Br(w.bytes())) == n, n
-    # vectors with >30-length runs survive the max-run re-read rule
+    # the bit simply alternates between short runs — no re-read after
+    # a maximal 30-run (§7.3; the longest legal run is 30 because a
+    # same-flag run can span at most two partial superblocks)
     import random
 
     rng = random.Random(4)
@@ -437,9 +513,20 @@ def test_short_run_codec_boundaries():
         bits = []
         b = rng.randrange(2)
         while len(bits) < 200:
-            bits.extend([b] * rng.randrange(1, 80))
+            bits.extend([b] * rng.randrange(1, 31))
             b ^= 1
         bits = bits[:200]
         w = T._Bw()
         T._encode_short_bit_runs(w, bits)
         assert T._decode_short_bit_runs(T._Br(w.bytes()), 200) == bits
+    # a maximal 30-run followed by the SAME bit value is illegal — the
+    # fixture encoder refuses rather than silently desyncing
+    with pytest.raises(ValueError, match="short run"):
+        T._encode_short_bit_runs(T._Bw(), [1] * 31 + [0])
+    # decode side: after a 30-run the bit toggles with no explicit read
+    w = T._Bw()
+    w.write(1, 1)
+    T._write_short_run(w, 30)
+    T._write_short_run(w, 5)
+    assert (T._decode_short_bit_runs(T._Br(w.bytes()), 35)
+            == [1] * 30 + [0] * 5)
