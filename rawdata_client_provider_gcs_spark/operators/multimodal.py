@@ -825,3 +825,80 @@ def pdf_text(
         f"{id_col} long, page_idx long, n_pages long, "
         "page_text string, error string",
     )
+
+
+def pdf_images(
+    media: DataFrame,
+    id_col: str = "doc_id",
+    max_pages: int = 1000,
+    max_images: int = 256,
+) -> DataFrame:
+    """Per-document embedded-image extraction (one row per image).
+
+    :func:`..operators.rawpdf.extract_pdf_images` walks page
+    ``/Resources → /XObject`` images and inline ``BI…ID…EI`` images,
+    decoding raw/Flate samples (gray/RGB/indexed/mask, PNG/TIFF
+    predictors), ``/DCTDecode`` via the baseline JPEG decoder, and
+    ``/CCITTFaxDecode`` via the fax decoder.  Error capture is
+    two-level: a hostile DOCUMENT yields one row with a document
+    ``error``, a hostile IMAGE inside a good document yields its own
+    row with an image ``error`` — the rest of the document's images
+    still land.  Output: ``(id, page_idx, img_idx, kind, name, filter,
+    width, height, bpc, channels, sum_pixel, mean_pixel, error)`` with
+    pixel stats computed kernel-side so no pixel arrays cross the
+    Arrow boundary — the shape a 100 TB scanned-document scan needs.
+    """
+
+    def run(batches):
+        import pandas as pd
+
+        from . import rawpdf
+
+        cols = (id_col, "page_idx", "img_idx", "kind", "name", "filter",
+                "width", "height", "bpc", "channels", "sum_pixel",
+                "mean_pixel", "error")
+
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+
+            def put(doc_id, **kw):
+                vals = {c: None for c in cols}
+                vals[id_col] = doc_id
+                vals.update(kw)
+                for c in cols:
+                    rows[c].append(vals[c])
+
+            for doc_id, p in zip(pdf[id_col], pdf["payload"]):
+                if p is None:
+                    put(doc_id, error="ValueError: null PDF payload")
+                    continue
+                parsed, err = _catch_row(
+                    rawpdf.extract_pdf_images, bytes(p), max_pages,
+                    max_images,
+                )
+                if err is not None:
+                    put(doc_id, error=err)
+                    continue
+                for idx, im in enumerate(parsed["images"]):
+                    px = im["pixels"]
+                    s = None if px is None else int(
+                        px.astype("int64").sum()
+                    )
+                    m = None if px is None else float(px.mean())
+                    put(
+                        doc_id, page_idx=im["page_idx"],
+                        img_idx=idx, kind=im["kind"], name=im["name"],
+                        filter=im["filter"], width=im["width"],
+                        height=im["height"], bpc=im["bpc"],
+                        channels=im["channels"], sum_pixel=s,
+                        mean_pixel=m, error=im["error"],
+                    )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run,
+        f"{id_col} long, page_idx long, img_idx long, kind string, "
+        "name string, filter string, width long, height long, "
+        "bpc long, channels long, sum_pixel long, mean_pixel double, "
+        "error string",
+    )

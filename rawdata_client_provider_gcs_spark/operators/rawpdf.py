@@ -36,10 +36,26 @@ The write path (``encode_pdf``) emits a deterministic PDF 1.4 document
 — one content stream per page, optional Flate compression, classic
 xref — used by the oracle-checked roundtrip query and the fuzz corpus.
 
+Embedded images (r14): :func:`extract_pdf_images` walks each page's
+``/Resources → /XObject`` dictionaries for ``/Subtype /Image`` streams
+AND the inline ``BI … ID … EI`` images in content streams, decoding
+
+- raw / ``FlateDecode`` samples (with PNG/TIFF predictors) in
+  ``/DeviceGray`` (1/2/4/8 bpc), ``/DeviceRGB``, and ``/ImageMask``;
+- ``/DCTDecode`` through the verified baseline JPEG decoder
+  (:mod:`.rawjpeg`);
+- ``/CCITTFaxDecode`` through the verified fax decoder
+  (:mod:`.rawccitt`): ``K < 0`` (Group 4), ``K = 0`` with
+  ``/EncodedByteAlign`` (MH), honoring ``/BlackIs1``;
+
+with PER-IMAGE error capture — one hostile image yields an ``error``
+string on its row instead of poisoning the page or document.
+
 Out of scope, loudly: encryption (``/Encrypt``), non-Flate filters
-(DCT/JPX/CCITT streams are *images*, not text), CID/Type0 font CMaps
-(strings in such PDFs are glyph indices; we extract only simple-font
-text and surface ``/Type0`` pages as errors rather than emit garbage).
+on TEXT content, CID/Type0 font CMaps (strings in such PDFs are glyph
+indices; we extract only simple-font text and surface ``/Type0`` pages
+as errors rather than emit garbage), and image codecs with no in-repo
+decoder (``/JPXDecode``, ``/JBIG2Decode`` — per-image error rows).
 
 Reference behavioral parity: the reference transport stores opaque
 named byte arrays per message (RawdataMessage.java:15-60); document
@@ -51,6 +67,8 @@ from __future__ import annotations
 
 import re
 import zlib
+
+import numpy as np
 
 # Hard cap on any single decompressed stream — a crawl PDF claiming a
 # bigger content stream than this is treated as hostile (bomb guard).
@@ -274,6 +292,41 @@ class _Lexer:
 # ---------------------------------------------------------------------------
 
 
+#: image-codec filters (canonical + abbreviated inline-image names):
+#: left undecoded by the generic stream reader, routed by the image
+#: extractor; JPX/JBIG2 have no in-repo decoder and stay loud there
+_IMAGE_FILTERS = {
+    "DCTDecode": "DCTDecode", "DCT": "DCTDecode",
+    "CCITTFaxDecode": "CCITTFaxDecode", "CCF": "CCITTFaxDecode",
+    "JPXDecode": "JPXDecode",
+    "JBIG2Decode": "JBIG2Decode",
+}
+
+
+def _runlength(data: bytes, cap: int = MAX_STREAM_BYTES) -> bytes:
+    """``/RunLengthDecode`` (ISO 32000 §7.4.5): length byte 0-127
+    copies N+1 literals, 129-255 repeats the next byte 257-N times,
+    128 is EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:
+            break
+        if ln < 128:
+            out += data[i + 1 : i + 2 + ln]
+            i += 2 + ln
+        else:
+            if i + 1 >= n:
+                raise ValueError("pdf: truncated RunLength stream")
+            out += bytes([data[i + 1]]) * (257 - ln)
+            i += 2
+        if len(out) > cap:
+            raise ValueError("pdf: RunLength stream expands past cap")
+    return bytes(out)
+
+
 def _flate(data: bytes, cap: int = MAX_STREAM_BYTES) -> bytes:
     d = zlib.decompressobj()
     try:
@@ -452,7 +505,9 @@ class _Document:
         d = lex.parse_object()
         if not isinstance(d, dict) or d.get("Type") != "XRef":
             raise ValueError("pdf: not an /XRef stream")
-        raw = self._read_stream_data(lex, d, resolve=lambda v: v)
+        raw, pending = self._read_stream_data(lex, d, resolve=lambda v: v)
+        if pending is not None:
+            raise ValueError("pdf: image filter on /XRef stream")
         widths = [int(w) for w in d.get("W", [])]
         if len(widths) != 3:
             raise ValueError("pdf: /XRef stream missing /W")
@@ -520,11 +575,21 @@ class _Document:
         if isinstance(obj, dict):
             lex._skip_ws()
             if self.data.startswith(b"stream", lex.pos):
-                data = self._read_stream_data(lex, obj, resolve=self.resolve)
-                return _Stream(obj, data)
+                data, pending = self._read_stream_data(
+                    lex, obj, resolve=self.resolve
+                )
+                return _Stream(obj, data, pending)
         return obj
 
-    def _read_stream_data(self, lex: _Lexer, d: dict, resolve) -> bytes:
+    def _read_stream_data(
+        self, lex: _Lexer, d: dict, resolve
+    ) -> tuple[bytes, tuple[str, dict] | None]:
+        """Read and decode one stream's data.  Returns ``(data,
+        image_filter)``: non-image filters (Flate/ASCIIHex, with
+        predictors) are applied; a trailing IMAGE codec filter
+        (DCT/CCITT/JPX/JBIG2) is returned undecoded as ``(name,
+        parms)`` for the image tier to route to the right decoder —
+        text/structure consumers reject streams that carry one."""
         data = self.data
         lex._skip_ws()
         if not data.startswith(b"stream", lex.pos):
@@ -558,11 +623,11 @@ class _Document:
         else:
             parms_list = [resolve(raw_parms) or {}]
         parms_list += [{}] * (len(filters) - len(parms_list))
-        for f, parms in zip(filters, parms_list):
+        for i, (f, parms) in enumerate(zip(filters, parms_list)):
             if not isinstance(parms, dict):
                 raise ValueError("pdf: /DecodeParms entry is not a dictionary")
             f = str(resolve(f))
-            if f == "FlateDecode":
+            if f == "FlateDecode" or f == "Fl":
                 raw = _flate(raw)
                 pred = int(resolve(parms.get("Predictor", 1)) or 1)
                 if pred > 1:
@@ -578,9 +643,20 @@ class _Document:
                 if len(h) % 2:
                     h += b"0"
                 raw = bytes.fromhex(h.decode("ascii"))
+            elif f in ("RunLengthDecode", "RL"):
+                raw = _runlength(raw)
+            elif f in _IMAGE_FILTERS:
+                if i != len(filters) - 1:
+                    raise ValueError(
+                        f"pdf: image filter /{f} is not the last in chain"
+                    )
+                return raw, (
+                    _IMAGE_FILTERS[f],
+                    {k: resolve(v) for k, v in parms.items()},
+                )
             else:
                 raise ValueError(f"pdf: unsupported stream filter /{f}")
-        return raw
+        return raw, None
 
     def _from_objstm(self, stm_num: int, idx: int, num: int):
         table = self._objstm_cache.get(stm_num)
@@ -600,6 +676,10 @@ class _Document:
                 self._objstm_loading.discard(stm_num)
             if not isinstance(stm, _Stream) or stm.dict.get("Type") != "ObjStm":
                 raise ValueError(f"pdf: object {num}: container is not /ObjStm")
+            if stm.image_filter is not None:
+                raise ValueError(
+                    f"pdf: image filter on /ObjStm {stm_num}"
+                )
             n = int(self.resolve(stm.dict.get("N", 0)))
             first = int(self.resolve(stm.dict.get("First", 0)))
             head = _Lexer(stm.data, 0)
@@ -621,11 +701,14 @@ class _Document:
 
 
 class _Stream:
-    __slots__ = ("dict", "data")
+    __slots__ = ("dict", "data", "image_filter")
 
-    def __init__(self, d: dict, data: bytes):
+    def __init__(self, d: dict, data: bytes,
+                 image_filter: tuple[str, dict] | None = None):
         self.dict = d
         self.data = data
+        # trailing undecoded image codec: (canonical name, parms dict)
+        self.image_filter = image_filter
 
 
 # ---------------------------------------------------------------------------
@@ -698,12 +781,7 @@ def _page_text(content: bytes) -> str:
     return "\n".join(out)
 
 
-def extract_pdf(data: bytes, max_pages: int = 1000) -> dict:
-    """Parse a PDF and extract per-page text.
-
-    Returns ``{"n_pages": int, "pages": list[str], "producer": str|None}``.
-    Raises ``ValueError`` on anything outside the supported subset.
-    """
+def _open_doc(data: bytes) -> tuple["_Document", dict]:
     if not data.startswith(b"%PDF-"):
         raise ValueError("pdf: missing %PDF header")
     doc = _Document(data)
@@ -712,11 +790,19 @@ def extract_pdf(data: bytes, max_pages: int = 1000) -> dict:
         raise ValueError("pdf: /Root is not a dictionary")
     if "Encrypt" in doc.trailer:
         raise ValueError("pdf: encrypted documents not supported")
+    return doc, root
+
+
+def _walk_pages(
+    doc: "_Document", root: dict, max_pages: int
+) -> list[tuple[dict, dict | None]]:
+    """Page-tree traversal → ``[(page node, effective resources)]``.
+    /Resources is inheritable (ISO 32000 §7.7.3.4): a node without its
+    own dict uses the nearest ancestor's."""
     pages_obj = doc.resolve(root.get("Pages"))
     if not isinstance(pages_obj, dict):
         raise ValueError("pdf: catalog has no /Pages tree")
-
-    pages: list[tuple[dict, dict | None]] = []  # (page node, resources)
+    pages: list[tuple[dict, dict | None]] = []
     seen: set[int] = set()
 
     def walk(node, inherited_res, depth=0):
@@ -729,9 +815,6 @@ def extract_pdf(data: bytes, max_pages: int = 1000) -> dict:
         if nid in seen:
             raise ValueError("pdf: cycle in page tree")
         seen.add(nid)
-        # /Resources is inheritable (ISO 32000 §7.7.3.4): a node
-        # without its own dict uses the nearest ancestor's — the
-        # Type0 loud boundary below must see the effective one.
         res = node.get("Resources", inherited_res)
         t = node.get("Type")
         if t == "Pages" or ("Kids" in node and t != "Page"):
@@ -741,6 +824,36 @@ def extract_pdf(data: bytes, max_pages: int = 1000) -> dict:
             pages.append((node, res))
 
     walk(pages_obj, None)
+    return pages
+
+
+def _page_content(doc: "_Document", page: dict) -> bytes:
+    """One page's concatenated content-stream bytes."""
+    contents = doc.resolve(page.get("Contents"))
+    chunks: list[bytes] = []
+    streams = [contents] if isinstance(contents, _Stream) else (
+        [doc.resolve(c) for c in contents]
+        if isinstance(contents, list) else []
+    )
+    for c in streams:
+        if isinstance(c, _Stream):
+            if c.image_filter is not None:
+                raise ValueError(
+                    "pdf: unsupported stream filter "
+                    f"/{c.image_filter[0]} on page content"
+                )
+            chunks.append(c.data)
+    return b"\n".join(chunks)
+
+
+def extract_pdf(data: bytes, max_pages: int = 1000) -> dict:
+    """Parse a PDF and extract per-page text.
+
+    Returns ``{"n_pages": int, "pages": list[str], "producer": str|None}``.
+    Raises ``ValueError`` on anything outside the supported subset.
+    """
+    doc, root = _open_doc(data)
+    pages = _walk_pages(doc, root, max_pages)
 
     texts: list[str] = []
     for page, page_res in pages:
@@ -754,22 +867,457 @@ def extract_pdf(data: bytes, max_pages: int = 1000) -> dict:
                         raise ValueError(
                             "pdf: /Type0 (CID) fonts not supported for extraction"
                         )
-        contents = doc.resolve(page.get("Contents"))
-        chunks: list[bytes] = []
-        if isinstance(contents, _Stream):
-            chunks.append(contents.data)
-        elif isinstance(contents, list):
-            for cref in contents:
-                c = doc.resolve(cref)
-                if isinstance(c, _Stream):
-                    chunks.append(c.data)
-        texts.append(_page_text(b"\n".join(chunks)))
+        texts.append(_page_text(_page_content(doc, page)))
 
     info = doc.resolve(doc.trailer.get("Info"))
     producer = None
     if isinstance(info, dict) and isinstance(info.get("Producer"), bytes):
         producer = _decode_text(info["Producer"])
     return {"n_pages": len(texts), "pages": texts, "producer": producer}
+
+
+# ---------------------------------------------------------------------------
+# Embedded images (XObject + inline)
+# ---------------------------------------------------------------------------
+
+MAX_IMAGES = 256
+MAX_IMAGE_PIXELS = 1 << 26  # 64 Mpixel bomb guard per image
+
+
+def _colorspace_kind(doc: "_Document", cs) -> tuple[str, int, object]:
+    """Resolve a colorspace to ``(kind, ncomp, palette)``: kind in
+    {gray, rgb, cmyk, indexed}; palette is the (N, base_ncomp) uint8
+    lookup for indexed, else None."""
+    cs = doc.resolve(cs)
+    if cs is None:
+        return "gray", 1, None  # ImageMask / missing: 1 component
+    if isinstance(cs, _Name):
+        name = str(cs)
+        if name in ("DeviceGray", "CalGray", "G"):
+            return "gray", 1, None
+        if name in ("DeviceRGB", "CalRGB", "RGB"):
+            return "rgb", 3, None
+        if name in ("DeviceCMYK", "CMYK"):
+            return "cmyk", 4, None
+        raise ValueError(f"pdf: unsupported colorspace /{name}")
+    if isinstance(cs, list) and cs:
+        fam = str(doc.resolve(cs[0]))
+        if fam == "ICCBased" and len(cs) >= 2:
+            stm = doc.resolve(cs[1])
+            n = 3
+            if isinstance(stm, _Stream):
+                n = int(doc.resolve(stm.dict.get("N", 3)))
+            by_n = {1: ("gray", 1, None), 3: ("rgb", 3, None),
+                    4: ("cmyk", 4, None)}
+            if n not in by_n:
+                raise ValueError(f"pdf: ICCBased /N {n} unsupported")
+            return by_n[n]
+        if fam in ("Indexed", "I") and len(cs) == 4:
+            kind, bn, _pal = _colorspace_kind(doc, cs[1])
+            if kind not in ("gray", "rgb"):
+                raise ValueError("pdf: indexed base colorspace unsupported")
+            hival = int(doc.resolve(cs[2]))
+            lookup = doc.resolve(cs[3])
+            raw = lookup.data if isinstance(lookup, _Stream) else lookup
+            if not isinstance(raw, (bytes, bytearray)):
+                raise ValueError("pdf: indexed lookup is not byte data")
+            need = (hival + 1) * bn
+            if len(raw) < need:
+                raise ValueError("pdf: indexed lookup table too short")
+            pal = np.frombuffer(bytes(raw[:need]), np.uint8).reshape(
+                hival + 1, bn
+            )
+            return "indexed", 1, pal
+    raise ValueError("pdf: unsupported colorspace shape")
+
+
+def _unpack_samples(
+    data: bytes, width: int, height: int, ncomp: int, bpc: int
+) -> np.ndarray:
+    """Byte-aligned-row sample stream → (H, W, ncomp) int array of raw
+    sample values (0 .. 2^bpc - 1)."""
+    if bpc not in (1, 2, 4, 8):
+        raise ValueError(f"pdf: unsupported BitsPerComponent {bpc}")
+    stride = (width * ncomp * bpc + 7) // 8
+    if len(data) < stride * height:
+        raise ValueError("pdf: image data shorter than Width*Height")
+    rows = np.frombuffer(
+        bytes(data[: stride * height]), np.uint8
+    ).reshape(height, stride)
+    if bpc == 8:
+        out = rows[:, : width * ncomp].astype(np.int64)
+    else:
+        bits = np.unpackbits(rows, axis=1)
+        per = width * ncomp
+        vals = bits[:, : per * bpc].reshape(height, per, bpc)
+        weights = (1 << np.arange(bpc - 1, -1, -1)).astype(np.int64)
+        out = (vals * weights).sum(axis=2)
+    return out.reshape(height, width, ncomp)
+
+
+def _apply_decode(
+    samples: np.ndarray, bpc: int, decode: list | None
+) -> np.ndarray:
+    """Samples → 8-bit component values via the /Decode array (default
+    [0 1] per component)."""
+    maxval = (1 << bpc) - 1
+    ncomp = samples.shape[2]
+    if decode is None:
+        if bpc == 8:
+            return samples.astype(np.uint8)
+        return np.rint(samples * (255.0 / maxval)).astype(np.uint8)
+    if len(decode) != 2 * ncomp:
+        raise ValueError("pdf: /Decode length mismatch")
+    out = np.empty(samples.shape, np.uint8)
+    for c in range(ncomp):
+        d0, d1 = float(decode[2 * c]), float(decode[2 * c + 1])
+        vals = d0 + samples[:, :, c] * ((d1 - d0) / maxval)
+        out[:, :, c] = np.clip(np.rint(vals * 255.0), 0, 255)
+    return out
+
+
+def _ccitt_pixels(data: bytes, parms: dict, height: int) -> np.ndarray:
+    """CCITTFaxDecode → (H, W) uint8 gray (0 black / 255 white)."""
+    from . import rawccitt
+
+    k = int(parms.get("K", 0) or 0)
+    cols = int(parms.get("Columns", 1728) or 1728)
+    rows = int(parms.get("Rows", height) or height)
+    if rows * cols > MAX_IMAGE_PIXELS:
+        raise ValueError("pdf: CCITT image too large")
+    if k < 0:
+        bits = rawccitt.decode_g4(data, cols, rows)
+    elif k == 0:
+        if parms.get("EncodedByteAlign"):
+            bits = rawccitt.decode_mh(data, cols, rows, eol=False)
+        elif parms.get("EndOfLine"):
+            bits = rawccitt.decode_g3(data, cols, rows, two_d=False)
+        else:
+            raise ValueError(
+                "pdf: CCITT K=0 without /EncodedByteAlign or "
+                "/EndOfLine is unsupported"
+            )
+    else:
+        bits = rawccitt.decode_g3(data, cols, rows, two_d=True)
+    # rawccitt bits: 1 = black.  PDF output samples: /BlackIs1 false
+    # (default) → 0 bits are black, i.e. sample = 1 - bit.
+    if parms.get("BlackIs1"):
+        samples = bits.astype(np.int64)
+    else:
+        samples = (1 - bits).astype(np.int64)
+    decode = parms.get("Decode")
+    return _apply_decode(samples[:, :, None], 1, decode)[:, :, 0]
+
+
+def _decode_image(doc: "_Document", d: dict, data: bytes,
+                  image_filter: tuple[str, dict] | None) -> dict:
+    """One image stream (XObject or inline, post-generic-filters) →
+    ``{width, height, bpc, channels, filter, pixels}``.  Raises
+    ``ValueError`` for anything outside the decodable subset — callers
+    record it per image."""
+    width = int(doc.resolve(d.get("Width", d.get("W", 0))) or 0)
+    height = int(doc.resolve(d.get("Height", d.get("H", 0))) or 0)
+    if width <= 0 or height <= 0:
+        raise ValueError("pdf: image without positive Width/Height")
+    if width * height > MAX_IMAGE_PIXELS:
+        raise ValueError("pdf: image too large")
+    is_mask = bool(doc.resolve(d.get("ImageMask", d.get("IM", False))))
+    bpc = int(
+        doc.resolve(d.get("BitsPerComponent", d.get("BPC", 0)))
+        or (1 if is_mask else 8)
+    )
+    decode = doc.resolve(d.get("Decode", d.get("D")))
+    fname = image_filter[0] if image_filter else ""
+    # display name of the (already applied) generic filter chain
+    declared = doc.resolve(d.get("Filter", d.get("F")))
+    if isinstance(declared, _Name):
+        declared = [declared]
+    gen_name = ""
+    if isinstance(declared, list) and declared:
+        f0 = str(doc.resolve(declared[0]))
+        gen_name = {"Fl": "FlateDecode", "AHx": "ASCIIHexDecode",
+                    "RL": "RunLengthDecode"}.get(f0, f0)
+    if fname == "DCTDecode":
+        from . import rawjpeg
+
+        arr = rawjpeg.decode_jpeg(data)  # (H, W, 3) RGB
+        if arr.shape[0] != height or arr.shape[1] != width:
+            raise ValueError("pdf: DCT image dimensions disagree")
+        return {"width": width, "height": height, "bpc": 8,
+                "channels": 3, "filter": fname, "pixels": arr}
+    if fname == "CCITTFaxDecode":
+        gray = _ccitt_pixels(data, image_filter[1], height)
+        if gray.shape != (height, width):
+            raise ValueError("pdf: CCITT image dimensions disagree")
+        return {"width": width, "height": height, "bpc": 1,
+                "channels": 1, "filter": fname, "pixels": gray}
+    if fname:
+        raise ValueError(f"pdf: no decoder for image filter /{fname}")
+    if is_mask:
+        kind, ncomp, pal = "gray", 1, None
+        bpc = 1
+    else:
+        kind, ncomp, pal = _colorspace_kind(
+            doc, d.get("ColorSpace", d.get("CS"))
+        )
+    samples = _unpack_samples(data, width, height, ncomp, bpc)
+    if kind == "indexed":
+        hival = pal.shape[0] - 1
+        if samples.max(initial=0) > hival:
+            raise ValueError("pdf: indexed sample exceeds hival")
+        px = pal[samples[:, :, 0]]
+        if px.shape[2] == 1:
+            px = px[:, :, 0]
+        return {"width": width, "height": height, "bpc": bpc,
+                "channels": 1 if px.ndim == 2 else 3,
+                "filter": gen_name, "pixels": px}
+    if kind == "cmyk":
+        raise ValueError("pdf: DeviceCMYK raw images unsupported")
+    px = _apply_decode(samples, bpc, decode)
+    if ncomp == 1:
+        px = px[:, :, 0]
+    return {"width": width, "height": height, "bpc": bpc,
+            "channels": ncomp, "filter": gen_name, "pixels": px}
+
+
+#: inline-image dict key abbreviations (ISO 32000 Table 93)
+_INLINE_KEYS = {
+    "W": "W", "Width": "W", "H": "H", "Height": "H",
+    "BPC": "BPC", "BitsPerComponent": "BPC",
+    "CS": "CS", "ColorSpace": "CS", "F": "F", "Filter": "F",
+    "DP": "DP", "DecodeParms": "DP", "IM": "IM", "ImageMask": "IM",
+    "D": "D", "Decode": "D", "L": "L", "Length": "L",
+    "I": "Interpolate", "Interpolate": "Interpolate",
+}
+
+
+def _inline_images(
+    content: bytes,
+) -> list[tuple[dict, bytes | None, str | None]]:
+    """Scan one page's content stream for ``BI … ID … EI`` inline
+    images → ``[(normalized dict, raw data | None, error | None)]``.
+    Data length is computed for unfiltered images, found by
+    self-terminating stream end for Flate/ASCIIHex/DCT, and EI-scanned
+    for CCITT.  A ``BI`` whose dictionary does not parse is treated as
+    a false positive (the two bytes occur inside string/sample data)
+    and skipped; a parsed image whose data extent cannot be determined
+    yields an error entry instead of aborting the page."""
+    out: list[tuple[dict, bytes | None, str | None]] = []
+    pos = 0
+    n = len(content)
+    while True:
+        m = re.search(rb"(?:^|[\s()<>\[\]{}/%])BI(?=[\s/])", content[pos:])
+        if m is None:
+            return out
+        lex = _Lexer(content, pos + m.end())
+        d: dict = {}
+        try:
+            while True:
+                lex._skip_ws()
+                if lex.pos >= n:
+                    raise ValueError("pdf: inline image without ID")
+                if content.startswith(b"ID", lex.pos) and (
+                    lex.pos + 2 >= n or content[lex.pos + 2] in _WS
+                ):
+                    lex.pos += 2
+                    break
+                key = lex.parse_object()
+                if not isinstance(key, _Name):
+                    raise ValueError("pdf: inline image key is not a name")
+                val = lex.parse_object()
+                norm = _INLINE_KEYS.get(str(key), str(key))
+                d[norm] = val
+        except ValueError:
+            pos += m.end()  # false positive: BI inside other data
+            continue
+        try:
+            plausible = int(d.get("W", 0)) > 0 and int(d.get("H", 0)) > 0
+        except (TypeError, ValueError):
+            plausible = False
+        if not plausible:
+            pos += m.end()  # a real inline image always carries /W /H
+            continue
+        data_start = lex.pos + 1  # exactly one whitespace byte after ID
+        try:
+            raw, end = _inline_data_extent(content, data_start, d)
+        except ValueError as exc:
+            out.append((d, None, str(exc)))
+            pos = data_start
+            continue
+        em = re.compile(rb"\s*EI(?=[\s()<>\[\]{}/%]|$)").match(content, end)
+        if em is None:
+            out.append((d, None, "pdf: inline image data not followed by EI"))
+            pos = end
+            continue
+        out.append((d, raw, None))
+        pos = em.end()
+
+
+def _inline_data_extent(
+    content: bytes, data_start: int, d: dict
+) -> tuple[bytes, int]:
+    n = len(content)
+    filters = d.get("F")
+    if filters is None:
+        filters = []
+    elif isinstance(filters, _Name):
+        filters = [filters]
+    fnames = [str(f) for f in filters]
+    if not fnames:
+        w = int(d.get("W", 0) or 0)
+        h = int(d.get("H", 0) or 0)
+        is_mask = bool(d.get("IM", False))
+        bpc = int(d.get("BPC", 0) or (1 if is_mask else 8))
+        ncomp = 1
+        cs = d.get("CS")
+        if isinstance(cs, _Name) and str(cs) in ("RGB", "DeviceRGB"):
+            ncomp = 3
+        elif isinstance(cs, _Name) and str(cs) in ("CMYK", "DeviceCMYK"):
+            ncomp = 4
+        length = ((w * ncomp * bpc + 7) // 8) * h
+        end = data_start + length
+        if end > n:
+            raise ValueError("pdf: inline image data truncated")
+    elif fnames[0] in ("Fl", "FlateDecode"):
+        dec = zlib.decompressobj()
+        try:
+            dec.decompress(content[data_start:], MAX_STREAM_BYTES)
+        except zlib.error as exc:
+            raise ValueError(f"pdf: inline Flate image: {exc}") from exc
+        if not dec.eof:
+            raise ValueError("pdf: unterminated inline Flate image")
+        end = n - len(dec.unused_data)
+    elif fnames[0] in ("AHx", "ASCIIHexDecode"):
+        gt = content.find(b">", data_start)
+        if gt < 0:
+            raise ValueError("pdf: unterminated inline AHx image")
+        end = gt + 1
+    elif fnames[0] in ("DCT", "DCTDecode"):
+        eoi = content.find(b"\xff\xd9", data_start)
+        if eoi < 0:
+            raise ValueError("pdf: unterminated inline DCT image")
+        end = eoi + 2
+    else:
+        em = re.search(rb"[\s]EI(?=[\s]|$)", content[data_start:])
+        if em is None:
+            raise ValueError("pdf: inline image without EI")
+        end = data_start + em.start()
+    return content[data_start:end], end
+
+
+def _decode_inline(doc: "_Document", d: dict, raw: bytes) -> dict:
+    """Inline image dict + raw data → decoded image record (applies
+    the leading generic filters, then routes like an XObject)."""
+    filters = d.get("F")
+    if filters is None:
+        filters = []
+    elif isinstance(filters, _Name):
+        filters = [filters]
+    parms = d.get("DP")
+    parms_list = parms if isinstance(parms, list) else [parms]
+    parms_list = [p or {} for p in parms_list]
+    parms_list += [{}] * (len(filters) - len(parms_list))
+    pending = None
+    for i, (f, p) in enumerate(zip(filters, parms_list)):
+        f = str(f)
+        if f in ("Fl", "FlateDecode"):
+            raw = _flate(raw)
+            pred = int(p.get("Predictor", 1) or 1)
+            if pred > 1:
+                raw = _unpredict(
+                    raw, pred, int(p.get("Columns", 1) or 1),
+                    int(p.get("Colors", 1) or 1),
+                    int(p.get("BitsPerComponent", 8) or 8),
+                )
+        elif f in ("AHx", "ASCIIHexDecode"):
+            h = re.sub(rb"[^0-9A-Fa-f]", b"", raw.split(b">", 1)[0])
+            if len(h) % 2:
+                h += b"0"
+            raw = bytes.fromhex(h.decode("ascii"))
+        elif f in ("RL", "RunLengthDecode"):
+            raw = _runlength(raw)
+        elif f in _IMAGE_FILTERS:
+            if i != len(filters) - 1:
+                raise ValueError(
+                    f"pdf: image filter /{f} is not the last in chain"
+                )
+            pending = (_IMAGE_FILTERS[f], p)
+            break
+        else:
+            raise ValueError(f"pdf: unsupported inline filter /{f}")
+    return _decode_image(doc, d, raw, pending)
+
+
+def extract_pdf_images(
+    data: bytes, max_pages: int = 1000, max_images: int = MAX_IMAGES
+) -> dict:
+    """Extract every embedded image: page ``/Resources → /XObject``
+    images (recursing one level into Form XObjects) and inline
+    ``BI…ID…EI`` images in page content.
+
+    Returns ``{"n_pages": int, "images": [record]}`` where each record
+    has ``page_idx, kind ("xobject"|"inline"), name, filter, width,
+    height, bpc, channels, pixels (np.ndarray | None), error
+    (str | None)`` — a hostile image yields an error record, never an
+    exception (per-image error capture, same discipline as the
+    per-row Spark kernels).  Raises ``ValueError`` only when the
+    document itself is outside the parseable subset."""
+    doc, root = _open_doc(data)
+    pages = _walk_pages(doc, root, max_pages)
+    images: list[dict] = []
+
+    def emit(page_idx: int, kind: str, name: str, fn, error=None):
+        if len(images) >= max_images:
+            raise ValueError("pdf: too many embedded images")
+        rec = {"page_idx": page_idx, "kind": kind, "name": name,
+               "filter": "", "width": 0, "height": 0, "bpc": 0,
+               "channels": 0, "pixels": None, "error": error}
+        if error is None:
+            try:
+                rec.update(fn())
+            except ValueError as exc:
+                rec["error"] = str(exc)
+        images.append(rec)
+
+    def xobjects_of(res, page_idx: int, depth: int = 0):
+        res = doc.resolve(res)
+        if not isinstance(res, dict) or depth > 4:
+            return
+        xo = doc.resolve(res.get("XObject"))
+        if not isinstance(xo, dict):
+            return
+        for name in sorted(xo):
+            obj = doc.resolve(xo[name])
+            if not isinstance(obj, _Stream):
+                continue
+            sub = obj.dict.get("Subtype")
+            if sub == "Image":
+                emit(
+                    page_idx, "xobject", str(name),
+                    lambda o=obj: _decode_image(
+                        doc, o.dict, o.data, o.image_filter
+                    ),
+                )
+            elif sub == "Form":
+                # nested resources + the form's own inline images
+                xobjects_of(obj.dict.get("Resources"), page_idx, depth + 1)
+                if obj.image_filter is None:
+                    emit_inline(page_idx, _inline_images(obj.data))
+
+    def emit_inline(page_idx: int, found):
+        for d, raw, err in found:
+            emit(page_idx, "inline", "",
+                 lambda d=d, raw=raw: _decode_inline(doc, d, raw),
+                 error=err)
+
+    for page_idx, (page, page_res) in enumerate(pages):
+        xobjects_of(page_res, page_idx)
+        try:
+            content = _page_content(doc, page)
+        except ValueError:
+            content = b""
+        emit_inline(page_idx, _inline_images(content))
+    return {"n_pages": len(pages), "images": images}
 
 
 MAX_OUTLINE_ITEMS = 4096
@@ -866,16 +1414,137 @@ def _esc(s: str) -> bytes:
     return raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
-def _content_stream(lines: list[str], compress: bool) -> bytes:
+def _pack_rows(arr: np.ndarray, bpc: int) -> bytes:
+    """Samples → the byte-aligned-row sample stream PDF images use."""
+    arr = np.asarray(arr)
+    h = arr.shape[0]
+    flat = arr.reshape(h, -1)
+    if bpc == 8:
+        return flat.astype(np.uint8).tobytes()
+    if bpc == 1:
+        return np.packbits(flat.astype(np.uint8), axis=1).tobytes()
+    raise ValueError("pdf fixture: only 1/8 bpc writers exist")
+
+
+def _build_image_xobject(spec: dict) -> bytes:
+    """One image XObject body from a fixture spec (kinds: gray, rgb,
+    gray_pred [PNG Up predictor], mask, indexed, jpeg, g4, mh)."""
+    kind = spec["kind"]
+    if kind in ("gray", "rgb", "mask", "indexed", "gray_pred"):
+        if kind == "mask":
+            arr = np.asarray(spec["bits"], np.uint8)
+            bpc, head = 1, b"/ImageMask true"
+        elif kind == "indexed":
+            arr = np.asarray(spec["array"], np.uint8)
+            pal = np.asarray(spec["palette"], np.uint8)
+            bpc = 8
+            head = (b"/ColorSpace [/Indexed /DeviceRGB %d <%s>] "
+                    b"/BitsPerComponent 8"
+                    % (pal.shape[0] - 1, pal.tobytes().hex().encode()))
+        else:
+            arr = np.asarray(spec["array"], np.uint8)
+            cs = b"/DeviceRGB" if kind == "rgb" else b"/DeviceGray"
+            bpc = 8
+            head = b"/ColorSpace %s /BitsPerComponent 8" % cs
+        h, w = arr.shape[0], arr.shape[1]
+        raw = _pack_rows(arr, bpc)
+        parms = b""
+        if kind == "gray_pred":
+            # PNG Up predictor: prefix each row with filter type 2 and
+            # difference against the previous row
+            rows = arr.reshape(h, w).astype(np.int16)
+            diffed = rows.copy()
+            diffed[1:] -= rows[:-1]
+            pred = b"".join(
+                b"\x02" + (diffed[y] & 0xFF).astype(np.uint8).tobytes()
+                for y in range(h)
+            )
+            raw = pred
+            parms = (b" /DecodeParms << /Predictor 12 /Columns %d "
+                     b"/Colors 1 /BitsPerComponent 8 >>" % w)
+        comp = zlib.compress(raw, 6)
+        return (
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"%s /Filter /FlateDecode%s /Length %d >>\nstream\n"
+            % (w, h, head, parms, len(comp))
+            + comp + b"\nendstream"
+        )
+    if kind == "jpeg":
+        from . import rawjpeg
+
+        arr = np.asarray(spec["array"], np.uint8)
+        payload = rawjpeg.encode_jpeg(
+            arr, quality=spec.get("quality", 50),
+            subsampling=spec.get("subsampling", "4:4:4"),
+        )
+        return (
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+            b"/Filter /DCTDecode /Length %d >>\nstream\n"
+            % (arr.shape[1], arr.shape[0], len(payload))
+            + payload + b"\nendstream"
+        )
+    if kind in ("g4", "mh"):
+        from . import rawccitt
+
+        bits = np.asarray(spec["bits"], np.uint8)
+        h, w = bits.shape
+        if kind == "g4":
+            payload = rawccitt.encode_g4(bits)
+            parms = b"/K -1 /Columns %d /Rows %d" % (w, h)
+        else:
+            payload = rawccitt.encode_mh(bits, eol=False)
+            parms = (b"/K 0 /Columns %d /Rows %d /EncodedByteAlign true"
+                     % (w, h))
+        if spec.get("blackis1"):
+            parms += b" /BlackIs1 true"
+        return (
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+            b"/Filter /CCITTFaxDecode /DecodeParms << %s >> "
+            b"/Length %d >>\nstream\n" % (w, h, parms, len(payload))
+            + payload + b"\nendstream"
+        )
+    raise ValueError(f"pdf fixture: unknown image kind {kind!r}")
+
+
+def _build_inline_ops(spec: dict) -> bytes:
+    """Content-stream bytes for one inline image (kinds: inline_gray
+    raw samples, inline_gray_fl Flate, inline_ahx ASCIIHex)."""
+    arr = np.asarray(spec["array"], np.uint8)
+    h, w = arr.shape[0], arr.shape[1]
+    raw = _pack_rows(arr, 8)
+    kind = spec["kind"]
+    if kind == "inline_gray":
+        body, filt = raw, b""
+    elif kind == "inline_gray_fl":
+        body, filt = zlib.compress(raw, 6), b" /F /Fl"
+    elif kind == "inline_ahx":
+        body, filt = raw.hex().encode() + b">", b" /F /AHx"
+    else:
+        raise ValueError(f"pdf fixture: unknown inline kind {kind!r}")
+    return (
+        b"q %d 0 0 %d 0 0 cm BI /W %d /H %d /BPC 8 /CS /G%s ID "
+        % (w, h, w, h, filt)
+        + body + b" EI Q"
+    )
+
+
+def _content_stream(
+    lines: list[str], compress: bool, image_ops: bytes = b""
+) -> bytes:
     """One page's content-stream object body: one ``Tj`` per line with
     ``Td`` line breaks — shared by both writer layouts so the emitted
-    text operators cannot drift between them."""
+    text operators cannot drift between them.  ``image_ops`` appends
+    XObject ``Do`` invocations and inline images after the text."""
     ops = [b"BT /F1 12 Tf 72 720 Td"]
     for i, ln in enumerate(lines):
         if i:
             ops.append(b"0 -14 Td")
         ops.append(b"(" + _esc(ln) + b") Tj")
     ops.append(b"ET")
+    if image_ops:
+        ops.append(image_ops)
     stream = b" ".join(ops)
     if compress:
         comp = zlib.compress(stream, 6)
@@ -887,39 +1556,75 @@ def _content_stream(lines: list[str], compress: bool) -> bytes:
     return b"<< /Length %d >>\nstream\n" % len(stream) + stream + b"\nendstream"
 
 
+def _page_image_parts(
+    specs: list[dict], add
+) -> tuple[bytes, bytes]:
+    """Fixture plumbing shared by both writers: build the XObjects for
+    one page via ``add`` (→ object number), returning ``(content ops,
+    /XObject resource entry)``; inline kinds embed directly in ops."""
+    ops_parts: list[bytes] = []
+    xo_entries: list[bytes] = []
+    n_xo = 0
+    for spec in specs:
+        if spec["kind"].startswith("inline_"):
+            ops_parts.append(_build_inline_ops(spec))
+            continue
+        num = add(_build_image_xobject(spec))
+        name = b"Im%d" % n_xo
+        n_xo += 1
+        xo_entries.append(b"/%s %d 0 R" % (name, num))
+        arr = np.asarray(spec.get("array", spec.get("bits")))
+        h, w = arr.shape[0], arr.shape[1]
+        ops_parts.append(b"q %d 0 0 %d 0 0 cm /%s Do Q" % (w, h, name))
+    xo_res = (
+        b" /XObject << " + b" ".join(xo_entries) + b" >>"
+        if xo_entries else b""
+    )
+    return b" ".join(ops_parts), xo_res
+
+
 def encode_pdf(
     pages: list[list[str]],
     *,
     compress: bool = True,
     producer: str = "rawpdf",
     outlines: list[str] | None = None,
+    images: list[list[dict]] | None = None,
 ) -> bytes:
     """Write a deterministic PDF 1.4: one page per entry, each a list of
     text lines rendered as one ``Tj`` per line with ``Td`` line breaks.
     ``outlines`` adds a flat bookmark chain (/Outlines → /First/Next
-    items with /Title strings)."""
+    items with /Title strings).  ``images`` (aligned with ``pages``)
+    embeds per-page image fixtures: XObject kinds become numbered
+    ``/ImN`` resources invoked with ``Do``; ``inline_*`` kinds embed
+    as ``BI…ID…EI`` in the content stream."""
     objects: list[bytes] = []  # 1-indexed bodies
 
     def add(body: bytes) -> int:
         objects.append(body)
         return len(objects)
 
-    font_num_placeholder = None
+    page_images = images if images is not None else [[] for _ in pages]
+    if len(page_images) != len(pages):
+        raise ValueError("pdf fixture: images not aligned with pages")
     page_nums: list[int] = []
     content_nums: list[int] = []
-    for lines in pages:
-        content_nums.append(add(_content_stream(lines, compress)))
+    xo_resources: list[bytes] = []
+    for lines, specs in zip(pages, page_images):
+        image_ops, xo_res = _page_image_parts(specs, add)
+        xo_resources.append(xo_res)
+        content_nums.append(add(_content_stream(lines, compress, image_ops)))
 
     font_num_placeholder = add(
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
     pages_num = len(objects) + len(pages) + 1  # page objects, then /Pages
-    for cnum in content_nums:
+    for cnum, xo_res in zip(content_nums, xo_resources):
         page_nums.append(
             add(
                 b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
-                b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
-                % (pages_num, font_num_placeholder, cnum)
+                b"/Resources << /Font << /F1 %d 0 R >>%s >> /Contents %d 0 R >>"
+                % (pages_num, font_num_placeholder, xo_res, cnum)
             )
         )
     kids = b" ".join(b"%d 0 R" % p for p in page_nums)
@@ -964,16 +1669,26 @@ def encode_pdf(
     return bytes(out)
 
 
-def encode_pdf_modern(pages: list[list[str]], *, producer: str = "rawpdf") -> bytes:
+def encode_pdf_modern(
+    pages: list[list[str]],
+    *,
+    producer: str = "rawpdf",
+    images: list[list[dict]] | None = None,
+) -> bytes:
     """Write a PDF 1.5 layout: page/catalog/font objects packed in one
     ``/ObjStm``, indexed by an ``/XRef`` cross-reference stream — the
     shape every modern producer (word processors, browsers) emits.
-    Exercises the read path the classic writer cannot."""
+    Exercises the read path the classic writer cannot.  ``images``
+    embeds per-page image fixtures like :func:`encode_pdf` — XObject
+    streams stay top-level (streams cannot live in an ObjStm), while
+    the page dicts referencing them are ObjStm-compressed."""
     # Object numbering: 1..P content streams, then the ObjStm container,
     # then the XRef stream.  Compressed objects (inside the ObjStm) get
-    # numbers after that.
+    # numbers after that; image XObjects are top-level after those.
     n_pages = len(pages)
-    content_bodies = [_content_stream(lines, compress=True) for lines in pages]
+    page_images = images if images is not None else [[] for _ in pages]
+    if len(page_images) != n_pages:
+        raise ValueError("pdf fixture: images not aligned with pages")
 
     objstm_num = n_pages + 1
     xref_num = n_pages + 2
@@ -982,6 +1697,20 @@ def encode_pdf_modern(pages: list[list[str]], *, producer: str = "rawpdf") -> by
     catalog_num = n_pages + 5
     info_num = n_pages + 6
     page_obj_nums = list(range(n_pages + 7, n_pages + 7 + n_pages))
+
+    image_bodies: list[bytes] = []  # numbered after page objects
+    img_base = n_pages + 7 + n_pages
+
+    def add_image(body: bytes) -> int:
+        image_bodies.append(body)
+        return img_base + len(image_bodies) - 1
+
+    content_bodies: list[bytes] = []
+    xo_resources: list[bytes] = []
+    for lines, specs in zip(pages, page_images):
+        image_ops, xo_res = _page_image_parts(specs, add_image)
+        xo_resources.append(xo_res)
+        content_bodies.append(_content_stream(lines, True, image_ops))
 
     packed: list[tuple[int, bytes]] = [
         (font_num, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
@@ -998,8 +1727,8 @@ def encode_pdf_modern(pages: list[list[str]], *, producer: str = "rawpdf") -> by
             (
                 pnum,
                 b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
-                b"/Resources << /Font << /F1 %d 0 R >> >> /Contents %d 0 R >>"
-                % (pages_num, font_num, i + 1),
+                b"/Resources << /Font << /F1 %d 0 R >>%s >> /Contents %d 0 R >>"
+                % (pages_num, font_num, xo_resources[i], i + 1),
             )
         )
 
@@ -1024,9 +1753,15 @@ def encode_pdf_modern(pages: list[list[str]], *, producer: str = "rawpdf") -> by
         out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
     offsets[objstm_num] = len(out)
     out += b"%d 0 obj\n" % objstm_num + objstm_body + b"\nendobj\n"
+    for j, body in enumerate(image_bodies):
+        num = img_base + j
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
 
     # XRef stream: W [1 4 2]; entries for objects 0..max.
-    max_num = page_obj_nums[-1] if page_obj_nums else info_num
+    max_num = img_base + len(image_bodies) - 1 if image_bodies else (
+        page_obj_nums[-1] if page_obj_nums else info_num
+    )
     rows = bytearray()
     for num in range(0, max_num + 1):
         if num == 0:

@@ -3924,6 +3924,141 @@ def q_crawl_pdf_text(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_pdf_images",
+    bench=True,
+    oracle="""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % 256 AS BIGINT) AS k
+  FROM documents WHERE doc_id < 250
+)
+SELECT doc_id,
+       CAST(0 AS BIGINT) AS page_idx,
+       CAST(0 AS BIGINT) AS img_idx,
+       'xobject' AS kind,
+       'FlateDecode' AS img_filter,
+       CAST(16 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS bpc,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(k * 128 AS BIGINT) AS sum_pixel
+FROM d
+UNION ALL
+SELECT doc_id,
+       CAST(0 AS BIGINT),
+       CAST(1 AS BIGINT),
+       'inline',
+       '',
+       CAST(4 AS BIGINT),
+       CAST(4 AS BIGINT),
+       CAST(8 AS BIGINT),
+       CAST(1 AS BIGINT),
+       CAST(((k + 7) % 256) * 16 AS BIGINT)
+FROM d
+UNION ALL
+SELECT doc_id,
+       CAST(1 AS BIGINT),
+       CAST(2 AS BIGINT),
+       'xobject',
+       CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN 'DCTDecode'
+            WHEN 1 THEN 'CCITTFaxDecode'
+            ELSE 'FlateDecode' END,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS BIGINT),
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS BIGINT),
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 8 END AS BIGINT),
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS BIGINT),
+       CAST(CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN 2 * (doc_id % 113) * 1152
+            WHEN 1 THEN 255 * 16 * (8 - ((doc_id % 7) + 1))
+            ELSE k * 128 END AS BIGINT)
+FROM d
+""",
+    tags=("llm", "multimodal", "pdf", "image", "curation", "pandas-udf"),
+)
+def q_crawl_pdf_images(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL embedded-image extraction from PDFs, oracle-exact (§2B
+    multimodal — the scanned-document shape, r14 verdict ask #1).
+
+    Each document becomes a two-page PDF carrying three images through
+    three decode routes of :func:`..operators.rawpdf.extract_pdf_images`:
+    page 0 holds a Flate-compressed 16×8 constant-gray XObject (pixel
+    ``doc_id % 256``) plus a raw 4×4 inline ``BI…ID…EI`` image
+    (``(k+7) % 256``); page 1 rotates by ``doc_id % 3`` between a
+    ``/DCTDecode`` XObject decoded by the baseline JPEG codec (24×16
+    constant even gray ``2·(doc_id % 113)`` at quality 50 — bit-exact
+    round-trip), a ``/CCITTFaxDecode`` Group-4 XObject decoded by the
+    fax codec (top ``(doc_id % 7)+1`` rows black), and a Flate gray
+    XObject behind the PNG Up predictor.  Even doc_ids write the
+    classic xref layout, odd the modern ``/ObjStm``+``/XRef`` layout,
+    so both cross-reference paths carry images.  The kernel computes
+    pixel sums executor-side (no pixel arrays cross Arrow), and the
+    oracle restates every dimension, filter and pixel sum in closed
+    form.  File-level ``mapInPandas`` is the crawl unit of
+    parallelism — the plan is scan → single Arrow stage, no Exchange.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 250)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawpdf
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = did % 256
+                page0 = [
+                    {"kind": "gray",
+                     "array": np.full((8, 16), k, np.uint8)},
+                    {"kind": "inline_gray",
+                     "array": np.full((4, 4), (k + 7) % 256, np.uint8)},
+                ]
+                if did % 3 == 0:
+                    kj = 2 * (did % 113)
+                    page1 = [{"kind": "jpeg", "quality": 50,
+                              "array": np.full((16, 24, 3), kj, np.uint8)}]
+                elif did % 3 == 1:
+                    bits = np.zeros((8, 16), np.uint8)
+                    bits[: (did % 7) + 1] = 1
+                    page1 = [{"kind": "g4", "bits": bits}]
+                else:
+                    page1 = [{"kind": "gray_pred",
+                              "array": np.full((8, 16), k, np.uint8)}]
+                enc = (
+                    rawpdf.encode_pdf if did % 2 == 0
+                    else rawpdf.encode_pdf_modern
+                )
+                payloads.append(
+                    enc([["scan p1"], ["scan p2"]], images=[page0, page1])
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "pdf": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, pdf binary")
+    media = multimodal.with_media_columns(
+        files, "pdf", "application/pdf", "doc_id"
+    )
+    return multimodal.pdf_images(media).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("page_idx"),
+        F.col("img_idx"),
+        F.col("kind"),
+        F.col("filter").alias("img_filter"),
+        F.col("width"),
+        F.col("height"),
+        F.col("bpc"),
+        F.col("channels"),
+        F.col("sum_pixel"),
+    )
+
+
+@register(
     "q_text_html_extract",
     oracle="""
 WITH pages AS (

@@ -275,3 +275,197 @@ def test_pdf_structure_census():
         pdf_structure(looped)
     except ValueError:
         pass  # loops land on ValueError, never hang
+
+
+# ---------------------------------------------------------------------------
+# Embedded images (r14)
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+
+GRAY = np.arange(128, dtype=np.uint8).reshape(8, 16)
+BITS = np.zeros((8, 16), np.uint8)
+BITS[:3] = 1  # top 3 rows black
+
+
+def _image_specs():
+    rgb = np.stack(
+        [np.full((8, 16), v, np.uint8) for v in (10, 20, 30)], axis=2
+    )
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    idx = np.tile(np.array([0, 1, 2, 1], np.uint8), (4, 2))
+    return [
+        [
+            {"kind": "gray", "array": GRAY},
+            {"kind": "inline_gray", "array": np.full((4, 4), 77, np.uint8)},
+        ],
+        [
+            {"kind": "jpeg", "array": np.full((16, 24, 3), 74, np.uint8)},
+            {"kind": "g4", "bits": BITS},
+            {"kind": "gray_pred", "array": GRAY},
+            {"kind": "rgb", "array": rgb},
+            {"kind": "indexed", "array": idx, "palette": pal},
+            {"kind": "mask", "bits": BITS},
+            {"kind": "mh", "bits": BITS},
+            {"kind": "inline_gray_fl", "array": np.full((3, 5), 9, np.uint8)},
+            {"kind": "inline_ahx", "array": np.full((2, 2), 200, np.uint8)},
+        ],
+    ]
+
+
+@pytest.mark.parametrize(
+    "enc", [rawpdf.encode_pdf, rawpdf.encode_pdf_modern],
+    ids=["classic", "modern-objstm"],
+)
+def test_embedded_images_roundtrip_both_layouts(enc):
+    """Every XObject/inline image kind decodes pixel-exactly, and text
+    extraction is untouched by the embedded images."""
+    specs = _image_specs()
+    pdf = enc(PAGES, images=specs)
+    assert rawpdf.extract_pdf(pdf)["pages"] == FLAT
+    out = rawpdf.extract_pdf_images(pdf)
+    assert out["n_pages"] == 2
+    ims = out["images"]
+    assert [im["error"] for im in ims] == [None] * 11
+    by_name = {(im["page_idx"], im["name"]): im for im in ims
+               if im["kind"] == "xobject"}
+    assert np.array_equal(by_name[(0, "Im0")]["pixels"], GRAY)
+    # DCT: even constant gray at quality 50 round-trips bit-exactly
+    assert np.array_equal(
+        by_name[(1, "Im0")]["pixels"], np.full((16, 24, 3), 74, np.uint8)
+    )
+    # CCITT G4 and MH (EncodedByteAlign): BlackIs1 default false →
+    # black rows decode to 0, white to 255
+    exp = np.where(BITS == 1, 0, 255).astype(np.uint8)
+    assert np.array_equal(by_name[(1, "Im1")]["pixels"], exp)
+    assert np.array_equal(by_name[(1, "Im6")]["pixels"], exp)
+    assert by_name[(1, "Im1")]["filter"] == "CCITTFaxDecode"
+    # PNG Up predictor reproduces the plain gray image
+    assert np.array_equal(by_name[(1, "Im2")]["pixels"], GRAY)
+    # indexed palette expansion
+    assert by_name[(1, "Im4")]["pixels"].shape == (4, 8, 3)
+    assert by_name[(1, "Im4")]["pixels"][0, 1].tolist() == [0, 255, 0]
+    # image mask: 1-bpc samples through the default /Decode
+    assert by_name[(1, "Im5")]["pixels"].dtype == np.uint8
+    inl = [im for im in ims if im["kind"] == "inline"]
+    assert [im["filter"] for im in inl] == ["", "FlateDecode",
+                                            "ASCIIHexDecode"]
+    assert int(inl[0]["pixels"].sum()) == 77 * 16
+    assert int(inl[1]["pixels"].sum()) == 9 * 15
+    assert int(inl[2]["pixels"].sum()) == 200 * 4
+
+
+def test_image_decode_array_inverts_one_bit():
+    """/Decode [1 0] flips a 1-bpc gray image."""
+    pdf = rawpdf.encode_pdf([["x"]], images=[[{"kind": "mask",
+                                               "bits": BITS}]])
+    # patch the object: add an explicit inverted Decode array
+    pdf = pdf.replace(b"/ImageMask true", b"/ImageMask true /Decode [1 0]")
+    # classic xref offsets shift — the scan fallback must not be needed
+    # because the patch is length-preserving only if we rebuild; use
+    # the hostile-recovery path instead by breaking startxref
+    pdf = pdf.replace(b"startxref", b"startxref % moved", 1)
+    out = rawpdf.extract_pdf_images(pdf)
+    im = out["images"][0]
+    assert im["error"] is None
+    exp = np.where(BITS == 1, 0, 255).astype(np.uint8)
+    assert np.array_equal(im["pixels"], exp)
+
+
+def test_hostile_images_are_per_image_errors():
+    """A hostile image poisons only its own row: the other images on
+    the page still decode and the document still parses."""
+    good = {"kind": "gray", "array": GRAY}
+    pdf = rawpdf.encode_pdf([["x"]], images=[[good, good]])
+    # corrupt the SECOND image object's stream bytes (both objects are
+    # identical Flate streams; clobber the last one's data)
+    i = pdf.rfind(b"stream\n", 0, pdf.rfind(b"/Subtype /Image"))
+    # simpler: swap the second image's filter to an undecodable one
+    pdf2 = pdf.replace(b"/Filter /FlateDecode", b"/Filter /JPXDecode\x20\x20", 1)
+    out = rawpdf.extract_pdf_images(pdf2)
+    errs = [im["error"] for im in out["images"]]
+    assert sum(e is None for e in errs) == 1
+    assert any(e and "JPXDecode" in e for e in errs)
+    del i
+
+
+def test_ccitt_k0_unaligned_is_loud():
+    pdf = rawpdf.encode_pdf([["x"]], images=[[{"kind": "mh",
+                                               "bits": BITS}]])
+    pdf = pdf.replace(b"/EncodedByteAlign true", b"                     ")
+    out = rawpdf.extract_pdf_images(pdf)
+    assert "K=0" in out["images"][0]["error"]
+
+
+def test_image_bomb_guards():
+    pdf = rawpdf.encode_pdf([["x"]], images=[[{"kind": "gray",
+                                               "array": GRAY}]])
+    big = pdf.replace(b"/Width 16 /Height 8", b"/Width 99999 /Height 9999")
+    out = rawpdf.extract_pdf_images(big)
+    assert "too large" in out["images"][0]["error"]
+    short = pdf.replace(b"/Width 16 /Height 8", b"/Width 160 /Height 80")
+    out = rawpdf.extract_pdf_images(short)
+    assert "shorter" in out["images"][0]["error"]
+
+
+def test_bi_inside_string_is_not_an_inline_image():
+    """Content with ' BI ' inside a text string must not desync the
+    inline-image scan."""
+    pdf = rawpdf.encode_pdf([["watch BI /W 1 ID here", "more text"]])
+    out = rawpdf.extract_pdf_images(pdf)
+    assert out["images"] == []
+    assert "watch BI /W 1 ID here" in rawpdf.extract_pdf(pdf)["pages"][0]
+
+
+def test_truncated_inline_image_is_error_entry():
+    content = b"BT (x) Tj ET BI /W 8 /H 8 /BPC 8 /CS /G ID " + b"\x00" * 10
+    recs = rawpdf._inline_images(content)  # needs 64 data bytes
+    assert len(recs) == 1
+    d, raw, err = recs[0]
+    assert raw is None and "truncated" in err
+    # and an unterminated Flate inline image is its own error entry
+    recs = rawpdf._inline_images(
+        b"BI /W 4 /H 4 /BPC 8 /CS /G /F /Fl ID " + b"\x78\x9c\x00"
+    )
+    assert recs and "Flate" in recs[0][2]
+
+
+def test_spark_pdf_images_two_level_error_capture(spark):
+    """Document-level error → one error row; image-level error →
+    its own row while sibling images still land; pixel stats are
+    computed kernel-side."""
+    good = rawpdf.encode_pdf(
+        [["x"]],
+        images=[[{"kind": "gray", "array": GRAY},
+                 {"kind": "gray", "array": GRAY}]],
+    )
+    # image-level poison: first image's filter becomes undecodable
+    img_bad = good.replace(
+        b"/Filter /FlateDecode", b"/Filter /JPXDecode\x20\x20", 1
+    )
+    rows = [
+        (0, bytearray(good)),
+        (1, bytearray(img_bad)),
+        (2, bytearray(b"%PDF-1.4 garbage with no structure")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, pdf binary")
+    media = multimodal.with_media_columns(
+        df, "pdf", "application/pdf", "doc_id"
+    )
+    out = multimodal.pdf_images(media).toPandas()
+    by_doc = {d: g for d, g in out.groupby("doc_id")}
+    g0 = by_doc[0]
+    assert len(g0) == 2 and g0["error"].isna().all()
+    assert set(g0["sum_pixel"]) == {int(GRAY.astype("int64").sum())}
+    g1 = by_doc[1]
+    assert len(g1) == 2
+    assert g1["error"].notna().sum() == 1
+    assert g1["error"].str.contains("JPXDecode").any()
+    assert g1[g1["error"].isna()]["sum_pixel"].iloc[0] == int(
+        GRAY.astype("int64").sum()
+    )
+    for bad in (2, 3):
+        g = by_doc[bad]
+        assert len(g) == 1 and g["error"].notna().all()
+        assert g["img_idx"].isna().all()
