@@ -16,9 +16,18 @@ PostScript name), ``head`` (unitsPerEm), and ``maxp`` (numGlyphs).
   (:mod:`..sources.brotli_codec`); the table directory (known-tag
   indices, UIntBase128 lengths, transform flags) is walked and
   untransformed tables — including the metadata set — extract
-  byte-exact.  The glyf/loca triplet transform stays a documented
-  census boundary (tables are listed with sizes, content marked
-  transformed); font collections (``ttcf`` flavor) stay loud.
+  byte-exact.  Font collections (``ttcf`` flavor) stay loud.
+- **WOFF2 glyf/loca transform** (r14): the §5.1 triplet transform
+  reconstructs — 255UInt16 and coordinate-triplet decode (all six
+  byte-count classes, sign selectors, delta bases per §5.2),
+  per-contour point counts, explicit/computed bounding boxes with
+  the bbox bitmap, composite component records with instruction
+  routing, the overlapSimpleBitmap option flag, canonical native
+  re-packing (short/same coordinate flags with repeat compression),
+  and loca regeneration in both index formats — with both
+  reconstructed lengths checked against the directory's declared
+  originals.  Real glyph geometry (point/contour/composite counts,
+  union bbox) becomes queryable metadata.
 
 All malformed-input paths raise ``ValueError``; table counts, sizes,
 and name records are bounded so hostile fonts cannot balloon.
@@ -331,6 +340,8 @@ def _parse_woff2(data: bytes) -> dict:
     tables: dict[bytes, bytes] = {}
     census = []
     off = 0
+    glyf_body = None
+    glyf_len = loca_len = 0
     for tag, orig_len, stream_len, transformed in entries:
         body = blob[off : off + stream_len]
         off += stream_len
@@ -338,20 +349,532 @@ def _parse_woff2(data: bytes) -> dict:
                        "transformed": transformed})
         if not transformed and tag in (b"name", b"head", b"maxp"):
             tables[tag] = body
+        elif transformed and tag == b"glyf":
+            glyf_body = body
+            glyf_len = orig_len
+        elif transformed and tag == b"loca":
+            if stream_len != 0:
+                raise ValueError(
+                    "font: transformed loca must have a zero-length "
+                    "stream (W3C WOFF2 §5.1)"
+                )
+            loca_len = orig_len
     face = _face_meta(
         flavor if flavor in _SFNT_VERSIONS else b"\x00\x01\x00\x00",
         tables,
     )
     face["flavor"] = "otf" if flavor == b"OTTO" else "ttf"
     face["tables"] = census
+    face["glyf"] = None
+    if glyf_body is not None:
+        # r14: the §5.1 triplet transform reconstructs — glyph counts,
+        # contours/points, and the union bbox become real columns
+        _glyf, _loca, stats = reconstruct_glyf(
+            glyf_body, glyf_len, loca_len
+        )
+        face["glyf"] = stats
+        for c in census:
+            if c["tag"] in ("glyf", "loca"):
+                c["transformed"] = False
+                c["reconstructed"] = True
     return face
 
 
-def build_woff2(sfnt: bytes) -> bytes:
-    """Deterministic WOFF2 writer from an sfnt blob: untransformed
-    tables (glyf/loca marked null-transform version 3 per spec), the
-    data block as an uncompressed-meta-block Brotli stream — so the
-    reference Brotli implementation reads it back too."""
+# ---------------------------------------------------------------------------
+# WOFF2 glyf/loca triplet transform (W3C WOFF2 §5.1) — r14
+# ---------------------------------------------------------------------------
+
+MAX_GLYPH_POINTS = 1 << 20  # per-glyph bomb guard
+
+
+def _read_255uint16(data: bytes, pos: int) -> tuple[int, int]:
+    """255UInt16 variable-length encoding: 253 → 16-bit word follows,
+    254 → byte + 506, 255 → byte + 253, else the byte itself."""
+    if pos >= len(data):
+        raise ValueError("font: 255UInt16 past end")
+    b = data[pos]
+    pos += 1
+    if b == 253:
+        if pos + 2 > len(data):
+            raise ValueError("font: 255UInt16 word past end")
+        return struct.unpack(">H", data[pos : pos + 2])[0], pos + 2
+    if b == 255:
+        if pos >= len(data):
+            raise ValueError("font: 255UInt16 byte past end")
+        return data[pos] + 253, pos + 1
+    if b == 254:
+        if pos >= len(data):
+            raise ValueError("font: 255UInt16 byte past end")
+        return data[pos] + 506, pos + 1
+    return b, pos
+
+
+def _write_255uint16(v: int) -> bytes:
+    if v < 0 or v > 0xFFFF:
+        raise ValueError("font fixture: 255UInt16 out of range")
+    if v < 253:
+        return bytes([v])
+    if v < 506:
+        return bytes([255, v - 253])
+    if v < 762:
+        return bytes([254, v - 506])
+    return bytes([253]) + struct.pack(">H", v)
+
+
+def _triplet_decode(
+    flag: int, data: bytes, pos: int
+) -> tuple[int, int, int]:
+    """One coordinate triplet (W3C WOFF2 §5.2): the 7-bit flag selects
+    byte count, bit widths, delta bases and signs; returns
+    ``(dx, dy, new_pos)``.  Sign convention: an odd selector bit means
+    positive."""
+
+    def sign(bit: int, base: int) -> int:
+        return base if bit & 1 else -base
+
+    if flag < 10:
+        if pos + 1 > len(data):
+            raise ValueError("font: triplet past end")
+        return 0, sign(flag, ((flag & 14) << 7) + data[pos]), pos + 1
+    if flag < 20:
+        if pos + 1 > len(data):
+            raise ValueError("font: triplet past end")
+        return (
+            sign(flag, (((flag - 10) & 14) << 7) + data[pos]), 0, pos + 1
+        )
+    if flag < 84:
+        if pos + 1 > len(data):
+            raise ValueError("font: triplet past end")
+        b0 = flag - 20
+        b1 = data[pos]
+        dx = sign(flag, 1 + (b0 & 0x30) + (b1 >> 4))
+        dy = sign(flag >> 1, 1 + ((b0 & 0x0C) << 2) + (b1 & 0x0F))
+        return dx, dy, pos + 1
+    if flag < 120:
+        if pos + 2 > len(data):
+            raise ValueError("font: triplet past end")
+        b0 = flag - 84
+        dx = sign(flag, 1 + ((b0 // 12) << 8) + data[pos])
+        dy = sign(flag >> 1, 1 + (((b0 % 12) >> 2) << 8) + data[pos + 1])
+        return dx, dy, pos + 2
+    if flag < 124:
+        if pos + 3 > len(data):
+            raise ValueError("font: triplet past end")
+        b2 = data[pos + 1]
+        dx = sign(flag, (data[pos] << 4) + (b2 >> 4))
+        dy = sign(flag >> 1, ((b2 & 0x0F) << 8) + data[pos + 2])
+        return dx, dy, pos + 3
+    if pos + 4 > len(data):
+        raise ValueError("font: triplet past end")
+    dx = sign(flag, (data[pos] << 8) + data[pos + 1])
+    dy = sign(flag >> 1, (data[pos + 2] << 8) + data[pos + 3])
+    return dx, dy, pos + 4
+
+
+def _triplet_encode(dx: int, dy: int, on_curve: bool) -> tuple[int, bytes]:
+    """Inverse of :func:`_triplet_decode` for the fixture writer →
+    ``(flag byte, glyphStream bytes)``.  Uses the same class choices as
+    the reference encoder: axis-aligned 1-byte forms first, then the
+    2-coordinate 1/2/3/4-byte classes by magnitude."""
+    xbit = 1 if dx > 0 else 0
+    ybit = 1 if dy > 0 else 0
+    ax, ay = abs(dx), abs(dy)
+    if dx == 0 and ay < 1280:
+        flag = 2 * (ay >> 8) + ybit
+        body = bytes([ay & 0xFF])
+    elif dy == 0 and ax < 1280:
+        flag = 10 + 2 * (ax >> 8) + xbit
+        body = bytes([ax & 0xFF])
+    elif 1 <= ax <= 64 and 1 <= ay <= 64:
+        flag = (20 + ((ax - 1) & 0x30) + (((ay - 1) & 0x30) >> 2)
+                + 2 * ybit + xbit)
+        body = bytes([(((ax - 1) & 0x0F) << 4) | ((ay - 1) & 0x0F)])
+    elif 1 <= ax <= 768 and 1 <= ay <= 768:
+        flag = (84 + 12 * ((ax - 1) >> 8) + 4 * ((ay - 1) >> 8)
+                + 2 * ybit + xbit)
+        body = bytes([(ax - 1) & 0xFF, (ay - 1) & 0xFF])
+    elif ax < 4096 and ay < 4096:
+        flag = 120 + 2 * ybit + xbit
+        body = bytes([ax >> 4, ((ax & 0x0F) << 4) | (ay >> 8), ay & 0xFF])
+    else:
+        flag = 124 + 2 * ybit + xbit
+        body = struct.pack(">HH", ax, ay)
+    if not on_curve:
+        flag |= 0x80
+    return flag, body
+
+
+def _pack_simple_glyph(
+    contours: list[list[tuple[int, int, bool]]],
+    instructions: bytes,
+    bbox: tuple[int, int, int, int],
+    overlap: bool = False,
+) -> bytes:
+    """Canonical native glyf encoding of a simple glyph — the packing
+    the reconstruction emits (short/same coordinate flags with repeat
+    compression), shared by the fixture writer so transform round trips
+    are byte-exact.  ``contours``: per contour, (x, y, on_curve)
+    absolute points."""
+    n_contours = len(contours)
+    out = bytearray(struct.pack(">h4h", n_contours, *bbox))
+    end = -1
+    for c in contours:
+        end += len(c)
+        out += struct.pack(">H", end)
+    out += struct.pack(">H", len(instructions)) + instructions
+    flags = bytearray()
+    xbytes = bytearray()
+    ybytes = bytearray()
+    px = py = 0
+    last_flag = -1
+    repeat_at = -1
+    for ci, c in enumerate(contours):
+        for pi, (x, y, on) in enumerate(c):
+            dx, dy = x - px, y - py
+            px, py = x, y
+            flag = 1 if on else 0
+            if ci == 0 and pi == 0 and overlap:
+                flag |= 0x40  # OVERLAP_SIMPLE
+            if dx == 0:
+                flag |= 0x10
+            elif -256 < dx < 256:
+                flag |= 0x02 | (0x10 if dx > 0 else 0)
+                xbytes.append(abs(dx))
+            else:
+                xbytes += struct.pack(">h", dx)
+            if dy == 0:
+                flag |= 0x20
+            elif -256 < dy < 256:
+                flag |= 0x04 | (0x20 if dy > 0 else 0)
+                ybytes.append(abs(dy))
+            else:
+                ybytes += struct.pack(">h", dy)
+            if flag == last_flag and repeat_at >= 0 \
+                    and flags[repeat_at] < 255:
+                flags[repeat_at - 1] |= 0x08
+                flags[repeat_at] += 1
+            elif flag == last_flag and repeat_at < 0:
+                flags.append(0)  # fresh repeat counter (starts at 1)
+                flags[-2] |= 0x08
+                flags[-1] = 1
+                repeat_at = len(flags) - 1
+            else:
+                flags.append(flag)
+                last_flag = flag
+                repeat_at = -1
+    out += flags + xbytes + ybytes
+    if len(out) % 2:
+        out.append(0)
+    return bytes(out)
+
+
+def _composite_extent(data: bytes, pos: int) -> tuple[int, bool]:
+    """Size of one composite glyph's component records in the
+    compositeStream, and whether instructions follow."""
+    have_instr = False
+    start = pos
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError("font: composite record past end")
+        (flags,) = struct.unpack(">H", data[pos : pos + 2])
+        pos += 4  # flags + glyphIndex
+        pos += 4 if flags & 0x0001 else 2  # ARG_1_AND_2_ARE_WORDS
+        if flags & 0x0008:  # WE_HAVE_A_SCALE
+            pos += 2
+        elif flags & 0x0040:  # X_AND_Y_SCALE
+            pos += 4
+        elif flags & 0x0080:  # TWO_BY_TWO
+            pos += 8
+        if flags & 0x0100:
+            have_instr = True
+        if not flags & 0x0020:  # MORE_COMPONENTS clear
+            break
+    if pos > len(data):
+        raise ValueError("font: composite record past end")
+    return pos - start, have_instr
+
+
+def reconstruct_glyf(
+    body: bytes, orig_glyf_len: int, orig_loca_len: int
+) -> tuple[bytes, bytes, dict]:
+    """W3C WOFF2 §5.1 transformed-glyf reconstruction → ``(glyf,
+    loca, stats)``.  Walks the seven sub-streams (nContour, nPoints,
+    flags, glyph, composite, bbox, instruction), decodes coordinate
+    triplets, re-emits native simple/composite glyphs in the canonical
+    packing, regenerates loca in the declared index format, and checks
+    both reconstructed lengths against the directory's declared
+    originals.  ``stats``: n_glyphs, n_contours, n_points,
+    n_composites, and the union bbox."""
+    if len(body) < 36:
+        raise ValueError("font: transformed glyf header past end")
+    (_reserved, option_flags, num_glyphs, index_format) = struct.unpack(
+        ">HHHH", body[:8]
+    )
+    sizes = struct.unpack(">7I", body[8:36])
+    (n_contour_sz, n_points_sz, flag_sz, glyph_sz, comp_sz, bbox_sz,
+     instr_sz) = sizes
+    pos = 36
+    streams = []
+    for sz in sizes:
+        if pos + sz > len(body):
+            raise ValueError("font: transformed glyf stream past end")
+        streams.append(body[pos : pos + sz])
+        pos += sz
+    (n_contour_s, n_points_s, flag_s, glyph_s, comp_s, bbox_s,
+     instr_s) = streams
+    overlap_s = b""
+    if option_flags & 1:
+        need = (num_glyphs + 7) >> 3
+        if pos + need > len(body):
+            raise ValueError("font: overlapSimpleBitmap past end")
+        overlap_s = body[pos : pos + need]
+    if n_contour_sz != 2 * num_glyphs:
+        raise ValueError("font: nContourStream size mismatch")
+    n_contours = struct.unpack(f">{num_glyphs}h", n_contour_s)
+    bbox_bitmap_len = ((num_glyphs + 31) >> 5) << 2
+    if bbox_sz < bbox_bitmap_len:
+        raise ValueError("font: bboxBitmap past bboxStream end")
+    bbox_bitmap = bbox_s[:bbox_bitmap_len]
+    np_pos = fl_pos = gl_pos = cp_pos = in_pos = 0
+    bb_pos = bbox_bitmap_len
+    glyf = bytearray()
+    offsets = [0]
+    stats = {"n_glyphs": num_glyphs, "n_contours": 0, "n_points": 0,
+             "n_composites": 0,
+             "xmin": 0, "ymin": 0, "xmax": 0, "ymax": 0}
+    have_bbox_any = False
+    for gi in range(num_glyphs):
+        nc = n_contours[gi]
+        explicit_bbox = bool(
+            bbox_bitmap[gi >> 3] & (0x80 >> (gi & 7))
+        )
+        if nc == 0:
+            if explicit_bbox:
+                raise ValueError(
+                    "font: explicit bbox on an empty glyph"
+                )
+            offsets.append(len(glyf))
+            continue
+        if nc > 0:
+            counts = []
+            for _ in range(nc):
+                v, np_pos = _read_255uint16(n_points_s, np_pos)
+                counts.append(v)
+            total = sum(counts)
+            if total > MAX_GLYPH_POINTS or total == 0:
+                raise ValueError("font: glyph point count out of range")
+            if fl_pos + total > len(flag_s):
+                raise ValueError("font: flag stream past end")
+            contours: list[list[tuple[int, int, bool]]] = []
+            x = y = 0
+            xmin = ymin = 1 << 30
+            xmax = ymax = -(1 << 30)
+            for cnt in counts:
+                c = []
+                for _ in range(cnt):
+                    fb = flag_s[fl_pos]
+                    fl_pos += 1
+                    dx, dy, gl_pos = _triplet_decode(
+                        fb & 0x7F, glyph_s, gl_pos
+                    )
+                    x += dx
+                    y += dy
+                    c.append((x, y, not fb & 0x80))
+                    xmin, xmax = min(xmin, x), max(xmax, x)
+                    ymin, ymax = min(ymin, y), max(ymax, y)
+                contours.append(c)
+            ilen, gl_pos = _read_255uint16(glyph_s, gl_pos)
+            if in_pos + ilen > len(instr_s):
+                raise ValueError("font: instruction stream past end")
+            instructions = instr_s[in_pos : in_pos + ilen]
+            in_pos += ilen
+            if explicit_bbox:
+                if bb_pos + 8 > len(bbox_s):
+                    raise ValueError("font: bbox stream past end")
+                bbox = struct.unpack(">4h", bbox_s[bb_pos : bb_pos + 8])
+                bb_pos += 8
+            else:
+                bbox = (xmin, ymin, xmax, ymax)
+            overlap = bool(
+                overlap_s and overlap_s[gi >> 3] & (0x80 >> (gi & 7))
+            )
+            glyf += _pack_simple_glyph(contours, instructions, bbox,
+                                       overlap)
+            stats["n_contours"] += nc
+            stats["n_points"] += total
+        else:
+            if nc != -1:
+                raise ValueError(
+                    f"font: glyph {gi} contour count {nc} is invalid"
+                )
+            if not explicit_bbox:
+                raise ValueError(
+                    "font: composite glyph without explicit bbox"
+                )
+            if bb_pos + 8 > len(bbox_s):
+                raise ValueError("font: bbox stream past end")
+            bbox = struct.unpack(">4h", bbox_s[bb_pos : bb_pos + 8])
+            bb_pos += 8
+            ext, have_instr = _composite_extent(comp_s, cp_pos)
+            rec = bytearray(struct.pack(">h4h", -1, *bbox))
+            rec += comp_s[cp_pos : cp_pos + ext]
+            cp_pos += ext
+            if have_instr:
+                ilen, gl_pos = _read_255uint16(glyph_s, gl_pos)
+                if in_pos + ilen > len(instr_s):
+                    raise ValueError("font: instruction stream past end")
+                rec += struct.pack(">H", ilen)
+                rec += instr_s[in_pos : in_pos + ilen]
+                in_pos += ilen
+            if len(rec) % 2:
+                rec.append(0)
+            glyf += rec
+            stats["n_composites"] += 1
+        if not have_bbox_any:
+            stats["xmin"], stats["ymin"] = bbox[0], bbox[1]
+            stats["xmax"], stats["ymax"] = bbox[2], bbox[3]
+            have_bbox_any = True
+        else:
+            stats["xmin"] = min(stats["xmin"], bbox[0])
+            stats["ymin"] = min(stats["ymin"], bbox[1])
+            stats["xmax"] = max(stats["xmax"], bbox[2])
+            stats["ymax"] = max(stats["ymax"], bbox[3])
+        offsets.append(len(glyf))
+    if len(glyf) != orig_glyf_len:
+        raise ValueError(
+            f"font: reconstructed glyf is {len(glyf)} bytes, directory "
+            f"declares {orig_glyf_len}"
+        )
+    if index_format == 0:
+        if any(o % 2 for o in offsets):
+            raise ValueError("font: odd glyph offset with short loca")
+        loca = b"".join(struct.pack(">H", o // 2) for o in offsets)
+    else:
+        loca = b"".join(struct.pack(">I", o) for o in offsets)
+    if len(loca) != orig_loca_len:
+        raise ValueError(
+            f"font: reconstructed loca is {len(loca)} bytes, directory "
+            f"declares {orig_loca_len}"
+        )
+    return bytes(glyf), loca, stats
+
+
+def encode_glyf_transform(
+    glyphs: list, index_format: int = 0
+) -> tuple[bytes, bytes, bytes]:
+    """Fixture writer: native glyf+loca AND the §5.1 transformed body
+    → ``(glyf, loca, transformed)``.  ``glyphs``: None (empty), a
+    dict ``{"contours": [[(x, y, on_curve), ...]], "instructions":
+    bytes, "bbox": optional explicit, "overlap": bool}`` for simple
+    glyphs, or ``{"composite": bytes, "bbox": (...), "instructions":
+    bytes | None}`` with raw component records for composites."""
+    num_glyphs = len(glyphs)
+    n_contour_s = bytearray()
+    n_points_s = bytearray()
+    flag_s = bytearray()
+    glyph_s = bytearray()
+    comp_s = bytearray()
+    bbox_bitmap = bytearray(((num_glyphs + 31) >> 5) << 2)
+    bbox_vals = bytearray()
+    instr_s = bytearray()
+    overlap_bitmap = bytearray((num_glyphs + 7) >> 3)
+    any_overlap = False
+    glyf = bytearray()
+    offsets = [0]
+    for gi, g in enumerate(glyphs):
+        if g is None:
+            n_contour_s += struct.pack(">h", 0)
+            offsets.append(len(glyf))
+            continue
+        if "composite" in g:
+            n_contour_s += struct.pack(">h", -1)
+            bbox = g["bbox"]
+            bbox_bitmap[gi >> 3] |= 0x80 >> (gi & 7)
+            bbox_vals += struct.pack(">4h", *bbox)
+            comp_s += g["composite"]
+            rec = bytearray(struct.pack(">h4h", -1, *bbox))
+            rec += g["composite"]
+            instructions = g.get("instructions")
+            if instructions is not None:
+                glyph_s += _write_255uint16(len(instructions))
+                instr_s += instructions
+                rec += struct.pack(">H", len(instructions))
+                rec += instructions
+            if len(rec) % 2:
+                rec.append(0)
+            glyf += rec
+            offsets.append(len(glyf))
+            continue
+        contours = g["contours"]
+        instructions = g.get("instructions", b"")
+        n_contour_s += struct.pack(">h", len(contours))
+        x = y = 0
+        xmin = ymin = 1 << 30
+        xmax = ymax = -(1 << 30)
+        for c in contours:
+            n_points_s += _write_255uint16(len(c))
+            for (px, py, on) in c:
+                fb, body = _triplet_encode(px - x, py - y, on)
+                flag_s.append(fb)
+                glyph_s += body
+                x, y = px, py
+                xmin, xmax = min(xmin, x), max(xmax, x)
+                ymin, ymax = min(ymin, y), max(ymax, y)
+        glyph_s += _write_255uint16(len(instructions))
+        instr_s += instructions
+        auto_bbox = (xmin, ymin, xmax, ymax)
+        bbox = g.get("bbox")
+        if bbox is not None and tuple(bbox) != auto_bbox:
+            bbox_bitmap[gi >> 3] |= 0x80 >> (gi & 7)
+            bbox_vals += struct.pack(">4h", *bbox)
+        else:
+            bbox = auto_bbox
+        if g.get("overlap"):
+            overlap_bitmap[gi >> 3] |= 0x80 >> (gi & 7)
+            any_overlap = True
+        glyf += _pack_simple_glyph(contours, instructions, bbox,
+                                   bool(g.get("overlap")))
+        offsets.append(len(glyf))
+    bbox_s = bytes(bbox_bitmap) + bytes(bbox_vals)
+    option_flags = 1 if any_overlap else 0
+    header = struct.pack(
+        ">HHHH7I", 0, option_flags, num_glyphs, index_format,
+        len(n_contour_s), len(n_points_s), len(flag_s), len(glyph_s),
+        len(comp_s), len(bbox_s), len(instr_s),
+    )
+    transformed = (header + bytes(n_contour_s) + bytes(n_points_s)
+                   + bytes(flag_s) + bytes(glyph_s) + bytes(comp_s)
+                   + bbox_s + bytes(instr_s))
+    if any_overlap:
+        transformed += bytes(overlap_bitmap)
+    if index_format == 0:
+        loca = b"".join(struct.pack(">H", o // 2) for o in offsets)
+    else:
+        loca = b"".join(struct.pack(">I", o) for o in offsets)
+    return bytes(glyf), loca, transformed
+
+
+def _write_uintbase128(directory: bytearray, v: int) -> None:
+    chunks = []
+    while True:
+        chunks.append(v & 0x7F)
+        v >>= 7
+        if not v:
+            break
+    for k, c in enumerate(reversed(chunks)):
+        directory.append(c | (0x80 if k < len(chunks) - 1 else 0))
+
+
+def build_woff2(
+    sfnt: bytes, transformed_glyf: bytes | None = None
+) -> bytes:
+    """Deterministic WOFF2 writer from an sfnt blob: the data block is
+    an uncompressed-meta-block Brotli stream — so the reference Brotli
+    implementation reads it back too.  Without ``transformed_glyf``,
+    glyf/loca are marked null-transform (version 3 per spec) and every
+    table is stored verbatim; with it, glyf carries transform version 0
+    with the given §5.1 transformed body (and its transformLength) and
+    loca carries version 0 with the mandated zero-length stream."""
     from ..sources.brotli_codec import brotli_store
 
     (n_tables,) = struct.unpack(">H", sfnt[4:6])
@@ -366,19 +889,21 @@ def build_woff2(sfnt: bytes) -> bytes:
             idx = _WOFF2_TAGS.index(tag)
         except ValueError:
             idx = 63
-        tversion = 3 if tag in (b"glyf", b"loca") else 0  # null transform
+        transform = (transformed_glyf is not None
+                     and tag in (b"glyf", b"loca"))
+        if tag in (b"glyf", b"loca"):
+            tversion = 0 if transform else 3  # 0 = transformed, 3 = null
+        else:
+            tversion = 0
         directory.append((tversion << 6) | idx)
         if idx == 63:
             directory += tag
-        v = t_len
-        chunks = []
-        while True:
-            chunks.append(v & 0x7F)
-            v >>= 7
-            if not v:
-                break
-        for k, c in enumerate(reversed(chunks)):
-            directory.append(c | (0x80 if k < len(chunks) - 1 else 0))
+        _write_uintbase128(directory, t_len)
+        if transform:
+            tbody = transformed_glyf if tag == b"glyf" else b""
+            _write_uintbase128(directory, len(tbody))
+            stream += tbody
+            continue
         stream += body
     comp = brotli_store(bytes(stream))
     header = bytearray(b"wOF2")
@@ -422,12 +947,22 @@ def build_sfnt(
     units_per_em: int = 1000,
     n_glyphs: int = 42,
     flavor: bytes = b"\x00\x01\x00\x00",
+    glyphs: list | None = None,
+    index_format: int = 0,
 ) -> bytes:
-    """Minimal valid sfnt: offset table + name/head/maxp."""
+    """Minimal valid sfnt: offset table + name/head/maxp — plus real
+    glyf/loca tables (canonical packing, head.indexToLocFormat set)
+    when ``glyphs`` is given (see :func:`encode_glyf_transform`)."""
     name = _name_table(family, subfamily, version, ps_name)
-    head = b"\x00" * 18 + struct.pack(">H", units_per_em) + b"\x00" * 34
+    head = (b"\x00" * 18 + struct.pack(">H", units_per_em)
+            + b"\x00" * 30 + struct.pack(">hh", index_format, 0))
     maxp = b"\x00\x00\x50\x00" + struct.pack(">H", n_glyphs) + b"\x00" * 26
     tables = [(b"head", head), (b"maxp", maxp), (b"name", name)]
+    if glyphs is not None:
+        glyf, loca, _transformed = encode_glyf_transform(
+            glyphs, index_format
+        )
+        tables += [(b"glyf", glyf), (b"loca", loca)]
     off = 12 + 16 * len(tables)
     recs = bytearray()
     body = bytearray()

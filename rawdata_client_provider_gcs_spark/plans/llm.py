@@ -6535,7 +6535,17 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
          || CASE WHEN f.i = 1 THEN ' Bold' ELSE '' END AS family,
        CAST(100 + doc_id % 900 + 10 * f.i AS BIGINT) AS n_glyphs,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 2048 END AS BIGINT)
-         AS units_per_em
+         AS units_per_em,
+       CAST(CASE WHEN doc_id % 5 = 4 THEN 4 ELSE 0 END AS BIGINT)
+         AS glyf_points,
+       CAST(CASE WHEN doc_id % 5 = 4 THEN 1 ELSE 0 END AS BIGINT)
+         AS glyf_contours,
+       CAST(CASE WHEN doc_id % 5 = 4
+            THEN (doc_id % 50) + 100 + (doc_id % 700) + 10
+            ELSE 0 END AS BIGINT) AS glyf_xmax,
+       CAST(CASE WHEN doc_id % 5 = 4
+            THEN 100 + (doc_id % 700) + 20
+            ELSE 0 END AS BIGINT) AS glyf_ymax
 FROM d, (SELECT unnest(generate_series(0, 1)) AS i) AS f
 WHERE f.i = 0 OR doc_id % 5 = 3
 """,
@@ -6550,8 +6560,13 @@ def q_crawl_font_meta(spark: SparkSession, sf: str) -> DataFrame:
     collections with rewritten offsets —
     :mod:`..operators.rawfont`) — plus WOFF2 (r13): the whole-stream
     Brotli block decodes through the in-repo RFC 7932 decoder and the
-    directory's untransformed tables extract byte-exact.  All columns
-    closed-form in doc_id.
+    directory's untransformed tables extract byte-exact.  r14: the
+    WOFF2 branch now writes TRANSFORMED glyf/loca (one empty glyph,
+    one simple square, one composite; loca format rotating on
+    ``doc_id % 2``) and the §5.1 triplet-transform reconstruction
+    surfaces real glyph geometry — point/contour counts and the union
+    bbox — as closed-form columns (zero for the other carriages).
+    All columns closed-form in doc_id.
     """
     d = (
         load_table(spark, sf, "documents")
@@ -6560,6 +6575,8 @@ def q_crawl_font_meta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     def make(batches):
+        import struct
+
         import pandas as pd
 
         from ..operators import rawfont as FT
@@ -6590,8 +6607,25 @@ def q_crawl_font_meta(spark: SparkSession, sf: str) -> DataFrame:
                     ]))
                 else:
                     flav = b"OTTO" if did % 2 == 1 else b"\x00\x01\x00\x00"
+                    x0 = did % 50
+                    s = 100 + did % 700
+                    glyphs = [
+                        None,
+                        {"contours": [[(x0, 0, True), (x0 + s, 0, True),
+                                       (x0 + s, s, True),
+                                       (x0, s, False)]]},
+                        {"composite": struct.pack(
+                            ">HHhh", 0x0003, 1, 10, 20),
+                         "bbox": (x0 + 10, 20, x0 + s + 10, s + 20)},
+                    ]
+                    fmt = did % 2
+                    sfnt = FT.build_sfnt(**base, flavor=flav,
+                                         glyphs=glyphs, index_format=fmt)
+                    _g, _l, transformed = FT.encode_glyf_transform(
+                        glyphs, fmt
+                    )
                     payloads.append(FT.build_woff2(
-                        FT.build_sfnt(**base, flavor=flav)
+                        sfnt, transformed_glyf=transformed
                     ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "font": payloads})
@@ -6604,12 +6638,14 @@ def q_crawl_font_meta(spark: SparkSession, sf: str) -> DataFrame:
         from ..operators import rawfont as FT
 
         cols = ("doc_id", "container", "face_idx", "flavor", "family",
-                "n_glyphs", "units_per_em")
+                "n_glyphs", "units_per_em", "glyf_points",
+                "glyf_contours", "glyf_xmax", "glyf_ymax")
         for pdf in batches:
             rows = {k: [] for k in cols}
             for did, payload in zip(pdf["doc_id"], pdf["font"]):
                 m = FT.parse_font(bytes(payload))
                 for i, face in enumerate(m["faces"]):
+                    g = face.get("glyf") or {}
                     rows["doc_id"].append(int(did))
                     rows["container"].append(m["container"])
                     rows["face_idx"].append(i)
@@ -6617,12 +6653,18 @@ def q_crawl_font_meta(spark: SparkSession, sf: str) -> DataFrame:
                     rows["family"].append(face["family"])
                     rows["n_glyphs"].append(face["n_glyphs"])
                     rows["units_per_em"].append(face["units_per_em"])
+                    rows["glyf_points"].append(g.get("n_points", 0))
+                    rows["glyf_contours"].append(g.get("n_contours", 0))
+                    rows["glyf_xmax"].append(g.get("xmax", 0))
+                    rows["glyf_ymax"].append(g.get("ymax", 0))
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(
         meta,
         "doc_id long, container string, face_idx long, flavor string, "
-        "family string, n_glyphs long, units_per_em long",
+        "family string, n_glyphs long, units_per_em long, "
+        "glyf_points long, glyf_contours long, glyf_xmax long, "
+        "glyf_ymax long",
     )
 
 
