@@ -71,10 +71,36 @@ def _rotated(names: list[str]) -> list[str]:
     # rows-only history only counts green while the query is still declared
     # rows-only; once an oracle exists it needs a fresh hash-checked run.
     green = hash_green | {n for n in rows_only if n not in oracle_names}
-    never = [n for n in names if n not in seen]
-    failed = [n for n in names if n in seen and n not in green]
-    ok = [n for n in names if n in green]
+
+    def bucket(pred):
+        # within each bucket, oracle-bearing queries come FIRST: the
+        # declared rows-only set (see rows_only()) sorts to the back so
+        # a sampled prefix only ever checks hash-verifiable queries —
+        # the rows-only invariants are pytest-pinned and covered by the
+        # full local sweep (CORRECTNESS_LOCAL), which records them as
+        # rows_only rather than as error rows.
+        hit = [n for n in names if pred(n)]
+        return ([n for n in hit if n in oracle_names]
+                + [n for n in hit if n not in oracle_names])
+
+    never = bucket(lambda n: n not in seen)
+    failed = bucket(lambda n: n in seen and n not in green)
+    ok = bucket(lambda n: n in green)
     return never + failed + ok
+
+
+def rows_only() -> list[str]:
+    """The declared rows-only query set: catalog entries that carry no
+    ``oracle_sql()`` statement BY DESIGN (randomized sketch tiers,
+    xxhash64 LSH bucketing, iterative BPE training, zlib ratios, HLL
+    estimates, the learned quality model, streaming near-dup state).
+    Each is backed by a named invariant pytest; the driver's value-hash
+    gate does not apply to them, and ``queries()`` orders them after
+    every hash-verifiable query so sampled correctness prefixes contain
+    no ``no_oracle`` rows."""
+    qs = _catalog.queries()
+    oracle_names = set(_catalog.oracle_sql())
+    return sorted(n for n in qs if n not in oracle_names)
 
 
 def entry(spark: SparkSession) -> DataFrame:
