@@ -26,19 +26,26 @@ specification (theora.org, "Theora I specification"):
   (C1..C7 constants, two passes, final (v+8)>>4);
 - §7.10 loop filter (a no-op on flat frames, applied per spec).
 
-INTER frames decode through the NO_MV subset (r13): §7.3
-coded-block flags (superblock partial/full long-run vectors, short
-run block flags with the max-run re-read rule), §7.4 macroblock
-modes (scheme 0 custom alphabets + scheme 7 fixed 3-bit),
-per-reference DC prediction and last-DC tracking, inter-matrix
-dequant, reconstruction from the prior/golden reference planes, and
-coded-edge loop filtering; uncoded blocks copy the prior frame and
-keyframes become the golden reference.  Motion-vector-coded modes
-(2/3/4/6/7) and the six fixed mode alphabets (schemes 1-6) raise
-ValueError — their fixed tables await verification against an
-independent implementation, the same discipline that keeps this
-module's self-consistent corners flagged.  Coverage honesty: the
-flat-color end-to-end
+INTER frames decode fully (r13 NO_MV subset + r14 MV-coded modes):
+§7.3 coded-block flags (superblock partial/full long-run vectors,
+short-run block flags that simply alternate), §7.4 macroblock modes
+(scheme 0 custom alphabets, the six fixed alphabets of schemes 1-6,
+scheme 7 fixed 3-bit), §7.5 motion vectors (per-frame VLC/fixed
+component-code selection, the last/prior vector chain that only
+INTER_MV and FOUR update and LAST2 swaps, GOLDEN_MV reading a vector
+without touching the chain, FOUR's per-coded-luma-block vectors with
+round-half-away chroma averaging), §7.9.1 motion compensation
+(half-pel luma units, chroma halving via ``(v >> 1) | (v & 1)``,
+two-pixel no-rounding averages with the sign-dependent diagonal,
+edge-replicated reference padding), per-reference DC prediction and
+last-DC tracking, inter-matrix dequant, and coded-edge loop
+filtering; uncoded blocks copy the prior frame and keyframes become
+the golden reference.  The §7.4 alphabet rows and §7.5.1 component
+codes are offline transcriptions of the spec's printed tables (the
+r13 discipline): pinned by fixtures exercising every rank of every
+scheme and every component-code class on gradient references against
+an independent scalar restatement of the MC arithmetic
+(tests/test_theora.py).  Coverage honesty: the flat-color end-to-end
 oracle (`q_multimodal_theora_keyframe`) exercises value tokens, EOB
 runs (both 12-bit forms), DC prediction with all-equal neighbors,
 dequant, iDCT and reconstruction value-exactly against closed-form
@@ -595,10 +602,38 @@ def idct_flat_dc(dequant_dc: int) -> int:
 MODE_INTER_NO_MV = 0
 MODE_INTRA = 1
 MODE_GOLDEN_NO_MV = 5
+MODE_INTER_MV = 2
+MODE_INTER_MV_LAST = 3
+MODE_INTER_MV_LAST2 = 4
+MODE_GOLDEN_MV = 6
+MODE_INTER_MV_FOUR = 7
+
 _MV_MODES = frozenset((2, 3, 4, 6, 7))
 
 #: reference class of a mode: 0 intra, 1 prior frame, 2 golden frame
-_MODE_REF = {MODE_INTRA: 0, MODE_INTER_NO_MV: 1, MODE_GOLDEN_NO_MV: 2}
+_MODE_REF = {
+    MODE_INTRA: 0,
+    MODE_INTER_NO_MV: 1, MODE_INTER_MV: 1, MODE_INTER_MV_LAST: 1,
+    MODE_INTER_MV_LAST2: 1, MODE_INTER_MV_FOUR: 1,
+    MODE_GOLDEN_NO_MV: 2, MODE_GOLDEN_MV: 2,
+}
+
+#: §7.4's six fixed mode-coding alphabets (schemes 1-6): rank → mode.
+#: Transcribed from the public Theora I specification's mode-scheme
+#: table (the same rows ship in every independent decoder); offline
+#: transcription pinned by fixtures that exercise every alphabet
+#: entry of every scheme (tests/test_theora.py), the r13 discipline
+#: for spec-printed tables.  Scheme 1 ranks the last-MV modes first
+#: ("last motion vector dominates"), scheme 5 ranks NO_MV first,
+#: scheme 6 ranks the golden-frame copy second.
+_MODE_ALPHABETS = (
+    (3, 4, 2, 0, 1, 5, 6, 7),  # scheme 1
+    (3, 4, 0, 2, 1, 5, 6, 7),  # scheme 2
+    (3, 2, 4, 0, 1, 5, 6, 7),  # scheme 3
+    (3, 2, 0, 4, 1, 5, 6, 7),  # scheme 4
+    (0, 3, 4, 2, 1, 5, 6, 7),  # scheme 5
+    (0, 5, 3, 4, 2, 1, 6, 7),  # scheme 6
+)
 
 
 def _short_run(r: _Br) -> int:
@@ -633,6 +668,164 @@ def _mode_vlc(r: _Br) -> int:
     while k < 7 and r.read(1) == 1:
         k += 1
     return k
+
+
+def _mv_comp_vlc(r: _Br) -> int:
+    """§7.5.1 motion-vector component VLC: a 3-bit selector, then
+    magnitude extension bits, then a sign bit (1 = negative) —
+    covering 0, ±1 (selector only), ±2, ±3 (sign only), ±4..7 (2
+    extension bits), ±8..15 (3), ±16..31 (4)."""
+    k = r.read(3)
+    if k == 0:
+        return 0
+    if k == 1:
+        return 1
+    if k == 2:
+        return -1
+    if k == 3:
+        return -2 if r.read(1) else 2
+    if k == 4:
+        return -3 if r.read(1) else 3
+    bits = k - 3  # 2, 3, 4 → magnitude bases 4, 8, 16
+    v = (1 << bits) + r.read(bits)
+    return -v if r.read(1) else v
+
+
+def _write_mv_comp_vlc(w: _Bw, v: int) -> None:
+    m = abs(v)
+    if m > 31:
+        raise ValueError("theora fixture: MV component over 31")
+    if v == 0:
+        w.write(0, 3)
+    elif m == 1:
+        w.write(1 if v > 0 else 2, 3)
+    elif m == 2:
+        w.write(3, 3)
+        w.write(1 if v < 0 else 0, 1)
+    elif m == 3:
+        w.write(4, 3)
+        w.write(1 if v < 0 else 0, 1)
+    else:
+        bits = m.bit_length() - 1  # 2 for 4..7, 3 for 8..15, 4 for 16..31
+        w.write(bits + 3, 3)
+        w.write(m - (1 << bits), bits)
+        w.write(1 if v < 0 else 0, 1)
+
+
+def _mv_comp_fixed(r: _Br) -> int:
+    """§7.5.1 fixed MV component code: 5 magnitude bits then a sign
+    bit (1 = negative)."""
+    m = r.read(5)
+    return -m if r.read(1) else m
+
+
+def _write_mv_comp_fixed(w: _Bw, v: int) -> None:
+    m = abs(v)
+    if m > 31:
+        raise ValueError("theora fixture: MV component over 31")
+    w.write(m, 5)
+    w.write(1 if v < 0 else 0, 1)
+
+
+def _decode_mvs(
+    r: _Br, coded: dict, modes: dict, mb_order: list,
+) -> dict:
+    """§7.5 macroblock motion vectors → per-block (mvx, mvy) in
+    half-pel luma units.  One frame-level bit selects VLC vs fixed
+    component coding; LAST/LAST2 reuse a two-deep vector chain that
+    only INTER_MV (and FOUR's per-block vectors) update — GOLDEN_MV
+    reads a vector without touching the chain; LAST2 swaps.  FOUR
+    reads one vector per CODED luma block in raster order within the
+    macroblock (uncoded get zero) and gives chroma the rounded
+    average."""
+    fixed = bool(r.read(1))
+    read_comp = _mv_comp_fixed if fixed else _mv_comp_vlc
+    last = (0, 0)
+    prior = (0, 0)
+    mvs: dict = {}
+
+    def rshift2(a: int) -> int:
+        # round half away from zero at /4 (reference decoders' RSHIFT)
+        return (a + 2) >> 2 if a > 0 else (a + 1) >> 2
+
+    for mx, my, mb_blocks in mb_order:
+        mode = None
+        for b in mb_blocks:
+            if coded.get(b, False):
+                mode = modes[b]
+                break
+        if mode is None:
+            continue
+        if mode == MODE_INTER_MV_FOUR:
+            prior = last
+            luma = mb_blocks[:4]  # raster order within the MB
+            per = []
+            for b in luma:
+                if coded.get(b, False):
+                    v = (read_comp(r), read_comp(r))
+                    last = v
+                else:
+                    v = (0, 0)
+                per.append(v)
+                mvs[b] = v
+            cx = rshift2(sum(v[0] for v in per))
+            cy = rshift2(sum(v[1] for v in per))
+            for b in mb_blocks[4:]:
+                mvs[b] = (cx, cy)
+            continue
+        if mode in (MODE_INTER_MV, MODE_GOLDEN_MV):
+            v = (read_comp(r), read_comp(r))
+            if mode == MODE_INTER_MV:
+                prior = last
+                last = v
+        elif mode == MODE_INTER_MV_LAST:
+            v = last
+        elif mode == MODE_INTER_MV_LAST2:
+            v = prior
+            prior = last
+            last = v
+        else:
+            v = (0, 0)
+        for b in mb_blocks:
+            mvs[b] = v
+    return mvs
+
+
+def _predict_block(
+    padded: np.ndarray, pad: int, bx: int, by: int,
+    mvx: int, mvy: int, pli: int,
+) -> np.ndarray:
+    """§7.9.1 motion-compensated 8x8 predictor from an edge-padded
+    reference plane.  MV components are half-pel luma units; chroma
+    (4:2:0) halves them with ``(v >> 1) | (v & 1)`` preserving the
+    half-pel flag.  Fractional positions average exactly TWO pixels
+    without rounding ((a + b) >> 1); the diagonal case picks the two
+    pixels along the vector's direction (sign-dependent)."""
+    if pli:
+        mvx = (mvx >> 1) | (mvx & 1)
+        mvy = (mvy >> 1) | (mvy & 1)
+    sx = pad + bx * 8 + (mvx >> 1)
+    sy = pad + by * 8 + (mvy >> 1)
+    fx, fy = mvx & 1, mvy & 1
+    p0 = padded[sy : sy + 8, sx : sx + 8].astype(np.int32)
+    if not fx and not fy:
+        return p0
+    if fx and not fy:
+        return (p0 + padded[sy : sy + 8, sx + 1 : sx + 9]) >> 1
+    if fy and not fx:
+        return (p0 + padded[sy + 1 : sy + 9, sx : sx + 8]) >> 1
+    if (mvx ^ mvy) >= 0:  # same signs: diagonal (0,0)+(1,1)
+        return (p0 + padded[sy + 1 : sy + 9, sx + 1 : sx + 9]) >> 1
+    return (  # opposite signs: diagonal (0,+1)+(+1,0)
+        padded[sy : sy + 8, sx + 1 : sx + 9].astype(np.int32)
+        + padded[sy + 1 : sy + 9, sx : sx + 8]
+    ) >> 1
+
+
+#: edge padding applied to reference planes before motion
+#: compensation (max displacement is 15.5 luma pixels + 1 for the
+#: half-pel tap)
+_MC_PAD = 17
 
 
 def decode_frame(
@@ -672,13 +865,16 @@ def decode_frame(
         # intra: every block coded, every mode INTRA
         coded = dict.fromkeys(blocks_all, True)
         modes = dict.fromkeys(blocks_all, MODE_INTRA)
+        mvs: dict = {}
     else:
         if refs is None:
             raise ValueError(
                 "theora: inter frame without reference planes"
             )
         coded = _decode_block_flags(r, planes, orders)
-        modes = _decode_mb_modes(r, planes, coded, frame_w, frame_h)
+        order = _mb_order(frame_w, frame_h)
+        modes = _decode_mb_modes(r, coded, order)
+        mvs = _decode_mvs(r, coded, modes, order)
     blocks = [b for b in blocks_all if coded[b]]
     total = len(blocks)
     # §7.4 per-block qi indices (AC quantizer selection): two
@@ -812,6 +1008,17 @@ def decode_frame(
             dq = (arr * rows).reshape(-1, 8, 8)
             res = idct_8x8_batch(dq)
             res_idx = {xy: i for i, xy in enumerate(coded_xy)}
+        # edge-padded references for motion compensation (lazy: only
+        # built when an MV-coded block needs one)
+        padded: list[np.ndarray | None] = [None, None]
+
+        def ref_padded(ref_i: int) -> np.ndarray:
+            if padded[ref_i] is None:
+                padded[ref_i] = np.pad(
+                    refs[ref_i][pli], _MC_PAD, mode="edge"
+                )
+            return padded[ref_i]
+
         for xy in orders[pli]:
             x, y = xy
             sl = (slice(y * 8, y * 8 + 8), slice(x * 8, x * 8 + 8))
@@ -819,12 +1026,18 @@ def decode_frame(
                 plane[sl] = refs[0][pli][sl]
                 continue
             mode = modes[(pli, xy)]
-            if mode == MODE_INTRA:
+            ref_cls = _MODE_REF[mode]
+            if ref_cls == 0:
                 base = np.full((8, 8), 128, dtype=np.int32)
-            elif mode == MODE_INTER_NO_MV:
-                base = refs[0][pli][sl].astype(np.int32)
-            else:  # MODE_GOLDEN_NO_MV
-                base = refs[1][pli][sl].astype(np.int32)
+            else:
+                ref_i = ref_cls - 1  # 0 = prior, 1 = golden
+                mvx, mvy = mvs.get((pli, xy), (0, 0))
+                if mvx == 0 and mvy == 0:
+                    base = refs[ref_i][pli][sl].astype(np.int32)
+                else:
+                    base = _predict_block(
+                        ref_padded(ref_i), _MC_PAD, x, y, mvx, mvy, pli
+                    )
             blk = base + res[res_idx[xy]]
             plane[sl] = np.clip(blk, 0, 255).astype(np.uint8)
         out_planes.append(plane)
@@ -914,30 +1127,13 @@ def _decode_block_flags(
     return coded
 
 
-def _decode_mb_modes(
-    r: _Br, planes: list, coded: dict, frame_w: int, frame_h: int
-) -> dict:
-    """§7.4 macroblock modes for every coded block: scheme 0 (custom
-    rank alphabet from the stream) and scheme 7 (fixed 3-bit) decode;
-    the six fixed alphabets (schemes 1-6) raise, as do all MV-coded
-    modes — the documented verification boundary.  Macroblocks are
-    traversed superblock-raster with the 2x2 Hilbert sub-order; a
-    macroblock takes a mode when any of its blocks is coded."""
+def _mb_order(frame_w: int, frame_h: int) -> list:
+    """Macroblock traversal (§7.4/§7.5): superblock raster with the
+    2x2 Hilbert sub-order → ``[(mx, my, mb_blocks)]`` where
+    ``mb_blocks`` lists the MB's 4 luma blocks in raster order then
+    its Cb and Cr blocks (4:2:0)."""
     mbw, mbh = frame_w // 16, frame_h // 16
-    scheme = r.read(3)
-    if scheme == 0:
-        alphabet = [0] * 8
-        for mode in range(8):
-            alphabet[r.read(3)] = mode
-    elif scheme == 7:
-        alphabet = None
-    else:
-        raise ValueError(
-            f"theora: fixed mode-alphabet scheme {scheme} is out of "
-            "the verified subset"
-        )
-    modes: dict = {}
-    mb_mode: dict = {}
+    out = []
     for sby in range((mbh + 1) // 2):
         for sbx in range((mbw + 1) // 2):
             for dx, dy in ((0, 0), (1, 0), (1, 1), (0, 1)):
@@ -950,21 +1146,35 @@ def _decode_mb_modes(
                     (0, (2 * mx + 1, 2 * my + 1)),
                     (1, (mx, my)), (2, (mx, my)),
                 ]
-                if not any(coded.get(b, False) for b in mb_blocks):
-                    continue
-                if alphabet is None:
-                    mode = r.read(3)
-                else:
-                    mode = alphabet[_mode_vlc(r)]
-                if mode in _MV_MODES:
-                    raise ValueError(
-                        f"theora: MV-coded macroblock mode {mode} is "
-                        "out of the verified subset"
-                    )
-                mb_mode[(mx, my)] = mode
-                for b in mb_blocks:
-                    if coded.get(b, False):
-                        modes[b] = mode
+                out.append((mx, my, mb_blocks))
+    return out
+
+
+def _decode_mb_modes(r: _Br, coded: dict, mb_order: list) -> dict:
+    """§7.4 macroblock modes for every coded block: scheme 0 (custom
+    rank alphabet from the stream), schemes 1-6 (the fixed alphabets,
+    unary rank code), and scheme 7 (fixed 3-bit).  A macroblock takes
+    a mode when any of its blocks is coded."""
+    scheme = r.read(3)
+    if scheme == 0:
+        alphabet = [0] * 8
+        for mode in range(8):
+            alphabet[r.read(3)] = mode
+    elif scheme == 7:
+        alphabet = None
+    else:
+        alphabet = _MODE_ALPHABETS[scheme - 1]
+    modes: dict = {}
+    for _mx, _my, mb_blocks in mb_order:
+        if not any(coded.get(b, False) for b in mb_blocks):
+            continue
+        if alphabet is None:
+            mode = r.read(3)
+        else:
+            mode = alphabet[_mode_vlc(r)]
+        for b in mb_blocks:
+            if coded.get(b, False):
+                modes[b] = mode
     # any coded block without a mode (shouldn't happen) → INTRA
     for b, c in coded.items():
         if c and b not in modes:
@@ -1227,19 +1437,35 @@ def encode_flat_frame(
     return w.bytes()
 
 
+def _write_mode_rank(w: _Bw, rank: int) -> None:
+    """Unary rank code inverse of :func:`_mode_vlc`."""
+    if rank < 7:
+        w.write((1 << rank) - 1, rank)  # rank ones
+        w.write(0, 1)
+    else:
+        w.write(0x7F, 7)
+
+
 def encode_inter_frame(
     frame_w: int, frame_h: int, *,
     mode: int = MODE_INTER_NO_MV,
     dcs: tuple[int, int, int] | None = None,
     coverage: str = "all", qi: int = 40, mode_scheme: int = 0,
+    mb_script: list | None = None, mv_fixed: bool = False,
 ) -> bytes:
-    """One NO_MV inter frame.  ``coverage``: ``all`` (every block
-    coded via fully-coded superblocks), ``none`` (pure carry-forward),
-    or ``partial`` (every superblock partial, blocks alternating
+    """One inter frame.  ``coverage``: ``all`` (every block coded via
+    fully-coded superblocks), ``none`` (pure carry-forward), or
+    ``partial`` (every superblock partial, blocks alternating
     coded/uncoded per 7-block short runs).  ``dcs`` adds a flat DC
     residual per plane (requires ``all``); None leaves residuals
     zero.  ``mode`` applies to every coded macroblock via the chosen
-    mode scheme (0 = custom alphabet, 7 = fixed 3-bit)."""
+    mode scheme (0 = custom alphabet, 1-6 = the fixed alphabets,
+    7 = raw 3-bit) — or pass ``mb_script``, a list cycled over coded
+    macroblocks in coded order: entries ``(mode, None)``,
+    ``(mode, (mvx, mvy))`` for INTER_MV/GOLDEN_MV, or
+    ``(MODE_INTER_MV_FOUR, [mv0..mv3])`` with one vector per coded
+    luma block in raster order.  ``mv_fixed`` selects the 6-bit fixed
+    MV component code instead of the VLC."""
     if dcs is not None and coverage != "all":
         raise ValueError("theora fixture: DC residuals need full coverage")
     w = _Bw()
@@ -1263,24 +1489,12 @@ def encode_inter_frame(
         _encode_short_bit_runs(
             w, [(i // 7) % 2 for i in range(n_blocks)]
         )
-    # macroblock modes
-    w.write(mode_scheme, 3)
-    if mode_scheme == 0:
-        ranks = [0] * 8
-        # put the fixture mode at rank 0, everything else after
-        others = [m for m in range(8) if m != mode]
-        for rank, m in enumerate([mode] + others):
-            ranks[m] = rank
-        for m in range(8):
-            w.write(ranks[m], 3)
-    mbw, mbh = frame_w // 16, frame_h // 16
+    # decoder's view of per-block coded flags (to find coded MBs)
     if coverage == "all":
         coded_flags = None
     elif coverage == "none":
         coded_flags = {}
     else:
-        # recompute the decoder's view of coded blocks to find coded
-        # macroblocks
         n_blocks = sum(bw * bh for bw, bh in planes)
         bits = [(i // 7) % 2 for i in range(n_blocks)]
         it = iter(bits)
@@ -1294,31 +1508,56 @@ def encode_inter_frame(
                         x, y = sbx * 4 + dx, sby * 4 + dy
                         if x < bw and y < bh:
                             coded_flags[(pli, (x, y))] = bool(next(it))
-    n_coded_mbs = 0
-    coded_in_plane_order = []
-    for sby in range((mbh + 1) // 2):
-        for sbx in range((mbw + 1) // 2):
-            for dx, dy in ((0, 0), (1, 0), (1, 1), (0, 1)):
-                mx, my = sbx * 2 + dx, sby * 2 + dy
-                if mx >= mbw or my >= mbh:
-                    continue
-                mb_blocks = [
-                    (0, (2 * mx, 2 * my)), (0, (2 * mx + 1, 2 * my)),
-                    (0, (2 * mx, 2 * my + 1)),
-                    (0, (2 * mx + 1, 2 * my + 1)),
-                    (1, (mx, my)), (2, (mx, my)),
-                ]
-                is_coded = (coverage == "all") or any(
-                    coded_flags.get(b, False) for b in mb_blocks
-                )
-                if is_coded:
-                    n_coded_mbs += 1
-    for _ in range(n_coded_mbs):
-        if mode_scheme == 0:
-            w.write(0, 1)  # rank 0 in the unary VLC
+
+    def is_block_coded(b):
+        return True if coded_flags is None else coded_flags.get(b, False)
+
+    coded_mbs = []  # (mb_blocks, [coded luma flags])
+    for _mx, _my, mb_blocks in _mb_order(frame_w, frame_h):
+        if any(is_block_coded(b) for b in mb_blocks):
+            coded_mbs.append(
+                (mb_blocks, [is_block_coded(b) for b in mb_blocks[:4]])
+            )
+    script = mb_script or [(mode, None)]
+    assigned = [script[i % len(script)] for i in range(len(coded_mbs))]
+    # macroblock modes
+    w.write(mode_scheme, 3)
+    if mode_scheme == 0:
+        ranks = [0] * 8
+        # rank modes by first use in the script, everything else after
+        used = []
+        for m, _mv in assigned:
+            if m not in used:
+                used.append(m)
+        for rank, m in enumerate(used + [m for m in range(8)
+                                         if m not in used]):
+            ranks[m] = rank
+        for m in range(8):
+            w.write(ranks[m], 3)
+    for m, _mv in assigned:
+        if mode_scheme == 7:
+            w.write(m, 3)
+        elif mode_scheme == 0:
+            _write_mode_rank(w, ranks[m])
         else:
-            w.write(mode, 3)
-    del coded_in_plane_order
+            _write_mode_rank(w, _MODE_ALPHABETS[mode_scheme - 1].index(m))
+    # §7.5 motion vectors: the coding-mode bit is present on EVERY
+    # inter frame; only INTER_MV/GOLDEN_MV/FOUR consume vector bits
+    w.write(1 if mv_fixed else 0, 1)
+    write_comp = _write_mv_comp_fixed if mv_fixed else _write_mv_comp_vlc
+    for (m, mv), (_blocks, luma_coded) in zip(assigned, coded_mbs):
+        if m in (MODE_INTER_MV, MODE_GOLDEN_MV):
+            if mv is None:
+                raise ValueError("theora fixture: MV mode without a vector")
+            write_comp(w, mv[0])
+            write_comp(w, mv[1])
+        elif m == MODE_INTER_MV_FOUR:
+            it_mv = iter(mv or [])
+            for c in luma_coded:
+                if c:
+                    vx, vy = next(it_mv)
+                    write_comp(w, vx)
+                    write_comp(w, vy)
     # DCT tokens over coded blocks
     w.write(0, 4)  # HTIL (DC)
     w.write(0, 4)  # HTIC (DC)

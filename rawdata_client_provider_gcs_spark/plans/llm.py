@@ -7061,7 +7061,7 @@ WITH d AS (
   FROM documents WHERE doc_id < 90
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST(4 AS BIGINT) AS n_frames,
+       CAST(7 AS BIGINT) AS n_frames,
        CAST(128 + ((((46341 * ((46341 * (dk * 64)) >> 16)) >> 16) + 8)
             >> 4) AS BIGINT) AS y_key,
        CAST(128 + ((((46341 * ((46341 * (dk * 64)) >> 16)) >> 16) + 8)
@@ -7074,20 +7074,27 @@ FROM d
     tags=("llm", "multimodal", "theora", "video", "inter", "pandas-udf"),
 )
 def q_multimodal_theora_gop(spark: SparkSession, sf: str) -> DataFrame:
-    """Theora GOP decode — keyframe + INTER frames, value-exact.
+    """Theora GOP decode — keyframe + INTER frames incl. MV-coded
+    modes (r14), value-exact.
 
-    Each document becomes a four-frame group: a flat keyframe, a
+    Each document becomes a seven-frame group: a flat keyframe, a
     NO_MV inter frame adding a flat DC residual through the INTER
     quantizer, a pure carry-forward frame (every superblock uncoded),
-    and a golden-reference frame that must reproduce the KEYFRAME
-    while the prior frame differs — exercising §7.3 coded-block flag
-    vectors, §7.4 mode decoding (rotating the custom-alphabet and
-    fixed-3-bit schemes), per-reference DC prediction, inter-matrix
-    dequant, and both reference planes.  The oracle composes the
-    spec's fixed-point arithmetic closed-form: the keyframe value and
-    the shifted value of frames 1-2 (frame 3 returns to the keyframe
-    value, asserted via the uniform flag Python-side).  MV-coded
-    modes stay the documented loud boundary.
+    a golden-reference frame that must reproduce the KEYFRAME while
+    the prior frame differs, then three MV-coded frames: INTER_MV
+    under fixed alphabet scheme ``1 + doc_id % 6`` (every §7.4 scheme
+    hash-covered), an INTER_MV → LAST chain under the fixed 6-bit MV
+    component code, and a GOLDEN_MV / LAST2 / FOUR-MV mix — §7.5
+    vector decode, the last/prior chain, and motion compensation all
+    sit upstream of the token stream, so any desync breaks the
+    closed-form values.  Flat references make every legal MV
+    value-invariant (the pixel-level interpolation arithmetic is
+    pinned by gradient-reference unit tests against an independent
+    scalar restatement in ``tests/test_theora.py``).  The oracle
+    composes the spec's fixed-point arithmetic closed-form: the
+    keyframe value and the shifted value of frames 1-2; frames 3-6
+    return to the keyframe value, asserted via the uniform flag
+    Python-side.
     """
     d = (
         load_table(spark, sf, "documents")
@@ -7107,6 +7114,9 @@ def q_multimodal_theora_gop(spark: SparkSession, sf: str) -> DataFrame:
                 did = int(did)
                 dk = 1 + did % 17
                 di = 1 + did % 6
+                mv1 = ((did % 13) - 6, (did % 9) - 4)
+                mv2 = ((did % 7) - 3, (did % 11) - 5)
+                four = [(1, 1), (-1, -1), (mv1[0], mv2[1]), (2, -2)]
                 ogg = theoradec.build_theora_ogg(48, 32, [
                     (dk, dk + 1, dk + 2),
                     {"dcs": (di, di + 1, di + 2),
@@ -7114,6 +7124,16 @@ def q_multimodal_theora_gop(spark: SparkSession, sf: str) -> DataFrame:
                     {"coverage": "none"},
                     {"mode": theoradec.MODE_GOLDEN_NO_MV,
                      "coverage": "all"},
+                    {"mb_script": [(theoradec.MODE_INTER_MV, mv1)],
+                     "mode_scheme": 1 + did % 6},
+                    {"mb_script": [
+                        (theoradec.MODE_INTER_MV, mv2),
+                        (theoradec.MODE_INTER_MV_LAST, None)],
+                     "mv_fixed": True},
+                    {"mb_script": [
+                        (theoradec.MODE_GOLDEN_MV, mv1),
+                        (theoradec.MODE_INTER_MV_LAST2, None),
+                        (theoradec.MODE_INTER_MV_FOUR, four)]},
                 ])
                 out = theoradec.decode_ogg_theora(ogg)
                 fs = out["frames"]
@@ -7124,7 +7144,9 @@ def q_multimodal_theora_gop(spark: SparkSession, sf: str) -> DataFrame:
                 uni = all(
                     p.min() == p.max() for f in fs for p in f
                 ) and int(fs[2][0][0, 0]) == int(fs[1][0][0, 0]) \
-                    and int(fs[3][0][0, 0]) == int(fs[0][0][0, 0])
+                    and int(fs[3][0][0, 0]) == int(fs[0][0][0, 0]) \
+                    and all(int(fs[k][0][0, 0]) == int(fs[0][0][0, 0])
+                            for k in (4, 5, 6))
                 rows["uniform"].append(bool(uni))
             yield pd.DataFrame(rows)
 

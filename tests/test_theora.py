@@ -477,23 +477,9 @@ def test_inter_gop_through_ogg_and_boundaries():
     from rawdata_client_provider_gcs_spark.operators import rawogg
 
     assert rawogg.parse_ogg(ogg)["n_frames"] == 4
-    # loud boundaries: MV-coded modes, fixed alphabets 1-6, missing refs
-    kf = out["frames"][0]
-    pkt = T.encode_inter_frame(64, 48, mode=2, mode_scheme=7)
-    with pytest.raises(ValueError, match="MV-coded"):
-        T.decode_frame(pkt, setup, 64, 48, refs=(kf, kf))
-    w = T._Bw()
-    w.write(0, 1)
-    w.write(1, 1)
-    w.write(40, 6)
-    w.write(0, 1)
-    n_sbs = 2 * 2 + 1 + 1  # 64x48: Y 2x2 SBs, chroma 1 each
-    T._encode_bit_runs(w, [0] * n_sbs)
-    T._encode_bit_runs(w, [1] * n_sbs)
-    w.write(3, 3)  # fixed alphabet scheme 3
-    with pytest.raises(ValueError, match="scheme 3"):
-        T.decode_frame(w.bytes() + b"\x00" * 8, setup, 64, 48,
-                       refs=(kf, kf))
+    # loud boundaries: a vectorless MV-mode fixture, missing refs
+    with pytest.raises(ValueError, match="without a vector"):
+        T.encode_inter_frame(64, 48, mode=2, mode_scheme=7)
     with pytest.raises(ValueError, match="without reference"):
         T.decode_frame(T.encode_inter_frame(64, 48), setup, 64, 48)
 
@@ -530,3 +516,194 @@ def test_short_run_codec_boundaries():
     T._write_short_run(w, 5)
     assert (T._decode_short_bit_runs(T._Br(w.bytes()), 35)
             == [1] * 30 + [0] * 5)
+
+
+# ---------------------------------------------------------------------------
+# MV-coded inter frames (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_mv_component_codecs_hand_vectors():
+    """§7.5.1 component codes from hand-built bit patterns: 3-bit
+    selector, magnitude extension bits, trailing sign (1=negative)."""
+    def dec(bits_str):
+        w = T._Bw()
+        for ch in bits_str:
+            w.write(int(ch), 1)
+        return T._mv_comp_vlc(T._Br(w.bytes()))
+
+    assert dec("000") == 0
+    assert dec("001") == 1
+    assert dec("010") == -1
+    assert dec("0110") == 2
+    assert dec("0111") == -2
+    assert dec("1000") == 3
+    assert dec("1001") == -3
+    assert dec("101" + "00" + "0") == 4
+    assert dec("101" + "11" + "1") == -7
+    assert dec("110" + "000" + "0") == 8
+    assert dec("110" + "111" + "1") == -15
+    assert dec("111" + "0000" + "0") == 16
+    assert dec("111" + "1111" + "1") == -31
+    # fixed 6-bit form: 5 magnitude bits then sign
+    w = T._Bw()
+    w.write(21, 5)
+    w.write(1, 1)
+    assert T._mv_comp_fixed(T._Br(w.bytes())) == -21
+    # encoders invert decoders across the full legal range
+    for v in range(-31, 32):
+        w = T._Bw()
+        T._write_mv_comp_vlc(w, v)
+        assert T._mv_comp_vlc(T._Br(w.bytes())) == v, v
+        w = T._Bw()
+        T._write_mv_comp_fixed(w, v)
+        assert T._mv_comp_fixed(T._Br(w.bytes())) == v, v
+
+
+def _mc_reference(ref, bx, by, mvx, mvy, pli):
+    """Independent scalar restatement of §7.9.1 motion compensation
+    (edge-clamped positions, two-pixel no-rounding averages, the
+    sign-dependent diagonal)."""
+    if pli:
+        mvx = (mvx >> 1) | (mvx & 1)
+        mvy = (mvy >> 1) | (mvy & 1)
+    h, w = ref.shape
+
+    def px(y, x):
+        return int(ref[min(max(y, 0), h - 1), min(max(x, 0), w - 1)])
+
+    out = np.empty((8, 8), np.int32)
+    x0, y0 = bx * 8 + (mvx >> 1), by * 8 + (mvy >> 1)
+    fx, fy = mvx & 1, mvy & 1
+    for r in range(8):
+        for c in range(8):
+            y, x = y0 + r, x0 + c
+            if not fx and not fy:
+                out[r, c] = px(y, x)
+            elif fx and not fy:
+                out[r, c] = (px(y, x) + px(y, x + 1)) >> 1
+            elif fy and not fx:
+                out[r, c] = (px(y, x) + px(y + 1, x)) >> 1
+            elif (mvx ^ mvy) >= 0:
+                out[r, c] = (px(y, x) + px(y + 1, x + 1)) >> 1
+            else:
+                out[r, c] = (px(y, x + 1) + px(y + 1, x)) >> 1
+    return out
+
+
+def test_predict_block_vs_independent_scalar():
+    rng = np.random.default_rng(7)
+    ref = rng.integers(0, 256, (48, 64), np.uint8)
+    padded = np.pad(ref, T._MC_PAD, mode="edge")
+    for pli in (0, 1):
+        for mvx, mvy in [(0, 0), (1, 0), (0, 1), (1, 1), (-1, -1),
+                         (3, -3), (-5, 7), (16, 1), (-31, 31),
+                         (31, -31), (2, -2), (30, 30), (-17, -1)]:
+            for bx, by in [(0, 0), (3, 2), (7, 5), (1, 4)]:
+                got = T._predict_block(padded, T._MC_PAD, bx, by,
+                                       mvx, mvy, pli)
+                want = _mc_reference(ref, bx, by, mvx, mvy, pli)
+                assert np.array_equal(got, want), (pli, mvx, mvy, bx, by)
+
+
+def _expected_mv_frame(P, G, script, frame_w=64, frame_h=48):
+    """Independent restatement of the whole mode/MV semantics: apply
+    the script per coded MB (full coverage) and compose the expected
+    Y plane from the references."""
+    order = T._mb_order(frame_w, frame_h)
+    last = prior = (0, 0)
+    out = {0: np.empty((frame_h, frame_w), np.uint8),
+           1: np.empty((frame_h // 2, frame_w // 2), np.uint8),
+           2: np.empty((frame_h // 2, frame_w // 2), np.uint8)}
+    for i, (_mx, _my, blocks) in enumerate(order):
+        m, mv = script[i % len(script)]
+        if m == T.MODE_INTER_MV_FOUR:
+            prior = last
+            per = list(mv)
+            last = per[-1]
+            cx = (sum(v[0] for v in per) + 2) >> 2 if sum(
+                v[0] for v in per) > 0 else (sum(v[0] for v in per) + 1) >> 2
+            cy = (sum(v[1] for v in per) + 2) >> 2 if sum(
+                v[1] for v in per) > 0 else (sum(v[1] for v in per) + 1) >> 2
+            mvs = per + [(cx, cy), (cx, cy)]
+        else:
+            if m == T.MODE_INTER_MV:
+                prior = last
+                last = mv
+            elif m == T.MODE_GOLDEN_MV:
+                pass
+            elif m == T.MODE_INTER_MV_LAST:
+                mv = last
+            elif m == T.MODE_INTER_MV_LAST2:
+                mv = prior
+                prior, last = last, mv
+            else:
+                mv = (0, 0)
+            mvs = [mv] * 6
+        for b, bmv in zip(blocks, mvs):
+            pli, (x, y) = b
+            sl = (slice(y * 8, y * 8 + 8), slice(x * 8, x * 8 + 8))
+            if m == T.MODE_INTRA:
+                out[pli][sl] = 128
+                continue
+            ref = G[pli] if m in (T.MODE_GOLDEN_NO_MV,
+                                  T.MODE_GOLDEN_MV) else P[pli]
+            blk = _mc_reference(ref, x, y, bmv[0], bmv[1], pli)
+            out[pli][sl] = np.clip(blk, 0, 255).astype(np.uint8)
+    return out[0], out[1], out[2]
+
+
+@pytest.mark.parametrize("scheme", [0, 1, 2, 3, 4, 5, 6, 7])
+@pytest.mark.parametrize("fixed", [False, True], ids=["vlc", "fixed"])
+def test_mv_modes_all_schemes_value_exact(scheme, fixed):
+    """Every mode of every alphabet scheme, on GRADIENT references so
+    any alphabet-rank, MV-VLC, chain, or interpolation error changes
+    pixels: 12 macroblocks covering all 8 modes including the
+    LAST/LAST2 chain, GOLDEN_MV (which must NOT touch the chain), and
+    FOUR with per-block vectors — value-exact against an independent
+    scalar restatement."""
+    setup = T.parse_setup(T.build_setup_packet(lflim=0))
+    rng = np.random.default_rng(11)
+    P = tuple(rng.integers(0, 256, s, np.uint8)
+              for s in ((48, 64), (24, 32), (24, 32)))
+    G = tuple(rng.integers(0, 256, s, np.uint8)
+              for s in ((48, 64), (24, 32), (24, 32)))
+    script = [
+        (T.MODE_INTER_MV, (3, -2)),       # sets last=(3,-2)
+        (T.MODE_INTER_MV_LAST, None),     # = (3,-2)
+        (T.MODE_GOLDEN_MV, (-7, 9)),      # chain untouched
+        (T.MODE_INTER_MV, (16, 1)),       # prior=(3,-2), last=(16,1)
+        (T.MODE_INTER_MV_LAST2, None),    # = (3,-2); swap
+        (T.MODE_INTER_MV_LAST, None),     # = (3,-2) after swap
+        (T.MODE_INTRA, None),
+        (T.MODE_INTER_NO_MV, None),
+        (T.MODE_GOLDEN_NO_MV, None),
+        (T.MODE_INTER_MV_FOUR,
+         [(1, 1), (-1, -1), (5, 0), (0, -5)]),  # last=(0,-5)
+        (T.MODE_INTER_MV_LAST, None),     # = (0,-5)
+        (T.MODE_INTER_MV, (-31, 31)),
+    ]
+    pkt = T.encode_inter_frame(64, 48, mb_script=script,
+                               mode_scheme=scheme, mv_fixed=fixed)
+    got = T.decode_frame(pkt, setup, 64, 48, refs=(P, G))
+    want = _expected_mv_frame(P, G, script)
+    for g, e in zip(got, want):
+        assert np.array_equal(g, e)
+
+
+def test_mv_gop_with_residuals_and_ogg():
+    """MV modes compose with DC residuals and the Ogg carriage: a
+    flat GOP where an MV-shifted flat reference stays closed-form."""
+    ogg = T.build_theora_ogg(64, 48, [
+        (9, 5, 13),
+        {"mb_script": [(T.MODE_INTER_MV, (4, -6))]},
+        {"mb_script": [(T.MODE_INTER_MV_LAST, None)], "mv_fixed": True},
+        {"mb_script": [(T.MODE_GOLDEN_MV, (2, 2))]},
+    ])
+    out = T.decode_ogg_theora(ogg)
+    setup = T.parse_setup(T.build_setup_packet())
+    y0 = 128 + T.idct_flat_dc(9 * T.compute_qmat(setup, 0, 0, 40)[0])
+    # flat planes are MV-invariant: every frame reproduces the keyframe
+    assert [f[0][0, 0] for f in out["frames"]] == [y0] * 4
+    for f in out["frames"]:
+        assert f[0].min() == f[0].max() == y0
