@@ -3721,8 +3721,9 @@ def q_crawl_archive_members(spark: SparkSession, sf: str) -> DataFrame:
     """REAL ZIP/TAR build → explode → member rows, oracle-exact.
 
     Each document becomes a two-member archive of its own text —
-    rotating ZIP (store, deflate, bzip2, LZMA, zstd and xz members —
-    APPNOTE methods 0/8/12/14/93/95), POSIX-ustar TAR, and cpio
+    rotating ZIP (store, deflate, Deflate64, bzip2, LZMA, zstd and xz
+    members — APPNOTE methods 0/8/9/12/14/93/95), POSIX-ustar TAR, and
+    cpio
     (newc and odc, the initramfs/RPM-payload container, r11) —
     and ``sources/archive.py`` explodes them back into per-member rows
     (format auto-sniffed from magic, CRC/checksum verified, bounded
@@ -3753,15 +3754,17 @@ def q_crawl_archive_members(spark: SparkSession, sf: str) -> DataFrame:
                 ]
                 v = did % 3
                 if v == 0:
-                    # rotate all six APPNOTE methods the reader speaks:
-                    # store/deflate plus 12 bzip2, 14 LZMA, 93 zstd,
-                    # 95 xz (r13) — the oracle is method-blind, the
+                    # rotate all seven APPNOTE methods the reader
+                    # speaks: store/deflate plus 9 Deflate64 (r14,
+                    # pure-Python enhanced inflate), 12 bzip2, 14 LZMA,
+                    # 93 zstd, 95 xz — the oracle is method-blind, the
                     # content is what must survive
                     payloads.append(
                         A.build_zip(
                             members,
                             method=("deflate", "store", "bzip2", "lzma",
-                                    "zstd", "xz")[(did // 3) % 6],
+                                    "zstd", "xz", "deflate64")
+                            [(did // 3) % 7],
                         )
                     )
                 elif v == 1:

@@ -107,8 +107,8 @@ def build_zip(
     ``method`` — the ODF convention for the leading ``mimetype`` member
     (ODF 1.3 part 3 §2.2.4), which magic-based sniffers read in place.
     """
-    methods = {"store": 0, "deflate": 8, "bzip2": 12, "lzma": 14,
-               "zstd": 93, "xz": 95}
+    methods = {"store": 0, "deflate": 8, "deflate64": 9, "bzip2": 12,
+               "lzma": 14, "zstd": 93, "xz": 95}
     if method not in methods:
         raise ValueError(f"unsupported zip method: {method}")
     ver_need = 45 if zip64 else 20
@@ -126,6 +126,10 @@ def build_zip(
         if mnum == 8:
             c = zlib.compressobj(6, zlib.DEFLATED, -15)
             comp = c.compress(data) + c.flush()
+        elif mnum == 9:
+            from .deflate64 import deflate64_compress
+
+            comp = deflate64_compress(data)
         elif mnum == 12:
             import bz2
 
@@ -380,6 +384,23 @@ def parse_zip(data: bytes, cap: int = MAX_MEMBER_BYTES) -> list[dict]:
             except zlib.error as exc:
                 raise ValueError(f"zip: corrupt deflate in {name!r}: {exc}")
             if len(payload) != ulen or d.unconsumed_tail:
+                raise ValueError(
+                    f"zip: member {name!r} inflates to a size other than "
+                    "declared (bomb or corruption)"
+                )
+        elif method == 9:
+            # Deflate64 (APPNOTE method 9): 64 KiB window, 16-extra-bit
+            # length code 285, distance codes 30/31 — pure-Python
+            # enhanced inflate (stdlib zlib cannot read it)
+            from .deflate64 import inflate64
+
+            try:
+                payload = inflate64(raw, ulen + 1)
+            except ValueError as exc:
+                raise ValueError(
+                    f"zip: corrupt deflate64 in {name!r}: {exc}"
+                )
+            if len(payload) != ulen:
                 raise ValueError(
                     f"zip: member {name!r} inflates to a size other than "
                     "declared (bomb or corruption)"

@@ -298,3 +298,127 @@ def test_spark_archive_members_error_capture(spark):
     bad = out[out["error"].notna()]
     assert sorted(bad["doc_id"]) == [2, 3]
     assert bad["path"].isna().all()
+
+
+# ---------------------------------------------------------------------------
+# Deflate64 (ZIP method 9, r14)
+# ---------------------------------------------------------------------------
+
+
+def test_deflate64_hand_vectors_and_extensions():
+    """The three enhanced-deflate extensions, pinned by hand-built
+    fixed-Huffman vectors: the 16-extra-bit length code 285, distance
+    codes 30/31, and >32 KiB window references — each one a stream
+    stdlib zlib REJECTS (it is genuinely not RFC 1951)."""
+    import zlib as _z
+
+    from rawdata_client_provider_gcs_spark.sources import deflate64 as D
+
+    # lit 'A' + match(3,1) → 'AAAA', in both the short and the
+    # forced-285 length form
+    assert D.inflate64(
+        D.deflate64_fixed([("lit", b"A"), ("match", 3, 1)]), 10
+    ) == b"AAAA"
+    assert D.inflate64(
+        D.deflate64_fixed([("lit", b"A"), ("match", 3, 1)],
+                          force_285=True), 10
+    ) == b"AAAA"
+    # a 47,996-byte match through code 285 (impossible in deflate)
+    data = b"abcd" * 12000
+    blob = D.deflate64_compress(data)
+    assert D.inflate64(blob, len(data) + 1) == data
+    with pytest.raises(_z.error):
+        _z.decompressobj(-15).decompress(blob)
+    # distance codes 30/31: a reference 39,000 bytes back
+    lit = bytes((i * 7 + 3) % 256 for i in range(40000))
+    blob = D.deflate64_fixed([("lit", lit), ("match", 300, 39000)])
+    out = D.inflate64(blob, 50000)
+    assert out[:40000] == lit and out[40000:] == lit[1000:1300]
+    # zlib does not speak this stream: it either errors or silently
+    # mis-decodes (the 285 length form desyncs RFC 1951 readers)
+    d = _z.decompressobj(-15)
+    try:
+        wrong = d.decompress(blob) + d.flush()
+    except _z.error:
+        wrong = None
+    assert wrong != out
+
+
+def test_deflate64_reads_zlib_shared_subset():
+    """Streams that avoid code 285 and distances 30/31 decode
+    identically under zlib and the enhanced inflater — including
+    stored and dynamic-Huffman blocks."""
+    import random
+    import zlib as _z
+
+    from rawdata_client_provider_gcs_spark.sources import deflate64 as D
+
+    rng = random.Random(3)
+    for _ in range(15):
+        data = bytes(rng.randrange(256)
+                     for _ in range(rng.randrange(1, 5000)))
+        c = _z.compressobj(6, _z.DEFLATED, -15)
+        raw = c.compress(data) + c.flush()
+        assert D.inflate64(raw, len(data) + 1) == data
+    c = _z.compressobj(0, _z.DEFLATED, -15)  # stored blocks
+    data = bytes(range(256)) * 300
+    raw = c.compress(data) + c.flush()
+    assert D.inflate64(raw, len(data) + 1) == data
+    c = _z.compressobj(6, _z.DEFLATED, -15, 9, _z.Z_FIXED)
+    data = b"hello hello world" * 9
+    raw = c.compress(data) + c.flush()
+    assert D.inflate64(raw, len(data) + 1) == data
+
+
+def test_deflate64_hostiles():
+    from rawdata_client_provider_gcs_spark.sources import deflate64 as D
+
+    with pytest.raises(ValueError, match="cap"):
+        D.inflate64(
+            D.deflate64_fixed([("lit", b"xy"), ("match", 65538, 2)]), 100
+        )
+    with pytest.raises(ValueError, match="before stream start"):
+        D.inflate64(D.deflate64_fixed([("match", 3, 5)]), 100)
+    with pytest.raises(ValueError, match="reserved block"):
+        D.inflate64(b"\x07\x00", 100)
+    with pytest.raises(ValueError, match="LEN/NLEN"):
+        D.inflate64(b"\x00\x05\x00\x00\x00", 100)
+    with pytest.raises(ValueError):
+        D.inflate64(b"", 100)
+    # truncated mid-symbol
+    blob = D.deflate64_fixed([("lit", b"hello world")])
+    with pytest.raises(ValueError):
+        D.inflate64(blob[:4], 100)
+
+
+def test_zip_method9_roundtrip_and_bsdtar_structure():
+    """Method-9 members extract with CRC verification; bsdtar's
+    lister validates the container layout even though its build
+    cannot extract Deflate64 (the documented interop boundary)."""
+    import shutil
+    import subprocess
+    import tempfile
+
+    members = [("big/doc.txt", b"lorem ipsum " * 5000),
+               ("small.bin", bytes(range(256)))]
+    z = A.build_zip(members, method="deflate64")
+    out = A.parse_zip(z)
+    rows = out["members"] if isinstance(out, dict) else out
+    got = {m["path"]: m["payload"] for m in rows}
+    for p, d in members:
+        assert got[p] == d
+    # corrupt stream → loud per-member error (CRC or inflate)
+    bad = bytearray(z)
+    body = z.index(b"PK\x03\x04") + 30 + len("big/doc.txt") + 5
+    bad[body] ^= 0xFF
+    with pytest.raises(ValueError):
+        A.parse_zip(bytes(bad))
+    if shutil.which("bsdtar"):
+        with tempfile.NamedTemporaryFile(suffix=".zip") as f:
+            f.write(z)
+            f.flush()
+            r = subprocess.run(["bsdtar", "-tf", f.name],
+                               capture_output=True, text=True)
+            assert r.returncode == 0
+            assert sorted(r.stdout.split()) == ["big/doc.txt",
+                                                "small.bin"]
