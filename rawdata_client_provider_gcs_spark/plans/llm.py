@@ -3236,25 +3236,25 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g')) AS text
-FROM d WHERE doc_id % 11 = 0
+FROM d WHERE doc_id % 12 = 0
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'epub', CAST(i AS BIGINT),
        'OPS/text/ch' || CAST(i AS VARCHAR) || '.xhtml',
        trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
                            '\\s+', ' ', 'g'))
-FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 11 = 1
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 12 = 1
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'odt', CAST(0 AS BIGINT), 'content.xml',
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 11 = 2
+FROM d WHERE doc_id % 12 = 2
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'pptx', CAST(i AS BIGINT),
        'ppt/slides/slide' || CAST(i + 1 AS VARCHAR) || '.xml',
        trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
                            '\\s+', ' ', 'g'))
-FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 11 = 3
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 12 = 3
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'xlsx', CAST(0 AS BIGINT),
        'xl/worksheets/sheet1.xml',
@@ -3262,45 +3262,52 @@ SELECT CAST(doc_id AS BIGINT), 'xlsx', CAST(0 AS BIGINT),
          substr(text, 1, 20) || ' ' || substr(text, 21, 20) || ' '
          || substr(text, 41, 20) || ' ' || CAST(doc_id % 97 AS VARCHAR),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 11 = 4
+FROM d WHERE doc_id % 12 = 4
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'doc', CAST(0 AS BIGINT), 'WordDocument',
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 11 = 5
+FROM d WHERE doc_id % 12 = 5
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'xls', CAST(0 AS BIGINT), 'workbook/S1',
        trim(regexp_replace(
          substr(text, 1, 20) || ' ' || substr(text, 21, 20) || ' '
          || substr(text, 41, 20) || ' ' || CAST(doc_id % 97 AS VARCHAR),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 11 = 6
+FROM d WHERE doc_id % 12 = 6
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'ppt', CAST(i AS BIGINT),
        'slide' || CAST(i + 1 AS VARCHAR),
        trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
                            '\\s+', ' ', 'g'))
-FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 11 = 7
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 12 = 7
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'rtf', CAST(0 AS BIGINT), 'rtf',
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 11 = 8
+FROM d WHERE doc_id % 12 = 8
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'ods', CAST(0 AS BIGINT), 'S1',
        trim(regexp_replace(
          substr(text, 1, 20) || ' ' || substr(text, 21, 20) || ' '
          || substr(text, 41, 20) || ' ' || CAST(doc_id % 97 AS VARCHAR),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 11 = 9
+FROM d WHERE doc_id % 12 = 9
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'odp', CAST(i AS BIGINT),
        'page' || CAST(i + 1 AS VARCHAR),
        trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
                            '\\s+', ' ', 'g'))
-FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 11 = 10
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 12 = 10
+UNION ALL
+SELECT CAST(doc_id AS BIGINT),
+       CASE WHEN CAST((doc_id // 12) % 6 AS INTEGER) IN (2, 5)
+            THEN 'palmdoc' ELSE 'mobi' END,
+       CAST(0 AS BIGINT), 'book',
+       trim(regexp_replace(substr(text, 1, 80), '\\s+', ' ', 'g'))
+FROM d WHERE doc_id % 12 = 11
 """,
     tags=("llm", "source", "text", "crawl", "office", "pandas-udf"),
     bench=True,
@@ -3349,7 +3356,7 @@ def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
                 did = int(did)
                 t = str(text)
                 halves = [t[:40], t[40:80]]
-                v = did % 11
+                v = did % 12
                 if v == 0:
                     payloads.append(O.build_docx(halves))
                 elif v == 1:
@@ -3385,8 +3392,27 @@ def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
                                      [t[40:60], str(did % 97)]])]
                         )
                     )
-                else:
+                elif v == 10:
                     payloads.append(O.build_odp(halves))
+                else:
+                    # MOBI/PalmDoc (r14): rotate container, PalmDoc
+                    # LZ77 vs stored, cp1252 vs UTF-8, multi-record
+                    # reassembly, and trailing-entry stripping — all
+                    # oracle-invariant (same text survives each path)
+                    from ..sources import mobi as MB
+
+                    v2 = (did // 12) % 6
+                    kw = (
+                        dict(),
+                        dict(encoding="cp1252", compression=1),
+                        dict(palmdoc=True),
+                        dict(record_size=16),
+                        dict(trailing=b"XY"),
+                        dict(palmdoc=True, compression=1),
+                    )[v2]
+                    payloads.append(
+                        MB.build_mobi(t[:80], title=f"Doc {did}", **kw)
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     files = d.mapInPandas(make, "doc_id long, payload binary")

@@ -188,7 +188,7 @@ _CATEGORY = {
     "epub": "document", "odt": "document", "ods": "document",
     "odp": "document", "doc": "document",
     "xls": "document", "ppt": "document", "cfb": "document",
-    "rtf": "document", "pdf": "document",
+    "rtf": "document", "pdf": "document", "mobi": "document",
     "warc": "web", "html": "web",
     "mbox": "mail", "eml": "mail",
     "ppm": "image", "pgm": "image", "bmp": "image", "png": "image",
@@ -239,8 +239,11 @@ def _classify_bytes(data: bytes) -> str:
     if data[:5] == b"%PDF-":
         return "pdf"
     from .cfb import classify_cfb, parse_cfb, sniff_cfb
+    from .mobi import sniff_mobi
     from .rtf import sniff_rtf
 
+    if sniff_mobi(data):
+        return "mobi"
     if sniff_rtf(data):
         return "rtf"
     if sniff_cfb(data):

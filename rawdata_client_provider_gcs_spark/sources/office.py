@@ -283,6 +283,7 @@ def office_parts_of(data: bytes) -> tuple[str, list[tuple[str, str]]]:
     """
     from .cfb import parse_cfb, sniff_cfb
     from .legacy_office import legacy_parts
+    from .mobi import mobi_parts, sniff_mobi
     from .rtf import rtf_text_of, sniff_rtf
 
     if sniff_cfb(data):
@@ -290,6 +291,8 @@ def office_parts_of(data: bytes) -> tuple[str, list[tuple[str, str]]]:
     if sniff_rtf(data):
         return "rtf", [("rtf", "<p>" + _xml_escape(rtf_text_of(data))
                         + "</p>")]
+    if sniff_mobi(data):
+        return mobi_parts(data)
     members = {m["path"]: m["payload"] for m in parse_zip(data)}
     fmt, parts, _meta = _container_parts(members)
     return fmt, parts

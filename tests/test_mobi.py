@@ -1,0 +1,166 @@
+"""MOBI/PalmDoc ebooks (sources/mobi.py): PDB walk, PalmDoc LZ77 both
+directions, MOBI header fields, trailing-entry stripping, hostiles."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from rawdata_client_provider_gcs_spark.sources import mobi as M
+
+TEXT = ("It is a truth universally acknowledged, that a single man in "
+        "possession of a good fortune, must be in want of a wife. " * 3)
+
+
+def test_palmdoc_hand_vectors():
+    """The public op table, decoded from hand-built bytes."""
+    assert M.palmdoc_decompress(b"\x41\x42") == b"AB"
+    assert M.palmdoc_decompress(b"\x02\x00\xff") == b"\x00\xff"
+    assert M.palmdoc_decompress(b"\xc1") == b" A"
+    assert M.palmdoc_decompress(b"\xff") == b" \x7f"
+    # LZ77 pair after 'A': dist 1, len 3 → 0x8008
+    assert M.palmdoc_decompress(b"\x41\x80\x08") == b"AAAA"
+    # max length 10: (pair & 7) + 3
+    assert M.palmdoc_decompress(b"\x41\x80\x0f") == b"A" * 11
+    with pytest.raises(ValueError, match="distance"):
+        M.palmdoc_decompress(b"\x41\x80\x10")  # dist 2 > output
+    with pytest.raises(ValueError, match="truncated"):
+        M.palmdoc_decompress(b"\x80")
+    with pytest.raises(ValueError, match="escape"):
+        M.palmdoc_decompress(b"\x05ab")
+    with pytest.raises(ValueError, match="cap"):
+        M.palmdoc_decompress(b"\x41" + b"\x80\x0f" * 200, cap=100)
+
+
+def test_palmdoc_roundtrip_all_op_classes():
+    cases = [
+        b"",
+        b"a",
+        b"hello world hello world hello world",
+        b"\x00\x01\x02\xff\xfe binary \x80\x81\x00\x00",
+        b" space Pairs a b c d e f g",
+        bytes(range(256)) * 3,
+        b"x" * 5000,
+        TEXT.encode(),
+    ]
+    for data in cases:
+        comp = M.palmdoc_compress(data)
+        assert M.palmdoc_decompress(comp) == data
+    # the encoder really compresses repetitive text (max match length
+    # is 10, so 2000 repetitive bytes cost ~400 pair bytes)
+    assert len(M.palmdoc_compress(b"abc " * 500)) < 450
+
+
+@pytest.mark.parametrize("kwargs", [
+    {},
+    {"compression": 1},
+    {"palmdoc": True},
+    {"palmdoc": True, "compression": 1},
+    {"encoding": "cp1252"},
+    {"record_size": 16},
+    {"trailing": b"XY"},
+    {"record_size": 16, "trailing": b"Z"},
+], ids=["mobi-lz", "mobi-stored", "palmdoc-lz", "palmdoc-stored",
+        "cp1252", "multi-record", "trailing", "multi+trailing"])
+def test_container_roundtrip(kwargs):
+    blob = M.build_mobi(TEXT, title="Pride and Prejudice", **kwargs)
+    assert M.sniff_mobi(blob)
+    m = M.parse_mobi(blob)
+    assert m["text"] == TEXT
+    want_fmt = "palmdoc" if kwargs.get("palmdoc") else "mobi"
+    assert m["format"] == want_fmt
+    if want_fmt == "mobi":
+        assert m["title"] == "Pride and Prejudice"
+        assert m["encoding"] == ("cp1252" if kwargs.get("encoding")
+                                 == "cp1252" else "utf-8")
+    if kwargs.get("record_size") == 16:
+        assert m["n_text_records"] > 1
+
+
+def test_mobi_utf8_text_and_office_adapter():
+    text = "Prøve — «détente» ünd 中文"
+    m = M.parse_mobi(M.build_mobi(text))
+    assert m["text"] == text
+    fmt, parts = M.mobi_parts(M.build_mobi("a < b & c"))
+    assert fmt == "mobi"
+    assert parts == [("book", "<p>a &lt; b &amp; c</p>")]
+    # office tier routes PDB payloads
+    from rawdata_client_provider_gcs_spark.sources import office as O
+
+    fmt, parts = O.office_parts_of(M.build_mobi("routed text"))
+    assert fmt == "mobi" and "routed text" in parts[0][1]
+
+
+def test_classify_routes_mobi():
+    from rawdata_client_provider_gcs_spark.sources.classify import (
+        classify_payload,
+    )
+
+    got = classify_payload(M.build_mobi("classified"))
+    assert got["format"] == "mobi" and got["category"] == "document"
+    got = classify_payload(M.build_mobi("classified", palmdoc=True))
+    assert got["format"] == "mobi"
+    # a tar header with BOOKMOBI inside the name field must NOT route
+    # here (nextRecordListID / record-count sanity)
+    from rawdata_client_provider_gcs_spark.sources.archive import build_tar
+
+    name = "x" * 60 + "BOOKMOBI" + "y" * 10
+    tar = build_tar([(name, b"payload")])
+    assert classify_payload(tar)["format"] == "tar"
+
+
+def test_mobi_hostiles():
+    blob = M.build_mobi(TEXT)
+    with pytest.raises(ValueError, match="signature"):
+        M.parse_mobi(b"not a pdb" * 20)
+    # truncated record list
+    with pytest.raises(ValueError):
+        M.parse_mobi(blob[:80])
+    # HuffCDIC compression is loud
+    bad = bytearray(blob)
+    r0_off = struct.unpack(">I", blob[78:82])[0]
+    struct.pack_into(">H", bad, r0_off, 17480)
+    with pytest.raises(ValueError, match="HuffCDIC"):
+        M.parse_mobi(bytes(bad))
+    # unknown compression
+    struct.pack_into(">H", bad, r0_off, 7)
+    with pytest.raises(ValueError, match="unknown compression"):
+        M.parse_mobi(bytes(bad))
+    # lying text length
+    bad = bytearray(blob)
+    struct.pack_into(">I", bad, r0_off + 4, 1 << 20)
+    with pytest.raises(ValueError, match="declares"):
+        M.parse_mobi(bytes(bad))
+    # record count exceeding PDB records
+    bad = bytearray(blob)
+    struct.pack_into(">H", bad, r0_off + 8, 999)
+    with pytest.raises(ValueError, match="exceeds"):
+        M.parse_mobi(bytes(bad))
+    # unsupported text encoding
+    bad = bytearray(blob)
+    struct.pack_into(">I", bad, r0_off + 28, 1234)
+    with pytest.raises(ValueError, match="encoding"):
+        M.parse_mobi(bytes(bad))
+    # non-monotonic record offsets
+    bad = bytearray(blob)
+    struct.pack_into(">I", bad, 78 + 8, 5)
+    with pytest.raises(ValueError, match="monotonic|past end"):
+        M.parse_mobi(bytes(bad))
+
+
+def test_spark_office_text_includes_mobi(spark):
+    from rawdata_client_provider_gcs_spark.sources import office as O
+
+    rows = [
+        (0, bytearray(M.build_mobi("ebook body text here"))),
+        (1, bytearray(M.build_mobi("palm body", palmdoc=True))),
+        (2, bytearray(b"junk that is not a container")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = O.office_text(df).toPandas().sort_values("doc_id")
+    by = {d: g for d, g in out.groupby("doc_id")}
+    assert list(by[0]["text"]) == ["ebook body text here"]
+    assert list(by[0]["doc_format"]) == ["mobi"]
+    assert list(by[1]["doc_format"]) == ["palmdoc"]
+    assert by[2]["error"].notna().all()
