@@ -304,11 +304,18 @@ def deflate64_compress(data: bytes) -> bytes:
     code 285 / far distances) for data bigger than a deflate block
     could express in one match."""
     n = len(data)
-    # naive: find the longest prefix-period repetition
+    # naive: find the longest prefix-period repetition; matches over
+    # the 65538 maximum split into successive 285-coded matches
     for period in range(1, min(n // 2, 65536) + 1):
         if data[period:] == data[:-period] and n - period >= 3:
-            return deflate64_fixed([
-                ("lit", data[:period]),
-                ("match", n - period, period),
-            ], force_285=n - period > 258)
+            ops: list = [("lit", data[:period])]
+            remaining = n - period
+            while remaining > 0:
+                chunk = min(remaining, 65538)
+                if chunk < 3:
+                    ops.append(("lit", data[n - remaining : n]))
+                    break
+                ops.append(("match", chunk, period))
+                remaining -= chunk
+            return deflate64_fixed(ops, force_285=n - period > 258)
     return deflate64_fixed([("lit", data)])
