@@ -3569,24 +3569,27 @@ def q_crawl_archive_rar(spark: SparkSession, sf: str) -> DataFrame:
     "q_crawl_office_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE CAST(doc_id % 11 AS INTEGER)
+       CASE CAST(doc_id % 12 AS INTEGER)
          WHEN 0 THEN 'docx' WHEN 1 THEN 'epub' WHEN 2 THEN 'odt'
          WHEN 3 THEN 'pptx' WHEN 4 THEN 'xlsx' WHEN 5 THEN 'doc'
          WHEN 6 THEN 'xls' WHEN 7 THEN 'ppt' WHEN 8 THEN 'rtf'
-         WHEN 9 THEN 'ods' ELSE 'odp' END
-         AS doc_format,
-       CASE CAST(doc_id % 11 AS INTEGER)
+         WHEN 9 THEN 'ods' WHEN 10 THEN 'odp'
+         ELSE CASE WHEN doc_id % 2 = 0 THEN 'mobi' ELSE 'palmdoc' END
+         END AS doc_format,
+       CASE CAST(doc_id % 12 AS INTEGER)
          WHEN 0 THEN 'Doc ' WHEN 1 THEN 'Book ' WHEN 2 THEN 'Odt '
          WHEN 3 THEN 'Deck ' WHEN 4 THEN 'Workbook ' WHEN 5 THEN 'Legacy '
          WHEN 6 THEN 'Sheet ' WHEN 7 THEN 'Slides ' WHEN 8 THEN 'Rtf '
-         WHEN 9 THEN 'Ods ' ELSE 'Odp ' END
+         WHEN 9 THEN 'Ods ' WHEN 10 THEN 'Odp ' ELSE 'Ebook ' END
          || CAST(doc_id AS VARCHAR) AS title,
-       'author-' || CAST(doc_id % 7 AS VARCHAR) AS creator,
-       CASE WHEN doc_id % 11 = 1 THEN
+       CASE WHEN doc_id % 12 = 11 AND doc_id % 2 = 1 THEN ''
+            ELSE 'author-' || CAST(doc_id % 7 AS VARCHAR) END AS creator,
+       CASE WHEN doc_id % 12 = 1
+              OR (doc_id % 12 = 11 AND doc_id % 2 = 0) THEN
          CASE CAST(doc_id % 4 AS INTEGER)
            WHEN 0 THEN 'en' WHEN 1 THEN 'nb' WHEN 2 THEN 'de' ELSE 'fr' END
        ELSE '' END AS language,
-       CAST(CASE CAST(doc_id % 11 AS INTEGER)
+       CAST(CASE CAST(doc_id % 12 AS INTEGER)
          WHEN 1 THEN 2 WHEN 3 THEN 2 WHEN 5 THEN 3 WHEN 6 THEN 2
          WHEN 7 THEN 2 WHEN 10 THEN 2 ELSE 1 END AS BIGINT) AS n_parts
 FROM documents WHERE doc_id < 240
@@ -3624,7 +3627,7 @@ def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
                 did = int(did)
                 t = str(text)
                 creator = f"author-{did % 7}"
-                v = did % 11
+                v = did % 12
                 if v == 0:
                     payloads.append(
                         O.build_docx(
@@ -3701,13 +3704,29 @@ def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
                                 title=f"Ods {did}", creator=creator,
                             )
                         )
-                    else:
+                    elif v == 10:
                         payloads.append(
                             O.build_odp(
                                 [t[:40], t[40:80]],
                                 title=f"Odp {did}", creator=creator,
                             )
                         )
+                    else:
+                        # MOBI EXTH metadata (even) / bare PalmDoc
+                        # whose only metadata is the PDB name (odd)
+                        from ..sources import mobi as MB
+
+                        lang = ("en", "nb", "de", "fr")[did % 4]
+                        if did % 2 == 0:
+                            payloads.append(MB.build_mobi(
+                                t[:40], title=f"Ebook {did}",
+                                author=creator, language=lang,
+                            ))
+                        else:
+                            payloads.append(MB.build_mobi(
+                                t[:40], title=f"Ebook {did}",
+                                palmdoc=True,
+                            ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     files = d.mapInPandas(make, "doc_id long, payload binary")

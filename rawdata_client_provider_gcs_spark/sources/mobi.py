@@ -198,6 +198,7 @@ def parse_mobi(data: bytes) -> dict:
     encoding = "cp1252"
     title = data[:32].split(b"\x00", 1)[0].decode("latin-1")
     extra_flags = 0
+    exth: dict[int, bytes] = {}
     if is_mobi:
         if len(r0) < 24 or r0[16:20] != b"MOBI":
             raise ValueError("mobi: BOOKMOBI without a MOBI header")
@@ -216,6 +217,10 @@ def parse_mobi(data: bytes) -> dict:
             (version,) = struct.unpack(">I", r0[0x68:0x6C])
             if version >= 5:
                 (extra_flags,) = struct.unpack(">H", r0[0xF2:0xF4])
+        if len(r0) >= 132:
+            (exth_flag,) = struct.unpack(">I", r0[128:132])
+            if exth_flag & 0x40:
+                exth = _parse_exth(r0, 16 + mobi_len)
     if compression == 17480:
         raise ValueError(
             "mobi: HuffCDIC (DH) compression is out of the documented "
@@ -244,11 +249,33 @@ def parse_mobi(data: bytes) -> dict:
     return {
         "format": "mobi" if is_mobi else "palmdoc",
         "title": title,
+        "author": exth.get(100, b"").decode(encoding, "replace"),
+        "language": exth.get(524, b"").decode(encoding, "replace"),
         "encoding": encoding,
         "compression": compression,
         "n_text_records": record_count,
         "text": raw.decode(encoding, "replace"),
     }
+
+
+def _parse_exth(r0: bytes, pos: int) -> dict[int, bytes]:
+    """EXTH metadata block → {record type: payload} (first wins)."""
+    if pos + 12 > len(r0) or r0[pos : pos + 4] != b"EXTH":
+        raise ValueError("mobi: EXTH flag set but no EXTH header")
+    _hlen, count = struct.unpack(">II", r0[pos + 4 : pos + 12])
+    if count > 4096:
+        raise ValueError("mobi: EXTH record count out of range")
+    out: dict[int, bytes] = {}
+    p = pos + 12
+    for _ in range(count):
+        if p + 8 > len(r0):
+            raise ValueError("mobi: truncated EXTH record")
+        rtype, rlen = struct.unpack(">II", r0[p : p + 8])
+        if rlen < 8 or p + rlen > len(r0):
+            raise ValueError("mobi: EXTH record length out of range")
+        out.setdefault(rtype, r0[p + 8 : p + rlen])
+        p += rlen
+    return out
 
 
 def mobi_parts(data: bytes) -> tuple[str, list[tuple[str, str]]]:
@@ -287,6 +314,8 @@ def build_mobi(
     text: str,
     *,
     title: str = "Fixture Book",
+    author: str = "",
+    language: str = "",
     compression: int = 2,
     record_size: int = 4096,
     encoding: str = "utf-8",
@@ -295,8 +324,9 @@ def build_mobi(
 ) -> bytes:
     """Deterministic PDB writer: bare PalmDoc (``palmdoc=True``,
     always cp1252) or MOBI with a version-6 header (cp1252/UTF-8,
-    full-name record, extra-flags bit 1 when ``trailing`` bytes are
-    appended to every text record)."""
+    full-name record, an EXTH block carrying author/language when
+    given, extra-flags bit 1 when ``trailing`` bytes are appended to
+    every text record)."""
     if palmdoc:
         encoding = "cp1252"
     raw = text.encode(encoding)
@@ -321,6 +351,18 @@ def build_mobi(
         return _pdb(title.encode("cp1252", "replace"), b"TEXtREAd",
                     [r0] + body)
     name = title.encode(encoding)
+    exth = b""
+    if author or language:
+        exth_recs = []
+        if author:
+            a = author.encode(encoding)
+            exth_recs.append(struct.pack(">II", 100, 8 + len(a)) + a)
+        if language:
+            lg = language.encode(encoding)
+            exth_recs.append(struct.pack(">II", 524, 8 + len(lg)) + lg)
+        eb = b"".join(exth_recs)
+        exth = (b"EXTH" + struct.pack(">II", 12 + len(eb), len(exth_recs))
+                + eb)
     mobi_len = 0xE8
     mobi = bytearray(b"\x00" * mobi_len)
     mobi[0:4] = b"MOBI"
@@ -329,15 +371,18 @@ def build_mobi(
     struct.pack_into(">I", mobi, 12, 65001 if encoding == "utf-8" else 1252)
     struct.pack_into(">I", mobi, 16, 0x2A)  # uid
     struct.pack_into(">I", mobi, 20, 6)  # version (header field)
-    # full name lives after the MOBI header in record 0
-    name_off = 16 + mobi_len
+    # full name lives after the MOBI header (and EXTH) in record 0
+    name_off = 16 + mobi_len + len(exth)
     struct.pack_into(">II", mobi, 68, name_off, len(name))
+    if exth:
+        # EXTH-present flag: record0 offset 0x80 = MOBI offset 0x70
+        struct.pack_into(">I", mobi, 0x70, 0x40)
     # version field the extra-flags gate reads (record0 offset 0x68 =
     # MOBI offset 0x58)
     struct.pack_into(">I", mobi, 0x58, 6)
     extra_flags = 0b10 if trailing else 0
     # record0 offset 0xF2 = MOBI offset 0xE2
     struct.pack_into(">H", mobi, 0xE2, extra_flags)
-    r0 = palm_header + bytes(mobi) + name + b"\x00\x00"
+    r0 = palm_header + bytes(mobi) + exth + name + b"\x00\x00"
     return _pdb(title.encode("latin-1", "replace")[:20], b"BOOKMOBI",
                 [r0] + body)

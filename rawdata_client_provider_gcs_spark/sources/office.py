@@ -999,8 +999,18 @@ def office_info_of(data: bytes) -> dict:
     absent (the property set has no language field).
     """
     from .cfb import classify_cfb, parse_cfb, parse_summary_info, sniff_cfb
+    from .mobi import parse_mobi, sniff_mobi
     from .rtf import rtf_extract, sniff_rtf
 
+    if sniff_mobi(data):
+        m = parse_mobi(data)
+        return {
+            "doc_format": m["format"],
+            "title": m["title"],
+            "creator": m["author"],
+            "language": m["language"],
+            "n_parts": 1,
+        }
     if sniff_rtf(data):
         _text, info = rtf_extract(data)
         return {

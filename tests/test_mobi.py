@@ -164,3 +164,31 @@ def test_spark_office_text_includes_mobi(spark):
     assert list(by[0]["doc_format"]) == ["mobi"]
     assert list(by[1]["doc_format"]) == ["palmdoc"]
     assert by[2]["error"].notna().all()
+
+
+def test_exth_metadata_roundtrip_and_hostiles():
+    blob = M.build_mobi("body", title="T", author="Jane Austen",
+                        language="en")
+    m = M.parse_mobi(blob)
+    assert m["author"] == "Jane Austen" and m["language"] == "en"
+    # no EXTH → empty fields
+    m2 = M.parse_mobi(M.build_mobi("body"))
+    assert m2["author"] == "" and m2["language"] == ""
+    # flag set but EXTH missing/corrupt is loud
+    bad = bytearray(blob)
+    i = blob.index(b"EXTH")
+    bad[i] ^= 0xFF
+    with pytest.raises(ValueError, match="EXTH"):
+        M.parse_mobi(bytes(bad))
+    # lying record length
+    bad = bytearray(blob)
+    struct.pack_into(">I", bad, i + 16, 1 << 30)
+    with pytest.raises(ValueError, match="EXTH record"):
+        M.parse_mobi(bytes(bad))
+    # office metadata tier reads it
+    from rawdata_client_provider_gcs_spark.sources import office as O
+
+    info = O.office_info_of(blob)
+    assert info == {"doc_format": "mobi", "title": "T",
+                    "creator": "Jane Austen", "language": "en",
+                    "n_parts": 1}
