@@ -342,12 +342,15 @@ def _parse_woff2(data: bytes) -> dict:
     off = 0
     glyf_body = None
     glyf_len = loca_len = 0
+    hmtx_body = None
+    hmtx_len = 0
     for tag, orig_len, stream_len, transformed in entries:
         body = blob[off : off + stream_len]
         off += stream_len
         census.append({"tag": tag.decode("latin-1"), "size": orig_len,
                        "transformed": transformed})
-        if not transformed and tag in (b"name", b"head", b"maxp"):
+        if not transformed and tag in (b"name", b"head", b"maxp",
+                                       b"hhea"):
             tables[tag] = body
         elif transformed and tag == b"glyf":
             glyf_body = body
@@ -359,6 +362,9 @@ def _parse_woff2(data: bytes) -> dict:
                     "stream (W3C WOFF2 §5.1)"
                 )
             loca_len = orig_len
+        elif transformed and tag == b"hmtx":
+            hmtx_body = body
+            hmtx_len = orig_len
     face = _face_meta(
         flavor if flavor in _SFNT_VERSIONS else b"\x00\x01\x00\x00",
         tables,
@@ -366,15 +372,48 @@ def _parse_woff2(data: bytes) -> dict:
     face["flavor"] = "otf" if flavor == b"OTTO" else "ttf"
     face["tables"] = census
     face["glyf"] = None
+    face["hmtx"] = None
+    stats = None
     if glyf_body is not None:
         # r14: the §5.1 triplet transform reconstructs — glyph counts,
         # contours/points, and the union bbox become real columns
         _glyf, _loca, stats = reconstruct_glyf(
             glyf_body, glyf_len, loca_len
         )
-        face["glyf"] = stats
+        face["glyf"] = {k: v for k, v in stats.items() if k != "xmins"}
         for c in census:
             if c["tag"] in ("glyf", "loca"):
+                c["transformed"] = False
+                c["reconstructed"] = True
+    if hmtx_body is not None:
+        # §5.4: only legal alongside a transformed glyf (the omitted
+        # lsb arrays reconstruct from the glyf xMins)
+        if stats is None:
+            raise ValueError(
+                "font: transformed hmtx without a transformed glyf"
+            )
+        hhea = tables.get(b"hhea")
+        if hhea is None or len(hhea) < 36:
+            raise ValueError("font: transformed hmtx without hhea")
+        (num_hmetrics,) = struct.unpack(">H", hhea[34:36])
+        hmtx = reconstruct_hmtx(
+            hmtx_body, stats["n_glyphs"], num_hmetrics, stats["xmins"]
+        )
+        if len(hmtx) != hmtx_len:
+            raise ValueError(
+                f"font: reconstructed hmtx is {len(hmtx)} bytes, "
+                f"directory declares {hmtx_len}"
+            )
+        advances = [
+            struct.unpack(">H", hmtx[4 * i : 4 * i + 2])[0]
+            for i in range(num_hmetrics)
+        ]
+        face["hmtx"] = {
+            "n_metrics": num_hmetrics,
+            "advance_max": max(advances) if advances else 0,
+        }
+        for c in census:
+            if c["tag"] == "hmtx":
                 c["transformed"] = False
                 c["reconstructed"] = True
     return face
@@ -641,7 +680,8 @@ def reconstruct_glyf(
     offsets = [0]
     stats = {"n_glyphs": num_glyphs, "n_contours": 0, "n_points": 0,
              "n_composites": 0,
-             "xmin": 0, "ymin": 0, "xmax": 0, "ymax": 0}
+             "xmin": 0, "ymin": 0, "xmax": 0, "ymax": 0,
+             "xmins": []}  # per glyph, 0 for empty (hmtx lsb source)
     have_bbox_any = False
     for gi in range(num_glyphs):
         nc = n_contours[gi]
@@ -654,6 +694,7 @@ def reconstruct_glyf(
                     "font: explicit bbox on an empty glyph"
                 )
             offsets.append(len(glyf))
+            stats["xmins"].append(0)
             continue
         if nc > 0:
             counts = []
@@ -739,6 +780,7 @@ def reconstruct_glyf(
             stats["ymin"] = min(stats["ymin"], bbox[1])
             stats["xmax"] = max(stats["xmax"], bbox[2])
             stats["ymax"] = max(stats["ymax"], bbox[3])
+        stats["xmins"].append(bbox[0])
         offsets.append(len(glyf))
     if len(glyf) != orig_glyf_len:
         raise ValueError(
@@ -757,6 +799,82 @@ def reconstruct_glyf(
             f"declares {orig_loca_len}"
         )
     return bytes(glyf), loca, stats
+
+
+def reconstruct_hmtx(
+    body: bytes, num_glyphs: int, num_hmetrics: int, xmins: list[int]
+) -> bytes:
+    """W3C WOFF2 §5.4 transformed-hmtx reconstruction: a flags byte
+    (bit 0: proportional lsb array omitted, bit 1: monospace
+    leftSideBearing array omitted), the advance widths, and whichever
+    lsb arrays were NOT omitted; omitted left side bearings equal the
+    glyph's glyf xMin — which is why the spec only allows this
+    transform alongside a transformed (reconstructed) glyf."""
+    if not 1 <= num_hmetrics <= num_glyphs:
+        raise ValueError("font: numOfHMetrics out of range")
+    if len(xmins) != num_glyphs:
+        raise ValueError("font: xMin list does not cover every glyph")
+    if len(body) < 1:
+        raise ValueError("font: transformed hmtx is empty")
+    flags = body[0]
+    if flags & 0xFC:
+        raise ValueError("font: reserved transformed-hmtx flag bits set")
+    pos = 1
+    need = 2 * num_hmetrics
+    if pos + need > len(body):
+        raise ValueError("font: advanceWidth stream past end")
+    advances = struct.unpack(f">{num_hmetrics}H", body[pos : pos + need])
+    pos += need
+    if flags & 0x01:
+        lsbs = list(xmins[:num_hmetrics])
+    else:
+        if pos + need > len(body):
+            raise ValueError("font: lsb stream past end")
+        lsbs = list(struct.unpack(f">{num_hmetrics}h",
+                                  body[pos : pos + need]))
+        pos += need
+    n_left = num_glyphs - num_hmetrics
+    if flags & 0x02:
+        lefts = list(xmins[num_hmetrics:])
+    else:
+        need = 2 * n_left
+        if pos + need > len(body):
+            raise ValueError("font: leftSideBearing stream past end")
+        lefts = list(struct.unpack(f">{n_left}h", body[pos : pos + need]))
+        pos += need
+    if pos != len(body):
+        raise ValueError("font: transformed hmtx has trailing bytes")
+    out = bytearray()
+    for aw, lsb in zip(advances, lsbs):
+        out += struct.pack(">Hh", aw, lsb)
+    for lsb in lefts:
+        out += struct.pack(">h", lsb)
+    return bytes(out)
+
+
+def encode_hmtx_transform(
+    advances: list[int], xmins: list[int], num_glyphs: int,
+) -> tuple[bytes, bytes]:
+    """Fixture writer → ``(native hmtx, transformed body)`` with both
+    lsb arrays omitted (flags 0b11) — the shape real WOFF2 encoders
+    emit when every lsb equals its glyph's xMin."""
+    num_hmetrics = len(advances)
+    body = bytes([0x03]) + b"".join(
+        struct.pack(">H", a) for a in advances
+    )
+    native = bytearray()
+    for a, x in zip(advances, xmins[:num_hmetrics]):
+        native += struct.pack(">Hh", a, x)
+    for x in xmins[num_hmetrics:num_glyphs]:
+        native += struct.pack(">h", x)
+    return bytes(native), body
+
+
+def build_hhea(num_hmetrics: int) -> bytes:
+    """Minimal hhea: version 1.0, numberOfHMetrics in the final
+    field (offset 34)."""
+    return (b"\x00\x01\x00\x00" + b"\x00" * 30
+            + struct.pack(">H", num_hmetrics))
 
 
 def encode_glyf_transform(
@@ -866,7 +984,8 @@ def _write_uintbase128(directory: bytearray, v: int) -> None:
 
 
 def build_woff2(
-    sfnt: bytes, transformed_glyf: bytes | None = None
+    sfnt: bytes, transformed_glyf: bytes | None = None,
+    transformed_hmtx: bytes | None = None,
 ) -> bytes:
     """Deterministic WOFF2 writer from an sfnt blob: the data block is
     an uncompressed-meta-block Brotli stream — so the reference Brotli
@@ -874,7 +993,9 @@ def build_woff2(
     glyf/loca are marked null-transform (version 3 per spec) and every
     table is stored verbatim; with it, glyf carries transform version 0
     with the given §5.1 transformed body (and its transformLength) and
-    loca carries version 0 with the mandated zero-length stream."""
+    loca carries version 0 with the mandated zero-length stream.
+    ``transformed_hmtx`` marks hmtx with transform version 1 and the
+    §5.4 body."""
     from ..sources.brotli_codec import brotli_store
 
     (n_tables,) = struct.unpack(">H", sfnt[4:6])
@@ -891,16 +1012,25 @@ def build_woff2(
             idx = 63
         transform = (transformed_glyf is not None
                      and tag in (b"glyf", b"loca"))
+        hmtx_transform = (transformed_hmtx is not None
+                          and tag == b"hmtx")
         if tag in (b"glyf", b"loca"):
             tversion = 0 if transform else 3  # 0 = transformed, 3 = null
+        elif hmtx_transform:
+            tversion = 1
         else:
             tversion = 0
         directory.append((tversion << 6) | idx)
         if idx == 63:
             directory += tag
         _write_uintbase128(directory, t_len)
-        if transform:
-            tbody = transformed_glyf if tag == b"glyf" else b""
+        if transform or hmtx_transform:
+            if tag == b"glyf":
+                tbody = transformed_glyf
+            elif tag == b"hmtx":
+                tbody = transformed_hmtx
+            else:
+                tbody = b""
             _write_uintbase128(directory, len(tbody))
             stream += tbody
             continue
@@ -949,20 +1079,32 @@ def build_sfnt(
     flavor: bytes = b"\x00\x01\x00\x00",
     glyphs: list | None = None,
     index_format: int = 0,
+    hmetrics: list[int] | None = None,
 ) -> bytes:
     """Minimal valid sfnt: offset table + name/head/maxp — plus real
     glyf/loca tables (canonical packing, head.indexToLocFormat set)
-    when ``glyphs`` is given (see :func:`encode_glyf_transform`)."""
+    when ``glyphs`` is given (see :func:`encode_glyf_transform`), and
+    hhea/hmtx when ``hmetrics`` (advance widths; lsbs = glyf xMins)
+    is given too."""
     name = _name_table(family, subfamily, version, ps_name)
     head = (b"\x00" * 18 + struct.pack(">H", units_per_em)
             + b"\x00" * 30 + struct.pack(">hh", index_format, 0))
     maxp = b"\x00\x00\x50\x00" + struct.pack(">H", n_glyphs) + b"\x00" * 26
     tables = [(b"head", head), (b"maxp", maxp), (b"name", name)]
     if glyphs is not None:
-        glyf, loca, _transformed = encode_glyf_transform(
+        glyf, loca, transformed = encode_glyf_transform(
             glyphs, index_format
         )
         tables += [(b"glyf", glyf), (b"loca", loca)]
+        if hmetrics is not None:
+            _g2, _l2, stats = reconstruct_glyf(
+                transformed, len(glyf), len(loca)
+            )
+            hmtx, _body = encode_hmtx_transform(
+                hmetrics, stats["xmins"], len(glyphs)
+            )
+            tables += [(b"hhea", build_hhea(len(hmetrics))),
+                       (b"hmtx", hmtx)]
     off = 12 + 16 * len(tables)
     recs = bytearray()
     body = bytearray()

@@ -6593,7 +6593,10 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
             ELSE 0 END AS BIGINT) AS glyf_xmax,
        CAST(CASE WHEN doc_id % 5 = 4
             THEN 100 + (doc_id % 700) + 20
-            ELSE 0 END AS BIGINT) AS glyf_ymax
+            ELSE 0 END AS BIGINT) AS glyf_ymax,
+       CAST(CASE WHEN doc_id % 5 = 4
+            THEN 1000 + (doc_id % 600)
+            ELSE 0 END AS BIGINT) AS hmtx_advance_max
 FROM d, (SELECT unnest(generate_series(0, 1)) AS i) AS f
 WHERE f.i = 0 OR doc_id % 5 = 3
 """,
@@ -6667,13 +6670,22 @@ def q_crawl_font_meta(spark: SparkSession, sf: str) -> DataFrame:
                          "bbox": (x0 + 10, 20, x0 + s + 10, s + 20)},
                     ]
                     fmt = did % 2
+                    advances = [1000 + did % 600, did % 300]
                     sfnt = FT.build_sfnt(**base, flavor=flav,
-                                         glyphs=glyphs, index_format=fmt)
-                    _g, _l, transformed = FT.encode_glyf_transform(
+                                         glyphs=glyphs, index_format=fmt,
+                                         hmetrics=advances)
+                    glyf, loca, transformed = FT.encode_glyf_transform(
                         glyphs, fmt
                     )
+                    _g2, _l2, gstats = FT.reconstruct_glyf(
+                        transformed, len(glyf), len(loca)
+                    )
+                    _native, thmtx = FT.encode_hmtx_transform(
+                        advances, gstats["xmins"], len(glyphs)
+                    )
                     payloads.append(FT.build_woff2(
-                        sfnt, transformed_glyf=transformed
+                        sfnt, transformed_glyf=transformed,
+                        transformed_hmtx=thmtx,
                     ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "font": payloads})
@@ -6687,7 +6699,8 @@ def q_crawl_font_meta(spark: SparkSession, sf: str) -> DataFrame:
 
         cols = ("doc_id", "container", "face_idx", "flavor", "family",
                 "n_glyphs", "units_per_em", "glyf_points",
-                "glyf_contours", "glyf_xmax", "glyf_ymax")
+                "glyf_contours", "glyf_xmax", "glyf_ymax",
+                "hmtx_advance_max")
         for pdf in batches:
             rows = {k: [] for k in cols}
             for did, payload in zip(pdf["doc_id"], pdf["font"]):
@@ -6705,6 +6718,10 @@ def q_crawl_font_meta(spark: SparkSession, sf: str) -> DataFrame:
                     rows["glyf_contours"].append(g.get("n_contours", 0))
                     rows["glyf_xmax"].append(g.get("xmax", 0))
                     rows["glyf_ymax"].append(g.get("ymax", 0))
+                    hm = face.get("hmtx") or {}
+                    rows["hmtx_advance_max"].append(
+                        hm.get("advance_max", 0)
+                    )
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(
@@ -6712,7 +6729,7 @@ def q_crawl_font_meta(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id long, container string, face_idx long, flavor string, "
         "family string, n_glyphs long, units_per_em long, "
         "glyf_points long, glyf_contours long, glyf_xmax long, "
-        "glyf_ymax long",
+        "glyf_ymax long, hmtx_advance_max long",
     )
 
 

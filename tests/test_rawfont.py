@@ -209,7 +209,7 @@ def test_glyf_transform_roundtrip_byte_exact(fmt):
     assert g2 == glyf and l2 == loca
     assert stats == {"n_glyphs": 3, "n_contours": 1, "n_points": 4,
                      "n_composites": 1, "xmin": 30, "ymin": 0,
-                     "xmax": 740, "ymax": 720}
+                     "xmax": 740, "ymax": 720, "xmins": [0, 30, 40]}
     # native glyf spot checks: simple glyph header + computed bbox
     assert struct.unpack(">h4h", glyf[:10]) == (1, 30, 0, 730, 700)
     # composite record copied verbatim with its explicit bbox
@@ -283,3 +283,45 @@ def test_glyf_transform_hostiles():
         # zero-length rule fires, both loud
         i = w2.index(b"\x0b", 48)
         FT.parse_font(w2[: i + 2] + b"\x02" + w2[i + 3 :])
+
+
+def test_woff2_hmtx_transform():
+    """§5.4 transformed hmtx: omitted lsb arrays reconstruct from the
+    glyf xMins; explicit arrays pass through; reserved flags, short
+    streams, trailing bytes, and hmtx-without-glyf are loud."""
+    glyf, loca, tglyf = FT.encode_glyf_transform(GLYPHS, 0)
+    _g, _l, stats = FT.reconstruct_glyf(tglyf, len(glyf), len(loca))
+    assert stats["xmins"] == [0, 30, 40]
+    advances = [500, 620]
+    native, thmtx = FT.encode_hmtx_transform(advances, stats["xmins"], 3)
+    assert FT.reconstruct_hmtx(thmtx, 3, 2, stats["xmins"]) == native
+    # native layout: (aw, lsb) * numOfHMetrics + lsb tail
+    assert native == struct.pack(">HhHhh", 500, 0, 620, 30, 40)
+    # explicit-lsb variant (flags 0)
+    body0 = (bytes([0]) + struct.pack(">HH", 500, 620)
+             + struct.pack(">hh", 1, 2) + struct.pack(">h", 9))
+    assert FT.reconstruct_hmtx(body0, 3, 2, stats["xmins"]) == \
+        struct.pack(">HhHhh", 500, 1, 620, 2, 9)
+    # end-to-end through the WOFF2 container
+    sfnt = FT.build_sfnt(glyphs=GLYPHS, index_format=0, n_glyphs=3,
+                         hmetrics=advances)
+    face = FT.parse_font(
+        FT.build_woff2(sfnt, transformed_glyf=tglyf,
+                       transformed_hmtx=thmtx)
+    )["faces"][0]
+    assert face["hmtx"] == {"n_metrics": 2, "advance_max": 620}
+    tags = {c["tag"]: c for c in face["tables"]}
+    assert tags["hmtx"].get("reconstructed")
+    # hostiles
+    for bad, msg in [(b"", "empty"),
+                     (bytes([4]) + b"\x00" * 8, "reserved"),
+                     (bytes([3]) + b"\x00\x01", "past end"),
+                     (bytes([3]) + b"\x00\x01\x00\x02\xff", "trailing")]:
+        with pytest.raises(ValueError, match=msg):
+            FT.reconstruct_hmtx(bad, 3, 2, stats["xmins"])
+    # transformed hmtx without a transformed glyf is rejected at the
+    # container level
+    sfnt_plain = FT.build_sfnt(glyphs=GLYPHS, n_glyphs=3,
+                               hmetrics=advances)
+    with pytest.raises(ValueError, match="without a transformed glyf"):
+        FT.parse_font(FT.build_woff2(sfnt_plain, transformed_hmtx=thmtx))
