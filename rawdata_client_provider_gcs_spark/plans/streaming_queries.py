@@ -901,6 +901,104 @@ def q_stream_pdf_ingest(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_stream_pdf_images",
+    oracle="""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % 256 AS BIGINT) AS k
+  FROM documents WHERE doc_id < 150
+)
+SELECT doc_id,
+       CAST(0 AS BIGINT) AS img_idx,
+       'FlateDecode' AS img_filter,
+       CAST(k * 128 AS BIGINT) AS sum_pixel
+FROM d
+UNION ALL
+SELECT doc_id,
+       CAST(1 AS BIGINT),
+       CASE WHEN doc_id % 2 = 0 THEN 'DCTDecode'
+            ELSE 'CCITTFaxDecode' END,
+       CAST(CASE WHEN doc_id % 2 = 0
+            THEN 2 * (doc_id % 113) * 1152
+            ELSE 255 * 16 * (8 - ((doc_id % 7) + 1)) END AS BIGINT)
+FROM d
+""",
+    tags=("streaming", "source", "pdf", "multimodal", "image"),
+)
+def q_stream_pdf_images(spark: SparkSession, sf: str) -> DataFrame:
+    """PDF embedded-image extraction as a STREAM, oracle-exact (r14):
+    image-carrying PDF drops arrive in micro-batches and explode to
+    per-image pixel stats through the same ``multimodal.pdf_images``
+    kernel the batch query (``q_crawl_pdf_images``) uses — stateless,
+    append mode.  Each document carries a Flate gray XObject plus a
+    DCT (even doc_ids, bit-exact constant gray) or CCITT G4 (odd)
+    image, so all three decode routes stream under one closed-form
+    oracle."""
+    import tempfile
+
+    from ..operators import multimodal
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawpdf
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                k = did % 256
+                page = [{"kind": "gray",
+                         "array": np.full((8, 16), k, np.uint8)}]
+                if did % 2 == 0:
+                    kj = 2 * (did % 113)
+                    page.append({"kind": "jpeg", "quality": 50,
+                                 "array": np.full((16, 24, 3), kj,
+                                                  np.uint8)})
+                else:
+                    bits = np.zeros((8, 16), np.uint8)
+                    bits[: (did % 7) + 1] = 1
+                    page.append({"kind": "g4", "bits": bits})
+                payloads.append(
+                    rawpdf.encode_pdf([["scan"]], images=[page])
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    stage = tempfile.mkdtemp(prefix="rawdata-pdfimg-stream-")
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    files.withColumn("part", F.col("doc_id") % 4).repartition(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(stage)
+
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    media = multimodal.with_media_columns(
+        stream, "payload", "application/pdf", "doc_id"
+    )
+    out = W.run_available_now_append(
+        multimodal.pdf_images(media).select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "img_idx",
+            F.col("filter").alias("img_filter"),
+            "sum_pixel",
+        ),
+        "t_pdf_images",
+    )
+    return out
+
+
+@register(
     "q_stream_media_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
