@@ -192,3 +192,24 @@ def test_exth_metadata_roundtrip_and_hostiles():
     assert info == {"doc_format": "mobi", "title": "T",
                     "creator": "Jane Austen", "language": "en",
                     "n_parts": 1}
+
+
+def test_trailing_entry_arithmetic_direct():
+    """The backward-coded trailing-entry sizes, including the bit-0
+    multibyte-overlap entry the fixture writer never emits."""
+    # one flag-bit-1 entry: payload 'XY' + size byte 0x83 (3, incl.
+    # itself, high bit terminates the backward scan)
+    rec = b"textdata" + b"XY\x83"
+    assert M._trailing_size(rec, 0b10) == 3
+    # bit 0: multibyte overlap — last byte's low 2 bits + 1
+    rec = b"textdata" + b"\x02"
+    assert M._trailing_size(rec, 0b01) == 3
+    # both: strip the bit-1 entry first, then the overlap byte before it
+    rec = b"textdata" + b"\x01" + b"QQ\x83"
+    assert M._trailing_size(rec, 0b11) == 3 + 2
+    # two flag bits (1 and 2): two backward entries
+    rec = b"textdata" + b"AB\x83" + b"c\x82"
+    assert M._trailing_size(rec, 0b110) == 5
+    # entries exceeding the record are loud
+    with pytest.raises(ValueError, match="exceed"):
+        M._trailing_size(b"\xff", 0b10)
