@@ -707,3 +707,67 @@ def test_mv_gop_with_residuals_and_ogg():
     assert [f[0][0, 0] for f in out["frames"]] == [y0] * 4
     for f in out["frames"]:
         assert f[0].min() == f[0].max() == y0
+
+
+def test_mv_four_with_uncoded_luma_blocks():
+    """INTER_MV_FOUR over PARTIAL coverage: uncoded luma blocks take
+    zero vectors WITHOUT consuming bits, still contribute zeros to the
+    chroma average, and uncoded blocks carry the prior frame — checked
+    against an independent restatement that derives the coded set from
+    the fixture's documented 7-run alternation."""
+    setup = T.parse_setup(T.build_setup_packet(lflim=0))
+    rng = np.random.default_rng(5)
+    P = tuple(rng.integers(0, 256, s, np.uint8)
+              for s in ((48, 64), (24, 32), (24, 32)))
+    G = tuple(rng.integers(0, 256, s, np.uint8)
+              for s in ((48, 64), (24, 32), (24, 32)))
+    # the fixture's partial coverage: blocks alternate coded/uncoded in
+    # 7-long runs over plane-major Hilbert coded order
+    planes = [T.plane_dims(64, 48, pli) for pli in range(3)]
+    flat = [(pli, xy) for pli in range(3)
+            for xy in T.coded_order(*planes[pli])]
+    coded = {b: (i // 7) % 2 == 1 for i, b in enumerate(flat)}
+    order = T._mb_order(64, 48)
+    # per coded MB: FOUR with one vector per CODED luma block
+    script = []
+    per_mb_mvs = []
+    k = 0
+    for _mx, _my, blocks in order:
+        if not any(coded[b] for b in blocks):
+            continue
+        mvs = []
+        for b in blocks[:4]:
+            if coded[b]:
+                k += 1
+                mvs.append(((k % 13) - 6, ((3 * k) % 9) - 4))
+        script.append((T.MODE_INTER_MV_FOUR, mvs))
+        per_mb_mvs.append(mvs)
+    pkt = T.encode_inter_frame(64, 48, coverage="partial",
+                               mb_script=script)
+    got = T.decode_frame(pkt, setup, 64, 48, refs=(P, G))
+    # independent expectation
+    exp = [P[pli].copy() for pli in range(3)]
+    mvs_of = {}
+    for (_mx, _my, blocks), mvs in zip(
+        [o for o in order if any(coded[b] for b in o[2])], per_mb_mvs
+    ):
+        it = iter(mvs)
+        per = []
+        for b in blocks[:4]:
+            v = next(it) if coded[b] else (0, 0)
+            per.append(v)
+            mvs_of[b] = v
+        sx, sy = sum(v[0] for v in per), sum(v[1] for v in per)
+        cx = (sx + 2) >> 2 if sx > 0 else (sx + 1) >> 2
+        cy = (sy + 2) >> 2 if sy > 0 else (sy + 1) >> 2
+        for b in blocks[4:]:
+            mvs_of[b] = (cx, cy)
+    for (pli, (x, y)), mv in mvs_of.items():
+        if not coded[(pli, (x, y))]:
+            continue
+        blk = _mc_reference(P[pli], x, y, mv[0], mv[1], pli)
+        exp[pli][y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = np.clip(
+            blk, 0, 255
+        ).astype(np.uint8)
+    for g, e in zip(got, exp):
+        assert np.array_equal(g, e)
