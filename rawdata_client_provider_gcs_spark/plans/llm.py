@@ -3236,25 +3236,25 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g')) AS text
-FROM d WHERE doc_id % 12 = 0
+FROM d WHERE doc_id % 13 = 0
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'epub', CAST(i AS BIGINT),
        'OPS/text/ch' || CAST(i AS VARCHAR) || '.xhtml',
        trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
                            '\\s+', ' ', 'g'))
-FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 12 = 1
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 13 = 1
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'odt', CAST(0 AS BIGINT), 'content.xml',
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 12 = 2
+FROM d WHERE doc_id % 13 = 2
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'pptx', CAST(i AS BIGINT),
        'ppt/slides/slide' || CAST(i + 1 AS VARCHAR) || '.xml',
        trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
                            '\\s+', ' ', 'g'))
-FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 12 = 3
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 13 = 3
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'xlsx', CAST(0 AS BIGINT),
        'xl/worksheets/sheet1.xml',
@@ -3262,52 +3262,58 @@ SELECT CAST(doc_id AS BIGINT), 'xlsx', CAST(0 AS BIGINT),
          substr(text, 1, 20) || ' ' || substr(text, 21, 20) || ' '
          || substr(text, 41, 20) || ' ' || CAST(doc_id % 97 AS VARCHAR),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 12 = 4
+FROM d WHERE doc_id % 13 = 4
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'doc', CAST(0 AS BIGINT), 'WordDocument',
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 12 = 5
+FROM d WHERE doc_id % 13 = 5
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'xls', CAST(0 AS BIGINT), 'workbook/S1',
        trim(regexp_replace(
          substr(text, 1, 20) || ' ' || substr(text, 21, 20) || ' '
          || substr(text, 41, 20) || ' ' || CAST(doc_id % 97 AS VARCHAR),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 12 = 6
+FROM d WHERE doc_id % 13 = 6
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'ppt', CAST(i AS BIGINT),
        'slide' || CAST(i + 1 AS VARCHAR),
        trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
                            '\\s+', ' ', 'g'))
-FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 12 = 7
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 13 = 7
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'rtf', CAST(0 AS BIGINT), 'rtf',
        trim(regexp_replace(
          substr(text, 1, 40) || ' ' || substr(text, 41, 40),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 12 = 8
+FROM d WHERE doc_id % 13 = 8
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'ods', CAST(0 AS BIGINT), 'S1',
        trim(regexp_replace(
          substr(text, 1, 20) || ' ' || substr(text, 21, 20) || ' '
          || substr(text, 41, 20) || ' ' || CAST(doc_id % 97 AS VARCHAR),
          '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 12 = 9
+FROM d WHERE doc_id % 13 = 9
 UNION ALL
 SELECT CAST(doc_id AS BIGINT), 'odp', CAST(i AS BIGINT),
        'page' || CAST(i + 1 AS VARCHAR),
        trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
                            '\\s+', ' ', 'g'))
-FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 12 = 10
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 13 = 10
 UNION ALL
 SELECT CAST(doc_id AS BIGINT),
-       CASE WHEN CAST((doc_id // 12) % 6 AS INTEGER) IN (2, 5)
+       CASE WHEN CAST((doc_id // 13) % 6 AS INTEGER) IN (2, 5)
             THEN 'palmdoc' ELSE 'mobi' END,
        CAST(0 AS BIGINT), 'book',
        trim(regexp_replace(substr(text, 1, 80), '\\s+', ' ', 'g'))
-FROM d WHERE doc_id % 12 = 11
+FROM d WHERE doc_id % 13 = 11
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), 'fb2', CAST(i AS BIGINT),
+       'section' || CAST(i AS VARCHAR),
+       trim(regexp_replace(substr(text, 1 + 40 * CAST(i AS INTEGER), 40),
+                           '\\s+', ' ', 'g'))
+FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 13 = 12
 """,
     tags=("llm", "source", "text", "crawl", "office", "pandas-udf"),
     bench=True,
@@ -3356,7 +3362,7 @@ def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
                 did = int(did)
                 t = str(text)
                 halves = [t[:40], t[40:80]]
-                v = did % 12
+                v = did % 13
                 if v == 0:
                     payloads.append(O.build_docx(halves))
                 elif v == 1:
@@ -3394,14 +3400,18 @@ def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
                     )
                 elif v == 10:
                     payloads.append(O.build_odp(halves))
-                else:
+                elif v == 12:
+                    # FictionBook2 (r14): bare XML ebook, two main
+                    # sections (the EPUB two-chapter shape)
+                    payloads.append(O.build_fb2(halves))
+                elif v == 11:
                     # MOBI/PalmDoc (r14): rotate container, PalmDoc
                     # LZ77 vs stored, cp1252 vs UTF-8, multi-record
                     # reassembly, and trailing-entry stripping — all
                     # oracle-invariant (same text survives each path)
                     from ..sources import mobi as MB
 
-                    v2 = (did // 12) % 6
+                    v2 = (did // 13) % 6
                     kw = (
                         dict(),
                         dict(encoding="cp1252", compression=1),

@@ -189,6 +189,7 @@ _CATEGORY = {
     "odp": "document", "doc": "document",
     "xls": "document", "ppt": "document", "cfb": "document",
     "rtf": "document", "pdf": "document", "mobi": "document",
+    "fb2": "document",
     "warc": "web", "html": "web",
     "mbox": "mail", "eml": "mail",
     "ppm": "image", "pgm": "image", "bmp": "image", "png": "image",
@@ -337,7 +338,11 @@ def _classify_bytes(data: bytes) -> str:
     if low.startswith(("<!doctype html", "<html")):
         return "html"
     if low.startswith("<?xml") or low.startswith("<svg"):
-        return "svg" if "<svg" in low[:256] else "xml"
+        if "<svg" in low[:256]:
+            return "svg"
+        if "<fictionbook" in low[:256]:
+            return "fb2"
+        return "xml"
     if low[:1] in ("{", "["):
         return "json"
     printable = sum(c.isprintable() or c in "\n\r\t" for c in text)

@@ -52,6 +52,8 @@ argument as PDF (operators/rawpdf.py).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -293,9 +295,80 @@ def office_parts_of(data: bytes) -> tuple[str, list[tuple[str, str]]]:
                         + "</p>")]
     if sniff_mobi(data):
         return mobi_parts(data)
+    if sniff_fb2(data):
+        return "fb2", _fb2_parts(data.decode("utf-8", "replace"))
     members = {m["path"]: m["payload"] for m in parse_zip(data)}
     fmt, parts, _meta = _container_parts(members)
     return fmt, parts
+
+
+def sniff_fb2(data: bytes) -> bool:
+    """FictionBook2: bare XML whose root element is <FictionBook>."""
+    head = data[:256].lstrip().lower()
+    return head.startswith(b"<?xml") and b"<fictionbook" in head
+
+
+def _fb2_sections(body: str) -> list[str]:
+    """Top-level <section> spans of one FB2 <body> (sections nest;
+    only depth-1 spans become parts, keeping their inner markup for
+    the shared Catalyst text chain)."""
+    out = []
+    depth = 0
+    start = -1
+    for m in re.finditer(r"<(/?)section\b[^>]*>", body):
+        if m.group(1):
+            depth -= 1
+            if depth == 0 and start >= 0:
+                out.append(body[start : m.start()])
+                start = -1
+            if depth < 0:
+                raise ValueError("fb2: unbalanced section tags")
+        else:
+            if depth == 0:
+                start = m.end()
+            depth += 1
+    if depth != 0:
+        raise ValueError("fb2: unbalanced section tags")
+    return out
+
+
+def _fb2_parts(text: str) -> list[tuple[str, str]]:
+    """One part per top-level section across every <body> (the notes
+    body included — its sections are footnote text, still text)."""
+    parts: list[tuple[str, str]] = []
+    for bm in re.finditer(r"<body\b[^>]*>(.*?)</body\s*>", text,
+                          re.DOTALL | re.IGNORECASE):
+        for sec in _fb2_sections(bm.group(1)):
+            parts.append((f"section{len(parts)}", sec))
+    if not parts:
+        raise ValueError("fb2: no body sections")
+    return parts
+
+
+def _fb2_info(text: str) -> dict:
+    def first(tag: str) -> str:
+        m = re.search(
+            rf"<{tag}\b[^>]*>(.*?)</{tag}\s*>", text,
+            re.DOTALL | re.IGNORECASE,
+        )
+        return re.sub(r"<[^>]+>", " ", m.group(1)).strip() if m else ""
+
+    author = ""
+    am = re.search(r"<author\b[^>]*>(.*?)</author\s*>", text,
+                   re.DOTALL | re.IGNORECASE)
+    if am:
+        names = re.findall(
+            r"<(?:first|middle|last)-name\b[^>]*>(.*?)</[a-z-]+\s*>",
+            am.group(1), re.DOTALL | re.IGNORECASE,
+        )
+        author = " ".join(n.strip() for n in names if n.strip())
+    return {
+        "doc_format": "fb2",
+        "title": first("book-title"),
+        "creator": author,
+        "language": first("lang"),
+        "n_parts": len(_fb2_parts(text)),
+    }
 
 
 def _container_parts(
@@ -544,6 +617,47 @@ def _xml_escape(text: str) -> str:
     return (
         text.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     )
+
+
+def build_fb2(
+    sections: list[str],
+    *,
+    title: str = "",
+    author: tuple[str, str] | None = None,
+    language: str = "",
+    notes: list[str] | None = None,
+) -> bytes:
+    """Minimal valid FictionBook2: description (title-info with
+    book-title / author / lang), one main <body> with one section per
+    entry, and an optional name="notes" body."""
+    desc = ""
+    if title or author or language:
+        fields = ""
+        if title:
+            fields += f"<book-title>{_xml_escape(title)}</book-title>"
+        if author:
+            fields += (
+                "<author><first-name>" + _xml_escape(author[0])
+                + "</first-name><last-name>" + _xml_escape(author[1])
+                + "</last-name></author>"
+            )
+        if language:
+            fields += f"<lang>{_xml_escape(language)}</lang>"
+        desc = ("<description><title-info>" + fields
+                + "</title-info></description>")
+    body = "".join(
+        "<section><p>" + _xml_escape(s) + "</p></section>"
+        for s in sections
+    )
+    out = ('<?xml version="1.0" encoding="utf-8"?>'
+           '<FictionBook xmlns="http://www.gribuser.ru/xml/fictionbook/2.0">'
+           + desc + "<body>" + body + "</body>")
+    if notes:
+        out += ('<body name="notes">' + "".join(
+            "<section><p>" + _xml_escape(s) + "</p></section>"
+            for s in notes
+        ) + "</body>")
+    return (out + "</FictionBook>").encode("utf-8")
 
 
 def build_docx(
@@ -1011,6 +1125,8 @@ def office_info_of(data: bytes) -> dict:
             "language": m["language"],
             "n_parts": 1,
         }
+    if sniff_fb2(data):
+        return _fb2_info(data.decode("utf-8", "replace"))
     if sniff_rtf(data):
         _text, info = rtf_extract(data)
         return {

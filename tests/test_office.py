@@ -424,3 +424,58 @@ def test_office_text_spark_pptx_xlsx(spark):
     assert got[(0, 0)].doc_format == "pptx"
     assert got[(1, 0)].text == "x & y 9 z w"
     assert got[(1, 0)].doc_format == "xlsx"
+
+
+# ---------------------------------------------------------------------------
+# FictionBook2 (r14)
+# ---------------------------------------------------------------------------
+
+
+def test_fb2_parts_and_metadata():
+    from rawdata_client_provider_gcs_spark.sources import office as O
+
+    blob = O.build_fb2(
+        ["first chapter text", "second & <escaped>"],
+        title="War and Peace",
+        author=("Leo", "Tolstoy"),
+        language="ru",
+        notes=["a footnote"],
+    )
+    fmt, parts = O.office_parts_of(blob)
+    assert fmt == "fb2"
+    assert [p[0] for p in parts] == ["section0", "section1", "section2"]
+    assert "first chapter text" in parts[0][1]
+    assert "&amp;" in parts[1][1]  # markup preserved for the chain
+    info = O.office_info_of(blob)
+    assert info == {"doc_format": "fb2", "title": "War and Peace",
+                    "creator": "Leo Tolstoy", "language": "ru",
+                    "n_parts": 3}
+    # nested sections: only depth-1 spans become parts
+    nested = blob.replace(
+        b"<section><p>first chapter text</p></section>",
+        b"<section><title><p>T</p></title>"
+        b"<section><p>inner</p></section></section>",
+    )
+    fmt, parts = O.office_parts_of(nested)
+    assert len(parts) == 3 and "inner" in parts[0][1]
+
+
+def test_fb2_hostiles_and_classify():
+    from rawdata_client_provider_gcs_spark.sources import office as O
+    from rawdata_client_provider_gcs_spark.sources.classify import (
+        classify_payload,
+    )
+
+    blob = O.build_fb2(["x"])
+    got = classify_payload(blob)
+    assert got == {"format": "fb2", "category": "document",
+                   "wrapper": None}
+    # plain XML is still xml, svg still svg
+    assert classify_payload(b'<?xml version="1.0"?><data/>')["format"] \
+        == "xml"
+    with pytest.raises(ValueError, match="unbalanced"):
+        O.office_parts_of(blob.replace(b"</section>", b"", 1))
+    with pytest.raises(ValueError, match="no body"):
+        O.office_parts_of(
+            b'<?xml version="1.0"?><FictionBook></FictionBook>'
+        )
