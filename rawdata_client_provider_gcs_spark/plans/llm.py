@@ -6495,6 +6495,103 @@ def q_multimodal_vorbis_windows(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_djvu_meta",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+           FROM documents WHERE doc_id < 200)
+SELECT doc_id,
+       CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 0 THEN 'single' WHEN 1 THEN 'single'
+         WHEN 2 THEN 'bundled' ELSE 'indirect' END AS kind,
+       CAST(CASE CAST(doc_id % 4 AS INTEGER)
+         WHEN 2 THEN 1 + CAST(doc_id % 3 AS INTEGER) + 1
+         WHEN 3 THEN 0 ELSE 1 END AS BIGINT) AS n_pages,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 0
+            ELSE 1700 + doc_id % 1700 END AS BIGINT) AS width,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 0
+            ELSE 2200 + doc_id % 2200 END AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 0
+            WHEN doc_id % 2 = 0 THEN 300 ELSE 600 END AS BIGINT) AS dpi,
+       doc_id % 4 = 1 OR doc_id % 4 = 2 AS has_text,
+       doc_id % 4 = 1 AS has_bg
+FROM d
+""",
+    tags=("llm", "multimodal", "djvu", "crawl", "pandas-udf"),
+)
+def q_crawl_djvu_meta(spark: SparkSession, sf: str) -> DataFrame:
+    """DjVu container census, oracle-exact (r14) — the scanned-document
+    format of archival corpora.  Each document rotates four shapes:
+    a bilevel single page, a color+text single page, a bundled
+    multipage document (2-4 pages, text on every page), and an
+    indirect DJVM whose components live out-of-file (metadata only,
+    zero page geometry).  :mod:`..operators.rawdjvu` walks the IFF85
+    chunk stream — FORM:DJVU/DJVM, the DIRM directory's bundled flag
+    and component count, the INFO chunk's big-endian geometry and
+    little-endian dpi — and flags text/annotation presence so a
+    curation pass can select text-carrying scans without decoding the
+    BZZ/JB2/IW44 payloads (the documented loud boundary).  All columns
+    closed-form in doc_id.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawdjvu
+
+        cols = ("doc_id", "kind", "n_pages", "width", "height", "dpi",
+                "has_text", "has_bg")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w = 1700 + did % 1700
+                h = 2200 + did % 2200
+                dpi = 300 if did % 2 == 0 else 600
+                v = did % 4
+                if v == 0:
+                    blob = rawdjvu.build_djvu(
+                        [{"width": w, "height": h, "dpi": dpi}]
+                    )
+                elif v == 1:
+                    blob = rawdjvu.build_djvu(
+                        [{"width": w, "height": h, "dpi": dpi,
+                          "text": True, "color": True, "anno": True}]
+                    )
+                elif v == 2:
+                    n = 2 + did % 3
+                    blob = rawdjvu.build_djvu(
+                        [{"width": w, "height": h, "dpi": dpi,
+                          "text": True}] * n,
+                        bundled=True,
+                    )
+                else:
+                    blob = rawdjvu.build_djvu(
+                        [{"width": w, "height": h}] * 2, bundled=False
+                    )
+                m = rawdjvu.parse_djvu(blob)
+                rows["doc_id"].append(did)
+                rows["kind"].append(m["kind"])
+                rows["n_pages"].append(m["n_pages"])
+                rows["width"].append(m["width"])
+                rows["height"].append(m["height"])
+                rows["dpi"].append(m["dpi"])
+                rows["has_text"].append(m["has_text"])
+                rows["has_bg"].append(m["has_bg"])
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        make,
+        "doc_id long, kind string, n_pages long, width long, "
+        "height long, dpi long, has_text boolean, has_bg boolean",
+    )
+
+
+@register(
     "q_multimodal_pdf_structure",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -189,7 +189,7 @@ _CATEGORY = {
     "odp": "document", "doc": "document",
     "xls": "document", "ppt": "document", "cfb": "document",
     "rtf": "document", "pdf": "document", "mobi": "document",
-    "fb2": "document",
+    "fb2": "document", "djvu": "document",
     "warc": "web", "html": "web",
     "mbox": "mail", "eml": "mail",
     "ppm": "image", "pgm": "image", "bmp": "image", "png": "image",
@@ -239,6 +239,8 @@ def _classify_bytes(data: bytes) -> str:
         return "warc"
     if data[:5] == b"%PDF-":
         return "pdf"
+    if data[:8] == b"AT&TFORM":
+        return "djvu"
     from .cfb import classify_cfb, parse_cfb, sniff_cfb
     from .mobi import sniff_mobi
     from .rtf import sniff_rtf

@@ -1,0 +1,95 @@
+"""DjVu container census (operators/rawdjvu.py): IFF85 walk, INFO
+endianness quirk, DIRM directory, hostiles."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from rawdata_client_provider_gcs_spark.operators import rawdjvu as D
+
+
+def test_single_page_census_and_endianness():
+    blob = D.build_djvu([{"width": 2550, "height": 3300, "dpi": 400,
+                          "text": True, "anno": True}])
+    m = D.parse_djvu(blob)
+    assert (m["kind"], m["n_pages"], m["n_components"]) == ("single", 1, 1)
+    assert (m["width"], m["height"], m["dpi"]) == (2550, 3300, 400)
+    assert m["version"] == "0.26" and m["gamma"] == 2.2
+    assert m["has_text"] and m["has_anno"] and m["has_mask"]
+    assert not m["has_bg"] and not m["has_fg"]
+    assert m["chunks"] == ["INFO", "Sjbz", "TXTz", "ANTz"]
+    # the dpi field really is little-endian inside a big-endian format:
+    # 400 = 0x0190 stored 90 01
+    i = blob.index(b"INFO") + 8
+    assert blob[i + 6 : i + 8] == b"\x90\x01"
+    assert blob[i : i + 2] == b"\x09\xf6"  # width 2550 big-endian
+
+
+def test_bundled_and_indirect_documents():
+    blob = D.build_djvu(
+        [{"width": 100, "height": 200, "text": True},
+         {"width": 300, "height": 400, "color": True}],
+        bundled=True,
+    )
+    m = D.parse_djvu(blob)
+    assert (m["kind"], m["n_components"], m["n_pages"]) == ("bundled", 2, 2)
+    assert (m["width"], m["height"]) == (100, 200)  # first page
+    # DIRM offsets point at the component FORMs from file start
+    dirm = blob.index(b"DIRM") + 8
+    (off0,) = struct.unpack(">I", blob[dirm + 3 : dirm + 7])
+    assert blob[off0 : off0 + 4] == b"FORM"
+    ind = D.parse_djvu(D.build_djvu(
+        [{"width": 5, "height": 5}] * 3, bundled=False
+    ))
+    assert (ind["kind"], ind["n_components"], ind["n_pages"]) == \
+        ("indirect", 3, 0)
+    assert ind["width"] == 0
+
+
+def test_classify_routes_djvu():
+    from rawdata_client_provider_gcs_spark.sources.classify import (
+        classify_payload,
+    )
+
+    got = classify_payload(D.build_djvu([{"width": 8, "height": 8}]))
+    assert got == {"format": "djvu", "category": "document",
+                   "wrapper": None}
+
+
+def test_djvu_hostiles():
+    good = D.build_djvu([{"width": 10, "height": 20}])
+    with pytest.raises(ValueError, match="magic"):
+        D.parse_djvu(b"FORM without the prefix")
+    # FORM length past end
+    bad = bytearray(good)
+    struct.pack_into(">I", bad, 8, 1 << 30)
+    with pytest.raises(ValueError, match="past end"):
+        D.parse_djvu(bytes(bad))
+    # chunk overruns its container
+    bad = bytearray(good)
+    i = good.index(b"Sjbz") + 4
+    struct.pack_into(">I", bad, i, 1 << 20)
+    with pytest.raises(ValueError, match="past container"):
+        D.parse_djvu(bytes(bad))
+    # page must start with INFO
+    noinfo = good.replace(b"INFO", b"XXXX")
+    with pytest.raises(ValueError, match="INFO"):
+        D.parse_djvu(noinfo)
+    # zero dimensions
+    zero = bytearray(good)
+    struct.pack_into(">H", zero, good.index(b"INFO") + 8, 0)
+    with pytest.raises(ValueError, match="zero page"):
+        D.parse_djvu(bytes(zero))
+    # DJVM without DIRM
+    bad = bytearray(D.build_djvu([{"width": 4, "height": 4}] * 2))
+    j = bad.index(b"DIRM")
+    bad[j : j + 4] = b"JUNK"
+    with pytest.raises(ValueError, match="DIRM"):
+        D.parse_djvu(bytes(bad))
+    # unsupported top-level FORM type
+    pm = bytearray(good)
+    pm[12:16] = b"PM44"
+    with pytest.raises(ValueError, match="FORM type"):
+        D.parse_djvu(bytes(pm))
