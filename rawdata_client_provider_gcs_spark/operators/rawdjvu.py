@@ -109,6 +109,8 @@ def parse_djvu(data: bytes) -> dict:
     live in sibling files — metadata only)."""
     if not sniff_djvu(data):
         raise ValueError("djvu: missing AT&T FORM magic")
+    if len(data) < 16:
+        raise ValueError("djvu: header shorter than 16 bytes")
     (total,) = struct.unpack(">I", data[8:12])
     form_end = 12 + total
     if form_end > len(data):

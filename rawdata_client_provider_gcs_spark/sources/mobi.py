@@ -152,9 +152,15 @@ def _trailing_size(record: bytes, extra_flags: int) -> int:
     flags = extra_flags >> 1
     while flags:
         if flags & 1:
+            if num >= len(record):
+                raise ValueError(
+                    "mobi: trailing entries exceed the record"
+                )
             num += entry_size(record[: len(record) - num])
         flags >>= 1
     if extra_flags & 1:
+        if num >= len(record):
+            raise ValueError("mobi: trailing entries exceed the record")
         num += (record[len(record) - num - 1] & 0x3) + 1
     if num > len(record):
         raise ValueError("mobi: trailing entries exceed the record")

@@ -422,3 +422,28 @@ def test_zip_method9_roundtrip_and_bsdtar_structure():
             assert r.returncode == 0
             assert sorted(r.stdout.split()) == ["big/doc.txt",
                                                 "small.bin"]
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_deflate64_fuzz_never_uncatchable(seed):
+    import random
+
+    from rawdata_client_provider_gcs_spark.sources import deflate64 as D
+
+    rng = random.Random(seed)
+    base = D.deflate64_compress(b"fuzz me gently " * 400)
+    for _ in range(200):
+        buf = bytearray(base)
+        mode = rng.randrange(3)
+        if mode == 0:
+            buf = buf[: rng.randrange(1, len(buf))]
+        elif mode == 1:
+            for _ in range(rng.randrange(1, 4)):
+                buf[rng.randrange(len(buf))] ^= 1 << rng.randrange(8)
+        else:
+            i = rng.randrange(len(buf))
+            del buf[i : min(len(buf), i + rng.randrange(1, 16))]
+        try:
+            D.inflate64(bytes(buf), 1 << 20)
+        except ValueError:
+            pass

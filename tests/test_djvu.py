@@ -93,3 +93,31 @@ def test_djvu_hostiles():
     pm[12:16] = b"PM44"
     with pytest.raises(ValueError, match="FORM type"):
         D.parse_djvu(bytes(pm))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_djvu_fuzz_never_uncatchable(seed):
+    import random
+
+    rng = random.Random(seed)
+    bases = [
+        D.build_djvu([{"width": 100, "height": 200, "text": True,
+                       "color": True}]),
+        D.build_djvu([{"width": 10, "height": 20}] * 3, bundled=True),
+    ]
+    for base in bases:
+        for _ in range(150):
+            buf = bytearray(base)
+            mode = rng.randrange(3)
+            if mode == 0:
+                buf = buf[: rng.randrange(1, len(buf))]
+            elif mode == 1:
+                for _ in range(rng.randrange(1, 6)):
+                    buf[rng.randrange(len(buf))] ^= 1 << rng.randrange(8)
+            else:
+                i = rng.randrange(len(buf))
+                del buf[i : min(len(buf), i + rng.randrange(1, 32))]
+            try:
+                D.parse_djvu(bytes(buf))
+            except ValueError:
+                pass

@@ -213,3 +213,33 @@ def test_trailing_entry_arithmetic_direct():
     # entries exceeding the record are loud
     with pytest.raises(ValueError, match="exceed"):
         M._trailing_size(b"\xff", 0b10)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_mobi_fuzz_never_uncatchable(seed):
+    """Truncation / bit flips / splices land on ValueError, never an
+    uncatchable error (the media-codec fuzz bar)."""
+    import random
+
+    rng = random.Random(seed)
+    bases = [
+        M.build_mobi(TEXT, trailing=b"XY"),
+        M.build_mobi(TEXT, palmdoc=True),
+        M.build_mobi(TEXT, record_size=16, author="A", language="en"),
+    ]
+    for base in bases:
+        for _ in range(120):
+            buf = bytearray(base)
+            mode = rng.randrange(3)
+            if mode == 0:
+                buf = buf[: rng.randrange(1, len(buf))]
+            elif mode == 1:
+                for _ in range(rng.randrange(1, 6)):
+                    buf[rng.randrange(len(buf))] ^= 1 << rng.randrange(8)
+            else:
+                i = rng.randrange(len(buf))
+                del buf[i : min(len(buf), i + rng.randrange(1, 64))]
+            try:
+                M.parse_mobi(bytes(buf))
+            except ValueError:
+                pass
