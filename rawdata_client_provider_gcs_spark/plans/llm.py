@@ -6904,15 +6904,16 @@ def q_text_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
     "q_crawl_classify",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE CAST(doc_id % 19 AS INTEGER)
+       CASE CAST(doc_id % 22 AS INTEGER)
          WHEN 0 THEN 'zip' WHEN 1 THEN 'tar' WHEN 2 THEN '7z'
          WHEN 3 THEN 'docx' WHEN 4 THEN 'xlsx' WHEN 5 THEN 'doc'
          WHEN 6 THEN 'rtf' WHEN 7 THEN 'pdf' WHEN 8 THEN 'png'
          WHEN 9 THEN 'wav' WHEN 10 THEN 'ogg-vorbis' WHEN 11 THEN 'mp4'
          WHEN 12 THEN 'mbox' WHEN 13 THEN 'html' WHEN 14 THEN 'utf8-text'
          WHEN 15 THEN 'binary' WHEN 16 THEN 'rar5' WHEN 17 THEN 'ods'
-         ELSE 'odp' END AS format,
-       CASE CAST(doc_id % 19 AS INTEGER)
+         WHEN 18 THEN 'odp' WHEN 19 THEN 'mobi' WHEN 20 THEN 'fb2'
+         ELSE 'djvu' END AS format,
+       CASE CAST(doc_id % 22 AS INTEGER)
          WHEN 0 THEN 'archive' WHEN 1 THEN 'archive' WHEN 2 THEN 'archive'
          WHEN 3 THEN 'document' WHEN 4 THEN 'document'
          WHEN 5 THEN 'document' WHEN 6 THEN 'document'
@@ -6921,7 +6922,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
          WHEN 13 THEN 'web' WHEN 14 THEN 'text'
          WHEN 15 THEN 'unknown' WHEN 16 THEN 'archive'
          ELSE 'document' END AS category,
-       CASE CAST(doc_id % 19 AS INTEGER)
+       CASE CAST(doc_id % 22 AS INTEGER)
          WHEN 1 THEN 'gzip' WHEN 14 THEN 'zstd' ELSE NULL END AS wrapper
 FROM documents WHERE doc_id < 320
 """,
@@ -6930,11 +6931,13 @@ FROM documents WHERE doc_id < 320
 )
 def q_crawl_classify(spark: SparkSession, sf: str) -> DataFrame:
     """Universal payload ROUTING, oracle-exact — the stage a mixed
-    100 TB ingest runs first: nineteen payload shapes (archives plain,
+    100 TB ingest runs first: twenty-two payload shapes (archives plain,
     gzip-wrapped, RAR5 (r13), zip and CFB office families, RTF, PDF, PNG,
     WAV, Ogg Vorbis, MP4, mbox, HTML, zstd-wrapped plain text, raw
     binary, and the r13 ODF spreadsheet/presentation subtypes read
-    from the stored-first mimetype member) built by the engine's own fixture writers, classified by
+    from the stored-first mimetype member, plus the r14 ebook/scan
+    trio: MOBI/PalmDoc PDB files, bare-XML FictionBook2, and DjVu
+    containers) built by the engine's own fixture writers, classified by
     ``classify_payload``'s magic-first union of every sniffer the
     repo owns (:mod:`..sources.classify`).  Misrouting any format —
     or mis-peeling a wrapper — breaks the hash.
@@ -6967,7 +6970,7 @@ def q_crawl_classify(spark: SparkSession, sf: str) -> DataFrame:
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
                 t = str(text)[:60]
-                v = did % 19
+                v = did % 22
                 if v == 0:
                     blob = A.build_zip([("a.txt", t.encode())])
                 elif v == 1:
@@ -7016,8 +7019,20 @@ def q_crawl_classify(spark: SparkSession, sf: str) -> DataFrame:
                     blob = RR.build_rar5([("a.txt", t.encode())])
                 elif v == 17:
                     blob = O.build_ods([("S1", [[t[:20]]])])
-                else:
+                elif v == 18:
                     blob = O.build_odp([t[:40]])
+                elif v == 19:
+                    from ..sources import mobi as MB
+
+                    blob = MB.build_mobi(t, palmdoc=did % 2 == 1)
+                elif v == 20:
+                    blob = O.build_fb2([t[:40]])
+                else:
+                    from ..operators import rawdjvu
+
+                    blob = rawdjvu.build_djvu(
+                        [{"width": 80, "height": 60, "text": True}]
+                    )
                 payloads.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
