@@ -771,3 +771,69 @@ def test_mv_four_with_uncoded_luma_blocks():
         ).astype(np.uint8)
     for g, e in zip(got, exp):
         assert np.array_equal(g, e)
+
+
+def test_loop_filter_vs_scalar_restatement():
+    """The §7.10 traversal on NON-flat content (every oracle frame is
+    flat, where the filter is a no-op): per coded block in raster
+    order — left edge, top edge, then right/bottom edges of uncoded
+    neighbors — with per-edge clamping.  The vectorized implementation
+    must match a plain scalar restatement on random planes and ragged
+    coded sets."""
+    rng = np.random.default_rng(9)
+
+    def scalar_filter(plane, flimit, bw, bh, coded_set):
+        p = plane.astype(np.int64)
+
+        def edge(r0, c0, dr, dc, horiz):
+            # filter the 8-pixel edge starting at (r0, c0) along
+            # (dr, dc); horiz=True means a vertical edge at column c0
+            for k in range(8):
+                r, c = r0 + dr * k, c0 + dc * k
+                if horiz:
+                    s = [p[r, c - 2], p[r, c - 1], p[r, c], p[r, c + 1]]
+                else:
+                    s = [p[r - 2, c], p[r - 1, c], p[r, c], p[r + 1, c]]
+                f = (s[0] - 3 * s[1] + 3 * s[2] - s[3] + 4) >> 3
+                mag = abs(f)
+                b = max(0, min(mag, 2 * flimit - mag))
+                b = b if f >= 0 else -b
+                if horiz:
+                    p[r, c - 1] = min(255, max(0, s[1] + b))
+                    p[r, c] = min(255, max(0, s[2] - b))
+                else:
+                    p[r - 1, c] = min(255, max(0, s[1] + b))
+                    p[r, c] = min(255, max(0, s[2] - b))
+
+        for y in range(bh):
+            for x in range(bw):
+                if (x, y) not in coded_set:
+                    continue
+                if x > 0:
+                    edge(y * 8, x * 8, 1, 0, True)
+                if y > 0:
+                    edge(y * 8, x * 8, 0, 1, False)
+                if x + 1 < bw and (x + 1, y) not in coded_set:
+                    edge(y * 8, (x + 1) * 8, 1, 0, True)
+                if y + 1 < bh and (x, y + 1) not in coded_set:
+                    edge((y + 1) * 8, x * 8, 0, 1, False)
+        return p.astype(np.uint8)
+
+    for trial in range(4):
+        bw, bh = 6, 4
+        plane = rng.integers(0, 256, (bh * 8, bw * 8), np.uint8)
+        if trial < 2:
+            coded = {(x, y) for x in range(bw) for y in range(bh)}
+            coded_arg = None  # intra frame: everything coded
+        else:
+            coded = {(x, y) for x in range(bw) for y in range(bh)
+                     if rng.random() < 0.6}
+            coded_arg = {(pli, (x, y)): ((x, y) in coded)
+                         for pli in range(3)
+                         for x in range(bw) for y in range(bh)}
+        flimit = (4, 7, 4, 11)[trial]
+        got = [plane.copy(), plane.copy(), plane.copy()]
+        T._loop_filter(got, flimit, [(bw, bh)] * 3, coded=coded_arg)
+        want = scalar_filter(plane, flimit, bw, bh, coded)
+        for pli in range(3):
+            assert np.array_equal(got[pli], want), (trial, pli)
