@@ -1304,3 +1304,99 @@ def q_stream_theora_keyframe(spark: SparkSession, sf: str) -> DataFrame:
         ),
         "t_theora_stream",
     )
+
+
+@register(
+    "q_stream_theora_gop",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(5 AS BIGINT) AS n_frames,
+       CAST(128 + ((((46341 * ((46341 * ((1 + doc_id % 17) * 64))
+            >> 16)) >> 16) + 8) >> 4) AS BIGINT) AS y_key,
+       TRUE AS uniform
+FROM documents WHERE doc_id < 80
+""",
+    tags=("streaming", "multimodal", "theora", "video", "inter"),
+)
+def q_stream_theora_gop(spark: SparkSession, sf: str) -> DataFrame:
+    """Theora GOP decode — keyframe, NO_MV, carry-forward, and the r14
+    MV-coded modes — as a STREAM: five-frame groups (keyframe →
+    INTER_MV under a rotating fixed alphabet → an INTER_MV/LAST chain
+    under the fixed MV code → carry-forward → GOLDEN_MV back to the
+    keyframe) arrive as whole Ogg payloads and decode statelessly per
+    file, the same availableNow shape as the keyframe twin.  Flat
+    references make every MV value-invariant, but the §7.5 vector
+    decode sits upstream of the token stream, so any desync breaks the
+    closed-form keyframe value or the uniform flag."""
+    import tempfile
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 80)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import theoradec as T
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                dk = 1 + did % 17
+                mv1 = ((did % 13) - 6, (did % 9) - 4)
+                payloads.append(T.build_theora_ogg(48, 32, [
+                    (dk, dk + 1, dk + 2),
+                    {"mb_script": [(T.MODE_INTER_MV, mv1)],
+                     "mode_scheme": 1 + did % 6},
+                    {"mb_script": [
+                        (T.MODE_INTER_MV, mv1),
+                        (T.MODE_INTER_MV_LAST, None)],
+                     "mv_fixed": True},
+                    {"coverage": "none"},
+                    {"mode": T.MODE_GOLDEN_NO_MV, "coverage": "all"},
+                ]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    stage = tempfile.mkdtemp(prefix="rawdata-theora-gop-stream-")
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    files.withColumn("part", F.col("doc_id") % 4).repartition(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(stage)
+
+    def decode(batches):
+        import pandas as pd
+
+        from ..operators import theoradec as T
+
+        cols = ("doc_id", "n_frames", "y_key", "uniform")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out = T.decode_ogg_theora(bytes(payload))
+                fs = out["frames"]
+                y0 = int(fs[0][0][0, 0])
+                rows["doc_id"].append(int(did))
+                rows["n_frames"].append(len(fs))
+                rows["y_key"].append(y0)
+                rows["uniform"].append(bool(
+                    all(p.min() == p.max() for f in fs for p in f)
+                    and all(int(f[0][0, 0]) == y0 for f in fs)
+                ))
+            yield pd.DataFrame(rows)
+
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return W.run_available_now_append(
+        stream.mapInPandas(
+            decode,
+            "doc_id long, n_frames long, y_key long, uniform boolean",
+        ),
+        "t_theora_gop_stream",
+    )
