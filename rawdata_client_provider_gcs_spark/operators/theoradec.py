@@ -1446,6 +1446,100 @@ def _write_mode_rank(w: _Bw, rank: int) -> None:
         w.write(0x7F, 7)
 
 
+def encode_block_dc_frame(
+    frame_w: int, frame_h: int, y_dcs, cb_dc: int, cr_dc: int,
+    *, qi: int = 40,
+) -> bytes:
+    """Intra frame whose Y blocks hit PER-BLOCK quantized-DC targets
+    (``y_dcs``: ``(x, y) → dc`` or a callable) while chroma stays
+    flat — the non-flat reference the MC oracle needs.  The writer
+    runs the §7.9.2 prediction forward over the target map to derive
+    each block's delta token (the same arithmetic the decoder inverts;
+    dc_predict itself is pinned by independent hand vectors)."""
+    w = _Bw()
+    w.write(0, 1)  # frame packet
+    w.write(0, 1)  # intra
+    w.write(qi, 6)
+    w.write(0, 1)  # one qi
+    w.write(0, 3)  # reserved
+    planes = [plane_dims(frame_w, frame_h, pli) for pli in range(3)]
+    targets: list[dict] = []
+    for pli in range(3):
+        bw, bh = planes[pli]
+        t = {}
+        for y in range(bh):
+            for x in range(bw):
+                if pli == 0:
+                    t[(x, y)] = (y_dcs((x, y)) if callable(y_dcs)
+                                 else y_dcs[(x, y)])
+                else:
+                    t[(x, y)] = cb_dc if pli == 1 else cr_dc
+        targets.append(t)
+    # forward §7.9.2 over the TARGETS (raster per plane, one last-DC
+    # across planes — every block intra and coded)
+    deltas: list[dict] = [{}, {}, {}]
+    last_dc = 0
+    for pli in range(3):
+        bw, bh = planes[pli]
+        t = targets[pli]
+        for y in range(bh):
+            for x in range(bw):
+                mask = ((1 if x > 0 else 0)
+                        | (2 if x > 0 and y > 0 else 0)
+                        | (4 if y > 0 else 0)
+                        | (8 if x + 1 < bw and y > 0 else 0))
+                pred = dc_predict(
+                    mask,
+                    t.get((x - 1, y), 0), t.get((x - 1, y - 1), 0),
+                    t.get((x, y - 1), 0), t.get((x + 1, y - 1), 0),
+                    last_dc,
+                )
+                deltas[pli][(x, y)] = t[(x, y)] - pred
+                last_dc = t[(x, y)]
+    # ti = 0 in coded order: a value token where the delta is nonzero,
+    # EOB runs over stretches whose prediction already hits the target
+    # (their DC coefficient stays 0 and the predictor supplies it)
+    w.write(0, 4)  # HTIL
+    w.write(0, 4)  # HTIC
+    seq = [deltas[pli][xy] for pli in range(3)
+           for xy in coded_order(*planes[pli])]
+    i = 0
+    while i < len(seq):
+        if seq[i] != 0:
+            _value_token(w, seq[i])
+            i += 1
+            continue
+        run = 1
+        while i + run < len(seq) and seq[i + run] == 0:
+            run += 1
+        i += run
+        while run > 0:
+            if run <= 3:
+                _write_token(w, run - 1, 0, 0)
+                run = 0
+            elif run <= 7:
+                _write_token(w, 3, run - 4, 2)
+                run = 0
+            elif run <= 15:
+                _write_token(w, 4, run - 8, 3)
+                run = 0
+            elif run <= 31:
+                _write_token(w, 5, run - 16, 4)
+                run = 0
+            else:
+                chunk = min(run, 4095)
+                _write_token(w, 6, chunk, 12)
+                run -= chunk
+    # ti = 1: table ids (read unconditionally), then the all-remaining
+    # EOB sentinel closes the value-token blocks — omitted when every
+    # block already ended through a ti=0 EOB run
+    w.write(0, 4)
+    w.write(0, 4)
+    if any(d != 0 for d in seq):
+        _write_token(w, 6, 0, 12)
+    return w.bytes()
+
+
 def encode_inter_frame(
     frame_w: int, frame_h: int, *,
     mode: int = MODE_INTER_NO_MV,
@@ -1589,13 +1683,16 @@ def encode_inter_frame(
 def build_theora_ogg(
     frame_w: int, frame_h: int, frames: list[tuple[int, int, int]],
     *, qi: int = 40, eob_sentinel: bool = False,
-    second_qi: int | None = None,
+    second_qi: int | None = None, lflim: int = 4,
 ) -> bytes:
     """Structurally valid Ogg: ident + comment + setup headers, then
     one frame per entry — a (dcY, dcCb, dcCr) tuple for a flat
-    keyframe, or a dict of :func:`encode_inter_frame` kwargs for an
-    inter frame.  Granule positions carry the keyframe-count /
-    delta split."""
+    keyframe, a dict with ``block_dcs``/``cb_dc``/``cr_dc`` for a
+    per-block-DC keyframe (:func:`encode_block_dc_frame`), or a dict
+    of :func:`encode_inter_frame` kwargs for an inter frame.  Granule
+    positions carry the keyframe-count / delta split.  ``lflim``
+    sets the setup header's loop-filter limit (0 disables the filter
+    — the MC oracle's closed forms need unfiltered edges)."""
     from .rawogg import _page
 
     serial = 0x7E04
@@ -1614,14 +1711,21 @@ def build_theora_ogg(
     vendor = b"rawdata-fixture"
     comment = (b"\x81theora" + len(vendor).to_bytes(4, "little") + vendor
                + (0).to_bytes(4, "little"))
-    setup = build_setup_packet()
+    setup = build_setup_packet(lflim=lflim)
     out = bytearray()
     out += _page(serial, 0, 0, [ident], 0x02)
     out += _page(serial, 1, 0, [comment, setup], 0)
     kf_count = 0
     delta = 0
     for i, spec in enumerate(frames):
-        if isinstance(spec, dict):
+        if isinstance(spec, dict) and "block_dcs" in spec:
+            pkt = encode_block_dc_frame(
+                frame_w, frame_h, spec["block_dcs"],
+                spec.get("cb_dc", 1), spec.get("cr_dc", 1), qi=qi,
+            )
+            kf_count = i + 1
+            delta = 0
+        elif isinstance(spec, dict):
             pkt = encode_inter_frame(frame_w, frame_h, qi=qi, **spec)
             delta += 1
         else:

@@ -7345,6 +7345,100 @@ def q_multimodal_theora_gop(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_theora_mc",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  1 + doc_id % 17 AS da,
+                  2 + doc_id % 17 + doc_id % 9 AS db
+           FROM documents WHERE doc_id < 120),
+v AS (SELECT doc_id,
+             128 + ((((46341 * ((46341 * (da * 64)) >> 16)) >> 16) + 8)
+                 >> 4) AS a,
+             128 + ((((46341 * ((46341 * (db * 64)) >> 16)) >> 16) + 8)
+                 >> 4) AS b
+      FROM d)
+SELECT doc_id,
+       CAST(5 AS BIGINT) AS n_frames,
+       CAST(a AS BIGINT) AS y_a,
+       CAST(b AS BIGINT) AS y_b,
+       CAST(b AS BIGINT) AS f1_shift,
+       CAST(a AS BIGINT) AS f2_interior,
+       CAST((a + b) >> 1 AS BIGINT) AS f2_halfpel_edge,
+       CAST(a AS BIGINT) AS f3_diag,
+       CAST((a + b) >> 1 AS BIGINT) AS f4_diag_edge
+FROM v
+""",
+    tags=("llm", "multimodal", "theora", "video", "inter", "mc",
+          "pandas-udf"),
+)
+def q_multimodal_theora_mc(spark: SparkSession, sf: str) -> DataFrame:
+    """Theora MOTION COMPENSATION, oracle-exact on NON-flat references
+    (r14) — no fixture-mirror loophole for the MC arithmetic.
+
+    The keyframe is a per-block-DC checkerboard (quantized targets
+    ``a``/``b`` by block parity, written through the §7.9.2 prediction
+    the decoder inverts), so the golden reference carries real spatial
+    structure.  Four GOLDEN_MV frames then sample the §7.9.1 paths:
+    a whole-pel one-block shift (pixel value flips parity), a
+    horizontal half-pel (interior pixels stay flat, the block-boundary
+    column becomes the two-pixel no-rounding average ``(A+B) >> 1``),
+    a diagonal whole-pel (parity preserved), and a diagonal half-pel
+    (interior flat, boundary averages across the diagonal).  DuckDB
+    restates every sampled pixel with the spec's own fixed-point
+    arithmetic — the loop filter is disabled via a zero in-stream
+    limit so edges stay closed-form (the filter itself is pinned by a
+    scalar-restatement pytest)."""
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import theoradec as T
+
+        cols = ("doc_id", "n_frames", "y_a", "y_b", "f1_shift",
+                "f2_interior", "f2_halfpel_edge", "f3_diag",
+                "f4_diag_edge")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                a = 1 + did % 17
+                b = 2 + did % 17 + did % 9
+                ogg = T.build_theora_ogg(32, 16, [
+                    {"block_dcs":
+                     (lambda xy, a=a, b=b: (a, b)[(xy[0] + xy[1]) % 2]),
+                     "cb_dc": a + 20, "cr_dc": a + 23},
+                    {"mb_script": [(T.MODE_GOLDEN_MV, (16, 0))]},
+                    {"mb_script": [(T.MODE_GOLDEN_MV, (1, 0))],
+                     "mv_fixed": did % 2 == 1},
+                    {"mb_script": [(T.MODE_GOLDEN_MV, (16, 16))]},
+                    {"mb_script": [(T.MODE_GOLDEN_MV, (1, 1))]},
+                ], lflim=0)
+                fs = T.decode_ogg_theora(ogg)["frames"]
+                rows["doc_id"].append(did)
+                rows["n_frames"].append(len(fs))
+                rows["y_a"].append(int(fs[0][0][0, 0]))
+                rows["y_b"].append(int(fs[0][0][0, 8]))
+                rows["f1_shift"].append(int(fs[1][0][0, 0]))
+                rows["f2_interior"].append(int(fs[2][0][0, 6]))
+                rows["f2_halfpel_edge"].append(int(fs[2][0][0, 7]))
+                rows["f3_diag"].append(int(fs[3][0][0, 0]))
+                rows["f4_diag_edge"].append(int(fs[4][0][0, 7]))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        make,
+        "doc_id long, n_frames long, y_a long, y_b long, "
+        "f1_shift long, f2_interior long, f2_halfpel_edge long, "
+        "f3_diag long, f4_diag_edge long",
+    )
+
+
+@register(
     "q_multimodal_vorbis_pcm",
     oracle="""
 WITH d AS (SELECT doc_id, CAST(doc_id % 32 AS INTEGER) AS k,

@@ -837,3 +837,32 @@ def test_loop_filter_vs_scalar_restatement():
         want = scalar_filter(plane, flimit, bw, bh, coded)
         for pli in range(3):
             assert np.array_equal(got[pli], want), (trial, pli)
+
+
+def test_block_dc_keyframe_checkerboard():
+    """Per-block-DC keyframes: targets land exactly (value tokens for
+    nonzero deltas, EOB runs where the §7.9.2 prediction already
+    supplies the target), chroma stays flat through the EOB path."""
+    setup = T.parse_setup(T.build_setup_packet(lflim=0))
+    qm0 = T.compute_qmat(setup, 0, 0, 40)[0]
+    cqm = T.compute_qmat(setup, 0, 1, 40)[0]
+    a, b = 6, 11
+    pkt = T.encode_block_dc_frame(
+        32, 16, lambda xy: (a, b)[(xy[0] + xy[1]) % 2], 3, 4
+    )
+    y, cb, cr = T.decode_frame(pkt, setup, 32, 16)
+    A = _flat_expected(a, qm0)
+    B = _flat_expected(b, qm0)
+    for x in range(4):
+        for yy in range(2):
+            v = (A, B)[(x + yy) % 2]
+            blk = y[yy * 8 : yy * 8 + 8, x * 8 : x * 8 + 8]
+            assert blk.min() == blk.max() == v, (x, yy)
+    assert cb.min() == cb.max() == max(0, min(255, 128 + T.idct_flat_dc(3 * cqm)))
+    assert cr.min() == cr.max() == max(0, min(255, 128 + T.idct_flat_dc(4 * cqm)))
+    # an all-flat target map goes entirely through EOB runs (only the
+    # first block of the Y plane carries a token)
+    pkt = T.encode_block_dc_frame(32, 16, lambda xy: 7, 7, 7)
+    y2, cb2, cr2 = T.decode_frame(pkt, setup, 32, 16)
+    V = _flat_expected(7, qm0)
+    assert y2.min() == y2.max() == V
