@@ -4005,6 +4005,20 @@ UNION ALL
 SELECT doc_id,
        CAST(0 AS BIGINT),
        CAST(1 AS BIGINT),
+       'xobject',
+       'FlateDecode',
+       CAST(8 AS BIGINT),
+       CAST(4 AS BIGINT),
+       CAST(8 AS BIGINT),
+       CAST(3 AS BIGINT),
+       CAST(32 * (CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 0 THEN k WHEN 1 THEN (k + 1) % 256
+            ELSE (k + 2) % 256 END) AS BIGINT)
+FROM d
+UNION ALL
+SELECT doc_id,
+       CAST(0 AS BIGINT),
+       CAST(2 AS BIGINT),
        'inline',
        '',
        CAST(4 AS BIGINT),
@@ -4016,7 +4030,7 @@ FROM d
 UNION ALL
 SELECT doc_id,
        CAST(1 AS BIGINT),
-       CAST(2 AS BIGINT),
+       CAST(3 AS BIGINT),
        'xobject',
        CASE CAST(doc_id % 3 AS INTEGER)
             WHEN 0 THEN 'DCTDecode'
@@ -4041,7 +4055,10 @@ def q_crawl_pdf_images(spark: SparkSession, sf: str) -> DataFrame:
     Each document becomes a two-page PDF carrying three images through
     three decode routes of :func:`..operators.rawpdf.extract_pdf_images`:
     page 0 holds a Flate-compressed 16×8 constant-gray XObject (pixel
-    ``doc_id % 256``) plus a raw 4×4 inline ``BI…ID…EI`` image
+    ``doc_id % 256``), an 8×4 Indexed-palette XObject (index
+    ``doc_id % 3`` into a doc_id-derived RGB palette — the palette
+    expansion path under the oracle), plus a raw 4×4 inline
+    ``BI…ID…EI`` image
     (``(k+7) % 256``); page 1 rotates by ``doc_id % 3`` between a
     ``/DCTDecode`` XObject decoded by the baseline JPEG codec (24×16
     constant even gray ``2·(doc_id % 113)`` at quality 50 — bit-exact
@@ -4072,9 +4089,15 @@ def q_crawl_pdf_images(spark: SparkSession, sf: str) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 k = did % 256
+                pal = np.array(
+                    [[k, 0, 0], [0, (k + 1) % 256, 0],
+                     [0, 0, (k + 2) % 256]], np.uint8
+                )
                 page0 = [
                     {"kind": "gray",
                      "array": np.full((8, 16), k, np.uint8)},
+                    {"kind": "indexed", "palette": pal,
+                     "array": np.full((4, 8), did % 3, np.uint8)},
                     {"kind": "inline_gray",
                      "array": np.full((4, 4), (k + 7) % 256, np.uint8)},
                 ]
