@@ -1546,6 +1546,7 @@ def encode_inter_frame(
     dcs: tuple[int, int, int] | None = None,
     coverage: str = "all", qi: int = 40, mode_scheme: int = 0,
     mb_script: list | None = None, mv_fixed: bool = False,
+    second_qi: int | None = None, qi_stride: int = 7,
 ) -> bytes:
     """One inter frame.  ``coverage``: ``all`` (every block coded via
     fully-coded superblocks), ``none`` (pure carry-forward), or
@@ -1559,14 +1560,26 @@ def encode_inter_frame(
     ``(mode, (mvx, mvy))`` for INTER_MV/GOLDEN_MV, or
     ``(MODE_INTER_MV_FOUR, [mv0..mv3])`` with one vector per coded
     luma block in raster order.  ``mv_fixed`` selects the 6-bit fixed
-    MV component code instead of the VLC."""
+    MV component code instead of the VLC.  ``second_qi`` makes it a
+    two-qi frame (full coverage only): the §7.4 per-block run vector
+    sits between the motion vectors and the token stream, so a desync
+    there corrupts everything after."""
     if dcs is not None and coverage != "all":
         raise ValueError("theora fixture: DC residuals need full coverage")
+    if second_qi is not None and coverage != "all":
+        raise ValueError(
+            "theora fixture: two-qi inter frames need full coverage"
+        )
     w = _Bw()
     w.write(0, 1)  # frame packet
     w.write(1, 1)  # inter
     w.write(qi, 6)
-    w.write(0, 1)  # one qi (no reserved bits on inter frames)
+    if second_qi is not None:
+        w.write(1, 1)
+        w.write(second_qi, 6)
+        w.write(0, 1)  # two qis (no reserved bits on inter frames)
+    else:
+        w.write(0, 1)  # one qi
     planes = [plane_dims(frame_w, frame_h, pli) for pli in range(3)]
     sb_shapes = [((bw + 3) // 4, (bh + 3) // 4) for bw, bh in planes]
     n_sbs = sum(sw * sh for sw, sh in sb_shapes)
@@ -1652,6 +1665,12 @@ def encode_inter_frame(
                     vx, vy = next(it_mv)
                     write_comp(w, vx)
                     write_comp(w, vy)
+    # §7.4 per-block qi run vector (after the vectors, before tokens)
+    if second_qi is not None:
+        total_blocks = sum(bw * bh for bw, bh in planes)
+        _encode_bit_runs(
+            w, [(i // qi_stride) % 2 for i in range(total_blocks)]
+        )
     # DCT tokens over coded blocks
     w.write(0, 4)  # HTIL (DC)
     w.write(0, 4)  # HTIC (DC)

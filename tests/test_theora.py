@@ -866,3 +866,32 @@ def test_block_dc_keyframe_checkerboard():
     y2, cb2, cr2 = T.decode_frame(pkt, setup, 32, 16)
     V = _flat_expected(7, qm0)
     assert y2.min() == y2.max() == V
+
+
+def test_inter_two_qi_frame():
+    """Two-qi INTER frames: the §7.4 run vector sits between the
+    motion vectors and the token stream — a flat DC residual decodes
+    identically for every stride (the per-block qi only selects the AC
+    quantizer), but any run desync corrupts the following tokens."""
+    setup = T.parse_setup(T.build_setup_packet())
+    kf = T.decode_frame(T.encode_flat_frame(64, 48, (9, 5, 13)),
+                        setup, 64, 48)
+    qi1 = T.compute_qmat(setup, 1, 0, 40)[0]
+    base = None
+    for stride in (1, 3, 7, 50):
+        pkt = T.encode_inter_frame(
+            64, 48, dcs=(4, 2, 6),
+            mb_script=[(T.MODE_INTER_MV, (2, -2)),
+                       (T.MODE_INTER_MV_LAST, None)],
+            second_qi=20, qi_stride=stride,
+        )
+        out = T.decode_frame(pkt, setup, 64, 48, refs=(kf, kf))
+        exp = min(255, int(kf[0][0, 0]) + T.idct_flat_dc(4 * qi1))
+        assert out[0].min() == out[0].max() == exp, stride
+        if base is None:
+            base = [p.copy() for p in out]
+        else:
+            for a, b in zip(out, base):
+                assert np.array_equal(a, b), stride
+    with pytest.raises(ValueError, match="full coverage"):
+        T.encode_inter_frame(64, 48, coverage="partial", second_qi=20)
