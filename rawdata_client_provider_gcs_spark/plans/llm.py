@@ -7335,7 +7335,12 @@ def q_multimodal_theora_gop(spark: SparkSession, sf: str) -> DataFrame:
                     {"mode": theoradec.MODE_GOLDEN_NO_MV,
                      "coverage": "all"},
                     {"mb_script": [(theoradec.MODE_INTER_MV, mv1)],
-                     "mode_scheme": 1 + did % 6},
+                     "mode_scheme": 1 + did % 6,
+                     # two-qi INTER frames every third doc: the §7.4
+                     # run vector sits between the vectors and the
+                     # tokens, desync-pinned by the closed-form values
+                     "second_qi": 20 if did % 3 == 0 else None,
+                     "qi_stride": 1 + did % 5},
                     {"mb_script": [
                         (theoradec.MODE_INTER_MV, mv2),
                         (theoradec.MODE_INTER_MV_LAST, None)],
