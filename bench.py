@@ -46,16 +46,20 @@ def main() -> None:
     warm.limit(1000).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
+    first_runs: dict[str, float] = {}
     for name, qdef in bench.items():
         # one un-timed run amortizes whole-stage-codegen compilation (a
         # per-plan constant that vanishes at real scale), then the best of
         # two timed steady-state runs (JVM/OS jitter on this box is ±30%).
         qdef.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = float("inf")
-        for _ in range(2):
+        for i in range(2):
             t0 = time.perf_counter()
             qdef.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if i == 0:
+                first_runs[name] = round(dt, 4)
+            best = min(best, dt)
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
@@ -66,6 +70,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # single-run (first timed lap) numbers kept as a side
+                # field for cross-round continuity with pre-r14 artifacts
+                "queries_first_run": first_runs,
+                "first_run_total_sec": round(sum(first_runs.values()), 4),
                 "sf": _sf_of(sf_dir),
             }
         )

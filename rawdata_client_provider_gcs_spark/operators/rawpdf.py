@@ -1142,7 +1142,13 @@ def _inline_images(
             raw, end = _inline_data_extent(content, data_start, d)
         except ValueError as exc:
             out.append((d, None, str(exc)))
-            pos = data_start
+            # resume PAST the undecodable image data: a 'BI' byte pair
+            # inside it must not spawn spurious extra error rows, so
+            # skip to after the next EI token (or end of stream)
+            em = re.search(
+                rb"EI(?=[\s()<>\[\]{}/%]|$)", content[data_start:]
+            )
+            pos = data_start + em.end() if em else n
             continue
         em = re.compile(rb"\s*EI(?=[\s()<>\[\]{}/%]|$)").match(content, end)
         if em is None:
@@ -1265,10 +1271,24 @@ def extract_pdf_images(
     doc, root = _open_doc(data)
     pages = _walk_pages(doc, root, max_pages)
     images: list[dict] = []
+    truncated = False
 
     def emit(page_idx: int, kind: str, name: str, fn, error=None):
+        nonlocal truncated
         if len(images) >= max_images:
-            raise ValueError("pdf: too many embedded images")
+            # a many-image document is legitimate: stop collecting at
+            # the cap and mark the truncation with one error row
+            # instead of discarding the rows already extracted
+            if not truncated:
+                truncated = True
+                images.append({
+                    "page_idx": page_idx, "kind": "truncated", "name": "",
+                    "filter": "", "width": 0, "height": 0, "bpc": 0,
+                    "channels": 0, "pixels": None,
+                    "error": "pdf: image cap reached; remaining images "
+                             "not extracted",
+                })
+            return
         rec = {"page_idx": page_idx, "kind": kind, "name": name,
                "filter": "", "width": 0, "height": 0, "bpc": 0,
                "channels": 0, "pixels": None, "error": error}

@@ -3584,7 +3584,8 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
          WHEN 3 THEN 'pptx' WHEN 4 THEN 'xlsx' WHEN 5 THEN 'doc'
          WHEN 6 THEN 'xls' WHEN 7 THEN 'ppt' WHEN 8 THEN 'rtf'
          WHEN 9 THEN 'ods' WHEN 10 THEN 'odp'
-         ELSE CASE WHEN doc_id % 2 = 0 THEN 'mobi' ELSE 'palmdoc' END
+         ELSE CASE WHEN (doc_id // 12) % 2 = 0 THEN 'mobi'
+                   ELSE 'palmdoc' END
          END AS doc_format,
        CASE CAST(doc_id % 12 AS INTEGER)
          WHEN 0 THEN 'Doc ' WHEN 1 THEN 'Book ' WHEN 2 THEN 'Odt '
@@ -3592,10 +3593,10 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
          WHEN 6 THEN 'Sheet ' WHEN 7 THEN 'Slides ' WHEN 8 THEN 'Rtf '
          WHEN 9 THEN 'Ods ' WHEN 10 THEN 'Odp ' ELSE 'Ebook ' END
          || CAST(doc_id AS VARCHAR) AS title,
-       CASE WHEN doc_id % 12 = 11 AND doc_id % 2 = 1 THEN ''
+       CASE WHEN doc_id % 12 = 11 AND (doc_id // 12) % 2 = 1 THEN ''
             ELSE 'author-' || CAST(doc_id % 7 AS VARCHAR) END AS creator,
        CASE WHEN doc_id % 12 = 1
-              OR (doc_id % 12 = 11 AND doc_id % 2 = 0) THEN
+              OR (doc_id % 12 = 11 AND (doc_id // 12) % 2 = 0) THEN
          CASE CAST(doc_id % 4 AS INTEGER)
            WHEN 0 THEN 'en' WHEN 1 THEN 'nb' WHEN 2 THEN 'de' ELSE 'fr' END
        ELSE '' END AS language,
@@ -3722,12 +3723,15 @@ def q_crawl_office_meta(spark: SparkSession, sf: str) -> DataFrame:
                             )
                         )
                     else:
-                        # MOBI EXTH metadata (even) / bare PalmDoc
-                        # whose only metadata is the PDB name (odd)
+                        # MOBI EXTH metadata / bare PalmDoc whose only
+                        # metadata is the PDB name — keyed on a residue
+                        # independent of the %12 route (doc_id%12==11
+                        # forces doc_id odd, so doc_id%2 would never
+                        # take the MOBI branch)
                         from ..sources import mobi as MB
 
                         lang = ("en", "nb", "de", "fr")[did % 4]
-                        if did % 2 == 0:
+                        if (did // 12) % 2 == 0:
                             payloads.append(MB.build_mobi(
                                 t[:40], title=f"Ebook {did}",
                                 author=creator, language=lang,

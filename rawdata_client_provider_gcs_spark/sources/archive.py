@@ -111,10 +111,9 @@ def build_zip(
                "lzma": 14, "zstd": 93, "xz": 95}
     if method not in methods:
         raise ValueError(f"unsupported zip method: {method}")
-    ver_need = 45 if zip64 else 20
     out = bytearray()
     central = bytearray()
-    entries = []  # (name, crc, clen, ulen, offset, mnum, flags)
+    entries = []  # (name, crc, clen, ulen, offset, mnum, flags, ver)
     for path, data in members:
         name = path.encode("utf-8")
         crc = binascii.crc32(data) & 0xFFFFFFFF
@@ -146,16 +145,19 @@ def build_zip(
             comp = lzma.compress(data, format=lzma.FORMAT_XZ, preset=6)
         else:
             comp = data
+        # APPNOTE 4.4.3.2: method 9 (Deflate64) needs extractor 2.1;
+        # zip64 structures need 4.5, which dominates when present
+        ver = 45 if zip64 else (21 if mnum == 9 else 20)
         entries.append((name, crc, len(comp), len(data), len(out), mnum,
-                        flags))
+                        flags, ver))
         out += _LFH_SIG
         out += struct.pack(
-            "<HHHHHIII", ver_need, flags, mnum, 0x21, 0x548, crc,
+            "<HHHHHIII", ver, flags, mnum, 0x21, 0x548, crc,
             len(comp), len(data),
         )
         out += struct.pack("<HH", len(name), 0)
         out += name + comp
-    for name, crc, clen, ulen, off, mnum, flags in entries:
+    for name, crc, clen, ulen, off, mnum, flags, ver in entries:
         central += _CDH_SIG
         if zip64:
             extra = struct.pack("<HHQQQ", 0x0001, 24, ulen, clen, off)
@@ -169,7 +171,7 @@ def build_zip(
             central += name + extra
         else:
             central += struct.pack(
-                "<HHHHHHIII", 20, 20, flags, mnum, 0x21, 0x548, crc, clen,
+                "<HHHHHHIII", ver, ver, flags, mnum, 0x21, 0x548, crc, clen,
                 ulen,
             )
             central += struct.pack("<HHHHHII", len(name), 0, 0, 0, 0, 0, off)

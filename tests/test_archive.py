@@ -447,3 +447,30 @@ def test_deflate64_fuzz_never_uncatchable(seed):
             D.inflate64(bytes(buf), 1 << 20)
         except ValueError:
             pass
+
+
+def test_zip_version_needed_per_method():
+    """APPNOTE 4.4.3.2: Deflate64 members require extractor 2.1 (21);
+    plain deflate stays at 20; zip64 (45) dominates (ADVICE r14)."""
+    import struct as _s
+
+    def _vers(blob):
+        # local-header + central-directory version-needed fields
+        lfh = blob.index(b"PK\x03\x04")
+        cdh = blob.index(b"PK\x01\x02")
+        return (
+            _s.unpack("<H", blob[lfh + 4 : lfh + 6])[0],
+            _s.unpack("<H", blob[cdh + 6 : cdh + 8])[0],
+        )
+
+    d64 = A.build_zip([("a.bin", b"x" * 64)], method="deflate64")
+    assert _vers(d64) == (21, 21)
+    d = A.build_zip([("a.bin", b"x" * 64)], method="deflate")
+    assert _vers(d) == (20, 20)
+    z64 = A.build_zip(
+        [("a.bin", b"x" * 64)], method="deflate64", zip64=True
+    )
+    assert _vers(z64) == (45, 45)
+    # and the in-repo reader still round-trips all three
+    for blob in (d64, d, z64):
+        assert A.parse_zip(blob)[0]["payload"] == b"x" * 64

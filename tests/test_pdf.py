@@ -469,3 +469,46 @@ def test_spark_pdf_images_two_level_error_capture(spark):
         g = by_doc[bad]
         assert len(g) == 1 and g["error"].notna().all()
         assert g["img_idx"].isna().all()
+
+
+def test_image_cap_truncates_with_marker_row():
+    """A legitimate many-image document keeps the rows under the cap
+    and appends ONE truncation marker instead of raising (ADVICE r14):
+    per-image error capture must not turn into a document-level
+    error row."""
+    pdf = rawpdf.encode_pdf(
+        [["x"]],
+        images=[[{"kind": "gray", "array": GRAY}] * 4],
+    )
+    out = rawpdf.extract_pdf_images(pdf, max_images=2)
+    ims = out["images"]
+    assert len(ims) == 3
+    assert [im["error"] for im in ims[:2]] == [None, None]
+    assert ims[2]["kind"] == "truncated"
+    assert "cap" in ims[2]["error"]
+    # under the cap: no marker
+    assert all(
+        im["error"] is None
+        for im in rawpdf.extract_pdf_images(pdf, max_images=4)["images"]
+    )
+
+
+def test_undecodable_inline_data_is_skipped_past_ei():
+    """After an inline image whose data extent cannot be determined,
+    the scan resumes past the next EI — a 'BI' pair INSIDE the
+    undecodable data must not spawn spurious extra rows (ADVICE r14),
+    and a later genuine inline image is still found."""
+    inner = b" BI /W 1 /H 1 /BPC 8 /CS /G ID z"  # lives inside bad data
+    content = (
+        b"BI /W 9 /H 9 /BPC 8 /CS /G ID " + inner + b" EI "
+        + b"BI /W 2 /H 2 /BPC 8 /CS /G ID " + b"\x07" * 4 + b" EI"
+    )
+    recs = rawpdf._inline_images(content)
+    assert len(recs) == 2
+    assert recs[0][1] is None and "truncated" in recs[0][2]
+    assert recs[1][1] == b"\x07" * 4 and recs[1][2] is None
+    # no EI anywhere after the bad data: scan ends cleanly
+    recs = rawpdf._inline_images(
+        b"BI /W 9 /H 9 /BPC 8 /CS /G ID " + inner
+    )
+    assert len(recs) == 1 and "truncated" in recs[0][2]
