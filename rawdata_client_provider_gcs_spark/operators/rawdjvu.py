@@ -10,14 +10,16 @@ the component ``FORM`` chunks, each padded to even offsets.  The
 page's leading ``INFO`` chunk carries width/height (big-endian),
 version bytes, and — a classic DjVu quirk — a LITTLE-endian dpi.
 
-This module is a CENSUS tier by design: page geometry, component
-counts, chunk inventories, and text/annotation presence flags.  The
-compressed payloads (JB2 masks, IW44 wavelets, and the BZZ-compressed
-``TXTz`` hidden-text and ``DIRM`` metadata) stay a documented loud
-boundary — BZZ's ZP-coder probability tables are not transcribable
-offline, the same honesty rule as the other entropy-coded refusals
-(COVERAGE.md).  Presence flags still let a curation pass select
-text-carrying scans before any decode.
+Census tier: page geometry, component counts, chunk inventories, and
+text/annotation presence flags.  Text tier (r15): the BZZ-compressed
+``TXTz`` hidden-text layer — pre-OCR'd text, the highest-value byte
+range of a scanned corpus — decodes through :mod:`..sources.bzz`
+(ZP-coder + inverse BWT) into the full text plus the word/line zone
+tree.  The image payloads (JB2 masks, IW44 wavelets) remain a
+documented loud boundary, and real-world TXTz conformance is bounded
+by the ZP state-table transcription tiers documented in
+``sources/bzz.py`` (in-repo streams are exact; a mis-transcribed
+state fails loudly at the BWT checks, never silently).
 
 Reference behavioral parity: the reference transport stores opaque
 named byte arrays (RawdataMessage.java:15-60); container censuses are
@@ -183,18 +185,28 @@ def _info(width: int, height: int, dpi: int = 300,
 
 
 def build_djvu_page(
-    width: int, height: int, *, dpi: int = 300, text: bool = False,
-    anno: bool = False, color: bool = False,
+    width: int, height: int, *, dpi: int = 300,
+    text: bool | str = False, anno: bool = False, color: bool = False,
 ) -> bytes:
-    """One FORM:DJVU page with an INFO chunk and census-only stand-in
-    payload chunks (opaque compressed bodies by design)."""
+    """One FORM:DJVU page with an INFO chunk; image payload chunks stay
+    census-only stand-ins (opaque compressed bodies by design), but
+    ``text`` — a string, or ``True`` for a default sample — embeds a
+    REAL ``TXTz`` hidden-text layer (zone tree through the BZZ
+    encoder), the r15 decode surface."""
+    from ..sources.bzz import bzz_encode
+
     body = _info(width, height, dpi)
     body += _chunk(b"Sjbz", b"\x00JB2-opaque\x01")
     if color:
         body += _chunk(b"BG44", b"\x00IW44-opaque")
         body += _chunk(b"FG44", b"\x00IW44-fg!")
     if text:
-        body += _chunk(b"TXTz", b"\x00BZZ-opaque")
+        if text is True:
+            text = "scanned page text"
+        body += _chunk(
+            b"TXTz",
+            bzz_encode(build_txt(text, width=width, height=height)),
+        )
     if anno:
         body += _chunk(b"ANTz", b"\x00BZZ-anno")
     return _chunk(b"FORM", b"DJVU" + body)
@@ -225,3 +237,237 @@ def build_djvu(
     if bundled:
         body += b"".join(forms)
     return b"AT&T" + _chunk(b"FORM", b"DJVM" + body)
+
+
+# ---------------------------------------------------------------------------
+# Hidden-text layer (TXTz / TXTa) — r15
+# ---------------------------------------------------------------------------
+
+#: DjVu text-zone types (DjVu Reference v3, text chunk)
+ZONE_TYPES = {1: "page", 2: "column", 3: "region", 4: "paragraph",
+              5: "line", 6: "word", 7: "character"}
+MAX_ZONES = 100_000
+MAX_TEXT = 16 << 20
+
+
+def _read16(raw: bytes, pos: int) -> int:
+    if pos + 2 > len(raw):
+        raise ValueError("djvu: text zone record truncated")
+    return (raw[pos] << 8) | raw[pos + 1]
+
+
+def _read24(raw: bytes, pos: int) -> int:
+    if pos + 3 > len(raw):
+        raise ValueError("djvu: text zone record truncated")
+    return (raw[pos] << 16) | (raw[pos + 1] << 8) | raw[pos + 2]
+
+
+def _parse_zone(raw: bytes, pos: int, textlen: int, parent: dict | None,
+                prev: dict | None, depth: int, out: list) -> int:
+    """One zone record (17 bytes + children): type, biased/delta-coded
+    rectangle, delta-coded text span, 24-bit child count.  Geometry
+    deltas follow the sibling/parent rules of the public text-chunk
+    spec (PAGE/PARAGRAPH/LINE chain off the previous sibling's lower
+    edge; COLUMN/REGION/WORD/CHARACTER off its right edge; a first
+    child anchors to its parent's top-left)."""
+    if len(out) >= MAX_ZONES:
+        raise ValueError("djvu: zone count over the cap")
+    if depth > 8:
+        raise ValueError("djvu: zone tree deeper than the 8-level cap")
+    if pos >= len(raw):
+        raise ValueError("djvu: zone tree past end of chunk")
+    ztype = raw[pos]
+    if ztype not in ZONE_TYPES:
+        raise ValueError(f"djvu: unknown zone type {ztype}")
+    x = _read16(raw, pos + 1) - 0x8000
+    y = _read16(raw, pos + 3) - 0x8000
+    width = _read16(raw, pos + 5) - 0x8000
+    height = _read16(raw, pos + 7) - 0x8000
+    tstart = _read16(raw, pos + 9) - 0x8000
+    tlen = _read24(raw, pos + 11)
+    nkids = _read24(raw, pos + 14)
+    pos += 17
+    if prev is not None:
+        if ztype in (1, 4, 5):  # page / paragraph / line: stack down
+            x += prev["xmin"]
+            y += prev["ymin"]
+        else:  # column / region / word / character: flow right
+            x += prev["xmax"]
+            y += prev["ymin"]
+        tstart += prev["text_start"] + prev["text_length"]
+    elif parent is not None:
+        x += parent["xmin"]
+        y = parent["ymax"] - height - y
+        tstart += parent["text_start"]
+    if width < 0 or height < 0:
+        raise ValueError("djvu: zone with negative extent")
+    if tstart < 0 or tlen < 0 or tstart + tlen > textlen:
+        raise ValueError("djvu: zone text span outside the text")
+    zone = {"type": ZONE_TYPES[ztype], "xmin": x, "ymin": y,
+            "xmax": x + width, "ymax": y + height,
+            "text_start": tstart, "text_length": tlen}
+    out.append(zone)
+    kid_prev = None
+    for _ in range(nkids):
+        pos, kid = _parse_zone(raw, pos, textlen, zone, kid_prev,
+                               depth + 1, out)
+        kid_prev = kid
+    return pos, zone
+
+
+def parse_txt(raw: bytes) -> dict:
+    """Decode one (already-decompressed) TXT payload → ``{"text",
+    "zones", "n_zones", "words"}`` — the pre-OCR'd hidden-text layer,
+    the highest-value byte range of a scanned corpus."""
+    if len(raw) < 4:
+        raise ValueError("djvu: text chunk shorter than 4 bytes")
+    textlen = _read24(raw, 0)
+    if textlen > MAX_TEXT:
+        raise ValueError("djvu: text length over the cap")
+    if 3 + textlen + 1 > len(raw):
+        raise ValueError("djvu: text chunk shorter than its text")
+    text = raw[3 : 3 + textlen]
+    version = raw[3 + textlen]
+    if version != 1:
+        raise ValueError(f"djvu: unsupported text-chunk version {version}")
+    pos = 3 + textlen + 1
+    zones: list = []
+    prev = None
+    while pos < len(raw):
+        pos, prev = _parse_zone(raw, pos, textlen, None, prev, 0, zones)
+    try:
+        decoded = text.decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"djvu: text layer is not UTF-8: {exc}") from None
+    words = []
+    for z in zones:
+        if z["type"] == "word":
+            words.append(
+                text[z["text_start"] : z["text_start"] + z["text_length"]]
+                .decode("utf-8", "replace").strip()
+            )
+    return {"text": decoded, "zones": zones, "n_zones": len(zones),
+            "words": words}
+
+
+def extract_djvu_text(data: bytes) -> dict:
+    """DjVu payload → hidden-text census: per-page decoded text layers
+    (``TXTz`` through the BZZ decoder, ``TXTa`` verbatim), concatenated
+    text, word list, zone counts.  Raises ``ValueError`` on malformed
+    containers; per-file error capture is the caller's (Spark kernel)
+    job, the same discipline as the other media routes."""
+    from ..sources.bzz import bzz_decode
+
+    if not sniff_djvu(data):
+        raise ValueError("djvu: missing AT&T FORM magic")
+    (total,) = struct.unpack(">I", data[8:12])
+    form_end = 12 + total
+    if form_end > len(data):
+        raise ValueError("djvu: FORM length past end of file")
+    form_type = data[12:16]
+    page_ranges = []
+    if form_type == b"DJVU":
+        page_ranges.append((16, form_end))
+    elif form_type == b"DJVM":
+        for tag, cpos, ln in _chunks(data, 16, form_end):
+            if tag == b"FORM" and data[cpos : cpos + 4] == b"DJVU":
+                page_ranges.append((cpos + 4, cpos + ln))
+    else:
+        raise ValueError(
+            f"djvu: unsupported top-level FORM type {form_type!r}"
+        )
+    pages = []
+    for start, end in page_ranges:
+        page_text = None
+        for tag, cpos, ln in _chunks(data, start, end):
+            if tag == b"TXTz":
+                page_text = parse_txt(bzz_decode(data[cpos : cpos + ln]))
+            elif tag == b"TXTa":
+                page_text = parse_txt(data[cpos : cpos + ln])
+        pages.append(page_text)
+    texts = [p["text"] for p in pages if p is not None]
+    words = [w for p in pages if p is not None for w in p["words"]]
+    n_zones = sum(p["n_zones"] for p in pages if p is not None)
+    return {
+        "n_pages": len(pages),
+        "n_text_pages": sum(1 for p in pages if p is not None),
+        "text": "\n".join(texts),
+        "words": words,
+        "n_zones": n_zones,
+        "pages": pages,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Text-layer fixture writer
+# ---------------------------------------------------------------------------
+
+
+def _zone_record(ztype: int, x: int, y: int, w: int, h: int,
+                 tstart: int, tlen: int, nkids: int) -> bytes:
+    return bytes([ztype]) + struct.pack(
+        ">HHHHH", x + 0x8000, y + 0x8000, w + 0x8000, h + 0x8000,
+        tstart + 0x8000,
+    ) + tlen.to_bytes(3, "big") + nkids.to_bytes(3, "big")
+
+
+def build_txt(text: str, *, width: int = 2550, height: int = 3300) -> bytes:
+    """TXT payload for a page: the UTF-8 text plus a page→line→word
+    zone tree with synthetic typography (fixed line pitch, words packed
+    left to right) delta-coded by the sibling/parent rules that
+    :func:`parse_txt` inverts."""
+    btext = text.encode("utf-8")
+    out = bytearray()
+    out += len(btext).to_bytes(3, "big")
+    out += btext
+    out.append(1)  # version
+    lines = []  # (byte_start, byte_len, [(wstart, wlen), ...])
+    bpos = 0
+    for raw_line in text.split("\n"):
+        bline = raw_line.encode("utf-8")
+        words = []
+        woff = 0
+        for tok in raw_line.split(" "):
+            btok = tok.encode("utf-8")
+            if btok:
+                words.append((bpos + woff, len(btok)))
+            woff += len(btok) + 1
+        lines.append((bpos, len(bline), words))
+        bpos += len(bline) + 1
+    # page zone (absolute: no parent, no prev sibling)
+    page_len = len(btext)
+    out += _zone_record(1, 0, 0, width, height, 0, page_len, len(lines))
+    # synthetic typography, clamped so tiny pages stay well-formed
+    margin = min(100, width // 10)
+    line_h = min(40, max(9, height // 10))
+    prev_line = None  # (xmin, ymin, tstart, tlen)
+    for li, (lstart, llen, words) in enumerate(lines):
+        lx, lw = margin, max(1, width - 2 * margin)
+        ly = height - margin - line_h * (li + 1)
+        if prev_line is None:
+            # first child: x rel parent.xmin, y = parent.ymax - h - enc
+            ex, ey = lx - 0, height - line_h - ly
+            et = lstart - 0
+        else:
+            px, py, pt, pl = prev_line
+            ex, ey = lx - px, ly - py
+            et = lstart - (pt + pl)
+        out += _zone_record(5, ex, ey, lw, line_h, et,
+                            llen + (1 if li < len(lines) - 1 else 0),
+                            len(words))
+        prev_line = (lx, ly, lstart,
+                     llen + (1 if li < len(lines) - 1 else 0))
+        prev_word = None
+        for wi, (wstart, wlen) in enumerate(words):
+            wx = lx + 10 + 60 * wi
+            wy, ww, wh = ly + 4, 50, max(1, line_h - 8)
+            if prev_word is None:
+                ex, ey = wx - lx, (ly + line_h) - wh - wy
+                et = wstart - lstart
+            else:
+                qx, qy, qt, ql = prev_word
+                ex, ey = wx - (qx + 50), wy - qy
+                et = wstart - (qt + ql)
+            out += _zone_record(6, ex, ey, ww, wh, et, wlen, 0)
+            prev_word = (wx, wy, wstart, wlen)
+    return bytes(out)

@@ -6619,6 +6619,94 @@ def q_crawl_djvu_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_djvu_text",
+    oracle="""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         trim(regexp_replace(regexp_replace(lower(substr(text, 1, 73)),
+              '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS c
+  FROM documents WHERE doc_id < 200
+), w AS (
+  SELECT doc_id, c,
+         CASE WHEN c = '' THEN 0
+              ELSE length(c) - length(replace(c, ' ', '')) + 1
+         END AS nw
+  FROM d
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN c
+            ELSE c || chr(10) || 'appendix scan' END AS text,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+         AS n_pages,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT)
+         AS n_text_pages,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN nw ELSE nw + 2 END AS BIGINT)
+         AS n_words,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN nw + 2 ELSE nw + 6 END
+            AS BIGINT) AS n_zones
+FROM w
+""",
+    tags=("llm", "multimodal", "djvu", "crawl", "text", "pandas-udf"),
+)
+def q_crawl_djvu_text(spark: SparkSession, sf: str) -> DataFrame:
+    """DjVu hidden-text extraction, oracle-exact (r15) — the pre-OCR'd
+    ``TXTz`` layer decoded through the full BZZ stack (ZP-coder →
+    MTF → inverse BWT, ``sources/bzz.py``) and the text-chunk zone
+    tree (page → line → word, delta-coded geometry).  Even documents
+    are a single scanned page carrying the document text; odd
+    documents are a bundled DJVM whose second page carries a fixed
+    appendix, exercising multi-page fan-in.  Word and zone counts come
+    from the decoded zone tree, so the oracle equality pins the BWT
+    inverse, the MTF rotation, the coder arithmetic, AND the zone
+    delta rules at value level.  The kernel is one Arrow MapInPandas
+    stage over a pushed parquet scan — the file is the unit of
+    parallelism, the 100 TB crawl shape.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import re as _re
+
+        import pandas as pd
+
+        from ..operators import rawdjvu
+
+        cols = ("doc_id", "text", "n_pages", "n_text_pages", "n_words",
+                "n_zones")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did, t in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                c = _re.sub(
+                    " +", " ",
+                    _re.sub("[^a-z ]", "", str(t)[:73].lower()),
+                ).strip()
+                pages = [{"width": 2550, "height": 3300, "text": c}]
+                if did % 2:
+                    pages.append({"width": 2550, "height": 3300,
+                                  "text": "appendix scan"})
+                blob = rawdjvu.build_djvu(pages, bundled=True)
+                out = rawdjvu.extract_djvu_text(blob)
+                rows["doc_id"].append(did)
+                rows["text"].append(out["text"])
+                rows["n_pages"].append(out["n_pages"])
+                rows["n_text_pages"].append(out["n_text_pages"])
+                rows["n_words"].append(len(out["words"]))
+                rows["n_zones"].append(out["n_zones"])
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        make,
+        "doc_id long, text string, n_pages long, n_text_pages long, "
+        "n_words long, n_zones long",
+    )
+
+
+@register(
     "q_multimodal_pdf_structure",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
