@@ -3303,7 +3303,7 @@ SELECT CAST(doc_id AS BIGINT), 'odp', CAST(i AS BIGINT),
 FROM d, unnest(generate_series(0, 1)) AS t(i) WHERE doc_id % 13 = 10
 UNION ALL
 SELECT CAST(doc_id AS BIGINT),
-       CASE WHEN CAST((doc_id // 13) % 6 AS INTEGER) IN (2, 5)
+       CASE WHEN CAST((doc_id // 13) % 8 AS INTEGER) IN (2, 5)
             THEN 'palmdoc' ELSE 'mobi' END,
        CAST(0 AS BIGINT), 'book',
        trim(regexp_replace(substr(text, 1, 80), '\\s+', ' ', 'g'))
@@ -3407,11 +3407,13 @@ def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
                 elif v == 11:
                     # MOBI/PalmDoc (r14): rotate container, PalmDoc
                     # LZ77 vs stored, cp1252 vs UTF-8, multi-record
-                    # reassembly, and trailing-entry stripping — all
+                    # reassembly, and trailing-entry stripping; r15
+                    # adds HuffCDIC — terminal-cache multi-record and
+                    # base-table-walk recursive multi-CDIC — all
                     # oracle-invariant (same text survives each path)
                     from ..sources import mobi as MB
 
-                    v2 = (did // 13) % 6
+                    v2 = (did // 13) % 8
                     kw = (
                         dict(),
                         dict(encoding="cp1252", compression=1),
@@ -3419,6 +3421,9 @@ def q_crawl_office_text(spark: SparkSession, sf: str) -> DataFrame:
                         dict(record_size=16),
                         dict(trailing=b"XY"),
                         dict(palmdoc=True, compression=1),
+                        dict(compression=17480, record_size=16),
+                        dict(compression=17480, huff_code_len=9,
+                             huff_recursive=True, huff_cdic_bits=3),
                     )[v2]
                     payloads.append(
                         MB.build_mobi(t[:80], title=f"Doc {did}", **kw)

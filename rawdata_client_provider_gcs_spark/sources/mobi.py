@@ -18,9 +18,10 @@ Everything here is public structure:
   bits mark per-record TRAILING entries (backward-coded sizes, plus
   the multibyte-overlap low bit) that must be stripped before
   decompression.
-- Compression 17480 (``DH``, HuffCDIC) is a documented loud boundary
-  — its Huffman tables live in separate records and real-world files
-  using it are DRM-adjacent; everything else raises ``ValueError``
+- **HuffCDIC** (compression 17480, ``DH``): the Kindle-era scheme —
+  canonical-Huffman codes over a phrase dictionary whose HUFF/CDIC
+  table records ship inside the same PDB container (r15;
+  ``sources/huffcdic.py``).  Unknown compressions raise ``ValueError``
   with the reason for per-row capture.
 
 The fixture writer emits both containers with both compressions,
@@ -227,12 +228,19 @@ def parse_mobi(data: bytes) -> dict:
             (exth_flag,) = struct.unpack(">I", r0[128:132])
             if exth_flag & 0x40:
                 exth = _parse_exth(r0, 16 + mobi_len)
+    huff = None
     if compression == 17480:
-        raise ValueError(
-            "mobi: HuffCDIC (DH) compression is out of the documented "
-            "subset"
-        )
-    if compression not in (1, 2):
+        if not is_mobi:
+            raise ValueError("mobi: DH compression without a MOBI header")
+        if len(r0) < 0x78:
+            raise ValueError("mobi: MOBI header too short for HUFF fields")
+        huff_off, huff_count = struct.unpack(">II", r0[0x70:0x78])
+        if huff_count < 2 or huff_off + huff_count > n_records:
+            raise ValueError("mobi: HUFF record range out of bounds")
+        from .huffcdic import HuffCdic
+
+        huff = HuffCdic([record(huff_off + i) for i in range(huff_count)])
+    elif compression not in (1, 2):
         raise ValueError(f"mobi: unknown compression {compression}")
     chunks = []
     total = 0
@@ -242,6 +250,8 @@ def parse_mobi(data: bytes) -> dict:
             rec = rec[: len(rec) - _trailing_size(rec, extra_flags)]
         if compression == 2:
             rec = palmdoc_decompress(rec, MAX_TEXT_BYTES - total)
+        elif huff is not None:
+            rec = huff.unpack(rec, MAX_TEXT_BYTES - total)
         total += len(rec)
         if total > MAX_TEXT_BYTES:
             raise ValueError("mobi: text over the cap")
@@ -327,19 +337,36 @@ def build_mobi(
     encoding: str = "utf-8",
     palmdoc: bool = False,
     trailing: bytes = b"",
+    huff_code_len: int = 8,
+    huff_cdic_bits: int = 16,
+    huff_recursive: bool = False,
 ) -> bytes:
     """Deterministic PDB writer: bare PalmDoc (``palmdoc=True``,
     always cp1252) or MOBI with a version-6 header (cp1252/UTF-8,
     full-name record, an EXTH block carrying author/language when
     given, extra-flags bit 1 when ``trailing`` bytes are appended to
-    every text record)."""
+    every text record).  ``compression=17480`` emits HuffCDIC text
+    records plus their in-container HUFF/CDIC table records (the
+    ``huff_*`` knobs select the fixture encoder's code paths)."""
     if palmdoc:
         encoding = "cp1252"
     raw = text.encode(encoding)
     recs = [raw[i : i + record_size]
             for i in range(0, len(raw), record_size)] or [b""]
+    huff_records: list = []
     if compression == 2:
         body = [palmdoc_compress(r) for r in recs]
+    elif compression == 17480:
+        if palmdoc:
+            raise ValueError("mobi fixture: DH needs a MOBI header")
+        from .huffcdic import HuffCdicEncoder
+
+        enc = HuffCdicEncoder(
+            recs, code_len=huff_code_len, cdic_bits=huff_cdic_bits,
+            recursive=huff_recursive,
+        )
+        body = [enc.encode(r) for r in recs]
+        huff_records = enc.records()
     else:
         body = list(recs)
     if trailing:
@@ -389,6 +416,10 @@ def build_mobi(
     extra_flags = 0b10 if trailing else 0
     # record0 offset 0xF2 = MOBI offset 0xE2
     struct.pack_into(">H", mobi, 0xE2, extra_flags)
+    if huff_records:
+        # HUFF record index/count: record0 0x70/0x74 = MOBI 0x60/0x64
+        struct.pack_into(">II", mobi, 0x60, 1 + len(body),
+                         len(huff_records))
     r0 = palm_header + bytes(mobi) + exth + name + b"\x00\x00"
     return _pdb(title.encode("latin-1", "replace")[:20], b"BOOKMOBI",
-                [r0] + body)
+                [r0] + body + huff_records)

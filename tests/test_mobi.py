@@ -117,11 +117,12 @@ def test_mobi_hostiles():
     # truncated record list
     with pytest.raises(ValueError):
         M.parse_mobi(blob[:80])
-    # HuffCDIC compression is loud
+    # HuffCDIC now decodes (r15): a compression field flipped to 17480
+    # without actual HUFF/CDIC records is a bounds error
     bad = bytearray(blob)
     r0_off = struct.unpack(">I", blob[78:82])[0]
     struct.pack_into(">H", bad, r0_off, 17480)
-    with pytest.raises(ValueError, match="HuffCDIC"):
+    with pytest.raises(ValueError, match="HUFF record range"):
         M.parse_mobi(bytes(bad))
     # unknown compression
     struct.pack_into(">H", bad, r0_off, 7)
@@ -243,3 +244,92 @@ def test_mobi_fuzz_never_uncatchable(seed):
                 M.parse_mobi(bytes(buf))
             except ValueError:
                 pass
+
+
+# ---------------------------------------------------------------------------
+# HuffCDIC (compression 17480, r15)
+# ---------------------------------------------------------------------------
+
+
+def test_huffcdic_roundtrip_all_paths():
+    """Terminal-cache codes (len 8), base-table walk (len 9),
+    multi-CDIC splits, and recursive flag-0 phrases all reproduce the
+    text byte-exactly through parse_mobi."""
+    t = "the kindle era corpus is disproportionately huffcdic. " * 60
+    for kw in (dict(), dict(huff_code_len=9), dict(huff_cdic_bits=4),
+               dict(huff_recursive=True),
+               dict(huff_code_len=9, huff_recursive=True,
+                    huff_cdic_bits=3)):
+        blob = M.build_mobi(t, title="DH", author="a", language="nb",
+                            compression=17480, record_size=512, **kw)
+        m = M.parse_mobi(blob)
+        assert m["text"] == t and m["compression"] == 17480
+        assert m["author"] == "a" and m["language"] == "nb"
+    # combined with trailing-entry stripping
+    blob = M.build_mobi(t, compression=17480, trailing=b"\x01\x02")
+    assert M.parse_mobi(blob)["text"] == t
+
+
+def test_huffcdic_direct_decoder_and_memoization():
+    from rawdata_client_provider_gcs_spark.sources.huffcdic import (
+        HuffCdic, HuffCdicEncoder)
+
+    chunks = [b"abcabcab", b"cabc"]
+    enc = HuffCdicEncoder(chunks, recursive=True)
+    dec = HuffCdic(enc.records())
+    assert [dec.unpack(enc.encode(c), 1 << 16) for c in chunks] == chunks
+    # memoization flattened the coded phrases in place
+    assert all(flat for _, flat in dec.dictionary
+               if _ is not None)
+
+
+def test_huffcdic_hostiles_are_valueerror():
+    import struct as _s
+
+    t = "hostile dictionary recursion bombs land per-row " * 20
+    good = M.build_mobi(t, compression=17480, record_size=256)
+
+    def corrupt(magic, repl):
+        b = bytearray(good)
+        i = b.find(magic)
+        b[i : i + len(repl)] = repl
+        return bytes(b)
+
+    with pytest.raises(ValueError, match="HUFF"):
+        M.parse_mobi(corrupt(b"HUFF", b"XUFF"))
+    with pytest.raises(ValueError, match="CDIC"):
+        M.parse_mobi(corrupt(b"CDIC", b"XDIC"))
+    # recursion bomb: phrase 0 encodes itself (flag 0 body = own code)
+    from rawdata_client_provider_gcs_spark.sources.huffcdic import (
+        HuffCdic, HuffCdicEncoder)
+
+    enc = HuffCdicEncoder([b"aa"], recursive=True)
+    recs = enc.records()
+    cdic = bytearray(recs[1])
+    # entry 0 ("aa" pair): point its coded body at symbol 0 itself
+    (off0,) = _s.unpack(">H", cdic[16:18])
+    p = 16 + off0
+    (blen,) = _s.unpack(">H", cdic[p : p + 2])
+    assert not blen & 0x8000  # coded phrase
+    cdic[p + 2] = 0xFF  # code of symbol 0 under descending assignment
+    dec = HuffCdic([recs[0], bytes(cdic)])
+    with pytest.raises(ValueError, match="self-referential|too deep"):
+        dec.unpack(enc.encode(b"aa"), 1 << 16)
+    # out-of-range HUFF record window
+    b = bytearray(good)
+    r0_off = _s.unpack(">I", b[78:82])[0]
+    _s.pack_into(">II", b, r0_off + 0x70, 4096, 2)
+    with pytest.raises(ValueError, match="out of bounds"):
+        M.parse_mobi(bytes(b))
+
+
+def test_huffcdic_output_cap():
+    # a tiny coded record expanding past the cap must raise, not OOM
+    from rawdata_client_provider_gcs_spark.sources.huffcdic import (
+        HuffCdic, HuffCdicEncoder)
+
+    chunk = b"x" * 4096
+    enc = HuffCdicEncoder([chunk])
+    dec = HuffCdic(enc.records())
+    with pytest.raises(ValueError, match="cap"):
+        dec.unpack(enc.encode(chunk), 100)
