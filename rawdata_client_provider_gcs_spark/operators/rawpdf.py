@@ -55,7 +55,9 @@ Out of scope, loudly: encryption (``/Encrypt``), non-Flate filters
 on TEXT content, CID/Type0 font CMaps (strings in such PDFs are glyph
 indices; we extract only simple-font text and surface ``/Type0`` pages
 as errors rather than emit garbage), and image codecs with no in-repo
-decoder (``/JPXDecode``, ``/JBIG2Decode`` — per-image error rows).
+decoder (``/JPXDecode``, and JBIG2 segments beyond the generic-region
+subset — per-image error rows).  ``/JBIG2Decode`` generic regions
+decode via :mod:`.rawjbig2` (r15), incl. ``/JBIG2Globals``.
 
 Reference behavioral parity: the reference transport stores opaque
 named byte arrays per message (RawdataMessage.java:15-60); document
@@ -294,7 +296,8 @@ class _Lexer:
 
 #: image-codec filters (canonical + abbreviated inline-image names):
 #: left undecoded by the generic stream reader, routed by the image
-#: extractor; JPX/JBIG2 have no in-repo decoder and stay loud there
+#: extractor; JPX has no in-repo decoder and stays loud there; JBIG2
+#: decodes the generic-region subset (rawjbig2, r15)
 _IMAGE_FILTERS = {
     "DCTDecode": "DCTDecode", "DCT": "DCTDecode",
     "CCITTFaxDecode": "CCITTFaxDecode", "CCF": "CCITTFaxDecode",
@@ -1051,6 +1054,19 @@ def _decode_image(doc: "_Document", d: dict, data: bytes,
             raise ValueError("pdf: CCITT image dimensions disagree")
         return {"width": width, "height": height, "bpc": 1,
                 "channels": 1, "filter": fname, "pixels": gray}
+    if fname == "JBIG2Decode":
+        from . import rawjbig2
+
+        gstream = doc.resolve(image_filter[1].get("JBIG2Globals"))
+        gdata = gstream.data if isinstance(gstream, _Stream) else None
+        out = rawjbig2.decode_jbig2(data, gdata)
+        bits = out["bits"]
+        if bits.shape[0] < height or bits.shape[1] < width:
+            raise ValueError("pdf: JBIG2 page smaller than the image")
+        # JBIG2 1 = black; PDF samples: 0 = black (DeviceGray)
+        gray = ((1 - bits[:height, :width]) * 255).astype(np.uint8)
+        return {"width": width, "height": height, "bpc": 1,
+                "channels": 1, "filter": fname, "pixels": gray}
     if fname:
         raise ValueError(f"pdf: no decoder for image filter /{fname}")
     if is_mask:
@@ -1524,6 +1540,22 @@ def _build_image_xobject(spec: dict) -> bytes:
             b"/Filter /CCITTFaxDecode /DecodeParms << %s >> "
             b"/Length %d >>\nstream\n" % (w, h, parms, len(payload))
             + payload + b"\nendstream"
+        )
+    if kind == "jbig2":
+        from . import rawjbig2
+
+        bits = np.asarray(spec["bits"], np.uint8)
+        h, w = bits.shape
+        payload = rawjbig2.build_jbig2(
+            bits, template=spec.get("template", 0),
+            tpgdon=spec.get("tpgdon", False),
+            mmr=spec.get("mmr", False),
+        )
+        return (
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+            b"/Filter /JBIG2Decode /Length %d >>\nstream\n"
+            % (w, h, len(payload)) + payload + b"\nendstream"
         )
     raise ValueError(f"pdf fixture: unknown image kind {kind!r}")
 

@@ -4041,18 +4041,20 @@ SELECT doc_id,
        CAST(1 AS BIGINT),
        CAST(3 AS BIGINT),
        'xobject',
-       CASE CAST(doc_id % 3 AS INTEGER)
+       CASE CAST(doc_id % 4 AS INTEGER)
             WHEN 0 THEN 'DCTDecode'
             WHEN 1 THEN 'CCITTFaxDecode'
-            ELSE 'FlateDecode' END,
-       CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS BIGINT),
-       CAST(CASE WHEN doc_id % 3 = 0 THEN 16 ELSE 8 END AS BIGINT),
-       CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 8 END AS BIGINT),
-       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS BIGINT),
-       CAST(CASE CAST(doc_id % 3 AS INTEGER)
+            WHEN 2 THEN 'FlateDecode'
+            ELSE 'JBIG2Decode' END,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 24 ELSE 16 END AS BIGINT),
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 16 ELSE 8 END AS BIGINT),
+       CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN 1 ELSE 8 END AS BIGINT),
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 1 END AS BIGINT),
+       CAST(CASE CAST(doc_id % 4 AS INTEGER)
             WHEN 0 THEN 2 * (doc_id % 113) * 1152
             WHEN 1 THEN 255 * 16 * (8 - ((doc_id % 7) + 1))
-            ELSE k * 128 END AS BIGINT)
+            WHEN 2 THEN k * 128
+            ELSE 255 * 16 * (8 - ((doc_id % 7) + 1)) END AS BIGINT)
 FROM d
 """,
     tags=("llm", "multimodal", "pdf", "image", "curation", "pandas-udf"),
@@ -4110,17 +4112,29 @@ def q_crawl_pdf_images(spark: SparkSession, sf: str) -> DataFrame:
                     {"kind": "inline_gray",
                      "array": np.full((4, 4), (k + 7) % 256, np.uint8)},
                 ]
-                if did % 3 == 0:
+                if did % 4 == 0:
                     kj = 2 * (did % 113)
                     page1 = [{"kind": "jpeg", "quality": 50,
                               "array": np.full((16, 24, 3), kj, np.uint8)}]
-                elif did % 3 == 1:
+                elif did % 4 == 1:
                     bits = np.zeros((8, 16), np.uint8)
                     bits[: (did % 7) + 1] = 1
                     page1 = [{"kind": "g4", "bits": bits}]
-                else:
+                elif did % 4 == 2:
                     page1 = [{"kind": "gray_pred",
                               "array": np.full((8, 16), k, np.uint8)}]
+                else:
+                    # JBIG2 generic region (r15): sub-rotate the MQ
+                    # templates, typical prediction, and the MMR route
+                    bits = np.zeros((8, 16), np.uint8)
+                    bits[: (did % 7) + 1] = 1
+                    jkw = (
+                        {"template": 0},
+                        {"template": 2, "tpgdon": True},
+                        {"mmr": True},
+                        {"template": 1, "tpgdon": True},
+                    )[(did // 4) % 4]
+                    page1 = [dict({"kind": "jbig2", "bits": bits}, **jkw)]
                 enc = (
                     rawpdf.encode_pdf if did % 2 == 0
                     else rawpdf.encode_pdf_modern
