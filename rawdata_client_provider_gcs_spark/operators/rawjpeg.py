@@ -519,6 +519,95 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_cmyk(
+    arr: np.ndarray, quality: int = 75, transform: int = 2
+) -> bytes:
+    """Encode an (H, W, 4) uint8 CMYK *ink-value* array as a
+    4-component Adobe JPEG (4:4:4), storing all channels inverted per
+    the Adobe print convention: ``transform=2`` (YCCK — the YCbCr
+    transform applied to the inverted CMY) or ``transform=0``
+    (inverted CMYK, no transform).  Emits the APP14 marker the decoder
+    requires."""
+    if arr.ndim != 3 or arr.shape[2] != 4 or arr.dtype != np.uint8:
+        raise ValueError("expected an (H, W, 4) uint8 CMYK array")
+    if transform not in (0, 2):
+        raise ValueError("Adobe 4-component transform must be 0 or 2")
+    h, w = arr.shape[:2]
+    inv = 255.0 - arr[:, :, :3].astype(np.float64)  # stored CMY
+    sk = 255.0 - arr[:, :, 3].astype(np.float64)    # stored K
+    if transform == 2:
+        r, g, b = inv[:, :, 0], inv[:, :, 1], inv[:, :, 2]
+        p0 = 0.299 * r + 0.587 * g + 0.114 * b
+        p1 = -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0
+        p2 = 0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0
+    else:
+        p0, p1, p2 = inv[:, :, 0], inv[:, :, 1], inv[:, :, 2]
+    planes = [p0, p1, p2, sk]
+    ql, qc = _quality_tables(quality)
+    # YCCK: chroma table for Cb/Cr; inverted CMYK: luma table for all
+    # four ink planes (they are full-bandwidth samples, not chroma)
+    luma_comps = (0, 3) if transform == 2 else (0, 1, 2, 3)
+    ph, pw = -h % 8, -w % 8
+    zz_grids = []
+    for ci, plane in enumerate(planes):
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+        q = ql if ci in luma_comps else qc
+        nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+        coef = _DCT @ (_blocks_of(plane) - 128.0) @ _DCT.T
+        scaled = coef / q
+        quant = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)) \
+            .astype(np.int32)
+        zz_grids.append(quant.reshape(nby, nbx, 64)[:, :, _ZIGZAG])
+    dc_l = _build_codes(*_DC_LUMA_SPEC)
+    dc_c = _build_codes(*_DC_CHROMA_SPEC)
+    ac = _build_codes(*_AC_SPEC)
+    writer = _BitWriter()
+    pred = [0, 0, 0, 0]
+    mcus_y, mcus_x = zz_grids[0].shape[0], zz_grids[0].shape[1]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(4):
+                _encode_block(
+                    writer, zz_grids[ci][my, mx], pred, ci,
+                    dc_l if ci in luma_comps else dc_c, ac,
+                )
+    scan = bytes(writer.flush())
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tclass: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        return bytes([tclass << 4 | tid]) + bytes(bits) + bytes(vals)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(
+        0xFFEE,
+        b"Adobe" + struct.pack(">HHHB", 0x64, 0, 0, transform),
+    )
+    out += seg(0xFFDB, b"\x00"
+               + bytes(ql.reshape(64)[_ZIGZAG].astype(np.uint8)))
+    out += seg(0xFFDB, b"\x01"
+               + bytes(qc.reshape(64)[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 4)
+    for ci, cid in enumerate((1, 2, 3, 4)):
+        sof += bytes([cid, 0x11, 0 if ci in luma_comps else 1])
+    out += seg(0xFFC0, sof)
+    out += seg(
+        0xFFC4,
+        dht(0, 0, _DC_LUMA_SPEC) + dht(1, 0, _AC_SPEC)
+        + dht(0, 1, _DC_CHROMA_SPEC) + dht(1, 1, _AC_SPEC),
+    )
+    sos = bytearray([4])
+    for ci, cid in enumerate((1, 2, 3, 4)):
+        t = 0x00 if ci in luma_comps else 0x11
+        sos += bytes([cid, t])
+    out += seg(0xFFDA, bytes(sos) + bytes([0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ---------------------------------------------------------------- decoder
 
 
@@ -613,6 +702,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     frame = None  # (h, w, components) where component = (cid, hs, vs, tq)
     restart_interval = 0
     scan_info = None
+    adobe_transform = None
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
@@ -651,10 +741,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             prec, fh, fw, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3, 4):
                 # 2-component streams are malformed; 4-component
-                # (Adobe CMYK/YCCK) would silently misdecode as YCbCr —
-                # a loud error beats a silent misdecode
+                # Adobe CMYK/YCCK decodes via the APP14 transform (r15)
                 raise ValueError(
                     f"unsupported JPEG component count {ncomp}"
                 )
@@ -684,6 +773,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[:2], "big")
+        elif marker == 0xEE:  # APP14 (Adobe color-transform marker)
+            if body[:5] == b"Adobe":
+                if len(body) < 12:
+                    raise ValueError("malformed Adobe APP14 segment")
+                adobe_transform = body[11]
+                if adobe_transform not in (0, 1, 2):
+                    raise ValueError(
+                        f"unknown Adobe APP14 transform {adobe_transform}"
+                    )
         elif marker == 0xDA:  # SOS — entropy data follows
             if not body:
                 raise ValueError("truncated JPEG SOS header")
@@ -820,6 +918,35 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if len(planes) == 1:
         y = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
         return np.repeat(y[:, :, None], 3, axis=2)
+    if len(planes) == 4:
+        # Adobe print JPEG: all four channels are stored INVERTED
+        # (0 = full ink); YCCK applies the YCbCr transform to the
+        # inverted CMY.  A 4-component stream without the APP14
+        # transform is ambiguous — loud beats a silent misdecode.
+        if adobe_transform is None:
+            raise ValueError(
+                "4-component JPEG without an Adobe APP14 transform"
+            )
+        if adobe_transform == 2:  # YCCK
+            y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+            sc = y + 1.402 * cr
+            sm = y - 0.344136286 * cb - 0.714136286 * cr
+            sy = y + 1.772 * cb
+        elif adobe_transform == 0:  # inverted CMYK, no transform
+            sc, sm, sy = planes[0], planes[1], planes[2]
+        else:
+            raise ValueError(
+                "Adobe APP14 transform 1 (YCbCr) with 4 components"
+            )
+        sk = np.clip(planes[3], 0.0, 255.0)
+        rgb = np.stack([np.clip(sc, 0.0, 255.0) * sk,
+                        np.clip(sm, 0.0, 255.0) * sk,
+                        np.clip(sy, 0.0, 255.0) * sk], axis=2) / 255.0
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    if adobe_transform == 0:
+        # Adobe transform 0 with three components: plain RGB planes
+        rgb = np.stack(planes, axis=2)
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
     r = y + 1.402 * cr
     g = y - 0.344136286 * cb - 0.714136286 * cr

@@ -1891,21 +1891,30 @@ def q_multimodal_image_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 @register(
     "q_multimodal_jpeg",
     oracle="""
-SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CAST((2*(doc_id % 113)) // 32 AS BIGINT) AS luma_bucket,
-       CAST(2*(doc_id % 113) AS BIGINT) AS mean_pixel,
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CASE WHEN doc_id % 4 IN (2, 3)
+              THEN CAST(round(2*(doc_id % 113) * 254 / 255.0) AS BIGINT)
+              ELSE CAST(2*(doc_id % 113) AS BIGINT) END AS px
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(px // 32 AS BIGINT) AS luma_bucket,
+       px AS mean_pixel,
        CAST(24 AS BIGINT) AS width,
        CAST(16 AS BIGINT) AS height,
        CAST(59 AS BIGINT) AS thumb_bytes
-FROM documents WHERE doc_id < 300
+FROM d
 """,
     tags=("llm", "multimodal", "image", "jpeg", "pandas-udf"),
 )
 def q_multimodal_jpeg(spark: SparkSession, sf: str) -> DataFrame:
     """REAL JPEG encode → decode → resize, oracle-checked exactly.
 
-    One 24×16 constant-gray JPEG per document at quality 50 — 4:4:4 for
-    even doc_ids, 4:2:0 (2×2 box-mean chroma) for odd ones — produced
+    One 24×16 constant-gray JPEG per document at quality 50 — rotating
+    4:4:4, 4:2:0 (2×2 box-mean chroma), Adobe YCCK and Adobe inverted
+    CMYK (r15: 4-component print JPEGs through the APP14 transform,
+    equal-ink gray so the DC coefficients stay exact) — produced
     and decoded by the pure-numpy baseline codec
     (:mod:`..operators.rawjpeg`: forward/inverse DCT, canonical Huffman,
     byte stuffing).  The pixel value ``k = 2·(doc_id % 113)`` is even,
@@ -1934,14 +1943,29 @@ def q_multimodal_jpeg(spark: SparkSession, sf: str) -> DataFrame:
             payloads = []
             for did in pdf["doc_id"]:
                 k = 2 * (int(did) % 113)
-                img = np.full((16, 24, 3), k, dtype=np.uint8)
-                payloads.append(
-                    rawjpeg.encode_jpeg(
-                        img,
-                        quality=50,
-                        subsampling="4:4:4" if int(did) % 2 == 0 else "4:2:0",
+                v = int(did) % 4
+                if v < 2:
+                    img = np.full((16, 24, 3), k, dtype=np.uint8)
+                    payloads.append(
+                        rawjpeg.encode_jpeg(
+                            img,
+                            quality=50,
+                            subsampling="4:4:4" if v == 0 else "4:2:0",
+                        )
                     )
-                )
+                else:
+                    # Adobe 4-component print JPEG (r15): equal-ink CMY
+                    # (stored value k, even → exact DC), K ink 1
+                    # (stored 254); YCCK for v=2, inverted CMYK for v=3
+                    ink = np.empty((16, 24, 4), dtype=np.uint8)
+                    ink[..., :3] = 255 - k
+                    ink[..., 3] = 1
+                    payloads.append(
+                        rawjpeg.encode_jpeg_cmyk(
+                            ink, quality=50,
+                            transform=2 if v == 2 else 0,
+                        )
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "img": payloads})
 
     imgs = d.mapInPandas(make, "doc_id long, img binary")

@@ -594,3 +594,105 @@ def test_http_chunked_transfer_encoding():
         W.split_http_response(
             b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nx"
         )
+
+
+# ---------------------------------------------------------------------------
+# Adobe 4-component CMYK/YCCK JPEG (r15)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_cmyk_ycck_constant_exact():
+    """Equal-ink gray CMYK round-trips bit-exactly at quality 50
+    through both APP14 transforms (stored channels even → exact DC)."""
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawjpeg as J
+
+    for transform in (2, 0):
+        for k in (0, 6, 116, 200, 254):
+            ink = np.empty((16, 24, 4), np.uint8)
+            ink[..., :3] = 255 - k
+            ink[..., 3] = 1  # stored K = 254
+            blob = J.encode_jpeg_cmyk(ink, quality=50,
+                                      transform=transform)
+            rgb = J.decode_jpeg(blob)
+            assert rgb.shape == (16, 24, 3)
+            assert (rgb == round(k * 254 / 255)).all(), (transform, k)
+
+
+def test_jpeg_cmyk_lossy_psnr():
+    """Random ink at quality 95 stays close to the reference
+    inverted-multiply conversion (both transforms)."""
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawjpeg as J
+
+    rs = np.random.RandomState(5)
+    ink = rs.randint(0, 256, (24, 32, 4)).astype(np.uint8)
+    sc = 255.0 - ink[..., :3]
+    sk = 255.0 - ink[..., 3:4].astype(float)
+    expect = np.clip(np.rint(sc * sk / 255.0), 0, 255)
+    for transform in (2, 0):
+        rgb = J.decode_jpeg(J.encode_jpeg_cmyk(ink, quality=95,
+                                               transform=transform))
+        mse = float(((rgb.astype(float) - expect) ** 2).mean())
+        psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-9))
+        assert psnr > 30, (transform, psnr)
+
+
+def test_jpeg_app14_malformed_is_loud():
+    import numpy as np
+    import pytest
+
+    from rawdata_client_provider_gcs_spark.operators import rawjpeg as J
+
+    ink = np.full((8, 8, 4), 100, np.uint8)
+    blob = J.encode_jpeg_cmyk(ink)
+    i = blob.find(b"Adobe")
+    # unknown transform byte
+    bad = blob[: i + 11] + b"\x07" + blob[i + 12 :]
+    with pytest.raises(ValueError, match="transform 7"):
+        J.decode_jpeg(bad)
+    # 4 components with no APP14 at all: ambiguous, loud
+    stripped = blob[: i - 4] + blob[i + 12 :]
+    with pytest.raises(ValueError, match="without an Adobe"):
+        J.decode_jpeg(stripped)
+    # transform 1 (YCbCr) is a 3-component transform
+    bad = blob[: i + 11] + b"\x01" + blob[i + 12 :]
+    with pytest.raises(ValueError, match="transform 1"):
+        J.decode_jpeg(bad)
+    # truncated Adobe segment body
+    trunc = bytearray(blob)
+    trunc[i - 2 : i] = (8).to_bytes(2, "big")  # lies: segment len 8
+    with pytest.raises(ValueError):
+        J.decode_jpeg(bytes(trunc))
+    # encoder input validation
+    with pytest.raises(ValueError, match="CMYK"):
+        J.encode_jpeg_cmyk(np.zeros((4, 4, 3), np.uint8))
+    with pytest.raises(ValueError, match="0 or 2"):
+        J.encode_jpeg_cmyk(ink, transform=1)
+
+
+def test_jpeg_adobe_rgb_transform0_three_components():
+    """APP14 transform 0 on a 3-component stream means plain RGB
+    planes (no YCbCr undo)."""
+    import struct as _s
+
+    import numpy as np
+
+    from rawdata_client_provider_gcs_spark.operators import rawjpeg as J
+
+    img = np.full((8, 8, 3), 120, np.uint8)
+    blob = J.encode_jpeg(img, quality=50)
+    # graft an Adobe transform-0 marker right after SOI: the planes
+    # were YCbCr-encoded, so an RGB read must NOT match the YCbCr read
+    app14 = _s.pack(">HH", 0xFFEE, 14) + b"Adobe" \
+        + _s.pack(">HHHB", 0x64, 0, 0, 0)
+    grafted = blob[:2] + app14 + blob[2:]
+    as_rgb = J.decode_jpeg(grafted)
+    as_ycc = J.decode_jpeg(blob)
+    assert (as_ycc == 120).all()
+    # constant gray: Y=120, Cb=Cr=128 -> RGB read gives (120,128,128)
+    assert (as_rgb[..., 0] == 120).all()
+    assert (as_rgb[..., 1] == 128).all()
+    assert (as_rgb[..., 2] == 128).all()
