@@ -1,18 +1,24 @@
-"""VP9 keyframe uncompressed header — VP9 Bitstream Specification §6.2.
+"""VP9 — keyframe header census AND keyframe intra decoding (r15).
 
-The uncompressed frame header carries the codec-authoritative
-dimensions for WebM ``V_VP9`` tracks: frame marker, profile bits,
-sync code ``0x49 0x83 0x42``, color config, and the 16-bit minus-one
-frame/render sizes — all fixed-width reads, zero entropy tables, the
-same honest tier as the H.264/HEVC SPS and AV1 sequence-header
-parsers.  Inter-frame reconstruction (the compressed header's
-boolean-coded probabilities and beyond) stays the documented
-per-row boundary.
+Census tier: :func:`parse_keyframe_header` reads the uncompressed
+frame header (frame marker, profile bits, sync code ``0x49 0x83
+0x42``, color config, 16-bit minus-one sizes — VP9 Bitstream
+Specification §6.2), the codec-authoritative dimensions for WebM
+``V_VP9`` tracks.
 
-Entry point: :func:`parse_keyframe_header` over the first bytes of a
-VP9 keyframe (a WebM SimpleBlock payload).  The container walker
-(:mod:`.rawwebm`) calls it for the first keyframe of a ``V_VP9``
-track.
+Decode tier (r15): :func:`decode_keyframe` reconstructs profile-0
+4:2:0 keyframe PIXELS — boolean-decoded compressed header, recursive
+superblock partition walk with spec context arithmetic, keyframe
+Y/UV mode coding (incl. sub-8x8 prediction units), all ten intra
+predictors, coefficient token decoding, and the inverse WHT
+(lossless) / 4x4 DCT with mathematically derived cospi constants.
+:func:`build_keyframe` is the exact dual; LOSSLESS fixture streams
+reproduce arbitrary input planes bit-for-bit through the decoder.
+Provenance tiers and the synthetic-default-probability conformance
+bound are documented at the decode section header below — real-world
+V_VP9 keyframes remain the per-row boundary until the spec's printed
+probability tables are externally checked, the blocker class the
+round-14 verdict's ask #5 names.  Inter frames stay out of scope.
 
 Reference behavioral parity: the reference transport stores opaque
 named byte arrays per message (RawdataMessage.java:15-60); media
@@ -149,3 +155,1223 @@ def build_keyframe_header(
     else:
         w.u(0, 1)
     return w.bytes(stop_bit=False) + b"\x00" * 8
+
+
+# ===========================================================================
+# Keyframe intra decoding (r15)
+# ===========================================================================
+#
+# Scope and provenance tiers (the BZZ discipline, sources/bzz.py):
+#
+# - REAL (conformance-grade, derivable or high-confidence spec
+#   structure): the boolean arithmetic coder (identical to VP8's
+#   RFC 6386 coder, reused from .rawvp8 with VP9's leading marker
+#   bit), the uncompressed-header syntax, superblock partition
+#   semantics and context arithmetic, the intra predictors (all ten
+#   modes, exact spec arithmetic incl. 127/129 unavailable-edge
+#   fills), the inverse WHT (lossless) and the inverse DCT butterflies
+#   whose cospi constants are DERIVED (round(16384·cos(kπ/64))), the
+#   token categories and their extra-bit probabilities (inherited
+#   verbatim from VP8), and 4:2:0 plane reconstruction.
+# - SYNTHETIC, marked (the spec's large printed default-probability
+#   tables could not be recalled to transcription confidence offline):
+#   kf Y/UV mode probabilities, partition probabilities, skip
+#   probabilities, coefficient probabilities + band maps + scan
+#   orders + the pareto extension table, and the dc/ac qlookup
+#   curves.  Encoder and decoder share them, so in-repo fixture
+#   streams decode VALUE-EXACTLY (lossless mode reproduces arbitrary
+#   input pixels bit-for-bit); REAL-WORLD WebM V_VP9 keyframes remain
+#   the documented per-row boundary until those tables are
+#   spec-checked externally — exactly the blocker class the round-14
+#   verdict's ask #5 names.
+#
+# Out of scope, loud: inter frames, profiles 1-3, 10/12-bit,
+# segmentation, multiple tiles, TX_MODE_SELECT, in-stream probability
+# updates, the in-loop filter (fixtures code filter level 0).
+
+import numpy as np
+
+from .rawvp8 import BoolDecoder, BoolEncoder
+
+# ---------------------------------------------------------------- tables
+
+#: intra prediction modes
+(DC_PRED, V_PRED, H_PRED, D45_PRED, D135_PRED, D117_PRED, D153_PRED,
+ D207_PRED, D63_PRED, TM_PRED) = range(10)
+
+#: intra-mode tree (spec shape, medium confidence; shared both sides)
+_MODE_TREE = [
+    -DC_PRED, 2, -TM_PRED, 4, -V_PRED, 6, 8, 12, -H_PRED, 10,
+    -D135_PRED, -D117_PRED, -D45_PRED, 14, -D63_PRED, 16,
+    -D153_PRED, -D207_PRED,
+]
+
+#: partition tree: NONE / HORZ / VERT / SPLIT
+_PARTITION_TREE = [-0, 2, -1, 4, -2, -3]
+
+# --- SYNTHETIC probability tables (see provenance header) ----------------
+_KF_Y_MODE_PROBS = [
+    [[137, 30, 42, 148, 151, 207, 70, 52, 91]] * 10 for _ in range(10)
+]
+_KF_UV_MODE_PROBS = [[120, 7, 76, 176, 208, 126, 28, 54, 103]] * 10
+_PARTITION_PROBS = [
+    [158, 97, 94], [93, 24, 99], [85, 119, 36], [34, 36, 34],
+    [150, 40, 39], [78, 12, 26], [67, 33, 11], [24, 7, 5],
+    [174, 35, 49], [68, 11, 27], [57, 15, 9], [12, 3, 3],
+    [140, 23, 18], [12, 30, 10], [52, 10, 27], [1, 1, 1],
+]
+_SKIP_PROBS = [192, 128, 64]
+
+
+def _synth_coef_probs(band: int, ctx: int) -> tuple:
+    """(more, not-zero, not-one) probabilities — a smooth synthetic
+    field over (band, ctx) standing in for the spec's printed
+    defaults."""
+    more = max(16, 224 - 34 * band - 10 * ctx)
+    nz = max(24, 160 - 20 * band - 16 * ctx)
+    none = max(32, 150 - 12 * band - 8 * ctx)
+    return (more, nz, none)
+
+
+def _synth_pareto(p: int) -> list:
+    """8 probabilities for the >ONE token extension, keyed off the
+    not-one probability the way the spec's pareto table is."""
+    return [max(1, min(255, (p * w) >> 8)) for w in
+            (230, 200, 170, 150, 140, 135, 130, 128)]
+
+
+def _zigzag_scan(n: int) -> list:
+    """Classic zigzag over an n×n block (synthetic stand-in for the
+    spec's printed scan tables; shared by encoder and decoder)."""
+    order = sorted(range(n * n),
+                   key=lambda i: (i // n + i % n,
+                                  (i // n) if ((i // n + i % n) & 1)
+                                  else (i % n)))
+    return order
+
+
+_SCAN = {4: _zigzag_scan(4), 8: _zigzag_scan(8), 16: _zigzag_scan(16),
+         32: _zigzag_scan(32)}
+
+
+def _band_of(pos_in_scan: int) -> int:
+    """Synthetic coefficient-band map (6 bands)."""
+    return min(5, (0, 1, 2, 2, 3, 3, 3, 3)[pos_in_scan]
+               if pos_in_scan < 8 else (4 if pos_in_scan < 16 else 5))
+
+
+def _qlookup(idx: int) -> tuple:
+    """Synthetic (dc, ac) dequantizer curve; index 0 is the spec's
+    lossless point (handled separately via the WHT)."""
+    idx = max(0, min(255, idx))
+    ac = 4 + idx * 5
+    dc = max(4, (ac * 9) // 10)
+    return dc, ac
+
+#: token categories: (base value, number of extra bits).  The extra-bit
+#: probabilities are VP8's Pcat constants, inherited by VP9 (REAL tier).
+_CAT_PROBS = (
+    (159,),
+    (165, 145),
+    (173, 148, 140),
+    (176, 155, 140, 135),
+    (180, 157, 141, 134, 130),
+    (254, 254, 254, 252, 249, 243, 230, 196, 177, 153, 140, 133, 130,
+     129),
+)
+_CAT_BASE = (5, 7, 11, 19, 35, 67)
+
+# ---------------------------------------------------------------- blocks
+
+#: block sizes by index: (width, height) in pixels
+_BLOCK_SIZES = [
+    (4, 4), (4, 8), (8, 4), (8, 8), (8, 16), (16, 8), (16, 16),
+    (16, 32), (32, 16), (32, 32), (32, 64), (64, 32), (64, 64),
+]
+_BS_8X8, _BS_64X64 = 3, 12
+
+
+def _bs_index(w: int, h: int) -> int:
+    return _BLOCK_SIZES.index((w, h))
+
+
+def _subsize(bsize: int, partition: int) -> int:
+    w, h = _BLOCK_SIZES[bsize]
+    if partition == 0:
+        return bsize
+    if partition == 1:  # HORZ
+        return _bs_index(w, h // 2)
+    if partition == 2:  # VERT
+        return _bs_index(w // 2, h)
+    return _bs_index(w // 2, h // 2)
+
+
+# ---------------------------------------------------------------- DCT/WHT
+
+
+def _dct_round(x):
+    return (x + (1 << 13)) >> 14  # DCT_CONST_BITS = 14
+
+
+def _cospi(k: int) -> int:
+    """round(16384 · cos(kπ/64)) — the VP9 transform constants,
+    mathematically derived rather than transcribed."""
+    import math
+
+    return int(round(16384 * math.cos(k * math.pi / 64)))
+
+
+def _iwht4_1d(a1, c1, d1, b1):
+    a1 = a1 + c1
+    d1 = d1 - b1
+    e1 = (a1 - d1) >> 1
+    b1 = e1 - b1
+    c1 = e1 - c1
+    a1 = a1 - b1
+    d1 = d1 + c1
+    return a1, b1, c1, d1
+
+
+def iwht4x4(coeff: np.ndarray) -> np.ndarray:
+    """VP9 lossless inverse Walsh-Hadamard (iwht4x4_16): input int32
+    (4,4) coefficients (forward output is pre-scaled ×4), output (4,4)
+    int32 residual."""
+    ip = coeff.astype(np.int64)
+    tmp = np.empty((4, 4), np.int64)
+    for i in range(4):  # rows, inputs pre-shifted >> 2
+        a, b, c, d = _iwht4_1d(ip[i, 0] >> 2, ip[i, 1] >> 2,
+                               ip[i, 2] >> 2, ip[i, 3] >> 2)
+        tmp[i] = (a, b, c, d)
+    out = np.empty((4, 4), np.int64)
+    for j in range(4):  # columns, no shift
+        a, b, c, d = _iwht4_1d(tmp[0, j], tmp[1, j], tmp[2, j],
+                               tmp[3, j])
+        out[:, j] = (a, b, c, d)
+    return out.astype(np.int32)
+
+
+def fwht4x4(residual: np.ndarray) -> np.ndarray:
+    """Forward WHT (vp9 fwht4x4 shape): exact integer dual of
+    :func:`iwht4x4` — round-trip identity is pinned by tests."""
+    ip = residual.astype(np.int64)
+    tmp = np.empty((4, 4), np.int64)
+    for j in range(4):  # columns first
+        a1, b1, c1, d1 = ip[0, j], ip[1, j], ip[2, j], ip[3, j]
+        a1 += b1
+        d1 = d1 - c1
+        e1 = (a1 - d1) >> 1
+        b1 = e1 - b1
+        c1 = e1 - c1
+        a1 -= c1
+        d1 += b1
+        tmp[0, j], tmp[1, j], tmp[2, j], tmp[3, j] = a1, c1, d1, b1
+    out = np.empty((4, 4), np.int64)
+    for i in range(4):  # rows
+        a1, b1, c1, d1 = tmp[i, 0], tmp[i, 1], tmp[i, 2], tmp[i, 3]
+        a1 += b1
+        d1 = d1 - c1
+        e1 = (a1 - d1) >> 1
+        b1 = e1 - b1
+        c1 = e1 - c1
+        a1 -= c1
+        d1 += b1
+        out[i] = (a1 << 2, (c1) << 2, (d1) << 2, (b1) << 2)
+    return out.astype(np.int32)
+
+
+def idct4_1d(i0, i1, i2, i3):
+    """VP9 idct4 butterfly (cospi constants derived)."""
+    c16, c8, c24 = _cospi(16), _cospi(8), _cospi(24)
+    s0 = _dct_round((i0 + i2) * c16)
+    s1 = _dct_round((i0 - i2) * c16)
+    s2 = _dct_round(i1 * c24 - i3 * c8)
+    s3 = _dct_round(i1 * c8 + i3 * c24)
+    return s0 + s3, s1 + s2, s1 - s2, s0 - s3
+
+
+def idct4x4(coeff: np.ndarray) -> np.ndarray:
+    """vp9 idct4x4_16: rows then columns, final (x+8)>>4."""
+    ip = coeff.astype(np.int64)
+    tmp = np.empty((4, 4), np.int64)
+    for i in range(4):
+        tmp[i] = idct4_1d(*ip[i])
+    out = np.empty((4, 4), np.int64)
+    for j in range(4):
+        col = idct4_1d(*tmp[:, j])
+        out[:, j] = [(x + 8) >> 4 for x in col]
+    return out.astype(np.int32)
+
+
+# ---------------------------------------------------------------- intra
+
+def _avg2(a, b):
+    return (int(a) + int(b) + 1) >> 1
+
+
+def _avg3(a, b, c):
+    return (int(a) + 2 * int(b) + int(c) + 2) >> 2
+
+
+def predict_intra(mode: int, bs: int, above: np.ndarray | None,
+                  left: np.ndarray | None, corner: int) -> np.ndarray:
+    """One bs×bs intra prediction (spec §8.5.2 arithmetic; libvpx
+    reference loops for the directional fills).  ``above`` carries
+    2·bs samples (above-right replicated by the caller when
+    unavailable); ``None`` edges apply the 127/129/dc-128 rules."""
+    have_above = above is not None
+    have_left = left is not None
+    if mode == DC_PRED:
+        if have_above and have_left:
+            s = int(above[:bs].sum()) + int(left.sum())
+            dc = (s + bs) >> (bs.bit_length())  # (s + bs) / (2 bs)
+        elif have_above:
+            dc = (int(above[:bs].sum()) + (bs >> 1)) >> (bs.bit_length() - 1)
+        elif have_left:
+            dc = (int(left.sum()) + (bs >> 1)) >> (bs.bit_length() - 1)
+        else:
+            dc = 128
+        return np.full((bs, bs), dc, np.int32)
+    if above is None:
+        above = np.full(2 * bs, 127, np.int32)
+        corner = 127
+    if left is None:
+        left = np.full(bs, 129, np.int32)
+        corner = 127 if not have_above else corner
+    above = above.astype(np.int32)
+    left = left.astype(np.int32)
+    out = np.empty((bs, bs), np.int32)
+    if mode == V_PRED:
+        out[:] = above[:bs]
+    elif mode == H_PRED:
+        out[:] = left[:, None]
+    elif mode == TM_PRED:
+        out[:] = np.clip(left[:, None] + above[None, :bs] - corner,
+                         0, 255)
+    elif mode == D45_PRED:
+        for r in range(bs):
+            for c in range(bs):
+                if r + c + 2 < 2 * bs:
+                    out[r, c] = _avg3(above[r + c], above[r + c + 1],
+                                      above[r + c + 2])
+                else:
+                    out[r, c] = above[2 * bs - 1]
+    elif mode == D135_PRED:
+        # az[i]: i<0 -> left[-i-1], 0 -> corner, >0 -> above[i-1]
+        def az(i):
+            return left[-i - 1] if i < 0 else (corner if i == 0
+                                               else above[i - 1])
+        for r in range(bs):
+            for c in range(bs):
+                d = c - r
+                out[r, c] = _avg3(az(d - 1), az(d), az(d + 1))
+    elif mode == D117_PRED:
+        def az(i):
+            return left[-i - 1] if i < 0 else (corner if i == 0
+                                               else above[i - 1])
+        for c in range(bs):
+            out[0, c] = _avg2(az(c), az(c + 1))
+            out[1, c] = _avg3(az(c - 1), az(c), az(c + 1))
+        for r in range(2, bs):
+            out[r, 0] = _avg3(az(2 - r), az(1 - r), az(-r))
+            for c in range(1, bs):
+                out[r, c] = out[r - 2, c - 1]
+    elif mode == D153_PRED:
+        def az(i):
+            return left[-i - 1] if i < 0 else (corner if i == 0
+                                               else above[i - 1])
+        for r in range(bs):
+            out[r, 0] = _avg2(az(-r), az(-r - 1))
+            out[r, 1] = _avg3(az(1 - r), az(-r), az(-r - 1))
+        for c in range(2, bs):
+            out[0, c] = _avg3(az(c - 1), az(c), az(c + 1))
+        for r in range(1, bs):
+            for c in range(2, bs):
+                out[r, c] = out[r - 1, c - 2]
+    elif mode == D207_PRED:
+        for r in range(bs):
+            out[r, 0] = (_avg2(left[r], left[r + 1]) if r < bs - 1
+                         else left[bs - 1])
+            if r < bs - 2:
+                out[r, 1] = _avg3(left[r], left[r + 1], left[r + 2])
+            elif r == bs - 2:
+                out[r, 1] = _avg3(left[bs - 2], left[bs - 1],
+                                  left[bs - 1])
+            else:
+                out[r, 1] = left[bs - 1]
+        out[bs - 1, 2:] = left[bs - 1]
+        for r in range(bs - 2, -1, -1):
+            for c in range(2, bs):
+                out[r, c] = out[r + 1, c - 2]
+    elif mode == D63_PRED:
+        for r in range(bs):
+            half = r >> 1
+            for c in range(bs):
+                if r & 1:
+                    out[r, c] = _avg3(above[half + c], above[half + c + 1],
+                                      above[half + c + 2])
+                else:
+                    out[r, c] = _avg2(above[half + c], above[half + c + 1])
+    else:
+        raise ValueError(f"vp9: unknown intra mode {mode}")
+    return out
+
+
+# ---------------------------------------------------------------- frame
+
+MAX_FRAME_PIXELS = 16 << 20
+
+
+def _read_full_header(data: bytes) -> dict:
+    """Uncompressed keyframe header INCLUDING the loop-filter, quant,
+    segmentation and tile fields the reconstruction needs (§6.2);
+    adds the byte offset of the compressed header."""
+    hdr = parse_keyframe_header(data)  # validates marker/sync/profile
+    if hdr["profile"] != 0:
+        raise ValueError("vp9: only profile 0 decodes to pixels")
+    b = _Bits(data)
+    b.u(2)  # frame marker
+    b.u(2)  # profile bits (profile 0: no reserved bit)
+    b.u(1)  # show_existing
+    b.u(2)  # frame_type, show_frame
+    err_res = b.u(1)
+    b.u(24)  # sync
+    b.u(3)  # color space
+    b.u(1)  # color range
+    b.u(32)  # frame size
+    if b.u(1):
+        b.u(32)  # render size
+    if not err_res:
+        b.u(1)  # refresh_frame_context
+        b.u(1)  # frame_parallel_decoding_mode
+    b.u(2)  # frame_context_idx
+    # loop filter
+    filter_level = b.u(6)
+    b.u(3)  # sharpness
+    if b.u(1):  # mode_ref_delta_enabled
+        if b.u(1):  # update
+            for _ in range(4 + 2):
+                if b.u(1):
+                    b.u(7)  # 6-bit magnitude + sign
+    if filter_level != 0:
+        raise ValueError(
+            "vp9: in-loop filter outside the decode subset "
+            "(fixtures code filter level 0)"
+        )
+    # quantization
+    base_q = b.u(8)
+
+    def read_delta():
+        if b.u(1):
+            mag = b.u(4)
+            return -mag if b.u(1) else mag
+        return 0
+
+    dq_y_dc = read_delta()
+    dq_uv_dc = read_delta()
+    dq_uv_ac = read_delta()
+    lossless = base_q == 0 and dq_y_dc == 0 and dq_uv_dc == 0 \
+        and dq_uv_ac == 0
+    # segmentation
+    if b.u(1):
+        raise ValueError("vp9: segmentation outside the decode subset")
+    # tile info (spec 64/4-wide superblock bounds)
+    mi_cols = (hdr["width"] + 7) >> 3
+    sb_cols = (mi_cols + 7) >> 3
+    min_log2 = 0
+    while (sb_cols >> min_log2) > 64:
+        min_log2 += 1
+    max_log2 = 0
+    while (sb_cols >> (max_log2 + 1)) >= 4:
+        max_log2 += 1
+    tile_cols_log2 = min_log2
+    while tile_cols_log2 < max_log2:
+        if b.u(1):
+            tile_cols_log2 += 1
+        else:
+            break
+    tile_rows_log2 = b.u(1)
+    if tile_rows_log2:
+        tile_rows_log2 += b.u(1)
+    if tile_cols_log2 or tile_rows_log2:
+        raise ValueError("vp9: multiple tiles outside the decode subset")
+    header_size = b.u(16)
+    if header_size == 0:
+        raise ValueError("vp9: empty compressed header")
+    comp_off = (b.pos + 7) >> 3  # byte alignment
+    if comp_off + header_size > len(data):
+        raise ValueError("vp9: compressed header past end of frame")
+    return dict(
+        hdr,
+        lossless=lossless,
+        base_q=base_q,
+        dq_y_dc=dq_y_dc,
+        dq_uv_dc=dq_uv_dc,
+        dq_uv_ac=dq_uv_ac,
+        header_size=header_size,
+        compressed_offset=comp_off,
+    )
+
+
+def _bool_dec(data: bytes) -> BoolDecoder:
+    d = BoolDecoder(data)
+    if d.decode(128):
+        raise ValueError("vp9: bool-decoder marker bit set")
+    return d
+
+
+class _BoolEnc(BoolEncoder):
+    def __init__(self):
+        super().__init__()
+        self.encode(0, 128)  # marker bit
+
+
+def _w8(bsize: int) -> int:
+    return max(1, _BLOCK_SIZES[bsize][0] >> 3)
+
+
+def _h8(bsize: int) -> int:
+    return max(1, _BLOCK_SIZES[bsize][1] >> 3)
+
+
+def _part_ctx_value(bsize: int) -> int:
+    """(0xF << mi_size_log2) & 0xF — clears the low bits the block
+    covers (derived semantics of the partition-context lookup)."""
+    k = (_BLOCK_SIZES[bsize][0].bit_length() - 4)  # 8->0,16->1,32->2,64->3
+    return (0xF << max(0, k)) & 0xF
+
+
+class _Frame:
+    """Shared state of the keyframe walk, used by both the decoder and
+    the fixture encoder (the encoder mirrors every context update so
+    probabilities stay in lockstep)."""
+
+    def __init__(self, width: int, height: int, lossless: bool,
+                 base_q: int, dq_y_dc: int, dq_uv_dc: int,
+                 dq_uv_ac: int, tx_mode: int):
+        self.w, self.h = width, height
+        self.mi_cols = (width + 7) >> 3
+        self.mi_rows = (height + 7) >> 3
+        self.lossless = lossless
+        self.tx_mode = tx_mode
+        pw, ph = self.mi_cols * 8, self.mi_rows * 8
+        # planes stored mi-padded; u/v 4:2:0
+        self.planes = [np.zeros((ph, pw), np.int32),
+                       np.zeros((ph >> 1, pw >> 1), np.int32),
+                       np.zeros((ph >> 1, pw >> 1), np.int32)]
+        self.plane_written = [np.zeros((ph, pw), bool),
+                              np.zeros((ph >> 1, pw >> 1), bool),
+                              np.zeros((ph >> 1, pw >> 1), bool)]
+        self.above_part = np.zeros(self.mi_cols, np.int32)
+        self.left_part = np.zeros(self.mi_rows, np.int32)
+        # per-4x4-column/row nonzero contexts, per plane
+        self.above_nz = [np.zeros(self.mi_cols * 2, np.int32),
+                         np.zeros(self.mi_cols, np.int32),
+                         np.zeros(self.mi_cols, np.int32)]
+        self.left_nz = [np.zeros(self.mi_rows * 2, np.int32),
+                        np.zeros(self.mi_rows, np.int32),
+                        np.zeros(self.mi_rows, np.int32)]
+        self.skip = np.zeros((self.mi_rows, self.mi_cols), np.int32)
+        # per-mi 2x2 sub-modes (single mode replicated for >=8x8)
+        self.modes = np.zeros((self.mi_rows * 2, self.mi_cols * 2),
+                              np.int32)
+        if lossless:
+            self.dq = ((4, 4), (4, 4))
+        else:
+            ydc, yac = _qlookup(base_q + dq_y_dc)[0], _qlookup(base_q)[1]
+            uvdc = _qlookup(base_q + dq_uv_dc)[0]
+            uvac = _qlookup(base_q + dq_uv_ac)[1]
+            self.dq = ((ydc, yac), (uvdc, uvac))
+
+    def partition_ctx(self, mi_r: int, mi_c: int, bsize: int) -> int:
+        bsl = _BLOCK_SIZES[bsize][0].bit_length() - 4
+        a = (int(self.above_part[mi_c]) >> bsl) & 1
+        lf = (int(self.left_part[mi_r]) >> bsl) & 1
+        return (lf * 2 + a) + bsl * 4
+
+    def update_partition_ctx(self, mi_r, mi_c, subsize, bsize):
+        v = _part_ctx_value(subsize)
+        self.above_part[mi_c : mi_c + _w8(bsize)] = v
+        self.left_part[mi_r : mi_r + _h8(bsize)] = v
+
+    def skip_ctx(self, mi_r: int, mi_c: int) -> int:
+        a = int(self.skip[mi_r - 1, mi_c]) if mi_r > 0 else 0
+        lf = int(self.skip[mi_r, mi_c - 1]) if mi_c > 0 else 0
+        return a + lf
+
+    def mode_above(self, mi_r, mi_c, by, bx):
+        r2, c2 = mi_r * 2 + by, mi_c * 2 + bx
+        return int(self.modes[r2 - 1, c2]) if r2 > 0 else DC_PRED
+
+    def mode_left(self, mi_r, mi_c, by, bx):
+        r2, c2 = mi_r * 2 + by, mi_c * 2 + bx
+        return int(self.modes[r2, c2 - 1]) if c2 > 0 else DC_PRED
+
+    def tx_size(self, plane: int, bsize: int) -> int:
+        """Transform size in pixels for the plane's blocks."""
+        if self.lossless:
+            return 4
+        w, h = _BLOCK_SIZES[bsize]
+        if plane > 0:
+            w, h = max(4, w >> 1), max(4, h >> 1)
+        maxtx = min(32, w, h)
+        cap = 4 << min(3, self.tx_mode)  # ONLY_4X4..ALLOW_32X32
+        return min(maxtx, cap)
+
+    # ---- per-transform-block predict + reconstruct ----
+
+    def predict_block(self, plane: int, px: int, py: int, n: int,
+                      mode: int) -> np.ndarray:
+        plane_arr = self.planes[plane]
+        written = self.plane_written[plane]
+        ph, pw = plane_arr.shape
+        have_above = py > 0 and written[py - 1, px]
+        have_left = px > 0 and written[py, px - 1]
+        above = None
+        left = None
+        corner = 129
+        if have_above:
+            above = np.empty(2 * n, np.int32)
+            avail = min(2 * n, pw - px)
+            # above-right must also have been decoded
+            dec = avail
+            for i in range(n, avail):
+                if not written[py - 1, px + i]:
+                    dec = i
+                    break
+            above[:dec] = plane_arr[py - 1, px : px + dec]
+            above[dec:] = above[dec - 1] if dec else 127
+            corner = int(plane_arr[py - 1, px - 1]) if px > 0 and \
+                written[py - 1, px - 1] else 129
+        if have_left:
+            left = plane_arr[py : py + n, px - 1].copy()
+            if py + n > ph:
+                left = np.pad(left, (0, py + n - ph), mode="edge")
+        return predict_intra(mode, n, above, left, corner)
+
+
+# token helpers -------------------------------------------------------------
+
+
+def _token_of(value: int):
+    """abs coefficient value → (token id path info).  Token ids:
+    0=ZERO 1=ONE 2=TWO 3=THREE 4=FOUR 5..10=CAT1..6."""
+    if value <= 4:
+        return value, 0, 0
+    for cat in range(5, -1, -1):
+        base = _CAT_BASE[cat]
+        if value >= base:
+            return 5 + cat, value - base, len(_CAT_PROBS[cat])
+    raise AssertionError
+
+
+def _decode_extra(dec: BoolDecoder, cat: int) -> int:
+    v = 0
+    for p in _CAT_PROBS[cat]:
+        v = (v << 1) | dec.decode(p)
+    return _CAT_BASE[cat] + v
+
+
+def _encode_extra(enc: BoolEncoder, cat: int, value: int) -> None:
+    rest = value - _CAT_BASE[cat]
+    nb = len(_CAT_PROBS[cat])
+    for i, p in enumerate(_CAT_PROBS[cat]):
+        enc.encode((rest >> (nb - 1 - i)) & 1, p)
+
+
+def _coef_ctx(cache: np.ndarray, scan: list, c: int, n: int) -> int:
+    """Synthetic follow-on coefficient context (shared both sides)."""
+    return min(2, int(cache[scan[c - 1]]))
+
+
+def _decode_tokens(dec: BoolDecoder, n: int, pt: int, dq) -> np.ndarray:
+    scan = _SCAN[n]
+    maxc = n * n
+    coeff = np.zeros((n, n), np.int64)
+    cache = np.zeros(maxc, np.int64)
+    c = 0
+    ctx = pt
+    while c < maxc:
+        band = _band_of(min(c, 15) if n == 4 else min(c, 15))
+        probs = _synth_coef_probs(band, ctx)
+        if not dec.decode(probs[0]):  # EOB
+            break
+        while not dec.decode(probs[1]):  # ZERO token
+            cache[scan[c]] = 0
+            c += 1
+            if c >= maxc:
+                return coeff, c
+            ctx = _coef_ctx(cache, scan, c, n)
+            band = _band_of(min(c, 15))
+            probs = _synth_coef_probs(band, ctx)
+        if not dec.decode(probs[2]):
+            val = 1
+        else:
+            par = _synth_pareto(probs[2])
+            # synthetic extension tree: 2,3,4 then CAT1..6
+            if not dec.decode(par[0]):
+                val = 2 + dec.decode(par[1])
+                if val == 3 and dec.decode(par[2]):
+                    val = 4
+            else:
+                if not dec.decode(par[3]):
+                    cat = 0 if not dec.decode(par[4]) else 1
+                else:
+                    if not dec.decode(par[5]):
+                        cat = 2 if not dec.decode(par[6]) else 3
+                    else:
+                        cat = 4 if not dec.decode(par[7]) else 5
+                val = _decode_extra(dec, cat)
+        sign = dec.decode(128)
+        pos = scan[c]
+        q = dq[0] if pos == 0 else dq[1]
+        coeff[pos // n, pos % n] = (-val if sign else val) * q
+        cache[pos] = min(3, val)
+        c += 1
+        if c >= maxc:
+            break
+        ctx = _coef_ctx(cache, scan, c, n)
+    return coeff, c
+
+
+def _encode_tokens(enc: BoolEncoder, n: int, pt: int,
+                   qcoef: np.ndarray) -> int:
+    """Dual of :func:`_decode_tokens` over QUANTIZED values."""
+    scan = _SCAN[n]
+    maxc = n * n
+    flat = qcoef.reshape(-1)
+    cache = np.zeros(maxc, np.int64)
+    svals = [int(flat[scan[c]]) for c in range(maxc)]
+    eob = 0
+    for c in range(maxc):
+        if svals[c]:
+            eob = c + 1
+    c = 0
+    ctx = pt
+    while c < maxc:
+        band = _band_of(min(c, 15))
+        probs = _synth_coef_probs(band, ctx)
+        if c >= eob:
+            enc.encode(0, probs[0])  # EOB
+            return eob
+        enc.encode(1, probs[0])
+        while svals[c] == 0:
+            enc.encode(0, probs[1])
+            cache[scan[c]] = 0
+            c += 1
+            ctx = _coef_ctx(cache, scan, c, n)
+            band = _band_of(min(c, 15))
+            probs = _synth_coef_probs(band, ctx)
+        enc.encode(1, probs[1])
+        val = abs(svals[c])
+        if val == 1:
+            enc.encode(0, probs[2])
+        else:
+            enc.encode(1, probs[2])
+            par = _synth_pareto(probs[2])
+            if val <= 4:
+                enc.encode(0, par[0])
+                enc.encode(0 if val == 2 else 1, par[1])
+                if val >= 3:
+                    enc.encode(0 if val == 3 else 1, par[2])
+            else:
+                enc.encode(1, par[0])
+                tok, _extra, _nb = _token_of(val)
+                cat = tok - 5
+                if cat <= 1:
+                    enc.encode(0, par[3])
+                    enc.encode(cat, par[4])
+                elif cat <= 3:
+                    enc.encode(1, par[3])
+                    enc.encode(0, par[5])
+                    enc.encode(cat - 2, par[6])
+                else:
+                    enc.encode(1, par[3])
+                    enc.encode(1, par[5])
+                    enc.encode(cat - 4, par[7])
+                _encode_extra(enc, cat, val)
+        enc.encode(1 if svals[c] < 0 else 0, 128)
+        cache[scan[c]] = min(3, val)
+        c += 1
+        if c >= maxc:
+            break
+        ctx = _coef_ctx(cache, scan, c, n)
+    return eob
+
+
+# ---------------------------------------------------------------- decode
+
+
+def _plane_geom(fr: "_Frame", plane: int, mi_r: int, mi_c: int,
+                bsize: int):
+    """(x0, y0, area_w4, area_h4, bound_w4, bound_h4) of the block in
+    the plane's 4x4 grid (area covers the full 8x8 MI for sub-8
+    partitions; bounds clip to the frame's mi extent)."""
+    bw, bh = _BLOCK_SIZES[bsize]
+    aw, ah = max(8, bw), max(8, bh)
+    if plane > 0:
+        x0, y0 = mi_c * 4, mi_r * 4
+        aw, ah = max(4, aw >> 1), max(4, ah >> 1)
+        pw4 = fr.mi_cols  # uv plane 4x4 columns
+        ph4 = fr.mi_rows
+    else:
+        x0, y0 = mi_c * 8, mi_r * 8
+        pw4, ph4 = fr.mi_cols * 2, fr.mi_rows * 2
+    aw4, ah4 = aw >> 2, ah >> 2
+    bw4 = min(aw4, pw4 - (x0 >> 2))
+    bh4 = min(ah4, ph4 - (y0 >> 2))
+    return x0, y0, aw4, ah4, bw4, bh4
+
+
+def _recon_block(fr, mi_r, mi_c, bsize, skip, uvmode, coder,
+                 decode: bool, src=None):
+    """Predict + (de)code residual + reconstruct for one block, both
+    directions (the encoder mirrors every context update).  ``src``:
+    source planes (encoder only).  Returns True when every transform
+    block had zero coefficients (the encoder's skip answer)."""
+    all_zero = True
+    pending = [] if not decode else None
+    for plane in range(3):
+        x0, y0, aw4, ah4, bw4, bh4 = _plane_geom(fr, plane, mi_r, mi_c,
+                                                 bsize)
+        txs = fr.tx_size(plane, bsize)
+        t4 = txs >> 2
+        arr = fr.planes[plane]
+        written = fr.plane_written[plane]
+        dqv = fr.dq[0] if plane == 0 else fr.dq[1]
+        for ty in range(0, bh4, t4):
+            for tx in range(0, bw4, t4):
+                px, py = x0 + tx * 4, y0 + ty * 4
+                if plane == 0:
+                    mode = int(fr.modes[(py >> 2), (px >> 2)])
+                else:
+                    mode = uvmode
+                pred = fr.predict_block(plane, px, py, txs, mode)
+                if skip:
+                    recon = pred
+                    eob = 0
+                else:
+                    c4 = px >> 2
+                    r4 = py >> 2
+                    pt = int(
+                        fr.above_nz[plane][c4 : c4 + t4].any()
+                    ) + int(fr.left_nz[plane][r4 : r4 + t4].any())
+                    if decode:
+                        coeff, eob = _decode_tokens(coder, txs, pt, dqv)
+                        if fr.lossless:
+                            res = iwht4x4(coeff)
+                        else:
+                            res = idct4x4(coeff) if txs == 4 else None
+                            if res is None:
+                                raise ValueError(
+                                    "vp9: only 4x4 transforms in the "
+                                    "lossy subset"
+                                )
+                        recon = np.clip(pred + res, 0, 255)
+                    else:
+                        resid = (src[plane][py : py + txs,
+                                            px : px + txs]
+                                 .astype(np.int64) - pred)
+                        if fr.lossless:
+                            qc = fwht4x4(resid) >> 2  # dq 4, exact
+                            res = iwht4x4(qc * 4)
+                        else:
+                            co = _fdct4x4(resid)
+                            qc = np.round(
+                                co / np.where(
+                                    np.arange(16).reshape(4, 4) == 0,
+                                    dqv[0], dqv[1])
+                            ).astype(np.int64)
+                            deq = qc * np.where(
+                                np.arange(16).reshape(4, 4) == 0,
+                                dqv[0], dqv[1])
+                            res = idct4x4(deq)
+                        eob = int((qc != 0).sum() and (
+                            max(i for i in range(txs * txs)
+                                if qc.reshape(-1)[_SCAN[txs][i]] != 0)
+                            + 1)) if (qc != 0).any() else 0
+                        pending.append((plane, txs, pt, qc))
+                        recon = np.clip(pred + res, 0, 255)
+                    fr.above_nz[plane][c4 : c4 + t4] = 1 if eob else 0
+                    fr.left_nz[plane][r4 : r4 + t4] = 1 if eob else 0
+                    if eob:
+                        all_zero = False
+                arr[py : py + txs, px : px + txs] = recon
+                written[py : py + txs, px : px + txs] = True
+        if skip:
+            c4, r4 = x0 >> 2, y0 >> 2
+            fr.above_nz[plane][c4 : c4 + bw4] = 0
+            fr.left_nz[plane][r4 : r4 + bh4] = 0
+    return all_zero, pending
+
+
+def _decode_modes(fr, dec, mi_r, mi_c, bsize):
+    """Keyframe mode info: skip flag, Y (sub-)modes, UV mode."""
+    skip = dec.decode(_SKIP_PROBS[fr.skip_ctx(mi_r, mi_c)])
+    bw, bh = _BLOCK_SIZES[bsize]
+    r2, c2 = mi_r * 2, mi_c * 2
+    if bsize >= _BS_8X8:
+        am = fr.mode_above(mi_r, mi_c, 0, 0)
+        lm = fr.mode_left(mi_r, mi_c, 0, 0)
+        ymode = dec.tree(_MODE_TREE, _KF_Y_MODE_PROBS[am][lm])
+        h2 = max(1, bh >> 3) * 2
+        w2 = max(1, bw >> 3) * 2
+        fr.modes[r2 : r2 + h2, c2 : c2 + w2] = ymode
+    else:
+        bw4, bh4 = max(1, bw >> 2), max(1, bh >> 2)
+        for idy in range(0, 2, bh4):
+            for idx in range(0, 2, bw4):
+                am = fr.mode_above(mi_r, mi_c, idy, idx)
+                lm = fr.mode_left(mi_r, mi_c, idy, idx)
+                m = dec.tree(_MODE_TREE, _KF_Y_MODE_PROBS[am][lm])
+                fr.modes[r2 + idy : r2 + idy + bh4,
+                         c2 + idx : c2 + idx + bw4] = m
+        ymode = int(fr.modes[r2 + 1, c2 + 1])
+    uvmode = dec.tree(_MODE_TREE, _KF_UV_MODE_PROBS[ymode])
+    h8, w8 = _h8(bsize), _w8(bsize)
+    fr.skip[mi_r : mi_r + h8, mi_c : mi_c + w8] = skip
+    return skip, uvmode
+
+
+def _decode_partition(fr, dec, mi_r, mi_c, bsize):
+    if mi_r >= fr.mi_rows or mi_c >= fr.mi_cols:
+        return
+    n8 = _w8(bsize)
+    has_rows = mi_r + (n8 >> 1) < fr.mi_rows
+    has_cols = mi_c + (n8 >> 1) < fr.mi_cols
+    probs = _PARTITION_PROBS[fr.partition_ctx(mi_r, mi_c, bsize)]
+    if bsize == _BS_8X8:
+        has_rows = has_cols = True  # 8x8 always codes the full tree
+    if has_rows and has_cols:
+        part = dec.tree(_PARTITION_TREE, probs)
+    elif has_cols:
+        part = 3 if dec.decode(probs[1]) else 1  # SPLIT : HORZ
+    elif has_rows:
+        part = 3 if dec.decode(probs[2]) else 2  # SPLIT : VERT
+    else:
+        part = 3
+    sub = _subsize(bsize, part)
+    if bsize == _BS_8X8 and part != 0:
+        skip, uv = _decode_modes(fr, dec, mi_r, mi_c, sub)
+        _recon_block(fr, mi_r, mi_c, sub, skip, uv, dec, True)
+    elif part == 0:
+        skip, uv = _decode_modes(fr, dec, mi_r, mi_c, sub)
+        _recon_block(fr, mi_r, mi_c, sub, skip, uv, dec, True)
+    elif part == 1:  # HORZ
+        skip, uv = _decode_modes(fr, dec, mi_r, mi_c, sub)
+        _recon_block(fr, mi_r, mi_c, sub, skip, uv, dec, True)
+        if mi_r + (n8 >> 1) < fr.mi_rows:
+            skip, uv = _decode_modes(fr, dec, mi_r + (n8 >> 1), mi_c, sub)
+            _recon_block(fr, mi_r + (n8 >> 1), mi_c, sub, skip, uv,
+                         dec, True)
+    elif part == 2:  # VERT
+        skip, uv = _decode_modes(fr, dec, mi_r, mi_c, sub)
+        _recon_block(fr, mi_r, mi_c, sub, skip, uv, dec, True)
+        if mi_c + (n8 >> 1) < fr.mi_cols:
+            skip, uv = _decode_modes(fr, dec, mi_r, mi_c + (n8 >> 1), sub)
+            _recon_block(fr, mi_r, mi_c + (n8 >> 1), sub, skip, uv,
+                         dec, True)
+    else:  # SPLIT
+        h = n8 >> 1
+        _decode_partition(fr, dec, mi_r, mi_c, sub)
+        _decode_partition(fr, dec, mi_r, mi_c + h, sub)
+        _decode_partition(fr, dec, mi_r + h, mi_c, sub)
+        _decode_partition(fr, dec, mi_r + h, mi_c + h, sub)
+    if bsize == _BS_8X8 or part != 3:
+        fr.update_partition_ctx(mi_r, mi_c, sub, bsize)
+
+
+def decode_keyframe(data: bytes) -> dict:
+    """VP9 keyframe → ``{"width", "height", "y", "u", "v", header
+    fields}`` (profile 0, 4:2:0, filter level 0 — see the provenance
+    header for the synthetic-table conformance bound)."""
+    hdr = _read_full_header(data)
+    if hdr["width"] * hdr["height"] > MAX_FRAME_PIXELS:
+        raise ValueError("vp9: frame too large")
+    co = hdr["compressed_offset"]
+    ch = _bool_dec(data[co : co + hdr["header_size"]])
+    tx_mode = ch.literal(2)
+    if tx_mode == 3:
+        tx_mode += ch.literal(1)
+    if tx_mode == 4:
+        raise ValueError("vp9: TX_MODE_SELECT outside the decode subset")
+    if hdr["lossless"]:
+        tx_mode = 0
+    ntx = min(tx_mode, 3) + 1 if not hdr["lossless"] else 1
+    for _ in range(ntx):  # per-tx-size coef-prob update flags
+        if ch.literal(1):
+            raise ValueError(
+                "vp9: coefficient probability updates outside the subset"
+            )
+    for _ in range(3):  # skip-prob diff updates
+        if ch.decode(252):
+            raise ValueError(
+                "vp9: skip probability updates outside the subset"
+            )
+    fr = _Frame(hdr["width"], hdr["height"], hdr["lossless"],
+                hdr["base_q"], hdr["dq_y_dc"], hdr["dq_uv_dc"],
+                hdr["dq_uv_ac"], tx_mode)
+    tile = _bool_dec(data[co + hdr["header_size"] :])
+    for sb_r in range(0, fr.mi_rows, 8):
+        for sb_c in range(0, fr.mi_cols, 8):
+            _decode_partition(fr, tile, sb_r, sb_c, _BS_64X64)
+    w, h = hdr["width"], hdr["height"]
+    return dict(
+        hdr,
+        y=fr.planes[0][:h, :w].astype(np.uint8),
+        u=fr.planes[1][: (h + 1) >> 1, : (w + 1) >> 1].astype(np.uint8),
+        v=fr.planes[2][: (h + 1) >> 1, : (w + 1) >> 1].astype(np.uint8),
+    )
+
+
+def _fdct4x4(resid: np.ndarray) -> np.ndarray:
+    """Float forward DCT matching idct4x4's scaling (encoder only; the
+    decoder never uses it, so float is fine for fixture quality)."""
+    c16, c8, c24 = _cospi(16), _cospi(8), _cospi(24)
+    f = np.array([
+        [c16, c16, c16, c16],
+        [c8, c24, -c24, -c8],
+        [c16, -c16, -c16, c16],
+        [c24, -c8, c8, -c24],
+    ], dtype=np.float64) / 16384.0
+    return (f @ resid.astype(np.float64) @ f.T) * 4.0
+
+
+# ---------------------------------------------------------------- encode
+
+
+def _encode_modes(fr, enc, mi_r, mi_c, bsize, skip, mode_fn):
+    """Dual of :func:`_decode_modes`: chooses modes via ``mode_fn``,
+    writes them into the context grids, emits skip + mode symbols."""
+    enc.encode(skip, _SKIP_PROBS[fr.skip_ctx(mi_r, mi_c)])
+    bw, bh = _BLOCK_SIZES[bsize]
+    r2, c2 = mi_r * 2, mi_c * 2
+    if bsize >= _BS_8X8:
+        am = fr.mode_above(mi_r, mi_c, 0, 0)
+        lm = fr.mode_left(mi_r, mi_c, 0, 0)
+        ymode = mode_fn(mi_r, mi_c, 0, 0)
+        enc.tree(_MODE_TREE, _KF_Y_MODE_PROBS[am][lm], ymode)
+        fr.modes[r2 : r2 + max(1, bh >> 3) * 2,
+                 c2 : c2 + max(1, bw >> 3) * 2] = ymode
+    else:
+        bw4, bh4 = max(1, bw >> 2), max(1, bh >> 2)
+        for idy in range(0, 2, bh4):
+            for idx in range(0, 2, bw4):
+                am = fr.mode_above(mi_r, mi_c, idy, idx)
+                lm = fr.mode_left(mi_r, mi_c, idy, idx)
+                m = mode_fn(mi_r, mi_c, idy, idx)
+                enc.tree(_MODE_TREE, _KF_Y_MODE_PROBS[am][lm], m)
+                fr.modes[r2 + idy : r2 + idy + bh4,
+                         c2 + idx : c2 + idx + bw4] = m
+        ymode = int(fr.modes[r2 + 1, c2 + 1])
+    uvmode = ymode if ymode <= TM_PRED else DC_PRED
+    enc.tree(_MODE_TREE, _KF_UV_MODE_PROBS[ymode], uvmode)
+    fr.skip[mi_r : mi_r + _h8(bsize), mi_c : mi_c + _w8(bsize)] = skip
+    return uvmode
+
+
+def _encode_leaf(fr, enc, mi_r, mi_c, bsize, src, mode_fn):
+    """skip decision + modes + residual for one leaf block.  Mode
+    grids must be written before the residual walk (residual reads
+    them), but skip is the FIRST symbol — so modes are chosen and
+    written first, symbols emitted after the compute pass."""
+    # choose + write modes (no emission yet)
+    bw, bh = _BLOCK_SIZES[bsize]
+    r2, c2 = mi_r * 2, mi_c * 2
+    if bsize >= _BS_8X8:
+        ymode = mode_fn(mi_r, mi_c, 0, 0)
+        fr.modes[r2 : r2 + max(1, bh >> 3) * 2,
+                 c2 : c2 + max(1, bw >> 3) * 2] = ymode
+    else:
+        bw4, bh4 = max(1, bw >> 2), max(1, bh >> 2)
+        for idy in range(0, 2, bh4):
+            for idx in range(0, 2, bw4):
+                fr.modes[r2 + idy : r2 + idy + bh4,
+                         c2 + idx : c2 + idx + bw4] = \
+                    mode_fn(mi_r, mi_c, idy, idx)
+        ymode = int(fr.modes[r2 + 1, c2 + 1])
+    uvmode = ymode if ymode <= TM_PRED else DC_PRED
+    # compute pass (snapshots let the skip path rewind nz contexts)
+    snaps = []
+    for plane in range(3):
+        x0, y0, aw4, ah4, bw4_, bh4_ = _plane_geom(fr, plane, mi_r,
+                                                   mi_c, bsize)
+        c4, r4 = x0 >> 2, y0 >> 2
+        snaps.append((plane, c4, bw4_, r4, bh4_,
+                      fr.above_nz[plane][c4 : c4 + bw4_].copy(),
+                      fr.left_nz[plane][r4 : r4 + bh4_].copy()))
+    all_zero, pending = _recon_block(fr, mi_r, mi_c, bsize, False,
+                                     uvmode, None, False, src)
+    skip = 1 if all_zero else 0
+    if skip:
+        for plane, c4, w4, r4, h4, _a, _l in snaps:
+            fr.above_nz[plane][c4 : c4 + w4] = 0
+            fr.left_nz[plane][r4 : r4 + h4] = 0
+    # emit: skip, modes, then tokens
+    enc.encode(skip, _SKIP_PROBS[fr.skip_ctx(mi_r, mi_c)])
+    if bsize >= _BS_8X8:
+        am = fr.mode_above(mi_r, mi_c, 0, 0)
+        lm = fr.mode_left(mi_r, mi_c, 0, 0)
+        # neighbor ctx reads OUR OWN written modes for in-block cells —
+        # identical on the decode side since modes were decoded first
+        enc.tree(_MODE_TREE, _KF_Y_MODE_PROBS[am][lm], ymode)
+    else:
+        bw4, bh4 = max(1, bw >> 2), max(1, bh >> 2)
+        for idy in range(0, 2, bh4):
+            for idx in range(0, 2, bw4):
+                am = fr.mode_above(mi_r, mi_c, idy, idx)
+                lm = fr.mode_left(mi_r, mi_c, idy, idx)
+                enc.tree(_MODE_TREE, _KF_Y_MODE_PROBS[am][lm],
+                         int(fr.modes[r2 + idy, c2 + idx]))
+    enc.tree(_MODE_TREE, _KF_UV_MODE_PROBS[ymode], uvmode)
+    fr.skip[mi_r : mi_r + _h8(bsize), mi_c : mi_c + _w8(bsize)] = skip
+    if not skip:
+        for plane, txs, pt, qc in pending:
+            _encode_tokens(enc, txs, pt, qc)
+
+
+def _encode_partition(fr, enc, mi_r, mi_c, bsize, src, mode_fn,
+                      part_fn):
+    if mi_r >= fr.mi_rows or mi_c >= fr.mi_cols:
+        return
+    n8 = _w8(bsize)
+    has_rows = mi_r + (n8 >> 1) < fr.mi_rows
+    has_cols = mi_c + (n8 >> 1) < fr.mi_cols
+    probs = _PARTITION_PROBS[fr.partition_ctx(mi_r, mi_c, bsize)]
+    part = part_fn(mi_r, mi_c, bsize)
+    if bsize == _BS_8X8:
+        has_rows = has_cols = True
+    if not has_rows and not has_cols:
+        part = 3
+    elif not has_rows:
+        part = part if part in (1, 3) else 3
+        enc.encode(1 if part == 3 else 0, probs[1])
+    elif not has_cols:
+        part = part if part in (2, 3) else 3
+        enc.encode(1 if part == 3 else 0, probs[2])
+    else:
+        enc.tree(_PARTITION_TREE, probs, part)
+    sub = _subsize(bsize, part)
+    if part == 0 or bsize == _BS_8X8:
+        _encode_leaf(fr, enc, mi_r, mi_c, sub, src, mode_fn)
+    elif part == 1:
+        _encode_leaf(fr, enc, mi_r, mi_c, sub, src, mode_fn)
+        if mi_r + (n8 >> 1) < fr.mi_rows:
+            _encode_leaf(fr, enc, mi_r + (n8 >> 1), mi_c, sub, src,
+                         mode_fn)
+    elif part == 2:
+        _encode_leaf(fr, enc, mi_r, mi_c, sub, src, mode_fn)
+        if mi_c + (n8 >> 1) < fr.mi_cols:
+            _encode_leaf(fr, enc, mi_r, mi_c + (n8 >> 1), sub, src,
+                         mode_fn)
+    else:
+        h = n8 >> 1
+        _encode_partition(fr, enc, mi_r, mi_c, sub, src, mode_fn,
+                          part_fn)
+        _encode_partition(fr, enc, mi_r, mi_c + h, sub, src, mode_fn,
+                          part_fn)
+        _encode_partition(fr, enc, mi_r + h, mi_c, sub, src, mode_fn,
+                          part_fn)
+        _encode_partition(fr, enc, mi_r + h, mi_c + h, sub, src,
+                          mode_fn, part_fn)
+    if bsize == _BS_8X8 or part != 3:
+        fr.update_partition_ctx(mi_r, mi_c, sub, bsize)
+
+
+def _default_mode_fn(mi_r, mi_c, idy, idx):
+    # blocks land on even mi coordinates, so mix the halved coords to
+    # cover all ten modes
+    return ((mi_r >> 1) * 3 + (mi_c >> 1) * 7 + mi_r + idy * 2
+            + idx) % 10
+
+
+def _default_part_fn(mi_r, mi_c, bsize):
+    if bsize == _BS_64X64:
+        return 3
+    if bsize > 6:  # 32x32 tier: mix of everything
+        return (mi_r // 4 + mi_c // 4) % 4
+    if bsize > _BS_8X8:  # 16x16 tier
+        return ((mi_r >> 1) + (mi_c >> 1) * 2 + 1) % 4
+    return (mi_r * 7 + mi_c * 5) % 4  # 8x8: exercises sub-8 modes
+
+
+def build_keyframe(y: np.ndarray, u: np.ndarray, v: np.ndarray, *,
+                   lossless: bool = True, base_q: int = 40,
+                   mode_fn=None, part_fn=None) -> bytes:
+    """Encode one 4:2:0 profile-0 keyframe.  ``lossless=True``
+    reproduces the input planes BIT-EXACTLY through the decoder;
+    lossy mode uses the synthetic qlookup (4x4 DCT only)."""
+    y = np.asarray(y, np.uint8)
+    u = np.asarray(u, np.uint8)
+    v = np.asarray(v, np.uint8)
+    h, w = y.shape
+    if u.shape != ((h + 1) >> 1, (w + 1) >> 1) or u.shape != v.shape:
+        raise ValueError("vp9: u/v planes must be the 4:2:0 halves")
+    mode_fn = mode_fn or _default_mode_fn
+    part_fn = part_fn or _default_part_fn
+    base_q = 0 if lossless else max(1, base_q)
+    fr = _Frame(w, h, lossless, base_q, 0, 0, 0, 0)
+    pw, ph = fr.mi_cols * 8, fr.mi_rows * 8
+    src = [
+        np.pad(y.astype(np.int64), ((0, ph - h), (0, pw - w)),
+               mode="edge"),
+        np.pad(u.astype(np.int64),
+               ((0, (ph >> 1) - u.shape[0]), (0, (pw >> 1) - u.shape[1])),
+               mode="edge"),
+        np.pad(v.astype(np.int64),
+               ((0, (ph >> 1) - v.shape[0]), (0, (pw >> 1) - v.shape[1])),
+               mode="edge"),
+    ]
+    # compressed header
+    ch = _BoolEnc()
+    ch.literal(0, 2)  # tx_mode ONLY_4X4
+    ch.literal(0, 1)  # y coef-prob update flag for tx 4x4
+    for _ in range(3):
+        ch.encode(0, 252)  # skip-prob diff updates
+    comp = ch.getvalue() or b"\x00"
+    # tile data
+    enc = _BoolEnc()
+    for sb_r in range(0, fr.mi_rows, 8):
+        for sb_c in range(0, fr.mi_cols, 8):
+            _encode_partition(fr, enc, sb_r, sb_c, _BS_64X64, src,
+                              mode_fn, part_fn)
+    tile = enc.getvalue()
+    # uncompressed header
+    bw_ = _BitW()
+    bw_.u(2, 2)
+    bw_.u(0, 1)
+    bw_.u(0, 1)  # profile 0
+    bw_.u(0, 1)  # show_existing
+    bw_.u(0, 1)  # KEY
+    bw_.u(1, 1)  # show
+    bw_.u(0, 1)  # error_resilient
+    bw_.u(_SYNC, 24)
+    bw_.u(2, 3)  # color space bt709
+    bw_.u(0, 1)  # studio range
+    bw_.u(w - 1, 16)
+    bw_.u(h - 1, 16)
+    bw_.u(0, 1)  # render == frame
+    bw_.u(0, 1)  # refresh_frame_context
+    bw_.u(1, 1)  # frame_parallel_decoding_mode
+    bw_.u(0, 2)  # frame_context_idx
+    bw_.u(0, 6)  # filter level 0
+    bw_.u(0, 3)  # sharpness
+    bw_.u(0, 1)  # mode_ref_delta_enabled
+    bw_.u(base_q, 8)
+    bw_.u(0, 1)  # delta_q_y_dc
+    bw_.u(0, 1)  # delta_q_uv_dc
+    bw_.u(0, 1)  # delta_q_uv_ac
+    bw_.u(0, 1)  # segmentation off
+    sb_cols = (fr.mi_cols + 7) >> 3
+    min_log2 = 0
+    while (sb_cols >> min_log2) > 64:
+        min_log2 += 1
+    max_log2 = 0
+    while (sb_cols >> (max_log2 + 1)) >= 4:
+        max_log2 += 1
+    if min_log2 > 0:
+        raise ValueError("vp9 fixture: frame too wide for one tile")
+    if max_log2 > 0:
+        bw_.u(0, 1)  # stop at tile_cols_log2 = 0
+    bw_.u(0, 1)  # tile_rows_log2 = 0
+    bw_.u(len(comp), 16)
+    return bw_.bytes(stop_bit=False) + comp + tile
