@@ -999,6 +999,169 @@ def q_stream_pdf_images(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_stream_djvu_text",
+    oracle="""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         trim(regexp_replace(regexp_replace(lower(substr(text, 1, 60)),
+              '[^a-z ]', '', 'g'), ' +', ' ', 'g')) AS c
+  FROM documents WHERE doc_id < 120
+)
+SELECT doc_id, c AS text,
+       CAST(CASE WHEN c = '' THEN 0
+            ELSE length(c) - length(replace(c, ' ', '')) + 1
+            END AS BIGINT) AS n_words
+FROM d
+""",
+    tags=("streaming", "source", "djvu", "multimodal", "text"),
+)
+def q_stream_djvu_text(spark: SparkSession, sf: str) -> DataFrame:
+    """DjVu hidden-text extraction as a STREAM (the r15 batch query's
+    twin): scanned-document drops arrive in micro-batches and the
+    BZZ → TXT-zone-tree decode runs in the same Arrow kernel —
+    stateless, append mode."""
+    import re as _re
+    import tempfile
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 120)
+        .select("doc_id", "text")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawdjvu
+
+        for pdf in batches:
+            payloads = []
+            for t in pdf["text"]:
+                c = _re.sub(
+                    " +", " ",
+                    _re.sub("[^a-z ]", "", str(t)[:60].lower()),
+                ).strip()
+                payloads.append(rawdjvu.build_djvu(
+                    [{"width": 2550, "height": 3300, "text": c}]
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    stage = tempfile.mkdtemp(prefix="djvu_text_stream_")
+    files.withColumn("part", F.col("doc_id") % 4).repartition(
+        4, "part"
+    ).drop("part").write.mode("overwrite").parquet(stage)
+
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def extract(batches):
+        import pandas as pd
+
+        from ..operators import rawdjvu
+
+        for pdf in batches:
+            rows = {"doc_id": [], "text": [], "n_words": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out = rawdjvu.extract_djvu_text(bytes(payload))
+                rows["doc_id"].append(int(did))
+                rows["text"].append(out["text"])
+                rows["n_words"].append(len(out["words"]))
+            yield pd.DataFrame(rows)
+
+    return W.run_available_now_append(
+        stream.mapInPandas(extract,
+                           "doc_id long, text string, n_words long"),
+        "t_djvu_text",
+    )
+
+
+@register(
+    "q_stream_vp9_pixels",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+           FROM documents WHERE doc_id < 24),
+px AS (
+  SELECT d.doc_id,
+         SUM(CAST((r * 31 + c * 17 + d.doc_id) % 256 AS BIGINT))
+           AS y_sum
+  FROM d, generate_series(0, 15) AS gr(r), generate_series(0, 15) AS gc(c)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, CAST(1 AS BIGINT) AS lossless, y_sum FROM px
+""",
+    tags=("streaming", "multimodal", "video", "vp9"),
+)
+def q_stream_vp9_pixels(spark: SparkSession, sf: str) -> DataFrame:
+    """VP9 keyframe intra decode as a STREAM (the r15 batch query's
+    twin): lossless 16×16 keyframes stream through the same decode
+    kernel, value-exact plane sums in append mode."""
+    import tempfile
+
+    import numpy as np
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 24)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawvp9
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                r = np.arange(16)[:, None]
+                c = np.arange(16)[None, :]
+                y = ((r * 31 + c * 17 + did) % 256).astype(np.uint8)
+                u = np.full((8, 8), did % 256, np.uint8)
+                v = np.full((8, 8), (2 * did) % 256, np.uint8)
+                payloads.append(rawvp9.build_keyframe(y, u, v))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    stage = tempfile.mkdtemp(prefix="vp9_stream_")
+    files.withColumn("part", F.col("doc_id") % 3).repartition(
+        3, "part"
+    ).drop("part").write.mode("overwrite").parquet(stage)
+
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        from ..operators import rawvp9
+
+        for pdf in batches:
+            rows = {"doc_id": [], "lossless": [], "y_sum": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out = rawvp9.decode_keyframe(bytes(payload))
+                rows["doc_id"].append(int(did))
+                rows["lossless"].append(int(out["lossless"]))
+                rows["y_sum"].append(int(out["y"].sum()))
+            yield pd.DataFrame(rows)
+
+    return W.run_available_now_append(
+        stream.mapInPandas(decode,
+                           "doc_id long, lossless long, y_sum long"),
+        "t_vp9_pixels",
+    )
+
+
+@register(
     "q_stream_media_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
