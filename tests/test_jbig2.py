@@ -204,3 +204,15 @@ def test_pdf_jbig2_route_and_globals():
     oks = [im for im in out["images"] if not im["error"]]
     assert len(errs) == 1 and "jbig2" in errs[0]["error"]
     assert len(oks) == 1  # the sibling image still lands
+
+
+def test_current_row_at_pixel_uses_general_path():
+    """A causal AT pixel ON the current row (dy=0, dx<0) can't use the
+    sliding-register fast path; the general gather must keep round-
+    tripping (and differ from the nominal-AT stream)."""
+    bits = _bits(12, 30, 0.35)
+    for template in (1, 2, 3):
+        at = [(-3, 0)]
+        blob = J.encode_generic_region(bits, template, at, False)
+        got = J.decode_generic_region(blob, 30, 12, template, at, False)
+        assert (got == bits).all(), template
