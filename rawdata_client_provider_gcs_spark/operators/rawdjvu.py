@@ -28,6 +28,7 @@ this repo's derived multimodal tier.
 
 from __future__ import annotations
 
+import re
 import struct
 
 MAX_CHUNKS = 4096
@@ -186,7 +187,8 @@ def _info(width: int, height: int, dpi: int = 300,
 
 def build_djvu_page(
     width: int, height: int, *, dpi: int = 300,
-    text: bool | str = False, anno: bool = False, color: bool = False,
+    text: bool | str = False, anno: bool | str = False,
+    color: bool = False,
 ) -> bytes:
     """One FORM:DJVU page with an INFO chunk; image payload chunks stay
     census-only stand-ins (opaque compressed bodies by design), but
@@ -208,32 +210,71 @@ def build_djvu_page(
             bzz_encode(build_txt(text, width=width, height=height)),
         )
     if anno:
-        body += _chunk(b"ANTz", b"\x00BZZ-anno")
+        if anno is True:
+            anno = ('(maparea "https://example.org/scan" "link" '
+                    '(rect 10 10 40 20)) (background #FFFFFF)')
+        body += _chunk(b"ANTz", bzz_encode(anno.encode("utf-8")))
     return _chunk(b"FORM", b"DJVU" + body)
 
 
 def build_djvu(
-    pages: list[dict], *, bundled: bool = True
+    pages: list[dict], *, bundled: bool = True,
+    names: list | None = None, titles: list | None = None,
+    bookmarks: list | None = None,
 ) -> bytes:
     """Single-page (one entry) or DJVM multipage document; each entry
-    is a :func:`build_djvu_page` kwargs dict."""
+    is a :func:`build_djvu_page` kwargs dict.  The DIRM directory
+    carries a REAL BZZ-compressed tail (sizes/flags/IDs plus optional
+    per-component ``names``/``titles``); ``bookmarks`` — a list of
+    ``(n_children, description, url)`` — adds a BZZ ``NAVM`` chunk."""
+    from ..sources.bzz import bzz_encode as _bzz
+
     forms = [build_djvu_page(**p) for p in pages]
-    if len(pages) == 1:
+    if len(pages) == 1 and not bookmarks:
         return b"AT&T" + forms[0]
-    flags = 0x80 if bundled else 0
-    dirm_body = bytes([flags]) + struct.pack(">H", len(forms))
+    n = len(forms)
+    flags = 0x81 if bundled else 0x01  # version 1
+    dirm_head = bytes([flags]) + struct.pack(">H", n)
+    navm = b""
+    if bookmarks:
+        nv = struct.pack(">H", len(bookmarks))
+        for nkids, desc, url in bookmarks:
+            d, u = desc.encode("utf-8"), url.encode("utf-8")
+            nv += bytes([nkids]) + len(d).to_bytes(3, "big") + d \
+                + len(u).to_bytes(3, "big") + u
+        navm = _chunk(b"NAVM", _bzz(nv))
+    # compressed tail: sizes, flags, id[/name/title] strings
+    tail = bytearray()
+    for f in forms:
+        tail += len(f).to_bytes(3, "big")
+    for i in range(n):
+        cf = 1  # page
+        if names and names[i] is not None:
+            cf |= 0x80
+        if titles and titles[i] is not None:
+            cf |= 0x40
+        tail.append(cf)
+    for i in range(n):
+        tail += f"p{i:04d}.djvu".encode() + b"\x00"
+        if names and names[i] is not None:
+            tail += names[i].encode("utf-8") + b"\x00"
+        if titles and titles[i] is not None:
+            tail += titles[i].encode("utf-8") + b"\x00"
+    ztail = _bzz(bytes(tail))
     if bundled:
         # component offsets from file start (header 4 + FORM hdr 12 +
-        # DIRM chunk), as the bundled layout requires
-        dirm_len = 8 + len(dirm_body) + 4 * len(forms)
+        # DIRM chunk [+ NAVM chunk]), as the bundled layout requires
+        dirm_len = 8 + len(dirm_head) + 4 * n + len(ztail)
         dirm_len += dirm_len & 1
-        pos = 4 + 12 + dirm_len
-        offs = []
+        pos = 4 + 12 + dirm_len + len(navm)
+        offs = bytearray()
         for f in forms:
-            offs.append(pos)
+            offs += struct.pack(">I", pos)
             pos += len(f)
-        dirm_body += b"".join(struct.pack(">I", o) for o in offs)
-    body = _chunk(b"DIRM", dirm_body)
+        dirm_body = dirm_head + bytes(offs) + ztail
+    else:
+        dirm_body = dirm_head + ztail
+    body = _chunk(b"DIRM", dirm_body) + navm
     if bundled:
         body += b"".join(forms)
     return b"AT&T" + _chunk(b"FORM", b"DJVM" + body)
@@ -471,3 +512,215 @@ def build_txt(text: str, *, width: int = 2550, height: int = 3300) -> bytes:
             out += _zone_record(6, ex, ey, ww, wh, et, wlen, 0)
             prev_word = (wx, wy, wstart, wlen)
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# BZZ-compressed metadata: DIRM names, NAVM bookmarks, ANT annotations (r15)
+# ---------------------------------------------------------------------------
+
+#: DIRM component-flag bits (DjVu Reference v3, directory chunk)
+_DIRM_HAS_NAME = 0x80
+_DIRM_HAS_TITLE = 0x40
+_DIRM_TYPES = {0: "include", 1: "page", 2: "thumbnail", 3: "shared_anno"}
+MAX_BOOKMARKS = 10_000
+
+
+def parse_dirm(data: bytes, cpos: int, ln: int) -> dict:
+    """Full DIRM decode: header flags + component count + (bundled)
+    offsets, then the BZZ-compressed tail — per-component sizes,
+    flags, IDs and optional names/titles."""
+    from ..sources.bzz import bzz_decode
+
+    if ln < 3:
+        raise ValueError("djvu: DIRM chunk shorter than 3 bytes")
+    flags = data[cpos]
+    (n,) = struct.unpack(">H", data[cpos + 1 : cpos + 3])
+    if n > MAX_COMPONENTS:
+        raise ValueError("djvu: DIRM component count over cap")
+    bundled = bool(flags & 0x80)
+    pos = cpos + 3
+    offsets = []
+    if bundled:
+        if pos + 4 * n > cpos + ln:
+            raise ValueError("djvu: DIRM offsets past chunk end")
+        for i in range(n):
+            offsets.append(
+                struct.unpack(">I", data[pos + 4 * i : pos + 4 * i + 4])[0]
+            )
+        pos += 4 * n
+    raw = bzz_decode(data[pos : cpos + ln])
+    need = 4 * n
+    if len(raw) < need:
+        raise ValueError("djvu: DIRM compressed tail too short")
+    sizes = [int.from_bytes(raw[3 * i : 3 * i + 3], "big")
+             for i in range(n)]
+    cflags = list(raw[3 * n : 4 * n])
+    p = 4 * n
+
+    def cstr() -> str:
+        nonlocal p
+        end = raw.index(b"\x00", p)
+        s = raw[p:end].decode("utf-8", "replace")
+        p = end + 1
+        return s
+
+    comps = []
+    try:
+        for i in range(n):
+            f = cflags[i]
+            comp = {
+                "id": cstr(),
+                "type": _DIRM_TYPES.get(f & 0x3F, "reserved"),
+                "size": sizes[i],
+                "name": None,
+                "title": None,
+            }
+            if f & _DIRM_HAS_NAME:
+                comp["name"] = cstr()
+            if f & _DIRM_HAS_TITLE:
+                comp["title"] = cstr()
+            comps.append(comp)
+    except ValueError:
+        raise ValueError("djvu: DIRM strings truncated") from None
+    return {"bundled": bundled, "version": flags & 0x7F,
+            "offsets": offsets, "components": comps}
+
+
+def parse_navm(raw: bytes) -> list:
+    """Decompressed NAVM payload → flat bookmark list (count, then per
+    bookmark: child count, 24-bit-length description and URL)."""
+    if len(raw) < 2:
+        raise ValueError("djvu: NAVM shorter than its count")
+    (count,) = struct.unpack(">H", raw[:2])
+    if count > MAX_BOOKMARKS:
+        raise ValueError("djvu: bookmark count over cap")
+    pos = 2
+    out = []
+    for _ in range(count):
+        if pos + 1 > len(raw):
+            raise ValueError("djvu: truncated bookmark record")
+        nkids = raw[pos]
+        pos += 1
+        fields = []
+        for _f in range(2):
+            if pos + 3 > len(raw):
+                raise ValueError("djvu: truncated bookmark string")
+            ln = int.from_bytes(raw[pos : pos + 3], "big")
+            pos += 3
+            if pos + ln > len(raw):
+                raise ValueError("djvu: bookmark string past end")
+            fields.append(raw[pos : pos + ln].decode("utf-8", "replace"))
+            pos += ln
+        out.append({"n_children": nkids, "description": fields[0],
+                    "url": fields[1]})
+    return out
+
+
+_ANT_TOKEN = re.compile(rb'"((?:[^"\\]|\\.)*)"|\(|\)|[^\s()"]+')
+
+
+def parse_ant(text: bytes) -> dict:
+    """DjVu annotation s-expressions → census: maparea URLs +
+    comments, shape counts, page background/zoom/mode settings."""
+    pos = 0
+    n = len(text)
+    depth = 0
+    urls: list = []
+    comments: list = []
+    shapes: dict = {}
+    settings: dict = {}
+    stack: list = []
+    for m in _ANT_TOKEN.finditer(text):
+        tok = m.group(0)
+        if tok == b"(":
+            depth += 1
+            if depth > 32:
+                raise ValueError("djvu: annotation nesting over cap")
+            stack.append([])
+        elif tok == b")":
+            if not stack:
+                raise ValueError("djvu: unbalanced annotation parens")
+            expr = stack.pop()
+            depth -= 1
+            if expr and expr[0] == b"maparea":
+                if len(expr) >= 2 and isinstance(expr[1], tuple):
+                    urls.append(expr[1][0].decode("utf-8", "replace"))
+                if len(expr) >= 3 and isinstance(expr[2], tuple):
+                    c = expr[2][0].decode("utf-8", "replace")
+                    if c:
+                        comments.append(c)
+            elif expr and expr[0] in (b"rect", b"oval", b"poly",
+                                      b"line", b"text"):
+                name = expr[0].decode()
+                shapes[name] = shapes.get(name, 0) + 1
+            elif expr and expr[0] in (b"background", b"zoom", b"mode",
+                                      b"align"):
+                if len(expr) >= 2 and not isinstance(expr[1], list):
+                    v = expr[1]
+                    settings[expr[0].decode()] = (
+                        v[0] if isinstance(v, tuple) else v
+                    ).decode("utf-8", "replace")
+            if stack:
+                stack[-1].append(expr)
+        elif m.group(1) is not None:
+            if stack:
+                stack[-1].append((m.group(1),))  # quoted string
+        else:
+            if stack:
+                stack[-1].append(tok)
+    if stack:
+        raise ValueError("djvu: unbalanced annotation parens")
+    _ = pos, n
+    return {"urls": urls, "comments": comments, "shapes": shapes,
+            "settings": settings}
+
+
+def extract_djvu_metadata(data: bytes) -> dict:
+    """Container-wide metadata census: DIRM component directory
+    (names/titles through BZZ), NAVM bookmarks, and per-page ANT
+    annotations (ANTz through BZZ, ANTa verbatim)."""
+    from ..sources.bzz import bzz_decode
+
+    if not sniff_djvu(data):
+        raise ValueError("djvu: missing AT&T FORM magic")
+    (total,) = struct.unpack(">I", data[8:12])
+    form_end = 12 + total
+    if form_end > len(data):
+        raise ValueError("djvu: FORM length past end of file")
+    form_type = data[12:16]
+    out = {"components": [], "bookmarks": [], "urls": [],
+           "comments": [], "shapes": {}, "settings": {}}
+
+    def eat_page(start, end):
+        for tag, cpos, ln in _chunks(data, start, end):
+            if tag == b"ANTz":
+                ant = parse_ant(bzz_decode(data[cpos : cpos + ln]))
+            elif tag == b"ANTa":
+                ant = parse_ant(data[cpos : cpos + ln])
+            else:
+                continue
+            out["urls"] += ant["urls"]
+            out["comments"] += ant["comments"]
+            for k, v in ant["shapes"].items():
+                out["shapes"][k] = out["shapes"].get(k, 0) + v
+            out["settings"].update(ant["settings"])
+
+    if form_type == b"DJVU":
+        eat_page(16, form_end)
+    elif form_type == b"DJVM":
+        for tag, cpos, ln in _chunks(data, 16, form_end):
+            if tag == b"DIRM":
+                out["components"] = parse_dirm(data, cpos, ln)[
+                    "components"
+                ]
+            elif tag == b"NAVM":
+                out["bookmarks"] = parse_navm(
+                    bzz_decode(data[cpos : cpos + ln])
+                )
+            elif tag == b"FORM" and data[cpos : cpos + 4] == b"DJVU":
+                eat_page(cpos + 4, cpos + ln)
+    else:
+        raise ValueError(
+            f"djvu: unsupported top-level FORM type {form_type!r}"
+        )
+    return out

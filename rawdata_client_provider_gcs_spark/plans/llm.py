@@ -6835,6 +6835,109 @@ def q_crawl_djvu_text(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_djvu_nav",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
+           FROM documents WHERE doc_id < 150)
+SELECT doc_id,
+       CAST(2 + doc_id % 3 AS BIGINT) AS n_components,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 2 + doc_id % 3
+            ELSE 1 END AS BIGINT) AS n_named,
+       'Scan ' || CAST(doc_id AS VARCHAR) AS first_title,
+       CAST(1 + doc_id % 4 AS BIGINT) AS n_bookmarks,
+       'Chapter ' || CAST(doc_id % 7 AS VARCHAR) AS first_bookmark,
+       CAST(1 + doc_id % 2 AS BIGINT) AS n_urls,
+       'https://archive.example/item/' || CAST(doc_id AS VARCHAR)
+         AS first_url,
+       CASE WHEN doc_id % 3 = 0 THEN '#FFFFFF' ELSE '' END
+         AS background
+FROM d
+""",
+    tags=("llm", "multimodal", "djvu", "crawl", "pandas-udf"),
+)
+def q_crawl_djvu_nav(spark: SparkSession, sf: str) -> DataFrame:
+    """DjVu navigation metadata, oracle-exact (r15) — the rest of the
+    container's BZZ-compressed metadata now that the coder exists:
+    the DIRM component directory's compressed tail (per-component
+    IDs, names, titles), the NAVM bookmark tree, and per-page ANT
+    annotations (``ANTz`` through BZZ) with maparea URL extraction —
+    outlinks from scanned corpora, plus the page-setting census.
+    All columns closed-form in doc_id.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawdjvu
+
+        cols = ("doc_id", "n_components", "n_named", "first_title",
+                "n_bookmarks", "first_bookmark", "n_urls", "first_url",
+                "background")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 3
+                anno0 = (
+                    f'(maparea "https://archive.example/item/{did}" '
+                    f'"item link" (rect 5 5 50 20))'
+                    + (' (background #FFFFFF)' if did % 3 == 0 else "")
+                )
+                pages = [{"width": 2550, "height": 3300, "anno": anno0}]
+                for i in range(1, n):
+                    anno = (
+                        f'(maparea "https://archive.example/p/{did}/{i}"'
+                        f' "page link" (oval 1 2 3 4))'
+                        if did % 2 == 1 and i == 1 else False
+                    )
+                    pages.append({"width": 2550, "height": 3300,
+                                  "anno": anno})
+                names = ([f"scan-{did}-{i}" for i in range(n)]
+                         if did % 2 == 0 else
+                         [f"cover-{did}"] + [None] * (n - 1))
+                titles = [f"Scan {did}"] + [None] * (n - 1)
+                marks = [(0, f"Chapter {(did + j) % 7}", f"#page{j}")
+                         for j in range(1 + did % 4)]
+                blob = rawdjvu.build_djvu(pages, names=names,
+                                          titles=titles,
+                                          bookmarks=marks)
+                m = rawdjvu.extract_djvu_metadata(blob)
+                rows["doc_id"].append(did)
+                rows["n_components"].append(len(m["components"]))
+                rows["n_named"].append(sum(
+                    1 for c in m["components"] if c["name"] is not None
+                ))
+                rows["first_title"].append(next(
+                    (c["title"] for c in m["components"]
+                     if c["title"] is not None), ""
+                ))
+                rows["n_bookmarks"].append(len(m["bookmarks"]))
+                rows["first_bookmark"].append(
+                    m["bookmarks"][0]["description"]
+                    if m["bookmarks"] else ""
+                )
+                rows["n_urls"].append(len(m["urls"]))
+                rows["first_url"].append(m["urls"][0] if m["urls"]
+                                         else "")
+                rows["background"].append(
+                    m["settings"].get("background", "")
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        make,
+        "doc_id long, n_components long, n_named long, "
+        "first_title string, n_bookmarks long, first_bookmark string, "
+        "n_urls long, first_url string, background string",
+    )
+
+
+@register(
     "q_multimodal_pdf_structure",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -121,3 +121,90 @@ def test_djvu_fuzz_never_uncatchable(seed):
                 D.parse_djvu(bytes(buf))
             except ValueError:
                 pass
+
+
+# ---------------------------------------------------------------------------
+# BZZ-compressed metadata: DIRM names, NAVM bookmarks, ANT annotations (r15)
+# ---------------------------------------------------------------------------
+
+
+def test_dirm_component_directory_roundtrip():
+    blob = D.build_djvu(
+        [{"width": 64, "height": 64}] * 3,
+        names=["front", None, "back"],
+        titles=["Cover", "Body", None],
+    )
+    m = D.extract_djvu_metadata(blob)
+    comps = m["components"]
+    assert [c["id"] for c in comps] == ["p0000.djvu", "p0001.djvu",
+                                        "p0002.djvu"]
+    assert [c["name"] for c in comps] == ["front", None, "back"]
+    assert [c["title"] for c in comps] == ["Cover", "Body", None]
+    assert all(c["type"] == "page" and c["size"] > 0 for c in comps)
+    # the size table must match the actual component byte lengths
+    d = D.parse_dirm(blob, blob.index(b"DIRM") + 8,
+                     int.from_bytes(blob[blob.index(b"DIRM") + 4:
+                                         blob.index(b"DIRM") + 8], "big"))
+    assert d["bundled"] and len(d["offsets"]) == 3
+    assert blob[d["offsets"][0]: d["offsets"][0] + 4] == b"FORM"
+
+
+def test_navm_bookmarks_roundtrip():
+    marks = [(2, "Part I", "#p0001.djvu"), (0, "Chapter — æøå", "#2"),
+             (0, "", "https://example.org/x")]
+    blob = D.build_djvu([{"width": 8, "height": 8}] * 2,
+                        bookmarks=marks)
+    got = D.extract_djvu_metadata(blob)["bookmarks"]
+    assert [(b["n_children"], b["description"], b["url"])
+            for b in got] == marks
+
+
+def test_ant_annotation_census():
+    ant = (b'(maparea "https://a.example/1" "first" (rect 1 2 3 4))'
+           b'(maparea "https://a.example/2" "" (poly 1 2 3 4 5 6))'
+           b'(background #FF00FF) (zoom width) (mode bw)')
+    got = D.parse_ant(ant)
+    assert got["urls"] == ["https://a.example/1", "https://a.example/2"]
+    assert got["comments"] == ["first"]
+    assert got["shapes"] == {"rect": 1, "poly": 1}
+    assert got["settings"] == {"background": "#FF00FF",
+                               "zoom": "width", "mode": "bw"}
+    # escaped quotes inside strings survive the tokenizer
+    got = D.parse_ant(rb'(maparea "u" "say \"hi\"" (rect 0 0 1 1))')
+    assert got["urls"] == ["u"]
+    # hostile: unbalanced parens are loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unbalanced"):
+        D.parse_ant(b"(maparea (rect 1 2 3 4)")
+    with _pytest.raises(ValueError, match="nesting"):
+        D.parse_ant(b"(" * 40 + b")" * 40)
+
+
+def test_antz_through_bzz_and_single_page():
+    blob = D.build_djvu([{
+        "width": 100, "height": 200,
+        "anno": '(maparea "https://s.example/p" "c" (rect 0 0 9 9))',
+    }])
+    m = D.extract_djvu_metadata(blob)
+    assert m["urls"] == ["https://s.example/p"]
+    assert m["components"] == [] and m["bookmarks"] == []
+    assert D.parse_djvu(blob)["has_anno"]
+
+
+def test_djvu_metadata_hostiles():
+    import pytest as _pytest
+
+    # truncated DIRM compressed tail
+    blob = bytearray(D.build_djvu([{"width": 8, "height": 8}] * 2,
+                                  names=["a", "b"]))
+    i = blob.index(b"DIRM")
+    (ln,) = __import__("struct").unpack(">I", blob[i + 4 : i + 8])
+    with _pytest.raises(ValueError):
+        D.parse_dirm(bytes(blob), i + 8, 3 + 8)  # cut before the tail
+    # NAVM with a lying string length
+    from rawdata_client_provider_gcs_spark.sources.bzz import bzz_encode
+
+    bad = bytes([0, 1, 0]) + (1 << 20).to_bytes(3, "big")
+    with _pytest.raises(ValueError, match="bookmark"):
+        D.parse_navm(bad)
