@@ -279,7 +279,8 @@ def _template_pixels(template: int, at) -> list:
     return pix
 
 
-def _region_pass(width, height, template, at, tpgdon, coder, bits=None):
+def _region_pass(width, height, template, at, tpgdon, coder, bits=None,
+                 shared_ctx=None):
     """Shared decode/encode walk: ``bits is None`` decodes (returns the
     bitmap), else encodes ``bits``.  ``coder`` is the MQ en/decoder.
 
@@ -289,9 +290,12 @@ def _region_pass(width, height, template, at, tpgdon, coder, bits=None):
     OR instead of a 10-16 pixel gather."""
     pix = _template_pixels(template, at)
     decode = bits is None
-    ncx = 1 << len(pix)
-    icx = [0] * ncx
-    mps = [0] * ncx
+    if shared_ctx is None:
+        ncx = 1 << len(pix)
+        icx = [0] * ncx
+        mps = [0] * ncx
+    else:
+        icx, mps = shared_ctx
     pad = 128  # AT reach <= 128 either side, 2 rows above
     plane = np.zeros((height + 2, width + 2 * pad), dtype=np.uint8)
     if not decode:
@@ -369,12 +373,14 @@ def _region_pass(width, height, template, at, tpgdon, coder, bits=None):
 
 
 def decode_generic_region(data, width, height, template=0, at=None,
-                          tpgdon=False):
-    """MQ-coded generic region → (H, W) uint8 bit plane (1 = black)."""
+                          tpgdon=False, coder=None, shared_ctx=None):
+    """MQ-coded generic region → (H, W) uint8 bit plane (1 = black).
+    ``coder``/``shared_ctx`` let symbol dictionaries decode many
+    bitmaps over ONE arithmetic decoder with persistent contexts."""
     if width <= 0 or height <= 0 or width * height > MAX_PIXELS:
         raise ValueError("jbig2: region dimensions out of range")
     return _region_pass(width, height, template, at, tpgdon,
-                        MQDecoder(data))
+                        coder or MQDecoder(data), shared_ctx=shared_ctx)
 
 
 def encode_generic_region(bits, template=0, at=None, tpgdon=False):
@@ -392,7 +398,8 @@ def encode_generic_region(bits, template=0, at=None, tpgdon=False):
 
 
 def _segments(data: bytes):
-    """Sequential segment-header walk → (type, page, payload bytes)."""
+    """Sequential segment-header walk → (number, type, referred-to
+    segment numbers, payload bytes)."""
     pos = 0
     n = len(data)
     count = 0
@@ -415,6 +422,14 @@ def _segments(data: bytes):
         else:
             pos += 1
         ref_size = 1 if _num <= 256 else (2 if _num <= 65536 else 4)
+        if pos + cnt * ref_size > n:
+            raise ValueError("jbig2: truncated referred-segment list")
+        refs = []
+        for i in range(cnt):
+            refs.append(int.from_bytes(
+                data[pos + i * ref_size : pos + (i + 1) * ref_size],
+                "big",
+            ))
         pos += cnt * ref_size
         pos += 4 if pa4 else 1
         if pos + 4 > n:
@@ -425,7 +440,7 @@ def _segments(data: bytes):
             raise ValueError("jbig2: unknown-length segment unsupported")
         if pos + dlen > n:
             raise ValueError("jbig2: segment data past end of stream")
-        yield stype, data[pos : pos + dlen]
+        yield _num, stype, refs, data[pos : pos + dlen]
         pos += dlen
         count += 1
         if count > MAX_SEGMENTS:
@@ -444,9 +459,10 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> dict:
     page_w = page_h = None
     page = None
     default = 0
+    sym_table: dict = {}  # segment number -> exported symbol bitmaps
     streams = ([globals_data] if globals_data else []) + [data]
     for blob in streams:
-        for stype, payload in _segments(blob):
+        for seg_num, stype, refs, payload in _segments(blob):
             if stype == 48:  # page information
                 if len(payload) < 17:
                     raise ValueError("jbig2: short page-info segment")
@@ -519,13 +535,49 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> dict:
                     raise ValueError(
                         f"jbig2: combination operator {combop} reserved"
                     )
+            elif stype == 0:  # symbol dictionary
+                in_syms = []
+                for r in refs:
+                    in_syms += sym_table.get(r, [])
+                sym_table[seg_num] = decode_symbol_dict(payload,
+                                                        in_syms)
+            elif stype in (4, 6, 7):  # text region
+                syms = []
+                for r in refs:
+                    syms += sym_table.get(r, [])
+                bits, x, y, combop = decode_text_region(payload, syms)
+                h, w = bits.shape
+                if page is None:
+                    if page_w is None:
+                        raise ValueError(
+                            "jbig2: region before page information"
+                        )
+                    page = np.full((y + h, page_w), default, np.uint8)
+                if y + h > page.shape[0] or x + w > page.shape[1]:
+                    raise ValueError("jbig2: region outside the page")
+                dst = page[y : y + h, x : x + w]
+                op = _COMBINE.get(combop)
+                if op == "or":
+                    dst |= bits
+                elif op == "and":
+                    dst &= bits
+                elif op == "xor":
+                    dst ^= bits
+                elif op == "xnor":
+                    dst[...] = 1 - (dst ^ bits)
+                elif op == "replace":
+                    dst[...] = bits
+                else:
+                    raise ValueError(
+                        f"jbig2: combination operator {combop} reserved"
+                    )
             elif stype in (49, 50, 51, 62):
                 continue  # end-of-page/stripe/file, extension: no-op
             else:
                 raise ValueError(
                     f"jbig2: segment type {stype} outside the "
-                    "generic-region subset (symbol/text/halftone/"
-                    "refinement undecoded)"
+                    "generic/symbol/text subset (halftone/refinement "
+                    "undecoded)"
                 )
     if page is None:
         raise ValueError("jbig2: no page produced")
@@ -538,9 +590,14 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _segment(num: int, stype: int, payload: bytes, page: int = 1) -> bytes:
-    return (struct.pack(">IB", num, stype) + b"\x00"
-            + bytes([page]) + struct.pack(">I", len(payload)) + payload)
+def _segment(num: int, stype: int, payload: bytes, page: int = 1,
+             refs: tuple = ()) -> bytes:
+    if len(refs) > 4:
+        raise ValueError("jbig2 fixture: too many referred segments")
+    head = struct.pack(">IB", num, stype)
+    head += bytes([len(refs) << 5]) + bytes(refs)
+    return (head + bytes([page]) + struct.pack(">I", len(payload))
+            + payload)
 
 
 def build_jbig2(bits, *, template: int = 0, at=None, tpgdon: bool = False,
@@ -571,4 +628,428 @@ def build_jbig2(bits, *, template: int = 0, at=None, tpgdon: bool = False,
         body = encode_generic_region(bits, template, atl, tpgdon)
     out += _segment(1, 38, payload + body)
     out += _segment(2, 49, b"")  # end of page
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Arithmetic integer decoding (Annex A) + symbol/text regions (§6.4/6.5)
+# ---------------------------------------------------------------------------
+
+OOB = object()  # Annex A out-of-band marker (end of a run)
+
+#: Annex A bucket ladder: (prefix bit count, value bits, offset)
+_IA_BUCKETS = ((2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436))
+
+
+class IntCtx:
+    """One Annex-A integer context: 512 adaptive states tracked by the
+    PREV sliding window."""
+
+    __slots__ = ("icx", "mps")
+
+    def __init__(self):
+        self.icx = [0] * 512
+        self.mps = [0] * 512
+
+
+def _ia_decode(dec: MQDecoder, cx: IntCtx):
+    """DECODE per Annex A.2 → int or :data:`OOB`."""
+    prev = 1
+
+    def bit():
+        nonlocal prev
+        b = dec.decode(cx.icx, cx.mps, prev)
+        prev = ((prev << 1) | b) if prev < 256 else \
+            ((((prev << 1) | b) & 511) | 256)
+        return b
+
+    s = bit()
+    if not bit():
+        nbits, off = _IA_BUCKETS[0]
+    elif not bit():
+        nbits, off = _IA_BUCKETS[1]
+    elif not bit():
+        nbits, off = _IA_BUCKETS[2]
+    elif not bit():
+        nbits, off = _IA_BUCKETS[3]
+    elif not bit():
+        nbits, off = _IA_BUCKETS[4]
+    else:
+        nbits, off = _IA_BUCKETS[5]
+    v = 0
+    for _ in range(nbits):
+        v = (v << 1) | bit()
+    v += off
+    if s and v == 0:
+        return OOB
+    return -v if s else v
+
+
+def _ia_encode(enc: MQEncoder, cx: IntCtx, value) -> None:
+    """Dual of :func:`_ia_decode`."""
+    prev = 1
+
+    def bit(b):
+        nonlocal prev
+        enc.encode(b, cx.icx, cx.mps, prev)
+        prev = ((prev << 1) | b) if prev < 256 else \
+            ((((prev << 1) | b) & 511) | 256)
+
+    if value is OOB:
+        s, v = 1, 0
+    else:
+        s = 1 if value < 0 else 0
+        v = abs(value)
+    bit(s)
+    lo = 0
+    for i, (nbits, off) in enumerate(_IA_BUCKETS):
+        hi = off + (1 << nbits) - 1
+        if v <= hi or i == len(_IA_BUCKETS) - 1:
+            for _ in range(i):
+                bit(1)
+            if i < len(_IA_BUCKETS) - 1:
+                bit(0)
+            rest = v - off
+            for k in range(nbits - 1, -1, -1):
+                bit((rest >> k) & 1)
+            return
+        lo = hi + 1
+    raise AssertionError
+
+
+def _iaid_decode(dec: MQDecoder, icx, mps, codelen: int) -> int:
+    prev = 1
+    for _ in range(codelen):
+        prev = (prev << 1) | dec.decode(icx, mps, prev)
+    return prev - (1 << codelen)
+
+
+def _iaid_encode(enc: MQEncoder, icx, mps, codelen: int,
+                 value: int) -> None:
+    prev = 1
+    v = value + (1 << codelen)
+    for k in range(codelen - 1, -1, -1):
+        b = (v >> k) & 1
+        enc.encode(b, icx, mps, prev)
+        prev = (prev << 1) | b
+
+
+MAX_SYMBOLS = 1 << 16
+
+
+def decode_symbol_dict(payload: bytes, in_syms: list) -> list:
+    """Symbol-dictionary segment (§6.5, arithmetic path) → exported
+    symbol bitmaps.  Height classes via IADH, per-class widths via
+    IADW runs, bitmaps through the shared generic-region decoder with
+    persistent GB contexts, exports via IAEX run-length toggling over
+    input+new symbols.  Huffman and refinement/aggregate coding raise
+    (documented loud boundary)."""
+    if len(payload) < 10:
+        raise ValueError("jbig2: short symbol-dictionary segment")
+    (flags,) = struct.unpack(">H", payload[:2])
+    if flags & 1:
+        raise ValueError("jbig2: Huffman symbol dictionaries undecoded")
+    if flags & 2:
+        raise ValueError(
+            "jbig2: refinement/aggregate symbol coding undecoded"
+        )
+    template = (flags >> 10) & 3
+    pos = 2
+    n_at = 4 if template == 0 else 1
+    at = []
+    for _ in range(n_at):
+        if pos + 2 > len(payload):
+            raise ValueError("jbig2: truncated symbol-dict AT pixels")
+        ax, ay = struct.unpack("bb", payload[pos : pos + 2])
+        at.append((ax, ay))
+        pos += 2
+    if pos + 8 > len(payload):
+        raise ValueError("jbig2: truncated symbol-dict counts")
+    n_ex, n_new = struct.unpack(">II", payload[pos : pos + 8])
+    pos += 8
+    if n_new > MAX_SYMBOLS or n_ex > MAX_SYMBOLS:
+        raise ValueError("jbig2: symbol count over the cap")
+    dec = MQDecoder(payload[pos:])
+    iadh, iadw, iaex = IntCtx(), IntCtx(), IntCtx()
+    pixn = len(_template_pixels(template, at))
+    gb = ([0] * (1 << pixn), [0] * (1 << pixn))
+    new_syms: list = []
+    hc = 0
+    while len(new_syms) < n_new:
+        dh = _ia_decode(dec, iadh)
+        if dh is OOB:
+            raise ValueError("jbig2: OOB height-class delta")
+        hc += dh
+        if hc <= 0 or hc > 1 << 14:
+            raise ValueError("jbig2: symbol height out of range")
+        w = 0
+        while True:
+            dw = _ia_decode(dec, iadw)
+            if dw is OOB:
+                break
+            w += dw
+            if w <= 0 or w > 1 << 14 or w * hc > MAX_PIXELS:
+                raise ValueError("jbig2: symbol width out of range")
+            if len(new_syms) >= n_new:
+                raise ValueError("jbig2: more symbols than declared")
+            new_syms.append(
+                _region_pass(w, hc, template, at, False, dec,
+                             shared_ctx=gb)
+            )
+    all_syms = list(in_syms) + new_syms
+    exflags = [0] * len(all_syms)
+    i = 0
+    cur = 0
+    while i < len(all_syms):
+        run = _ia_decode(dec, iaex)
+        if run is OOB or run < 0 or i + run > len(all_syms):
+            raise ValueError("jbig2: bad export run")
+        for j in range(i, i + run):
+            exflags[j] = cur
+        i += run
+        cur ^= 1
+    exported = [s for s, f in zip(all_syms, exflags) if f]
+    if len(exported) != n_ex:
+        raise ValueError("jbig2: export count disagrees with header")
+    return exported
+
+
+def decode_text_region(payload: bytes, syms: list):
+    """Text-region segment (§6.4, arithmetic path) → (bitmap, x, y,
+    external combop).  Strip walk: IADT/IAFS/IADS/IAIT coordinates,
+    IAID symbol selection, all four reference corners; transposed
+    regions, Huffman and refinement raise."""
+    if len(payload) < 17 + 2 + 4:
+        raise ValueError("jbig2: short text-region segment")
+    w, h, x, y = struct.unpack(">IIII", payload[:16])
+    ext_combop = payload[16] & 7
+    (tflags,) = struct.unpack(">H", payload[17:19])
+    if tflags & 1:
+        raise ValueError("jbig2: Huffman text regions undecoded")
+    if tflags & 2:
+        raise ValueError("jbig2: refinement text regions undecoded")
+    log_strips = (tflags >> 2) & 3
+    refcorner = (tflags >> 4) & 3
+    transposed = (tflags >> 6) & 1
+    combop = (tflags >> 7) & 3
+    defpix = (tflags >> 9) & 1
+    dsoffset = (tflags >> 10) & 0x1F
+    if dsoffset > 15:
+        dsoffset -= 32  # signed 5-bit
+    if transposed:
+        raise ValueError("jbig2: transposed text regions undecoded")
+    (ninst,) = struct.unpack(">I", payload[19:23])
+    if w * h > MAX_PIXELS or ninst > MAX_SYMBOLS:
+        raise ValueError("jbig2: text region geometry out of range")
+    if not syms:
+        raise ValueError("jbig2: text region with no symbols")
+    strips = 1 << log_strips
+    codelen = max(0, (len(syms) - 1).bit_length())
+    dec = MQDecoder(payload[23:])
+    iadt, iafs, iads, iait = (IntCtx(), IntCtx(), IntCtx(), IntCtx())
+    iaid_icx = [0] * (1 << (codelen + 1))
+    iaid_mps = [0] * (1 << (codelen + 1))
+    region = np.full((h, w), defpix, np.uint8)
+    dt = _ia_decode(dec, iadt)
+    if dt is OOB:
+        raise ValueError("jbig2: OOB strip T")
+    stript = -dt * strips
+    firsts = 0
+    n = 0
+    guard = 0
+    while n < ninst:
+        guard += 1
+        if guard > 4 * ninst + 16:
+            raise ValueError("jbig2: text strip walk does not converge")
+        dt = _ia_decode(dec, iadt)
+        if dt is OOB:
+            raise ValueError("jbig2: OOB strip delta")
+        stript += dt * strips
+        first = True
+        curs = 0
+        while True:
+            if n >= ninst:
+                break
+            if first:
+                fs = _ia_decode(dec, iafs)
+                if fs is OOB:
+                    raise ValueError("jbig2: OOB first S")
+                firsts += fs
+                curs = firsts
+                first = False
+            else:
+                ids = _ia_decode(dec, iads)
+                if ids is OOB:
+                    break
+                curs += ids + dsoffset
+            curt = 0 if strips == 1 else _ia_decode(dec, iait)
+            if curt is OOB:
+                raise ValueError("jbig2: OOB instance T")
+            ti = stript + curt
+            sid = _iaid_decode(dec, iaid_icx, iaid_mps, codelen)
+            if sid >= len(syms):
+                raise ValueError("jbig2: symbol id out of range")
+            bmp = syms[sid]
+            hi, wi = bmp.shape
+            if refcorner in (2, 3):  # right corners advance first
+                curs += wi - 1
+                x0 = curs - wi + 1
+            else:
+                x0 = curs
+            y0 = ti if refcorner in (1, 3) else ti - hi + 1
+            if x0 < 0 or y0 < 0 or x0 + wi > w or y0 + hi > h:
+                raise ValueError("jbig2: symbol instance outside region")
+            dst = region[y0 : y0 + hi, x0 : x0 + wi]
+            if combop == 0:
+                dst |= bmp
+            elif combop == 1:
+                dst &= bmp
+            elif combop == 2:
+                dst ^= bmp
+            else:
+                dst[...] = 1 - (dst ^ bmp)
+            if refcorner in (0, 1):  # left corners advance after
+                curs += wi - 1
+            n += 1
+    return region, x, y, ext_combop
+
+
+def encode_symbol_dict(symbols: list, template: int = 0,
+                       at=None, n_input: int = 0) -> tuple:
+    """Fixture dual of :func:`decode_symbol_dict` (all symbols
+    exported).  Returns ``(payload, order)`` where ``order`` maps
+    decode position → original symbol index: the text region must
+    reference symbols by their height-class decode order."""
+    atl = list(at) if at is not None else list(NOMINAL_AT[template])
+    order = sorted(range(len(symbols)),
+                   key=lambda i: (symbols[i].shape[0], i))
+    enc = MQEncoder()
+    iadh, iadw, iaex = IntCtx(), IntCtx(), IntCtx()
+    pixn = len(_template_pixels(template, atl))
+    gb = ([0] * (1 << pixn), [0] * (1 << pixn))
+    hc = 0
+    i = 0
+    while i < len(order):
+        h = symbols[order[i]].shape[0]
+        _ia_encode(enc, iadh, h - hc)
+        hc = h
+        w = 0
+        while i < len(order) and symbols[order[i]].shape[0] == hc:
+            bmp = symbols[order[i]]
+            _ia_encode(enc, iadw, bmp.shape[1] - w)
+            w = bmp.shape[1]
+            _region_pass(w, hc, template, atl, False, enc, bmp,
+                         shared_ctx=gb)
+            i += 1
+        _ia_encode(enc, iadw, OOB)
+    _ia_encode(enc, iaex, n_input)     # imported symbols: not exported
+    _ia_encode(enc, iaex, len(order))  # run of exported new symbols
+    payload = struct.pack(">H", template << 10)
+    for ax, ay in atl:
+        payload += struct.pack("bb", ax, ay)
+    payload += struct.pack(">II", len(order), len(order))
+    payload += enc.flush()
+    return payload, order
+
+
+def encode_text_region(placements: list, syms: list, w: int, h: int,
+                       *, x: int = 0, y: int = 0, refcorner: int = 1,
+                       combop: int = 0, ext_combop: int = 0,
+                       defpix: int = 0) -> bytes:
+    """Fixture dual of :func:`decode_text_region`.  ``placements``:
+    ``(sym_id, x0, y0)`` top-left pixel coordinates inside the
+    region; one strip per distinct row, SBSTRIPS = 1."""
+    codelen = max(0, (len(syms) - 1).bit_length())
+    enc = MQEncoder()
+    iadt, iafs, iads, iait = (IntCtx(), IntCtx(), IntCtx(), IntCtx())
+    iaid_icx = [0] * (1 << (codelen + 1))
+    iaid_mps = [0] * (1 << (codelen + 1))
+    _ = iait  # SBSTRIPS == 1: IAIT never coded
+
+    def t_of(p):
+        sid, x0, y0 = p
+        hi = syms[sid].shape[0]
+        return y0 if refcorner in (1, 3) else y0 + hi - 1
+
+    def s_left(p):
+        return p[1]
+
+    items = sorted(placements, key=lambda p: (t_of(p), s_left(p)))
+    _ia_encode(enc, iadt, 0)  # initial STRIPT term
+    stript = 0
+    firsts = 0
+    i = 0
+    while i < len(items):
+        t = t_of(items[i])
+        _ia_encode(enc, iadt, t - stript)
+        stript = t
+        first = True
+        curs = 0
+        while i < len(items) and t_of(items[i]) == t:
+            sid, x0, _y0 = items[i]
+            wi = syms[sid].shape[1]
+            # the right-corner pre-advance cancels against drawing at
+            # CURS - WI + 1, so the S stream is the left-edge sequence
+            # for every corner (only T placement differs)
+            if first:
+                _ia_encode(enc, iafs, x0 - firsts)
+                firsts = x0
+                first = False
+            else:
+                _ia_encode(enc, iads, x0 - curs)
+            _iaid_encode(enc, iaid_icx, iaid_mps, codelen, sid)
+            curs = x0 + wi - 1
+            i += 1
+        _ia_encode(enc, iads, OOB)
+    tflags = (refcorner << 4) | (combop << 7) | (defpix << 9)
+    payload = struct.pack(">IIII", w, h, x, y) + bytes([ext_combop])
+    payload += struct.pack(">H", tflags)
+    payload += struct.pack(">I", len(items))
+    payload += enc.flush()
+    return payload
+
+
+def glyph_bitmap(ch: str, seed: int = 0) -> np.ndarray:
+    """Deterministic 8×5 pseudo-glyph for fixture fonts (no real font
+    rendering in this environment; the decode path only needs stable
+    per-character bitmaps)."""
+    import hashlib
+
+    h = hashlib.sha256(f"{ch}:{seed}".encode()).digest()
+    bits = np.frombuffer(h[:5], np.uint8)[:, None] >> np.arange(8)[None, :]
+    return (bits & 1).astype(np.uint8).T  # (8, 5)
+
+
+def build_jbig2_text(text: str, *, width: int | None = None,
+                     height: int | None = None, refcorner: int = 1,
+                     seed: int = 0) -> bytes:
+    """Embedded-format fixture: page info + symbol dictionary + one
+    immediate text region typesetting ``text`` with the deterministic
+    pseudo-font (6-px advance, 10-px line pitch)."""
+    lines = text.split("\n")
+    chars = sorted({c for c in text if not c.isspace()})
+    if not chars:
+        raise ValueError("jbig2 fixture: text has no visible characters")
+    glyphs = [glyph_bitmap(c, seed) for c in chars]
+    sd_payload, order = encode_symbol_dict(glyphs)
+    ordered = [glyphs[i] for i in order]
+    # decode position of each original glyph index
+    decode_pos = {orig: k for k, orig in enumerate(order)}
+    index = {c: decode_pos[i] for i, c in enumerate(chars)}
+    placements = []
+    for row, line in enumerate(lines):
+        for col, c in enumerate(line):
+            if not c.isspace():
+                placements.append((index[c], 2 + 6 * col, 2 + 10 * row))
+    w = width or (2 + 6 * max(len(ln) for ln in lines) + 4)
+    h = height or (2 + 10 * len(lines) + 2)
+    tr_payload = encode_text_region(placements, ordered, w, h,
+                                    refcorner=refcorner)
+    pflags = 0
+    page_info = struct.pack(">IIII", w, h, 0, 0) + bytes([pflags]) \
+        + struct.pack(">H", 0)
+    out = _segment(0, 48, page_info)
+    out += _segment(1, 0, sd_payload)
+    out += _segment(2, 6, tr_payload, refs=(1,))
+    out += _segment(3, 49, b"")
     return out

@@ -1541,16 +1541,35 @@ def _build_image_xobject(spec: dict) -> bytes:
             b"/Length %d >>\nstream\n" % (w, h, parms, len(payload))
             + payload + b"\nendstream"
         )
-    if kind == "jbig2":
+    if kind in ("jbig2", "jbig2_sym"):
         from . import rawjbig2
 
-        bits = np.asarray(spec["bits"], np.uint8)
-        h, w = bits.shape
-        payload = rawjbig2.build_jbig2(
-            bits, template=spec.get("template", 0),
-            tpgdon=spec.get("tpgdon", False),
-            mmr=spec.get("mmr", False),
-        )
+        if kind == "jbig2_sym":
+            # symbol-dictionary + text-region organization (the real
+            # scanned-text mask shape): explicit glyphs + placements
+            import struct as _s
+
+            glyphs = [np.asarray(g, np.uint8) for g in spec["glyphs"]]
+            w, h = spec["size"]
+            sd, order = rawjbig2.encode_symbol_dict(glyphs)
+            pos_of = {orig: k for k, orig in enumerate(order)}
+            places = [(pos_of[g], x0, y0)
+                      for g, x0, y0 in spec["placements"]]
+            tr = rawjbig2.encode_text_region(
+                places, [glyphs[i] for i in order], w, h)
+            page_info = _s.pack(">IIII", w, h, 0, 0) + b"\x00" \
+                + _s.pack(">H", 0)
+            payload = rawjbig2._segment(0, 48, page_info)
+            payload += rawjbig2._segment(1, 0, sd)
+            payload += rawjbig2._segment(2, 6, tr, refs=(1,))
+        else:
+            bits = np.asarray(spec["bits"], np.uint8)
+            h, w = bits.shape
+            payload = rawjbig2.build_jbig2(
+                bits, template=spec.get("template", 0),
+                tpgdon=spec.get("tpgdon", False),
+                mmr=spec.get("mmr", False),
+            )
         return (
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
             b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
@@ -1625,8 +1644,11 @@ def _page_image_parts(
         name = b"Im%d" % n_xo
         n_xo += 1
         xo_entries.append(b"/%s %d 0 R" % (name, num))
-        arr = np.asarray(spec.get("array", spec.get("bits")))
-        h, w = arr.shape[0], arr.shape[1]
+        if "size" in spec:  # (w, h) kinds (jbig2_sym)
+            w, h = spec["size"]
+        else:
+            arr = np.asarray(spec.get("array", spec.get("bits")))
+            h, w = arr.shape[0], arr.shape[1]
         ops_parts.append(b"q %d 0 0 %d 0 0 cm /%s Do Q" % (w, h, name))
     xo_res = (
         b" /XObject << " + b" ".join(xo_entries) + b" >>"

@@ -4078,7 +4078,9 @@ SELECT doc_id,
             WHEN 0 THEN 2 * (doc_id % 113) * 1152
             WHEN 1 THEN 255 * 16 * (8 - ((doc_id % 7) + 1))
             WHEN 2 THEN k * 128
-            ELSE 255 * 16 * (8 - ((doc_id % 7) + 1)) END AS BIGINT)
+            ELSE CASE WHEN (doc_id // 4) % 5 = 4 THEN 255 * (128 - 52)
+                 ELSE 255 * 16 * (8 - ((doc_id % 7) + 1)) END
+            END AS BIGINT)
 FROM d
 """,
     tags=("llm", "multimodal", "pdf", "image", "curation", "pandas-udf"),
@@ -4148,17 +4150,29 @@ def q_crawl_pdf_images(spark: SparkSession, sf: str) -> DataFrame:
                     page1 = [{"kind": "gray_pred",
                               "array": np.full((8, 16), k, np.uint8)}]
                 else:
-                    # JBIG2 generic region (r15): sub-rotate the MQ
-                    # templates, typical prediction, and the MMR route
-                    bits = np.zeros((8, 16), np.uint8)
-                    bits[: (did % 7) + 1] = 1
-                    jkw = (
-                        {"template": 0},
-                        {"template": 2, "tpgdon": True},
-                        {"mmr": True},
-                        {"template": 1, "tpgdon": True},
-                    )[(did // 4) % 4]
-                    page1 = [dict({"kind": "jbig2", "bits": bits}, **jkw)]
+                    # JBIG2 (r15): sub-rotate generic-region MQ
+                    # templates, typical prediction, the MMR route,
+                    # and the symbol-dictionary + text-region
+                    # organization (the real scanned-text mask shape)
+                    v5 = (did // 4) % 5
+                    if v5 == 4:
+                        page1 = [{
+                            "kind": "jbig2_sym", "size": (16, 8),
+                            "glyphs": [np.ones((8, 5), np.uint8),
+                                       np.ones((4, 3), np.uint8)],
+                            "placements": [(0, 1, 0), (1, 9, 2)],
+                        }]
+                    else:
+                        bits = np.zeros((8, 16), np.uint8)
+                        bits[: (did % 7) + 1] = 1
+                        jkw = (
+                            {"template": 0},
+                            {"template": 2, "tpgdon": True},
+                            {"mmr": True},
+                            {"template": 1, "tpgdon": True},
+                        )[v5]
+                        page1 = [dict({"kind": "jbig2", "bits": bits},
+                                      **jkw)]
                 enc = (
                     rawpdf.encode_pdf if did % 2 == 0
                     else rawpdf.encode_pdf_modern

@@ -130,13 +130,13 @@ def test_jbig2_globals_stream_split():
     bits = _bits(8, 16, 0.4)
     full = J.build_jbig2(bits)
     segs = list(J._segments(full))
-    assert [t for t, _ in segs] == [48, 38, 49]
+    assert [t for _n, t, _r, _p in segs] == [48, 38, 49]
     # re-serialize: globals = page info; data = region + end-of-page
     def seg(num, stype, payload):
         return J._segment(num, stype, payload)
 
-    gl = seg(0, 48, segs[0][1])
-    da = seg(1, 38, segs[1][1]) + seg(2, 49, b"")
+    gl = seg(0, 48, segs[0][3])
+    da = seg(1, 38, segs[1][3]) + seg(2, 49, b"")
     out = J.decode_jbig2(da, gl)
     assert (out["bits"] == bits).all()
     with pytest.raises(ValueError, match="page information"):
@@ -148,10 +148,11 @@ def test_jbig2_hostiles_are_valueerror():
     good = J.build_jbig2(bits)
     with pytest.raises(ValueError, match="truncated"):
         J.decode_jbig2(good[:10])
-    # symbol-dictionary segment type: loud with the type named
+    # pattern-dictionary segment type: loud with the type named
+    # (symbol dictionaries and text regions decode as of r15)
     bad = bytearray(good)
-    bad[4] = 0  # first segment type 48 -> 0
-    with pytest.raises(ValueError, match="segment type 0"):
+    bad[4] = 16  # first segment type 48 -> 16 (pattern dictionary)
+    with pytest.raises(ValueError, match="segment type 16"):
         J.decode_jbig2(bytes(bad))
     # lying data length
     bad = bytearray(good)
@@ -216,3 +217,138 @@ def test_current_row_at_pixel_uses_general_path():
         blob = J.encode_generic_region(bits, template, at, False)
         got = J.decode_generic_region(blob, 30, 12, template, at, False)
         assert (got == bits).all(), template
+
+
+# ---------------------------------------------------------------------------
+# Symbol dictionaries + text regions (r15)
+# ---------------------------------------------------------------------------
+
+
+def test_ia_integer_roundtrip_all_buckets():
+    """Annex-A integer coding across every bucket boundary + OOB."""
+    vals = [0, 1, -1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436,
+            70000, -70000, J.OOB, -4435, J.OOB]
+    enc = J.MQEncoder()
+    cx = J.IntCtx()
+    for v in vals:
+        J._ia_encode(enc, cx, v)
+    dec = J.MQDecoder(enc.flush())
+    cx2 = J.IntCtx()
+    got = [J._ia_decode(dec, cx2) for _ in vals]
+    assert all((a is J.OOB) == (b is J.OOB) and (a is J.OOB or a == b)
+               for a, b in zip(got, vals))
+    assert (cx.icx, cx.mps) == (cx2.icx, cx2.mps)
+
+
+def test_symbol_dict_roundtrip_mixed_heights():
+    rs = np.random.RandomState(4)
+    glyphs = [(rs.rand(h, w) < 0.5).astype(np.uint8)
+              for h, w in ((9, 5), (7, 4), (12, 6), (7, 5), (5, 3))]
+    payload, order = J.encode_symbol_dict(glyphs)
+    got = J.decode_symbol_dict(payload, [])
+    assert len(got) == len(glyphs)
+    for k, orig in enumerate(order):
+        assert (got[k] == glyphs[orig]).all()
+
+
+def test_symbol_dict_input_symbols_and_export_runs():
+    """A dictionary may import referred symbols and re-export a
+    subset mixed with its new ones."""
+    rs = np.random.RandomState(6)
+    ins = [(rs.rand(6, 4) < 0.5).astype(np.uint8) for _ in range(3)]
+    new = [(rs.rand(8, 5) < 0.5).astype(np.uint8) for _ in range(2)]
+    payload, order = J.encode_symbol_dict(new, n_input=len(ins))
+    got = J.decode_symbol_dict(payload, ins)
+    # imports not re-exported; the two new symbols are
+    assert len(got) == 2
+    for k, orig in enumerate(order):
+        assert (got[k] == new[orig]).all()
+    # a run table sized for imports is loud without them
+    with pytest.raises(ValueError, match="export"):
+        J.decode_symbol_dict(payload, [])
+
+
+def test_text_region_all_refcorners_and_multiline():
+    rs = np.random.RandomState(7)
+    glyphs = [(rs.rand(h, w) < 0.5).astype(np.uint8)
+              for h, w in ((7, 5), (7, 4), (9, 6), (5, 3))]
+    payload, order = J.encode_symbol_dict(glyphs)
+    ordered = J.decode_symbol_dict(payload, [])
+    placements = [(0, 2, 1), (1, 9, 3), (2, 15, 0), (3, 23, 4),
+                  (0, 2, 12), (2, 10, 11)]
+    for rc in range(4):
+        tr = J.encode_text_region(placements, ordered, 32, 22,
+                                  refcorner=rc)
+        region, x, y, op = J.decode_text_region(tr, ordered)
+        expect = np.zeros((22, 32), np.uint8)
+        for sid, x0, y0 in placements:
+            hi, wi = ordered[sid].shape
+            expect[y0 : y0 + hi, x0 : x0 + wi] |= ordered[sid]
+        assert (region == expect).all(), rc
+
+
+def test_jbig2_text_end_to_end_and_globals_split():
+    text = "the quick brown fox\njumps over jbig2"
+    blob = J.build_jbig2_text(text)
+    out = J.decode_jbig2(blob)
+    expect = np.zeros((out["height"], out["width"]), np.uint8)
+    for row, line in enumerate(text.split("\n")):
+        for col, c in enumerate(line):
+            if not c.isspace():
+                expect[2 + 10 * row : 10 + 10 * row,
+                       2 + 6 * col : 7 + 6 * col] |= J.glyph_bitmap(c)
+    assert (out["bits"] == expect).all()
+    # the PDF layout: symbol dictionary in /JBIG2Globals, text region
+    # in the image stream
+    segs = list(J._segments(blob))
+    gl = J._segment(0, 48, segs[0][3]) + J._segment(1, 0, segs[1][3])
+    da = J._segment(2, 6, segs[2][3], refs=(1,)) + J._segment(3, 49,
+                                                              b"")
+    out2 = J.decode_jbig2(da, gl)
+    assert (out2["bits"] == expect).all()
+
+
+def test_text_region_hostiles():
+    rs = np.random.RandomState(8)
+    glyphs = [(rs.rand(6, 4) < 0.5).astype(np.uint8)]
+    payload, _ = J.encode_symbol_dict(glyphs)
+    syms = J.decode_symbol_dict(payload, [])
+    tr = J.encode_text_region([(0, 2, 2)], syms, 12, 10)
+    # no symbols at all
+    with pytest.raises(ValueError, match="no symbols"):
+        J.decode_text_region(tr, [])
+    # huffman flag is loud
+    bad = bytearray(tr)
+    bad[17] |= 0x01 >> 0  # tflags high byte: huffman is bit 0 of u16
+    bad = bytearray(tr)
+    bad[18] |= 0x01
+    with pytest.raises(ValueError, match="Huffman"):
+        J.decode_text_region(bytes(bad), syms)
+    # placement outside the region
+    with pytest.raises(ValueError, match="outside region"):
+        tr2 = J.encode_text_region([(0, 50, 2)], syms, 12, 10)
+        J.decode_text_region(tr2, syms)
+    # symbol dict hostiles: huffman/refinement flags
+    bad = bytearray(payload)
+    bad[1] |= 1
+    with pytest.raises(ValueError, match="Huffman"):
+        J.decode_symbol_dict(bytes(bad), [])
+    bad = bytearray(payload)
+    bad[1] |= 2
+    with pytest.raises(ValueError, match="refinement"):
+        J.decode_symbol_dict(bytes(bad), [])
+
+
+def test_pdf_jbig2_sym_route():
+    from rawdata_client_provider_gcs_spark.operators import rawpdf
+
+    g1 = np.ones((8, 5), np.uint8)
+    g2 = np.ones((4, 3), np.uint8)
+    pdf = rawpdf.encode_pdf([["x"]], images=[[{
+        "kind": "jbig2_sym", "size": (16, 8),
+        "glyphs": [g1, g2],
+        "placements": [(0, 1, 0), (1, 9, 2)],
+    }]])
+    im = rawpdf.extract_pdf_images(pdf)["images"][0]
+    assert im["error"] is None
+    assert int((im["pixels"] == 0).sum()) == 8 * 5 + 4 * 3
