@@ -52,12 +52,15 @@ with PER-IMAGE error capture — one hostile image yields an ``error``
 string on its row instead of poisoning the page or document.
 
 Out of scope, loudly: encryption (``/Encrypt``), non-Flate filters
-on TEXT content, CID/Type0 font CMaps (strings in such PDFs are glyph
-indices; we extract only simple-font text and surface ``/Type0`` pages
-as errors rather than emit garbage), and image codecs with no in-repo
-decoder (``/JPXDecode``, and JBIG2 segments beyond the generic-region
-subset — per-image error rows).  ``/JBIG2Decode`` generic regions
-decode via :mod:`.rawjbig2` (r15), incl. ``/JBIG2Globals``.
+on TEXT content, and CID/Type0 font CMaps (strings in such PDFs are
+glyph indices; we extract only simple-font text and surface
+``/Type0`` pages as errors rather than emit garbage).  Every image
+codec a scanned PDF can carry now decodes (r15): ``/JBIG2Decode``
+generic regions AND symbol-dictionary text regions via
+:mod:`.rawjbig2` (incl. ``/JBIG2Globals``), ``/JPXDecode`` reversible
+JPEG 2000 via :mod:`.rawjpx`, alongside DCT/CCITT/Flate; codec
+sub-features outside each module's documented subset stay per-image
+error rows.
 
 Reference behavioral parity: the reference transport stores opaque
 named byte arrays per message (RawdataMessage.java:15-60); document
@@ -296,8 +299,8 @@ class _Lexer:
 
 #: image-codec filters (canonical + abbreviated inline-image names):
 #: left undecoded by the generic stream reader, routed by the image
-#: extractor; JPX has no in-repo decoder and stays loud there; JBIG2
-#: decodes the generic-region subset (rawjbig2, r15)
+#: extractor (JBIG2 → rawjbig2, JPX → rawjpx, DCT → rawjpeg,
+#: CCITT → rawccitt)
 _IMAGE_FILTERS = {
     "DCTDecode": "DCTDecode", "DCT": "DCTDecode",
     "CCITTFaxDecode": "CCITTFaxDecode", "CCF": "CCITTFaxDecode",
@@ -1054,6 +1057,15 @@ def _decode_image(doc: "_Document", d: dict, data: bytes,
             raise ValueError("pdf: CCITT image dimensions disagree")
         return {"width": width, "height": height, "bpc": 1,
                 "channels": 1, "filter": fname, "pixels": gray}
+    if fname == "JPXDecode":
+        from . import rawjpx
+
+        arr = rawjpx.decode_jpx(data)
+        if arr.shape[0] != height or arr.shape[1] != width:
+            raise ValueError("pdf: JPX image dimensions disagree")
+        ch = 1 if arr.ndim == 2 else 3
+        return {"width": width, "height": height, "bpc": 8,
+                "channels": ch, "filter": fname, "pixels": arr}
     if fname == "JBIG2Decode":
         from . import rawjbig2
 
@@ -1539,6 +1551,19 @@ def _build_image_xobject(spec: dict) -> bytes:
             b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
             b"/Filter /CCITTFaxDecode /DecodeParms << %s >> "
             b"/Length %d >>\nstream\n" % (w, h, parms, len(payload))
+            + payload + b"\nendstream"
+        )
+    if kind == "jpx":
+        from . import rawjpx
+
+        arr = np.asarray(spec["array"], np.uint8)
+        payload = rawjpx.encode_jpx(arr, levels=spec.get("levels", 2))
+        cs = b"/DeviceRGB" if arr.ndim == 3 else b"/DeviceGray"
+        return (
+            b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+            b"/ColorSpace %s /BitsPerComponent 8 "
+            b"/Filter /JPXDecode /Length %d >>\nstream\n"
+            % (arr.shape[1], arr.shape[0], cs, len(payload))
             + payload + b"\nendstream"
         )
     if kind in ("jbig2", "jbig2_sym"):

@@ -4052,6 +4052,18 @@ UNION ALL
 SELECT doc_id,
        CAST(0 AS BIGINT),
        CAST(2 AS BIGINT),
+       'xobject',
+       'JPXDecode',
+       CAST(10 AS BIGINT),
+       CAST(6 AS BIGINT),
+       CAST(8 AS BIGINT),
+       CAST(1 AS BIGINT),
+       CAST(((k + 11) % 256) * 60 AS BIGINT)
+FROM d
+UNION ALL
+SELECT doc_id,
+       CAST(0 AS BIGINT),
+       CAST(3 AS BIGINT),
        'inline',
        '',
        CAST(4 AS BIGINT),
@@ -4063,7 +4075,7 @@ FROM d
 UNION ALL
 SELECT doc_id,
        CAST(1 AS BIGINT),
-       CAST(3 AS BIGINT),
+       CAST(4 AS BIGINT),
        'xobject',
        CASE CAST(doc_id % 4 AS INTEGER)
             WHEN 0 THEN 'DCTDecode'
@@ -4135,6 +4147,10 @@ def q_crawl_pdf_images(spark: SparkSession, sf: str) -> DataFrame:
                      "array": np.full((8, 16), k, np.uint8)},
                     {"kind": "indexed", "palette": pal,
                      "array": np.full((4, 8), did % 3, np.uint8)},
+                    # reversible JPEG 2000 (r15): lossless 5/3 XObject
+                    {"kind": "jpx", "levels": 1,
+                     "array": np.full((6, 10), (k + 11) % 256,
+                                      np.uint8)},
                     {"kind": "inline_gray",
                      "array": np.full((4, 4), (k + 7) % 256, np.uint8)},
                 ]

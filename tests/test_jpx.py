@@ -1,0 +1,152 @@
+"""JPEG 2000 reversible subset (ITU-T T.800) — r15.
+
+The reversible 5/3 path makes every round-trip a decoder-independent
+byte expectation (the original pixels); the MQ coder is the already-
+pinned T.88 coder, and each layer (tag trees, EBCOT passes, DWT,
+packet headers) is additionally pinned in isolation.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from rawdata_client_provider_gcs_spark.operators import rawjpx as X
+
+
+def test_dwt53_exact_inverse():
+    rs = np.random.RandomState(2)
+    for _ in range(30):
+        h, w = rs.randint(1, 70), rs.randint(1, 70)
+        img = rs.randint(-300, 300, (h, w))
+        lv = rs.randint(0, 5)
+        assert (X.dwt53_inverse(X.dwt53_forward(img, lv)) == img).all()
+
+
+def test_t1_roundtrip_all_bands_and_densities():
+    rs = np.random.RandomState(1)
+    for band in ("LL", "HL", "LH", "HH"):
+        for p in (0.03, 0.4, 0.95):
+            mag = (rs.randint(-500, 501, (21, 17))
+                   * (rs.rand(21, 17) < p)).astype(np.int64)
+            data, npl = X.t1_encode(mag, band)
+            if npl == 0:
+                continue
+            assert (X.t1_decode(data, 21, 17, band, npl) == mag).all()
+
+
+def test_tag_tree_protocol():
+    rnd = random.Random(3)
+    for _ in range(40):
+        h, w = rnd.randint(1, 6), rnd.randint(1, 6)
+        vals = [[rnd.randint(0, 6) for _ in range(w)] for _ in range(h)]
+        et = X.TagTree(h, w)
+        for y in range(h):
+            for x in range(w):
+                et.set(y, x, vals[y][x])
+        bits = []
+        queries = [(y, x, t) for t in range(1, 8)
+                   for y in range(h) for x in range(w)]
+        for y, x, t in queries:
+            et.encode(bits.append, y, x, t)
+        it = iter(bits)
+        dt = X.TagTree(h, w, decoder=True)
+        got = [dt.decode(lambda: next(it), y, x, t)
+               for y, x, t in queries]
+        assert got == [vals[y][x] < t for y, x, t in queries]
+        assert sum(1 for _ in it) == 0
+
+
+def test_header_bit_stuffing():
+    w = X._HdrWriter()
+    for _ in range(16):
+        w.bit(1)  # produces 0xFF -> stuffing
+    blob = w.flush()
+    r = X._HdrReader(blob, 0)
+    assert all(r.bit() == 1 for _ in range(16))
+    assert blob[0] == 0xFF and blob[1] <= 0x7F
+
+
+@pytest.mark.parametrize("shape,levels", [
+    ((8, 8), 0), ((16, 16), 1), ((40, 56), 2), ((70, 90), 3),
+    ((33, 65), 2), ((100, 130), 1), ((1, 9), 1), ((9, 1), 2),
+])
+def test_lossless_roundtrip_gray(shape, levels):
+    rs = np.random.RandomState(shape[0] * 100 + shape[1])
+    img = rs.randint(0, 256, shape).astype(np.uint8)
+    blob = X.encode_jpx(img, levels=levels)
+    assert (X.decode_jpx(blob) == img).all()
+
+
+def test_lossless_roundtrip_rgb_rct():
+    rs = np.random.RandomState(7)
+    rgb = rs.randint(0, 256, (32, 48, 3)).astype(np.uint8)
+    blob = X.encode_jpx(rgb, levels=2)
+    got = X.decode_jpx(blob)
+    assert got.shape == (32, 48, 3) and (got == rgb).all()
+
+
+def test_smooth_content_compresses():
+    smooth = (np.add.outer(np.arange(64), np.arange(64)) // 2
+              % 256).astype(np.uint8)
+    blob = X.encode_jpx(smooth, levels=3)
+    assert len(blob) < 64 * 64 // 4
+    assert (X.decode_jpx(blob) == smooth).all()
+
+
+def test_jp2_box_wrapper():
+    img = np.full((8, 8), 55, np.uint8)
+    cs = X.encode_jpx(img, levels=1)
+    jp2 = (b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+           + (len(cs) + 8).to_bytes(4, "big") + b"jp2c" + cs)
+    assert (X.decode_jpx(jp2) == img).all()
+    with pytest.raises(ValueError, match="jp2c"):
+        X.decode_jpx(b"\x00\x00\x00\x0cjP  \r\n\x87\n")
+
+
+def test_subset_bounds_are_loud():
+    img = np.full((8, 8), 9, np.uint8)
+    blob = bytearray(X.encode_jpx(img, levels=1))
+    with pytest.raises(ValueError, match="SOC"):
+        X.decode_jpx(b"\x00" * 16)
+    # flip the wavelet byte to 9/7 (SPcod transform, last COD byte)
+    i = blob.index(b"\xff\x52")
+    (ln,) = __import__("struct").unpack(">H", blob[i + 2 : i + 4])
+    bad = bytearray(blob)
+    bad[i + 2 + ln - 1] = 0
+    with pytest.raises(ValueError, match="9/7"):
+        X.decode_jpx(bytes(bad))
+    # quantized QCD style
+    j = blob.index(b"\xff\x5c")
+    bad = bytearray(blob)
+    bad[j + 4] |= 0x02
+    with pytest.raises(ValueError, match="quantized"):
+        X.decode_jpx(bytes(bad))
+    # hostile garbage never escapes ValueError
+    rs = np.random.RandomState(8)
+    for _ in range(80):
+        data = bytes(rs.randint(0, 256, rs.randint(2, 80),
+                                dtype=np.uint8))
+        try:
+            X.decode_jpx(b"\xff\x4f" + data)
+        except ValueError:
+            pass
+
+
+def test_pdf_jpx_route_bit_exact():
+    from rawdata_client_provider_gcs_spark.operators import rawpdf
+
+    rs = np.random.RandomState(9)
+    gray = rs.randint(0, 256, (16, 24)).astype(np.uint8)
+    rgb = rs.randint(0, 256, (12, 20, 3)).astype(np.uint8)
+    pdf = rawpdf.encode_pdf([["x"]], images=[[
+        {"kind": "jpx", "array": gray},
+        {"kind": "jpx", "array": rgb, "levels": 1},
+    ]])
+    out = rawpdf.extract_pdf_images(pdf)
+    a, b = out["images"]
+    assert a["error"] is None and (a["pixels"] == gray).all()
+    assert b["error"] is None and (b["pixels"] == rgb).all()
+    assert rawpdf.extract_pdf(pdf)["pages"] == ["x"]

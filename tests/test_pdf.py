@@ -385,7 +385,9 @@ def test_hostile_images_are_per_image_errors():
     out = rawpdf.extract_pdf_images(pdf2)
     errs = [im["error"] for im in out["images"]]
     assert sum(e is None for e in errs) == 1
-    assert any(e and "JPXDecode" in e for e in errs)
+    # JPX now decodes; flate bytes behind a /JPXDecode tag are a
+    # per-image codestream error
+    assert any(e and "jpx" in e for e in errs)
     del i
 
 
@@ -461,7 +463,7 @@ def test_spark_pdf_images_two_level_error_capture(spark):
     g1 = by_doc[1]
     assert len(g1) == 2
     assert g1["error"].notna().sum() == 1
-    assert g1["error"].str.contains("JPXDecode").any()
+    assert g1["error"].str.contains("jpx").any()
     assert g1[g1["error"].isna()]["sum_pixel"].iloc[0] == int(
         GRAY.astype("int64").sum()
     )
