@@ -21,8 +21,8 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
 def sniff_format(payload: bytes) -> str | None:
-    """Return "ppm"|"pgm"|"bmp"|"png"|"jpeg"|"gif"|"tiff"|"ico" when
-    decodable here."""
+    """Return "ppm"|"pgm"|"bmp"|"png"|"jpeg"|"gif"|"tiff"|"ico"|
+    "webp"|"jp2" when decodable here."""
     from . import rawico  # noqa: PLC0415 — one sniff, no duplicate magic
 
     if rawico.sniff_ico(payload):
@@ -41,6 +41,9 @@ def sniff_format(payload: bytes) -> str | None:
         return "gif"
     if len(payload) >= 12 and payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         return "webp"
+    if payload[:12] == b"\x00\x00\x00\x0cjP  \r\n\x87\n" or \
+            payload[:2] == b"\xff\x4f":
+        return "jp2"
     if payload[:2] == b"BM" and len(payload) >= 34:
         bpp = int.from_bytes(payload[28:30], "little")
         compression = int.from_bytes(payload[30:34], "little")
@@ -182,6 +185,13 @@ def decode_image(payload: bytes) -> np.ndarray:
         return (rgb[::-1] if flip else rgb).copy()
     if fmt == "png":
         return decode_png(payload)
+    if fmt == "jp2":
+        from . import rawjpx  # noqa: PLC0415
+
+        arr = rawjpx.decode_jpx(payload)
+        if arr.ndim == 2:
+            return np.repeat(arr[:, :, None], 3, axis=2)
+        return arr
     if fmt == "jpeg":
         from . import rawjpeg  # noqa: PLC0415 — keep numpy-DCT import lazy
 

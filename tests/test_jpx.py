@@ -150,3 +150,19 @@ def test_pdf_jpx_route_bit_exact():
     assert a["error"] is None and (a["pixels"] == gray).all()
     assert b["error"] is None and (b["pixels"] == rgb).all()
     assert rawpdf.extract_pdf(pdf)["pages"] == ["x"]
+
+
+def test_rawimage_and_classify_route_jp2():
+    from rawdata_client_provider_gcs_spark.operators import rawimage
+    from rawdata_client_provider_gcs_spark.sources.classify import (
+        classify_payload)
+
+    rs = np.random.RandomState(3)
+    img = rs.randint(0, 256, (12, 16, 3)).astype(np.uint8)
+    cs = X.encode_jpx(img)
+    jp2 = (b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+           + (len(cs) + 8).to_bytes(4, "big") + b"jp2c" + cs)
+    for blob in (cs, jp2):
+        assert rawimage.sniff_format(blob) == "jp2"
+        assert (rawimage.decode_image(blob) == img).all()
+        assert classify_payload(blob)["format"] == "jp2"
