@@ -571,12 +571,47 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> dict:
                     raise ValueError(
                         f"jbig2: combination operator {combop} reserved"
                     )
+            elif stype == 16:  # pattern dictionary
+                sym_table[("pat", seg_num)] = decode_pattern_dict(
+                    payload
+                )
+            elif stype in (20, 22, 23):  # halftone region
+                pats = []
+                for r in refs:
+                    pats += sym_table.get(("pat", r), [])
+                bits, x, y, combop = decode_halftone_region(payload,
+                                                            pats)
+                h, w = bits.shape
+                if page is None:
+                    if page_w is None:
+                        raise ValueError(
+                            "jbig2: region before page information"
+                        )
+                    page = np.full((y + h, page_w), default, np.uint8)
+                if y + h > page.shape[0] or x + w > page.shape[1]:
+                    raise ValueError("jbig2: region outside the page")
+                dst = page[y : y + h, x : x + w]
+                op = _COMBINE.get(combop)
+                if op == "or":
+                    dst |= bits
+                elif op == "replace":
+                    dst[...] = bits
+                elif op == "and":
+                    dst &= bits
+                elif op == "xor":
+                    dst ^= bits
+                elif op == "xnor":
+                    dst[...] = 1 - (dst ^ bits)
+                else:
+                    raise ValueError(
+                        f"jbig2: combination operator {combop} reserved"
+                    )
             elif stype in (49, 50, 51, 62):
                 continue  # end-of-page/stripe/file, extension: no-op
             else:
                 raise ValueError(
                     f"jbig2: segment type {stype} outside the "
-                    "generic/symbol/text subset (halftone/refinement "
+                    "generic/symbol/text/halftone subset (refinement "
                     "undecoded)"
                 )
     if page is None:
@@ -1051,5 +1086,186 @@ def build_jbig2_text(text: str, *, width: int | None = None,
     out = _segment(0, 48, page_info)
     out += _segment(1, 0, sd_payload)
     out += _segment(2, 6, tr_payload, refs=(1,))
+    out += _segment(3, 49, b"")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pattern dictionaries + halftone regions (§6.6/6.7)
+# ---------------------------------------------------------------------------
+
+
+def decode_pattern_dict(payload: bytes) -> list:
+    """Pattern-dictionary segment (type 16) → list of HDPW×HDPH
+    pattern bitmaps, decoded as ONE collective generic region with
+    AT1 = (-HDPW, 0) and sliced."""
+    if len(payload) < 7:
+        raise ValueError("jbig2: short pattern-dictionary segment")
+    flags = payload[0]
+    if flags & 1:
+        raise ValueError("jbig2: MMR pattern dictionaries undecoded")
+    template = (flags >> 1) & 3
+    hdpw, hdph = payload[1], payload[2]
+    (graymax,) = struct.unpack(">I", payload[3:7])
+    if hdpw == 0 or hdph == 0 or graymax >= 1 << 16:
+        raise ValueError("jbig2: pattern geometry out of range")
+    width = (graymax + 1) * hdpw
+    if width * hdph > MAX_PIXELS:
+        raise ValueError("jbig2: pattern dictionary too large")
+    at = [(-hdpw, 0)] + [(-3, -1), (2, -2), (-2, -2)][
+        : len(NOMINAL_AT[template]) - 1
+    ]
+    coll = decode_generic_region(payload[7:], width, hdph, template,
+                                 at, False)
+    return [coll[:, k * hdpw : (k + 1) * hdpw].copy()
+            for k in range(graymax + 1)]
+
+
+def encode_pattern_dict(patterns: list, template: int = 0) -> bytes:
+    """Fixture dual: patterns must share one HDPW×HDPH shape."""
+    hdph, hdpw = patterns[0].shape
+    if any(p.shape != (hdph, hdpw) for p in patterns):
+        raise ValueError("jbig2 fixture: ragged pattern shapes")
+    coll = np.concatenate(patterns, axis=1)
+    at = [(-hdpw, 0)] + [(-3, -1), (2, -2), (-2, -2)][
+        : len(NOMINAL_AT[template]) - 1
+    ]
+    body = encode_generic_region(coll, template, at, False)
+    return (bytes([template << 1, hdpw, hdph])
+            + struct.pack(">I", len(patterns) - 1) + body)
+
+
+def decode_halftone_region(payload: bytes, patterns: list):
+    """Halftone-region segment (§6.6, arithmetic) → (bitmap, x, y,
+    external combop).  Gray-coded bitplanes decode as generic regions
+    over one shared coder; cells stamp their pattern onto the grid."""
+    if len(payload) < 17 + 1 + 16:
+        raise ValueError("jbig2: short halftone-region segment")
+    w, h, x, y = struct.unpack(">IIII", payload[:16])
+    ext_combop = payload[16] & 7
+    flags = payload[17]
+    if flags & 1:
+        raise ValueError("jbig2: MMR halftone regions undecoded")
+    template = (flags >> 1) & 3
+    if flags & 8:
+        raise ValueError("jbig2: HENABLESKIP undecoded")
+    combop = (flags >> 4) & 7
+    defpix = (flags >> 7) & 1
+    hgw, hgh = struct.unpack(">II", payload[18:26])
+    hgx, hgy = struct.unpack(">ii", payload[26:34])
+    hrx, hry = struct.unpack(">HH", payload[34:38])
+    if not patterns:
+        raise ValueError("jbig2: halftone region with no patterns")
+    if w * h > MAX_PIXELS or hgw * hgh > MAX_PIXELS:
+        raise ValueError("jbig2: halftone geometry out of range")
+    bits_per = max(1, (len(patterns) - 1).bit_length())
+    at = [(3 if template <= 1 else 2, -1)] + list(
+        NOMINAL_AT[template][1:]
+    )
+    dec = MQDecoder(payload[38:])
+    pixn = len(_template_pixels(template, at))
+    gb = ([0] * (1 << pixn), [0] * (1 << pixn))
+    gray = np.zeros((hgh, hgw), np.int64)
+    prev = np.zeros((hgh, hgw), np.int64)
+    for j in range(bits_per - 1, -1, -1):
+        plane = _region_pass(hgw, hgh, template, at, False, dec,
+                             shared_ctx=gb)
+        bit = plane.astype(np.int64) ^ prev  # gray decode
+        gray |= bit << j
+        prev = bit
+    region = np.full((h, w), defpix, np.uint8)
+    php, phw = patterns[0].shape
+    for m in range(hgh):
+        for n in range(hgw):
+            gi = int(gray[m, n])
+            if gi >= len(patterns):
+                raise ValueError("jbig2: gray value exceeds patterns")
+            # grid placement (common unskewed case: hry = 0)
+            cx = hgx + m * hry + n * hrx
+            cy = hgy + m * hrx - n * hry
+            if cx < 0 or cy < 0 or cx + phw > w or cy + php > h:
+                continue  # cells may fall outside; clipped
+            dst = region[cy : cy + php, cx : cx + phw]
+            pat = patterns[gi]
+            if combop == 0:
+                dst |= pat
+            elif combop == 1:
+                dst &= pat
+            elif combop == 2:
+                dst ^= pat
+            elif combop == 4:
+                dst[...] = pat
+            else:
+                raise ValueError("jbig2: halftone combop reserved")
+    return region, x, y, ext_combop
+
+
+def encode_halftone_region(gray: np.ndarray, patterns: list, *,
+                           x: int = 0, y: int = 0,
+                           template: int = 0) -> bytes:
+    """Fixture dual: unskewed SQUARE grid (the spec's single grid
+    vector steps both axes: HRY = 0, HRX = cell pitch)."""
+    gray = np.asarray(gray, np.int64)
+    hgh, hgw = gray.shape
+    php, phw = patterns[0].shape
+    step = max(php, phw)
+    w, h = hgw * step, hgh * step
+    bits_per = max(1, (len(patterns) - 1).bit_length())
+    at = [(3 if template <= 1 else 2, -1)] + list(
+        NOMINAL_AT[template][1:]
+    )
+    enc = MQEncoder()
+    pixn = len(_template_pixels(template, at))
+    gb = ([0] * (1 << pixn), [0] * (1 << pixn))
+    prev = np.zeros((hgh, hgw), np.int64)
+    for j in range(bits_per - 1, -1, -1):
+        bit = (gray >> j) & 1
+        plane = bit ^ prev  # gray encode
+        _region_pass(hgw, hgh, template, at, False, enc,
+                     plane.astype(np.uint8), shared_ctx=gb)
+        prev = bit
+    payload = struct.pack(">IIII", w, h, x, y) + b"\x00"
+    payload += bytes([template << 1])
+    payload += struct.pack(">II", hgw, hgh)
+    payload += struct.pack(">ii", 0, 0)
+    payload += struct.pack(">HH", step, 0)
+    payload += enc.flush()
+    return payload
+
+
+_FILE_MAGIC = b"\x97JB2\r\n\x1a\n"
+
+
+def decode_jbig2_file(data: bytes) -> dict:
+    """Standalone JBIG2 FILE organization (§D.4): 8-byte magic, flags
+    (bit 0: sequential=0, bit 1: page count unknown), optional page
+    count, then the embedded segment stream."""
+    if data[:8] != _FILE_MAGIC:
+        raise ValueError("jbig2: missing file-header magic")
+    if len(data) < 9:
+        raise ValueError("jbig2: truncated file header")
+    flags = data[8]
+    if flags & 1:
+        raise ValueError(
+            "jbig2: random-access file organization unsupported"
+        )
+    pos = 9
+    if not flags & 2:  # page count known
+        pos += 4
+    return decode_jbig2(data[pos:])
+
+
+def build_jbig2_halftone(gray, patterns, *, page_size=None) -> bytes:
+    """Embedded-format fixture: page info + pattern dictionary +
+    immediate halftone region."""
+    pd = encode_pattern_dict(patterns)
+    ht = encode_halftone_region(gray, patterns)
+    w, h = struct.unpack(">II", ht[:8])
+    pw, ph = page_size or (w, h)
+    page_info = struct.pack(">IIII", pw, ph, 0, 0) + b"\x00" \
+        + struct.pack(">H", 0)
+    out = _segment(0, 48, page_info)
+    out += _segment(1, 16, pd)
+    out += _segment(2, 22, ht, refs=(1,))
     out += _segment(3, 49, b"")
     return out

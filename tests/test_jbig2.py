@@ -148,11 +148,11 @@ def test_jbig2_hostiles_are_valueerror():
     good = J.build_jbig2(bits)
     with pytest.raises(ValueError, match="truncated"):
         J.decode_jbig2(good[:10])
-    # pattern-dictionary segment type: loud with the type named
-    # (symbol dictionaries and text regions decode as of r15)
+    # refinement-region segment type: loud with the type named
+    # (symbol/text/halftone tiers decode as of r15)
     bad = bytearray(good)
-    bad[4] = 16  # first segment type 48 -> 16 (pattern dictionary)
-    with pytest.raises(ValueError, match="segment type 16"):
+    bad[4] = 40  # first segment type 48 -> 40 (refinement region)
+    with pytest.raises(ValueError, match="segment type 40"):
         J.decode_jbig2(bytes(bad))
     # lying data length
     bad = bytearray(good)
@@ -352,3 +352,82 @@ def test_pdf_jbig2_sym_route():
     im = rawpdf.extract_pdf_images(pdf)["images"][0]
     assert im["error"] is None
     assert int((im["pixels"] == 0).sum()) == 8 * 5 + 4 * 3
+
+
+# ---------------------------------------------------------------------------
+# Pattern dictionaries + halftone regions, file organization (r15)
+# ---------------------------------------------------------------------------
+
+
+def test_pattern_dict_roundtrip():
+    rs = np.random.RandomState(6)
+    pats = [(rs.rand(6, 5) < (k + 1) / 8).astype(np.uint8)
+            for k in range(7)]
+    got = J.decode_pattern_dict(J.encode_pattern_dict(pats))
+    assert len(got) == 7
+    assert all((a == b).all() for a, b in zip(got, pats))
+    with pytest.raises(ValueError, match="MMR"):
+        bad = bytearray(J.encode_pattern_dict(pats))
+        bad[0] |= 1
+        J.decode_pattern_dict(bytes(bad))
+
+
+def test_halftone_region_roundtrip_and_gaps():
+    rs = np.random.RandomState(6)
+    pats = [(rs.rand(5, 5) < (k + 1) / 8).astype(np.uint8)
+            for k in range(7)]
+    gray = rs.randint(0, 7, (9, 12))
+    region, x, y, op = J.decode_halftone_region(
+        J.encode_halftone_region(gray, pats), pats
+    )
+    expect = np.zeros((45, 60), np.uint8)
+    for m in range(9):
+        for n in range(12):
+            expect[m * 5 : (m + 1) * 5, n * 5 : (n + 1) * 5] |= \
+                pats[gray[m, n]]
+    assert (region == expect).all()
+    # non-square patterns on the square pitch leave gaps but roundtrip
+    pats2 = [(rs.rand(4, 6) < 0.4).astype(np.uint8) for _ in range(4)]
+    gray2 = rs.randint(0, 4, (5, 7))
+    region2, *_ = J.decode_halftone_region(
+        J.encode_halftone_region(gray2, pats2), pats2
+    )
+    expect2 = np.zeros((30, 42), np.uint8)
+    for m in range(5):
+        for n in range(7):
+            expect2[m * 6 : m * 6 + 4, n * 6 : n * 6 + 6] |= \
+                pats2[gray2[m, n]]
+    assert (region2 == expect2).all()
+
+
+def test_halftone_end_to_end_and_file_org():
+    rs = np.random.RandomState(8)
+    pats = [(rs.rand(4, 4) < (k + 1) / 6).astype(np.uint8)
+            for k in range(5)]
+    gray = rs.randint(0, 5, (6, 8))
+    blob = J.build_jbig2_halftone(gray, pats)
+    out = J.decode_jbig2(blob)
+    expect = np.zeros((24, 32), np.uint8)
+    for m in range(6):
+        for n in range(8):
+            expect[m * 4 : (m + 1) * 4, n * 4 : (n + 1) * 4] |= \
+                pats[gray[m, n]]
+    assert (out["bits"] == expect).all()
+    # standalone file organization, both page-count shapes
+    f = J._FILE_MAGIC + bytes([0]) + (1).to_bytes(4, "big") + blob
+    assert (J.decode_jbig2_file(f)["bits"] == expect).all()
+    f2 = J._FILE_MAGIC + bytes([2]) + blob
+    assert (J.decode_jbig2_file(f2)["bits"] == expect).all()
+    with pytest.raises(ValueError, match="random-access"):
+        J.decode_jbig2_file(J._FILE_MAGIC + bytes([1]) + blob)
+    with pytest.raises(ValueError, match="magic"):
+        J.decode_jbig2_file(blob)
+    # hostile: HENABLESKIP and gray values past the dictionary
+    ht = bytearray(J.encode_halftone_region(gray, pats))
+    ht[17] |= 8
+    with pytest.raises(ValueError, match="HENABLESKIP"):
+        J.decode_halftone_region(bytes(ht), pats)
+    with pytest.raises(ValueError, match="no patterns"):
+        J.decode_halftone_region(
+            J.encode_halftone_region(gray, pats), []
+        )
