@@ -204,6 +204,7 @@ _CATEGORY = {
     "ttf": "font", "otf": "font", "woff": "font", "woff2": "font",
     "ttc": "font",
     "jxl": "image",
+    "jbig2": "image", "jp2": "image",
     "avro": "data", "parquet": "data", "xml": "data", "json": "data",
     "csv": "data", "tsv": "data",
     "utf8-text": "text",
@@ -271,6 +272,9 @@ def _classify_bytes(data: bytes) -> str:
     if data[:2] == b"\xff\x0a" or data[:12] == \
             b"\x00\x00\x00\x0cJXL \x0d\x0a\x87\x0a":
         return "jxl"
+    # standalone JBIG2 file organization (decoded by rawjbig2, r15)
+    if data[:8] == b"\x97JB2\r\n\x1a\n":
+        return "jbig2"
     # media containers (magic-dispatched, no decode)
     from ..operators import (  # noqa: PLC0415
         rawaac,

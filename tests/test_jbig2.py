@@ -431,3 +431,14 @@ def test_halftone_end_to_end_and_file_org():
         J.decode_halftone_region(
             J.encode_halftone_region(gray, pats), []
         )
+
+
+def test_classify_routes_standalone_jb2():
+    from rawdata_client_provider_gcs_spark.sources.classify import (
+        classify_payload)
+
+    bits = _bits(8, 8, 0.4)
+    f = J._FILE_MAGIC + bytes([2]) + J.build_jbig2(bits)
+    r = classify_payload(f)
+    assert (r["format"], r["category"]) == ("jbig2", "image")
+    assert (J.decode_jbig2_file(f)["bits"] == bits).all()
