@@ -296,8 +296,11 @@ def _region_pass(width, height, template, at, tpgdon, coder, bits=None,
         mps = [0] * ncx
     else:
         icx, mps = shared_ctx
-    pad = 128  # AT reach <= 128 either side, 2 rows above
-    plane = np.zeros((height + 2, width + 2 * pad), dtype=np.uint8)
+    # pad to the template's ACTUAL reach (hostile ATs may use the
+    # full ±128/-128 range; nominal templates stay tiny and fast)
+    pad = max(1, max(abs(dx) for dx, _ in pix))
+    vpad = max(2, max(-dy for _, dy in pix))
+    plane = np.zeros((height + vpad, width + 2 * pad), dtype=np.uint8)
     if not decode:
         src = np.asarray(bits, dtype=np.uint8)
         if src.shape != (height, width):
@@ -327,15 +330,16 @@ def _region_pass(width, height, template, at, tpgdon, coder, bits=None,
                 coder.encode(bit, icx, mps, sltp)
                 ltp ^= bit
             if ltp:
-                plane[y + 2, pad : pad + width] = plane[
-                    y + 1, pad : pad + width
+                plane[y + vpad, pad : pad + width] = plane[
+                    y + vpad - 1, pad : pad + width
                 ]
                 continue
-        row = plane[y + 2]
+        row = plane[y + vpad]
         if fast:
             hi = np.zeros(width, dtype=np.int64)
             for dx, dy in above_pix:
-                hi = (hi << 1) | plane[y + dy + 2, pad + dx : pad + dx
+                hi = (hi << 1) | plane[y + dy + vpad,
+                                       pad + dx : pad + dx
                                        + width].astype(np.int64)
             hi <<= n_row
             hi_l = hi.tolist()
@@ -355,7 +359,7 @@ def _region_pass(width, height, template, at, tpgdon, coder, bits=None,
                     row[pad + x] = v
                     cur = ((cur << 1) | v) & row_mask
         else:
-            offs = [(pad + dx, dy + 2) for dx, dy in pix]
+            offs = [(pad + dx, dy + vpad) for dx, dy in pix]
             for x in range(width):
                 cx = 0
                 for dxp, dyp in offs:
@@ -368,7 +372,7 @@ def _region_pass(width, height, template, at, tpgdon, coder, bits=None,
                     coder.encode(v, icx, mps, cx)
                     row[pad + x] = v
     if decode:
-        return plane[2:, pad : pad + width].copy()
+        return plane[vpad:, pad : pad + width].copy()
     return None
 
 
@@ -479,6 +483,8 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> dict:
                 if len(payload) < 18:
                     raise ValueError("jbig2: short generic-region segment")
                 w, h, x, y = struct.unpack(">IIII", payload[:16])
+                if w == 0 or h == 0:
+                    raise ValueError("jbig2: empty generic region")
                 combop = payload[16] & 7
                 gflags = payload[17]
                 mmr = gflags & 1
@@ -802,7 +808,8 @@ def decode_symbol_dict(payload: bytes, in_syms: list) -> list:
         raise ValueError("jbig2: truncated symbol-dict counts")
     n_ex, n_new = struct.unpack(">II", payload[pos : pos + 8])
     pos += 8
-    if n_new > MAX_SYMBOLS or n_ex > MAX_SYMBOLS:
+    if n_new > 1 << 13 or n_ex > 1 << 13:
+        # glyph fonts; 8192 symbols bounds hostile per-symbol overhead
         raise ValueError("jbig2: symbol count over the cap")
     dec = MQDecoder(payload[pos:])
     iadh, iadw, iaex = IntCtx(), IntCtx(), IntCtx()
@@ -810,6 +817,7 @@ def decode_symbol_dict(payload: bytes, in_syms: list) -> list:
     gb = ([0] * (1 << pixn), [0] * (1 << pixn))
     new_syms: list = []
     hc = 0
+    total_cost = 0
     while len(new_syms) < n_new:
         dh = _ia_decode(dec, iadh)
         if dh is OOB:
@@ -825,6 +833,16 @@ def decode_symbol_dict(payload: bytes, in_syms: list) -> list:
             w += dw
             if w <= 0 or w > 1 << 14 or w * hc > MAX_PIXELS:
                 raise ValueError("jbig2: symbol width out of range")
+            # decode-work budget: rows carry fixed overhead, pixels
+            # linear cost — a single term bounds both the tall-skinny
+            # and the wide bomb shapes to ~2s of hostile CPU while
+            # leaving realistic glyph fonts (hundreds of small
+            # symbols) orders of magnitude below the cap
+            total_cost += hc * (w + 8)
+            if total_cost > 1 << 21:
+                raise ValueError(
+                    "jbig2: symbol dictionary area over the cap"
+                )
             if len(new_syms) >= n_new:
                 raise ValueError("jbig2: more symbols than declared")
             new_syms.append(
@@ -857,6 +875,8 @@ def decode_text_region(payload: bytes, syms: list):
     if len(payload) < 17 + 2 + 4:
         raise ValueError("jbig2: short text-region segment")
     w, h, x, y = struct.unpack(">IIII", payload[:16])
+    if w == 0 or h == 0:
+        raise ValueError("jbig2: empty text region")
     ext_combop = payload[16] & 7
     (tflags,) = struct.unpack(">H", payload[17:19])
     if tflags & 1:
@@ -1107,7 +1127,9 @@ def decode_pattern_dict(payload: bytes) -> list:
     template = (flags >> 1) & 3
     hdpw, hdph = payload[1], payload[2]
     (graymax,) = struct.unpack(">I", payload[3:7])
-    if hdpw == 0 or hdph == 0 or graymax >= 1 << 16:
+    if hdpw == 0 or hdph == 0 or graymax >= 1 << 12:
+        # >4096 gray levels buys nothing but a decode-time bomb (the
+        # collective bitmap is (graymax+1)*HDPW wide)
         raise ValueError("jbig2: pattern geometry out of range")
     width = (graymax + 1) * hdpw
     if width * hdph > MAX_PIXELS:
@@ -1156,9 +1178,15 @@ def decode_halftone_region(payload: bytes, patterns: list):
     hrx, hry = struct.unpack(">HH", payload[34:38])
     if not patterns:
         raise ValueError("jbig2: halftone region with no patterns")
-    if w * h > MAX_PIXELS or hgw * hgh > MAX_PIXELS:
+    if (w * h > MAX_PIXELS or hgw * hgh > 1 << 20
+            or hgw == 0 or hgh == 0 or w == 0 or h == 0):
+        # the grid stamp is a per-cell Python loop: cap cells tighter
+        # than raw pixels so a lying header cannot buy minutes of CPU
+        # (and a zero width must not spin the per-row loops)
         raise ValueError("jbig2: halftone geometry out of range")
     bits_per = max(1, (len(patterns) - 1).bit_length())
+    if bits_per * hgw * hgh > MAX_PIXELS:
+        raise ValueError("jbig2: halftone bitplane area over the cap")
     at = [(3 if template <= 1 else 2, -1)] + list(
         NOMINAL_AT[template][1:]
     )
