@@ -303,6 +303,7 @@ def parse_webm(data: bytes) -> dict:
             t["vp9_height"] = kf["height"]
             t["vp9_profile"] = kf["profile"]
             t["vp9_bit_depth"] = kf["bit_depth"]
+            t["vp9_frame_span"] = (bs, be)  # for the pixel decoder
             break
     if timecode_scale == 0:
         raise ValueError("ebml: zero timecode scale")
@@ -500,6 +501,7 @@ def build_webm(
     audio: tuple[str, int, int] | None = ("A_OPUS", 2, 48000),
     unknown_size_segment: bool = False,
     vp9_keyframe: tuple[int, int] | None = None,
+    vp9_frame: bytes | None = None,
     codec_private: bytes | None = None,
     audio_codec_private: bytes | None = None,
     audio_blocks: list[list[bytes]] | None = None,
@@ -561,12 +563,16 @@ def build_webm(
         )
     tracks = _el(0x1654AE6B, tracks_body)
     seg_body = info + tracks
-    if vp9_keyframe is not None and video is not None:
-        from .rawvp9 import build_keyframe_header  # noqa: PLC0415
+    if (vp9_keyframe is not None or vp9_frame is not None) \
+            and video is not None:
+        if vp9_frame is not None:
+            frame = vp9_frame  # a fully CODED keyframe (rawvp9, r15)
+        else:
+            from .rawvp9 import build_keyframe_header  # noqa: PLC0415
 
-        frame = build_keyframe_header(
-            width=vp9_keyframe[0], height=vp9_keyframe[1]
-        )
+            frame = build_keyframe_header(
+                width=vp9_keyframe[0], height=vp9_keyframe[1]
+            )
         # SimpleBlock: track-1 varint, timecode 0, keyframe flag
         block = b"\x81" + b"\x00\x00" + b"\x80" + frame
         seg_body += _el(
@@ -623,3 +629,17 @@ def build_webm(
     else:
         segment = _el(0x18538067, seg_body)
     return header + segment
+
+
+def decode_first_vp9_keyframe(data: bytes) -> dict:
+    """Decode the first V_VP9 keyframe of a WebM file to PIXELS
+    (r15; profile-0 subset and table provenance per
+    :mod:`.rawvp9`)."""
+    meta = parse_webm(data)
+    for t in meta.get("tracks", []):
+        span = t.get("vp9_frame_span")
+        if span:
+            from .rawvp9 import decode_keyframe  # noqa: PLC0415
+
+            return decode_keyframe(data[span[0] : span[1]])
+    raise ValueError("webm: no V_VP9 keyframe to decode")

@@ -163,3 +163,24 @@ def test_decode_is_deterministic_and_census_consistent():
     assert (a["y"] == b["y"]).all()
     hdr = V.parse_keyframe_header(blob)
     assert hdr["width"] == a["width"] and hdr["profile"] == 0
+
+
+def test_webm_carried_keyframe_decodes_to_pixels():
+    """The container route: a fully coded VP9 keyframe rides a WebM
+    SimpleBlock, the census sees the true coded dims, and
+    decode_first_vp9_keyframe reconstructs the planes bit-exactly."""
+    from rawdata_client_provider_gcs_spark.operators import rawwebm
+
+    y, u, v = _planes(24, 32, 21)
+    frame = V.build_keyframe(y, u, v)
+    webm = rawwebm.build_webm(video=("V_VP9", 320, 240),
+                              vp9_frame=frame)
+    out = rawwebm.decode_first_vp9_keyframe(webm)
+    assert (out["y"] == y).all() and (out["u"] == u).all()
+    meta = rawwebm.parse_webm(webm)
+    vid = next(t for t in meta["tracks"] if t.get("track_type") == 1)
+    assert (vid["vp9_width"], vid["vp9_height"]) == (32, 24)
+    with pytest.raises(ValueError, match="no V_VP9"):
+        rawwebm.decode_first_vp9_keyframe(
+            rawwebm.build_webm(video=("V_VP8", 64, 48))
+        )
