@@ -422,7 +422,10 @@ def extract_djvu_text(data: bytes) -> dict:
         page_text = None
         for tag, cpos, ln in _chunks(data, start, end):
             if tag == b"TXTz":
-                page_text = parse_txt(bzz_decode(data[cpos : cpos + ln]))
+                page_text = parse_txt(
+                    bzz_decode(data[cpos : cpos + ln],
+                               max_bytes=MAX_TEXT + 4096)
+                )
             elif tag == b"TXTa":
                 page_text = parse_txt(data[cpos : cpos + ln])
         pages.append(page_text)
@@ -548,7 +551,7 @@ def parse_dirm(data: bytes, cpos: int, ln: int) -> dict:
                 struct.unpack(">I", data[pos + 4 * i : pos + 4 * i + 4])[0]
             )
         pos += 4 * n
-    raw = bzz_decode(data[pos : cpos + ln])
+    raw = bzz_decode(data[pos : cpos + ln], max_bytes=MAX_TEXT)
     need = 4 * n
     if len(raw) < need:
         raise ValueError("djvu: DIRM compressed tail too short")
@@ -694,7 +697,8 @@ def extract_djvu_metadata(data: bytes) -> dict:
     def eat_page(start, end):
         for tag, cpos, ln in _chunks(data, start, end):
             if tag == b"ANTz":
-                ant = parse_ant(bzz_decode(data[cpos : cpos + ln]))
+                ant = parse_ant(bzz_decode(data[cpos : cpos + ln],
+                                           max_bytes=MAX_TEXT))
             elif tag == b"ANTa":
                 ant = parse_ant(data[cpos : cpos + ln])
             else:
@@ -715,7 +719,8 @@ def extract_djvu_metadata(data: bytes) -> dict:
                 ]
             elif tag == b"NAVM":
                 out["bookmarks"] = parse_navm(
-                    bzz_decode(data[cpos : cpos + ln])
+                    bzz_decode(data[cpos : cpos + ln],
+                               max_bytes=MAX_TEXT)
                 )
             elif tag == b"FORM" and data[cpos : cpos + 4] == b"DJVU":
                 eat_page(cpos + 4, cpos + ln)

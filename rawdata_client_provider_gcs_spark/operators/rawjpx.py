@@ -48,7 +48,9 @@ import numpy as np
 
 from .rawjbig2 import MQDecoder, MQEncoder
 
-MAX_PIXELS = 64 << 20
+# pure-Python EBCOT decodes ~0.1 Mpx/s: the pixel cap IS the hostile
+# CPU budget (4 Mpx ~ a minute), and larger claims raise loudly
+MAX_PIXELS = 4 << 20
 
 # MQ context numbering: 0-8 significance, 9-13 sign, 14-16 refinement,
 # 17 run-length (AGG), 18 UNIFORM
@@ -806,6 +808,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
         (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         body = data[pos + 4 : pos + 2 + ln]
         if marker == b"\xff\x51":  # SIZ
+            if len(body) < 36:
+                raise ValueError("jpx: truncated SIZ segment")
             (_r, xs, ys, xo, yo, xt, yt, xto, yto,
              n_comp) = struct.unpack(">HIIIIIIIIH", body[:36])
             if xo or yo or xto or yto or xt != xs or yt != ys:
@@ -815,6 +819,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 raise ValueError("jpx: image too large")
             if n_comp not in (1, 3):
                 raise ValueError(f"jpx: {n_comp} components unsupported")
+            if len(body) < 36 + 3 * n_comp:
+                raise ValueError("jpx: SIZ shorter than its components")
             for ci in range(n_comp):
                 ssiz, xr, yr = body[36 + 3 * ci : 39 + 3 * ci]
                 if ssiz != 7 or xr != 1 or yr != 1:
@@ -823,6 +829,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
                         "components decode"
                     )
         elif marker == b"\xff\x52":  # COD
+            if len(body) < 10:
+                raise ValueError("jpx: truncated COD segment")
             scod = body[0]
             if scod & 0x07:
                 raise ValueError(
@@ -846,9 +854,13 @@ def decode_jpx(data: bytes) -> np.ndarray:
             if cbw + 2 != _CB_EXP or cbh + 2 != _CB_EXP:
                 raise ValueError("jpx: only 64x64 code blocks decode")
         elif marker == b"\xff\x5c":  # QCD
+            if not body:
+                raise ValueError("jpx: empty QCD segment")
             if body[0] & 0x1F:
                 raise ValueError("jpx: quantized codestreams undecoded")
         elif marker == b"\xff\x90":  # SOT
+            if len(body) < 8:
+                raise ValueError("jpx: truncated SOT segment")
             (_isot, psot, _tp, _tn) = struct.unpack(">HIBB", body[:8])
             tile_end = pos + (psot if psot else len(data) - pos)
         elif marker in (b"\xff\x64", b"\xff\x63", b"\xff\x5d",

@@ -518,7 +518,9 @@ def predict_intra(mode: int, bs: int, above: np.ndarray | None,
 
 # ---------------------------------------------------------------- frame
 
-MAX_FRAME_PIXELS = 16 << 20
+# per-4x4 Python token+predict loops: the pixel cap bounds hostile
+# CPU (~30 s at 2 Mpx); real-world keyframes are table-gated anyway
+MAX_FRAME_PIXELS = 2 << 20
 
 
 def _read_full_header(data: bytes) -> dict:
