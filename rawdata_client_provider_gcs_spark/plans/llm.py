@@ -7280,7 +7280,7 @@ def q_text_sentence_stats(spark: SparkSession, sf: str) -> DataFrame:
     "q_crawl_classify",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       CASE CAST(doc_id % 22 AS INTEGER)
+       CASE CAST(doc_id % 24 AS INTEGER)
          WHEN 0 THEN 'zip' WHEN 1 THEN 'tar' WHEN 2 THEN '7z'
          WHEN 3 THEN 'docx' WHEN 4 THEN 'xlsx' WHEN 5 THEN 'doc'
          WHEN 6 THEN 'rtf' WHEN 7 THEN 'pdf' WHEN 8 THEN 'png'
@@ -7288,8 +7288,9 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
          WHEN 12 THEN 'mbox' WHEN 13 THEN 'html' WHEN 14 THEN 'utf8-text'
          WHEN 15 THEN 'binary' WHEN 16 THEN 'rar5' WHEN 17 THEN 'ods'
          WHEN 18 THEN 'odp' WHEN 19 THEN 'mobi' WHEN 20 THEN 'fb2'
-         ELSE 'djvu' END AS format,
-       CASE CAST(doc_id % 22 AS INTEGER)
+         WHEN 21 THEN 'djvu' WHEN 22 THEN 'jp2'
+         ELSE 'jbig2' END AS format,
+       CASE CAST(doc_id % 24 AS INTEGER)
          WHEN 0 THEN 'archive' WHEN 1 THEN 'archive' WHEN 2 THEN 'archive'
          WHEN 3 THEN 'document' WHEN 4 THEN 'document'
          WHEN 5 THEN 'document' WHEN 6 THEN 'document'
@@ -7297,8 +7298,9 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
          WHEN 10 THEN 'audio' WHEN 11 THEN 'video' WHEN 12 THEN 'mail'
          WHEN 13 THEN 'web' WHEN 14 THEN 'text'
          WHEN 15 THEN 'unknown' WHEN 16 THEN 'archive'
+         WHEN 22 THEN 'image' WHEN 23 THEN 'image'
          ELSE 'document' END AS category,
-       CASE CAST(doc_id % 22 AS INTEGER)
+       CASE CAST(doc_id % 24 AS INTEGER)
          WHEN 1 THEN 'gzip' WHEN 14 THEN 'zstd' ELSE NULL END AS wrapper
 FROM documents WHERE doc_id < 320
 """,
@@ -7307,13 +7309,15 @@ FROM documents WHERE doc_id < 320
 )
 def q_crawl_classify(spark: SparkSession, sf: str) -> DataFrame:
     """Universal payload ROUTING, oracle-exact — the stage a mixed
-    100 TB ingest runs first: twenty-two payload shapes (archives plain,
+    100 TB ingest runs first: twenty-four payload shapes (archives plain,
     gzip-wrapped, RAR5 (r13), zip and CFB office families, RTF, PDF, PNG,
     WAV, Ogg Vorbis, MP4, mbox, HTML, zstd-wrapped plain text, raw
     binary, and the r13 ODF spreadsheet/presentation subtypes read
     from the stored-first mimetype member, plus the r14 ebook/scan
     trio: MOBI/PalmDoc PDB files, bare-XML FictionBook2, and DjVu
-    containers) built by the engine's own fixture writers, classified by
+    containers, plus the r15 scan pair: JPEG 2000 codestreams and
+    standalone JBIG2 files) built by the engine's own fixture writers,
+    classified by
     ``classify_payload``'s magic-first union of every sniffer the
     repo owns (:mod:`..sources.classify`).  Misrouting any format —
     or mis-peeling a wrapper — breaks the hash.
@@ -7346,7 +7350,7 @@ def q_crawl_classify(spark: SparkSession, sf: str) -> DataFrame:
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
                 t = str(text)[:60]
-                v = did % 22
+                v = did % 24
                 if v == 0:
                     blob = A.build_zip([("a.txt", t.encode())])
                 elif v == 1:
@@ -7403,12 +7407,25 @@ def q_crawl_classify(spark: SparkSession, sf: str) -> DataFrame:
                     blob = MB.build_mobi(t, palmdoc=did % 2 == 1)
                 elif v == 20:
                     blob = O.build_fb2([t[:40]])
-                else:
+                elif v == 21:
                     from ..operators import rawdjvu
 
                     blob = rawdjvu.build_djvu(
                         [{"width": 80, "height": 60, "text": True}]
                     )
+                elif v == 22:
+                    from ..operators import rawjpx
+
+                    blob = rawjpx.encode_jpx(
+                        np.full((8, 8), did % 256, np.uint8), levels=1
+                    )
+                else:
+                    from ..operators import rawjbig2
+
+                    bits = np.zeros((8, 8), np.uint8)
+                    bits[: (did % 5) + 1] = 1
+                    blob = (rawjbig2._FILE_MAGIC + bytes([2])
+                            + rawjbig2.build_jbig2(bits))
                 payloads.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "payload": payloads})
