@@ -948,12 +948,12 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        'image/x-portable-graymap' AS mime,
        CAST(CASE WHEN doc_id % 50 = 7 THEN 13 ELSE 43 END AS BIGINT)
          AS n_bytes,
-       CASE WHEN doc_id % 50 = 7 THEN NULL
+       CAST(CASE WHEN doc_id % 50 = 7 THEN NULL
             WHEN (doc_id % 256) // 32 = ((doc_id*7 + 13) % 256) // 32
-            THEN 1.0 ELSE 0.5 END AS f_top,
-       CASE WHEN doc_id % 50 = 7 THEN NULL
+            THEN 1.0 ELSE 0.5 END AS DOUBLE) AS f_top,
+       CAST(CASE WHEN doc_id % 50 = 7 THEN NULL
             WHEN (doc_id % 256) // 32 = ((doc_id*7 + 13) % 256) // 32
-            THEN 1.0 ELSE 0.5 END AS f_bottom,
+            THEN 1.0 ELSE 0.5 END AS DOUBLE) AS f_bottom,
        CAST(CASE WHEN doc_id % 50 = 7 THEN NULL
             WHEN (doc_id % 256) // 32 = ((doc_id*7 + 13) % 256) // 32
             THEN 1 ELSE 2 END AS BIGINT) AS n_hot,
@@ -1221,11 +1221,12 @@ def _synth_wav_media(spark: SparkSession, sf: str) -> DataFrame:
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(44 + 4*n_chars AS BIGINT) AS n_bytes,
        n_chars/1000.0 AS duration_s,
-       1.0 AS channels,
-       1000.0 AS sample_rate,
+       CAST(1 AS DOUBLE) AS channels,
+       CAST(1000 AS DOUBLE) AS sample_rate,
        ((doc_id % 100) + 1)/256.0 AS rms,
        ((doc_id % 100) + 1)/256.0 AS peak,
-       CASE WHEN n_chars > 1 THEN 1.0 ELSE 0.0 END AS zero_crossing_rate
+       CAST(CASE WHEN n_chars > 1 THEN 1 ELSE 0 END AS DOUBLE)
+         AS zero_crossing_rate
 FROM documents WHERE doc_id < 300 AND n_chars > 0
 """,
     tags=("llm", "multimodal", "audio", "pandas-udf"),
@@ -1268,7 +1269,7 @@ WITH p AS (
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        c / (z + c + m) AS clipping_ratio,
        (z / 20.0) / ((z + c + m) / 20.0) AS silence_ratio,
-       0.0 AS dc_offset,
+       CAST(0 AS DOUBLE) AS dc_offset,
        ROUND(20 * log10(1 / sqrt((c + m * a * a) / (z + c + m))), 6)
          AS crest_db,
        z / (z + c + m) AS trim_ratio
@@ -1388,8 +1389,8 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 54 + 2*n_chars
                  ELSE 24 + 2*n_chars END AS BIGINT) AS n_bytes,
        n_chars/1000.0 AS duration_s,
-       1.0 AS channels,
-       1000.0 AS sample_rate,
+       CAST(1 AS DOUBLE) AS channels,
+       CAST(1000 AS DOUBLE) AS sample_rate,
        ((doc_id % 100) + 1)/256.0 AS rms,
        ((doc_id % 100) + 1)/256.0 AS peak
 FROM documents WHERE doc_id < 300 AND n_chars > 0
@@ -1736,7 +1737,7 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        n_chars/1000.0 AS duration_s,
        CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS DOUBLE)
          AS channels,
-       1000.0 AS sample_rate,
+       CAST(1000 AS DOUBLE) AS sample_rate,
        ((doc_id % 100) + 1)/256.0 AS rms,
        ((doc_id % 100) + 1)/256.0 AS peak
 FROM documents WHERE doc_id < 300 AND n_chars > 1
@@ -5169,7 +5170,7 @@ def q_embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(1 + doc_id % 100 AS BIGINT) AS dominant_bin,
-       (1 + doc_id % 100) * 31.25 AS dominant_freq,
+       CAST((1 + doc_id % 100) * 31.25 AS DOUBLE) AS dominant_freq,
        CAST(1 + doc_id % 50 AS DOUBLE) AS dominant_mag
 FROM documents WHERE doc_id < 300
 """,
@@ -6314,15 +6315,15 @@ WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
            FROM documents WHERE doc_id < 60),
 px AS (
   SELECT d.doc_id,
-         SUM(CAST((r * 31 + c * 17 + d.doc_id) % 256 AS BIGINT))
+         CAST(SUM((r * 31 + c * 17 + d.doc_id) % 256) AS BIGINT)
            AS y_sum
   FROM d, generate_series(0, 15) AS gr(r), generate_series(0, 31) AS gc(c)
   GROUP BY d.doc_id
 ),
 uv AS (
   SELECT d.doc_id,
-         SUM(CAST((r * 13 + c * 7 + d.doc_id) % 256 AS BIGINT)) AS u_sum,
-         SUM(CAST((r * 5 + c * 11 + 2 * d.doc_id) % 256 AS BIGINT))
+         CAST(SUM((r * 13 + c * 7 + d.doc_id) % 256) AS BIGINT) AS u_sum,
+         CAST(SUM((r * 5 + c * 11 + 2 * d.doc_id) % 256) AS BIGINT)
            AS v_sum
   FROM d, generate_series(0, 7) AS gr(r), generate_series(0, 15) AS gc(c)
   GROUP BY d.doc_id

@@ -1087,7 +1087,7 @@ WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id
            FROM documents WHERE doc_id < 24),
 px AS (
   SELECT d.doc_id,
-         SUM(CAST((r * 31 + c * 17 + d.doc_id) % 256 AS BIGINT))
+         CAST(SUM((r * 31 + c * 17 + d.doc_id) % 256) AS BIGINT)
            AS y_sum
   FROM d, generate_series(0, 15) AS gr(r), generate_series(0, 15) AS gc(c)
   GROUP BY d.doc_id

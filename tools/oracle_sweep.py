@@ -48,12 +48,40 @@ def values_equal(a, b) -> bool:
     return a == b
 
 
+# DuckDB output types that the driver's hash canonicalization does NOT
+# fold into Spark's LONG/DOUBLE — an oracle emitting one of these passes
+# the old float-coercing comparator locally but goes red in the driver
+# (r15 postmortem: q_multimodal_vp9_pixels SUM(BIGINT) -> HUGEINT).
+BAD_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def oracle_dtype_problem(con, oracle: str) -> str | None:
+    desc = con.execute("DESCRIBE " + oracle).df()
+    bad = [
+        f"{r.column_name}:{r.column_type}"
+        for r in desc.itertuples()
+        if any(r.column_type.upper().startswith(t) for t in BAD_ORACLE_TYPES)
+    ]
+    if bad:
+        return "oracle dtype not driver-canonical: " + ", ".join(bad)
+    return None
+
+
 def frames_match(sp: pd.DataFrame, du: pd.DataFrame) -> str | None:
     if sorted(sp.columns) != sorted(du.columns):
         return f"columns {sorted(sp.columns)} vs {sorted(du.columns)}"
     if len(sp) != len(du):
         return f"rows {len(sp)} vs {len(du)}"
     sp, du = canon(sp), canon(du)
+    for c in sp.columns:
+        ks, kd = sp[c].dtype.kind, du[c].dtype.kind
+        # integer-vs-float column divergence with no null-promotion on the
+        # float side = a real type mismatch the driver would hash red
+        # (int==float compares True per-value, so catch it at dtype level)
+        if {ks, kd} == {"i", "f"}:
+            fl = sp[c] if ks == "f" else du[c]
+            if not fl.isna().any():
+                return f"col {c}: dtype {ks} vs {kd} without null-promotion"
     for c in sp.columns:
         av, bv = sp[c].tolist(), du[c].tolist()
         for i, (a, b) in enumerate(zip(av, bv)):
@@ -118,7 +146,9 @@ def main() -> int:
                 print(f"OK {name} (rows-only: {len(sp)} rows)", flush=True)
                 continue
             du = con.execute(oracle).df()
-            problem = frames_match(sp, du)
+            problem = oracle_dtype_problem(con, oracle) or frames_match(
+                sp, du
+            )
             record[name] = {
                 "rows_match": len(sp) == len(du),
                 "schema_match": sorted(sp.columns) == sorted(du.columns),
