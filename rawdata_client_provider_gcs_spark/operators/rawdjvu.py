@@ -19,7 +19,8 @@ tree.  The image payloads (JB2 masks, IW44 wavelets) remain a
 documented loud boundary, and real-world TXTz conformance is bounded
 by the ZP state-table transcription tiers documented in
 ``sources/bzz.py`` (in-repo streams are exact; a mis-transcribed
-state fails loudly at the BWT checks, never silently).
+state fails loudly at the BWT checks with high probability — the
+bound is probabilistic, see ``sources/bzz.py``).
 
 Reference behavioral parity: the reference transport stores opaque
 named byte arrays (RawdataMessage.java:15-60); container censuses are
@@ -616,6 +617,11 @@ def parse_navm(raw: bytes) -> list:
             pos += ln
         out.append({"n_children": nkids, "description": fields[0],
                     "url": fields[1]})
+    if pos != len(raw):
+        # structural sanity against the probabilistic BZZ bound
+        # (sources/bzz.py): a wrongly decoded column that slipped the
+        # BWT walk is very unlikely to also frame exactly
+        raise ValueError("djvu: trailing bytes after NAVM bookmarks")
     return out
 
 

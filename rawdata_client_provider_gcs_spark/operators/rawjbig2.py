@@ -22,9 +22,12 @@ become pixels instead of per-image error rows:
   headers (referred-to bookkeeping, 1/4-byte page association),
   page-information segments, immediate generic-region segments
   composed onto the page bitmap (OR / AND / XOR / XNOR / REPLACE).
-- OUT OF SCOPE, loud: symbol dictionaries, text/halftone/refinement
-  regions, unknown-length segments — each raises ``ValueError`` naming
-  the segment type for per-image error capture.
+- **Symbol/text/halftone regions** (§6.4/6.5/6.6) and **generic
+  refinement regions** (§6.3, types 40-42, r16) decode too; see the
+  section headers below.
+- OUT OF SCOPE, loud: Huffman-coded (non-MQ) variants, unknown-length
+  segments — each raises ``ValueError`` naming the feature for
+  per-image error capture.
 
 The fixture encoder emits spec-shaped embedded streams (page info +
 immediate generic region) through the dual MQ encoder, so decode paths
@@ -455,6 +458,48 @@ def _segments(data: bytes):
 _COMBINE = {0: "or", 1: "and", 2: "xor", 3: "xnor", 4: "replace"}
 
 
+def _compose_region(page, page_w, page_h, default, bits, x, y, combop):
+    """Compose a decoded region onto the page bitmap.
+
+    For pages declared with unknown height (0xFFFFFFFF, the striped
+    case — T.88 §7.4.8.2) the page array grows downward on demand so a
+    later stripe below the current extent composes instead of raising;
+    a known page height stays a hard bound.  Returns the (possibly
+    new) page array."""
+    h, w = bits.shape
+    if page is None:
+        if page_w is None:
+            raise ValueError("jbig2: region before page information")
+        page = np.full((y + h, page_w), default, np.uint8)
+    if y + h > page.shape[0]:
+        if page_h is not None:
+            raise ValueError("jbig2: region outside the page")
+        if (y + h) * page.shape[1] > MAX_PIXELS:
+            raise ValueError("jbig2: page too large")
+        grown = np.full((y + h, page.shape[1]), default, np.uint8)
+        grown[: page.shape[0]] = page
+        page = grown
+    if x + w > page.shape[1]:
+        raise ValueError("jbig2: region outside the page")
+    dst = page[y : y + h, x : x + w]
+    op = _COMBINE.get(combop)
+    if op == "or":
+        dst |= bits
+    elif op == "and":
+        dst &= bits
+    elif op == "xor":
+        dst ^= bits
+    elif op == "xnor":
+        dst[...] = 1 - (dst ^ bits)
+    elif op == "replace":
+        dst[...] = bits
+    else:
+        raise ValueError(
+            f"jbig2: combination operator {combop} reserved"
+        )
+    return page
+
+
 def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> dict:
     """Embedded-format JBIG2 (the ``/JBIG2Decode`` organization) →
     ``{"width", "height", "bits"}`` with 1 = black.  Supports page
@@ -516,31 +561,8 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> dict:
                 else:
                     bits = decode_generic_region(body, w, h, template,
                                                  at, tpgdon)
-                if page is None:
-                    if page_w is None:
-                        raise ValueError(
-                            "jbig2: region before page information"
-                        )
-                    page_h2 = y + h
-                    page = np.full((page_h2, page_w), default, np.uint8)
-                if (y + h > page.shape[0] or x + w > page.shape[1]):
-                    raise ValueError("jbig2: region outside the page")
-                dst = page[y : y + h, x : x + w]
-                op = _COMBINE.get(combop)
-                if op == "or":
-                    dst |= bits
-                elif op == "and":
-                    dst &= bits
-                elif op == "xor":
-                    dst ^= bits
-                elif op == "xnor":
-                    dst[...] = 1 - (dst ^ bits)
-                elif op == "replace":
-                    dst[...] = bits
-                else:
-                    raise ValueError(
-                        f"jbig2: combination operator {combop} reserved"
-                    )
+                page = _compose_region(page, page_w, page_h, default,
+                                       bits, x, y, combop)
             elif stype == 0:  # symbol dictionary
                 in_syms = []
                 for r in refs:
@@ -552,31 +574,8 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> dict:
                 for r in refs:
                     syms += sym_table.get(r, [])
                 bits, x, y, combop = decode_text_region(payload, syms)
-                h, w = bits.shape
-                if page is None:
-                    if page_w is None:
-                        raise ValueError(
-                            "jbig2: region before page information"
-                        )
-                    page = np.full((y + h, page_w), default, np.uint8)
-                if y + h > page.shape[0] or x + w > page.shape[1]:
-                    raise ValueError("jbig2: region outside the page")
-                dst = page[y : y + h, x : x + w]
-                op = _COMBINE.get(combop)
-                if op == "or":
-                    dst |= bits
-                elif op == "and":
-                    dst &= bits
-                elif op == "xor":
-                    dst ^= bits
-                elif op == "xnor":
-                    dst[...] = 1 - (dst ^ bits)
-                elif op == "replace":
-                    dst[...] = bits
-                else:
-                    raise ValueError(
-                        f"jbig2: combination operator {combop} reserved"
-                    )
+                page = _compose_region(page, page_w, page_h, default,
+                                       bits, x, y, combop)
             elif stype == 16:  # pattern dictionary
                 sym_table[("pat", seg_num)] = decode_pattern_dict(
                     payload
@@ -587,38 +586,50 @@ def decode_jbig2(data: bytes, globals_data: bytes | None = None) -> dict:
                     pats += sym_table.get(("pat", r), [])
                 bits, x, y, combop = decode_halftone_region(payload,
                                                             pats)
-                h, w = bits.shape
-                if page is None:
-                    if page_w is None:
+                page = _compose_region(page, page_w, page_h, default,
+                                       bits, x, y, combop)
+            elif stype in (40, 41, 42):  # generic refinement region
+                if len(payload) < 18:
+                    raise ValueError(
+                        "jbig2: short refinement-region segment"
+                    )
+                w, h, x, y = struct.unpack(">IIII", payload[:16])
+                if w == 0 or h == 0 or w * h > MAX_PIXELS:
+                    raise ValueError(
+                        "jbig2: refinement region dimensions out of "
+                        "range"
+                    )
+                refbmp = None
+                for r in refs:
+                    if ("ref", r) in sym_table:
+                        refbmp = sym_table[("ref", r)]
+                if refbmp is None:
+                    # §6.3.2: reference = the page region under the box
+                    if page is None and page_w is None:
                         raise ValueError(
                             "jbig2: region before page information"
                         )
-                    page = np.full((y + h, page_w), default, np.uint8)
-                if y + h > page.shape[0] or x + w > page.shape[1]:
-                    raise ValueError("jbig2: region outside the page")
-                dst = page[y : y + h, x : x + w]
-                op = _COMBINE.get(combop)
-                if op == "or":
-                    dst |= bits
-                elif op == "replace":
-                    dst[...] = bits
-                elif op == "and":
-                    dst &= bits
-                elif op == "xor":
-                    dst ^= bits
-                elif op == "xnor":
-                    dst[...] = 1 - (dst ^ bits)
+                    refbmp = np.full((h, w), default, np.uint8)
+                    if page is not None:
+                        ph2, pw2 = page.shape
+                        ye, xe = min(y + h, ph2), min(x + w, pw2)
+                        if ye > y and xe > x:
+                            refbmp[: ye - y, : xe - x] = \
+                                page[y:ye, x:xe]
+                bits, x, y, combop = decode_refinement_region(
+                    payload, refbmp
+                )
+                if stype == 40:  # intermediate: stored, not composed
+                    sym_table[("ref", seg_num)] = bits
                 else:
-                    raise ValueError(
-                        f"jbig2: combination operator {combop} reserved"
-                    )
+                    page = _compose_region(page, page_w, page_h,
+                                           default, bits, x, y, combop)
             elif stype in (49, 50, 51, 62):
                 continue  # end-of-page/stripe/file, extension: no-op
             else:
                 raise ValueError(
                     f"jbig2: segment type {stype} outside the "
-                    "generic/symbol/text/halftone subset (refinement "
-                    "undecoded)"
+                    "generic/symbol/text/halftone/refinement subset"
                 )
     if page is None:
         raise ValueError("jbig2: no page produced")
@@ -952,17 +963,22 @@ def decode_text_region(payload: bytes, syms: list):
             else:
                 x0 = curs
             y0 = ti if refcorner in (1, 3) else ti - hi + 1
-            if x0 < 0 or y0 < 0 or x0 + wi > w or y0 + hi > h:
-                raise ValueError("jbig2: symbol instance outside region")
-            dst = region[y0 : y0 + hi, x0 : x0 + wi]
-            if combop == 0:
-                dst |= bmp
-            elif combop == 1:
-                dst &= bmp
-            elif combop == 2:
-                dst ^= bmp
-            else:
-                dst[...] = 1 - (dst ^ bmp)
+            # instances may overhang the region edge in real scans;
+            # clip to the region bounds (pdf.js behavior) rather than
+            # reject the whole region
+            cy0, cx0 = max(y0, 0), max(x0, 0)
+            cy1, cx1 = min(y0 + hi, h), min(x0 + wi, w)
+            if cy1 > cy0 and cx1 > cx0:
+                clipped = bmp[cy0 - y0 : cy1 - y0, cx0 - x0 : cx1 - x0]
+                dst = region[cy0:cy1, cx0:cx1]
+                if combop == 0:
+                    dst |= clipped
+                elif combop == 1:
+                    dst &= clipped
+                elif combop == 2:
+                    dst ^= clipped
+                else:
+                    dst[...] = 1 - (dst ^ clipped)
             if refcorner in (0, 1):  # left corners advance after
                 curs += wi - 1
             n += 1
@@ -1266,14 +1282,17 @@ _FILE_MAGIC = b"\x97JB2\r\n\x1a\n"
 
 def decode_jbig2_file(data: bytes) -> dict:
     """Standalone JBIG2 FILE organization (§D.4): 8-byte magic, flags
-    (bit 0: sequential=0, bit 1: page count unknown), optional page
-    count, then the embedded segment stream."""
+    (T.88 D.4.2 — bit 0 SET means sequential organization, CLEAR means
+    random-access with all segment headers grouped before the data;
+    bit 1 set means page count unknown), optional page count, then the
+    embedded segment stream. jbig2enc and mainstream writers emit
+    sequential (flags 1 or 3)."""
     if data[:8] != _FILE_MAGIC:
         raise ValueError("jbig2: missing file-header magic")
     if len(data) < 9:
         raise ValueError("jbig2: truncated file header")
     flags = data[8]
-    if flags & 1:
+    if not flags & 1:
         raise ValueError(
             "jbig2: random-access file organization unsupported"
         )
@@ -1295,5 +1314,182 @@ def build_jbig2_halftone(gray, patterns, *, page_size=None) -> bytes:
     out = _segment(0, 48, page_info)
     out += _segment(1, 16, pd)
     out += _segment(2, 22, ht, refs=(1,))
+    out += _segment(3, 49, b"")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Generic refinement regions (§6.3, segment types 40-42) — r16
+# ---------------------------------------------------------------------------
+
+#: refinement-template pixel offsets (T.88 §6.3.5.3): coding pixels in
+#: the bitmap being refined (causal), then reference pixels; template 0
+#: appends the adaptive pixels A1 (coding plane) and A2 (reference)
+_REF_CODING = ([(0, -1), (1, -1), (-1, 0)],
+               [(-1, -1), (0, -1), (1, -1), (-1, 0)])
+_REF_REFER = ([(0, -1), (1, -1), (-1, 0), (0, 0), (1, 0),
+               (-1, 1), (0, 1), (1, 1)],
+              [(0, -1), (-1, 0), (0, 0), (1, 0), (0, 1), (1, 1)])
+#: TPGRON SLTP pseudo-pixel contexts (§6.3.5.6)
+_REF_SLTP_CX = (0x0020, 0x0008)
+#: nominal refinement AT pixels (A1 in coding, A2 in reference)
+REF_NOMINAL_AT = ((-1, -1), (-1, -1))
+
+
+def _refinement_pass(width, height, template, at, tpgron, coder, ref,
+                     bits=None):
+    """Shared decode/encode walk for generic refinement (§6.3.5):
+    ``bits is None`` decodes (returns the bitmap), else encodes.
+    ``ref`` is the reference bitmap already aligned with the region
+    box (GRREFERENCEDX/DY are 0 for region segments, §7.4.7.2);
+    out-of-bounds reference pixels read as 0."""
+    if template == 0:
+        a1, a2 = at if at is not None else REF_NOMINAL_AT
+        coding = _REF_CODING[0] + [tuple(a1)]
+        refer = _REF_REFER[0] + [tuple(a2)]
+    elif template == 1:
+        if at:
+            raise ValueError(
+                "jbig2: AT pixels with refinement template 1"
+            )
+        coding = list(_REF_CODING[1])
+        refer = list(_REF_REFER[1])
+    else:
+        raise ValueError("jbig2: refinement template out of range")
+    ref = np.asarray(ref, np.uint8)
+    if ref.shape != (height, width):
+        raise ValueError("jbig2: reference bitmap shape disagrees")
+    decode = bits is None
+    ncx = 1 << (len(coding) + len(refer))
+    icx = [0] * ncx
+    mps = [0] * ncx
+    pad = max(2, max(abs(d) for p in coding + refer for d in p))
+    cur = np.zeros((height + 2 * pad, width + 2 * pad), np.uint8)
+    rpl = np.zeros_like(cur)
+    rpl[pad : pad + height, pad : pad + width] = ref
+    if not decode:
+        src = np.asarray(bits, np.uint8)
+        if src.shape != (height, width):
+            raise ValueError("jbig2: bitmap shape disagrees")
+    # per-pixel "typical" test (§6.3.5.6): 3x3 reference window sum,
+    # zero-extended at the edges — 0 or 9 means uniform
+    pz = np.pad(ref.astype(np.int16), 1)
+    win = sum(pz[r : r + height, c : c + width]
+              for r in range(3) for c in range(3))
+    sltp = _REF_SLTP_CX[template]
+    ltp = 0
+    for y in range(height):
+        if tpgron:
+            if decode:
+                ltp ^= coder.decode(icx, mps, sltp)
+            else:
+                uniform = (win[y] == 0) | (win[y] == 9)
+                want = 1 if bool(
+                    (src[y][uniform] == (win[y][uniform] == 9)).all()
+                ) else 0
+                coder.encode(want ^ ltp, icx, mps, sltp)
+                ltp = want
+        for x in range(width):
+            if ltp:
+                s = win[y, x]
+                if s == 0 or s == 9:
+                    v = 1 if s == 9 else 0
+                    cur[y + pad, x + pad] = v
+                    continue
+            cx = 0
+            for dx2, dy2 in coding:
+                cx = (cx << 1) | cur[y + dy2 + pad, x + dx2 + pad]
+            for dx2, dy2 in refer:
+                cx = (cx << 1) | rpl[y + dy2 + pad, x + dx2 + pad]
+            if decode:
+                v = coder.decode(icx, mps, int(cx))
+            else:
+                v = int(src[y, x])
+                coder.encode(v, icx, mps, int(cx))
+            cur[y + pad, x + pad] = v
+    if decode:
+        return cur[pad : pad + height, pad : pad + width].copy()
+    return None
+
+
+def decode_refinement_region(payload: bytes, ref):
+    """Generic refinement region segment data (§7.4.7): region info +
+    refinement flags + optional AT pixels + MQ data → ``(bits, x, y,
+    combop)``.  ``ref`` is the reference bitmap for the region box
+    (the page region beneath it, or an intermediate bitmap)."""
+    if len(payload) < 18:
+        raise ValueError("jbig2: short refinement-region segment")
+    w, h, x, y = struct.unpack(">IIII", payload[:16])
+    if w == 0 or h == 0 or w * h > MAX_PIXELS:
+        raise ValueError(
+            "jbig2: refinement region dimensions out of range"
+        )
+    combop = payload[16] & 7
+    rflags = payload[17]
+    template = rflags & 1
+    tpgron = bool(rflags & 2)
+    if rflags & ~3:
+        raise ValueError("jbig2: reserved refinement flag bits set")
+    pos = 18
+    at = None
+    if template == 0:
+        if pos + 4 > len(payload):
+            raise ValueError("jbig2: truncated refinement AT pixels")
+        at = (struct.unpack("bb", payload[pos : pos + 2]),
+              struct.unpack("bb", payload[pos + 2 : pos + 4]))
+        pos += 4
+    bits = _refinement_pass(w, h, template, at, tpgron,
+                            MQDecoder(payload[pos:]), ref)
+    return bits, x, y, combop
+
+
+def encode_refinement_region(bits, *, ref=None, template: int = 0,
+                             at=None, tpgron: bool = False,
+                             combop: int = 4, x: int = 0,
+                             y: int = 0) -> bytes:
+    """Fixture dual of :func:`decode_refinement_region` (reference
+    defaults to all-zero)."""
+    bits = np.asarray(bits, np.uint8)
+    h, w = bits.shape
+    ref = (np.zeros_like(bits) if ref is None
+           else np.asarray(ref, np.uint8))
+    atl = at if at is not None else (
+        REF_NOMINAL_AT if template == 0 else None
+    )
+    enc = MQEncoder()
+    _refinement_pass(w, h, template, atl, tpgron, enc, ref, bits)
+    payload = struct.pack(">IIII", w, h, x, y) + bytes([combop & 7])
+    payload += bytes([template | (2 if tpgron else 0)])
+    if template == 0:
+        for ax, ay in atl:
+            payload += struct.pack("bb", ax, ay)
+    return payload + enc.flush()
+
+
+def build_jbig2_refinement(base, refined, *, template: int = 0,
+                           tpgron: bool = False,
+                           page_size=None) -> bytes:
+    """Embedded fixture: page info + immediate generic region (the
+    ``base`` image) + an immediate refinement region whose reference
+    is the page under its box and whose result REPLACES it — the
+    higher-quality-scan two-pass shape refinement exists for."""
+    base = np.asarray(base, np.uint8)
+    refined = np.asarray(refined, np.uint8)
+    if base.shape != refined.shape:
+        raise ValueError("jbig2 fixture: base/refined shape mismatch")
+    h, w = base.shape
+    pw, ph = page_size or (w, h)
+    page_info = struct.pack(">IIII", pw, ph, 0, 0) + b"\x00" \
+        + struct.pack(">H", 0)
+    out = _segment(0, 48, page_info)
+    payload = struct.pack(">IIII", w, h, 0, 0) + bytes([0, 0])
+    for ax, ay in NOMINAL_AT[0]:
+        payload += struct.pack("bb", ax, ay)
+    payload += encode_generic_region(base, 0, list(NOMINAL_AT[0]),
+                                     False)
+    out += _segment(1, 38, payload)
+    out += _segment(2, 41, encode_refinement_region(
+        refined, ref=base, template=template, tpgron=tpgron,
+    ))
     out += _segment(3, 49, b"")
     return out

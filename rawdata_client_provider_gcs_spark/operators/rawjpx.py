@@ -672,8 +672,14 @@ def _decode_tile(data, pos: int, end: int, levels: int, w: int,
     for r in range(levels + 1):
         for ci in range(n_comp):
             rdr = _HdrReader(data, pos)
-            if not rdr.bit():  # empty packet
+            if not rdr.bit():  # empty packet: legal, all bands zero
                 pos = rdr.align()
+                zeros = [np.zeros((bh, bw), np.int64)
+                         for _g, bw, bh in geom[r]]
+                if r == 0:
+                    comp_bands[ci][0] = zeros[0]
+                else:
+                    comp_bands[ci][r] = tuple(zeros)
                 continue
             blocks_meta = []
             band_arrays = []
@@ -858,15 +864,36 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 raise ValueError("jpx: empty QCD segment")
             if body[0] & 0x1F:
                 raise ValueError("jpx: quantized codestreams undecoded")
+            if body[0] >> 5 != _GUARD:
+                raise ValueError(
+                    "jpx: guard-bit count outside the decoded subset"
+                )
+            for sp in body[1:]:
+                # reversible SPqcd: top 5 bits = band exponent; the
+                # tile decoder assumes Mb = _GUARD + _EXP - 1, so a
+                # different exponent must fail here, not via a
+                # downstream pass-count mismatch
+                if sp >> 3 != _EXP:
+                    raise ValueError(
+                        "jpx: QCD band exponent outside the decoded "
+                        "subset"
+                    )
         elif marker == b"\xff\x90":  # SOT
             if len(body) < 8:
                 raise ValueError("jpx: truncated SOT segment")
             (_isot, psot, _tp, _tn) = struct.unpack(">HIBB", body[:8])
             tile_end = pos + (psot if psot else len(data) - pos)
-        elif marker in (b"\xff\x64", b"\xff\x63", b"\xff\x5d",
-                        b"\xff\x53", b"\xff\x5e", b"\xff\x55",
+        elif marker in (b"\xff\x53", b"\xff\x5d", b"\xff\x5e"):
+            # COC/QCC override per-component coding/quantization and
+            # RGN shifts ROI coefficients — skipping any of them would
+            # silently decode wrong pixels
+            nm = {0x53: "COC", 0x5D: "QCC", 0x5E: "RGN"}[marker[1]]
+            raise ValueError(
+                f"jpx: {nm} per-component overrides undecoded"
+            )
+        elif marker in (b"\xff\x64", b"\xff\x63", b"\xff\x55",
                         b"\xff\x58"):
-            pass  # COM/optional markers: skipped
+            pass  # COM/CRG/TLM/PLM: informational, skipped
         else:
             raise ValueError(
                 f"jpx: unsupported marker {marker.hex()}"

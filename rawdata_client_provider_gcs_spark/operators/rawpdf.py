@@ -1566,7 +1566,7 @@ def _build_image_xobject(spec: dict) -> bytes:
             % (arr.shape[1], arr.shape[0], cs, len(payload))
             + payload + b"\nendstream"
         )
-    if kind in ("jbig2", "jbig2_sym"):
+    if kind in ("jbig2", "jbig2_sym", "jbig2_refine"):
         from . import rawjbig2
 
         if kind == "jbig2_sym":
@@ -1587,6 +1587,16 @@ def _build_image_xobject(spec: dict) -> bytes:
             payload = rawjbig2._segment(0, 48, page_info)
             payload += rawjbig2._segment(1, 0, sd)
             payload += rawjbig2._segment(2, 6, tr, refs=(1,))
+        elif kind == "jbig2_refine":
+            # two-pass scan shape: base generic region + immediate
+            # refinement region (type 41) replacing it
+            base = np.asarray(spec["base"], np.uint8)
+            bits = np.asarray(spec["bits"], np.uint8)
+            h, w = bits.shape
+            payload = rawjbig2.build_jbig2_refinement(
+                base, bits, template=spec.get("template", 0),
+                tpgron=spec.get("tpgron", False),
+            )
         else:
             bits = np.asarray(spec["bits"], np.uint8)
             h, w = bits.shape

@@ -523,6 +523,21 @@ def predict_intra(mode: int, bs: int, above: np.ndarray | None,
 MAX_FRAME_PIXELS = 2 << 20
 
 
+def _fixture_shape(ok: bool, what: str) -> None:
+    """Loud gate for the synthetic-table conformance bound (r15
+    ADVICE): the default-probability tables this decoder ships are
+    synthetic stand-ins, and the boolean decoder carries no internal
+    checksum — so any header shape the in-repo fixture writer
+    (:func:`build_keyframe`) never emits must raise rather than decode
+    real-world bytes to unverifiable pixels."""
+    if not ok:
+        raise ValueError(
+            f"vp9: {what} outside the fixture-writer subset (the "
+            "default-probability tables are synthetic; real-world "
+            "streams stay a loud per-row boundary)"
+        )
+
+
 def _read_full_header(data: bytes) -> dict:
     """Uncompressed keyframe header INCLUDING the loop-filter, quant,
     segmentation and tile fields the reconstruction needs (§6.2);
@@ -542,14 +557,18 @@ def _read_full_header(data: bytes) -> dict:
     b.u(32)  # frame size
     if b.u(1):
         b.u(32)  # render size
+        _fixture_shape(False, "explicit render size")
     if not err_res:
-        b.u(1)  # refresh_frame_context
-        b.u(1)  # frame_parallel_decoding_mode
-    b.u(2)  # frame_context_idx
+        _fixture_shape(b.u(1) == 0, "refresh_frame_context")
+        _fixture_shape(b.u(1) == 1, "frame_parallel off")
+    else:
+        _fixture_shape(False, "error-resilient mode")
+    _fixture_shape(b.u(2) == 0, "frame_context_idx")
     # loop filter
     filter_level = b.u(6)
-    b.u(3)  # sharpness
+    _fixture_shape(b.u(3) == 0, "loop-filter sharpness")
     if b.u(1):  # mode_ref_delta_enabled
+        _fixture_shape(False, "mode/ref loop-filter deltas")
         if b.u(1):  # update
             for _ in range(4 + 2):
                 if b.u(1):
@@ -571,6 +590,8 @@ def _read_full_header(data: bytes) -> dict:
     dq_y_dc = read_delta()
     dq_uv_dc = read_delta()
     dq_uv_ac = read_delta()
+    _fixture_shape(dq_y_dc == dq_uv_dc == dq_uv_ac == 0,
+                   "non-zero quantizer deltas")
     lossless = base_q == 0 and dq_y_dc == 0 and dq_uv_dc == 0 \
         and dq_uv_ac == 0
     # segmentation

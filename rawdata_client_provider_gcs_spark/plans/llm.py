@@ -4091,7 +4091,9 @@ SELECT doc_id,
             WHEN 0 THEN 2 * (doc_id % 113) * 1152
             WHEN 1 THEN 255 * 16 * (8 - ((doc_id % 7) + 1))
             WHEN 2 THEN k * 128
-            ELSE CASE WHEN (doc_id // 4) % 5 = 4 THEN 255 * (128 - 52)
+            ELSE CASE WHEN (doc_id // 4) % 6 = 4 THEN 255 * (128 - 52)
+                 WHEN (doc_id // 4) % 6 = 5
+                 THEN 255 * (120 - 15 * ((doc_id % 7) + 1))
                  ELSE 255 * 16 * (8 - ((doc_id % 7) + 1)) END
             END AS BIGINT)
 FROM d
@@ -4167,18 +4169,28 @@ def q_crawl_pdf_images(spark: SparkSession, sf: str) -> DataFrame:
                     page1 = [{"kind": "gray_pred",
                               "array": np.full((8, 16), k, np.uint8)}]
                 else:
-                    # JBIG2 (r15): sub-rotate generic-region MQ
+                    # JBIG2 (r15/r16): sub-rotate generic-region MQ
                     # templates, typical prediction, the MMR route,
-                    # and the symbol-dictionary + text-region
-                    # organization (the real scanned-text mask shape)
-                    v5 = (did // 4) % 5
-                    if v5 == 4:
+                    # the symbol-dictionary + text-region organization
+                    # (the real scanned-text mask shape), and the
+                    # two-pass refinement-region shape (type 41, r16)
+                    v6 = (did // 4) % 6
+                    if v6 == 4:
                         page1 = [{
                             "kind": "jbig2_sym", "size": (16, 8),
                             "glyphs": [np.ones((8, 5), np.uint8),
                                        np.ones((4, 3), np.uint8)],
                             "placements": [(0, 1, 0), (1, 9, 2)],
                         }]
+                    elif v6 == 5:
+                        base = np.zeros((8, 16), np.uint8)
+                        base[: (did % 7) + 1] = 1
+                        bits = base.copy()
+                        bits[:, did % 16] = 1
+                        page1 = [{"kind": "jbig2_refine",
+                                  "base": base, "bits": bits,
+                                  "template": did % 2,
+                                  "tpgron": bool((did // 2) % 2)}]
                     else:
                         bits = np.zeros((8, 16), np.uint8)
                         bits[: (did % 7) + 1] = 1
@@ -4187,7 +4199,7 @@ def q_crawl_pdf_images(spark: SparkSession, sf: str) -> DataFrame:
                             {"template": 2, "tpgdon": True},
                             {"mmr": True},
                             {"template": 1, "tpgdon": True},
-                        )[v5]
+                        )[v6]
                         page1 = [dict({"kind": "jbig2", "bits": bits},
                                       **jkw)]
                 enc = (
@@ -7425,7 +7437,7 @@ def q_crawl_classify(spark: SparkSession, sf: str) -> DataFrame:
 
                     bits = np.zeros((8, 8), np.uint8)
                     bits[: (did % 5) + 1] = 1
-                    blob = (rawjbig2._FILE_MAGIC + bytes([2])
+                    blob = (rawjbig2._FILE_MAGIC + bytes([3])
                             + rawjbig2.build_jbig2(bits))
                 payloads.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"],

@@ -31,11 +31,15 @@ not a file copy.  Confidence tiers are annotated inline: entries 0-82
 (the steady-state ramp — regular doubled-pair structure) are high
 confidence; entries 83-146 (the early bootstrap lattice) are medium;
 entries 147-250 (the deep bootstrap tail) carry REAL transcription
-uncertainty and are flagged for adversarial spec check.  A wrong entry
-cannot corrupt silently: the BZZ framing has strong internal checks
-(marker-position bounds, inverse-BWT walk must land exactly on the
-marker), so a mis-transcribed state surfaces as a loud per-row
-``ValueError`` on real-world files, never as wrong text.  All in-repo
+uncertainty and are flagged for adversarial spec check.  The BZZ
+framing's internal checks (marker-position bounds, inverse-BWT walk
+must land exactly on the marker) make silent corruption from a wrong
+entry UNLIKELY but not impossible: a wrongly decoded column still
+passes the walk whenever the induced permutation happens to be a
+single cycle ending at the marker (roughly a 1/size chance per block),
+so the bound is probabilistic.  Callers that can validate content
+should (the TXTz path checks UTF-8 and the zone tree; DIRM/NAVM have
+weaker framing and inherit the residual risk).  All in-repo
 fixtures are produced by :func:`bzz_encode`, which shares the table, so
 round-trips pin the MACHINERY (coder arithmetic, MTF, BWT, framing)
 decoder-independently while the table awaits external conformance
@@ -219,7 +223,9 @@ _ZTABLE = [
 # near-0.5 ramp head with the observed bit as the new MPS.  Both encoder
 # and decoder share it, so in-repo streams are exact; REAL-WORLD BZZ
 # conformance through these states is NOT claimed (see module docstring;
-# a wrong state fails loudly at the BWT checks, never silently).
+# a wrong state is caught by the BWT checks with HIGH PROBABILITY, not
+# certainty — the walk passes a wrong column when the induced
+# permutation is a single cycle ending at the marker, ~1/size odds).
 while len(_ZTABLE) <= 250:
     _k = len(_ZTABLE)
     _b = _k & 1                       # state LSB == current MPS bit

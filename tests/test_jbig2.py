@@ -148,11 +148,10 @@ def test_jbig2_hostiles_are_valueerror():
     good = J.build_jbig2(bits)
     with pytest.raises(ValueError, match="truncated"):
         J.decode_jbig2(good[:10])
-    # refinement-region segment type: loud with the type named
-    # (symbol/text/halftone tiers decode as of r15)
+    # an unassigned segment type is loud with the type named
     bad = bytearray(good)
-    bad[4] = 40  # first segment type 48 -> 40 (refinement region)
-    with pytest.raises(ValueError, match="segment type 40"):
+    bad[4] = 44  # first segment type 48 -> 44 (unassigned)
+    with pytest.raises(ValueError, match="segment type 44"):
         J.decode_jbig2(bytes(bad))
     # lying data length
     bad = bytearray(good)
@@ -324,10 +323,16 @@ def test_text_region_hostiles():
     bad[18] |= 0x01
     with pytest.raises(ValueError, match="Huffman"):
         J.decode_text_region(bytes(bad), syms)
-    # placement outside the region
-    with pytest.raises(ValueError, match="outside region"):
-        tr2 = J.encode_text_region([(0, 50, 2)], syms, 12, 10)
-        J.decode_text_region(tr2, syms)
+    # placement past the region edge clips (pdf.js behavior) — fully
+    # outside leaves the region untouched, partial overhang keeps the
+    # in-bounds slice
+    tr2 = J.encode_text_region([(0, 50, 2)], syms, 12, 10)
+    out2, *_ = J.decode_text_region(tr2, syms)
+    assert out2.sum() == 0
+    tr3 = J.encode_text_region([(0, 10, 2)], syms, 12, 10)
+    out3, *_ = J.decode_text_region(tr3, syms)
+    assert (out3[2:8, 10:12] == glyphs[0][:, :2]).all()
+    assert out3[:, :10].sum() == 0
     # symbol dict hostiles: huffman/refinement flags
     bad = bytearray(payload)
     bad[1] |= 1
@@ -414,12 +419,12 @@ def test_halftone_end_to_end_and_file_org():
                 pats[gray[m, n]]
     assert (out["bits"] == expect).all()
     # standalone file organization, both page-count shapes
-    f = J._FILE_MAGIC + bytes([0]) + (1).to_bytes(4, "big") + blob
+    f = J._FILE_MAGIC + bytes([1]) + (1).to_bytes(4, "big") + blob
     assert (J.decode_jbig2_file(f)["bits"] == expect).all()
-    f2 = J._FILE_MAGIC + bytes([2]) + blob
+    f2 = J._FILE_MAGIC + bytes([3]) + blob
     assert (J.decode_jbig2_file(f2)["bits"] == expect).all()
     with pytest.raises(ValueError, match="random-access"):
-        J.decode_jbig2_file(J._FILE_MAGIC + bytes([1]) + blob)
+        J.decode_jbig2_file(J._FILE_MAGIC + bytes([0]) + blob)
     with pytest.raises(ValueError, match="magic"):
         J.decode_jbig2_file(blob)
     # hostile: HENABLESKIP and gray values past the dictionary
@@ -438,7 +443,144 @@ def test_classify_routes_standalone_jb2():
         classify_payload)
 
     bits = _bits(8, 8, 0.4)
-    f = J._FILE_MAGIC + bytes([2]) + J.build_jbig2(bits)
+    f = J._FILE_MAGIC + bytes([3]) + J.build_jbig2(bits)
     r = classify_payload(f)
     assert (r["format"], r["category"]) == ("jbig2", "image")
     assert (J.decode_jbig2_file(f)["bits"] == bits).all()
+
+
+def test_unknown_height_page_grows_on_demand():
+    """T.88 §7.4.8.2 striped pages: page height 0xFFFFFFFF means the
+    page grows as stripes arrive — a later region below the current
+    extent must compose, not raise (r15 ADVICE)."""
+    import struct
+
+    rs = np.random.RandomState(21)
+    top = (rs.rand(4, 8) < 0.5).astype(np.uint8)
+    bot = (rs.rand(4, 8) < 0.5).astype(np.uint8)
+    page_info = (struct.pack(">IIII", 8, 0xFFFFFFFF, 0, 0)
+                 + bytes([0]) + struct.pack(">H", 0))
+    blob = J._segment(0, 48, page_info)
+
+    def region(num, bits, y):
+        h, w = bits.shape
+        payload = struct.pack(">IIII", w, h, 0, y) + bytes([0, 0])
+        for ax, ay in J.NOMINAL_AT[0]:
+            payload += struct.pack("bb", ax, ay)
+        payload += J.encode_generic_region(bits, 0, list(J.NOMINAL_AT[0]),
+                                           False)
+        return J._segment(num, 38, payload)
+
+    blob += region(1, top, 0) + region(2, bot, 10) + J._segment(3, 49, b"")
+    out = J.decode_jbig2(blob)
+    assert out["height"] == 14 and out["width"] == 8
+    assert (out["bits"][0:4] == top).all()
+    assert (out["bits"][10:14] == bot).all()
+    assert out["bits"][4:10].sum() == 0
+    # a KNOWN page height stays a hard bound
+    with pytest.raises(ValueError, match="outside the page"):
+        J.decode_jbig2(J.build_jbig2(top, y=100, page_size=(8, 50)))
+
+
+@pytest.mark.parametrize("template", [0, 1])
+@pytest.mark.parametrize("tpgron", [False, True])
+def test_refinement_region_roundtrip(template, tpgron):
+    """§6.3 generic refinement: pixel-exact round-trips through the
+    dual MQ encoder, across both templates and TPGRON, with the
+    refined image a small perturbation of the reference (the shape
+    refinement exists for)."""
+    rs = np.random.RandomState(13 + template + 2 * tpgron)
+    for h, w in ((8, 16), (21, 9), (1, 5), (33, 33)):
+        base = (rs.rand(h, w) < 0.4).astype(np.uint8)
+        refined = base.copy()
+        flips = rs.rand(h, w) < 0.07
+        refined[flips] ^= 1
+        payload = J.encode_refinement_region(
+            refined, ref=base, template=template, tpgron=tpgron)
+        bits, x, y, combop = J.decode_refinement_region(payload, base)
+        assert (bits == refined).all(), (template, tpgron, h, w)
+        assert (x, y, combop) == (0, 0, 4)
+
+
+def test_refinement_tpgron_mixed_typical_rows():
+    """TPGRON row mix: rows that are reference-typical alternate with
+    rows that differ near a uniform window — the LTP flag must flip
+    correctly in both directions and stay pixel-exact.  (Size-wise the
+    plain path is competitive on identical copies — the reference
+    center pixel sits in the context, so MPS adaptation is near-free —
+    which is why this pins correctness, not compression.)"""
+    base = np.zeros((24, 40), np.uint8)
+    base[4:20, 8:30] = 1
+    refined = base.copy()
+    refined[6, 2] = 1    # flip inside an all-zero (typical) window
+    refined[10, 12] = 0  # flip inside an all-one (typical) window
+    for tpgron in (False, True):
+        payload = J.encode_refinement_region(refined, ref=base,
+                                             tpgron=tpgron)
+        bits, *_ = J.decode_refinement_region(payload, base)
+        assert (bits == refined).all(), tpgron
+    # identical copy stays exact under TPGRON and does not blow up
+    typ = J.encode_refinement_region(base, ref=base, tpgron=True)
+    plain = J.encode_refinement_region(base, ref=base, tpgron=False)
+    assert len(typ) <= len(plain) + 8
+    bits, *_ = J.decode_refinement_region(typ, base)
+    assert (bits == base).all()
+
+
+def test_refinement_embedded_stream_page_reference():
+    """Immediate refinement regions (type 41) take the page under the
+    region box as their reference and REPLACE it."""
+    rs = np.random.RandomState(7)
+    base = (rs.rand(16, 24) < 0.35).astype(np.uint8)
+    refined = base.copy()
+    refined[rs.rand(16, 24) < 0.1] ^= 1
+    for template in (0, 1):
+        for tpgron in (False, True):
+            blob = J.build_jbig2_refinement(
+                base, refined, template=template, tpgron=tpgron)
+            out = J.decode_jbig2(blob)
+            assert (out["bits"] == refined).all(), (template, tpgron)
+    # standalone-file carriage too
+    f = J._FILE_MAGIC + bytes([3]) + J.build_jbig2_refinement(base,
+                                                              refined)
+    assert (J.decode_jbig2_file(f)["bits"] == refined).all()
+
+
+def test_refinement_intermediate_region_reference():
+    """An intermediate refinement region (type 40) is stored, not
+    composed; a later refinement segment referring to it uses it as
+    the reference bitmap."""
+    import struct
+
+    rs = np.random.RandomState(9)
+    a = (rs.rand(10, 12) < 0.4).astype(np.uint8)
+    b = a.copy()
+    b[rs.rand(10, 12) < 0.15] ^= 1
+    page_info = struct.pack(">IIII", 12, 10, 0, 0) + bytes([0]) \
+        + struct.pack(">H", 0)
+    blob = J._segment(0, 48, page_info)
+    # intermediate: refine an all-zero page slice into `a`, stored
+    blob += J._segment(1, 40, J.encode_refinement_region(a))
+    # immediate: refine the stored `a` into `b`, replacing the page
+    blob += J._segment(2, 41, J.encode_refinement_region(b, ref=a),
+                       refs=(1,))
+    blob += J._segment(3, 49, b"")
+    out = J.decode_jbig2(blob)
+    assert (out["bits"] == b).all()
+
+
+def test_refinement_hostiles():
+    rs = np.random.RandomState(2)
+    base = (rs.rand(6, 6) < 0.5).astype(np.uint8)
+    good = J.encode_refinement_region(base, ref=base)
+    with pytest.raises(ValueError, match="short refinement"):
+        J.decode_refinement_region(good[:10], base)
+    bad = bytearray(good)
+    bad[17] |= 4  # reserved flag bit
+    with pytest.raises(ValueError, match="reserved refinement"):
+        J.decode_refinement_region(bytes(bad), base)
+    with pytest.raises(ValueError, match="shape disagrees"):
+        J.decode_refinement_region(good, base[:4])
+    with pytest.raises(ValueError, match="AT pixels"):
+        J.encode_refinement_region(base, ref=base, template=1,
+                                   at=((-1, -1), (-1, -1)))

@@ -166,3 +166,40 @@ def test_rawimage_and_classify_route_jp2():
         assert rawimage.sniff_format(blob) == "jp2"
         assert (rawimage.decode_image(blob) == img).all()
         assert classify_payload(blob)["format"] == "jp2"
+
+
+def test_empty_packets_decode_to_zero_bands():
+    """An empty packet (first header bit 0) is legal per T.800 B.10.1
+    and decodes that resolution's bands as all-zero — previously it
+    left the band slot None and crashed the inverse DWT (r15 ADVICE)."""
+    data = bytes(3)  # 3 aligned empty packets: levels=2, 1 component
+    bands = X._decode_tile(data, 0, 3, 2, 8, 8, 1)[0]
+    flat = [bands[0]] + [bands[r] for r in range(1, 3)]
+    img = X.dwt53_inverse(flat)
+    assert img.shape == (8, 8) and not img.any()
+
+
+def test_per_component_override_markers_raise():
+    """COC/QCC/RGN change per-component decode parameters; skipping
+    them silently would produce wrong pixels — they must be loud."""
+    import struct as _s
+
+    rs = np.random.RandomState(9)
+    good = X.encode_jpx(rs.randint(0, 256, (16, 16), dtype=np.uint8).astype(np.uint8))
+    sot = good.index(b"\xff\x90")
+    for mk, name in ((b"\x53", "COC"), (b"\x5d", "QCC"),
+                     (b"\x5e", "RGN")):
+        bad = good[:sot] + b"\xff" + mk + _s.pack(">H", 4) + b"\x00\x00" \
+            + good[sot:]
+        with pytest.raises(ValueError, match=name):
+            X.decode_jpx(bad)
+    # QCD band exponent drift must fail at the QCD, not downstream
+    qcd = good.index(b"\xff\x5c")
+    bad = bytearray(good)
+    bad[qcd + 5] = (X._EXP + 1) << 3  # first SPqcd byte
+    with pytest.raises(ValueError, match="band exponent"):
+        X.decode_jpx(bytes(bad))
+    bad = bytearray(good)
+    bad[qcd + 4] = ((X._GUARD + 1) << 5) | (bad[qcd + 4] & 0x1F)
+    with pytest.raises(ValueError, match="guard-bit"):
+        X.decode_jpx(bytes(bad))

@@ -184,3 +184,23 @@ def test_webm_carried_keyframe_decodes_to_pixels():
         rawwebm.decode_first_vp9_keyframe(
             rawwebm.build_webm(video=("V_VP8", 64, 48))
         )
+
+
+def test_real_world_header_shapes_raise():
+    """r15 ADVICE: the default-probability tables are synthetic, so a
+    header shape the fixture writer never emits (refresh_frame_context
+    set, frame_parallel clear, error-resilient, render size, sharpness,
+    ref deltas) must raise instead of decoding to unverifiable pixels."""
+    rs = np.random.RandomState(4)
+    y = rs.randint(0, 256, (16, 16)).astype(np.uint8)
+    u = rs.randint(0, 256, (8, 8)).astype(np.uint8)
+    v = rs.randint(0, 256, (8, 8)).astype(np.uint8)
+    good = V.build_keyframe(y, u, v)
+    assert (V.decode_keyframe(good)["y"] == y).all()
+    # bit 69 = refresh_frame_context, bit 70 = frame_parallel,
+    # bit 7 = error_resilient, bit 68 = render-size flag
+    for bit in (69, 70, 7, 68):
+        bad = bytearray(good)
+        bad[bit >> 3] ^= 0x80 >> (bit & 7)
+        with pytest.raises(ValueError):
+            V.decode_keyframe(bytes(bad))
