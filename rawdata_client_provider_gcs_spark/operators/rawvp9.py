@@ -14,11 +14,28 @@ predictors, coefficient token decoding, and the inverse WHT
 (lossless) / 4x4 DCT with mathematically derived cospi constants.
 :func:`build_keyframe` is the exact dual; LOSSLESS fixture streams
 reproduce arbitrary input planes bit-for-bit through the decoder.
+
+Inter tier (r16): :func:`decode_gop` / :func:`decode_inter_frame`
+decode non-key frames — §6.2 inter header (size-from-ref, single-ref
+subset), per-block is-inter / ZEROMV / NEWMV mode walk, an eight-slot
+reference bank with per-frame refresh masks (golden-frame semantics),
+and BILINEAR eighth-pel motion compensation (the one VP9 subpel
+kernel that is a FORMULA — taps ``(128 - 8k, 8k)`` over sixteenths
+with per-pass ``(x + 64) >> 7`` rounding — rather than a printed
+table; the 8-tap families are header-gated loudly).  The MV code is a
+documented synthetic subset (absolute sign + 10-bit magnitude; the
+spec's class/ctx MV coder is printed-table surface).
+:func:`build_gop` / :func:`build_interframe` are the exact duals;
+lossless residual coding reproduces arbitrary targets bit-for-bit,
+and pure-skip frames expose the motion-compensation arithmetic
+directly (pinned against an independent scalar restatement in
+``tests/test_vp9_decode.py``).
+
 Provenance tiers and the synthetic-default-probability conformance
 bound are documented at the decode section header below — real-world
-V_VP9 keyframes remain the per-row boundary until the spec's printed
+V_VP9 streams remain the per-row boundary until the spec's printed
 probability tables are externally checked, the blocker class the
-round-14 verdict's ask #5 names.  Inter frames stay out of scope.
+round-14 verdict's ask #5 names.
 
 Reference behavioral parity: the reference transport stores opaque
 named byte arrays per message (RawdataMessage.java:15-60); media
@@ -185,9 +202,11 @@ def build_keyframe_header(
 #   spec-checked externally — exactly the blocker class the round-14
 #   verdict's ask #5 names.
 #
-# Out of scope, loud: inter frames, profiles 1-3, 10/12-bit,
-# segmentation, multiple tiles, TX_MODE_SELECT, in-stream probability
-# updates, the in-loop filter (fixtures code filter level 0).
+# Out of scope, loud: profiles 1-3, 10/12-bit, segmentation, multiple
+# tiles, TX_MODE_SELECT, in-stream probability updates, the in-loop
+# filter (fixtures code filter level 0), compound prediction /
+# per-sub-8x8 vectors / the 8-tap interpolation families (the inter
+# tier codes single-ref BILINEAR at >=8x8; sub-8 blocks stay intra).
 
 import numpy as np
 
@@ -221,6 +240,11 @@ _PARTITION_PROBS = [
     [140, 23, 18], [12, 30, 10], [52, 10, 27], [1, 1, 1],
 ]
 _SKIP_PROBS = [192, 128, 64]
+# inter-frame mode coding (r16; synthetic-subset like the kf tables —
+# encoder and decoder share them, real-world streams are header-gated)
+_IS_INTER_PROBS = [200, 128, 56]  # ctx = above.inter + left.inter
+_NEWMV_PROB = 160                 # bit 0 = ZEROMV, 1 = NEWMV
+_MV_BITS = 10                     # |component| < 1024 eighth-pel
 
 
 def _synth_coef_probs(band: int, ctx: int) -> tuple:
@@ -697,6 +721,12 @@ class _Frame:
         # per-mi 2x2 sub-modes (single mode replicated for >=8x8)
         self.modes = np.zeros((self.mi_rows * 2, self.mi_cols * 2),
                               np.int32)
+        # inter-frame state (r16): per-mi motion vectors (eighth-pel
+        # row, col), is-inter flags, and the reference frame's padded
+        # planes (set by the GOP walker)
+        self.mvs = np.zeros((self.mi_rows, self.mi_cols, 2), np.int32)
+        self.inter = np.zeros((self.mi_rows, self.mi_cols), np.int32)
+        self.ref_planes = None
         if lossless:
             self.dq = ((4, 4), (4, 4))
         else:
@@ -945,12 +975,56 @@ def _plane_geom(fr: "_Frame", plane: int, mi_r: int, mi_c: int,
     return x0, y0, aw4, ah4, bw4, bh4
 
 
+def _mc_block(fr, plane: int, px: int, py: int, w: int, h: int,
+              mv) -> np.ndarray:
+    """Motion-compensated prediction for one w×h block at plane
+    position (px, py) from ``fr.ref_planes`` (r16 inter tier).
+
+    ``mv`` is the eighth-pel (row, col) luma motion vector.  The
+    interpolation is VP9's BILINEAR filter — the one subpel kernel
+    that is a FORMULA rather than a printed table (kernel index k in
+    sixteenths → taps ``(128 - 8k, 8k)``), applied separably with the
+    spec's per-pass ``(x + 64) >> 7`` rounding (FILTER_BITS = 7); the
+    fixture writer signals ``interp_filter = BILINEAR`` and the header
+    reader gates the 8-tap families loudly.  Chroma planes are
+    half-resolution, so the same eighth-pel luma vector lands on a
+    sixteenth-pel chroma grid (the spec's 4:2:0 scaling).  Reference
+    edges are clamped (border replication)."""
+    ref = fr.ref_planes[plane]
+    ph, pw = ref.shape
+    if plane == 0:
+        y16 = py * 16 + int(mv[0]) * 2
+        x16 = px * 16 + int(mv[1]) * 2
+    else:
+        y16 = py * 16 + int(mv[0])
+        x16 = px * 16 + int(mv[1])
+    iy, fy = y16 >> 4, y16 & 15
+    ix, fx = x16 >> 4, x16 & 15
+    rows = np.clip(np.arange(iy, iy + h + 1), 0, ph - 1)
+    cols = np.clip(np.arange(ix, ix + w + 1), 0, pw - 1)
+    patch = ref[np.ix_(rows, cols)].astype(np.int64)
+    if fx:
+        hp = (patch[:, :w] * (128 - 8 * fx)
+              + patch[:, 1 : w + 1] * (8 * fx) + 64) >> 7
+    else:
+        hp = patch[:, :w]
+    if fy:
+        out = (hp[:h] * (128 - 8 * fy)
+               + hp[1 : h + 1] * (8 * fy) + 64) >> 7
+    else:
+        out = hp[:h]
+    return out.astype(np.int32)
+
+
 def _recon_block(fr, mi_r, mi_c, bsize, skip, uvmode, coder,
-                 decode: bool, src=None):
+                 decode: bool, src=None, mv=None):
     """Predict + (de)code residual + reconstruct for one block, both
     directions (the encoder mirrors every context update).  ``src``:
-    source planes (encoder only).  Returns True when every transform
-    block had zero coefficients (the encoder's skip answer)."""
+    source planes (encoder only).  ``mv``: eighth-pel (row, col)
+    motion vector — prediction comes from ``fr.ref_planes`` instead of
+    the intra predictors (r16 inter tier).  Returns True when every
+    transform block had zero coefficients (the encoder's skip
+    answer)."""
     all_zero = True
     pending = [] if not decode else None
     for plane in range(3):
@@ -964,11 +1038,14 @@ def _recon_block(fr, mi_r, mi_c, bsize, skip, uvmode, coder,
         for ty in range(0, bh4, t4):
             for tx in range(0, bw4, t4):
                 px, py = x0 + tx * 4, y0 + ty * 4
-                if plane == 0:
-                    mode = int(fr.modes[(py >> 2), (px >> 2)])
+                if mv is not None:
+                    pred = _mc_block(fr, plane, px, py, txs, txs, mv)
                 else:
-                    mode = uvmode
-                pred = fr.predict_block(plane, px, py, txs, mode)
+                    if plane == 0:
+                        mode = int(fr.modes[(py >> 2), (px >> 2)])
+                    else:
+                        mode = uvmode
+                    pred = fr.predict_block(plane, px, py, txs, mode)
                 if skip:
                     recon = pred
                     eob = 0
@@ -1027,9 +1104,65 @@ def _recon_block(fr, mi_r, mi_c, bsize, skip, uvmode, coder,
     return all_zero, pending
 
 
-def _decode_modes(fr, dec, mi_r, mi_c, bsize):
-    """Keyframe mode info: skip flag, Y (sub-)modes, UV mode."""
+def _inter_ctx(fr, mi_r: int, mi_c: int) -> int:
+    a = int(fr.inter[mi_r - 1, mi_c]) if mi_r > 0 else 0
+    lf = int(fr.inter[mi_r, mi_c - 1]) if mi_c > 0 else 0
+    return a + lf
+
+
+def _set_inter_grids(fr, mi_r, mi_c, bsize, is_inter: int, mv):
+    h8, w8 = _h8(bsize), _w8(bsize)
+    fr.inter[mi_r : mi_r + h8, mi_c : mi_c + w8] = is_inter
+    if mv is not None:
+        fr.mvs[mi_r : mi_r + h8, mi_c : mi_c + w8] = mv
+    if is_inter:
+        # inter blocks read as DC for the intra neighbor-mode context
+        fr.modes[mi_r * 2 : mi_r * 2 + h8 * 2,
+                 mi_c * 2 : mi_c * 2 + w8 * 2] = DC_PRED
+
+
+def _decode_mv(dec) -> tuple[int, int]:
+    """Absolute eighth-pel (row, col) vector: per component a sign bit
+    then a raw ``_MV_BITS`` magnitude (synthetic-subset MV code — the
+    spec's class/ctx MV coder is a printed-table surface; real-world
+    streams are header-gated)."""
+    out = []
+    for _ in range(2):
+        sign = dec.decode(128)
+        mag = dec.literal(_MV_BITS)
+        out.append(-mag if sign else mag)
+    return (out[0], out[1])
+
+
+def _encode_mv(enc, mv) -> None:
+    for comp in mv:
+        enc.encode(1 if comp < 0 else 0, 128)
+        mag = abs(int(comp))
+        if mag >= (1 << _MV_BITS):
+            raise ValueError("vp9 fixture: mv component out of range")
+        enc.literal(mag, _MV_BITS)
+
+
+def _decode_modes(fr, dec, mi_r, mi_c, bsize, inter_frame=False):
+    """Mode info: skip flag, then (keyframes / intra blocks) Y
+    (sub-)modes + UV mode, or (inter blocks, r16) the is-inter flag,
+    ZEROMV/NEWMV bit and the coded vector.  Sub-8x8 sizes in inter
+    frames stay intra by the documented fixture subset (real VP9
+    codes per-sub-block vectors there)."""
     skip = dec.decode(_SKIP_PROBS[fr.skip_ctx(mi_r, mi_c)])
+    if inter_frame and bsize >= _BS_8X8:
+        is_inter = dec.decode(_IS_INTER_PROBS[_inter_ctx(fr, mi_r, mi_c)])
+        if is_inter:
+            if dec.decode(_NEWMV_PROB):
+                mv = _decode_mv(dec)
+            else:
+                mv = (0, 0)
+            _set_inter_grids(fr, mi_r, mi_c, bsize, 1, mv)
+            h8, w8 = _h8(bsize), _w8(bsize)
+            fr.skip[mi_r : mi_r + h8, mi_c : mi_c + w8] = skip
+            return skip, None, mv
+    if inter_frame:
+        _set_inter_grids(fr, mi_r, mi_c, bsize, 0, None)
     bw, bh = _BLOCK_SIZES[bsize]
     r2, c2 = mi_r * 2, mi_c * 2
     if bsize >= _BS_8X8:
@@ -1052,10 +1185,15 @@ def _decode_modes(fr, dec, mi_r, mi_c, bsize):
     uvmode = dec.tree(_MODE_TREE, _KF_UV_MODE_PROBS[ymode])
     h8, w8 = _h8(bsize), _w8(bsize)
     fr.skip[mi_r : mi_r + h8, mi_c : mi_c + w8] = skip
-    return skip, uvmode
+    return skip, uvmode, None
 
 
-def _decode_partition(fr, dec, mi_r, mi_c, bsize):
+def _decode_leaf(fr, dec, mi_r, mi_c, sub, inter_frame):
+    skip, uv, mv = _decode_modes(fr, dec, mi_r, mi_c, sub, inter_frame)
+    _recon_block(fr, mi_r, mi_c, sub, skip, uv, dec, True, mv=mv)
+
+
+def _decode_partition(fr, dec, mi_r, mi_c, bsize, inter_frame=False):
     if mi_r >= fr.mi_rows or mi_c >= fr.mi_cols:
         return
     n8 = _w8(bsize)
@@ -1073,53 +1211,42 @@ def _decode_partition(fr, dec, mi_r, mi_c, bsize):
     else:
         part = 3
     sub = _subsize(bsize, part)
-    if bsize == _BS_8X8 and part != 0:
-        skip, uv = _decode_modes(fr, dec, mi_r, mi_c, sub)
-        _recon_block(fr, mi_r, mi_c, sub, skip, uv, dec, True)
-    elif part == 0:
-        skip, uv = _decode_modes(fr, dec, mi_r, mi_c, sub)
-        _recon_block(fr, mi_r, mi_c, sub, skip, uv, dec, True)
+    if (bsize == _BS_8X8 and part != 0) or part == 0:
+        _decode_leaf(fr, dec, mi_r, mi_c, sub, inter_frame)
     elif part == 1:  # HORZ
-        skip, uv = _decode_modes(fr, dec, mi_r, mi_c, sub)
-        _recon_block(fr, mi_r, mi_c, sub, skip, uv, dec, True)
+        _decode_leaf(fr, dec, mi_r, mi_c, sub, inter_frame)
         if mi_r + (n8 >> 1) < fr.mi_rows:
-            skip, uv = _decode_modes(fr, dec, mi_r + (n8 >> 1), mi_c, sub)
-            _recon_block(fr, mi_r + (n8 >> 1), mi_c, sub, skip, uv,
-                         dec, True)
+            _decode_leaf(fr, dec, mi_r + (n8 >> 1), mi_c, sub,
+                         inter_frame)
     elif part == 2:  # VERT
-        skip, uv = _decode_modes(fr, dec, mi_r, mi_c, sub)
-        _recon_block(fr, mi_r, mi_c, sub, skip, uv, dec, True)
+        _decode_leaf(fr, dec, mi_r, mi_c, sub, inter_frame)
         if mi_c + (n8 >> 1) < fr.mi_cols:
-            skip, uv = _decode_modes(fr, dec, mi_r, mi_c + (n8 >> 1), sub)
-            _recon_block(fr, mi_r, mi_c + (n8 >> 1), sub, skip, uv,
-                         dec, True)
+            _decode_leaf(fr, dec, mi_r, mi_c + (n8 >> 1), sub,
+                         inter_frame)
     else:  # SPLIT
         h = n8 >> 1
-        _decode_partition(fr, dec, mi_r, mi_c, sub)
-        _decode_partition(fr, dec, mi_r, mi_c + h, sub)
-        _decode_partition(fr, dec, mi_r + h, mi_c, sub)
-        _decode_partition(fr, dec, mi_r + h, mi_c + h, sub)
+        _decode_partition(fr, dec, mi_r, mi_c, sub, inter_frame)
+        _decode_partition(fr, dec, mi_r, mi_c + h, sub, inter_frame)
+        _decode_partition(fr, dec, mi_r + h, mi_c, sub, inter_frame)
+        _decode_partition(fr, dec, mi_r + h, mi_c + h, sub, inter_frame)
     if bsize == _BS_8X8 or part != 3:
         fr.update_partition_ctx(mi_r, mi_c, sub, bsize)
 
 
-def decode_keyframe(data: bytes) -> dict:
-    """VP9 keyframe → ``{"width", "height", "y", "u", "v", header
-    fields}`` (profile 0, 4:2:0, filter level 0 — see the provenance
-    header for the synthetic-table conformance bound)."""
-    hdr = _read_full_header(data)
-    if hdr["width"] * hdr["height"] > MAX_FRAME_PIXELS:
-        raise ValueError("vp9: frame too large")
-    co = hdr["compressed_offset"]
-    ch = _bool_dec(data[co : co + hdr["header_size"]])
+def _decode_compressed_header(ch, lossless: bool,
+                              inter_frame: bool) -> int:
+    """tx mode + the fixed zero-update flag sequence the fixture
+    writer emits (inter frames add the is-inter / NEWMV / MV-prob
+    slots); any set flag raises — probability updates are outside the
+    decode subset."""
     tx_mode = ch.literal(2)
     if tx_mode == 3:
         tx_mode += ch.literal(1)
     if tx_mode == 4:
         raise ValueError("vp9: TX_MODE_SELECT outside the decode subset")
-    if hdr["lossless"]:
+    if lossless:
         tx_mode = 0
-    ntx = min(tx_mode, 3) + 1 if not hdr["lossless"] else 1
+    ntx = min(tx_mode, 3) + 1 if not lossless else 1
     for _ in range(ntx):  # per-tx-size coef-prob update flags
         if ch.literal(1):
             raise ValueError(
@@ -1130,13 +1257,32 @@ def decode_keyframe(data: bytes) -> dict:
             raise ValueError(
                 "vp9: skip probability updates outside the subset"
             )
+    if inter_frame:
+        # is-inter (3 ctx), NEWMV, mv sign/magnitude prob slots
+        for _ in range(3 + 1 + 2):
+            if ch.decode(252):
+                raise ValueError(
+                    "vp9: inter probability updates outside the subset"
+                )
+    return tx_mode
+
+
+def _walk_frame(hdr: dict, data: bytes, tx_mode: int,
+                inter_frame: bool = False, ref_planes=None) -> "_Frame":
     fr = _Frame(hdr["width"], hdr["height"], hdr["lossless"],
                 hdr["base_q"], hdr["dq_y_dc"], hdr["dq_uv_dc"],
                 hdr["dq_uv_ac"], tx_mode)
+    fr.ref_planes = ref_planes
+    co = hdr["compressed_offset"]
     tile = _bool_dec(data[co + hdr["header_size"] :])
     for sb_r in range(0, fr.mi_rows, 8):
         for sb_c in range(0, fr.mi_cols, 8):
-            _decode_partition(fr, tile, sb_r, sb_c, _BS_64X64)
+            _decode_partition(fr, tile, sb_r, sb_c, _BS_64X64,
+                              inter_frame)
+    return fr
+
+
+def _crop(fr: "_Frame", hdr: dict) -> dict:
     w, h = hdr["width"], hdr["height"]
     return dict(
         hdr,
@@ -1144,6 +1290,208 @@ def decode_keyframe(data: bytes) -> dict:
         u=fr.planes[1][: (h + 1) >> 1, : (w + 1) >> 1].astype(np.uint8),
         v=fr.planes[2][: (h + 1) >> 1, : (w + 1) >> 1].astype(np.uint8),
     )
+
+
+def _decode_keyframe_fr(data: bytes) -> tuple[dict, "_Frame"]:
+    hdr = _read_full_header(data)
+    if hdr["width"] * hdr["height"] > MAX_FRAME_PIXELS:
+        raise ValueError("vp9: frame too large")
+    co = hdr["compressed_offset"]
+    ch = _bool_dec(data[co : co + hdr["header_size"]])
+    tx_mode = _decode_compressed_header(ch, hdr["lossless"], False)
+    return hdr, _walk_frame(hdr, data, tx_mode)
+
+
+def decode_keyframe(data: bytes) -> dict:
+    """VP9 keyframe → ``{"width", "height", "y", "u", "v", header
+    fields}`` (profile 0, 4:2:0, filter level 0 — see the provenance
+    header for the synthetic-table conformance bound)."""
+    hdr, fr = _decode_keyframe_fr(data)
+    return _crop(fr, hdr)
+
+
+# ---------------------------------------------------------------- inter
+
+
+def frame_is_key(data: bytes) -> bool:
+    """Peek the frame marker / profile / show-existing / frame-type
+    bits (§6.2) without decoding."""
+    b = _Bits(data)
+    if b.u(2) != 2:
+        raise ValueError("vp9: bad frame marker")
+    profile = b.u(1) | (b.u(1) << 1)
+    if profile == 3 and b.u(1):
+        raise ValueError("vp9: reserved profile bit set")
+    if b.u(1):
+        raise ValueError("vp9: show-existing frame carries no header")
+    return b.u(1) == 0
+
+
+def _read_quant_tiles(b: "_Bits", width: int) -> dict:
+    """Shared tail of both header shapes: loop filter, quant,
+    segmentation, tile info, compressed-header size (fixture-gated)."""
+    filter_level = b.u(6)
+    _fixture_shape(b.u(3) == 0, "loop-filter sharpness")
+    if b.u(1):
+        _fixture_shape(False, "mode/ref loop-filter deltas")
+    if filter_level != 0:
+        raise ValueError(
+            "vp9: in-loop filter outside the decode subset "
+            "(fixtures code filter level 0)"
+        )
+    base_q = b.u(8)
+
+    def read_delta():
+        if b.u(1):
+            mag = b.u(4)
+            return -mag if b.u(1) else mag
+        return 0
+
+    dq_y_dc = read_delta()
+    dq_uv_dc = read_delta()
+    dq_uv_ac = read_delta()
+    _fixture_shape(dq_y_dc == dq_uv_dc == dq_uv_ac == 0,
+                   "non-zero quantizer deltas")
+    if b.u(1):
+        raise ValueError("vp9: segmentation outside the decode subset")
+    mi_cols = (width + 7) >> 3
+    sb_cols = (mi_cols + 7) >> 3
+    min_log2 = 0
+    while (sb_cols >> min_log2) > 64:
+        min_log2 += 1
+    max_log2 = 0
+    while (sb_cols >> (max_log2 + 1)) >= 4:
+        max_log2 += 1
+    tile_cols_log2 = min_log2
+    while tile_cols_log2 < max_log2:
+        if b.u(1):
+            tile_cols_log2 += 1
+        else:
+            break
+    tile_rows_log2 = b.u(1)
+    if tile_rows_log2:
+        tile_rows_log2 += b.u(1)
+    if tile_cols_log2 or tile_rows_log2:
+        raise ValueError("vp9: multiple tiles outside the decode subset")
+    header_size = b.u(16)
+    if header_size == 0:
+        raise ValueError("vp9: empty compressed header")
+    return {
+        "base_q": base_q,
+        "dq_y_dc": dq_y_dc,
+        "dq_uv_dc": dq_uv_dc,
+        "dq_uv_ac": dq_uv_ac,
+        "lossless": base_q == 0,
+        "header_size": header_size,
+        "pos": b.pos,
+    }
+
+
+def _read_inter_header(data: bytes, slots: list) -> dict:
+    """Non-key frame uncompressed header (§6.2 inter shape), gated to
+    the fixture-writer subset: single-ref (LAST = ref_frame_idx[0]),
+    size-from-ref, BILINEAR interpolation filter, no segmentation /
+    tiles / loop filter / probability updates."""
+    b = _Bits(data)
+    if b.u(2) != 2:
+        raise ValueError("vp9: bad frame marker")
+    profile = b.u(1) | (b.u(1) << 1)
+    if profile != 0:
+        raise ValueError("vp9: only profile 0 decodes to pixels")
+    if b.u(1):
+        raise ValueError("vp9: show-existing frame carries no header")
+    if b.u(1) != 1:
+        raise ValueError("vp9: not an inter frame")
+    show_frame = b.u(1)
+    _fixture_shape(show_frame == 1, "hidden inter frame")
+    err_res = b.u(1)
+    _fixture_shape(err_res == 0, "error-resilient mode")
+    _fixture_shape(b.u(2) == 0, "reset_frame_context")
+    refresh_flags = b.u(8)
+    ref_idx = None
+    for i in range(3):
+        idx = b.u(3)
+        _fixture_shape(b.u(1) == 0, "ref sign bias")
+        if i == 0:
+            ref_idx = idx
+        else:
+            _fixture_shape(idx == ref_idx, "multi-ref slots")
+    if ref_idx >= len(slots) or slots[ref_idx] is None:
+        raise ValueError("vp9: inter frame references an empty slot")
+    found = b.u(1)
+    _fixture_shape(found == 1, "explicit inter frame size")
+    _fixture_shape(b.u(1) == 0, "explicit render size")
+    b.u(1)  # allow_high_precision_mv (absolute MV code ignores it)
+    _fixture_shape(b.u(1) == 0, "switchable interpolation filter")
+    raw_filter = b.u(2)
+    _fixture_shape(raw_filter == 3,
+                   "8-tap interpolation (only BILINEAR is derivable)")
+    _fixture_shape(b.u(1) == 0, "refresh_frame_context")
+    _fixture_shape(b.u(1) == 1, "frame_parallel off")
+    _fixture_shape(b.u(2) == 0, "frame_context_idx")
+    ref = slots[ref_idx]
+    width, height = ref["width"], ref["height"]
+    tail = _read_quant_tiles(b, width)
+    comp_off = (tail.pop("pos") + 7) >> 3
+    if comp_off + tail["header_size"] > len(data):
+        raise ValueError("vp9: compressed header past end of frame")
+    return dict(
+        tail,
+        width=width,
+        height=height,
+        ref_idx=ref_idx,
+        refresh_flags=refresh_flags,
+        compressed_offset=comp_off,
+    )
+
+
+def decode_inter_frame(data: bytes, slots: list) -> tuple[dict, "_Frame"]:
+    """One non-key frame against the 8-slot reference bank (r16 inter
+    tier): header → compressed-header flag walk → partition walk with
+    per-block is-inter / ZEROMV / NEWMV decode and BILINEAR motion
+    compensation — then the refresh mask updates ``slots`` in place."""
+    hdr = _read_inter_header(data, slots)
+    if hdr["width"] * hdr["height"] > MAX_FRAME_PIXELS:
+        raise ValueError("vp9: frame too large")
+    co = hdr["compressed_offset"]
+    ch = _bool_dec(data[co : co + hdr["header_size"]])
+    tx_mode = _decode_compressed_header(ch, hdr["lossless"], True)
+    fr = _walk_frame(hdr, data, tx_mode, True,
+                     slots[hdr["ref_idx"]]["planes"])
+    _refresh_slots(slots, hdr["refresh_flags"], fr, hdr)
+    return hdr, fr
+
+
+def _refresh_slots(slots: list, mask: int, fr: "_Frame", hdr: dict):
+    entry = {"planes": fr.planes, "width": hdr["width"],
+             "height": hdr["height"]}
+    for i in range(8):
+        if mask & (1 << i):
+            slots[i] = entry
+
+
+def decode_gop(frames: list[bytes]) -> dict:
+    """A group of VP9 frames (keyframe first) → ``{"width", "height",
+    "frames": [(y, u, v), ...]}``.  Keyframes refresh every reference
+    slot; inter frames reference and refresh per their headers."""
+    if not frames:
+        raise ValueError("vp9: empty group")
+    slots: list = [None] * 8
+    out = []
+    width = height = None
+    for blob in frames:
+        if frame_is_key(blob):
+            hdr, fr = _decode_keyframe_fr(blob)
+            _refresh_slots(slots, 0xFF, fr, hdr)
+        else:
+            hdr, fr = decode_inter_frame(blob, slots)
+        if width is None:
+            width, height = hdr["width"], hdr["height"]
+        elif (hdr["width"], hdr["height"]) != (width, height):
+            raise ValueError("vp9: frame size changed mid-group")
+        d = _crop(fr, hdr)
+        out.append((d["y"], d["u"], d["v"]))
+    return {"width": width, "height": height, "frames": out}
 
 
 def _fdct4x4(resid: np.ndarray) -> np.ndarray:
@@ -1192,11 +1540,53 @@ def _encode_modes(fr, enc, mi_r, mi_c, bsize, skip, mode_fn):
     return uvmode
 
 
-def _encode_leaf(fr, enc, mi_r, mi_c, bsize, src, mode_fn):
+def _encode_leaf(fr, enc, mi_r, mi_c, bsize, src, mode_fn,
+                 decision=None, inter_frame=False):
     """skip decision + modes + residual for one leaf block.  Mode
     grids must be written before the residual walk (residual reads
     them), but skip is the FIRST symbol — so modes are chosen and
-    written first, symbols emitted after the compute pass."""
+    written first, symbols emitted after the compute pass.
+
+    Inter frames (r16): ``decision`` is ``("intra",)``, ``("zero",)``,
+    ``("mv", (dr, dc))`` (residual-coded against the prediction) or
+    the forced-skip duals ``("zero_skip",)`` / ``("mv_skip", mv)``
+    (pure carry-forward / motion compensation, no tokens)."""
+    if inter_frame and bsize >= _BS_8X8 and decision is not None \
+            and decision[0] != "intra":
+        kind = decision[0]
+        mv = (0, 0) if kind.startswith("zero") else \
+            (int(decision[1][0]), int(decision[1][1]))
+        if kind.endswith("_skip"):
+            _recon_block(fr, mi_r, mi_c, bsize, True, None, None,
+                         False, None, mv)
+            skip, pending = 1, []
+        else:
+            snaps = []
+            for plane in range(3):
+                x0, y0, _aw4, _ah4, bw4_, bh4_ = _plane_geom(
+                    fr, plane, mi_r, mi_c, bsize)
+                snaps.append((plane, x0 >> 2, bw4_, y0 >> 2, bh4_))
+            all_zero, pending = _recon_block(
+                fr, mi_r, mi_c, bsize, False, None, None, False, src,
+                mv)
+            skip = 1 if all_zero else 0
+            if skip:
+                for plane, c4, w4, r4, h4 in snaps:
+                    fr.above_nz[plane][c4 : c4 + w4] = 0
+                    fr.left_nz[plane][r4 : r4 + h4] = 0
+        enc.encode(skip, _SKIP_PROBS[fr.skip_ctx(mi_r, mi_c)])
+        enc.encode(1, _IS_INTER_PROBS[_inter_ctx(fr, mi_r, mi_c)])
+        if mv == (0, 0):
+            enc.encode(0, _NEWMV_PROB)
+        else:
+            enc.encode(1, _NEWMV_PROB)
+            _encode_mv(enc, mv)
+        _set_inter_grids(fr, mi_r, mi_c, bsize, 1, mv)
+        fr.skip[mi_r : mi_r + _h8(bsize),
+                mi_c : mi_c + _w8(bsize)] = skip
+        for plane, txs, pt, qc in pending if not skip else ():
+            _encode_tokens(enc, txs, pt, qc)
+        return
     # choose + write modes (no emission yet)
     bw, bh = _BLOCK_SIZES[bsize]
     r2, c2 = mi_r * 2, mi_c * 2
@@ -1229,8 +1619,12 @@ def _encode_leaf(fr, enc, mi_r, mi_c, bsize, src, mode_fn):
         for plane, c4, w4, r4, h4, _a, _l in snaps:
             fr.above_nz[plane][c4 : c4 + w4] = 0
             fr.left_nz[plane][r4 : r4 + h4] = 0
-    # emit: skip, modes, then tokens
+    # emit: skip, [is-inter], modes, then tokens
     enc.encode(skip, _SKIP_PROBS[fr.skip_ctx(mi_r, mi_c)])
+    if inter_frame and bsize >= _BS_8X8:
+        enc.encode(0, _IS_INTER_PROBS[_inter_ctx(fr, mi_r, mi_c)])
+    if inter_frame:
+        _set_inter_grids(fr, mi_r, mi_c, bsize, 0, None)
     if bsize >= _BS_8X8:
         am = fr.mode_above(mi_r, mi_c, 0, 0)
         lm = fr.mode_left(mi_r, mi_c, 0, 0)
@@ -1253,7 +1647,7 @@ def _encode_leaf(fr, enc, mi_r, mi_c, bsize, src, mode_fn):
 
 
 def _encode_partition(fr, enc, mi_r, mi_c, bsize, src, mode_fn,
-                      part_fn):
+                      part_fn, block_fn=None, inter_frame=False):
     if mi_r >= fr.mi_rows or mi_c >= fr.mi_cols:
         return
     n8 = _w8(bsize)
@@ -1274,28 +1668,32 @@ def _encode_partition(fr, enc, mi_r, mi_c, bsize, src, mode_fn,
     else:
         enc.tree(_PARTITION_TREE, probs, part)
     sub = _subsize(bsize, part)
+
+    def leaf(r, c):
+        decision = block_fn(r, c, sub) if block_fn is not None else None
+        _encode_leaf(fr, enc, r, c, sub, src, mode_fn, decision,
+                     inter_frame)
+
     if part == 0 or bsize == _BS_8X8:
-        _encode_leaf(fr, enc, mi_r, mi_c, sub, src, mode_fn)
+        leaf(mi_r, mi_c)
     elif part == 1:
-        _encode_leaf(fr, enc, mi_r, mi_c, sub, src, mode_fn)
+        leaf(mi_r, mi_c)
         if mi_r + (n8 >> 1) < fr.mi_rows:
-            _encode_leaf(fr, enc, mi_r + (n8 >> 1), mi_c, sub, src,
-                         mode_fn)
+            leaf(mi_r + (n8 >> 1), mi_c)
     elif part == 2:
-        _encode_leaf(fr, enc, mi_r, mi_c, sub, src, mode_fn)
+        leaf(mi_r, mi_c)
         if mi_c + (n8 >> 1) < fr.mi_cols:
-            _encode_leaf(fr, enc, mi_r, mi_c + (n8 >> 1), sub, src,
-                         mode_fn)
+            leaf(mi_r, mi_c + (n8 >> 1))
     else:
         h = n8 >> 1
         _encode_partition(fr, enc, mi_r, mi_c, sub, src, mode_fn,
-                          part_fn)
+                          part_fn, block_fn, inter_frame)
         _encode_partition(fr, enc, mi_r, mi_c + h, sub, src, mode_fn,
-                          part_fn)
+                          part_fn, block_fn, inter_frame)
         _encode_partition(fr, enc, mi_r + h, mi_c, sub, src, mode_fn,
-                          part_fn)
+                          part_fn, block_fn, inter_frame)
         _encode_partition(fr, enc, mi_r + h, mi_c + h, sub, src,
-                          mode_fn, part_fn)
+                          mode_fn, part_fn, block_fn, inter_frame)
     if bsize == _BS_8X8 or part != 3:
         fr.update_partition_ctx(mi_r, mi_c, sub, bsize)
 
@@ -1398,3 +1796,144 @@ def build_keyframe(y: np.ndarray, u: np.ndarray, v: np.ndarray, *,
     bw_.u(0, 1)  # tile_rows_log2 = 0
     bw_.u(len(comp), 16)
     return bw_.bytes(stop_bit=False) + comp + tile
+
+
+# ------------------------------------------------------------ inter encode
+
+
+def _pad_planes(y, u, v, mi_cols: int, mi_rows: int) -> list:
+    pw, ph = mi_cols * 8, mi_rows * 8
+    return [
+        np.pad(np.asarray(y, np.uint8).astype(np.int64),
+               ((0, ph - y.shape[0]), (0, pw - y.shape[1])),
+               mode="edge"),
+        np.pad(np.asarray(u, np.uint8).astype(np.int64),
+               ((0, (ph >> 1) - u.shape[0]), (0, (pw >> 1) - u.shape[1])),
+               mode="edge"),
+        np.pad(np.asarray(v, np.uint8).astype(np.int64),
+               ((0, (ph >> 1) - v.shape[0]), (0, (pw >> 1) - v.shape[1])),
+               mode="edge"),
+    ]
+
+
+def build_interframe(slots: list, planes=None, *, ref_idx: int = 0,
+                     refresh: int = 1, base_q: int = 0,
+                     block_fn=None, part_fn=None, mode_fn=None) -> bytes:
+    """Encode one non-key frame against the reference bank and apply
+    its refresh mask to ``slots`` (exact dual of
+    :func:`decode_inter_frame`).  ``planes`` is the residual-coded
+    target (omit for pure carry-forward / MC frames whose every block
+    is a ``*_skip`` decision); ``base_q = 0`` is lossless, so any
+    decision mix reproduces the target bit-exactly."""
+    ref = slots[ref_idx]
+    if ref is None:
+        raise ValueError("vp9 fixture: inter frame needs a filled slot")
+    w, h = ref["width"], ref["height"]
+    lossless = base_q == 0
+    fr = _Frame(w, h, lossless, base_q, 0, 0, 0, 0)
+    fr.ref_planes = ref["planes"]
+    src = None
+    if planes is not None:
+        y, u, v = planes
+        if y.shape != (h, w):
+            raise ValueError("vp9 fixture: inter frame size mismatch")
+        src = _pad_planes(y, u, v, fr.mi_cols, fr.mi_rows)
+    block_fn = block_fn or (lambda r, c, b: ("zero",))
+    part_fn = part_fn or (lambda r, c, b: 0)
+    mode_fn = mode_fn or _default_mode_fn
+    ch = _BoolEnc()
+    ch.literal(0, 2)  # tx_mode ONLY_4X4
+    ch.literal(0, 1)  # coef-prob update flag (tx 4x4)
+    for _ in range(3 + 6):  # skip + is-inter/NEWMV/MV prob slots
+        ch.encode(0, 252)
+    comp = ch.getvalue() or b"\x00"
+    enc = _BoolEnc()
+    for sb_r in range(0, fr.mi_rows, 8):
+        for sb_c in range(0, fr.mi_cols, 8):
+            _encode_partition(fr, enc, sb_r, sb_c, _BS_64X64, src,
+                              mode_fn, part_fn, block_fn, True)
+    tile = enc.getvalue()
+    bw_ = _BitW()
+    bw_.u(2, 2)  # frame marker
+    bw_.u(0, 1)
+    bw_.u(0, 1)  # profile 0
+    bw_.u(0, 1)  # show_existing
+    bw_.u(1, 1)  # NON_KEY
+    bw_.u(1, 1)  # show_frame
+    bw_.u(0, 1)  # error_resilient
+    bw_.u(0, 2)  # reset_frame_context
+    bw_.u(refresh, 8)
+    for _ in range(3):
+        bw_.u(ref_idx, 3)
+        bw_.u(0, 1)  # sign bias
+    bw_.u(1, 1)  # found_ref: size from ref
+    bw_.u(0, 1)  # render == frame
+    bw_.u(1, 1)  # allow_high_precision_mv
+    bw_.u(0, 1)  # filter not switchable
+    bw_.u(3, 2)  # BILINEAR
+    bw_.u(0, 1)  # refresh_frame_context
+    bw_.u(1, 1)  # frame_parallel_decoding_mode
+    bw_.u(0, 2)  # frame_context_idx
+    bw_.u(0, 6)  # filter level 0
+    bw_.u(0, 3)  # sharpness
+    bw_.u(0, 1)  # mode_ref_delta_enabled
+    bw_.u(base_q, 8)
+    bw_.u(0, 3)  # quantizer deltas
+    bw_.u(0, 1)  # segmentation off
+    sb_cols = (fr.mi_cols + 7) >> 3
+    min_log2 = 0
+    while (sb_cols >> min_log2) > 64:
+        min_log2 += 1
+    max_log2 = 0
+    while (sb_cols >> (max_log2 + 1)) >= 4:
+        max_log2 += 1
+    if min_log2 > 0:
+        raise ValueError("vp9 fixture: frame too wide for one tile")
+    if max_log2 > 0:
+        bw_.u(0, 1)
+    bw_.u(0, 1)  # tile_rows_log2 = 0
+    bw_.u(len(comp), 16)
+    blob = bw_.bytes(stop_bit=False) + comp + tile
+    _refresh_slots(slots, refresh, fr, {"width": w, "height": h})
+    return blob
+
+
+def build_gop(key_planes, specs: list, *, part_fn=None,
+              mode_fn=None) -> list[bytes]:
+    """Encode a LOSSLESS keyframe + inter-frame group.  ``specs`` is
+    one dict per inter frame:
+
+    - ``planes``: target ``(y, u, v)`` (residual-coded; omitted for
+      pure-MC frames),
+    - ``block_fn(mi_r, mi_c, bsize)`` → per-leaf decision (see
+      :func:`_encode_leaf`); shorthands ``carry=True`` (all
+      ``zero_skip``) and ``mv=(dr, dc)`` (all ``mv_skip``),
+    - ``ref_idx`` / ``refresh``: reference-bank wiring (defaults 0/1;
+      the keyframe refreshes all eight slots, like the spec),
+    - ``part_fn`` / ``mode_fn``: per-frame overrides.
+
+    Returns the frame blobs for :func:`decode_gop`."""
+    y, u, v = key_planes
+    blobs = [build_keyframe(y, u, v, lossless=True,
+                            mode_fn=mode_fn, part_fn=part_fn)]
+    h, w = y.shape
+    mi_cols, mi_rows = (w + 7) >> 3, (h + 7) >> 3
+    kf_entry = {"planes": _pad_planes(y, u, v, mi_cols, mi_rows),
+                "width": w, "height": h}
+    slots: list = [kf_entry] * 8
+    for spec in specs:
+        block_fn = spec.get("block_fn")
+        if block_fn is None and spec.get("carry"):
+            block_fn = lambda r, c, b: ("zero_skip",)  # noqa: E731
+        elif block_fn is None and spec.get("mv") is not None:
+            mv = spec["mv"]
+            block_fn = lambda r, c, b, _m=mv: ("mv_skip", _m)  # noqa: E731
+        blobs.append(build_interframe(
+            slots, spec.get("planes"),
+            ref_idx=spec.get("ref_idx", 0),
+            refresh=spec.get("refresh", 1),
+            block_fn=block_fn,
+            part_fn=spec.get("part_fn"),
+            mode_fn=spec.get("mode_fn"),
+        ))
+    return blobs

@@ -502,6 +502,7 @@ def build_webm(
     unknown_size_segment: bool = False,
     vp9_keyframe: tuple[int, int] | None = None,
     vp9_frame: bytes | None = None,
+    vp9_frames: list[bytes] | None = None,
     codec_private: bytes | None = None,
     audio_codec_private: bytes | None = None,
     audio_blocks: list[list[bytes]] | None = None,
@@ -578,6 +579,15 @@ def build_webm(
         seg_body += _el(
             0x1F43B675, _uint_el(0xE7, 0) + _el(0xA3, block)
         )
+    if vp9_frames is not None and video is not None:
+        # a coded GOP (rawvp9 r16): one Cluster, one SimpleBlock per
+        # frame at 40 ms spacing, keyframe flag on the first only
+        cluster = _uint_el(0xE7, 0)
+        for i, frame in enumerate(vp9_frames):
+            tc = (i * 40).to_bytes(2, "big")
+            flags = b"\x80" if i == 0 else b"\x00"
+            cluster += _el(0xA3, b"\x81" + tc + flags + frame)
+        seg_body += _el(0x1F43B675, cluster)
     if audio_blocks is not None and audio is not None:
         atrack = tnum  # the audio TrackEntry's number
         cluster = _uint_el(0xE7, 0)
@@ -629,6 +639,23 @@ def build_webm(
     else:
         segment = _el(0x18538067, seg_body)
     return header + segment
+
+
+def decode_vp9_gop(data: bytes) -> dict:
+    """Decode the V_VP9 track of a WebM file as a GOP — every block of
+    the track in stream order through :func:`rawvp9.decode_gop`
+    (keyframe + inter frames, r16).  Subset and table provenance per
+    :mod:`.rawvp9`; non-fixture header shapes raise per-row."""
+    meta = parse_webm(data)
+    for t in meta.get("tracks", []):
+        if t.get("codec_id") == "V_VP9" and t.get("track_type") == 1:
+            frames = webm_track_blocks(data, t["track_number"])
+            if not frames:
+                break
+            from .rawvp9 import decode_gop  # noqa: PLC0415
+
+            return decode_gop(frames)
+    raise ValueError("webm: no V_VP9 frames to decode")
 
 
 def decode_first_vp9_keyframe(data: bytes) -> dict:

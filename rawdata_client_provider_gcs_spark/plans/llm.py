@@ -6406,6 +6406,163 @@ def q_multimodal_vp9_pixels(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_vp9_gop",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  1 + doc_id % 3 AS dr,
+                  2 + doc_id % 5 AS dc,
+                  2 * (1 + doc_id % 7) AS ky,
+                  2 * (3 + doc_id % 5) AS kx
+           FROM documents WHERE doc_id < 48),
+y1 AS (  -- frame-1 target ramp, summed and point-evaluable
+  SELECT d.doc_id,
+         CAST(SUM((r * 7 + c * 3 + 2 * d.doc_id) % 256) AS BIGINT)
+           AS y_resid_sum
+  FROM d, generate_series(0, 15) AS gr(r), generate_series(0, 31) AS gc(c)
+  GROUP BY d.doc_id
+),
+mv AS (  -- frame 3: full-pel MC of the frame-1 ramp, border-clamped
+  SELECT d.doc_id,
+         CAST(SUM((LEAST(r + dr, 15) * 7 + LEAST(c + dc, 31) * 3
+                   + 2 * d.doc_id) % 256) AS BIGINT) AS y_mv_sum
+  FROM d, generate_series(0, 15) AS gr(r), generate_series(0, 31) AS gc(c)
+  GROUP BY d.doc_id
+),
+sub AS (  -- frame 4: BILINEAR sixteenth-pel lerp of frame 3,
+          -- (x*(128-8k') + y*8k' + 64) >> 7 per pass, borders clamped
+  SELECT d.doc_id,
+         CAST(SUM(
+           (((((LEAST(r + dr, 15) * 7 + LEAST(c + dc, 31) * 3
+               + 2 * d.doc_id) % 256) * (128 - 8 * kx)
+             + ((LEAST(r + dr, 15) * 7 + LEAST(LEAST(c + 1, 31) + dc, 31)
+                 * 3 + 2 * d.doc_id) % 256) * 8 * kx + 64) // 128)
+           * (128 - 8 * ky)
+           + ((((LEAST(LEAST(r + 1, 15) + dr, 15) * 7
+                 + LEAST(c + dc, 31) * 3 + 2 * d.doc_id) % 256)
+               * (128 - 8 * kx)
+               + ((LEAST(LEAST(r + 1, 15) + dr, 15) * 7
+                   + LEAST(LEAST(c + 1, 31) + dc, 31) * 3
+                   + 2 * d.doc_id) % 256) * 8 * kx + 64) // 128)
+           * 8 * ky + 64) // 128
+         ) AS BIGINT) AS y_subpel_sum
+  FROM d, generate_series(0, 15) AS gr(r), generate_series(0, 31) AS gc(c)
+  GROUP BY d.doc_id
+),
+g AS (  -- frame 5 references the untouched keyframe slot
+  SELECT d.doc_id,
+         CAST(SUM((r * 31 + c * 17 + d.doc_id) % 256) AS BIGINT)
+           AS y_golden_sum
+  FROM d, generate_series(0, 15) AS gr(r), generate_series(0, 31) AS gc(c)
+  GROUP BY d.doc_id
+),
+guv AS (
+  SELECT d.doc_id,
+         CAST(SUM((r * 13 + c * 7 + d.doc_id) % 256) AS BIGINT)
+           AS u_golden_sum,
+         CAST(SUM((r * 5 + c * 11 + 2 * d.doc_id) % 256) AS BIGINT)
+           AS v_golden_sum
+  FROM d, generate_series(0, 7) AS gr(r), generate_series(0, 15) AS gc(c)
+  GROUP BY d.doc_id
+)
+SELECT y1.doc_id,
+       CAST(6 AS BIGINT) AS n_frames,
+       y1.y_resid_sum,
+       y1.y_resid_sum AS y_carry_sum,
+       mv.y_mv_sum,
+       sub.y_subpel_sum,
+       g.y_golden_sum,
+       guv.u_golden_sum,
+       guv.v_golden_sum
+FROM y1 JOIN mv USING (doc_id) JOIN sub USING (doc_id)
+     JOIN g USING (doc_id) JOIN guv USING (doc_id)
+""",
+    tags=("llm", "multimodal", "video", "vp9", "inter", "pandas-udf"),
+)
+def q_multimodal_vp9_gop(spark: SparkSession, sf: str) -> DataFrame:
+    """VP9 GOP decode — keyframe + INTER frames with motion
+    compensation (r16 verdict ask #2), value-exact.
+
+    Each document becomes a six-frame WebM-carried group through
+    :func:`rawvp9.decode_gop` (via :func:`rawwebm.decode_vp9_gop`):
+    a lossless keyframe (doc-keyed ramp planes), a ZEROMV+residual
+    frame retargeting to a second ramp, an all-skip carry-forward
+    frame, a full-pel NEWMV pure-MC frame (no residual — pixels ARE
+    the border-clamped motion-compensated reference, restated
+    closed-form by the oracle), an eighth-pel NEWMV frame through the
+    BILINEAR interpolation filter (the one VP9 subpel kernel that is
+    a formula — taps ``(128 - 8k, 8k)`` with per-pass
+    ``(x + 64) >> 7`` rounding — restated term-by-term in SQL), and a
+    golden frame referencing a bank slot only the keyframe ever
+    refreshed.  Every value flows through the is-inter/NEWMV mode
+    walk, the absolute-MV code, and the eight-slot reference bank, so
+    any desync breaks the closed forms.  The synthetic-probability
+    conformance bound and the fixture-shape header gates are
+    documented in :mod:`..operators.rawvp9`; the BILINEAR arithmetic
+    is additionally pinned against an independent scalar restatement
+    in ``tests/test_vp9_decode.py``.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 48)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawvp9, rawwebm
+
+        cols = ("doc_id", "n_frames", "y_resid_sum", "y_carry_sum",
+                "y_mv_sum", "y_subpel_sum", "y_golden_sum",
+                "u_golden_sum", "v_golden_sum")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                r = np.arange(16)[:, None]
+                c = np.arange(32)[None, :]
+                r2 = np.arange(8)[:, None]
+                c2 = np.arange(16)[None, :]
+                y0 = ((r * 31 + c * 17 + did) % 256).astype(np.uint8)
+                u0 = ((r2 * 13 + c2 * 7 + did) % 256).astype(np.uint8)
+                v0 = ((r2 * 5 + c2 * 11 + 2 * did) % 256).astype(np.uint8)
+                y1 = ((r * 7 + c * 3 + 2 * did) % 256).astype(np.uint8)
+                u1 = ((r2 * 3 + c2 * 5 + did) % 256).astype(np.uint8)
+                v1 = ((r2 * 9 + c2 * 2 + did) % 256).astype(np.uint8)
+                dr, dc = 1 + did % 3, 2 + did % 5
+                ky, kx = 1 + did % 7, 3 + did % 5
+                blobs = rawvp9.build_gop((y0, u0, v0), [
+                    {"planes": (y1, u1, v1)},
+                    {"carry": True},
+                    {"mv": (8 * dr, 8 * dc)},
+                    {"mv": (ky, kx)},
+                    {"ref_idx": 3, "carry": True},
+                ])
+                webm = rawwebm.build_webm(video=("V_VP9", 320, 240),
+                                          vp9_frames=blobs)
+                out = rawwebm.decode_vp9_gop(webm)
+                fs = out["frames"]
+                rows["doc_id"].append(did)
+                rows["n_frames"].append(len(fs))
+                rows["y_resid_sum"].append(int(fs[1][0].sum()))
+                rows["y_carry_sum"].append(int(fs[2][0].sum()))
+                rows["y_mv_sum"].append(int(fs[3][0].sum()))
+                rows["y_subpel_sum"].append(int(fs[4][0].sum()))
+                rows["y_golden_sum"].append(int(fs[5][0].sum()))
+                rows["u_golden_sum"].append(int(fs[5][1].sum()))
+                rows["v_golden_sum"].append(int(fs[5][2].sum()))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        make,
+        "doc_id long, n_frames long, y_resid_sum long, y_carry_sum long, "
+        "y_mv_sum long, y_subpel_sum long, y_golden_sum long, "
+        "u_golden_sum long, v_golden_sum long",
+    )
+
+
+@register(
     "q_multimodal_webm_codec_dims",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
