@@ -27,17 +27,25 @@ Everything here is structural or small-table:
   number-of-passes code and Lblock length coding.
 - **5/3 reversible DWT** (Annex F) with symmetric extension, and the
   RCT (G = Y0 - ((Y1+Y2)>>2) ...).
+- **9/7 irreversible DWT + scalar quantization** (r16): the published
+  Daubechies-Sweldens lifting constants with the DC-gain-pinned
+  1/K / K normalization, Annex E scalar-expounded quantization
+  (per-band 16-bit SPqcd, gain-table Rb), midpoint dequantization,
+  and the ICT for color.  Lossy by nature: round-trips are bounded
+  (≤ Δb/2 per coefficient), never bit-exact — fixtures and oracles
+  carry documented tolerances, not byte expectations.
 
-OUT OF SCOPE, loud: the 9/7 irreversible wavelet, quantization,
-multiple tiles/layers/tile-parts, precinct partitions, SOP/EPH,
-coding-style options (bypass/reset/termall/vertically-causal/
-segmentation symbols), ROI shifts, JP2 boxes other than a plain
-passthrough to the codestream, and >8-bit or subsampled components.
+OUT OF SCOPE, loud: multiple tiles/layers/tile-parts, precinct
+partitions, SOP/EPH, coding-style options (bypass/reset/termall/
+vertically-causal/segmentation symbols), ROI shifts, derived
+(style-1) quantization, JP2 boxes other than a plain passthrough to
+the codestream, and >8-bit or subsampled components.
 
-The fixture encoder is the exact dual; round-trips are pixel-exact by
-reversibility.  Reference behavioral parity: the reference transport
-stores opaque named byte arrays (RawdataMessage.java:15-60); media
-decoding is this repo's derived multimodal tier.
+The fixture encoders are exact duals (5/3 round-trips pixel-exact by
+reversibility; 9/7 within the quantization bound).  Reference
+behavioral parity: the reference transport stores opaque named byte
+arrays (RawdataMessage.java:15-60); media decoding is this repo's
+derived multimodal tier.
 """
 
 from __future__ import annotations
@@ -392,6 +400,125 @@ def dwt53_inverse(bands: list) -> np.ndarray:
     return cur
 
 
+# ------------------------------------------------------------ 9/7 (r16)
+#
+# The irreversible path (T.800 Annex F.4.8.2 lifting + Annex E scalar
+# quantization).  The lifting constants are the PUBLISHED
+# Daubechies-Sweldens factorization of the CDF 9/7 filter pair (the
+# same four numbers every JPEG 2000 text and implementation prints);
+# the normalization (lowpass × 1/K, highpass × K) is pinned here by a
+# DC-gain identity: for a constant signal the four lifting steps give
+# s = 1 + 2β(1+2α) + 2δ·d₂ with d₂ = (1+2α) + 2γ(1+2β(1+2α)) ≈ 0 and
+# s ≈ 1.2301741 = K exactly, so × 1/K makes the LL band sit at the
+# input's nominal range (the convention the gain-table quantization
+# exponents assume).  Reconstruction uses midpoint dequantization
+# (r = 1/2), so per-coefficient error is bounded by Δb/2 — decode is
+# NOT bit-exact (tests and oracles carry documented tolerances).
+
+_ALPHA = -1.586134342059924
+_BETA = -0.052980118572961
+_GAMMA = 0.882911075530934
+_DELTA = 0.443506852043971
+_KAY = 1.230174104914001
+
+#: log2 nominal gain per band orientation (T.800 Table E.1 shape)
+_BAND_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+
+def _lift97(ext: np.ndarray, inverse: bool) -> None:
+    """Four lifting steps in place over a symmetric-extended array
+    whose index parity matches the original signal (margin 4 covers
+    the step-by-step shrink)."""
+    m = len(ext)
+    steps = ((_ALPHA, 1), (_BETA, 0), (_GAMMA, 1), (_DELTA, 0))
+    if inverse:
+        steps = tuple((-c, p) for c, p in reversed(steps))
+    for coef, parity in steps:
+        start = 1 if parity == 1 else 2
+        ext[start : m - 1 : 2] += coef * (
+            ext[start - 1 : m - 2 : 2] + ext[start + 1 : m : 2]
+        )
+
+
+def _fwd97(x: np.ndarray) -> tuple:
+    """1D forward irreversible 9/7 lifting → (low, high) floats."""
+    n = len(x)
+    if n == 1:
+        return x.astype(np.float64).copy(), \
+            np.zeros(0, np.float64)
+    ext = np.pad(x.astype(np.float64), 4, mode="reflect")
+    _lift97(ext, inverse=False)
+    lo = ext[4 : 4 + n : 2] * (1.0 / _KAY)
+    hi = ext[5 : 4 + n : 2] * _KAY
+    return lo, hi
+
+
+def _inv97(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    n = len(lo) + len(hi)
+    if n == 1:
+        return lo.astype(np.float64).copy()
+    y = np.empty(n, np.float64)
+    y[0::2] = np.asarray(lo, np.float64) * _KAY
+    y[1::2] = np.asarray(hi, np.float64) * (1.0 / _KAY)
+    ext = np.pad(y, 4, mode="reflect")
+    _lift97(ext, inverse=True)
+    return ext[4 : 4 + n]
+
+
+def dwt97_forward(img: np.ndarray, levels: int) -> list:
+    """2D 9/7 decomposition, same band layout as
+    :func:`dwt53_forward` (vertical then horizontal per level)."""
+    cur = img.astype(np.float64)
+    bands = []
+    for _ in range(levels):
+        h, w = cur.shape
+        lo_rows = (h + 1) // 2
+        tmp = np.empty((h, w), np.float64)
+        for c in range(w):
+            lo, hi = _fwd97(cur[:, c])
+            tmp[:lo_rows, c] = lo
+            tmp[lo_rows:, c] = hi
+        lo_cols = (w + 1) // 2
+        out = np.empty((h, w), np.float64)
+        for r in range(h):
+            lo, hi = _fwd97(tmp[r])
+            out[r, :lo_cols] = lo
+            out[r, lo_cols:] = hi
+        bands.append((out[:lo_rows, lo_cols:].copy(),
+                      out[lo_rows:, :lo_cols].copy(),
+                      out[lo_rows:, lo_cols:].copy()))
+        cur = out[:lo_rows, :lo_cols].copy()
+    return [cur] + bands[::-1]
+
+
+def dwt97_inverse(bands: list) -> np.ndarray:
+    cur = np.asarray(bands[0], np.float64)
+    for hl, lh, hh in bands[1:]:
+        lo_rows, lo_cols = cur.shape
+        h = lo_rows + lh.shape[0]
+        w = lo_cols + hl.shape[1]
+        grid = np.empty((h, w), np.float64)
+        grid[:lo_rows, :lo_cols] = cur
+        grid[:lo_rows, lo_cols:] = hl
+        grid[lo_rows:, :lo_cols] = lh
+        grid[lo_rows:, lo_cols:] = hh
+        tmp = np.empty((h, w), np.float64)
+        for r in range(h):
+            tmp[r] = _inv97(grid[r, :lo_cols], grid[r, lo_cols:])
+        out = np.empty((h, w), np.float64)
+        for c in range(w):
+            out[:, c] = _inv97(tmp[:lo_rows, c], tmp[lo_rows:, c])
+        cur = out
+    return cur
+
+
+def _quant_step(gname: str, eps: int, mu: int, depth: int = 8) -> float:
+    """Annex E scalar step Δb = 2^(Rb − εb) · (1 + μb/2^11) with
+    Rb = depth + log2(band gain)."""
+    rb = depth + _BAND_GAIN[gname]
+    return (2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+
+
 # ---------------------------------------------------------------- tag tree
 
 
@@ -606,9 +733,16 @@ _GUARD = 2
 _EXP = 29  # per-band exponent: Mb = guard + exp - 1 = 30 planes
 
 
-def _encode_tile(comp_bands: list, levels: int, w: int, h: int) -> bytes:
+def _default_mb(r: int, gname: str) -> int:
+    return _GUARD + _EXP - 1
+
+
+def _encode_tile(comp_bands: list, levels: int, w: int, h: int,
+                 mb_of=_default_mb) -> bytes:
     """One tile's packet stream: LRCP, 1 layer, default precincts —
-    packets ordered layer → resolution → component."""
+    packets ordered layer → resolution → component.  ``mb_of(r,
+    gname)`` gives the per-band magnitude bit-plane count (fixed for
+    the reversible path; εb + guard − 1 from the QCD for 9/7)."""
     out = bytearray()
     geom = _band_dims(w, h, levels)
     for r in range(levels + 1):
@@ -635,7 +769,7 @@ def _encode_tile(comp_bands: list, levels: int, w: int, h: int) -> bytes:
                         block = arr[cy * cb : (cy + 1) * cb,
                                     cx * cb : (cx + 1) * cb]
                         data, npl = t1_encode(block, bname)
-                        mb = _GUARD + _EXP - 1
+                        mb = mb_of(r, bname)
                         if npl > mb:
                             raise ValueError("jpx: coefficient too wide")
                         incl.set(cy, cx, 0)  # included in layer 0
@@ -666,7 +800,7 @@ def _encode_tile(comp_bands: list, levels: int, w: int, h: int) -> bytes:
 
 
 def _decode_tile(data, pos: int, end: int, levels: int, w: int,
-                 h: int, n_comp: int) -> list:
+                 h: int, n_comp: int, mb_of=_default_mb) -> list:
     geom = _band_dims(w, h, levels)
     comp_bands = [[None] * (levels + 1) for _ in range(n_comp)]
     for r in range(levels + 1):
@@ -705,7 +839,7 @@ def _decode_tile(data, pos: int, end: int, levels: int, w: int,
                             lblock += 1
                         nbits_len = lblock + int(npasses).bit_length() - 1
                         ln = rdr.bits(nbits_len)
-                        npl = _GUARD + _EXP - 1 - zb
+                        npl = mb_of(r, gname) - zb
                         if npl < 0 or (npasses != max(1, 3 * npl - 2)
                                        and npl > 0):
                             raise ValueError(
@@ -775,6 +909,83 @@ def encode_jpx(arr: np.ndarray, levels: int = 2) -> bytes:
     return bytes(out)
 
 
+def _qcd_entries(levels: int):
+    """QCD band order: LL, then per resolution HL, LH, HH."""
+    out = [(0, "LL")]
+    for r in range(1, levels + 1):
+        out += [(r, "HL"), (r, "LH"), (r, "HH")]
+    return out
+
+
+def encode_jpx_97(arr: np.ndarray, levels: int = 2,
+                  eps: int = 16, mu: int = 0) -> bytes:
+    """(H, W) gray or (H, W, 3) RGB uint8 → LOSSY JPEG 2000
+    codestream (9/7 irreversible wavelet + Annex E scalar
+    quantization + ICT for color).  ``eps``/``mu`` set every band's
+    quantization exponent/mantissa (Δb = 2^(Rb−εb)·(1+μb/2^11) with
+    the gain-table Rb); the default εb=16 is near-lossless (|err| ≲ 1
+    at 8 bits).  Round trips through :func:`decode_jpx` within the
+    documented Δb/2-per-coefficient bound — never bit-exact."""
+    arr = np.asarray(arr, np.uint8)
+    if arr.ndim == 2:
+        comps = [arr.astype(np.float64) - 128.0]
+        mct = 0
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        r = arr[:, :, 0].astype(np.float64) - 128.0
+        g = arr[:, :, 1].astype(np.float64) - 128.0
+        b = arr[:, :, 2].astype(np.float64) - 128.0
+        # ICT (T.800 G.3, the published Rec.601 luma/chroma matrix)
+        comps = [0.299 * r + 0.587 * g + 0.114 * b,
+                 -0.168736 * r - 0.331264 * g + 0.5 * b,
+                 0.5 * r - 0.418688 * g - 0.081312 * b]
+        mct = 1
+    else:
+        raise ValueError("jpx: expected (H, W) or (H, W, 3) uint8")
+    h, w = arr.shape[:2]
+    if not 1 <= eps <= 31 or not 0 <= mu < 2048:
+        raise ValueError("jpx: quantization parameters out of range")
+    deltas = {(r_, g_): _quant_step(g_, eps, mu)
+              for r_, g_ in _qcd_entries(levels)}
+
+    def quantize(bands):
+        out = [None] * (levels + 1)
+        q = bands[0] / deltas[(0, "LL")]
+        out[0] = (np.sign(q) * np.floor(np.abs(q))).astype(np.int64)
+        for r_ in range(1, levels + 1):
+            trio = []
+            for g_, band in zip(("HL", "LH", "HH"), bands[r_]):
+                q = band / deltas[(r_, g_)]
+                trio.append((np.sign(q)
+                             * np.floor(np.abs(q))).astype(np.int64))
+            out[r_] = tuple(trio)
+        return out
+
+    comp_bands = [quantize(dwt97_forward(c, levels)) for c in comps]
+    mb = _GUARD + eps - 1
+
+    tile = _encode_tile(comp_bands, levels, w, h,
+                        mb_of=lambda r_, g_: mb)
+    out = bytearray(b"\xff\x4f")  # SOC
+    n_comp = len(comps)
+    siz = struct.pack(">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, n_comp)
+    for _ in range(n_comp):
+        siz += bytes([7, 1, 1])
+    out += b"\xff\x51" + struct.pack(">H", len(siz) + 2) + siz
+    cod = bytes([0])
+    cod += bytes([0]) + struct.pack(">H", 1) + bytes([mct])
+    cod += bytes([levels, _CB_EXP - 2, _CB_EXP - 2, 0, 0])  # SPcod 9/7
+    out += b"\xff\x52" + struct.pack(">H", len(cod) + 2) + cod
+    qcd = bytes([(_GUARD << 5) | 2])  # Sqcd: scalar expounded
+    for _r, _g in _qcd_entries(levels):
+        qcd += struct.pack(">H", (eps << 11) | mu)
+    out += b"\xff\x5c" + struct.pack(">H", len(qcd) + 2) + qcd
+    psot = 12 + 2 + len(tile)
+    out += b"\xff\x90" + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
+    out += b"\xff\x93" + tile
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def decode_jpx(data: bytes) -> np.ndarray:
     """JPEG 2000 codestream (or JP2 wrapper) → (H, W) or (H, W, 3)
     uint8.  Raises ``ValueError`` outside the documented reversible
@@ -806,6 +1017,8 @@ def decode_jpx(data: bytes) -> np.ndarray:
     levels = None
     mct = 0
     tile_end = None
+    irreversible = False
+    qcd_body = None
     while pos + 4 <= len(data):
         marker = data[pos : pos + 2]
         if marker == b"\xff\x93":  # SOD
@@ -853,31 +1066,15 @@ def decode_jpx(data: bytes) -> np.ndarray:
                 )
             if cbstyle != 0:
                 raise ValueError("jpx: code-block style options unsupported")
-            if wavelet != 1:
-                raise ValueError(
-                    "jpx: the 9/7 irreversible wavelet is undecoded"
-                )
+            if wavelet not in (0, 1):
+                raise ValueError("jpx: unknown wavelet transformation")
+            irreversible = wavelet == 0
             if cbw + 2 != _CB_EXP or cbh + 2 != _CB_EXP:
                 raise ValueError("jpx: only 64x64 code blocks decode")
         elif marker == b"\xff\x5c":  # QCD
             if not body:
                 raise ValueError("jpx: empty QCD segment")
-            if body[0] & 0x1F:
-                raise ValueError("jpx: quantized codestreams undecoded")
-            if body[0] >> 5 != _GUARD:
-                raise ValueError(
-                    "jpx: guard-bit count outside the decoded subset"
-                )
-            for sp in body[1:]:
-                # reversible SPqcd: top 5 bits = band exponent; the
-                # tile decoder assumes Mb = _GUARD + _EXP - 1, so a
-                # different exponent must fail here, not via a
-                # downstream pass-count mismatch
-                if sp >> 3 != _EXP:
-                    raise ValueError(
-                        "jpx: QCD band exponent outside the decoded "
-                        "subset"
-                    )
+            qcd_body = body  # validated after the loop (needs COD)
         elif marker == b"\xff\x90":  # SOT
             if len(body) < 8:
                 raise ValueError("jpx: truncated SOT segment")
@@ -901,13 +1098,77 @@ def decode_jpx(data: bytes) -> np.ndarray:
         pos += 2 + ln
     if w is None or levels is None or tile_end is None:
         raise ValueError("jpx: missing SIZ/COD/SOT")
+    if qcd_body is None:
+        raise ValueError("jpx: missing QCD")
+    if qcd_body[0] >> 5 != _GUARD:
+        raise ValueError(
+            "jpx: guard-bit count outside the decoded subset"
+        )
+    entries = _qcd_entries(levels)
+    deltas = {}
+    mbs = {}
+    if irreversible:
+        # scalar-expounded quantization: one 16-bit SPqcd per band
+        if qcd_body[0] & 0x1F != 2:
+            raise ValueError(
+                "jpx: 9/7 codestreams need scalar-expounded "
+                "quantization (Sqcd style 2)"
+            )
+        if len(qcd_body) != 1 + 2 * len(entries):
+            raise ValueError("jpx: QCD entry count disagrees with COD")
+        for i, key in enumerate(entries):
+            (v,) = struct.unpack(">H", qcd_body[1 + 2 * i : 3 + 2 * i])
+            eps, mu = v >> 11, v & 0x7FF
+            if _GUARD + eps - 1 <= 0:
+                raise ValueError("jpx: QCD exponent leaves no planes")
+            deltas[key] = _quant_step(key[1], eps, mu)
+            mbs[key] = _GUARD + eps - 1
+    else:
+        if qcd_body[0] & 0x1F:
+            raise ValueError("jpx: quantized codestreams undecoded")
+        for sp in qcd_body[1:]:
+            # reversible SPqcd: top 5 bits = band exponent; the tile
+            # decoder assumes Mb = _GUARD + _EXP - 1, so a different
+            # exponent must fail here, not via a downstream
+            # pass-count mismatch
+            if sp >> 3 != _EXP:
+                raise ValueError(
+                    "jpx: QCD band exponent outside the decoded "
+                    "subset"
+                )
+        for key in entries:
+            mbs[key] = _GUARD + _EXP - 1
     if data[tile_end - 2 : tile_end] == b"\xff\xd9":
         tile_end -= 2
     if data[-2:] != b"\xff\xd9":
         raise ValueError("jpx: missing EOC marker")
     end = tile_end if tile_end <= len(data) - 2 else len(data) - 2
-    comp_bands = _decode_tile(data, pos, end, levels, w, h, n_comp)
+    comp_bands = _decode_tile(data, pos, end, levels, w, h, n_comp,
+                              mb_of=lambda r_, g_: mbs[(r_, g_)])
     planes = []
+    if irreversible:
+        def deq(q, key):
+            # midpoint reconstruction (r = 1/2): error <= delta/2
+            q = q.astype(np.float64)
+            return (q + 0.5 * np.sign(q)) * deltas[key]
+
+        for bands in comp_bands:
+            flat = [deq(bands[0], (0, "LL"))]
+            for r_ in range(1, levels + 1):
+                flat.append(tuple(
+                    deq(b_, (r_, g_))
+                    for g_, b_ in zip(("HL", "LH", "HH"), bands[r_])
+                ))
+            planes.append(dwt97_inverse(flat))
+        if n_comp == 1:
+            return np.clip(np.rint(planes[0] + 128), 0,
+                           255).astype(np.uint8)
+        yy, cb, cr = planes
+        r = yy + 1.402 * cr
+        g = yy - 0.344136 * cb - 0.714136 * cr
+        b = yy + 1.772 * cb
+        rgb = np.stack([r, g, b], axis=2) + 128
+        return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
     for bands in comp_bands:
         flat = [bands[0]] + [bands[r] for r in range(1, levels + 1)]
         planes.append(dwt53_inverse(flat))

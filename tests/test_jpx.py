@@ -203,3 +203,90 @@ def test_per_component_override_markers_raise():
     bad[qcd + 4] = ((X._GUARD + 1) << 5) | (bad[qcd + 4] & 0x1F)
     with pytest.raises(ValueError, match="guard-bit"):
         X.decode_jpx(bytes(bad))
+
+
+# ---------------------------------------------------------------- 9/7 (r16)
+
+
+def test_dwt97_perfect_reconstruction_and_dc_gain():
+    """Float 9/7 forward/inverse are inverse to ~1e-12, and the
+    1/K-lowpass normalization gives DC gain exactly 1 (a flat signal's
+    LL band equals the signal)."""
+    rs = np.random.RandomState(5)
+    img = rs.randint(-128, 128, (45, 67)).astype(np.float64)
+    bands = X.dwt97_forward(img, 3)
+    assert np.abs(X.dwt97_inverse(bands) - img).max() < 1e-9
+    flat = np.full((32, 48), 53.0)
+    fb = X.dwt97_forward(flat, 2)
+    assert np.abs(fb[0] - 53.0).max() < 1e-9
+    for trio in fb[1:]:
+        for b in trio:
+            assert np.abs(b).max() < 1e-9
+
+
+@pytest.mark.parametrize("shape,levels,eps,bound", [
+    ((50, 70), 2, 16, 1), ((33, 61), 3, 16, 1),
+    ((50, 70), 2, 10, 2), ((64, 64), 1, 12, 2),
+])
+def test_lossy_roundtrip_gray_bounded(shape, levels, eps, bound):
+    """9/7 + scalar quantization round trips within the documented
+    per-band Δ/2 bound (≤ ``bound`` grey levels after synthesis)."""
+    rs = np.random.RandomState(sum(shape) + eps)
+    g = rs.randint(0, 256, shape).astype(np.uint8)
+    out = X.decode_jpx(X.encode_jpx_97(g, levels=levels, eps=eps))
+    assert out.shape == g.shape and out.dtype == np.uint8
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= bound
+
+
+def test_lossy_roundtrip_rgb_ict_bounded():
+    rs = np.random.RandomState(9)
+    rgb = rs.randint(0, 256, (40, 56, 3)).astype(np.uint8)
+    out = X.decode_jpx(X.encode_jpx_97(rgb, levels=2))
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 2
+
+
+def test_lossy_smooth_content_compresses_harder():
+    """Coarser quantization strictly shrinks the codestream on smooth
+    content (the point of the lossy path)."""
+    r = np.arange(96)[:, None]
+    c = np.arange(96)[None, :]
+    g = ((r + c) // 2).astype(np.uint8)
+    fine = X.encode_jpx_97(g, levels=3, eps=16)
+    coarse = X.encode_jpx_97(g, levels=3, eps=9)
+    assert len(coarse) < len(fine)
+    out = X.decode_jpx(coarse)
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 4
+
+
+def test_lossy_qcd_cod_consistency_is_enforced():
+    """9/7 codestreams must carry style-2 QCD with one SPqcd per
+    band; mismatches raise rather than misdecode."""
+    g = np.zeros((16, 16), np.uint8)
+    import struct
+
+    blob = bytearray(X.encode_jpx_97(g, levels=2))
+    # locate QCD (ff 5c) and corrupt its style to 0
+    i = blob.find(b"\xff\x5c")
+    assert i > 0
+    sqcd = blob[i + 4]
+    blob[i + 4] = sqcd & 0xE0  # style 0, keep guard bits
+    with pytest.raises(ValueError, match="scalar-expounded"):
+        X.decode_jpx(bytes(blob))
+    # truncate one SPqcd entry: count disagrees with COD levels
+    blob2 = bytearray(X.encode_jpx_97(g, levels=2))
+    i = blob2.find(b"\xff\x5c")
+    (ln,) = struct.unpack(">H", blob2[i + 2 : i + 4])
+    del blob2[i + ln : i + ln + 2]  # drop last entry bytes
+    blob2[i + 2 : i + 4] = struct.pack(">H", ln - 2)
+    with pytest.raises(ValueError, match="entry count"):
+        X.decode_jpx(bytes(blob2))
+
+
+def test_reversible_and_lossy_paths_coexist():
+    """Wavelet byte routes the codestream: 5/3 stays bit-exact, 9/7
+    through the same tile machinery stays bounded."""
+    rs = np.random.RandomState(21)
+    g = rs.randint(0, 256, (48, 48)).astype(np.uint8)
+    assert np.array_equal(X.decode_jpx(X.encode_jpx(g)), g)
+    out = X.decode_jpx(X.encode_jpx_97(g))
+    assert np.abs(out.astype(int) - g.astype(int)).max() <= 1
