@@ -1557,7 +1557,13 @@ def _build_image_xobject(spec: dict) -> bytes:
         from . import rawjpx
 
         arr = np.asarray(spec["array"], np.uint8)
-        payload = rawjpx.encode_jpx(arr, levels=spec.get("levels", 2))
+        if spec.get("irreversible"):
+            # 9/7 lossy route (r16); flat fixtures still reconstruct
+            # exactly at the default near-lossless step
+            payload = rawjpx.encode_jpx_97(
+                arr, levels=spec.get("levels", 2))
+        else:
+            payload = rawjpx.encode_jpx(arr, levels=spec.get("levels", 2))
         cs = b"/DeviceRGB" if arr.ndim == 3 else b"/DeviceGray"
         return (
             b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "

@@ -4150,8 +4150,13 @@ def q_crawl_pdf_images(spark: SparkSession, sf: str) -> DataFrame:
                      "array": np.full((8, 16), k, np.uint8)},
                     {"kind": "indexed", "palette": pal,
                      "array": np.full((4, 8), did % 3, np.uint8)},
-                    # reversible JPEG 2000 (r15): lossless 5/3 XObject
+                    # JPEG 2000 XObject: rotate the reversible 5/3
+                    # (r15) and irreversible 9/7 (r16) codestreams;
+                    # flat fixtures reconstruct exactly through the
+                    # near-lossless default step either way, so one
+                    # closed form covers both wavelets
                     {"kind": "jpx", "levels": 1,
+                     "irreversible": (did // 2) % 2 == 1,
                      "array": np.full((6, 10), (k + 11) % 256,
                                       np.uint8)},
                     {"kind": "inline_gray",
@@ -7586,7 +7591,11 @@ def q_crawl_classify(spark: SparkSession, sf: str) -> DataFrame:
                 elif v == 22:
                     from ..operators import rawjpx
 
-                    blob = rawjpx.encode_jpx(
+                    # rotate the 5/3 and 9/7 (r16) codestreams — the
+                    # SOC grammar and classification are wavelet-blind
+                    enc = (rawjpx.encode_jpx if did % 2 == 0
+                           else rawjpx.encode_jpx_97)
+                    blob = enc(
                         np.full((8, 8), did % 256, np.uint8), levels=1
                     )
                 else:
