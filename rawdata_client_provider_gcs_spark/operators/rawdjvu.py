@@ -15,12 +15,14 @@ text/annotation presence flags.  Text tier (r15): the BZZ-compressed
 ``TXTz`` hidden-text layer — pre-OCR'd text, the highest-value byte
 range of a scanned corpus — decodes through :mod:`..sources.bzz`
 (ZP-coder + inverse BWT) into the full text plus the word/line zone
-tree.  The image payloads (JB2 masks, IW44 wavelets) remain a
-documented loud boundary, and real-world TXTz conformance is bounded
-by the ZP state-table transcription tiers documented in
-``sources/bzz.py`` (in-repo streams are exact; a mis-transcribed
-state fails loudly at the BWT checks with high probability — the
-bound is probabilistic, see ``sources/bzz.py``).
+tree.  Image tier (r16): the JB2 ``Sjbz`` bitonal mask
+(:mod:`.rawjb2`) and IW44 ``BG44`` gray background (:mod:`.rawiw44`)
+decode via :func:`extract_djvu_images`; their provenance tiers are
+documented in those modules, and real-world conformance for ALL
+ZP-coded layers is bounded by the ZP state-table transcription tiers
+documented in ``sources/bzz.py`` (in-repo streams are exact; a
+mis-transcribed state fails loudly with high probability — the bound
+is probabilistic, see ``sources/bzz.py``).
 
 Reference behavioral parity: the reference transport stores opaque
 named byte arrays (RawdataMessage.java:15-60); container censuses are
@@ -189,19 +191,40 @@ def _info(width: int, height: int, dpi: int = 300,
 def build_djvu_page(
     width: int, height: int, *, dpi: int = 300,
     text: bool | str = False, anno: bool | str = False,
-    color: bool = False,
+    color: bool = False, mask: list | None = None,
+    background=None,
 ) -> bytes:
-    """One FORM:DJVU page with an INFO chunk; image payload chunks stay
-    census-only stand-ins (opaque compressed bodies by design), but
-    ``text`` — a string, or ``True`` for a default sample — embeds a
-    REAL ``TXTz`` hidden-text layer (zone tree through the BZZ
-    encoder), the r15 decode surface."""
+    """One FORM:DJVU page with an INFO chunk.  By default the image
+    payload chunks stay census-only stand-ins (opaque compressed
+    bodies), but each layer can be made REAL (r15/r16 decode
+    surfaces):
+
+    - ``text`` — a string, or ``True`` for a default sample — embeds
+      a ``TXTz`` hidden-text layer (zone tree through the BZZ
+      encoder);
+    - ``mask`` — a :func:`rawjb2.encode_jb2` marks list — embeds a
+      JB2-coded ``Sjbz`` bitonal mask at the page size;
+    - ``background`` — a (H, W) uint8 array — embeds an IW44-coded
+      ``BG44`` gray background."""
     from ..sources.bzz import bzz_encode
 
     body = _info(width, height, dpi)
-    body += _chunk(b"Sjbz", b"\x00JB2-opaque\x01")
+    if mask is not None:
+        from . import rawjb2
+
+        body += _chunk(b"Sjbz", rawjb2.encode_jb2(width, height, mask))
+    elif background is None:
+        # legacy census shape: an opaque compressed stand-in (pages
+        # with a REAL background and no mask are photo pages — they
+        # legitimately carry no Sjbz)
+        body += _chunk(b"Sjbz", b"\x00JB2-opaque\x01")
+    if background is not None:
+        from . import rawiw44
+
+        body += _chunk(b"BG44", rawiw44.encode_iw44(background))
     if color:
-        body += _chunk(b"BG44", b"\x00IW44-opaque")
+        if background is None:
+            body += _chunk(b"BG44", b"\x00IW44-opaque")
         body += _chunk(b"FG44", b"\x00IW44-fg!")
     if text:
         if text is True:
@@ -441,6 +464,51 @@ def extract_djvu_text(data: bytes) -> dict:
         "n_zones": n_zones,
         "pages": pages,
     }
+
+
+def extract_djvu_images(data: bytes) -> dict:
+    """DjVu payload → decoded image layers per page (r16 verdict ask
+    #6): the JB2 ``Sjbz`` bitonal mask and the IW44 ``BG44`` gray
+    background, as dimension/ink/sum statistics (no pixel arrays
+    cross Arrow — the same executor-side-summary discipline as the
+    PDF image route).  Pages whose layers are absent report zeros;
+    malformed layers raise ``ValueError`` for the caller's per-row
+    capture."""
+    from . import rawiw44, rawjb2
+
+    if not sniff_djvu(data):
+        raise ValueError("djvu: missing AT&T FORM magic")
+    (total,) = struct.unpack(">I", data[8:12])
+    form_end = 12 + total
+    if form_end > len(data):
+        raise ValueError("djvu: FORM length past end of file")
+    form_type = data[12:16]
+    page_ranges = []
+    if form_type == b"DJVU":
+        page_ranges.append((16, form_end))
+    elif form_type == b"DJVM":
+        for tag, cpos, ln in _chunks(data, 16, form_end):
+            if tag == b"FORM" and data[cpos : cpos + 4] == b"DJVU":
+                page_ranges.append((cpos + 4, cpos + ln))
+    else:
+        raise ValueError(
+            f"djvu: unsupported top-level FORM type {form_type!r}"
+        )
+    pages = []
+    for start, end in page_ranges:
+        page = {"mask_w": 0, "mask_h": 0, "mask_ink": 0,
+                "bg_w": 0, "bg_h": 0, "bg_sum": 0}
+        for tag, cpos, ln in _chunks(data, start, end):
+            if tag == b"Sjbz":
+                bm = rawjb2.decode_jb2(data[cpos : cpos + ln])
+                page["mask_h"], page["mask_w"] = bm.shape
+                page["mask_ink"] = int(bm.sum())
+            elif tag == b"BG44":
+                bg = rawiw44.decode_iw44(data[cpos : cpos + ln])
+                page["bg_h"], page["bg_w"] = bg.shape
+                page["bg_sum"] = int(bg.sum(dtype="int64"))
+        pages.append(page)
+    return {"n_pages": len(pages), "pages": pages}
 
 
 # ---------------------------------------------------------------------------

@@ -6952,6 +6952,106 @@ def q_crawl_djvu_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_djvu_image",
+    oracle="""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         1 + doc_id % 5 AS h1, 2 + doc_id % 4 AS w1,
+         2 + doc_id % 3 AS h2, 1 + doc_id % 6 AS w2,
+         32 + 32 * (doc_id % 2) AS bgw
+  FROM documents WHERE doc_id < 60
+),
+bg AS (
+  SELECT d.doc_id,
+         CAST(SUM((r * 3 + c * 5 + d.doc_id) % 97 + 64) AS BIGINT)
+           AS bg_sum
+  FROM d, generate_series(0, 31) AS gr(r),
+       generate_series(0, 63) AS gc(c)
+  WHERE c < bgw
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(2 AS BIGINT) AS n_pages,
+       CAST(64 AS BIGINT) AS mask_w,
+       CAST(48 AS BIGINT) AS mask_h,
+       CAST(2 * (h1 * w1 + h2 * w2) AS BIGINT) AS mask_ink,
+       CAST(bgw AS BIGINT) AS bg_w,
+       CAST(32 AS BIGINT) AS bg_h,
+       bg.bg_sum
+FROM d JOIN bg USING (doc_id)
+""",
+    tags=("llm", "multimodal", "djvu", "crawl", "image", "pandas-udf"),
+)
+def q_crawl_djvu_image(spark: SparkSession, sf: str) -> DataFrame:
+    """DjVu page-IMAGE decode, oracle-exact (r16 verdict ask #6) —
+    the layers beyond the r15 text tier.
+
+    Each document is a two-page bundled DJVM: page 0 carries a
+    JB2-coded ``Sjbz`` bitonal mask (two doc-keyed glyphs, each coded
+    once as a new-mark record and re-placed via a matched-copy record
+    — the symbol-library shape scanned text compresses to,
+    :mod:`..operators.rawjb2`), page 1 an IW44-coded ``BG44`` gray
+    background (a doc-keyed ramp through the integer interpolating-
+    wavelet lifting and the EZW-shaped ZP slice walk,
+    :mod:`..operators.rawiw44`).  JB2 placements are disjoint, so the
+    ink count is the closed-form glyph-area sum; the IW44 lifting is
+    bijective and the stream full-fidelity, so the background sum is
+    the ramp's closed form.  Any desync in the record grammar, the
+    direct-coding context walk, the bucket/band ladder or the
+    significance state machine breaks the values.  Provenance tiers
+    (spec structure vs marked synthetic subsets, and the ZP-table
+    bound shared with BZZ) are documented in the two modules.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 60)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawdjvu
+
+        cols = ("doc_id", "n_pages", "mask_w", "mask_h", "mask_ink",
+                "bg_w", "bg_h", "bg_sum")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g1 = np.ones((1 + did % 5, 2 + did % 4), np.uint8)
+                g2 = np.ones((2 + did % 3, 1 + did % 6), np.uint8)
+                marks = [(g1, 0, 0), (g2, 32, 24),
+                         (0, 16, 8), (1, 48, 40)]
+                bgw = 32 + 32 * (did % 2)
+                r = np.arange(32)[:, None]
+                c = np.arange(bgw)[None, :]
+                bgimg = ((r * 3 + c * 5 + did) % 97 + 64).astype(np.uint8)
+                blob = rawdjvu.build_djvu([
+                    {"width": 64, "height": 48, "mask": marks},
+                    {"width": bgw, "height": 32, "background": bgimg},
+                ], bundled=True)
+                out = rawdjvu.extract_djvu_images(blob)
+                p0, p1 = out["pages"]
+                rows["doc_id"].append(did)
+                rows["n_pages"].append(out["n_pages"])
+                rows["mask_w"].append(p0["mask_w"])
+                rows["mask_h"].append(p0["mask_h"])
+                rows["mask_ink"].append(p0["mask_ink"])
+                rows["bg_w"].append(p1["bg_w"])
+                rows["bg_h"].append(p1["bg_h"])
+                rows["bg_sum"].append(p1["bg_sum"])
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        make,
+        "doc_id long, n_pages long, mask_w long, mask_h long, "
+        "mask_ink long, bg_w long, bg_h long, bg_sum long",
+    )
+
+
+@register(
     "q_crawl_djvu_text",
     oracle="""
 WITH d AS (
