@@ -1162,6 +1162,197 @@ def q_stream_vp9_pixels(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_stream_vp9_gop",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  1 + doc_id % 3 AS dr,
+                  1 + doc_id % 4 AS dc
+           FROM documents WHERE doc_id < 24),
+px AS (
+  SELECT d.doc_id,
+         CAST(SUM((r * 31 + c * 17 + d.doc_id) % 256) AS BIGINT)
+           AS y_key_sum,
+         CAST(SUM((LEAST(r + dr, 15) * 31 + LEAST(c + dc, 31) * 17
+                   + d.doc_id) % 256) AS BIGINT) AS y_mv_sum
+  FROM d, generate_series(0, 15) AS gr(r), generate_series(0, 31) AS gc(c)
+  GROUP BY d.doc_id
+)
+SELECT doc_id, CAST(3 AS BIGINT) AS n_frames, y_key_sum, y_mv_sum
+FROM px
+""",
+    tags=("streaming", "multimodal", "video", "vp9", "inter"),
+)
+def q_stream_vp9_gop(spark: SparkSession, sf: str) -> DataFrame:
+    """VP9 GOP decode as a STREAM (the r16 batch query's twin):
+    WebM-carried keyframe + carry-forward + motion-compensated frames
+    arrive in micro-batches and run the full inter tier (reference
+    bank, is-inter/NEWMV walk, BILINEAR MC) in the stream kernel —
+    stateless, append mode, value-exact closed forms."""
+    import tempfile
+
+    import numpy as np
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 24)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawvp9, rawwebm
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                r = np.arange(16)[:, None]
+                c = np.arange(32)[None, :]
+                y = ((r * 31 + c * 17 + did) % 256).astype(np.uint8)
+                u = np.full((8, 16), did % 256, np.uint8)
+                v = np.full((8, 16), (2 * did) % 256, np.uint8)
+                blobs = rawvp9.build_gop((y, u, v), [
+                    {"carry": True},
+                    {"mv": (8 * (1 + did % 3), 8 * (1 + did % 4))},
+                ])
+                payloads.append(rawwebm.build_webm(
+                    video=("V_VP9", 320, 240), vp9_frames=blobs
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    stage = tempfile.mkdtemp(prefix="vp9_gop_stream_")
+    files.withColumn("part", F.col("doc_id") % 3).repartition(
+        3, "part"
+    ).drop("part").write.mode("overwrite").parquet(stage)
+
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        from ..operators import rawwebm
+
+        for pdf in batches:
+            rows = {"doc_id": [], "n_frames": [], "y_key_sum": [],
+                    "y_mv_sum": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out = rawwebm.decode_vp9_gop(bytes(payload))
+                fs = out["frames"]
+                rows["doc_id"].append(int(did))
+                rows["n_frames"].append(len(fs))
+                rows["y_key_sum"].append(int(fs[1][0].sum()))
+                rows["y_mv_sum"].append(int(fs[2][0].sum()))
+            yield pd.DataFrame(rows)
+
+    return W.run_available_now_append(
+        stream.mapInPandas(
+            decode,
+            "doc_id long, n_frames long, y_key_sum long, y_mv_sum long",
+        ),
+        "t_vp9_gop",
+    )
+
+
+@register(
+    "q_stream_djvu_image",
+    oracle="""
+WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                  1 + doc_id % 4 AS h1,
+                  2 + doc_id % 5 AS w1
+           FROM documents WHERE doc_id < 24),
+bg AS (
+  SELECT d.doc_id,
+         CAST(SUM((r * 5 + c * 7 + d.doc_id) % 89 + 80) AS BIGINT)
+           AS bg_sum
+  FROM d, generate_series(0, 31) AS gr(r), generate_series(0, 31) AS gc(c)
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+       CAST(2 * h1 * w1 AS BIGINT) AS mask_ink,
+       bg.bg_sum
+FROM d JOIN bg USING (doc_id)
+""",
+    tags=("streaming", "multimodal", "djvu", "image"),
+)
+def q_stream_djvu_image(spark: SparkSession, sf: str) -> DataFrame:
+    """DjVu image-layer decode as a STREAM (the r16 batch query's
+    twin): JB2 mask + IW44 background pages arrive in micro-batches
+    and both ZP-coded decoders run in the stream kernel — stateless,
+    append mode, value-exact closed forms."""
+    import tempfile
+
+    import numpy as np
+
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 24)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawdjvu
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g1 = np.ones((1 + did % 4, 2 + did % 5), np.uint8)
+                r = np.arange(32)[:, None]
+                c = np.arange(32)[None, :]
+                bg = ((r * 5 + c * 7 + did) % 89 + 80).astype(np.uint8)
+                payloads.append(rawdjvu.build_djvu([{
+                    "width": 48, "height": 32,
+                    "mask": [(g1, 0, 0), (0, 24, 16)],
+                    "background": bg,
+                }]))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "payload": payloads})
+
+    files = d.mapInPandas(make, "doc_id long, payload binary")
+    stage = tempfile.mkdtemp(prefix="djvu_image_stream_")
+    files.withColumn("part", F.col("doc_id") % 3).repartition(
+        3, "part"
+    ).drop("part").write.mode("overwrite").parquet(stage)
+
+    stream = (
+        spark.readStream.schema("doc_id long, payload binary")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        from ..operators import rawdjvu
+
+        for pdf in batches:
+            rows = {"doc_id": [], "mask_ink": [], "bg_sum": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out = rawdjvu.extract_djvu_images(bytes(payload))
+                page = out["pages"][0]
+                rows["doc_id"].append(int(did))
+                rows["mask_ink"].append(page["mask_ink"])
+                rows["bg_sum"].append(page["bg_sum"])
+            yield pd.DataFrame(rows)
+
+    return W.run_available_now_append(
+        stream.mapInPandas(
+            decode, "doc_id long, mask_ink long, bg_sum long"
+        ),
+        "t_djvu_image",
+    )
+
+
+@register(
     "q_stream_media_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

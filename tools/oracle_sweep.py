@@ -44,6 +44,11 @@ def values_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        if a.is_integer() and b.is_integer():
+            # integral values never get the float escape hatch — an
+            # off-by-one count in a double column must fail here the
+            # way the driver's exact hash would (r15 verdict ask #8)
+            return a == b
         return a == b or abs(a - b) <= 1e-9 * max(1.0, abs(a), abs(b))
     return a == b
 
