@@ -426,6 +426,71 @@ def idct4x4(coeff: np.ndarray) -> np.ndarray:
     return out.astype(np.int32)
 
 
+# --- larger inverse transforms (r16 lossy tier) --------------------------
+#
+# 8x8/16x16/32x32 are evaluated as integer DCT-III matrix products
+# with DERIVED constants (round(16384·g·D[k,j]) over the orthonormal
+# DCT basis — the same provenance class as the derived cospi
+# butterflies; the spec's specific butterfly FACTORIZATION of the same
+# linear map is not transcribed, which costs CPU, not correctness
+# class).  Final shifts follow the 4x4 pattern (>>5 / >>6 / >>6);
+# the per-size gain g makes the net scale land on the fixture
+# encoder's forward scale.  Encoder reconstruction mirrors this exact
+# integer path, so lossy duals stay bit-deterministic.
+
+#: per-size (gain g, final shift, forward scale 2^shift / g²)
+_TX_SCALE = {8: (2, 5, 8.0), 16: (4, 6, 4.0), 32: (4, 6, 4.0)}
+
+
+def _ortho_dct(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix D (rows = basis k)."""
+    j = np.arange(n)[None, :]
+    k = np.arange(n)[:, None]
+    d = np.cos((2 * j + 1) * k * np.pi / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+def _idct_table(n: int) -> np.ndarray:
+    g = _TX_SCALE[n][0]
+    return np.round(16384.0 * g * _ortho_dct(n)).astype(np.int64)
+
+
+_IDCT_T = {n: _idct_table(n) for n in (8, 16, 32)}
+
+
+def idct_n(coeff: np.ndarray) -> np.ndarray:
+    """Integer inverse transform for 8/16/32 (rows then columns, one
+    _dct_round per 1D pass, final (x + 2^(s-1)) >> s)."""
+    n = coeff.shape[0]
+    t = _IDCT_T[n]
+    shift = _TX_SCALE[n][1]
+    half = 1 << (shift - 1)
+    ip = coeff.astype(np.int64)
+    # rows: out_j = round(sum_k in_k * T[k, j])
+    tmp = (ip @ t + (1 << 13)) >> 14
+    out = (t.T @ tmp + (1 << 13)) >> 14
+    return ((out + half) >> shift).astype(np.int64)
+
+
+def _inverse_tx(coeff: np.ndarray, txs: int) -> np.ndarray:
+    return idct4x4(coeff) if txs == 4 else idct_n(coeff)
+
+
+def _fdct_n(resid: np.ndarray) -> np.ndarray:
+    """Float forward for 8/16/32 matching :func:`idct_n`'s scaling
+    (encoder only — the decoder never runs it, and the encoder's
+    reconstruction goes through the integer inverse)."""
+    n = resid.shape[0]
+    d = _ortho_dct(n)
+    scale = _TX_SCALE[n][2]
+    return (d @ resid.astype(np.float64) @ d.T) * scale
+
+
+def _forward_tx(resid: np.ndarray, txs: int) -> np.ndarray:
+    return _fdct4x4(resid) if txs == 4 else _fdct_n(resid)
+
+
 # ---------------------------------------------------------------- intra
 
 def _avg2(a, b):
@@ -1060,12 +1125,7 @@ def _recon_block(fr, mi_r, mi_c, bsize, skip, uvmode, coder,
                         if fr.lossless:
                             res = iwht4x4(coeff)
                         else:
-                            res = idct4x4(coeff) if txs == 4 else None
-                            if res is None:
-                                raise ValueError(
-                                    "vp9: only 4x4 transforms in the "
-                                    "lossy subset"
-                                )
+                            res = _inverse_tx(coeff, txs)
                         recon = np.clip(pred + res, 0, 255)
                     else:
                         resid = (src[plane][py : py + txs,
@@ -1075,16 +1135,12 @@ def _recon_block(fr, mi_r, mi_c, bsize, skip, uvmode, coder,
                             qc = fwht4x4(resid) >> 2  # dq 4, exact
                             res = iwht4x4(qc * 4)
                         else:
-                            co = _fdct4x4(resid)
-                            qc = np.round(
-                                co / np.where(
-                                    np.arange(16).reshape(4, 4) == 0,
-                                    dqv[0], dqv[1])
-                            ).astype(np.int64)
-                            deq = qc * np.where(
-                                np.arange(16).reshape(4, 4) == 0,
-                                dqv[0], dqv[1])
-                            res = idct4x4(deq)
+                            co = _forward_tx(resid, txs)
+                            qmat = np.full((txs, txs), dqv[1],
+                                           np.int64)
+                            qmat[0, 0] = dqv[0]
+                            qc = np.round(co / qmat).astype(np.int64)
+                            res = _inverse_tx(qc * qmat, txs)
                         eob = int((qc != 0).sum() and (
                             max(i for i in range(txs * txs)
                                 if qc.reshape(-1)[_SCAN[txs][i]] != 0)
@@ -1715,12 +1771,35 @@ def _default_part_fn(mi_r, mi_c, bsize):
     return (mi_r * 7 + mi_c * 5) % 4  # 8x8: exercises sub-8 modes
 
 
+def _write_tx_header(ch, tx_mode: int, lossless: bool,
+                     inter_frame: bool = False) -> None:
+    """Compressed-header prefix (dual of _decode_compressed_header):
+    tx mode + the zero update-flag ladder."""
+    if lossless:
+        tx_mode = 0
+    if not 0 <= tx_mode <= 3:
+        raise ValueError("vp9 fixture: tx_mode out of range")
+    ch.literal(min(tx_mode, 3), 2)
+    if tx_mode == 3:
+        ch.literal(0, 1)  # not TX_MODE_SELECT
+    ntx = min(tx_mode, 3) + 1 if not lossless else 1
+    for _ in range(ntx):
+        ch.literal(0, 1)
+    for _ in range(3):
+        ch.encode(0, 252)
+    if inter_frame:
+        for _ in range(3 + 1 + 2):
+            ch.encode(0, 252)
+
+
 def build_keyframe(y: np.ndarray, u: np.ndarray, v: np.ndarray, *,
                    lossless: bool = True, base_q: int = 40,
-                   mode_fn=None, part_fn=None) -> bytes:
+                   mode_fn=None, part_fn=None, tx_mode: int = 0) -> bytes:
     """Encode one 4:2:0 profile-0 keyframe.  ``lossless=True``
     reproduces the input planes BIT-EXACTLY through the decoder;
-    lossy mode uses the synthetic qlookup (4x4 DCT only)."""
+    lossy mode quantizes through the synthetic qlookup with
+    transforms up to ``4 << tx_mode`` (8x8-32x32 via the derived
+    DCT-III matrices, r16)."""
     y = np.asarray(y, np.uint8)
     u = np.asarray(u, np.uint8)
     v = np.asarray(v, np.uint8)
@@ -1730,7 +1809,9 @@ def build_keyframe(y: np.ndarray, u: np.ndarray, v: np.ndarray, *,
     mode_fn = mode_fn or _default_mode_fn
     part_fn = part_fn or _default_part_fn
     base_q = 0 if lossless else max(1, base_q)
-    fr = _Frame(w, h, lossless, base_q, 0, 0, 0, 0)
+    if lossless:
+        tx_mode = 0
+    fr = _Frame(w, h, lossless, base_q, 0, 0, 0, tx_mode)
     pw, ph = fr.mi_cols * 8, fr.mi_rows * 8
     src = [
         np.pad(y.astype(np.int64), ((0, ph - h), (0, pw - w)),
@@ -1744,10 +1825,7 @@ def build_keyframe(y: np.ndarray, u: np.ndarray, v: np.ndarray, *,
     ]
     # compressed header
     ch = _BoolEnc()
-    ch.literal(0, 2)  # tx_mode ONLY_4X4
-    ch.literal(0, 1)  # y coef-prob update flag for tx 4x4
-    for _ in range(3):
-        ch.encode(0, 252)  # skip-prob diff updates
+    _write_tx_header(ch, tx_mode, lossless)
     comp = ch.getvalue() or b"\x00"
     # tile data
     enc = _BoolEnc()
@@ -1818,7 +1896,8 @@ def _pad_planes(y, u, v, mi_cols: int, mi_rows: int) -> list:
 
 def build_interframe(slots: list, planes=None, *, ref_idx: int = 0,
                      refresh: int = 1, base_q: int = 0,
-                     block_fn=None, part_fn=None, mode_fn=None) -> bytes:
+                     block_fn=None, part_fn=None, mode_fn=None,
+                     tx_mode: int = 0) -> bytes:
     """Encode one non-key frame against the reference bank and apply
     its refresh mask to ``slots`` (exact dual of
     :func:`decode_inter_frame`).  ``planes`` is the residual-coded
@@ -1830,7 +1909,9 @@ def build_interframe(slots: list, planes=None, *, ref_idx: int = 0,
         raise ValueError("vp9 fixture: inter frame needs a filled slot")
     w, h = ref["width"], ref["height"]
     lossless = base_q == 0
-    fr = _Frame(w, h, lossless, base_q, 0, 0, 0, 0)
+    if lossless:
+        tx_mode = 0
+    fr = _Frame(w, h, lossless, base_q, 0, 0, 0, tx_mode)
     fr.ref_planes = ref["planes"]
     src = None
     if planes is not None:
@@ -1842,10 +1923,7 @@ def build_interframe(slots: list, planes=None, *, ref_idx: int = 0,
     part_fn = part_fn or (lambda r, c, b: 0)
     mode_fn = mode_fn or _default_mode_fn
     ch = _BoolEnc()
-    ch.literal(0, 2)  # tx_mode ONLY_4X4
-    ch.literal(0, 1)  # coef-prob update flag (tx 4x4)
-    for _ in range(3 + 6):  # skip + is-inter/NEWMV/MV prob slots
-        ch.encode(0, 252)
+    _write_tx_header(ch, tx_mode, lossless, inter_frame=True)
     comp = ch.getvalue() or b"\x00"
     enc = _BoolEnc()
     for sb_r in range(0, fr.mi_rows, 8):

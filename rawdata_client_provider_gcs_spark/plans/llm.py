@@ -6568,6 +6568,95 @@ def q_multimodal_vp9_gop(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_vp9_lossy",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(64 AS BIGINT) AS width,
+       CAST(32 AS BIGINT) AS height,
+       CAST(doc_id % 4 AS BIGINT) AS tx_mode,
+       TRUE AS bounded,
+       TRUE AS deterministic,
+       TRUE AS smaller_than_lossless
+FROM documents WHERE doc_id < 48
+""",
+    tags=("llm", "multimodal", "video", "vp9", "lossy", "pandas-udf"),
+)
+def q_multimodal_vp9_lossy(spark: SparkSession, sf: str) -> DataFrame:
+    """VP9 LOSSY keyframe decode across every transform-mode tier
+    (r16): ONLY_4X4 through ALLOW_32X32, the 8x8-32x32 inverse
+    transforms evaluated as integer DCT-III products with derived
+    constants.  Quantized reconstruction has no closed form, so this
+    is the documented value-BOUNDED oracle shape (the JPX 9/7
+    pattern): per document a gradient frame encodes at
+    ``tx_mode = doc_id % 4`` and a doc-keyed quantizer, and the
+    kernel asserts the three determinate properties — reconstruction
+    error within the quantizer-step bound, bit-determinism across two
+    decodes, and the lossy stream being smaller than the lossless
+    dual.  The exact-value lossless/GOP tiers are pinned by their own
+    hash-exact queries; the dual's bit-exactness keeps these booleans
+    deterministic.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 48)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawvp9
+
+        cols = ("doc_id", "width", "height", "tx_mode", "bounded",
+                "deterministic", "smaller_than_lossless")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                # smooth (wrap-free) gradients: quantization error
+                # stays within the documented bound — modular ramps
+                # put 255->0 edges inside transform blocks and ring
+                r = np.arange(32)[:, None]
+                c = np.arange(64)[None, :]
+                y = np.clip(r * 2 + c + did, 0, 255).astype(np.uint8)
+                r2 = np.arange(16)[:, None]
+                c2 = np.arange(32)[None, :]
+                u = np.clip(r2 * 3 + c2 + did, 0, 255).astype(np.uint8)
+                v = np.clip(r2 + c2 * 2 + 2 * did, 0,
+                            255).astype(np.uint8)
+                txm = did % 4
+                q = 8 + 4 * (did % 5)
+                blob = rawvp9.build_keyframe(
+                    y, u, v, lossless=False, base_q=q, tx_mode=txm)
+                ll = rawvp9.build_keyframe(y, u, v, lossless=True)
+                o1 = rawvp9.decode_keyframe(blob)
+                o2 = rawvp9.decode_keyframe(blob)
+                err = int(np.abs(
+                    o1["y"].astype(int) - y.astype(int)).max())
+                rows["doc_id"].append(did)
+                rows["width"].append(o1["width"])
+                rows["height"].append(o1["height"])
+                rows["tx_mode"].append(txm)
+                rows["bounded"].append(bool(err <= 32))
+                rows["deterministic"].append(bool(
+                    np.array_equal(o1["y"], o2["y"])
+                    and np.array_equal(o1["u"], o2["u"])
+                ))
+                rows["smaller_than_lossless"].append(
+                    bool(len(blob) < len(ll))
+                )
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        make,
+        "doc_id long, width long, height long, tx_mode long, "
+        "bounded boolean, deterministic boolean, "
+        "smaller_than_lossless boolean",
+    )
+
+
+@register(
     "q_multimodal_webm_codec_dims",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -336,3 +336,61 @@ def test_webm_gop_carriage():
     assert len(out["frames"]) == 3
     for got, exp in zip(out["frames"][1], tgt):
         assert np.array_equal(got, exp)
+
+
+# ------------------------------------------------------- r16 lossy tier
+
+
+def test_idct_matrices_invert_their_forward():
+    """The integer DCT-III matrix transforms (8/16/32) invert the
+    float forward within integer rounding — the derived-constant
+    provenance check."""
+    rs = np.random.RandomState(9)
+    for n in (8, 16, 32):
+        resid = rs.randint(-255, 256, (n, n)).astype(np.int64)
+        co = V._fdct_n(resid.astype(np.float64))
+        back = V.idct_n(np.round(co).astype(np.int64))
+        assert np.abs(back - resid).max() <= 2, n
+
+
+@pytest.mark.parametrize("txm", [0, 1, 2, 3])
+def test_lossy_keyframe_bounded_all_tx_modes(txm):
+    y, u, v = _planes(48, 80, 90 + txm)
+    blob = V.build_keyframe(y, u, v, lossless=False, base_q=15,
+                            tx_mode=txm)
+    out = V.decode_keyframe(blob)
+    assert out["width"] == 80 and out["height"] == 48
+    assert np.abs(out["y"].astype(int) - y.astype(int)).max() <= 48
+    # deterministic: the decode is a pure function of the bytes
+    out2 = V.decode_keyframe(blob)
+    assert np.array_equal(out["y"], out2["y"])
+
+
+def test_lossy_large_blocks_use_large_transforms():
+    """With max-size partitions and ALLOW_32X32, the stream is
+    smaller than ONLY_4X4 on the same content (the transforms
+    actually engage)."""
+    y, u, v = _planes(64, 64, 77)
+    part_none = lambda r, c, b: 0  # noqa: E731
+    small = V.build_keyframe(y, u, v, lossless=False, base_q=20,
+                             tx_mode=0, part_fn=part_none)
+    big = V.build_keyframe(y, u, v, lossless=False, base_q=20,
+                           tx_mode=3, part_fn=part_none)
+    assert len(big) < len(small)
+
+
+def test_lossy_inter_frame_bounded():
+    key = _planes(32, 64, 70)
+    blobs = V.build_gop(key, [])
+    slots = [None] * 8
+    hdr, fr = V._decode_keyframe_fr(blobs[0])
+    V._refresh_slots(slots, 0xFF, fr, hdr)
+    tgt = tuple((p.astype(int) + 9).clip(0, 255).astype(np.uint8)
+                for p in key)
+    blob = V.build_interframe(slots, tgt, base_q=10, tx_mode=2)
+    slots2 = [None] * 8
+    hdr, fr = V._decode_keyframe_fr(blobs[0])
+    V._refresh_slots(slots2, 0xFF, fr, hdr)
+    hdr2, fr2 = V.decode_inter_frame(blob, slots2)
+    got = fr2.planes[0][:32, :64]
+    assert np.abs(got - tgt[0].astype(int)).max() <= 32
