@@ -192,7 +192,8 @@ def build_djvu_page(
     width: int, height: int, *, dpi: int = 300,
     text: bool | str = False, anno: bool | str = False,
     color: bool = False, mask: list | None = None,
-    background=None,
+    background=None, fg_palette: list | None = None,
+    fg_indices: list | None = None,
 ) -> bytes:
     """One FORM:DJVU page with an INFO chunk.  By default the image
     payload chunks stay census-only stand-ins (opaque compressed
@@ -205,7 +206,10 @@ def build_djvu_page(
     - ``mask`` — a :func:`rawjb2.encode_jb2` marks list — embeds a
       JB2-coded ``Sjbz`` bitonal mask at the page size;
     - ``background`` — a (H, W) uint8 array — embeds an IW44-coded
-      ``BG44`` gray background."""
+      ``BG44`` gray background;
+    - ``fg_palette`` (+ optional per-blit ``fg_indices``) — RGB
+      triples — embeds an ``FGbz`` foreground palette keyed to the
+      mask's blit order (:func:`build_fgbz`)."""
     from ..sources.bzz import bzz_encode
 
     body = _info(width, height, dpi)
@@ -213,6 +217,8 @@ def build_djvu_page(
         from . import rawjb2
 
         body += _chunk(b"Sjbz", rawjb2.encode_jb2(width, height, mask))
+        if fg_palette is not None:
+            body += _chunk(b"FGbz", build_fgbz(fg_palette, fg_indices))
     elif background is None:
         # legacy census shape: an opaque compressed stand-in (pages
         # with a REAL background and no mask are photo pages — they
@@ -464,6 +470,153 @@ def extract_djvu_text(data: bytes) -> dict:
         "n_zones": n_zones,
         "pages": pages,
     }
+
+
+#: FGbz palette bounds
+MAX_PALETTE = 65535
+
+
+def build_fgbz(palette: list, indices: list | None = None) -> bytes:
+    """FGbz foreground-palette chunk (DjVu v3 reference structure):
+    version byte (bit 0x80 = per-blit index data follows), big-endian
+    palette count, BGR color triples; the index tail is a
+    BZZ-compressed stream of a 24-bit blit count then one big-endian
+    16-bit palette index per JB2 blit (mark), pairing each glyph
+    placement with its foreground color."""
+    from ..sources.bzz import bzz_encode
+
+    if not palette or len(palette) > MAX_PALETTE:
+        raise ValueError("djvu: palette size out of range")
+    out = bytearray()
+    out.append(0x80 if indices is not None else 0x00)
+    out += struct.pack(">H", len(palette))
+    for r, g, b in palette:
+        out += bytes([b & 0xFF, g & 0xFF, r & 0xFF])
+    if indices is not None:
+        if any(not 0 <= i < len(palette) for i in indices):
+            raise ValueError("djvu: palette index out of range")
+        raw = len(indices).to_bytes(3, "big") + b"".join(
+            struct.pack(">H", i) for i in indices
+        )
+        out += bzz_encode(raw)
+    return bytes(out)
+
+
+def parse_fgbz(data: bytes) -> dict:
+    """FGbz chunk → ``{"palette": [(r, g, b), ...], "indices":
+    [...] | None}``."""
+    from ..sources.bzz import bzz_decode
+
+    if len(data) < 3:
+        raise ValueError("djvu: FGbz shorter than its header")
+    version = data[0]
+    if version & 0x7F:
+        raise ValueError("djvu: unknown FGbz version")
+    (n,) = struct.unpack(">H", data[1:3])
+    if n == 0 or len(data) < 3 + 3 * n:
+        raise ValueError("djvu: FGbz palette truncated")
+    palette = []
+    for i in range(n):
+        b, g, r = data[3 + 3 * i : 6 + 3 * i]
+        palette.append((r, g, b))
+    indices = None
+    if version & 0x80:
+        raw = bzz_decode(data[3 + 3 * n :],
+                         max_bytes=3 + 2 * (MAX_PALETTE * 16))
+        if len(raw) < 3:
+            raise ValueError("djvu: FGbz index stream truncated")
+        count = int.from_bytes(raw[:3], "big")
+        if len(raw) != 3 + 2 * count:
+            raise ValueError("djvu: FGbz index count disagrees")
+        indices = [struct.unpack(">H", raw[3 + 2 * i : 5 + 2 * i])[0]
+                   for i in range(count)]
+        if any(i >= n for i in indices):
+            raise ValueError("djvu: FGbz index outside the palette")
+    return {"palette": palette, "indices": indices}
+
+
+def render_djvu_page(data: bytes) -> "object":
+    """Composite the first page's decoded layers into an RGB image
+    (r16): the IW44 background (gray replicated to RGB; white when
+    absent), with each JB2 mask blit painted in its FGbz palette
+    color (black when no FGbz).  This is the DjVu imaging model's
+    foreground-over-background rule restricted to the decoded subset
+    (no subsampled-layer rescaling: layers must match the page size
+    or be absent)."""
+    import numpy as np
+
+    from . import rawiw44, rawjb2
+
+    if not sniff_djvu(data):
+        raise ValueError("djvu: missing AT&T FORM magic")
+    (total,) = struct.unpack(">I", data[8:12])
+    form_end = 12 + total
+    if form_end > len(data):
+        raise ValueError("djvu: FORM length past end of file")
+    form_type = data[12:16]
+    if form_type == b"DJVU":
+        start, end = 16, form_end
+    elif form_type == b"DJVM":
+        start = end = None
+        for tag, cpos, ln in _chunks(data, 16, form_end):
+            if tag == b"FORM" and data[cpos : cpos + 4] == b"DJVU":
+                start, end = cpos + 4, cpos + ln
+                break
+        if start is None:
+            raise ValueError("djvu: no DJVU page to render")
+    else:
+        raise ValueError(
+            f"djvu: unsupported top-level FORM type {form_type!r}"
+        )
+    info = None
+    sjbz = bg44 = fgbz = None
+    for tag, cpos, ln in _chunks(data, start, end):
+        if tag == b"INFO":
+            info = _parse_info(data, cpos, ln)
+        elif tag == b"Sjbz":
+            sjbz = data[cpos : cpos + ln]
+        elif tag == b"BG44":
+            bg44 = data[cpos : cpos + ln]
+        elif tag == b"FGbz":
+            fgbz = data[cpos : cpos + ln]
+    if info is None:
+        raise ValueError("djvu: page without INFO")
+    w, h = info["width"], info["height"]
+    if bg44 is not None:
+        bg = rawiw44.decode_iw44(bg44)
+        if bg.shape != (h, w):
+            raise ValueError(
+                "djvu: subsampled background outside the render subset"
+            )
+        page = np.repeat(bg[:, :, None], 3, axis=2).astype(np.uint8)
+    else:
+        page = np.full((h, w, 3), 255, np.uint8)
+    if sjbz is not None:
+        blits = rawjb2.decode_jb2_blits(sjbz)
+        colors = None
+        if fgbz is not None:
+            fg = parse_fgbz(fgbz)
+            colors = fg["indices"], fg["palette"]
+            if colors[0] is not None and len(colors[0]) != len(blits):
+                raise ValueError(
+                    "djvu: FGbz blit count disagrees with the mask"
+                )
+        for bi, (bm, x, y) in enumerate(blits):
+            if colors is not None and colors[0] is not None:
+                col = colors[1][colors[0][bi]]
+            elif colors is not None:
+                col = colors[1][0]
+            else:
+                col = (0, 0, 0)
+            sh, sw = bm.shape
+            ph, pw = min(sh, h - y), min(sw, w - x)
+            if ph <= 0 or pw <= 0:
+                continue
+            region = page[y : y + ph, x : x + pw]
+            on = bm[:ph, :pw].astype(bool)
+            for ch in range(3):
+                region[:, :, ch][on] = col[ch]
+    return page
 
 
 def extract_djvu_images(data: bytes) -> dict:

@@ -151,9 +151,10 @@ class _Dists:
         self.sym_index = _NumCoder()
 
 
-def decode_jb2(data: bytes) -> np.ndarray:
-    """JB2 record stream → (H, W) uint8 {0,1} bitmap (the page
-    mask).  Raises ``ValueError`` outside the documented subset."""
+def _decode_stream(data: bytes) -> tuple[int, int, list]:
+    """Shared record walk → (width, height, blits) with blits =
+    ``[(bitmap, x, y), ...]`` in record order (matched copies
+    resolved to their library bitmaps)."""
     zp = ZPDecoder(bytes(data))
     d = _Dists()
     direct_ctx = [0] * 1024
@@ -164,12 +165,12 @@ def decode_jb2(data: bytes) -> np.ndarray:
     h = d.image_size.decode(zp, 0, MAX_DIM)
     if w == 0 or h == 0 or w * h > MAX_PIXELS:
         raise ValueError("jb2: image size outside bounds")
-    page = np.zeros((h, w), np.uint8)
     library: list = []
+    blits: list = []
     for _ in range(MAX_RECORDS):
         rec = d.rec_type.decode(zp, 0, 11)
         if rec == REC_END:
-            return page
+            return w, h, blits
         if rec == REC_NEW_MARK:
             sw = d.sym_size.decode(zp, 1, MAX_DIM)
             sh = d.sym_size.decode(zp, 1, MAX_DIM)
@@ -177,28 +178,42 @@ def decode_jb2(data: bytes) -> np.ndarray:
                 raise ValueError("jb2: symbol too large")
             bm = _decode_bitmap(zp, direct_ctx, sw, sh)
             library.append(bm)
-            x = d.sym_col.decode(zp, 0, max(0, w - 1))
-            y = d.sym_row.decode(zp, 0, max(0, h - 1))
         elif rec == REC_MATCHED_COPY:
             if not library:
                 raise ValueError("jb2: matched copy with empty library")
             idx = d.sym_index.decode(zp, 0, len(library) - 1)
             bm = library[idx]
-            sh, sw = bm.shape
-            x = d.sym_col.decode(zp, 0, max(0, w - 1))
-            y = d.sym_row.decode(zp, 0, max(0, h - 1))
         else:
             raise ValueError(
                 f"jb2: record type {rec} outside the decoded subset "
                 "(refinement/comment/dictionary records undecoded)"
             )
+        x = d.sym_col.decode(zp, 0, max(0, w - 1))
+        y = d.sym_row.decode(zp, 0, max(0, h - 1))
+        blits.append((bm, x, y))
+    raise ValueError("jb2: record count over the cap")
+
+
+def decode_jb2_blits(data: bytes) -> list:
+    """JB2 record stream → the blit list ``[(bitmap, x, y), ...]`` in
+    record order (the per-blit unit FGbz foreground colors key on)."""
+    return _decode_stream(data)[2]
+
+
+def decode_jb2(data: bytes) -> np.ndarray:
+    """JB2 record stream → (H, W) uint8 {0,1} bitmap (the page
+    mask).  Raises ``ValueError`` outside the documented subset."""
+    w, h, blits = _decode_stream(data)
+    page = np.zeros((h, w), np.uint8)
+    for bm, x, y in blits:
+        sh, sw = bm.shape
         # clip placement to the page (mirrors the JBIG2 text-region
         # clipping the r15 advice asked for)
         ph = min(sh, h - y)
         pw = min(sw, w - x)
         if ph > 0 and pw > 0:
             page[y : y + ph, x : x + pw] |= bm[:ph, :pw]
-    raise ValueError("jb2: record count over the cap")
+    return page
 
 
 def encode_jb2(w: int, h: int, marks: list) -> bytes:

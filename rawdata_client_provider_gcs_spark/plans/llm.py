@@ -7141,6 +7141,99 @@ def q_crawl_djvu_image(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_crawl_djvu_render",
+    oracle="""
+WITH d AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         (1 + doc_id % 4) * (2 + doc_id % 5) AS a1,
+         120 + doc_id % 80 AS bv,
+         40 + doc_id % 200 AS r0, 10 + doc_id % 90 AS g0,
+         200 - doc_id % 150 AS b0,
+         5 + doc_id % 60 AS r1, 220 - doc_id % 180 AS g1,
+         30 + doc_id % 120 AS b1
+  FROM documents WHERE doc_id < 48
+)
+SELECT doc_id,
+       CAST(48 AS BIGINT) AS width,
+       CAST(32 AS BIGINT) AS height,
+       CAST(bv * (48 * 32 - 2 * a1) + r0 * a1 + r1 * a1 AS BIGINT)
+         AS r_sum,
+       CAST(bv * (48 * 32 - 2 * a1) + g0 * a1 + g1 * a1 AS BIGINT)
+         AS g_sum,
+       CAST(bv * (48 * 32 - 2 * a1) + b0 * a1 + b1 * a1 AS BIGINT)
+         AS b_sum
+FROM d
+""",
+    tags=("llm", "multimodal", "djvu", "crawl", "image", "render",
+          "pandas-udf"),
+)
+def q_crawl_djvu_render(spark: SparkSession, sf: str) -> DataFrame:
+    """DjVu COMPOSITE page render, oracle-exact (r16): the full
+    imaging model over the decoded subset — JB2 mask blits painted in
+    their FGbz foreground-palette colors over the IW44 background.
+
+    Each document is one page with a flat IW44 background (exact
+    through the bijective lifting), a two-blit JB2 mask (a doc-keyed
+    glyph placed twice — once as a new-mark record, once as a
+    matched-copy — at disjoint positions), and a two-entry FGbz
+    palette whose BZZ-compressed per-blit index stream assigns a
+    different color to each blit.  Per-channel pixel sums are
+    closed-form: background value times uncovered area plus each
+    blit's color times its glyph area.  The value path crosses all
+    three DjVu layer codecs AND the blit-order pairing between the
+    mask and the palette, so a desync in any of them (or in the BZZ
+    stack under the FGbz index stream) breaks the sums.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 48)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..operators import rawdjvu
+
+        cols = ("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                glyph = np.ones((1 + did % 4, 2 + did % 5), np.uint8)
+                bv = 120 + did % 80
+                pal = [(40 + did % 200, 10 + did % 90,
+                        200 - did % 150),
+                       (5 + did % 60, 220 - did % 180,
+                        30 + did % 120)]
+                blob = rawdjvu.build_djvu([{
+                    "width": 48, "height": 32,
+                    "mask": [(glyph, 0, 0), (0, 24, 16)],
+                    "background": np.full((32, 48), bv, np.uint8),
+                    "fg_palette": pal,
+                    "fg_indices": [0, 1],
+                }])
+                page = rawdjvu.render_djvu_page(blob)
+                rows["doc_id"].append(did)
+                rows["height"].append(page.shape[0])
+                rows["width"].append(page.shape[1])
+                rows["r_sum"].append(int(page[:, :, 0]
+                                         .sum(dtype="int64")))
+                rows["g_sum"].append(int(page[:, :, 1]
+                                         .sum(dtype="int64")))
+                rows["b_sum"].append(int(page[:, :, 2]
+                                         .sum(dtype="int64")))
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        make,
+        "doc_id long, width long, height long, r_sum long, "
+        "g_sum long, b_sum long",
+    )
+
+
+@register(
     "q_crawl_djvu_text",
     oracle="""
 WITH d AS (

@@ -167,3 +167,75 @@ def test_djvu_opaque_standins_raise_per_row():
     blob = rawdjvu.build_djvu([{"width": 64, "height": 48}])
     with pytest.raises(ValueError):
         rawdjvu.extract_djvu_images(blob)
+
+
+# ------------------------------------------------- FGbz + composite (r16)
+
+
+def test_fgbz_roundtrip_and_gates():
+    f = rawdjvu.build_fgbz([(1, 2, 3), (250, 99, 0)], [1, 0, 1])
+    out = rawdjvu.parse_fgbz(f)
+    assert out["palette"] == [(1, 2, 3), (250, 99, 0)]
+    assert out["indices"] == [1, 0, 1]
+    # palette-only chunk (no index stream)
+    out = rawdjvu.parse_fgbz(rawdjvu.build_fgbz([(9, 9, 9)]))
+    assert out["indices"] is None
+    with pytest.raises(ValueError, match="palette index"):
+        rawdjvu.build_fgbz([(1, 1, 1)], [2])
+    with pytest.raises(ValueError, match="shorter"):
+        rawdjvu.parse_fgbz(b"\x00")
+
+
+def test_composite_render_colors_blits_over_background():
+    g1 = np.ones((4, 5), np.uint8)
+    g2 = np.ones((3, 2), np.uint8)
+    bg = np.full((32, 48), 200, np.uint8)
+    blob = rawdjvu.build_djvu([{
+        "width": 48, "height": 32,
+        "mask": [(g1, 1, 1), (g2, 20, 10), (0, 30, 20)],
+        "background": bg,
+        "fg_palette": [(250, 10, 20), (5, 99, 200)],
+        "fg_indices": [0, 1, 1],
+    }])
+    page = rawdjvu.render_djvu_page(blob)
+    assert page.shape == (32, 48, 3)
+    assert tuple(page[2, 2]) == (250, 10, 20)
+    assert tuple(page[11, 21]) == (5, 99, 200)
+    # the matched-copy blit (g1 at 30,20) takes the THIRD index
+    assert tuple(page[22, 32]) == (5, 99, 200)
+    assert tuple(page[0, 0]) == (200, 200, 200)
+    covered = 20 + 6 + 20
+    exp = 200 * 3 * (32 * 48 - covered) \
+        + (250 + 10 + 20) * 20 + (5 + 99 + 200) * (6 + 20)
+    assert int(page.sum(dtype="int64")) == exp
+
+
+def test_composite_render_defaults():
+    """No FGbz: ink paints black; no BG44: page starts white."""
+    blob = rawdjvu.build_djvu([{
+        "width": 16, "height": 16,
+        "mask": [(np.ones((3, 2), np.uint8), 0, 0)],
+    }])
+    page = rawdjvu.render_djvu_page(blob)
+    assert tuple(page[0, 0]) == (0, 0, 0)
+    assert tuple(page[15, 15]) == (255, 255, 255)
+
+
+def test_render_fgbz_blit_count_mismatch_is_loud():
+    blob = rawdjvu.build_djvu([{
+        "width": 16, "height": 16,
+        "mask": [(np.ones((2, 2), np.uint8), 0, 0)],
+        "fg_palette": [(1, 1, 1)],
+        "fg_indices": [0, 0],   # two indices, one blit
+    }])
+    with pytest.raises(ValueError, match="blit count"):
+        rawdjvu.render_djvu_page(blob)
+
+
+def test_jb2_blit_order_is_record_order():
+    g1 = np.ones((2, 3), np.uint8)
+    g2 = np.ones((1, 1), np.uint8)
+    blob = rawjb2.encode_jb2(20, 20, [(g1, 0, 0), (g2, 5, 5), (0, 9, 9)])
+    blits = rawjb2.decode_jb2_blits(blob)
+    assert [(b[1], b[2]) for b in blits] == [(0, 0), (5, 5), (9, 9)]
+    assert blits[2][0].shape == (2, 3)  # matched copy resolves to g1
