@@ -10,10 +10,10 @@ compresses to (each glyph coded once, reused everywhere).
 Provenance tiers (the BZZ/VP9 discipline):
 
 - REAL (spec structure): the record-stream organization, the symbol
-  library add/reuse semantics, the 10-pixel direct-coding context
-  (three pixels two rows up, five one row up, two to the left — 1024
-  adaptive ZP contexts), and the ZP coder itself
-  (:mod:`..sources.bzz`).
+  library add/reuse/refine semantics, the 10-pixel direct-coding
+  context (three pixels two rows up, five one row up, two to the left
+  — 1024 adaptive ZP contexts), center alignment of refinement
+  references, and the ZP coder itself (:mod:`..sources.bzz`).
 - SYNTHETIC-SUBSET, marked: the adaptive number coder here is a
   contexted binary-search tree over ``[low, high]`` (one lazily
   allocated ZP context per visited node) standing in for the
@@ -24,9 +24,11 @@ Provenance tiers (the BZZ/VP9 discipline):
   documented per-row boundary — doubly so while the ZP table's
   high-state tail is formula-reconstructed (``sources/bzz.py``).
 
-Out of scope, loud: refinement records, comments, required
-dictionaries (shared shape tables), and record types outside the
-subset above.
+Refinement records (type 4, r16) decode too: the refined bitmap is
+coded against its center-aligned library ancestor through a 13-pixel
+current+reference context and joins the library.  Out of scope, loud:
+comments, required dictionaries (shared shape tables), and the other
+record types.
 
 Reference behavioral parity: the reference transport stores opaque
 named byte arrays per message (RawdataMessage.java:15-60); media
@@ -42,6 +44,7 @@ from ..sources.bzz import ZPDecoder, ZPEncoder
 #: record types (DjVu v3 reference numbering)
 REC_START = 0
 REC_NEW_MARK = 1       # add to image and library
+REC_REFINE = 4         # matched symbol with refinement, add to both
 REC_MATCHED_COPY = 6   # place a library symbol by index
 REC_END = 11
 
@@ -138,6 +141,63 @@ def _encode_bitmap(zp: ZPEncoder, ctx: list, bm: np.ndarray) -> None:
             zp.encode(int(bm[y, x]), ctx, _direct_ctx(bm, y, x))
 
 
+def _refine_ctx(bm: np.ndarray, ref: np.ndarray, y: int, x: int,
+                oy: int, ox: int) -> int:
+    """13-pixel refinement context: 4 causal pixels of the bitmap
+    being decoded ((y-1, x-1..x+1), (y, x-1)) plus the 3×3 reference
+    neighborhood around the center-aligned position (spec shape; the
+    exact pixel set is the documented subset choice — shared by both
+    directions)."""
+    h, w = bm.shape
+    rh, rw = ref.shape
+
+    def cur(yy, xx):
+        if yy < 0 or xx < 0 or xx >= w:
+            return 0
+        return int(bm[yy, xx])
+
+    def rp(yy, xx):
+        if yy < 0 or xx < 0 or yy >= rh or xx >= rw:
+            return 0
+        return int(ref[yy, xx])
+
+    c = 0
+    for xx in (x - 1, x, x + 1):
+        c = (c << 1) | cur(y - 1, xx)
+    c = (c << 1) | cur(y, x - 1)
+    ry, rx = y - oy, x - ox
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            c = (c << 1) | rp(ry + dy, rx + dx)
+    return c
+
+
+def _center_offset(sh: int, sw: int, rh: int, rw: int) -> tuple:
+    """Center alignment of the reference under the refined bitmap."""
+    return ((sh - 1) // 2 - (rh - 1) // 2,
+            (sw - 1) // 2 - (rw - 1) // 2)
+
+
+def _decode_refined(zp: ZPDecoder, ctx: list, w: int, h: int,
+                    ref: np.ndarray) -> np.ndarray:
+    bm = np.zeros((h, w), np.uint8)
+    oy, ox = _center_offset(h, w, *ref.shape)
+    for y in range(h):
+        for x in range(w):
+            bm[y, x] = zp.decode(ctx, _refine_ctx(bm, ref, y, x, oy, ox))
+    return bm
+
+
+def _encode_refined(zp: ZPEncoder, ctx: list, bm: np.ndarray,
+                    ref: np.ndarray) -> None:
+    h, w = bm.shape
+    oy, ox = _center_offset(h, w, *ref.shape)
+    for y in range(h):
+        for x in range(w):
+            zp.encode(int(bm[y, x]), ctx,
+                      _refine_ctx(bm, ref, y, x, oy, ox))
+
+
 class _Dists:
     """The per-stream number distributions (one adaptive tree each,
     like the reference's separate NumContexts per field)."""
@@ -158,6 +218,7 @@ def _decode_stream(data: bytes) -> tuple[int, int, list]:
     zp = ZPDecoder(bytes(data))
     d = _Dists()
     direct_ctx = [0] * 1024
+    refine_ctx = [0] * 8192
     rec = d.rec_type.decode(zp, 0, 11)
     if rec != REC_START:
         raise ValueError("jb2: stream does not begin with start-of-data")
@@ -177,6 +238,16 @@ def _decode_stream(data: bytes) -> tuple[int, int, list]:
             if sw * sh > MAX_PIXELS:
                 raise ValueError("jb2: symbol too large")
             bm = _decode_bitmap(zp, direct_ctx, sw, sh)
+            library.append(bm)
+        elif rec == REC_REFINE:
+            if not library:
+                raise ValueError("jb2: refinement with empty library")
+            idx = d.sym_index.decode(zp, 0, len(library) - 1)
+            sw = d.sym_size.decode(zp, 1, MAX_DIM)
+            sh = d.sym_size.decode(zp, 1, MAX_DIM)
+            if sw * sh > MAX_PIXELS:
+                raise ValueError("jb2: symbol too large")
+            bm = _decode_refined(zp, refine_ctx, sw, sh, library[idx])
             library.append(bm)
         elif rec == REC_MATCHED_COPY:
             if not library:
@@ -218,18 +289,39 @@ def decode_jb2(data: bytes) -> np.ndarray:
 
 def encode_jb2(w: int, h: int, marks: list) -> bytes:
     """Exact dual of :func:`decode_jb2`.  ``marks`` is a list of
-    ``(bitmap, x, y)`` (a new symbol each) or ``(index, x, y)`` with
-    an int index (a matched copy of an earlier mark)."""
+    ``(bitmap, x, y)`` (a new symbol each), ``(index, x, y)`` with an
+    int index (a matched copy of an earlier mark), or
+    ``("refine", index, bitmap, x, y)`` (a refinement of mark
+    ``index``, coded against it through the refinement context and
+    added to the library)."""
     if w <= 0 or h <= 0 or w * h > MAX_PIXELS:
         raise ValueError("jb2: image size outside bounds")
     zp = ZPEncoder()
     d = _Dists()
     direct_ctx = [0] * 1024
+    refine_ctx = [0] * 8192
     d.rec_type.encode(zp, REC_START, 0, 11)
     d.image_size.encode(zp, w, 0, MAX_DIM)
     d.image_size.encode(zp, h, 0, MAX_DIM)
     n_lib = 0
+    lib_bitmaps: list = []
     for mark in marks:
+        if len(mark) == 5 and mark[0] == "refine":
+            _tag, ridx, bmr, x, y = mark
+            if not 0 <= ridx < n_lib:
+                raise ValueError("jb2: refined index out of range")
+            bmr = np.asarray(bmr, np.uint8)
+            sh, sw = bmr.shape
+            d.rec_type.encode(zp, REC_REFINE, 0, 11)
+            d.sym_index.encode(zp, int(ridx), 0, n_lib - 1)
+            d.sym_size.encode(zp, sw, 1, MAX_DIM)
+            d.sym_size.encode(zp, sh, 1, MAX_DIM)
+            _encode_refined(zp, refine_ctx, bmr, lib_bitmaps[ridx])
+            lib_bitmaps.append(bmr)
+            n_lib += 1
+            d.sym_col.encode(zp, int(x), 0, max(0, w - 1))
+            d.sym_row.encode(zp, int(y), 0, max(0, h - 1))
+            continue
         first, x, y = mark
         if isinstance(first, (int, np.integer)):
             if not 0 <= first < n_lib:
@@ -243,6 +335,7 @@ def encode_jb2(w: int, h: int, marks: list) -> bytes:
             d.sym_size.encode(zp, sw, 1, MAX_DIM)
             d.sym_size.encode(zp, sh, 1, MAX_DIM)
             _encode_bitmap(zp, direct_ctx, bm)
+            lib_bitmaps.append(bm)
             n_lib += 1
         d.sym_col.encode(zp, int(x), 0, max(0, w - 1))
         d.sym_row.encode(zp, int(y), 0, max(0, h - 1))

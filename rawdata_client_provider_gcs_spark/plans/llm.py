@@ -7063,7 +7063,8 @@ SELECT d.doc_id,
        CAST(2 AS BIGINT) AS n_pages,
        CAST(64 AS BIGINT) AS mask_w,
        CAST(48 AS BIGINT) AS mask_h,
-       CAST(2 * (h1 * w1 + h2 * w2) AS BIGINT) AS mask_ink,
+       CAST(2 * (h1 * w1 + h2 * w2) + h1 * (w1 + 1) AS BIGINT)
+         AS mask_ink,
        CAST(bgw AS BIGINT) AS bg_w,
        CAST(32 AS BIGINT) AS bg_h,
        bg.bg_sum
@@ -7077,9 +7078,11 @@ def q_crawl_djvu_image(spark: SparkSession, sf: str) -> DataFrame:
 
     Each document is a two-page bundled DJVM: page 0 carries a
     JB2-coded ``Sjbz`` bitonal mask (two doc-keyed glyphs, each coded
-    once as a new-mark record and re-placed via a matched-copy record
-    — the symbol-library shape scanned text compresses to,
-    :mod:`..operators.rawjb2`), page 1 an IW44-coded ``BG44`` gray
+    once as a new-mark record and re-placed via a matched-copy record,
+    plus a REFINEMENT record coded against the first glyph through
+    the reference-keyed context — the symbol-library shape scanned
+    text compresses to, :mod:`..operators.rawjb2`), page 1 an
+    IW44-coded ``BG44`` gray
     background (a doc-keyed ramp through the integer interpolating-
     wavelet lifting and the EZW-shaped ZP slice walk,
     :mod:`..operators.rawiw44`).  JB2 placements are disjoint, so the
@@ -7111,8 +7114,12 @@ def q_crawl_djvu_image(spark: SparkSession, sf: str) -> DataFrame:
                 did = int(did)
                 g1 = np.ones((1 + did % 5, 2 + did % 4), np.uint8)
                 g2 = np.ones((2 + did % 3, 1 + did % 6), np.uint8)
+                # a refinement record widens g1 by one column (coded
+                # against it through the reference-keyed context)
+                g1r = np.ones((g1.shape[0], g1.shape[1] + 1), np.uint8)
                 marks = [(g1, 0, 0), (g2, 32, 24),
-                         (0, 16, 8), (1, 48, 40)]
+                         (0, 16, 8), (1, 48, 40),
+                         ("refine", 0, g1r, 8, 30)]
                 bgw = 32 + 32 * (did % 2)
                 r = np.arange(32)[:, None]
                 c = np.arange(bgw)[None, :]

@@ -239,3 +239,41 @@ def test_jb2_blit_order_is_record_order():
     blits = rawjb2.decode_jb2_blits(blob)
     assert [(b[1], b[2]) for b in blits] == [(0, 0), (5, 5), (9, 9)]
     assert blits[2][0].shape == (2, 3)  # matched copy resolves to g1
+
+
+# ------------------------------------------------ JB2 refinement (r16)
+
+
+def test_jb2_refinement_roundtrip_and_library_growth():
+    rs = np.random.RandomState(5)
+    base = (rs.rand(8, 6) > 0.5).astype(np.uint8)
+    refined = base.copy()
+    refined[0, :] ^= 1
+    bigger = np.ones((10, 8), np.uint8)  # refinement with size change
+    marks = [(base, 0, 0), ("refine", 0, refined, 10, 0),
+             ("refine", 0, bigger, 20, 5), (1, 30, 10)]
+    blits = rawjb2.decode_jb2_blits(rawjb2.encode_jb2(40, 20, marks))
+    assert np.array_equal(blits[0][0], base)
+    assert np.array_equal(blits[1][0], refined)
+    assert np.array_equal(blits[2][0], bigger)
+    # the matched copy indexes the REFINED entry (library position 1)
+    assert np.array_equal(blits[3][0], refined)
+
+
+def test_jb2_refinement_exploits_the_reference():
+    """A near-identical refinement codes smaller through the
+    reference-keyed context than as a fresh direct-coded mark."""
+    rs = np.random.RandomState(5)
+    base = (rs.rand(24, 24) > 0.5).astype(np.uint8)
+    refined = base.copy()
+    refined[3, 7] ^= 1
+    a = rawjb2.encode_jb2(60, 30, [(base, 0, 0),
+                                   ("refine", 0, refined, 30, 0)])
+    b = rawjb2.encode_jb2(60, 30, [(base, 0, 0), (refined, 30, 0)])
+    assert len(a) < len(b)
+
+
+def test_jb2_refinement_gates():
+    with pytest.raises(ValueError, match="refined index"):
+        rawjb2.encode_jb2(10, 10, [("refine", 0,
+                                    np.ones((2, 2), np.uint8), 0, 0)])
