@@ -205,8 +205,9 @@ def build_djvu_page(
       encoder);
     - ``mask`` — a :func:`rawjb2.encode_jb2` marks list — embeds a
       JB2-coded ``Sjbz`` bitonal mask at the page size;
-    - ``background`` — a (H, W) uint8 array — embeds an IW44-coded
-      ``BG44`` gray background;
+    - ``background`` — a (H, W) uint8 array, or a (Y, Cb, Cr) plane
+      tuple — embeds an IW44-coded ``BG44`` gray or color
+      background;
     - ``fg_palette`` (+ optional per-blit ``fg_indices``) — RGB
       triples — embeds an ``FGbz`` foreground palette keyed to the
       mask's blit order (:func:`build_fgbz`)."""
@@ -227,7 +228,16 @@ def build_djvu_page(
     if background is not None:
         from . import rawiw44
 
-        body += _chunk(b"BG44", rawiw44.encode_iw44(background))
+        if isinstance(background, tuple):
+            # (Y, Cb, Cr[, crcbdelay]) planes -> COLOR IW44 (r16)
+            planes, delay = background[:3], 0
+            if len(background) == 4:
+                delay = int(background[3])
+            body += _chunk(b"BG44",
+                           rawiw44.encode_iw44_color(*planes,
+                                                     delay=delay))
+        else:
+            body += _chunk(b"BG44", rawiw44.encode_iw44(background))
     if color:
         if background is None:
             body += _chunk(b"BG44", b"\x00IW44-opaque")
@@ -583,12 +593,18 @@ def render_djvu_page(data: bytes) -> "object":
         raise ValueError("djvu: page without INFO")
     w, h = info["width"], info["height"]
     if bg44 is not None:
-        bg = rawiw44.decode_iw44(bg44)
+        if rawiw44.iw44_is_gray(bg44):
+            bg = rawiw44.decode_iw44(bg44)
+            rgb = np.repeat(bg[:, :, None], 3, axis=2)
+        else:
+            rgb = rawiw44.ycbcr_to_rgb(
+                *rawiw44.decode_iw44_color(bg44))
+            bg = rgb[:, :, 0]
         if bg.shape != (h, w):
             raise ValueError(
                 "djvu: subsampled background outside the render subset"
             )
-        page = np.repeat(bg[:, :, None], 3, axis=2).astype(np.uint8)
+        page = rgb.astype(np.uint8)
     else:
         page = np.full((h, w, 3), 255, np.uint8)
     if sjbz is not None:
@@ -650,14 +666,20 @@ def extract_djvu_images(data: bytes) -> dict:
     pages = []
     for start, end in page_ranges:
         page = {"mask_w": 0, "mask_h": 0, "mask_ink": 0,
-                "bg_w": 0, "bg_h": 0, "bg_sum": 0}
+                "bg_w": 0, "bg_h": 0, "bg_sum": 0, "bg_color": False}
         for tag, cpos, ln in _chunks(data, start, end):
             if tag == b"Sjbz":
                 bm = rawjb2.decode_jb2(data[cpos : cpos + ln])
                 page["mask_h"], page["mask_w"] = bm.shape
                 page["mask_ink"] = int(bm.sum())
             elif tag == b"BG44":
-                bg = rawiw44.decode_iw44(data[cpos : cpos + ln])
+                blob = data[cpos : cpos + ln]
+                if rawiw44.iw44_is_gray(blob):
+                    bg = rawiw44.decode_iw44(blob)
+                else:
+                    # color: report the luma plane's sum (r16)
+                    bg = rawiw44.decode_iw44_color(blob)[0]
+                    page["bg_color"] = True
                 page["bg_h"], page["bg_w"] = bg.shape
                 page["bg_sum"] = int(bg.sum(dtype="int64"))
         pages.append(page)

@@ -26,10 +26,14 @@ Provenance tiers (the BZZ/VP9/JB2 discipline):
   BG44 stays the per-row boundary (doubly so while the ZP table's
   high-state tail is formula-reconstructed, ``sources/bzz.py``).
 
-Out of scope, loud: color chrominance planes (the crcbdelay
-machinery), progressive multi-chunk serials, masked wavelet
-projection, and partial-slice truncation on decode (the encoder only
-writes full-fidelity streams).
+Color chunks (r16) decode too: three Y/Cb/Cr plane sets share one
+slice stream, the header's gray flag (0x80 = NO chroma, the
+DjVuLibre convention) routes decode, and the crcbdelay byte starts
+chroma coding that many slices after luma (the total slice count
+grows by the delay, so full-fidelity color round-trips stay
+value-exact).  Out of scope, loud: progressive multi-chunk serials,
+masked wavelet projection, and partial-slice truncation on decode
+(the encoder only writes full-fidelity streams).
 
 Reference behavioral parity: the reference transport stores opaque
 named byte arrays per message (RawdataMessage.java:15-60); media
@@ -154,80 +158,104 @@ def _bucket_coords():
 _BUCKETS = _bucket_coords()
 
 
-def _code_slices(zp, coeff_blocks, nplanes: int, decode: bool) -> None:
-    """The EZW-shaped slice walk, shared by both directions: per
-    plane (MSB→LSB) × band × block × bucket, a bucket-activation
-    decision, per-coefficient significance + raw sign, then raw
-    refinement bits for coefficients significant since an earlier
-    plane.  ``coeff_blocks`` holds int64 (BLOCK, BLOCK) arrays —
-    encoder truth in, decoder reconstruction out (exact once every
-    plane is coded, since the lifting is integer)."""
-    n_blocks = len(coeff_blocks)
-    if decode:
-        # plane at which each coefficient became significant (-1 =
-        # not yet); filled in as discovered
-        sig_plane = [np.full((_BLOCK, _BLOCK), -1, np.int32)
-                     for _ in range(n_blocks)]
-    else:
-        # encoder knows it up front: highest set bit of |c|
-        sig_plane = []
-        for cb in coeff_blocks:
-            mag = np.abs(cb)
-            sp = np.full((_BLOCK, _BLOCK), -1, np.int32)
-            nz = mag > 0
-            sp[nz] = np.int32(np.floor(np.log2(mag[nz])))
-            sig_plane.append(sp)
-            if mag.max() >= (1 << nplanes):
-                raise ValueError("iw44: coefficient wider than planes")
-    bucket_ctx = [[0] for _ in range(len(_BANDS))]
-    coeff_ctx = [[0] for _ in range(len(_BANDS))]
-    for plane in range(nplanes - 1, -1, -1):
-        bit = 1 << plane
-        for bi, buckets in enumerate(_BUCKETS):
-            for blk in range(n_blocks):
-                cb = coeff_blocks[blk]
-                sp = sig_plane[blk]
-                for bucket in buckets:
-                    # "not yet significant" agrees across directions:
-                    # decoder's undiscovered (-1) set IS the encoder's
-                    # sig_plane <= current-plane set
+class _PlaneState:
+    """One component's slice-coding state: coefficient blocks, the
+    per-coefficient significance planes, and this plane's adaptive
+    contexts (each component keeps its own ZP context set)."""
+
+    def __init__(self, coeff_blocks, nplanes, decode):
+        self.blocks = coeff_blocks
+        if decode:
+            self.sp = [np.full((_BLOCK, _BLOCK), -1, np.int32)
+                       for _ in coeff_blocks]
+        else:
+            self.sp = []
+            for cb in coeff_blocks:
+                mag = np.abs(cb)
+                sp = np.full((_BLOCK, _BLOCK), -1, np.int32)
+                nz = mag > 0
+                sp[nz] = np.int32(np.floor(np.log2(mag[nz])))
+                self.sp.append(sp)
+                if mag.max() >= (1 << nplanes):
+                    raise ValueError(
+                        "iw44: coefficient wider than planes")
+        self.bucket_ctx = [[0] for _ in range(len(_BANDS))]
+        self.coeff_ctx = [[0] for _ in range(len(_BANDS))]
+
+
+def _code_plane_slice(zp, st: "_PlaneState", plane: int,
+                      decode: bool) -> None:
+    """One bitplane of one component: per band × block × bucket, a
+    bucket-activation decision, per-coefficient significance + raw
+    sign, then raw refinement bits (the EZW shape)."""
+    bit = 1 << plane
+    for bi, buckets in enumerate(_BUCKETS):
+        for blk, cb in enumerate(st.blocks):
+            sp = st.sp[blk]
+            for bucket in buckets:
+                # "not yet significant" agrees across directions:
+                # decoder's undiscovered (-1) set IS the encoder's
+                # sig_plane <= current-plane set
+                if decode:
+                    news = [(y, x) for y, x in bucket if sp[y, x] < 0]
+                else:
+                    news = [(y, x) for y, x in bucket
+                            if sp[y, x] <= plane]
+                if news:
                     if decode:
-                        news = [(y, x) for y, x in bucket
-                                if sp[y, x] < 0]
+                        active = zp.decode(st.bucket_ctx[bi], 0)
                     else:
-                        news = [(y, x) for y, x in bucket
-                                if sp[y, x] <= plane]
-                    if news:
-                        if decode:
-                            active = zp.decode(bucket_ctx[bi], 0)
-                        else:
-                            active = int(any(sp[y, x] == plane
-                                             for y, x in news))
-                            zp.encode(active, bucket_ctx[bi], 0)
-                        if active:
-                            for y, x in news:
-                                if decode:
-                                    if zp.decode(coeff_ctx[bi], 0):
-                                        neg = zp.decode_raw()
-                                        cb[y, x] = -bit if neg else bit
-                                        sp[y, x] = plane
-                                else:
-                                    s = 1 if sp[y, x] == plane else 0
-                                    zp.encode(s, coeff_ctx[bi], 0)
-                                    if s:
-                                        zp.encode_raw(
-                                            1 if cb[y, x] < 0 else 0)
-                    # refinement: significant since an EARLIER plane
-                    for y, x in bucket:
-                        if sp[y, x] > plane:
+                        active = int(any(sp[y, x] == plane
+                                         for y, x in news))
+                        zp.encode(active, st.bucket_ctx[bi], 0)
+                    if active:
+                        for y, x in news:
                             if decode:
-                                if zp.decode_raw():
-                                    cb[y, x] += (bit if cb[y, x] > 0
-                                                 else -bit)
+                                if zp.decode(st.coeff_ctx[bi], 0):
+                                    neg = zp.decode_raw()
+                                    cb[y, x] = -bit if neg else bit
+                                    sp[y, x] = plane
                             else:
-                                zp.encode_raw(
-                                    1 if (abs(int(cb[y, x])) & bit)
-                                    else 0)
+                                sig = 1 if sp[y, x] == plane else 0
+                                zp.encode(sig, st.coeff_ctx[bi], 0)
+                                if sig:
+                                    zp.encode_raw(
+                                        1 if cb[y, x] < 0 else 0)
+                # refinement: significant since an EARLIER plane
+                for y, x in bucket:
+                    if sp[y, x] > plane:
+                        if decode:
+                            if zp.decode_raw():
+                                cb[y, x] += (bit if cb[y, x] > 0
+                                             else -bit)
+                        else:
+                            zp.encode_raw(
+                                1 if (abs(int(cb[y, x])) & bit)
+                                else 0)
+
+
+def _code_slices(zp, coeff_blocks, nplanes: int, decode: bool) -> None:
+    """Gray slice walk (single component, MSB→LSB)."""
+    st = _PlaneState(coeff_blocks, nplanes, decode)
+    for plane in range(nplanes - 1, -1, -1):
+        _code_plane_slice(zp, st, plane, decode)
+
+
+def _code_slices_color(zp, plane_blocks: list, nplanes: int,
+                       delay: int, decode: bool) -> None:
+    """Color slice walk: per slice, the luma bitplane then — once
+    ``delay`` slices have passed (the crcbdelay semantics: chroma
+    starts late, trading its fidelity for early luma) — the two
+    chroma bitplanes.  Total slices = nplanes + delay so chroma is
+    fully coded."""
+    states = [_PlaneState(b, nplanes, decode) for b in plane_blocks]
+    for si in range(nplanes + delay):
+        for pi, st in enumerate(states):
+            shift = 0 if pi == 0 else delay
+            plane = nplanes - 1 - (si - shift)
+            if si < shift or plane < 0 or plane >= nplanes:
+                continue
+            _code_plane_slice(zp, st, plane, decode)
 
 
 def _pad32(img: np.ndarray) -> np.ndarray:
@@ -258,40 +286,127 @@ def encode_iw44(arr: np.ndarray) -> bytes:
     zp = ZPEncoder()
     _code_slices(zp, blocks, nplanes, decode=False)
     body = zp.flush()
-    # serial 0, slices (= planes here), major (gray: 1), minor,
-    # height/width big-endian, initial-delay byte
-    hdr = struct.pack(">BBBBHHB", 0, nplanes, 1, 2, w, h, 0)
+    # serial 0, slices (= planes here), major (0x80 = NO chroma, the
+    # DjVuLibre flag convention), minor, height/width BE, crcbdelay
+    hdr = struct.pack(">BBBBHHB", 0, nplanes, 0x81, 2, w, h, 0)
     return hdr + body
 
 
-def decode_iw44(data: bytes) -> np.ndarray:
-    """IW44 chunk body → (H, W) uint8 gray.  Raises ``ValueError``
-    outside the documented subset (first serial chunk, gray, full
-    fidelity)."""
-    data = bytes(data)
+def _split_blocks(img: np.ndarray) -> list:
+    ph, pw = img.shape
+    return [img[by : by + _BLOCK, bx : bx + _BLOCK]
+            for by in range(0, ph, _BLOCK)
+            for bx in range(0, pw, _BLOCK)]
+
+
+def encode_iw44_color(y: np.ndarray, cb: np.ndarray, cr: np.ndarray,
+                      *, delay: int = 0) -> bytes:
+    """(H, W) uint8 Y/Cb/Cr planes (chroma centered on 128) → one
+    full-fidelity COLOR IW44 chunk body.  ``delay`` is the crcbdelay:
+    chroma slice coding starts that many slices after luma (0 keeps
+    the round trip value-exact; the total slice count grows by the
+    delay so chroma still codes fully)."""
+    y = np.asarray(y, np.uint8)
+    cb = np.asarray(cb, np.uint8)
+    cr = np.asarray(cr, np.uint8)
+    if y.ndim != 2 or y.shape != cb.shape or y.shape != cr.shape:
+        raise ValueError("iw44: Y/Cb/Cr planes must share one shape")
+    h, w = y.shape
+    if h == 0 or w == 0 or 3 * h * w > MAX_PIXELS:
+        raise ValueError("iw44: image size outside bounds")
+    if not 0 <= delay <= 16:
+        raise ValueError("iw44: crcbdelay outside bounds")
+    plane_blocks = []
+    maxmag = 1
+    for plane in (y, cb, cr):
+        img = _pad32(plane.astype(np.int64) - 128)
+        _transform(img, inverse=False)
+        blocks = _split_blocks(img)
+        maxmag = max(maxmag,
+                     max(int(np.abs(b).max()) for b in blocks))
+        plane_blocks.append(blocks)
+    nplanes = max(1, maxmag.bit_length())
+    zp = ZPEncoder()
+    _code_slices_color(zp, plane_blocks, nplanes, delay, decode=False)
+    body = zp.flush()
+    hdr = struct.pack(">BBBBHHB", 0, nplanes + delay, 0x01, 2, w, h,
+                      delay)
+    return hdr + body
+
+
+def _parse_header(data: bytes):
     if len(data) < 9:
         raise ValueError("iw44: chunk shorter than its header")
     serial, slices, major, _minor, w, h, delay = struct.unpack(
         ">BBBBHHB", data[:9])
     if serial != 0:
         raise ValueError("iw44: continuation serials undecoded")
-    if major & 0x80:
-        raise ValueError("iw44: color chunks outside the decoded subset")
     if (major & 0x7F) != 1:
         raise ValueError("iw44: unknown major version")
-    if delay != 0:
-        raise ValueError("iw44: crcbdelay outside the decoded subset")
-    if slices < 1 or slices > 48:
+    if slices < 1 or slices > 64:
         raise ValueError("iw44: slice count outside bounds")
     if w == 0 or h == 0 or w * h > MAX_PIXELS:
         raise ValueError("iw44: image size outside bounds")
+    return slices, bool(major & 0x80), w, h, delay
+
+
+def iw44_is_gray(data: bytes) -> bool:
+    return _parse_header(bytes(data))[1]
+
+
+def decode_iw44(data: bytes) -> np.ndarray:
+    """Gray IW44 chunk body → (H, W) uint8.  Color chunks decode via
+    :func:`decode_iw44_color` (this raises on them loudly)."""
+    data = bytes(data)
+    slices, gray, w, h, delay = _parse_header(data)
+    if not gray:
+        raise ValueError(
+            "iw44: color chunk (decode via decode_iw44_color)"
+        )
+    if delay != 0:
+        raise ValueError("iw44: crcbdelay on a gray chunk")
     ph = (h + _BLOCK - 1) // _BLOCK * _BLOCK
     pw = (w + _BLOCK - 1) // _BLOCK * _BLOCK
     img = np.zeros((ph, pw), np.int64)
-    blocks = [img[by : by + _BLOCK, bx : bx + _BLOCK]
-              for by in range(0, ph, _BLOCK)
-              for bx in range(0, pw, _BLOCK)]
     zp = ZPDecoder(data[9:])
-    _code_slices(zp, blocks, slices, decode=True)
+    _code_slices(zp, _split_blocks(img), slices, decode=True)
     _transform(img, inverse=True)
     return np.clip(img[:h, :w] + 128, 0, 255).astype(np.uint8)
+
+
+def decode_iw44_color(data: bytes) -> tuple:
+    """Color IW44 chunk body → (Y, Cb, Cr) uint8 planes."""
+    data = bytes(data)
+    slices, gray, w, h, delay = _parse_header(data)
+    if gray:
+        raise ValueError("iw44: gray chunk (decode via decode_iw44)")
+    if 3 * w * h > MAX_PIXELS:
+        raise ValueError("iw44: image size outside bounds")
+    nplanes = slices - delay
+    if nplanes < 1:
+        raise ValueError("iw44: crcbdelay exceeds the slice count")
+    ph = (h + _BLOCK - 1) // _BLOCK * _BLOCK
+    pw = (w + _BLOCK - 1) // _BLOCK * _BLOCK
+    imgs = [np.zeros((ph, pw), np.int64) for _ in range(3)]
+    zp = ZPDecoder(data[9:])
+    _code_slices_color(zp, [_split_blocks(i) for i in imgs],
+                       nplanes, delay, decode=True)
+    out = []
+    for img in imgs:
+        _transform(img, inverse=True)
+        out.append(np.clip(img[:h, :w] + 128, 0, 255).astype(np.uint8))
+    return tuple(out)
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray,
+                 cr: np.ndarray) -> np.ndarray:
+    """Standard Rec.601 full-range conversion (the JPEG matrix) →
+    (H, W, 3) uint8 RGB."""
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0,
+                   255).astype(np.uint8)

@@ -7067,7 +7067,8 @@ SELECT d.doc_id,
          AS mask_ink,
        CAST(bgw AS BIGINT) AS bg_w,
        CAST(32 AS BIGINT) AS bg_h,
-       bg.bg_sum
+       bg.bg_sum,
+       d.doc_id % 2 = 1 AS bg_color
 FROM d JOIN bg USING (doc_id)
 """,
     tags=("llm", "multimodal", "djvu", "crawl", "image", "pandas-udf"),
@@ -7088,7 +7089,8 @@ def q_crawl_djvu_image(spark: SparkSession, sf: str) -> DataFrame:
     :mod:`..operators.rawiw44`).  JB2 placements are disjoint, so the
     ink count is the closed-form glyph-area sum; the IW44 lifting is
     bijective and the stream full-fidelity, so the background sum is
-    the ramp's closed form.  Any desync in the record grammar, the
+    the ramp's closed form — odd documents carry a COLOR background
+    (three-plane slice stream; the oracle keys on the luma plane).  Any desync in the record grammar, the
     direct-coding context walk, the bucket/band ladder or the
     significance state machine breaks the values.  Provenance tiers
     (spec structure vs marked synthetic subsets, and the ZP-table
@@ -7107,7 +7109,7 @@ def q_crawl_djvu_image(spark: SparkSession, sf: str) -> DataFrame:
         from ..operators import rawdjvu
 
         cols = ("doc_id", "n_pages", "mask_w", "mask_h", "mask_ink",
-                "bg_w", "bg_h", "bg_sum")
+                "bg_w", "bg_h", "bg_sum", "bg_color")
         for pdf in batches:
             rows = {k: [] for k in cols}
             for did in pdf["doc_id"]:
@@ -7124,9 +7126,19 @@ def q_crawl_djvu_image(spark: SparkSession, sf: str) -> DataFrame:
                 r = np.arange(32)[:, None]
                 c = np.arange(bgw)[None, :]
                 bgimg = ((r * 3 + c * 5 + did) % 97 + 64).astype(np.uint8)
+                if did % 2:
+                    # COLOR background: the doc ramp as luma, flat
+                    # doc-keyed chroma, crcbdelay rotating 0-3; the
+                    # oracle keys on the luma sum (conversion-free)
+                    bg = (bgimg,
+                          np.full((32, bgw), 100 + did % 56, np.uint8),
+                          np.full((32, bgw), 160 - did % 64, np.uint8),
+                          (did // 2) % 4)
+                else:
+                    bg = bgimg
                 blob = rawdjvu.build_djvu([
                     {"width": 64, "height": 48, "mask": marks},
-                    {"width": bgw, "height": 32, "background": bgimg},
+                    {"width": bgw, "height": 32, "background": bg},
                 ], bundled=True)
                 out = rawdjvu.extract_djvu_images(blob)
                 p0, p1 = out["pages"]
@@ -7138,12 +7150,14 @@ def q_crawl_djvu_image(spark: SparkSession, sf: str) -> DataFrame:
                 rows["bg_w"].append(p1["bg_w"])
                 rows["bg_h"].append(p1["bg_h"])
                 rows["bg_sum"].append(p1["bg_sum"])
+                rows["bg_color"].append(p1["bg_color"])
             yield pd.DataFrame(rows)
 
     return d.mapInPandas(
         make,
         "doc_id long, n_pages long, mask_w long, mask_h long, "
-        "mask_ink long, bg_w long, bg_h long, bg_sum long",
+        "mask_ink long, bg_w long, bg_h long, bg_sum long, "
+        "bg_color boolean",
     )
 
 

@@ -118,11 +118,46 @@ def test_iw44_subset_gates_are_loud():
     with pytest.raises(ValueError, match="continuation"):
         rawiw44.decode_iw44(bytes(blob))
     blob = bytearray(rawiw44.encode_iw44(g))
-    blob[2] |= 0x80  # color flag
+    blob[2] &= 0x7F  # clear the NO-chroma flag: now a color chunk
     with pytest.raises(ValueError, match="color"):
         rawiw44.decode_iw44(bytes(blob))
+    cblob = rawiw44.encode_iw44_color(g, g, g)
+    with pytest.raises(ValueError, match="gray"):
+        rawiw44.decode_iw44_color(rawiw44.encode_iw44(g))
+    with pytest.raises(ValueError, match="color"):
+        rawiw44.decode_iw44(cblob)
     with pytest.raises(ValueError, match="shorter"):
         rawiw44.decode_iw44(b"\x00\x01")
+
+
+@pytest.mark.parametrize("delay", [0, 2, 5])
+def test_iw44_color_roundtrip_exact(delay):
+    """Three-plane color with crcbdelay: chroma starts late but codes
+    fully, so the round trip stays value-exact at every delay."""
+    rs = np.random.RandomState(40 + delay)
+    y, cb, cr = (rs.randint(0, 256, (40, 56)).astype(np.uint8)
+                 for _ in range(3))
+    blob = rawiw44.encode_iw44_color(y, cb, cr, delay=delay)
+    oy, ocb, ocr = rawiw44.decode_iw44_color(blob)
+    assert np.array_equal(oy, y)
+    assert np.array_equal(ocb, cb)
+    assert np.array_equal(ocr, cr)
+    assert not rawiw44.iw44_is_gray(blob)
+
+
+def test_djvu_color_background_layers():
+    y = np.full((32, 48), 90, np.uint8)
+    cb = np.full((32, 48), 140, np.uint8)
+    cr = np.full((32, 48), 120, np.uint8)
+    blob = rawdjvu.build_djvu([{
+        "width": 48, "height": 32, "background": (y, cb, cr),
+    }])
+    out = rawdjvu.extract_djvu_images(blob)
+    page = out["pages"][0]
+    assert page["bg_color"] and page["bg_sum"] == 90 * 32 * 48
+    rgbpage = rawdjvu.render_djvu_page(blob)
+    exp = rawiw44.ycbcr_to_rgb(y, cb, cr)
+    assert np.array_equal(rgbpage, exp)
 
 
 # ------------------------------------------------- container integration
