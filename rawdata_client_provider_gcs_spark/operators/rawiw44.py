@@ -50,7 +50,12 @@ from ..sources.bzz import ZPDecoder, ZPEncoder
 
 _LEVELS = 3
 _BLOCK = 32
-MAX_PIXELS = 4 << 20
+# each coefficient costs up to one Python ZP decision PER SLICE, so
+# the pixel cap and the pixel x slice budget together bound hostile
+# CPU (~30 s of coder calls); real full-page DjVu is the documented
+# throughput boundary (SCALE.md)
+MAX_PIXELS = 1 << 20
+MAX_DECISIONS = 1 << 25
 
 #: band ladder: (level, orientation) per band; band 0 is the 4×4
 #: low-pass bucket of the coarsest level
@@ -354,11 +359,20 @@ def iw44_is_gray(data: bytes) -> bool:
     return _parse_header(bytes(data))[1]
 
 
+def _decision_guard(w: int, h: int, slices: int,
+                    planes: int = 1) -> None:
+    ph = (h + _BLOCK - 1) // _BLOCK * _BLOCK
+    pw = (w + _BLOCK - 1) // _BLOCK * _BLOCK
+    if planes * ph * pw * slices > MAX_DECISIONS:
+        raise ValueError("iw44: pixel x slice budget over the cap (bomb)")
+
+
 def decode_iw44(data: bytes) -> np.ndarray:
     """Gray IW44 chunk body → (H, W) uint8.  Color chunks decode via
     :func:`decode_iw44_color` (this raises on them loudly)."""
     data = bytes(data)
     slices, gray, w, h, delay = _parse_header(data)
+    _decision_guard(w, h, slices)
     if not gray:
         raise ValueError(
             "iw44: color chunk (decode via decode_iw44_color)"
@@ -382,6 +396,7 @@ def decode_iw44_color(data: bytes) -> tuple:
         raise ValueError("iw44: gray chunk (decode via decode_iw44)")
     if 3 * w * h > MAX_PIXELS:
         raise ValueError("iw44: image size outside bounds")
+    _decision_guard(w, h, slices, 3)
     nplanes = slices - delay
     if nplanes < 1:
         raise ValueError("iw44: crcbdelay exceeds the slice count")

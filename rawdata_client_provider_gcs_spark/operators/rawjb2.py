@@ -48,9 +48,14 @@ REC_REFINE = 4         # matched symbol with refinement, add to both
 REC_MATCHED_COPY = 6   # place a library symbol by index
 REC_END = 11
 
-#: hostile-input bounds
+#: hostile-input bounds.  Besides the page cap, the DECODED-symbol
+#: budget bounds hostile CPU: each symbol pixel is one Python-level
+#: ZP decision (~1 M/s), and record count alone would let a crafted
+#: stream demand 65k × 4 Mpx symbols.
 MAX_DIM = 1 << 14
 MAX_PIXELS = 4 << 20
+MAX_SYMBOL_PIXELS = 1 << 20
+MAX_TOTAL_SYMBOL_PIXELS = 1 << 22
 MAX_RECORDS = 1 << 16
 
 
@@ -228,26 +233,31 @@ def _decode_stream(data: bytes) -> tuple[int, int, list]:
         raise ValueError("jb2: image size outside bounds")
     library: list = []
     blits: list = []
+    budget = MAX_TOTAL_SYMBOL_PIXELS
     for _ in range(MAX_RECORDS):
         rec = d.rec_type.decode(zp, 0, 11)
         if rec == REC_END:
             return w, h, blits
-        if rec == REC_NEW_MARK:
+        if rec in (REC_NEW_MARK, REC_REFINE):
+            if rec == REC_REFINE:
+                if not library:
+                    raise ValueError(
+                        "jb2: refinement with empty library")
+                idx = d.sym_index.decode(zp, 0, len(library) - 1)
             sw = d.sym_size.decode(zp, 1, MAX_DIM)
             sh = d.sym_size.decode(zp, 1, MAX_DIM)
-            if sw * sh > MAX_PIXELS:
+            if sw * sh > MAX_SYMBOL_PIXELS:
                 raise ValueError("jb2: symbol too large")
-            bm = _decode_bitmap(zp, direct_ctx, sw, sh)
-            library.append(bm)
-        elif rec == REC_REFINE:
-            if not library:
-                raise ValueError("jb2: refinement with empty library")
-            idx = d.sym_index.decode(zp, 0, len(library) - 1)
-            sw = d.sym_size.decode(zp, 1, MAX_DIM)
-            sh = d.sym_size.decode(zp, 1, MAX_DIM)
-            if sw * sh > MAX_PIXELS:
-                raise ValueError("jb2: symbol too large")
-            bm = _decode_refined(zp, refine_ctx, sw, sh, library[idx])
+            budget -= sw * sh
+            if budget < 0:
+                raise ValueError(
+                    "jb2: decoded symbol pixels over the budget (bomb)"
+                )
+            if rec == REC_NEW_MARK:
+                bm = _decode_bitmap(zp, direct_ctx, sw, sh)
+            else:
+                bm = _decode_refined(zp, refine_ctx, sw, sh,
+                                     library[idx])
             library.append(bm)
         elif rec == REC_MATCHED_COPY:
             if not library:
@@ -312,6 +322,8 @@ def encode_jb2(w: int, h: int, marks: list) -> bytes:
                 raise ValueError("jb2: refined index out of range")
             bmr = np.asarray(bmr, np.uint8)
             sh, sw = bmr.shape
+            if sw * sh > MAX_SYMBOL_PIXELS:
+                raise ValueError("jb2: symbol too large")
             d.rec_type.encode(zp, REC_REFINE, 0, 11)
             d.sym_index.encode(zp, int(ridx), 0, n_lib - 1)
             d.sym_size.encode(zp, sw, 1, MAX_DIM)
@@ -331,6 +343,8 @@ def encode_jb2(w: int, h: int, marks: list) -> bytes:
         else:
             bm = np.asarray(first, np.uint8)
             sh, sw = bm.shape
+            if sw * sh > MAX_SYMBOL_PIXELS:
+                raise ValueError("jb2: symbol too large")
             d.rec_type.encode(zp, REC_NEW_MARK, 0, 11)
             d.sym_size.encode(zp, sw, 1, MAX_DIM)
             d.sym_size.encode(zp, sh, 1, MAX_DIM)

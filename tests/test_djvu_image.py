@@ -312,3 +312,19 @@ def test_jb2_refinement_gates():
     with pytest.raises(ValueError, match="refined index"):
         rawjb2.encode_jb2(10, 10, [("refine", 0,
                                     np.ones((2, 2), np.uint8), 0, 0)])
+
+
+def test_hostile_cpu_budgets_are_loud():
+    """Crafted streams demanding huge decode work raise instead of
+    burning minutes of coder calls."""
+    import struct
+
+    # IW44 header claiming a big image x many slices
+    hdr = struct.pack(">BBBBHHB", 0, 60, 0x81, 2, 1024, 1024, 0)
+    with pytest.raises(ValueError, match="bomb|bounds"):
+        rawiw44.decode_iw44(hdr + b"\x00" * 64)
+    # JB2 symbol budget: the encoder itself refuses giant symbols
+    with pytest.raises(ValueError, match="too large"):
+        rawjb2.encode_jb2(
+            1000, 1000,
+            [(np.ones((1100, 1000), np.uint8), 0, 0)])
