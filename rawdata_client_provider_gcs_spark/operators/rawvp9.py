@@ -1526,12 +1526,19 @@ def _refresh_slots(slots: list, mask: int, fr: "_Frame", hdr: dict):
             slots[i] = entry
 
 
+#: per-GOP frame cap — each frame costs a full Python partition walk,
+#: and WebM carriage legally holds ~1M blocks per track
+MAX_GOP_FRAMES = 1 << 10
+
+
 def decode_gop(frames: list[bytes]) -> dict:
     """A group of VP9 frames (keyframe first) → ``{"width", "height",
     "frames": [(y, u, v), ...]}``.  Keyframes refresh every reference
     slot; inter frames reference and refresh per their headers."""
     if not frames:
         raise ValueError("vp9: empty group")
+    if len(frames) > MAX_GOP_FRAMES:
+        raise ValueError("vp9: frame count over the group cap (bomb)")
     slots: list = [None] * 8
     out = []
     width = height = None
