@@ -192,7 +192,8 @@ def build_djvu_page(
     width: int, height: int, *, dpi: int = 300,
     text: bool | str = False, anno: bool | str = False,
     color: bool = False, mask: list | None = None,
-    background=None, fg_palette: list | None = None,
+    background=None, foreground=None,
+    fg_palette: list | None = None,
     fg_indices: list | None = None,
 ) -> bytes:
     """One FORM:DJVU page with an INFO chunk.  By default the image
@@ -208,6 +209,9 @@ def build_djvu_page(
     - ``background`` — a (H, W) uint8 array, or a (Y, Cb, Cr) plane
       tuple — embeds an IW44-coded ``BG44`` gray or color
       background;
+    - ``foreground`` — gray array or (Y, Cb, Cr) tuple — embeds an
+      IW44-coded ``FG44`` foreground layer (the pixel-map alternative
+      to the palette);
     - ``fg_palette`` (+ optional per-blit ``fg_indices``) — RGB
       triples — embeds an ``FGbz`` foreground palette keyed to the
       mask's blit order (:func:`build_fgbz`)."""
@@ -238,10 +242,19 @@ def build_djvu_page(
                                                      delay=delay))
         else:
             body += _chunk(b"BG44", rawiw44.encode_iw44(background))
+    if foreground is not None:
+        from . import rawiw44
+
+        if isinstance(foreground, tuple):
+            body += _chunk(b"FG44",
+                           rawiw44.encode_iw44_color(*foreground))
+        else:
+            body += _chunk(b"FG44", rawiw44.encode_iw44(foreground))
     if color:
         if background is None:
             body += _chunk(b"BG44", b"\x00IW44-opaque")
-        body += _chunk(b"FG44", b"\x00IW44-fg!")
+        if foreground is None:
+            body += _chunk(b"FG44", b"\x00IW44-fg!")
     if text:
         if text is True:
             text = "scanned page text"
@@ -579,7 +592,7 @@ def render_djvu_page(data: bytes) -> "object":
             f"djvu: unsupported top-level FORM type {form_type!r}"
         )
     info = None
-    sjbz = bg44 = fgbz = None
+    sjbz = bg44 = fgbz = fg44 = None
     for tag, cpos, ln in _chunks(data, start, end):
         if tag == b"INFO":
             info = _parse_info(data, cpos, ln)
@@ -589,6 +602,8 @@ def render_djvu_page(data: bytes) -> "object":
             bg44 = data[cpos : cpos + ln]
         elif tag == b"FGbz":
             fgbz = data[cpos : cpos + ln]
+        elif tag == b"FG44":
+            fg44 = data[cpos : cpos + ln]
     if info is None:
         raise ValueError("djvu: page without INFO")
     w, h = info["width"], info["height"]
@@ -610,19 +625,35 @@ def render_djvu_page(data: bytes) -> "object":
     if sjbz is not None:
         blits = rawjb2.decode_jb2_blits(sjbz)
         colors = None
+        fgimg = None
         if fgbz is not None:
+            # per-blit palette colors take precedence (the compact
+            # representation encoders prefer for text)
             fg = parse_fgbz(fgbz)
             colors = fg["indices"], fg["palette"]
             if colors[0] is not None and len(colors[0]) != len(blits):
                 raise ValueError(
                     "djvu: FGbz blit count disagrees with the mask"
                 )
+        elif fg44 is not None:
+            if rawiw44.iw44_is_gray(fg44):
+                g = rawiw44.decode_iw44(fg44)
+                fgimg = np.repeat(g[:, :, None], 3, axis=2)
+            else:
+                fgimg = rawiw44.ycbcr_to_rgb(
+                    *rawiw44.decode_iw44_color(fg44))
+            if fgimg.shape[:2] != (h, w):
+                raise ValueError(
+                    "djvu: subsampled foreground outside the render "
+                    "subset"
+                )
         for bi, (bm, x, y) in enumerate(blits):
+            col = None
             if colors is not None and colors[0] is not None:
                 col = colors[1][colors[0][bi]]
             elif colors is not None:
                 col = colors[1][0]
-            else:
+            elif fgimg is None:
                 col = (0, 0, 0)
             sh, sw = bm.shape
             ph, pw = min(sh, h - y), min(sw, w - x)
@@ -630,8 +661,11 @@ def render_djvu_page(data: bytes) -> "object":
                 continue
             region = page[y : y + ph, x : x + pw]
             on = bm[:ph, :pw].astype(bool)
-            for ch in range(3):
-                region[:, :, ch][on] = col[ch]
+            if col is not None:
+                for ch in range(3):
+                    region[:, :, ch][on] = col[ch]
+            else:
+                region[on] = fgimg[y : y + ph, x : x + pw][on]
     return page
 
 
@@ -666,7 +700,8 @@ def extract_djvu_images(data: bytes) -> dict:
     pages = []
     for start, end in page_ranges:
         page = {"mask_w": 0, "mask_h": 0, "mask_ink": 0,
-                "bg_w": 0, "bg_h": 0, "bg_sum": 0, "bg_color": False}
+                "bg_w": 0, "bg_h": 0, "bg_sum": 0, "bg_color": False,
+                "fg_w": 0, "fg_h": 0, "fg_sum": 0}
         for tag, cpos, ln in _chunks(data, start, end):
             if tag == b"Sjbz":
                 bm = rawjb2.decode_jb2(data[cpos : cpos + ln])
@@ -682,6 +717,14 @@ def extract_djvu_images(data: bytes) -> dict:
                     page["bg_color"] = True
                 page["bg_h"], page["bg_w"] = bg.shape
                 page["bg_sum"] = int(bg.sum(dtype="int64"))
+            elif tag == b"FG44":
+                blob = data[cpos : cpos + ln]
+                if rawiw44.iw44_is_gray(blob):
+                    fgl = rawiw44.decode_iw44(blob)
+                else:
+                    fgl = rawiw44.decode_iw44_color(blob)[0]
+                page["fg_h"], page["fg_w"] = fgl.shape
+                page["fg_sum"] = int(fgl.sum(dtype="int64"))
         pages.append(page)
     return {"n_pages": len(pages), "pages": pages}
 

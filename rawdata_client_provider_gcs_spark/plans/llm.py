@@ -7177,11 +7177,17 @@ WITH d AS (
 SELECT doc_id,
        CAST(48 AS BIGINT) AS width,
        CAST(32 AS BIGINT) AS height,
-       CAST(bv * (48 * 32 - 2 * a1) + r0 * a1 + r1 * a1 AS BIGINT)
+       CAST(bv * (48 * 32 - 2 * a1)
+            + CASE WHEN doc_id % 2 = 0 THEN r0 * a1 + r1 * a1
+                   ELSE 2 * (35 + doc_id % 100) * a1 END AS BIGINT)
          AS r_sum,
-       CAST(bv * (48 * 32 - 2 * a1) + g0 * a1 + g1 * a1 AS BIGINT)
+       CAST(bv * (48 * 32 - 2 * a1)
+            + CASE WHEN doc_id % 2 = 0 THEN g0 * a1 + g1 * a1
+                   ELSE 2 * (35 + doc_id % 100) * a1 END AS BIGINT)
          AS g_sum,
-       CAST(bv * (48 * 32 - 2 * a1) + b0 * a1 + b1 * a1 AS BIGINT)
+       CAST(bv * (48 * 32 - 2 * a1)
+            + CASE WHEN doc_id % 2 = 0 THEN b0 * a1 + b1 * a1
+                   ELSE 2 * (35 + doc_id % 100) * a1 END AS BIGINT)
          AS b_sum
 FROM d
 """,
@@ -7198,7 +7204,9 @@ def q_crawl_djvu_render(spark: SparkSession, sf: str) -> DataFrame:
     glyph placed twice — once as a new-mark record, once as a
     matched-copy — at disjoint positions), and a two-entry FGbz
     palette whose BZZ-compressed per-blit index stream assigns a
-    different color to each blit.  Per-channel pixel sums are
+    different color to each blit (even documents) — or an IW44-coded
+    ``FG44`` pixel-map foreground, the palette's alternative
+    representation (odd documents).  Per-channel pixel sums are
     closed-form: background value times uncovered area plus each
     blit's color times its glyph area.  The value path crosses all
     three DjVu layer codecs AND the blit-order pairing between the
@@ -7228,13 +7236,20 @@ def q_crawl_djvu_render(spark: SparkSession, sf: str) -> DataFrame:
                         200 - did % 150),
                        (5 + did % 60, 220 - did % 180,
                         30 + did % 120)]
-                blob = rawdjvu.build_djvu([{
+                spec = {
                     "width": 48, "height": 32,
                     "mask": [(glyph, 0, 0), (0, 24, 16)],
                     "background": np.full((32, 48), bv, np.uint8),
-                    "fg_palette": pal,
-                    "fg_indices": [0, 1],
-                }])
+                }
+                if did % 2 == 0:
+                    spec["fg_palette"] = pal
+                    spec["fg_indices"] = [0, 1]
+                else:
+                    # FG44 pixel-map foreground (gray, so the
+                    # composite stays conversion-free closed-form)
+                    spec["foreground"] = np.full(
+                        (32, 48), 35 + did % 100, np.uint8)
+                blob = rawdjvu.build_djvu([spec])
                 page = rawdjvu.render_djvu_page(blob)
                 rows["doc_id"].append(did)
                 rows["height"].append(page.shape[0])

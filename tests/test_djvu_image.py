@@ -328,3 +328,33 @@ def test_hostile_cpu_budgets_are_loud():
         rawjb2.encode_jb2(
             1000, 1000,
             [(np.ones((1100, 1000), np.uint8), 0, 0)])
+
+
+def test_fg44_pixel_map_foreground():
+    """FG44 (the pixel-map alternative to FGbz): ink takes the
+    foreground layer's per-pixel colors; the palette, when present,
+    wins (encoder preference order)."""
+    fg = (np.full((16, 24), 30, np.uint8),
+          np.full((16, 24), 200, np.uint8),
+          np.full((16, 24), 80, np.uint8))
+    bg = np.full((16, 24), 220, np.uint8)
+    blob = rawdjvu.build_djvu([{
+        "width": 24, "height": 16,
+        "mask": [(np.ones((4, 4), np.uint8), 2, 2)],
+        "background": bg, "foreground": fg,
+    }])
+    page = rawdjvu.render_djvu_page(blob)
+    exp = rawiw44.ycbcr_to_rgb(*[p[:1, :1] for p in fg])[0, 0]
+    assert tuple(page[3, 3]) == tuple(exp)
+    assert tuple(page[0, 0]) == (220, 220, 220)
+    out = rawdjvu.extract_djvu_images(blob)
+    assert out["pages"][0]["fg_sum"] == 30 * 16 * 24
+    # palette beats the pixel map when both are present
+    blob2 = rawdjvu.build_djvu([{
+        "width": 24, "height": 16,
+        "mask": [(np.ones((4, 4), np.uint8), 2, 2)],
+        "foreground": np.full((16, 24), 7, np.uint8),
+        "fg_palette": [(9, 8, 7)], "fg_indices": [0],
+    }])
+    page2 = rawdjvu.render_djvu_page(blob2)
+    assert tuple(page2[3, 3]) == (9, 8, 7)
