@@ -65,11 +65,14 @@ _BANDS = [("LL", 3), ("HL", 3), ("LH", 3), ("HH", 3),
 
 
 def _mirror(i: int, n: int) -> int:
-    if i < 0:
-        i = -i
-    if i >= n:
-        i = (2 * n - 2 - i) if n > 1 else 0
-    return i
+    """Whole-sample symmetric extension for ANY index (periodic
+    double reflection — a single reflection under-corrects once
+    ``|i|`` exceeds ``2n-2``, which tiny vectors hit)."""
+    if n == 1:
+        return 0
+    period = 2 * n - 2
+    i %= period
+    return period - i if i >= n else i
 
 
 def _lift1d(v: np.ndarray, inverse: bool) -> None:

@@ -358,3 +358,77 @@ def test_fg44_pixel_map_foreground():
     }])
     page2 = rawdjvu.render_djvu_page(blob2)
     assert tuple(page2[3, 3]) == (9, 8, 7)
+
+
+# ----------------------------------------------- hypothesis properties
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=100, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1))
+def test_prop_numcoder_roundtrip(seed):
+    """The adaptive number coder round-trips arbitrary (low, high,
+    value) sequences, including reused distributions and degenerate
+    one-value ranges."""
+    from rawdata_client_provider_gcs_spark.sources.bzz import (
+        ZPDecoder,
+        ZPEncoder,
+    )
+
+    rng = np.random.RandomState(seed)
+    triples = []
+    for _ in range(rng.randint(1, 30)):
+        low = int(rng.randint(-1000, 1000))
+        high = low + int(rng.randint(0, 5000))
+        triples.append((low, high, int(rng.randint(low, high + 1))))
+    enc = ZPEncoder()
+    ncs = [rawjb2._NumCoder() for _ in range(3)]
+    for i, (lo, hi, v) in enumerate(triples):
+        ncs[i % 3].encode(enc, v, lo, hi)
+    blob = enc.flush()
+    dec = ZPDecoder(blob)
+    ncs2 = [rawjb2._NumCoder() for _ in range(3)]
+    for i, (lo, hi, v) in enumerate(triples):
+        assert ncs2[i % 3].decode(dec, lo, hi) == v
+
+
+@settings(max_examples=100, deadline=None)
+@given(n=st.integers(1, 70), seed=st.integers(0, 2**32 - 1))
+def test_prop_iw44_lift_is_bijective(n, seed):
+    rng = np.random.RandomState(seed)
+    v = rng.randint(-4000, 4000, n).astype(np.int64)
+    w = v.copy()
+    rawiw44._lift1d(w, inverse=False)
+    rawiw44._lift1d(w, inverse=True)
+    assert np.array_equal(w, v)
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 2**32 - 1))
+def test_prop_jb2_random_marks_roundtrip(seed):
+    rng = np.random.RandomState(seed)
+    w, h = int(rng.randint(8, 48)), int(rng.randint(8, 32))
+    marks = []
+    n_lib = 0
+    for _ in range(rng.randint(1, 6)):
+        kind = rng.randint(0, 3)
+        x, y = int(rng.randint(0, w)), int(rng.randint(0, h))
+        if kind == 0 or n_lib == 0:
+            bm = (rng.rand(rng.randint(1, 9), rng.randint(1, 9))
+                  > 0.5).astype(np.uint8)
+            marks.append((bm, x, y))
+            n_lib += 1
+        elif kind == 1:
+            marks.append((int(rng.randint(0, n_lib)), x, y))
+        else:
+            bm = (rng.rand(rng.randint(1, 9), rng.randint(1, 9))
+                  > 0.5).astype(np.uint8)
+            marks.append(("refine", int(rng.randint(0, n_lib)),
+                          bm, x, y))
+            n_lib += 1
+    blob = rawjb2.encode_jb2(w, h, marks)
+    ww, hh, blits = rawjb2._decode_stream(blob)
+    assert (ww, hh) == (w, h)
+    assert len(blits) == len(marks)
