@@ -245,6 +245,11 @@ _SKIP_PROBS = [192, 128, 64]
 _IS_INTER_PROBS = [200, 128, 56]  # ctx = above.inter + left.inter
 _NEWMV_PROB = 160                 # bit 0 = ZEROMV, 1 = NEWMV
 _MV_BITS = 10                     # |component| < 1024 eighth-pel
+# per-block single-ref selection tree (LAST / GOLDEN / ALTREF):
+# bit1 0 -> LAST; else bit2 0 -> GOLDEN, 1 -> ALTREF
+_REF_P1 = 140
+_REF_P2 = 128
+LAST_FRAME, GOLDEN_FRAME, ALTREF_FRAME = 0, 1, 2
 
 
 def _synth_coef_probs(band: int, ctx: int) -> tuple:
@@ -792,6 +797,7 @@ class _Frame:
         self.mvs = np.zeros((self.mi_rows, self.mi_cols, 2), np.int32)
         self.inter = np.zeros((self.mi_rows, self.mi_cols), np.int32)
         self.ref_planes = None
+        self.ref_list = None  # [LAST, GOLDEN, ALTREF] plane sets
         if lossless:
             self.dq = ((4, 4), (4, 4))
         else:
@@ -1209,6 +1215,15 @@ def _decode_modes(fr, dec, mi_r, mi_c, bsize, inter_frame=False):
     if inter_frame and bsize >= _BS_8X8:
         is_inter = dec.decode(_IS_INTER_PROBS[_inter_ctx(fr, mi_r, mi_c)])
         if is_inter:
+            # per-block single-reference selection (r16): the block
+            # picks LAST / GOLDEN / ALTREF among the frame header's
+            # three slot indices
+            if dec.decode(_REF_P1):
+                ref = ALTREF_FRAME if dec.decode(_REF_P2) \
+                    else GOLDEN_FRAME
+            else:
+                ref = LAST_FRAME
+            fr.ref_planes = fr.ref_list[ref]
             if dec.decode(_NEWMV_PROB):
                 mv = _decode_mv(dec)
             else:
@@ -1314,8 +1329,8 @@ def _decode_compressed_header(ch, lossless: bool,
                 "vp9: skip probability updates outside the subset"
             )
     if inter_frame:
-        # is-inter (3 ctx), NEWMV, mv sign/magnitude prob slots
-        for _ in range(3 + 1 + 2):
+        # is-inter (3 ctx), ref-select (2), NEWMV, mv prob slots
+        for _ in range(3 + 2 + 1 + 2):
             if ch.decode(252):
                 raise ValueError(
                     "vp9: inter probability updates outside the subset"
@@ -1324,11 +1339,13 @@ def _decode_compressed_header(ch, lossless: bool,
 
 
 def _walk_frame(hdr: dict, data: bytes, tx_mode: int,
-                inter_frame: bool = False, ref_planes=None) -> "_Frame":
+                inter_frame: bool = False, ref_planes=None,
+                ref_list=None) -> "_Frame":
     fr = _Frame(hdr["width"], hdr["height"], hdr["lossless"],
                 hdr["base_q"], hdr["dq_y_dc"], hdr["dq_uv_dc"],
                 hdr["dq_uv_ac"], tx_mode)
     fr.ref_planes = ref_planes
+    fr.ref_list = ref_list
     co = hdr["compressed_offset"]
     tile = _bool_dec(data[co + hdr["header_size"] :])
     for sb_r in range(0, fr.mi_rows, 8):
@@ -1464,16 +1481,15 @@ def _read_inter_header(data: bytes, slots: list) -> dict:
     _fixture_shape(err_res == 0, "error-resilient mode")
     _fixture_shape(b.u(2) == 0, "reset_frame_context")
     refresh_flags = b.u(8)
-    ref_idx = None
-    for i in range(3):
-        idx = b.u(3)
+    refs = []
+    for _ in range(3):
+        refs.append(b.u(3))
         _fixture_shape(b.u(1) == 0, "ref sign bias")
-        if i == 0:
-            ref_idx = idx
-        else:
-            _fixture_shape(idx == ref_idx, "multi-ref slots")
-    if ref_idx >= len(slots) or slots[ref_idx] is None:
-        raise ValueError("vp9: inter frame references an empty slot")
+    for idx in refs:
+        if idx >= len(slots) or slots[idx] is None:
+            raise ValueError(
+                "vp9: inter frame references an empty slot")
+    ref_idx = refs[0]  # LAST: frame size and the default reference
     found = b.u(1)
     _fixture_shape(found == 1, "explicit inter frame size")
     _fixture_shape(b.u(1) == 0, "explicit render size")
@@ -1496,6 +1512,7 @@ def _read_inter_header(data: bytes, slots: list) -> dict:
         width=width,
         height=height,
         ref_idx=ref_idx,
+        refs=tuple(refs),
         refresh_flags=refresh_flags,
         compressed_offset=comp_off,
     )
@@ -1512,8 +1529,9 @@ def decode_inter_frame(data: bytes, slots: list) -> tuple[dict, "_Frame"]:
     co = hdr["compressed_offset"]
     ch = _bool_dec(data[co : co + hdr["header_size"]])
     tx_mode = _decode_compressed_header(ch, hdr["lossless"], True)
-    fr = _walk_frame(hdr, data, tx_mode, True,
-                     slots[hdr["ref_idx"]]["planes"])
+    ref_list = [slots[i]["planes"] for i in hdr["refs"]]
+    fr = _walk_frame(hdr, data, tx_mode, True, ref_list[0],
+                     ref_list=ref_list)
     _refresh_slots(slots, hdr["refresh_flags"], fr, hdr)
     return hdr, fr
 
@@ -1617,8 +1635,16 @@ def _encode_leaf(fr, enc, mi_r, mi_c, bsize, src, mode_fn,
     if inter_frame and bsize >= _BS_8X8 and decision is not None \
             and decision[0] != "intra":
         kind = decision[0]
-        mv = (0, 0) if kind.startswith("zero") else \
-            (int(decision[1][0]), int(decision[1][1]))
+        rest = decision[1:]
+        if kind.startswith("zero"):
+            mv = (0, 0)
+            ref = int(rest[0]) if rest else LAST_FRAME
+        else:
+            mv = (int(rest[0][0]), int(rest[0][1]))
+            ref = int(rest[1]) if len(rest) > 1 else LAST_FRAME
+        if not 0 <= ref <= 2:
+            raise ValueError("vp9 fixture: ref selector out of range")
+        fr.ref_planes = fr.ref_list[ref]
         if kind.endswith("_skip"):
             _recon_block(fr, mi_r, mi_c, bsize, True, None, None,
                          False, None, mv)
@@ -1639,6 +1665,11 @@ def _encode_leaf(fr, enc, mi_r, mi_c, bsize, src, mode_fn,
                     fr.left_nz[plane][r4 : r4 + h4] = 0
         enc.encode(skip, _SKIP_PROBS[fr.skip_ctx(mi_r, mi_c)])
         enc.encode(1, _IS_INTER_PROBS[_inter_ctx(fr, mi_r, mi_c)])
+        if ref == LAST_FRAME:
+            enc.encode(0, _REF_P1)
+        else:
+            enc.encode(1, _REF_P1)
+            enc.encode(1 if ref == ALTREF_FRAME else 0, _REF_P2)
         if mv == (0, 0):
             enc.encode(0, _NEWMV_PROB)
         else:
@@ -1795,7 +1826,7 @@ def _write_tx_header(ch, tx_mode: int, lossless: bool,
     for _ in range(3):
         ch.encode(0, 252)
     if inter_frame:
-        for _ in range(3 + 1 + 2):
+        for _ in range(3 + 2 + 1 + 2):
             ch.encode(0, 252)
 
 
@@ -1902,6 +1933,8 @@ def _pad_planes(y, u, v, mi_cols: int, mi_rows: int) -> list:
 
 
 def build_interframe(slots: list, planes=None, *, ref_idx: int = 0,
+                     golden_idx: int | None = None,
+                     altref_idx: int | None = None,
                      refresh: int = 1, base_q: int = 0,
                      block_fn=None, part_fn=None, mode_fn=None,
                      tx_mode: int = 0) -> bytes:
@@ -1911,15 +1944,23 @@ def build_interframe(slots: list, planes=None, *, ref_idx: int = 0,
     target (omit for pure carry-forward / MC frames whose every block
     is a ``*_skip`` decision); ``base_q = 0`` is lossless, so any
     decision mix reproduces the target bit-exactly."""
+    if golden_idx is None:
+        golden_idx = ref_idx
+    if altref_idx is None:
+        altref_idx = ref_idx
+    refs = (ref_idx, golden_idx, altref_idx)
+    for i in refs:
+        if slots[i] is None:
+            raise ValueError(
+                "vp9 fixture: inter frame needs a filled slot")
     ref = slots[ref_idx]
-    if ref is None:
-        raise ValueError("vp9 fixture: inter frame needs a filled slot")
     w, h = ref["width"], ref["height"]
     lossless = base_q == 0
     if lossless:
         tx_mode = 0
     fr = _Frame(w, h, lossless, base_q, 0, 0, 0, tx_mode)
     fr.ref_planes = ref["planes"]
+    fr.ref_list = [slots[i]["planes"] for i in refs]
     src = None
     if planes is not None:
         y, u, v = planes
@@ -1948,8 +1989,8 @@ def build_interframe(slots: list, planes=None, *, ref_idx: int = 0,
     bw_.u(0, 1)  # error_resilient
     bw_.u(0, 2)  # reset_frame_context
     bw_.u(refresh, 8)
-    for _ in range(3):
-        bw_.u(ref_idx, 3)
+    for idx in refs:
+        bw_.u(idx, 3)
         bw_.u(0, 1)  # sign bias
     bw_.u(1, 1)  # found_ref: size from ref
     bw_.u(0, 1)  # render == frame
@@ -2016,6 +2057,8 @@ def build_gop(key_planes, specs: list, *, part_fn=None,
         blobs.append(build_interframe(
             slots, spec.get("planes"),
             ref_idx=spec.get("ref_idx", 0),
+            golden_idx=spec.get("golden_idx"),
+            altref_idx=spec.get("altref_idx"),
             refresh=spec.get("refresh", 1),
             block_fn=block_fn,
             part_fn=spec.get("part_fn"),

@@ -6460,6 +6460,18 @@ g AS (  -- frame 5 references the untouched keyframe slot
   FROM d, generate_series(0, 15) AS gr(r), generate_series(0, 31) AS gc(c)
   GROUP BY d.doc_id
 ),
+refmix AS (  -- frame 6: per-BLOCK ref mix — left leaf LAST (the
+             -- keyframe content slot 0 holds after frame 5), right
+             -- leaf GOLDEN (slot 6, refreshed by the MV frame 3)
+  SELECT d.doc_id,
+         CAST(SUM(CASE WHEN c < 16
+                  THEN (r * 31 + c * 17 + d.doc_id) % 256
+                  ELSE (LEAST(r + dr, 15) * 7 + LEAST(c + dc, 31) * 3
+                        + 2 * d.doc_id) % 256 END) AS BIGINT)
+           AS y_refmix_sum
+  FROM d, generate_series(0, 15) AS gr(r), generate_series(0, 31) AS gc(c)
+  GROUP BY d.doc_id
+),
 guv AS (
   SELECT d.doc_id,
          CAST(SUM((r * 13 + c * 7 + d.doc_id) % 256) AS BIGINT)
@@ -6470,16 +6482,18 @@ guv AS (
   GROUP BY d.doc_id
 )
 SELECT y1.doc_id,
-       CAST(6 AS BIGINT) AS n_frames,
+       CAST(7 AS BIGINT) AS n_frames,
        y1.y_resid_sum,
        y1.y_resid_sum AS y_carry_sum,
        mv.y_mv_sum,
        sub.y_subpel_sum,
        g.y_golden_sum,
        guv.u_golden_sum,
-       guv.v_golden_sum
+       guv.v_golden_sum,
+       refmix.y_refmix_sum
 FROM y1 JOIN mv USING (doc_id) JOIN sub USING (doc_id)
      JOIN g USING (doc_id) JOIN guv USING (doc_id)
+     JOIN refmix USING (doc_id)
 """,
     tags=("llm", "multimodal", "video", "vp9", "inter", "pandas-udf"),
 )
@@ -6498,7 +6512,10 @@ def q_multimodal_vp9_gop(spark: SparkSession, sf: str) -> DataFrame:
     a formula — taps ``(128 - 8k, 8k)`` with per-pass
     ``(x + 64) >> 7`` rounding — restated term-by-term in SQL), and a
     golden frame referencing a bank slot only the keyframe ever
-    refreshed.  Every value flows through the is-inter/NEWMV mode
+    refreshed, and a per-BLOCK reference-selection frame (r16) whose
+    left leaf carries LAST while its right leaf carries GOLDEN from a
+    slot the MV frame parked its output in (the single-ref selection
+    tree).  Every value flows through the is-inter/NEWMV mode
     walk, the absolute-MV code, and the eight-slot reference bank, so
     any desync breaks the closed forms.  The synthetic-probability
     conformance bound and the fixture-shape header gates are
@@ -6520,7 +6537,7 @@ def q_multimodal_vp9_gop(spark: SparkSession, sf: str) -> DataFrame:
 
         cols = ("doc_id", "n_frames", "y_resid_sum", "y_carry_sum",
                 "y_mv_sum", "y_subpel_sum", "y_golden_sum",
-                "u_golden_sum", "v_golden_sum")
+                "u_golden_sum", "v_golden_sum", "y_refmix_sum")
         for pdf in batches:
             rows = {k: [] for k in cols}
             for did in pdf["doc_id"]:
@@ -6540,9 +6557,18 @@ def q_multimodal_vp9_gop(spark: SparkSession, sf: str) -> DataFrame:
                 blobs = rawvp9.build_gop((y0, u0, v0), [
                     {"planes": (y1, u1, v1)},
                     {"carry": True},
-                    {"mv": (8 * dr, 8 * dc)},
+                    # the MV frame also parks its output in slot 6
+                    # for the frame-6 per-block reference mix
+                    {"mv": (8 * dr, 8 * dc), "refresh": 0x41},
                     {"mv": (ky, kx)},
                     {"ref_idx": 3, "carry": True},
+                    # per-BLOCK ref selection (r16): left 16x16 leaf
+                    # carries LAST (slot 0 = keyframe content after
+                    # frame 5), right leaf GOLDEN (slot 6 = frame 3)
+                    {"block_fn": lambda r, c, b: (
+                        ("zero_skip",) if c < 2
+                        else ("zero_skip", rawvp9.GOLDEN_FRAME)),
+                     "golden_idx": 6},
                 ])
                 webm = rawwebm.build_webm(video=("V_VP9", 320, 240),
                                           vp9_frames=blobs)
@@ -6557,13 +6583,14 @@ def q_multimodal_vp9_gop(spark: SparkSession, sf: str) -> DataFrame:
                 rows["y_golden_sum"].append(int(fs[5][0].sum()))
                 rows["u_golden_sum"].append(int(fs[5][1].sum()))
                 rows["v_golden_sum"].append(int(fs[5][2].sum()))
+                rows["y_refmix_sum"].append(int(fs[6][0].sum()))
             yield pd.DataFrame(rows)
 
     return d.mapInPandas(
         make,
         "doc_id long, n_frames long, y_resid_sum long, y_carry_sum long, "
         "y_mv_sum long, y_subpel_sum long, y_golden_sum long, "
-        "u_golden_sum long, v_golden_sum long",
+        "u_golden_sum long, v_golden_sum long, y_refmix_sum long",
     )
 
 

@@ -394,3 +394,52 @@ def test_lossy_inter_frame_bounded():
     hdr2, fr2 = V.decode_inter_frame(blob, slots2)
     got = fr2.planes[0][:32, :64]
     assert np.abs(got - tgt[0].astype(int)).max() <= 32
+
+
+# ------------------------------------------- r16 per-block ref selection
+
+
+def test_per_block_reference_selection():
+    """Blocks pick LAST / GOLDEN / ALTREF among the frame header's
+    three slot indices — a frame can mix a diverged LAST with the
+    untouched keyframe per block."""
+    key = _planes(16, 32, 120)
+    tgt = _planes(16, 32, 121)
+
+    def mixed(r, c, b):
+        return ("zero_skip",) if (c // 2) % 2 == 0 \
+            else ("zero_skip", V.GOLDEN_FRAME)
+
+    blobs = V.build_gop(key, [
+        {"planes": tgt},                      # slot0 diverges
+        {"block_fn": mixed, "golden_idx": 1}  # GOLDEN = keyframe slot
+    ])
+    y2 = V.decode_gop(blobs)["frames"][2][0]
+    assert np.array_equal(y2[:, :16], tgt[0][:, :16])
+    assert np.array_equal(y2[:, 16:], key[0][:, 16:])
+
+
+def test_altref_selection_and_mv_on_golden():
+    key = _planes(16, 32, 130)
+    tgt = _planes(16, 32, 131)
+    blobs = V.build_gop(key, [
+        {"planes": tgt},
+        # NEWMV against ALTREF (slot 5, still the keyframe)
+        {"block_fn": lambda r, c, b: ("mv_skip", (16, 8),
+                                      V.ALTREF_FRAME),
+         "altref_idx": 5},
+    ])
+    y2 = V.decode_gop(blobs)["frames"][2][0]
+    exp = key[0][np.minimum(np.arange(16) + 2, 15)][
+        :, np.minimum(np.arange(32) + 1, 31)]
+    assert np.array_equal(y2, exp)
+
+
+def test_ref_selector_gates():
+    key = _planes(16, 32, 140)
+    with pytest.raises(ValueError, match="filled slot"):
+        slots = [None] * 8
+        hdr, fr = V._decode_keyframe_fr(V.build_gop(key, [])[0])
+        V._refresh_slots(slots, 0x01, fr, hdr)  # only slot 0 filled
+        V.build_interframe(slots, ref_idx=0, golden_idx=3,
+                           block_fn=lambda r, c, b: ("zero_skip",))
