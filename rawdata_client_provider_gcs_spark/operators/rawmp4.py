@@ -242,6 +242,34 @@ def parse_mp4(data: bytes) -> dict:
                         track["sample_rate"] = int.from_bytes(
                             data[entry + 32 : entry + 34], "big"
                         )
+                    if track["codec"] == "vp09" \
+                            and entry + 36 <= box_end:
+                        # coded dims from the VisualSampleEntry +
+                        # the vpcC configuration record
+                        track["vp9_width"] = int.from_bytes(
+                            data[entry + 32 : entry + 34], "big"
+                        )
+                        track["vp9_height"] = int.from_bytes(
+                            data[entry + 34 : entry + 36], "big"
+                        )
+                        cfg_start = entry + 8 + 78
+                        entry_end = min(
+                            entry + int.from_bytes(
+                                data[entry : entry + 4], "big"
+                            ),
+                            box_end,
+                        )
+                        for ccc, cb, ce in _walk(
+                            data, cfg_start, entry_end, budget
+                        ):
+                            if ccc != b"vpcC" or ce - cb < 10:
+                                continue
+                            track["vp9_profile"] = data[cb + 4]
+                            track["vp9_level"] = data[cb + 5]
+                            pk = data[cb + 6]
+                            track["vp9_bit_depth"] = pk >> 4
+                            track["vp9_subsampling"] = (pk >> 1) & 7
+                            break
                     if track["codec"] in ("avc1", "avc3", "hvc1", "hev1"):
                         # the codec config record sits after the
                         # 78-byte VisualSampleEntry body: parse its SPS
@@ -372,6 +400,7 @@ def build_mp4(
     samples_per_fragment: int = 8,
     duration_source: str = "trun",
     avc_sps: tuple[int, int] | None = None,
+    vp9_config: tuple[int, int, int, int] | None = None,
 ) -> bytes:
     """Write a structurally valid MP4 with empty media data (metadata
     parsing never touches codec payloads).
@@ -402,7 +431,8 @@ def build_mp4(
     tid = 1
     specs = []
     if video is not None:
-        specs.append(("vide", b"avc1", video))
+        specs.append(("vide", b"vp09" if vp9_config else b"avc1",
+                      video))
     if audio is not None:
         specs.append(("soun", b"mp4a", audio))
     for handler, codec, spec in specs:
@@ -416,7 +446,28 @@ def build_mp4(
             # size+fourcc (6 reserved + 2 dri land before entry_body):
             # 66 zeros + depth + pre_defined, then child config boxes
             entry_body = bytes(66) + (0x18).to_bytes(2, "big") + b"\xff\xff"
-            if avc_sps is not None:
+            if vp9_config is not None:
+                # vp09 sample entry: the CODED dims live in the
+                # VisualSampleEntry (bytes 16-20 of its tail; the
+                # tkhd dims above are presentation hints), followed
+                # by the VP Codec Configuration Box (vpcC, FullBox
+                # v1: profile, level, bitDepth<<4|subsampling<<1|
+                # fullRange, colour triple, 16-bit init-data size)
+                cw, chh, profile, bitdepth = vp9_config
+                entry_body = (
+                    bytes(16)
+                    + cw.to_bytes(2, "big") + chh.to_bytes(2, "big")
+                    + bytes(46) + (0x18).to_bytes(2, "big")
+                    + b"\xff\xff"
+                )
+                entry_body += _full(
+                    b"vpcC", 1,
+                    bytes([profile, 10,
+                           (bitdepth << 4) | (1 << 1) | 0,
+                           2, 2, 2])
+                    + (0).to_bytes(2, "big"),
+                )
+            elif avc_sps is not None:
                 from . import rawh264  # noqa: PLC0415
 
                 entry_body += _box(

@@ -6157,6 +6157,73 @@ def q_multimodal_ogg_meta(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "q_multimodal_mp4_vp9",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       'vp09' AS codec,
+       CAST(320 AS BIGINT) AS track_width,
+       CAST(640 + 16 * (doc_id % 20) AS BIGINT) AS vp9_width,
+       CAST(360 + 8 * (doc_id % 10) AS BIGINT) AS vp9_height,
+       CAST(doc_id % 3 AS BIGINT) AS vp9_profile,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 10 ELSE 8 END AS BIGINT)
+         AS vp9_bit_depth
+FROM documents WHERE doc_id < 200
+""",
+    tags=("llm", "multimodal", "video", "mp4", "vp9", "pandas-udf"),
+)
+def q_multimodal_mp4_vp9(spark: SparkSession, sf: str) -> DataFrame:
+    """VP9-in-MP4 carriage (r16): the ``vp09`` sample entry's coded
+    dimensions plus the ``vpcC`` VP Codec Configuration Box (profile,
+    level, packed bit-depth/subsampling byte) — completing the
+    true-dims story across all four web video codecs in MP4 the way
+    avcC/hvcC/av1C already do.  Every fixture's tkhd track header
+    LIES (320 presentation width) while the sample entry carries the
+    coded size.  All columns closed-form.
+    """
+    d = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id")
+    )
+
+    def make(batches):
+        import pandas as pd
+
+        from ..operators import rawmp4
+
+        cols = ("doc_id", "codec", "track_width", "vp9_width",
+                "vp9_height", "vp9_profile", "vp9_bit_depth")
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for did in pdf["doc_id"]:
+                did = int(did)
+                blob = rawmp4.build_mp4(
+                    video=(320, 240), audio=None,
+                    vp9_config=(640 + 16 * (did % 20),
+                                360 + 8 * (did % 10),
+                                did % 3,
+                                10 if did % 3 == 2 else 8),
+                )
+                m = rawmp4.parse_mp4(blob)
+                t = next(tt for tt in m["tracks"]
+                         if tt.get("handler") == "vide")
+                rows["doc_id"].append(did)
+                rows["codec"].append(t["codec"])
+                rows["track_width"].append(t.get("width", 320))
+                rows["vp9_width"].append(t["vp9_width"])
+                rows["vp9_height"].append(t["vp9_height"])
+                rows["vp9_profile"].append(t["vp9_profile"])
+                rows["vp9_bit_depth"].append(t["vp9_bit_depth"])
+            yield pd.DataFrame(rows)
+
+    return d.mapInPandas(
+        make,
+        "doc_id long, codec string, track_width long, vp9_width long, "
+        "vp9_height long, vp9_profile long, vp9_bit_depth long",
+    )
+
+
+@register(
     "q_multimodal_mp4_meta",
     oracle="""
 SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -443,3 +443,19 @@ def test_ref_selector_gates():
         V._refresh_slots(slots, 0x01, fr, hdr)  # only slot 0 filled
         V.build_interframe(slots, ref_idx=0, golden_idx=3,
                            block_fn=lambda r, c, b: ("zero_skip",))
+
+
+def test_vp9_mp4_carriage_vpcc():
+    """vp09 sample entry + vpcC configuration: coded dims from the
+    VisualSampleEntry (the tkhd presentation size lies), profile/
+    level/bit-depth/subsampling from the packed config byte."""
+    from rawdata_client_provider_gcs_spark.operators import rawmp4
+
+    blob = rawmp4.build_mp4(video=(320, 240), audio=None,
+                            vp9_config=(1280, 720, 2, 10))
+    t = next(tt for tt in rawmp4.parse_mp4(blob)["tracks"]
+             if tt.get("handler") == "vide")
+    assert t["codec"] == "vp09"
+    assert (t["vp9_width"], t["vp9_height"]) == (1280, 720)
+    assert t["vp9_profile"] == 2 and t["vp9_bit_depth"] == 10
+    assert t["vp9_subsampling"] == 1
