@@ -19,6 +19,7 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import local_rows_df
 
 # IVF assignment inlines the quantizer as a literal array when nlist·dim is
 # at most this many cells; beyond it the expression tree would bloat codegen
@@ -232,7 +233,8 @@ def train_centroids_kmeans(
     feats = train.select(array_to_vector(F.col(vec_col)).alias("features"))
     model = KMeans(k=nlist, seed=seed).fit(feats)
     spark = embeddings.sparkSession
-    centers = spark.createDataFrame(
+    centers = local_rows_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cid int, cvec array<double>",
     )
@@ -321,7 +323,8 @@ def ivf_cell_report(
         # literal bound the expression would bloat codegen/driver, so
         # broadcast the centroid table and argmax per vector instead
         cent = F.broadcast(
-            centroids.sparkSession.createDataFrame(
+            local_rows_df(
+                centroids.sparkSession,
                 [(int(r["cid"]), list(r["cvec"])) for r in cent_rows],
                 "cid long, cvec array<double>",
             )
@@ -350,7 +353,8 @@ def ivf_cell_report(
 
 def _cent_broadcast(cent_rows, spark):
     return F.broadcast(
-        spark.createDataFrame(
+        local_rows_df(
+            spark,
             [(int(r["cid"]), list(r["cvec"])) for r in cent_rows],
             "cid long, cvec array<double>",
         )
@@ -1038,9 +1042,20 @@ def build_ivf_index(
         centroids.select("cid", "cvec").collect(), key=lambda r: r["cid"]
     )
     assigned = _assign_cells(embeddings, cent_rows, id_col, vec_col)
-    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+    # cluster by cell before the partitioned write: without it every scan
+    # task writes a file into every cid directory (tasks x nlist small
+    # files at scale — guide §6 small-files trap) and a single-task scan
+    # writes all nlist directories serially.  One hash shuffle on cid
+    # gives one writer per cell and one file per inverted list.
+    assigned.repartition("cid").write.mode("overwrite").partitionBy(
+        "cid"
+    ).parquet(path)
     spark = embeddings.sparkSession
-    spark.createDataFrame(
+    # single-slice local relation: a defaultParallelism-sliced one pays a
+    # Python round trip per slice on this write (~6 s of pure overhead
+    # for 16 rows at 32 cores — measured r17, guide §4)
+    local_rows_df(
+        spark,
         [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cent_rows],
         "cid long, cvec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
@@ -1069,7 +1084,10 @@ def append_to_ivf_index(
         key=lambda r: r["cid"],
     )
     assigned = _assign_cells(new_embeddings, cent_rows, id_col, vec_col)
-    assigned.write.mode("append").partitionBy("cid").parquet(path)
+    # same one-writer-per-cell clustering as build_ivf_index
+    assigned.repartition("cid").write.mode("append").partitionBy(
+        "cid"
+    ).parquet(path)
 
 
 def ivf_query_index(
@@ -1106,7 +1124,7 @@ def ivf_query_index(
     # side, instead of running the probe job twice
     probe_rows = probes.collect()
     probed_cells = sorted({int(r["cid"]) for r in probe_rows})
-    probes_local = spark.createDataFrame(probe_rows, probes.schema)
+    probes_local = local_rows_df(spark, probe_rows, probes.schema)
     lists = spark.read.parquet(path).filter(F.col("cid").isin(probed_cells))
     scored = (
         lists.join(F.broadcast(probes_local), "cid")
@@ -1215,7 +1233,8 @@ def deserialize_vector_index(blob: bytes):
 
 def centroids_dataframe(spark, cids, centroids) -> DataFrame:
     """Rebuild the ``(cid, cvec)`` DataFrame the search tiers take."""
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [
             (int(c), [float(x) for x in vec])
             for c, vec in zip(cids, centroids)

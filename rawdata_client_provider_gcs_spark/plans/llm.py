@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions import text as T
 from ..operators import decontam, dedup, multimodal, similarity
+from ..session import local_rows_df
 from ..tables import load_table
 from .catalog import register
 
@@ -816,7 +817,8 @@ def q_similarity_ivf_build(spark: SparkSession, sf: str) -> DataFrame:
             .agg(F.count("*").alias("n_vectors"))
             .collect()
         )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(r["cid"], r["n_vectors"]) for r in counts],
         "cid long, n_vectors long",
     )
@@ -5100,7 +5102,8 @@ def q_text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
 
     d = load_table(spark, sf, "documents")
     merges = bpe.train_bpe(d, num_merges=30)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank long, left string, right string",
     )

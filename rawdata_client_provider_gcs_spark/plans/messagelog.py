@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..datamodel import MESSAGE_SCHEMA
+from ..session import local_rows_df
 from ..sources.topic import Topic
 from ..tables import load_table
 from .catalog import register
@@ -324,7 +325,8 @@ def q_log_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
     est = topic_stats.approx_distinct(topic, "position")
     exact = topic.dataframe().select("position").distinct().count()
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(est, exact, abs(est - exact) <= max(2, exact * 0.02))],
         "approx_distinct long, exact_distinct long, within_2pct boolean",
     )

@@ -97,3 +97,25 @@ def get_spark(
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
     return ensure_engine_confs(spark)
+
+
+def local_rows_df(spark: SparkSession, rows, schema, slices: int = 1):
+    """Driver-local rows as a SINGLE-slice DataFrame (small side tables).
+
+    ``spark.createDataFrame(rows, schema)`` slices local data into
+    ``defaultParallelism`` Python partitions; every job over the result
+    then pays one Python-worker round trip *per slice* — measured at
+    ~0.2 s x 32 slices ≈ 6 s for a 16-row centroid table on a 32-core
+    local session (optimization guide §4: every JVM↔Python crossing has
+    a fixed cost; here the crossing count was proportional to the core
+    count, not the data).  Parallelizing into one slice makes the whole
+    relation one Python partition: one round trip, identical rows.
+
+    Only for DRIVER-BOUNDED row sets (collected centroids, probe
+    batches, scalar results) — never corpus-sized data.
+    """
+    if not rows:
+        return spark.createDataFrame([], schema)
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, slices), schema
+    )

@@ -26,6 +26,8 @@ import time
 
 from pyspark.sql import functions as F
 
+from ..session import local_rows_df
+
 #: Datasketches lgConfigK — 2^12 registers, ~0.8 % relative error, ~4 KiB
 #: dense sketch per (file, column).
 DEFAULT_LG_K = 12
@@ -178,7 +180,7 @@ def approx_distinct(
     picked = [col_table[n] for n in names if col_table.get(n)]
     if not picked:
         return 0
-    sk = topic.spark.createDataFrame([(b,) for b in picked], "b string")
+    sk = local_rows_df(topic.spark, [(b,) for b in picked], "b string")
     row = sk.agg(
         F.expr("hll_sketch_estimate(hll_union_agg(unbase64(b)))").alias("est")
     ).first()
