@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from rawdata_client_provider_gcs_spark.plans import catalog
 from rawdata_client_provider_gcs_spark.session import get_spark
+from rawdata_client_provider_gcs_spark.streaming import windows as _stream_windows
 
 
 def _sf_of(sf_dir: str) -> float:
@@ -47,7 +48,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     first_runs: dict[str, float] = {}
+    # micro-batch counts per streaming bench query (r16 verdict ask #2:
+    # the stateful streaming queries are micro-batch-overhead dominated,
+    # so the count must be in the artifact for load-vs-regression calls)
+    stream_batches: dict[str, dict[str, int]] = {}
     for name, qdef in bench.items():
+        _stream_windows.LAST_RUN_BATCHES.clear()
         # one un-timed run amortizes whole-stage-codegen compilation (a
         # per-plan constant that vanishes at real scale), then the best of
         # two timed steady-state runs (JVM/OS jitter on this box is ±30%).
@@ -61,6 +67,8 @@ def main() -> None:
                 first_runs[name] = round(dt, 4)
             best = min(best, dt)
         timings[name] = round(best, 4)
+        if _stream_windows.LAST_RUN_BATCHES:
+            stream_batches[name] = dict(_stream_windows.LAST_RUN_BATCHES)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -74,6 +82,11 @@ def main() -> None:
                 # field for cross-round continuity with pre-r14 artifacts
                 "queries_first_run": first_runs,
                 "first_run_total_sec": round(sum(first_runs.values()), 4),
+                # deterministic micro-batch counts per streaming query
+                # (pinned file layouts + maxFilesPerTrigger); a driver
+                # swing on these queries with unchanged counts is load,
+                # not regression
+                "stream_batches": stream_batches,
                 "sf": _sf_of(sf_dir),
             }
         )

@@ -165,6 +165,11 @@ def _bigram_occurrences(docs, id_col: str, text_col: str):
     (transform over the token array; no window, no extra shuffle).
     Shared by :func:`bigram_stats` and :func:`bigram_lm_scores` so the
     two documented integer-exact siblings cannot silently diverge."""
+    from ..tables import scan_parallel
+
+    docs = scan_parallel(
+        docs.select(F.col(id_col), F.col(text_col)), id_col
+    )
     toks = docs.select(F.col(id_col), tokens_expr(text_col).alias("t"))
     return (
         toks.filter(F.size("t") >= 2)
@@ -298,8 +303,18 @@ def dup_substring_stats(
     # explode) — measured r8: this removes the global (doc, gram)
     # distinct shuffle entirely, leaving two shuffles total (df window
     # by gram hash, final per-doc aggregate)
+    from ..tables import scan_parallel
+
+    # parallelize the gram explode above a single-split scan (no-op on
+    # real multi-file corpora — guide §2.5 input skew)
+    docs = scan_parallel(
+        docs.filter(F.length(text_col) >= k).select(
+            F.col(id_col), F.col(text_col)
+        ),
+        id_col,
+    )
     grams = (
-        docs.filter(F.length(text_col) >= k)
+        docs
         .select(
             F.col(id_col),
             F.explode(
@@ -358,7 +373,12 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    toks = docs.select(
+    from ..tables import scan_parallel
+
+    src = scan_parallel(
+        docs.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    toks = src.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
@@ -411,10 +431,15 @@ def bm25_topk(
     final top-k is a global ``TakeOrdered`` — no full sort.
     """
     terms = [t.lower() for t in query_terms]
-    toks = docs.select(
+    from ..tables import scan_parallel
+
+    src = scan_parallel(
+        docs.select(F.col(id_col), F.col(text_col)), id_col
+    )
+    toks = src.select(
         F.col(id_col), F.explode(tokens_expr(text_col)).alias("term")
     )
-    lens = docs.select(
+    lens = src.select(
         F.col(id_col), F.size(tokens_expr(text_col)).alias("dl")
     )
     consts = lens.agg(

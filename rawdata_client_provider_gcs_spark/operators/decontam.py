@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles_expr
+from ..tables import scan_parallel
 
 
 def _gram_hashes(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
@@ -71,7 +72,14 @@ def contaminated_docs(
     bench_grams = _gram_hashes(benchmark, bench_id, bench_text, k).select(
         F.col(bench_id).alias("__bench_id"), "gram_hash"
     )
-    doc_grams = _gram_hashes(docs, id_col, text_col, k)
+    # corpus-side gram explode + broadcast probe is the narrow stage
+    # above the scan — parallelize it (no-op on multi-split corpora)
+    doc_grams = _gram_hashes(
+        scan_parallel(docs.select(F.col(id_col), F.col(text_col)), id_col),
+        id_col,
+        text_col,
+        k,
+    )
     hits = doc_grams.join(F.broadcast(bench_grams), "gram_hash")
     report = (
         hits.groupBy(id_col)
@@ -328,7 +336,12 @@ def fuzzy_contaminated_pairs(
     # dedup.ngram_jaccard_pairs: spill-safe for the duration of this
     # call, eager-materialized results, unpersisted before return — no
     # corpus-sized cache outlives the operator on a shared cluster.
-    doc_grams = _gram_hashes(docs, id_col, text_col, k)
+    doc_grams = _gram_hashes(
+        scan_parallel(docs.select(F.col(id_col), F.col(text_col)), id_col),
+        id_col,
+        text_col,
+        k,
+    )
     if materialize:
         doc_grams = doc_grams.persist(StorageLevel.MEMORY_AND_DISK)
     try:

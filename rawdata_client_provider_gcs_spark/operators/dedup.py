@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 from ..functions.text import normalized_text, shingles_expr
+from ..tables import scan_parallel
 
 # fixed mixing constants for the MinHash permutation family.  The prime is
 # 31-bit (2^31 - 1) so a*x with a,x < p stays under 2^62 — no signed-64
@@ -112,7 +113,11 @@ def ngram_jaccard_pairs(
     # join on the 64-bit shingle hash, not the string: same intersection
     # counts (collisions within one doc pair are ~|shingles|²/2^64), but the
     # shuffle moves 8-byte keys instead of multi-word strings.
-    sh = doc_shingles(df, id_col, text_col, k).select(
+    # scan_parallel: tokenize+explode is the narrow stage above the scan;
+    # on a single-row-group input it runs one-task without this (no-op on
+    # real multi-split corpora — guide §2.5).
+    src = scan_parallel(df.select(F.col(id_col), F.col(text_col)), id_col)
+    sh = doc_shingles(src, id_col, text_col, k).select(
         F.col(id_col), F.xxhash64("shingle").alias("sh")
     )
     if max_doc_freq is not None:
@@ -179,7 +184,12 @@ def minhash_signatures(
     combinable aggregate; no Python in the loop.
     """
     params = _permutation_params(num_hashes)
-    sh = doc_shingles(df, id_col, text_col, k)
+    sh = doc_shingles(
+        scan_parallel(df.select(F.col(id_col), F.col(text_col)), id_col),
+        id_col,
+        text_col,
+        k,
+    )
     base = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE))
     aggs = [
         F.min(F.pmod(F.lit(a) * base + F.lit(b), F.lit(_MERSENNE))).alias(f"mh_{i}")
@@ -231,9 +241,12 @@ def minhash_lsh_pairs(
     )
     if verify_threshold is None:
         return candidates
-    sh = doc_shingles(df, id_col, text_col, k).select(
-        F.col(id_col), F.xxhash64("shingle").alias("sh")
-    )
+    sh = doc_shingles(
+        scan_parallel(df.select(F.col(id_col), F.col(text_col)), id_col),
+        id_col,
+        text_col,
+        k,
+    ).select(F.col(id_col), F.xxhash64("shingle").alias("sh"))
     if max_doc_freq is not None:
         hot = (
             sh.groupBy("sh")
@@ -310,7 +323,9 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
         return texts.map(one)
 
-    return df.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
+    # parallelize the Python kernel across cores (no-op on real corpora)
+    src = scan_parallel(df.select(F.col(id_col), F.col(text_col)), id_col)
+    return src.select(F.col(id_col), simhash(F.col(text_col)).alias("simhash"))
 
 
 def simhash_pairs(

@@ -108,8 +108,16 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
     )
-    cand = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
+    from ..tables import scan_parallel
+
+    # the per-candidate cosine fold is the narrow stage above the scan —
+    # parallelize it (no-op when the corpus scan is already multi-split)
+    cand = scan_parallel(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cand_vec"),
+        ),
+        "neighbor_id",
     )
     scored = (
         cand.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
@@ -373,9 +381,16 @@ def _assign_cells(
     rides as agg payload, never as a grouping key.  Shared by
     ``ivf_ann_topk``, ``build_ivf_index`` and ``append_to_ivf_index``.
     """
+    from ..tables import scan_parallel
+
     if sum(len(r["cvec"]) for r in cent_rows) <= _MAPSIDE_CENTROID_CELLS:
         cent_arr = _centroid_literal(cent_rows)
-        return embeddings.select(
+        # O(nlist·dim) argmax per row runs in the scan stage —
+        # parallelize a single-split scan first (no-op at scale)
+        src = scan_parallel(
+            embeddings.select(F.col(id_col), F.col(vec_col)), id_col
+        )
+        return src.select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cand_vec"),
             _constraint_opaque(

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 from ..functions import text as T
 from ..operators import decontam, dedup, multimodal, similarity
 from ..session import local_rows_df
-from ..tables import load_table
+from ..tables import load_table, scan_parallel
 from .catalog import register
 
 
@@ -70,6 +70,26 @@ def _ivf_corpus_fingerprint(files: list[str]) -> tuple:
 # ---------------------------------------------------------------------------
 # Dedup family
 # ---------------------------------------------------------------------------
+
+
+def _doc_id_driver(spark: SparkSession, sf: str, below: int) -> DataFrame:
+    """doc_id fixture driver for payload-generator queries, spread
+    across the session's cores before the Python kernels.
+
+    Every synthetic-payload query is `scan -> mapInPandas(make) -> ...`;
+    on a single-row-group input that scan is ONE task, so the whole
+    encode/decode pipeline ran single-core regardless of the session's
+    core count (measured 3.1 s -> 1.2 s for q_multimodal_webp_lossy at
+    sf0.1/local[32] once spread — guide SS2.5 "input skew").
+    ``scan_parallel`` no-ops whenever the scan already carries at least
+    core-count splits, so this is shape-neutral at real corpus scale.
+    """
+    return scan_parallel(
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") < below)
+        .select("doc_id"),
+        "doc_id",
+    )
 
 
 @register(
@@ -983,11 +1003,7 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     NULL features and a non-null per-row ``error`` (asserted here as
     ``decode_failed`` so the oracle is decoder-library-independent).
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import pandas as pd
@@ -1291,11 +1307,7 @@ def q_multimodal_audio_quality(spark: SparkSession, sf: str) -> DataFrame:
     rationals, the crest factor's RMS is an exact dyadic sum both
     engines reproduce bit-identically before the shared round-6.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import numpy as np
@@ -1480,11 +1492,7 @@ def q_multimodal_icons(spark: SparkSession, sf: str) -> DataFrame:
     histogram).  Constant color ``doc_id % 256`` survives both entry
     encodings losslessly, so every column is closed-form.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import numpy as np
@@ -1572,11 +1580,7 @@ def q_multimodal_webp_frames(spark: SparkSession, sf: str) -> DataFrame:
     survive and their PPMs decode back to the exact constant color
     (VP8L is lossless), stated by the oracle in closed form.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 200)
 
     def make(batches):
         import numpy as np
@@ -1653,11 +1657,7 @@ def q_multimodal_webp(spark: SparkSession, sf: str) -> DataFrame:
     the feature kernel.  Lossless means the constant ``doc_id % 256``
     survives every path bit-exactly, so each column is closed-form.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import numpy as np
@@ -1851,11 +1851,7 @@ def q_multimodal_image_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     Both codecs, the kernel, and the resize arithmetic are all
     value-checked.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import numpy as np
@@ -1930,11 +1926,7 @@ def q_multimodal_jpeg(spark: SparkSession, sf: str) -> DataFrame:
     queries this keeps the whole multimodal path — mapInPandas batching,
     the shared decode kernel, resize — value-verified without pillow.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import numpy as np
@@ -2034,11 +2026,7 @@ def q_multimodal_jpeg_progressive(spark: SparkSession, sf: str) -> DataFrame:
     correction-bit ordering end to end, through the shared Spark
     kernels.  ``is_sof2`` pins that the fixture really is progressive.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import numpy as np
@@ -2533,11 +2521,7 @@ def q_multimodal_gif_frames(spark: SparkSession, sf: str) -> DataFrame:
     `q_multimodal_frames`' WAV slicing: frame sampling is now REAL for
     both an audio and a visual media type in a library-free container.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 200)
 
     def make(batches):
         import numpy as np
@@ -2618,11 +2602,7 @@ def q_multimodal_video_frames(spark: SparkSession, sf: str) -> DataFrame:
     oracle.  Completes the real-frame-sampling family across all three
     temporal media types: WAV audio, GIF animation, AVI video.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 200)
 
     def make(batches):
         import numpy as np
@@ -2714,11 +2694,7 @@ def q_source_warc(spark: SparkSession, sf: str) -> DataFrame:
     """
     from ..sources import warc as W
 
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import pandas as pd
@@ -4126,11 +4102,7 @@ def q_crawl_pdf_images(spark: SparkSession, sf: str) -> DataFrame:
     form.  File-level ``mapInPandas`` is the crawl unit of
     parallelism — the plan is scan → single Arrow stage, no Exchange.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 250)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 250)
 
     def make(batches):
         import numpy as np
@@ -4356,11 +4328,7 @@ def q_crawl_sitemap(spark: SparkSession, sf: str) -> DataFrame:
     """
     from ..functions import feeds as FD
 
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import pandas as pd
@@ -4495,11 +4463,7 @@ def q_crawl_feed_items(spark: SparkSession, sf: str) -> DataFrame:
     """
     from ..functions import feeds as FD
 
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import pandas as pd
@@ -4572,11 +4536,7 @@ def q_crawl_subtitles(spark: SparkSession, sf: str) -> DataFrame:
     """
     from ..functions import subtitles as SUB
 
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import pandas as pd
@@ -4825,11 +4785,7 @@ def q_multimodal_video_rle8(spark: SparkSession, sf: str) -> DataFrame:
     RLE is lossless so the sampled frames decode back to their constant
     color, stated in closed form by the oracle.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 200)
 
     def make(batches):
         import numpy as np
@@ -4911,11 +4867,7 @@ def q_multimodal_video_mjpg(spark: SparkSession, sf: str) -> DataFrame:
     IDCT.  The lossy codec rung of the video family's oracle ladder
     (raw BI_RGB → RLE8 → MJPG).
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 150)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 150)
 
     def make(batches):
         import numpy as np
@@ -4998,11 +4950,7 @@ def q_multimodal_fax_pages(spark: SparkSession, sf: str) -> DataFrame:
     Scanned documents are multi-page; this is the shape that proves
     page 1+ is not silently dropped.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 120)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 120)
 
     def pages(batches):
         import numpy as np
@@ -5054,11 +5002,7 @@ def q_multimodal_fax(spark: SparkSession, sf: str) -> DataFrame:
     Exercises the fax tier end-to-end through the Arrow kernel —
     the same per-row path 100 TB of scanned-document crawl would ride.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 150)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 150)
 
     def make(batches):
         import numpy as np
@@ -5210,11 +5154,7 @@ def q_multimodal_audio_spectrum(spark: SparkSession, sf: str) -> DataFrame:
     Pipeline: synthesize → WAV encode → decode (pure-numpy RIFF codec)
     → rfft, all inside Arrow-batched kernels.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import numpy as np
@@ -5700,11 +5640,7 @@ def q_multimodal_webp_lossy(spark: SparkSession, sf: str) -> DataFrame:
     """
     import numpy as np  # noqa: F401 (executor-side import in kernels)
 
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import numpy as np
@@ -5823,11 +5759,7 @@ def q_multimodal_aac_meta(spark: SparkSession, sf: str) -> DataFrame:
     stays the documented loud boundary.  All columns closed-form in
     doc_id.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def run(batches):
         import pandas as pd
@@ -5888,11 +5820,7 @@ def q_multimodal_id3_tags(spark: SparkSession, sf: str) -> DataFrame:
     2.4) — the non-ASCII titles force escaped 0xFF bytes through the
     utf-16 path.  All columns closed-form in doc_id.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def run(batches):
         import pandas as pd
@@ -5989,11 +5917,7 @@ def q_multimodal_mp3_meta(spark: SparkSession, sf: str) -> DataFrame:
     restates version/layer/rate/channels/frames/duration/bitrate from
     the same closed forms (ISO 11172-3 frame arithmetic).
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import pandas as pd
@@ -6100,11 +6024,7 @@ def q_multimodal_ogg_meta(spark: SparkSession, sf: str) -> DataFrame:
     docs Opus (whose granules tick at 48 kHz and subtract pre-skip);
     durations and tags are closed-form in doc_id.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import pandas as pd
@@ -6183,11 +6103,7 @@ def q_multimodal_mp4_vp9(spark: SparkSession, sf: str) -> DataFrame:
     LIES (320 presentation width) while the sample entry carries the
     coded size.  All columns closed-form.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 200)
 
     def make(batches):
         import pandas as pd
@@ -6251,11 +6167,7 @@ def q_multimodal_mp4_meta(spark: SparkSession, sf: str) -> DataFrame:
     uses version-1 (64-bit) boxes and a large-size mdat; every fourth
     doc is audio-only; all columns closed-form in doc_id.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import pandas as pd
@@ -6339,11 +6251,7 @@ def q_multimodal_vp9_keyframe(spark: SparkSession, sf: str) -> DataFrame:
     true coded size — the parser must believe the codec.  Inter-frame
     decode stays the documented boundary.  All columns closed-form.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import pandas as pd
@@ -6437,11 +6345,7 @@ def q_multimodal_vp9_pixels(spark: SparkSession, sf: str) -> DataFrame:
     synthetic-default-probability conformance bound is documented in
     the module; fixture streams are exact by construction.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 60)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 60)
 
     def make(batches):
         import numpy as np
@@ -6593,11 +6497,7 @@ def q_multimodal_vp9_gop(spark: SparkSession, sf: str) -> DataFrame:
     is additionally pinned against an independent scalar restatement
     in ``tests/test_vp9_decode.py``.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 48)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 48)
 
     def make(batches):
         import numpy as np
@@ -6693,11 +6593,7 @@ def q_multimodal_vp9_lossy(spark: SparkSession, sf: str) -> DataFrame:
     hash-exact queries; the dual's bit-exactness keeps these booleans
     deterministic.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 48)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 48)
 
     def make(batches):
         import numpy as np
@@ -6777,11 +6673,7 @@ def q_multimodal_webm_codec_dims(spark: SparkSession, sf: str) -> DataFrame:
     header lies (PixelWidth 320) while the record carries the true
     coded size.  All columns closed-form.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import pandas as pd
@@ -6895,11 +6787,7 @@ def q_multimodal_opus_toc(spark: SparkSession, sf: str) -> DataFrame:
     document's packet list rotates configs and frame-count codes; the
     oracle recomputes the census from the same rotation in SQL.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import pandas as pd
@@ -6987,11 +6875,7 @@ def q_multimodal_vorbis_windows(spark: SparkSession, sf: str) -> DataFrame:
     (``rawogg.decode_ogg_pcm``).  Mode rotation and the one-step
     stereo coupling are restated closed-form in the oracle.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import pandas as pd
@@ -7078,11 +6962,7 @@ def q_crawl_djvu_meta(spark: SparkSession, sf: str) -> DataFrame:
     BZZ/JB2/IW44 payloads (the documented loud boundary).  All columns
     closed-form in doc_id.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 200)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 200)
 
     def make(batches):
         import pandas as pd
@@ -7193,11 +7073,7 @@ def q_crawl_djvu_image(spark: SparkSession, sf: str) -> DataFrame:
     (spec structure vs marked synthetic subsets, and the ZP-table
     bound shared with BZZ) are documented in the two modules.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 60)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 60)
 
     def make(batches):
         import numpy as np
@@ -7310,11 +7186,7 @@ def q_crawl_djvu_render(spark: SparkSession, sf: str) -> DataFrame:
     mask and the palette, so a desync in any of them (or in the BZZ
     stack under the FGbz index stream) breaks the sums.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 48)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 48)
 
     def make(batches):
         import numpy as np
@@ -7484,11 +7356,7 @@ def q_crawl_djvu_nav(spark: SparkSession, sf: str) -> DataFrame:
     outlinks from scanned corpora, plus the page-setting census.
     All columns closed-form in doc_id.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 150)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 150)
 
     def make(batches):
         import pandas as pd
@@ -7582,11 +7450,7 @@ def q_multimodal_pdf_structure(spark: SparkSession, sf: str) -> DataFrame:
     outlined documents with a flat bookmark chain.  All columns
     closed-form.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 240)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 240)
 
     def make(batches):
         import pandas as pd
@@ -7692,11 +7556,7 @@ def q_crawl_font_meta(spark: SparkSession, sf: str) -> DataFrame:
     bbox — as closed-form columns (zero for the other carriages).
     All columns closed-form in doc_id.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 240)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 240)
 
     def make(batches):
         import struct
@@ -8070,11 +7930,7 @@ def q_multimodal_ogg_av_meta(spark: SparkSession, sf: str) -> DataFrame:
     metadata census is what a crawl pipeline keys on.  All columns
     closed-form in doc_id.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 240)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 240)
 
     def make(batches):
         import pandas as pd
@@ -8173,11 +8029,7 @@ def q_multimodal_theora_keyframe(spark: SparkSession, sf: str) -> DataFrame:
     (``128 + (((C4*((C4*(dc*64))>>16))>>16)+8>>4)``) — DuckDB
     computes the trigonometry itself, no fixture mirror.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 120)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 120)
 
     def make(batches):
         import pandas as pd
@@ -8270,11 +8122,7 @@ def q_multimodal_theora_gop(spark: SparkSession, sf: str) -> DataFrame:
     return to the keyframe value, asserted via the uniform flag
     Python-side.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 90)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 90)
 
     def make(batches):
         import pandas as pd
@@ -8380,11 +8228,7 @@ def q_multimodal_theora_mc(spark: SparkSession, sf: str) -> DataFrame:
     arithmetic — the loop filter is disabled via a zero in-stream
     limit so edges stay closed-form (the filter itself is pinned by a
     scalar-restatement pytest)."""
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 120)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 120)
 
     def make(batches):
         import pandas as pd
@@ -8466,11 +8310,7 @@ def q_multimodal_vorbis_pcm(spark: SparkSession, sf: str) -> DataFrame:
     """
     from ..operators import rawogg
 
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 120)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 120)
 
     def make(batches):
         import pandas as pd
@@ -8539,11 +8379,7 @@ def q_multimodal_webm_vorbis_pcm(spark: SparkSession, sf: str) -> DataFrame:
     """
     from ..operators import rawwebm
 
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 96)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 96)
 
     def make(batches):
         import pandas as pd
@@ -8625,11 +8461,7 @@ def q_multimodal_webm_meta(spark: SparkSession, sf: str) -> DataFrame:
     (:mod:`..operators.rawwebm`); codec payloads stay the documented
     loud boundary.  All columns closed-form in doc_id.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import pandas as pd
@@ -8754,11 +8586,7 @@ def q_multimodal_av1_seq(spark: SparkSession, sf: str) -> DataFrame:
     (``doc_id % 3 == 0``) that AV1 video configs use.  Levels above 7
     exercise the seq_tier bit.  All columns closed-form in doc_id.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def run(batches):
         import pandas as pd
@@ -8821,11 +8649,7 @@ def q_multimodal_h264_sps(spark: SparkSession, sf: str) -> DataFrame:
     macroblock-aligned so the cropping math is exercised on every
     row.  All columns closed-form in doc_id.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def run(batches):
         import pandas as pd
@@ -8904,11 +8728,7 @@ def q_multimodal_ts_meta(spark: SparkSession, sf: str) -> DataFrame:
     (round 11 — audio's analog of the video SPS pull).  All columns
     closed-form in doc_id.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def run(batches):
         import pandas as pd
@@ -8998,11 +8818,7 @@ def q_multimodal_fmp4_meta(spark: SparkSession, sf: str) -> DataFrame:
     default / trex default) by ``doc_id % 3``.  All columns closed-form
     in doc_id.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def run(batches):
         import pandas as pd
@@ -9079,11 +8895,7 @@ def q_multimodal_heif_meta(spark: SparkSession, sf: str) -> DataFrame:
     association form — both shape-only; all columns closed-form in
     doc_id.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import pandas as pd
@@ -9161,11 +8973,7 @@ def q_multimodal_heif_exif(spark: SparkSession, sf: str) -> DataFrame:
     (:func:`..operators.rawheif.heif_exif`).  GPS presence is the
     curation flag.  All columns closed-form in doc_id.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def run(batches):
         import pandas as pd
@@ -9230,11 +9038,7 @@ def q_multimodal_exif(spark: SparkSession, sf: str) -> DataFrame:
     closed-form).  Every third document carries a GPS IFD; the
     ``has_gps`` flag is the curation-side PII signal.
     """
-    d = (
-        load_table(spark, sf, "documents")
-        .filter(F.col("doc_id") < 300)
-        .select("doc_id")
-    )
+    d = _doc_id_driver(spark, sf, 300)
 
     def make(batches):
         import pandas as pd

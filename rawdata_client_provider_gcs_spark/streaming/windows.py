@@ -176,6 +176,14 @@ def flushable_event_stream(
 #: which at real state volumes should be high, not low.
 BOUNDED_STATE_PARTITIONS = 8
 
+#: Micro-batch count of the last bounded run, per query name.  The three
+#: stateful bench queries are micro-batch-overhead dominated and have
+#: swung ±70% across driver rounds on unchanged code (r16 verdict ask
+#: #2); with the count in the bench artifact, load-shift vs regression
+#: is decidable from the artifact alone.  Counts are deterministic here:
+#: every harness stream pins its file layout and ``maxFilesPerTrigger``.
+LAST_RUN_BATCHES: dict[str, int] = {}
+
 
 def _run_bounded(
     stream_df: DataFrame,
@@ -200,6 +208,10 @@ def _run_bounded(
             .start()
         )
         query.awaitTermination()
+        try:
+            LAST_RUN_BATCHES[name] = len(query.recentProgress)
+        except Exception:
+            pass
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -14,6 +14,7 @@ the data path stays a columnar vectorized parquet scan with pushdown.
 
 from __future__ import annotations
 
+import re
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession
@@ -50,10 +51,28 @@ def _nanos_timestamp_columns(parquet_path: str) -> tuple[str, ...]:
     return tuple(cols)
 
 
+# Per-session cache of *inferred parquet schemas* (metadata, never data):
+# re-inferring a schema re-reads the parquet footer on the driver on every
+# ``spark.read.parquet`` call (~110 ms measured on this box).  Passing the
+# once-inferred StructType back via ``.schema(...)`` skips inference
+# (~18 ms).  Keyed by applicationId so a stopped session's JVM schema
+# objects are never reused by a new session.  This is plan-construction
+# metadata only — every action still scans the parquet data in full.
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
-    df = spark.read.parquet(path)
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if len(_SCHEMA_CACHE) > 4096:
+            _SCHEMA_CACHE.clear()
+        _SCHEMA_CACHE[key] = df.schema
     for col in _nanos_timestamp_columns(path):
         # floor-divide nanos → micros, matching DuckDB's ns→us truncation
         df = df.withColumn(
@@ -61,6 +80,70 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
         )
     return df
+
+
+# Memoized scan_parallel decisions: (applicationId, target, normalized
+# unanalyzed-plan string) -> repartition target (0 = no-op).  Metadata
+# only; bounded; cleared wholesale if it ever grows past 4096 entries.
+_SCAN_DECISIONS: dict[tuple[str, int, str], int] = {}
+_PLAN_EXPR_ID_RE = re.compile(r"#\d+")
+
+
+def scan_parallel(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Raise a narrow plan's parallelism to the session's core count
+    before an expensive per-row stage (optimization guide §2.5, "input
+    skew": one unsplittable input → repartition immediately after the
+    read).
+
+    A parquet file with a single row group yields a ONE-task scan no
+    matter the core count (row groups are the parallelism unit), so
+    every narrow stage above it — Arrow-batched Python kernels,
+    shingle/gram explodes, broadcast-join probes — runs on one core.
+    This helper is scale-adaptive, not a local[32] constant: when the
+    scan already carries at least ``defaultParallelism`` partitions
+    (any real multi-file corpus), it is a NO-OP; only the degenerate
+    fewer-splits-than-cores case pays one small hash exchange of the
+    pre-kernel rows.  Callers place it AFTER projections/filters so
+    scan pruning and pushdown are untouched, and pass a deterministic
+    key column (hash partitioning reproduces under task retry, unlike
+    round-robin — guide §2.5 / SPARK-38388).
+
+    The split-count probe (``df.rdd.getNumPartitions()``) forces an
+    extra analysis + physical planning of the child plan (~170-300 ms
+    driver-side, measured).  The decision depends only on (source
+    relation, session parallelism), so it is memoized per session on
+    the *unanalyzed* logical plan string (expression IDs normalized
+    away — they differ between otherwise identical rebuilt plans):
+    retrieving that string from an un-analyzed Dataset costs ~6 ms and
+    triggers no analysis, so steady-state callers skip the probe.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    key = None
+    try:
+        plan_str = _PLAN_EXPR_ID_RE.sub(
+            "#", df._jdf.queryExecution().logical().toString()
+        )
+        key = (sc.applicationId, target, plan_str)
+    except Exception:
+        pass
+    if key is not None and key in _SCAN_DECISIONS:
+        needed = _SCAN_DECISIONS[key]
+    else:
+        try:
+            current = df.rdd.getNumPartitions()
+        except Exception:
+            return df
+        needed = target if current < target else 0
+        if key is not None:
+            if len(_SCAN_DECISIONS) > 4096:
+                _SCAN_DECISIONS.clear()
+            _SCAN_DECISIONS[key] = needed
+    if not needed:
+        return df
+    if key_cols:
+        return df.repartition(needed, *[F.col(c) for c in key_cols])
+    return df.repartition(needed)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -308,17 +308,26 @@ def test_near_dup_auto_lsh_blocking_no_cartesian(spark, sf_smoke_dir):
 
 
 def test_ivf_assignment_is_mapside(spark, sf_smoke_dir):
-    """Small-nlist IVF assignment must not shuffle the corpus: the only
-    Exchange in the whole plan is the per-query top-k window."""
+    """Small-nlist IVF assignment must not shuffle the corpus BY CELL OR
+    JOIN KEY: the only exchanges allowed are the per-query top-k window
+    (on query_id) and the pre-kernel ``scan_parallel`` repartition on
+    the corpus id (guide §2.5 — a no-op whenever the scan already has
+    core-count splits, i.e. at any real corpus scale; here the
+    single-row-group fixture triggers it)."""
     emb = load_table(spark, sf_smoke_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     out = similarity.ivf_ann_topk(emb, q, k=5, nlist=16, nprobe=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     import re
 
-    exchanges = re.findall(r"Exchange (\w+)", plan)
-    hash_exchanges = [e for e in exchanges if e.startswith("hashpartitioning")]
-    assert len(hash_exchanges) <= 1, plan
+    key_lists = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    window_ex = [k for k in key_lists if "query_id" in k]
+    parallelize_ex = [
+        k for k in key_lists if "vec_id" in k or "neighbor_id" in k
+    ]
+    assert len(window_ex) <= 1, plan
+    assert len(parallelize_ex) <= 1, plan
+    assert len(key_lists) == len(window_ex) + len(parallelize_ex), plan
     assert "CartesianProduct" not in plan
 
 
