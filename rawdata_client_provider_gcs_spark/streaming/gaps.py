@@ -271,28 +271,49 @@ def staged_sequence_stream(
         .filter(F.col("seq") % drop_mod != drop_rem)
     )
     staged = tempfile.mkdtemp(prefix="rawdata-seq-src-")
-    # each shard is written distributed (df.write, no driver
-    # materialization) into a scratch dir, then its part file is moved
-    # into the staged dir with a strictly increasing mtime
+    # ONE distributed job writes all shards via a partitioned write
+    # (optimization guide §1.2: the per-shard loop ran the full
+    # events-window derivation once PER SHARD — n_files× the work; a
+    # single hash-clustered partitionBy write derives once and still
+    # yields exactly one part file per shard directory), then each part
+    # file is moved into the staged dir with a strictly increasing mtime
     import glob as _glob
     import shutil
 
+    scratch = os.path.join(staged, "_scratch")
+    (
+        rows.withColumn("shard", F.col("seq") % n_files)
+        .repartition(n_files, "shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(scratch)
+    )
     base = None
     for i in range(n_files):
-        scratch = os.path.join(staged, f"_scratch-{i}")
-        (
-            rows.filter(F.col("seq") % n_files == i)
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(scratch)
+        parts = _glob.glob(
+            os.path.join(scratch, f"shard={i}", "part-*.parquet")
         )
-        [part] = _glob.glob(os.path.join(scratch, "part-*.parquet"))
         path = os.path.join(staged, f"{i}-seqs.parquet")
-        shutil.move(part, path)
-        shutil.rmtree(scratch)
+        if parts:
+            [part] = parts
+            shutil.move(part, path)
+        else:  # shard empty at tiny scale: stage an empty micro-batch
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            pq.write_table(
+                pa.table(
+                    {
+                        "group_id": pa.array([], pa.int64()),
+                        "seq": pa.array([], pa.int64()),
+                    }
+                ),
+                path,
+            )
         if base is None:
             base = os.stat(path).st_mtime
         os.utime(path, (base + 10 * i, base + 10 * i))
+    shutil.rmtree(scratch)
     return (
         spark.readStream.schema("group_id long, seq long")
         .format("parquet")
