@@ -441,7 +441,12 @@ def connected_components(
                     F.coalesce(F.col("n_min"), F.col("component_id")),
                 ).alias("component_id"),
             )
-            .localCheckpoint()
+            # lazy checkpoint: the fixpoint agg right below is the
+            # round's ONE action — it materializes (and caches) the new
+            # labels as a side effect, so the eager-checkpoint job this
+            # loop used to pay per round is folded into the agg (guide
+            # §1.2: fewer driver-side job round trips, same computation)
+            .localCheckpoint(eager=False)
         )
         # labels only ever decrease, so an unchanged sum means fixpoint
         cur_sum = labels.agg(F.sum("component_id")).first()[0]
@@ -508,7 +513,9 @@ def _cc_star(sym: DataFrame, max_iter: int) -> DataFrame:
                 F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
             )
             .distinct()
-            .localCheckpoint()
+            # lazy: the fingerprint agg below is the round's one action
+            # and materializes the checkpoint (same fold as propagation)
+            .localCheckpoint(eager=False)
         )
         fp = tuple(
             edges.agg(

@@ -39,10 +39,11 @@ def pagerank(
 
     100 TB shape: the per-iteration work is one equi-join of the
     normalized edge list with the rank vector plus a combinable sum by
-    destination — both shuffle on node id and nothing else.  N and the
-    dangling mass are broadcast 1-row aggregates (no ``collect``);
-    ``localCheckpoint`` per round truncates lineage exactly like the
-    connected-components loop.
+    destination — both shuffle on node id and nothing else.  N is one
+    bounded scalar count (an integer, size-independent); the dangling
+    mass stays a per-round broadcast 1-row aggregate; nothing
+    corpus-sized reaches the driver.  ``localCheckpoint`` per round
+    truncates lineage exactly like the connected-components loop.
     """
     w = (
         F.col(weight_col).cast("double")
@@ -53,7 +54,13 @@ def pagerank(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
         w.alias("w"),
-    )
+    ).localCheckpoint()
+    # ^ the caller's edge derivation (often a join+aggregate over the
+    # raw tables) is consumed FOUR times below (nodes, outw, norm,
+    # dangling flags); without materializing it here each consumer
+    # replayed the whole upstream subtree — measured 2.36 s of the
+    # 3.16 s query was this setup replay at sf0.1 (guide §5: reuse →
+    # persist; MEMORY_AND_DISK spills, nothing reaches the driver)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -73,17 +80,30 @@ def pagerank(
         # 4.55 s at sf0.1.  At rank-vector sizes past broadcastability
         # the SMJ path would co-locate on src anyway via AQE.
     )
-    n_df = nodes.agg(F.count("*").cast("double").alias("n"))
-    ranks = nodes.crossJoin(F.broadcast(n_df)).select(
-        "node", (F.lit(1.0) / F.col("n")).alias("pr")
-    )
-    dangling = nodes.join(
-        outw.select(F.col("src").alias("node")), "node", "left_anti"
+    # N is one bounded scalar (a node count) — computing it once on the
+    # driver replaces the broadcast-exchange job that every round's TWO
+    # crossJoin(broadcast(n_df)) instances used to pay (guide §1.2:
+    # fewer jobs per round; measured 3.15 s → see OPTIMIZATION_r17.md).
+    # It is not a data collect: one integer, independent of corpus size.
+    n = float(nodes.count())
+    # dangling-ness is loop-invariant — carry it as a flag column in the
+    # rank vector instead of a per-round left_semi join against a
+    # dangling-node table (one join less per round, identical mass)
+    nodes_f = nodes.join(
+        outw.select(F.col("src").alias("node")).withColumn(
+            "has_out", F.lit(True)
+        ),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce(F.col("has_out"), F.lit(False)).alias("has_out")
     ).localCheckpoint()
+    ranks = nodes_f.select(
+        "node", "has_out", (F.lit(1.0) / F.lit(n)).alias("pr")
+    )
     for _ in range(iters):
-        dang = (
-            ranks.join(dangling, "node", "left_semi")
-            .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang"))
+        dang = ranks.filter(~F.col("has_out")).agg(
+            F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
         )
         contrib = (
             norm.join(ranks, norm.src == ranks.node)
@@ -92,20 +112,20 @@ def pagerank(
             .withColumnRenamed("dst", "node")
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(n_df))
+            nodes_f.join(contrib, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "has_out",
                 (
-                    F.lit(1.0 - damping) / F.col("n")
+                    F.lit((1.0 - damping) / n)
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dang") / F.col("n")
+                        + F.col("dang") / F.lit(n)
                     )
                 ).alias("pr"),
             )
             .localCheckpoint()
         )
-    return ranks
+    return ranks.select("node", "pr")
