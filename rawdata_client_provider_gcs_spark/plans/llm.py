@@ -72,7 +72,9 @@ def _ivf_corpus_fingerprint(files: list[str]) -> tuple:
 # ---------------------------------------------------------------------------
 
 
-def _doc_id_driver(spark: SparkSession, sf: str, below: int) -> DataFrame:
+def _doc_id_driver(
+    spark: SparkSession, sf: str, below: int, slices: int | None = None
+) -> DataFrame:
     """doc_id fixture driver for payload-generator queries, spread
     across the session's cores before the Python kernels.
 
@@ -83,12 +85,18 @@ def _doc_id_driver(spark: SparkSession, sf: str, below: int) -> DataFrame:
     sf0.1/local[32] once spread — guide SS2.5 "input skew").
     ``scan_parallel`` no-ops whenever the scan already carries at least
     core-count splits, so this is shape-neutral at real corpus scale.
+
+    ``slices`` caps the spread for LIGHT kernels (header/metadata
+    parses that finish in well under a task's fixed cost — guide §2.5
+    cuts both ways: 32 near-empty tasks cost more than 8 busy ones).
+    Heavy pixel/PCM-decode kernels leave it None = full core count.
     """
     return scan_parallel(
         load_table(spark, sf, "documents")
         .filter(F.col("doc_id") < below)
         .select("doc_id"),
         "doc_id",
+        max_slices=slices,
     )
 
 
@@ -2694,7 +2702,7 @@ def q_source_warc(spark: SparkSession, sf: str) -> DataFrame:
     """
     from ..sources import warc as W
 
-    d = _doc_id_driver(spark, sf, 300)
+    d = _doc_id_driver(spark, sf, 300, slices=8)
 
     def make(batches):
         import pandas as pd
@@ -5917,7 +5925,7 @@ def q_multimodal_mp3_meta(spark: SparkSession, sf: str) -> DataFrame:
     restates version/layer/rate/channels/frames/duration/bitrate from
     the same closed forms (ISO 11172-3 frame arithmetic).
     """
-    d = _doc_id_driver(spark, sf, 300)
+    d = _doc_id_driver(spark, sf, 300, slices=8)
 
     def make(batches):
         import pandas as pd
@@ -6251,7 +6259,7 @@ def q_multimodal_vp9_keyframe(spark: SparkSession, sf: str) -> DataFrame:
     true coded size — the parser must believe the codec.  Inter-frame
     decode stays the documented boundary.  All columns closed-form.
     """
-    d = _doc_id_driver(spark, sf, 300)
+    d = _doc_id_driver(spark, sf, 300, slices=8)
 
     def make(batches):
         import pandas as pd
@@ -6787,7 +6795,7 @@ def q_multimodal_opus_toc(spark: SparkSession, sf: str) -> DataFrame:
     document's packet list rotates configs and frame-count codes; the
     oracle recomputes the census from the same rotation in SQL.
     """
-    d = _doc_id_driver(spark, sf, 300)
+    d = _doc_id_driver(spark, sf, 300, slices=8)
 
     def make(batches):
         import pandas as pd
@@ -6875,7 +6883,7 @@ def q_multimodal_vorbis_windows(spark: SparkSession, sf: str) -> DataFrame:
     (``rawogg.decode_ogg_pcm``).  Mode rotation and the one-step
     stereo coupling are restated closed-form in the oracle.
     """
-    d = _doc_id_driver(spark, sf, 300)
+    d = _doc_id_driver(spark, sf, 300, slices=8)
 
     def make(batches):
         import pandas as pd
@@ -8310,7 +8318,7 @@ def q_multimodal_vorbis_pcm(spark: SparkSession, sf: str) -> DataFrame:
     """
     from ..operators import rawogg
 
-    d = _doc_id_driver(spark, sf, 120)
+    d = _doc_id_driver(spark, sf, 120, slices=8)
 
     def make(batches):
         import pandas as pd
@@ -8895,7 +8903,7 @@ def q_multimodal_heif_meta(spark: SparkSession, sf: str) -> DataFrame:
     association form — both shape-only; all columns closed-form in
     doc_id.
     """
-    d = _doc_id_driver(spark, sf, 300)
+    d = _doc_id_driver(spark, sf, 300, slices=8)
 
     def make(batches):
         import pandas as pd

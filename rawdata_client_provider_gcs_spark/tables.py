@@ -89,7 +89,9 @@ _SCAN_DECISIONS: dict[tuple[str, int, str], int] = {}
 _PLAN_EXPR_ID_RE = re.compile(r"#\d+")
 
 
-def scan_parallel(df: DataFrame, *key_cols: str) -> DataFrame:
+def scan_parallel(
+    df: DataFrame, *key_cols: str, max_slices: int | None = None
+) -> DataFrame:
     """Raise a narrow plan's parallelism to the session's core count
     before an expensive per-row stage (optimization guide §2.5, "input
     skew": one unsplittable input → repartition immediately after the
@@ -119,6 +121,14 @@ def scan_parallel(df: DataFrame, *key_cols: str) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
+    if max_slices is not None:
+        # light-kernel cap: for a cheap per-row function the fixed cost
+        # of a task (scheduling + an Arrow round trip) outweighs the
+        # parallel win past a few slices — measured +0.10-0.15 s per
+        # query at 32 slices on kernels that finish in <0.2 s of CPU.
+        # The cap only binds in the degenerate fewer-splits-than-cores
+        # case; a real multi-split corpus still no-ops out above.
+        target = min(target, max_slices)
     key = None
     try:
         plan_str = _PLAN_EXPR_ID_RE.sub(
