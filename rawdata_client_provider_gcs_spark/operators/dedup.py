@@ -337,7 +337,12 @@ def simhash_pairs(
     pigeonhole principle any pair within Hamming distance 3 shares at least
     one chunk) — linear blow-up, no |D|² scan.
     """
-    sig = simhash_signatures(df, id_col, text_col)
+    # materialize signatures once: both sides of the chunk self-join
+    # derive from this subtree, and without a reuse point each side
+    # re-ran the full tokenize+hash Python kernel (guide §5 "reuse →
+    # persist"; the signature table is one long per doc, tiny next to
+    # the text it summarizes)
+    sig = simhash_signatures(df, id_col, text_col).localCheckpoint()
     chunks = F.array(
         *[
             F.struct(

@@ -839,10 +839,19 @@ def embedding_near_dup_pairs(
         # cost of the blocked pass.  dot/(norm_a*norm_b) performs the
         # identical double arithmetic, so emitted cosines (and the
         # DuckDB oracle hash) are bit-unchanged.
-        left = embeddings.select(
-            *left_cols,
-            F.col(block_col).alias("block"),
-            _norm(F.col(vec_col)).alias("norm_a"),
+        from ..tables import scan_parallel
+
+        # the probe side carries the per-pair dot-product work; on a
+        # single-row-group fixture scan the whole blocked pass ran on
+        # one task (guide §2.5) — spread it; no-op at real multi-split
+        # scale, and pure Catalyst arithmetic is partition-independent
+        left = scan_parallel(
+            embeddings.select(
+                *left_cols,
+                F.col(block_col).alias("block"),
+                _norm(F.col(vec_col)).alias("norm_a"),
+            ),
+            "id_a",
         )
         right = embeddings.select(
             *right_cols,

@@ -123,9 +123,14 @@ def flushable_event_stream(
     unit_per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[
         getattr(src_ts, "unit", "ns") if str(src_ts) != "int64" else "ns"
     ]
-    max_raw = max(
-        pq.read_table(real, columns=["ts"])["ts"].cast("int64").to_pylist()
-    )
+    import pyarrow.compute as pc
+
+    # vectorized max over the Arrow column — .to_pylist() + Python max
+    # boxed every row (~0.2 s per call at sf0.1, guide §4.2: keep bulk
+    # work in native code)
+    max_raw = pc.max(
+        pq.read_table(real, columns=["ts"])["ts"].cast("int64")
+    ).as_py()
     year_raw = 365 * 24 * 3600 * unit_per_sec
     now = os.stat(real).st_mtime
     for i in (1, 2):
