@@ -7,8 +7,8 @@ order flow, documents by reference graphs, hosts by crawl links).  Same
 execution discipline as the components loop: each iteration is a fixed
 set of joins + combinable aggregations, ``localCheckpoint`` truncates
 lineage so the plan stays O(1) per round, and nothing corpus-sized ever
-reaches the driver (N and the dangling mass travel as broadcast 1-row
-aggregates).
+reaches the driver (N is one bounded scalar count; the dangling mass
+travels as a per-round broadcast 1-row aggregate).
 
 The implementation is textbook damped PageRank with proper
 dangling-node redistribution (their rank mass is spread uniformly every
@@ -61,43 +61,38 @@ def pagerank(
     # replayed the whole upstream subtree — measured 2.36 s of the
     # 3.16 s query was this setup replay at sf0.1 (guide §5: reuse →
     # persist; MEMORY_AND_DISK spills, nothing reaches the driver)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+    # flagged node set in ONE aggregation: a node has outgoing edges iff
+    # it appears as a src — max(bool) over the tagged union replaces the
+    # old nodes-distinct + left-join-against-outw pair (two shuffles and
+    # a checkpoint fewer in setup; dangling-ness rides along as a flag
+    # column so the loop needs no per-round semi join)
+    nodes_f = (
+        e.select(F.col("src").alias("node"), F.lit(True).alias("has_out"))
+        .union(
+            e.select(F.col("dst").alias("node"), F.lit(False).alias("has_out"))
+        )
+        .groupBy("node")
+        .agg(F.max("has_out").alias("has_out"))
         .localCheckpoint()  # loop-invariant: materialize once, not per round
     )
-    outw = e.groupBy("src").agg(F.sum("w").alias("ow"))
+    from pyspark.sql import Window as _W
+
     norm = (
-        e.join(outw, "src")
+        # per-src out-weight as a window sum — one shuffle on src, no
+        # aggregate+join pair.  At rank-vector sizes past
+        # broadcastability the per-round SMJ would co-locate on src via
+        # AQE anyway, so this does not change the scale story.
+        e.withColumn("ow", F.sum("w").over(_W.partitionBy("src")))
         .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
         .localCheckpoint()  # ditto — else every iteration replays the
         # upstream edge derivation (join/aggregate over the raw tables)
-        # NOTE (measured r8): do NOT pre-repartition norm on src here —
-        # the rank vector is broadcast-joined against the checkpointed
-        # edges (AQE picks BHJ), so the edges never shuffle per round
-        # as-is; a forced hash partition ADDS a shuffle and cost 3.75 →
-        # 4.55 s at sf0.1.  At rank-vector sizes past broadcastability
-        # the SMJ path would co-locate on src anyway via AQE.
     )
     # N is one bounded scalar (a node count) — computing it once on the
     # driver replaces the broadcast-exchange job that every round's TWO
     # crossJoin(broadcast(n_df)) instances used to pay (guide §1.2:
     # fewer jobs per round; measured 3.15 s → see OPTIMIZATION_r17.md).
     # It is not a data collect: one integer, independent of corpus size.
-    n = float(nodes.count())
-    # dangling-ness is loop-invariant — carry it as a flag column in the
-    # rank vector instead of a per-round left_semi join against a
-    # dangling-node table (one join less per round, identical mass)
-    nodes_f = nodes.join(
-        outw.select(F.col("src").alias("node")).withColumn(
-            "has_out", F.lit(True)
-        ),
-        "node",
-        "left",
-    ).select(
-        "node", F.coalesce(F.col("has_out"), F.lit(False)).alias("has_out")
-    ).localCheckpoint()
+    n = float(nodes_f.count())
     ranks = nodes_f.select(
         "node", "has_out", (F.lit(1.0) / F.lit(n)).alias("pr")
     )
