@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..tables import memo_columns
 from .html import _between_tags, _tag_bodies
 
 
@@ -88,6 +89,15 @@ def feed_items(
     published / updated) — crawl feeds use every date dialect, so
     normalization belongs to the caller's curation step.
     """
+    exploded = df.select(*_feed_explode_cols(xml_col, id_col))
+    return exploded.select(*_feed_field_cols(id_col))
+
+
+# The two Column tuples below depend only on column NAMES, so the deep
+# expression trees (hundreds of py4j calls) are built once per process
+# and reused across query builds (guide §7.3; see tables.memo_columns).
+@memo_columns
+def _feed_explode_cols(xml_col: str, id_col: str) -> tuple:
     c = F.col(xml_col)
     kind = feed_kind(c)
     rss_items = _between_tags(c, "(?i)<item(?=[\\s/>])", "(?is)</item\\s*>")
@@ -99,15 +109,19 @@ def feed_items(
         .when(kind == "atom", atom_items)
         .otherwise(F.array().cast("array<string>"))
     )
-    exploded = df.select(
+    return (
         F.col(id_col), kind.alias("kind"),
         F.posexplode(blocks).alias("item_idx", "__block"),
     )
+
+
+@memo_columns
+def _feed_field_cols(id_col: str) -> tuple:
     b = F.col("__block")
     is_rss = F.col("kind") == "rss"
-    return exploded.select(
+    return (
         F.col(id_col),
-        "kind",
+        F.col("kind"),
         F.col("item_idx").cast("long").alias("item_idx"),
         _inner(b, "title").alias("title"),
         F.when(is_rss, _inner(b, "link"))
@@ -171,6 +185,12 @@ def sitemap_urls(
     sitemap to expand).  Same linear split-by-closer passes as the
     feed parser.
     """
+    exploded = df.select(*_sitemap_explode_cols(xml_col, id_col))
+    return exploded.select(*_sitemap_field_cols(id_col))
+
+
+@memo_columns
+def _sitemap_explode_cols(xml_col: str, id_col: str) -> tuple:
     c = F.col(xml_col)
     head = F.lower(F.substr(c, F.lit(1), F.lit(2048)))
     kind = (
@@ -187,14 +207,18 @@ def sitemap_urls(
         .when(kind == "index", map_blocks)
         .otherwise(F.array().cast("array<string>"))
     )
-    exploded = df.select(
+    return (
         F.col(id_col), kind.alias("kind"),
         F.posexplode(blocks).alias("url_idx", "__block"),
     )
+
+
+@memo_columns
+def _sitemap_field_cols(id_col: str) -> tuple:
     b = F.col("__block")
-    return exploded.select(
+    return (
         F.col(id_col),
-        "kind",
+        F.col("kind"),
         F.col("url_idx").cast("long").alias("url_idx"),
         _inner(b, "loc").alias("loc"),
         _inner(b, "lastmod").alias("lastmod"),

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..tables import memo_columns
+
 #: named entities decoded after tag stripping — the half-dozen that
 #: dominate real crawl text.
 _ENTITIES = [
@@ -210,28 +212,45 @@ def html_tables(
     work like the rest of the module, no Python, no shuffle until the
     caller aggregates.
     """
+    t = df.select(*_table_explode_cols(html_col, id_col))
+    rows = t.select(*_row_explode_cols(id_col))
+    return rows.select(*_cell_cols(id_col))
+
+
+# name-keyed memoized builders: the nested explode/clean trees are
+# hundreds of py4j calls, reused across query builds (guide §7.3)
+@memo_columns
+def _table_explode_cols(html_col: str, id_col: str) -> tuple:
     tables = _between_tags(
         F.col(html_col), "(?i)<table(?=[\\s/>])", "(?is)</table\\s*>"
     )
-    t = df.select(
+    return (
         F.col(id_col),
         F.posexplode(tables).alias("table_idx", "__tbody"),
     )
-    rows = t.select(
-        id_col,
-        "table_idx",
+
+
+@memo_columns
+def _row_explode_cols(id_col: str) -> tuple:
+    return (
+        F.col(id_col),
+        F.col("table_idx"),
         F.posexplode(
             _between_tags(
                 F.col("__tbody"), "(?i)<tr(?=[\\s/>])", "(?is)</tr\\s*>"
             )
         ).alias("row_idx", "__row"),
     )
+
+
+@memo_columns
+def _cell_cols(id_col: str) -> tuple:
     cells_raw = _between_tags(
         F.col("__row"), "(?i)<t[dh](?=[\\s/>])", "(?is)</t[dh]\\s*>"
     )
     cells = F.transform(cells_raw, _clean_cell)
-    return rows.select(
-        id_col,
+    return (
+        F.col(id_col),
         F.col("table_idx").cast("long").alias("table_idx"),
         F.col("row_idx").cast("long").alias("row_idx"),
         F.size(cells).cast("long").alias("n_cells"),
@@ -318,6 +337,11 @@ def html_page_meta(df: DataFrame, html_col: str, id_col: str = "doc_id"):
     :func:`_tag_bodies`), attribute regexes run on those bounded
     strings only, and JSON-LD spans reuse the split-by-closer pass.
     """
+    return df.select(*_page_meta_cols(html_col, id_col))
+
+
+@memo_columns
+def _page_meta_cols(html_col: str, id_col: str) -> tuple:
     c = F.col(html_col)
     metas = _tag_bodies(c, "meta")
     links = _tag_bodies(c, "link")
@@ -337,7 +361,7 @@ def html_page_meta(df: DataFrame, html_col: str, id_col: str = "doc_id"):
         ),
         F.lit(1),
     )
-    return df.select(
+    return (
         F.col(id_col),
         _meta_content(metas, "property", "og:title").alias("og_title"),
         _meta_content(metas, "property", "og:image").alias("og_image"),

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..tables import memo_columns
+
 _RULE = "struct<allow:boolean,path:string>"
 _ACC = f"struct<active:boolean,building:boolean,rules:array<{_RULE}>>"
 
@@ -274,6 +276,25 @@ def robots_sitemaps(robots: Column) -> Column:
     )
 
 
+@memo_columns
+def robots_sitemaps_of(robots_col: str) -> Column:
+    """:func:`robots_sitemaps` over a NAMED column, expression tree
+    memoized per process (guide §7.3; see ``tables.memo_columns``)."""
+    return robots_sitemaps(F.col(robots_col))
+
+
+# the verdict + delay trees are ~300 py4j calls each; name-keyed and
+# reused across query builds (guide §7.3)
+@memo_columns
+def _verdict_cols(
+    robots_col: str, path_col: str, agent: str
+) -> tuple:
+    return (
+        robots_allowed(F.col(robots_col), F.col(path_col), agent),
+        robots_crawl_delay(F.col(robots_col), agent),
+    )
+
+
 def with_robots_verdict(
     df: DataFrame,
     robots_col: str,
@@ -294,8 +315,5 @@ def with_robots_verdict(
             if out_col == "robots_allowed"
             else f"{out_col}_delay_s"
         )
-    return df.withColumn(
-        out_col, robots_allowed(F.col(robots_col), F.col(path_col), agent)
-    ).withColumn(
-        delay_col, robots_crawl_delay(F.col(robots_col), agent)
-    )
+    allowed, delay = _verdict_cols(robots_col, path_col, agent)
+    return df.withColumns({out_col: allowed, delay_col: delay})

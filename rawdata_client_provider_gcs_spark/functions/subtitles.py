@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..tables import memo_columns
+
 #: one cue timestamp: optional hours, minutes, seconds, millis —
 #: SRT writes a comma, WebVTT a dot
 _TS = "(?:(\\d{1,2}):)?(\\d{1,2}):(\\d{2})[.,](\\d{3})"
@@ -57,13 +59,24 @@ def subtitle_cues(
     a NOTE block and a corrupt cue are indistinguishable and neither
     is worth failing a document over.
     """
+    exploded = df.select(*_cue_explode_cols(text_col, id_col))
+    return exploded.select(*_cue_field_cols(id_col))
+
+
+# name-keyed memoized builders (guide §7.3; tables.memo_columns)
+@memo_columns
+def _cue_explode_cols(text_col: str, id_col: str) -> tuple:
     c = F.regexp_replace(F.col(text_col), "\\r\\n?", "\n")
     blocks = F.filter(
         F.split(c, "\\n{2,}"), lambda b: b.rlike(_ARROW)
     )
-    exploded = df.select(
+    return (
         F.col(id_col), F.posexplode(blocks).alias("cue_idx", "__block")
     )
+
+
+@memo_columns
+def _cue_field_cols(id_col: str) -> tuple:
     b = F.col("__block")
     # text = everything after the arrow LINE: split once on the first
     # newline following the arrow match — linear (instr on the bounded
@@ -80,7 +93,7 @@ def subtitle_cues(
             " ",
         )
     )
-    return exploded.select(
+    return (
         F.col(id_col),
         F.col("cue_idx").cast("long").alias("cue_idx"),
         _ts_ms(b, 1).alias("start_ms"),

@@ -90,6 +90,11 @@ def _doc_id_driver(
     parses that finish in well under a task's fixed cost — guide §2.5
     cuts both ways: 32 near-empty tasks cost more than 8 busy ones).
     Heavy pixel/PCM-decode kernels leave it None = full core count.
+    ``slices=1`` disables the spread entirely for TRIVIAL kernels
+    (pure string synthesis, ~10-100 µs/row over a few hundred rows):
+    interleaved A/B at sf0.1 measured the exchange + task fan-out as a
+    flat ~0.2-0.4 s loss there (q_crawl_sitemap 1.03 -> 0.65 s best),
+    with nothing to parallelize.
     """
     return scan_parallel(
         load_table(spark, sf, "documents")
@@ -4336,7 +4341,7 @@ def q_crawl_sitemap(spark: SparkSession, sf: str) -> DataFrame:
     """
     from ..functions import feeds as FD
 
-    d = _doc_id_driver(spark, sf, 300)
+    d = _doc_id_driver(spark, sf, 300, slices=1)
 
     def make(batches):
         import pandas as pd
@@ -4431,7 +4436,7 @@ def q_curation_robots(spark: SparkSession, sf: str) -> DataFrame:
         "path",
         F.col("robots_allowed").alias("allowed"),
         "crawl_delay_s",
-        F.size(R.robots_sitemaps(F.col("robots"))).cast("long").alias(
+        F.size(R.robots_sitemaps_of("robots")).cast("long").alias(
             "n_sitemaps"
         ),
     )
@@ -4471,7 +4476,7 @@ def q_crawl_feed_items(spark: SparkSession, sf: str) -> DataFrame:
     """
     from ..functions import feeds as FD
 
-    d = _doc_id_driver(spark, sf, 300)
+    d = _doc_id_driver(spark, sf, 300, slices=8)
 
     def make(batches):
         import pandas as pd
@@ -4544,7 +4549,7 @@ def q_crawl_subtitles(spark: SparkSession, sf: str) -> DataFrame:
     """
     from ..functions import subtitles as SUB
 
-    d = _doc_id_driver(spark, sf, 300)
+    d = _doc_id_driver(spark, sf, 300, slices=1)
 
     def make(batches):
         import pandas as pd
@@ -8736,7 +8741,7 @@ def q_multimodal_ts_meta(spark: SparkSession, sf: str) -> DataFrame:
     (round 11 — audio's analog of the video SPS pull).  All columns
     closed-form in doc_id.
     """
-    d = _doc_id_driver(spark, sf, 300)
+    d = _doc_id_driver(spark, sf, 300, slices=8)
 
     def run(batches):
         import pandas as pd

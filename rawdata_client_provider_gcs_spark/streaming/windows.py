@@ -99,13 +99,22 @@ def flushable_event_stream(
     mode, which re-emits the whole result every trigger and holds all
     window state (wrong at scale; VERDICT r1 "What's wrong" #5).
 
-    This harness source stages the real events file plus two sentinel
-    events far past the real maximum, each in its own later micro-batch
-    (``maxFilesPerTrigger=1``, mtime-ordered).  The sentinel batches
-    advance the watermark beyond every real window, so append mode emits
-    and *expires* all real state before the query terminates — the exact
-    bounded-state behavior a production tail would have, matching the
-    reference's O(1)-state following model (TopicAvroFileCache.java:23-30).
+    This harness source stages the real events file plus ONE sentinel
+    event a year past the real maximum, in its own later micro-batch
+    (``maxFilesPerTrigger=1``, mtime-ordered).  The sentinel batch
+    advances the watermark beyond every real window at its commit, and
+    the engine's closing no-data micro-batch
+    (``spark.sql.streaming.noDataMicroBatches.enabled``, default on —
+    it exists exactly to let an advanced watermark evict state) emits
+    and *expires* all real state before the query terminates — the
+    exact bounded-state behavior a production tail would have, matching
+    the reference's O(1)-state following model
+    (TopicAvroFileCache.java:23-30).  A second sentinel file used to
+    play the no-data batch's role explicitly; dropping it removes one
+    full micro-batch (~0.4-0.5 s of fixed trigger cost per bounded run
+    at any scale — optimization guide §1.2, do fewer passes) from every
+    flushable-stream query with identical emitted rows (the sentinel's
+    own window never closes, but its rows are filtered either way).
     Callers filter the sentinel rows (``SENTINEL_EVENT_TYPE`` /
     ``SENTINEL_USER_ID``) from the result.
     """
@@ -133,24 +142,23 @@ def flushable_event_stream(
     ).as_py()
     year_raw = 365 * 24 * 3600 * unit_per_sec
     now = os.stat(real).st_mtime
-    for i in (1, 2):
-        path = os.path.join(staged, f"{i}-sentinel.parquet")
-        pq.write_table(
-            pa.table(
-                {
-                    "event_id": pa.array([10**15 + i], pa.int64()),
-                    "ts": pa.array(
-                        [max_raw + i * year_raw], pa.int64()
-                    ).cast(src_ts),
-                    "user_id": pa.array([SENTINEL_USER_ID], pa.int64()),
-                    "event_type": pa.array([SENTINEL_EVENT_TYPE]),
-                    "value": pa.array([0.0], pa.float64()),
-                    "props": pa.array([None], pa.string()),
-                }
-            ),
-            path,
-        )
-        os.utime(path, (now + 10 * i, now + 10 * i))
+    path = os.path.join(staged, "1-sentinel.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([10**15 + 1], pa.int64()),
+                "ts": pa.array([max_raw + year_raw], pa.int64()).cast(
+                    src_ts
+                ),
+                "user_id": pa.array([SENTINEL_USER_ID], pa.int64()),
+                "event_type": pa.array([SENTINEL_EVENT_TYPE]),
+                "value": pa.array([0.0], pa.float64()),
+                "props": pa.array([None], pa.string()),
+            }
+        ),
+        path,
+    )
+    os.utime(path, (now + 10, now + 10))
     schema = StructType(
         [
             StructField("event_id", LongType()),

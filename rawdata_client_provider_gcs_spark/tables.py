@@ -82,6 +82,53 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Memoized Catalyst expression trees (unresolved Columns), keyed by the
+# builder function and its (all-hashable) arguments.  Building a deep
+# Column tree in PySpark is hundreds of py4j round trips (~0.3-1 ms
+# each): the robots.txt verdict, the HTML/feed/sitemap parsers and
+# similar pure-expression helpers were measured at 0.4-1.1 s of
+# driver-side construction PER QUERY BUILD (optimization guide §7.3 —
+# plan construction itself as the bottleneck).  The tree depends only
+# on column NAMES, never on data or on a DataFrame, and unresolved
+# Columns are immutable and freely reusable across plans: analysis,
+# optimization, codegen and execution still run per query.  Keyed by
+# the py4j gateway identity so a restarted JVM never serves dead refs.
+_COLUMN_MEMO: dict[tuple, object] = {}
+
+
+def memo_columns(fn):
+    """Memoize a pure Column-builder (args: plain hashable values).
+
+    Use ONLY for functions whose result depends exclusively on their
+    arguments (column names / literals) — never on a DataFrame, the
+    session state, or data.
+    """
+    import functools
+
+    from pyspark import SparkContext
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        sc = SparkContext._active_spark_context
+        try:
+            key = (
+                id(sc._gateway),
+                fn.__module__,
+                fn.__qualname__,
+                args,
+                tuple(sorted(kwargs.items())),
+            )
+        except Exception:
+            return fn(*args, **kwargs)
+        if key not in _COLUMN_MEMO:
+            if len(_COLUMN_MEMO) > 2048:
+                _COLUMN_MEMO.clear()
+            _COLUMN_MEMO[key] = fn(*args, **kwargs)
+        return _COLUMN_MEMO[key]
+
+    return wrapper
+
+
 # Memoized scan_parallel decisions: (applicationId, target, normalized
 # unanalyzed-plan string) -> repartition target (0 = no-op).  Metadata
 # only; bounded; cleared wholesale if it ever grows past 4096 entries.
