@@ -54,7 +54,7 @@ def pagerank(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
         w.alias("w"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # ^ the caller's edge derivation (often a join+aggregate over the
     # raw tables) is consumed FOUR times below (nodes, outw, norm,
     # dangling flags); without materializing it here each consumer
@@ -73,7 +73,8 @@ def pagerank(
         )
         .groupBy("node")
         .agg(F.max("has_out").alias("has_out"))
-        .localCheckpoint()  # loop-invariant: materialize once, not per round
+        .localCheckpoint(eager=False)  # loop-invariant; materialized by
+        # the N count below (one action), cached for every round
     )
     from pyspark.sql import Window as _W
 
@@ -84,8 +85,9 @@ def pagerank(
         # AQE anyway, so this does not change the scale story.
         e.withColumn("ow", F.sum("w").over(_W.partitionBy("src")))
         .select("src", "dst", (F.col("w") / F.col("ow")).alias("p"))
-        .localCheckpoint()  # ditto — else every iteration replays the
-        # upstream edge derivation (join/aggregate over the raw tables)
+        .localCheckpoint(eager=False)  # ditto — else every iteration
+        # replays the upstream edge derivation; lazy: the first round's
+        # execution materializes it once into the checkpoint cache
     )
     # N is one bounded scalar (a node count) — computing it once on the
     # driver replaces the broadcast-exchange job that every round's TWO
@@ -121,6 +123,13 @@ def pagerank(
                     )
                 ).alias("pr"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
+            # lazy (guide §1.2): each eager checkpoint was a dedicated
+            # per-round JOB; the lazy form still truncates the SQL plan
+            # to a LogicalRDD leaf at build time (plan stays O(1) per
+            # round) and caches the round's rank vector on first use,
+            # but the whole fixed-iteration recurrence now executes
+            # inside the ONE final action instead of iters driver-side
+            # job round trips
         )
     return ranks.select("node", "pr")

@@ -183,11 +183,14 @@ def flushable_event_stream(
 #: store instances is fixed by ``spark.sql.shuffle.partitions`` at query
 #: start; a bounded toy-scale drain carries kilobytes of state per
 #: partition, so per-store overhead (snapshot deltas, commit fsyncs)
-#: dominates wall time — 8 stores halve the harness cost vs 32 with
-#: identical results.  Production tails (``df.writeStream`` directly)
-#: are untouched and inherit the session's shuffle-partition sizing,
-#: which at real state volumes should be high, not low.
-BOUNDED_STATE_PARTITIONS = 8
+#: dominates wall time — 8 stores halved the harness cost vs 32, and an
+#: interleaved A/B (r17) measured 4 another ~0.2 s/query better on both
+#: the session-window and interval-state queries with identical results.
+#: Production tails (``df.writeStream`` directly) are untouched and
+#: inherit the session's shuffle-partition sizing, which at real state
+#: volumes should be high, not low (tools/stream_stress.py passes its
+#: own count).
+BOUNDED_STATE_PARTITIONS = 4
 
 #: Micro-batch count of the last bounded run, per query name.  The three
 #: stateful bench queries are micro-batch-overhead dominated and have
