@@ -157,7 +157,15 @@ def q_stream_stateful_counts(spark: SparkSession, sf: str) -> DataFrame:
     counters equal the batch group-by."""
     events = W.stream_events(spark, sf)
     counts = W.stateful_user_counts(events)
-    out = W.run_available_now_update(counts, "t_stateful")
+    # per-key Python work is the load here (one pandas call per user),
+    # so state partitions track cores up to the measured knee at 16 —
+    # scale-adaptive, not a local[32] constant (the driver also benches
+    # at lower core counts)
+    out = W.run_available_now_update(
+        counts,
+        "t_stateful",
+        state_partitions=min(spark.sparkContext.defaultParallelism, 16),
+    )
     # update mode emits one row per key per micro-batch; keep the final
     # (largest) counter per key so multi-batch runs stay correct
     return (
