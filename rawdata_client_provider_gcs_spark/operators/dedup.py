@@ -432,20 +432,19 @@ def connected_components(
     )
     prev_sum = None
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["dst"] == labels["id"])
-            .groupBy("src")
-            .agg(F.min("component_id").alias("n_min"))
-        )
+        # closed-neighborhood min in ONE aggregation: union the
+        # neighbor-label rows with each node's own label row and take
+        # min per node.  Exactly least(own, min(neighbors)) — the
+        # [groupBy min + left join back] pair this replaces cost two
+        # extra Exchanges of the label table per round (guide §2.4:
+        # two operations keyed the same way share one exchange; A/B
+        # measured median 2.75 s → 2.61 s on q_dedup_components).
         labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("component_id"),
-                    F.coalesce(F.col("n_min"), F.col("component_id")),
-                ).alias("component_id"),
-            )
+            sym.join(labels, sym["dst"] == labels["id"])
+            .select(F.col("src").alias("id"), "component_id")
+            .union(labels.select("id", "component_id"))
+            .groupBy("id")
+            .agg(F.min("component_id").alias("component_id"))
             # lazy checkpoint: the fixpoint agg right below is the
             # round's ONE action — it materializes (and caches) the new
             # labels as a side effect, so the eager-checkpoint job this
