@@ -426,6 +426,8 @@ def q_tpch_q21_waiting(spark: SparkSession, sf: str) -> DataFrame:
     double-correlation is rewritten as one per-order count-distinct pass
     (n_supp > 1 AND n_late = 1) — same semantics, no repeated correlated
     scans of lineitem."""
+    from pyspark.sql import Window
+
     l = load_table(spark, sf, "lineitem")
     o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf, "supplier")
@@ -433,18 +435,24 @@ def q_tpch_q21_waiting(spark: SparkSession, sf: str) -> DataFrame:
     lo = l.join(o, l.l_orderkey == o.o_orderkey).select(
         "l_orderkey", "l_suppkey", late.alias("is_late")
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("is_late"), F.col("l_suppkey"))
-        ).alias("n_late"),
-    )
+    # per-order distinct counts as window collect_set sizes: lineitem⋈orders
+    # is shuffled ONCE on l_orderkey instead of [count-distinct Expand agg +
+    # join back onto the same rows] (guide §2.4: two operations keyed the
+    # same way share one exchange — A/B median 1.29 s → 0.91 s; the sets
+    # are bounded by suppliers-per-order, single digits, so the window
+    # buffers stay trivially small at any corpus scale)
+    w = Window.partitionBy("l_orderkey")
     culprit = (
-        lo.filter(F.col("is_late"))
-        .join(
-            per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
-            "l_orderkey",
+        lo.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
         )
+        .filter(F.col("is_late") & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
