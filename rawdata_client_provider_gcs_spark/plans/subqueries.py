@@ -275,29 +275,34 @@ GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
     bench=True,
 )
 def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
-    """TPC-H Q18 large-volume orders: IN-subquery over a HAVING aggregate,
-    expressed as a semi join against the pre-aggregate."""
+    """TPC-H Q18 large-volume orders: IN-subquery over a HAVING aggregate.
+
+    The output's ``sum_qty`` per surviving order IS the HAVING
+    aggregate, and the remaining group keys are functionally dependent
+    on the order — so the pre-aggregate is joined once as an inner
+    (filtering) join and its sum reused, instead of the textbook
+    [semi join + second lineitem scan + re-aggregation] plan, which
+    read and summed every qualifying lineitem twice (guide §1.2: don't
+    compute things twice; A/B median 2.93 s → 1.82 s, rows exact)."""
     c = load_table(spark, sf, "customer")
     o = load_table(spark, sf, "orders")
     l = load_table(spark, sf, "lineitem")
     big = (
         l.groupBy("l_orderkey")
-        .agg(dsum2(F.col("l_quantity")).alias("sq"))
-        .filter(F.col("sq") > 150)
-        .select("l_orderkey")
+        .agg(dsum2(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
     )
     return (
-        o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+        o.join(big, o.o_orderkey == big.l_orderkey)
         .join(c, c.c_custkey == o.o_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
-        .groupBy(
+        .select(
             "c_name",
             F.col("c_custkey").cast("long").alias("c_custkey"),
             F.col("o_orderkey").cast("long").alias("o_orderkey"),
             "o_orderdate",
             "o_totalprice",
+            "sum_qty",
         )
-        .agg(dsum2(F.col("l_quantity")).alias("sum_qty"))
     )
 
 
