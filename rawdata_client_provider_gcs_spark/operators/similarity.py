@@ -26,6 +26,14 @@ from ..session import local_rows_df
 # and the broadcast-join fallback wins.
 _MAPSIDE_CENTROID_CELLS = 16384
 
+#: Schema of the ``_centroids`` side table exactly as
+#: :func:`build_ivf_index` writes it.  Readers pin it instead of
+#: letting ``spark.read.parquet`` re-infer from footers — inference is
+#: a driver-side job costing ~100 ms per probe call for a ≤nlist-row
+#: table whose schema is a build-time contract (guide §6 metadata cost;
+#: measured 0.16 s → 0.02 s per read).
+_CENTROIDS_SCHEMA = "cid long, cvec array<double>"
+
 
 def _dot(a, b) -> F.Column:
     return F.aggregate(
@@ -1107,7 +1115,7 @@ def append_to_ivf_index(
     """
     spark = new_embeddings.sparkSession
     cent_rows = sorted(
-        spark.read.parquet(f"{path}/_centroids").collect(),
+        spark.read.schema(_CENTROIDS_SCHEMA).parquet(f"{path}/_centroids").collect(),
         key=lambda r: r["cid"],
     )
     assigned = _assign_cells(new_embeddings, cent_rows, id_col, vec_col)
@@ -1139,7 +1147,7 @@ def ivf_query_index(
     are identical (pytest-pinned).
     """
     cent_rows = sorted(
-        spark.read.parquet(f"{path}/_centroids").collect(),
+        spark.read.schema(_CENTROIDS_SCHEMA).parquet(f"{path}/_centroids").collect(),
         key=lambda r: r["cid"],
     )
     probes = _probe_cells(queries, cent_rows, id_col, vec_col, nprobe)
@@ -1191,7 +1199,7 @@ def ivf_index_report(spark, path: str) -> DataFrame:
     """
     lists = spark.read.parquet(path)
     cent = F.broadcast(
-        spark.read.parquet(f"{path}/_centroids").select(
+        spark.read.schema(_CENTROIDS_SCHEMA).parquet(f"{path}/_centroids").select(
             F.col("cid"), F.col("cvec")
         )
     )
