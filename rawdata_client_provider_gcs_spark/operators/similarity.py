@@ -34,6 +34,26 @@ _MAPSIDE_CENTROID_CELLS = 16384
 #: measured 0.16 s → 0.02 s per read).
 _CENTROIDS_SCHEMA = "cid long, cvec array<double>"
 
+#: Read-back schema of a :func:`build_ivf_index` lists directory, cached
+#: per (application, path) after the first inference: probe calls were
+#: re-paying ~0.15 s of footer/partition schema merge per query batch on
+#: a layout whose schema only changes when the index is REBUILT — so
+#: :func:`build_ivf_index` invalidates the entry for its path, while
+#: :func:`append_to_ivf_index` (schema-preserving by contract) leaves it.
+_LISTS_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _read_lists(spark, path: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, path)
+    schema = _LISTS_SCHEMA_CACHE.get(key)
+    if schema is not None:
+        return spark.read.schema(schema).parquet(path)
+    df = spark.read.parquet(path)
+    if len(_LISTS_SCHEMA_CACHE) > 4096:
+        _LISTS_SCHEMA_CACHE.clear()
+    _LISTS_SCHEMA_CACHE[key] = df.schema
+    return df
+
 
 def _dot(a, b) -> F.Column:
     return F.aggregate(
@@ -1086,6 +1106,11 @@ def build_ivf_index(
         "cid"
     ).parquet(path)
     spark = embeddings.sparkSession
+    # a rebuild may change the lists schema (different id/vec columns):
+    # drop any cached read-back schema for this path
+    _LISTS_SCHEMA_CACHE.pop(
+        (spark.sparkContext.applicationId, path), None
+    )
     # single-slice local relation: a defaultParallelism-sliced one pays a
     # Python round trip per slice on this write (~6 s of pure overhead
     # for 16 rows at 32 cores — measured r17, guide §4)
@@ -1160,7 +1185,7 @@ def ivf_query_index(
     probe_rows = probes.collect()
     probed_cells = sorted({int(r["cid"]) for r in probe_rows})
     probes_local = local_rows_df(spark, probe_rows, probes.schema)
-    lists = spark.read.parquet(path).filter(F.col("cid").isin(probed_cells))
+    lists = _read_lists(spark, path).filter(F.col("cid").isin(probed_cells))
     scored = (
         lists.join(F.broadcast(probes_local), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -1197,7 +1222,7 @@ def ivf_index_report(spark, path: str) -> DataFrame:
     combinable group-by — the cheap periodic health check that decides
     when :func:`append_to_ivf_index` drift warrants a rebuild.
     """
-    lists = spark.read.parquet(path)
+    lists = _read_lists(spark, path)
     cent = F.broadcast(
         spark.read.schema(_CENTROIDS_SCHEMA).parquet(f"{path}/_centroids").select(
             F.col("cid"), F.col("cvec")

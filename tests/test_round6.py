@@ -400,6 +400,53 @@ def test_ivf_index_append_equals_full_rebuild(spark, tmp_path, sf_smoke_dir):
     assert len(a) == 6 * 5
 
 
+def test_ivf_index_rebuild_invalidates_lists_schema_cache(
+    spark, tmp_path, sf_smoke_dir
+):
+    """The per-(application, path) lists-schema cache (r17: probe calls
+    no longer re-infer the read-back schema) must be dropped when the
+    index at the same path is REBUILT — a rebuild with different
+    id/vec column names would otherwise be read through the stale
+    schema and surface as all-null columns."""
+    from pyspark.sql import functions as F
+
+    from rawdata_client_provider_gcs_spark.operators import similarity as S
+    from rawdata_client_provider_gcs_spark.tables import load_table
+
+    e = load_table(spark, sf_smoke_dir, "embeddings")
+    idx = str(tmp_path / "reused")
+    S.build_ivf_index(e, idx, nlist=4)
+    r1 = S.ivf_query_index(
+        spark, idx, e.filter(F.col("vec_id") < 4), k=3, nprobe=2
+    ).collect()
+    assert r1 and all(row["neighbor_id"] is not None for row in r1)
+    # rebuild IN the same application at the same path with renamed cols
+    e2 = e.select(
+        F.col("vec_id").alias("doc"), F.col("embedding").alias("vec")
+    )
+    S.build_ivf_index(e2, idx, nlist=4, id_col="doc", vec_col="vec")
+    r2 = S.ivf_query_index(
+        spark,
+        idx,
+        e2.filter(F.col("doc") < 4),
+        id_col="doc",
+        vec_col="vec",
+        k=3,
+        nprobe=2,
+    ).collect()
+    assert r2 and all(row["neighbor_id"] is not None for row in r2)
+    # appends share the schema by contract: the cache entry survives and
+    # appended vectors are visible through it
+    S.append_to_ivf_index(
+        e2.filter(F.col("doc") >= 4), idx, id_col="doc", vec_col="vec"
+    )
+    n_rebuilt = e2.count()
+    n_appended = e2.filter(F.col("doc") >= 4).count()
+    seen = S._read_lists(spark, idx)  # served from the cached schema
+    assert seen.count() == n_rebuilt + n_appended
+    assert seen.filter(F.col("neighbor_id").isNull()).count() == 0
+
+
 def test_ivf_index_large_nlist_fallback_paths(spark, tmp_path):
     """Above the inlined-literal codegen bound (nlist*dim > 16384 — the
     regime the materialized index targets, nlist ~ sqrt(N)), assignment
