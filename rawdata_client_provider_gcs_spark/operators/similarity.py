@@ -1111,14 +1111,56 @@ def build_ivf_index(
     _LISTS_SCHEMA_CACHE.pop(
         (spark.sparkContext.applicationId, path), None
     )
+    _write_centroids(spark, f"{path}/_centroids", cent_rows)
+
+
+def _write_centroids(spark, cent_path: str, cent_rows) -> None:
+    """Persist the ≤nlist-row quantizer side table.
+
+    The rows are DRIVER-BOUNDED metadata (guide §4/§5: don't pay a
+    distributed job for driver-sized data): on a local filesystem the
+    table is written directly with pyarrow (~5 ms) instead of a Spark
+    job whose fixed cost (Python-worker round trip + commit protocol)
+    measured 0.3-0.4 s for 16 rows.  Non-local paths (gs://, hdfs://)
+    keep the Spark writer, which speaks any Hadoop filesystem.  Both
+    writers produce the `_CENTROIDS_SCHEMA` layout the pinned readers
+    expect."""
+    rows = [
+        (int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cent_rows
+    ]
+    from urllib.parse import urlparse
+
+    parsed = urlparse(cent_path)
+    if parsed.scheme in ("", "file"):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        local = parsed.path if parsed.scheme == "file" else cent_path
+        if os.path.isdir(local):  # overwrite semantics, like the Spark writer
+            import shutil
+
+            shutil.rmtree(local)
+        os.makedirs(local, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {
+                    "cid": pa.array([r[0] for r in rows], pa.int64()),
+                    "cvec": pa.array(
+                        [r[1] for r in rows], pa.list_(pa.float64())
+                    ),
+                }
+            ),
+            os.path.join(local, "part-00000.parquet"),
+        )
+        return
     # single-slice local relation: a defaultParallelism-sliced one pays a
     # Python round trip per slice on this write (~6 s of pure overhead
     # for 16 rows at 32 cores — measured r17, guide §4)
-    local_rows_df(
-        spark,
-        [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cent_rows],
-        "cid long, cvec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_centroids")
+    local_rows_df(spark, rows, "cid long, cvec array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(cent_path)
 
 
 def append_to_ivf_index(
