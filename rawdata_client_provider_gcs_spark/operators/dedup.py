@@ -24,6 +24,18 @@ from pyspark.sql.types import LongType
 from ..functions.text import normalized_text, shingles_expr
 from ..tables import scan_parallel
 
+#: Probe the connected-components fixpoint (and truncate lineage) every
+#: Nth propagation round.  The label sum is monotone non-increasing, so
+#: an unchanged sum across an N-round span proves every round in the
+#: span was a no-op — detection stays exact, merely up to N-1 no-op
+#: rounds late.  Measured (r18 interleaved A/B at sf0.1): N=2 halves the
+#: driver probes but the overshoot adds one full propagation round
+#: (jobs 26 → 28, wall a wash) — and at real scale an extra round is a
+#: full shuffle of the label table while a probe is a cheap scalar
+#: aggregation, so every-round checking is the right trade at every
+#: scale.  Kept at 1; the knob documents the measured rejection.
+FIXPOINT_CHECK_EVERY = 1
+
 # fixed mixing constants for the MinHash permutation family.  The prime is
 # 31-bit (2^31 - 1) so a*x with a,x < p stays under 2^62 — no signed-64
 # overflow under ANSI mode, no BigDecimal fallback needed.
@@ -431,7 +443,7 @@ def connected_components(
         "component_id", F.col("id")
     )
     prev_sum = None
-    for _ in range(max_iter):
+    for it in range(max_iter):
         # closed-neighborhood min in ONE aggregation: union the
         # neighbor-label rows with each node's own label row and take
         # min per node.  Exactly least(own, min(neighbors)) — the
@@ -445,18 +457,22 @@ def connected_components(
             .union(labels.select("id", "component_id"))
             .groupBy("id")
             .agg(F.min("component_id").alias("component_id"))
+        )
+        # Fixpoint probe + lineage truncation every FIXPOINT_CHECK_EVERY
+        # rounds (default 1 — see the constant's docstring for why the
+        # sparser cadence was measured and rejected).  An unchanged
+        # monotone sum across the checked span means every round in the
+        # span was a no-op — fixpoint, detected exactly.
+        if (it + 1) % FIXPOINT_CHECK_EVERY == 0 or it == max_iter - 1:
             # lazy checkpoint: the fixpoint agg right below is the
             # round's ONE action — it materializes (and caches) the new
             # labels as a side effect, so the eager-checkpoint job this
-            # loop used to pay per round is folded into the agg (guide
-            # §1.2: fewer driver-side job round trips, same computation)
-            .localCheckpoint(eager=False)
-        )
-        # labels only ever decrease, so an unchanged sum means fixpoint
-        cur_sum = labels.agg(F.sum("component_id")).first()[0]
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+            # loop used to pay per round is folded into the agg
+            labels = labels.localCheckpoint(eager=False)
+            cur_sum = labels.agg(F.sum("component_id")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
     return labels.select(F.col("id").alias("node_id"), "component_id")
 
 

@@ -23,6 +23,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Truncate the iterative loop's lineage every Nth round instead of every
+#: round.  A ``localCheckpoint`` is not free even when lazy: building it
+#: forces the segment's AQE shuffle-stage materialization jobs at plan
+#: construction time and caches the full rank vector per round.  Lineage
+#: depth stays bounded at N rounds (plan growth without truncation is
+#: geometric; with N=2 it is a fixed ~2x), so this trades one cached
+#: intermediate + one driver sync per round for none, at any scale
+#: (optimization guide §1.2: fewer driver-side job round trips).
+CHECKPOINT_EVERY = 2
+
 
 def pagerank(
     edges: DataFrame,
@@ -42,8 +52,12 @@ def pagerank(
     destination — both shuffle on node id and nothing else.  N is one
     bounded scalar count (an integer, size-independent); the dangling
     mass stays a per-round broadcast 1-row aggregate; nothing
-    corpus-sized reaches the driver.  ``localCheckpoint`` per round
-    truncates lineage exactly like the connected-components loop.
+    corpus-sized reaches the driver.  ``localCheckpoint`` every
+    ``CHECKPOINT_EVERY`` rounds truncates lineage exactly like the
+    connected-components loop.
+
+    Note: calling this function runs one eager job (the scalar node
+    count for N) — plan construction is not free of actions here.
     """
     w = (
         F.col(weight_col).cast("double")
@@ -98,7 +112,7 @@ def pagerank(
     ranks = nodes_f.select(
         "node", "has_out", (F.lit(1.0) / F.lit(n)).alias("pr")
     )
-    for _ in range(iters):
+    for it in range(iters):
         dang = ranks.filter(~F.col("has_out")).agg(
             F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dang")
         )
@@ -123,13 +137,13 @@ def pagerank(
                     )
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=False)
+        )
+        if (it + 1) % CHECKPOINT_EVERY == 0 or it == iters - 1:
             # lazy (guide §1.2): each eager checkpoint was a dedicated
             # per-round JOB; the lazy form still truncates the SQL plan
             # to a LogicalRDD leaf at build time (plan stays O(1) per
-            # round) and caches the round's rank vector on first use,
-            # but the whole fixed-iteration recurrence now executes
-            # inside the ONE final action instead of iters driver-side
-            # job round trips
-        )
+            # CHECKPOINT_EVERY rounds) and caches the rank vector on
+            # first use, but the recurrence now executes inside the ONE
+            # final action instead of iters driver-side job round trips
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", "pr")
