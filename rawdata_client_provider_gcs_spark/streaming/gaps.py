@@ -270,7 +270,9 @@ def staged_sequence_stream(
         )
         .filter(F.col("seq") % drop_mod != drop_rem)
     )
-    staged = tempfile.mkdtemp(prefix="rawdata-seq-src-")
+    from .windows import scratch_dir
+
+    staged = tempfile.mkdtemp(prefix="rawdata-seq-src-", dir=scratch_dir())
     # ONE distributed job writes all shards via a partitioned write
     # (optimization guide §1.2: the per-shard loop ran the full
     # events-window derivation once PER SHARD — n_files× the work; a

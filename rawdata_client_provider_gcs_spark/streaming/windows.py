@@ -100,28 +100,31 @@ def flushable_event_stream(
     window state (wrong at scale; VERDICT r1 "What's wrong" #5).
 
     This harness source stages the real events file plus ONE sentinel
-    event a year past the real maximum, in its own later micro-batch
-    (``maxFilesPerTrigger=1``, mtime-ordered).  The sentinel batch
-    advances the watermark beyond every real window at its commit, and
-    the engine's closing no-data micro-batch
+    event a year past the real maximum, consumed together in a SINGLE
+    data micro-batch.  The watermark is computed from the maximum event
+    time *seen during* a batch and applied from the next batch on, so
+    the sentinel advances it beyond every real window at the data
+    batch's commit; the engine's closing no-data micro-batch
     (``spark.sql.streaming.noDataMicroBatches.enabled``, default on —
-    it exists exactly to let an advanced watermark evict state) emits
-    and *expires* all real state before the query terminates — the
-    exact bounded-state behavior a production tail would have, matching
-    the reference's O(1)-state following model
-    (TopicAvroFileCache.java:23-30).  A second sentinel file used to
-    play the no-data batch's role explicitly; dropping it removes one
-    full micro-batch (~0.4-0.5 s of fixed trigger cost per bounded run
-    at any scale — optimization guide §1.2, do fewer passes) from every
-    flushable-stream query with identical emitted rows (the sentinel's
-    own window never closes, but its rows are filtered either way).
-    Callers filter the sentinel rows (``SENTINEL_EVENT_TYPE`` /
-    ``SENTINEL_USER_ID``) from the result.
+    it exists exactly to let an advanced watermark evict state) then
+    emits and *expires* all real state before the query terminates —
+    the exact bounded-state behavior a production tail would have,
+    matching the reference's O(1)-state following model
+    (TopicAvroFileCache.java:23-30).  Earlier rounds staged the
+    sentinel as its own later micro-batch (``maxFilesPerTrigger=1``)
+    and, before that, a second sentinel file played the no-data batch's
+    role; each step removed one full micro-batch (~0.4-0.7 s of fixed
+    trigger cost per bounded run at any scale — optimization guide
+    §1.2, do fewer passes) with identical emitted rows: no row is ever
+    late (the initial watermark is 0 during the only data batch), the
+    sentinel's own window never closes, and its rows are filtered
+    either way.  Callers filter the sentinel rows
+    (``SENTINEL_EVENT_TYPE`` / ``SENTINEL_USER_ID``) from the result.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    staged = tempfile.mkdtemp(prefix="rawdata-stream-src-")
+    staged = tempfile.mkdtemp(prefix="rawdata-stream-src-", dir=scratch_dir())
     real = os.path.join(staged, "0-events.parquet")
     shutil.copy(os.path.join(sf_dir, "events.parquet"), real)
     ts_type, div = _ts_field_spec(real)
@@ -173,10 +176,34 @@ def flushable_event_stream(
         spark.readStream.schema(schema)
         .format("parquet")
         .option("pathGlobFilter", "*.parquet")
-        .option("maxFilesPerTrigger", 1)
         .load(staged)
     )
     return _to_event_time(raw, div)
+
+
+def scratch_dir() -> str | None:
+    """Parent directory for BOUNDED-drain scratch (checkpoints, staged
+    source files) — ``None`` means the system temp dir.
+
+    A bounded harness drain creates a checkpoint, drains everything
+    present, and never restarts from it: the checkpoint exists only to
+    satisfy the engine's commit protocol for the run's lifetime, so its
+    durability is irrelevant and a memory-backed filesystem is
+    semantically identical while skipping the per-micro-batch
+    WAL/offset/state fsync latency (optimization guide §1.2 — the
+    fixed trigger cost is commit-bound at toy scale).  Production tails
+    call ``writeStream`` with their own durable ``checkpointLocation``
+    and never pass through here.  ``SPARK_GRAFT_STREAM_SCRATCH``
+    overrides (any path, or empty for the system default); otherwise
+    ``/dev/shm`` is used when present and writable.
+    """
+    env = os.environ.get("SPARK_GRAFT_STREAM_SCRATCH")
+    if env is not None:
+        return env or None
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return shm
+    return None
 
 
 #: State-store partition count for BOUNDED drains.  The number of state
@@ -209,7 +236,7 @@ def _run_bounded(
 ) -> DataFrame:
     spark = stream_df.sparkSession
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
-    checkpoint = tempfile.mkdtemp(prefix="rawdata-ckpt-")
+    checkpoint = tempfile.mkdtemp(prefix="rawdata-ckpt-", dir=scratch_dir())
     prev = None
     if state_partitions is not None:
         prev = spark.conf.get("spark.sql.shuffle.partitions")
