@@ -35,22 +35,41 @@ _MAPSIDE_CENTROID_CELLS = 16384
 _CENTROIDS_SCHEMA = "cid long, cvec array<double>"
 
 #: Read-back schema of a :func:`build_ivf_index` lists directory, cached
-#: per (application, path) after the first inference: probe calls were
-#: re-paying ~0.15 s of footer/partition schema merge per query batch on
-#: a layout whose schema only changes when the index is REBUILT — so
-#: :func:`build_ivf_index` invalidates the entry for its path, while
-#: :func:`append_to_ivf_index` (schema-preserving by contract) leaves it.
-_LISTS_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+#: per (application, path, freshness stamp) after the first inference:
+#: probe calls were re-paying ~0.15 s of footer/partition schema merge
+#: per query batch on a layout whose schema only changes when the index
+#: is REBUILT.  For local paths the stamp (dir size+mtime_ns) makes a
+#: rebuild by ANY process — not just this one — miss the stale entry;
+#: :func:`build_ivf_index` additionally invalidates its path's entries
+#: eagerly.  For non-local paths (gs://, hdfs://) no cheap stat exists,
+#: so the cache relies on the same-process rebuild contract: an index
+#: rebuilt at the same remote path by another application with different
+#: column TYPES would be read through the stale schema for this
+#: application's lifetime.  :func:`append_to_ivf_index` is
+#: schema-preserving by contract and never invalidates.
+_LISTS_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _lists_stamp(path: str):
+    from ..tables import _path_stamp
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme in ("", "file"):
+        return _path_stamp(parsed.path if parsed.scheme == "file" else path)
+    return None
 
 
 def _read_lists(spark, path: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, path)
+    key = (spark.sparkContext.applicationId, path, _lists_stamp(path))
     schema = _LISTS_SCHEMA_CACHE.get(key)
     if schema is not None:
         return spark.read.schema(schema).parquet(path)
     df = spark.read.parquet(path)
     if len(_LISTS_SCHEMA_CACHE) > 4096:
-        _LISTS_SCHEMA_CACHE.clear()
+        # drop one arbitrary entry, not the whole cache: the hot probe
+        # paths stay warm even if something churns thousands of paths
+        _LISTS_SCHEMA_CACHE.pop(next(iter(_LISTS_SCHEMA_CACHE)))
     _LISTS_SCHEMA_CACHE[key] = df.schema
     return df
 
@@ -1106,11 +1125,12 @@ def build_ivf_index(
         "cid"
     ).parquet(path)
     spark = embeddings.sparkSession
-    # a rebuild may change the lists schema (different id/vec columns):
-    # drop any cached read-back schema for this path
-    _LISTS_SCHEMA_CACHE.pop(
-        (spark.sparkContext.applicationId, path), None
-    )
+    # a rebuild may change the lists schema (different id/vec column
+    # TYPES): drop every cached read-back schema for this path (the
+    # freshness stamp in the key usually catches this on its own for
+    # local paths; this keeps remote paths honest in-process too)
+    for k in [k for k in _LISTS_SCHEMA_CACHE if k[1] == path]:
+        _LISTS_SCHEMA_CACHE.pop(k, None)
     _write_centroids(spark, f"{path}/_centroids", cent_rows)
 
 
@@ -1138,11 +1158,15 @@ def _write_centroids(spark, cent_path: str, cent_rows) -> None:
         import pyarrow.parquet as pq
 
         local = parsed.path if parsed.scheme == "file" else cent_path
-        if os.path.isdir(local):  # overwrite semantics, like the Spark writer
-            import shutil
+        import shutil
 
-            shutil.rmtree(local)
-        os.makedirs(local, exist_ok=True)
+        # build the replacement NEXT TO the target, then swap: a crash
+        # mid-write can never leave a half-built _centroids at the
+        # final path (the Spark commit protocol's atomicity, manually)
+        tmp = f"{local}.__tmp_centroids__"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp) if os.path.isdir(tmp) else os.remove(tmp)
+        os.makedirs(tmp)
         pq.write_table(
             pa.table(
                 {
@@ -1152,8 +1176,15 @@ def _write_centroids(spark, cent_path: str, cent_rows) -> None:
                     ),
                 }
             ),
-            os.path.join(local, "part-00000.parquet"),
+            os.path.join(tmp, "part-00000.parquet"),
         )
+        # overwrite semantics like the Spark writer, including a target
+        # existing as a plain FILE (corrupted/partial state)
+        if os.path.isdir(local):
+            shutil.rmtree(local)
+        elif os.path.exists(local):
+            os.remove(local)
+        os.rename(tmp, local)
         return
     # single-slice local relation: a defaultParallelism-sliced one pays a
     # Python round trip per slice on this write (~6 s of pure overhead

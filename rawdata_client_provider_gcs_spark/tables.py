@@ -14,6 +14,7 @@ the data path stays a columnar vectorized parquet scan with pushdown.
 
 from __future__ import annotations
 
+import os
 import re
 from functools import lru_cache
 
@@ -36,8 +37,34 @@ TABLE_NAMES = (
 )
 
 
+def _path_stamp(path: str):
+    """Cheap freshness token: (size, mtime_ns) of the local path, or None
+    when it cannot be stat'ed (non-local URI, missing file).  A rewrite
+    at the same path — in-process or by another process — changes the
+    stamp, so stamp-keyed caches can never serve metadata for a file
+    that no longer exists in that form (the same scheme
+    ``plans/llm.py::_ivf_corpus_fingerprint`` already uses).  For a
+    directory table the mtime covers file adds/removes/renames, which
+    is how every Spark overwrite lands.
+    """
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    return (st.st_size, st.st_mtime_ns)
+
+
+# Bumped whenever ``load_table`` observes a table path's stamp change
+# (including first sight).  Folded into the ``scan_parallel`` decision
+# memo key: a rewritten table may carry a different split count, so all
+# memoized spread decisions are invalidated by one integer compare —
+# re-probing costs one planning pass, never correctness.
+_STAMP_EPOCH = 0
+_TABLE_STAMPS: dict[str, object] = {}
+
+
 @lru_cache(maxsize=256)
-def _nanos_timestamp_columns(parquet_path: str) -> tuple[str, ...]:
+def _nanos_timestamp_columns(parquet_path: str, stamp=None) -> tuple[str, ...]:
     import pyarrow.parquet as pq
 
     try:
@@ -56,24 +83,33 @@ def _nanos_timestamp_columns(parquet_path: str) -> tuple[str, ...]:
 # ``spark.read.parquet`` call (~110 ms measured on this box).  Passing the
 # once-inferred StructType back via ``.schema(...)`` skips inference
 # (~18 ms).  Keyed by applicationId so a stopped session's JVM schema
-# objects are never reused by a new session.  This is plan-construction
-# metadata only — every action still scans the parquet data in full.
-_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+# objects are never reused by a new session, and by the path's freshness
+# stamp so a table REWRITTEN at the same path (any process) is re-read
+# through fresh inference instead of a stale schema.  This is
+# plan-construction metadata only — every action still scans the parquet
+# data in full.
+_SCHEMA_CACHE: dict[tuple, object] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_engine_confs(spark)
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
-    key = (spark.sparkContext.applicationId, path)
-    schema = _SCHEMA_CACHE.get(key)
+    stamp = _path_stamp(path)
+    global _STAMP_EPOCH
+    if _TABLE_STAMPS.get(path) != stamp:
+        _TABLE_STAMPS[path] = stamp
+        _STAMP_EPOCH += 1
+    key = (spark.sparkContext.applicationId, path, stamp)
+    schema = _SCHEMA_CACHE.get(key) if stamp is not None else None
     if schema is not None:
         df = spark.read.schema(schema).parquet(path)
     else:
         df = spark.read.parquet(path)
-        if len(_SCHEMA_CACHE) > 4096:
-            _SCHEMA_CACHE.clear()
-        _SCHEMA_CACHE[key] = df.schema
-    for col in _nanos_timestamp_columns(path):
+        if stamp is not None:
+            if len(_SCHEMA_CACHE) > 4096:
+                _SCHEMA_CACHE.clear()
+            _SCHEMA_CACHE[key] = df.schema
+    for col in _nanos_timestamp_columns(path, stamp):
         # floor-divide nanos → micros, matching DuckDB's ns→us truncation
         df = df.withColumn(
             col,
@@ -129,10 +165,13 @@ def memo_columns(fn):
     return wrapper
 
 
-# Memoized scan_parallel decisions: (applicationId, target, normalized
-# unanalyzed-plan string) -> repartition target (0 = no-op).  Metadata
+# Memoized scan_parallel decisions: (applicationId, stamp epoch, target,
+# normalized unanalyzed-plan string) -> repartition target (0 = no-op).
+# The stamp epoch (see ``_STAMP_EPOCH``) invalidates every decision when
+# any table file changes on disk — the plan string alone cannot see a
+# rewrite that kept the schema but changed the split count.  Metadata
 # only; bounded; cleared wholesale if it ever grows past 4096 entries.
-_SCAN_DECISIONS: dict[tuple[str, int, str], int] = {}
+_SCAN_DECISIONS: dict[tuple, int] = {}
 _PLAN_EXPR_ID_RE = re.compile(r"#\d+")
 
 
@@ -181,7 +220,7 @@ def scan_parallel(
         plan_str = _PLAN_EXPR_ID_RE.sub(
             "#", df._jdf.queryExecution().logical().toString()
         )
-        key = (sc.applicationId, target, plan_str)
+        key = (sc.applicationId, _STAMP_EPOCH, target, plan_str)
     except Exception:
         pass
     if key is not None and key in _SCAN_DECISIONS:

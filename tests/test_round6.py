@@ -403,11 +403,14 @@ def test_ivf_index_append_equals_full_rebuild(spark, tmp_path, sf_smoke_dir):
 def test_ivf_index_rebuild_invalidates_lists_schema_cache(
     spark, tmp_path, sf_smoke_dir
 ):
-    """The per-(application, path) lists-schema cache (r17: probe calls
-    no longer re-infer the read-back schema) must be dropped when the
-    index at the same path is REBUILT — a rebuild with different
-    id/vec column names would otherwise be read through the stale
-    schema and surface as all-null columns."""
+    """The lists-schema cache (r17: probe calls no longer re-infer the
+    read-back schema) must be dropped when the index at the same path is
+    REBUILT.  The rebuild here changes the neighbor_id column TYPE
+    (long -> string): ``_assign_cells`` always emits the same column
+    NAMES, so only a type change makes a stale cached schema actually
+    observable (string ids read through a pinned long schema surface as
+    nulls/garbage) — the r17 rename-only variant of this test passed
+    even with the invalidation removed (ADVICE r17)."""
     from pyspark.sql import functions as F
 
     from rawdata_client_provider_gcs_spark.operators import similarity as S
@@ -420,28 +423,30 @@ def test_ivf_index_rebuild_invalidates_lists_schema_cache(
         spark, idx, e.filter(F.col("vec_id") < 4), k=3, nprobe=2
     ).collect()
     assert r1 and all(row["neighbor_id"] is not None for row in r1)
-    # rebuild IN the same application at the same path with renamed cols
+    # rebuild IN the same application at the same path with STRING ids
+    # (explicit quantizer: the default derives cid by casting ids to
+    # long, which string ids cannot satisfy)
+    cents = spark.read.parquet(f"{idx}/_centroids")
     e2 = e.select(
-        F.col("vec_id").alias("doc"), F.col("embedding").alias("vec")
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("doc"),
+        F.col("embedding").alias("vec"),
     )
-    S.build_ivf_index(e2, idx, nlist=4, id_col="doc", vec_col="vec")
+    S.build_ivf_index(e2, idx, id_col="doc", vec_col="vec", centroids=cents)
+    q2 = e2.filter(F.substring("doc", 5, 10).cast("long") < 4)
     r2 = S.ivf_query_index(
-        spark,
-        idx,
-        e2.filter(F.col("doc") < 4),
-        id_col="doc",
-        vec_col="vec",
-        k=3,
-        nprobe=2,
+        spark, idx, q2, id_col="doc", vec_col="vec", k=3, nprobe=2
     ).collect()
-    assert r2 and all(row["neighbor_id"] is not None for row in r2)
+    assert r2 and all(
+        isinstance(row["neighbor_id"], str)
+        and row["neighbor_id"].startswith("doc-")
+        for row in r2
+    )
     # appends share the schema by contract: the cache entry survives and
     # appended vectors are visible through it
-    S.append_to_ivf_index(
-        e2.filter(F.col("doc") >= 4), idx, id_col="doc", vec_col="vec"
-    )
+    new = e2.filter(F.substring("doc", 5, 10).cast("long") >= 4)
+    S.append_to_ivf_index(new, idx, id_col="doc", vec_col="vec")
     n_rebuilt = e2.count()
-    n_appended = e2.filter(F.col("doc") >= 4).count()
+    n_appended = new.count()
     seen = S._read_lists(spark, idx)  # served from the cached schema
     assert seen.count() == n_rebuilt + n_appended
     assert seen.filter(F.col("neighbor_id").isNull()).count() == 0
