@@ -684,13 +684,17 @@ def ivf_pq_topk(
     scores as ``sum(LUT[m, code_m]) / (|q|·|x|)`` without touching the
     original vector.  Structure (all stages scale-shaped):
 
-    - one map-side Arrow-batched pass assigns every corpus vector to its
-      IVF list AND PQ-encodes it (broadcast numpy centroids/codebooks in
-      the UDF closure; no shuffle, codes ride instead of vectors);
-    - candidates = inverted-list equi-join against broadcast probes, as
-      in :func:`ivf_ann_topk`;
-    - ADC scoring is a vectorized ``mapInPandas`` over candidate rows —
-      one LUT per distinct query per batch, then a fancy-index gather;
+    - the probe batch (driver-bounded BY DESIGN — the un-fused shape
+      broadcast it to every executor, the same size assumption) is
+      collected once; its probed cells and per-query ADC lookup tables
+      are computed in numpy on the driver and ride the kernel closure;
+    - ONE map-side Arrow-batched pass assigns every corpus vector to
+      its IVF list, PQ-encodes it, AND ADC-scores it against the
+      queries probing its cell (broadcast numpy centroids/codebooks/
+      LUTs in the UDF closure; no shuffle, no join, codes never leave
+      the task) — r18 fused the former encode → broadcast-join → ADC
+      pipeline into this single stage, removing two Python stages and
+      one Arrow boundary (guide §4.1: control how often columns cross);
     - optional exact **rerank**: the top-``rerank`` PQ candidates per
       query re-score against true vectors (an id-join back to the
       corpus — the only stage that touches full vectors, bounded to
@@ -722,84 +726,93 @@ def ivf_pq_topk(
 
     m_, k_, dsub = books.shape
 
-    def encode(batches):
+    # probe batch, driver-side: the un-fused pipeline shipped the probes
+    # to every executor via a broadcast join, so "fits on the driver" was
+    # already the operating assumption; collecting them instead lets the
+    # probe-cell assignment and the per-query ADC lookup tables ride the
+    # kernel closure (guide §4.5 heavyweight init once; §2.4 the
+    # broadcast join disappears outright)
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_vecs = np.asarray([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_ids = np.asarray([r[0] for r in q_rows], dtype=np.int64)
+    if len(q_rows):
+        q_norms = np.sqrt((q_vecs**2).sum(axis=1))
+        q_cos = (q_vecs @ cents.T) / np.maximum(
+            q_norms[:, None] * cent_norms[None, :], 1e-300
+        )
+        q_top = np.argsort(-q_cos, axis=1, kind="stable")[:, :nprobe]
+        # same per-query LUT expression as the former per-batch ADC stage
+        # (bit-identical float path: books @ qvec per query)
+        luts = np.stack(
+            [
+                (books @ qv.reshape(m_, dsub)[:, :, None]).squeeze(-1)
+                for qv in q_vecs
+            ]
+        )  # (Q, m, codes)
+        probing = {}  # cid -> int array of query indices probing it
+        for qi, cells in enumerate(q_top):
+            for c in cells:
+                probing.setdefault(int(c), []).append(qi)
+        probing = {c: np.asarray(v, dtype=np.int64) for c, v in probing.items()}
+    else:
+        probing = {}
+        q_norms = np.zeros(0, dtype=np.float64)
+        luts = np.zeros((0, m_, k_), dtype=np.float64)
+
+    def encode_score(batches):
         for pdf in batches:
             x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             n = x.shape[0]
+            if not n:
+                continue
             # IVF assignment by cosine (ties -> lowest cid, matching ivf_ann)
             xn = np.sqrt((x**2).sum(axis=1))
             cos = (x @ cents.T) / np.maximum(xn[:, None] * cent_norms[None, :], 1e-300)
             cid = cos.argmax(axis=1)
             # PQ codes: per subspace argmin L2 to the codebook
             xs = x.reshape(n, m_, dsub)
-            code_cols = np.empty((n, m_), dtype=np.int32)
+            code_cols = np.empty((n, m_), dtype=np.int64)
             for mi in range(m_):
                 d2 = (
                     (xs[:, mi, None, :] - books[None, mi, :, :]) ** 2
                 ).sum(axis=2)
                 code_cols[:, mi] = d2.argmin(axis=1)
+            # ADC against the queries probing each row's cell — the same
+            # gather+sum+normalize the former join+ADC stage computed,
+            # now without the codes ever leaving the task
+            ids = np.asarray(pdf[id_col], dtype=np.int64)
+            out_q, out_n, out_s = [], [], []
+            for c in np.unique(cid):
+                qidx = probing.get(int(c))
+                if qidx is None:
+                    continue
+                sel = cid == c
+                sel_codes = code_cols[sel]  # (n_c, m)
+                sel_ids = ids[sel]
+                sel_norms = xn[sel]
+                for qi in qidx:
+                    approx_dot = luts[qi][
+                        np.arange(m_)[None, :], sel_codes
+                    ].sum(axis=1)
+                    scores = approx_dot / np.maximum(
+                        q_norms[qi] * sel_norms, 1e-300
+                    )
+                    keep = sel_ids != q_ids[qi]
+                    out_q.append(np.full(keep.sum(), q_ids[qi]))
+                    out_n.append(sel_ids[keep])
+                    out_s.append(scores[keep])
+            if not out_q:
+                continue
             yield pd.DataFrame(
                 {
-                    "neighbor_id": pdf[id_col],
-                    "cid": cid.astype("int64"),
-                    "codes": list(code_cols),
-                    "x_norm": xn,
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "pq_cosine": np.concatenate(out_s),
                 }
             )
 
-    assigned = embeddings.select(id_col, vec_col).mapInPandas(
-        encode, "neighbor_id long, cid long, codes array<int>, x_norm double"
-    )
-
-    def probe(batches):
-        for pdf in batches:
-            q = np.asarray(list(pdf[vec_col]), dtype=np.float64)
-            qn = np.sqrt((q**2).sum(axis=1))
-            cos = (q @ cents.T) / np.maximum(qn[:, None] * cent_norms[None, :], 1e-300)
-            top = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
-            out = {
-                "query_id": np.repeat(np.asarray(pdf[id_col]), nprobe),
-                "query_vec": [v for v in pdf[vec_col] for _ in range(nprobe)],
-                "cid": top.ravel().astype("int64"),
-            }
-            yield pd.DataFrame(out)
-
-    probes = queries.select(id_col, vec_col).mapInPandas(
-        probe, f"query_id long, query_vec {queries.schema[vec_col].dataType.simpleString()}, cid long"
-    )
-
-    cand = assigned.join(F.broadcast(probes), "cid").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-
-    def adc(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            codes_mat = np.asarray(list(pdf["codes"]), dtype=np.int64)
-            out_scores = np.empty(len(pdf), dtype=np.float64)
-            for qid in pdf["query_id"].unique():
-                sel = (pdf["query_id"] == qid).to_numpy()
-                qvec = np.asarray(
-                    pdf.loc[sel, "query_vec"].iloc[0], dtype=np.float64
-                )
-                # (m, codes) ADC lookup table: c[m,k]·q[m]
-                lut = (
-                    books @ qvec.reshape(m_, dsub)[:, :, None]
-                ).squeeze(-1)
-                approx_dot = lut[
-                    np.arange(m_)[None, :], codes_mat[sel]
-                ].sum(axis=1)
-                qn = np.sqrt((qvec**2).sum())
-                out_scores[sel] = approx_dot / np.maximum(
-                    qn * pdf.loc[sel, "x_norm"].to_numpy(), 1e-300
-                )
-            res = pdf[["query_id", "neighbor_id"]].copy()
-            res["pq_cosine"] = out_scores
-            yield res
-
-    scored = cand.mapInPandas(
-        adc, "query_id long, neighbor_id long, pq_cosine double"
+    scored = embeddings.select(id_col, vec_col).mapInPandas(
+        encode_score, "query_id long, neighbor_id long, pq_cosine double"
     )
 
     w = Window.partitionBy("query_id").orderBy(
