@@ -844,8 +844,22 @@ def q_similarity_ivf_build(spark: SparkSession, sf: str) -> DataFrame:
     e = load_table(spark, sf, "embeddings")
     with tempfile.TemporaryDirectory(prefix="rawdata-ivf-build-") as tmp:
         similarity.build_ivf_index(e, tmp + "/lists", nlist=16)
+        # read back with the build-contract schema instead of footer +
+        # partition-merge inference (~0.1 s driver-side per call on a
+        # directory that is fresh every call, so no cache can help —
+        # same §6 rationale as the pinned _centroids schema, r17)
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        lists_schema = StructType(
+            [
+                StructField("neighbor_id", e.schema["vec_id"].dataType),
+                StructField("cand_vec", e.schema["embedding"].dataType),
+                StructField("cid", LongType()),
+            ]
+        )
         counts = (
-            spark.read.parquet(tmp + "/lists")
+            spark.read.schema(lists_schema)
+            .parquet(tmp + "/lists")
             .groupBy(F.col("cid").cast("long").alias("cid"))
             .agg(F.count("*").alias("n_vectors"))
             .collect()
