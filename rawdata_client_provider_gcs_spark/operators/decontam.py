@@ -354,14 +354,23 @@ def fuzzy_contaminated_pairs(
         # inter is bounded by true shingle co-occurrence with the (small)
         # benchmark — candidate-scale, not corpus-scale — and is used by
         # both the candidate set and the final join, so materialize it
-        # once rather than re-running the corpus-side join
+        # once rather than re-running the corpus-side join.  LAZY: the
+        # final pairs checkpoint below is this operator's one action and
+        # materializes inter as a side effect, folding what used to be a
+        # separate eager job into it (guide §1.2; the r18 stage probe
+        # measured 11 jobs/197 tasks eager vs 10 jobs/165 tasks lazy,
+        # median 1.13 s → 1.02 s, rows identical).  Dropping the
+        # checkpoint entirely was another ~0.1 s faster at bench scale
+        # but re-runs the broadcast join over the corpus-scale gram
+        # persist twice (no ReusedExchange in the plan) — rejected: the
+        # extra pass only looks free when the gram cache fits in memory.
         inter = (
             doc_grams.join(F.broadcast(bench_grams), "gram_hash")
             .groupBy(id_col, "bench_id")
             .agg(F.count(F.lit(1)).alias("n_common"))
         )
         if materialize:
-            inter = inter.localCheckpoint(eager=True)
+            inter = inter.localCheckpoint(eager=False)
         # denominator sizes are only needed for documents that shared at
         # least one shingle with the benchmark — semi-join the gram table
         # down to those before counting, so the size aggregate shuffles
