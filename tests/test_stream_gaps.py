@@ -191,3 +191,25 @@ def test_auto_engine_selects_by_runtime(monkeypatch):
     monkeypatch.setattr(G, "tws_available", lambda: True)
     G.sequence_gap_stats_auto(None)
     assert calls == ["groupstate", "tws"]
+
+
+def test_scratch_dir_env_contract(monkeypatch):
+    """scratch_dir honors SPARK_GRAFT_STREAM_SCRATCH: a set path wins
+    verbatim, empty string forces the system default (None), and with
+    the variable unset the default is /dev/shm when usable else None —
+    so bounded-drain scratch placement is always operator-controllable."""
+    from rawdata_client_provider_gcs_spark.streaming import windows as W
+
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SCRATCH", "/somewhere/else")
+    assert W.scratch_dir() == "/somewhere/else"
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SCRATCH", "")
+    assert W.scratch_dir() is None
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_SCRATCH")
+    import os as _os
+
+    expected = (
+        "/dev/shm"
+        if _os.path.isdir("/dev/shm") and _os.access("/dev/shm", _os.W_OK)
+        else None
+    )
+    assert W.scratch_dir() == expected
