@@ -441,13 +441,18 @@ def bm25_topk(
     # doc-length table join this replaces cost two extra Exchanges —
     # tf re-shuffled by id and the lens table shuffled to meet it
     # (guide §2.4; r18 A/B: 8 → 6 jobs, median 0.96 → 0.78 s, top-k
-    # exact at sf0.01 and sf0.1).  The corpus constants keep their own
-    # map-side one-row aggregate over a lengths-only projection — N
-    # must count zero-token documents, which never reach the explode.
-    toks = src.select(
+    # exact at sf0.01 and sf0.1).  The token array is materialized in
+    # its own projection BELOW the explode so the regexp tokenizer runs
+    # ONCE per document — inlining size(tokens_expr) next to the
+    # explode put it in the Project above the Generate, i.e. once per
+    # TOKEN row (verified in the plan dump).  size() on the retained
+    # array attribute is O(1) per row.  The corpus constants keep their
+    # own map-side one-row aggregate over a lengths-only projection —
+    # N must count zero-token documents, which never reach the explode.
+    toks = src.select(F.col(id_col), tokens_expr(text_col).alias("__toks")).select(
         F.col(id_col),
-        F.size(tokens_expr(text_col)).alias("dl"),
-        F.explode(tokens_expr(text_col)).alias("term"),
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
     )
     lens = src.select(F.size(tokens_expr(text_col)).alias("dl"))
     consts = lens.agg(

@@ -46,7 +46,10 @@ _CENTROIDS_SCHEMA = "cid long, cvec array<double>"
 #: rebuilt at the same remote path by another application with different
 #: column TYPES would be read through the stale schema for this
 #: application's lifetime.  :func:`append_to_ivf_index` is
-#: schema-preserving by contract and never invalidates.
+#: schema-preserving by contract and never invalidates EXPLICITLY —
+#: on local paths an append does change the directory stamp, so the
+#: next read re-infers once (a safe, cheap miss) and caches under the
+#: new stamp; the superseded entry ages out at the size bound.
 _LISTS_SCHEMA_CACHE: dict[tuple, object] = {}
 
 
@@ -67,8 +70,11 @@ def _read_lists(spark, path: str) -> DataFrame:
         return spark.read.schema(schema).parquet(path)
     df = spark.read.parquet(path)
     if len(_LISTS_SCHEMA_CACHE) > 4096:
-        # drop one arbitrary entry, not the whole cache: the hot probe
-        # paths stay warm even if something churns thousands of paths
+        # drop the oldest-inserted entry rather than clearing the whole
+        # cache (insertion order, so a long-lived hot path CAN be the
+        # one dropped — it re-enters on the next read for one extra
+        # inference; the point is only that churn never evicts
+        # everything at once)
         _LISTS_SCHEMA_CACHE.pop(next(iter(_LISTS_SCHEMA_CACHE)))
     _LISTS_SCHEMA_CACHE[key] = df.schema
     return df
@@ -759,6 +765,8 @@ def ivf_pq_topk(
         q_norms = np.zeros(0, dtype=np.float64)
         luts = np.zeros((0, m_, k_), dtype=np.float64)
 
+    probe_cells = np.asarray(sorted(probing), dtype=np.int64)
+
     def encode_score(batches):
         for pdf in batches:
             x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
@@ -769,6 +777,18 @@ def ivf_pq_topk(
             xn = np.sqrt((x**2).sum(axis=1))
             cos = (x @ cents.T) / np.maximum(xn[:, None] * cent_norms[None, :], 1e-300)
             cid = cos.argmax(axis=1)
+            ids = np.asarray(pdf[id_col], dtype=np.int64)
+            # rows whose cell no query probes produce no output — drop
+            # them BEFORE the per-subspace PQ encode, the kernel's
+            # dominant per-row cost (the unfused pipeline could not skip
+            # the encode; the fused one sees the probe set in-closure,
+            # and at the intended nlist >> nprobe regime this skips
+            # ~(1 - nprobe/nlist) of the heavy work)
+            pmask = np.isin(cid, probe_cells)
+            if not pmask.any():
+                continue
+            x, xn, cid, ids = x[pmask], xn[pmask], cid[pmask], ids[pmask]
+            n = x.shape[0]
             # PQ codes: per subspace argmin L2 to the codebook
             xs = x.reshape(n, m_, dsub)
             code_cols = np.empty((n, m_), dtype=np.int64)
@@ -780,7 +800,6 @@ def ivf_pq_topk(
             # ADC against the queries probing each row's cell — the same
             # gather+sum+normalize the former join+ADC stage computed,
             # now without the codes ever leaving the task
-            ids = np.asarray(pdf[id_col], dtype=np.int64)
             out_q, out_n, out_s = [], [], []
             for c in np.unique(cid):
                 qidx = probing.get(int(c))

@@ -270,9 +270,9 @@ def staged_sequence_stream(
         )
         .filter(F.col("seq") % drop_mod != drop_rem)
     )
-    from .windows import scratch_dir
+    from .windows import scratch_mkdtemp
 
-    staged = tempfile.mkdtemp(prefix="rawdata-seq-src-", dir=scratch_dir())
+    staged = scratch_mkdtemp("rawdata-seq-src-")
     # ONE distributed job writes all shards via a partitioned write
     # (optimization guide §1.2: the per-shard loop ran the full
     # events-window derivation once PER SHARD — n_files× the work; a

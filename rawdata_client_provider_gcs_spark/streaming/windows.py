@@ -124,7 +124,7 @@ def flushable_event_stream(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    staged = tempfile.mkdtemp(prefix="rawdata-stream-src-", dir=scratch_dir())
+    staged = scratch_mkdtemp("rawdata-stream-src-")
     real = os.path.join(staged, "0-events.parquet")
     shutil.copy(os.path.join(sf_dir, "events.parquet"), real)
     ts_type, div = _ts_field_spec(real)
@@ -179,6 +179,25 @@ def flushable_event_stream(
         .load(staged)
     )
     return _to_event_time(raw, div)
+
+
+def scratch_mkdtemp(prefix: str) -> str:
+    """``mkdtemp`` under :func:`scratch_dir`, registered for removal at
+    process exit.
+
+    Staged stream sources must outlive the stream's construction until
+    its (single) bounded drain, so they cannot be removed eagerly by
+    the drain itself; before this they were never removed at all — a
+    disk leak that :func:`scratch_dir`'s ``/dev/shm`` default would
+    have turned into a RAM leak for batch/CI processes running many
+    drains.  Checkpoints have a clear owner and are removed eagerly in
+    ``_run_bounded`` instead.
+    """
+    import atexit
+
+    path = tempfile.mkdtemp(prefix=prefix, dir=scratch_dir())
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
 
 
 def scratch_dir() -> str | None:
@@ -258,6 +277,13 @@ def _run_bounded(
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev)
+        # the drain is over (or failed) and nothing ever restarts from a
+        # bounded drain's checkpoint — the results live in the memory
+        # sink, so the WAL/offset/state files are dead weight the moment
+        # awaitTermination returns.  Removing them here keeps repeated
+        # drains from accumulating scratch (on the /dev/shm default that
+        # would be a RAM leak, not just a disk one).
+        shutil.rmtree(checkpoint, ignore_errors=True)
     return spark.table(name)
 
 

@@ -54,13 +54,17 @@ def _path_stamp(path: str):
     return (st.st_size, st.st_mtime_ns)
 
 
-# Bumped whenever ``load_table`` observes a table path's stamp change
-# (including first sight).  Folded into the ``scan_parallel`` decision
-# memo key: a rewritten table may carry a different split count, so all
-# memoized spread decisions are invalidated by one integer compare —
-# re-probing costs one planning pass, never correctness.
+# Bumped whenever ``load_table`` observes a previously-seen table path's
+# stamp CHANGE (first sight does not bump: a decision memoized earlier
+# cannot reference a table that was never loaded, so invalidating on new
+# tables would only throw away valid entries).  Folded into the
+# ``scan_parallel`` decision memo key: a rewritten table may carry a
+# different split count, so all memoized spread decisions are
+# invalidated by one integer compare — re-probing costs one planning
+# pass, never correctness.
 _STAMP_EPOCH = 0
 _TABLE_STAMPS: dict[str, object] = {}
+_NEVER_SEEN = object()
 
 
 @lru_cache(maxsize=256)
@@ -96,19 +100,29 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     stamp = _path_stamp(path)
     global _STAMP_EPOCH
-    if _TABLE_STAMPS.get(path) != stamp:
+    prev = _TABLE_STAMPS.get(path, _NEVER_SEEN)
+    if prev is _NEVER_SEEN:
+        _TABLE_STAMPS[path] = stamp
+    elif prev != stamp:
         _TABLE_STAMPS[path] = stamp
         _STAMP_EPOCH += 1
+    # stamp None = the path cannot be stat'ed cheaply (gs://, hdfs://).
+    # Cache anyway under the same-process contract _read_lists documents
+    # — a remote table rewritten by another process with different
+    # column TYPES would be read through the stale schema for this
+    # application's lifetime; local paths (the stat-able case) get full
+    # cross-process invalidation from the stamp in the key.  Disabling
+    # the cache for remote paths instead would re-pay the ~110 ms footer
+    # inference on every load of the library's primary remote use case.
     key = (spark.sparkContext.applicationId, path, stamp)
-    schema = _SCHEMA_CACHE.get(key) if stamp is not None else None
+    schema = _SCHEMA_CACHE.get(key)
     if schema is not None:
         df = spark.read.schema(schema).parquet(path)
     else:
         df = spark.read.parquet(path)
-        if stamp is not None:
-            if len(_SCHEMA_CACHE) > 4096:
-                _SCHEMA_CACHE.clear()
-            _SCHEMA_CACHE[key] = df.schema
+        if len(_SCHEMA_CACHE) > 4096:
+            _SCHEMA_CACHE.clear()
+        _SCHEMA_CACHE[key] = df.schema
     for col in _nanos_timestamp_columns(path, stamp):
         # floor-divide nanos → micros, matching DuckDB's ns→us truncation
         df = df.withColumn(
